@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Core batch-relational operators.
+  *
+  * Re-expresses the reference's batch analytics surface (reference:
+  * work/Intro_pySpark.ipynb — groupBy/agg, joins, unionByName, exceptAll;
+  * work/analysis_sectors_by_location.ipynb — merge + top-N counts) as
+  * declarative DataFrame transforms so Catalyst keeps pushdown, pruning and
+  * join planning. Small dimension tables are explicitly broadcast: on a
+  * 1000-executor cluster the fact-side stays shuffle-free for those joins.
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary: one shuffle, map-side partial aggs.
+    * Doubles rounded so results are stable across partition orderings. */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q6-style revenue filter: predicate + projection both push to the
+    * parquet scan (verify via PushedFilters/ReadSchema in explain). */
+  def revenueFilter(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") <  lit("1997-01-01") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+
+  /** Star join: fact ⋈ dims with explicit broadcast on the small sides —
+    * no shuffle of the fact table for nation/region at any scale. */
+  def regionalRevenue(orders: DataFrame, customer: DataFrame,
+                      nation: DataFrame, region: DataFrame): DataFrame =
+    orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        round(sum("o_totalprice"), 2).as("total_revenue"),
+        count(lit(1)).as("order_count"))
+
+  /** Deterministic top-N (ties broken on the key): TakeOrderedAndProject,
+    * i.e. per-partition heaps + driver merge, never a full sort. */
+  def topOrders(orders: DataFrame, n: Int): DataFrame =
+    orders
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(n)
+
+  /** Distinct cardinalities per group (exact; see Stats for approx_count_distinct). */
+  def distinctPartsPerFlag(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct("l_partkey").as("distinct_parts"),
+        countDistinct("l_suppkey").as("distinct_supps"))
+
+  /** unionByName + distinct (reference: work/Intro_pySpark.ipynb unionByName). */
+  def unionDistinctSegments(customer: DataFrame): DataFrame =
+    customer.filter(col("c_acctbal") > 1000)
+      .unionByName(customer.filter(col("c_mktsegment") === "BUILDING"))
+      .distinct()
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+
+  /** Multiset difference (reference: work/Intro_pySpark.ipynb exceptAll). */
+  def exceptAllByStatus(orders: DataFrame, status: String): DataFrame =
+    orders.exceptAll(orders.filter(col("o_orderstatus") === status))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"))
+
+  /** when/otherwise banding + conditional aggregation (reference:
+    * work/spark_processor.py alert-level chains, here on prices). */
+  def priceBands(orders: DataFrame): DataFrame =
+    orders
+      .withColumn("price_band",
+        when(col("o_totalprice") < 50000, "low")
+          .when(col("o_totalprice") < 200000, "mid")
+          .otherwise("high"))
+      .groupBy("o_orderstatus", "price_band")
+      .agg(count(lit(1)).as("n"), round(avg("o_totalprice"), 2).as("avg_price"))
+
+  /** Rollup subtotals over the region/nation hierarchy. */
+  def revenueRollup(orders: DataFrame, customer: DataFrame,
+                    nation: DataFrame, region: DataFrame): DataFrame =
+    orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select("r_name", "n_name", "o_totalprice")
+      // Column-based rollup: the String overload trips Spark 4.1's
+      // ambiguous-self-join detection after multi-way joins.
+      .rollup(col("r_name"), col("n_name"))
+      .agg(round(sum("o_totalprice"), 2).as("total_revenue"),
+        count(lit(1)).as("order_count"))
+
+  /** Semi/anti join coverage: customers tagged by order existence. The fact
+    * side is only probed, never materialized into the output. */
+  def customersByOrderExistence(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val key = col("c_custkey") === col("o_custkey")
+    customer.join(orders, key, "left_semi").withColumn("has_orders", lit(true))
+      .unionByName(
+        customer.join(orders, key, "left_anti").withColumn("has_orders", lit(false)))
+      .groupBy("c_nationkey", "has_orders")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Self-join: co-occurring lineitem pairs within an order (single shuffle
+    * on the shared key; the l1.ln < l2.ln predicate halves the pair space). */
+  def lineitemPairCount(lineitem: DataFrame): DataFrame = {
+    val a = lineitem.select(col("l_orderkey"), col("l_linenumber").as("ln1"))
+    val b = lineitem.select(col("l_orderkey"), col("l_linenumber").as("ln2"))
+    a.join(b, "l_orderkey")
+      .filter(col("ln1") < col("ln2"))
+      .agg(count(lit(1)).as("pair_count"))
+  }
+
+  /** Bounded cartesian product over two tiny dims (reference:
+    * work/Projet/preparation_noaa.ipynb cross join of zones × stations). */
+  def regionNationCombos(region: DataFrame, nation: DataFrame): DataFrame =
+    region.crossJoin(nation)
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("combos"))
+}

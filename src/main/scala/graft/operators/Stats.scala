@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Statistics & profiling operators (reference: work/Intro_pySpark.ipynb —
+  * summary/describe, approxQuantile, stat.corr, stat.cov, sample).
+  *
+  * All single-pass aggregations: a numeric profile over k columns is ONE
+  * job with map-side partial aggregation, not k describe() passes. Exact
+  * percentiles are used where an oracle must match; `approxQuantile`
+  * (Greenwald-Khanna) stays the scale path for 100 TB interactive use.
+  */
+object Stats {
+
+  /** count/mean/std/min/max per column, one row per column, one pass. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__n"),
+        round(avg(col(c)), 4).as(s"${c}__mean"),
+        round(stddev_samp(col(c)), 4).as(s"${c}__std"),
+        round(min(col(c)), 4).as(s"${c}__minv"),
+        round(max(col(c)), 4).as(s"${c}__maxv"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    // pivot the single wide row into (column, n, mean, std, minv, maxv)
+    val stacked = cols.map { c =>
+      struct(lit(c).as("column"),
+        col(s"${c}__n").as("n"), col(s"${c}__mean").as("mean"),
+        col(s"${c}__std").as("std"), col(s"${c}__minv").as("minv"),
+        col(s"${c}__maxv").as("maxv"))
+    }
+    wide.select(explode(array(stacked: _*)).as("s")).select("s.*")
+  }
+
+  /** Exact interpolated percentiles (oracle-comparable twin of
+    * approxQuantile; both exposed so callers choose accuracy vs cost). */
+  def quantiles(df: DataFrame, c: String, qs: Seq[Double]): DataFrame = {
+    val aggs = qs.map(q =>
+      round(expr(s"percentile($c, $q)"), 4).as(s"q${(q * 100).toInt}"))
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Greenwald-Khanna approximate quantiles — the reference's
+    * approxQuantile(col, probs, err) (constant memory per partition, no
+    * full sort; the right tool at 100 TB). */
+  def approxQuantiles(df: DataFrame, c: String, qs: Seq[Double],
+                      relativeError: Double): Array[Double] =
+    df.stat.approxQuantile(c, qs.toArray, relativeError)
+
+  /** Pearson correlation + sample covariance in one aggregation. */
+  def corrCov(df: DataFrame, x: String, y: String): DataFrame =
+    df.agg(
+      round(corr(col(x), col(y)), 6).as("corr_xy"),
+      round(covar_samp(col(x), col(y)), 4).as("cov_xy"))
+
+  /** Seeded Bernoulli sample (deterministic per partition layout). */
+  def sampleFraction(df: DataFrame, fraction: Double, seed: Long): DataFrame =
+    df.sample(withReplacement = false, fraction, seed)
+
+  /** Top-N value counts with deterministic tie-break on the value itself
+    * (reference: work/analysis_sectors_by_location.ipynb value_counts). */
+  def freqTopN(df: DataFrame, c: String, n: Int): DataFrame =
+    df.groupBy(c)
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc(c))
+      .limit(n)
+}
