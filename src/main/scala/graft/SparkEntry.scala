@@ -57,6 +57,25 @@ object SparkEntry {
         .agg(org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)).as("sampled_rows"))),
     "st_freq_topn" -> ((s, d) => Stats.freqTopN(Tables.part(s, d), "p_brand", 10)),
+    // ---- D. windows & sessionization ----
+    "w1_lag_change" -> ((s, d) => Windows.lagChange(Tables.events(s, d))),
+    "w2_session_number" -> ((s, d) => Windows.sessionNumbers(Tables.events(s, d))),
+    "w3_rownum_first" -> ((s, d) => Windows.firstEventPerUser(Tables.events(s, d))),
+    "w4_rolling" -> ((s, d) => Windows.rollingValue(Tables.events(s, d))),
+    "w5_session_summary" -> ((s, d) => Windows.sessionSummary(Tables.events(s, d))),
+    // ---- E. lambda pipeline (batch twins) ----
+    "lam_alert_classify" -> ((s, d) => Lambda.alertClassify(Tables.events(s, d))),
+    "lam_daily_profile" -> ((s, d) => Lambda.dailyProfile(Tables.events(s, d))),
+    "lam_records" -> ((s, d) => Lambda.records(Tables.events(s, d))),
+    "lam_anomaly_join" -> ((s, d) => Lambda.anomalies(Tables.events(s, d))),
+    "lam_window_agg" -> ((s, d) => Lambda.slidingWindowAgg(Tables.events(s, d))),
+    // ---- F. spatial ----
+    "sp_haversine" -> ((s, d) =>
+      SpatialJoin.distances(
+        Tables.customer(s, d).filter(org.apache.spark.sql.functions.col("c_custkey") <= 20),
+        Tables.supplier(s, d))),
+    "sp_nearest_join" -> ((s, d) =>
+      SpatialJoin.nearestSupplier(Tables.customer(s, d), Tables.supplier(s, d))),
   )
 
   /** DuckDB twins of `queries` (identical aliases + rounding — SURVEY §5). */
@@ -166,5 +185,126 @@ object SparkEntry {
       """SELECT p_brand, count(*) AS n FROM part
          GROUP BY p_brand ORDER BY n DESC, p_brand LIMIT 10""",
     // st_sample: seeded sampling is engine-specific → rows-only check.
+    "w1_lag_change" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, prev_type,
+           CASE WHEN prev_type IS NULL THEN 0
+                WHEN event_type <> prev_type THEN 1 ELSE 0 END AS changed
+         FROM (SELECT *, lag(event_type) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+               FROM events)""",
+    "w2_session_number" ->
+      """SELECT event_id, user_id,
+           CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+         FROM (
+           SELECT event_id, user_id, ts,
+             CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+           FROM (SELECT *, lag(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+                 FROM events))""",
+    "w3_rownum_first" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+         FROM (SELECT *, row_number() OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events)
+         WHERE rn = 1""",
+    "w4_rolling" ->
+      """SELECT event_id, user_id,
+           round(avg(value) OVER w, 4) AS roll_avg,
+           round(max(value) OVER w, 4) AS roll_max
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
+    "w5_session_summary" ->
+      """SELECT user_id, session_no,
+           min(us) AS start_us, max(us) AS end_us,
+           count(*) AS n_events, round(avg(value),4) AS avg_value,
+           round((max(us) - min(us)) / 1000000.0, 6) AS duration_sec
+         FROM (
+           SELECT user_id, value, us,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+           FROM (
+             SELECT user_id, value, epoch_us(ts) AS us, event_id,
+               CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+             FROM (SELECT *, lag(epoch_us(ts)) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+                   FROM events)))
+         GROUP BY user_id, session_no""",
+    "lam_alert_classify" ->
+      """SELECT event_type,
+           CASE WHEN value < 100 THEN 'level_0'
+                WHEN value < 300 THEN 'level_1' ELSE 'level_2' END AS alert_level,
+           count(*) AS n, round(avg(value),4) AS avg_value
+         FROM events GROUP BY 1, 2""",
+    "lam_daily_profile" ->
+      """SELECT CAST(day(ts) AS INTEGER) AS day, event_type,
+           round(avg(value),6) AS value_mean,
+           round(stddev_samp(value),6) AS value_std, count(*) AS n
+         FROM events GROUP BY 1, 2""",
+    "lam_records" ->
+      """SELECT user_id, round(max(value),4) AS record_max,
+           round(min(value),4) AS record_min,
+           max(epoch_us(ts)) AS last_seen_us
+         FROM events GROUP BY user_id""",
+    "lam_anomaly_join" ->
+      """WITH prof AS (
+           SELECT CAST(day(ts) AS INTEGER) AS p_day, event_type AS p_type,
+             round(avg(value),6) AS value_mean, round(stddev_samp(value),6) AS value_std
+           FROM events GROUP BY 1, 2)
+         SELECT CAST(day(e.ts) AS INTEGER) AS day, e.event_type,
+           count(*) AS n_anomalies,
+           round(max(abs(e.value - p.value_mean)),4) AS max_deviation
+         FROM events e JOIN prof p
+           ON CAST(day(e.ts) AS INTEGER) = p.p_day AND e.event_type = p.p_type
+         WHERE abs(e.value - p.value_mean) > 2.0 * p.value_std
+         GROUP BY 1, 2""",
+    "lam_window_agg" ->
+      """WITH ev AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),
+         exp AS (
+           SELECT (us // 10800000000) * 10800000000 AS window_start_us,
+                  event_type, value FROM ev
+           UNION ALL
+           SELECT ((us // 10800000000) - 1) * 10800000000, event_type, value FROM ev)
+         SELECT window_start_us, event_type, count(*) AS n,
+           CAST(sum(CAST(round(value*100) AS BIGINT)) * 100 // count(*) AS BIGINT)
+             AS avg_value_e4,
+           round(max(value),4) AS max_value,
+           count(CASE WHEN value >= 100 THEN 1 END) AS n_alerts
+         FROM exp GROUP BY 1, 2""",
+    "sp_haversine" ->
+      """WITH c AS (SELECT c_custkey,
+             round(((c_custkey * 17) % 1400)/10.0 - 70.0, 4) AS c_lat,
+             round(((c_custkey * 31) % 3600)/10.0 - 180.0, 4) AS c_lon
+           FROM customer WHERE c_custkey <= 20),
+         s AS (SELECT s_suppkey,
+             round(((s_suppkey * 23) % 1400)/10.0 - 70.0, 4) AS s_lat,
+             round(((s_suppkey * 41) % 3600)/10.0 - 180.0, 4) AS s_lon
+           FROM supplier)
+         SELECT c_custkey, c_lat, c_lon, s_suppkey, s_lat, s_lon,
+           round(2*6371.0*asin(sqrt(
+             pow(sin(radians(s_lat - c_lat)/2), 2) +
+             cos(radians(c_lat))*cos(radians(s_lat))*pow(sin(radians(s_lon - c_lon)/2), 2)
+           )), 4) AS dist_km
+         FROM c CROSS JOIN s""",
+    "sp_nearest_join" ->
+      """WITH c AS (SELECT c_custkey,
+             round(((c_custkey * 17) % 1400)/10.0 - 70.0, 4) AS c_lat,
+             round(((c_custkey * 31) % 3600)/10.0 - 180.0, 4) AS c_lon
+           FROM customer),
+         s AS (SELECT s_suppkey,
+             round(((s_suppkey * 23) % 1400)/10.0 - 70.0, 4) AS s_lat,
+             round(((s_suppkey * 41) % 3600)/10.0 - 180.0, 4) AS s_lon
+           FROM supplier),
+         d AS (SELECT c_custkey, s_suppkey,
+             round(2*6371.0*asin(sqrt(
+               pow(sin(radians(s_lat - c_lat)/2), 2) +
+               cos(radians(c_lat))*cos(radians(s_lat))*pow(sin(radians(s_lon - c_lon)/2), 2)
+             )), 4) AS dist_km
+           FROM c CROSS JOIN s),
+         r AS (SELECT *, row_number() OVER
+                 (PARTITION BY c_custkey ORDER BY dist_km, s_suppkey) AS rnk FROM d)
+         SELECT c_custkey, s_suppkey, dist_km FROM r WHERE rnk = 1""",
   )
 }

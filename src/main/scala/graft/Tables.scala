@@ -26,7 +26,16 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = apply(s, d, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4.1 refuses to
+    * read as a timestamp ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and
+    * normalize to a microsecond timestamp (floor division — matches
+    * DuckDB's ns→us cast semantics, so oracles align exactly). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    apply(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference's Lambda-architecture weather pipeline, re-expressed as
+  * batch twins over `events` (the streaming twins live in
+  * graft.streaming and share these Column expressions):
+  *
+  *  - alert classification (reference: work/spark_processor.py when-chains)
+  *  - batch-layer profiles   (reference: work/batch_profiling_enriched.py)
+  *  - per-key records        (reference: work/batch_records.py)
+  *  - anomaly join           (reference: work/anomaly_detector.py μ±2σ)
+  *  - sliding window agg     (reference: work/spark_windowed_aggregation.py)
+  *
+  * Scale notes: profiles are tiny (one row per day/key) → always broadcast
+  * into the anomaly join, so the fact scan never shuffles. The sliding
+  * window agg pre-aggregates per (bucket, type) map-side before the single
+  * shuffle on the composite key.
+  */
+object Lambda {
+
+  /** Multi-level alert banding: value < 100 → level_0, < 300 → level_1,
+    * else level_2 (the reference's wind/heat alert chains). */
+  def alertLevel(valueCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(valueCol < 100, "level_0")
+      .when(valueCol < 300, "level_1")
+      .otherwise("level_2")
+
+  /** Alert classification + distribution per event type. */
+  def alertClassify(events: DataFrame): DataFrame =
+    events
+      .withColumn("alert_level", alertLevel(col("value")))
+      .groupBy("event_type", "alert_level")
+      .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+
+  /** Batch layer: per-day per-type profiles (mean + stddev), the
+    * reference's monthly seasonal profile at event-data granularity. */
+  def dailyProfile(events: DataFrame): DataFrame =
+    events
+      .withColumn("day", dayofmonth(col("ts")))
+      .groupBy("day", "event_type")
+      .agg(
+        round(avg("value"), 6).as("value_mean"),
+        round(stddev_samp("value"), 6).as("value_std"),
+        count(lit(1)).as("n"))
+
+  /** Per-key extremes (the reference's climatic records per location). */
+  def records(events: DataFrame): DataFrame =
+    events
+      .groupBy("user_id")
+      .agg(
+        round(max("value"), 4).as("record_max"),
+        round(min("value"), 4).as("record_min"),
+        max(unix_micros(col("ts"))).as("last_seen_us"))
+
+  /** Serving layer: join observations to their (day, type) profile and
+    * keep μ±2σ outliers. Profile side is broadcast — at 100 TB the fact
+    * scan stays shuffle-free. */
+  def anomalies(events: DataFrame): DataFrame = {
+    val profiles = dailyProfile(events)
+      .select(col("day").as("p_day"), col("event_type").as("p_type"),
+        col("value_mean"), col("value_std"))
+    events
+      .withColumn("day", dayofmonth(col("ts")))
+      .join(broadcast(profiles),
+        col("day") === col("p_day") && col("event_type") === col("p_type"))
+      .filter(abs(col("value") - col("value_mean")) > lit(2.0) * col("value_std"))
+      .groupBy("day", "event_type")
+      .agg(count(lit(1)).as("n_anomalies"),
+        round(max(abs(col("value") - col("value_mean"))), 4).as("max_deviation"))
+  }
+
+  /** Sliding event-time window aggregation (width 6h, slide 3h): the
+    * reference's 5min/1min windowed aggregates with conditional alert
+    * counts. Batch twin of the Structured Streaming version — emits
+    * window_start_us so the oracle can reproduce bucketing with integer
+    * arithmetic. */
+  def slidingWindowAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "6 hours", "3 hours"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        // exact fixed-point mean: `value` carries 2 decimals, so means of
+        // small groups land exactly on round-half boundaries where Spark
+        // (BigDecimal HALF_UP) and other engines (scaled-FP rounding)
+        // disagree. Integer cents summed exactly, then floor-divided to
+        // 1e-4 units: order-independent and bit-identical everywhere.
+        expr("sum(cast(round(value * 100) as bigint)) * 100 div count(*)")
+          .as("avg_value_e4"),
+        round(max("value"), 4).as("max_value"),
+        count(when(alertLevel(col("value")) =!= "level_0", 1)).as("n_alerts"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n"), col("avg_value_e4"), col("max_value"),
+        col("n_alerts"))
+}

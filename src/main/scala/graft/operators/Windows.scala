@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window functions & sessionization — the reference's cyclist-trip
+  * workflow (reference: work/TD_pySpark.ipynb: lag + change detection,
+  * cumulative-sum trip numbering, row_number first-rows, rowsBetween
+  * rolling windows, per-trip summaries) re-expressed on the `events`
+  * stream table.
+  *
+  * Scale design: ONE hash-partitioning on user_id serves the whole chain
+  * (lag → flag → running sum → row_number) — Catalyst reuses the single
+  * Exchange because every window spec shares partitionBy(user_id). The
+  * reference computed the change flag with a Python UDF; here it is a
+  * codegen'd `when` over `lag`, so the whole chain stays inside
+  * WholeStageCodegen after the sort.
+  *
+  * Ordering is always (ts, event_id) — timestamps alone may tie, and the
+  * tiebreak keeps results engine-reproducible.
+  */
+object Windows {
+
+  private val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+  /** lag + state-change detection (TD ex.: sur_velo transitions). */
+  def lagChange(events: DataFrame): DataFrame =
+    events
+      .withColumn("prev_type", lag("event_type", 1).over(byUser))
+      .withColumn("changed",
+        when(col("prev_type").isNull, 0)
+          .when(col("event_type") =!= col("prev_type"), 1)
+          .otherwise(0))
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"), col("prev_type"), col("changed"))
+
+  /** Gap-based sessionization: a session break is a >gap pause, session id
+    * is the running sum of breaks (the reference's trip numbering, with
+    * time-gap instead of sur_velo as the break predicate). */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("session_no",
+        sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  /** Per-row session assignment (driver-comparable projection). */
+  def sessionNumbers(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    sessionize(events, gapMinutes)
+      .select(col("event_id"), col("user_id"), col("session_no"))
+
+  /** row_number → first event per user (TD ex.: first row of each trip). */
+  def firstEventPerUser(events: DataFrame): DataFrame =
+    events
+      .withColumn("rn", row_number().over(byUser))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"))
+
+  /** Rolling rowsBetween aggregate (TD ex.: 2-preceding window preview). */
+  def rollingValue(events: DataFrame): DataFrame =
+    events
+      .withColumn("roll_avg",
+        round(avg("value").over(byUser.rowsBetween(-2, 0)), 4))
+      .withColumn("roll_max",
+        round(max("value").over(byUser.rowsBetween(-2, 0)), 4))
+      .select(col("event_id"), col("user_id"), col("roll_avg"), col("roll_max"))
+
+  /** Per-session summary: bounds, duration, event count, mean value
+    * (TD ex.: trajets_summary). Reuses the sessionize partitioning — the
+    * groupBy keys are a superset of the window partition key, so AQE can
+    * avoid a second full shuffle. */
+  def sessionSummary(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    sessionize(events, gapMinutes)
+      .groupBy("user_id", "session_no")
+      .agg(
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"),
+        count(lit(1)).as("n_events"),
+        round(avg("value"), 4).as("avg_value"))
+      .withColumn("duration_sec",
+        round((col("end_us") - col("start_us")) / 1e6, 6))
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class WindowsLambdaSpec extends SparkSpec {
+
+  test("sessionize: session numbers start at 1 and are contiguous per user") {
+    val s = Windows.sessionize(Tables.events(spark, sf))
+    val perUser = s.groupBy("user_id")
+      .agg(min("session_no").as("lo"), max("session_no").as("hi"),
+        countDistinct("session_no").as("ns"))
+      .collect()
+    perUser.foreach { r =>
+      assert(r.getAs[Long]("lo") == 1L)
+      assert(r.getAs[Long]("hi") == r.getAs[Long]("ns")) // contiguous
+    }
+  }
+
+  test("sessionSummary durations are non-negative and bounded by span") {
+    val out = Windows.sessionSummary(Tables.events(spark, sf)).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Double]("duration_sec") >= 0.0)
+      assert(r.getAs[Long]("n_events") >= 1L)
+    }
+  }
+
+  test("window chain reuses a single exchange for the user_id partitioning") {
+    val plan = Windows.lagChange(Tables.events(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange hashpartitioning").length - 1 == 1,
+      s"expected exactly one user_id exchange in:\n$plan")
+  }
+
+  test("anomalies: every anomaly exceeds 2 sigma; profile join is broadcast") {
+    val df = Lambda.anomalies(Tables.events(spark, sf))
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    assert(df.collect().forall(_.getAs[Long]("n_anomalies") > 0))
+  }
+
+  test("slidingWindowAgg: each event lands in exactly two 6h/3h windows") {
+    val total = Lambda.slidingWindowAgg(Tables.events(spark, sf))
+      .agg(sum("n")).first().getLong(0)
+    assert(total == 2 * Tables.events(spark, sf).count())
+  }
+
+  test("nearestSupplier: one row per customer, distance minimal") {
+    val customers = Tables.customer(spark, sf)
+    val out = SpatialJoin.nearestSupplier(customers, Tables.supplier(spark, sf))
+    assert(out.count() == customers.count())
+    val withDist = SpatialJoin.distances(customers, Tables.supplier(spark, sf))
+      .groupBy("c_custkey").agg(min("dist_km").as("true_min"))
+    val joined = out.join(withDist, "c_custkey")
+      .filter(col("dist_km") =!= col("true_min"))
+    assert(joined.count() == 0)
+  }
+}
