@@ -76,6 +76,25 @@ object SparkEntry {
         Tables.supplier(s, d))),
     "sp_nearest_join" -> ((s, d) =>
       SpatialJoin.nearestSupplier(Tables.customer(s, d), Tables.supplier(s, d))),
+    // ---- G. text analysis / dedup / similarity ----
+    "tx_tokens" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
+    "tx_quality" -> ((s, d) => TextAnalysis.qualityScores(Tables.documents(s, d))),
+    "tx_langid" -> ((s, d) => TextAnalysis.languageId(Tables.documents(s, d))),
+    "tx_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(Tables.documents(s, d))),
+    "tx_fingerprint_roll" -> ((s, d) =>
+      TextAnalysis.rollingFingerprints(Tables.documents(s, d))),
+    "dd_exact" -> ((s, d) => Dedup.exactStats(Tables.documents(s, d))),
+    "dd_drop_exact" -> ((s, d) =>
+      Dedup.dropExactDuplicates(Tables.documents(s, d)).select("keep_id", "n_chars")),
+    "dd_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), 3, 0.2)),
+    "dd_embed_neardup" -> ((s, d) =>
+      Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), 0.3)),
+    "ann_bruteforce" -> ((s, d) =>
+      SimilaritySearch.bruteForceTopK(Tables.embeddings(s, d), 0L, 10)),
+    "ann_lsh" -> ((s, d) =>
+      SimilaritySearch.lshTopK(Tables.embeddings(s, d), 0L, 10,
+        SimilaritySearch.seededPlanes(4, 64))),
   )
 
   /** DuckDB twins of `queries` (identical aliases + rounding — SURVEY §5). */
@@ -306,5 +325,86 @@ object SparkEntry {
          r AS (SELECT *, row_number() OVER
                  (PARTITION BY c_custkey ORDER BY dist_km, s_suppkey) AS rnk FROM d)
          SELECT c_custkey, s_suppkey, dist_km FROM r WHERE rnk = 1""",
+    "tx_tokens" ->
+      """SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+                AS INTEGER) AS n_re_tokens,
+           CAST(length(text) AS INTEGER) AS n_chars
+         FROM documents""",
+    "tx_quality" ->
+      """SELECT doc_id,
+           round(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) / length(text), 6)
+             AS alpha_ratio,
+           round(len(list_filter(string_split(text,' '), x -> x IN ('the','a')))
+                 / len(string_split(text,' ')), 6) AS stop_ratio,
+           round(least(1.0, len(string_split(text,' ')) / 100.0), 6) AS len_sat,
+           round(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) / length(text) * 0.5
+               + len(list_filter(string_split(text,' '), x -> x IN ('the','a')))
+                 / len(string_split(text,' ')) * 0.3
+               + least(1.0, len(string_split(text,' ')) / 100.0) * 0.2, 6)
+             AS quality_score
+         FROM documents""",
+    "tx_langid" ->
+      """SELECT doc_id, s_sql, s_perf, s_data, s_en,
+           CASE WHEN s_sql >= s_perf AND s_sql >= s_data AND s_sql >= s_en THEN 'sql'
+                WHEN s_perf >= s_data AND s_perf >= s_en THEN 'perf'
+                WHEN s_data >= s_en THEN 'data'
+                ELSE 'en' END AS pred_lang
+         FROM (SELECT doc_id,
+           CAST(len(list_filter(string_split(text,' '),
+             x -> x IN ('table','query','join','row','column','key'))) AS INTEGER) AS s_sql,
+           CAST(len(list_filter(string_split(text,' '),
+             x -> x IN ('fast','slow','big','small','scan','sort'))) AS INTEGER) AS s_perf,
+           CAST(len(list_filter(string_split(text,' '),
+             x -> x IN ('data','stream','batch','vector','value','hash'))) AS INTEGER) AS s_data,
+           CAST(len(list_filter(string_split(text,' '),
+             x -> x IN ('the','a'))) AS INTEGER) AS s_en
+           FROM documents)""",
+    "tx_fingerprint" ->
+      """SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS fp_md5
+         FROM documents""",
+    "dd_exact" ->
+      """SELECT count(*) AS n_docs, count(DISTINCT fp) AS n_distinct,
+           count(*) - count(DISTINCT fp) AS n_dup_docs
+         FROM (SELECT md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS fp
+               FROM documents)""",
+    "dd_drop_exact" ->
+      """WITH fp AS (SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS f
+           FROM documents),
+         k AS (SELECT f, min(doc_id) AS keep_id FROM fp GROUP BY f)
+         SELECT k.keep_id, d.n_chars FROM k JOIN documents d ON d.doc_id = k.keep_id""",
+    "dd_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (SELECT DISTINCT doc_id, s FROM (
+           SELECT doc_id, unnest(list_transform(range(1, len(t)-1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+           FROM toks WHERE len(t) >= 3)),
+         sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+         SELECT d1, d2, shared,
+           round(shared / (x.n_sh + y.n_sh - shared), 6) AS jaccard
+         FROM p JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+         WHERE round(shared / (x.n_sh + y.n_sh - shared), 6) >= 0.2""",
+    "dd_embed_neardup" ->
+      """SELECT a.vec_id AS v1, b.vec_id AS v2,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4) AS cos
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 4) >= 0.3""",
+    "ann_bruteforce" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         SELECT b.vec_id,
+           round(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+                                        CAST(q.qe AS DOUBLE[])), 4) AS cos
+         FROM embeddings b, q WHERE b.vec_id <> 0
+         ORDER BY cos DESC, b.vec_id LIMIT 10""",
+    // tx_fingerprint_roll, ann_lsh: hash/bucket internals are engine-
+    // specific → rows-only check + property specs.
   )
 }

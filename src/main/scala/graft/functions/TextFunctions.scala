@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for LLM-data-pipeline work (SURVEY §2.G).
+  *
+  * Everything is a pure Column composition over `functions._` — no UDFs —
+  * so each metric stays inside WholeStageCodegen and runs at scan speed on
+  * a 100 TB corpus. Higher-order functions (`transform`, `filter`,
+  * `aggregate`) cover the per-token logic the reference would have done in
+  * Python UDFs (reference: work/TD_pySpark.ipynb parse_timestamp/
+  * detect_change UDF style — deliberately NOT reproduced).
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def wsTokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish lexer token count: letter runs, digit runs, or single
+    * non-alphanumeric marks. */
+  def reTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0)))
+
+  /** How many tokens fall in `words`. */
+  def tokenCountIn(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), x => x.isin(words: _*)))
+
+  /** Fraction of characters that are a-z after lowercasing. */
+  def alphaRatio(text: Column): Column =
+    length(regexp_replace(lower(text), "[^a-z]", "")) / length(text)
+
+  /** Distinct word n-gram shingles (the dedup unit). Documents shorter
+    * than n tokens yield no shingles (sequence() would otherwise count
+    * backwards). */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + 1, lit(n))))))
+  }
+
+  /** Content fingerprint: md5 of whitespace-normalized lowercase text —
+    * the exact-dedup key (cheap, collision-negligible at 100 TB). */
+  def contentFingerprint(text: Column): Column =
+    md5(lower(trim(regexp_replace(text, " +", " "))))
+
+  /** Polynomial rolling hash over characters, mod 1e9+7 — the modular
+    * reduction keeps every step well inside Long range (Spark 4 runs
+    * ANSI mode, where silent wraparound is an overflow error). Order-
+    * sensitive twin of the md5 fingerprint, codegen-friendly. */
+  def rollingHash(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), ch => ascii(ch).cast("long")),
+      lit(7L),
+      (acc, c) => (acc * 31 + c) % 1000000007L)
+
+  /** Stopword-profile language-ID: score = token overlap with each
+    * profile, prediction = fixed-priority argmax. Profiles are over the
+    * synthetic corpus vocabulary (real deployments would plug in per-
+    * language stopword lists — the mechanics are identical). */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "sql"  -> Seq("table", "query", "join", "row", "column", "key"),
+    "perf" -> Seq("fast", "slow", "big", "small", "scan", "sort"),
+    "data" -> Seq("data", "stream", "batch", "vector", "value", "hash"),
+    "en"   -> Seq("the", "a"))
+
+  def langScore(text: Column, profile: Seq[String]): Column =
+    tokenCountIn(text, profile)
+}

@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector column functions over `array<float>` embedding columns
+  * (SURVEY §2.G similarity search).
+  *
+  * Pure `zip_with`/`aggregate` compositions — codegen'd, no UDF, no
+  * serialization of the vectors off the JVM heap. Math is done in double
+  * regardless of the storage type so results are stable and
+  * oracle-comparable.
+  */
+object VectorFunctions {
+
+  import graft.plans.DotProduct
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  private def asDouble(v: Column): Column = v.cast("array<double>")
+
+  /** Σ aᵢ·bᵢ in double — native codegen'd expression (primitive loop
+    * over ArrayData; see graft.plans.DotProduct for why not zip_with). */
+  def dot(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Σ aᵢ·bᵢ via higher-order functions — portable fallback kept for
+    * environments that disallow custom expressions; semantics identical. */
+  def dotHof(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  def normSq(a: Column): Column = dot(a, a)
+
+  def l2Norm(a: Column): Column = sqrt(normSq(a))
+
+  /** Cosine similarity in [-1, 1]. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Euclidean distance. */
+  def l2Dist(a: Column, b: Column): Column =
+    sqrt(aggregate(
+      zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** Sign bits against a fixed set of hyperplanes → a compact LSH bucket
+    * id (random-hyperplane LSH; planes supplied as literal weights). */
+  def hyperplaneBucket(v: Column, planes: Seq[Seq[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (plane, i) =>
+      val planeCol = array(plane.map(lit): _*)
+      when(dot(v, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+}

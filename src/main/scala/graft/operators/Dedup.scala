@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (SURVEY §2.G).
+  *
+  * Exact dedup groups on a content fingerprint (one shuffle of 16-byte
+  * keys, never of document bodies). N-gram Jaccard is the exact
+  * pairwise baseline: shingle-explode → shingle-join → per-pair overlap
+  * count. It is quadratic in the worst case — MinHash-LSH (see
+  * MinHashLSH) is the scale path; this operator is the ground truth the
+  * sketch variants are validated against.
+  */
+object Dedup {
+
+  /** Corpus-level exact-duplicate stats on the normalized-text md5. */
+  def exactStats(documents: DataFrame): DataFrame =
+    documents
+      .select(contentFingerprint(col("text")).as("fp"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_distinct"))
+      .withColumn("n_dup_docs", col("n_docs") - col("n_distinct"))
+
+  /** Representative picking: smallest doc_id kept per fingerprint group;
+    * returns the deduplicated corpus. */
+  def dropExactDuplicates(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("fp", contentFingerprint(col("text")))
+      .groupBy("fp")
+      .agg(min(col("doc_id")).as("keep_id"))
+      .join(documents.withColumnRenamed("doc_id", "keep_id"), "keep_id")
+      .drop("fp")
+
+  /** Distinct word n-gram shingles per document. */
+  def docShingles(documents: DataFrame, n: Int): DataFrame =
+    documents.select(col("doc_id"),
+      explode(shingles(col("text"), n)).as("shingle"))
+
+  /** Exact n-gram Jaccard over candidate pairs (docs sharing ≥1 shingle).
+    * |A∩B| from the shingle join, |A|,|B| precomputed, J = ∩/(|A|+|B|-∩).
+    * Pairs below `threshold` are dropped. */
+  def ngramJaccardPairs(documents: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val sh = docShingles(documents, n)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.select(col("doc_id").as("d1"), col("n_sh").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n_sh").as("n2")), "d2")
+      .withColumn("jaccard",
+        round(col("shared") / (col("n1") + col("n2") - col("shared")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("shared"), col("jaccard"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above `threshold`. Exact
+    * all-pairs baseline (the LSH-bucketed variant in SimilaritySearch is
+    * the 100 TB path). */
+  def embeddingNearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions.{dot, l2Norm}
+    // Norms are computed ONCE per vector before the pair join (carried as
+    // a scalar through the join) — recomputing them per pair tripled the
+    // flops and dominated the profile.
+    val withNorm = embeddings.select(col("vec_id"), col("embedding"),
+      l2Norm(col("embedding")).as("nrm"))
+    val a = withNorm.select(col("vec_id").as("v1"), col("embedding").as("e1"),
+      col("nrm").as("n1"))
+    val b = withNorm.select(col("vec_id").as("v2"), col("embedding").as("e2"),
+      col("nrm").as("n2"))
+    a.join(b, col("v1") < col("v2"))
+      .withColumn("cos", round(dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("v1"), col("v2"), col("cos"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Document text-analysis operators (SURVEY §2.G): token counting,
+  * quality scoring, language-ID, fingerprinting. All pure column
+  * pipelines over the scan — zero shuffles, embarrassingly parallel at
+  * any corpus size.
+  */
+object TextAnalysis {
+
+  /** Token counts: whitespace tokens, BPE-ish lexer tokens, characters. */
+  def tokenCounts(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      wsTokenCount(col("text")).as("n_ws_tokens"),
+      reTokenCount(col("text")).as("n_re_tokens"),
+      length(col("text")).as("n_chars"))
+
+  /** Quality scoring from cheap surface statistics (alpha ratio,
+    * stopword ratio, length saturation) — the classic pre-filter before
+    * expensive model-based scoring of web-scale corpora. */
+  def qualityScores(documents: DataFrame): DataFrame = {
+    val nTok = wsTokenCount(col("text"))
+    val alpha = alphaRatio(col("text"))
+    val stopRatio = tokenCountIn(col("text"), Seq("the", "a")) / nTok
+    val lenSat = least(lit(1.0), nTok / lit(100.0))
+    documents.select(
+      col("doc_id"),
+      round(alpha, 6).as("alpha_ratio"),
+      round(stopRatio, 6).as("stop_ratio"),
+      round(lenSat, 6).as("len_sat"),
+      round(alpha * 0.5 + stopRatio * 0.3 + lenSat * 0.2, 6).as("quality_score"))
+  }
+
+  /** Stopword-profile language ID: per-profile overlap scores and a
+    * fixed-priority argmax (reference corpus is synthetic; profiles are
+    * pluggable — see TextFunctions.langProfiles). */
+  def languageId(documents: DataFrame): DataFrame = {
+    val scored = langProfiles.foldLeft(documents) { case (df, (name, words)) =>
+      df.withColumn(s"s_$name", tokenCountIn(col("text"), words))
+    }
+    val Seq(sql_, perf, data, en) =
+      langProfiles.map { case (n, _) => col(s"s_$n") }
+    scored.select(
+      col("doc_id"), col("s_sql"), col("s_perf"), col("s_data"), col("s_en"),
+      when(sql_ >= perf && sql_ >= data && sql_ >= en, "sql")
+        .when(perf >= data && perf >= en, "perf")
+        .when(data >= en, "data")
+        .otherwise("en").as("pred_lang"))
+  }
+
+  /** Content fingerprints: md5 (order-insensitive key for exact dedup)
+    * plus a polynomial rolling hash (order-sensitive; Spark-side only —
+    * property-tested rather than oracle-checked). */
+  def fingerprints(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      contentFingerprint(col("text")).as("fp_md5"))
+
+  def rollingFingerprints(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      rollingHash(col("text")).as("fp_roll"))
+}

@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into `private[sql]` Column construction: wraps a raw Catalyst
+  * Expression into a user-facing Column (the same mechanism Spark's own
+  * `functions._` uses; placed under org.apache.spark.sql.* for the
+  * qualified-private access, as OSS Spark extensions commonly do). */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
