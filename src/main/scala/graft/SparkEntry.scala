@@ -95,6 +95,9 @@ object SparkEntry {
     "ann_lsh" -> ((s, d) =>
       SimilaritySearch.lshTopK(Tables.embeddings(s, d), 0L, 10,
         SimilaritySearch.seededPlanes(4, 64))),
+    "dd_minhash_lsh" -> ((s, d) =>
+      SketchDedup.minhashLshPairs(Tables.documents(s, d))),
+    "dd_simhash" -> ((s, d) => SketchDedup.simhashPairs(Tables.documents(s, d))),
   )
 
   /** DuckDB twins of `queries` (identical aliases + rounding — SURVEY §5). */

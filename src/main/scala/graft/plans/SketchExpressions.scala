@@ -1,0 +1,129 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Row-local sketch computation (SURVEY §2.G dedup scale path).
+  *
+  * Both sketches are computed per document INSIDE the scan — no explode,
+  * no shuffle of shingle rows. At 100 TB that is the difference between
+  * shuffling ~100 shingle rows per document and shuffling b band keys
+  * (MinHash) or one i64 (SimHash) per document. Hashing is xxhash64 over
+  * the raw UTF8String bytes (no copies), through a static helper that
+  * both interpreted eval and generated code call.
+  */
+object SketchImpl {
+
+  def hashToken(s: UTF8String, seed: Long): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+
+  /** Universal-hash parameters for k permutations, fixed seed. */
+  def minhashParams(k: Int, seed: Long): (Array[Long], Array[Long]) = {
+    val rng = new java.util.Random(seed)
+    val a = Array.fill(k)(rng.nextLong() | 1L) // odd multipliers
+    val b = Array.fill(k)(rng.nextLong())
+    (a, b)
+  }
+
+  /** k-permutation MinHash signature of a token set. Empty/null-element
+    * arrays yield Long.MaxValue slots (no shingles → degenerate sig). */
+  def minhash(tokens: ArrayData, a: Array[Long], b: Array[Long]): ArrayData = {
+    val k = a.length
+    val sig = Array.fill(k)(Long.MaxValue)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val base = hashToken(tokens.getUTF8String(i), 0x9747b28cL)
+        var j = 0
+        while (j < k) {
+          val h = a(j) * base + b(j)
+          if (h < sig(j)) sig(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** 64-bit SimHash over a token array: per-token xxhash64, ±1 vote per
+    * bit, sign of the vote sum. */
+  def simhash(tokens: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = hashToken(tokens.getUTF8String(i), 0x9747b28cL)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+}
+
+trait TokenArrayInput { self: UnaryExpression =>
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"expected array<string>, got ${other.simpleString}")
+  }
+}
+
+/** MinHash signature expression: array<string> → array<long> of length k. */
+case class MinHashSignature(child: Expression, k: Int, seed: Long = 42L)
+  extends UnaryExpression with TokenArrayInput {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  @transient private lazy val (pa, pb) = SketchImpl.minhashParams(k, seed)
+
+  override protected def nullSafeEval(input: Any): Any =
+    SketchImpl.minhash(input.asInstanceOf[ArrayData], pa, pb)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val params = ctx.addReferenceObj("mhparams", (pa, pb),
+      "scala.Tuple2<long[], long[]>")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.SketchImpl.minhash($c, " +
+      s"(long[]) $params._1(), (long[]) $params._2());")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** SimHash64 expression: array<string> → long. */
+case class SimHash64(child: Expression)
+  extends UnaryExpression with TokenArrayInput {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SketchImpl.simhash(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.SketchImpl.simhash($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}

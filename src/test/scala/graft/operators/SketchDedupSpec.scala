@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+
+class SketchDedupSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf)
+
+  /** ground truth: high-overlap pairs from the exact Jaccard operator */
+  private lazy val truth: Map[(Long, Long), Double] =
+    Dedup.ngramJaccardPairs(docs, 3, 0.8).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")) -> r.getAs[Double]("jaccard"))
+      .toMap
+
+  test("minhash LSH recalls every >=0.8 true-jaccard pair") {
+    val found = SketchDedup.minhashLshPairs(docs, threshold = 0.5).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")) -> r.getAs[Double]("est_jaccard"))
+      .toMap
+    assert(truth.nonEmpty, "test data should contain planted near-dups")
+    truth.keys.foreach { p => assert(found.contains(p), s"missed planted pair $p") }
+    // estimates for found pairs are plausible for k=32 (3-sigma ≈ 0.27)
+    truth.foreach { case (p, j) =>
+      assert(math.abs(found(p) - j) <= 0.3, s"pair $p est ${found(p)} vs true $j")
+    }
+  }
+
+  test("minhash signatures are deterministic across runs") {
+    val a = SketchDedup.withMinHashSignature(docs).orderBy("doc_id").collect()
+    val b = SketchDedup.withMinHashSignature(docs).orderBy("doc_id").collect()
+    assert(a.map(_.getSeq[Long](1)).zip(b.map(_.getSeq[Long](1))).forall {
+      case (x, y) => x == y
+    })
+  }
+
+  test("simhash banding finds exactly the pairs within the hamming budget") {
+    import org.apache.spark.sql.functions._
+    val found = SketchDedup.simhashPairs(docs, maxHamming = 3).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")) -> r.getAs[Int]("hamming"))
+      .toMap
+    // brute-force ground truth over all simhash pairs
+    val sims = SketchDedup.withSimHash(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("sim"))
+    val exact = (for {
+      (d1, s1) <- sims; (d2, s2) <- sims if d1 < d2
+      h = java.lang.Long.bitCount(s1 ^ s2) if h <= 3
+    } yield (d1, d2) -> h).toMap
+    // pigeonhole guarantee: 4 chunks recall every hamming<=3 pair, exactly
+    assert(found == exact)
+    assert(found.nonEmpty, "test data should contain hamming<=3 pairs")
+  }
+
+  test("simhash of identical token sets is identical") {
+    import org.apache.spark.sql.functions._
+    val dup = docs.limit(3)
+    val sims = SketchDedup.withSimHash(dup.unionByName(dup))
+      .groupBy("doc_id").agg(countDistinct("sim").as("n")).collect()
+    assert(sims.forall(_.getAs[Long]("n") == 1L))
+  }
+}
