@@ -98,7 +98,34 @@ object SparkEntry {
     "dd_minhash_lsh" -> ((s, d) =>
       SketchDedup.minhashLshPairs(Tables.documents(s, d))),
     "dd_simhash" -> ((s, d) => SketchDedup.simhashPairs(Tables.documents(s, d))),
+    "mm_features" -> ((s, d) =>
+      Multimodal.featureSummary(s, Tables.documents(s, d))),
+    // ---- A. sources & sinks ----
+    "src_parquet_scan" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(org.apache.spark.sql.functions.col("l_quantity") >= 49)
+        .select("l_orderkey", "l_linenumber", "l_quantity")),
+    "src_csv_roundtrip" -> ((s, d) =>
+      sources.Lake.csvRoundtrip(s, Tables.nation(s, d), scratch(d, "csv_nation"))),
+    "src_json_roundtrip" -> ((s, d) =>
+      sources.Lake.jsonRoundtrip(s, Tables.supplier(s, d), scratch(d, "json_supplier"))),
+    "snk_partitioned_write" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val lake = scratch(d, "orders_lake")
+      sources.Lake.writePartitioned(
+        Tables.orders(s, d).withColumn("o_year", year(col("o_orderdate"))),
+        lake, Seq("o_year"))
+      sources.Lake.readParquet(s, lake)
+        .filter(col("o_year") === 1997) // partition-pruned scan
+        .groupBy(month(col("o_orderdate")).as("o_month"))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+    }),
   )
+
+  /** Scratch dir for sink round-trips, keyed by sf dir to avoid
+    * cross-scale contamination. */
+  private def scratch(sfDir: String, name: String): String =
+    s"/root/repo/target/graft_io/${new java.io.File(sfDir).getName}/$name"
 
   /** DuckDB twins of `queries` (identical aliases + rounding — SURVEY §5). */
   def oracleSql: Map[String, String] = Map(
@@ -407,7 +434,20 @@ object SparkEntry {
                                         CAST(q.qe AS DOUBLE[])), 4) AS cos
          FROM embeddings b, q WHERE b.vec_id <> 0
          ORDER BY cos DESC, b.vec_id LIMIT 10""",
-    // tx_fingerprint_roll, ann_lsh: hash/bucket internals are engine-
-    // specific → rows-only check + property specs.
+    // tx_fingerprint_roll, ann_lsh, dd_minhash_lsh, dd_simhash: hash/
+    // bucket internals are engine-specific → rows-only check + property
+    // specs (recall/error bounds vs the exact oracle-checked operators).
+    "src_parquet_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE l_quantity >= 49""",
+    "src_csv_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "src_json_roundtrip" ->
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    "snk_partitioned_write" ->
+      """SELECT CAST(month(o_orderdate) AS INTEGER) AS o_month, count(*) AS n,
+           round(sum(o_totalprice),2) AS total
+         FROM orders WHERE year(o_orderdate) = 1997
+         GROUP BY month(o_orderdate)""",
   )
 }

@@ -1,0 +1,57 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Lake IO layer (reference: work/Intro_pySpark.ipynb multi-format
+  * read/write with header/inferSchema options; work/batch_profiling_
+  * enriched.py + weather_to_hdfs.py partitioned country/city/year lake
+  * layout; work/Projet/preparation_noaa.ipynb schema-on-read CSV over
+  * glob paths and a parquet raw layer).
+  *
+  * Explicit schemas everywhere on the scale path: `inferSchema` is a
+  * full extra pass over the data (the reference notebook measures it) —
+  * fine interactively, never at 100 TB. Partitioned parquet writes are
+  * hive-style so downstream readers get partition pruning for free.
+  */
+object Lake {
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              header: Boolean = true): DataFrame =
+    spark.read.schema(schema).option("header", header.toString).csv(path)
+
+  /** Schema inference variant (interactive convenience — extra pass). */
+  def readCsvInfer(spark: SparkSession, path: String, header: Boolean = true): DataFrame =
+    spark.read.option("header", header.toString)
+      .option("inferSchema", "true").csv(path)
+
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", header.toString).csv(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** Hive-style partitioned lake write (reference's country/city/year
+    * directory layout, done natively so readers prune partitions). */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+
+  /** Round-trips for the driver contract: write to a scratch dir under
+    * target/ then read back with an explicit schema. */
+  def csvRoundtrip(spark: SparkSession, df: DataFrame, dir: String): DataFrame = {
+    writeCsv(df, dir)
+    readCsv(spark, dir, df.schema)
+  }
+
+  def jsonRoundtrip(spark: SparkSession, df: DataFrame, dir: String): DataFrame = {
+    writeJson(df, dir)
+    readJson(spark, dir, df.schema)
+  }
+}

@@ -1,0 +1,126 @@
+package graft.streaming
+
+import graft.operators.Lambda
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.types._
+
+/** Structured Streaming speed layer — the reference's Kafka weather
+  * pipeline re-expressed (reference: work/spark_processor.py JSON parse +
+  * classify + to_json republish; work/spark_windowed_aggregation.py
+  * sliding window aggregates; work/anomaly_detector.py stream-static
+  * anomaly join; work/weather_to_hdfs.py partitioned lake sink — the
+  * reference did that one with a hand-rolled kafka-python consumer
+  * appending files; here it is a checkpointed exactly-once streaming
+  * sink).
+  *
+  * Transform logic is shared with the batch twins in graft.operators
+  * (same Column expressions), so batch backfill and streaming agree by
+  * construction — the Lambda-architecture property the reference builds
+  * by hand.
+  *
+  * Sources are pluggable: the Kafka source/sink builders below carry the
+  * exact options the reference uses, but every transform takes a plain
+  * DataFrame, so tests drive them from MemoryStream/file sources (this
+  * build environment ships no Kafka connector jar or broker).
+  */
+object EventStream {
+
+  /** Wire schema of the event stream (JSON over the `value` column). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** Kafka-envelope JSON parse (reference: spark_processor.py). */
+  def parseJson(raw: DataFrame): DataFrame =
+    raw.selectExpr("CAST(value AS STRING) AS json")
+      .select(from_json(col("json"), eventSchema).as("data"))
+      .select("data.*")
+
+  /** Alert classification — same expression as the batch twin. */
+  def classify(events: DataFrame): DataFrame =
+    events.withColumn("alert_level", Lambda.alertLevel(col("value")))
+
+  /** Kafka-envelope JSON encode (reference: to_json(struct(*))). */
+  def toJsonValue(df: DataFrame): DataFrame =
+    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+
+  /** Sliding event-time window aggregation with a watermark (reference:
+    * spark_windowed_aggregation.py — 5min window / 1min slide, avg/min/
+    * max + critical-alert counts). The watermark bounds state: without
+    * it, window state grows forever on an unbounded stream. */
+  def slidingCounts(events: DataFrame,
+                    windowLen: String = "5 minutes",
+                    slide: String = "1 minute",
+                    watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        avg("value").as("avg_value"),
+        min("value").as("min_value"),
+        max("value").as("max_value"),
+        count(when(Lambda.alertLevel(col("value")) =!= "level_0", 1))
+          .as("n_alerts"))
+
+  /** Stream-static anomaly join (reference: anomaly_detector.py): the
+    * static profile side is broadcast into every micro-batch; anomalies
+    * are μ±2σ outliers. `profiles` carries (p_day, p_type, value_mean,
+    * value_std) from the batch layer (Lambda.dailyProfile). */
+  def anomalies(stream: DataFrame, profiles: DataFrame): DataFrame =
+    stream
+      .withColumn("day", dayofmonth(col("ts")))
+      .join(broadcast(profiles),
+        col("day") === col("p_day") && col("event_type") === col("p_type"))
+      .filter(abs(col("value") - col("value_mean")) > lit(2.0) * col("value_std"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        col("value"), col("value_mean"), col("value_std"))
+
+  // ---- sources / sinks ----------------------------------------------
+
+  /** Kafka source (reference: readStream.format("kafka")). Requires the
+    * spark-sql-kafka connector on the deployment classpath. */
+  def kafkaSource(spark: SparkSession, bootstrapServers: String,
+                  topic: String, startingOffsets: String = "latest"): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+
+  /** JSON-lines file source — the broker-free twin used in tests and
+    * local lake replay (schema-on-read, bounded per-trigger intake). */
+  def fileSource(spark: SparkSession, path: String,
+                 maxFilesPerTrigger: Int = 10): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(path)
+
+  /** Kafka sink with checkpoint (reference: writeStream.format("kafka")
+    * + checkpointLocation). */
+  def kafkaSink(df: DataFrame, bootstrapServers: String, topic: String,
+                checkpoint: String): DataStreamWriter[Row] =
+    toJsonValue(df).writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+
+  /** Partitioned parquet lake sink with checkpoint — exactly-once lake
+    * appends (replaces the reference's hand-rolled HDFS append consumer). */
+  def lakeSink(df: DataFrame, path: String, checkpoint: String,
+               partitionCols: Seq[String]): DataStreamWriter[Row] = {
+    val w = df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+    if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w
+  }
+}

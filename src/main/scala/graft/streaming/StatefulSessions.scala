@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming twin of the batch gap-sessionizer (graft.operators.Windows
+  * .sessionize): per-user session numbering over an unbounded stream via
+  * `flatMapGroupsWithState` (reference: the TD cyclist trip numbering,
+  * work/TD_pySpark.ipynb, which the reference could only do in batch —
+  * this is the capability the reference's Kafka chapters point toward).
+  *
+  * State per user is O(1): (last event micros, current session number).
+  * Events inside a micro-batch are sorted by event time before folding,
+  * so in-order streams reproduce the batch assignment exactly (verified
+  * in specs); late events across batches inherit best-effort semantics —
+  * pair with a watermark-driven state TTL in production.
+  */
+object StatefulSessions {
+
+  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long, value: Double)
+  case class SessionState(lastUs: Long, sessionNo: Long)
+  case class SessionedEv(event_id: Long, user_id: Long, session_no: Long)
+
+  def assign(gapMinutes: Int)(
+      userId: Long, events: Iterator[Ev],
+      state: GroupState[SessionState]): Iterator[SessionedEv] = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
+    val out = events.toSeq.sortBy(_.ts.getTime).map { e =>
+      val us = e.ts.getTime * 1000L
+      st =
+        if (st.sessionNo == 0L || us - st.lastUs > gapUs)
+          SessionState(us, st.sessionNo + 1)
+        else SessionState(us, st.sessionNo)
+      SessionedEv(e.event_id, userId, st.sessionNo)
+    }
+    state.update(st)
+    out.iterator
+  }
+
+  /** Works on both bounded and streaming Datasets (flatMapGroupsWithState
+    * requires a streaming source for Update mode; for bounded inputs
+    * Spark folds it in one pass). */
+  def sessionize(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[SessionedEv] = {
+    implicit val evEnc = Encoders.product[SessionedEv]
+    implicit val stEnc = Encoders.product[SessionState]
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(assign(gapMinutes))
+  }
+}

@@ -1,0 +1,132 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import graft.operators.{Lambda, Windows}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamingSpec extends SparkSpec {
+
+  import org.apache.spark.sql.Encoders
+
+  private def jsonOf(eventId: Long, ts: String, userId: Long,
+                     eventType: String, value: Double): String =
+    s"""{"event_id":$eventId,"ts":"$ts","user_id":$userId,""" +
+    s""""event_type":"$eventType","value":$value}"""
+
+  test("json parse + classify + to_json round-trips through a memory stream") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[String](Encoders.STRING, sq)
+    val parsed = EventStream.classify(
+      EventStream.parseJson(input.toDF().withColumnRenamed("value", "raw")
+        .select(col("raw").as("value"))))
+    val q = EventStream.toJsonValue(parsed).writeStream
+      .format("memory").queryName("t_roundtrip").outputMode("append").start()
+    try {
+      input.addData(
+        jsonOf(1, "2024-01-01 00:00:00", 7, "click", 42.0),
+        jsonOf(2, "2024-01-01 00:01:00", 7, "error", 250.0),
+        jsonOf(3, "2024-01-01 00:02:00", 8, "view", 400.0))
+      q.processAllAvailable()
+      val out = spark.table("t_roundtrip").collect().map(_.getString(0)).sorted
+      assert(out.length == 3)
+      assert(out(0).contains("\"alert_level\":\"level_0\""))
+      assert(out(1).contains("\"alert_level\":\"level_1\""))
+      assert(out(2).contains("\"alert_level\":\"level_2\""))
+    } finally q.stop()
+  }
+
+  test("sliding window aggregation matches hand-computed counts") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[String](Encoders.STRING, sq)
+    val agg = EventStream.slidingCounts(
+      EventStream.parseJson(input.toDF().select(col("value"))),
+      windowLen = "10 minutes", slide = "5 minutes", watermark = "1 hour")
+    val q = agg.writeStream.format("memory").queryName("t_windows")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      input.addData(
+        jsonOf(1, "2024-01-01 00:01:00", 1, "click", 50.0),
+        jsonOf(2, "2024-01-01 00:06:00", 1, "click", 150.0),
+        jsonOf(3, "2024-01-01 00:11:00", 1, "click", 350.0))
+      q.processAllAvailable()
+      val rows = spark.table("t_windows")
+        .select(col("window.start").cast("string").as("ws"), col("n"), col("n_alerts"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      // each event lands in two 10m/5m windows
+      assert(rows == Set(
+        ("2023-12-31 23:55:00", 1L, 0L), // e1
+        ("2024-01-01 00:00:00", 2L, 1L), // e1,e2
+        ("2024-01-01 00:05:00", 2L, 2L), // e2,e3
+        ("2024-01-01 00:10:00", 1L, 1L))) // e3
+    } finally q.stop()
+  }
+
+  test("stream-static anomaly join flags only >2-sigma events") {
+    implicit val sq = spark.sqlContext
+    val profiles = Lambda.dailyProfile(Tables.events(spark, sf))
+      .select(col("day").as("p_day"), col("event_type").as("p_type"),
+        col("value_mean"), col("value_std"))
+    val input = MemoryStream[String](Encoders.STRING, sq)
+    val out = EventStream.anomalies(
+      EventStream.parseJson(input.toDF().select(col("value"))), profiles)
+    val q = out.writeStream.format("memory").queryName("t_anom")
+      .outputMode("append").start()
+    try {
+      // day 1 'click' profile exists in sf0.001; 1e9 is certainly anomalous
+      input.addData(
+        jsonOf(1, "2024-01-01 10:00:00", 1, "click", 1e9),
+        jsonOf(2, "2024-01-01 10:00:01", 1, "click", 100.0))
+      q.processAllAvailable()
+      val got = spark.table("t_anom").collect()
+      assert(got.map(_.getAs[Long]("event_id")).toSet == Set(1L))
+    } finally q.stop()
+  }
+
+  test("stateful streaming sessionization matches the batch sessionizer") {
+    implicit val sq = spark.sqlContext
+    implicit val enc = Encoders.product[StatefulSessions.Ev]
+    val batchEvents = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("value"))
+      .as[StatefulSessions.Ev](enc)
+      .collect().sortBy(e => (e.user_id, e.ts.getTime))
+
+    val input = MemoryStream[StatefulSessions.Ev](enc, sq)
+    val q = StatefulSessions.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("t_sess")
+      .outputMode("update").start()
+    try {
+      // feed in two chronological chunks to exercise cross-batch state
+      val (first, second) = batchEvents.sortBy(_.ts.getTime).splitAt(batchEvents.length / 2)
+      input.addData(first.toIndexedSeq); q.processAllAvailable()
+      input.addData(second.toIndexedSeq); q.processAllAvailable()
+      val streamed = spark.table("t_sess").collect()
+        .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("session_no")).toMap
+      val batch = Windows.sessionNumbers(Tables.events(spark, sf)).collect()
+        .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("session_no")).toMap
+      assert(streamed.size == batch.size)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("partitioned lake sink writes exactly-once with checkpoint") {
+    implicit val sq = spark.sqlContext
+    val dir = s"/root/repo/target/graft_io/stream_lake_${System.nanoTime()}"
+    val input = MemoryStream[String](Encoders.STRING, sq)
+    val classified = EventStream.classify(
+      EventStream.parseJson(input.toDF().select(col("value"))))
+    val q = EventStream.lakeSink(classified, s"$dir/data", s"$dir/ckpt",
+      Seq("alert_level")).outputMode("append").start()
+    try {
+      input.addData(
+        jsonOf(1, "2024-01-01 00:00:00", 1, "click", 50.0),
+        jsonOf(2, "2024-01-01 00:01:00", 2, "error", 350.0))
+      q.processAllAvailable()
+      val back = spark.read.parquet(s"$dir/data")
+      assert(back.count() == 2)
+      assert(back.select("alert_level").distinct().count() == 2)
+    } finally q.stop()
+  }
+}
