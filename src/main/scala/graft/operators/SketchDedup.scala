@@ -78,7 +78,15 @@ object SketchDedup {
 
   /** Near-dup pairs by SimHash: band the 64 bits into 4×16-bit keys
     * (any pair within Hamming distance 3 shares at least one chunk),
-    * join on chunk, verify with bit_count(xor) <= maxHamming. */
+    * join on chunk, verify with bit_count(xor) <= maxHamming.
+    *
+    * Caveat measured at sf0.1: on a HOMOGENEOUS corpus (shared
+    * vocabulary) simhashes cluster, chunk buckets inflate, and the
+    * banded join degenerates toward all-pairs — the hamming predicate
+    * inside the join keeps it correct but not cheap. At web scale with
+    * heterogeneous content buckets stay small; for small/homogeneous
+    * corpora brute-force bit_count over all pairs is cheaper (64-bit
+    * XOR is ~free compared to bucket-shuffle overhead). */
   def simhashPairs(documents: DataFrame, n: Int = 3, maxHamming: Int = 3): DataFrame = {
     val sims = withSimHash(documents, n)
     val banded = sims.select(col("doc_id"), col("sim"), posexplode(

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-shape regression tests: the properties that make these operators
+  * scale (pushdown, pruning, broadcast, TakeOrdered, partial agg) are
+  * asserted on the executed plan so a refactor can't silently trade them
+  * away. (.explain("formatted") audit, SURVEY §4.)
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("src_parquet_scan: filter and projection reach the parquet scan") {
+    val p = plan("src_parquet_scan")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,49.0)]"))
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"))
+  }
+
+  test("q3_join_broadcast: dims broadcast, no fact-side sort-merge join") {
+    val p = plan("q3_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q4_topn: top-N is TakeOrderedAndProject, not a global sort") {
+    val p = plan("q4_topn")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("ann_bruteforce: corpus is never shuffled, top-k via TakeOrdered") {
+    val p = plan("ann_bruteforce")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange hashpartitioning"))
+  }
+
+  test("q1_agg: aggregation is partial (map-side) before the exchange") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_sum") || p.contains("partial_count"))
+  }
+
+  test("snk_partitioned_write: readback scan prunes partitions") {
+    val df = SparkEntry.queries("snk_partitioned_write")(spark, sf)
+    df.collect() // materialize (the write happens at query build)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(o_year"),
+      s"expected o_year partition filter in:\n$p")
+  }
+
+  test("lam_anomaly_join + sp_nearest_join: small sides broadcast") {
+    assert(plan("lam_anomaly_join").contains("BroadcastHashJoin"))
+    assert(plan("sp_nearest_join").contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("entry flagship runs and returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
