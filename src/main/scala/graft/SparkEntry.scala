@@ -63,6 +63,11 @@ object SparkEntry {
     "w3_rownum_first" -> ((s, d) => Windows.firstEventPerUser(Tables.events(s, d))),
     "w4_rolling" -> ((s, d) => Windows.rollingValue(Tables.events(s, d))),
     "w5_session_summary" -> ((s, d) => Windows.sessionSummary(Tables.events(s, d))),
+    "w6_rank_lead" -> ((s, d) => Windows.rankAndLead(Tables.events(s, d))),
+    "w7_nested_flatten" -> ((s, d) =>
+      Windows.nestedFlattenRoundtrip(Tables.events(s, d))),
+    "st_approx_distinct" -> ((s, d) =>
+      Stats.approxDistinct(Tables.lineitem(s, d), "l_returnflag", "l_partkey")),
     // ---- E. lambda pipeline (batch twins) ----
     "lam_alert_classify" -> ((s, d) => Lambda.alertClassify(Tables.events(s, d))),
     "lam_daily_profile" -> ((s, d) => Lambda.dailyProfile(Tables.events(s, d))),
@@ -281,6 +286,20 @@ object SparkEntry {
                      (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
                    FROM events)))
          GROUP BY user_id, session_no""",
+    "w6_rank_lead" ->
+      """SELECT event_id, user_id, value, rnk, drnk, next_ts_us FROM (
+           SELECT event_id, user_id, value,
+             CAST(rank() OVER wv AS INTEGER) AS rnk,
+             CAST(dense_rank() OVER wv AS INTEGER) AS drnk,
+             lead(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts_us
+           FROM events
+           WINDOW wv AS (PARTITION BY user_id ORDER BY value DESC, event_id))
+         WHERE rnk <= 3""",
+    "w7_nested_flatten" ->
+      "SELECT user_id, epoch_us(ts) AS ts_us, value FROM events",
+    // st_approx_distinct: HLL sketches are engine-specific → rows-only +
+    // property spec (relative error vs the exact count).
     "lam_alert_classify" ->
       """SELECT event_type,
            CASE WHEN value < 100 THEN 'level_0'

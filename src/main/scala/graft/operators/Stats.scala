@@ -59,6 +59,14 @@ object Stats {
   def sampleFraction(df: DataFrame, fraction: Double, seed: Long): DataFrame =
     df.sample(withReplacement = false, fraction, seed)
 
+  /** HyperLogLog approximate distinct counts — the 100 TB twin of exact
+    * countDistinct (constant sketch memory, single pass, no expand). */
+  def approxDistinct(df: DataFrame, groupCol: String, c: String,
+                     rsd: Double = 0.05): DataFrame =
+    df.groupBy(groupCol)
+      .agg(approx_count_distinct(col(c), rsd).as("approx_distinct"),
+        countDistinct(col(c)).as("exact_distinct"))
+
   /** Top-N value counts with deterministic tie-break on the value itself
     * (reference: work/analysis_sectors_by_location.ipynb value_counts). */
   def freqTopN(df: DataFrame, c: String, n: Int): DataFrame =

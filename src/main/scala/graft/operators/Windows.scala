@@ -71,6 +71,42 @@ object Windows {
         round(max("value").over(byUser.rowsBetween(-2, 0)), 4))
       .select(col("event_id"), col("user_id"), col("roll_avg"), col("roll_max"))
 
+  /** rank / dense_rank / lead coverage (reference: preparation_noaa rank
+    * window; TD lead/lag navigation): per-user value ranking with the
+    * next event's timestamp. */
+  def rankAndLead(events: DataFrame): DataFrame = {
+    val byValue = Window.partitionBy("user_id")
+      .orderBy(col("value").desc, col("event_id"))
+    events.select(
+      col("event_id"), col("user_id"), col("value"),
+      rank().over(byValue).as("rnk"),
+      dense_rank().over(byValue).as("drnk"),
+      lead(unix_micros(col("ts")), 1).over(byUser).as("next_ts_us"))
+      .filter(col("rnk") <= 3)
+  }
+
+  /** Nested array flatten (reference: work/batch_profiling_enriched.py
+    * explode(arrays_zip(hourly.time, hourly.temperature, ...))): events
+    * are packed into per-user parallel arrays (struct-of-arrays, the
+    * shape of the reference's raw JSON history), then flattened back via
+    * arrays_zip + explode — covers collect_list/sort_array/transform/
+    * arrays_zip/explode in one round-trip whose output equals the input. */
+  def nestedFlattenRoundtrip(events: DataFrame): DataFrame = {
+    val packed = events
+      .select(col("user_id"), struct(unix_micros(col("ts")).as("ts_us"),
+        col("value")).as("s"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(col("s"))).as("arr"))
+      .select(col("user_id"),
+        transform(col("arr"), x => x.getField("ts_us")).as("ts_arr"),
+        transform(col("arr"), x => x.getField("value")).as("value_arr"))
+    packed
+      .select(col("user_id"),
+        explode(arrays_zip(col("ts_arr"), col("value_arr"))).as("z"))
+      .select(col("user_id"), col("z.ts_arr").as("ts_us"),
+        col("z.value_arr").as("value"))
+  }
+
   /** Per-session summary: bounds, duration, event count, mean value
     * (TD ex.: trajets_summary). Reuses the sessionize partitioning — the
     * groupBy keys are a superset of the window partition key, so AQE can
