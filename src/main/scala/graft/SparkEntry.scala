@@ -105,6 +105,13 @@ object SparkEntry {
     "dd_simhash" -> ((s, d) => SketchDedup.simhashPairs(Tables.documents(s, d))),
     "mm_features" -> ((s, d) =>
       Multimodal.featureSummary(s, Tables.documents(s, d))),
+    "sc_salted_join" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Scale.saltedJoin(Tables.orders(s, d), Tables.customer(s, d),
+        "o_custkey", "c_custkey", 8)
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+    }),
     // ---- A. sources & sinks ----
     "src_parquet_scan" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -456,6 +463,10 @@ object SparkEntry {
     // tx_fingerprint_roll, ann_lsh, dd_minhash_lsh, dd_simhash: hash/
     // bucket internals are engine-specific → rows-only check + property
     // specs (recall/error bounds vs the exact oracle-checked operators).
+    "sc_salted_join" ->
+      """SELECT c_nationkey, count(*) AS n, round(sum(o_totalprice),2) AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_nationkey""",
     "src_parquet_scan" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
          WHERE l_quantity >= 49""",

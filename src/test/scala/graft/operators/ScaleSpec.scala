@@ -1,0 +1,36 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class ScaleSpec extends SparkSpec {
+
+  test("saltedJoin equals the plain join, with the salt column dropped") {
+    val orders = Tables.orders(spark, sf)
+    val customer = Tables.customer(spark, sf)
+    val salted = Scale.saltedJoin(orders, customer, "o_custkey", "c_custkey", 8)
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val plain = orders.join(customer, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+
+  test("bucketed tables join without any exchange") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Scale.writeBucketed(Tables.orders(spark, sf), "b_orders", "o_orderkey", 4)
+      Scale.writeBucketed(
+        Tables.lineitem(spark, sf).withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem", "o_orderkey", 4)
+      val joined = Scale.readTable(spark, "b_orders")
+        .join(Scale.readTable(spark, "b_lineitem"), "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() == Tables.lineitem(spark, sf).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
