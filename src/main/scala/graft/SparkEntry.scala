@@ -44,6 +44,11 @@ object SparkEntry {
     "q12_selfjoin" -> ((s, d) => Relational.lineitemPairCount(Tables.lineitem(s, d))),
     "q13_crossjoin_agg" -> ((s, d) =>
       Relational.regionNationCombos(Tables.region(s, d), Tables.nation(s, d))),
+    "q14_pivot" -> ((s, d) => Relational.pivotEventCounts(Tables.events(s, d))),
+    "q15_null_handling" -> ((s, d) => Relational.nullHandling(Tables.events(s, d))),
+    "q16_outer_join" -> ((s, d) =>
+      Relational.customerOrderFullOuter(Tables.orders(s, d), Tables.customer(s, d))),
+    "q17_parse_ts" -> ((s, d) => Relational.timestampRoundtrip(Tables.orders(s, d))),
     // ---- C. statistics & profiling ----
     "st_describe" -> ((s, d) =>
       Stats.profile(Tables.lineitem(s, d),
@@ -218,6 +223,34 @@ object SparkEntry {
     "q13_crossjoin_agg" ->
       """SELECT r_name, count(*) AS combos
          FROM region CROSS JOIN nation GROUP BY r_name""",
+    "q14_pivot" ->
+      """SELECT CAST(day(ts) AS INTEGER) AS day,
+           count(CASE WHEN event_type='click' THEN 1 END) AS click,
+           count(CASE WHEN event_type='error' THEN 1 END) AS error,
+           count(CASE WHEN event_type='purchase' THEN 1 END) AS purchase,
+           count(CASE WHEN event_type='signup' THEN 1 END) AS signup,
+           count(CASE WHEN event_type='view' THEN 1 END) AS view
+         FROM events GROUP BY 1""",
+    "q15_null_handling" ->
+      """SELECT * FROM
+         (SELECT count(*) AS n_filled_rows,
+            round(sum(CASE WHEN value < 50 THEN 0.0 ELSE value END),2) AS sum_filled
+          FROM events)
+         CROSS JOIN
+         (SELECT count(*) AS n_kept_rows, round(sum(value),2) AS sum_kept
+          FROM events WHERE value >= 50)""",
+    "q16_outer_join" ->
+      """SELECT c_mktsegment, count(o_orderkey) AS n_orders,
+           count(c_custkey) AS n_customer_rows
+         FROM orders FULL OUTER JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""",
+    "q17_parse_ts" ->
+      """SELECT CAST(year(parsed) AS INTEGER) AS y, count(*) AS n, min(s) AS min_s
+         FROM (SELECT strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS s,
+                      strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+                               '%Y-%m-%d %H:%M:%S') AS parsed
+               FROM orders)
+         GROUP BY 1""",
     "st_describe" ->
       """SELECT 'l_quantity' AS column, count(l_quantity) AS n,
            round(avg(l_quantity),4) AS mean, round(stddev_samp(l_quantity),4) AS std,

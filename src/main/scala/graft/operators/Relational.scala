@@ -134,4 +134,46 @@ object Relational {
     region.crossJoin(nation)
       .groupBy("r_name")
       .agg(count(lit(1)).as("combos"))
+
+  /** Pivot: event counts per day × type, explicit value list so the
+    * output schema is static (no extra distinct pass, deterministic
+    * columns at any scale). */
+  def pivotEventCounts(events: DataFrame): DataFrame =
+    events
+      .withColumn("day", dayofmonth(col("ts")))
+      .groupBy("day")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+
+  /** Null handling (reference: work/analysis_sectors_by_location.ipynb
+    * dropna after merge): inject deterministic nulls, then compare
+    * na.fill vs na.drop aggregates in one result. */
+  def nullHandling(events: DataFrame): DataFrame = {
+    val withNulls = events.withColumn("v",
+      when(col("value") < 50, lit(null)).otherwise(col("value")))
+    val filled = withNulls.na.fill(Map("v" -> 0.0))
+      .agg(count(lit(1)).as("n_filled_rows"), round(sum("v"), 2).as("sum_filled"))
+    val dropped = withNulls.na.drop(Seq("v"))
+      .agg(count(lit(1)).as("n_kept_rows"), round(sum("v"), 2).as("sum_kept"))
+    filled.crossJoin(dropped)
+  }
+
+  /** Full-outer join coverage: order totals per customer including
+    * order-less customers and (synthetically) customer-less orders. */
+  def customerOrderFullOuter(orders: DataFrame, customer: DataFrame): DataFrame =
+    orders
+      .join(customer, col("o_custkey") === col("c_custkey"), "full_outer")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        count(col("c_custkey")).as("n_customer_rows"))
+
+  /** Timestamp parse/format round-trip (the reference parsed string
+    * timestamps with a Python UDF — here native to_timestamp/date_format). */
+  def timestampRoundtrip(orders: DataFrame): DataFrame =
+    orders
+      .withColumn("s", date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"))
+      .withColumn("parsed", to_timestamp(col("s"), "yyyy-MM-dd HH:mm:ss"))
+      .groupBy(year(col("parsed")).as("y"))
+      .agg(count(lit(1)).as("n"),
+        min(col("s")).as("min_s"))
 }
