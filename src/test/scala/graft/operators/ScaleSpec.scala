@@ -21,6 +21,19 @@ class ScaleSpec extends SparkSpec {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // a fresh in-memory catalog doesn't know stale warehouse dirs from
+      // previous JVMs — drop both catalog entries and locations
+      Seq("b_orders", "b_lineitem").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new java.io.File(s"spark-warehouse/$t")
+        if (loc.exists()) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete()
+          }
+          rm(loc)
+        }
+      }
       Scale.writeBucketed(Tables.orders(spark, sf), "b_orders", "o_orderkey", 4)
       Scale.writeBucketed(
         Tables.lineitem(spark, sf).withColumnRenamed("l_orderkey", "o_orderkey"),
