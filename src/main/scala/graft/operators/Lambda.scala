@@ -7,11 +7,11 @@ import org.apache.spark.sql.functions._
   * batch twins over `events` (the streaming twins live in
   * graft.streaming and share these Column expressions):
   *
-  *  - alert classification (reference: work/spark_processor.py when-chains)
-  *  - batch-layer profiles   (reference: work/batch_profiling_enriched.py)
-  *  - per-key records        (reference: work/batch_records.py)
-  *  - anomaly join           (reference: work/anomaly_detector.py μ±2σ)
-  *  - sliding window agg     (reference: work/spark_windowed_aggregation.py)
+  *  - alert classification (reference: work/spark_processor.py:30-38 when-chains)
+  *  - batch-layer profiles   (reference: work/batch_profiling_enriched.py:20-27)
+  *  - per-key records        (reference: work/batch_records.py:24-28)
+  *  - anomaly join           (reference: work/anomaly_detector.py:37-42 μ±2σ)
+  *  - sliding window agg     (reference: work/spark_windowed_aggregation.py:31-41)
   *
   * Scale notes: profiles are tiny (one row per day/key) → always broadcast
   * into the anomaly join, so the fact scan never shuffles. The sliding

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Window functions & sessionization — the reference's cyclist-trip
-  * workflow (reference: work/TD_pySpark.ipynb: lag + change detection,
+  * workflow (reference: work/TD_pySpark.ipynb:224-370: lag + change detection,
   * cumulative-sum trip numbering, row_number first-rows, rowsBetween
   * rolling windows, per-trip summaries) re-expressed on the `events`
   * stream table.

@@ -7,9 +7,9 @@ import org.apache.spark.sql.streaming.DataStreamWriter
 import org.apache.spark.sql.types._
 
 /** Structured Streaming speed layer — the reference's Kafka weather
-  * pipeline re-expressed (reference: work/spark_processor.py JSON parse +
-  * classify + to_json republish; work/spark_windowed_aggregation.py
-  * sliding window aggregates; work/anomaly_detector.py stream-static
+  * pipeline re-expressed (reference: work/spark_processor.py:26-47 JSON parse +
+  * classify + to_json republish; work/spark_windowed_aggregation.py:31-44
+  * sliding window aggregates; work/anomaly_detector.py:30-49 stream-static
   * anomaly join; work/weather_to_hdfs.py partitioned lake sink — the
   * reference did that one with a hand-rolled kafka-python consumer
   * appending files; here it is a checkpointed exactly-once streaming
@@ -35,7 +35,7 @@ object EventStream {
     StructField("event_type", StringType),
     StructField("value", DoubleType)))
 
-  /** Kafka-envelope JSON parse (reference: spark_processor.py). */
+  /** Kafka-envelope JSON parse (reference: spark_processor.py:26-32). */
   def parseJson(raw: DataFrame): DataFrame =
     raw.selectExpr("CAST(value AS STRING) AS json")
       .select(from_json(col("json"), eventSchema).as("data"))
@@ -50,7 +50,7 @@ object EventStream {
     df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
 
   /** Sliding event-time window aggregation with a watermark (reference:
-    * spark_windowed_aggregation.py — 5min window / 1min slide, avg/min/
+    * spark_windowed_aggregation.py:31-41 — 5min window / 1min slide, avg/min/
     * max + critical-alert counts). The watermark bounds state: without
     * it, window state grows forever on an unbounded stream. */
   def slidingCounts(events: DataFrame,
@@ -68,7 +68,7 @@ object EventStream {
         count(when(Lambda.alertLevel(col("value")) =!= "level_0", 1))
           .as("n_alerts"))
 
-  /** Stream-static anomaly join (reference: anomaly_detector.py): the
+  /** Stream-static anomaly join (reference: anomaly_detector.py:37-49): the
     * static profile side is broadcast into every micro-batch; anomalies
     * are μ±2σ outliers. `profiles` carries (p_day, p_type, value_mean,
     * value_std) from the batch layer (Lambda.dailyProfile). */
