@@ -25,14 +25,19 @@ object Dedup {
       .withColumn("n_dup_docs", col("n_docs") - col("n_distinct"))
 
   /** Representative picking: smallest doc_id kept per fingerprint group;
-    * returns the deduplicated corpus. */
-  def dropExactDuplicates(documents: DataFrame): DataFrame =
+    * returns the deduplicated corpus. One shuffle on the 16-byte
+    * fingerprint (row_number window) — the groupBy-then-join-back
+    * formulation shuffles the corpus twice and re-scans it. */
+  def dropExactDuplicates(documents: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("fp").orderBy("doc_id")
     documents
       .withColumn("fp", contentFingerprint(col("text")))
-      .groupBy("fp")
-      .agg(min(col("doc_id")).as("keep_id"))
-      .join(documents.withColumnRenamed("doc_id", "keep_id"), "keep_id")
-      .drop("fp")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("fp", "__rn")
+      .withColumnRenamed("doc_id", "keep_id")
+  }
 
   /** Distinct word n-gram shingles per document. */
   def docShingles(documents: DataFrame, n: Int): DataFrame =

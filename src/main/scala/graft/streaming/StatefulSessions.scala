@@ -49,4 +49,32 @@ object StatefulSessions {
       .flatMapGroupsWithState(
         OutputMode.Update, GroupStateTimeout.NoTimeout)(assign(gapMinutes))
   }
+
+  /** Production variant: per-user state expires `ttlMinutes` of EVENT
+    * time after the last activity (requires a watermark on the input).
+    * An expired user restarts at session 1 — acceptable for gap
+    * sessionization because any post-TTL event starts a new session
+    * anyway; only the monotone numbering resets. Bounds total state to
+    * the active-user set, which is what keeps an unbounded 100 TB/day
+    * stream runnable. */
+  def sessionizeWithTtl(events: Dataset[Ev], gapMinutes: Int = 30,
+                        ttlMinutes: Int = 120): Dataset[SessionedEv] = {
+    implicit val evEnc = Encoders.product[SessionedEv]
+    implicit val stEnc = Encoders.product[SessionState]
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val out = assign(gapMinutes)(userId, evs, state)
+            state.setTimeoutTimestamp(
+              state.get.lastUs / 1000L + ttlMinutes * 60L * 1000L)
+            out
+          }
+      }
+  }
 }
