@@ -49,6 +49,17 @@ object SparkEntry {
     "q16_outer_join" -> ((s, d) =>
       Relational.customerOrderFullOuter(Tables.orders(s, d), Tables.customer(s, d))),
     "q17_parse_ts" -> ((s, d) => Relational.timestampRoundtrip(Tables.orders(s, d))),
+    "q18_topk_per_group" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.functions.TopKAggregator
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(TopKAggregator.topK(3)(col("o_totalprice"), col("o_orderkey"))
+          .as("top"))
+        .select(col("o_orderpriority"), explode(col("top")).as("t"))
+        .select(col("o_orderpriority"), col("t.score").as("o_totalprice"),
+          col("t.id").as("o_orderkey"))
+    }),
     // ---- C. statistics & profiling ----
     "st_describe" -> ((s, d) =>
       Stats.profile(Tables.lineitem(s, d),
@@ -251,6 +262,12 @@ object SparkEntry {
                                '%Y-%m-%d %H:%M:%S') AS parsed
                FROM orders)
          GROUP BY 1""",
+    "q18_topk_per_group" ->
+      """SELECT o_orderpriority, o_totalprice, o_orderkey FROM (
+           SELECT o_orderpriority, o_totalprice, o_orderkey,
+             row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn <= 3""",
     "st_describe" ->
       """SELECT 'l_quantity' AS column, count(l_quantity) AS n,
            round(avg(l_quantity),4) AS mean, round(stddev_samp(l_quantity),4) AS std,
