@@ -90,6 +90,7 @@ object SparkEntry {
     "lam_records" -> ((s, d) => Lambda.records(Tables.events(s, d))),
     "lam_anomaly_join" -> ((s, d) => Lambda.anomalies(Tables.events(s, d))),
     "lam_window_agg" -> ((s, d) => Lambda.slidingWindowAgg(Tables.events(s, d))),
+    "q19_asof_join" -> ((s, d) => AsOfJoin.clickAttribution(Tables.events(s, d))),
     // ---- F. spatial ----
     "sp_haversine" -> ((s, d) =>
       SpatialJoin.distances(
@@ -357,6 +358,14 @@ object SparkEntry {
       "SELECT user_id, epoch_us(ts) AS ts_us, value FROM events",
     // st_approx_distinct: HLL sketches are engine-specific → rows-only +
     // property spec (relative error vs the exact count).
+    "q19_asof_join" ->
+      """WITH clicks AS (SELECT user_id, ts, event_id AS c_event_id
+                         FROM events WHERE event_type = 'click'),
+         purch AS (SELECT event_id AS p_event_id, user_id, ts
+                   FROM events WHERE event_type = 'purchase')
+         SELECT p.p_event_id, p.user_id, epoch_us(p.ts) AS p_ts_us, c.c_event_id
+         FROM purch p ASOF JOIN clicks c
+           ON p.user_id = c.user_id AND p.ts >= c.ts""",
     "lam_alert_classify" ->
       """SELECT event_type,
            CASE WHEN value < 100 THEN 'level_0'
