@@ -110,6 +110,10 @@ object SparkEntry {
       Dedup.dropExactDuplicates(Tables.documents(s, d)).select("keep_id", "n_chars")),
     "dd_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), 3, 0.2)),
+    "dd_cluster" -> ((s, d) =>
+      Dedup.dupClusters(Dedup.ngramJaccardPairs(Tables.documents(s, d), 3, 0.2))),
+    "tx_vocab" -> ((s, d) =>
+      TextAnalysis.vocabulary(Tables.documents(s, d), 1, 20)),
     "dd_embed_neardup" -> ((s, d) =>
       Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), 0.3)),
     "ann_bruteforce" -> ((s, d) =>
@@ -505,6 +509,31 @@ object SparkEntry {
            round(shared / (x.n_sh + y.n_sh - shared), 6) AS jaccard
          FROM p JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
          WHERE round(shared / (x.n_sh + y.n_sh - shared), 6) >= 0.2""",
+    "dd_cluster" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (SELECT DISTINCT doc_id, s FROM (
+           SELECT doc_id, unnest(list_transform(range(1, len(t)-1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+           FROM toks WHERE len(t) >= 3)),
+         sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+         pairs AS (
+           SELECT d1, d2 FROM p JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+           WHERE round(shared / (x.n_sh + y.n_sh - shared), 6) >= 0.2),
+         edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                   UNION ALL SELECT d2, d1 FROM pairs),
+         reach(a, b) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         FROM reach GROUP BY a""",
+    "tx_vocab" ->
+      """SELECT gram, count(*) AS freq
+         FROM (SELECT unnest(string_split(text, ' ')) AS gram FROM documents)
+         GROUP BY gram ORDER BY freq DESC, gram LIMIT 20""",
     "dd_embed_neardup" ->
       """SELECT a.vec_id AS v1, b.vec_id AS v2,
            round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

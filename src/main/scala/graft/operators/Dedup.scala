@@ -64,6 +64,52 @@ object Dedup {
       .select(col("d1"), col("d2"), col("shared"), col("jaccard"))
   }
 
+  /** Connected components over a near-dup pair list (d1 < d2): cluster
+    * id = smallest doc_id reachable. Iterative min-label propagation —
+    * the Spark-native CC (each round: join labels to edges, take the
+    * neighborhood min; converges in O(diameter) rounds, O(log n) with
+    * both edge directions). The loop is driver-side but each round is a
+    * distributed join; dup clusters are tiny diameter in practice, and
+    * `maxIter` bounds pathological chains. */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .cache()
+    // localCheckpoint each round: without it the logical plan nests per
+    // iteration and the driver OOMs compiling it (the classic iterative-
+    // Spark trap). Pointer doubling (label := label(label)) makes
+    // convergence O(log n) rounds instead of O(diameter).
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val viaNeighbors = edges
+        .join(labels.select(col("id").as("b"), col("cluster_id").as("nb_label")), "b")
+        .groupBy(col("a").as("id"))
+        .agg(min("nb_label").as("nb_min"))
+      val afterNb = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id")))
+            .as("cluster_id"))
+      val doubled = afterNb
+        .join(afterNb.select(col("id").as("cluster_id"), col("cluster_id").as("ll")),
+          Seq("cluster_id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("ll"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint(true)
+      val changed = doubled
+        .join(labels.select(col("id"), col("cluster_id").as("old")), "id")
+        .filter(col("cluster_id") < col("old")).count()
+      labels = doubled
+      converged = changed == 0
+      i += 1
+    }
+    labels.withColumnRenamed("id", "doc_id")
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`. Exact
     * all-pairs baseline (the LSH-bucketed variant in SimilaritySearch is
     * the 100 TB path). */

@@ -64,4 +64,19 @@ object TextAnalysis {
     documents.select(
       col("doc_id"),
       rollingHash(col("text")).as("fp_roll"))
+
+  /** Corpus vocabulary: token (or n-gram) frequencies, top-N with a
+    * deterministic tie-break — the vocabulary-building pass of a
+    * tokenizer-training pipeline (explode + one shuffle; at 100 TB add a
+    * count-min/sample pre-pass if the vocab itself doesn't fit). */
+  def vocabulary(documents: DataFrame, n: Int, topN: Int): DataFrame = {
+    val units =
+      if (n == 1) explode(tokens(col("text")))
+      else explode(shingles(col("text"), n))
+    documents.select(units.as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), asc("gram"))
+      .limit(topN)
+  }
 }

@@ -1,0 +1,27 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class ClusterSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("dupClusters labels chains and triangles with the component minimum") {
+    // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("d1", "d2")
+    val got = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("dupClusters converges on a long chain within maxIter") {
+    val n = 40
+    val chain = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("d1", "d2")
+    val got = Dedup.dupClusters(chain, maxIter = 50).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n)
+    assert(got.values.forall(_ == 1L))
+  }
+}
