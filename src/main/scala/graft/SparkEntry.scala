@@ -91,6 +91,23 @@ object SparkEntry {
     "lam_anomaly_join" -> ((s, d) => Lambda.anomalies(Tables.events(s, d))),
     "lam_window_agg" -> ((s, d) => Lambda.slidingWindowAgg(Tables.events(s, d))),
     "q19_asof_join" -> ((s, d) => AsOfJoin.clickAttribution(Tables.events(s, d))),
+    "q20_json_extract" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // semi-structured props column: schema-on-read JSON extraction
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          max("k").as("max_k"))
+    }),
+    "q21_like_filter" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Tables.part(s, d)
+        .filter(col("p_type").like("%O%") && col("p_name").endsWith("t"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), max("p_size").as("max_size"))
+    }),
     // ---- F. spatial ----
     "sp_haversine" -> ((s, d) =>
       SpatialJoin.distances(
@@ -362,6 +379,17 @@ object SparkEntry {
       "SELECT user_id, epoch_us(ts) AS ts_us, value FROM events",
     // st_approx_distinct: HLL sketches are engine-specific → rows-only +
     // property spec (relative error vs the exact count).
+    "q20_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+             AS sum_k,
+           max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+         FROM events GROUP BY event_type""",
+    "q21_like_filter" ->
+      """SELECT p_brand, count(*) AS n, max(p_size) AS max_size
+         FROM part
+         WHERE p_type LIKE '%O%' AND p_name LIKE '%t'
+         GROUP BY p_brand""",
     "q19_asof_join" ->
       """WITH clicks AS (SELECT user_id, ts, event_id AS c_event_id
                          FROM events WHERE event_type = 'click'),
