@@ -76,6 +76,32 @@ object SketchDedup {
     documents.select(col("doc_id"),
       simhashCol(shingles(col("text"), n)).as("sim"))
 
+  /** Brute-force SimHash pairing: all-pairs XOR + popcount. Measured at
+    * sf0.1 it costs the same as banding on this homogeneous corpus
+    * (BroadcastNestedLoopJoin materializes every candidate row outside
+    * codegen, which dominates either way); it exists as the simple
+    * reference implementation and the banded/brute equivalence check.
+    * Identical output to simhashPairs. */
+  def simhashPairsBrute(documents: DataFrame, n: Int = 3,
+                        maxHamming: Int = 3): DataFrame = {
+    val sims = withSimHash(documents, n)
+    val a = sims.select(col("doc_id").as("d1"), col("sim").as("s1"))
+    val b = sims.select(col("doc_id").as("d2"), col("sim").as("s2"))
+    a.join(b, col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        bit_count(col("s1").bitwiseXOR(col("s2"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Adaptive strategy (AQE-spirit): the corpus row count is one
+    * metadata-cheap action; below `bruteCutoff` the quadratic-but-cheap
+    * scan wins, above it banding bounds the work. Both produce exactly
+    * the hamming<=maxHamming pair set. */
+  def simhashPairsAuto(documents: DataFrame, n: Int = 3, maxHamming: Int = 3,
+                       bruteCutoff: Long = 100000L): DataFrame =
+    if (documents.count() <= bruteCutoff) simhashPairsBrute(documents, n, maxHamming)
+    else simhashPairs(documents, n, maxHamming)
+
   /** Near-dup pairs by SimHash: band the 64 bits into 4×16-bit keys
     * (any pair within Hamming distance 3 shares at least one chunk),
     * join on chunk, verify with bit_count(xor) <= maxHamming.

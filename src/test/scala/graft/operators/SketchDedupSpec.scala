@@ -49,6 +49,14 @@ class SketchDedupSpec extends SparkSpec {
     assert(found.nonEmpty, "test data should contain hamming<=3 pairs")
   }
 
+  test("brute-force and banded simhash strategies emit identical pairs") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("d1"), r.getAs[Long]("d2"), r.getAs[Int]("hamming"))
+    val banded = SketchDedup.simhashPairs(docs).collect().map(key).toSet
+    val brute = SketchDedup.simhashPairsBrute(docs).collect().map(key).toSet
+    assert(banded == brute)
+  }
+
   test("simhash of identical token sets is identical") {
     import org.apache.spark.sql.functions._
     val dup = docs.limit(3)
