@@ -108,6 +108,21 @@ object SparkEntry {
         .groupBy("p_brand")
         .agg(count(lit(1)).as("n"), max("p_size").as("max_size"))
     }),
+    "q22_range_join" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val base = 1704067200000000L // 2024-01-01T00:00:00Z
+      val intervals = Tables.nation(s, d).select(col("n_nationkey"),
+        (lit(base) + col("n_nationkey") * 100800000000L).as("s_us"),
+        (lit(base) + col("n_nationkey") * 100800000000L + 28800000000L).as("e_us"))
+      val points = Tables.events(s, d)
+        .select(unix_micros(col("ts")).as("p_us"))
+      RangeJoin.pointInInterval(points, intervals, "p_us", "s_us", "e_us",
+        binUs = 28800000000L)
+        .groupBy("n_nationkey")
+        .agg(count(lit(1)).as("n_events"), min("p_us").as("first_us"))
+    }),
+    "ts_resample" -> ((s, d) =>
+      Resample.resampleWithGapFill(Tables.events(s, d), 3600000000L)),
     // ---- F. spatial ----
     "sp_haversine" -> ((s, d) =>
       SpatialJoin.distances(
@@ -379,6 +394,33 @@ object SparkEntry {
       "SELECT user_id, epoch_us(ts) AS ts_us, value FROM events",
     // st_approx_distinct: HLL sketches are engine-specific → rows-only +
     // property spec (relative error vs the exact count).
+    "q22_range_join" ->
+      """WITH iv AS (SELECT n_nationkey,
+             1704067200000000 + n_nationkey*100800000000 AS s_us,
+             1704067200000000 + n_nationkey*100800000000 + 28800000000 AS e_us
+           FROM nation),
+         ev AS (SELECT epoch_us(ts) AS p_us FROM events)
+         SELECT n_nationkey, count(*) AS n_events, min(p_us) AS first_us
+         FROM iv JOIN ev ON p_us BETWEEN s_us AND e_us
+         GROUP BY n_nationkey""",
+    "ts_resample" ->
+      """WITH s AS (
+           SELECT user_id, (epoch_us(ts) // 3600000000) * 3600000000 AS slot_us,
+             count(*) AS n,
+             CAST(sum(CAST(round(value*100) AS BIGINT)) * 100 // count(*) AS BIGINT)
+               AS avg_value_e4
+           FROM events GROUP BY 1, 2),
+         b AS (SELECT user_id, min(slot_us) AS lo, max(slot_us) AS hi
+               FROM s GROUP BY 1),
+         dense AS (SELECT user_id,
+             unnest(range(lo, hi + 3600000000, 3600000000)) AS slot_us FROM b)
+         SELECT d.user_id, d.slot_us, coalesce(s.n, 0) AS n,
+           last_value(s.avg_value_e4 IGNORE NULLS) OVER
+             (PARTITION BY d.user_id ORDER BY d.slot_us
+              ROWS UNBOUNDED PRECEDING) AS avg_value_e4,
+           s.n IS NULL AS filled
+         FROM dense d LEFT JOIN s
+           ON d.user_id = s.user_id AND d.slot_us = s.slot_us""",
     "q20_json_extract" ->
       """SELECT event_type, count(*) AS n,
            CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)

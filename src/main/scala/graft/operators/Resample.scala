@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series resampling with gap fill — the weather-history shape of
+  * the reference (hourly sensor series with missing slots).
+  *
+  * Two phases, both shuffle-minimal:
+  *  1. downsample: truncate to the slot and aggregate (one shuffle on
+  *     (key, slot), map-side partial aggs);
+  *  2. gap fill: per key, generate the full slot range (sequence +
+  *     explode — no driver loop), left-join observed slots, and
+  *     forward-fill with last(ignoreNulls) over the slot order (reuses
+  *     the same (key) partitioning).
+  */
+object Resample {
+
+  /** Downsample `events` to fixed slots of `slotUs` micros per user:
+    * slot_us, n, mean value (exact fixed-point, engine-stable). */
+  def downsample(events: DataFrame, slotUs: Long): DataFrame =
+    events
+      .withColumn("slot_us",
+        (unix_micros(col("ts")) / slotUs).cast("long") * slotUs)
+      .groupBy("user_id", "slot_us")
+      .agg(count(lit(1)).as("n"),
+        expr("sum(cast(round(value * 100) as bigint)) * 100 div count(*)")
+          .as("avg_value_e4"))
+
+  /** Dense series per user: every slot between the user's first and last
+    * observation, observed slots carrying their aggregate, gaps
+    * forward-filled from the previous observed slot. `filled` marks
+    * synthesized rows. */
+  def resampleWithGapFill(events: DataFrame, slotUs: Long): DataFrame = {
+    val sampled = downsample(events, slotUs)
+    val bounds = sampled.groupBy("user_id")
+      .agg(min("slot_us").as("lo"), max("slot_us").as("hi"))
+    val dense = bounds.select(col("user_id"),
+      explode(sequence(col("lo"), col("hi"), lit(slotUs))).as("slot_us"))
+    val w = Window.partitionBy("user_id").orderBy("slot_us")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    dense
+      .join(sampled, Seq("user_id", "slot_us"), "left")
+      .withColumn("filled", col("n").isNull)
+      .withColumn("avg_value_e4",
+        last(col("avg_value_e4"), ignoreNulls = true).over(w))
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+  }
+}
