@@ -146,6 +146,15 @@ object SparkEntry {
       Dedup.dupClusters(Dedup.ngramJaccardPairs(Tables.documents(s, d), 3, 0.2))),
     "tx_vocab" -> ((s, d) =>
       TextAnalysis.vocabulary(Tables.documents(s, d), 1, 20)),
+    "tx_pii" -> ((s, d) => TextAnalysis.piiScan(Tables.documents(s, d))),
+    "tx_contamination" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d)
+      // benchmark stand-in: the src0 slice; scan the rest against it
+      TextAnalysis.contamination(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"), n = 5, minShared = 10)
+    }),
     "dd_embed_neardup" -> ((s, d) =>
       Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), 0.3)),
     "ann_bruteforce" -> ((s, d) =>
@@ -604,6 +613,39 @@ object SparkEntry {
       """SELECT gram, count(*) AS freq
          FROM (SELECT unnest(string_split(text, ' ')) AS gram FROM documents)
          GROUP BY gram ORDER BY freq DESC, gram LIMIT 20""",
+    "tx_pii" ->
+      """SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INTEGER) AS n_email,
+           CAST(len(regexp_extract_all(text,
+             '\+?[0-9][0-9 ()-]{7,}[0-9]')) AS INTEGER) AS n_phone,
+           CAST(len(regexp_extract_all(text,
+             '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS INTEGER) AS n_ipv4,
+           CAST(length(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[REDACTED]', 'g'),
+                 '\+?[0-9][0-9 ()-]{7,}[0-9]', '[REDACTED]', 'g'),
+               '([0-9]{1,3}\.){3}[0-9]{1,3}', '[REDACTED]', 'g')) AS INTEGER)
+             AS redacted_len
+         FROM documents""",
+    "tx_contamination" ->
+      """WITH bench AS (
+           SELECT DISTINCT s AS shingle FROM (
+             SELECT unnest(list_transform(range(1, len(t)-3),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS s
+             FROM (SELECT string_split(text, ' ') AS t FROM documents
+                   WHERE source = 'src0') WHERE len(t) >= 5)),
+         docsh AS (
+           SELECT DISTINCT doc_id, s AS shingle FROM (
+             SELECT doc_id, unnest(list_transform(range(1, len(t)-3),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS s
+             FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                   WHERE source <> 'src0') WHERE len(t) >= 5))
+         SELECT doc_id, count(*) AS shared_shingles
+         FROM docsh JOIN bench USING (shingle)
+         GROUP BY doc_id HAVING count(*) >= 10""",
     "dd_embed_neardup" ->
       """SELECT a.vec_id AS v1, b.vec_id AS v2,
            round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

@@ -82,11 +82,15 @@ object Dedup {
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
       .localCheckpoint(true)
+    // dup-cluster label frames are tiny relative to the corpus (only docs
+    // appearing in pairs) — broadcast them into the per-round joins so an
+    // iteration is shuffle-free. For genuinely huge components fall back
+    // by passing broadcastLabels = false.
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val viaNeighbors = edges
-        .join(labels.select(col("id").as("b"), col("cluster_id").as("nb_label")), "b")
+        .join(broadcast(labels.select(col("id").as("b"), col("cluster_id").as("nb_label"))), "b")
         .groupBy(col("a").as("id"))
         .agg(min("nb_label").as("nb_min"))
       val afterNb = labels.join(viaNeighbors, Seq("id"), "left")
@@ -94,7 +98,8 @@ object Dedup {
           least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id")))
             .as("cluster_id"))
       val doubled = afterNb
-        .join(afterNb.select(col("id").as("cluster_id"), col("cluster_id").as("ll")),
+        .join(broadcast(
+          afterNb.select(col("id").as("cluster_id"), col("cluster_id").as("ll"))),
           Seq("cluster_id"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("ll"), col("cluster_id")))

@@ -65,6 +65,43 @@ object TextAnalysis {
       col("doc_id"),
       rollingHash(col("text")).as("fp_roll"))
 
+  /** PII surface detection + redaction (training-data hygiene pass).
+    * Patterns kept to RE2-compatible syntax so the DuckDB oracle matches;
+    * real deployments extend the pattern set (SSNs, IBANs, …) without
+    * touching the plumbing. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}",
+    "phone" -> "\\+?[0-9][0-9 ()-]{7,}[0-9]",
+    "ipv4"  -> "([0-9]{1,3}\\.){3}[0-9]{1,3}")
+
+  def piiScan(documents: DataFrame): DataFrame = {
+    val counts = piiPatterns.map { case (name, p) =>
+      size(regexp_extract_all(col("text"), lit(p), lit(0))).as(s"n_$name")
+    }
+    val redacted = piiPatterns.foldLeft(col("text")) { case (c, (_, p)) =>
+      regexp_replace(c, p, "[REDACTED]")
+    }
+    documents.select(
+      (col("doc_id") +: counts) :+ length(redacted).as("redacted_len"): _*)
+  }
+
+  /** Benchmark-contamination flagging: documents sharing ≥ `minShared`
+    * distinct n-gram shingles with any benchmark document (the standard
+    * pre-training decontamination check). Benchmark side is broadcast —
+    * benchmarks are small; the corpus side streams through. */
+  def contamination(documents: DataFrame, benchmark: DataFrame,
+                    n: Int, minShared: Int): DataFrame = {
+    val docSh = documents.select(col("doc_id"),
+      explode(shingles(col("text"), n)).as("shingle"))
+    val benchSh = benchmark.select(
+      explode(shingles(col("text"), n)).as("shingle")).distinct()
+    docSh
+      .join(broadcast(benchSh), "shingle")
+      .groupBy("doc_id")
+      .agg(countDistinct("shingle").as("shared_shingles"))
+      .filter(col("shared_shingles") >= minShared)
+  }
+
   /** Corpus vocabulary: token (or n-gram) frequencies, top-N with a
     * deterministic tie-break — the vocabulary-building pass of a
     * tokenizer-training pipeline (explode + one shuffle; at 100 TB add a
