@@ -59,6 +59,12 @@ object Stats {
   def sampleFraction(df: DataFrame, fraction: Double, seed: Long): DataFrame =
     df.sample(withReplacement = false, fraction, seed)
 
+  /** Stratified sample: per-stratum fractions (seeded). The scale tool
+    * for class-balanced training subsets — one scan, no shuffle. */
+  def stratifiedSample(df: DataFrame, stratumCol: String,
+                       fractions: Map[String, Double], seed: Long): DataFrame =
+    df.stat.sampleBy(stratumCol, fractions, seed)
+
   /** HyperLogLog approximate distinct counts — the 100 TB twin of exact
     * countDistinct (constant sketch memory, single pass, no expand). */
   def approxDistinct(df: DataFrame, groupCol: String, c: String,

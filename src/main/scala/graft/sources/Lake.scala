@@ -43,6 +43,26 @@ object Lake {
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
 
+  /** Small-file compaction: rewrite a parquet dir into ~`targetRowsPerFile`
+    * chunks. Streaming sinks and frequent small batch appends fragment a
+    * lake into thousands of tiny files; scans then pay per-file open +
+    * footer costs and lose run-length locality. Run this as the
+    * maintenance pass (the lakehouse OPTIMIZE analog). */
+  def compact(spark: SparkSession, path: String, targetRowsPerFile: Long): Long = {
+    val df = spark.read.parquet(path)
+    val rows = df.count()
+    val files = math.max(1, math.ceil(rows.toDouble / targetRowsPerFile).toInt)
+    val tmp = path.stripSuffix("/") + "__compacting"
+    df.repartition(files).write.mode(SaveMode.Overwrite).parquet(tmp)
+    // atomic-ish swap (same filesystem)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    files
+  }
+
   /** Round-trips for the driver contract: write to a scratch dir under
     * target/ then read back with an explicit schema. */
   def csvRoundtrip(spark: SparkSession, df: DataFrame, dir: String): DataFrame = {
