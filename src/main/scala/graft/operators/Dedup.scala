@@ -72,8 +72,12 @@ object Dedup {
     * distributed join; dup clusters are tiny diameter in practice, and
     * `maxIter` bounds pathological chains. */
   def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // near-dup edge lists are tiny relative to the corpus: collapse to a
+    // few partitions before caching so each fixpoint round doesn't pay
+    // 32 near-empty task launches per job
     val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .coalesce(4)
       .cache()
     // localCheckpoint each round: without it the logical plan nests per
     // iteration and the driver OOMs compiling it (the classic iterative-
