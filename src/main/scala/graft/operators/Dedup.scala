@@ -48,6 +48,9 @@ object Dedup {
     * |A∩B| from the shingle join, |A|,|B| precomputed, J = ∩/(|A|+|B|-∩).
     * Pairs below `threshold` are dropped. */
   def ngramJaccardPairs(documents: DataFrame, n: Int, threshold: Double): DataFrame = {
+    // note: joining on xxhash64(shingle) instead of the string was
+    // measured SLOWER at sf0.1 (short strings join fine; hashing both
+    // sides just adds compute) — keep the direct string join
     val sh = docShingles(documents, n)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("a")
