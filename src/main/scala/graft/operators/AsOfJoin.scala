@@ -31,7 +31,7 @@ object AsOfJoin {
       .withColumn("__r", lit(null).cast(rightStruct))
     val r = right
       .select(col(key), col(ts),
-        struct(rightPayload.map(col): _*).as("__r"))
+        struct(rightPayload.toIndexedSeq.map(col): _*).as("__r"))
       .withColumn("__kind", lit(0))
     val lCols = left.columns
     val unioned = l.selectExpr((Seq(key, ts, "__kind", "__r") ++

@@ -22,7 +22,7 @@ object Scale {
                  largeKey: String, smallKey: String,
                  salts: Int): DataFrame = {
     val saltedLarge = large.withColumn("__salt",
-      pmod(hash(struct(large.columns.map(col): _*)), lit(salts)))
+      pmod(hash(struct(large.columns.toIndexedSeq.map(col): _*)), lit(salts)))
     val saltedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedLarge.join(saltedSmall,

@@ -47,7 +47,7 @@ object EventStream {
 
   /** Kafka-envelope JSON encode (reference: to_json(struct(*))). */
   def toJsonValue(df: DataFrame): DataFrame =
-    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+    df.select(to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
 
   /** Sliding event-time window aggregation with a watermark (reference:
     * spark_windowed_aggregation.py:31-41 — 5min window / 1min slide, avg/min/
