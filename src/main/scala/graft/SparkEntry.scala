@@ -73,6 +73,8 @@ object SparkEntry {
         .agg(org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)).as("sampled_rows"))),
     "st_freq_topn" -> ((s, d) => Stats.freqTopN(Tables.part(s, d), "p_brand", 10)),
+    "st_histogram" -> ((s, d) =>
+      Stats.histogram(Tables.orders(s, d), "o_totalprice", 0.0, 500000.0, 20)),
     // ---- D. windows & sessionization ----
     "w1_lag_change" -> ((s, d) => Windows.lagChange(Tables.events(s, d))),
     "w2_session_number" -> ((s, d) => Windows.sessionNumbers(Tables.events(s, d))),
@@ -329,6 +331,11 @@ object SparkEntry {
            round(avg(l_discount),4), round(stddev_samp(l_discount),4),
            round(min(l_discount),4), round(max(l_discount),4)
          FROM lineitem""",
+    "st_histogram" ->
+      """SELECT CAST(least(19, greatest(0,
+           floor((o_totalprice - 0.0) / (500000.0 - 0.0) * 20))) AS INTEGER) AS bucket,
+           count(*) AS n
+         FROM orders GROUP BY 1""",
     "st_quantiles" ->
       """SELECT round(quantile_cont(l_extendedprice, 0.25),4) AS q25,
            round(quantile_cont(l_extendedprice, 0.5),4) AS q50,

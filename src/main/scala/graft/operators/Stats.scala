@@ -73,6 +73,16 @@ object Stats {
       .agg(approx_count_distinct(col(c), rsd).as("approx_distinct"),
         countDistinct(col(c)).as("exact_distinct"))
 
+  /** Fixed-bucket histogram: deterministic integer arithmetic on both
+    * engines (single pass, map-side partial counts). */
+  def histogram(df: DataFrame, c: String, lo: Double, hi: Double,
+                nBins: Int): DataFrame =
+    df.withColumn("bucket",
+        least(lit(nBins - 1), greatest(lit(0),
+          floor((col(c) - lo) / (hi - lo) * nBins))).cast("int"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+
   /** Top-N value counts with deterministic tie-break on the value itself
     * (reference: work/analysis_sectors_by_location.ipynb value_counts). */
   def freqTopN(df: DataFrame, c: String, n: Int): DataFrame =
