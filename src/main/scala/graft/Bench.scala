@@ -15,6 +15,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.optimizer.excludedRules", GraftConf.ExcludedRules)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -31,6 +31,20 @@ object Scale {
       .drop("__salt")
   }
 
+  /** Guard scan-stage parallelism for CPU-dense operators (sketching,
+    * shingling, vector math). A 100 TB table arrives as tens of
+    * thousands of splits and this is a no-op; a small extract (or a
+    * single-row-group parquet file, which Spark cannot split) arrives
+    * as ONE task and would serialize all per-row compute on one core.
+    * The check is plan-metadata only (no job); the repartition moves a
+    * small input once and buys full-width CPU for everything above it. */
+  def fanOut(df: DataFrame, keys: Seq[String] = Nil): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= math.max(2, target / 2)) df
+    else if (keys.nonEmpty) df.repartition(target, keys.map(col): _*)
+    else df.repartition(target)
+  }
+
   /** Write a table bucketed (and sorted) by `key`: one shuffle now,
     * exchange-free equi-joins/aggregations on `key` forever after. */
   def writeBucketed(df: DataFrame, table: String, key: String,

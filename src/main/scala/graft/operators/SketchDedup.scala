@@ -1,7 +1,7 @@
 package graft.operators
 
-import graft.functions.TextFunctions.shingles
-import graft.plans.{MinHashSignature, SimHash64}
+import graft.plans.{MinHashFromHashes, ShingleHashes, SimHashFromHashes}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -16,26 +16,47 @@ import org.apache.spark.sql.functions._
   *     hash-join, verified by signature agreement.
   *   - SimHash: one i64 per doc, banded into 16-bit chunks; candidates
   *     verified by Hamming distance (bit_count(xor)).
-  * Hot band buckets (boilerplate documents) are the classic skew risk:
-  * bucket sizes are capped before pairing, which bounds the quadratic
-  * expansion per bucket; AQE skew-join handles the join-side skew.
+  *
+  * Skew defenses, in order:
+  *   1. candidate pairs are emitted from the FIRST band whose keys agree
+  *      (a row-local predicate on the band-key arrays carried through the
+  *      join) — no global `distinct()` shuffle over the candidate set;
+  *   2. SimHash collapses docs with IDENTICAL sketches before banding —
+  *      on boilerplate-heavy corpora this is exactly the population of
+  *      the hot chunk buckets, and it reduces bucket sizes from #docs to
+  *      #distinct-sketches (intra-group pairs are emitted directly as
+  *      hamming-0, an output-bound expansion);
+  *   3. residual hot buckets are capped (`bucketCap`) on BOTH sketch
+  *      families, bounding the per-bucket quadratic expansion; AQE
+  *      skew-join handles join-side skew.
   */
 object SketchDedup {
 
-  private def minhashCol(tokens: Column, k: Int): Column =
-    ColumnBridge.column(MinHashSignature(ColumnBridge.expression(tokens), k))
+  private def shingleHashCol(text: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), n))
 
-  private def simhashCol(tokens: Column): Column =
-    ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+  private def minhashCol(hashes: Column, k: Int): Column =
+    ColumnBridge.column(MinHashFromHashes(ColumnBridge.expression(hashes), k))
 
-  /** doc_id + k-slot MinHash signature, computed in the scan. */
+  private def simhashCol(hashes: Column): Column =
+    ColumnBridge.column(SimHashFromHashes(ColumnBridge.expression(hashes)))
+
+  /** doc_id + k-slot MinHash signature, computed in the scan (fanned out
+    * so sketch CPU uses every core even on a one-split input; shingles
+    * never materialize as strings — see ShingleHashes). */
   def withMinHashSignature(documents: DataFrame, n: Int = 3, k: Int = 32): DataFrame =
-    documents.select(col("doc_id"),
-      minhashCol(shingles(col("text"), n), k).as("sig"))
+    Scale.fanOut(documents.select("doc_id", "text"), Seq("doc_id"))
+      .select(col("doc_id"),
+        minhashCol(shingleHashCol(col("text"), n), k).as("sig"))
 
   /** Candidate pairs from LSH banding + signature-agreement estimate.
     * k slots, `bands` bands of k/bands rows; pairs estimated below
-    * `threshold` are dropped. `bucketCap` bounds per-bucket expansion. */
+    * `threshold` are dropped. `bucketCap` bounds per-bucket expansion.
+    *
+    * The signature and the full band-key array ride along the banded
+    * rows, so a matched pair is finished row-locally: the first-agreeing-
+    * band predicate dedupes (instead of a candidate-wide `distinct()`)
+    * and the estimate needs no signature join-back. */
   def minhashLshPairs(documents: DataFrame, n: Int = 3, k: Int = 32,
                       bands: Int = 8, threshold: Double = 0.5,
                       bucketCap: Int = 64): DataFrame = {
@@ -43,45 +64,42 @@ object SketchDedup {
     val r = k / bands
     val sigs = withMinHashSignature(documents, n, k)
 
-    val banded = sigs.select(col("doc_id"), posexplode(
-      array((0 until bands).map(j =>
-        xxhash64(lit(j), slice(col("sig"), j * r + 1, r))): _*)))
-      .toDF("doc_id", "band", "band_key")
+    val banded = sigs
+      .withColumn("bks", array((0 until bands).map(j =>
+        xxhash64(lit(j), slice(col("sig"), j * r + 1, r))): _*))
+      .select(col("doc_id"), col("sig"), col("bks"),
+        posexplode(col("bks")).as(Seq("band", "band_key")))
 
     // cap pathological buckets (boilerplate): keeps expansion bounded
     val capped = banded
       .withColumn("bucket_n", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy("band", "band_key")))
+        .over(Window.partitionBy("band", "band_key")))
       .filter(col("bucket_n") <= bucketCap)
 
-    val candidates = capped.select(col("band"), col("band_key"), col("doc_id").as("d1"))
-      .join(capped.select(col("band"), col("band_key"), col("doc_id").as("d2")),
-        Seq("band", "band_key"))
-      .filter(col("d1") < col("d2"))
-      .select("d1", "d2").distinct()
-
-    val est = candidates
-      .join(sigs.select(col("doc_id").as("d1"), col("sig").as("sig1")), "d1")
-      .join(sigs.select(col("doc_id").as("d2"), col("sig").as("sig2")), "d2")
-      .withColumn("est_jaccard",
+    capped.as("x")
+      .join(capped.as("y"),
+        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key")
+          && col("x.doc_id") < col("y.doc_id"))
+      // emit from the first band whose keys agree: row-local dedup
+      .filter(col("x.band") ===
+        array_position(zip_with(col("x.bks"), col("y.bks"), (p, q) => p === q),
+          true) - 1)
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
         round(aggregate(
-          zip_with(col("sig1"), col("sig2"), (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x).cast("double") / k, 6))
-    est.filter(col("est_jaccard") >= threshold)
-      .select("d1", "d2", "est_jaccard")
+          zip_with(col("x.sig"), col("y.sig"), (p, q) => when(p === q, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / k, 6).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
   }
 
-  /** doc_id + 64-bit SimHash, computed in the scan. */
+  /** doc_id + 64-bit SimHash, computed in the scan (fanned out). */
   def withSimHash(documents: DataFrame, n: Int = 3): DataFrame =
-    documents.select(col("doc_id"),
-      simhashCol(shingles(col("text"), n)).as("sim"))
+    Scale.fanOut(documents.select("doc_id", "text"), Seq("doc_id"))
+      .select(col("doc_id"),
+        simhashCol(shingleHashCol(col("text"), n)).as("sim"))
 
-  /** Brute-force SimHash pairing: all-pairs XOR + popcount. Measured at
-    * sf0.1 it costs the same as banding on this homogeneous corpus
-    * (BroadcastNestedLoopJoin materializes every candidate row outside
-    * codegen, which dominates either way); it exists as the simple
-    * reference implementation and the banded/brute equivalence check.
-    * Identical output to simhashPairs. */
+  /** Brute-force SimHash pairing: all-pairs XOR + popcount. Exists as the
+    * simple reference implementation and the banded/brute equivalence
+    * check; identical output to simhashPairs for maxHamming <= 3. */
   def simhashPairsBrute(documents: DataFrame, n: Int = 3,
                         maxHamming: Int = 3): DataFrame = {
     val sims = withSimHash(documents, n)
@@ -98,34 +116,74 @@ object SketchDedup {
     * scan wins, above it banding bounds the work. Both produce exactly
     * the hamming<=maxHamming pair set. */
   def simhashPairsAuto(documents: DataFrame, n: Int = 3, maxHamming: Int = 3,
-                       bruteCutoff: Long = 100000L): DataFrame =
+                       bruteCutoff: Long = 100000L): DataFrame = {
+    require(maxHamming <= 3,
+      "4x16-bit banding only guarantees recall for hamming <= 3")
     if (documents.count() <= bruteCutoff) simhashPairsBrute(documents, n, maxHamming)
     else simhashPairs(documents, n, maxHamming)
+  }
 
-  /** Near-dup pairs by SimHash: band the 64 bits into 4×16-bit keys
-    * (any pair within Hamming distance 3 shares at least one chunk),
-    * join on chunk, verify with bit_count(xor) <= maxHamming.
+  /** All ordered (d1 < d2) pairs from a SORTED id array, row-local. */
+  private def sortedPairs(ids: Column): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + 2, size(ids)),
+        y => struct(x.as("d1"), y.as("d2")))))
+
+  /** Cross pairs ids1 × ids2, each ordered (least, greatest), row-local. */
+  private def crossPairs(ids1: Column, ids2: Column): Column =
+    flatten(transform(ids1, a =>
+      transform(ids2, b =>
+        struct(least(a, b).as("d1"), greatest(a, b).as("d2")))))
+
+  private def simChunks(s: Column): Column =
+    array((0 until 4).map(j =>
+      shiftrightunsigned(s, j * 16).bitwiseAND(lit(0xFFFFL))): _*)
+
+  /** Near-dup pairs by SimHash: exact hamming<=maxHamming pair set,
+    * produced without an all-pairs scan.
     *
-    * Caveat measured at sf0.1: on a HOMOGENEOUS corpus (shared
-    * vocabulary) simhashes cluster, chunk buckets inflate, and the
-    * banded join degenerates toward all-pairs — the hamming predicate
-    * inside the join keeps it correct but not cheap. At web scale with
-    * heterogeneous content buckets stay small; for small/homogeneous
-    * corpora brute-force bit_count over all pairs is cheaper (64-bit
-    * XOR is ~free compared to bucket-shuffle overhead). */
-  def simhashPairs(documents: DataFrame, n: Int = 3, maxHamming: Int = 3): DataFrame = {
+    * Step 1 collapses docs with identical sketches (groupBy sim): on a
+    * homogeneous/boilerplate corpus these are precisely the docs that
+    * inflate chunk buckets, and their pairs are emitted directly as
+    * hamming-0 (output-bound, no join). Step 2 bands only the DISTINCT
+    * sketch values into 4×16-bit chunks (any pair within Hamming 3
+    * shares >=1 chunk — pigeonhole), joins on chunk with a `bucketCap`
+    * guard, dedupes via the first-agreeing-chunk predicate (row-local,
+    * no distinct()), verifies bit_count(xor) <= maxHamming, and expands
+    * the surviving sketch-group pairs back to doc pairs. */
+  def simhashPairs(documents: DataFrame, n: Int = 3, maxHamming: Int = 3,
+                   bucketCap: Int = 4096): DataFrame = {
+    require(maxHamming <= 3,
+      "4x16-bit banding only guarantees recall for hamming <= 3")
     val sims = withSimHash(documents, n)
-    val banded = sims.select(col("doc_id"), col("sim"), posexplode(
-      array((0 until 4).map(j =>
-        shiftrightunsigned(col("sim"), j * 16).bitwiseAND(lit(0xFFFFL))): _*)))
-      .toDF("doc_id", "sim", "band", "chunk")
-    banded.select(col("band"), col("chunk"), col("doc_id").as("d1"), col("sim").as("s1"))
-      .join(banded.select(col("band"), col("chunk"), col("doc_id").as("d2"),
-        col("sim").as("s2")), Seq("band", "chunk"))
-      .filter(col("d1") < col("d2"))
-      .select(col("d1"), col("d2"),
-        bit_count(col("s1").bitwiseXOR(col("s2"))).as("hamming"))
-      .distinct()
+    val groups = sims.groupBy("sim")
+      .agg(sort_array(collect_list("doc_id")).as("ids"))
+
+    val intra = groups.filter(size(col("ids")) >= 2)
+      .select(explode(sortedPairs(col("ids"))).as("p"))
+      .select(col("p.d1"), col("p.d2"), lit(0).as("hamming"))
+
+    val banded = groups
+      .select(col("sim"), col("ids"),
+        posexplode(simChunks(col("sim"))).as(Seq("band", "chunk")))
+    val capped = banded
+      .withColumn("bucket_n", count(lit(1))
+        .over(Window.partitionBy("band", "chunk")))
+      .filter(col("bucket_n") <= bucketCap)
+    val inter = capped.as("x")
+      .join(capped.as("y"),
+        col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk")
+          && col("x.sim") < col("y.sim"))
+      .filter(col("x.band") ===
+        array_position(
+          zip_with(simChunks(col("x.sim")), simChunks(col("y.sim")), (p, q) => p === q),
+          true) - 1)
+      .select(col("x.ids").as("ids1"), col("y.ids").as("ids2"),
+        bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .select(explode(crossPairs(col("ids1"), col("ids2"))).as("p"), col("hamming"))
+      .select(col("p.d1"), col("p.d2"), col("hamming"))
+
+    intra.unionByName(inter)
   }
 }

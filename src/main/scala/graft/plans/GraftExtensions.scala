@@ -42,6 +42,10 @@ object GraftFunctions {
     "graft_minhash" -> { args: Seq[Expression] =>
       require(args.length == 2, "graft_minhash(tokens, k)")
       MinHashSignature(args(0), intLit(args(1), "k"))
+    },
+    "graft_shingle_hashes" -> { args: Seq[Expression] =>
+      require(args.length == 2, "graft_shingle_hashes(text, n)")
+      ShingleHashes(args(0), intLit(args(1), "n"))
     })
 
   def register(spark: SparkSession): Unit =

@@ -51,6 +51,106 @@ object SketchImpl {
     new GenericArrayData(sig)
   }
 
+  /** Distinct word n-gram shingle hashes, straight off the text bytes.
+    *
+    * `split(text, " ")` tokens are byte ranges of the original string
+    * separated by single spaces, and `concat_ws(" ", slice(...))` joins
+    * them back with single spaces — so every shingle IS a contiguous
+    * byte range of the input (runs of spaces round-trip too: split
+    * yields empty tokens, concat_ws re-emits the spaces). Hashing those
+    * ranges in place (xxhash64, no string materialization, no per-
+    * shingle allocation) replaces the interpreted HOF pipeline that
+    * dominated dedup CPU (~2.6 ms/doc interpreted vs ~µs here). The
+    * result is sorted-distinct; an in-doc hash collision (~|doc|²/2⁶⁴)
+    * would merge two shingles, the same risk the hash-keyed join
+    * downstream already accepts. */
+  def shingleHashes(text: UTF8String, n: Int, seed: Long): ArrayData = {
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val len = text.numBytes
+    var spaces = 0
+    var i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == ' ') spaces += 1
+      i += 1
+    }
+    val nTok = spaces + 1
+    if (nTok < n) return new GenericArrayData(Array.emptyLongArray)
+    // starts(t) = byte index where token t begins; sentinel at nTok is
+    // len+1 so "start of next token minus one" is uniformly the end.
+    val starts = new Array[Int](nTok + 1)
+    var t = 1
+    i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == ' ') {
+        starts(t) = i + 1; t += 1
+      }
+      i += 1
+    }
+    starts(nTok) = len + 1
+    val m = nTok - n + 1
+    val hs = new Array[Long](m)
+    t = 0
+    while (t < m) {
+      val s = starts(t)
+      val e = starts(t + n) - 1
+      hs(t) = XXH64.hashUnsafeBytes(base, off + s, e - s, seed)
+      t += 1
+    }
+    java.util.Arrays.sort(hs)
+    var out = 0
+    i = 0
+    while (i < m) {
+      if (i == 0 || hs(i) != hs(i - 1)) { hs(out) = hs(i); out += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, out))
+  }
+
+  /** MinHash signature over precomputed shingle hashes (the hash IS the
+    * base value; k affine permutations as in `minhash`). */
+  def minhashFromHashes(hashes: ArrayData, a: Array[Long], b: Array[Long]): ArrayData = {
+    val k = a.length
+    val sig = Array.fill(k)(Long.MaxValue)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val base = hashes.getLong(i)
+      var j = 0
+      while (j < k) {
+        val h = a(j) * base + b(j)
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** 64-bit SimHash over precomputed (uniform) shingle hashes: the hash
+    * bits vote directly. */
+  def simhashFromHashes(hashes: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
   /** 64-bit SimHash over a token array: per-token xxhash64, ±1 vote per
     * bit, sign of the vote sum. */
   def simhash(tokens: ArrayData): Long = {
@@ -107,6 +207,82 @@ case class MinHashSignature(child: Expression, k: Int, seed: Long = 42L)
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** Shingle-hash expression: string → sorted-distinct array<long> of
+  * word n-gram hashes, computed zero-copy off the text bytes. */
+case class ShingleHashes(child: Expression, n: Int, seed: Long = 42L)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"expected string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SketchImpl.shingleHashes(input.asInstanceOf[UTF8String], n, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.SketchImpl.shingleHashes($c, $n, ${seed}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+trait HashArrayInput { self: UnaryExpression =>
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"expected array<bigint>, got ${other.simpleString}")
+  }
+}
+
+/** MinHash signature from precomputed shingle hashes: array<long> →
+  * array<long> of length k. */
+case class MinHashFromHashes(child: Expression, k: Int, seed: Long = 42L)
+  extends UnaryExpression with HashArrayInput {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_hashes"
+
+  @transient private lazy val (pa, pb) = SketchImpl.minhashParams(k, seed)
+
+  override protected def nullSafeEval(input: Any): Any =
+    SketchImpl.minhashFromHashes(input.asInstanceOf[ArrayData], pa, pb)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val params = ctx.addReferenceObj("mhparams", (pa, pb),
+      "scala.Tuple2<long[], long[]>")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.SketchImpl.minhashFromHashes($c, " +
+      s"(long[]) $params._1(), (long[]) $params._2());")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashFromHashes =
+    copy(child = newChild)
+}
+
+/** SimHash from precomputed shingle hashes: array<long> → long. */
+case class SimHashFromHashes(child: Expression)
+  extends UnaryExpression with HashArrayInput {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SketchImpl.simhashFromHashes(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.SketchImpl.simhashFromHashes($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashFromHashes =
     copy(child = newChild)
 }
 
