@@ -66,6 +66,9 @@ object SparkEntry {
         Seq("l_quantity", "l_extendedprice", "l_discount"))),
     "st_quantiles" -> ((s, d) =>
       Stats.quantiles(Tables.lineitem(s, d), "l_extendedprice", Seq(0.25, 0.5, 0.75))),
+    "st_approx_quantiles" -> ((s, d) =>
+      Stats.approxQuantilesDf(Tables.lineitem(s, d), "l_extendedprice",
+        Seq(0.25, 0.5, 0.75))),
     "st_corr_cov" -> ((s, d) =>
       Stats.corrCov(Tables.lineitem(s, d), "l_quantity", "l_extendedprice")),
     "st_sample" -> ((s, d) =>
@@ -132,6 +135,8 @@ object SparkEntry {
         Tables.supplier(s, d))),
     "sp_nearest_join" -> ((s, d) =>
       SpatialJoin.nearestSupplier(Tables.customer(s, d), Tables.supplier(s, d))),
+    "sp_nearest_cell" -> ((s, d) =>
+      SpatialJoin.nearestSupplierGrid(Tables.customer(s, d), Tables.supplier(s, d))),
     // ---- G. text analysis / dedup / similarity ----
     "tx_tokens" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
     "tx_quality" -> ((s, d) => TextAnalysis.qualityScores(Tables.documents(s, d))),
@@ -162,8 +167,10 @@ object SparkEntry {
     "ann_bruteforce" -> ((s, d) =>
       SimilaritySearch.bruteForceTopK(Tables.embeddings(s, d), 0L, 10)),
     "ann_lsh" -> ((s, d) =>
-      SimilaritySearch.lshTopK(Tables.embeddings(s, d), 0L, 10,
-        SimilaritySearch.seededPlanes(4, 64))),
+      SimilaritySearch.lshTopKPruned(s, Tables.embeddings(s, d), 0L, 10,
+        SimilaritySearch.seededPlanes(4, 64), scratch(d, "emb_lake"))),
+    "dd_embed_neardup_lsh" -> ((s, d) =>
+      SimilaritySearch.neardupPairsLsh(Tables.embeddings(s, d), 0.3)),
     "dd_minhash_lsh" -> ((s, d) =>
       SketchDedup.minhashLshPairs(Tables.documents(s, d))),
     "dd_simhash" -> ((s, d) => SketchDedup.simhashPairs(Tables.documents(s, d))),
@@ -386,7 +393,7 @@ object SparkEntry {
            round((max(us) - min(us)) / 1000000.0, 6) AS duration_sec
          FROM (
            SELECT user_id, value, us,
-             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
            FROM (
              SELECT user_id, value, epoch_us(ts) AS us, event_id,
@@ -513,6 +520,25 @@ object SparkEntry {
            )), 4) AS dist_km
          FROM c CROSS JOIN s""",
     "sp_nearest_join" ->
+      """WITH c AS (SELECT c_custkey,
+             round(((c_custkey * 17) % 1400)/10.0 - 70.0, 4) AS c_lat,
+             round(((c_custkey * 31) % 3600)/10.0 - 180.0, 4) AS c_lon
+           FROM customer),
+         s AS (SELECT s_suppkey,
+             round(((s_suppkey * 23) % 1400)/10.0 - 70.0, 4) AS s_lat,
+             round(((s_suppkey * 41) % 3600)/10.0 - 180.0, 4) AS s_lon
+           FROM supplier),
+         d AS (SELECT c_custkey, s_suppkey,
+             round(2*6371.0*asin(sqrt(
+               pow(sin(radians(s_lat - c_lat)/2), 2) +
+               cos(radians(c_lat))*cos(radians(s_lat))*pow(sin(radians(s_lon - c_lon)/2), 2)
+             )), 4) AS dist_km
+           FROM c CROSS JOIN s),
+         r AS (SELECT *, row_number() OVER
+                 (PARTITION BY c_custkey ORDER BY dist_km, s_suppkey) AS rnk FROM d)
+         SELECT c_custkey, s_suppkey, dist_km FROM r WHERE rnk = 1""",
+    // sp_nearest_cell: the grid-bucketed variant must equal the exact NN join
+    "sp_nearest_cell" ->
       """WITH c AS (SELECT c_custkey,
              round(((c_custkey * 17) % 1400)/10.0 - 70.0, 4) AS c_lat,
              round(((c_custkey * 31) % 3600)/10.0 - 180.0, 4) AS c_lon

@@ -31,7 +31,7 @@ object Dedup {
   def dropExactDuplicates(documents: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("fp").orderBy("doc_id")
-    documents
+    Scale.fanOut(documents, Seq("doc_id"))
       .withColumn("fp", contentFingerprint(col("text")))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -23,7 +23,10 @@ object SimilaritySearch {
   def bruteForceTopK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
     val q = embeddings.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_embedding"))
-    embeddings
+    // round-robin fan-out (no hash shuffle): spreads the map-side cosine
+    // over all cores on single-split inputs; no-op on a real multi-split
+    // corpus, where the scan is already wide
+    Scale.fanOut(embeddings)
       .filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .withColumn("cos", round(cosine(col("embedding"), col("q_embedding")), 4))
@@ -59,5 +62,69 @@ object SimilaritySearch {
       .orderBy(desc("cos"), asc("vec_id"))
       .select(col("vec_id"), col("cos"), col("bucket"))
       .limit(k)
+  }
+
+  /** ANN top-k over a bucket-PARTITIONED lake layout: the one-off write
+    * lays vectors out hive-partitioned by LSH bucket, and the probe's
+    * literal bucket predicate becomes a PartitionFilter — the scan reads
+    * ONE directory, not the corpus (asserted in PlanAuditSpec). The only
+    * driver-side action is the one-scalar bucket lookup for the query
+    * vector (a parameter fetch, not a data loop); the query embedding
+    * itself stays a broadcast 1-row frame. Same output as lshTopK. */
+  def lshTopKPruned(spark: SparkSession, embeddings: DataFrame, queryId: Long,
+                    k: Int, planes: Seq[Seq[Double]], lakePath: String): DataFrame = {
+    val bucketed = withLshBucket(embeddings, planes)
+    bucketed.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(lakePath)
+    val q = bucketed.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_embedding"), col("bucket"))
+    val qBucket = q.select("bucket").head().getLong(0)
+    spark.read.parquet(lakePath)
+      .filter(col("bucket") === qBucket && col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q.select(col("q_embedding"))))
+      .withColumn("cos", round(cosine(col("embedding"), col("q_embedding")), 4))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .select(col("vec_id"), col("cos"), col("bucket"))
+      .limit(k)
+  }
+
+  /** Near-dup PAIRS via multi-table hyperplane LSH — the scale twin of
+    * Dedup.embeddingNearDupPairs (which is an O(n²) BroadcastNestedLoop
+    * all-pairs by contract). `nTables` independent tables of `nPlanes`
+    * sign bits each; candidates are equi-join matches on (table, bucket),
+    * deduped row-locally by the first-agreeing-table predicate (no
+    * distinct() shuffle), then verified by exact cosine ≥ threshold.
+    *
+    * Recall for a pair at angle θ is 1-(1-(1-θ/π)^nPlanes)^nTables —
+    * deterministic given the seeded planes, property-tested against the
+    * exact operator. The defaults (16×4) target the synthetic corpus'
+    * cos≈0.3 near-dup regime (θ≈72°); a production corpus deduped at
+    * cos≥0.9 wants fewer, deeper tables (e.g. 8×8), which also shrinks
+    * the candidate set — tune per threshold. Embeddings+norms ride the
+    * band shuffle so verification is row-local (no join-back); at 100 TB
+    * that trades ~nTables× shuffle width for two fewer corpus joins. */
+  def neardupPairsLsh(embeddings: DataFrame, threshold: Double,
+                      nTables: Int = 16, nPlanes: Int = 4, dim: Int = 64,
+                      seed: Long = 42L): DataFrame = {
+    val allPlanes = seededPlanes(nTables * nPlanes, dim, seed)
+    val withBuckets = Scale.fanOut(embeddings, Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"),
+        l2Norm(col("embedding")).as("nrm"),
+        array((0 until nTables).map(t =>
+          hyperplaneBucket(col("embedding"),
+            allPlanes.slice(t * nPlanes, (t + 1) * nPlanes))): _*).as("bks"))
+    val banded = withBuckets.select(
+      col("vec_id"), col("embedding"), col("nrm"), col("bks"),
+      posexplode(col("bks")).as(Seq("tbl", "bucket")))
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket")
+          && col("x.vec_id") < col("y.vec_id"))
+      .filter(col("x.tbl") ===
+        array_position(zip_with(col("x.bks"), col("y.bks"), (p, q) => p === q),
+          true) - 1)
+      .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"),
+        round(dot(col("x.embedding"), col("y.embedding")) /
+          (col("x.nrm") * col("y.nrm")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
   }
 }

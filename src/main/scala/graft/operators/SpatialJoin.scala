@@ -43,9 +43,67 @@ object SpatialJoin {
     * customer instead of the full pair expansion (the reference's rank()
     * window would shuffle every pair: 2000× more rows at sf0.1). */
   def nearestSupplier(customer: DataFrame, supplier: DataFrame): DataFrame =
-    distances(customer, supplier)
+    nearestFromPoints(customerPoints(customer), supplierPoints(supplier))
+
+  private def nearestFromPoints(cpts: DataFrame, spts: DataFrame): DataFrame =
+    cpts.crossJoin(broadcast(spts))
+      .withColumn("dist_km",
+        round(haversineKm(col("c_lat"), col("c_lon"), col("s_lat"), col("s_lon")), 4))
       .groupBy("c_custkey")
       .agg(min(struct(col("dist_km"), col("s_suppkey"))).as("best"))
       .select(col("c_custkey"), col("best.s_suppkey").as("s_suppkey"),
         col("best.dist_km").as("dist_km"))
+
+  /** Grid-cell nearest-neighbor join — the 100 TB variant promised by the
+    * scaladoc above, for when NEITHER side fits in memory. Identical
+    * output to `nearestSupplier` (oracle-checked).
+    *
+    * Each point gets a (latCell, lonCell) id at `cellDeg` resolution;
+    * customers probe their 3×3 cell neighborhood (9 map-side rows, lon
+    * wraps modulo 360/cellDeg), candidates come from an EQUI-join on the
+    * cell id — a hash shuffle both sides, no broadcast, no cross join —
+    * and the per-customer argmin is the same map-side-partial
+    * min(struct). Exactness: any supplier outside the 3×3 block differs
+    * by ≥ cellDeg in latitude or (wrapped) longitude, so its distance is
+    * ≥ B = 2R·asin(sin(cellDeg/2)·cos(maxAbsLat)); a customer whose best
+    * candidate is < B is provably settled. The rest (no candidate in the
+    * neighborhood, or best ≥ B — sparse/polar regions) fall back to the
+    * exact broadcast path, so the result never depends on the grid
+    * actually resolving. At 100 TB the fallback population is the long
+    * tail, not the corpus. */
+  def nearestSupplierGrid(customer: DataFrame, supplier: DataFrame,
+                          cellDeg: Int = 20, maxAbsLat: Double = 70.0): DataFrame = {
+    require(360 % cellDeg == 0, "cellDeg must divide 360")
+    val nLon = 360 / cellDeg
+    val bound = 2.0 * EarthRadiusKm * math.asin(
+      math.sin(math.toRadians(cellDeg) / 2) * math.cos(math.toRadians(maxAbsLat)))
+
+    val cpts = customerPoints(customer)
+    val spts = supplierPoints(supplier)
+    val sCells = spts
+      .withColumn("cell_lat", floor((col("s_lat") + 90) / cellDeg).cast("int"))
+      .withColumn("cell_lon", floor((col("s_lon") + 180) / cellDeg).cast("int"))
+    val probes = cpts
+      .withColumn("lat0", floor((col("c_lat") + 90) / cellDeg).cast("int"))
+      .withColumn("lon0", floor((col("c_lon") + 180) / cellDeg).cast("int"))
+      .withColumn("d", explode(array(
+        (for (dy <- -1 to 1; dx <- -1 to 1)
+          yield struct(lit(dy).as("dy"), lit(dx).as("dx"))): _*)))
+      .select(col("c_custkey"), col("c_lat"), col("c_lon"),
+        (col("lat0") + col("d.dy")).as("cell_lat"),
+        pmod(col("lon0") + col("d.dx"), lit(nLon)).as("cell_lon"))
+
+    val best = probes.join(sCells, Seq("cell_lat", "cell_lon"))
+      .withColumn("dist_km",
+        round(haversineKm(col("c_lat"), col("c_lon"), col("s_lat"), col("s_lon")), 4))
+      .groupBy("c_custkey")
+      .agg(min(struct(col("dist_km"), col("s_suppkey"))).as("best"))
+    val resolved = best.filter(col("best.dist_km") < bound)
+      .select(col("c_custkey"), col("best.s_suppkey").as("s_suppkey"),
+        col("best.dist_km").as("dist_km"))
+
+    val unresolved = cpts.join(resolved.select("c_custkey"),
+      Seq("c_custkey"), "left_anti")
+    resolved.unionByName(nearestFromPoints(unresolved, spts))
+  }
 }

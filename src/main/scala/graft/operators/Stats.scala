@@ -49,6 +49,19 @@ object Stats {
                       relativeError: Double): Array[Double] =
     df.stat.approxQuantile(c, qs.toArray, relativeError)
 
+  /** Distributed twin of `approxQuantiles` that stays a DataFrame (no
+    * driver-side Array): percentile_approx aggregation, sketch merged
+    * map-side. `accuracy` is 1/relativeError (Spark's knob). Approximate
+    * by design → rows-only contract entry + error-bound property spec
+    * against the exact `quantiles`. */
+  def approxQuantilesDf(df: DataFrame, c: String, qs: Seq[Double],
+                        accuracy: Int = 10000): DataFrame = {
+    val aggs = qs.map(q =>
+      round(percentile_approx(col(c), lit(q), lit(accuracy)), 4)
+        .as(s"q${(q * 100).toInt}"))
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Pearson correlation + sample covariance in one aggregation. */
   def corrCov(df: DataFrame, x: String, y: String): DataFrame =
     df.agg(

@@ -88,17 +88,24 @@ object TextAnalysis {
   /** Benchmark-contamination flagging: documents sharing ≥ `minShared`
     * distinct n-gram shingles with any benchmark document (the standard
     * pre-training decontamination check). Benchmark side is broadcast —
-    * benchmarks are small; the corpus side streams through. */
+    * benchmarks are small; the corpus side streams through. Shingles are
+    * matched by their 8-byte native hash (ShingleHashes), never as
+    * strings: the broadcast set and the scan-side probe rows are fixed-
+    * width ints, and the corpus-side shingle compute runs at hash speed
+    * inside the scan. */
   def contamination(documents: DataFrame, benchmark: DataFrame,
                     n: Int, minShared: Int): DataFrame = {
-    val docSh = documents.select(col("doc_id"),
-      explode(shingles(col("text"), n)).as("shingle"))
-    val benchSh = benchmark.select(
-      explode(shingles(col("text"), n)).as("shingle")).distinct()
+    import graft.plans.ShingleHashes
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def hs = ColumnBridge.column(
+      ShingleHashes(ColumnBridge.expression(col("text")), n))
+    val docSh = Scale.fanOut(documents.select("doc_id", "text"), Seq("doc_id"))
+      .select(col("doc_id"), explode(hs).as("sk"))
+    val benchSh = benchmark.select(explode(hs).as("sk")).distinct()
     docSh
-      .join(broadcast(benchSh), "shingle")
+      .join(broadcast(benchSh), "sk")
       .groupBy("doc_id")
-      .agg(countDistinct("shingle").as("shared_shingles"))
+      .agg(count(lit(1)).as("shared_shingles"))
       .filter(col("shared_shingles") >= minShared)
   }
 

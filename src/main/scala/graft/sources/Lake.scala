@@ -47,19 +47,38 @@ object Lake {
     * chunks. Streaming sinks and frequent small batch appends fragment a
     * lake into thousands of tiny files; scans then pay per-file open +
     * footer costs and lose run-length locality. Run this as the
-    * maintenance pass (the lakehouse OPTIMIZE analog). */
-  def compact(spark: SparkSession, path: String, targetRowsPerFile: Long): Long = {
-    val df = spark.read.parquet(path)
-    val rows = df.count()
-    val files = math.max(1, math.ceil(rows.toDouble / targetRowsPerFile).toInt)
-    val tmp = path.stripSuffix("/") + "__compacting"
-    df.repartition(files).write.mode(SaveMode.Overwrite).parquet(tmp)
-    // atomic-ish swap (same filesystem)
+    * maintenance pass (the lakehouse OPTIMIZE analog).
+    *
+    * Hive-partitioned inputs must pass their `partitionCols` so the
+    * rewrite preserves the layout (and pruning); compacting one without
+    * them is rejected rather than silently flattened. The swap renames
+    * the old dir aside before moving the rewrite in, so readers never
+    * observe a missing path and a crash strands at most a `__old` copy,
+    * not the data. */
+  def compact(spark: SparkSession, path: String, targetRowsPerFile: Long,
+              partitionCols: Seq[String] = Nil): Long = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    val hivePartitioned = fs.listStatus(dst).exists(s =>
+      s.isDirectory && s.getPath.getName.contains("="))
+    require(partitionCols.nonEmpty || !hivePartitioned,
+      s"$path is hive-partitioned; pass partitionCols to preserve the layout")
+
+    val df = spark.read.parquet(path)
+    val rows = df.count()
+    val files = math.max(1, math.ceil(rows.toDouble / targetRowsPerFile).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__compacting")
+    val old = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__old")
+    val writer =
+      if (partitionCols.isEmpty) df.repartition(files).write
+      else df.repartition(files, partitionCols.map(col): _*)
+        .write.partitionBy(partitionCols: _*)
+    writer.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(old, true) // clear any leftover from a prior crash
+    fs.rename(dst, old)
+    fs.rename(tmp, dst)
+    fs.delete(old, true)
     files
   }
 

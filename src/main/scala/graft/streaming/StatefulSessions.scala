@@ -26,12 +26,16 @@ object StatefulSessions {
       state: GroupState[SessionState]): Iterator[SessionedEv] = {
     val gapUs = gapMinutes * 60L * 1000000L
     var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
-    val out = events.toSeq.sortBy(_.ts.getTime).map { e =>
-      val us = e.ts.getTime * 1000L
+    // full microseconds (getTime truncates to ms; parquet-derived inputs
+    // carry µs) and the event_id tiebreak, matching the batch twin's
+    // (ts, event_id) ordering exactly for ties and sub-ms gaps
+    def us(e: Ev): Long = e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+    val out = events.toSeq.sortBy(e => (us(e), e.event_id)).map { e =>
+      val eUs = us(e)
       st =
-        if (st.sessionNo == 0L || us - st.lastUs > gapUs)
-          SessionState(us, st.sessionNo + 1)
-        else SessionState(us, st.sessionNo)
+        if (st.sessionNo == 0L || eUs - st.lastUs > gapUs)
+          SessionState(eUs, st.sessionNo + 1)
+        else SessionState(eUs, st.sessionNo)
       SessionedEv(e.event_id, userId, st.sessionNo)
     }
     state.update(st)
@@ -71,8 +75,12 @@ object StatefulSessions {
             Iterator.empty
           } else {
             val out = assign(gapMinutes)(userId, evs, state)
+            // clamp to strictly after the current watermark: a group fed
+            // only late events would otherwise compute a timeout <= the
+            // watermark and setTimeoutTimestamp throws, failing the query
+            val desired = state.get.lastUs / 1000L + ttlMinutes * 60L * 1000L
             state.setTimeoutTimestamp(
-              state.get.lastUs / 1000L + ttlMinutes * 60L * 1000L)
+              math.max(desired, state.getCurrentWatermarkMs() + 1L))
             out
           }
       }

@@ -48,6 +48,22 @@ class PlanAuditSpec extends SparkSpec {
       s"expected o_year partition filter in:\n$p")
   }
 
+  test("ann_lsh: probe scan prunes to the query's bucket partition") {
+    val df = SparkEntry.queries("ann_lsh")(spark, sf)
+    df.collect() // materialize (the bucketed layout write happens at build)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(bucket"),
+      s"expected bucket partition filter in:\n$p")
+    assert(p.contains("(bucket"), s"expected bucket equality filter in:\n$p")
+  }
+
+  test("dd_embed_neardup_lsh: candidates come from an equi-join, not an all-pairs loop") {
+    val p = plan("dd_embed_neardup_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"LSH pair generation must not be an all-pairs BNLJ:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("lam_anomaly_join + sp_nearest_join: small sides broadcast") {
     assert(plan("lam_anomaly_join").contains("BroadcastHashJoin"))
     assert(plan("sp_nearest_join").contains("BroadcastNestedLoopJoin"))

@@ -55,4 +55,24 @@ class WindowsLambdaSpec extends SparkSpec {
       .filter(col("dist_km") =!= col("true_min"))
     assert(joined.count() == 0)
   }
+
+  test("nearestSupplierGrid equals the broadcast-exact join, grid path included") {
+    val customers = Tables.customer(spark, sf)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("c_custkey"), r.getAs[Long]("s_suppkey"), r.getAs[Double]("dist_km"))
+    // real (sparse) suppliers: mostly exercises the fallback path
+    val exact = SpatialJoin.nearestSupplier(customers, Tables.supplier(spark, sf))
+      .collect().map(key).toSet
+    val grid = SpatialJoin.nearestSupplierGrid(customers, Tables.supplier(spark, sf))
+      .collect().map(key).toSet
+    assert(grid == exact)
+    // dense suppliers (customers reused as the supplier side): most
+    // customers resolve inside the 3x3 neighborhood, so the grid path
+    // itself is exercised and must still match exactly
+    val dense = customers.select(col("c_custkey").as("s_suppkey"))
+    val exactD = SpatialJoin.nearestSupplier(customers, dense).collect().map(key).toSet
+    val gridD = SpatialJoin.nearestSupplierGrid(customers, dense, cellDeg = 40)
+      .collect().map(key).toSet
+    assert(gridD == exactD)
+  }
 }

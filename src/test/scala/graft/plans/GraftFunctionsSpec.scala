@@ -26,6 +26,32 @@ class GraftFunctionsSpec extends SparkSpec {
       .first().getDouble(0) == 3.0)
   }
 
+  test("approx quantiles stay within rank-error bounds of exact percentiles") {
+    import graft.Tables
+    import graft.operators.Stats
+    val li = Tables.lineitem(spark, sf)
+    val qs = Seq(0.25, 0.5, 0.75)
+    val approx = Stats.approxQuantilesDf(li, "l_extendedprice", qs).first()
+    val exact = Stats.quantiles(li, "l_extendedprice", qs).first()
+    // accuracy=10000 → rank error ≤ 1e-4; translate to a value tolerance by
+    // bracketing: the approx q-quantile must lie between the exact
+    // (q-eps) and (q+eps) quantiles with eps well above the bound
+    val eps = 0.01
+    val lo = Stats.quantiles(li, "l_extendedprice", qs.map(q => (q - eps).max(0.0))).first()
+    val hi = Stats.quantiles(li, "l_extendedprice", qs.map(q => (q + eps).min(1.0))).first()
+    qs.indices.foreach { i =>
+      val a = approx.getDouble(i)
+      assert(a >= lo.getDouble(i) && a <= hi.getDouble(i),
+        s"q=${qs(i)}: approx $a outside [${lo.getDouble(i)}, ${hi.getDouble(i)}] (exact ${exact.getDouble(i)})")
+    }
+    // the graft_shingle_hashes SQL surface rides along here: registered,
+    // deterministic, distinct, sorted
+    GraftFunctions.register(spark)
+    val sh = spark.sql(
+      "SELECT graft_shingle_hashes('a b c d a b c', 3) AS h").first().getSeq[Long](0)
+    assert(sh.length == 4 && sh == sh.sorted && sh.distinct == sh)
+  }
+
   test("approx distinct stays within HLL error bounds") {
     import graft.{Tables}
     import graft.operators.Stats

@@ -84,6 +84,25 @@ class SketchPropertiesSpec extends SparkSpec {
       assert(high.sum.toDouble / high.size < low.sum.toDouble / low.size)
   }
 
+  test("native ShingleHashes equals xxhash64 over the string shingle pipeline") {
+    import graft.Tables
+    import graft.functions.TextFunctions.shingles
+    val docs = Tables.documents(spark, sf)
+    val viaStrings = docs
+      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .groupBy("doc_id").agg(sort_array(collect_set(col("h"))).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val native = docs
+      .select(col("doc_id"),
+        ColumnBridge.column(ShingleHashes(
+          ColumnBridge.expression(col("text")), 3)).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native.nonEmpty)
+    assert(native == viaStrings)
+  }
+
   test("dot product is bilinear within FP tolerance") {
     import spark.implicits._
     val vecs = (0 until 20).map { i =>

@@ -19,6 +19,27 @@ class LakeSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == expected)
   }
 
+  test("compact preserves a hive-partitioned layout and rejects silent flattening") {
+    val dir = s"/root/repo/target/graft_io/compact_part_test"
+    val ev = Tables.events(spark, sf)
+      .withColumn("day", dayofmonth(col("ts")))
+    ev.repartition(8).write.mode("overwrite").partitionBy("day").parquet(dir)
+    val expected = ev.count()
+    // without partitionCols: refused, nothing touched
+    intercept[IllegalArgumentException] {
+      Lake.compact(spark, dir, targetRowsPerFile = expected)
+    }
+    assert(spark.read.parquet(dir).count() == expected)
+    // with partitionCols: layout (and pruning) survive the rewrite
+    Lake.compact(spark, dir, targetRowsPerFile = expected, partitionCols = Seq("day"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == expected)
+    assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("day=")))
+    val pruned = back.filter(col("day") === 1)
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [isnotnull(day"))
+  }
+
   test("stratified sample respects per-stratum proportions roughly") {
     val docs = Tables.documents(spark, sf)
     val out = graft.operators.Stats.stratifiedSample(docs, "lang",
