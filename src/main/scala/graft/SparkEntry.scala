@@ -169,6 +169,11 @@ object SparkEntry {
     "ann_lsh" -> ((s, d) =>
       SimilaritySearch.lshTopKPruned(s, Tables.embeddings(s, d), 0L, 10,
         SimilaritySearch.seededPlanes(4, 64), scratch(d, "emb_lake"))),
+    "ann_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilaritySearch.ivfTopK(emb, 0L, 10,
+        SimilaritySearch.ivfCodebook(emb, 16), nProbe = 4)
+    }),
     "dd_embed_neardup_lsh" -> ((s, d) =>
       SimilaritySearch.neardupPairsLsh(Tables.embeddings(s, d), 0.3)),
     "dd_minhash_lsh" -> ((s, d) =>
@@ -693,7 +698,7 @@ object SparkEntry {
                                         CAST(q.qe AS DOUBLE[])), 4) AS cos
          FROM embeddings b, q WHERE b.vec_id <> 0
          ORDER BY cos DESC, b.vec_id LIMIT 10""",
-    // tx_fingerprint_roll, ann_lsh, dd_minhash_lsh, dd_simhash: hash/
+    // tx_fingerprint_roll, ann_lsh, ann_ivf, dd_minhash_lsh, dd_simhash: hash/
     // bucket internals are engine-specific → rows-only check + property
     // specs (recall/error bounds vs the exact oracle-checked operators).
     "sc_salted_join" ->

@@ -45,6 +45,31 @@ object VectorFunctions {
       zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x))
 
+  /** 0-based id of the nearest centroid under cosine (first max wins
+    * ties). Centroids MUST be unit-normalized: cosine-argmax then equals
+    * dot-argmax (the vector's own norm is a shared positive factor).
+    * Native expression — the codebook is ONE reference object, not k×dim
+    * literal nodes (see graft.plans.VectorImpl). */
+  def nearestCentroidId(v: Column, unitCentroids: Seq[Seq[Double]]): Column =
+    ColumnBridge.column(graft.plans.NearestCentroid(
+      ColumnBridge.expression(v),
+      unitCentroids.flatten.toIndexedSeq, unitCentroids.head.size))
+
+  /** Column-composed twin of `nearestCentroidId` kept as the equivalence
+    * oracle for the native expression (property-tested identical). */
+  def nearestCentroidIdCols(v: Column, unitCentroids: Seq[Seq[Double]]): Column = {
+    val dots = array(unitCentroids.map(c =>
+      dot(v, array(c.map(lit): _*))): _*)
+    (array_position(dots, array_max(dots)) - 1).cast("int")
+  }
+
+  /** The nProbe nearest cell ids for an IVF probe, best first. */
+  def topCentroidIds(v: Column, unitCentroids: Seq[Seq[Double]],
+                     nProbe: Int): Column =
+    ColumnBridge.column(graft.plans.TopCentroids(
+      ColumnBridge.expression(v),
+      unitCentroids.flatten.toIndexedSeq, unitCentroids.head.size, nProbe))
+
   /** Sign bits against a fixed set of hyperplanes → a compact LSH bucket
     * id (random-hyperplane LSH; planes supplied as literal weights). */
   def hyperplaneBucket(v: Column, planes: Seq[Seq[Double]]): Column = {

@@ -87,6 +87,64 @@ object SimilaritySearch {
       .limit(k)
   }
 
+  /** IVF coarse codebook: k deterministic seed vectors (top-k by a
+    * seeded hash of vec_id — one TakeOrdered pass, no Math.random)
+    * refined by ONE distributed Lloyd round under cosine (assign every
+    * vector to its max-dot unit centroid, then per-dimension mean per
+    * cell), then unit-normalized. Cells left empty by the refinement
+    * keep their seed. The codebook is k×dim — small by construction —
+    * so it lives driver-side and is embedded as literals, the same
+    * pattern as the LSH planes. The two passes over the corpus are a
+    * one-off index build, not per-query cost. */
+  def ivfCodebook(embeddings: DataFrame, k: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    def unit(v: Seq[Double]): Seq[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    val unitSeeds = embeddings
+      .orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
+      .limit(k)
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(r => unit(r.getSeq[Double](0).toVector)).toVector
+    // one Lloyd round: per-cell per-dimension mean via posexplode —
+    // a single shuffle of (cell, pos) keyed scalars, k×dim result rows
+    val means = embeddings
+      .select(nearestCentroidId(col("embedding"), unitSeeds).as("cell"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+      .groupBy("cell", "pos").agg(avg("x").as("m"))
+      .collect()
+    val byCell = means.groupBy(_.getInt(0))
+    (0 until k).map { c =>
+      byCell.get(c) match {
+        case Some(rows) => unit(rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toVector)
+        case None       => unitSeeds(c)
+      }
+    }
+  }
+
+  /** IVF ANN top-k: every corpus vector is assigned to its codebook
+    * cell; the probe ranks cells by dot against the query and scans only
+    * the `nProbe` nearest — the scan prunes to ~nProbe/k of the corpus
+    * (at 100 TB the cell id becomes the partition key, the same layout
+    * trick as lshTopKPruned). The probe's cell ranking is computed
+    * declaratively on the broadcast 1-row query frame — no driver-side
+    * math. Recall vs brute force is property-tested. */
+  def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int,
+              codebook: Seq[Seq[Double]], nProbe: Int = 4): DataFrame = {
+    val assigned = Scale.fanOut(embeddings, Seq("vec_id"))
+      .withColumn("cell", nearestCentroidId(col("embedding"), codebook))
+    val q = assigned.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_embedding"),
+        topCentroidIds(col("embedding"), codebook, nProbe).as("q_cells"))
+    assigned
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= queryId && array_contains(col("q_cells"), col("cell")))
+      .withColumn("cos", round(cosine(col("embedding"), col("q_embedding")), 4))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .select(col("vec_id"), col("cos"), col("cell"))
+      .limit(k)
+  }
+
   /** Near-dup PAIRS via multi-table hyperplane LSH — the scale twin of
     * Dedup.embeddingNearDupPairs (which is an O(n²) BroadcastNestedLoop
     * all-pairs by contract). `nTables` independent tables of `nPlanes`

@@ -93,11 +93,17 @@ object SpatialJoin {
         (col("lat0") + col("d.dy")).as("cell_lat"),
         pmod(col("lon0") + col("d.dx"), lit(nLon)).as("cell_lon"))
 
+    // best is consumed twice (resolved branch + the anti-join feeding the
+    // fallback) and Catalyst does NOT reuse the exchange across the two
+    // subtrees — materialize it once. It is one row per customer, far
+    // smaller than the 9x probe expansion it caps; localCheckpoint blocks
+    // are ContextCleaner-freed when the frame goes out of scope.
     val best = probes.join(sCells, Seq("cell_lat", "cell_lon"))
       .withColumn("dist_km",
         round(haversineKm(col("c_lat"), col("c_lon"), col("s_lat"), col("s_lon")), 4))
       .groupBy("c_custkey")
       .agg(min(struct(col("dist_km"), col("s_suppkey"))).as("best"))
+      .localCheckpoint(true)
     val resolved = best.filter(col("best.dist_km") < bound)
       .select(col("c_custkey"), col("best.s_suppkey").as("s_suppkey"),
         col("best.dist_km").as("dist_km"))

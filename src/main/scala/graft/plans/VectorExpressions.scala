@@ -2,8 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** Native Catalyst expression for dense-vector dot products over
@@ -87,4 +87,136 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
+}
+
+/** IVF coarse-quantizer primitives (SURVEY §2.G similarity search).
+  *
+  * The codebook rides as ONE reference object (a flat row-major
+  * double[]) instead of k×dim literal nodes: the Column-composed
+  * argmax-of-dots variant built ~1k-literal trees that cost more to
+  * analyze and codegen than to execute. Assignment is a single fused
+  * primitive loop per row, shared by interpreted eval and generated
+  * code.
+  */
+object VectorImpl {
+
+  private def elem(v: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+
+  /** argmax over dot(v, centroid_c); first max wins ties (same
+    * determinism as array_position(dots, array_max(dots))). */
+  def nearestCentroid(v: ArrayData, cb: Array[Double], dim: Int,
+                      isFloat: Boolean): Int = {
+    val k = cb.length / dim
+    val n = math.min(dim, v.numElements())
+    var best = 0
+    var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < k) {
+      val off = c * dim
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += elem(v, i, isFloat) * cb(off + i); i += 1 }
+      if (s > bestDot) { bestDot = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Cell ids of the `nProbe` largest dots, descending; ties broken by
+    * lower cell id (deterministic, unlike an unstable comparator sort). */
+  def topCentroidsTyped(v: ArrayData, cb: Array[Double], dim: Int,
+                        nProbe: Int, isFloat: Boolean): ArrayData = {
+    val k = cb.length / dim
+    val n = math.min(dim, v.numElements())
+    val dots = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val off = c * dim
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += elem(v, i, isFloat) * cb(off + i); i += 1 }
+      dots(c) = s
+      c += 1
+    }
+    val m = math.min(nProbe, k)
+    val out = new Array[Int](m)
+    val taken = new Array[Boolean](k)
+    var j = 0
+    while (j < m) {
+      var best = -1
+      var bestDot = Double.NegativeInfinity
+      c = 0
+      while (c < k) {
+        if (!taken(c) && dots(c) > bestDot) { bestDot = dots(c); best = c }
+        c += 1
+      }
+      taken(best) = true
+      out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+trait NumericArrayInput { self: UnaryExpression =>
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"expected array<float|double>, got ${other.simpleString}")
+  }
+  @transient protected lazy val isFloatInput: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+}
+
+/** IVF cell assignment: array<float|double> → int (0-based codebook
+  * index of the max-dot centroid; unit centroids make that cosine-argmax). */
+case class NearestCentroid(child: Expression, centroids: IndexedSeq[Double],
+                           dim: Int)
+  extends UnaryExpression with NumericArrayInput {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_nearest_centroid"
+
+  @transient private lazy val cb: Array[Double] = centroids.toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorImpl.nearestCentroid(input.asInstanceOf[ArrayData], cb, dim, isFloatInput)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebook", cb, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.VectorImpl.nearestCentroid($c, $ref, $dim, $isFloatInput);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
+/** IVF probe cell ranking: array<float|double> → array<int> of the
+  * nProbe max-dot cell ids, descending, ties to the lower id. */
+case class TopCentroids(child: Expression, centroids: IndexedSeq[Double],
+                        dim: Int, nProbe: Int)
+  extends UnaryExpression with NumericArrayInput {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_top_centroids"
+
+  @transient private lazy val cb: Array[Double] = centroids.toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorImpl.topCentroidsTyped(input.asInstanceOf[ArrayData], cb, dim,
+      nProbe, isFloatInput)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebook", cb, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.VectorImpl.topCentroidsTyped($c, $ref, $dim, $nProbe, $isFloatInput);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TopCentroids =
+    copy(child = newChild)
 }

@@ -68,6 +68,20 @@ object EventStream {
         count(when(Lambda.alertLevel(col("value")) =!= "level_0", 1))
           .as("n_alerts"))
 
+  /** Streaming exact dedup: drops events whose key was already seen
+    * within the watermark horizon, so at-least-once delivery (Kafka
+    * redeliveries, producer retries) becomes effectively-once for every
+    * downstream aggregate. `dropDuplicatesWithinWatermark` evicts
+    * per-key state once the watermark passes it — bounded state on an
+    * unbounded stream, unlike plain dropDuplicates which pins every key
+    * forever. Batch twin: Dedup.dropExactDuplicates (same keep-first
+    * semantics, fingerprint key). */
+  def dedupEvents(events: DataFrame, watermark: String = "10 minutes",
+                  keys: Seq[String] = Seq("event_id")): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Stream-static anomaly join (reference: anomaly_detector.py:37-49): the
     * static profile side is broadcast into every micro-batch; anomalies
     * are μ±2σ outliers. `profiles` carries (p_day, p_type, value_mean,

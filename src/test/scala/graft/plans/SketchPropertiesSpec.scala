@@ -103,6 +103,26 @@ class SketchPropertiesSpec extends SparkSpec {
     assert(native == viaStrings)
   }
 
+  test("native NearestCentroid equals the Column-composed argmax of dots") {
+    import graft.Tables
+    import graft.functions.VectorFunctions.{nearestCentroidId, nearestCentroidIdCols, topCentroidIds}
+    val emb = Tables.embeddings(spark, sf)
+    val cb = graft.operators.SimilaritySearch.ivfCodebook(emb, 16)
+    val both = emb.select(col("vec_id"),
+        nearestCentroidId(col("embedding"), cb).as("nat"),
+        nearestCentroidIdCols(col("embedding"), cb).as("ref"),
+        topCentroidIds(col("embedding"), cb, 4).as("top"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getInt(1) == r.getInt(2),
+        s"vec ${r.getLong(0)}: native ${r.getInt(1)} != composed ${r.getInt(2)}")
+      // the assigned cell is the head of the probe ranking
+      assert(r.getSeq[Int](3).head == r.getInt(1))
+      assert(r.getSeq[Int](3).size == 4)
+    }
+  }
+
   test("dot product is bilinear within FP tolerance") {
     import spark.implicits._
     val vecs = (0 until 20).map { i =>

@@ -111,6 +111,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops redelivered events across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[String](Encoders.STRING, sq)
+    val deduped = EventStream.dedupEvents(
+      EventStream.parseJson(input.toDF().select(col("value"))),
+      watermark = "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("t_dedup")
+      .outputMode("append").start()
+    try {
+      // batch 1: e1 twice (producer retry) + e2
+      input.addData(
+        jsonOf(1, "2024-01-01 00:00:00", 7, "click", 10.0),
+        jsonOf(1, "2024-01-01 00:00:00", 7, "click", 10.0),
+        jsonOf(2, "2024-01-01 00:01:00", 7, "view", 20.0))
+      q.processAllAvailable()
+      // batch 2: e1 redelivered again (cross-batch state) + fresh e3
+      input.addData(
+        jsonOf(1, "2024-01-01 00:00:00", 7, "click", 10.0),
+        jsonOf(3, "2024-01-01 00:02:00", 8, "view", 30.0))
+      q.processAllAvailable()
+      val ids = spark.table("t_dedup").collect().map(_.getAs[Long]("event_id")).sorted
+      assert(ids.sameElements(Array(1L, 2L, 3L)))
+    } finally q.stop()
+  }
+
   test("partitioned lake sink writes exactly-once with checkpoint") {
     implicit val sq = spark.sqlContext
     val dir = s"/root/repo/target/graft_io/stream_lake_${System.nanoTime()}"
