@@ -106,6 +106,8 @@ object SimilaritySearch {
       .limit(k)
       .select(col("embedding").cast("array<double>"))
       .collect().map(r => unit(r.getSeq[Double](0).toVector)).toVector
+    // corpus smaller than k → a smaller codebook, not phantom cells
+    val kEff = unitSeeds.size
     // one Lloyd round: per-cell per-dimension mean via posexplode —
     // a single shuffle of (cell, pos) keyed scalars, k×dim result rows
     val means = embeddings
@@ -114,7 +116,7 @@ object SimilaritySearch {
       .groupBy("cell", "pos").agg(avg("x").as("m"))
       .collect()
     val byCell = means.groupBy(_.getInt(0))
-    (0 until k).map { c =>
+    (0 until kEff).map { c =>
       byCell.get(c) match {
         case Some(rows) => unit(rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toVector)
         case None       => unitSeeds(c)
@@ -131,8 +133,14 @@ object SimilaritySearch {
     * math. Recall vs brute force is property-tested. */
   def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int,
               codebook: Seq[Seq[Double]], nProbe: Int = 4): DataFrame = {
+    // coalesce makes `cell` non-nullable, so the isnotnull(cell)
+    // constraint the probe filter implies folds to true instead of
+    // re-evaluating the assignment below the fan-out exchange (same
+    // inferred-filter double-compute the shingle pipeline hit); a null
+    // embedding lands in cell -1, which no probe ever selects
     val assigned = Scale.fanOut(embeddings, Seq("vec_id"))
-      .withColumn("cell", nearestCentroidId(col("embedding"), codebook))
+      .withColumn("cell",
+        coalesce(nearestCentroidId(col("embedding"), codebook), lit(-1)))
     val q = assigned.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_embedding"),
         topCentroidIds(col("embedding"), codebook, nProbe).as("q_cells"))

@@ -64,6 +64,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("ann_ivf: cell assignment evaluated once, top-k via TakeOrdered") {
+    val p = plan("ann_ivf")
+    assert(p.contains("TakeOrderedAndProject"))
+    // the coalesce(..., -1) wrapper keeps the inferred isnotnull(cell)
+    // constraint from re-evaluating the assignment below the exchange
+    val evals = "graft_nearest_centroid".r.findAllIn(p).size
+    assert(evals == 1, s"expected 1 assignment eval in plan, got $evals:\n$p")
+  }
+
   test("lam_anomaly_join + sp_nearest_join: small sides broadcast") {
     assert(plan("lam_anomaly_join").contains("BroadcastHashJoin"))
     assert(plan("sp_nearest_join").contains("BroadcastNestedLoopJoin"))

@@ -44,6 +44,19 @@ class EdgeCaseSpec extends SparkSpec {
     assert(out.filter(col("matched").isNotNull).count() == 0)
   }
 
+  test("ivf handles k larger than the corpus and nProbe larger than k") {
+    import spark.implicits._
+    val tiny = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    // k > corpus clamps to the corpus size — no phantom cells
+    val cb = SimilaritySearch.ivfCodebook(tiny, 8)
+    assert(cb.size == 3)
+    // nProbe > k clamps to k: probing every cell degrades to exact
+    val all = SimilaritySearch.ivfTopK(tiny, 0L, 2, cb, nProbe = 100).collect()
+    assert(all.map(_.getAs[Long]("vec_id")).toSet == Set(1L, 2L))
+  }
+
   test("short documents (< n tokens) produce no shingles but valid sketches") {
     import spark.implicits._
     val tiny = Seq((1L, "one two"), (2L, "a"), (3L, "")).toDF("doc_id", "text")
