@@ -95,6 +95,31 @@ object EventStream {
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
         col("value"), col("value_mean"), col("value_std"))
 
+  /** Watermarked stream-stream interval join — the click-impression /
+    * view-purchase attribution shape: each `follow` event pairs with the
+    * same user's `lead` events at most `maxDelay` earlier. BOTH sides
+    * carry watermarks and the join predicate bounds event-time distance,
+    * so Spark evicts buffered rows once the watermark passes them —
+    * bounded state on two unbounded streams (an unbounded-time join
+    * would pin every row forever). Inner join: unmatched rows drop. */
+  def attributionJoin(lead: DataFrame, follow: DataFrame,
+                      key: String = "user_id",
+                      maxDelay: String = "10 minutes",
+                      watermark: String = "20 minutes"): DataFrame = {
+    val l = lead.withWatermark("ts", watermark)
+      .select(col(key).as("k"), col("ts").as("lead_ts"),
+        col("event_id").as("lead_id"))
+    val f = follow.withWatermark("ts", watermark)
+      .select(col(key).as("fk"), col("ts").as("follow_ts"),
+        col("event_id").as("follow_id"))
+    l.join(f,
+        col("k") === col("fk") &&
+        col("follow_ts") >= col("lead_ts") &&
+        col("follow_ts") <= col("lead_ts") + expr(s"INTERVAL $maxDelay"))
+      .select(col("k").as(key), col("lead_id"), col("lead_ts"),
+        col("follow_id"), col("follow_ts"))
+  }
+
   // ---- sources / sinks ----------------------------------------------
 
   /** Kafka source (reference: readStream.format("kafka")). Requires the

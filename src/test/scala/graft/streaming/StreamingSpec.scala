@@ -136,6 +136,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join pairs follows with in-window leads only") {
+    implicit val sq = spark.sqlContext
+    val views = MemoryStream[String](Encoders.STRING, sq)
+    val buys = MemoryStream[String](Encoders.STRING, sq)
+    val joined = EventStream.attributionJoin(
+      EventStream.parseJson(views.toDF().select(col("value"))),
+      EventStream.parseJson(buys.toDF().select(col("value"))),
+      maxDelay = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("t_attr")
+      .outputMode("append").start()
+    try {
+      views.addData(
+        jsonOf(10, "2024-01-01 00:00:00", 1, "view", 1.0),  // in-window for buy 20
+        jsonOf(11, "2024-01-01 00:30:00", 1, "view", 1.0),  // AFTER buy 20 — no pair
+        jsonOf(12, "2024-01-01 00:01:00", 2, "view", 1.0))  // other user
+      buys.addData(
+        jsonOf(20, "2024-01-01 00:05:00", 1, "purchase", 9.0),
+        jsonOf(21, "2024-01-01 00:20:00", 2, "purchase", 9.0)) // view 19min earlier — outside window
+      q.processAllAvailable()
+      val pairs = spark.table("t_attr").collect()
+        .map(r => (r.getAs[Long]("lead_id"), r.getAs[Long]("follow_id"))).toSet
+      assert(pairs == Set((10L, 20L)))
+    } finally q.stop()
+  }
+
   test("partitioned lake sink writes exactly-once with checkpoint") {
     implicit val sq = spark.sqlContext
     val dir = s"/root/repo/target/graft_io/stream_lake_${System.nanoTime()}"
