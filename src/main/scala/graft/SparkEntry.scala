@@ -181,6 +181,8 @@ object SparkEntry {
     "dd_simhash" -> ((s, d) => SketchDedup.simhashPairs(Tables.documents(s, d))),
     "mm_features" -> ((s, d) =>
       Multimodal.featureSummary(s, Tables.documents(s, d))),
+    "mm_frames" -> ((s, d) =>
+      Multimodal.frameSummary(Tables.documents(s, d))),
     "sc_salted_join" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       Scale.saltedJoin(Tables.orders(s, d), Tables.customer(s, d),
@@ -698,7 +700,8 @@ object SparkEntry {
                                         CAST(q.qe AS DOUBLE[])), 4) AS cos
          FROM embeddings b, q WHERE b.vec_id <> 0
          ORDER BY cos DESC, b.vec_id LIMIT 10""",
-    // tx_fingerprint_roll, ann_lsh, ann_ivf, dd_minhash_lsh, dd_simhash: hash/
+    // tx_fingerprint_roll, ann_lsh, ann_ivf, dd_minhash_lsh, dd_simhash,
+    // mm_frames: hash/
     // bucket internals are engine-specific → rows-only check + property
     // specs (recall/error bounds vs the exact oracle-checked operators).
     "sc_salted_join" ->

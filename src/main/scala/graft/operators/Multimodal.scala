@@ -68,6 +68,62 @@ object Multimodal {
     }
   }
 
+  /** Frame sampling for video payloads: the payload is treated as a
+    * sequence of fixed-size encoded frames (STUB stand-in for a real
+    * demuxer — same swap-point contract as decodeStub) and up to
+    * `nSample` frames are taken at evenly spaced indices. The Spark-side
+    * substance is the shape: one output row per sampled frame, the
+    * payload sliced ROW-LOCALLY via substr on the binary column — pure
+    * codegen'd Columns, no shuffle, no UDF; a real demuxer replaces the
+    * fixed-stride slicing only. */
+  def sampleFrames(media: DataFrame, frameBytes: Int = 256,
+                   nSample: Int = 4): DataFrame = {
+    val nFrames = ceil(col("n_bytes") / lit(frameBytes.toDouble)).cast("int")
+    media.filter(col("kind") === "video" && col("n_bytes") > 0)
+      .withColumn("__n", nFrames)
+      .withColumn("__take", least(lit(nSample), col("__n")))
+      .withColumn("frame_idx", explode(transform(
+        sequence(lit(0), col("__take") - 1),
+        i => floor(i * col("__n") / col("__take")).cast("int"))))
+      .select(col("media_id"), col("frame_idx"),
+        col("payload").substr(col("frame_idx") * frameBytes + 1,
+          lit(frameBytes)).as("frame"))
+  }
+
+  /** STUB resampler — stride-samples bytes down to `targetBytes`,
+    * standing in for pixel-grid resampling. Swap for a real codec. */
+  def resizeStub(payload: Array[Byte], targetBytes: Int): Array[Byte] =
+    if (payload.length <= targetBytes) payload
+    else {
+      val out = new Array[Byte](targetBytes)
+      var i = 0
+      while (i < targetBytes) {
+        out(i) = payload((i.toLong * payload.length / targetBytes).toInt)
+        i += 1
+      }
+      out
+    }
+
+  /** Resize over per-partition batches (same amortized-codec-init
+    * boundary as extractFeatures); metadata follows the new payload. */
+  def resizeMedia(media: Dataset[MediaRow], targetBytes: Int = 64): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    media.mapPartitions { rows =>
+      // real impl: val codec = Codec.open() — once per partition
+      rows.map { r =>
+        val p = resizeStub(r.payload, targetBytes)
+        r.copy(payload = p, n_bytes = p.length)
+      }
+    }
+  }
+
+  /** Driver-contract projection of sampleFrames: md5 of each sampled
+    * frame — a stable scalar stand-in for the binary frame payload. */
+  def frameSummary(documents: DataFrame): DataFrame =
+    sampleFrames(mediaFromDocuments(documents).toDF())
+      .select(col("media_id"), col("frame_idx"),
+        md5(col("frame")).as("frame_md5"))
+
   /** Driver-contract projection: stable scalar summary of the features. */
   def featureSummary(spark: SparkSession, documents: DataFrame): DataFrame = {
     val feats = extractFeatures(mediaFromDocuments(documents))

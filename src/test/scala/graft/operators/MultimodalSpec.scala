@@ -24,6 +24,40 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("sampleFrames slices the payload row-locally at even strides") {
+    val media = Multimodal.mediaFromDocuments(Tables.documents(spark, sf)).toDF()
+    val frames = Multimodal.sampleFrames(media, frameBytes = 256, nSample = 4)
+      .collect()
+    assert(frames.nonEmpty)
+    val byMedia = frames.groupBy(_.getAs[Long]("media_id"))
+    val payloads = media.filter(org.apache.spark.sql.functions.col("kind") === "video")
+      .collect().map(r => r.getAs[Long]("media_id") -> r.getAs[Array[Byte]]("payload")).toMap
+    byMedia.foreach { case (id, fs) =>
+      assert(fs.length <= 4)
+      fs.foreach { f =>
+        val idx = f.getAs[Int]("frame_idx")
+        val frame = f.getAs[Array[Byte]]("frame")
+        val expected = payloads(id).slice(idx * 256, idx * 256 + 256)
+        assert(frame.sameElements(expected), s"frame $idx of media $id is not the payload slice")
+      }
+      // evenly spaced and strictly increasing
+      val idxs = fs.map(_.getAs[Int]("frame_idx")).sorted
+      assert(idxs.distinct.length == idxs.length)
+    }
+  }
+
+  test("resizeMedia bounds payloads and keeps metadata consistent") {
+    val media = Multimodal.mediaFromDocuments(Tables.documents(spark, sf))
+    val resized = Multimodal.resizeMedia(media, targetBytes = 64).collect()
+    resized.foreach { r =>
+      assert(r.payload.length <= 64)
+      assert(r.n_bytes == r.payload.length)
+    }
+    // deterministic
+    val again = Multimodal.resizeMedia(media, targetBytes = 64).collect()
+    assert(resized.map(_.payload.toSeq).toSeq == again.map(_.payload.toSeq).toSeq)
+  }
+
   test("featureSummary exposes stable columnar projections") {
     val out = Multimodal.featureSummary(spark, Tables.documents(spark, sf)).collect()
     out.foreach { r =>
