@@ -77,7 +77,13 @@ object SimilaritySearch {
     bucketed.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(lakePath)
     val q = bucketed.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_embedding"), col("bucket"))
-    val qBucket = q.select("bucket").head().getLong(0)
+    // missing query id → empty result (same contract as lshTopK), not a
+    // head()-on-empty crash
+    val qBucketRow = q.select("bucket").head(1)
+    if (qBucketRow.isEmpty)
+      return spark.read.parquet(lakePath).filter(lit(false))
+        .select(col("vec_id"), lit(0.0).as("cos"), col("bucket"))
+    val qBucket = qBucketRow.head.getLong(0)
     spark.read.parquet(lakePath)
       .filter(col("bucket") === qBucket && col("vec_id") =!= queryId)
       .crossJoin(broadcast(q.select(col("q_embedding"))))

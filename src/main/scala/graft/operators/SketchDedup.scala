@@ -56,7 +56,10 @@ object SketchDedup {
     * The signature and the full band-key array ride along the banded
     * rows, so a matched pair is finished row-locally: the first-agreeing-
     * band predicate dedupes (instead of a candidate-wide `distinct()`)
-    * and the estimate needs no signature join-back. */
+    * and the estimate needs no signature join-back. Cap interaction:
+    * a pair whose FIRST agreeing band is over-cap is dropped even if a
+    * later agreeing band survives — LSH recall is probabilistic by
+    * contract, and the property specs floor it on capped corpora. */
   def minhashLshPairs(documents: DataFrame, n: Int = 3, k: Int = 32,
                       bands: Int = 8, threshold: Double = 0.5,
                       bucketCap: Int = 64): DataFrame = {
@@ -113,8 +116,10 @@ object SketchDedup {
 
   /** Adaptive strategy (AQE-spirit): the corpus row count is one
     * metadata-cheap action; below `bruteCutoff` the quadratic-but-cheap
-    * scan wins, above it banding bounds the work. Both produce exactly
-    * the hamming<=maxHamming pair set. */
+    * scan wins, above it banding bounds the work. Identical pair sets
+    * unless the banded path's `bucketCap` engages (see simhashPairs —
+    * >cap distinct sketches sharing a chunk), which is the banded
+    * path's documented recall trade. */
   def simhashPairsAuto(documents: DataFrame, n: Int = 3, maxHamming: Int = 3,
                        bruteCutoff: Long = 100000L): DataFrame = {
     require(maxHamming <= 3,
@@ -139,8 +144,16 @@ object SketchDedup {
     array((0 until 4).map(j =>
       shiftrightunsigned(s, j * 16).bitwiseAND(lit(0xFFFFL))): _*)
 
-  /** Near-dup pairs by SimHash: exact hamming<=maxHamming pair set,
-    * produced without an all-pairs scan.
+  /** Near-dup pairs by SimHash: the hamming<=maxHamming pair set,
+    * produced without an all-pairs scan. Exact as long as no (band,
+    * chunk) bucket of DISTINCT sketches exceeds `bucketCap`: pairs whose
+    * every agreeing chunk sits in an over-cap bucket are dropped (the
+    * documented skew/recall trade — sketch-identical boilerplate is
+    * already collapsed before banding, so only a corpus with >cap
+    * distinct-but-chunk-sharing sketches hits it; raise `bucketCap` to
+    * restore exactness at quadratic cost in those buckets). The first-
+    * agreeing-chunk dedup also requires that first chunk's bucket to be
+    * under-cap, a second-order recall trade in the same regime.
     *
     * Step 1 collapses docs with identical sketches (groupBy sim): on a
     * homogeneous/boilerplate corpus these are precisely the docs that
@@ -155,7 +168,9 @@ object SketchDedup {
                    bucketCap: Int = 4096): DataFrame = {
     require(maxHamming <= 3,
       "4x16-bit banding only guarantees recall for hamming <= 3")
-    val sims = withSimHash(documents, n)
+    // null text → null sketch; groupBy would pool them into one group
+    // and emit them as hamming-0 "duplicates" — drop them instead
+    val sims = withSimHash(documents, n).filter(col("sim").isNotNull)
     val groups = sims.groupBy("sim")
       .agg(sort_array(collect_list("doc_id")).as("ids"))
 

@@ -63,26 +63,40 @@ object SpatialJoin {
     * wraps modulo 360/cellDeg), candidates come from an EQUI-join on the
     * cell id — a hash shuffle both sides, no broadcast, no cross join —
     * and the per-customer argmin is the same map-side-partial
-    * min(struct). Exactness: any supplier outside the 3×3 block differs
-    * by ≥ cellDeg in latitude or (wrapped) longitude, so its distance is
-    * ≥ B = 2R·asin(sin(cellDeg/2)·cos(maxAbsLat)); a customer whose best
-    * candidate is < B is provably settled. The rest (no candidate in the
-    * neighborhood, or best ≥ B — sparse/polar regions) fall back to the
-    * exact broadcast path, so the result never depends on the grid
-    * actually resolving. At 100 TB the fallback population is the long
-    * tail, not the corpus. */
+    * min(struct). Exactness for ARBITRARY inputs: a customer is settled
+    * only if |c_lat| ≤ maxAbsLat (row-local guard) AND its best
+    * candidate is under a bound B that holds for any supplier latitude.
+    * A supplier outside the 3×3 block differs by ≥ cellDeg in latitude
+    * (distance ≥ 2R·asin(sin(cellDeg/2)), never binding) or by
+    * ≥ cellDeg in wrapped longitude; in the longitude case either
+    * |s_lat| ≤ maxAbsLat + cellDeg/2 (distance ≥ 2R·asin(sin(cellDeg/2)
+    * ·√(cos maxAbsLat · cos(maxAbsLat+cellDeg/2)))) or the latitude gap
+    * alone is ≥ cellDeg/2 (distance ≥ 2R·asin(sin(cellDeg/4))). B is
+    * the min of the three, so no in-guard customer is ever mis-settled —
+    * polar customers and sparse regions fall back to the exact
+    * broadcast path, and the result never depends on the grid actually
+    * resolving. At 100 TB the fallback population is the long tail, not
+    * the corpus. */
   def nearestSupplierGrid(customer: DataFrame, supplier: DataFrame,
                           cellDeg: Int = 20, maxAbsLat: Double = 70.0): DataFrame = {
     require(360 % cellDeg == 0, "cellDeg must divide 360")
     val nLon = 360 / cellDeg
-    val bound = 2.0 * EarthRadiusKm * math.asin(
-      math.sin(math.toRadians(cellDeg) / 2) * math.cos(math.toRadians(maxAbsLat)))
+    def chord(x: Double): Double = 2.0 * EarthRadiusKm * math.asin(x)
+    val half = math.toRadians(cellDeg) / 2
+    val latCap = math.toRadians(math.min(89.9, maxAbsLat + cellDeg / 2.0))
+    val bound = math.min(
+      chord(math.sin(half) * math.sqrt(
+        math.cos(math.toRadians(maxAbsLat)) * math.cos(latCap))),
+      math.min(chord(math.sin(half)), chord(math.sin(half / 2))))
 
     val cpts = customerPoints(customer)
     val spts = supplierPoints(supplier)
+    // pmod wraps the supplier cell too: s_lon = 180.0 lands in cell nLon
+    // unwrapped, which no (already-wrapped) customer probe could reach
     val sCells = spts
       .withColumn("cell_lat", floor((col("s_lat") + 90) / cellDeg).cast("int"))
-      .withColumn("cell_lon", floor((col("s_lon") + 180) / cellDeg).cast("int"))
+      .withColumn("cell_lon",
+        pmod(floor((col("s_lon") + 180) / cellDeg), lit(nLon)).cast("int"))
     val probes = cpts
       .withColumn("lat0", floor((col("c_lat") + 90) / cellDeg).cast("int"))
       .withColumn("lon0", floor((col("c_lon") + 180) / cellDeg).cast("int"))
@@ -101,10 +115,11 @@ object SpatialJoin {
     val best = probes.join(sCells, Seq("cell_lat", "cell_lon"))
       .withColumn("dist_km",
         round(haversineKm(col("c_lat"), col("c_lon"), col("s_lat"), col("s_lon")), 4))
-      .groupBy("c_custkey")
+      .groupBy("c_custkey", "c_lat")
       .agg(min(struct(col("dist_km"), col("s_suppkey"))).as("best"))
       .localCheckpoint(true)
-    val resolved = best.filter(col("best.dist_km") < bound)
+    val resolved = best
+      .filter(col("best.dist_km") < bound && abs(col("c_lat")) <= maxAbsLat)
       .select(col("c_custkey"), col("best.s_suppkey").as("s_suppkey"),
         col("best.dist_km").as("dist_km"))
 

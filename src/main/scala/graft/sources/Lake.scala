@@ -52,9 +52,11 @@ object Lake {
     * Hive-partitioned inputs must pass their `partitionCols` so the
     * rewrite preserves the layout (and pruning); compacting one without
     * them is rejected rather than silently flattened. The swap renames
-    * the old dir aside before moving the rewrite in, so readers never
-    * observe a missing path and a crash strands at most a `__old` copy,
-    * not the data. */
+    * the old dir aside before moving the rewrite in: a crash or failed
+    * rename strands a `__old`/`__compacting` copy (and is rolled back
+    * where possible), never the data. Readers racing the two renames can
+    * observe a briefly missing path — run compaction in a maintenance
+    * window or behind a catalog swap. */
   def compact(spark: SparkSession, path: String, targetRowsPerFile: Long,
               partitionCols: Seq[String] = Nil): Long = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -76,8 +78,15 @@ object Lake {
         .write.partitionBy(partitionCols: _*)
     writer.mode(SaveMode.Overwrite).parquet(tmp.toString)
     fs.delete(old, true) // clear any leftover from a prior crash
-    fs.rename(dst, old)
-    fs.rename(tmp, dst)
+    // HDFS-style FileSystems signal rename failure by returning false,
+    // not throwing — check both, and roll the data back rather than
+    // deleting the only surviving copy
+    if (!fs.rename(dst, old))
+      throw new java.io.IOException(s"compact: failed to move $dst aside")
+    if (!fs.rename(tmp, dst)) {
+      fs.rename(old, dst) // restore; the rewrite stays at tmp for retry
+      throw new java.io.IOException(s"compact: failed to swap in $tmp")
+    }
     fs.delete(old, true)
     files
   }

@@ -54,7 +54,9 @@ class PlanAuditSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("PartitionFilters: [isnotnull(bucket"),
       s"expected bucket partition filter in:\n$p")
-    assert(p.contains("(bucket"), s"expected bucket equality filter in:\n$p")
+    // an actual equality prune, not just the isnotnull the line above matches
+    assert("\\(bucket#\\d+L? = ".r.findFirstIn(p).isDefined,
+      s"expected bucket equality partition filter in:\n$p")
   }
 
   test("dd_embed_neardup_lsh: candidates come from an equi-join, not an all-pairs loop") {

@@ -44,6 +44,15 @@ class EdgeCaseSpec extends SparkSpec {
     assert(out.filter(col("matched").isNotNull).count() == 0)
   }
 
+  test("null-text documents never pair as duplicates") {
+    import spark.implicits._
+    val docs = Seq((1L, null: String), (2L, null: String), (3L, "real text here"))
+      .toDF("doc_id", "text")
+    assert(SketchDedup.simhashPairs(docs).count() == 0,
+      "two null-text docs must not become a hamming-0 pair")
+    assert(SketchDedup.minhashLshPairs(docs).count() == 0)
+  }
+
   test("ivf handles k larger than the corpus and nProbe larger than k") {
     import spark.implicits._
     val tiny = Seq(
