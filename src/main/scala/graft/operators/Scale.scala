@@ -45,6 +45,25 @@ object Scale {
     else df.repartition(target)
   }
 
+  /** Self-join a banded sketch frame on (band, key) and keep each pair
+    * exactly once via the first-agreeing-band predicate: the row whose
+    * band index equals the first position where the two full band-key
+    * arrays (`bks`, carried on every row) agree. Row-local dedup — no
+    * candidate-wide distinct() shuffle. Shared by the MinHash, SimHash
+    * and embedding-LSH pair generators; `ord` orders the pair (x < y).
+    * Note: if the first agreeing band's bucket was dropped by a cap
+    * filter upstream, the pair is dropped with it (the documented
+    * recall trade of capped banding). */
+  private[operators] def bandJoinFirstAgree(banded: DataFrame, ord: String,
+      band: String = "band", key: String = "band_key"): DataFrame =
+    banded.as("x").join(banded.as("y"),
+        col(s"x.$band") === col(s"y.$band") &&
+        col(s"x.$key") === col(s"y.$key") &&
+        col(s"x.$ord") < col(s"y.$ord"))
+      .filter(col(s"x.$band") ===
+        array_position(zip_with(col("x.bks"), col("y.bks"), (p, q) => p === q),
+          true) - 1)
+
   /** Write a table bucketed (and sorted) by `key`: one shuffle now,
     * exchange-free equi-joins/aggregations on `key` forever after. */
   def writeBucketed(df: DataFrame, table: String, key: String,

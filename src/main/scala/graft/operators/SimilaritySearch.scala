@@ -187,13 +187,7 @@ object SimilaritySearch {
     val banded = withBuckets.select(
       col("vec_id"), col("embedding"), col("nrm"), col("bks"),
       posexplode(col("bks")).as(Seq("tbl", "bucket")))
-    banded.as("x")
-      .join(banded.as("y"),
-        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket")
-          && col("x.vec_id") < col("y.vec_id"))
-      .filter(col("x.tbl") ===
-        array_position(zip_with(col("x.bks"), col("y.bks"), (p, q) => p === q),
-          true) - 1)
+    Scale.bandJoinFirstAgree(banded, "vec_id", band = "tbl", key = "bucket")
       .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"),
         round(dot(col("x.embedding"), col("y.embedding")) /
           (col("x.nrm") * col("y.nrm")), 4).as("cos"))

@@ -79,14 +79,7 @@ object SketchDedup {
         .over(Window.partitionBy("band", "band_key")))
       .filter(col("bucket_n") <= bucketCap)
 
-    capped.as("x")
-      .join(capped.as("y"),
-        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key")
-          && col("x.doc_id") < col("y.doc_id"))
-      // emit from the first band whose keys agree: row-local dedup
-      .filter(col("x.band") ===
-        array_position(zip_with(col("x.bks"), col("y.bks"), (p, q) => p === q),
-          true) - 1)
+    Scale.bandJoinFirstAgree(capped, "doc_id")
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
         round(aggregate(
           zip_with(col("x.sig"), col("y.sig"), (p, q) => when(p === q, 1).otherwise(0)),
@@ -179,20 +172,13 @@ object SketchDedup {
       .select(col("p.d1"), col("p.d2"), lit(0).as("hamming"))
 
     val banded = groups
-      .select(col("sim"), col("ids"),
+      .select(col("sim"), col("ids"), simChunks(col("sim")).as("bks"),
         posexplode(simChunks(col("sim"))).as(Seq("band", "chunk")))
     val capped = banded
       .withColumn("bucket_n", count(lit(1))
         .over(Window.partitionBy("band", "chunk")))
       .filter(col("bucket_n") <= bucketCap)
-    val inter = capped.as("x")
-      .join(capped.as("y"),
-        col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk")
-          && col("x.sim") < col("y.sim"))
-      .filter(col("x.band") ===
-        array_position(
-          zip_with(simChunks(col("x.sim")), simChunks(col("y.sim")), (p, q) => p === q),
-          true) - 1)
+    val inter = Scale.bandJoinFirstAgree(capped, "sim", key = "chunk")
       .select(col("x.ids").as("ids1"), col("y.ids").as("ids2"),
         bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
