@@ -151,6 +151,13 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(Tables.documents(s, d), 3, 0.2)),
     "dd_cluster" -> ((s, d) =>
       Dedup.dupClusters(Dedup.ngramJaccardPairs(Tables.documents(s, d), 3, 0.2))),
+    // the end-to-end 100 TB dedup path: sketch candidates (not exact
+    // pairs) feeding the same connected-components labeler
+    "dd_cluster_lsh" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Dedup.dupClusters(SketchDedup.minhashLshPairs(Tables.documents(s, d))
+        .select(col("d1"), col("d2")))
+    }),
     "tx_vocab" -> ((s, d) =>
       TextAnalysis.vocabulary(Tables.documents(s, d), 1, 20)),
     "tx_pii" -> ((s, d) => TextAnalysis.piiScan(Tables.documents(s, d))),
@@ -701,7 +708,7 @@ object SparkEntry {
          FROM embeddings b, q WHERE b.vec_id <> 0
          ORDER BY cos DESC, b.vec_id LIMIT 10""",
     // tx_fingerprint_roll, ann_lsh, ann_ivf, dd_minhash_lsh, dd_simhash,
-    // mm_frames: hash/
+    // dd_cluster_lsh, mm_frames: hash/
     // bucket internals are engine-specific → rows-only check + property
     // specs (recall/error bounds vs the exact oracle-checked operators).
     "sc_salted_join" ->

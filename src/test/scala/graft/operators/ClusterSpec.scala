@@ -16,6 +16,20 @@ class ClusterSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("dupClusters over LSH pairs: endpoints of every pair share a label") {
+    import org.apache.spark.sql.functions.col
+    val pairs = SketchDedup.minhashLshPairs(graft.Tables.documents(spark, sf))
+      .select(col("d1"), col("d2"))
+    val labels = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    val ps = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ps.nonEmpty)
+    ps.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"pair ($a,$b) split across clusters")
+    }
+    labels.foreach { case (id, l) => assert(l <= id, "label must be component min") }
+  }
+
   test("dupClusters converges on a long chain within maxIter") {
     val n = 40
     val chain = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("d1", "d2")
