@@ -70,8 +70,22 @@ object VectorFunctions {
       ColumnBridge.expression(v),
       unitCentroids.flatten.toIndexedSeq, unitCentroids.head.size, nProbe))
 
+  /** nTables hyperplane-LSH bucket ids in one fused native pass (planes
+    * as a single reference object; property-tested equal to the
+    * composed per-table hyperplaneBucket pipeline). `planes` holds
+    * nTables×nPlanes consecutive plane vectors. */
+  def hyperplaneBucketsNative(v: Column, planes: Seq[Seq[Double]],
+                              nPlanes: Int): Column = {
+    require(planes.size % nPlanes == 0, "planes must fill whole tables")
+    ColumnBridge.column(graft.plans.HyperplaneBuckets(
+      ColumnBridge.expression(v), planes.flatten.toIndexedSeq,
+      planes.head.size, nPlanes, planes.size / nPlanes))
+  }
+
   /** Sign bits against a fixed set of hyperplanes → a compact LSH bucket
-    * id (random-hyperplane LSH; planes supplied as literal weights). */
+    * id (random-hyperplane LSH; planes supplied as literal weights).
+    * Kept as the composed-Column equivalence oracle for
+    * `hyperplaneBucketsNative` and for single-bucket callers. */
   def hyperplaneBucket(v: Column, planes: Seq[Seq[Double]]): Column = {
     val bits = planes.zipWithIndex.map { case (plane, i) =>
       val planeCol = array(plane.map(lit): _*)

@@ -181,9 +181,7 @@ object SimilaritySearch {
     val withBuckets = Scale.fanOut(embeddings, Seq("vec_id"))
       .select(col("vec_id"), col("embedding"),
         l2Norm(col("embedding")).as("nrm"),
-        array((0 until nTables).map(t =>
-          hyperplaneBucket(col("embedding"),
-            allPlanes.slice(t * nPlanes, (t + 1) * nPlanes))): _*).as("bks"))
+        hyperplaneBucketsNative(col("embedding"), allPlanes, nPlanes).as("bks"))
     val banded = withBuckets.select(
       col("vec_id"), col("embedding"), col("nrm"), col("bks"),
       posexplode(col("bks")).as(Seq("tbl", "bucket")))

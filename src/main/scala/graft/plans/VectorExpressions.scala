@@ -159,6 +159,38 @@ object VectorImpl {
   }
 }
 
+object LshImpl {
+
+  private def elem(v: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+
+  /** nTables hyperplane-sign bucket ids in one fused pass. Planes are
+    * laid out row-major: table t, plane j, dim i at ((t*nPlanes+j)*dim+i).
+    * Bit j of bucket t is set iff dot(v, plane_{t,j}) >= 0 — identical
+    * to the composed when(dot >= 0, 1<<j) Column pipeline. */
+  def hyperplaneBuckets(v: ArrayData, planes: Array[Double], dim: Int,
+                        nPlanes: Int, nTables: Int, isFloat: Boolean): ArrayData = {
+    val n = math.min(dim, v.numElements())
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var bucket = 0L
+      var j = 0
+      while (j < nPlanes) {
+        val off = (t * nPlanes + j) * dim
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += elem(v, i, isFloat) * planes(off + i); i += 1 }
+        if (s >= 0) bucket |= (1L << j)
+        j += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 trait NumericArrayInput { self: UnaryExpression =>
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
@@ -193,6 +225,33 @@ case class NearestCentroid(child: Expression, centroids: IndexedSeq[Double],
   }
 
   override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
+/** Multi-table hyperplane-LSH bucketing: array<float|double> →
+  * array<long> of nTables sign-bit bucket ids. The plane matrix rides
+  * as one reference object — the composed per-table hyperplaneBucket
+  * Columns built ~4k literal nodes for 16×4×64 planes. */
+case class HyperplaneBuckets(child: Expression, planes: IndexedSeq[Double],
+                             dim: Int, nPlanes: Int, nTables: Int)
+  extends UnaryExpression with NumericArrayInput {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_lsh_buckets"
+
+  @transient private lazy val pl: Array[Double] = planes.toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    LshImpl.hyperplaneBuckets(input.asInstanceOf[ArrayData], pl, dim,
+      nPlanes, nTables, isFloatInput)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", pl, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.LshImpl.hyperplaneBuckets($c, $ref, $dim, $nPlanes, $nTables, $isFloatInput);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBuckets =
     copy(child = newChild)
 }
 

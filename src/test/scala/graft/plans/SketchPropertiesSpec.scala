@@ -123,6 +123,25 @@ class SketchPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("native HyperplaneBuckets equals the composed per-table bucket pipeline") {
+    import graft.Tables
+    import graft.functions.VectorFunctions.{hyperplaneBucket, hyperplaneBucketsNative}
+    import graft.operators.SimilaritySearch.seededPlanes
+    val emb = Tables.embeddings(spark, sf)
+    val planes = seededPlanes(16 * 4, 64)
+    val composed = array((0 until 16).map(t =>
+      hyperplaneBucket(col("embedding"), planes.slice(t * 4, (t + 1) * 4))): _*)
+    val rows = emb.select(col("vec_id"),
+        hyperplaneBucketsNative(col("embedding"), planes, 4).as("nat"),
+        composed.as("ref"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"vec ${r.getLong(0)}: native buckets != composed buckets")
+    }
+  }
+
   test("dot product is bilinear within FP tolerance") {
     import spark.implicits._
     val vecs = (0 until 20).map { i =>
