@@ -139,6 +139,10 @@ object Dedup {
     var prevSum = sumLabels(labels)
     var converged = false
     var i = 0
+    // one propagation round per materialization: each round's broadcast
+    // sides re-read the previous checkpoint, so stacking un-materialized
+    // rounds recomputes the whole prior round inside every broadcast
+    // subtree (measured 2x slower than checkpointing each round)
     while (!converged && i < maxIter) {
       labels = ptrDouble(nbMin(labels)).localCheckpoint(true)
       i += 1
