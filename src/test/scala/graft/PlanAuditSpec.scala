@@ -80,6 +80,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan("sp_nearest_join").contains("BroadcastNestedLoopJoin"))
   }
 
+  test("tx_contamination: benchmark side broadcast, corpus never nested-loop joined") {
+    val p = plan("tx_contamination")
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark shingle set must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("entry flagship runs and returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
