@@ -152,6 +152,24 @@ object EventStream {
       .option("topic", topic)
       .option("checkpointLocation", checkpoint)
 
+  /** Idempotent lake UPSERT sink: foreachBatch + dynamic partition
+    * overwrite. Replaying a micro-batch (checkpoint reset, backfill,
+    * at-least-once redelivery past the checkpoint) rewrites exactly the
+    * hive partitions it touches instead of appending duplicates —
+    * partitions absent from the batch are untouched. The checkpointed
+    * lakeSink below covers normal exactly-once appends; this is the
+    * recovery-safe variant for reprocessable pipelines. */
+  def upsertSink(df: DataFrame, path: String, checkpoint: String,
+                 partitionCols: Seq[String]): DataStreamWriter[Row] =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.sparkSession.conf
+          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        batch.write.mode("overwrite")
+          .partitionBy(partitionCols: _*).parquet(path)
+      }
+
   /** Partitioned parquet lake sink with checkpoint — exactly-once lake
     * appends (replaces the reference's hand-rolled HDFS append consumer). */
   def lakeSink(df: DataFrame, path: String, checkpoint: String,

@@ -161,6 +161,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("upsert sink: replaying a batch rewrites its partitions, never duplicates") {
+    implicit val sq = spark.sqlContext
+    val dir = s"/root/repo/target/graft_io/stream_upsert_${System.nanoTime()}"
+    def runOnce(ckpt: String): Unit = {
+      val input = MemoryStream[String](Encoders.STRING, sq)
+      val classified = EventStream.classify(
+        EventStream.parseJson(input.toDF().select(col("value"))))
+      val q = EventStream.upsertSink(classified, s"$dir/data", s"$dir/$ckpt",
+        Seq("alert_level")).outputMode("append").start()
+      try {
+        input.addData(
+          jsonOf(1, "2024-01-01 00:00:00", 1, "click", 50.0),
+          jsonOf(2, "2024-01-01 00:01:00", 2, "error", 350.0))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    runOnce("ckpt_a")
+    // fresh checkpoint = full replay of the same data (simulated
+    // checkpoint loss) — dynamic overwrite must not duplicate
+    runOnce("ckpt_b")
+    val back = spark.read.parquet(s"$dir/data")
+    assert(back.count() == 2, "replay duplicated rows")
+    assert(back.select("alert_level").distinct().count() == 2)
+  }
+
   test("partitioned lake sink writes exactly-once with checkpoint") {
     implicit val sq = spark.sqlContext
     val dir = s"/root/repo/target/graft_io/stream_lake_${System.nanoTime()}"
