@@ -88,7 +88,7 @@ object Dedup {
     * distributed join; dup clusters are tiny diameter in practice, and
     * `maxIter` bounds pathological chains. */
   def dupClusters(pairs: DataFrame, maxIter: Int = 20,
-                  broadcastLabels: Boolean = true): DataFrame = {
+                  broadcastLabelLimit: Long = 4000000L): DataFrame = {
     // near-dup edge lists are tiny relative to the corpus: collapse to a
     // few partitions before caching so each fixpoint round doesn't pay
     // 32 near-empty task launches per job
@@ -96,11 +96,17 @@ object Dedup {
       .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b")))
       .coalesce(4)
       .cache()
-    // dup-cluster label frames are tiny relative to the corpus (only docs
-    // appearing in pairs) — broadcast them into the per-round joins so an
-    // iteration is shuffle-free. For genuinely huge components pass
-    // broadcastLabels = false to fall back to shuffled hash joins.
-    def bc(df: DataFrame): DataFrame = if (broadcastLabels) broadcast(df) else df
+    // dup-cluster label frames are usually tiny relative to the corpus
+    // (only docs appearing in pairs) — broadcast them into the per-round
+    // joins so an iteration is shuffle-free. The choice is MEASURED, not
+    // caller-trusted: the node count (constant across rounds — every
+    // node keeps its label row) is taken once off the cached edge list,
+    // and label frames past `broadcastLabelLimit` rows (~100 MB of
+    // (long,long) at the 4M default) degrade to shuffled hash joins
+    // instead of OOMing the driver.
+    lazy val nNodes = edges.select(col("a")).distinct().count()
+    def bc(df: DataFrame): DataFrame =
+      if (nNodes <= broadcastLabelLimit) broadcast(df) else df
     def nbMin(cur: DataFrame): DataFrame = {
       val via = edges
         .join(bc(cur.select(col("id").as("b"), col("cluster_id").as("nb_label"))), "b")

@@ -45,15 +45,39 @@ object Scale {
     else df.repartition(target)
   }
 
+  /** Per-(band, key) bucket cap with carried over-cap flags: counts each
+    * bucket, attaches to every row an `over` array (one flag per band
+    * position, true iff that band's bucket for this row exceeds `cap`)
+    * and drops the over-cap rows. Carrying `over` lets
+    * bandJoinFirstAgree dedup on the first UNDER-cap agreeing band, so
+    * a pair is lost only when EVERY agreeing band is over-cap — not
+    * whenever its first agreeing band happens to be (the round-2 recall
+    * regression). Two window shuffles: (band, key) for the count, `ord`
+    * to reassemble the per-row flag array in band order. */
+  private[operators] def capBuckets(banded: DataFrame, ord: String, cap: Int,
+      band: String = "band", key: String = "band_key"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counted = banded.withColumn("__bn",
+      count(lit(1)).over(Window.partitionBy(band, key)))
+    counted
+      .withColumn("over",
+        collect_list(col("__bn") > cap).over(
+          Window.partitionBy(ord).orderBy(band)
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col("__bn") <= cap)
+      .drop("__bn")
+  }
+
   /** Self-join a banded sketch frame on (band, key) and keep each pair
-    * exactly once via the first-agreeing-band predicate: the row whose
-    * band index equals the first position where the two full band-key
-    * arrays (`bks`, carried on every row) agree. Row-local dedup — no
-    * candidate-wide distinct() shuffle. Shared by the MinHash, SimHash
-    * and embedding-LSH pair generators; `ord` orders the pair (x < y).
-    * Note: if the first agreeing band's bucket was dropped by a cap
-    * filter upstream, the pair is dropped with it (the documented
-    * recall trade of capped banding). */
+    * exactly once via the first-usable-agreeing-band predicate: the row
+    * whose band index equals the first position where the two full
+    * band-key arrays (`bks`, carried on every row) agree AND that
+    * band's bucket is under the cap (`over` flags from capBuckets; at
+    * an agreeing band both sides share the bucket, so x's flag equals
+    * y's). Row-local dedup — no candidate-wide distinct() shuffle.
+    * Shared by the MinHash, SimHash and embedding-LSH pair generators;
+    * `ord` orders the pair (x < y). A pair drops only if every agreeing
+    * band is over-cap. */
   private[operators] def bandJoinFirstAgree(banded: DataFrame, ord: String,
       band: String = "band", key: String = "band_key"): DataFrame =
     banded.as("x").join(banded.as("y"),
@@ -61,7 +85,10 @@ object Scale {
         col(s"x.$key") === col(s"y.$key") &&
         col(s"x.$ord") < col(s"y.$ord"))
       .filter(col(s"x.$band") ===
-        array_position(zip_with(col("x.bks"), col("y.bks"), (p, q) => p === q),
+        array_position(
+          zip_with(
+            zip_with(col("x.bks"), col("y.bks"), (p, q) => p === q),
+            col("x.over"), (agree, oc) => agree && !oc),
           true) - 1)
 
   /** Write a table bucketed (and sorted) by `key`: one shuffle now,

@@ -64,18 +64,26 @@ object SimilaritySearch {
       .limit(k)
   }
 
-  /** ANN top-k over a bucket-PARTITIONED lake layout: the one-off write
-    * lays vectors out hive-partitioned by LSH bucket, and the probe's
-    * literal bucket predicate becomes a PartitionFilter — the scan reads
-    * ONE directory, not the corpus (asserted in PlanAuditSpec). The only
-    * driver-side action is the one-scalar bucket lookup for the query
-    * vector (a parameter fetch, not a data loop); the query embedding
-    * itself stays a broadcast 1-row frame. Same output as lshTopK. */
-  def lshTopKPruned(spark: SparkSession, embeddings: DataFrame, queryId: Long,
-                    k: Int, planes: Seq[Seq[Double]], lakePath: String): DataFrame = {
-    val bucketed = withLshBucket(embeddings, planes)
-    bucketed.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(lakePath)
-    val q = bucketed.filter(col("vec_id") === queryId)
+  /** One-off LSH index build: lay the corpus out hive-partitioned by
+    * LSH bucket. Probes against this lake partition-prune to single
+    * bucket directories. Build cost is paid ONCE per corpus version —
+    * never inside a probe (the round-2 design rebuilt the lake on every
+    * probe call). */
+  def buildLshIndex(embeddings: DataFrame, planes: Seq[Seq[Double]],
+                    lakePath: String): Unit =
+    withLshBucket(embeddings, planes)
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(lakePath)
+
+  /** Pure ANN probe against a built LSH index: the query vector is
+    * looked up from `embeddings` (pushed-down point filter), its bucket
+    * computed, and the lake scan filtered on that literal bucket — a
+    * PartitionFilter, so ONE directory is read, not the corpus
+    * (asserted in PlanAuditSpec). The only driver-side action is the
+    * one-scalar bucket lookup (a parameter fetch, not a data loop); the
+    * query embedding itself stays a broadcast 1-row frame. */
+  def lshProbe(spark: SparkSession, lakePath: String, embeddings: DataFrame,
+               queryId: Long, k: Int, planes: Seq[Seq[Double]]): DataFrame = {
+    val q = withLshBucket(embeddings.filter(col("vec_id") === queryId), planes)
       .select(col("embedding").as("q_embedding"), col("bucket"))
     // missing query id → empty result (same contract as lshTopK), not a
     // head()-on-empty crash
@@ -91,6 +99,14 @@ object SimilaritySearch {
       .orderBy(desc("cos"), asc("vec_id"))
       .select(col("vec_id"), col("cos"), col("bucket"))
       .limit(k)
+  }
+
+  /** Build-then-probe composition kept for API compatibility; real
+    * sessions call buildLshIndex once and lshProbe per query. */
+  def lshTopKPruned(spark: SparkSession, embeddings: DataFrame, queryId: Long,
+                    k: Int, planes: Seq[Seq[Double]], lakePath: String): DataFrame = {
+    buildLshIndex(embeddings, planes, lakePath)
+    lshProbe(spark, lakePath, embeddings, queryId, k, planes)
   }
 
   /** IVF coarse codebook: k deterministic seed vectors (top-k by a
@@ -159,6 +175,86 @@ object SimilaritySearch {
       .limit(k)
   }
 
+  /** One-off IVF index build: train the codebook (two corpus passes) and
+    * lay the corpus out hive-partitioned by cell. Returns the codebook —
+    * the probe needs it to rank cells. Build cost is paid ONCE per
+    * corpus version, never inside a probe. */
+  def buildIvfIndex(embeddings: DataFrame, k: Int, lakePath: String,
+                    seed: Long = 42L): Seq[Seq[Double]] = {
+    val codebook = ivfCodebook(embeddings, k, seed)
+    embeddings
+      .withColumn("cell",
+        coalesce(nearestCentroidId(col("embedding"), codebook), lit(-1)))
+      .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(lakePath)
+    codebook
+  }
+
+  /** Pure IVF probe against a built index: rank cells for the query
+    * vector (one driver-side nProbe-int fetch — a parameter lookup, not
+    * a data loop), then scan ONLY those cell directories — the literal
+    * isin predicate is a PartitionFilter, so the scan reads nProbe of k
+    * directories (asserted in PlanAuditSpec). Same output as ivfTopK. */
+  def ivfProbe(spark: SparkSession, lakePath: String, embeddings: DataFrame,
+               codebook: Seq[Seq[Double]], queryId: Long, k: Int,
+               nProbe: Int = 4): DataFrame = {
+    val q = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_embedding"),
+        topCentroidIds(col("embedding"), codebook, nProbe).as("q_cells"))
+    val qRow = q.head(1)
+    if (qRow.isEmpty)
+      return spark.read.parquet(lakePath).filter(lit(false))
+        .select(col("vec_id"), lit(0.0).as("cos"), col("cell"))
+    val cells = qRow.head.getSeq[Int](1)
+    spark.read.parquet(lakePath)
+      .filter(col("cell").isin(cells: _*) && col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q.select(col("q_embedding"))))
+      .withColumn("cos", round(cosine(col("embedding"), col("q_embedding")), 4))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .select(col("vec_id"), col("cos"), col("cell"))
+      .limit(k)
+  }
+
+  /** Batch kNN JOIN — every probe row finds its top-k corpus neighbors,
+    * the form an embedding pipeline actually runs (the single-query
+    * probes above are its point lookups). IVF-cell equi-join: the corpus
+    * is assigned one cell per vector, probes explode their nProbe
+    * nearest cells, and candidates meet on the cell key — no cross join
+    * anywhere in the plan. Per-probe top-k is the typed TopKAggregator
+    * (map-side partial heaps), so the only wide exchanges are the cell
+    * equi-join and a k-row-per-probe aggregation.
+    *
+    * Scale note: parallelism of the cell join is bounded by the codebook
+    * size — size k ~ O(√corpus) in production (16k cells at 1B vectors)
+    * so cells spread across every executor; AQE's skew split handles hot
+    * cells. Recall is the IVF nProbe/k trade, property-tested against
+    * bruteForceTopK. Self-matches (probe id == corpus id) are excluded
+    * so self-kNN over one table matches bruteForceTopK's contract. */
+  def knnJoin(probes: DataFrame, corpus: DataFrame, k: Int,
+              codebook: Seq[Seq[Double]], nProbe: Int = 4): DataFrame = {
+    import graft.functions.TopKAggregator
+    val assigned = Scale.fanOut(corpus, Seq("vec_id"))
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        l2Norm(col("embedding")).as("c_nrm"),
+        coalesce(nearestCentroidId(col("embedding"), codebook), lit(-1)).as("cell"))
+    val probed = Scale.fanOut(probes, Seq("vec_id"))
+      .select(col("vec_id").as("p_id"), col("embedding").as("p_emb"),
+        l2Norm(col("embedding")).as("p_nrm"),
+        explode(topCentroidIds(col("embedding"), codebook, nProbe)).as("cell"))
+    // each corpus vector lives in exactly ONE cell and probe cells are
+    // distinct, so a (probe, corpus) pair meets at most once — no
+    // distinct() needed before the top-k
+    probed.join(assigned, "cell")
+      .filter(col("p_id") =!= col("c_id"))
+      .select(col("p_id"),
+        round(dot(col("p_emb"), col("c_emb")) /
+          (col("p_nrm") * col("c_nrm")), 4).as("cos"),
+        col("c_id"))
+      .groupBy("p_id")
+      .agg(TopKAggregator.topK(k)(col("cos"), col("c_id")).as("top"))
+      .select(col("p_id"), explode(col("top")).as("t"))
+      .select(col("p_id"), col("t.id").as("c_id"), col("t.score").as("cos"))
+  }
+
   /** Near-dup PAIRS via multi-table hyperplane LSH — the scale twin of
     * Dedup.embeddingNearDupPairs (which is an O(n²) BroadcastNestedLoop
     * all-pairs by contract). `nTables` independent tables of `nPlanes`
@@ -171,24 +267,44 @@ object SimilaritySearch {
     * exact operator. The defaults (16×4) target the synthetic corpus'
     * cos≈0.3 near-dup regime (θ≈72°); a production corpus deduped at
     * cos≥0.9 wants fewer, deeper tables (e.g. 8×8), which also shrinks
-    * the candidate set — tune per threshold. Embeddings+norms ride the
-    * band shuffle so verification is row-local (no join-back); at 100 TB
-    * that trades ~nTables× shuffle width for two fewer corpus joins. */
+    * the candidate set — tune per threshold.
+    *
+    * PAYLOAD-LIGHT banding: only (vec_id, bks, table, bucket) rides the
+    * nTables-wide band shuffle — the bks arrays needed for the row-local
+    * first-agree dedup, never the embeddings. The vectors and their
+    * hoisted norms join back onto the deduped candidate PAIR set for the
+    * cosine verify. At production dims the ride-along variant shuffles
+    * nTables× the corpus' largest column (dim≥768 ⇒ ≥3 KB/vector/table);
+    * here the banded payload is 8·nTables bytes per row regardless of
+    * dim, and the verify joins touch each embedding once per candidate —
+    * candidates ≪ banded rows after first-agree dedup. (At the test's
+    * dim=64/sf0.1 both variants measure within noise; the light variant
+    * is the default because its shuffle width is dim-independent.) */
   def neardupPairsLsh(embeddings: DataFrame, threshold: Double,
                       nTables: Int = 16, nPlanes: Int = 4, dim: Int = 64,
                       seed: Long = 42L): DataFrame = {
     val allPlanes = seededPlanes(nTables * nPlanes, dim, seed)
-    val withBuckets = Scale.fanOut(embeddings, Seq("vec_id"))
-      .select(col("vec_id"), col("embedding"),
-        l2Norm(col("embedding")).as("nrm"),
+    val fanned = Scale.fanOut(embeddings, Seq("vec_id"))
+    val banded = fanned
+      .select(col("vec_id"),
         hyperplaneBucketsNative(col("embedding"), allPlanes, nPlanes).as("bks"))
-    val banded = withBuckets.select(
-      col("vec_id"), col("embedding"), col("nrm"), col("bks"),
-      posexplode(col("bks")).as(Seq("tbl", "bucket")))
-    Scale.bandJoinFirstAgree(banded, "vec_id", band = "tbl", key = "bucket")
-      .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"),
-        round(dot(col("x.embedding"), col("y.embedding")) /
-          (col("x.nrm") * col("y.nrm")), 4).as("cos"))
+      .select(col("vec_id"), col("bks"),
+        posexplode(col("bks")).as(Seq("tbl", "bucket")))
+      // no bucket cap on this path: the `over` flags exist only to feed
+      // the shared first-under-cap-agreeing-band predicate
+      .withColumn("over", array_repeat(lit(false), lit(nTables)))
+    val candidates =
+      Scale.bandJoinFirstAgree(banded, "vec_id", band = "tbl", key = "bucket")
+        .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"))
+    val withNorm = fanned.select(col("vec_id"), col("embedding"),
+      l2Norm(col("embedding")).as("nrm"))
+    candidates
+      .join(withNorm.select(col("vec_id").as("v1"), col("embedding").as("e1"),
+        col("nrm").as("n1")), "v1")
+      .join(withNorm.select(col("vec_id").as("v2"), col("embedding").as("e2"),
+        col("nrm").as("n2")), "v2")
+      .select(col("v1"), col("v2"),
+        round(dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 4).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

@@ -1,7 +1,6 @@
 package graft.operators
 
 import graft.plans.{MinHashFromHashes, ShingleHashes, SimHashFromHashes}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -18,9 +17,11 @@ import org.apache.spark.sql.functions._
   *     verified by Hamming distance (bit_count(xor)).
   *
   * Skew defenses, in order:
-  *   1. candidate pairs are emitted from the FIRST band whose keys agree
-  *      (a row-local predicate on the band-key arrays carried through the
-  *      join) — no global `distinct()` shuffle over the candidate set;
+  *   1. candidate pairs are emitted from the FIRST UNDER-CAP band whose
+  *      keys agree (a row-local predicate on the band-key and over-cap
+  *      arrays carried through the join) — no global `distinct()` shuffle
+  *      over the candidate set, and a capped hot band can't drop a pair
+  *      another agreeing band still holds;
   *   2. SimHash collapses docs with IDENTICAL sketches before banding —
   *      on boilerplate-heavy corpora this is exactly the population of
   *      the hot chunk buckets, and it reduces bucket sizes from #docs to
@@ -49,35 +50,68 @@ object SketchDedup {
       .select(col("doc_id"),
         minhashCol(shingleHashCol(col("text"), n), k).as("sig"))
 
+  /** The persistable MinHash-LSH sketch index: (doc_id, sig, bks) with
+    * one band key per LSH band. This is what a 100 TB corpus stores
+    * alongside the documents so incremental batches can be deduped
+    * against it WITHOUT rescanning the corpus text (see
+    * IncrementalDedup); minhashLshPairs bands the same frame. */
+  def minhashIndex(documents: DataFrame, n: Int = 3, k: Int = 32,
+                   bands: Int = 8): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    withMinHashSignature(documents, n, k)
+      .withColumn("bks", array((0 until bands).map(j =>
+        xxhash64(lit(j), slice(col("sig"), j * r + 1, r))): _*))
+  }
+
+  /** Near-dup matches of NEW docs against a STORED sketch index — the
+    * incremental form of minhashLshPairs: both sides band their keys,
+    * candidates meet on a (band, band_key) equi-join (new × index, not
+    * self), are deduped row-locally by the first-agreeing-band
+    * predicate (at an agreeing band both sides share the bucket) and
+    * finished by the signature-agreement estimate. No cap: incremental
+    * batches are small relative to the corpus, and the index side's hot
+    * buckets are exactly the boilerplate a dedup must still match. */
+  def minhashMatchesIndex(newDocs: DataFrame, index: DataFrame,
+                          n: Int = 3, k: Int = 32, bands: Int = 8,
+                          threshold: Double = 0.5): DataFrame = {
+    val a = minhashIndex(newDocs, n, k, bands)
+      .select(col("doc_id").as("new_id"), col("sig").as("sig_n"),
+        col("bks").as("bks_n"), posexplode(col("bks")).as(Seq("band", "band_key")))
+    val b = index
+      .select(col("doc_id").as("old_id"), col("sig").as("sig_o"),
+        col("bks").as("bks_o"), posexplode(col("bks")).as(Seq("band", "band_key")))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("band") ===
+        array_position(zip_with(col("bks_n"), col("bks_o"), (p, q) => p === q),
+          true) - 1)
+      .select(col("new_id"), col("old_id"),
+        round(aggregate(
+          zip_with(col("sig_n"), col("sig_o"), (p, q) => when(p === q, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / k, 6).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
   /** Candidate pairs from LSH banding + signature-agreement estimate.
     * k slots, `bands` bands of k/bands rows; pairs estimated below
     * `threshold` are dropped. `bucketCap` bounds per-bucket expansion.
     *
     * The signature and the full band-key array ride along the banded
-    * rows, so a matched pair is finished row-locally: the first-agreeing-
-    * band predicate dedupes (instead of a candidate-wide `distinct()`)
-    * and the estimate needs no signature join-back. Cap interaction:
-    * a pair whose FIRST agreeing band is over-cap is dropped even if a
-    * later agreeing band survives — LSH recall is probabilistic by
-    * contract, and the property specs floor it on capped corpora. */
+    * rows, so a matched pair is finished row-locally: the first-under-
+    * cap-agreeing-band predicate dedupes (instead of a candidate-wide
+    * `distinct()`) and the estimate needs no signature join-back. Cap
+    * interaction: a pair drops only when EVERY band its keys agree on
+    * is over-cap (the carried `over` flags let later agreeing bands
+    * rescue a pair whose first agreeing band was capped). */
   def minhashLshPairs(documents: DataFrame, n: Int = 3, k: Int = 32,
                       bands: Int = 8, threshold: Double = 0.5,
                       bucketCap: Int = 64): DataFrame = {
-    require(k % bands == 0, "bands must divide k")
-    val r = k / bands
-    val sigs = withMinHashSignature(documents, n, k)
-
-    val banded = sigs
-      .withColumn("bks", array((0 until bands).map(j =>
-        xxhash64(lit(j), slice(col("sig"), j * r + 1, r))): _*))
+    val banded = minhashIndex(documents, n, k, bands)
       .select(col("doc_id"), col("sig"), col("bks"),
         posexplode(col("bks")).as(Seq("band", "band_key")))
 
     // cap pathological buckets (boilerplate): keeps expansion bounded
-    val capped = banded
-      .withColumn("bucket_n", count(lit(1))
-        .over(Window.partitionBy("band", "band_key")))
-      .filter(col("bucket_n") <= bucketCap)
+    val capped = Scale.capBuckets(banded, "doc_id", bucketCap)
 
     Scale.bandJoinFirstAgree(capped, "doc_id")
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
@@ -110,9 +144,9 @@ object SketchDedup {
   /** Adaptive strategy (AQE-spirit): the corpus row count is one
     * metadata-cheap action; below `bruteCutoff` the quadratic-but-cheap
     * scan wins, above it banding bounds the work. Identical pair sets
-    * unless the banded path's `bucketCap` engages (see simhashPairs —
-    * >cap distinct sketches sharing a chunk), which is the banded
-    * path's documented recall trade. */
+    * unless a pair's EVERY agreeing chunk bucket exceeds the banded
+    * path's `bucketCap` (see simhashPairs) — a much narrower recall
+    * trade than the former first-agreeing-chunk cap. */
   def simhashPairsAuto(documents: DataFrame, n: Int = 3, maxHamming: Int = 3,
                        bruteCutoff: Long = 100000L): DataFrame = {
     require(maxHamming <= 3,
@@ -133,20 +167,23 @@ object SketchDedup {
       transform(ids2, b =>
         struct(least(a, b).as("d1"), greatest(a, b).as("d2")))))
 
+  /** Split an id array into `c`-sized slices (order preserved) so pair
+    * expansion downstream is bounded at c² structs per row. */
+  private def chunkify(ids: Column, c: Int): Column =
+    transform(sequence(lit(0), floor((size(ids) - lit(1)) / lit(c)).cast("int")),
+      i => slice(ids, i * c + 1, lit(c)))
+
   private def simChunks(s: Column): Column =
     array((0 until 4).map(j =>
       shiftrightunsigned(s, j * 16).bitwiseAND(lit(0xFFFFL))): _*)
 
   /** Near-dup pairs by SimHash: the hamming<=maxHamming pair set,
-    * produced without an all-pairs scan. Exact as long as no (band,
-    * chunk) bucket of DISTINCT sketches exceeds `bucketCap`: pairs whose
-    * every agreeing chunk sits in an over-cap bucket are dropped (the
-    * documented skew/recall trade — sketch-identical boilerplate is
-    * already collapsed before banding, so only a corpus with >cap
-    * distinct-but-chunk-sharing sketches hits it; raise `bucketCap` to
-    * restore exactness at quadratic cost in those buckets). The first-
-    * agreeing-chunk dedup also requires that first chunk's bucket to be
-    * under-cap, a second-order recall trade in the same regime.
+    * produced without an all-pairs scan. Exact as long as each pair of
+    * distinct sketches within the Hamming radius has at least one
+    * agreeing 16-bit chunk whose bucket is under `bucketCap`: a pair
+    * drops only when EVERY agreeing chunk is over-cap (the carried
+    * over-cap flags let later chunks rescue it — raise `bucketCap` to
+    * restore exactness at quadratic cost in those buckets).
     *
     * Step 1 collapses docs with identical sketches (groupBy sim): on a
     * homogeneous/boilerplate corpus these are precisely the docs that
@@ -154,11 +191,20 @@ object SketchDedup {
     * hamming-0 (output-bound, no join). Step 2 bands only the DISTINCT
     * sketch values into 4×16-bit chunks (any pair within Hamming 3
     * shares >=1 chunk — pigeonhole), joins on chunk with a `bucketCap`
-    * guard, dedupes via the first-agreeing-chunk predicate (row-local,
-    * no distinct()), verifies bit_count(xor) <= maxHamming, and expands
-    * the surviving sketch-group pairs back to doc pairs. */
+    * guard, dedupes via the first-under-cap-agreeing-chunk predicate
+    * (row-local, no distinct()), verifies bit_count(xor) <= maxHamming,
+    * and expands the surviving sketch-group pairs back to doc pairs.
+    *
+    * Member-list expansion is CHUNKED (`groupChunk`): a sketch group
+    * with g docs would otherwise build one row of g²/2 pair structs —
+    * multi-GB for the 100k-identical-doc groups this rewrite targets.
+    * Intra-group pairs are emitted as intra-chunk slices plus a
+    * chunk×chunk self-join, and the banded path's group×group cross
+    * products explode each side's chunks first, so no single row ever
+    * materializes more than groupChunk² structs. The total pair count
+    * is unchanged (it is the operator's output). */
   def simhashPairs(documents: DataFrame, n: Int = 3, maxHamming: Int = 3,
-                   bucketCap: Int = 4096): DataFrame = {
+                   bucketCap: Int = 4096, groupChunk: Int = 1024): DataFrame = {
     require(maxHamming <= 3,
       "4x16-bit banding only guarantees recall for hamming <= 3")
     // null text → null sketch; groupBy would pool them into one group
@@ -167,22 +213,35 @@ object SketchDedup {
     val groups = sims.groupBy("sim")
       .agg(sort_array(collect_list("doc_id")).as("ids"))
 
-    val intra = groups.filter(size(col("ids")) >= 2)
-      .select(explode(sortedPairs(col("ids"))).as("p"))
+    // identical-sketch pairs, bounded: intra-chunk expansion + inter-chunk
+    // self-join (each joined row expands ≤ groupChunk² structs)
+    val chunked = groups.filter(size(col("ids")) >= 2)
+      .select(col("sim"),
+        posexplode(chunkify(col("ids"), groupChunk)).as(Seq("cid", "cids")))
+    val intraChunk = chunked.filter(size(col("cids")) >= 2)
+      .select(explode(sortedPairs(col("cids"))).as("p"))
       .select(col("p.d1"), col("p.d2"), lit(0).as("hamming"))
+    val interChunk = chunked.as("ca").join(chunked.as("cb"),
+        col("ca.sim") === col("cb.sim") && col("ca.cid") < col("cb.cid"))
+      .select(explode(crossPairs(col("ca.cids"), col("cb.cids"))).as("p"))
+      .select(col("p.d1"), col("p.d2"), lit(0).as("hamming"))
+    val intra = intraChunk.unionByName(interChunk)
 
     val banded = groups
       .select(col("sim"), col("ids"), simChunks(col("sim")).as("bks"),
         posexplode(simChunks(col("sim"))).as(Seq("band", "chunk")))
-    val capped = banded
-      .withColumn("bucket_n", count(lit(1))
-        .over(Window.partitionBy("band", "chunk")))
-      .filter(col("bucket_n") <= bucketCap)
+    val capped = Scale.capBuckets(banded, "sim", bucketCap, key = "chunk")
     val inter = Scale.bandJoinFirstAgree(capped, "sim", key = "chunk")
       .select(col("x.ids").as("ids1"), col("y.ids").as("ids2"),
         bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select(explode(crossPairs(col("ids1"), col("ids2"))).as("p"), col("hamming"))
+      // bound the group×group cross expansion the same way: explode each
+      // side's chunk slices before pairing
+      .select(explode(chunkify(col("ids1"), groupChunk)).as("c1"),
+        col("ids2"), col("hamming"))
+      .select(col("c1"), explode(chunkify(col("ids2"), groupChunk)).as("c2"),
+        col("hamming"))
+      .select(explode(crossPairs(col("c1"), col("c2"))).as("p"), col("hamming"))
       .select(col("p.d1"), col("p.d2"), col("hamming"))
 
     intra.unionByName(inter)

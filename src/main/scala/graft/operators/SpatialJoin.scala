@@ -54,40 +54,71 @@ object SpatialJoin {
       .select(col("c_custkey"), col("best.s_suppkey").as("s_suppkey"),
         col("best.dist_km").as("dist_km"))
 
+  /** Exact NN for a SMALL customer tail against a supplier set too big
+    * to broadcast: the roles flip — the tail rides the broadcast, the
+    * supplier table streams through the map side, and the min(struct)
+    * partial-aggregates before the one-row-per-customer shuffle. The
+    * supplier set is never broadcast, shuffled, or re-partitioned. */
+  private def nearestFromPointsSmallTail(ctail: DataFrame, spts: DataFrame): DataFrame =
+    spts.crossJoin(broadcast(ctail))
+      .withColumn("dist_km",
+        round(haversineKm(col("c_lat"), col("c_lon"), col("s_lat"), col("s_lon")), 4))
+      .groupBy("c_custkey")
+      .agg(min(struct(col("dist_km"), col("s_suppkey"))).as("best"))
+      .select(col("c_custkey"), col("best.s_suppkey").as("s_suppkey"),
+        col("best.dist_km").as("dist_km"))
+
   /** Grid-cell nearest-neighbor join — the 100 TB variant promised by the
     * scaladoc above, for when NEITHER side fits in memory. Identical
     * output to `nearestSupplier` (oracle-checked).
     *
-    * Each point gets a (latCell, lonCell) id at `cellDeg` resolution;
-    * customers probe their 3×3 cell neighborhood (9 map-side rows, lon
-    * wraps modulo 360/cellDeg), candidates come from an EQUI-join on the
-    * cell id — a hash shuffle both sides, no broadcast, no cross join —
-    * and the per-customer argmin is the same map-side-partial
-    * min(struct). Exactness for ARBITRARY inputs: a customer is settled
-    * only if |c_lat| ≤ maxAbsLat (row-local guard) AND its best
-    * candidate is under a bound B that holds for any supplier latitude.
-    * A supplier outside the 3×3 block differs by ≥ cellDeg in latitude
-    * (distance ≥ 2R·asin(sin(cellDeg/2)), never binding) or by
-    * ≥ cellDeg in wrapped longitude; in the longitude case either
-    * |s_lat| ≤ maxAbsLat + cellDeg/2 (distance ≥ 2R·asin(sin(cellDeg/2)
+    * Each point gets a (latCell, lonCell) id at `cellDeg` resolution and
+    * customers resolve through EXPANDING RINGS: ring 1 probes the 3×3
+    * cell neighborhood (9 map-side rows, lon wraps modulo 360/cellDeg),
+    * ring 2 the 5×5, … up to `maxRing`. Candidates always come from an
+    * EQUI-join on the cell id — a hash shuffle both sides, no broadcast,
+    * no cross join — and the per-customer argmin is the map-side-partial
+    * min(struct). Each ring re-probes only the customers the previous
+    * ring could not settle, a population that collapses geometrically.
+    *
+    * Exactness for ARBITRARY inputs: a customer settles at ring r only
+    * if |c_lat| ≤ maxAbsLat (row-local guard) AND its best candidate is
+    * under a bound B(r) that holds for any supplier latitude. A supplier
+    * outside the (2r+1)² block differs by ≥ r·cellDeg in latitude
+    * (distance ≥ 2R·asin(sin(r·cellDeg/2))) or by ≥ r·cellDeg in
+    * wrapped longitude; in the longitude case either |s_lat| ≤
+    * maxAbsLat + cellDeg/2 (distance ≥ 2R·asin(sin(r·cellDeg/2)
     * ·√(cos maxAbsLat · cos(maxAbsLat+cellDeg/2)))) or the latitude gap
-    * alone is ≥ cellDeg/2 (distance ≥ 2R·asin(sin(cellDeg/4))). B is
-    * the min of the three, so no in-guard customer is ever mis-settled —
-    * polar customers and sparse regions fall back to the exact
-    * broadcast path, and the result never depends on the grid actually
-    * resolving. At 100 TB the fallback population is the long tail, not
-    * the corpus. */
+    * alone is ≥ cellDeg/2 (distance ≥ 2R·asin(sin(cellDeg/4)), the
+    * r-independent term that caps what rings can prove). B(r) is the
+    * min of the three, so no in-guard customer is ever mis-settled, and
+    * the result never depends on the grid actually resolving.
+    *
+    * The residual tail (polar customers, ultra-sparse regions) gets the
+    * exact pass with the SMALLER side broadcast: supplier sets under
+    * `broadcastRowLimit` take the classic broadcast-suppliers path;
+    * bigger ones stream map-side while the (by-then tiny) customer tail
+    * rides the broadcast — the supplier set is never broadcast wholesale
+    * just because the grid left a tail (the round-2 scale defect). The
+    * two counts steering this are an AQE-style strategy pick on
+    * checkpointed row counts, not data loops. */
   def nearestSupplierGrid(customer: DataFrame, supplier: DataFrame,
-                          cellDeg: Int = 20, maxAbsLat: Double = 70.0): DataFrame = {
+                          cellDeg: Int = 20, maxAbsLat: Double = 70.0,
+                          maxRing: Int = 3,
+                          broadcastRowLimit: Long = 4000000L): DataFrame = {
     require(360 % cellDeg == 0, "cellDeg must divide 360")
+    require(maxRing >= 1, "need at least one grid ring")
     val nLon = 360 / cellDeg
-    def chord(x: Double): Double = 2.0 * EarthRadiusKm * math.asin(x)
-    val half = math.toRadians(cellDeg) / 2
+    def chord(x: Double): Double = 2.0 * EarthRadiusKm * math.asin(math.min(1.0, x))
     val latCap = math.toRadians(math.min(89.9, maxAbsLat + cellDeg / 2.0))
-    val bound = math.min(
-      chord(math.sin(half) * math.sqrt(
-        math.cos(math.toRadians(maxAbsLat)) * math.cos(latCap))),
-      math.min(chord(math.sin(half)), chord(math.sin(half / 2))))
+    def boundFor(ring: Int): Double = {
+      val halfR = math.min(math.Pi / 2, math.toRadians(ring.toDouble * cellDeg) / 2)
+      val half1 = math.toRadians(cellDeg) / 2
+      math.min(
+        chord(math.sin(halfR) * math.sqrt(
+          math.cos(math.toRadians(maxAbsLat)) * math.cos(latCap))),
+        math.min(chord(math.sin(halfR)), chord(math.sin(half1 / 2))))
+    }
 
     val cpts = customerPoints(customer)
     val spts = supplierPoints(supplier)
@@ -97,34 +128,57 @@ object SpatialJoin {
       .withColumn("cell_lat", floor((col("s_lat") + 90) / cellDeg).cast("int"))
       .withColumn("cell_lon",
         pmod(floor((col("s_lon") + 180) / cellDeg), lit(nLon)).cast("int"))
-    val probes = cpts
-      .withColumn("lat0", floor((col("c_lat") + 90) / cellDeg).cast("int"))
-      .withColumn("lon0", floor((col("c_lon") + 180) / cellDeg).cast("int"))
-      .withColumn("d", explode(array(
-        (for (dy <- -1 to 1; dx <- -1 to 1)
-          yield struct(lit(dy).as("dy"), lit(dx).as("dx"))): _*)))
-      .select(col("c_custkey"), col("c_lat"), col("c_lon"),
-        (col("lat0") + col("d.dy")).as("cell_lat"),
-        pmod(col("lon0") + col("d.dx"), lit(nLon)).as("cell_lon"))
 
-    // best is consumed twice (resolved branch + the anti-join feeding the
-    // fallback) and Catalyst does NOT reuse the exchange across the two
-    // subtrees — materialize it once. It is one row per customer, far
-    // smaller than the 9x probe expansion it caps; localCheckpoint blocks
+    // one ring pass: probe the (2r+1)² neighborhood of each remaining
+    // customer, settle those whose best is provably global. `best` is
+    // consumed twice (resolved branch + the anti-join feeding the next
+    // ring) and Catalyst does NOT reuse the exchange across the two
+    // subtrees — materialize it once; it is one row per customer, far
+    // smaller than the probe expansion it caps. localCheckpoint blocks
     // are ContextCleaner-freed when the frame goes out of scope.
-    val best = probes.join(sCells, Seq("cell_lat", "cell_lon"))
-      .withColumn("dist_km",
-        round(haversineKm(col("c_lat"), col("c_lon"), col("s_lat"), col("s_lon")), 4))
-      .groupBy("c_custkey", "c_lat")
-      .agg(min(struct(col("dist_km"), col("s_suppkey"))).as("best"))
-      .localCheckpoint(true)
-    val resolved = best
-      .filter(col("best.dist_km") < bound && abs(col("c_lat")) <= maxAbsLat)
-      .select(col("c_custkey"), col("best.s_suppkey").as("s_suppkey"),
-        col("best.dist_km").as("dist_km"))
+    def ringPass(cands: DataFrame, ring: Int): (DataFrame, DataFrame) = {
+      val probes = cands
+        .withColumn("lat0", floor((col("c_lat") + 90) / cellDeg).cast("int"))
+        .withColumn("lon0", floor((col("c_lon") + 180) / cellDeg).cast("int"))
+        .withColumn("d", explode(array(
+          (for (dy <- -ring to ring; dx <- -ring to ring)
+            yield struct(lit(dy).as("dy"), lit(dx).as("dx"))): _*)))
+        .select(col("c_custkey"), col("c_lat"), col("c_lon"),
+          (col("lat0") + col("d.dy")).as("cell_lat"),
+          pmod(col("lon0") + col("d.dx"), lit(nLon)).as("cell_lon"))
+      val best = probes.join(sCells, Seq("cell_lat", "cell_lon"))
+        .withColumn("dist_km",
+          round(haversineKm(col("c_lat"), col("c_lon"), col("s_lat"), col("s_lon")), 4))
+        .groupBy("c_custkey", "c_lat")
+        .agg(min(struct(col("dist_km"), col("s_suppkey"))).as("best"))
+        .localCheckpoint(true)
+      val resolved = best
+        .filter(col("best.dist_km") < boundFor(ring) && abs(col("c_lat")) <= maxAbsLat)
+        .select(col("c_custkey"), col("best.s_suppkey").as("s_suppkey"),
+          col("best.dist_km").as("dist_km"))
+      val unresolved = cands.join(resolved.select("c_custkey"),
+        Seq("c_custkey"), "left_anti")
+      (resolved, unresolved)
+    }
 
-    val unresolved = cpts.join(resolved.select("c_custkey"),
-      Seq("c_custkey"), "left_anti")
-    resolved.unionByName(nearestFromPoints(unresolved, spts))
+    var acc: Option[DataFrame] = None
+    var remaining = cpts
+    var remainingN = -1L // unknown until first measured
+    var ring = 1
+    while (ring <= maxRing && remainingN != 0L) {
+      val (resolved, unresolved) = ringPass(remaining, ring)
+      acc = Some(acc.fold(resolved)(_.unionByName(resolved)))
+      remaining = unresolved.localCheckpoint(true)
+      remainingN = remaining.count()
+      ring += 1
+    }
+    val settled = acc.get
+    if (remainingN == 0L) settled
+    else {
+      val fallback =
+        if (spts.count() <= broadcastRowLimit) nearestFromPoints(remaining, spts)
+        else nearestFromPointsSmallTail(remaining, spts)
+      settled.unionByName(fallback)
+    }
   }
 }

@@ -151,6 +151,13 @@ object VectorImpl {
         if (!taken(c) && dots(c) > bestDot) { bestDot = dots(c); best = c }
         c += 1
       }
+      if (best < 0) {
+        // NaN embedding makes every comparison false; fall back to the
+        // first un-taken cell so one bad vector can't crash the query
+        // (mirrors nearestCentroid's first-wins default of cell 0)
+        c = 0
+        while (best < 0 && c < k) { if (!taken(c)) best = c; c += 1 }
+      }
       taken(best) = true
       out(j) = best
       j += 1

@@ -59,9 +59,11 @@ object Lake {
     * window or behind a catalog swap. */
   def compact(spark: SparkSession, path: String, targetRowsPerFile: Long,
               partitionCols: Seq[String] = Nil): Long = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    // resolve the filesystem OWNING `path` (s3a://, hdfs://, file://) —
+    // FileSystem.get(conf) returns the default scheme's FS and throws
+    // Wrong-FS (or hits the wrong store) for any non-default lake
     val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hivePartitioned = fs.listStatus(dst).exists(s =>
       s.isDirectory && s.getPath.getName.contains("="))
     require(partitionCols.nonEmpty || !hivePartitioned,

@@ -152,23 +152,65 @@ object EventStream {
       .option("topic", topic)
       .option("checkpointLocation", checkpoint)
 
-  /** Idempotent lake UPSERT sink: foreachBatch + dynamic partition
-    * overwrite. Replaying a micro-batch (checkpoint reset, backfill,
-    * at-least-once redelivery past the checkpoint) rewrites exactly the
-    * hive partitions it touches instead of appending duplicates —
-    * partitions absent from the batch are untouched. The checkpointed
+  /** Idempotent lake UPSERT sink: foreachBatch + key-merge + dynamic
+    * partition overwrite. Each micro-batch is merged into the lake BY
+    * KEY: existing rows in the touched partitions whose key is not in
+    * the batch are kept, batch rows win per key. So a partition fed by
+    * many micro-batches accumulates correctly (a bare dynamic overwrite
+    * would replace it with just the latest batch's rows), and replaying
+    * a batch (checkpoint reset, backfill, at-least-once redelivery) is
+    * a no-op rewrite, never a duplicate append. Partitions absent from
+    * the batch are untouched; overwrite mode is set per-write on the
+    * DataFrameWriter, not on the shared session conf. The checkpointed
     * lakeSink below covers normal exactly-once appends; this is the
     * recovery-safe variant for reprocessable pipelines. */
   def upsertSink(df: DataFrame, path: String, checkpoint: String,
-                 partitionCols: Seq[String]): DataStreamWriter[Row] =
+                 partitionCols: Seq[String],
+                 keyCols: Seq[String] = Seq("event_id")): DataStreamWriter[Row] =
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.sparkSession.conf
-          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        batch.write.mode("overwrite")
-          .partitionBy(partitionCols: _*).parquet(path)
+        upsertBatch(batch, path, partitionCols, keyCols)
       }
+
+  /** One micro-batch (or backfill frame) of the upsert merge — also the
+    * batch-twin API. Scale shape: only the partitions the batch touches
+    * are read back (left_semi on the partition tuple → partition pruning
+    * on the lake scan) and rewritten (dynamic overwrite); the rest of a
+    * 100 TB lake is never scanned. Rows within a batch are deduped by
+    * key first (at-least-once sources can repeat a key within one
+    * batch). localCheckpoint materializes the merge before the write so
+    * the dynamic overwrite is not reading the path it replaces. */
+  def upsertBatch(batch: DataFrame, path: String,
+                  partitionCols: Seq[String], keyCols: Seq[String]): Unit = {
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    val spark = batch.sparkSession
+    val lake = new org.apache.hadoop.fs.Path(path)
+    val fs = lake.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fresh = batch.dropDuplicates(keyCols)
+    val merged =
+      if (!fs.exists(lake)) fresh
+      else {
+        val existing = spark.read.parquet(path)
+        val inTouched =
+          if (partitionCols.isEmpty) existing
+          else existing.join(
+            broadcast(fresh.select(partitionCols.map(col): _*).distinct()),
+            partitionCols, "left_semi")
+        // no forced broadcast on the key side: micro-batches broadcast on
+        // size estimation anyway, and a large backfill frame must not be
+        inTouched
+          .join(fresh.select(keyCols.map(col): _*), keyCols, "left_anti")
+          .unionByName(fresh)
+      }
+    val out = merged.localCheckpoint(true)
+    try {
+      val w = out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(path)
+    } finally out.unpersist()
+  }
 
   /** Partitioned parquet lake sink with checkpoint — exactly-once lake
     * appends (replaces the reference's hand-rolled HDFS append consumer). */

@@ -66,18 +66,71 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("ann_ivf: cell assignment evaluated once, top-k via TakeOrdered") {
-    val p = plan("ann_ivf")
+  test("ann_ivf: probe prunes to nProbe cell partitions, zero assignment evals") {
+    val df = SparkEntry.queries("ann_ivf")(spark, sf)
+    df.collect() // first call in a session builds the index lake
+    val p = df.queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"))
-    // the coalesce(..., -1) wrapper keeps the inferred isnotnull(cell)
-    // constraint from re-evaluating the assignment below the exchange
+    // the probe reads the pre-assigned lake: the literal IN prunes to the
+    // nProbe cell directories and the assignment never re-evaluates
+    assert("PartitionFilters: \\[cell#\\d+ IN \\(".r.findFirstIn(p).isDefined,
+      s"expected cell IN partition filter in:\n$p")
     val evals = "graft_nearest_centroid".r.findAllIn(p).size
-    assert(evals == 1, s"expected 1 assignment eval in plan, got $evals:\n$p")
+    assert(evals == 0, s"expected 0 assignment evals in probe plan, got $evals:\n$p")
+  }
+
+  test("ann_knn_join: candidates meet on the cell equi-join, no cross join") {
+    val p = plan("ann_knn_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"kNN join must not cross-join probe and corpus:\n$p")
+    assert(p.contains("partial_graft_topk") || p.contains("partial_topk")
+      || p.contains("ObjectHashAggregate"),
+      s"per-probe top-k should partial-aggregate map-side:\n$p")
+  }
+
+  test("dd_incremental_lsh: no BNLJ anywhere in the incremental path") {
+    val p = plan("dd_incremental_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"incremental dedup must stay equi-join shaped:\n$p")
   }
 
   test("lam_anomaly_join + sp_nearest_join: small sides broadcast") {
     assert(plan("lam_anomaly_join").contains("BroadcastHashJoin"))
     assert(plan("sp_nearest_join").contains("BroadcastNestedLoopJoin"))
+  }
+
+  /** Subtrees rooted at each BroadcastExchange line of a plan string
+    * (indentation-scoped: child lines are deeper in the tree art). */
+  private def broadcastSubtrees(p: String): Seq[String] = {
+    val lines = p.linesIterator.toVector
+    def depth(l: String): Int = l.indexWhere(_.isLetter)
+    lines.zipWithIndex
+      .filter(_._1.contains("BroadcastExchange"))
+      .map { case (l, i) =>
+        val d = depth(l)
+        (l +: lines.drop(i + 1).takeWhile(x => depth(x) > d)).mkString("\n")
+      }
+  }
+
+  test("sp_nearest_cell fallback: supplier set never broadcast when over the row limit") {
+    import graft.operators.SpatialJoin
+    // maxAbsLat = 0 leaves every customer unresolved by the grid;
+    // broadcastRowLimit = 0 declares the supplier side too big to
+    // broadcast — the exact fallback must flip the broadcast to the
+    // customer tail, leaving the supplier scan on the streamed side
+    val df = SpatialJoin.nearestSupplierGrid(
+      Tables.customer(spark, sf), Tables.supplier(spark, sf),
+      maxAbsLat = 0.0, broadcastRowLimit = 0L)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val offending = broadcastSubtrees(p).filter(_.contains("supplier"))
+    assert(offending.isEmpty,
+      s"supplier side rode a BroadcastExchange in the over-limit fallback:\n${offending.mkString("\n---\n")}")
+    // and the result is still the exact NN join
+    val exact = SparkEntry.queries("sp_nearest_join")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val got = df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == exact)
   }
 
   test("tx_contamination: benchmark side broadcast, corpus never nested-loop joined") {

@@ -161,7 +161,7 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("upsert sink: replaying a batch rewrites its partitions, never duplicates") {
+  test("upsert sink: multi-batch accumulation, key updates, and replay idempotence") {
     implicit val sq = spark.sqlContext
     val dir = s"/root/repo/target/graft_io/stream_upsert_${System.nanoTime()}"
     def runOnce(ckpt: String): Unit = {
@@ -169,21 +169,31 @@ class StreamingSpec extends SparkSpec {
       val classified = EventStream.classify(
         EventStream.parseJson(input.toDF().select(col("value"))))
       val q = EventStream.upsertSink(classified, s"$dir/data", s"$dir/$ckpt",
-        Seq("alert_level")).outputMode("append").start()
+        Seq("alert_level"), Seq("event_id")).outputMode("append").start()
       try {
+        // batch 1: two events, two partitions
         input.addData(
           jsonOf(1, "2024-01-01 00:00:00", 1, "click", 50.0),
           jsonOf(2, "2024-01-01 00:01:00", 2, "error", 350.0))
+        q.processAllAvailable()
+        // batch 2 hits the SAME level_0 partition (event 3) — batch 1's
+        // event 1 must survive the rewrite — and UPDATES event 2's value
+        input.addData(
+          jsonOf(3, "2024-01-01 00:02:00", 3, "view", 60.0),
+          jsonOf(2, "2024-01-01 00:01:00", 2, "error", 370.0))
         q.processAllAvailable()
       } finally q.stop()
     }
     runOnce("ckpt_a")
     // fresh checkpoint = full replay of the same data (simulated
-    // checkpoint loss) — dynamic overwrite must not duplicate
+    // checkpoint loss) — the key-merge must not duplicate
     runOnce("ckpt_b")
     val back = spark.read.parquet(s"$dir/data")
-    assert(back.count() == 2, "replay duplicated rows")
-    assert(back.select("alert_level").distinct().count() == 2)
+    assert(back.count() == 3, "multi-batch partition lost rows or replay duplicated")
+    assert(back.select("event_id").distinct().count() == 3)
+    val e2 = back.filter(col("event_id") === 2).collect()
+    assert(e2.length == 1 && e2.head.getAs[Double]("value") == 370.0,
+      "key update did not take the latest batch's row")
   }
 
   test("partitioned lake sink writes exactly-once with checkpoint") {
