@@ -30,6 +30,17 @@ class ClusterSpec extends SparkSpec {
     labels.foreach { case (id, l) => assert(l <= id, "label must be component min") }
   }
 
+  test("dupClusters shuffled-label mode (over the broadcast limit) matches broadcast mode") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("d1", "d2")
+    // broadcastLabelLimit = 0 forces every per-round join onto the
+    // shuffled path — the auto-degrade route for huge label frames
+    val got = Dedup.dupClusters(pairs, broadcastLabelLimit = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("dupClusters converges on a long chain within maxIter") {
     val n = 40
     val chain = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("d1", "d2")

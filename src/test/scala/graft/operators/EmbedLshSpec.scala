@@ -47,6 +47,35 @@ class EmbedLshSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall below floor")
   }
 
+  test("knnJoin equals per-query ivfTopK for every probe (same codebook, same cells)") {
+    import org.apache.spark.sql.functions.col
+    val cb = SimilaritySearch.ivfCodebook(emb, 16)
+    val probes = emb.filter(col("vec_id") < 20)
+    val joined = SimilaritySearch.knnJoin(probes, emb, 3, cb, nProbe = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("p_id"), r.getAs[Long]("c_id"), r.getAs[Double]("cos")))
+      .groupBy(_._1)
+      .map { case (p, rs) => p -> rs.map(t => (t._2, t._3)).sortBy(x => (-x._2, x._1)).toSeq }
+    assert(joined.nonEmpty)
+    joined.keys.foreach { p =>
+      val single = SimilaritySearch.ivfTopK(emb, p, 3, cb, nProbe = 4).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))).toSeq
+      assert(joined(p) == single,
+        s"probe $p: join=${joined(p)} single=$single")
+    }
+  }
+
+  test("ivfProbe over a built index returns exactly ivfTopK's result") {
+    val dir = s"target/graft_io/test/emb_ivf_${System.nanoTime()}"
+    val cb = SimilaritySearch.buildIvfIndex(emb, 16, dir)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))
+    val plain = SimilaritySearch.ivfTopK(emb, 0L, 10, cb, nProbe = 4).collect().map(key)
+    val probed = SimilaritySearch.ivfProbe(spark, dir, emb, cb, 0L, 10, nProbe = 4)
+      .collect().map(key)
+    assert(probed.sameElements(plain))
+  }
+
   test("neardupPairsLsh: every found pair carries the exact cosine; recall is high") {
     val exact = Dedup.embeddingNearDupPairs(emb, 0.3).collect()
       .map(r => (r.getAs[Long]("v1"), r.getAs[Long]("v2")) -> r.getAs[Double]("cos"))

@@ -17,6 +17,26 @@ class ScaleSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("bandJoinFirstAgree: a capped first band can't drop a pair a later band holds") {
+    import spark.implicits._
+    // 7 docs, 2 bands. Band 0: ALL docs share key 100 (bucket of 7 —
+    // over a cap of 5). Band 1: docs 6,7 share key 99 (bucket of 2 —
+    // under cap), everyone else is alone. The (6,7) pair's FIRST
+    // agreeing band is over-cap; only the carried over-flags let band 1
+    // rescue it (the round-2 first-agreeing-band predicate lost it).
+    val base = (1L to 7L).map { d =>
+      (d, Seq(100L, if (d >= 6L) 99L else d))
+    }.toDF("doc_id", "bks")
+    val banded = base.select(col("doc_id"), col("bks"),
+      posexplode(col("bks")).as(Seq("band", "band_key")))
+    val capped = Scale.capBuckets(banded, "doc_id", cap = 5)
+    val pairs = Scale.bandJoinFirstAgree(capped, "doc_id")
+      .select(col("x.doc_id"), col("y.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((6L, 7L)),
+      s"expected only the band-1 rescue pair, got ${pairs.mkString(",")}")
+  }
+
   test("bucketed tables join without any exchange") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
