@@ -45,27 +45,39 @@ object Scale {
     else df.repartition(target)
   }
 
-  /** Per-(band, key) bucket cap with carried over-cap flags: counts each
-    * bucket, attaches to every row an `over` array (one flag per band
-    * position, true iff that band's bucket for this row exceeds `cap`)
-    * and drops the over-cap rows. Carrying `over` lets
-    * bandJoinFirstAgree dedup on the first UNDER-cap agreeing band, so
-    * a pair is lost only when EVERY agreeing band is over-cap — not
+  /** Band-explode a sketch frame (must carry a `bks` band-key array and
+    * a unique `ord` column) into (…, band, key) rows, capped: rows whose
+    * (band, key) bucket exceeds `cap` are dropped, and every surviving
+    * row carries an `over` array — one flag per band position, true iff
+    * that band's bucket for this row is over-cap. Carrying `over` lets
+    * bandJoinFirstAgree dedup on the first UNDER-cap agreeing band, so a
+    * pair is lost only when EVERY agreeing band is over-cap — not
     * whenever its first agreeing band happens to be (the round-2 recall
-    * regression). Two window shuffles: (band, key) for the count, `ord`
-    * to reassemble the per-row flag array in band order. */
-  private[operators] def capBuckets(banded: DataFrame, ord: String, cap: Int,
+    * regression).
+    *
+    * Shuffle shape: the bucket census and per-row flag arrays are built
+    * on a NARROW (ord, band, key) projection — a partial-agg groupBy of
+    * 16-byte keys, a join against the (tiny, ≤ rows/cap buckets) hot
+    * set that AQE broadcasts at runtime, and a groupBy(ord) of ~25-byte
+    * rows — then joined back onto the un-exploded frame, so the wide
+    * sketch payload (signature + band keys) crosses the wire once, not
+    * once per band per window as the windowed formulation cost. */
+  private[operators] def capBuckets(withBks: DataFrame, ord: String, cap: Int,
       band: String = "band", key: String = "band_key"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val counted = banded.withColumn("__bn",
-      count(lit(1)).over(Window.partitionBy(band, key)))
-    counted
-      .withColumn("over",
-        collect_list(col("__bn") > cap).over(
-          Window.partitionBy(ord).orderBy(band)
-            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .filter(col("__bn") <= cap)
-      .drop("__bn")
+    val narrow = withBks.select(col(ord), posexplode(col("bks")).as(Seq(band, key)))
+    val hot = narrow.groupBy(band, key).agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") > cap)
+      .select(col(band).as("__hb"), col(key).as("__hk"))
+    val flags = narrow
+      .join(hot, col(band) === col("__hb") && col(key) === col("__hk"), "left")
+      .groupBy(ord)
+      .agg(sort_array(collect_list(struct(col(band), col("__hb").isNotNull.as("oc"))))
+        .as("__fl"))
+      .select(col(ord), transform(col("__fl"), f => f("oc")).as("over"))
+    withBks.join(flags, ord)
+      .select(withBks.columns.map(col) :+ col("over") :+
+        posexplode(col("bks")).as(Seq(band, key)): _*)
+      .filter(!element_at(col("over"), col(band) + 1))
   }
 
   /** Self-join a banded sketch frame on (band, key) and keep each pair

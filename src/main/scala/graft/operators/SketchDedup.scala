@@ -106,12 +106,9 @@ object SketchDedup {
   def minhashLshPairs(documents: DataFrame, n: Int = 3, k: Int = 32,
                       bands: Int = 8, threshold: Double = 0.5,
                       bucketCap: Int = 64): DataFrame = {
-    val banded = minhashIndex(documents, n, k, bands)
-      .select(col("doc_id"), col("sig"), col("bks"),
-        posexplode(col("bks")).as(Seq("band", "band_key")))
-
     // cap pathological buckets (boilerplate): keeps expansion bounded
-    val capped = Scale.capBuckets(banded, "doc_id", bucketCap)
+    val capped = Scale.capBuckets(minhashIndex(documents, n, k, bands),
+      "doc_id", bucketCap)
 
     Scale.bandJoinFirstAgree(capped, "doc_id")
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
@@ -227,10 +224,9 @@ object SketchDedup {
       .select(col("p.d1"), col("p.d2"), lit(0).as("hamming"))
     val intra = intraChunk.unionByName(interChunk)
 
-    val banded = groups
-      .select(col("sim"), col("ids"), simChunks(col("sim")).as("bks"),
-        posexplode(simChunks(col("sim"))).as(Seq("band", "chunk")))
-    val capped = Scale.capBuckets(banded, "sim", bucketCap, key = "chunk")
+    val capped = Scale.capBuckets(
+      groups.select(col("sim"), col("ids"), simChunks(col("sim")).as("bks")),
+      "sim", bucketCap, key = "chunk")
     val inter = Scale.bandJoinFirstAgree(capped, "sim", key = "chunk")
       .select(col("x.ids").as("ids1"), col("y.ids").as("ids2"),
         bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).as("hamming"))

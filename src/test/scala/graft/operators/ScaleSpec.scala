@@ -27,9 +27,7 @@ class ScaleSpec extends SparkSpec {
     val base = (1L to 7L).map { d =>
       (d, Seq(100L, if (d >= 6L) 99L else d))
     }.toDF("doc_id", "bks")
-    val banded = base.select(col("doc_id"), col("bks"),
-      posexplode(col("bks")).as(Seq("band", "band_key")))
-    val capped = Scale.capBuckets(banded, "doc_id", cap = 5)
+    val capped = Scale.capBuckets(base, "doc_id", cap = 5)
     val pairs = Scale.bandJoinFirstAgree(capped, "doc_id")
       .select(col("x.doc_id"), col("y.doc_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
