@@ -173,6 +173,8 @@ object SparkEntry {
     }),
     "ts_resample" -> ((s, d) =>
       Resample.resampleWithGapFill(Tables.events(s, d), 3600000000L)),
+    "ts_interpolate" -> ((s, d) =>
+      Resample.resampleWithInterpolation(Tables.events(s, d), 3600000000L)),
     // ---- F. spatial ----
     "sp_haversine" -> ((s, d) =>
       SpatialJoin.distances(
@@ -189,6 +191,9 @@ object SparkEntry {
     "tx_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(Tables.documents(s, d))),
     "tx_fingerprint_roll" -> ((s, d) =>
       TextAnalysis.rollingFingerprints(Tables.documents(s, d))),
+    "tx_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
+    "tx_normalize" -> ((s, d) => TextAnalysis.normalize(Tables.documents(s, d))),
+    "tx_hash_split" -> ((s, d) => TextAnalysis.hashSplit(Tables.documents(s, d))),
     "dd_exact" -> ((s, d) => Dedup.exactStats(Tables.documents(s, d))),
     "dd_drop_exact" -> ((s, d) =>
       Dedup.dropExactDuplicates(Tables.documents(s, d)).select("keep_id", "n_chars")),
@@ -196,6 +201,12 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(Tables.documents(s, d), 3, 0.2)),
     "dd_cluster" -> ((s, d) =>
       Dedup.dupClusters(Dedup.ngramJaccardPairs(Tables.documents(s, d), 3, 0.2))),
+    // detection → deduplicated corpus: drop every clustered doc except
+    // its quality-ranked canonical
+    "dd_keep_canonical" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.keepCanonical(docs, Dedup.ngramJaccardPairs(docs, 3, 0.2))
+    }),
     // the end-to-end 100 TB dedup path: sketch candidates (not exact
     // pairs) feeding the same connected-components labeler
     "dd_cluster_lsh" -> ((s, d) => {
@@ -523,6 +534,37 @@ object SparkEntry {
            s.n IS NULL AS filled
          FROM dense d LEFT JOIN s
            ON d.user_id = s.user_id AND d.slot_us = s.slot_us""",
+    "ts_interpolate" ->
+      """WITH s AS (
+           SELECT user_id, (epoch_us(ts) // 3600000000) * 3600000000 AS slot_us,
+             count(*) AS n,
+             CAST(sum(CAST(round(value*100) AS BIGINT)) * 100 // count(*) AS BIGINT)
+               AS avg_value_e4
+           FROM events GROUP BY 1, 2),
+         b AS (SELECT user_id, min(slot_us) AS lo, max(slot_us) AS hi
+               FROM s GROUP BY 1),
+         dense AS (SELECT user_id,
+             unnest(range(lo, hi + 3600000000, 3600000000)) AS slot_us FROM b),
+         j AS (
+           SELECT d.user_id, d.slot_us, s.n, s.avg_value_e4,
+             last_value(s.avg_value_e4 IGNORE NULLS) OVER wp AS pv,
+             last_value(CASE WHEN s.n IS NOT NULL THEN d.slot_us END IGNORE NULLS)
+               OVER wp AS ps,
+             first_value(s.avg_value_e4 IGNORE NULLS) OVER wn AS nv,
+             first_value(CASE WHEN s.n IS NOT NULL THEN d.slot_us END IGNORE NULLS)
+               OVER wn AS ns
+           FROM dense d LEFT JOIN s
+             ON d.user_id = s.user_id AND d.slot_us = s.slot_us
+           WINDOW wp AS (PARTITION BY d.user_id ORDER BY d.slot_us
+                         ROWS UNBOUNDED PRECEDING),
+                  wn AS (PARTITION BY d.user_id ORDER BY d.slot_us
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         SELECT user_id, slot_us, coalesce(n, 0) AS n,
+           CASE WHEN n IS NOT NULL THEN avg_value_e4
+                ELSE (pv * (ns - slot_us) + nv * (slot_us - ps)) // (ns - ps)
+           END AS value_e4,
+           n IS NULL AS filled
+         FROM j""",
     "q20_json_extract" ->
       """SELECT event_type, count(*) AS n,
            CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
@@ -675,6 +717,30 @@ object SparkEntry {
       """SELECT doc_id,
            md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS fp_md5
          FROM documents""",
+    "tx_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+         SELECT doc_id,
+           round(1.0 - len(list_distinct(t)) / len(t), 6) AS dup_word_ratio,
+           CASE WHEN len(t) >= 2 THEN
+             round(1.0 - len(list_distinct(list_transform(range(1, len(t)),
+               i -> t[i] || ' ' || t[i+1]))) / (len(t) - 1), 6)
+           ELSE 0.0 END AS dup_2gram_ratio
+         FROM toks""",
+    "tx_normalize" ->
+      """SELECT doc_id,
+           length(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS n_chars_norm,
+           md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp_norm
+         FROM documents""",
+    "tx_hash_split" ->
+      """SELECT doc_id,
+           CASE WHEN substr(md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))),
+                  1, 1) <= 'b' THEN 'train'
+                WHEN substr(md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))),
+                  1, 1) <= 'd' THEN 'val'
+                ELSE 'test' END AS split
+         FROM documents""",
     "dd_exact" ->
       """SELECT count(*) AS n_docs, count(DISTINCT fp) AS n_distinct,
            count(*) - count(DISTINCT fp) AS n_dup_docs
@@ -721,6 +787,41 @@ object SparkEntry {
            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
          SELECT a AS doc_id, least(a, min(b)) AS cluster_id
          FROM reach GROUP BY a""",
+    "dd_keep_canonical" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (SELECT DISTINCT doc_id, s FROM (
+           SELECT doc_id, unnest(list_transform(range(1, len(t)-1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+           FROM toks WHERE len(t) >= 3)),
+         sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+         pairs AS (
+           SELECT d1, d2 FROM p JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+           WHERE round(shared / (x.n_sh + y.n_sh - shared), 6) >= 0.2),
+         edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                   UNION ALL SELECT d2, d1 FROM pairs),
+         reach(a, b) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         clusters AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+                      FROM reach GROUP BY a),
+         q AS (SELECT doc_id,
+             round(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) / length(text) * 0.5
+               + len(list_filter(string_split(text,' '), x -> x IN ('the','a')))
+                 / len(string_split(text,' ')) * 0.3
+               + least(1.0, len(string_split(text,' ')) / 100.0) * 0.2, 6)
+               AS quality_score
+           FROM documents),
+         ranked AS (SELECT c.doc_id,
+             row_number() OVER (PARTITION BY c.cluster_id
+               ORDER BY q.quality_score DESC, c.doc_id) AS rn
+           FROM clusters c JOIN q ON c.doc_id = q.doc_id),
+         drops AS (SELECT doc_id FROM ranked WHERE rn > 1)
+         SELECT d.doc_id, d.n_chars FROM documents d
+         WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)""",
     "tx_vocab" ->
       """SELECT gram, count(*) AS freq
          FROM (SELECT unnest(string_split(text, ' ')) AS gram FROM documents)

@@ -159,6 +159,41 @@ object Dedup {
     labels.withColumnRenamed("id", "doc_id")
   }
 
+  /** Apply a near-dup clustering to the corpus: keep ONE canonical
+    * document per dup cluster — the highest quality score, ties to the
+    * smallest doc_id — plus every unclustered document. This is the step
+    * that turns pair/cluster DETECTION into a deduplicated corpus (what
+    * a training-data pipeline actually ships).
+    *
+    * Scale shape: `clusters` holds only docs that appear in pairs — a
+    * tiny fraction of the corpus — so the rank window and the quality
+    * join run on the small frame, and the final anti-join broadcasts the
+    * drop list against the full corpus scan (no corpus shuffle). The
+    * quality scores are computed only for clustered docs via a semi-
+    * filtered scan, not corpus-wide. */
+  def keepCanonical(documents: DataFrame, pairs: DataFrame,
+                    broadcastDropLimit: Long = 4000000L): DataFrame = {
+    val clusters = dupClusters(pairs) // (doc_id, cluster_id), small
+    // measured, not caller-trusted (the dd_cluster lesson): the labels
+    // frame is already checkpointed, so this count is one cheap action;
+    // a boilerplate-heavy corpus whose clustered set exceeds the limit
+    // degrades to shuffled joins instead of OOMing executors
+    val bc: DataFrame => DataFrame =
+      if (clusters.count() <= broadcastDropLimit) broadcast else identity
+    val scored = TextAnalysis
+      .qualityScores(documents.join(
+        bc(clusters.select("doc_id")), Seq("doc_id"), "left_semi"))
+      .select(col("doc_id"), col("quality_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(desc("quality_score"), asc("doc_id"))
+    val drops = clusters.join(scored, "doc_id")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") =!= 1)
+      .select("doc_id")
+    documents.join(bc(drops), Seq("doc_id"), "left_anti")
+      .select("doc_id", "n_chars")
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`. Exact
     * all-pairs baseline (the LSH-bucketed variant in SimilaritySearch is
     * the 100 TB path). */

@@ -28,6 +28,39 @@ object Resample {
         expr("sum(cast(round(value * 100) as bigint)) * 100 div count(*)")
           .as("avg_value_e4"))
 
+  /** Dense series per user with LINEAR interpolation: gaps get
+    * prev + (next-prev)·(t-t_prev)/(t_next-t_prev) instead of a carried
+    * forward-fill. Kept in e4 fixed-point with integer `div` (truncation
+    * toward zero — engine-stable, unlike double rounding at .5
+    * boundaries). The endpoints of every user's dense range are observed
+    * slots, so each gap always has both neighbors. Same shuffle shape as
+    * the forward-fill variant: one (user_id) exchange feeds both window
+    * frames (identical partitioning+ordering, frames differ). */
+  def resampleWithInterpolation(events: DataFrame, slotUs: Long): DataFrame = {
+    val sampled = downsample(events, slotUs)
+    val bounds = sampled.groupBy("user_id")
+      .agg(min("slot_us").as("lo"), max("slot_us").as("hi"))
+    val dense = bounds.select(col("user_id"),
+      explode(sequence(col("lo"), col("hi"), lit(slotUs))).as("slot_us"))
+    val order = Window.partitionBy("user_id").orderBy("slot_us")
+    val wPrev = order.rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = order.rowsBetween(0, Window.unboundedFollowing)
+    val obsSlot = when(col("n").isNotNull, col("slot_us"))
+    dense
+      .join(sampled, Seq("user_id", "slot_us"), "left")
+      .withColumn("filled", col("n").isNull)
+      .withColumn("__pv", last(col("avg_value_e4"), ignoreNulls = true).over(wPrev))
+      .withColumn("__ps", last(obsSlot, ignoreNulls = true).over(wPrev))
+      .withColumn("__nv", first(col("avg_value_e4"), ignoreNulls = true).over(wNext))
+      .withColumn("__ns", first(obsSlot, ignoreNulls = true).over(wNext))
+      .withColumn("value_e4",
+        when(!col("filled"), col("avg_value_e4")).otherwise(expr(
+          """(__pv * (__ns - slot_us) + __nv * (slot_us - __ps))
+             div (__ns - __ps)""")))
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .select("user_id", "slot_us", "n", "value_e4", "filled")
+  }
+
   /** Dense series per user: every slot between the user's first and last
     * observation, observed slots carrying their aggregate, gaps
     * forward-filled from the previous observed slot. `filled` marks

@@ -109,6 +109,48 @@ object TextAnalysis {
       .filter(col("shared_shingles") >= minShared)
   }
 
+  /** Within-document repetition signals (the Gopher-style quality
+    * filters): duplicate-token fraction and duplicate-2-gram fraction.
+    * Pure row-local HOF pipeline — no shuffle, scan-speed at any corpus
+    * size; boilerplate/spam pages score high and get filtered before the
+    * expensive dedup passes even see them. */
+  def repetition(documents: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val n = size(t)
+    documents.select(
+      col("doc_id"),
+      round(lit(1.0) - size(array_distinct(t)) / n, 6).as("dup_word_ratio"),
+      when(n >= 2,
+        round(lit(1.0) - size(shingles(col("text"), 2)) / (n - 1), 6))
+        .otherwise(0.0).as("dup_2gram_ratio"))
+  }
+
+  /** Text normalization pass (lowercase, strip non-alphanumerics,
+    * collapse whitespace) with the normalized length and fingerprint —
+    * the canonicalization stage upstream of exact dedup. Row-local. */
+  def normalize(documents: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    documents.select(
+      col("doc_id"),
+      length(norm).as("n_chars_norm"),
+      md5(norm).as("fp_norm"))
+  }
+
+  /** Deterministic content-hash train/val/test split: the first hex
+    * nibble of the content fingerprint buckets a document 12/2/2
+    * (75% / 12.5% / 12.5%) independent of row order, partitioning, or
+    * cluster size — the reproducible-split primitive of a training-data
+    * pipeline (re-running on a grown corpus never moves an old doc
+    * across splits). Row-local; no shuffle, no RNG. */
+  def hashSplit(documents: DataFrame): DataFrame = {
+    val nib = substring(contentFingerprint(col("text")), 1, 1)
+    documents.select(
+      col("doc_id"),
+      when(nib <= "b", "train").when(nib <= "d", "val").otherwise("test")
+        .as("split"))
+  }
+
   /** Corpus vocabulary: token (or n-gram) frequencies, top-N with a
     * deterministic tie-break — the vocabulary-building pass of a
     * tokenizer-training pipeline (explode + one shuffle; at 100 TB add a

@@ -21,6 +21,27 @@ class RangeResampleSpec extends SparkSpec {
       s"binned range join must be an equi-join:\n$plan")
   }
 
+  test("interpolation fills gaps linearly and keeps observed slots exact") {
+    import spark.implicits._
+    val hour = 3600000000L
+    // user 1: observed at slots 0 and 3 (values 1.0 → 4.0), gap at 1, 2
+    val events = Seq(
+      (1L, 0L * hour, 1.0),
+      (1L, 3L * hour, 4.0),
+      (2L, 0L * hour, 2.5)
+    ).toDF("user_id", "us", "value")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"), col("value"))
+    val out = Resample.resampleWithInterpolation(events, hour)
+      .orderBy("user_id", "slot_us").collect()
+    val u1 = out.filter(_.getLong(0) == 1L)
+    assert(u1.map(_.getAs[Long]("value_e4")).toSeq ==
+      Seq(10000L, 20000L, 30000L, 40000L))
+    assert(u1.map(_.getAs[Boolean]("filled")).toSeq ==
+      Seq(false, true, true, false))
+    // single-observation user: one slot, no gap rows
+    assert(out.count(_.getLong(0) == 2L) == 1)
+  }
+
   test("resample emits a dense series with correct forward fill") {
     val out = Resample.resampleWithGapFill(Tables.events(spark, sf), 3600000000L)
     val perUser = out.groupBy("user_id")

@@ -67,6 +67,76 @@ class TextDedupSpec extends SparkSpec {
     assert(lsh.nonEmpty)
   }
 
+  test("keepCanonical keeps the best-quality doc per cluster and all unclustered docs") {
+    import spark.implicits._
+    val docs = Seq(
+      // one near-dup cluster of three (identical text, different ids)
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again today"),
+      // unclustered singletons
+      (4L, "completely different content about streams batches and vectors here"),
+      (5L, "another unrelated document with its own words nothing shared at all")
+    ).toDF("doc_id", "text").withColumn("n_chars", length(col("text")))
+    val kept = Dedup.keepCanonical(docs, Dedup.ngramJaccardPairs(docs, 3, 0.2))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // identical text → equal quality → tie-break keeps the smallest id
+    assert(kept == Set(1L, 4L, 5L))
+  }
+
+  test("keepCanonical prefers the higher quality score over the smaller id") {
+    import spark.implicits._
+    // same 10-token core so the pair clears jaccard >= 0.2; doc 11 drags
+    // its alpha ratio (and thus quality) down with digit noise
+    val core = "the quick brown fox jumps over the lazy dog today"
+    val docs = Seq(
+      (11L, core + " 000 111 222 333 444 555"),
+      (12L, core)
+    ).toDF("doc_id", "text").withColumn("n_chars", length(col("text")))
+    val q = TextAnalysis.qualityScores(docs)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("quality_score")).toMap
+    assert(q(12L) > q(11L), s"test setup: expected doc 12 higher quality, got $q")
+    val kept = Dedup.keepCanonical(docs, Dedup.ngramJaccardPairs(docs, 3, 0.2))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(12L))
+  }
+
+  test("repetition flags repeated tokens and 2-grams, zero for unique text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam"),
+      (2L, "all tokens here are unique words")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetition(docs).orderBy("doc_id").collect()
+    assert(r(0).getAs[Double]("dup_word_ratio") == 0.75)
+    assert(math.abs(r(0).getAs[Double]("dup_2gram_ratio") - 0.666667) < 1e-9)
+    assert(r(1).getAs[Double]("dup_word_ratio") == 0.0)
+    assert(r(1).getAs[Double]("dup_2gram_ratio") == 0.0)
+  }
+
+  test("normalize canonicalizes case, punctuation and whitespace") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "  Hello,   WORLD!! 123 "),
+      (2L, "hello world 123")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.normalize(docs).orderBy("doc_id").collect()
+    assert(r(0).getAs[Int]("n_chars_norm") == 15)
+    // both normalize to the same canonical form → same fingerprint
+    assert(r(0).getString(2) == r(1).getString(2))
+  }
+
+  test("hashSplit is deterministic, total, and roughly 12/2/2") {
+    val docs = Tables.documents(spark, sf)
+    val s1 = TextAnalysis.hashSplit(docs).orderBy("doc_id").collect()
+    val s2 = TextAnalysis.hashSplit(docs).orderBy("doc_id").collect()
+    assert(s1.sameElements(s2))
+    val byDocId = s1.map(_.getString(1)).groupBy(identity).view.mapValues(_.length)
+    assert(byDocId.keys.toSet.subsetOf(Set("train", "val", "test")))
+    val n = s1.length.toDouble
+    assert(byDocId("train") / n > 0.5, s"train fraction suspiciously low: $byDocId")
+  }
+
   test("bruteForceTopK is the true top-k (cross-checked against full sort)") {
     val emb = Tables.embeddings(spark, sf)
     import graft.functions.VectorFunctions.cosine
