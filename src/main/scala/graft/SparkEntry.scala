@@ -84,6 +84,20 @@ object SparkEntry {
     "q10_rollup" -> ((s, d) =>
       Relational.revenueRollup(Tables.orders(s, d), Tables.customer(s, d),
         Tables.nation(s, d), Tables.region(s, d))),
+    "q23_cube" -> ((s, d) =>
+      Relational.revenueCube(Tables.orders(s, d), Tables.customer(s, d),
+        Tables.nation(s, d), Tables.region(s, d))),
+    // correlated scalar subquery (Catalyst decorrelates it into a join —
+    // no per-row subquery execution); max-equality keeps doubles exact
+    "q24_corr_subquery" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_corr_v")
+      s.sql("""SELECT o_custkey, count(*) AS n_max_orders
+               FROM orders_corr_v o
+               WHERE o_totalprice = (SELECT max(o2.o_totalprice)
+                                     FROM orders_corr_v o2
+                                     WHERE o2.o_custkey = o.o_custkey)
+               GROUP BY o_custkey""")
+    }),
     "q11_semijoin" -> ((s, d) =>
       Relational.customersByOrderExistence(Tables.customer(s, d), Tables.orders(s, d))),
     "q12_selfjoin" -> ((s, d) => Relational.lineitemPairCount(Tables.lineitem(s, d))),
@@ -280,6 +294,8 @@ object SparkEntry {
         .select("l_orderkey", "l_linenumber", "l_quantity")),
     "src_csv_roundtrip" -> ((s, d) =>
       sources.Lake.csvRoundtrip(s, Tables.nation(s, d), scratch(d, "csv_nation"))),
+    "src_orc_roundtrip" -> ((s, d) =>
+      sources.Lake.orcRoundtrip(s, Tables.customer(s, d), scratch(d, "orc_customer"))),
     "src_json_roundtrip" -> ((s, d) =>
       sources.Lake.jsonRoundtrip(s, Tables.supplier(s, d), scratch(d, "json_supplier"))),
     "snk_partitioned_write" -> ((s, d) => {
@@ -364,6 +380,20 @@ object SparkEntry {
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY ROLLUP(r_name, n_name)""",
+    "q23_cube" ->
+      """SELECT r_name, n_name,
+           round(sum(o_totalprice),2) AS total_revenue, count(*) AS order_count
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY CUBE(r_name, n_name)""",
+    "q24_corr_subquery" ->
+      """SELECT o_custkey, count(*) AS n_max_orders
+         FROM orders o
+         WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
+                               WHERE o2.o_custkey = o.o_custkey)
+         GROUP BY o_custkey""",
     "q11_semijoin" ->
       """SELECT c_nationkey, has_orders, count(*) AS n FROM (
            SELECT c_nationkey, TRUE AS has_orders FROM customer
@@ -918,6 +948,8 @@ object SparkEntry {
          WHERE l_quantity >= 49""",
     "src_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "src_orc_roundtrip" ->
+      "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
     "src_json_roundtrip" ->
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
     "snk_partitioned_write" ->

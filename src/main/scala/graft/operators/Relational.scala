@@ -107,6 +107,20 @@ object Relational {
       .agg(round(sum("o_totalprice"), 2).as("total_revenue"),
         count(lit(1)).as("order_count"))
 
+  /** Full cube over the same hierarchy: all four grouping-set combos in
+    * one pass (Expand feeds one partial-agg shuffle — Spark never scans
+    * the input once per grouping set). */
+  def revenueCube(orders: DataFrame, customer: DataFrame,
+                  nation: DataFrame, region: DataFrame): DataFrame =
+    orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select("r_name", "n_name", "o_totalprice")
+      .cube(col("r_name"), col("n_name"))
+      .agg(round(sum("o_totalprice"), 2).as("total_revenue"),
+        count(lit(1)).as("order_count"))
+
   /** Semi/anti join coverage: customers tagged by order existence. The fact
     * side is only probed, never materialized into the output. */
   def customersByOrderExistence(customer: DataFrame, orders: DataFrame): DataFrame = {

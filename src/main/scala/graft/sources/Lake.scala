@@ -104,4 +104,19 @@ object Lake {
     writeJson(df, dir)
     readJson(spark, dir, df.schema)
   }
+
+  /** ORC is the other columnar lake format Spark ships a native
+    * vectorized reader for — same pushdown/pruning machinery as parquet
+    * (PlanAuditSpec asserts it), so a mixed parquet/ORC lake reads
+    * through one code path. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def orcRoundtrip(spark: SparkSession, df: DataFrame, dir: String): DataFrame = {
+    writeOrc(df, dir)
+    readOrc(spark, dir)
+  }
 }

@@ -140,6 +140,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("src_orc_roundtrip: ORC readback gets pushdown + pruning like parquet") {
+    import graft.sources.Lake
+    val dir = s"target/scratch/plan_orc_${System.nanoTime()}"
+    Lake.writeOrc(Tables.customer(spark, sf), dir)
+    val p = Lake.readOrc(spark, dir)
+      .filter(col("c_custkey") <= 10).select("c_custkey", "c_acctbal")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(c_custkey), LessThanOrEqual(c_custkey,10)]"),
+      s"expected ORC filter pushdown in:\n$p")
+    assert(p.contains("ReadSchema: struct<c_custkey:bigint,c_acctbal:double>"),
+      s"expected ORC column pruning in:\n$p")
+  }
+
+  test("q24_corr_subquery: the correlated subquery decorrelates into an aggregate+join") {
+    val p = plan("q24_corr_subquery")
+    // no per-row subquery execution: Catalyst rewrites to max-per-key + join
+    assert(!p.contains("Subquery"), s"subquery survived decorrelation:\n$p")
+    assert(p.contains("partial_max"), s"expected decorrelated max aggregate:\n$p")
+  }
+
   test("entry flagship runs and returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
