@@ -208,6 +208,9 @@ object SparkEntry {
     "tx_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
     "tx_normalize" -> ((s, d) => TextAnalysis.normalize(Tables.documents(s, d))),
     "tx_hash_split" -> ((s, d) => TextAnalysis.hashSplit(Tables.documents(s, d))),
+    // the end-to-end curation pipeline: quality gates → canonical-text
+    // dedup → deterministic split, one scan + one narrow shuffle
+    "pipe_curate" -> ((s, d) => TextAnalysis.curate(Tables.documents(s, d))),
     "dd_exact" -> ((s, d) => Dedup.exactStats(Tables.documents(s, d))),
     "dd_drop_exact" -> ((s, d) =>
       Dedup.dropExactDuplicates(Tables.documents(s, d)).select("keep_id", "n_chars")),
@@ -771,6 +774,29 @@ object SparkEntry {
                   1, 1) <= 'd' THEN 'val'
                 ELSE 'test' END AS split
          FROM documents""",
+    "pipe_curate" ->
+      """WITH m AS (SELECT doc_id,
+           round(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) / length(text) * 0.5
+             + len(list_filter(string_split(text,' '), x -> x IN ('the','a')))
+               / len(string_split(text,' ')) * 0.3
+             + least(1.0, len(string_split(text,' ')) / 100.0) * 0.2, 6)
+             AS quality_score,
+           round(1.0 - len(list_distinct(string_split(text,' ')))
+               / len(string_split(text,' ')), 6) AS dup_word_ratio,
+           md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp_norm,
+           CASE WHEN substr(md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))),
+                  1, 1) <= 'b' THEN 'train'
+                WHEN substr(md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))),
+                  1, 1) <= 'd' THEN 'val'
+                ELSE 'test' END AS split
+           FROM documents),
+         f AS (SELECT * FROM m
+               WHERE quality_score >= 0.47 AND dup_word_ratio <= 0.6),
+         k AS (SELECT doc_id, split, quality_score,
+               row_number() OVER (PARTITION BY fp_norm ORDER BY doc_id) AS rn
+               FROM f)
+         SELECT doc_id, split, quality_score FROM k WHERE rn = 1""",
     "dd_exact" ->
       """SELECT count(*) AS n_docs, count(DISTINCT fp) AS n_distinct,
            count(*) - count(DISTINCT fp) AS n_dup_docs

@@ -58,6 +58,35 @@ object TextFunctions {
       lit(7L),
       (acc, c) => (acc * 31 + c) % 1000000007L)
 
+  /** Composite surface-quality score (alpha·0.5 + stopword·0.3 +
+    * length-saturation·0.2) — the Column form shared by qualityScores
+    * and the curation pipeline. */
+  def qualityScore(text: Column): Column = {
+    val nTok = wsTokenCount(text)
+    alphaRatio(text) * 0.5 +
+      (tokenCountIn(text, Seq("the", "a")) / nTok) * 0.3 +
+      least(lit(1.0), nTok / lit(100.0)) * 0.2
+  }
+
+  /** Duplicate-token fraction (1 − distinct/total) — the within-doc
+    * repetition signal. */
+  def dupWordRatio(text: Column): Column = {
+    val t = tokens(text)
+    lit(1.0) - size(array_distinct(t)) / size(t)
+  }
+
+  /** Canonicalized text: lowercase, punctuation → space, collapsed
+    * whitespace. */
+  def normalizedText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Deterministic 12/2/2 train/val/test assignment from the content
+    * fingerprint's first hex nibble. */
+  def hashSplitOf(text: Column): Column = {
+    val nib = substring(contentFingerprint(text), 1, 1)
+    when(nib <= "b", "train").when(nib <= "d", "val").otherwise("test")
+  }
+
   /** Stopword-profile language-ID: score = token overlap with each
     * profile, prediction = fixed-priority argmax. Profiles are over the
     * synthetic corpus vocabulary (real deployments would plug in per-

@@ -214,6 +214,28 @@ object SimilaritySearch {
       .limit(k)
   }
 
+  /** Incremental index maintenance — the ANN analog of IncrementalDedup:
+    * a NEW batch of vectors is assigned with the EXISTING codebook and
+    * appended to the cell-partitioned lake. Only the touched cell
+    * directories gain files; the corpus is never rewritten and probes
+    * see the new vectors immediately (the isin PartitionFilter matches
+    * old and new files alike). Re-train the codebook only on corpus
+    * versioning — drift degrades recall gracefully, never correctness
+    * (every vector still lands in exactly one cell). */
+  def appendToIvfIndex(newVectors: DataFrame, codebook: Seq[Seq[Double]],
+                       lakePath: String): Unit =
+    newVectors
+      .withColumn("cell",
+        coalesce(nearestCentroidId(col("embedding"), codebook), lit(-1)))
+      .write.mode(SaveMode.Append).partitionBy("cell").parquet(lakePath)
+
+  /** Same for the hyperplane-LSH layout: new vectors bucket with the
+    * frozen planes and append into their bucket directories. */
+  def appendToLshIndex(newVectors: DataFrame, planes: Seq[Seq[Double]],
+                       lakePath: String): Unit =
+    withLshBucket(newVectors, planes)
+      .write.mode(SaveMode.Append).partitionBy("bucket").parquet(lakePath)
+
   /** Batch kNN JOIN — every probe row finds its top-k corpus neighbors,
     * the form an embedding pipeline actually runs (the single-query
     * probes above are its point lookups). IVF-cell equi-join: the corpus

@@ -32,7 +32,7 @@ object TextAnalysis {
       round(alpha, 6).as("alpha_ratio"),
       round(stopRatio, 6).as("stop_ratio"),
       round(lenSat, 6).as("len_sat"),
-      round(alpha * 0.5 + stopRatio * 0.3 + lenSat * 0.2, 6).as("quality_score"))
+      round(qualityScore(col("text")), 6).as("quality_score"))
   }
 
   /** Stopword-profile language ID: per-profile overlap scores and a
@@ -119,7 +119,7 @@ object TextAnalysis {
     val n = size(t)
     documents.select(
       col("doc_id"),
-      round(lit(1.0) - size(array_distinct(t)) / n, 6).as("dup_word_ratio"),
+      round(dupWordRatio(col("text")), 6).as("dup_word_ratio"),
       when(n >= 2,
         round(lit(1.0) - size(shingles(col("text"), 2)) / (n - 1), 6))
         .otherwise(0.0).as("dup_2gram_ratio"))
@@ -129,8 +129,7 @@ object TextAnalysis {
     * collapse whitespace) with the normalized length and fingerprint —
     * the canonicalization stage upstream of exact dedup. Row-local. */
   def normalize(documents: DataFrame): DataFrame = {
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    val norm = normalizedText(col("text"))
     documents.select(
       col("doc_id"),
       length(norm).as("n_chars_norm"),
@@ -143,12 +142,32 @@ object TextAnalysis {
     * cluster size — the reproducible-split primitive of a training-data
     * pipeline (re-running on a grown corpus never moves an old doc
     * across splits). Row-local; no shuffle, no RNG. */
-  def hashSplit(documents: DataFrame): DataFrame = {
-    val nib = substring(contentFingerprint(col("text")), 1, 1)
-    documents.select(
-      col("doc_id"),
-      when(nib <= "b", "train").when(nib <= "d", "val").otherwise("test")
-        .as("split"))
+  def hashSplit(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), hashSplitOf(col("text")).as("split"))
+
+  /** The end-to-end curation pipeline — what actually ships a training
+    * corpus: (1) row-local quality gates (composite score ≥ minQuality,
+    * duplicate-token fraction ≤ maxDupWordRatio) BELOW the shuffle, so
+    * junk never pays shuffle bytes; (2) exact dedup of the survivors on
+    * the canonicalized-text fingerprint (one 16-byte-key window
+    * shuffle, smallest doc_id kept); (3) deterministic content-hash
+    * train/val/test assignment. Output is the admitted corpus manifest.
+    * At 100 TB this is one scan + one narrow shuffle; every metric is a
+    * codegen'd Column, no UDFs. */
+  def curate(documents: DataFrame, minQuality: Double = 0.47,
+             maxDupWordRatio: Double = 0.6): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("fp_norm").orderBy("doc_id")
+    Scale.fanOut(documents, Seq("doc_id"))
+      .withColumn("quality_score", round(qualityScore(col("text")), 6))
+      .withColumn("dup_word_ratio", round(dupWordRatio(col("text")), 6))
+      .filter(col("quality_score") >= minQuality &&
+        col("dup_word_ratio") <= maxDupWordRatio)
+      .withColumn("fp_norm", md5(normalizedText(col("text"))))
+      .withColumn("split", hashSplitOf(col("text")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select("doc_id", "split", "quality_score")
   }
 
   /** Corpus vocabulary: token (or n-gram) frequencies, top-N with a

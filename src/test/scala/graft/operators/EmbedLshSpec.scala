@@ -76,6 +76,29 @@ class EmbedLshSpec extends SparkSpec {
     assert(probed.sameElements(plain))
   }
 
+  test("append to IVF and LSH indexes: probes equal the full-corpus build") {
+    import org.apache.spark.sql.functions.col
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 =!= 0)
+
+    val ivfDir = s"target/graft_io/test/emb_ivf_app_${System.nanoTime()}"
+    val cb = SimilaritySearch.buildIvfIndex(half, 16, ivfDir)
+    SimilaritySearch.appendToIvfIndex(rest, cb, ivfDir)
+    assert(SimilaritySearch.ivfProbe(spark, ivfDir, emb, cb, 0L, 10, nProbe = 4)
+      .collect().map(key).sameElements(
+        SimilaritySearch.ivfTopK(emb, 0L, 10, cb, nProbe = 4).collect().map(key)))
+
+    val planes = SimilaritySearch.seededPlanes(4, 64)
+    val lshDir = s"target/graft_io/test/emb_lsh_app_${System.nanoTime()}"
+    SimilaritySearch.buildLshIndex(half, planes, lshDir)
+    SimilaritySearch.appendToLshIndex(rest, planes, lshDir)
+    assert(SimilaritySearch.lshProbe(spark, lshDir, emb, 0L, 10, planes)
+      .collect().map(key).sameElements(
+        SimilaritySearch.lshTopK(emb, 0L, 10, planes).collect().map(key)))
+  }
+
   test("neardupPairsLsh: every found pair carries the exact cosine; recall is high") {
     val exact = Dedup.embeddingNearDupPairs(emb, 0.3).collect()
       .map(r => (r.getAs[Long]("v1"), r.getAs[Long]("v2")) -> r.getAs[Double]("cos"))
