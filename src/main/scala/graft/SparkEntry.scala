@@ -73,6 +73,8 @@ object SparkEntry {
     "q6_union" -> ((s, d) => Relational.unionDistinctSegments(Tables.customer(s, d))),
     "q7_except" -> ((s, d) => Relational.exceptAllByStatus(Tables.orders(s, d), "F")),
     "q8_casewhen" -> ((s, d) => Relational.priceBands(Tables.orders(s, d))),
+    "q25_intersect" -> ((s, d) =>
+      Relational.intersectSegments(Tables.customer(s, d))),
     "q9_sql_view" -> ((s, d) => {
       Tables.orders(s, d).createOrReplaceTempView("orders_v")
       Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
@@ -144,6 +146,7 @@ object SparkEntry {
     "w4_rolling" -> ((s, d) => Windows.rollingValue(Tables.events(s, d))),
     "w5_session_summary" -> ((s, d) => Windows.sessionSummary(Tables.events(s, d))),
     "w6_rank_lead" -> ((s, d) => Windows.rankAndLead(Tables.events(s, d))),
+    "w8_ntile" -> ((s, d) => Windows.distributionRanks(Tables.events(s, d))),
     "w7_nested_flatten" -> ((s, d) =>
       Windows.nestedFlattenRoundtrip(Tables.events(s, d))),
     "st_approx_distinct" -> ((s, d) =>
@@ -363,6 +366,12 @@ object SparkEntry {
            EXCEPT ALL
            SELECT * FROM orders WHERE o_orderstatus = 'F'
          ) GROUP BY o_orderstatus""",
+    "q25_intersect" ->
+      """SELECT c_mktsegment, count(*) AS n FROM (
+           SELECT * FROM customer WHERE c_acctbal > 1000
+           INTERSECT ALL
+           SELECT * FROM customer WHERE c_mktsegment = 'BUILDING'
+         ) GROUP BY c_mktsegment""",
     "q8_casewhen" ->
       """SELECT o_orderstatus,
            CASE WHEN o_totalprice < 50000 THEN 'low'
@@ -536,6 +545,13 @@ object SparkEntry {
            FROM events
            WINDOW wv AS (PARTITION BY user_id ORDER BY value DESC, event_id))
          WHERE rnk <= 3""",
+    "w8_ntile" ->
+      """SELECT event_id, user_id, value,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)""",
     "w7_nested_flatten" ->
       "SELECT user_id, epoch_us(ts) AS ts_us, value FROM events",
     // st_approx_distinct: HLL sketches are engine-specific → rows-only +

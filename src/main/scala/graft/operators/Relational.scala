@@ -82,6 +82,14 @@ object Relational {
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"))
 
+  /** Multiset intersection — completes the set-op family (union/except/
+    * intersect). */
+  def intersectSegments(customer: DataFrame): DataFrame =
+    customer.filter(col("c_acctbal") > 1000)
+      .intersectAll(customer.filter(col("c_mktsegment") === "BUILDING"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+
   /** when/otherwise banding + conditional aggregation (reference:
     * work/spark_processor.py alert-level chains, here on prices). */
   def priceBands(orders: DataFrame): DataFrame =

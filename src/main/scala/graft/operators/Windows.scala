@@ -85,6 +85,19 @@ object Windows {
       .filter(col("rnk") <= 3)
   }
 
+  /** Distribution-position windows: percent_rank / cume_dist / ntile
+    * per user — the per-key normalization pass of feature engineering
+    * (one (user_id) exchange serves all three frames). Total ordering
+    * (value, event_id) keeps every rank deterministic. */
+  def distributionRanks(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("value"), col("event_id"))
+    events.select(
+      col("event_id"), col("user_id"), col("value"),
+      round(percent_rank().over(w), 6).as("pct_rank"),
+      round(cume_dist().over(w), 6).as("cume"),
+      ntile(4).over(w).as("quartile"))
+  }
+
   /** Nested array flatten (reference: work/batch_profiling_enriched.py
     * explode(arrays_zip(hourly.time, hourly.temperature, ...))): events
     * are packed into per-user parallel arrays (struct-of-arrays, the
