@@ -160,6 +160,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_max"), s"expected decorrelated max aggregate:\n$p")
   }
 
+  test("snk_bucketed_join: co-located bucket join runs with no join-side exchange") {
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // disable BHJ so the plan exercises the bucketed sort-merge path the
+    // layout exists for (at real fact×fact scale neither side broadcasts)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("snk_bucketed_join")(spark, sf)
+      df.collect() // materialize through AQE
+      val full = df.queryExecution.executedPlan.toString
+      // AQE prints Final + Initial plans; audit the final one only
+      val p = full.split("== Initial Plan ==").head
+      assert(p.contains("SortMergeJoin"), s"expected bucketed SMJ in:\n$p")
+      assert(p.contains("Bucketed: true"), s"scan lost the bucketed layout:\n$p")
+      // the ONLY exchange is the tiny post-join aggregation's — the join
+      // itself reads both bucketed layouts exchange-free
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+        s"join-side exchange crept into the bucketed join:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("entry flagship runs and returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
