@@ -180,6 +180,16 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("pipe_curate: hot-fingerprint dedup is group-limited map-side") {
+    val p = plan("pipe_curate")
+    // the rn=1 filter becomes a partial WindowGroupLimit BELOW the
+    // exchange: a billion-duplicate hot fingerprint ships one row per
+    // map partition across the fp_norm shuffle, not the whole group
+    assert(p.contains("WindowGroupLimit"), s"expected map-side group limit:\n$p")
+    assert(p.contains("Exchange hashpartitioning(fp_norm"),
+      s"dedup should shuffle on the 16-byte fingerprint only:\n$p")
+  }
+
   test("entry flagship runs and returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

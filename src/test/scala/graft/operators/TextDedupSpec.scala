@@ -101,6 +101,17 @@ class TextDedupSpec extends SparkSpec {
     assert(kept == Set(12L))
   }
 
+  test("keepCanonical with no dup pairs keeps every document") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "first unrelated content entirely"),
+      (2L, "second document with different words")
+    ).toDF("doc_id", "text").withColumn("n_chars", length(col("text")))
+    val kept = Dedup.keepCanonical(docs, Dedup.ngramJaccardPairs(docs, 3, 0.2))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L))
+  }
+
   test("repetition flags repeated tokens and 2-grams, zero for unique text") {
     import spark.implicits._
     val docs = Seq(
