@@ -63,10 +63,10 @@ object SparkEntry {
     bucketedCache.computeIfAbsent(d, dir => {
       val tag = new java.io.File(dir).getName.replaceAll("[^a-zA-Z0-9]", "_")
       val (ot, lt) = (s"graft_b_orders_$tag", s"graft_b_lineitem_$tag")
-      Scale.writeBucketed(Tables.orders(s, dir), ot,
-        scratch(dir, "bucketed_orders"), "o_orderkey")
-      Scale.writeBucketed(Tables.lineitem(s, dir), lt,
-        scratch(dir, "bucketed_lineitem"), "l_orderkey")
+      Scale.writeBucketed(Tables.orders(s, dir), ot, "o_orderkey", 8,
+        Some(scratch(dir, "bucketed_orders")))
+      Scale.writeBucketed(Tables.lineitem(s, dir), lt, "l_orderkey", 8,
+        Some(scratch(dir, "bucketed_lineitem")))
       (ot, lt)
     })
 

@@ -31,20 +31,6 @@ object Scale {
       .drop("__salt")
   }
 
-  /** Bucketed table write: pre-shuffles (and pre-sorts) the table into
-    * `buckets` files per partition ON THE JOIN KEY at write time, so
-    * every later equi-join or aggregation on that key between
-    * same-bucketed tables runs with NO exchange at all — the shuffle is
-    * paid once when the fact table lands, not by every one of the
-    * day's queries (PlanAuditSpec asserts the exchange-free join). The
-    * table registers in the session catalog with an explicit `path` so
-    * the data lives in the lake, not the warehouse dir. */
-  def writeBucketed(df: DataFrame, table: String, path: String, key: String,
-                    buckets: Int = 8): Unit =
-    df.write.mode(SaveMode.Overwrite).option("path", path)
-      .bucketBy(buckets, key).sortBy(key)
-      .saveAsTable(table)
-
   /** Guard scan-stage parallelism for CPU-dense operators (sketching,
     * shingling, vector math). A 100 TB table arrives as tens of
     * thousands of splits and this is a no-op; a small extract (or a
@@ -118,13 +104,18 @@ object Scale {
           true) - 1)
 
   /** Write a table bucketed (and sorted) by `key`: one shuffle now,
-    * exchange-free equi-joins/aggregations on `key` forever after. */
+    * exchange-free equi-joins/aggregations on `key` forever after — the
+    * shuffle is paid once when the fact table lands, not by every one
+    * of the day's queries (PlanAuditSpec + ScaleSpec assert the
+    * exchange-free join). Pass `path` to keep the data in the lake
+    * (external table) instead of the warehouse dir. */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int): Unit =
-    df.write.mode(SaveMode.Overwrite)
+                    buckets: Int, path: Option[String] = None): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet")
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   def readTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
