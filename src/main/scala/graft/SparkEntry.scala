@@ -231,6 +231,7 @@ object SparkEntry {
     // the end-to-end curation pipeline: quality gates → canonical-text
     // dedup → deterministic split, one scan + one narrow shuffle
     "pipe_curate" -> ((s, d) => TextAnalysis.curate(Tables.documents(s, d))),
+    "pipe_pack" -> ((s, d) => TextAnalysis.packSequences(Tables.documents(s, d))),
     "dd_exact" -> ((s, d) => Dedup.exactStats(Tables.documents(s, d))),
     "dd_drop_exact" -> ((s, d) =>
       Dedup.dropExactDuplicates(Tables.documents(s, d)).select("keep_id", "n_chars")),
@@ -839,6 +840,23 @@ object SparkEntry {
                row_number() OVER (PARTITION BY fp_norm ORDER BY doc_id) AS rn
                FROM f)
          SELECT doc_id, split, quality_score FROM k WHERE rn = 1""",
+    "pipe_pack" ->
+      """WITH t AS (SELECT doc_id,
+           CASE WHEN substr(md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))),
+                  1, 1) <= 'b' THEN 'train'
+                WHEN substr(md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))),
+                  1, 1) <= 'd' THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (SELECT doc_id, split, n_tokens,
+           sum(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
+             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+           FROM t)
+         SELECT doc_id, split, n_tokens,
+           (cum_tokens - n_tokens) // 2048 AS chunk_id,
+           (cum_tokens - n_tokens) % 2048 AS chunk_offset
+         FROM c""",
     "dd_exact" ->
       """SELECT count(*) AS n_docs, count(DISTINCT fp) AS n_distinct,
            count(*) - count(DISTINCT fp) AS n_dup_docs

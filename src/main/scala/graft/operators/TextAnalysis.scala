@@ -170,6 +170,29 @@ object TextAnalysis {
       .select("doc_id", "split", "quality_score")
   }
 
+  /** Sequence packing — the concat-and-chunk step between a curated
+    * corpus and a training run: documents are laid end-to-end in a
+    * deterministic order within each split and cut into fixed
+    * `ctxTokens`-token chunks. Each doc reports the chunk its first
+    * token lands in plus its token span; the packer is a running-sum
+    * window per split (one exchange on the split key — at 100 TB,
+    * sub-partition by a doc_id range prefix so each packing stripe is
+    * independent). Deterministic: same corpus → same chunks, no RNG. */
+  def packSequences(documents: DataFrame, ctxTokens: Long = 2048L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("split").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Scale.fanOut(documents, Seq("doc_id"))
+      .select(col("doc_id"), hashSplitOf(col("text")).as("split"),
+        wsTokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .select(col("doc_id"), col("split"), col("n_tokens"),
+        // integer `div`, not double division: token counts at 100 TB
+        // overflow double exactness past 2^53
+        expr(s"(cum_tokens - n_tokens) div ${ctxTokens}L").as("chunk_id"),
+        expr(s"(cum_tokens - n_tokens) % ${ctxTokens}L").as("chunk_offset"))
+  }
+
   /** Corpus vocabulary: token (or n-gram) frequencies, top-N with a
     * deterministic tie-break — the vocabulary-building pass of a
     * tokenizer-training pipeline (explode + one shuffle; at 100 TB add a
