@@ -148,6 +148,22 @@ class TextDedupSpec extends SparkSpec {
     assert(byDocId("train") / n > 0.5, s"train fraction suspiciously low: $byDocId")
   }
 
+  test("packSequences tiles each split contiguously with in-range offsets") {
+    val packed = TextAnalysis.packSequences(Tables.documents(spark, sf), 512L)
+      .orderBy("split", "doc_id").collect()
+    assert(packed.nonEmpty)
+    packed.groupBy(_.getAs[String]("split")).foreach { case (_, rows) =>
+      var expectedStart = 0L
+      rows.foreach { r =>
+        val start = r.getAs[Long]("chunk_id") * 512L + r.getAs[Long]("chunk_offset")
+        assert(start == expectedStart, s"doc ${r.getLong(0)} leaves a gap")
+        assert(r.getAs[Long]("chunk_offset") >= 0 &&
+          r.getAs[Long]("chunk_offset") < 512L)
+        expectedStart += r.getAs[Long]("n_tokens")
+      }
+    }
+  }
+
   test("bruteForceTopK is the true top-k (cross-checked against full sort)") {
     val emb = Tables.embeddings(spark, sf)
     import graft.functions.VectorFunctions.cosine
