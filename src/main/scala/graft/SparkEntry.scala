@@ -226,6 +226,7 @@ object SparkEntry {
     "tx_fingerprint_roll" -> ((s, d) =>
       TextAnalysis.rollingFingerprints(Tables.documents(s, d))),
     "tx_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
+    "tx_entropy" -> ((s, d) => TextAnalysis.tokenEntropy(Tables.documents(s, d))),
     "tx_normalize" -> ((s, d) => TextAnalysis.normalize(Tables.documents(s, d))),
     "tx_hash_split" -> ((s, d) => TextAnalysis.hashSplit(Tables.documents(s, d))),
     // the end-to-end curation pipeline: quality gates → canonical-text

@@ -125,6 +125,24 @@ object TextAnalysis {
         .otherwise(0.0).as("dup_2gram_ratio"))
   }
 
+  /** Token Shannon entropy per document — the distribution-shape
+    * quality signal (spam/keyword-stuffed pages score near 0, natural
+    * prose near log2 of its vocabulary). Row-local HOFs, O(|vocab|·|doc|)
+    * per row at scan speed, no shuffle. Rows-only (floating summation
+    * order differs across engines, so no DuckDB hash oracle); bounds
+    * and extremes are property-tested. */
+  def tokenEntropy(documents: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val n = size(t).cast("double")
+    val counts = transform(array_distinct(t),
+      x => size(filter(t, y => y === x)).cast("double"))
+    documents.select(
+      col("doc_id"),
+      size(array_distinct(t)).as("n_distinct_tokens"),
+      round(aggregate(counts, lit(0.0),
+        (acc, c) => acc - (c / n) * log2(c / n)), 6).as("token_entropy"))
+  }
+
   /** Text normalization pass (lowercase, strip non-alphanumerics,
     * collapse whitespace) with the normalized length and fingerprint —
     * the canonicalization stage upstream of exact dedup. Row-local. */

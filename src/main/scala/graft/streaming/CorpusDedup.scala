@@ -54,4 +54,21 @@ object CorpusDedup {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         admitBatch(batch, storePath, outPath)
       }
+
+  /** Streaming twin of operators.TextAnalysis.curate: the row-local
+    * quality and repetition gates run ON THE STREAM (pure Column
+    * predicates, evaluated before anything is shuffled or stored), and
+    * only the survivors enter the incremental corpus-dedup admit. Junk
+    * never costs store lookups, lake writes, or fingerprint-store
+    * growth. */
+  def curateSink(docs: DataFrame, storePath: String, outPath: String,
+                 checkpoint: String, minQuality: Double = 0.47,
+                 maxDupWordRatio: Double = 0.6): DataStreamWriter[Row] = {
+    import graft.functions.TextFunctions._
+    import org.apache.spark.sql.functions._
+    sink(
+      docs.filter(round(qualityScore(col("text")), 6) >= minQuality &&
+        round(dupWordRatio(col("text")), 6) <= maxDupWordRatio),
+      storePath, outPath, checkpoint)
+  }
 }

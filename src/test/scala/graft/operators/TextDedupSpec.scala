@@ -148,6 +148,27 @@ class TextDedupSpec extends SparkSpec {
     assert(byDocId("train") / n > 0.5, s"train fraction suspiciously low: $byDocId")
   }
 
+  test("tokenEntropy: zero for constant docs, log2(n) for uniform, bounded otherwise") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam"),
+      (2L, "one two three four"),
+      (3L, "a a b b c c d d")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenEntropy(docs).orderBy("doc_id").collect()
+      .map(x => x.getLong(0) -> x.getAs[Double]("token_entropy")).toMap
+    assert(r(1L) == 0.0)
+    assert(math.abs(r(2L) - 2.0) < 1e-9) // 4 uniform tokens → log2(4)
+    assert(math.abs(r(3L) - 2.0) < 1e-9) // 4 uniform pairs → log2(4)
+    // real corpus: bounded by log2(distinct)
+    TextAnalysis.tokenEntropy(Tables.documents(spark, sf)).collect().foreach { row =>
+      val h = row.getAs[Double]("token_entropy")
+      val d = row.getAs[Int]("n_distinct_tokens")
+      assert(h >= 0.0 && h <= math.log(d.toDouble) / math.log(2.0) + 1e-6,
+        s"doc ${row.getLong(0)}: H=$h distinct=$d")
+    }
+  }
+
   test("packSequences tiles each split contiguously with in-range offsets") {
     val packed = TextAnalysis.packSequences(Tables.documents(spark, sf), 512L)
       .orderBy("split", "doc_id").collect()

@@ -49,4 +49,28 @@ class CorpusDedupSpec extends SparkSpec {
     assert(replayIds.sameElements(Array(1L, 2L, 4L, 5L)),
       s"replay changed the lake: ${replayIds.mkString(",")}")
   }
+
+  test("curateSink gates quality on the stream before the dedup admit") {
+    implicit val sq = spark.sqlContext
+    implicit val enc = org.apache.spark.sql.Encoders.product[Doc]
+    val dir = s"/root/repo/target/graft_io/curate_sink_${System.nanoTime()}"
+    val input = MemoryStream[Doc](enc, sq)
+    // prose clears the default gates; "spam spam ..." fails dup-word;
+    // digit noise fails the quality floor
+    val good = "the quick brown fox jumps over a lazy dog in the garden " +
+      "while the birds sing and the cat naps near a warm window today"
+    val q = CorpusDedup.curateSink(input.toDF(), s"$dir/store", s"$dir/out",
+      s"$dir/ckpt").outputMode("append").start()
+    try {
+      input.addData(
+        doc(1, good),
+        doc(2, "spam spam spam spam spam spam spam spam spam spam"),
+        doc(3, "000 111 222 333 444 555 666 777 888 999 000 111 222"),
+        doc(4, good)) // exact dup of 1 within the batch
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.read.parquet(s"$dir/out")
+      .collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(ids.sameElements(Array(1L)), s"admitted ${ids.mkString(",")}")
+  }
 }
