@@ -277,6 +277,35 @@ object SimilaritySearch {
       .select(col("p_id"), col("t.id").as("c_id"), col("t.score").as("cos"))
   }
 
+  /** Batch kNN join against a BUILT IVF index: the corpus side reads
+    * the cell-partitioned lake as-is (assignments already materialized
+    * at build/append time — zero per-query assignment evals on the
+    * corpus), probes explode their nProbe cells, candidates meet on the
+    * cell equi-join. The per-query work is proportional to the probe
+    * batch, exactly like the single-query ivfProbe. */
+  def knnJoinIndexed(spark: SparkSession, lakePath: String, probes: DataFrame,
+                     k: Int, codebook: Seq[Seq[Double]],
+                     nProbe: Int = 4): DataFrame = {
+    import graft.functions.TopKAggregator
+    val assigned = spark.read.parquet(lakePath)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        l2Norm(col("embedding")).as("c_nrm"), col("cell"))
+    val probed = Scale.fanOut(probes, Seq("vec_id"))
+      .select(col("vec_id").as("p_id"), col("embedding").as("p_emb"),
+        l2Norm(col("embedding")).as("p_nrm"),
+        explode(topCentroidIds(col("embedding"), codebook, nProbe)).as("cell"))
+    probed.join(assigned, "cell")
+      .filter(col("p_id") =!= col("c_id"))
+      .select(col("p_id"),
+        round(dot(col("p_emb"), col("c_emb")) /
+          (col("p_nrm") * col("c_nrm")), 4).as("cos"),
+        col("c_id"))
+      .groupBy("p_id")
+      .agg(TopKAggregator.topK(k)(col("cos"), col("c_id")).as("top"))
+      .select(col("p_id"), explode(col("top")).as("t"))
+      .select(col("p_id"), col("t.id").as("c_id"), col("t.score").as("cos"))
+  }
+
   /** Near-dup PAIRS via multi-table hyperplane LSH — the scale twin of
     * Dedup.embeddingNearDupPairs (which is an O(n²) BroadcastNestedLoop
     * all-pairs by contract). `nTables` independent tables of `nPlanes`

@@ -99,6 +99,20 @@ class EmbedLshSpec extends SparkSpec {
         SimilaritySearch.lshTopK(emb, 0L, 10, planes).collect().map(key)))
   }
 
+  test("knnJoinIndexed over a built index equals knnJoin with the same codebook") {
+    import org.apache.spark.sql.functions.col
+    val dir = s"target/graft_io/test/emb_knn_idx_${System.nanoTime()}"
+    val cb = SimilaritySearch.buildIvfIndex(emb, 16, dir)
+    val probes = emb.filter(col("vec_id") < 30)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("p_id"), r.getAs[Long]("c_id"), r.getAs[Double]("cos"))
+    val direct = SimilaritySearch.knnJoin(probes, emb, 3, cb, nProbe = 4)
+      .collect().map(key).sortBy(x => (x._1, -x._3, x._2))
+    val indexed = SimilaritySearch.knnJoinIndexed(spark, dir, probes, 3, cb, nProbe = 4)
+      .collect().map(key).sortBy(x => (x._1, -x._3, x._2))
+    assert(indexed.sameElements(direct))
+  }
+
   test("neardupPairsLsh: every found pair carries the exact cosine; recall is high") {
     val exact = Dedup.embeddingNearDupPairs(emb, 0.3).collect()
       .map(r => (r.getAs[Long]("v1"), r.getAs[Long]("v2")) -> r.getAs[Double]("cos"))
