@@ -190,20 +190,38 @@ object TextAnalysis {
 
   /** Sequence packing — the concat-and-chunk step between a curated
     * corpus and a training run: documents are laid end-to-end in a
-    * deterministic order within each split and cut into fixed
-    * `ctxTokens`-token chunks. Each doc reports the chunk its first
-    * token lands in plus its token span; the packer is a running-sum
-    * window per split (one exchange on the split key — at 100 TB,
-    * sub-partition by a doc_id range prefix so each packing stripe is
-    * independent). Deterministic: same corpus → same chunks, no RNG. */
-  def packSequences(documents: DataFrame, ctxTokens: Long = 2048L): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("split").orderBy("doc_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    Scale.fanOut(documents, Seq("doc_id"))
+    * deterministic order (doc_id) within each split and cut into fixed
+    * `ctxTokens`-token chunks; each doc reports the chunk its first
+    * token lands in plus its offset and span.
+    *
+    * The global running sum is a DISTRIBUTED PREFIX SUM, not one
+    * window partition per split (which would serialize a 100 TB corpus
+    * onto #splits tasks): docs stripe by a monotone doc_id range
+    * (`stripeDocs` ids per stripe), pass 1 aggregates per-stripe token
+    * totals (tiny: #splits × #stripes rows) and prefix-sums THEM, pass
+    * 2 runs the within-stripe running sum in parallel across stripes
+    * and adds the broadcast stripe offset. Output is identical to the
+    * single-partition formulation (the DuckDB oracle) for any stripe
+    * size. Deterministic: same corpus → same chunks, no RNG. */
+  def packSequences(documents: DataFrame, ctxTokens: Long = 2048L,
+                    stripeDocs: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wIn = Window.partitionBy("split", "__stripe").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // strictly-preceding stripes only: this stripe's own total must not
+    // count, and the first stripe's offset is 0
+    val wStripe = Window.partitionBy("split").orderBy("__stripe")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val base = Scale.fanOut(documents, Seq("doc_id"))
       .select(col("doc_id"), hashSplitOf(col("text")).as("split"),
         wsTokenCount(col("text")).cast("long").as("n_tokens"))
-      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .withColumn("__stripe", expr(s"doc_id div ${stripeDocs}L"))
+    val stripeOffsets = base.groupBy("split", "__stripe")
+      .agg(sum("n_tokens").as("__st"))
+      .select(col("split"), col("__stripe"),
+        coalesce(sum("__st").over(wStripe), lit(0L)).as("__off"))
+    base.join(broadcast(stripeOffsets), Seq("split", "__stripe"))
+      .withColumn("cum_tokens", col("__off") + sum("n_tokens").over(wIn))
       .select(col("doc_id"), col("split"), col("n_tokens"),
         // integer `div`, not double division: token counts at 100 TB
         // overflow double exactness past 2^53

@@ -185,6 +185,16 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("packSequences distributed prefix sum is stripe-size invariant") {
+    def run(stripe: Long) =
+      TextAnalysis.packSequences(Tables.documents(spark, sf), 512L, stripe)
+        .orderBy("split", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4)))
+    // 7-doc stripes force many stripes per split; output must equal the
+    // effectively-single-stripe layout exactly
+    assert(run(7L).sameElements(run(1L << 20)))
+  }
+
   test("bruteForceTopK is the true top-k (cross-checked against full sort)") {
     val emb = Tables.embeddings(spark, sf)
     import graft.functions.VectorFunctions.cosine
