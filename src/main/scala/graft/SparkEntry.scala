@@ -168,6 +168,8 @@ object SparkEntry {
       Windows.nestedFlattenRoundtrip(Tables.events(s, d))),
     "st_approx_distinct" -> ((s, d) =>
       Stats.approxDistinct(Tables.lineitem(s, d), "l_returnflag", "l_partkey")),
+    "st_skew_kurt" -> ((s, d) =>
+      Stats.skewKurt(Tables.lineitem(s, d), "l_returnflag", "l_quantity")),
     // ---- E. lambda pipeline (batch twins) ----
     "lam_alert_classify" -> ((s, d) => Lambda.alertClassify(Tables.events(s, d))),
     "lam_daily_profile" -> ((s, d) => Lambda.dailyProfile(Tables.events(s, d))),
@@ -303,6 +305,7 @@ object SparkEntry {
     "dd_simhash" -> ((s, d) => SketchDedup.simhashPairs(Tables.documents(s, d))),
     "mm_features" -> ((s, d) =>
       Multimodal.featureSummary(s, Tables.documents(s, d))),
+    "mm_resize" -> ((s, d) => Multimodal.resizeSummary(Tables.documents(s, d))),
     "mm_frames" -> ((s, d) =>
       Multimodal.frameSummary(Tables.documents(s, d))),
     "sc_salted_join" -> ((s, d) => {

@@ -124,6 +124,18 @@ object Multimodal {
       .select(col("media_id"), col("frame_idx"),
         md5(col("frame")).as("frame_md5"))
 
+  /** Driver-contract projection of resizeMedia: byte counts before and
+    * after plus a payload digest — the stable scalar view of the resize
+    * plumbing (stub resampler, real batching boundary). */
+  def resizeSummary(documents: DataFrame, targetBytes: Int = 64): DataFrame = {
+    val media = mediaFromDocuments(documents)
+    resizeMedia(media, targetBytes).toDF()
+      .join(media.toDF().select(col("media_id"),
+        col("n_bytes").as("orig_bytes")), "media_id")
+      .select(col("media_id"), col("kind"), col("orig_bytes"), col("n_bytes"),
+        md5(col("payload")).as("payload_md5"))
+  }
+
   /** Driver-contract projection: stable scalar summary of the features. */
   def featureSummary(spark: SparkSession, documents: DataFrame): DataFrame = {
     val feats = extractFeatures(mediaFromDocuments(documents))

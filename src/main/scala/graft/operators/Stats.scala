@@ -96,6 +96,18 @@ object Stats {
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"))
 
+  /** Higher distribution moments — skewness and kurtosis per group in
+    * the same single partial-agg pass as the mean/stddev profile.
+    * Rows-only: Spark's definitions (population g1, excess g2) differ
+    * from DuckDB's sample-adjusted ones, so the contract is
+    * property-tested (bounds + symmetry) rather than oracled. */
+  def skewKurt(df: DataFrame, groupCol: String, c: String): DataFrame =
+    df.groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n"),
+        round(skewness(col(c)), 6).as("skew"),
+        round(kurtosis(col(c)), 6).as("kurt"))
+
   /** Top-N value counts with deterministic tie-break on the value itself
     * (reference: work/analysis_sectors_by_location.ipynb value_counts). */
   def freqTopN(df: DataFrame, c: String, n: Int): DataFrame =

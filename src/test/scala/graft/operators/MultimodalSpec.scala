@@ -65,4 +65,27 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getAs[Int]("n_bytes") > 0)
     }
   }
+
+  test("resizeSummary reports shrunk payloads against original sizes") {
+    val out = Multimodal.resizeSummary(Tables.documents(spark, sf), 64).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Int]("n_bytes") <= 64)
+      assert(r.getAs[Int]("n_bytes") <= r.getAs[Int]("orig_bytes"))
+      assert(r.getAs[String]("payload_md5").length == 32)
+    }
+  }
+
+  test("skewKurt: symmetric data has ~0 skew; moments are finite per group") {
+    import spark.implicits._
+    val sym = (1 to 101).map(i => ("g", i.toDouble)).toDF("k", "x")
+    val s = Stats.skewKurt(sym, "k", "x").collect().head
+    assert(math.abs(s.getAs[Double]("skew")) < 1e-6)
+    // uniform distribution has negative excess kurtosis (~ -1.2)
+    assert(s.getAs[Double]("kurt") < 0.0)
+    Stats.skewKurt(Tables.lineitem(spark, sf), "l_returnflag", "l_quantity")
+      .collect().foreach { r =>
+        assert(!r.getAs[Double]("skew").isNaN && !r.getAs[Double]("kurt").isNaN)
+      }
+  }
 }
