@@ -211,6 +211,7 @@ object SparkEntry {
       Resample.resampleWithGapFill(Tables.events(s, d), 3600000000L)),
     "ts_interpolate" -> ((s, d) =>
       Resample.resampleWithInterpolation(Tables.events(s, d), 3600000000L)),
+    "ts_ewma" -> ((s, d) => Resample.ewma(Tables.events(s, d), 0.3)),
     // ---- F. spatial ----
     "sp_haversine" -> ((s, d) =>
       SpatialJoin.distances(

@@ -61,6 +61,30 @@ object Resample {
       .select("user_id", "slot_us", "n", "value_e4", "filled")
   }
 
+  /** Exponentially-weighted moving average per user — a linear
+    * recurrence (y_i = α·x_i + (1−α)·y_{i−1}) that window functions
+    * cannot express without numerically-unstable pow() rewrites. The
+    * Spark-idiomatic scale shape is `groupByKey.flatMapSortedGroups`:
+    * one shuffle on the key, each group streamed through a SORTED
+    * iterator (spill-safe secondary sort — the group is never
+    * materialized in memory), constant state per key. */
+  def ewma(events: DataFrame, alpha: Double): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups($"ts_us", $"value") { (k, it) =>
+        var y = Double.NaN
+        it.map { case (_, ts, v) =>
+          y = if (y.isNaN) v else alpha * v + (1 - alpha) * y
+          (k, ts, math.rint(y * 1e6) / 1e6)
+        }
+      }
+      .toDF("user_id", "ts_us", "ewma")
+  }
+
   /** Dense series per user: every slot between the user's first and last
     * observation, observed slots carrying their aggregate, gaps
     * forward-filled from the previous observed slot. `filled` marks

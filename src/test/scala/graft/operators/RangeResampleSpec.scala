@@ -42,6 +42,23 @@ class RangeResampleSpec extends SparkSpec {
     assert(out.count(_.getLong(0) == 2L) == 1)
   }
 
+  test("ewma follows the recurrence exactly and preserves row counts") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, 1000L, 10.0), (1L, 2000L, 20.0), (1L, 3000L, 20.0),
+      (2L, 1000L, 5.0)
+    ).toDF("user_id", "us", "value")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"), col("value"))
+    val out = Resample.ewma(events, 0.5).orderBy("user_id", "ts_us").collect()
+      .map(r => (r.getLong(0), r.getAs[Double]("ewma")))
+    // y1=10, y2=.5*20+.5*10=15, y3=.5*20+.5*15=17.5; user 2 seeds at 5
+    assert(out.toSeq == Seq((1L, 10.0), (1L, 15.0), (1L, 17.5), (2L, 5.0)))
+    // real table: one output row per input row, no NaNs
+    val real = Resample.ewma(Tables.events(spark, sf), 0.3)
+    assert(real.count() == Tables.events(spark, sf).count())
+    assert(real.filter(col("ewma").isNaN || col("ewma").isNull).count() == 0)
+  }
+
   test("resample emits a dense series with correct forward fill") {
     val out = Resample.resampleWithGapFill(Tables.events(spark, sf), 3600000000L)
     val perUser = out.groupBy("user_id")
