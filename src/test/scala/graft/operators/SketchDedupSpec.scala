@@ -64,4 +64,16 @@ class SketchDedupSpec extends SparkSpec {
       .groupBy("doc_id").agg(countDistinct("sim").as("n")).collect()
     assert(sims.forall(_.getAs[Long]("n") == 1L))
   }
+
+  test("simhashPairs emits the complete pair set for a pathological identical-doc group") {
+    import org.apache.spark.sql.functions._
+    // the boilerplate worst case: thousands of docs with ONE sketch. The
+    // chunked expansion must emit all n·(n−1)/2 pairs without ever
+    // building more than groupChunk² structs in a single row.
+    val n = 4000L
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      lit("the same boilerplate body repeated for every document here").as("text"))
+    val pairs = SketchDedup.simhashPairs(docs, groupChunk = 256)
+    assert(pairs.count() == n * (n - 1) / 2)
+  }
 }
