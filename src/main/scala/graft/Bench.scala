@@ -39,15 +39,12 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       name -> (if (failed) -1.0 else sec)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // compact total-first line: the driver's tail capture truncated the
-    // single long line both prior rounds, so the headline metric goes out
-    // on its own short line and the full per-query map is also persisted
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","full":"target/bench_full.json"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(full)
     try {
       val p = java.nio.file.Paths.get("target/bench_full.json")
@@ -56,6 +53,14 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write target/bench_full.json: $e")
     }
+    // The driver records the LAST 2000 chars of output: anything before
+    // that window is lost, and the ~95-entry full line alone overflows it
+    // (it was head-truncated and unparseable in rounds 1-3). So the short
+    // parseable summary goes out LAST — total plus the slowest queries —
+    // and the complete per-query map lives in target/bench_full.json.
+    val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"slowest":$slow,"sf":"$sfDir","full":"target/bench_full.json"}""")
     spark.stop()
   }
 }

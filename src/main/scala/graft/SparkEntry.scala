@@ -859,8 +859,8 @@ object SparkEntry {
              ROWS UNBOUNDED PRECEDING) AS cum_tokens
            FROM t)
          SELECT doc_id, split, n_tokens,
-           (cum_tokens - n_tokens) // 2048 AS chunk_id,
-           (cum_tokens - n_tokens) % 2048 AS chunk_offset
+           CAST((cum_tokens - n_tokens) // 2048 AS BIGINT) AS chunk_id,
+           CAST((cum_tokens - n_tokens) % 2048 AS BIGINT) AS chunk_offset
          FROM c""",
     "dd_exact" ->
       """SELECT count(*) AS n_docs, count(DISTINCT fp) AS n_distinct,

@@ -48,48 +48,49 @@ object Scale {
   /** Band-explode a sketch frame (must carry a `bks` band-key array and
     * a unique `ord` column) into (…, band, key) rows, capped: rows whose
     * (band, key) bucket exceeds `cap` are dropped, and every surviving
-    * row carries an `over` array — one flag per band position, true iff
-    * that band's bucket for this row is over-cap. Carrying `over` lets
-    * bandJoinFirstAgree dedup on the first UNDER-cap agreeing band, so a
-    * pair is lost only when EVERY agreeing band is over-cap — not
-    * whenever its first agreeing band happens to be (the round-2 recall
-    * regression).
+    * row carries an `over_bands` array listing its band positions whose
+    * bucket is over-cap. Carrying `over_bands` lets bandJoinFirstAgree
+    * dedup on the first UNDER-cap agreeing band, so a pair is lost only
+    * when EVERY agreeing band is over-cap — not whenever its first
+    * agreeing band happens to be (the round-2 recall regression).
     *
-    * Shuffle shape: the bucket census and per-row flag arrays are built
-    * on a NARROW (ord, band, key) projection — a partial-agg groupBy of
-    * 16-byte keys, a join against the (tiny, ≤ rows/cap buckets) hot
-    * set that AQE broadcasts at runtime, and a groupBy(ord) of ~25-byte
-    * rows — then joined back onto the un-exploded frame, so the wide
-    * sketch payload (signature + band keys) crosses the wire once, not
-    * once per band per window as the windowed formulation cost. */
+    * Shuffle shape: the input is localCheckpoint'ed ONCE before the plan
+    * branches — Catalyst recomputes shared subtrees per branch, and the
+    * sketch frame sits above the corpus scan + signature compute, the
+    * most expensive stage of the pipeline (the round-3 formulation paid
+    * it twice). The census then runs on a NARROW (ord, band, key)
+    * projection of the checkpoint; only rows actually IN an over-cap
+    * bucket (rare by construction — boilerplate buckets) survive the
+    * inner join + groupBy(ord), so the flags frame is tiny and the join
+    * back onto the checkpoint broadcasts at runtime instead of the
+    * round-3 full-width groupBy(ord) over every exploded row. */
   private[operators] def capBuckets(withBks: DataFrame, ord: String, cap: Int,
       band: String = "band", key: String = "band_key"): DataFrame = {
-    val narrow = withBks.select(col(ord), posexplode(col("bks")).as(Seq(band, key)))
+    val snap = withBks.localCheckpoint(true)
+    val narrow = snap.select(col(ord), posexplode(col("bks")).as(Seq(band, key)))
     val hot = narrow.groupBy(band, key).agg(count(lit(1)).as("__bn"))
       .filter(col("__bn") > cap)
       .select(col(band).as("__hb"), col(key).as("__hk"))
-    val flags = narrow
-      .join(hot, col(band) === col("__hb") && col(key) === col("__hk"), "left")
-      .groupBy(ord)
-      .agg(sort_array(collect_list(struct(col(band), col("__hb").isNotNull.as("oc"))))
-        .as("__fl"))
-      .select(col(ord), transform(col("__fl"), f => f("oc")).as("over"))
-    withBks.join(flags, ord)
-      .select(withBks.columns.map(col) :+ col("over") :+
-        posexplode(col("bks")).as(Seq(band, key)): _*)
-      .filter(!element_at(col("over"), col(band) + 1))
+    val overBands = narrow
+      .join(hot, col(band) === col("__hb") && col(key) === col("__hk"))
+      .groupBy(ord).agg(collect_list(col(band)).as("over_bands"))
+    snap.join(overBands, Seq(ord), "left")
+      .withColumn("over_bands",
+        coalesce(col("over_bands"), array().cast("array<int>")))
+      .select((snap.columns.map(col) :+ col("over_bands") :+
+        posexplode(col("bks")).as(Seq(band, key))).toIndexedSeq: _*)
+      .filter(!array_contains(col("over_bands"), col(band)))
   }
 
   /** Self-join a banded sketch frame on (band, key) and keep each pair
     * exactly once via the first-usable-agreeing-band predicate: the row
     * whose band index equals the first position where the two full
-    * band-key arrays (`bks`, carried on every row) agree AND that
-    * band's bucket is under the cap (`over` flags from capBuckets; at
-    * an agreeing band both sides share the bucket, so x's flag equals
-    * y's). Row-local dedup — no candidate-wide distinct() shuffle.
-    * Shared by the MinHash, SimHash and embedding-LSH pair generators;
-    * `ord` orders the pair (x < y). A pair drops only if every agreeing
-    * band is over-cap. */
+    * band-key arrays (`bks`, carried on every row) agree AND that band
+    * is not in `over_bands` (from capBuckets; at an agreeing band both
+    * sides share the bucket, so x's flag equals y's). Row-local dedup —
+    * no candidate-wide distinct() shuffle. Shared by the MinHash,
+    * SimHash and embedding-LSH pair generators; `ord` orders the pair
+    * (x < y). A pair drops only if every agreeing band is over-cap. */
   private[operators] def bandJoinFirstAgree(banded: DataFrame, ord: String,
       band: String = "band", key: String = "band_key"): DataFrame =
     banded.as("x").join(banded.as("y"),
@@ -98,9 +99,9 @@ object Scale {
         col(s"x.$ord") < col(s"y.$ord"))
       .filter(col(s"x.$band") ===
         array_position(
-          zip_with(
+          transform(
             zip_with(col("x.bks"), col("y.bks"), (p, q) => p === q),
-            col("x.over"), (agree, oc) => agree && !oc),
+            (agree, i) => agree && !array_contains(col("x.over_bands"), i)),
           true) - 1)
 
   /** Write a table bucketed (and sorted) by `key`: one shuffle now,

@@ -341,9 +341,9 @@ object SimilaritySearch {
         hyperplaneBucketsNative(col("embedding"), allPlanes, nPlanes).as("bks"))
       .select(col("vec_id"), col("bks"),
         posexplode(col("bks")).as(Seq("tbl", "bucket")))
-      // no bucket cap on this path: the `over` flags exist only to feed
-      // the shared first-under-cap-agreeing-band predicate
-      .withColumn("over", array_repeat(lit(false), lit(nTables)))
+      // no bucket cap on this path: the empty `over_bands` list exists
+      // only to feed the shared first-under-cap-agreeing-band predicate
+      .withColumn("over_bands", array().cast("array<int>"))
     val candidates =
       Scale.bandJoinFirstAgree(banded, "vec_id", band = "tbl", key = "bucket")
         .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"))
