@@ -347,6 +347,29 @@ object SparkEntry {
         .groupBy(month(col("o_orderdate")).as("o_month"))
         .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
     }),
+    // ---- I. warehouse maintenance (SCD2 / CDC) ----
+    // events as the dimension change stream: per-user event_type versions
+    "dwh_scd2" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Dwh.scd2Build(Tables.events(s, d), "user_id", "event_type", "ts", "event_id")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("valid_from")).as("valid_from_us"),
+          unix_micros(col("valid_to")).as("valid_to_us"),
+          col("is_current"))
+    }),
+    // events as a CDC changelog applied to the customer snapshot:
+    // signup=insert, error=delete, rest=update; latest op per key wins
+    "dwh_cdc_apply" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val changes = Tables.events(s, d).select(
+        col("user_id").as("c_custkey"),
+        when(col("event_type") === "error", "D")
+          .when(col("event_type") === "signup", "I")
+          .otherwise("U").as("op"),
+        col("event_type").as("new_state"), col("ts"), col("event_id"))
+      Dwh.cdcApply(Tables.customer(s, d), changes,
+        "c_custkey", "c_mktsegment", "op", "new_state", "ts", "event_id")
+    }),
   )
 
   /** Scratch dir for sink round-trips, keyed by sf dir to avoid
@@ -1052,5 +1075,33 @@ object SparkEntry {
            round(sum(o_totalprice),2) AS total
          FROM orders WHERE year(o_orderdate) = 1997
          GROUP BY month(o_orderdate)""",
+    "dwh_scd2" ->
+      """WITH v AS (SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS prev
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (SELECT user_id, event_type, ts, event_id FROM v
+               WHERE prev IS NULL OR event_type <> prev)
+         SELECT user_id, event_type,
+           epoch_us(ts) AS valid_from_us,
+           epoch_us(lead(ts) OVER w) AS valid_to_us,
+           (lead(ts) OVER w) IS NULL AS is_current
+         FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    "dwh_cdc_apply" ->
+      """WITH ch AS (SELECT user_id AS c_custkey,
+             CASE event_type WHEN 'error' THEN 'D'
+                  WHEN 'signup' THEN 'I' ELSE 'U' END AS op,
+             event_type AS new_state,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events),
+         l AS (SELECT c_custkey, op, new_state FROM ch WHERE rn = 1)
+         SELECT c.c_custkey, coalesce(l.new_state, c.c_mktsegment) AS state
+         FROM customer c LEFT JOIN l USING (c_custkey)
+         WHERE l.op IS NULL OR l.op <> 'D'
+         UNION ALL
+         SELECT l.c_custkey, l.new_state AS state
+         FROM l
+         WHERE l.op <> 'D'
+           AND l.c_custkey NOT IN (SELECT c_custkey FROM customer)""",
   )
 }

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Warehouse-maintenance operators: slowly-changing-dimension history
+  * and CDC changelog application — the DWH half of the reference's
+  * datalake/DWH curriculum (the course's batch layers rebuild state
+  * from full snapshots; a production warehouse ingests CHANGES).
+  *
+  * Both operators are pure DataFrame transforms with one narrow shuffle
+  * on the dimension key:
+  *   - scd2Build: two window frames over the SAME (key, order) spec —
+  *     Catalyst plans a single exchange for the chain;
+  *   - cdcApply: the changelog collapses to latest-per-key BEFORE
+  *     touching the snapshot (WindowGroupLimit prunes map-side), and
+  *     the collapsed frame is broadcast against the snapshot scan when
+  *     small — a 100 TB snapshot is never shuffled for a day's worth
+  *     of changes.
+  */
+object Dwh {
+
+  /** Build SCD Type-2 history from a change stream: one row per
+    * (key, state) VERSION — opened when the observed state differs from
+    * the previous observation, closed by the next version's open time.
+    * `valid_to` is null on the current version (open-ended), flagged
+    * `is_current`.
+    *
+    * Versions per key are bounded by the change count, not the
+    * observation count: consecutive observations of the same state
+    * collapse into their version's first row before the second window
+    * runs. Both windows share the (key ORDER BY ts, ord) spec — one
+    * exchange on the key for the whole chain. */
+  def scd2Build(changes: DataFrame, key: String, state: String,
+                ts: String, ord: String): DataFrame = {
+    val byKey = Window.partitionBy(key).orderBy(ts, ord)
+    val versions = changes
+      .select(col(key), col(state), col(ts), col(ord))
+      .withColumn("__prev", lag(col(state), 1).over(byKey))
+      // a version opens where the state differs from the previous
+      // observation (or at the first observation: lag is null and
+      // state is not — the <=> below is false)
+      .filter(!(col(state) <=> col("__prev")))
+    versions
+      .withColumn("valid_to", lead(col(ts), 1).over(byKey))
+      .select(col(key), col(state),
+        col(ts).as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
+  /** Apply a CDC changelog to a dimension snapshot: the LATEST change
+    * per key wins (order by ts, tiebreak ord); a final 'D' deletes the
+    * key, 'I'/'U' upsert `newState`; untouched snapshot keys pass
+    * through. Output is the post-apply dimension: (key, state).
+    *
+    * Scale shape: latest-per-key runs on the changelog only (row_number
+    * + rn=1 — Spark turns the filter into a map-side WindowGroupLimit,
+    * so hot keys prune before the shuffle). The snapshot is then
+    * LEFT-joined against the collapsed changelog — one small-side
+    * (broadcastable) join plus a union of the inserts, never a shuffle
+    * of the snapshot itself. */
+  def cdcApply(snapshot: DataFrame, changes: DataFrame,
+               key: String, snapshotState: String,
+               op: String, newState: String,
+               ts: String, ord: String): DataFrame = {
+    val byKeyDesc = Window.partitionBy(key).orderBy(desc(ts), desc(ord))
+    val latest = changes
+      .select(col(key), col(op), col(newState), col(ts), col(ord))
+      .withColumn("__rn", row_number().over(byKeyDesc))
+      .filter(col("__rn") === 1)
+      .select(col(key), col(op), col(newState).as("__new"))
+    val applied = snapshot
+      .select(col(key), col(snapshotState).as("state"))
+      .join(broadcast(latest), Seq(key), "left")
+      .filter(!(col(op) <=> lit("D")))
+      .select(col(key), coalesce(col("__new"), col("state")).as("state"))
+    // inserts: keys present in the changelog but not the snapshot
+    val inserts = broadcast(latest)
+      .filter(col(op) =!= "D")
+      .join(snapshot.select(col(key)), Seq(key), "left_anti")
+      .select(col(key), col("__new").as("state"))
+    applied.unionByName(inserts)
+  }
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DwhSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("scd2Build collapses repeats into versions with contiguous validity") {
+    // key 1: A A B A  -> versions A[t1,t3) B[t3,t4) A[t4,∞)
+    // key 2: X        -> single open version
+    val changes = Seq(
+      (1L, "A", ts("2024-01-01 00:00:01"), 10L),
+      (1L, "A", ts("2024-01-01 00:00:02"), 11L),
+      (1L, "B", ts("2024-01-01 00:00:03"), 12L),
+      (1L, "A", ts("2024-01-01 00:00:04"), 13L),
+      (2L, "X", ts("2024-01-01 00:00:05"), 14L)
+    ).toDF("k", "state", "t", "ord")
+    val hist = Dwh.scd2Build(changes, "k", "state", "t", "ord")
+      .orderBy("k", "valid_from").collect()
+    assert(hist.length == 4)
+    val k1 = hist.filter(_.getAs[Long]("k") == 1L)
+    assert(k1.map(_.getAs[String]("state")).toSeq == Seq("A", "B", "A"))
+    // each version closes exactly when the next one opens
+    k1.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[java.sql.Timestamp]("valid_to") ==
+        b.getAs[java.sql.Timestamp]("valid_from"))
+    }
+    assert(k1.count(_.getAs[Boolean]("is_current")) == 1)
+    assert(k1.last.getAs[Boolean]("is_current"))
+    val k2 = hist.filter(_.getAs[Long]("k") == 2L)
+    assert(k2.length == 1 && k2.head.getAs[Boolean]("is_current") &&
+      k2.head.getAs[java.sql.Timestamp]("valid_to") == null)
+  }
+
+  test("scd2Build version count per key equals its state-change count") {
+    val hist = Dwh.scd2Build(graft.Tables.events(spark, sf),
+      "user_id", "event_type", "ts", "event_id")
+    // exactly one open version per user
+    val open = hist.filter(col("is_current")).groupBy("user_id").count()
+    assert(open.filter(col("count") =!= 1).isEmpty)
+    // validity intervals never overlap: valid_to of the nth version is
+    // the (n+1)th's valid_from (checked pairwise via a window)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("valid_from")
+    val bad = hist
+      .withColumn("next_from", lead(col("valid_from"), 1).over(w))
+      .filter(col("next_from").isNotNull &&
+        col("valid_to") =!= col("next_from"))
+    assert(bad.isEmpty)
+  }
+
+  test("cdcApply: latest op wins; deletes drop; inserts add; rest pass through") {
+    val snapshot = Seq((1L, "old1"), (2L, "old2"), (3L, "old3"))
+      .toDF("k", "seg")
+    val changes = Seq(
+      // key 1: update then DELETE last -> dropped
+      (1L, "U", "n1a", ts("2024-01-01 00:00:01"), 1L),
+      (1L, "D", "n1b", ts("2024-01-01 00:00:02"), 2L),
+      // key 2: delete then UPDATE last -> updated (latest wins)
+      (2L, "D", "n2a", ts("2024-01-01 00:00:01"), 3L),
+      (2L, "U", "n2b", ts("2024-01-01 00:00:02"), 4L),
+      // key 9: insert of a key absent from the snapshot
+      (9L, "I", "n9", ts("2024-01-01 00:00:03"), 5L)
+    ).toDF("k", "op", "ns", "t", "ord")
+    val out = Dwh.cdcApply(snapshot, changes, "k", "seg", "op", "ns", "t", "ord")
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("state")).toMap
+    assert(out == Map(2L -> "n2b", 3L -> "old3", 9L -> "n9"))
+  }
+
+  test("cdcApply is idempotent under changelog replay") {
+    val snapshot = Seq((1L, "a"), (2L, "b")).toDF("k", "seg")
+    val changes = Seq(
+      (1L, "U", "a2", ts("2024-01-01 00:00:01"), 1L),
+      (2L, "D", "x", ts("2024-01-01 00:00:02"), 2L)
+    ).toDF("k", "op", "ns", "t", "ord")
+    val once = Dwh.cdcApply(snapshot, changes, "k", "seg", "op", "ns", "t", "ord")
+    val twice = Dwh.cdcApply(once.withColumnRenamed("state", "seg"),
+      changes, "k", "seg", "op", "ns", "t", "ord")
+    assert(once.orderBy("k").collect().toSeq ==
+      twice.orderBy("k").collect().toSeq)
+  }
+}
