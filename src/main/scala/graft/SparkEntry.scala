@@ -236,6 +236,16 @@ object SparkEntry {
     // dedup → deterministic split, one scan + one narrow shuffle
     "pipe_curate" -> ((s, d) => TextAnalysis.curate(Tables.documents(s, d))),
     "pipe_pack" -> ((s, d) => TextAnalysis.packSequences(Tables.documents(s, d))),
+    // domain-mixture resampling: en halved, fr 1.5x, es doubled, zh
+    // quartered — exercises downsample, integral and fractional upsample
+    "pipe_mixture" -> ((s, d) =>
+      Sampling.mixtureSample(Tables.documents(s, d), "doc_id", "lang",
+        Map("en" -> 0.5, "de" -> 1.0, "fr" -> 1.5, "es" -> 2.0, "zh" -> 0.25))),
+    "pipe_shuffle" -> ((s, d) =>
+      Sampling.deterministicShuffle(Tables.documents(s, d), "doc_id")),
+    "st_stratified" -> ((s, d) =>
+      Sampling.stratifiedFixed(Tables.documents(s, d), "doc_id", "lang", 20)
+        .select("doc_id", "lang")),
     "dd_exact" -> ((s, d) => Dedup.exactStats(Tables.documents(s, d))),
     "dd_drop_exact" -> ((s, d) =>
       Dedup.dropExactDuplicates(Tables.documents(s, d)).select("keep_id", "n_chars")),
@@ -1075,6 +1085,32 @@ object SparkEntry {
            round(sum(o_totalprice),2) AS total
          FROM orders WHERE year(o_orderdate) = 1997
          GROUP BY month(o_orderdate)""",
+    "pipe_mixture" ->
+      """WITH m AS (SELECT doc_id, lang,
+           CASE lang WHEN 'en' THEN 0 WHEN 'de' THEN 1 WHEN 'fr' THEN 1
+                WHEN 'es' THEN 2 WHEN 'zh' THEN 0 ELSE 0 END
+           + CASE WHEN substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 4) <
+               CASE lang WHEN 'en' THEN '8000' WHEN 'de' THEN '0000'
+                    WHEN 'fr' THEN '8000' WHEN 'es' THEN '0000'
+                    WHEN 'zh' THEN '4000' ELSE '0000' END
+             THEN 1 ELSE 0 END AS n
+           FROM documents)
+         SELECT doc_id, lang, CAST(c AS INTEGER) AS copy
+         FROM (SELECT doc_id, lang, unnest(range(n)) AS c FROM m WHERE n > 0)""",
+    "pipe_shuffle" ->
+      """WITH h AS (SELECT doc_id,
+             md5('shuf' || CAST(doc_id AS VARCHAR)) AS hh
+           FROM documents)
+         SELECT doc_id, substr(hh, 1, 2) AS shard,
+           CAST(row_number() OVER (PARTITION BY substr(hh, 1, 2)
+             ORDER BY hh, doc_id) AS INTEGER) AS pos
+         FROM h""",
+    "st_stratified" ->
+      """WITH r AS (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY md5('strat' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM documents)
+         SELECT doc_id, lang FROM r WHERE rn <= 20""",
     "dwh_scd2" ->
       """WITH v AS (SELECT user_id, event_type, ts, event_id,
              lag(event_type) OVER w AS prev

@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+
+  test("mixtureSample hits target rates and is deterministic") {
+    val docs = Tables.documents(spark, sf)
+    val weights = Map("en" -> 0.5, "de" -> 1.0, "fr" -> 1.5,
+      "es" -> 2.0, "zh" -> 0.25)
+    val out = Sampling.mixtureSample(docs, "doc_id", "lang", weights)
+    val in = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // integral weights are exact; fractional ones binomial around w*n
+    assert(got("de") == in("de"))
+    assert(got.getOrElse("es", 0L) == 2 * in("es"))
+    assert(math.abs(got("en") - 0.5 * in("en")) <= 0.35 * in("en"))
+    // copies are indexed 0..n-1 (es weight 2.0: exactly copies 0 and 1)
+    val esCopies = out.filter(col("lang") === "es")
+      .groupBy("doc_id").agg(sort_array(collect_list("copy")).as("cs"))
+    assert(esCopies.filter(col("cs") =!= array(lit(0), lit(1))).isEmpty)
+    // deterministic across runs
+    val again = Sampling.mixtureSample(docs, "doc_id", "lang", weights)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
+  test("mixtureSample drops domains absent from the weights map") {
+    val docs = Tables.documents(spark, sf)
+    val out = Sampling.mixtureSample(docs, "doc_id", "lang", Map("en" -> 1.0))
+    assert(out.select("lang").distinct().collect().map(_.getString(0)).toSeq == Seq("en"))
+    assert(out.count() == docs.filter(col("lang") === "en").count())
+  }
+
+  test("deterministicShuffle covers every row once with dense in-shard ranks") {
+    val docs = Tables.documents(spark, sf)
+    val out = Sampling.deterministicShuffle(docs, "doc_id").cache()
+    assert(out.count() == docs.count())
+    assert(out.select("doc_id").distinct().count() == docs.count())
+    // pos is 1..count(shard) dense within each shard
+    val bad = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"),
+        countDistinct("pos").as("nd"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1 || col("nd") =!= col("n"))
+    assert(bad.isEmpty)
+    // stable under corpus growth: a row keeps its shard when rows are added
+    val grown = Sampling.deterministicShuffle(
+      docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 100000)), "doc_id")
+    val moved = out.select(col("doc_id"), col("shard").as("s1"))
+      .join(grown.select(col("doc_id"), col("shard").as("s2")), "doc_id")
+      .filter(col("s1") =!= col("s2"))
+    assert(moved.isEmpty)
+    out.unpersist()
+  }
+
+  test("stratifiedFixed takes k per stratum (or the whole small stratum)") {
+    val docs = Tables.documents(spark, sf)
+    val k = 5
+    val out = Sampling.stratifiedFixed(docs, "doc_id", "lang", k)
+    val sizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (lang, n) =>
+      assert(got.getOrElse(lang, 0L) == math.min(k.toLong, n))
+    }
+    // sample membership is stable: the same k rows on every run
+    val again = Sampling.stratifiedFixed(docs, "doc_id", "lang", k)
+    assert(out.exceptAll(again).isEmpty)
+  }
+
+  test("stratifiedFixed rank filter plans as a map-side WindowGroupLimit") {
+    val plan = Sampling.stratifiedFixed(
+      Tables.documents(spark, sf), "doc_id", "lang", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit in:\n$plan")
+  }
+}
