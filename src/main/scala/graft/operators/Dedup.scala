@@ -214,4 +214,41 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("v1"), col("v2"), col("cos"))
   }
+
+  /** Semantic (embedding-space) dedup, SemDeDup-style: vectors are
+    * clustered by the IVF coarse codebook, near-dup pairs are found
+    * WITHIN each cell only (cos ≥ threshold on a cell equi-join — the
+    * quadratic work is bounded per cell, never corpus-wide), connected
+    * components collapse transitive groups, and one representative (the
+    * smallest vec_id — the CC label itself) survives per group. Returns
+    * the kept set (vec_id, cell).
+    *
+    * The within-cell restriction is the SemDeDup trade: a near-dup pair
+    * split across two cells survives — recall follows the codebook
+    * granularity, correctness (no kept intra-cell pair ≥ threshold) is
+    * spec-asserted. At 100 TB the cell id is the partition key of the
+    * built IVF lake, so the pair join runs cell-co-located with no
+    * corpus-wide shuffle. */
+  def semanticDedup(embeddings: DataFrame, codebook: Seq[Seq[Double]],
+                    threshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions.{dot, l2Norm, nearestCentroidId}
+    val assigned = Scale.fanOut(embeddings, Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"),
+        l2Norm(col("embedding")).as("nrm"),
+        coalesce(nearestCentroidId(col("embedding"), codebook), lit(-1)).as("cell"))
+    val a = assigned.select(col("cell"), col("vec_id").as("v1"),
+      col("embedding").as("e1"), col("nrm").as("n1"))
+    val b = assigned.select(col("cell"), col("vec_id").as("v2"),
+      col("embedding").as("e2"), col("nrm").as("n2"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("v1") < col("v2"))
+      .filter(round(dot(col("e1"), col("e2")) /
+        (col("n1") * col("n2")), 4) >= threshold)
+      .select(col("v1").as("d1"), col("v2").as("d2"))
+    val drops = dupClusters(pairs)
+      .filter(col("doc_id") =!= col("cluster_id")) // keep the label vector
+      .select(col("doc_id").as("vec_id"))
+    assigned.join(broadcast(drops), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+  }
 }

@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Product-quantization ANN and semantic dedup, validated against their
+  * exact oracle-checked counterparts (bruteForceTopK /
+  * embeddingNearDupPairs). */
+class PqSemanticSpec extends SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sf)
+
+  test("PQ codebooks are deterministic with the right shape") {
+    val a = ProductQuantization.trainCodebooks(emb, m = 16, ksub = 16)
+    val b = ProductQuantization.trainCodebooks(emb, m = 16, ksub = 16)
+    assert(a == b, "seeded training must be reproducible")
+    assert(a.size == 16)
+    a.foreach { cb => assert(cb.nonEmpty && cb.size <= 16)
+      cb.foreach(c => assert(c.size == 4)) }
+  }
+
+  test("encode yields one in-range code per subspace, deterministically") {
+    val cbs = ProductQuantization.trainCodebooks(emb, m = 16, ksub = 16)
+    val codes = ProductQuantization.encode(emb, cbs).cache()
+    assert(codes.count() == emb.count())
+    val bad = codes.filter(size(col("code")) =!= 16 ||
+      exists(col("code"), c => c < 0 || c >= 16))
+    assert(bad.isEmpty)
+    val again = ProductQuantization.encode(emb, cbs)
+    assert(codes.exceptAll(again).isEmpty)
+    codes.unpersist()
+  }
+
+  test("pqTopK recall vs brute force; reranked cosines are exact") {
+    val dir = s"target/graft_io/test/emb_pq_${System.nanoTime()}"
+    val cbs = ProductQuantization.buildPqIndex(emb, 16, 16, dir)
+    val brute = SimilaritySearch.bruteForceTopK(emb, 0L, 10).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos")).toMap
+    val pq = ProductQuantization.pqTopK(spark, dir, emb, 0L, 10, cbs).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos")).toMap
+    assert(pq.size == 10)
+    // the rerank stage computes TRUE cosines, so hits match brute exactly
+    pq.foreach { case (id, c) =>
+      if (brute.contains(id)) assert(math.abs(brute(id) - c) < 1e-9)
+    }
+    val recall = pq.keySet.intersect(brute.keySet).size.toDouble / brute.size
+    assert(recall >= 0.8, s"PQ recall $recall below floor")
+  }
+
+  test("pqTopK on a missing query id returns empty, not a crash") {
+    val dir = s"target/graft_io/test/emb_pq_m_${System.nanoTime()}"
+    val cbs = ProductQuantization.buildPqIndex(emb, 16, 16, dir)
+    assert(ProductQuantization.pqTopK(spark, dir, emb, -999L, 10, cbs).isEmpty)
+  }
+
+  test("semanticDedup collapses planted duplicate vectors to one representative") {
+    val cb = SimilaritySearch.ivfCodebook(emb, 16)
+    // plant exact copies of vectors 1..5 under new ids — same cell, cos=1
+    val planted = emb.unionByName(
+      emb.filter(col("vec_id") < 5).withColumn("vec_id", col("vec_id") + 10000))
+    val kept = Dedup.semanticDedup(planted, cb, 0.99).cache()
+    // every planted copy must be dropped (its original has the smaller id)
+    assert(kept.filter(col("vec_id") >= 10000).isEmpty)
+    assert(kept.filter(col("vec_id") < 5).count() == 5)
+    kept.unpersist()
+  }
+
+  test("semanticDedup keeps no intra-cell pair above the threshold") {
+    val cb = SimilaritySearch.ivfCodebook(emb, 16)
+    val thr = 0.5
+    val kept = Dedup.semanticDedup(emb, cb, thr)
+    val keptIds = kept.select("vec_id")
+    import graft.functions.VectorFunctions.{dot, l2Norm}
+    val keptEmb = emb.join(keptIds, "vec_id")
+      .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
+    val cells = kept.select(col("vec_id"), col("cell"))
+    val x = keptEmb.join(cells, "vec_id")
+      .select(col("cell"), col("vec_id").as("v1"), col("embedding").as("e1"),
+        col("nrm").as("n1"))
+    val y = keptEmb.join(cells, "vec_id")
+      .select(col("cell"), col("vec_id").as("v2"), col("embedding").as("e2"),
+        col("nrm").as("n2"))
+    val survivors = x.join(y, Seq("cell")).filter(col("v1") < col("v2"))
+      .filter(round(dot(col("e1"), col("e2")) /
+        (col("n1") * col("n2")), 4) >= thr)
+    assert(survivors.isEmpty,
+      "two kept vectors in one cell exceed the dedup threshold")
+  }
+}
