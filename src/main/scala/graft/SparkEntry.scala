@@ -392,6 +392,22 @@ object SparkEntry {
           unix_micros(col("valid_to")).as("valid_to_us"),
           col("is_current"))
     }),
+    // incremental SCD2: history built from the early half, the late half
+    // merged in via scd2Apply — must reproduce the full rebuild (the
+    // oracle is the same full-history SQL as dwh_scd2)
+    "dwh_scd2_apply" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.events(s, d)
+      val split = lit("2024-01-16").cast("timestamp")
+      val existing = Dwh.scd2Build(ev.filter(col("ts") < split),
+        "user_id", "event_type", "ts", "event_id")
+      Dwh.scd2Apply(existing, ev.filter(col("ts") >= split),
+        "user_id", "event_type", "ts", "event_id")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("valid_from")).as("valid_from_us"),
+          unix_micros(col("valid_to")).as("valid_to_us"),
+          col("is_current"))
+    }),
     // events as a CDC changelog applied to the customer snapshot:
     // signup=insert, error=delete, rest=update; latest op per key wins
     "dwh_cdc_apply" -> ((s, d) => {
@@ -1138,6 +1154,19 @@ object SparkEntry {
            FROM documents)
          SELECT doc_id, lang FROM r WHERE rn <= 20""",
     "dwh_scd2" ->
+      """WITH v AS (SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS prev
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (SELECT user_id, event_type, ts, event_id FROM v
+               WHERE prev IS NULL OR event_type <> prev)
+         SELECT user_id, event_type,
+           epoch_us(ts) AS valid_from_us,
+           epoch_us(lead(ts) OVER w) AS valid_to_us,
+           (lead(ts) OVER w) IS NULL AS is_current
+         FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    // the incremental path must reproduce the full-history rebuild, so
+    // its oracle IS the full-history SQL
+    "dwh_scd2_apply" ->
       """WITH v AS (SELECT user_id, event_type, ts, event_id,
              lag(event_type) OVER w AS prev
            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

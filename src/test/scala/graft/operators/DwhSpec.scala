@@ -53,6 +53,35 @@ class DwhSpec extends SparkSpec {
     assert(bad.isEmpty)
   }
 
+  test("scd2Apply(build(early), late) equals build(early ∪ late)") {
+    val ev = graft.Tables.events(spark, sf)
+    val split = lit("2024-01-16").cast("timestamp")
+    val full = Dwh.scd2Build(ev, "user_id", "event_type", "ts", "event_id")
+    val incr = Dwh.scd2Apply(
+      Dwh.scd2Build(ev.filter(col("ts") < split),
+        "user_id", "event_type", "ts", "event_id"),
+      ev.filter(col("ts") >= split),
+      "user_id", "event_type", "ts", "event_id")
+    assert(incr.exceptAll(full).isEmpty && full.exceptAll(incr).isEmpty)
+  }
+
+  test("scd2Apply replay of an applied batch is a no-op; new keys bootstrap") {
+    val early = Seq(
+      (1L, "A", ts("2024-01-01 00:00:01"), 1L),
+      (1L, "B", ts("2024-01-01 00:00:02"), 2L)
+    ).toDF("k", "state", "t", "ord")
+    val late = Seq(
+      (1L, "C", ts("2024-01-01 00:00:03"), 3L),
+      (7L, "N", ts("2024-01-01 00:00:04"), 4L) // key absent from history
+    ).toDF("k", "state", "t", "ord")
+    val base = Dwh.scd2Build(early, "k", "state", "t", "ord")
+    val once = Dwh.scd2Apply(base, late, "k", "state", "t", "ord")
+    assert(once.filter(col("k") === 7L).count() == 1)
+    assert(once.filter(col("k") === 1L).count() == 3)
+    val twice = Dwh.scd2Apply(once, late, "k", "state", "t", "ord")
+    assert(twice.exceptAll(once).isEmpty && once.exceptAll(twice).isEmpty)
+  }
+
   test("cdcApply: latest op wins; deletes drop; inserts add; rest pass through") {
     val snapshot = Seq((1L, "old1"), (2L, "old2"), (3L, "old3"))
       .toDF("k", "seg")
