@@ -182,6 +182,8 @@ object SparkEntry {
       Windows.nestedFlattenRoundtrip(Tables.events(s, d))),
     "st_approx_distinct" -> ((s, d) =>
       Stats.approxDistinct(Tables.lineitem(s, d), "l_returnflag", "l_partkey")),
+    "st_hll_merge" -> ((s, d) =>
+      Stats.hllMergeProfile(Tables.lineitem(s, d), "l_returnflag", "l_partkey")),
     "st_skew_kurt" -> ((s, d) =>
       Stats.skewKurt(Tables.lineitem(s, d), "l_returnflag", "l_quantity")),
     // ---- E. lambda pipeline (batch twins) ----
@@ -1070,9 +1072,9 @@ object SparkEntry {
          ORDER BY cos DESC, b.vec_id LIMIT 10""",
     // tx_fingerprint_roll, ann_lsh, ann_ivf, ann_knn_join, ann_pq,
     // dd_minhash_lsh, dd_simhash, dd_cluster_lsh, dd_incremental_lsh,
-    // dd_semantic, mm_frames: hash/bucket/codebook internals are
-    // engine-specific → rows-only check + property specs (recall/error
-    // bounds vs the exact oracle-checked operators).
+    // dd_semantic, mm_frames, st_hll_merge: hash/bucket/codebook/sketch
+    // internals are engine-specific → rows-only check + property specs
+    // (recall/error bounds vs the exact oracle-checked operators).
     "dd_incremental" ->
       """WITH newd AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
          oldd AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),

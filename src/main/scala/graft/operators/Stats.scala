@@ -86,6 +86,26 @@ object Stats {
       .agg(approx_count_distinct(col(c), rsd).as("approx_distinct"),
         countDistinct(col(c)).as("exact_distinct"))
 
+  /** MERGEABLE distinct-count sketches (Apache DataSketches HLL): one
+    * pass builds a per-group sketch, and the sketches themselves union
+    * associatively — the property the 100 TB architecture needs: daily
+    * partitions keep their (few-KB) sketches, and any rollup window
+    * merges them WITHOUT rescanning data. approx_count_distinct gives
+    * only final numbers; this exposes the sketch as a value. Output:
+    * one approx_nd per group plus the '__all__' row estimated from the
+    * UNION of the per-group sketches (never from re-reading rows) —
+    * property-specced within HLL error of the exact counts. */
+  def hllMergeProfile(df: DataFrame, groupCol: String, c: String): DataFrame = {
+    val sk = df.groupBy(groupCol)
+      .agg(hll_sketch_agg(col(c)).as("sk"))
+    val per = sk.select(col(groupCol),
+      hll_sketch_estimate(col("sk")).as("approx_nd"))
+    val all = sk
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_nd"))
+      .select(lit("__all__").as(groupCol), col("approx_nd"))
+    per.unionByName(all)
+  }
+
   /** Fixed-bucket histogram: deterministic integer arithmetic on both
     * engines (single pass, map-side partial counts). */
   def histogram(df: DataFrame, c: String, lo: Double, hi: Double,

@@ -190,6 +190,45 @@ class PlanAuditSpec extends SparkSpec {
       s"dedup should shuffle on the 16-byte fingerprint only:\n$p")
   }
 
+  test("dwh_cdc_apply: changelog collapse is map-side limited and broadcast onto the snapshot") {
+    val p = plan("dwh_cdc_apply")
+    // latest-per-key rn=1 prunes before the shuffle; the snapshot join
+    // is broadcast — the snapshot itself is never shuffled
+    assert(p.contains("WindowGroupLimit"), s"expected map-side group limit:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast snapshot join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"snapshot must not be shuffled for a changelog apply:\n$p")
+  }
+
+  test("dwh_scd2: both window frames share one exchange on the key") {
+    val p = plan("dwh_scd2")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"version build should shuffle once on user_id:\n$p")
+  }
+
+  test("pipe_mixture: row-local resampling — no exchange anywhere") {
+    val p = plan("pipe_mixture")
+    assert(!p.contains("Exchange"),
+      s"mixture sampling must stay below any shuffle:\n$p")
+  }
+
+  test("ann_pq: ADC scans the code lake (no embeddings), rerank is TakeOrdered-bounded") {
+    val df = SparkEntry.queries("ann_pq")(spark, sf)
+    df.collect() // first call in a session builds the code lake
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"))
+    assert("emb_pq[^\\n]*ReadSchema: struct<vec_id:bigint,code".r.findFirstIn(p).isDefined,
+      s"ADC stage must scan the code lake's (vec_id, code) only:\n$p")
+    assert(!"emb_pq[^\\n]*embedding".r.findFirstIn(p).isDefined,
+      s"ADC stage must not read embeddings from the code lake:\n$p")
+  }
+
+  test("dd_semantic: pair search stays cell-equi-join shaped") {
+    val p = plan("dd_semantic")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"semantic dedup must bound pairs by cell, not all-pairs:\n$p")
+  }
+
   test("entry flagship runs and returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

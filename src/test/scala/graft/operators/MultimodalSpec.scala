@@ -88,4 +88,24 @@ class MultimodalSpec extends SparkSpec {
         assert(!r.getAs[Double]("skew").isNaN && !r.getAs[Double]("kurt").isNaN)
       }
   }
+
+  test("hllMergeProfile: per-group and union-merged estimates track exact counts") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sf)
+    val est = Stats.hllMergeProfile(li, "l_returnflag", "l_partkey")
+      .collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("approx_nd").toDouble).toMap
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactAll = li.agg(countDistinct(col("l_partkey"))).head.getLong(0)
+    exact.foreach { case (g, nd) =>
+      assert(math.abs(est(g) - nd) <= math.max(2.0, 0.05 * nd),
+        s"group $g: hll ${est(g)} vs exact $nd")
+    }
+    // the '__all__' estimate comes from MERGING the per-group sketches,
+    // and must still track the exact global distinct count
+    assert(math.abs(est("__all__") - exactAll) <= math.max(2.0, 0.05 * exactAll),
+      s"merged ${est("__all__")} vs exact $exactAll")
+  }
 }
