@@ -373,6 +373,17 @@ object SparkEntry {
     }),
     "src_json_roundtrip" -> ((s, d) =>
       sources.Lake.jsonRoundtrip(s, Tables.supplier(s, d), scratch(d, "json_supplier"))),
+    // schema-versioned lake: v1 files lack s_acctbal, v2 files carry it;
+    // the merged read surfaces nulls for v1 rows — no historical rewrite
+    "src_schema_evolution" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val sup = Tables.supplier(s, d)
+      sources.Lake.schemaEvolutionRoundtrip(s,
+        sup.filter(col("s_suppkey") % 2 === 0).select("s_suppkey", "s_name"),
+        sup.filter(col("s_suppkey") % 2 === 1)
+          .select("s_suppkey", "s_name", "s_acctbal"),
+        scratch(d, "evolving_lake"))
+    }),
     "snk_partitioned_write" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val lake = scratch(d, "orders_lake")
@@ -1124,6 +1135,12 @@ object SparkEntry {
          GROUP BY o_orderstatus""",
     "src_json_roundtrip" ->
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    "src_schema_evolution" ->
+      """SELECT s_suppkey, s_name, CAST(NULL AS DOUBLE) AS s_acctbal
+         FROM supplier WHERE s_suppkey % 2 = 0
+         UNION ALL
+         SELECT s_suppkey, s_name, s_acctbal
+         FROM supplier WHERE s_suppkey % 2 = 1""",
     "snk_partitioned_write" ->
       """SELECT CAST(month(o_orderdate) AS INTEGER) AS o_month, count(*) AS n,
            round(sum(o_totalprice),2) AS total

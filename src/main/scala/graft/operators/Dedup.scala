@@ -89,13 +89,19 @@ object Dedup {
     * `maxIter` bounds pathological chains. */
   def dupClusters(pairs: DataFrame, maxIter: Int = 20,
                   broadcastLabelLimit: Long = 4000000L): DataFrame = {
-    // near-dup edge lists are tiny relative to the corpus: collapse to a
-    // few partitions before caching so each fixpoint round doesn't pay
-    // 32 near-empty task launches per job
-    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+    // near-dup edge lists are usually tiny relative to the corpus:
+    // collapse to a few partitions before caching so each fixpoint round
+    // doesn't pay 32 near-empty task launches per job. MEASURED, not
+    // assumed (the dd_cluster lesson): the cached row count decides, so
+    // a boilerplate-heavy corpus whose edge list is itself large keeps
+    // full parallelism instead of serializing every CC round onto 4
+    // tasks at 100 TB.
+    val edgesAll = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b")))
-      .coalesce(4)
       .cache()
+    val edges =
+      if (edgesAll.count() <= 1000000L) edgesAll.coalesce(4)
+      else edgesAll
     // dup-cluster label frames are usually tiny relative to the corpus
     // (only docs appearing in pairs) — broadcast them into the per-round
     // joins so an iteration is shuffle-free. The choice is MEASURED, not

@@ -119,4 +119,21 @@ object Lake {
     writeOrc(df, dir)
     readOrc(spark, dir)
   }
+
+  /** SCHEMA EVOLUTION: a lake accumulates files written under different
+    * schema versions (columns added over time); `mergeSchema` unifies
+    * them at read — old files surface the new columns as null. This is
+    * the read path every long-lived 100 TB lake needs the day a
+    * producer adds a field: no rewrite of historical files, the footer
+    * merge happens once per query at planning time.
+    *
+    * `v1`/`v2` land in the same directory (overwrite then append);
+    * reading back without mergeSchema would pick ONE footer
+    * arbitrarily — the roundtrip asserts the merged view instead. */
+  def schemaEvolutionRoundtrip(spark: SparkSession, v1: DataFrame,
+                               v2: DataFrame, dir: String): DataFrame = {
+    v1.write.mode(SaveMode.Overwrite).parquet(dir)
+    v2.write.mode(SaveMode.Append).parquet(dir)
+    spark.read.option("mergeSchema", "true").parquet(dir)
+  }
 }

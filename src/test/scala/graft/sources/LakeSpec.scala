@@ -51,4 +51,21 @@ class LakeSpec extends SparkSpec {
     val enTotal = docs.filter(col("lang") === "en").count()
     assert(langs.getOrElse("en", 0L) > 0 && langs("en") < enTotal)
   }
+
+  test("schema evolution: merged read surfaces added columns as null on old files") {
+    val sup = Tables.supplier(spark, sf)
+    val dir = s"/root/repo/target/graft_io/test/evolve_${System.nanoTime()}"
+    val merged = Lake.schemaEvolutionRoundtrip(spark,
+      sup.filter(col("s_suppkey") % 2 === 0).select("s_suppkey", "s_name"),
+      sup.filter(col("s_suppkey") % 2 === 1)
+        .select("s_suppkey", "s_name", "s_acctbal"),
+      dir)
+    assert(merged.columns.toSet == Set("s_suppkey", "s_name", "s_acctbal"))
+    assert(merged.count() == sup.count())
+    // every v1 (even-key) row reads null for the later-added column
+    assert(merged.filter(col("s_suppkey") % 2 === 0 &&
+      col("s_acctbal").isNotNull).isEmpty)
+    assert(merged.filter(col("s_suppkey") % 2 === 1 &&
+      col("s_acctbal").isNull).isEmpty)
+  }
 }
