@@ -395,6 +395,27 @@ object SparkEntry {
         .groupBy(month(col("o_orderdate")).as("o_month"))
         .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
     }),
+    // interval × interval overlap join (binned equi-join, no BNLJ):
+    // error windows × purchase windows, 10-minute spans
+    "q27_interval_join" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.events(s, d).filter(col("user_id") < 30)
+      val win = 600L * 1000000L
+      val errs = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"),
+          unix_micros(col("ts")).as("s1"),
+          (unix_micros(col("ts")) + win).as("e1"))
+      val purs = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pur_id"),
+          unix_micros(col("ts")).as("s2"),
+          (unix_micros(col("ts")) + win).as("e2"))
+      RangeJoin.intervalOverlap(errs, purs, "s1", "e1", "s2", "e2", win)
+        .select(col("err_id"), col("pur_id"),
+          (least(col("e1"), col("e2")) -
+            greatest(col("s1"), col("s2"))).as("overlap_us"))
+    }),
+    "st_mode" -> ((s, d) =>
+      Stats.modePerGroup(Tables.lineitem(s, d), "l_returnflag", "l_quantity")),
     // ---- I. warehouse maintenance (SCD2 / CDC) ----
     // events as the dimension change stream: per-user event_type versions
     "dwh_scd2" -> ((s, d) => {
@@ -1146,6 +1167,25 @@ object SparkEntry {
            round(sum(o_totalprice),2) AS total
          FROM orders WHERE year(o_orderdate) = 1997
          GROUP BY month(o_orderdate)""",
+    "q27_interval_join" ->
+      """WITH e AS (SELECT event_id AS err_id, epoch_us(ts) AS s1,
+             epoch_us(ts) + 600000000 AS e1
+           FROM events WHERE user_id < 30 AND event_type = 'error'),
+         p AS (SELECT event_id AS pur_id, epoch_us(ts) AS s2,
+             epoch_us(ts) + 600000000 AS e2
+           FROM events WHERE user_id < 30 AND event_type = 'purchase')
+         SELECT err_id, pur_id,
+           least(e1, e2) - greatest(s1, s2) AS overlap_us
+         FROM e JOIN p ON s1 <= e2 AND s2 <= e1""",
+    "st_mode" ->
+      """WITH f AS (SELECT l_returnflag, l_quantity AS mode_value,
+             count(*) AS freq
+           FROM lineitem GROUP BY 1, 2),
+         r AS (SELECT l_returnflag, mode_value, freq,
+             row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY freq DESC, mode_value) AS rn
+           FROM f)
+         SELECT l_returnflag, mode_value, freq FROM r WHERE rn = 1""",
     "pipe_mixture" ->
       """WITH m AS (SELECT doc_id, lang,
            CASE lang WHEN 'en' THEN 0 WHEN 'de' THEN 1 WHEN 'fr' THEN 1

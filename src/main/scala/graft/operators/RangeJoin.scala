@@ -29,4 +29,30 @@ object RangeJoin {
       .filter(col(pUs) >= col(sUs) && col(pUs) <= col(eUs))
       .drop("__bin")
   }
+
+  /** INTERVAL × INTERVAL overlap join, same binning idea: both sides
+    * explode into the bins they span, candidates meet on the bin
+    * equi-join, the true overlap predicate refines, and each matched
+    * pair is kept exactly ONCE row-locally — at the bin containing the
+    * later of the two starts (both intervals provably span that bin, no
+    * other bin qualifies) — so no candidate-wide distinct() shuffle.
+    * A bare overlap join plans as BNLJ; this stays hash-join shaped for
+    * AQE/skew handling. Explode factor is span/binUs per row — pick
+    * binUs ≳ the typical interval length. Columns must be pre-aliased
+    * distinctly on the two sides (s1/e1 vs s2/e2). */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+                      s1: String, e1: String, s2: String, e2: String,
+                      binUs: Long): DataFrame = {
+    val a = left.withColumn("__bin",
+      explode(sequence((col(s1) / binUs).cast("long"),
+        (col(e1) / binUs).cast("long"))))
+    val b = right.withColumn("__bin",
+      explode(sequence((col(s2) / binUs).cast("long"),
+        (col(e2) / binUs).cast("long"))))
+    a.join(b, "__bin")
+      .filter(col(s1) <= col(e2) && col(s2) <= col(e1))
+      .filter(col("__bin") ===
+        (greatest(col(s1), col(s2)) / binUs).cast("long"))
+      .drop("__bin")
+  }
 }

@@ -86,6 +86,22 @@ object Stats {
       .agg(approx_count_distinct(col(c), rsd).as("approx_distinct"),
         countDistinct(col(c)).as("exact_distinct"))
 
+  /** Deterministic per-group mode: the most frequent value, ties to the
+    * smallest — Spark's built-in `mode()` breaks ties arbitrarily, which
+    * can't be oracle-checked or reproduced across runs. Two narrow
+    * shuffles on (group, value) then group; the rank filter is a
+    * map-side WindowGroupLimit, so a billion-row hot group ships one
+    * candidate row per task. */
+  def modePerGroup(df: DataFrame, groupCol: String, c: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(desc("freq"), asc("mode_value"))
+    df.groupBy(col(groupCol), col(c).as("mode_value"))
+      .agg(count(lit(1)).as("freq"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** MERGEABLE distinct-count sketches (Apache DataSketches HLL): one
     * pass builds a per-group sketch, and the sketches themselves union
     * associatively — the property the 100 TB architecture needs: daily

@@ -21,6 +21,45 @@ class RangeResampleSpec extends SparkSpec {
       s"binned range join must be an equi-join:\n$plan")
   }
 
+  test("interval overlap join equals the naive overlap join, once per pair, equi-shaped") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf).filter(col("user_id") < 30)
+    val win = 600L * 1000000L
+    val errs = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), unix_micros(col("ts")).as("s1"),
+        (unix_micros(col("ts")) + win).as("e1"))
+    val purs = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pur_id"), unix_micros(col("ts")).as("s2"),
+        (unix_micros(col("ts")) + win).as("e2"))
+    val binned = RangeJoin.intervalOverlap(errs, purs,
+      "s1", "e1", "s2", "e2", win)
+    val naive = errs.join(purs, col("s1") <= col("e2") && col("s2") <= col("e1"))
+    // exactly the naive pair set — multi-bin matches dedup to one row
+    assert(binned.select("err_id", "pur_id").exceptAll(
+      naive.select("err_id", "pur_id")).isEmpty)
+    assert(binned.count() == naive.count())
+    assert(binned.select("err_id", "pur_id").distinct().count() == binned.count())
+    val plan = binned.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"interval overlap join must stay equi-join shaped:\n$plan")
+    // intervals spanning MANY bins still dedup: shrink the bin far below
+    // the window length
+    val fine = RangeJoin.intervalOverlap(errs, purs,
+      "s1", "e1", "s2", "e2", win / 7)
+    assert(fine.count() == naive.count())
+  }
+
+  test("modePerGroup breaks frequency ties toward the smallest value") {
+    import spark.implicits._
+    val df = Seq(("g", 5.0), ("g", 5.0), ("g", 2.0), ("g", 2.0), ("g", 9.0))
+      .toDF("k", "v")
+    val m = Stats.modePerGroup(df, "k", "v").collect()
+    assert(m.length == 1)
+    assert(m.head.getAs[Double]("mode_value") == 2.0) // tie 2.0/5.0 → smaller
+    assert(m.head.getAs[Long]("freq") == 2L)
+  }
+
   test("interpolation fills gaps linearly and keeps observed slots exact") {
     import spark.implicits._
     val hour = 3600000000L
