@@ -344,6 +344,7 @@ object SparkEntry {
     "mm_features" -> ((s, d) =>
       Multimodal.featureSummary(s, Tables.documents(s, d))),
     "mm_resize" -> ((s, d) => Multimodal.resizeSummary(Tables.documents(s, d))),
+    "mm_phash" -> ((s, d) => Multimodal.phashSummary(Tables.documents(s, d))),
     "mm_frames" -> ((s, d) =>
       Multimodal.frameSummary(Tables.documents(s, d))),
     "sc_salted_join" -> ((s, d) => {
@@ -1104,9 +1105,10 @@ object SparkEntry {
          ORDER BY cos DESC, b.vec_id LIMIT 10""",
     // tx_fingerprint_roll, ann_lsh, ann_ivf, ann_knn_join, ann_pq,
     // dd_minhash_lsh, dd_simhash, dd_cluster_lsh, dd_incremental_lsh,
-    // dd_semantic, mm_frames, st_hll_merge: hash/bucket/codebook/sketch
-    // internals are engine-specific → rows-only check + property specs
-    // (recall/error bounds vs the exact oracle-checked operators).
+    // dd_semantic, mm_frames, mm_phash, st_hll_merge: hash/bucket/
+    // codebook/sketch internals are engine-specific → rows-only check +
+    // property specs (recall/error bounds vs the exact oracle-checked
+    // operators).
     "dd_incremental" ->
       """WITH newd AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
          oldd AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),

@@ -145,4 +145,34 @@ object Multimodal {
           .as("feature_sum"),
         round(element_at(col("features"), 1), 6).as("f0"))
   }
+
+  /** Perceptual-hash near-dup detection for media payloads: each asset
+    * gets a 64-bit content hash whose Hamming distance tracks payload
+    * similarity, and pairs within `maxHamming` surface through the SAME
+    * banded machinery as text SimHash (4×16-bit chunks, identical-
+    * sketch collapse, bucket caps) — so media dedup scales exactly like
+    * text dedup: sketches row-local in the scan, only 8-byte chunk keys
+    * shuffle.
+    *
+    * The hash derivation is the STUB stand-in (same swap-point contract
+    * as decodeStub): SimHash over sliding byte-window shingles of the
+    * base64-armored payload — near-identical payloads agree on most
+    * windows, so their sketches land within a small Hamming distance. A
+    * real deployment swaps this column for a decoded-domain DCT pHash
+    * (image) or chromaprint (audio); banding, capping, pairing and the
+    * CC/canonical stages downstream are unchanged. */
+  def phashPairs(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // base64 then re-space into fixed 4-char (3-byte) tokens: the shingle
+    // pipeline is word-oriented, and arbitrary binary has no delimiters
+    val asDocs = media.select(
+      col("media_id").as("doc_id"),
+      regexp_replace(base64(col("payload")), "(.{4})", "$1 ").as("text"))
+    SketchDedup.simhashPairs(asDocs, n = 3, maxHamming = maxHamming)
+      .select(col("d1").as("m1"), col("d2").as("m2"), col("hamming"))
+  }
+
+  /** Driver-contract projection: media near-dup pairs on the synthetic
+    * media table (whose payloads inherit the documents' near-dups). */
+  def phashSummary(documents: DataFrame, maxHamming: Int = 3): DataFrame =
+    phashPairs(mediaFromDocuments(documents).toDF(), maxHamming)
 }

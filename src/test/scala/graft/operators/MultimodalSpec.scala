@@ -89,6 +89,29 @@ class MultimodalSpec extends SparkSpec {
       }
   }
 
+  test("phashPairs finds exact copies and near-identical payloads, not unrelated ones") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val media = Multimodal.mediaFromDocuments(Tables.documents(spark, sf)).toDF()
+      .select("media_id", "payload")
+    // plant: 9001 = exact copy of id 1's payload; 9002 = id 1's payload
+    // with a small local corruption (a near-dup a byte-window hash must
+    // still land within a few chunks of)
+    val base = media.filter(col("media_id") === 1L)
+      .head().getAs[Array[Byte]]("payload")
+    val corrupted = base.clone
+    corrupted(corrupted.length / 2) = '#'.toByte
+    val planted = media.unionByName(
+      Seq((9001L, base), (9002L, corrupted)).toDF("media_id", "payload"))
+    val pairs = Multimodal.phashPairs(planted, maxHamming = 3)
+      .collect().map(r => (r.getAs[Long]("m1"), r.getAs[Long]("m2"),
+        r.getAs[Int]("hamming")))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 9001L && p._3 == 0),
+      s"exact copy not found in ${pairs.length} pairs")
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 9002L),
+      s"corrupted near-copy not found in ${pairs.length} pairs")
+  }
+
   test("hllMergeProfile: per-group and union-merged estimates track exact counts") {
     import org.apache.spark.sql.functions._
     val li = Tables.lineitem(spark, sf)
