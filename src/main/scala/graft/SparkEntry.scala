@@ -284,6 +284,8 @@ object SparkEntry {
     }),
     "tx_vocab" -> ((s, d) =>
       TextAnalysis.vocabulary(Tables.documents(s, d), 1, 20)),
+    "tx_tfidf" -> ((s, d) =>
+      TextAnalysis.tfidfTopTerms(Tables.documents(s, d), 3)),
     "tx_pii" -> ((s, d) => TextAnalysis.piiScan(Tables.documents(s, d))),
     "tx_contamination" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -1056,6 +1058,20 @@ object SparkEntry {
       """SELECT gram, count(*) AS freq
          FROM (SELECT unnest(string_split(text, ' ')) AS gram FROM documents)
          GROUP BY gram ORDER BY freq DESC, gram LIMIT 20""",
+    "tx_tfidf" ->
+      """WITH tf AS (SELECT doc_id, term, count(*) AS tf
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM documents)
+           GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM documents),
+         s AS (SELECT doc_id, term, tf, df,
+             round(tf * (ln((n + 1) / (df + 1)) + 1), 6) AS tfidf,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY round(tf * (ln((n + 1) / (df + 1)) + 1), 6) DESC,
+                 term) AS rn
+           FROM tf JOIN df USING (term) CROSS JOIN n)
+         SELECT doc_id, term, tf, df, tfidf FROM s WHERE rn <= 3""",
     "tx_pii" ->
       """SELECT doc_id,
            CAST(len(regexp_extract_all(text,

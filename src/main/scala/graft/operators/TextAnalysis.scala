@@ -243,4 +243,34 @@ object TextAnalysis {
       .orderBy(desc("freq"), asc("gram"))
       .limit(topN)
   }
+
+  /** Per-document top-k terms by TF-IDF (smoothed: idf = ln((N+1)/(df+1))
+    * + 1, so corpus-universal terms still score > 0) — the
+    * characteristic-term extraction step of search indexing and topic
+    * labeling. Deterministic ties (score desc, term asc).
+    *
+    * Shape: one explode + a (doc_id, term) partial-agg shuffle for tf, a
+    * term-keyed partial-agg shuffle for df, an equi-join on term (AQE
+    * broadcasts the df side when the vocab is small; shuffle-join
+    * otherwise — the vocab of a 100 TB corpus is NOT broadcastable), and
+    * a map-side WindowGroupLimit for the top-k. The corpus row count N
+    * rides as a scalar subquery, not a driver collect. */
+  def tfidfTopTerms(documents: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("tfidf"), asc("term"))
+    val fanned = Scale.fanOut(documents.select("doc_id", "text"), Seq("doc_id"))
+    val termFreq = fanned
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val docFreq = termFreq.groupBy("term")
+      .agg(count(lit(1)).as("df"))
+    val n = documents.select(count(lit(1)).as("__n"))
+    termFreq.join(docFreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * (log((col("__n") + 1) / (col("df") + 1)) + 1), 6))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
 }

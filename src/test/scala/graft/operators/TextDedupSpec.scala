@@ -47,6 +47,22 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("tfidfTopTerms: k rows per doc; ubiquitous terms score below rare ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat"), (2L, "the dog ran"), (3L, "the fox hid")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(docs, 2).collect()
+    assert(out.groupBy(_.getAs[Long]("doc_id")).forall(_._2.length == 2))
+    // 'the' (df=3) must never outrank the doc-unique terms (df=1, same tf)
+    out.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rows) =>
+      assert(rows.forall(_.getAs[String]("term") != "the"))
+    }
+    val full = TextAnalysis.tfidfTopTerms(graft.Tables.documents(spark, sf), 3)
+    assert(full.groupBy("doc_id").count()
+      .filter(col("count") > 3).isEmpty)
+  }
+
   test("langid covers all profiles deterministically") {
     val out = TextAnalysis.languageId(Tables.documents(spark, sf))
     val langs = out.select("pred_lang").distinct().collect().map(_.getString(0)).toSet
