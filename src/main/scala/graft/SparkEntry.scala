@@ -267,6 +267,10 @@ object SparkEntry {
       Dedup.dropExactDuplicates(Tables.documents(s, d)).select("keep_id", "n_chars")),
     "dd_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), 3, 0.2)),
+    // asymmetric containment — catches a short doc quoted inside a long
+    // one, which symmetric Jaccard misses
+    "dd_containment" -> ((s, d) =>
+      Dedup.ngramContainmentPairs(Tables.documents(s, d), 3, 0.5)),
     "dd_cluster" -> ((s, d) =>
       Dedup.dupClusters(Dedup.ngramJaccardPairs(Tables.documents(s, d), 3, 0.2))),
     // detection → deduplicated corpus: drop every clustered doc except
@@ -998,6 +1002,22 @@ object SparkEntry {
            round(shared / (x.n_sh + y.n_sh - shared), 6) AS jaccard
          FROM p JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
          WHERE round(shared / (x.n_sh + y.n_sh - shared), 6) >= 0.2""",
+    "dd_containment" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (SELECT DISTINCT doc_id, s FROM (
+           SELECT doc_id, unnest(list_transform(range(1, len(t)-1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+           FROM toks WHERE len(t) >= 3)),
+         sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+         SELECT d1, d2, shared,
+           round(shared / x.n_sh, 6) AS cont_1_in_2,
+           round(shared / y.n_sh, 6) AS cont_2_in_1
+         FROM p JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+         WHERE round(shared / x.n_sh, 6) >= 0.5
+            OR round(shared / y.n_sh, 6) >= 0.5""",
     "dd_cluster" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          sh AS (SELECT DISTINCT doc_id, s FROM (

@@ -80,6 +80,37 @@ object Dedup {
       .select(col("d1"), col("d2"), col("shared"), col("jaccard"))
   }
 
+  /** Asymmetric CONTAINMENT pairs: |A∩B| / |A| — near-1 when doc A is
+    * quoted/embedded inside a larger doc B even though their Jaccard is
+    * tiny (the length-mismatch case symmetric similarity misses; the
+    * standard complement to Jaccard in corpus dedup). Same shingle-join
+    * shape as ngramJaccardPairs — hashed 8-byte shingle keys, sizes ride
+    * the rows, no join-back — emitting both directions' containment per
+    * unordered pair. */
+  def ngramContainmentPairs(documents: DataFrame, n: Int,
+                            threshold: Double): DataFrame = {
+    import graft.plans.ShingleHashes
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val hashes = ColumnBridge.column(
+      ShingleHashes(ColumnBridge.expression(col("text")), n))
+    val sh = Scale.fanOut(documents.select("doc_id", "text"), Seq("doc_id"))
+      .select(col("doc_id"), hashes.as("hs"))
+      .select(col("doc_id"), size(col("hs")).as("n_sh"),
+        explode(col("hs")).as("sk"))
+    sh.as("a")
+      .join(sh.as("b"),
+        col("a.sk") === col("b.sk") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.n_sh").as("n1"), col("b.n_sh").as("n2"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("cont_1_in_2", round(col("shared") / col("n1"), 6))
+      .withColumn("cont_2_in_1", round(col("shared") / col("n2"), 6))
+      .filter(col("cont_1_in_2") >= threshold ||
+        col("cont_2_in_1") >= threshold)
+      .select(col("d1"), col("d2"), col("shared"),
+        col("cont_1_in_2"), col("cont_2_in_1"))
+  }
+
   /** Connected components over a near-dup pair list (d1 < d2): cluster
     * id = smallest doc_id reachable. Iterative min-label propagation —
     * the Spark-native CC (each round: join labels to edges, take the

@@ -47,6 +47,23 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("containment catches a short doc quoted in a long one that Jaccard misses") {
+    import spark.implicits._
+    val short = "alpha beta gamma delta epsilon zeta eta theta"
+    val long = short + " " + (1 to 60).map(i => s"filler$i").mkString(" ")
+    val docs = Seq((1L, short), (2L, long), (3L, "totally unrelated words " +
+      "about nothing shared with either document at all here")).toDF("doc_id", "text")
+    val cont = Dedup.ngramContainmentPairs(docs, 3, 0.9).collect()
+    assert(cont.exists(r => r.getAs[Long]("d1") == 1L && r.getAs[Long]("d2") == 2L
+      && r.getAs[Double]("cont_1_in_2") >= 0.9),
+      "quoted doc not caught by containment")
+    assert(!cont.exists(r => r.getAs[Long]("d2") == 3L || r.getAs[Long]("d1") == 3L))
+    // symmetric Jaccard on the same pair is small — the case this exists for
+    val jac = Dedup.ngramJaccardPairs(docs, 3, 0.0)
+      .filter(col("d1") === 1L && col("d2") === 2L).collect()
+    assert(jac.head.getAs[Double]("jaccard") < 0.2)
+  }
+
   test("tfidfTopTerms: k rows per doc; ubiquitous terms score below rare ones") {
     import spark.implicits._
     val docs = Seq(
