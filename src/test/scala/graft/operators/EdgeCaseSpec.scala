@@ -34,6 +34,48 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Dedup.dupClusters(Dedup.ngramJaccardPairs(noDocs, 3, 0.2)).count() == 0)
   }
 
+  test("round-4 operators on empty input") {
+    // SCD2 family: empty change stream → empty history; empty batch
+    // applied to a history leaves it untouched
+    assert(Dwh.scd2Build(noEvents, "user_id", "event_type", "ts", "event_id")
+      .count() == 0)
+    val hist = Dwh.scd2Build(Tables.events(spark, sf),
+      "user_id", "event_type", "ts", "event_id")
+    val applied = Dwh.scd2Apply(hist, noEvents,
+      "user_id", "event_type", "ts", "event_id")
+    assert(applied.exceptAll(hist).isEmpty && hist.exceptAll(applied).isEmpty)
+    // CDC: empty changelog → snapshot passes through unchanged
+    val snap = Tables.customer(spark, sf)
+    val cdc = Dwh.cdcApply(snap,
+      noEvents.select(col("user_id").as("c_custkey"),
+        lit("U").as("op"), col("event_type").as("ns"), col("ts"),
+        col("event_id").as("ord")),
+      "c_custkey", "c_mktsegment", "op", "ns", "ts", "ord")
+    assert(cdc.count() == snap.count())
+    // sampling family
+    assert(Sampling.mixtureSample(noDocs, "doc_id", "lang",
+      Map("en" -> 1.0)).count() == 0)
+    assert(Sampling.mixtureSample(Tables.documents(spark, sf), "doc_id",
+      "lang", Map.empty[String, Double]).count() == 0)
+    assert(Sampling.deterministicShuffle(noDocs, "doc_id").count() == 0)
+    assert(Sampling.stratifiedFixed(noDocs, "doc_id", "lang", 5).count() == 0)
+    // containment / mode / interval overlap
+    assert(Dedup.ngramContainmentPairs(noDocs, 3, 0.5).count() == 0)
+    assert(Stats.modePerGroup(noEvents, "event_type", "value").count() == 0)
+    val noIv = noEvents.select(col("event_id").as("err_id"),
+      unix_micros(col("ts")).as("s1"),
+      (unix_micros(col("ts")) + 1L).as("e1"))
+    val someIv = Tables.events(spark, sf).limit(5)
+      .select(col("event_id").as("pur_id"), unix_micros(col("ts")).as("s2"),
+        (unix_micros(col("ts")) + 1L).as("e2"))
+    assert(RangeJoin.intervalOverlap(noIv, someIv,
+      "s1", "e1", "s2", "e2", 1000000L).count() == 0)
+    // semantic dedup over an empty vector set
+    val cb = SimilaritySearch.ivfCodebook(Tables.embeddings(spark, sf), 4)
+    assert(Dedup.semanticDedup(
+      Tables.embeddings(spark, sf).filter(lit(false)), cb, 0.3).count() == 0)
+  }
+
   test("asof join with empty right side yields null matches, keeps left") {
     val left = Tables.events(spark, sf).filter(col("event_type") === "purchase")
       .select(col("event_id").as("p"), col("user_id"), col("ts"))
