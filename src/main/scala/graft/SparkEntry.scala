@@ -178,6 +178,8 @@ object SparkEntry {
     "w5_session_summary" -> ((s, d) => Windows.sessionSummary(Tables.events(s, d))),
     "w6_rank_lead" -> ((s, d) => Windows.rankAndLead(Tables.events(s, d))),
     "w8_ntile" -> ((s, d) => Windows.distributionRanks(Tables.events(s, d))),
+    "w9_funnel" -> ((s, d) => Windows.funnelStages(Tables.events(s, d),
+      Seq("signup", "click", "purchase"))),
     "w7_nested_flatten" -> ((s, d) =>
       Windows.nestedFlattenRoundtrip(Tables.events(s, d))),
     "st_approx_distinct" -> ((s, d) =>
@@ -701,6 +703,24 @@ object SparkEntry {
          WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)""",
     "w7_nested_flatten" ->
       "SELECT user_id, epoch_us(ts) AS ts_us, value FROM events",
+    "w9_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+             WHERE event_type = 'signup' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t2
+             FROM events e JOIN s1 USING (user_id)
+             WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(e.ts) AS t3
+             FROM events e JOIN s2 USING (user_id)
+             WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+         SELECT u.user_id,
+           CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+                WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS funnel_depth,
+           epoch_us(t1) AS t1_us, epoch_us(t2) AS t2_us,
+           epoch_us(t3) AS t3_us
+         FROM (SELECT DISTINCT user_id FROM events) u
+         LEFT JOIN s1 USING (user_id)
+         LEFT JOIN s2 USING (user_id)
+         LEFT JOIN s3 USING (user_id)""",
     // st_approx_distinct: HLL sketches are engine-specific → rows-only +
     // property spec (relative error vs the exact count).
     "q22_range_join" ->

@@ -134,4 +134,37 @@ object Windows {
         round(avg("value"), 4).as("avg_value"))
       .withColumn("duration_sec",
         round((col("end_us") - col("start_us")) / 1e6, 6))
+
+  /** Ordered FUNNEL analysis: per user, the earliest time each stage of
+    * `stages` is reached STRICTLY AFTER the previous stage's hit (the
+    * first signup, the first click after that signup, the first purchase
+    * after that click, …) plus the depth reached. The self-join-chain
+    * formulation shuffles the events table once per stage; this is ONE
+    * shuffle on user_id total: `groupByKey.flatMapSortedGroups` streams
+    * each user's events through a spill-safe (ts, event_id)-sorted
+    * iterator with a stage cursor as the only state — the same shape as
+    * the EWMA recurrence, and the scan cost is independent of the stage
+    * count. */
+  def funnelStages(events: DataFrame, stages: Seq[String]): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    require(stages.nonEmpty && stages.size <= 3,
+      "contract projection emits t1..t3; widen the output for more stages")
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups($"ts_us", $"event_id") { (k, it) =>
+        val hit = Array.fill(3)(Option.empty[Long])
+        var next = 0
+        it.foreach { case (_, ts, _, et) =>
+          if (next < stages.size && et == stages(next)) {
+            hit(next) = Some(ts); next += 1
+          }
+        }
+        Iterator.single((k, next, hit(0), hit(1), hit(2)))
+      }
+      .toDF("user_id", "funnel_depth", "t1_us", "t2_us", "t3_us")
+  }
 }

@@ -75,4 +75,26 @@ class WindowsLambdaSpec extends SparkSpec {
       .collect().map(key).toSet
     assert(gridD == exactD)
   }
+
+  test("funnelStages: ordered progression only; pre-stage events don't count") {
+    import spark.implicits._
+    def ev(id: Long, u: Long, sec: Int, t: String) =
+      (id, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$sec%02d"), u, t, 0.0, "{}")
+    val events = Seq(
+      // user 1: click BEFORE signup is ignored; then full funnel
+      ev(1, 1, 1, "click"), ev(2, 1, 2, "signup"), ev(3, 1, 3, "click"),
+      ev(4, 1, 4, "purchase"),
+      // user 2: purchase before click → depth stops at 2
+      ev(5, 2, 1, "signup"), ev(6, 2, 2, "purchase"), ev(7, 2, 3, "click"),
+      // user 3: never signs up
+      ev(8, 3, 1, "view")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Windows.funnelStages(events, Seq("signup", "click", "purchase"))
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Int]("funnel_depth"), r.getAs[Any]("t1_us") != null,
+         r.getAs[Any]("t3_us") != null)).toMap
+    assert(out(1L) == ((3, true, true)))
+    assert(out(2L) == ((2, true, false)))
+    assert(out(3L) == ((0, false, false)))
+  }
 }
