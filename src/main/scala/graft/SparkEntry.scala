@@ -425,6 +425,13 @@ object SparkEntry {
     }),
     "st_mode" -> ((s, d) =>
       Stats.modePerGroup(Tables.lineitem(s, d), "l_returnflag", "l_quantity")),
+    "st_winsorize" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Stats.winsorize(Tables.lineitem(s, d), "l_returnflag",
+        "l_extendedprice", 0.05, 0.95)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("value_w"), col("clipped"))
+    }),
     // ---- I. warehouse maintenance (SCD2 / CDC) ----
     // events as the dimension change stream: per-user event_type versions
     "dwh_scd2" -> ((s, d) => {
@@ -1235,6 +1242,15 @@ object SparkEntry {
          SELECT err_id, pur_id,
            least(e1, e2) - greatest(s1, s2) AS overlap_us
          FROM e JOIN p ON s1 <= e2 AND s2 <= e1""",
+    "st_winsorize" ->
+      """WITH b AS (SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.05) AS lo,
+             quantile_cont(l_extendedprice, 0.95) AS hi
+           FROM lineitem GROUP BY 1)
+         SELECT l_orderkey, l_linenumber, l.l_returnflag,
+           round(least(greatest(l_extendedprice, lo), hi), 4) AS value_w,
+           (l_extendedprice < lo OR l_extendedprice > hi) AS clipped
+         FROM lineitem l JOIN b USING (l_returnflag)""",
     "st_mode" ->
       """WITH f AS (SELECT l_returnflag, l_quantity AS mode_value,
              count(*) AS freq

@@ -86,6 +86,26 @@ object Stats {
       .agg(approx_count_distinct(col(c), rsd).as("approx_distinct"),
         countDistinct(col(c)).as("exact_distinct"))
 
+  /** WINSORIZATION — clip per-group outliers to the [pLo, pHi] exact
+    * percentile band, the standard robustification before training on
+    * heavy-tailed numerics. Scale shape: one partial-agg pass computes
+    * the per-group bounds (a groups×2 frame), which BROADCAST back onto
+    * the scan — the data itself is never shuffled and the clip is a
+    * codegen'd least/greatest. Swap `percentile` for
+    * `approx_percentile` when per-group sorts are too hot at 100 TB —
+    * the join shape is unchanged. */
+  def winsorize(df: DataFrame, groupCol: String, c: String,
+                pLo: Double, pHi: Double): DataFrame = {
+    val bounds = df.groupBy(groupCol).agg(
+      expr(s"percentile($c, $pLo)").as("__lo"),
+      expr(s"percentile($c, $pHi)").as("__hi"))
+    df.join(broadcast(bounds), groupCol)
+      .withColumn("value_w",
+        round(least(greatest(col(c), col("__lo")), col("__hi")), 4))
+      .withColumn("clipped", col(c) < col("__lo") || col(c) > col("__hi"))
+      .drop("__lo", "__hi")
+  }
+
   /** Deterministic per-group mode: the most frequent value, ties to the
     * smallest — Spark's built-in `mode()` breaks ties arbitrarily, which
     * can't be oracle-checked or reproduced across runs. Two narrow

@@ -112,6 +112,25 @@ class MultimodalSpec extends SparkSpec {
       s"corrupted near-copy not found in ${pairs.length} pairs")
   }
 
+  test("winsorize clips to the band, marks only true outliers, preserves rows") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sf)
+    val w = Stats.winsorize(li, "l_returnflag", "l_extendedprice", 0.05, 0.95)
+      .cache()
+    assert(w.count() == li.count())
+    // clipped fraction per group ~10% (two 5% tails)
+    val frac = w.groupBy("l_returnflag")
+      .agg((sum(when(col("clipped"), 1).otherwise(0)) / count(lit(1))).as("f"))
+      .collect().map(_.getAs[Double]("f"))
+    frac.foreach(f => assert(f > 0.05 && f < 0.15, s"clip fraction $f"))
+    // unclipped rows keep their value; clipped rows land on a boundary
+    // (boundary = min/max of the winsorized values per group)
+    val bad = w.filter(!col("clipped") &&
+      col("value_w") =!= round(col("l_extendedprice"), 4))
+    assert(bad.isEmpty)
+    w.unpersist()
+  }
+
   test("hllMergeProfile: per-group and union-merged estimates track exact counts") {
     import org.apache.spark.sql.functions._
     val li = Tables.lineitem(spark, sf)
