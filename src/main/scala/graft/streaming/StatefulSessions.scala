@@ -18,6 +18,55 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StatefulSessions {
 
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long, value: Double)
+
+  // ---- streaming funnel (twin of operators.Windows.funnelStages) ----
+
+  case class FunnelEv(event_id: Long, ts: java.sql.Timestamp,
+                      user_id: Long, event_type: String)
+  case class FunnelState(next: Int, t1: Long, t2: Long, t3: Long)
+  case class FunnelRow(user_id: Long, funnel_depth: Int,
+                       t1_us: Option[Long], t2_us: Option[Long],
+                       t3_us: Option[Long])
+
+  /** Per-user funnel progression over an unbounded stream: the stage
+    * cursor and hit timestamps are the O(1) state, advanced per
+    * micro-batch (batch rows sorted by (ts, event_id), so in-order
+    * streams reproduce the batch operator exactly — spec-verified,
+    * including progression SPLIT ACROSS batches, which no per-batch
+    * computation can see). Emits the user's row whenever its depth
+    * advances (Update mode). */
+  def funnel(events: Dataset[FunnelEv],
+             stages: Seq[String]): Dataset[FunnelRow] = {
+    require(stages.nonEmpty && stages.size <= 3, "state carries t1..t3")
+    implicit val outEnc = Encoders.product[FunnelRow]
+    implicit val stEnc = Encoders.product[FunnelState]
+    def us(e: FunnelEv): Long =
+      e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[FunnelEv],
+         state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(0, -1L, -1L, -1L))
+          val before = st.next
+          rows.toSeq.sortBy(e => (us(e), e.event_id)).foreach { e =>
+            if (st.next < stages.size && e.event_type == stages(st.next)) {
+              val t = us(e)
+              st = st.next match {
+                case 0 => FunnelState(1, t, st.t2, st.t3)
+                case 1 => FunnelState(2, st.t1, t, st.t3)
+                case _ => FunnelState(3, st.t1, st.t2, t)
+              }
+            }
+          }
+          state.update(st)
+          if (st.next == before) Iterator.empty
+          else Iterator.single(FunnelRow(userId, st.next,
+            Option(st.t1).filter(_ >= 0), Option(st.t2).filter(_ >= 0),
+            Option(st.t3).filter(_ >= 0)))
+      }
+  }
   case class SessionState(lastUs: Long, sessionNo: Long)
   case class SessionedEv(event_id: Long, user_id: Long, session_no: Long)
 

@@ -111,6 +111,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful streaming funnel matches the batch funnel across split batches") {
+    implicit val sq = spark.sqlContext
+    implicit val enc = Encoders.product[StatefulSessions.FunnelEv]
+    val stages = Seq("signup", "click", "purchase")
+    val all = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"))
+      .as[StatefulSessions.FunnelEv](enc)
+      .collect().sortBy(_.ts.getTime)
+
+    val input = MemoryStream[StatefulSessions.FunnelEv](enc, sq)
+    val q = StatefulSessions.funnel(input.toDS(), stages)
+      .writeStream.format("memory").queryName("t_funnel")
+      .outputMode("update").start()
+    try {
+      // chronological halves: funnels progressing ACROSS the batch
+      // boundary only resolve through the carried state
+      val (first, second) = all.splitAt(all.length / 2)
+      input.addData(first.toIndexedSeq); q.processAllAvailable()
+      input.addData(second.toIndexedSeq); q.processAllAvailable()
+      // latest (deepest) update per user wins
+      val streamed = spark.table("t_funnel").collect()
+        .map(r => (r.getAs[Long]("user_id"),
+          (r.getAs[Int]("funnel_depth"), r.getAs[Any]("t3_us"))))
+        .groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).maxBy(_._1) }
+      val batch = Windows.funnelStages(Tables.events(spark, sf), stages)
+        .filter(col("funnel_depth") > 0).collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          ((r.getAs[Int]("funnel_depth"), r.getAs[Any]("t3_us")))).toMap
+      assert(streamed.size == batch.size)
+      batch.foreach { case (u, (d, t3)) =>
+        assert(streamed(u)._1 == d, s"user $u depth ${streamed(u)._1} != $d")
+        assert(streamed(u)._2 == t3, s"user $u t3 mismatch")
+      }
+    } finally q.stop()
+  }
+
   test("streaming dedup drops redelivered events across micro-batches") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[String](Encoders.STRING, sq)
