@@ -123,6 +123,19 @@ object VectorImpl {
     best
   }
 
+  /** ADC table sum for a PQ code row; out-of-range codes contribute 0. */
+  def pqAdcSum(code: ArrayData, table: Array[Double], ksub: Int): Double = {
+    val m = math.min(code.numElements(), table.length / ksub)
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      val c = code.getInt(j)
+      if (c >= 0 && c < ksub) s += table(j * ksub + c)
+      j += 1
+    }
+    s
+  }
+
   /** Cell ids of the `nProbe` largest dots, descending; ties broken by
     * lower cell id (deterministic, unlike an unstable comparator sort). */
   def topCentroidsTyped(v: ArrayData, cb: Array[Double], dim: Int,
@@ -209,6 +222,42 @@ trait NumericArrayInput { self: UnaryExpression =>
     case ArrayType(FloatType, _) => true
     case _ => false
   }
+}
+
+/** PQ asymmetric-distance table sum: array<int> code → Σⱼ
+  * table[j·ksub + code[j]] — the per-candidate scoring kernel of the
+  * ADC probe, which runs once per CODE ROW per query over the whole
+  * (billions-row at 100 TB) code lake. The HOF formulation
+  * (transform + element_at + aggregate) allocates a lambda frame per
+  * subspace per row and falls out of whole-stage codegen — this is a
+  * primitive loop with the table as one reference object. Codes
+  * outside [0, ksub) contribute 0 (defensive; the encoder can't emit
+  * them). */
+case class PqAdcSum(child: Expression, table: IndexedSeq[Double], ksub: Int)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"expected array<int> PQ code, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_pq_adc_sum"
+
+  @transient private lazy val tbl: Array[Double] = table.toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorImpl.pqAdcSum(input.asInstanceOf[ArrayData], tbl, ksub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("adcTable", tbl, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.VectorImpl.pqAdcSum($c, $ref, $ksub);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqAdcSum =
+    copy(child = newChild)
 }
 
 /** IVF cell assignment: array<float|double> → int (0-based codebook
