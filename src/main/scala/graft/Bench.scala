@@ -49,7 +49,11 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       name -> (if (failed) -1.0 else sec)
     }
-    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // Locale.ROOT: the default-locale f"" interpolator would emit
+    // comma decimals ("21,500") under e.g. de_DE and break the JSON
+    def fmt(v: Double): String =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

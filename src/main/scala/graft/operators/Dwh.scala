@@ -67,10 +67,18 @@ object Dwh {
     * table unchanged (spec-asserted). Equivalence is also spec-locked:
     * scd2Apply(scd2Build(early), late) == scd2Build(early ∪ late). */
   def scd2Apply(existing: DataFrame, changes: DataFrame, key: String,
-                state: String, ts: String, ord: String): DataFrame = {
+                state: String, ts: String, ord: String,
+                broadcastRowLimit: Long = 4000000L): DataFrame = {
+    // MEASURED broadcast decision (the dupClusters idiom): the batch is
+    // the small side by design, but "a day of changes" can still be
+    // arbitrarily large — one cheap count on the changelog gates the
+    // hint; past the limit the joins degrade to shuffled hash joins
+    // (AQE may still promote them) instead of a driver-memory broadcast.
+    val bcOk = changes.count() <= broadcastRowLimit
+    def bc(df: DataFrame): DataFrame = if (bcOk) broadcast(df) else df
     val batchKeys = changes.select(col(key)).distinct()
-    val touched = existing.join(broadcast(batchKeys), Seq(key), "left_semi")
-    val untouched = existing.join(broadcast(batchKeys), Seq(key), "left_anti")
+    val touched = existing.join(bc(batchKeys), Seq(key), "left_semi")
+    val untouched = existing.join(bc(batchKeys), Seq(key), "left_anti")
     val open = touched.filter(col("is_current"))
     // the open version replayed as the oldest observation of the rebuild
     // (ord -1 sorts it before any batch row at the same timestamp)
@@ -78,7 +86,7 @@ object Dwh {
       col("valid_from").as(ts), lit(-1L).as(ord))
     val freshChanges = changes
       .select(col(key), col(state), col(ts), col(ord))
-      .join(broadcast(open.select(col(key), col("valid_from"))), Seq(key), "left")
+      .join(bc(open.select(col(key), col("valid_from"))), Seq(key), "left")
       .filter(col("valid_from").isNull || col(ts) > col("valid_from"))
       .drop("valid_from")
     val rebuilt = scd2Build(openObs.unionByName(freshChanges),
@@ -102,7 +110,14 @@ object Dwh {
   def cdcApply(snapshot: DataFrame, changes: DataFrame,
                key: String, snapshotState: String,
                op: String, newState: String,
-               ts: String, ord: String): DataFrame = {
+               ts: String, ord: String,
+               broadcastRowLimit: Long = 4000000L): DataFrame = {
+    // same measured gate as scd2Apply: the changelog row count bounds the
+    // collapsed latest-per-key frame from above, so one cheap count
+    // decides broadcast vs shuffled join — a backfill-sized changelog must
+    // not be forced through a driver-memory broadcast.
+    val bcOk = changes.count() <= broadcastRowLimit
+    def bc(df: DataFrame): DataFrame = if (bcOk) broadcast(df) else df
     val byKeyDesc = Window.partitionBy(key).orderBy(desc(ts), desc(ord))
     val latest = changes
       .select(col(key), col(op), col(newState), col(ts), col(ord))
@@ -111,11 +126,11 @@ object Dwh {
       .select(col(key), col(op), col(newState).as("__new"))
     val applied = snapshot
       .select(col(key), col(snapshotState).as("state"))
-      .join(broadcast(latest), Seq(key), "left")
+      .join(bc(latest), Seq(key), "left")
       .filter(!(col(op) <=> lit("D")))
       .select(col(key), coalesce(col("__new"), col("state")).as("state"))
     // inserts: keys present in the changelog but not the snapshot
-    val inserts = broadcast(latest)
+    val inserts = bc(latest)
       .filter(col(op) =!= "D")
       .join(snapshot.select(col(key)), Seq(key), "left_anti")
       .select(col(key), col("__new").as("state"))

@@ -48,7 +48,14 @@ object ProductQuantization {
 
   /** Plain Lloyd iterations with deterministic first-distinct init;
     * empty cells keep their previous centroid. Runs on the driver over
-    * the (tiny) training sample only. */
+    * the (tiny) training sample only.
+    *
+    * Always returns EXACTLY `k` centroids: when the sample has fewer
+    * than `k` distinct subvectors, the trained centroids are cycled to
+    * pad the tail. Duplicated entries are harmless — encode's argmax
+    * picks the first occurrence — and the uniform size is load-bearing:
+    * pqTopK's flattened ADC/norm tables index with stride `ksub`, so a
+    * ragged codebook would shift every later subspace's offsets. */
   private def kmeans(points: Array[Array[Double]], k: Int,
                      iters: Int): Seq[Seq[Double]] = {
     val init = points.distinctBy(_.toSeq).take(k)
@@ -74,7 +81,9 @@ object ProductQuantization {
         if (counts(c) == 0) old else sums(c).map(_ / counts(c))
       }
     }
-    centroids.map(_.toIndexedSeq).toIndexedSeq
+    val trained = centroids.map(_.toIndexedSeq).toIndexedSeq
+    if (trained.length >= k) trained
+    else trained ++ Iterator.continually(trained).flatten.take(k - trained.length)
   }
 
   /** Row-local PQ encoding: per subspace, the L2-nearest sub-centroid's
@@ -125,6 +134,8 @@ object ProductQuantization {
              rerank: Int = 50): DataFrame = {
     val m = codebooks.size
     val ksub = codebooks.head.size
+    require(codebooks.forall(_.size == ksub),
+      "ragged codebooks would corrupt the stride-ksub ADC table offsets")
     val dsub = codebooks.head.head.size
     val qRow = embeddings.filter(col("vec_id") === queryId)
       .select(col("embedding").cast("array<double>")).head(1)

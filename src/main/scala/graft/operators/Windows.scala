@@ -158,9 +158,14 @@ object Windows {
       .flatMapSortedGroups($"ts_us", $"event_id") { (k, it) =>
         val hit = Array.fill(3)(Option.empty[Long])
         var next = 0
+        var prevTs = Long.MinValue
         it.foreach { case (_, ts, _, et) =>
-          if (next < stages.size && et == stages(next)) {
-            hit(next) = Some(ts); next += 1
+          // STRICTLY after: a next-stage event sharing the previous
+          // hit's exact timestamp does not count (matches the oracle's
+          // `e.ts > prev.t` semantics; ties on ts are not ordered causally)
+          if (next < stages.size && et == stages(next) &&
+              (next == 0 || ts > prevTs)) {
+            hit(next) = Some(ts); prevTs = ts; next += 1
           }
         }
         Iterator.single((k, next, hit(0), hit(1), hit(2)))

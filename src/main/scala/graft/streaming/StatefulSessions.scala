@@ -51,7 +51,13 @@ object StatefulSessions {
           var st = state.getOption.getOrElse(FunnelState(0, -1L, -1L, -1L))
           val before = st.next
           rows.toSeq.sortBy(e => (us(e), e.event_id)).foreach { e =>
-            if (st.next < stages.size && e.event_type == stages(st.next)) {
+            // strictly-after guard, mirroring the batch operator: the
+            // previous hit's timestamp is the last stored t for the cursor
+            val prev = st.next match {
+              case 1 => st.t1; case 2 => st.t2; case _ => Long.MinValue
+            }
+            if (st.next < stages.size && e.event_type == stages(st.next) &&
+                (st.next == 0 || us(e) > prev)) {
               val t = us(e)
               st = st.next match {
                 case 0 => FunnelState(1, t, st.t2, st.t3)

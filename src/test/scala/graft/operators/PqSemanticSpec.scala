@@ -15,8 +15,30 @@ class PqSemanticSpec extends SparkSpec {
     val b = ProductQuantization.trainCodebooks(emb, m = 16, ksub = 16)
     assert(a == b, "seeded training must be reproducible")
     assert(a.size == 16)
-    a.foreach { cb => assert(cb.nonEmpty && cb.size <= 16)
+    // EXACTLY ksub entries per subspace — pqTopK's ADC tables stride by
+    // ksub, so a ragged codebook silently corrupts later-subspace offsets
+    a.foreach { cb => assert(cb.size == 16)
       cb.foreach(c => assert(c.size == 4)) }
+  }
+
+  test("degenerate corpus (< ksub distinct subvectors) pads codebooks and scores correctly") {
+    import spark.implicits._
+    // 3 distinct base vectors, repeated — every subspace trains < 16 centroids
+    val base = Seq.tabulate(3)(i => Array.tabulate(64)(d => (i * 64 + d).toFloat / 100f))
+    val tiny = (0L until 30L).map(id => (id, base((id % 3).toInt)))
+      .toDF("vec_id", "embedding")
+    val cbs = ProductQuantization.trainCodebooks(tiny, m = 16, ksub = 16)
+    cbs.foreach(cb => assert(cb.size == 16, "padding must restore uniform ksub"))
+    val dir = s"target/graft_io/test/emb_pq_d_${System.nanoTime()}"
+    ProductQuantization.encode(tiny, cbs)
+      .write.mode("overwrite").parquet(dir)
+    val pq = ProductQuantization.pqTopK(spark, dir, tiny, 0L, 5, cbs).collect()
+    assert(pq.length == 5)
+    // ids ≡ 0 (mod 3) are exact copies of the query → true cosine 1.0 and
+    // the ADC score must surface them; any null/garbage score breaks this
+    val perfect = pq.filter(_.getAs[Double]("cos") >= 0.9999).map(_.getAs[Long]("vec_id"))
+    assert(perfect.length == 5 && perfect.forall(_ % 3 == 0),
+      s"expected the 5 exact copies, got ${pq.mkString(",")}")
   }
 
   test("encode yields one in-range code per subspace, deterministically") {
