@@ -21,6 +21,18 @@ import org.apache.spark.sql.functions._
   */
 object Dwh {
 
+  /** Broadcast gate WITHOUT an action: Catalyst's size-in-bytes estimate
+    * of the frame's optimized plan. A count()-based gate is eager at
+    * plan-construction time and recomputes an uncached changelog lineage
+    * twice (once counting, again in the joins); the estimate costs one
+    * driver-side optimizer pass. It is byte-based, so a 4M-row frame
+    * with a wide state column is gated by its actual width, and it errs
+    * the safe way: an unknown/inflated estimate degrades to a shuffled
+    * hash join (AQE may still promote it) rather than into a
+    * driver-memory broadcast. */
+  private def fitsBroadcast(df: DataFrame, byteLimit: Long): Boolean =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(byteLimit)
+
   /** Build SCD Type-2 history from a change stream: one row per
     * (key, state) VERSION — opened when the observed state differs from
     * the previous observation, closed by the next version's open time.
@@ -68,13 +80,17 @@ object Dwh {
     * scd2Apply(scd2Build(early), late) == scd2Build(early ∪ late). */
   def scd2Apply(existing: DataFrame, changes: DataFrame, key: String,
                 state: String, ts: String, ord: String,
-                broadcastRowLimit: Long = 4000000L): DataFrame = {
-    // MEASURED broadcast decision (the dupClusters idiom): the batch is
-    // the small side by design, but "a day of changes" can still be
-    // arbitrarily large — one cheap count on the changelog gates the
-    // hint; past the limit the joins degrade to shuffled hash joins
-    // (AQE may still promote them) instead of a driver-memory broadcast.
-    val bcOk = changes.count() <= broadcastRowLimit
+                broadcastByteLimit: Long = 256L << 20): DataFrame = {
+    // ESTIMATED broadcast decision: the batch is the small side by
+    // design, but "a day of changes" can still be arbitrarily large —
+    // the pruned changelog's plan-stats byte estimate gates the hint
+    // without executing anything; past the limit the joins run as
+    // shuffled hash joins instead of a driver-memory broadcast. The
+    // frames actually broadcast (key set, open valid_from map) are
+    // projections of this estimate's columns, so it bounds them.
+    val bcOk = fitsBroadcast(
+      changes.select(col(key), col(state), col(ts), col(ord)),
+      broadcastByteLimit)
     def bc(df: DataFrame): DataFrame = if (bcOk) broadcast(df) else df
     val batchKeys = changes.select(col(key)).distinct()
     val touched = existing.join(bc(batchKeys), Seq(key), "left_semi")
@@ -111,12 +127,15 @@ object Dwh {
                key: String, snapshotState: String,
                op: String, newState: String,
                ts: String, ord: String,
-               broadcastRowLimit: Long = 4000000L): DataFrame = {
-    // same measured gate as scd2Apply: the changelog row count bounds the
-    // collapsed latest-per-key frame from above, so one cheap count
-    // decides broadcast vs shuffled join — a backfill-sized changelog must
-    // not be forced through a driver-memory broadcast.
-    val bcOk = changes.count() <= broadcastRowLimit
+               broadcastByteLimit: Long = 256L << 20): DataFrame = {
+    // same estimated gate as scd2Apply, on the columns the broadcast
+    // frame (`latest`) actually carries — including the arbitrary-width
+    // `__new` state payload, so a wide changelog is gated by its bytes,
+    // not its row count; a backfill-sized changelog must not be forced
+    // through a driver-memory broadcast.
+    val bcOk = fitsBroadcast(
+      changes.select(col(key), col(op), col(newState), col(ts), col(ord)),
+      broadcastByteLimit)
     def bc(df: DataFrame): DataFrame = if (bcOk) broadcast(df) else df
     val byKeyDesc = Window.partitionBy(key).orderBy(desc(ts), desc(ord))
     val latest = changes

@@ -58,6 +58,11 @@ object ProductQuantization {
     * ragged codebook would shift every later subspace's offsets. */
   private def kmeans(points: Array[Array[Double]], k: Int,
                      iters: Int): Seq[Seq[Double]] = {
+    // cheap invariant: with zero points the padding below
+    // (Iterator.continually(trained).flatten) would spin forever —
+    // fail loudly instead (trainCodebooks already guarantees non-empty,
+    // this guards future direct callers)
+    require(points.nonEmpty, "kmeans requires a non-empty sample")
     val init = points.distinctBy(_.toSeq).take(k)
     var centroids = init.map(_.clone)
     val kEff = centroids.length

@@ -112,4 +112,27 @@ class DwhSpec extends SparkSpec {
     assert(once.orderBy("k").collect().toSeq ==
       twice.orderBy("k").collect().toSeq)
   }
+
+  test("scd2Apply and cdcApply are gate-invariant: shuffled mode equals broadcast mode") {
+    val ev = graft.Tables.events(spark, sf)
+    val split = lit("2024-01-16").cast("timestamp")
+    val base = Dwh.scd2Build(ev.filter(col("ts") < split),
+      "user_id", "event_type", "ts", "event_id")
+    val late = ev.filter(col("ts") >= split)
+    val bc = Dwh.scd2Apply(base, late, "user_id", "event_type", "ts", "event_id")
+    val sh = Dwh.scd2Apply(base, late, "user_id", "event_type", "ts", "event_id",
+      broadcastByteLimit = 0L)
+    assert(bc.exceptAll(sh).isEmpty && sh.exceptAll(bc).isEmpty)
+
+    val snapshot = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "seg")
+    val changes = Seq(
+      (1L, "U", "a2", ts("2024-01-01 00:00:01"), 1L),
+      (2L, "D", "x", ts("2024-01-01 00:00:02"), 2L),
+      (9L, "I", "n9", ts("2024-01-01 00:00:03"), 3L)
+    ).toDF("k", "op", "ns", "t", "ord")
+    val cdcBc = Dwh.cdcApply(snapshot, changes, "k", "seg", "op", "ns", "t", "ord")
+    val cdcSh = Dwh.cdcApply(snapshot, changes, "k", "seg", "op", "ns", "t", "ord",
+      broadcastByteLimit = 0L)
+    assert(cdcBc.orderBy("k").collect().toSeq == cdcSh.orderBy("k").collect().toSeq)
+  }
 }

@@ -97,4 +97,29 @@ class WindowsLambdaSpec extends SparkSpec {
     assert(out(2L) == ((2, true, false)))
     assert(out(3L) == ((0, false, false)))
   }
+
+  test("funnelStages: same-timestamp next-stage event does not advance depth") {
+    import spark.implicits._
+    def ev(id: Long, u: Long, sec: Int, t: String) =
+      (id, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$sec%02d"), u, t, 0.0, "{}")
+    val events = Seq(
+      // user 1: click shares the signup's exact ts → rejected (ties are
+      // not ordered causally); the strictly-later click advances instead
+      ev(1, 1, 2, "signup"), ev(2, 1, 2, "click"), ev(3, 1, 4, "click"),
+      // user 2: only a tied click → depth stays at 1
+      ev(4, 2, 2, "signup"), ev(5, 2, 2, "click"),
+      // user 3: purchase ties the ACCEPTED click's ts → depth stays at 2
+      ev(6, 3, 1, "signup"), ev(7, 3, 2, "click"), ev(8, 3, 2, "purchase")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Windows.funnelStages(events, Seq("signup", "click", "purchase"))
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Int]("funnel_depth"), r.getAs[Any]("t1_us"), r.getAs[Any]("t2_us")))
+      .toMap
+    val (d1, t1u1, t2u1) = out(1L)
+    assert(d1 == 2)
+    // the accepted click is the LATER one, not the tied one
+    assert(t2u1.asInstanceOf[Long] - t1u1.asInstanceOf[Long] == 2000000L)
+    assert(out(2L)._1 == 1)
+    assert(out(3L)._1 == 2)
+  }
 }

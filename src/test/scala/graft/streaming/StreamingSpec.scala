@@ -148,6 +148,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel rejects a same-timestamp next-stage event until a strictly later one") {
+    implicit val sq = spark.sqlContext
+    implicit val enc = Encoders.product[StatefulSessions.FunnelEv]
+    def ev(id: Long, u: Long, sec: Int, t: String) = StatefulSessions.FunnelEv(
+      id, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$sec%02d"), u, t)
+    val input = MemoryStream[StatefulSessions.FunnelEv](enc, sq)
+    val q = StatefulSessions.funnel(input.toDS(), Seq("signup", "click", "purchase"))
+      .writeStream.format("memory").queryName("t_funnel_tie")
+      .outputMode("update").start()
+    try {
+      def depth(u: Long): Int = spark.table("t_funnel_tie").collect()
+        .filter(_.getAs[Long]("user_id") == u)
+        .map(_.getAs[Int]("funnel_depth")).foldLeft(0)(math.max)
+      // batch 1: signup + a click sharing its exact timestamp — the tied
+      // click must NOT advance (same-batch tie)
+      input.addData(ev(1, 1, 2, "signup"), ev(2, 1, 2, "click"))
+      q.processAllAvailable()
+      assert(depth(1L) == 1)
+      // batch 2: another click at the SAME timestamp arriving in a later
+      // micro-batch — the stored t1 still rejects it (cross-batch tie)
+      input.addData(ev(3, 1, 2, "click"))
+      q.processAllAvailable()
+      assert(depth(1L) == 1)
+      // batch 3: a strictly later click finally advances
+      input.addData(ev(4, 1, 3, "click"))
+      q.processAllAvailable()
+      assert(depth(1L) == 2)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops redelivered events across micro-batches") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[String](Encoders.STRING, sq)
