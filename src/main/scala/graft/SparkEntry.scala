@@ -471,6 +471,48 @@ object SparkEntry {
       Dwh.cdcApply(Tables.customer(s, d), changes,
         "c_custkey", "c_mktsegment", "op", "new_state", "ts", "event_id")
     }),
+    // snapshot-only source: recover the changelog by diffing two
+    // deterministic snapshot versions of the customer dimension
+    "dwh_snapshot_diff" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val cust = Tables.customer(s, d)
+      val old = cust.select(col("c_custkey"), col("c_mktsegment"))
+      val fresh = cust.filter(col("c_custkey") % 97 =!= 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 7 === 0, lit("MOVED"))
+            .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+        .unionByName(cust.filter(col("c_custkey") % 101 === 0)
+          .select((col("c_custkey") + 1000000L).as("c_custkey"),
+            lit("FRESH").as("c_mktsegment")))
+      Dwh.snapshotDiff(old, fresh, "c_custkey", "c_mktsegment")
+    }),
+    // ---- J. quality / observability ----
+    "dq_expect" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val li = Tables.lineitem(s, d)
+      val cols = Seq("l_orderkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_shipdate")
+      // deterministic seeded violations (mirrored in the oracle CTE):
+      // negative qty, nulled shipdate, orphaned keys, duplicated pks
+      val dirty = li.select(
+        when(col("l_orderkey") % 983 === 0, -col("l_orderkey"))
+          .otherwise(col("l_orderkey")).as("l_orderkey"),
+        col("l_linenumber"),
+        when(col("l_orderkey") % 997 === 0, -col("l_quantity"))
+          .otherwise(col("l_quantity")).as("l_quantity"),
+        col("l_extendedprice"), col("l_discount"),
+        when(col("l_orderkey") % 991 === 0, lit(null))
+          .otherwise(col("l_shipdate")).as("l_shipdate"))
+        .unionByName(
+          li.filter(col("l_orderkey") % 977 === 0)
+            .select(cols.map(col): _*))
+      Quality.expectations(dirty, Tables.orders(s, d))
+    }),
+    "dq_drift" -> ((s, d) =>
+      Quality.drift(Tables.events(s, d), "2024-01-16")),
+    "w10_retention" -> ((s, d) =>
+      Windows.cohortRetention(Tables.events(s, d))),
+    "ts_anomaly" -> ((s, d) => Resample.tsAnomaly(Tables.events(s, d))),
   )
 
   /** Scratch dir for sink round-trips, keyed by sf dir to avoid
@@ -1327,5 +1369,112 @@ object SparkEntry {
          FROM l
          WHERE l.op <> 'D'
            AND l.c_custkey NOT IN (SELECT c_custkey FROM customer)""",
+    "dwh_snapshot_diff" ->
+      """WITH snap_old AS (SELECT c_custkey, c_mktsegment FROM customer),
+         snap_new AS (
+           SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN 'MOVED' ELSE c_mktsegment END
+               AS c_mktsegment
+           FROM customer WHERE c_custkey % 97 <> 0
+           UNION ALL
+           SELECT c_custkey + 1000000, 'FRESH'
+           FROM customer WHERE c_custkey % 101 = 0),
+         j AS (
+           SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+             CASE WHEN o.c_custkey IS NULL THEN 'I'
+                  WHEN n.c_custkey IS NULL THEN 'D'
+                  WHEN o.c_mktsegment <> n.c_mktsegment THEN 'U' END AS op,
+             n.c_mktsegment AS new_state
+           FROM snap_old o FULL OUTER JOIN snap_new n USING (c_custkey))
+         SELECT c_custkey, op, new_state FROM j WHERE op IS NOT NULL""",
+    "dq_expect" ->
+      """WITH dirty AS (
+           SELECT CASE WHEN l_orderkey % 983 = 0 THEN -l_orderkey
+                       ELSE l_orderkey END AS l_orderkey,
+             l_linenumber,
+             CASE WHEN l_orderkey % 997 = 0 THEN -l_quantity
+                  ELSE l_quantity END AS l_quantity,
+             l_extendedprice, l_discount,
+             CASE WHEN l_orderkey % 991 = 0 THEN NULL
+                  ELSE l_shipdate END AS l_shipdate
+           FROM lineitem
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+             l_discount, l_shipdate
+           FROM lineitem WHERE l_orderkey % 977 = 0)
+         SELECT 'quantity_range' AS check_name,
+           CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_violations FROM dirty
+         UNION ALL
+         SELECT 'nonpositive_price',
+           CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+             AS BIGINT) FROM dirty
+         UNION ALL
+         SELECT 'null_shipdate',
+           CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) FROM dirty
+         UNION ALL
+         SELECT 'discount_range',
+           CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1
+                    THEN 1 ELSE 0 END) AS BIGINT) FROM dirty
+         UNION ALL
+         SELECT 'dup_pk', CAST(coalesce(sum(c - 1), 0) AS BIGINT)
+         FROM (SELECT count(*) AS c FROM dirty
+               GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)
+         UNION ALL
+         SELECT 'orphan_orderkey', CAST(count(*) AS BIGINT) FROM dirty
+         WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)""",
+    "dq_drift" ->
+      """WITH counts AS (
+           SELECT event_type,
+             CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'p' ELSE 'q' END
+               AS side,
+             CAST(least(floor(value / 50.0), 9) AS BIGINT) AS bin,
+             count(*) AS c
+           FROM events GROUP BY 1, 2, 3),
+         grid AS (
+           SELECT e.event_type, s.side, r.bin
+           FROM (SELECT DISTINCT event_type FROM events) e
+           CROSS JOIN (SELECT 'p' AS side UNION ALL SELECT 'q') s
+           CROSS JOIN (SELECT CAST(range AS BIGINT) AS bin FROM range(10)) r),
+         dense AS (
+           SELECT g.event_type, g.side, g.bin, coalesce(c.c, 0) AS c
+           FROM grid g LEFT JOIN counts c
+             ON g.event_type = c.event_type AND g.side = c.side
+             AND g.bin = c.bin),
+         props AS (
+           SELECT event_type, side, bin,
+             (c + 0.5) / (sum(c) OVER (PARTITION BY event_type, side) + 5.0)
+               AS prop
+           FROM dense)
+         SELECT p.event_type, round(sum((p.prop - q.prop)
+             * ln(p.prop / q.prop)), 6) AS psi
+         FROM props p JOIN props q
+           ON p.event_type = q.event_type AND p.bin = q.bin
+           AND p.side = 'p' AND q.side = 'q'
+         GROUP BY p.event_type""",
+    "w10_retention" ->
+      """WITH e AS (
+           SELECT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+           FROM events),
+         f AS (SELECT user_id, d,
+                 min(d) OVER (PARTITION BY user_id) AS d0 FROM e)
+         SELECT CAST(d0 // 7 AS BIGINT) AS cohort_week,
+           CAST((d - d0) // 7 AS BIGINT) AS week_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM f GROUP BY 1, 2""",
+    "ts_anomaly" ->
+      """WITH w AS (
+           SELECT user_id, event_id, value,
+             avg(value) OVER win AS mu,
+             stddev_samp(value) OVER win AS sd,
+             count(value) OVER win AS n
+           FROM events
+           WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+         SELECT user_id, event_id, round((value - mu) / sd, 4) AS z
+         FROM w
+         WHERE n >= 10 AND sd > 0 AND abs(value - mu) > 2 * sd""",
   )
 }

@@ -155,4 +155,31 @@ object Dwh {
       .select(col(key), col("__new").as("state"))
     applied.unionByName(inserts)
   }
+
+  /** Derive a CDC changelog from two dimension snapshots — the INVERSE
+    * of cdcApply, for sources that only publish full snapshots (the
+    * reference's batch layers rebuild state from snapshots; diffing two
+    * of them recovers the change stream a warehouse actually wants):
+    * 'I' for keys only in `newSnap`, 'D' for keys only in `old`, 'U'
+    * where the state differs; unchanged keys emit NOTHING, so the
+    * changelog is proportional to the churn, not the dimension.
+    * cdcApply(old, snapshotDiff(old, new)) reproduces `new` exactly
+    * (spec-locked roundtrip).
+    *
+    * Scale shape: one full-outer shuffle join on the key — no windows,
+    * no driver state; AQE broadcasts a small snapshot side. */
+  def snapshotDiff(old: DataFrame, newSnap: DataFrame,
+                   key: String, state: String): DataFrame = {
+    // presence markers, NOT state nullness: a present key with a null
+    // state must not read as absent
+    val o = old.select(col(key), col(state).as("__old"), lit(true).as("__in_old"))
+    val n = newSnap.select(col(key), col(state).as("__new"), lit(true).as("__in_new"))
+    o.join(n, Seq(key), "full_outer")
+      .withColumn("op",
+        when(col("__in_old").isNull, "I")
+          .when(col("__in_new").isNull, "D")
+          .when(!(col("__old") <=> col("__new")), "U"))
+      .filter(col("op").isNotNull)
+      .select(col(key), col("op"), col("__new").as("new_state"))
+  }
 }

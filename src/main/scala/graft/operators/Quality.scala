@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-quality operators for a 100 TB ingest pipeline: a constraint
+  * violation report (the admission gate a lake runs on every batch
+  * before it pollutes downstream training data) and distribution-drift
+  * scoring between two corpus snapshots (the monitor that catches a
+  * silently changed upstream). Reference anchor: the course's batch
+  * layers ingest unchecked (work/batch_profiling_enriched.py trusts its
+  * input) — these are the production guards in front of that.
+  *
+  * Both are pure aggregation pipelines: the expectation report is one
+  * partial-agg scan plus two key-projected joins (duplicate-key and
+  * referential checks); drift is two tiny grouped aggregates over a
+  * fixed bin grid. Nothing here shuffles row payloads — only counts.
+  */
+object Quality {
+
+  /** Constraint-violation report over a lineitem-shaped fact and its
+    * orders parent: one row per check with the violating row count.
+    *
+    *  - range/null checks ride ONE aggregate scan (map-side partials,
+    *    no shuffle of data rows);
+    *  - dup_pk counts surplus rows per duplicated (orderkey, linenumber)
+    *    — the groupBy shuffles two long keys, nothing wider;
+    *  - orphan_orderkey anti-joins the fact's key projection against the
+    *    parent's key set (AQE broadcasts the smaller side).
+    *
+    * The report is deterministic and its checks compose: a clean table
+    * emits all-zero counts (still one row per check, so the report shape
+    * is stable for alerting). */
+  def expectations(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val scan = lineitem.agg(
+      sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+        .otherwise(0L)).as("quantity_range"),
+      sum(when(col("l_extendedprice") <= 0, 1L).otherwise(0L))
+        .as("nonpositive_price"),
+      sum(when(col("l_shipdate").isNull, 1L).otherwise(0L))
+        .as("null_shipdate"),
+      sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L)
+        .otherwise(0L)).as("discount_range"))
+    val scanRows = scan.select(expr(
+      """stack(4,
+           'quantity_range', quantity_range,
+           'nonpositive_price', nonpositive_price,
+           'null_shipdate', null_shipdate,
+           'discount_range', discount_range) as (check_name, n_violations)"""))
+    val dup = lineitem
+      .groupBy("l_orderkey", "l_linenumber").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .agg(coalesce(sum(col("c") - 1), lit(0L)).as("n_violations"))
+      .select(lit("dup_pk").as("check_name"), col("n_violations"))
+    val orphan = lineitem.select("l_orderkey")
+      .join(orders.select(col("o_orderkey").as("l_orderkey")),
+        Seq("l_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("orphan_orderkey").as("check_name"), col("n_violations"))
+    scanRows.unionByName(dup).unionByName(orphan)
+  }
+
+  /** Population-stability-index drift between the events BEFORE
+    * `splitTs` (baseline p) and at-or-after it (current q), per
+    * event_type: values bucket into `nBins` fixed-width bins, bin
+    * proportions get Laplace smoothing (+0.5 per bin — a bin empty on
+    * one side contributes a finite, bounded term instead of ±∞), and
+    * PSI = Σ (p−q)·ln(p/q). Industry reading: <0.1 stable, 0.1–0.25
+    * drifting, >0.25 shifted.
+    *
+    * Scale shape: one grouped count per (type, side, bin) — partial
+    * aggs collapse the scan to ≤ types·sides·bins rows — then all math
+    * runs on the tiny dense grid (types × bins, built by cross-joining
+    * two frames of literal size). The event payload is never shuffled. */
+  def drift(events: DataFrame, splitTs: String,
+            nBins: Int = 10, binWidth: Double = 50.0): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val side = when(col("ts") < lit(splitTs).cast("timestamp"), "p")
+      .otherwise("q")
+    val bin = least(floor(col("value") / binWidth), lit(nBins - 1L))
+      .cast("long")
+    val counts = events
+      .select(col("event_type"), side.as("side"), bin.as("bin"))
+      .groupBy("event_type", "side", "bin").agg(count(lit(1)).as("c"))
+    // dense (type × side × bin) grid: missing bins must smooth to 0.5,
+    // not silently drop out of the sum
+    val grid = events.select("event_type").distinct()
+      .crossJoin(spark.range(nBins).select(col("id").as("bin")))
+      .crossJoin(Seq("p", "q").toDF("side"))
+    val bySide = Window.partitionBy("event_type", "side")
+    val props = grid
+      .join(counts, Seq("event_type", "side", "bin"), "left")
+      .na.fill(0L, Seq("c"))
+      .withColumn("prop",
+        (col("c") + lit(0.5)) / (sum("c").over(bySide) + lit(0.5 * nBins)))
+    props.filter(col("side") === "p")
+      .select(col("event_type"), col("bin"), col("prop").as("pp"))
+      .join(props.filter(col("side") === "q")
+        .select(col("event_type"), col("bin"), col("prop").as("qp")),
+        Seq("event_type", "bin"))
+      .groupBy("event_type")
+      .agg(round(sum((col("pp") - col("qp")) * log(col("pp") / col("qp"))), 6)
+        .as("psi"))
+  }
+}

@@ -104,4 +104,31 @@ object Resample {
         last(col("avg_value_e4"), ignoreNulls = true).over(w))
       .withColumn("n", coalesce(col("n"), lit(0L)))
   }
+
+  /** Rolling z-score anomaly detection per user: each event scores
+    * against the mean/stddev of its previous `lookback` values (frame
+    * ends at -1 — the current value must not contaminate its own
+    * baseline), flagged when |value−μ| > `sigmas`·σ with at least
+    * `minN` prior observations (cold keys can't alarm off two points).
+    *
+    * Scale shape: ONE exchange on user_id feeds all three frames (same
+    * partitioning+ordering — Catalyst plans a single Window operator);
+    * output is the flagged rows only, so the sink sees anomalies, not
+    * the stream. The streaming twin of this shape is a
+    * flatMapGroupsWithState ring buffer; batch-over-lake is the form
+    * the reference's anomaly_detector.py runs. */
+  def tsAnomaly(events: DataFrame, lookback: Int = 20,
+                sigmas: Double = 2.0, minN: Int = 10): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(-lookback, -1)
+    events
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("__mu", avg(col("value")).over(w))
+      .withColumn("__sd", stddev_samp(col("value")).over(w))
+      .withColumn("__n", count(col("value")).over(w))
+      .filter(col("__n") >= minN && col("__sd") > 0 &&
+        abs(col("value") - col("__mu")) > lit(sigmas) * col("__sd"))
+      .select(col("user_id"), col("event_id"),
+        round((col("value") - col("__mu")) / col("__sd"), 4).as("z"))
+  }
 }

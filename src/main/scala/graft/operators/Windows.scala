@@ -172,4 +172,28 @@ object Windows {
       }
       .toDF("user_id", "funnel_depth", "t1_us", "t2_us", "t3_us")
   }
+
+  /** Cohort retention matrix: users cohort by the WEEK of their first
+    * event (epoch-day / 7 — calendar-free integer weeks, stable across
+    * engines and timezones), and each later active week counts them at
+    * its offset. Output (cohort_week, week_offset, n_users) is the
+    * classic retention triangle.
+    *
+    * Scale shape: one exchange on user_id feeds the first-day window
+    * min, then the triangle aggregate groups 16 bytes of keys — the
+    * events payload never reshuffles. countDistinct is exact by
+    * contract here; approx_count_distinct is the drop-in at 100 TB. */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+    events
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .as("__d"))
+      .withColumn("__d0", min(col("__d")).over(byUser))
+      .select(floor(col("__d0") / 7).cast("long").as("cohort_week"),
+        floor((col("__d") - col("__d0")) / 7).cast("long").as("week_offset"),
+        col("user_id"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
 }

@@ -206,6 +206,30 @@ class PlanAuditSpec extends SparkSpec {
       s"version build should shuffle once on user_id:\n$p")
   }
 
+  test("ts_anomaly: all three rolling frames share ONE exchange on the key") {
+    val p = plan("ts_anomaly")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"mu/sd/n frames must ride one user_id shuffle:\n$p")
+    assert("\\bWindow\\b".r.findAllIn(p).size == 1,
+      s"identical window specs should fuse into one Window operator:\n$p")
+  }
+
+  test("w10_retention: events payload never reshuffles past the user exchange") {
+    val p = plan("w10_retention")
+    // exchange 1: user_id for the first-day window min; exchange 2: the
+    // 16-byte (cohort_week, week_offset) triangle agg — nothing else
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"retention should shuffle twice at most:\n$p")
+    assert(p.contains("partial_count"),
+      s"distinct-user count should partial-aggregate map-side:\n$p")
+  }
+
+  test("dq_drift: the scan collapses to counts before any wide work") {
+    val p = plan("dq_drift")
+    assert(p.contains("partial_count"),
+      s"bin counting must be a map-side partial aggregate:\n$p")
+  }
+
   test("pipe_mixture: row-local resampling — no exchange anywhere") {
     val p = plan("pipe_mixture")
     assert(!p.contains("Exchange"),

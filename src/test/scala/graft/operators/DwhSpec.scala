@@ -135,4 +135,38 @@ class DwhSpec extends SparkSpec {
       broadcastByteLimit = 0L)
     assert(cdcBc.orderBy("k").collect().toSeq == cdcSh.orderBy("k").collect().toSeq)
   }
+
+  test("snapshotDiff: I/U/D per churned key, nothing for unchanged, null-state safe") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, null.asInstanceOf[String]))
+      .toDF("k", "state")
+    val fresh = Seq((2L, "B"), (3L, "c"), (4L, null.asInstanceOf[String]), (5L, "e"))
+      .toDF("k", "state")
+    val diff = Dwh.snapshotDiff(old, fresh, "k", "state").collect()
+      .map(r => r.getAs[Long]("k") ->
+        (r.getAs[String]("op"), r.getAs[String]("new_state"))).toMap
+    // unchanged keys (3, and 4 with a NULL state on both sides) emit nothing
+    assert(diff == Map(
+      1L -> (("D", null)), 2L -> (("U", "B")), 5L -> (("I", "e"))))
+    // a null state appearing / disappearing is a real Update, not an I/D
+    val nulled = Dwh.snapshotDiff(
+      Seq((9L, "x")).toDF("k", "state"),
+      Seq((9L, null.asInstanceOf[String])).toDF("k", "state"),
+      "k", "state").collect()
+    assert(nulled.length == 1 && nulled.head.getAs[String]("op") == "U")
+  }
+
+  test("snapshotDiff roundtrip: cdcApply(old, diff) reproduces the new snapshot") {
+    val cust = graft.Tables.customer(spark, sf)
+    val old = cust.select(col("c_custkey").as("k"), col("c_mktsegment").as("state"))
+    val fresh = cust.filter(col("c_custkey") % 97 =!= 0)
+      .select(col("c_custkey").as("k"),
+        when(col("c_custkey") % 7 === 0, lit("MOVED"))
+          .otherwise(col("c_mktsegment")).as("state"))
+      .unionByName(cust.filter(col("c_custkey") % 101 === 0)
+        .select((col("c_custkey") + 1000000L).as("k"), lit("FRESH").as("state")))
+    val diff = Dwh.snapshotDiff(old, fresh, "k", "state")
+      .withColumn("t", lit(ts("2024-01-01 00:00:00"))).withColumn("ord", lit(1L))
+    val applied = Dwh.cdcApply(old, diff, "k", "state", "op", "new_state", "t", "ord")
+    assert(applied.exceptAll(fresh).isEmpty && fresh.exceptAll(applied).isEmpty)
+  }
 }

@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class QualitySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("expectations: clean tables emit a stable all-zero report") {
+    val li = graft.Tables.lineitem(spark, sf)
+    val ord = graft.Tables.orders(spark, sf)
+    val rep = Quality.expectations(li, ord).collect()
+      .map(r => r.getAs[String]("check_name") -> r.getAs[Long]("n_violations"))
+      .toMap
+    assert(rep.keySet == Set("quantity_range", "nonpositive_price",
+      "null_shipdate", "discount_range", "dup_pk", "orphan_orderkey"))
+    // the synthetic lineitem is value-clean but its (orderkey, linenumber)
+    // is NOT unique by construction — dup_pk must report exactly the
+    // independently-counted surplus, every other check zero
+    val expectedDups = li.groupBy("l_orderkey", "l_linenumber").count()
+      .filter(col("count") > 1)
+      .agg(coalesce(sum(col("count") - 1), lit(0L))).collect().head.getLong(0)
+    assert(rep("dup_pk") == expectedDups)
+    assert((rep - "dup_pk").values.forall(_ == 0L), s"clean data flagged: $rep")
+  }
+
+  test("expectations: seeded violations are counted exactly") {
+    val li = Seq(
+      // (orderkey, linenumber, quantity, price, discount, shipdate)
+      (1L, 1, 10.0, 100.0, 0.05, "2024-01-01"),
+      (1L, 1, 10.0, 100.0, 0.05, "2024-01-01"), // dup pk (+1 surplus)
+      (2L, 1, -3.0, 100.0, 0.05, "2024-01-01"), // quantity out of range
+      (3L, 1, 10.0, 0.0, 0.05, "2024-01-01"),   // nonpositive price
+      (4L, 1, 10.0, 100.0, 1.5, null),          // bad discount + null date
+      (99L, 1, 10.0, 100.0, 0.05, "2024-01-01") // orphan key
+    ).toDF("l_orderkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_discount", "l_shipdate")
+    val ord = Seq(1L, 2L, 3L, 4L).toDF("o_orderkey")
+    val rep = Quality.expectations(li, ord).collect()
+      .map(r => r.getAs[String]("check_name") -> r.getAs[Long]("n_violations"))
+      .toMap
+    assert(rep == Map(
+      "quantity_range" -> 1L, "nonpositive_price" -> 1L,
+      "null_shipdate" -> 1L, "discount_range" -> 1L,
+      "dup_pk" -> 1L, "orphan_orderkey" -> 1L))
+  }
+
+  test("drift: PSI is ~0 on an identical split, nonnegative always, large under a planted shift") {
+    val ev = graft.Tables.events(spark, sf)
+    // real split: PSI must be finite and >= 0 for every type (each term
+    // (p-q)·ln(p/q) is sign-aligned)
+    val real = Quality.drift(ev, "2024-01-16").collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      val psi = r.getAs[Double]("psi")
+      assert(!psi.isNaN && !psi.isInfinite && psi >= 0.0)
+    }
+    // identical distribution on both sides (same rows mirrored around the
+    // split): PSI collapses to ~0 — smoothing keeps it tiny, not exact
+    val sameBase = ev.filter(col("ts") < "2024-01-16")
+      .select(col("ts"), col("event_type"), col("value"))
+    val same = sameBase.unionByName(
+      sameBase.select((col("ts") + expr("INTERVAL 31 DAYS")).as("ts"),
+        col("event_type"), col("value")))
+    Quality.drift(same, "2024-01-31").collect().foreach { r =>
+      assert(r.getAs[Double]("psi") < 0.005, s"identical halves drifted: $r")
+    }
+    // planted shift: second half's values pushed up two bins
+    val shiftedUp = sameBase.unionByName(
+      sameBase.select((col("ts") + expr("INTERVAL 31 DAYS")).as("ts"),
+        col("event_type"), (col("value") + 100.0).as("value")))
+    val planted = Quality.drift(shiftedUp, "2024-01-31").collect()
+    assert(planted.forall(_.getAs[Double]("psi") > 0.1),
+      "a two-bin value shift must read as drift")
+  }
+}

@@ -111,4 +111,28 @@ class RangeResampleSpec extends SparkSpec {
     assert(observed.count() ==
       Resample.downsample(Tables.events(spark, sf), 3600000000L).count())
   }
+
+  test("tsAnomaly flags a planted spike, stays silent on constant and cold series") {
+    import spark.implicits._
+    def series(u: Long, vals: Seq[Double]) = vals.zipWithIndex.map {
+      case (v, i) => (u, (i + 1).toLong, 1000000L * (i + 1), v)
+    }
+    val rows =
+      // user 1: steady noise around 10, one spike at the end
+      series(1L, Seq(9.0, 11.0, 10.0, 9.5, 10.5, 9.0, 11.0, 10.0, 9.5,
+        10.5, 9.8, 10.2, 500.0)) ++
+      // user 2: perfectly constant — sd = 0, never flags
+      series(2L, Seq.fill(15)(7.0)) ++
+      // user 3: huge jump but only 3 prior points — below minN, silent
+      series(3L, Seq(1.0, 1.1, 0.9, 400.0))
+    val events = rows.toDF("user_id", "event_id", "us", "value")
+      .select(col("user_id"), col("event_id"),
+        timestamp_micros(col("us")).as("ts"), col("value"))
+    val out = Resample.tsAnomaly(events, lookback = 20, sigmas = 2.0, minN = 10)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id")))
+    assert(out.toSeq == Seq((1L, 13L)))
+    // the z of the spike is enormous
+    val z = Resample.tsAnomaly(events).collect().head.getAs[Double]("z")
+    assert(z > 100.0)
+  }
 }

@@ -122,4 +122,32 @@ class WindowsLambdaSpec extends SparkSpec {
     assert(out(2L)._1 == 1)
     assert(out(3L)._1 == 2)
   }
+
+  test("cohortRetention: offset-0 counts every cohort user; offsets only shrink coverage") {
+    import spark.implicits._
+    def ev(u: Long, day: Int) =
+      (u, java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00"))
+    // epoch-week A is days 19719..19725 = 2023-12-28..2024-01-03:
+    // users 1,2 start there; user 2 returns exactly 2 weeks after its
+    // own first day; user 3 starts in a later epoch week, never returns
+    val events = Seq(
+      ev(1, 2), ev(1, 3),            // active only in its first week
+      ev(2, 3), ev(2, 17),           // first week + offset 2 (3 + 14)
+      ev(3, 9)
+    ).toDF("user_id", "ts")
+    val out = Windows.cohortRetention(events).collect()
+      .map(r => (r.getAs[Long]("cohort_week"), r.getAs[Long]("week_offset")) ->
+        r.getAs[Long]("n_users")).toMap
+    val cohorts = out.keys.map(_._1).toSet
+    assert(cohorts.size == 2)
+    val Seq(wA, wB) = cohorts.toSeq.sorted
+    assert(out((wA, 0L)) == 2)  // both week-A users present at offset 0
+    assert(out((wA, 2L)) == 1)  // only user 2 returned
+    assert(!out.contains((wA, 1L)))
+    assert(out((wB, 0L)) == 1)
+    // every cohort's offset-0 count is its maximum (retention can't grow)
+    out.groupBy(_._1._1).foreach { case (c, rows) =>
+      assert(rows.values.max == out((c, 0L)))
+    }
+  }
 }
