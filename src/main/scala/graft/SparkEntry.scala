@@ -54,6 +54,16 @@ object SparkEntry {
       (p, cbs)
     })
 
+  private val sq8IndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, (Seq[Double], Seq[Double]))]()
+
+  private def sq8Index(s: SparkSession, d: String): (String, (Seq[Double], Seq[Double])) =
+    sq8IndexCache.computeIfAbsent(d, dir => {
+      val p = scratch(dir, "emb_sq8")
+      val bounds = ScalarQuantization.buildSq8Index(Tables.embeddings(s, dir), p)
+      (p, bounds)
+    })
+
   /** Historical-corpus split for the incremental-dedup entries: docs
     * with doc_id % 5 != 0 are the existing corpus, % 5 == 0 the new
     * batch — scale-independent and DuckDB-expressible. */
@@ -87,8 +97,8 @@ object SparkEntry {
     * measure probe cost (the per-query number an index amortized over a
     * session actually has), not build+probe fused. */
   def warmIndexes(s: SparkSession, d: String): Unit = {
-    lshIndex(s, d); ivfIndex(s, d); pqIndex(s, d); dedupIndex(s, d)
-    bucketedTables(s, d)
+    lshIndex(s, d); ivfIndex(s, d); pqIndex(s, d); sq8Index(s, d)
+    dedupIndex(s, d); bucketedTables(s, d)
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -325,6 +335,10 @@ object SparkEntry {
     "ann_pq" -> ((s, d) => {
       val (path, cbs) = pqIndex(s, d)
       ProductQuantization.pqTopK(s, path, Tables.embeddings(s, d), 0L, 10, cbs)
+    }),
+    "ann_sq8" -> ((s, d) => {
+      val (path, (mn, mx)) = sq8Index(s, d)
+      ScalarQuantization.sq8TopK(s, path, Tables.embeddings(s, d), 0L, 10, mn, mx)
     }),
     // embedding-space (semantic) dedup over the IVF cells
     "dd_semantic" -> ((s, d) => {
@@ -1208,7 +1222,7 @@ object SparkEntry {
                                         CAST(q.qe AS DOUBLE[])), 4) AS cos
          FROM embeddings b, q WHERE b.vec_id <> 0
          ORDER BY cos DESC, b.vec_id LIMIT 10""",
-    // tx_fingerprint_roll, ann_lsh, ann_ivf, ann_knn_join, ann_pq,
+    // tx_fingerprint_roll, ann_lsh, ann_ivf, ann_knn_join, ann_pq, ann_sq8,
     // dd_minhash_lsh, dd_simhash, dd_cluster_lsh, dd_incremental_lsh,
     // dd_semantic, mm_frames, mm_phash, st_hll_merge: hash/bucket/
     // codebook/sketch internals are engine-specific → rows-only check +

@@ -247,6 +247,17 @@ class PlanAuditSpec extends SparkSpec {
       s"ADC stage must not read embeddings from the code lake:\n$p")
   }
 
+  test("ann_sq8: asymmetric scan reads the code lake only, shortlist is TakeOrdered-bounded") {
+    val df = SparkEntry.queries("ann_sq8")(spark, sf)
+    df.collect() // first call in a session builds the code lake
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"))
+    assert("emb_sq8[^\\n]*ReadSchema: struct<vec_id:bigint,code".r.findFirstIn(p).isDefined,
+      s"asymmetric stage must scan the code lake's (vec_id, code, norm) only:\n$p")
+    assert(!"emb_sq8[^\\n]*embedding".r.findFirstIn(p).isDefined,
+      s"asymmetric stage must not read embeddings from the code lake:\n$p")
+  }
+
   test("dd_semantic: pair search stays cell-equi-join shaped") {
     val p = plan("dd_semantic")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

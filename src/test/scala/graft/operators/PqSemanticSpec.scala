@@ -75,6 +75,42 @@ class PqSemanticSpec extends SparkSpec {
     assert(ProductQuantization.pqTopK(spark, dir, emb, -999L, 10, cbs).isEmpty)
   }
 
+  test("SQ8 codes stay in [0,255], encode deterministically, and norms are exact") {
+    val (mn, mx) = ScalarQuantization.trainBounds(emb)
+    assert(mn.size == 64 && mx.size == 64)
+    assert(mn.indices.forall(i => mx(i) > mn(i)), "padded bounds must have width")
+    assert((mn, mx) == ScalarQuantization.trainBounds(emb),
+      "seeded bound training must be reproducible")
+    val codes = ScalarQuantization.encode(emb, mn, mx).cache()
+    assert(codes.count() == emb.count())
+    assert(codes.filter(size(col("code")) =!= 64 ||
+      exists(col("code"), c => c < 0 || c > 255)).isEmpty)
+    // stored norm is the true embedding norm
+    import graft.functions.VectorFunctions.l2Norm
+    val normDiff = codes.join(emb, "vec_id")
+      .filter(abs(col("norm") - l2Norm(col("embedding"))) > lit(1e-6))
+    assert(normDiff.isEmpty)
+    codes.unpersist()
+  }
+
+  test("sq8TopK recall vs brute force; reranked cosines are exact; missing id is empty") {
+    val dir = s"target/graft_io/test/emb_sq8_${System.nanoTime()}"
+    val (mn, mx) = ScalarQuantization.buildSq8Index(emb, dir)
+    val brute = SimilaritySearch.bruteForceTopK(emb, 0L, 10).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos")).toMap
+    val sq = ScalarQuantization.sq8TopK(spark, dir, emb, 0L, 10, mn, mx).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos")).toMap
+    assert(sq.size == 10)
+    sq.foreach { case (id, c) =>
+      if (brute.contains(id)) assert(math.abs(brute(id) - c) < 1e-9)
+    }
+    val recall = sq.keySet.intersect(brute.keySet).size.toDouble / brute.size
+    // 8-bit per-dim quantization is tighter than PQ's 4-bit codes — hold
+    // it to a higher floor
+    assert(recall >= 0.9, s"SQ8 recall $recall below floor")
+    assert(ScalarQuantization.sq8TopK(spark, dir, emb, -999L, 10, mn, mx).isEmpty)
+  }
+
   test("semanticDedup collapses planted duplicate vectors to one representative") {
     val cb = SimilaritySearch.ivfCodebook(emb, 16)
     // plant exact copies of vectors 1..5 under new ids — same cell, cos=1
