@@ -302,6 +302,8 @@ object SparkEntry {
       TextAnalysis.vocabulary(Tables.documents(s, d), 1, 20)),
     "tx_tfidf" -> ((s, d) =>
       TextAnalysis.tfidfTopTerms(Tables.documents(s, d), 3)),
+    "tx_unigram_ce" -> ((s, d) =>
+      TextAnalysis.unigramCrossEntropy(Tables.documents(s, d))),
     "tx_pii" -> ((s, d) => TextAnalysis.piiScan(Tables.documents(s, d))),
     "tx_contamination" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -1161,6 +1163,20 @@ object SparkEntry {
       """SELECT gram, count(*) AS freq
          FROM (SELECT unnest(string_split(text, ' ')) AS gram FROM documents)
          GROUP BY gram ORDER BY freq DESC, gram LIMIT 20""",
+    "tx_unigram_ce" ->
+      """WITH tf AS (SELECT doc_id, term, count(*) AS tf
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM documents)
+           GROUP BY 1, 2),
+         model AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c
+                   FROM tf GROUP BY 1),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total,
+                   count(*) AS v FROM model)
+         SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+           round(sum(tf * -ln((c + 0.5) / (n_total + 0.5 * v))) / sum(tf), 6)
+             AS ce
+         FROM tf JOIN model USING (term) CROSS JOIN tot
+         GROUP BY doc_id""",
     "tx_tfidf" ->
       """WITH tf AS (SELECT doc_id, term, count(*) AS tf
            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term

@@ -273,4 +273,33 @@ object TextAnalysis {
       .filter(col("__rn") <= k)
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"))
   }
+
+  /** Unigram cross-entropy quality score — the model-based filter of
+    * CCNet-style curation with the model that needs no external
+    * artifact: the corpus's own Laplace-smoothed unigram distribution.
+    * Each doc scores mean −ln p(token) in nats; stopword-heavy boiler
+    * text scores LOW, rare-token junk scores HIGH — the tails are the
+    * filter targets.
+    *
+    * Scale shape (same as tfidfTopTerms): the corpus tokenizes ONCE into
+    * per-doc term counts — one explode + one (doc_id, term) shuffle; the
+    * unigram model is a narrow rollup of that frame, and totals ride as
+    * a broadcast 1-row frame. Scoring is a vocab join (AQE broadcasts a
+    * small model) + weighted mean: Σ tf·nlp / Σ tf ≡ the per-instance
+    * mean without re-exploding. */
+  def unigramCrossEntropy(documents: DataFrame): DataFrame = {
+    val fanned = Scale.fanOut(documents.select("doc_id", "text"), Seq("doc_id"))
+    val termFreq = fanned
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val model = termFreq.groupBy("term").agg(sum("tf").as("c"))
+    val totals = model.agg(sum("c").as("__n_total"), count(lit(1)).as("__v"))
+    val nlp = -log((col("c") + lit(0.5)) /
+      (col("__n_total") + lit(0.5) * col("__v")))
+    termFreq.join(model, "term")
+      .crossJoin(broadcast(totals))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_tokens"),
+        round(sum(col("tf") * nlp) / sum("tf"), 6).as("ce"))
+  }
 }

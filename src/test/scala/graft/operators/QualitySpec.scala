@@ -74,4 +74,31 @@ class QualitySpec extends SparkSpec {
     assert(planted.forall(_.getAs[Double]("psi") > 0.1),
       "a two-bin value shift must read as drift")
   }
+
+  test("unigramCrossEntropy: exact on a hand corpus; rare-token docs score higher") {
+    import spark.implicits._
+    // corpus: "a a" + "b" → counts a:2 b:1, N=3, V=2
+    // p(a)=(2+0.5)/(3+1)=0.625, p(b)=(1+0.5)/4=0.375
+    val tiny = Seq((1L, "a a"), (2L, "b")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramCrossEntropy(tiny).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("ce"))).toMap
+    assert(out(1L)._1 == 2 && out(2L)._1 == 1)
+    assert(math.abs(out(1L)._2 - -math.log(0.625)) < 1e-6)
+    assert(math.abs(out(2L)._2 - -math.log(0.375)) < 1e-6)
+    assert(out(2L)._2 > out(1L)._2)
+    // real corpus: every doc scored once, token counts match the cheap
+    // counter, and a planted all-rare-tokens doc lands in the top tail
+    val docs = graft.Tables.documents(spark, sf)
+    val planted = docs.select("doc_id", "text").unionByName(
+      Seq((999999L, "zzqx wvvk jjqz pplm zzqx")).toDF("doc_id", "text"))
+    val scored = TextAnalysis.unigramCrossEntropy(planted).cache()
+    assert(scored.count() == docs.count() + 1)
+    val rareCe = scored.filter(col("doc_id") === 999999L)
+      .head().getAs[Double]("ce")
+    val maxRealCe = scored.filter(col("doc_id") =!= 999999L)
+      .agg(max("ce")).head().getDouble(0)
+    assert(rareCe > maxRealCe, "an all-novel-token doc must score highest")
+    scored.unpersist()
+  }
 }
