@@ -249,6 +249,17 @@ object SparkEntry {
       SpatialJoin.nearestSupplier(Tables.customer(s, d), Tables.supplier(s, d))),
     "sp_nearest_cell" -> ((s, d) =>
       SpatialJoin.nearestSupplierGrid(Tables.customer(s, d), Tables.supplier(s, d))),
+    "sp_cluster" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      SpatialJoin.epsilonClusters(
+        SpatialJoin.customerPoints(Tables.customer(s, d))
+          .select(col("c_custkey").as("pid"), col("c_lat").as("lat"),
+            col("c_lon").as("lon")),
+        // the synthetic lattice's nearest neighbors sit ~250+ km apart;
+        // 300 km needs 9-degree cells (lon bound 7.9 degrees at |lat|=70)
+        epsKm = 300.0, cellDeg = 9)
+        .select(col("pid").as("c_custkey"), col("cluster_id"))
+    }),
     // ---- G. text analysis / dedup / similarity ----
     "tx_tokens" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
     "tx_quality" -> ((s, d) => TextAnalysis.qualityScores(Tables.documents(s, d))),
@@ -921,6 +932,27 @@ object SparkEntry {
              cos(radians(c_lat))*cos(radians(s_lat))*pow(sin(radians(s_lon - c_lon)/2), 2)
            )), 4) AS dist_km
          FROM c CROSS JOIN s""",
+    "sp_cluster" ->
+      """WITH RECURSIVE pts AS (SELECT c_custkey,
+             round(((c_custkey * 17) % 1400)/10.0 - 70.0, 4) AS lat,
+             round(((c_custkey * 31) % 3600)/10.0 - 180.0, 4) AS lon
+           FROM customer),
+         pairs AS (
+           SELECT a.c_custkey AS d1, b.c_custkey AS d2
+           FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey
+           WHERE round(2*6371.0*asin(sqrt(
+             pow(sin(radians(b.lat - a.lat)/2), 2) +
+             cos(radians(a.lat))*cos(radians(b.lat))
+               *pow(sin(radians(b.lon - a.lon)/2), 2)
+           )), 4) <= 300.0),
+         edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                   UNION ALL SELECT d2, d1 FROM pairs),
+         reach(a, b) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         SELECT a AS c_custkey, least(a, min(b)) AS cluster_id
+         FROM reach GROUP BY a""",
     "sp_nearest_join" ->
       """WITH c AS (SELECT c_custkey,
              round(((c_custkey * 17) % 1400)/10.0 - 70.0, 4) AS c_lat,

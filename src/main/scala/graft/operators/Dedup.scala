@@ -117,9 +117,20 @@ object Dedup {
     * neighborhood min; converges in O(diameter) rounds, O(log n) with
     * both edge directions). The loop is driver-side but each round is a
     * distributed join; dup clusters are tiny diameter in practice, and
-    * `maxIter` bounds pathological chains. */
+    * `maxIter` bounds pathological chains.
+    *
+    * Small-graph fast path (MEASURED, the broadcast-gate idiom): an edge
+    * list under `driverEdgeLimit` rows (~32 MB of long pairs at the 2M
+    * default) finishes in one collect + union-find instead of paying
+    * O(log diameter) distributed rounds whose per-round job overhead
+    * dwarfs the work — a percolated 50k-edge graph measured 19 s in
+    * rounds vs milliseconds in the fast path, identical labels (spec-
+    * locked equal on both paths). A 100 TB corpus whose candidate pairs
+    * exceed the limit takes the distributed rounds unchanged; the
+    * collect is the same justified-scalar class as codebook training. */
   def dupClusters(pairs: DataFrame, maxIter: Int = 20,
-                  broadcastLabelLimit: Long = 4000000L): DataFrame = {
+                  broadcastLabelLimit: Long = 4000000L,
+                  driverEdgeLimit: Long = 2000000L): DataFrame = {
     // near-dup edge lists are usually tiny relative to the corpus:
     // collapse to a few partitions before caching so each fixpoint round
     // doesn't pay 32 near-empty task launches per job. MEASURED, not
@@ -130,8 +141,41 @@ object Dedup {
     val edgesAll = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .unionByName(pairs.select(col("d2").as("a"), col("d1").as("b")))
       .cache()
+    val nEdges = edgesAll.count()
+    if (nEdges <= driverEdgeLimit) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      // read the CACHED edge frame, not `pairs` — collecting the raw
+      // pair lineage would recompute the (expensive) candidate
+      // generation a second time; the a<b filter restores one direction
+      val es = edgesAll.filter(col("a") < col("b"))
+        .select(col("a").cast("long"), col("b").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      edgesAll.unpersist()
+      // union-find with path compression; final label = min member id
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+        var c = x
+        while (parent.getOrDefault(c, c) != r) {
+          val nxt = parent.getOrDefault(c, c); parent.put(c, r); c = nxt
+        }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+        val (ra, rb) = (find(a), find(b))
+        // union toward the smaller root: roots stay component minima
+        if (ra < rb) parent.put(rb, ra)
+        else if (rb < ra) parent.put(ra, rb)
+      }
+      val labels = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      parent.keySet().forEach(n => labels += ((n, find(n))))
+      return labels.toSeq.toDF("doc_id", "cluster_id")
+    }
     val edges =
-      if (edgesAll.count() <= 1000000L) edgesAll.coalesce(4)
+      if (nEdges <= 1000000L) edgesAll.coalesce(4)
       else edgesAll
     // dup-cluster label frames are usually tiny relative to the corpus
     // (only docs appearing in pairs) — broadcast them into the per-round

@@ -181,4 +181,58 @@ object SpatialJoin {
       settled.unionByName(fallback)
     }
   }
+
+  /** ε-distance spatial clustering — the connectivity core of DBSCAN
+    * (minPts=2) at lake scale: points closer than `epsKm` connect, and
+    * connected components become clusters (labels via the same
+    * pointer-doubling CC machinery as text dedup, Dedup.dupClusters).
+    *
+    * Candidate pairs come from a grid EQUI-join, never a cross join:
+    * each point homes in one (latCell, lonCell) at `cellDeg` resolution,
+    * probes its 3×3 neighborhood (9 map-side rows, lon wraps), and the
+    * `pid` ordering plus the unique home cell make each unordered pair
+    * meet exactly once. The grid is provably sufficient: a pair within
+    * epsKm differs by ≤ deg(2·asin(eps/2R)) in latitude and — since
+    * a ≥ cos²(maxAbsLat)·sin²(Δlon/2) in the haversine — by
+    * ≤ deg(2·asin(sin(eps/2R)/cos maxAbsLat)) in longitude; the
+    * constructor REQUIRES both under cellDeg, so no in-guard pair can
+    * escape the 3×3 block (inputs must satisfy |lat| ≤ maxAbsLat).
+    *
+    * Output: (pid, cluster_id) for every point in some ≥2-point cluster
+    * (singletons emit nothing, matching the dedup-cluster convention). */
+  def epsilonClusters(points: DataFrame, epsKm: Double, cellDeg: Int = 6,
+                      maxAbsLat: Double = 70.0): DataFrame = {
+    require(360 % cellDeg == 0, "cellDeg must divide 360")
+    val nLon = 360 / cellDeg
+    require(nLon >= 3, "need >= 3 longitude cells for distinct neighbors")
+    val epsLatDeg = math.toDegrees(
+      2 * math.asin(math.min(1.0, epsKm / (2 * EarthRadiusKm))))
+    val epsLonDeg = math.toDegrees(2 * math.asin(math.min(1.0,
+      math.sin(epsKm / (2 * EarthRadiusKm)) /
+        math.cos(math.toRadians(maxAbsLat)))))
+    require(epsLatDeg <= cellDeg && epsLonDeg <= cellDeg,
+      s"cellDeg=$cellDeg cells cannot contain epsKm=$epsKm neighborhoods " +
+        s"at |lat|<=$maxAbsLat (need >= ${math.max(epsLatDeg, epsLonDeg)})")
+    val base = points.select(col("pid"), col("lat"), col("lon"))
+      .withColumn("latc", floor((col("lat") + lit(90.0)) / cellDeg).cast("int"))
+      .withColumn("lonc",
+        pmod(floor((col("lon") + lit(180.0)) / cellDeg).cast("int"), lit(nLon)))
+    val neighborhood = explode(array((for { dx <- -1 to 1; dy <- -1 to 1 }
+      yield struct((col("latc") + dx).as("latc"),
+        pmod(col("lonc") + dy, lit(nLon)).as("lonc"))): _*))
+    val probe = base
+      .select(col("pid").as("p1"), col("lat").as("lat1"),
+        col("lon").as("lon1"), neighborhood.as("nc"))
+      .select(col("p1"), col("lat1"), col("lon1"),
+        col("nc.latc").as("latc"), col("nc.lonc").as("lonc"))
+    val home = base.select(col("pid").as("p2"), col("lat").as("lat2"),
+      col("lon").as("lon2"), col("latc"), col("lonc"))
+    val pairs = probe.join(home, Seq("latc", "lonc"))
+      .filter(col("p1") < col("p2"))
+      .filter(round(haversineKm(col("lat1"), col("lon1"),
+        col("lat2"), col("lon2")), 4) <= epsKm)
+      .select(col("p1").as("d1"), col("p2").as("d2"))
+    Dedup.dupClusters(pairs)
+      .select(col("doc_id").as("pid"), col("cluster_id"))
+  }
 }

@@ -76,6 +76,35 @@ class WindowsLambdaSpec extends SparkSpec {
     assert(gridD == exactD)
   }
 
+  test("epsilonClusters: grid candidates reproduce the all-pairs clustering exactly") {
+    import graft.functions.SpatialFunctions.haversineKm
+    // sf0.01: the default spec scale's 150 global points have no 150 km
+    // neighbors at all — the equivalence needs actual clusters
+    val pts = SpatialJoin.customerPoints(
+        Tables.customer(spark, "/root/testdata/sf0.01"))
+      .select(col("c_custkey").as("pid"), col("c_lat").as("lat"),
+        col("c_lon").as("lon"))
+    val grid = SpatialJoin.epsilonClusters(pts, epsKm = 300.0, cellDeg = 9)
+    // oracle pairs: bounded all-pairs (test scale only), same CC labeler
+    val a = pts.select(col("pid").as("d1"), col("lat").as("la"), col("lon").as("lo"))
+    val b = pts.select(col("pid").as("d2"), col("lat").as("lb"), col("lon").as("lg"))
+    val brutePairs = a.crossJoin(b).filter(col("d1") < col("d2"))
+      .filter(round(haversineKm(col("la"), col("lo"), col("lb"), col("lg")), 4) <= 300.0)
+      .select("d1", "d2")
+    val brute = Dedup.dupClusters(brutePairs)
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(grid) == m(brute),
+      "grid-bounded pair generation lost or invented an edge")
+    // every cluster has >= 2 members and its id is the member minimum
+    val byCluster = m(grid).groupBy(_._2)
+    assert(byCluster.nonEmpty)
+    byCluster.foreach { case (cid, members) =>
+      assert(members.size >= 2)
+      assert(members.keys.min == cid)
+    }
+  }
+
   test("funnelStages: ordered progression only; pre-stage events don't count") {
     import spark.implicits._
     def ev(id: Long, u: Long, sec: Int, t: String) =
