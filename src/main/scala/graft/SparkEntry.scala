@@ -116,6 +116,19 @@ object SparkEntry {
     "q8_casewhen" -> ((s, d) => Relational.priceBands(Tables.orders(s, d))),
     "q25_intersect" -> ((s, d) =>
       Relational.intersectSegments(Tables.customer(s, d))),
+    // explicit GROUPING SETS (rollup and cube's general form): one
+    // Expand pass + one partial-agg shuffle, same plan family as q10/q23
+    "q26_grouping_sets" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("gs_customer_v")
+      Tables.nation(s, d).createOrReplaceTempView("gs_nation_v")
+      Tables.region(s, d).createOrReplaceTempView("gs_region_v")
+      s.sql("""SELECT r_name, n_name, count(*) AS n_cust,
+                 round(sum(c_acctbal), 2) AS sum_bal
+               FROM gs_customer_v c
+                 JOIN gs_nation_v n ON c_nationkey = n_nationkey
+                 JOIN gs_region_v r ON n_regionkey = r_regionkey
+               GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())""")
+    }),
     "q9_sql_view" -> ((s, d) => {
       Tables.orders(s, d).createOrReplaceTempView("orders_v")
       Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
@@ -198,6 +211,8 @@ object SparkEntry {
       Stats.hllMergeProfile(Tables.lineitem(s, d), "l_returnflag", "l_partkey")),
     "st_skew_kurt" -> ((s, d) =>
       Stats.skewKurt(Tables.lineitem(s, d), "l_returnflag", "l_quantity")),
+    "st_ttest" -> ((s, d) =>
+      Stats.welchTTest(Tables.events(s, d), "event_type", "value")),
     // ---- E. lambda pipeline (batch twins) ----
     "lam_alert_classify" -> ((s, d) => Lambda.alertClassify(Tables.events(s, d))),
     "lam_daily_profile" -> ((s, d) => Lambda.dailyProfile(Tables.events(s, d))),
@@ -259,6 +274,14 @@ object SparkEntry {
         // 300 km needs 9-degree cells (lon bound 7.9 degrees at |lat|=70)
         epsKm = 300.0, cellDeg = 9)
         .select(col("pid").as("c_custkey"), col("cluster_id"))
+    }),
+    "sp_radius_join" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      SpatialJoin.withinRadiusPairs(
+        SpatialJoin.customerPoints(Tables.customer(s, d))
+          .select(col("c_custkey").as("pid"), col("c_lat").as("lat"),
+            col("c_lon").as("lon")),
+        epsKm = 300.0, cellDeg = 9)
     }),
     // ---- G. text analysis / dedup / similarity ----
     "tx_tokens" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
@@ -352,6 +375,14 @@ object SparkEntry {
     "ann_sq8" -> ((s, d) => {
       val (path, (mn, mx)) = sq8Index(s, d)
       ScalarQuantization.sq8TopK(s, path, Tables.embeddings(s, d), 0L, 10, mn, mx)
+    }),
+    // metadata-filtered vector search: exact top-k within a label slice
+    // (the predicate reaches the scan before any cosine is computed; the
+    // IVF-filtered scale twin is recall-specced in EmbedLshSpec)
+    "ann_filtered" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      SimilaritySearch.bruteForceTopKWhere(Tables.embeddings(s, d), 0L, 10,
+        col("label") === 3)
     }),
     // embedding-space (semantic) dedup over the IVF cells
     "dd_semantic" -> ((s, d) => {
@@ -513,6 +544,16 @@ object SparkEntry {
             lit("FRESH").as("c_mktsegment")))
       Dwh.snapshotDiff(old, fresh, "c_custkey", "c_mktsegment")
     }),
+    // surrogate-key assignment: customers outside the seeded dim (every
+    // third key) arriving via orders get dense keys past max(sk)
+    "dwh_surrogate" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val dim = Tables.customer(s, d).filter(col("c_custkey") % 3 =!= 0)
+        .select(col("c_custkey").as("nat_key"),
+          (col("c_custkey") * 7).as("sk"))
+      val incoming = Tables.orders(s, d).select(col("o_custkey").as("nat_key"))
+      Dwh.assignSurrogates(dim, incoming, "nat_key", "sk")
+    }),
     // ---- J. quality / observability ----
     "dq_expect" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -537,6 +578,7 @@ object SparkEntry {
     }),
     "dq_drift" -> ((s, d) =>
       Quality.drift(Tables.events(s, d), "2024-01-16")),
+    "dq_freshness" -> ((s, d) => Quality.freshness(Tables.events(s, d))),
     "w10_retention" -> ((s, d) =>
       Windows.cohortRetention(Tables.events(s, d))),
     "ts_anomaly" -> ((s, d) => Resample.tsAnomaly(Tables.events(s, d))),
@@ -597,6 +639,13 @@ object SparkEntry {
            INTERSECT ALL
            SELECT * FROM customer WHERE c_mktsegment = 'BUILDING'
          ) GROUP BY c_mktsegment""",
+    "q26_grouping_sets" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+           round(sum(c_acctbal), 2) AS sum_bal
+         FROM customer c
+           JOIN nation n ON c_nationkey = n_nationkey
+           JOIN region r ON n_regionkey = r_regionkey
+         GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())""",
     "q8_casewhen" ->
       """SELECT o_orderstatus,
            CASE WHEN o_totalprice < 50000 THEN 'low'
@@ -709,6 +758,17 @@ object SparkEntry {
       """SELECT round(corr(l_quantity, l_extendedprice),6) AS corr_xy,
            round(covar_samp(l_quantity, l_extendedprice),4) AS cov_xy
          FROM lineitem""",
+    "st_ttest" ->
+      """WITH s AS (SELECT event_type, count(value) AS n, avg(value) AS m,
+             var_samp(value) AS v
+           FROM events GROUP BY 1)
+         SELECT a.event_type AS group_a, b.event_type AS group_b,
+           a.n AS na, b.n AS nb,
+           round((a.m - b.m) / sqrt(a.v/a.n + b.v/b.n), 4) AS t_stat,
+           round(pow(a.v/a.n + b.v/b.n, 2) /
+             (pow(a.v/a.n, 2)/(a.n - 1) + pow(b.v/b.n, 2)/(b.n - 1)), 4)
+             AS df
+         FROM s a JOIN s b ON a.event_type < b.event_type""",
     "st_freq_topn" ->
       """SELECT p_brand, count(*) AS n FROM part
          GROUP BY p_brand ORDER BY n DESC, p_brand LIMIT 10""",
@@ -953,6 +1013,23 @@ object SparkEntry {
            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
          SELECT a AS c_custkey, least(a, min(b)) AS cluster_id
          FROM reach GROUP BY a""",
+    "sp_radius_join" ->
+      """WITH pts AS (SELECT c_custkey,
+             round(((c_custkey * 17) % 1400)/10.0 - 70.0, 4) AS lat,
+             round(((c_custkey * 31) % 3600)/10.0 - 180.0, 4) AS lon
+           FROM customer)
+         SELECT a.c_custkey AS p1, b.c_custkey AS p2,
+           round(2*6371.0*asin(sqrt(
+             pow(sin(radians(b.lat - a.lat)/2), 2) +
+             cos(radians(a.lat))*cos(radians(b.lat))
+               *pow(sin(radians(b.lon - a.lon)/2), 2)
+           )), 4) AS dist_km
+         FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey
+         WHERE round(2*6371.0*asin(sqrt(
+           pow(sin(radians(b.lat - a.lat)/2), 2) +
+           cos(radians(a.lat))*cos(radians(b.lat))
+             *pow(sin(radians(b.lon - a.lon)/2), 2)
+         )), 4) <= 300.0""",
     "sp_nearest_join" ->
       """WITH c AS (SELECT c_custkey,
              round(((c_custkey * 17) % 1400)/10.0 - 70.0, 4) AS c_lat,
@@ -1270,6 +1347,13 @@ object SparkEntry {
                                         CAST(q.qe AS DOUBLE[])), 4) AS cos
          FROM embeddings b, q WHERE b.vec_id <> 0
          ORDER BY cos DESC, b.vec_id LIMIT 10""",
+    "ann_filtered" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         SELECT b.vec_id,
+           round(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+                                        CAST(q.qe AS DOUBLE[])), 4) AS cos
+         FROM embeddings b, q WHERE b.vec_id <> 0 AND b.label = 3
+         ORDER BY cos DESC, b.vec_id LIMIT 10""",
     // tx_fingerprint_roll, ann_lsh, ann_ivf, ann_knn_join, ann_pq, ann_sq8,
     // dd_minhash_lsh, dd_simhash, dd_cluster_lsh, dd_incremental_lsh,
     // dd_semantic, mm_frames, mm_phash, st_hll_merge: hash/bucket/
@@ -1449,6 +1533,28 @@ object SparkEntry {
              n.c_mktsegment AS new_state
            FROM snap_old o FULL OUTER JOIN snap_new n USING (c_custkey))
          SELECT c_custkey, op, new_state FROM j WHERE op IS NOT NULL""",
+    "dwh_surrogate" ->
+      """WITH dim AS (SELECT c_custkey AS nat_key, c_custkey * 7 AS sk
+           FROM customer WHERE c_custkey % 3 <> 0),
+         news AS (SELECT DISTINCT o_custkey AS nat_key FROM orders o
+           WHERE NOT EXISTS
+             (SELECT 1 FROM dim WHERE dim.nat_key = o.o_custkey)),
+         striped AS (SELECT nat_key,
+             strpos('0123456789abcdef',
+               substr(md5(CAST(nat_key AS VARCHAR)), 1, 1)) - 1 AS stripe
+           FROM news),
+         offs AS (SELECT stripe,
+             CAST(coalesce(sum(c) OVER (ORDER BY stripe
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS off
+           FROM (SELECT stripe, count(*) AS c FROM striped GROUP BY stripe)),
+         rn AS (SELECT nat_key, stripe,
+             row_number() OVER (PARTITION BY stripe ORDER BY nat_key) AS rn
+           FROM striped)
+         SELECT r.nat_key,
+           CAST((SELECT coalesce(max(sk), 0) FROM dim) + o.off + r.rn
+             AS BIGINT) AS sk
+         FROM rn r JOIN offs o ON r.stripe = o.stripe""",
     "dq_expect" ->
       """WITH dirty AS (
            SELECT CASE WHEN l_orderkey % 983 = 0 THEN -l_orderkey
@@ -1515,6 +1621,19 @@ object SparkEntry {
            ON p.event_type = q.event_type AND p.bin = q.bin
            AND p.side = 'p' AND q.side = 'q'
          GROUP BY p.event_type""",
+    "dq_freshness" ->
+      """WITH per AS (SELECT event_type, count(*) AS n_rows,
+             max(ts) AS max_ts,
+             count(DISTINCT CAST(ts AS DATE)) AS active_days,
+             sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS null_values
+           FROM events GROUP BY 1),
+         hwm AS (SELECT max(ts) AS cm FROM events)
+         SELECT event_type, n_rows, max_ts, active_days,
+           CAST((CAST(floor(epoch(cm)) AS BIGINT)
+             - CAST(floor(epoch(max_ts)) AS BIGINT)) // 3600 AS BIGINT)
+             AS hours_behind,
+           round(null_values / n_rows, 6) AS null_value_frac
+         FROM per, hwm""",
     "w10_retention" ->
       """WITH e AS (
            SELECT user_id,

@@ -182,4 +182,42 @@ object Dwh {
       .filter(col("op").isNotNull)
       .select(col(key), col("op"), col("__new").as("new_state"))
   }
+
+  /** Surrogate-key assignment for incoming dimension members: natural
+    * keys not yet in `dim` get dense keys continuing from max(sk) —
+    * deterministic (same input → same keys, no RNG, no
+    * monotonically_increasing_id, whose values depend on the partition
+    * layout), so a replayed batch re-derives identical assignments.
+    *
+    * Scale shape: the global dense numbering is the striped two-pass
+    * prefix sum (pipe_pack's shape) — new keys stripe by an md5 nibble,
+    * each stripe numbers its rows in parallel (row_number per stripe),
+    * and only the 16-row stripe-count frame pays a single-partition
+    * window before broadcasting back as offsets. No single-partition
+    * pass ever sees the data; max(sk) rides as a 1-row broadcast, not a
+    * driver action. The churn-sized anti-join is the only key shuffle.
+    *
+    * Output: (natKey, skCol) for the NEW members only; callers union
+    * with the existing dim. */
+  def assignSurrogates(dim: DataFrame, incoming: DataFrame,
+                       natKey: String, skCol: String): DataFrame = {
+    val newNats = incoming.select(natKey).distinct()
+      .join(dim.select(natKey), Seq(natKey), "left_anti")
+      .withColumn("stripe",
+        conv(substring(md5(col(natKey).cast("string")), 1, 1), 16, 10)
+          .cast("int"))
+    val offsets = newNats.groupBy("stripe").agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(
+        sum("c").over(Window.orderBy("stripe")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("stripe", "off")
+    val maxSk = dim.agg(coalesce(max(col(skCol)), lit(0L)).as("__max_sk"))
+    val rn = row_number()
+      .over(Window.partitionBy("stripe").orderBy(natKey))
+    newNats.withColumn("rn", rn)
+      .join(broadcast(offsets), Seq("stripe"))
+      .crossJoin(broadcast(maxSk))
+      .select(col(natKey),
+        (col("__max_sk") + col("off") + col("rn")).cast("long").as(skCol))
+  }
 }

@@ -104,4 +104,31 @@ object Quality {
       .agg(round(sum((col("pp") - col("qp")) * log(col("pp") / col("qp"))), 6)
         .as("psi"))
   }
+
+  /** Freshness / completeness report per event_type — the observability
+    * row a lake monitor alerts on: row volume, latest arrival, distinct
+    * active days, hours behind the freshest type in the corpus, and the
+    * null-payload fraction.
+    *
+    * Scale shape: ONE partial-agg scan produces the per-type rows
+    * (count-distinct-days expands to (type, day) keys — still key-width
+    * rows, never the payload); the corpus-wide high-water mark is a
+    * 1-row broadcast cross join back onto the tiny report frame. Lag is
+    * integer hours from epoch-second subtraction, so the column is
+    * engine-stable (no interval arithmetic). */
+  def freshness(events: DataFrame): DataFrame = {
+    val per = events.groupBy("event_type").agg(
+      count(lit(1)).as("n_rows"),
+      max(col("ts")).as("max_ts"),
+      countDistinct(to_date(col("ts"))).as("active_days"),
+      sum(when(col("value").isNull, 1L).otherwise(0L)).as("null_values"))
+    val hwm = events.agg(max(col("ts")).as("corpus_max_ts"))
+    per.crossJoin(broadcast(hwm))
+      .select(col("event_type"), col("n_rows"), col("max_ts"),
+        col("active_days"),
+        ((unix_timestamp(col("corpus_max_ts")) -
+          unix_timestamp(col("max_ts"))) / 3600).cast("long")
+          .as("hours_behind"),
+        round(col("null_values") / col("n_rows"), 6).as("null_value_frac"))
+  }
 }

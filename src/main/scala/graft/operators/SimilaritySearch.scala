@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -20,13 +20,24 @@ object SimilaritySearch {
   /** Exact top-k by cosine against one query vector (given as the row of
     * `queryId`). Tie-break on rounded cosine then vec_id keeps the
     * result reproducible. */
-  def bruteForceTopK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
+  def bruteForceTopK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame =
+    bruteForceTopKWhere(embeddings, queryId, k, lit(true))
+
+  /** Metadata-FILTERED exact vector search: top-k by cosine among only
+    * the corpus rows satisfying `pred` (e.g. label = 3) — the "search
+    * within a slice" query every vector store serves. The predicate sits
+    * directly on the scan, so for a stored corpus it reaches the parquet
+    * reader as a pushed filter (plan-audited): selective slices read a
+    * fraction of the corpus BEFORE any cosine is computed, and top-k
+    * stays TakeOrderedAndProject — per-partition heaps, no shuffle. */
+  def bruteForceTopKWhere(embeddings: DataFrame, queryId: Long, k: Int,
+                          pred: Column): DataFrame = {
     val q = embeddings.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_embedding"))
     // round-robin fan-out (no hash shuffle): spreads the map-side cosine
     // over all cores on single-split inputs; no-op on a real multi-split
     // corpus, where the scan is already wide
-    Scale.fanOut(embeddings)
+    Scale.fanOut(embeddings.filter(pred))
       .filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .withColumn("cos", round(cosine(col("embedding"), col("q_embedding")), 4))
@@ -193,10 +204,17 @@ object SimilaritySearch {
     * vector (one driver-side nProbe-int fetch — a parameter lookup, not
     * a data loop), then scan ONLY those cell directories — the literal
     * isin predicate is a PartitionFilter, so the scan reads nProbe of k
-    * directories (asserted in PlanAuditSpec). Same output as ivfTopK. */
+    * directories (asserted in PlanAuditSpec). Same output as ivfTopK.
+    *
+    * `pred` turns this into FILTERED ANN (e.g. label = 3): the metadata
+    * predicate lands on the pruned cell scan as a pushed parquet filter
+    * — cells narrow the search, the filter narrows the cells, and no
+    * excluded row ever reaches a cosine. Filtered probes should raise
+    * `nProbe` (selective slices thin each cell's candidate pool — the
+    * standard filtered-ANN recall trade, recall property-specced). */
   def ivfProbe(spark: SparkSession, lakePath: String, embeddings: DataFrame,
                codebook: Seq[Seq[Double]], queryId: Long, k: Int,
-               nProbe: Int = 4): DataFrame = {
+               nProbe: Int = 4, pred: Column = lit(true)): DataFrame = {
     val q = embeddings.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_embedding"),
         topCentroidIds(col("embedding"), codebook, nProbe).as("q_cells"))
@@ -207,6 +225,7 @@ object SimilaritySearch {
     val cells = qRow.head.getSeq[Int](1)
     spark.read.parquet(lakePath)
       .filter(col("cell").isin(cells: _*) && col("vec_id") =!= queryId)
+      .filter(pred)
       .crossJoin(broadcast(q.select(col("q_embedding"))))
       .withColumn("cos", round(cosine(col("embedding"), col("q_embedding")), 4))
       .orderBy(desc("cos"), asc("vec_id"))

@@ -182,10 +182,9 @@ object SpatialJoin {
     }
   }
 
-  /** ε-distance spatial clustering — the connectivity core of DBSCAN
-    * (minPts=2) at lake scale: points closer than `epsKm` connect, and
-    * connected components become clusters (labels via the same
-    * pointer-doubling CC machinery as text dedup, Dedup.dupClusters).
+  /** Within-radius spatial pair join (the spatial range join): every
+    * unordered point pair closer than `epsKm`, with its distance —
+    * output rows are proportional to the true neighbor count, never n².
     *
     * Candidate pairs come from a grid EQUI-join, never a cross join:
     * each point homes in one (latCell, lonCell) at `cellDeg` resolution,
@@ -196,12 +195,9 @@ object SpatialJoin {
     * a ≥ cos²(maxAbsLat)·sin²(Δlon/2) in the haversine — by
     * ≤ deg(2·asin(sin(eps/2R)/cos maxAbsLat)) in longitude; the
     * constructor REQUIRES both under cellDeg, so no in-guard pair can
-    * escape the 3×3 block (inputs must satisfy |lat| ≤ maxAbsLat).
-    *
-    * Output: (pid, cluster_id) for every point in some ≥2-point cluster
-    * (singletons emit nothing, matching the dedup-cluster convention). */
-  def epsilonClusters(points: DataFrame, epsKm: Double, cellDeg: Int = 6,
-                      maxAbsLat: Double = 70.0): DataFrame = {
+    * escape the 3×3 block (inputs must satisfy |lat| ≤ maxAbsLat). */
+  def withinRadiusPairs(points: DataFrame, epsKm: Double, cellDeg: Int = 6,
+                        maxAbsLat: Double = 70.0): DataFrame = {
     require(360 % cellDeg == 0, "cellDeg must divide 360")
     val nLon = 360 / cellDeg
     require(nLon >= 3, "need >= 3 longitude cells for distinct neighbors")
@@ -227,12 +223,25 @@ object SpatialJoin {
         col("nc.latc").as("latc"), col("nc.lonc").as("lonc"))
     val home = base.select(col("pid").as("p2"), col("lat").as("lat2"),
       col("lon").as("lon2"), col("latc"), col("lonc"))
-    val pairs = probe.join(home, Seq("latc", "lonc"))
+    probe.join(home, Seq("latc", "lonc"))
       .filter(col("p1") < col("p2"))
-      .filter(round(haversineKm(col("lat1"), col("lon1"),
-        col("lat2"), col("lon2")), 4) <= epsKm)
-      .select(col("p1").as("d1"), col("p2").as("d2"))
-    Dedup.dupClusters(pairs)
-      .select(col("doc_id").as("pid"), col("cluster_id"))
+      .withColumn("dist_km", round(haversineKm(col("lat1"), col("lon1"),
+        col("lat2"), col("lon2")), 4))
+      .filter(col("dist_km") <= epsKm)
+      .select(col("p1"), col("p2"), col("dist_km"))
   }
+
+  /** ε-distance spatial clustering — the connectivity core of DBSCAN
+    * (minPts=2) at lake scale: points closer than `epsKm` connect
+    * ([[withinRadiusPairs]] grid equi-join), and connected components
+    * become clusters (the same pointer-doubling CC machinery as text
+    * dedup, Dedup.dupClusters). Output: (pid, cluster_id) for every
+    * point in some ≥2-point cluster (singletons emit nothing, matching
+    * the dedup-cluster convention). */
+  def epsilonClusters(points: DataFrame, epsKm: Double, cellDeg: Int = 6,
+                      maxAbsLat: Double = 70.0): DataFrame =
+    Dedup.dupClusters(
+      withinRadiusPairs(points, epsKm, cellDeg, maxAbsLat)
+        .select(col("p1").as("d1"), col("p2").as("d2")))
+      .select(col("doc_id").as("pid"), col("cluster_id"))
 }

@@ -171,4 +171,29 @@ object Stats {
       .agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc(c))
       .limit(n)
+
+  /** Welch's two-sample t-test between every pair of groups — the A/B
+    * significance primitive the profiling layer feeds (does `value`
+    * really differ between event types, or is it noise?).
+    *
+    * Scale shape: ONE partial-agg pass collapses the corpus to one
+    * (n, mean, var) row per group; the pair frame is a self-join of that
+    * group-count-sized frame (never the data), so 100 TB costs the same
+    * scan as st_describe. t and the Welch–Satterthwaite df are closed
+    * forms over the moments — no second pass, no resampling. */
+  def welchTTest(df: DataFrame, groupCol: String, c: String): DataFrame = {
+    val stats = df.groupBy(groupCol).agg(
+      count(col(c)).as("n"), avg(col(c)).as("m"), var_samp(col(c)).as("v"))
+    val a = stats.select(col(groupCol).as("group_a"), col("n").as("na"),
+      col("m").as("ma"), col("v").as("va"))
+    val b = stats.select(col(groupCol).as("group_b"), col("n").as("nb"),
+      col("m").as("mb"), col("v").as("vb"))
+    val se2 = col("va") / col("na") + col("vb") / col("nb")
+    a.crossJoin(b).filter(col("group_a") < col("group_b"))
+      .select(col("group_a"), col("group_b"), col("na"), col("nb"),
+        round((col("ma") - col("mb")) / sqrt(se2), 4).as("t_stat"),
+        round(pow(se2, 2) / (
+          pow(col("va") / col("na"), 2) / (col("na") - 1) +
+            pow(col("vb") / col("nb"), 2) / (col("nb") - 1)), 4).as("df"))
+  }
 }

@@ -169,4 +169,25 @@ class DwhSpec extends SparkSpec {
     val applied = Dwh.cdcApply(old, diff, "k", "state", "op", "new_state", "t", "ord")
     assert(applied.exceptAll(fresh).isEmpty && fresh.exceptAll(applied).isEmpty)
   }
+
+  test("assignSurrogates: dense unique keys past max(sk), deterministic, idempotent") {
+    val dim = Seq((100L, 10L), (200L, 20L), (300L, 30L)).toDF("nat_key", "sk")
+    val incoming = Seq(200L, 300L, 400L, 500L, 600L, 400L).toDF("nat_key")
+    def run() = Dwh.assignSurrogates(dim, incoming, "nat_key", "sk").collect()
+      .map(r => r.getAs[Long]("nat_key") -> r.getAs[Long]("sk")).toMap
+    val got = run()
+    // only the unseen naturals, each exactly once
+    assert(got.keySet == Set(400L, 500L, 600L))
+    // dense continuation from max(sk)=30, no collisions with the dim
+    assert(got.values.toSeq.sorted == Seq(31L, 32L, 33L))
+    // deterministic re-derivation (replay safety)
+    assert(run() == got)
+    // applying again after the merge assigns nothing
+    val merged = dim.unionByName(got.toSeq.toDF("nat_key", "sk"))
+    assert(Dwh.assignSurrogates(merged, incoming, "nat_key", "sk").isEmpty)
+    // partition-layout invariance: same keys under a different layout
+    val reshaped = Dwh.assignSurrogates(dim, incoming.repartition(7), "nat_key", "sk")
+      .collect().map(r => r.getAs[Long]("nat_key") -> r.getAs[Long]("sk")).toMap
+    assert(reshaped == got)
+  }
 }

@@ -131,4 +131,32 @@ class EmbedLshSpec extends SparkSpec {
     val recall = lsh.size.toDouble / exact.size
     assert(recall >= 0.75, s"recall $recall below floor (${lsh.size}/${exact.size})")
   }
+
+  test("filtered search: slice-only results; filtered ivfProbe recalls the exact slice top-k") {
+    import org.apache.spark.sql.functions.col
+    val slice = emb.filter(col("label") === 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val brute = SimilaritySearch.bruteForceTopKWhere(emb, 0L, 10,
+      col("label") === 3).collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(brute.size == 10 && brute.forall(slice),
+      "exact filtered search must stay inside the metadata slice")
+    val dir = s"target/graft_io/test/emb_ivf_filt_${System.nanoTime()}"
+    val cb = SimilaritySearch.buildIvfIndex(emb, 16, dir)
+    // a selective slice thins each probed cell (here ~10% of the corpus
+    // spread over all 16 cells, and k is ~20% of the whole slice — the
+    // worst case for filtered ANN), so recall must be bought by widening
+    // nProbe: it rises monotonically and converges to the EXACT slice
+    // result when every cell is probed (cosines are exact throughout)
+    def at(nProbe: Int) = SimilaritySearch.ivfProbe(spark, dir, emb, cb,
+      0L, 10, nProbe = nProbe, pred = col("label") === 3)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    val recalls = Seq(4, 8, 16).map { np =>
+      val got = at(np)
+      assert(got.forall(slice), "filtered probe must never leak out of the slice")
+      got.count(brute.toSet).toDouble / brute.size
+    }
+    assert(recalls == recalls.sorted, s"recall not monotone in nProbe: $recalls")
+    assert(at(16) == brute,
+      "probing every cell must reproduce the exact filtered top-k")
+  }
 }

@@ -101,4 +101,23 @@ class QualitySpec extends SparkSpec {
     assert(rareCe > maxRealCe, "an all-novel-token doc must score highest")
     scored.unpersist()
   }
+
+  test("freshness: planted lags and null payloads are reported exactly") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      // "click" is the corpus high-water mark (2 days, one null value)
+      (1L, ts("2024-01-01 10:00:00"), 7L, "click", Some(1.0), "{}"),
+      (2L, ts("2024-01-03 09:30:00"), 7L, "click", None, "{}"),
+      // "view" trails by 25.5h -> 25 whole hours behind, 1 active day
+      (3L, ts("2024-01-02 08:00:00"), 8L, "view", Some(2.0), "{}"),
+      (4L, ts("2024-01-02 07:00:00"), 8L, "view", Some(3.0), "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rep = Quality.freshness(events).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("active_days"),
+          r.getAs[Long]("hours_behind"),
+          r.getAs[Double]("null_value_frac")))).toMap
+    assert(rep("click") == ((2L, 2L, 0L, 0.5)))
+    assert(rep("view") == ((2L, 1L, 25L, 0.0)))
+  }
 }

@@ -92,6 +92,12 @@ class WindowsLambdaSpec extends SparkSpec {
       .filter(round(haversineKm(col("la"), col("lo"), col("lb"), col("lg")), 4) <= 300.0)
       .select("d1", "d2")
     val brute = Dedup.dupClusters(brutePairs)
+    // pair-level equivalence first: the radius join IS the all-pairs set
+    val gridPairs = SpatialJoin.withinRadiusPairs(pts, epsKm = 300.0, cellDeg = 9)
+      .select(col("p1").as("d1"), col("p2").as("d2"))
+    assert(gridPairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      brutePairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+      "withinRadiusPairs lost or invented a pair vs the all-pairs oracle")
     def m(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(m(grid) == m(brute),
