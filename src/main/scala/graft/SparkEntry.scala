@@ -213,6 +213,8 @@ object SparkEntry {
       Stats.skewKurt(Tables.lineitem(s, d), "l_returnflag", "l_quantity")),
     "st_ttest" -> ((s, d) =>
       Stats.welchTTest(Tables.events(s, d), "event_type", "value")),
+    "st_anova" -> ((s, d) =>
+      Stats.anovaF(Tables.events(s, d), "event_type", "value")),
     // ---- E. lambda pipeline (batch twins) ----
     "lam_alert_classify" -> ((s, d) => Lambda.alertClassify(Tables.events(s, d))),
     "lam_daily_profile" -> ((s, d) => Lambda.dailyProfile(Tables.events(s, d))),
@@ -450,6 +452,17 @@ object SparkEntry {
         sup.filter(col("s_suppkey") % 2 === 1)
           .select("s_suppkey", "s_name", "s_acctbal"),
         scratch(d, "evolving_lake"))
+    }),
+    // lake maintenance: a fragmented dir (32 shards of a small dim)
+    // compacts to target-sized files; the contract checks content
+    // preservation (oracle = the source table), LakeSpec checks the
+    // file-count collapse and the crash-safe rename swap
+    "snk_compaction" -> ((s, d) => {
+      val p = scratch(d, "compact_supplier")
+      Tables.supplier(s, d).select("s_suppkey", "s_name", "s_nationkey")
+        .repartition(32).write.mode("overwrite").parquet(p)
+      sources.Lake.compact(s, p, targetRowsPerFile = 1000000L)
+      sources.Lake.readParquet(s, p)
     }),
     "snk_partitioned_write" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -769,6 +782,19 @@ object SparkEntry {
              (pow(a.v/a.n, 2)/(a.n - 1) + pow(b.v/b.n, 2)/(b.n - 1)), 4)
              AS df
          FROM s a JOIN s b ON a.event_type < b.event_type""",
+    "st_anova" ->
+      """WITH g AS (SELECT event_type, count(value) AS n, avg(value) AS m,
+             var_samp(value) AS v
+           FROM events GROUP BY 1),
+         gr AS (SELECT sum(n*m)/sum(n) AS gm, sum(n) AS nt, count(*) AS k
+           FROM g),
+         a AS (SELECT max(k) AS k, max(nt) AS n_total,
+             sum(n * pow(m - gm, 2)) AS ssb, sum((n - 1) * v) AS ssw
+           FROM g, gr)
+         SELECT CAST(k AS BIGINT) AS k, CAST(n_total AS BIGINT) AS n_total,
+           round((ssb/(k - 1)) / (ssw/(n_total - k)), 4) AS f_stat,
+           CAST(k - 1 AS BIGINT) AS df1, CAST(n_total - k AS BIGINT) AS df2
+         FROM a""",
     "st_freq_topn" ->
       """SELECT p_brand, count(*) AS n FROM part
          GROUP BY p_brand ORDER BY n DESC, p_brand LIMIT 10""",
@@ -1407,6 +1433,8 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n, round(sum(l_quantity),2) AS qty
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          GROUP BY o_orderstatus""",
+    "snk_compaction" ->
+      "SELECT s_suppkey, s_name, s_nationkey FROM supplier",
     "src_json_roundtrip" ->
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
     "src_schema_evolution" ->

@@ -196,4 +196,24 @@ object Stats {
           pow(col("va") / col("na"), 2) / (col("na") - 1) +
             pow(col("vb") / col("nb"), 2) / (col("nb") - 1)), 4).as("df"))
   }
+
+  /** One-way ANOVA F over ALL groups at once (welchTTest's k-group
+    * sibling): between-group vs within-group variance from the same
+    * single-pass per-group moments — the corpus is scanned once, every
+    * later step runs on the group-count-sized stat frame (grand mean
+    * rides back as a 1-row broadcast). */
+  def anovaF(df: DataFrame, groupCol: String, c: String): DataFrame = {
+    val g = df.groupBy(groupCol).agg(
+      count(col(c)).as("n"), avg(col(c)).as("m"), var_samp(col(c)).as("v"))
+    val grand = g.agg((sum(col("n") * col("m")) / sum("n")).as("gm"),
+      sum("n").as("nt"), count(lit(1)).as("k"))
+    g.crossJoin(broadcast(grand))
+      .agg(max("k").as("k"), max("nt").as("n_total"),
+        sum(col("n") * pow(col("m") - col("gm"), 2)).as("ssb"),
+        sum((col("n") - 1) * col("v")).as("ssw"))
+      .select(col("k"), col("n_total"),
+        round((col("ssb") / (col("k") - 1)) /
+          (col("ssw") / (col("n_total") - col("k"))), 4).as("f_stat"),
+        (col("k") - 1).as("df1"), (col("n_total") - col("k")).as("df2"))
+  }
 }

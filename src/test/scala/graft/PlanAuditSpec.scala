@@ -264,6 +264,29 @@ class PlanAuditSpec extends SparkSpec {
       s"semantic dedup must bound pairs by cell, not all-pairs:\n$p")
   }
 
+  test("ann_filtered: label predicate reaches the scan; top-k stays TakeOrdered") {
+    val p = plan("ann_filtered")
+    assert(p.contains("EqualTo(label,3)"),
+      s"label filter must be pushed to the embeddings scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"filtered search must not shuffle the corpus:\n$p")
+  }
+
+  test("q26_grouping_sets: one Expand, one partial-agg shuffle") {
+    val p = plan("q26_grouping_sets")
+      .split("== Initial Plan ==").head
+    assert(p.contains("Expand"), s"GROUPING SETS should plan one Expand:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"aggregate must be partial before the exchange:\n$p")
+  }
+
+  test("sp_radius_join: grid pair generation is an equi-join, never a cross join") {
+    val p = plan("sp_radius_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"radius join must be the cell equi-join:\n$p")
+  }
+
   test("entry flagship runs and returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -35,4 +35,15 @@ class StatsSpec extends SparkSpec {
     assert(xy.getAs[Double]("t_stat") == 0.0,
       "identical distributions must score exactly t=0")
   }
+
+  test("anovaF matches the closed-form F on a known sample") {
+    // A=[1,2,3,4] B=[2,4,6,8,10] C=[5,5,5]: N=12, k=3, F=2.7917
+    val df = (Seq(1.0, 2.0, 3.0, 4.0).map(("A", _)) ++
+      Seq(2.0, 4.0, 6.0, 8.0, 10.0).map(("B", _)) ++
+      Seq(5.0, 5.0, 5.0).map(("C", _))).toDF("g", "v")
+    val r = Stats.anovaF(df, "g", "v").collect().head
+    assert(r.getAs[Long]("k") == 3L && r.getAs[Long]("n_total") == 12L)
+    assert(r.getAs[Long]("df1") == 2L && r.getAs[Long]("df2") == 9L)
+    assert(math.abs(r.getAs[Double]("f_stat") - 2.7917) < 1e-4)
+  }
 }
