@@ -257,6 +257,7 @@ object SparkEntry {
     "ts_interpolate" -> ((s, d) =>
       Resample.resampleWithInterpolation(Tables.events(s, d), 3600000000L)),
     "ts_ewma" -> ((s, d) => Resample.ewma(Tables.events(s, d), 0.3)),
+    "ts_holt" -> ((s, d) => Resample.holt(Tables.events(s, d), 0.3, 0.1)),
     // ---- F. spatial ----
     "sp_haversine" -> ((s, d) =>
       SpatialJoin.distances(
@@ -302,6 +303,9 @@ object SparkEntry {
     "pipe_pack" -> ((s, d) => TextAnalysis.packSequences(Tables.documents(s, d))),
     // domain-mixture resampling: en halved, fr 1.5x, es doubled, zh
     // quartered — exercises downsample, integral and fractional upsample
+    "pipe_balance" -> ((s, d) =>
+      Sampling.classBalance(Tables.documents(s, d), "doc_id", "lang")
+        .select("doc_id", "lang")),
     "pipe_mixture" -> ((s, d) =>
       Sampling.mixtureSample(Tables.documents(s, d), "doc_id", "lang",
         Map("en" -> 0.5, "de" -> 1.0, "fr" -> 1.5, "es" -> 2.0, "zh" -> 0.25))),
@@ -1488,6 +1492,15 @@ object SparkEntry {
            FROM documents)
          SELECT doc_id, lang, CAST(c AS INTEGER) AS copy
          FROM (SELECT doc_id, lang, unnest(range(n)) AS c FROM m WHERE n > 0)""",
+    "pipe_balance" ->
+      """WITH m AS (SELECT min(c) AS m FROM
+           (SELECT lang, count(*) AS c FROM documents GROUP BY 1)),
+         r AS (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY substr(md5('bal' || CAST(doc_id AS VARCHAR)), 1, 32),
+                 doc_id) AS rn
+           FROM documents)
+         SELECT doc_id, lang FROM r, m WHERE rn <= m.m""",
     "pipe_shuffle" ->
       """WITH h AS (SELECT doc_id,
              md5('shuf' || CAST(doc_id AS VARCHAR)) AS hh

@@ -85,6 +85,35 @@ object Resample {
       .toDF("user_id", "ts_us", "ewma")
   }
 
+  /** Holt's linear (double-exponential) smoothing per key — level +
+    * trend recurrences windows can't express, streamed through the same
+    * spill-safe sorted-group iterator as [[ewma]] (constant state per
+    * key: two doubles). `forecast_1` is the one-step-ahead prediction
+    * l + b. β = 0 degenerates to ewma exactly (spec-locked). */
+  def holt(events: DataFrame, alpha: Double, beta: Double): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups($"ts_us", $"value") { (k, it) =>
+        var l = Double.NaN
+        var b = 0.0
+        it.map { case (_, ts, v) =>
+          if (l.isNaN) l = v
+          else {
+            val lPrev = l
+            l = alpha * v + (1 - alpha) * (l + b)
+            b = beta * (l - lPrev) + (1 - beta) * b
+          }
+          (k, ts, math.rint(l * 1e6) / 1e6, math.rint(b * 1e6) / 1e6,
+            math.rint((l + b) * 1e6) / 1e6)
+        }
+      }
+      .toDF("user_id", "ts_us", "level", "trend", "forecast_1")
+  }
+
   /** Dense series per user: every slot between the user's first and last
     * observation, observed slots carrying their aggregate, gaps
     * forward-filled from the previous observed slot. `filled` marks

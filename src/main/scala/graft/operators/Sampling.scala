@@ -100,4 +100,27 @@ object Sampling {
       .filter(col("__rn") <= k)
       .drop("__h", "__rn")
   }
+
+  /** Class-balanced downsampling: every class keeps exactly m rows
+    * (m = the smallest class's population), chosen as the m smallest
+    * salted hashes per class — the deterministic "equalize the label
+    * distribution" step before training, same reproducibility contract
+    * as every sampler here.
+    *
+    * Auto-deriving m makes the cap a COLUMN, so the rank filter cannot
+    * prune map-side (no WindowGroupLimit) — the per-class sort is the
+    * price of exact auto-balance. When the per-class budget is known up
+    * front (the usual case for eval sets), [[stratifiedFixed]] with
+    * k = budget draws the IDENTICAL sample with the map-side limit. */
+  def classBalance(df: DataFrame, idCol: String, classCol: String,
+                   salt: String = "bal"): DataFrame = {
+    val m = df.groupBy(classCol).agg(count(lit(1)).as("__c"))
+      .agg(min("__c").as("__m"))
+    val w = Window.partitionBy(classCol).orderBy("__h", idCol)
+    df.withColumn("__h", hexKey(salt, col(idCol), 32))
+      .withColumn("__rn", row_number().over(w))
+      .crossJoin(broadcast(m))
+      .filter(col("__rn") <= col("__m"))
+      .drop("__h", "__rn", "__m")
+  }
 }

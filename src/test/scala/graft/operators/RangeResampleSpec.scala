@@ -98,6 +98,27 @@ class RangeResampleSpec extends SparkSpec {
     assert(real.filter(col("ewma").isNaN || col("ewma").isNull).count() == 0)
   }
 
+  test("holt tracks a linear trend; beta=0 degenerates to ewma exactly") {
+    import spark.implicits._
+    // a perfectly linear series: level locks on, the one-step forecast
+    // converges toward the next point and the trend toward the slope
+    val lin = Seq.tabulate(60)(i => (1L, (i + 1) * 1000L, 10.0 + 2.0 * i))
+      .toDF("user_id", "us", "value")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"), col("value"))
+    val last = Resample.holt(lin, 0.5, 0.3).orderBy(desc("ts_us")).limit(1)
+      .collect().head
+    assert(math.abs(last.getAs[Double]("trend") - 2.0) < 1e-3,
+      s"trend should converge to the slope, got ${last.getAs[Double]("trend")}")
+    assert(math.abs(last.getAs[Double]("forecast_1") -
+      (10.0 + 2.0 * 60)) < 1e-2, "one-step forecast should hit the next point")
+    // beta=0 freezes the trend at 0: level IS the ewma recurrence
+    val ev = Tables.events(spark, sf)
+    val h0 = Resample.holt(ev, 0.3, 0.0)
+      .select(col("user_id"), col("ts_us"), col("level").as("ewma"))
+    val e = Resample.ewma(ev, 0.3)
+    assert(h0.exceptAll(e).isEmpty && e.exceptAll(h0).isEmpty)
+  }
+
   test("resample emits a dense series with correct forward fill") {
     val out = Resample.resampleWithGapFill(Tables.events(spark, sf), 3600000000L)
     val perUser = out.groupBy("user_id")

@@ -78,4 +78,19 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"),
       s"expected WindowGroupLimit in:\n$plan")
   }
+
+  test("classBalance equalizes every class to the smallest; equals stratifiedFixed at that k") {
+    val docs = Tables.documents(spark, sf)
+    val minC = docs.groupBy("lang").count()
+      .agg(org.apache.spark.sql.functions.min("count")).collect().head.getLong(0)
+    val bal = Sampling.classBalance(docs, "doc_id", "lang")
+    val sizes = bal.groupBy("lang").count().collect().map(_.getLong(1)).toSet
+    assert(sizes == Set(minC), s"every class must hold exactly $minC rows: $sizes")
+    // deterministic: the same sample as the fixed-k sampler with the
+    // same salt at k = min class size (the documented fast path)
+    val fixed = Sampling.stratifiedFixed(docs, "doc_id", "lang",
+      minC.toInt, salt = "bal")
+    assert(bal.select("doc_id").exceptAll(fixed.select("doc_id")).isEmpty &&
+      fixed.select("doc_id").exceptAll(bal.select("doc_id")).isEmpty)
+  }
 }
