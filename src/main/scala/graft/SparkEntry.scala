@@ -598,6 +598,7 @@ object SparkEntry {
     "dq_freshness" -> ((s, d) => Quality.freshness(Tables.events(s, d))),
     "w10_retention" -> ((s, d) =>
       Windows.cohortRetention(Tables.events(s, d))),
+    "w11_path" -> ((s, d) => Windows.journeyPaths(Tables.events(s, d))),
     "ts_anomaly" -> ((s, d) => Resample.tsAnomaly(Tables.events(s, d))),
   )
 
@@ -1686,6 +1687,16 @@ object SparkEntry {
            CAST((d - d0) // 7 AS BIGINT) AS week_offset,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
          FROM f GROUP BY 1, 2""",
+    "w11_path" ->
+      """WITH r AS (SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS rn
+           FROM events),
+         p AS (SELECT user_id,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+           FROM r WHERE rn <= 5 GROUP BY user_id)
+         SELECT path, count(*) AS n_users FROM p GROUP BY path
+         ORDER BY n_users DESC, path LIMIT 20""",
     "ts_anomaly" ->
       """WITH w AS (
            SELECT user_id, event_id, value,

@@ -196,4 +196,32 @@ object Windows {
       .groupBy("cohort_week", "week_offset")
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
+
+  /** Top user-journey paths: each user's first `depth` events (by time)
+    * joined into a "a>b>c" path string, counted and ranked — the
+    * product-analytics "what do users do first" query.
+    *
+    * Scale shape: the rank filter is a LITERAL bound, so it plans as a
+    * map-side WindowGroupLimit (each task forwards ≤ depth rows per
+    * user before the exchange); the per-user path aggregate reuses the
+    * window's user_id partitioning (no second wide exchange — plan-
+    * audited), path counting groups short strings, and the final top-20
+    * is TakeOrdered. Path assembly sorts the collected (rn, type) pairs
+    * row-locally — collect_list order is NOT deterministic across
+    * retries, the explicit array_sort on rn is what makes it stable. */
+  def journeyPaths(events: DataFrame, depth: Int = 5): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= depth)
+      .groupBy("user_id")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("__rn"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy(desc("n_users"), asc("path"))
+      .limit(20)
+  }
 }

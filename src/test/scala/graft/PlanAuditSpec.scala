@@ -281,6 +281,17 @@ class PlanAuditSpec extends SparkSpec {
       s"aggregate must be partial before the exchange:\n$p")
   }
 
+  test("w11_path: map-side group limit; path agg reuses the window's user exchange") {
+    val p = plan("w11_path").split("== Initial Plan ==").head
+    assert(p.contains("WindowGroupLimit"),
+      s"literal depth bound should plan a map-side WindowGroupLimit:\n$p")
+    val userExchanges = "Exchange hashpartitioning\\(user_id".r
+      .findAllIn(p).size
+    assert(userExchanges == 1,
+      s"window + per-user agg must share ONE user_id exchange, got $userExchanges:\n$p")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
   test("sp_radius_join: grid pair generation is an equi-join, never a cross join") {
     val p = plan("sp_radius_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
