@@ -599,7 +599,13 @@ object SparkEntry {
     "w10_retention" -> ((s, d) =>
       Windows.cohortRetention(Tables.events(s, d))),
     "w11_path" -> ((s, d) => Windows.journeyPaths(Tables.events(s, d))),
+    "w12_markov" -> ((s, d) => Windows.transitionMatrix(Tables.events(s, d))),
+    "w13_rfm" -> ((s, d) => Windows.rfmSegments(Tables.events(s, d))),
     "ts_anomaly" -> ((s, d) => Resample.tsAnomaly(Tables.events(s, d))),
+    "st_chi2" -> ((s, d) =>
+      Stats.chiSquare(Tables.documents(s, d), "lang", "source")),
+    "st_ks" -> ((s, d) =>
+      Stats.ksTest(Tables.events(s, d), "event_type", "value", "click", "view")),
   )
 
   /** Scratch dir for sink round-trips, keyed by sf dir to avoid
@@ -1709,5 +1715,96 @@ object SparkEntry {
          SELECT user_id, event_id, round((value - mu) / sd, 4) AS z
          FROM w
          WHERE n >= 10 AND sd > 0 AND abs(value - mu) > 2 * sd""",
+    "w12_markov" ->
+      """WITH nx AS (
+           SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS to_type
+           FROM events),
+         c AS (SELECT from_type, to_type, count(*) AS n FROM nx
+               WHERE to_type IS NOT NULL GROUP BY 1, 2)
+         SELECT from_type, to_type, n,
+           round(n / CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT),
+             6) AS prob
+         FROM c""",
+    "w13_rfm" ->
+      """WITH per AS (
+           SELECT user_id, max(epoch_us(ts)) AS last_us,
+             count(*) AS frequency,
+             round(sum(CASE WHEN event_type = 'purchase' THEN value
+                            ELSE 0.0 END), 4) AS monetary
+           FROM events GROUP BY user_id),
+         u AS (SELECT user_id, frequency, monetary,
+             ((SELECT max(last_us) FROM per) - last_us)
+               // 86400000000 AS recency_days
+           FROM per),
+         b AS (SELECT
+             quantile_cont(recency_days, 0.2) AS r2,
+             quantile_cont(recency_days, 0.4) AS r4,
+             quantile_cont(recency_days, 0.6) AS r6,
+             quantile_cont(recency_days, 0.8) AS r8,
+             quantile_cont(frequency, 0.2) AS f2,
+             quantile_cont(frequency, 0.4) AS f4,
+             quantile_cont(frequency, 0.6) AS f6,
+             quantile_cont(frequency, 0.8) AS f8,
+             quantile_cont(monetary, 0.2) AS m2,
+             quantile_cont(monetary, 0.4) AS m4,
+             quantile_cont(monetary, 0.6) AS m6,
+             quantile_cont(monetary, 0.8) AS m8
+           FROM u)
+         SELECT user_id, recency_days, frequency, monetary,
+           6 - (CASE WHEN recency_days <= r2 THEN 1
+                     WHEN recency_days <= r4 THEN 2
+                     WHEN recency_days <= r6 THEN 3
+                     WHEN recency_days <= r8 THEN 4 ELSE 5 END) AS r_score,
+           CASE WHEN frequency <= f2 THEN 1 WHEN frequency <= f4 THEN 2
+                WHEN frequency <= f6 THEN 3 WHEN frequency <= f8 THEN 4
+                ELSE 5 END AS f_score,
+           CASE WHEN monetary <= m2 THEN 1 WHEN monetary <= m4 THEN 2
+                WHEN monetary <= m6 THEN 3 WHEN monetary <= m8 THEN 4
+                ELSE 5 END AS m_score,
+           (6 - (CASE WHEN recency_days <= r2 THEN 1
+                      WHEN recency_days <= r4 THEN 2
+                      WHEN recency_days <= r6 THEN 3
+                      WHEN recency_days <= r8 THEN 4 ELSE 5 END)) * 100
+             + (CASE WHEN frequency <= f2 THEN 1 WHEN frequency <= f4 THEN 2
+                     WHEN frequency <= f6 THEN 3 WHEN frequency <= f8 THEN 4
+                     ELSE 5 END) * 10
+             + (CASE WHEN monetary <= m2 THEN 1 WHEN monetary <= m4 THEN 2
+                     WHEN monetary <= m6 THEN 3 WHEN monetary <= m8 THEN 4
+                     ELSE 5 END) AS rfm_cell
+         FROM u, b""",
+    "st_chi2" ->
+      """WITH cells AS (SELECT lang AS a, source AS b, count(*) AS o
+               FROM documents GROUP BY 1, 2),
+         rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM cells GROUP BY 1),
+         ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM cells GROUP BY 1),
+         g AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+         grid AS (SELECT rt.a, ct.b, ra, cb, coalesce(o, 0) AS o, n
+                  FROM rt CROSS JOIN ct
+                  LEFT JOIN cells ON cells.a = rt.a AND cells.b = ct.b
+                  CROSS JOIN g)
+         SELECT round(sum(pow(o - ra*cb/n, 2) / (ra*cb/n)), 4) AS chi2,
+           (count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS df,
+           max(n) AS n_total
+         FROM grid""",
+    "st_ks" ->
+      """WITH pts AS (
+           SELECT value AS v,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cb
+           FROM events WHERE event_type IN ('click', 'view')
+           GROUP BY value),
+         cum AS (
+           SELECT
+             CAST(sum(ca) OVER (ORDER BY v) AS BIGINT)
+               / CAST((SELECT sum(ca) FROM pts) AS BIGINT) AS fa,
+             CAST(sum(cb) OVER (ORDER BY v) AS BIGINT)
+               / CAST((SELECT sum(cb) FROM pts) AS BIGINT) AS fb
+           FROM pts)
+         SELECT round(max(abs(fa - fb)), 6) AS d_stat,
+           CAST((SELECT sum(ca) FROM pts) AS BIGINT) AS n_a,
+           CAST((SELECT sum(cb) FROM pts) AS BIGINT) AS n_b
+         FROM cum""",
   )
 }

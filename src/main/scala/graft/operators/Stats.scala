@@ -197,6 +197,82 @@ object Stats {
             pow(col("vb") / col("nb"), 2) / (col("nb") - 1)), 4).as("df"))
   }
 
+  /** Chi-squared test of independence between two categorical columns
+    * (is `lang` independent of `source`?) — the categorical sibling of
+    * welchTTest/anovaF in the profiling layer.
+    *
+    * Scale shape: ONE partial-agg pass collapses the corpus to the
+    * observed contingency cells (r×c rows); marginals and the grand
+    * total are aggregates OF that tiny frame, and the full r×c grid
+    * (including never-observed cells, which a correct χ² must count at
+    * their expected mass) is a cross join of the two marginal frames —
+    * nothing data-sized moves after the first pass. */
+  def chiSquare(df: DataFrame, a: String, b: String): DataFrame = {
+    val cells = df.groupBy(col(a).as("__a"), col(b).as("__b"))
+      .agg(count(lit(1)).as("o"))
+    val rowT = cells.groupBy("__a").agg(sum("o").as("ra"))
+    val colT = cells.groupBy("__b").agg(sum("o").as("cb"))
+    val grand = cells.agg(sum("o").as("n"))
+    val e = col("ra") * col("cb") / col("n")
+    rowT.crossJoin(colT)
+      .join(cells, Seq("__a", "__b"), "left")
+      .na.fill(0L, Seq("o"))
+      .crossJoin(broadcast(grand))
+      .agg(
+        round(sum(pow(col("o") - e, 2) / e), 4).as("chi2"),
+        ((countDistinct("__a") - 1) * (countDistinct("__b") - 1)).as("df"),
+        max("n").as("n_total"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic between groups `ga` and
+    * `gb`: D = max over x of |ECDF_a(x) − ECDF_b(x)| — the
+    * distribution-shape A/B test that catches what a t-test on means
+    * cannot (variance/shape shifts).
+    *
+    * Scale shape: ties collapse in one partial-agg pass (one row per
+    * DISTINCT value with both groups' counts), then the global running
+    * sum over value order is a striped two-pass prefix sum — per-stripe
+    * totals (a ≤`stripes`-row frame, the only single-partition window)
+    * are prefix-summed and broadcast back, and the within-stripe
+    * cumulative sums run in parallel across stripes. Nothing ever
+    * serializes the distinct-value frame onto one task, which a plain
+    * `Window.orderBy(v)` would. Stripes are value-range bins from a
+    * broadcast (min, max) — monotone in v, so concatenating stripe
+    * prefixes is the exact global prefix. */
+  def ksTest(df: DataFrame, groupCol: String, c: String,
+             ga: String, gb: String, stripes: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = df.filter(col(groupCol).isin(ga, gb))
+      .groupBy(col(c).as("v"))
+      .agg(sum(when(col(groupCol) === ga, 1L).otherwise(0L)).as("ca"),
+        sum(when(col(groupCol) === gb, 1L).otherwise(0L)).as("cb"))
+    val bounds = pts.agg(min("v").as("__lo"), max("v").as("__hi"),
+      sum("ca").as("__na"), sum("cb").as("__nb"))
+    val striped = pts.crossJoin(broadcast(bounds))
+      .withColumn("__stripe",
+        when(col("__hi") === col("__lo"), lit(0L)).otherwise(
+          least(lit(stripes - 1L), greatest(lit(0L),
+            floor((col("v") - col("__lo")) /
+              (col("__hi") - col("__lo")) * stripes)))).cast("int"))
+    val wIn = Window.partitionBy("__stripe").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // strictly-preceding stripes: a stripe's own total must not count
+    val wStripe = Window.orderBy("__stripe")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = striped.groupBy("__stripe")
+      .agg(sum("ca").as("__sa"), sum("cb").as("__sb"))
+      .select(col("__stripe"),
+        coalesce(sum("__sa").over(wStripe), lit(0L)).as("__oa"),
+        coalesce(sum("__sb").over(wStripe), lit(0L)).as("__ob"))
+    striped.join(broadcast(offs), Seq("__stripe"))
+      .select(
+        ((col("__oa") + sum("ca").over(wIn)) / col("__na")).as("fa"),
+        ((col("__ob") + sum("cb").over(wIn)) / col("__nb")).as("fb"),
+        col("__na"), col("__nb"))
+      .agg(round(max(abs(col("fa") - col("fb"))), 6).as("d_stat"),
+        max("__na").as("n_a"), max("__nb").as("n_b"))
+  }
+
   /** One-way ANOVA F over ALL groups at once (welchTTest's k-group
     * sibling): between-group vs within-group variance from the same
     * single-pass per-group moments — the corpus is scanned once, every

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -195,6 +195,71 @@ object Windows {
         col("user_id"))
       .groupBy("cohort_week", "week_offset")
       .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** First-order Markov transition matrix over event types: for every
+    * (from, to) pair of CONSECUTIVE events per user, the transition
+    * count and probability — the model behind "after a click, 40% of
+    * users purchase" product analytics (and the statistical summary of
+    * w11_path's raw journeys).
+    *
+    * Scale shape: one user_id exchange feeds the lead() window, then
+    * only (from, to) string pairs reach the counting aggregate
+    * (map-side partials) — the events payload never reshuffles. The
+    * probability normalization is a window over the types×types result
+    * frame, which is tiny by construction. */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val wf = Window.partitionBy("from_type")
+    events
+      .withColumn("to_type", lead("event_type", 1).over(byUser))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prob", round(col("n") / sum("n").over(wf), 6))
+  }
+
+  /** RFM segmentation: per-user Recency (days since last event, against
+    * the corpus high-water mark), Frequency (event count) and Monetary
+    * (purchase value sum), each scored 1–5 by its exact corpus quintile
+    * — the classic customer-value segmentation.
+    *
+    * Scale shape: one partial-agg pass collapses events to a per-user
+    * frame; the quintile BOUNDARIES are one aggregate row broadcast
+    * back, and scoring is a codegen'd when-chain — no global ntile()
+    * window, which would serialize every user onto one task. Recency
+    * stays integer microseconds→days (engine-stable); `percentile` is
+    * exact by contract here, `approx_percentile` is the drop-in bound
+    * source at 100 TB (same join shape, like st_winsorize). */
+  def rfmSegments(events: DataFrame): DataFrame = {
+    val dayUs = 86400000000L
+    val per = events.groupBy("user_id").agg(
+      max(unix_micros(col("ts"))).as("__last"),
+      count(lit(1)).as("frequency"),
+      round(sum(when(col("event_type") === "purchase", col("value"))
+        .otherwise(0.0)), 4).as("monetary"))
+    val hwm = per.agg(max("__last").as("__hwm"))
+    val users = per.crossJoin(broadcast(hwm))
+      .withColumn("recency_days",
+        expr(s"(__hwm - __last) div ${dayUs}L"))
+      .drop("__last", "__hwm")
+    val qs = Seq(0.2, 0.4, 0.6, 0.8)
+    val bAggs =
+      qs.map(q => expr(s"percentile(recency_days, $q)").as(s"r${(q*10).toInt}")) ++
+      qs.map(q => expr(s"percentile(frequency, $q)").as(s"f${(q*10).toInt}")) ++
+      qs.map(q => expr(s"percentile(monetary, $q)").as(s"m${(q*10).toInt}"))
+    val bounds = users.agg(bAggs.head, bAggs.tail: _*)
+    def band(c: Column, p: String): Column =
+      when(c <= col(s"${p}2"), 1).when(c <= col(s"${p}4"), 2)
+        .when(c <= col(s"${p}6"), 3).when(c <= col(s"${p}8"), 4).otherwise(5)
+    users.crossJoin(broadcast(bounds))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary"),
+        // low recency = recently active = best score
+        (lit(6) - band(col("recency_days"), "r")).as("r_score"),
+        band(col("frequency"), "f").as("f_score"),
+        band(col("monetary"), "m").as("m_score"))
+      .withColumn("rfm_cell",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
   }
 
   /** Top user-journey paths: each user's first `depth` events (by time)

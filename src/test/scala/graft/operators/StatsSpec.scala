@@ -46,4 +46,54 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Long]("df1") == 2L && r.getAs[Long]("df2") == 9L)
     assert(math.abs(r.getAs[Double]("f_stat") - 2.7917) < 1e-4)
   }
+
+  test("chiSquare matches the closed form; independent data scores 0") {
+    // observed [[10,20],[20,10]]: all expected 15, chi2 = 4*25/15 = 6.6667
+    val skewed = (Seq.fill(10)(("a1", "c1")) ++ Seq.fill(20)(("a1", "c2")) ++
+      Seq.fill(20)(("a2", "c1")) ++ Seq.fill(10)(("a2", "c2"))).toDF("a", "b")
+    val r = Stats.chiSquare(skewed, "a", "b").collect().head
+    assert(math.abs(r.getAs[Double]("chi2") - 6.6667) < 1e-4)
+    assert(r.getAs[Long]("df") == 1L && r.getAs[Long]("n_total") == 60L)
+    // exactly-proportional cells (8,4 / 4,2): chi2 must be exactly 0
+    val indep = (Seq.fill(8)(("x", "p")) ++ Seq.fill(4)(("x", "q")) ++
+      Seq.fill(4)(("y", "p")) ++ Seq.fill(2)(("y", "q"))).toDF("a", "b")
+    assert(Stats.chiSquare(indep, "a", "b").collect()
+      .head.getAs[Double]("chi2") == 0.0)
+  }
+
+  test("chiSquare counts never-observed cells at their expected mass") {
+    // (y,q) absent: full-grid chi2 = .8333+2.5+.8333+2.5 = 6.6667; a
+    // cells-only formulation would miss the (0-2.5)^2/2.5 term
+    val df = (Seq.fill(5)(("x", "p")) ++ Seq.fill(5)(("x", "q")) ++
+      Seq.fill(10)(("y", "p"))).toDF("a", "b")
+    val r = Stats.chiSquare(df, "a", "b").collect().head
+    assert(math.abs(r.getAs[Double]("chi2") - 6.6667) < 1e-4)
+    assert(r.getAs[Long]("df") == 1L)
+  }
+
+  test("ksTest matches hand-computed D and hits the 0 / 1 extremes") {
+    // A=[1,2,3,4] B=[3,4,5,6]: max ECDF gap at v=2 (or 4): 0.5
+    def mk(as: Seq[Double], bs: Seq[Double]) =
+      (as.map(("A", _)) ++ bs.map(("B", _))).toDF("g", "v")
+    val r = Stats.ksTest(mk(Seq(1, 2, 3, 4), Seq(3, 4, 5, 6)), "g", "v", "A", "B")
+      .collect().head
+    assert(r.getAs[Double]("d_stat") == 0.5)
+    assert(r.getAs[Long]("n_a") == 4L && r.getAs[Long]("n_b") == 4L)
+    // identical samples: D = 0; fully separated samples: D = 1
+    assert(Stats.ksTest(mk(Seq(1, 2, 3), Seq(1, 2, 3)), "g", "v", "A", "B")
+      .collect().head.getAs[Double]("d_stat") == 0.0)
+    assert(Stats.ksTest(mk(Seq(1, 2, 3), Seq(7, 8, 9)), "g", "v", "A", "B")
+      .collect().head.getAs[Double]("d_stat") == 1.0)
+  }
+
+  test("ksTest is stripe-count invariant (distributed prefix sum is exact)") {
+    val as = Seq.tabulate(400)(i => ("A", (i * 7919 % 1000) / 10.0))
+    val bs = Seq.tabulate(300)(i => ("B", (i * 104729 % 1300) / 11.0))
+    val df = (as ++ bs).toDF("g", "v")
+    val ds = Seq(1, 3, 256).map(s =>
+      Stats.ksTest(df, "g", "v", "A", "B", stripes = s)
+        .collect().head.getAs[Double]("d_stat"))
+    assert(ds.distinct.size == 1,
+      s"stripe counts must not change the statistic, got $ds")
+  }
 }

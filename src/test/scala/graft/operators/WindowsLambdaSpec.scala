@@ -185,4 +185,57 @@ class WindowsLambdaSpec extends SparkSpec {
       assert(rows.values.max == out((c, 0L)))
     }
   }
+
+  test("transitionMatrix counts consecutive pairs and normalizes per from_type") {
+    import spark.implicits._
+    // u1: a>b>c, u2: a>b, u3: a>c → (a,b)=2 (a,c)=1 (b,c)=1
+    val ev = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"),
+      (2L, 4L, "a"), (2L, 5L, "b"),
+      (3L, 6L, "a"), (3L, 7L, "c"))
+      .toDF("user_id", "event_id", "sec")
+      .withColumn("ts", timestamp_seconds(col("event_id") * 60))
+      .withColumn("event_type", col("sec"))
+    val out = Windows.transitionMatrix(ev).collect()
+      .map(r => ((r.getAs[String]("from_type"), r.getAs[String]("to_type")),
+        (r.getAs[Long]("n"), r.getAs[Double]("prob")))).toMap
+    assert(out.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    assert(out(("a", "b")) == (2L, 0.666667))
+    assert(out(("a", "c")) == (1L, 0.333333))
+    assert(out(("b", "c")) == (1L, 1.0))
+  }
+
+  test("transitionMatrix probabilities sum to 1 per from_type on real events") {
+    val sums = Windows.transitionMatrix(Tables.events(spark, sf))
+      .groupBy("from_type").agg(sum("prob").as("p")).collect()
+    sums.foreach(r => assert(math.abs(r.getAs[Double]("p") - 1.0) < 1e-4))
+  }
+
+  test("rfmSegments scores quintiles with 5 cleanly-separated users") {
+    import spark.implicits._
+    val day = 86400L
+    // user i (1..5): i events, all at day 100+i (so recency ranks 5..1),
+    // one purchase worth 10*i — every dimension ranks users 1<..<5
+    val rows = (1 to 5).flatMap { i =>
+      (1 to i).map { j =>
+        (i.toLong, (100L + i) * day, if (j == i) "purchase" else "click",
+          10.0 * i)
+      }
+    }
+    val ev = rows.toDF("user_id", "sec", "event_type", "value")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val out = Windows.rfmSegments(ev).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("recency_days"), r.getAs[Int]("r_score"),
+          r.getAs[Int]("f_score"), r.getAs[Int]("m_score"),
+          r.getAs[Int]("rfm_cell"))).toMap
+    // user 5 is most recent (recency 0), most frequent, highest spend
+    assert(out(5L) == (0L, 5, 5, 5, 555))
+    assert(out(1L) == (4L, 1, 1, 1, 111))
+    assert(out(3L) == (2L, 3, 3, 3, 333))
+    // rfm_cell always decomposes into its three scores
+    out.values.foreach { case (_, r, f, m, cell) =>
+      assert(cell == r * 100 + f * 10 + m)
+    }
+  }
 }
