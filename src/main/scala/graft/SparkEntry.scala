@@ -408,6 +408,20 @@ object SparkEntry {
         Tables.documents(s, d).filter(col("doc_id") % 5 === 0),
         dedupIndex(s, d))
     }),
+    // exact-fp incremental layer with the bloom-pruned corpus scan —
+    // result provably equals the unpruned anti-join (no false negatives)
+    "dd_incremental_bloom" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      IncrementalDedup.incrementalDedupBloom(s,
+        docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") % 5 =!= 0))
+    }),
+    // tokenizer induction: ordered BPE merge table over the corpus
+    // word-frequency frame (hash-bearing only in tie-break-free counts;
+    // rows-only because the merge loop is not SQL-expressible)
+    "tx_bpe_train" -> ((s, d) =>
+      Bpe.trainMerges(Tables.documents(s, d), 12)),
     "dd_embed_neardup_lsh" -> ((s, d) =>
       SimilaritySearch.neardupPairsLsh(Tables.embeddings(s, d), 0.3)),
     "dd_minhash_lsh" -> ((s, d) =>
@@ -1774,6 +1788,20 @@ object SparkEntry {
                      WHEN monetary <= m6 THEN 3 WHEN monetary <= m8 THEN 4
                      ELSE 5 END) AS rfm_cell
          FROM u, b""",
+    "dd_incremental_bloom" ->
+      """WITH newd AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+         oldd AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+         nf AS (SELECT doc_id, n_chars,
+             md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS fp,
+             row_number() OVER (
+               PARTITION BY md5(lower(trim(regexp_replace(text, ' +', ' ', 'g'))))
+               ORDER BY doc_id) AS rn
+           FROM newd),
+         ofp AS (SELECT DISTINCT
+             md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS fp
+           FROM oldd)
+         SELECT doc_id, n_chars FROM nf
+         WHERE rn = 1 AND fp NOT IN (SELECT fp FROM ofp)""",
     "st_chi2" ->
       """WITH cells AS (SELECT lang AS a, source AS b, count(*) AS o
                FROM documents GROUP BY 1, 2),

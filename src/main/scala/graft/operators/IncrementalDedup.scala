@@ -84,6 +84,54 @@ object IncrementalDedup {
       .write.mode(SaveMode.Overwrite).parquet(s"$path/sketches")
   }
 
+  /** Bloom-filter pre-pruned corpus fingerprints: only corpus fps that
+    * MIGHT be in the new batch (by a bloom built over the batch's fps)
+    * survive the scan — scan-local, before any exchange. The batch is
+    * the small side by construction, so its bloom is a few MB riding a
+    * scalar subquery; the 100 TB fp store then ships ~(true dups +
+    * fpp·|corpus|) rows into the anti-join instead of every fingerprint.
+    * Blooms have NO false negatives, so downstream equality joins stay
+    * EXACT — this is the explicit form of Spark's own runtime-filter
+    * injection, pushed below a join AQE can't see through. */
+  def bloomPrunedFps(spark: SparkSession, corpusFps: DataFrame,
+                     batchFps: DataFrame, expectedItems: Long = 1L << 20,
+                     numBits: Long = 1L << 23): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    batchFps.select("fp").createOrReplaceTempView("graft_bloom_batch_fps")
+    corpusFps.select("fp").createOrReplaceTempView("graft_bloom_corpus_fps")
+    // empty batch → bloom_filter_agg yields NULL → might_contain NULL →
+    // zero corpus fps survive, which is exactly right (nothing to match)
+    spark.sql(
+      s"""SELECT fp FROM graft_bloom_corpus_fps
+          WHERE graft_might_contain(
+            (SELECT graft_bloom_filter_agg(xxhash64(fp),
+                      CAST($expectedItems AS BIGINT), CAST($numBits AS BIGINT))
+             FROM graft_bloom_batch_fps),
+            xxhash64(fp))""")
+  }
+
+  /** Exact-fingerprint incremental dedup with the bloom-pruned corpus
+    * scan: intra-batch dups collapse to the smallest doc_id, then only
+    * bloom-surviving corpus fingerprints enter the anti-join. Result is
+    * provably identical to the unpruned anti-join (no false negatives);
+    * only the corpus-side shuffle width changes. The near-dup stages
+    * stay with dd_incremental/dd_incremental_lsh — this operator is the
+    * exact layer a 100 TB pipeline runs on every arriving batch. */
+  def incrementalDedupBloom(spark: SparkSession, newDocs: DataFrame,
+                            corpus: DataFrame): DataFrame = {
+    val w = Window.partitionBy("fp").orderBy("doc_id")
+    val batchKeep = Scale.fanOut(newDocs, Seq("doc_id"))
+      .withColumn("fp", contentFingerprint(col("text")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    val corpusFps = Scale.fanOut(corpus.select("doc_id", "text"), Seq("doc_id"))
+      .select(contentFingerprint(col("text")).as("fp")).distinct()
+    val pruned = bloomPrunedFps(spark, corpusFps, batchKeep.select("fp"))
+    batchKeep.join(pruned, Seq("fp"), "left_anti")
+      .select("doc_id", "n_chars")
+  }
+
   /** The 100 TB incremental path: same admit semantics as
     * incrementalDedup but against the STORED index — fingerprint
     * anti-join on the fp store, then banded MinHash matching on the

@@ -46,6 +46,24 @@ object GraftFunctions {
     "graft_shingle_hashes" -> { args: Seq[Expression] =>
       require(args.length == 2, "graft_shingle_hashes(text, n)")
       ShingleHashes(args(0), intLit(args(1), "n"))
+    },
+    // Spark ships BloomFilterMightContain for its own runtime-filter
+    // rewrites but does not register a SQL surface for it; graft's
+    // incremental dedup uses it to pre-prune the corpus fingerprint
+    // scan (the bloom side must be a scalar subquery or literal —
+    // enforced by the expression's own checkInputDataTypes).
+    "graft_might_contain" -> { args: Seq[Expression] =>
+      require(args.length == 2, "graft_might_contain(bloom, xxhash64_value)")
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        args(0), args(1))
+    },
+    // BloomFilterAggregate ships in catalyst for runtime-filter rewrites
+    // but is not on the public SQL search path in this build
+    "graft_bloom_filter_agg" -> { args: Seq[Expression] =>
+      require(args.length == 3,
+        "graft_bloom_filter_agg(xxhash64_value, est_items, num_bits)")
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(args(0), args(1), args(2))
     })
 
   def register(spark: SparkSession): Unit =

@@ -69,4 +69,38 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(sym.toDouble / exact.size <= 0.2,
       s"admit sets diverged: exact=${exact.size} lsh=${lsh.size} sym-diff=$sym")
   }
+
+  test("incrementalDedupBloom equals the unpruned fingerprint anti-join") {
+    import graft.functions.TextFunctions.contentFingerprint
+    val all = graft.Tables.documents(spark, sf)
+    val newDocs = all.filter(col("doc_id") % 5 === 0)
+    val oldDocs = all.filter(col("doc_id") % 5 =!= 0)
+    val bloom = IncrementalDedup.incrementalDedupBloom(spark, newDocs, oldDocs)
+      .collect().map(_.getLong(0)).toSet
+    // reference formulation: same collapse + anti-join, no bloom pruning
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("fp").orderBy("doc_id")
+    val plain = newDocs
+      .withColumn("fp", contentFingerprint(col("text")))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .join(oldDocs.select(contentFingerprint(col("text")).as("fp")).distinct(),
+        Seq("fp"), "left_anti")
+      .collect().map(r => r.getAs[Long]("doc_id")).toSet
+    assert(bloom == plain, s"bloom=${bloom.size} plain=${plain.size}")
+    assert(bloom.nonEmpty)
+  }
+
+  test("incrementalDedupBloom drops exact dups, keeps novel, collapses intra-batch") {
+    val admitted = IncrementalDedup.incrementalDedupBloom(spark, batch, corpus)
+      .collect().map(_.getLong(0)).sorted
+    // exact layer only: 10 (exact copy) drops, 14 collapses onto 13,
+    // near-dup 11 SURVIVES (near-dup is the LSH layer's job)
+    assert(admitted.sameElements(Array(11L, 12L, 13L)), admitted.mkString(","))
+    // empty corpus: bloom of the batch prunes everything corpus-side,
+    // the anti-join keeps the whole collapsed batch
+    val none = IncrementalDedup.incrementalDedupBloom(spark, batch,
+      corpus.filter(col("doc_id") < 0))
+      .collect().map(_.getLong(0)).sorted
+    assert(none.sameElements(Array(10L, 11L, 12L, 13L)), none.mkString(","))
+  }
 }
