@@ -267,6 +267,8 @@ object SparkEntry {
       SpatialJoin.nearestSupplier(Tables.customer(s, d), Tables.supplier(s, d))),
     "sp_nearest_cell" -> ((s, d) =>
       SpatialJoin.nearestSupplierGrid(Tables.customer(s, d), Tables.supplier(s, d))),
+    "sp_knn_grid" -> ((s, d) =>
+      SpatialJoin.knnSuppliersGrid(Tables.customer(s, d), Tables.supplier(s, d), k = 3)),
     "sp_cluster" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       SpatialJoin.epsilonClusters(
@@ -616,6 +618,8 @@ object SparkEntry {
     "w12_markov" -> ((s, d) => Windows.transitionMatrix(Tables.events(s, d))),
     "w13_rfm" -> ((s, d) => Windows.rfmSegments(Tables.events(s, d))),
     "ts_anomaly" -> ((s, d) => Resample.tsAnomaly(Tables.events(s, d))),
+    "ts_xcorr" -> ((s, d) =>
+      Resample.crossCorrelation(Tables.events(s, d), "click", "purchase")),
     "st_chi2" -> ((s, d) =>
       Stats.chiSquare(Tables.documents(s, d), "lang", "source")),
     "st_ks" -> ((s, d) =>
@@ -1788,6 +1792,40 @@ object SparkEntry {
                      WHEN monetary <= m6 THEN 3 WHEN monetary <= m8 THEN 4
                      ELSE 5 END) AS rfm_cell
          FROM u, b""",
+    "sp_knn_grid" ->
+      """WITH c AS (SELECT c_custkey,
+             round(((c_custkey * 17) % 1400)/10.0 - 70.0, 4) AS c_lat,
+             round(((c_custkey * 31) % 3600)/10.0 - 180.0, 4) AS c_lon
+           FROM customer),
+         s AS (SELECT s_suppkey,
+             round(((s_suppkey * 23) % 1400)/10.0 - 70.0, 4) AS s_lat,
+             round(((s_suppkey * 41) % 3600)/10.0 - 180.0, 4) AS s_lon
+           FROM supplier),
+         d AS (SELECT c_custkey, s_suppkey,
+             round(2*6371.0*asin(sqrt(
+               pow(sin(radians(s_lat - c_lat)/2), 2) +
+               cos(radians(c_lat))*cos(radians(s_lat))*pow(sin(radians(s_lon - c_lon)/2), 2)
+             )), 4) AS dist_km
+           FROM c CROSS JOIN s),
+         r AS (SELECT c_custkey, s_suppkey, dist_km,
+             CAST(row_number() OVER (PARTITION BY c_custkey
+               ORDER BY dist_km, s_suppkey) AS INTEGER) AS rnk
+           FROM d)
+         SELECT c_custkey, s_suppkey, dist_km, rnk FROM r WHERE rnk <= 3""",
+    "ts_xcorr" ->
+      """WITH hourly AS (
+           SELECT event_type,
+             epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
+             round(avg(value), 6) AS v
+           FROM events WHERE event_type IN ('click', 'purchase')
+           GROUP BY 1, 2),
+         a AS (SELECT hr, v AS va FROM hourly WHERE event_type = 'click'),
+         b AS (SELECT hr AS hr_b, v AS vb FROM hourly
+               WHERE event_type = 'purchase'),
+         l AS (SELECT unnest(range(-6, 7)) AS lag)
+         SELECT lag, count(*) AS n_hours, round(corr(va, vb), 6) AS xcorr
+         FROM l CROSS JOIN a JOIN b ON hr_b = hr + lag
+         GROUP BY lag""",
     "dd_incremental_bloom" ->
       """WITH newd AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
          oldd AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),

@@ -160,4 +160,32 @@ object Resample {
       .select(col("user_id"), col("event_id"),
         round((col("value") - col("__mu")) / col("__sd"), 4).as("z"))
   }
+
+  /** Lagged CROSS-correlation between two event-type series ("do clicks
+    * lead purchases, and by how many hours?"): both series resample to
+    * hourly means, then Pearson corr at every integer-hour lag in
+    * [-maxLag, +maxLag]. Positive lag correlates series A at hour h
+    * with series B at hour h+lag (A leading).
+    *
+    * Scale shape: ONE partial-agg pass collapses events to the hourly
+    * frame (hours × 2 rows — time-bounded, not data-bounded); the lag
+    * expansion explodes only that small frame (2·maxLag+1 ×) and the
+    * per-lag alignment is an equi-join on the shifted hour key. The
+    * corr aggregate partial-aggregates map-side. Integer epoch-hour
+    * keys and pre-rounded means keep both engines bit-identical. */
+  def crossCorrelation(events: DataFrame, ga: String, gb: String,
+                       maxLag: Int = 6): DataFrame = {
+    val hourly = events.filter(col("event_type").isin(ga, gb))
+      .groupBy(col("event_type"),
+        expr("unix_seconds(date_trunc('hour', ts)) div 3600").as("hr"))
+      .agg(round(avg("value"), 6).as("v"))
+    val a = hourly.filter(col("event_type") === ga)
+      .select(col("hr"), col("v").as("va"))
+    val b = hourly.filter(col("event_type") === gb)
+      .select(col("hr").as("hr_b"), col("v").as("vb"))
+    a.withColumn("lag", explode(sequence(lit(-maxLag.toLong), lit(maxLag.toLong))))
+      .join(b, col("hr_b") === col("hr") + col("lag"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_hours"), round(corr(col("va"), col("vb")), 6).as("xcorr"))
+  }
 }

@@ -182,6 +182,106 @@ object SpatialJoin {
     }
   }
 
+  /** Grid-cell k-NEAREST-neighbors join — [[nearestSupplierGrid]]
+    * generalized to k results per customer (the form a feature pipeline
+    * runs: "the 3 closest depots per customer"), both sides too big to
+    * broadcast.
+    *
+    * Same expanding-ring equi-join skeleton; the per-ring winnow is a
+    * row_number ≤ k over (dist, key) — a map-side WindowGroupLimit, so
+    * a hot cell forwards at most k candidate rows per customer per
+    * task. A customer settles at ring r only when it has ALL k
+    * candidates and its k-th best distance is under the same provable
+    * bound B(r) (any supplier outside the probed block is ≥ B(r) away,
+    * so the k found are globally correct, in rank order). The residual
+    * tail takes the measured smaller-side-broadcast exact pass, as the
+    * 1-NN operator does. Output: (c_custkey, s_suppkey, dist_km, rnk),
+    * k rows per customer (fewer only if suppliers < k). */
+  def knnSuppliersGrid(customer: DataFrame, supplier: DataFrame, k: Int = 3,
+                       cellDeg: Int = 20, maxAbsLat: Double = 70.0,
+                       maxRing: Int = 3,
+                       broadcastRowLimit: Long = 4000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(360 % cellDeg == 0, "cellDeg must divide 360")
+    require(maxRing >= 1 && 2 * maxRing + 1 <= 360 / cellDeg,
+      "ring blocks must stay narrower than the longitude wrap")
+    val nLon = 360 / cellDeg
+    def chord(x: Double): Double = 2.0 * EarthRadiusKm * math.asin(math.min(1.0, x))
+    val latCap = math.toRadians(math.min(89.9, maxAbsLat + cellDeg / 2.0))
+    def boundFor(ring: Int): Double = {
+      val halfR = math.min(math.Pi / 2, math.toRadians(ring.toDouble * cellDeg) / 2)
+      val half1 = math.toRadians(cellDeg) / 2
+      math.min(
+        chord(math.sin(halfR) * math.sqrt(
+          math.cos(math.toRadians(maxAbsLat)) * math.cos(latCap))),
+        math.min(chord(math.sin(halfR)), chord(math.sin(half1 / 2))))
+    }
+    val wk = Window.partitionBy("c_custkey").orderBy("dist_km", "s_suppkey")
+    val cpts = customerPoints(customer)
+    val spts = supplierPoints(supplier)
+    val sCells = spts
+      .withColumn("cell_lat", floor((col("s_lat") + 90) / cellDeg).cast("int"))
+      .withColumn("cell_lon",
+        pmod(floor((col("s_lon") + 180) / cellDeg), lit(nLon)).cast("int"))
+
+    def ringPass(cands: DataFrame, ring: Int): (DataFrame, DataFrame) = {
+      val probes = cands
+        .withColumn("lat0", floor((col("c_lat") + 90) / cellDeg).cast("int"))
+        .withColumn("lon0", floor((col("c_lon") + 180) / cellDeg).cast("int"))
+        .withColumn("d", explode(array(
+          (for (dy <- -ring to ring; dx <- -ring to ring)
+            yield struct(lit(dy).as("dy"), lit(dx).as("dx"))): _*)))
+        .select(col("c_custkey"), col("c_lat"), col("c_lon"),
+          (col("lat0") + col("d.dy")).as("cell_lat"),
+          pmod(col("lon0") + col("d.dx"), lit(nLon)).as("cell_lon"))
+      // k candidate rows per customer at most (map-side WindowGroupLimit)
+      val cand = probes.join(sCells, Seq("cell_lat", "cell_lon"))
+        .withColumn("dist_km",
+          round(haversineKm(col("c_lat"), col("c_lon"), col("s_lat"), col("s_lon")), 4))
+        .withColumn("rnk", row_number().over(wk))
+        .filter(col("rnk") <= k)
+        .select(col("c_custkey"), col("c_lat"), col("s_suppkey"),
+          col("dist_km"), col("rnk"))
+        .localCheckpoint(true)
+      val settled = cand.groupBy("c_custkey", "c_lat")
+        .agg(count(lit(1)).as("__n"), max(col("dist_km")).as("__kth"))
+        .filter(col("__n") === k && col("__kth") < boundFor(ring) &&
+          abs(col("c_lat")) <= maxAbsLat)
+        .select("c_custkey")
+      val resolved = cand.join(settled, Seq("c_custkey"), "left_semi")
+        .select(col("c_custkey"), col("s_suppkey"), col("dist_km"), col("rnk"))
+      val unresolved = cands.join(settled, Seq("c_custkey"), "left_anti")
+      (resolved, unresolved)
+    }
+
+    var acc: Option[DataFrame] = None
+    var remaining = cpts
+    var remainingN = -1L
+    var ring = 1
+    while (ring <= maxRing && remainingN != 0L) {
+      val (resolved, unresolved) = ringPass(remaining, ring)
+      acc = Some(acc.fold(resolved)(_.unionByName(resolved)))
+      remaining = unresolved.localCheckpoint(true)
+      remainingN = remaining.count()
+      ring += 1
+    }
+    val settled = acc.get
+    if (remainingN == 0L) settled
+    else {
+      val pairs =
+        if (spts.count() <= broadcastRowLimit)
+          remaining.crossJoin(broadcast(spts))
+        else spts.crossJoin(broadcast(remaining))
+      val fallback = pairs
+        .withColumn("dist_km",
+          round(haversineKm(col("c_lat"), col("c_lon"), col("s_lat"), col("s_lon")), 4))
+        .withColumn("rnk", row_number().over(wk))
+        .filter(col("rnk") <= k)
+        .select(col("c_custkey"), col("s_suppkey"), col("dist_km"), col("rnk"))
+      settled.unionByName(fallback)
+    }
+  }
+
   /** Within-radius spatial pair join (the spatial range join): every
     * unordered point pair closer than `epsKm`, with its distance —
     * output rows are proportional to the true neighbor count, never n².

@@ -76,6 +76,53 @@ class WindowsLambdaSpec extends SparkSpec {
     assert(gridD == exactD)
   }
 
+  test("knnSuppliersGrid equals the broadcast-exact top-k, grid path included") {
+    val customers = Tables.customer(spark, sf)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("c_custkey"), r.getAs[Long]("s_suppkey"),
+        r.getAs[Double]("dist_km"), r.getAs[Int]("rnk"))
+    def exactTopK(cs: org.apache.spark.sql.DataFrame,
+                  ss: org.apache.spark.sql.DataFrame, k: Int) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("c_custkey").orderBy("dist_km", "s_suppkey")
+      SpatialJoin.distances(cs, ss)
+        .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+        .select("c_custkey", "s_suppkey", "dist_km", "rnk")
+    }
+    // sparse real suppliers: exercises the fallback; every customer
+    // still gets exactly k ranked rows
+    val suppliers = Tables.supplier(spark, sf)
+    val grid = SpatialJoin.knnSuppliersGrid(customers, suppliers, k = 3)
+    assert(grid.collect().map(key).toSet ==
+      exactTopK(customers, suppliers, 3).collect().map(key).toSet)
+    assert(grid.groupBy("c_custkey").count().filter(col("count") =!= 3).count() == 0)
+    // dense supplier side (customers reused): the ring path settles most
+    // customers in-grid and must still match the exact top-k
+    val dense = customers.select(col("c_custkey").as("s_suppkey"))
+    val gridD = SpatialJoin.knnSuppliersGrid(customers, dense, k = 3, cellDeg = 40)
+    assert(gridD.collect().map(key).toSet ==
+      exactTopK(customers, dense, 3).collect().map(key).toSet)
+  }
+
+  test("crossCorrelation: a self-lagged series peaks at its construction lag") {
+    import spark.implicits._
+    // series B(t) = A(t-2): corr at lag +2 must be exactly 1 (A leads by 2h)
+    val hours = 0 until 200
+    def v(h: Int) = math.sin(h / 7.0) * 10 + (h % 13)
+    val ev = (hours.map(h => ("click", h.toLong, v(h))) ++
+      hours.map(h => ("purchase", h.toLong, v(h - 2))))
+      .toDF("event_type", "h", "value")
+      .withColumn("ts", timestamp_seconds(col("h") * 3600))
+    val out = Resample.crossCorrelation(ev, "click", "purchase", maxLag = 4)
+      .collect().map(r => r.getAs[Long]("lag") ->
+        (r.getAs[Long]("n_hours"), r.getAs[Double]("xcorr"))).toMap
+    assert(out.keySet == (-4L to 4L).toSet)
+    assert(out(2L)._2 == 1.0, s"lag +2 should be perfect, got ${out(2L)}")
+    assert((-4L to 4L).filter(_ != 2L).forall(l => out(l)._2 < 1.0))
+    // overlap shrinks by |lag - 2| hours relative to the peak alignment
+    assert(out(2L)._1 == 200L - 2L)
+  }
+
   test("epsilonClusters: grid candidates reproduce the all-pairs clustering exactly") {
     import graft.functions.SpatialFunctions.haversineKm
     // sf0.01: the default spec scale's 150 global points have no 150 km
