@@ -620,6 +620,8 @@ object SparkEntry {
     "ts_anomaly" -> ((s, d) => Resample.tsAnomaly(Tables.events(s, d))),
     "ts_xcorr" -> ((s, d) =>
       Resample.crossCorrelation(Tables.events(s, d), "click", "purchase")),
+    "ts_seasonal" -> ((s, d) =>
+      Resample.seasonalDecompose(Tables.events(s, d))),
     "st_chi2" -> ((s, d) =>
       Stats.chiSquare(Tables.documents(s, d), "lang", "source")),
     "st_ks" -> ((s, d) =>
@@ -1812,6 +1814,25 @@ object SparkEntry {
                ORDER BY dist_km, s_suppkey) AS INTEGER) AS rnk
            FROM d)
          SELECT c_custkey, s_suppkey, dist_km, rnk FROM r WHERE rnk <= 3""",
+    "ts_seasonal" ->
+      """WITH cells AS (
+           SELECT event_type, hour(ts) AS hod,
+             sum(value) AS s, count(value) AS n
+           FROM events GROUP BY 1, 2),
+         t AS (SELECT event_type, hod,
+             round(CAST(sum(s) OVER (PARTITION BY event_type) AS DOUBLE)
+               / CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT),
+               6) AS type_mean,
+             round(s / n
+               - CAST(sum(s) OVER (PARTITION BY event_type) AS DOUBLE)
+                 / CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT),
+               6) AS seasonal
+           FROM cells)
+         SELECT event_id, e.event_type, hour(e.ts) AS hod, type_mean,
+           seasonal,
+           round(e.value - type_mean - seasonal, 6) AS residual
+         FROM events e JOIN t ON e.event_type = t.event_type
+           AND hour(e.ts) = t.hod""",
     "ts_xcorr" ->
       """WITH hourly AS (
            SELECT event_type,

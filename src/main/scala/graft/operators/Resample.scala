@@ -161,6 +161,35 @@ object Resample {
         round((col("value") - col("__mu")) / col("__sd"), 4).as("z"))
   }
 
+  /** Additive seasonal decomposition by hour-of-day: value =
+    * type mean + seasonal(hour-of-day) + residual — the de-seasonalizing
+    * step before anomaly detection on daily-cyclic metrics. Emits every
+    * event with its three components.
+    *
+    * Scale shape: ONE partial-agg pass collapses events to the
+    * (type × 24)-row moment frame; the type mean derives from THAT frame
+    * (sum-of-sums — exact, not an avg of avgs), and both components ride
+    * back onto the scan as a broadcast join on (type, hod). The events
+    * payload itself never shuffles. */
+  def seasonalDecompose(events: DataFrame): DataFrame = {
+    val wType = Window.partitionBy("event_type")
+    val cells = events
+      .groupBy(col("event_type"), hour(col("ts")).as("hod"))
+      .agg(sum("value").as("__s"), count("value").as("__n"))
+      .withColumn("__tmean", sum("__s").over(wType) / sum("__n").over(wType))
+      .select(col("event_type"), col("hod"),
+        round(col("__tmean"), 6).as("type_mean"),
+        round(col("__s") / col("__n") - col("__tmean"), 6).as("seasonal"))
+    events.as("e")
+      .join(broadcast(cells.as("c")),
+        col("e.event_type") === col("c.event_type") &&
+          hour(col("e.ts")) === col("c.hod"))
+      .select(col("e.event_id"), col("e.event_type"), col("c.hod"),
+        col("c.type_mean"), col("c.seasonal"),
+        round(col("e.value") - col("c.type_mean") - col("c.seasonal"), 6)
+          .as("residual"))
+  }
+
   /** Lagged CROSS-correlation between two event-type series ("do clicks
     * lead purchases, and by how many hours?"): both series resample to
     * hourly means, then Pearson corr at every integer-hour lag in

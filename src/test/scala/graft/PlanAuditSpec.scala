@@ -298,6 +298,63 @@ class PlanAuditSpec extends SparkSpec {
       s"radius join must be the cell equi-join:\n$p")
   }
 
+  test("st_ks: ECDF prefix sums run per-stripe, not on one partition") {
+    val p = plan("st_ks")
+    // the distinct-value frame's running sums are hash-partitioned by
+    // stripe; only the ≤256-row stripe-offset frame may single-partition
+    assert(p.contains("Exchange hashpartitioning(__stripe"),
+      s"within-stripe cumsum must partition by stripe:\n$p")
+    // both group predicates reach the parquet scan
+    assert(p.contains("In(event_type"),
+      s"event_type IN filter should push to the scan:\n$p")
+  }
+
+  test("w13_rfm: no global ranking window; quintile bounds ride a broadcast") {
+    val p = plan("w13_rfm")
+    assert(!"\\bntile\\(".r.findFirstIn(p).isDefined &&
+      !"\\bWindow\\b".r.findFirstIn(p).isDefined,
+      s"RFM scoring must not rank the user frame through a window:\n$p")
+    // every SinglePartition exchange carries a post-partial-agg row,
+    // never the user frame itself
+    assert(p.contains("partial_percentile") || p.contains("ObjectHashAggregate"),
+      s"quintile bounds must partial-aggregate map-side:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"boundary row should broadcast back onto the user frame:\n$p")
+  }
+
+  test("w12_markov: one user exchange; transition counting partial-aggregates") {
+    val p = plan("w12_markov")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      s"lead window should be the only user_id shuffle:\n$p")
+    assert(p.contains("partial_count"),
+      s"(from, to) counting should partial-aggregate map-side:\n$p")
+  }
+
+  test("ts_xcorr + ts_seasonal: scans collapse to partial aggregates before wide work") {
+    val px = plan("ts_xcorr")
+    assert(px.contains("partial_avg") || px.contains("partial_sum"),
+      s"hourly resample must be a map-side partial aggregate:\n$px")
+    assert(px.contains("In(event_type"),
+      s"series filter should push to the scan:\n$px")
+    val ps = plan("ts_seasonal")
+    assert(ps.contains("partial_sum"),
+      s"moment cells must partial-aggregate map-side:\n$ps")
+    assert(ps.contains("BroadcastHashJoin"),
+      s"components must broadcast back onto the events scan:\n$ps")
+    assert(!ps.contains("SortMergeJoin"),
+      s"the events payload must never shuffle for the component join:\n$ps")
+  }
+
+  test("dd_incremental_bloom: corpus fp scan is bloom-filtered below the anti-join") {
+    val p = plan("dd_incremental_bloom")
+    assert(p.contains("might_contain"),
+      s"bloom membership filter missing from the corpus scan side:\n$p")
+    assert(p.toLowerCase.contains("subquery"),
+      s"the bloom should ride a scalar subquery, built once:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the anti-join must stay equi-join shaped:\n$p")
+  }
+
   test("entry flagship runs and returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

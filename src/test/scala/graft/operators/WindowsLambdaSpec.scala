@@ -123,6 +123,33 @@ class WindowsLambdaSpec extends SparkSpec {
     assert(out(2L)._1 == 200L - 2L)
   }
 
+  test("seasonalDecompose recovers a planted hour-of-day cycle") {
+    import spark.implicits._
+    // value(t) = 50 + 10·(hod == 6): type mean 50 + 10/24, seasonal
+    // +10−10/24 at hod 6 and −10/24 elsewhere, residual exactly 0
+    val ev = (0 until 240).map { i =>
+      val hod = i % 24
+      (i.toLong, "m", i * 3600L, if (hod == 6) 60.0 else 50.0)
+    }.toDF("event_id", "event_type", "sec", "value")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val out = Resample.seasonalDecompose(ev).collect()
+    val mean = 50.0 + 10.0 / 24.0
+    out.foreach { r =>
+      assert(math.abs(r.getAs[Double]("type_mean") - mean) < 1e-4)
+      val expSeason =
+        if (r.getAs[Int]("hod") == 6) 10.0 - 10.0 / 24.0 else -10.0 / 24.0
+      assert(math.abs(r.getAs[Double]("seasonal") - expSeason) < 1e-4)
+      assert(math.abs(r.getAs[Double]("residual")) < 1e-4,
+        s"cycle fully explained → residual 0, got $r")
+    }
+    // components always reassemble the original value
+    val bad = Resample.seasonalDecompose(Tables.events(spark, sf))
+      .join(Tables.events(spark, sf), Seq("event_id"))
+      .filter(abs(col("type_mean") + col("seasonal") + col("residual")
+        - col("value")) > 1e-4)
+    assert(bad.count() == 0)
+  }
+
   test("epsilonClusters: grid candidates reproduce the all-pairs clustering exactly") {
     import graft.functions.SpatialFunctions.haversineKm
     // sf0.01: the default spec scale's 150 global points have no 150 km
