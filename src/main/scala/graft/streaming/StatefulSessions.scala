@@ -73,6 +73,44 @@ object StatefulSessions {
             Option(st.t3).filter(_ >= 0)))
       }
   }
+  // ---- streaming transition tracking (twin of Windows.transitionMatrix) ----
+
+  case class TransState(lastType: String, lastUs: Long, lastId: Long)
+  case class TransitionInc(user_id: Long, from_type: String, to_type: String)
+
+  /** Per-user event-type TRANSITION increments over an unbounded stream
+    * — the streaming feed of the batch Markov matrix (w12_markov): each
+    * consecutive (from, to) pair per user emits one increment row, and
+    * the O(1) carried state (the user's LAST event) is what lets a pair
+    * straddle a micro-batch boundary, which no per-batch window can see.
+    * Downstream, any sink aggregates increments into counts/probs — the
+    * increments themselves are append-only and replay-deterministic for
+    * in-order streams. Batch rows sort by (ts, event_id) before folding,
+    * matching the batch twin's ordering exactly (spec-verified equal
+    * across split batches). */
+  def transitions(events: Dataset[FunnelEv]): Dataset[TransitionInc] = {
+    implicit val outEnc = Encoders.product[TransitionInc]
+    implicit val stEnc = Encoders.product[TransState]
+    def us(e: FunnelEv): Long =
+      e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[FunnelEv],
+         state: GroupState[TransState]) =>
+          var st = state.getOption.getOrElse(TransState(null, Long.MinValue, Long.MinValue))
+          val out = Seq.newBuilder[TransitionInc]
+          rows.toSeq.sortBy(e => (us(e), e.event_id)).foreach { e =>
+            if (st.lastType != null)
+              out += TransitionInc(userId, st.lastType, e.event_type)
+            st = TransState(e.event_type, us(e), e.event_id)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   case class SessionState(lastUs: Long, sessionNo: Long)
   case class SessionedEv(event_id: Long, user_id: Long, session_no: Long)
 

@@ -148,6 +148,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming transitions match the batch Markov counts across split batches") {
+    implicit val sq = spark.sqlContext
+    implicit val enc = Encoders.product[StatefulSessions.FunnelEv]
+    val all = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"))
+      .as[StatefulSessions.FunnelEv](enc)
+      .collect().sortBy(_.ts.getTime)
+    val input = MemoryStream[StatefulSessions.FunnelEv](enc, sq)
+    val q = StatefulSessions.transitions(input.toDS())
+      .writeStream.format("memory").queryName("t_trans")
+      .outputMode("append").start()
+    try {
+      // chronological thirds: pairs straddling both batch boundaries
+      // only materialize through the carried last-event state
+      val (a, rest) = all.splitAt(all.length / 3)
+      val (b, c) = rest.splitAt(rest.length / 3)
+      Seq(a, b, c).foreach { part =>
+        input.addData(part.toIndexedSeq); q.processAllAvailable()
+      }
+      val streamed = spark.table("t_trans").groupBy("from_type", "to_type")
+        .count().collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val batch = Windows.transitionMatrix(Tables.events(spark, sf))
+        .collect()
+        .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+          r.getAs[Long]("n")).toMap
+      assert(streamed == batch,
+        s"streamed ${streamed.size} cells, batch ${batch.size}")
+    } finally q.stop()
+  }
+
   test("streaming funnel rejects a same-timestamp next-stage event until a strictly later one") {
     implicit val sq = spark.sqlContext
     implicit val enc = Encoders.product[StatefulSessions.FunnelEv]
