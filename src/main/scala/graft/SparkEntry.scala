@@ -346,6 +346,8 @@ object SparkEntry {
       TextAnalysis.tfidfTopTerms(Tables.documents(s, d), 3)),
     "tx_unigram_ce" -> ((s, d) =>
       TextAnalysis.unigramCrossEntropy(Tables.documents(s, d))),
+    "tx_bigram_ce" -> ((s, d) =>
+      TextAnalysis.bigramCrossEntropy(Tables.documents(s, d))),
     "tx_pii" -> ((s, d) => TextAnalysis.piiScan(Tables.documents(s, d))),
     "tx_contamination" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -626,6 +628,9 @@ object SparkEntry {
       Stats.chiSquare(Tables.documents(s, d), "lang", "source")),
     "st_ks" -> ((s, d) =>
       Stats.ksTest(Tables.events(s, d), "event_type", "value", "click", "view")),
+    "st_mwu" -> ((s, d) =>
+      Stats.mannWhitneyU(Tables.events(s, d), "event_type", "value",
+        "click", "view")),
   )
 
   /** Scratch dir for sink round-trips, keyed by sf dir to avoid
@@ -1343,6 +1348,51 @@ object SparkEntry {
              AS ce
          FROM tf JOIN model USING (term) CROSS JOIN tot
          GROUP BY doc_id""",
+    "tx_bigram_ce" ->
+      """WITH bg AS (SELECT doc_id, w1, w2, count(*) AS tf FROM (
+             SELECT doc_id, unnest(t[1:len(t)-1]) AS w1,
+               unnest(t[2:len(t)]) AS w2
+             FROM (SELECT doc_id, string_split(text, ' ') AS t
+                   FROM documents)
+             WHERE len(t) >= 2)
+           GROUP BY 1, 2, 3),
+         c2 AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c2
+                FROM bg GROUP BY 1, 2),
+         c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1
+                FROM c2 GROUP BY 1),
+         v AS (SELECT count(DISTINCT term) AS v FROM (
+             SELECT unnest(string_split(text, ' ')) AS term FROM documents)),
+         j AS (SELECT doc_id, tf, -ln((c2 + 1.0) / (c1 + v)) AS nlp
+               FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+               CROSS JOIN v)
+         SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+           round(sum(tf * nlp) / sum(tf), 6) AS ce
+         FROM j GROUP BY doc_id""",
+    "st_mwu" ->
+      """WITH pts AS (SELECT value AS v,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               AS BIGINT) AS cb
+           FROM events WHERE event_type IN ('click', 'view')
+           GROUP BY value),
+         c AS (SELECT ca, cb, ca + cb AS t,
+             CAST(coalesce(sum(ca + cb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS below
+           FROM pts),
+         s AS (SELECT
+             CAST(sum(ca * (2*below + t + 1)) AS BIGINT) AS r1x2,
+             CAST(sum(t*t*t - t) AS BIGINT) AS ties,
+             CAST((SELECT sum(ca) FROM pts) AS BIGINT) AS na,
+             CAST((SELECT sum(cb) FROM pts) AS BIGINT) AS nb
+           FROM c)
+         SELECT (r1x2 - na*(na+1)) / 2.0 AS u_stat,
+           round(((r1x2 - na*(na+1)) / 2.0 - na*nb/2.0) /
+             sqrt(na*nb/12.0 * ((na+nb+1) - ties / (na+nb) / (na+nb-1.0))),
+             4) AS z,
+           na AS n_a, nb AS n_b
+         FROM s""",
     "tx_tfidf" ->
       """WITH tf AS (SELECT doc_id, term, count(*) AS tf
            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term

@@ -273,6 +273,59 @@ object Stats {
         max("__na").as("n_a"), max("__nb").as("n_b"))
   }
 
+  /** Mann–Whitney U (Wilcoxon rank-sum) between groups `ga` and `gb` —
+    * the nonparametric A/B test (median shift without normality
+    * assumptions), with the tie-corrected normal approximation z.
+    *
+    * Same striped-prefix-sum skeleton as [[ksTest]], but the quantity
+    * is the EXCLUSIVE running count of observations below each distinct
+    * value, giving every value's average rank: ar(v) = below(v) +
+    * (t+1)/2. The whole statistic stays in INTEGER arithmetic until the
+    * final division — 2·R1 = Σ ca·(2·below + t + 1) is an exact long on
+    * any engine and any partitioning, so U is bit-identical to the
+    * oracle with no rounding tolerance. Tie correction sums t³−t per
+    * distinct value (longs; a single value class above ~2M rows needs
+    * the correction term widened — loud ANSI overflow, not silent). */
+  def mannWhitneyU(df: DataFrame, groupCol: String, c: String,
+                   ga: String, gb: String, stripes: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = df.filter(col(groupCol).isin(ga, gb))
+      .groupBy(col(c).as("v"))
+      .agg(sum(when(col(groupCol) === ga, 1L).otherwise(0L)).as("ca"),
+        sum(when(col(groupCol) === gb, 1L).otherwise(0L)).as("cb"))
+      .withColumn("t", col("ca") + col("cb"))
+    val bounds = pts.agg(min("v").as("__lo"), max("v").as("__hi"),
+      sum("ca").as("__na"), sum("cb").as("__nb"))
+    val striped = pts.crossJoin(broadcast(bounds))
+      .withColumn("__stripe",
+        when(col("__hi") === col("__lo"), lit(0L)).otherwise(
+          least(lit(stripes - 1L), greatest(lit(0L),
+            floor((col("v") - col("__lo")) /
+              (col("__hi") - col("__lo")) * stripes)))).cast("int"))
+    val wIn = Window.partitionBy("__stripe").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wStripe = Window.orderBy("__stripe")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = striped.groupBy("__stripe")
+      .agg(sum("t").as("__st"))
+      .select(col("__stripe"),
+        coalesce(sum("__st").over(wStripe), lit(0L)).as("__ot"))
+    val s = striped.join(broadcast(offs), Seq("__stripe"))
+      .withColumn("below",
+        col("__ot") + coalesce(sum("t").over(wIn), lit(0L)))
+      .agg(
+        sum(col("ca") * (lit(2) * col("below") + col("t") + 1)).as("r1x2"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("ties"),
+        max("__na").as("na"), max("__nb").as("nb"))
+    val u = (col("r1x2") - col("na") * (col("na") + 1)) / 2.0
+    val n = col("na") + col("nb")
+    val varU = col("na") * col("nb") / 12.0 *
+      ((n + 1) - col("ties") / n / (n - 1.0))
+    s.select(u.as("u_stat"),
+      round((u - col("na") * col("nb") / 2.0) / sqrt(varU), 4).as("z"),
+      col("na").as("n_a"), col("nb").as("n_b"))
+  }
+
   /** One-way ANOVA F over ALL groups at once (welchTTest's k-group
     * sibling): between-group vs within-group variance from the same
     * single-pass per-group moments — the corpus is scanned once, every

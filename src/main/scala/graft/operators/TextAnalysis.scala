@@ -287,6 +287,42 @@ object TextAnalysis {
     * a broadcast 1-row frame. Scoring is a vocab join (AQE broadcasts a
     * small model) + weighted mean: Σ tf·nlp / Σ tf ≡ the per-instance
     * mean without re-exploding. */
+  /** Per-doc BIGRAM cross-entropy under the corpus's own add-one-
+    * smoothed bigram model: P(w2|w1) = (c(w1,w2)+1) / (c(w1)+V) — the
+    * context-aware upgrade of [[unigramCrossEntropy]] (CCNet-style LM
+    * filtering; catches word-salad that unigram frequencies cannot,
+    * since scrambled common words keep their unigram score but lose
+    * their bigram mass).
+    *
+    * One explode pass → (doc, w1, w2, tf); the conditional model is two
+    * narrow rollups OF that frame (bigram counts, then context counts
+    * as their w1 marginal — no second corpus scan); V rides as a 1-row
+    * broadcast. Scoring joins the model back (AQE broadcasts small
+    * models) and takes the tf-weighted mean. Docs under 2 tokens have
+    * no bigrams and drop, mirroring the oracle. */
+  def bigramCrossEntropy(documents: DataFrame): DataFrame = {
+    val fanned = Scale.fanOut(documents.select("doc_id", "text"), Seq("doc_id"))
+    val t = tokens(col("text"))
+    val bigrams = fanned
+      .select(col("doc_id"),
+        explode(when(size(t) < 2, array().cast("array<struct<w1:string,w2:string>>"))
+          .otherwise(transform(sequence(lit(0), size(t) - 2),
+            i => struct(element_at(t, i + 1).as("w1"),
+              element_at(t, i + 2).as("w2"))))).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
+    val c2 = bigrams.groupBy("w1", "w2").agg(sum("tf").as("c2"))
+    val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
+    val vocab = fanned.select(explode(tokens(col("text"))).as("w"))
+      .agg(countDistinct("w").as("__v"))
+    val nlp = -log((col("c2") + lit(1.0)) / (col("c1") + col("__v")))
+    bigrams.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_bigrams"),
+        round(sum(col("tf") * nlp) / sum("tf"), 6).as("ce"))
+  }
+
   def unigramCrossEntropy(documents: DataFrame): DataFrame = {
     val fanned = Scale.fanOut(documents.select("doc_id", "text"), Seq("doc_id"))
     val termFreq = fanned

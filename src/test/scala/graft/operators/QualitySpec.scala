@@ -102,6 +102,40 @@ class QualitySpec extends SparkSpec {
     scored.unpersist()
   }
 
+  test("bigramCrossEntropy: exact on a hand corpus; scrambled word salad scores higher") {
+    import spark.implicits._
+    // corpus: "a b" ×2 + "a c" → bigrams (a,b):2 (a,c):1; c1(a)=3; V=3
+    // p(b|a)=(2+1)/(3+3)=0.5, p(c|a)=(1+1)/6=1/3
+    val tiny = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramCrossEntropy(tiny).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("ce"))).toMap
+    assert(out(1L)._1 == 1 && math.abs(out(1L)._2 - -math.log(0.5)) < 1e-6)
+    assert(math.abs(out(3L)._2 - -math.log(1.0 / 3.0)) < 1e-6)
+    // a one-token doc has no bigrams and drops (mirrors the oracle)
+    assert(!TextAnalysis.bigramCrossEntropy(
+      tiny.unionByName(Seq((4L, "a")).toDF("doc_id", "text")))
+      .collect().map(_.getLong(0)).contains(4L))
+    // the context signal unigram CE cannot see: both probe docs use the
+    // SAME words at the SAME frequencies, only the order differs — the
+    // with-the-grain doc ("x y" dominates the corpus) must beat the
+    // against-the-grain one. Hand values: p(y|x)=54/55, p(x|y)=4/5
+    val planted = (Seq.tabulate(50)(i => (i.toLong, "x y")) ++
+      Seq((777L, "x y x y"), (778L, "y x y x"))).toDF("doc_id", "text")
+    val scored = TextAnalysis.bigramCrossEntropy(planted).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("ce")).toMap
+    val expA = -(2 * math.log(54.0 / 55) + math.log(4.0 / 5)) / 3
+    val expB = -(2 * math.log(4.0 / 5) + math.log(54.0 / 55)) / 3
+    assert(math.abs(scored(777L) - expA) < 1e-4)
+    assert(math.abs(scored(778L) - expB) < 1e-4)
+    assert(scored(778L) > scored(777L),
+      "same words, rarer order must score higher")
+    // full-corpus coverage: every >=2-token doc scores exactly once
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    assert(TextAnalysis.bigramCrossEntropy(docs).count() ==
+      docs.filter(size(split(col("text"), " ")) >= 2).count())
+  }
+
   test("freshness: planted lags and null payloads are reported exactly") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val events = Seq(

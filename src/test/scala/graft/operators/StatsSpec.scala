@@ -86,6 +86,36 @@ class StatsSpec extends SparkSpec {
       .collect().head.getAs[Double]("d_stat") == 1.0)
   }
 
+  test("mannWhitneyU matches the hand-computed U and tie-corrected z") {
+    def mk(as: Seq[Double], bs: Seq[Double]) =
+      (as.map(("A", _)) ++ bs.map(("B", _))).toDF("g", "v")
+    // A=[1,2,3] B=[4,5,6]: R1=6, U=0, z=-4.5/sqrt(5.25)=-1.9640
+    val r1 = Stats.mannWhitneyU(mk(Seq(1, 2, 3), Seq(4, 5, 6)), "g", "v", "A", "B")
+      .collect().head
+    assert(r1.getAs[Double]("u_stat") == 0.0)
+    assert(math.abs(r1.getAs[Double]("z") - -1.964) < 1e-3)
+    // ties: A=[1,2,2] B=[2,3]: U=1, ties term 24, var 2.4, z=-1.291
+    val r2 = Stats.mannWhitneyU(mk(Seq(1, 2, 2), Seq(2, 3)), "g", "v", "A", "B")
+      .collect().head
+    assert(r2.getAs[Double]("u_stat") == 1.0)
+    assert(math.abs(r2.getAs[Double]("z") - -1.291) < 1e-3)
+    assert(r2.getAs[Long]("n_a") == 3L && r2.getAs[Long]("n_b") == 2L)
+  }
+
+  test("mannWhitneyU is stripe-count invariant and symmetric (U1+U2=na*nb)") {
+    val as = Seq.tabulate(300)(i => ("A", (i * 7919 % 997) / 9.0))
+    val bs = Seq.tabulate(250)(i => ("B", (i * 104729 % 1201) / 11.0))
+    val df = (as ++ bs).toDF("g", "v")
+    val us = Seq(1, 5, 256).map(s =>
+      Stats.mannWhitneyU(df, "g", "v", "A", "B", stripes = s)
+        .collect().head.getAs[Double]("u_stat"))
+    assert(us.distinct.size == 1, s"stripes changed U: $us")
+    val u1 = us.head
+    val u2 = Stats.mannWhitneyU(df, "g", "v", "B", "A")
+      .collect().head.getAs[Double]("u_stat")
+    assert(u1 + u2 == 300.0 * 250.0, s"U1+U2 must equal na*nb, got ${u1 + u2}")
+  }
+
   test("ksTest is stripe-count invariant (distributed prefix sum is exact)") {
     val as = Seq.tabulate(400)(i => ("A", (i * 7919 % 1000) / 10.0))
     val bs = Seq.tabulate(300)(i => ("B", (i * 104729 % 1300) / 11.0))
