@@ -589,6 +589,26 @@ object SparkEntry {
       val incoming = Tables.orders(s, d).select(col("o_custkey").as("nat_key"))
       Dwh.assignSurrogates(dim, incoming, "nat_key", "sk")
     }),
+    // point-in-time feature join: each event picks the SCD2 version of
+    // its user's state valid at its timestamp ([from, to) semantics)
+    "dwh_pit" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.events(s, d)
+      val dim = Dwh.scd2Build(ev, "user_id", "event_type", "ts", "event_id")
+        .select(col("user_id"), col("event_type").as("dim_state"),
+          col("valid_from"),
+          unix_micros(col("valid_from")).as("valid_from_us"),
+          unix_micros(col("valid_to")).as("valid_to_us"))
+      val facts = ev.select(col("event_id"), col("user_id"), col("ts"))
+      Dwh.pitJoin(facts, dim, "user_id", "ts")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("matched.dim_state").as("dim_state"),
+          col("matched.valid_from_us").as("valid_from_us"),
+          col("matched.valid_to_us").as("valid_to_us"))
+    }),
+    "ts_hw" -> ((s, d) =>
+      Resample.holtWinters(Tables.events(s, d), 0.3, 0.1, 0.3, 24)),
     // ---- J. quality / observability ----
     "dq_expect" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -1603,6 +1623,21 @@ object SparkEntry {
            epoch_us(lead(ts) OVER w) AS valid_to_us,
            (lead(ts) OVER w) IS NULL AS is_current
          FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    "dwh_pit" ->
+      """WITH v AS (SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS prev
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (SELECT user_id, event_type, ts, event_id FROM v
+               WHERE prev IS NULL OR event_type <> prev),
+         d AS (SELECT user_id, event_type AS dim_state,
+             ts AS valid_from, lead(ts) OVER w AS valid_to
+           FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+           d.dim_state, epoch_us(d.valid_from) AS valid_from_us,
+           epoch_us(d.valid_to) AS valid_to_us
+         FROM events e JOIN d ON e.user_id = d.user_id
+           AND e.ts >= d.valid_from
+           AND (d.valid_to IS NULL OR e.ts < d.valid_to)""",
     // the incremental path must reproduce the full-history rebuild, so
     // its oracle IS the full-history SQL
     "dwh_scd2_apply" ->

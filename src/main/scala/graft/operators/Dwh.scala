@@ -220,4 +220,26 @@ object Dwh {
       .select(col(natKey),
         (col("__max_sk") + col("off") + col("rn")).cast("long").as(skCol))
   }
+
+  /** POINT-IN-TIME dimension join: each fact row picks the SCD2 version
+    * valid at its timestamp — [valid_from, valid_to) semantics, the
+    * no-future-leakage join every feature pipeline and historical
+    * report needs against a versioned dimension.
+    *
+    * NOT a range join: because versions tile time per key (each
+    * valid_to is the next valid_from), "the version covering ts" ≡ "the
+    * latest version opening at-or-before ts" — exactly the as-of
+    * composition (AsOfJoin.asof): tag facts and version-opens, union,
+    * ONE window over (key, ts) — a single key shuffle, linear scan, no
+    * inequality-join explosion, and a fact at a version boundary lands
+    * in the NEWER version (ties order the dimension row first). Dim
+    * payload comes back in the `matched` struct; facts before a key's
+    * first version keep matched = null. */
+  def pitJoin(facts: DataFrame, dim: DataFrame, key: String,
+              ts: String): DataFrame = {
+    val payload = dim.columns.filterNot(c => c == key || c == "valid_from").toSeq
+    val right = dim.select(
+      (col(key) +: col("valid_from").as(ts) +: payload.map(col)): _*)
+    AsOfJoin.asof(facts, right, key, ts)
+  }
 }

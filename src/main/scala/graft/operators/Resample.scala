@@ -114,6 +114,50 @@ object Resample {
       .toDF("user_id", "ts_us", "level", "trend", "forecast_1")
   }
 
+  /** Holt-Winters ADDITIVE triple exponential smoothing per key —
+    * level + trend + a `period`-slot seasonal profile (seasonal index =
+    * observation position mod period), completing the ewma → holt →
+    * holt-winters recurrence family on the same spill-safe sorted-group
+    * iterator (state per key: two doubles + one period-length array).
+    *
+    * Seasonal terms initialize at 0, so the recurrence degenerates to
+    * EXACTLY [[holt]] when γ=0 (spec-locked) and learns the profile
+    * from the first cycles otherwise (spec: planted periodic series →
+    * last-cycle forecast error collapses vs the first cycle).
+    * forecast_1 projects level + trend + the NEXT position's seasonal. */
+  def holtWinters(events: DataFrame, alpha: Double, beta: Double,
+                  gamma: Double, period: Int): DataFrame = {
+    require(period >= 1, "need a positive seasonal period")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups($"ts_us", $"value") { (k, it) =>
+        var l = Double.NaN
+        var b = 0.0
+        val s = Array.fill(period)(0.0)
+        var i = 0
+        it.map { case (_, ts, v) =>
+          val si = i % period
+          if (l.isNaN) l = v
+          else {
+            val lPrev = l
+            l = alpha * (v - s(si)) + (1 - alpha) * (l + b)
+            b = beta * (l - lPrev) + (1 - beta) * b
+          }
+          s(si) = gamma * (v - l) + (1 - gamma) * s(si)
+          i += 1
+          val sNext = s(i % period)
+          (k, ts, math.rint(l * 1e6) / 1e6, math.rint(b * 1e6) / 1e6,
+            math.rint(s(si) * 1e6) / 1e6,
+            math.rint((l + b + sNext) * 1e6) / 1e6)
+        }
+      }
+      .toDF("user_id", "ts_us", "level", "trend", "seasonal", "forecast_1")
+  }
+
   /** Dense series per user: every slot between the user's first and last
     * observation, observed slots carrying their aggregate, gaps
     * forward-filled from the previous observed slot. `filled` marks

@@ -190,4 +190,27 @@ class DwhSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("nat_key") -> r.getAs[Long]("sk")).toMap
     assert(reshaped == got)
   }
+
+  test("pitJoin picks the version covering each fact ts, boundary goes to the newer version") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // user 1 versions: A [10, 20), B [20, 30), C [30, ∞)
+    val dim = Seq(
+      (1L, "A", ts(10), Some(ts(20))), (1L, "B", ts(20), Some(ts(30))),
+      (1L, "C", ts(30), None))
+      .toDF("user_id", "dim_state", "valid_from", "valid_to")
+    val facts = Seq(
+      (100L, 1L, ts(5)),   // before any version → null match
+      (101L, 1L, ts(10)),  // opens A
+      (102L, 1L, ts(19)),  // inside A
+      (103L, 1L, ts(20)),  // boundary → B, not A
+      (104L, 1L, ts(99)))  // open-ended C
+      .toDF("event_id", "user_id", "ts")
+    val got = Dwh.pitJoin(facts, dim, "user_id", "ts").collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[org.apache.spark.sql.Row]("matched"))
+          .map(_.getAs[String]("dim_state")).orNull).toMap
+    assert(got == Map(100L -> null, 101L -> "A", 102L -> "A",
+      103L -> "B", 104L -> "C"))
+  }
 }

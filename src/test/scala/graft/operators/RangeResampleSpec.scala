@@ -119,6 +119,35 @@ class RangeResampleSpec extends SparkSpec {
     assert(h0.exceptAll(e).isEmpty && e.exceptAll(h0).isEmpty)
   }
 
+  test("holtWinters learns a planted cycle; gamma=0 degenerates to holt exactly") {
+    import spark.implicits._
+    // pure period-4 signal, zero trend: the seasonal profile absorbs the
+    // swing and last-cycle forecasts land on the series
+    val pattern = Seq(10.0, 20.0, 30.0, 40.0)
+    val per = Seq.tabulate(80)(i => (1L, (i + 1) * 1000L, pattern(i % 4)))
+      .toDF("user_id", "us", "value")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"), col("value"))
+    val rows = Resample.holtWinters(per, 0.3, 0.0, 0.5, 4)
+      .orderBy("ts_us").collect()
+    // forecast_1 at position i predicts value at i+1
+    val errs = rows.dropRight(1).zipWithIndex.map { case (r, i) =>
+      math.abs(r.getAs[Double]("forecast_1") - pattern((i + 1) % 4))
+    }
+    val firstCycle = errs.take(4).max
+    val lastCycle = errs.takeRight(4).max
+    assert(lastCycle < 0.5, s"learned cycle should forecast well, err=$lastCycle")
+    assert(lastCycle < firstCycle / 10,
+      s"error must collapse vs the first cycle: first=$firstCycle last=$lastCycle")
+    // gamma=0: seasonal stays 0 and the recurrence IS holt
+    val ev = Tables.events(spark, sf)
+    val hw = Resample.holtWinters(ev, 0.3, 0.1, 0.0, 24)
+      .select("user_id", "ts_us", "level", "trend", "forecast_1")
+    val h = Resample.holt(ev, 0.3, 0.1)
+    assert(hw.exceptAll(h).isEmpty && h.exceptAll(hw).isEmpty)
+    assert(Resample.holtWinters(ev, 0.3, 0.1, 0.0, 24)
+      .filter(col("seasonal") =!= 0.0).count() == 0)
+  }
+
   test("resample emits a dense series with correct forward fill") {
     val out = Resample.resampleWithGapFill(Tables.events(spark, sf), 3600000000L)
     val perUser = out.groupBy("user_id")
