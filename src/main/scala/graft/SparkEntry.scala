@@ -651,6 +651,15 @@ object SparkEntry {
     "st_mwu" -> ((s, d) =>
       Stats.mannWhitneyU(Tables.events(s, d), "event_type", "value",
         "click", "view")),
+    "st_cms" -> ((s, d) =>
+      Stats.cmsFrequencies(Tables.events(s, d), "event_type")),
+    "pipe_decontaminate" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      TextAnalysis.decontaminate(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"), n = 5, minShared = 10)
+    }),
   )
 
   /** Scratch dir for sink round-trips, keyed by sf dir to avoid
@@ -1460,6 +1469,25 @@ object SparkEntry {
          SELECT doc_id, count(*) AS shared_shingles
          FROM docsh JOIN bench USING (shingle)
          GROUP BY doc_id HAVING count(*) >= 10""",
+    "pipe_decontaminate" ->
+      """WITH bench AS (
+           SELECT DISTINCT s AS shingle FROM (
+             SELECT unnest(list_transform(range(1, len(t)-3),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS s
+             FROM (SELECT string_split(text, ' ') AS t FROM documents
+                   WHERE source = 'src0') WHERE len(t) >= 5)),
+         docsh AS (
+           SELECT DISTINCT doc_id, s AS shingle FROM (
+             SELECT doc_id, unnest(list_transform(range(1, len(t)-3),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS s
+             FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                   WHERE source <> 'src0') WHERE len(t) >= 5)),
+         flagged AS (
+           SELECT doc_id FROM docsh JOIN bench USING (shingle)
+           GROUP BY doc_id HAVING count(*) >= 10)
+         SELECT doc_id, n_chars FROM documents
+         WHERE source <> 'src0'
+           AND doc_id NOT IN (SELECT doc_id FROM flagged)""",
     "dd_embed_neardup" ->
       """SELECT a.vec_id AS v1, b.vec_id AS v2,
            round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

@@ -273,6 +273,33 @@ object Stats {
         max("__na").as("n_a"), max("__nb").as("n_b"))
   }
 
+  /** Count-min-sketch frequency report: one pass builds a MERGEABLE
+    * CMS over `c` (graft.functions.CmsAggregator — map-side partial
+    * merges, O(depth·width) state total), then every distinct value is
+    * estimated against it beside its exact count. The report's
+    * candidate frame (distinct values of a categorical) is small by
+    * construction and the estimation is a per-candidate probe of the
+    * finished sketch — the same justified driver step as approxQuantile
+    * returning its Array. At 100 TB the exact column is dropped and the
+    * sketch (a few KB) answers ANY later frequency probe, including
+    * over merged per-partition sketches. One-sided error property
+    * (exact ≤ est ≤ exact + εN) is spec-locked. */
+  def cmsFrequencies(df: DataFrame, c: String, depth: Int = 5,
+                     width: Int = 2048): DataFrame = {
+    import graft.functions.CmsAggregator
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sk = df.agg(CmsAggregator.cms(depth, width)(xxhash64(col(c))).as("sk"))
+      .head().getAs[scala.collection.Seq[Long]]("sk").toArray
+    val items = df.groupBy(col(c).as("value"))
+      .agg(count(lit(1)).as("exact"))
+      .withColumn("__h", xxhash64(col("value")))
+      .collect()
+      .map(r => (r.getAs[String]("value"), r.getAs[Long]("exact"),
+        CmsAggregator.estimate(sk, depth, width, r.getAs[Long]("__h"))))
+    items.toSeq.toDF("value", "exact", "estimate")
+  }
+
   /** Mann–Whitney U (Wilcoxon rank-sum) between groups `ga` and `gb` —
     * the nonparametric A/B test (median shift without normality
     * assumptions), with the tie-corrected normal approximation z.

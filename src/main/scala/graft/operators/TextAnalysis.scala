@@ -109,6 +109,20 @@ object TextAnalysis {
       .filter(col("shared_shingles") >= minShared)
   }
 
+  /** Benchmark DECONTAMINATION — the removal form of [[contamination]]:
+    * the corpus with every flagged doc dropped (anti-join on the
+    * flagged id set, which is contamination-sized, not corpus-sized).
+    * The step that runs between dedup and packing in a training
+    * pipeline; same broadcast-benchmark shape, the corpus text streams
+    * through once. */
+  def decontaminate(documents: DataFrame, benchmark: DataFrame,
+                    n: Int, minShared: Int): DataFrame = {
+    val flagged = contamination(documents, benchmark, n, minShared)
+      .select("doc_id")
+    documents.join(flagged, Seq("doc_id"), "left_anti")
+      .select("doc_id", "n_chars")
+  }
+
   /** Within-document repetition signals (the Gopher-style quality
     * filters): duplicate-token fraction and duplicate-2-gram fraction.
     * Pure row-local HOF pipeline — no shuffle, scan-speed at any corpus

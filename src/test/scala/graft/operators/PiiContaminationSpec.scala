@@ -41,4 +41,22 @@ class PiiContaminationSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("doc_id")).toSet
     assert(hits == Set(1L))
   }
+
+  test("decontaminate drops exactly the flagged docs, keeps the rest") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu " +
+        "nu xi omicron pi extra words", 95L),
+      (2L, "totally different words about unrelated things here entirely", 61L),
+      (3L, "another clean document with its own vocabulary and nothing shared", 66L))
+      .toDF("doc_id", "text", "n_chars")
+    val kept = TextAnalysis.decontaminate(docs, bench, n = 5, minShared = 5)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val flagged = TextAnalysis.contamination(docs, bench, n = 5, minShared = 5)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(2L, 3L))
+    // kept and flagged partition the corpus — nothing lost, nothing doubled
+    assert((kept ++ flagged) == Set(1L, 2L, 3L) && (kept & flagged).isEmpty)
+  }
 }
