@@ -215,6 +215,11 @@ object SparkEntry {
       Stats.welchTTest(Tables.events(s, d), "event_type", "value")),
     "st_anova" -> ((s, d) =>
       Stats.anovaF(Tables.events(s, d), "event_type", "value")),
+    "st_ols" -> ((s, d) =>
+      Stats.olsRegression(Tables.lineitem(s, d), "l_returnflag",
+        "l_quantity", "l_extendedprice")),
+    "st_gini" -> ((s, d) =>
+      Stats.gini(Tables.orders(s, d), "o_orderpriority", "o_totalprice")),
     // ---- E. lambda pipeline (batch twins) ----
     "lam_alert_classify" -> ((s, d) => Lambda.alertClassify(Tables.events(s, d))),
     "lam_daily_profile" -> ((s, d) => Lambda.dailyProfile(Tables.events(s, d))),
@@ -860,6 +865,21 @@ object SparkEntry {
            round((ssb/(k - 1)) / (ssw/(n_total - k)), 4) AS f_stat,
            CAST(k - 1 AS BIGINT) AS df1, CAST(n_total - k AS BIGINT) AS df2
          FROM a""",
+    "st_ols" ->
+      """SELECT l_returnflag, count(*) AS n,
+           round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+         FROM lineitem GROUP BY l_returnflag""",
+    "st_gini" ->
+      """WITH r AS (SELECT o_orderpriority, o_totalprice AS x,
+             row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice) AS i
+           FROM orders)
+         SELECT o_orderpriority, count(*) AS n,
+           round(2.0 * sum(i * x) / (count(*) * sum(x))
+             - (count(*) + 1.0) / count(*), 6) AS gini
+         FROM r GROUP BY o_orderpriority""",
     "st_freq_topn" ->
       """SELECT p_brand, count(*) AS n FROM part
          GROUP BY p_brand ORDER BY n DESC, p_brand LIMIT 10""",

@@ -372,4 +372,37 @@ object Stats {
           (col("ssw") / (col("n_total") - col("k"))), 4).as("f_stat"),
         (col("k") - 1).as("df1"), (col("n_total") - col("k")).as("df2"))
   }
+
+  /** Per-group simple OLS (y ~ x): slope, intercept, R² from Spark's
+    * regr_* sufficient-statistic aggregates — one codegen'd pass with
+    * map-side partial aggregation, identical shape at 100 TB (the
+    * stat frame is group-count-sized). */
+  def olsRegression(df: DataFrame, groupCol: String,
+                    x: String, y: String): DataFrame =
+    df.groupBy(groupCol).agg(
+      count(lit(1)).as("n"),
+      round(regr_slope(col(y), col(x)), 6).as("slope"),
+      round(regr_intercept(col(y), col(x)), 6).as("intercept"),
+      round(regr_r2(col(y), col(x)), 6).as("r2"))
+
+  /** Per-group Gini concentration index via the rank formula
+    * G = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n  (x ascending, i = 1-based rank).
+    * One exchange on the group key with an in-partition sort (groups
+    * rank in parallel; ties are rank-order-invariant because equal x
+    * contribute the same Σ i·x under any permutation of their ranks).
+    * For a single giant group the st_ks striped-prefix-sum skeleton is
+    * the drop-in replacement for the window rank. */
+  def gini(df: DataFrame, groupCol: String, c: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol).orderBy(col("__x"))
+    df.select(col(groupCol), col(c).cast("double").as("__x"))
+      .withColumn("__i", row_number().over(w).cast("long"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        round(
+          lit(2.0) * sum(col("__i") * col("__x")) /
+            (count(lit(1)) * sum("__x")) -
+            (count(lit(1)) + lit(1.0)) / count(lit(1)),
+          6).as("gini"))
+  }
 }

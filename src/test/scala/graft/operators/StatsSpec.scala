@@ -126,4 +126,34 @@ class StatsSpec extends SparkSpec {
     assert(ds.distinct.size == 1,
       s"stripe counts must not change the statistic, got $ds")
   }
+
+  test("olsRegression recovers an exact line and matches hand-computed R²") {
+    // exact line y = 2x: slope 2, intercept 0, r2 1
+    val exact = Seq(1.0, 2.0, 3.0, 4.0).map(x => ("g", x, 2 * x))
+      .toDF("g", "x", "y")
+    val e = Stats.olsRegression(exact, "g", "x", "y").collect().head
+    assert(e.getAs[Long]("n") == 4L)
+    assert(e.getAs[Double]("slope") == 2.0)
+    assert(e.getAs[Double]("intercept") == 0.0)
+    assert(e.getAs[Double]("r2") == 1.0)
+    // noisy: x=[1,2,3,4], y=[1,3,2,5] → slope 1.1, intercept 0,
+    // r2 = Sxy²/(Sxx·Syy) = 5.5²/(5·8.75) = 0.691429
+    val noisy = Seq((1.0, 1.0), (2.0, 3.0), (3.0, 2.0), (4.0, 5.0))
+      .map { case (x, y) => ("g", x, y) }.toDF("g", "x", "y")
+    val r = Stats.olsRegression(noisy, "g", "x", "y").collect().head
+    assert(math.abs(r.getAs[Double]("slope") - 1.1) < 1e-9)
+    assert(math.abs(r.getAs[Double]("intercept")) < 1e-9)
+    assert(math.abs(r.getAs[Double]("r2") - 0.691429) < 1e-6)
+  }
+
+  test("gini: 0.25 on [1,2,3,4], exactly 0 on a uniform group") {
+    val df = (Seq(1.0, 2.0, 3.0, 4.0).map(("ramp", _)) ++
+      Seq.fill(7)(("flat", 5.0))).toDF("g", "v")
+    val rows = Stats.gini(df, "g", "v").collect()
+      .map(r => r.getAs[String]("g") -> r).toMap
+    assert(rows("ramp").getAs[Long]("n") == 4L)
+    assert(rows("ramp").getAs[Double]("gini") == 0.25)
+    assert(rows("flat").getAs[Double]("gini") == 0.0,
+      "perfect equality must score exactly 0")
+  }
 }
