@@ -38,7 +38,12 @@ object Bench {
         Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("d1", "d2")).count()
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated query filter for local perf iteration
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val failed =
         try { fn(spark, sfDir).count(); false }

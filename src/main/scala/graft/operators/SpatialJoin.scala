@@ -105,7 +105,8 @@ object SpatialJoin {
   def nearestSupplierGrid(customer: DataFrame, supplier: DataFrame,
                           cellDeg: Int = 20, maxAbsLat: Double = 70.0,
                           maxRing: Int = 3,
-                          broadcastRowLimit: Long = 4000000L): DataFrame = {
+                          broadcastRowLimit: Long = 4000000L,
+                          fallbackPairBudget: Long = 2000000L): DataFrame = {
     require(360 % cellDeg == 0, "cellDeg must divide 360")
     require(maxRing >= 1, "need at least one grid ring")
     val nLon = 360 / cellDeg
@@ -161,11 +162,18 @@ object SpatialJoin {
       (resolved, unresolved)
     }
 
+    val sptsN = spts.count() // one cheap action, reused by the exit test
     var acc: Option[DataFrame] = None
     var remaining = cpts
     var remainingN = -1L // unknown until first measured
     var ring = 1
-    while (ring <= maxRing && remainingN != 0L) {
+    // stop ringing once the exact fallback is outright cheaper: each
+    // extra ring is a full job round (probe join + checkpoint + count),
+    // and the fallback's true cost is the remaining×supplier PAIR count,
+    // not the remaining row count — a row-count cutoff would bail into a
+    // quadratic scan while the tail is still wide
+    while (ring <= maxRing && remainingN != 0L &&
+           (remainingN < 0L || remainingN * sptsN > fallbackPairBudget)) {
       val (resolved, unresolved) = ringPass(remaining, ring)
       acc = Some(acc.fold(resolved)(_.unionByName(resolved)))
       remaining = unresolved.localCheckpoint(true)
@@ -176,7 +184,7 @@ object SpatialJoin {
     if (remainingN == 0L) settled
     else {
       val fallback =
-        if (spts.count() <= broadcastRowLimit) nearestFromPoints(remaining, spts)
+        if (sptsN <= broadcastRowLimit) nearestFromPoints(remaining, spts)
         else nearestFromPointsSmallTail(remaining, spts)
       settled.unionByName(fallback)
     }
@@ -200,7 +208,8 @@ object SpatialJoin {
   def knnSuppliersGrid(customer: DataFrame, supplier: DataFrame, k: Int = 3,
                        cellDeg: Int = 20, maxAbsLat: Double = 70.0,
                        maxRing: Int = 3,
-                       broadcastRowLimit: Long = 4000000L): DataFrame = {
+                       broadcastRowLimit: Long = 4000000L,
+                       fallbackPairBudget: Long = 2000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(360 % cellDeg == 0, "cellDeg must divide 360")
     require(maxRing >= 1 && 2 * maxRing + 1 <= 360 / cellDeg,
@@ -254,11 +263,15 @@ object SpatialJoin {
       (resolved, unresolved)
     }
 
+    val sptsN = spts.count()
     var acc: Option[DataFrame] = None
     var remaining = cpts
     var remainingN = -1L
     var ring = 1
-    while (ring <= maxRing && remainingN != 0L) {
+    // same pair-budget cutoff as nearestSupplierGrid: exit to the exact
+    // fallback only when remaining×supplier pairs are cheap to scan
+    while (ring <= maxRing && remainingN != 0L &&
+           (remainingN < 0L || remainingN * sptsN > fallbackPairBudget)) {
       val (resolved, unresolved) = ringPass(remaining, ring)
       acc = Some(acc.fold(resolved)(_.unionByName(resolved)))
       remaining = unresolved.localCheckpoint(true)
@@ -269,7 +282,7 @@ object SpatialJoin {
     if (remainingN == 0L) settled
     else {
       val pairs =
-        if (spts.count() <= broadcastRowLimit)
+        if (sptsN <= broadcastRowLimit)
           remaining.crossJoin(broadcast(spts))
         else spts.crossJoin(broadcast(remaining))
       val fallback = pairs

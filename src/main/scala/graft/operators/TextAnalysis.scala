@@ -325,10 +325,19 @@ object TextAnalysis {
               element_at(t, i + 2).as("w2"))))).as("b"))
       .select(col("doc_id"), col("b.w1"), col("b.w2"))
       .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
+      // the plan branches 3 ways from here (score join + the two model
+      // rollups); checkpoint so the explode+shuffle runs ONCE, not 3×
+      .localCheckpoint(true)
     val c2 = bigrams.groupBy("w1", "w2").agg(sum("tf").as("c2"))
     val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
-    val vocab = fanned.select(explode(tokens(col("text"))).as("w"))
-      .agg(countDistinct("w").as("__v"))
+    // V = |distinct tokens| without a second full token explode: every
+    // token is either some bigram's w1 or its doc's LAST token (the one
+    // token of a 1-token doc included), so the union below covers the
+    // vocabulary exactly — one row per doc instead of one per token
+    val vocab = bigrams.select("w1")
+      .union(fanned.select(element_at(t, size(t)).as("w1"))
+        .where(size(t) >= 1))
+      .agg(countDistinct("w1").as("__v"))
     val nlp = -log((col("c2") + lit(1.0)) / (col("c1") + col("__v")))
     bigrams.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
       .crossJoin(broadcast(vocab))
