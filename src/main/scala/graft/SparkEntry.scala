@@ -318,6 +318,11 @@ object SparkEntry {
         Map("en" -> 0.5, "de" -> 1.0, "fr" -> 1.5, "es" -> 2.0, "zh" -> 0.25))),
     "pipe_shuffle" -> ((s, d) =>
       Sampling.deterministicShuffle(Tables.documents(s, d), "doc_id")),
+    "pipe_weighted" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Sampling.weightedSample(Tables.documents(s, d), "doc_id",
+        col("n_chars") / 600.0).select("doc_id", "n_chars")
+    }),
     "st_stratified" -> ((s, d) =>
       Sampling.stratifiedFixed(Tables.documents(s, d), "doc_id", "lang", 20)
         .select("doc_id", "lang")),
@@ -502,6 +507,13 @@ object SparkEntry {
         .groupBy(month(col("o_orderdate")).as("o_month"))
         .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
     }),
+    "q28_exists" -> ((s, d) =>
+      Relational.lapsedCustomers(Tables.customer(s, d), Tables.orders(s, d),
+        "1996-01-01", "1997-01-01")),
+    "q29_lateral" -> ((s, d) =>
+      TextAnalysis.positionalTokens(Tables.documents(s, d))),
+    "w14_rolling_distinct" -> ((s, d) =>
+      Windows.rollingDistinctTypes(Tables.events(s, d))),
     // interval × interval overlap join (binned equi-join, no BNLJ):
     // error windows × purchase windows, 10-minute spans
     "q27_interval_join" -> ((s, d) => {
@@ -639,6 +651,20 @@ object SparkEntry {
     "dq_drift" -> ((s, d) =>
       Quality.drift(Tables.events(s, d), "2024-01-16")),
     "dq_freshness" -> ((s, d) => Quality.freshness(Tables.events(s, d))),
+    "dq_completeness" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // deterministic seeded nulls (mirrored in the oracle CTE) — the
+      // base tables ship null-free, so the report profiles a dirty twin
+      val dirty = Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        when(col("event_id") % 991 === 0, lit(null))
+          .otherwise(col("value")).as("value"),
+        when(col("event_id") % 983 === 0, lit(null))
+          .otherwise(col("props")).as("props"),
+        col("event_type"))
+      Quality.completeness(dirty,
+        Seq("event_id", "user_id", "value", "props", "event_type"))
+    }),
     "w10_retention" -> ((s, d) =>
       Windows.cohortRetention(Tables.events(s, d))),
     "w11_path" -> ((s, d) => Windows.journeyPaths(Tables.events(s, d))),
@@ -649,6 +675,8 @@ object SparkEntry {
       Resample.crossCorrelation(Tables.events(s, d), "click", "purchase")),
     "ts_seasonal" -> ((s, d) =>
       Resample.seasonalDecompose(Tables.events(s, d))),
+    "ts_cusum" -> ((s, d) =>
+      Resample.cusumChangepoint(Tables.events(s, d))),
     "st_chi2" -> ((s, d) =>
       Stats.chiSquare(Tables.documents(s, d), "lang", "source")),
     "st_ks" -> ((s, d) =>
@@ -1597,6 +1625,27 @@ object SparkEntry {
            round(sum(o_totalprice),2) AS total
          FROM orders WHERE year(o_orderdate) = 1997
          GROUP BY month(o_orderdate)""",
+    "q28_exists" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+             WHERE o.o_custkey = c.c_custkey)
+           AND NOT EXISTS (SELECT 1 FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+               AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+               AND o.o_orderdate < TIMESTAMP '1997-01-01')""",
+    "q29_lateral" ->
+      """SELECT doc_id,
+           CAST(generate_subscripts(l, 1) - 1 AS INTEGER) AS pos,
+           unnest(l) AS token
+         FROM (SELECT doc_id, string_split(text, ' ') AS l
+           FROM documents WHERE doc_id % 100 = 0)""",
+    "w14_rolling_distinct" ->
+      """SELECT event_id, user_id,
+           CAST(count(DISTINCT event_type) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER)
+             AS n_types_seen
+         FROM events""",
     "q27_interval_join" ->
       """WITH e AS (SELECT event_id AS err_id, epoch_us(ts) AS s1,
              epoch_us(ts) + 600000000 AS e1
@@ -1646,6 +1695,12 @@ object SparkEntry {
                  doc_id) AS rn
            FROM documents)
          SELECT doc_id, lang FROM r, m WHERE rn <= m.m""",
+    "pipe_weighted" ->
+      """SELECT doc_id, n_chars FROM documents
+         WHERE substr(md5('wt' || CAST(doc_id AS VARCHAR)), 1, 6) <
+           printf('%06x', CAST(floor(greatest(0.0,
+             least(n_chars / 600.0, 1.0 - 1.0/16777216)) * 16777216)
+             AS BIGINT))""",
     "pipe_shuffle" ->
       """WITH h AS (SELECT doc_id,
              md5('shuf' || CAST(doc_id AS VARCHAR)) AS hh
@@ -1822,6 +1877,30 @@ object SparkEntry {
            ON p.event_type = q.event_type AND p.bin = q.bin
            AND p.side = 'p' AND q.side = 'q'
          GROUP BY p.event_type""",
+    "dq_completeness" ->
+      """WITH d AS (SELECT event_id, user_id,
+             CASE WHEN event_id % 991 = 0 THEN NULL ELSE value END AS value,
+             CASE WHEN event_id % 983 = 0 THEN NULL ELSE props END AS props,
+             event_type
+           FROM events),
+         w AS (SELECT count(*) AS n,
+             sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS z1,
+             sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS z2,
+             sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS z3,
+             sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS z4,
+             sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS z5
+           FROM d)
+         SELECT 'event_id' AS col_name, n AS n_total,
+             CAST(z1 AS BIGINT) AS n_null, round(z1 / n, 6) AS null_rate
+           FROM w
+         UNION ALL SELECT 'user_id', n, CAST(z2 AS BIGINT),
+           round(z2 / n, 6) FROM w
+         UNION ALL SELECT 'value', n, CAST(z3 AS BIGINT),
+           round(z3 / n, 6) FROM w
+         UNION ALL SELECT 'props', n, CAST(z4 AS BIGINT),
+           round(z4 / n, 6) FROM w
+         UNION ALL SELECT 'event_type', n, CAST(z5 AS BIGINT),
+           round(z5 / n, 6) FROM w""",
     "dq_freshness" ->
       """WITH per AS (SELECT event_type, count(*) AS n_rows,
              max(ts) AS max_ts,
@@ -1947,6 +2026,26 @@ object SparkEntry {
                ORDER BY dist_km, s_suppkey) AS INTEGER) AS rnk
            FROM d)
          SELECT c_custkey, s_suppkey, dist_km, rnk FROM r WHERE rnk <= 3""",
+    "ts_cusum" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+             round(avg(value), 6) AS v
+           FROM events GROUP BY 1, 2),
+         s AS (SELECT event_type, hour,
+             row_number() OVER (PARTITION BY event_type ORDER BY hour) AS i,
+             sum(v) OVER (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM h),
+         t AS (SELECT event_type, hour, n,
+             prefix - i * (last_value(prefix) OVER (PARTITION BY event_type
+               ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND
+               UNBOUNDED FOLLOWING)) / n AS score
+           FROM s)
+         SELECT event_type, hour AS cp_hour, round(score, 4) AS cusum,
+           n AS n_hours
+         FROM t
+         QUALIFY row_number() OVER (PARTITION BY event_type
+           ORDER BY abs(score) DESC, hour) = 1""",
     "ts_seasonal" ->
       """WITH cells AS (
            SELECT event_type, hour(ts) AS hod,

@@ -131,4 +131,21 @@ object Quality {
           .as("hours_behind"),
         round(col("null_values") / col("n_rows"), 6).as("null_value_frac"))
   }
+
+  /** Per-column completeness report: null count + null rate for every
+    * requested column, ONE aggregation pass (2k aggregates over k
+    * columns, all partial map-side) pivoted to a k-row report — never k
+    * table scans. The profiling step a pipeline runs before trusting a
+    * new drop. */
+  def completeness(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("__n") +:
+      cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"))
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { c =>
+      struct(lit(c).as("col_name"), col("__n").as("n_total"),
+        col(s"__null_$c").as("n_null"),
+        round(col(s"__null_$c") / col("__n"), 6).as("null_rate"))
+    }
+    wide.select(explode(array(stacked: _*)).as("s")).select("s.*")
+  }
 }

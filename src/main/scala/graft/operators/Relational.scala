@@ -140,6 +140,24 @@ object Relational {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Correlated EXISTS / NOT EXISTS: customers that ordered at least once
+    * but never inside [lo, hi) — the lapsed-customer query. Both
+    * subqueries compile to semi/anti joins (no per-row subquery
+    * execution); the anti side's date predicate is pushed to its scan,
+    * so the window probe reads only the window's partitions under a
+    * date-partitioned layout. */
+  def lapsedCustomers(customer: DataFrame, orders: DataFrame,
+                      lo: String, hi: String): DataFrame = {
+    val all = orders.select("o_custkey")
+    val inWin = orders
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select("o_custkey")
+    customer
+      .join(all, col("c_custkey") === all("o_custkey"), "left_semi")
+      .join(inWin, col("c_custkey") === inWin("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+  }
+
   /** Self-join: co-occurring lineitem pairs within an order (single shuffle
     * on the shared key; the l1.ln < l2.ln predicate halves the pair space). */
   def lineitemPairCount(lineitem: DataFrame): DataFrame = {

@@ -234,6 +234,39 @@ object Resample {
           .as("residual"))
   }
 
+  /** CUSUM changepoint detection per event-type series: the hour
+    * maximizing |prefix(v)ᵢ − i·total/n| over the hourly means — the
+    * classic "where did the level shift?" statistic (centered cumulative
+    * sum, peak at the shift point).
+    *
+    * Determinism across engines: hourly means are pre-rounded, the
+    * prefix sum runs in hour order (a ROWS window — sequential, not
+    * permutation-prone), and `total` is the LAST prefix value rather
+    * than an unordered partition sum, so every double on both sides of
+    * the oracle compare is built by the identical operation sequence.
+    * Scale: one partial-agg pass to the hourly frame (time-bounded),
+    * windows over that small frame only. */
+  def cusumChangepoint(events: DataFrame): DataFrame = {
+    val byHour = Window.partitionBy("event_type").orderBy("hour")
+    val run = byHour.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = byHour.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val scored = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(round(avg("value"), 6).as("v"))
+      .withColumn("i", row_number().over(byHour))
+      .withColumn("prefix", sum("v").over(run))
+      .withColumn("total", last("prefix").over(all))
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("score", col("prefix") - col("i") * col("total") / col("n"))
+    scored.groupBy("event_type")
+      .agg(min(struct((abs(col("score")) * -1).as("na"), col("hour").as("h"),
+          col("score").as("s"))).as("b"),
+        count(lit(1)).as("n_hours"))
+      .select(col("event_type"), col("b.h").as("cp_hour"),
+        round(col("b.s"), 4).as("cusum"), col("n_hours"))
+  }
+
   /** Lagged CROSS-correlation between two event-type series ("do clicks
     * lead purchases, and by how many hours?"): both series resample to
     * hourly means, then Pearson corr at every integer-hour lag in

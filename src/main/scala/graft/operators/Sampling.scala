@@ -112,6 +112,21 @@ object Sampling {
     * price of exact auto-balance. When the per-class budget is known up
     * front (the usual case for eval sets), [[stratifiedFixed]] with
     * k = budget draws the IDENTICAL sample with the map-side limit. */
+  /** Per-row WEIGHTED Bernoulli keep — importance sampling for data
+    * curation ("keep long/high-quality docs more often"): row kept iff
+    * its salted uniform u < p(row), p any column expression clamped to
+    * [0, 1−2⁻²⁴]. The comparison stays in fixed-width lowercase hex on
+    * both engines (6 digits = 24 bits of the digest vs printf'd
+    * ⌊p·16⁶⌋), so no float parsing of hash bits anywhere. Pure map-side
+    * filter: no shuffle, no RNG state, reruns and corpus growth never
+    * flip an existing row's fate. */
+  def weightedSample(df: DataFrame, idCol: String, pCol: Column,
+                     salt: String = "wt"): DataFrame = {
+    val p = greatest(lit(0.0), least(pCol, lit(1.0 - 1.0 / (1 << 24))))
+    val thr = lower(lpad(hex(floor(p * (1 << 24)).cast("long")), 6, "0"))
+    df.filter(hexKey(salt, col(idCol), 6) < thr)
+  }
+
   def classBalance(df: DataFrame, idCol: String, classCol: String,
                    salt: String = "bal"): DataFrame = {
     val m = df.groupBy(classCol).agg(count(lit(1)).as("__c"))

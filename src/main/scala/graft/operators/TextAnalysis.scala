@@ -314,6 +314,16 @@ object TextAnalysis {
     * broadcast. Scoring joins the model back (AQE broadcasts small
     * models) and takes the tf-weighted mean. Docs under 2 tokens have
     * no bigrams and drop, mirroring the oracle. */
+  /** Lateral positional explode — each sampled doc's tokens with their
+    * 0-based position (the LATERAL VIEW POSEXPLODE surface). Pure
+    * per-row fan-out: no shuffle, position computed inside the generate,
+    * parallelism is the scan's. The doc_id stride keeps the output a
+    * fixed fraction of the corpus at any scale. */
+  def positionalTokens(documents: DataFrame, every: Long = 100L): DataFrame =
+    documents.filter(col("doc_id") % every === 0)
+      .select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+
   def bigramCrossEntropy(documents: DataFrame): DataFrame = {
     val fanned = Scale.fanOut(documents.select("doc_id", "text"), Seq("doc_id"))
     val t = tokens(col("text"))

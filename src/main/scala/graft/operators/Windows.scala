@@ -71,6 +71,19 @@ object Windows {
         round(max("value").over(byUser.rowsBetween(-2, 0)), 4))
       .select(col("event_id"), col("user_id"), col("roll_avg"), col("roll_max"))
 
+  /** Rolling DISTINCT count — how many distinct event types each user
+    * has touched up to each event (the "breadth so far" feature; plain
+    * window aggs can't say DISTINCT). collect_set's window state is
+    * bounded by the type cardinality, not the frame length, so a
+    * million-event user costs O(|types|) memory; one exchange on
+    * user_id, unique (ts, event_id) order for a deterministic frame. */
+  def rollingDistinctTypes(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events.select(col("event_id"), col("user_id"),
+      size(collect_set("event_type").over(w)).as("n_types_seen"))
+  }
+
   /** rank / dense_rank / lead coverage (reference: preparation_noaa rank
     * window; TD lead/lag navigation): per-user value ranking with the
     * next event's timestamp. */

@@ -154,4 +154,17 @@ class QualitySpec extends SparkSpec {
     assert(rep("click") == ((2L, 2L, 0L, 0.5)))
     assert(rep("view") == ((2L, 1L, 25L, 0.0)))
   }
+
+  test("completeness reports exact null counts per column in one pass") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1), Some("a")), (None, Some("b")), (Some(3), None), (None, None)
+    ).toDF("x", "y")
+    val rep = Quality.completeness(df, Seq("x", "y")).collect()
+      .map(r => r.getAs[String]("col_name") ->
+        ((r.getAs[Long]("n_total"), r.getAs[Long]("n_null"),
+          r.getAs[Double]("null_rate")))).toMap
+    assert(rep("x") == ((4L, 2L, 0.5)))
+    assert(rep("y") == ((4L, 2L, 0.5)))
+  }
 }

@@ -50,4 +50,31 @@ class RelationalSpec extends SparkSpec {
     val n = df.agg(sum("n")).first().getLong(0)
     assert(n == Tables.customer(spark, sf).count())
   }
+
+  test("lapsedCustomers: ordered-ever AND not-ordered-in-window, exactly") {
+    import spark.implicits._
+    val cust = Seq((1L, "alice", "A"), (2L, "bob", "B"), (3L, "carol", "C"))
+      .toDF("c_custkey", "c_name", "c_mktsegment")
+    def d(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val orders = Seq(
+      (10L, 1L, d("1995-06-01")), // alice: before the window only -> lapsed
+      (11L, 2L, d("1996-06-01")), // bob: inside the window -> active
+      (12L, 2L, d("1995-06-01"))
+      // carol: never ordered -> excluded by EXISTS
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val got = Relational.lapsedCustomers(cust, orders,
+      "1996-01-01", "1997-01-01").collect().map(_.getAs[Long]("c_custkey"))
+    assert(got.toSeq == Seq(1L))
+  }
+
+  test("positionalTokens pairs each token with its 0-based position") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b c"), (1L, "skip me"), (100L, "x y"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.positionalTokens(docs, every = 100L).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("pos"),
+        r.getAs[String]("token"))).toSet
+    assert(got == Set((0L, 0, "a"), (0L, 1, "b"), (0L, 2, "c"),
+      (100L, 0, "x"), (100L, 1, "y")))
+  }
 }

@@ -93,4 +93,28 @@ class SamplingSpec extends SparkSpec {
     assert(bal.select("doc_id").exceptAll(fixed.select("doc_id")).isEmpty &&
       fixed.select("doc_id").exceptAll(bal.select("doc_id")).isEmpty)
   }
+
+  test("weightedSample: p=0 drops all, p~1 keeps ~all, keep-sets nest as p grows") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count()
+    assert(Sampling.weightedSample(docs, "doc_id", lit(0.0)).count() == 0L)
+    // p clamps just under 1: misses at most a ~2^-24 sliver
+    val nearAll = Sampling.weightedSample(docs, "doc_id", lit(1.0)).count()
+    assert(nearAll >= n - 1)
+    // same salt => same uniforms: a larger p strictly widens the keep set
+    val lo = Sampling.weightedSample(docs, "doc_id", lit(0.2))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val hi = Sampling.weightedSample(docs, "doc_id", lit(0.6))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(lo.subsetOf(hi))
+    assert(math.abs(lo.size.toDouble / n - 0.2) < 0.06,
+      s"keep rate ${lo.size.toDouble / n} far from p=0.2")
+    // per-row weights: rerun is bit-identical (no RNG state anywhere)
+    val w1 = Sampling.weightedSample(docs, "doc_id", col("n_chars") / 600.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val w2 = Sampling.weightedSample(docs, "doc_id", col("n_chars") / 600.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(w1 == w2 && w1.nonEmpty)
+  }
 }

@@ -104,6 +104,33 @@ class WindowsLambdaSpec extends SparkSpec {
       exactTopK(customers, dense, 3).collect().map(key).toSet)
   }
 
+  test("rollingDistinctTypes counts each user's type breadth so far") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, 7L, "a"), (2L, 2L, 7L, "b"), (3L, 3L, 7L, "a"),
+      (4L, 4L, 7L, "c"), (5L, 1L, 8L, "x")
+    ).map { case (id, h, u, t) => (id, u, t, h) }
+      .toDF("event_id", "user_id", "event_type", "h")
+      .withColumn("ts", timestamp_seconds(col("h") * 60))
+    val got = Windows.rollingDistinctTypes(ev).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Int]("n_types_seen")).toMap
+    assert(got == Map(1L -> 1, 2L -> 2, 3L -> 2, 4L -> 3, 5L -> 1))
+  }
+
+  test("cusumChangepoint lands on a planted level shift") {
+    import spark.implicits._
+    // 4 hours at 0 then 4 hours at 10: score_i = prefix_i − i·total/n
+    // bottoms at i=4 (the last low hour) with value −20
+    val ev = (0 until 8).map(h =>
+      (h.toLong, "shift", h.toLong, if (h < 4) 0.0 else 10.0))
+      .toDF("event_id", "event_type", "h", "value")
+      .withColumn("ts", timestamp_seconds(col("h") * 3600))
+    val r = Resample.cusumChangepoint(ev).collect().head
+    assert(r.getAs[Long]("n_hours") == 8L)
+    assert(r.getAs[Double]("cusum") == -20.0)
+    assert(r.getAs[java.sql.Timestamp]("cp_hour").getTime == 3L * 3600 * 1000)
+  }
+
   test("crossCorrelation: a self-lagged series peaks at its construction lag") {
     import spark.implicits._
     // series B(t) = A(t-2): corr at lag +2 must be exactly 1 (A leads by 2h)
