@@ -101,6 +101,21 @@ object SparkEntry {
     dedupIndex(s, d); bucketedTables(s, d)
   }
 
+  /** Undirected customer↔supplier co-purchase graph (who bought from
+    * whom, via orders⋈lineitem): supplier ids offset into their own key
+    * space, each distinct pair contributes both directions. */
+  private def coPurchaseEdges(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val pairs = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("a"),
+        (col("l_suppkey") + 1000000000L).as("b"))
+      .distinct()
+    pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- B. core relational ----
@@ -514,6 +529,14 @@ object SparkEntry {
       TextAnalysis.positionalTokens(Tables.documents(s, d))),
     "w14_rolling_distinct" -> ((s, d) =>
       Windows.rollingDistinctTypes(Tables.events(s, d))),
+    "w15_range_frame" -> ((s, d) =>
+      Windows.trailingWindowSums(Tables.events(s, d))),
+    "st_corr_matrix" -> ((s, d) =>
+      Stats.corrMatrix(Tables.lineitem(s, d),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+    "st_group_quantiles" -> ((s, d) =>
+      Stats.groupQuantiles(Tables.lineitem(s, d), "l_returnflag",
+        "l_extendedprice", Seq(0.25, 0.5, 0.9))),
     // interval × interval overlap join (binned equi-join, no BNLJ):
     // error windows × purchase windows, 10-minute spans
     "q27_interval_join" -> ((s, d) => {
@@ -679,6 +702,10 @@ object SparkEntry {
       Resample.cusumChangepoint(Tables.events(s, d))),
     "st_chi2" -> ((s, d) =>
       Stats.chiSquare(Tables.documents(s, d), "lang", "source")),
+    "st_mi" -> ((s, d) =>
+      Stats.mutualInformation(Tables.documents(s, d), "lang", "source")),
+    "gr_pagerank" -> ((s, d) => Graph.pageRank(coPurchaseEdges(s, d))),
+    "gr_degree" -> ((s, d) => Graph.degreeHistogram(coPurchaseEdges(s, d))),
     "st_ks" -> ((s, d) =>
       Stats.ksTest(Tables.events(s, d), "event_type", "value", "click", "view")),
     "st_mwu" -> ((s, d) =>
@@ -893,6 +920,70 @@ object SparkEntry {
            round((ssb/(k - 1)) / (ssw/(n_total - k)), 4) AS f_stat,
            CAST(k - 1 AS BIGINT) AS df1, CAST(n_total - k AS BIGINT) AS df2
          FROM a""",
+    "st_mi" ->
+      """WITH j AS (SELECT lang, source, count(*) AS nxy
+             FROM documents GROUP BY 1, 2),
+         mx AS (SELECT lang, sum(nxy) AS nx FROM j GROUP BY 1),
+         my AS (SELECT source, sum(nxy) AS ny FROM j GROUP BY 1),
+         t AS (SELECT sum(nxy) AS n FROM j)
+         SELECT round(sum((nxy / n) * ln(nxy * n / (nx * ny))), 6)
+             AS mi_nats,
+           CAST(max(n) AS BIGINT) AS n_total, count(*) AS n_cells
+         FROM j JOIN mx USING (lang) JOIN my USING (source) CROSS JOIN t""",
+    "gr_degree" ->
+      """WITH p AS (SELECT DISTINCT o_custkey AS a,
+             l_suppkey + 1000000000 AS b
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         e AS (SELECT a AS src, b AS dst FROM p
+           UNION ALL SELECT b, a FROM p),
+         deg AS (SELECT src, count(*) AS degree FROM e GROUP BY 1)
+         SELECT degree, count(*) AS n_nodes FROM deg GROUP BY 1""",
+    "gr_pagerank" ->
+      """WITH p AS (SELECT DISTINCT o_custkey AS a,
+             l_suppkey + 1000000000 AS b
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         e AS (SELECT a AS src, b AS dst FROM p
+           UNION ALL SELECT b, a FROM p),
+         deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+         nn AS (SELECT count(*) AS n FROM deg),
+         r0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) / n AS rank
+           FROM deg CROSS JOIN nn),
+         m1 AS (SELECT e.dst, sum(r.rank / deg.outdeg) AS m
+           FROM e JOIN r0 r ON e.src = r.node JOIN deg ON deg.src = e.src
+           GROUP BY e.dst),
+         r1 AS (SELECT deg.src AS node,
+             round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+               + CAST(0.85 AS DOUBLE) * coalesce(m1.m, 0), 9) AS rank
+           FROM deg CROSS JOIN nn LEFT JOIN m1 ON m1.dst = deg.src),
+         m2 AS (SELECT e.dst, sum(r.rank / deg.outdeg) AS m
+           FROM e JOIN r1 r ON e.src = r.node JOIN deg ON deg.src = e.src
+           GROUP BY e.dst),
+         r2 AS (SELECT deg.src AS node,
+             round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+               + CAST(0.85 AS DOUBLE) * coalesce(m2.m, 0), 9) AS rank
+           FROM deg CROSS JOIN nn LEFT JOIN m2 ON m2.dst = deg.src),
+         m3 AS (SELECT e.dst, sum(r.rank / deg.outdeg) AS m
+           FROM e JOIN r2 r ON e.src = r.node JOIN deg ON deg.src = e.src
+           GROUP BY e.dst),
+         r3 AS (SELECT deg.src AS node,
+             round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+               + CAST(0.85 AS DOUBLE) * coalesce(m3.m, 0), 9) AS rank
+           FROM deg CROSS JOIN nn LEFT JOIN m3 ON m3.dst = deg.src),
+         m4 AS (SELECT e.dst, sum(r.rank / deg.outdeg) AS m
+           FROM e JOIN r3 r ON e.src = r.node JOIN deg ON deg.src = e.src
+           GROUP BY e.dst),
+         r4 AS (SELECT deg.src AS node,
+             round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+               + CAST(0.85 AS DOUBLE) * coalesce(m4.m, 0), 9) AS rank
+           FROM deg CROSS JOIN nn LEFT JOIN m4 ON m4.dst = deg.src),
+         m5 AS (SELECT e.dst, sum(r.rank / deg.outdeg) AS m
+           FROM e JOIN r4 r ON e.src = r.node JOIN deg ON deg.src = e.src
+           GROUP BY e.dst),
+         r5 AS (SELECT deg.src AS node,
+             round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+               + CAST(0.85 AS DOUBLE) * coalesce(m5.m, 0), 9) AS rank
+           FROM deg CROSS JOIN nn LEFT JOIN m5 ON m5.dst = deg.src)
+         SELECT node, round(rank, 6) AS rank FROM r5""",
     "st_ols" ->
       """SELECT l_returnflag, count(*) AS n,
            round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
@@ -1639,6 +1730,34 @@ object SparkEntry {
            unnest(l) AS token
          FROM (SELECT doc_id, string_split(text, ' ') AS l
            FROM documents WHERE doc_id % 100 = 0)""",
+    "w15_range_frame" ->
+      """SELECT event_id, user_id,
+           count(*) OVER w AS n_trailing,
+           round(sum(value) OVER w, 4) AS sum_trailing
+         FROM (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+           FROM events)
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""",
+    "st_corr_matrix" ->
+      """SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_xy
+           FROM lineitem
+         UNION ALL SELECT 'l_quantity', 'l_discount',
+           round(corr(l_quantity, l_discount), 6) FROM lineitem
+         UNION ALL SELECT 'l_quantity', 'l_tax',
+           round(corr(l_quantity, l_tax), 6) FROM lineitem
+         UNION ALL SELECT 'l_extendedprice', 'l_discount',
+           round(corr(l_extendedprice, l_discount), 6) FROM lineitem
+         UNION ALL SELECT 'l_extendedprice', 'l_tax',
+           round(corr(l_extendedprice, l_tax), 6) FROM lineitem
+         UNION ALL SELECT 'l_discount', 'l_tax',
+           round(corr(l_discount, l_tax), 6) FROM lineitem""",
+    "st_group_quantiles" ->
+      """SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS q25,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS q50,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS q90
+         FROM lineitem GROUP BY l_returnflag""",
     "w14_rolling_distinct" ->
       """SELECT event_id, user_id,
            CAST(count(DISTINCT event_type) OVER (PARTITION BY user_id

@@ -385,6 +385,59 @@ object Stats {
       round(regr_intercept(col(y), col(x)), 6).as("intercept"),
       round(regr_r2(col(y), col(x)), 6).as("r2"))
 
+  /** Pairwise Pearson correlation matrix over k numeric columns in ONE
+    * partial-agg pass (k·(k−1)/2 corr aggregates, all map-side partial)
+    * pivoted to a (col_x, col_y, corr) frame — never k² scans. The
+    * feature-redundancy check run before training. */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val pairs =
+      for { i <- cols.indices; j <- i + 1 until cols.size }
+        yield (cols(i), cols(j))
+    // corr via its moment definition, NOT the corr() builtin: under
+    // ANSI mode a zero-variance column makes corr() raise DIVIDE_BY_ZERO
+    // mid-aggregation; nullif() gives the profiling-friendly null
+    val aggs = pairs.map { case (a, b) =>
+      round(covar_samp(col(a), col(b)) /
+        nullif(stddev_samp(col(a)) * stddev_samp(col(b)), lit(0.0)), 6)
+        .as(s"${a}__$b") }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = pairs.map { case (a, b) =>
+      struct(lit(a).as("col_x"), lit(b).as("col_y"),
+        col(s"${a}__$b").as("corr_xy")) }
+    wide.select(explode(array(stacked: _*)).as("s")).select("s.*")
+  }
+
+  /** Exact interpolated percentiles PER GROUP (the grouped twin of
+    * [[quantiles]]): one partial-agg pass, group-count-sized output;
+    * percentile_approx is the documented 100 TB drop-in (same shape,
+    * constant-memory sketch). */
+  def groupQuantiles(df: DataFrame, groupCol: String, c: String,
+                     qs: Seq[Double]): DataFrame = {
+    val aggs = qs.map(q =>
+      round(expr(s"percentile($c, $q)"), 4).as(s"q${(q * 100).toInt}"))
+    df.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Mutual information (nats) between two categorical columns — the
+    * dependence measure st_chi2's test statistic doesn't give you.
+    * ONE partial-agg pass → the joint cell frame; both marginals and
+    * the total are rollups OF that frame (never a second scan); the
+    * final Σ p(x,y)·ln(p(x,y)/(p(x)p(y))) runs over cells only.
+    * Exactly-proportional cells give MI = 0 exactly (ln 1 = 0). */
+  def mutualInformation(df: DataFrame, x: String, y: String): DataFrame = {
+    val joint = df.groupBy(x, y).agg(count(lit(1)).as("nxy"))
+    val nx = joint.groupBy(x).agg(sum("nxy").as("nx"))
+    val ny = joint.groupBy(y).agg(sum("nxy").as("ny"))
+    val tot = joint.agg(sum("nxy").as("n"))
+    joint.join(nx, x).join(ny, y).crossJoin(broadcast(tot))
+      .agg(
+        round(sum((col("nxy") / col("n")) *
+          log(col("nxy") * col("n") / (col("nx") * col("ny")))), 6)
+          .as("mi_nats"),
+        max(col("n")).as("n_total"),
+        count(lit(1)).as("n_cells"))
+  }
+
   /** Per-group Gini concentration index via the rank formula
     * G = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n  (x ascending, i = 1-based rank).
     * One exchange on the group key with an in-partition sort (groups

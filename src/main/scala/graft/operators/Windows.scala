@@ -71,6 +71,22 @@ object Windows {
         round(max("value").over(byUser.rowsBetween(-2, 0)), 4))
       .select(col("event_id"), col("user_id"), col("roll_avg"), col("roll_max"))
 
+  /** RANGE-frame rolling window — each event's trailing-hour count and
+    * value total per user (w4's ROWS frame counts rows; a RANGE frame
+    * bounds by the ORDER-BY VALUE, so sparse and bursty users get the
+    * same time horizon). Integer epoch seconds keep the frame bounds
+    * engine-stable, and RANGE semantics make ties (equal seconds)
+    * order-independent by construction. One exchange on user_id. */
+  def trailingWindowSums(events: DataFrame, seconds: Long = 3600L): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_sec")
+      .rangeBetween(-seconds, 0)
+    events
+      .withColumn("ts_sec", unix_timestamp(col("ts")))
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_trailing"),
+        round(sum("value").over(w), 4).as("sum_trailing"))
+  }
+
   /** Rolling DISTINCT count — how many distinct event types each user
     * has touched up to each event (the "breadth so far" feature; plain
     * window aggs can't say DISTINCT). collect_set's window state is

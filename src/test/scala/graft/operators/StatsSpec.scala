@@ -146,6 +146,44 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("r2") - 0.691429) < 1e-6)
   }
 
+  test("corrMatrix emits every unordered pair once with exact signs") {
+    val df = Seq(1.0, 2.0, 3.0, 4.0).map(x => (x, 2 * x, -x, 5.0))
+      .toDF("a", "b", "c", "d")
+    val got = Stats.corrMatrix(df, Seq("a", "b", "c", "d")).collect()
+      .map(r => (r.getAs[String]("col_x"), r.getAs[String]("col_y")) ->
+        r.getAs[Any]("corr_xy")).toMap
+    assert(got.size == 6)
+    assert(got(("a", "b")) == 1.0 && got(("a", "c")) == -1.0)
+    assert(got(("b", "c")) == -1.0)
+    // constant column: correlation undefined -> null (not 0, not NaN)
+    assert(got(("a", "d")) == null)
+  }
+
+  test("groupQuantiles equals the global quantiles on a single group") {
+    val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val r = Stats.groupQuantiles(df, "g", "v", Seq(0.25, 0.5, 0.9))
+      .collect().head
+    val g = Stats.quantiles(df, "v", Seq(0.25, 0.5, 0.9)).collect().head
+    assert(r.getAs[Double]("q25") == g.getAs[Double]("q25"))
+    assert(r.getAs[Double]("q50") == g.getAs[Double]("q50"))
+    assert(r.getAs[Double]("q90") == g.getAs[Double]("q90"))
+  }
+
+  test("mutualInformation: exactly 0 on independent columns, ln 2 on a copy") {
+    import org.apache.spark.sql.Row
+    // proportional cells (8,4 / 4,2): p(x,y) = p(x)p(y) exactly -> MI 0
+    val indep = (Seq.fill(8)(("x", "p")) ++ Seq.fill(4)(("x", "q")) ++
+      Seq.fill(4)(("y", "p")) ++ Seq.fill(2)(("y", "q"))).toDF("a", "b")
+    val r0: Row = Stats.mutualInformation(indep, "a", "b").collect().head
+    assert(r0.getAs[Double]("mi_nats") == 0.0)
+    assert(r0.getAs[Long]("n_total") == 18L && r0.getAs[Long]("n_cells") == 4L)
+    // b == a uniform over 2 symbols: MI = H = ln 2
+    val copy = (Seq.fill(5)(("u", "u")) ++ Seq.fill(5)(("v", "v")))
+      .toDF("a", "b")
+    val r1 = Stats.mutualInformation(copy, "a", "b").collect().head
+    assert(math.abs(r1.getAs[Double]("mi_nats") - math.log(2)) < 1e-6)
+  }
+
   test("gini: 0.25 on [1,2,3,4], exactly 0 on a uniform group") {
     val df = (Seq(1.0, 2.0, 3.0, 4.0).map(("ramp", _)) ++
       Seq.fill(7)(("flat", 5.0))).toDF("g", "v")

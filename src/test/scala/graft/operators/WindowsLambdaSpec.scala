@@ -104,6 +104,22 @@ class WindowsLambdaSpec extends SparkSpec {
       exactTopK(customers, dense, 3).collect().map(key).toSet)
   }
 
+  test("trailingWindowSums bounds the frame by time, not row count") {
+    import spark.implicits._
+    // seconds 0, 1800, 3600, 7201: the hour frame holds {0}, {0,1800},
+    // {0,1800,3600} (inclusive bound), then {7201} alone (3601s gap)
+    val ev = Seq((1L, 0L, 1.0), (2L, 1800L, 2.0), (3L, 3600L, 4.0),
+      (4L, 7201L, 8.0))
+      .map { case (id, s, v) => (id, 7L, v, s) }
+      .toDF("event_id", "user_id", "value", "s")
+      .withColumn("ts", timestamp_seconds(col("s")))
+    val got = Windows.trailingWindowSums(ev).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[Long]("n_trailing"), r.getAs[Double]("sum_trailing")))).toMap
+    assert(got == Map(1L -> ((1L, 1.0)), 2L -> ((2L, 3.0)),
+      3L -> ((3L, 7.0)), 4L -> ((1L, 8.0))))
+  }
+
   test("rollingDistinctTypes counts each user's type breadth so far") {
     import spark.implicits._
     val ev = Seq(
