@@ -522,6 +522,16 @@ object SparkEntry {
         .groupBy(month(col("o_orderdate")).as("o_month"))
         .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
     }),
+    "tpch_q3" -> ((s, d) =>
+      Tpch.q3(Tables.customer(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d))),
+    "tpch_q5" -> ((s, d) =>
+      Tpch.q5(Tables.customer(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d), Tables.supplier(s, d), Tables.nation(s, d),
+        Tables.region(s, d))),
+    "tpch_q10" -> ((s, d) =>
+      Tpch.q10(Tables.customer(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d), Tables.nation(s, d))),
     "q28_exists" -> ((s, d) =>
       Relational.lapsedCustomers(Tables.customer(s, d), Tables.orders(s, d),
         "1996-01-01", "1997-01-01")),
@@ -1716,6 +1726,37 @@ object SparkEntry {
            round(sum(o_totalprice),2) AS total
          FROM orders WHERE year(o_orderdate) = 1997
          GROUP BY month(o_orderdate)""",
+    "tpch_q3" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+         FROM customer, orders, lineitem
+         WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+           AND l_orderkey = o_orderkey
+           AND o_orderdate < TIMESTAMP '1996-03-15'
+           AND l_shipdate > TIMESTAMP '1996-03-15'
+         GROUP BY 1, 2, 3
+         ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""",
+    "tpch_q5" ->
+      """SELECT n_name,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+         FROM customer, orders, lineitem, supplier, nation, region
+         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+           AND r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY 1""",
+    "tpch_q10" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+         FROM customer, orders, lineitem, nation
+         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+           AND o_orderdate >= TIMESTAMP '1996-10-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+           AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+         GROUP BY 1, 2, 3, 4
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
     "q28_exists" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer c
          WHERE EXISTS (SELECT 1 FROM orders o

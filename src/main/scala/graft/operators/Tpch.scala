@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Flagship composite analytics — the classic TPC-H shapes Q3/Q5/Q10
+  * adapted to this star schema (o_orderpriority stands in for the
+  * missing o_shippriority). These exercise the engine end-to-end: multi
+  * dim broadcast joins, selective date/flag predicates pushed to the
+  * scans, partial-agg revenue rollups, and TakeOrderedAndProject top-n
+  * (never a global sort).
+  *
+  * Join order follows the star: facts join facts on their shared key
+  * ONCE (orders⋈lineitem carries the only big shuffle — or none, over
+  * the bucketed layout). Only the bounded dims (nation, region —
+  * fixed-cardinality at any scale) carry explicit broadcast hints;
+  * customer/supplier grow with the data, so their join strategy is
+  * left to AQE (broadcast at test scale, shuffle join at 100 TB).
+  */
+object Tpch {
+
+  private def revenue: org.apache.spark.sql.Column =
+    col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  /** Q3 (shipping priority): unshipped-order revenue for one market
+    * segment around a cutoff date, top-n by revenue. */
+  def q3(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+         segment: String = "BUILDING", cutoff: String = "1996-03-15",
+         n: Int = 10): DataFrame =
+    lineitem.filter(col("l_shipdate") > cutoff)
+      .join(orders.filter(col("o_orderdate") < cutoff),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.filter(col("c_mktsegment") === segment)
+          .select("c_custkey"),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(round(sum(revenue), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(n)
+
+  /** Q5 (local supplier volume): revenue where customer and supplier
+    * share a nation, per nation of one region, over one year. */
+  def q5(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+         supplier: DataFrame, nation: DataFrame, region: DataFrame,
+         regionName: String = "ASIA", yearLo: String = "1996-01-01",
+         yearHi: String = "1997-01-01"): DataFrame = {
+    val nations = nation
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    lineitem
+      .join(orders.filter(col("o_orderdate") >= yearLo &&
+          col("o_orderdate") < yearHi),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(supplier.select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(customer.select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum(revenue), 2).as("revenue"))
+  }
+
+  /** Q10 (returned items): lost revenue per customer from returns in a
+    * quarter, top-n worst. */
+  def q10(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+          nation: DataFrame, qLo: String = "1996-10-01",
+          qHi: String = "1997-01-01", n: Int = 20): DataFrame =
+    lineitem.filter(col("l_returnflag") === "R")
+      .join(orders.filter(col("o_orderdate") >= qLo &&
+          col("o_orderdate") < qHi),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(round(sum(revenue), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(n)
+}

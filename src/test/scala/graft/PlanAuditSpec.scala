@@ -355,6 +355,25 @@ class PlanAuditSpec extends SparkSpec {
       s"the anti-join must stay equi-join shaped:\n$p")
   }
 
+  test("tpch_q3: semi-join probe, date predicates pushed, top-n via TakeOrdered") {
+    val p = plan("tpch_q3")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-n must not be a global sort:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"),
+      s"l_shipdate cutoff must reach the lineitem scan:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"the segment probe must stay a semi join (customer payload unused):\n$p")
+  }
+
+  test("tpch_q5/q10: bounded dims broadcast; no cartesian anywhere") {
+    Seq("tpch_q5", "tpch_q10").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: nation/region must broadcast:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: no cartesian/BNLJ allowed:\n$p")
+    }
+  }
+
   test("entry flagship runs and returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
