@@ -342,6 +342,8 @@ object SparkEntry {
       Sampling.stratifiedFixed(Tables.documents(s, d), "doc_id", "lang", 20)
         .select("doc_id", "lang")),
     "dd_exact" -> ((s, d) => Dedup.exactStats(Tables.documents(s, d))),
+    "dd_fuzzy" -> ((s, d) =>
+      FuzzyJoin.fuzzyPairs(Tables.customer(s, d), "c_custkey", "c_name")),
     "dd_drop_exact" -> ((s, d) =>
       Dedup.dropExactDuplicates(Tables.documents(s, d)).select("keep_id", "n_chars")),
     "dd_ngram_jaccard" -> ((s, d) =>
@@ -710,6 +712,8 @@ object SparkEntry {
       Resample.seasonalDecompose(Tables.events(s, d))),
     "ts_cusum" -> ((s, d) =>
       Resample.cusumChangepoint(Tables.events(s, d))),
+    "ts_gaps" -> ((s, d) =>
+      Resample.interArrivalStats(Tables.events(s, d))),
     "st_chi2" -> ((s, d) =>
       Stats.chiSquare(Tables.documents(s, d), "lang", "source")),
     "st_mi" -> ((s, d) =>
@@ -1416,6 +1420,11 @@ object SparkEntry {
            count(*) - count(DISTINCT fp) AS n_dup_docs
          FROM (SELECT md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS fp
                FROM documents)""",
+    "dd_fuzzy" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+         FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+         WHERE levenshtein(a.c_name, b.c_name) <= 1""",
     "dd_drop_exact" ->
       """WITH fp AS (SELECT doc_id,
              md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS f
@@ -2186,6 +2195,17 @@ object SparkEntry {
                ORDER BY dist_km, s_suppkey) AS INTEGER) AS rnk
            FROM d)
          SELECT c_custkey, s_suppkey, dist_km, rnk FROM r WHERE rnk <= 3""",
+    "ts_gaps" ->
+      """WITH g AS (SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+           FROM events)
+         SELECT user_id, count(*) AS n_gaps,
+           round(avg(gap_s), 4) AS mean_gap_s,
+           max(gap_s) AS max_gap_s,
+           round(quantile_cont(gap_s, 0.95), 4) AS p95_gap_s
+         FROM g WHERE gap_s IS NOT NULL GROUP BY 1""",
     "ts_cusum" ->
       """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
              round(avg(value), 6) AS v

@@ -234,6 +234,25 @@ object Resample {
           .as("residual"))
   }
 
+  /** Inter-arrival (gap) profiling per user — the arrival-process
+    * health check (session tuning, bot detection): consecutive-event
+    * gaps in integer epoch seconds (engine-stable), then count / mean /
+    * max / exact p95 per user. One exchange on user_id feeds both the
+    * lag window and the aggregation; percentile_approx is the 100 TB
+    * drop-in for the exact p95. */
+  def interArrivalStats(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .withColumn("gap_s",
+        unix_timestamp(col("ts")) - unix_timestamp(lag("ts", 1).over(w)))
+      .filter(col("gap_s").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        round(avg("gap_s"), 4).as("mean_gap_s"),
+        max("gap_s").as("max_gap_s"),
+        round(expr("percentile(gap_s, 0.95)"), 4).as("p95_gap_s"))
+  }
+
   /** CUSUM changepoint detection per event-type series: the hour
     * maximizing |prefix(v)ᵢ − i·total/n| over the hourly means — the
     * classic "where did the level shift?" statistic (centered cumulative
