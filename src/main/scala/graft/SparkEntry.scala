@@ -683,6 +683,19 @@ object SparkEntry {
             .select(cols.map(col): _*))
       Quality.expectations(dirty, Tables.orders(s, d))
     }),
+    "dwh_mv_refresh" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val o = Tables.orders(s, d)
+      def dailyAgg(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum("o_totalprice").as("revenue"), count(lit(1)).as("n_orders"))
+      // standing view = the historical 6/7ths; delta = today's drop
+      val view = dailyAgg(o.filter(col("o_orderkey") % 7 =!= 0))
+      val delta = dailyAgg(o.filter(col("o_orderkey") % 7 === 0))
+      Dwh.mvRefresh(view, delta, Seq("day"), Seq("revenue", "n_orders"))
+        .select(col("day"), round(col("revenue"), 2).as("revenue"),
+          col("n_orders"))
+    }),
     "dq_drift" -> ((s, d) =>
       Quality.drift(Tables.events(s, d), "2024-01-16")),
     "dq_freshness" -> ((s, d) => Quality.freshness(Tables.events(s, d))),
@@ -2046,6 +2059,10 @@ object SparkEntry {
            ON p.event_type = q.event_type AND p.bin = q.bin
            AND p.side = 'p' AND q.side = 'q'
          GROUP BY p.event_type""",
+    "dwh_mv_refresh" ->
+      """SELECT CAST(o_orderdate AS DATE) AS day,
+           round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+         FROM orders GROUP BY 1""",
     "dq_completeness" ->
       """WITH d AS (SELECT event_id, user_id,
              CASE WHEN event_id % 991 = 0 THEN NULL ELSE value END AS value,

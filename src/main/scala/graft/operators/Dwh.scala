@@ -242,4 +242,20 @@ object Dwh {
       (col(key) +: col("valid_from").as(ts) +: payload.map(col)): _*)
     AsOfJoin.asof(facts, right, key, ts)
   }
+
+  /** Incremental materialized-view refresh for ADDITIVE aggregates
+    * (sum/count — avg et al. decompose into these): merge the standing
+    * view with the delta batch's partial aggregate instead of
+    * rescanning the base table. refreshed = γ(view ∪ γ(delta)) — the
+    * mergeable-partial-aggregate algebra Spark itself uses map-side,
+    * lifted to the warehouse refresh cadence: cost scales with |delta|
+    * + |view|, never with the base table. The contract query proves
+    * refresh ≡ full recompute against the DuckDB oracle. */
+  def mvRefresh(view: DataFrame, delta: DataFrame,
+                keys: Seq[String], addCols: Seq[String]): DataFrame = {
+    val merged = view.select((keys ++ addCols).map(col): _*)
+      .unionByName(delta.select((keys ++ addCols).map(col): _*))
+    val aggs = addCols.map(c => sum(c).as(c))
+    merged.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -213,4 +213,25 @@ class DwhSpec extends SparkSpec {
     assert(got == Map(100L -> null, 101L -> "A", 102L -> "A",
       103L -> "B", 104L -> "C"))
   }
+
+  test("mvRefresh: two chained delta merges equal the full recompute") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    val rows = Seq(
+      ("d1", 10.0, 1L), ("d1", 20.0, 1L), ("d2", 5.0, 1L), // historical
+      ("d1", 7.0, 1L), ("d3", 2.0, 1L),                    // delta 1
+      ("d2", 1.0, 1L), ("d3", 4.0, 1L))                    // delta 2
+    def agg(s: Seq[(String, Double, Long)]): DataFrame =
+      s.toDF("day", "revenue", "n").groupBy("day")
+        .agg(sum("revenue").as("revenue"), sum("n").as("n"))
+    val v1 = Dwh.mvRefresh(agg(rows.take(3)), agg(rows.slice(3, 5)),
+      Seq("day"), Seq("revenue", "n"))
+    val v2 = Dwh.mvRefresh(v1, agg(rows.drop(5)),
+      Seq("day"), Seq("revenue", "n"))
+    def canon(df: DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(canon(v2) == canon(agg(rows)))
+    assert(canon(v2) == Set(("d1", 37.0, 3L), ("d2", 6.0, 2L),
+      ("d3", 6.0, 2L)))
+  }
 }
