@@ -295,6 +295,45 @@ class StreamingSpec extends SparkSpec {
       "key update did not take the latest batch's row")
   }
 
+  test("mv sink: incremental view equals full agg; replay never double-counts; compact preserves") {
+    implicit val sq = spark.sqlContext
+    val dir = s"/root/repo/target/graft_io/stream_mv_${System.nanoTime()}"
+    val all = Seq(
+      jsonOf(1, "2024-01-01 00:00:00", 1, "click", 10.0),
+      jsonOf(2, "2024-01-01 00:01:00", 2, "click", 20.0),
+      jsonOf(3, "2024-01-01 00:02:00", 3, "error", 5.0),
+      jsonOf(4, "2024-01-01 00:03:00", 1, "click", 7.0),
+      jsonOf(5, "2024-01-01 00:04:00", 2, "view", 2.0))
+    def runOnce(ckpt: String): Unit = {
+      val input = MemoryStream[String](Encoders.STRING, sq)
+      val parsed = EventStream.parseJson(input.toDF().select(col("value")))
+        .withColumn("n", lit(1L))
+      val q = MvSink.mvSink(parsed, s"$dir/mv", s"$dir/$ckpt",
+        Seq("event_type"), Seq("value", "n")).outputMode("append").start()
+      try {
+        input.addData(all.take(3): _*); q.processAllAvailable()
+        input.addData(all.drop(3): _*); q.processAllAvailable()
+      } finally q.stop()
+    }
+    runOnce("ckpt_a")
+    // simulated checkpoint loss: the same batches replay into the same
+    // __batch partitions — additive state must NOT double
+    runOnce("ckpt_b")
+    def view(): Map[String, (Double, Long)] =
+      MvSink.readView(spark, s"$dir/mv", Seq("event_type"),
+        Seq("value", "n")).collect()
+        .map(r => r.getAs[String]("event_type") ->
+          ((r.getAs[Double]("value"), r.getAs[Long]("n")))).toMap
+    val expected = Map("click" -> ((37.0, 3L)), "error" -> ((5.0, 1L)),
+      "view" -> ((2.0, 1L)))
+    assert(view() == expected)
+    MvSink.compact(spark, s"$dir/mv", Seq("event_type"), Seq("value", "n"))
+    assert(view() == expected, "compaction changed the view")
+    // partial history is folded to the single compacted partition
+    assert(spark.read.parquet(s"$dir/mv")
+      .select("__batch").distinct().count() == 1)
+  }
+
   test("partitioned lake sink writes exactly-once with checkpoint") {
     implicit val sq = spark.sqlContext
     val dir = s"/root/repo/target/graft_io/stream_lake_${System.nanoTime()}"
