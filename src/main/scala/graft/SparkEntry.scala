@@ -543,6 +543,10 @@ object SparkEntry {
       Windows.rollingDistinctTypes(Tables.events(s, d))),
     "w15_range_frame" -> ((s, d) =>
       Windows.trailingWindowSums(Tables.events(s, d))),
+    "w16_rolling_median" -> ((s, d) =>
+      Windows.rollingMedian(Tables.events(s, d))),
+    "tx_collocations" -> ((s, d) =>
+      TextAnalysis.collocations(Tables.documents(s, d))),
     "st_corr_matrix" -> ((s, d) =>
       Stats.corrMatrix(Tables.lineitem(s, d),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
@@ -1793,6 +1797,26 @@ object SparkEntry {
            unnest(l) AS token
          FROM (SELECT doc_id, string_split(text, ' ') AS l
            FROM documents WHERE doc_id % 100 = 0)""",
+    "w16_rolling_median" ->
+      """SELECT event_id, user_id,
+           round(quantile_cont(value, 0.5) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id
+             ROWS BETWEEN 20 PRECEDING AND CURRENT ROW), 6)
+             AS roll_median
+         FROM events""",
+    "tx_collocations" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS l FROM documents),
+         b AS (SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS p
+           FROM t WHERE len(l) >= 2),
+         c2 AS (SELECT p[1] AS w1, p[2] AS w2, count(*) AS n
+           FROM b GROUP BY 1, 2),
+         lm AS (SELECT w1, sum(n) AS cl FROM c2 GROUP BY 1),
+         rm AS (SELECT w2, sum(n) AS cr FROM c2 GROUP BY 1),
+         tt AS (SELECT sum(n) AS nt FROM c2)
+         SELECT w1, w2, n, round(ln(n * nt / (cl * cr)), 6) AS pmi
+         FROM c2 JOIN lm USING (w1) JOIN rm USING (w2) CROSS JOIN tt
+         WHERE n >= 5
+         ORDER BY pmi DESC, w1, w2 LIMIT 20""",
     "w15_range_frame" ->
       """SELECT event_id, user_id,
            count(*) OVER w AS n_trailing,

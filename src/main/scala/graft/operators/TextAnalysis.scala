@@ -314,6 +314,39 @@ object TextAnalysis {
     * broadcast. Scoring joins the model back (AQE broadcasts small
     * models) and takes the tf-weighted mean. Docs under 2 tokens have
     * no bigrams and drop, mirroring the oracle. */
+  /** PMI-scored collocations — the corpus's top bound phrases
+    * (ln(c(w1,w2)·N / (c(w1)·c(w2))) over adjacent-pair counts, both
+    * unigram marginals DERIVED from the bigram frame, no second scan).
+    * One explode pass → checkpointed (w1, w2, n) frame; marginals and
+    * the total are narrow rollups of it; the min-count filter kills the
+    * rare-pair PMI noise; top-k by (rounded pmi, w1, w2) is fully
+    * deterministic and TakeOrdered-sized. */
+  def collocations(documents: DataFrame, minCount: Long = 5,
+                   k: Int = 20): DataFrame = {
+    val fanned = Scale.fanOut(documents.select("text"))
+    val t = tokens(col("text"))
+    val c2 = fanned
+      .select(explode(when(size(t) < 2,
+          array().cast("array<struct<w1:string,w2:string>>"))
+        .otherwise(transform(sequence(lit(0), size(t) - 2),
+          i => struct(element_at(t, i + 1).as("w1"),
+            element_at(t, i + 2).as("w2"))))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // 4 consumers below
+    val left = c2.groupBy("w1").agg(sum("n").as("cl"))
+    val right = c2.groupBy("w2").agg(sum("n").as("cr"))
+    val tot = c2.agg(sum("n").as("__nt"))
+    c2.filter(col("n") >= minCount)
+      .join(left, "w1").join(right, "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("n"),
+        round(log(col("n") * col("__nt") / (col("cl") * col("cr"))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Lateral positional explode — each sampled doc's tokens with their
     * 0-based position (the LATERAL VIEW POSEXPLODE surface). Pure
     * per-row fan-out: no shuffle, position computed inside the generate,

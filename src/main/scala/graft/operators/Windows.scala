@@ -71,6 +71,18 @@ object Windows {
         round(max("value").over(byUser.rowsBetween(-2, 0)), 4))
       .select(col("event_id"), col("user_id"), col("roll_avg"), col("roll_max"))
 
+  /** Rolling EXACT median per user (robust rolling center — w4's mean
+    * is outlier-dragged): exact interpolated percentile over the last
+    * lookback+1 events. O(frame) state per row on the same single user
+    * exchange; percentile_approx over the frame is the constant-memory
+    * 100 TB drop-in. */
+  def rollingMedian(events: DataFrame, lookback: Int = 20): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(-lookback, 0)
+    events.select(col("event_id"), col("user_id"),
+      round(expr("percentile(value, 0.5)").over(w), 6).as("roll_median"))
+  }
+
   /** RANGE-frame rolling window — each event's trailing-hour count and
     * value total per user (w4's ROWS frame counts rows; a RANGE frame
     * bounds by the ORDER-BY VALUE, so sparse and bursty users get the

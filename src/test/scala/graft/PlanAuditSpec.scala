@@ -374,6 +374,41 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("dd_fuzzy: candidates come from equi-joins only (no cartesian/BNLJ)") {
+    val p = plan("dd_fuzzy")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy blocking must stay equi-join shaped:\n$p")
+  }
+
+  test("gr_pagerank: iterative joins stay equi-shaped with partial aggs") {
+    val p = plan("gr_pagerank")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("partial_sum"),
+      s"per-dst contribution sums must partial-aggregate map-side:\n$p")
+  }
+
+  test("dwh_mv_refresh merges partially; st_corr_matrix is one join-free scan") {
+    assert(plan("dwh_mv_refresh").contains("partial_sum"))
+    val cm = plan("st_corr_matrix")
+    assert(!cm.contains("Join"),
+      s"the correlation matrix must be ONE pass, no joins:\n$cm")
+  }
+
+  test("tx_collocations: top-k is TakeOrderedAndProject, not a global sort") {
+    assert(plan("tx_collocations").contains("TakeOrderedAndProject"))
+  }
+
+  test("w14/w15/w16: exactly one user_id exchange feeds each window chain") {
+    Seq("w14_rolling_distinct", "w15_range_frame", "w16_rolling_median")
+      .foreach { q =>
+        val p = plan(q)
+        val n = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+        assert(n == 1, s"$q: expected exactly 1 user_id exchange, got $n:\n$p")
+      }
+  }
+
   test("entry flagship runs and returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
