@@ -10,15 +10,19 @@ import org.apache.spark.sql.functions._
   * levenshtein — so the output is exactly the ≤ maxDist pair set while
   * only segment keys shuffle.
   *
-  * Completeness (pigeonhole): split the index string t into d+1
+  * Completeness (pigeonhole): split the index string t into m
   * contiguous segments; an optimal alignment of a pair within distance
-  * d edits at most d of them, so some segment of t survives verbatim in
-  * the probe s, with its start shifted by at most d (the net indel
-  * drift). The probe therefore emits, for every candidate target length
-  * l ∈ [len−d, len+d] and every segment slot, all substrings at starts
-  * within ±d of that slot's position — a constant ((2d+1)·(d+1)·(d+1))
-  * keys per row, NOT a function of corpus size. Strings shorter than
-  * d+1 fall back to a per-length bucket (no segment to pin).
+  * d edits at most d of them, so at least m−d segments of t survive
+  * verbatim in the probe s, each with its start shifted by at most d
+  * (the net indel drift). For d=1 we use m=3 and join on PAIRS of
+  * clean segments — two short segments make a far more selective key
+  * than one, which is what keeps a dense keyspace (sequential ids,
+  * where any single ⌊len/2⌋-gram is shared by thousands of rows) from
+  * exploding into a quadratic candidate stream. For d ≥ 2 the m=d+1
+  * single-segment scheme keeps the probe fan-out polynomial. Strings
+  * shorter than m fall back to a per-length bucket (no segment to
+  * pin). Probe fan-out is a constant per row either way — never a
+  * function of corpus size.
   */
 object FuzzyJoin {
 
@@ -32,18 +36,15 @@ object FuzzyJoin {
   def fuzzyPairs(df: DataFrame, idCol: String, strCol: String,
                  maxDist: Int = 1): DataFrame = {
     val d = maxDist
-    val nSeg = d + 1
-    // Column `/` is double division; segment geometry needs integer div
-    def idiv(x: Column): Column = floor(x / nSeg).cast("int")
+    require(d >= 1, "maxDist must be >= 1")
 
     // Strip the CORPUS-WIDE common prefix/suffix before blocking:
     // trimming a shared affix preserves levenshtein exactly, and a
     // formatted-id corpus ("Customer#000...") otherwise puts its whole
-    // population into one constant-segment bucket — an n² candidate
-    // stream no verify speed can absorb. The corpus common prefix is
-    // exactly the common prefix of the lexicographic min and max (one
-    // tiny agg); suffixes via the reversed strings; the strip is capped
-    // so prefix+suffix never overlap on the shortest string.
+    // population into one constant-segment bucket. The corpus common
+    // prefix is exactly the common prefix of the lexicographic min and
+    // max (one tiny agg); suffixes via the reversed strings; the strip
+    // is capped so prefix+suffix never overlap on the shortest string.
     val raw = df.select(col(idCol).cast("long").as("id"),
       col(strCol).as("str"))
     val mm = raw.agg(min("str").as("lo"), max("str").as("hi"),
@@ -58,7 +59,89 @@ object FuzzyJoin {
         col("str").substr(lit(cp + 1), length(col("str")) - cp - cs))
       .withColumn("len", length(col("str")))
 
-    // index side: (target length, slot, the slot's verbatim segment)
+    val (probe, idx) =
+      if (d == 1) pairSegmentKeys(base) else singleSegmentKeys(base, d)
+
+    // verify INSIDE the streamed join output: a low-entropy segment can
+    // still qualify many candidates, and those must die in codegen at
+    // ~ns each — never reach a shuffle. Only true pairs (dist ≥ 0 under
+    // the threshold-capped levenshtein) continue to the final
+    // pair-dedup exchange.
+    val joinCols = probe.columns.filterNot(Set("pid", "pstr")).toSeq
+    probe.join(idx, joinCols)
+      .filter(col("pid") < col("id"))
+      .withColumn("dist", levenshtein(col("pstr"), col("str"), d))
+      .filter(col("dist") >= 0) // thresholded verify: -1 = over budget
+      .select(col("pid").as("id_a"), col("id").as("id_b"), col("dist"))
+      .distinct()
+  }
+
+  /** d=1, m=3: key = an unordered PAIR of clean segments (each start
+    * independently shiftable by ±1 on the probe side).
+    *
+    * The probe fan-out (3 lengths × 3 combos × 9 shift pairs, bounds-
+    * checked, row-locally deduped) is a typed flatMap, NOT a Column
+    * expression: the equivalent expression tree (~160 substrs inside
+    * nested CASEs) exceeds codegen limits and falls back to interpreted
+    * eval — measured ~350 µs/row vs the lambda's JIT-compiled
+    * microseconds. The index side is 3 small structs and stays a
+    * codegen'd Column. */
+  private def pairSegmentKeys(base: DataFrame): (DataFrame, DataFrame) = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val m = 3
+    def stc(k: Int, l: Column): Column = floor(lit(k) * l / m).cast("int")
+    val combos = for (k1 <- 0 until m; k2 <- k1 + 1 until m) yield (k1, k2)
+
+    val idxKey: Column = when(col("len") < m,
+      array(struct(col("len").as("l"), lit(-1).as("k1"), lit(-1).as("k2"),
+        lit("").as("s1"), lit("").as("s2"))))
+      .otherwise(array(combos.map { case (k1, k2) =>
+        val l = col("len")
+        def seg(k: Int) =
+          col("str").substr(stc(k, l) + 1, stc(k + 1, l) - stc(k, l))
+        struct(l.as("l"), lit(k1).as("k1"), lit(k2).as("k2"),
+          seg(k1).as("s1"), seg(k2).as("s2"))
+      }: _*))
+    val idx = base.select(col("id"), col("str"), explode(idxKey).as("ik"))
+      .select(col("id"), col("str"), col("ik.l"), col("ik.k1"),
+        col("ik.k2"), col("ik.s1"), col("ik.s2"))
+
+    val probe = base.select(col("id"), col("str")).as[(Long, String)]
+      .flatMap { case (id, s) =>
+        val len = s.length
+        val keys =
+          scala.collection.mutable.LinkedHashSet.empty[(Int, Int, Int, String, String)]
+        var l = math.max(len - 1, 1)
+        while (l <= len + 1) {
+          if (l < m) keys += ((l, -1, -1, "", ""))
+          else {
+            def st(k: Int) = k * l / m
+            for ((k1, k2) <- combos; sh1 <- -1 to 1; sh2 <- -1 to 1) {
+              val len1 = st(k1 + 1) - st(k1)
+              val len2 = st(k2 + 1) - st(k2)
+              val p1 = st(k1) + sh1
+              val p2 = st(k2) + sh2
+              if (p1 >= 0 && p1 + len1 <= len && p2 >= 0 && p2 + len2 <= len)
+                keys += ((l, k1, k2, s.substring(p1, p1 + len1),
+                  s.substring(p2, p2 + len2)))
+            }
+          }
+          l += 1
+        }
+        keys.iterator.map { case (kl, k1, k2, s1, s2) =>
+          (id, s, kl, k1, k2, s1, s2) }
+      }
+      .toDF("pid", "pstr", "l", "k1", "k2", "s1", "s2")
+    (probe, idx)
+  }
+
+  /** d ≥ 2, m=d+1: key = ONE clean segment (start shiftable ±d). */
+  private def singleSegmentKeys(base: DataFrame, d: Int)
+      : (DataFrame, DataFrame) = {
+    val nSeg = d + 1
+    def idiv(x: Column): Column = floor(x / nSeg).cast("int")
+
     val idxKey: Column = when(col("len") < nSeg,
       array(struct(col("len").as("l"), lit(-1).as("k"), lit("").as("seg"))))
       .otherwise(transform(sequence(lit(0), lit(d)), k => {
@@ -70,8 +153,6 @@ object FuzzyJoin {
     val idx = base.select(col("id"), col("str"), explode(idxKey).as("ik"))
       .select(col("id"), col("str"), col("ik.l"), col("ik.k"), col("ik.seg"))
 
-    // probe side: for each candidate target length, each slot, each
-    // ±d shift — substrings cut to the TARGET's segment geometry
     val probeKey: Column = flatten(transform(
       sequence(greatest(col("len") - d, lit(1)), col("len") + d), l =>
         when(l < nSeg,
@@ -86,23 +167,9 @@ object FuzzyJoin {
               x => x.isNotNull)
           })))))
     val probe = base.select(col("id").as("pid"), col("str").as("pstr"),
-        explode(probeKey).as("pk"))
+        explode(array_distinct(probeKey)).as("pk"))
       .select(col("pid"), col("pstr"),
         col("pk.l"), col("pk.k"), col("pk.seg"))
-      // shifted cuts often repeat the same substring — dedupe the
-      // (cheap, key-sized) probe frame before it can multiply the join
-      .distinct()
-
-    // verify INSIDE the streamed join output: a low-entropy segment (a
-    // corpus-wide shared prefix) can qualify ~n² candidates, and those
-    // must die in codegen at ~ns each — never reach a shuffle. Only
-    // true pairs (dist ≥ 0 under the threshold-capped levenshtein)
-    // continue to the final pair-dedup exchange.
-    probe.join(idx, Seq("l", "k", "seg"))
-      .filter(col("pid") < col("id"))
-      .withColumn("dist", levenshtein(col("pstr"), col("str"), d))
-      .filter(col("dist") >= 0) // thresholded verify: -1 = over budget
-      .select(col("pid").as("id_a"), col("id").as("id_b"), col("dist"))
-      .distinct()
+    (probe, idx)
   }
 }
