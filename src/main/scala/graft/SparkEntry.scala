@@ -388,6 +388,8 @@ object SparkEntry {
       Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), 0.3)),
     "ann_bruteforce" -> ((s, d) =>
       SimilaritySearch.bruteForceTopK(Tables.embeddings(s, d), 0L, 10)),
+    "ann_range" -> ((s, d) =>
+      SimilaritySearch.rangeSearch(Tables.embeddings(s, d), 0L, 0.2)),
     "ann_lsh" -> ((s, d) =>
       SimilaritySearch.lshProbe(s, lshIndex(s, d), Tables.embeddings(s, d),
         0L, 10, annPlanes)),
@@ -541,6 +543,8 @@ object SparkEntry {
       TextAnalysis.positionalTokens(Tables.documents(s, d))),
     "w14_rolling_distinct" -> ((s, d) =>
       Windows.rollingDistinctTypes(Tables.events(s, d))),
+    "w17_streaks" -> ((s, d) =>
+      Windows.activityStreaks(Tables.events(s, d))),
     "w15_range_frame" -> ((s, d) =>
       Windows.trailingWindowSums(Tables.events(s, d))),
     "w16_rolling_median" -> ((s, d) =>
@@ -702,6 +706,16 @@ object SparkEntry {
     }),
     "dq_drift" -> ((s, d) =>
       Quality.drift(Tables.events(s, d), "2024-01-16")),
+    "dq_schema_drift" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // simulated upstream contract break: props dropped, session_id
+      // added, value re-typed — mirrored literally in the oracle
+      val old = Tables.events(s, d)
+      val neu = old.drop("props")
+        .withColumn("session_id", lit(1L))
+        .withColumn("value", col("value").cast("string"))
+      Quality.schemaDrift(old, neu)
+    }),
     "dq_freshness" -> ((s, d) => Quality.freshness(Tables.events(s, d))),
     "dq_completeness" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -1670,6 +1684,37 @@ object SparkEntry {
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                             CAST(b.embedding AS DOUBLE[])), 4) >= 0.3""",
+    "ann_range" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         SELECT b.vec_id,
+           round(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+                                        CAST(q.qe AS DOUBLE[])), 4) AS cos
+         FROM embeddings b, q WHERE b.vec_id <> 0
+           AND round(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+                                            CAST(q.qe AS DOUBLE[])), 4)
+               >= 0.2""",
+    "w17_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+           FROM events),
+         r AS (SELECT user_id, day,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+           FROM days),
+         s AS (SELECT user_id, day - CAST(rn AS INTEGER) AS anchor,
+             count(*) AS streak_days, min(day) AS start_day
+           FROM r GROUP BY 1, 2)
+         SELECT user_id, streak_days, start_day FROM s
+         QUALIFY row_number() OVER (PARTITION BY user_id
+           ORDER BY streak_days DESC, start_day) = 1""",
+    "dq_schema_drift" ->
+      """SELECT * FROM (VALUES
+           ('event_id', 'bigint', 'bigint', 'unchanged'),
+           ('event_type', 'string', 'string', 'unchanged'),
+           ('props', 'string', NULL, 'removed'),
+           ('session_id', NULL, 'bigint', 'added'),
+           ('ts', 'timestamp', 'timestamp', 'unchanged'),
+           ('user_id', 'bigint', 'bigint', 'unchanged'),
+           ('value', 'double', 'string', 'type_changed')
+         ) t(col_name, old_type, new_type, status)""",
     "ann_bruteforce" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          SELECT b.vec_id,

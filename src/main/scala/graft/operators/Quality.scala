@@ -132,6 +132,26 @@ object Quality {
         round(col("null_values") / col("n_rows"), 6).as("null_value_frac"))
   }
 
+  /** Schema drift report between two snapshots of a feed — the check
+    * that catches an upstream contract break before any row is read:
+    * added/removed columns and type changes, from the schemas alone
+    * (driver metadata; zero data scanned). */
+  def schemaDrift(old: DataFrame, neu: DataFrame): DataFrame = {
+    val spark = old.sparkSession
+    import spark.implicits._
+    val o = old.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    val n = neu.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    (o.keySet ++ n.keySet).toSeq.sorted.map { c =>
+      val status = (o.get(c), n.get(c)) match {
+        case (Some(a), Some(b)) if a == b => "unchanged"
+        case (Some(_), Some(_))           => "type_changed"
+        case (Some(_), None)              => "removed"
+        case (None, Some(_))              => "added"
+      }
+      (c, o.getOrElse(c, null), n.getOrElse(c, null), status)
+    }.toDF("col_name", "old_type", "new_type", "status")
+  }
+
   /** Per-column completeness report: null count + null rate for every
     * requested column, ONE aggregation pass (2k aggregates over k
     * columns, all partial map-side) pivoted to a k-row report — never k

@@ -46,6 +46,24 @@ object SimilaritySearch {
       .limit(k)
   }
 
+  /** Cosine RANGE search — every corpus vector above a similarity
+    * floor, not a fixed k (the dedup/recall-sweep companion of top-k:
+    * "give me ALL near matches"). Same scan shape as bruteForceTopK
+    * (fanned map-side cosine, 1-row query broadcast) but the selection
+    * is a codegen'd filter on the rounded score — output size is the
+    * true neighbor count, and no global ordering is needed at all. */
+  def rangeSearch(embeddings: DataFrame, queryId: Long,
+                  tau: Double): DataFrame = {
+    val q = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_embedding"))
+    Scale.fanOut(embeddings)
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("cos", round(cosine(col("embedding"), col("q_embedding")), 4))
+      .filter(col("cos") >= tau)
+      .select(col("vec_id"), col("cos"))
+  }
+
   /** Deterministic pseudo-random hyperplanes (fixed seed → reproducible
     * bucketing without Math.random). */
   def seededPlanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {

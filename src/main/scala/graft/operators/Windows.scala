@@ -71,6 +71,25 @@ object Windows {
         round(max("value").over(byUser.rowsBetween(-2, 0)), 4))
       .select(col("event_id"), col("user_id"), col("roll_avg"), col("roll_max"))
 
+  /** Longest consecutive-active-day streak per user — the classic
+    * gaps-and-islands pattern (day − row_number is constant within a
+    * run, so runs become groups without a self-join or a loop). One
+    * exchange on user_id feeds the dedup, the ranking window, and the
+    * island agg; ties (equal-length streaks) resolve to the earliest
+    * start. */
+  def activityStreaks(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("day")
+    events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .withColumn("rn", row_number().over(w))
+      .withColumn("anchor", expr("date_sub(day, rn)"))
+      .groupBy("user_id", "anchor")
+      .agg(count(lit(1)).as("len"), min("day").as("start"))
+      .groupBy("user_id")
+      .agg(min(struct((-col("len")).as("nl"), col("start").as("s"))).as("b"))
+      .select(col("user_id"), (-col("b.nl")).as("streak_days"),
+        col("b.s").as("start_day"))
+  }
+
   /** Rolling EXACT median per user (robust rolling center — w4's mean
     * is outlier-dragged): exact interpolated percentile over the last
     * lookback+1 events. O(frame) state per row on the same single user

@@ -159,4 +159,20 @@ class EmbedLshSpec extends SparkSpec {
     assert(at(16) == brute,
       "probing every cell must reproduce the exact filtered top-k")
   }
+
+  test("rangeSearch returns exactly the above-threshold slice of the full ranking") {
+    val emb = Tables.embeddings(spark, sf)
+    val all = SimilaritySearch.rangeSearch(emb, 0L, -1.1).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos")).toMap
+    assert(all.size == emb.count() - 1, "tau=-1.1 must keep every other vector")
+    val tau = 0.2
+    val ranged = SimilaritySearch.rangeSearch(emb, 0L, tau).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos")).toMap
+    assert(ranged == all.filter(_._2 >= tau),
+      "range result must be the exact >= tau subset with identical scores")
+    // consistent with top-k: every top-10 hit above tau appears in the range set
+    val top = SimilaritySearch.bruteForceTopK(emb, 0L, 10).collect()
+      .filter(_.getAs[Double]("cos") >= tau).map(_.getAs[Long]("vec_id"))
+    assert(top.forall(ranged.contains))
+  }
 }

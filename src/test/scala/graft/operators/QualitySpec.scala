@@ -155,6 +155,20 @@ class QualitySpec extends SparkSpec {
     assert(rep("view") == ((2L, 1L, 25L, 0.0)))
   }
 
+  test("schemaDrift classifies added/removed/type-changed/unchanged columns") {
+    import spark.implicits._
+    val old = Seq((1L, "a", 1.0)).toDF("id", "keep", "v")
+    val neu = Seq((1L, "a", "x", true)).toDF("id", "keep", "v", "extra")
+      .withColumn("v", col("v").cast("string"))
+    val got = Quality.schemaDrift(old, neu).collect()
+      .map(r => r.getAs[String]("col_name") -> r.getAs[String]("status")).toMap
+    assert(got == Map("id" -> "unchanged", "keep" -> "unchanged",
+      "v" -> "type_changed", "extra" -> "added"))
+    val gotRev = Quality.schemaDrift(neu, old).collect()
+      .map(r => r.getAs[String]("col_name") -> r.getAs[String]("status")).toMap
+    assert(gotRev("extra") == "removed")
+  }
+
   test("completeness reports exact null counts per column in one pass") {
     import spark.implicits._
     val df = Seq(

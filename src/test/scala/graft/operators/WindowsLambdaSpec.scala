@@ -104,6 +104,23 @@ class WindowsLambdaSpec extends SparkSpec {
       exactTopK(customers, dense, 3).collect().map(key).toSet)
   }
 
+  test("activityStreaks finds the longest island, earliest on ties") {
+    import spark.implicits._
+    // user 7: days 1,2,3 then 5,6 -> longest 3 starting day 1
+    // user 8: two 2-day islands (1,2 and 10,11) -> tie, earliest start
+    val ev = Seq((7L, 1), (7L, 2), (7L, 2), (7L, 3), (7L, 5), (7L, 6),
+      (8L, 1), (8L, 2), (8L, 10), (8L, 11))
+      .zipWithIndex.map { case ((u, day), i) => (i.toLong, u, day) }
+      .toDF("event_id", "user_id", "d")
+      .withColumn("ts", timestamp_seconds(col("d") * 86400L))
+    val got = Windows.activityStreaks(ev).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("streak_days"),
+          r.getAs[java.sql.Date]("start_day").toString))).toMap
+    assert(got(7L) == ((3L, "1970-01-02")))
+    assert(got(8L) == ((2L, "1970-01-02")), "tie must take the earliest island")
+  }
+
   test("trailingWindowSums bounds the frame by time, not row count") {
     import spark.implicits._
     // seconds 0, 1800, 3600, 7201: the hour frame holds {0}, {0,1800},
