@@ -751,6 +751,20 @@ object SparkEntry {
       Stats.mutualInformation(Tables.documents(s, d), "lang", "source")),
     "gr_pagerank" -> ((s, d) => Graph.pageRank(coPurchaseEdges(s, d))),
     "gr_degree" -> ((s, d) => Graph.degreeHistogram(coPurchaseEdges(s, d))),
+    "gr_components" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // repeat-business graph (≥4 shared orders) — sparse enough to
+      // fragment into many components, unlike the full co-purchase graph
+      val pairs = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey").as("a"),
+          (col("l_suppkey") + 1000000000L).as("b"))
+        .agg(countDistinct("o_orderkey").as("m"))
+        .filter(col("m") >= 4)
+      Graph.components(pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(pairs.select(col("b").as("src"), col("a").as("dst"))))
+    }),
+    "tx_zipf" -> ((s, d) => TextAnalysis.zipfFit(Tables.documents(s, d))),
     "st_ks" -> ((s, d) =>
       Stats.ksTest(Tables.events(s, d), "event_type", "value", "click", "view")),
     "st_mwu" -> ((s, d) =>
@@ -975,6 +989,33 @@ object SparkEntry {
              AS mi_nats,
            CAST(max(n) AS BIGINT) AS n_total, count(*) AS n_cells
          FROM j JOIN mx USING (lang) JOIN my USING (source) CROSS JOIN t""",
+    "gr_components" ->
+      """WITH RECURSIVE p AS (SELECT o_custkey AS a,
+             l_suppkey + 1000000000 AS b
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           GROUP BY 1, 2 HAVING count(DISTINCT o_orderkey) >= 4),
+         e AS (SELECT a AS src, b AS dst FROM p
+           UNION ALL SELECT b, a FROM p),
+         reach(a, b) AS (
+           SELECT src, dst FROM e
+           UNION
+           SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+         comp AS (SELECT a AS node, least(a, min(b)) AS label
+           FROM reach GROUP BY a)
+         SELECT label, count(*) AS n_nodes FROM comp GROUP BY label""",
+    "tx_zipf" ->
+      """WITH tf AS (SELECT t AS term, count(*) AS n
+           FROM (SELECT unnest(string_split(text, ' ')) AS t
+             FROM documents)
+           GROUP BY 1),
+         top AS (SELECT term, n FROM tf ORDER BY n DESC, term LIMIT 1000),
+         r AS (SELECT n, row_number() OVER (ORDER BY n DESC, term) AS rank
+           FROM top)
+         SELECT count(*) AS n_terms,
+           round(regr_slope(ln(n), ln(rank)), 6) AS zipf_slope,
+           round(regr_intercept(ln(n), ln(rank)), 6) AS zipf_intercept,
+           round(regr_r2(ln(n), ln(rank)), 6) AS r2
+         FROM r""",
     "gr_degree" ->
       """WITH p AS (SELECT DISTINCT o_custkey AS a,
              l_suppkey + 1000000000 AS b

@@ -61,4 +61,14 @@ object Graph {
     edges.select("src", "dst").distinct()
       .groupBy("src").agg(count(lit(1)).as("degree"))
       .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+
+  /** Connected-component size histogram of an edge list — the general
+    * graph face of the dedup CC machinery (Dedup.dupClusters: driver
+    * union-find under the edge limit, distributed min-label pointer
+    * doubling above it; labels are min-node-id either way, matching the
+    * oracle's reachability closure). Output is component-count-sized. */
+  def components(edges: DataFrame): DataFrame =
+    Dedup.dupClusters(edges.select(col("src").as("d1"), col("dst").as("d2")))
+      .groupBy(col("cluster_id").as("label"))
+      .agg(count(lit(1)).as("n_nodes"))
 }

@@ -314,6 +314,29 @@ object TextAnalysis {
     * broadcast. Scoring joins the model back (AQE broadcasts small
     * models) and takes the tf-weighted mean. Docs under 2 tokens have
     * no bigrams and drop, mirroring the oracle. */
+  /** Zipf-law fit of the token frequency distribution: OLS slope of
+    * ln(freq) ~ ln(rank) over the top-N terms (natural corpora slope
+    * ≈ −1; a far-off slope flags synthetic/templated text). The global
+    * ranking window runs on a TakeOrdered top-N frame — a CONSTANT-size
+    * single partition, so no data-sized global sort ever happens; the
+    * fit is one regr_* aggregate over those N rows. */
+  def zipfFit(documents: DataFrame, topN: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fanned = Scale.fanOut(documents.select("text"))
+    val top = fanned.select(explode(tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term")).limit(topN)
+    top
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("term"))))
+      .agg(count(lit(1)).as("n_terms"),
+        round(regr_slope(log(col("n")), log(col("rank"))), 6)
+          .as("zipf_slope"),
+        round(regr_intercept(log(col("n")), log(col("rank"))), 6)
+          .as("zipf_intercept"),
+        round(regr_r2(log(col("n")), log(col("rank"))), 6).as("r2"))
+  }
+
   /** PMI-scored collocations — the corpus's top bound phrases
     * (ln(c(w1,w2)·N / (c(w1)·c(w2))) over adjacent-pair counts, both
     * unigram marginals DERIVED from the bigram frame, no second scan).

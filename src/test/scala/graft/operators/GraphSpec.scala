@@ -29,6 +29,14 @@ class GraphSpec extends SparkSpec {
     assert(ranks.size == 1, s"cycle nodes must all tie, got $ranks")
   }
 
+  test("components labels islands by min node id with exact sizes") {
+    val comps = Graph.components(
+      undirected((1L, 2L), (2L, 3L), (10L, 11L)))
+      .collect().map(r => r.getAs[Long]("label") -> r.getAs[Long]("n_nodes"))
+      .toMap
+    assert(comps == Map(1L -> 3L, 10L -> 2L))
+  }
+
   test("degreeHistogram counts nodes per degree, dedup included") {
     val edges = undirected((1L, 2L), (1L, 3L))
       .unionByName(Seq((1L, 2L)).toDF("src", "dst")) // duplicate edge

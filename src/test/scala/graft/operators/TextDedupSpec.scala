@@ -240,4 +240,17 @@ class TextDedupSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("vec_id"))
     assert(topk.sameElements(full))
   }
+
+  test("zipfFit recovers slope -1 / r2 1 on an exactly Zipfian corpus") {
+    import spark.implicits._
+    // freq(rank r) = 60/r exactly for r = 1..6: ln f = ln60 - ln r
+    val counts = Seq("a" -> 60, "b" -> 30, "c" -> 20, "d" -> 15,
+      "e" -> 12, "f" -> 10)
+    val text = counts.flatMap { case (w, n) => Seq.fill(n)(w) }.mkString(" ")
+    val r = TextAnalysis.zipfFit(Seq(text).toDF("text")).collect().head
+    assert(r.getAs[Long]("n_terms") == 6L)
+    assert(r.getAs[Double]("zipf_slope") == -1.0)
+    assert(r.getAs[Double]("r2") == 1.0)
+    assert(math.abs(r.getAs[Double]("zipf_intercept") - math.log(60)) < 1e-6)
+  }
 }
