@@ -749,6 +749,8 @@ object SparkEntry {
       Stats.chiSquare(Tables.documents(s, d), "lang", "source")),
     "st_mi" -> ((s, d) =>
       Stats.mutualInformation(Tables.documents(s, d), "lang", "source")),
+    "st_benford" -> ((s, d) =>
+      Stats.benford(Tables.orders(s, d), "o_totalprice")),
     "gr_pagerank" -> ((s, d) => Graph.pageRank(coPurchaseEdges(s, d))),
     "gr_degree" -> ((s, d) => Graph.degreeHistogram(coPurchaseEdges(s, d))),
     "gr_components" -> ((s, d) => {
@@ -979,6 +981,15 @@ object SparkEntry {
            round((ssb/(k - 1)) / (ssw/(n_total - k)), 4) AS f_stat,
            CAST(k - 1 AS BIGINT) AS df1, CAST(n_total - k AS BIGINT) AS df2
          FROM a""",
+    "st_benford" ->
+      """WITH c AS (SELECT CAST(floor(o_totalprice
+             / pow(10, floor(log10(o_totalprice)))) AS INTEGER) AS digit,
+           count(*) AS n
+           FROM orders WHERE o_totalprice > 0 GROUP BY 1),
+         t AS (SELECT sum(n) AS total FROM c)
+         SELECT digit, n, round(n / total, 6) AS observed,
+           round(log10(1.0 + 1.0 / digit), 6) AS expected
+         FROM c, t""",
     "st_mi" ->
       """WITH j AS (SELECT lang, source, count(*) AS nxy
              FROM documents GROUP BY 1, 2),

@@ -385,6 +385,25 @@ object Stats {
       round(regr_intercept(col(y), col(x)), 6).as("intercept"),
       round(regr_r2(col(y), col(x)), 6).as("r2"))
 
+  /** Benford's-law first-digit profile of a positive numeric column —
+    * the classic fabricated-numbers screen: observed share of each
+    * leading digit vs the log₁₀(1+1/d) expectation. One partial-agg
+    * pass; the digit is pure numeric codegen (no string round-trip), so
+    * both oracle engines compute identical doubles. */
+  def benford(df: DataFrame, c: String): DataFrame = {
+    val x = col(c)
+    val digit = floor(x / pow(lit(10.0), floor(log10(x)))).cast("int")
+    val counts = df.filter(x > 0)
+      .select(digit.as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("total", sum("n").over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("digit"), col("n"),
+        round(col("n") / col("total"), 6).as("observed"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit")), 6).as("expected"))
+  }
+
   /** Pairwise Pearson correlation matrix over k numeric columns in ONE
     * partial-agg pass (k·(k−1)/2 corr aggregates, all map-side partial)
     * pivoted to a (col_x, col_y, corr) frame — never k² scans. The

@@ -146,6 +146,22 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("r2") - 0.691429) < 1e-6)
   }
 
+  test("benford extracts first digits exactly and shares sum to 1") {
+    val df = Seq(1.0, 19.5, 2000.0, 0.031, 250.0, 999.99, -5.0, 0.0)
+      .toDF("v") // negatives and zeros are excluded
+    val rows = Stats.benford(df, "v").collect()
+      .map(r => r.getAs[Int]("digit") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("observed")))).toMap
+    // digits: 1(1.0), 1(19.5), 2(2000), 3(0.031), 2(250), 9(999.99)
+    assert(rows.keySet == Set(1, 2, 3, 9))
+    assert(rows(1)._1 == 2L && rows(2)._1 == 2L &&
+      rows(3)._1 == 1L && rows(9)._1 == 1L)
+    assert(math.abs(rows.values.map(_._2).sum - 1.0) < 1e-9)
+    val exp1 = Stats.benford(df, "v").collect()
+      .find(_.getAs[Int]("digit") == 1).get.getAs[Double]("expected")
+    assert(math.abs(exp1 - math.log10(2.0)) < 1e-6)
+  }
+
   test("corrMatrix emits every unordered pair once with exact signs") {
     val df = Seq(1.0, 2.0, 3.0, 4.0).map(x => (x, 2 * x, -x, 5.0))
       .toDF("a", "b", "c", "d")
