@@ -751,6 +751,9 @@ object SparkEntry {
       Stats.mutualInformation(Tables.documents(s, d), "lang", "source")),
     "st_benford" -> ((s, d) =>
       Stats.benford(Tables.orders(s, d), "o_totalprice")),
+    "st_spearman" -> ((s, d) =>
+      Stats.spearman(Tables.lineitem(s, d), "l_quantity",
+        "l_extendedprice")),
     "gr_pagerank" -> ((s, d) => Graph.pageRank(coPurchaseEdges(s, d))),
     "gr_degree" -> ((s, d) => Graph.degreeHistogram(coPurchaseEdges(s, d))),
     "gr_components" -> ((s, d) => {
@@ -981,6 +984,17 @@ object SparkEntry {
            round((ssb/(k - 1)) / (ssw/(n_total - k)), 4) AS f_stat,
            CAST(k - 1 AS BIGINT) AS df1, CAST(n_total - k AS BIGINT) AS df2
          FROM a""",
+    "st_spearman" ->
+      """WITH r AS (SELECT l_quantity AS xv, l_extendedprice AS yv
+           FROM lineitem),
+         rx AS (SELECT xv, avg(rn) AS rkx
+           FROM (SELECT xv, row_number() OVER (ORDER BY xv) AS rn FROM r)
+           GROUP BY 1),
+         ry AS (SELECT yv, avg(rn) AS rky
+           FROM (SELECT yv, row_number() OVER (ORDER BY yv) AS rn FROM r)
+           GROUP BY 1)
+         SELECT count(*) AS n, round(corr(rkx, rky), 6) AS spearman_rho
+         FROM r JOIN rx USING (xv) JOIN ry USING (yv)""",
     "st_benford" ->
       """WITH c AS (SELECT CAST(floor(o_totalprice
              / pow(10, floor(log10(o_totalprice)))) AS INTEGER) AS digit,

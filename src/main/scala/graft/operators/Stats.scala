@@ -385,6 +385,54 @@ object Stats {
       round(regr_intercept(col(y), col(x)), 6).as("intercept"),
       round(regr_r2(col(y), col(x)), 6).as("r2"))
 
+  /** Global MIDRANKS of a numeric column (ties share the average rank)
+    * — the striped twin of avg(row_number) OVER (ORDER BY v): distinct
+    * values collapse in one partial-agg pass, value-range stripes give
+    * parallel prefix sums (st_ks's skeleton), midrank = below + (t+1)/2.
+    * One row per DISTINCT value; never a single-partition global sort. */
+  private def midranks(df: DataFrame, c: String, stripes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = df.groupBy(col(c).as("v")).agg(count(lit(1)).as("t"))
+    val bounds = pts.agg(min("v").as("__lo"), max("v").as("__hi"))
+    val striped = pts.crossJoin(broadcast(bounds))
+      .withColumn("__stripe",
+        when(col("__hi") === col("__lo"), lit(0L)).otherwise(
+          least(lit(stripes - 1L), greatest(lit(0L),
+            floor((col("v") - col("__lo")) /
+              (col("__hi") - col("__lo")) * stripes)))).cast("int"))
+    val wIn = Window.partitionBy("__stripe").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wStripe = Window.orderBy("__stripe")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = striped.groupBy("__stripe").agg(sum("t").as("__st"))
+      .select(col("__stripe"),
+        coalesce(sum("__st").over(wStripe), lit(0L)).as("__ot"))
+    striped.join(broadcast(offs), Seq("__stripe"))
+      .withColumn("below",
+        col("__ot") + coalesce(sum("t").over(wIn), lit(0L)))
+      .select(col("v"), (col("below") + (col("t") + 1) / 2.0).as("rk"))
+  }
+
+  /** Spearman rank correlation (the monotone-association measure
+    * Pearson misses): Pearson corr of the two columns' global midranks.
+    * Each rank frame is distinct-value-sized and joins back on the
+    * value key (plain equi-joins — AQE broadcasts small rank frames);
+    * ranks are exact half-integers from integer arithmetic, so both
+    * oracle engines see identical inputs to the final corr. */
+  def spearman(df: DataFrame, x: String, y: String,
+               stripes: Int = 256): DataFrame = {
+    val pairs = df
+      .select(col(x).cast("double").as("xv"), col(y).cast("double").as("yv"))
+      .filter(col("xv").isNotNull && col("yv").isNotNull)
+    val rx = midranks(pairs, "xv", stripes)
+      .select(col("v").as("xv"), col("rk").as("rkx"))
+    val ry = midranks(pairs, "yv", stripes)
+      .select(col("v").as("yv"), col("rk").as("rky"))
+    pairs.join(rx, "xv").join(ry, "yv")
+      .agg(count(lit(1)).as("n"),
+        round(corr(col("rkx"), col("rky")), 6).as("spearman_rho"))
+  }
+
   /** Benford's-law first-digit profile of a positive numeric column —
     * the classic fabricated-numbers screen: observed share of each
     * leading digit vs the log₁₀(1+1/d) expectation. One partial-agg

@@ -146,6 +146,22 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("r2") - 0.691429) < 1e-6)
   }
 
+  test("spearman: 1 on any monotone map, -1 reversed, stripe-invariant with ties") {
+    val mono = Seq(1.0, 2.0, 5.0, 9.0).map(v => (v, v * v)).toDF("x", "y")
+    assert(Stats.spearman(mono, "x", "y").collect().head
+      .getAs[Double]("spearman_rho") == 1.0)
+    val anti = Seq(1.0, 2.0, 5.0, 9.0).map(v => (v, -v * v)).toDF("x", "y")
+    assert(Stats.spearman(anti, "x", "y").collect().head
+      .getAs[Double]("spearman_rho") == -1.0)
+    // heavy ties + stripe invariance (midranks exact at any stripe count)
+    val tied = Seq.tabulate(300)(i => ((i % 7).toDouble, (i * 31 % 13).toDouble))
+      .toDF("x", "y")
+    val rhos = Seq(1, 4, 256).map(s =>
+      Stats.spearman(tied, "x", "y", stripes = s).collect().head
+        .getAs[Double]("spearman_rho"))
+    assert(rhos.distinct.size == 1, s"stripes changed rho: $rhos")
+  }
+
   test("benford extracts first digits exactly and shares sum to 1") {
     val df = Seq(1.0, 19.5, 2000.0, 0.031, 250.0, 999.99, -5.0, 0.0)
       .toDF("v") // negatives and zeros are excluded
