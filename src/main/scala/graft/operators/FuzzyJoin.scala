@@ -50,6 +50,11 @@ object FuzzyJoin {
     val mm = raw.agg(min("str").as("lo"), max("str").as("hi"),
       min(reverse(col("str"))).as("rlo"), max(reverse(col("str"))).as("rhi"),
       min(length(col("str"))).as("minLen")).head()
+    // empty input: the global agg still returns one all-null row
+    if (mm.isNullAt(0))
+      return raw.sparkSession.emptyDataFrame
+        .select(lit(0L).as("id_a"), lit(0L).as("id_b"), lit(0).as("dist"))
+        .limit(0)
     val cp = commonPrefixLen(mm.getAs[String]("lo"), mm.getAs[String]("hi"))
     val cs = math.min(
       commonPrefixLen(mm.getAs[String]("rlo"), mm.getAs[String]("rhi")),

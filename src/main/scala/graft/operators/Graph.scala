@@ -36,6 +36,7 @@ object Graph {
     val nodes = ed.select(col("src").as("node")).distinct()
       .localCheckpoint(true)
     val n = nodes.count()
+    require(n > 0, "pageRank needs a non-empty edge list")
     val base = (1.0 - damping) / n
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iterations) {

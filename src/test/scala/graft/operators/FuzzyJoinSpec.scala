@@ -38,6 +38,13 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got1.contains((8L, 9L, 1)) && got1.contains((8L, 10L, 1)))
   }
 
+  test("fuzzyPairs on an empty corpus returns an empty frame, not an NPE") {
+    val empty = Seq.empty[(Long, String)].toDF("id", "s")
+    val out = FuzzyJoin.fuzzyPairs(empty, "id", "s")
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("id_a", "id_b", "dist"))
+  }
+
   test("fuzzyPairs equals brute force on a structured id-like corpus") {
     // name#### ids: distance-1 pairs are single-digit substitutions
     val rows = (0L until 200L).map(i => i -> f"name#$i%04d").toDF("id", "s")
