@@ -526,6 +526,23 @@ object SparkEntry {
         .groupBy(month(col("o_orderdate")).as("o_month"))
         .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
     }),
+    "q30_nullsafe_join" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // deterministic nulls (mirrored in the oracle): every 5th event
+      // loses its type and must land in the dimension's NULL bucket
+      val facts = Tables.events(s, d)
+        .select(col("event_id"),
+          when(col("event_id") % 5 === 0, lit(null))
+            .otherwise(col("event_type")).as("k"))
+      val dim = Tables.events(s, d).select(col("event_type").as("dk"))
+        .distinct()
+        .unionByName(s.range(1).select(lit(null).cast("string").as("dk")))
+        .withColumn("label", coalesce(col("dk"), lit("__uncategorized__")))
+      Relational.nullSafeCategorize(facts, dim, "k", "dk", "label")
+    }),
+    "st_iqr" -> ((s, d) =>
+      Stats.iqrOutliers(Tables.lineitem(s, d), "l_returnflag",
+        "l_extendedprice")),
     "tpch_q3" -> ((s, d) =>
       Tpch.q3(Tables.customer(s, d), Tables.orders(s, d),
         Tables.lineitem(s, d))),
@@ -1863,6 +1880,30 @@ object SparkEntry {
            round(sum(o_totalprice),2) AS total
          FROM orders WHERE year(o_orderdate) = 1997
          GROUP BY month(o_orderdate)""",
+    "q30_nullsafe_join" ->
+      """WITH facts AS (SELECT event_id,
+             CASE WHEN event_id % 5 = 0 THEN NULL ELSE event_type END AS k
+           FROM events),
+         dim AS (SELECT dk, coalesce(dk, '__uncategorized__') AS label
+           FROM (SELECT DISTINCT event_type AS dk FROM events
+             UNION ALL SELECT NULL))
+         SELECT label, count(*) AS n
+         FROM facts JOIN dim ON facts.k IS NOT DISTINCT FROM dim.dk
+         GROUP BY label""",
+    "st_iqr" ->
+      """WITH f AS (SELECT l_returnflag,
+             round(quantile_cont(l_extendedprice, 0.25), 4) AS q1,
+             round(quantile_cont(l_extendedprice, 0.75), 4) AS q3
+           FROM lineitem GROUP BY 1),
+         g AS (SELECT l_returnflag, q1, q3,
+             round(q1 - 1.5 * (q3 - q1), 4) AS lo,
+             round(q3 + 1.5 * (q3 - q1), 4) AS hi
+           FROM f)
+         SELECT l.l_returnflag, count(*) AS n, max(q1) AS q1, max(q3) AS q3,
+           sum(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS n_low,
+           sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS n_high
+         FROM lineitem l JOIN g ON l.l_returnflag = g.l_returnflag
+         GROUP BY 1""",
     "tpch_q3" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
            round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue

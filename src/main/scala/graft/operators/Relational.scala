@@ -140,6 +140,19 @@ object Relational {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** NULL-SAFE equality join (`<=>` / IS NOT DISTINCT FROM): nullable
+    * join keys where NULL must MATCH the dimension's explicit NULL row
+    * instead of silently dropping — the "uncategorized bucket" join a
+    * plain equi-join can't express. Still hash-joinable (null-safe
+    * equality is an equi-key to Spark), so it broadcasts/shuffles like
+    * any equi-join — no BNLJ. */
+  def nullSafeCategorize(facts: DataFrame, dim: DataFrame,
+                         factKey: String, dimKey: String,
+                         label: String): DataFrame =
+    facts.join(dim, facts(factKey) <=> dim(dimKey))
+      .groupBy(label)
+      .agg(count(lit(1)).as("n"))
+
   /** Correlated EXISTS / NOT EXISTS: customers that ordered at least once
     * but never inside [lo, hi) — the lapsed-customer query. Both
     * subqueries compile to semi/anti joins (no per-row subquery

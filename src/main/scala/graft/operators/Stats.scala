@@ -385,6 +385,27 @@ object Stats {
       round(regr_intercept(col(y), col(x)), 6).as("intercept"),
       round(regr_r2(col(y), col(x)), 6).as("r2"))
 
+  /** Per-group IQR outlier report (Tukey fences): exact Q1/Q3 in one
+    * partial-agg pass, fences broadcast back onto the scan for the
+    * conditional counts — the flag-don't-clip sibling of st_winsorize
+    * (same two-phase shape, approx_percentile the 100 TB bound source).
+    * Counts compare against the ROUNDED fences so both oracle engines
+    * count identically. */
+  def iqrOutliers(df: DataFrame, groupCol: String, c: String): DataFrame = {
+    val fences = df.groupBy(groupCol).agg(
+      round(expr(s"percentile($c, 0.25)"), 4).as("q1"),
+      round(expr(s"percentile($c, 0.75)"), 4).as("q3"))
+      .withColumn("lo",
+        round(col("q1") - (col("q3") - col("q1")) * 1.5, 4))
+      .withColumn("hi",
+        round(col("q3") + (col("q3") - col("q1")) * 1.5, 4))
+    df.join(broadcast(fences), Seq(groupCol))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"), max("q1").as("q1"), max("q3").as("q3"),
+        sum(when(col(c) < col("lo"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col(c) > col("hi"), 1L).otherwise(0L)).as("n_high"))
+  }
+
   /** Global MIDRANKS of a numeric column (ties share the average rank)
     * — the striped twin of avg(row_number) OVER (ORDER BY v): distinct
     * values collapse in one partial-agg pass, value-range stripes give

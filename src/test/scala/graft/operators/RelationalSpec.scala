@@ -67,6 +67,18 @@ class RelationalSpec extends SparkSpec {
     assert(got.toSeq == Seq(1L))
   }
 
+  test("nullSafeCategorize matches NULL keys to the NULL dimension row") {
+    import spark.implicits._
+    val facts = Seq((1L, Some("a")), (2L, None), (3L, Some("b")),
+      (4L, None)).toDF("event_id", "k")
+    val dim = Seq((Some("a"), "a"), (Some("b"), "b"),
+      (None, "__uncategorized__")).toDF("dk", "label")
+    val got = Relational.nullSafeCategorize(facts, dim, "k", "dk", "label")
+      .collect().map(r => r.getAs[String]("label") -> r.getAs[Long]("n")).toMap
+    assert(got == Map("a" -> 1L, "b" -> 1L, "__uncategorized__" -> 2L),
+      "every NULL fact must land in the NULL bucket, none dropped")
+  }
+
   test("positionalTokens pairs each token with its 0-based position") {
     import spark.implicits._
     val docs = Seq((0L, "a b c"), (1L, "skip me"), (100L, "x y"))

@@ -146,6 +146,20 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("r2") - 0.691429) < 1e-6)
   }
 
+  test("iqrOutliers flags exactly the points beyond the Tukey fences") {
+    // 1..11 plus planted outliers -100 and 100: Q1=3, Q3=9 over the 13
+    // values -> actually compute via percentile on the full set
+    val vals = (1 to 11).map(_.toDouble) ++ Seq(-100.0, 100.0)
+    val df = vals.map(("g", _)).toDF("g", "v")
+    val r = Stats.iqrOutliers(df, "g", "v").collect().head
+    assert(r.getAs[Long]("n") == 13L)
+    val q1 = r.getAs[Double]("q1"); val q3 = r.getAs[Double]("q3")
+    val lo = q1 - (q3 - q1) * 1.5; val hi = q3 + (q3 - q1) * 1.5
+    assert(r.getAs[Long]("n_low") == vals.count(_ < lo))
+    assert(r.getAs[Long]("n_high") == vals.count(_ > hi))
+    assert(r.getAs[Long]("n_low") == 1L && r.getAs[Long]("n_high") == 1L)
+  }
+
   test("spearman: 1 on any monotone map, -1 reversed, stripe-invariant with ties") {
     val mono = Seq(1.0, 2.0, 5.0, 9.0).map(v => (v, v * v)).toDF("x", "y")
     assert(Stats.spearman(mono, "x", "y").collect().head
