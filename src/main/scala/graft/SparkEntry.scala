@@ -762,6 +762,13 @@ object SparkEntry {
       Resample.cusumChangepoint(Tables.events(s, d))),
     "ts_gaps" -> ((s, d) =>
       Resample.interArrivalStats(Tables.events(s, d))),
+    "ts_acf" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      // autocorrelation = cross-correlation of a series with itself;
+      // keep the non-negative lags (ACF is symmetric)
+      Resample.crossCorrelation(Tables.events(s, d), "click", "click",
+        maxLag = 12).filter(col("lag") >= 0)
+    }),
     "st_chi2" -> ((s, d) =>
       Stats.chiSquare(Tables.documents(s, d), "lang", "source")),
     "st_mi" -> ((s, d) =>
@@ -787,6 +794,8 @@ object SparkEntry {
         .unionByName(pairs.select(col("b").as("src"), col("a").as("dst"))))
     }),
     "tx_zipf" -> ((s, d) => TextAnalysis.zipfFit(Tables.documents(s, d))),
+    "tx_lexdiv" -> ((s, d) =>
+      TextAnalysis.lexicalDiversity(Tables.documents(s, d))),
     "st_ks" -> ((s, d) =>
       Stats.ksTest(Tables.events(s, d), "event_type", "value", "click", "view")),
     "st_mwu" -> ((s, d) =>
@@ -1045,6 +1054,17 @@ object SparkEntry {
          comp AS (SELECT a AS node, least(a, min(b)) AS label
            FROM reach GROUP BY a)
          SELECT label, count(*) AS n_nodes FROM comp GROUP BY label""",
+    "tx_lexdiv" ->
+      """WITH tf AS (SELECT source, t AS term, count(*) AS n
+           FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+             FROM documents)
+           GROUP BY 1, 2)
+         SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+           count(*) AS vocab,
+           round(count(*) / CAST(sum(n) AS DOUBLE), 6) AS ttr,
+           round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS hapax_share
+         FROM tf GROUP BY 1""",
     "tx_zipf" ->
       """WITH tf AS (SELECT t AS term, count(*) AS n
            FROM (SELECT unnest(string_split(text, ' ')) AS t
@@ -2388,6 +2408,16 @@ object SparkEntry {
                ORDER BY dist_km, s_suppkey) AS INTEGER) AS rnk
            FROM d)
          SELECT c_custkey, s_suppkey, dist_km, rnk FROM r WHERE rnk <= 3""",
+    "ts_acf" ->
+      """WITH hourly AS (
+           SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
+             round(avg(value), 6) AS v
+           FROM events WHERE event_type = 'click'
+           GROUP BY 1),
+         l AS (SELECT unnest(range(0, 13)) AS lag)
+         SELECT lag, count(*) AS n_hours, round(corr(a.v, b.v), 6) AS xcorr
+         FROM l CROSS JOIN hourly a JOIN hourly b ON b.hr = a.hr + lag
+         GROUP BY lag""",
     "ts_gaps" ->
       """WITH g AS (SELECT user_id,
              CAST(floor(epoch(ts)) AS BIGINT)

@@ -314,6 +314,26 @@ object TextAnalysis {
     * broadcast. Scoring joins the model back (AQE broadcasts small
     * models) and takes the tf-weighted mean. Docs under 2 tokens have
     * no bigrams and drop, mirroring the oracle. */
+  /** Per-source lexical diversity — type-token ratio + hapax share
+    * (templated/boilerplate domains score LOW on both; the quick
+    * domain-mix health check before training). One explode pass into
+    * per-source term counts; everything else is a narrow rollup of
+    * that frame. */
+  def lexicalDiversity(documents: DataFrame): DataFrame = {
+    val fanned = Scale.fanOut(documents.select("source", "text"),
+      Seq("source"))
+    val tf = fanned
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("n"))
+    tf.groupBy("source").agg(
+        sum("n").as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("hapax"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        round(col("vocab") / col("n_tokens"), 6).as("ttr"),
+        round(col("hapax") / col("vocab"), 6).as("hapax_share"))
+  }
+
   /** Zipf-law fit of the token frequency distribution: OLS slope of
     * ln(freq) ~ ln(rank) over the top-N terms (natural corpora slope
     * ≈ −1; a far-off slope flags synthetic/templated text). The global

@@ -241,6 +241,18 @@ class TextDedupSpec extends SparkSpec {
     assert(topk.sameElements(full))
   }
 
+  test("lexicalDiversity: unique-word source scores TTR 1, repeated-word 1/n") {
+    import spark.implicits._
+    val docs = Seq(("rich", "a b c d"), ("poor", "x x x x"))
+      .toDF("source", "text")
+    val got = TextAnalysis.lexicalDiversity(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("vocab"),
+          r.getAs[Double]("ttr"), r.getAs[Double]("hapax_share")))).toMap
+    assert(got("rich") == ((4L, 4L, 1.0, 1.0)))
+    assert(got("poor") == ((4L, 1L, 0.25, 0.0)))
+  }
+
   test("zipfFit recovers slope -1 / r2 1 on an exactly Zipfian corpus") {
     import spark.implicits._
     // freq(rank r) = 60/r exactly for r = 1..6: ln f = ln60 - ln r

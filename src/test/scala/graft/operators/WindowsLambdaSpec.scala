@@ -183,6 +183,20 @@ class WindowsLambdaSpec extends SparkSpec {
     assert(out(2L)._1 == 200L - 2L)
   }
 
+  test("autocorrelation of a series with itself is exactly 1 at lag 0") {
+    import spark.implicits._
+    val ev = (0 until 100).map(h => ("click", h.toLong,
+      math.sin(h / 5.0) * 10 + (h % 7)))
+      .toDF("event_type", "h", "value")
+      .withColumn("ts", timestamp_seconds(col("h") * 3600))
+    val acf = Resample.crossCorrelation(ev, "click", "click", maxLag = 3)
+      .filter(col("lag") >= 0).collect()
+      .map(r => r.getAs[Long]("lag") -> r.getAs[Double]("xcorr")).toMap
+    assert(acf(0L) == 1.0)
+    assert(acf.keySet == Set(0L, 1L, 2L, 3L))
+    assert(acf.values.forall(v => v >= -1.0 && v <= 1.0))
+  }
+
   test("seasonalDecompose recovers a planted hour-of-day cycle") {
     import spark.implicits._
     // value(t) = 50 + 10·(hod == 6): type mean 50 + 10/24, seasonal
