@@ -482,6 +482,10 @@ object SparkEntry {
       sources.Lake.csvRoundtrip(s, Tables.nation(s, d), scratch(d, "csv_nation"))),
     "src_orc_roundtrip" -> ((s, d) =>
       sources.Lake.orcRoundtrip(s, Tables.customer(s, d), scratch(d, "orc_customer"))),
+    "src_text_roundtrip" -> ((s, d) =>
+      sources.Lake.textRoundtrip(s,
+        Tables.documents(s, d).select("doc_id", "text"),
+        scratch(d, "text_docs"))),
     // the bucketed layout is built once per session (warmIndexes); the
     // query itself is the exchange-free co-located fact join
     "snk_bucketed_join" -> ((s, d) => {
@@ -1881,6 +1885,8 @@ object SparkEntry {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "src_orc_roundtrip" ->
       "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+    "src_text_roundtrip" ->
+      "SELECT doc_id, text FROM documents",
     "snk_bucketed_join" ->
       """SELECT o_orderstatus, count(*) AS n, round(sum(l_quantity),2) AS qty
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey

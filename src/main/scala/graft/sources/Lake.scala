@@ -105,6 +105,22 @@ object Lake {
     readJson(spark, dir, df.schema)
   }
 
+  /** Raw text-line lake round-trip (spark.read.text — the rawest LLM
+    * corpus format, one document per line): docs serialize as
+    * "<id>\t<text>" and parse back by splitting on the FIRST tab only,
+    * so payload tabs survive. The text source is splittable like any
+    * line format — scans parallelize by HDFS block at 100 TB. */
+  def textRoundtrip(spark: SparkSession, docs: DataFrame,
+                    dir: String): DataFrame = {
+    docs.select(concat(col("doc_id").cast("string"), lit("\t"),
+        col("text")).as("value"))
+      .write.mode(SaveMode.Overwrite).text(dir)
+    spark.read.text(dir)
+      .select(
+        substring_index(col("value"), "\t", 1).cast("long").as("doc_id"),
+        expr("substring(value, instr(value, '\t') + 1)").as("text"))
+  }
+
   /** ORC is the other columnar lake format Spark ships a native
     * vectorized reader for — same pushdown/pruning machinery as parquet
     * (PlanAuditSpec asserts it), so a mixed parquet/ORC lake reads

@@ -68,4 +68,14 @@ class LakeSpec extends SparkSpec {
     assert(merged.filter(col("s_suppkey") % 2 === 1 &&
       col("s_acctbal").isNull).isEmpty)
   }
+
+  test("text-line roundtrip splits on the FIRST tab; payload tabs survive") {
+    import spark.implicits._
+    val dir = s"target/graft_io/test/text_rt_${System.nanoTime()}"
+    val docs = Seq((1L, "plain words"), (2L, "has\ta\ttab"), (3L, ""))
+      .toDF("doc_id", "text")
+    val back = Lake.textRoundtrip(spark, docs, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(back == Map(1L -> "plain words", 2L -> "has\ta\ttab", 3L -> ""))
+  }
 }
