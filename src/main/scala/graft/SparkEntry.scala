@@ -566,6 +566,8 @@ object SparkEntry {
       Windows.rollingDistinctTypes(Tables.events(s, d))),
     "w17_streaks" -> ((s, d) =>
       Windows.activityStreaks(Tables.events(s, d))),
+    "w18_conversion_latency" -> ((s, d) =>
+      Windows.conversionLatency(Tables.events(s, d))),
     "w15_range_frame" -> ((s, d) =>
       Windows.trailingWindowSums(Tables.events(s, d))),
     "w16_rolling_median" -> ((s, d) =>
@@ -1800,6 +1802,19 @@ object SparkEntry {
            AND round(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
                                             CAST(q.qe AS DOUBLE[])), 4)
                >= 0.2""",
+    "w18_conversion_latency" ->
+      """WITH per AS (SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t1
+           FROM events GROUP BY 1),
+         lat AS (SELECT CASE WHEN t1 IS NOT NULL AND t1 >= t0 THEN
+               CAST(floor(epoch(t1)) AS BIGINT)
+                 - CAST(floor(epoch(t0)) AS BIGINT) END AS lat_s
+           FROM per WHERE t0 IS NOT NULL)
+         SELECT count(*) AS n_started, count(lat_s) AS n_converted,
+           round(quantile_cont(lat_s, 0.5), 4) AS median_latency_s,
+           round(quantile_cont(lat_s, 0.9), 4) AS p90_latency_s
+         FROM lat""",
     "w17_streaks" ->
       """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
            FROM events),

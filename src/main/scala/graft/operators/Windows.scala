@@ -71,6 +71,27 @@ object Windows {
         round(max("value").over(byUser.rowsBetween(-2, 0)), 4))
       .select(col("event_id"), col("user_id"), col("roll_avg"), col("roll_max"))
 
+  /** Conversion latency distribution (first `from` → first `to` per
+    * user): both firsts come from ONE conditional-min partial-agg pass
+    * (never two scans or a self-join); a user converts only if the
+    * first `to` is at-or-after the first `from`. Output is a 1-row
+    * summary (starters, converters, exact median/p90 latency);
+    * percentile_approx is the 100 TB drop-in. */
+  def conversionLatency(events: DataFrame, from: String = "signup",
+                        to: String = "purchase"): DataFrame = {
+    val per = events.groupBy("user_id").agg(
+      min(when(col("event_type") === from, col("ts"))).as("t0"),
+      min(when(col("event_type") === to, col("ts"))).as("t1"))
+    per.filter(col("t0").isNotNull)
+      .withColumn("lat_s",
+        when(col("t1").isNotNull && col("t1") >= col("t0"),
+          unix_timestamp(col("t1")) - unix_timestamp(col("t0"))))
+      .agg(count(lit(1)).as("n_started"),
+        count("lat_s").as("n_converted"),
+        round(expr("percentile(lat_s, 0.5)"), 4).as("median_latency_s"),
+        round(expr("percentile(lat_s, 0.9)"), 4).as("p90_latency_s"))
+  }
+
   /** Longest consecutive-active-day streak per user — the classic
     * gaps-and-islands pattern (day − row_number is constant within a
     * run, so runs become groups without a self-join or a loop). One

@@ -104,6 +104,24 @@ class WindowsLambdaSpec extends SparkSpec {
       exactTopK(customers, dense, 3).collect().map(key).toSet)
   }
 
+  test("conversionLatency: one pass, pre-signup purchases never convert") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 7L, "signup", 100L), (2L, 7L, "purchase", 160L), // converts, 60s
+      (3L, 8L, "signup", 100L),                             // never converts
+      (4L, 9L, "purchase", 50L), (5L, 9L, "signup", 100L),  // purchase BEFORE
+      (6L, 10L, "purchase", 10L)                            // never signed up
+    ).map { case (id, u, t, s) => (id, u, t, s) }
+      .toDF("event_id", "user_id", "event_type", "s")
+      .withColumn("ts", timestamp_seconds(col("s")))
+    val r = Windows.conversionLatency(ev).collect().head
+    assert(r.getAs[Long]("n_started") == 3L,
+      "users 7, 8, 9 signed up; user 10 must not count")
+    assert(r.getAs[Long]("n_converted") == 1L,
+      "only user 7 converts; user 9's purchase precedes their signup")
+    assert(r.getAs[Double]("median_latency_s") == 60.0)
+  }
+
   test("activityStreaks finds the longest island, earliest on ties") {
     import spark.implicits._
     // user 7: days 1,2,3 then 5,6 -> longest 3 starting day 1
