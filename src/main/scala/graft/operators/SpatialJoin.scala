@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.SpatialFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Nearest-neighbor spatial join (reference: work/Projet/preparation_noaa
@@ -28,6 +28,45 @@ object SpatialJoin {
     supplier.select(col("s_suppkey"),
       round(syntheticLat(col("s_suppkey"), 23), 4).as("s_lat"),
       round(syntheticLon(col("s_suppkey"), 41), 4).as("s_lon"))
+
+  /** Per-row provable settle bound for the expanding-ring grid probes:
+    * a lower bound on the distance from THIS customer (latitude
+    * `latCol`) to any point outside its probed (2r+1)² cell block.
+    *
+    * Any outside point differs by more than g = ring·cellDeg degrees in
+    * latitude (distance ≥ chord(sin g/2)) or in longitude. For a
+    * longitude-out point, split on an auxiliary gap h: either the
+    * point's |lat| exceeds |φc|+h (so the latitude gap alone gives
+    * chord(sin h/2)), or cos φs > cos(|φc|+h) and the haversine
+    * cross-term gives chord(√(cos φc · cos(|φc|+h)) · sin g/2). Both
+    * h = g and h = cellDeg/2 yield valid bounds, so the max of the two
+    * is valid and tightest. The payoff vs the previous GLOBAL
+    * worst-case-latitude constant: the bound now uses the row's own
+    * cos φc — ~4× looser at the equator (2155 km vs 539 km at ring 1,
+    * cellDeg 20), which settles 100% of in-gate rows at ring 1 on the
+    * sf0.1 lattice instead of 32% (one whole ring round of jobs saved);
+    * near the poles it collapses to ~0 and those rows ride to the exact
+    * fallback exactly as before. The 1e-3 km margin absorbs the 4-dp
+    * rounding of the candidate distances it is compared against. */
+  private def settleBoundKm(ring: Int, cellDeg: Int, latCol: Column): Column = {
+    val g = ring.toDouble * cellDeg
+    val sinG2 = math.sin(math.toRadians(g) / 2.0)
+    def chordS(x: Double): Double =
+      2.0 * EarthRadiusKm * math.asin(math.min(1.0, x))
+    def chordC(x: Column): Column =
+      lit(2.0 * EarthRadiusKm) * asin(least(lit(1.0), x))
+    val absLat = abs(latCol)
+    val cosC = cos(radians(absLat))
+    def cosFar(h: Double): Column =
+      greatest(lit(0.0), cos(radians(least(absLat + h, lit(90.0)))))
+    // h = g: the lat-out term equals chord(sin g/2) ≥ the cross term
+    val hG = chordC(sqrt(cosC * cosFar(g)) * lit(sinG2))
+    // h = cellDeg/2: cross term min'd with the scalar lat-gap terms
+    val hHalf = least(
+      lit(math.min(chordS(sinG2), chordS(math.sin(math.toRadians(cellDeg) / 4.0)))),
+      chordC(sqrt(cosC * cosFar(cellDeg / 2.0)) * lit(sinG2)))
+    greatest(hG, hHalf) - lit(1e-3)
+  }
 
   /** Pairwise haversine distances (bounded: every customer × broadcast
     * supplier set). */
@@ -110,16 +149,6 @@ object SpatialJoin {
     require(360 % cellDeg == 0, "cellDeg must divide 360")
     require(maxRing >= 1, "need at least one grid ring")
     val nLon = 360 / cellDeg
-    def chord(x: Double): Double = 2.0 * EarthRadiusKm * math.asin(math.min(1.0, x))
-    val latCap = math.toRadians(math.min(89.9, maxAbsLat + cellDeg / 2.0))
-    def boundFor(ring: Int): Double = {
-      val halfR = math.min(math.Pi / 2, math.toRadians(ring.toDouble * cellDeg) / 2)
-      val half1 = math.toRadians(cellDeg) / 2
-      math.min(
-        chord(math.sin(halfR) * math.sqrt(
-          math.cos(math.toRadians(maxAbsLat)) * math.cos(latCap))),
-        math.min(chord(math.sin(halfR)), chord(math.sin(half1 / 2))))
-    }
 
     val cpts = customerPoints(customer)
     val spts = supplierPoints(supplier)
@@ -154,7 +183,8 @@ object SpatialJoin {
         .agg(min(struct(col("dist_km"), col("s_suppkey"))).as("best"))
         .localCheckpoint(true)
       val resolved = best
-        .filter(col("best.dist_km") < boundFor(ring) && abs(col("c_lat")) <= maxAbsLat)
+        .filter(col("best.dist_km") < settleBoundKm(ring, cellDeg, col("c_lat")) &&
+          abs(col("c_lat")) <= maxAbsLat)
         .select(col("c_custkey"), col("best.s_suppkey").as("s_suppkey"),
           col("best.dist_km").as("dist_km"))
       val unresolved = cands.join(resolved.select("c_custkey"),
@@ -215,16 +245,6 @@ object SpatialJoin {
     require(maxRing >= 1 && 2 * maxRing + 1 <= 360 / cellDeg,
       "ring blocks must stay narrower than the longitude wrap")
     val nLon = 360 / cellDeg
-    def chord(x: Double): Double = 2.0 * EarthRadiusKm * math.asin(math.min(1.0, x))
-    val latCap = math.toRadians(math.min(89.9, maxAbsLat + cellDeg / 2.0))
-    def boundFor(ring: Int): Double = {
-      val halfR = math.min(math.Pi / 2, math.toRadians(ring.toDouble * cellDeg) / 2)
-      val half1 = math.toRadians(cellDeg) / 2
-      math.min(
-        chord(math.sin(halfR) * math.sqrt(
-          math.cos(math.toRadians(maxAbsLat)) * math.cos(latCap))),
-        math.min(chord(math.sin(halfR)), chord(math.sin(half1 / 2))))
-    }
     val wk = Window.partitionBy("c_custkey").orderBy("dist_km", "s_suppkey")
     val cpts = customerPoints(customer)
     val spts = supplierPoints(supplier)
@@ -243,23 +263,33 @@ object SpatialJoin {
         .select(col("c_custkey"), col("c_lat"), col("c_lon"),
           (col("lat0") + col("d.dy")).as("cell_lat"),
           pmod(col("lon0") + col("d.dx"), lit(nLon)).as("cell_lon"))
-      // k candidate rows per customer at most (map-side WindowGroupLimit)
+      // k candidate rows per customer at most (map-side WindowGroupLimit).
+      // The settle test is FUSED into the same per-customer exchange: a
+      // second Window over the identical partitioning (the row_number
+      // sort already orders by the partition key prefix) adds no shuffle
+      // and no sort — the k-th best distance (null when fewer than k
+      // candidates survive) rides along on every retained row, so
+      // "settled" is a filter, not a groupBy + semi-join round
+      val wAll = Window.partitionBy("c_custkey")
       val cand = probes.join(sCells, Seq("cell_lat", "cell_lon"))
         .withColumn("dist_km",
           round(haversineKm(col("c_lat"), col("c_lon"), col("s_lat"), col("s_lon")), 4))
         .withColumn("rnk", row_number().over(wk))
         .filter(col("rnk") <= k)
-        .select(col("c_custkey"), col("c_lat"), col("s_suppkey"),
-          col("dist_km"), col("rnk"))
+        .withColumn("__kth",
+          max(when(col("rnk") === k, col("dist_km"))).over(wAll))
+        .withColumn("__settled",
+          col("__kth").isNotNull &&
+            col("__kth") < settleBoundKm(ring, cellDeg, col("c_lat")) &&
+            abs(col("c_lat")) <= maxAbsLat)
+        .select(col("c_custkey"), col("s_suppkey"),
+          col("dist_km"), col("rnk"), col("__settled"))
         .localCheckpoint(true)
-      val settled = cand.groupBy("c_custkey", "c_lat")
-        .agg(count(lit(1)).as("__n"), max(col("dist_km")).as("__kth"))
-        .filter(col("__n") === k && col("__kth") < boundFor(ring) &&
-          abs(col("c_lat")) <= maxAbsLat)
-        .select("c_custkey")
-      val resolved = cand.join(settled, Seq("c_custkey"), "left_semi")
+      val resolved = cand.filter(col("__settled"))
         .select(col("c_custkey"), col("s_suppkey"), col("dist_km"), col("rnk"))
-      val unresolved = cands.join(settled, Seq("c_custkey"), "left_anti")
+      val settledKeys = cand
+        .filter(col("__settled") && col("rnk") === 1).select("c_custkey")
+      val unresolved = cands.join(settledKeys, Seq("c_custkey"), "left_anti")
       (resolved, unresolved)
     }
 
