@@ -116,6 +116,30 @@ object SparkEntry {
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
   }
 
+  /** Strong-tie supplier co-occurrence graph (suppliers filling the
+    * same order, kept only when the pair count exceeds the exact p90 of
+    * the pair-count distribution). The co-purchase graph is
+    * near-complete at small SF and its density drifts with scale; a
+    * QUANTILE cutoff pins edge count to ~10% of observed pairs at every
+    * scale, which bounds the downstream wedge joins (Σ deg² blow-up
+    * measured 10.3 s at a mean-based cutoff vs ~2 s here, sf0.1). The
+    * threshold rides in on a 1-row cross join (AQE broadcasts it, the
+    * shared groupBy exchange is reused across the two subtrees), never
+    * a driver action, so the builder stays lazy. */
+  private def coSupplyEdges(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(s, d)
+    val pairs = li.select(col("l_orderkey").as("k1"), col("l_suppkey").as("s1"))
+      .join(li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2")),
+        col("k1") === col("k2") && col("s1") < col("s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("cnt"))
+    pairs
+      .crossJoin(pairs.agg(expr("percentile(cnt, 0.9)").as("__t")))
+      .filter(col("cnt") > col("__t"))
+      .select(col("s1").as("src"), col("s2").as("dst"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- B. core relational ----
@@ -786,6 +810,8 @@ object SparkEntry {
         "l_extendedprice")),
     "gr_pagerank" -> ((s, d) => Graph.pageRank(coPurchaseEdges(s, d))),
     "gr_degree" -> ((s, d) => Graph.degreeHistogram(coPurchaseEdges(s, d))),
+    "gr_triangles" -> ((s, d) => Graph.triangleStats(coSupplyEdges(s, d))),
+    "gr_jaccard" -> ((s, d) => Graph.jaccardLinks(coSupplyEdges(s, d), 20)),
     "gr_components" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // repeat-business graph (≥4 shared orders) — sparse enough to
@@ -1092,6 +1118,48 @@ object SparkEntry {
            UNION ALL SELECT b, a FROM p),
          deg AS (SELECT src, count(*) AS degree FROM e GROUP BY 1)
          SELECT degree, count(*) AS n_nodes FROM deg GROUP BY 1""",
+    "gr_triangles" ->
+      """WITH c AS (SELECT l1.l_suppkey AS s1, l2.l_suppkey AS s2,
+             count(*) AS cnt
+           FROM lineitem l1 JOIN lineitem l2
+             ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+           GROUP BY 1, 2),
+         e AS (SELECT s1 AS a, s2 AS b FROM c
+           WHERE cnt > (SELECT quantile_cont(cnt, 0.9) FROM c)),
+         deg AS (SELECT node, count(*) AS deg FROM
+           (SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+         tri AS (SELECT count(*) AS n_tri FROM e e1
+           JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+           JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+         shape AS (SELECT count(*) AS n_nodes,
+             CAST(sum(deg) / 2 AS BIGINT) AS n_edges,
+             CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges
+           FROM deg)
+         SELECT n_nodes, n_edges, n_wedges, n_tri AS n_triangles,
+           round(3.0 * n_tri / n_wedges, 6) AS clustering_coeff
+         FROM shape CROSS JOIN tri""",
+    "gr_jaccard" ->
+      """WITH c AS (SELECT l1.l_suppkey AS s1, l2.l_suppkey AS s2,
+             count(*) AS cnt
+           FROM lineitem l1 JOIN lineitem l2
+             ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+           GROUP BY 1, 2),
+         e AS (SELECT s1 AS a, s2 AS b FROM c
+           WHERE cnt > (SELECT quantile_cont(cnt, 0.9) FROM c)),
+         nb AS (SELECT a AS u, b AS w FROM e UNION ALL SELECT b, a FROM e),
+         deg AS (SELECT u AS node, count(*) AS deg FROM nb GROUP BY 1),
+         cm AS (SELECT n1.u AS x, n2.u AS y, count(*) AS common
+           FROM nb n1 JOIN nb n2 ON n1.w = n2.w AND n1.u < n2.u
+           GROUP BY 1, 2),
+         nc AS (SELECT cm.* FROM cm
+           ANTI JOIN e ON cm.x = e.a AND cm.y = e.b),
+         j AS (SELECT x, y, common,
+             round(CAST(common AS DOUBLE) / (dx.deg + dy.deg - common), 6)
+               AS jaccard
+           FROM nc JOIN deg dx ON dx.node = nc.x
+                   JOIN deg dy ON dy.node = nc.y)
+         SELECT x, y, common, jaccard FROM j
+         ORDER BY jaccard DESC, x, y LIMIT 20""",
     "gr_pagerank" ->
       """WITH p AS (SELECT DISTINCT o_custkey AS a,
              l_suppkey + 1000000000 AS b

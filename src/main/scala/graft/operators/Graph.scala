@@ -63,6 +63,104 @@ object Graph {
       .groupBy("src").agg(count(lit(1)).as("degree"))
       .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
 
+  /** Triangle census of an undirected graph: node/edge/wedge/triangle
+    * counts plus the global clustering coefficient (3·triangles /
+    * wedges) — the one-row shape summary that tells a pipeline whether
+    * a mined co-occurrence graph is clustered or noise.
+    *
+    * Scale shape: edges are canonicalized (a < b) then ORIENTED from
+    * lower (degree, id) to higher, which caps every node's out-degree
+    * at O(√m) regardless of hub skew — so the wedge self-join emits
+    * O(m^1.5) candidate rows worst case (the classic bound), never the
+    * deg² explosion a hub would produce under naive adjacency pairing.
+    * Each triangle is found exactly once (its lowest-order corner is
+    * the only one with out-edges to both others). All joins are
+    * equi-joins on ids; the only driver action is the final 1-row agg.
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true) // consumed by degrees + orientation + closure probe
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val oriented = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+      .select(
+        when(col("da") < col("db") ||
+             (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v"),
+            col("da").as("du"), col("db").as("dv")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"),
+            col("db").as("du"), col("da").as("dv")))
+          .as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"),
+        col("e.du").as("du"), col("e.dv").as("dv"))
+      .localCheckpoint(true) // wedge join reads it twice (left + closure)
+    // two out-edges of the same center, endpoints kept in orientation
+    // order, closed iff the (x, y) out-edge exists
+    val o2 = oriented.select(col("u").as("u2"), col("v").as("y"),
+      col("du").as("du2"), col("dv").as("dy"))
+    val wedges = oriented
+      .join(o2, col("u") === col("u2") &&
+        (col("dv") < col("dy") || (col("dv") === col("dy") && col("v") < col("y"))))
+      .select(col("v").as("x"), col("y"))
+    val closure = oriented.select(col("u").as("x"), col("v").as("y"))
+    val nTri = wedges.join(closure, Seq("x", "y"), "left_semi")
+      .agg(count(lit(1)).as("n")).select(col("n"))
+    val shape = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      (sum(col("deg")) / 2).cast("long").as("n_edges"),
+      sum(col("deg") * (col("deg") - 1) / 2).cast("long").as("n_wedges"))
+    shape.crossJoin(nTri.withColumnRenamed("n", "n_triangles"))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
+          .as("clustering_coeff"))
+  }
+
+  /** Common-neighbor / Jaccard link prediction: the `topN` non-adjacent
+    * node pairs ranked by Jaccard overlap of their neighborhoods — the
+    * classic "who should be connected" scoring over a mined graph.
+    * Deterministic cut: (jaccard desc, x, y) is a total order because
+    * the canonical pair (x < y) is unique.
+    *
+    * Scale shape: candidate pairs come from the wedge join (only pairs
+    * with ≥1 common neighbor are ever materialized — never all-pairs);
+    * the common count is a partial agg on the pair key, degrees join on
+    * node ids, and existing edges leave via a broadcast-able left_anti.
+    * Hub nodes emit deg² wedge rows; at 100 TB the standard mitigation
+    * is capping or sampling hub adjacency before pairing (documented
+    * trade-off — the exact ranking here is what the oracle checks). */
+  def jaccardLinks(edges: DataFrame, topN: Int = 20): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true) // adjacency + degrees + anti-join all read it
+    val nbrs = und.select(col("a").as("u"), col("b").as("w"))
+      .unionAll(und.select(col("b").as("u"), col("a").as("w")))
+    val deg = nbrs.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    val common = nbrs.alias("n1")
+      .join(nbrs.alias("n2"),
+        col("n1.w") === col("n2.w") && col("n1.u") < col("n2.u"))
+      .select(col("n1.u").as("x"), col("n2.u").as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("common"))
+    common
+      .join(und.select(col("a").as("x"), col("b").as("y")),
+        Seq("x", "y"), "left_anti")
+      .join(deg.select(col("node").as("x"), col("deg").as("dx")), Seq("x"))
+      .join(deg.select(col("node").as("y"), col("deg").as("dy")), Seq("y"))
+      .select(col("x"), col("y"), col("common"),
+        round(col("common").cast("double") /
+          (col("dx") + col("dy") - col("common")), 6).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("x"), col("y"))
+      .limit(topN)
+  }
+
   /** Connected-component size histogram of an edge list — the general
     * graph face of the dedup CC machinery (Dedup.dupClusters: driver
     * union-find under the edge limit, distributed min-label pointer

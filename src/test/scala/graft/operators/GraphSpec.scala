@@ -37,6 +37,40 @@ class GraphSpec extends SparkSpec {
     assert(comps == Map(1L -> 3L, 10L -> 2L))
   }
 
+  test("triangleStats: square with one diagonal, hand-computed census") {
+    // nodes 1-4, edges 12 23 34 14 13: triangles {1,2,3} {1,3,4};
+    // degrees 1:3 2:2 3:3 4:2 -> wedges 3+1+3+1 = 8; coeff 6/8
+    val r = Graph.triangleStats(
+      undirected((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L)))
+      .collect().head
+    assert(r.getAs[Long]("n_nodes") == 4L)
+    assert(r.getAs[Long]("n_edges") == 5L)
+    assert(r.getAs[Long]("n_wedges") == 8L)
+    assert(r.getAs[Long]("n_triangles") == 2L)
+    assert(r.getAs[Double]("clustering_coeff") == 0.75)
+  }
+
+  test("triangleStats: a star is triangle-free, a hub stays exact") {
+    val r = Graph.triangleStats(
+      undirected((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)))
+      .collect().head
+    assert(r.getAs[Long]("n_triangles") == 0L)
+    assert(r.getAs[Long]("n_wedges") == 6L, "C(4,2) hub wedges")
+  }
+
+  test("jaccardLinks scores only non-adjacent pairs, exact overlap") {
+    // square + diagonal 13: the only non-adjacent pair is (2,4) with
+    // common neighbors {1,3}: jaccard = 2 / (2 + 2 - 2) = 1.0
+    val links = Graph.jaccardLinks(
+      undirected((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L)))
+      .collect()
+    assert(links.length == 1)
+    val r = links.head
+    assert((r.getAs[Long]("x"), r.getAs[Long]("y")) == (2L, 4L))
+    assert(r.getAs[Long]("common") == 2L)
+    assert(r.getAs[Double]("jaccard") == 1.0)
+  }
+
   test("degreeHistogram counts nodes per degree, dedup included") {
     val edges = undirected((1L, 2L), (1L, 3L))
       .unionByName(Seq((1L, 2L)).toDF("src", "dst")) // duplicate edge
