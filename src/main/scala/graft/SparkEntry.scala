@@ -370,6 +370,8 @@ object SparkEntry {
       FuzzyJoin.fuzzyPairs(Tables.customer(s, d), "c_custkey", "c_name")),
     "dd_drop_exact" -> ((s, d) =>
       Dedup.dropExactDuplicates(Tables.documents(s, d)).select("keep_id", "n_chars")),
+    "dd_dupspans" -> ((s, d) =>
+      Dedup.duplicatedSpans(Tables.documents(s, d), k = 8)),
     "dd_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), 3, 0.2)),
     // asymmetric containment — catches a short doc quoted inside a long
@@ -1639,6 +1641,30 @@ object SparkEntry {
            FROM documents),
          k AS (SELECT f, min(doc_id) AS keep_id FROM fp GROUP BY f)
          SELECT k.keep_id, d.n_chars FROM k JOIN documents d ON d.doc_id = k.keep_id""",
+    "dd_dupspans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         g AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 6),
+             i -> {'pos': i - 1, 'gram':
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' '
+               || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]}))
+             AS z
+           FROM toks WHERE len(t) >= 8),
+         grams AS (SELECT doc_id, z.pos AS pos, z.gram AS gram FROM g),
+         dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) > 1),
+         hits AS (SELECT gr.doc_id, gr.pos FROM grams gr
+           JOIN dup ON gr.gram = dup.gram),
+         brk AS (SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER
+               (PARTITION BY doc_id ORDER BY pos) <= 8
+               THEN 0 ELSE 1 END AS b
+           FROM hits),
+         grp AS (SELECT doc_id, pos, sum(b) OVER
+             (PARTITION BY doc_id ORDER BY pos) AS isl
+           FROM brk)
+         SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 7 AS BIGINT) AS span_end,
+           CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS n_tokens
+         FROM grp GROUP BY doc_id, isl""",
     "dd_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          sh AS (SELECT DISTINCT doc_id, s FROM (

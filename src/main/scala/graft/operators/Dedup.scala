@@ -111,6 +111,50 @@ object Dedup {
         col("cont_1_in_2"), col("cont_2_in_1"))
   }
 
+  /** Exact duplicated-SUBSTRING spans (the deduplicate-text-datasets
+    * operation, Lee et al. 2022: training corpora repeat long verbatim
+    * passages inside otherwise-distinct documents, which doc-level
+    * dedup never sees): every maximal token span covered by k-token
+    * grams that occur more than once ANYWHERE in the corpus —
+    * within-doc repeats included. Output (doc_id, span_start, span_end,
+    * n_tokens), token-indexed, ready to subtract from the text.
+    *
+    * Scale shape: grams never exist as strings — the codegen'd
+    * PositionalShingleHashes expression hashes token byte ranges in
+    * place, so the corpus-wide occurrence count is ONE shuffle of
+    * (hash, doc_id, pos) rows with the count riding a window over the
+    * hash (no groupBy + join-back); surviving hit positions then merge
+    * into maximal spans per doc with gaps-and-islands on a single
+    * doc-keyed exchange (gap > k breaks an island — overlapping or
+    * exactly-contiguous covers fuse). An 8-byte hash collision
+    * (~|grams|²/2⁶⁴) could flag one stray span — the same documented
+    * trade every hash-keyed dedup here accepts. */
+  def duplicatedSpans(documents: DataFrame, k: Int = 8): DataFrame = {
+    import graft.plans.PositionalShingleHashes
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val hashes = ColumnBridge.column(
+      PositionalShingleHashes(ColumnBridge.expression(col("text")), k))
+    val grams = Scale.fanOut(documents.select("doc_id", "text"), Seq("doc_id"))
+      .select(col("doc_id"), posexplode(hashes).as(Seq("pos", "h")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"))
+    val hits = grams
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("__n") > 1)
+      .select("doc_id", "pos")
+    val wD = Window.partitionBy("doc_id").orderBy("pos")
+    hits
+      .withColumn("__brk",
+        when(col("pos") - lag("pos", 1).over(wD) <= k, 0).otherwise(1))
+      .withColumn("__isl",
+        sum("__brk").over(wD.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "__isl")
+      .agg(min("pos").as("span_start"),
+        (max("pos") + (k - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("n_tokens"))
+  }
+
   /** Connected components over a near-dup pair list (d1 < d2): cluster
     * id = smallest doc_id reachable. Iterative min-label propagation —
     * the Spark-native CC (each round: join labels to edges, take the

@@ -107,6 +107,45 @@ object SketchImpl {
     new GenericArrayData(java.util.Arrays.copyOf(hs, out))
   }
 
+  /** Word n-gram shingle hashes in POSITION order (no sort, no dedup):
+    * slot t is the hash of tokens [t, t+n-1], so `posexplode` yields
+    * (token position, gram hash) pairs directly — the input the
+    * duplicated-span dedup needs. Same zero-copy byte-range hashing as
+    * [[shingleHashes]]. */
+  def shingleHashesPositional(text: UTF8String, n: Int, seed: Long): ArrayData = {
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val len = text.numBytes
+    var spaces = 0
+    var i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == ' ') spaces += 1
+      i += 1
+    }
+    val nTok = spaces + 1
+    if (nTok < n) return new GenericArrayData(Array.emptyLongArray)
+    val starts = new Array[Int](nTok + 1)
+    var t = 1
+    i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == ' ') {
+        starts(t) = i + 1; t += 1
+      }
+      i += 1
+    }
+    starts(nTok) = len + 1
+    val m = nTok - n + 1
+    val hs = new Array[Long](m)
+    t = 0
+    while (t < m) {
+      val s = starts(t)
+      val e = starts(t + n) - 1
+      hs(t) = XXH64.hashUnsafeBytes(base, off + s, e - s, seed)
+      t += 1
+    }
+    new GenericArrayData(hs)
+  }
+
   /** MinHash signature over precomputed shingle hashes (the hash IS the
     * base value; k affine permutations as in `minhash`). */
   def minhashFromHashes(hashes: ArrayData, a: Array[Long], b: Array[Long]): ArrayData = {
@@ -233,6 +272,32 @@ case class ShingleHashes(child: Expression, n: Int, seed: Long = 42L)
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
+}
+
+/** Positional shingle-hash expression: string → array<long> of word
+  * n-gram hashes in position order (slot t = hash of tokens
+  * [t, t+n-1]), for span-level dedup. */
+case class PositionalShingleHashes(child: Expression, n: Int, seed: Long = 42L)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"expected string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes_pos"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SketchImpl.shingleHashesPositional(input.asInstanceOf[UTF8String], n, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.SketchImpl.shingleHashesPositional($c, $n, ${seed}L);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : PositionalShingleHashes = copy(child = newChild)
 }
 
 trait HashArrayInput { self: UnaryExpression =>

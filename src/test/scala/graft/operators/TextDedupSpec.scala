@@ -22,6 +22,30 @@ class TextDedupSpec extends SparkSpec {
     assert(kept.agg(max("keep_id")).first().getLong(0) < 10000)
   }
 
+  test("duplicatedSpans: cross-doc, within-doc, and gap-split islands") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "p q r s t u v"),          // "p q r","q r s" dup'd vs doc 2
+      (2L, "z z p q r s y"),          // hits at pos 2,3
+      (3L, "m m m m m m"),            // within-doc repeat: all 4 grams
+      (4L, "p q r a1 b1 c1 d1 p q r") // two islands: gap 7 > k=3
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(docs, k = 3).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"), r.getAs[Long]("n_tokens"))).toSet
+    assert(spans == Set(
+      (1L, 0L, 3L, 4L),  // "p q r s"
+      (2L, 2L, 5L, 4L),
+      (3L, 0L, 5L, 6L),  // the whole self-repeating doc
+      (4L, 0L, 2L, 3L), (4L, 7L, 9L, 3L)))
+  }
+
+  test("duplicatedSpans: unique corpus yields no spans, short docs safe") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "e f g h"), (3L, "x y")) // doc 3 < k
+    assert(Dedup.duplicatedSpans(docs.toDF("doc_id", "text"), k = 3).count() == 0)
+  }
+
   test("ngramJaccardPairs surfaces planted near-duplicates symmetric in [0,1]") {
     val pairs = Dedup.ngramJaccardPairs(Tables.documents(spark, sf), 3, 0.2).collect()
     pairs.foreach { r =>
