@@ -766,6 +766,22 @@ object SparkEntry {
       Quality.schemaDrift(old, neu)
     }),
     "dq_freshness" -> ((s, d) => Quality.freshness(Tables.events(s, d))),
+    "dq_integrity" -> ((s, d) => {
+      def rel(name: String, child: org.apache.spark.sql.DataFrame,
+              ck: String, parent: org.apache.spark.sql.DataFrame,
+              pk: String) =
+        Quality.referentialIntegrity(name, child, ck, parent, pk)
+      rel("orders->customer", Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey")
+        .unionByName(rel("lineitem->orders", Tables.lineitem(s, d),
+          "l_orderkey", Tables.orders(s, d), "o_orderkey"))
+        .unionByName(rel("lineitem->part", Tables.lineitem(s, d),
+          "l_partkey", Tables.part(s, d), "p_partkey"))
+        .unionByName(rel("customer->nation", Tables.customer(s, d),
+          "c_nationkey", Tables.nation(s, d), "n_nationkey"))
+        .unionByName(rel("supplier->nation", Tables.supplier(s, d),
+          "s_nationkey", Tables.nation(s, d), "n_nationkey"))
+    }),
     "dq_completeness" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // deterministic seeded nulls (mirrored in the oracle CTE) — the
@@ -2411,6 +2427,57 @@ object SparkEntry {
              AS hours_behind,
            round(null_values / n_rows, 6) AS null_value_frac
          FROM per, hwm""",
+    "dq_integrity" ->
+      """SELECT 'orders->customer' AS relation,
+           (SELECT count(*) FROM orders) AS n_child_rows,
+           (SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS n_null_fk,
+           (SELECT count(*) FROM
+             (SELECT o_custkey AS k FROM orders WHERE o_custkey IS NOT NULL) c
+             ANTI JOIN (SELECT DISTINCT c_custkey AS k FROM customer) p
+             ON c.k = p.k) AS n_orphans,
+           (SELECT count(DISTINCT c_custkey) FROM customer) AS n_parent_keys,
+           (SELECT count(*) FROM (SELECT c_custkey FROM customer
+             GROUP BY 1 HAVING count(*) > 1)) AS n_dup_parent_keys
+         UNION ALL SELECT 'lineitem->orders',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL),
+           (SELECT count(*) FROM
+             (SELECT l_orderkey AS k FROM lineitem WHERE l_orderkey IS NOT NULL) c
+             ANTI JOIN (SELECT DISTINCT o_orderkey AS k FROM orders) p
+             ON c.k = p.k),
+           (SELECT count(DISTINCT o_orderkey) FROM orders),
+           (SELECT count(*) FROM (SELECT o_orderkey FROM orders
+             GROUP BY 1 HAVING count(*) > 1))
+         UNION ALL SELECT 'lineitem->part',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem WHERE l_partkey IS NULL),
+           (SELECT count(*) FROM
+             (SELECT l_partkey AS k FROM lineitem WHERE l_partkey IS NOT NULL) c
+             ANTI JOIN (SELECT DISTINCT p_partkey AS k FROM part) p
+             ON c.k = p.k),
+           (SELECT count(DISTINCT p_partkey) FROM part),
+           (SELECT count(*) FROM (SELECT p_partkey FROM part
+             GROUP BY 1 HAVING count(*) > 1))
+         UNION ALL SELECT 'customer->nation',
+           (SELECT count(*) FROM customer),
+           (SELECT count(*) FROM customer WHERE c_nationkey IS NULL),
+           (SELECT count(*) FROM
+             (SELECT c_nationkey AS k FROM customer WHERE c_nationkey IS NOT NULL) c
+             ANTI JOIN (SELECT DISTINCT n_nationkey AS k FROM nation) p
+             ON c.k = p.k),
+           (SELECT count(DISTINCT n_nationkey) FROM nation),
+           (SELECT count(*) FROM (SELECT n_nationkey FROM nation
+             GROUP BY 1 HAVING count(*) > 1))
+         UNION ALL SELECT 'supplier->nation',
+           (SELECT count(*) FROM supplier),
+           (SELECT count(*) FROM supplier WHERE s_nationkey IS NULL),
+           (SELECT count(*) FROM
+             (SELECT s_nationkey AS k FROM supplier WHERE s_nationkey IS NOT NULL) c
+             ANTI JOIN (SELECT DISTINCT n_nationkey AS k FROM nation) p
+             ON c.k = p.k),
+           (SELECT count(DISTINCT n_nationkey) FROM nation),
+           (SELECT count(*) FROM (SELECT n_nationkey FROM nation
+             GROUP BY 1 HAVING count(*) > 1))""",
     "w10_retention" ->
       """WITH e AS (
            SELECT user_id,

@@ -132,6 +132,40 @@ object Quality {
         round(col("null_values") / col("n_rows"), 6).as("null_value_frac"))
   }
 
+  /** Key-integrity audit for one FK relationship: child row/null-FK
+    * counts, orphaned FK values (present in the child, absent from the
+    * parent key set), and parent-side key cardinality + duplicate-key
+    * count — the referential checks a warehouse load gate runs before
+    * publishing a fact table.
+    *
+    * Scale shape: one partial agg over the child, one LEFT ANTI join of
+    * the child's non-null keys against the DISTINCT parent keys (the
+    * parent side collapses to its key set first, so the join input is
+    * key-cardinality-sized and broadcast-able for dimension tables; at
+    * fact-to-fact scale it shuffles on the key, still narrow), and one
+    * two-level partial agg over the parent keys. The three 1-row frames
+    * cross-join back together — no driver action, the whole audit is
+    * one lazy plan. */
+  def referentialIntegrity(relation: String, child: DataFrame,
+                           childKey: String, parent: DataFrame,
+                           parentKey: String): DataFrame = {
+    val base = child.agg(
+      count(lit(1)).as("n_child_rows"),
+      sum(when(col(childKey).isNull, 1L).otherwise(0L)).as("n_null_fk"))
+    val orphans = child.select(col(childKey).as("__k"))
+      .filter(col("__k").isNotNull)
+      .join(parent.select(col(parentKey).as("__k")).distinct(),
+        Seq("__k"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    val pkeys = parent.groupBy(col(parentKey)).agg(count(lit(1)).as("__c"))
+      .agg(count(lit(1)).as("n_parent_keys"),
+        sum(when(col("__c") > 1, 1L).otherwise(0L)).as("n_dup_parent_keys"))
+    base.crossJoin(orphans).crossJoin(pkeys)
+      .select(lit(relation).as("relation"), col("n_child_rows"),
+        col("n_null_fk"), col("n_orphans"), col("n_parent_keys"),
+        col("n_dup_parent_keys"))
+  }
+
   /** Schema drift report between two snapshots of a feed — the check
     * that catches an upstream contract break before any row is read:
     * added/removed columns and type changes, from the schemas alone

@@ -181,4 +181,18 @@ class QualitySpec extends SparkSpec {
     assert(rep("x") == ((4L, 2L, 0.5)))
     assert(rep("y") == ((4L, 2L, 0.5)))
   }
+
+  test("referentialIntegrity counts planted orphans, null FKs, dup parent keys") {
+    import spark.implicits._
+    val parent = Seq(1L, 2L, 2L, 3L).toDF("pk")             // 2 is duplicated
+    val child = Seq(Some(1L), Some(4L), None).toDF("fk")    // 4 is an orphan
+    val r = Quality.referentialIntegrity("child->parent",
+      child, "fk", parent, "pk").collect().head
+    assert(r.getAs[String]("relation") == "child->parent")
+    assert(r.getAs[Long]("n_child_rows") == 3L)
+    assert(r.getAs[Long]("n_null_fk") == 1L, "null FK is not an orphan")
+    assert(r.getAs[Long]("n_orphans") == 1L)
+    assert(r.getAs[Long]("n_parent_keys") == 3L)
+    assert(r.getAs[Long]("n_dup_parent_keys") == 1L)
+  }
 }
