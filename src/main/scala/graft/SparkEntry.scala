@@ -583,6 +583,11 @@ object SparkEntry {
     "tpch_q10" -> ((s, d) =>
       Tpch.q10(Tables.customer(s, d), Tables.orders(s, d),
         Tables.lineitem(s, d), Tables.nation(s, d))),
+    "tpch_q14" -> ((s, d) =>
+      Tpch.q14(Tables.lineitem(s, d), Tables.part(s, d))),
+    "tpch_q18" -> ((s, d) =>
+      Tpch.q18(Tables.customer(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d))),
     "q28_exists" -> ((s, d) =>
       Relational.lapsedCustomers(Tables.customer(s, d), Tables.orders(s, d),
         "1996-01-01", "1997-01-01")),
@@ -2086,6 +2091,24 @@ object SparkEntry {
            AND l_returnflag = 'R' AND c_nationkey = n_nationkey
          GROUP BY 1, 2, 3, 4
          ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "tpch_q14" ->
+      """SELECT round(100.0 *
+           sum(CASE WHEN p_type = 'PROMO'
+               THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) /
+           sum(l_extendedprice * (1.0 - l_discount)), 6)
+           AS promo_revenue_pct
+         FROM lineitem, part
+         WHERE l_partkey = p_partkey
+           AND l_shipdate >= TIMESTAMP '1996-09-01'
+           AND l_shipdate < TIMESTAMP '1996-10-01'""",
+    "tpch_q18" ->
+      """WITH big AS (SELECT l_orderkey, sum(l_quantity) AS total_qty
+           FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300.0)
+         SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+           round(total_qty, 4) AS total_qty
+         FROM orders JOIN big ON o_orderkey = l_orderkey
+           JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
     "q28_exists" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer c
          WHERE EXISTS (SELECT 1 FROM orders o

@@ -62,6 +62,45 @@ object Tpch {
       .agg(round(sum(revenue), 2).as("revenue"))
   }
 
+  /** Q14 (promotion effect): share of one month's revenue that came
+    * from promo-type parts — a conditional aggregate over the
+    * lineitem⋈part join, collapsing to ONE row. The month predicate
+    * pushes to the lineitem scan before the join; part's join strategy
+    * is AQE's call (it grows with scale). */
+  def q14(lineitem: DataFrame, part: DataFrame,
+          monthLo: String = "1996-09-01",
+          monthHi: String = "1996-10-01"): DataFrame =
+    lineitem.filter(col("l_shipdate") >= monthLo &&
+        col("l_shipdate") < monthHi)
+      .join(part.select("p_partkey", "p_type"),
+        col("l_partkey") === col("p_partkey"))
+      .agg(round(lit(100.0) *
+        sum(when(col("p_type") === "PROMO", revenue).otherwise(lit(0.0))) /
+        sum(revenue), 6).as("promo_revenue_pct"))
+
+  /** Q18 (large-volume customers): orders whose total quantity exceeds
+    * a threshold, with their customer, top-n by order value. The
+    * HAVING subquery is a partial-agg rollup of lineitem (narrow
+    * (orderkey, qty) shuffle) whose tiny survivor set then drives the
+    * orders/customer joins — AQE broadcasts it, so neither fact table
+    * shuffles for the join; top-n is TakeOrderedAndProject. Per-order
+    * quantity is scale-invariant, so the threshold keeps its meaning
+    * at any SF. */
+  def q18(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+          qtyThreshold: Double = 300.0, n: Int = 20): DataFrame = {
+    val big = lineitem.groupBy("l_orderkey")
+      .agg(sum("l_quantity").as("total_qty"))
+      .filter(col("total_qty") > qtyThreshold)
+    orders.join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(customer.select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"),
+        round(col("total_qty"), 4).as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(n)
+  }
+
   /** Q10 (returned items): lost revenue per customer from returns in a
     * quarter, top-n worst. */
   def q10(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,

@@ -374,6 +374,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("tpch_q14/q18: partial-agg rollups, date pushdown, top-n via TakeOrdered") {
+    val p14 = plan("tpch_q14")
+    assert(p14.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"month window must reach the lineitem scan:\n$p14")
+    assert(!p14.contains("CartesianProduct") && !p14.contains("BroadcastNestedLoopJoin"),
+      s"q14: no cartesian/BNLJ allowed:\n$p14")
+    val p18 = plan("tpch_q18")
+    assert(p18.contains("TakeOrderedAndProject"),
+      s"q18 top-n must not be a global sort:\n$p18")
+    assert(p18.contains("partial_sum"),
+      s"the HAVING rollup must partial-aggregate map-side:\n$p18")
+  }
+
   test("dd_fuzzy: candidates come from equi-joins only (no cartesian/BNLJ)") {
     val p = plan("dd_fuzzy")
     assert(!p.contains("CartesianProduct") &&
