@@ -414,6 +414,8 @@ object SparkEntry {
       Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), 0.3)),
     "ann_bruteforce" -> ((s, d) =>
       SimilaritySearch.bruteForceTopK(Tables.embeddings(s, d), 0L, 10)),
+    "ann_pca" -> ((s, d) =>
+      SimilaritySearch.pcaProject(Tables.embeddings(s, d), nc = 2)),
     "ann_range" -> ((s, d) =>
       SimilaritySearch.rangeSearch(Tables.embeddings(s, d), 0L, 0.2)),
     "ann_lsh" -> ((s, d) =>
@@ -572,6 +574,9 @@ object SparkEntry {
     }),
     "st_iqr" -> ((s, d) =>
       Stats.iqrOutliers(Tables.lineitem(s, d), "l_returnflag",
+        "l_extendedprice")),
+    "st_mad" -> ((s, d) =>
+      Stats.madByGroup(Tables.lineitem(s, d), "l_returnflag",
         "l_extendedprice")),
     "tpch_q3" -> ((s, d) =>
       Tpch.q3(Tables.customer(s, d), Tables.orders(s, d),
@@ -2046,6 +2051,17 @@ object SparkEntry {
          SELECT label, count(*) AS n
          FROM facts JOIN dim ON facts.k IS NOT DISTINCT FROM dim.dk
          GROUP BY label""",
+    "st_mad" ->
+      """WITH med AS (SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.5) AS med
+           FROM lineitem GROUP BY 1),
+         d AS (SELECT l.l_returnflag, m.med,
+             abs(l.l_extendedprice - m.med) AS adev
+           FROM lineitem l JOIN med m USING (l_returnflag))
+         SELECT l_returnflag, round(min(med), 4) AS median,
+           round(quantile_cont(adev, 0.5), 4) AS mad,
+           round(quantile_cont(adev, 0.5) * 1.4826, 4) AS mad_sigma
+         FROM d GROUP BY 1""",
     "st_iqr" ->
       """WITH f AS (SELECT l_returnflag,
              round(quantile_cont(l_extendedprice, 0.25), 4) AS q1,

@@ -395,4 +395,106 @@ object SimilaritySearch {
         round(dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 4).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** PCA basis of the embedding corpus: mean vector, top-`nc` principal
+    * directions, and their eigenvalues (variances along each).
+    *
+    * The corpus-side work is ONE pass: the MomentsAggregator
+    * partial-aggregates (n, Σx, Σxxᵀ-upper-tri) map-side, so the
+    * shuffle carries a single ~17 KB buffer per map task. The d×d
+    * covariance then lives on the DRIVER (justified scalar — d² doubles
+    * regardless of corpus size, the codebook-training class) where
+    * deterministic seeded power iteration with deflation extracts the
+    * top components. Eigen-residual ‖Cv − λv‖ is spec-asserted. */
+  def pcaBasis(embeddings: DataFrame, nc: Int = 2, iters: Int = 100)
+      : (Array[Double], Array[Array[Double]], Array[Double]) = {
+    import graft.functions.MomentsAggregator
+    val dim = embeddings.select(size(col("embedding"))).head.getInt(0)
+    require(nc >= 1 && nc <= dim, s"need 1 <= nc <= $dim")
+    val m = embeddings
+      .agg(MomentsAggregator.vectorMoments(dim)(
+        col("embedding").cast("array<double>")).as("m"))
+      .select(col("m.n"), col("m.s"), col("m.ss")).head()
+    val n = m.getLong(0)
+    require(n > 1, "PCA needs at least 2 vectors")
+    val s = m.getSeq[Double](1).toArray
+    val ss = m.getSeq[Double](2).toArray
+    val mu = s.map(_ / n)
+    val work = Array.ofDim[Double](dim, dim)
+    var t = 0
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val c = ss(t) / n - mu(i) * mu(j)
+        work(i)(j) = c; work(j)(i) = c; t += 1; j += 1
+      }
+      i += 1
+    }
+    def matVec(a: Array[Array[Double]], v: Array[Double]): Array[Double] =
+      a.map { row =>
+        var acc = 0.0; var k = 0
+        while (k < dim) { acc += row(k) * v(k); k += 1 }
+        acc
+      }
+    def normalized(v: Array[Double]): Array[Double] = {
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      if (nrm == 0.0) v else v.map(_ / nrm)
+    }
+    val rng = new java.util.Random(42L) // fixed seed: deterministic basis
+    val comps = Array.ofDim[Double](nc, dim)
+    val eig = new Array[Double](nc)
+    var c = 0
+    while (c < nc) {
+      // Gram-Schmidt against settled components every step: deflation
+      // alone leaves O(convergence-gap) bleed-through when eigenvalues
+      // are close, re-projection pins orthogonality to fp precision
+      def orthogonalized(v: Array[Double]): Array[Double] = {
+        var p = 0
+        val out = v.clone()
+        while (p < c) {
+          val proj = comps(p).zip(out).map { case (a, b) => a * b }.sum
+          var k = 0
+          while (k < dim) { out(k) -= proj * comps(p)(k); k += 1 }
+          p += 1
+        }
+        out
+      }
+      var v = normalized(orthogonalized(
+        Array.fill(dim)(rng.nextDouble() - 0.5)))
+      var it = 0
+      while (it < iters) {
+        v = normalized(orthogonalized(matVec(work, v)))
+        it += 1
+      }
+      val av = matVec(work, v)
+      val lambda = v.zip(av).map { case (a, b) => a * b }.sum
+      comps(c) = v; eig(c) = lambda
+      // deflate: work -= λ v vᵀ so the next iteration finds the next PC
+      i = 0
+      while (i < dim) {
+        var j = 0
+        while (j < dim) { work(i)(j) -= lambda * v(i) * v(j); j += 1 }
+        i += 1
+      }
+      c += 1
+    }
+    (mu, comps, eig)
+  }
+
+  /** Map-side PCA projection of every vector onto the top-`nc`
+    * principal components — the standard dimensionality reduction
+    * before distance work (64-d cosine → 2-8 doubles per row).
+    * pc_c = x·v_c − μ·v_c: the centered projection WITHOUT materializing
+    * x − μ per row — one codegen'd dot against a literal component plus
+    * a scalar shift, no shuffle anywhere. */
+  def pcaProject(embeddings: DataFrame, nc: Int = 2): DataFrame = {
+    val (mu, comps, _) = pcaBasis(embeddings, nc)
+    val pcs = comps.zipWithIndex.map { case (v, i) =>
+      val shift = mu.zip(v).map { case (a, b) => a * b }.sum
+      round(dot(col("embedding").cast("array<double>"),
+        lit(v)) - shift, 6).as(s"pc${i + 1}")
+    }
+    embeddings.select(col("vec_id") +: col("label") +: pcs.toIndexedSeq: _*)
+  }
 }

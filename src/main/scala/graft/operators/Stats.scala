@@ -506,6 +506,27 @@ object Stats {
     df.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Median absolute deviation per group — the robust dispersion
+    * estimate (stddev is dragged by the same outliers it is meant to
+    * flag; MAD is 50%-breakdown). Two passes by necessity (the second
+    * median is of deviations FROM the first), but both group medians
+    * ride the same group partitioning: the per-group median joins back
+    * broadcast-sized (group-cardinality rows), and each pass is an
+    * exact distributed percentile. percentile_approx is the
+    * constant-memory 100 TB drop-in for both. Also emits the
+    * 1.4826·MAD sigma-equivalent (consistency constant for normal
+    * data) — the robust z-score denominator. */
+  def madByGroup(df: DataFrame, groupCol: String, c: String): DataFrame = {
+    val med = df.groupBy(groupCol)
+      .agg(expr(s"percentile($c, 0.5)").as("med"))
+    df.join(broadcast(med), Seq(groupCol))
+      .withColumn("__adev", abs(col(c) - col("med")))
+      .groupBy(groupCol)
+      .agg(round(first(col("med")), 4).as("median"),
+        round(expr("percentile(__adev, 0.5)"), 4).as("mad"),
+        round(expr("percentile(__adev, 0.5)") * 1.4826, 4).as("mad_sigma"))
+  }
+
   /** Mutual information (nats) between two categorical columns — the
     * dependence measure st_chi2's test statistic doesn't give you.
     * ONE partial-agg pass → the joint cell frame; both marginals and

@@ -160,6 +160,20 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_low") == 1L && r.getAs[Long]("n_high") == 1L)
   }
 
+  test("madByGroup is outlier-immune where stddev is not") {
+    val df = (Seq(1.0, 2.0, 3.0, 4.0, 1000.0).map(("a", _)) ++
+      Seq(10.0, 10.0, 10.0).map(("b", _))).toDF("g", "v")
+    val r = Stats.madByGroup(df, "g", "v").collect()
+      .map(x => x.getString(0) -> x).toMap
+    // group a: median 3, |dev| = [2,1,0,1,997] -> mad 1 (the 1000 outlier
+    // would drag stddev to ~446 but moves the MAD not at all)
+    assert(r("a").getAs[Double]("median") == 3.0)
+    assert(r("a").getAs[Double]("mad") == 1.0)
+    assert(r("a").getAs[Double]("mad_sigma") == 1.4826)
+    // constant group: zero dispersion by any robust measure
+    assert(r("b").getAs[Double]("mad") == 0.0)
+  }
+
   test("spearman: 1 on any monotone map, -1 reversed, stripe-invariant with ties") {
     val mono = Seq(1.0, 2.0, 5.0, 9.0).map(v => (v, v * v)).toDF("x", "y")
     assert(Stats.spearman(mono, "x", "y").collect().head
