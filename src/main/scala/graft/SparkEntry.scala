@@ -588,6 +588,8 @@ object SparkEntry {
     "tpch_q10" -> ((s, d) =>
       Tpch.q10(Tables.customer(s, d), Tables.orders(s, d),
         Tables.lineitem(s, d), Tables.nation(s, d))),
+    "tpch_q12" -> ((s, d) =>
+      Tpch.q12(Tables.orders(s, d), Tables.lineitem(s, d))),
     "tpch_q14" -> ((s, d) =>
       Tpch.q14(Tables.lineitem(s, d), Tables.part(s, d))),
     "tpch_q18" -> ((s, d) =>
@@ -820,6 +822,9 @@ object SparkEntry {
       Resample.cusumChangepoint(Tables.events(s, d))),
     "ts_gaps" -> ((s, d) =>
       Resample.interArrivalStats(Tables.events(s, d))),
+    "ts_theil_sen" -> ((s, d) => Resample.theilSen(Tables.events(s, d))),
+    "ts_rolling_corr" -> ((s, d) =>
+      Resample.rollingCorrelation(Tables.events(s, d), "click", "purchase")),
     "ts_acf" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       // autocorrelation = cross-correlation of a series with itself;
@@ -831,6 +836,8 @@ object SparkEntry {
       Stats.chiSquare(Tables.documents(s, d), "lang", "source")),
     "st_mi" -> ((s, d) =>
       Stats.mutualInformation(Tables.documents(s, d), "lang", "source")),
+    "st_cramers_v" -> ((s, d) =>
+      Stats.cramersV(Tables.documents(s, d), "lang", "source")),
     "st_benford" -> ((s, d) =>
       Stats.benford(Tables.orders(s, d), "o_totalprice")),
     "st_spearman" -> ((s, d) =>
@@ -840,6 +847,7 @@ object SparkEntry {
     "gr_degree" -> ((s, d) => Graph.degreeHistogram(coPurchaseEdges(s, d))),
     "gr_triangles" -> ((s, d) => Graph.triangleStats(coSupplyEdges(s, d))),
     "gr_jaccard" -> ((s, d) => Graph.jaccardLinks(coSupplyEdges(s, d), 20)),
+    "gr_kcore" -> ((s, d) => Graph.kCore(coSupplyEdges(s, d), 3)),
     "gr_components" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // repeat-business graph (≥4 shared orders) — sparse enough to
@@ -1188,6 +1196,57 @@ object SparkEntry {
                    JOIN deg dy ON dy.node = nc.y)
          SELECT x, y, common, jaccard FROM j
          ORDER BY jaccard DESC, x, y LIMIT 20""",
+    "gr_kcore" ->
+      """WITH c AS MATERIALIZED (SELECT l1.l_suppkey AS s1,
+             l2.l_suppkey AS s2, count(*) AS cnt
+           FROM lineitem l1 JOIN lineitem l2
+             ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+           GROUP BY 1, 2),
+         e AS (SELECT s1 AS a, s2 AS b FROM c
+           WHERE cnt > (SELECT quantile_cont(cnt, 0.9) FROM c)),
+         e0 AS MATERIALIZED (SELECT DISTINCT *
+           FROM (SELECT a, b FROM e UNION ALL SELECT b, a FROM e)),
+         k1 AS MATERIALIZED (SELECT a FROM e0
+           GROUP BY a HAVING count(*) >= 3),
+         e1 AS MATERIALIZED (SELECT u.a, u.b FROM e0 u
+           WHERE u.a IN (SELECT a FROM k1)
+             AND u.b IN (SELECT a FROM k1)),
+         k2 AS MATERIALIZED (SELECT a FROM e1
+           GROUP BY a HAVING count(*) >= 3),
+         e2 AS MATERIALIZED (SELECT u.a, u.b FROM e1 u
+           WHERE u.a IN (SELECT a FROM k2)
+             AND u.b IN (SELECT a FROM k2)),
+         k3 AS MATERIALIZED (SELECT a FROM e2
+           GROUP BY a HAVING count(*) >= 3),
+         e3 AS MATERIALIZED (SELECT u.a, u.b FROM e2 u
+           WHERE u.a IN (SELECT a FROM k3)
+             AND u.b IN (SELECT a FROM k3)),
+         k4 AS MATERIALIZED (SELECT a FROM e3
+           GROUP BY a HAVING count(*) >= 3),
+         e4 AS MATERIALIZED (SELECT u.a, u.b FROM e3 u
+           WHERE u.a IN (SELECT a FROM k4)
+             AND u.b IN (SELECT a FROM k4)),
+         k5 AS MATERIALIZED (SELECT a FROM e4
+           GROUP BY a HAVING count(*) >= 3),
+         e5 AS MATERIALIZED (SELECT u.a, u.b FROM e4 u
+           WHERE u.a IN (SELECT a FROM k5)
+             AND u.b IN (SELECT a FROM k5)),
+         k6 AS MATERIALIZED (SELECT a FROM e5
+           GROUP BY a HAVING count(*) >= 3),
+         e6 AS MATERIALIZED (SELECT u.a, u.b FROM e5 u
+           WHERE u.a IN (SELECT a FROM k6)
+             AND u.b IN (SELECT a FROM k6)),
+         k7 AS MATERIALIZED (SELECT a FROM e6
+           GROUP BY a HAVING count(*) >= 3),
+         e7 AS MATERIALIZED (SELECT u.a, u.b FROM e6 u
+           WHERE u.a IN (SELECT a FROM k7)
+             AND u.b IN (SELECT a FROM k7)),
+         k8 AS MATERIALIZED (SELECT a FROM e7
+           GROUP BY a HAVING count(*) >= 3),
+         e8 AS MATERIALIZED (SELECT u.a, u.b FROM e7 u
+           WHERE u.a IN (SELECT a FROM k8)
+             AND u.b IN (SELECT a FROM k8))
+         SELECT a AS node, count(*) AS core_deg FROM e8 GROUP BY 1""",
     "gr_pagerank" ->
       """WITH p AS (SELECT DISTINCT o_custkey AS a,
              l_suppkey + 1000000000 AS b
@@ -2107,6 +2166,16 @@ object SparkEntry {
            AND l_returnflag = 'R' AND c_nationkey = n_nationkey
          GROUP BY 1, 2, 3, 4
          ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "tpch_q12" ->
+      """SELECT l_linestatus,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 0 ELSE 1 END) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+         GROUP BY 1""",
     "tpch_q14" ->
       """SELECT round(100.0 *
            sum(CASE WHEN p_type = 'PROMO'
@@ -2650,6 +2719,46 @@ object SparkEntry {
            max(gap_s) AS max_gap_s,
            round(quantile_cont(gap_s, 0.95), 4) AS p95_gap_s
          FROM g WHERE gap_s IS NOT NULL GROUP BY 1""",
+    "ts_rolling_corr" ->
+      """WITH hourly AS (SELECT event_type,
+             epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
+             CAST(round(avg(value) * 1e4) AS BIGINT) AS v
+           FROM events WHERE event_type IN ('click', 'purchase')
+           GROUP BY 1, 2),
+         j AS (SELECT a.hr, a.v AS x, b.v AS y
+           FROM hourly a JOIN hourly b ON b.hr = a.hr
+           WHERE a.event_type = 'click' AND b.event_type = 'purchase'),
+         w AS (SELECT hr, count(*) OVER win AS n_win,
+             CAST(count(*) OVER win AS DOUBLE) AS n,
+             CAST(sum(x) OVER win AS DOUBLE) AS sx,
+             CAST(sum(y) OVER win AS DOUBLE) AS sy,
+             CAST(sum(x * y) OVER win AS DOUBLE) AS sxy,
+             CAST(sum(x * x) OVER win AS DOUBLE) AS sxx,
+             CAST(sum(y * y) OVER win AS DOUBLE) AS syy
+           FROM j
+           WINDOW win AS (ORDER BY hr
+             ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+         SELECT hr, n_win, round((n * sxy - sx * sy) /
+             sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr
+         FROM w WHERE n_win = 24""",
+    "ts_theil_sen" ->
+      """WITH hourly AS (SELECT event_type,
+             epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
+             round(avg(value), 6) AS v
+           FROM events GROUP BY 1, 2),
+         hx AS (SELECT event_type,
+             hr - min(hr) OVER (PARTITION BY event_type) AS x, v
+           FROM hourly),
+         m AS (SELECT a.event_type,
+             quantile_cont((b.v - a.v) / (b.x - a.x), 0.5) AS m
+           FROM hx a JOIN hx b
+             ON a.event_type = b.event_type AND b.x > a.x
+           GROUP BY 1)
+         SELECT event_type, round(any_value(m), 6) AS slope,
+           round(quantile_cont(v - m * x, 0.5), 6) AS intercept,
+           count(*) AS n_hours
+         FROM hx JOIN m USING (event_type)
+         GROUP BY event_type""",
     "ts_cusum" ->
       """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
              round(avg(value), 6) AS v
@@ -2731,6 +2840,24 @@ object SparkEntry {
            (count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS df,
            max(n) AS n_total
          FROM grid""",
+    "st_cramers_v" ->
+      """WITH cells AS (SELECT lang AS a, source AS b, count(*) AS o
+               FROM documents GROUP BY 1, 2),
+         rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM cells GROUP BY 1),
+         ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM cells GROUP BY 1),
+         g AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+         grid AS (SELECT rt.a, ct.b, ra, cb, coalesce(o, 0) AS o, n
+                  FROM rt CROSS JOIN ct
+                  LEFT JOIN cells ON cells.a = rt.a AND cells.b = ct.b
+                  CROSS JOIN g),
+         s AS (SELECT sum(pow(o - ra*cb/n, 2) / (ra*cb/n)) AS chi2,
+             count(DISTINCT a) AS ka, count(DISTINCT b) AS kb,
+             max(n) AS n_total
+           FROM grid)
+         SELECT round(sqrt(chi2 / (n_total * least(ka - 1, kb - 1))), 6)
+             AS cramers_v,
+           round(chi2, 4) AS chi2, (ka - 1) * (kb - 1) AS df, n_total
+         FROM s""",
     "st_ks" ->
       """WITH pts AS (
            SELECT value AS v,

@@ -161,6 +161,45 @@ object Graph {
       .limit(topN)
   }
 
+  /** k-core decomposition at a fixed k: the maximal
+    * subgraph in which every surviving node keeps ≥ k neighbors,
+    * found by iterative peeling — drop all nodes of degree < k,
+    * recompute, repeat until a full round removes nothing. Output is
+    * (node, core_deg): membership plus the within-core degree.
+    *
+    * Scale shape: each round is ONE partial-agg degree rollup plus two
+    * left_semi joins against the node-sized survivor frame (AQE
+    * broadcasts it once it fits — and it only shrinks). The surviving
+    * edge frame is localCheckpoint'd per round: it is consumed three
+    * times (degree agg, next join, convergence count), and peeling
+    * depth is data-dependent so an uncut lineage would grow without
+    * bound. Rounds are bounded by the peeling depth (≤ longest
+    * degeneracy chain, ~tens on real graphs), never by graph size;
+    * convergence is edge-count stability, an O(1) driver scalar. */
+  def kCore(edges: DataFrame, k: Int = 3, maxRounds: Int = 30): DataFrame = {
+    require(k >= 1, "k-core needs k >= 1")
+    var und = edges.select(col("src").as("a"), col("dst").as("b"))
+      .union(edges.select(col("dst").as("a"), col("src").as("b")))
+      .distinct()
+      .localCheckpoint(true)
+    var nEdges = und.count()
+    var converged = nEdges == 0L
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val keep = und.groupBy("a").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("a")
+      val next = und.join(keep, Seq("a"), "left_semi")
+        .join(keep.select(col("a").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint(true)
+      val nNext = next.count()
+      // monotone: rounds only remove, so equal counts == true fixpoint
+      converged = nNext == nEdges
+      und = next; nEdges = nNext
+      round += 1
+    }
+    und.groupBy(col("a").as("node")).agg(count(lit(1)).as("core_deg"))
+  }
+
   /** Connected-component size histogram of an edge list — the general
     * graph face of the dedup CC machinery (Dedup.dupClusters: driver
     * union-find under the edge limit, distributed min-label pointer

@@ -313,4 +313,86 @@ object Resample {
       .groupBy("lag")
       .agg(count(lit(1)).as("n_hours"), round(corr(col("va"), col("vb")), 6).as("xcorr"))
   }
+
+  /** Rolling Pearson correlation between two event-type series over a
+    * trailing `windowHours`-hour frame — "are clicks and purchases
+    * still moving together TODAY?", the time-local companion to
+    * [[crossCorrelation]]'s whole-history number.
+    *
+    * Engine-exact by construction: hourly means are scaled to exact
+    * integers (round(avg·10⁴) as long — ⌀10⁴ keeps x² window sums well
+    * inside long range at any plausible value magnitude), so every
+    * windowed sum is exact
+    * integer arithmetic — no float summation-order drift between
+    * engines — and the corr formula then runs on identical doubles.
+    * Scale shape: one partial-agg pass collapses the corpus to the
+    * joined hourly frame first; the ordered window runs over that
+    * calendar-bounded frame only (the striped prefix-sum skeleton of
+    * st_ks is the drop-in if the frame ever outgrows one task). Only
+    * full windows are emitted (a 3-hour "24-hour corr" is noise). */
+  def rollingCorrelation(events: DataFrame, ga: String, gb: String,
+                         windowHours: Int = 24): DataFrame = {
+    val hourly = events.filter(col("event_type").isin(ga, gb))
+      .groupBy(col("event_type"),
+        expr("unix_seconds(date_trunc('hour', ts)) div 3600").as("hr"))
+      .agg(round(avg("value") * 1e4).cast("long").as("v"))
+    val joined = hourly.filter(col("event_type") === ga)
+      .select(col("hr"), col("v").as("x"))
+      .join(hourly.filter(col("event_type") === gb)
+        .select(col("hr").as("hr_b"), col("v").as("y")),
+        col("hr") === col("hr_b"))
+    val w = Window.orderBy("hr").rowsBetween(-(windowHours - 1), 0)
+    val n = count(lit(1)).over(w).cast("double")
+    val sx = sum("x").over(w).cast("double")
+    val sy = sum("y").over(w).cast("double")
+    val sxy = sum(col("x") * col("y")).over(w).cast("double")
+    val sxx = sum(col("x") * col("x")).over(w).cast("double")
+    val syy = sum(col("y") * col("y")).over(w).cast("double")
+    joined
+      .select(col("hr"), count(lit(1)).over(w).as("n_win"),
+        ((n * sxy - sx * sy) /
+          sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))).as("c"))
+      .filter(col("n_win") === windowHours)
+      .select(col("hr"), col("n_win"), round(col("c"), 6).as("corr"))
+  }
+
+  /** Theil–Sen robust trend per event-type series: slope = median of
+    * all pairwise difference quotients over the hourly means, intercept
+    * = median residual at the series start (29.3%-breakdown — one bad
+    * region of the series cannot drag the trend the way OLS lets it;
+    * the robust sibling of st_ols, as st_mad is of stddev).
+    *
+    * Scale shape: ONE partial-agg pass collapses the corpus to hourly
+    * means FIRST, so the quadratic pair join is H² where H = hours in
+    * the observation window — calendar-bounded, invariant to row count
+    * (100 TB of events over the same year gives the same H). x is the
+    * hour offset from each series' own start (shift-invariant slopes;
+    * intercept lands at the start, not extrapolated to epoch 0). The
+    * slope median groups H² values per event type — fine at
+    * calendar-scale H; percentile_approx is the drop-in if H ever
+    * grows unbounded. Hourly means are pre-rounded so both engines
+    * feed the medians identical doubles. */
+  def theilSen(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"),
+        expr("unix_seconds(date_trunc('hour', ts)) div 3600").as("hr"))
+      .agg(round(avg("value"), 6).as("v"))
+      .withColumn("x",
+        col("hr") - min("hr").over(Window.partitionBy("event_type")))
+    val slopes = hourly.select(col("event_type"), col("x").as("x1"),
+        col("v").as("v1"))
+      .join(hourly.select(col("event_type"), col("x").as("x2"),
+        col("v").as("v2")), Seq("event_type"))
+      .filter(col("x2") > col("x1"))
+      .select(col("event_type"),
+        ((col("v2") - col("v1")) / (col("x2") - col("x1"))).as("s"))
+      .groupBy("event_type")
+      .agg(expr("percentile(s, 0.5)").as("m"))
+    hourly.join(broadcast(slopes), Seq("event_type"))
+      .withColumn("resid", col("v") - col("m") * col("x"))
+      .groupBy("event_type")
+      .agg(round(first("m"), 6).as("slope"),
+        round(expr("percentile(resid, 0.5)"), 6).as("intercept"),
+        count(lit(1)).as("n_hours"))
+  }
 }

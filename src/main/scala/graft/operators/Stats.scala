@@ -224,6 +224,37 @@ object Stats {
         max("n").as("n_total"))
   }
 
+  /** Cramér's V effect size between two categorical columns —
+    * √(χ²/(n·min(r−1, c−1))), the [0, 1]-normalized strength the raw
+    * χ² statistic can't give you (χ² grows with n; V answers "HOW
+    * associated", comparable across corpus sizes). Same scale shape as
+    * [[chiSquare]]: one partial-agg pass to the contingency cells,
+    * everything after lives on the category-cardinality grid. V is
+    * derived from the UNROUNDED χ² (both engines build it from exact
+    * integer counts by the same operation order), then both round. */
+  def cramersV(df: DataFrame, a: String, b: String): DataFrame = {
+    val cells = df.groupBy(col(a).as("__a"), col(b).as("__b"))
+      .agg(count(lit(1)).as("o"))
+    val rowT = cells.groupBy("__a").agg(sum("o").as("ra"))
+    val colT = cells.groupBy("__b").agg(sum("o").as("cb"))
+    val grand = cells.agg(sum("o").as("n"))
+    val e = col("ra") * col("cb") / col("n")
+    rowT.crossJoin(colT)
+      .join(cells, Seq("__a", "__b"), "left")
+      .na.fill(0L, Seq("o"))
+      .crossJoin(broadcast(grand))
+      .agg(sum(pow(col("o") - e, 2) / e).as("__chi2"),
+        countDistinct("__a").as("__ka"), countDistinct("__b").as("__kb"),
+        max("n").as("n_total"))
+      .select(
+        round(sqrt(col("__chi2") /
+          (col("n_total") * least(col("__ka") - 1, col("__kb") - 1))), 6)
+          .as("cramers_v"),
+        round(col("__chi2"), 4).as("chi2"),
+        ((col("__ka") - 1) * (col("__kb") - 1)).as("df"),
+        col("n_total"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic between groups `ga` and
     * `gb`: D = max over x of |ECDF_a(x) − ECDF_b(x)| — the
     * distribution-shape A/B test that catches what a t-test on means

@@ -101,6 +101,30 @@ object Tpch {
       .limit(n)
   }
 
+  /** Q12 (shipping priority audit; ref queries/q12.sql adapted —
+    * l_linestatus stands in for the schema's missing l_shipmode): per
+    * line status in a ship-date year, how many lines belong to
+    * critical-priority orders (1-URGENT / 2-HIGH) vs the rest. The
+    * date range is the ONLY selective predicate and it reaches the
+    * lineitem scan; the conditional counts are a single partial-agg
+    * pass over the joined frame (casewhen inside sum — never two
+    * joins or two scans). orders joins on its key with no filter, so
+    * at 100 TB this is the one fact⋈fact shuffle (or zero over the
+    * bucketed layout) — the 2-row output is driver-free otherwise. */
+  def q12(orders: DataFrame, lineitem: DataFrame,
+          yearLo: String = "1996-01-01",
+          yearHi: String = "1997-01-01"): DataFrame = {
+    val crit = col("o_orderpriority") === "1-URGENT" ||
+      col("o_orderpriority") === "2-HIGH"
+    lineitem.filter(col("l_shipdate") >= yearLo &&
+        col("l_shipdate") < yearHi)
+      .join(orders.select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_linestatus")
+      .agg(sum(when(crit, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(crit, 0L).otherwise(1L)).as("low_line_count"))
+  }
+
   /** Q10 (returned items): lost revenue per customer from returns in a
     * quarter, top-n worst. */
   def q10(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,

@@ -387,6 +387,16 @@ class PlanAuditSpec extends SparkSpec {
       s"the HAVING rollup must partial-aggregate map-side:\n$p18")
   }
 
+  test("tpch_q12: ship-year pushed to the scan; conditional counts partial-agg") {
+    val p = plan("tpch_q12")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"ship-date year must reach the lineitem scan:\n$p")
+    assert(p.contains("partial_sum"),
+      s"casewhen counts must partial-aggregate before the exchange:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q12: equi-join only:\n$p")
+  }
+
   test("dd_fuzzy: candidates come from equi-joins only (no cartesian/BNLJ)") {
     val p = plan("dd_fuzzy")
     assert(!p.contains("CartesianProduct") &&

@@ -71,6 +71,23 @@ class GraphSpec extends SparkSpec {
     assert(r.getAs[Double]("jaccard") == 1.0)
   }
 
+  test("kCore peels a pendant chain, keeps the clique, exact core degrees") {
+    // triangle {1,2,3} + chain 3-4-5: for k=2, peeling drops 5 (deg 1)
+    // then 4 (deg 1 after 5 leaves); the triangle survives with every
+    // core degree exactly 2
+    val g = undirected((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val core2 = Graph.kCore(g, k = 2).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("core_deg")).toMap
+    assert(core2 == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // k=3 dissolves the triangle entirely (no node can keep 3 neighbors)
+    assert(Graph.kCore(g, k = 3).isEmpty)
+    // a 4-clique is its own 3-core, untouched by peeling
+    val k4 = undirected((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L))
+    val core3 = Graph.kCore(k4, k = 3).collect()
+    assert(core3.length == 4 && core3.forall(_.getAs[Long]("core_deg") == 3L))
+  }
+
   test("degreeHistogram counts nodes per degree, dedup included") {
     val edges = undirected((1L, 2L), (1L, 3L))
       .unionByName(Seq((1L, 2L)).toDF("src", "dst")) // duplicate edge

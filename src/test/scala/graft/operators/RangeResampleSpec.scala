@@ -148,6 +148,47 @@ class RangeResampleSpec extends SparkSpec {
       .filter(col("seasonal") =!= 0.0).count() == 0)
   }
 
+  test("theilSen recovers a planted slope through a gross outlier; OLS would not") {
+    import spark.implicits._
+    // one event per hour, v = 3 + 2·hour, except hour 5 is corrupted to
+    // 1000: the pairwise-slope median stays exactly 2 (most pairs avoid
+    // the outlier) and the start-intercept stays exactly 3
+    val rows = (0 until 12).map { h =>
+      val v = if (h == 5) 1000.0 else 3.0 + 2.0 * h
+      ("a", h * 3600L * 1000000L, v)
+    }
+    val events = rows.toDF("event_type", "us", "value")
+      .select(col("event_type"), timestamp_micros(col("us")).as("ts"),
+        col("value"))
+    val r = Resample.theilSen(events).collect().head
+    assert(r.getAs[Double]("slope") == 2.0, s"robust slope: $r")
+    assert(r.getAs[Double]("intercept") == 3.0, s"robust intercept: $r")
+    assert(r.getAs[Long]("n_hours") == 12L)
+  }
+
+  test("rollingCorrelation: ±1 on planted co-movement, full windows only") {
+    import spark.implicits._
+    // 30 hours; purchase = 2·click + 5 for the first 27 hours (corr 1
+    // in any window), then mirrored (anti-correlated tail bleeds in)
+    val rows = (0 until 30).flatMap { h =>
+      val c = 10.0 + (h % 7)
+      val p = if (h < 27) 2 * c + 5 else 100 - 3 * c
+      Seq(("click", h * 3600L * 1000000L, c),
+        ("purchase", h * 3600L * 1000000L, p))
+    }
+    val events = rows.toDF("event_type", "us", "value")
+      .select(col("event_type"), timestamp_micros(col("us")).as("ts"),
+        col("value"))
+    val out = Resample.rollingCorrelation(events, "click", "purchase", 24)
+      .orderBy("hr").collect()
+    // hours 0..22 have partial windows and must be absent: 30 - 23 rows
+    assert(out.length == 7 && out.forall(_.getAs[Long]("n_win") == 24L))
+    assert(out.take(4).forall(_.getAs[Double]("corr") == 1.0),
+      "windows fully inside the linear regime must hit corr exactly 1")
+    assert(out.last.getAs[Double]("corr") < 1.0,
+      "a window straddling the mirrored tail must drop below 1")
+  }
+
   test("resample emits a dense series with correct forward fill") {
     val out = Resample.resampleWithGapFill(Tables.events(spark, sf), 3600000000L)
     val perUser = out.groupBy("user_id")

@@ -174,6 +174,20 @@ class StatsSpec extends SparkSpec {
     assert(r("b").getAs[Double]("mad") == 0.0)
   }
 
+  test("cramersV: exactly 1 on a determined copy, exactly 0 on independence") {
+    // b = f(a) bijectively: chi2 = n·min(r-1,c-1), V = 1
+    val copy = Seq("x", "y", "z", "x", "y").map(v => (v, v.toUpperCase))
+      .toDF("a", "b")
+    assert(Stats.cramersV(copy, "a", "b").collect().head
+      .getAs[Double]("cramers_v") == 1.0)
+    // balanced product distribution: observed == expected, chi2 = V = 0
+    val indep = (for { a <- Seq("x", "y"); b <- Seq("u", "v"); _ <- 1 to 3 }
+      yield (a, b)).toDF("a", "b")
+    val r = Stats.cramersV(indep, "a", "b").collect().head
+    assert(r.getAs[Double]("cramers_v") == 0.0 &&
+      r.getAs[Double]("chi2") == 0.0 && r.getAs[Long]("n_total") == 12L)
+  }
+
   test("spearman: 1 on any monotone map, -1 reversed, stripe-invariant with ties") {
     val mono = Seq(1.0, 2.0, 5.0, 9.0).map(v => (v, v * v)).toDF("x", "y")
     assert(Stats.spearman(mono, "x", "y").collect().head
