@@ -606,6 +606,8 @@ object SparkEntry {
       Windows.activityStreaks(Tables.events(s, d))),
     "w18_conversion_latency" -> ((s, d) =>
       Windows.conversionLatency(Tables.events(s, d))),
+    "w19_attribution" -> ((s, d) =>
+      Windows.firstTouchAttribution(Tables.events(s, d))),
     "w15_range_frame" -> ((s, d) =>
       Windows.trailingWindowSums(Tables.events(s, d))),
     "w16_rolling_median" -> ((s, d) =>
@@ -808,6 +810,13 @@ object SparkEntry {
       Quality.completeness(dirty,
         Seq("event_id", "user_id", "value", "props", "event_type"))
     }),
+    "dq_uniqueness" -> ((s, d) => Quality.uniqueness(Seq(
+      ("orders", Tables.orders(s, d), Seq("o_orderkey")),
+      ("customer", Tables.customer(s, d), Seq("c_custkey")),
+      ("lineitem", Tables.lineitem(s, d), Seq("l_orderkey", "l_linenumber")),
+      ("lineitem_orderkey", Tables.lineitem(s, d), Seq("l_orderkey")),
+      ("events", Tables.events(s, d), Seq("event_id")),
+      ("documents", Tables.documents(s, d), Seq("doc_id"))))),
     "w10_retention" -> ((s, d) =>
       Windows.cohortRetention(Tables.events(s, d))),
     "w11_path" -> ((s, d) => Windows.journeyPaths(Tables.events(s, d))),
@@ -840,6 +849,8 @@ object SparkEntry {
       Stats.cramersV(Tables.documents(s, d), "lang", "source")),
     "st_benford" -> ((s, d) =>
       Stats.benford(Tables.orders(s, d), "o_totalprice")),
+    "st_jarque_bera" -> ((s, d) =>
+      Stats.jarqueBera(Tables.events(s, d), "event_type", "value")),
     "st_spearman" -> ((s, d) =>
       Stats.spearman(Tables.lineitem(s, d), "l_quantity",
         "l_extendedprice")),
@@ -848,6 +859,7 @@ object SparkEntry {
     "gr_triangles" -> ((s, d) => Graph.triangleStats(coSupplyEdges(s, d))),
     "gr_jaccard" -> ((s, d) => Graph.jaccardLinks(coSupplyEdges(s, d), 20)),
     "gr_kcore" -> ((s, d) => Graph.kCore(coSupplyEdges(s, d), 3)),
+    "gr_assortativity" -> ((s, d) => Graph.assortativity(coSupplyEdges(s, d))),
     "gr_components" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // repeat-business graph (≥4 shared orders) — sparse enough to
@@ -1098,6 +1110,34 @@ object SparkEntry {
          SELECT digit, n, round(n / total, 6) AS observed,
            round(log10(1.0 + 1.0 / digit), 6) AS expected
          FROM c, t""",
+    "st_jarque_bera" ->
+      """WITH x AS (SELECT event_type,
+             CAST(round(value * 1e4) AS HUGEINT) AS x FROM events),
+         s AS (SELECT event_type, count(*) AS n,
+             sum(x) AS s1, sum(x * x) AS s2, sum(x * x * x) AS s3,
+             sum((x * x) * (x * x)) AS s4
+           FROM x GROUP BY 1),
+         d AS (SELECT event_type, n, CAST(n AS DOUBLE) AS nd,
+             CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2,
+             CAST(s3 AS DOUBLE) AS s3, CAST(s4 AS DOUBLE) AS s4
+           FROM s),
+         m AS (SELECT event_type, n, nd, s1 / nd AS mu,
+             s2 / nd AS r2, s3 / nd AS r3, s4 / nd AS r4 FROM d),
+         mm AS (SELECT event_type, n, nd,
+             r2 - mu * mu AS m2,
+             r3 - 3 * mu * r2 + 2 * mu * mu * mu AS m3,
+             r4 - 4 * mu * r3 + 6 * (mu * mu) * r2
+               - 3 * (mu * mu) * (mu * mu) AS m4
+           FROM m),
+         sk AS (SELECT event_type, n, nd,
+             m3 / nullif(m2 * sqrt(m2), 0) AS skew,
+             m4 / nullif(m2 * m2, 0) AS kurt
+           FROM mm)
+         SELECT event_type, n, round(skew, 6) AS skewness,
+           round(kurt, 6) AS kurtosis,
+           round(nd / 6 * (skew * skew
+             + (kurt - 3) * (kurt - 3) / 4), 4) AS jb
+         FROM sk""",
     "st_mi" ->
       """WITH j AS (SELECT lang, source, count(*) AS nxy
              FROM documents GROUP BY 1, 2),
@@ -1196,6 +1236,31 @@ object SparkEntry {
                    JOIN deg dy ON dy.node = nc.y)
          SELECT x, y, common, jaccard FROM j
          ORDER BY jaccard DESC, x, y LIMIT 20""",
+    "gr_assortativity" ->
+      """WITH c AS MATERIALIZED (SELECT l1.l_suppkey AS s1,
+             l2.l_suppkey AS s2, count(*) AS cnt
+           FROM lineitem l1 JOIN lineitem l2
+             ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+           GROUP BY 1, 2),
+         e AS (SELECT s1 AS a, s2 AS b FROM c
+           WHERE cnt > (SELECT quantile_cont(cnt, 0.9) FROM c)),
+         e0 AS MATERIALIZED (SELECT DISTINCT *
+           FROM (SELECT a, b FROM e UNION ALL SELECT b, a FROM e)),
+         deg AS (SELECT a, count(*) AS deg FROM e0 GROUP BY 1),
+         p AS (SELECT dx.deg AS dx, dy.deg AS dy FROM e0
+           JOIN deg dx ON dx.a = e0.a JOIN deg dy ON dy.a = e0.b),
+         s AS (SELECT count(*) AS m2, sum(dx) AS sx, sum(dy) AS sy,
+             sum(dx * dy) AS sxy, sum(dx * dx) AS sxx,
+             sum(dy * dy) AS syy FROM p),
+         d AS (SELECT m2, CAST(m2 AS DOUBLE) AS n,
+             CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+             CAST(sxy AS DOUBLE) AS sxy, CAST(sxx AS DOUBLE) AS sxx,
+             CAST(syy AS DOUBLE) AS syy FROM s)
+         SELECT CAST(m2 / 2 AS BIGINT) AS n_edges,
+           round((n * sxy - sx * sy) /
+             nullif(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0),
+             6) AS assortativity
+         FROM d""",
     "gr_kcore" ->
       """WITH c AS MATERIALIZED (SELECT l1.l_suppkey AS s1,
              l2.l_suppkey AS s2, count(*) AS cnt
@@ -1994,6 +2059,20 @@ object SparkEntry {
            round(quantile_cont(lat_s, 0.5), 4) AS median_latency_s,
            round(quantile_cont(lat_s, 0.9), 4) AS p90_latency_s
          FROM lat""",
+    "w19_attribution" ->
+      """WITH f AS (SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS rn
+           FROM events),
+         fu AS (SELECT user_id, event_type AS channel FROM f WHERE rn = 1),
+         p AS (SELECT user_id,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+           FROM events WHERE event_type = 'purchase' GROUP BY 1)
+         SELECT channel, count(*) AS n_users,
+           count(p.user_id) AS n_converted,
+           round(coalesce(sum(cents), 0) / 100.0, 2) AS purchase_value
+         FROM fu LEFT JOIN p USING (user_id)
+         GROUP BY 1""",
     "w17_streaks" ->
       """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
            FROM events),
@@ -2522,6 +2601,26 @@ object SparkEntry {
            round(z4 / n, 6) FROM w
          UNION ALL SELECT 'event_type', n, CAST(z5 AS BIGINT),
            round(z5 / n, 6) FROM w""",
+    "dq_uniqueness" ->
+      """SELECT 'orders' AS entity, 'o_orderkey' AS key_cols,
+           count(*) AS n_rows, count(DISTINCT o_orderkey) AS n_keys,
+           count(*) - count(DISTINCT o_orderkey) AS dup_rows FROM orders
+         UNION ALL SELECT 'customer', 'c_custkey', count(*),
+           count(DISTINCT c_custkey),
+           count(*) - count(DISTINCT c_custkey) FROM customer
+         UNION ALL SELECT 'lineitem', 'l_orderkey,l_linenumber', count(*),
+           count(DISTINCT (l_orderkey, l_linenumber)),
+           count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+           FROM lineitem
+         UNION ALL SELECT 'lineitem_orderkey', 'l_orderkey', count(*),
+           count(DISTINCT l_orderkey),
+           count(*) - count(DISTINCT l_orderkey) FROM lineitem
+         UNION ALL SELECT 'events', 'event_id', count(*),
+           count(DISTINCT event_id),
+           count(*) - count(DISTINCT event_id) FROM events
+         UNION ALL SELECT 'documents', 'doc_id', count(*),
+           count(DISTINCT doc_id),
+           count(*) - count(DISTINCT doc_id) FROM documents""",
     "dq_freshness" ->
       """WITH per AS (SELECT event_type, count(*) AS n_rows,
              max(ts) AS max_ts,

@@ -200,6 +200,43 @@ object Graph {
     und.groupBy(col("a").as("node")).agg(count(lit(1)).as("core_deg"))
   }
 
+  /** Degree assortativity coefficient — "do hubs link to hubs?" — the
+    * Pearson correlation between endpoint degrees over the (doubled,
+    * per Newman's convention for undirected graphs) edge list. r > 0:
+    * assortative mixing (social-graph shape); r < 0: hub-and-spoke.
+    *
+    * Scale shape: ONE partial-agg degree rollup, then two equi-joins of
+    * the edge list against the node-sized degree frame (AQE broadcasts
+    * it), then one moment aggregate — the edge list streams through
+    * map-side, never re-shuffles on a new key. Engine-exact: degrees
+    * are integers, so the five sufficient sums Σx Σy Σxy Σx² Σy² stay
+    * in exact integer arithmetic (degree < 2³¹ keeps products in
+    * long range) and both engines run the identical double correlation
+    * formula on identical sums; a degree-regular graph (zero variance)
+    * yields null via nullif, not NaN. */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("src").as("a"), col("dst").as("b"))
+      .union(edges.select(col("dst").as("a"), col("src").as("b")))
+      .distinct()
+    val deg = und.groupBy("a").agg(count(lit(1)).as("deg"))
+    val s = und
+      .join(deg.select(col("a"), col("deg").as("dx")), Seq("a"))
+      .join(deg.select(col("a").as("b"), col("deg").as("dy")), Seq("b"))
+      .agg(count(lit(1)).as("m2"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+    val n = col("m2").cast("double")
+    val (sx, sy, sxy, sxx, syy) = (col("sx").cast("double"),
+      col("sy").cast("double"), col("sxy").cast("double"),
+      col("sxx").cast("double"), col("syy").cast("double"))
+    s.select((col("m2") / 2).cast("long").as("n_edges"),
+      round((n * sxy - sx * sy) /
+        nullif(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), lit(0.0)),
+        6).as("assortativity"))
+  }
+
   /** Connected-component size histogram of an edge list — the general
     * graph face of the dedup CC machinery (Dedup.dupClusters: driver
     * union-find under the edge limit, distributed min-label pointer

@@ -202,4 +202,26 @@ object Quality {
     }
     wide.select(explode(array(stacked: _*)).as("s")).select("s.*")
   }
+
+  /** Primary-key uniqueness audit across a set of declared keys: for
+    * each (entity, key columns) report total rows, distinct key values,
+    * and the duplicate surplus — the "is this actually a key" gate a
+    * warehouse load runs before merging a new drop.
+    *
+    * Scale shape: one partial-agg pass per entity (count + exact
+    * count-distinct — at 100 TB swap in approx_count_distinct, the
+    * report's rate is what matters, per SURVEY §4), each producing a
+    * 1-row frame; the union is entity-count-sized. Composite keys
+    * hash-distinct on the column tuple, so the shuffle key is the
+    * declared key itself — no wider. */
+  def uniqueness(entities: Seq[(String, DataFrame, Seq[String])]): DataFrame =
+    entities.map { case (name, df, keyCols) =>
+      df.agg(count(lit(1)).as("n_rows"),
+          count_distinct(col(keyCols.head), keyCols.tail.map(col): _*)
+            .as("n_keys"))
+        .select(lit(name).as("entity"),
+          lit(keyCols.mkString(",")).as("key_cols"),
+          col("n_rows"), col("n_keys"),
+          (col("n_rows") - col("n_keys")).as("dup_rows"))
+    }.reduce(_.unionByName(_))
 }

@@ -598,4 +598,52 @@ object Stats {
             (count(lit(1)) + lit(1.0)) / count(lit(1)),
           6).as("gini"))
   }
+
+  /** Per-group Jarque–Bera normality test: skewness, excess-free
+    * kurtosis, and JB = n/6·(S² + (K−3)²/4) — the moment-based screen
+    * for "is this metric even close to Gaussian" that decides whether
+    * the t/ANOVA family ([[tTest]]/[[anovaF]]) is trustworthy.
+    *
+    * Engine-exact by construction (the st_mwu integer discipline):
+    * values are scaled to exact integers (round(x·10⁴) as decimal), so
+    * the four power sums Σx..Σx⁴ aggregate in exact decimal/hugeint
+    * arithmetic with NO float summation-order drift; both engines then
+    * run the identical double formula on identical sums. Skewness,
+    * kurtosis, and JB are scale-invariant, so the 10⁴ factor cancels
+    * and never needs unscaling. ONE codegen'd partial-agg pass over the
+    * corpus, group-count-sized output; a zero-variance group yields
+    * nulls via nullif, not NaN/Infinity. Sum headroom: |x| ≤ 10⁷ scaled
+    * keeps Σx⁴ under 10²⁸·rows — exact in decimal(38,0) to ~10¹⁰ rows
+    * per group. */
+  def jarqueBera(df: DataFrame, groupCol: String, c: String): DataFrame = {
+    val x = round(col(c) * 1e4).cast("decimal(9,0)")
+    val s = df.select(col(groupCol), x.as("__x"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("s1"),
+        sum(col("__x") * col("__x")).as("s2"),
+        sum(col("__x") * col("__x") * col("__x")).as("s3"),
+        sum((col("__x") * col("__x")) * (col("__x") * col("__x"))).as("s4"))
+    // identical double expression tree on both engines → identical bits
+    val n = col("n").cast("double")
+    val (s1, s2, s3, s4) = (col("s1").cast("double"),
+      col("s2").cast("double"), col("s3").cast("double"),
+      col("s4").cast("double"))
+    val mu = s1 / n
+    val m2 = s2 / n - mu * mu
+    val m3 = s3 / n - lit(3.0) * mu * (s2 / n) + lit(2.0) * mu * mu * mu
+    val m4 = s4 / n - lit(4.0) * mu * (s3 / n) +
+      lit(6.0) * (mu * mu) * (s2 / n) - lit(3.0) * (mu * mu) * (mu * mu)
+    // m2·√m2 over pow(m2,1.5): sqrt is correctly-rounded IEEE in both
+    // engines, pow is libm-dependent — a 1-ulp divergence could flip a
+    // round(…,6) boundary between Spark and the oracle
+    val skew = m3 / nullif(m2 * sqrt(m2), lit(0.0))
+    val kurt = m4 / nullif(m2 * m2, lit(0.0))
+    s.select(col(groupCol), col("n"),
+      round(skew, 6).as("skewness"),
+      round(kurt, 6).as("kurtosis"),
+      round(n / lit(6.0) *
+        (skew * skew + (kurt - lit(3.0)) * (kurt - lit(3.0)) / lit(4.0)),
+        4).as("jb"))
+  }
 }

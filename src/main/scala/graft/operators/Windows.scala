@@ -370,4 +370,34 @@ object Windows {
       .orderBy(desc("n_users"), asc("path"))
       .limit(20)
   }
+
+  /** First-touch attribution: credit each user's total purchase value
+    * to the CHANNEL of their first-ever event (the acquisition-source
+    * report every growth team runs). Output per channel: users
+    * acquired, users who ever purchased, and attributed revenue.
+    *
+    * Scale shape: NO window — the first event is min(struct(ts,
+    * event_id, event_type)) (lexicographic min ≡ earliest event with
+    * the event_id tiebreak), so the whole per-user pass is ONE
+    * partial-agg shuffle on user_id, then a channel-count-sized rollup.
+    * A row_number window would sort every partition; the min-struct
+    * form combines map-side. Engine-exact money: purchase values sum
+    * as exact integer cents, divided once at the end. */
+  def firstTouchAttribution(events: DataFrame): DataFrame = {
+    val isPurchase = col("event_type") === "purchase"
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+      .groupBy("user_id")
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("event_type")))
+          .getField("event_type").as("channel"),
+        sum(when(isPurchase, round(col("value") * 100).cast("long"))
+          .otherwise(lit(0L))).as("__cents"),
+        max(when(isPurchase, lit(1)).otherwise(lit(0))).as("__purchased"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("__purchased")).as("n_converted"),
+        round(sum(col("__cents")) / 100.0, 2).as("purchase_value"))
+  }
 }

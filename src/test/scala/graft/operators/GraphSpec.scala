@@ -88,6 +88,19 @@ class GraphSpec extends SparkSpec {
     assert(core3.length == 4 && core3.forall(_.getAs[Long]("core_deg") == 3L))
   }
 
+  test("assortativity: star is -1, regular graph is null (zero variance)") {
+    // K1,4 star: every edge joins deg-4 hub to a deg-1 leaf — perfect
+    // disassortativity, r = -1 exactly
+    val star = undirected((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
+    val r = Graph.assortativity(star).collect()(0)
+    assert(r.getAs[Long]("n_edges") == 4L)
+    assert(math.abs(r.getAs[Double]("assortativity") - (-1.0)) < 1e-9)
+    // 4-cycle: all degrees equal → zero degree variance → null, not NaN
+    val cyc = undirected((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val rc = Graph.assortativity(cyc).collect()(0)
+    assert(rc.getAs[Long]("n_edges") == 4L && rc.isNullAt(rc.fieldIndex("assortativity")))
+  }
+
   test("degreeHistogram counts nodes per degree, dedup included") {
     val edges = undirected((1L, 2L), (1L, 3L))
       .unionByName(Seq((1L, 2L)).toDF("src", "dst")) // duplicate edge

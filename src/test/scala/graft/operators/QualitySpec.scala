@@ -195,4 +195,22 @@ class QualitySpec extends SparkSpec {
     assert(r.getAs[Long]("n_parent_keys") == 3L)
     assert(r.getAs[Long]("n_dup_parent_keys") == 1L)
   }
+
+  test("uniqueness audits single and composite keys across entities") {
+    import spark.implicits._
+    val single = Seq(1L, 1L, 2L).toDF("k")
+    val comp = Seq((1L, 1L), (1L, 2L), (1L, 2L)).toDF("k1", "k2")
+    val rows = Quality.uniqueness(Seq(
+      ("single", single, Seq("k")),
+      ("comp", comp, Seq("k1", "k2")))).collect()
+      .map(r => r.getAs[String]("entity") -> r).toMap
+    assert(rows("single").getAs[String]("key_cols") == "k")
+    assert(rows("single").getAs[Long]("n_rows") == 3L)
+    assert(rows("single").getAs[Long]("n_keys") == 2L)
+    assert(rows("single").getAs[Long]("dup_rows") == 1L)
+    // composite key distinguishes (1,1) from (1,2): 2 keys, 1 dup row
+    assert(rows("comp").getAs[String]("key_cols") == "k1,k2")
+    assert(rows("comp").getAs[Long]("n_keys") == 2L)
+    assert(rows("comp").getAs[Long]("dup_rows") == 1L)
+  }
 }

@@ -268,4 +268,22 @@ class StatsSpec extends SparkSpec {
     assert(rows("flat").getAs[Double]("gini") == 0.0,
       "perfect equality must score exactly 0")
   }
+
+  test("jarqueBera: symmetric data has skew 0, hand kurtosis; constant is null") {
+    // [-2,-1,0,1,2]: m2=2, m3=0, m4=6.8 → skew 0, kurt 1.7,
+    // JB = 5/6 · (1.7-3)²/4 = 0.352083…
+    val df = (Seq(-2.0, -1.0, 0.0, 1.0, 2.0).map(("sym", _)) ++
+      Seq.fill(3)(("flat", 3.0))).toDF("g", "v")
+    val rows = Stats.jarqueBera(df, "g", "v").collect()
+      .map(r => r.getAs[String]("g") -> r).toMap
+    val sym = rows("sym")
+    assert(sym.getAs[Long]("n") == 5L)
+    assert(sym.getAs[Double]("skewness") == 0.0)
+    assert(sym.getAs[Double]("kurtosis") == 1.7)
+    assert(sym.getAs[Double]("jb") == 0.3521)
+    val flat = rows("flat")
+    assert(flat.isNullAt(flat.fieldIndex("skewness")) &&
+      flat.isNullAt(flat.fieldIndex("jb")),
+      "zero-variance group must yield null, not NaN/Infinity")
+  }
 }

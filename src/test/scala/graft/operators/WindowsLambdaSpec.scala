@@ -122,6 +122,30 @@ class WindowsLambdaSpec extends SparkSpec {
     assert(r.getAs[Double]("median_latency_s") == 60.0)
   }
 
+  test("firstTouchAttribution credits the first event's channel, event_id ties") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 7L, "click", 100L, 0.0), (2L, 7L, "purchase", 160L, 10.50),
+      (3L, 7L, "purchase", 200L, 5.25),              // click → 15.75
+      (4L, 8L, "view", 100L, 0.0), (5L, 8L, "click", 160L, 0.0), // no buy
+      (6L, 9L, "purchase", 50L, 7.0),                // self-attributed
+      (7L, 10L, "signup", 100L, 0.0), (8L, 10L, "error", 100L, 0.0)
+      // same ts: event_id 7 < 8 → signup wins the tiebreak
+    ).toDF("event_id", "user_id", "event_type", "s", "value")
+      .withColumn("ts", timestamp_seconds(col("s")))
+    val rows = Windows.firstTouchAttribution(ev).collect()
+      .map(r => r.getAs[String]("channel") -> r).toMap
+    assert(rows("click").getAs[Long]("n_users") == 1L)
+    assert(rows("click").getAs[Long]("n_converted") == 1L)
+    assert(rows("click").getAs[Double]("purchase_value") == 15.75)
+    assert(rows("view").getAs[Long]("n_converted") == 0L)
+    assert(rows("view").getAs[Double]("purchase_value") == 0.0)
+    assert(rows("purchase").getAs[Double]("purchase_value") == 7.0)
+    assert(rows("signup").getAs[Long]("n_users") == 1L,
+      "equal-ts first event must resolve by event_id, not arrival order")
+    assert(!rows.contains("error"))
+  }
+
   test("activityStreaks finds the longest island, earliest on ties") {
     import spark.implicits._
     // user 7: days 1,2,3 then 5,6 -> longest 3 starting day 1
