@@ -851,6 +851,15 @@ object SparkEntry {
       Stats.benford(Tables.orders(s, d), "o_totalprice")),
     "st_jarque_bera" -> ((s, d) =>
       Stats.jarqueBera(Tables.events(s, d), "event_type", "value")),
+    "st_cohens_d" -> ((s, d) =>
+      Stats.cohensD(Tables.events(s, d), "event_type", "value")),
+    "ts_burstiness" -> ((s, d) => Resample.burstiness(Tables.events(s, d))),
+    "pipe_chunk" -> ((s, d) =>
+      TextAnalysis.chunkDocuments(Tables.documents(s, d))),
+    "dd_reweight" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.reweightByCluster(docs, Dedup.ngramJaccardPairs(docs, 3, 0.2))
+    }),
     "st_spearman" -> ((s, d) =>
       Stats.spearman(Tables.lineitem(s, d), "l_quantity",
         "l_extendedprice")),
@@ -1076,6 +1085,16 @@ object SparkEntry {
            round(pow(a.v/a.n + b.v/b.n, 2) /
              (pow(a.v/a.n, 2)/(a.n - 1) + pow(b.v/b.n, 2)/(b.n - 1)), 4)
              AS df
+         FROM s a JOIN s b ON a.event_type < b.event_type""",
+    "st_cohens_d" ->
+      """WITH s AS (SELECT event_type, count(value) AS n, avg(value) AS m,
+             var_samp(value) AS v
+           FROM events GROUP BY 1)
+         SELECT a.event_type AS group_a, b.event_type AS group_b,
+           a.n AS na, b.n AS nb,
+           round((a.m - b.m) /
+             sqrt(((a.n - 1) * a.v + (b.n - 1) * b.v) / (a.n + b.n - 2)),
+             4) AS cohens_d
          FROM s a JOIN s b ON a.event_type < b.event_type""",
     "st_anova" ->
       """WITH g AS (SELECT event_type, count(value) AS n, avg(value) AS m,
@@ -1775,6 +1794,15 @@ object SparkEntry {
            CAST((cum_tokens - n_tokens) // 2048 AS BIGINT) AS chunk_id,
            CAST((cum_tokens - n_tokens) % 2048 AS BIGINT) AS chunk_offset
          FROM c""",
+    "pipe_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t
+           FROM documents),
+         n AS (SELECT doc_id, t, len(t) AS n FROM t WHERE len(t) > 0),
+         s AS (SELECT doc_id, t, n, unnest(range(0, n, 40)) AS s FROM n)
+         SELECT doc_id, CAST(s // 40 AS BIGINT) AS chunk_id,
+           CAST(len(t[s+1 : least(s+50, n)]) AS INTEGER) AS chunk_tokens,
+           array_to_string(t[s+1 : least(s+50, n)], ' ') AS chunk_text
+         FROM s""",
     "dd_exact" ->
       """SELECT count(*) AS n_docs, count(DISTINCT fp) AS n_distinct,
            count(*) - count(DISTINCT fp) AS n_dup_docs
@@ -1901,6 +1929,34 @@ object SparkEntry {
          drops AS (SELECT doc_id FROM ranked WHERE rn > 1)
          SELECT d.doc_id, d.n_chars FROM documents d
          WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)""",
+    "dd_reweight" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (SELECT DISTINCT doc_id, s FROM (
+           SELECT doc_id, unnest(list_transform(range(1, len(t)-1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+           FROM toks WHERE len(t) >= 3)),
+         sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+         pairs AS (
+           SELECT d1, d2 FROM p JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+           WHERE round(shared / (x.n_sh + y.n_sh - shared), 6) >= 0.2),
+         edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                   UNION ALL SELECT d2, d1 FROM pairs),
+         reach(a, b) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         clusters AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+                      FROM reach GROUP BY a),
+         cs AS (SELECT cluster_id, count(*) AS cluster_size
+                FROM clusters GROUP BY 1),
+         lab AS (SELECT doc_id, cluster_size
+                 FROM clusters JOIN cs USING (cluster_id))
+         SELECT d.doc_id, coalesce(cluster_size, 1) AS cluster_size,
+           round(1.0 / coalesce(cluster_size, 1), 6) AS weight
+         FROM documents d LEFT JOIN lab USING (doc_id)""",
     "tx_vocab" ->
       """SELECT gram, count(*) AS freq
          FROM (SELECT unnest(string_split(text, ' ')) AS gram FROM documents)
@@ -2818,6 +2874,41 @@ object SparkEntry {
            max(gap_s) AS max_gap_s,
            round(quantile_cont(gap_s, 0.95), 4) AS p95_gap_s
          FROM g WHERE gap_s IS NOT NULL GROUP BY 1""",
+    "ts_burstiness" ->
+      """WITH e AS (SELECT event_type, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t, CAST(ts AS DATE) AS day
+           FROM events),
+         g AS (SELECT event_type, day, t, event_id,
+             t - lag(t) OVER w AS gap
+           FROM e WINDOW w AS (PARTITION BY event_type, day
+             ORDER BY t, event_id)),
+         p AS (SELECT event_type, gap, lead(gap) OVER w AS nxt
+           FROM g WINDOW w AS (PARTITION BY event_type, day
+             ORDER BY t, event_id)),
+         s AS (SELECT event_type, count(gap) AS n_gaps,
+             sum(gap) AS s1, sum(gap * gap) AS s2,
+             count(nxt) AS np,
+             sum(CASE WHEN nxt IS NOT NULL THEN gap END) AS sx,
+             sum(nxt) AS sy,
+             sum(CASE WHEN nxt IS NOT NULL THEN gap * nxt END) AS sxy,
+             sum(CASE WHEN nxt IS NOT NULL THEN gap * gap END) AS sxx,
+             sum(nxt * nxt) AS syy
+           FROM p WHERE gap IS NOT NULL GROUP BY 1),
+         d AS (SELECT event_type, n_gaps,
+             CAST(n_gaps AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS s1,
+             CAST(s2 AS DOUBLE) AS s2, CAST(np AS DOUBLE) AS np,
+             CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+             CAST(sxy AS DOUBLE) AS sxy, CAST(sxx AS DOUBLE) AS sxx,
+             CAST(syy AS DOUBLE) AS syy FROM s),
+         m AS (SELECT event_type, n_gaps, nd, s1 / nd AS mu,
+             sqrt((s2 - s1 * (s1 / nd)) / (nd - 1.0)) AS sd,
+             np, sx, sy, sxy, sxx, syy FROM d)
+         SELECT event_type, n_gaps,
+           round((sd - mu) / nullif(sd + mu, 0), 6) AS burstiness,
+           round((np * sxy - sx * sy) /
+             nullif(sqrt((np * sxx - sx * sx) * (np * syy - sy * sy)), 0),
+             6) AS memory
+         FROM m""",
     "ts_rolling_corr" ->
       """WITH hourly AS (SELECT event_type,
              epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,

@@ -319,6 +319,34 @@ object Dedup {
       .select("doc_id", "n_chars")
   }
 
+  /** Soft dedup: keep EVERY document but down-weight duplicate
+    * clusters to unit total mass (weight = 1/cluster size) — the
+    * training-mix alternative to [[keepCanonical]] when near-dups still
+    * carry signal (SemDeDup-style reweighting). Output: one row per
+    * corpus doc with its cluster size (1 for singletons) and weight.
+    *
+    * Scale shape: cluster labels come from the shared CC machinery;
+    * the size rollup and the label frame are both cluster-membership-
+    * sized (≪ corpus), so the corpus-wide join is a measured broadcast
+    * (shuffled-join degrade above the limit, never an executor OOM) —
+    * the corpus itself is scanned once and never re-shuffles. */
+  def reweightByCluster(documents: DataFrame, pairs: DataFrame,
+                        broadcastLabelLimit: Long = 4000000L): DataFrame = {
+    val clusters = dupClusters(pairs) // (doc_id, cluster_id), checkpointed
+    val sizes = clusters.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    val labeled = clusters.join(sizes, "cluster_id")
+      .select("doc_id", "cluster_size")
+    val bc: DataFrame => DataFrame =
+      if (clusters.count() <= broadcastLabelLimit) broadcast else identity
+    documents.select("doc_id")
+      .join(bc(labeled), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+        round(lit(1.0) / coalesce(col("cluster_size"), lit(1L)), 6)
+          .as("weight"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`. Exact
     * all-pairs baseline (the LSH-bucketed variant in SimilaritySearch is
     * the 100 TB path). */

@@ -395,4 +395,57 @@ object Resample {
         round(expr("percentile(resid, 0.5)"), 6).as("intercept"),
         count(lit(1)).as("n_hours"))
   }
+
+  /** Goh–Barabási burstiness B = (σ−μ)/(σ+μ) and memory coefficient
+    * M = corr(gapᵢ, gapᵢ₊₁) of the inter-event gaps per event type —
+    * the pair that separates "bursty with long silences" (B→1) from
+    * Poisson (B→0) from metronome (B→−1), and whether bursts CLUSTER
+    * (M>0). The corpus-level companion to [[interArrivalStats]]'s
+    * per-user profile.
+    *
+    * Gaps are computed WITHIN calendar days (the cross-midnight gap is
+    * dropped, by definition): that makes the window partition
+    * (event_type, day) — thousands of balanced partitions at any scale
+    * instead of one giant per-type sort. Exactness: gaps are integer
+    * epoch-second diffs, every sufficient sum (Σg, Σg², and the five
+    * lag-pair sums) aggregates in exact long arithmetic, and both
+    * engines run the identical double formula on identical sums
+    * (day-bounded gaps ≤ 86400 keep Σg² exact in long to ~10¹² gaps).
+    * ONE exchange: lag and lead share the window sort, the final
+    * rollup partial-aggregates map-side. */
+  def burstiness(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type", "__day")
+      .orderBy("__t", "event_id")
+    val g = events
+      .select(col("event_type"), col("event_id"),
+        col("ts").cast("long").as("__t"), to_date(col("ts")).as("__day"))
+      .withColumn("__gap", col("__t") - lag("__t", 1).over(w))
+      .withColumn("__nxt", lead("__gap", 1).over(w))
+      .filter(col("__gap").isNotNull)
+    val s = g.groupBy("event_type").agg(
+      count(lit(1)).as("n_gaps"),
+      sum(col("__gap")).as("s1"),
+      sum(col("__gap") * col("__gap")).as("s2"),
+      count(col("__nxt")).as("np"),
+      sum(when(col("__nxt").isNotNull, col("__gap"))).as("sx"),
+      sum(col("__nxt")).as("sy"),
+      sum(when(col("__nxt").isNotNull, col("__gap") * col("__nxt")))
+        .as("sxy"),
+      sum(when(col("__nxt").isNotNull, col("__gap") * col("__gap")))
+        .as("sxx"),
+      sum(col("__nxt") * col("__nxt")).as("syy"))
+    val nd = col("n_gaps").cast("double")
+    val (s1, s2) = (col("s1").cast("double"), col("s2").cast("double"))
+    val mu = s1 / nd
+    val sd = sqrt((s2 - s1 * mu) / (nd - lit(1.0)))
+    val np = col("np").cast("double")
+    val (sx, sy, sxy, sxx, syy) = (col("sx").cast("double"),
+      col("sy").cast("double"), col("sxy").cast("double"),
+      col("sxx").cast("double"), col("syy").cast("double"))
+    s.select(col("event_type"), col("n_gaps"),
+      round((sd - mu) / nullif(sd + mu, lit(0.0)), 6).as("burstiness"),
+      round((np * sxy - sx * sy) /
+        nullif(sqrt((np * sxx - sx * sx) * (np * syy - sy * sy)), lit(0.0)),
+        6).as("memory"))
+  }
 }

@@ -599,6 +599,27 @@ object Stats {
           6).as("gini"))
   }
 
+  /** Pairwise Cohen's d effect size — the "is the difference LARGE"
+    * companion to [[tTest]]'s "is it real" (t grows with n, d doesn't):
+    * (μa−μb)/s_pooled over every group pair, pooled SD from the
+    * (n−1)-weighted variances. Same scale shape as tTest: ONE
+    * partial-agg moment pass over the corpus, the pair join runs on
+    * the group-count-sized stat frame (broadcast, k² pairs of k
+    * groups); same round(·,4) float tolerance as the t/ANOVA family. */
+  def cohensD(df: DataFrame, groupCol: String, c: String): DataFrame = {
+    val g = df.groupBy(groupCol).agg(count(col(c)).as("n"),
+      avg(col(c)).as("m"), var_samp(col(c)).as("v"))
+    val a = g.select(col(groupCol).as("group_a"), col("n").as("na"),
+      col("m").as("ma"), col("v").as("va"))
+    val b = g.select(col(groupCol).as("group_b"), col("n").as("nb"),
+      col("m").as("mb"), col("v").as("vb"))
+    a.join(broadcast(b), col("group_a") < col("group_b"))
+      .select(col("group_a"), col("group_b"), col("na"), col("nb"),
+        round((col("ma") - col("mb")) /
+          sqrt(((col("na") - 1) * col("va") + (col("nb") - 1) * col("vb")) /
+            (col("na") + col("nb") - 2)), 4).as("cohens_d"))
+  }
+
   /** Per-group Jarque–Bera normality test: skewness, excess-free
     * kurtosis, and JB = n/6·(S² + (K−3)²/4) — the moment-based screen
     * for "is this metric even close to Gaussian" that decides whether

@@ -243,6 +243,38 @@ object TextAnalysis {
         expr(s"(cum_tokens - n_tokens) % ${ctxTokens}L").as("chunk_offset"))
   }
 
+  /** Fixed-size overlapping token-window chunking — the
+    * retrieval/embedding-prep sibling of [[packSequences]]: packing
+    * concatenates docs into context-length rows, chunking SPLITS each
+    * doc into `chunkTokens`-token windows advancing by
+    * `chunkTokens − overlap` so no boundary sentence is lost. Output:
+    * (doc_id, chunk_id, chunk_tokens, chunk_text), chunk windows
+    * starting at every multiple of the step below the token count.
+    *
+    * Scale shape: entirely ROW-LOCAL — split once, explode the start
+    * offsets (an int sequence), slice the cached token array per
+    * chunk; no shuffle, no window, output rows ∝ corpus tokens /
+    * step. The explode fan-out is the partition-size knob
+    * (maxPartitionBytes already bounds input rows per task). */
+  def chunkDocuments(documents: DataFrame, chunkTokens: Int = 50,
+                     overlap: Int = 10): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      "overlap must be in [0, chunkTokens)")
+    val step = chunkTokens - overlap
+    documents
+      .select(col("doc_id"), split(col("text"), " ").as("__t"))
+      .withColumn("__n", size(col("__t")))
+      .filter(col("__n") > 0)
+      .select(col("doc_id"), col("__t"), col("__n"),
+        explode(sequence(lit(0), col("__n") - 1, lit(step))).as("__s"))
+      .select(col("doc_id"),
+        (col("__s") / step).cast("long").as("chunk_id"),
+        size(slice(col("__t"), col("__s") + 1, lit(chunkTokens)))
+          .as("chunk_tokens"),
+        array_join(slice(col("__t"), col("__s") + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"))
+  }
+
   /** Corpus vocabulary: token (or n-gram) frequencies, top-N with a
     * deterministic tie-break — the vocabulary-building pass of a
     * tokenizer-training pipeline (explode + one shuffle; at 100 TB add a

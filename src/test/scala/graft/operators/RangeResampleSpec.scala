@@ -189,6 +189,27 @@ class RangeResampleSpec extends SparkSpec {
       "a window straddling the mirrored tail must drop below 1")
   }
 
+  test("burstiness: metronome is exactly -1, bursts positive, midnight dropped") {
+    import spark.implicits._
+    def ev(rows: (Long, String, Long)*) =
+      rows.toSeq.toDF("event_id", "event_type", "s")
+        .withColumn("ts", timestamp_seconds(col("s")))
+    // metronome: equal gaps → sd 0 → B = -1; memory null (zero variance)
+    val m = Resample.burstiness(ev((1L, "m", 0L), (2L, "m", 10L),
+      (3L, "m", 20L), (4L, "m", 30L))).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(m("m").getAs[Long]("n_gaps") == 3L)
+    assert(m("m").getAs[Double]("burstiness") == -1.0)
+    assert(m("m").isNullAt(m("m").fieldIndex("memory")))
+    // long-silence burst: gaps 1,1,100 → sd > mean → B > 0
+    val b = Resample.burstiness(ev((1L, "b", 0L), (2L, "b", 1L),
+      (3L, "b", 2L), (4L, "b", 102L))).collect().head
+    assert(b.getAs[Double]("burstiness") > 0.0)
+    // two events straddling midnight UTC: the cross-day gap is dropped
+    val x = Resample.burstiness(ev((1L, "x", 86390L), (2L, "x", 86405L)))
+    assert(x.isEmpty, "cross-midnight gap must not produce a row")
+  }
+
   test("resample emits a dense series with correct forward fill") {
     val out = Resample.resampleWithGapFill(Tables.events(spark, sf), 3600000000L)
     val perUser = out.groupBy("user_id")

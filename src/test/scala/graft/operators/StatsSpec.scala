@@ -269,6 +269,17 @@ class StatsSpec extends SparkSpec {
       "perfect equality must score exactly 0")
   }
 
+  test("cohensD: unit-variance groups three means apart score exactly -3") {
+    // a=[1,2,3] (m 2, v 1), b=[4,5,6] (m 5, v 1): pooled sd 1, d = -3
+    val df = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++
+      Seq(4.0, 5.0, 6.0).map(("b", _))).toDF("g", "v")
+    val r = Stats.cohensD(df, "g", "v").collect()
+    assert(r.length == 1, "k groups must yield k(k-1)/2 pairs, ordered")
+    assert(r.head.getAs[String]("group_a") == "a")
+    assert(r.head.getAs[Long]("na") == 3L && r.head.getAs[Long]("nb") == 3L)
+    assert(r.head.getAs[Double]("cohens_d") == -3.0)
+  }
+
   test("jarqueBera: symmetric data has skew 0, hand kurtosis; constant is null") {
     // [-2,-1,0,1,2]: m2=2, m3=0, m4=6.8 → skew 0, kurt 1.7,
     // JB = 5/6 · (1.7-3)²/4 = 0.352083…

@@ -252,6 +252,34 @@ class TextDedupSpec extends SparkSpec {
     assert(run(7L).sameElements(run(1L << 20)))
   }
 
+  test("chunkDocuments windows overlap correctly and reconstruct at overlap 0") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")
+    // chunk 3, overlap 1 → step 2: starts 0,2,4,6 → sizes 3,3,3,1
+    val ch = TextAnalysis.chunkDocuments(docs, chunkTokens = 3, overlap = 1)
+      .orderBy("chunk_id").collect()
+    assert(ch.map(_.getAs[Long]("chunk_id")).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(ch.map(_.getAs[Int]("chunk_tokens")).toSeq == Seq(3, 3, 3, 1))
+    assert(ch.map(_.getAs[String]("chunk_text")).toSeq ==
+      Seq("a b c", "c d e", "e f g", "g"))
+    // zero overlap: chunks partition the doc — concatenation round-trips
+    val noOv = TextAnalysis.chunkDocuments(docs, chunkTokens = 3, overlap = 0)
+      .orderBy("chunk_id").collect().map(_.getAs[String]("chunk_text"))
+    assert(noOv.mkString(" ") == "a b c d e f g")
+  }
+
+  test("reweightByCluster: cluster mass sums to 1, singletons keep weight 1") {
+    import spark.implicits._
+    val docs = Seq((1L, "x"), (2L, "x"), (3L, "x")).toDF("doc_id", "n_chars_x")
+      .select(col("doc_id"))
+    val pairs = Seq((1L, 2L)).toDF("d1", "d2")
+    val rows = Dedup.reweightByCluster(docs, pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_size"), r.getAs[Double]("weight"))).toMap
+    assert(rows(1L) == (2L, 0.5) && rows(2L) == (2L, 0.5))
+    assert(rows(3L) == (1L, 1.0), "unclustered doc must keep full weight")
+  }
+
   test("bruteForceTopK is the true top-k (cross-checked against full sort)") {
     val emb = Tables.embeddings(spark, sf)
     import graft.functions.VectorFunctions.cosine
