@@ -215,9 +215,13 @@ object Graph {
     * formula on identical sums; a degree-regular graph (zero variance)
     * yields null via nullif, not NaN. */
   def assortativity(edges: DataFrame): DataFrame = {
+    // the doubled edge frame feeds THREE consumers (degree rollup + both
+    // endpoint joins): materialize it once — an uncut lineage would
+    // replicate the upstream edge mining into every consumer subtree
     val und = edges.select(col("src").as("a"), col("dst").as("b"))
       .union(edges.select(col("dst").as("a"), col("src").as("b")))
       .distinct()
+      .localCheckpoint(true)
     val deg = und.groupBy("a").agg(count(lit(1)).as("deg"))
     val s = und
       .join(deg.select(col("a"), col("deg").as("dx")), Seq("a"))

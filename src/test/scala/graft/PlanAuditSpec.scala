@@ -432,6 +432,53 @@ class PlanAuditSpec extends SparkSpec {
       }
   }
 
+  test("pipe_chunk is fully row-local: zero exchanges, zero windows") {
+    val p = plan("pipe_chunk")
+    assert(!p.contains("Exchange") && !p.contains("Window"),
+      s"chunking must not shuffle or sort:\n$p")
+  }
+
+  test("w19_attribution: min-struct first touch, no window sort") {
+    val p = plan("w19_attribution")
+    assert(!p.contains("Window"),
+      s"first touch must come from min(struct), not a ranking window:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial_"),
+      s"the per-user pass must combine map-side:\n$p")
+  }
+
+  test("st_jarque_bera/st_cohens_d/ts_burstiness: one partial-agg moment pass") {
+    val jb = plan("st_jarque_bera")
+    assert(jb.contains("partial_"), s"jb must partial-aggregate:\n$jb")
+    assert(!jb.contains("Join"), s"jb is ONE pass, no joins:\n$jb")
+    // the k×k pair join runs AFTER aggregation on the k-row stat frame —
+    // the inequality condition makes it a BNLJ by design (st_ttest shape);
+    // what must hold is that the corpus itself never feeds a nested loop
+    val cd = plan("st_cohens_d")
+    assert(cd.contains("partial_"), s"cohens_d must partial-aggregate:\n$cd")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(cd).size == 1 &&
+      !cd.contains("CartesianProduct"),
+      s"only the k-row stat-frame pair join may nest:\n$cd")
+    val b = plan("ts_burstiness")
+    // exchange 1: the (event_type, day) window sort; exchange 2: the
+    // 5-row-per-partition rollup — keyed differently, necessarily separate
+    val n = "Exchange hashpartitioning\\(event_type".r.findAllIn(b).size
+    assert(n <= 2, s"burstiness: lag+lead share one window exchange, " +
+      s"rollup adds at most one more, got $n:\n$b")
+    assert("Window".r.findAllIn(b).size <= 2 &&
+      b.contains("partial_"), s"burstiness rollup must combine map-side:\n$b")
+  }
+
+  test("gr_assortativity: degree joins equi-shaped on the checkpointed edges") {
+    val p = plan("gr_assortativity")
+    // the doubled edge frame is checkpointed before its three consumers,
+    // so the post-checkpoint plan must be pure equi-join + partial agg —
+    // zero nested loops (the mining's scalar gate ran at checkpoint time)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"degree joins must stay hash/SMJ-shaped:\n$p")
+    assert(p.contains("partial_"), s"moment sums must combine map-side:\n$p")
+  }
+
   test("entry flagship runs and returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
