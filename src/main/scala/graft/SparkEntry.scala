@@ -592,6 +592,10 @@ object SparkEntry {
       Tpch.q12(Tables.orders(s, d), Tables.lineitem(s, d))),
     "tpch_q14" -> ((s, d) =>
       Tpch.q14(Tables.lineitem(s, d), Tables.part(s, d))),
+    "tpch_q15" -> ((s, d) =>
+      Tpch.q15(Tables.supplier(s, d), Tables.lineitem(s, d))),
+    "tpch_q19" -> ((s, d) =>
+      Tpch.q19(Tables.lineitem(s, d), Tables.part(s, d))),
     "tpch_q18" -> ((s, d) =>
       Tpch.q18(Tables.customer(s, d), Tables.orders(s, d),
         Tables.lineitem(s, d))),
@@ -614,6 +618,8 @@ object SparkEntry {
       Windows.rollingMedian(Tables.events(s, d))),
     "tx_collocations" -> ((s, d) =>
       TextAnalysis.collocations(Tables.documents(s, d))),
+    "tx_ppmi" -> ((s, d) =>
+      TextAnalysis.ppmiCooccurrence(Tables.documents(s, d))),
     "st_corr_matrix" -> ((s, d) =>
       Stats.corrMatrix(Tables.lineitem(s, d),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
@@ -853,6 +859,8 @@ object SparkEntry {
       Stats.jarqueBera(Tables.events(s, d), "event_type", "value")),
     "st_cohens_d" -> ((s, d) =>
       Stats.cohensD(Tables.events(s, d), "event_type", "value")),
+    "st_levene" -> ((s, d) =>
+      Stats.brownForsythe(Tables.events(s, d), "event_type", "value")),
     "ts_burstiness" -> ((s, d) => Resample.burstiness(Tables.events(s, d))),
     "pipe_chunk" -> ((s, d) =>
       TextAnalysis.chunkDocuments(Tables.documents(s, d))),
@@ -1086,6 +1094,24 @@ object SparkEntry {
              (pow(a.v/a.n, 2)/(a.n - 1) + pow(b.v/b.n, 2)/(b.n - 1)), 4)
              AS df
          FROM s a JOIN s b ON a.event_type < b.event_type""",
+    "st_levene" ->
+      """WITH med AS (SELECT event_type,
+             quantile_cont(value, 0.5) AS md
+           FROM events GROUP BY 1),
+         z AS (SELECT e.event_type, abs(e.value - m.md) AS zv
+           FROM events e JOIN med m ON e.event_type = m.event_type),
+         g AS (SELECT event_type, count(zv) AS n, avg(zv) AS m,
+             var_samp(zv) AS v
+           FROM z GROUP BY 1),
+         gr AS (SELECT sum(n*m)/sum(n) AS gm, sum(n) AS nt, count(*) AS k
+           FROM g),
+         a AS (SELECT max(k) AS k, max(nt) AS n_total,
+             sum(n * pow(m - gm, 2)) AS ssb, sum((n - 1) * v) AS ssw
+           FROM g, gr)
+         SELECT CAST(k AS BIGINT) AS k, CAST(n_total AS BIGINT) AS n_total,
+           round((ssb/(k - 1)) / (ssw/(n_total - k)), 4) AS f_stat,
+           CAST(k - 1 AS BIGINT) AS df1, CAST(n_total - k AS BIGINT) AS df2
+         FROM a""",
     "st_cohens_d" ->
       """WITH s AS (SELECT event_type, count(value) AS n, avg(value) AS m,
              var_samp(value) AS v
@@ -2311,6 +2337,29 @@ object SparkEntry {
          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
            AND l_shipdate < TIMESTAMP '1997-01-01'
          GROUP BY 1""",
+    "tpch_q15" ->
+      """WITH r AS (SELECT l_suppkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 2)
+               AS total_revenue
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1996-04-01'
+           GROUP BY 1)
+         SELECT s_suppkey, s_name, total_revenue
+         FROM r JOIN supplier ON l_suppkey = s_suppkey
+         WHERE total_revenue = (SELECT max(total_revenue) FROM r)
+         ORDER BY s_suppkey""",
+    "tpch_q19" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2)
+             AS revenue,
+           count(*) AS n_lines
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+             AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+             AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+             AND l_quantity BETWEEN 20 AND 30)""",
     "tpch_q14" ->
       """SELECT round(100.0 *
            sum(CASE WHEN p_type = 'PROMO'
@@ -2363,6 +2412,27 @@ object SparkEntry {
          FROM c2 JOIN lm USING (w1) JOIN rm USING (w2) CROSS JOIN tt
          WHERE n >= 5
          ORDER BY pmi DESC, w1, w2 LIMIT 20""",
+    "tx_ppmi" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+           FROM documents),
+         tk AS (SELECT doc_id, unnest(list_transform(
+             range(1, len(t)+1), i -> {'pos': i, 'tok': t[i]}),
+             recursive := true) FROM toks),
+         pr AS (SELECT a.tok AS t1, b.tok AS t2
+           FROM tk a JOIN tk b ON a.doc_id = b.doc_id
+             AND b.pos > a.pos AND b.pos <= a.pos + 3),
+         cnt AS (SELECT a, b, count(*) AS n_ab FROM (
+             SELECT t1 AS a, t2 AS b FROM pr
+             UNION ALL SELECT t2, t1 FROM pr)
+           GROUP BY 1, 2),
+         na AS (SELECT a, sum(n_ab) AS n_a FROM cnt GROUP BY 1),
+         nb AS (SELECT a AS b, n_a AS n_b FROM na),
+         tt AS (SELECT sum(n_ab) AS t FROM cnt)
+         SELECT a, b, n_ab, round(greatest(0.0, ln(
+             (CAST(n_ab AS DOUBLE) * CAST(t AS DOUBLE)) /
+             (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))), 6) AS ppmi
+         FROM cnt JOIN na USING (a) JOIN nb USING (b) CROSS JOIN tt
+         ORDER BY ppmi DESC, a, b LIMIT 30""",
     "w15_range_frame" ->
       """SELECT event_id, user_id,
            count(*) OVER w AS n_trailing,

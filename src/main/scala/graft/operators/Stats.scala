@@ -599,6 +599,24 @@ object Stats {
           6).as("gini"))
   }
 
+  /** Brown–Forsythe test (Levene's test with median centers) for
+    * variance homogeneity — the gate BEFORE pooled-variance methods
+    * (classic ANOVA assumes equal variances; this tests that
+    * assumption robustly): W is exactly the one-way ANOVA F computed
+    * on the absolute deviations z = |x − group median|.
+    *
+    * Two passes by necessity (the median can't partial-aggregate):
+    * pass 1 is a group-count-sized exact-median rollup broadcast back,
+    * pass 2 is [[anovaF]]'s single-pass moment machinery on z.
+    * approx_percentile swaps in at 100 TB (same contract as st_mad). */
+  def brownForsythe(df: DataFrame, groupCol: String, c: String): DataFrame = {
+    val med = df.groupBy(groupCol)
+      .agg(expr(s"percentile($c, 0.5)").as("__med"))
+    val z = df.join(broadcast(med), Seq(groupCol))
+      .select(col(groupCol), abs(col(c) - col("__med")).as("__z"))
+    anovaF(z, groupCol, "__z")
+  }
+
   /** Pairwise Cohen's d effect size — the "is the difference LARGE"
     * companion to [[tTest]]'s "is it real" (t grows with n, d doesn't):
     * (μa−μb)/s_pooled over every group pair, pooled SD from the

@@ -243,6 +243,51 @@ object TextAnalysis {
         expr(s"(cum_tokens - n_tokens) % ${ctxTokens}L").as("chunk_offset"))
   }
 
+  /** Windowed PPMI co-occurrence — the word-embedding prep table
+    * (GloVe/word2vec's input statistic): for every token pair within
+    * `window` positions, positive pointwise mutual information
+    * max(0, ln(n_ab·T/(n_a·n_b))) over the symmetric pair counts,
+    * top-N strongest associations. The distance-window sibling of
+    * [[collocations]] (which sees ADJACENT bigrams only).
+    *
+    * Scale shape: co-occurrence is NOT a per-doc quadratic self-join —
+    * each token emits `window` probe rows (pos+δ), and pairs come from
+    * the (doc_id, pos) EQUI-join, linear in corpus×window. Marginals
+    * and the grand total are rollups OF the vocab²-bounded pair frame
+    * (checkpointed: three consumers), never second corpus passes; the
+    * PMI ratio is exact-integer products under one ln, and top-N is
+    * TakeOrderedAndProject on the ROUNDED score (engine-stable ties,
+    * (a,b) total order). */
+  def ppmiCooccurrence(documents: DataFrame, window: Int = 3,
+                       topN: Int = 30): DataFrame = {
+    val toks = documents.select(col("doc_id"),
+      posexplode(split(col("text"), " "))).toDF("doc_id", "pos", "tok")
+    val probes = toks
+      .select(col("doc_id"), col("tok").as("t1"),
+        explode(array((1 to window).map(lit(_)): _*)).as("__d"),
+        col("pos"))
+      .select(col("doc_id"), col("t1"), (col("pos") + col("__d")).as("pos"))
+    val pairsDir = probes.join(
+      toks.select(col("doc_id"), col("pos"), col("tok").as("t2")),
+      Seq("doc_id", "pos"))
+    val cnt = pairsDir.select(col("t1").as("a"), col("t2").as("b"))
+      .unionByName(pairsDir.select(col("t2").as("a"), col("t1").as("b")))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      .localCheckpoint(true)
+    val na = cnt.groupBy("a").agg(sum("n_ab").as("n_a"))
+    val nb = na.select(col("a").as("b"), col("n_a").as("n_b"))
+    val total = cnt.agg(sum("n_ab").as("__t"))
+    cnt.join(broadcast(na), "a").join(broadcast(nb), "b")
+      .crossJoin(broadcast(total))
+      .select(col("a"), col("b"), col("n_ab"),
+        round(greatest(lit(0.0),
+          log((col("n_ab").cast("double") * col("__t").cast("double")) /
+            (col("n_a").cast("double") * col("n_b").cast("double")))),
+          6).as("ppmi"))
+      .orderBy(desc("ppmi"), asc("a"), asc("b"))
+      .limit(topN)
+  }
+
   /** Fixed-size overlapping token-window chunking — the
     * retrieval/embedding-prep sibling of [[packSequences]]: packing
     * concatenates docs into context-length rows, chunking SPLITS each

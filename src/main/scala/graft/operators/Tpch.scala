@@ -125,6 +125,57 @@ object Tpch {
         sum(when(crit, 0L).otherwise(1L)).as("low_line_count"))
   }
 
+  /** Q15 (top supplier; ref queries/q15.sql adapted): the supplier(s)
+    * achieving the MAXIMUM quarterly revenue — the "equal to a
+    * subquery max" shape, with ties kept like the spec's view form.
+    * The revenue rollup is one narrow (suppkey, revenue) partial-agg
+    * shuffle off the date-pruned scan; the max is a 1-row broadcast
+    * back onto that supplier-count-sized frame (never a second scan,
+    * never a global sort), and the supplier dim joins the ≤handful of
+    * survivors (AQE broadcasts them). Revenues compare ROUNDED to
+    * cents so the tie test is engine-stable. */
+  def q15(supplier: DataFrame, lineitem: DataFrame,
+          quarterLo: String = "1996-01-01",
+          quarterHi: String = "1996-04-01"): DataFrame = {
+    val rev = lineitem
+      .filter(col("l_shipdate") >= quarterLo && col("l_shipdate") < quarterHi)
+      .groupBy("l_suppkey")
+      .agg(round(sum(revenue), 2).as("total_revenue"))
+    rev.crossJoin(broadcast(rev.agg(max("total_revenue").as("__max"))))
+      .filter(col("total_revenue") === col("__max"))
+      .join(supplier.select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Q19 (discounted revenue across brand/size/quantity brackets; ref
+    * queries/q19.sql adapted — p_container is absent, p_size brackets
+    * stand in): a disjunction of three conjunctive brackets collapsing
+    * to ONE revenue row. The join stays a plain equi-join on partkey
+    * with the disjunction as a post-join filter; the parts of the
+    * predicate that bind ONE side only (quantity ≤ the widest bracket,
+    * size ≤ the widest bracket) are ALSO applied per-side so each scan
+    * prunes before the shuffle — the classic OR-pushdown decomposition
+    * done by hand because no engine pushes a cross-table OR. */
+  def q19(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val bracket =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30))
+    lineitem.filter(col("l_quantity").between(1, 30))
+      .join(part.filter(col("p_size").between(1, 15) &&
+          col("p_brand").isin("Brand#12", "Brand#23", "Brand#34"))
+          .select("p_partkey", "p_brand", "p_size"),
+        col("l_partkey") === col("p_partkey"))
+      .filter(bracket)
+      .agg(round(sum(revenue), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
   /** Q10 (returned items): lost revenue per customer from returns in a
     * quarter, top-n worst. */
   def q10(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,

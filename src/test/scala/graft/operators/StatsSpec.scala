@@ -269,6 +269,21 @@ class StatsSpec extends SparkSpec {
       "perfect equality must score exactly 0")
   }
 
+  test("brownForsythe: shifted copies score F=0, scaled copy scores 0.8") {
+    // shifted groups have identical |x - median| profiles → ssb = 0
+    val shifted = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++
+      Seq(4.0, 5.0, 6.0).map(("b", _))).toDF("g", "v")
+    assert(Stats.brownForsythe(shifted, "g", "v").collect()
+      .head.getAs[Double]("f_stat") == 0.0)
+    // [1,2,3] vs 2×-scaled [2,4,6]: z-profiles [1,0,1] vs [2,0,2] →
+    // ssb = 2/3, ssw = 10/3, F = (2/3) / ((10/3)/4) = 0.8 by hand
+    val scaled = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++
+      Seq(2.0, 4.0, 6.0).map(("b", _))).toDF("g", "v")
+    val r = Stats.brownForsythe(scaled, "g", "v").collect().head
+    assert(r.getAs[Double]("f_stat") == 0.8)
+    assert(r.getAs[Long]("df1") == 1L && r.getAs[Long]("df2") == 4L)
+  }
+
   test("cohensD: unit-variance groups three means apart score exactly -3") {
     // a=[1,2,3] (m 2, v 1), b=[4,5,6] (m 5, v 1): pooled sd 1, d = -3
     val df = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++

@@ -252,6 +252,22 @@ class TextDedupSpec extends SparkSpec {
     assert(run(7L).sameElements(run(1L << 20)))
   }
 
+  test("ppmiCooccurrence: uniform triple scores ln 1.5; window bounds pairs") {
+    import spark.implicits._
+    // "x y z": 3 directed in-window pairs → 6 symmetric rows, each
+    // n_ab=1, marginals 2, T=6 → ppmi = ln(6/4) everywhere
+    val r = TextAnalysis.ppmiCooccurrence(
+      Seq((1L, "x y z")).toDF("doc_id", "text")).collect()
+    assert(r.length == 6)
+    assert(r.forall(_.getAs[Long]("n_ab") == 1L))
+    assert(r.forall(_.getAs[Double]("ppmi") == 0.405465))
+    // distance > window never pairs: (a,e) is 4 apart, (a,d) is 3
+    val pairs = TextAnalysis.ppmiCooccurrence(
+      Seq((1L, "a b c d e")).toDF("doc_id", "text"), topN = 100)
+      .collect().map(x => (x.getAs[String]("a"), x.getAs[String]("b"))).toSet
+    assert(pairs.contains(("a", "d")) && !pairs.contains(("a", "e")))
+  }
+
   test("chunkDocuments windows overlap correctly and reconstruct at overlap 0") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")
