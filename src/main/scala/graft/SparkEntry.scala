@@ -313,6 +313,8 @@ object SparkEntry {
       SpatialJoin.nearestSupplierGrid(Tables.customer(s, d), Tables.supplier(s, d))),
     "sp_knn_grid" -> ((s, d) =>
       SpatialJoin.knnSuppliersGrid(Tables.customer(s, d), Tables.supplier(s, d), k = 3)),
+    "sp_grid_density" -> ((s, d) =>
+      SpatialJoin.gridDensity(Tables.customer(s, d))),
     "sp_cluster" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       SpatialJoin.epsilonClusters(
@@ -612,6 +614,9 @@ object SparkEntry {
       Windows.conversionLatency(Tables.events(s, d))),
     "w19_attribution" -> ((s, d) =>
       Windows.firstTouchAttribution(Tables.events(s, d))),
+    "w20_pareto" -> ((s, d) =>
+      Windows.activityConcentration(Tables.events(s, d))),
+    "ts_peaks" -> ((s, d) => Resample.peaks(Tables.events(s, d))),
     "w15_range_frame" -> ((s, d) =>
       Windows.trailingWindowSums(Tables.events(s, d))),
     "w16_rolling_median" -> ((s, d) =>
@@ -2944,6 +2949,47 @@ object SparkEntry {
            max(gap_s) AS max_gap_s,
            round(quantile_cont(gap_s, 0.95), 4) AS p95_gap_s
          FROM g WHERE gap_s IS NOT NULL GROUP BY 1""",
+    "ts_peaks" ->
+      """WITH h AS (SELECT event_type,
+             epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
+             CAST(round(avg(value) * 1e4) AS BIGINT) AS v
+           FROM events GROUP BY 1, 2),
+         x AS (SELECT event_type, hr, v,
+             lag(v) OVER w AS pv, lead(v) OVER w AS nv,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             sum(v) OVER (PARTITION BY event_type) AS s
+           FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hr))
+         SELECT event_type, hr, round(v / 10000.0, 4) AS value
+         FROM x
+         WHERE pv IS NOT NULL AND nv IS NOT NULL
+           AND v > pv AND v > nv AND v * n > s""",
+    "w20_pareto" ->
+      """WITH per AS (SELECT user_id, count(*) AS n_ev,
+             sum(CASE WHEN event_type = 'purchase'
+               THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS cents
+           FROM events GROUP BY 1),
+         c AS (SELECT quantile_cont(n_ev, 0.9) AS cut FROM per)
+         SELECT count(*) AS n_users,
+           sum(CASE WHEN n_ev > cut THEN 1 ELSE 0 END) AS n_top,
+           round(sum(CASE WHEN n_ev > cut THEN n_ev ELSE 0 END)
+             / sum(n_ev), 6) AS event_share,
+           round(sum(CASE WHEN n_ev > cut THEN cents ELSE 0 END)
+             / sum(cents), 6) AS value_share
+         FROM per, c""",
+    "sp_grid_density" ->
+      """WITH p AS (SELECT
+             round(((c_custkey * 17) % 1400)/10.0 - 70.0, 4) AS lat,
+             round(((c_custkey * 31) % 3600)/10.0 - 180.0, 4) AS lon
+           FROM customer),
+         g AS (SELECT CAST(floor((lat + 90) / 10) AS INTEGER) AS cell_lat,
+             CAST(floor((lon + 180) / 10) AS INTEGER) AS cell_lon,
+             count(*) AS n_points
+           FROM p GROUP BY 1, 2),
+         t AS (SELECT sum(n_points) AS tt FROM g)
+         SELECT cell_lat, cell_lon, n_points,
+           round(n_points / tt, 6) AS share
+         FROM g, t
+         ORDER BY n_points DESC, cell_lat, cell_lon LIMIT 15""",
     "ts_burstiness" ->
       """WITH e AS (SELECT event_type, event_id,
              CAST(floor(epoch(ts)) AS BIGINT) AS t, CAST(ts AS DATE) AS day

@@ -396,6 +396,37 @@ object Resample {
         count(lit(1)).as("n_hours"))
   }
 
+  /** Local-extrema peak detection on the hourly mean series: hours
+    * whose value STRICTLY exceeds both neighbors AND the series mean —
+    * the alerting-friendly cousin of [[cusumChangepoint]] (cusum finds
+    * the one sustained level shift; this finds every transient spike).
+    *
+    * Engine-exact throughout: hourly means scale to exact-integer
+    * round(avg·10⁴) longs (the ts_rolling_corr discipline), neighbor
+    * comparisons are integer compares, and the above-mean test runs as
+    * v·n > Σv in integer arithmetic — no float threshold anywhere.
+    * One partial-agg pass collapses the corpus; lag/lead and the
+    * whole-series sums ride ONE (event_type) exchange over the
+    * calendar-bounded hourly frame. */
+  def peaks(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("hr")
+    val wAll = Window.partitionBy("event_type")
+    val hourly = events
+      .groupBy(col("event_type"),
+        expr("unix_seconds(date_trunc('hour', ts)) div 3600").as("hr"))
+      .agg(round(avg("value") * 1e4).cast("long").as("v"))
+    hourly
+      .withColumn("__prev", lag("v", 1).over(w))
+      .withColumn("__next", lead("v", 1).over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__s", sum("v").over(wAll))
+      .filter(col("__prev").isNotNull && col("__next").isNotNull &&
+        col("v") > col("__prev") && col("v") > col("__next") &&
+        col("v") * col("__n") > col("__s"))
+      .select(col("event_type"), col("hr"),
+        round(col("v") / lit(10000.0), 4).as("value"))
+  }
+
   /** Goh–Barabási burstiness B = (σ−μ)/(σ+μ) and memory coefficient
     * M = corr(gapᵢ, gapᵢ₊₁) of the inter-event gaps per event type —
     * the pair that separates "bursty with long silences" (B→1) from

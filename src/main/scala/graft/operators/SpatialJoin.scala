@@ -387,4 +387,25 @@ object SpatialJoin {
       withinRadiusPairs(points, epsKm, cellDeg, maxAbsLat)
         .select(col("p1").as("d1"), col("p2").as("d2")))
       .select(col("doc_id").as("pid"), col("cluster_id"))
+
+  /** Grid-cell density heat map: customer count + share per
+    * `cellDeg`-degree cell, top-N densest cells — the aggregation face
+    * of the spatial family (the same cell id every grid join here keys
+    * on, exposed as a report). ONE partial-agg pass to a cell-count-
+    * sized frame (≤ (180/cellDeg)·(360/cellDeg) rows at ANY corpus
+    * scale), total as a 1-row broadcast, top-N is TakeOrdered with the
+    * (n desc, cell) total order. */
+  def gridDensity(customer: DataFrame, cellDeg: Int = 10,
+                  topN: Int = 15): DataFrame = {
+    val cells = customerPoints(customer)
+      .groupBy(
+        floor((col("c_lat") + 90) / cellDeg).cast("int").as("cell_lat"),
+        floor((col("c_lon") + 180) / cellDeg).cast("int").as("cell_lon"))
+      .agg(count(lit(1)).as("n_points"))
+    cells.crossJoin(broadcast(cells.agg(sum("n_points").as("__t"))))
+      .select(col("cell_lat"), col("cell_lon"), col("n_points"),
+        round(col("n_points") / col("__t"), 6).as("share"))
+      .orderBy(desc("n_points"), asc("cell_lat"), asc("cell_lon"))
+      .limit(topN)
+  }
 }

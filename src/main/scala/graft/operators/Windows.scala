@@ -371,6 +371,30 @@ object Windows {
       .limit(20)
   }
 
+  /** Activity concentration (the Pareto question): what share of all
+    * events and purchase revenue comes from the users STRICTLY above
+    * the p90 activity level? NO global user ranking — the cutoff is an
+    * exact percentile of the per-user event counts riding back as a
+    * 1-row broadcast (approx_percentile is the 100 TB drop-in), so the
+    * whole report is one user rollup + one conditional re-aggregate of
+    * that user-sized frame. Money sums as exact integer cents; shares
+    * divide once at the end. */
+  def activityConcentration(events: DataFrame): DataFrame = {
+    val per = events.groupBy("user_id").agg(
+      count(lit(1)).as("n_ev"),
+      sum(when(col("event_type") === "purchase",
+        round(col("value") * 100).cast("long")).otherwise(lit(0L)))
+        .as("__cents"))
+    val top = col("n_ev") > col("__c")
+    per.crossJoin(broadcast(per.agg(expr("percentile(n_ev, 0.9)").as("__c"))))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(top, 1L).otherwise(0L)).as("n_top"),
+        round(sum(when(top, col("n_ev")).otherwise(0L)) / sum("n_ev"), 6)
+          .as("event_share"),
+        round(sum(when(top, col("__cents")).otherwise(0L)) / sum("__cents"),
+          6).as("value_share"))
+  }
+
   /** First-touch attribution: credit each user's total purchase value
     * to the CHANNEL of their first-ever event (the acquisition-source
     * report every growth team runs). Output per channel: users

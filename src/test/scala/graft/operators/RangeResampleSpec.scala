@@ -189,6 +189,25 @@ class RangeResampleSpec extends SparkSpec {
       "a window straddling the mirrored tail must drop below 1")
   }
 
+  test("peaks: planted spike found, endpoints and plateaus never peak") {
+    import spark.implicits._
+    // one event per hour → hourly means [1,1,5,1,1]: only hour 2 peaks
+    val ev = Seq(1.0, 1.0, 5.0, 1.0, 1.0).zipWithIndex.map { case (v, h) =>
+      (h.toLong + 1L, "a", h.toLong * 3600L, v)
+    }.toDF("event_id", "event_type", "s", "value")
+      .withColumn("ts", timestamp_seconds(col("s")))
+    val r = Resample.peaks(ev).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("hr") == 2L &&
+      r.head.getAs[Double]("value") == 5.0)
+    // a flat-top plateau has no STRICT local max
+    val plat = Seq(1.0, 5.0, 5.0, 1.0).zipWithIndex.map { case (v, h) =>
+      (h.toLong + 1L, "a", h.toLong * 3600L, v)
+    }.toDF("event_id", "event_type", "s", "value")
+      .withColumn("ts", timestamp_seconds(col("s")))
+    assert(Resample.peaks(plat).isEmpty)
+  }
+
   test("burstiness: metronome is exactly -1, bursts positive, midnight dropped") {
     import spark.implicits._
     def ev(rows: (Long, String, Long)*) =

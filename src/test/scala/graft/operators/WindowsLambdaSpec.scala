@@ -122,6 +122,36 @@ class WindowsLambdaSpec extends SparkSpec {
     assert(r.getAs[Double]("median_latency_s") == 60.0)
   }
 
+  test("activityConcentration isolates the power user above the p90 cutoff") {
+    import spark.implicits._
+    // 9 one-event users + 1 ten-event power user: p90 cutoff 1.9 →
+    // only the power user is "top"; they hold 10/19 of events and all
+    // purchase value
+    val rows = (1 to 9).map(u => (u.toLong, "view", 0.0)) ++
+      (1 to 10).map(i => (10L, "purchase", 1.0))
+    val ev = rows.zipWithIndex.map { case ((u, t, v), i) =>
+      (i.toLong, u, t, i.toLong, v)
+    }.toDF("event_id", "user_id", "event_type", "s", "value")
+      .withColumn("ts", timestamp_seconds(col("s")))
+    val r = Windows.activityConcentration(ev).collect().head
+    assert(r.getAs[Long]("n_users") == 10L && r.getAs[Long]("n_top") == 1L)
+    assert(r.getAs[Double]("event_share") ==
+      BigDecimal(10.0 / 19).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getAs[Double]("value_share") == 1.0)
+  }
+
+  test("gridDensity partitions every point into exactly one cell") {
+    val full = SpatialJoin.gridDensity(Tables.customer(spark, sf),
+      topN = 1000000).collect()
+    val total = Tables.customer(spark, sf).count()
+    assert(full.map(_.getAs[Long]("n_points")).sum == total,
+      "cell counts must partition the corpus")
+    assert(math.abs(full.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4)
+    // densest-first ordering with the (lat, lon) tiebreak
+    val ns = full.map(_.getAs[Long]("n_points"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+  }
+
   test("firstTouchAttribution credits the first event's channel, event_id ties") {
     import spark.implicits._
     val ev = Seq(
