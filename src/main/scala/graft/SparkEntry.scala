@@ -435,6 +435,15 @@ object SparkEntry {
       SimilaritySearch.knnJoin(emb.filter(col("vec_id") < 50), emb, 3, cb,
         nProbe = 4)
     }),
+    // measured recall of that approximate join vs the exact answer —
+    // rows-only (no SQL oracle), the convergence property is spec-locked
+    "ann_recall" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(s, d)
+      val (_, cb) = ivfIndex(s, d)
+      SimilaritySearch.recallReport(emb.filter(col("vec_id") < 50), emb,
+        10, cb, nProbe = 4)
+    }),
     // compressed-domain ANN: ADC over the 32x-smaller code lake, exact
     // rerank of the shortlist only
     "ann_pq" -> ((s, d) => {
@@ -625,6 +634,8 @@ object SparkEntry {
       TextAnalysis.collocations(Tables.documents(s, d))),
     "tx_ppmi" -> ((s, d) =>
       TextAnalysis.ppmiCooccurrence(Tables.documents(s, d))),
+    "tx_jsd" -> ((s, d) =>
+      TextAnalysis.jsDivergence(Tables.documents(s, d), "src0", "src1")),
     "st_corr_matrix" -> ((s, d) =>
       Stats.corrMatrix(Tables.lineitem(s, d),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
@@ -866,6 +877,8 @@ object SparkEntry {
       Stats.cohensD(Tables.events(s, d), "event_type", "value")),
     "st_levene" -> ((s, d) =>
       Stats.brownForsythe(Tables.events(s, d), "event_type", "value")),
+    "st_auc" -> ((s, d) =>
+      Stats.auc(Tables.documents(s, d), "lang", "n_chars", "en", "fr")),
     "ts_burstiness" -> ((s, d) => Resample.burstiness(Tables.events(s, d))),
     "pipe_chunk" -> ((s, d) =>
       TextAnalysis.chunkDocuments(Tables.documents(s, d))),
@@ -2051,6 +2064,49 @@ object SparkEntry {
              4) AS z,
            na AS n_a, nb AS n_b
          FROM s""",
+    "st_auc" ->
+      """WITH pts AS (SELECT n_chars AS v,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+               AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END)
+               AS BIGINT) AS cb
+           FROM documents WHERE lang IN ('en', 'fr')
+           GROUP BY n_chars),
+         c AS (SELECT ca, cb, ca + cb AS t,
+             CAST(coalesce(sum(ca + cb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS below
+           FROM pts),
+         s AS (SELECT
+             CAST(sum(ca * (2*below + t + 1)) AS BIGINT) AS r1x2,
+             CAST((SELECT sum(ca) FROM pts) AS BIGINT) AS na,
+             CAST((SELECT sum(cb) FROM pts) AS BIGINT) AS nb
+           FROM c)
+         SELECT round(((r1x2 - na*(na+1)) / 2.0) / (na * nb), 6) AS auc,
+           na AS n_pos, nb AS n_neg
+         FROM s""",
+    "tx_jsd" ->
+      """WITH cnt AS (SELECT tok,
+             CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+               AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+               AS BIGINT) AS cb
+           FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+                 FROM documents WHERE source IN ('src0', 'src1'))
+           GROUP BY 1),
+         tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+             CAST(sum(cb) AS BIGINT) AS nb FROM cnt),
+         term AS (SELECT ca, cb, na, nb,
+             CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) AS p,
+             CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE) AS q
+           FROM cnt, tot)
+         SELECT round((sum(CASE WHEN ca > 0
+               THEN p * ln(p / ((p + q) / 2.0)) ELSE 0 END)
+             + sum(CASE WHEN cb > 0
+               THEN q * ln(q / ((p + q) / 2.0)) ELSE 0 END)) / 2.0, 6)
+             AS jsd_nats,
+           count(*) AS vocab, max(na) AS n_a, max(nb) AS n_b
+         FROM term""",
     "tx_tfidf" ->
       """WITH tf AS (SELECT doc_id, term, count(*) AS tf
            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term

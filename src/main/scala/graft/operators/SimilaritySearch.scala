@@ -343,6 +343,48 @@ object SimilaritySearch {
       .select(col("p_id"), col("t.id").as("c_id"), col("t.score").as("cos"))
   }
 
+  /** Recall@k evaluation of the IVF approximate kNN join against the
+    * exact answer — the self-measurement a vector pipeline publishes
+    * next to its index parameters (recall is the product being sold;
+    * it should be MEASURED, not inferred from the nProbe/k folklore).
+    *
+    * Exact baseline: the probe batch broadcasts against one full corpus
+    * scan (probe batches are small by contract — this is an evaluation
+    * harness, not the serving path), with the SAME TopKAggregator and
+    * (score, id) tie order as the approximate side, so recall 1.0 is
+    * exactly reachable and the compare is deterministic under ties.
+    * Output: one row (n_probes, k, n_probe_cells, recall). The
+    * semi-join hit count is per (probe, neighbor) — order-insensitive
+    * set intersection. */
+  def recallReport(probes: DataFrame, corpus: DataFrame, k: Int,
+                   codebook: Seq[Seq[Double]], nProbe: Int): DataFrame = {
+    import graft.functions.TopKAggregator
+    val p = probes.select(col("vec_id").as("p_id"),
+      col("embedding").as("p_emb"), l2Norm(col("embedding")).as("p_nrm"))
+    val c = corpus.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_emb"), l2Norm(col("embedding")).as("c_nrm"))
+    val exact = c.crossJoin(broadcast(p))
+      .filter(col("p_id") =!= col("c_id"))
+      .select(col("p_id"),
+        round(dot(col("p_emb"), col("c_emb")) /
+          (col("p_nrm") * col("c_nrm")), 4).as("cos"),
+        col("c_id"))
+      .groupBy("p_id")
+      .agg(TopKAggregator.topK(k)(col("cos"), col("c_id")).as("top"))
+      .select(col("p_id"), explode(col("top")).as("t"))
+      .select(col("p_id"), col("t.id").as("c_id"))
+    val approx = knnJoin(probes, corpus, k, codebook, nProbe)
+      .select("p_id", "c_id")
+    val nProbes = exact.select("p_id").distinct().count()
+    val hits = approx.join(exact, Seq("p_id", "c_id"), "left_semi").count()
+    val spark = probes.sparkSession
+    import spark.implicits._
+    Seq((nProbes, k, nProbe,
+      BigDecimal(hits.toDouble / (nProbes.toDouble * k))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("n_probes", "k", "n_probe_cells", "recall")
+  }
+
   /** Near-dup PAIRS via multi-table hyperplane LSH — the scale twin of
     * Dedup.embeddingNearDupPairs (which is an O(n²) BroadcastNestedLoop
     * all-pairs by contract). `nTables` independent tables of `nPlanes`

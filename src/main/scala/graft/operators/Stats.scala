@@ -346,6 +346,36 @@ object Stats {
     * the correction term widened — loud ANSI overflow, not silent). */
   def mannWhitneyU(df: DataFrame, groupCol: String, c: String,
                    ga: String, gb: String, stripes: Int = 256): DataFrame = {
+    val s = rankSumAgg(df, groupCol, c, ga, gb, stripes)
+    val u = (col("r1x2") - col("na") * (col("na") + 1)) / 2.0
+    val n = col("na") + col("nb")
+    val varU = col("na") * col("nb") / 12.0 *
+      ((n + 1) - col("ties") / n / (n - 1.0))
+    s.select(u.as("u_stat"),
+      round((u - col("na") * col("nb") / 2.0) / sqrt(varU), 4).as("z"),
+      col("na").as("n_a"), col("nb").as("n_b"))
+  }
+
+  /** ROC-AUC of a numeric score separating two classes — "does n_chars
+    * rank `ga` docs above `gb` docs", the threshold-free classifier
+    * metric. AUC ≡ U/(na·nb) with midrank tie handling, so this reuses
+    * [[mannWhitneyU]]'s striped exact-integer rank machinery verbatim
+    * (same zero-rounding-tolerance guarantee: U is integer-exact, one
+    * division at the end). */
+  def auc(df: DataFrame, groupCol: String, c: String,
+          ga: String, gb: String, stripes: Int = 256): DataFrame = {
+    val s = rankSumAgg(df, groupCol, c, ga, gb, stripes)
+    val u = (col("r1x2") - col("na") * (col("na") + 1)) / 2.0
+    s.select(round(u / (col("na") * col("nb")), 6).as("auc"),
+      col("na").as("n_pos"), col("nb").as("n_neg"))
+  }
+
+  /** Shared striped rank-sum core of [[mannWhitneyU]] and [[auc]]:
+    * 1-row frame (r1x2 = 2·R1, ties = Σt³−t, na, nb), all exact
+    * integers. */
+  private def rankSumAgg(df: DataFrame, groupCol: String, c: String,
+                         ga: String, gb: String,
+                         stripes: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pts = df.filter(col(groupCol).isin(ga, gb))
       .groupBy(col(c).as("v"))
@@ -375,13 +405,7 @@ object Stats {
         sum(col("ca") * (lit(2) * col("below") + col("t") + 1)).as("r1x2"),
         sum(col("t") * col("t") * col("t") - col("t")).as("ties"),
         max("__na").as("na"), max("__nb").as("nb"))
-    val u = (col("r1x2") - col("na") * (col("na") + 1)) / 2.0
-    val n = col("na") + col("nb")
-    val varU = col("na") * col("nb") / 12.0 *
-      ((n + 1) - col("ties") / n / (n - 1.0))
-    s.select(u.as("u_stat"),
-      round((u - col("na") * col("nb") / 2.0) / sqrt(varU), 4).as("z"),
-      col("na").as("n_a"), col("nb").as("n_b"))
+    s
   }
 
   /** One-way ANOVA F over ALL groups at once (welchTTest's k-group

@@ -243,6 +243,38 @@ object TextAnalysis {
         expr(s"(cum_tokens - n_tokens) % ${ctxTokens}L").as("chunk_offset"))
   }
 
+  /** Jensen–Shannon divergence between two sources' unigram
+    * distributions — the symmetric, bounded ([0, ln 2]) corpus-drift
+    * measure a mixing pipeline runs before blending sources (KL is
+    * infinite on any unshared token; JSD is not). ONE token-count
+    * pass pivots to a vocab-sized (token, ca, cb) frame; totals ride
+    * back as a 1-row broadcast; the Σ p·ln(p/m) terms run over vocab
+    * rows only (st_mi's shape). Zero-count sides contribute only
+    * their ln 2 half via the when-guard, never a NaN. */
+  def jsDivergence(documents: DataFrame, sa: String, sb: String): DataFrame = {
+    val cnt = documents.filter(col("source").isin(sa, sb))
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok")
+      .agg(sum(when(col("source") === sa, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("source") === sb, 1L).otherwise(0L)).as("cb"))
+    val tot = cnt.agg(sum("ca").as("__na"), sum("cb").as("__nb"))
+    val p = col("ca").cast("double") / col("__na").cast("double")
+    val q = col("cb").cast("double") / col("__nb").cast("double")
+    val m = (p + q) / lit(2.0)
+    cnt.crossJoin(broadcast(tot))
+      .agg(
+        sum(when(col("ca") > 0, p * log(p / m)).otherwise(lit(0.0)))
+          .as("__kpa"),
+        sum(when(col("cb") > 0, q * log(q / m)).otherwise(lit(0.0)))
+          .as("__kqb"),
+        count(lit(1)).as("n_tokens_shared_vocab"),
+        max("__na").as("n_a"), max("__nb").as("n_b"))
+      .select(
+        round((col("__kpa") + col("__kqb")) / lit(2.0), 6).as("jsd_nats"),
+        col("n_tokens_shared_vocab").as("vocab"),
+        col("n_a"), col("n_b"))
+  }
+
   /** Windowed PPMI co-occurrence — the word-embedding prep table
     * (GloVe/word2vec's input statistic): for every token pair within
     * `window` positions, positive pointwise mutual information

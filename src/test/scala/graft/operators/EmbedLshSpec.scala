@@ -99,6 +99,23 @@ class EmbedLshSpec extends SparkSpec {
         SimilaritySearch.lshTopK(emb, 0L, 10, planes).collect().map(key)))
   }
 
+  test("recallReport hits exactly 1.0 when every cell is probed, bounded below") {
+    import org.apache.spark.sql.functions.col
+    val cb = SimilaritySearch.ivfCodebook(emb, 16)
+    val probes = emb.filter(col("vec_id") < 20)
+    // probing ALL cells = the exact candidate set, same tie order → 1.0
+    val full = SimilaritySearch
+      .recallReport(probes, emb, 5, cb, nProbe = cb.size).collect().head
+    assert(full.getAs[Double]("recall") == 1.0)
+    // pruned probing can only lose candidates, and the seeded codebook
+    // keeps most of them at 4/16 cells
+    val pruned = SimilaritySearch
+      .recallReport(probes, emb, 5, cb, nProbe = 4).collect().head
+    assert(pruned.getAs[Double]("recall") <= 1.0 &&
+      pruned.getAs[Double]("recall") >= 0.5)
+    assert(pruned.getAs[Long]("n_probes") == 20L)
+  }
+
   test("knnJoinIndexed over a built index equals knnJoin with the same codebook") {
     import org.apache.spark.sql.functions.col
     val dir = s"target/graft_io/test/emb_knn_idx_${System.nanoTime()}"

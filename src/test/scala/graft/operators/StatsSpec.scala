@@ -269,6 +269,20 @@ class StatsSpec extends SparkSpec {
       "perfect equality must score exactly 0")
   }
 
+  test("auc: hand case 0.875 with a tie counted half; separable is 1") {
+    // pos [2,3] vs neg [1,2]: wins (2,1),(3,1),(3,2); tie (2,2) half
+    val df = (Seq(2.0, 3.0).map(("p", _)) ++ Seq(1.0, 2.0).map(("n", _)))
+      .toDF("g", "v")
+    val r = Stats.auc(df, "g", "v", "p", "n").collect().head
+    assert(r.getAs[Double]("auc") == 0.875)
+    assert(r.getAs[Long]("n_pos") == 2L && r.getAs[Long]("n_neg") == 2L)
+    // perfectly separated classes score exactly 1
+    val sep = (Seq(10.0, 11.0).map(("p", _)) ++ Seq(1.0, 2.0).map(("n", _)))
+      .toDF("g", "v")
+    assert(Stats.auc(sep, "g", "v", "p", "n").collect()
+      .head.getAs[Double]("auc") == 1.0)
+  }
+
   test("brownForsythe: shifted copies score F=0, scaled copy scores 0.8") {
     // shifted groups have identical |x - median| profiles → ssb = 0
     val shifted = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++

@@ -252,6 +252,21 @@ class TextDedupSpec extends SparkSpec {
     assert(run(7L).sameElements(run(1L << 20)))
   }
 
+  test("jsDivergence: identical sources 0, disjoint vocabularies ln 2") {
+    import spark.implicits._
+    val same = Seq((1L, "a b c", "src0"), (2L, "a b c", "src1"))
+      .toDF("doc_id", "text", "source")
+    val r0 = TextAnalysis.jsDivergence(same, "src0", "src1").collect().head
+    assert(r0.getAs[Double]("jsd_nats") == 0.0)
+    val disjoint = Seq((1L, "a a b", "src0"), (2L, "x y z", "src1"))
+      .toDF("doc_id", "text", "source")
+    val r1 = TextAnalysis.jsDivergence(disjoint, "src0", "src1")
+      .collect().head
+    assert(math.abs(r1.getAs[Double]("jsd_nats") - math.log(2)) < 1e-6,
+      "zero-overlap sources must hit the ln 2 ceiling")
+    assert(r1.getAs[Long]("vocab") == 5L)
+  }
+
   test("ppmiCooccurrence: uniform triple scores ln 1.5; window bounds pairs") {
     import spark.implicits._
     // "x y z": 3 directed in-window pairs → 6 symmetric rows, each
