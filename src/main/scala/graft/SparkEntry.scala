@@ -569,6 +569,8 @@ object SparkEntry {
         .groupBy(month(col("o_orderdate")).as("o_month"))
         .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
     }),
+    "q31_mom_growth" -> ((s, d) =>
+      Relational.monthOverMonth(Tables.orders(s, d))),
     "q30_nullsafe_join" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // deterministic nulls (mirrored in the oracle): every 5th event
@@ -886,6 +888,8 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       Dedup.reweightByCluster(docs, Dedup.ngramJaccardPairs(docs, 3, 0.2))
     }),
+    "dd_dup_by_source" -> ((s, d) =>
+      Dedup.dupRateBySource(Tables.documents(s, d))),
     "st_spearman" -> ((s, d) =>
       Stats.spearman(Tables.lineitem(s, d), "l_quantity",
         "l_extendedprice")),
@@ -1852,6 +1856,19 @@ object SparkEntry {
            count(*) - count(DISTINCT fp) AS n_dup_docs
          FROM (SELECT md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS fp
                FROM documents)""",
+    "dd_dup_by_source" ->
+      """WITH fp AS (SELECT source,
+             md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS f
+           FROM documents),
+         g AS (SELECT f, source, count(*) AS c FROM fp GROUP BY 1, 2),
+         t AS (SELECT f, source, c, sum(c) OVER (PARTITION BY f) AS tot
+           FROM g)
+         SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN tot > 1 THEN c ELSE 0 END) AS BIGINT)
+             AS n_in_dup_groups,
+           round(sum(CASE WHEN tot > 1 THEN c ELSE 0 END) / sum(c), 6)
+             AS dup_rate
+         FROM t GROUP BY 1""",
     "dd_fuzzy" ->
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
            CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
@@ -2322,6 +2339,19 @@ object SparkEntry {
            round(sum(o_totalprice),2) AS total
          FROM orders WHERE year(o_orderdate) = 1997
          GROUP BY month(o_orderdate)""",
+    "q31_mom_growth" ->
+      """WITH m AS (SELECT o_orderpriority,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+           FROM orders GROUP BY 1, 2),
+         l AS (SELECT o_orderpriority, month, cents,
+             lag(cents) OVER (PARTITION BY o_orderpriority
+               ORDER BY month) AS prev
+           FROM m)
+         SELECT o_orderpriority, month,
+           round(cents / 100.0, 2) AS revenue,
+           round((cents - prev) / CAST(prev AS DOUBLE), 6) AS mom_growth
+         FROM l""",
     "q30_nullsafe_join" ->
       """WITH facts AS (SELECT event_id,
              CASE WHEN event_id % 5 = 0 THEN NULL ELSE event_type END AS k

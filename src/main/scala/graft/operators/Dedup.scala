@@ -24,6 +24,29 @@ object Dedup {
         countDistinct(col("fp")).as("n_distinct"))
       .withColumn("n_dup_docs", col("n_docs") - col("n_distinct"))
 
+  /** Per-source exact-duplication report — WHICH feed is polluting the
+    * corpus (the segmentation a curation pipeline runs right after
+    * [[exactStats]] says there IS duplication): for each source, its
+    * doc count and how many of its docs are copies of a fingerprint
+    * seen anywhere in the corpus more than once (cross-source copies
+    * count for both sources). ONE fingerprint rollup (fp-keyed shuffle
+    * carrying per-source counts as a tiny pivot via the grouped
+    * source column), then a source-count-sized re-aggregate. */
+  def dupRateBySource(documents: DataFrame): DataFrame = {
+    val perFp = documents
+      .select(col("source"), contentFingerprint(col("text")).as("fp"))
+      .groupBy("fp", "source").agg(count(lit(1)).as("c"))
+    val wFp = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    perFp
+      .withColumn("__tot", sum("c").over(wFp))
+      .groupBy("source")
+      .agg(sum("c").as("n_docs"),
+        sum(when(col("__tot") > 1, col("c")).otherwise(0L))
+          .as("n_in_dup_groups"))
+      .select(col("source"), col("n_docs"), col("n_in_dup_groups"),
+        round(col("n_in_dup_groups") / col("n_docs"), 6).as("dup_rate"))
+  }
+
   /** Representative picking: smallest doc_id kept per fingerprint group;
     * returns the deduplicated corpus. One shuffle on the 16-byte
     * fingerprint (row_number window) — the groupBy-then-join-back

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Core batch-relational operators.
@@ -229,4 +230,24 @@ object Relational {
       .groupBy(year(col("parsed")).as("y"))
       .agg(count(lit(1)).as("n"),
         min(col("s")).as("min_s"))
+
+  /** Month-over-month revenue growth per order priority — the BI
+    * staple (period deltas on a calendar rollup). ONE partial-agg
+    * shuffle collapses the corpus to the (priority × month) frame
+    * (exact integer cents — no float drift into the lag); the lag
+    * window rides that calendar-bounded frame, partitioned by
+    * priority so no single-partition sort. First month emits null
+    * growth (no fabricated 0). */
+  def monthOverMonth(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority").orderBy("month")
+    orders
+      .groupBy(col("o_orderpriority"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("__cents"))
+      .withColumn("__prev", lag("__cents", 1).over(w))
+      .select(col("o_orderpriority"), col("month"),
+        round(col("__cents") / 100.0, 2).as("revenue"),
+        round((col("__cents") - col("__prev")) / col("__prev").cast("double"),
+          6).as("mom_growth"))
+  }
 }

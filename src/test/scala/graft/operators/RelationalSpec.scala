@@ -89,4 +89,21 @@ class RelationalSpec extends SparkSpec {
     assert(got == Set((0L, 0, "a"), (0L, 1, "b"), (0L, 2, "c"),
       (100L, 0, "x"), (100L, 1, "y")))
   }
+
+  test("monthOverMonth: +50% growth by hand, first month null") {
+    import spark.implicits._
+    val orders = Seq(
+      ("1-URGENT", "2024-01-05", 60.0), ("1-URGENT", "2024-01-20", 40.0),
+      ("1-URGENT", "2024-02-11", 150.0)
+    ).toDF("o_orderpriority", "d", "o_totalprice")
+      .withColumn("o_orderdate", org.apache.spark.sql.functions.col("d").cast("timestamp"))
+    val rows = Relational.monthOverMonth(orders).collect()
+      .sortBy(_.getAs[java.sql.Date]("month").toString)
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Double]("revenue") == 100.0 &&
+      rows(0).isNullAt(rows(0).fieldIndex("mom_growth")),
+      "first month has no prior period — growth must be null")
+    assert(rows(1).getAs[Double]("revenue") == 150.0 &&
+      rows(1).getAs[Double]("mom_growth") == 0.5)
+  }
 }

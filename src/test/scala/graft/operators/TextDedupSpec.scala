@@ -252,6 +252,23 @@ class TextDedupSpec extends SparkSpec {
     assert(run(7L).sameElements(run(1L << 20)))
   }
 
+  test("dupRateBySource counts cross-source copies for both feeds") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "same text", "A"), (2L, "same text", "A"), // A duplicates itself
+      (3L, "same text", "B"),                         // B copies A's text
+      (4L, "unique here", "B")
+    ).toDF("doc_id", "text", "source")
+    val r = Dedup.dupRateBySource(docs).collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    assert(r("A").getAs[Long]("n_docs") == 2L)
+    assert(r("A").getAs[Long]("n_in_dup_groups") == 2L)
+    assert(r("A").getAs[Double]("dup_rate") == 1.0)
+    assert(r("B").getAs[Long]("n_in_dup_groups") == 1L,
+      "B's copy of A's text must count against B")
+    assert(r("B").getAs[Double]("dup_rate") == 0.5)
+  }
+
   test("jsDivergence: identical sources 0, disjoint vocabularies ln 2") {
     import spark.implicits._
     val same = Seq((1L, "a b c", "src0"), (2L, "a b c", "src1"))
