@@ -628,6 +628,7 @@ object SparkEntry {
     "w20_pareto" -> ((s, d) =>
       Windows.activityConcentration(Tables.events(s, d))),
     "ts_peaks" -> ((s, d) => Resample.peaks(Tables.events(s, d))),
+    "ts_m4" -> ((s, d) => Resample.m4Downsample(Tables.events(s, d))),
     "w15_range_frame" -> ((s, d) =>
       Windows.trailingWindowSums(Tables.events(s, d))),
     "w16_rolling_median" -> ((s, d) =>
@@ -3035,6 +3036,14 @@ object SparkEntry {
            max(gap_s) AS max_gap_s,
            round(quantile_cont(gap_s, 0.95), 4) AS p95_gap_s
          FROM g WHERE gap_s IS NOT NULL GROUP BY 1""",
+    "ts_m4" ->
+      """SELECT event_type,
+           epoch_us(date_trunc('hour', ts)) // 86400000000 AS bucket,
+           count(*) AS n,
+           (min({'t': ts, 'e': event_id, 'v': value})).v AS v_first,
+           (max({'t': ts, 'e': event_id, 'v': value})).v AS v_last,
+           min(value) AS v_min, max(value) AS v_max
+         FROM events GROUP BY 1, 2""",
     "ts_peaks" ->
       """WITH h AS (SELECT event_type,
              epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,

@@ -396,6 +396,26 @@ object Resample {
         count(lit(1)).as("n_hours"))
   }
 
+  /** M4 downsampling — the lossless-for-rendering viz aggregation
+    * (first/last/min/max per time bucket draws the same pixels as the
+    * raw series): per (event_type, `bucketHours`-hour bucket), the
+    * count, the value at the earliest and latest event, and the value
+    * extremes. first/last come from min/max over (ts, event_id, value)
+    * structs — lexicographic struct min IS "value at earliest time
+    * with the event_id tiebreak", partial-aggregates map-side, and
+    * needs no window sort. ONE pass at any scale. */
+  def m4Downsample(events: DataFrame, bucketHours: Int = 24): DataFrame =
+    events
+      .groupBy(col("event_type"),
+        expr(s"unix_seconds(date_trunc('hour', ts)) div ${3600L * bucketHours}")
+          .as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("v_first"),
+        max(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("v_last"),
+        min("value").as("v_min"), max("value").as("v_max"))
+
   /** Local-extrema peak detection on the hourly mean series: hours
     * whose value STRICTLY exceeds both neighbors AND the series mean —
     * the alerting-friendly cousin of [[cusumChangepoint]] (cusum finds

@@ -479,6 +479,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_"), s"moment sums must combine map-side:\n$p")
   }
 
+  test("ts_m4 is ONE partial-agg pass: no window, single exchange") {
+    val p = plan("ts_m4")
+    assert(!p.contains("Window"), s"M4 must not sort — struct min/max:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1 &&
+      p.contains("partial_"), s"one combining shuffle only:\n$p")
+  }
+
+  test("q31_mom_growth: rollup shuffle + priority window, nothing wider") {
+    val p = plan("q31_mom_growth")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2 &&
+      p.contains("partial_sum"),
+      s"corpus collapses before the lag window:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"the lag must partition by priority, never one task:\n$p")
+  }
+
+  test("tx_jsd: corpus scanned once; only the 1-row total broadcast nests") {
+    val p = plan("tx_jsd")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1 &&
+      !p.contains("CartesianProduct"),
+      s"only the totals broadcast may nest:\n$p")
+    assert(p.contains("partial_"), s"token counts must combine map-side:\n$p")
+  }
+
   test("entry flagship runs and returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

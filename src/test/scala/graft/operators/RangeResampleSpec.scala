@@ -189,6 +189,23 @@ class RangeResampleSpec extends SparkSpec {
       "a window straddling the mirrored tail must drop below 1")
   }
 
+  test("m4Downsample: first/last by time with event_id tiebreak, true extremes") {
+    import spark.implicits._
+    val ev = Seq(
+      (2L, "a", 10L, 5.0),  // same ts as event 1 — higher id loses "first"
+      (1L, "a", 10L, 3.0),  // first (ts tie → lower event_id)
+      (3L, "a", 50L, 9.0),  // max
+      (4L, "a", 99L, 1.0)   // last + min
+    ).toDF("event_id", "event_type", "s", "value")
+      .withColumn("ts", timestamp_seconds(col("s")))
+    val r = Resample.m4Downsample(ev).collect().head
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Double]("v_first") == 3.0,
+      "equal-ts first must resolve by event_id")
+    assert(r.getAs[Double]("v_last") == 1.0)
+    assert(r.getAs[Double]("v_min") == 1.0 && r.getAs[Double]("v_max") == 9.0)
+  }
+
   test("peaks: planted spike found, endpoints and plateaus never peak") {
     import spark.implicits._
     // one event per hour → hourly means [1,1,5,1,1]: only hour 2 peaks
