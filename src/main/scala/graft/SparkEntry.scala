@@ -266,6 +266,7 @@ object SparkEntry {
     "lam_anomaly_join" -> ((s, d) => Lambda.anomalies(Tables.events(s, d))),
     "lam_window_agg" -> ((s, d) => Lambda.slidingWindowAgg(Tables.events(s, d))),
     "q19_asof_join" -> ((s, d) => AsOfJoin.clickAttribution(Tables.events(s, d))),
+    "q19_asof_native" -> ((s, d) => AsOfJoin.clickAttributionNative(Tables.events(s, d))),
     "q20_json_extract" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // semi-structured props column: schema-on-read JSON extraction
@@ -1601,6 +1602,14 @@ object SparkEntry {
          WHERE p_type LIKE '%O%' AND p_name LIKE '%t'
          GROUP BY p_brand""",
     "q19_asof_join" ->
+      """WITH clicks AS (SELECT user_id, ts, event_id AS c_event_id
+                         FROM events WHERE event_type = 'click'),
+         purch AS (SELECT event_id AS p_event_id, user_id, ts
+                   FROM events WHERE event_type = 'purchase')
+         SELECT p.p_event_id, p.user_id, epoch_us(p.ts) AS p_ts_us, c.c_event_id
+         FROM purch p ASOF JOIN clicks c
+           ON p.user_id = c.user_id AND p.ts >= c.ts""",
+    "q19_asof_native" ->
       """WITH clicks AS (SELECT user_id, ts, event_id AS c_event_id
                          FROM events WHERE event_type = 'click'),
          purch AS (SELECT event_id AS p_event_id, user_id, ts

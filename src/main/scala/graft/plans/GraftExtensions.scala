@@ -15,11 +15,16 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   *  - on a live session: `GraftFunctions.register(spark)` (idempotent).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, builder) =>
       ext.injectFunction(
         (FunctionIdentifier(name), new ExpressionInfo("graft", name), builder))
     }
+    // Whole-operator extension (SURVEY §3 rung c): the native as-of join
+    // planner strategy. Also registered lazily on live sessions by
+    // AsOfJoin.asofNative via ColumnBridge.addStrategy.
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+  }
 }
 
 object GraftFunctions {

@@ -12,6 +12,24 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Wrap an already-analyzed LogicalPlan as a DataFrame (the same
+    * `Dataset.ofRows` route Spark's own DataFrameReader uses) — needed
+    * by graft's custom plan nodes (plans/NativeAsOfJoin.scala). */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Register an extra planner strategy on a LIVE session, idempotently. */
+  def addStrategy(spark: org.apache.spark.sql.SparkSession,
+                  strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {
+    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .experimental
+    if (!exp.extraStrategies.contains(strategy))
+      exp.extraStrategies = exp.extraStrategies :+ strategy
+  }
+
   /** Register a function builder on a LIVE session (the
     * SparkSessionExtensions route in GraftExtensions only applies at
     * session construction). */
