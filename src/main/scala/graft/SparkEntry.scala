@@ -559,6 +559,14 @@ object SparkEntry {
       sources.Lake.compact(s, p, targetRowsPerFile = 1000000L)
       sources.Lake.readParquet(s, p)
     }),
+    // z-order clustered rewrite: content preservation through the
+    // contract (oracle = the projected source), per-file min/max
+    // tightness on BOTH dims locked by ZorderSpec
+    "snk_zorder" -> ((s, d) => {
+      sources.Lake.zorderWrite(
+        Tables.lineitem(s, d).select("l_orderkey", "l_partkey", "l_quantity"),
+        scratch(d, "zorder_lineitem"), "l_orderkey", "l_partkey")
+    }),
     "snk_partitioned_write" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val lake = scratch(d, "orders_lake")
@@ -628,6 +636,8 @@ object SparkEntry {
       Windows.firstTouchAttribution(Tables.events(s, d))),
     "w20_pareto" -> ((s, d) =>
       Windows.activityConcentration(Tables.events(s, d))),
+    "w21_concurrency" -> ((s, d) =>
+      Windows.dailyConcurrency(Tables.events(s, d))),
     "ts_peaks" -> ((s, d) => Resample.peaks(Tables.events(s, d))),
     "ts_m4" -> ((s, d) => Resample.m4Downsample(Tables.events(s, d))),
     "w15_range_frame" -> ((s, d) =>
@@ -913,6 +923,22 @@ object SparkEntry {
         .filter(col("m") >= 4)
       Graph.components(pairs.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(pairs.select(col("b").as("src"), col("a").as("dst"))))
+    }),
+    "gr_bfs" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // bipartite repeat-business graph (≥2 shared orders) with a
+      // deterministic seed stripe; depth-4 min-hop histogram
+      val pairs = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey").as("a"),
+          (col("l_suppkey") + 1000000000L).as("b"))
+        .agg(countDistinct("o_orderkey").as("m"))
+        .filter(col("m") >= 2)
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      val seeds = edges.select(col("src").as("node"))
+        .filter(col("node") % 29 === 0)
+      Graph.bfs(edges, seeds, maxDepth = 4)
     }),
     "tx_zipf" -> ((s, d) => TextAnalysis.zipfFit(Tables.documents(s, d))),
     "tx_lexdiv" -> ((s, d) =>
@@ -1231,6 +1257,20 @@ object SparkEntry {
          comp AS (SELECT a AS node, least(a, min(b)) AS label
            FROM reach GROUP BY a)
          SELECT label, count(*) AS n_nodes FROM comp GROUP BY label""",
+    "gr_bfs" ->
+      """WITH RECURSIVE p AS (SELECT o_custkey AS a,
+             l_suppkey + 1000000000 AS b
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           GROUP BY 1, 2 HAVING count(DISTINCT o_orderkey) >= 2),
+         e AS (SELECT a AS src, b AS dst FROM p
+           UNION ALL SELECT b, a FROM p),
+         walk(node, d) AS (
+           SELECT DISTINCT src, 0 FROM e WHERE src % 29 = 0
+           UNION
+           SELECT e.dst, w.d + 1 FROM walk w JOIN e ON w.node = e.src
+             WHERE w.d < 4),
+         dist AS (SELECT node, min(d) AS dist FROM walk GROUP BY node)
+         SELECT dist, count(*) AS n_nodes FROM dist GROUP BY dist""",
     "tx_lexdiv" ->
       """WITH tf AS (SELECT source, t AS term, count(*) AS n
            FROM (SELECT source, unnest(string_split(text, ' ')) AS t
@@ -2336,6 +2376,8 @@ object SparkEntry {
          GROUP BY o_orderstatus""",
     "snk_compaction" ->
       "SELECT s_suppkey, s_name, s_nationkey FROM supplier",
+    "snk_zorder" ->
+      "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem",
     "src_json_roundtrip" ->
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
     "src_schema_evolution" ->
@@ -3080,6 +3122,19 @@ object SparkEntry {
            round(sum(CASE WHEN n_ev > cut THEN cents ELSE 0 END)
              / sum(cents), 6) AS value_share
          FROM per, c""",
+    "w21_concurrency" ->
+      """WITH iv AS (SELECT CAST(ts AS DATE) AS day, epoch_us(ts) AS s,
+             least(epoch_us(ts) + 300000000,
+               epoch_us(CAST(CAST(ts AS DATE) + 1 AS TIMESTAMP))) AS e
+           FROM events),
+         pts AS (SELECT day, s AS t, 1 AS delta FROM iv
+           UNION ALL SELECT day, e, -1 FROM iv),
+         run AS (SELECT day,
+             sum(delta) OVER (PARTITION BY day ORDER BY t, delta) AS c
+           FROM pts)
+         SELECT day, CAST(max(c) AS BIGINT) AS max_concurrent,
+           CAST(count(*)/2 AS BIGINT) AS n_sessions
+         FROM run GROUP BY day""",
     "sp_grid_density" ->
       """WITH p AS (SELECT
              round(((c_custkey * 17) % 1400)/10.0 - 70.0, 4) AS lat,

@@ -241,6 +241,53 @@ object Graph {
         6).as("assortativity"))
   }
 
+  /** Multi-source BFS: min-hop distance from a seed set, bounded depth —
+    * the reachability probe behind "how far does influence travel"
+    * questions (and the scale-sane alternative to an unbounded closure).
+    * Returns the (dist, n_nodes) histogram, seeds at dist 0.
+    *
+    * Scale shape: classic frontier expansion. Each round is ONE
+    * frontier⋈edges join on src (frontier is the only frame that moves;
+    * AQE broadcasts it while small) + a left_anti against the settled
+    * set to keep only newly reached nodes. The settled frame is
+    * multiply-referenced (anti-join now, union later, next rounds) AND
+    * loop-carried, so it localCheckpoints per round — the frontier
+    * collapses geometrically on small-world graphs, so rounds get
+    * cheaper, and depth is a fixed constant (the oracle unrolls the
+    * same bound via a depth-capped recursive CTE). */
+  def bfs(edges: DataFrame, seeds: DataFrame, maxDepth: Int = 4): DataFrame = {
+    // pre-partition the (static) edge list on src before checkpointing:
+    // LogicalRDD keeps the partitioning, so every round's frontier⋈edges
+    // join shuffles only the frontier — the edge list never moves again
+    val ed = edges.select("src", "dst").distinct()
+      .repartition(col("src")).localCheckpoint(true)
+    var settled = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0)).localCheckpoint(true)
+    var frontier = settled.select("node")
+    var depth = 0
+    var frontierSize = frontier.count()
+    while (depth < maxDepth && frontierSize > 0) {
+      depth += 1
+      val next = frontier.join(ed, frontier("node") === ed("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(settled.select("node"), Seq("node"), "left_anti")
+        .withColumn("dist", lit(depth))
+      settled = settled.unionByName(next)
+      if (depth < maxDepth) {
+        // loop-carried + multiply-referenced (anti now, union later):
+        // checkpoint per round — except the last, whose union feeds
+        // only the final rollup once
+        settled = settled.localCheckpoint(true)
+        // re-slice the frontier out of the checkpointed frame: `next`
+        // is referenced twice (union above, expansion below) and would
+        // otherwise recompute its join+anti lineage next round
+        frontier = settled.filter(col("dist") === depth).select("node")
+        frontierSize = frontier.count()
+      }
+    }
+    settled.groupBy("dist").agg(count(lit(1)).as("n_nodes"))
+  }
+
   /** Connected-component size histogram of an edge list — the general
     * graph face of the dedup CC machinery (Dedup.dupClusters: driver
     * union-find under the edge limit, distributed min-label pointer

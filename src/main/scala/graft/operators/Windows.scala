@@ -407,6 +407,35 @@ object Windows {
     * A row_number window would sort every partition; the min-struct
     * form combines map-side. Engine-exact money: purchase values sum
     * as exact integer cents, divided once at the end. */
+  /** Max concurrent open sessions per day — the interval-overlap sweep
+    * (+1 at open, −1 at close, running sum, max), the load-planning
+    * question behind capacity sizing. A session is [ts, ts+hold),
+    * clipped at its start day's end so every interval lives in exactly
+    * one day partition.
+    *
+    * Scale shape: the sweep is a window partitioned BY DAY — never a
+    * global single-partition running sum. Ties are exact by
+    * construction: ORDER BY (t, delta) puts closes before opens at the
+    * same microsecond (touching intervals don't overlap), and the
+    * RANGE-default frame gives all peer rows the post-peer sum in both
+    * engines, so max is engine-stable. */
+  def dailyConcurrency(events: DataFrame, holdSeconds: Long = 300L): DataFrame = {
+    val day = to_date(col("ts"))
+    val dayEndUs = unix_micros(to_timestamp(date_add(day, 1)))
+    val iv = events.select(day.as("day"),
+      unix_micros(col("ts")).as("s"),
+      least(unix_micros(col("ts")) + lit(holdSeconds * 1000000L), dayEndUs)
+        .as("e"))
+    val pts = iv.select(col("day"), col("s").as("t"), lit(1).as("delta"))
+      .unionByName(iv.select(col("day"), col("e").as("t"),
+        lit(-1).as("delta")))
+    val w = Window.partitionBy("day").orderBy(col("t"), col("delta"))
+    pts.withColumn("c", sum("delta").over(w))
+      .groupBy("day")
+      .agg(max("c").cast("long").as("max_concurrent"),
+        (count(lit(1)) / 2).cast("long").as("n_sessions"))
+  }
+
   def firstTouchAttribution(events: DataFrame): DataFrame = {
     val isPurchase = col("event_type") === "purchase"
     events

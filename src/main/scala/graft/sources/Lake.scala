@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -91,6 +91,61 @@ object Lake {
     }
     fs.delete(old, true)
     files
+  }
+
+  /** Z-order clustered rewrite — sort rows along the bit-interleaved
+    * (Morton) curve of two numeric columns so parquet footer min/max
+    * stats become selective on BOTH dimensions at once (the lakehouse
+    * OPTIMIZE ZORDER analog; a plain sort clusters only its leading
+    * column and leaves the second dimension's per-file range at ~100%).
+    * Multi-dim data skipping is what makes a 100 TB lake scannable by
+    * more than one predicate shape.
+    *
+    * Scale shape: one min/max agg (1-row broadcast back), then the
+    * z-value is a pure codegen'd Column (no UDF), and the physical
+    * clustering is `repartitionByRange(z)` + `sortWithinPartitions(z)`
+    * — a range shuffle whose sampling handles skew, never a global
+    * single-partition sort. Quantization to `bits` per dim caps the
+    * interleave at 2·bits ops; ties within a quantum are broken by the
+    * range partitioner arbitrarily, which only blurs file boundaries,
+    * never correctness (ZorderSpec locks content + per-file ranges). */
+  def zorderWrite(df: DataFrame, path: String, colA: String, colB: String,
+                  files: Int = 8, bits: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    zorderCluster(df, colA, colB, files, bits)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    spark.read.parquet(path)
+  }
+
+  /** The clustered (but unwritten) frame behind [[zorderWrite]] —
+    * separate so PlanAuditSpec can assert the range-shuffle plan shape. */
+  def zorderCluster(df: DataFrame, colA: String, colB: String,
+                    files: Int, bits: Int = 16): DataFrame = {
+    val mm = df.agg(
+      min(col(colA)).cast("double").as("__amin"),
+      max(col(colA)).cast("double").as("__amax"),
+      min(col(colB)).cast("double").as("__bmin"),
+      max(col(colB)).cast("double").as("__bmax"))
+    val top = (1L << bits) - 1
+    def quant(c: Column, lo: Column, hi: Column): Column =
+      least(lit(top), greatest(lit(0L),
+        floor((c.cast("double") - lo) / nullif(hi - lo, lit(0.0))
+          * top).cast("long")))
+    df.crossJoin(broadcast(mm))
+      .withColumn("__qa", coalesce(
+        quant(col(colA), col("__amin"), col("__amax")), lit(0L)))
+      .withColumn("__qb", coalesce(
+        quant(col(colB), col("__bmin"), col("__bmax")), lit(0L)))
+      .withColumn("__z", (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+        acc
+          .bitwiseOR(shiftleft(shiftright(col("__qa"), i).bitwiseAND(lit(1L)),
+            2 * i + 1))
+          .bitwiseOR(shiftleft(shiftright(col("__qb"), i).bitwiseAND(lit(1L)),
+            2 * i))
+      })
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__amin", "__amax", "__bmin", "__bmax", "__qa", "__qb", "__z")
   }
 
   /** Round-trips for the driver contract: write to a scratch dir under

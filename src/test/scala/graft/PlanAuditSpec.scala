@@ -503,6 +503,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_"), s"token counts must combine map-side:\n$p")
   }
 
+  test("w21_concurrency: sweep is windowed by day, no single-partition sort") {
+    val p = plan("w21_concurrency")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Exchange SinglePartition"),
+      s"global sweep must not collapse to one partition:\n$p")
+  }
+
+  test("snk_zorder: clustering is a RANGE shuffle, never a global sort") {
+    // audit the write-side plan: range partitioning on the z value with
+    // an in-partition (global=false) sort; a global sort would re-shuffle
+    val wp = sources.Lake.zorderCluster(
+      Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey"),
+      "l_orderkey", "l_partkey", files = 8)
+      .queryExecution.executedPlan.toString
+    assert(wp.contains("Exchange rangepartitioning(__z"), wp)
+    val globalSorts = wp.linesIterator
+      .filter(l => l.contains("Sort [") && l.contains("], true,")).toList
+    assert(globalSorts.isEmpty, globalSorts.mkString("\n"))
+  }
+
+  test("q19_asof_native: custom exec node, one exchange+sort per side") {
+    val df = SparkEntry.queries("q19_asof_native")(spark, sf)
+    df.collect()
+    // AQE's toString prints final AND initial plans — audit the final one
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("AsOfJoin"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+  }
+
   test("entry flagship runs and returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

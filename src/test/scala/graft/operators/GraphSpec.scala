@@ -101,6 +101,33 @@ class GraphSpec extends SparkSpec {
     assert(rc.getAs[Long]("n_edges") == 4L && rc.isNullAt(rc.fieldIndex("assortativity")))
   }
 
+  test("bfs: min-hop histogram on a path graph, depth cap respected") {
+    // path 1-2-3-4-5-6-7, seed {1}: dists 0,1,2,3,4 then the cap stops
+    val edges = undirected((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (6L, 7L))
+    val seeds = Seq(1L).toDF("node")
+    val out = Graph.bfs(edges, seeds, maxDepth = 4)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out == Map(0 -> 1L, 1 -> 1L, 2 -> 1L, 3 -> 1L, 4 -> 1L))
+  }
+
+  test("bfs: a node reachable two ways gets the SHORTER distance") {
+    // triangle 1-2-3 plus chain 3-4; seeds {1}: 3 is at dist 1 (via
+    // edge 1-3), never 2 (via 1-2-3); 4 at dist 2
+    val edges = undirected((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val out = Graph.bfs(edges, Seq(1L).toDF("node"), maxDepth = 3)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out == Map(0 -> 1L, 1 -> 2L, 2 -> 1L))
+  }
+
+  test("bfs: multi-seed frontiers merge, seeds never re-labelled") {
+    val edges = undirected((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val out = Graph.bfs(edges, Seq(1L, 5L).toDF("node"), maxDepth = 4)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // 1,5 seeds; 2,4 at dist 1; 3 at dist 2 from either side
+    assert(out == Map(0 -> 2L, 1 -> 2L, 2 -> 1L))
+  }
+
   test("degreeHistogram counts nodes per degree, dedup included") {
     val edges = undirected((1L, 2L), (1L, 3L))
       .unionByName(Seq((1L, 2L)).toDF("src", "dst")) // duplicate edge

@@ -122,6 +122,33 @@ class WindowsLambdaSpec extends SparkSpec {
     assert(r.getAs[Double]("median_latency_s") == 60.0)
   }
 
+  test("dailyConcurrency: stacked opens peak, close-at-open is NOT overlap") {
+    import spark.implicits._
+    // day 1: opens at 0s/100s/200s with 300s hold → all three alive at
+    // 200s (max 3). day 2: open at 0s, next at exactly 300s when the
+    // first CLOSES — the −1 sorts before the +1 at the same instant, so
+    // max stays 1 (touching intervals don't overlap).
+    val day1 = 86400L
+    val ev = Seq(0L, 100L, 200L, day1 + 0L, day1 + 300L)
+      .toDF("s").withColumn("ts", timestamp_seconds(col("s") + day1 * 365))
+    val out = Windows.dailyConcurrency(ev, holdSeconds = 300L)
+      .collect().map(r => (r.getAs[Long]("max_concurrent"),
+        r.getAs[Long]("n_sessions"))).toSet
+    assert(out == Set((3L, 3L), (1L, 2L)))
+  }
+
+  test("dailyConcurrency clips a session at its start day's boundary") {
+    import spark.implicits._
+    // one event 10s before midnight with a 300s hold: it must not leak
+    // concurrency into the next day — the next day's lone event peaks at 1
+    val ev = Seq(86400L - 10L, 86400L + 5L)
+      .toDF("s").withColumn("ts", timestamp_seconds(col("s")))
+    val byDay = Windows.dailyConcurrency(ev, holdSeconds = 300L)
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString ->
+        r.getAs[Long]("max_concurrent")).toMap
+    assert(byDay.values.toSeq.sorted == Seq(1L, 1L), byDay.toString)
+  }
+
   test("activityConcentration isolates the power user above the p90 cutoff") {
     import spark.implicits._
     // 9 one-event users + 1 ten-event power user: p90 cutoff 1.9 →
