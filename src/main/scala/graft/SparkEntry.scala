@@ -656,6 +656,11 @@ object SparkEntry {
     "st_group_quantiles" -> ((s, d) =>
       Stats.groupQuantiles(Tables.lineitem(s, d), "l_returnflag",
         "l_extendedprice", Seq(0.25, 0.5, 0.9))),
+    "st_qq" -> ((s, d) =>
+      Stats.qqTable(Tables.events(s, d), "event_type", "value",
+        "click", "view")),
+    "st_ci" -> ((s, d) =>
+      Stats.groupMeanCI(Tables.events(s, d), "event_type", "value")),
     // interval × interval overlap join (binned equi-join, no BNLJ):
     // error windows × purchase windows, 10-minute spans
     "q27_interval_join" -> ((s, d) => {
@@ -2604,6 +2609,26 @@ object SparkEntry {
            round(quantile_cont(l_extendedprice, 0.5), 4) AS q50,
            round(quantile_cont(l_extendedprice, 0.9), 4) AS q90
          FROM lineitem GROUP BY l_returnflag""",
+    "st_qq" ->
+      """WITH one AS (SELECT
+             quantile_cont(CASE WHEN event_type = 'click' THEN value END,
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qa,
+             quantile_cont(CASE WHEN event_type = 'view' THEN value END,
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qb
+           FROM events),
+         idx AS (SELECT unnest(generate_series(1, 9)) AS i)
+         SELECT round(i/10.0, 1) AS p, round(qa[i], 4) AS q_a,
+           round(qb[i], 4) AS q_b, round(qa[i] - qb[i], 4) AS diff
+         FROM idx, one""",
+    "st_ci" ->
+      """WITH g AS (SELECT event_type, count(value) AS n,
+             round(avg(value), 4) AS mean,
+             round(stddev_samp(value), 4) AS std
+           FROM events GROUP BY 1)
+         SELECT event_type, n, mean, std,
+           round(mean - 1.96 * std / sqrt(n), 4) AS ci_lo,
+           round(mean + 1.96 * std / sqrt(n), 4) AS ci_hi
+         FROM g""",
     "w14_rolling_distinct" ->
       """SELECT event_id, user_id,
            CAST(count(DISTINCT event_type) OVER (PARTITION BY user_id

@@ -176,19 +176,29 @@ object SpatialJoin {
         .select(col("c_custkey"), col("c_lat"), col("c_lon"),
           (col("lat0") + col("d.dy")).as("cell_lat"),
           pmod(col("lon0") + col("d.dx"), lit(nLon)).as("cell_lon"))
-      val best = probes.join(sCells, Seq("cell_lat", "cell_lon"))
+      // LEFT join so a customer whose whole probed block is empty still
+      // reaches `best` (with a null candidate): the next ring's
+      // population is then a FILTER of the checkpointed `best`, not an
+      // anti-join round against `cands` — one shuffle and one
+      // materialization fewer per ring. The null-candidate guard keeps
+      // min(struct) from electing an empty cell (nulls sort first in
+      // struct order): a probe row with no supplier contributes a null
+      // STRUCT, which min() ignores.
+      val best = probes.join(sCells, Seq("cell_lat", "cell_lon"), "left")
         .withColumn("dist_km",
           round(haversineKm(col("c_lat"), col("c_lon"), col("s_lat"), col("s_lon")), 4))
-        .groupBy("c_custkey", "c_lat")
-        .agg(min(struct(col("dist_km"), col("s_suppkey"))).as("best"))
+        .groupBy("c_custkey", "c_lat", "c_lon")
+        .agg(min(when(col("s_suppkey").isNotNull,
+          struct(col("dist_km"), col("s_suppkey")))).as("best"))
+        .withColumn("__settled",
+          col("best.dist_km") < settleBoundKm(ring, cellDeg, col("c_lat")) &&
+            abs(col("c_lat")) <= maxAbsLat)
         .localCheckpoint(true)
-      val resolved = best
-        .filter(col("best.dist_km") < settleBoundKm(ring, cellDeg, col("c_lat")) &&
-          abs(col("c_lat")) <= maxAbsLat)
+      val resolved = best.filter(col("__settled"))
         .select(col("c_custkey"), col("best.s_suppkey").as("s_suppkey"),
           col("best.dist_km").as("dist_km"))
-      val unresolved = cands.join(resolved.select("c_custkey"),
-        Seq("c_custkey"), "left_anti")
+      val unresolved = best.filter(!coalesce(col("__settled"), lit(false)))
+        .select("c_custkey", "c_lat", "c_lon")
       (resolved, unresolved)
     }
 
@@ -206,7 +216,9 @@ object SpatialJoin {
            (remainingN < 0L || remainingN * sptsN > fallbackPairBudget)) {
       val (resolved, unresolved) = ringPass(remaining, ring)
       acc = Some(acc.fold(resolved)(_.unionByName(resolved)))
-      remaining = unresolved.localCheckpoint(true)
+      // unresolved is a narrow filter of the ring's checkpointed frame —
+      // the count and the next ring's probes recompute only a local scan
+      remaining = unresolved
       remainingN = remaining.count()
       ring += 1
     }
@@ -245,7 +257,6 @@ object SpatialJoin {
     require(maxRing >= 1 && 2 * maxRing + 1 <= 360 / cellDeg,
       "ring blocks must stay narrower than the longitude wrap")
     val nLon = 360 / cellDeg
-    val wk = Window.partitionBy("c_custkey").orderBy("dist_km", "s_suppkey")
     val cpts = customerPoints(customer)
     val spts = supplierPoints(supplier)
     val sCells = spts
@@ -271,10 +282,19 @@ object SpatialJoin {
       // candidates survive) rides along on every retained row, so
       // "settled" is a filter, not a groupBy + semi-join round
       val wAll = Window.partitionBy("c_custkey")
-      val cand = probes.join(sCells, Seq("cell_lat", "cell_lon"))
+      // LEFT join so an all-empty probe block still yields a (null
+      // candidate, rnk 1) row: the next ring's population is a FILTER
+      // of the checkpointed frame, not an anti-join round. Null
+      // distances sort LAST so padding rows can never displace real
+      // candidates inside the top k; a padded k-th row leaves __kth
+      // null, which correctly reads "not settled".
+      val cand = probes.join(sCells, Seq("cell_lat", "cell_lon"), "left")
         .withColumn("dist_km",
           round(haversineKm(col("c_lat"), col("c_lon"), col("s_lat"), col("s_lon")), 4))
-        .withColumn("rnk", row_number().over(wk))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("c_custkey")
+            .orderBy(col("dist_km").asc_nulls_last,
+              col("s_suppkey").asc_nulls_last)))
         .filter(col("rnk") <= k)
         .withColumn("__kth",
           max(when(col("rnk") === k, col("dist_km"))).over(wAll))
@@ -282,14 +302,14 @@ object SpatialJoin {
           col("__kth").isNotNull &&
             col("__kth") < settleBoundKm(ring, cellDeg, col("c_lat")) &&
             abs(col("c_lat")) <= maxAbsLat)
-        .select(col("c_custkey"), col("s_suppkey"),
-          col("dist_km"), col("rnk"), col("__settled"))
+        .select(col("c_custkey"), col("c_lat"), col("c_lon"),
+          col("s_suppkey"), col("dist_km"), col("rnk"), col("__settled"))
         .localCheckpoint(true)
       val resolved = cand.filter(col("__settled"))
         .select(col("c_custkey"), col("s_suppkey"), col("dist_km"), col("rnk"))
-      val settledKeys = cand
-        .filter(col("__settled") && col("rnk") === 1).select("c_custkey")
-      val unresolved = cands.join(settledKeys, Seq("c_custkey"), "left_anti")
+      val unresolved = cand
+        .filter(!col("__settled") && col("rnk") === 1)
+        .select("c_custkey", "c_lat", "c_lon")
       (resolved, unresolved)
     }
 
@@ -304,7 +324,9 @@ object SpatialJoin {
            (remainingN < 0L || remainingN * sptsN > fallbackPairBudget)) {
       val (resolved, unresolved) = ringPass(remaining, ring)
       acc = Some(acc.fold(resolved)(_.unionByName(resolved)))
-      remaining = unresolved.localCheckpoint(true)
+      // unresolved is a narrow filter of the ring's checkpointed frame —
+      // the count and the next ring's probes recompute only a local scan
+      remaining = unresolved
       remainingN = remaining.count()
       ring += 1
     }
@@ -318,7 +340,8 @@ object SpatialJoin {
       val fallback = pairs
         .withColumn("dist_km",
           round(haversineKm(col("c_lat"), col("c_lon"), col("s_lat"), col("s_lon")), 4))
-        .withColumn("rnk", row_number().over(wk))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("c_custkey").orderBy("dist_km", "s_suppkey")))
         .filter(col("rnk") <= k)
         .select(col("c_custkey"), col("s_suppkey"), col("dist_km"), col("rnk"))
       settled.unionByName(fallback)

@@ -561,6 +561,45 @@ object Stats {
     df.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Q–Q table between two groups' distributions — decile-by-decile
+    * quantile pairing, the distribution-shape comparison behind "did
+    * this source shift?" that a mean test (st_ttest) can't see. ONE
+    * conditional-percentile pass over the corpus (both groups' deciles
+    * from the same partial agg — no per-group scan), then a row-local
+    * arrays_zip/posexplode to 9 rows. percentile_approx is the
+    * constant-memory 100 TB drop-in. */
+  def qqTable(df: DataFrame, groupCol: String, c: String,
+              ga: String, gb: String): DataFrame = {
+    val ps = (1 to 9).map(_ / 10.0)
+    val arr = s"array(${ps.mkString(", ")})"
+    val one = df.agg(
+      expr(s"percentile(CASE WHEN $groupCol = '$ga' THEN $c END, $arr)")
+        .as("qa"),
+      expr(s"percentile(CASE WHEN $groupCol = '$gb' THEN $c END, $arr)")
+        .as("qb"))
+    one.select(posexplode(arrays_zip(col("qa"), col("qb"))))
+      .select(round((col("pos") + 1) / 10.0, 1).as("p"),
+        round(col("col.qa"), 4).as("q_a"),
+        round(col("col.qb"), 4).as("q_b"),
+        round(col("col.qa") - col("col.qb"), 4).as("diff"))
+  }
+
+  /** Per-group mean with a normal-approximation confidence interval
+    * (mean ± z·s/√n) — the "is this metric stable" one-liner every
+    * dashboard needs. One partial-agg pass; CLT makes the normal
+    * approximation the right default at warehouse group sizes. */
+  def groupMeanCI(df: DataFrame, groupCol: String, c: String,
+                  z: Double = 1.96): DataFrame =
+    df.groupBy(groupCol)
+      .agg(count(col(c)).as("n"),
+        round(avg(col(c)), 4).as("mean"),
+        round(stddev_samp(col(c)), 4).as("std"))
+      .select(col(groupCol), col("n"), col("mean"), col("std"),
+        round(col("mean") - lit(z) * col("std") / sqrt(col("n")), 4)
+          .as("ci_lo"),
+        round(col("mean") + lit(z) * col("std") / sqrt(col("n")), 4)
+          .as("ci_hi"))
+
   /** Median absolute deviation per group — the robust dispersion
     * estimate (stddev is dragged by the same outliers it is meant to
     * flag; MAD is 50%-breakdown). Two passes by necessity (the second

@@ -309,6 +309,40 @@ class StatsSpec extends SparkSpec {
     assert(r.head.getAs[Double]("cohens_d") == -3.0)
   }
 
+  test("qqTable: identical groups pair every decile with diff 0") {
+    val df = (1 to 100).flatMap(i => Seq(("a", i.toDouble), ("b", i.toDouble)))
+      .toDF("g", "v")
+    val rows = Stats.qqTable(df, "g", "v", "a", "b").collect()
+    assert(rows.length == 9)
+    assert(rows.forall(_.getAs[Double]("diff") == 0.0))
+    // median of 1..100 under linear interpolation
+    assert(rows.find(_.getAs[Double]("p") == 0.5)
+      .get.getAs[Double]("q_a") == 50.5)
+  }
+
+  test("qqTable: a constant shift appears as the same diff at every decile") {
+    val df = (1 to 100).flatMap(i =>
+      Seq(("a", i.toDouble + 7.0), ("b", i.toDouble))).toDF("g", "v")
+    val rows = Stats.qqTable(df, "g", "v", "a", "b").collect()
+    assert(rows.forall(_.getAs[Double]("diff") == 7.0))
+  }
+
+  test("groupMeanCI: hand-computed interval, degenerate singleton is null") {
+    // [2,4,6,8]: mean 5, sd_samp 2.58199… rounds to 2.582 (the CI is
+    // derived from the ROUNDED std so both oracle engines agree) →
+    // 1.96·2.582/√4 = 2.53036 → [2.4696, 7.5304]
+    val df = (Seq(2.0, 4.0, 6.0, 8.0).map(("a", _)) :+ (("b", 3.0)))
+      .toDF("g", "v")
+    val byG = Stats.groupMeanCI(df, "g", "v").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = byG("a")
+    assert(a.getAs[Long]("n") == 4L && a.getAs[Double]("mean") == 5.0)
+    assert(math.abs(a.getAs[Double]("ci_lo") - 2.4696) < 1e-9)
+    assert(math.abs(a.getAs[Double]("ci_hi") - 7.5304) < 1e-9)
+    assert(byG("b").isNullAt(byG("b").fieldIndex("std")),
+      "singleton group has no sample stddev, CI must be null not NaN")
+  }
+
   test("jarqueBera: symmetric data has skew 0, hand kurtosis; constant is null") {
     // [-2,-1,0,1,2]: m2=2, m3=0, m4=6.8 → skew 0, kurt 1.7,
     // JB = 5/6 · (1.7-3)²/4 = 0.352083…
