@@ -417,6 +417,12 @@ object SparkEntry {
       Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), 0.3)),
     "ann_bruteforce" -> ((s, d) =>
       SimilaritySearch.bruteForceTopK(Tables.embeddings(s, d), 0L, 10)),
+    "tx_bm25" -> ((s, d) =>
+      TextAnalysis.bm25TopK(Tables.documents(s, d),
+        Seq("vector", "hash", "merge"), 10)),
+    "ann_hybrid" -> ((s, d) =>
+      SimilaritySearch.hybridRrf(Tables.documents(s, d),
+        Tables.embeddings(s, d), 0L, Seq("vector", "hash", "merge"), 10)),
     "ann_pca" -> ((s, d) =>
       SimilaritySearch.pcaProject(Tables.embeddings(s, d), nc = 2)),
     "ann_range" -> ((s, d) =>
@@ -2317,6 +2323,52 @@ object SparkEntry {
                                         CAST(q.qe AS DOUBLE[])), 4) AS cos
          FROM embeddings b, q WHERE b.vec_id <> 0
          ORDER BY cos DESC, b.vec_id LIMIT 10""",
+    "tx_bm25" ->
+      """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS dl
+           FROM documents),
+         stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM d),
+         tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+           WHERE term IN ('vector', 'hash', 'merge') GROUP BY 1, 2),
+         dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         s AS (SELECT tf.doc_id,
+             ln((n - df + 0.5) / (df + 0.5) + 1.0)
+               * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * d.dl / avgdl)) AS w
+           FROM tf JOIN dfx USING (term) JOIN d USING (doc_id)
+             CROSS JOIN stats)
+         SELECT doc_id, round(sum(w), 6) AS bm25 FROM s
+         GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT 10""",
+    "ann_hybrid" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         vr AS (SELECT vec_id AS vid, row_number() OVER (ORDER BY
+             round(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+                                          CAST(q.qe AS DOUBLE[])), 4) DESC,
+             vec_id) AS rv
+           FROM embeddings b, q WHERE b.vec_id <> 0
+           QUALIFY rv <= 100),
+         d AS (SELECT doc_id, len(string_split(text, ' ')) AS dl
+           FROM documents),
+         stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM d),
+         tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+           WHERE term IN ('vector', 'hash', 'merge') GROUP BY 1, 2),
+         dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         s AS (SELECT tf.doc_id,
+             ln((n - df + 0.5) / (df + 0.5) + 1.0)
+               * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * d.dl / avgdl)) AS w
+           FROM tf JOIN dfx USING (term) JOIN d USING (doc_id)
+             CROSS JOIN stats),
+         bm AS (SELECT doc_id, round(sum(w), 6) AS bm25 FROM s GROUP BY 1
+           ORDER BY bm25 DESC, doc_id LIMIT 100),
+         br AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC,
+             doc_id) AS rb FROM bm)
+         SELECT coalesce(vr.vid, br.doc_id) AS id,
+           round(coalesce(1.0 / (60 + rv), 0)
+             + coalesce(1.0 / (60 + rb), 0), 6) AS rrf
+         FROM vr FULL OUTER JOIN br ON vr.vid = br.doc_id
+         ORDER BY rrf DESC, id LIMIT 10""",
     "ann_filtered" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          SELECT b.vec_id,

@@ -23,6 +23,34 @@ object SimilaritySearch {
   def bruteForceTopK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame =
     bruteForceTopKWhere(embeddings, queryId, k, lit(true))
 
+  /** Hybrid retrieval — reciprocal-rank fusion of the vector shortlist
+    * and a BM25 keyword shortlist (score = Σ 1/(kRrf + rank), the
+    * score-scale-free fusion every hybrid search stack defaults to;
+    * docs and vectors pair by shared id). Both shortlists are
+    * `shortlist`-sized (TakeOrdered on their own side — the corpus is
+    * scanned once per modality and never joined wholesale), so the rank
+    * windows and the full-outer fusion join run on k-sized frames.
+    * Deterministic: ranks tie-break on id in both modalities, fusion
+    * ties break on id. */
+  def hybridRrf(documents: DataFrame, embeddings: DataFrame,
+                queryVecId: Long, queryTerms: Seq[String], k: Int = 10,
+                shortlist: Int = 100, kRrf: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vr = bruteForceTopK(embeddings, queryVecId, shortlist)
+      .withColumn("rv", row_number().over(
+        Window.orderBy(desc("cos"), asc("vec_id"))))
+    val br = graft.operators.TextAnalysis
+      .bm25TopK(documents, queryTerms, shortlist)
+      .withColumn("rb", row_number().over(
+        Window.orderBy(desc("bm25"), asc("doc_id"))))
+    vr.join(br, vr("vec_id") === br("doc_id"), "full_outer")
+      .select(coalesce(col("vec_id"), col("doc_id")).as("id"),
+        round(coalesce(lit(1.0) / (lit(kRrf) + col("rv")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("rb")), lit(0.0)), 6)
+          .as("rrf"))
+      .orderBy(desc("rrf"), asc("id")).limit(k)
+  }
+
   /** Metadata-FILTERED exact vector search: top-k by cosine among only
     * the corpus rows satisfying `pred` (e.g. label = 3) — the "search
     * within a slice" query every vector store serves. The predicate sits

@@ -397,6 +397,37 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** BM25 keyword retrieval — top-k documents for a bag of query terms
+    * (Okapi BM25: idf·tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)), the
+    * lexical half of every hybrid retrieval stack). Doc lengths are
+    * row-local (size of the token array, no second explode); the token
+    * explode is FILTERED to the query terms before the shuffle, so the
+    * aggregated frame is |queryTerms|-bounded per doc; N and avgdl ride
+    * as a 1-row broadcast; top-k is TakeOrdered-sized with a doc_id
+    * tiebreak. */
+  def bm25TopK(documents: DataFrame, queryTerms: Seq[String], k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "BM25 needs at least one query term")
+    val fanned = Scale.fanOut(documents.select("doc_id", "text"), Seq("doc_id"))
+    val withLen = fanned.withColumn("dl", size(tokens(col("text"))))
+    val stats = withLen.agg(count(lit(1)).as("__n"),
+      avg(col("dl")).as("__avgdl"))
+    val tf = withLen
+      .select(col("doc_id"), col("dl"),
+        explode(tokens(col("text"))).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "term").crossJoin(broadcast(stats))
+      .withColumn("w",
+        log((col("__n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) *
+            (lit(1 - b) + lit(b) * col("dl") / col("__avgdl"))))
+      .groupBy("doc_id").agg(round(sum("w"), 6).as("bm25"))
+      .orderBy(desc("bm25"), asc("doc_id")).limit(k)
+  }
+
   /** Unigram cross-entropy quality score — the model-based filter of
     * CCNet-style curation with the model that needs no external
     * artifact: the corpus's own Laplace-smoothed unigram distribution.

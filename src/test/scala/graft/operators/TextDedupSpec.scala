@@ -341,6 +341,49 @@ class TextDedupSpec extends SparkSpec {
     assert(topk.sameElements(full))
   }
 
+  test("bm25TopK: hand-scored two-doc case — rarity and saturation behave") {
+    import spark.implicits._
+    // corpus: doc 0 has the query term twice in 4 tokens, doc 1 once in
+    // 4, doc 2 none. N=3, df=2, avgdl=4 → idf = ln((3-2+0.5)/2.5 + 1)
+    // = ln(1.6); dl/avgdl = 1 so the length normalizer is k1 exactly.
+    val docs = Seq(
+      (0L, "cat dog cat bird"),
+      (1L, "cat fish worm slug"),
+      (2L, "dog bird worm slug")).toDF("doc_id", "text")
+    val out = Stats2.collectBm25(docs)
+    val idf = math.log(1.6)
+    val w2 = idf * (2.0 * 2.2) / (2.0 + 1.2) // tf=2
+    val w1 = idf * (1.0 * 2.2) / (1.0 + 1.2) // tf=1
+    assert(out == Seq(0L -> round6(w2), 1L -> round6(w1)))
+    assert(w2 < 2 * w1, "tf saturation: doubling tf must not double score")
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private object Stats2 {
+    def collectBm25(docs: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+      TextAnalysis.bm25TopK(docs, Seq("cat"), 10)
+        .collect().toSeq.map(r => r.getLong(0) -> r.getDouble(1))
+  }
+
+  test("hybridRrf: single-modality hits fuse at 1/(60+rank); overlap adds") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    val fused = SimilaritySearch.hybridRrf(docs, emb, 0L,
+      Seq("vector", "hash", "merge"), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(fused.length == 10)
+    // scores are non-increasing and the max possible RRF is 2/61
+    assert(fused.map(_._2).sliding(2).forall(p => p.head >= p.last))
+    assert(fused.head._2 <= 2.0 / 61 + 1e-9)
+    // determinism: a second run fuses identically
+    val again = SimilaritySearch.hybridRrf(docs, emb, 0L,
+      Seq("vector", "hash", "merge"), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(fused.sameElements(again))
+  }
+
   test("lexicalDiversity: unique-word source scores TTR 1, repeated-word 1/n") {
     import spark.implicits._
     val docs = Seq(("rich", "a b c d"), ("poor", "x x x x"))
