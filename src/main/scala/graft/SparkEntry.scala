@@ -627,6 +627,22 @@ object SparkEntry {
     "tpch_q18" -> ((s, d) =>
       Tpch.q18(Tables.customer(s, d), Tables.orders(s, d),
         Tables.lineitem(s, d))),
+    "tpch_q7" -> ((s, d) =>
+      Tpch.q7(Tables.customer(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d), Tables.supplier(s, d), Tables.nation(s, d))),
+    "tpch_q8" -> ((s, d) =>
+      Tpch.q8(Tables.customer(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d), Tables.supplier(s, d), Tables.nation(s, d),
+        Tables.region(s, d), Tables.part(s, d))),
+    "tpch_q13" -> ((s, d) =>
+      Tpch.q13(Tables.customer(s, d), Tables.orders(s, d))),
+    "tpch_q17" -> ((s, d) =>
+      Tpch.q17(Tables.lineitem(s, d), Tables.part(s, d))),
+    "tpch_q21" -> ((s, d) =>
+      Tpch.q21(Tables.supplier(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d))),
+    "tpch_q22" -> ((s, d) =>
+      Tpch.q22(Tables.customer(s, d), Tables.orders(s, d))),
     "q28_exists" -> ((s, d) =>
       Relational.lapsedCustomers(Tables.customer(s, d), Tables.orders(s, d),
         "1996-01-01", "1997-01-01")),
@@ -2527,6 +2543,74 @@ object SparkEntry {
            AND l_returnflag = 'R' AND c_nationkey = n_nationkey
          GROUP BY 1, 2, 3, 4
          ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "tpch_q7" ->
+      """SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+         FROM lineitem, orders, customer, supplier,
+           nation ns, nation nc
+         WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+           AND l_suppkey = s_suppkey
+           AND s_nationkey = ns.n_nationkey
+           AND c_nationkey = nc.n_nationkey
+           AND ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+             OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+           AND l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+         GROUP BY 1, 2, 3""",
+    "tpch_q8" ->
+      """SELECT year(o_orderdate) AS o_year,
+           round(sum(CASE WHEN n2.n_name = 'NATION_1'
+               THEN l_extendedprice * (1.0 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1.0 - l_discount)), 6) AS mkt_share
+         FROM lineitem, orders, customer, supplier, part,
+           nation n1, nation n2, region
+         WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+           AND l_suppkey = s_suppkey AND l_partkey = p_partkey
+           AND c_nationkey = n1.n_nationkey
+           AND n1.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+           AND s_nationkey = n2.n_nationkey
+           AND p_type = 'STANDARD'
+         GROUP BY 1""",
+    "tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+           SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT OUTER JOIN orders
+             ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+           GROUP BY c_custkey)
+         GROUP BY c_count
+         ORDER BY custdist DESC, c_count DESC""",
+    "tpch_q17" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+         FROM lineitem, part
+         WHERE p_partkey = l_partkey AND p_brand = 'Brand#1'
+           AND l_quantity < (
+             SELECT 0.2 * avg(l_quantity) FROM lineitem
+             WHERE l_partkey = p_partkey)""",
+    "tpch_q21" ->
+      """SELECT s_name, count(*) AS numwait
+         FROM supplier, lineitem l1, orders
+         WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+           AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+           AND EXISTS (SELECT 1 FROM lineitem l2
+             WHERE l2.l_orderkey = l1.l_orderkey
+               AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+             WHERE l3.l_orderkey = l1.l_orderkey
+               AND l3.l_suppkey <> l1.l_suppkey
+               AND l3.l_returnflag = 'R')
+         GROUP BY s_name
+         ORDER BY numwait DESC, s_name LIMIT 20""",
+    "tpch_q22" ->
+      """SELECT c_nationkey, count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+         FROM customer c
+         WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+             WHERE c_acctbal > 0.0)
+           AND NOT EXISTS (SELECT 1 FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+               AND o.o_orderpriority = '1-URGENT')
+         GROUP BY 1""",
     "tpch_q12" ->
       """SELECT l_linestatus,
            sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')

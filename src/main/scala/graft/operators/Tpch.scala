@@ -191,4 +191,182 @@ object Tpch {
       .agg(round(sum(revenue), 2).as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(n)
+
+  /** Q7 (volume shipping): bilateral trade revenue between two nations
+    * by ship year — supplier in one, customer in the other, both
+    * directions kept. Each nation filter binds ONE dim, so both are
+    * applied BEFORE the fact joins (supplier and customer shrink to
+    * ~2/25 of their rows pre-shuffle; at 100 TB that's the difference
+    * between shuffling the whole customer table and a twenty-fifth of
+    * it). The surviving dims are fixed-fraction-of-dim-sized, so AQE
+    * broadcasts them at any reasonable scale; the orders⋈lineitem edge
+    * is the one fact⋈fact shuffle. The cross-nation "(n1,n2) or
+    * (n2,n1)" disjunction collapses to a post-join inequality test on
+    * the two already-bound nation names — never a cross-table OR in
+    * the join condition (which would force a BNLJ). */
+  def q7(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+         supplier: DataFrame, nation: DataFrame,
+         nationA: String = "NATION_1", nationB: String = "NATION_2",
+         yearLo: String = "1996-01-01", yearHi: String = "1998-01-01")
+      : DataFrame = {
+    val two = nation.filter(col("n_name").isin(nationA, nationB))
+    val supN = supplier.select("s_suppkey", "s_nationkey")
+      .join(broadcast(two.select(col("n_nationkey"),
+        col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "supp_nation")
+    val custN = customer.select("c_custkey", "c_nationkey")
+      .join(broadcast(two.select(col("n_nationkey").as("cnk"),
+        col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("cnk"))
+      .select("c_custkey", "cust_nation")
+    lineitem.filter(col("l_shipdate") >= yearLo && col("l_shipdate") < yearHi)
+      .join(supN, col("l_suppkey") === col("s_suppkey"))
+      .join(orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(custN, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum(revenue), 2).as("revenue"))
+  }
+
+  /** Q8 (national market share): of one region's revenue for one part
+    * type, the fraction supplied by one nation, per order year — the
+    * conditional-share-of-a-rollup shape (sum(when)/sum in ONE agg
+    * pass, never two scans). The part-type filter prunes lineitem via
+    * the partkey join (the most selective edge, so it runs first);
+    * the region membership binds the CUSTOMER side while the share
+    * test binds the SUPPLIER side — the two nation roles stay separate
+    * broadcast joins, as in Q7. */
+  def q8(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+         supplier: DataFrame, nation: DataFrame, region: DataFrame,
+         part: DataFrame, regionName: String = "EUROPE",
+         shareNation: String = "NATION_1",
+         partType: String = "STANDARD"): DataFrame = {
+    val regionNations = nation
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("rnk"))
+    val custIn = customer.select("c_custkey", "c_nationkey")
+      .join(broadcast(regionNations), col("c_nationkey") === col("rnk"),
+        "left_semi")
+      .select("c_custkey")
+    val supN = supplier.select("s_suppkey", "s_nationkey")
+      .join(broadcast(nation.select(col("n_nationkey").as("snk"),
+        col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("snk"))
+      .select("s_suppkey", "supp_nation")
+    lineitem
+      .join(part.filter(col("p_type") === partType).select("p_partkey"),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(custIn, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(supN, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(round(
+        sum(when(col("supp_nation") === shareNation, revenue)
+          .otherwise(lit(0.0))) / sum(revenue), 6).as("mkt_share"))
+  }
+
+  /** Q13 (customer order-count distribution): how many customers
+    * placed exactly k qualifying orders, INCLUDING k = 0 — the
+    * count-preserving left-outer shape (count(o_orderkey) counts
+    * non-null matches only, so unmatched customers land in the zero
+    * bucket; an inner join would silently drop them). Two narrow aggs:
+    * per-customer counts (keys-only shuffle), then the tiny
+    * distribution rollup. At 100 TB the orders side is pre-filtered
+    * before the join — the predicate never touches customer rows. */
+  def q13(customer: DataFrame, orders: DataFrame,
+          excludePriority: String = "5-LOW"): DataFrame =
+    customer.select("c_custkey")
+      .join(orders.filter(col("o_orderpriority") =!= excludePriority)
+          .select("o_custkey", "o_orderkey"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** Q17 (small-quantity-order revenue): average yearly revenue lost
+    * if small orders (below 20% of the part's average quantity) for
+    * one brand were no longer filled. The correlated scalar subquery
+    * ("avg quantity OF THIS PART") is decorrelated by hand into a
+    * per-part aggregate JOINED back — and that aggregate runs over
+    * only the brand's lineitems (a semi-join prune BEFORE the rollup:
+    * the spec's subquery scans all lineitem per part; pruning first is
+    * equivalent here because the outer query only consumes brand
+    * parts, and it shrinks the agg input by ~1/|brands|). AQE
+    * broadcasts the per-part threshold frame (one row per brand part —
+    * dim-sized, not fact-sized). */
+  def q17(lineitem: DataFrame, part: DataFrame,
+          brand: String = "Brand#1"): DataFrame = {
+    val brandParts = part.filter(col("p_brand") === brand)
+      .select("p_partkey")
+    val brandLines = lineitem
+      .join(brandParts, col("l_partkey") === col("p_partkey"), "left_semi")
+    val perPart = brandLines.groupBy(col("l_partkey").as("t_partkey"))
+      .agg((avg("l_quantity") * 0.2).as("qty_cutoff"))
+    brandLines
+      .join(perPart, col("l_partkey") === col("t_partkey"))
+      .filter(col("l_quantity") < col("qty_cutoff"))
+      .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+  }
+
+  /** Q21 (suppliers who kept orders waiting; l_returnflag = 'R' stands
+    * in for the schema's missing commit/receipt dates): suppliers
+    * whose line was RETURNED on a finished multi-supplier order where
+    * NO OTHER supplier's line was returned — the one-EXISTS +
+    * one-NOT-EXISTS composite. Both quantifiers become hash
+    * semi-/anti-joins on orderkey with the "different supplier"
+    * inequality riding as a residual condition (never in the hash key,
+    * so the join stays an equi-join; the non-equi part filters matched
+    * buckets). The probe side is pre-filtered to 'F' orders and 'R'
+    * lines, so the big lineitem scan feeds the quantifiers once each. */
+  def q21(supplier: DataFrame, orders: DataFrame, lineitem: DataFrame,
+          n: Int = 20): DataFrame = {
+    val li = lineitem.select("l_orderkey", "l_suppkey", "l_returnflag")
+    val l1 = li.filter(col("l_returnflag") === "R")
+      .join(orders.filter(col("o_orderstatus") === "F")
+          .select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+    val l2 = li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+    val l3 = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+    l1.join(l2, col("l_orderkey") === col("k2") &&
+        col("l_suppkey") =!= col("s2"), "left_semi")
+      .join(l3, col("l_orderkey") === col("k3") &&
+        col("l_suppkey") =!= col("s3"), "left_anti")
+      .join(supplier.select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(n)
+  }
+
+  /** Q22 (global sales opportunity; "no URGENT orders" stands in for
+    * the spec's "no orders" — every test-data customer has ordered, so
+    * the spec predicate would be vacuous): per nation, the count and
+    * total balance of above-average-balance customers who never placed
+    * an urgent order. The global threshold (avg over POSITIVE
+    * balances) is a 1-row aggregate broadcast onto the customer scan —
+    * a scalar that would be a correlated subquery in the spec text;
+    * the "never urgent" quantifier is a hash anti-join against the
+    * pre-filtered orders keys (keys-only shuffle). */
+  def q22(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val threshold = customer.filter(col("c_acctbal") > 0.0)
+      .agg(avg("c_acctbal").as("__avg"))
+    customer.select("c_custkey", "c_nationkey", "c_acctbal")
+      .crossJoin(broadcast(threshold))
+      .filter(col("c_acctbal") > col("__avg"))
+      .join(orders.filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("numcust"),
+        round(sum("c_acctbal"), 2).as("totacctbal"))
+  }
 }
