@@ -397,6 +397,40 @@ class PlanAuditSpec extends SparkSpec {
       s"q12: equi-join only:\n$p")
   }
 
+  test("tpch_q7/q8: dims pruned pre-join; equi-joins only") {
+    val p7 = plan("tpch_q7")
+    assert(p7.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"q7: ship-year window must reach the lineitem scan:\n$p7")
+    assert(!p7.contains("CartesianProduct") && !p7.contains("BroadcastNestedLoopJoin"),
+      s"q7: the (A,B)/(B,A) disjunction must not become a cross-table join condition:\n$p7")
+    val p8 = plan("tpch_q8")
+    assert(p8.contains("LeftSemi"),
+      s"q8: part-type and region prunes must stay semi joins:\n$p8")
+    assert(!p8.contains("CartesianProduct") && !p8.contains("BroadcastNestedLoopJoin"),
+      s"q8: equi-joins only:\n$p8")
+  }
+
+  test("tpch_q13/q17/q21/q22: quantifier joins keep their outer/semi/anti shapes") {
+    val p13 = plan("tpch_q13")
+    assert(p13.contains("LeftOuter"),
+      s"q13: the zero bucket needs a count-preserving LEFT OUTER:\n$p13")
+    assert(p13.contains("partial_count"),
+      s"q13: per-customer counts must partial-aggregate:\n$p13")
+    val p17 = plan("tpch_q17")
+    assert(p17.contains("LeftSemi"),
+      s"q17: the brand prune must stay a semi join:\n$p17")
+    assert(!p17.contains("CartesianProduct") && !p17.contains("BroadcastNestedLoopJoin"),
+      s"q17: the decorrelated threshold joins on partkey only:\n$p17")
+    val p21 = plan("tpch_q21")
+    assert(p21.contains("LeftSemi") && p21.contains("LeftAnti"),
+      s"q21: EXISTS/NOT-EXISTS must stay hash semi/anti joins:\n$p21")
+    assert(!p21.contains("CartesianProduct") && !p21.contains("BroadcastNestedLoopJoin"),
+      s"q21: the supplier inequality must ride as a residual condition:\n$p21")
+    val p22 = plan("tpch_q22")
+    assert(p22.contains("LeftAnti"),
+      s"q22: 'never urgent' must stay a hash anti join:\n$p22")
+  }
+
   test("dd_fuzzy: candidates come from equi-joins only (no cartesian/BNLJ)") {
     val p = plan("dd_fuzzy")
     assert(!p.contains("CartesianProduct") &&
