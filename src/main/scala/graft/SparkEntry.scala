@@ -933,7 +933,13 @@ object SparkEntry {
       Stats.spearman(Tables.lineitem(s, d), "l_quantity",
         "l_extendedprice")),
     "gr_pagerank" -> ((s, d) => Graph.pageRank(coPurchaseEdges(s, d))),
+    "gr_lpa" -> ((s, d) => Graph.labelPropagation(coPurchaseEdges(s, d))),
     "gr_degree" -> ((s, d) => Graph.degreeHistogram(coPurchaseEdges(s, d))),
+    "w22_distribution_rank" -> ((s, d) =>
+      Windows.distributionRank(Tables.events(s, d))),
+    "st_bootstrap" -> ((s, d) =>
+      Stats.bootstrapCI(Tables.lineitem(s, d), "l_returnflag",
+        "l_extendedprice", Seq("l_orderkey", "l_linenumber"))),
     "gr_triangles" -> ((s, d) => Graph.triangleStats(coSupplyEdges(s, d))),
     "gr_jaccard" -> ((s, d) => Graph.jaccardLinks(coSupplyEdges(s, d), 20)),
     "gr_kcore" -> ((s, d) => Graph.kCore(coSupplyEdges(s, d), 3)),
@@ -1494,6 +1500,35 @@ object SparkEntry {
                + CAST(0.85 AS DOUBLE) * coalesce(m5.m, 0), 9) AS rank
            FROM deg CROSS JOIN nn LEFT JOIN m5 ON m5.dst = deg.src)
          SELECT node, round(rank, 6) AS rank FROM r5""",
+    "gr_lpa" ->
+      """WITH p AS (SELECT DISTINCT o_custkey AS a,
+             l_suppkey + 1000000000 AS b
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         e AS (SELECT a AS src, b AS dst FROM p
+           UNION ALL SELECT b, a FROM p),
+         l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+         a1 AS (SELECT e.dst, l.label, count(*) AS c
+           FROM e JOIN l0 l ON e.src = l.node GROUP BY 1, 2),
+         l1 AS (SELECT dst AS node, label FROM (SELECT dst, label,
+             row_number() OVER (PARTITION BY dst
+               ORDER BY c DESC, label) AS rn FROM a1) WHERE rn = 1),
+         a2 AS (SELECT e.dst, l.label, count(*) AS c
+           FROM e JOIN l1 l ON e.src = l.node GROUP BY 1, 2),
+         l2 AS (SELECT dst AS node, label FROM (SELECT dst, label,
+             row_number() OVER (PARTITION BY dst
+               ORDER BY c DESC, label) AS rn FROM a2) WHERE rn = 1),
+         a3 AS (SELECT e.dst, l.label, count(*) AS c
+           FROM e JOIN l2 l ON e.src = l.node GROUP BY 1, 2),
+         l3 AS (SELECT dst AS node, label FROM (SELECT dst, label,
+             row_number() OVER (PARTITION BY dst
+               ORDER BY c DESC, label) AS rn FROM a3) WHERE rn = 1)
+         SELECT node, label FROM l3""",
+    "w22_distribution_rank" ->
+      """SELECT event_id, event_type, value,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd
+         FROM events
+         WINDOW w AS (PARTITION BY event_type ORDER BY value)""",
     "st_ols" ->
       """SELECT l_returnflag, count(*) AS n,
            round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,

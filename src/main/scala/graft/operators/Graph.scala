@@ -297,4 +297,40 @@ object Graph {
     Dedup.dupClusters(edges.select(col("src").as("d1"), col("dst").as("d2")))
       .groupBy(col("cluster_id").as("label"))
       .agg(count(lit(1)).as("n_nodes"))
+
+  /** Synchronous label propagation (community detection), fully
+    * deterministic: every node starts labeled with its own id; each
+    * round it adopts the MOST FREQUENT label among its neighbors, ties
+    * broken by the smallest label (the argmax is a min(struct(-count,
+    * label)) — one partial-aggregable expression, no window sort).
+    * Fixed rounds, not convergence — sync LPA can 2-cycle on bipartite
+    * regions, so a fixpoint test would never fire there; a fixed
+    * unrolled depth is also what the SQL oracle can replay exactly.
+    *
+    * Scale shape mirrors pageRank: the edge frame checkpoints ONCE
+    * (every round probes it), each round is edges⋈labels on src (the
+    * partitioning Spark reuses round-to-round) into a (dst, label)
+    * partial-agg count, then the argmax rollup — per-round shuffle
+    * width is the live (node, neighbor-label) pair count, never the
+    * raw edge count. The loop itself stays one lazy plan: each round's
+    * labels feed exactly one consumer (the next round). */
+  def labelPropagation(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    val ed = edges.select("src", "dst").distinct().localCheckpoint(true)
+    val nodes = ed.select(col("src").as("node")).distinct()
+      .localCheckpoint(true)
+    var labels = nodes.withColumn("label", col("node"))
+    for (_ <- 1 to rounds) {
+      val adopted = ed.join(labels, ed("src") === labels("node"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
+        .groupBy(col("dst").as("__n"))
+        .agg(min(struct((-col("c")).as("nc"), col("label").as("l")))
+          .getField("l").as("__adopt"))
+      // keep-previous on nodes with no in-edges (vacuous on a
+      // symmetric graph, load-bearing on a general directed one)
+      labels = labels.join(adopted, labels("node") === col("__n"), "left")
+        .select(col("node"),
+          coalesce(col("__adopt"), col("label")).as("label"))
+    }
+    labels
+  }
 }

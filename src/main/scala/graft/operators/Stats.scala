@@ -748,4 +748,51 @@ object Stats {
         (skew * skew + (kurt - lit(3.0)) * (kurt - lit(3.0)) / lit(4.0)),
         4).as("jb"))
   }
+
+  // Poisson(1) CDF steps for the bootstrap's inverse-transform weights
+  private val PoissonCdf: Seq[Double] = {
+    val pmf = Iterator.iterate((0, math.exp(-1.0))) {
+      case (k, p) => (k + 1, p / (k + 1)) }.map(_._2).take(9).toSeq
+    pmf.scanLeft(0.0)(_ + _).tail
+  }
+
+  /** One-pass POISSON bootstrap CI of the per-group mean — the
+    * distributed form of the bootstrap: instead of materializing B
+    * resamples (each a full shuffle of the corpus), every row draws an
+    * independent Poisson(1) weight per replicate (the B→∞ limit of
+    * multinomial resampling), so all B replicate means come out of ONE
+    * scan + ONE narrow (group, b) partial-agg shuffle that map-side
+    * combines to |groups|·B rows per task. Weights are DETERMINISTIC:
+    * u = xxhash64(id cols, b, seed) scaled to [0,1), inverted through
+    * the Poisson(1) CDF as a codegen'd when-chain (capped at 9 — mass
+    * beyond is < 1.2e-6) — replayable on any cluster layout, no RNG
+    * state. CI is the 2.5/97.5 percentile of the B replicate means
+    * (exact percentile: the frame is |groups|·B, driver-free but tiny).
+    * Hash-based → engine-specific: rows-only contract + property specs
+    * (determinism, constant-column zero width, coverage of the mean). */
+  def bootstrapCI(df: DataFrame, groupCol: String, valueCol: String,
+                  idCols: Seq[String], reps: Int = 100,
+                  seed: Long = 42L): DataFrame = {
+    val u = pmod(xxhash64((idCols.map(col) :+ col("__b") :+ lit(seed)): _*),
+      lit(1000000000L)) / 1e9
+    val w = PoissonCdf.zipWithIndex.foldRight(
+      lit(PoissonCdf.size): org.apache.spark.sql.Column) {
+      case ((cdf, k), rest) => when(u < cdf, lit(k)).otherwise(rest)
+    }
+    val repMeans = df
+      .select((Seq(col(groupCol), col(valueCol).as("__x"),
+        explode(sequence(lit(1), lit(reps))).as("__b")) ++
+        idCols.map(col)): _*)
+      .withColumn("__w", w.cast("double"))
+      .groupBy(col(groupCol), col("__b"))
+      .agg((sum(col("__w") * col("__x")) / sum(col("__w"))).as("__m"))
+    val point = df.groupBy(groupCol)
+      .agg(count(lit(1)).as("n"), round(avg(valueCol), 6).as("mean"))
+    repMeans.groupBy(groupCol)
+      .agg(round(expr("percentile(__m, 0.025)"), 6).as("ci_lo"),
+        round(expr("percentile(__m, 0.975)"), 6).as("ci_hi"))
+      .join(point, Seq(groupCol))
+      .select(col(groupCol), col("n"), col("mean"),
+        col("ci_lo"), col("ci_hi"))
+  }
 }

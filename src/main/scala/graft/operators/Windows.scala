@@ -453,4 +453,19 @@ object Windows {
         sum(col("__purchased")).as("n_converted"),
         round(sum(col("__cents")) / 100.0, 2).as("purchase_value"))
   }
+
+  /** Distribution rank — each event's percent_rank and cume_dist of
+    * `value` WITHIN its event type (the "where does this observation
+    * sit in its cohort" surface; both are tie-stable by definition:
+    * equal values share a rank, so no arbitrary tiebreak leaks into
+    * the output). One exchange on event_type serves both window
+    * functions — same partitioning, same sort — and the per-partition
+    * sort is the only O(n log n) work; skewed types are bounded by the
+    * type cardinality of the corpus, not by key hotness. */
+  def distributionRank(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("value")
+    events.select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("pr", round(percent_rank().over(w), 6))
+      .withColumn("cd", round(cume_dist().over(w), 6))
+  }
 }

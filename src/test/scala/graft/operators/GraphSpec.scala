@@ -128,6 +128,31 @@ class GraphSpec extends SparkSpec {
     assert(out == Map(0 -> 2L, 1 -> 2L, 2 -> 1L))
   }
 
+  test("labelPropagation: communities converge to their min id; ties take the smaller label") {
+    // two DISJOINT triangles: by round 3 each has flooded its min id
+    // (round 1 spreads it or resolves ties toward it, rounds 2-3
+    // finish the stragglers); the components never share a label
+    val edges = undirected(
+      (1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L))
+    val out = Graph.labelPropagation(edges, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(1L, 2L, 3L).map(out) == Set(1L),
+      s"left triangle must all carry label 1: $out")
+    assert(Set(4L, 5L, 6L).map(out) == Set(4L),
+      s"right triangle must all carry label 4: $out")
+  }
+
+  test("labelPropagation: a node with no in-edges keeps its previous label") {
+    import spark.implicits._
+    // directed: 1 → 2 only. Node 1 never receives a message; the
+    // keep-previous coalesce must retain its own id, not drop the row
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val out = Graph.labelPropagation(edges, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 1L)
+  }
+
   test("degreeHistogram counts nodes per degree, dedup included") {
     val edges = undirected((1L, 2L), (1L, 3L))
       .unionByName(Seq((1L, 2L)).toDF("src", "dst")) // duplicate edge

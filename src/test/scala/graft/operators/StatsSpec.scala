@@ -360,4 +360,29 @@ class StatsSpec extends SparkSpec {
       flat.isNullAt(flat.fieldIndex("jb")),
       "zero-variance group must yield null, not NaN/Infinity")
   }
+
+  test("bootstrapCI: constant column has a zero-width CI at the constant") {
+    import spark.implicits._
+    val df = (1L to 50L).map(i => ("g", i, 7.5)).toDF("g", "id", "x")
+    val r = Stats.bootstrapCI(df, "g", "x", Seq("id"), reps = 50)
+      .collect().head
+    // any Poisson reweighting of identical values averages to the value
+    assert(r.getAs[Double]("mean") == 7.5)
+    assert(r.getAs[Double]("ci_lo") == 7.5 && r.getAs[Double]("ci_hi") == 7.5)
+  }
+
+  test("bootstrapCI: deterministic, ordered, and covering on real data") {
+    val li = graft.Tables.lineitem(spark, sf)
+    def run() = Stats.bootstrapCI(li, "l_returnflag", "l_extendedprice",
+      Seq("l_orderkey", "l_linenumber"), reps = 60)
+      .collect().map(r => (r.getString(0), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1)
+    val a = run()
+    assert(a.sameElements(run()), "hash-seeded weights must replay exactly")
+    a.foreach { case (g, mean, lo, hi) =>
+      assert(lo <= mean && mean <= hi,
+        s"$g: CI [$lo,$hi] must cover the sample mean $mean")
+      assert(hi - lo > 0.0, s"$g: CI must have positive width")
+    }
+  }
 }

@@ -485,4 +485,19 @@ class WindowsLambdaSpec extends SparkSpec {
       assert(cell == r * 100 + f * 10 + m)
     }
   }
+
+  test("distributionRank: ties share pr/cd; extremes hit 0 and 1") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "click", 10.0), (2L, "click", 10.0), (3L, "click", 20.0),
+      (4L, "view", 5.0))
+      .toDF("event_id", "event_type", "value")
+    val out = Windows.distributionRank(ev).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    // tied 10s: rank 1 of 3 → pr 0; two of three rows ≤ 10 → cd 2/3
+    assert(out(1L) == (0.0, 0.666667) && out(2L) == out(1L))
+    assert(out(3L) == (1.0, 1.0))
+    // singleton partition: percent_rank degenerates to 0, cume_dist to 1
+    assert(out(4L) == (0.0, 1.0))
+  }
 }
