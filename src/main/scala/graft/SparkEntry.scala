@@ -934,6 +934,11 @@ object SparkEntry {
         "l_extendedprice")),
     "gr_pagerank" -> ((s, d) => Graph.pageRank(coPurchaseEdges(s, d))),
     "gr_lpa" -> ((s, d) => Graph.labelPropagation(coPurchaseEdges(s, d))),
+    "gr_modularity" -> ((s, d) => {
+      val e = coPurchaseEdges(s, d)
+      Graph.modularity(e, Graph.labelPropagation(e))
+    }),
+    "dq_observe" -> ((s, d) => Quality.observedProfile(Tables.events(s, d))),
     "gr_degree" -> ((s, d) => Graph.degreeHistogram(coPurchaseEdges(s, d))),
     "w22_distribution_rank" -> ((s, d) =>
       Windows.distributionRank(Tables.events(s, d))),
@@ -1523,6 +1528,49 @@ object SparkEntry {
              row_number() OVER (PARTITION BY dst
                ORDER BY c DESC, label) AS rn FROM a3) WHERE rn = 1)
          SELECT node, label FROM l3""",
+    "gr_modularity" ->
+      """WITH p AS (SELECT DISTINCT o_custkey AS a,
+             l_suppkey + 1000000000 AS b
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         e AS (SELECT a AS src, b AS dst FROM p
+           UNION ALL SELECT b, a FROM p),
+         l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+         a1 AS (SELECT e.dst, l.label, count(*) AS c
+           FROM e JOIN l0 l ON e.src = l.node GROUP BY 1, 2),
+         l1 AS (SELECT dst AS node, label FROM (SELECT dst, label,
+             row_number() OVER (PARTITION BY dst
+               ORDER BY c DESC, label) AS rn FROM a1) WHERE rn = 1),
+         a2 AS (SELECT e.dst, l.label, count(*) AS c
+           FROM e JOIN l1 l ON e.src = l.node GROUP BY 1, 2),
+         l2 AS (SELECT dst AS node, label FROM (SELECT dst, label,
+             row_number() OVER (PARTITION BY dst
+               ORDER BY c DESC, label) AS rn FROM a2) WHERE rn = 1),
+         a3 AS (SELECT e.dst, l.label, count(*) AS c
+           FROM e JOIN l2 l ON e.src = l.node GROUP BY 1, 2),
+         l3 AS (SELECT dst AS node, label FROM (SELECT dst, label,
+             row_number() OVER (PARTITION BY dst
+               ORDER BY c DESC, label) AS rn FROM a3) WHERE rn = 1),
+         j AS (SELECT ls.label AS cs, ld.label AS cd FROM e
+           JOIN l3 ls ON e.src = ls.node JOIN l3 ld ON e.dst = ld.node),
+         cagg AS (SELECT cs, count(*) AS deg,
+             sum(CASE WHEN cs = cd THEN 1 ELSE 0 END) AS inside
+           FROM j GROUP BY 1),
+         tot AS (SELECT count(*) AS n_communities,
+             CAST(sum(inside) AS HUGEINT) AS i,
+             CAST(sum(deg) AS HUGEINT) AS m2,
+             CAST(sum(deg * deg) AS HUGEINT) AS d2
+           FROM cagg)
+         SELECT n_communities,
+           round(CAST(i * m2 - d2 AS DOUBLE)
+             / CAST(m2 * m2 AS DOUBLE), 6) AS modularity
+         FROM tot""",
+    "dq_observe" ->
+      """SELECT count(*) AS n_rows,
+           count(CASE WHEN value IS NULL THEN 1 END) AS null_values,
+           round(min(value), 2) AS min_value,
+           round(max(value), 2) AS max_value,
+           round(sum(value), 2) AS sum_value
+         FROM events""",
     "w22_distribution_rank" ->
       """SELECT event_id, event_type, value,
            round(percent_rank() OVER w, 6) AS pr,

@@ -333,4 +333,42 @@ object Graph {
     }
     labels
   }
+
+  /** Modularity Q of a node partition over a SYMMETRIC edge list
+    * (each undirected edge present both ways): Q = Σ_c [ m_c/m −
+    * (d_c/2m)² ] — the standard "is this community structure better
+    * than chance" score, here computed with the exact-integer
+    * discipline: per-community degree and inside-edge counts are
+    * longs, the whole score collapses to ONE integer numerator
+    * (Σinside·2m − Σd_c²) over (2m)², and the single double division
+    * happens once at the end — so the result is bit-identical across
+    * engines and partitionings (a float Σ over ~10³ communities could
+    * flip the 6th decimal with aggregation order). Two label joins on
+    * the edge frame (the labels frame is node-sized; AQE broadcasts it
+    * when it fits), one community rollup, one 1-row reduce. */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val e = edges.select("src", "dst").distinct()
+    val perC = e
+      .join(labels.select(col("node").as("__s"), col("label").as("cs")),
+        col("src") === col("__s"))
+      .join(labels.select(col("node").as("__d"), col("label").as("cd")),
+        col("dst") === col("__d"))
+      .groupBy("cs")
+      .agg(count(lit(1)).as("deg"),
+        sum(when(col("cs") === col("cd"), 1L).otherwise(0L)).as("inside"))
+    // decimal(38,0) products: the exact-integer numerator can exceed
+    // int64 on a 100 TB graph (Σinside·2m ~ (2m)²); both engines carry
+    // wide integers exactly (decimal here, hugeint in the oracle), and
+    // the one cast-to-double of identical exact integers is IEEE-
+    // identical, so the division and round can't flap
+    val dec = "decimal(38,0)"
+    perC.agg(count(lit(1)).as("n_communities"),
+        sum("inside").as("__in"), sum("deg").as("__m2"),
+        sum(col("deg") * col("deg")).as("__d2"))
+      .select(col("n_communities"),
+        round((col("__in").cast(dec) * col("__m2").cast(dec) -
+            col("__d2").cast(dec)).cast("double") /
+          (col("__m2").cast(dec) * col("__m2").cast(dec)).cast("double"),
+          6).as("modularity"))
+  }
 }

@@ -224,4 +224,35 @@ object Quality {
           col("n_rows"), col("n_keys"),
           (col("n_rows") - col("n_keys")).as("dup_rows"))
     }.reduce(_.unionByName(_))
+
+  /** Observed ingest profile via Spark's `Observation` API — the
+    * ZERO-extra-pass way to collect admission metrics: the aggregates
+    * piggyback on whatever action materializes the frame (here a
+    * count(), standing in for the real pipeline's write), so at 100 TB
+    * the profile costs nothing beyond the load itself — no second scan,
+    * no separate profiling job, metrics surface on the driver through
+    * the listener bus. Contrast dq_completeness, which IS a scan: use
+    * that shape ad hoc, this shape on every production load. Distinct
+    * aggregates are disallowed inside observe() (they don't partial-
+    * aggregate), which is exactly the constraint that keeps this free.
+    * Returns the 1-row metrics frame. */
+  def observedProfile(events: DataFrame): DataFrame = {
+    val obs = org.apache.spark.sql.Observation()
+    val observed = events.observe(obs,
+      count(lit(1)).as("n_rows"),
+      sum(when(col("value").isNull, 1L).otherwise(0L)).as("null_values"),
+      round(min(col("value")), 2).as("min_value"),
+      round(max(col("value")), 2).as("max_value"),
+      round(sum(col("value")), 2).as("sum_value"))
+    observed.write.format("noop").mode("overwrite").save() // the "load"
+    val r = obs.get
+    val spark = events.sparkSession
+    import spark.implicits._
+    Seq((r("n_rows").asInstanceOf[Long],
+      r("null_values").asInstanceOf[Long],
+      r("min_value").asInstanceOf[Double],
+      r("max_value").asInstanceOf[Double],
+      r("sum_value").asInstanceOf[Double]))
+      .toDF("n_rows", "null_values", "min_value", "max_value", "sum_value")
+  }
 }

@@ -153,6 +153,23 @@ class GraphSpec extends SparkSpec {
     assert(out(1L) == 1L)
   }
 
+  test("modularity: perfect two-community split scores 0.5; one blob scores 0") {
+    import spark.implicits._
+    val edges = undirected(
+      (1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L))
+    val perfect = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 4L), (5L, 4L), (6L, 4L)).toDF("node", "label")
+    val r = Graph.modularity(edges, perfect).collect().head
+    // two equal communities, all edges internal: Q = 2·(1/2 − 1/4)
+    assert(r.getAs[Long]("n_communities") == 2L)
+    assert(r.getAs[Double]("modularity") == 0.5)
+    val blob = perfect.select(col("node"), lit(1L).as("label"))
+    val r2 = Graph.modularity(edges, blob).collect().head
+    assert(r2.getAs[Double]("modularity") == 0.0,
+      "a single community is never better than chance")
+  }
+
   test("degreeHistogram counts nodes per degree, dedup included") {
     val edges = undirected((1L, 2L), (1L, 3L))
       .unionByName(Seq((1L, 2L)).toDF("src", "dst")) // duplicate edge

@@ -213,4 +213,16 @@ class QualitySpec extends SparkSpec {
     assert(rows("comp").getAs[Long]("n_keys") == 2L)
     assert(rows("comp").getAs[Long]("dup_rows") == 1L)
   }
+
+  test("observedProfile piggybacks the exact metrics of a direct aggregate") {
+    import spark.implicits._
+    val ev = Seq(Some(1.25), None, Some(3.75), Some(-0.5))
+      .toDF("value")
+    val r = Quality.observedProfile(ev).collect().head
+    assert(r.getAs[Long]("n_rows") == 4L)
+    assert(r.getAs[Long]("null_values") == 1L)
+    assert(r.getAs[Double]("min_value") == -0.5)
+    assert(r.getAs[Double]("max_value") == 3.75)
+    assert(r.getAs[Double]("sum_value") == 4.5)
+  }
 }
