@@ -945,6 +945,9 @@ object SparkEntry {
     "st_bootstrap" -> ((s, d) =>
       Stats.bootstrapCI(Tables.lineitem(s, d), "l_returnflag",
         "l_extendedprice", Seq("l_orderkey", "l_linenumber"))),
+    "st_permutation" -> ((s, d) =>
+      Stats.permutationTest(Tables.lineitem(s, d), "l_returnflag",
+        "l_extendedprice", "R", "N", Seq("l_orderkey", "l_linenumber"))),
     "gr_triangles" -> ((s, d) => Graph.triangleStats(coSupplyEdges(s, d))),
     "gr_jaccard" -> ((s, d) => Graph.jaccardLinks(coSupplyEdges(s, d), 20)),
     "gr_kcore" -> ((s, d) => Graph.kCore(coSupplyEdges(s, d), 3)),

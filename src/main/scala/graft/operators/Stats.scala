@@ -795,4 +795,49 @@ object Stats {
       .select(col(groupCol), col("n"), col("mean"),
         col("ci_lo"), col("ci_hi"))
   }
+
+  /** Randomization test for a two-group mean difference — the
+    * nonparametric twin of welchTTest (no normality assumption; JB
+    * decides which applies). Monte-Carlo RANDOM-RELABEL form, stated
+    * honestly: each replicate reassigns every row to a pseudo-group by
+    * an independent fair hash-coin (u = xxhash64(id, b, seed) bit),
+    * which approximates label permutation under H0 exchangeability
+    * without the global shuffle a true permutation needs — that's what
+    * makes it ONE scan + ONE narrow (b, coin) partial-agg shuffle at
+    * any scale, B replicate statistics from |2B| aggregated rows.
+    * p = (1 + #{|T_b| ≥ |T_obs|}) / (B+1) (add-one: never exactly 0).
+    * Hash-based → rows-only contract + property specs. */
+  def permutationTest(df: DataFrame, groupCol: String, valueCol: String,
+                      groupA: String, groupB: String, idCols: Seq[String],
+                      reps: Int = 199, seed: Long = 7L): DataFrame = {
+    val two = df.filter(col(groupCol).isin(groupA, groupB))
+      .select((Seq(col(groupCol).as("__g"), col(valueCol).as("__x")) ++
+        idCols.map(col)): _*)
+    val obs = two.agg(
+      (sum(when(col("__g") === groupA, col("__x"))) /
+        sum(when(col("__g") === groupA, 1L))).as("__ma"),
+      (sum(when(col("__g") === groupB, col("__x"))) /
+        sum(when(col("__g") === groupB, 1L))).as("__mb"),
+      sum(when(col("__g") === groupA, 1L)).as("n_a"),
+      sum(when(col("__g") === groupB, 1L)).as("n_b"))
+      .select(col("n_a"), col("n_b"), (col("__ma") - col("__mb")).as("__t"))
+    val coin = pmod(xxhash64((idCols.map(col) :+ col("__b") :+ lit(seed)): _*),
+      lit(2L))
+    val repStats = two
+      .select((Seq(col("__x"),
+        explode(sequence(lit(1), lit(reps))).as("__b")) ++
+        idCols.map(col)): _*)
+      .withColumn("__c", coin)
+      .groupBy("__b")
+      .agg((sum(when(col("__c") === 0L, col("__x"))) /
+          sum(when(col("__c") === 0L, 1L)) -
+        sum(when(col("__c") === 1L, col("__x"))) /
+          sum(when(col("__c") === 1L, 1L))).as("__tb"))
+    repStats.crossJoin(broadcast(obs))
+      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        round(first(col("__t")), 6).as("mean_diff"),
+        round((lit(1.0) + sum(when(abs(col("__tb")) >= abs(col("__t")), 1L)
+            .otherwise(0L))) / (lit(1.0) + count(lit(1))), 6)
+          .as("p_value"))
+  }
 }

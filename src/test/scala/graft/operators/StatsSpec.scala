@@ -385,4 +385,22 @@ class StatsSpec extends SparkSpec {
       assert(hi - lo > 0.0, s"$g: CI must have positive width")
     }
   }
+
+  test("permutationTest: identical groups accept H0, a gross shift rejects it") {
+    import spark.implicits._
+    val base = (1L to 40L).map(i => (i, if (i % 2 == 0) "A" else "B",
+      (i % 7).toDouble))
+    val same = base.toDF("id", "g", "x")
+    val pSame = Stats.permutationTest(same, "g", "x", "A", "B", Seq("id"))
+      .collect().head.getAs[Double]("p_value")
+    assert(pSame > 0.05, s"no real effect must not reject: p=$pSame")
+    val shifted = base.map { case (i, g, x) =>
+      (i, g, if (g == "A") x + 1000.0 else x) }.toDF("id", "g", "x")
+    val r = Stats.permutationTest(shifted, "g", "x", "A", "B", Seq("id"))
+      .collect().head
+    assert(r.getAs[Long]("n_a") == 20L && r.getAs[Long]("n_b") == 20L)
+    assert(r.getAs[Double]("mean_diff") > 999.0)
+    assert(r.getAs[Double]("p_value") <= 0.01,
+      s"a 1000-sigma shift must reject: p=${r.getAs[Double]("p_value")}")
+  }
 }
