@@ -2594,8 +2594,10 @@ object SparkEntry {
              round(q3 + 1.5 * (q3 - q1), 4) AS hi
            FROM f)
          SELECT l.l_returnflag, count(*) AS n, max(q1) AS q1, max(q3) AS q3,
-           sum(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS n_low,
-           sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS n_high
+           CAST(sum(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_low,
+           CAST(sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_high
          FROM lineitem l JOIN g ON l.l_returnflag = g.l_returnflag
          GROUP BY 1""",
     "tpch_q3" ->
@@ -2699,10 +2701,10 @@ object SparkEntry {
          GROUP BY 1""",
     "tpch_q12" ->
       """SELECT l_linestatus,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-               THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-               THEN 0 ELSE 1 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
            AND l_shipdate < TIMESTAMP '1997-01-01'

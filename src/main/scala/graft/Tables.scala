@@ -26,15 +26,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4.1 refuses to
-    * read as a timestamp ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and
-    * normalize to a microsecond timestamp (floor division — matches
-    * DuckDB's ns→us cast semantics, so oracles align exactly). */
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) in some data
+    * drops (Spark 4.1 refuses to read nanos as a timestamp —
+    * [PARQUET_TYPE_ILLEGAL] — so those are read as long via
+    * `nanosAsLong` and floor-divided to micros, matching DuckDB's
+    * ns→us cast) and as TIMESTAMP(MICROS, ntz) in others (read
+    * natively as TIMESTAMP_NTZ). Normalize both to a session-tz
+    * TimestampType column so every downstream operator and oracle
+    * (session tz = UTC) sees identical instants. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = apply(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType        =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
