@@ -643,6 +643,25 @@ object SparkEntry {
         Tables.lineitem(s, d))),
     "tpch_q22" -> ((s, d) =>
       Tpch.q22(Tables.customer(s, d), Tables.orders(s, d))),
+    "tpch_q1" -> ((s, d) => Tpch.q1(Tables.lineitem(s, d))),
+    "tpch_q2" -> ((s, d) =>
+      Tpch.q2(Tables.part(s, d), Tables.supplier(s, d),
+        Tables.lineitem(s, d), Tables.nation(s, d), Tables.region(s, d))),
+    "tpch_q4" -> ((s, d) =>
+      Tpch.q4(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "tpch_q6" -> ((s, d) => Tpch.q6(Tables.lineitem(s, d))),
+    "tpch_q9" -> ((s, d) =>
+      Tpch.q9(Tables.orders(s, d), Tables.lineitem(s, d),
+        Tables.part(s, d), Tables.supplier(s, d), Tables.nation(s, d))),
+    "tpch_q11" -> ((s, d) =>
+      Tpch.q11(Tables.lineitem(s, d), Tables.supplier(s, d),
+        Tables.nation(s, d))),
+    "tpch_q16" -> ((s, d) =>
+      Tpch.q16(Tables.part(s, d), Tables.supplier(s, d),
+        Tables.lineitem(s, d))),
+    "tpch_q20" -> ((s, d) =>
+      Tpch.q20(Tables.supplier(s, d), Tables.nation(s, d),
+        Tables.part(s, d), Tables.lineitem(s, d))),
     "q28_exists" -> ((s, d) =>
       Relational.lapsedCustomers(Tables.customer(s, d), Tables.orders(s, d),
         "1996-01-01", "1997-01-01")),
@@ -2668,6 +2687,97 @@ object SparkEntry {
            GROUP BY c_custkey)
          GROUP BY c_count
          ORDER BY custdist DESC, c_count DESC""",
+    "tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)
+             AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+             AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+         GROUP BY 1, 2""",
+    "tpch_q2" ->
+      """WITH rs AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+             FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey
+             WHERE r_name = 'EUROPE'),
+         o AS (SELECT l_partkey, l_suppkey,
+             round(min(l_extendedprice / l_quantity), 4) AS unit_cost
+           FROM lineitem
+           WHERE l_partkey IN (SELECT p_partkey FROM part
+             WHERE p_type = 'SMALL' AND p_size <= 10)
+           GROUP BY 1, 2),
+         j AS (SELECT o.l_partkey, o.unit_cost, rs.s_name, rs.s_acctbal,
+             rs.n_name
+           FROM o JOIN rs ON o.l_suppkey = rs.s_suppkey)
+         SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey,
+           unit_cost
+         FROM j WHERE unit_cost = (SELECT min(unit_cost) FROM j j2
+           WHERE j2.l_partkey = j.l_partkey)
+         ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""",
+    "tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1996-04-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+             WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+         GROUP BY 1""",
+    "tpch_q6" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount >= 0.05 AND l_discount <= 0.07
+           AND l_quantity < 24""",
+    "tpch_q9" ->
+      """SELECT n_name, year(o_orderdate) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)
+             - 0.8 * p_retailprice * l_quantity), 2) AS profit
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN orders ON l_orderkey = o_orderkey
+         WHERE p_name LIKE '%red%'
+         GROUP BY 1, 2""",
+    "tpch_q11" ->
+      """WITH pv AS (SELECT l_partkey AS p_partkey,
+             round(sum(l_extendedprice * l_quantity), 2) AS value
+           FROM lineitem WHERE l_suppkey IN (SELECT s_suppkey
+             FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             WHERE n_name = 'NATION_9')
+           GROUP BY 1)
+         SELECT p_partkey, value FROM pv
+         WHERE value > (SELECT round(sum(value) * 0.0015, 2) FROM pv)""",
+    "tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+           AND p_size <= 25
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+             WHERE s_acctbal < 0.0)
+         GROUP BY 1, 2, 3""",
+    "tpch_q20" ->
+      """WITH shipped AS (SELECT l_partkey, l_suppkey,
+             sum(l_quantity) AS qty
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1997-01-01'
+             AND l_partkey IN (SELECT p_partkey FROM part
+               WHERE p_name LIKE 'blue%')
+           GROUP BY 1, 2),
+         ov AS (SELECT l_suppkey FROM (SELECT l_suppkey, qty,
+             avg(qty) OVER (PARTITION BY l_partkey) AS a FROM shipped)
+           WHERE qty > 1.5 * a)
+         SELECT s_name, s_acctbal FROM supplier
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE n_name = 'NATION_9'
+           AND s_suppkey IN (SELECT l_suppkey FROM ov)""",
     "tpch_q17" ->
       """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
          FROM lineitem, part

@@ -369,4 +369,212 @@ object Tpch {
       .agg(count(lit(1)).as("numcust"),
         round(sum("c_acctbal"), 2).as("totacctbal"))
   }
+
+  /** Q1 (pricing summary report) — the full eight-aggregate form (the
+    * long-standing q1_agg entry carries only sum_qty). One partial-agg
+    * pass over the date-pruned scan; every aggregate is algebraic, so
+    * the map-side combine collapses 60k rows/partition to ≤|flag×status|
+    * before the 6-row shuffle. Sums round to cents, averages to 4dp —
+    * both sides of the oracle round identically so double summation
+    * order can't flap the compare. */
+  def q1(lineitem: DataFrame, cutoff: String = "2001-09-01"): DataFrame =
+    lineitem.filter(col("l_shipdate") <= cutoff)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(revenue), 2).as("sum_disc_price"),
+        round(sum(revenue * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** Q2 (minimum-cost supplier; the schema has no partsupp, so a
+    * supplier's "cost" for a part is the minimum unit price at which
+    * they actually shipped it — min(l_extendedprice/l_quantity) per
+    * (part, supplier) mined from lineitem): for small parts, the
+    * region's suppliers achieving the per-part minimum cost, richest
+    * supplier first. The spec's correlated min subquery decorrelates
+    * into a window min over the part key: the rollup combines map-side
+    * first, so every post-scan shuffle carries pre-aggregated
+    * (part, supplier) pairs — dim-sized rows, never lineitems — and
+    * the window then re-clusters that tiny pair frame (no per-part
+    * aggregate frame joined back). Unit costs round to 4dp BEFORE the
+    * min/equality so the tie test is engine-stable. */
+  def q2(part: DataFrame, supplier: DataFrame, lineitem: DataFrame,
+         nation: DataFrame, region: DataFrame,
+         regionName: String = "EUROPE", ptype: String = "SMALL",
+         maxSize: Int = 10, n: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val regionSup = supplier
+      .join(broadcast(nation
+          .join(broadcast(region.filter(col("r_name") === regionName)),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val offers = lineitem
+      .join(part.filter(col("p_type") === ptype &&
+            col("p_size") <= maxSize).select("p_partkey"),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(round(min(col("l_extendedprice") / col("l_quantity")), 4)
+        .as("unit_cost"))
+      .join(regionSup, col("l_suppkey") === col("s_suppkey"))
+    offers
+      .withColumn("__min",
+        min("unit_cost").over(Window.partitionBy("l_partkey")))
+      .filter(col("unit_cost") === col("__min"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("l_partkey").as("p_partkey"), col("unit_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(n)
+  }
+
+  /** Q4 (order-priority checking; EXISTS(late line) becomes
+    * EXISTS(returned line) — the schema carries no commit/receipt
+    * dates, l_returnflag = 'R' is the "something went wrong" signal):
+    * quarter's orders per priority having at least one returned line.
+    * The EXISTS quantifier is a hash semi-join probing orderkeys-only
+    * (the returned-lines side projects to the key before the
+    * shuffle). */
+  def q4(orders: DataFrame, lineitem: DataFrame,
+         quarterLo: String = "1996-01-01",
+         quarterHi: String = "1996-04-01"): DataFrame =
+    orders.filter(col("o_orderdate") >= quarterLo &&
+        col("o_orderdate") < quarterHi)
+      .join(lineitem.filter(col("l_returnflag") === "R")
+          .select("l_orderkey"),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+
+  /** Q6 (forecasting revenue change): the one-table what-if — revenue
+    * that would vanish if mid-band discounts on small-quantity lines
+    * were dropped for a year. Pure scan-side predicates (date range,
+    * discount band, quantity cap ALL push to parquet) collapsing to a
+    * single row; the whole query is one map-side partial sum. Discount
+    * literals hit the generator's exact 2dp bucket doubles, so the
+    * band test is engine-stable. */
+  def q6(lineitem: DataFrame, yearLo: String = "1996-01-01",
+         yearHi: String = "1997-01-01", discLo: Double = 0.05,
+         discHi: Double = 0.07, maxQty: Double = 24.0): DataFrame =
+    lineitem.filter(col("l_shipdate") >= yearLo &&
+        col("l_shipdate") < yearHi &&
+        col("l_discount") >= discLo && col("l_discount") <= discHi &&
+        col("l_quantity") < maxQty)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+        .as("revenue"))
+
+  /** Q9 (product-type profit; no partsupp.ps_supplycost — the cost of
+    * a shipped line is proxied as costFactor × p_retailprice ×
+    * l_quantity): profit per supplier nation per order year over parts
+    * whose name carries one color word. Join order shrinks the fact
+    * frame first (selective part filter via the smallest join), nation
+    * stays an explicit broadcast (bounded dim), orders joins last
+    * carrying only (orderkey, orderdate). Year extraction groups on an
+    * integer, not a timestamp. */
+  def q9(orders: DataFrame, lineitem: DataFrame, part: DataFrame,
+         supplier: DataFrame, nation: DataFrame,
+         nameWord: String = "red",
+         costFactor: Double = 0.8): DataFrame =
+    lineitem
+      .join(part.filter(col("p_name").contains(nameWord))
+          .select("p_partkey", "p_retailprice"),
+        col("l_partkey") === col("p_partkey"))
+      .join(supplier.select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(orders.select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+      .agg(round(sum(revenue -
+          lit(costFactor) * col("p_retailprice") * col("l_quantity")), 2)
+        .as("profit"))
+
+  /** Q11 (important stock identification; stock value per part is
+    * mined from lineitem as sum(price × qty) over one nation's
+    * suppliers — no partsupp): parts whose value exceeds a fraction of
+    * the nation's total. The spec's scalar subquery in HAVING is the
+    * q15/q22 pattern: a 1-row aggregate broadcast back onto the
+    * per-part frame (never a second scan). Per-part values round to
+    * cents BEFORE the total and the threshold compare, so the
+    * cut-line is identical in both engines. */
+  def q11(lineitem: DataFrame, supplier: DataFrame, nation: DataFrame,
+          nationName: String = "NATION_9",
+          fraction: Double = 0.0015): DataFrame = {
+    val natSup = supplier
+      .join(broadcast(nation.filter(col("n_name") === nationName)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val perPart = lineitem
+      .join(natSup, col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg(round(sum(col("l_extendedprice") * col("l_quantity")), 2)
+        .as("value"))
+    perPart
+      .crossJoin(broadcast(perPart
+        .agg(round(sum("value") * fraction, 2).as("__cut"))))
+      .filter(col("value") > col("__cut"))
+      .select("p_partkey", "value")
+  }
+
+  /** Q16 (supplier-relationship count; part–supplier relationships are
+    * mined from lineitem, and "complaint" suppliers are the
+    * negative-balance ones — the schema has no comment text): distinct
+    * suppliers per (brand, type, size) bucket for non-excluded parts,
+    * skipping flagged suppliers. The NOT IN becomes a hash anti-join
+    * on the tiny flagged-key set; count(DISTINCT) partial-aggregates
+    * per (bucket, suppkey) before the final rollup. */
+  def q16(part: DataFrame, supplier: DataFrame, lineitem: DataFrame,
+          excludeBrand: String = "Brand#13",
+          excludeType: String = "PROMO",
+          maxSize: Int = 25): DataFrame =
+    lineitem.select("l_partkey", "l_suppkey")
+      .join(part.filter(col("p_brand") =!= excludeBrand &&
+          col("p_type") =!= excludeType && col("p_size") <= maxSize)
+          .select("p_partkey", "p_brand", "p_type", "p_size"),
+        col("l_partkey") === col("p_partkey"))
+      .join(supplier.filter(col("s_acctbal") < 0.0).select("s_suppkey"),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+
+  /** Q20 (suppliers with excess stock; availqty has no source table,
+    * so "excess" is a supplier shipping MORE than excessFactor × the
+    * part's per-supplier average that year — the same
+    * share-above-the-mean quantifier shape): one nation's suppliers
+    * who over-shipped some name-matched part. The spec's nested INs
+    * become: a semi-join part prune, a map-side-combined
+    * (part, supplier) rollup, a window avg re-clustering the
+    * pre-aggregated pair frame on the part key, and a final semi-join
+    * into supplier. Quantity sums are exact integer-valued doubles, so
+    * the strict > threshold is engine-stable. */
+  def q20(supplier: DataFrame, nation: DataFrame, part: DataFrame,
+          lineitem: DataFrame, namePrefix: String = "blue",
+          yearLo: String = "1996-01-01", yearHi: String = "1997-01-01",
+          excessFactor: Double = 1.5,
+          nationName: String = "NATION_9"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shipped = lineitem
+      .filter(col("l_shipdate") >= yearLo && col("l_shipdate") < yearHi)
+      .join(part.filter(col("p_name").startsWith(namePrefix))
+          .select("p_partkey"),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum("l_quantity").as("qty"))
+    val over = shipped
+      .withColumn("__avg",
+        avg("qty").over(Window.partitionBy("l_partkey")))
+      .filter(col("qty") > lit(excessFactor) * col("__avg"))
+      .select("l_suppkey")
+    supplier
+      .join(broadcast(nation.filter(col("n_name") === nationName)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(over, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_name", "s_acctbal")
+  }
 }

@@ -12,6 +12,14 @@ class PlanAuditSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  /** The AQE-final plan: execute, then read back the re-optimized tree
+    * (exchange reuse, runtime join demotions only exist post-run). */
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
   test("src_parquet_scan: filter and projection reach the parquet scan") {
     val p = plan("src_parquet_scan")
     assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,49.0)]"))
@@ -429,6 +437,71 @@ class PlanAuditSpec extends SparkSpec {
     val p22 = plan("tpch_q22")
     assert(p22.contains("LeftAnti"),
       s"q22: 'never urgent' must stay a hash anti join:\n$p22")
+  }
+
+  test("tpch_q1/q6: single-pass partial aggs; every predicate reaches the scan") {
+    val p1 = plan("tpch_q1")
+    assert(p1.contains("partial_sum"),
+      s"q1: the eight aggregates must partial-aggregate map-side:\n$p1")
+    assert(p1.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"q1: the cutoff must reach the lineitem scan:\n$p1")
+    val p6 = plan("tpch_q6")
+    assert(p6.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), IsNotNull(l_quantity)"),
+      s"q6: all three band predicates must reach the parquet scan:\n$p6")
+    assert(p6.contains("partial_sum"),
+      s"q6: the what-if revenue is one map-side partial sum:\n$p6")
+    assert(!p6.contains("Exchange hashpartitioning"),
+      s"q6: a 1-row global agg needs no hash exchange:\n$p6")
+  }
+
+  test("tpch_q2/q20: per-part threshold is a window over the pre-combined pair frame") {
+    Seq("tpch_q2" -> "Window [min(unit_cost", "tpch_q20" -> "Window [avg(qty").foreach {
+      case (q, wfn) =>
+        val p = plan(q)
+        assert(p.contains("TakeOrderedAndProject") || q == "tpch_q20",
+          s"$q: top-n must not be a global sort:\n$p")
+        assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+          s"$q: equi-joins only:\n$p")
+        assert(p.contains(wfn),
+          s"$q: the per-part threshold must be a window fn, not a joined-back agg frame:\n$p")
+        assert(p.contains("partial_min") || p.contains("partial_sum"),
+          s"$q: the (part, supplier) rollup must combine map-side, so every"
+            + s" shuffle after the scan carries pair-sized rows:\n$p")
+    }
+  }
+
+  test("tpch_q4/q16: quantifiers stay hash semi/anti joins on keys only") {
+    val p4 = plan("tpch_q4")
+    assert(p4.contains("LeftSemi"),
+      s"q4: EXISTS must stay a hash semi join:\n$p4")
+    assert(p4.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      s"q4: the quarter window must reach the orders scan:\n$p4")
+    val p16 = plan("tpch_q16")
+    assert(p16.contains("LeftAnti"),
+      s"q16: NOT IN over non-null keys must stay a hash anti join:\n$p16")
+    assert(p16.contains("partial_count(distinct"),
+      s"q16: count(DISTINCT supp) must partial-aggregate per (bucket, supp):\n$p16")
+  }
+
+  test("tpch_q9/q11: bounded dims broadcast; scalar threshold broadcast, no second scan") {
+    val p9 = plan("tpch_q9")
+    assert(p9.contains("BroadcastHashJoin"),
+      s"q9: nation must broadcast:\n$p9")
+    assert(!p9.contains("CartesianProduct") && !p9.contains("BroadcastNestedLoopJoin"),
+      s"q9: equi-joins only:\n$p9")
+    // Audit q11 with a fraction low enough to survive at the spec's tiny
+    // SF (the contract default leaves 0 rows here and AQE would collapse
+    // the whole tree to EmptyRelation, hiding the shape under test).
+    val q11 = graft.operators.Tpch.q11(Tables.lineitem(spark, sf),
+      Tables.supplier(spark, sf), Tables.nation(spark, sf),
+      nationName = "NATION_3", fraction = 0.0001)
+    q11.collect()
+    val p11 = q11.queryExecution.executedPlan.toString
+    assert(p11.contains("BroadcastExchange"),
+      s"q11: the 1-row total must broadcast back onto the per-part frame:\n$p11")
+    assert(p11.contains("ReusedExchange"),
+      s"q11: AQE must reuse the per-part rollup exchange for the threshold"
+        + s" branch (one lineitem scan, not two):\n$p11")
   }
 
   test("dd_fuzzy: candidates come from equi-joins only (no cartesian/BNLJ)") {
