@@ -350,6 +350,20 @@ object SparkEntry {
     // dedup → deterministic split, one scan + one narrow shuffle
     "pipe_curate" -> ((s, d) => TextAnalysis.curate(Tables.documents(s, d))),
     "pipe_pack" -> ((s, d) => TextAnalysis.packSequences(Tables.documents(s, d))),
+    "pipe_split" -> ((s, d) =>
+      Sampling.trainValTestSplit(Tables.documents(s, d), "doc_id")),
+    "dq_k_anonymity" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, expr}
+      Quality.kAnonymity(Tables.documents(s, d),
+        Seq(col("lang"), col("source"),
+          expr("n_chars div 50").as("len_bucket")))
+    }),
+    "st_logreg_gd" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, element_at}
+      Stats.logisticGD(Tables.embeddings(s, d),
+        element_at(col("embedding"), 1).cast("double") +
+          element_at(col("embedding"), 2).cast("double") > 0)
+    }),
     // domain-mixture resampling: en halved, fr 1.5x, es doubled, zh
     // quartered — exercises downsample, integral and fractional upsample
     "pipe_balance" -> ((s, d) =>
@@ -2007,6 +2021,67 @@ object SparkEntry {
                row_number() OVER (PARTITION BY fp_norm ORDER BY doc_id) AS rn
                FROM f)
          SELECT doc_id, split, quality_score FROM k WHERE rn = 1""",
+    "pipe_split" ->
+      """SELECT doc_id,
+           CASE WHEN substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 2)
+                  < 'cd' THEN 'train'
+                WHEN substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 2)
+                  < 'e6' THEN 'val'
+                ELSE 'test' END AS split
+         FROM documents""",
+    "dq_k_anonymity" ->
+      """WITH g AS (SELECT lang, source, n_chars // 50 AS len_bucket,
+             count(*) AS n
+           FROM documents GROUP BY 1, 2, 3)
+         SELECT count(*) AS n_groups, min(n) AS anonymity_k,
+           CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS groups_below_k,
+           CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+             AS rows_at_risk
+         FROM g""",
+    "st_logreg_gd" ->
+      """WITH d AS (SELECT CAST(embedding[1] AS DOUBLE) AS x1,
+             CAST(embedding[2] AS DOUBLE) AS x2,
+             CAST(embedding[3] AS DOUBLE) AS x3,
+             CASE WHEN CAST(embedding[1] AS DOUBLE)
+                + CAST(embedding[2] AS DOUBLE) > 0
+               THEN 1.0 ELSE 0.0 END AS y
+           FROM embeddings),
+         i0 AS (SELECT 0.0 AS a, 0.0 AS b, 0.0 AS c, 0.0 AS e),
+         -- 3 unrolled GD steps; i<k> mirrors the Spark loop state
+         -- after step k exactly (same start, same lr, same averages)
+         g1 AS (SELECT
+             avg(1/(1+exp(-(w.a + w.b*x1 + w.c*x2 + w.e*x3))) - y) AS ga,
+             avg((1/(1+exp(-(w.a + w.b*x1 + w.c*x2 + w.e*x3))) - y)*x1) AS gb,
+             avg((1/(1+exp(-(w.a + w.b*x1 + w.c*x2 + w.e*x3))) - y)*x2) AS gc,
+             avg((1/(1+exp(-(w.a + w.b*x1 + w.c*x2 + w.e*x3))) - y)*x3) AS ge
+           FROM d CROSS JOIN i0 w),
+         i1 AS (SELECT w.a - g.ga AS a, w.b - g.gb AS b, w.c - g.gc AS c,
+             w.e - g.ge AS e FROM i0 w CROSS JOIN g1 g),
+         g2 AS (SELECT
+             avg(1/(1+exp(-(w.a + w.b*x1 + w.c*x2 + w.e*x3))) - y) AS ga,
+             avg((1/(1+exp(-(w.a + w.b*x1 + w.c*x2 + w.e*x3))) - y)*x1) AS gb,
+             avg((1/(1+exp(-(w.a + w.b*x1 + w.c*x2 + w.e*x3))) - y)*x2) AS gc,
+             avg((1/(1+exp(-(w.a + w.b*x1 + w.c*x2 + w.e*x3))) - y)*x3) AS ge
+           FROM d CROSS JOIN i1 w),
+         i2 AS (SELECT w.a - g.ga AS a, w.b - g.gb AS b, w.c - g.gc AS c,
+             w.e - g.ge AS e FROM i1 w CROSS JOIN g2 g),
+         g3 AS (SELECT
+             avg(1/(1+exp(-(w.a + w.b*x1 + w.c*x2 + w.e*x3))) - y) AS ga,
+             avg((1/(1+exp(-(w.a + w.b*x1 + w.c*x2 + w.e*x3))) - y)*x1) AS gb,
+             avg((1/(1+exp(-(w.a + w.b*x1 + w.c*x2 + w.e*x3))) - y)*x2) AS gc,
+             avg((1/(1+exp(-(w.a + w.b*x1 + w.c*x2 + w.e*x3))) - y)*x3) AS ge
+           FROM d CROSS JOIN i2 w),
+         i3 AS (SELECT w.a - g.ga AS a, w.b - g.gb AS b, w.c - g.gc AS c,
+             w.e - g.ge AS e FROM i2 w CROSS JOIN g3 g)
+         SELECT (SELECT count(*) FROM d) AS n,
+           (SELECT round(avg(CASE WHEN (CASE WHEN
+               w.a + w.b*x1 + w.c*x2 + w.e*x3 >= 0 THEN 1.0 ELSE 0.0 END) = y
+               THEN 1.0 ELSE 0.0 END), 6) FROM d CROSS JOIN i3 w)
+             AS accuracy,
+           round(a, 6) AS w0, round(b, 6) AS w1, round(c, 6) AS w2,
+           round(e, 6) AS w3
+         FROM i3""",
     "pipe_pack" ->
       """WITH t AS (SELECT doc_id,
            CASE WHEN substr(md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))),

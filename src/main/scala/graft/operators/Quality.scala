@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -255,4 +255,21 @@ object Quality {
       r("sum_value").asInstanceOf[Double]))
       .toDF("n_rows", "null_values", "min_value", "max_value", "sum_value")
   }
+
+  /** k-anonymity audit over a set of quasi-identifier expressions: how
+    * re-identifiable is this corpus if it shipped as-is? Groups rows by
+    * the quasi-identifier tuple and reports the anonymity level (the
+    * smallest group), how many groups fall below `k`, and how many rows
+    * sit in those under-k groups — the privacy gate a training-data
+    * release runs next to the PII scrub (tx_pii). One partial-agg
+    * rollup on the quasi tuple then a second tiny rollup of the group
+    * counts; no row payloads ever shuffle, only (tuple, count) pairs. */
+  def kAnonymity(df: DataFrame, quasi: Seq[Column], k: Int = 5): DataFrame =
+    df.groupBy(quasi: _*)
+      .agg(count(lit(1)).as("__n"))
+      .agg(count(lit(1)).as("n_groups"),
+        min("__n").as("anonymity_k"),
+        sum(when(col("__n") < k, 1L).otherwise(0L)).as("groups_below_k"),
+        sum(when(col("__n") < k, col("__n")).otherwise(0L))
+          .as("rows_at_risk"))
 }

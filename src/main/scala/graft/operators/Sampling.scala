@@ -138,4 +138,30 @@ object Sampling {
       .filter(col("__rn") <= col("__m"))
       .drop("__h", "__rn", "__m")
   }
+
+  /** Deterministic train/val/test assignment — the split every training
+    * corpus needs BEFORE any epoch runs. A row's split is a pure
+    * function of its own id (salted md5, first two hex chars = one of
+    * 256 buckets; percent thresholds map to bucket-count cut points
+    * compared AS HEX STRINGS — '0'-'9' < 'a'-'f' holds in every
+    * engine). Row-local and shuffle-free, stable under corpus growth
+    * (new rows never move old rows across splits — the property that
+    * keeps eval sets uncontaminated as the lake appends), and
+    * reproducible from the salt alone.
+    *
+    * Percent thresholds are in 1/256 granularity by design: exact
+    * bucket membership beats a float comparison the oracle engine
+    * might round differently. */
+  def trainValTestSplit(df: DataFrame, idCol: String,
+                        trainPct: Int = 80, valPct: Int = 10,
+                        salt: String = "split"): DataFrame = {
+    require(trainPct > 0 && valPct > 0 && trainPct + valPct < 100,
+      "need three non-empty splits")
+    val trainHi = f"${math.round(256.0 * trainPct / 100).toInt}%02x"
+    val valHi = f"${math.round(256.0 * (trainPct + valPct) / 100).toInt}%02x"
+    val b = hexKey(salt, col(idCol), 2)
+    df.select(col(idCol),
+      when(b < trainHi, "train").when(b < valHi, "val").otherwise("test")
+        .as("split"))
+  }
 }

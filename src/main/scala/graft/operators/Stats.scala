@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Statistics & profiling operators (reference: work/Intro_pySpark.ipynb —
@@ -839,5 +839,63 @@ object Stats {
         round((lit(1.0) + sum(when(abs(col("__tb")) >= abs(col("__t")), 1L)
             .otherwise(0L))) / (lit(1.0) + count(lit(1))), 6)
           .as("p_value"))
+  }
+
+  /** Distributed batch-gradient-descent logistic regression: `iters`
+    * full-batch steps of w ← w − lr·∇L on (intercept + the first `dims`
+    * embedding components) predicting a binary label — model TRAINING
+    * expressed as the engine's own aggregates. Each step is ONE
+    * map-side-combined aggregate pass (the gradient is an average of
+    * per-row column expressions with the current weights inlined as
+    * literals); the only driver traffic is the (dims+1)-double gradient
+    * row per step — the same justified scalar-per-round pattern as
+    * dd_cluster's convergence check. The projected feature frame is
+    * cached once so the scan cost is paid once, not per step. Fixed
+    * iteration count and 0-vector start make the run deterministic;
+    * weights and accuracy round to 6dp so the cross-engine compare is
+    * stable (double sums agree far below that).
+    *
+    * `target` is any boolean Column over the input frame — the operator
+    * is target-agnostic. (The synthetic corpus's `label` column is
+    * independent of the embedding, so the CONTRACT query trains on a
+    * separable linear concept over the features instead — the standard
+    * optimizer sanity target; accuracy well above chance demonstrates
+    * the descent actually descends, which random labels cannot show.)
+    *
+    * Output: one row — n, final weights, training accuracy at 0.5. */
+  def logisticGD(embeddings: DataFrame, target: Column,
+                 dims: Int = 3, iters: Int = 3,
+                 lr: Double = 1.0): DataFrame = {
+    val feats = embeddings.select(
+      (1 to dims).map(i =>
+        element_at(col("embedding"), i).cast("double").as(s"x$i")) :+
+      when(target, 1.0).otherwise(0.0).as("y"): _*)
+      .persist()
+    def margin(w: Array[Double]) =
+      (1 to dims).foldLeft(lit(w(0)): Column)((acc, i) =>
+        acc + lit(w(i)) * col(s"x$i"))
+    def sigmoid(z: Column) = lit(1.0) / (lit(1.0) + exp(-z))
+    var w = Array.fill(dims + 1)(0.0)
+    for (_ <- 0 until iters) {
+      val resid = sigmoid(margin(w)) - col("y")
+      val grads = avg(resid).as("g0") +:
+        (1 to dims).map(i => avg(resid * col(s"x$i")).as(s"g$i"))
+      val g = feats.agg(grads.head, grads.tail: _*).head()
+      w = w.zipWithIndex.map { case (wi, i) => wi - lr * g.getDouble(i) }
+    }
+    val pred = when(margin(w) >= 0, 1.0).otherwise(0.0)
+    val outCols = count(lit(1)).as("n") +:
+      round(avg(when(pred === col("y"), 1.0).otherwise(0.0)), 6)
+        .as("accuracy") +:
+      (0 to dims).map(i => round(lit(w(i)), 6).as(s"w$i"))
+    val r = feats.agg(outCols.head, outCols.tail: _*).head()
+    feats.unpersist()
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    Seq((r.getLong(0), r.getDouble(1),
+      (0 to dims).map(i => r.getDouble(2 + i)).toList))
+      .toDF("n", "accuracy", "__w")
+      .select(col("n") +: col("accuracy") +:
+        (0 to dims).map(i => element_at(col("__w"), i + 1).as(s"w$i")): _*)
   }
 }

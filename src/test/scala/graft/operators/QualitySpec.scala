@@ -225,4 +225,24 @@ class QualitySpec extends SparkSpec {
     assert(r.getAs[Double]("max_value") == 3.75)
     assert(r.getAs[Double]("sum_value") == 4.5)
   }
+
+  test("kAnonymity counts exactly the under-k groups and their rows") {
+    import spark.implicits._
+    // groups: (a,1)x6, (a,2)x3, (b,1)x1 → k-level 1; below 5: two
+    // groups carrying 3+1 = 4 rows
+    val df = (Seq.fill(6)(("a", 1)) ++ Seq.fill(3)(("a", 2)) ++
+      Seq(("b", 1))).toDF("q1", "q2")
+    val r = Quality.kAnonymity(df, Seq(col("q1"), col("q2")), k = 5)
+      .collect().head
+    assert(r.getAs[Long]("n_groups") == 3L)
+    assert(r.getAs[Long]("anonymity_k") == 1L)
+    assert(r.getAs[Long]("groups_below_k") == 2L)
+    assert(r.getAs[Long]("rows_at_risk") == 4L)
+    // a fully k-anonymous frame reports zero risk
+    val ok = Seq.fill(10)(("a", 1)).toDF("q1", "q2")
+    val r2 = Quality.kAnonymity(ok, Seq(col("q1"), col("q2")), k = 5)
+      .collect().head
+    assert(r2.getAs[Long]("groups_below_k") == 0L &&
+      r2.getAs[Long]("rows_at_risk") == 0L)
+  }
 }

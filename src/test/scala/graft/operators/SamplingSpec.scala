@@ -117,4 +117,26 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(w1 == w2 && w1.nonEmpty)
   }
+
+  test("trainValTestSplit: total, roughly-proportioned, growth-stable") {
+    val docs = graft.Tables.documents(spark, sf)
+    val n = docs.count()
+    val s1 = Sampling.trainValTestSplit(docs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s1.size == n, "every row gets exactly one split")
+    val frac = s1.values.groupBy(identity).view.mapValues(_.size.toDouble / n)
+    assert(math.abs(frac("train") - 0.8) < 0.06, s"train=${frac("train")}")
+    assert(math.abs(frac("val") - 0.1) < 0.05 &&
+      math.abs(frac("test") - 0.1) < 0.05)
+    // growth stability: splitting HALF the corpus assigns the shared
+    // rows identically — appends can never shuffle eval membership
+    val half = Sampling.trainValTestSplit(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(half.forall { case (id, sp) => s1(id) == sp })
+    // a different salt is a genuinely different split
+    val resalted = Sampling.trainValTestSplit(docs, "doc_id", salt = "v2")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(resalted.exists { case (id, sp) => s1(id) != sp })
+  }
 }

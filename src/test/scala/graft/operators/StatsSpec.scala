@@ -403,4 +403,27 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Double]("p_value") <= 0.01,
       s"a 1000-sigma shift must reject: p=${r.getAs[Double]("p_value")}")
   }
+
+  test("logisticGD: descends on a separable concept, replays exactly, chance on noise") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val concept = element_at(col("embedding"), 1).cast("double") +
+      element_at(col("embedding"), 2).cast("double") > 0
+    // this SF's embeddings have a smaller feature scale than sf0.01's,
+    // so the descent needs a hotter schedule to converge in-spec
+    def run(iters: Int) =
+      Stats.logisticGD(emb, concept, iters = iters, lr = 5.0).collect().head
+    val r10 = run(10)
+    assert(r10.getAs[Double]("accuracy") > 0.85,
+      s"separable concept must train above chance: ${r10.getAs[Double]("accuracy")}")
+    // more steps must not get worse on a separable target (monotone here)
+    assert(r10.getAs[Double]("accuracy") >= run(5).getAs[Double]("accuracy"))
+    // deterministic: no RNG, no partition-order dependence at 6dp
+    assert(run(10) == r10, "fixed-iteration GD must replay exactly")
+    // a target independent of the features stays at chance — the honest
+    // negative control for the contract query's choice of concept
+    val noise = Stats.logisticGD(emb, col("label") >= 5,
+      iters = 10, lr = 5.0).collect().head
+    assert(math.abs(noise.getAs[Double]("accuracy") - 0.5) < 0.2,
+      s"random labels cannot be learned: ${noise.getAs[Double]("accuracy")}")
+  }
 }
