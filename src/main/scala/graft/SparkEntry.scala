@@ -352,6 +352,8 @@ object SparkEntry {
     "pipe_pack" -> ((s, d) => TextAnalysis.packSequences(Tables.documents(s, d))),
     "pipe_split" -> ((s, d) =>
       Sampling.trainValTestSplit(Tables.documents(s, d), "doc_id")),
+    "tx_source_jaccard" -> ((s, d) =>
+      SketchDedup.sourceJaccard(Tables.documents(s, d))),
     "dq_k_anonymity" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, expr}
       Quality.kAnonymity(Tables.documents(s, d),

@@ -242,4 +242,39 @@ object SketchDedup {
 
     intra.unionByName(inter)
   }
+
+  /** Corpus-pair overlap estimation via MERGED MinHash sketches: one
+    * estimated shingle-set Jaccard per unordered group pair (e.g.
+    * source × source) — the "how much does crawl B re-cover crawl A"
+    * question a mixture designer asks BEFORE paying for a full
+    * cross-corpus dedup. The estimator leans on MinHash's mergeability:
+    * min is associative, so the slot-wise min of per-doc signatures IS
+    * the signature of the group's UNIONED shingle set, and sketches
+    * merge partition-locally (partial min) without ever holding a
+    * group's text together. Matching-slot fraction then estimates the
+    * pair Jaccard.
+    *
+    * Scale shape: per-doc signatures are scan-local (native zero-copy
+    * exprs); the merge shuffles |groups|·k slot rows (map-side
+    * combined); the pair join runs on the merged frame — groups² rows,
+    * dim-sized for any real source taxonomy. Estimator (not the exact
+    * set Jaccard) → rows-only contract with an accuracy spec vs the
+    * exact per-pair Jaccard. */
+  def sourceJaccard(documents: DataFrame, groupCol: String = "source",
+                    n: Int = 3, k: Int = 64): DataFrame = {
+    val sigs = Scale.fanOut(documents.select(col(groupCol), col("text")),
+        Seq(groupCol))
+      .select(col(groupCol),
+        posexplode(minhashCol(shingleHashCol(col("text"), n), k)))
+      .groupBy(col(groupCol), col("pos"))
+      .agg(min("col").as("h"))
+    val a = sigs.select(col(groupCol).as("ga"), col("pos"),
+      col("h").as("ha"))
+    val b = sigs.select(col(groupCol).as("gb"), col("pos"),
+      col("h").as("hb"))
+    a.join(b, Seq("pos")).filter(col("ga") < col("gb"))
+      .groupBy("ga", "gb")
+      .agg(round(avg(when(col("ha") === col("hb"), 1.0).otherwise(0.0)), 4)
+        .as("est_jaccard"))
+  }
 }

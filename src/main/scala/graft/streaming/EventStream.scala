@@ -120,6 +120,32 @@ object EventStream {
         col("follow_id"), col("follow_ts"))
   }
 
+  /** Stream enrichment with the dimension version in force AT EVENT
+    * TIME — the streaming as-of join (an SCD2-aware lookup: late events
+    * get the OLD attribute, not today's). The dimension HISTORY packs
+    * per key into one sorted (valid_from, attr) array and broadcasts;
+    * the probe is then a row-local array scan (`filter` + last element
+    * — O(versions/key), versions are bounded for any real dimension).
+    * ZERO streaming state: no watermark, no buffered rows, any output
+    * mode — where a stream-stream formulation would pin the dimension
+    * in state forever. Events before the first version keep a null
+    * attribute (left join semantics); re-broadcast cadence decides
+    * dimension freshness, exactly like `anomalies`' profile frame. */
+  def asofEnrich(stream: DataFrame, dimHistory: DataFrame,
+                 key: String = "user_id", validFrom: String = "valid_from",
+                 attr: String = "state"): DataFrame = {
+    val packed = dimHistory.groupBy(col(key))
+      .agg(sort_array(collect_list(struct(col(validFrom).as("vf"),
+        col(attr).as("av")))).as("__vers"))
+    stream.join(broadcast(packed), Seq(key), "left")
+      .withColumn("__hits",
+        filter(col("__vers"), v => v.getField("vf") <= col("ts")))
+      .withColumn(attr,
+        when(size(col("__hits")) > 0,
+          element_at(col("__hits"), -1).getField("av")))
+      .drop("__vers", "__hits")
+  }
+
   // ---- sources / sinks ----------------------------------------------
 
   /** Kafka source (reference: readStream.format("kafka")). Requires the

@@ -76,4 +76,33 @@ class SketchDedupSpec extends SparkSpec {
     val pairs = SketchDedup.simhashPairs(docs, groupChunk = 256)
     assert(pairs.count() == n * (n - 1) / 2)
   }
+
+  test("sourceJaccard tracks the exact per-pair shingle-set Jaccard and replays") {
+    import org.apache.spark.sql.functions._
+    val documents = graft.Tables.documents(spark, sf)
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getString(1))
+    val est = SketchDedup.sourceJaccard(documents, k = 64)
+      .collect().map(r => key(r) -> r.getAs[Double]("est_jaccard")).toMap
+    // exact Jaccard of the groups' (hashed-)shingle SETS — the quantity
+    // the merged sketch estimates
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val sets: Map[String, Set[Long]] = documents
+      .select(col("source"), explode(ColumnBridge.column(
+        graft.plans.ShingleHashes(ColumnBridge.expression(
+          col("text")), 3))).as("sh"))
+      .distinct().collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+      .toMap
+    assert(est.nonEmpty)
+    est.foreach { case ((a, b), e) =>
+      val (sa, sb) = (sets(a), sets(b))
+      val exact = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      // k=64 ⇒ binomial s.e. √(J(1−J)/64) ≤ 0.063; 4 s.e. guard band
+      assert(math.abs(e - exact) < 0.25,
+        s"($a,$b): est $e vs exact $exact")
+    }
+    val replay = SketchDedup.sourceJaccard(documents, k = 64)
+      .collect().map(r => key(r) -> r.getAs[Double]("est_jaccard")).toMap
+    assert(replay == est, "merged sketches are deterministic")
+  }
 }

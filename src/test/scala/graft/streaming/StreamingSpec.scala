@@ -10,6 +10,8 @@ class StreamingSpec extends SparkSpec {
 
   import org.apache.spark.sql.Encoders
 
+  case class Ev(event_id: Long, user_id: Long, ts: java.sql.Timestamp)
+
   private def jsonOf(eventId: Long, ts: String, userId: Long,
                      eventType: String, value: Double): String =
     s"""{"event_id":$eventId,"ts":"$ts","user_id":$userId,""" +
@@ -350,6 +352,39 @@ class StreamingSpec extends SparkSpec {
       val back = spark.read.parquet(s"$dir/data")
       assert(back.count() == 2)
       assert(back.select("alert_level").distinct().count() == 2)
+    } finally q.stop()
+  }
+
+  test("asofEnrich tags each event with the dimension version in force at event time") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val dim = Seq(
+      (7L, t("2024-01-01 00:00:10"), "bronze"),
+      (7L, t("2024-01-01 00:00:30"), "gold"),
+      (8L, t("2024-01-01 00:00:20"), "silver"))
+      .toDF("user_id", "valid_from", "state")
+    val input = MemoryStream[Ev](org.apache.spark.sql.Encoders.product[Ev], sq)
+    val q = EventStream.asofEnrich(input.toDF(), dim).writeStream
+      .format("memory").queryName("t_asof_enrich").outputMode("append").start()
+    try {
+      input.addData(
+        Ev(1, 7, t("2024-01-01 00:00:05")),  // before any version → null
+        Ev(2, 7, t("2024-01-01 00:00:10")),  // boundary: inclusive
+        Ev(3, 7, t("2024-01-01 00:00:29")),  // still bronze
+        Ev(4, 7, t("2024-01-01 00:00:31")),  // upgraded
+        Ev(5, 8, t("2024-01-01 00:00:25")),  // other key
+        Ev(6, 9, t("2024-01-01 00:00:25")))  // key with no history
+      q.processAllAvailable()
+      val got = spark.table("t_asof_enrich")
+        .collect().map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[String]("state"))).toMap
+      assert(got == Map(1L -> None, 2L -> Some("bronze"),
+        3L -> Some("bronze"), 4L -> Some("gold"), 5L -> Some("silver"),
+        6L -> None))
+      // zero streaming state: the progress metrics carry no state rows
+      assert(Option(q.lastProgress).forall(_.stateOperators.isEmpty),
+        "asofEnrich must not register a stateful operator")
     } finally q.stop()
   }
 }
