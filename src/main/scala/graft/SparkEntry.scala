@@ -400,6 +400,8 @@ object SparkEntry {
         Seq(col("lang"), col("source"),
           expr("n_chars div 50").as("len_bucket")))
     }),
+    "st_moments_merge" -> ((s, d) =>
+      Stats.mergeableMoments(Tables.events(s, d))),
     "st_logreg_gd" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, element_at}
       Stats.logisticGD(Tables.embeddings(s, d),
@@ -2065,6 +2067,18 @@ object SparkEntry {
            CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
              AS rows_at_risk
          FROM g""",
+    "st_moments_merge" ->
+      """WITH p AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             count(*) AS n,
+             sum(CAST(value AS DECIMAL(30,6))) AS s1,
+             sum(CAST(value * value AS DECIMAL(30,6))) AS s2
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
+         SELECT event_type, CAST(sum(n) AS BIGINT) AS n,
+           round(CAST(sum(s1) AS DOUBLE) / sum(n), 6) AS mean,
+           round(sqrt((CAST(sum(s2) AS DOUBLE)
+             - CAST(sum(s1) AS DOUBLE) * CAST(sum(s1) AS DOUBLE) / sum(n))
+             / (sum(n) - 1)), 6) AS std
+         FROM p GROUP BY 1""",
     "st_logreg_gd" ->
       """WITH d AS (SELECT CAST(embedding[1] AS DOUBLE) AS x1,
              CAST(embedding[2] AS DOUBLE) AS x2,

@@ -841,6 +841,41 @@ object Stats {
           .as("p_value"))
   }
 
+  /** MERGEABLE moment statistics — per-(group, day) power-sum partials
+    * rolled up to exact per-group mean/std WITHOUT rescanning rows: the
+    * incremental-statistics pattern a 100 TB lake runs, where each
+    * ingested partition persists its (n, Σx, Σx²) once and any window's
+    * profile is a merge over the tiny partial frame. Sums are exact
+    * DECIMALs (the jarque-bera power-sum discipline: double summation
+    * order can't drift, merges are associative to the last bit — the
+    * property that makes the partials STORABLE), converted to double
+    * only for the final mean/std arithmetic. The two-level rollup here
+    * proves the merge: its result is identical to a direct one-pass
+    * profile, spec-locked under arbitrary re-partitioning of the
+    * partial level. */
+  def mergeableMoments(events: DataFrame, groupCol: String = "event_type")
+      : DataFrame = {
+    val partials = events
+      .filter(col("value").isNotNull)
+      .groupBy(col(groupCol), to_date(col("ts")).as("__day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,6)")).as("s1"),
+        sum((col("value") * col("value")).cast("decimal(30,6)")).as("s2"))
+    mergeMomentPartials(partials, groupCol)
+  }
+
+  /** The merge half of `mergeableMoments`, usable over ANY stored
+    * partial frame (n, s1, s2 per group × partition). */
+  def mergeMomentPartials(partials: DataFrame, groupCol: String)
+      : DataFrame =
+    partials.groupBy(col(groupCol))
+      .agg(sum("n").as("n"), sum("s1").as("__s1"), sum("s2").as("__s2"))
+      .select(col(groupCol), col("n"),
+        round(col("__s1").cast("double") / col("n"), 6).as("mean"),
+        round(sqrt((col("__s2").cast("double") -
+          col("__s1").cast("double") * col("__s1").cast("double") / col("n"))
+          / (col("n") - 1)), 6).as("std"))
+
   /** Distributed batch-gradient-descent logistic regression: `iters`
     * full-batch steps of w ← w − lr·∇L on (intercept + the first `dims`
     * embedding components) predicting a binary label — model TRAINING

@@ -404,6 +404,34 @@ class StatsSpec extends SparkSpec {
       s"a 1000-sigma shift must reject: p=${r.getAs[Double]("p_value")}")
   }
 
+  test("mergeableMoments: any partial partitioning merges to the direct profile") {
+    val events = graft.Tables.events(spark, sf)
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getLong(1),
+      r.getDouble(2), r.getDouble(3))
+    val viaDays = Stats.mergeableMoments(events).collect().map(key).toSet
+    // partials cut by a DIFFERENT partition scheme (user stripe, not
+    // day) must merge to the identical profile — decimal sums make the
+    // merge associative to the last bit
+    val byStripe = events.filter(col("value").isNotNull)
+      .groupBy(col("event_type"), (col("user_id") % 7).as("__p"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,6)")).as("s1"),
+        sum((col("value") * col("value")).cast("decimal(30,6)")).as("s2"))
+    val viaStripes = Stats.mergeMomentPartials(byStripe, "event_type")
+      .collect().map(key).toSet
+    assert(viaDays == viaStripes,
+      "merged profile must be partitioning-invariant")
+    // and the single-level direct computation agrees (one trivial
+    // "partition" containing everything)
+    val direct = events.filter(col("value").isNotNull)
+      .groupBy(col("event_type"), lit(0).as("__p"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,6)")).as("s1"),
+        sum((col("value") * col("value")).cast("decimal(30,6)")).as("s2"))
+    assert(Stats.mergeMomentPartials(direct, "event_type")
+      .collect().map(key).toSet == viaDays)
+  }
+
   test("logisticGD: descends on a separable concept, replays exactly, chance on noise") {
     val emb = graft.Tables.embeddings(spark, sf)
     val concept = element_at(col("embedding"), 1).cast("double") +
