@@ -841,6 +841,27 @@ object Stats {
           .as("p_value"))
   }
 
+  /** w·(1, x1..xn) as a Column over a frame carrying x1..xn. */
+  def logisticMargin(w: Array[Double]): Column =
+    (1 until w.length).foldLeft(lit(w(0)): Column)((acc, i) =>
+      acc + lit(w(i)) * col(s"x$i"))
+
+  /** ONE full-batch GD step on a frame carrying x1..xn + y: returns the
+    * updated weights. The gradient is a single map-side-combined
+    * aggregate with the current weights inlined as literals; shared by
+    * batch training (logisticGD) and the streaming per-micro-batch SGD
+    * sink. */
+  def logisticStep(feats: DataFrame, w: Array[Double], lr: Double)
+      : Array[Double] = {
+    val dims = w.length - 1
+    val resid =
+      lit(1.0) / (lit(1.0) + exp(-logisticMargin(w))) - col("y")
+    val grads = avg(resid).as("g0") +:
+      (1 to dims).map(i => avg(resid * col(s"x$i")).as(s"g$i"))
+    val g = feats.agg(grads.head, grads.tail: _*).head()
+    w.zipWithIndex.map { case (wi, i) => wi - lr * g.getDouble(i) }
+  }
+
   /** MERGEABLE moment statistics — per-(group, day) power-sum partials
     * rolled up to exact per-group mean/std WITHOUT rescanning rows: the
     * incremental-statistics pattern a 100 TB lake runs, where each
@@ -906,19 +927,9 @@ object Stats {
         element_at(col("embedding"), i).cast("double").as(s"x$i")) :+
       when(target, 1.0).otherwise(0.0).as("y"): _*)
       .persist()
-    def margin(w: Array[Double]) =
-      (1 to dims).foldLeft(lit(w(0)): Column)((acc, i) =>
-        acc + lit(w(i)) * col(s"x$i"))
-    def sigmoid(z: Column) = lit(1.0) / (lit(1.0) + exp(-z))
     var w = Array.fill(dims + 1)(0.0)
-    for (_ <- 0 until iters) {
-      val resid = sigmoid(margin(w)) - col("y")
-      val grads = avg(resid).as("g0") +:
-        (1 to dims).map(i => avg(resid * col(s"x$i")).as(s"g$i"))
-      val g = feats.agg(grads.head, grads.tail: _*).head()
-      w = w.zipWithIndex.map { case (wi, i) => wi - lr * g.getDouble(i) }
-    }
-    val pred = when(margin(w) >= 0, 1.0).otherwise(0.0)
+    for (_ <- 0 until iters) w = logisticStep(feats, w, lr)
+    val pred = when(logisticMargin(w) >= 0, 1.0).otherwise(0.0)
     val outCols = count(lit(1)).as("n") +:
       round(avg(when(pred === col("y"), 1.0).otherwise(0.0)), 6)
         .as("accuracy") +:
