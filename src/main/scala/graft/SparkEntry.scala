@@ -394,6 +394,8 @@ object SparkEntry {
       Sampling.trainValTestSplit(Tables.documents(s, d), "doc_id")),
     "tx_source_jaccard" -> ((s, d) =>
       SketchDedup.sourceJaccard(Tables.documents(s, d))),
+    "pipe_e2e" -> ((s, d) =>
+      TextAnalysis.curationPipeline(Tables.documents(s, d))),
     "dq_k_anonymity" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, expr}
       Quality.kAnonymity(Tables.documents(s, d),
@@ -2049,6 +2051,57 @@ object SparkEntry {
                row_number() OVER (PARTITION BY fp_norm ORDER BY doc_id) AS rn
                FROM f)
          SELECT doc_id, split, quality_score FROM k WHERE rn = 1""",
+    "pipe_e2e" ->
+      """WITH corpus AS (SELECT * FROM documents WHERE source <> 'src0'),
+         fp AS (SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS f
+           FROM corpus),
+         keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+         d1 AS (SELECT c.* FROM corpus c JOIN keep USING (doc_id)),
+         bench AS (
+           SELECT DISTINCT s AS shingle FROM (
+             SELECT unnest(list_transform(range(1, len(t)-3),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                 || t[i+3] || ' ' || t[i+4])) AS s
+             FROM (SELECT string_split(text, ' ') AS t FROM documents
+                   WHERE source = 'src0') WHERE len(t) >= 5)),
+         docsh AS (
+           SELECT DISTINCT doc_id, s AS shingle FROM (
+             SELECT doc_id, unnest(list_transform(range(1, len(t)-3),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                 || t[i+3] || ' ' || t[i+4])) AS s
+             FROM (SELECT doc_id, string_split(text, ' ') AS t FROM d1)
+             WHERE len(t) >= 5)),
+         flagged AS (
+           SELECT doc_id FROM docsh JOIN bench USING (shingle)
+           GROUP BY doc_id HAVING count(*) >= 10),
+         d2 AS (SELECT * FROM d1
+           WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+         d3 AS (SELECT doc_id FROM d2
+           WHERE round(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                   / length(text) * 0.5
+                 + len(list_filter(string_split(text,' '),
+                     x -> x IN ('the','a')))
+                   / len(string_split(text,' ')) * 0.3
+                 + least(1.0, len(string_split(text,' ')) / 100.0) * 0.2, 6)
+                 >= 0.47
+             AND round(1.0 - len(list_distinct(string_split(text,' ')))
+                   / len(string_split(text,' ')), 6) <= 0.6),
+         s AS (SELECT doc_id,
+             CASE WHEN substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 2)
+                    < 'cd' THEN 'train'
+                  WHEN substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 2)
+                    < 'e6' THEN 'val'
+                  ELSE 'test' END AS split
+           FROM d3)
+         SELECT 0 AS stage_ord, 'ingest' AS stage, count(*) AS n_rows
+           FROM corpus
+         UNION ALL SELECT 1, 'exact_dedup', count(*) FROM d1
+         UNION ALL SELECT 2, 'decontaminate', count(*) FROM d2
+         UNION ALL SELECT 3, 'quality', count(*) FROM d3
+         UNION ALL SELECT CASE split WHEN 'train' THEN 4
+             WHEN 'val' THEN 5 ELSE 6 END, split, count(*)
+           FROM s GROUP BY split""",
     "pipe_split" ->
       """SELECT doc_id,
            CASE WHEN substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 2)

@@ -587,4 +587,57 @@ object TextAnalysis {
       .agg(sum("tf").as("n_tokens"),
         round(sum(col("tf") * nlp) / sum("tf"), 6).as("ce"))
   }
+
+  /** The WHOLE curation pipeline as one composite with per-stage row
+    * accounting — the end-to-end demo query: raw corpus → exact dedup
+    * (keep-min per content fingerprint) → benchmark decontamination →
+    * quality gate → train/val/test split, reporting surviving rows at
+    * every stage plus the final split sizes. Each stage is the
+    * already-audited operator it names (Dedup fingerprint keep,
+    * TextAnalysis.contamination, qualityScore/dupWordRatio,
+    * Sampling.trainValTestSplit), composed lazily into ONE plan — the
+    * accounting unions are agg-sized branches off shared frames, so the
+    * pipeline is exactly what a production run executes with counters
+    * attached, not a separate audit pass. Near-dedup (MinHash-LSH)
+    * slots between stages 1 and 2 when `nearDedup` is set — excluded
+    * from the oracle-checked contract (LSH is not SQL-expressible) and
+    * exercised by the spec instead. */
+  def curationPipeline(documents: DataFrame, benchSource: String = "src0",
+                       n: Int = 5, minShared: Int = 10,
+                       minQuality: Double = 0.47,
+                       maxDupWordRatio: Double = 0.6,
+                       nearDedup: Boolean = false): DataFrame = {
+    val corpus = documents.filter(col("source") =!= benchSource)
+    val bench = documents.filter(col("source") === benchSource)
+    val keep = Dedup.dropExactDuplicates(corpus)
+      .select(col("keep_id").as("doc_id"))
+    val d1 = corpus.join(keep, Seq("doc_id"), "left_semi")
+    val d1b =
+      if (!nearDedup) d1
+      else d1.join(
+        Dedup.dupClusters(SketchDedup.minhashLshPairs(d1)
+            .select(col("d1"), col("d2")))
+          .filter(col("doc_id") =!= col("cluster_id"))
+          .select("doc_id"),
+        Seq("doc_id"), "left_anti")
+    val flagged = contamination(d1b, bench, n, minShared).select("doc_id")
+    val d2 = d1b.join(flagged, Seq("doc_id"), "left_anti")
+    // compare 6dp-ROUNDED scores (curate's discipline): the gate line
+    // is identical in both engines, boundary docs can't flap
+    val d3 = d2.filter(round(qualityScore(col("text")), 6) >= minQuality &&
+      round(dupWordRatio(col("text")), 6) <= maxDupWordRatio)
+    val splits = Sampling.trainValTestSplit(d3, "doc_id")
+    def cnt(df: DataFrame, ord: Int, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"))
+        .select(lit(ord).as("stage_ord"), lit(name).as("stage"),
+          col("n_rows"))
+    cnt(corpus, 0, "ingest")
+      .unionByName(cnt(d1b, 1, "exact_dedup"))
+      .unionByName(cnt(d2, 2, "decontaminate"))
+      .unionByName(cnt(d3, 3, "quality"))
+      .unionByName(splits.groupBy("split").agg(count(lit(1)).as("n_rows"))
+        .select(when(col("split") === "train", 4)
+            .when(col("split") === "val", 5).otherwise(6).as("stage_ord"),
+          col("split").as("stage"), col("n_rows")))
+  }
 }

@@ -408,4 +408,39 @@ class TextDedupSpec extends SparkSpec {
     assert(r.getAs[Double]("r2") == 1.0)
     assert(math.abs(r.getAs[Double]("zipf_intercept") - math.log(60)) < 1e-6)
   }
+
+  test("curationPipeline: monotone stage accounting; planted dups and near-dups drop") {
+    import spark.implicits._
+    val good = "the data table holds a value row and the scan reads a " +
+      "hash key for the merge batch while the sort window keeps a part"
+    def doc(id: Long, text: String, source: String = "srcA") =
+      (id, text, "en", source, text.length.toLong)
+    val docs = (Seq(
+      doc(1, good),
+      doc(2, good),                       // exact dup of 1
+      doc(3, good + " extra tail words"), // near-dup of 1 (not exact)
+      doc(4, "the value row and a hash key for the data batch while a " +
+        "scan merge keeps the sort table part and the window reads a row"),
+      doc(5, "zzz qqq xxx")               // fails the quality gate
+    ) ++ Seq(doc(90, "benchmark shingle " + good, "src0")))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def stages(nearDedup: Boolean): Map[String, Long] =
+      TextAnalysis.curationPipeline(docs, benchSource = "src0",
+        minShared = 30, nearDedup = nearDedup)
+        .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    val s = stages(nearDedup = false)
+    assert(s("ingest") == 5L)
+    assert(s("exact_dedup") == 4L, s"exact dup must drop: $s")
+    assert(s("quality") < s("decontaminate"), s"doc 5 must fail quality: $s")
+    def splitSum(m: Map[String, Long]) =
+      m.getOrElse("train", 0L) + m.getOrElse("val", 0L) +
+        m.getOrElse("test", 0L)
+    assert(splitSum(s) == s("quality"),
+      "splits must partition the survivors exactly")
+    // the LSH stage additionally removes the planted near-dup
+    val sn = stages(nearDedup = true)
+    assert(sn("exact_dedup") == s("exact_dedup") - 1,
+      s"near-dup must drop once LSH is on: $sn vs $s")
+    assert(splitSum(sn) == sn("quality"))
+  }
 }
