@@ -404,6 +404,8 @@ object SparkEntry {
     }),
     "st_moments_merge" -> ((s, d) =>
       Stats.mergeableMoments(Tables.events(s, d))),
+    "dq_skew" -> ((s, d) =>
+      Quality.skewReport(Tables.lineitem(s, d), "l_suppkey")),
     "st_logreg_gd" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, element_at}
       Stats.logisticGD(Tables.embeddings(s, d),
@@ -2120,6 +2122,14 @@ object SparkEntry {
            CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
              AS rows_at_risk
          FROM g""",
+    "dq_skew" ->
+      """WITH c AS (SELECT l_suppkey, count(*) AS n FROM lineitem
+           GROUP BY 1),
+         s AS (SELECT quantile_cont(n, 0.5) AS med, sum(n) AS total FROM c)
+         SELECT l_suppkey, n, round(n / total, 6) AS share,
+           round(n / med, 2) AS x_median
+         FROM c CROSS JOIN s
+         ORDER BY n DESC, l_suppkey LIMIT 10""",
     "st_moments_merge" ->
       """WITH p AS (SELECT event_type, CAST(ts AS DATE) AS day,
              count(*) AS n,

@@ -264,6 +264,25 @@ object Quality {
     * release runs next to the PII scrub (tx_pii). One partial-agg
     * rollup on the quasi tuple then a second tiny rollup of the group
     * counts; no row payloads ever shuffle, only (tuple, count) pairs. */
+  /** Join-key skew report — the diagnostic run BEFORE picking a salt
+    * factor or trusting AQE's skew split: the `topN` heaviest keys with
+    * their corpus share and multiple-of-median-key-load. One narrow
+    * (key, count) rollup; the median/total ride back as a 1-row
+    * broadcast; top-n is TakeOrderedAndProject. `x_median` ≫ 1 on a
+    * key that dominates its task is the smoking gun for salting
+    * (sc_salted_join) or AQE skew-join thresholds. */
+  def skewReport(df: DataFrame, keyCol: String, topN: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val stats = counts.agg(
+      expr("percentile(n, 0.5)").as("__med"), sum("n").as("__total"))
+    counts.crossJoin(broadcast(stats))
+      .select(col(keyCol), col("n"),
+        round(col("n") / col("__total"), 6).as("share"),
+        round(col("n") / col("__med"), 2).as("x_median"))
+      .orderBy(col("n").desc, col(keyCol))
+      .limit(topN)
+  }
+
   def kAnonymity(df: DataFrame, quasi: Seq[Column], k: Int = 5): DataFrame =
     df.groupBy(quasi: _*)
       .agg(count(lit(1)).as("__n"))

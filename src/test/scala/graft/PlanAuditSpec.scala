@@ -504,6 +504,17 @@ class PlanAuditSpec extends SparkSpec {
         + s" branch (one lineitem scan, not two):\n$p11")
   }
 
+  test("pipe_e2e: one job; accounting branches reuse the shared stage exchanges") {
+    val p = finalPlan("pipe_e2e")
+    assert(p.contains("ReusedExchange"),
+      s"stage-count branches must reuse the shared dedup/contamination"
+        + s" exchanges, not recompute the prefix per counter:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"every quantifier in the pipeline is an equi semi/anti join:\n$p")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      s"exact-dedup keep (semi) and decontaminate (anti) shapes:\n$p")
+  }
+
   test("dd_fuzzy: candidates come from equi-joins only (no cartesian/BNLJ)") {
     val p = plan("dd_fuzzy")
     assert(!p.contains("CartesianProduct") &&
