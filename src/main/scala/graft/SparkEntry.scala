@@ -898,6 +898,19 @@ object SparkEntry {
             .select(cols.map(col): _*))
       Quality.expectations(dirty, Tables.orders(s, d))
     }),
+    "dwh_forget" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, to_date}
+      // deterministic scratch lake (events by day), then erase one
+      // deterministic user stripe; the audit frame is the contract row
+      val p = scratch(d, "forget_lake")
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          to_date(col("ts")).as("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(p)
+      val keys = Tables.events(s, d)
+        .filter(col("user_id") % 50 === 7).select("user_id").distinct()
+      Dwh.forgetKeys(s, p, keys, "user_id", Seq("day"))
+    }),
     "dwh_mv_refresh" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val o = Tables.orders(s, d)
@@ -3228,6 +3241,10 @@ object SparkEntry {
            epoch_us(lead(ts) OVER w) AS valid_to_us,
            (lead(ts) OVER w) IS NULL AS is_current
          FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    "dwh_forget" ->
+      """SELECT CAST(ts AS DATE) AS day, count(*) AS rows_removed
+         FROM events WHERE user_id % 50 = 7
+         GROUP BY 1""",
     "dwh_pit" ->
       """WITH v AS (SELECT user_id, event_type, ts, event_id,
              lag(event_type) OVER w AS prev

@@ -251,6 +251,65 @@ object Dwh {
     * lifted to the warehouse refresh cadence: cost scales with |delta|
     * + |view|, never with the base table. The contract query proves
     * refresh ≡ full recompute against the DuckDB oracle. */
+  /** Targeted erasure ("right to be forgotten") over a partitioned
+    * lake: remove EVERY row whose `keyCol` is in `keys`, rewriting ONLY
+    * the partitions that contain a hit. The scan to FIND hits reads
+    * key + partition columns only (column pruning keeps it narrow);
+    * the REWRITE is partition-pruned to the hit set via dynamic
+    * overwrite — on a 100 TB lake where one user's rows live in a few
+    * day partitions, untouched partitions keep their files
+    * byte-identical (spec asserts this via file listings). The key set
+    * joins as a broadcast-able anti join; idempotent by construction
+    * (a second run finds no hits and rewrites nothing). Returns the
+    * per-partition accounting frame (partition values, rows_removed)
+    * — the audit record an erasure request must produce. */
+  def forgetKeys(spark: org.apache.spark.sql.SparkSession, path: String,
+                 keys: DataFrame, keyCol: String,
+                 partitionCols: Seq[String]): DataFrame = {
+    require(partitionCols.nonEmpty, "forgetKeys needs a partitioned lake")
+    val lake = spark.read.parquet(path)
+    // one narrow pre-scan: per-partition total + hit counts (key and
+    // partition columns only — the payload never moves for the audit)
+    val hitParts = lake.select((keyCol +: partitionCols).map(col): _*)
+      .join(broadcast(keys.select(col(keyCol)).distinct()
+        .withColumn("__hit", lit(1))), Seq(keyCol), "left")
+      .groupBy(partitionCols.map(col): _*)
+      .agg(count(lit(1)).as("__total"),
+        sum(when(col("__hit").isNotNull, 1L).otherwise(0L))
+          .as("rows_removed"))
+      .filter(col("rows_removed") > 0)
+      .localCheckpoint(true)
+    // survivors exist → partition-pruned rewrite via dynamic overwrite
+    val partial = hitParts.filter(col("rows_removed") < col("__total"))
+    if (!partial.isEmpty) {
+      val touched = lake
+        .join(broadcast(partial.select(partitionCols.map(col): _*)),
+          partitionCols, "left_semi")
+        .join(broadcast(keys.select(col(keyCol))), Seq(keyCol), "left_anti")
+        .localCheckpoint(true)
+      try touched.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionCols: _*)
+        .parquet(path)
+      finally touched.unpersist()
+    }
+    // fully-emptied partitions write NO rows, so dynamic overwrite
+    // would leave their old files — delete those directories explicitly
+    // (bounded by the hit-partition count: a justified driver action)
+    val emptied = hitParts.filter(col("rows_removed") === col("__total"))
+      .select(partitionCols.map(col): _*).collect()
+    if (emptied.nonEmpty) {
+      val base = new org.apache.hadoop.fs.Path(path)
+      val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      emptied.foreach { r =>
+        val rel = partitionCols.zipWithIndex
+          .map { case (c, i) => s"$c=${r.get(i)}" }.mkString("/")
+        fs.delete(new org.apache.hadoop.fs.Path(base, rel), true)
+      }
+    }
+    hitParts.drop("__total")
+  }
+
   def mvRefresh(view: DataFrame, delta: DataFrame,
                 keys: Seq[String], addCols: Seq[String]): DataFrame = {
     val merged = view.select((keys ++ addCols).map(col): _*)

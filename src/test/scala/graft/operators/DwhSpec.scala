@@ -234,4 +234,45 @@ class DwhSpec extends SparkSpec {
     assert(canon(v2) == Set(("d1", 37.0, 3L), ("d2", 6.0, 2L),
       ("d3", 6.0, 2L)))
   }
+
+  test("forgetKeys erases only the requested keys, rewrites only hit partitions, idempotent") {
+    val dir = s"/root/repo/target/graft_io/forget_${System.nanoTime()}"
+    // day=d1: user 1 + user 2; day=d2: user 2 only (fully emptied);
+    // day=d3: user 3 only (untouched)
+    Seq((1L, "d1", "a"), (2L, "d1", "b"), (2L, "d2", "c"),
+      (2L, "d2", "d"), (3L, "d3", "e"))
+      .toDF("user_id", "day", "payload")
+      .write.partitionBy("day").parquet(dir)
+    def files(day: String): Set[(String, Long)] = {
+      val d = new java.io.File(s"$dir/day=$day")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toSet
+    }
+    val d3Before = files("d3")
+
+    val audit = Dwh.forgetKeys(spark, dir, Seq(2L).toDF("user_id"),
+      "user_id", Seq("day"))
+      .collect().map(r => r.getAs[String]("day") ->
+        r.getAs[Long]("rows_removed")).toMap
+    assert(audit == Map("d1" -> 1L, "d2" -> 2L),
+      s"audit must account per partition: $audit")
+
+    val after = spark.read.parquet(dir)
+      .select("user_id", "day", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(after == Set((1L, "d1", "a"), (3L, "d3", "e")),
+      s"user 2 must be gone everywhere, others intact: $after")
+    // the fully-emptied partition's directory is gone entirely
+    assert(!new java.io.File(s"$dir/day=d2").exists(),
+      "an all-hits partition must not leave stale files behind")
+    // the untouched partition kept its exact files (no rewrite)
+    assert(files("d3") == d3Before,
+      "a hit-free partition must keep byte-identical files")
+
+    // idempotent: a second run finds nothing and changes nothing
+    val d1After = files("d1")
+    assert(Dwh.forgetKeys(spark, dir, Seq(2L).toDF("user_id"),
+      "user_id", Seq("day")).isEmpty)
+    assert(files("d1") == d1After && files("d3") == d3Before)
+  }
 }
