@@ -238,6 +238,31 @@ object EventStream {
     } finally out.unpersist()
   }
 
+  /** Streaming erasure: right-to-be-forgotten REQUESTS arrive as a
+    * stream of keys and each micro-batch applies Dwh.forgetKeys to the
+    * lake — partition-pruned rewrite of hit partitions only, stale-dir
+    * cleanup for fully-emptied ones, per-partition audit rows appended
+    * to `auditPath` (the erasure log a compliance review reads).
+    * Replay-safe the same way the batch op is: re-forgetting an
+    * already-erased key finds no hits and rewrites nothing; the audit
+    * append is keyed by batch id so a replayed batch overwrites its own
+    * audit partition instead of double-logging. */
+  def forgetSink(requests: DataFrame, lakePath: String, auditPath: String,
+                 checkpoint: String, keyCol: String,
+                 partitionCols: Seq[String]): DataStreamWriter[Row] =
+    requests.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val audit = graft.operators.Dwh.forgetKeys(
+          batch.sparkSession, lakePath, batch.select(col(keyCol)),
+          keyCol, partitionCols)
+        audit.withColumn("__batch", lit(id))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch")
+          .parquet(auditPath)
+      }
+
   /** Partitioned parquet lake sink with checkpoint — exactly-once lake
     * appends (replaces the reference's hand-rolled HDFS append consumer). */
   def lakeSink(df: DataFrame, path: String, checkpoint: String,

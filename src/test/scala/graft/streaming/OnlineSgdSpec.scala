@@ -67,4 +67,37 @@ class OnlineSgdSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/state").count() == 3,
       "replay overwrites its partitions, never appends")
   }
+
+  test("forgetSink: streamed erasure requests scrub the lake and log an audit trail") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = s"/root/repo/target/graft_io/sforget_${System.nanoTime()}"
+    Seq((1L, "d1", "a"), (2L, "d1", "b"), (2L, "d2", "c"),
+      (3L, "d2", "d"), (4L, "d3", "e"))
+      .toDF("user_id", "day", "payload")
+      .write.partitionBy("day").parquet(s"$dir/lake")
+    val input = MemoryStream[Long](org.apache.spark.sql.Encoders.scalaLong, sq)
+    val q = EventStream.forgetSink(
+      input.toDF().withColumnRenamed("value", "user_id"),
+      s"$dir/lake", s"$dir/audit", s"$dir/ckpt", "user_id", Seq("day"))
+      .outputMode("update").start()
+    try {
+      input.addData(2L); q.processAllAvailable()   // hits d1 + d2
+      input.addData(4L); q.processAllAvailable()   // empties d3
+      input.addData(99L); q.processAllAvailable()  // no-op request
+    } finally q.stop()
+    val left = spark.read.parquet(s"$dir/lake")
+      .select("user_id", "day").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(left == Set((1L, "d1"), (3L, "d2")),
+      s"streamed requests must scrub users 2 and 4: $left")
+    assert(!new java.io.File(s"$dir/lake/day=d3").exists(),
+      "user 4's whole partition must be gone")
+    val audit = spark.read.parquet(s"$dir/audit")
+      .select("day", "rows_removed").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(audit == Set(("d1", 1L), ("d2", 1L), ("d3", 1L)),
+      s"audit log must record each partition's removals: $audit")
+  }
 }
