@@ -911,6 +911,15 @@ object SparkEntry {
         .filter(col("user_id") % 50 === 7).select("user_id").distinct()
       Dwh.forgetKeys(s, p, keys, "user_id", Seq("day"))
     }),
+    "dwh_retention" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, to_date}
+      val p = scratch(d, "retention_lake")
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          to_date(col("ts")).as("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(p)
+      Dwh.retentionSweep(s, p, "day", "2024-01-08")
+    }),
     "dwh_mv_refresh" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val o = Tables.orders(s, d)
@@ -3241,6 +3250,10 @@ object SparkEntry {
            epoch_us(lead(ts) OVER w) AS valid_to_us,
            (lead(ts) OVER w) IS NULL AS is_current
          FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    "dwh_retention" ->
+      """SELECT CAST(ts AS DATE) AS day, count(*) AS rows_dropped
+         FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-08'
+         GROUP BY 1""",
     "dwh_forget" ->
       """SELECT CAST(ts AS DATE) AS day, count(*) AS rows_removed
          FROM events WHERE user_id % 50 = 7

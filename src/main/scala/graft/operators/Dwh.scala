@@ -310,6 +310,34 @@ object Dwh {
     hitParts.drop("__total")
   }
 
+  /** Partition retention sweep — the lake lifecycle job: drop every
+    * partition strictly OLDER than `keepFrom`, touching nothing else.
+    * The audit count scans ONLY the doomed partitions (partition
+    * pruning on the filter); surviving partitions are never read and
+    * keep their files byte-identical. Directory deletes are bounded by
+    * the dropped-partition count (driver FS calls, not a data job).
+    * Returns the (partition, rows_dropped) audit frame. Idempotent:
+    * a second sweep finds nothing below the cutoff. */
+  def retentionSweep(spark: org.apache.spark.sql.SparkSession,
+                     path: String, partitionCol: String,
+                     keepFrom: String): DataFrame = {
+    val lake = spark.read.parquet(path)
+    val doomed = lake.filter(col(partitionCol) < lit(keepFrom))
+      .groupBy(col(partitionCol))
+      .agg(count(lit(1)).as("rows_dropped"))
+      .localCheckpoint(true)
+    val parts = doomed.select(col(partitionCol).cast("string")).collect()
+    if (parts.nonEmpty) {
+      val base = new org.apache.hadoop.fs.Path(path)
+      val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      parts.foreach { r =>
+        fs.delete(new org.apache.hadoop.fs.Path(base,
+          s"$partitionCol=${r.getString(0)}"), true)
+      }
+    }
+    doomed
+  }
+
   def mvRefresh(view: DataFrame, delta: DataFrame,
                 keys: Seq[String], addCols: Seq[String]): DataFrame = {
     val merged = view.select((keys ++ addCols).map(col): _*)

@@ -275,4 +275,29 @@ class DwhSpec extends SparkSpec {
       "user_id", Seq("day")).isEmpty)
     assert(files("d1") == d1After && files("d3") == d3Before)
   }
+
+  test("retentionSweep drops exactly the pre-cutoff partitions; survivors untouched") {
+    val dir = s"/root/repo/target/graft_io/retain_${System.nanoTime()}"
+    Seq((1L, "2024-01-01"), (2L, "2024-01-01"), (3L, "2024-01-05"),
+      (4L, "2024-01-08"), (5L, "2024-01-09"))
+      .toDF("id", "day")
+      .write.partitionBy("day").parquet(dir)
+    def files(day: String): Set[(String, Long)] = {
+      val d = new java.io.File(s"$dir/day=$day")
+      if (!d.exists()) Set.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toSet
+    }
+    val keepBefore = files("2024-01-08") -> files("2024-01-09")
+    val audit = Dwh.retentionSweep(spark, dir, "day", "2024-01-08")
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    assert(audit == Map("2024-01-01" -> 2L, "2024-01-05" -> 1L))
+    assert(files("2024-01-01").isEmpty && files("2024-01-05").isEmpty,
+      "pre-cutoff partitions must be deleted")
+    assert(files("2024-01-08") -> files("2024-01-09") == keepBefore,
+      "surviving partitions keep byte-identical files")
+    assert(Dwh.retentionSweep(spark, dir, "day", "2024-01-08").isEmpty,
+      "second sweep is a no-op")
+    assert(spark.read.parquet(dir).count() == 2L)
+  }
 }
