@@ -396,6 +396,8 @@ object SparkEntry {
       SketchDedup.sourceJaccard(Tables.documents(s, d))),
     "pipe_e2e" -> ((s, d) =>
       TextAnalysis.curationPipeline(Tables.documents(s, d))),
+    "tx_hash_features" -> ((s, d) =>
+      TextAnalysis.hashFeatures(Tables.documents(s, d))),
     "dq_k_anonymity" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, expr}
       Quality.kAnonymity(Tables.documents(s, d),
@@ -406,6 +408,12 @@ object SparkEntry {
       Stats.mergeableMoments(Tables.events(s, d))),
     "dq_skew" -> ((s, d) =>
       Quality.skewReport(Tables.lineitem(s, d), "l_suppkey")),
+    "st_impute" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Stats.imputeByGroup(Tables.events(s, d), "event_type", "value")
+        .select("event_id", "event_type", "value", "value_filled",
+          "was_null")
+    }),
     "st_logreg_gd" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, element_at}
       Stats.logisticGD(Tables.embeddings(s, d),
@@ -2075,6 +2083,20 @@ object SparkEntry {
                row_number() OVER (PARTITION BY fp_norm ORDER BY doc_id) AS rn
                FROM f)
          SELECT doc_id, split, quality_score FROM k WHERE rn = 1""",
+    "tx_hash_features" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+           FROM documents),
+         h AS (SELECT doc_id, md5(t) AS hh FROM tok),
+         f AS (SELECT doc_id,
+             ((strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) * 4096
+              + (strpos('0123456789abcdef', substr(hh, 2, 1)) - 1) * 256
+              + (strpos('0123456789abcdef', substr(hh, 3, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(hh, 4, 1)) - 1))
+               % 1024 AS idx,
+             CASE WHEN substr(hh, 5, 1) < '8' THEN 1 ELSE -1 END AS s
+           FROM h)
+         SELECT doc_id, idx, CAST(sum(s) AS BIGINT) AS v
+         FROM f GROUP BY 1, 2 HAVING sum(s) <> 0""",
     "pipe_e2e" ->
       """WITH corpus AS (SELECT * FROM documents WHERE source <> 'src0'),
          fp AS (SELECT doc_id,
@@ -2144,6 +2166,14 @@ object SparkEntry {
            CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
              AS rows_at_risk
          FROM g""",
+    "st_impute" ->
+      """WITH m AS (SELECT event_type,
+             round(quantile_cont(value, 0.5), 6) AS med
+           FROM events WHERE value IS NOT NULL GROUP BY 1)
+         SELECT event_id, e.event_type, value,
+           round(coalesce(value, med), 6) AS value_filled,
+           value IS NULL AS was_null
+         FROM events e LEFT JOIN m ON e.event_type = m.event_type""",
     "dq_skew" ->
       """WITH c AS (SELECT l_suppkey, count(*) AS n FROM lineitem
            GROUP BY 1),

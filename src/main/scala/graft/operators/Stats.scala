@@ -841,6 +841,26 @@ object Stats {
           .as("p_value"))
   }
 
+  /** Per-group null imputation — the cleaning step between ingest and
+    * any training pass: nulls in `c` fill with their group's exact
+    * median (computed over non-null rows only). The per-group medians
+    * are a tiny partial-agg frame broadcast back onto the scan — the
+    * data itself never shuffles and the fill is a codegen'd coalesce
+    * (same join shape as winsorize). Swap `percentile` for
+    * `approx_percentile` at 100 TB; the shape is unchanged. Rows with
+    * a null group, or in an all-null group, keep a null fill and are
+    * flagged rather than silently invented. */
+  def imputeByGroup(df: DataFrame, groupCol: String, c: String): DataFrame = {
+    val meds = df.filter(col(c).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(round(expr(s"percentile($c, 0.5)"), 6).as("__med"))
+    df.join(broadcast(meds), Seq(groupCol), "left")
+      .withColumn("was_null", col(c).isNull)
+      .withColumn(s"${c}_filled",
+        round(coalesce(col(c), col("__med")), 6))
+      .drop("__med")
+  }
+
   /** w·(1, x1..xn) as a Column over a frame carrying x1..xn. */
   def logisticMargin(w: Array[Double]): Column =
     (1 until w.length).foldLeft(lit(w(0)): Column)((acc, i) =>

@@ -588,6 +588,30 @@ object TextAnalysis {
         round(sum(col("tf") * nlp) / sum("tf"), 6).as("ce"))
   }
 
+  /** Feature-hashing (hashing-trick) vectorizer — the unbounded-vocab
+    * text→sparse-vector step that needs NO fitted dictionary: each
+    * token hashes to one of `dim` buckets with a hash-derived ±1 sign
+    * (the sign balances collision bias; Weinberger et al.), and a
+    * document's vector is the signed count per bucket. md5-derived
+    * index and sign so the oracle engine computes the identical
+    * mapping. Stateless and row-deterministic: new corpora never
+    * reshape old vectors (the property a streaming featurizer needs,
+    * unlike a fitted vocabulary). Shuffle carries only (doc_id, idx,
+    * ±1-sums) — map-side combined, token payloads never move. Output
+    * is the sparse COO form (doc_id, idx, v), zero-sum buckets
+    * dropped. */
+  def hashFeatures(documents: DataFrame, dim: Int = 1024): DataFrame = {
+    val hh = md5(col("tok"))
+    val idx = pmod(conv(substring(hh, 1, 4), 16, 10).cast("long"),
+      lit(dim.toLong))
+    val sgn = when(substring(hh, 5, 1) < "8", 1L).otherwise(-1L)
+    Scale.fanOut(documents.select("doc_id", "text"), Seq("doc_id"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), idx.as("idx"), sgn.as("s"))
+      .groupBy("doc_id", "idx").agg(sum("s").as("v"))
+      .filter(col("v") =!= 0L)
+  }
+
   /** The WHOLE curation pipeline as one composite with per-stage row
     * accounting — the end-to-end demo query: raw corpus → exact dedup
     * (keep-min per content fingerprint) → benchmark decontamination →

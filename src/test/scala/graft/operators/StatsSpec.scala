@@ -404,6 +404,28 @@ class StatsSpec extends SparkSpec {
       s"a 1000-sigma shift must reject: p=${r.getAs[Double]("p_value")}")
   }
 
+  test("imputeByGroup fills with the group median, flags nulls, never invents values") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Some(1.0)), ("a", Some(3.0)), ("a", None),
+      ("b", None), ("b", None)) // all-null group: nothing to impute from
+      .map { case (g, v) => (g, v.map(Double.box).orNull) }
+      .toDF("g", "v").select(col("g"), col("v").cast("double"))
+    val out = Stats.imputeByGroup(df, "g", "v").collect()
+    val aFilled = out.filter(r => r.getString(0) == "a" && r.getBoolean(
+      r.fieldIndex("was_null"))).map(_.getAs[Double]("v_filled"))
+    assert(aFilled.toSeq == Seq(2.0), "null in group a fills with median 2.0")
+    out.filter(_.getString(0) == "b").foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("v_filled")),
+        "an all-null group must stay null, not invent a value")
+      assert(r.getBoolean(r.fieldIndex("was_null")))
+    }
+    // non-null rows pass through unchanged
+    out.filter(r => !r.getBoolean(r.fieldIndex("was_null"))).foreach { r =>
+      assert(r.getAs[Double]("v_filled") == r.getAs[Double]("v"))
+    }
+  }
+
   test("mergeableMoments: any partial partitioning merges to the direct profile") {
     val events = graft.Tables.events(spark, sf)
     def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getLong(1),
