@@ -122,6 +122,21 @@ object SparkEntry {
       : org.apache.spark.sql.DataFrame =
     edgeCache.computeIfAbsent(key, _ => build.localCheckpoint(true))
 
+  /** Day-partitioned events lake for the dynamic-partition-pruning
+    * contract query (one-off per session like the ANN index lakes). */
+  private val dppLakeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def dppLake(s: SparkSession, d: String): String =
+    dppLakeCache.computeIfAbsent(d, dir => {
+      import org.apache.spark.sql.functions.{col, to_date}
+      val p = scratch(dir, "dpp_events")
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"),
+          to_date(col("ts")).as("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(p)
+      p
+    })
+
   /** Undirected customer↔supplier co-purchase graph (who bought from
     * whom, via orders⋈lineitem): supplier ids offset into their own key
     * space, each distinct pair contributes both directions. */
@@ -408,6 +423,24 @@ object SparkEntry {
       Stats.mergeableMoments(Tables.events(s, d))),
     "dq_skew" -> ((s, d) =>
       Quality.skewReport(Tables.lineitem(s, d), "l_suppkey")),
+    // Dynamic partition pruning: the fact side is a day-partitioned
+    // lake; the dim side (a derived day calendar) filters to the first
+    // week AT RUNTIME via the broadcast's subquery — the fact scan's
+    // PartitionFilters carries dynamicpruningexpression (plan-audited),
+    // so a 100 TB lake reads 7 partitions, not 30. The filter
+    // deliberately lives on the DIM attribute (week_of_month), not the
+    // fact column — static pruning can't see it.
+    "q32_dpp_join" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val fact = s.read.parquet(dppLake(s, d))
+      val calendar = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day")).distinct()
+        .withColumn("week_of_month", expr("(dayofmonth(day) - 1) div 7"))
+      fact.join(broadcast(calendar.filter(col("week_of_month") === 0)),
+          Seq("day"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    }),
     "st_impute" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       Stats.imputeByGroup(Tables.events(s, d), "event_type", "value")
@@ -2166,6 +2199,12 @@ object SparkEntry {
            CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
              AS rows_at_risk
          FROM g""",
+    "q32_dpp_join" ->
+      """SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+           round(sum(value), 2) AS sum_value
+         FROM events
+         WHERE (datepart('day', ts) - 1) // 7 = 0
+         GROUP BY 1""",
     "st_impute" ->
       """WITH m AS (SELECT event_type,
              round(quantile_cont(value, 0.5), 6) AS med

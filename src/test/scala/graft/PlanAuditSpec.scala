@@ -504,6 +504,15 @@ class PlanAuditSpec extends SparkSpec {
         + s" branch (one lineitem scan, not two):\n$p11")
   }
 
+  test("q32_dpp_join: the fact scan carries a dynamic partition pruning filter") {
+    val p = plan("q32_dpp_join")
+    assert(p.contains("dynamicpruning"),
+      s"the partitioned fact scan must prune AT RUNTIME from the dim"
+        + s" filter (PartitionFilters: dynamicpruningexpression):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the calendar dim must broadcast:\n$p")
+  }
+
   test("pipe_e2e: one job; accounting branches reuse the shared stage exchanges") {
     val p = finalPlan("pipe_e2e")
     assert(p.contains("ReusedExchange"),
