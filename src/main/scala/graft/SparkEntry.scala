@@ -441,6 +441,33 @@ object SparkEntry {
         .groupBy("day")
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
     }),
+    // Runtime bloom-filter join — DPP's row-level sibling for
+    // UNPARTITIONED fact columns: the selective dim filter builds a
+    // bloom at runtime, pushed into the fact scan as might_contain so
+    // non-joining rows drop BEFORE the per-order rollup's shuffle
+    // (injection requires exactly this shape — an aggregation below
+    // the join on the application side is what the filter saves; a
+    // bare scan→join has nothing to protect). The merge hint keeps
+    // the join a shuffle join: at 100 TB the urgent-orders side
+    // outgrows any broadcast threshold and THIS is the surviving
+    // plan. Plan-audited with the 10 GB application-scan gate lowered
+    // (the contract result is threshold-independent).
+    "q33_runtime_filter" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        // EXACT decimal money math end to end (the st_moments_merge
+        // discipline): per-line products cast to decimal before ANY
+        // sum, so no rounding boundary can flap between engines
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).as("order_revenue"))
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderpriority") === "1-URGENT")
+            .select("o_orderkey").hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum("order_revenue").as("revenue"))
+    }),
     "st_impute" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       Stats.imputeByGroup(Tables.events(s, d), "event_type", "value")
@@ -2205,6 +2232,14 @@ object SparkEntry {
          FROM events
          WHERE (datepart('day', ts) - 1) // 7 = 0
          GROUP BY 1""",
+    "q33_runtime_filter" ->
+      """WITH r AS (SELECT l_orderkey,
+             sum(CAST(l_extendedprice * (1 - l_discount)
+               AS DECIMAL(18,4))) AS order_revenue
+           FROM lineitem GROUP BY 1)
+         SELECT count(*) AS n_orders, sum(order_revenue) AS revenue
+         FROM r JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderpriority = '1-URGENT'""",
     "st_impute" ->
       """WITH m AS (SELECT event_type,
              round(quantile_cont(value, 0.5), 6) AS med

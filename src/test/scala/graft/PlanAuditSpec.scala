@@ -513,6 +513,29 @@ class PlanAuditSpec extends SparkSpec {
       s"the calendar dim must broadcast:\n$p")
   }
 
+  test("q33_runtime_filter: the dim filter reaches the fact scan as a runtime bloom") {
+    // injection is gated on the fact scan exceeding 10 GB (a real-lake
+    // threshold); lower it HERE so the audit proves the plan this query
+    // produces at 100 TB — the contract result is threshold-independent
+    val k = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, "0")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    try {
+      val p = plan("q33_runtime_filter")
+      assert(p.contains("might_contain"),
+        s"the selective dim side must inject a runtime bloom filter into"
+          + s" the fact scan (rows drop BEFORE the rollup shuffle):\n$p")
+      assert(p.contains("SortMergeJoin"),
+        s"the merge hint must hold (broadcast would make the bloom moot):\n$p")
+      assert(p.contains("partial_sum"),
+        s"the per-order rollup the bloom protects must partial-aggregate:\n$p")
+    } finally prev match {
+      case Some(v) => spark.conf.set(k, v)
+      case None => spark.conf.unset(k)
+    }
+  }
+
   test("pipe_e2e: one job; accounting branches reuse the shared stage exchanges") {
     val p = finalPlan("pipe_e2e")
     assert(p.contains("ReusedExchange"),
