@@ -17,6 +17,41 @@ class ScaleSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("AQE splits a skewed join partition at runtime (the no-salt path)") {
+    import spark.implicits._
+    // one pathological key carrying ~all rows; thresholds lowered so
+    // the test-scale frame trips the same machinery a 100 TB skew does
+    val confs = Map(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = spark.range(60000)
+        .select((when(col("id") % 100 =!= 0, 0L).otherwise(col("id")))
+          .as("k"), col("id").as("payload"))
+      val dim = spark.range(60000).select(col("id").as("k"),
+        (col("id") * 2).as("attr"))
+      val j = fact.join(dim, Seq("k"))
+        .groupBy(spark_partition_id().as("__p"))
+        .agg(count(lit(1)).as("n"))
+      val rows = j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE must mark the skewed join for runtime split:\n${p.take(4000)}")
+      // the hot key's ~59k join rows really did land on MULTIPLE tasks
+      val hotTasks = rows.count(_.getAs[Long]("n") > 1000L)
+      assert(hotTasks > 1,
+        s"skew split must spread the hot key across tasks, saw $hotTasks")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bandJoinFirstAgree: a capped first band can't drop a pair a later band holds") {
     import spark.implicits._
     // 7 docs, 2 bands. Band 0: ALL docs share key 100 (bucket of 7 —
