@@ -534,6 +534,8 @@ object SparkEntry {
       TextAnalysis.unigramCrossEntropy(Tables.documents(s, d))),
     "tx_bigram_ce" -> ((s, d) =>
       TextAnalysis.bigramCrossEntropy(Tables.documents(s, d))),
+    "tx_perplexity" -> ((s, d) =>
+      TextAnalysis.perplexityBands(Tables.documents(s, d))),
     "tx_pii" -> ((s, d) => TextAnalysis.piiScan(Tables.documents(s, d))),
     "tx_contamination" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -2542,6 +2544,33 @@ object SparkEntry {
          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
            round(sum(tf * nlp) / sum(tf), 6) AS ce
          FROM j GROUP BY doc_id""",
+    "tx_perplexity" ->
+      """WITH bg AS (SELECT doc_id, w1, w2, count(*) AS tf FROM (
+             SELECT doc_id, unnest(t[1:len(t)-1]) AS w1,
+               unnest(t[2:len(t)]) AS w2
+             FROM (SELECT doc_id, string_split(text, ' ') AS t
+                   FROM documents)
+             WHERE len(t) >= 2)
+           GROUP BY 1, 2, 3),
+         c2 AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c2
+                FROM bg GROUP BY 1, 2),
+         c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1
+                FROM c2 GROUP BY 1),
+         v AS (SELECT count(DISTINCT term) AS v FROM (
+             SELECT unnest(string_split(text, ' ')) AS term FROM documents)),
+         j AS (SELECT doc_id, tf, -ln((c2 + 1.0) / (c1 + v)) AS nlp
+               FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+               CROSS JOIN v),
+         ce AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+             round(sum(tf * nlp) / sum(tf), 6) AS ce
+           FROM j GROUP BY doc_id),
+         f AS (SELECT round(quantile_cont(ce, CAST(1 AS DOUBLE)/3), 6) AS f1,
+             round(quantile_cont(ce, CAST(2 AS DOUBLE)/3), 6) AS f2
+           FROM ce)
+         SELECT doc_id, n_bigrams, ce, round(exp(ce), 4) AS ppl,
+           CASE WHEN ce <= f1 THEN 'head'
+                WHEN ce <= f2 THEN 'middle' ELSE 'tail' END AS band
+         FROM ce CROSS JOIN f""",
     "st_mwu" ->
       """WITH pts AS (SELECT value AS v,
              CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)

@@ -572,6 +572,39 @@ object TextAnalysis {
         round(sum(col("tf") * nlp) / sum("tf"), 6).as("ce"))
   }
 
+  /** Per-doc PERPLEXITY with CCNet-style head/middle/tail banding —
+    * the operational form of LM-based curation (Wenzek et al., CCNet;
+    * ref work/transformer.py filters on heuristics only): ppl =
+    * exp(bigram CE), and the corpus splits at the CE tertiles into
+    * `head` (most-fluent third, highest-value pretraining data),
+    * `middle`, and `tail` (the filter/downweight target). Banding by
+    * the corpus's OWN tertiles is the point — it needs no external LM
+    * or threshold tuning, and the bands stay meaningful as the corpus
+    * drifts.
+    *
+    * Scale shape: all heavy lifting (token explode, model rollups) is
+    * [[bigramCrossEntropy]], already one-pass; the CE frame is one row
+    * per DOC (the small frame) and is checkpointed because it feeds
+    * both the fence aggregate and the scoring select. Fences ride back
+    * as a 1-row broadcast — no data-sized sort, no ntile window. The
+    * exact `percentile` over the doc-level frame is the sf-scale
+    * oracle contract; at 100 TB swap it for `percentile_approx` or
+    * the striped-midrank quantile (Stats.midranks) — band edges move
+    * by the sketch error only. Fences and CE are compared ROUNDED to
+    * 6 dp so both engines band identically. */
+  def perplexityBands(documents: DataFrame): DataFrame = {
+    val ce = bigramCrossEntropy(documents).localCheckpoint(true) // 2 consumers
+    val fences = ce.agg(
+      round(expr("percentile(ce, CAST(1 AS DOUBLE)/3)"), 6).as("__f1"),
+      round(expr("percentile(ce, CAST(2 AS DOUBLE)/3)"), 6).as("__f2"))
+    ce.crossJoin(broadcast(fences))
+      .select(col("doc_id"), col("n_bigrams"), col("ce"),
+        round(exp(col("ce")), 4).as("ppl"),
+        when(col("ce") <= col("__f1"), lit("head"))
+          .when(col("ce") <= col("__f2"), lit("middle"))
+          .otherwise(lit("tail")).as("band"))
+  }
+
   def unigramCrossEntropy(documents: DataFrame): DataFrame = {
     val fanned = Scale.fanOut(documents.select("doc_id", "text"), Seq("doc_id"))
     val termFreq = fanned

@@ -136,6 +136,29 @@ class QualitySpec extends SparkSpec {
       docs.filter(size(split(col("text"), " ")) >= 2).count())
   }
 
+  test("perplexityBands: ppl = exp(ce); tertile bands ordered and near-equal-sized") {
+    val banded = TextAnalysis.perplexityBands(
+      graft.Tables.documents(spark, sf)).cache()
+    val rows = banded.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("ppl") -
+        math.exp(r.getAs[Double]("ce"))) < 1e-3)
+    }
+    val byBand = rows.groupBy(_.getAs[String]("band"))
+      .view.mapValues(_.map(_.getAs[Double]("ce"))).toMap
+    assert(byBand.keySet == Set("head", "middle", "tail"))
+    // bands partition the CE axis: max(head) <= min(middle) <= ... tail
+    assert(byBand("head").max <= byBand("middle").min)
+    assert(byBand("middle").max <= byBand("tail").min)
+    // tertile banding: each band holds a third of the corpus ±2
+    val n = rows.length
+    byBand.values.foreach(b =>
+      assert(math.abs(b.length - n / 3.0) <= 2.0,
+        s"band sizes ${byBand.view.mapValues(_.length).toMap} vs n=$n"))
+    banded.unpersist()
+  }
+
   test("freshness: planted lags and null payloads are reported exactly") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val events = Seq(
