@@ -98,7 +98,7 @@ object SparkEntry {
     * session actually has), not build+probe fused. */
   def warmIndexes(s: SparkSession, d: String): Unit = {
     lshIndex(s, d); ivfIndex(s, d); pqIndex(s, d); sq8Index(s, d)
-    dedupIndex(s, d); bucketedTables(s, d)
+    dedupIndex(s, d); bucketedTables(s, d); manifestLake(s, d)
     // mined graphs are one-off session builds too (localCheckpoint):
     // the gr_* numbers to record are analytic cost over the edge list
     coPurchaseEdges(s, d); coSupplyEdges(s, d)
@@ -135,6 +135,25 @@ object SparkEntry {
           to_date(col("ts")).as("day"))
         .write.mode("overwrite").partitionBy("day").parquet(p)
       p
+    })
+
+  /** Range-clustered lineitem lake + its file-stats manifest for the
+    * manifest-skipping contract query (one-off per session like the ANN
+    * index lakes). repartitionByRange gives each file a tight
+    * l_orderkey band, so the manifest actually skips. */
+  private val manifestLakeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def manifestLake(s: SparkSession, d: String): (String, String) =
+    manifestLakeCache.computeIfAbsent(d, dir => {
+      import org.apache.spark.sql.functions.col
+      val data = scratch(dir, "manifest_lineitem")
+      val meta = scratch(dir, "manifest_lineitem_meta")
+      Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_returnflag", "l_quantity")
+        .repartitionByRange(8, col("l_orderkey"))
+        .write.mode("overwrite").parquet(data)
+      sources.Lake.buildManifest(s, data, meta, Seq("l_orderkey"))
+      (data, meta)
     })
 
   /** Undirected customer↔supplier co-purchase graph (who bought from
@@ -658,6 +677,16 @@ object SparkEntry {
         .select("l_orderkey", "l_linenumber", "l_quantity")),
     "src_csv_roundtrip" -> ((s, d) =>
       sources.Lake.csvRoundtrip(s, Tables.nation(s, d), scratch(d, "csv_nation"))),
+    // manifest built once per session (warmIndexes); the query is the
+    // file-skipping range read + rollup
+    "src_manifest_skip" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val (data, meta) = manifestLake(s, d)
+      sources.Lake.manifestPrunedRead(s, data, meta,
+          "l_orderkey", 1000L, 2000L)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+    }),
     "src_orc_roundtrip" -> ((s, d) =>
       sources.Lake.orcRoundtrip(s, Tables.customer(s, d), scratch(d, "orc_customer"))),
     "src_text_roundtrip" -> ((s, d) =>
@@ -2877,6 +2906,11 @@ object SparkEntry {
          WHERE l_quantity >= 49""",
     "src_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "src_manifest_skip" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000
+         GROUP BY 1""",
     "src_orc_roundtrip" ->
       "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
     "src_text_roundtrip" ->

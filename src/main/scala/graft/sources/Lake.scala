@@ -93,6 +93,52 @@ object Lake {
     files
   }
 
+  /** File-level min/max MANIFEST over a parquet lake — the data-skipping
+    * half of a lakehouse table format (Delta `add.stats` / Iceberg
+    * manifest files), rebuilt on plain parquet dirs. One scan groups by
+    * `input_file_name()` into one row per FILE carrying each stat
+    * column's [min, max] and the row count; the manifest itself is a
+    * tiny single-file parquet (1 row per data file — KBs per PB).
+    *
+    * Why it matters at 100 TB: Spark's own parquet skipping still has to
+    * LIST the data dir and open every footer before it can drop a
+    * row-group. With 100k+ files that listing+footer pass dominates
+    * selective queries; a manifest turns it into one small-file read.
+    * Pair with [[zorderWrite]]/repartitionByRange so per-file ranges are
+    * tight — stats over randomly-placed rows skip nothing. */
+  def buildManifest(spark: SparkSession, dataDir: String,
+                    manifestDir: String, statCols: Seq[String]): Unit = {
+    val stats = statCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    spark.read.parquet(dataDir)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"), stats: _*)
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(manifestDir)
+  }
+
+  /** Manifest-pruned range read: keep only files whose [min, max]
+    * OVERLAPS [lo, hi] (straddling files survive — skipping is
+    * conservative, never lossy), hand the reader that explicit file
+    * list, and re-apply the predicate as the residual filter for the
+    * rows a surviving file carries outside the range. The file list is
+    * a driver-side collect BY DESIGN: it is file paths (bounded by file
+    * count, not data), exactly what a Delta/Iceberg planner also
+    * materializes on the driver. An empty survivor set short-circuits
+    * to an empty frame with the lake's schema — the reader never lists
+    * the data dir at all. */
+  def manifestPrunedRead(spark: SparkSession, dataDir: String,
+                         manifestDir: String, c: String,
+                         lo: Any, hi: Any): DataFrame = {
+    val files = spark.read.parquet(manifestDir)
+      .filter(col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi))
+      .select("file").collect().map(_.getString(0))
+    val base =
+      if (files.isEmpty) spark.read.parquet(dataDir).filter(lit(false))
+      else spark.read.parquet(files.toIndexedSeq: _*)
+    base.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
+  }
+
   /** Z-order clustered rewrite — sort rows along the bit-interleaved
     * (Morton) curve of two numeric columns so parquet footer min/max
     * stats become selective on BOTH dimensions at once (the lakehouse

@@ -40,6 +40,45 @@ class LakeSpec extends SparkSpec {
       .contains("PartitionFilters: [isnotnull(day"))
   }
 
+  test("manifest read skips non-overlapping files, keeps straddlers, matches a full scan") {
+    val data = "/root/repo/target/graft_io/manifest_test"
+    val meta = "/root/repo/target/graft_io/manifest_test_meta"
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    li.repartitionByRange(8, col("l_orderkey"))
+      .write.mode("overwrite").parquet(data)
+    Lake.buildManifest(spark, data, meta, Seq("l_orderkey"))
+    val m = spark.read.parquet(meta).collect()
+    assert(m.length == 8, "one manifest row per data file")
+    assert(m.map(_.getAs[Long]("n_rows")).sum == li.count())
+
+    // a range inside ONE file's band: the read must touch fewer files
+    // than the lake holds, and agree exactly with filter-after-full-scan
+    val bounds = m.map(r => (r.getAs[Long]("min_l_orderkey"),
+      r.getAs[Long]("max_l_orderkey"))).sortBy(_._1)
+    val (lo, hi) = bounds(3) // file #3's exact band — a straddler by construction
+    val pruned = Lake.manifestPrunedRead(spark, data, meta, "l_orderkey", lo, hi)
+    assert(pruned.inputFiles.length < 8,
+      s"expected skipping, read ${pruned.inputFiles.length} files")
+    val expect = li.filter(col("l_orderkey").between(lo, hi))
+    assert(pruned.count() == expect.count())
+    assert(pruned.agg(sum("l_quantity")).head().getDouble(0) ==
+      expect.agg(sum("l_quantity")).head().getDouble(0))
+
+    // boundary straddle: [band3.max, band4.min] touches exactly the
+    // files whose range overlaps — conservative, never lossy
+    val (_, maxLo) = bounds(3); val (minHi, _) = bounds(4)
+    val straddle =
+      Lake.manifestPrunedRead(spark, data, meta, "l_orderkey", maxLo, minHi)
+    assert(straddle.count() ==
+      li.filter(col("l_orderkey").between(maxLo, minHi)).count())
+
+    // empty survivor set: schema preserved, zero rows, no dir listing
+    val none = Lake.manifestPrunedRead(spark, data, meta,
+      "l_orderkey", -500L, -1L)
+    assert(none.count() == 0)
+    assert(none.columns.toSeq == Seq("l_orderkey", "l_quantity"))
+  }
+
   test("stratified sample respects per-stratum proportions roughly") {
     val docs = Tables.documents(spark, sf)
     val out = graft.operators.Stats.stratifiedSample(docs, "lang",
