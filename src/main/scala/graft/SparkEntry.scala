@@ -576,6 +576,8 @@ object SparkEntry {
         Tables.embeddings(s, d), 0L, Seq("vector", "hash", "merge"), 10)),
     "ann_pca" -> ((s, d) =>
       SimilaritySearch.pcaProject(Tables.embeddings(s, d), nc = 2)),
+    "ml_kmeans" -> ((s, d) =>
+      SimilaritySearch.kmeansClusters(Tables.embeddings(s, d), k = 8)),
     "ann_range" -> ((s, d) =>
       SimilaritySearch.rangeSearch(Tables.embeddings(s, d), 0L, 0.2)),
     "ann_lsh" -> ((s, d) =>

@@ -567,4 +567,100 @@ object SimilaritySearch {
     }
     embeddings.select(col("vec_id") +: col("label") +: pcs.toIndexedSeq: _*)
   }
+
+  /** Rows unit-normalized ONCE for the k-means loop: with unit rows AND
+    * unit centroids, argmax-dot is argmin angular distance, and the
+    * spherical objective Σ(1 − v·c) is Lloyd-monotone in both steps. */
+  private def unitRows(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("__n", l2Norm(col("e")))
+      .select(col("vec_id"),
+        when(col("__n") === 0.0, col("e"))
+          .otherwise(transform(col("e"), x => x / col("__n"))).as("e"))
+
+  /** Full SPHERICAL k-means (Lloyd's to convergence) — the clustering
+    * pass LLM-data curation actually runs on embeddings (SemDeDup's
+    * cluster-then-dedup, topic bucketing for mixture control; upgrades
+    * [[ivfCodebook]]'s single refinement round to a converged fit).
+    * Returns (unit codebook, per-iteration inertia trace).
+    *
+    * ONE aggregation per iteration: the (cell, pos) rollup of per-cell
+    * vector SUMS — a k×dim-row shuffle of keyed scalars, map-side
+    * combined — yields BOTH the new centroids (unit(S_cell)) and the
+    * inertia under the centroids just used for assignment:
+    * Σ(1 − v·c_old) = N − Σ_cell S_cell·c_old. No separate scoring
+    * pass, no per-row state on the driver; the k×dim collect per round
+    * is the codebook-training class of driver scalar (same as
+    * ivfCodebook/pcaBasis). Assignment is the native NearestCentroid
+    * expression, so each round's corpus cost is one codegen'd scan of
+    * the ONCE-materialized unit rows (localCheckpoint — constant
+    * lineage across rounds, the dd_cluster iteration pattern). Empty
+    * cells keep their previous centroid. Stops when the max centroid
+    * angular shift drops under `tol` or at `maxIters`. */
+  def kmeansFit(embeddings: DataFrame, k: Int, maxIters: Int = 10,
+                tol: Double = 1e-4, seed: Long = 42L)
+      : (Seq[Seq[Double]], Seq[Double]) = {
+    def unit(v: Seq[Double]): Seq[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    val u = unitRows(embeddings).localCheckpoint(true)
+    var centroids: Seq[Seq[Double]] = u
+      .orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
+      .limit(k).select("e")
+      .collect().map(r => unit(r.getSeq[Double](0).toVector)).toVector
+    val trace = scala.collection.mutable.ArrayBuffer[Double]()
+    var it = 0
+    var shift = Double.MaxValue
+    while (it < maxIters && shift >= tol) {
+      val rows = u
+        .select(nearestCentroidId(col("e"), centroids).as("cell"),
+          posexplode(col("e")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(sum("x").as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byCell = rows.groupBy(_.getInt(0))
+      var inertia = 0.0
+      val next = centroids.zipWithIndex.map { case (old, c) =>
+        byCell.get(c) match {
+          case Some(cellRows) =>
+            val sorted = cellRows.sortBy(_.getInt(1))
+            val s = sorted.map(_.getDouble(2)).toVector
+            inertia += sorted.head.getLong(3) -
+              s.zip(old).map(p => p._1 * p._2).sum
+            unit(s)
+          case None => old
+        }
+      }
+      trace += inertia
+      shift = centroids.zip(next)
+        .map { case (a, b) => 1.0 - a.zip(b).map(p => p._1 * p._2).sum }
+        .max
+      centroids = next
+      it += 1
+    }
+    (centroids, trace.toSeq)
+  }
+
+  /** Contract surface over [[kmeansFit]]: the converged per-cluster
+    * profile — size and mean cosine-to-centroid (cohesion), plus the
+    * fit's iteration count and final inertia as constant audit columns.
+    * The scoring pass reuses that each row's cosine to its ASSIGNED
+    * centroid is simply its MAX dot over the unit codebook — no second
+    * assignment join, one codegen'd scan. */
+  def kmeansClusters(embeddings: DataFrame, k: Int, maxIters: Int = 10,
+                     tol: Double = 1e-4, seed: Long = 42L): DataFrame = {
+    val (codebook, trace) = kmeansFit(embeddings, k, maxIters, tol, seed)
+    val bestDot = array_max(array(
+      codebook.map(c => dot(col("e"), lit(c.toArray))): _*))
+    unitRows(embeddings)
+      .select(nearestCentroidId(col("e"), codebook).as("cell"),
+        bestDot.as("cos"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"), round(avg("cos"), 4).as("avg_cos"))
+      .withColumn("n_iters", lit(trace.size))
+      .withColumn("inertia", round(lit(trace.last), 4))
+      .orderBy("cell")
+  }
 }

@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class KMeansSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("kmeansFit separates two planted angular clusters exactly") {
+    // two tight cones around orthogonal axes: Lloyd's must put one
+    // centroid on each and assign every point to its own cone
+    val rows =
+      (0 until 10).map(i => (i.toLong,
+        Seq(10.0f, (i % 3) * 0.1f, 0.0f), 0)) ++
+      (0 until 10).map(i => (100L + i,
+        Seq(0.0f, (i % 3) * 0.1f, 10.0f), 1))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val (cb, trace) = SimilaritySearch.kmeansFit(df, k = 2, maxIters = 10)
+    assert(cb.size == 2)
+    // each centroid is dominated by exactly one of the two axes
+    val axes = cb.map(c => if (c(0) > c(2)) 0 else 2).toSet
+    assert(axes == Set(0, 2), s"centroids collapsed: $cb")
+    // converged: near-zero final inertia relative to corpus size
+    assert(trace.last < 1.0, s"trace=$trace")
+  }
+
+  test("kmeans inertia is Lloyd-monotone and centroids stay unit-norm") {
+    val emb = Tables.embeddings(spark, sf)
+    val (cb, trace) = SimilaritySearch.kmeansFit(emb, k = 8, maxIters = 6,
+      tol = 0.0) // tol=0: run all 6 rounds, exercise the full trace
+    assert(trace.size == 6)
+    trace.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-9, s"inertia rose: $trace")
+    }
+    cb.foreach { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-9, s"non-unit centroid norm $n")
+    }
+    // determinism: the same seed reproduces the same fit bit-for-bit
+    val (cb2, trace2) = SimilaritySearch.kmeansFit(emb, k = 8, maxIters = 6,
+      tol = 0.0)
+    assert(cb == cb2 && trace == trace2)
+  }
+
+  test("kmeansClusters profile partitions the corpus; cohesion in [-1, 1]") {
+    val emb = Tables.embeddings(spark, sf)
+    val prof = SimilaritySearch.kmeansClusters(emb, k = 4).collect()
+    assert(prof.map(_.getAs[Long]("n")).sum == emb.count())
+    prof.foreach { r =>
+      val c = r.getAs[Double]("avg_cos")
+      assert(c >= -1.0 && c <= 1.0 + 1e-9)
+      assert(r.getAs[Int]("n_iters") >= 1)
+    }
+    // corpus smaller than k: codebook shrinks, no phantom cells
+    val tiny = Seq((1L, Seq(1.0f, 0.0f), 0), (2L, Seq(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val (cbTiny, _) = SimilaritySearch.kmeansFit(tiny, k = 5)
+    assert(cbTiny.size == 2)
+  }
+}
