@@ -117,6 +117,32 @@ object Lake {
       .write.mode(SaveMode.Overwrite).parquet(manifestDir)
   }
 
+  /** Incremental manifest maintenance — the append path: stat ONLY the
+    * data files the manifest does not know yet and append their rows to
+    * the manifest dir (its own parquet append — no rewrite of existing
+    * manifest files). Returns how many fresh files were statted. A lake
+    * ingesting batches all day re-runs this per batch and never
+    * re-scans history — the same incremental contract as the ANN
+    * index's appendToIvfIndex. The full listing here is once per
+    * MAINTENANCE pass, not per query (and in a commit-log table format
+    * the fresh-file list would arrive from the log instead). */
+  def updateManifest(spark: SparkSession, dataDir: String,
+                     manifestDir: String, statCols: Seq[String]): Int = {
+    val known = spark.read.parquet(manifestDir)
+      .select("file").collect().map(_.getString(0)).toSet
+    val fresh = spark.read.parquet(dataDir).inputFiles.filterNot(known)
+    if (fresh.nonEmpty) {
+      val stats = statCols.flatMap(c =>
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+      spark.read.parquet(fresh.toIndexedSeq: _*)
+        .groupBy(input_file_name().as("file"))
+        .agg(count(lit(1)).as("n_rows"), stats: _*)
+        .coalesce(1)
+        .write.mode(SaveMode.Append).parquet(manifestDir)
+    }
+    fresh.length
+  }
+
   /** Manifest-pruned range read: keep only files whose [min, max]
     * OVERLAPS [lo, hi] (straddling files survive — skipping is
     * conservative, never lossy), hand the reader that explicit file

@@ -77,6 +77,23 @@ class LakeSpec extends SparkSpec {
       "l_orderkey", -500L, -1L)
     assert(none.count() == 0)
     assert(none.columns.toSeq == Seq("l_orderkey", "l_quantity"))
+
+    // incremental maintenance: append a batch OUTSIDE every existing
+    // band; only the new files are statted, and a pruned read over the
+    // fresh range finds exactly the appended rows without a rebuild
+    import spark.implicits._
+    val maxKey = bounds.last._2
+    Seq((maxKey + 500L, 1.0), (maxKey + 600L, 2.0))
+      .toDF("l_orderkey", "l_quantity")
+      .coalesce(1).write.mode("append").parquet(data)
+    val freshFiles = Lake.updateManifest(spark, data, meta, Seq("l_orderkey"))
+    assert(freshFiles == 1, s"expected 1 new file statted, got $freshFiles")
+    assert(Lake.updateManifest(spark, data, meta, Seq("l_orderkey")) == 0,
+      "a second pass with no new data must stat nothing")
+    val fresh = Lake.manifestPrunedRead(spark, data, meta,
+      "l_orderkey", maxKey + 1L, maxKey + 1000L)
+    assert(fresh.inputFiles.length == 1 && fresh.count() == 2)
+    assert(fresh.agg(sum("l_quantity")).head().getDouble(0) == 3.0)
   }
 
   test("stratified sample respects per-stratum proportions roughly") {
