@@ -440,6 +440,10 @@ object SparkEntry {
     }),
     "st_moments_merge" -> ((s, d) =>
       Stats.mergeableMoments(Tables.events(s, d))),
+    "st_quantile_merge" -> ((s, d) =>
+      Stats.mergeQuantilePartials(
+        Stats.quantilePartials(Tables.events(s, d), "value", 0.0, 500.0, 50),
+        0.0, 500.0, 50, Seq(0.25, 0.5, 0.75, 0.9))),
     "dq_skew" -> ((s, d) =>
       Quality.skewReport(Tables.lineitem(s, d), "l_suppkey")),
     // Dynamic partition pruning: the fact side is a day-partitioned
@@ -2301,6 +2305,25 @@ object SparkEntry {
              - CAST(sum(s1) AS DOUBLE) * CAST(sum(s1) AS DOUBLE) / sum(n))
              / (sum(n) - 1)), 6) AS std
          FROM p GROUP BY 1""",
+    "st_quantile_merge" ->
+      """WITH p AS (SELECT CAST(ts AS DATE) AS day,
+             CAST(least(49, greatest(0,
+               floor((value - 0.0) / 500.0 * 50))) AS INT) AS bucket,
+             count(*) AS n
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         g AS (SELECT bucket, CAST(sum(n) AS BIGINT) AS n
+               FROM p GROUP BY 1),
+         c AS (SELECT bucket, n,
+             CAST(coalesce(sum(n) OVER (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS below
+           FROM g),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM g),
+         qs AS (SELECT unnest(CAST([0.25, 0.5, 0.75, 0.9] AS DOUBLE[])) AS q)
+         SELECT q, round(0.0 + (bucket + (q * nt - below) / n)
+             * (500.0 / 50), 6) AS est
+         FROM qs CROSS JOIN t
+         JOIN c ON below < q * nt AND q * nt <= below + n""",
     "st_logreg_gd" ->
       """WITH d AS (SELECT CAST(embedding[1] AS DOUBLE) AS x1,
              CAST(embedding[2] AS DOUBLE) AS x2,

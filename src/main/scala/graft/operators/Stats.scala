@@ -917,6 +917,54 @@ object Stats {
           col("__s1").cast("double") * col("__s1").cast("double") / col("n"))
           / (col("n") - 1)), 6).as("std"))
 
+  /** Mergeable QUANTILE partials — the quantile sibling of
+    * [[mergeableMoments]]: per-(day, bucket) counts over a FIXED value
+    * domain [lo, hi) split into `nBins` equi-width bins. A fixed domain
+    * is what makes the partials mergeable forever: any two stored
+    * partial frames (different days, different corpora, a streaming
+    * foreachBatch) merge by summing bucket counts — no rescan, no
+    * re-bucketing — exactly how production sketch stores hold
+    * latency/size distributions. Out-of-domain values clamp into the
+    * edge bins (both engines clamp identically, so the contract stays
+    * exact). Estimate error is bounded by one bin width; tighten by
+    * raising nBins (the partial frame stays ≤ groups×nBins rows). */
+  def quantilePartials(events: DataFrame, c: String, lo: Double, hi: Double,
+                       nBins: Int): DataFrame =
+    events.filter(col(c).isNotNull)
+      .select(to_date(col("ts")).as("day"),
+        least(lit(nBins - 1), greatest(lit(0),
+          floor((col(c) - lo) / (hi - lo) * nBins))).cast("int").as("bucket"))
+      .groupBy("day", "bucket")
+      .agg(count(lit(1)).as("n"))
+
+  /** The merge half: collapse ANY stored partial frame to global
+    * quantile estimates by linear interpolation inside the target
+    * bucket — est(q) = lo + (bucket + (qN − below)/n)·binWidth, where
+    * `below` is the cumulative count under the bucket. The cumulative
+    * window runs over the MERGED bucket frame (≤ nBins constant rows —
+    * a deliberate single-partition window over a sketch, never over
+    * data), and each q picks its unique bucket via the half-open band
+    * below < qN ≤ below+n (empty buckets can't match: below = below+n).
+    * Formula is replicated verbatim in the DuckDB oracle — estimates
+    * hash-match exactly, not approximately. */
+  def mergeQuantilePartials(partials: DataFrame, lo: Double, hi: Double,
+                            nBins: Int, qs: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import partials.sparkSession.implicits._
+    val g = partials.groupBy("bucket").agg(sum("n").as("n"))
+    val w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    val cum = g.withColumn("below", coalesce(sum("n").over(w), lit(0L)))
+    val tot = g.agg(sum("n").as("__N"))
+    val qpos = col("q") * col("__N")
+    qs.toDF("q").crossJoin(broadcast(tot))
+      .join(broadcast(cum),
+        col("below") < qpos && qpos <= col("below") + col("n"))
+      .select(col("q"),
+        round(lit(lo) + (col("bucket") + (qpos - col("below")) / col("n")) *
+          lit((hi - lo) / nBins), 6).as("est"))
+      .orderBy("q")
+  }
+
   /** Distributed batch-gradient-descent logistic regression: `iters`
     * full-batch steps of w ← w − lr·∇L on (intercept + the first `dims`
     * embedding components) predicting a binary label — model TRAINING

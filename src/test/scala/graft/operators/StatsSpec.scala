@@ -454,6 +454,37 @@ class StatsSpec extends SparkSpec {
       .collect().map(key).toSet == viaDays)
   }
 
+  test("quantile partials: partition-invariant merge; estimates within one bin of exact") {
+    val events = graft.Tables.events(spark, sf)
+    val qs = Seq(0.25, 0.5, 0.75, 0.9)
+    val (lo, hi, nb) = (0.0, 500.0, 50)
+    def key(r: org.apache.spark.sql.Row) = (r.getDouble(0), r.getDouble(1))
+    val viaDays = Stats.mergeQuantilePartials(
+      Stats.quantilePartials(events, "value", lo, hi, nb), lo, hi, nb, qs)
+      .collect().map(key).toSet
+    // partials cut by a different scheme (user stripe) merge identically
+    // — bucket counts are integers, so the merge is exactly associative
+    val byStripe = events.filter(col("value").isNotNull)
+      .select((col("user_id") % 7).as("day"), // stands in for the partial key
+        least(lit(nb - 1), greatest(lit(0),
+          floor((col("value") - lo) / (hi - lo) * nb))).cast("int").as("bucket"))
+      .groupBy("day", "bucket").agg(count(lit(1)).as("n"))
+    val viaStripes = Stats.mergeQuantilePartials(byStripe, lo, hi, nb, qs)
+      .collect().map(key).toSet
+    assert(viaDays == viaStripes, "merge must be partitioning-invariant")
+    // sketch error contract: every estimate within one bin width of the
+    // exact interpolated quantile
+    val binW = (hi - lo) / nb
+    val exact = events.agg(
+      expr(s"percentile(value, array(${qs.mkString(",")}))")).head()
+      .getSeq[Double](0)
+    val est = viaDays.toSeq.sortBy(_._1).map(_._2)
+    qs.indices.foreach { i =>
+      assert(math.abs(est(i) - exact(i)) <= binW,
+        s"q=${qs(i)}: est ${est(i)} vs exact ${exact(i)} off by > $binW")
+    }
+  }
+
   test("logisticGD: descends on a separable concept, replays exactly, chance on noise") {
     val emb = graft.Tables.embeddings(spark, sf)
     val concept = element_at(col("embedding"), 1).cast("double") +
