@@ -1164,6 +1164,8 @@ object SparkEntry {
       // repeat-business graph (≥4 shared orders) — sparse enough to
       // fragment into many components, unlike the full co-purchase graph
       Graph.components(repeatBusinessEdges(s, d, 4))),
+    "gr_closeness" -> ((s, d) =>
+      Graph.harmonicCentrality(repeatBusinessEdges(s, d, 2))),
     "gr_bfs" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // bipartite repeat-business graph (≥2 shared orders) with a
@@ -1504,6 +1506,26 @@ object SparkEntry {
              WHERE w.d < 4),
          dist AS (SELECT node, min(d) AS dist FROM walk GROUP BY node)
          SELECT dist, count(*) AS n_nodes FROM dist GROUP BY dist""",
+    "gr_closeness" ->
+      """WITH RECURSIVE p AS (SELECT o_custkey AS a,
+             l_suppkey + 1000000000 AS b
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           GROUP BY 1, 2 HAVING count(DISTINCT o_orderkey) >= 2),
+         e AS (SELECT a AS src, b AS dst FROM p
+           UNION ALL SELECT b, a FROM p),
+         nd AS (SELECT DISTINCT src AS node FROM e),
+         lmk AS (SELECT node FROM nd
+           ORDER BY md5(CAST(node AS VARCHAR)), node LIMIT 8),
+         walk(node, lm, d) AS (
+           SELECT node, node, 0 FROM lmk
+           UNION
+           SELECT e.dst, w.lm, w.d + 1 FROM walk w JOIN e ON w.node = e.src
+             WHERE w.d < 6),
+         dist AS (SELECT node, lm, min(d) AS dist FROM walk GROUP BY 1, 2)
+         SELECT node, count(*) AS n_lm,
+           round(sum(1.0 / dist), 6) AS harmonic
+         FROM dist WHERE dist > 0 GROUP BY node
+         ORDER BY harmonic DESC, node LIMIT 20""",
     "tx_lexdiv" ->
       """WITH tf AS (SELECT source, t AS term, count(*) AS n
            FROM (SELECT source, unnest(string_split(text, ' ')) AS t

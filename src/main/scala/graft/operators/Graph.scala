@@ -288,6 +288,56 @@ object Graph {
     settled.groupBy("dist").agg(count(lit(1)).as("n_nodes"))
   }
 
+  /** Landmark HARMONIC closeness centrality — "which nodes sit nearest
+    * to everything" — estimated from `nLandmarks` pivot nodes instead of
+    * all-pairs BFS (the standard landmark trick: exact closeness is
+    * O(V·E), landmarks cost nLandmarks frontier expansions and rank
+    * hubs nearly identically). Harmonic form Σ 1/d — not 1/Σd — so
+    * disconnected landmark pairs contribute 0 instead of poisoning the
+    * score (no reachability precondition).
+    *
+    * Scale shape: ONE multi-source BFS carrying the landmark id in the
+    * frontier key — state is (node, lm, dist), ≤ V×L rows; each round is
+    * the same frontier⋈edges join as [[bfs]] (edge list pre-partitioned
+    * on src and checkpointed — it never moves again), and the landmark
+    * set is picked by a PORTABLE md5 hash-order (top-L of md5(node)) so
+    * the DuckDB oracle selects the identical pivots. Top-k output is
+    * TakeOrdered-sized. */
+  def harmonicCentrality(edges: DataFrame, nLandmarks: Int = 8,
+                         maxDepth: Int = 6, topK: Int = 20): DataFrame = {
+    val ed = edges.select("src", "dst").distinct()
+      .repartition(col("src")).localCheckpoint(true)
+    val nodes = ed.select(col("src").as("node"))
+      .unionByName(ed.select(col("dst").as("node"))).distinct()
+    val lms = nodes
+      .orderBy(md5(col("node").cast("string")), col("node"))
+      .limit(nLandmarks)
+      .select(col("node"), col("node").as("lm"))
+    var settled = lms.withColumn("dist", lit(0)).localCheckpoint(true)
+    var frontier = settled.select("node", "lm")
+    var depth = 0
+    var frontierSize = frontier.count()
+    while (depth < maxDepth && frontierSize > 0) {
+      depth += 1
+      val next = frontier.join(ed, frontier("node") === ed("src"))
+        .select(col("dst").as("node"), col("lm")).distinct()
+        .join(settled.select("node", "lm"), Seq("node", "lm"), "left_anti")
+        .withColumn("dist", lit(depth))
+      settled = settled.unionByName(next)
+      if (depth < maxDepth) {
+        settled = settled.localCheckpoint(true)
+        frontier = settled.filter(col("dist") === depth).select("node", "lm")
+        frontierSize = frontier.count()
+      }
+    }
+    settled.filter(col("dist") > 0)
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_lm"),
+        round(sum(lit(1.0) / col("dist")), 6).as("harmonic"))
+      .orderBy(desc("harmonic"), asc("node"))
+      .limit(topK)
+  }
+
   /** Connected-component size histogram of an edge list — the general
     * graph face of the dedup CC machinery (Dedup.dupClusters: driver
     * union-find under the edge limit, distributed min-label pointer

@@ -101,6 +101,31 @@ class GraphSpec extends SparkSpec {
     assert(rc.getAs[Long]("n_edges") == 4L && rc.isNullAt(rc.fieldIndex("assortativity")))
   }
 
+  test("harmonicCentrality: exact on a path graph when landmarks = all nodes") {
+    // path 1-2-3-4-5: with every node a landmark, the estimate IS the
+    // exact harmonic centrality; the middle node must win
+    val path = undirected((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val out = Graph.harmonicCentrality(path, nLandmarks = 5,
+      maxDepth = 6, topK = 5).collect()
+    val h = out.map(r => r.getAs[Long]("node") ->
+      r.getAs[Double]("harmonic")).toMap
+    // node 3: d = 2,1,1,2 → 1/2+1+1+1/2 = 3.0; node 1: 1+1/2+1/3+1/4
+    assert(math.abs(h(3L) - 3.0) < 1e-6)
+    assert(math.abs(h(1L) - (1.0 + 0.5 + 1.0 / 3 + 0.25)) < 1e-6)
+    assert(h(1L) == h(5L) && h(2L) == h(4L), "symmetry")
+    assert(out.head.getAs[Long]("node") == 3L, "center must rank first")
+    out.foreach(r => assert(r.getAs[Long]("n_lm") == 4L,
+      "every node sees the 4 OTHER landmarks on a connected path"))
+    // disconnected island: unreachable landmark pairs contribute 0,
+    // never poison the score (the harmonic-vs-closeness point)
+    val twoIslands = undirected((1L, 2L), (10L, 11L))
+    val h2 = Graph.harmonicCentrality(twoIslands, nLandmarks = 4,
+      maxDepth = 6, topK = 4).collect()
+    assert(h2.length == 4)
+    h2.foreach(r => assert(r.getAs[Double]("harmonic") == 1.0 &&
+      r.getAs[Long]("n_lm") == 1L))
+  }
+
   test("bfs: min-hop histogram on a path graph, depth cap respected") {
     // path 1-2-3-4-5-6-7, seed {1}: dists 0,1,2,3,4 then the cap stops
     val edges = undirected((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
