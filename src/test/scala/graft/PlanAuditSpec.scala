@@ -683,6 +683,48 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
   }
 
+  test("tx_perplexity: fence banding broadcasts, never a sort-merge join") {
+    val p = plan("tx_perplexity")
+    assert(!p.contains("SortMergeJoin"),
+      s"model joins must stay broadcast at this scale:\n$p")
+    assert(p.contains("partial_"),
+      s"CE weighted mean must combine map-side:\n$p")
+  }
+
+  test("st_quantile_merge: partials combine map-side; merge window is sketch-sized") {
+    val p = plan("st_quantile_merge")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"day-bucket partials must combine map-side:\n$p")
+    // the ONLY single-partition collapse allowed is the ≤nBins cumulative
+    // window + its rollups — the data-sized (day, bucket) rollup must
+    // hash-partition
+    assert(p.contains("Exchange hashpartitioning"),
+      s"partial rollup must stay distributed:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"q-band join must broadcast the sketch side:\n$p")
+  }
+
+  test("src_manifest_skip: pruned read scans a subset and combines map-side") {
+    val df = SparkEntry.queries("src_manifest_skip")(spark, sf)
+    val lake = spark.read.parquet(
+      s"/root/repo/target/graft_io/${new java.io.File(sf).getName}/manifest_lineitem")
+    assert(df.inputFiles.nonEmpty &&
+      df.inputFiles.length < lake.inputFiles.length,
+      s"manifest must skip files: read ${df.inputFiles.length} of ${lake.inputFiles.length}")
+    assert(plan("src_manifest_skip").contains("partial_"),
+      "rollup over surviving files must combine map-side")
+  }
+
+  test("gr_closeness: landmark BFS joins are never cartesian") {
+    val p = plan("gr_closeness")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"frontier expansion must stay equi-join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k centrality must not globally sort:\n$p")
+  }
+
   test("entry flagship runs and returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
