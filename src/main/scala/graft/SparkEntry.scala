@@ -438,6 +438,8 @@ object SparkEntry {
         Seq(col("lang"), col("source"),
           expr("n_chars div 50").as("len_bucket")))
     }),
+    "dq_dp_release" -> ((s, d) =>
+      Quality.dpNoisyCounts(Tables.events(s, d), "event_type")),
     "st_moments_merge" -> ((s, d) =>
       Stats.mergeableMoments(Tables.events(s, d))),
     "st_quantile_merge" -> ((s, d) =>
@@ -2275,6 +2277,23 @@ object SparkEntry {
                   < 'e6' THEN 'val'
                 ELSE 'test' END AS split
          FROM documents""",
+    "dq_dp_release" ->
+      """WITH g AS (SELECT event_type, count(*) AS n FROM events
+           GROUP BY 1),
+         h AS (SELECT event_type, n,
+             md5('dp:r1:' || event_type) AS hh FROM g),
+         v AS (SELECT event_type, n,
+             ((strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) * 4096
+              + (strpos('0123456789abcdef', substr(hh, 2, 1)) - 1) * 256
+              + (strpos('0123456789abcdef', substr(hh, 3, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(hh, 4, 1)) - 1)
+              + 0.5) / 65536.0 AS u
+           FROM h)
+         SELECT event_type,
+           round(greatest(n + (-(1.0 / 0.5) * sign(u - 0.5)
+             * ln(1 - 2 * abs(u - 0.5))), 0.0), 4) AS noisy_n,
+           CAST(0.5 AS DOUBLE) AS epsilon
+         FROM v""",
     "dq_k_anonymity" ->
       """WITH g AS (SELECT lang, source, n_chars // 50 AS len_bucket,
              count(*) AS n

@@ -291,4 +291,34 @@ object Quality {
         sum(when(col("__n") < k, 1L).otherwise(0L)).as("groups_below_k"),
         sum(when(col("__n") < k, col("__n")).otherwise(0L))
           .as("rows_at_risk"))
+
+  /** Differentially-private HISTOGRAM release — the publish gate next
+    * to [[kAnonymity]] when corpus statistics leave the trust boundary
+    * (ε-DP counting query, sensitivity 1: one individual moves one
+    * count by one). Each group's count gets Laplace(Δ/ε) noise via
+    * inverse-CDF: noise = −(Δ/ε)·sign(u−½)·ln(1−2|u−½|).
+    *
+    * u is HASH-derived ((md5(tag:group)[0:4] + 0.5)/65536 — never
+    * exactly 0 or 1), which makes the release deterministic per
+    * (tag, group): the cross-engine contract and the specs can verify
+    * the exact arithmetic, and a replayed pipeline can't burn privacy
+    * budget by re-rolling fresh noise for the same release tag (the
+    * "sticky noise" discipline real DP systems implement — though with
+    * a cryptographic PRF and a secret key, which is what production
+    * swaps in for md5; vary `releaseTag` to spend new budget). The
+    * noisy count is the ONLY per-group output — the true count never
+    * leaves. One partial-agg pass; noise math is codegen'd columns. */
+  def dpNoisyCounts(df: DataFrame, groupCol: String, eps: Double = 0.5,
+                    releaseTag: String = "r1"): DataFrame = {
+    val hh = md5(concat(lit(s"dp:$releaseTag:"), col(groupCol)))
+    val u = (conv(substring(hh, 1, 4), 16, 10).cast("double") + 0.5) /
+      65536.0
+    val noise = -lit(1.0 / eps) * signum(u - 0.5) *
+      log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+    df.groupBy(groupCol)
+      .agg(count(lit(1)).as("__n"))
+      .select(col(groupCol),
+        round(greatest(col("__n") + noise, lit(0.0)), 4).as("noisy_n"),
+        lit(eps).as("epsilon"))
+  }
 }

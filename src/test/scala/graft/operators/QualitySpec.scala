@@ -136,6 +136,38 @@ class QualitySpec extends SparkSpec {
       docs.filter(size(split(col("text"), " ")) >= 2).count())
   }
 
+  test("dpNoisyCounts: noise bounded by the Laplace tail, sticky per tag, fresh per tag") {
+    val events = graft.Tables.events(spark, sf)
+    val truth = events.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rel = Quality.dpNoisyCounts(events, "event_type").collect()
+    assert(rel.length == truth.size)
+    // hash-uniform u keeps 2|u-1/2| <= 1 - 1/65536, so |noise| is capped
+    // at (1/eps)·ln(65536) ≈ 22.2 — the release is usefully close
+    val cap = (1.0 / 0.5) * math.log(65536.0)
+    rel.foreach { r =>
+      val g = r.getString(0)
+      assert(math.abs(r.getDouble(1) - truth(g)) <= cap,
+        s"$g: noisy ${r.getDouble(1)} vs true ${truth(g)}")
+      assert(r.getDouble(2) == 0.5)
+    }
+    // sticky noise: replaying the same release tag re-derives identical
+    // noise (no budget re-spend); a new tag draws fresh noise
+    val again = Quality.dpNoisyCounts(events, "event_type").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rel.map(r => r.getString(0) -> r.getDouble(1)).toMap == again)
+    val fresh = Quality.dpNoisyCounts(events, "event_type",
+      releaseTag = "r2").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rel.exists(r => fresh(r.getString(0)) != r.getDouble(1)),
+      "a new release tag must draw different noise")
+    // tiny groups can't go negative: the release clamps at zero
+    import spark.implicits._
+    val tiny = Seq.fill(1)("only").toDF("event_type")
+    Quality.dpNoisyCounts(tiny, "event_type", releaseTag = "r3").collect()
+      .foreach(r => assert(r.getDouble(1) >= 0.0))
+  }
+
   test("perplexityBands: ppl = exp(ce); tertile bands ordered and near-equal-sized") {
     val banded = TextAnalysis.perplexityBands(
       graft.Tables.documents(spark, sf)).cache()
