@@ -669,6 +669,8 @@ object SparkEntry {
       Multimodal.featureSummary(s, Tables.documents(s, d))),
     "mm_resize" -> ((s, d) => Multimodal.resizeSummary(Tables.documents(s, d))),
     "mm_phash" -> ((s, d) => Multimodal.phashSummary(Tables.documents(s, d))),
+    "mm_audio_energy" -> ((s, d) =>
+      Multimodal.audioEnergySummary(Tables.documents(s, d))),
     "mm_frames" -> ((s, d) =>
       Multimodal.frameSummary(Tables.documents(s, d))),
     "sc_salted_join" -> ((s, d) => {

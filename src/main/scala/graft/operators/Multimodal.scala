@@ -146,6 +146,50 @@ object Multimodal {
         round(element_at(col("features"), 1), 6).as("f0"))
   }
 
+  /** Windowed AUDIO energy + silence detection — the VAD-shaped pass an
+    * audio curation pipeline runs before transcription (drop silent
+    * assets, trim dead air). The payload is read as unsigned 8-bit PCM
+    * centered at 128 (the STUB decode — a real codec swaps in at the
+    * hex-pair step only, same contract as decodeStub), cut into
+    * `frameBytes`-sample windows ROW-LOCALLY, and each window scores
+    * RMS energy; per asset: window count, silent-window share, mean and
+    * peak RMS.
+    *
+    * Spark shape: explode to one row per window (rows ∝ duration), the
+    * window slice is `substr` on the binary column, and the RMS sum is
+    * an `aggregate` HOF over the window's hex pairs — pure Columns end
+    * to end, no UDF, no shuffle until the per-asset rollup (map-side
+    * combined). The hex-pair decode keeps byte math engine-portable. */
+  def audioEnergy(media: DataFrame, frameBytes: Int = 64,
+                  silenceRms: Double = 4.0): DataFrame = {
+    val framed = media.filter(col("kind") === "audio" && col("n_bytes") > 0)
+      .withColumn("__nw",
+        ceil(col("n_bytes") / lit(frameBytes.toDouble)).cast("int"))
+      .withColumn("win", explode(sequence(lit(0), col("__nw") - 1)))
+      .withColumn("__hex", hex(col("payload")
+        .substr(col("win") * frameBytes + 1, lit(frameBytes))))
+    val nS = (length(col("__hex")) / 2).cast("int")
+    val sumSq = aggregate(
+      sequence(lit(1), nS), lit(0.0),
+      (acc, i) => acc + pow(
+        conv(col("__hex").substr(i * 2 - 1, lit(2)), 16, 10)
+          .cast("double") - 128.0, 2))
+    framed
+      .withColumn("rms", sqrt(sumSq / nS))
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("rms") < silenceRms, 1L).otherwise(0L)).as("n_silent"),
+        round(avg("rms"), 4).as("avg_rms"),
+        round(max("rms"), 4).as("peak_rms"))
+      .withColumn("silence_ratio",
+        round(col("n_silent") / col("n_windows"), 4))
+  }
+
+  /** Driver-contract projection of [[audioEnergy]] over the synthesized
+    * media table's audio slice. */
+  def audioEnergySummary(documents: DataFrame): DataFrame =
+    audioEnergy(mediaFromDocuments(documents).toDF())
+
   /** Perceptual-hash near-dup detection for media payloads: each asset
     * gets a 64-bit content hash whose Hamming distance tracks payload
     * similarity, and pairs within `maxHamming` surface through the SAME

@@ -76,6 +76,37 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audioEnergy: silent and loud PCM windows score exact RMS; silence flagged") {
+    import spark.implicits._
+    // 8-bit PCM centered at 128, frameBytes=4: window RMS is exact
+    val silent = Array.fill(4)(128.toByte)                 // rms 0
+    val loud = Array[Byte](28.toByte, 228.toByte, 28.toByte, 228.toByte) // |dev|=100 → rms 100
+    val mid = Array.fill(4)(131.toByte)                    // rms 3 (< threshold 4 → silent)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio", silent ++ loud, 8, "s"),
+      Multimodal.MediaRow(2L, "audio", mid ++ loud ++ loud, 12, "s"),
+      Multimodal.MediaRow(3L, "video", loud, 4, "s") // wrong kind: excluded
+    ).toDF()
+    val out = Multimodal.audioEnergy(media, frameBytes = 4, silenceRms = 4.0)
+      .collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(!out.contains(3L))
+    val a = out(1L)
+    assert(a.getAs[Long]("n_windows") == 2 && a.getAs[Long]("n_silent") == 1)
+    assert(a.getAs[Double]("avg_rms") == 50.0 &&
+      a.getAs[Double]("peak_rms") == 100.0)
+    assert(a.getAs[Double]("silence_ratio") == 0.5)
+    val b = out(2L)
+    assert(b.getAs[Long]("n_windows") == 3 && b.getAs[Long]("n_silent") == 1)
+    assert(b.getAs[Double]("peak_rms") == 100.0)
+    // ragged tail: a 6-byte payload gets a 2-sample second window, RMS
+    // still exact over the actual samples
+    val ragged = Seq(Multimodal.MediaRow(9L, "audio",
+      silent ++ Array[Byte](28.toByte, 228.toByte), 6, "s")).toDF()
+    val r9 = Multimodal.audioEnergy(ragged, frameBytes = 4).collect().head
+    assert(r9.getAs[Long]("n_windows") == 2 &&
+      r9.getAs[Double]("peak_rms") == 100.0)
+  }
+
   test("skewKurt: symmetric data has ~0 skew; moments are finite per group") {
     import spark.implicits._
     val sym = (1 to 101).map(i => ("g", i.toDouble)).toDF("k", "x")
