@@ -99,6 +99,7 @@ object SparkEntry {
   def warmIndexes(s: SparkSession, d: String): Unit = {
     lshIndex(s, d); ivfIndex(s, d); pqIndex(s, d); sq8Index(s, d)
     dedupIndex(s, d); bucketedTables(s, d); manifestLake(s, d)
+    bpeMerges(s, d)
     // mined graphs are one-off session builds too (localCheckpoint):
     // the gr_* numbers to record are analytic cost over the edge list
     coPurchaseEdges(s, d); coSupplyEdges(s, d)
@@ -155,6 +156,18 @@ object SparkEntry {
       sources.Lake.buildManifest(s, data, meta, Seq("l_orderkey"))
       (data, meta)
     })
+
+  /** Session-cached BPE merge table (the tokenizer artifact): trained
+    * once per corpus like the ANN indexes; tx_bpe_apply is pure
+    * inference over it. */
+  private val bpeMergesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+  private def bpeMerges(s: SparkSession, d: String): Seq[(String, String)] =
+    bpeMergesCache.computeIfAbsent(d, dir =>
+      operators.Bpe.trainMerges(Tables.documents(s, dir), 12)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
+        .toIndexedSeq)
 
   /** Undirected customer↔supplier co-purchase graph (who bought from
     * whom, via orders⋈lineitem): supplier ids offset into their own key
@@ -660,6 +673,19 @@ object SparkEntry {
     // rows-only because the merge loop is not SQL-expressible)
     "tx_bpe_train" -> ((s, d) =>
       Bpe.trainMerges(Tables.documents(s, d), 12)),
+    // tokenizer INFERENCE over the session-cached merge table: per-doc
+    // BPE token counts + the compression the merges bought vs raw chars
+    "tx_bpe_apply" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Bpe.applyMerges(Tables.documents(s, d), bpeMerges(s, d))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum(size(col("syms"))).as("n_bpe_tokens"),
+          sum(length(col("w")) + 1).as("n_chars_w"))
+        .withColumn("compression",
+          round(col("n_bpe_tokens") / col("n_chars_w"), 4))
+        .drop("n_chars_w")
+    }),
     "dd_embed_neardup_lsh" -> ((s, d) =>
       SimilaritySearch.neardupPairsLsh(Tables.embeddings(s, d), 0.3)),
     "dd_minhash_lsh" -> ((s, d) =>

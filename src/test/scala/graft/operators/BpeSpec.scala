@@ -55,4 +55,19 @@ class BpeSpec extends SparkSpec {
       .collect().head.getAs[scala.collection.Seq[String]]("syms").toSeq
     assert(out == Seq("aa", "a", "</w>"))
   }
+
+  test("trained merges strictly compress the corpus they were trained on") {
+    val docs = graft.Tables.documents(spark, sf).limit(100)
+    val trained = Bpe.trainMerges(docs, 8).collect()
+      .sortBy(_.getAs[Int]("merge_rank"))
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+    assert(trained.nonEmpty)
+    def totalSyms(merges: Seq[(String, String)]): Long =
+      Bpe.applyMerges(docs, merges)
+        .agg(sum(size(col("syms")))).head().getLong(0)
+    val merged = totalSyms(trained)
+    val raw = totalSyms(Nil)
+    assert(merged < raw,
+      s"8 merges must shrink the symbol stream: $merged !< $raw")
+  }
 }
