@@ -403,6 +403,14 @@ object SparkEntry {
       SpatialJoin.knnSuppliersGrid(Tables.customer(s, d), Tables.supplier(s, d), k = 3)),
     "sp_grid_density" -> ((s, d) =>
       SpatialJoin.gridDensity(Tables.customer(s, d))),
+    "sp_dbscan" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      SpatialJoin.dbscan(
+        SpatialJoin.customerPoints(Tables.customer(s, d))
+          .select(col("c_custkey").as("pid"), col("c_lat").as("lat"),
+            col("c_lon").as("lon")),
+        epsKm = 300.0, minPts = 3, cellDeg = 9)
+    }),
     "sp_cluster" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       SpatialJoin.epsilonClusters(
@@ -2070,6 +2078,43 @@ object SparkEntry {
              cos(radians(c_lat))*cos(radians(s_lat))*pow(sin(radians(s_lon - c_lon)/2), 2)
            )), 4) AS dist_km
          FROM c CROSS JOIN s""",
+    "sp_dbscan" ->
+      """WITH RECURSIVE pts AS (SELECT c_custkey,
+             round(((c_custkey * 17) % 1400)/10.0 - 70.0, 4) AS lat,
+             round(((c_custkey * 31) % 3600)/10.0 - 180.0, 4) AS lon
+           FROM customer),
+         pairs AS (
+           SELECT a.c_custkey AS d1, b.c_custkey AS d2
+           FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey
+           WHERE round(2*6371.0*asin(sqrt(
+             pow(sin(radians(b.lat - a.lat)/2), 2) +
+             cos(radians(a.lat))*cos(radians(b.lat))
+               *pow(sin(radians(b.lon - a.lon)/2), 2)
+           )), 4) <= 300.0),
+         edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                   UNION ALL SELECT d2, d1 FROM pairs),
+         core AS (SELECT a AS pid FROM edges GROUP BY a
+                  HAVING count(*) >= 2),
+         ce AS (SELECT e.a, e.b FROM edges e
+                JOIN core c1 ON e.a = c1.pid
+                JOIN core c2 ON e.b = c2.pid),
+         reach(a, b) AS (
+           SELECT a, b FROM ce
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN ce e ON r.b = e.a),
+         cc AS (SELECT a AS pid, least(a, min(b)) AS cluster_id
+                FROM reach GROUP BY a),
+         corelab AS (SELECT c.pid,
+             coalesce(cc.cluster_id, c.pid) AS cluster_id
+           FROM core c LEFT JOIN cc ON c.pid = cc.pid),
+         borderlab AS (SELECT e.a AS pid,
+             min(cl.cluster_id) AS cluster_id
+           FROM edges e JOIN corelab cl ON e.b = cl.pid
+           WHERE e.a NOT IN (SELECT pid FROM core)
+           GROUP BY e.a)
+         SELECT pid, cluster_id, 'core' AS role FROM corelab
+         UNION ALL
+         SELECT pid, cluster_id, 'border' AS role FROM borderlab""",
     "sp_cluster" ->
       """WITH RECURSIVE pts AS (SELECT c_custkey,
              round(((c_custkey * 17) % 1400)/10.0 - 70.0, 4) AS lat,

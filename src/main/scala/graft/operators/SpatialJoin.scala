@@ -411,6 +411,49 @@ object SpatialJoin {
         .select(col("p1").as("d1"), col("p2").as("d2")))
       .select(col("doc_id").as("pid"), col("cluster_id"))
 
+  /** FULL DBSCAN (minPts ≥ 2) — upgrades [[epsilonClusters]]'
+    * connectivity core to the real core/border/noise semantics: a point
+    * with ≥ minPts−1 ε-neighbors is CORE; clusters are connected
+    * components over CORE–CORE edges only (a chain of sparse points no
+    * longer bridges two dense blobs — the density guarantee minPts
+    * buys); non-core points adjacent to a core join as BORDER; noise
+    * emits nothing. Classic DBSCAN assigns a border point touching two
+    * clusters by scan order — here it attaches to the MIN cluster
+    * label, making the output deterministic and engine-portable.
+    *
+    * Scale shape: neighbor pairs come from [[withinRadiusPairs]]' grid
+    * equi-join (rows ∝ true neighbor count, checkpointed once — degree
+    * rollup, core-edge filter and border attach all reuse it); the
+    * degree rollup is one narrow (pid, n) agg; CC is the shared
+    * pointer-doubling labeler; an isolated core (no core neighbor)
+    * keeps its own pid as label. */
+  def dbscan(points: DataFrame, epsKm: Double, minPts: Int = 4,
+             cellDeg: Int = 6, maxAbsLat: Double = 70.0): DataFrame = {
+    val pairs = withinRadiusPairs(points, epsKm, cellDeg, maxAbsLat)
+      .select("p1", "p2").localCheckpoint(true) // 3 consumers below
+    val sym = pairs.unionByName(
+      pairs.select(col("p2").as("p1"), col("p1").as("p2")))
+    val core = sym.groupBy(col("p1").as("pid"))
+      .agg(count(lit(1)).as("__nn"))
+      .filter(col("__nn") >= minPts - 1).select("pid")
+    val coreEdges = sym
+      .join(core.select(col("pid").as("p1")), Seq("p1"))
+      .join(core.select(col("pid").as("p2")), Seq("p2"))
+    val cc = Dedup.dupClusters(
+      coreEdges.select(col("p1").as("d1"), col("p2").as("d2")))
+      .select(col("doc_id").as("pid"), col("cluster_id"))
+    val coreLab = core.join(cc, Seq("pid"), "left")
+      .select(col("pid"),
+        coalesce(col("cluster_id"), col("pid")).as("cluster_id"))
+    val borderLab = sym
+      .join(coreLab.select(col("pid").as("p2"), col("cluster_id")), Seq("p2"))
+      .join(core.select(col("pid").as("p1")), Seq("p1"), "left_anti")
+      .groupBy(col("p1").as("pid"))
+      .agg(min("cluster_id").as("cluster_id"))
+    coreLab.withColumn("role", lit("core"))
+      .unionByName(borderLab.withColumn("role", lit("border")))
+  }
+
   /** Grid-cell density heat map: customer count + share per
     * `cellDeg`-degree cell, top-N densest cells — the aggregation face
     * of the spatial family (the same cell id every grid join here keys

@@ -358,6 +358,40 @@ class WindowsLambdaSpec extends SparkSpec {
     }
   }
 
+  test("dbscan: minPts splits chain-bridged blobs that minPts=2 merges; noise drops") {
+    import spark.implicits._
+    // two 5-point dense blobs ~600 km apart, one bridge point midway
+    // (≤300 km to each blob's nearest), one far-away noise singleton;
+    // all on the equator so 1° lon ≈ 111 km
+    def blob(base: Long, lon0: Double) =
+      (0 until 5).map(i => (base + i, 0.0, lon0 + i * 0.2))
+    // bridge at 3.45: 2.65° (294 km) to each blob's NEAREST point only —
+    // its next-nearest sits 2.85° (316 km) away, so the bridge has
+    // exactly 2 neighbors and can never be core at minPts=4
+    val pts = (blob(10L, 0.0) ++ blob(20L, 6.1) ++
+      Seq((1L, 0.0, 3.45), (99L, 40.0, 120.0)))
+      .toDF("pid", "lat", "lon")
+    // connectivity-only (minPts=2): the bridge fuses everything
+    val fused = SpatialJoin.epsilonClusters(pts, epsKm = 300.0, cellDeg = 9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!fused.contains(99L))
+    assert(fused.values.toSet.size == 1, s"expected one fused cluster: $fused")
+    // true DBSCAN (minPts=4): blob members are core, the bridge is not
+    // — two clusters, bridge attaches as border to the min label
+    val db = SpatialJoin.dbscan(pts, epsKm = 300.0, minPts = 4, cellDeg = 9)
+      .collect().map(r => (r.getAs[Long]("pid"),
+        (r.getAs[Long]("cluster_id"), r.getAs[String]("role")))).toMap
+    assert(!db.contains(99L), "noise must emit nothing")
+    val clusters = db.collect { case (p, (c, "core")) => (p, c) }
+    assert(clusters.toMap.values.toSet.size == 2,
+      s"bridge must not fuse dense blobs under minPts=4: $db")
+    assert((10L until 15L).forall(p => db(p)._2 == "core") &&
+      (20L until 25L).forall(p => db(p)._2 == "core"))
+    val (bc, brole) = db(1L)
+    assert(brole == "border" && bc == 10L,
+      s"bridge must attach as border to the MIN cluster label, got ($bc, $brole)")
+  }
+
   test("funnelStages: ordered progression only; pre-stage events don't count") {
     import spark.implicits._
     def ev(id: Long, u: Long, sec: Int, t: String) =
