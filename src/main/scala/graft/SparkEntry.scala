@@ -549,6 +549,8 @@ object SparkEntry {
       FuzzyJoin.fuzzyPairs(Tables.customer(s, d), "c_custkey", "c_name")),
     "dd_drop_exact" -> ((s, d) =>
       Dedup.dropExactDuplicates(Tables.documents(s, d)).select("keep_id", "n_chars")),
+    "dd_cdc_chunks" -> ((s, d) =>
+      Dedup.sharedChunks(Tables.documents(s, d))),
     "dd_dupspans" -> ((s, d) =>
       Dedup.duplicatedSpans(Tables.documents(s, d), k = 8)),
     "dd_ngram_jaccard" -> ((s, d) =>

@@ -178,6 +178,67 @@ object Dedup {
         (col("span_end") - col("span_start") + 1).as("n_tokens"))
   }
 
+  /** CONTENT-DEFINED CHUNKING (the LBFS/restic/rsync boundary trick
+    * brought to text dedup): a token position opens a new chunk when its
+    * k-gram hash ≡ 0 (mod `mask`), so boundaries are a function of
+    * CONTENT, not offset — prepending a paragraph shifts every byte
+    * offset but re-synchronizes at the first surviving boundary, and
+    * all later chunk hashes are UNCHANGED (the shift-resistance
+    * fixed-size chunking fundamentally lacks; spec-planted). Average
+    * chunk length ≈ `mask` tokens. One row per chunk: (doc_id,
+    * start_tok, n_tokens, chunk_hash).
+    *
+    * Entirely ROW-LOCAL column work: the codegen'd positional k-gram
+    * hashes feed a transform/filter boundary scan and an order-
+    * sensitive fold per chunk (acc·31+h over the slice) — grams and
+    * chunks never exist as strings, nothing shuffles until the caller
+    * aggregates chunk hashes. */
+  def cdcChunks(documents: DataFrame, k: Int = 4, mask: Int = 16): DataFrame = {
+    import graft.plans.PositionalShingleHashes
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val hashes = ColumnBridge.column(
+      PositionalShingleHashes(ColumnBridge.expression(col("text")), k))
+    documents.select(col("doc_id"), hashes.as("hs"))
+      .withColumn("bnds", concat(
+        array(lit(0)),
+        filter(transform(col("hs"),
+          (h, i) => when(pmod(h, lit(mask.toLong)) === 0, i + 1)
+            .otherwise(lit(-1))), x => x > 0),
+        array(size(col("hs")))))
+      .withColumn("span", explode(filter(
+        transform(sequence(lit(1), size(col("bnds")) - 1),
+          j => struct(element_at(col("bnds"), j).as("s"),
+            element_at(col("bnds"), j + 1).as("e"))),
+        sp => sp("e") > sp("s"))))
+      .select(col("doc_id"),
+        col("span.s").as("start_tok"),
+        (col("span.e") - col("span.s")).as("n_tokens"),
+        // order-sensitive rotl(1)⊕h fold — overflow-free under ANSI mode
+        aggregate(
+          slice(col("hs"), col("span.s") + 1, col("span.e") - col("span.s")),
+          lit(1125899906842597L),
+          (acc, h) => shiftleft(acc, 1)
+            .bitwiseOR(shiftrightunsigned(acc, 63)).bitwiseXOR(h))
+          .as("chunk_hash"))
+  }
+
+  /** Cross-document shared-chunk report over [[cdcChunks]] — which
+    * verbatim passages the corpus repeats and how widely (the storage-
+    * dedup view of duplication, complementing span subtraction):
+    * chunk-hash rollup (8-byte keys, map-side combined), shared = seen
+    * in ≥ 2 distinct docs, top-N widest-shared. */
+  def sharedChunks(documents: DataFrame, k: Int = 4, mask: Int = 16,
+                   topN: Int = 30): DataFrame =
+    cdcChunks(Scale.fanOut(documents.select("doc_id", "text"),
+        Seq("doc_id")), k, mask)
+      .groupBy("chunk_hash")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        max("n_tokens").as("n_tokens"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(desc("n_docs"), desc("n_occurrences"), asc("chunk_hash"))
+      .limit(topN)
+
   /** Connected components over a near-dup pair list (d1 < d2): cluster
     * id = smallest doc_id reachable. Iterative min-label propagation —
     * the Spark-native CC (each round: join labels to edges, take the

@@ -55,6 +55,35 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("cdcChunks: boundaries re-sync after a prepend; chunks tile the gram stream") {
+    import spark.implicits._
+    val body = (0 until 200).map(i => s"w${i * 7 % 97}x$i").mkString(" ")
+    val shifted = "alpha beta gamma delta " + body
+    val docs = Seq((1L, body), (2L, shifted)).toDF("doc_id", "text")
+    val chunks = Dedup.cdcChunks(docs).collect()
+    val byDoc = chunks.groupBy(_.getAs[Long]("doc_id"))
+    // chunks tile the positional-gram stream exactly: Σ n_tokens = T−k+1
+    assert(byDoc(1L).map(_.getAs[Int]("n_tokens").toLong).sum == 200 - 4 + 1)
+    assert(byDoc(2L).map(_.getAs[Int]("n_tokens").toLong).sum == 204 - 4 + 1)
+    // SHIFT RESISTANCE: the 4-token prepend changes every offset, but
+    // every chunk of doc1 from its first boundary on re-appears in doc2
+    // verbatim — fixed-size chunking would lose all of them
+    def ordered(id: Long) = byDoc(id).sortBy(_.getAs[Int]("start_tok"))
+      .map(_.getAs[Long]("chunk_hash")).toSeq
+    val tail1 = ordered(1L).drop(1)
+    assert(tail1.nonEmpty, "test corpus must produce several chunks")
+    assert(tail1.forall(ordered(2L).toSet.contains),
+      "post-boundary chunks must survive the prepend unchanged")
+    // the shared-chunk report surfaces exactly that overlap
+    val shared = Dedup.sharedChunks(docs).collect()
+    assert(shared.nonEmpty && shared.forall(_.getAs[Long]("n_docs") == 2L))
+    assert(shared.map(_.getAs[Long]("chunk_hash")).toSet
+      .subsetOf(ordered(1L).toSet.intersect(ordered(2L).toSet)))
+    // sub-k-token docs produce no grams and no chunks, never crash
+    assert(Dedup.cdcChunks(Seq((9L, "a b")).toDF("doc_id", "text"))
+      .count() == 0)
+  }
+
   test("rollingHash is deterministic and content-sensitive") {
     val fp = TextAnalysis.rollingFingerprints(Tables.documents(spark, sf))
     val a = fp.orderBy("doc_id").collect()
