@@ -463,6 +463,8 @@ object SparkEntry {
       Quality.dpNoisyCounts(Tables.events(s, d), "event_type")),
     "st_moments_merge" -> ((s, d) =>
       Stats.mergeableMoments(Tables.events(s, d))),
+    "st_wilcoxon" -> ((s, d) =>
+      Stats.wilcoxonSignedRank(Tables.events(s, d))),
     "st_quantile_merge" -> ((s, d) =>
       Stats.mergeQuantilePartials(
         Stats.quantilePartials(Tables.events(s, d), "value", 0.0, 500.0, 50),
@@ -2421,6 +2423,37 @@ object SparkEntry {
              - CAST(sum(s1) AS DOUBLE) * CAST(sum(s1) AS DOUBLE) / sum(n))
              / (sum(n) - 1)), 6) AS std
          FROM p GROUP BY 1""",
+    "st_wilcoxon" ->
+      """WITH pr AS (SELECT user_id,
+             avg(CASE WHEN event_type = 'click' THEN value END) AS ma,
+             avg(CASE WHEN event_type = 'view' THEN value END) AS mb
+           FROM events WHERE event_type IN ('click', 'view')
+           GROUP BY 1),
+         dd AS (SELECT round(ma - mb, 6) AS d FROM pr
+           WHERE ma IS NOT NULL AND mb IS NOT NULL
+             AND round(ma - mb, 6) <> 0),
+         pts AS (SELECT abs(d) AS v,
+             CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+           FROM dd GROUP BY 1),
+         c AS (SELECT ca, cb, ca + cb AS t,
+             CAST(coalesce(sum(ca + cb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS below
+           FROM pts),
+         s AS (SELECT
+             CAST(sum(ca * (2*below + t + 1)) AS BIGINT) AS r1x2,
+             CAST(sum(t*t*t - t) AS BIGINT) AS ties,
+             CAST((SELECT sum(ca) FROM pts) AS BIGINT) AS na,
+             CAST((SELECT sum(cb) FROM pts) AS BIGINT) AS nb
+           FROM c)
+         SELECT r1x2 / 2.0 AS w_plus,
+           round((r1x2 / 2.0
+               - (na + nb) * (na + nb + 1.0) / 4.0) /
+             sqrt((na + nb) * (na + nb + 1.0) * (2.0*(na + nb) + 1) / 24.0
+               - ties / 48.0), 4) AS z,
+           na AS n_pos, nb AS n_neg
+         FROM s""",
     "st_quantile_merge" ->
       """WITH p AS (SELECT CAST(ts AS DATE) AS day,
              CAST(least(49, greatest(0,

@@ -370,6 +370,41 @@ object Stats {
       col("na").as("n_pos"), col("nb").as("n_neg"))
   }
 
+  /** Wilcoxon SIGNED-RANK test — the PAIRED twin of [[mannWhitneyU]]
+    * ("did the same units shift between conditions", here: does a
+    * user's mean click value differ from their own mean view value).
+    * Per-unit difference d = mean_a − mean_b (ROUNDED to 6dp before the
+    * zero-drop so both engines discard identical pairs), |d| midranked
+    * with tie correction, W⁺ = rank sum of the positive side, normal
+    * approximation z = (W⁺ − n(n+1)/4)/√(n(n+1)(2n+1)/24 − Σ(t³−t)/48).
+    *
+    * Reuses [[rankSumAgg]]'s striped exact-integer rank machinery
+    * verbatim by treating sign(d) as the two classes over value |d| —
+    * W⁺ IS that core's R₁, so ranks never touch a global sort and the
+    * only doubles appear in the final z division. The per-unit rollup
+    * is one partial-agg pass over the event frame. */
+  def wilcoxonSignedRank(events: DataFrame, unitCol: String = "user_id",
+                         typeCol: String = "event_type", c: String = "value",
+                         ta: String = "click", tb: String = "view",
+                         stripes: Int = 256): DataFrame = {
+    val d = events.filter(col(typeCol).isin(ta, tb))
+      .groupBy(unitCol)
+      .agg(avg(when(col(typeCol) === ta, col(c))).as("__ma"),
+        avg(when(col(typeCol) === tb, col(c))).as("__mb"))
+      .filter(col("__ma").isNotNull && col("__mb").isNotNull)
+      .select(round(col("__ma") - col("__mb"), 6).as("d"))
+      .filter(col("d") =!= 0.0)
+      .select(abs(col("d")).as("v"),
+        when(col("d") > 0, "pos").otherwise("neg").as("sgn"))
+    val s = rankSumAgg(d, "sgn", "v", "pos", "neg", stripes)
+    val n = (col("na") + col("nb")).cast("double")
+    val wPlus = col("r1x2") / 2.0
+    val varW = n * (n + 1) * (n * 2 + 1) / 24.0 - col("ties") / 48.0
+    s.select(wPlus.as("w_plus"),
+      round((wPlus - n * (n + 1) / 4.0) / sqrt(varW), 4).as("z"),
+      col("na").as("n_pos"), col("nb").as("n_neg"))
+  }
+
   /** Shared striped rank-sum core of [[mannWhitneyU]] and [[auc]]:
     * 1-row frame (r1x2 = 2·R1, ties = Σt³−t, na, nb), all exact
     * integers. */

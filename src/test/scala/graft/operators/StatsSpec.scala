@@ -454,6 +454,37 @@ class StatsSpec extends SparkSpec {
       .collect().map(key).toSet == viaDays)
   }
 
+  test("wilcoxonSignedRank: hand-computed W+ and z, with and without ties") {
+    import spark.implicits._
+    def ev(user: Long, t: String, v: Double) = (user, t, v)
+    // per-user d = click − view: d = [1, −2, 3, −4, 5]
+    // |d| ranks 1..5 → W⁺ = 1+3+5 = 9; E = 7.5; Var = 5·6·11/24 = 13.75
+    val rows = Seq(
+      ev(1, "click", 11), ev(1, "view", 10),
+      ev(2, "click", 8), ev(2, "view", 10),
+      ev(3, "click", 13), ev(3, "view", 10),
+      ev(4, "click", 6), ev(4, "view", 10),
+      ev(5, "click", 15), ev(5, "view", 10),
+      ev(6, "view", 99), // unpaired: dropped
+      ev(7, "click", 4), ev(7, "view", 4) // zero d: dropped
+    ).toDF("user_id", "event_type", "value")
+    val r = Stats.wilcoxonSignedRank(rows).collect().head
+    assert(r.getAs[Double]("w_plus") == 9.0)
+    assert(r.getAs[Long]("n_pos") == 3 && r.getAs[Long]("n_neg") == 2)
+    assert(math.abs(r.getAs[Double]("z") - (9.0 - 7.5) / math.sqrt(13.75))
+      < 5e-5)
+    // ties: d = [1, −1, 2] → |d| midranks (1.5, 1.5, 3), W⁺ = 4.5,
+    // Var = 3·4·7/24 − (2³−2)/48 = 3.375
+    val tied = Seq(
+      ev(1, "click", 11), ev(1, "view", 10),
+      ev(2, "click", 9), ev(2, "view", 10),
+      ev(3, "click", 12), ev(3, "view", 10)
+    ).toDF("user_id", "event_type", "value")
+    val t = Stats.wilcoxonSignedRank(tied).collect().head
+    assert(t.getAs[Double]("w_plus") == 4.5)
+    assert(math.abs(t.getAs[Double]("z") - 1.5 / math.sqrt(3.375)) < 5e-5)
+  }
+
   test("quantile partials: partition-invariant merge; estimates within one bin of exact") {
     val events = graft.Tables.events(spark, sf)
     val qs = Seq(0.25, 0.5, 0.75, 0.9)
