@@ -348,6 +348,8 @@ object SparkEntry {
       Stats.gini(Tables.orders(s, d), "o_orderpriority", "o_totalprice")),
     // ---- E. lambda pipeline (batch twins) ----
     "lam_alert_classify" -> ((s, d) => Lambda.alertClassify(Tables.events(s, d))),
+    "lam_reconcile" -> ((s, d) =>
+      Lambda.reconciledProfile(Tables.events(s, d))),
     "lam_daily_profile" -> ((s, d) => Lambda.dailyProfile(Tables.events(s, d))),
     "lam_records" -> ((s, d) => Lambda.records(Tables.events(s, d))),
     "lam_anomaly_join" -> ((s, d) => Lambda.anomalies(Tables.events(s, d))),
@@ -2032,6 +2034,22 @@ object SparkEntry {
                 WHEN value < 300 THEN 'level_1' ELSE 'level_2' END AS alert_level,
            count(*) AS n, round(avg(value),4) AS avg_value
          FROM events GROUP BY 1, 2""",
+    "lam_reconcile" ->
+      """WITH k AS (SELECT CAST(day(ts) AS INTEGER) AS day, event_type,
+             event_id, value FROM events),
+         b AS (SELECT day, event_type, CAST(count(*) AS BIGINT) AS n,
+             round(avg(value), 6) AS m
+           FROM k WHERE day <= 20 GROUP BY 1, 2),
+         sp AS (SELECT day, event_type, CAST(count(*) AS BIGINT) AS n,
+             round(avg(value), 6) AS m
+           FROM k WHERE day >= 20 AND event_id % 2 = 0 GROUP BY 1, 2)
+         SELECT coalesce(b.day, sp.day) AS day,
+           coalesce(b.event_type, sp.event_type) AS event_type,
+           coalesce(b.n, sp.n) AS n,
+           coalesce(b.m, sp.m) AS value_mean,
+           CASE WHEN b.n IS NOT NULL THEN 'batch' ELSE 'speed' END AS layer
+         FROM b FULL OUTER JOIN sp
+           ON b.day = sp.day AND b.event_type = sp.event_type""",
     "lam_daily_profile" ->
       """SELECT CAST(day(ts) AS INTEGER) AS day, event_type,
            round(avg(value),6) AS value_mean,

@@ -71,6 +71,45 @@ object Lambda {
         round(max(abs(col("value") - col("value_mean"))), 4).as("max_deviation"))
   }
 
+  /** SERVING-LAYER RECONCILIATION — the query that makes a lambda
+    * architecture one system instead of two: the nightly BATCH view
+    * (authoritative full recompute up to `cutoffDay`) and the SPEED
+    * view (incremental, possibly-partial counts from the cutoff day on)
+    * merge on (day, type) with batch ALWAYS winning the overlap — the
+    * cutoff day exists in both, and serving must hand out the recomputed
+    * number, not the approximate one. Full-outer on the profile keys
+    * (both sides are day×type-sized rollups, AQE broadcasts them — the
+    * fact table never joins), `layer` column audits provenance.
+    *
+    * `speed` may be any same-schema frame; the contract query feeds it a
+    * deliberately incomplete slice to PROVE preference matters. */
+  def reconcile(batch: DataFrame, speed: DataFrame): DataFrame = {
+    val b = batch.select(col("day"), col("event_type"),
+      col("n").as("__bn"), col("value_mean").as("__bm"))
+    val sp = speed.select(col("day"), col("event_type"),
+      col("n").as("__sn"), col("value_mean").as("__sm"))
+    b.join(sp, Seq("day", "event_type"), "full_outer")
+      .select(col("day"), col("event_type"),
+        coalesce(col("__bn"), col("__sn")).as("n"),
+        coalesce(col("__bm"), col("__sm")).as("value_mean"),
+        when(col("__bn").isNotNull, "batch").otherwise("speed").as("layer"))
+  }
+
+  /** The two views the contract reconciles: batch = full profile of
+    * days ≤ cutoff; speed = days ≥ cutoff over an INCOMPLETE slice
+    * (even event_ids — simulating partial arrival), so the overlap day
+    * disagrees and the merge must prefer batch. */
+  def reconciledProfile(events: DataFrame, cutoffDay: Int = 20): DataFrame = {
+    val keyed = events.withColumn("day", dayofmonth(col("ts")))
+    def profile(df: DataFrame): DataFrame =
+      df.groupBy("day", "event_type")
+        .agg(count(lit(1)).as("n"), round(avg("value"), 6).as("value_mean"))
+    reconcile(
+      profile(keyed.filter(col("day") <= cutoffDay)),
+      profile(keyed.filter(col("day") >= cutoffDay &&
+        col("event_id") % 2 === 0)))
+  }
+
   /** Sliding event-time window aggregation (width 6h, slide 3h): the
     * reference's 5min/1min windowed aggregates with conditional alert
     * counts. Batch twin of the Structured Streaming version — emits

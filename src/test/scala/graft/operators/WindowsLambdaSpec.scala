@@ -358,6 +358,31 @@ class WindowsLambdaSpec extends SparkSpec {
     }
   }
 
+  test("lambda reconcile: batch wins the overlap day, speed serves the tail") {
+    val events = Tables.events(spark, sf)
+    val out = Lambda.reconciledProfile(events, cutoffDay = 20).collect()
+    val byDay = out.groupBy(_.getAs[Int]("day"))
+    // provenance split at the cutoff: ≤20 batch (incl. the overlap day),
+    // >20 speed — serving must never hand out the partial number where
+    // the recompute exists
+    byDay.foreach { case (day, rows) =>
+      val layers = rows.map(_.getAs[String]("layer")).toSet
+      assert(layers == Set(if (day <= 20) "batch" else "speed"),
+        s"day $day served from $layers")
+    }
+    // the overlap day's batch numbers are the FULL recompute: equal to
+    // counting the raw frame, not the even-event_id slice
+    val full20 = events.filter(dayofmonth(col("ts")) === 20)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byDay(20).foreach { r =>
+      assert(r.getAs[Long]("n") == full20(r.getAs[String]("event_type")))
+    }
+    // speed days really are partial (the even-id slice is a strict subset)
+    val full25 = events.filter(dayofmonth(col("ts")) === 25).count()
+    assert(byDay(25).map(_.getAs[Long]("n")).sum < full25)
+  }
+
   test("dbscan: minPts splits chain-bridged blobs that minPts=2 merges; noise drops") {
     import spark.implicits._
     // two 5-point dense blobs ~600 km apart, one bridge point midway
