@@ -286,6 +286,8 @@ object SparkEntry {
     "q13_crossjoin_agg" -> ((s, d) =>
       Relational.regionNationCombos(Tables.region(s, d), Tables.nation(s, d))),
     "q14_pivot" -> ((s, d) => Relational.pivotEventCounts(Tables.events(s, d))),
+    "q_unpivot" -> ((s, d) =>
+      Relational.unpivotEventCounts(Tables.events(s, d))),
     "q15_null_handling" -> ((s, d) => Relational.nullHandling(Tables.events(s, d))),
     "q16_outer_join" -> ((s, d) =>
       Relational.customerOrderFullOuter(Tables.orders(s, d), Tables.customer(s, d))),
@@ -588,6 +590,8 @@ object SparkEntry {
       TextAnalysis.bigramCrossEntropy(Tables.documents(s, d))),
     "tx_perplexity" -> ((s, d) =>
       TextAnalysis.perplexityBands(Tables.documents(s, d))),
+    "tx_next_token" -> ((s, d) =>
+      TextAnalysis.nextTokenTable(Tables.documents(s, d))),
     "tx_pii" -> ((s, d) => TextAnalysis.piiScan(Tables.documents(s, d))),
     "tx_contamination" -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -1357,6 +1361,12 @@ object SparkEntry {
            count(CASE WHEN event_type='signup' THEN 1 END) AS signup,
            count(CASE WHEN event_type='view' THEN 1 END) AS view
          FROM events GROUP BY 1""",
+    "q_unpivot" ->
+      """SELECT CAST(day(ts) AS INTEGER) AS day, event_type,
+           count(*) AS n
+         FROM events
+         WHERE event_type IN ('click','error','purchase','signup','view')
+         GROUP BY 1, 2""",
     "q15_null_handling" ->
       """SELECT * FROM
          (SELECT count(*) AS n_filled_rows,
@@ -2765,6 +2775,20 @@ object SparkEntry {
          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
            round(sum(tf * nlp) / sum(tf), 6) AS ce
          FROM j GROUP BY doc_id""",
+    "tx_next_token" ->
+      """WITH bg AS (SELECT w1, w2, count(*) AS n FROM (
+             SELECT unnest(t[1:len(t)-1]) AS w1,
+               unnest(t[2:len(t)]) AS w2
+             FROM (SELECT string_split(text, ' ') AS t FROM documents)
+             WHERE len(t) >= 2)
+           GROUP BY 1, 2),
+         c AS (SELECT w1, w2, CAST(n AS BIGINT) AS n,
+             CAST(sum(n) OVER (PARTITION BY w1) AS BIGINT) AS ctx_n,
+             CAST(row_number() OVER (PARTITION BY w1
+               ORDER BY n DESC, w2) AS INTEGER) AS rank
+           FROM bg)
+         SELECT w1, rank, w2, n, round(n / CAST(ctx_n AS DOUBLE), 6) AS p
+         FROM c WHERE ctx_n >= 20 AND rank <= 3""",
     "tx_perplexity" ->
       """WITH bg AS (SELECT doc_id, w1, w2, count(*) AS tf FROM (
              SELECT doc_id, unnest(t[1:len(t)-1]) AS w1,

@@ -199,6 +199,20 @@ object Relational {
       .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
       .agg(count(lit(1)))
 
+  /** UNPIVOT — the inverse of [[pivotEventCounts]] (wide day×type count
+    * matrix back to the long (day, event_type, n) form; the melt step
+    * every BI export / normalization pass needs). Spark's native
+    * `unpivot` plans as a row-local Expand — one output row per cell,
+    * NO shuffle beyond the pivot's own aggregation, and round-trips the
+    * pivot exactly (spec + oracle). Pivot's absent cells surface as
+    * null counts and are dropped to mirror the long form. */
+  def unpivotEventCounts(events: DataFrame): DataFrame =
+    pivotEventCounts(events)
+      .unpivot(Array(col("day")),
+        Seq("click", "error", "purchase", "signup", "view").map(col).toArray,
+        "event_type", "n")
+      .filter(col("n").isNotNull)
+
   /** Null handling (reference: work/analysis_sectors_by_location.ipynb
     * dropna after merge): inject deterministic nulls, then compare
     * na.fill vs na.drop aggregates in one result. */

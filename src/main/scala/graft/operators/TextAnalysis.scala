@@ -530,6 +530,36 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Top-k NEXT-TOKEN table — the exported n-gram LM artifact (the
+    * lookup structure an autocomplete / draft-model / perplexity
+    * service actually serves): for every context word with ≥ `minCount`
+    * continuations, its k most frequent successors with conditional
+    * probability P(w2|w1) = n/ctx_n. One bigram explode pass → (w1, w2,
+    * n) rollup; the per-context rank filter plans as a map-side
+    * WindowGroupLimit (each task keeps ≤ k rows per context before the
+    * exchange), ties broken on w2 so the artifact is deterministic. */
+  def nextTokenTable(documents: DataFrame, k: Int = 3,
+                     minCount: Long = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fanned = Scale.fanOut(documents.select("text"))
+    val t = tokens(col("text"))
+    val c2 = fanned
+      .select(explode(when(size(t) < 2,
+          array().cast("array<struct<w1:string,w2:string>>"))
+        .otherwise(transform(sequence(lit(0), size(t) - 2),
+          i => struct(element_at(t, i + 1).as("w1"),
+            element_at(t, i + 2).as("w2"))))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("w1").orderBy(col("n").desc, col("w2"))
+    c2.withColumn("ctx_n", sum("n").over(Window.partitionBy("w1")))
+      .filter(col("ctx_n") >= minCount)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("w1"), col("rank"), col("w2"), col("n"),
+        round(col("n") / col("ctx_n"), 6).as("p"))
+  }
+
   /** Lateral positional explode — each sampled doc's tokens with their
     * 0-based position (the LATERAL VIEW POSEXPLODE surface). Pure
     * per-row fan-out: no shuffle, position computed inside the generate,

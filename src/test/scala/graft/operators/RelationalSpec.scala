@@ -106,4 +106,31 @@ class RelationalSpec extends SparkSpec {
     assert(rows(1).getAs[Double]("revenue") == 150.0 &&
       rows(1).getAs[Double]("mom_growth") == 0.5)
   }
+
+  test("unpivot round-trips the pivot back to the long rollup exactly") {
+    val events = graft.Tables.events(spark, sf)
+    val melted = Relational.unpivotEventCounts(events).collect()
+      .map(r => (r.getAs[Int]("day"), r.getAs[String]("event_type")) ->
+        r.getAs[Long]("n")).toMap
+    val long = events
+      .withColumn("day", dayofmonth(col("ts")))
+      .groupBy("day", "event_type").count().collect()
+      .map(r => (r.getAs[Int]("day"), r.getAs[String]("event_type")) ->
+        r.getAs[Long]("count")).toMap
+    assert(melted == long, "melt(pivot(x)) must equal the long-form rollup")
+  }
+
+  test("nextTokenTable: hand-computed successors, rank order, probability mass") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b a c"), (2L, "b a")).toDF("doc_id", "text")
+    // contexts: a→{b:2, c:1}, b→{a:3}
+    val out = TextAnalysis.nextTokenTable(docs, k = 2, minCount = 1)
+      .collect().map(r => (r.getAs[String]("w1"), r.getAs[Int]("rank")) ->
+        (r.getAs[String]("w2"), r.getAs[Long]("n"), r.getAs[Double]("p")))
+      .toMap
+    assert(out(("a", 1)) == ("b", 2L, 0.666667))
+    assert(out(("a", 2)) == ("c", 1L, 0.333333))
+    assert(out(("b", 1)) == ("a", 3L, 1.0))
+    assert(out.size == 3)
+  }
 }
