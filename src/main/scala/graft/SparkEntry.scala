@@ -469,6 +469,13 @@ object SparkEntry {
       Stats.mergeableMoments(Tables.events(s, d))),
     "st_wilcoxon" -> ((s, d) =>
       Stats.wilcoxonSignedRank(Tables.events(s, d))),
+    "st_mcnemar" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, dayofmonth}
+      // before/after design: purchased in week 1 vs purchased in week 4
+      Stats.mcnemar(Tables.events(s, d),
+        col("event_type") === "purchase" && dayofmonth(col("ts")) <= 7,
+        col("event_type") === "purchase" && dayofmonth(col("ts")) >= 22)
+    }),
     "st_quantile_merge" -> ((s, d) =>
       Stats.mergeQuantilePartials(
         Stats.quantilePartials(Tables.events(s, d), "value", 0.0, 500.0, 50),
@@ -2451,6 +2458,28 @@ object SparkEntry {
              - CAST(sum(s1) AS DOUBLE) * CAST(sum(s1) AS DOUBLE) / sum(n))
              / (sum(n) - 1)), 6) AS std
          FROM p GROUP BY 1""",
+    "st_mcnemar" ->
+      """WITH f AS (SELECT user_id,
+             max(CASE WHEN event_type = 'purchase' AND day(ts) <= 7
+               THEN 1 ELSE 0 END) AS fa,
+             max(CASE WHEN event_type = 'purchase' AND day(ts) >= 22
+               THEN 1 ELSE 0 END) AS fb
+           FROM events GROUP BY 1
+           HAVING max(CASE WHEN event_type = 'purchase' AND day(ts) <= 7
+               THEN 1 ELSE 0 END) = 1
+             OR max(CASE WHEN event_type = 'purchase' AND day(ts) >= 22
+               THEN 1 ELSE 0 END) = 1),
+         s AS (SELECT
+             CAST(sum(CASE WHEN fa = 1 AND fb = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS b,
+             CAST(sum(CASE WHEN fa = 0 AND fb = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS c,
+             CAST(count(*) AS BIGINT) AS n_units
+           FROM f)
+         SELECT n_units, b, c,
+           round(pow(b - c, 2) / (b + c), 4) AS chi2,
+           round(pow(abs(b - c) - 1, 2) / (b + c), 4) AS chi2_cc
+         FROM s""",
     "st_wilcoxon" ->
       """WITH pr AS (SELECT user_id,
              avg(CASE WHEN event_type = 'click' THEN value END) AS ma,

@@ -370,6 +370,37 @@ object Stats {
       col("na").as("n_pos"), col("nb").as("n_neg"))
   }
 
+  /** McNemar's test — the PAIRED BINARY companion of
+    * [[wilcoxonSignedRank]] (the before/after test on the same units:
+    * "did the users who converted early still convert late?"). Per unit
+    * two booleans from arbitrary condition Columns; only the DISCORDANT
+    * cells matter — b = A∧¬B, c = ¬A∧B — and χ² = (b−c)²/(b+c) with
+    * the continuity-corrected (|b−c|−1)²/(b+c) alongside (NULL when no
+    * discordance exists — the statistic is undefined, not zero). Two
+    * narrow rollups (unit flags, then the 1-row contingency sum); no
+    * ranks, no sort, exact integers until the final division. */
+  def mcnemar(events: DataFrame, condA: Column, condB: Column,
+              unitCol: String = "user_id"): DataFrame = {
+    val flags = events
+      .groupBy(unitCol)
+      .agg(max(when(condA, 1L).otherwise(0L)).as("fa"),
+        max(when(condB, 1L).otherwise(0L)).as("fb"))
+      .filter(col("fa") === 1 || col("fb") === 1)
+    flags.agg(
+        sum(when(col("fa") === 1 && col("fb") === 0, 1L).otherwise(0L))
+          .as("b"),
+        sum(when(col("fa") === 0 && col("fb") === 1, 1L).otherwise(0L))
+          .as("c"),
+        count(lit(1)).as("n_units"))
+      .select(col("n_units"), col("b"), col("c"),
+        when(col("b") + col("c") === 0, lit(null).cast("double"))
+          .otherwise(round(pow(col("b") - col("c"), 2) /
+            (col("b") + col("c")), 4)).as("chi2"),
+        when(col("b") + col("c") === 0, lit(null).cast("double"))
+          .otherwise(round(pow(abs(col("b") - col("c")) - 1, 2) /
+            (col("b") + col("c")), 4)).as("chi2_cc"))
+  }
+
   /** Wilcoxon SIGNED-RANK test — the PAIRED twin of [[mannWhitneyU]]
     * ("did the same units shift between conditions", here: does a
     * user's mean click value differ from their own mean view value).

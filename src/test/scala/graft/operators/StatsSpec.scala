@@ -454,6 +454,36 @@ class StatsSpec extends SparkSpec {
       .collect().map(key).toSet == viaDays)
   }
 
+  test("mcnemar: only discordant pairs drive chi2, hand-computed") {
+    import spark.implicits._
+    // users: 3× click-only (b), 1× purchase-only (c), 2× both, 1× …
+    // wait: both-flags users are concordant and must NOT move chi2
+    val rows = Seq(
+      (1L, "click"), (2L, "click"), (3L, "click"),          // b = 3
+      (4L, "purchase"),                                     // c = 1
+      (5L, "click"), (5L, "purchase"),                      // concordant
+      (6L, "click"), (6L, "purchase")                       // concordant
+    ).toDF("user_id", "event_type")
+    val a = col("event_type") === "click"
+    val b = col("event_type") === "purchase"
+    val r = Stats.mcnemar(rows, a, b).collect().head
+    assert(r.getAs[Long]("n_units") == 6)
+    assert(r.getAs[Long]("b") == 3 && r.getAs[Long]("c") == 1)
+    assert(r.getAs[Double]("chi2") == 1.0)     // (3−1)²/4
+    assert(r.getAs[Double]("chi2_cc") == 0.25) // (|3−1|−1)²/4
+    // adding concordant users must not change the statistic
+    val more = rows.unionByName(
+      Seq((7L, "click"), (7L, "purchase")).toDF("user_id", "event_type"))
+    val r2 = Stats.mcnemar(more, a, b).collect().head
+    assert(r2.getAs[Double]("chi2") == 1.0 &&
+      r2.getAs[Long]("n_units") == 7)
+    // all-concordant input: statistic undefined → NULL, never an error
+    val conc = Seq((1L, "click"), (1L, "purchase"))
+      .toDF("user_id", "event_type")
+    val r3 = Stats.mcnemar(conc, a, b).collect().head
+    assert(r3.isNullAt(r3.fieldIndex("chi2")))
+  }
+
   test("wilcoxonSignedRank: hand-computed W+ and z, with and without ties") {
     import spark.implicits._
     def ev(user: Long, t: String, v: Double) = (user, t, v)
