@@ -388,6 +388,10 @@ object SparkEntry {
         .groupBy("n_nationkey")
         .agg(count(lit(1)).as("n_events"), min("p_us").as("first_us"))
     }),
+    "ts_hod_dow" -> ((s, d) =>
+      Resample.hourDowProfile(Tables.events(s, d))),
+    "dd_lsh_eval" -> ((s, d) =>
+      SketchDedup.lshEval(Tables.documents(s, d), 3, 0.5)),
     "ts_resample" -> ((s, d) =>
       Resample.resampleWithGapFill(Tables.events(s, d), 3600000000L)),
     "ts_interpolate" -> ((s, d) =>
@@ -1969,6 +1973,16 @@ object SparkEntry {
          SELECT n_nationkey, count(*) AS n_events, min(p_us) AS first_us
          FROM iv JOIN ev ON p_us BETWEEN s_us AND e_us
          GROUP BY n_nationkey""",
+    "ts_hod_dow" ->
+      """WITH cells AS (SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+             CAST(hour(ts) AS INTEGER) AS hod,
+             CAST(count(*) AS BIGINT) AS n,
+             round(avg(value), 6) AS value_mean
+           FROM events GROUP BY 1, 2),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM cells)
+         SELECT dow, hod, n, value_mean,
+           round(n / CAST(nt AS DOUBLE), 6) AS share
+         FROM cells CROSS JOIN t""",
     "ts_resample" ->
       """WITH s AS (
            SELECT user_id, (epoch_us(ts) // 3600000000) * 3600000000 AS slot_us,

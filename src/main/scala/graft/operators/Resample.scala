@@ -234,6 +234,22 @@ object Resample {
           .as("residual"))
   }
 
+  /** Hour-of-day × day-of-week seasonality profile — the traffic heat
+    * map behind capacity planning and anomaly BASELINES (pairs with
+    * [[seasonalDecompose]], which models hour-of-day only: weekly
+    * pattern changes show up here first). ONE partial-agg pass to a
+    * ≤ 7×24-row frame at any corpus scale; the overall share rides a
+    * 1-row broadcast. `dow` is Spark's 1=Sunday convention (the oracle
+    * maps its 0-based builtin to match). */
+  def hourDowProfile(events: DataFrame): DataFrame = {
+    val cells = events.groupBy(
+        dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hod"))
+      .agg(count(lit(1)).as("n"), round(avg("value"), 6).as("value_mean"))
+    cells.crossJoin(broadcast(cells.agg(sum("n").as("__t"))))
+      .select(col("dow"), col("hod"), col("n"), col("value_mean"),
+        round(col("n") / col("__t"), 6).as("share"))
+  }
+
   /** Inter-arrival (gap) profiling per user — the arrival-process
     * health check (session tuning, bot detection): consecutive-event
     * gaps in integer epoch seconds (engine-stable), then count / mean /

@@ -118,6 +118,33 @@ object SketchDedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** Measured LSH dedup QUALITY report — precision/recall/F1 of the
+    * MinHash-LSH candidate pairs against the exact n-gram-Jaccard truth
+    * at the same threshold ("measure, don't guess": the number that
+    * justifies running the sketch path at 100 TB lives in the engine,
+    * not in a notebook). Truth and retrieved sets are both
+    * deterministic, so the report is stable; full-outer on the pair key
+    * classifies TP/FN/FP in one pass, 1-row output. At scale the exact
+    * side runs on a SAMPLE — precision/recall estimates need only a
+    * slice, and the report is the evidence the sample is representative
+    * of. */
+  def lshEval(documents: DataFrame, n: Int = 3,
+              threshold: Double = 0.5): DataFrame = {
+    val truth = graft.operators.Dedup
+      .ngramJaccardPairs(documents, n, threshold)
+      .select(col("d1"), col("d2"), lit(1L).as("__t"))
+    val retrieved = minhashLshPairs(documents, n, threshold = threshold)
+      .select(col("d1"), col("d2"), lit(1L).as("__r"))
+    truth.join(retrieved, Seq("d1", "d2"), "full_outer")
+      .agg(sum("__t").as("n_true"), sum("__r").as("n_retrieved"),
+        sum(col("__t") * col("__r")).as("n_tp"))
+      .select(col("n_true"), col("n_retrieved"), col("n_tp"),
+        round(col("n_tp") / col("n_retrieved"), 4).as("precision"),
+        round(col("n_tp") / col("n_true"), 4).as("recall"))
+      .withColumn("f1", round(lit(2.0) * col("precision") * col("recall") /
+        (col("precision") + col("recall")), 4))
+  }
+
   /** doc_id + 64-bit SimHash, computed in the scan (fanned out). */
   def withSimHash(documents: DataFrame, n: Int = 3): DataFrame =
     Scale.fanOut(documents.select("doc_id", "text"), Seq("doc_id"))

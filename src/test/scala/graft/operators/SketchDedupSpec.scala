@@ -105,4 +105,20 @@ class SketchDedupSpec extends SparkSpec {
       .collect().map(r => key(r) -> r.getAs[Double]("est_jaccard")).toMap
     assert(replay == est, "merged sketches are deterministic")
   }
+
+  test("lshEval report is internally consistent and clears the recall floor") {
+    val docs = graft.Tables.documents(spark, sf)
+    val r = SketchDedup.lshEval(docs, 3, 0.5).collect().head
+    val (nTrue, nRet, nTp) = (r.getAs[Long]("n_true"),
+      r.getAs[Long]("n_retrieved"), r.getAs[Long]("n_tp"))
+    assert(nTp <= math.min(nTrue, nRet))
+    assert(r.getAs[Double]("precision") == math.rint(nTp.toDouble / nRet * 1e4) / 1e4 ||
+      nRet == 0)
+    // the sketch path must find most true >=0.5-jaccard pairs — the
+    // measured number that justifies LSH at scale
+    assert(nTrue == 0 || r.getAs[Double]("recall") >= 0.6,
+      s"recall ${r.getAs[Double]("recall")} below floor (true=$nTrue tp=$nTp)")
+    // determinism: the report replays bit-identically
+    assert(SketchDedup.lshEval(docs, 3, 0.5).collect().head == r)
+  }
 }
