@@ -616,6 +616,15 @@ object SparkEntry {
       Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), 0.3)),
     "ann_bruteforce" -> ((s, d) =>
       SimilaritySearch.bruteForceTopK(Tables.embeddings(s, d), 0L, 10)),
+    "ann_mips" -> ((s, d) =>
+      SimilaritySearch.mipsTopK(Tables.embeddings(s, d), 0L, 10)),
+    "dwh_scd3" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Dwh.scd3View(Tables.events(s, d), "user_id", "event_type",
+          "ts", "event_id")
+        .select(col("user_id"), col("current_state"), col("prev_state"),
+          unix_micros(col("changed_at")).as("changed_at_us"))
+    }),
     "tx_bm25" -> ((s, d) =>
       TextAnalysis.bm25TopK(Tables.documents(s, d),
         Seq("vector", "hash", "merge"), 10)),
@@ -3065,6 +3074,26 @@ object SparkEntry {
                                         CAST(q.qe AS DOUBLE[])), 4) AS cos
          FROM embeddings b, q WHERE b.vec_id <> 0
          ORDER BY cos DESC, b.vec_id LIMIT 10""",
+    "ann_mips" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         SELECT b.vec_id,
+           round(list_inner_product(CAST(b.embedding AS DOUBLE[]),
+                                    CAST(q.qe AS DOUBLE[])), 4) AS ip
+         FROM embeddings b, q WHERE b.vec_id <> 0
+         ORDER BY ip DESC, b.vec_id LIMIT 10""",
+    "dwh_scd3" ->
+      """WITH v AS (SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS prev
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (SELECT user_id, event_type, ts, event_id FROM v
+               WHERE prev IS NULL OR event_type <> prev),
+         h AS (SELECT user_id, event_type, ts,
+             lag(event_type) OVER w AS prev_state,
+             lead(ts) OVER w AS next_from
+           FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT user_id, event_type AS current_state, prev_state,
+           epoch_us(ts) AS changed_at_us
+         FROM h WHERE next_from IS NULL""",
     "tx_bm25" ->
       """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS dl
            FROM documents),

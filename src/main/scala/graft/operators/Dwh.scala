@@ -61,6 +61,25 @@ object Dwh {
         col("valid_to").isNull.as("is_current"))
   }
 
+  /** SCD TYPE-3 view — "current + previous" attribute columns, the
+    * report-friendly sibling of full SCD2 history (BI marts keep type 3
+    * where only the last transition matters: plan migrations, owner
+    * handoffs). Derived FROM the type-2 version chain, so "previous"
+    * means the prior distinct VERSION, never the prior raw observation
+    * (consecutive same-state rows collapsed first); keys still on their
+    * first version surface prev_state = null. The lag window shares
+    * scd2Build's (key, valid_from) exchange — no extra shuffle. */
+  def scd3View(changes: DataFrame, key: String, state: String,
+               ts: String, ord: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy("valid_from")
+    scd2Build(changes, key, state, ts, ord)
+      .withColumn("__prev_state", lag(col(state), 1).over(w))
+      .filter(col("is_current"))
+      .select(col(key), col(state).as("current_state"),
+        col("__prev_state").as("prev_state"),
+        col("valid_from").as("changed_at"))
+  }
+
   /** INCREMENTAL SCD2 maintenance: merge a batch of NEW observations
     * into an existing SCD2 table without rebuilding history. Only
     * touched keys are reworked: their OPEN versions re-enter the

@@ -568,6 +568,26 @@ object SimilaritySearch {
     embeddings.select(col("vec_id") +: col("label") +: pcs.toIndexedSeq: _*)
   }
 
+  /** Exact MAX-INNER-PRODUCT top-k (MIPS — recommendation scoring,
+    * where magnitude IS signal and cosine's normalization would erase
+    * it: a popular item's long embedding should outrank an obscure
+    * near-parallel one). Same plan shape as bruteForceTopK: 1-row query
+    * broadcast, map-side native DotProduct, TakeOrdered — the corpus
+    * never shuffles. At 100 TB the standard reduction applies: append
+    * sqrt(M²−‖x‖²) as an extra dimension (M = max corpus norm) and MIPS
+    * becomes cosine ANN, so every bucketed index here (LSH/IVF/PQ)
+    * serves MIPS unchanged. */
+  def mipsTopK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val q = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_embedding"))
+    embeddings.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dot(col("embedding"), col("q_embedding")), 4).as("ip"))
+      .orderBy(desc("ip"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** Rows unit-normalized ONCE for the k-means loop: with unit rows AND
     * unit centroids, argmax-dot is argmin angular distance, and the
     * spherical objective Σ(1 − v·c) is Lloyd-monotone in both steps. */

@@ -36,6 +36,25 @@ class DwhSpec extends SparkSpec {
       k2.head.getAs[java.sql.Timestamp]("valid_to") == null)
   }
 
+  test("scd3View: previous means prior VERSION, not prior observation") {
+    // key 1: A A B A → versions A,B,A: current A, prev B (NOT the raw
+    // prior observation, which after collapse is the same thing the
+    // version chain says — the A A repeat must not surface prev = A)
+    val changes = Seq(
+      (1L, "A", ts("2024-01-01 00:00:01"), 10L),
+      (1L, "A", ts("2024-01-01 00:00:02"), 11L),
+      (1L, "B", ts("2024-01-01 00:00:03"), 12L),
+      (1L, "A", ts("2024-01-01 00:00:04"), 13L),
+      (2L, "X", ts("2024-01-01 00:00:05"), 14L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val v = Dwh.scd3View(changes, "user_id", "event_type", "ts", "event_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2))).toMap
+    assert(v(1L) == ("A", "B"))
+    assert(v(2L) == ("X", null), "first-version keys carry prev = null")
+    assert(v.size == 2, "exactly one row per key")
+  }
+
   test("scd2Build version count per key equals its state-change count") {
     val hist = Dwh.scd2Build(graft.Tables.events(spark, sf),
       "user_id", "event_type", "ts", "event_id")

@@ -43,6 +43,20 @@ class KMeansSpec extends SparkSpec {
     assert(cb == cb2 && trace == trace2)
   }
 
+  test("mipsTopK ranks by magnitude where cosine cannot") {
+    // same direction, different lengths: MIPS must put the LONG vector
+    // first even though cosine ties them; an orthogonal vector scores 0
+    val rows = Seq(
+      (0L, Seq(1.0f, 0.0f), 0),   // query
+      (1L, Seq(2.0f, 0.0f), 0),   // ip 2
+      (2L, Seq(9.0f, 0.0f), 0),   // ip 9 — must rank first
+      (3L, Seq(0.0f, 5.0f), 0))   // ip 0
+      .toDF("vec_id", "embedding", "label")
+    val out = SimilaritySearch.mipsTopK(rows, 0L, 3).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L, 1L, 3L))
+    assert(out.map(_.getDouble(1)).toSeq == Seq(9.0, 2.0, 0.0))
+  }
+
   test("kmeansClusters profile partitions the corpus; cohesion in [-1, 1]") {
     val emb = Tables.embeddings(spark, sf)
     val prof = SimilaritySearch.kmeansClusters(emb, k = 4).collect()
