@@ -1227,6 +1227,7 @@ object SparkEntry {
     "gr_triangles" -> ((s, d) => Graph.triangleStats(coSupplyEdges(s, d))),
     "gr_jaccard" -> ((s, d) => Graph.jaccardLinks(coSupplyEdges(s, d), 20)),
     "gr_kcore" -> ((s, d) => Graph.kCore(coSupplyEdges(s, d), 3)),
+    "gr_coreness" -> ((s, d) => Graph.coreness(coSupplyEdges(s, d))),
     "gr_assortativity" -> ((s, d) => Graph.assortativity(coSupplyEdges(s, d))),
     "gr_components" -> ((s, d) =>
       // repeat-business graph (≥4 shared orders) — sparse enough to

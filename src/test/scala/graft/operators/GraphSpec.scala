@@ -101,6 +101,26 @@ class GraphSpec extends SparkSpec {
     assert(rc.getAs[Long]("n_edges") == 4L && rc.isNullAt(rc.fieldIndex("assortativity")))
   }
 
+  test("coreness: path is all 1s, clique is k−1, pendant chain peels below the core") {
+    def hist(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Int]("coreness") -> r.getAs[Long]("n_nodes")).toMap
+    // path 1-2-3-4: every node coreness 1
+    val path = undirected((1L, 2L), (2L, 3L), (3L, 4L))
+    assert(hist(Graph.coreness(path)) == Map(1 -> 4L))
+    // K4 clique: all coreness 3
+    val k4 = undirected((1L, 2L), (1L, 3L), (1L, 4L),
+      (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(hist(Graph.coreness(k4)) == Map(3 -> 4L))
+    // K4 + pendant chain 4-5-6: chain nodes peel at level 2 (coreness 1)
+    val mixed = undirected((1L, 2L), (1L, 3L), (1L, 4L),
+      (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L), (5L, 6L))
+    assert(hist(Graph.coreness(mixed)) == Map(1 -> 2L, 3 -> 4L))
+    // consistency with the fixed-k membership: kCore(k) nodes are
+    // exactly those with coreness >= k
+    val k2members = Graph.kCore(mixed, 2).collect().map(_.getLong(0)).toSet
+    assert(k2members == Set(1L, 2L, 3L, 4L))
+  }
+
   test("harmonicCentrality: exact on a path graph when landmarks = all nodes") {
     // path 1-2-3-4-5: with every node a landmark, the estimate IS the
     // exact harmonic centrality; the middle node must win
