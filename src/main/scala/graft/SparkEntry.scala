@@ -735,6 +735,8 @@ object SparkEntry {
     "mm_phash" -> ((s, d) => Multimodal.phashSummary(Tables.documents(s, d))),
     "mm_audio_energy" -> ((s, d) =>
       Multimodal.audioEnergySummary(Tables.documents(s, d))),
+    "mm_scenecut" -> ((s, d) =>
+      Multimodal.sceneCutSummary(Tables.documents(s, d))),
     "mm_frames" -> ((s, d) =>
       Multimodal.frameSummary(Tables.documents(s, d))),
     "sc_salted_join" -> ((s, d) => {

@@ -219,4 +219,45 @@ object Multimodal {
     * media table (whose payloads inherit the documents' near-dups). */
   def phashSummary(documents: DataFrame, maxHamming: Int = 3): DataFrame =
     phashPairs(mediaFromDocuments(documents).toDF(), maxHamming)
+
+  /** SCENE-CUT detection over sampled video frames — the shot-boundary
+    * pass a video curation pipeline runs before captioning/sampling
+    * (one keyframe per SHOT beats fixed-stride frames): consecutive
+    * sampled frames get the same 64-bit content sketch family as
+    * [[phashPairs]] (stub stand-in for a decoded-domain pHash — the
+    * swap point is the sketch column only), and a transition whose
+    * sketch Hamming distance ≥ `cutHamming` is a cut. Per asset:
+    * transition count, cut count, mean/peak inter-frame distance.
+    *
+    * Spark shape: frames are [[sampleFrames]]' row-local slices; the
+    * sketch is the codegen'd SimHash expression; adjacency is ONE lag
+    * window keyed by asset (frames-per-asset-sized partitions);
+    * distance is `bit_count(xor)` — no pair join anywhere. */
+  def sceneCuts(media: DataFrame, frameBytes: Int = 256, nSample: Int = 8,
+                cutHamming: Int = 12): DataFrame = {
+    import graft.plans.{ShingleHashes, SimHashFromHashes}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.expressions.Window
+    val txt = regexp_replace(base64(col("frame")), "(.{4})", "$1 ")
+    val sk = ColumnBridge.column(SimHashFromHashes(
+      ShingleHashes(ColumnBridge.expression(txt), 3)))
+    val w = Window.partitionBy("media_id").orderBy("frame_idx")
+    sampleFrames(media, frameBytes, nSample)
+      .withColumn("sk", sk)
+      .withColumn("prev_sk", lag("sk", 1).over(w))
+      .filter(col("prev_sk").isNotNull)
+      .withColumn("hamming",
+        bit_count(col("sk").bitwiseXOR(col("prev_sk"))))
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_transitions"),
+        sum(when(col("hamming") >= cutHamming, 1L).otherwise(0L))
+          .as("n_cuts"),
+        round(avg("hamming"), 4).as("avg_hamming"),
+        max("hamming").as("peak_hamming"))
+  }
+
+  /** Driver-contract projection of [[sceneCuts]] over the synthesized
+    * media table's video slice. */
+  def sceneCutSummary(documents: DataFrame): DataFrame =
+    sceneCuts(mediaFromDocuments(documents).toDF())
 }

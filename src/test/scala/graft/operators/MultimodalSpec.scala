@@ -107,6 +107,29 @@ class MultimodalSpec extends SparkSpec {
       r9.getAs[Double]("peak_rms") == 100.0)
   }
 
+  test("sceneCuts: one planted shot boundary, zero intra-shot distance") {
+    import spark.implicits._
+    // video = 4 identical A-frames then 4 identical B-frames (64 B each):
+    // 7 transitions, exactly ONE with nonzero sketch distance (the cut)
+    val a = "A" * 64; val b = "qz7!kw9#mv2$xr5%" * 4
+    val payload = (a * 4 + b * 4).getBytes("UTF-8")
+    val media = Seq(Multimodal.MediaRow(1L, "video", payload,
+      payload.length, "s")).toDF()
+    val out = Multimodal.sceneCuts(media, frameBytes = 64, nSample = 8)
+      .collect().head
+    assert(out.getAs[Long]("n_transitions") == 7)
+    assert(out.getAs[Long]("n_cuts") == 1,
+      s"expected exactly the A→B boundary: $out")
+    assert(out.getAs[Int]("peak_hamming") >= 12)
+    // a static video (all frames identical) has zero cuts everywhere
+    val still = Seq(Multimodal.MediaRow(2L, "video",
+      (a * 8).getBytes("UTF-8"), a.length * 8, "s")).toDF()
+    val s0 = Multimodal.sceneCuts(still, frameBytes = 64, nSample = 8)
+      .collect().head
+    assert(s0.getAs[Long]("n_cuts") == 0 &&
+      s0.getAs[Double]("avg_hamming") == 0.0)
+  }
+
   test("skewKurt: symmetric data has ~0 skew; moments are finite per group") {
     import spark.implicits._
     val sym = (1 to 101).map(i => ("g", i.toDouble)).toDF("k", "x")
