@@ -330,6 +330,44 @@ object Resample {
       .agg(count(lit(1)).as("n_hours"), round(corr(col("va"), col("vb")), 6).as("xcorr"))
   }
 
+  /** PARTIAL autocorrelation (PACF) — the AR-order diagnostic next to
+    * [[crossCorrelation]]'s ACF (an AR(p) process cuts off after lag p
+    * in the PACF while its ACF decays — the classic Box-Jenkins
+    * order-picking plot). The ACF computes distributed exactly as
+    * ts_acf; Durbin–Levinson then runs on the DRIVER over the
+    * (maxLag+1)-double ACF vector — parameter-sized by construction,
+    * the same justified-scalar class as codebook training, never a
+    * data-sized collect. Output (lag, acf, pacf), lag 0 = 1 by
+    * convention. */
+  def pacf(events: DataFrame, eventType: String = "click",
+           maxLag: Int = 12): DataFrame = {
+    val rRows = crossCorrelation(events, eventType, eventType, maxLag)
+      .filter(col("lag") >= 0 && col("xcorr").isNotNull)
+      .orderBy("lag")
+      .select(col("lag").cast("int"), col("xcorr")).collect()
+    val lags = rRows.map(_.getInt(0))
+    val r = rRows.map(_.getDouble(1))
+    val m = r.length - 1
+    val pac = new Array[Double](m + 1)
+    pac(0) = 1.0
+    var phiPrev = Array.empty[Double] // φ_{k-1, 1..k-1}
+    for (k <- 1 to m) {
+      val num = r(k) - (1 until k).map(j => phiPrev(j - 1) * r(k - j)).sum
+      val den = 1.0 - (1 until k).map(j => phiPrev(j - 1) * r(j)).sum
+      val phikk = if (den == 0.0) 0.0 else num / den
+      val phiNew = new Array[Double](k)
+      for (j <- 1 until k)
+        phiNew(j - 1) = phiPrev(j - 1) - phikk * phiPrev(k - j - 1)
+      phiNew(k - 1) = phikk
+      pac(k) = phikk
+      phiPrev = phiNew
+    }
+    import events.sparkSession.implicits._
+    lags.indices.map(i =>
+        (lags(i), math.rint(r(i) * 1e6) / 1e6, math.rint(pac(i) * 1e6) / 1e6))
+      .toSeq.toDF("lag", "acf", "pacf")
+  }
+
   /** Rolling Pearson correlation between two event-type series over a
     * trailing `windowHours`-hour frame — "are clicks and purchases
     * still moving together TODAY?", the time-local companion to

@@ -283,4 +283,33 @@ class RangeResampleSpec extends SparkSpec {
     val z = Resample.tsAnomaly(events).collect().head.getAs[Double]("z")
     assert(z > 100.0)
   }
+
+  test("pacf: AR(1) process cuts off after lag 1; lag-0 is 1 by convention") {
+    import spark.implicits._
+    // AR(1), φ = 0.7, seeded-PRNG white noise (an additive-constant
+    // mod walk or sin phase walk would leak its own autocorrelation)
+    val n = 600
+    val rng = new java.util.Random(42L)
+    val xs = new Array[Double](n)
+    xs(0) = rng.nextGaussian()
+    for (i <- 1 until n) xs(i) = 0.7 * xs(i - 1) + rng.nextGaussian()
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val events = (0 until n).map(i => (i.toLong,
+      new java.sql.Timestamp(base + i * 3600L * 1000), 1L, "click",
+      xs(i), "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Resample.pacf(events, "click", maxLag = 6).collect()
+      .map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out(0) == ((1.0, 1.0)))
+    val (acf1, pacf1) = out(1)
+    assert(math.abs(pacf1 - 0.7) < 0.12, s"pacf(1)=$pacf1 should be ~0.7")
+    assert(math.abs(acf1 - pacf1) < 1e-9, "lag-1 PACF equals lag-1 ACF")
+    // the AR(1) signature: ACF still large at lag 2 (~φ²) while the
+    // PACF has cut off
+    assert(out(2)._1 > 0.3, s"acf(2)=${out(2)._1} should persist")
+    (2 to 6).foreach { k =>
+      assert(math.abs(out(k)._2) < 0.15,
+        s"pacf($k)=${out(k)._2} must cut off for AR(1)")
+    }
+  }
 }
