@@ -474,6 +474,13 @@ object SparkEntry {
       Stats.mergeableMoments(Tables.events(s, d))),
     "st_wilcoxon" -> ((s, d) =>
       Stats.wilcoxonSignedRank(Tables.events(s, d))),
+    "st_odds_ratio" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, dayofweek}
+      // weekend exposure vs purchase outcome, per event
+      Stats.oddsRatio(Tables.events(s, d),
+        dayofweek(col("ts")).isin(1, 7),
+        col("event_type") === "purchase")
+    }),
     "st_mcnemar" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, dayofmonth}
       // before/after design: purchased in week 1 vs purchased in week 4
@@ -2485,6 +2492,32 @@ object SparkEntry {
              - CAST(sum(s1) AS DOUBLE) * CAST(sum(s1) AS DOUBLE) / sum(n))
              / (sum(n) - 1)), 6) AS std
          FROM p GROUP BY 1""",
+    "st_odds_ratio" ->
+      """WITH cells AS (SELECT
+             CAST(sum(CASE WHEN dayofweek(ts) + 1 IN (1, 7)
+               AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN dayofweek(ts) + 1 IN (1, 7)
+               AND event_type <> 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(sum(CASE WHEN dayofweek(ts) + 1 NOT IN (1, 7)
+               AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(sum(CASE WHEN dayofweek(ts) + 1 NOT IN (1, 7)
+               AND event_type <> 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS d
+           FROM events)
+         SELECT a, b, c, d,
+           CASE WHEN a*b*c*d = 0 THEN NULL
+             ELSE round((a * d) / CAST(b * c AS DOUBLE), 4) END AS odds_ratio,
+           CASE WHEN a*b*c*d = 0 THEN NULL
+             ELSE round(exp(ln((a * d) / CAST(b * c AS DOUBLE))
+               - 1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)), 4)
+             END AS or_lo,
+           CASE WHEN a*b*c*d = 0 THEN NULL
+             ELSE round(exp(ln((a * d) / CAST(b * c AS DOUBLE))
+               + 1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)), 4)
+             END AS or_hi,
+           CASE WHEN a*b*c*d = 0 THEN NULL
+             ELSE round((a / CAST(a + b AS DOUBLE))
+               / (c / CAST(c + d AS DOUBLE)), 4) END AS relative_risk
+         FROM cells""",
     "st_mcnemar" ->
       """WITH f AS (SELECT user_id,
              max(CASE WHEN event_type = 'purchase' AND day(ts) <= 7

@@ -370,6 +370,37 @@ object Stats {
       col("na").as("n_pos"), col("nb").as("n_neg"))
   }
 
+  /** Odds ratio + relative risk for an UNPAIRED 2×2 exposure/outcome
+    * table (the epidemiology/A-B view the chi² family doesn't report:
+    * chi² says "associated", OR/RR say HOW MUCH and in which
+    * direction). Wald 95% CI on the log scale (exp(ln OR ± 1.96·√(1/a +
+    * 1/b + 1/c + 1/d))); zero cells yield null estimates (undefined,
+    * not infinity). One partial-agg pass to the four counts; all
+    * integers until the final ratios. */
+  def oddsRatio(df: DataFrame, exposed: Column, outcome: Column): DataFrame = {
+    val cells = df.agg(
+      sum(when(exposed && outcome, 1L).otherwise(0L)).as("a"),
+      sum(when(exposed && !outcome, 1L).otherwise(0L)).as("b"),
+      sum(when(!exposed && outcome, 1L).otherwise(0L)).as("c"),
+      sum(when(!exposed && !outcome, 1L).otherwise(0L)).as("d"))
+    val anyZero = col("a") === 0 || col("b") === 0 ||
+      col("c") === 0 || col("d") === 0
+    val or = (col("a") * col("d")) / (col("b") * col("c"))
+    val se = sqrt(lit(1.0) / col("a") + lit(1.0) / col("b") +
+      lit(1.0) / col("c") + lit(1.0) / col("d"))
+    val rr = (col("a") / (col("a") + col("b"))) /
+      (col("c") / (col("c") + col("d")))
+    cells.select(col("a"), col("b"), col("c"), col("d"),
+      when(anyZero, lit(null).cast("double"))
+        .otherwise(round(or, 4)).as("odds_ratio"),
+      when(anyZero, lit(null).cast("double"))
+        .otherwise(round(exp(log(or) - lit(1.96) * se), 4)).as("or_lo"),
+      when(anyZero, lit(null).cast("double"))
+        .otherwise(round(exp(log(or) + lit(1.96) * se), 4)).as("or_hi"),
+      when(anyZero, lit(null).cast("double"))
+        .otherwise(round(rr, 4)).as("relative_risk"))
+  }
+
   /** McNemar's test — the PAIRED BINARY companion of
     * [[wilcoxonSignedRank]] (the before/after test on the same units:
     * "did the users who converted early still convert late?"). Per unit

@@ -454,6 +454,29 @@ class StatsSpec extends SparkSpec {
       .collect().map(key).toSet == viaDays)
   }
 
+  test("oddsRatio: hand-computed 2x2; zero cells yield null, never infinity") {
+    import spark.implicits._
+    // a=20 b=10 c=5 d=15 → OR = 20·15/(10·5) = 6; RR = (20/30)/(5/20) = 8/3
+    val rows = (Seq.fill(20)((true, true)) ++ Seq.fill(10)((true, false)) ++
+      Seq.fill(5)((false, true)) ++ Seq.fill(15)((false, false)))
+      .toDF("e", "o")
+    val r = Stats.oddsRatio(rows, col("e"), col("o")).collect().head
+    assert((r.getAs[Long]("a"), r.getAs[Long]("b"),
+      r.getAs[Long]("c"), r.getAs[Long]("d")) == ((20L, 10L, 5L, 15L)))
+    assert(r.getAs[Double]("odds_ratio") == 6.0)
+    assert(math.abs(r.getAs[Double]("relative_risk") - 2.6667) < 1e-9)
+    val se = math.sqrt(1.0 / 20 + 1.0 / 10 + 1.0 / 5 + 1.0 / 15)
+    assert(math.abs(r.getAs[Double]("or_lo") -
+      math.exp(math.log(6.0) - 1.96 * se)) < 1e-3)
+    assert(r.getAs[Double]("or_lo") < 6.0 && 6.0 < r.getAs[Double]("or_hi"))
+    // a zero cell: estimates are null, the counts still report
+    val zr = Stats.oddsRatio(
+      Seq((true, true), (false, false)).toDF("e", "o"),
+      col("e"), col("o")).collect().head
+    assert(zr.isNullAt(zr.fieldIndex("odds_ratio")))
+    assert(zr.getAs[Long]("a") == 1L && zr.getAs[Long]("d") == 1L)
+  }
+
   test("mcnemar: only discordant pairs drive chi2, hand-computed") {
     import spark.implicits._
     // users: 3× click-only (b), 1× purchase-only (c), 2× both, 1× …
