@@ -412,6 +412,9 @@ object SparkEntry {
       SpatialJoin.knnSuppliersGrid(Tables.customer(s, d), Tables.supplier(s, d), k = 3)),
     "sp_grid_density" -> ((s, d) =>
       SpatialJoin.gridDensity(Tables.customer(s, d))),
+    "sp_geofence" -> ((s, d) =>
+      SpatialJoin.geofenceSummary(Tables.customer(s, d),
+        Tables.supplier(s, d))),
     "sp_dbscan" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       SpatialJoin.dbscan(
@@ -2151,6 +2154,25 @@ object SparkEntry {
              cos(radians(c_lat))*cos(radians(s_lat))*pow(sin(radians(s_lon - c_lon)/2), 2)
            )), 4) AS dist_km
          FROM c CROSS JOIN s""",
+    "sp_geofence" ->
+      """WITH pts AS (SELECT c_custkey,
+             round(((c_custkey * 17) % 1400)/10.0 - 70.0, 4) AS lat,
+             round(((c_custkey * 31) % 3600)/10.0 - 180.0, 4) AS lon
+           FROM customer),
+         z AS (SELECT s_suppkey AS zone_id,
+             greatest(round(((s_suppkey * 23) % 1400)/10.0 - 70.0, 4)
+               - (1.0 + s_suppkey % 3), -70.0) AS lat_lo,
+             least(round(((s_suppkey * 23) % 1400)/10.0 - 70.0, 4)
+               + (1.0 + s_suppkey % 3), 70.0) AS lat_hi,
+             greatest(round(((s_suppkey * 41) % 3600)/10.0 - 180.0, 4)
+               - (1.0 + s_suppkey % 3), -180.0) AS lon_lo,
+             least(round(((s_suppkey * 41) % 3600)/10.0 - 180.0, 4)
+               + (1.0 + s_suppkey % 3), 180.0) AS lon_hi
+           FROM supplier)
+         SELECT zone_id, count(*) AS n_inside
+         FROM z JOIN pts ON lat BETWEEN lat_lo AND lat_hi
+           AND lon BETWEEN lon_lo AND lon_hi
+         GROUP BY 1""",
     "sp_dbscan" ->
       """WITH RECURSIVE pts AS (SELECT c_custkey,
              round(((c_custkey * 17) % 1400)/10.0 - 70.0, 4) AS lat,

@@ -454,6 +454,54 @@ object SpatialJoin {
       .unionByName(borderLab.withColumn("role", lit("border")))
   }
 
+  /** GEOFENCE containment join — points × rectangles (delivery zones,
+    * coverage boxes, geofenced compliance regions): every (zone, point)
+    * pair where the point lies inside the zone's lat/lon box, rolled up
+    * to per-zone counts. Pure 2-D interval-containment at lake scale:
+    * each point homes in ONE grid cell; each rectangle explodes to the
+    * (≤⌈w/cellDeg⌉+1 per axis) cells it overlaps — so the candidate
+    * join is an EQUI-join on cell id, each true pair meets exactly once
+    * (a point has one home cell), and the BETWEEN containment check is
+    * the residual filter. No cross join, no BNLJ; candidate rows ∝
+    * zone-area/cell-area. Boxes are clamped to the synthetic domain so
+    * no lon wrap is needed (a wrapping deployment splits a wrapping box
+    * into two, same machinery). */
+  def geofenceJoin(points: DataFrame, zones: DataFrame,
+                   cellDeg: Int = 6): DataFrame = {
+    val p = points
+      .withColumn("latc", floor((col("lat") + 90) / cellDeg).cast("int"))
+      .withColumn("lonc", floor((col("lon") + 180) / cellDeg).cast("int"))
+    val z = zones
+      .withColumn("latc", explode(sequence(
+        floor((col("lat_lo") + 90) / cellDeg).cast("int"),
+        floor((col("lat_hi") + 90) / cellDeg).cast("int"))))
+      .withColumn("lonc", explode(sequence(
+        floor((col("lon_lo") + 180) / cellDeg).cast("int"),
+        floor((col("lon_hi") + 180) / cellDeg).cast("int"))))
+    z.join(p, Seq("latc", "lonc"))
+      .filter(col("lat").between(col("lat_lo"), col("lat_hi")) &&
+        col("lon").between(col("lon_lo"), col("lon_hi")))
+      .groupBy("zone_id")
+      .agg(count(lit(1)).as("n_inside"))
+  }
+
+  /** Driver-contract face of [[geofenceJoin]]: supplier-centered
+    * delivery zones (box half-width 1+s%3 degrees, clamped to the
+    * synthetic domain) counted over customer points. */
+  def geofenceSummary(customer: DataFrame, supplier: DataFrame): DataFrame = {
+    val pts = customerPoints(customer)
+      .select(col("c_custkey").as("pid"), col("c_lat").as("lat"),
+        col("c_lon").as("lon"))
+    val half = lit(1.0) + (col("s_suppkey") % 3).cast("double")
+    val zones = supplierPoints(supplier).select(
+      col("s_suppkey").as("zone_id"),
+      greatest(col("s_lat") - half, lit(-70.0)).as("lat_lo"),
+      least(col("s_lat") + half, lit(70.0)).as("lat_hi"),
+      greatest(col("s_lon") - half, lit(-180.0)).as("lon_lo"),
+      least(col("s_lon") + half, lit(180.0)).as("lon_hi"))
+    geofenceJoin(pts, zones)
+  }
+
   /** Grid-cell density heat map: customer count + share per
     * `cellDeg`-degree cell, top-N densest cells — the aggregation face
     * of the spatial family (the same cell id every grid join here keys

@@ -383,6 +383,22 @@ class WindowsLambdaSpec extends SparkSpec {
     assert(byDay(25).map(_.getAs[Long]("n")).sum < full25)
   }
 
+  test("geofenceJoin: containment exact, boundaries inclusive, cross-cell zones count once") {
+    import spark.implicits._
+    val pts = Seq((1L, 0.0, 0.0), (2L, 2.0, 2.0), (3L, 50.0, 50.0),
+      (4L, 3.0, 3.0)) // on the zone boundary: inclusive
+      .toDF("pid", "lat", "lon")
+    // zone A spans [-3,3]×[-3,3] — crosses FOUR 6° grid cells; points
+    // 1, 2, 4 inside (4 exactly on the corner), 3 far away
+    val zones = Seq((100L, -3.0, 3.0, -3.0, 3.0),
+      (200L, 49.0, 51.0, 49.0, 51.0))
+      .toDF("zone_id", "lat_lo", "lat_hi", "lon_lo", "lon_hi")
+    val out = SpatialJoin.geofenceJoin(pts, zones).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_inside")).toMap
+    assert(out == Map(100L -> 3L, 200L -> 1L),
+      s"cross-cell zone must count each point exactly once: $out")
+  }
+
   test("dbscan: minPts splits chain-bridged blobs that minPts=2 merges; noise drops") {
     import spark.implicits._
     // two 5-point dense blobs ~600 km apart, one bridge point midway
