@@ -477,6 +477,7 @@ object SparkEntry {
       Stats.mergeableMoments(Tables.events(s, d))),
     "st_wilcoxon" -> ((s, d) =>
       Stats.wilcoxonSignedRank(Tables.events(s, d))),
+    "st_runs" -> ((s, d) => Stats.runsTest(Tables.events(s, d))),
     "st_odds_ratio" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, dayofweek}
       // weekend exposure vs purchase outcome, per event
@@ -2514,6 +2515,31 @@ object SparkEntry {
              - CAST(sum(s1) AS DOUBLE) * CAST(sum(s1) AS DOUBLE) / sum(n))
              / (sum(n) - 1)), 6) AS std
          FROM p GROUP BY 1""",
+    "st_runs" ->
+      """WITH hourly AS (SELECT epoch_us(date_trunc('hour', ts))
+               // 3600000000 AS hr,
+             round(avg(value), 6) AS v
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+         med AS (SELECT round(quantile_cont(v,
+             CAST(1 AS DOUBLE)/2), 6) AS m FROM hourly),
+         signed AS (SELECT hr, v > m AS up
+           FROM hourly CROSS JOIN med WHERE v <> m),
+         runs AS (SELECT up,
+             CASE WHEN lag(up) OVER (ORDER BY hr) IS NULL
+               OR up <> lag(up) OVER (ORDER BY hr)
+               THEN 1 ELSE 0 END AS nw
+           FROM signed),
+         s AS (SELECT CAST(sum(nw) AS BIGINT) AS r,
+             CAST(sum(CASE WHEN up THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN up THEN 0 ELSE 1 END) AS BIGINT) AS n2
+           FROM runs)
+         SELECT r, n1, n2,
+           round(2.0 * n1 * n2 / (n1 + n2) + 1.0, 4) AS expected_r,
+           round((r - (2.0 * n1 * n2 / (n1 + n2) + 1.0)) /
+             sqrt((2.0 * n1 * n2 / (n1 + n2))
+               * (2.0 * n1 * n2 / (n1 + n2) - 1.0) / (n1 + n2 - 1.0)),
+             4) AS z
+         FROM s""",
     "st_odds_ratio" ->
       """WITH cells AS (SELECT
              CAST(sum(CASE WHEN dayofweek(ts) + 1 IN (1, 7)

@@ -370,6 +370,43 @@ object Stats {
       col("na").as("n_pos"), col("nb").as("n_neg"))
   }
 
+  /** Wald–Wolfowitz RUNS test for randomness of a time series — "is
+    * the hourly level wandering (trend/regimes: few long runs) or
+    * oscillating (negative dependence: many short runs) instead of
+    * random?" — the model-free stationarity smoke test before any
+    * forecasting op. Series = hourly means (CALENDAR-bounded frame —
+    * the ordered window never runs over raw data), sign = above/below
+    * the series median (ties to the median drop, per the classic test),
+    * R = run count via one lag window, z = (R − μ)/σ with
+    * μ = 2n₁n₂/n + 1. Both the median and the means round to 6dp so
+    * both engines drop identical ties. */
+  def runsTest(events: DataFrame, eventType: String = "click"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = events.filter(col("event_type") === eventType)
+      .groupBy(expr("unix_seconds(date_trunc('hour', ts)) div 3600")
+        .as("hr"))
+      .agg(round(avg("value"), 6).as("v"))
+    val med = hourly.agg(
+      round(expr("percentile(v, CAST(1 AS DOUBLE)/2)"), 6).as("__m"))
+    val signed = hourly.crossJoin(broadcast(med))
+      .filter(col("v") =!= col("__m"))
+      .select(col("hr"), (col("v") > col("__m")).as("up"))
+    val w = Window.orderBy("hr")
+    val runs = signed
+      .withColumn("__new",
+        when(lag("up", 1).over(w).isNull ||
+          col("up") =!= lag("up", 1).over(w), 1L).otherwise(0L))
+      .agg(sum("__new").as("r"),
+        sum(when(col("up"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("up"), 1L).otherwise(0L)).as("n2"))
+    val n = (col("n1") + col("n2")).cast("double")
+    val mu = lit(2.0) * col("n1") * col("n2") / n + 1.0
+    val sig2 = (mu - 1.0) * (mu - 2.0) / (n - 1.0)
+    runs.select(col("r"), col("n1"), col("n2"),
+      round(mu, 4).as("expected_r"),
+      round((col("r") - mu) / sqrt(sig2), 4).as("z"))
+  }
+
   /** Odds ratio + relative risk for an UNPAIRED 2×2 exposure/outcome
     * table (the epidemiology/A-B view the chi² family doesn't report:
     * chi² says "associated", OR/RR say HOW MUCH and in which

@@ -454,6 +454,24 @@ class StatsSpec extends SparkSpec {
       .collect().map(key).toSet == viaDays)
   }
 
+  test("runsTest: alternating series scores +z, blocked series -z, hand-computed") {
+    import spark.implicits._
+    def mk(vals: Seq[Double]) = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-01 ${i}%02d:30:00"),
+        1L, "click", v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // n1 = n2 = 3 → μ = 4, σ² = (μ−1)(μ−2)/5 = 1.2
+    val alt = Stats.runsTest(mk(Seq(10, 0, 10, 0, 10, 0))).collect().head
+    assert(alt.getAs[Long]("r") == 6 && alt.getAs[Double]("expected_r") == 4.0)
+    assert(math.abs(alt.getAs[Double]("z") - 2.0 / math.sqrt(1.2)) < 5e-4)
+    val blk = Stats.runsTest(mk(Seq(10, 10, 10, 0, 0, 0))).collect().head
+    assert(blk.getAs[Long]("r") == 2)
+    assert(math.abs(blk.getAs[Double]("z") + 2.0 / math.sqrt(1.2)) < 5e-4)
+    // values AT the median drop (classic treatment): 10,5,0 → the 5 goes
+    val tied = Stats.runsTest(mk(Seq(10, 5, 0, 10, 5, 0))).collect().head
+    assert(tied.getAs[Long]("n1") + tied.getAs[Long]("n2") == 4)
+  }
+
   test("oddsRatio: hand-computed 2x2; zero cells yield null, never infinity") {
     import spark.implicits._
     // a=20 b=10 c=5 d=15 → OR = 20·15/(10·5) = 6; RR = (20/30)/(5/20) = 8/3
