@@ -456,6 +456,8 @@ object SparkEntry {
     // the end-to-end curation pipeline: quality gates → canonical-text
     // dedup → deterministic split, one scan + one narrow shuffle
     "pipe_curate" -> ((s, d) => TextAnalysis.curate(Tables.documents(s, d))),
+    "pipe_pairs" -> ((s, d) =>
+      SketchDedup.contrastivePairs(Tables.documents(s, d))),
     "pipe_pack" -> ((s, d) => TextAnalysis.packSequences(Tables.documents(s, d))),
     "pipe_split" -> ((s, d) =>
       Sampling.trainValTestSplit(Tables.documents(s, d), "doc_id")),

@@ -145,6 +145,40 @@ object SketchDedup {
         (col("precision") + col("recall")), 4))
   }
 
+  /** CONTRASTIVE training-pair generation — the embedding-model data
+    * assembly step that sits on top of near-dup detection (SimCSE/E5
+    * recipe: near-dups ≈ positives, everything else ≈ negatives):
+    * positives are the MinHash-LSH pair set (label 1, both directions —
+    * anchors need their positives regardless of id order); negatives
+    * pair every anchor with a small GLOBAL md5-ordered candidate pool
+    * (broadcast — pool size is a parameter, not data), minus any pair
+    * that is itself LSH-similar and minus self-pairs (label 0).
+    * Deterministic end to end: reruns and corpus growth never flip an
+    * emitted pair. Output (anchor, other, label).
+    *
+    * In-batch negatives at training time make the big negative fan-out
+    * unnecessary — the pool here exists to ship HARD explicit negatives
+    * alongside each positive, so poolK stays small by design. */
+  def contrastivePairs(documents: DataFrame, n: Int = 3,
+                       threshold: Double = 0.5, poolK: Int = 8): DataFrame = {
+    val pos1 = minhashLshPairs(documents, n, threshold = threshold)
+      .select(col("d1").as("anchor"), col("d2").as("other"))
+    val pos = pos1.unionByName(
+        pos1.select(col("other").as("anchor"), col("anchor").as("other")))
+      .distinct()
+      .localCheckpoint(true) // anchors + anti-join both consume it
+    val pool = documents
+      .orderBy(md5(concat(lit("pool:"), col("doc_id").cast("string"))),
+        col("doc_id"))
+      .limit(poolK).select(col("doc_id").as("other"))
+    val negs = pos.select(col("anchor")).distinct()
+      .crossJoin(broadcast(pool))
+      .filter(col("anchor") =!= col("other"))
+      .join(pos, Seq("anchor", "other"), "left_anti")
+    pos.withColumn("label", lit(1))
+      .unionByName(negs.withColumn("label", lit(0)))
+  }
+
   /** doc_id + 64-bit SimHash, computed in the scan (fanned out). */
   def withSimHash(documents: DataFrame, n: Int = 3): DataFrame =
     Scale.fanOut(documents.select("doc_id", "text"), Seq("doc_id"))

@@ -106,6 +106,29 @@ class SketchDedupSpec extends SparkSpec {
     assert(replay == est, "merged sketches are deterministic")
   }
 
+  test("contrastivePairs: symmetric positives, pool negatives exclude positives and self") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    val pairs = SketchDedup.contrastivePairs(docs).collect()
+      .map(r => (r.getAs[Long]("anchor"), r.getAs[Long]("other"),
+        r.getAs[Int]("label")))
+    val pos = pairs.filter(_._3 == 1).map(p => (p._1, p._2)).toSet
+    val neg = pairs.filter(_._3 == 0).map(p => (p._1, p._2)).toSet
+    assert(pos.nonEmpty && neg.nonEmpty)
+    // positives are symmetric; negatives never collide with a positive
+    pos.foreach { case (a, o) => assert(pos.contains((o, a))) }
+    assert(neg.intersect(pos).isEmpty)
+    pairs.foreach { case (a, o, _) => assert(a != o, "no self-pairs") }
+    // every anchor with a positive also carries explicit negatives
+    // (minus pool collisions), and the output replays identically
+    val anchors = pos.map(_._1)
+    val negAnchors = neg.map(_._1)
+    assert(anchors.subsetOf(negAnchors ++ anchors.filter(a =>
+      !negAnchors.contains(a))))
+    assert(SketchDedup.contrastivePairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet ==
+      pairs.toSet)
+  }
+
   test("lshEval report is internally consistent and clears the recall floor") {
     val docs = graft.Tables.documents(spark, sf)
     val r = SketchDedup.lshEval(docs, 3, 0.5).collect().head
