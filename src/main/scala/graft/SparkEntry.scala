@@ -391,6 +391,7 @@ object SparkEntry {
     "ts_hod_dow" -> ((s, d) =>
       Resample.hourDowProfile(Tables.events(s, d))),
     "ts_pacf" -> ((s, d) => Resample.pacf(Tables.events(s, d))),
+    "ts_granger" -> ((s, d) => Resample.granger(Tables.events(s, d))),
     "dd_lsh_eval" -> ((s, d) =>
       SketchDedup.lshEval(Tables.documents(s, d), 3, 0.5)),
     "ts_resample" -> ((s, d) =>

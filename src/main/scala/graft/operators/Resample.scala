@@ -368,6 +368,102 @@ object Resample {
       .toSeq.toDF("lag", "acf", "pacf")
   }
 
+  /** GRANGER causality test between two event-type series — "do past
+    * clicks carry information about future purchases BEYOND purchases'
+    * own history?" — the lag-regression upgrade of
+    * [[crossCorrelation]]'s symmetric number, reported in BOTH
+    * directions (x→y and y→x) because the asymmetry is the finding.
+    * Restricted model y ~ own p lags vs full model + the other
+    * series' p lags; F = ((RSSᵣ−RSS_f)/p) / (RSS_f/(n−2p−1)).
+    *
+    * Scale shape: the hourly pair frame is CALENDAR-bounded; lags are
+    * windows over it; all regression moments (X'X, X'y, y'y) reduce in
+    * ONE aggregate pass of DECIMAL(38,10) product sums — exact, so the
+    * normal equations see identical numbers on every partitioning —
+    * and the (2p+1)×(2p+1) solve is driver-side Gaussian elimination
+    * on ~20 scalars (parameter-sized, the codebook class). */
+  def granger(events: DataFrame, causeType: String = "click",
+              effectType: String = "purchase", p: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(p >= 1 && p <= 6, "lag order 1..6")
+    val hourly = events.filter(col("event_type").isin(causeType, effectType))
+      .groupBy(col("event_type"),
+        expr("unix_seconds(date_trunc('hour', ts)) div 3600").as("hr"))
+      .agg(round(avg("value"), 6).as("v"))
+    val x = hourly.filter(col("event_type") === causeType)
+      .select(col("hr"), col("v").as("x"))
+    val y = hourly.filter(col("event_type") === effectType)
+      .select(col("hr"), col("v").as("y"))
+    val joined = x.join(y, "hr")
+    val w = Window.orderBy("hr")
+    def dir(cause: String, effect: String): (Long, Double, Double, Double) = {
+      var df = joined.select(col("hr"), col(cause).as("c"),
+        col(effect).as("e"))
+      for (i <- 1 to p) {
+        df = df.withColumn(s"e$i", lag("e", i).over(w))
+          .withColumn(s"c$i", lag("c", i).over(w))
+      }
+      df = df.na.drop()
+      // regressors: intercept, e1..ep, c1..cp; target e
+      val regs = lit(1.0) +: (1 to p).map(i => col(s"e$i")) ++:
+        (1 to p).map(i => col(s"c$i"))
+      val k = regs.length
+      val dec = "decimal(38,10)"
+      val sums =
+        (for (i <- 0 until k; j <- i until k)
+          yield sum((regs(i) * regs(j)).cast(dec)).as(s"m_${i}_$j")) ++
+        (0 until k).map(i => sum((regs(i) * col("e")).cast(dec)).as(s"b_$i")) :+
+        sum((col("e") * col("e")).cast(dec)).as("yy") :+
+        count(lit(1)).as("n")
+      val r = df.agg(sums.head, sums.tail: _*).head()
+      val n = r.getAs[Long]("n")
+      val xtx = Array.ofDim[Double](k, k)
+      for (i <- 0 until k; j <- i until k) {
+        val v = r.getAs[java.math.BigDecimal](s"m_${i}_$j").doubleValue()
+        xtx(i)(j) = v; xtx(j)(i) = v
+      }
+      val xty = (0 until k)
+        .map(i => r.getAs[java.math.BigDecimal](s"b_$i").doubleValue()).toArray
+      val yy = r.getAs[java.math.BigDecimal]("yy").doubleValue()
+      def rss(idx: Seq[Int]): Double = {
+        val m = idx.length
+        val a = Array.tabulate(m, m)((i, j) => xtx(idx(i))(idx(j)))
+        val b = Array.tabulate(m)(i => xty(idx(i)))
+        // Gaussian elimination with partial pivoting on an m×m system
+        for (c <- 0 until m) {
+          val piv = (c until m).maxBy(r2 => math.abs(a(r2)(c)))
+          val (ta, tb) = (a(c), b(c)); a(c) = a(piv); b(c) = b(piv)
+          a(piv) = ta; b(piv) = tb
+          for (r2 <- c + 1 until m) {
+            val f = if (a(c)(c) == 0.0) 0.0 else a(r2)(c) / a(c)(c)
+            for (c2 <- c until m) a(r2)(c2) -= f * a(c)(c2)
+            b(r2) -= f * b(c)
+          }
+        }
+        val beta = new Array[Double](m)
+        for (c <- m - 1 to 0 by -1) {
+          var s = b(c)
+          for (c2 <- c + 1 until m) s -= a(c)(c2) * beta(c2)
+          beta(c) = if (a(c)(c) == 0.0) 0.0 else s / a(c)(c)
+        }
+        yy - beta.indices.map(i => beta(i) * xty(idx(i))).sum
+      }
+      val rssR = rss(0 to p)           // intercept + own lags
+      val rssF = rss(0 until k)        // + cause lags
+      val f = ((rssR - rssF) / p) / (rssF / (n - k))
+      (n, rssR, rssF, f)
+    }
+    val (n1, rr1, rf1, f1) = dir("x", "y")
+    val (_, rr2, rf2, f2) = dir("y", "x")
+    import events.sparkSession.implicits._
+    Seq(
+      (s"$causeType->$effectType", n1, math.rint(rr1 * 1e4) / 1e4,
+        math.rint(rf1 * 1e4) / 1e4, math.rint(f1 * 1e4) / 1e4),
+      (s"$effectType->$causeType", n1, math.rint(rr2 * 1e4) / 1e4,
+        math.rint(rf2 * 1e4) / 1e4, math.rint(f2 * 1e4) / 1e4))
+      .toDF("direction", "n", "rss_restricted", "rss_full", "f_stat")
+  }
+
   /** Rolling Pearson correlation between two event-type series over a
     * trailing `windowHours`-hour frame — "are clicks and purchases
     * still moving together TODAY?", the time-local companion to

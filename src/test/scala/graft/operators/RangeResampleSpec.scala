@@ -284,6 +284,35 @@ class RangeResampleSpec extends SparkSpec {
     assert(z > 100.0)
   }
 
+  test("granger: planted x→y lag causality shows asymmetric F") {
+    import spark.implicits._
+    val n = 500
+    val rng = new java.util.Random(7L)
+    val xs = Array.fill(n)(rng.nextGaussian())
+    val ys = new Array[Double](n)
+    ys(0) = rng.nextGaussian() * 0.1
+    for (i <- 1 until n) ys(i) = 0.8 * xs(i - 1) + 0.1 * rng.nextGaussian()
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = (0 until n).flatMap { i =>
+      val ts = new java.sql.Timestamp(base + i * 3600L * 1000)
+      Seq((2L * i, ts, 1L, "click", xs(i), "{}"),
+        (2L * i + 1, ts, 1L, "purchase", ys(i), "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Resample.granger(rows).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val fwd = out("click->purchase")
+    val rev = out("purchase->click")
+    // the causal direction must dominate by orders of magnitude
+    assert(fwd.getAs[Double]("f_stat") > 100.0,
+      s"planted causality missed: $fwd")
+    assert(rev.getAs[Double]("f_stat") < fwd.getAs[Double]("f_stat") / 10)
+    // adding regressors can only shrink RSS
+    out.values.foreach { r =>
+      assert(r.getAs[Double]("rss_full") <=
+        r.getAs[Double]("rss_restricted") + 1e-9)
+    }
+  }
+
   test("pacf: AR(1) process cuts off after lag 1; lag-0 is 1 by convention") {
     import spark.implicits._
     // AR(1), φ = 0.7, seeded-PRNG white noise (an additive-constant
