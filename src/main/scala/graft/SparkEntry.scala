@@ -1269,6 +1269,13 @@ object SparkEntry {
     "st_mwu" -> ((s, d) =>
       Stats.mannWhitneyU(Tables.events(s, d), "event_type", "value",
         "click", "view")),
+    "st_kruskal" -> ((s, d) =>
+      Stats.kruskalWallis(Tables.events(s, d), "event_type", "value")),
+    "st_kendall" -> ((s, d) => Stats.kendallTau(Tables.events(s, d))),
+    "st_ols2" -> ((s, d) =>
+      Stats.ols2(Tables.lineitem(s, d), "l_extendedprice", "l_quantity",
+        "l_discount")),
+    "st_km" -> ((s, d) => Stats.kaplanMeier(Tables.events(s, d))),
     "st_cms" -> ((s, d) =>
       Stats.cmsFrequencies(Tables.events(s, d), "event_type")),
     "pipe_decontaminate" -> ((s, d) => {
@@ -3002,6 +3009,125 @@ object SparkEntry {
          SELECT round(((r1x2 - na*(na+1)) / 2.0) / (na * nb), 6) AS auc,
            na AS n_pos, nb AS n_neg
          FROM s""",
+    "st_kruskal" ->
+      """WITH rows0 AS (SELECT event_type AS g, value AS v FROM events
+           WHERE value IS NOT NULL AND event_type IS NOT NULL),
+         cnt AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+           FROM rows0 GROUP BY 1, 2),
+         pts AS (SELECT v, CAST(sum(c) AS BIGINT) AS t
+           FROM cnt GROUP BY 1),
+         r AS (SELECT v, t, CAST(coalesce(sum(t) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS below
+           FROM pts),
+         rk AS (SELECT v, below + (t + 1) / 2.0 AS mr FROM r),
+         gs AS (SELECT g, CAST(sum(c) AS BIGINT) AS n,
+             sum(c * mr) AS rsum
+           FROM cnt JOIN rk USING (v) GROUP BY 1),
+         tie AS (SELECT CAST(sum(t*t*t - t) AS BIGINT) AS ties FROM pts),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+             CAST(count(*) AS BIGINT) AS k,
+             sum(rsum * rsum / n) AS rr
+           FROM gs),
+         f AS (SELECT k, nt, rr, ties, CAST(nt AS DOUBLE) AS ntd
+           FROM tot CROSS JOIN tie)
+         SELECT k, nt AS n,
+           round(12.0 / (ntd * (ntd + 1.0)) * rr - 3.0 * (ntd + 1.0), 4)
+             AS h,
+           round((12.0 / (ntd * (ntd + 1.0)) * rr - 3.0 * (ntd + 1.0)) /
+             nullif(1.0 - CAST(ties AS DOUBLE) /
+               (ntd * ntd * ntd - ntd), 0), 4) AS h_adj,
+           ties
+         FROM f""",
+    "st_kendall" ->
+      """WITH hourly AS (SELECT
+             epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
+             round(avg(CASE WHEN event_type = 'click' THEN value END), 6)
+               AS x,
+             round(avg(CASE WHEN event_type = 'view' THEN value END), 6)
+               AS y
+           FROM events WHERE event_type IN ('click', 'view')
+           GROUP BY 1
+           HAVING x IS NOT NULL AND y IS NOT NULL),
+         p AS (SELECT sign(b.x - a.x) AS dx, sign(b.y - a.y) AS dy
+           FROM hourly a JOIN hourly b ON a.hr < b.hr),
+         s AS (SELECT
+             CAST(sum(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS nc,
+             CAST(sum(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS nd,
+             CAST(sum(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS tx,
+             CAST(sum(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS ty,
+             CAST(count(*) AS BIGINT) AS n0
+           FROM p)
+         SELECT nc, nd, n0,
+           round((nc - nd) / sqrt(CAST(n0 - tx AS DOUBLE) *
+             CAST(n0 - ty AS DOUBLE)), 6) AS tau_b
+         FROM s""",
+    "st_ols2" ->
+      """WITH z AS (SELECT
+             CAST(round(l_extendedprice * 100) AS HUGEINT) AS yy,
+             CAST(round(l_quantity * 100) AS HUGEINT) AS a,
+             CAST(round(l_discount * 100) AS HUGEINT) AS b
+           FROM lineitem),
+         s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(a) AS sa, sum(b) AS sb, sum(yy) AS sy,
+             sum(a * a) AS saa, sum(a * b) AS sab, sum(b * b) AS sbb,
+             sum(a * yy) AS say, sum(b * yy) AS sby,
+             sum(yy * yy) AS syy
+           FROM z),
+         d AS (SELECT n, CAST(n AS DOUBLE) AS nd,
+             CAST(sa AS DOUBLE) AS sa, CAST(sb AS DOUBLE) AS sb,
+             CAST(sy AS DOUBLE) AS sy, CAST(saa AS DOUBLE) AS saa,
+             CAST(sab AS DOUBLE) AS sab, CAST(sbb AS DOUBLE) AS sbb,
+             CAST(say AS DOUBLE) AS say, CAST(sby AS DOUBLE) AS sby,
+             CAST(syy AS DOUBLE) AS syy
+           FROM s),
+         c AS (SELECT n, nd, sy, say, sby, syy,
+             nd * (saa * sbb - sab * sab) - sa * (sa * sbb - sab * sb)
+               + sb * (sa * sab - saa * sb) AS det,
+             sy * (saa * sbb - sab * sab) - sa * (say * sbb - sab * sby)
+               + sb * (say * sab - saa * sby) AS d0,
+             nd * (say * sbb - sab * sby) - sy * (sa * sbb - sab * sb)
+               + sb * (sa * sby - say * sb) AS d1,
+             nd * (saa * sby - say * sab) - sa * (sa * sby - say * sb)
+               + sy * (sa * sab - saa * sb) AS d2
+           FROM d),
+         b AS (SELECT n, nd, sy, say, sby, syy,
+             d0 / det AS a0, d1 / det AS b1, d2 / det AS b2
+           FROM c)
+         SELECT n, round(a0 / 100.0, 6) AS intercept,
+           round(b1, 6) AS b1, round(b2, 6) AS b2,
+           round(1.0 - (syy - a0 * sy - b1 * say - b2 * sby) /
+             nullif(syy - sy * sy / nd, 0), 6) AS r2
+         FROM b""",
+    "st_km" ->
+      """WITH pu AS (SELECT user_id,
+             CAST(min(epoch_us(ts)) AS BIGINT) AS f,
+             CAST(max(epoch_us(ts)) AS BIGINT) AS l
+           FROM events GROUP BY 1),
+         g AS (SELECT max(l) AS gmax FROM pu),
+         lt AS (SELECT CAST((l - f) // 86400000000 AS BIGINT) AS dur,
+             gmax - l >= 14 * 86400000000 AS ev
+           FROM pu CROSS JOIN g),
+         tbl AS (SELECT dur,
+             CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(sum(CASE WHEN ev THEN 0 ELSE 1 END) AS BIGINT) AS c
+           FROM lt GROUP BY 1),
+         tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS nt FROM tbl),
+         rt AS (SELECT dur, d, c,
+             nt - CAST(coalesce(sum(d + c) OVER (ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n_risk
+           FROM tbl CROSS JOIN tot)
+         SELECT dur AS dur_days, n_risk, d, c,
+           round(exp(sum(ln(1.0 - CAST(d AS DOUBLE) / n_risk))
+             OVER (ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4)
+             AS survival
+         FROM rt""",
     "tx_jsd" ->
       """WITH cnt AS (SELECT tok,
              CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)

@@ -1146,4 +1146,177 @@ object Stats {
       .select(col("n") +: col("accuracy") +:
         (0 to dims).map(i => element_at(col("__w"), i + 1).as(s"w$i")): _*)
   }
+
+  /** Kruskal–Wallis H across ALL groups at once — the k-group
+    * nonparametric ANOVA (rank-based sibling of [[anovaF]], the
+    * "medians differ somewhere" omnibus test when normality is off the
+    * table). Same striped exact-midrank machinery as [[mannWhitneyU]]
+    * generalized to k groups: distinct values collapse in one
+    * partial-agg pass, per-(value, group) counts join the midrank frame
+    * (distinct-value-sized equi-join — AQE broadcasts it), and each
+    * group's rank sum Σ c·mr is a sum of exact half-integers, so it is
+    * bit-identical on any engine and any partitioning. H and its
+    * tie-corrected form leave integer land only in the final k-row
+    * formula (identical expression tree on both engines, round 4).
+    * Output: one row — k, n, h, h_adj, plus Σ(t³−t) for audit. */
+  def kruskalWallis(df: DataFrame, groupCol: String, c: String,
+                    stripes: Int = 256): DataFrame = {
+    val rows = df.filter(col(c).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("g"), col(c).cast("double").as("v"))
+    val cnt = rows.groupBy("g", "v").agg(count(lit(1)).as("c"))
+    val rk = midranks(rows, "v", stripes)
+    val gs = cnt.join(rk, "v")
+      .groupBy("g")
+      .agg(sum("c").as("n"), sum(col("c") * col("rk")).as("rsum"))
+    val ties = rows.groupBy("v").agg(count(lit(1)).as("t"))
+      .agg(sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+    val tot = gs.agg(sum("n").as("nt"), count(lit(1)).as("k"),
+      sum(col("rsum") * col("rsum") / col("n")).as("rr"))
+      .crossJoin(ties)
+    val nt = col("nt").cast("double")
+    val h = lit(12.0) / (nt * (nt + 1.0)) * col("rr") -
+      lit(3.0) * (nt + 1.0)
+    val corr = lit(1.0) -
+      col("ties").cast("double") / (nt * nt * nt - nt)
+    tot.select(col("k"), col("nt").as("n"),
+      round(h, 4).as("h"),
+      round(h / nullif(corr, lit(0.0)), 4).as("h_adj"),
+      col("ties"))
+  }
+
+  /** Kendall tau-b rank correlation between two HOURLY series (click
+    * vs view mean level) — the concordant/discordant-pair association
+    * measure, more robust to outliers than Spearman and the standard
+    * trend-test core (Mann–Kendall is its one-series special case).
+    *
+    * Raw-data all-pairs is quadratic, so by design the operator ranks
+    * the AGGREGATED series: the corpus collapses to ≤ hours-in-corpus
+    * rows in one partial-agg pass (means rounded to 6dp so both engines
+    * classify identical pairs), and only that aggregate frame
+    * self-joins (hr < hr2, broadcast — pair count is bounded by the
+    * calendar, never the data). Concordant/discordant/tie counts are
+    * exact longs; tau-b leaves integers only in the final 1-row
+    * formula. At 100 TB the aggregate is still calendar-sized, so the
+    * pair join never grows with the data. */
+  def kendallTau(events: DataFrame, typeA: String = "click",
+                 typeB: String = "view"): DataFrame = {
+    val hourly = events.filter(col("event_type").isin(typeA, typeB))
+      .groupBy(expr("unix_seconds(date_trunc('hour', ts)) div 3600")
+        .as("hr"))
+      .agg(
+        round(avg(when(col("event_type") === typeA, col("value"))), 6)
+          .as("x"),
+        round(avg(when(col("event_type") === typeB, col("value"))), 6)
+          .as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    val b = hourly.select(col("hr").as("hr2"), col("x").as("x2"),
+      col("y").as("y2"))
+    val pairs = hourly.join(broadcast(b), col("hr") < col("hr2"))
+      .select(
+        signum(col("x2") - col("x")).as("dx"),
+        signum(col("y2") - col("y")).as("dy"))
+    val s = pairs.agg(
+      sum(when(col("dx") * col("dy") > 0, 1L).otherwise(0L)).as("nc"),
+      sum(when(col("dx") * col("dy") < 0, 1L).otherwise(0L)).as("nd"),
+      sum(when(col("dx") === 0, 1L).otherwise(0L)).as("tx"),
+      sum(when(col("dy") === 0, 1L).otherwise(0L)).as("ty"),
+      count(lit(1)).as("n0"))
+    s.select(col("nc"), col("nd"), col("n0"),
+      round((col("nc") - col("nd")) /
+        sqrt((col("n0") - col("tx")).cast("double") *
+          (col("n0") - col("ty")).cast("double")), 6).as("tau_b"))
+  }
+
+  /** Two-regressor multiple OLS (y ~ x1 + x2) via EXACT sufficient
+    * sums + Cramer's rule — the smallest true multiple regression,
+    * where [[olsRegression]]'s single-slope shortcut no longer applies
+    * (x1 and x2 correlate, so each coefficient must partial the other
+    * out). One partial-agg pass accumulates the 9 cross-moments as
+    * decimal-exact integer sums (inputs scaled ×100 to integers first —
+    * the [[jarqueBera]] power-sum discipline, so the sums are
+    * bit-identical on any engine/partitioning); the 3×3 normal-equation
+    * solve is an identical double expression tree on both engines.
+    * Scaling unwinds in the final step: slopes are scale-free, the
+    * intercept divides by 100 once. Output: one row — n, intercept,
+    * b1, b2, r2. */
+  def ols2(df: DataFrame, y: String, x1: String, x2: String): DataFrame = {
+    def z(c: String) = round(col(c) * 100).cast("decimal(18,0)")
+    val s = df
+      .select(z(y).as("yy"), z(x1).as("a"), z(x2).as("b"))
+      .agg(count(lit(1)).as("n"),
+        sum("a").as("sa"), sum("b").as("sb"), sum("yy").as("sy"),
+        sum(col("a") * col("a")).as("saa"),
+        sum(col("a") * col("b")).as("sab"),
+        sum(col("b") * col("b")).as("sbb"),
+        sum(col("a") * col("yy")).as("say"),
+        sum(col("b") * col("yy")).as("sby"),
+        sum(col("yy") * col("yy")).as("syy"))
+    val n = col("n").cast("double")
+    val (sa, sb, sy) = (col("sa").cast("double"), col("sb").cast("double"),
+      col("sy").cast("double"))
+    val (saa, sab, sbb) = (col("saa").cast("double"),
+      col("sab").cast("double"), col("sbb").cast("double"))
+    val (say, sby, syy) = (col("say").cast("double"),
+      col("sby").cast("double"), col("syy").cast("double"))
+    // Cramer on the 3×3 normal equations [n sa sb; sa saa sab; sb sab sbb]
+    val det = n * (saa * sbb - sab * sab) - sa * (sa * sbb - sab * sb) +
+      sb * (sa * sab - saa * sb)
+    val d0 = sy * (saa * sbb - sab * sab) - sa * (say * sbb - sab * sby) +
+      sb * (say * sab - saa * sby)
+    val d1 = n * (say * sbb - sab * sby) - sy * (sa * sbb - sab * sb) +
+      sb * (sa * sby - say * sb)
+    val d2 = n * (saa * sby - say * sab) - sa * (sa * sby - say * sb) +
+      sy * (sa * sab - saa * sb)
+    val (a0, b1, b2) = (d0 / det, d1 / det, d2 / det)
+    val sst = syy - sy * sy / n
+    val sse = syy - a0 * sy - b1 * say - b2 * sby
+    s.select(col("n"),
+      round(a0 / 100.0, 6).as("intercept"),
+      round(b1, 6).as("b1"), round(b2, 6).as("b2"),
+      round(lit(1.0) - sse / nullif(sst, lit(0.0)), 6).as("r2"))
+  }
+
+  /** Kaplan–Meier survival curve over per-user activity lifetimes with
+    * right censoring — THE time-to-event estimator (retention/churn
+    * analysis done correctly: a user still active at the corpus edge is
+    * not a churn at their last-seen day, they are censored). Lifetime =
+    * days between a user's first and last event; the event is "churned"
+    * when the user went quiet ≥ `quietDays` before the corpus's end,
+    * else the lifetime is censored. The corpus collapses to one row per
+    * user in one partial-agg pass, then to one row per distinct
+    * lifetime-day; the risk table and the cumulative product
+    * S(t) = Π (1−dᵢ/nᵢ) (as exp of an ORDERED cumulative ln-sum —
+    * deterministic summation order, so both engines walk identical
+    * doubles) run on that calendar-bounded frame (documented
+    * single-partition window — never over raw data). Output: one row
+    * per distinct lifetime day — dur_days, n_risk, d (events),
+    * c (censored), survival. */
+  def kaplanMeier(events: DataFrame, quietDays: Int = 14): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = events.groupBy("user_id")
+      .agg(min(unix_micros(col("ts"))).as("f"),
+        max(unix_micros(col("ts"))).as("l"))
+    val gmax = perUser.agg(max("l").as("gmax"))
+    val dayUs = 86400L * 1000000L
+    val lifetimes = perUser.crossJoin(broadcast(gmax))
+      .select(floor((col("l") - col("f")) / dayUs).cast("long").as("dur"),
+        (col("gmax") - col("l") >= quietDays * dayUs).as("ev"))
+    val tbl = lifetimes.groupBy("dur")
+      .agg(sum(when(col("ev"), 1L).otherwise(0L)).as("d"),
+        sum(when(!col("ev"), 1L).otherwise(0L)).as("c"))
+    val w = Window.orderBy("dur")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wIncl = Window.orderBy("dur")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val total = tbl.agg(sum(col("d") + col("c")).as("nt"))
+    tbl.crossJoin(broadcast(total))
+      .withColumn("n_risk",
+        col("nt") - coalesce(sum(col("d") + col("c")).over(w), lit(0L)))
+      .withColumn("survival",
+        round(exp(sum(
+          log(lit(1.0) - col("d").cast("double") / col("n_risk")))
+          .over(wIncl)), 4))
+      .select(col("dur").as("dur_days"), col("n_risk"), col("d"),
+        col("c"), col("survival"))
+  }
 }

@@ -609,4 +609,81 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(noise.getAs[Double]("accuracy") - 0.5) < 0.2,
       s"random labels cannot be learned: ${noise.getAs[Double]("accuracy")}")
   }
+
+  test("kruskalWallis matches the closed-form H; degenerate ties null out") {
+    // A=[1,2,3] B=[4,5,6] C=[7,8,9]: rank sums 6/15/24, H = 7.2 exactly
+    val df = (Seq(1.0, 2.0, 3.0).map(("A", _)) ++
+      Seq(4.0, 5.0, 6.0).map(("B", _)) ++
+      Seq(7.0, 8.0, 9.0).map(("C", _))).toDF("g", "v")
+    val r = Stats.kruskalWallis(df, "g", "v").collect().head
+    assert(r.getAs[Long]("k") == 3L && r.getAs[Long]("n") == 9L)
+    assert(r.getAs[Double]("h") == 7.2)
+    assert(r.getAs[Double]("h_adj") == 7.2, "no ties: correction is 1")
+    // all-identical values: the tie correction denominator vanishes —
+    // h_adj must be null, never a division error or ±Infinity
+    val flat = Seq(("A", 1.0), ("A", 1.0), ("B", 1.0), ("B", 1.0))
+      .toDF("g", "v")
+    val fr = Stats.kruskalWallis(flat, "g", "v").collect().head
+    assert(fr.isNullAt(fr.fieldIndex("h_adj")))
+  }
+
+  test("kendallTau: perfect concordance is +1, reversal is -1, ties discount") {
+    def ev(rows: Seq[(Long, String, Double)]) =
+      rows.toDF("hr", "event_type", "value")
+        .select(timestamp_seconds(col("hr") * 3600).as("ts"),
+          col("event_type"), col("value"))
+    val up = (0L to 5L).flatMap(h =>
+      Seq((h, "click", h + 1.0), (h, "view", 2.0 * h + 3.0)))
+    assert(Stats.kendallTau(ev(up)).collect().head
+      .getAs[Double]("tau_b") == 1.0)
+    val down = (0L to 5L).flatMap(h =>
+      Seq((h, "click", h + 1.0), (h, "view", 10.0 - h)))
+    assert(Stats.kendallTau(ev(down)).collect().head
+      .getAs[Double]("tau_b") == -1.0)
+    // y constant on half the hours: tau_b magnitude drops below 1 but
+    // the tie pairs are discounted, not counted against concordance
+    val tied = (0L to 5L).flatMap(h =>
+      Seq((h, "click", h + 1.0), (h, "view", math.max(3.0, h.toDouble))))
+    val t = Stats.kendallTau(ev(tied)).collect().head.getAs[Double]("tau_b")
+    assert(t > 0.5 && t < 1.0, s"tie-discounted tau out of range: $t")
+  }
+
+  test("ols2 recovers an exact planted plane with r2 = 1") {
+    // y = 2 + 3·x1 − 1.5·x2 exactly (all inputs 2dp: decimal sums exact)
+    val pts = Seq((1.0, 1.0), (2.0, 1.0), (3.0, 2.0), (4.0, 3.0),
+      (5.0, 5.0), (6.0, 8.0))
+    val df = pts.map { case (x1, x2) =>
+      (2.0 + 3.0 * x1 - 1.5 * x2, x1, x2) }.toDF("y", "x1", "x2")
+    val r = Stats.ols2(df, "y", "x1", "x2").collect().head
+    assert(r.getAs[Long]("n") == 6L)
+    assert(math.abs(r.getAs[Double]("intercept") - 2.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("b1") - 3.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("b2") - -1.5) < 1e-6)
+    assert(r.getAs[Double]("r2") == 1.0)
+    // the single-regressor shortcut CANNOT recover these coefficients
+    // (x1 and x2 correlate) — the partialling-out is what ols2 adds
+    val naive = Stats.olsRegression(df.withColumn("g", lit("all")),
+      "g", "x1", "y").collect().head
+    assert(math.abs(naive.getAs[Double]("slope") - 3.0) > 0.1)
+  }
+
+  test("kaplanMeier: hand-checked risk table with censoring") {
+    // gmax = day 100. u1: span 0d, quiet 20d → event at t=0
+    // u2: span 5d, quiet 15d → event at t=5; u3: span 5d, active → censored
+    // u4: span 10d, quiet 1d → censored at t=10
+    val day = 86400L
+    val ev = Seq(
+      (1L, 80L * day), (1L, 80L * day), // u1 span 0, last day 80
+      (2L, 80L * day), (2L, 85L * day), // u2 span 5, last day 85
+      (3L, 95L * day), (3L, 100L * day), // u3 span 5, active at edge
+      (4L, 89L * day), (4L, 99L * day)) // u4 span 10, quiet only 1d
+      .toDF("user_id", "sec")
+      .select(col("user_id"), timestamp_seconds(col("sec")).as("ts"))
+    val km = Stats.kaplanMeier(ev).collect()
+      .sortBy(_.getAs[Long]("dur_days"))
+    assert(km.map(_.getAs[Long]("dur_days")).toSeq == Seq(0L, 5L, 10L))
+    assert(km.map(_.getAs[Long]("n_risk")).toSeq == Seq(4L, 3L, 1L))
+    assert(km.map(_.getAs[Double]("survival")).toSeq == Seq(0.75, 0.5, 0.5),
+      "S drops only at event times; censoring thins the risk set silently")
+  }
 }
