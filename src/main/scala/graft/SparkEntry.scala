@@ -1276,6 +1276,9 @@ object SparkEntry {
       Stats.ols2(Tables.lineitem(s, d), "l_extendedprice", "l_quantity",
         "l_discount")),
     "st_km" -> ((s, d) => Stats.kaplanMeier(Tables.events(s, d))),
+    "st_friedman" -> ((s, d) => Stats.friedman(Tables.events(s, d))),
+    "ml_nb" -> ((s, d) =>
+      TextAnalysis.naiveBayesLangEval(Tables.documents(s, d))),
     "st_cms" -> ((s, d) =>
       Stats.cmsFrequencies(Tables.events(s, d), "event_type")),
     "pipe_decontaminate" -> ((s, d) => {
@@ -3128,6 +3131,95 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4)
              AS survival
          FROM rt""",
+    "st_friedman" ->
+      """WITH b AS (SELECT user_id,
+             round(avg(CASE WHEN event_type = 'click' THEN value END), 6)
+               AS x1,
+             round(avg(CASE WHEN event_type = 'view' THEN value END), 6)
+               AS x2,
+             round(avg(CASE WHEN event_type = 'purchase' THEN value END),
+               6) AS x3
+           FROM events
+           WHERE event_type IN ('click', 'view', 'purchase')
+           GROUP BY 1
+           HAVING x1 IS NOT NULL AND x2 IS NOT NULL AND x3 IS NOT NULL),
+         r AS (SELECT
+             1.0 + (CASE WHEN x2 < x1 THEN 1 ELSE 0 END)
+                 + (CASE WHEN x3 < x1 THEN 1 ELSE 0 END)
+                 + ((CASE WHEN x2 = x1 THEN 1 ELSE 0 END)
+                  + (CASE WHEN x3 = x1 THEN 1 ELSE 0 END)) / 2.0 AS r1,
+             1.0 + (CASE WHEN x1 < x2 THEN 1 ELSE 0 END)
+                 + (CASE WHEN x3 < x2 THEN 1 ELSE 0 END)
+                 + ((CASE WHEN x1 = x2 THEN 1 ELSE 0 END)
+                  + (CASE WHEN x3 = x2 THEN 1 ELSE 0 END)) / 2.0 AS r2,
+             1.0 + (CASE WHEN x1 < x3 THEN 1 ELSE 0 END)
+                 + (CASE WHEN x2 < x3 THEN 1 ELSE 0 END)
+                 + ((CASE WHEN x1 = x3 THEN 1 ELSE 0 END)
+                  + (CASE WHEN x2 = x3 THEN 1 ELSE 0 END)) / 2.0 AS r3,
+             (CASE WHEN x1 = x2 THEN 1 ELSE 0 END)
+               + (CASE WHEN x1 = x3 THEN 1 ELSE 0 END)
+               + (CASE WHEN x2 = x3 THEN 1 ELSE 0 END) AS s
+           FROM b),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(r1) AS s1, sum(r2) AS s2, sum(r3) AS s3,
+             CAST(sum(CASE WHEN s = 3 THEN 24 WHEN s = 1 THEN 6
+               ELSE 0 END) AS BIGINT) AS ties
+           FROM r),
+         f AS (SELECT n, s1, s2, s3, ties, CAST(n AS DOUBLE) AS nd
+           FROM a)
+         SELECT n, CAST(3 AS BIGINT) AS k,
+           round(12.0 / (nd * 3.0 * 4.0) *
+             (s1 * s1 + s2 * s2 + s3 * s3) - 3.0 * nd * 4.0, 4) AS chi2,
+           round((12.0 / (nd * 3.0 * 4.0) *
+             (s1 * s1 + s2 * s2 + s3 * s3) - 3.0 * nd * 4.0) /
+             nullif(1.0 - CAST(ties AS DOUBLE) / (nd * 3.0 * 8.0), 0), 4)
+             AS chi2_adj,
+           ties
+         FROM f""",
+    "ml_nb" ->
+      """WITH docs AS (SELECT doc_id, lang, text,
+             substr(md5('nb' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+               AS is_train
+           FROM documents),
+         tok AS (SELECT doc_id, lang, is_train,
+             unnest(string_split(text, ' ')) AS tok
+           FROM docs),
+         tc AS (SELECT tok, lang, CAST(count(*) AS BIGINT) AS c
+           FROM tok WHERE is_train GROUP BY 1, 2),
+         lt AS (SELECT lang, CAST(count(*) AS BIGINT) AS nl
+           FROM tok WHERE is_train GROUP BY 1),
+         vocab AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+           FROM tok WHERE is_train),
+         ltv AS (SELECT lang, nl, v,
+             CAST(round(ln(1.0 / (nl + v)) * 1e6) AS BIGINT) AS lp_unseen
+           FROM lt CROSS JOIN vocab),
+         model AS (SELECT tc.tok, tc.lang,
+             CAST(round(ln((c + 1.0) / (nl + v)) * 1e6) AS BIGINT) AS lp
+           FROM tc JOIN ltv USING (lang)),
+         ntr AS (SELECT CAST(count(*) AS BIGINT) AS n_train
+           FROM docs WHERE is_train),
+         priors AS (SELECT lang AS cls,
+             CAST(round(ln(CAST(nd AS DOUBLE) / n_train) * 1e6) AS BIGINT)
+               AS lp_prior
+           FROM (SELECT lang, CAST(count(*) AS BIGINT) AS nd
+                 FROM docs WHERE is_train GROUP BY 1)
+             CROSS JOIN ntr),
+         cls AS (SELECT lang AS cls, lp_unseen FROM ltv),
+         sc AS (SELECT t.doc_id, t.lang AS true_lang, c.cls,
+             CAST(sum(coalesce(m.lp, c.lp_unseen)) AS BIGINT) AS ll
+           FROM tok t CROSS JOIN cls c
+           LEFT JOIN model m ON m.tok = t.tok AND m.lang = c.cls
+           WHERE NOT t.is_train
+           GROUP BY 1, 2, 3),
+         sp AS (SELECT sc.doc_id, sc.true_lang, sc.cls,
+             ll + lp_prior AS score
+           FROM sc JOIN priors USING (cls)),
+         pred AS (SELECT doc_id, true_lang, cls AS pred_lang,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, cls DESC) AS rn
+           FROM sp)
+         SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+         FROM pred WHERE rn = 1 GROUP BY 1, 2""",
     "tx_jsd" ->
       """WITH cnt AS (SELECT tok,
              CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)

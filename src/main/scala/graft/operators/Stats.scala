@@ -1276,6 +1276,58 @@ object Stats {
       round(lit(1.0) - sse / nullif(sst, lit(0.0)), 6).as("r2"))
   }
 
+  /** Friedman test over COMPLETE blocks — the repeated-measures twin of
+    * [[kruskalWallis]] (same user measured under k=3 conditions; ranks
+    * are WITHIN each user, so between-user level differences cancel —
+    * exactly what the unpaired test can't do). Each block's treatment
+    * means pivot out in one conditional partial-agg pass (rounded 6dp
+    * so both engines tie identically); the within-block midranks are
+    * ROW-LOCAL pairwise comparisons (k=3: rᵢ = 1 + #{j: xⱼ<xᵢ} +
+    * #{j≠i: xⱼ=xᵢ}/2 — no window, no shuffle, scales to any block
+    * count), and the per-block tie term Σ(t³−t) collapses to a CASE on
+    * the 3 equality bits (s=3 → 24, s=1 → 6, s=0 → 0). Rank sums are
+    * exact half-integer sums; χ²_F = 12/(nk(k+1))·ΣRⱼ² − 3n(k+1) with
+    * the tie correction C = 1 − Σties/(nk(k²−1)) leaves integer land
+    * only in the final 1-row formula. Incomplete blocks drop (classic
+    * complete-design Friedman). */
+  def friedman(events: DataFrame,
+               types: Seq[String] = Seq("click", "view", "purchase"))
+      : DataFrame = {
+    require(types.size == 3, "row-local rank formulas are written for k=3")
+    val Seq(t1, t2, t3) = types
+    def m(t: String) =
+      round(avg(when(col("event_type") === t, col("value"))), 6)
+    val blocks = events.filter(col("event_type").isin(types: _*))
+      .groupBy("user_id")
+      .agg(m(t1).as("x1"), m(t2).as("x2"), m(t3).as("x3"))
+      .filter(col("x1").isNotNull && col("x2").isNotNull &&
+        col("x3").isNotNull)
+    def lt(a: Column, b: Column) = when(a < b, 1).otherwise(0)
+    def eq(a: Column, b: Column) = when(a === b, 1).otherwise(0)
+    def rk(self: Column, o1: Column, o2: Column) =
+      lit(1.0) + lt(o1, self) + lt(o2, self) +
+        (eq(o1, self) + eq(o2, self)) / lit(2.0)
+    val ranked = blocks.select(
+      rk(col("x1"), col("x2"), col("x3")).as("r1"),
+      rk(col("x2"), col("x1"), col("x3")).as("r2"),
+      rk(col("x3"), col("x1"), col("x2")).as("r3"),
+      (eq(col("x1"), col("x2")) + eq(col("x1"), col("x3")) +
+        eq(col("x2"), col("x3"))).as("s"))
+    val agg = ranked.agg(count(lit(1)).as("n"),
+      sum("r1").as("s1"), sum("r2").as("s2"), sum("r3").as("s3"),
+      sum(when(col("s") === 3, 24L).when(col("s") === 1, 6L)
+        .otherwise(0L)).as("ties"))
+    val n = col("n").cast("double")
+    val chi2 = lit(12.0) / (n * 3.0 * 4.0) *
+      (col("s1") * col("s1") + col("s2") * col("s2") +
+        col("s3") * col("s3")) - lit(3.0) * n * 4.0
+    val corr = lit(1.0) - col("ties").cast("double") / (n * 3.0 * 8.0)
+    agg.select(col("n"), lit(3L).as("k"),
+      round(chi2, 4).as("chi2"),
+      round(chi2 / nullif(corr, lit(0.0)), 4).as("chi2_adj"),
+      col("ties"))
+  }
+
   /** Kaplan–Meier survival curve over per-user activity lifetimes with
     * right censoring — THE time-to-event estimator (retention/churn
     * analysis done correctly: a user still active at the corpus edge is

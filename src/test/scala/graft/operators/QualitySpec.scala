@@ -300,4 +300,31 @@ class QualitySpec extends SparkSpec {
     assert(r2.getAs[Long]("groups_below_k") == 0L &&
       r2.getAs[Long]("rows_at_risk") == 0L)
   }
+
+  test("naiveBayesLangEval: diagonal confusion on a separable planted corpus") {
+    // two langs with disjoint vocabularies; md5 split assigns both
+    // train and test docs to each class for these 40 ids
+    val docs = (1 to 40).map { i =>
+      if (i % 2 == 0) (i.toLong, "aa", "foo bar baz foo qux")
+      else (i.toLong, "bb", "uno dos tres uno cinco")
+    }.toDF("doc_id", "lang", "text")
+    val cm = TextAnalysis.naiveBayesLangEval(docs).collect()
+    assert(cm.nonEmpty, "the hash split must leave held-out docs")
+    cm.foreach { r =>
+      assert(r.getAs[String]("true_lang") == r.getAs[String]("pred_lang"),
+        s"separable vocabularies must classify perfectly: $r")
+    }
+    // deterministic: integer scores admit no partition-order flaps
+    val again = TextAnalysis.naiveBayesLangEval(docs).collect()
+    assert(cm.map(_.toString).sorted.toSeq ==
+      again.map(_.toString).sorted.toSeq)
+    // unseen tokens at score time must not error or bias: a test-only
+    // token falls back to the per-class unseen mass for EVERY class
+    val withNoise = docs.union(
+      Seq((41L, "aa", "zzz foo bar")).toDF("doc_id", "lang", "text"))
+    val cm2 = TextAnalysis.naiveBayesLangEval(withNoise).collect()
+    cm2.foreach { r =>
+      assert(r.getAs[String]("true_lang") == r.getAs[String]("pred_lang"))
+    }
+  }
 }

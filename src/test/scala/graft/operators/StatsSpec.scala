@@ -667,6 +667,31 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(naive.getAs[Double]("slope") - 3.0) > 0.1)
   }
 
+  test("friedman: strict per-block ordering gives chi2 = 2n; full ties null out") {
+    def ev(rows: Seq[(Long, String, Double)]) =
+      rows.toDF("user_id", "event_type", "value")
+    // every user ranks click < view < purchase → rank sums n,2n,3n →
+    // χ²_F = 2n exactly; no ties → correction is 1
+    val strict = (1L to 4L).flatMap(u => Seq(
+      (u, "click", 1.0 + u), (u, "view", 10.0 + u), (u, "purchase", 20.0 + u)))
+    val r = Stats.friedman(ev(strict)).collect().head
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("k") == 3L)
+    assert(r.getAs[Double]("chi2") == 8.0)
+    assert(r.getAs[Double]("chi2_adj") == 8.0)
+    // users missing a condition must DROP (complete-block design), not
+    // skew the rank sums
+    val incomplete = strict ++ Seq((9L, "click", 5.0), (9L, "view", 6.0))
+    assert(Stats.friedman(ev(incomplete)).collect().head
+      .getAs[Long]("n") == 4L)
+    // all three conditions identical in every block: chi2 = 0 and the
+    // tie-correction denominator vanishes → chi2_adj null, not an error
+    val flat = (1L to 3L).flatMap(u => Seq(
+      (u, "click", 7.0), (u, "view", 7.0), (u, "purchase", 7.0)))
+    val fr = Stats.friedman(ev(flat)).collect().head
+    assert(fr.getAs[Double]("chi2") == 0.0)
+    assert(fr.isNullAt(fr.fieldIndex("chi2_adj")))
+  }
+
   test("kaplanMeier: hand-checked risk table with censoring") {
     // gmax = day 100. u1: span 0d, quiet 20d → event at t=0
     // u2: span 5d, quiet 15d → event at t=5; u3: span 5d, active → censored
