@@ -400,6 +400,8 @@ object SparkEntry {
       Resample.resampleWithInterpolation(Tables.events(s, d), 3600000000L)),
     "ts_ewma" -> ((s, d) => Resample.ewma(Tables.events(s, d), 0.3)),
     "ts_holt" -> ((s, d) => Resample.holt(Tables.events(s, d), 0.3, 0.1)),
+    "ts_backtest" -> ((s, d) =>
+      Resample.backtestBaselines(Tables.events(s, d))),
     // ---- F. spatial ----
     "sp_haversine" -> ((s, d) =>
       SpatialJoin.distances(
@@ -3131,6 +3133,37 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4)
              AS survival
          FROM rt""",
+    "ts_backtest" ->
+      """WITH hourly AS (SELECT
+             epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
+             round(avg(value), 6) AS v
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+         seq AS (SELECT hr, v,
+             row_number() OVER (ORDER BY hr) AS rn,
+             lag(v, 24) OVER (ORDER BY hr) AS lag_s
+           FROM hourly),
+         cnt AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM seq),
+         wn AS (SELECT seq.*, n_total,
+             CAST(ceil(0.8 * n_total) AS BIGINT) AS ptrain
+           FROM seq CROSS JOIN cnt),
+         tr AS (SELECT min_by(v, rn) AS v_first, max_by(v, rn) AS v_last,
+             CAST(max(rn) AS BIGINT) AS p
+           FROM wn WHERE rn <= ptrain),
+         hold AS (SELECT v, lag_s,
+             CAST(rn - ptrain AS DOUBLE) AS h, v_first, v_last, p
+           FROM wn CROSS JOIN tr WHERE rn > ptrain),
+         preds AS (
+           SELECT v, 'naive' AS method, v_last AS pred FROM hold
+           UNION ALL
+           SELECT v, 'drift',
+             v_last + h * (v_last - v_first) / (p - 1.0) FROM hold
+           UNION ALL
+           SELECT v, 'snaive', coalesce(lag_s, v_last) FROM hold)
+         SELECT method, CAST(count(*) AS BIGINT) AS n,
+           round(avg(abs(pred - v)), 6) AS mae,
+           round(avg(2.0 * abs(pred - v) /
+             nullif(abs(pred) + abs(v), 0)), 6) AS smape
+         FROM preds GROUP BY 1""",
     "st_friedman" ->
       """WITH b AS (SELECT user_id,
              round(avg(CASE WHEN event_type = 'click' THEN value END), 6)

@@ -649,4 +649,62 @@ object Resample {
         nullif(sqrt((np * sxx - sx * sx) * (np * syy - sy * sy)), lit(0.0)),
         6).as("memory"))
   }
+
+  /** Forecast BACKTEST over the hourly series — the evaluation half a
+    * forecasting family is incomplete without (ts_holt/ts_hw fit; this
+    * says how well anything fits): hold out the last 1−`trainFrac` of
+    * hours and score the three classical baselines every real forecast
+    * must beat (M-competition discipline): NAIVE (last train level),
+    * DRIFT (last level + h·average train slope), SEASONAL-NAIVE (the
+    * value `season` hours earlier — one-step seasonal, the lag riding
+    * the SAME ordered window that numbers the series; pre-season rows
+    * fall back to naive). Reports per-method MAE and sMAPE over the
+    * holdout.
+    *
+    * Scale shape: the corpus collapses to the calendar-bounded hourly
+    * frame in one partial-agg pass (means rounded 6dp — both engines
+    * score identical series); everything after — ordered window,
+    * train-edge stats via min_by/max_by, a 3-struct explode, the final
+    * per-method rollup — runs on that aggregate frame (documented
+    * single-partition window, never over raw data). Predictions are
+    * arithmetic on the rounded series; only the final MAE/sMAPE means
+    * are floats (round 6). */
+  def backtestBaselines(events: DataFrame, eventType: String = "click",
+                        trainFrac: Double = 0.8,
+                        season: Int = 24): DataFrame = {
+    val hourly = events.filter(col("event_type") === eventType)
+      .groupBy(expr("unix_seconds(date_trunc('hour', ts)) div 3600")
+        .as("hr"))
+      .agg(round(avg("value"), 6).as("v"))
+    val w = Window.orderBy("hr")
+    val seq = hourly
+      .withColumn("rn", row_number().over(w))
+      .withColumn("lag_s", lag("v", season).over(w))
+    val n = seq.agg(count(lit(1)).as("n_total"))
+    val withN = seq.crossJoin(broadcast(n))
+      .withColumn("ptrain",
+        ceil(lit(trainFrac) * col("n_total")).cast("long"))
+    val trainStats = withN.filter(col("rn") <= col("ptrain"))
+      .agg(min_by(col("v"), col("rn")).as("v_first"),
+        max_by(col("v"), col("rn")).as("v_last"),
+        max(col("rn")).as("p"))
+    val hold = withN.filter(col("rn") > col("ptrain"))
+      .crossJoin(broadcast(trainStats))
+      .withColumn("h", (col("rn") - col("ptrain")).cast("double"))
+      .withColumn("preds", explode(array(
+        struct(lit("naive").as("method"), col("v_last").as("pred")),
+        struct(lit("drift").as("method"),
+          (col("v_last") + col("h") * (col("v_last") - col("v_first")) /
+            (col("p") - lit(1.0))).as("pred")),
+        struct(lit("snaive").as("method"),
+          coalesce(col("lag_s"), col("v_last")).as("pred")))))
+      .select(col("v"), col("preds.method").as("method"),
+        col("preds.pred").as("pred"))
+    hold.groupBy("method")
+      .agg(count(lit(1)).as("n"),
+        round(avg(abs(col("pred") - col("v"))), 6).as("mae"),
+        round(avg(lit(2.0) * abs(col("pred") - col("v")) /
+          nullif(abs(col("pred")) + abs(col("v")), lit(0.0))), 6)
+          .as("smape"))
+  }
 }

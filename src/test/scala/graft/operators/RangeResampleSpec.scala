@@ -341,4 +341,23 @@ class RangeResampleSpec extends SparkSpec {
         s"pacf($k)=${out(k)._2} must cut off for AR(1)")
     }
   }
+
+  test("backtestBaselines: drift nails a pure trend, naive and snaive lag it") {
+    import spark.implicits._
+    // v(hour h) = h+1 for 50 hours: train = first 40, holdout h = 1..10
+    // drift slope = (40-1)/39 = 1 → exact forecasts, MAE 0
+    // naive holds 40 → MAE = mean(1..10) = 5.5; snaive lags 24 → MAE 24
+    val ev = (0 until 50).map(h => (h.toLong * 3600L, "click", h + 1.0))
+      .toDF("s", "event_type", "value")
+      .select(timestamp_seconds(col("s")).as("ts"), col("event_type"),
+        col("value"))
+    val out = Resample.backtestBaselines(ev).collect()
+      .map(r => r.getAs[String]("method") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("mae"))).toMap
+    assert(out.keySet == Set("naive", "drift", "snaive"))
+    assert(out("drift")._1 == 10L && out("drift")._2 == 0.0,
+      s"drift must be exact on a pure trend: ${out("drift")}")
+    assert(out("naive")._2 == 5.5)
+    assert(out("snaive")._2 == 24.0)
+  }
 }
