@@ -402,6 +402,10 @@ object SparkEntry {
     "ts_holt" -> ((s, d) => Resample.holt(Tables.events(s, d), 0.3, 0.1)),
     "ts_backtest" -> ((s, d) =>
       Resample.backtestBaselines(Tables.events(s, d))),
+    "ts_ljungbox" -> ((s, d) => Resample.ljungBox(Tables.events(s, d))),
+    "st_cliff" -> ((s, d) =>
+      Stats.cliffsDelta(Tables.events(s, d), "event_type", "value",
+        "click", "view")),
     // ---- F. spatial ----
     "sp_haversine" -> ((s, d) =>
       SpatialJoin.distances(
@@ -3133,6 +3137,44 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4)
              AS survival
          FROM rt""",
+    "ts_ljungbox" ->
+      """WITH hourly AS (SELECT
+             epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
+             round(avg(value), 6) AS v
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+         l AS (SELECT unnest(range(1, 13)) AS lag),
+         ac AS (SELECT lag, round(corr(a.v, b.v), 6) AS r
+           FROM l CROSS JOIN hourly a JOIN hourly b ON b.hr = a.hr + lag
+           GROUP BY lag),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM hourly),
+         s AS (SELECT max(n) AS n, CAST(count(*) AS BIGINT) AS maxlag,
+             sum(r * r / (n - lag)) AS s
+           FROM ac CROSS JOIN n WHERE r IS NOT NULL)
+         SELECT n, maxlag,
+           round(CAST(n AS DOUBLE) * (n + 2.0) * s, 4) AS q_stat
+         FROM s""",
+    "st_cliff" ->
+      """WITH pts AS (SELECT value AS v,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               AS BIGINT) AS cb
+           FROM events WHERE event_type IN ('click', 'view')
+           GROUP BY value),
+         c AS (SELECT ca, cb, ca + cb AS t,
+             CAST(coalesce(sum(ca + cb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS below
+           FROM pts),
+         s AS (SELECT
+             CAST(sum(ca * (2*below + t + 1)) AS BIGINT) AS r1x2,
+             CAST((SELECT sum(ca) FROM pts) AS BIGINT) AS na,
+             CAST((SELECT sum(cb) FROM pts) AS BIGINT) AS nb
+           FROM c)
+         SELECT round(2.0 * ((r1x2 - na*(na+1)) / 2.0) / (na * nb) - 1.0,
+             6) AS cliffs_delta,
+           na AS n_a, nb AS n_b
+         FROM s""",
     "ts_backtest" ->
       """WITH hourly AS (SELECT
              epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,

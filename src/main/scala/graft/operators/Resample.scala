@@ -650,6 +650,31 @@ object Resample {
         6).as("memory"))
   }
 
+  /** Ljung–Box portmanteau test on the hourly series — "is there ANY
+    * autocorrelation in the first `maxLag` lags at all", the one-number
+    * white-noise gate run before (and on the residuals after) any
+    * forecasting model: Q = n(n+2)·Σₖ ρₖ²/(n−k), χ²(maxLag) under the
+    * null. The ρₖ are [[crossCorrelation]]'s distributed per-lag
+    * correlations (rounded 6dp — both engines square identical
+    * doubles); n is the hour count of the calendar-bounded series; the
+    * Q assembly is one maxLag-row rollup. */
+  def ljungBox(events: DataFrame, eventType: String = "click",
+               maxLag: Int = 12): DataFrame = {
+    val ac = crossCorrelation(events, eventType, eventType, maxLag)
+      .filter(col("lag") >= 1 && col("xcorr").isNotNull)
+    val hours = events.filter(col("event_type") === eventType)
+      .select(expr("unix_seconds(date_trunc('hour', ts)) div 3600")
+        .as("hr"))
+      .distinct().agg(count(lit(1)).as("n"))
+    ac.crossJoin(broadcast(hours))
+      .agg(max("n").as("n"), count(lit(1)).as("maxlag"),
+        sum(col("xcorr") * col("xcorr") / (col("n") - col("lag")))
+          .as("s"))
+      .select(col("n"), col("maxlag"),
+        round(col("n").cast("double") * (col("n") + 2.0) * col("s"), 4)
+          .as("q_stat"))
+  }
+
   /** Forecast BACKTEST over the hourly series — the evaluation half a
     * forecasting family is incomplete without (ts_holt/ts_hw fit; this
     * says how well anything fits): hold out the last 1−`trainFrac` of

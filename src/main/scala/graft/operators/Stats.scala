@@ -370,6 +370,24 @@ object Stats {
       col("na").as("n_pos"), col("nb").as("n_neg"))
   }
 
+  /** Cliff's delta ordinal effect size — the nonparametric companion of
+    * [[cohensD]] (how OFTEN does a draw from A exceed a draw from B,
+    * not how far apart the means sit): δ = P(a>b) − P(a<b) =
+    * 2U/(n₁n₂) − 1, so it rides [[mannWhitneyU]]'s striped exact-integer
+    * rank-sum core verbatim (midranks make the tie convention the
+    * standard one) — U is integer-exact, one division at the end, no
+    * rounding tolerance anywhere before the final 6dp. δ∈[−1,1]:
+    * ±1 = complete separation, 0 = stochastic equality. */
+  def cliffsDelta(df: DataFrame, groupCol: String, c: String,
+                  ga: String, gb: String, stripes: Int = 256): DataFrame = {
+    val s = rankSumAgg(df, groupCol, c, ga, gb, stripes)
+    val u = (col("r1x2") - col("na") * (col("na") + 1)) / 2.0
+    s.select(
+      round(lit(2.0) * u / (col("na") * col("nb")) - 1.0, 6)
+        .as("cliffs_delta"),
+      col("na").as("n_a"), col("nb").as("n_b"))
+  }
+
   /** Wald–Wolfowitz RUNS test for randomness of a time series — "is
     * the hourly level wandering (trend/regimes: few long runs) or
     * oscillating (negative dependence: many short runs) instead of

@@ -342,6 +342,30 @@ class RangeResampleSpec extends SparkSpec {
     }
   }
 
+  test("ljungBox: perfect alternation hits the closed-form Q, white-ish noise stays low") {
+    import spark.implicits._
+    def series(vs: Seq[Double]) = vs.zipWithIndex
+      .map { case (v, h) => (h.toLong * 3600L, "click", v) }
+      .toDF("s", "event_type", "value")
+      .select(timestamp_seconds(col("s")).as("ts"), col("event_type"),
+        col("value"))
+    // v alternates ±1: ρ_k = (−1)^k exactly, so every ρ_k² = 1 and
+    // Q = n(n+2)·Σ 1/(n−k) in closed form
+    val n = 30
+    val alt = series((0 until n).map(h => if (h % 2 == 0) 1.0 else -1.0))
+    val r = Resample.ljungBox(alt).collect().head
+    assert(r.getAs[Long]("n") == n && r.getAs[Long]("maxlag") == 12L)
+    val expected = n.toDouble * (n + 2.0) *
+      (1 to 12).map(k => 1.0 / (n - k)).sum
+    assert(math.abs(r.getAs[Double]("q_stat") - expected) < 1e-3,
+      s"alternating series: ${r.getAs[Double]("q_stat")} vs $expected")
+    // a hash-scrambled series carries far less structure
+    val noisy = series((0 until n).map(h =>
+      ((h * 2654435761L) % 97).toDouble))
+    val q2 = Resample.ljungBox(noisy).collect().head.getAs[Double]("q_stat")
+    assert(q2 < expected / 2, s"scrambled series must score lower: $q2")
+  }
+
   test("backtestBaselines: drift nails a pure trend, naive and snaive lag it") {
     import spark.implicits._
     // v(hour h) = h+1 for 50 hours: train = first 40, holdout h = 1..10

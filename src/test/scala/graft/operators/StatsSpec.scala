@@ -667,6 +667,18 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(naive.getAs[Double]("slope") - 3.0) > 0.1)
   }
 
+  test("cliffsDelta: ±1 on complete separation, 0 on identical groups") {
+    def d(a: Seq[Double], b: Seq[Double]) =
+      Stats.cliffsDelta((a.map(("A", _)) ++ b.map(("B", _))).toDF("g", "v"),
+        "g", "v", "A", "B").collect().head.getAs[Double]("cliffs_delta")
+    assert(d(Seq(4.0, 5.0, 6.0), Seq(1.0, 2.0, 3.0)) == 1.0)
+    assert(d(Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)) == -1.0)
+    assert(d(Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0)) == 0.0,
+      "identical distributions are stochastically equal")
+    // hand count: pairs A×B over A=[1,3], B=[2,2]: a>b once, a<b once
+    assert(d(Seq(1.0, 3.0), Seq(2.0, 2.0)) == 0.0)
+  }
+
   test("friedman: strict per-block ordering gives chi2 = 2n; full ties null out") {
     def ev(rows: Seq[(Long, String, Double)]) =
       rows.toDF("user_id", "event_type", "value")
