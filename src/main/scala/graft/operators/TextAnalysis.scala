@@ -737,9 +737,10 @@ object TextAnalysis {
     * confusion matrix.
     *
     * Distributed shape: training is ONE (token, lang) partial-agg pass
-    * (model = vocab×k count frame); scoring explodes test tokens
-    * against the k class rows (a lit-array explode — no join for the
-    * class axis), left-joins the model on (token, lang) — the ONLY
+    * (model = vocab×k count frame); scoring replicates each test token
+    * k ways via a broadcast cross join against the k-row class frame
+    * (k is the bounded class count — same cost as an explode at any
+    * scale), left-joins the model on (token, lang) — the ONLY
     * data-sized shuffle — and rolls up per (doc, lang).
     *
     * Engine-exactness: per-token Laplace log-likelihoods round to

@@ -725,6 +725,37 @@ class PlanAuditSpec extends SparkSpec {
       s"top-k centrality must not globally sort:\n$p")
   }
 
+  test("ml_nb: model join is hash, class replication broadcasts k rows") {
+    val p = plan("ml_nb")
+    // the only data-sized join (token→model) must be a hash join, and
+    // the k-class replication must ride a broadcast, never a shuffle
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"model lookup must be an equi-join:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"class axis must broadcast (k rows), never cartesian-shuffle:\n$p")
+    assert(p.contains("partial_count"),
+      s"training counts must combine map-side:\n$p")
+  }
+
+  test("st_kruskal: rank machinery never globally sorts the raw scan") {
+    val p = plan("st_kruskal")
+    // windows may sort the distinct-value frame; the raw events scan
+    // must reach its first aggregate through partial aggregation only
+    assert(p.contains("partial_count"),
+      s"value collapse must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"midrank join must stay equi/broadcast:\n$p")
+  }
+
+  test("ts_backtest: corpus collapses map-side before any window") {
+    val p = plan("ts_backtest")
+    assert(p.contains("partial_"),
+      s"hourly rollup must combine map-side:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"train-edge stats must ride back as a broadcast:\n$p")
+  }
+
   test("entry flagship runs and returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
