@@ -3072,8 +3072,8 @@ object SparkEntry {
              CAST(count(*) AS BIGINT) AS n0
            FROM p)
          SELECT nc, nd, n0,
-           round((nc - nd) / sqrt(CAST(n0 - tx AS DOUBLE) *
-             CAST(n0 - ty AS DOUBLE)), 6) AS tau_b
+           round((nc - nd) / nullif(sqrt(CAST(n0 - tx AS DOUBLE) *
+             CAST(n0 - ty AS DOUBLE)), 0), 6) AS tau_b
          FROM s""",
     "st_ols2" ->
       """WITH z AS (SELECT
@@ -3171,8 +3171,8 @@ object SparkEntry {
              CAST((SELECT sum(ca) FROM pts) AS BIGINT) AS na,
              CAST((SELECT sum(cb) FROM pts) AS BIGINT) AS nb
            FROM c)
-         SELECT round(2.0 * ((r1x2 - na*(na+1)) / 2.0) / (na * nb) - 1.0,
-             6) AS cliffs_delta,
+         SELECT round(2.0 * ((r1x2 - na*(na+1)) / 2.0) /
+             nullif(CAST(na * nb AS DOUBLE), 0) - 1.0, 6) AS cliffs_delta,
            na AS n_a, nb AS n_b
          FROM s""",
     "ts_backtest" ->
@@ -3243,12 +3243,12 @@ object SparkEntry {
          f AS (SELECT n, s1, s2, s3, ties, CAST(n AS DOUBLE) AS nd
            FROM a)
          SELECT n, CAST(3 AS BIGINT) AS k,
-           round(12.0 / (nd * 3.0 * 4.0) *
+           round(12.0 / nullif(nd * 3.0 * 4.0, 0) *
              (s1 * s1 + s2 * s2 + s3 * s3) - 3.0 * nd * 4.0, 4) AS chi2,
-           round((12.0 / (nd * 3.0 * 4.0) *
+           round((12.0 / nullif(nd * 3.0 * 4.0, 0) *
              (s1 * s1 + s2 * s2 + s3 * s3) - 3.0 * nd * 4.0) /
-             nullif(1.0 - CAST(ties AS DOUBLE) / (nd * 3.0 * 8.0), 0), 4)
-             AS chi2_adj,
+             nullif(1.0 - CAST(ties AS DOUBLE) /
+               nullif(nd * 3.0 * 8.0, 0), 0), 4) AS chi2_adj,
            ties
          FROM f""",
     "ml_nb" ->

@@ -383,8 +383,8 @@ object Stats {
     val s = rankSumAgg(df, groupCol, c, ga, gb, stripes)
     val u = (col("r1x2") - col("na") * (col("na") + 1)) / 2.0
     s.select(
-      round(lit(2.0) * u / (col("na") * col("nb")) - 1.0, 6)
-        .as("cliffs_delta"),
+      round(lit(2.0) * u / nullif((col("na") * col("nb")).cast("double"),
+        lit(0.0)) - 1.0, 6).as("cliffs_delta"),
       col("na").as("n_a"), col("nb").as("n_b"))
   }
 
@@ -1241,8 +1241,9 @@ object Stats {
       count(lit(1)).as("n0"))
     s.select(col("nc"), col("nd"), col("n0"),
       round((col("nc") - col("nd")) /
-        sqrt((col("n0") - col("tx")).cast("double") *
-          (col("n0") - col("ty")).cast("double")), 6).as("tau_b"))
+        nullif(sqrt((col("n0") - col("tx")).cast("double") *
+          (col("n0") - col("ty")).cast("double")), lit(0.0)), 6)
+        .as("tau_b"))
   }
 
   /** Two-regressor multiple OLS (y ~ x1 + x2) via EXACT sufficient
@@ -1336,10 +1337,13 @@ object Stats {
       sum(when(col("s") === 3, 24L).when(col("s") === 1, 6L)
         .otherwise(0L)).as("ties"))
     val n = col("n").cast("double")
-    val chi2 = lit(12.0) / (n * 3.0 * 4.0) *
+    // nullif guards: an empty slice (n=0) must report null, not raise
+    // ANSI DIVIDE_BY_ZERO — at 100 TB an empty date-partition is routine
+    val chi2 = lit(12.0) / nullif(n * 3.0 * 4.0, lit(0.0)) *
       (col("s1") * col("s1") + col("s2") * col("s2") +
         col("s3") * col("s3")) - lit(3.0) * n * 4.0
-    val corr = lit(1.0) - col("ties").cast("double") / (n * 3.0 * 8.0)
+    val corr = lit(1.0) -
+      col("ties").cast("double") / nullif(n * 3.0 * 8.0, lit(0.0))
     agg.select(col("n"), lit(3L).as("k"),
       round(chi2, 4).as("chi2"),
       round(chi2 / nullif(corr, lit(0.0)), 4).as("chi2_adj"),

@@ -108,6 +108,28 @@ class EdgeCaseSpec extends SparkSpec {
     assert(all.map(_.getAs[Long]("vec_id")).toSet == Set(1L, 2L))
   }
 
+  test("round-7 stats additions on empty/degenerate input") {
+    // one-row aggregate ops: empty input must yield nulls/zeros, never
+    // a DIVIDE_BY_ZERO or an empty frame the driver can't compare
+    assert(Stats.kruskalWallis(noEvents, "event_type", "value")
+      .collect().head.getAs[Long]("n") == 0L)
+    assert(Stats.kendallTau(noEvents).collect().head
+      .isNullAt(3)) // tau_b null when no hourly pairs exist
+    assert(Stats.friedman(noEvents).collect().head.getAs[Long]("n") == 0L)
+    assert(Stats.cliffsDelta(noEvents, "event_type", "value",
+      "click", "view").collect().head.isNullAt(0))
+    // per-time-row ops: empty in → empty out
+    assert(Stats.kaplanMeier(noEvents).count() == 0)
+    assert(Resample.backtestBaselines(noEvents).count() == 0)
+    assert(TextAnalysis.naiveBayesLangEval(noDocs).count() == 0)
+    // a single user / single hour: lifetimes and series of length one
+    import spark.implicits._
+    val one = Seq((1L, 0L)).toDF("user_id", "s")
+      .select(col("user_id"), timestamp_seconds(col("s")).as("ts"))
+    val km = Stats.kaplanMeier(one).collect()
+    assert(km.length == 1 && km.head.getAs[Long]("n_risk") == 1L)
+  }
+
   test("short documents (< n tokens) produce no shingles but valid sketches") {
     import spark.implicits._
     val tiny = Seq((1L, "one two"), (2L, "a"), (3L, "")).toDF("doc_id", "text")
