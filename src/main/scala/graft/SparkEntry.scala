@@ -1283,6 +1283,10 @@ object SparkEntry {
         "l_discount")),
     "st_km" -> ((s, d) => Stats.kaplanMeier(Tables.events(s, d))),
     "st_friedman" -> ((s, d) => Stats.friedman(Tables.events(s, d))),
+    "q34_division" -> ((s, d) =>
+      Relational.divisionActiveEveryMonth(Tables.orders(s, d))),
+    "q35_basket" -> ((s, d) =>
+      Relational.associationRules(Tables.lineitem(s, d))),
     "ml_nb" -> ((s, d) =>
       TextAnalysis.naiveBayesLangEval(Tables.documents(s, d))),
     "st_cms" -> ((s, d) =>
@@ -3137,6 +3141,40 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4)
              AS survival
          FROM rt""",
+    "q34_division" ->
+      """WITH w AS (SELECT o_custkey,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS month
+           FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o_orderdate < TIMESTAMP '1996-04-01'),
+         d AS (SELECT CAST(count(DISTINCT month) AS BIGINT) AS n_months
+           FROM w)
+         SELECT o_custkey,
+           CAST(count(DISTINCT month) AS BIGINT) AS months_active,
+           CAST(count(*) AS BIGINT) AS n_orders
+         FROM w CROSS JOIN d
+         GROUP BY o_custkey, n_months
+         HAVING count(DISTINCT month) = n_months""",
+    "q35_basket" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok,
+             l_partkey AS item FROM lineitem),
+         no AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders
+           FROM items),
+         supp AS (SELECT item, CAST(count(*) AS BIGINT) AS n_item
+           FROM items GROUP BY 1),
+         pairs AS (SELECT a.item AS i1, b.item AS i2,
+             CAST(count(*) AS BIGINT) AS n_pair
+           FROM items a JOIN items b ON a.ok = b.ok AND a.item < b.item
+           GROUP BY 1, 2 HAVING count(*) >= 2)
+         SELECT i1, i2, n_pair, s1.n_item AS n1, s2.n_item AS n2,
+           round(n_pair / CAST(s1.n_item AS DOUBLE), 6) AS confidence,
+           round(CAST(n_pair AS DOUBLE) * n_orders /
+             (s1.n_item * s2.n_item), 6) AS lift
+         FROM pairs
+         JOIN supp s1 ON s1.item = i1
+         JOIN supp s2 ON s2.item = i2
+         CROSS JOIN no
+         ORDER BY lift DESC, i1, i2 LIMIT 20""",
     "ts_ljungbox" ->
       """WITH hourly AS (SELECT
              epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,

@@ -245,6 +245,72 @@ object Relational {
       .agg(count(lit(1)).as("n"),
         min(col("s")).as("min_s"))
 
+  /** Relational DIVISION — "customers with orders in EVERY month of the
+    * window" (the universal-quantifier join shape: ÷ in the algebra,
+    * the one classic operator the join family above doesn't cover; NOT
+    * EXISTS(NOT EXISTS(...)) in textbook SQL). Implemented as the
+    * count-matching form, which is one partial-agg pass over the
+    * (customer, month) distinct frame + a 1-row divisor broadcast —
+    * the doubly-correlated subquery form would be two data-sized
+    * anti-joins. The divisor is DERIVED (distinct months present), so
+    * the operator stays correct when a month is missing from the data
+    * entirely. Output: qualifying customers + their active-month and
+    * order counts. */
+  def divisionActiveEveryMonth(orders: DataFrame,
+                               lo: String = "1996-01-01",
+                               hi: String = "1996-04-01"): DataFrame = {
+    val inWin = orders
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select(col("o_custkey"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+    val divisor = inWin.select("month").distinct()
+      .agg(count(lit(1)).as("n_months"))
+    inWin
+      .groupBy("o_custkey")
+      .agg(countDistinct("month").as("months_active"),
+        count(lit(1)).as("n_orders"))
+      .crossJoin(broadcast(divisor))
+      .filter(col("months_active") === col("n_months"))
+      .select(col("o_custkey"), col("months_active"), col("n_orders"))
+  }
+
+  /** Market-basket ASSOCIATION RULES over order contents (the retail
+    * staple: support / confidence / lift for item pairs, Apriori's
+    * level-2 cut): the within-order pair join is bounded by
+    * items-per-order (never corpus-quadratic — the same
+    * same-key-self-join shape as the co-supply graph), supports are
+    * one partial-agg pass each, and the order total rides in as a
+    * 1-row broadcast. Lift and confidence stay exact integer ratios
+    * (identical doubles on any engine), so the top-k cut —
+    * TakeOrderedAndProject with the (i1, i2) tiebreak, never a global
+    * sort — is deterministic. minSupport prunes the pair frame BEFORE
+    * the metric joins. */
+  def associationRules(lineitem: DataFrame, minSupport: Int = 2,
+                       topK: Int = 20): DataFrame = {
+    val items = lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
+      .distinct()
+    val nOrders = items.select("ok").distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val supp = items.groupBy("item").agg(count(lit(1)).as("n_item"))
+    val pairs = items.select(col("ok"), col("item").as("i1"))
+      .join(items.select(col("ok").as("ok2"), col("item").as("i2")),
+        col("ok") === col("ok2") && col("i1") < col("i2"))
+      .groupBy("i1", "i2").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minSupport)
+    pairs
+      .join(supp.select(col("item").as("i1"), col("n_item").as("n1")), "i1")
+      .join(supp.select(col("item").as("i2"), col("n_item").as("n2")), "i2")
+      .crossJoin(broadcast(nOrders))
+      .select(col("i1"), col("i2"), col("n_pair"), col("n1"), col("n2"),
+        round(col("n_pair") / col("n1").cast("double"), 6)
+          .as("confidence"),
+        round(col("n_pair").cast("double") * col("n_orders") /
+          (col("n1") * col("n2")), 6).as("lift"))
+      .orderBy(col("lift").desc, col("i1"), col("i2"))
+      .limit(topK)
+  }
+
   /** Month-over-month revenue growth per order priority — the BI
     * staple (period deltas on a calendar rollup). ONE partial-agg
     * shuffle collapses the corpus to the (priority × month) frame

@@ -133,4 +133,50 @@ class RelationalSpec extends SparkSpec {
     assert(out(("b", 1)) == ("a", 3L, 1.0))
     assert(out.size == 3)
   }
+
+  test("divisionActiveEveryMonth keeps only all-month customers, divisor derives") {
+    import spark.implicits._
+    def orders(rows: Seq[(Long, String)]) =
+      rows.toDF("o_custkey", "d")
+        .select(col("o_custkey"), to_timestamp(col("d")).as("o_orderdate"))
+    val full = orders(Seq(
+      (1L, "1996-01-05"), (1L, "1996-02-05"), (1L, "1996-03-05"),
+      (2L, "1996-01-10"), (2L, "1996-02-10"), // missing March → out
+      (3L, "1996-01-01"), (3L, "1996-01-20"), (3L, "1996-02-02"),
+      (3L, "1996-03-30")))
+    val out = Relational.divisionActiveEveryMonth(full).collect()
+      .map(r => r.getAs[Long]("o_custkey") ->
+        (r.getAs[Long]("months_active"), r.getAs[Long]("n_orders"))).toMap
+    assert(out.keySet == Set(1L, 3L))
+    assert(out(3L) == (3L, 4L), "duplicate-month orders count, months dedup")
+    // divisor is DERIVED: if no order anywhere touches March, a
+    // two-month customer divides evenly — the quantifier adapts to the
+    // months actually present, it is not a hard-coded 3
+    val noMarch = orders(Seq(
+      (1L, "1996-01-05"), (1L, "1996-02-05"),
+      (2L, "1996-01-10"), (2L, "1996-02-10")))
+    assert(Relational.divisionActiveEveryMonth(noMarch).count() == 2)
+  }
+
+  test("associationRules: hand-checked support/confidence/lift and tie order") {
+    import spark.implicits._
+    // o1{1,2,3} o2{1,2} o3{1,3} o4{2,3} o5{1,2}: N=5, n(1)=4 n(2)=4 n(3)=3
+    // pair(1,2)=3 → lift 3·5/16 = 0.9375; (1,3)=(2,3)=2 → lift 10/12 each
+    val li = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 3L), (4L, 2L), (4L, 3L), (5L, 1L), (5L, 2L))
+      .toDF("l_orderkey", "l_partkey")
+    val out = Relational.associationRules(li).collect()
+      .map(r => (r.getAs[Long]("i1"), r.getAs[Long]("i2")) ->
+        (r.getAs[Long]("n_pair"), r.getAs[Double]("confidence"),
+          r.getAs[Double]("lift"))).toMap
+    assert(out.size == 3)
+    assert(out((1L, 2L)) == (3L, 0.75, 0.9375))
+    assert(out((1L, 3L)) == (2L, 0.5, 0.833333))
+    assert(out((2L, 3L)) == (2L, 0.5, 0.833333))
+    // topK cut respects the lift-then-key order: equal-lift pairs break
+    // ties on (i1, i2), so k=2 keeps (1,2) then (1,3), never (2,3)
+    val top2 = Relational.associationRules(li, topK = 2).collect()
+      .map(r => (r.getAs[Long]("i1"), r.getAs[Long]("i2"))).toSeq
+    assert(top2 == Seq((1L, 2L), (1L, 3L)))
+  }
 }
