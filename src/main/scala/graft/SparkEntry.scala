@@ -1285,6 +1285,13 @@ object SparkEntry {
     "st_friedman" -> ((s, d) => Stats.friedman(Tables.events(s, d))),
     "q34_division" -> ((s, d) =>
       Relational.divisionActiveEveryMonth(Tables.orders(s, d))),
+    "st_prop_test" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Stats.propTest(Tables.events(s, d), "event_type",
+        col("value") > 50, "click", "view")
+    }),
+    "w23_new_returning" -> ((s, d) =>
+      Windows.newVsReturning(Tables.events(s, d))),
     "q35_basket" -> ((s, d) =>
       Relational.associationRules(Tables.lineitem(s, d))),
     "ml_nb" -> ((s, d) =>
@@ -3141,6 +3148,41 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4)
              AS survival
          FROM rt""",
+    "st_prop_test" ->
+      """WITH s AS (SELECT
+             CAST(sum(CASE WHEN event_type = 'click' AND value > 50
+               THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN event_type = 'view' AND value > 50
+               THEN 1 ELSE 0 END) AS BIGINT) AS x2,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n2
+           FROM events WHERE event_type IN ('click', 'view')),
+         d AS (SELECT x1, n1, x2, n2,
+             CAST(x1 AS DOUBLE) / nullif(CAST(n1 AS DOUBLE), 0) AS p1,
+             CAST(x2 AS DOUBLE) / nullif(CAST(n2 AS DOUBLE), 0) AS p2,
+             (CAST(x1 AS DOUBLE) + CAST(x2 AS DOUBLE)) /
+               nullif(CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE), 0) AS pool
+           FROM s)
+         SELECT x1, n1, x2, n2,
+           round(p1, 6) AS p1, round(p2, 6) AS p2,
+           round((p1 - p2) / nullif(sqrt(pool * (1.0 - pool) *
+             (1.0 / nullif(CAST(n1 AS DOUBLE), 0) +
+              1.0 / nullif(CAST(n2 AS DOUBLE), 0))), 0), 4) AS z
+         FROM d""",
+    "w23_new_returning" ->
+      """WITH fd AS (SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+           FROM events GROUP BY 1),
+         ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+           FROM events)
+         SELECT day,
+           CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+             AS BIGINT) AS new_users,
+           CAST(sum(CASE WHEN day <> first_day THEN 1 ELSE 0 END)
+             AS BIGINT) AS returning_users
+         FROM ud JOIN fd USING (user_id)
+         GROUP BY 1""",
     "q34_division" ->
       """WITH w AS (SELECT o_custkey,
              CAST(date_trunc('month', o_orderdate) AS DATE) AS month

@@ -370,6 +370,35 @@ object Stats {
       col("na").as("n_pos"), col("nb").as("n_neg"))
   }
 
+  /** Two-proportion z-test (pooled) — the A/B staple for RATES where
+    * [[welchTTest]] is the staple for means: does the success share
+    * differ between groups `ga` and `gb`. One partial-agg pass to four
+    * integer cells (successes/totals per group); p̂s, the pooled p̂ and
+    * z = (p̂₁−p̂₂)/√(p̂(1−p̂)(1/n₁+1/n₂)) leave integer land only in the
+    * final 1-row formula (identical double tree both engines, round 4);
+    * degenerate pools (p̂ ∈ {0,1}) and empty groups null out via nullif,
+    * never a division error. */
+  def propTest(df: DataFrame, groupCol: String, success: Column,
+               ga: String, gb: String): DataFrame = {
+    val s = df.filter(col(groupCol).isin(ga, gb)).agg(
+      sum(when(col(groupCol) === ga && success, 1L).otherwise(0L))
+        .as("x1"),
+      sum(when(col(groupCol) === ga, 1L).otherwise(0L)).as("n1"),
+      sum(when(col(groupCol) === gb && success, 1L).otherwise(0L))
+        .as("x2"),
+      sum(when(col(groupCol) === gb, 1L).otherwise(0L)).as("n2"))
+    val (x1, n1) = (col("x1").cast("double"), col("n1").cast("double"))
+    val (x2, n2) = (col("x2").cast("double"), col("n2").cast("double"))
+    val p1 = x1 / nullif(n1, lit(0.0))
+    val p2 = x2 / nullif(n2, lit(0.0))
+    val pool = (x1 + x2) / nullif(n1 + n2, lit(0.0))
+    val se = sqrt(pool * (lit(1.0) - pool) *
+      (lit(1.0) / nullif(n1, lit(0.0)) + lit(1.0) / nullif(n2, lit(0.0))))
+    s.select(col("x1"), col("n1"), col("x2"), col("n2"),
+      round(p1, 6).as("p1"), round(p2, 6).as("p2"),
+      round((p1 - p2) / nullif(se, lit(0.0)), 4).as("z"))
+  }
+
   /** Cliff's delta ordinal effect size — the nonparametric companion of
     * [[cohensD]] (how OFTEN does a draw from A exceed a draw from B,
     * not how far apart the means sit): δ = P(a>b) − P(a<b) =

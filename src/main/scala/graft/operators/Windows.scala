@@ -468,4 +468,27 @@ object Windows {
       .withColumn("pr", round(percent_rank().over(w), 6))
       .withColumn("cd", round(cume_dist().over(w), 6))
   }
+
+  /** Daily NEW vs RETURNING active users — the product-analytics
+    * growth/stickiness split (w10_retention's cohort matrix answers
+    * "who came back"; this answers "of today's actives, who is
+    * acquisition vs retention"). Two narrow passes: a user-count-sized
+    * first-seen-day frame (one partial-agg pass), and the distinct
+    * (user, day) activity frame joined to it on the user key (plain
+    * equi-join — AQE broadcasts the first-seen side when it fits,
+    * shuffles it co-partitioned when it doesn't), rolled up per day.
+    * All integer counts — no float anywhere. */
+  def newVsReturning(events: DataFrame): DataFrame = {
+    val firstDay = events.groupBy("user_id")
+      .agg(min(to_date(col("ts"))).as("first_day"))
+    events.select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .join(firstDay, "user_id")
+      .groupBy("day")
+      .agg(
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+          .as("new_users"),
+        sum(when(col("day") =!= col("first_day"), 1L).otherwise(0L))
+          .as("returning_users"))
+  }
 }

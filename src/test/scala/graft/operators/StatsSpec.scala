@@ -667,6 +667,22 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(naive.getAs[Double]("slope") - 3.0) > 0.1)
   }
 
+  test("propTest matches the closed-form z; empty group nulls out") {
+    // A: 8/10 successes, B: 4/10 → pool .6, se = √(.6·.4·.2) = .219089,
+    // z = .4/.219089 = 1.8257
+    val df = ((1 to 8).map(_ => ("A", true)) ++ (1 to 2).map(_ => ("A", false)) ++
+      (1 to 4).map(_ => ("B", true)) ++ (1 to 6).map(_ => ("B", false)))
+      .toDF("g", "ok")
+    val r = Stats.propTest(df, "g", col("ok"), "A", "B").collect().head
+    assert(r.getAs[Long]("x1") == 8L && r.getAs[Long]("n1") == 10L)
+    assert(r.getAs[Double]("p1") == 0.8 && r.getAs[Double]("p2") == 0.4)
+    assert(r.getAs[Double]("z") == 1.8257)
+    // group B absent entirely: rates and z must be null, not an error
+    val solo = (1 to 4).map(_ => ("A", true)).toDF("g", "ok")
+    val sr = Stats.propTest(solo, "g", col("ok"), "A", "B").collect().head
+    assert(sr.isNullAt(sr.fieldIndex("z")))
+  }
+
   test("cliffsDelta: ±1 on complete separation, 0 on identical groups") {
     def d(a: Seq[Double], b: Seq[Double]) =
       Stats.cliffsDelta((a.map(("A", _)) ++ b.map(("B", _))).toDF("g", "v"),

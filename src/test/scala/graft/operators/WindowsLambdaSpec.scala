@@ -575,4 +575,23 @@ class WindowsLambdaSpec extends SparkSpec {
     // singleton partition: percent_rank degenerates to 0, cume_dist to 1
     assert(out(4L) == (0.0, 1.0))
   }
+
+  test("newVsReturning splits daily actives on first-seen day, dedups within day") {
+    import spark.implicits._
+    val day = 86400L
+    // u1: d1,d2 · u2: d1 (twice — one active day) · u3: d2,d3
+    val ev = Seq((1L, 0L), (1L, day), (2L, 100L), (2L, 200L),
+      (3L, day), (3L, 2 * day))
+      .toDF("user_id", "s")
+      .select(col("user_id"), timestamp_seconds(col("s")).as("ts"))
+    val out = Windows.newVsReturning(ev).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        (r.getAs[Long]("new_users"), r.getAs[Long]("returning_users")))
+      .toMap
+    assert(out.size == 3)
+    assert(out("1970-01-01") == (2L, 0L),
+      "two first-time users on day 1; u2's second event must not double-count")
+    assert(out("1970-01-02") == (1L, 1L))
+    assert(out("1970-01-03") == (0L, 1L))
+  }
 }
