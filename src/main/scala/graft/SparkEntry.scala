@@ -227,6 +227,22 @@ object SparkEntry {
         .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
     }
 
+  /** DIRECTED repeat-business graph (customer→supplier, no
+    * symmetrization): the natural bipartite direction HITS needs —
+    * hubs score the customer side, authorities the supplier side. */
+  private def repeatBusinessDirected(s: SparkSession, d: String,
+      minOrders: Int): org.apache.spark.sql.DataFrame =
+    cachedEdges(s"repeatdir:$minOrders:$d") {
+      import org.apache.spark.sql.functions._
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000000L).as("dst"))
+        .agg(countDistinct("o_orderkey").as("m"))
+        .filter(col("m") >= minOrders)
+        .select("src", "dst")
+    }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- B. core relational ----
@@ -1239,6 +1255,8 @@ object SparkEntry {
     }),
     "dq_observe" -> ((s, d) => Quality.observedProfile(Tables.events(s, d))),
     "gr_degree" -> ((s, d) => Graph.degreeHistogram(coPurchaseEdges(s, d))),
+    "gr_hits" -> ((s, d) =>
+      Graph.hits(repeatBusinessDirected(s, d, 2), iterations = 3)),
     "w22_distribution_rank" -> ((s, d) =>
       Windows.distributionRank(Tables.events(s, d))),
     "st_bootstrap" -> ((s, d) =>
@@ -3148,6 +3166,37 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4)
              AS survival
          FROM rt""",
+    "gr_hits" ->
+      """WITH e AS (SELECT o_custkey AS src,
+             l_suppkey + 1000000000 AS dst
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           GROUP BY 1, 2 HAVING count(DISTINCT o_orderkey) >= 2),
+         a1r AS (SELECT dst, sum(1.0) AS ar FROM e GROUP BY 1),
+         a1 AS (SELECT dst AS node,
+             round(ar / (SELECT max(ar) FROM a1r), 9) AS a FROM a1r),
+         h1r AS (SELECT src, sum(a) AS hr
+           FROM e JOIN a1 ON a1.node = e.dst GROUP BY 1),
+         h1 AS (SELECT src AS node,
+             round(hr / (SELECT max(hr) FROM h1r), 9) AS h FROM h1r),
+         a2r AS (SELECT dst, sum(h) AS ar
+           FROM e JOIN h1 ON h1.node = e.src GROUP BY 1),
+         a2 AS (SELECT dst AS node,
+             round(ar / (SELECT max(ar) FROM a2r), 9) AS a FROM a2r),
+         h2r AS (SELECT src, sum(a) AS hr
+           FROM e JOIN a2 ON a2.node = e.dst GROUP BY 1),
+         h2 AS (SELECT src AS node,
+             round(hr / (SELECT max(hr) FROM h2r), 9) AS h FROM h2r),
+         a3r AS (SELECT dst, sum(h) AS ar
+           FROM e JOIN h2 ON h2.node = e.src GROUP BY 1),
+         a3 AS (SELECT dst AS node,
+             round(ar / (SELECT max(ar) FROM a3r), 9) AS a FROM a3r),
+         h3r AS (SELECT src, sum(a) AS hr
+           FROM e JOIN a3 ON a3.node = e.dst GROUP BY 1),
+         h3 AS (SELECT src AS node,
+             round(hr / (SELECT max(hr) FROM h3r), 9) AS h FROM h3r)
+         SELECT node, 'hub' AS role, round(h, 6) AS score FROM h3
+         UNION ALL
+         SELECT node, 'authority' AS role, round(a, 6) AS score FROM a3""",
     "st_prop_test" ->
       """WITH s AS (SELECT
              CAST(sum(CASE WHEN event_type = 'click' AND value > 50

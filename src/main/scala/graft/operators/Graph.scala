@@ -63,6 +63,46 @@ object Graph {
       .groupBy("src").agg(count(lit(1)).as("degree"))
       .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
 
+  /** HITS hubs & authorities over a DIRECTED graph — [[pageRank]]'s
+    * bipartite-minded sibling (on the customer→supplier graph: hubs =
+    * buyers who concentrate on authoritative suppliers, authorities =
+    * suppliers favored by strong hubs; one score family per side,
+    * which PageRank's single score can't express).
+    *
+    * Scale shape mirrors pageRank: the edge list dedups + checkpoints
+    * once; each iteration is two edge⋈score joins (score frames are
+    * node-sized — AQE broadcasts under the threshold) + two partial-agg
+    * rollups. Normalization is by MAX, not sum — max is
+    * partition-order-independent, so with per-iteration round(…, 9)
+    * both oracle engines walk identical doubles (the pageRank
+    * discipline). Fixed iteration count; the oracle unrolls the same
+    * count. Output: (node, role, score) for both sides, round 6. */
+  def hits(edges: DataFrame, iterations: Int = 3): DataFrame = {
+    val ed = edges.select("src", "dst").distinct().localCheckpoint(true)
+    val hub0 = ed.select(col("src").as("node")).distinct()
+      .withColumn("h", lit(1.0))
+    var hubs = hub0
+    var auths: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val aRaw = ed.join(hubs, ed("src") === hubs("node"))
+        .groupBy(col("dst")).agg(sum("h").as("ar"))
+      auths = aRaw
+        .crossJoin(broadcast(aRaw.agg(max("ar").as("am"))))
+        .select(col("dst").as("node"),
+          round(col("ar") / col("am"), 9).as("a"))
+      val hRaw = ed.join(auths, ed("dst") === auths("node"))
+        .groupBy(col("src")).agg(sum("a").as("hr"))
+      hubs = hRaw
+        .crossJoin(broadcast(hRaw.agg(max("hr").as("hm"))))
+        .select(col("src").as("node"),
+          round(col("hr") / col("hm"), 9).as("h"))
+    }
+    hubs.select(col("node"), lit("hub").as("role"),
+        round(col("h"), 6).as("score"))
+      .unionByName(auths.select(col("node"), lit("authority").as("role"),
+        round(col("a"), 6).as("score")))
+  }
+
   /** Triangle census of an undirected graph: node/edge/wedge/triangle
     * counts plus the global clustering coefficient (3·triangles /
     * wedges) — the one-row shape summary that tells a pipeline whether

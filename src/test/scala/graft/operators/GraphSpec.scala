@@ -223,4 +223,22 @@ class GraphSpec extends SparkSpec {
     // node 1 has degree 2; nodes 2 and 3 degree 1 (dup edge not recounted)
     assert(h == Map(2L -> 1L, 1L -> 2L))
   }
+
+  test("hits: hand-unrolled 3-iteration scores on a tiny bipartite graph") {
+    import spark.implicits._
+    // c1→{s1,s2}, c2→s1. Unrolled with max-normalization per step:
+    // a3 = (s1: 1, s2: 0.615385), h3 = (c1: 1, c2: 0.619048)
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("src", "dst")
+    val out = Graph.hits(edges, iterations = 3).collect()
+      .map(r => (r.getAs[String]("role"), r.getAs[Long]("node")) ->
+        r.getAs[Double]("score")).toMap
+    assert(out(("hub", 1L)) == 1.0)
+    assert(out(("hub", 2L)) == 0.619048)
+    assert(out(("authority", 10L)) == 1.0)
+    assert(out(("authority", 11L)) == 0.615385)
+    // determinism: fixed iterations + max-normalization replay exactly
+    assert(Graph.hits(edges, iterations = 3).collect()
+      .map(r => (r.getAs[String]("role"), r.getAs[Long]("node")) ->
+        r.getAs[Double]("score")).toMap == out)
+  }
 }
