@@ -1310,6 +1310,14 @@ object SparkEntry {
     }),
     "w23_new_returning" -> ((s, d) =>
       Windows.newVsReturning(Tables.events(s, d))),
+    "dq_plan_metrics" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // a deterministic scan→filter→agg pipeline: the report shows the
+      // row waterfall (scan N → filter <N → partial agg → 3 groups)
+      Quality.planMetrics(Tables.lineitem(s, d)
+        .filter(col("l_quantity") > 45)
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n")))
+    }),
     "q35_basket" -> ((s, d) =>
       Relational.associationRules(Tables.lineitem(s, d))),
     "ml_nb" -> ((s, d) =>

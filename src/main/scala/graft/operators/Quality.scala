@@ -321,4 +321,53 @@ object Quality {
         round(greatest(col("__n") + noise, lit(0.0)), 4).as("noisy_n"),
         lit(eps).as("epsilon"))
   }
+
+  /** EXPLAIN ANALYZE as a DataFrame — execute a query and report every
+    * physical operator's emitted row count (the engine's own
+    * observability surface: where do rows actually drop, which join
+    * side exploded, did the partial agg combine). Executes the frame
+    * once, then walks the AQE-FINAL plan (post-run re-optimization —
+    * runtime join demotions and reused exchanges only exist there),
+    * reading each node's `numOutputRows` SQL metric. The report is
+    * plan-sized — a justified driver materialization, same class as a
+    * codebook. Row counts are deterministic for a deterministic query;
+    * operators without a row metric (exchanges' readers, reused
+    * subtrees) report -1, not a fabricated 0. Output: (ord, depth, op,
+    * rows) in pre-order. */
+  def planMetrics(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // Drive THIS frame's own executedPlan instance (count()/rdd/write
+    // each build a fresh QueryExecution whose metrics this report can't
+    // see). The RDD count action runs every partition without
+    // materializing rows on the driver. SQL metrics ACCUMULATE across
+    // reruns of one plan instance; reset what exists first (best
+    // effort — AQE stage reuse may still skip recompute on a re-call,
+    // so the contract is: build the frame fresh, report once).
+    def unwrap(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    def resetAll(p: SparkPlan): Unit = {
+      p.metrics.values.foreach(_.reset())
+      unwrap(p).foreach(resetAll)
+    }
+    resetAll(df.queryExecution.executedPlan)
+    df.queryExecution.executedPlan.execute().count()
+    def walk(p: SparkPlan, depth: Int): Seq[(Int, String, Long)] = p match {
+      case w @ (_: AdaptiveSparkPlanExec | _: QueryStageExec) =>
+        // transparent wrappers: report the wrapped plan at this depth
+        unwrap(w).flatMap(c => walk(c, depth))
+      case n =>
+        (depth, n.nodeName,
+          n.metrics.get("numOutputRows").map(_.value).getOrElse(-1L)) +:
+          unwrap(n).flatMap(c => walk(c, depth + 1))
+    }
+    val rows = walk(df.queryExecution.executedPlan, 0)
+      .zipWithIndex.map { case ((d, nm, r), i) => (i.toLong, d, nm, r) }
+    val spark = df.sparkSession
+    import spark.implicits._
+    rows.toDF("ord", "depth", "op", "rows")
+  }
 }

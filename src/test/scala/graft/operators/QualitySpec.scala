@@ -301,6 +301,35 @@ class QualitySpec extends SparkSpec {
       r2.getAs[Long]("rows_at_risk") == 0L)
   }
 
+  test("planMetrics reports the row waterfall of the executed plan") {
+    val df = spark.range(100).toDF("id")
+      .filter(col("id") >= 50)
+      .groupBy((col("id") % 2).as("k")).agg(count(lit(1)).as("n"))
+    val m = Quality.planMetrics(df).collect()
+      .map(r => (r.getAs[Long]("ord"), r.getAs[Int]("depth"),
+        r.getAs[String]("op"), r.getAs[Long]("rows")))
+    // pre-order: ord strictly increasing from 0
+    assert(m.map(_._1).toSeq == m.indices.map(_.toLong))
+    // the scan emits all 100 ids, the filter halves them
+    assert(m.exists(t => t._3.contains("Range") && t._4 == 100L),
+      s"missing Range(100) in:\n${m.mkString("\n")}")
+    assert(m.exists(t => t._3.contains("Filter") && t._4 == 50L),
+      s"missing Filter(50) in:\n${m.mkString("\n")}")
+    // the FINAL aggregate (shallowest HashAggregate) emits the 2 groups
+    val aggs = m.filter(_._3.contains("HashAggregate"))
+    assert(aggs.nonEmpty && aggs.minBy(_._2)._4 == 2L,
+      s"final agg must emit 2 groups:\n${aggs.mkString("\n")}")
+    // a FRESH build of the same query reports the same waterfall
+    // (the report contract: one fresh frame, one report — metrics on a
+    // reused instance are cumulative/stage-cached by Spark)
+    val df2 = spark.range(100).toDF("id")
+      .filter(col("id") >= 50)
+      .groupBy((col("id") % 2).as("k")).agg(count(lit(1)).as("n"))
+    val again = Quality.planMetrics(df2).collect()
+      .map(r => (r.getAs[String]("op"), r.getAs[Long]("rows"))).toSeq
+    assert(again == m.map(t => (t._3, t._4)).toSeq)
+  }
+
   test("naiveBayesLangEval: diagonal confusion on a separable planted corpus") {
     // two langs with disjoint vocabularies; md5 split assigns both
     // train and test docs to each class for these 40 ids
