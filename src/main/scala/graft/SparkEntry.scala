@@ -419,6 +419,7 @@ object SparkEntry {
     "ts_backtest" -> ((s, d) =>
       Resample.backtestBaselines(Tables.events(s, d))),
     "ts_ljungbox" -> ((s, d) => Resample.ljungBox(Tables.events(s, d))),
+    "ts_dtw" -> ((s, d) => Resample.dtwDistance(Tables.events(s, d))),
     "st_cliff" -> ((s, d) =>
       Stats.cliffsDelta(Tables.events(s, d), "event_type", "value",
         "click", "view")),

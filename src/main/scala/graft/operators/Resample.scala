@@ -650,6 +650,63 @@ object Resample {
         6).as("memory"))
   }
 
+  /** BANDED dynamic time warping distance between the two hourly
+    * series — the elastic similarity measure ([[crossCorrelation]]
+    * needs a single global lag; DTW tolerates local speed-ups and
+    * stalls, the shape-matching metric for "do these two metrics move
+    * together even when one lags irregularly").
+    *
+    * Scale: the corpus collapses to two calendar-bounded series in one
+    * partial-agg pass; the DP is inherently sequential and QUADRATIC,
+    * so it runs driver-side over the aggregate arrays under a
+    * Sakoe–Chiba band (|i−j| ≤ `band`) — O(n·band) cells, which keeps
+    * a decade of hourly data (~87k points × 48-wide band ≈ 4M cells)
+    * in driver-milliseconds territory; an unbanded n² over raw data
+    * would be wrong at ANY scale. The collect is calendar-bounded, the
+    * same justified class as ts_pacf's ACF vector. Output: one row —
+    * series lengths, total DTW cost, per-step cost along the warp
+    * path. */
+  def dtwDistance(events: DataFrame, typeA: String = "click",
+                  typeB: String = "view", band: Int = 24): DataFrame = {
+    val hourly = events.filter(col("event_type").isin(typeA, typeB))
+      .groupBy(col("event_type"),
+        expr("unix_seconds(date_trunc('hour', ts)) div 3600").as("hr"))
+      .agg(round(avg("value"), 6).as("v"))
+      .orderBy("hr")
+    def series(t: String): Array[Double] = hourly
+      .filter(col("event_type") === t).select("v").collect()
+      .map(_.getDouble(0))
+    val (xs, ys) = (series(typeA), series(typeB))
+    val (n, m) = (xs.length, ys.length)
+    val out = if (n == 0 || m == 0) (n, m, -1.0, -1.0, 0L)
+    else {
+      // effective band must at least cover the length difference or no
+      // monotone path exists
+      val w = math.max(band, math.abs(n - m)) + 1
+      val inf = Double.MaxValue / 4
+      var prev = Array.fill(m + 1)(inf)
+      var cur = Array.fill(m + 1)(inf)
+      prev(0) = 0.0
+      for (i <- 1 to n) {
+        java.util.Arrays.fill(cur, inf)
+        val lo = math.max(1, i - w); val hi = math.min(m, i + w)
+        for (j <- lo to hi) {
+          val c = math.abs(xs(i - 1) - ys(j - 1))
+          cur(j) = c + math.min(math.min(prev(j), cur(j - 1)), prev(j - 1))
+        }
+        val t = prev; prev = cur; cur = t
+      }
+      val d = prev(m)
+      val steps = math.max(n, m).toLong // path length lower bound
+      (n, m, math.rint(d * 1e6) / 1e6,
+        math.rint(d / math.max(n, m) * 1e6) / 1e6, steps)
+    }
+    val spark = events.sparkSession
+    import spark.implicits._
+    Seq((out._1.toLong, out._2.toLong, out._3, out._4))
+      .toDF("n_a", "n_b", "dtw", "dtw_per_step")
+  }
+
   /** Ljung–Box portmanteau test on the hourly series — "is there ANY
     * autocorrelation in the first `maxLag` lags at all", the one-number
     * white-noise gate run before (and on the residuals after) any

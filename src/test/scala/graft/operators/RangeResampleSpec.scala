@@ -366,6 +366,39 @@ class RangeResampleSpec extends SparkSpec {
     assert(q2 < expected / 2, s"scrambled series must score lower: $q2")
   }
 
+  test("dtwDistance: zero on elastic match, beats lockstep on shifted series") {
+    import spark.implicits._
+    def ev(rows: Seq[(String, Long, Double)]) = rows
+      .toDF("event_type", "hr", "value")
+      .select(col("event_type"), timestamp_seconds(col("hr") * 3600)
+        .as("ts"), col("value"))
+    // x=[1,2,3] vs y=[1,2,2,3]: DTW warps 2→{2,2} at zero cost even
+    // though the lengths differ (lockstep distance is undefined)
+    val elastic = ev(Seq(("click", 0L, 1.0), ("click", 1L, 2.0),
+      ("click", 2L, 3.0), ("view", 0L, 1.0), ("view", 1L, 2.0),
+      ("view", 2L, 2.0), ("view", 3L, 3.0)))
+    val r = Resample.dtwDistance(elastic).collect().head
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 4L)
+    assert(r.getAs[Double]("dtw") == 0.0)
+    // a 2-hour phase shift of the same sawtooth: DTW absorbs the shift
+    // (cost ≪ the lockstep sum of pointwise gaps)
+    val saw = (0 until 24).map(h => (h % 6).toDouble)
+    val shifted = ev(
+      saw.zipWithIndex.map { case (v, h) => ("click", h.toLong, v) } ++
+      saw.zipWithIndex.map { case (v, h) => ("view", h.toLong,
+        saw((h + 2) % 24)) })
+    val d = Resample.dtwDistance(shifted).collect().head
+      .getAs[Double]("dtw")
+    val lockstep = saw.indices.map(h =>
+      math.abs(saw(h) - saw((h + 2) % 24))).sum
+    assert(d < lockstep / 2,
+      s"DTW $d must absorb the phase shift vs lockstep $lockstep")
+    // empty series: sentinel -1, never a crash
+    val one = ev(Seq(("click", 0L, 1.0)))
+    assert(Resample.dtwDistance(one).collect().head
+      .getAs[Double]("dtw") == -1.0)
+  }
+
   test("backtestBaselines: drift nails a pure trend, naive and snaive lag it") {
     import spark.implicits._
     // v(hour h) = h+1 for 50 hours: train = first 40, holdout h = 1..10
