@@ -1302,6 +1302,7 @@ object SparkEntry {
         "l_discount")),
     "st_km" -> ((s, d) => Stats.kaplanMeier(Tables.events(s, d))),
     "st_friedman" -> ((s, d) => Stats.friedman(Tables.events(s, d))),
+    "st_cochran_q" -> ((s, d) => Stats.cochranQ(Tables.events(s, d))),
     "q34_division" -> ((s, d) =>
       Relational.divisionActiveEveryMonth(Tables.orders(s, d))),
     "st_prop_test" -> ((s, d) => {
@@ -3175,6 +3176,37 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4)
              AS survival
          FROM rt""",
+    "st_cochran_q" ->
+      """WITH r AS (SELECT user_id,
+             coalesce(max(CASE WHEN event_type = 'click' AND value > 70
+               THEN 1 WHEN event_type = 'click' THEN 0 END), 0) AS x1,
+             coalesce(max(CASE WHEN event_type = 'view' AND value > 70
+               THEN 1 WHEN event_type = 'view' THEN 0 END), 0) AS x2,
+             coalesce(max(CASE WHEN event_type = 'purchase'
+                 AND value > 70 THEN 1
+               WHEN event_type = 'purchase' THEN 0 END), 0) AS x3
+           FROM events
+           WHERE event_type IN ('click', 'view', 'purchase')
+           GROUP BY 1),
+         s AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(x1) AS BIGINT) AS c1,
+             CAST(sum(x2) AS BIGINT) AS c2,
+             CAST(sum(x3) AS BIGINT) AS c3,
+             CAST(sum(x1 + x2 + x3) AS BIGINT) AS sr,
+             CAST(sum((x1 + x2 + x3) * (x1 + x2 + x3)) AS BIGINT) AS sr2
+           FROM r),
+         d AS (SELECT n_users, c1, c2, c3, sr, sr2,
+             CAST(sr AS DOUBLE) AS nn FROM s)
+         SELECT n_users, c1, c2, c3,
+           round(3.0 * (3.0 - 1.0) *
+             ((CAST(c1 AS DOUBLE) - nn / 3.0) *
+              (CAST(c1 AS DOUBLE) - nn / 3.0) +
+              (CAST(c2 AS DOUBLE) - nn / 3.0) *
+              (CAST(c2 AS DOUBLE) - nn / 3.0) +
+              (CAST(c3 AS DOUBLE) - nn / 3.0) *
+              (CAST(c3 AS DOUBLE) - nn / 3.0)) /
+             nullif(3.0 * nn - CAST(sr2 AS DOUBLE), 0), 4) AS q_stat
+         FROM d""",
     "gr_hits" ->
       """WITH e AS (SELECT o_custkey AS src,
              l_suppkey + 1000000000 AS dst

@@ -370,6 +370,42 @@ object Stats {
       col("na").as("n_pos"), col("nb").as("n_neg"))
   }
 
+  /** Cochran's Q — k-treatment PAIRED binary test (the k-group
+    * generalization of [[mcnemar]] and the binary twin of [[friedman]]:
+    * same user, k binary outcomes — "did conversion hold across all
+    * three surfaces for the same people"). One conditional partial-agg
+    * pivot per user (absent treatment = 0, the classic all-blocks
+    * convention), then ONE 4-sum rollup: Q = k(k−1)·Σⱼ(Cⱼ−N/k)² /
+    * (k·ΣRᵢ − ΣRᵢ²) stays in exact integers until the final 1-row
+    * division (identical double tree both engines, round 4); an
+    * all-zero or all-one corpus nulls the denominator via nullif. */
+  def cochranQ(events: DataFrame, threshold: Double = 70.0,
+               types: Seq[String] = Seq("click", "view", "purchase"))
+      : DataFrame = {
+    require(types.size == 3, "pivot is written for k=3")
+    val Seq(t1, t2, t3) = types
+    def flag(t: String) = coalesce(max(
+      when(col("event_type") === t && col("value") > threshold, 1L)
+        .when(col("event_type") === t, 0L)), lit(0L))
+    val rows = events.filter(col("event_type").isin(types: _*))
+      .groupBy("user_id")
+      .agg(flag(t1).as("x1"), flag(t2).as("x2"), flag(t3).as("x3"))
+    val s = rows.agg(count(lit(1)).as("n_users"),
+      sum("x1").as("c1"), sum("x2").as("c2"), sum("x3").as("c3"),
+      sum(col("x1") + col("x2") + col("x3")).as("sr"),
+      sum((col("x1") + col("x2") + col("x3")) *
+        (col("x1") + col("x2") + col("x3"))).as("sr2"))
+    val k = lit(3.0)
+    val nn = col("sr").cast("double")
+    val dev = (c: Column) => (c.cast("double") - nn / k) *
+      (c.cast("double") - nn / k)
+    val q = k * (k - 1.0) *
+      (dev(col("c1")) + dev(col("c2")) + dev(col("c3"))) /
+      nullif(k * nn - col("sr2").cast("double"), lit(0.0))
+    s.select(col("n_users"), col("c1"), col("c2"), col("c3"),
+      round(q, 4).as("q_stat"))
+  }
+
   /** Two-proportion z-test (pooled) — the A/B staple for RATES where
     * [[welchTTest]] is the staple for means: does the success share
     * differ between groups `ga` and `gb`. One partial-agg pass to four

@@ -667,6 +667,36 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(naive.getAs[Double]("slope") - 3.0) > 0.1)
   }
 
+  test("cochranQ matches the closed form; uniform outcomes null out") {
+    // blocks (1,1,0),(1,1,0),(1,1,1),(1,0,0): C=(4,3,1), N=8,
+    // Q = 6·[(4/3)²+(1/3)²+(5/3)²]/(24−18) = 42/9 = 4.6667
+    def ev(rows: Seq[(Long, String, Double)]) =
+      rows.toDF("user_id", "event_type", "value")
+    val hi = 80.0; val lo = 10.0
+    def block(u: Long, f: (Int, Int, Int)) = Seq(
+      (u, "click", if (f._1 == 1) hi else lo),
+      (u, "view", if (f._2 == 1) hi else lo),
+      (u, "purchase", if (f._3 == 1) hi else lo))
+    val df = ev(block(1, (1, 1, 0)) ++ block(2, (1, 1, 0)) ++
+      block(3, (1, 1, 1)) ++ block(4, (1, 0, 0)))
+    val r = Stats.cochranQ(df).collect().head
+    assert(r.getAs[Long]("n_users") == 4L)
+    assert((r.getAs[Long]("c1"), r.getAs[Long]("c2"),
+      r.getAs[Long]("c3")) == (4L, 3L, 1L))
+    assert(r.getAs[Double]("q_stat") == 4.6667)
+    // every user converts everywhere: k·ΣR = ΣR² → denominator zero →
+    // null (no discordance to test), never an error
+    val flat = ev(block(1, (1, 1, 1)) ++ block(2, (1, 1, 1)))
+    val fr = Stats.cochranQ(flat).collect().head
+    assert(fr.isNullAt(fr.fieldIndex("q_stat")))
+    // a user missing a treatment entirely scores 0 there (classic
+    // all-blocks convention), not a dropped block
+    val partial = ev(block(1, (1, 1, 0)) ++
+      Seq((2L, "click", hi))) // user 2 has click only
+    assert(Stats.cochranQ(partial).collect().head
+      .getAs[Long]("n_users") == 2L)
+  }
+
   test("propTest matches the closed-form z; empty group nulls out") {
     // A: 8/10 successes, B: 4/10 → pool .6, se = √(.6·.4·.2) = .219089,
     // z = .4/.219089 = 1.8257
