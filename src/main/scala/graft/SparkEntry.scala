@@ -420,6 +420,10 @@ object SparkEntry {
       Resample.backtestBaselines(Tables.events(s, d))),
     "ts_ljungbox" -> ((s, d) => Resample.ljungBox(Tables.events(s, d))),
     "ts_dtw" -> ((s, d) => Resample.dtwDistance(Tables.events(s, d))),
+    "ts_perm_entropy" -> ((s, d) =>
+      Resample.permutationEntropy(Tables.events(s, d))),
+    "w24_stickiness" -> ((s, d) =>
+      Windows.stickiness(Tables.events(s, d))),
     "st_cliff" -> ((s, d) =>
       Stats.cliffsDelta(Tables.events(s, d), "event_type", "value",
         "click", "view")),
@@ -3307,6 +3311,43 @@ object SparkEntry {
          JOIN supp s2 ON s2.item = i2
          CROSS JOIN no
          ORDER BY lift DESC, i1, i2 LIMIT 20""",
+    "ts_perm_entropy" ->
+      """WITH hourly AS (SELECT
+             epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
+             round(avg(value), 6) AS v
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+         t AS (SELECT v,
+             lead(v, 1) OVER (ORDER BY hr) AS v1,
+             lead(v, 2) OVER (ORDER BY hr) AS v2
+           FROM hourly),
+         f AS (SELECT
+             (CASE WHEN v <= v1 THEN 1 ELSE 0 END) * 4 +
+             (CASE WHEN v <= v2 THEN 1 ELSE 0 END) * 2 +
+             (CASE WHEN v1 <= v2 THEN 1 ELSE 0 END) AS code
+           FROM t WHERE v1 IS NOT NULL AND v2 IS NOT NULL),
+         pat AS (SELECT code, CAST(count(*) AS BIGINT) AS n
+           FROM f GROUP BY 1),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+             CAST(count(*) AS BIGINT) AS k FROM pat)
+         SELECT nt AS n_triples, k AS n_patterns,
+           round(-sum((n / CAST(nt AS DOUBLE)) *
+             ln(n / CAST(nt AS DOUBLE))) / ln(6.0), 6) AS perm_entropy
+         FROM pat CROSS JOIN tot GROUP BY nt, k""",
+    "w24_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+           FROM events),
+         grid AS (SELECT DISTINCT day AS gday FROM ud),
+         mau AS (SELECT gday, CAST(count(DISTINCT user_id) AS BIGINT)
+               AS mau
+           FROM ud JOIN grid
+             ON day <= gday AND day > gday - INTERVAL 30 DAY
+           GROUP BY 1),
+         dau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT)
+               AS dau
+           FROM ud GROUP BY 1)
+         SELECT day, dau, mau,
+           round(dau / CAST(mau AS DOUBLE), 4) AS stickiness
+         FROM dau JOIN mau ON day = gday""",
     "ts_ljungbox" ->
       """WITH hourly AS (SELECT
              epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,

@@ -650,6 +650,48 @@ object Resample {
         6).as("memory"))
   }
 
+  /** PERMUTATION ENTROPY of the hourly series (Bandt–Pompe, embedding
+    * dimension 3) — the robust regularity/complexity measure: each
+    * consecutive triple maps to one of 6 ordinal patterns (only the
+    * ORDER matters, so outliers and monotone rescalings don't move it,
+    * unlike anything variance-based); H = −Σp·ln p / ln 6 ∈ [0,1],
+    * 0 = perfectly predictable ordering, 1 = all patterns equally
+    * likely. Ties break toward the earlier index (the standard
+    * convention, made engine-exact by comparing 6dp-rounded means with
+    * `<=` on the left neighbor).
+    *
+    * Scale shape: corpus → calendar-bounded hourly frame in one
+    * partial-agg pass; the two leads ride ONE ordered window on that
+    * aggregate frame; the pattern histogram is a ≤6-row rollup. */
+  def permutationEntropy(events: DataFrame,
+                         eventType: String = "click"): DataFrame = {
+    val hourly = events.filter(col("event_type") === eventType)
+      .groupBy(expr("unix_seconds(date_trunc('hour', ts)) div 3600")
+        .as("hr"))
+      .agg(round(avg("value"), 6).as("v"))
+    val w = Window.orderBy("hr")
+    val trip = hourly
+      .withColumn("v1", lead("v", 1).over(w))
+      .withColumn("v2", lead("v", 2).over(w))
+      .filter(col("v1").isNotNull && col("v2").isNotNull)
+    // ordinal pattern of (v, v1, v2) with earlier-index-wins ties:
+    // a = [v <= v1], b = [v <= v2], c = [v1 <= v2] — the 2^3 corner
+    // combinations collapse to the 6 valid permutations
+    val a = (col("v") <= col("v1")).cast("int")
+    val b = (col("v") <= col("v2")).cast("int")
+    val c = (col("v1") <= col("v2")).cast("int")
+    val pat = trip.select(
+      (a * 4 + b * 2 + c).as("code"))
+      .groupBy("code").agg(count(lit(1)).as("n"))
+    val tot = pat.agg(sum("n").as("nt"), count(lit(1)).as("k"))
+    pat.crossJoin(broadcast(tot))
+      .agg(max("nt").as("n_triples"), max("k").as("n_patterns"),
+        sum((col("n") / col("nt").cast("double")) *
+          log(col("n") / col("nt").cast("double"))).as("s"))
+      .select(col("n_triples"), col("n_patterns"),
+        round(-col("s") / math.log(6.0), 6).as("perm_entropy"))
+  }
+
   /** BANDED dynamic time warping distance between the two hourly
     * series — the elastic similarity measure ([[crossCorrelation]]
     * needs a single global lag; DTW tolerates local speed-ups and

@@ -469,6 +469,33 @@ object Windows {
       .withColumn("cd", round(cume_dist().over(w), 6))
   }
 
+  /** DAU/MAU STICKINESS per day — the engagement ratio next to
+    * [[newVsReturning]]'s acquisition split ("of everyone active this
+    * month, what share showed up today"): DAU = distinct users that
+    * day, MAU = distinct users in the trailing `window` days. COUNT
+    * DISTINCT over a sliding range can't partial-aggregate, so the
+    * design expands the DISTINCT (user, day) activity frame — already
+    * collapsed from raw events, users×active-days sized — `window`×
+    * via a day-grid range join and counts distinct per grid day. The
+    * amplification applies to the activity frame, never the raw
+    * corpus; at 100 TB that frame is users×days, the same class every
+    * retention rollup already touches. Integer counts; one final
+    * ratio, round 4. */
+  def stickiness(events: DataFrame, window: Int = 30): DataFrame = {
+    val ud = events.select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val grid = ud.select(col("day").as("gday")).distinct()
+    val mau = ud.join(grid,
+        col("day") <= col("gday") &&
+        col("day") > date_sub(col("gday"), window))
+      .groupBy("gday")
+      .agg(countDistinct("user_id").as("mau"))
+    val dau = ud.groupBy("day").agg(countDistinct("user_id").as("dau"))
+    dau.join(mau, col("day") === col("gday"))
+      .select(col("day"), col("dau"), col("mau"),
+        round(col("dau") / col("mau").cast("double"), 4).as("stickiness"))
+  }
+
   /** Daily NEW vs RETURNING active users — the product-analytics
     * growth/stickiness split (w10_retention's cohort matrix answers
     * "who came back"; this answers "of today's actives, who is

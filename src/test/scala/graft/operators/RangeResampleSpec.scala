@@ -366,6 +366,29 @@ class RangeResampleSpec extends SparkSpec {
     assert(q2 < expected / 2, s"scrambled series must score lower: $q2")
   }
 
+  test("permutationEntropy: 0 on monotone, near 1 on a pattern-uniform series") {
+    import spark.implicits._
+    def ev(vs: Seq[Double]) = vs.zipWithIndex
+      .map { case (v, h) => (h.toLong * 3600L, "click", v) }
+      .toDF("s", "event_type", "value")
+      .select(timestamp_seconds(col("s")).as("ts"), col("event_type"),
+        col("value"))
+    // strictly increasing: every triple is the same ordinal pattern
+    val mono = Resample.permutationEntropy(
+      ev((1 to 30).map(_.toDouble))).collect().head
+    assert(mono.getAs[Long]("n_triples") == 28L)
+    assert(mono.getAs[Long]("n_patterns") == 1L)
+    assert(mono.getAs[Double]("perm_entropy") == 0.0)
+    // irrational-rotation sampling (sin at integer steps) visits all
+    // six ordinal patterns near-uniformly
+    val noisy = Resample.permutationEntropy(
+      ev((0 until 120).map(h => math.rint(math.sin(h) * 1e4) / 100)))
+      .collect().head
+    assert(noisy.getAs[Long]("n_patterns") == 6L)
+    assert(noisy.getAs[Double]("perm_entropy") > 0.85,
+      s"scrambled series must be near max entropy: $noisy")
+  }
+
   test("dtwDistance: zero on elastic match, beats lockstep on shifted series") {
     import spark.implicits._
     def ev(rows: Seq[(String, Long, Double)]) = rows

@@ -576,6 +576,25 @@ class WindowsLambdaSpec extends SparkSpec {
     assert(out(4L) == (0.0, 1.0))
   }
 
+  test("stickiness: DAU over trailing distinct actives, hand-checked") {
+    import spark.implicits._
+    val day = 86400L
+    // u1 active d1,d2; u2 active d1; u3 active d3 (window = 2 days)
+    val ev = Seq((1L, 0L), (1L, day), (2L, 0L), (3L, 2 * day))
+      .toDF("user_id", "s")
+      .select(col("user_id"), timestamp_seconds(col("s")).as("ts"))
+    val out = Windows.stickiness(ev, window = 2).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        (r.getAs[Long]("dau"), r.getAs[Long]("mau"),
+          r.getAs[Double]("stickiness"))).toMap
+    // d1: dau 2, mau 2 (only d1 in window) → 1.0
+    assert(out("1970-01-01") == (2L, 2L, 1.0))
+    // d2: dau 1 (u1), mau 2 (u1,u2 over d1-d2) → 0.5
+    assert(out("1970-01-02") == (1L, 2L, 0.5))
+    // d3: dau 1 (u3), mau 2 (u1 from d2, u3) → 0.5
+    assert(out("1970-01-03") == (1L, 2L, 0.5))
+  }
+
   test("newVsReturning splits daily actives on first-seen day, dedups within day") {
     import spark.implicits._
     val day = 86400L
