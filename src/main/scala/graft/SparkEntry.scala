@@ -424,6 +424,20 @@ object SparkEntry {
       Resample.permutationEntropy(Tables.events(s, d))),
     "w24_stickiness" -> ((s, d) =>
       Windows.stickiness(Tables.events(s, d))),
+    "snk_deletion_vectors" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val p = scratch(d, "dv_orders")
+      val orders = Tables.orders(s, d)
+      orders.write.mode("overwrite").parquet(p) // fresh lake (clears _dv)
+      val doomed = orders.filter(col("o_orderstatus") === "F")
+        .select("o_orderkey")
+      // submit the delete TWICE: at-least-once delivery must not change
+      // the merge-on-read result (sidecar dedups at read)
+      sources.Lake.appendDeletes(doomed, p, "o_orderkey")
+      sources.Lake.appendDeletes(doomed, p, "o_orderkey")
+      sources.Lake.readWithDeletes(s, p, "o_orderkey")
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+    }),
     "st_cliff" -> ((s, d) =>
       Stats.cliffsDelta(Tables.events(s, d), "event_type", "value",
         "click", "view")),
@@ -1307,6 +1321,9 @@ object SparkEntry {
     "st_km" -> ((s, d) => Stats.kaplanMeier(Tables.events(s, d))),
     "st_friedman" -> ((s, d) => Stats.friedman(Tables.events(s, d))),
     "st_cochran_q" -> ((s, d) => Stats.cochranQ(Tables.events(s, d))),
+    "st_theil" -> ((s, d) =>
+      Stats.theilIndex(Tables.lineitem(s, d), "l_returnflag",
+        "l_extendedprice")),
     "q34_division" -> ((s, d) =>
       Relational.divisionActiveEveryMonth(Tables.orders(s, d))),
     "st_prop_test" -> ((s, d) => {
@@ -3180,6 +3197,23 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4)
              AS survival
          FROM rt""",
+    "st_theil" ->
+      """WITH g AS (SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT))
+               AS DOUBLE) / 100.0 AS x,
+             sum(l_extendedprice * ln(l_extendedprice)) AS s
+           FROM lineitem WHERE l_extendedprice > 0
+           GROUP BY 1),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS nt, sum(x) AS xt,
+             sum(s) AS st, CAST(count(*) AS BIGINT) AS k
+           FROM g)
+         SELECT nt AS n, k,
+           round(max(st / xt - ln(xt / nt)), 6) AS theil_total,
+           round(sum((x / xt) * ln((x / xt) /
+             (CAST(n AS DOUBLE) / nt))), 6) AS theil_between,
+           round(sum((x / xt) * (s / x - ln(x / n))), 6) AS theil_within
+         FROM g CROSS JOIN t GROUP BY nt, k""",
     "st_cochran_q" ->
       """WITH r AS (SELECT user_id,
              coalesce(max(CASE WHEN event_type = 'click' AND value > 70
@@ -3311,6 +3345,9 @@ object SparkEntry {
          JOIN supp s2 ON s2.item = i2
          CROSS JOIN no
          ORDER BY lift DESC, i1, i2 LIMIT 20""",
+    "snk_deletion_vectors" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n
+         FROM orders WHERE o_orderstatus <> 'F' GROUP BY 1""",
     "ts_perm_entropy" ->
       """WITH hourly AS (SELECT
              epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,

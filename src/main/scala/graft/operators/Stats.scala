@@ -370,6 +370,42 @@ object Stats {
       col("na").as("n_pos"), col("nb").as("n_neg"))
   }
 
+  /** Theil T inequality index with its between/within DECOMPOSITION —
+    * the property [[giniIndex]] famously lacks (Gini doesn't decompose
+    * additively): how much of total revenue inequality lives BETWEEN
+    * the groups vs WITHIN them. One partial-agg pass per group collects
+    * n, the decimal-exact cent total, and Σx·ln x; every formula after
+    * runs on the group-count-sized frame with totals riding back as a
+    * 1-row broadcast. T_g = S_g/X_g − ln(μ_g); T_between =
+    * Σ sₕ·ln(sₕ/pₕ) (income share vs population share); T_within =
+    * Σ sₕ·T_g; total = within + between (additivity asserted in the
+    * spec). Non-positive values drop (ln domain, classic convention). */
+  def theilIndex(df: DataFrame, groupCol: String, c: String): DataFrame = {
+    val cents = round(col(c) * 100).cast("decimal(18,0)")
+    val g = df.filter(col(c) > 0)
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"), sum(cents).as("cents"),
+        sum(col(c) * log(col(c))).as("s"))
+      .select(col(groupCol), col("n"),
+        (col("cents").cast("double") / 100.0).as("x"), col("s"))
+    val tot = g.agg(sum("n").as("nt"), sum("x").as("xt"),
+      sum("s").as("st"), count(lit(1)).as("k"))
+    val j = g.crossJoin(broadcast(tot))
+    val share = col("x") / col("xt")
+    val pop = col("n").cast("double") / col("nt")
+    val tg = col("s") / col("x") - log(col("x") / col("n"))
+    val parts = j.agg(
+      max("nt").as("n"), max("k").as("k"),
+      max(col("st") / col("xt") -
+        log(col("xt") / col("nt"))).as("t_total"),
+      sum(share * log(share / pop)).as("t_between"),
+      sum(share * tg).as("t_within"))
+    parts.select(col("n"), col("k"),
+      round(col("t_total"), 6).as("theil_total"),
+      round(col("t_between"), 6).as("theil_between"),
+      round(col("t_within"), 6).as("theil_within"))
+  }
+
   /** Cochran's Q — k-treatment PAIRED binary test (the k-group
     * generalization of [[mcnemar]] and the binary twin of [[friedman]]:
     * same user, k binary outcomes — "did conversion hold across all

@@ -279,4 +279,33 @@ object Lake {
     v2.write.mode(SaveMode.Append).parquet(dir)
     spark.read.option("mergeSchema", "true").parquet(dir)
   }
+
+  /** DELETION VECTORS — delete-without-rewrite for an immutable lake
+    * (the Delta/Iceberg merge-on-read pattern on plain parquet, and the
+    * only sane delete at 100 TB: [[graft.operators.Dwh]]'s forget op
+    * REWRITES the touched partitions, right for partition-aligned
+    * purges; a scattered million-row delete would rewrite the whole
+    * lake). Deleted keys append to a `_dv/` sidecar next to the data —
+    * data files are never touched — and the read path anti-joins the
+    * sidecar out. The anti-join broadcasts while the DV is small and
+    * degrades to a co-partitioned shuffle when it isn't (AQE's call);
+    * when the DV outgrows a threshold, [[compact]]-style rewrite+clear
+    * is the maintenance move (documented, not automated here).
+    * At-least-once delete submission is fine: the sidecar dedups at
+    * read ([[readWithDeletes]] distincts the keys). */
+  def appendDeletes(keys: DataFrame, path: String, keyCol: String): Unit =
+    keys.select(col(keyCol).as("__key"))
+      .write.mode(SaveMode.Append).parquet(s"$path/_dv")
+
+  /** Read the lake minus its deletion vector (merge-on-read). */
+  def readWithDeletes(spark: SparkSession, path: String,
+                      keyCol: String): DataFrame = {
+    val data = spark.read.parquet(path)
+    val dvPath = new org.apache.hadoop.fs.Path(s"$path/_dv")
+    val fs = dvPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dvPath)) data
+    else data.join(
+      spark.read.parquet(s"$path/_dv").select("__key").distinct(),
+      data(keyCol) === col("__key"), "left_anti")
+  }
 }

@@ -667,6 +667,26 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(naive.getAs[Double]("slope") - 3.0) > 0.1)
   }
 
+  test("theilIndex: additive decomposition, zero within equal groups") {
+    // A = four 1s (perfectly equal), B = two 2s (equal): all inequality
+    // is BETWEEN groups. T_total = 4ln2/8 − ln(8/6) = 0.058892
+    val df = (Seq.fill(4)(("A", 1.0)) ++ Seq.fill(2)(("B", 2.0)))
+      .toDF("g", "v")
+    val r = Stats.theilIndex(df, "g", "v").collect().head
+    assert(r.getAs[Long]("n") == 6L && r.getAs[Long]("k") == 2L)
+    assert(r.getAs[Double]("theil_within") == 0.0,
+      "equal values inside every group: within-term exactly 0")
+    assert(r.getAs[Double]("theil_total") == 0.058892)
+    assert(r.getAs[Double]("theil_between") == 0.058892,
+      "additivity: total = between when within is 0")
+    // a perfectly equal corpus scores 0 everywhere
+    val flat = Seq.fill(5)(("A", 3.0)).toDF("g", "v")
+      .union(Seq.fill(5)(("B", 3.0)).toDF("g", "v"))
+    val fr = Stats.theilIndex(flat, "g", "v").collect().head
+    assert(fr.getAs[Double]("theil_total") == 0.0 &&
+      fr.getAs[Double]("theil_between") == 0.0)
+  }
+
   test("cochranQ matches the closed form; uniform outcomes null out") {
     // blocks (1,1,0),(1,1,0),(1,1,1),(1,0,0): C=(4,3,1), N=8,
     // Q = 6·[(4/3)²+(1/3)²+(5/3)²]/(24−18) = 42/9 = 4.6667

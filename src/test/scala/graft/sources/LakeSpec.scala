@@ -134,4 +134,26 @@ class LakeSpec extends SparkSpec {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
     assert(back == Map(1L -> "plain words", 2L -> "has\ta\ttab", 3L -> ""))
   }
+
+  test("deletion vectors: merge-on-read delete never touches data files") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = s"/root/repo/target/graft_io/dv_test_${System.nanoTime()}"
+    (1L to 100L).map(i => (i, s"row$i")).toDF("id", "payload")
+      .write.parquet(dir)
+    def dataFiles = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length, f.lastModified)).toSet
+    val before = dataFiles
+    // no sidecar yet: the read is the plain lake
+    assert(Lake.readWithDeletes(spark, dir, "id").count() == 100)
+    val doomed = Seq(3L, 7L, 7L, 50L).toDF("id") // dup submission in-batch
+    Lake.appendDeletes(doomed, dir, "id")
+    Lake.appendDeletes(doomed, dir, "id") // at-least-once redelivery
+    val after = Lake.readWithDeletes(spark, dir, "id")
+    assert(after.count() == 97, "3 distinct keys deleted, dups ignored")
+    assert(after.filter(col("id").isin(3L, 7L, 50L)).count() == 0)
+    assert(dataFiles == before,
+      "delete must append to the _dv sidecar only — data files untouched")
+  }
 }
