@@ -1333,6 +1333,8 @@ object SparkEntry {
     }),
     "w23_new_returning" -> ((s, d) =>
       Windows.newVsReturning(Tables.events(s, d))),
+    "pipe_dataset_card" -> ((s, d) =>
+      Quality.datasetCard(Tables.documents(s, d))),
     "dq_plan_metrics" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // a deterministic scan→filter→agg pipeline: the report shows the
@@ -3197,6 +3199,35 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4)
              AS survival
          FROM rt""",
+    "pipe_dataset_card" ->
+      """WITH b AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT md5(text)) AS BIGINT) AS u,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok,
+             CAST(sum(length(text)) AS BIGINT) AS chars,
+             quantile_cont(n_chars, CAST(1 AS DOUBLE)/2) AS p50c
+           FROM documents),
+         g AS (
+           SELECT 'n_docs' AS metric, CAST(n AS DOUBLE) AS value FROM b
+           UNION ALL SELECT 'n_unique_texts', CAST(u AS DOUBLE) FROM b
+           UNION ALL SELECT 'exact_dup_rate',
+             round(1.0 - u / CAST(n AS DOUBLE), 6) FROM b
+           UNION ALL SELECT 'total_ws_tokens', CAST(tok AS DOUBLE) FROM b
+           UNION ALL SELECT 'mean_ws_tokens',
+             round(tok / CAST(n AS DOUBLE), 6) FROM b
+           UNION ALL SELECT 'mean_chars',
+             round(chars / CAST(n AS DOUBLE), 6) FROM b
+           UNION ALL SELECT 'p50_chars', round(p50c, 6) FROM b),
+         bl AS (SELECT lang, CAST(count(*) AS BIGINT) AS c
+           FROM documents GROUP BY 1),
+         ct AS (SELECT CAST(sum(c) AS BIGINT) AS ct FROM bl),
+         lr AS (SELECT 'docs_lang_' || lang AS metric,
+             CAST(c AS DOUBLE) AS value FROM bl),
+         e AS (SELECT 'lang_entropy' AS metric,
+             round(-sum((c / CAST(ct AS DOUBLE)) *
+               ln(c / CAST(ct AS DOUBLE))), 6) AS value
+           FROM bl CROSS JOIN ct)
+         SELECT * FROM g UNION ALL SELECT * FROM lr
+         UNION ALL SELECT * FROM e""",
     "st_theil" ->
       """WITH g AS (SELECT l_returnflag,
              CAST(count(*) AS BIGINT) AS n,

@@ -322,6 +322,52 @@ object Quality {
         lit(eps).as("epsilon"))
   }
 
+  /** DATASET CARD — the summary artifact a curated corpus ships with
+    * (HuggingFace dataset-card numbers, computed ON the engine): doc
+    * and unique-text counts, exact-dup rate, token totals and means,
+    * char distribution center, language mix and its Shannon entropy.
+    * Long (metric, value) format so the card grows without schema
+    * churn. ONE corpus scan feeds the global aggregate; the language
+    * mix is a second narrow rollup; everything else is arithmetic on
+    * those two tiny frames. All counts integer-exact; ratios and the
+    * ≤k-row entropy sum round 6. */
+  def datasetCard(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.wsTokenCount
+    val base = docs.agg(
+      count(lit(1)).as("n"),
+      countDistinct(md5(col("text"))).as("u"),
+      sum(wsTokenCount(col("text")).cast("long")).as("tok"),
+      sum(length(col("text")).cast("long")).as("chars"),
+      expr("percentile(n_chars, CAST(1 AS DOUBLE)/2)").as("p50c"))
+    val global = base.select(explode(array(
+      struct(lit("n_docs").as("metric"),
+        col("n").cast("double").as("value")),
+      struct(lit("n_unique_texts").as("metric"),
+        col("u").cast("double").as("value")),
+      struct(lit("exact_dup_rate").as("metric"),
+        round(lit(1.0) - col("u") / col("n").cast("double"), 6)
+          .as("value")),
+      struct(lit("total_ws_tokens").as("metric"),
+        col("tok").cast("double").as("value")),
+      struct(lit("mean_ws_tokens").as("metric"),
+        round(col("tok") / col("n").cast("double"), 6).as("value")),
+      struct(lit("mean_chars").as("metric"),
+        round(col("chars") / col("n").cast("double"), 6).as("value")),
+      struct(lit("p50_chars").as("metric"),
+        round(col("p50c"), 6).as("value")))).as("m"))
+      .select(col("m.metric"), col("m.value"))
+    val byLang = docs.groupBy("lang").agg(count(lit(1)).as("c"))
+    val langRows = byLang.select(
+      concat(lit("docs_lang_"), col("lang")).as("metric"),
+      col("c").cast("double").as("value"))
+    val entropy = byLang
+      .crossJoin(broadcast(byLang.agg(sum("c").as("ct"))))
+      .agg(round(-sum((col("c") / col("ct").cast("double")) *
+        log(col("c") / col("ct").cast("double"))), 6).as("value"))
+      .select(lit("lang_entropy").as("metric"), col("value"))
+    global.unionByName(langRows).unionByName(entropy)
+  }
+
   /** EXPLAIN ANALYZE as a DataFrame — execute a query and report every
     * physical operator's emitted row count (the engine's own
     * observability surface: where do rows actually drop, which join

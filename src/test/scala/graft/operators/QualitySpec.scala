@@ -301,6 +301,26 @@ class QualitySpec extends SparkSpec {
       r2.getAs[Long]("rows_at_risk") == 0L)
   }
 
+  test("datasetCard: hand-checked metrics on a planted corpus") {
+    val docs = Seq(
+      (1L, "a b c", "en"), (2L, "a b c", "en"), // exact dup pair
+      (3L, "x y", "fr"), (4L, "z", "fr"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val card = Quality.datasetCard(docs).collect()
+      .map(r => r.getAs[String]("metric") -> r.getAs[Double]("value"))
+      .toMap
+    assert(card("n_docs") == 4.0 && card("n_unique_texts") == 3.0)
+    assert(card("exact_dup_rate") == 0.25)
+    assert(card("total_ws_tokens") == 9.0) // 3+3+2+1
+    assert(card("mean_ws_tokens") == 2.25)
+    assert(card("docs_lang_en") == 2.0 && card("docs_lang_fr") == 2.0)
+    // two equally-sized languages: entropy is exactly ln 2
+    assert(card("lang_entropy") == 0.693147)
+    assert(card("p50_chars") == 4.0) // chars 5,5,3,1 → median 4
+  }
+
   test("planMetrics reports the row waterfall of the executed plan") {
     val df = spark.range(100).toDF("id")
       .filter(col("id") >= 50)
