@@ -1276,6 +1276,8 @@ object SparkEntry {
     "gr_degree" -> ((s, d) => Graph.degreeHistogram(coPurchaseEdges(s, d))),
     "gr_hits" -> ((s, d) =>
       Graph.hits(repeatBusinessDirected(s, d, 2), iterations = 3)),
+    "gr_random_walks" -> ((s, d) =>
+      Graph.randomWalks(coPurchaseEdges(s, d), steps = 3)),
     "w22_distribution_rank" -> ((s, d) =>
       Windows.distributionRank(Tables.events(s, d))),
     "st_bootstrap" -> ((s, d) =>
@@ -3245,6 +3247,43 @@ object SparkEntry {
              (CAST(n AS DOUBLE) / nt))), 6) AS theil_between,
            round(sum((x / xt) * (s / x - ln(x / n))), 6) AS theil_within
          FROM g CROSS JOIN t GROUP BY nt, k""",
+    "gr_random_walks" ->
+      """WITH p AS (SELECT DISTINCT o_custkey AS a,
+             l_suppkey + 1000000000 AS b
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         e AS (SELECT a AS src, b AS dst FROM p
+           UNION SELECT b, a FROM p),
+         r AS (SELECT src, dst,
+             CAST(row_number() OVER (PARTITION BY src ORDER BY dst)
+               AS BIGINT) AS rk,
+             CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS deg
+           FROM e),
+         w0 AS (SELECT DISTINCT src AS start, src AS cur FROM e),
+         h1 AS (SELECT start, cur,
+             md5('rw:1:' || CAST(cur AS VARCHAR)) AS h FROM w0),
+         s1 AS (SELECT h1.start, r.dst AS n1
+           FROM h1 JOIN r ON h1.cur = r.src
+           AND r.rk = (((strpos('0123456789abcdef', substr(h,1,1))-1)*4096
+             + (strpos('0123456789abcdef', substr(h,2,1))-1)*256
+             + (strpos('0123456789abcdef', substr(h,3,1))-1)*16
+             + (strpos('0123456789abcdef', substr(h,4,1))-1)) % deg) + 1),
+         h2 AS (SELECT start, n1,
+             md5('rw:2:' || CAST(n1 AS VARCHAR)) AS h FROM s1),
+         s2 AS (SELECT h2.start, h2.n1, r.dst AS n2
+           FROM h2 JOIN r ON h2.n1 = r.src
+           AND r.rk = (((strpos('0123456789abcdef', substr(h,1,1))-1)*4096
+             + (strpos('0123456789abcdef', substr(h,2,1))-1)*256
+             + (strpos('0123456789abcdef', substr(h,3,1))-1)*16
+             + (strpos('0123456789abcdef', substr(h,4,1))-1)) % deg) + 1),
+         h3 AS (SELECT start, n1, n2,
+             md5('rw:3:' || CAST(n2 AS VARCHAR)) AS h FROM s2),
+         s3 AS (SELECT h3.start, h3.n1, h3.n2, r.dst AS n3
+           FROM h3 JOIN r ON h3.n2 = r.src
+           AND r.rk = (((strpos('0123456789abcdef', substr(h,1,1))-1)*4096
+             + (strpos('0123456789abcdef', substr(h,2,1))-1)*256
+             + (strpos('0123456789abcdef', substr(h,3,1))-1)*16
+             + (strpos('0123456789abcdef', substr(h,4,1))-1)) % deg) + 1)
+         SELECT start, n1, n2, n3 FROM s3""",
     "st_cochran_q" ->
       """WITH r AS (SELECT user_id,
              coalesce(max(CASE WHEN event_type = 'click' AND value > 70

@@ -63,6 +63,46 @@ object Graph {
       .groupBy("src").agg(count(lit(1)).as("degree"))
       .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
 
+  /** DETERMINISTIC random walks (DeepWalk/node2vec's corpus-generation
+    * step — the walk sequences ARE the training data an embedding
+    * pipeline feeds to skip-gram): one fixed-length walk per node,
+    * every step chosen by a salted md5 of (step, current node) modulo
+    * out-degree — no RNG state, so walks replay bit-identically on any
+    * cluster and the oracle can re-derive them.
+    *
+    * Scale shape: neighbors are ranked ONCE (row_number per src,
+    * checkpointed — the walk loop never re-sorts); each step is one
+    * walk⋈ranked-edges equi-join on the current node filtered to the
+    * chosen rank — edge-list-sized work per step, the pageRank
+    * iteration class. Output is WIDE (start, n1..nL) so downstream
+    * skip-gram windows are row-local. */
+  def randomWalks(edges: DataFrame, steps: Int = 3,
+                  salt: String = "rw"): DataFrame = {
+    require(steps >= 1 && steps <= 8, "walk length is a literal chain")
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select("src", "dst").distinct()
+    val ranked = e
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("src").orderBy("dst")))
+      .withColumn("deg",
+        count(lit(1)).over(Window.partitionBy("src")))
+      .localCheckpoint(true)
+    var walk = ranked.select(col("src").as("start")).distinct()
+      .withColumn("cur", col("start"))
+    for (i <- 1 to steps) {
+      val pick = pmod(
+        conv(substring(md5(concat(lit(s"$salt:$i:"),
+          col("cur").cast("string"))), 1, 4), 16, 10).cast("long"),
+        col("deg")) + 1
+      walk = walk.join(ranked, walk("cur") === ranked("src"))
+        .filter(col("rk") === pick)
+        .drop("cur", "src", "rk", "deg")
+        .withColumnRenamed("dst", s"n$i")
+        .withColumn("cur", col(s"n$i"))
+    }
+    walk.drop("cur")
+  }
+
   /** HITS hubs & authorities over a DIRECTED graph — [[pageRank]]'s
     * bipartite-minded sibling (on the customer→supplier graph: hubs =
     * buyers who concentrate on authoritative suppliers, authorities =

@@ -224,6 +224,29 @@ class GraphSpec extends SparkSpec {
     assert(h == Map(2L -> 1L, 1L -> 2L))
   }
 
+  test("randomWalks: every hop is an edge, walks replay exactly, branches diverge") {
+    import spark.implicits._
+    // complete bipartite {1,2,3}×{10,11,12}, symmetrized
+    val pairs = for { a <- 1L to 3L; b <- 10L to 12L } yield (a, b)
+    val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val walks = Graph.randomWalks(edges, steps = 3).collect()
+      .map(r => (r.getAs[Long]("start"), r.getAs[Long]("n1"),
+        r.getAs[Long]("n2"), r.getAs[Long]("n3")))
+    assert(walks.length == 6, "one walk per node")
+    val edgeSet = (pairs ++ pairs.map(_.swap)).toSet
+    walks.foreach { case (s, a, b, c) =>
+      assert(edgeSet((s, a)) && edgeSet((a, b)) && edgeSet((b, c)),
+        s"every hop must follow a real edge: ($s,$a,$b,$c)")
+    }
+    // hash-derived choices must not collapse to one branch everywhere
+    assert(walks.map(_._2).distinct.length > 1,
+      "different nodes take different first hops")
+    val again = Graph.randomWalks(edges, steps = 3).collect()
+      .map(r => (r.getAs[Long]("start"), r.getAs[Long]("n1"),
+        r.getAs[Long]("n2"), r.getAs[Long]("n3"))).toSet
+    assert(again == walks.toSet, "walks must replay bit-identically")
+  }
+
   test("hits: hand-unrolled 3-iteration scores on a tiny bipartite graph") {
     import spark.implicits._
     // c1→{s1,s2}, c2→s1. Unrolled with max-normalization per step:
