@@ -1337,6 +1337,8 @@ object SparkEntry {
       Windows.newVsReturning(Tables.events(s, d))),
     "pipe_dataset_card" -> ((s, d) =>
       Quality.datasetCard(Tables.documents(s, d))),
+    "mm_batch_infer" -> ((s, d) =>
+      Multimodal.batchInferSummary(Tables.documents(s, d))),
     "dq_plan_metrics" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // a deterministic scan→filter→agg pipeline: the report shows the

@@ -260,4 +260,54 @@ object Multimodal {
     * media table's video slice. */
   def sceneCutSummary(documents: DataFrame): DataFrame =
     sceneCuts(mediaFromDocuments(documents).toDF())
+
+  case class InferredRow(media_id: Long, kind: String, batch_size: Int,
+                         score: Double)
+
+  /** BATCHED model inference over media — the GPU/accelerator serving
+    * shape (a model call amortizes over a batch; calling it per row
+    * throws away 10-100× throughput): `mapPartitions` + `grouped(
+    * batchSize)` turns each partition's iterator into full `batchSize`
+    * slices (only the partition tail runs short), the model executes
+    * once per SLICE, and every output row records the batch it rode in
+    * — the audit column that makes the batching testable. The model is
+    * the contract-sanctioned STUB (deterministic payload moment); a
+    * real deployment swaps `stubModel` for an ONNX/Triton/JNI session
+    * created ONCE per partition (that init amortization is exactly what
+    * the mapPartitions boundary buys — same swap-point contract as
+    * decodeStub). Lazy iterators end-to-end: a partition never
+    * materializes beyond one batch. */
+  def batchInfer(media: DataFrame, batchSize: Int = 32): Dataset[InferredRow] = {
+    implicit val enc = Encoders.product[InferredRow]
+    implicit val encIn = Encoders.product[MediaRow]
+    // stub model: one "forward pass" per batch — mean payload byte per
+    // row, deterministic and cheap (the swap point is this function)
+    def stubModel(batch: Seq[MediaRow]): Seq[Double] =
+      batch.map(r =>
+        if (r.payload.isEmpty) 0.0
+        else math.rint(r.payload.map(_ & 0xff).sum.toDouble /
+          r.payload.length * 1e4) / 1e4)
+    media.as[MediaRow].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val scores = stubModel(batch)
+        batch.zip(scores).map { case (r, s) =>
+          InferredRow(r.media_id, r.kind, batch.size, s)
+        }
+      }
+    }
+  }
+
+  /** Driver-contract projection of [[batchInfer]]: per-kind score
+    * rollup plus the batch-shape audit (full batches vs tails). */
+  def batchInferSummary(documents: DataFrame,
+                        batchSize: Int = 32): DataFrame = {
+    val inf = batchInfer(
+      mediaFromDocuments(documents).toDF().repartition(8, col("media_id")),
+      batchSize)
+    inf.toDF().groupBy("kind")
+      .agg(count(lit(1)).as("n"),
+        round(avg("score"), 4).as("mean_score"),
+        sum(when(col("batch_size") === batchSize, 1L).otherwise(0L))
+          .as("rows_in_full_batches"))
+  }
 }

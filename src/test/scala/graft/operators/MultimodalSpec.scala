@@ -204,4 +204,28 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(est("__all__") - exactAll) <= math.max(2.0, 0.05 * exactAll),
       s"merged ${est("__all__")} vs exact $exactAll")
   }
+
+  test("batchInfer: full batches except the partition tail, scores deterministic") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 10 rows in ONE partition with batchSize 4 → batches of 4, 4, 2
+    val media = (1L to 10L).map(i =>
+      Multimodal.MediaRow(i, "image", s"payload$i".getBytes("UTF-8"),
+        8, "s")).toDF().repartition(1)
+    val rows = Multimodal.batchInfer(media, batchSize = 4).collect()
+    assert(rows.length == 10)
+    val sizes = rows.map(_.batch_size).groupBy(identity)
+      .view.mapValues(_.length).toMap
+    assert(sizes == Map(4 -> 8, 2 -> 2),
+      s"two full batches + one tail expected: $sizes")
+    // stub scores: deterministic mean payload byte, replayed exactly
+    val again = Multimodal.batchInfer(media, batchSize = 4).collect()
+    assert(rows.map(r => r.media_id -> r.score).toMap ==
+      again.map(r => r.media_id -> r.score).toMap)
+    // a row's score is independent of which batch it rides in
+    val other = Multimodal.batchInfer(media, batchSize = 3).collect()
+    assert(rows.map(r => r.media_id -> r.score).toMap ==
+      other.map(r => r.media_id -> r.score).toMap,
+      "batching is a throughput concern — it must never change results")
+  }
 }
