@@ -1326,6 +1326,8 @@ object SparkEntry {
     "st_theil" -> ((s, d) =>
       Stats.theilIndex(Tables.lineitem(s, d), "l_returnflag",
         "l_extendedprice")),
+    "st_bh_battery" -> ((s, d) =>
+      Stats.welchBatteryBH(Tables.events(s, d), "event_type", "value")),
     "q34_division" -> ((s, d) =>
       Relational.divisionActiveEveryMonth(Tables.orders(s, d))),
     "st_prop_test" -> ((s, d) => {
@@ -3203,6 +3205,35 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4)
              AS survival
          FROM rt""",
+    "st_bh_battery" ->
+      """WITH s AS (SELECT event_type, count(value) AS n, avg(value) AS m,
+             var_samp(value) AS v
+           FROM events GROUP BY 1),
+         t AS (SELECT a.event_type AS group_a, b.event_type AS group_b,
+             round((a.m - b.m) / sqrt(a.v/a.n + b.v/b.n), 4) AS t_stat
+           FROM s a JOIN s b ON a.event_type < b.event_type),
+         pz AS (SELECT group_a, group_b, t_stat, abs(t_stat) AS x,
+             1.0 / (1.0 + 0.2316419 * abs(t_stat)) AS k
+           FROM t),
+         pv AS (SELECT group_a, group_b, t_stat,
+             round(2.0 * (exp(-x * x / 2.0) * 0.3989422804014327) *
+               (k * (0.319381530 + k * (-0.356563782 +
+                k * (1.781477937 + k * (-1.821255978 +
+                k * 1.330274429))))), 8) AS p
+           FROM pz),
+         rk AS (SELECT group_a, group_b, t_stat, p,
+             CAST(count(*) OVER () AS BIGINT) AS m,
+             CAST(row_number() OVER (ORDER BY p, group_a, group_b)
+               AS BIGINT) AS i
+           FROM pv),
+         adj AS (SELECT group_a, group_b, t_stat, p,
+             round(least(1.0, min(p * m / i) OVER (ORDER BY i
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)), 6)
+               AS p_adj
+           FROM rk)
+         SELECT group_a, group_b, t_stat, p, p_adj,
+           p_adj <= 0.05 AS significant
+         FROM adj""",
     "pipe_dataset_card" ->
       """WITH b AS (SELECT CAST(count(*) AS BIGINT) AS n,
              CAST(count(DISTINCT md5(text)) AS BIGINT) AS u,

@@ -370,6 +370,43 @@ object Stats {
       col("na").as("n_pos"), col("nb").as("n_neg"))
   }
 
+  /** Pairwise Welch battery with BENJAMINI–HOCHBERG FDR correction —
+    * what a profiling layer must do the moment it runs MANY tests at
+    * once (k groups → k(k−1)/2 comparisons; at α=0.05 a 10-test battery
+    * expects a false positive every other run — BH caps the FALSE
+    * DISCOVERY RATE instead). Reuses [[welchTTest]]'s one-pass battery;
+    * p-values via the Abramowitz–Stegun 7.1.26 normal-CDF polynomial
+    * (identical literal polynomial on both engines; the normal
+    * approximation to t is documented — df here is in the thousands),
+    * rounded 8dp so both engines rank identical doubles; the BH
+    * step-up p̂ᵢ = min_{j≥i}(pⱼ·m/j) is one suffix-min window over the
+    * pair-count-sized frame with a (p, group) tiebreak. */
+  def welchBatteryBH(df: DataFrame, groupCol: String, c: String,
+                     q: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = welchTTest(df, groupCol, c)
+    val x = abs(col("t_stat"))
+    val k = lit(1.0) / (lit(1.0) + lit(0.2316419) * x)
+    val poly = k * (lit(0.319381530) + k * (lit(-0.356563782) +
+      k * (lit(1.781477937) + k * (lit(-1.821255978) +
+        k * lit(1.330274429)))))
+    val phi = exp(-x * x / lit(2.0)) * lit(0.3989422804014327)
+    val withP = t.withColumn("p", round(lit(2.0) * phi * poly, 8))
+    val wAll = Window.partitionBy()
+    val wRank = Window.orderBy("p", "group_a", "group_b")
+    val ranked = withP
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("i", row_number().over(wRank))
+      .withColumn("raw", col("p") * col("m") / col("i"))
+    val wSuffix = Window.orderBy("i")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ranked
+      .withColumn("p_adj",
+        round(least(lit(1.0), min("raw").over(wSuffix)), 6))
+      .select(col("group_a"), col("group_b"), col("t_stat"), col("p"),
+        col("p_adj"), (col("p_adj") <= q).as("significant"))
+  }
+
   /** Theil T inequality index with its between/within DECOMPOSITION —
     * the property [[giniIndex]] famously lacks (Gini doesn't decompose
     * additively): how much of total revenue inequality lives BETWEEN

@@ -667,6 +667,30 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(naive.getAs[Double]("slope") - 3.0) > 0.1)
   }
 
+  test("welchBatteryBH: step-up adjustment is monotone and correctly bounded") {
+    // three groups: A ≈ B (no effect), C far away (strong effect on
+    // both its pairs) — BH must keep the strong pairs and not the null
+    val df = ((1 to 50).map(i => ("A", i % 7 + 0.0)) ++
+      (1 to 50).map(i => ("B", (i + 3) % 7 + 0.1)) ++
+      (1 to 50).map(i => ("C", i % 7 + 50.0))).toDF("g", "v")
+    val out = Stats.welchBatteryBH(df, "g", "v").collect()
+      .map(r => (r.getAs[String]("group_a"), r.getAs[String]("group_b")) ->
+        (r.getAs[Double]("p"), r.getAs[Double]("p_adj"),
+          r.getAs[Boolean]("significant"))).toMap
+    assert(out.size == 3)
+    assert(out(("A", "C"))._3 && out(("B", "C"))._3,
+      "a 50-unit shift must survive FDR correction")
+    assert(!out(("A", "B"))._3,
+      s"near-identical groups must not be discovered: ${out(("A", "B"))}")
+    // adjusted p never below raw p, never above 1
+    out.values.foreach { case (p, padj, _) =>
+      assert(padj >= p - 1e-9 && padj <= 1.0) }
+    // the step-up min makes p_adj monotone in p-rank
+    val sorted = out.values.toSeq.sortBy(_._1)
+    assert(sorted.map(_._2) == sorted.map(_._2).sorted,
+      "p_adj must be non-decreasing in raw-p order")
+  }
+
   test("theilIndex: additive decomposition, zero within equal groups") {
     // A = four 1s (perfectly equal), B = two 2s (equal): all inequality
     // is BETWEEN groups. T_total = 4ln2/8 − ln(8/6) = 0.058892
