@@ -1328,6 +1328,9 @@ object SparkEntry {
         "l_extendedprice")),
     "st_bh_battery" -> ((s, d) =>
       Stats.welchBatteryBH(Tables.events(s, d), "event_type", "value")),
+    "st_avg_precision" -> ((s, d) =>
+      Stats.averagePrecision(Tables.documents(s, d), "lang", "n_chars",
+        "en")),
     "q34_division" -> ((s, d) =>
       Relational.divisionActiveEveryMonth(Tables.orders(s, d))),
     "st_prop_test" -> ((s, d) => {
@@ -3205,6 +3208,27 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4)
              AS survival
          FROM rt""",
+    "st_avg_precision" ->
+      """WITH pts AS (SELECT n_chars AS v,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+               AS BIGINT) AS np,
+             CAST(count(*) AS BIGINT) AS nt
+           FROM documents WHERE n_chars IS NOT NULL
+           GROUP BY 1),
+         cum AS (SELECT np, nt,
+             CAST(sum(np) OVER (ORDER BY v DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cp,
+             CAST(sum(nt) OVER (ORDER BY v DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS ct
+           FROM pts),
+         tot AS (SELECT CAST(sum(np) AS BIGINT) AS npos,
+             CAST(sum(nt) AS BIGINT) AS ntot FROM pts)
+         SELECT npos AS n_pos, ntot AS n_total,
+           round(sum((np / CAST(npos AS DOUBLE)) *
+             (cp / CAST(ct AS DOUBLE))), 6) AS average_precision
+         FROM cum CROSS JOIN tot GROUP BY npos, ntot""",
     "st_bh_battery" ->
       """WITH s AS (SELECT event_type, count(value) AS n, avg(value) AS m,
              var_samp(value) AS v

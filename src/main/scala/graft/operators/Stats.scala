@@ -370,6 +370,40 @@ object Stats {
       col("na").as("n_pos"), col("nb").as("n_neg"))
   }
 
+  /** AVERAGE PRECISION (area under the precision–recall curve, tie-
+    * grouped step form) — the ranking metric that matters when the
+    * positive class is RARE ([[auc]]'s ROC view is blind to base rate;
+    * PR is what retrieval and filter-model evals report): rank by
+    * score descending, AP = Σ over distinct scores of
+    * ΔRecall·Precision-at-threshold, all ties advancing together (the
+    * deterministic convention — no arbitrary within-tie order leaks).
+    *
+    * Scale shape: the corpus collapses to the distinct-score frame in
+    * one partial-agg pass (np/nt per score); the cumulative window and
+    * the final rollup run on that value-cardinality-sized frame
+    * (documented single-partition window, same class as the rank-sum
+    * stripes' merge). Integer counts end-to-end; one Σ of exact-ratio
+    * products at the close, round 6. */
+  def averagePrecision(df: DataFrame, groupCol: String, c: String,
+                       pos: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = df.filter(col(c).isNotNull)
+      .groupBy(col(c).as("v"))
+      .agg(sum(when(col(groupCol) === pos, 1L).otherwise(0L)).as("np"),
+        count(lit(1)).as("nt"))
+    val w = Window.orderBy(col("v").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = pts
+      .withColumn("cp", sum("np").over(w))
+      .withColumn("ct", sum("nt").over(w))
+    val tot = pts.agg(sum("np").as("npos"), sum("nt").as("ntot"))
+    cum.crossJoin(broadcast(tot))
+      .agg(max("npos").as("n_pos"), max("ntot").as("n_total"),
+        round(sum((col("np") / col("npos").cast("double")) *
+          (col("cp") / col("ct").cast("double"))), 6)
+          .as("average_precision"))
+  }
+
   /** Pairwise Welch battery with BENJAMINI–HOCHBERG FDR correction —
     * what a profiling layer must do the moment it runs MANY tests at
     * once (k groups → k(k−1)/2 comparisons; at α=0.05 a 10-test battery

@@ -667,6 +667,25 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(naive.getAs[Double]("slope") - 3.0) > 0.1)
   }
 
+  test("averagePrecision: perfect ranking 1.0, inverted ranking = base-rate tail") {
+    def ap(rows: Seq[(String, Double)]) =
+      Stats.averagePrecision(rows.toDF("g", "v"), "g", "v", "pos")
+        .collect().head
+    // positives hold the 2 highest scores: AP = 1
+    val perfect = ap(Seq(("pos", 10.0), ("pos", 9.0), ("neg", 2.0),
+      ("neg", 1.0)))
+    assert(perfect.getAs[Long]("n_pos") == 2L)
+    assert(perfect.getAs[Double]("average_precision") == 1.0)
+    // positives at the bottom: AP = (1/2)(1/3) + (1/2)(2/4) = 0.416667
+    val inverted = ap(Seq(("neg", 10.0), ("neg", 9.0), ("pos", 2.0),
+      ("pos", 1.0)))
+    assert(inverted.getAs[Double]("average_precision") == 0.416667)
+    // all ties advance together: one threshold, precision = base rate
+    val tied = ap(Seq(("pos", 5.0), ("neg", 5.0), ("neg", 5.0),
+      ("neg", 5.0)))
+    assert(tied.getAs[Double]("average_precision") == 0.25)
+  }
+
   test("welchBatteryBH: step-up adjustment is monotone and correctly bounded") {
     // three groups: A ≈ B (no effect), C far away (strong effect on
     // both its pairs) — BH must keep the strong pairs and not the null
