@@ -118,29 +118,36 @@ object Graph {
     * discipline). Fixed iteration count; the oracle unrolls the same
     * count. Output: (node, role, score) for both sides, round 6. */
   def hits(edges: DataFrame, iterations: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ed = edges.select("src", "dst").distinct().localCheckpoint(true)
     val hub0 = ed.select(col("src").as("node")).distinct()
       .withColumn("h", lit(1.0))
+    // max-normalization via a single-partition window over the
+    // NODE-SIZED score frame: one consumer per iteration frame, so the
+    // whole loop stays ONE lazy plan (a crossJoin(agg(max)) variant
+    // gives every frame two consumers and recomputes the prefix each
+    // iteration — measured 5.3 s → this shape, the pageRank discipline)
+    val wAll = Window.partitionBy()
     var hubs = hub0
     var auths: DataFrame = null
-    for (_ <- 1 to iterations) {
-      val aRaw = ed.join(hubs, ed("src") === hubs("node"))
+    for (i <- 1 to iterations) {
+      auths = ed.join(hubs, ed("src") === hubs("node"))
         .groupBy(col("dst")).agg(sum("h").as("ar"))
-      auths = aRaw
-        .crossJoin(broadcast(aRaw.agg(max("ar").as("am"))))
         .select(col("dst").as("node"),
-          round(col("ar") / col("am"), 9).as("a"))
-      val hRaw = ed.join(auths, ed("dst") === auths("node"))
+          round(col("ar") / max("ar").over(wAll), 9).as("a"))
+      // the LAST auths frame feeds both the final hub step and the
+      // output union — checkpoint that one (node-sized) so the chain
+      // isn't walked twice; earlier frames have exactly one consumer
+      if (i == iterations) auths = auths.localCheckpoint(true)
+      hubs = ed.join(auths, ed("dst") === auths("node"))
         .groupBy(col("src")).agg(sum("a").as("hr"))
-      hubs = hRaw
-        .crossJoin(broadcast(hRaw.agg(max("hr").as("hm"))))
         .select(col("src").as("node"),
-          round(col("hr") / col("hm"), 9).as("h"))
+          round(col("hr") / max("hr").over(wAll), 9).as("h"))
     }
     hubs.select(col("node"), lit("hub").as("role"),
         round(col("h"), 6).as("score"))
-      .unionByName(auths.select(col("node"), lit("authority").as("role"),
-        round(col("a"), 6).as("score")))
+      .unionByName(auths.select(col("node"),
+        lit("authority").as("role"), round(col("a"), 6).as("score")))
   }
 
   /** Triangle census of an undirected graph: node/edge/wedge/triangle
