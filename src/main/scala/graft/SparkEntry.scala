@@ -1344,6 +1344,10 @@ object SparkEntry {
       Quality.datasetCard(Tables.documents(s, d))),
     "mm_batch_infer" -> ((s, d) =>
       Multimodal.batchInferSummary(Tables.documents(s, d))),
+    "dwh_accumulating" -> ((s, d) =>
+      Dwh.accumulatingSnapshot(Tables.events(s, d))),
+    "dwh_semi_additive" -> ((s, d) =>
+      Dwh.semiAdditiveBalance(Tables.events(s, d))),
     "dq_plan_metrics" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // a deterministic scan→filter→agg pipeline: the report shows the
@@ -3208,6 +3212,38 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4)
              AS survival
          FROM rt""",
+    "dwh_accumulating" ->
+      """WITH b AS (SELECT user_id,
+             CAST(min(CASE WHEN event_type = 'signup'
+               THEN epoch_us(ts) END) AS BIGINT) AS signup_us,
+             CAST(min(CASE WHEN event_type = 'click'
+               THEN epoch_us(ts) END) AS BIGINT) AS click_us,
+             CAST(min(CASE WHEN event_type = 'purchase'
+               THEN epoch_us(ts) END) AS BIGINT) AS purchase_us
+           FROM events
+           WHERE event_type IN ('signup', 'click', 'purchase')
+           GROUP BY 1)
+         SELECT user_id, signup_us, click_us, purchase_us,
+           round((click_us - signup_us) / 86400000000.0, 4)
+             AS days_signup_to_click,
+           round((purchase_us - click_us) / 86400000000.0, 4)
+             AS days_click_to_purchase
+         FROM b""",
+    "dwh_semi_additive" ->
+      """WITH x AS (SELECT user_id,
+             CAST(date_trunc('month', ts) AS DATE) AS month,
+             CAST(epoch_us(ts) AS BIGINT) AS t,
+             CAST(round(value * 100) AS BIGINT) AS c
+           FROM events),
+         r AS (SELECT user_id, month, c,
+             row_number() OVER (PARTITION BY user_id, month
+               ORDER BY t DESC, c DESC) AS rn
+           FROM x),
+         lp AS (SELECT user_id, month, c AS cents FROM r WHERE rn = 1)
+         SELECT month, CAST(count(*) AS BIGINT) AS n_accounts,
+           round(sum(cents) / 100.0, 2) AS total_balance,
+           round(avg(cents) / 100.0, 4) AS avg_balance
+         FROM lp GROUP BY 1""",
     "st_avg_precision" ->
       """WITH pts AS (SELECT n_chars AS v,
              CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)

@@ -364,4 +364,77 @@ object Dwh {
     val aggs = addCols.map(c => sum(c).as(c))
     merged.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** ACCUMULATING SNAPSHOT fact — Kimball pattern #3 (one row per
+    * process instance whose milestone columns FILL IN as lifecycle
+    * events arrive; the order-fulfillment / claim-processing shape that
+    * neither a transaction fact nor a periodic snapshot can answer
+    * "how long between stages" from): per user, the FIRST time each
+    * milestone event type occurred, plus the stage-gap durations. One
+    * conditional-min partial-agg pass; milestones that haven't
+    * happened stay null (never a fabricated date); durations only
+    * materialize once both ends exist. */
+  def accumulatingSnapshot(events: DataFrame,
+      milestones: Seq[String] = Seq("signup", "click", "purchase"))
+      : DataFrame = {
+    val firsts = milestones.map(m =>
+      min(when(col("event_type") === m, unix_micros(col("ts"))))
+        .as(s"${m}_us"))
+    val base = events.filter(col("event_type").isin(milestones: _*))
+      .groupBy("user_id")
+      .agg(firsts.head, firsts.tail: _*)
+    val gaps = milestones.sliding(2).map { case Seq(a, b) =>
+      round((col(s"${b}_us") - col(s"${a}_us")) / 86400e6, 4)
+        .as(s"days_${a}_to_$b")
+    }.toSeq
+    base.select(col("user_id") +:
+      milestones.map(m => col(s"${m}_us")) ++: gaps: _*)
+  }
+
+  /** Incremental apply for [[accumulatingSnapshot]]: merge a NEW batch
+    * of lifecycle events into the existing snapshot — first-touch
+    * milestones merge with `least` (an earlier event in the batch can
+    * backfill, a later one never overwrites), so apply is idempotent
+    * and order-insensitive across batches (spec: incremental ≡ full
+    * rebuild). Full-outer on the key: batch-only users append. */
+  def accumulatingApply(existing: DataFrame, batch: DataFrame,
+      milestones: Seq[String] = Seq("signup", "click", "purchase"))
+      : DataFrame = {
+    val inc = accumulatingSnapshot(batch, milestones)
+      .select(col("user_id").as("__k") +:
+        milestones.map(m => col(s"${m}_us").as(s"__${m}_us")): _*)
+    val merged = existing
+      .select(col("user_id") +: milestones.map(m => col(s"${m}_us")): _*)
+      .join(inc, col("user_id") === col("__k"), "full_outer")
+      .select(coalesce(col("user_id"), col("__k")).as("user_id") +:
+        milestones.map(m =>
+          least(col(s"${m}_us"), col(s"__${m}_us")).as(s"${m}_us")): _*)
+    val gaps = milestones.sliding(2).map { case Seq(a, b) =>
+      round((col(s"${b}_us") - col(s"${a}_us")) / 86400e6, 4)
+        .as(s"days_${a}_to_$b")
+    }.toSeq
+    merged.select(col("user_id") +:
+      milestones.map(m => col(s"${m}_us")) ++: gaps: _*)
+  }
+
+  /** SEMI-ADDITIVE measure rollup — the balance-style fact you may sum
+    * ACROSS accounts but never across TIME (the classic DWH trap: a
+    * month's "total balance" is the sum of each account's LAST balance
+    * in the month, not the sum of every observation): last observation
+    * per (key, period) via max(struct(ts, value)) — one partial-agg
+    * pass, no window sort — then the cross-account sum per period.
+    * Values compare on the rounded cent grid so both engines pick
+    * identical last-balances under timestamp ties. */
+  def semiAdditiveBalance(events: DataFrame): DataFrame = {
+    val lastPer = events
+      .groupBy(col("user_id"),
+        date_trunc("month", col("ts")).cast("date").as("month"))
+      .agg(max(struct(unix_micros(col("ts")).as("__t"),
+        round(col("value") * 100).cast("long").as("__c")))
+        .getField("__c").as("cents"))
+    lastPer.groupBy("month")
+      .agg(count(lit(1)).as("n_accounts"),
+        round(sum(col("cents")) / 100.0, 2).as("total_balance"),
+        round(avg(col("cents")) / 100.0, 4).as("avg_balance"))
+  }
 }

@@ -319,4 +319,55 @@ class DwhSpec extends SparkSpec {
       "second sweep is a no-op")
     assert(spark.read.parquet(dir).count() == 2L)
   }
+
+  test("accumulatingSnapshot: incremental apply equals full rebuild, least backfills") {
+    import spark.implicits._
+    def ev(rows: Seq[(Long, String, Long)]) =
+      rows.toDF("user_id", "event_type", "s")
+        .select(col("user_id"), col("event_type"),
+          timestamp_seconds(col("s")).as("ts"))
+    val day = 86400L
+    val b1 = Seq((1L, "signup", 0L), (1L, "click", 2 * day),
+      (2L, "signup", day))
+    val b2 = Seq((1L, "purchase", 5 * day), (2L, "click", 3 * day),
+      (1L, "click", day), // EARLIER click arrives late: must backfill
+      (3L, "signup", 4 * day))
+    def key(r: org.apache.spark.sql.Row) = r.getAs[Long]("user_id") ->
+      (Option(r.get(r.fieldIndex("signup_us"))),
+        Option(r.get(r.fieldIndex("click_us"))),
+        Option(r.get(r.fieldIndex("purchase_us"))),
+        Option(r.get(r.fieldIndex("days_signup_to_click"))))
+    val full = Dwh.accumulatingSnapshot(ev(b1 ++ b2)).collect().map(key).toMap
+    val inc = Dwh.accumulatingApply(
+      Dwh.accumulatingSnapshot(ev(b1)), ev(b2)).collect().map(key).toMap
+    assert(inc == full, "incremental apply must equal the full rebuild")
+    // the late-but-earlier click won: gap uses day 1, not day 2
+    assert(full(1L)._4.contains(1.0))
+    // milestones not reached stay null — no fabricated dates
+    assert(full(3L)._2.isEmpty && full(3L)._4.isEmpty)
+    // re-applying the same batch is a no-op (least is idempotent)
+    val again = Dwh.accumulatingApply(
+      Dwh.accumulatingApply(Dwh.accumulatingSnapshot(ev(b1)), ev(b2)),
+      ev(b2)).collect().map(key).toMap
+    assert(again == full)
+  }
+
+  test("semiAdditiveBalance sums LAST balances across accounts, never across time") {
+    import spark.implicits._
+    val day = 86400L
+    // u1: 10.00 then 30.00 in Jan → last 30; u2: 5.00 in Jan
+    // Feb: u1 only, 7.50
+    val ev = Seq((1L, 0L, 10.0), (1L, 5 * day, 30.0), (2L, day, 5.0),
+      (1L, 35 * day, 7.5))
+      .toDF("user_id", "s", "value")
+      .select(col("user_id"), timestamp_seconds(col("s")).as("ts"),
+        col("value"))
+    val out = Dwh.semiAdditiveBalance(ev).collect()
+      .map(r => r.getAs[java.sql.Date]("month").toString ->
+        (r.getAs[Long]("n_accounts"), r.getAs[Double]("total_balance")))
+      .toMap
+    assert(out("1970-01-01") == (2L, 35.0),
+      "January total is 30 + 5, NOT the 45 a naive sum would give")
+    assert(out("1970-02-01") == (1L, 7.5))
+  }
 }
