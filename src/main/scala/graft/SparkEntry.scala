@@ -696,6 +696,9 @@ object SparkEntry {
     "ann_lsh" -> ((s, d) =>
       SimilaritySearch.lshProbe(s, lshIndex(s, d), Tables.embeddings(s, d),
         0L, 10, annPlanes)),
+    "ann_lsh_multiprobe" -> ((s, d) =>
+      SimilaritySearch.lshProbeMulti(s, lshIndex(s, d),
+        Tables.embeddings(s, d), 0L, 10, annPlanes)),
     "ann_ivf" -> ((s, d) => {
       val (path, cb) = ivfIndex(s, d)
       SimilaritySearch.ivfProbe(s, path, Tables.embeddings(s, d), cb, 0L, 10,

@@ -166,6 +166,40 @@ object SimilaritySearch {
     lshProbe(spark, lakePath, embeddings, queryId, k, planes)
   }
 
+  /** MULTIPROBE LSH — the standard recall knob on a hyperplane index
+    * (Lv et al.): besides the query's own bucket, probe the buckets at
+    * Hamming distance 1 (one sign bit flipped — the buckets a near
+    * neighbor most likely fell into when it straddled one plane). Recall
+    * is monotone in probes and converges to exact as probes → 2^planes,
+    * while the scan stays PartitionFilter-pruned to `1 + nFlips`
+    * directories of the lake — the cost dial is directories read, never
+    * a corpus scan. The probe-bucket list is planes+1 literals (driver
+    * arithmetic on one scalar — parameter class, like the codebook). */
+  def lshProbeMulti(spark: SparkSession, lakePath: String,
+                    embeddings: DataFrame, queryId: Long, k: Int,
+                    planes: Seq[Seq[Double]],
+                    nFlips: Int = Int.MaxValue): DataFrame = {
+    val q = withLshBucket(embeddings.filter(col("vec_id") === queryId), planes)
+      .select(col("embedding").as("q_embedding"), col("bucket"))
+    val qBucketRow = q.select("bucket").head(1)
+    if (qBucketRow.isEmpty)
+      return spark.read.parquet(lakePath).filter(lit(false))
+        .select(col("vec_id"), lit(0.0).as("cos"), col("bucket"))
+    val qBucket = qBucketRow.head.getLong(0)
+    val flips = math.min(nFlips, planes.size)
+    val probeBuckets = qBucket +:
+      (0 until flips).map(b => qBucket ^ (1L << b))
+    spark.read.parquet(lakePath)
+      .filter(col("bucket").isin(probeBuckets: _*) &&
+        col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q.select(col("q_embedding"))))
+      .withColumn("cos",
+        round(cosine(col("embedding"), col("q_embedding")), 4))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .select(col("vec_id"), col("cos"), col("bucket"))
+      .limit(k)
+  }
+
   /** IVF coarse codebook: k deterministic seed vectors (top-k by a
     * seeded hash of vec_id — one TakeOrdered pass, no Math.random)
     * refined by ONE distributed Lloyd round under cosine (assign every

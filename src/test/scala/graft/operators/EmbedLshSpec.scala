@@ -192,4 +192,31 @@ class EmbedLshSpec extends SparkSpec {
       .filter(_.getAs[Double]("cos") >= tau).map(_.getAs[Long]("vec_id"))
     assert(top.forall(ranged.contains))
   }
+
+  test("multiprobe LSH: recall monotone in flipped buckets, never below single-probe") {
+    val planes = SimilaritySearch.seededPlanes(4, 64)
+    val dir = s"target/graft_io/test/emb_lsh_mp_${System.nanoTime()}"
+    SimilaritySearch.buildLshIndex(emb, planes, dir)
+    val brute = SimilaritySearch.bruteForceTopK(emb, 0L, 10).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    def recall(flips: Int) = SimilaritySearch
+      .lshProbeMulti(spark, dir, emb, 0L, 10, planes, nFlips = flips)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+      .intersect(brute).size / 10.0
+    val r0 = recall(0) // = single-probe lshProbe
+    val r2 = recall(2)
+    val rAll = recall(4)
+    assert(r0 <= r2 + 1e-9 && r2 <= rAll + 1e-9,
+      s"recall must be monotone in probes: $r0 / $r2 / $rAll")
+    assert(rAll >= 0.5, s"full Hamming-1 probe recall floor: $rAll")
+    assert(rAll > r0,
+      s"on this corpus the extra probes must actually recover misses: $r0 → $rAll")
+    // flips=0 degenerates exactly to the single-probe result
+    val single = SimilaritySearch.lshProbe(spark, dir, emb, 0L, 10, planes)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos")))
+    val multi0 = SimilaritySearch
+      .lshProbeMulti(spark, dir, emb, 0L, 10, planes, nFlips = 0)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos")))
+    assert(single.sameElements(multi0))
+  }
 }
