@@ -424,6 +424,8 @@ object SparkEntry {
       Resample.permutationEntropy(Tables.events(s, d))),
     "w24_stickiness" -> ((s, d) =>
       Windows.stickiness(Tables.events(s, d))),
+    "w25_markov_attribution" -> ((s, d) =>
+      Windows.markovAttribution(Tables.events(s, d))),
     "snk_deletion_vectors" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val p = scratch(d, "dv_orders")

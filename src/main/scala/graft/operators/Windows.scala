@@ -469,6 +469,91 @@ object Windows {
       .withColumn("cd", round(cume_dist().over(w), 6))
   }
 
+  /** MARKOV removal-effect attribution — the principled multi-touch
+    * model next to [[firstTouchAttribution]]'s heuristic (first/last
+    * touch hand the whole conversion to one arbitrary touchpoint;
+    * removal effect asks the counterfactual: how much conversion
+    * DISAPPEARS if this channel's transitions are severed — Anderl et
+    * al.'s standard formulation). Journeys = each user's pre-conversion
+    * event-type sequence, START-prefixed, absorbed by CONV (the user
+    * purchased) or NULL (they didn't).
+    *
+    * Distributed part: ONE lag-window pass builds the transition-count
+    * frame (states² ≤ ~50 rows). Driver part: the absorbing-chain
+    * conversion probability under each channel removal — a power
+    * iteration over a ≤7-state matrix, the parameter-sized scalar
+    * class (codebook/PACF precedent). Deterministic: fixed iteration
+    * count, exact integer counts in, 6dp out. Output: one row per
+    * channel — removal_effect and the normalized attribution share. */
+  def markovAttribution(events: DataFrame,
+                        convType: String = "purchase",
+                        iters: Int = 200): DataFrame = {
+    val spark = events.sparkSession
+    // first conversion time per user (+∞ when never converting)
+    val firstConv = events.filter(col("event_type") === convType)
+      .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("cts"))
+    val pre = events.filter(col("event_type") =!= convType)
+      .join(firstConv, Seq("user_id"), "left")
+      .filter(col("cts").isNull || unix_micros(col("ts")) < col("cts"))
+      .withColumn("converted", col("cts").isNotNull)
+    val w = Window.partitionBy("user_id")
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+    val steps = pre
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .withColumn("from0",
+        when(row_number().over(w) === 1, lit("__START__"))
+          .otherwise(lit(null)))
+    val trans = steps.select(col("event_type").as("from_state"),
+        coalesce(col("to_type"),
+          when(col("converted"), "__CONV__").otherwise("__NULL__"))
+          .as("to_state"))
+      .unionByName(steps.filter(col("from0").isNotNull)
+        .select(col("from0").as("from_state"),
+          col("event_type").as("to_state")))
+      .groupBy("from_state", "to_state").agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // driver-side absorbing chain over the tiny matrix
+    val channels = trans.flatMap(t => Seq(t._1, t._2))
+      .filter(s => !s.startsWith("__")).distinct.sorted
+    def pConv(removed: Option[String]): Double = {
+      // transitions into/out of the removed channel divert to __NULL__
+      val eff = trans.map { case (f, t, n) =>
+        val f2 = if (removed.contains(f)) "__NULL__" else f
+        val t2 = if (removed.contains(t)) "__NULL__" else t
+        (f2, t2, n)
+      }.filter(_._1 != "__NULL__")
+      val byFrom = eff.groupBy(_._1).map { case (f, ts) =>
+        val tot = ts.map(_._3).sum.toDouble
+        f -> ts.groupBy(_._2).map { case (t, xs) =>
+          t -> xs.map(_._3).sum / tot }
+      }
+      var p = Map("__START__" -> 1.0).withDefaultValue(0.0)
+      var conv = 0.0
+      for (_ <- 1 to iters) {
+        val next = scala.collection.mutable.Map[String, Double]()
+          .withDefaultValue(0.0)
+        for ((s, mass) <- p; if mass > 0; (t, pr) <- byFrom.getOrElse(s,
+          Map.empty[String, Double]))
+          if (t == "__CONV__") conv += mass * pr
+          else if (t != "__NULL__") next(t) += mass * pr
+        p = next.toMap.withDefaultValue(0.0)
+      }
+      conv
+    }
+    val base = pConv(None)
+    val effects = channels.map(c =>
+      (c, if (base == 0.0) 0.0 else
+        math.max(0.0, 1.0 - pConv(Some(c)) / base)))
+    val totalEff = effects.map(_._2).sum
+    import spark.implicits._
+    effects.toSeq.map { case (c, e) =>
+      (c, math.rint(e * 1e6) / 1e6,
+        if (totalEff == 0.0) 0.0
+        else math.rint(e / totalEff * 1e6) / 1e6)
+    }.toDF("channel", "removal_effect", "attribution")
+  }
+
   /** DAU/MAU STICKINESS per day — the engagement ratio next to
     * [[newVsReturning]]'s acquisition split ("of everyone active this
     * month, what share showed up today"): DAU = distinct users that

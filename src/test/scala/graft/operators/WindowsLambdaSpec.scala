@@ -576,6 +576,32 @@ class WindowsLambdaSpec extends SparkSpec {
     assert(out(4L) == (0.0, 1.0))
   }
 
+  test("markovAttribution: necessary channel gets effect 1, parallel paths split") {
+    import spark.implicits._
+    def ev(rows: Seq[(Long, String, Long)]) = rows.zipWithIndex
+      .map { case ((u, t, s), i) => (u, t, s, i.toLong) }
+      .toDF("user_id", "event_type", "s", "event_id")
+      .select(col("user_id"), col("event_type"),
+        timestamp_seconds(col("s")).as("ts"), col("event_id"))
+    // all conversions flow through A; B leads nowhere
+    val gated = ev(Seq((1L, "A", 0L), (1L, "purchase", 10L),
+      (2L, "A", 0L), (2L, "purchase", 10L), (3L, "B", 0L)))
+    val g = Windows.markovAttribution(gated).collect()
+      .map(r => r.getAs[String]("channel") ->
+        (r.getAs[Double]("removal_effect"), r.getAs[Double]("attribution")))
+      .toMap
+    assert(g("A") == (1.0, 1.0),
+      s"severing the only conversion path must kill all conversion: $g")
+    assert(g("B")._1 == 0.0)
+    // two independent converting paths: symmetric 50/50 split
+    val parallel = ev(Seq((1L, "A", 0L), (1L, "purchase", 10L),
+      (2L, "B", 0L), (2L, "purchase", 10L)))
+    val p = Windows.markovAttribution(parallel).collect()
+      .map(r => r.getAs[String]("channel") ->
+        r.getAs[Double]("attribution")).toMap
+    assert(p == Map("A" -> 0.5, "B" -> 0.5), s"symmetric paths: $p")
+  }
+
   test("stickiness: DAU over trailing distinct actives, hand-checked") {
     import spark.implicits._
     val day = 86400L
