@@ -422,6 +422,7 @@ object SparkEntry {
     "ts_dtw" -> ((s, d) => Resample.dtwDistance(Tables.events(s, d))),
     "ts_perm_entropy" -> ((s, d) =>
       Resample.permutationEntropy(Tables.events(s, d))),
+    "ts_coint" -> ((s, d) => Resample.cointegration(Tables.events(s, d))),
     "w24_stickiness" -> ((s, d) =>
       Windows.stickiness(Tables.events(s, d))),
     "w25_markov_attribution" -> ((s, d) =>
@@ -3516,6 +3517,33 @@ object SparkEntry {
     "snk_deletion_vectors" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n
          FROM orders WHERE o_orderstatus <> 'F' GROUP BY 1""",
+    "ts_coint" ->
+      """WITH hourly AS (SELECT
+             epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
+             round(avg(CASE WHEN event_type = 'click' THEN value END), 6)
+               AS x,
+             round(avg(CASE WHEN event_type = 'view' THEN value END), 6)
+               AS y
+           FROM events WHERE event_type IN ('click', 'view')
+           GROUP BY 1
+           HAVING x IS NOT NULL AND y IS NOT NULL),
+         fit AS (SELECT round(regr_slope(y, x), 6) AS beta,
+             round(regr_intercept(y, x), 6) AS alpha
+           FROM hourly),
+         resid AS (SELECT hr, y - alpha - beta * x AS r, beta, alpha
+           FROM hourly CROSS JOIN fit),
+         lagd AS (SELECT lag(r) OVER (ORDER BY hr) AS a,
+             r - lag(r) OVER (ORDER BY hr) AS b, beta, alpha
+           FROM resid),
+         s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(a * b) AS s1, sum(a * a) AS s2, sum(b * b) AS sbb,
+             max(beta) AS beta, max(alpha) AS alpha
+           FROM lagd WHERE a IS NOT NULL)
+         SELECT n, beta, alpha,
+           round(s1 / s2, 6) AS rho,
+           round((s1 / s2) / sqrt(((sbb - s1 * s1 / s2) / (n - 1.0)) /
+             s2), 4) AS df_stat
+         FROM s""",
     "ts_perm_entropy" ->
       """WITH hourly AS (SELECT
              epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,

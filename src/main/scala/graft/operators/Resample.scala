@@ -650,6 +650,53 @@ object Resample {
         6).as("memory"))
   }
 
+  /** ENGLE–GRANGER cointegration screen between the hourly click and
+    * view series — "do these two wandering series share a common
+    * stochastic trend" (correlation on levels is spurious for
+    * integrated series; cointegration asks whether a LINEAR COMBO is
+    * stationary): step 1 fits y ~ x on the aligned hourly frame
+    * (coefficients ROUNDED 6dp before residuals so both engines
+    * compute identical r), step 2 runs the Dickey–Fuller regression
+    * Δr_t = ρ·r_{t−1} (through the origin, no augmentation lags —
+    * documented: the screen form; compare df_stat to the Engle–Granger
+    * critical values off-engine). Everything runs on the
+    * calendar-bounded hourly frame: one conditional-avg pass, one
+    * aligned self-frame, two sum rollups. */
+  def cointegration(events: DataFrame, typeA: String = "click",
+                    typeB: String = "view"): DataFrame = {
+    val hourly = events.filter(col("event_type").isin(typeA, typeB))
+      .groupBy(expr("unix_seconds(date_trunc('hour', ts)) div 3600")
+        .as("hr"))
+      .agg(
+        round(avg(when(col("event_type") === typeA, col("value"))), 6)
+          .as("x"),
+        round(avg(when(col("event_type") === typeB, col("value"))), 6)
+          .as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    val fit = hourly.agg(
+      round(regr_slope(col("y"), col("x")), 6).as("beta"),
+      round(regr_intercept(col("y"), col("x")), 6).as("alpha"))
+    val resid = hourly.crossJoin(broadcast(fit))
+      .select(col("hr"),
+        (col("y") - col("alpha") - col("beta") * col("x")).as("r"),
+        col("beta"), col("alpha"))
+    val w = Window.orderBy("hr")
+    val lagged = resid
+      .withColumn("rl", lag("r", 1).over(w))
+      .filter(col("rl").isNotNull)
+      .select(col("rl").as("a"), (col("r") - col("rl")).as("b"),
+        col("beta"), col("alpha"))
+    val s = lagged.agg(count(lit(1)).as("n"),
+      sum(col("a") * col("b")).as("s1"), sum(col("a") * col("a")).as("s2"),
+      sum(col("b") * col("b")).as("sbb"),
+      max("beta").as("beta"), max("alpha").as("alpha"))
+    val rho = col("s1") / col("s2")
+    val sse = col("sbb") - col("s1") * col("s1") / col("s2")
+    val t = rho / sqrt((sse / (col("n") - lit(1.0))) / col("s2"))
+    s.select(col("n"), col("beta"), col("alpha"),
+      round(rho, 6).as("rho"), round(t, 4).as("df_stat"))
+  }
+
   /** PERMUTATION ENTROPY of the hourly series (Bandt–Pompe, embedding
     * dimension 3) — the robust regularity/complexity measure: each
     * consecutive triple maps to one of 6 ordinal patterns (only the

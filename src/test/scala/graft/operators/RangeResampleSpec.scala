@@ -366,6 +366,36 @@ class RangeResampleSpec extends SparkSpec {
     assert(q2 < expected / 2, s"scrambled series must score lower: $q2")
   }
 
+  test("cointegration: shared-trend pair rejects a unit root, independent walks don't") {
+    import spark.implicits._
+    def ev(rows: Seq[(Long, String, Double)]) = rows
+      .toDF("hr", "event_type", "value")
+      .select(timestamp_seconds(col("hr") * 3600).as("ts"),
+        col("event_type"), col("value"))
+    // x = a deterministic pseudo-random walk (sine of a quadratic phase
+    // gives effectively independent increments — a plain sin/cos cumsum
+    // is quasi-periodic and BOUNDED, which is stationary, not a walk);
+    // y = 2x + 5 + stationary wiggle
+    val n = 120
+    def inc(seed: Double)(h: Int) = math.sin(h * h * seed + h * 0.13)
+    val walk = (0 until n).scanLeft(0.0)((a, h) => a + inc(0.7)(h)).tail
+    val coint = ev((0 until n).flatMap(h => Seq(
+      (h.toLong, "click", walk(h)),
+      (h.toLong, "view", 2.0 * walk(h) + 5.0 + 0.1 * math.sin(h * 5.1)))))
+    val rc = Resample.cointegration(coint).collect().head
+    assert(math.abs(rc.getAs[Double]("beta") - 2.0) < 0.01)
+    assert(rc.getAs[Double]("df_stat") < -5.0,
+      s"stationary residuals must reject the unit root hard: $rc")
+    // two INDEPENDENT walks: residuals wander, DF can't reject
+    val walk2 = (0 until n).scanLeft(0.0)((a, h) => a + inc(1.9)(h)).tail
+    val indep = ev((0 until n).flatMap(h => Seq(
+      (h.toLong, "click", walk(h)), (h.toLong, "view", walk2(h)))))
+    val ri = Resample.cointegration(indep).collect().head
+      .getAs[Double]("df_stat")
+    assert(ri > rc.getAs[Double]("df_stat") + 3.0,
+      s"independent walks must look far less stationary: $ri vs $rc")
+  }
+
   test("permutationEntropy: 0 on monotone, near 1 on a pattern-uniform series") {
     import spark.implicits._
     def ev(vs: Seq[Double]) = vs.zipWithIndex
