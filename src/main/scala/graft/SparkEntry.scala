@@ -1350,6 +1350,8 @@ object SparkEntry {
       Quality.datasetCard(Tables.documents(s, d))),
     "mm_batch_infer" -> ((s, d) =>
       Multimodal.batchInferSummary(Tables.documents(s, d))),
+    "pipe_budget" -> ((s, d) =>
+      TextAnalysis.tokenBudgetSelect(Tables.documents(s, d))),
     "dwh_accumulating" -> ((s, d) =>
       Dwh.accumulatingSnapshot(Tables.events(s, d))),
     "dwh_semi_additive" -> ((s, d) =>
@@ -3300,6 +3302,24 @@ object SparkEntry {
          SELECT group_a, group_b, t_stat, p, p_adj,
            p_adj <= 0.05 AS significant
          FROM adj""",
+    "pipe_budget" ->
+      """WITH q AS (SELECT doc_id,
+             round(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                 / length(text) * 0.5
+               + len(list_filter(string_split(text, ' '),
+                   x -> x IN ('the', 'a')))
+                 / len(string_split(text, ' ')) * 0.3
+               + least(1.0, len(string_split(text, ' ')) / 100.0) * 0.2,
+               6) AS q,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (SELECT doc_id, q, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY q DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_tokens
+           FROM q)
+         SELECT doc_id, q, n_tokens, cum_tokens
+         FROM c WHERE cum_tokens - n_tokens < 9000""",
     "pipe_dataset_card" ->
       """WITH b AS (SELECT CAST(count(*) AS BIGINT) AS n,
              CAST(count(DISTINCT md5(text)) AS BIGINT) AS u,

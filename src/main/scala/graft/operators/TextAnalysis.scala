@@ -243,6 +243,44 @@ object TextAnalysis {
         expr(s"(cum_tokens - n_tokens) % ${ctxTokens}L").as("chunk_offset"))
   }
 
+  /** TOKEN-BUDGET selection — "take the best documents until N tokens"
+    * (how a training mix is actually drawn from a scored corpus: a
+    * budget in tokens, filled in quality order, not a doc-count cap or
+    * a rate): docs order by (quality desc, doc_id) and keep while the
+    * running token total's START is under budget (the straddling doc is
+    * included — the budget bounds where docs BEGIN, the standard
+    * fill-then-cut convention shared with packSequences).
+    *
+    * The running total is the same DISTRIBUTED PREFIX SUM as
+    * packSequences, striped here on the BOUNDED quality domain
+    * ([0,1] → fixed value-range stripes, so stripe order ≡ global
+    * quality order by construction): per-stripe totals prefix-sum on a
+    * stripes-sized frame, within-stripe windows run in parallel.
+    * Quality rounds to 6dp BEFORE ordering so both engines walk one
+    * global order (doc_id tiebreak). */
+  def tokenBudgetSelect(documents: DataFrame, budgetTokens: Long = 9000L,
+                        stripes: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = documents.select(col("doc_id"),
+        round(qualityScore(col("text")), 6).as("q"),
+        wsTokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("__stripe",
+        least(lit(stripes - 1), greatest(lit(0),
+          floor((lit(1.0) - col("q")) * stripes))).cast("int"))
+    val wIn = Window.partitionBy("__stripe")
+      .orderBy(col("q").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wStripe = Window.orderBy("__stripe")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = base.groupBy("__stripe").agg(sum("n_tokens").as("__st"))
+      .select(col("__stripe"),
+        coalesce(sum("__st").over(wStripe), lit(0L)).as("__off"))
+    base.join(broadcast(offs), Seq("__stripe"))
+      .withColumn("cum_tokens", col("__off") + sum("n_tokens").over(wIn))
+      .filter(col("cum_tokens") - col("n_tokens") < budgetTokens)
+      .select(col("doc_id"), col("q"), col("n_tokens"), col("cum_tokens"))
+  }
+
   /** Jensen–Shannon divergence between two sources' unigram
     * distributions — the symmetric, bounded ([0, ln 2]) corpus-drift
     * measure a mixing pipeline runs before blending sources (KL is

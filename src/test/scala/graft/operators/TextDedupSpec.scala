@@ -472,4 +472,30 @@ class TextDedupSpec extends SparkSpec {
       s"near-dup must drop once LSH is on: $sn vs $s")
     assert(splitSum(sn) == sn("quality"))
   }
+
+  test("tokenBudgetSelect: quality order, straddler included, stripe-invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // quality is dominated by the length-saturation term here: longer
+    // docs (more "the a" + alpha) score higher; craft three tiers
+    def doc(id: Long, words: Int) =
+      (id, Seq.fill(words)("the").mkString(" "))
+    val docs = Seq(doc(1, 90), doc(2, 60), doc(3, 30), doc(4, 10))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    // budget 160: takes 90, then 60 (cum 150), then 30 STARTS at 150
+    // < 160 → straddler included; 10 starts at 180 → out
+    val sel = TextAnalysis.tokenBudgetSelect(docs, budgetTokens = 160L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("cum_tokens")).toMap
+    assert(sel.keySet == Set(1L, 2L, 3L), s"budget cut wrong: $sel")
+    assert(sel(3L) == 180L, "running total counts the straddler fully")
+    // the distributed prefix sum must not depend on the stripe count
+    val s1 = TextAnalysis.tokenBudgetSelect(docs, 160L, stripes = 1)
+      .collect().map(_.toSeq).toSet
+    val s64 = TextAnalysis.tokenBudgetSelect(docs, 160L, stripes = 64)
+      .collect().map(_.toSeq).toSet
+    assert(s1 == s64, "stripe count is an execution detail, not semantics")
+  }
 }
