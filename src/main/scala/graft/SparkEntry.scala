@@ -423,6 +423,11 @@ object SparkEntry {
     "ts_perm_entropy" -> ((s, d) =>
       Resample.permutationEntropy(Tables.events(s, d))),
     "ts_coint" -> ((s, d) => Resample.cointegration(Tables.events(s, d))),
+    "ts_periodogram" -> ((s, d) =>
+      Resample.periodogram(Tables.events(s, d))),
+    "st_tost" -> ((s, d) =>
+      Stats.tostEquivalence(Tables.events(s, d), "event_type", "value",
+        "click", "view", margin = 2.0)),
     "w24_stickiness" -> ((s, d) =>
       Windows.stickiness(Tables.events(s, d))),
     "w25_markov_attribution" -> ((s, d) =>
@@ -3537,6 +3542,42 @@ object SparkEntry {
     "snk_deletion_vectors" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n
          FROM orders WHERE o_orderstatus <> 'F' GROUP BY 1""",
+    "ts_periodogram" ->
+      """WITH hourly AS (SELECT
+             epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
+             round(avg(value), 6) AS v
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+         m AS (SELECT round(avg(v), 6) AS vm,
+             CAST(count(*) AS BIGINT) AS n FROM hourly),
+         c AS (SELECT hr, v - vm AS vc, n FROM hourly CROSS JOIN m),
+         x AS (SELECT vc, n, period,
+             2.0 * pi() * CAST(hr % period AS DOUBLE) / period AS theta
+           FROM c CROSS JOIN
+             (SELECT unnest([6, 8, 12, 24, 48, 168]) AS period)),
+         g AS (SELECT period, max(n) AS n,
+             sum(vc * cos(theta)) AS cc, sum(vc * sin(theta)) AS ss
+           FROM x GROUP BY 1)
+         SELECT period, n,
+           round((cc * cc + ss * ss) / CAST(n AS DOUBLE), 4) AS power
+         FROM g""",
+    "st_tost" ->
+      """WITH s AS (SELECT event_type, count(value) AS n, avg(value) AS m,
+             var_samp(value) AS v
+           FROM events WHERE event_type IN ('click', 'view')
+           GROUP BY 1),
+         a AS (SELECT n AS na, m AS ma, v AS va FROM s
+           WHERE event_type = 'click'),
+         b AS (SELECT n AS nb, m AS mb, v AS vb FROM s
+           WHERE event_type = 'view'),
+         d AS (SELECT na, nb, ma - mb AS diff,
+             sqrt(va / na + vb / nb) AS se
+           FROM a CROSS JOIN b)
+         SELECT na, nb, round(diff, 6) AS diff, round(se, 6) AS se,
+           round((diff + 2.0) / nullif(se, 0), 4) AS t_lower,
+           round((2.0 - diff) / nullif(se, 0), 4) AS t_upper,
+           (diff + 2.0) / nullif(se, 0) > 1.6449 AND
+           (2.0 - diff) / nullif(se, 0) > 1.6449 AS equivalent
+         FROM d""",
     "ts_coint" ->
       """WITH hourly AS (SELECT
              epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,

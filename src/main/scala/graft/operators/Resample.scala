@@ -650,6 +650,45 @@ object Resample {
         6).as("memory"))
   }
 
+  /** PERIODOGRAM over candidate periods — dominant-cycle detection for
+    * the hourly series ("is the rhythm daily, half-daily, weekly?"
+    * asked directly, where ts_acf answers it only implicitly): the
+    * DFT power at each candidate period P, power(P) = C² + S² with
+    * C = Σ v̄·cos(2πt/P), S = Σ v̄·sin(2πt/P) over the mean-centered
+    * series. Each candidate is one pair of sums; all candidates ride
+    * ONE explode of the calendar-bounded hourly frame (hours ×
+    * |periods| rows — still calendar-sized) into a single partial-agg
+    * rollup. Power normalizes by n so corpora of different spans
+    * compare; round 4. */
+  def periodogram(events: DataFrame, eventType: String = "click",
+                  periods: Seq[Int] = Seq(6, 8, 12, 24, 48, 168))
+      : DataFrame = {
+    val hourly = events.filter(col("event_type") === eventType)
+      .groupBy(expr("unix_seconds(date_trunc('hour', ts)) div 3600")
+        .as("hr"))
+      .agg(round(avg("value"), 6).as("v"))
+    val mean = hourly.agg(round(avg("v"), 6).as("vm"),
+      count(lit(1)).as("n"))
+    val centered = hourly.crossJoin(broadcast(mean))
+      .select(col("hr"), (col("v") - col("vm")).as("vc"), col("n"))
+    centered
+      .withColumn("period",
+        explode(array(periods.map(p => lit(p)): _*)))
+      // reduce the phase BEFORE the trig: hr is an absolute epoch hour
+      // (~5e5) and large-argument cos is where libms disagree most;
+      // hr mod P is exact integer arithmetic and identical both engines
+      .withColumn("theta",
+        lit(2.0 * math.Pi) * pmod(col("hr"), col("period"))
+          .cast("double") / col("period"))
+      .groupBy("period")
+      .agg(max("n").as("n"),
+        sum(col("vc") * cos(col("theta"))).as("c"),
+        sum(col("vc") * sin(col("theta"))).as("s"))
+      .select(col("period"), col("n"),
+        round((col("c") * col("c") + col("s") * col("s")) /
+          col("n").cast("double"), 4).as("power"))
+  }
+
   /** ENGLE–GRANGER cointegration screen between the hourly click and
     * view series — "do these two wandering series share a common
     * stochastic trend" (correlation on levels is spurious for

@@ -370,6 +370,36 @@ object Stats {
       col("na").as("n_pos"), col("nb").as("n_neg"))
   }
 
+  /** TOST equivalence test (two one-sided tests) — the inference
+    * [[welchTTest]] cannot give: failing to reject "different" is NOT
+    * evidence of "same"; TOST flips the burden and asks whether the
+    * difference is provably INSIDE ±margin (the A/B "safe to ship the
+    * cheaper variant" question). Same one-pass Welch moments; t_lower
+    * tests diff > −margin, t_upper tests diff < +margin; equivalence
+    * holds when BOTH one-sided tests clear the z threshold (normal
+    * approximation at these df — documented). Margin and threshold are
+    * caller policy, shipped as literals into one 1-row formula. */
+  def tostEquivalence(df: DataFrame, groupCol: String, c: String,
+                      ga: String, gb: String, margin: Double,
+                      zCrit: Double = 1.6449): DataFrame = {
+    val stats = df.filter(col(groupCol).isin(ga, gb))
+      .groupBy(groupCol).agg(count(col(c)).as("n"), avg(col(c)).as("m"),
+        var_samp(col(c)).as("v"))
+    val a = stats.filter(col(groupCol) === ga)
+      .select(col("n").as("na"), col("m").as("ma"), col("v").as("va"))
+    val b = stats.filter(col(groupCol) === gb)
+      .select(col("n").as("nb"), col("m").as("mb"), col("v").as("vb"))
+    val se = sqrt(col("va") / col("na") + col("vb") / col("nb"))
+    val diff = col("ma") - col("mb")
+    val tLo = (diff + lit(margin)) / nullif(se, lit(0.0))
+    val tHi = (lit(margin) - diff) / nullif(se, lit(0.0))
+    a.crossJoin(b).select(
+      col("na"), col("nb"),
+      round(diff, 6).as("diff"), round(se, 6).as("se"),
+      round(tLo, 4).as("t_lower"), round(tHi, 4).as("t_upper"),
+      (tLo > zCrit && tHi > zCrit).as("equivalent"))
+  }
+
   /** AVERAGE PRECISION (area under the precision–recall curve, tie-
     * grouped step form) — the ranking metric that matters when the
     * positive class is RARE ([[auc]]'s ROC view is blind to base rate;

@@ -366,6 +366,21 @@ class RangeResampleSpec extends SparkSpec {
     assert(q2 < expected / 2, s"scrambled series must score lower: $q2")
   }
 
+  test("periodogram: planted 24h cycle dominates every other candidate") {
+    import spark.implicits._
+    val ev = (0 until 24 * 14).map { h =>
+      (h.toLong * 3600L, "click", 10.0 + 5.0 * math.cos(2 * math.Pi * h / 24.0))
+    }.toDF("s", "event_type", "value")
+      .select(timestamp_seconds(col("s")).as("ts"), col("event_type"),
+        col("value"))
+    val p = Resample.periodogram(ev).collect()
+      .map(r => r.getAs[Int]("period") -> r.getAs[Double]("power")).toMap
+    val best = p.maxBy(_._2)
+    assert(best._1 == 24, s"the planted diurnal cycle must win: $p")
+    assert(p.filter(_._1 != 24).values.forall(_ < best._2 / 10),
+      s"off-period power must be an order of magnitude down: $p")
+  }
+
   test("cointegration: shared-trend pair rejects a unit root, independent walks don't") {
     import spark.implicits._
     def ev(rows: Seq[(Long, String, Double)]) = rows

@@ -667,6 +667,26 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(naive.getAs[Double]("slope") - 3.0) > 0.1)
   }
 
+  test("tostEquivalence: tight groups prove equivalence, a real gap does not") {
+    def run(shift: Double, margin: Double) = {
+      val df = ((1 to 200).map(i => ("A", (i % 10).toDouble)) ++
+        (1 to 200).map(i => ("B", (i % 10) + shift))).toDF("g", "v")
+      Stats.tostEquivalence(df, "g", "v", "A", "B", margin).collect().head
+    }
+    // identical distributions, generous margin: both one-sided tests clear
+    val eq = run(0.0, 2.0)
+    assert(eq.getAs[Boolean]("equivalent"), s"same dist must prove equal: $eq")
+    assert(eq.getAs[Double]("diff") == 0.0)
+    // a 3-unit real shift against a 2-unit margin: NOT equivalent —
+    // and note a plain t-test would ALSO reject "same", showing why
+    // non-rejection was never the right evidence direction
+    val gap = run(3.0, 2.0)
+    assert(!gap.getAs[Boolean]("equivalent"))
+    assert(gap.getAs[Double]("diff") == -3.0)
+    assert(gap.getAs[Double]("t_lower") < 0,
+      "the margin side the true diff violates must fail hard")
+  }
+
   test("averagePrecision: perfect ranking 1.0, inverted ranking = base-rate tail") {
     def ap(rows: Seq[(String, Double)]) =
       Stats.averagePrecision(rows.toDF("g", "v"), "g", "v", "pos")
