@@ -1373,6 +1373,10 @@ object SparkEntry {
       Relational.associationRules(Tables.lineitem(s, d))),
     "ml_nb" -> ((s, d) =>
       TextAnalysis.naiveBayesLangEval(Tables.documents(s, d))),
+    "ml_kappa" -> ((s, d) =>
+      Stats.cohensKappa(
+        TextAnalysis.naiveBayesLangEval(Tables.documents(s, d)),
+        "true_lang", "pred_lang", "n")),
     "st_cms" -> ((s, d) =>
       Stats.cmsFrequencies(Tables.events(s, d), "event_type")),
     "pipe_decontaminate" -> ((s, d) => {
@@ -1390,7 +1394,74 @@ object SparkEntry {
     s"/root/repo/target/graft_io/${new java.io.File(sfDir).getName}/$name"
 
   /** DuckDB twins of `queries` (identical aliases + rounding — SURVEY §5). */
+  /** ml_nb's oracle, shared verbatim by ml_kappa (κ is a projection of
+    * the same confusion matrix — one definition, two checks). */
+  private val MlNbOracleSql: String =
+    """WITH docs AS (SELECT doc_id, lang, text,
+             substr(md5('nb' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+               AS is_train
+           FROM documents),
+         tok AS (SELECT doc_id, lang, is_train,
+             unnest(string_split(text, ' ')) AS tok
+           FROM docs),
+         tc AS (SELECT tok, lang, CAST(count(*) AS BIGINT) AS c
+           FROM tok WHERE is_train GROUP BY 1, 2),
+         lt AS (SELECT lang, CAST(count(*) AS BIGINT) AS nl
+           FROM tok WHERE is_train GROUP BY 1),
+         vocab AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+           FROM tok WHERE is_train),
+         ltv AS (SELECT lang, nl, v,
+             CAST(round(ln(1.0 / (nl + v)) * 1e6) AS BIGINT) AS lp_unseen
+           FROM lt CROSS JOIN vocab),
+         model AS (SELECT tc.tok, tc.lang,
+             CAST(round(ln((c + 1.0) / (nl + v)) * 1e6) AS BIGINT) AS lp
+           FROM tc JOIN ltv USING (lang)),
+         ntr AS (SELECT CAST(count(*) AS BIGINT) AS n_train
+           FROM docs WHERE is_train),
+         priors AS (SELECT lang AS cls,
+             CAST(round(ln(CAST(nd AS DOUBLE) / n_train) * 1e6) AS BIGINT)
+               AS lp_prior
+           FROM (SELECT lang, CAST(count(*) AS BIGINT) AS nd
+                 FROM docs WHERE is_train GROUP BY 1)
+             CROSS JOIN ntr),
+         cls AS (SELECT lang AS cls, lp_unseen FROM ltv),
+         sc AS (SELECT t.doc_id, t.lang AS true_lang, c.cls,
+             CAST(sum(coalesce(m.lp, c.lp_unseen)) AS BIGINT) AS ll
+           FROM tok t CROSS JOIN cls c
+           LEFT JOIN model m ON m.tok = t.tok AND m.lang = c.cls
+           WHERE NOT t.is_train
+           GROUP BY 1, 2, 3),
+         sp AS (SELECT sc.doc_id, sc.true_lang, sc.cls,
+             ll + lp_prior AS score
+           FROM sc JOIN priors USING (cls)),
+         pred AS (SELECT doc_id, true_lang, cls AS pred_lang,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, cls DESC) AS rn
+           FROM sp)
+         SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+         FROM pred WHERE rn = 1 GROUP BY 1, 2"""
+
   def oracleSql: Map[String, String] = Map(
+    "ml_kappa" ->
+      s"""WITH cm AS (SELECT * FROM ($MlNbOracleSql)),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+             CAST(sum(CASE WHEN true_lang = pred_lang THEN n ELSE 0 END)
+               AS BIGINT) AS diag
+           FROM cm),
+         rt AS (SELECT true_lang AS k, CAST(sum(n) AS BIGINT) AS rt
+           FROM cm GROUP BY 1),
+         ct AS (SELECT pred_lang AS k, CAST(sum(n) AS BIGINT) AS ct
+           FROM cm GROUP BY 1),
+         pe AS (SELECT CAST(sum(rt * ct) AS BIGINT) AS rc
+           FROM rt JOIN ct USING (k))
+         SELECT nt AS n,
+           round(diag / CAST(nt AS DOUBLE), 6) AS po,
+           round(rc / (CAST(nt AS DOUBLE) * nt), 6) AS pe,
+           round((diag / CAST(nt AS DOUBLE) -
+             rc / (CAST(nt AS DOUBLE) * nt)) /
+             nullif(1.0 - rc / (CAST(nt AS DOUBLE) * nt), 0), 6)
+             AS kappa
+         FROM tot CROSS JOIN pe""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity),2) AS sum_qty,
@@ -3756,50 +3827,7 @@ object SparkEntry {
                nullif(nd * 3.0 * 8.0, 0), 0), 4) AS chi2_adj,
            ties
          FROM f""",
-    "ml_nb" ->
-      """WITH docs AS (SELECT doc_id, lang, text,
-             substr(md5('nb' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
-               AS is_train
-           FROM documents),
-         tok AS (SELECT doc_id, lang, is_train,
-             unnest(string_split(text, ' ')) AS tok
-           FROM docs),
-         tc AS (SELECT tok, lang, CAST(count(*) AS BIGINT) AS c
-           FROM tok WHERE is_train GROUP BY 1, 2),
-         lt AS (SELECT lang, CAST(count(*) AS BIGINT) AS nl
-           FROM tok WHERE is_train GROUP BY 1),
-         vocab AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
-           FROM tok WHERE is_train),
-         ltv AS (SELECT lang, nl, v,
-             CAST(round(ln(1.0 / (nl + v)) * 1e6) AS BIGINT) AS lp_unseen
-           FROM lt CROSS JOIN vocab),
-         model AS (SELECT tc.tok, tc.lang,
-             CAST(round(ln((c + 1.0) / (nl + v)) * 1e6) AS BIGINT) AS lp
-           FROM tc JOIN ltv USING (lang)),
-         ntr AS (SELECT CAST(count(*) AS BIGINT) AS n_train
-           FROM docs WHERE is_train),
-         priors AS (SELECT lang AS cls,
-             CAST(round(ln(CAST(nd AS DOUBLE) / n_train) * 1e6) AS BIGINT)
-               AS lp_prior
-           FROM (SELECT lang, CAST(count(*) AS BIGINT) AS nd
-                 FROM docs WHERE is_train GROUP BY 1)
-             CROSS JOIN ntr),
-         cls AS (SELECT lang AS cls, lp_unseen FROM ltv),
-         sc AS (SELECT t.doc_id, t.lang AS true_lang, c.cls,
-             CAST(sum(coalesce(m.lp, c.lp_unseen)) AS BIGINT) AS ll
-           FROM tok t CROSS JOIN cls c
-           LEFT JOIN model m ON m.tok = t.tok AND m.lang = c.cls
-           WHERE NOT t.is_train
-           GROUP BY 1, 2, 3),
-         sp AS (SELECT sc.doc_id, sc.true_lang, sc.cls,
-             ll + lp_prior AS score
-           FROM sc JOIN priors USING (cls)),
-         pred AS (SELECT doc_id, true_lang, cls AS pred_lang,
-             row_number() OVER (PARTITION BY doc_id
-               ORDER BY score DESC, cls DESC) AS rn
-           FROM sp)
-         SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
-         FROM pred WHERE rn = 1 GROUP BY 1, 2""",
+    "ml_nb" -> MlNbOracleSql,
     "tx_jsd" ->
       """WITH cnt AS (SELECT tok,
              CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)

@@ -370,6 +370,38 @@ object Stats {
       col("na").as("n_pos"), col("nb").as("n_neg"))
   }
 
+  /** COHEN'S KAPPA from a (true, predicted, count) confusion matrix —
+    * chance-corrected agreement (raw accuracy flatters any classifier
+    * on a skewed label mix; κ subtracts the agreement the marginals
+    * would produce by luck): po = diagonal mass, pe = Σ row·col
+    * marginal products, κ = (po−pe)/(1−pe). Generic over ANY confusion
+    * frame (ml_nb's eval, inter-annotator tables, drift monitors);
+    * all arithmetic runs on the classes²-sized frame, exact integers
+    * to the final ratios. Degenerate matrices (pe = 1: a single class
+    * everywhere) null out. */
+  def cohensKappa(cm: DataFrame, trueCol: String, predCol: String,
+                  nCol: String): DataFrame = {
+    val tot = cm.agg(sum(nCol).as("nt"),
+      sum(when(col(trueCol) === col(predCol), col(nCol))
+        .otherwise(0L)).as("diag"))
+    val rowT = cm.groupBy(col(trueCol).as("k"))
+      .agg(sum(nCol).as("rt"))
+    val colT = cm.groupBy(col(predCol).as("k"))
+      .agg(sum(nCol).as("ct"))
+    val pe = rowT.join(colT, "k")
+      .agg(sum(col("rt") * col("ct")).as("rc"))
+    tot.crossJoin(broadcast(pe))
+      .select(col("nt").as("n"),
+        round(col("diag") / col("nt").cast("double"), 6).as("po"),
+        round(col("rc") / (col("nt").cast("double") * col("nt")), 6)
+          .as("pe"),
+        round((col("diag") / col("nt").cast("double") -
+          col("rc") / (col("nt").cast("double") * col("nt"))) /
+          nullif(lit(1.0) -
+            col("rc") / (col("nt").cast("double") * col("nt")),
+            lit(0.0)), 6).as("kappa"))
+  }
+
   /** TOST equivalence test (two one-sided tests) — the inference
     * [[welchTTest]] cannot give: failing to reject "different" is NOT
     * evidence of "same"; TOST flips the burden and asks whether the

@@ -667,6 +667,29 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(naive.getAs[Double]("slope") - 3.0) > 0.1)
   }
 
+  test("cohensKappa: perfect diag = 1, marginal-chance = 0, skew exposes accuracy") {
+    def k(cells: Seq[(String, String, Long)]) =
+      Stats.cohensKappa(cells.toDF("t", "p", "n"), "t", "p", "n")
+        .collect().head
+    // perfect agreement
+    val perfect = k(Seq(("a", "a", 30L), ("b", "b", 70L)))
+    assert(perfect.getAs[Double]("po") == 1.0 &&
+      perfect.getAs[Double]("kappa") == 1.0)
+    // independence: po exactly equals pe → kappa exactly 0
+    // marginals 50/50 both sides, cells all 25
+    val indep = k(Seq(("a", "a", 25L), ("a", "b", 25L),
+      ("b", "a", 25L), ("b", "b", 25L)))
+    assert(indep.getAs[Double]("kappa") == 0.0)
+    // the always-majority classifier: 90% accuracy, kappa 0 — the
+    // skew case raw accuracy flatters and kappa exposes
+    val lazyC = k(Seq(("a", "a", 90L), ("b", "a", 10L)))
+    assert(lazyC.getAs[Double]("po") == 0.9)
+    assert(lazyC.getAs[Double]("kappa") == 0.0)
+    // single-class-everywhere: pe = 1 → null, never a division error
+    val degen = k(Seq(("a", "a", 10L)))
+    assert(degen.isNullAt(degen.fieldIndex("kappa")))
+  }
+
   test("tostEquivalence: tight groups prove equivalence, a real gap does not") {
     def run(shift: Double, margin: Double) = {
       val df = ((1 to 200).map(i => ("A", (i % 10).toDouble)) ++
