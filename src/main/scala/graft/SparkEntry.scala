@@ -425,6 +425,8 @@ object SparkEntry {
     "ts_coint" -> ((s, d) => Resample.cointegration(Tables.events(s, d))),
     "ts_periodogram" -> ((s, d) =>
       Resample.periodogram(Tables.events(s, d))),
+    "ts_mann_kendall" -> ((s, d) =>
+      Resample.mannKendall(Tables.events(s, d))),
     "st_tost" -> ((s, d) =>
       Stats.tostEquivalence(Tables.events(s, d), "event_type", "value",
         "click", "view", margin = 2.0)),
@@ -3613,6 +3615,30 @@ object SparkEntry {
     "snk_deletion_vectors" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n
          FROM orders WHERE o_orderstatus <> 'F' GROUP BY 1""",
+    "ts_mann_kendall" ->
+      """WITH hourly AS (SELECT
+             epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
+             round(avg(value), 6) AS v
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+         p AS (SELECT CAST(sum(CAST(sign(b.v - a.v) AS BIGINT))
+               AS BIGINT) AS s
+           FROM hourly a JOIN hourly b ON a.hr < b.hr),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS nv,
+             CAST(sum(t) AS BIGINT) AS n,
+             CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tsum
+           FROM (SELECT v, CAST(count(*) AS BIGINT) AS t
+                 FROM hourly GROUP BY 1)),
+         d AS (SELECT s, n, tsum, CAST(n AS DOUBLE) AS nd
+           FROM p CROSS JOIN t)
+         SELECT n, s,
+           round(CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) /
+               sqrt((nd * (nd - 1.0) * (2.0 * nd + 5.0) -
+                 CAST(tsum AS DOUBLE)) / 18.0)
+             WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) /
+               sqrt((nd * (nd - 1.0) * (2.0 * nd + 5.0) -
+                 CAST(tsum AS DOUBLE)) / 18.0)
+             ELSE 0.0 END, 4) AS z
+         FROM d""",
     "ts_periodogram" ->
       """WITH hourly AS (SELECT
              epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,

@@ -650,6 +650,41 @@ object Resample {
         6).as("memory"))
   }
 
+  /** MANN–KENDALL trend test over the hourly series — the SIGNIFICANCE
+    * companion to ts_theil_sen (Theil–Sen answers "how steep", MK
+    * answers "is there a monotone trend at all", with no linearity or
+    * normality assumption — Kendall tau against time itself):
+    * S = Σ_{i<j} sign(vⱼ−vᵢ) over the calendar-bounded hourly frame's
+    * self-join (pair count bounded by the calendar², never the data),
+    * variance with the standard tie correction Σt(t−1)(2t+5), and the
+    * ±1-continuity-corrected z. Means round 6dp pre-pair so both
+    * engines sign identical comparisons; S and the tie sums are exact
+    * longs. */
+  def mannKendall(events: DataFrame,
+                  eventType: String = "click"): DataFrame = {
+    val hourly = events.filter(col("event_type") === eventType)
+      .groupBy(expr("unix_seconds(date_trunc('hour', ts)) div 3600")
+        .as("hr"))
+      .agg(round(avg("value"), 6).as("v"))
+    val b = hourly.select(col("hr").as("hr2"), col("v").as("v2"))
+    val s = hourly.join(broadcast(b), col("hr") < col("hr2"))
+      .agg(sum(signum(col("v2") - col("v")).cast("long")).as("s"))
+    val ties = hourly.groupBy("v").agg(count(lit(1)).as("t"))
+      .agg(count(lit(1)).as("nv"), sum("t").as("n"),
+        sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))
+          .as("tsum"))
+    val j = s.crossJoin(broadcast(ties))
+    val n = col("n").cast("double")
+    val varS = (n * (n - 1.0) * (lit(2.0) * n + 5.0) -
+      col("tsum").cast("double")) / 18.0
+    val z = when(col("s") > 0, (col("s") - lit(1L)).cast("double") /
+        sqrt(varS))
+      .when(col("s") < 0, (col("s") + lit(1L)).cast("double") / sqrt(varS))
+      .otherwise(lit(0.0))
+    j.select(col("n").cast("long").as("n"), col("s"),
+      round(z, 4).as("z"))
+  }
+
   /** PERIODOGRAM over candidate periods — dominant-cycle detection for
     * the hourly series ("is the rhythm daily, half-daily, weekly?"
     * asked directly, where ts_acf answers it only implicitly): the

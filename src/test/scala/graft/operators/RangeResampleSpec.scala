@@ -366,6 +366,29 @@ class RangeResampleSpec extends SparkSpec {
     assert(q2 < expected / 2, s"scrambled series must score lower: $q2")
   }
 
+  test("mannKendall: monotone series maxes S, flat series zeroes it") {
+    import spark.implicits._
+    def ev(vs: Seq[Double]) = vs.zipWithIndex
+      .map { case (v, h) => (h.toLong * 3600L, "click", v) }
+      .toDF("s", "event_type", "value")
+      .select(timestamp_seconds(col("s")).as("ts"), col("event_type"),
+        col("value"))
+    // strictly increasing, n=20: S = n(n−1)/2 = 190, strongly positive z
+    val up = Resample.mannKendall(ev((1 to 20).map(_.toDouble))).collect().head
+    assert(up.getAs[Long]("s") == 190L)
+    assert(up.getAs[Long]("n") == 20L)
+    assert(up.getAs[Double]("z") > 5.0)
+    // constant series: every pair ties → S = 0, z = 0 (tie-corrected
+    // variance also vanishes; the 0-branch must not divide)
+    val flat = Resample.mannKendall(ev(Seq.fill(10)(7.0))).collect().head
+    assert(flat.getAs[Long]("s") == 0L && flat.getAs[Double]("z") == 0.0)
+    // reversal flips the sign exactly
+    val down = Resample.mannKendall(ev((1 to 20).reverse.map(_.toDouble)))
+      .collect().head
+    assert(down.getAs[Long]("s") == -190L)
+    assert(down.getAs[Double]("z") == -up.getAs[Double]("z"))
+  }
+
   test("periodogram: planted 24h cycle dominates every other candidate") {
     import spark.implicits._
     val ev = (0 until 24 * 14).map { h =>
