@@ -1363,6 +1363,9 @@ object SparkEntry {
       Dwh.accumulatingSnapshot(Tables.events(s, d))),
     "dwh_semi_additive" -> ((s, d) =>
       Dwh.semiAdditiveBalance(Tables.events(s, d))),
+    "dwh_bridge" -> ((s, d) =>
+      Dwh.bridgeAllocation(Tables.orders(s, d), Tables.lineitem(s, d),
+        Tables.part(s, d))),
     "dq_plan_metrics" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // a deterministic scan→filter→agg pipeline: the report shows the
@@ -3298,6 +3301,24 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4)
              AS survival
          FROM rt""",
+    "dwh_bridge" ->
+      """WITH bridge AS (SELECT l_orderkey, l_partkey,
+             CAST(count(*) OVER (PARTITION BY l_orderkey) AS BIGINT)
+               AS n_parts
+           FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)),
+         f AS (SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS HUGEINT) AS cents
+           FROM orders),
+         j AS (SELECT p.p_brand, b.n_parts,
+             CAST(sum(cents) AS HUGEINT) AS c
+           FROM f
+           JOIN bridge b ON o_orderkey = l_orderkey
+           JOIN part p ON p.p_partkey = b.l_partkey
+           GROUP BY 1, 2)
+         SELECT p_brand,
+           round(sum(CAST(c AS DOUBLE) / n_parts) / 100.0, 2)
+             AS allocated_revenue
+         FROM j GROUP BY 1""",
     "dwh_accumulating" ->
       """WITH b AS (SELECT user_id,
              CAST(min(CASE WHEN event_type = 'signup'

@@ -417,6 +417,42 @@ object Dwh {
       milestones.map(m => col(s"${m}_us")) ++: gaps: _*)
   }
 
+  /** MULTIVALUED-DIMENSION BRIDGE with allocation weights — the last
+    * classic Kimball shape ([[scd2Build]], [[accumulatingSnapshot]],
+    * [[semiAdditiveBalance]]'s sibling): an order touches MANY parts,
+    * so joining facts straight to the dimension DOUBLE-COUNTS revenue
+    * once per part; the bridge carries weight 1/parts-per-order and the
+    * allocated measure sums back to the true total EXACTLY (the
+    * conservation invariant this operator exists for, asserted in the
+    * spec and visible in the contract output's grand total).
+    *
+    * Exactness: allocation is cents·1/n — done as DECIMAL cents × the
+    * exact per-order count, divided ONCE at the end per group (sum of
+    * cents/n as double would drift; Σ(cents·w) regrouped per n is
+    * integer-exact). One bridge-sized shuffle (the fact⋈bridge join is
+    * the same fact⋈fact the schema already pays for q12), group-sized
+    * output. */
+  def bridgeAllocation(orders: DataFrame, lineitem: DataFrame,
+                       part: DataFrame): DataFrame = {
+    val bridge = lineitem.select("l_orderkey", "l_partkey").distinct()
+      .withColumn("n_parts",
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("l_orderkey")))
+    val facts = orders.select(col("o_orderkey"),
+      round(col("o_totalprice") * 100).cast("decimal(18,0)").as("cents"))
+    val mfg = part.select(col("p_partkey"), col("p_brand"))
+    facts.join(bridge, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(mfg), col("l_partkey") === col("p_partkey"))
+      // group by BOTH mfgr and the order's n_parts: cents·1 sums stay
+      // decimal-exact per n, one double division per (group, n) slice
+      .groupBy(col("p_brand"), col("n_parts"))
+      .agg(sum(col("cents")).as("c"))
+      .groupBy("p_brand")
+      .agg(round(sum(col("c").cast("double") / col("n_parts")) / 100.0,
+        2).as("allocated_revenue"))
+  }
+
   /** SEMI-ADDITIVE measure rollup — the balance-style fact you may sum
     * ACROSS accounts but never across TIME (the classic DWH trap: a
     * month's "total balance" is the sum of each account's LAST balance

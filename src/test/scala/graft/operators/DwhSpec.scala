@@ -352,6 +352,25 @@ class DwhSpec extends SparkSpec {
     assert(again == full)
   }
 
+  test("bridgeAllocation conserves revenue exactly through the bridge") {
+    import spark.implicits._
+    // o1 (100.00) touches parts 1,2 (brands X,Y); o2 (60.00) touches
+    // part 1 only → X gets 50 + 60 = 110, Y gets 50
+    val orders = Seq((1L, 100.0), (2L, 60.0))
+      .toDF("o_orderkey", "o_totalprice")
+    val li = Seq((1L, 1L), (1L, 2L), (1L, 2L), (2L, 1L)) // dup pair dedups
+      .toDF("l_orderkey", "l_partkey")
+    val part = Seq((1L, "X"), (2L, "Y")).toDF("p_partkey", "p_brand")
+    val out = Dwh.bridgeAllocation(orders, li, part).collect()
+      .map(r => r.getAs[String]("p_brand") ->
+        r.getAs[Double]("allocated_revenue")).toMap
+    assert(out == Map("X" -> 110.0, "Y" -> 50.0), s"allocation wrong: $out")
+    // the conservation invariant: allocations sum back to the total of
+    // every bridged order — the double-counting a naive join commits
+    assert(out.values.sum == 160.0,
+      "bridge weights must conserve revenue exactly")
+  }
+
   test("semiAdditiveBalance sums LAST balances across accounts, never across time") {
     import spark.implicits._
     val day = 86400L
