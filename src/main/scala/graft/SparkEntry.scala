@@ -1366,6 +1366,18 @@ object SparkEntry {
     "dwh_bridge" -> ((s, d) =>
       Dwh.bridgeAllocation(Tables.orders(s, d), Tables.lineitem(s, d),
         Tables.part(s, d))),
+    "dwh_late_arriving" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      // simulate the load race on the customer dim: keys %10==0 miss
+      // the on-time load; half of those (%20==0) arrive in a late batch
+      val cust = Tables.customer(s, d)
+      Dwh.lateArrivingDim(Tables.orders(s, d), "o_custkey",
+        "o_totalprice",
+        cust.filter(col("c_custkey") % 10 =!= 0), "c_custkey",
+        cust.filter(col("c_custkey") % 20 === 0))
+    }),
+    "dwh_drill_across" -> ((s, d) =>
+      Dwh.drillAcross(Tables.orders(s, d), Tables.events(s, d))),
     "dq_plan_metrics" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // a deterministic scan→filter→agg pipeline: the report shows the
@@ -1382,6 +1394,9 @@ object SparkEntry {
       Stats.cohensKappa(
         TextAnalysis.naiveBayesLangEval(Tables.documents(s, d)),
         "true_lang", "pred_lang", "n")),
+    "st_ccc" -> ((s, d) => Stats.linCcc(Tables.events(s, d))),
+    "st_bland_altman" -> ((s, d) =>
+      Stats.blandAltman(Tables.events(s, d))),
     "st_cms" -> ((s, d) =>
       Stats.cmsFrequencies(Tables.events(s, d), "event_type")),
     "pipe_decontaminate" -> ((s, d) => {
@@ -3319,6 +3334,45 @@ object SparkEntry {
            round(sum(CAST(c AS DOUBLE) / n_parts) / 100.0, 2)
              AS allocated_revenue
          FROM j GROUP BY 1""",
+    "dwh_late_arriving" ->
+      """WITH f AS (SELECT o_custkey AS k,
+             CAST(count(*) AS BIGINT) AS n_facts,
+             CAST(sum(CAST(round(o_totalprice * 100) AS HUGEINT))
+               AS HUGEINT) AS cents
+           FROM orders GROUP BY 1),
+         d AS (SELECT DISTINCT c_custkey FROM customer
+           WHERE c_custkey % 10 <> 0),
+         l AS (SELECT DISTINCT c_custkey FROM customer
+           WHERE c_custkey % 20 = 0),
+         s AS (SELECT f.n_facts, f.cents,
+             CASE WHEN d.c_custkey IS NOT NULL THEN 'on_time'
+                  WHEN l.c_custkey IS NOT NULL THEN 'resolved'
+                  ELSE 'inferred_only' END AS status
+           FROM f LEFT JOIN d ON f.k = d.c_custkey
+                  LEFT JOIN l ON f.k = l.c_custkey)
+         SELECT status, CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(n_facts) AS BIGINT) AS n_facts,
+           round(CAST(sum(cents) AS DOUBLE) / 100.0, 2) AS revenue
+         FROM s GROUP BY 1""",
+    "dwh_drill_across" ->
+      """WITH r AS (SELECT o_custkey AS k1,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS HUGEINT))
+               AS HUGEINT) AS cents
+           FROM orders GROUP BY 1),
+         e AS (SELECT user_id AS k2,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(round(value * 100) AS HUGEINT))
+               AS HUGEINT) AS vcents
+           FROM events GROUP BY 1)
+         SELECT coalesce(k1, k2) AS cust_key,
+           coalesce(n_orders, 0) AS n_orders,
+           round(CAST(coalesce(cents, 0) AS DOUBLE) / 100.0, 2)
+             AS revenue,
+           coalesce(n_events, 0) AS n_events,
+           round(CAST(coalesce(vcents, 0) AS DOUBLE) / 100.0, 2)
+             AS engagement
+         FROM r FULL OUTER JOIN e ON k1 = k2""",
     "dwh_accumulating" ->
       """WITH b AS (SELECT user_id,
              CAST(min(CASE WHEN event_type = 'signup'
@@ -3636,6 +3690,43 @@ object SparkEntry {
     "snk_deletion_vectors" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n
          FROM orders WHERE o_orderstatus <> 'F' GROUP BY 1""",
+    "st_ccc" ->
+      """WITH hourly AS (SELECT
+             epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
+             round(avg(CASE WHEN event_type = 'click' THEN value END), 6)
+               AS x,
+             round(avg(CASE WHEN event_type = 'view' THEN value END), 6)
+               AS y
+           FROM events WHERE event_type IN ('click', 'view')
+           GROUP BY 1
+           HAVING x IS NOT NULL AND y IS NOT NULL),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             avg(x) AS mx, avg(y) AS my,
+             var_pop(x) AS vx, var_pop(y) AS vy,
+             covar_pop(x, y) AS cxy
+           FROM hourly)
+         SELECT n,
+           round(cxy / nullif(sqrt(vx * vy), 0), 6) AS pearson,
+           round(2.0 * cxy /
+             nullif(vx + vy + (mx - my) * (mx - my), 0), 6) AS ccc
+         FROM m""",
+    "st_bland_altman" ->
+      """WITH hourly AS (SELECT
+             epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
+             round(avg(CASE WHEN event_type = 'click' THEN value END), 6)
+               AS x,
+             round(avg(CASE WHEN event_type = 'view' THEN value END), 6)
+               AS y
+           FROM events WHERE event_type IN ('click', 'view')
+           GROUP BY 1
+           HAVING x IS NOT NULL AND y IS NOT NULL),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             avg(x - y) AS bias, stddev_samp(x - y) AS sd
+           FROM hourly)
+         SELECT n, round(bias, 6) AS bias, round(sd, 6) AS sd_diff,
+           round(bias - 1.96 * sd, 6) AS loa_lower,
+           round(bias + 1.96 * sd, 6) AS loa_upper
+         FROM m""",
     "ts_mann_kendall" ->
       """WITH hourly AS (SELECT
              epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,

@@ -473,4 +473,85 @@ object Dwh {
         round(sum(col("cents")) / 100.0, 2).as("total_balance"),
         round(avg(col("cents")) / 100.0, 4).as("avg_balance"))
   }
+
+  /** LATE-ARRIVING DIMENSION handling — the load-order race every
+    * nightly warehouse hits: a fact references a dimension key the dim
+    * load hasn't delivered yet. The Kimball answer is an INFERRED
+    * MEMBER: load the fact against a placeholder row (key known,
+    * attributes unknown) so referential integrity never blocks the fact
+    * pipeline, then type-1-overwrite the placeholder when the real row
+    * arrives — facts are never re-keyed or re-loaded.
+    *
+    * This operator reports the resolution ledger: every key the facts
+    * reference, classed `on_time` (in the dim at fact-load time),
+    * `resolved` (inferred then healed by `lateDim`), or `inferred_only`
+    * (still a placeholder), with the fact count and exact-cents revenue
+    * riding on each class — the "how much money sits on placeholder
+    * members" number an operator actually pages on.
+    *
+    * Scale: facts collapse to one row per referenced key FIRST (one
+    * map-side-combined shuffle on the fact key — the same exchange any
+    * fact⋈dim join pays); both dim sides then join key-to-key,
+    * broadcast when their key projection fits ([[fitsBroadcast]] on
+    * the one-column plan), shuffled hash join otherwise. Nothing ever
+    * touches the fact table twice. */
+  def lateArrivingDim(facts: DataFrame, factKey: String, measure: String,
+                      dim: DataFrame, dimKey: String,
+                      lateDim: DataFrame,
+                      broadcastLimit: Long = 64L << 20): DataFrame = {
+    val perKey = facts.groupBy(col(factKey).as("member_key"))
+      .agg(count(lit(1)).as("n_facts"),
+        sum(round(col(measure) * 100).cast("decimal(18,0)"))
+          .as("cents"))
+    def keySide(d: DataFrame, as: String): DataFrame = {
+      val k = d.select(col(dimKey).as(as)).distinct()
+      if (fitsBroadcast(k, broadcastLimit)) broadcast(k) else k
+    }
+    perKey
+      .join(keySide(dim, "__on_time"),
+        col("member_key") === col("__on_time"), "left")
+      .join(keySide(lateDim, "__late"),
+        col("member_key") === col("__late"), "left")
+      .withColumn("status",
+        when(col("__on_time").isNotNull, lit("on_time"))
+          .when(col("__late").isNotNull, lit("resolved"))
+          .otherwise(lit("inferred_only")))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("n_facts")).as("n_facts"),
+        round(sum(col("cents")).cast("double") / 100.0, 2).as("revenue"))
+  }
+
+  /** DRILL-ACROSS over a conformed dimension — the multi-fact query
+    * Kimball architectures exist to serve: two fact tables at different
+    * grains (orders revenue, event engagement) agree only on a
+    * CONFORMED dimension (the customer), so each fact aggregates to
+    * that grain SEPARATELY and the summaries full-outer-merge on the
+    * conformed key. Joining fact to fact at row grain is the classic
+    * fan-out trap (every order row × every event row of a customer);
+    * drill-across never does it.
+    *
+    * Scale: each side is one map-side-combined shuffle to the
+    * conformed grain; the merge joins two already-tiny summaries (one
+    * row per dimension member, not per fact). Members present on one
+    * side only survive with zeroed measures from the other — the
+    * outer-coalesced grain IS the point. */
+  def drillAcross(orders: DataFrame, events: DataFrame): DataFrame = {
+    val revenue = orders.groupBy(col("o_custkey").as("k1"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("decimal(18,0)"))
+          .as("cents"))
+    val engagement = events.groupBy(col("user_id").as("k2"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("decimal(18,0)"))
+          .as("vcents"))
+    revenue.join(engagement, col("k1") === col("k2"), "full_outer")
+      .select(coalesce(col("k1"), col("k2")).as("cust_key"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        round(coalesce(col("cents"), lit(0)).cast("double") / 100.0, 2)
+          .as("revenue"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        round(coalesce(col("vcents"), lit(0)).cast("double") / 100.0, 2)
+          .as("engagement"))
+  }
 }

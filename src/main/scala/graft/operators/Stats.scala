@@ -370,6 +370,62 @@ object Stats {
       col("na").as("n_pos"), col("nb").as("n_neg"))
   }
 
+  /** LIN'S CONCORDANCE correlation (CCC) between the paired hourly
+    * series — AGREEMENT for continuous measurements ([[cohensKappa]]'s
+    * numeric sibling; Pearson r is blind to scale and shift, so two
+    * instruments reading 2x apart still correlate 1.0 — CCC penalizes
+    * both: ρc = 2·cov/(σx²+σy²+(μx−μy)²)). One pass over the aligned
+    * hourly frame to the five moments, one 1-row formula, round 6. */
+  def linCcc(events: DataFrame, typeA: String = "click",
+             typeB: String = "view"): DataFrame = {
+    val hourly = events.filter(col("event_type").isin(typeA, typeB))
+      .groupBy(expr("unix_seconds(date_trunc('hour', ts)) div 3600")
+        .as("hr"))
+      .agg(
+        round(avg(when(col("event_type") === typeA, col("value"))), 6)
+          .as("x"),
+        round(avg(when(col("event_type") === typeB, col("value"))), 6)
+          .as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    val m = hourly.agg(count(lit(1)).as("n"),
+      avg("x").as("mx"), avg("y").as("my"),
+      var_pop(col("x")).as("vx"), var_pop(col("y")).as("vy"),
+      covar_pop(col("x"), col("y")).as("cxy"))
+    m.select(col("n"),
+      round(col("cxy") /
+        nullif(sqrt(col("vx") * col("vy")), lit(0.0)), 6).as("pearson"),
+      round(lit(2.0) * col("cxy") /
+        nullif(col("vx") + col("vy") +
+          (col("mx") - col("my")) * (col("mx") - col("my")), lit(0.0)),
+        6).as("ccc"))
+  }
+
+  /** BLAND–ALTMAN limits of agreement for the paired hourly series —
+    * the method-comparison companion of [[linCcc]] (CCC scores
+    * agreement with one number; Bland–Altman says WHERE disagreement
+    * lives: the mean bias and the ±1.96σ band a new measurement pair
+    * should fall in): one pass over the aligned frame for the
+    * difference moments, one 1-row formula. */
+  def blandAltman(events: DataFrame, typeA: String = "click",
+                  typeB: String = "view"): DataFrame = {
+    val hourly = events.filter(col("event_type").isin(typeA, typeB))
+      .groupBy(expr("unix_seconds(date_trunc('hour', ts)) div 3600")
+        .as("hr"))
+      .agg(
+        round(avg(when(col("event_type") === typeA, col("value"))), 6)
+          .as("x"),
+        round(avg(when(col("event_type") === typeB, col("value"))), 6)
+          .as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    val m = hourly.agg(count(lit(1)).as("n"),
+      avg(col("x") - col("y")).as("bias"),
+      stddev_samp(col("x") - col("y")).as("sd"))
+    m.select(col("n"), round(col("bias"), 6).as("bias"),
+      round(col("sd"), 6).as("sd_diff"),
+      round(col("bias") - lit(1.96) * col("sd"), 6).as("loa_lower"),
+      round(col("bias") + lit(1.96) * col("sd"), 6).as("loa_upper"))
+  }
+
   /** COHEN'S KAPPA from a (true, predicted, count) confusion matrix —
     * chance-corrected agreement (raw accuracy flatters any classifier
     * on a skewed label mix; κ subtracts the agreement the marginals

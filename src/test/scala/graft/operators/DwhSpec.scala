@@ -371,6 +371,46 @@ class DwhSpec extends SparkSpec {
       "bridge weights must conserve revenue exactly")
   }
 
+  test("lateArrivingDim classes every referenced key; placeholder money is visible") {
+    import spark.implicits._
+    // facts reference keys 1,2,3; on-time dim has 1; late batch heals 2;
+    // 3 stays an inferred placeholder. Key 4 in the dim is unreferenced
+    // (dims don't create ledger rows — only fact-referenced keys do).
+    val facts = Seq((1L, 10.0), (1L, 2.5), (2L, 40.0), (3L, 7.25))
+      .toDF("k", "o_totalprice")
+    val dim = Seq(1L, 4L).toDF("dk")
+    val late = Seq(2L, 4L).toDF("dk")
+    val out = Dwh.lateArrivingDim(facts, "k", "o_totalprice",
+      dim, "dk", late).collect()
+      .map(r => r.getAs[String]("status") ->
+        ((r.getAs[Long]("n_members"), r.getAs[Long]("n_facts"),
+          r.getAs[Double]("revenue")))).toMap
+    assert(out == Map(
+      "on_time" -> ((1L, 2L, 12.5)),
+      "resolved" -> ((1L, 1L, 40.0)),
+      "inferred_only" -> ((1L, 1L, 7.25))), s"ledger wrong: $out")
+  }
+
+  test("drillAcross: separate-aggregate-then-merge, no fact-to-fact fan-out") {
+    import spark.implicits._
+    // customer 1 has 2 orders and 3 events — a row-grain fact join
+    // would fan 2×3; drill-across must report (2 orders, 3 events).
+    // Customer 2 orders only; customer 3 has events only.
+    val orders = Seq((1L, 10.0), (1L, 20.0), (2L, 5.0))
+      .toDF("o_custkey", "o_totalprice")
+    val events = Seq((1L, 1.0), (1L, 2.0), (1L, 3.0), (3L, 4.0))
+      .toDF("user_id", "value")
+    val out = Dwh.drillAcross(orders, events).collect()
+      .map(r => r.getAs[Long]("cust_key") ->
+        ((r.getAs[Long]("n_orders"), r.getAs[Double]("revenue"),
+          r.getAs[Long]("n_events"), r.getAs[Double]("engagement"))))
+      .toMap
+    assert(out == Map(
+      1L -> ((2L, 30.0, 3L, 6.0)),
+      2L -> ((1L, 5.0, 0L, 0.0)),
+      3L -> ((0L, 0.0, 1L, 4.0))), s"drill-across wrong: $out")
+  }
+
   test("semiAdditiveBalance sums LAST balances across accounts, never across time") {
     import spark.implicits._
     val day = 86400L

@@ -667,6 +667,37 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(naive.getAs[Double]("slope") - 3.0) > 0.1)
   }
 
+  test("linCcc penalizes scale and shift that Pearson forgives; blandAltman bands") {
+    import spark.implicits._
+    def ev(f: Double => Double) = (0 until 48).flatMap { h =>
+      val x = 10.0 + (h % 7)
+      Seq((h.toLong * 3600L, "click", x), (h.toLong * 3600L, "view", f(x)))
+    }.toDF("s", "event_type", "value")
+      .select(timestamp_seconds(col("s")).as("ts"), col("event_type"),
+        col("value"))
+    def ccc(f: Double => Double) =
+      Stats.linCcc(ev(f)).collect().head
+    // identity: perfect agreement on both measures
+    val id = ccc(x => x)
+    assert(id.getAs[Double]("pearson") == 1.0 &&
+      id.getAs[Double]("ccc") == 1.0)
+    // 2x scale: Pearson stays 1, CCC drops — the agreement/correlation gap
+    val scaled = ccc(x => 2 * x)
+    assert(scaled.getAs[Double]("pearson") == 1.0)
+    assert(scaled.getAs[Double]("ccc") < 0.5,
+      s"scale disagreement must crush CCC: $scaled")
+    // constant shift: same story
+    val shifted = ccc(x => x + 5)
+    assert(shifted.getAs[Double]("pearson") == 1.0 &&
+      shifted.getAs[Double]("ccc") < 0.5)
+    // Bland–Altman on the shift: bias exactly −5, zero spread
+    val ba = Stats.blandAltman(ev(x => x + 5)).collect().head
+    assert(ba.getAs[Double]("bias") == -5.0)
+    assert(ba.getAs[Double]("sd_diff") == 0.0)
+    assert(ba.getAs[Double]("loa_lower") == -5.0 &&
+      ba.getAs[Double]("loa_upper") == -5.0)
+  }
+
   test("cohensKappa: perfect diag = 1, marginal-chance = 0, skew exposes accuracy") {
     def k(cells: Seq[(String, String, Long)]) =
       Stats.cohensKappa(cells.toDF("t", "p", "n"), "t", "p", "n")
