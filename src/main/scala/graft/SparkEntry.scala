@@ -1395,6 +1395,8 @@ object SparkEntry {
         TextAnalysis.naiveBayesLangEval(Tables.documents(s, d)),
         "true_lang", "pred_lang", "n")),
     "st_ccc" -> ((s, d) => Stats.linCcc(Tables.events(s, d))),
+    "st_mahalanobis" -> ((s, d) =>
+      Stats.mahalanobisOutliers(Tables.events(s, d))),
     "st_bland_altman" -> ((s, d) =>
       Stats.blandAltman(Tables.events(s, d))),
     "st_cms" -> ((s, d) =>
@@ -3710,6 +3712,22 @@ object SparkEntry {
            round(2.0 * cxy /
              nullif(vx + vy + (mx - my) * (mx - my), 0), 6) AS ccc
          FROM m""",
+    "st_mahalanobis" ->
+      """WITH feats AS (SELECT user_id,
+             CAST(count(*) AS DOUBLE) AS y,
+             round(avg(value), 6) AS x
+           FROM events GROUP BY 1),
+         m AS (SELECT avg(x) AS mx, avg(y) AS my,
+             var_pop(x) AS vx, var_pop(y) AS vy,
+             covar_pop(x, y) AS cxy
+           FROM feats)
+         SELECT user_id, x AS mean_value, y AS n_events,
+           round(((x - mx) * (x - mx) * vy
+             - 2.0 * (x - mx) * (y - my) * cxy
+             + (y - my) * (y - my) * vx)
+             / nullif(vx * vy - cxy * cxy, 0), 4) AS d2
+         FROM feats CROSS JOIN m
+         ORDER BY d2 DESC, user_id LIMIT 10""",
     "st_bland_altman" ->
       """WITH hourly AS (SELECT
              epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,

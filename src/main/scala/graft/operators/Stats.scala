@@ -1683,4 +1683,39 @@ object Stats {
       .select(col("dur").as("dur_days"), col("n_risk"), col("d"),
         col("c"), col("survival"))
   }
+
+  /** MAHALANOBIS multivariate outlier scoring over per-user behaviour
+    * features (event count, mean value) — the anomaly score per-axis
+    * z-scores miss: a user can be unremarkable on EACH feature yet sit
+    * far off the correlation ridge (many events × atypical mean), and
+    * d² = (p−μ)ᵀΣ⁻¹(p−μ) charges exactly that. Affine-invariant:
+    * rescaling a feature does not move anyone's score (spec-locked).
+    *
+    * Scale: one map-side-combined shuffle collapses events to a row
+    * per user; one single-pass moment agg over that (users-sized, not
+    * events-sized) frame; the 1-row moment frame rides back as a
+    * broadcast — the 2×2 covariance inverts in closed form (adjugate /
+    * det), no driver linear algebra, no second pass over events. Input
+    * means round to 6dp and d² to 4dp so both engines walk identical
+    * doubles; det guards through nullif for degenerate slices. */
+  def mahalanobisOutliers(events: DataFrame, topK: Int = 10): DataFrame = {
+    val feats = events.groupBy("user_id")
+      .agg(count(lit(1)).cast("double").as("y"),
+        round(avg(col("value")), 6).as("x"))
+    val m = feats.agg(avg("x").as("mx"), avg("y").as("my"),
+      var_pop(col("x")).as("vx"), var_pop(col("y")).as("vy"),
+      covar_pop(col("x"), col("y")).as("cxy"))
+    feats.crossJoin(broadcast(m))
+      .withColumn("d2", round(
+        ((col("x") - col("mx")) * (col("x") - col("mx")) * col("vy")
+          - lit(2.0) * (col("x") - col("mx")) * (col("y") - col("my"))
+            * col("cxy")
+          + (col("y") - col("my")) * (col("y") - col("my")) * col("vx"))
+          / nullif(col("vx") * col("vy") - col("cxy") * col("cxy"),
+            lit(0.0)), 4))
+      .orderBy(col("d2").desc, col("user_id"))
+      .select(col("user_id"), col("x").as("mean_value"),
+        col("y").as("n_events"), col("d2"))
+      .limit(topK)
+  }
 }

@@ -698,6 +698,29 @@ class StatsSpec extends SparkSpec {
       ba.getAs[Double]("loa_upper") == -5.0)
   }
 
+  test("mahalanobis charges the off-ridge point per-axis z-scores miss; affine-invariant") {
+    import spark.implicits._
+    // 40 users on the ridge y≈x (counts 1..40, value≈count/10) plus
+    // one user with a MIDDLING count but a value from the wrong end of
+    // the ridge — unremarkable on each axis, far off the correlation.
+    def ev(scale: Double) = (1 to 40).flatMap { u =>
+      (1 to u).map(i => (u.toLong, scale * u / 10.0))
+    } ++ (1 to 20).map(_ => (99L, scale * 4.0 / 10.0 * 10.0)) match {
+      case rows => rows.toDF("user_id", "value")
+    }
+    val out = Stats.mahalanobisOutliers(ev(1.0), topK = 3).collect()
+    assert(out.head.getAs[Long]("user_id") == 99L,
+      s"off-ridge user must score highest: ${out.toSeq}")
+    // affine invariance: rescaling the value axis 10x moves nobody
+    val scaled = Stats.mahalanobisOutliers(ev(10.0), topK = 3).collect()
+    assert(out.map(_.getAs[Long]("user_id")).toSeq ==
+      scaled.map(_.getAs[Long]("user_id")).toSeq)
+    assert(out.map(_.getAs[Double]("d2")).zip(
+      scaled.map(_.getAs[Double]("d2")))
+      .forall { case (a, b) => math.abs(a - b) < 1e-2 },
+      "Mahalanobis d2 must be invariant under per-axis rescaling")
+  }
+
   test("cohensKappa: perfect diag = 1, marginal-chance = 0, skew exposes accuracy") {
     def k(cells: Seq[(String, String, Long)]) =
       Stats.cohensKappa(cells.toDF("t", "p", "n"), "t", "p", "n")
