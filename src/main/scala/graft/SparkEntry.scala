@@ -1046,6 +1046,17 @@ object SparkEntry {
           unix_micros(col("valid_to")).as("valid_to_us"),
           col("is_current"))
     }),
+    "dwh_scd6" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Dwh.scd6View(Tables.events(s, d), "user_id", "event_type", "ts",
+        "event_id")
+        .select(col("user_id"), col("hist_state"),
+          unix_micros(col("valid_from")).as("valid_from_us"),
+          unix_micros(col("valid_to")).as("valid_to_us"),
+          col("is_current"), col("current_state"))
+    }),
+    "st_ttest_paired" -> ((s, d) =>
+      Stats.pairedTTest(Tables.events(s, d))),
     // incremental SCD2: history built from the early half, the late half
     // merged in via scd2Apply — must reproduce the full rebuild (the
     // oracle is the same full-history SQL as dwh_scd2)
@@ -4775,6 +4786,38 @@ object SparkEntry {
            epoch_us(lead(ts) OVER w) AS valid_to_us,
            (lead(ts) OVER w) IS NULL AS is_current
          FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    "dwh_scd6" ->
+      """WITH v AS (SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS prev
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (SELECT user_id, event_type, ts, event_id FROM v
+               WHERE prev IS NULL OR event_type <> prev),
+         h AS (SELECT user_id, event_type AS hist_state,
+             epoch_us(ts) AS valid_from_us,
+             epoch_us(lead(ts) OVER w) AS valid_to_us,
+             (lead(ts) OVER w) IS NULL AS is_current
+           FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT user_id, hist_state, valid_from_us, valid_to_us,
+           is_current,
+           max(CASE WHEN is_current THEN hist_state END)
+             OVER (PARTITION BY user_id) AS current_state
+         FROM h""",
+    "st_ttest_paired" ->
+      """WITH hourly AS (SELECT
+             epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
+             round(avg(CASE WHEN event_type = 'click' THEN value END), 6)
+               AS x,
+             round(avg(CASE WHEN event_type = 'view' THEN value END), 6)
+               AS y
+           FROM events WHERE event_type IN ('click', 'view')
+           GROUP BY 1
+           HAVING x IS NOT NULL AND y IS NOT NULL),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             avg(x - y) AS md, stddev_samp(x - y) AS sd
+           FROM hourly)
+         SELECT n, n - 1 AS df, round(md, 6) AS mean_diff,
+           round(md / nullif(sd / sqrt(CAST(n AS DOUBLE)), 0), 4) AS t
+         FROM m""",
     "dwh_retention" ->
       """SELECT CAST(ts AS DATE) AS day, count(*) AS rows_dropped
          FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-08'

@@ -80,6 +80,25 @@ object Dwh {
         col("valid_from").as("changed_at"))
   }
 
+  /** SCD TYPE-6 view (1+2+3 hybrid) — full type-2 history where EVERY
+    * version row also carries the key's CURRENT state as a
+    * type-1-maintained column: the mart shape that lets one query
+    * group historical facts by either the attribute as-of the fact OR
+    * the attribute as-of today, without a second dimension join.
+    * current_state propagates from the open version (is_current) to
+    * all of the key's rows via a partition-only window max over the
+    * single non-null flagged value — same key exchange [[scd2Build]]
+    * already pays, no extra shuffle, no self-join. */
+  def scd6View(changes: DataFrame, key: String, state: String,
+               ts: String, ord: String): DataFrame = {
+    val w = Window.partitionBy(key)
+    scd2Build(changes, key, state, ts, ord)
+      .withColumn("current_state",
+        max(when(col("is_current"), col(state))).over(w))
+      .select(col(key), col(state).as("hist_state"), col("valid_from"),
+        col("valid_to"), col("is_current"), col("current_state"))
+  }
+
   /** INCREMENTAL SCD2 maintenance: merge a batch of NEW observations
     * into an existing SCD2 table without rebuilding history. Only
     * touched keys are reworked: their OPEN versions re-enter the

@@ -376,9 +376,13 @@ object Stats {
     * instruments reading 2x apart still correlate 1.0 — CCC penalizes
     * both: ρc = 2·cov/(σx²+σy²+(μx−μy)²)). One pass over the aligned
     * hourly frame to the five moments, one 1-row formula, round 6. */
-  def linCcc(events: DataFrame, typeA: String = "click",
-             typeB: String = "view"): DataFrame = {
-    val hourly = events.filter(col("event_type").isin(typeA, typeB))
+  /** Paired hourly (x, y) frame shared by the agreement family
+    * ([[linCcc]], [[blandAltman]], [[pairedTTest]]): per-hour means of
+    * the two event types, aligned on the hour, pairs with either side
+    * missing dropped. One map-side-combined shuffle on the hour key. */
+  private def alignedHourly(events: DataFrame, typeA: String,
+                            typeB: String): DataFrame =
+    events.filter(col("event_type").isin(typeA, typeB))
       .groupBy(expr("unix_seconds(date_trunc('hour', ts)) div 3600")
         .as("hr"))
       .agg(
@@ -387,6 +391,10 @@ object Stats {
         round(avg(when(col("event_type") === typeB, col("value"))), 6)
           .as("y"))
       .filter(col("x").isNotNull && col("y").isNotNull)
+
+  def linCcc(events: DataFrame, typeA: String = "click",
+             typeB: String = "view"): DataFrame = {
+    val hourly = alignedHourly(events, typeA, typeB)
     val m = hourly.agg(count(lit(1)).as("n"),
       avg("x").as("mx"), avg("y").as("my"),
       var_pop(col("x")).as("vx"), var_pop(col("y")).as("vy"),
@@ -408,22 +416,34 @@ object Stats {
     * difference moments, one 1-row formula. */
   def blandAltman(events: DataFrame, typeA: String = "click",
                   typeB: String = "view"): DataFrame = {
-    val hourly = events.filter(col("event_type").isin(typeA, typeB))
-      .groupBy(expr("unix_seconds(date_trunc('hour', ts)) div 3600")
-        .as("hr"))
-      .agg(
-        round(avg(when(col("event_type") === typeA, col("value"))), 6)
-          .as("x"),
-        round(avg(when(col("event_type") === typeB, col("value"))), 6)
-          .as("y"))
-      .filter(col("x").isNotNull && col("y").isNotNull)
-    val m = hourly.agg(count(lit(1)).as("n"),
-      avg(col("x") - col("y")).as("bias"),
-      stddev_samp(col("x") - col("y")).as("sd"))
+    val m = alignedHourly(events, typeA, typeB)
+      .agg(count(lit(1)).as("n"),
+        avg(col("x") - col("y")).as("bias"),
+        stddev_samp(col("x") - col("y")).as("sd"))
     m.select(col("n"), round(col("bias"), 6).as("bias"),
       round(col("sd"), 6).as("sd_diff"),
       round(col("bias") - lit(1.96) * col("sd"), 6).as("loa_lower"),
       round(col("bias") + lit(1.96) * col("sd"), 6).as("loa_upper"))
+  }
+
+  /** PAIRED t-test over the aligned hourly series — the inference
+    * member of the agreement family ([[blandAltman]] describes the
+    * bias band; this asks whether the bias is REAL): pairing each
+    * hour's click mean with the SAME hour's view mean cancels the
+    * hour-of-day effect both series share, so the test runs on the
+    * differences — t = d̄/(s_d/√n), df = n−1. Same one-shuffle aligned
+    * frame, one moment pass, 1-row formula. */
+  def pairedTTest(events: DataFrame, typeA: String = "click",
+                  typeB: String = "view"): DataFrame = {
+    val m = alignedHourly(events, typeA, typeB)
+      .agg(count(lit(1)).as("n"),
+        avg(col("x") - col("y")).as("md"),
+        stddev_samp(col("x") - col("y")).as("sd"))
+    m.select(col("n"), (col("n") - 1).as("df"),
+      round(col("md"), 6).as("mean_diff"),
+      round(col("md") /
+        nullif(col("sd") / sqrt(col("n").cast("double")), lit(0.0)), 4)
+        .as("t"))
   }
 
   /** COHEN'S KAPPA from a (true, predicted, count) confusion matrix —

@@ -371,6 +371,28 @@ class DwhSpec extends SparkSpec {
       "bridge weights must conserve revenue exactly")
   }
 
+  test("scd6View: every history row carries the key's current state, type-1 maintained") {
+    import spark.implicits._
+    // u1: A → B → A (3 versions, current A); u2: X only
+    val ch = Seq((1L, "A", 0L, 1L), (1L, "A", 10L, 2L), (1L, "B", 20L, 3L),
+      (1L, "A", 30L, 4L), (2L, "X", 5L, 5L))
+      .toDF("k", "st", "s", "ord")
+      .select(col("k"), col("st"), timestamp_seconds(col("s")).as("ts"),
+        col("ord"))
+    val out = Dwh.scd6View(ch, "k", "st", "ts", "ord").collect()
+    val u1 = out.filter(_.getAs[Long]("k") == 1L)
+    assert(u1.length == 3, s"same-state repeat must collapse: ${out.toSeq}")
+    // ALL of u1's rows — including closed historical versions — carry
+    // the current state A; exactly one row is flagged current
+    assert(u1.forall(_.getAs[String]("current_state") == "A"))
+    assert(u1.count(_.getAs[Boolean]("is_current")) == 1)
+    assert(u1.filter(_.getAs[Boolean]("is_current"))
+      .head.getAs[String]("hist_state") == "A")
+    assert(out.filter(_.getAs[Long]("k") == 2L)
+      .forall(r => r.getAs[String]("current_state") == "X" &&
+        r.getAs[Boolean]("is_current")))
+  }
+
   test("lateArrivingDim classes every referenced key; placeholder money is visible") {
     import spark.implicits._
     // facts reference keys 1,2,3; on-time dim has 1; late batch heals 2;

@@ -698,6 +698,33 @@ class StatsSpec extends SparkSpec {
       ba.getAs[Double]("loa_upper") == -5.0)
   }
 
+  test("pairedTTest cancels the shared hour effect; constant shift gives huge |t|") {
+    import spark.implicits._
+    // hour effect h%7 rides BOTH series; view = click − 2 + tiny noise
+    // that alternates ±0.1 — an unpaired test drowns the −2 in the
+    // hour-to-hour variance, the paired test sees d = 2 ± 0.1
+    val rows = (0 until 40).flatMap { h =>
+      val base = 10.0 + (h % 7)
+      Seq((h.toLong * 3600L, "click", base),
+        (h.toLong * 3600L, "view", base - 2.0 + (if (h % 2 == 0) 0.1 else -0.1)))
+    }
+    val ev = rows.toDF("s", "event_type", "value")
+      .select(timestamp_seconds(col("s")).as("ts"), col("event_type"),
+        col("value"))
+    val r = Stats.pairedTTest(ev).collect().head
+    assert(r.getAs[Long]("n") == 40 && r.getAs[Long]("df") == 39)
+    assert(r.getAs[Double]("mean_diff") == 2.0)
+    assert(r.getAs[Double]("t") > 50,
+      s"paired t must expose the constant 2.0 gap: $r")
+    // identical series: zero spread of differences → t is null-guarded
+    val same = (0 until 10).flatMap { h =>
+      Seq((h.toLong * 3600L, "click", 5.0), (h.toLong * 3600L, "view", 5.0))
+    }.toDF("s", "event_type", "value")
+      .select(timestamp_seconds(col("s")).as("ts"), col("event_type"),
+        col("value"))
+    assert(Stats.pairedTTest(same).collect().head.isNullAt(3))
+  }
+
   test("mahalanobis charges the off-ridge point per-axis z-scores miss; affine-invariant") {
     import spark.implicits._
     // 40 users on the ridge y≈x (counts 1..40, value≈count/10) plus
