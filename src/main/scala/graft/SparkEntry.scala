@@ -425,6 +425,10 @@ object SparkEntry {
     "ts_coint" -> ((s, d) => Resample.cointegration(Tables.events(s, d))),
     "ts_periodogram" -> ((s, d) =>
       Resample.periodogram(Tables.events(s, d))),
+    "ts_spectral_entropy" -> ((s, d) =>
+      Resample.spectralEntropy(Tables.events(s, d))),
+    "st_partial_corr" -> ((s, d) =>
+      Stats.partialCorr(Tables.events(s, d))),
     "ts_mann_kendall" -> ((s, d) =>
       Resample.mannKendall(Tables.events(s, d))),
     "st_tost" -> ((s, d) =>
@@ -3780,6 +3784,55 @@ object SparkEntry {
                  CAST(tsum AS DOUBLE)) / 18.0)
              ELSE 0.0 END, 4) AS z
          FROM d""",
+    "ts_spectral_entropy" ->
+      """WITH hourly AS (SELECT
+             epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
+             round(avg(value), 6) AS v
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+         m AS (SELECT round(avg(v), 6) AS vm,
+             CAST(count(*) AS BIGINT) AS n FROM hourly),
+         c AS (SELECT hr, v - vm AS vc, n FROM hourly CROSS JOIN m),
+         x AS (SELECT vc, n, period,
+             2.0 * pi() * CAST(hr % period AS DOUBLE) / period AS theta
+           FROM c CROSS JOIN
+             (SELECT unnest([6, 8, 12, 24, 48, 168]) AS period)),
+         g AS (SELECT period, max(n) AS n,
+             sum(vc * cos(theta)) AS cc, sum(vc * sin(theta)) AS ss
+           FROM x GROUP BY 1),
+         pg AS (SELECT period, n,
+             round((cc * cc + ss * ss) / CAST(n AS DOUBLE), 4) AS power
+           FROM g),
+         t AS (SELECT sum(power) AS ptot,
+             CAST(count(*) AS BIGINT) AS k, max(n) AS nh FROM pg)
+         SELECT max(nh) AS n, max(k) AS n_periods,
+           round(max(ptot), 4) AS total_power,
+           round(-sum(CASE WHEN power / nullif(ptot, 0) > 0
+               THEN power / nullif(ptot, 0) * ln(power / nullif(ptot, 0))
+               ELSE 0.0 END) / ln(CAST(max(k) AS DOUBLE)), 6)
+             AS spectral_entropy
+         FROM pg CROSS JOIN t""",
+    "st_partial_corr" ->
+      """WITH hourly AS (SELECT
+             epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
+             round(avg(CASE WHEN event_type = 'click' THEN value END), 6)
+               AS x,
+             round(avg(CASE WHEN event_type = 'view' THEN value END), 6)
+               AS y,
+             round(avg(CASE WHEN event_type = 'purchase' THEN value END),
+               6) AS z
+           FROM events
+           WHERE event_type IN ('click', 'view', 'purchase')
+           GROUP BY 1
+           HAVING x IS NOT NULL AND y IS NOT NULL AND z IS NOT NULL),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             round(corr(x, y), 6) AS rxy, round(corr(x, z), 6) AS rxz,
+             round(corr(y, z), 6) AS rzy
+           FROM hourly)
+         SELECT n, rxy,
+           round((rxy - rxz * rzy) /
+             nullif(sqrt((1.0 - rxz * rxz) * (1.0 - rzy * rzy)), 0), 6)
+             AS partial_r
+         FROM m""",
     "ts_periodogram" ->
       """WITH hourly AS (SELECT
              epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,

@@ -724,6 +724,31 @@ object Resample {
           col("n").cast("double"), 4).as("power"))
   }
 
+  /** SPECTRAL ENTROPY over [[periodogram]]'s candidate-period powers —
+    * the one-number forecastability score: power concentrated in one
+    * cycle (entropy → 0) means a seasonal model will capture the
+    * series; power spread flat across candidates (entropy → 1) means
+    * there is no cycle to exploit. Normalized Shannon entropy
+    * −Σp·ln p/ln k over the k candidate powers — computed FROM the
+    * 4dp-rounded powers the periodogram already publishes, so both
+    * engines walk identical doubles; zero-power candidates contribute
+    * nothing (lim p·ln p = 0, guarded). Candidates-sized input, 1-row
+    * output. */
+  def spectralEntropy(events: DataFrame, eventType: String = "click",
+                      periods: Seq[Int] = Seq(6, 8, 12, 24, 48, 168))
+      : DataFrame = {
+    val pg = periodogram(events, eventType, periods)
+    val tot = pg.agg(sum("power").as("ptot"), count(lit(1)).as("k"),
+      max("n").as("nh"))
+    pg.crossJoin(broadcast(tot))
+      .withColumn("p", col("power") / nullif(col("ptot"), lit(0.0)))
+      .agg(max("nh").as("n"), max("k").as("n_periods"),
+        round(max(col("ptot")), 4).as("total_power"),
+        round(-sum(when(col("p") > 0, col("p") * log(col("p")))
+          .otherwise(lit(0.0))) / log(max(col("k")).cast("double")), 6)
+          .as("spectral_entropy"))
+  }
+
   /** ENGLE–GRANGER cointegration screen between the hourly click and
     * view series — "do these two wandering series share a common
     * stochastic trend" (correlation on levels is spurious for

@@ -1704,6 +1704,42 @@ object Stats {
         col("c"), col("survival"))
   }
 
+  /** PARTIAL CORRELATION between the hourly click and view series
+    * CONTROLLING for the purchase series — "does x↔y survive once the
+    * common driver z is held fixed": a shared driver manufactures
+    * correlation between otherwise-independent series (the classic
+    * confounder), and r_xy·z = (r_xy − r_xz·r_zy)/√((1−r_xz²)(1−r_zy²))
+    * subtracts exactly the part z explains. One pass aligns the three
+    * hourly series, one moment pass yields the three pairwise Pearsons
+    * (each rounded 6dp BEFORE the closed form, so both engines walk
+    * identical doubles), 1-row formula. Confounder-planted and
+    * independent-controls specs. */
+  def partialCorr(events: DataFrame, typeA: String = "click",
+                  typeB: String = "view",
+                  ctrl: String = "purchase"): DataFrame = {
+    val hourly = events.filter(col("event_type").isin(typeA, typeB, ctrl))
+      .groupBy(expr("unix_seconds(date_trunc('hour', ts)) div 3600")
+        .as("hr"))
+      .agg(
+        round(avg(when(col("event_type") === typeA, col("value"))), 6)
+          .as("x"),
+        round(avg(when(col("event_type") === typeB, col("value"))), 6)
+          .as("y"),
+        round(avg(when(col("event_type") === ctrl, col("value"))), 6)
+          .as("z"))
+      .filter(col("x").isNotNull && col("y").isNotNull &&
+        col("z").isNotNull)
+    hourly.agg(count(lit(1)).as("n"),
+      round(corr(col("x"), col("y")), 6).as("rxy"),
+      round(corr(col("x"), col("z")), 6).as("rxz"),
+      round(corr(col("y"), col("z")), 6).as("rzy"))
+      .select(col("n"), col("rxy"),
+        round((col("rxy") - col("rxz") * col("rzy")) /
+          nullif(sqrt((lit(1.0) - col("rxz") * col("rxz")) *
+            (lit(1.0) - col("rzy") * col("rzy"))), lit(0.0)), 6)
+          .as("partial_r"))
+  }
+
   /** MAHALANOBIS multivariate outlier scoring over per-user behaviour
     * features (event count, mean value) — the anomaly score per-axis
     * z-scores miss: a user can be unremarkable on EACH feature yet sit

@@ -404,6 +404,27 @@ class RangeResampleSpec extends SparkSpec {
       s"off-period power must be an order of magnitude down: $p")
   }
 
+  test("spectralEntropy: pure cycle near 0, spread spectrum high") {
+    import spark.implicits._
+    def ev(f: Int => Double) = (0 until 24 * 14).map { h =>
+      (h.toLong * 3600L, "click", f(h))
+    }.toDF("s", "event_type", "value")
+      .select(timestamp_seconds(col("s")).as("ts"), col("event_type"),
+        col("value"))
+    val pure = Resample.spectralEntropy(
+      ev(h => 10.0 + 5.0 * math.cos(2 * math.Pi * h / 24.0)))
+      .collect().head
+    assert(pure.getAs[Long]("n_periods") == 6)
+    assert(pure.getAs[Double]("spectral_entropy") < 0.2,
+      s"one planted cycle must concentrate the spectrum: $pure")
+    // a sine of a quadratic phase spreads power across every candidate
+    val spread = Resample.spectralEntropy(
+      ev(h => 10.0 + 3.0 * math.sin(0.7 * h * h)))
+      .collect().head
+    assert(spread.getAs[Double]("spectral_entropy") > 0.6,
+      s"broadband series must score near-flat: $spread")
+  }
+
   test("cointegration: shared-trend pair rejects a unit root, independent walks don't") {
     import spark.implicits._
     def ev(rows: Seq[(Long, String, Double)]) = rows

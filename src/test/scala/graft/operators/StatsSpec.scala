@@ -698,6 +698,33 @@ class StatsSpec extends SparkSpec {
       ba.getAs[Double]("loa_upper") == -5.0)
   }
 
+  test("partialCorr strips the confounder; independent control leaves r alone") {
+    import spark.implicits._
+    // z drives BOTH x and y; the only x↔y link IS z. Deterministic
+    // "noise": two incommensurate sinusoids, so x and y are
+    // conditionally independent given z.
+    def ev(couple: Boolean) = (0 until 200).flatMap { h =>
+      val z = math.sin(h * 0.37) * 4.0
+      val n1 = math.sin(h * 1.13 + 0.5)
+      val n2 = math.sin(h * 2.71 + 1.1)
+      val zc = if (couple) z else 0.0
+      Seq((h.toLong * 3600L, "click", 10.0 + zc + n1),
+        (h.toLong * 3600L, "view", 20.0 + zc + n2),
+        (h.toLong * 3600L, "purchase", 5.0 + z))
+    }.toDF("s", "event_type", "value")
+      .select(timestamp_seconds(col("s")).as("ts"), col("event_type"),
+        col("value"))
+    val coupled = Stats.partialCorr(ev(couple = true)).collect().head
+    assert(coupled.getAs[Double]("rxy") > 0.8,
+      s"the confounder must manufacture raw correlation: $coupled")
+    assert(math.abs(coupled.getAs[Double]("partial_r")) < 0.2,
+      s"controlling for z must strip it: $coupled")
+    // x,y independent of z: partialling out z changes nothing much
+    val indep = Stats.partialCorr(ev(couple = false)).collect().head
+    assert(math.abs(indep.getAs[Double]("rxy") -
+      indep.getAs[Double]("partial_r")) < 0.1, s"$indep")
+  }
+
   test("pairedTTest cancels the shared hour effect; constant shift gives huge |t|") {
     import spark.implicits._
     // hour effect h%7 rides BOTH series; view = click − 2 + tiny noise
