@@ -429,6 +429,9 @@ object SparkEntry {
       Resample.spectralEntropy(Tables.events(s, d))),
     "st_partial_corr" -> ((s, d) =>
       Stats.partialCorr(Tables.events(s, d))),
+    "ts_variance_ratio" -> ((s, d) =>
+      Resample.varianceRatio(Tables.events(s, d))),
+    "st_boxcox" -> ((s, d) => Stats.boxCoxScan(Tables.events(s, d))),
     "ts_mann_kendall" -> ((s, d) =>
       Resample.mannKendall(Tables.events(s, d))),
     "st_tost" -> ((s, d) =>
@@ -3784,6 +3787,48 @@ object SparkEntry {
                  CAST(tsum AS DOUBLE)) / 18.0)
              ELSE 0.0 END, 4) AS z
          FROM d""",
+    "st_boxcox" ->
+      """WITH g AS (SELECT CAST(unnest([-1.0, -0.5, 0.0, 0.5, 1.0, 2.0])
+             AS DOUBLE) AS lambda),
+         t AS (SELECT lambda,
+             CASE WHEN lambda = 0 THEN ln(value)
+                  ELSE (pow(value, lambda) - 1) / lambda END AS tv,
+             ln(value) AS lv
+           FROM events CROSS JOIN g),
+         a AS (SELECT lambda, CAST(count(*) AS DOUBLE) AS n,
+             sum(tv) AS mt, sum(tv * tv) AS qt, sum(lv) AS slny
+           FROM t GROUP BY 1),
+         l AS (SELECT lambda,
+             round(-0.5 * n * ln(qt / n - (mt / n) * (mt / n))
+               + (lambda - 1) * slny, 4) AS ll
+           FROM a)
+         SELECT lambda, ll, ll = max(ll) OVER () AS best
+         FROM l ORDER BY lambda""",
+    "ts_variance_ratio" ->
+      """WITH hourly AS (SELECT
+             epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
+             round(avg(value), 6) AS v
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+         d AS (SELECT v - lag(v, 1) OVER w AS d1,
+             v - lag(v, 2) OVER w AS d2,
+             v - lag(v, 4) OVER w AS d4,
+             v - lag(v, 8) OVER w AS d8
+           FROM hourly WINDOW w AS (ORDER BY hr)),
+         a AS (SELECT var_pop(d1) AS v1,
+             var_pop(d2) AS v2, CAST(count(d2) AS DOUBLE) AS n2,
+             var_pop(d4) AS v4, CAST(count(d4) AS DOUBLE) AS n4,
+             var_pop(d8) AS v8, CAST(count(d8) AS DOUBLE) AS n8
+           FROM d),
+         u AS (SELECT * FROM (
+           SELECT 2 AS q, n2 AS nq, v2 / nullif(2.0 * v1, 0) AS vr FROM a
+           UNION ALL
+           SELECT 4, n4, v4 / nullif(4.0 * v1, 0) FROM a
+           UNION ALL
+           SELECT 8, n8, v8 / nullif(8.0 * v1, 0) FROM a))
+         SELECT q, CAST(nq AS BIGINT) AS n, round(vr, 6) AS vr,
+           round((vr - 1) / sqrt(2.0 * (2 * q - 1) * (q - 1)
+             / (3.0 * q * nq)), 4) AS z
+         FROM u ORDER BY q""",
     "ts_spectral_entropy" ->
       """WITH hourly AS (SELECT
              epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,

@@ -724,6 +724,42 @@ object Resample {
           col("n").cast("double"), 4).as("power"))
   }
 
+  /** LO–MACKINLAY VARIANCE-RATIO screen on the hourly series — the
+    * random-walk test: under a walk, the variance of q-step changes is
+    * exactly q times the 1-step variance, so VR(q)≠1 diagnoses
+    * mean-reversion (<1) or momentum (>1). Overlapping q-step diffs
+    * from ONE ordered window (lags 1 and q share the sort); screen
+    * form (population variances, homoskedastic z = (VR−1)/√φ,
+    * φ = 2(2q−1)(q−1)/(3qn) — documented; no heteroskedasticity
+    * correction). Calendar-bounded hourly frame, one window pass, one
+    * rollup per q. */
+  def varianceRatio(events: DataFrame, eventType: String = "click",
+                    qs: Seq[Int] = Seq(2, 4, 8)): DataFrame = {
+    val hourly = events.filter(col("event_type") === eventType)
+      .groupBy(expr("unix_seconds(date_trunc('hour', ts)) div 3600")
+        .as("hr"))
+      .agg(round(avg("value"), 6).as("v"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("hr")
+    val lagged = hourly.select(
+      (col("v") - lag("v", 1).over(w)).as("d1") +:
+        qs.map(q => (col("v") - lag("v", q).over(w)).as(s"d$q")): _*)
+    val aggCols = Seq(var_pop(col("d1")).as("v1")) ++
+      qs.flatMap(q => Seq(var_pop(col(s"d$q")).as(s"v$q"),
+        count(col(s"d$q")).cast("double").as(s"n$q")))
+    val base = lagged.agg(aggCols.head, aggCols.tail: _*)
+    base.select(explode(array(qs.map { q =>
+      struct(lit(q).as("q"), col(s"n$q").as("nq"),
+        (col(s"v$q") / nullif(lit(q.toDouble) * col("v1"), lit(0.0)))
+          .as("vr"))
+    }: _*)).as("g"))
+      .select(col("g.q").as("q"), col("g.nq").cast("long").as("n"),
+        round(col("g.vr"), 6).as("vr"),
+        round((col("g.vr") - 1) /
+          sqrt(lit(2.0) * (col("g.q") * 2 - 1) * (col("g.q") - 1) /
+            (lit(3.0) * col("g.q") * col("g.nq"))), 4).as("z"))
+      .orderBy("q")
+  }
+
   /** SPECTRAL ENTROPY over [[periodogram]]'s candidate-period powers —
     * the one-number forecastability score: power concentrated in one
     * cycle (entropy → 0) means a seasonal model will capture the

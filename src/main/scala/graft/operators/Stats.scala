@@ -1704,6 +1704,42 @@ object Stats {
         col("c"), col("survival"))
   }
 
+  /** BOX–COX power-transform selection by profile log-likelihood over a
+    * λ grid — the "should this skewed measure be logged, square-rooted,
+    * or left alone before modeling" question answered by the data:
+    * ll(λ) = −n/2·ln σ²(y⁽λ⁾) + (λ−1)Σln y, y⁽λ⁾ = (yᵡ−1)/λ (ln y at
+    * λ=0). ONE full-scan aggregate computes every λ's moments side by
+    * side (grid-many sum pairs + Σln y in a single partial-agg pass —
+    * no per-λ rescan, no row explosion); the 1-row result unpacks to a
+    * grid-sized frame with the argmax flagged. Requires y > 0 (the
+    * events value column is, by contract). Log-normal-picks-0 +
+    * already-normal-picks-1 specs. */
+  def boxCoxScan(events: DataFrame,
+                 lambdas: Seq[Double] = Seq(-1.0, -0.5, 0.0, 0.5, 1.0, 2.0))
+      : DataFrame = {
+    val y = col("value")
+    def t(l: Double) =
+      if (l == 0.0) log(y) else (pow(y, lit(l)) - 1) / lit(l)
+    val aggs = lambdas.zipWithIndex.flatMap { case (l, i) =>
+      Seq(sum(t(l)).as(s"m$i"), sum(t(l) * t(l)).as(s"q$i"))
+    } ++ Seq(sum(log(y)).as("slny"), count(lit(1)).as("n"))
+    val m = events.agg(aggs.head, aggs.tail: _*)
+    val g = m.select(col("n").cast("double").as("n"), col("slny"),
+      explode(array(lambdas.zipWithIndex.map { case (l, i) =>
+        struct(lit(l).as("lambda"), col(s"m$i").as("mm"),
+          col(s"q$i").as("qq"))
+      }: _*)).as("g"))
+    g.select(col("g.lambda").as("lambda"),
+      round(lit(-0.5) * col("n") *
+        log(col("g.qq") / col("n") -
+          (col("g.mm") / col("n")) * (col("g.mm") / col("n"))) +
+        (col("g.lambda") - 1) * col("slny"), 4).as("ll"))
+      .withColumn("best", col("ll") === max(col("ll")).over(
+        org.apache.spark.sql.expressions.Window
+          .rowsBetween(Long.MinValue, Long.MaxValue)))
+      .orderBy("lambda")
+  }
+
   /** PARTIAL CORRELATION between the hourly click and view series
     * CONTROLLING for the purchase series — "does x↔y survive once the
     * common driver z is held fixed": a shared driver manufactures

@@ -425,6 +425,34 @@ class RangeResampleSpec extends SparkSpec {
       s"broadband series must score near-flat: $spread")
   }
 
+  test("varianceRatio: walk near 1, alternation crushes VR(2), momentum inflates it") {
+    import spark.implicits._
+    def ev(f: Int => Double) = (0 until 400).map { h =>
+      (h.toLong * 3600L, "click", f(h))
+    }.toDF("s", "event_type", "value")
+      .select(timestamp_seconds(col("s")).as("ts"), col("event_type"),
+        col("value"))
+    def vr(f: Int => Double) = Resample.varianceRatio(ev(f)).collect()
+      .map(r => r.getAs[Int]("q") -> r.getAs[Double]("vr")).toMap
+    // seeded-PRNG ±1 increments: a walk — VR stays in the vicinity of 1
+    val rnd = new scala.util.Random(7)
+    var acc = 0.0
+    val walk = (0 until 400).map { _ =>
+      acc += (if (rnd.nextBoolean()) 1.0 else -1.0); 100.0 + acc
+    }
+    val w = vr(h => walk(h))
+    assert(w.values.forall(v => v > 0.5 && v < 1.6),
+      s"iid increments must keep VR near 1: $w")
+    // strict alternation: v_{t} − v_{t−2} = 0 exactly → VR(2) = 0
+    val alt = vr(h => if (h % 2 == 0) 10.0 else 20.0)
+    assert(alt(2) == 0.0, s"period-2 alternation must zero VR(2): $alt")
+    // slowly-varying increments (momentum): q-step changes accumulate
+    acc = 0.0
+    val mom = (0 until 400).map { i => acc += math.sin(i * 0.05); acc }
+    val m = vr(h => mom(h))
+    assert(m(8) > 3.0, s"persistent increments must inflate VR(8): $m")
+  }
+
   test("cointegration: shared-trend pair rejects a unit root, independent walks don't") {
     import spark.implicits._
     def ev(rows: Seq[(Long, String, Double)]) = rows

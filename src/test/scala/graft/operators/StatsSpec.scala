@@ -698,6 +698,30 @@ class StatsSpec extends SparkSpec {
       ba.getAs[Double]("loa_upper") == -5.0)
   }
 
+  test("boxCoxScan: lognormal picks lambda 0; argmax is exactly scale-invariant") {
+    import spark.implicits._
+    // quasi-random z in [-3,3] (irrational-stride sine), y = exp(z):
+    // textbook lognormal — the profile likelihood must pick the log
+    def ev(c: Double) = (0 until 500).map { i =>
+      (i.toLong, "click", c * math.exp(3.0 * math.sin(i * 2.39996)))
+    }.toDF("event_id", "event_type", "value")
+    val base = Stats.boxCoxScan(ev(1.0)).collect()
+    assert(base.length == 6 && base.count(_.getAs[Boolean]("best")) == 1)
+    val best = base.filter(_.getAs[Boolean]("best")).head
+    assert(best.getAs[Double]("lambda") == 0.0,
+      s"lognormal must pick the log transform: ${base.toSeq}")
+    // scaling y by c shifts EVERY ll by exactly -n ln c — the argmax
+    // cannot move (the Jacobian term absorbs the scale)
+    val scaled = Stats.boxCoxScan(ev(7.0)).collect()
+    assert(scaled.filter(_.getAs[Boolean]("best")).head
+      .getAs[Double]("lambda") == 0.0)
+    val shift = 500.0 * math.log(7.0)
+    base.zip(scaled).foreach { case (b, s) =>
+      assert(math.abs((b.getAs[Double]("ll") - s.getAs[Double]("ll")) -
+        shift) < 0.1, s"ll must shift by n·ln c uniformly: $b vs $s")
+    }
+  }
+
   test("partialCorr strips the confounder; independent control leaves r alone") {
     import spark.implicits._
     // z drives BOTH x and y; the only x↔y link IS z. Deterministic
