@@ -432,6 +432,10 @@ object SparkEntry {
     "ts_variance_ratio" -> ((s, d) =>
       Resample.varianceRatio(Tables.events(s, d))),
     "st_boxcox" -> ((s, d) => Stats.boxCoxScan(Tables.events(s, d))),
+    "ts_strength" -> ((s, d) =>
+      Resample.seasonalStrength(Tables.events(s, d))),
+    "ts_markov_entropy" -> ((s, d) =>
+      Windows.entropyRate(Tables.events(s, d))),
     "ts_mann_kendall" -> ((s, d) =>
       Resample.mannKendall(Tables.events(s, d))),
     "st_tost" -> ((s, d) =>
@@ -5477,6 +5481,48 @@ object SparkEntry {
          FROM t
          QUALIFY row_number() OVER (PARTITION BY event_type
            ORDER BY abs(score) DESC, hour) = 1""",
+    "ts_strength" ->
+      """WITH cells AS (
+           SELECT event_type, hour(ts) AS hod,
+             sum(value) AS s, count(value) AS n
+           FROM events GROUP BY 1, 2),
+         t AS (SELECT event_type, hod,
+             round(CAST(sum(s) OVER (PARTITION BY event_type) AS DOUBLE)
+               / CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT),
+               6) AS type_mean,
+             round(s / n
+               - CAST(sum(s) OVER (PARTITION BY event_type) AS DOUBLE)
+                 / CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT),
+               6) AS seasonal
+           FROM cells),
+         d AS (SELECT e.event_type, seasonal,
+             round(e.value - type_mean - seasonal, 6) AS residual
+           FROM events e JOIN t ON e.event_type = t.event_type
+             AND hour(e.ts) = t.hod)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(greatest(0.0, 1.0 - var_pop(residual)
+             / nullif(var_pop(seasonal + residual), 0)), 6)
+             AS seasonal_strength
+         FROM d GROUP BY 1""",
+    "ts_markov_entropy" ->
+      """WITH t AS (SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS to_state
+           FROM events),
+         c AS (SELECT event_type AS from_state, to_state,
+             CAST(count(*) AS BIGINT) AS c
+           FROM t WHERE to_state IS NOT NULL GROUP BY 1, 2),
+         e AS (SELECT c, from_state,
+             sum(c) OVER (PARTITION BY from_state) AS cf FROM c),
+         a AS (SELECT CAST(sum(c) AS BIGINT) AS nt,
+             sum(c * ln(CAST(c AS DOUBLE) / cf)) AS hnum,
+             CAST(count(DISTINCT from_state) AS BIGINT) AS k
+           FROM e)
+         SELECT nt AS n_transitions, k AS n_states,
+           round(-hnum / nt, 6) AS entropy_rate,
+           round(1.0 + hnum / nt / ln(CAST(k AS DOUBLE)), 6)
+             AS predictability
+         FROM a""",
     "ts_seasonal" ->
       """WITH cells AS (
            SELECT event_type, hour(ts) AS hod,

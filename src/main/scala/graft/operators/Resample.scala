@@ -234,6 +234,25 @@ object Resample {
           .as("residual"))
   }
 
+  /** SEASONAL STRENGTH per event type — the forecastability companion
+    * of [[seasonalDecompose]] (and the time-domain sibling of
+    * [[spectralEntropy]]): F_s = max(0, 1 − Var(residual)/
+    * Var(value − type_mean)) ∈ [0,1] — the share of the detrended
+    * variance the hour-of-day profile explains (Hyndman's STL strength
+    * formula on this decomposition). Rides the decomposition's own
+    * output — seasonal+residual IS value−type_mean — so one rollup per
+    * type, no second pass over events. */
+  def seasonalStrength(events: DataFrame): DataFrame =
+    seasonalDecompose(events)
+      .withColumn("detr", col("seasonal") + col("residual"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), var_pop(col("residual")).as("vr"),
+        var_pop(col("detr")).as("vd"))
+      .select(col("event_type"), col("n"),
+        round(greatest(lit(0.0),
+          lit(1.0) - col("vr") / nullif(col("vd"), lit(0.0))), 6)
+          .as("seasonal_strength"))
+
   /** Hour-of-day × day-of-week seasonality profile — the traffic heat
     * map behind capacity planning and anomaly BASELINES (pairs with
     * [[seasonalDecompose]], which models hour-of-day only: weekly

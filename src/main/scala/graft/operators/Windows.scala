@@ -485,6 +485,34 @@ object Windows {
     * class (codebook/PACF precedent). Deterministic: fixed iteration
     * count, exact integer counts in, 6dp out. Output: one row per
     * channel — removal_effect and the normalized attribution share. */
+  /** ENTROPY RATE of the per-user event-type sequence under its own
+    * first-order Markov model — how predictable the NEXT action is
+    * given the current one (the information-theoretic session metric:
+    * H = −Σᵢⱼ π̂ᵢ p̂ᵢⱼ ln p̂ᵢⱼ collapses to −Σᵢⱼ (cᵢⱼ/C)·ln(cᵢⱼ/cᵢ·),
+    * all from transition COUNTS — exact integers until the final
+    * logs). One (user, time)-windowed lead pass to transition pairs,
+    * one states²-sized rollup; predictability = 1 − H/ln k normalizes
+    * against the uniform-chain ceiling. */
+  def entropyRate(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+    val trans = events
+      .withColumn("to_state", lead("event_type", 1).over(w))
+      .filter(col("to_state").isNotNull)
+      .groupBy(col("event_type").as("from_state"), col("to_state"))
+      .agg(count(lit(1)).as("c"))
+    val wf = Window.partitionBy("from_state")
+    trans.withColumn("cf", sum("c").over(wf))
+      .agg(sum("c").as("nt"),
+        sum(col("c") * log(col("c").cast("double") / col("cf")))
+          .as("hnum"),
+        countDistinct("from_state").as("k"))
+      .select(col("nt").as("n_transitions"), col("k").as("n_states"),
+        round(-col("hnum") / col("nt"), 6).as("entropy_rate"),
+        round(lit(1.0) + col("hnum") / col("nt") /
+          log(col("k").cast("double")), 6).as("predictability"))
+  }
+
   def markovAttribution(events: DataFrame,
                         convType: String = "purchase",
                         iters: Int = 200): DataFrame = {

@@ -425,6 +425,25 @@ class RangeResampleSpec extends SparkSpec {
       s"broadband series must score near-flat: $spread")
   }
 
+  test("seasonalStrength: exact hourly pattern scores 1, hour-blind noise scores ~0") {
+    import spark.implicits._
+    def ev(f: (Int, Int) => Double) = (0 until 24 * 14).map { h =>
+      (h.toLong, h.toLong * 3600L, "click", f(h % 24, h))
+    }.toDF("event_id", "s", "event_type", "value")
+      .select(col("event_id"), timestamp_seconds(col("s")).as("ts"),
+        col("event_type"), col("value"))
+    // value is a pure function of hour-of-day → residual ≡ 0
+    val pure = Resample.seasonalStrength(ev((hod, _) => 10.0 + hod))
+      .collect().head
+    assert(pure.getAs[Double]("seasonal_strength") == 1.0, s"$pure")
+    // value cycles with period 5 — coprime to 24, so the hour-of-day
+    // profile explains almost none of it (h%2 would NOT do: hod parity
+    // pins h parity on an hourly grid)
+    val blind = Resample.seasonalStrength(
+      ev((_, h) => if (h % 5 == 0) 15.0 else 5.0)).collect().head
+    assert(blind.getAs[Double]("seasonal_strength") < 0.1, s"$blind")
+  }
+
   test("varianceRatio: walk near 1, alternation crushes VR(2), momentum inflates it") {
     import spark.implicits._
     def ev(f: Int => Double) = (0 until 400).map { h =>

@@ -576,6 +576,29 @@ class WindowsLambdaSpec extends SparkSpec {
     assert(out(4L) == (0.0, 1.0))
   }
 
+  test("entropyRate: deterministic cycle scores 0, uniform chain hits ln k") {
+    import spark.implicits._
+    def ev(types: Seq[String]) = types.zipWithIndex.map { case (t, i) =>
+      (1L, i.toLong, i.toLong, t)
+    }.toDF("user_id", "event_id", "s", "event_type")
+      .select(col("user_id"), col("event_id"),
+        timestamp_seconds(col("s")).as("ts"), col("event_type"))
+    // strict A B A B …: the next state is certain → H = 0
+    val cyc = Windows.entropyRate(
+      ev(Seq.tabulate(40)(i => if (i % 2 == 0) "A" else "B")))
+      .collect().head
+    assert(cyc.getAs[Double]("entropy_rate") == 0.0 &&
+      cyc.getAs[Double]("predictability") == 1.0, s"$cyc")
+    // A A B B A A B B …: from EACH state both successors are equally
+    // frequent → H = ln 2 exactly, predictability 0
+    val uni = Windows.entropyRate(
+      ev(Seq.tabulate(41)(i => if (i % 4 < 2) "A" else "B")))
+      .collect().head
+    assert(math.abs(uni.getAs[Double]("entropy_rate") - math.log(2)) < 1e-4,
+      s"$uni")
+    assert(math.abs(uni.getAs[Double]("predictability")) < 1e-4)
+  }
+
   test("markovAttribution: necessary channel gets effect 1, parallel paths split") {
     import spark.implicits._
     def ev(rows: Seq[(Long, String, Long)]) = rows.zipWithIndex
