@@ -434,6 +434,11 @@ object SparkEntry {
     "st_boxcox" -> ((s, d) => Stats.boxCoxScan(Tables.events(s, d))),
     "ts_strength" -> ((s, d) =>
       Resample.seasonalStrength(Tables.events(s, d))),
+    "ml_knn_eval" -> ((s, d) =>
+      SimilaritySearch.knnClassifierEval(Tables.embeddings(s, d))),
+    "ml_ridge_path" -> ((s, d) =>
+      Stats.ridgePath(Tables.lineitem(s, d), "l_extendedprice",
+        "l_quantity", "l_discount")),
     "ts_markov_entropy" -> ((s, d) =>
       Windows.entropyRate(Tables.events(s, d))),
     "ts_mann_kendall" -> ((s, d) =>
@@ -5481,6 +5486,47 @@ object SparkEntry {
          FROM t
          QUALIFY row_number() OVER (PARTITION BY event_type
            ORDER BY abs(score) DESC, hour) = 1""",
+    "ml_knn_eval" ->
+      """WITH p AS (SELECT vec_id AS p_id, embedding AS p_emb,
+             label AS true_label
+           FROM embeddings WHERE vec_id % 10 = 0),
+         nb AS (SELECT p_id, true_label, c.vec_id AS c_id,
+             c.label AS c_label,
+             round(list_cosine_similarity(CAST(p.p_emb AS DOUBLE[]),
+               CAST(c.embedding AS DOUBLE[])), 4) AS cos
+           FROM p JOIN embeddings c ON c.vec_id <> p.p_id),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY p_id
+             ORDER BY cos DESC, c_id) AS rk FROM nb),
+         v AS (SELECT p_id, true_label, c_label,
+             CAST(count(*) AS BIGINT) AS votes
+           FROM rk WHERE rk <= 5 GROUP BY 1, 2, 3),
+         pr AS (SELECT p_id, true_label, c_label AS pred_label,
+             row_number() OVER (PARTITION BY p_id
+               ORDER BY votes DESC, c_label) AS vr
+           FROM v)
+         SELECT true_label, CAST(count(*) AS BIGINT) AS n_eval,
+           CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_correct,
+           round(CAST(sum(CASE WHEN pred_label = true_label THEN 1
+             ELSE 0 END) AS DOUBLE) / count(*), 4) AS accuracy
+         FROM pr WHERE vr = 1 GROUP BY 1""",
+    "ml_ridge_path" ->
+      """WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             round(corr(l_quantity, l_discount), 6) AS r12,
+             round(corr(l_quantity, l_extendedprice), 6) AS r1y,
+             round(corr(l_discount, l_extendedprice), 6) AS r2y
+           FROM lineitem),
+         g AS (SELECT CAST(unnest([0.0, 0.1, 0.5, 1.0, 5.0]) AS DOUBLE)
+             AS lambda),
+         x AS (SELECT lambda, n, r12, r1y, r2y,
+             (1.0 + lambda) * (1.0 + lambda) - r12 * r12 AS det
+           FROM m CROSS JOIN g)
+         SELECT lambda, n,
+           round(((1.0 + lambda) * r1y - r12 * r2y) / nullif(det, 0), 6)
+             AS b1_std,
+           round(((1.0 + lambda) * r2y - r12 * r1y) / nullif(det, 0), 6)
+             AS b2_std
+         FROM x ORDER BY lambda""",
     "ts_strength" ->
       """WITH cells AS (
            SELECT event_type, hour(ts) AS hod,

@@ -717,4 +717,53 @@ object SimilaritySearch {
       .withColumn("inertia", round(lit(trace.last), 4))
       .orderBy("cell")
   }
+
+  /** LEAVE-ONE-OUT kNN-CLASSIFIER evaluation — "are the labels
+    * actually clustered in embedding space": every probe vector is
+    * classified by the majority label of its k nearest OTHER vectors
+    * and scored against its own label, reported per class. The honest
+    * embedding-quality gate for a labeled corpus (a high kNN accuracy
+    * justifies [[knnJoin]]-based label propagation; a chance-level one
+    * kills it before anyone ships it).
+    *
+    * EXACT by contract — the probe side is a sampled slice that rides
+    * as a broadcast over one corpus scan (map-side cosine, no corpus
+    * shuffle; the same exact-twin role dd_embed_neardup plays for the
+    * LSH path). The 100 TB path swaps the broadcast-scan for
+    * [[knnJoinIndexed]]'s cell equi-join and keeps the vote/rollup
+    * identical. Vote and rank tie-breaks are fully ordered (cos 4dp
+    * desc, then neighbor id; vote count desc, then label) so any
+    * partitioning and the SQL twin agree exactly. */
+  def knnClassifierEval(emb: DataFrame, k: Int = 5,
+                        probeMod: Long = 10): DataFrame = {
+    import graft.functions.VectorFunctions.{dot, l2Norm}
+    val probes = broadcast(emb.filter(col("vec_id") % probeMod === 0)
+      .select(col("vec_id").as("p_id"), col("embedding").as("p_emb"),
+        l2Norm(col("embedding")).as("p_nrm"),
+        col("label").as("true_label")))
+    val corpus = emb.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_emb"), l2Norm(col("embedding")).as("c_nrm"),
+      col("label").as("c_label"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("p_id")
+      .orderBy(col("cos").desc, col("c_id"))
+    val neighbors = corpus.join(probes, col("p_id") =!= col("c_id"))
+      .select(col("p_id"), col("true_label"), col("c_id"), col("c_label"),
+        round(dot(col("p_emb"), col("c_emb")) /
+          (col("p_nrm") * col("c_nrm")), 4).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+    val pred = neighbors
+      .groupBy("p_id", "true_label", "c_label")
+      .agg(count(lit(1)).as("votes"))
+      .groupBy("p_id", "true_label")
+      .agg(min(struct((-col("votes")).as("nv"), col("c_label").as("l")))
+        .getField("l").as("pred_label"))
+    pred.groupBy("true_label")
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("pred_label") === col("true_label"), 1L)
+          .otherwise(0L)).as("n_correct"))
+      .select(col("true_label"), col("n_eval"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_eval"), 4)
+          .as("accuracy"))
+  }
 }

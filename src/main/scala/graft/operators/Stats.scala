@@ -1704,6 +1704,40 @@ object Stats {
         col("c"), col("survival"))
   }
 
+  /** RIDGE REGULARIZATION PATH in correlation form — how the two
+    * standardized coefficients shrink as the penalty grows (the
+    * collinearity diagnostic: correlated regressors trade weight
+    * wildly at λ=0 and collapse together as λ rises; a coefficient
+    * that flips sign along the path is borrowing its effect from its
+    * neighbor). Standardizing reduces ridge to the 2×2 correlation
+    * system (R+λI)b = r, solved in closed form per grid point from
+    * THREE Pearson correlations — one moment pass over the table,
+    * correlations rounded 6dp before the solve ([[partialCorr]]
+    * discipline: both engines walk identical doubles), the grid
+    * unpacks from the 1-row moment frame. λ=0 reproduces standardized
+    * OLS ([[ols2]]'s slopes times sd ratios — spec-locked). */
+  def ridgePath(df: DataFrame, y: String, x1: String, x2: String,
+                lambdas: Seq[Double] = Seq(0.0, 0.1, 0.5, 1.0, 5.0))
+      : DataFrame = {
+    val m = df.agg(count(lit(1)).as("n"),
+      round(corr(col(x1), col(x2)), 6).as("r12"),
+      round(corr(col(x1), col(y)), 6).as("r1y"),
+      round(corr(col(x2), col(y)), 6).as("r2y"))
+    m.select(col("n"), col("r12"), col("r1y"), col("r2y"),
+      explode(array(lambdas.map(l => lit(l)): _*)).as("lambda"))
+      .withColumn("det",
+        (lit(1.0) + col("lambda")) * (lit(1.0) + col("lambda")) -
+          col("r12") * col("r12"))
+      .select(col("lambda"), col("n"),
+        round(((lit(1.0) + col("lambda")) * col("r1y") -
+          col("r12") * col("r2y")) / nullif(col("det"), lit(0.0)), 6)
+          .as("b1_std"),
+        round(((lit(1.0) + col("lambda")) * col("r2y") -
+          col("r12") * col("r1y")) / nullif(col("det"), lit(0.0)), 6)
+          .as("b2_std"))
+      .orderBy("lambda")
+  }
+
   /** BOX–COX power-transform selection by profile log-likelihood over a
     * λ grid — the "should this skewed measure be logged, square-rooted,
     * or left alone before modeling" question answered by the data:

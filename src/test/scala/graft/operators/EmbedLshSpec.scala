@@ -219,4 +219,31 @@ class EmbedLshSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos")))
     assert(single.sameElements(multi0))
   }
+
+  test("knnClassifierEval: separated clusters score 1.0, planted flip is charged") {
+    import spark.implicits._
+    // two tight clusters around orthogonal axes; a small deterministic
+    // wobble keeps neighbors distinct
+    def vec(axis: Int, i: Int): Array[Float] = {
+      val a = new Array[Float](8)
+      a(axis) = 1.0f; a(4 + axis) = 0.01f * i
+      a
+    }
+    val rows = (0 until 20).map(i => (i.toLong, vec(0, i), 0)) ++
+      (20 until 40).map(i => (i.toLong, vec(1, i - 20), 1))
+    val clean = rows.toDF("vec_id", "embedding", "label")
+    val out = SimilaritySearch.knnClassifierEval(clean).collect()
+      .map(r => r.getAs[Int]("true_label") ->
+        ((r.getAs[Long]("n_eval"), r.getAs[Double]("accuracy")))).toMap
+    assert(out == Map(0 -> ((2L, 1.0)), 1 -> ((2L, 1.0))), s"$out")
+    // flip ONE probe's label: its k neighbors still vote the cluster's
+    // true class, so exactly that probe is scored wrong
+    val flipped = rows.map { case (id, e, l) =>
+      (id, e, if (id == 0L) 1 else l)
+    }.toDF("vec_id", "embedding", "label")
+    val f = SimilaritySearch.knnClassifierEval(flipped).collect()
+      .map(r => r.getAs[Int]("true_label") ->
+        r.getAs[Long]("n_correct")).toMap
+    assert(f(1) == 2L, s"the flipped probe lands in class 1 and misses: $f")
+  }
 }

@@ -698,6 +698,39 @@ class StatsSpec extends SparkSpec {
       ba.getAs[Double]("loa_upper") == -5.0)
   }
 
+  test("ridgePath: orthogonal shrinks as r/(1+lambda); collinear pair pools weight") {
+    import spark.implicits._
+    // near-orthogonal regressors: each standardized coefficient must
+    // shrink by exactly 1/(1+λ) (up to the tiny r12)
+    val ortho = (0 until 500).map { i =>
+      val (x1, x2) = (math.sin(i * 0.9), math.cos(i * 0.9))
+      (x1 + 2 * x2, x1, x2)
+    }.toDF("l_extendedprice", "l_quantity", "l_discount")
+    val o = Stats.ridgePath(ortho, "l_extendedprice", "l_quantity",
+      "l_discount").collect()
+      .map(r => r.getAs[Double]("lambda") ->
+        ((r.getAs[Double]("b1_std"), r.getAs[Double]("b2_std")))).toMap
+    val (b10, b20) = o(0.0)
+    o.foreach { case (l, (b1, b2)) =>
+      assert(math.abs(b1 - b10 / (1 + l)) < 0.02 &&
+        math.abs(b2 - b20 / (1 + l)) < 0.02, s"λ=$l: ($b1,$b2)")
+    }
+    // collinear pair: OLS splits arbitrarily large/oppositely; ridge
+    // pulls both toward the shared value — the gap must shrink with λ
+    val coll = (0 until 500).map { i =>
+      val x1 = math.sin(i * 0.9)
+      val x2 = x1 + 0.05 * math.sin(i * 1.7)
+      (x1, x1, x2)
+    }.toDF("l_extendedprice", "l_quantity", "l_discount")
+    val c = Stats.ridgePath(coll, "l_extendedprice", "l_quantity",
+      "l_discount").collect()
+      .map(r => r.getAs[Double]("lambda") ->
+        math.abs(r.getAs[Double]("b1_std") - r.getAs[Double]("b2_std")))
+      .toMap
+    assert(c(0.0) > c(0.5) && c(0.5) > c(5.0),
+      s"ridge must pool collinear weight monotonically: $c")
+  }
+
   test("boxCoxScan: lognormal picks lambda 0; argmax is exactly scale-invariant") {
     import spark.implicits._
     // quasi-random z in [-3,3] (irrational-stride sine), y = exp(z):
