@@ -756,6 +756,33 @@ class PlanAuditSpec extends SparkSpec {
       s"train-edge stats must ride back as a broadcast:\n$p")
   }
 
+  test("ml_knn_eval: probe slice broadcasts, the corpus is never shuffle-joined") {
+    val p = plan("ml_knn_eval")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"the sampled probe side must ride as a broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the corpus scan must never shuffle for the probe join:\n$p")
+  }
+
+  test("st_boxcox: the whole lambda grid rides ONE scan with partial aggregation") {
+    val df = SparkEntry.queries("st_boxcox")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_"),
+      s"grid moments must combine map-side:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"one scan for all lambdas, found $scans:\n$p")
+  }
+
+  test("dwh_drill_across: both facts collapse map-side before the conformed merge") {
+    val p = plan("dwh_drill_across")
+    assert(p.contains("partial_count"),
+      s"per-fact rollups must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the summary merge must stay an equi-join:\n$p")
+  }
+
   test("entry flagship runs and returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
