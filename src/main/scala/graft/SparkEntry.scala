@@ -1314,6 +1314,7 @@ object SparkEntry {
     }),
     "dq_observe" -> ((s, d) => Quality.observedProfile(Tables.events(s, d))),
     "gr_degree" -> ((s, d) => Graph.degreeHistogram(coPurchaseEdges(s, d))),
+    "gr_powerlaw" -> ((s, d) => Graph.powerLawFit(coPurchaseEdges(s, d))),
     "gr_hits" -> ((s, d) =>
       Graph.hits(repeatBusinessDirected(s, d, 2), iterations = 3)),
     "gr_random_walks" -> ((s, d) =>
@@ -1874,6 +1875,21 @@ object SparkEntry {
            UNION ALL SELECT b, a FROM p),
          deg AS (SELECT src, count(*) AS degree FROM e GROUP BY 1)
          SELECT degree, count(*) AS n_nodes FROM deg GROUP BY 1""",
+    "gr_powerlaw" ->
+      """WITH p AS (SELECT DISTINCT o_custkey AS a,
+             l_suppkey + 1000000000 AS b
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         e AS (SELECT a AS src, b AS dst FROM p
+           UNION ALL SELECT b, a FROM p),
+         deg AS (SELECT src, CAST(count(*) AS BIGINT) AS degree
+           FROM e GROUP BY 1),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS n_tail,
+             max(degree) AS d_max,
+             sum(ln(CAST(degree AS DOUBLE) / 1.5)) AS slog
+           FROM deg WHERE degree >= 2)
+         SELECT 2 AS d_min, n_tail, d_max,
+           round(1.0 + n_tail / nullif(slog, 0), 6) AS alpha
+         FROM t""",
     "gr_triangles" ->
       """WITH c AS (SELECT l1.l_suppkey AS s1, l2.l_suppkey AS s2,
              count(*) AS cnt

@@ -63,6 +63,26 @@ object Graph {
       .groupBy("src").agg(count(lit(1)).as("degree"))
       .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
 
+  /** POWER-LAW TAIL EXPONENT of the degree distribution — the Hill
+    * maximum-likelihood estimator with Clauset's discrete −½ offset:
+    * α̂ = 1 + n/Σ ln(dᵢ/(d_min−½)) over nodes with degree ≥ d_min.
+    * The one-number answer to "is this graph scale-free enough that
+    * hub-aware designs (salting the hot keys, capping bucket fan-out)
+    * are load-bearing" — α near 2 means the heaviest hub carries a
+    * constant fraction of all edges; α > 3 means hubs are tame.
+    * Same one-shuffle degree rollup as [[degreeHistogram]], then a
+    * single tail aggregate — nodes-sized, no sort. */
+  def powerLawFit(edges: DataFrame, dmin: Int = 2): DataFrame = {
+    val deg = edges.select("src", "dst").distinct()
+      .groupBy("src").agg(count(lit(1)).as("degree"))
+    deg.filter(col("degree") >= dmin)
+      .agg(count(lit(1)).as("n_tail"), max("degree").as("d_max"),
+        sum(log(col("degree").cast("double") / (dmin - 0.5))).as("slog"))
+      .select(lit(dmin).as("d_min"), col("n_tail"), col("d_max"),
+        round(lit(1.0) + col("n_tail") / nullif(col("slog"), lit(0.0)), 6)
+          .as("alpha"))
+  }
+
   /** DETERMINISTIC random walks (DeepWalk/node2vec's corpus-generation
     * step — the walk sequences ARE the training data an embedding
     * pipeline feeds to skip-gram): one fixed-length walk per node,

@@ -224,6 +224,25 @@ class GraphSpec extends SparkSpec {
     assert(h == Map(2L -> 1L, 1L -> 2L))
   }
 
+  test("powerLawFit: hand-computed Hill alpha on a star; duplicate edges ignored") {
+    // star: hub 1 ↔ spokes 2..6 — only the hub (degree 5) reaches the
+    // d_min=2 tail, so α = 1 + 1/ln(5/1.5) exactly
+    val star = undirected((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (1L, 6L))
+    val dup = star.unionByName(Seq((1L, 2L)).toDF("src", "dst"))
+    val r = Graph.powerLawFit(dup).collect().head
+    assert(r.getAs[Long]("n_tail") == 1L && r.getAs[Long]("d_max") == 5L)
+    val expected = 1.0 + 1.0 / math.log(5.0 / 1.5)
+    assert(math.abs(r.getAs[Double]("alpha") - expected) < 1e-6, s"$r")
+    // lighter tail → steeper fit: a path's tail sits at degree 2, so
+    // its alpha (1 + 1/ln(2/1.5) ≈ 4.48) must exceed the star's hub fit
+    val path = undirected((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val rp = Graph.powerLawFit(path).collect().head
+    assert(math.abs(rp.getAs[Double]("alpha") -
+      (1.0 + 1.0 / math.log(2.0 / 1.5))) < 1e-6, s"$rp")
+    assert(rp.getAs[Double]("alpha") > r.getAs[Double]("alpha"),
+      s"degree-2 tail must fit steeper than the degree-5 hub: $rp vs $r")
+  }
+
   test("randomWalks: every hop is an edge, walks replay exactly, branches diverge") {
     import spark.implicits._
     // complete bipartite {1,2,3}×{10,11,12}, symmetrized
