@@ -478,6 +478,8 @@ object SparkEntry {
       SpatialJoin.nearestSupplierGrid(Tables.customer(s, d), Tables.supplier(s, d))),
     "sp_knn_grid" -> ((s, d) =>
       SpatialJoin.knnSuppliersGrid(Tables.customer(s, d), Tables.supplier(s, d), k = 3)),
+    "sp_moran" -> ((s, d) =>
+      SpatialJoin.moranI(Tables.customer(s, d))),
     "sp_grid_density" -> ((s, d) =>
       SpatialJoin.gridDensity(Tables.customer(s, d))),
     "sp_geofence" -> ((s, d) =>
@@ -5393,6 +5395,34 @@ object SparkEntry {
          SELECT day, CAST(max(c) AS BIGINT) AS max_concurrent,
            CAST(count(*)/2 AS BIGINT) AS n_sessions
          FROM run GROUP BY day""",
+    "sp_moran" ->
+      """WITH p AS (SELECT
+             round(((c_custkey * 17) % 1400)/10.0 - 70.0, 4) AS lat,
+             round(((c_custkey * 31) % 3600)/10.0 - 180.0, 4) AS lon
+           FROM customer),
+         g AS (SELECT CAST(floor((lat + 90) / 10) AS INTEGER) AS cell_lat,
+             CAST(floor((lon + 180) / 10) AS INTEGER) AS cell_lon,
+             CAST(count(*) AS DOUBLE) AS x
+           FROM p GROUP BY 1, 2),
+         m AS (SELECT avg(x) AS xbar, CAST(count(*) AS BIGINT) AS n
+           FROM g),
+         c AS (SELECT cell_lat, cell_lon, x - xbar AS dx, n
+           FROM g CROSS JOIN m),
+         o AS (SELECT * FROM (VALUES (1, 0), (-1, 0), (0, 1), (0, -1))
+           AS t(dlat, dlon)),
+         pr AS (SELECT c.cell_lat + o.dlat AS n_lat,
+             c.cell_lon + o.dlon AS n_lon, c.dx AS dx_i
+           FROM c CROSS JOIN o),
+         pairs AS (SELECT CAST(count(*) AS BIGINT) AS w,
+             sum(pr.dx_i * c.dx) AS crs
+           FROM pr JOIN c ON pr.n_lat = c.cell_lat
+             AND pr.n_lon = c.cell_lon),
+         d AS (SELECT sum(dx * dx) AS ssq, max(n) AS n FROM c)
+         SELECT n AS n_cells, w AS w_pairs,
+           round(CAST(n AS DOUBLE) / w * crs / nullif(ssq, 0), 6)
+             AS moran_i,
+           round(-1.0 / (n - 1), 6) AS expected_i
+         FROM pairs CROSS JOIN d""",
     "sp_grid_density" ->
       """WITH p AS (SELECT
              round(((c_custkey * 17) % 1400)/10.0 - 70.0, 4) AS lat,

@@ -509,6 +509,57 @@ object SpatialJoin {
     * sized frame (≤ (180/cellDeg)·(360/cellDeg) rows at ANY corpus
     * scale), total as a 1-row broadcast, top-N is TakeOrdered with the
     * (n desc, cell) total order. */
+  /** MORAN'S I spatial autocorrelation of the per-cell customer count —
+    * "is density CLUSTERED on the map or salt-and-pepper": I compares
+    * each occupied cell's deviation with its rook neighbors',
+    * I = (n/W)·Σᵢⱼ wᵢⱼ(xᵢ−x̄)(xⱼ−x̄)/Σᵢ(xᵢ−x̄)², against the null
+    * E[I] = −1/(n−1) (reported alongside). Positive I: hot cells sit
+    * next to hot cells (a partitioner must expect spatial skew);
+    * near-E[I]: density is spatially random.
+    *
+    * Scale: cells are a lattice-bounded frame (≤ 18·36 at cellDeg=10 —
+    * never data-sized); adjacency is an EQUI-join on the shifted cell
+    * key (4-direction explode on one side, no distance predicate, no
+    * cross join), x̄ rides a 1-row broadcast, one rollup ends it.
+    * Occupied cells only (empty lattice cells carry no customers and
+    * no neighbors — documented choice, matching the oracle). */
+  def moranI(customer: DataFrame, cellDeg: Int = 10): DataFrame =
+    moranOnCells(customerPoints(customer)
+      .groupBy(
+        floor((col("c_lat") + 90) / cellDeg).cast("int").as("cell_lat"),
+        floor((col("c_lon") + 180) / cellDeg).cast("int").as("cell_lon"))
+      .agg(count(lit(1)).cast("double").as("x")))
+
+  /** [[moranI]]'s core over an explicit (cell_lat, cell_lon, x) frame —
+    * split out so specs can plant exact lattices. */
+  private[operators] def moranOnCells(cells: DataFrame): DataFrame = {
+    val m = cells.agg(avg("x").as("xbar"),
+      count(lit(1)).as("n"))
+    val centered = cells.crossJoin(broadcast(m))
+      .select(col("cell_lat"), col("cell_lon"),
+        (col("x") - col("xbar")).as("dx"), col("n"))
+    val probes = centered.select(
+      explode(array(
+        struct(lit(1).as("dlat"), lit(0).as("dlon")),
+        struct(lit(-1).as("dlat"), lit(0).as("dlon")),
+        struct(lit(0).as("dlat"), lit(1).as("dlon")),
+        struct(lit(0).as("dlat"), lit(0 - 1).as("dlon")))).as("o"),
+      (col("cell_lat") + col("o.dlat")).as("n_lat"),
+      (col("cell_lon") + col("o.dlon")).as("n_lon"),
+      col("dx").as("dx_i"))
+      .select("n_lat", "n_lon", "dx_i")
+    val pairs = probes.join(centered,
+      col("n_lat") === col("cell_lat") && col("n_lon") === col("cell_lon"))
+      .agg(count(lit(1)).as("w"), sum(col("dx_i") * col("dx")).as("cross"))
+    val denom = centered.agg(sum(col("dx") * col("dx")).as("ssq"),
+      max("n").as("n"))
+    pairs.crossJoin(broadcast(denom))
+      .select(col("n").as("n_cells"), col("w").as("w_pairs"),
+        round(col("n").cast("double") / col("w") * col("cross") /
+          nullif(col("ssq"), lit(0.0)), 6).as("moran_i"),
+        round(lit(-1.0) / (col("n") - 1), 6).as("expected_i"))
+  }
+
   def gridDensity(customer: DataFrame, cellDeg: Int = 10,
                   topN: Int = 15): DataFrame = {
     val cells = customerPoints(customer)

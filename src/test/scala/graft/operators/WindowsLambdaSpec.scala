@@ -576,6 +576,25 @@ class WindowsLambdaSpec extends SparkSpec {
     assert(out(4L) == (0.0, 1.0))
   }
 
+  test("moranOnCells: gradient lattice clusters positive, checkerboard negative") {
+    import spark.implicits._
+    def lattice(f: (Int, Int) => Double) = (for {
+      la <- 0 until 6; lo <- 0 until 6
+    } yield (la, lo, f(la, lo))).toDF("cell_lat", "cell_lon", "x")
+    // smooth gradient: neighbors deviate the same way → strong positive
+    val grad = SpatialJoin.moranOnCells(lattice((la, lo) => la + lo))
+      .collect().head
+    assert(grad.getAs[Long]("n_cells") == 36 &&
+      grad.getAs[Long]("w_pairs") == 120)
+    assert(grad.getAs[Double]("moran_i") > 0.5, s"$grad")
+    // checkerboard: every neighbor deviates oppositely → I near −1
+    val check = SpatialJoin.moranOnCells(
+      lattice((la, lo) => if ((la + lo) % 2 == 0) 10.0 else 0.0))
+      .collect().head
+    assert(check.getAs[Double]("moran_i") == -1.0, s"$check")
+    assert(math.abs(check.getAs[Double]("expected_i") + 1.0 / 35) < 1e-6)
+  }
+
   test("entropyRate: deterministic cycle scores 0, uniform chain hits ln k") {
     import spark.implicits._
     def ev(types: Seq[String]) = types.zipWithIndex.map { case (t, i) =>
