@@ -431,6 +431,9 @@ object SparkEntry {
       Stats.partialCorr(Tables.events(s, d))),
     "ts_variance_ratio" -> ((s, d) =>
       Resample.varianceRatio(Tables.events(s, d))),
+    "ts_sax" -> ((s, d) => Resample.saxWords(Tables.events(s, d))),
+    "tx_burrows_delta" -> ((s, d) =>
+      TextAnalysis.burrowsDelta(Tables.documents(s, d))),
     "st_boxcox" -> ((s, d) => Stats.boxCoxScan(Tables.events(s, d))),
     "ts_strength" -> ((s, d) =>
       Resample.seasonalStrength(Tables.events(s, d))),
@@ -3831,6 +3834,52 @@ object SparkEntry {
            FROM a)
          SELECT lambda, ll, ll = max(ll) OVER () AS best
          FROM l ORDER BY lambda""",
+    "ts_sax" ->
+      """WITH hourly AS (SELECT
+             epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
+             round(avg(value), 6) AS v
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+         h AS (SELECT hr, v, hr // 24 AS day,
+             (hr % 24) // 4 AS block FROM hourly),
+         ds AS (SELECT day, avg(v) AS mu, stddev_pop(v) AS sd,
+             count(*) AS nh FROM h GROUP BY 1 HAVING count(*) = 24),
+         paa AS (SELECT day, block, avg(v) AS bv FROM h GROUP BY 1, 2),
+         sym AS (SELECT p.day, p.block,
+             CASE WHEN z < -0.6745 THEN 'a' WHEN z < 0 THEN 'b'
+                  WHEN z < 0.6745 THEN 'c' ELSE 'd' END AS s
+           FROM (SELECT p.day, p.block,
+               round((p.bv - d.mu) / nullif(d.sd, 0), 6) AS z
+             FROM paa p JOIN ds d ON p.day = d.day) p),
+         words AS (SELECT day,
+             string_agg(s, '' ORDER BY block) AS word
+           FROM sym GROUP BY 1)
+         SELECT day, word,
+           CAST(count(*) OVER (PARTITION BY word) AS BIGINT)
+             AS n_days_sharing
+         FROM words ORDER BY day""",
+    "tx_burrows_delta" ->
+      """WITH toks AS (SELECT source,
+             unnest(string_split(text, ' ')) AS w
+           FROM documents),
+         mfw AS (SELECT w FROM (SELECT w, count(*) AS f FROM toks
+             GROUP BY 1 ORDER BY f DESC, w LIMIT 20)),
+         totals AS (SELECT source, CAST(count(*) AS BIGINT) AS nt
+           FROM toks GROUP BY 1),
+         cnt AS (SELECT source, t.w, CAST(count(*) AS BIGINT) AS c
+           FROM toks t JOIN mfw ON t.w = mfw.w GROUP BY 1, 2),
+         dense AS (SELECT totals.source, mfw.w,
+             round(coalesce(c, 0) * 1000.0 / nt, 6) AS rate
+           FROM totals CROSS JOIN mfw
+           LEFT JOIN cnt ON cnt.source = totals.source AND cnt.w = mfw.w),
+         ws AS (SELECT w, avg(rate) AS mu, stddev_samp(rate) AS sd
+           FROM dense GROUP BY 1),
+         z AS (SELECT source, dense.w,
+             round((rate - mu) / nullif(sd, 0), 6) AS z
+           FROM dense JOIN ws ON dense.w = ws.w)
+         SELECT a.source AS s1, b.source AS s2,
+           round(avg(abs(a.z - b.z)), 6) AS delta
+         FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+         GROUP BY 1, 2 ORDER BY delta, s1, s2 LIMIT 10""",
     "ts_variance_ratio" ->
       """WITH hourly AS (SELECT
              epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,

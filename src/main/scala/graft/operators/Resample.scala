@@ -743,6 +743,53 @@ object Resample {
           col("n").cast("double"), 4).as("power"))
   }
 
+  /** SAX (Symbolic Aggregate approXimation) daily words over the
+    * hourly series — each complete day z-normalizes against its own
+    * mean/sd, averages into `24/blockHours` PAA blocks, and maps each
+    * block to {a,b,c,d} at the Gaussian quartile breakpoints
+    * (±0.6745, 0). The word is the day's SHAPE stripped of level and
+    * scale, so equal words are recurring intraday motifs — the
+    * discretization that turns a 100 TB series into a joinable,
+    * countable key (motif mining, whole-day anomaly screens: a day
+    * whose word appears once is a shape outlier).
+    *
+    * Scale: two partial-agg rollups (day stats, day×block PAA) on the
+    * calendar-bounded hourly frame, a days-sized equi-join, the word
+    * assembled by an in-group sort of ≤6 structs — no window over
+    * data-sized frames; the motif count is a window over the
+    * days-sized word frame. z rounds 6dp before the breakpoint compare
+    * (boundaries: z < −0.6745 → a, z < 0 → b, z < 0.6745 → c) so both
+    * engines pick identical symbols. */
+  def saxWords(events: DataFrame, eventType: String = "click",
+               blockHours: Int = 4): DataFrame = {
+    val hourly = events.filter(col("event_type") === eventType)
+      .groupBy(expr("unix_seconds(date_trunc('hour', ts)) div 3600")
+        .as("hr"))
+      .agg(round(avg("value"), 6).as("v"))
+      .withColumn("day", floor(col("hr") / 24))
+    val dstats = hourly.groupBy("day")
+      .agg(avg("v").as("mu"), stddev_pop(col("v")).as("sd"),
+        count(lit(1)).as("nh"))
+      .filter(col("nh") === 24)
+    val paa = hourly
+      .withColumn("block", floor(pmod(col("hr"), lit(24)) / blockHours))
+      .groupBy("day", "block").agg(avg("v").as("bv"))
+    val sym = paa.join(dstats, "day")
+      .withColumn("z",
+        round((col("bv") - col("mu")) / nullif(col("sd"), lit(0.0)), 6))
+      .withColumn("s",
+        when(col("z") < -0.6745, "a").when(col("z") < 0, "b")
+          .when(col("z") < 0.6745, "c").otherwise("d"))
+    val words = sym.groupBy("day")
+      .agg(concat_ws("",
+        transform(array_sort(collect_list(struct(col("block"), col("s")))),
+          x => x.getField("s"))).as("word"))
+    words
+      .withColumn("n_days_sharing", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("word")))
+      .orderBy("day")
+  }
+
   /** LO–MACKINLAY VARIANCE-RATIO screen on the hourly series — the
     * random-walk test: under a walk, the variance of q-step changes is
     * exactly q times the 1-step variance, so VR(q)≠1 diagnoses

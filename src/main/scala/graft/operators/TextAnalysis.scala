@@ -839,4 +839,48 @@ object TextAnalysis {
         .as("pred_lang"))
     pred.groupBy("true_lang", "pred_lang").agg(count(lit(1)).as("n"))
   }
+
+  /** BURROWS' DELTA stylometric distance between sources — the
+    * authorship-attribution classic: per-source rates of the corpus's
+    * most-frequent words (function words dominate any top-k and carry
+    * style, not topic), z-scored per word ACROSS sources, delta =
+    * mean |z₁ − z₂| over the word panel. Near-zero delta between two
+    * "different" sources is the same-crawler/same-template signal a
+    * provenance audit looks for; the closest pairs surface first.
+    *
+    * Scale: one token pass builds the top-k panel (bounded, broadcast)
+    * and per-source totals; the rate matrix is sources×k (dense — a
+    * source missing a panel word scores rate 0, which is exactly the
+    * stylistic signal); z and the pair join live entirely on that
+    * bounded matrix, never on tokens. Rates and z round 6dp so both
+    * engines symbolize identically; zero-variance panel words drop
+    * from every pair mean (null z). Source count is assumed
+    * report-sized (the matrix is sources², documented). */
+  def burrowsDelta(documents: DataFrame, topWords: Int = 20,
+                   topPairs: Int = 10): DataFrame = {
+    val toks = documents.select(col("source"),
+      explode(tokens(col("text"))).as("w"))
+    val mfw = broadcast(toks.groupBy("w").agg(count(lit(1)).as("f"))
+      .orderBy(desc("f"), asc("w")).limit(topWords).select("w"))
+    val totals = toks.groupBy("source").agg(count(lit(1)).as("nt"))
+    val counts = toks.join(mfw, "w")
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    val dense = totals.crossJoin(mfw)
+      .join(counts, Seq("source", "w"), "left")
+      .select(col("source"), col("w"),
+        round(coalesce(col("c"), lit(0L)) * 1000.0 / col("nt"), 6)
+          .as("rate"))
+    val wstats = dense.groupBy("w")
+      .agg(avg("rate").as("mu"), stddev_samp(col("rate")).as("sd"))
+    val z = dense.join(broadcast(wstats), "w")
+      .select(col("source"), col("w"),
+        round((col("rate") - col("mu")) / nullif(col("sd"), lit(0.0)), 6)
+          .as("z"))
+    z.as("a").join(z.as("b"),
+      col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+      .agg(round(avg(abs(col("a.z") - col("b.z"))), 6).as("delta"))
+      .orderBy(asc("delta"), asc("s1"), asc("s2"))
+      .limit(topPairs)
+  }
 }

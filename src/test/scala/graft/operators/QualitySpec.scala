@@ -376,4 +376,25 @@ class QualitySpec extends SparkSpec {
       assert(r.getAs[String]("true_lang") == r.getAs[String]("pred_lang"))
     }
   }
+
+  test("burrowsDelta: same-template sources are closest; style outlier sits far") {
+    import spark.implicits._
+    // A and B share function-word style; C leans on a different one.
+    // Topic words (cat/dog/bird) differ everywhere — delta must see
+    // through topic to the function-word rates.
+    def docs(src: String, filler: String, topic: String) =
+      (0 until 10).map(i =>
+        (s"$src-$i", src, s"$filler $topic $filler is $filler $topic $i"))
+    val corpus = (docs("A", "the", "cat") ++ docs("B", "the", "dog") ++
+      docs("C", "of", "bird"))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.burrowsDelta(corpus, topWords = 8, topPairs = 3)
+      .collect()
+      .map(r => (r.getAs[String]("s1"), r.getAs[String]("s2"),
+        r.getAs[Double]("delta")))
+    assert((out.head._1, out.head._2) == (("A", "B")),
+      s"shared style must rank closest: ${out.toSeq}")
+    assert(out.head._3 < out.tail.head._3,
+      s"the style outlier must sit strictly farther: ${out.toSeq}")
+  }
 }

@@ -425,6 +425,30 @@ class RangeResampleSpec extends SparkSpec {
       s"broadband series must score near-flat: $spread")
   }
 
+  test("saxWords: recurring daily shape shares one word; the inverted day stands alone") {
+    import spark.implicits._
+    val ev = (0 until 24 * 6).map { h =>
+      val (day, hod) = (h / 24, h % 24)
+      val base = math.sin(2 * math.Pi * hod / 24.0)
+      (h.toLong * 3600L, "click", 10.0 + (if (day == 5) -base else base))
+    }.toDF("s", "event_type", "value")
+      .select(timestamp_seconds(col("s")).as("ts"), col("event_type"),
+        col("value"))
+    val out = Resample.saxWords(ev).collect()
+      .map(r => r.getAs[Long]("day") ->
+        ((r.getAs[String]("word"), r.getAs[Long]("n_days_sharing"))))
+      .toMap
+    assert(out.size == 6)
+    val (motif, share) = out(0L)
+    assert(share == 5 && (0L to 4L).forall(out(_) == ((motif, 5L))),
+      s"five identical shapes must share one word: $out")
+    val complement = motif.map {
+      case 'a' => 'd'; case 'b' => 'c'; case 'c' => 'b'; case 'd' => 'a'
+    }
+    assert(out(5L) == ((complement, 1L)),
+      s"the sign-flipped day is the symbol-complement singleton: $out")
+  }
+
   test("seasonalStrength: exact hourly pattern scores 1, hour-blind noise scores ~0") {
     import spark.implicits._
     def ev(f: (Int, Int) => Double) = (0 until 24 * 14).map { h =>
