@@ -434,6 +434,8 @@ object SparkEntry {
     "ts_sax" -> ((s, d) => Resample.saxWords(Tables.events(s, d))),
     "tx_burrows_delta" -> ((s, d) =>
       TextAnalysis.burrowsDelta(Tables.documents(s, d))),
+    "pipe_pad_efficiency" -> ((s, d) =>
+      TextAnalysis.padEfficiency(Tables.documents(s, d))),
     "st_boxcox" -> ((s, d) => Stats.boxCoxScan(Tables.events(s, d))),
     "ts_strength" -> ((s, d) =>
       Resample.seasonalStrength(Tables.events(s, d))),
@@ -3857,6 +3859,30 @@ object SparkEntry {
            CAST(count(*) OVER (PARTITION BY word) AS BIGINT)
              AS n_days_sharing
          FROM words ORDER BY day""",
+    "pipe_pad_efficiency" ->
+      """WITH d AS (SELECT
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+           FROM documents),
+         b AS (SELECT nt,
+             CASE WHEN nt <= 32 THEN 32 WHEN nt <= 64 THEN 64
+                  WHEN nt <= 128 THEN 128 WHEN nt <= 256 THEN 256
+                  WHEN nt <= 512 THEN 512 WHEN nt <= 1024 THEN 1024
+                  WHEN nt <= 2048 THEN 2048 ELSE 4096 END AS bucket_cap
+           FROM d),
+         p AS (SELECT CAST(bucket_cap AS BIGINT) AS bucket_cap,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS n_tokens,
+             max(nt) AS max_tokens
+           FROM b GROUP BY 1),
+         g AS (SELECT CAST(sum(n_docs) AS BIGINT) AS gd,
+             CAST(sum(n_tokens) AS BIGINT) AS gt,
+             max(max_tokens) AS gm FROM p)
+         SELECT bucket_cap, n_docs, n_tokens,
+           round(1.0 - CAST(n_tokens AS DOUBLE) / (n_docs * bucket_cap),
+             6) AS padding_waste,
+           round(1.0 - CAST(gt AS DOUBLE) / (gd * gm), 6)
+             AS unbucketed_waste
+         FROM p CROSS JOIN g ORDER BY bucket_cap""",
     "tx_burrows_delta" ->
       """WITH toks AS (SELECT source,
              unnest(string_split(text, ' ')) AS w

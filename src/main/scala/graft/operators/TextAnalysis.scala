@@ -840,6 +840,42 @@ object TextAnalysis {
     pred.groupBy("true_lang", "pred_lang").agg(count(lit(1)).as("n"))
   }
 
+  /** PADDING-EFFICIENCY report for length-bucketed batch inference —
+    * the serving-side complement of [[packSequences]] (training packs
+    * sequences back-to-back; inference pads every sequence in a batch
+    * to a common length, and the padding is pure wasted FLOPs): docs
+    * bucket to the next power-of-two capacity, per bucket the report
+    * shows docs, real tokens, and waste = 1 − tokens/(docs·cap), with
+    * the unbucketed baseline (everything padded to the global max)
+    * riding every row for the "bucketing buys X" comparison.
+    *
+    * Scale: token counts are row-local; one partial-agg rollup to the
+    * ≤log₂(maxlen)-sized bucket frame; the global max joins back as a
+    * 1-row broadcast. The capacity ladder is a fixed integer CASE —
+    * no float log2, so bucket edges are engine-exact. */
+  def padEfficiency(documents: DataFrame,
+                    caps: Seq[Int] = Seq(32, 64, 128, 256, 512, 1024,
+                      2048, 4096)): DataFrame = {
+    val n = wsTokenCount(col("text")).cast("long")
+    val cap = caps.reverse.tail.foldLeft(lit(caps.max.toLong)) {
+      (acc, c) => when(n <= c, c.toLong).otherwise(acc)
+    }
+    val perBucket = documents
+      .select(cap.as("bucket_cap"), n.as("nt"))
+      .groupBy("bucket_cap")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"),
+        max("nt").as("max_tokens"))
+    val g = perBucket.agg(sum("n_docs").as("gd"), sum("n_tokens").as("gt"),
+      max("max_tokens").as("gm"))
+    perBucket.crossJoin(broadcast(g))
+      .select(col("bucket_cap"), col("n_docs"), col("n_tokens"),
+        round(lit(1.0) - col("n_tokens").cast("double") /
+          (col("n_docs") * col("bucket_cap")), 6).as("padding_waste"),
+        round(lit(1.0) - col("gt").cast("double") /
+          (col("gd") * col("gm")), 6).as("unbucketed_waste"))
+      .orderBy("bucket_cap")
+  }
+
   /** BURROWS' DELTA stylometric distance between sources — the
     * authorship-attribution classic: per-source rates of the corpus's
     * most-frequent words (function words dominate any top-k and carry

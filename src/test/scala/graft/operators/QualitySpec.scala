@@ -377,6 +377,25 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("padEfficiency: exact-fit buckets waste 0; the baseline charges the global max") {
+    import spark.implicits._
+    // 4 docs of exactly 32 tokens (zero waste in the 32-bucket) and
+    // 1 doc of 33 (lands in 64): waste = 1 − 33/64
+    def text(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val docs = ((0 until 4).map(i => (i.toLong, "s", text(32))) :+
+      ((9L, "s", text(33)))).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.padEfficiency(docs).collect()
+      .map(r => r.getAs[Long]("bucket_cap") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Double]("padding_waste"),
+          r.getAs[Double]("unbucketed_waste")))).toMap
+    val base = 1.0 - (4 * 32 + 33).toDouble / (5 * 33)
+    assert(out(32L)._1 == 4L && out(32L)._2 == 0.0, s"$out")
+    assert(out(64L)._1 == 1L &&
+      math.abs(out(64L)._2 - (1.0 - 33.0 / 64)) < 1e-6)
+    assert(out.values.forall(v => math.abs(v._3 - base) < 1e-6),
+      s"baseline must pad every doc to the global max: $out vs $base")
+  }
+
   test("burrowsDelta: same-template sources are closest; style outlier sits far") {
     import spark.implicits._
     // A and B share function-word style; C leans on a different one.
