@@ -436,6 +436,7 @@ object SparkEntry {
       TextAnalysis.burrowsDelta(Tables.documents(s, d))),
     "pipe_pad_efficiency" -> ((s, d) =>
       TextAnalysis.padEfficiency(Tables.documents(s, d))),
+    "st_sprt" -> ((s, d) => Stats.sprt(Tables.events(s, d))),
     "st_boxcox" -> ((s, d) => Stats.boxCoxScan(Tables.events(s, d))),
     "ts_strength" -> ((s, d) =>
       Resample.seasonalStrength(Tables.events(s, d))),
@@ -3859,6 +3860,32 @@ object SparkEntry {
            CAST(count(*) OVER (PARTITION BY word) AS BIGINT)
              AS n_days_sharing
          FROM words ORDER BY day""",
+    "st_sprt" ->
+      """WITH b AS (SELECT epoch_us(ts) AS t, event_id,
+             CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS x
+           FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT t, event_id, x,
+             CAST(row_number() OVER w AS BIGINT) AS n,
+             CAST(sum(x) OVER w AS BIGINT) AS cx
+           FROM b WINDOW w AS (ORDER BY t, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         l AS (SELECT n,
+             round(cx * ln(0.6 / 0.4) + (n - cx) * ln(0.4 / 0.6), 6)
+               AS llr
+           FROM c),
+         k AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+             min(CASE WHEN llr >= round(ln(19.0), 6)
+                   OR llr <= round(ln(1.0 / 19.0), 6)
+                 THEN n END) AS stop_n
+           FROM l)
+         SELECT n_total, stop_n,
+           (SELECT llr FROM l WHERE l.n = k.stop_n) AS llr_stop,
+           CASE WHEN (SELECT llr FROM l WHERE l.n = k.stop_n)
+                  >= round(ln(19.0), 6) THEN 'accept_h1'
+                WHEN (SELECT llr FROM l WHERE l.n = k.stop_n)
+                  <= round(ln(1.0 / 19.0), 6) THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+         FROM k""",
     "pipe_pad_efficiency" ->
       """WITH d AS (SELECT
              CAST(len(string_split(text, ' ')) AS BIGINT) AS nt

@@ -1704,6 +1704,59 @@ object Stats {
         col("c"), col("survival"))
   }
 
+  /** WALD'S SPRT (sequential probability ratio test) over the ordered
+    * purchase outcomes — the always-on experiment monitor: instead of a
+    * fixed-n test, the log-likelihood ratio walks one observation at a
+    * time and the trial STOPS the moment it crosses ln((1−β)/α) (accept
+    * H1: p = p1) or ln(β/(1−α)) (accept H0: p = p0), with the error
+    * rates guaranteed by the boundaries. Reported: total observations,
+    * the first-crossing index, the LLR there, and the verdict —
+    * "how early could this test have stopped".
+    *
+    * Exactness and scale: the LLR is a function of INTEGER cumulative
+    * counts (llrₙ = cumXₙ·ln(p1/p0) + (n−cumXₙ)·ln((1−p1)/(1−p0))), so
+    * the running state is two exact integers — no float accumulation.
+    * The prefix sums run striped: partitioned by calendar day with
+    * day-offsets riding a broadcast ([[TextAnalysis.tokenBudgetSelect]]'s
+    * distributed-prefix-sum shape) — no data-sized single-partition
+    * window anywhere. First crossing is one min(struct) aggregate.
+    * LLR rounds 6dp before the boundary compare (increments ~0.4, so a
+    * 1e-6 boundary graze cannot flip the verdict). */
+  def sprt(events: DataFrame, eventType: String = "purchase",
+           threshold: Double = 50.0, p0: Double = 0.4, p1: Double = 0.6,
+           alpha: Double = 0.05, beta: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (lw, ll) = (math.log(p1 / p0), math.log((1 - p1) / (1 - p0)))
+    val upper = math.floor(math.log((1 - beta) / alpha) * 1e6 + 0.5) / 1e6
+    val lower = math.floor(math.log(beta / (1 - alpha)) * 1e6 + 0.5) / 1e6
+    val base = events.filter(col("event_type") === eventType)
+      .select(unix_micros(col("ts")).as("t"), col("event_id"),
+        (col("value") > threshold).cast("long").as("x"))
+      .withColumn("day", floor(col("t") / lit(86400000000L)))
+    val wIn = Window.partitionBy("day").orderBy("t", "event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wDay = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = base.groupBy("day")
+      .agg(count(lit(1)).as("c"), sum("x").as("sx"))
+      .select(col("day"),
+        coalesce(sum("c").over(wDay), lit(0L)).as("offN"),
+        coalesce(sum("sx").over(wDay), lit(0L)).as("offX"))
+    val cum = base.join(broadcast(offs), "day")
+      .withColumn("n", col("offN") + count(lit(1)).over(wIn))
+      .withColumn("cx", col("offX") + sum("x").over(wIn))
+      .withColumn("llr",
+        round(col("cx") * lw + (col("n") - col("cx")) * ll, 6))
+    cum.agg(count(lit(1)).as("n_total"),
+      min(when(col("llr") >= upper || col("llr") <= lower,
+        struct(col("n"), col("llr")))).as("st"))
+      .select(col("n_total"), col("st.n").as("stop_n"),
+        col("st.llr").as("llr_stop"),
+        when(col("st.llr") >= upper, "accept_h1")
+          .when(col("st.llr") <= lower, "accept_h0")
+          .otherwise("continue").as("decision"))
+  }
+
   /** RIDGE REGULARIZATION PATH in correlation form — how the two
     * standardized coefficients shrink as the penalty grows (the
     * collinearity diagnostic: correlated regressors trade weight

@@ -698,6 +698,28 @@ class StatsSpec extends SparkSpec {
       ba.getAs[Double]("loa_upper") == -5.0)
   }
 
+  test("sprt: pure-success run stops at the 8th observation; balanced walk never stops") {
+    import spark.implicits._
+    def ev(xs: Seq[Int]) = xs.zipWithIndex.map { case (x, i) =>
+      (i.toLong, i.toLong, "purchase", if (x == 1) 100.0 else 1.0)
+    }.toDF("event_id", "s", "event_type", "value")
+      .select(col("event_id"), timestamp_seconds(col("s")).as("ts"),
+        col("event_type"), col("value"))
+    // every success adds ln(1.5) ≈ 0.405465 — ln(19) is crossed at n=8
+    val up = Stats.sprt(ev(Seq.fill(20)(1))).collect().head
+    assert(up.getAs[Long]("stop_n") == 8L &&
+      up.getAs[String]("decision") == "accept_h1", s"$up")
+    val down = Stats.sprt(ev(Seq.fill(20)(0))).collect().head
+    assert(down.getAs[Long]("stop_n") == 8L &&
+      down.getAs[String]("decision") == "accept_h0", s"$down")
+    // strict alternation: each pair sums to ln(1.5)+ln(2/3) = 0 — the
+    // walk is bounded by one step and can never reach either boundary
+    val cont = Stats.sprt(ev(Seq.tabulate(40)(_ % 2))).collect().head
+    assert(cont.getAs[String]("decision") == "continue" &&
+      cont.isNullAt(1), s"$cont")
+    assert(cont.getAs[Long]("n_total") == 40L)
+  }
+
   test("ridgePath: orthogonal shrinks as r/(1+lambda); collinear pair pools weight") {
     import spark.implicits._
     // near-orthogonal regressors: each standardized coefficient must
