@@ -437,6 +437,9 @@ object SparkEntry {
     "pipe_pad_efficiency" -> ((s, d) =>
       TextAnalysis.padEfficiency(Tables.documents(s, d))),
     "st_sprt" -> ((s, d) => Stats.sprt(Tables.events(s, d))),
+    "st_cuped" -> ((s, d) => Stats.cuped(Tables.events(s, d))),
+    "ts_conformal" -> ((s, d) =>
+      Resample.conformalInterval(Tables.events(s, d))),
     "st_boxcox" -> ((s, d) => Stats.boxCoxScan(Tables.events(s, d))),
     "ts_strength" -> ((s, d) =>
       Resample.seasonalStrength(Tables.events(s, d))),
@@ -3860,6 +3863,48 @@ object SparkEntry {
            CAST(count(*) OVER (PARTITION BY word) AS BIGINT)
              AS n_days_sharing
          FROM words ORDER BY day""",
+    "st_cuped" ->
+      """WITH u AS (SELECT user_id,
+             round(sum(CASE WHEN ts < DATE '2024-01-15' THEN value
+               ELSE 0.0 END), 6) AS x,
+             round(sum(CASE WHEN ts >= DATE '2024-01-15' THEN value
+               ELSE 0.0 END), 6) AS y
+           FROM events GROUP BY 1),
+         t AS (SELECT
+             round(covar_pop(x, y) / nullif(var_pop(x), 0), 6) AS theta,
+             round(avg(x), 6) AS mx FROM u),
+         a AS (SELECT x, y, theta,
+             y - theta * (x - mx) AS yadj FROM u CROSS JOIN t)
+         SELECT CAST(count(*) AS BIGINT) AS n, max(theta) AS theta,
+           round(var_pop(y), 4) AS var_y,
+           round(var_pop(yadj), 4) AS var_adjusted,
+           round(1.0 - var_pop(yadj) / nullif(var_pop(y), 0), 6)
+             AS var_reduction
+         FROM a""",
+    "ts_conformal" ->
+      """WITH hourly AS (SELECT
+             epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
+             round(avg(value), 6) AS v
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+         p AS (SELECT hr, v, lag(v, 24) OVER (ORDER BY hr) AS pred
+           FROM hourly),
+         r AS (SELECT hr, v, pred, round(abs(v - pred), 6) AS r
+           FROM p WHERE pred IS NOT NULL),
+         m AS (SELECT min(hr) AS h0 FROM r),
+         mk AS (SELECT r.*, hr < h0 + 14 * 24 AS cal
+           FROM r CROSS JOIN m),
+         c AS (SELECT r, row_number() OVER (ORDER BY r, hr) AS rk
+           FROM mk WHERE cal),
+         nc AS (SELECT CAST(count(*) AS BIGINT) AS nc
+           FROM mk WHERE cal),
+         q AS (SELECT r AS q, nc FROM c CROSS JOIN nc
+           WHERE rk = least(CAST(ceil(0.9 * (nc + 1)) AS BIGINT), nc))
+         SELECT max(nc) AS n_cal,
+           CAST(count(*) AS BIGINT) AS n_test, max(q) AS q,
+           round(CAST(sum(CASE WHEN mk.r <= q THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*), 6) AS coverage,
+           CAST(0.9 AS DOUBLE) AS nominal
+         FROM mk CROSS JOIN q WHERE NOT cal""",
     "st_sprt" ->
       """WITH b AS (SELECT epoch_us(ts) AS t, event_id,
              CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS x

@@ -743,6 +743,50 @@ object Resample {
           col("n").cast("double"), 4).as("power"))
   }
 
+  /** SPLIT-CONFORMAL prediction interval for the seasonal-naive
+    * hourly forecast — distribution-free coverage: the calibration
+    * half's |residuals| yield the (1−α) order statistic q at rank
+    * ⌈(1−α)(n+1)⌉ (the finite-sample-valid conformal rank, an exact
+    * integer rank selection — no interpolation, engine-identical), and
+    * pred ± q is then CHECKED on the held-out half. Reported coverage
+    * near nominal is the guarantee working on real data; far below
+    * says the residual distribution drifted between halves.
+    *
+    * Scale: everything runs on the calendar-bounded hourly frame (one
+    * ordered lag-24 window, one rank window over the calibration
+    * slice, a 1-row broadcast of q). */
+  def conformalInterval(events: DataFrame, eventType: String = "click",
+                        alpha: Double = 0.1, calDays: Int = 14)
+      : DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("hr")
+    val hourly = events.filter(col("event_type") === eventType)
+      .groupBy(expr("unix_seconds(date_trunc('hour', ts)) div 3600")
+        .as("hr"))
+      .agg(round(avg("value"), 6).as("v"))
+      .withColumn("pred", lag("v", 24).over(w))
+      .filter(col("pred").isNotNull)
+      .withColumn("r", round(abs(col("v") - col("pred")), 6))
+    val minHr = hourly.agg(min("hr").as("h0"))
+    val marked = hourly.crossJoin(broadcast(minHr))
+      .withColumn("cal", col("hr") < col("h0") + calDays * 24)
+    val cal = marked.filter(col("cal"))
+    val rw = org.apache.spark.sql.expressions.Window
+      .orderBy(col("r"), col("hr"))
+    val q = cal.withColumn("rk", row_number().over(rw))
+      .crossJoin(broadcast(cal.agg(count(lit(1)).as("nc"))))
+      .filter(col("rk") ===
+        least(ceil((lit(1.0) - alpha) * (col("nc") + 1)).cast("long"),
+          col("nc")))
+      .select(col("r").as("q"), col("nc"))
+    marked.filter(!col("cal")).crossJoin(broadcast(q))
+      .agg(max("nc").as("n_cal"), count(lit(1)).as("n_test"),
+        max("q").as("q"),
+        sum(when(col("r") <= col("q"), 1L).otherwise(0L)).as("inside"))
+      .select(col("n_cal"), col("n_test"), col("q"),
+        round(col("inside").cast("double") / col("n_test"), 6)
+          .as("coverage"), lit(1.0 - alpha).as("nominal"))
+  }
+
   /** SAX (Symbolic Aggregate approXimation) daily words over the
     * hourly series — each complete day z-normalizes against its own
     * mean/sd, averages into `24/blockHours` PAA blocks, and maps each

@@ -425,6 +425,26 @@ class RangeResampleSpec extends SparkSpec {
       s"broadband series must score near-flat: $spread")
   }
 
+  test("conformalInterval: unit residual lattice gives q=1; one spike dents coverage") {
+    import spark.implicits._
+    // value = 100 + day → every day-over-day residual is exactly 1;
+    // spike the LAST day's hour 5 (no next day to knock on)
+    val nDays = 30
+    val ev = (0 until 24 * nDays).map { h =>
+      val (day, hod) = (h / 24, h % 24)
+      val spike = if (day == nDays - 1 && hod == 5) 10.0 else 0.0
+      (h.toLong * 3600L, "click", 100.0 + day + spike)
+    }.toDF("s", "event_type", "value")
+      .select(timestamp_seconds(col("s")).as("ts"), col("event_type"),
+        col("value"))
+    val r = Resample.conformalInterval(ev).collect().head
+    // residual frame: 29 days; cal = first 14 → 336, test = 360
+    assert(r.getAs[Long]("n_cal") == 336 && r.getAs[Long]("n_test") == 360)
+    assert(r.getAs[Double]("q") == 1.0, s"$r")
+    assert(r.getAs[Double]("coverage") ==
+      math.floor((359.0 / 360) * 1e6 + 0.5) / 1e6, s"$r")
+  }
+
   test("saxWords: recurring daily shape shares one word; the inverted day stands alone") {
     import spark.implicits._
     val ev = (0 until 24 * 6).map { h =>

@@ -698,6 +698,26 @@ class StatsSpec extends SparkSpec {
       ba.getAs[Double]("loa_upper") == -5.0)
   }
 
+  test("cuped: correlated pre-period soaks up variance; independent covariate buys ~0") {
+    import spark.implicits._
+    val jan10 = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    val jan20 = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
+    // user level u rides both periods; post adds only ±1 noise → the
+    // covariate explains almost everything
+    def ev(pre: Int => Double) = (1 to 50).flatMap { u =>
+      Seq((u.toLong, jan10, "click", pre(u)),
+        (u.toLong, jan20, "click", u * 10.0 + (if (u % 2 == 0) 1.0 else -1.0)))
+    }.toDF("user_id", "ts", "event_type", "value")
+    val strong = Stats.cuped(ev(u => u * 10.0)).collect().head
+    assert(strong.getAs[Long]("n") == 50)
+    assert(math.abs(strong.getAs[Double]("theta") - 1.0) < 0.01, s"$strong")
+    assert(strong.getAs[Double]("var_reduction") > 0.99,
+      s"a near-perfect covariate must soak the variance: $strong")
+    // constant pre-period: var(x)=0 → theta null-guarded, no crash
+    val flat = Stats.cuped(ev(_ => 7.0)).collect().head
+    assert(flat.isNullAt(1), s"degenerate covariate must null out: $flat")
+  }
+
   test("sprt: pure-success run stops at the 8th observation; balanced walk never stops") {
     import spark.implicits._
     def ev(xs: Seq[Int]) = xs.zipWithIndex.map { case (x, i) =>
