@@ -438,6 +438,8 @@ object SparkEntry {
       TextAnalysis.padEfficiency(Tables.documents(s, d))),
     "st_sprt" -> ((s, d) => Stats.sprt(Tables.events(s, d))),
     "st_cuped" -> ((s, d) => Stats.cuped(Tables.events(s, d))),
+    "st_meta" -> ((s, d) => Stats.metaAnalysis(Tables.events(s, d))),
+    "dq_srm" -> ((s, d) => Quality.srmCheck(Tables.events(s, d))),
     "ts_conformal" -> ((s, d) =>
       Resample.conformalInterval(Tables.events(s, d))),
     "st_boxcox" -> ((s, d) => Stats.boxCoxScan(Tables.events(s, d))),
@@ -3863,6 +3865,46 @@ object SparkEntry {
            CAST(count(*) OVER (PARTITION BY word) AS BIGINT)
              AS n_days_sharing
          FROM words ORDER BY day""",
+    "st_meta" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+             count(CASE WHEN event_type = 'click' THEN 1 END) AS na,
+             avg(CASE WHEN event_type = 'click' THEN value END) AS ma,
+             var_samp(CASE WHEN event_type = 'click' THEN value END)
+               AS va,
+             count(CASE WHEN event_type = 'view' THEN 1 END) AS nb,
+             avg(CASE WHEN event_type = 'view' THEN value END) AS mb,
+             var_samp(CASE WHEN event_type = 'view' THEN value END) AS vb
+           FROM events WHERE event_type IN ('click', 'view')
+           GROUP BY 1 HAVING na > 1 AND nb > 1),
+         s AS (SELECT round(ma - mb, 6) AS d,
+             round(1.0 / (va / na + vb / nb), 6) AS w FROM daily),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS k,
+             sum(w * d) AS swd, sum(w) AS sw, sum(w * d * d) AS swd2
+           FROM s)
+         SELECT k, round(swd / sw, 6) AS pooled_effect,
+           round(sqrt(1.0 / sw), 6) AS pooled_se,
+           round(swd2 - swd * swd / sw, 4) AS q_het,
+           round(greatest(0.0, (swd2 - swd * swd / sw - k + 1)
+             / nullif(swd2 - swd * swd / sw, 0)), 6) AS i2
+         FROM a""",
+    "dq_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+         arm AS (SELECT CAST(
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+               IN ('0','2','4','6','8','a','c','e') THEN 0 ELSE 1 END
+             AS BIGINT) AS arm FROM u),
+         c AS (SELECT
+             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b
+           FROM arm)
+         SELECT n_a, n_b,
+           round((n_a - n_b) * (n_a - n_b)
+             / CAST(n_a + n_b AS DOUBLE), 6) AS chi2,
+           (n_a - n_b) * (n_a - n_b) / CAST(n_a + n_b AS DOUBLE) > 3.841
+             AS srm_flag
+         FROM c""",
     "st_cuped" ->
       """WITH u AS (SELECT user_id,
              round(sum(CASE WHEN ts < DATE '2024-01-15' THEN value

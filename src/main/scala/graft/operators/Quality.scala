@@ -416,4 +416,29 @@ object Quality {
     import spark.implicits._
     rows.toDF("ord", "depth", "op", "rows")
   }
+
+  /** SAMPLE-RATIO-MISMATCH gate — the first health check every
+    * experiment platform runs before reading ANY metric: if the
+    * hash-assigned arms don't split 50/50 within chi-square noise, the
+    * assignment or logging pipeline is broken and every downstream
+    * readout is invalid. Arm = parity of the first md5 hex digit of
+    * the unit id (the same deterministic-hash discipline as
+    * pipe_split — no RNG, replayable on any engine); χ² against the
+    * expected even split collapses to (nₐ−n_b)²/(nₐ+n_b); flagged at
+    * the 5% critical value 3.841. One distinct-unit pass, 1-row
+    * output. */
+  def srmCheck(events: DataFrame): DataFrame = {
+    val arm = (conv(substring(md5(col("user_id").cast("string")), 1, 1),
+      16, 10).cast("long") % 2).as("arm")
+    events.select(col("user_id")).distinct()
+      .select(arm)
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        round((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")) /
+          (col("n_a") + col("n_b")).cast("double"), 6).as("chi2"),
+        (((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")))
+          .cast("double") / (col("n_a") + col("n_b")) > 3.841)
+          .as("srm_flag"))
+  }
 }

@@ -1704,6 +1704,46 @@ object Stats {
         col("c"), col("survival"))
   }
 
+  /** FIXED-EFFECT META-ANALYSIS of the daily click-vs-view mean gap —
+    * the stratified experiment readout: each day is an independent
+    * stratum with its own effect dᵢ = x̄ᵢ−ȳᵢ and variance
+    * se²ᵢ = s²ₓ/nₓ + s²ᵧ/nᵧ (Welch), pooled by inverse-variance
+    * weights; Cochran's Q = Σwᵢ(dᵢ−d̄)² and I² = max(0, (Q−k+1)/Q)
+    * say whether one pooled number is even honest (high I²: the
+    * effect moves day to day — report strata, not the pool).
+    * One conditional-moment pass to the days-sized stratum frame
+    * (weights rounded 6dp so both engines pool identically), one
+    * rollup. */
+  def metaAnalysis(events: DataFrame, typeA: String = "click",
+                   typeB: String = "view"): DataFrame = {
+    val daily = events.filter(col("event_type").isin(typeA, typeB))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        count(when(col("event_type") === typeA, 1)).as("na"),
+        avg(when(col("event_type") === typeA, col("value"))).as("ma"),
+        var_samp(when(col("event_type") === typeA, col("value"))).as("va"),
+        count(when(col("event_type") === typeB, 1)).as("nb"),
+        avg(when(col("event_type") === typeB, col("value"))).as("mb"),
+        var_samp(when(col("event_type") === typeB, col("value"))).as("vb"))
+      .filter(col("na") > 1 && col("nb") > 1)
+      .select(col("day"), round(col("ma") - col("mb"), 6).as("d"),
+        round(lit(1.0) /
+          (col("va") / col("na") + col("vb") / col("nb")), 6).as("w"))
+    daily.agg(count(lit(1)).as("k"),
+      sum(col("w") * col("d")).as("swd"), sum("w").as("sw"),
+      sum(col("w") * col("d") * col("d")).as("swd2"))
+      .select(col("k"),
+        round(col("swd") / col("sw"), 6).as("pooled_effect"),
+        round(sqrt(lit(1.0) / col("sw")), 6).as("pooled_se"),
+        round(col("swd2") - col("swd") * col("swd") / col("sw"), 4)
+          .as("q_het"),
+        round(greatest(lit(0.0),
+          (col("swd2") - col("swd") * col("swd") / col("sw") -
+            col("k") + 1) /
+            nullif(col("swd2") - col("swd") * col("swd") / col("sw"),
+              lit(0.0))), 6).as("i2"))
+  }
+
   /** CUPED variance reduction (controlled-experiment pre-period
     * adjustment): each user's post-period metric Y is debiased by their
     * own pre-period covariate X — Y' = Y − θ(X − X̄), θ = cov/var —

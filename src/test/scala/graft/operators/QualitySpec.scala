@@ -377,6 +377,29 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("srmCheck: md5-split ids pass; a parity-biased id set trips the gate") {
+    import spark.implicits._
+    def armOf(id: Long): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      ((d(0) >> 4) & 0xf) % 2
+    }
+    def ev(ids: Seq[Long]) = ids.map(i => (i, "click", 1.0))
+      .toDF("user_id", "event_type", "value")
+    val ok = Quality.srmCheck(ev(0L until 1000L)).collect().head
+    assert(ok.getAs[Long]("n_a") + ok.getAs[Long]("n_b") == 1000L)
+    assert(!ok.getAs[Boolean]("srm_flag"),
+      s"an honest hash split must pass: $ok")
+    // hand-pick 190 arm-0 ids and 10 arm-1 ids: chi2 = 180²/200 = 162
+    val biased = (0L until 10000L).filter(armOf(_) == 0).take(190) ++
+      (0L until 10000L).filter(armOf(_) == 1).take(10)
+    val bad = Quality.srmCheck(ev(biased)).collect().head
+    assert(bad.getAs[Long]("n_a") == 190L && bad.getAs[Long]("n_b") == 10L,
+      s"test harness must agree with the engine's arm hash: $bad")
+    assert(bad.getAs[Boolean]("srm_flag") &&
+      bad.getAs[Double]("chi2") == 162.0, s"$bad")
+  }
+
   test("padEfficiency: exact-fit buckets waste 0; the baseline charges the global max") {
     import spark.implicits._
     // 4 docs of exactly 32 tokens (zero waste in the 32-bucket) and

@@ -698,6 +698,29 @@ class StatsSpec extends SparkSpec {
       ba.getAs[Double]("loa_upper") == -5.0)
   }
 
+  test("metaAnalysis: constant effect pools exactly, flip-flopping days blow up I2") {
+    import spark.implicits._
+    def ev(eff: Int => Double) = (0 until 10).flatMap { day =>
+      (0 until 20).flatMap { i =>
+        val noise = if (i % 2 == 0) 0.5 else -0.5
+        Seq((day * 86400L + i * 60L, "click", 10.0 + eff(day) + noise),
+          (day * 86400L + i * 60L, "view", 10.0 - noise))
+      }
+    }.toDF("s", "event_type", "value")
+      .select(timestamp_seconds(col("s")).as("ts"), col("event_type"),
+        col("value"))
+    val const = Stats.metaAnalysis(ev(_ => 2.0)).collect().head
+    assert(const.getAs[Long]("k") == 10)
+    assert(const.getAs[Double]("pooled_effect") == 2.0, s"$const")
+    assert(const.getAs[Double]("i2") == 0.0,
+      s"identical strata must show zero heterogeneity: $const")
+    val flip = Stats.metaAnalysis(
+      ev(day => if (day % 2 == 0) 2.0 else -2.0)).collect().head
+    assert(math.abs(flip.getAs[Double]("pooled_effect")) < 0.01)
+    assert(flip.getAs[Double]("i2") > 0.8,
+      s"day-flipping effect must scream heterogeneity: $flip")
+  }
+
   test("cuped: correlated pre-period soaks up variance; independent covariate buys ~0") {
     import spark.implicits._
     val jan10 = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
