@@ -144,6 +144,24 @@ object SparkEntry {
     * l_orderkey band, so the manifest actually skips. */
   private val manifestLakeCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** Bloom-manifest lake: clustered on l_quantity so the point-lookup
+    * key (l_orderkey) sprays across every file — exactly the layout
+    * where min/max skipping is useless and only the Bloom prunes. */
+  private val bloomLakeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def bloomLake(s: SparkSession, d: String): (String, String) =
+    bloomLakeCache.computeIfAbsent(d, dir => {
+      import org.apache.spark.sql.functions.col
+      val data = scratch(dir, "bloom_lineitem")
+      val meta = scratch(dir, "bloom_lineitem_meta")
+      Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .repartitionByRange(8, col("l_quantity"))
+        .write.mode("overwrite").parquet(data)
+      sources.Lake.buildBloomManifest(s, data, meta, "l_orderkey")
+      (data, meta)
+    })
   private def manifestLake(s: SparkSession, d: String): (String, String) =
     manifestLakeCache.computeIfAbsent(d, dir => {
       import org.apache.spark.sql.functions.col
@@ -440,6 +458,8 @@ object SparkEntry {
     "st_cuped" -> ((s, d) => Stats.cuped(Tables.events(s, d))),
     "st_meta" -> ((s, d) => Stats.metaAnalysis(Tables.events(s, d))),
     "dq_srm" -> ((s, d) => Quality.srmCheck(Tables.events(s, d))),
+    "ml_lift" -> ((s, d) =>
+      TextAnalysis.liftTable(Tables.documents(s, d))),
     "ts_conformal" -> ((s, d) =>
       Resample.conformalInterval(Tables.events(s, d))),
     "st_boxcox" -> ((s, d) => Stats.boxCoxScan(Tables.events(s, d))),
@@ -860,6 +880,10 @@ object SparkEntry {
           "l_orderkey", 1000L, 2000L)
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+    }),
+    "src_bloom_skip" -> ((s, d) => {
+      val (data, meta) = bloomLake(s, d)
+      sources.Lake.bloomPrunedLookup(s, data, meta, "l_orderkey", 1500L)
     }),
     "src_orc_roundtrip" -> ((s, d) =>
       sources.Lake.orcRoundtrip(s, Tables.customer(s, d), scratch(d, "orc_customer"))),
@@ -3865,6 +3889,36 @@ object SparkEntry {
            CAST(count(*) OVER (PARTITION BY word) AS BIGINT)
              AS n_days_sharing
          FROM words ORDER BY day""",
+    "src_bloom_skip" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity
+         FROM lineitem WHERE l_orderkey = 1500""",
+    "ml_lift" ->
+      """WITH s AS (SELECT doc_id,
+             round(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                 / length(text) * 0.5
+               + len(list_filter(string_split(text, ' '),
+                   x -> x IN ('the', 'a')))
+                 / len(string_split(text, ' ')) * 0.3
+               + least(1.0, len(string_split(text, ' ')) / 100.0) * 0.2,
+               6) AS q,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+           FROM documents),
+         d AS (SELECT ntile(10) OVER (ORDER BY q DESC, doc_id)
+             AS decile, pos FROM s),
+         p AS (SELECT decile, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pos) AS BIGINT) AS n_pos
+           FROM d GROUP BY 1),
+         g AS (SELECT CAST(sum(n) AS BIGINT) AS gn,
+             CAST(sum(n_pos) AS BIGINT) AS gp FROM p)
+         SELECT decile, n, n_pos,
+           round(CAST(n_pos AS DOUBLE) / n
+             / (CAST(gp AS DOUBLE) / gn), 6) AS lift,
+           round(CAST(sum(n_pos) OVER w AS DOUBLE) / sum(n) OVER w
+             / (CAST(gp AS DOUBLE) / gn), 6) AS cum_lift
+         FROM p CROSS JOIN g
+         WINDOW w AS (ORDER BY decile
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY decile""",
     "st_meta" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
              count(CASE WHEN event_type = 'click' THEN 1 END) AS na,

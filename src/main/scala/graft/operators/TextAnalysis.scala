@@ -840,6 +840,38 @@ object TextAnalysis {
     pred.groupBy("true_lang", "pred_lang").agg(count(lit(1)).as("n"))
   }
 
+  /** LIFT / CUMULATIVE-GAINS table for a document score — "if I only
+    * keep the top decile by quality, how much richer in the target
+    * class is it than a random slice" (the eval artifact behind every
+    * threshold-picking meeting; st_avg_precision integrates the curve,
+    * this TABLE is what gets argued over). Deciles come from ntile
+    * over the fully-ordered (score desc, doc_id) ranking — ties cannot
+    * wander between engines — and lift = decile positive rate / base
+    * rate, with the cumulative variant (top-k deciles pooled) riding a
+    * running-sum window over the 10-row frame. */
+  def liftTable(documents: DataFrame, positiveLang: String = "en")
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = documents.select(
+      round(qualityScore(col("text")), 6).as("q"), col("doc_id"),
+      when(col("lang") === positiveLang, 1L).otherwise(0L).as("pos"))
+      .withColumn("decile", ntile(10).over(
+        Window.orderBy(col("q").desc, col("doc_id"))))
+    val perDecile = scored.groupBy("decile")
+      .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"))
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    perDecile
+      .crossJoin(broadcast(perDecile.agg(
+        sum("n").as("gn"), sum("n_pos").as("gp"))))
+      .select(col("decile"), col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n") /
+          (col("gp").cast("double") / col("gn")), 6).as("lift"),
+        round(sum("n_pos").over(w).cast("double") / sum("n").over(w) /
+          (col("gp").cast("double") / col("gn")), 6).as("cum_lift"))
+      .orderBy("decile")
+  }
+
   /** PADDING-EFFICIENCY report for length-bucketed batch inference —
     * the serving-side complement of [[packSequences]] (training packs
     * sequences back-to-back; inference pads every sequence in a batch

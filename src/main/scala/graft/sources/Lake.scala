@@ -165,6 +165,62 @@ object Lake {
     base.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
   }
 
+  /** Per-file BLOOM manifest for POINT lookups on a high-cardinality
+    * long key — the skipping primitive min/max ranges can't provide:
+    * after a z-order or range clustering on OTHER columns, a point key
+    * is sprayed across files and every [min,max] straddles it, but a
+    * per-file Bloom answers "this file cannot contain key K" exactly
+    * k-hashes deep (Delta's bloom filter index / ORC bloom analog,
+    * rebuilt on plain parquet).
+    *
+    * Representation: per file, the SORTED DISTINCT bit positions set by
+    * its keys (k positions per key, `pmod(xxhash64(key, seed), bits)`)
+    * — an int array bounded by `bits` regardless of row count, exact to
+    * query because membership is array containment of the probe's own
+    * k positions. All hashing runs through the engine's `xxhash64`
+    * Column (codegen'd, and the probe re-derives positions through the
+    * SAME expression — no reimplementation to drift). One scan, one
+    * per-file rollup, manifest is one tiny file. False positives cost
+    * one extra file read; false negatives are impossible
+    * (spec-locked: pruned lookup ≡ full-scan filter on every probe). */
+  def buildBloomManifest(spark: SparkSession, dataDir: String,
+                         manifestDir: String, keyCol: String,
+                         bits: Int = 8192, k: Int = 4): Unit = {
+    val pos = (0 until k).map(i =>
+      pmod(xxhash64(col(keyCol), lit(i)), lit(bits)).cast("int"))
+    spark.read.parquet(dataDir)
+      .select(input_file_name().as("file"),
+        explode(array(pos: _*)).as("p"))
+      .groupBy("file")
+      .agg(sort_array(collect_set(col("p"))).as("positions"),
+        count(lit(1)).as("n_bits_set"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(manifestDir)
+  }
+
+  /** Bloom-pruned point lookup: derive the probe key's k positions
+    * through the same engine expression the build used, keep only
+    * files whose position set contains ALL of them (driver-side over
+    * the files-sized manifest — the same bounded collect every
+    * lakehouse planner does), and re-apply the exact predicate on the
+    * surviving files. */
+  def bloomPrunedLookup(spark: SparkSession, dataDir: String,
+                        manifestDir: String, keyCol: String, key: Long,
+                        bits: Int = 8192, k: Int = 4): DataFrame = {
+    val probe = spark.range(1).select((0 until k).map(i =>
+      pmod(xxhash64(lit(key), lit(i)), lit(bits)).cast("int").as(s"p$i"))
+      : _*).collect().head
+    val positions = (0 until k).map(probe.getInt)
+    val files = spark.read.parquet(manifestDir)
+      .filter(positions.map(p => array_contains(col("positions"), p))
+        .reduce(_ && _))
+      .select("file").collect().map(_.getString(0))
+    val base =
+      if (files.isEmpty) spark.read.parquet(dataDir).filter(lit(false))
+      else spark.read.parquet(files.toIndexedSeq: _*)
+    base.filter(col(keyCol) === lit(key))
+  }
+
   /** Z-order clustered rewrite — sort rows along the bit-interleaved
     * (Morton) curve of two numeric columns so parquet footer min/max
     * stats become selective on BOTH dimensions at once (the lakehouse

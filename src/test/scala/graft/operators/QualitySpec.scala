@@ -377,6 +377,27 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("liftTable: score-aligned class doubles top-decile lift; cum_lift ends at 1") {
+    import spark.implicits._
+    // stopword share i/100 makes quality STRICTLY monotone in id (the
+    // letters-ratio term also rises with it, the length term is
+    // constant); ids 50..99 are 'en' → top half pure positive
+    val docs = (0 until 100).map { i =>
+      val text = (Seq.fill(i)("the") ++ Seq.fill(100 - i)("zz"))
+        .mkString(" ")
+      (i.toLong, if (i >= 50) "en" else "de", text)
+    }.toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.liftTable(docs).collect()
+      .map(r => r.getAs[Int]("decile") ->
+        ((r.getAs[Long]("n_pos"), r.getAs[Double]("lift"),
+          r.getAs[Double]("cum_lift")))).toMap
+    assert(out.size == 10)
+    (1 to 5).foreach(d => assert(out(d) == ((10L, 2.0, 2.0)),
+      s"pure-positive decile $d: ${out(d)}"))
+    (6 to 10).foreach(d => assert(out(d)._1 == 0L && out(d)._2 == 0.0))
+    assert(out(10)._3 == 1.0, "pooling everything must land at base rate")
+  }
+
   test("srmCheck: md5-split ids pass; a parity-biased id set trips the gate") {
     import spark.implicits._
     def armOf(id: Long): Int = {

@@ -135,6 +135,38 @@ class LakeSpec extends SparkSpec {
     assert(back == Map(1L -> "plain words", 2L -> "has\ta\ttab", 3L -> ""))
   }
 
+  test("bloom manifest: point lookup prunes files with zero false negatives") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = s"/root/repo/target/graft_io/bloom_${System.nanoTime()}"
+    // cluster on v so the key sprays: every file's key [min,max]
+    // straddles, min/max skipping would keep all 8 files
+    (0L until 4000L).map(i => (i % 500, i))
+      .toDF("k", "v")
+      .repartitionByRange(8, col("v"))
+      .write.parquet(s"$dir/data")
+    Lake.buildBloomManifest(spark, s"$dir/data", s"$dir/meta", "k")
+    val full = spark.read.parquet(s"$dir/data")
+    // every probed key returns EXACTLY the full-scan answer (no false
+    // negatives, pruning is only ever an optimization)
+    for (key <- Seq(0L, 123L, 499L)) {
+      val pruned = Lake.bloomPrunedLookup(spark, s"$dir/data",
+        s"$dir/meta", "k", key)
+      val exact = full.filter(col("k") === key)
+        .collect().map(_.getLong(1)).sorted.toSeq
+      assert(pruned.collect().map(_.getLong(1)).sorted.toSeq == exact,
+        s"key $key: pruned lookup diverged from the full scan")
+    }
+    // a key outside the domain: the bloom should drop (almost) every
+    // file; with 8192 bits and ~2000 set, all-8-files survival of 4
+    // independent probes is astronomically unlikely
+    val miss = Lake.bloomPrunedLookup(spark, s"$dir/data", s"$dir/meta",
+      "k", 999999L)
+    assert(miss.count() == 0)
+    assert(miss.inputFiles.length < full.inputFiles.length,
+      "absent key must prune at least one file")
+  }
+
   test("deletion vectors: merge-on-read delete never touches data files") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
