@@ -198,6 +198,32 @@ object Lake {
       .write.mode(SaveMode.Overwrite).parquet(manifestDir)
   }
 
+  /** Incremental Bloom-manifest maintenance — the append path, same
+    * contract as [[updateManifest]]: hash ONLY the data files the
+    * manifest does not know yet and append their position rows (no
+    * rewrite of existing manifest entries). Per-batch cost is the
+    * fresh files' scan, never history. */
+  def updateBloomManifest(spark: SparkSession, dataDir: String,
+                          manifestDir: String, keyCol: String,
+                          bits: Int = 8192, k: Int = 4): Int = {
+    val known = spark.read.parquet(manifestDir)
+      .select("file").collect().map(_.getString(0)).toSet
+    val fresh = spark.read.parquet(dataDir).inputFiles.filterNot(known)
+    if (fresh.nonEmpty) {
+      val pos = (0 until k).map(i =>
+        pmod(xxhash64(col(keyCol), lit(i)), lit(bits)).cast("int"))
+      spark.read.parquet(fresh.toIndexedSeq: _*)
+        .select(input_file_name().as("file"),
+          explode(array(pos: _*)).as("p"))
+        .groupBy("file")
+        .agg(sort_array(collect_set(col("p"))).as("positions"),
+          count(lit(1)).as("n_bits_set"))
+        .coalesce(1)
+        .write.mode(SaveMode.Append).parquet(manifestDir)
+    }
+    fresh.length
+  }
+
   /** Bloom-pruned point lookup: derive the probe key's k positions
     * through the same engine expression the build used, keep only
     * files whose position set contains ALL of them (driver-side over

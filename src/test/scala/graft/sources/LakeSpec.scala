@@ -165,6 +165,19 @@ class LakeSpec extends SparkSpec {
     assert(miss.count() == 0)
     assert(miss.inputFiles.length < full.inputFiles.length,
       "absent key must prune at least one file")
+
+    // append path: a new batch carrying a brand-new key is statted
+    // incrementally (only the fresh files), and the lookup finds it
+    Seq((7777L, -1L), (7777L, -2L)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(s"$dir/data")
+    val freshBefore = Lake.updateBloomManifest(spark, s"$dir/data",
+      s"$dir/meta", "k")
+    assert(freshBefore == 1, s"exactly the appended file: $freshBefore")
+    assert(Lake.updateBloomManifest(spark, s"$dir/data", s"$dir/meta",
+      "k") == 0, "re-running must stat nothing")
+    val found = Lake.bloomPrunedLookup(spark, s"$dir/data", s"$dir/meta",
+      "k", 7777L)
+    assert(found.collect().map(_.getLong(1)).sorted.toSeq == Seq(-2L, -1L))
   }
 
   test("deletion vectors: merge-on-read delete never touches data files") {
