@@ -1352,6 +1352,8 @@ object SparkEntry {
     "dq_observe" -> ((s, d) => Quality.observedProfile(Tables.events(s, d))),
     "gr_degree" -> ((s, d) => Graph.degreeHistogram(coPurchaseEdges(s, d))),
     "gr_powerlaw" -> ((s, d) => Graph.powerLawFit(coPurchaseEdges(s, d))),
+    "gr_diameter" -> ((s, d) =>
+      Graph.diameterEstimate(repeatBusinessEdges(s, d, 2))),
     "gr_hits" -> ((s, d) =>
       Graph.hits(repeatBusinessDirected(s, d, 2), iterations = 3)),
     "gr_random_walks" -> ((s, d) =>
@@ -1860,6 +1862,35 @@ object SparkEntry {
              WHERE w.d < 4),
          dist AS (SELECT node, min(d) AS dist FROM walk GROUP BY node)
          SELECT dist, count(*) AS n_nodes FROM dist GROUP BY dist""",
+    "gr_diameter" ->
+      """WITH RECURSIVE p AS (SELECT o_custkey AS a,
+             l_suppkey + 1000000000 AS b
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           GROUP BY 1, 2 HAVING count(DISTINCT o_orderkey) >= 2),
+         e AS (SELECT a AS src, b AS dst FROM p
+           UNION ALL SELECT b, a FROM p),
+         nd AS (SELECT DISTINCT src AS node FROM e),
+         lmk AS (SELECT node FROM nd
+           ORDER BY md5(CAST(node AS VARCHAR)), node LIMIT 8),
+         walk(node, lm, d) AS (
+           SELECT node, node, 0 FROM lmk
+           UNION
+           SELECT e.dst, w.lm, w.d + 1 FROM walk w JOIN e ON w.node = e.src
+             WHERE w.d < 6),
+         dist AS (SELECT node, lm, min(d) AS dist FROM walk
+           GROUP BY 1, 2 HAVING min(d) > 0),
+         bd AS (SELECT dist, CAST(count(*) AS BIGINT) AS c
+           FROM dist GROUP BY 1),
+         cu AS (SELECT dist, c,
+             sum(c) OVER (ORDER BY dist
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(c) OVER () AS tot
+           FROM bd)
+         SELECT CAST(max(tot) AS BIGINT) AS reached_pairs,
+           CAST(max(dist) AS INTEGER) AS diameter_lb,
+           CAST(min(CASE WHEN cum * 10 >= tot * 9 THEN dist END)
+             AS INTEGER) AS eff_diameter_90
+         FROM cu""",
     "gr_closeness" ->
       """WITH RECURSIVE p AS (SELECT o_custkey AS a,
              l_suppkey + 1000000000 AS b

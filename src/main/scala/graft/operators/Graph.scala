@@ -462,8 +462,13 @@ object Graph {
     * set is picked by a PORTABLE md5 hash-order (top-L of md5(node)) so
     * the DuckDB oracle selects the identical pivots. Top-k output is
     * TakeOrdered-sized. */
-  def harmonicCentrality(edges: DataFrame, nLandmarks: Int = 8,
-                         maxDepth: Int = 6, topK: Int = 20): DataFrame = {
+  /** Multi-landmark BFS distances — the shared frontier loop behind
+    * [[harmonicCentrality]] and [[diameterEstimate]]: md5-pivoted
+    * landmarks, per-round frontier⋈edges on the pre-partitioned edge
+    * frame (only the frontier ever moves), settled (node, lm, dist)
+    * out. */
+  private def landmarkDistances(edges: DataFrame, nLandmarks: Int,
+                                maxDepth: Int): DataFrame = {
     val ed = edges.select("src", "dst").distinct()
       .repartition(col("src")).localCheckpoint(true)
     val nodes = ed.select(col("src").as("node"))
@@ -489,12 +494,44 @@ object Graph {
         frontierSize = frontier.count()
       }
     }
-    settled.filter(col("dist") > 0)
+    settled
+  }
+
+  def harmonicCentrality(edges: DataFrame, nLandmarks: Int = 8,
+                         maxDepth: Int = 6, topK: Int = 20): DataFrame =
+    landmarkDistances(edges, nLandmarks, maxDepth)
+      .filter(col("dist") > 0)
       .groupBy("node")
       .agg(count(lit(1)).as("n_lm"),
         round(sum(lit(1.0) / col("dist")), 6).as("harmonic"))
       .orderBy(desc("harmonic"), asc("node"))
       .limit(topK)
+
+  /** DIAMETER and EFFECTIVE-DIAMETER estimate from landmark BFS — the
+    * "how many hops apart is this graph" number that sizes iterative
+    * algorithms (pointer-doubling rounds, BFS depth caps, LPA rounds):
+    * the max landmark eccentricity is a LOWER bound on the true
+    * diameter (exact all-pairs is O(V·E) — landmarks are the standard
+    * estimate), and the 90th-percentile distance (the "effective
+    * diameter") is the robust small-world number reported in the graph
+    * literature. The percentile is an exact integer rank over the
+    * settled (node, lm) distance multiset — distances are small ints,
+    * so it collapses to a cumulative count over a depth-sized frame,
+    * engine-exact. */
+  def diameterEstimate(edges: DataFrame, nLandmarks: Int = 8,
+                       maxDepth: Int = 6): DataFrame = {
+    val settled = landmarkDistances(edges, nLandmarks, maxDepth)
+      .filter(col("dist") > 0)
+    val byDist = settled.groupBy("dist").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("dist")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    byDist
+      .withColumn("cum", sum("c").over(w))
+      .crossJoin(broadcast(byDist.agg(sum("c").as("tot"))))
+      .agg(max("tot").as("reached_pairs"),
+        max("dist").as("diameter_lb"),
+        min(when(col("cum") * 10 >= col("tot") * 9, col("dist")))
+          .as("eff_diameter_90"))
   }
 
   /** Connected-component size histogram of an edge list — the general

@@ -243,6 +243,17 @@ class GraphSpec extends SparkSpec {
       s"degree-2 tail must fit steeper than the degree-5 hub: $rp vs $r")
   }
 
+  test("diameterEstimate: path graph has known eccentricities and 90% distance") {
+    // path 1-2-3-4-5, ≤8 nodes → every node is a landmark: distance
+    // multiset is exact (8×d1, 6×d2, 4×d3, 2×d4) → diameter 4, and the
+    // 90th percentile rank (18 of 20) lands on distance 3
+    val path = undirected((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val r = Graph.diameterEstimate(path).collect().head
+    assert(r.getAs[Long]("reached_pairs") == 20L, s"$r")
+    assert(r.getAs[Int]("diameter_lb") == 4, s"$r")
+    assert(r.getAs[Int]("eff_diameter_90") == 3, s"$r")
+  }
+
   test("randomWalks: every hop is an edge, walks replay exactly, branches diverge") {
     import spark.implicits._
     // complete bipartite {1,2,3}×{10,11,12}, symmetrized
