@@ -1354,6 +1354,17 @@ object SparkEntry {
     "gr_powerlaw" -> ((s, d) => Graph.powerLawFit(coPurchaseEdges(s, d))),
     "gr_diameter" -> ((s, d) =>
       Graph.diameterEstimate(repeatBusinessEdges(s, d, 2))),
+    "gr_reciprocity" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      // customer→supplier at ≥2 shared orders; the supplier only
+      // "reciprocates" at ≥3 — reciprocity is the ≥3 share, exactly
+      val fwd = repeatBusinessDirected(s, d, 2)
+      val back = repeatBusinessDirected(s, d, 3)
+        .select(col("dst").as("src"), col("src").as("dst"))
+      Graph.reciprocity(fwd.unionByName(back))
+    }),
+    "st_hll_intersect" -> ((s, d) =>
+      Stats.hllIntersect(Tables.events(s, d))),
     "gr_hits" -> ((s, d) =>
       Graph.hits(repeatBusinessDirected(s, d, 2), iterations = 3)),
     "gr_random_walks" -> ((s, d) =>
@@ -1862,6 +1873,23 @@ object SparkEntry {
              WHERE w.d < 4),
          dist AS (SELECT node, min(d) AS dist FROM walk GROUP BY node)
          SELECT dist, count(*) AS n_nodes FROM dist GROUP BY dist""",
+    "gr_reciprocity" ->
+      """WITH p2 AS (SELECT o_custkey AS a, l_suppkey + 1000000000 AS b
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           GROUP BY 1, 2 HAVING count(DISTINCT o_orderkey) >= 2),
+         p3 AS (SELECT o_custkey AS a, l_suppkey + 1000000000 AS b
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           GROUP BY 1, 2 HAVING count(DISTINCT o_orderkey) >= 3),
+         e AS (SELECT a AS src, b AS dst FROM p2
+           UNION ALL SELECT b, a FROM p3),
+         f AS (SELECT e.src, e.dst,
+             CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END AS rev
+           FROM e LEFT JOIN (SELECT dst AS src, src AS dst FROM e) r
+             ON e.src = r.src AND e.dst = r.dst)
+         SELECT CAST(count(*) AS BIGINT) AS n_edges,
+           CAST(sum(rev) AS BIGINT) AS n_mutual,
+           round(CAST(sum(rev) AS DOUBLE) / count(*), 6) AS reciprocity
+         FROM f""",
     "gr_diameter" ->
       """WITH RECURSIVE p AS (SELECT o_custkey AS a,
              l_suppkey + 1000000000 AS b

@@ -63,6 +63,24 @@ object Graph {
       .groupBy("src").agg(count(lit(1)).as("degree"))
       .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
 
+  /** RECIPROCITY of a directed edge list — the share of edges whose
+    * reverse also exists ("is attention returned": mutual follows,
+    * two-way trade). A left-semi self-join on the swapped key pair —
+    * one equi-join on (src,dst), no counting matrix — then two scalar
+    * counts folded into one rollup via a flag column. */
+  def reciprocity(edges: DataFrame): DataFrame = {
+    val e = edges.select("src", "dst").distinct()
+    val flagged = e.join(
+      e.select(col("dst").as("src"), col("src").as("dst"))
+        .withColumn("__rev", lit(1)),
+      Seq("src", "dst"), "left")
+    flagged.agg(count(lit(1)).as("n_edges"),
+      sum(coalesce(col("__rev"), lit(0))).as("n_mutual"))
+      .select(col("n_edges"), col("n_mutual"),
+        round(col("n_mutual").cast("double") / col("n_edges"), 6)
+          .as("reciprocity"))
+  }
+
   /** POWER-LAW TAIL EXPONENT of the degree distribution — the Hill
     * maximum-likelihood estimator with Clauset's discrete −½ offset:
     * α̂ = 1 + n/Σ ln(dᵢ/(d_min−½)) over nodes with degree ≥ d_min.

@@ -1704,6 +1704,40 @@ object Stats {
         col("c"), col("survival"))
   }
 
+  /** HLL AUDIENCE-OVERLAP estimate — |A∩B| by inclusion–exclusion over
+    * three mergeable sketches (|A|+|B|−|A∪B|): the overlap question
+    * ("how many users both click and purchase") answered WITHOUT a
+    * user-grain shuffle — each HLL partial-aggregates map-side and
+    * merges associatively, so the same three sketches can live in a
+    * per-day store and answer any date-range overlap by merge
+    * ([[approxDistinct]]'s set-algebra face). The exact intersection
+    * (one user-grain pass) rides alongside as the measured-error
+    * column — at 100 TB you'd sample it; here it's the honesty check
+    * the spec bounds. */
+  def hllIntersect(events: DataFrame, typeA: String = "click",
+                   typeB: String = "purchase",
+                   rsd: Double = 0.02): DataFrame = {
+    val inA = col("event_type") === typeA
+    val inB = col("event_type") === typeB
+    val sketches = events.filter(inA || inB).agg(
+      approx_count_distinct(when(inA, col("user_id")), rsd).as("ca"),
+      approx_count_distinct(when(inB, col("user_id")), rsd).as("cb"),
+      approx_count_distinct(col("user_id"), rsd).as("cu"))
+    val exact = events.filter(inA || inB)
+      .groupBy("user_id")
+      .agg(max(inA).as("a"), max(inB).as("b"))
+      .filter(col("a") && col("b"))
+      .agg(count(lit(1)).as("exact_intersection"))
+    sketches.crossJoin(exact)
+      .select(col("ca").as("est_a"), col("cb").as("est_b"),
+        (col("ca") + col("cb") - col("cu")).as("est_intersection"),
+        col("exact_intersection"),
+        round(abs(col("ca") + col("cb") - col("cu") -
+          col("exact_intersection")).cast("double") /
+          nullif(col("exact_intersection").cast("double"), lit(0.0)), 6)
+          .as("rel_err"))
+  }
+
   /** FIXED-EFFECT META-ANALYSIS of the daily click-vs-view mean gap —
     * the stratified experiment readout: each day is an independent
     * stratum with its own effect dᵢ = x̄ᵢ−ȳᵢ and variance

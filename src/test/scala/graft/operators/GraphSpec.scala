@@ -243,6 +243,16 @@ class GraphSpec extends SparkSpec {
       s"degree-2 tail must fit steeper than the degree-5 hub: $rp vs $r")
   }
 
+  test("reciprocity: mutual pair counts both directions, one-way edge counts none") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 3L)) // dup ignored
+      .toDF("src", "dst")
+    val r = Graph.reciprocity(e).collect().head
+    assert(r.getAs[Long]("n_edges") == 3L &&
+      r.getAs[Long]("n_mutual") == 2L, s"$r")
+    assert(math.abs(r.getAs[Double]("reciprocity") - 2.0 / 3) < 1e-6)
+  }
+
   test("diameterEstimate: path graph has known eccentricities and 90% distance") {
     // path 1-2-3-4-5, ≤8 nodes → every node is a landmark: distance
     // multiset is exact (8×d1, 6×d2, 4×d3, 2×d4) → diameter 4, and the

@@ -698,6 +698,18 @@ class StatsSpec extends SparkSpec {
       ba.getAs[Double]("loa_upper") == -5.0)
   }
 
+  test("hllIntersect: inclusion-exclusion estimate lands near the exact overlap") {
+    import spark.implicits._
+    // clickers 0..999, purchasers 500..1499 → exact overlap 500
+    val ev = ((0L until 1000L).map(u => (u, "click", 1.0)) ++
+      (500L until 1500L).map(u => (u, "purchase", 1.0)))
+      .toDF("user_id", "event_type", "value")
+    val r = Stats.hllIntersect(ev).collect().head
+    assert(r.getAs[Long]("exact_intersection") == 500L, s"$r")
+    assert(r.getAs[Double]("rel_err") < 0.1,
+      s"inclusion-exclusion at rsd=0.02 must land within 10%: $r")
+  }
+
   test("metaAnalysis: constant effect pools exactly, flip-flopping days blow up I2") {
     import spark.implicits._
     def ev(eff: Int => Double) = (0 until 10).flatMap { day =>
