@@ -1349,6 +1349,10 @@ object SparkEntry {
       val e = coPurchaseEdges(s, d)
       Graph.modularity(e, Graph.labelPropagation(e))
     }),
+    "gr_conductance" -> ((s, d) => {
+      val e = coPurchaseEdges(s, d)
+      Graph.conductance(e, Graph.labelPropagation(e))
+    }),
     "dq_observe" -> ((s, d) => Quality.observedProfile(Tables.events(s, d))),
     "gr_degree" -> ((s, d) => Graph.degreeHistogram(coPurchaseEdges(s, d))),
     "gr_powerlaw" -> ((s, d) => Graph.powerLawFit(coPurchaseEdges(s, d))),
@@ -2173,6 +2177,42 @@ object SparkEntry {
              row_number() OVER (PARTITION BY dst
                ORDER BY c DESC, label) AS rn FROM a3) WHERE rn = 1)
          SELECT node, label FROM l3""",
+    "gr_conductance" ->
+      """WITH p AS (SELECT DISTINCT o_custkey AS a,
+             l_suppkey + 1000000000 AS b
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         e AS (SELECT a AS src, b AS dst FROM p
+           UNION ALL SELECT b, a FROM p),
+         l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+         a1 AS (SELECT e.dst, l.label, count(*) AS c
+           FROM e JOIN l0 l ON e.src = l.node GROUP BY 1, 2),
+         l1 AS (SELECT dst AS node, label FROM (SELECT dst, label,
+             row_number() OVER (PARTITION BY dst
+               ORDER BY c DESC, label) AS rn FROM a1) WHERE rn = 1),
+         a2 AS (SELECT e.dst, l.label, count(*) AS c
+           FROM e JOIN l1 l ON e.src = l.node GROUP BY 1, 2),
+         l2 AS (SELECT dst AS node, label FROM (SELECT dst, label,
+             row_number() OVER (PARTITION BY dst
+               ORDER BY c DESC, label) AS rn FROM a2) WHERE rn = 1),
+         a3 AS (SELECT e.dst, l.label, count(*) AS c
+           FROM e JOIN l2 l ON e.src = l.node GROUP BY 1, 2),
+         l3 AS (SELECT dst AS node, label FROM (SELECT dst, label,
+             row_number() OVER (PARTITION BY dst
+               ORDER BY c DESC, label) AS rn FROM a3) WHERE rn = 1),
+         j AS (SELECT ls.label AS cs, ld.label AS cd FROM e
+           JOIN l3 ls ON e.src = ls.node JOIN l3 ld ON e.dst = ld.node),
+         cagg AS (SELECT cs AS community,
+             CAST(count(*) AS BIGINT) AS vol,
+             CAST(sum(CASE WHEN cs = cd THEN 1 ELSE 0 END) AS BIGINT)
+               AS inside
+           FROM j GROUP BY 1),
+         t AS (SELECT CAST(sum(vol) AS BIGINT) AS m2 FROM cagg)
+         SELECT community, vol, vol - inside AS cut,
+           round(CAST(vol - inside AS DOUBLE)
+             / nullif(CAST(least(vol, m2 - vol) AS DOUBLE), 0), 6)
+             AS conductance
+         FROM cagg CROSS JOIN t
+         ORDER BY vol DESC, community LIMIT 10""",
     "gr_modularity" ->
       """WITH p AS (SELECT DISTINCT o_custkey AS a,
              l_suppkey + 1000000000 AS b

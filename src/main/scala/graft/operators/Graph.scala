@@ -63,6 +63,35 @@ object Graph {
       .groupBy("src").agg(count(lit(1)).as("degree"))
       .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
 
+  /** CONDUCTANCE per community — the per-community quality score
+    * [[modularity]]'s single global number hides: φ(C) = cut(C) /
+    * min(vol(C), 2m−vol(C)), low φ = a real community (few escaping
+    * edges), φ→1 = a label bag. Run over [[labelPropagation]]'s
+    * labels; the edge⋈labels joins are the SAME two equi-joins
+    * modularity pays (node-sized broadcast side), the rollup is
+    * community-sized, the global 2m rides a 1-row broadcast, top-K by
+    * volume via TakeOrdered. */
+  def conductance(edges: DataFrame, labels: DataFrame,
+                  topK: Int = 10): DataFrame = {
+    val e = edges.select("src", "dst").distinct()
+    val j = e
+      .join(labels.select(col("node").as("src"), col("label").as("cs")),
+        Seq("src"))
+      .join(labels.select(col("node").as("dst"), col("label").as("cd")),
+        Seq("dst"))
+    val perC = j.groupBy(col("cs").as("community"))
+      .agg(count(lit(1)).as("vol"),
+        sum(when(col("cs") === col("cd"), 1L).otherwise(0L)).as("inside"))
+    perC.crossJoin(broadcast(perC.agg(sum("vol").as("m2"))))
+      .select(col("community"), col("vol"),
+        (col("vol") - col("inside")).as("cut"),
+        round((col("vol") - col("inside")).cast("double") /
+          nullif(least(col("vol"), col("m2") - col("vol"))
+            .cast("double"), lit(0.0)), 6).as("conductance"))
+      .orderBy(desc("vol"), asc("community"))
+      .limit(topK)
+  }
+
   /** RECIPROCITY of a directed edge list — the share of edges whose
     * reverse also exists ("is attention returned": mutual follows,
     * two-way trade). A left-semi self-join on the swapped key pair —

@@ -243,6 +243,28 @@ class GraphSpec extends SparkSpec {
       s"degree-2 tail must fit steeper than the degree-5 hub: $rp vs $r")
   }
 
+  test("conductance: bridged triangles score 1/7 each; merged labels score 0") {
+    import spark.implicits._
+    val g = undirected((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    val twoLabels = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 4L), (5L, 4L), (6L, 4L)).toDF("node", "label")
+    val out = Graph.conductance(g, twoLabels).collect()
+      .map(r => r.getAs[Long]("community") ->
+        ((r.getAs[Long]("vol"), r.getAs[Long]("cut"),
+          r.getAs[Double]("conductance")))).toMap
+    // each triangle: vol 7 (one member touches the bridge), cut 1
+    assert(out == Map(
+      1L -> ((7L, 1L, math.floor(1.0 / 7 * 1e6 + 0.5) / 1e6)),
+      4L -> ((7L, 1L, math.floor(1.0 / 7 * 1e6 + 0.5) / 1e6))), s"$out")
+    // everything in ONE community: no escaping edges, denominator 0 →
+    // null-guarded, not 0/0
+    val one = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L),
+      (6L, 1L)).toDF("node", "label")
+    val whole = Graph.conductance(g, one).collect().head
+    assert(whole.getAs[Long]("cut") == 0L && whole.isNullAt(3), s"$whole")
+  }
+
   test("reciprocity: mutual pair counts both directions, one-way edge counts none") {
     import spark.implicits._
     val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 3L)) // dup ignored
