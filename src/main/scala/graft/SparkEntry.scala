@@ -1369,6 +1369,8 @@ object SparkEntry {
     }),
     "st_hll_intersect" -> ((s, d) =>
       Stats.hllIntersect(Tables.events(s, d))),
+    "st_capture_recapture" -> ((s, d) =>
+      Stats.captureRecapture(Tables.events(s, d))),
     "gr_hits" -> ((s, d) =>
       Graph.hits(repeatBusinessDirected(s, d, 2), iterations = 3)),
     "gr_random_walks" -> ((s, d) =>
@@ -1877,6 +1879,21 @@ object SparkEntry {
              WHERE w.d < 4),
          dist AS (SELECT node, min(d) AS dist FROM walk GROUP BY node)
          SELECT dist, count(*) AS n_nodes FROM dist GROUP BY dist""",
+    "st_capture_recapture" ->
+      """WITH f AS (SELECT user_id,
+             max(CASE WHEN ts < DATE '2024-01-08'
+               THEN 1 ELSE 0 END) AS in1,
+             max(CASE WHEN ts >= DATE '2024-01-08'
+               AND ts < DATE '2024-01-15' THEN 1 ELSE 0 END) AS in2
+           FROM events GROUP BY 1)
+         SELECT CAST(sum(in1) AS BIGINT) AS n1,
+           CAST(sum(in2) AS BIGINT) AS n2,
+           CAST(sum(in1 * in2) AS BIGINT) AS m,
+           CAST(count(*) AS BIGINT) AS seen_total,
+           round((sum(in1) + 1) * (sum(in2) + 1)
+             / CAST(sum(in1 * in2) + 1 AS DOUBLE) - 1.0, 2)
+             AS n_estimate
+         FROM f""",
     "gr_reciprocity" ->
       """WITH p2 AS (SELECT o_custkey AS a, l_suppkey + 1000000000 AS b
            FROM orders JOIN lineitem ON o_orderkey = l_orderkey

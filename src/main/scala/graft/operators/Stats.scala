@@ -1704,6 +1704,32 @@ object Stats {
         col("c"), col("survival"))
   }
 
+  /** CAPTURE–RECAPTURE population estimate (Chapman's corrected
+    * Lincoln–Petersen): two observation windows "mark" users, and the
+    * overlap rate sizes the UNSEEN population —
+    * N̂ = (n₁+1)(n₂+1)/(m+1) − 1. The estimator behind "how many users
+    * does this platform actually have when no window sees them all"
+    * (and, in pipeline terms, corpus-size estimation from two crawl
+    * snapshots). One pass collapses events to per-user window flags
+    * (map-side combined), one rollup of three exact integers, one
+    * division. */
+  def captureRecapture(events: DataFrame,
+                       w1End: String = "2024-01-08",
+                       w2End: String = "2024-01-15"): DataFrame = {
+    val (e1, e2) = (to_date(lit(w1End)), to_date(lit(w2End)))
+    val flags = events.groupBy("user_id")
+      .agg(max(col("ts") < e1).as("in1"),
+        max(col("ts") >= e1 && col("ts") < e2).as("in2"))
+    flags.agg(
+      sum(when(col("in1"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("in2"), 1L).otherwise(0L)).as("n2"),
+      sum(when(col("in1") && col("in2"), 1L).otherwise(0L)).as("m"),
+      count(lit(1)).as("seen_total"))
+      .select(col("n1"), col("n2"), col("m"), col("seen_total"),
+        round((col("n1") + 1) * (col("n2") + 1) /
+          (col("m") + 1).cast("double") - 1.0, 2).as("n_estimate"))
+  }
+
   /** HLL AUDIENCE-OVERLAP estimate — |A∩B| by inclusion–exclusion over
     * three mergeable sketches (|A|+|B|−|A∪B|): the overlap question
     * ("how many users both click and purchase") answered WITHOUT a

@@ -698,6 +698,24 @@ class StatsSpec extends SparkSpec {
       ba.getAs[Double]("loa_upper") == -5.0)
   }
 
+  test("captureRecapture: half-overlap windows recover the true population") {
+    import spark.implicits._
+    // population 200: window 1 sees 0..99, window 2 sees 50..149 —
+    // Chapman: (101·101)/51 − 1 = 199.06…, true N = 200 (users 150..199
+    // seen by NEITHER window still get counted by the estimator)
+    val ev = ((0L until 100L).map(u => (u, 3L)) ++
+      (50L until 150L).map(u => (u, 10L)))
+      .toDF("user_id", "d")
+      .select(col("user_id"),
+        expr("make_timestamp(2024, 1, d, 0, 0, 0)").as("ts"))
+    val r = Stats.captureRecapture(ev).collect().head
+    assert(r.getAs[Long]("n1") == 100L && r.getAs[Long]("n2") == 100L &&
+      r.getAs[Long]("m") == 50L, s"$r")
+    assert(math.abs(r.getAs[Double]("n_estimate") - 200.0) < 2.0,
+      s"Chapman must land on the true population: $r")
+    assert(r.getAs[Long]("seen_total") == 150L)
+  }
+
   test("hllIntersect: inclusion-exclusion estimate lands near the exact overlap") {
     import spark.implicits._
     // clickers 0..999, purchasers 500..1499 → exact overlap 500
