@@ -1371,6 +1371,8 @@ object SparkEntry {
       Stats.hllIntersect(Tables.events(s, d))),
     "st_capture_recapture" -> ((s, d) =>
       Stats.captureRecapture(Tables.events(s, d))),
+    "st_overdispersion" -> ((s, d) =>
+      Stats.overdispersion(Tables.events(s, d))),
     "gr_hits" -> ((s, d) =>
       Graph.hits(repeatBusinessDirected(s, d, 2), iterations = 3)),
     "gr_random_walks" -> ((s, d) =>
@@ -1879,6 +1881,17 @@ object SparkEntry {
              WHERE w.d < 4),
          dist AS (SELECT node, min(d) AS dist FROM walk GROUP BY node)
          SELECT dist, count(*) AS n_nodes FROM dist GROUP BY dist""",
+    "st_overdispersion" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+             CAST(count(*) AS DOUBLE) AS c
+           FROM events WHERE event_type = 'click' GROUP BY 1)
+         SELECT CAST(count(*) AS BIGINT) AS n_days,
+           round(avg(c), 4) AS mean_count,
+           round(var_samp(c), 4) AS var_count,
+           round(var_samp(c) / nullif(avg(c), 0), 6) AS dispersion,
+           round((var_samp(c) / nullif(avg(c), 0) - 1)
+             * sqrt((count(*) - 1) / 2.0), 4) AS z
+         FROM d""",
     "st_capture_recapture" ->
       """WITH f AS (SELECT user_id,
              max(CASE WHEN ts < DATE '2024-01-08'

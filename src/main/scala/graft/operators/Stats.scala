@@ -1704,6 +1704,28 @@ object Stats {
         col("c"), col("survival"))
   }
 
+  /** OVERDISPERSION check on daily event counts — the Poisson
+    * assumption audit behind every count-based alert threshold: under
+    * Poisson, Var = Mean; the dispersion index D = s²/x̄ with
+    * z ≈ (D−1)·√((n−1)/2) flags clumped arrivals (D≫1 — bursts,
+    * bots, batch jobs), where a Poisson-calibrated alert would page
+    * constantly. One map-side rollup to the days-sized count frame,
+    * one moment pass, 1-row formula. */
+  def overdispersion(events: DataFrame, eventType: String = "click")
+      : DataFrame = {
+    val daily = events.filter(col("event_type") === eventType)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    daily.agg(count(lit(1)).as("n_days"),
+      avg("c").as("mean"), var_samp(col("c")).as("v"))
+      .select(col("n_days"), round(col("mean"), 4).as("mean_count"),
+        round(col("v"), 4).as("var_count"),
+        round(col("v") / nullif(col("mean"), lit(0.0)), 6)
+          .as("dispersion"),
+        round((col("v") / nullif(col("mean"), lit(0.0)) - 1) *
+          sqrt((col("n_days") - 1).cast("double") / 2.0), 4).as("z"))
+  }
+
   /** CAPTURE–RECAPTURE population estimate (Chapman's corrected
     * Lincoln–Petersen): two observation windows "mark" users, and the
     * overlap rate sizes the UNSEEN population —

@@ -698,6 +698,26 @@ class StatsSpec extends SparkSpec {
       ba.getAs[Double]("loa_upper") == -5.0)
   }
 
+  test("overdispersion: constant daily counts score D=0, bursty days blow past 1") {
+    import spark.implicits._
+    def ev(counts: Seq[Int]) = counts.zipWithIndex.flatMap {
+      case (c, day) => (0 until c).map(i => (day + 1, "click", i.toDouble))
+    }.toDF("d", "event_type", "value")
+      .select(expr("make_timestamp(2024, 1, d, 0, 0, 0)").as("ts"),
+        col("event_type"), col("value"))
+    // identical counts every day: variance 0 → D = 0, z < 0
+    val flat = Stats.overdispersion(ev(Seq.fill(10)(50))).collect().head
+    assert(flat.getAs[Double]("dispersion") == 0.0 &&
+      flat.getAs[Double]("z") < 0, s"$flat")
+    // bursts: alternating 10/190 — far beyond Poisson noise
+    val burst = Stats.overdispersion(
+      ev(Seq.tabulate(10)(d => if (d % 2 == 0) 10 else 190)))
+      .collect().head
+    assert(burst.getAs[Double]("dispersion") > 50,
+      s"clumped arrivals must blow past D=1: $burst")
+    assert(burst.getAs[Double]("z") > 10)
+  }
+
   test("captureRecapture: half-overlap windows recover the true population") {
     import spark.implicits._
     // population 200: window 1 sees 0..99, window 2 sees 50..149 —
