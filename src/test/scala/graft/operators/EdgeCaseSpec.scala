@@ -130,6 +130,35 @@ class EdgeCaseSpec extends SparkSpec {
     assert(km.length == 1 && km.head.getAs[Long]("n_risk") == 1L)
   }
 
+  test("fifth-wave operators on empty input return empty/null, never throw") {
+    // 1-row-out formulas: the row survives with null/zero aggregates
+    assert(Stats.linCcc(noEvents).collect().head.isNullAt(1))
+    assert(Stats.blandAltman(noEvents).count() == 1)
+    assert(Stats.pairedTTest(noEvents).collect().head.getAs[Long]("n") == 0L)
+    assert(Stats.partialCorr(noEvents).count() == 1)
+    assert(Stats.cuped(noEvents).collect().head.getAs[Long]("n") == 0L)
+    assert(Stats.sprt(noEvents).collect().head
+      .getAs[String]("decision") == "continue")
+    assert(Stats.metaAnalysis(noEvents).collect().head
+      .getAs[Long]("k") == 0L)
+    assert(Stats.captureRecapture(noEvents).collect().head
+      .getAs[Long]("seen_total") == 0L)
+    assert(Stats.overdispersion(noEvents).collect().head
+      .getAs[Long]("n_days") == 0L)
+    // per-row / per-group frames: empty in, empty out
+    assert(Stats.mahalanobisOutliers(noEvents).count() == 0)
+    assert(Resample.varianceRatio(noEvents).count() == 3)
+    assert(Resample.saxWords(noEvents).count() == 0)
+    assert(Resample.seasonalStrength(noEvents).count() == 0)
+    assert(Windows.entropyRate(noEvents).count() == 1)
+    assert(TextAnalysis.burrowsDelta(noDocs).count() == 0)
+    assert(TextAnalysis.padEfficiency(noDocs).count() == 0)
+    assert(TextAnalysis.liftTable(noDocs).count() == 0)
+    assert(Quality.srmCheck(noEvents).count() == 1)
+    // boxCox on empty: grid rows survive with null ll (ln of null var)
+    assert(Stats.boxCoxScan(noEvents).count() == 6)
+  }
+
   test("short documents (< n tokens) produce no shingles but valid sketches") {
     import spark.implicits._
     val tiny = Seq((1L, "one two"), (2L, "a"), (3L, "")).toDF("doc_id", "text")
