@@ -460,6 +460,8 @@ object SparkEntry {
     "dq_srm" -> ((s, d) => Quality.srmCheck(Tables.events(s, d))),
     "ml_lift" -> ((s, d) =>
       TextAnalysis.liftTable(Tables.documents(s, d))),
+    "tx_chao1" -> ((s, d) =>
+      TextAnalysis.vocabularyRichness(Tables.documents(s, d))),
     "ts_conformal" -> ((s, d) =>
       Resample.conformalInterval(Tables.events(s, d))),
     "st_boxcox" -> ((s, d) => Stats.boxCoxScan(Tables.events(s, d))),
@@ -1881,6 +1883,23 @@ object SparkEntry {
              WHERE w.d < 4),
          dist AS (SELECT node, min(d) AS dist FROM walk GROUP BY node)
          SELECT dist, count(*) AS n_nodes FROM dist GROUP BY dist""",
+    "tx_chao1" ->
+      """WITH tf AS (SELECT t, CAST(count(*) AS BIGINT) AS n
+           FROM (SELECT unnest(string_split(text, ' ')) AS t
+             FROM documents) GROUP BY 1),
+         s AS (SELECT CAST(sum(n) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS vocab,
+             CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax,
+             CAST(sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dis
+           FROM tf)
+         SELECT n_tokens, vocab, n_hapax, n_dis,
+           round(CAST(n_hapax AS DOUBLE) /
+             nullif(CAST(n_tokens AS DOUBLE), 0), 6) AS missing_mass,
+           round(vocab + CAST(n_hapax * (n_hapax - 1) AS DOUBLE)
+             / (2.0 * (n_dis + 1)), 2) AS chao1
+         FROM s""",
     "st_overdispersion" ->
       """WITH d AS (SELECT CAST(ts AS DATE) AS day,
              CAST(count(*) AS DOUBLE) AS c

@@ -840,6 +840,32 @@ object TextAnalysis {
     pred.groupBy("true_lang", "pred_lang").agg(count(lit(1)).as("n"))
   }
 
+  /** VOCABULARY RICHNESS: Good–Turing missing mass + bias-corrected
+    * Chao1 — "how much vocabulary has this corpus NOT seen yet": the
+    * singleton share N₁/N is the probability the next token is a
+    * brand-new type (Good–Turing), and Chao1 = V + N₁(N₁−1)/(2(N₂+1))
+    * estimates the total type count including the unseen tail from
+    * just the singleton/doubleton spectrum. The corpus-planning number
+    * ("will another crawl still grow the vocab") next to
+    * [[jsDivergence]]'s drift and tx_lexdiv's hapax share. One token
+    * pass to the vocab-sized count frame, one spectrum rollup. */
+  def vocabularyRichness(documents: DataFrame): DataFrame = {
+    val tf = documents
+      .select(explode(tokens(col("text"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n"))
+    tf.agg(sum("n").as("n_tokens"), count(lit(1)).as("vocab"),
+      sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"),
+      sum(when(col("n") === 2, 1L).otherwise(0L)).as("n_dis"))
+      .select(col("n_tokens"), col("vocab"), col("n_hapax"),
+        col("n_dis"),
+        round(col("n_hapax").cast("double") /
+          nullif(col("n_tokens").cast("double"), lit(0.0)), 6)
+          .as("missing_mass"),
+        round(col("vocab") +
+          (col("n_hapax") * (col("n_hapax") - 1)).cast("double") /
+          (lit(2.0) * (col("n_dis") + 1)), 2).as("chao1"))
+  }
+
   /** LIFT / CUMULATIVE-GAINS table for a document score — "if I only
     * keep the top decile by quality, how much richer in the target
     * class is it than a random slice" (the eval artifact behind every

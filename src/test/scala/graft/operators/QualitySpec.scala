@@ -377,6 +377,27 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("vocabularyRichness: closed vocab estimates itself; singleton-heavy corpus inflates Chao1") {
+    import spark.implicits._
+    // every type seen many times: no singletons → missing mass 0 and
+    // Chao1 = observed vocab exactly (nothing left to discover)
+    val closed = (0 until 20).map(i =>
+      (i.toLong, Seq.fill(10)(s"w${i % 5}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val c = TextAnalysis.vocabularyRichness(closed).collect().head
+    assert(c.getAs[Long]("vocab") == 5L &&
+      c.getAs[Double]("missing_mass") == 0.0 &&
+      c.getAs[Double]("chao1") == 5.0, s"$c")
+    // all singletons: the unseen tail dwarfs the observed vocab
+    val open = (0 until 100).map(i => (i.toLong, s"unique$i"))
+      .toDF("doc_id", "text")
+    val o = TextAnalysis.vocabularyRichness(open).collect().head
+    assert(o.getAs[Long]("n_hapax") == 100L &&
+      o.getAs[Double]("missing_mass") == 1.0)
+    assert(o.getAs[Double]("chao1") == 100 + 100.0 * 99 / 2,
+      s"all-singleton Chao1 is the bias-corrected closed form: $o")
+  }
+
   test("liftTable: score-aligned class doubles top-decile lift; cum_lift ends at 1") {
     import spark.implicits._
     // stopword share i/100 makes quality STRICTLY monotone in id (the
