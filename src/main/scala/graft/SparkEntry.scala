@@ -462,6 +462,8 @@ object SparkEntry {
       TextAnalysis.liftTable(Tables.documents(s, d))),
     "tx_chao1" -> ((s, d) =>
       TextAnalysis.vocabularyRichness(Tables.documents(s, d))),
+    "dq_volume_anomaly" -> ((s, d) =>
+      Quality.volumeAnomaly(Tables.events(s, d))),
     "ts_conformal" -> ((s, d) =>
       Resample.conformalInterval(Tables.events(s, d))),
     "st_boxcox" -> ((s, d) => Stats.boxCoxScan(Tables.events(s, d))),
@@ -1883,6 +1885,20 @@ object SparkEntry {
              WHERE w.d < 4),
          dist AS (SELECT node, min(d) AS dist FROM walk GROUP BY node)
          SELECT dist, count(*) AS n_nodes FROM dist GROUP BY dist""",
+    "dq_volume_anomaly" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1),
+         m AS (SELECT quantile_cont(n, CAST(0.5 AS DOUBLE)) AS med
+           FROM d),
+         s AS (SELECT quantile_cont(abs(n - med), CAST(0.5 AS DOUBLE))
+             AS mad, max(med) AS med
+           FROM d CROSS JOIN m)
+         SELECT day, n,
+           round(0.6745 * (n - med) / nullif(mad, 0), 4) AS robust_z,
+           abs(round(0.6745 * (n - med) / nullif(mad, 0), 4)) > 3.5
+             AS flagged
+         FROM d CROSS JOIN s ORDER BY day""",
     "tx_chao1" ->
       """WITH tf AS (SELECT t, CAST(count(*) AS BIGINT) AS n
            FROM (SELECT unnest(string_split(text, ' ')) AS t

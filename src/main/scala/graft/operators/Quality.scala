@@ -417,6 +417,30 @@ object Quality {
     rows.toDF("ord", "depth", "op", "rows")
   }
 
+  /** DAILY-VOLUME anomaly report — the ingestion health check run
+    * before any metric is read: each day's row count scored by the
+    * ROBUST z (0.6745·(n−med)/MAD — a mean/σ z-score is poisoned by
+    * the very outlier days it should flag; the median/MAD pair is
+    * not), flagged past the standard 3.5 cutoff. Catches the half-day
+    * of dropped ingestion AND the double-load replay, which cancel in
+    * a weekly mean. Two rollups over the days-sized count frame, the
+    * (median, MAD) pair rides back as a 1-row broadcast. */
+  def volumeAnomaly(events: DataFrame, thresh: Double = 3.5)
+      : DataFrame = {
+    val daily = events.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val med = daily.agg(expr("percentile(n, 0.5)").as("med"))
+    val mad = daily.crossJoin(broadcast(med))
+      .agg(expr("percentile(abs(n - med), 0.5)").as("mad"),
+        first(col("med")).as("med"))
+    daily.crossJoin(broadcast(mad))
+      .select(col("day"), col("n"),
+        round(lit(0.6745) * (col("n") - col("med")) /
+          nullif(col("mad"), lit(0.0)), 4).as("robust_z"))
+      .withColumn("flagged", abs(col("robust_z")) > thresh)
+      .orderBy("day")
+  }
+
   /** SAMPLE-RATIO-MISMATCH gate — the first health check every
     * experiment platform runs before reading ANY metric: if the
     * hash-assigned arms don't split 50/50 within chi-square noise, the

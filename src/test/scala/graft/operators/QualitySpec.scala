@@ -377,6 +377,24 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("volumeAnomaly: the double-load day is flagged, normal jitter is not") {
+    import spark.implicits._
+    // 14 days of 100±2 rows, day 8 carries a replayed double load
+    val ev = (1 to 14).flatMap { d =>
+      val n = if (d == 8) 200 else 100 + (d % 3) - 1
+      (0 until n).map(i => (d, i))
+    }.toDF("d", "i")
+      .select(expr("make_timestamp(2024, 1, d, 0, 0, 0)").as("ts"))
+    val out = Quality.volumeAnomaly(ev).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        ((r.getAs[Long]("n"), r.getAs[Boolean]("flagged")))).toMap
+    assert(out.size == 14)
+    assert(out("2024-01-08") == ((200L, true)),
+      s"the replay day must flag: $out")
+    assert(out.filter(_._1 != "2024-01-08").values.forall(!_._2),
+      s"jitter days must pass: $out")
+  }
+
   test("vocabularyRichness: closed vocab estimates itself; singleton-heavy corpus inflates Chao1") {
     import spark.implicits._
     // every type seen many times: no singletons → missing mass 0 and
