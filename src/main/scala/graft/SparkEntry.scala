@@ -464,6 +464,16 @@ object SparkEntry {
       TextAnalysis.vocabularyRichness(Tables.documents(s, d))),
     "dq_volume_anomaly" -> ((s, d) =>
       Quality.volumeAnomaly(Tables.events(s, d))),
+    // week-over-week VALUE drift through the exact same striped-KS core
+    // as st_ks — PSI (dq_drift) bins and blurs; KS is binning-free and
+    // catches shape changes PSI's coarse bins average away
+    "dq_ks_drift" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Stats.ksTest(Tables.events(s, d).withColumn("wk",
+        when(col("ts") < to_date(lit("2024-01-15")), "w1")
+          .otherwise("w2")),
+        "wk", "value", "w1", "w2")
+    }),
     "ts_conformal" -> ((s, d) =>
       Resample.conformalInterval(Tables.events(s, d))),
     "st_boxcox" -> ((s, d) => Stats.boxCoxScan(Tables.events(s, d))),
@@ -6101,6 +6111,27 @@ object SparkEntry {
              AS cramers_v,
            round(chi2, 4) AS chi2, (ka - 1) * (kb - 1) AS df, n_total
          FROM s""",
+    "dq_ks_drift" ->
+      """WITH w AS (SELECT value,
+             CASE WHEN ts < DATE '2024-01-15' THEN 'w1' ELSE 'w2' END
+               AS wk
+           FROM events),
+         pts AS (
+           SELECT value AS v,
+             sum(CASE WHEN wk = 'w1' THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN wk = 'w2' THEN 1 ELSE 0 END) AS cb
+           FROM w GROUP BY value),
+         cum AS (
+           SELECT
+             CAST(sum(ca) OVER (ORDER BY v) AS BIGINT)
+               / CAST((SELECT sum(ca) FROM pts) AS BIGINT) AS fa,
+             CAST(sum(cb) OVER (ORDER BY v) AS BIGINT)
+               / CAST((SELECT sum(cb) FROM pts) AS BIGINT) AS fb
+           FROM pts)
+         SELECT round(max(abs(fa - fb)), 6) AS d_stat,
+           CAST((SELECT sum(ca) FROM pts) AS BIGINT) AS n_a,
+           CAST((SELECT sum(cb) FROM pts) AS BIGINT) AS n_b
+         FROM cum""",
     "st_ks" ->
       """WITH pts AS (
            SELECT value AS v,
