@@ -464,6 +464,8 @@ object SparkEntry {
       TextAnalysis.vocabularyRichness(Tables.documents(s, d))),
     "dq_volume_anomaly" -> ((s, d) =>
       Quality.volumeAnomaly(Tables.events(s, d))),
+    "dq_missing_hours" -> ((s, d) =>
+      Quality.hourCoverage(Tables.events(s, d))),
     // week-over-week VALUE drift through the exact same striped-KS core
     // as st_ks — PSI (dq_drift) bins and blurs; KS is binning-free and
     // catches shape changes PSI's coarse bins average away
@@ -6111,6 +6113,21 @@ object SparkEntry {
              AS cramers_v,
            round(chi2, 4) AS chi2, (ka - 1) * (kb - 1) AS df, n_total
          FROM s""",
+    "dq_missing_hours" ->
+      """WITH h AS (SELECT DISTINCT
+             epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr
+           FROM events),
+         span AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM h),
+         exp AS (SELECT unnest(generate_series(h0, h1)) AS hr FROM span),
+         mis AS (SELECT CAST(count(*) AS BIGINT) AS n_missing,
+             min(e.hr) AS first_missing_hr
+           FROM exp e LEFT JOIN h ON e.hr = h.hr WHERE h.hr IS NULL)
+         SELECT (SELECT CAST(count(*) AS BIGINT) FROM exp) AS n_expected,
+           (SELECT CAST(count(*) AS BIGINT) FROM h) AS n_observed,
+           n_missing, first_missing_hr,
+           round(CAST((SELECT count(*) FROM h) AS DOUBLE)
+             / (SELECT count(*) FROM exp), 6) AS coverage
+         FROM mis""",
     "dq_ks_drift" ->
       """WITH w AS (SELECT value,
              CASE WHEN ts < DATE '2024-01-15' THEN 'w1' ELSE 'w2' END

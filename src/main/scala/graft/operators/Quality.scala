@@ -417,6 +417,31 @@ object Quality {
     rows.toDF("ord", "depth", "op", "rows")
   }
 
+  /** HOURLY-GRID coverage — which hours inside the corpus's own span
+    * have NO data at all ([[volumeAnomaly]] scores days that exist;
+    * this finds the holes — the failure mode where an ingestion outage
+    * leaves nothing to score): the expected grid is generated from the
+    * observed [min, max] span (calendar-bounded `sequence`, never
+    * data-sized), observed hours anti-join it, one 1-row rollup with
+    * the first gap pinpointed. */
+  def hourCoverage(events: DataFrame): DataFrame = {
+    val hrs = events
+      .select(expr("unix_seconds(date_trunc('hour', ts)) div 3600")
+        .as("hr")).distinct()
+    val expected = hrs.agg(min("hr").as("h0"), max("hr").as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"))).as("hr"))
+    val missing = expected.join(hrs, Seq("hr"), "left_anti")
+      .agg(count(lit(1)).as("n_missing"),
+        min("hr").as("first_missing_hr"))
+    expected.agg(count(lit(1)).as("n_expected"))
+      .crossJoin(hrs.agg(count(lit(1)).as("n_observed")))
+      .crossJoin(missing)
+      .select(col("n_expected"), col("n_observed"), col("n_missing"),
+        col("first_missing_hr"),
+        round(col("n_observed").cast("double") / col("n_expected"), 6)
+          .as("coverage"))
+  }
+
   /** DAILY-VOLUME anomaly report — the ingestion health check run
     * before any metric is read: each day's row count scored by the
     * ROBUST z (0.6745·(n−med)/MAD — a mean/σ z-score is poisoned by

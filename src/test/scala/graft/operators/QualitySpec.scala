@@ -377,6 +377,22 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("hourCoverage: the punched-out hours are counted and the first is pinpointed") {
+    import spark.implicits._
+    // 48-hour span with hours 10 and 20 empty
+    val ev = (0 until 48).filter(h => h != 10 && h != 20)
+      .map(h => (h.toLong * 3600L, "click"))
+      .toDF("s", "event_type")
+      .select(timestamp_seconds(col("s")).as("ts"), col("event_type"))
+    val r = Quality.hourCoverage(ev).collect().head
+    assert(r.getAs[Long]("n_expected") == 48L &&
+      r.getAs[Long]("n_observed") == 46L &&
+      r.getAs[Long]("n_missing") == 2L, s"$r")
+    assert(r.getAs[Long]("first_missing_hr") == 10L)
+    assert(r.getAs[Double]("coverage") ==
+      math.floor(46.0 / 48 * 1e6 + 0.5) / 1e6)
+  }
+
   test("volumeAnomaly: the double-load day is flagged, normal jitter is not") {
     import spark.implicits._
     // 14 days of 100±2 rows, day 8 carries a replayed double load
