@@ -527,6 +527,8 @@ object SparkEntry {
       SpatialJoin.knnSuppliersGrid(Tables.customer(s, d), Tables.supplier(s, d), k = 3)),
     "sp_moran" -> ((s, d) =>
       SpatialJoin.moranI(Tables.customer(s, d))),
+    "sp_silhouette" -> ((s, d) =>
+      SpatialJoin.gridSilhouette(Tables.customer(s, d))),
     "sp_grid_density" -> ((s, d) =>
       SpatialJoin.gridDensity(Tables.customer(s, d))),
     "sp_geofence" -> ((s, d) =>
@@ -5814,6 +5816,35 @@ object SparkEntry {
          SELECT day, CAST(max(c) AS BIGINT) AS max_concurrent,
            CAST(count(*)/2 AS BIGINT) AS n_sessions
          FROM run GROUP BY day""",
+    "sp_silhouette" ->
+      """WITH p AS (SELECT c_custkey,
+             round(((c_custkey * 17) % 1400)/10.0 - 70.0, 4) AS lat,
+             round(((c_custkey * 31) % 3600)/10.0 - 180.0, 4) AS lon
+           FROM customer),
+         a AS (SELECT c_custkey, lat, lon,
+             CAST(floor((lat + 90) / 10) AS INTEGER) AS cl,
+             CAST(floor((lon + 180) / 10) AS INTEGER) AS cn
+           FROM p),
+         g AS (SELECT cl, cn, round(avg(lat), 6) AS g_lat,
+             round(avg(lon), 6) AS g_lon,
+             CAST(count(*) AS BIGINT) AS n_pts
+           FROM a GROUP BY 1, 2),
+         own AS (SELECT a.c_custkey, a.lat, a.lon, a.cl, a.cn, g.n_pts,
+             sqrt((a.lat - g.g_lat) * (a.lat - g.g_lat)
+               + (a.lon - g.g_lon) * (a.lon - g.g_lon)) AS da
+           FROM a JOIN g ON a.cl = g.cl AND a.cn = g.cn),
+         nb AS (SELECT o.c_custkey, o.da, o.n_pts,
+             min(sqrt((o.lat - g.g_lat) * (o.lat - g.g_lat)
+               + (o.lon - g.g_lon) * (o.lon - g.g_lon))) AS db
+           FROM own o JOIN g ON o.cl <> g.cl OR o.cn <> g.cn
+           GROUP BY 1, 2, 3),
+         s AS (SELECT CASE WHEN n_pts = 1 THEN 0.0
+             ELSE (db - da) / nullif(greatest(da, db), 0) END AS s
+           FROM nb)
+         SELECT CAST(count(*) AS BIGINT) AS n_points,
+           (SELECT CAST(count(*) AS BIGINT) FROM g) AS n_cells,
+           round(avg(s), 6) AS mean_silhouette
+         FROM s""",
     "sp_moran" ->
       """WITH p AS (SELECT
              round(((c_custkey * 17) % 1400)/10.0 - 70.0, 4) AS lat,

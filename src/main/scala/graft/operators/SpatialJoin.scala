@@ -509,6 +509,55 @@ object SpatialJoin {
     * sized frame (≤ (180/cellDeg)·(360/cellDeg) rows at ANY corpus
     * scale), total as a 1-row broadcast, top-N is TakeOrdered with the
     * (n desc, cell) total order. */
+  /** SIMPLIFIED SILHOUETTE of the grid quantization — "does the cell
+    * grid actually fit the point cloud": per point, a = distance to
+    * its OWN cell's centroid, b = distance to the nearest OTHER cell's
+    * centroid, s = (b−a)/max(a,b) ∈ [−1,1]; the mean says whether the
+    * quantization separates (→1) or slices through natural clusters
+    * (→0/negative). The centroid-based (simplified) form — the
+    * all-pairs classic is O(n²); this is one scan against a
+    * lattice-bounded centroid array riding a broadcast, exactly the
+    * trade production clustering evals make. Distances are euclidean
+    * in (lat, lon) quantization space (the grid's own metric —
+    * documented); singleton cells score 0 by the standard convention.
+    * One cell rollup, one map-side min over ≤ cells centroids, one
+    * 1-row mean. */
+  def gridSilhouette(customer: DataFrame, cellDeg: Int = 10): DataFrame =
+    silhouetteOnPoints(customerPoints(customer), cellDeg)
+
+  /** [[gridSilhouette]]'s core over an explicit (c_custkey, c_lat,
+    * c_lon) frame — split out so specs can plant exact geometries. */
+  private[operators] def silhouetteOnPoints(points: DataFrame,
+                                            cellDeg: Int): DataFrame = {
+    val pts = points
+      .select(col("c_custkey"), col("c_lat"), col("c_lon"),
+        floor((col("c_lat") + 90) / cellDeg).cast("int").as("cell_lat"),
+        floor((col("c_lon") + 180) / cellDeg).cast("int").as("cell_lon"))
+    val cents = pts.groupBy("cell_lat", "cell_lon")
+      .agg(round(avg("c_lat"), 6).as("g_lat"),
+        round(avg("c_lon"), 6).as("g_lon"),
+        count(lit(1)).as("n_pts"))
+    def d2(lat: org.apache.spark.sql.Column, lon: org.apache.spark.sql.Column) =
+      (col("c_lat") - lat) * (col("c_lat") - lat) +
+        (col("c_lon") - lon) * (col("c_lon") - lon)
+    val joined = pts.join(broadcast(cents), Seq("cell_lat", "cell_lon"))
+      .withColumn("a", sqrt(d2(col("g_lat"), col("g_lon"))))
+    val others = joined.as("p").join(
+      broadcast(cents.select(col("cell_lat").as("o_lat"),
+        col("cell_lon").as("o_lon"), col("g_lat").as("o_glat"),
+        col("g_lon").as("o_glon"))),
+      col("cell_lat") =!= col("o_lat") || col("cell_lon") =!= col("o_lon"))
+      .groupBy(col("c_custkey"), col("a"), col("n_pts"))
+      .agg(min(sqrt(d2(col("o_glat"), col("o_glon")))).as("b"))
+    others
+      .withColumn("s", when(col("n_pts") === 1, lit(0.0))
+        .otherwise((col("b") - col("a")) /
+          nullif(greatest(col("a"), col("b")), lit(0.0))))
+      .crossJoin(broadcast(cents.agg(count(lit(1)).as("n_cells"))))
+      .agg(count(lit(1)).as("n_points"), max("n_cells").as("n_cells"),
+        round(avg("s"), 6).as("mean_silhouette"))
+  }
+
   /** MORAN'S I spatial autocorrelation of the per-cell customer count —
     * "is density CLUSTERED on the map or salt-and-pepper": I compares
     * each occupied cell's deviation with its rook neighbors',

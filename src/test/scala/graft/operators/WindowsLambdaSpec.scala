@@ -576,6 +576,29 @@ class WindowsLambdaSpec extends SparkSpec {
     assert(out(4L) == (0.0, 1.0))
   }
 
+  test("silhouetteOnPoints: center-hugging clouds near 1, edge-straddling line near 0") {
+    import spark.implicits._
+    def pts(rows: Seq[(Double, Double)]) = rows.zipWithIndex.map {
+      case ((la, lo), i) => (i.toLong, la, lo)
+    }.toDF("c_custkey", "c_lat", "c_lon")
+    // two tight clouds at the centers of far-apart 10° cells
+    val tight = pts((0 until 20).map(i =>
+      (5.0 + 0.01 * (i % 5), 5.0 + 0.01 * (i / 5))) ++
+      (0 until 20).map(i =>
+        (45.0 + 0.01 * (i % 5), 45.0 + 0.01 * (i / 5))))
+    val t = SpatialJoin.silhouetteOnPoints(tight, 10).collect().head
+    assert(t.getAs[Long]("n_cells") == 2)
+    assert(t.getAs[Double]("mean_silhouette") > 0.95, s"$t")
+    // a line of points straddling the lat=0 cell edge: the quantization
+    // slices a natural cluster in half — silhouette collapses
+    val straddle = pts((0 until 40).map(i => (-2.0 + 0.1 * i, 5.0)))
+    val s = SpatialJoin.silhouetteOnPoints(straddle, 10).collect().head
+    assert(s.getAs[Double]("mean_silhouette") < 0.75 &&
+      s.getAs[Double]("mean_silhouette") <
+        t.getAs[Double]("mean_silhouette") - 0.2,
+      s"edge-sliced cluster must score clearly lower: $s vs $t")
+  }
+
   test("moranOnCells: gradient lattice clusters positive, checkerboard negative") {
     import spark.implicits._
     def lattice(f: (Int, Int) => Double) = (for {
