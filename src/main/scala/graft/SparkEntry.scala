@@ -450,6 +450,8 @@ object SparkEntry {
     "ts_variance_ratio" -> ((s, d) =>
       Resample.varianceRatio(Tables.events(s, d))),
     "ts_sax" -> ((s, d) => Resample.saxWords(Tables.events(s, d))),
+    "ts_profile_outlier" -> ((s, d) =>
+      Resample.dayProfileOutliers(Tables.events(s, d))),
     "tx_burrows_delta" -> ((s, d) =>
       TextAnalysis.burrowsDelta(Tables.documents(s, d))),
     "pipe_pad_efficiency" -> ((s, d) =>
@@ -4044,6 +4046,17 @@ object SparkEntry {
            FROM a)
          SELECT lambda, ll, ll = max(ll) OVER () AS best
          FROM l ORDER BY lambda""",
+    "ts_profile_outlier" ->
+      """WITH hourly AS (SELECT
+             epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
+             round(avg(value), 6) AS v
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+         h AS (SELECT hr // 24 AS day, hr % 24 AS hod, v FROM hourly),
+         p AS (SELECT hod, round(avg(v), 6) AS pv FROM h GROUP BY 1)
+         SELECT day, CAST(count(*) AS BIGINT) AS n_hours,
+           round(sqrt(avg((v - pv) * (v - pv))), 6) AS rms_dev
+         FROM h JOIN p ON h.hod = p.hod
+         GROUP BY day ORDER BY rms_dev DESC, day LIMIT 10""",
     "ts_sax" ->
       """WITH hourly AS (SELECT
              epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,

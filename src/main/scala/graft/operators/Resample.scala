@@ -787,6 +787,32 @@ object Resample {
           .as("coverage"), lit(1.0 - alpha).as("nominal"))
   }
 
+  /** DAY-SHAPE OUTLIER score — RMS distance of each day's hourly
+    * profile from the average day's ([[saxWords]] finds recurring
+    * shapes by symbol; this is the continuous score that RANKS how far
+    * each day strays, catching the partial outage or campaign spike
+    * that still hashes to a common word). One hourly rollup, the
+    * 24-row average profile joins back on hour-of-day (broadcast),
+    * per-day RMS over its ≤24 deviations, ranked worst-first. */
+  def dayProfileOutliers(events: DataFrame, eventType: String = "click",
+                         topK: Int = 10): DataFrame = {
+    val hourly = events.filter(col("event_type") === eventType)
+      .groupBy(expr("unix_seconds(date_trunc('hour', ts)) div 3600")
+        .as("hr"))
+      .agg(round(avg("value"), 6).as("v"))
+      .select(floor(col("hr") / 24).as("day"),
+        pmod(col("hr"), lit(24)).as("hod"), col("v"))
+    val profile = hourly.groupBy("hod")
+      .agg(round(avg("v"), 6).as("pv"))
+    hourly.join(broadcast(profile), Seq("hod"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_hours"),
+        round(sqrt(avg((col("v") - col("pv")) * (col("v") - col("pv")))),
+          6).as("rms_dev"))
+      .orderBy(desc("rms_dev"), asc("day"))
+      .limit(topK)
+  }
+
   /** SAX (Symbolic Aggregate approXimation) daily words over the
     * hourly series — each complete day z-normalizes against its own
     * mean/sd, averages into `24/blockHours` PAA blocks, and maps each

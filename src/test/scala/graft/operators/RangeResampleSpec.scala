@@ -445,6 +445,28 @@ class RangeResampleSpec extends SparkSpec {
       math.floor((359.0 / 360) * 1e6 + 0.5) / 1e6, s"$r")
   }
 
+  test("dayProfileOutliers: the campaign-spike day ranks first with the exact RMS") {
+    import spark.implicits._
+    // 10 identical days except day 7, whose hour 12 runs +9 hot: the
+    // average profile at hod 12 shifts by +0.9, so day 7's deviation
+    // there is 8.1 and every other day's is −0.9
+    val ev = (0 until 24 * 10).map { h =>
+      val (day, hod) = (h / 24, h % 24)
+      val spike = if (day == 7 && hod == 12) 9.0 else 0.0
+      (h.toLong * 3600L, "click", 10.0 + hod + spike)
+    }.toDF("s", "event_type", "value")
+      .select(timestamp_seconds(col("s")).as("ts"), col("event_type"),
+        col("value"))
+    val out = Resample.dayProfileOutliers(ev).collect()
+    assert(out.head.getAs[Long]("day") == 7L, s"${out.toSeq}")
+    val expTop = math.sqrt(8.1 * 8.1 / 24)
+    assert(math.abs(out.head.getAs[Double]("rms_dev") - expTop) < 1e-4)
+    val expRest = math.sqrt(0.9 * 0.9 / 24)
+    out.tail.foreach(r =>
+      assert(math.abs(r.getAs[Double]("rms_dev") - expRest) < 1e-4,
+        s"non-spike days share the residual leak: $r"))
+  }
+
   test("saxWords: recurring daily shape shares one word; the inverted day stands alone") {
     import spark.implicits._
     val ev = (0 until 24 * 6).map { h =>
