@@ -769,7 +769,7 @@ object SparkEntry {
     "ann_pca" -> ((s, d) =>
       SimilaritySearch.pcaProject(Tables.embeddings(s, d), nc = 2)),
     "ml_kmeans" -> ((s, d) =>
-      SimilaritySearch.kmeansClusters(Tables.embeddings(s, d), k = 8)),
+      SimilaritySearch.kmeansExactClusters(Tables.embeddings(s, d), k = 8)),
     "ann_range" -> ((s, d) =>
       SimilaritySearch.rangeSearch(Tables.embeddings(s, d), 0L, 0.2)),
     "ann_lsh" -> ((s, d) =>
@@ -2138,6 +2138,141 @@ object SparkEntry {
              nullif(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0),
              6) AS assortativity
          FROM d""",
+    "ml_kmeans" ->
+      """WITH vv AS (SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+           FROM embeddings),
+         v AS (SELECT vec_id, q,
+             list_aggregate(list_transform(q, y -> y*y), 'sum') AS ssq
+           FROM vv),
+         sd AS (SELECT q, ssq, row_number() OVER (
+             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
+           FROM v),
+         c0 AS (SELECT cell, list_transform(q,
+             y -> CAST(round(y*1000000.0/sqrt(ssq)) AS BIGINT)) AS c
+           FROM sd WHERE cell < 8),
+         cc0 AS (SELECT cell, c,
+             list_aggregate(list_transform(c, y -> y*y), 'sum') AS cssq
+           FROM c0),
+         a1 AS (SELECT vec_id, q, ssq, cell,
+             list_aggregate(list_transform(list_zip(q, c),
+               s -> s[1]*s[2]), 'sum') / (sqrt(ssq) * sqrt(cssq)) AS cos
+           FROM v CROSS JOIN cc0),
+         b1 AS (SELECT vec_id, q, ssq, cell FROM
+             (SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY cos DESC, cell) AS rn FROM a1) WHERE rn = 1),
+         e1 AS (SELECT cell, unnest(generate_series(1, len(q))) AS pos,
+             unnest(q) AS x FROM b1),
+         s1 AS (SELECT cell, pos, CAST(sum(x) AS BIGINT) AS sx
+           FROM e1 GROUP BY 1, 2),
+         m1 AS (SELECT cell, list(sx ORDER BY pos) AS sl
+           FROM s1 GROUP BY 1),
+         cm AS (SELECT cell, list_transform(sl,
+             y -> CAST(round(y*1000000.0 / sqrt(list_aggregate(
+               list_transform(sl, z -> z*z), 'sum'))) AS BIGINT)) AS c
+           FROM m1),
+         c1 AS (SELECT c0.cell, coalesce(cm.c, c0.c) AS c
+           FROM c0 LEFT JOIN cm ON c0.cell = cm.cell),
+         cc1 AS (SELECT cell, c,
+             list_aggregate(list_transform(c, y -> y*y), 'sum') AS cssq
+           FROM c1),
+         a2 AS (SELECT vec_id, cell,
+             list_aggregate(list_transform(list_zip(q, c),
+               s -> s[1]*s[2]), 'sum') / (sqrt(ssq) * sqrt(cssq)) AS cos
+           FROM v CROSS JOIN cc1),
+         b2 AS (SELECT vec_id, cell, cos FROM
+             (SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY cos DESC, cell) AS rn FROM a2) WHERE rn = 1)
+         SELECT cell, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(round(cos*1000000) AS BIGINT)) AS DOUBLE)
+             / (count(*) * 1000000.0), 6) AS avg_cos
+         FROM b2 GROUP BY 1""",
+    "gr_coreness" ->
+      """WITH cp AS MATERIALIZED (SELECT l1.l_suppkey AS s1,
+             l2.l_suppkey AS s2, count(*) AS cnt
+           FROM lineitem l1 JOIN lineitem l2
+             ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+           GROUP BY 1, 2),
+         e AS (SELECT s1 AS a, s2 AS b FROM cp
+           WHERE cnt > (SELECT quantile_cont(cnt, 0.9) FROM cp)),
+         e0 AS MATERIALIZED (SELECT DISTINCT *
+           FROM (SELECT a, b FROM e UNION ALL SELECT b, a FROM e)),
+         c0 AS (SELECT a AS node, CAST(count(*) AS INT) AS c
+           FROM e0 GROUP BY 1),
+         h1 AS (SELECT u.a, c.c AS cb, count(*) AS n
+           FROM e0 u JOIN c0 c ON u.b = c.node GROUP BY 1, 2),
+         c1 AS (SELECT a AS node, CAST(max(least(cb, cw)) AS INT) AS c
+           FROM (SELECT a, cb, sum(n) OVER (PARTITION BY a
+               ORDER BY cb DESC ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS cw FROM h1)
+           GROUP BY 1),
+         h2 AS (SELECT u.a, c.c AS cb, count(*) AS n
+           FROM e0 u JOIN c1 c ON u.b = c.node GROUP BY 1, 2),
+         c2 AS (SELECT a AS node, CAST(max(least(cb, cw)) AS INT) AS c
+           FROM (SELECT a, cb, sum(n) OVER (PARTITION BY a
+               ORDER BY cb DESC ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS cw FROM h2)
+           GROUP BY 1),
+         h3 AS (SELECT u.a, c.c AS cb, count(*) AS n
+           FROM e0 u JOIN c2 c ON u.b = c.node GROUP BY 1, 2),
+         c3 AS (SELECT a AS node, CAST(max(least(cb, cw)) AS INT) AS c
+           FROM (SELECT a, cb, sum(n) OVER (PARTITION BY a
+               ORDER BY cb DESC ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS cw FROM h3)
+           GROUP BY 1),
+         h4 AS (SELECT u.a, c.c AS cb, count(*) AS n
+           FROM e0 u JOIN c3 c ON u.b = c.node GROUP BY 1, 2),
+         c4 AS (SELECT a AS node, CAST(max(least(cb, cw)) AS INT) AS c
+           FROM (SELECT a, cb, sum(n) OVER (PARTITION BY a
+               ORDER BY cb DESC ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS cw FROM h4)
+           GROUP BY 1),
+         h5 AS (SELECT u.a, c.c AS cb, count(*) AS n
+           FROM e0 u JOIN c4 c ON u.b = c.node GROUP BY 1, 2),
+         c5 AS (SELECT a AS node, CAST(max(least(cb, cw)) AS INT) AS c
+           FROM (SELECT a, cb, sum(n) OVER (PARTITION BY a
+               ORDER BY cb DESC ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS cw FROM h5)
+           GROUP BY 1),
+         h6 AS (SELECT u.a, c.c AS cb, count(*) AS n
+           FROM e0 u JOIN c5 c ON u.b = c.node GROUP BY 1, 2),
+         c6 AS (SELECT a AS node, CAST(max(least(cb, cw)) AS INT) AS c
+           FROM (SELECT a, cb, sum(n) OVER (PARTITION BY a
+               ORDER BY cb DESC ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS cw FROM h6)
+           GROUP BY 1),
+         h7 AS (SELECT u.a, c.c AS cb, count(*) AS n
+           FROM e0 u JOIN c6 c ON u.b = c.node GROUP BY 1, 2),
+         c7 AS (SELECT a AS node, CAST(max(least(cb, cw)) AS INT) AS c
+           FROM (SELECT a, cb, sum(n) OVER (PARTITION BY a
+               ORDER BY cb DESC ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS cw FROM h7)
+           GROUP BY 1),
+         h8 AS (SELECT u.a, c.c AS cb, count(*) AS n
+           FROM e0 u JOIN c7 c ON u.b = c.node GROUP BY 1, 2),
+         c8 AS (SELECT a AS node, CAST(max(least(cb, cw)) AS INT) AS c
+           FROM (SELECT a, cb, sum(n) OVER (PARTITION BY a
+               ORDER BY cb DESC ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS cw FROM h8)
+           GROUP BY 1),
+         h9 AS (SELECT u.a, c.c AS cb, count(*) AS n
+           FROM e0 u JOIN c8 c ON u.b = c.node GROUP BY 1, 2),
+         c9 AS (SELECT a AS node, CAST(max(least(cb, cw)) AS INT) AS c
+           FROM (SELECT a, cb, sum(n) OVER (PARTITION BY a
+               ORDER BY cb DESC ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS cw FROM h9)
+           GROUP BY 1),
+         h10 AS (SELECT u.a, c.c AS cb, count(*) AS n
+           FROM e0 u JOIN c9 c ON u.b = c.node GROUP BY 1, 2),
+         c10 AS (SELECT a AS node, CAST(max(least(cb, cw)) AS INT) AS c
+           FROM (SELECT a, cb, sum(n) OVER (PARTITION BY a
+               ORDER BY cb DESC ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS cw FROM h10)
+           GROUP BY 1),
+         fin AS (SELECT node, c FROM c10)
+         SELECT c AS coreness, CAST(count(*) AS BIGINT) AS n_nodes
+         FROM fin GROUP BY 1""",
     "gr_kcore" ->
       """WITH c AS MATERIALIZED (SELECT l1.l_suppkey AS s1,
              l2.l_suppkey AS s2, count(*) AS cnt
@@ -3573,10 +3708,15 @@ object SparkEntry {
                AS BIGINT) AS n_risk
            FROM tbl CROSS JOIN tot)
          SELECT dur AS dur_days, n_risk, d, c,
-           round(exp(sum(ln(1.0 - CAST(d AS DOUBLE) / n_risk))
-             OVER (ORDER BY dur
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4)
-             AS survival
+           round(CASE WHEN max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY dur
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+             THEN 0.0
+             ELSE exp(sum(CASE WHEN d = n_risk THEN 0.0
+                 ELSE ln(1.0 - CAST(d AS DOUBLE) / n_risk) END)
+               OVER (ORDER BY dur
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             END, 4) AS survival
          FROM rt""",
     "dwh_bridge" ->
       """WITH bridge AS (SELECT l_orderkey, l_partkey,
@@ -4226,13 +4366,16 @@ object SparkEntry {
              CASE WHEN nt <= 32 THEN 32 WHEN nt <= 64 THEN 64
                   WHEN nt <= 128 THEN 128 WHEN nt <= 256 THEN 256
                   WHEN nt <= 512 THEN 512 WHEN nt <= 1024 THEN 1024
-                  WHEN nt <= 2048 THEN 2048 ELSE 4096 END AS bucket_cap
+                  WHEN nt <= 2048 THEN 2048 WHEN nt <= 4096 THEN 4096
+                  ELSE -1 END AS bucket_cap
            FROM d),
-         p AS (SELECT CAST(bucket_cap AS BIGINT) AS bucket_cap,
+         p AS (SELECT
+             CAST(CASE WHEN bucket_cap = -1 THEN max(nt)
+               ELSE bucket_cap END AS BIGINT) AS bucket_cap,
              CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(nt) AS BIGINT) AS n_tokens,
              max(nt) AS max_tokens
-           FROM b GROUP BY 1),
+           FROM b GROUP BY b.bucket_cap),
          g AS (SELECT CAST(sum(n_docs) AS BIGINT) AS gd,
              CAST(sum(n_tokens) AS BIGINT) AS gt,
              max(max_tokens) AS gm FROM p)
@@ -5810,7 +5953,7 @@ object SparkEntry {
            FROM events GROUP BY 1),
          c AS (SELECT quantile_cont(n_ev, 0.9) AS cut FROM per)
          SELECT count(*) AS n_users,
-           sum(CASE WHEN n_ev > cut THEN 1 ELSE 0 END) AS n_top,
+           CAST(sum(CASE WHEN n_ev > cut THEN 1 ELSE 0 END) AS BIGINT) AS n_top,
            round(sum(CASE WHEN n_ev > cut THEN n_ev ELSE 0 END)
              / sum(n_ev), 6) AS event_share,
            round(sum(CASE WHEN n_ev > cut THEN cents ELSE 0 END)

@@ -367,11 +367,15 @@ object Graph {
     * round count is a small data-diameter-ish constant with ONE
     * join + rollup per round — peeling pays Σ fixpoint depths across
     * every k level (measured 5× slower on the co-supply graph).
-    * The per-node H-index is a codegen'd HOF over the sorted neighbor
-    * array (max_i min(cᵢ, i+1)); arrays are degree-sized, the same
-    * bound every neighborhood aggregation here lives with. Convergence
-    * is one changed-count scalar per round; state (node, c) checkpoints
-    * per round (loop-carried). */
+    * The per-node H-index uses the COUNTING form, never a per-node
+    * array: with the neighbor-value histogram (node, w, n) and the
+    * descending cumulative count C_w = #neighbors with value ≥ w,
+    * h = max_w min(w, C_w) — so a 10⁷-degree hub contributes at most
+    * #distinct-current-c rows (≤ √(2m) once converged), map-side
+    * combined, window-sorted and spillable, instead of one 10⁷-element
+    * collect_list row (the straggler/OOM a skewed 100 TB graph would
+    * hit). Convergence is one changed-count scalar per round; state
+    * (node, c) checkpoints per round (loop-carried). */
   def coreness(edges: DataFrame, maxIters: Int = 30): DataFrame = {
     val und = edges.select(col("src").as("a"), col("dst").as("b"))
       .union(edges.select(col("dst").as("a"), col("src").as("b")))
@@ -386,15 +390,22 @@ object Graph {
     // true fixpoint witness — one scalar agg per round, no compare join
     var prevSum = c.agg(sum("c")).head().getLong(0)
     while (changed && it < maxIters) {
-      val sorted = sort_array(collect_list("cb"), asc = false)
-      val hIndex = aggregate(
-        zip_with(sorted, sequence(lit(1), size(sorted)),
-          (x, i) => least(x, i)),
-        lit(0), (acc, v) => greatest(acc, v))
+      // h = max_w min(w, C_w) over the neighbor-value histogram, where
+      // C_w = #neighbors with value ≥ w (proof: count(values ≥ k) ≥ k
+      // holds for k = min(w, C_w) at every distinct w, and the max over
+      // thresholds is attained at a distinct value)
+      val wCum = org.apache.spark.sql.expressions.Window
+        .partitionBy("a").orderBy(col("cb").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
       val next = und
         .join(c.select(col("node").as("b"), col("c").as("cb")), Seq("b"))
+        .groupBy(col("a"), col("cb"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("cw", sum("n").over(wCum))
         .groupBy(col("a").as("node"))
-        .agg(hIndex.as("c"))
+        .agg(max(least(col("cb").cast("long"), col("cw")))
+          .cast("int").as("c"))
         .localCheckpoint(true)
       val sumC = next.agg(sum("c")).head().getLong(0)
       changed = sumC != prevSum

@@ -718,6 +718,89 @@ object SimilaritySearch {
       .orderBy("cell")
   }
 
+  /** ENGINE-EXACT deterministic spherical k-means — the DRIVER-CONTRACT
+    * surface for ml_kmeans (the converged float fit stays [[kmeansFit]]/
+    * [[kmeansClusters]], spec-verified). Everything that crosses rows is
+    * INTEGER arithmetic, so any partitioning — and the DuckDB twin —
+    * produces bit-identical results with zero float-summation-order risk:
+    * vectors quantize to the 1e-3 lattice (q = round(1000·x) as longs),
+    * seeds are the first k rows by portable md5(vec_id) order, centroids
+    * are unit-scaled INTEGER vectors (round(1e6·S/‖S‖)), dot products and
+    * sums of squares are exact longs, and the report's mean cosine sums
+    * 6dp-quantized per-row cosines as longs before the one division.
+    * Shape per round: one codegen'd scan for assignment (k literal
+    * centroids — no join), one (cell, pos) rollup (k×dim keyed scalars,
+    * map-side combined), one parameter-sized collect — the same scan
+    * discipline as [[kmeansFit]], reproducible enough to hash-gate.
+    * Fixed TWO assignment passes with one update between (deterministic
+    * round count is part of the contract; convergence is kmeansFit's
+    * job). Output: (cell, n, avg_cos). */
+  def kmeansExactClusters(embeddings: DataFrame, k: Int = 8): DataFrame = {
+    import java.math.{BigDecimal => JBig, RoundingMode}
+    def scaleRound(v: Double): Long =
+      new JBig(v).setScale(0, RoundingMode.HALF_UP).longValue
+    val v = embeddings
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => round(x * 1000).cast("long")).as("q"))
+      .withColumn("ssq", aggregate(col("q"), lit(0L), (a, y) => a + y * y))
+      .localCheckpoint(true)
+    // seeds: first k rows in portable md5 order, unit-scaled to the 1e6
+    // integer sphere (k×dim longs — the codebook class of driver scalar)
+    val seeds: Seq[Seq[Long]] = v
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(k)
+      .select("q", "ssq")
+      .collect()
+      .map { r =>
+        val q = r.getSeq[Long](0); val n = math.sqrt(r.getLong(1).toDouble)
+        q.map(y => scaleRound(y * 1000000.0 / n))
+      }.toSeq
+    def cosTo(c: Seq[Long]): Column = {
+      val cssq = c.map(y => y * y).sum
+      val dot = aggregate(
+        zip_with(col("q"), lit(c.toArray), (a, b) => a * b),
+        lit(0L), (a, y) => a + y)
+      dot.cast("double") / (sqrt(col("ssq").cast("double")) *
+        math.sqrt(cssq.toDouble))
+    }
+    // argmax cosine, ties to the LOWEST cell: max over the k cosine
+    // columns, then the first index equal to it (exact doubles — both
+    // sides derive them from identical integer sums, so == is safe)
+    def assign(cents: Seq[Seq[Long]]): Column = {
+      val cos = cents.map(cosTo)
+      val best = greatest(cos: _*)
+      cos.zipWithIndex.foldRight(lit(-1)) { case ((c, i), acc) =>
+        when(c === best, i).otherwise(acc)
+      }
+    }
+    val sums = v.select(assign(seeds).as("cell"),
+        posexplode(col("q")).as(Seq("pos", "x")))
+      .groupBy("cell", "pos").agg(sum("x").as("sx"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (cell, rows) =>
+        cell -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+      }
+    val cents1: Seq[Seq[Long]] = (0 until k).map { cell =>
+      sums.get(cell) match {
+        case Some(sl) =>
+          val n = math.sqrt(sl.map(y => y * y).sum.toDouble)
+          sl.map(y => scaleRound(y * 1000000.0 / n))
+        case None => seeds(cell) // empty cell keeps its previous centroid
+      }
+    }
+    val bestCos = greatest(cents1.map(cosTo): _*)
+    v.select(assign(cents1).as("cell"),
+        round(bestCos * 1000000).cast("long").as("qc"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"), sum("qc").as("sc"))
+      .select(col("cell"), col("n"),
+        round(col("sc").cast("double") / (col("n") * 1000000.0), 6)
+          .as("avg_cos"))
+      .orderBy("cell")
+  }
+
   /** LEAVE-ONE-OUT kNN-CLASSIFIER evaluation — "are the labels
     * actually clustered in embedding space": every probe vector is
     * classified by the majority label of its k nearest OTHER vectors

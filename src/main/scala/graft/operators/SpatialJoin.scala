@@ -542,15 +542,20 @@ object SpatialJoin {
         (col("c_lon") - lon) * (col("c_lon") - lon)
     val joined = pts.join(broadcast(cents), Seq("cell_lat", "cell_lon"))
       .withColumn("a", sqrt(d2(col("g_lat"), col("g_lon"))))
+    // LEFT join: with a single occupied cell there is no "other" centroid —
+    // every point must still survive (scored 0 by the degenerate-cell
+    // convention below), not silently drop to an empty report.
     val others = joined.as("p").join(
       broadcast(cents.select(col("cell_lat").as("o_lat"),
         col("cell_lon").as("o_lon"), col("g_lat").as("o_glat"),
         col("g_lon").as("o_glon"))),
-      col("cell_lat") =!= col("o_lat") || col("cell_lon") =!= col("o_lon"))
+      col("cell_lat") =!= col("o_lat") || col("cell_lon") =!= col("o_lon"),
+      "left")
       .groupBy(col("c_custkey"), col("a"), col("n_pts"))
       .agg(min(sqrt(d2(col("o_glat"), col("o_glon")))).as("b"))
     others
-      .withColumn("s", when(col("n_pts") === 1, lit(0.0))
+      .withColumn("s", when(col("n_pts") === 1 || col("b").isNull,
+          lit(0.0))
         .otherwise((col("b") - col("a")) /
           nullif(greatest(col("a"), col("b")), lit(0.0))))
       .crossJoin(broadcast(cents.agg(count(lit(1)).as("n_cells"))))

@@ -1696,10 +1696,19 @@ object Stats {
     tbl.crossJoin(broadcast(total))
       .withColumn("n_risk",
         col("nt") - coalesce(sum(col("d") + col("c")).over(w), lit(0L)))
+      // A duration where every at-risk user churned (d == n_risk) makes its
+      // factor 1 - d/n = 0: survival is exactly 0 from that point on. Spark's
+      // log(0) is NULL and the window sum would silently SKIP it (reporting
+      // the previous survival), so the zero factor is special-cased: a prefix
+      // flag forces survival to 0.0 and the log term is guarded to keep both
+      // engines off the log(0) path entirely.
+      .withColumn("zero_fac",
+        max(when(col("d") === col("n_risk"), 1).otherwise(0)).over(wIncl))
       .withColumn("survival",
-        round(exp(sum(
-          log(lit(1.0) - col("d").cast("double") / col("n_risk")))
-          .over(wIncl)), 4))
+        round(when(col("zero_fac") === 1, lit(0.0)).otherwise(
+          exp(sum(when(col("d") === col("n_risk"), lit(0.0)).otherwise(
+            log(lit(1.0) - col("d").cast("double") / col("n_risk"))))
+            .over(wIncl))), 4))
       .select(col("dur").as("dur_days"), col("n_risk"), col("d"),
         col("c"), col("survival"))
   }

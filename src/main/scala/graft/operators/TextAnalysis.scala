@@ -910,12 +910,16 @@ object TextAnalysis {
     * Scale: token counts are row-local; one partial-agg rollup to the
     * ≤log₂(maxlen)-sized bucket frame; the global max joins back as a
     * 1-row broadcast. The capacity ladder is a fixed integer CASE —
-    * no float log2, so bucket edges are engine-exact. */
+    * no float log2, so bucket edges are engine-exact. Docs longer than
+    * the largest cap go to a dedicated OVERFLOW bucket whose cap is
+    * their true max length (folding them into caps.max would report
+    * max_tokens > cap and a negative waste — misstating serving cost). */
   def padEfficiency(documents: DataFrame,
                     caps: Seq[Int] = Seq(32, 64, 128, 256, 512, 1024,
                       2048, 4096)): DataFrame = {
     val n = wsTokenCount(col("text")).cast("long")
-    val cap = caps.reverse.tail.foldLeft(lit(caps.max.toLong)) {
+    val cap = caps.reverse.tail.foldLeft(
+      when(n > caps.max, lit(-1L)).otherwise(lit(caps.max.toLong))) {
       (acc, c) => when(n <= c, c.toLong).otherwise(acc)
     }
     val perBucket = documents
@@ -923,6 +927,10 @@ object TextAnalysis {
       .groupBy("bucket_cap")
       .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"),
         max("nt").as("max_tokens"))
+      // overflow sentinel resolves to the bucket's own true max length
+      .withColumn("bucket_cap",
+        when(col("bucket_cap") === -1L, col("max_tokens"))
+          .otherwise(col("bucket_cap")))
     val g = perBucket.agg(sum("n_docs").as("gd"), sum("n_tokens").as("gt"),
       max("max_tokens").as("gm"))
     perBucket.crossJoin(broadcast(g))

@@ -469,22 +469,6 @@ object Windows {
       .withColumn("cd", round(cume_dist().over(w), 6))
   }
 
-  /** MARKOV removal-effect attribution — the principled multi-touch
-    * model next to [[firstTouchAttribution]]'s heuristic (first/last
-    * touch hand the whole conversion to one arbitrary touchpoint;
-    * removal effect asks the counterfactual: how much conversion
-    * DISAPPEARS if this channel's transitions are severed — Anderl et
-    * al.'s standard formulation). Journeys = each user's pre-conversion
-    * event-type sequence, START-prefixed, absorbed by CONV (the user
-    * purchased) or NULL (they didn't).
-    *
-    * Distributed part: ONE lag-window pass builds the transition-count
-    * frame (states² ≤ ~50 rows). Driver part: the absorbing-chain
-    * conversion probability under each channel removal — a power
-    * iteration over a ≤7-state matrix, the parameter-sized scalar
-    * class (codebook/PACF precedent). Deterministic: fixed iteration
-    * count, exact integer counts in, 6dp out. Output: one row per
-    * channel — removal_effect and the normalized attribution share. */
   /** ENTROPY RATE of the per-user event-type sequence under its own
     * first-order Markov model — how predictable the NEXT action is
     * given the current one (the information-theoretic session metric:
@@ -513,6 +497,22 @@ object Windows {
           log(col("k").cast("double")), 6).as("predictability"))
   }
 
+  /** MARKOV removal-effect attribution — the principled multi-touch
+    * model next to [[firstTouchAttribution]]'s heuristic (first/last
+    * touch hand the whole conversion to one arbitrary touchpoint;
+    * removal effect asks the counterfactual: how much conversion
+    * DISAPPEARS if this channel's transitions are severed — Anderl et
+    * al.'s standard formulation). Journeys = each user's pre-conversion
+    * event-type sequence, START-prefixed, absorbed by CONV (the user
+    * purchased) or NULL (they didn't).
+    *
+    * Distributed part: ONE lag-window pass builds the transition-count
+    * frame (states² ≤ ~50 rows). Driver part: the absorbing-chain
+    * conversion probability under each channel removal — a power
+    * iteration over a ≤7-state matrix, the parameter-sized scalar
+    * class (codebook/PACF precedent). Deterministic: fixed iteration
+    * count, exact integer counts in, 6dp out. Output: one row per
+    * channel — removal_effect and the normalized attribution share. */
   def markovAttribution(events: DataFrame,
                         convType: String = "purchase",
                         iters: Int = 200): DataFrame = {

@@ -19,20 +19,34 @@ object AccumulatingSink {
 
   def applyBatch(batch: DataFrame, statePath: String,
                  milestones: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.Path
     val spark = batch.sparkSession
-    val fs = new org.apache.hadoop.fs.Path(statePath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val exists = fs.exists(new org.apache.hadoop.fs.Path(statePath))
+    val state = new Path(statePath)
+    val next = new Path(s"$statePath.__next")
+    val aside = new Path(s"$statePath.__prev")
+    val fs = state.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Crash recovery: the swap below never deletes the live snapshot until
+    // the new one is in place, but a crash between rename(state, aside) and
+    // rename(next, state) leaves state absent with a COMPLETE __next on disk
+    // (it carries a _SUCCESS marker — written before any swap step starts).
+    // Finish that swap before reading, so the checkpoint-replayed batch sees
+    // the previous snapshot instead of silently re-initializing from one
+    // batch. A partial __next (no marker) is just overwritten below.
+    if (!fs.exists(state) && fs.exists(new Path(next, "_SUCCESS")))
+      fs.rename(next, state)
+    val exists = fs.exists(state)
     val merged =
       if (exists)
         Dwh.accumulatingApply(spark.read.parquet(statePath), batch,
           milestones)
       else Dwh.accumulatingSnapshot(batch, milestones)
-    val tmp = s"$statePath.__next"
-    merged.write.mode("overwrite").parquet(tmp)
-    if (exists) fs.delete(new org.apache.hadoop.fs.Path(statePath), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(statePath))
+    merged.write.mode("overwrite").parquet(next.toString)
+    // Swap with no window where the only copy is gone: old snapshot is moved
+    // aside (not deleted) before the new one takes its place.
+    fs.delete(aside, true)
+    if (exists) fs.rename(state, aside)
+    fs.rename(next, state)
+    fs.delete(aside, true)
   }
 
   def sink(stream: DataFrame, statePath: String, checkpoint: String,

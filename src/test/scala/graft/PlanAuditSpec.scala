@@ -46,6 +46,20 @@ class PlanAuditSpec extends SparkSpec {
   test("q1_agg: aggregation is partial (map-side) before the exchange") {
     val p = plan("q1_agg")
     assert(p.contains("partial_sum") || p.contains("partial_count"))
+    // and it is a SINGLE pass: one shuffle total (the agg exchange)
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 1, s"expected exactly one exchange, got $n in:\n$p")
+  }
+
+  test("w6_rank_lead: both window frames share ONE user_id exchange") {
+    // rank/dense_rank sort by (value desc, id); lead sorts by time — two
+    // sorts, but both partition on user_id, so Spark must plan exactly one
+    // exchange. A drift to two exchanges doubles the shuffle at any scale.
+    val p = plan("w6_rank_lead")
+    val n = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(n == 1, s"expected exactly one user_id exchange, got $n in:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no global single-partition window allowed:\n$p")
   }
 
   test("snk_partitioned_write: readback scan prunes partitions") {

@@ -121,6 +121,20 @@ class GraphSpec extends SparkSpec {
     assert(k2members == Set(1L, 2L, 3L, 4L))
   }
 
+  test("coreness survives a 10^5-degree hub (counting form, no per-node array)") {
+    // A star with 100k leaves: the old sort_array(collect_list(...))
+    // H-index materialized one 10^5-element row for the hub — the
+    // straggler/OOM shape a skewed 100 TB graph hits. The counting form
+    // collapses the hub to ≤ #distinct-c histogram rows (here: 1).
+    // Exact answer: a star is a 1-core — every node coreness 1.
+    val leaves = spark.range(1, 100001).select(
+      lit(0L).as("src"), $"id".as("dst"))
+    val star = leaves.union(leaves.select($"dst".as("src"), $"src".as("dst")))
+    val hist = Graph.coreness(star).collect()
+      .map(r => r.getAs[Int]("coreness") -> r.getAs[Long]("n_nodes")).toMap
+    assert(hist == Map(1 -> 100001L))
+  }
+
   test("harmonicCentrality: exact on a path graph when landmarks = all nodes") {
     // path 1-2-3-4-5: with every node a landmark, the estimate IS the
     // exact harmonic centrality; the middle node must win

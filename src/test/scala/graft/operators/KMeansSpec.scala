@@ -72,4 +72,27 @@ class KMeansSpec extends SparkSpec {
     val (cbTiny, _) = SimilaritySearch.kmeansFit(tiny, k = 5)
     assert(cbTiny.size == 2)
   }
+
+  test("kmeansExactClusters: planted cones separate; partitioning-invariant") {
+    // two tight cones around orthogonal axes — the exact variant must
+    // recover the same grouping the float fit does, with avg_cos ≈ 1
+    val rows =
+      (0 until 10).map(i => (i.toLong,
+        Seq(10.0f, (i % 3) * 0.1f, 0.0f), 0)) ++
+      (0 until 10).map(i => (100L + i,
+        Seq(0.0f, (i % 3) * 0.1f, 10.0f), 1))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val prof = SimilaritySearch.kmeansExactClusters(df, k = 2).collect()
+    assert(prof.map(_.getAs[Long]("n")).sum == 20L)
+    assert(prof.forall(_.getAs[Double]("avg_cos") > 0.99),
+      s"cones not tight: ${prof.mkString(",")}")
+    // engine-exactness claim: ANY partitioning produces identical rows
+    // (all cross-row arithmetic is integer — nothing float-order-dependent)
+    val emb = Tables.embeddings(spark, sf)
+    val a = SimilaritySearch.kmeansExactClusters(emb, k = 8).collect().toSeq
+    val b = SimilaritySearch.kmeansExactClusters(emb.repartition(13), k = 8)
+      .collect().toSeq
+    assert(a == b, "exact k-means drifted under repartitioning")
+    assert(a.map(_.getAs[Long]("n")).sum == emb.count())
+  }
 }
