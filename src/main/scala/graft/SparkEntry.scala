@@ -452,6 +452,8 @@ object SparkEntry {
     "ts_sax" -> ((s, d) => Resample.saxWords(Tables.events(s, d))),
     "ts_profile_outlier" -> ((s, d) =>
       Resample.dayProfileOutliers(Tables.events(s, d))),
+    "tx_readability" -> ((s, d) =>
+      TextAnalysis.readability(Tables.documents(s, d))),
     "tx_burrows_delta" -> ((s, d) =>
       TextAnalysis.burrowsDelta(Tables.documents(s, d))),
     "pipe_pad_efficiency" -> ((s, d) =>
@@ -490,6 +492,9 @@ object SparkEntry {
         "l_quantity", "l_discount")),
     "ts_markov_entropy" -> ((s, d) =>
       Windows.entropyRate(Tables.events(s, d))),
+    "ts_ar1_halflife" -> ((s, d) => Resample.ar1HalfLife(Tables.events(s, d))),
+    "ts_hurst" -> ((s, d) => Resample.hurstRS(Tables.events(s, d))),
+    "ts_turning_points" -> ((s, d) => Resample.turningPoints(Tables.events(s, d))),
     "ts_mann_kendall" -> ((s, d) =>
       Resample.mannKendall(Tables.events(s, d))),
     "st_tost" -> ((s, d) =>
@@ -555,6 +560,8 @@ object SparkEntry {
         epsKm = 300.0, cellDeg = 9)
         .select(col("pid").as("c_custkey"), col("cluster_id"))
     }),
+    "sp_ripley" -> ((s, d) =>
+      SpatialJoin.ripleyK(Tables.customer(s, d))),
     "sp_radius_join" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       SpatialJoin.withinRadiusPairs(
@@ -753,6 +760,9 @@ object SparkEntry {
       SimilaritySearch.bruteForceTopK(Tables.embeddings(s, d), 0L, 10)),
     "ann_mips" -> ((s, d) =>
       SimilaritySearch.mipsTopK(Tables.embeddings(s, d), 0L, 10)),
+    "dwh_junk_dim" -> ((s, d) => Dwh.junkDimension(Tables.orders(s, d))),
+    "dwh_factless" -> ((s, d) =>
+      Dwh.factlessCoverage(Tables.orders(s, d), Tables.customer(s, d))),
     "dwh_scd3" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       Dwh.scd3View(Tables.events(s, d), "user_id", "event_type",
@@ -1406,6 +1416,8 @@ object SparkEntry {
       Stats.permutationTest(Tables.lineitem(s, d), "l_returnflag",
         "l_extendedprice", "R", "N", Seq("l_orderkey", "l_linenumber"))),
     "gr_triangles" -> ((s, d) => Graph.triangleStats(coSupplyEdges(s, d))),
+    "gr_local_cc" -> ((s, d) => Graph.localClustering(coSupplyEdges(s, d))),
+    "gr_richclub" -> ((s, d) => Graph.richClub(coSupplyEdges(s, d))),
     "gr_jaccard" -> ((s, d) => Graph.jaccardLinks(coSupplyEdges(s, d), 20)),
     "gr_kcore" -> ((s, d) => Graph.kCore(coSupplyEdges(s, d), 3)),
     "gr_coreness" -> ((s, d) => Graph.coreness(coSupplyEdges(s, d))),
@@ -1447,6 +1459,9 @@ object SparkEntry {
         "l_extendedprice")),
     "st_bh_battery" -> ((s, d) =>
       Stats.welchBatteryBH(Tables.events(s, d), "event_type", "value")),
+    "st_holm_battery" -> ((s, d) =>
+      Stats.welchBatteryHolm(Tables.events(s, d), "event_type", "value")),
+    "st_power" -> ((s, d) => Stats.powerAnalysis(Tables.events(s, d))),
     "st_avg_precision" -> ((s, d) =>
       Stats.averagePrecision(Tables.documents(s, d), "lang", "n_chars",
         "en")),
@@ -1500,6 +1515,22 @@ object SparkEntry {
       Stats.cohensKappa(
         TextAnalysis.naiveBayesLangEval(Tables.documents(s, d)),
         "true_lang", "pred_lang", "n")),
+    "ml_confusion" -> ((s, d) =>
+      Stats.classifierReport(
+        TextAnalysis.naiveBayesLangEval(Tables.documents(s, d)),
+        "true_lang", "pred_lang", "n")),
+    "ml_calibration" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val e = Tables.embeddings(s, d)
+      // deterministic probe score: logistic link on the 1e-3-quantized
+      // first coordinate (q1/200 spans ≈ ±1.9 → scores ≈ 0.13..0.87);
+      // binarized concept: labels 0-4 positive
+      val q1 = round(element_at(
+        col("embedding").cast("array<double>"), 1) * 1000).cast("long")
+      Stats.calibrationReport(e,
+        lit(1.0) / (lit(1.0) + exp(-(q1 / lit(200.0)))),
+        (col("label") < 5).cast("int"))
+    }),
     "st_ccc" -> ((s, d) => Stats.linCcc(Tables.events(s, d))),
     "st_mahalanobis" -> ((s, d) =>
       Stats.mahalanobisOutliers(Tables.events(s, d))),
@@ -1570,6 +1601,61 @@ object SparkEntry {
          FROM pred WHERE rn = 1 GROUP BY 1, 2"""
 
   def oracleSql: Map[String, String] = Map(
+    "ml_calibration" ->
+      """WITH sc AS (SELECT
+             1.0 / (1.0 + exp(-(CAST(round(embedding[1] * 1000)
+               AS BIGINT) / 200.0))) AS score,
+             CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+           FROM embeddings),
+         q AS (SELECT CAST(floor(score * 10) AS INT) AS bin, y,
+             CAST(round(score * 1000000) AS BIGINT) AS sq,
+             CAST(round((score - y) * (score - y) * 1000000) AS BIGINT)
+               AS bq
+           FROM sc),
+         b AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(sum(sq) AS BIGINT) AS ssum
+           FROM q GROUP BY 1),
+         g AS (SELECT CAST(count(*) AS BIGINT) AS nt,
+             CAST(sum(bq) AS BIGINT) AS bsum FROM q),
+         bb AS (SELECT b.*, nt, bsum,
+             CAST(round(abs(CAST(n_pos AS DOUBLE) / n -
+               CAST(ssum AS DOUBLE) / (n * 1000000.0)) * n
+               * 1000000000.0 / nt) AS BIGINT) AS eq
+           FROM b CROSS JOIN g),
+         e AS (SELECT CAST(sum(eq) AS BIGINT) AS esum FROM bb)
+         SELECT bin, n, n_pos,
+           round(CAST(ssum AS DOUBLE) / (n * 1000000.0), 6)
+             AS mean_score,
+           round(CAST(n_pos AS DOUBLE) / n, 6) AS frac_pos,
+           round(CAST(bsum AS DOUBLE) / (nt * 1000000.0), 6) AS brier,
+           round(CAST(esum AS DOUBLE) / 1000000000.0, 6) AS ece
+         FROM bb CROSS JOIN e""",
+    "ml_confusion" ->
+      s"""WITH cm AS (SELECT * FROM ($MlNbOracleSql)),
+         rt AS (SELECT true_lang AS cls, CAST(sum(n) AS BIGINT)
+             AS support FROM cm GROUP BY 1),
+         ct AS (SELECT pred_lang AS cls, CAST(sum(n) AS BIGINT)
+             AS predicted FROM cm GROUP BY 1),
+         dg AS (SELECT true_lang AS cls, CAST(sum(n) AS BIGINT) AS tp
+           FROM cm WHERE true_lang = pred_lang GROUP BY 1),
+         ov AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+             CAST(sum(CASE WHEN true_lang = pred_lang THEN n ELSE 0 END)
+               AS BIGINT) AS ndiag
+           FROM cm),
+         f AS (SELECT coalesce(rt.cls, ct.cls) AS cls,
+             coalesce(support, 0) AS support,
+             coalesce(predicted, 0) AS predicted
+           FROM rt FULL JOIN ct ON rt.cls = ct.cls)
+         SELECT f.cls, support, predicted, coalesce(tp, 0) AS tp,
+           round(coalesce(tp, 0) / nullif(CAST(predicted AS DOUBLE), 0),
+             6) AS precision,
+           round(coalesce(tp, 0) / nullif(CAST(support AS DOUBLE), 0),
+             6) AS recall,
+           round(2.0 * coalesce(tp, 0) /
+             nullif(CAST(support + predicted AS DOUBLE), 0), 6) AS f1,
+           round(ndiag / CAST(nt AS DOUBLE), 6) AS accuracy
+         FROM f LEFT JOIN dg ON f.cls = dg.cls CROSS JOIN ov""",
     "ml_kappa" ->
       s"""WITH cm AS (SELECT * FROM ($MlNbOracleSql)),
          tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
@@ -2273,6 +2359,68 @@ object SparkEntry {
          fin AS (SELECT node, c FROM c10)
          SELECT c AS coreness, CAST(count(*) AS BIGINT) AS n_nodes
          FROM fin GROUP BY 1""",
+    "gr_local_cc" ->
+      """WITH cp AS MATERIALIZED (SELECT l1.l_suppkey AS s1,
+             l2.l_suppkey AS s2, count(*) AS cnt
+           FROM lineitem l1 JOIN lineitem l2
+             ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+           GROUP BY 1, 2),
+         und AS MATERIALIZED (SELECT s1 AS a, s2 AS b FROM cp
+           WHERE cnt > (SELECT quantile_cont(cnt, 0.9) FROM cp)),
+         deg AS MATERIALIZED (SELECT node, CAST(count(*) AS BIGINT) AS deg
+           FROM (SELECT a AS node FROM und
+                 UNION ALL SELECT b FROM und) GROUP BY 1),
+         o AS MATERIALIZED (SELECT
+             CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND a < b)
+               THEN a ELSE b END AS u,
+             CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND a < b)
+               THEN b ELSE a END AS v,
+             CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND a < b)
+               THEN d2.deg ELSE d1.deg END AS dv
+           FROM und JOIN deg d1 ON und.a = d1.node
+             JOIN deg d2 ON und.b = d2.node),
+         tri AS (SELECT o1.u, o1.v AS x, o2.v AS y
+           FROM o o1 JOIN o o2 ON o1.u = o2.u
+             AND (o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v))
+           WHERE EXISTS (SELECT 1 FROM o o3
+             WHERE o3.u = o1.v AND o3.v = o2.v)),
+         pn AS (SELECT node, CAST(count(*) AS BIGINT) AS t
+           FROM (SELECT u AS node FROM tri UNION ALL SELECT x FROM tri
+                 UNION ALL SELECT y FROM tri) GROUP BY 1),
+         l AS (SELECT deg.deg,
+             2.0 * coalesce(t, 0) / (deg.deg * (deg.deg - 1)) AS lcc
+           FROM deg LEFT JOIN pn ON deg.node = pn.node WHERE deg.deg >= 2)
+         SELECT CAST(floor(lcc * 10) AS INT) AS lcc_bucket,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           round(CAST(sum(CAST(round(lcc * 1000000) AS BIGINT)) AS DOUBLE)
+             / (count(*) * 1000000.0), 6) AS avg_lcc
+         FROM l GROUP BY 1""",
+    "gr_richclub" ->
+      """WITH cp AS MATERIALIZED (SELECT l1.l_suppkey AS s1,
+             l2.l_suppkey AS s2, count(*) AS cnt
+           FROM lineitem l1 JOIN lineitem l2
+             ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+           GROUP BY 1, 2),
+         und AS MATERIALIZED (SELECT s1 AS a, s2 AS b FROM cp
+           WHERE cnt > (SELECT quantile_cont(cnt, 0.9) FROM cp)),
+         deg AS MATERIALIZED (SELECT node, CAST(count(*) AS BIGINT) AS deg
+           FROM (SELECT a AS node FROM und
+                 UNION ALL SELECT b FROM und) GROUP BY 1),
+         ks AS (SELECT unnest([1, 2, 4, 8, 16, 32, 64]) AS k),
+         nk AS (SELECT k,
+             CAST(sum(CASE WHEN deg > k THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_k
+           FROM deg CROSS JOIN ks GROUP BY 1),
+         ek AS (SELECT k,
+             CAST(sum(CASE WHEN d1.deg > k AND d2.deg > k THEN 1 ELSE 0
+               END) AS BIGINT) AS e_k
+           FROM und JOIN deg d1 ON und.a = d1.node
+             JOIN deg d2 ON und.b = d2.node
+             CROSS JOIN ks GROUP BY 1)
+         SELECT nk.k, n_k, e_k,
+           CASE WHEN n_k >= 2
+             THEN round(2.0 * e_k / (n_k * (n_k - 1)), 6) END AS phi
+         FROM nk JOIN ek ON nk.k = ek.k""",
     "gr_kcore" ->
       """WITH c AS MATERIALIZED (SELECT l1.l_suppkey AS s1,
              l2.l_suppkey AS s2, count(*) AS cnt
@@ -3828,6 +3976,91 @@ object SparkEntry {
            round(sum((np / CAST(npos AS DOUBLE)) *
              (cp / CAST(ct AS DOUBLE))), 6) AS average_precision
          FROM cum CROSS JOIN tot GROUP BY npos, ntot""",
+    "st_skew_kurt" ->
+      """WITH q AS (SELECT l_returnflag,
+             CAST(CAST(round(l_quantity * 10000) AS BIGINT) AS HUGEINT)
+               AS q
+           FROM lineitem),
+         g AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             sum(q) AS s1, sum(q * q) AS s2,
+             sum(q * q * q) AS s3, sum(q * q * q * q) AS s4
+           FROM q GROUP BY 1),
+         m AS (SELECT l_returnflag, n,
+             CAST(s1 AS DOUBLE) / n AS mu,
+             CAST(s2 AS DOUBLE) / n AS r2,
+             CAST(s3 AS DOUBLE) / n AS r3,
+             CAST(s4 AS DOUBLE) / n AS r4
+           FROM g),
+         c AS (SELECT l_returnflag, n,
+             r2 - mu * mu AS m2,
+             r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+             r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2 -
+               3.0 * mu * mu * mu * mu AS m4
+           FROM m)
+         SELECT l_returnflag, n,
+           round(m3 / nullif(sqrt(m2 * m2 * m2), 0), 6) AS skew,
+           round(m4 / nullif(m2 * m2, 0) - 3.0, 6) AS kurt
+         FROM c""",
+    "st_holm_battery" ->
+      """WITH s AS (SELECT event_type, count(value) AS n, avg(value) AS m,
+             var_samp(value) AS v
+           FROM events GROUP BY 1),
+         t AS (SELECT a.event_type AS group_a, b.event_type AS group_b,
+             round((a.m - b.m) / sqrt(a.v/a.n + b.v/b.n), 4) AS t_stat
+           FROM s a JOIN s b ON a.event_type < b.event_type),
+         pz AS (SELECT group_a, group_b, t_stat, abs(t_stat) AS x,
+             1.0 / (1.0 + 0.2316419 * abs(t_stat)) AS k
+           FROM t),
+         pv AS (SELECT group_a, group_b, t_stat,
+             round(2.0 * (exp(-x * x / 2.0) * 0.3989422804014327) *
+               (k * (0.319381530 + k * (-0.356563782 +
+                k * (1.781477937 + k * (-1.821255978 +
+                k * 1.330274429))))), 8) AS p
+           FROM pz),
+         rk AS (SELECT group_a, group_b, t_stat, p,
+             CAST(count(*) OVER () AS BIGINT) AS m,
+             CAST(row_number() OVER (ORDER BY p, group_a, group_b)
+               AS BIGINT) AS i
+           FROM pv),
+         adj AS (SELECT group_a, group_b, t_stat, p,
+             round(max(least(1.0, p * (m - i + 1))) OVER (ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+               AS p_adj
+           FROM rk)
+         SELECT group_a, group_b, t_stat, p, p_adj,
+           p_adj <= 0.05 AS significant
+         FROM adj""",
+    "st_power" ->
+      """WITH pu AS (SELECT user_id,
+             max(CASE WHEN event_type = 'purchase' AND value > 95.0
+               THEN 1 ELSE 0 END) AS conv
+           FROM events GROUP BY 1),
+         armed AS (SELECT conv,
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+               THEN 'A' ELSE 'B' END AS arm
+           FROM pu),
+         a AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(conv) AS BIGINT) AS k
+           FROM armed GROUP BY 1),
+         w AS (SELECT
+             max(CASE WHEN arm = 'A' THEN n END) AS na,
+             max(CASE WHEN arm = 'A' THEN k END) AS ka,
+             max(CASE WHEN arm = 'B' THEN n END) AS nb,
+             max(CASE WHEN arm = 'B' THEN k END) AS kb
+           FROM a),
+         f AS (SELECT na, nb,
+             CAST(ka AS DOUBLE) / na AS pa,
+             CAST(kb AS DOUBLE) / nb AS pb
+           FROM w),
+         g AS (SELECT na, nb, pa, pb, abs(pa - pb) AS delta,
+             CAST(ceil(7.848878512225001 *
+               (pa * (1.0 - pa) + pb * (1.0 - pb)) /
+               nullif(abs(pa - pb) * abs(pa - pb), 0)) AS BIGINT) AS nreq
+           FROM f)
+         SELECT na, nb, round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+           round(delta, 6) AS delta, nreq AS n_required_per_arm,
+           least(na, nb) >= nreq AS powered
+         FROM g""",
     "st_bh_battery" ->
       """WITH s AS (SELECT event_type, count(value) AS n, avg(value) AS m,
              var_samp(value) AS v
@@ -4145,6 +4378,173 @@ object SparkEntry {
            round(bias - 1.96 * sd, 6) AS loa_lower,
            round(bias + 1.96 * sd, 6) AS loa_upper
          FROM m""",
+    "ts_hurst" ->
+      """WITH hourly AS (SELECT
+             epoch(date_trunc('hour', ts)) // 3600 AS hr,
+             CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+               AS v
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+         idx AS (SELECT v,
+             row_number() OVER (ORDER BY hr) - 1 AS i FROM hourly),
+         sized AS (SELECT bs, x, i, v, i // bs AS b
+           FROM idx CROSS JOIN (VALUES (32, 5), (64, 6), (128, 7))
+             AS t(bs, x)),
+         cum AS (SELECT bs, x, b, v,
+             row_number() OVER w AS j,
+             sum(v) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND
+               CURRENT ROW) AS cs,
+             sum(v) OVER (PARTITION BY bs, b) AS s1,
+             count(*) OVER (PARTITION BY bs, b) AS nb
+           FROM sized WINDOW w AS (PARTITION BY bs, b ORDER BY i)),
+         dev AS (SELECT bs, x, b, nb, s1,
+             CAST(cs AS DOUBLE) - j * (CAST(s1 AS DOUBLE) / bs)
+               AS cumdev,
+             CAST(v AS HUGEINT) * CAST(v AS HUGEINT) AS v2
+           FROM cum),
+         blocks AS (SELECT bs, x, b,
+             CAST(max(nb) AS BIGINT) AS nb, max(s1) AS s1,
+             CAST(sum(v2) AS HUGEINT) AS s2,
+             max(cumdev) AS cmax, min(cumdev) AS cmin
+           FROM dev GROUP BY 1, 2, 3),
+         scored AS (SELECT bs, x,
+             CAST(round(ln((cmax - cmin) / sd) / 0.6931471805599453
+               * 1000000) AS BIGINT) AS yq
+           FROM (SELECT *, sqrt(CAST(s2 AS DOUBLE) / bs -
+               (CAST(s1 AS DOUBLE) / bs) * (CAST(s1 AS DOUBLE) / bs))
+               AS sd
+             FROM blocks WHERE nb = bs)
+           WHERE sd > 0),
+         per AS (SELECT bs AS block_size, x,
+             CAST(count(*) AS BIGINT) AS n_blocks,
+             CAST(sum(yq) AS DOUBLE) / (count(*) * 1000000.0) AS y
+           FROM scored GROUP BY 1, 2),
+         reg AS (SELECT CAST(count(*) AS DOUBLE) AS k,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+           FROM per),
+         h AS (SELECT round((k * sxy - sx * sy) /
+             (k * sxx - CAST(sx * sx AS DOUBLE)), 4) AS hurst FROM reg)
+         SELECT block_size, n_blocks, round(y, 6) AS avg_log2_rs, hurst
+         FROM per CROSS JOIN h""",
+    "sp_ripley" ->
+      """WITH pts AS (SELECT c_custkey,
+             round(((c_custkey * 17) % 1400)/10.0 - 70.0, 4) AS lat,
+             round(((c_custkey * 31) % 3600)/10.0 - 180.0, 4) AS lon
+           FROM customer),
+         pr AS (SELECT round(2*6371.0*asin(sqrt(
+               pow(sin(radians(b.lat - a.lat)/2), 2) +
+               cos(radians(a.lat))*cos(radians(b.lat))
+                 *pow(sin(radians(b.lon - a.lon)/2), 2)
+             )), 4) AS dist_km
+           FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pts),
+         per AS (
+           SELECT CAST(100.0 AS DOUBLE) AS r_km,
+             6.55435659280035e-05 AS csr,
+             CAST(sum(CASE WHEN dist_km <= 100.0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_pairs FROM pr
+           UNION ALL
+           SELECT CAST(200.0 AS DOUBLE), 2.621581161880989e-04,
+             CAST(sum(CASE WHEN dist_km <= 200.0 THEN 1 ELSE 0 END)
+               AS BIGINT) FROM pr
+           UNION ALL
+           SELECT CAST(400.0 AS DOUBLE), 1.0483741361924782e-03,
+             CAST(sum(CASE WHEN dist_km <= 400.0 THEN 1 ELSE 0 END)
+               AS BIGINT) FROM pr)
+         SELECT r_km, n_pairs,
+           round(2.0 * n_pairs / (n * (n - 1)), 8) AS pair_share,
+           round(csr, 8) AS csr_share,
+           round(2.0 * n_pairs / (n * (n - 1)) / csr, 4) AS k_ratio
+         FROM per CROSS JOIN nn""",
+    "ts_ar1_halflife" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+               AS v
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+         pairs AS (SELECT a.v AS x, b.v AS y
+           FROM daily a JOIN daily b ON b.day = a.day + 1),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT))
+               AS HUGEINT) AS sxy,
+             CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT))
+               AS HUGEINT) AS sxx
+           FROM pairs),
+         r AS (SELECT n,
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+               CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+               CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS rho
+           FROM m)
+         SELECT n AS n_pairs, round(rho, 6) AS rho,
+           CASE WHEN rho > 0 AND rho < 1
+             THEN round(0.6931471805599453 / -ln(rho), 4) END
+             AS halflife_days
+         FROM r""",
+    "ts_turning_points" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+               AS v
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+         x AS (SELECT v, lag(v) OVER w AS pv, lead(v) OVER w AS nv
+           FROM daily WINDOW w AS (ORDER BY day)),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS n_interior,
+             CAST(sum(CASE WHEN (v > pv AND v > nv) OR
+               (v < pv AND v < nv) THEN 1 ELSE 0 END) AS BIGINT) AS t
+           FROM x WHERE pv IS NOT NULL AND nv IS NOT NULL)
+         SELECT n_interior + 2 AS n_days, t AS n_turning,
+           round(2.0 * (CAST(n_interior + 2 AS DOUBLE) - 2.0) / 3.0, 4)
+             AS expected,
+           round((CAST(t AS DOUBLE) -
+             2.0 * (CAST(n_interior + 2 AS DOUBLE) - 2.0) / 3.0) /
+             sqrt((16.0 * CAST(n_interior + 2 AS DOUBLE) - 29.0) / 90.0),
+             4) AS z
+         FROM t""",
+    "tx_readability" ->
+      """WITH d AS (SELECT source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+             greatest(CAST(1 AS BIGINT),
+               CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+               AS sents,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+               AS BIGINT) AS syl
+           FROM documents),
+         f AS (SELECT source,
+             206.835 - 1.015 * (CAST(w AS DOUBLE) / sents) -
+               84.6 * (CAST(syl AS DOUBLE) / w) AS f
+           FROM d)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(CAST(round(f * 10000) AS BIGINT)) AS DOUBLE) /
+             (count(*) * 10000.0), 4) AS avg_flesch,
+           CAST(sum(CASE WHEN f >= 70 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_easy,
+           CAST(sum(CASE WHEN f >= 50 AND f < 70 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_standard,
+           CAST(sum(CASE WHEN f < 50 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_difficult
+         FROM f GROUP BY 1""",
+    "dwh_junk_dim" ->
+      """WITH combos AS (SELECT o_orderstatus, o_orderpriority,
+             CAST(count(*) AS BIGINT) AS n_facts
+           FROM orders GROUP BY 1, 2),
+         t AS (SELECT CAST(sum(n_facts) AS BIGINT) AS nt FROM combos)
+         SELECT CAST(dense_rank() OVER (ORDER BY o_orderstatus,
+             o_orderpriority) AS INT) AS junk_key,
+           o_orderstatus, o_orderpriority, n_facts,
+           round(CAST(n_facts AS DOUBLE) / nt, 6) AS fact_share
+         FROM combos CROSS JOIN t""",
+    "dwh_factless" ->
+      """WITH segs AS (SELECT DISTINCT c_mktsegment AS segment
+             FROM customer),
+         months AS (SELECT DISTINCT strftime(o_orderdate, '%Y-%m')
+             AS month FROM orders),
+         covered AS (SELECT DISTINCT c_mktsegment AS segment,
+             strftime(o_orderdate, '%Y-%m') AS month
+           FROM orders JOIN customer ON o_custkey = c_custkey)
+         SELECT segment, month FROM segs CROSS JOIN months
+         WHERE NOT EXISTS (SELECT 1 FROM covered c
+           WHERE c.segment = segs.segment AND c.month = months.month)""",
     "ts_mann_kendall" ->
       """WITH hourly AS (SELECT
              epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,

@@ -573,4 +573,55 @@ object Dwh {
         round(coalesce(col("vcents"), lit(0)).cast("double") / 100.0, 2)
           .as("engagement"))
   }
+
+  /** JUNK DIMENSION extraction (Kimball) — the low-cardinality flag
+    * soup (status × priority here) pulled out of the fact into ONE
+    * compact dimension with a deterministic surrogate: junk_key =
+    * dense_rank over the attribute total order, so the same combo set
+    * always mints the same keys on any cluster (the growth caveat —
+    * NEW combos appearing later would shift dense ranks — is the
+    * documented reason production assigns via [[assignSurrogates]]'s
+    * max+row_number append; this surface is the build-from-scratch).
+    * Output: the dimension WITH usage stats (n_facts, fact share) —
+    * the audit view that decides which combos are real vs dirty data.
+    * One partial-agg pass to the combos-sized frame; the rank window
+    * runs on ≤ |status|·|priority| rows. */
+  def junkDimension(orders: DataFrame): DataFrame = {
+    val combos = orders.groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_facts"))
+    val w = Window.orderBy("o_orderstatus", "o_orderpriority")
+    combos
+      .withColumn("junk_key", dense_rank().over(w))
+      .crossJoin(broadcast(combos.agg(sum("n_facts").as("nt"))))
+      .select(col("junk_key"), col("o_orderstatus"),
+        col("o_orderpriority"), col("n_facts"),
+        round(col("n_facts").cast("double") / col("nt"), 6)
+          .as("fact_share"))
+  }
+
+  /** FACTLESS-FACT coverage gap — the "what did NOT happen" query the
+    * factless coverage table exists for (Kimball's classic): every
+    * (market segment, order month) cell in the coverage cross-product
+    * with NO orders from that segment's customers that month. The
+    * segment and month dimensions are tiny (distinct rollups of their
+    * own sides); the cross-product is dims², never fact-sized; the
+    * fact side collapses to its distinct (segment, month) footprint in
+    * one partial-agg pass before the anti-join — so the answer costs
+    * two dim scans + one fact footprint, not a fact×dim join. */
+  def factlessCoverage(orders: DataFrame, customer: DataFrame)
+      : DataFrame = {
+    val segs = customer.select(col("c_mktsegment").as("segment"))
+      .distinct()
+    val months = orders
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .distinct()
+    val covered = orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .distinct()
+    segs.crossJoin(months)
+      .join(covered, Seq("segment", "month"), "left_anti")
+      .select(col("segment"), col("month"))
+  }
 }

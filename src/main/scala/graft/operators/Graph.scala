@@ -675,4 +675,114 @@ object Graph {
           (col("__m2").cast(dec) * col("__m2").cast(dec)).cast("double"),
           6).as("modularity"))
   }
+
+  /** PER-NODE local clustering coefficient distribution — "is MY
+    * neighborhood a clique": lcc(v) = 2·t(v)/(d(v)·(d(v)−1)), reported
+    * as the 0.1-wide histogram over nodes with degree ≥ 2 (the only
+    * nodes for which the ratio is defined). Complements
+    * [[triangleStats]]'s single global transitivity: a graph can have a
+    * high global ratio carried by a few dense pockets while most nodes
+    * sit at lcc 0 — exactly what this histogram exposes (the shape that
+    * decides whether community detection is worth running).
+    *
+    * Scale shape: triangles enumerate ONCE via the same degree-oriented
+    * wedge join as triangleStats (each triangle materializes exactly
+    * once, hub wedge blowup bounded by orientation), then each triangle
+    * feeds its three corners into a node-keyed partial-agg count —
+    * integers end to end; the one double division per node happens on
+    * exact longs, so bucket edges are engine-stable. */
+  def localClustering(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val oriented = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+      .select(
+        when(col("da") < col("db") ||
+             (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v"),
+            col("da").as("du"), col("db").as("dv")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"),
+            col("db").as("du"), col("da").as("dv")))
+          .as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"),
+        col("e.du").as("du"), col("e.dv").as("dv"))
+      .localCheckpoint(true)
+    val o2 = oriented.select(col("u").as("u2"), col("v").as("y"),
+      col("dv").as("dy"))
+    val tris = oriented
+      .join(o2, col("u") === col("u2") &&
+        (col("dv") < col("dy") ||
+          (col("dv") === col("dy") && col("v") < col("y"))))
+      .select(col("u"), col("v").as("x"), col("y"))
+      .join(oriented.select(col("u").as("x"), col("v").as("y")),
+        Seq("x", "y"), "left_semi")
+    val perNode = tris.select(col("u").as("node"))
+      .unionAll(tris.select(col("x").as("node")))
+      .unionAll(tris.select(col("y").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("t"))
+    deg.filter(col("deg") >= 2)
+      .join(perNode, Seq("node"), "left")
+      .select(col("deg"),
+        (lit(2.0) * coalesce(col("t"), lit(0L)) /
+          (col("deg") * (col("deg") - 1))).as("lcc"))
+      .groupBy(floor(col("lcc") * 10).cast("int").as("lcc_bucket"))
+      // in-bucket mean via 6dp-quantized integer sums (each lcc is a
+      // deterministic double from exact longs; a float avg would drift
+      // with partition order at the 1e-15 level — enough to flap a hash
+      // gate; the integer sum cannot)
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(round(col("lcc") * 1000000).cast("long")).as("__s"))
+      .select(col("lcc_bucket"), col("n_nodes"),
+        round(col("__s").cast("double") / (col("n_nodes") * 1000000.0), 6)
+          .as("avg_lcc"))
+  }
+
+  /** RICH-CLUB coefficient ladder — "do the hubs form their own dense
+    * club": φ(k) = 2·E_k / (n_k·(n_k−1)) over the subgraph induced by
+    * nodes of degree > k, for k on a power-of-two ladder. φ rising
+    * toward 1 with k is the hub-oligarchy signal (routing/failure
+    * analysis and the reason degree-based partitioning skews);
+    * assortativity gives one number, the ladder shows WHERE the club
+    * forms.
+    *
+    * Scale shape: degrees are one partial-agg rollup; the k-ladder is a
+    * FIXED ≤ log₂(dmax)-sized literal frame that cross-joins in as a
+    * broadcast (constant-factor edge blowup, never data²); n_k and E_k
+    * are exact-integer conditional counts; one division per ladder rung
+    * at the end. */
+  def richClub(edges: DataFrame, maxK: Int = 64): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val ks = Iterator.iterate(1)(_ * 2).takeWhile(_ <= maxK).toSeq
+    val ladder = broadcast(und.sparkSession.range(1)
+      .select(explode(lit(ks.toArray)).as("k")))
+    val nk = deg.crossJoin(ladder)
+      .groupBy("k")
+      .agg(sum(when(col("deg") > col("k"), 1L).otherwise(0L)).as("n_k"))
+    val ek = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+      .crossJoin(ladder)
+      .groupBy("k")
+      .agg(sum(when(col("da") > col("k") && col("db") > col("k"), 1L)
+        .otherwise(0L)).as("e_k"))
+    nk.join(ek, Seq("k"))
+      .select(col("k"), col("n_k"), col("e_k"),
+        when(col("n_k") >= 2,
+          round(lit(2.0) * col("e_k") / (col("n_k") * (col("n_k") - 1)),
+            6)).as("phi"))
+  }
 }

@@ -1149,4 +1149,147 @@ object Resample {
           nullif(abs(col("pred")) + abs(col("v")), lit(0.0))), 6)
           .as("smape"))
   }
+
+  /** AR(1) MEAN-REVERSION HALF-LIFE of the daily series — "how long
+    * does a shock take to decay halfway back": fit vₜ = α + ρ·vₜ₋₁ by
+    * OLS on consecutive-day pairs, halflife = ln2 / (−ln ρ) for
+    * 0 < ρ < 1 (null outside — a random-walk or oscillating series has
+    * no mean-reversion half-life to report). The Ornstein–Uhlenbeck
+    * discretization every pairs-trading / capacity-planning rule of
+    * thumb uses; complements ts_variance_ratio (which DETECTS
+    * mean-reversion; this QUANTIFIES its speed).
+    *
+    * Engine-exact: daily totals are 1e4-quantized integers; the OLS
+    * sufficient sums Σx Σy Σxy Σx² run in decimal(38,0) (Σxy of
+    * 1e9-scale cents² exceeds int64 — same discipline as st_ols2's
+    * decimal Cramer), so ρ is one double division of exact integers.
+    * One rollup to the days-sized frame, one lag join, 1-row out. */
+  def ar1HalfLife(events: DataFrame, eventType: String = "click")
+      : DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val daily = events.filter(col("event_type") === eventType)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 10000).cast("long")).as("v"))
+    val pairs = daily
+      .join(daily.select(date_add(col("day"), 1).as("day"),
+        col("v").as("x")), Seq("day"))
+      .select(col("x"), col("v").as("y"))
+    val m = pairs.agg(count(lit(1)).as("n"),
+      sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+      sum((col("x").cast(dec) * col("y").cast(dec))).as("sxy"),
+      sum((col("x").cast(dec) * col("x").cast(dec))).as("sxx"))
+    val n = col("n").cast("double")
+    val rho = (n * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")) /
+      (n * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double"))
+    m.select(col("n").as("n_pairs"), round(rho, 6).as("rho"),
+      when(rho > 0 && rho < 1,
+        round(lit(0.6931471805599453) / -log(rho), 4))
+        .as("halflife_days"))
+  }
+
+  /** TURNING-POINT TEST on the daily series — the cheapest "is this
+    * series random noise" gate: count interior days that are a strict
+    * local max or min; under iid the expected count is 2(n−2)/3 with
+    * variance (16n−29)/90, z = (T−E)/√V. |z| large + T < E = smooth
+    * trends/cycles (forecasting has something to bite on); T ≈ E = the
+    * series is noise and every model downstream is decoration. Exact
+    * integer comparisons on the 1e4-quantized totals (ties break
+    * NEITHER way — a plateau day is not a turning point, documented),
+    * one lag/lead window over the days-sized frame, 1-row formula. */
+  def turningPoints(events: DataFrame, eventType: String = "click")
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events.filter(col("event_type") === eventType)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 10000).cast("long")).as("v"))
+    val w = Window.orderBy("day")
+    val t = daily
+      .withColumn("pv", lag("v", 1).over(w))
+      .withColumn("nv", lead("v", 1).over(w))
+      .filter(col("pv").isNotNull && col("nv").isNotNull)
+      .agg(count(lit(1)).as("n_interior"),
+        sum(when((col("v") > col("pv") && col("v") > col("nv")) ||
+                 (col("v") < col("pv") && col("v") < col("nv")), 1L)
+          .otherwise(0L)).as("t"))
+    val n = (col("n_interior") + 2).cast("double")
+    val e = lit(2.0) * (n - 2.0) / 3.0
+    val v = (lit(16.0) * n - 29.0) / 90.0
+    t.select((col("n_interior") + 2).as("n_days"), col("t")
+        .as("n_turning"),
+      round(e, 4).as("expected"),
+      round((col("t").cast("double") - e) / sqrt(v), 4).as("z"))
+  }
+
+  /** HURST EXPONENT by rescaled-range (R/S) analysis over the hourly
+    * series — long-range dependence in one number: H ≈ 0.5 random walk,
+    * H > 0.5 persistent (trends feed themselves — burst capacity must
+    * assume runs), H < 0.5 anti-persistent. Hours rank into contiguous
+    * index order (gaps close up — documented, the standard practical
+    * treatment); for each power-of-two block size the full blocks score
+    * log₂(R/S) (R = range of the cumulative deviation from the block
+    * mean, S = population σ), and H is the OLS slope of the per-size
+    * means against log₂(size) — the x-axis is EXACT integers (5, 6, 7),
+    * never a float log of the size.
+    *
+    * Engine-stability: hourly totals are 1e4-quantized longs, the
+    * within-block cumulative sum is an ordered window over exact longs,
+    * S² = S₂/B − (S₁/B)² from decimal power sums — so R, S and R/S are
+    * deterministic doubles; each block's log₂(R/S) quantizes to 1e6
+    * BEFORE the cross-block mean. Three passes over the calendar-
+    * bounded hourly frame (one per size), report-sized everything. */
+  def hurstRS(events: DataFrame, eventType: String = "click",
+              blockSizes: Seq[Int] = Seq(32, 64, 128)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val hourly = events.filter(col("event_type") === eventType)
+      .groupBy(expr("unix_seconds(date_trunc('hour', ts)) div 3600")
+        .as("hr"))
+      .agg(sum(round(col("value") * 10000).cast("long")).as("v"))
+      .withColumn("i",
+        row_number().over(Window.orderBy("hr")) - 1)
+      .localCheckpoint(true)
+    val perSize = blockSizes.map { bs =>
+      val wb = Window.partitionBy("b").orderBy("i")
+      val cum = hourly
+        .withColumn("b", floor(col("i") / bs))
+        .withColumn("j", row_number().over(wb))
+        .withColumn("cs",
+          sum("v").over(wb.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("s1",
+          sum("v").over(Window.partitionBy("b")))
+        .withColumn("cumdev",
+          col("cs").cast("double") -
+            col("j") * (col("s1").cast("double") / bs))
+      val blocks = cum.groupBy("b")
+        .agg(count(lit(1)).as("nb"), max("s1").as("s1"),
+          sum(col("v").cast(dec) * col("v").cast(dec)).as("s2"),
+          max("cumdev").as("cmax"), min("cumdev").as("cmin"))
+        .filter(col("nb") === bs)
+        .withColumn("sd", sqrt(col("s2").cast("double") / bs -
+          (col("s1").cast("double") / bs) *
+            (col("s1").cast("double") / bs)))
+        .filter(col("sd") > 0)
+        .withColumn("yq",
+          round(log((col("cmax") - col("cmin")) / col("sd")) /
+            lit(0.6931471805599453) * 1000000).cast("long"))
+      blocks.agg(count(lit(1)).as("n_blocks"), sum("yq").as("ys"))
+        .select(lit(bs).as("block_size"),
+          lit((math.log(bs) / math.log(2)).round.toInt).as("x"),
+          col("n_blocks"),
+          (col("ys").cast("double") / (col("n_blocks") * 1000000.0))
+            .as("y"))
+    }.reduce(_ unionByName _)
+    val reg = perSize.agg(count(lit(1)).as("k"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    val kk = col("k").cast("double")
+    val hurst = (kk * col("sxy") - col("sx") * col("sy")) /
+      (kk * col("sxx") - (col("sx") * col("sx")).cast("double"))
+    perSize.crossJoin(broadcast(reg.select(round(hurst, 4).as("hurst"))))
+      .select(col("block_size"), col("n_blocks"),
+        round(col("y"), 6).as("avg_log2_rs"), col("hurst"))
+  }
 }

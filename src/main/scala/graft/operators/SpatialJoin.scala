@@ -627,4 +627,61 @@ object SpatialJoin {
       .orderBy(desc("n_points"), asc("cell_lat"), asc("cell_lon"))
       .limit(topN)
   }
+
+  /** RIPLEY'S K pair-correlation ladder over the customer point cloud —
+    * "is the spatial process CLUSTERED at radius r, and at which
+    * scale": for each radius the share of point pairs within r,
+    * compared against the CSR (complete spatial randomness) share =
+    * sphericalCapArea(r) / domainArea (domain = the ±70° latitude band
+    * the synthetic points live on; cap/band areas are pinned literal
+    * constants so both engines divide by the identical double —
+    * recomputing sin/cos per engine risks a ulp).  k_ratio > 1 at small
+    * r with ≈ 1 at large r is the "clustered at city scale, random at
+    * continent scale" signature sp_moran's single-lattice number
+    * cannot resolve.
+    *
+    * Scale shape: pairs come from ONE [[withinRadiusPairs]] grid
+    * equi-join at the LARGEST radius (never all-pairs); each smaller
+    * radius is a conditional count over that pair frame; n rides as a
+    * 1-row broadcast. Exact integer pair counts; one division chain
+    * per radius at the close. */
+  private val CsrShareByRadius: Map[Double, Double] = Map(
+    100.0 -> 6.55435659280035e-05,
+    200.0 -> 2.621581161880989e-04,
+    400.0 -> 1.0483741361924782e-03)
+
+  def ripleyK(customer: DataFrame,
+              radiiKm: Seq[Double] = Seq(100.0, 200.0, 400.0))
+      : DataFrame =
+    ripleyOnPoints(customerPoints(customer).select(
+      col("c_custkey").as("pid"), col("c_lat").as("lat"),
+      col("c_lon").as("lon")), radiiKm)
+
+  /** [[ripleyK]]'s core over an explicit (pid, lat, lon) frame — split
+    * out so specs can plant exact geometries. */
+  private[operators] def ripleyOnPoints(pts: DataFrame,
+                                        radiiKm: Seq[Double])
+      : DataFrame = {
+    def csr(r: Double): Double = CsrShareByRadius.getOrElse(r,
+      (1 - math.cos(r / EarthRadiusKm)) /
+        (2 * math.sin(math.toRadians(70.0))))
+    // cellDeg 12: the smallest 360-divisor whose cells contain 400 km
+    // neighborhoods at |lat| <= 70 (withinRadiusPairs requires it)
+    val pairs = withinRadiusPairs(pts, radiiKm.max, cellDeg = 12)
+      .localCheckpoint(true)
+    val perR = radiiKm.map { r =>
+      pairs.agg(sum(when(col("dist_km") <= r, 1L).otherwise(0L))
+          .as("n_pairs"))
+        .select(lit(r).as("r_km"), col("n_pairs"),
+          lit(csr(r)).as("__csr"))
+    }.reduce(_ unionByName _)
+    val nn = pts.agg(count(lit(1)).as("n"))
+    perR.crossJoin(broadcast(nn))
+      .select(col("r_km"), col("n_pairs"),
+        round(lit(2.0) * col("n_pairs") /
+          (col("n") * (col("n") - 1)), 8).as("pair_share"),
+        round(col("__csr"), 8).as("csr_share"),
+        round(lit(2.0) * col("n_pairs") /
+          (col("n") * (col("n") - 1)) / col("__csr"), 4).as("k_ratio"))
+  }
 }

@@ -157,12 +157,33 @@ object Stats {
     * Rows-only: Spark's definitions (population g1, excess g2) differ
     * from DuckDB's sample-adjusted ones, so the contract is
     * property-tested (bounds + symmetry) rather than oracled. */
-  def skewKurt(df: DataFrame, groupCol: String, c: String): DataFrame =
-    df.groupBy(groupCol)
-      .agg(
-        count(lit(1)).as("n"),
-        round(skewness(col(c)), 6).as("skew"),
-        round(kurtosis(col(c)), 6).as("kurt"))
+  /** Per-group skewness g₁ = m₃/m₂^1.5 and excess kurtosis
+    * g₂ = m₄/m₂² − 3 (population central moments — the same convention
+    * Spark's native skewness/kurtosis use), computed ENGINE-EXACTLY:
+    * values quantize to the 1e-4 lattice and the four power sums
+    * S₁..S₄ accumulate in decimal(38,0) (S₄ of 1e6-scale ints stays
+    * inside 38 digits at any corpus size), so every engine and every
+    * partitioning derives the central moments from identical exact
+    * integers — the nondeterministic float Σx³/Σx⁴ that kept this row
+    * rows-only through r7 is gone. One partial-agg pass. */
+  def skewKurt(df: DataFrame, groupCol: String, c: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val q = round(col(c) * 10000).cast("long").cast(dec)
+    val g = df.groupBy(groupCol).agg(count(lit(1)).as("n"),
+      sum(q).as("s1"), sum(q * q).as("s2"),
+      sum(q * q * q).as("s3"), sum(q * q * q * q).as("s4"))
+    val n = col("n").cast("double")
+    val Seq(s1, s2, s3, s4) =
+      Seq("s1", "s2", "s3", "s4").map(x => col(x).cast("double"))
+    val mu = s1 / n
+    val m2 = s2 / n - mu * mu
+    val m3 = s3 / n - lit(3.0) * mu * (s2 / n) + lit(2.0) * mu * mu * mu
+    val m4 = s4 / n - lit(4.0) * mu * (s3 / n) +
+      lit(6.0) * mu * mu * (s2 / n) - lit(3.0) * mu * mu * mu * mu
+    g.select(col(groupCol), col("n"),
+      round(m3 / nullif(sqrt(m2 * m2 * m2), lit(0.0)), 6).as("skew"),
+      round(m4 / nullif(m2 * m2, lit(0.0)) - lit(3.0), 6).as("kurt"))
+  }
 
   /** Top-N value counts with deterministic tie-break on the value itself
     * (reference: work/analysis_sectors_by_location.ipynb value_counts). */
@@ -478,6 +499,88 @@ object Stats {
             lit(0.0)), 6).as("kappa"))
   }
 
+  /** PER-CLASS classifier report over a confusion frame (true, pred,
+    * n) — the standard precision / recall / F1 / support table next to
+    * [[cohensKappa]]'s single agreement number (kappa says "better than
+    * chance"; this says WHICH class eats the errors). All three metrics
+    * collapse to exact-integer identities before the one division each
+    * — in particular F1 = 2·TP/(rowTotal+colTotal), never the
+    * float-harmonic of two already-rounded ratios — so the report is
+    * bit-stable across engines and partitionings. Overall accuracy
+    * rides every row from a 1-row broadcast. The frame is classes²-
+    * sized; everything here is report-scale arithmetic. */
+  def classifierReport(cm: DataFrame, trueCol: String, predCol: String,
+                       nCol: String): DataFrame = {
+    val rowT = cm.groupBy(col(trueCol).as("cls"))
+      .agg(sum(nCol).as("support"))
+    val colT = cm.groupBy(col(predCol).as("cls"))
+      .agg(sum(nCol).as("predicted"))
+    val diag = cm.filter(col(trueCol) === col(predCol))
+      .groupBy(col(trueCol).as("cls")).agg(sum(nCol).as("tp"))
+    val overall = cm.agg(sum(nCol).as("nt"),
+      sum(when(col(trueCol) === col(predCol), col(nCol)).otherwise(0L))
+        .as("ndiag"))
+    rowT.join(colT, Seq("cls"), "full")
+      .join(diag, Seq("cls"), "left")
+      .select(col("cls"),
+        coalesce(col("support"), lit(0L)).as("support"),
+        coalesce(col("predicted"), lit(0L)).as("predicted"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .crossJoin(broadcast(overall))
+      .select(col("cls"), col("support"), col("predicted"), col("tp"),
+        round(col("tp").cast("double") /
+          nullif(col("predicted").cast("double"), lit(0.0)), 6)
+          .as("precision"),
+        round(col("tp").cast("double") /
+          nullif(col("support").cast("double"), lit(0.0)), 6)
+          .as("recall"),
+        round(lit(2.0) * col("tp") /
+          nullif((col("support") + col("predicted")).cast("double"),
+            lit(0.0)), 6).as("f1"),
+        round(col("ndiag").cast("double") / col("nt"), 6).as("accuracy"))
+  }
+
+  /** CALIBRATION report + Brier score + ECE for a probabilistic binary
+    * classifier — "when the model says 0.8, does it happen 80% of the
+    * time": rows bin by predicted score into 10 fixed-width bins; each
+    * bin reports confidence (mean score) vs outcome (positive rate),
+    * and the two headline scalars ride every row — Brier = mean
+    * (score−y)² (proper scoring rule) and ECE = Σ nᵇ/N·|acc_b−conf_b|
+    * (the reliability-diagram gap). The model-quality gate that AUC
+    * (st_auc ranks) cannot give: a perfectly-ranked model can still be
+    * badly calibrated, and calibration is what thresholded decisions
+    * and expected-cost estimates consume.
+    *
+    * Engine-stable by the quantize-before-cross-row-sum discipline:
+    * per-row score, (score−y)² and the per-bin ECE contribution are
+    * deterministic doubles quantized to 1e6/1e9 integers BEFORE any
+    * order-dependent sum; bins are ≤ 10 rows; one partial-agg pass
+    * over the data, report-sized joins after. */
+  def calibrationReport(df: DataFrame, score: Column, label: Column)
+      : DataFrame = {
+    val q = df.select(score.as("score"), label.cast("int").as("y"))
+      .select(floor(col("score") * 10).cast("int").as("bin"), col("y"),
+        round(col("score") * 1000000).cast("long").as("sq"),
+        round((col("score") - col("y")) * (col("score") - col("y"))
+          * 1000000).cast("long").as("bq"))
+    val b = q.groupBy("bin").agg(count(lit(1)).as("n"),
+      sum("y").cast("long").as("n_pos"), sum("sq").as("ssum"))
+    val g = q.agg(count(lit(1)).as("nt"), sum("bq").as("bsum"))
+    val bb = b.crossJoin(broadcast(g))
+      .withColumn("eq",
+        round(abs(col("n_pos").cast("double") / col("n") -
+          col("ssum").cast("double") / (col("n") * 1000000.0)) *
+          col("n") * 1000000000.0 / col("nt")).cast("long"))
+    bb.crossJoin(broadcast(bb.agg(sum("eq").as("esum"))))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("ssum").cast("double") / (col("n") * 1000000.0), 6)
+          .as("mean_score"),
+        round(col("n_pos").cast("double") / col("n"), 6).as("frac_pos"),
+        round(col("bsum").cast("double") / (col("nt") * 1000000.0), 6)
+          .as("brier"),
+        round(col("esum").cast("double") / 1000000000.0, 6).as("ece"))
+  }
+
   /** TOST equivalence test (two one-sided tests) — the inference
     * [[welchTTest]] cannot give: failing to reject "different" is NOT
     * evidence of "same"; TOST flips the burden and asks whether the
@@ -577,6 +680,81 @@ object Stats {
         round(least(lit(1.0), min("raw").over(wSuffix)), 6))
       .select(col("group_a"), col("group_b"), col("t_stat"), col("p"),
         col("p_adj"), (col("p_adj") <= q).as("significant"))
+  }
+
+  /** HOLM step-down FWER correction over the same Welch battery —
+    * [[welchBatteryBH]]'s strict sibling: BH caps the false DISCOVERY
+    * rate (screening mode — some false positives tolerated); Holm caps
+    * the FAMILY-WISE error rate (decision mode — uniformly more
+    * powerful than Bonferroni, no independence assumption), which is
+    * what a ship/no-ship gate over many variants actually needs.
+    * Identical one-pass battery and A&S 7.1.26 p-values; the step-down
+    * p̂(i) = max_{j≤i} min(1, pⱼ·(m−j+1)) is one prefix-max window over
+    * the pair-count-sized frame with the same (p, group) total order. */
+  def welchBatteryHolm(df: DataFrame, groupCol: String, c: String,
+                       alpha: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = welchTTest(df, groupCol, c)
+    val x = abs(col("t_stat"))
+    val k = lit(1.0) / (lit(1.0) + lit(0.2316419) * x)
+    val poly = k * (lit(0.319381530) + k * (lit(-0.356563782) +
+      k * (lit(1.781477937) + k * (lit(-1.821255978) +
+        k * lit(1.330274429)))))
+    val phi = exp(-x * x / lit(2.0)) * lit(0.3989422804014327)
+    val withP = t.withColumn("p", round(lit(2.0) * phi * poly, 8))
+    val wAll = Window.partitionBy()
+    val wRank = Window.orderBy("p", "group_a", "group_b")
+    val ranked = withP
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("i", row_number().over(wRank))
+      .withColumn("raw", least(lit(1.0), col("p") * (col("m") - col("i") + 1)))
+    val wPrefix = Window.orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked
+      .withColumn("p_adj", round(max("raw").over(wPrefix), 6))
+      .select(col("group_a"), col("group_b"), col("t_stat"), col("p"),
+        col("p_adj"), (col("p_adj") <= alpha).as("significant"))
+  }
+
+  /** TWO-PROPORTION POWER ANALYSIS from observed arm rates — the
+    * experimentation-desk question BEFORE the test ships ("how many
+    * users per arm until the delta we are seeing is detectable"):
+    * n/arm = (z_{α/2}+z_β)²·(p₁(1−p₁)+p₂(1−p₂))/δ² at α=0.05,
+    * power=0.8 (z literals 1.959964, 0.841621 — identical constants on
+    * both engines). Arms are the same deterministic md5-parity split
+    * dq_srm audits; conversion = "user has ≥1 purchase". Reports the
+    * observed rates, the delta, required n/arm, and whether the
+    * CURRENT arms already clear it. One user-rollup pass (exact
+    * integer counts), then 1-row formula arithmetic. */
+  def powerAnalysis(events: DataFrame, minValue: Double = 95.0)
+      : DataFrame = {
+    // conversion = a HIGH-VALUE purchase (value > minValue): the plain
+    // any-purchase rate saturates at 1.0 in both arms on this corpus,
+    // which makes both δ and p(1−p) zero — no test to power
+    val perUser = events.groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase" &&
+        col("value") > minValue, 1).otherwise(0)).as("conv"))
+      .withColumn("arm",
+        when(substring(md5(col("user_id").cast("string")), 1, 1) < "8",
+          "A").otherwise("B"))
+    val arms = perUser.groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum("conv").cast("long").as("k"))
+    val w = arms.agg(
+      max(when(col("arm") === "A", col("n"))).as("na"),
+      max(when(col("arm") === "A", col("k"))).as("ka"),
+      max(when(col("arm") === "B", col("n"))).as("nb"),
+      max(when(col("arm") === "B", col("k"))).as("kb"))
+    val pa = col("ka").cast("double") / col("na")
+    val pb = col("kb").cast("double") / col("nb")
+    val delta = abs(pa - pb)
+    val zsum2 = lit(7.848878512225001) // (z_{α/2}+z_β)² = (1.959964+0.841621)²
+    val nReq = ceil(zsum2 * (pa * (lit(1.0) - pa) + pb * (lit(1.0) - pb))
+      / nullif(delta * delta, lit(0.0))).cast("long")
+    w.select(col("na"), col("nb"),
+      round(pa, 6).as("p_a"), round(pb, 6).as("p_b"),
+      round(delta, 6).as("delta"),
+      nReq.as("n_required_per_arm"),
+      (least(col("na"), col("nb")) >= nReq).as("powered"))
   }
 
   /** Theil T inequality index with its between/within DECOMPOSITION —

@@ -942,6 +942,42 @@ object TextAnalysis {
       .orderBy("bucket_cap")
   }
 
+  /** FLESCH READING-EASE per source — the document-complexity lens the
+    * quality score (tx_quality) doesn't have: 206.835 − 1.015·(words/
+    * sentences) − 84.6·(syllables/words), with sentences = [.!?]+ runs
+    * (min 1) and syllables ≈ vowel-group count ([aeiouy]+ runs — the
+    * standard cheap proxy, documented; both engines run the identical
+    * character-class regex so counts agree exactly). Training mixtures
+    * tune on exactly this axis (a corpus drifting "difficult" reads
+    * differently than one drifting short). Per source: doc count, mean
+    * score (1e4-quantized integer sums — per-doc scores are
+    * deterministic doubles from exact integer counts), and the
+    * easy(≥70)/standard(50–70)/difficult(<50) band counts. One
+    * row-local scan, one partial-agg rollup to the sources frame. */
+  def readability(documents: DataFrame): DataFrame = {
+    val w = wsTokenCount(col("text")).cast("long")
+    val sents = greatest(lit(1L),
+      regexp_count(col("text"), lit("[.!?]+")).cast("long"))
+    val syl = regexp_count(lower(col("text")), lit("[aeiouy]+"))
+      .cast("long")
+    val flesch = lit(206.835) -
+      lit(1.015) * (w.cast("double") / sents) -
+      lit(84.6) * (syl.cast("double") / w)
+    documents
+      .select(col("source"), flesch.as("f"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(round(col("f") * 10000).cast("long")).as("__s"),
+        sum(when(col("f") >= 70, 1L).otherwise(0L)).as("n_easy"),
+        sum(when(col("f") >= 50 && col("f") < 70, 1L).otherwise(0L))
+          .as("n_standard"),
+        sum(when(col("f") < 50, 1L).otherwise(0L)).as("n_difficult"))
+      .select(col("source"), col("n_docs"),
+        round(col("__s").cast("double") / (col("n_docs") * 10000.0), 4)
+          .as("avg_flesch"),
+        col("n_easy"), col("n_standard"), col("n_difficult"))
+  }
+
   /** BURROWS' DELTA stylometric distance between sources — the
     * authorship-attribution classic: per-source rates of the corpus's
     * most-frequent words (function words dominate any top-k and carry

@@ -451,4 +451,41 @@ class DwhSpec extends SparkSpec {
       "January total is 30 + 5, NOT the 45 a naive sum would give")
     assert(out("1970-02-01") == (1L, 7.5))
   }
+
+  test("junkDimension: combos get stable dense keys; shares sum to 1") {
+    import spark.implicits._
+    val orders = Seq(
+      (1L, "O", "1-URGENT"), (2L, "O", "1-URGENT"), (3L, "O", "2-HIGH"),
+      (4L, "F", "1-URGENT"), (5L, "F", "2-HIGH"), (6L, "F", "2-HIGH"))
+      .toDF("o_orderkey", "o_orderstatus", "o_orderpriority")
+    val out = Dwh.junkDimension(orders).collect()
+    assert(out.length == 4)
+    val byKey = out.map(r => r.getAs[Int]("junk_key") ->
+      (r.getAs[String]("o_orderstatus"),
+        r.getAs[String]("o_orderpriority"),
+        r.getAs[Long]("n_facts"))).toMap
+    // dense keys follow the (status, priority) total order
+    assert(byKey(1) == (("F", "1-URGENT", 1L)))
+    assert(byKey(2) == (("F", "2-HIGH", 2L)))
+    assert(byKey(3) == (("O", "1-URGENT", 2L)))
+    assert(byKey(4) == (("O", "2-HIGH", 1L)))
+    assert(math.abs(out.map(_.getAs[Double]("fact_share")).sum - 1.0)
+      < 1e-6)
+  }
+
+  test("factlessCoverage: reports exactly the segment-months with no orders") {
+    import spark.implicits._
+    val customer = Seq((1L, "AUTO"), (2L, "BIKE"))
+      .toDF("c_custkey", "c_mktsegment")
+    // AUTO orders in Jan+Feb, BIKE only in Jan → gap = (BIKE, Feb)
+    val orders = Seq(
+      (10L, 1L, "1970-01-05"), (11L, 1L, "1970-02-07"),
+      (12L, 2L, "1970-01-20"))
+      .toDF("o_orderkey", "o_custkey", "d")
+      .select(col("o_orderkey"), col("o_custkey"),
+        to_timestamp(col("d")).as("o_orderdate"))
+    val gaps = Dwh.factlessCoverage(orders, customer).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(gaps == Set(("BIKE", "1970-02")))
+  }
 }

@@ -121,6 +121,34 @@ class GraphSpec extends SparkSpec {
     assert(k2members == Set(1L, 2L, 3L, 4L))
   }
 
+  test("localClustering: K4+pendant hand-computed buckets") {
+    // K4 (1,2,3,4) + chain 4-5-6. Degrees: 1,2,3→3; 4→4; 5→2; 6→1.
+    // Triangles: the 4 K4 faces; t(1..3)=3, t(4)=3, t(5)=0, 6 excluded
+    // (deg<2). lcc: 1,2,3 → 2·3/(3·2)=1.0 (bucket 10); 4 → 2·3/(4·3)=0.5
+    // (bucket 5); 5 → 0 (bucket 0).
+    val mixed = undirected((1L, 2L), (1L, 3L), (1L, 4L),
+      (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L), (5L, 6L))
+    val out = Graph.localClustering(mixed).collect()
+      .map(r => r.getAs[Int]("lcc_bucket") ->
+        (r.getAs[Long]("n_nodes"), r.getAs[Double]("avg_lcc"))).toMap
+    assert(out == Map(10 -> (3L, 1.0), 5 -> (1L, 0.5), 0 -> (1L, 0.0)))
+  }
+
+  test("richClub: K4 is a perfect club below its degree, empty above") {
+    val k4 = undirected((1L, 2L), (1L, 3L), (1L, 4L),
+      (2L, 3L), (2L, 4L), (3L, 4L))
+    val rows = Graph.richClub(k4).collect()
+      .map(r => r.getAs[Int]("k") ->
+        (r.getAs[Long]("n_k"), r.getAs[Long]("e_k"),
+          Option(r.getAs[Any]("phi")))).toMap
+    // all degrees 3: k=1,2 keep all 4 nodes and all 6 edges → φ=1
+    assert(rows(1) == ((4L, 6L, Some(1.0))))
+    assert(rows(2) == ((4L, 6L, Some(1.0))))
+    // k=4: nobody has degree > 4 → empty club, φ undefined (null)
+    assert(rows(4) == ((0L, 0L, None)))
+    assert(rows.keySet == Set(1, 2, 4, 8, 16, 32, 64))
+  }
+
   test("coreness survives a 10^5-degree hub (counting form, no per-node array)") {
     // A star with 100k leaves: the old sort_array(collect_list(...))
     // H-index materialized one 10^5-element row for the hub — the

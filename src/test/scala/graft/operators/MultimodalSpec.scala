@@ -141,6 +141,16 @@ class MultimodalSpec extends SparkSpec {
       .collect().foreach { r =>
         assert(!r.getAs[Double]("skew").isNaN && !r.getAs[Double]("kurt").isNaN)
       }
+    // exact hand values on {1,2,3}: m2=2/3, m3=0, m4=2/3 → skew 0,
+    // excess kurt (2/3)/(4/9) − 3 = −1.5 — and the decimal power-sum
+    // path is partitioning-invariant bit-for-bit (r8 oracle flip)
+    val tiny = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0)).toDF("k", "x")
+    val t = Stats.skewKurt(tiny, "k", "x").collect().head
+    assert(t.getAs[Double]("skew") == 0.0 &&
+      t.getAs[Double]("kurt") == -1.5)
+    val big = (1 to 500).map(i => ("g", (i % 37) * 0.37)).toDF("k", "x")
+    assert(Stats.skewKurt(big, "k", "x").collect().toSeq ==
+      Stats.skewKurt(big.repartition(11), "k", "x").collect().toSeq)
   }
 
   test("phashPairs finds exact copies and near-identical payloads, not unrelated ones") {

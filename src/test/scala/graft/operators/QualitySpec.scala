@@ -495,6 +495,42 @@ class QualitySpec extends SparkSpec {
       s"baseline must pad every doc to the global max: $out vs $base")
   }
 
+  test("padEfficiency: overflow docs get their own true-max cap, never negative waste") {
+    import spark.implicits._
+    def text(n: Int) = Seq.fill(n)("w").mkString(" ")
+    // 5000-token doc exceeds the 4096 cap: it must land in an overflow
+    // bucket capped at its own length (waste 0), not report
+    // max_tokens > cap with negative waste
+    val docs = Seq((0L, "s", text(10)), (1L, "s", text(5000)),
+      (2L, "s", text(4500))).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.padEfficiency(docs).collect()
+      .map(r => r.getAs[Long]("bucket_cap") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("padding_waste"))).toMap
+    // the overflow bucket's cap IS the true max length of its docs
+    assert(out.contains(5000L), s"overflow bucket missing: $out")
+    assert(out(5000L)._1 == 2L)
+    assert(math.abs(out(5000L)._2 - (1.0 - 9500.0 / 10000)) < 1e-6)
+    assert(out.values.forall(_._2 >= 0.0), s"negative waste: $out")
+  }
+
+  test("readability: hand-computed Flesch on a two-sentence doc; bands split") {
+    import spark.implicits._
+    // "The cat sat. The dog ran!": 6 ws-words, 2 sentence marks,
+    // 6 vowel groups → 206.835 − 1.015·3 − 84.6·1 = 119.19 (easy)
+    val docs = Seq(
+      (0L, "s1", "The cat sat. The dog ran!"),
+      // long unpunctuated word soup: 1 forced sentence, syllable-heavy
+      (1L, "s2", Seq.fill(40)("onomatopoeia").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.readability(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(math.abs(out("s1").getAs[Double]("avg_flesch") - 119.19) < 1e-6)
+    assert(out("s1").getAs[Long]("n_easy") == 1L)
+    // 40 words / 1 sentence, 6 vowel groups per word → deeply negative
+    assert(out("s2").getAs[Double]("avg_flesch") < 0)
+    assert(out("s2").getAs[Long]("n_difficult") == 1L)
+  }
+
   test("burrowsDelta: same-template sources are closest; style outlier sits far") {
     import spark.implicits._
     // A and B share function-word style; C leans on a different one.

@@ -642,4 +642,48 @@ class RangeResampleSpec extends SparkSpec {
     assert(out("naive")._2 == 5.5)
     assert(out("snaive")._2 == 24.0)
   }
+
+  test("ar1HalfLife: exact geometric halving has rho 0.5, halflife 1 day") {
+    import spark.implicits._
+    // one event per DAY, value halving exactly: v_t = v_{t-1}/2 →
+    // collinear (x, x/2) pairs → OLS slope exactly 0.5, halflife
+    // ln2/−ln(0.5) = 1.0; values chosen so round(v·1e4) is exact 2^k
+    val days = (0 until 15).map { i =>
+      (i.toLong * 86400L, "click", math.pow(2.0, 16 - i) / 10000.0)
+    }.toDF("s", "event_type", "value")
+      .select(timestamp_seconds(col("s")).as("ts"), col("event_type"),
+        col("value"))
+    val r = Resample.ar1HalfLife(days).collect().head
+    assert(r.getAs[Long]("n_pairs") == 14L)
+    assert(math.abs(r.getAs[Double]("rho") - 0.5) < 1e-9)
+    assert(math.abs(r.getAs[Double]("halflife_days") - 1.0) < 1e-6)
+    // a random-walk-ish rho ≥ 1 (strictly increasing doubling) reports
+    // NULL halflife, not an error or a negative number
+    val doubling = (0 until 10).map { i =>
+      (i.toLong * 86400L, "click", math.pow(2.0, i) / 100.0)
+    }.toDF("s", "event_type", "value")
+      .select(timestamp_seconds(col("s")).as("ts"), col("event_type"),
+        col("value"))
+    val d = Resample.ar1HalfLife(doubling).collect().head
+    assert(d.isNullAt(d.fieldIndex("halflife_days")))
+  }
+
+  test("turningPoints: sawtooth turns every interior day, monotone never") {
+    import spark.implicits._
+    def daily(vs: Seq[Double]) = vs.zipWithIndex.map { case (v, i) =>
+      (i.toLong * 86400L, "click", v)
+    }.toDF("s", "event_type", "value")
+      .select(timestamp_seconds(col("s")).as("ts"), col("event_type"),
+        col("value"))
+    val saw = Resample.turningPoints(
+      daily((0 until 10).map(i => if (i % 2 == 0) 1.0 else 5.0))).collect().head
+    assert(saw.getAs[Long]("n_days") == 10L)
+    assert(saw.getAs[Long]("n_turning") == 8L)
+    assert(saw.getAs[Double]("z") > 0)
+    val mono = Resample.turningPoints(
+      daily((1 to 10).map(_.toDouble))).collect().head
+    assert(mono.getAs[Long]("n_turning") == 0L)
+    assert(mono.getAs[Double]("z") < -2.0,
+      "a trend must be flagged as non-random")
+  }
 }

@@ -970,6 +970,47 @@ class StatsSpec extends SparkSpec {
     assert(degen.isNullAt(degen.fieldIndex("kappa")))
   }
 
+  test("classifierReport: hand-computed per-class P/R/F1; missing class handled") {
+    // confusion: a→a 8, a→b 2, b→b 5, b→a 5, c never predicted (c→a 4)
+    val cm = Seq(("a", "a", 8L), ("a", "b", 2L), ("b", "b", 5L),
+      ("b", "a", 5L), ("c", "a", 4L)).toDF("t", "p", "n")
+    val out = Stats.classifierReport(cm, "t", "p", "n").collect()
+      .map(r => r.getAs[String]("cls") -> r).toMap
+    // a: tp=8, support=10, predicted=17 → P=8/17, R=0.8, F1=16/27
+    assert(out("a").getAs[Long]("tp") == 8L)
+    assert(math.abs(out("a").getAs[Double]("precision") - 8.0 / 17) < 1e-6)
+    assert(out("a").getAs[Double]("recall") == 0.8)
+    assert(math.abs(out("a").getAs[Double]("f1") - 16.0 / 27) < 1e-6)
+    // c: predicted by nobody → precision null, recall 0, f1 0
+    assert(out("c").isNullAt(out("c").fieldIndex("precision")))
+    assert(out("c").getAs[Double]("recall") == 0.0)
+    assert(out("c").getAs[Double]("f1") == 0.0)
+    // accuracy rides every row: 13/24
+    assert(out.values.forall(r =>
+      math.abs(r.getAs[Double]("accuracy") - 13.0 / 24) < 1e-6))
+  }
+
+  test("calibrationReport: a perfectly calibrated score has ECE 0; Brier ranks") {
+    // 100 rows at score 0.2 with 20 positives, 100 at 0.8 with 80:
+    // per-bin frac_pos == mean_score exactly → ECE 0; Brier = 0.16
+    val rows = (0 until 100).map(i => (0.2, if (i < 20) 1 else 0)) ++
+      (0 until 100).map(i => (0.8, if (i < 80) 1 else 0))
+    val df = rows.toDF("s", "y")
+    val out = Stats.calibrationReport(df, col("s"), col("y")).collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.getAs[Double]("mean_score") == r.getAs[Double]("frac_pos"))
+      assert(r.getAs[Double]("ece") == 0.0)
+      assert(math.abs(r.getAs[Double]("brier") - 0.16) < 1e-6)
+    }
+    // same outcomes under a miscalibrated (flipped) score: ECE large,
+    // Brier strictly worse — the proper-scoring-rule ordering
+    val flipped = Stats.calibrationReport(df,
+      lit(1.0) - col("s"), col("y")).collect()
+    assert(flipped.head.getAs[Double]("ece") > 0.5)
+    assert(flipped.head.getAs[Double]("brier") > 0.5)
+  }
+
   test("tostEquivalence: tight groups prove equivalence, a real gap does not") {
     def run(shift: Double, margin: Double) = {
       val df = ((1 to 200).map(i => ("A", (i % 10).toDouble)) ++
@@ -1154,5 +1195,48 @@ class StatsSpec extends SparkSpec {
     assert(km.map(_.getAs[Long]("n_risk")).toSeq == Seq(4L, 3L, 1L))
     assert(km.map(_.getAs[Double]("survival")).toSeq == Seq(0.75, 0.5, 0.5),
       "S drops only at event times; censoring thins the risk set silently")
+  }
+
+  test("welchBatteryHolm: step-down is monotone and at least as strict as BH") {
+    // three groups: two identical, one far away — the far pairs must
+    // survive Holm, the identical pair must not
+    val rows = (1 to 300).map { i =>
+      val g = i % 3 match { case 0 => "a"; case 1 => "b"; case _ => "c" }
+      val v = (i % 7).toDouble + (if (g == "c") 100.0 else 0.0)
+      (g, v)
+    }
+    val df = rows.toDF("g", "v")
+    val holm = Stats.welchBatteryHolm(df, "g", "v").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Double]("p_adj"), r.getAs[Boolean]("significant"))).toMap
+    assert(holm(("a", "c"))._2 && holm(("b", "c"))._2)
+    assert(!holm(("a", "b"))._2)
+    // Holm (FWER) can never be more permissive than BH (FDR)
+    val bh = Stats.welchBatteryBH(df, "g", "v").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Double]("p_adj")).toMap
+    holm.foreach { case (k, (pAdj, _)) =>
+      assert(pAdj >= bh(k) - 1e-9, s"Holm below BH at $k") }
+  }
+
+  test("powerAnalysis: reports rates per md5 arm; degenerate delta is null") {
+    def ev(rows: Seq[(Long, String, Double)]) = rows.zipWithIndex
+      .map { case ((u, t, v), i) => (i.toLong, u, t, v) }
+      .toDF("event_id", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_seconds(col("event_id")))
+    // users 1..200, even users convert (high-value purchase)
+    val mixed = ev((1L to 200L).map(u =>
+      (u, "purchase", if (u % 2 == 0) 99.0 else 10.0)))
+    val r = Stats.powerAnalysis(mixed).collect().head
+    val (na, nb) = (r.getAs[Long]("na"), r.getAs[Long]("nb"))
+    assert(na + nb == 200L)
+    val nReq = r.getAs[Long]("n_required_per_arm")
+    assert(nReq > 0)
+    assert(r.getAs[Boolean]("powered") == (math.min(na, nb) >= nReq))
+    // both arms at rate 1.0: δ = 0 and p(1−p) = 0 → nulls, not a crash
+    val flat = ev((1L to 50L).map(u => (u, "purchase", 99.0)))
+    val f = Stats.powerAnalysis(flat).collect().head
+    assert(f.getAs[Double]("delta") == 0.0)
+    assert(f.isNullAt(f.fieldIndex("n_required_per_arm")))
   }
 }

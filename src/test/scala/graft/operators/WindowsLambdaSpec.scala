@@ -704,4 +704,46 @@ class WindowsLambdaSpec extends SparkSpec {
     assert(out("1970-01-02") == (1L, 1L))
     assert(out("1970-01-03") == (0L, 1L))
   }
+
+  test("ripleyOnPoints: a tight cluster is clustered at small r, pair counts nest") {
+    import spark.implicits._
+    // 20 points inside a ~30 km blob + 20 spread far apart: at r=100
+    // every blob pair is inside → k_ratio >> 1; counts must be
+    // monotone in r and the CSR share must match the pinned constants
+    val blob = (0 until 20).map(i =>
+      (i.toLong, 10.0 + i * 0.01, 20.0 + i * 0.01))
+    val sparse = (0 until 20).map(i =>
+      (100L + i, -60.0 + i * 6.0, -170.0 + i * 17.0))
+    val pts = (blob ++ sparse).toDF("pid", "lat", "lon")
+    val out = SpatialJoin.ripleyOnPoints(pts, Seq(100.0, 200.0, 400.0))
+      .collect().map(r => r.getAs[Double]("r_km") -> r).toMap
+    val n100 = out(100.0).getAs[Long]("n_pairs")
+    assert(n100 >= 190L, s"blob pairs must all count: $n100") // C(20,2)
+    assert(out(100.0).getAs[Double]("k_ratio") > 100.0)
+    assert(n100 <= out(200.0).getAs[Long]("n_pairs") &&
+      out(200.0).getAs[Long]("n_pairs") <= out(400.0).getAs[Long]("n_pairs"))
+    assert(out(100.0).getAs[Double]("csr_share") == 6.554e-5 ||
+      math.abs(out(100.0).getAs[Double]("csr_share") - 6.554e-5) < 1e-9)
+  }
+
+  test("hurstRS: a trend is persistent (H near 1), a sawtooth is anti-persistent") {
+    import spark.implicits._
+    def hourlyEv(f: Int => Double, n: Int) = (0 until n).map { h =>
+      (h.toLong * 3600L, "click", f(h))
+    }.toDF("s", "event_type", "value")
+      .select(timestamp_seconds(col("s")).as("ts"), col("event_type"),
+        col("value"))
+    val trend = Resample.hurstRS(hourlyEv(h => h * 1.0, 704)).collect()
+    assert(trend.length == 3)
+    val hTrend = trend.head.getAs[Double]("hurst")
+    assert(hTrend > 0.85, s"linear trend must look persistent: $hTrend")
+    // full blocks only: 704 hours → 22 / 11 / 5 blocks
+    val byB = trend.map(r => r.getAs[Int]("block_size") ->
+      r.getAs[Long]("n_blocks")).toMap
+    assert(byB == Map(32 -> 22L, 64 -> 11L, 128 -> 5L))
+    val saw = Resample.hurstRS(
+      hourlyEv(h => if (h % 2 == 0) 0.0 else 10.0, 704)).collect()
+    assert(saw.head.getAs[Double]("hurst") < 0.3,
+      "alternating series must look anti-persistent")
+  }
 }
