@@ -4456,6 +4456,111 @@ object SparkEntry {
            round(csr, 8) AS csr_share,
            round(2.0 * n_pairs / (n * (n - 1)) / csr, 4) AS k_ratio
          FROM per CROSS JOIN nn""",
+    "ts_hw" ->
+      """WITH RECURSIVE ev AS (SELECT user_id,
+             CAST(epoch_us(ts) AS BIGINT) AS ts_us, value,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), value) AS rn
+           FROM ev0),
+         ev0 AS (SELECT user_id, ts, value FROM events),
+         rec AS (
+           SELECT user_id, ts_us, value AS l, CAST(0.0 AS DOUBLE) AS b,
+             list_transform(generate_series(1, 24),
+               x -> CAST(0.0 AS DOUBLE)) AS s,
+             rn
+           FROM ev WHERE rn = 1
+           UNION ALL
+           SELECT e.user_id, e.ts_us,
+             0.3 * (e.value - r.s[(r.rn % 24) + 1]) + (1.0 - 0.3) * (r.l + r.b),
+             0.1 * ((0.3 * (e.value - r.s[(r.rn % 24) + 1]) + (1.0 - 0.3) * (r.l + r.b)) - r.l) + (1.0 - 0.1) * r.b,
+             list_transform(list_zip(r.s, generate_series(1, 24)),
+               z -> CASE WHEN z[2] = (r.rn % 24) + 1
+                 THEN 0.3 * (e.value - (0.3 * (e.value - r.s[(r.rn % 24) + 1]) + (1.0 - 0.3) * (r.l + r.b))) + (1.0 - 0.3) * z[1]
+                 ELSE z[1] END),
+             e.rn
+           FROM ev e JOIN rec r
+             ON e.user_id = r.user_id AND e.rn = r.rn + 1),
+         o AS (SELECT user_id, ts_us, l, b,
+             s[((rn - 1) % 24) + 1] AS se,
+             l + b + s[(rn % 24) + 1] AS f
+           FROM rec)
+         SELECT user_id, ts_us,
+           CASE WHEN l * 1000000.0 = floor(l * 1000000.0) + 0.5
+             THEN (floor(l * 1000000.0) +
+               abs(CAST(floor(l * 1000000.0) AS BIGINT) % 2))
+               / 1000000.0
+             ELSE round(l * 1000000.0, 0) / 1000000.0 END AS level,
+           CASE WHEN b * 1000000.0 = floor(b * 1000000.0) + 0.5
+             THEN (floor(b * 1000000.0) +
+               abs(CAST(floor(b * 1000000.0) AS BIGINT) % 2))
+               / 1000000.0
+             ELSE round(b * 1000000.0, 0) / 1000000.0 END AS trend,
+           CASE WHEN se * 1000000.0 = floor(se * 1000000.0) + 0.5
+             THEN (floor(se * 1000000.0) +
+               abs(CAST(floor(se * 1000000.0) AS BIGINT) % 2))
+               / 1000000.0
+             ELSE round(se * 1000000.0, 0) / 1000000.0 END AS seasonal,
+           CASE WHEN f * 1000000.0 = floor(f * 1000000.0) + 0.5
+             THEN (floor(f * 1000000.0) +
+               abs(CAST(floor(f * 1000000.0) AS BIGINT) % 2))
+               / 1000000.0
+             ELSE round(f * 1000000.0, 0) / 1000000.0 END AS forecast_1
+         FROM o""",
+    "ts_holt" ->
+      """WITH RECURSIVE ev AS (SELECT user_id,
+             CAST(epoch_us(ts) AS BIGINT) AS ts_us, value,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), value) AS rn
+           FROM events),
+         rec AS (
+           SELECT user_id, ts_us, value AS l, CAST(0.0 AS DOUBLE) AS b,
+             rn
+           FROM ev WHERE rn = 1
+           UNION ALL
+           SELECT e.user_id, e.ts_us,
+             0.3 * e.value + (1.0 - 0.3) * (r.l + r.b),
+             0.1 * ((0.3 * e.value + (1.0 - 0.3) * (r.l + r.b)) - r.l) + (1.0 - 0.1) * r.b,
+             e.rn
+           FROM ev e JOIN rec r
+             ON e.user_id = r.user_id AND e.rn = r.rn + 1),
+         o AS (SELECT user_id, ts_us, l, b, l + b AS f FROM rec)
+         SELECT user_id, ts_us,
+           CASE WHEN l * 1000000.0 = floor(l * 1000000.0) + 0.5
+             THEN (floor(l * 1000000.0) +
+               abs(CAST(floor(l * 1000000.0) AS BIGINT) % 2))
+               / 1000000.0
+             ELSE round(l * 1000000.0, 0) / 1000000.0 END AS level,
+           CASE WHEN b * 1000000.0 = floor(b * 1000000.0) + 0.5
+             THEN (floor(b * 1000000.0) +
+               abs(CAST(floor(b * 1000000.0) AS BIGINT) % 2))
+               / 1000000.0
+             ELSE round(b * 1000000.0, 0) / 1000000.0 END AS trend,
+           CASE WHEN f * 1000000.0 = floor(f * 1000000.0) + 0.5
+             THEN (floor(f * 1000000.0) +
+               abs(CAST(floor(f * 1000000.0) AS BIGINT) % 2))
+               / 1000000.0
+             ELSE round(f * 1000000.0, 0) / 1000000.0 END AS forecast_1
+         FROM o""",
+    "ts_ewma" ->
+      """WITH RECURSIVE ev AS (SELECT user_id,
+             CAST(epoch_us(ts) AS BIGINT) AS ts_us, value,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), value) AS rn
+           FROM events),
+         rec AS (
+           SELECT user_id, ts_us, value AS y, rn FROM ev WHERE rn = 1
+           UNION ALL
+           SELECT e.user_id, e.ts_us,
+             0.3 * e.value + (1.0 - 0.3) * r.y, e.rn
+           FROM ev e JOIN rec r
+             ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+         SELECT user_id, ts_us,
+           CASE WHEN y * 1000000.0 = floor(y * 1000000.0) + 0.5
+             THEN (floor(y * 1000000.0) +
+               abs(CAST(floor(y * 1000000.0) AS BIGINT) % 2)) / 1000000.0
+             ELSE round(y * 1000000.0, 0) / 1000000.0
+           END AS ewma
+         FROM rec""",
     "ts_ar1_halflife" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
              CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)

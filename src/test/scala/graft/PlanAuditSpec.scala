@@ -51,6 +51,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(n == 1, s"expected exactly one exchange, got $n in:\n$p")
   }
 
+  test("gr_local_cc / sp_ripley: pair generation is equi-joined, never all-pairs") {
+    // triangle corners and radius pairs must come from hash equi-joins;
+    // a refactor that drops to a cartesian/BNLJ pair loop is the
+    // classic quadratic scale-killer these operators exist to avoid
+    val p1 = plan("gr_local_cc")
+    assert(!p1.contains("CartesianProduct"), s"gr_local_cc:\n$p1")
+    assert(!p1.contains("BroadcastNestedLoopJoin"), s"gr_local_cc:\n$p1")
+    val p2 = plan("sp_ripley")
+    assert(!p2.contains("CartesianProduct"), s"sp_ripley:\n$p2")
+  }
+
   test("w6_rank_lead: both window frames share ONE user_id exchange") {
     // rank/dense_rank sort by (value desc, id); lead sorts by time — two
     // sorts, but both partition on user_id, so Spark must plan exactly one
