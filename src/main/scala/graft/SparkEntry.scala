@@ -761,6 +761,8 @@ object SparkEntry {
     "ann_mips" -> ((s, d) =>
       SimilaritySearch.mipsTopK(Tables.embeddings(s, d), 0L, 10)),
     "dwh_junk_dim" -> ((s, d) => Dwh.junkDimension(Tables.orders(s, d))),
+    "dwh_periodic_snapshot" -> ((s, d) =>
+      Dwh.periodicSnapshot(Tables.orders(s, d), Tables.customer(s, d))),
     "dwh_factless" -> ((s, d) =>
       Dwh.factlessCoverage(Tables.orders(s, d), Tables.customer(s, d))),
     "dwh_scd3" -> ((s, d) => {
@@ -1418,6 +1420,8 @@ object SparkEntry {
     "gr_triangles" -> ((s, d) => Graph.triangleStats(coSupplyEdges(s, d))),
     "gr_local_cc" -> ((s, d) => Graph.localClustering(coSupplyEdges(s, d))),
     "gr_richclub" -> ((s, d) => Graph.richClub(coSupplyEdges(s, d))),
+    "gr_embeddedness" -> ((s, d) =>
+      Graph.edgeEmbeddedness(coSupplyEdges(s, d))),
     "gr_jaccard" -> ((s, d) => Graph.jaccardLinks(coSupplyEdges(s, d), 20)),
     "gr_kcore" -> ((s, d) => Graph.kCore(coSupplyEdges(s, d), 3)),
     "gr_coreness" -> ((s, d) => Graph.coreness(coSupplyEdges(s, d))),
@@ -1519,6 +1523,14 @@ object SparkEntry {
       Stats.classifierReport(
         TextAnalysis.naiveBayesLangEval(Tables.documents(s, d)),
         "true_lang", "pred_lang", "n")),
+    "ml_roc" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val q1 = round(element_at(
+        col("embedding").cast("array<double>"), 1) * 1000).cast("long")
+      Stats.rocLadder(Tables.embeddings(s, d),
+        lit(1.0) / (lit(1.0) + exp(-(q1 / lit(200.0)))),
+        (col("label") < 5).cast("int"))
+    }),
     "ml_calibration" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val e = Tables.embeddings(s, d)
@@ -1601,6 +1613,93 @@ object SparkEntry {
          FROM pred WHERE rn = 1 GROUP BY 1, 2"""
 
   def oracleSql: Map[String, String] = Map(
+    "ml_roc" ->
+      """WITH sc AS (SELECT
+             1.0 / (1.0 + exp(-(CAST(round(embedding[1] * 1000)
+               AS BIGINT) / 200.0))) AS s,
+             CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+           FROM embeddings),
+         ts AS (SELECT CAST(unnest([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7,
+             0.8, 0.9]) AS DOUBLE) AS t),
+         per AS (SELECT t AS threshold,
+             CAST(sum(CASE WHEN s >= t AND y = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN s >= t AND y = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS fp,
+             CAST(sum(y) AS BIGINT) AS np,
+             CAST(count(*) AS BIGINT) AS n
+           FROM sc CROSS JOIN ts GROUP BY 1),
+         r AS (SELECT threshold, tp, fp, np - tp AS fn,
+             n - np - fp AS tn,
+             round(CAST(tp AS DOUBLE) / nullif(CAST(np AS DOUBLE), 0),
+               6) AS tpr,
+             round(CAST(fp AS DOUBLE) /
+               nullif(CAST(n - np AS DOUBLE), 0), 6) AS fpr,
+             round(CAST(tp AS DOUBLE) /
+               nullif(CAST(tp + fp AS DOUBLE), 0), 6) AS precision,
+             round(CAST(tp AS DOUBLE) / nullif(CAST(np AS DOUBLE), 0) -
+               CAST(fp AS DOUBLE) / nullif(CAST(n - np AS DOUBLE), 0),
+               6) AS youden_j
+           FROM per),
+         b AS (SELECT threshold AS bt FROM r
+           ORDER BY youden_j DESC, threshold DESC LIMIT 1)
+         SELECT threshold, tp, fp, fn, tn, tpr, fpr, precision,
+           youden_j, threshold = bt AS is_best
+         FROM r CROSS JOIN b""",
+    "dwh_periodic_snapshot" ->
+      """WITH m AS (SELECT c_mktsegment AS segment,
+             strftime(o_orderdate, '%Y-%m') AS month,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS cents
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1, 2)
+         SELECT segment, month, n_orders,
+           CAST(sum(n_orders) OVER w AS BIGINT) AS cum_orders,
+           round(cents / 100.0, 2) AS revenue,
+           round(sum(cents) OVER w / 100.0, 2) AS cum_revenue
+         FROM m WINDOW w AS (PARTITION BY segment ORDER BY month
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    "gr_embeddedness" ->
+      """WITH cp AS MATERIALIZED (SELECT l1.l_suppkey AS s1,
+             l2.l_suppkey AS s2, count(*) AS cnt
+           FROM lineitem l1 JOIN lineitem l2
+             ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+           GROUP BY 1, 2),
+         und AS MATERIALIZED (SELECT s1 AS a, s2 AS b FROM cp
+           WHERE cnt > (SELECT quantile_cont(cnt, 0.9) FROM cp)),
+         deg AS MATERIALIZED (SELECT node, CAST(count(*) AS BIGINT) AS deg
+           FROM (SELECT a AS node FROM und
+                 UNION ALL SELECT b FROM und) GROUP BY 1),
+         o AS MATERIALIZED (SELECT
+             CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND a < b)
+               THEN a ELSE b END AS u,
+             CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND a < b)
+               THEN b ELSE a END AS v,
+             CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND a < b)
+               THEN d2.deg ELSE d1.deg END AS dv
+           FROM und JOIN deg d1 ON und.a = d1.node
+             JOIN deg d2 ON und.b = d2.node),
+         tri AS (SELECT o1.u, o1.v AS x, o2.v AS y
+           FROM o o1 JOIN o o2 ON o1.u = o2.u
+             AND (o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v))
+           WHERE EXISTS (SELECT 1 FROM o o3
+             WHERE o3.u = o1.v AND o3.v = o2.v)),
+         pe AS (SELECT a, b, CAST(count(*) AS BIGINT) AS emb FROM (
+             SELECT least(u, x) AS a, greatest(u, x) AS b FROM tri
+             UNION ALL SELECT least(u, y), greatest(u, y) FROM tri
+             UNION ALL SELECT least(x, y), greatest(x, y) FROM tri)
+           GROUP BY 1, 2),
+         hist AS (SELECT coalesce(emb, 0) AS emb,
+             CAST(count(*) AS BIGINT) AS n_edges
+           FROM und LEFT JOIN pe USING (a, b) GROUP BY 1),
+         t AS (SELECT CAST(sum(n_edges) AS BIGINT) AS nt,
+             CAST(sum(CASE WHEN emb = 0 THEN n_edges ELSE 0 END)
+               AS BIGINT) AS nb
+           FROM hist)
+         SELECT emb AS embeddedness, n_edges,
+           round(CAST(nb AS DOUBLE) / nt, 6) AS bridge_share
+         FROM hist CROSS JOIN t""",
     "ml_calibration" ->
       """WITH sc AS (SELECT
              1.0 / (1.0 + exp(-(CAST(round(embedding[1] * 1000)

@@ -624,4 +624,28 @@ object Dwh {
       .join(covered, Seq("segment", "month"), "left_anti")
       .select(col("segment"), col("month"))
   }
+
+  /** PERIODIC-SNAPSHOT fact build (Kimball's third fact grain, next to
+    * the transaction facts everywhere else and dwh_accumulating's
+    * lifecycle rows): one row per (month, segment) with the period's
+    * activity AND the running to-date totals a snapshot grain exists to
+    * serve ("how did the book look at each month end" without
+    * re-scanning history per question). Revenue stays exact-integer
+    * cents until the final display division; the cumulative window runs
+    * per segment over the months frame (report-sized — documented). */
+  def periodicSnapshot(orders: DataFrame, customer: DataFrame)
+      : DataFrame = {
+    val w = Window.partitionBy("segment").orderBy("month")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .select(col("segment"), col("month"), col("n_orders"),
+        sum("n_orders").over(w).as("cum_orders"),
+        round(col("cents") / lit(100.0), 2).as("revenue"),
+        round(sum("cents").over(w) / lit(100.0), 2).as("cum_revenue"))
+  }
 }

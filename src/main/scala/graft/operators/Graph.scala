@@ -785,4 +785,68 @@ object Graph {
           round(lit(2.0) * col("e_k") / (col("n_k") * (col("n_k") - 1)),
             6)).as("phi"))
   }
+
+  /** EDGE EMBEDDEDNESS distribution — per existing edge, the number of
+    * common neighbors (= triangles through the edge): the tie-strength
+    * classic (embedded edges are strong/redundant ties; embeddedness-0
+    * edges are BRIDGES — the links whose loss disconnects information
+    * flow). Complements [[localClustering]] (node view) and
+    * [[jaccardLinks]] (which scores NON-edges). Output: the
+    * embeddedness histogram plus the bridge share riding every row.
+    *
+    * Scale shape: same one-pass oriented triangle enumeration; each
+    * triangle credits its three edges (canonical a<b keys) in one
+    * partial-agg rollup; the left join back to the edge list charges
+    * untriangled edges zero. Exact integers throughout. */
+  def edgeEmbeddedness(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val oriented = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+      .select(
+        when(col("da") < col("db") ||
+             (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v"),
+            col("da").as("du"), col("db").as("dv")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"),
+            col("db").as("du"), col("da").as("dv")))
+          .as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"),
+        col("e.du").as("du"), col("e.dv").as("dv"))
+      .localCheckpoint(true)
+    val o2 = oriented.select(col("u").as("u2"), col("v").as("y"),
+      col("dv").as("dy"))
+    val tris = oriented
+      .join(o2, col("u") === col("u2") &&
+        (col("dv") < col("dy") ||
+          (col("dv") === col("dy") && col("v") < col("y"))))
+      .select(col("u"), col("v").as("x"), col("y"))
+      .join(oriented.select(col("u").as("x"), col("v").as("y")),
+        Seq("x", "y"), "left_semi")
+    // each triangle's three edges, re-canonicalized to (a < b)
+    val perEdge = tris.select(least(col("u"), col("x")).as("a"),
+        greatest(col("u"), col("x")).as("b"))
+      .unionAll(tris.select(least(col("u"), col("y")).as("a"),
+        greatest(col("u"), col("y")).as("b")))
+      .unionAll(tris.select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b")))
+      .groupBy("a", "b").agg(count(lit(1)).as("emb"))
+    val hist = und.join(perEdge, Seq("a", "b"), "left")
+      .select(coalesce(col("emb"), lit(0L)).as("emb"))
+      .groupBy("emb").agg(count(lit(1)).as("n_edges"))
+    hist.crossJoin(broadcast(hist.agg(
+        sum("n_edges").as("nt"),
+        sum(when(col("emb") === 0, col("n_edges")).otherwise(0L))
+          .as("nb"))))
+      .select(col("emb").as("embeddedness"), col("n_edges"),
+        round(col("nb").cast("double") / col("nt"), 6)
+          .as("bridge_share"))
+  }
 }

@@ -737,6 +737,7 @@ object SimilaritySearch {
     * job). Output: (cell, n, avg_cos). */
   def kmeansExactClusters(embeddings: DataFrame, k: Int = 8): DataFrame = {
     import java.math.{BigDecimal => JBig, RoundingMode}
+    import embeddings.sparkSession.implicits._
     def scaleRound(v: Double): Long =
       new JBig(v).setScale(0, RoundingMode.HALF_UP).longValue
     val v = embeddings
@@ -756,26 +757,35 @@ object SimilaritySearch {
         val q = r.getSeq[Long](0); val n = math.sqrt(r.getLong(1).toDouble)
         q.map(y => scaleRound(y * 1000000.0 / n))
       }.toSeq
-    def cosTo(c: Seq[Long]): Column = {
-      val cssq = c.map(y => y * y).sum
-      val dot = aggregate(
-        zip_with(col("q"), lit(c.toArray), (a, b) => a * b),
-        lit(0L), (a, y) => a + y)
-      dot.cast("double") / (sqrt(col("ssq").cast("double")) *
-        math.sqrt(cssq.toDouble))
+    // one exploded (vec_id, ssq, pos, x) view serves every stage
+    val exv = v.select(col("vec_id"), col("ssq"),
+      posexplode(col("q")).as(Seq("pos", "x"))).localCheckpoint(true)
+    // assignment as RELATIONAL ops (explode ⋈ broadcast codebook ⋈
+    // partial-agg argmax) — the k HOF-dot-per-row expression tree this
+    // replaces compiled to pathological whole-stage code (29 s at
+    // sf0.1; this shape runs in under a second and is also the right
+    // 100 TB plan: the codebook is a k×dim broadcast, dots partial-agg
+    // map-side, nothing data-sized sits in one expression)
+    def assignTo(cents: Seq[Seq[Long]]): DataFrame = {
+      val cdf = broadcast(cents.zipWithIndex.flatMap { case (c, i) =>
+        val cssq = c.map(y => y * y).sum
+        c.zipWithIndex.map { case (cv, pos) => (i, pos, cv, cssq) }
+      }.toDF("cell", "pos", "cv", "cssq"))
+      exv.join(cdf, Seq("pos"))
+        .groupBy(col("vec_id"), col("cell"))
+        .agg(sum(col("x") * col("cv")).as("dot"),
+          max("ssq").as("ssq"), max("cssq").as("cssq"))
+        .select(col("vec_id"), struct(
+          (col("dot").cast("double") /
+            (sqrt(col("ssq").cast("double")) *
+              sqrt(col("cssq").cast("double")))).as("cos"),
+          (-col("cell")).as("negCell")).as("sc"))
+        .groupBy("vec_id").agg(max("sc").as("best"))
+        .select(col("vec_id"), (-col("best.negCell")).as("cell"),
+          col("best.cos").as("cos"))
     }
-    // argmax cosine, ties to the LOWEST cell: max over the k cosine
-    // columns, then the first index equal to it (exact doubles — both
-    // sides derive them from identical integer sums, so == is safe)
-    def assign(cents: Seq[Seq[Long]]): Column = {
-      val cos = cents.map(cosTo)
-      val best = greatest(cos: _*)
-      cos.zipWithIndex.foldRight(lit(-1)) { case ((c, i), acc) =>
-        when(c === best, i).otherwise(acc)
-      }
-    }
-    val sums = v.select(assign(seeds).as("cell"),
-        posexplode(col("q")).as(Seq("pos", "x")))
+    val sums = exv
+      .join(assignTo(seeds).select("vec_id", "cell"), Seq("vec_id"))
       .groupBy("cell", "pos").agg(sum("x").as("sx"))
       .collect()
       .groupBy(_.getInt(0))
@@ -790,9 +800,9 @@ object SimilaritySearch {
         case None => seeds(cell) // empty cell keeps its previous centroid
       }
     }
-    val bestCos = greatest(cents1.map(cosTo): _*)
-    v.select(assign(cents1).as("cell"),
-        round(bestCos * 1000000).cast("long").as("qc"))
+    assignTo(cents1)
+      .select(col("cell"),
+        round(col("cos") * 1000000).cast("long").as("qc"))
       .groupBy("cell")
       .agg(count(lit(1)).as("n"), sum("qc").as("sc"))
       .select(col("cell"), col("n"),

@@ -581,6 +581,57 @@ object Stats {
         round(col("esum").cast("double") / 1000000000.0, 6).as("ece"))
   }
 
+  /** ROC ladder + Youden's J for a probabilistic binary score — the
+    * THRESHOLD-choosing companion to st_auc (AUC ranks the model;
+    * shipping one needs a cutoff): at each fixed threshold the exact
+    * confusion counts give TPR/FPR/precision, J = TPR − FPR marks the
+    * best operating point (flagged on its row). Exact integer counts
+    * per threshold (one conditional-aggregate pass over the corpus —
+    * thresholds are a literal ladder, so this is ONE scan with k
+    * conditional sums, not k scans), divisions at the close. */
+  def rocLadder(df: DataFrame, score: Column, label: Column,
+                thresholds: Seq[Double] =
+                  (1 to 9).map(_ / 10.0)): DataFrame = {
+    val base = df.select(score.as("s"), label.cast("int").as("y"))
+    val aggCols =
+      Seq(sum(col("y").cast("long")).as("np"), count(lit(1)).as("n")) ++
+      thresholds.map(t =>
+        sum(when(col("s") >= t && col("y") === 1, 1L).otherwise(0L))
+          .as(s"tp_${(t * 10).round}")) ++
+      thresholds.map(t =>
+        sum(when(col("s") >= t && col("y") === 0, 1L).otherwise(0L))
+          .as(s"fp_${(t * 10).round}"))
+    val agg = base.agg(aggCols.head, aggCols.tail: _*)
+      // ONE corpus scan: the 1-row count frame materializes before the
+      // per-threshold union fans out (else each union branch would
+      // re-run the aggregate — k scans instead of one)
+      .localCheckpoint(true)
+    val perT = thresholds.map { t =>
+      agg.select(lit(t).as("threshold"),
+        col(s"tp_${(t * 10).round}").as("tp"), col(s"fp_${(t * 10).round}").as("fp"),
+        (col("np") - col(s"tp_${(t * 10).round}")).as("fn"),
+        (col("n") - col("np") - col(s"fp_${(t * 10).round}")).as("tn"),
+        round(col(s"tp_${(t * 10).round}").cast("double") /
+          nullif(col("np").cast("double"), lit(0.0)), 6).as("tpr"),
+        round(col(s"fp_${(t * 10).round}").cast("double") /
+          nullif((col("n") - col("np")).cast("double"), lit(0.0)), 6)
+          .as("fpr"),
+        round(col(s"tp_${(t * 10).round}").cast("double") /
+          nullif((col(s"tp_${(t * 10).round}") + col(s"fp_${(t * 10).round}")).cast("double"),
+            lit(0.0)), 6).as("precision"),
+        round(col(s"tp_${(t * 10).round}").cast("double") /
+          nullif(col("np").cast("double"), lit(0.0)) -
+          col(s"fp_${(t * 10).round}").cast("double") /
+          nullif((col("n") - col("np")).cast("double"), lit(0.0)), 6)
+          .as("youden_j"))
+    }.reduce(_ unionByName _)
+    val best = perT.agg(max(struct(col("youden_j"), col("threshold")))
+      .getField("threshold").as("best_t"))
+    perT.crossJoin(broadcast(best))
+      .withColumn("is_best", col("threshold") === col("best_t"))
+      .drop("best_t")
+  }
+
   /** TOST equivalence test (two one-sided tests) — the inference
     * [[welchTTest]] cannot give: failing to reject "different" is NOT
     * evidence of "same"; TOST flips the burden and asks whether the

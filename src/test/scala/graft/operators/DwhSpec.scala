@@ -488,4 +488,24 @@ class DwhSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(gaps == Set(("BIKE", "1970-02")))
   }
+
+  test("periodicSnapshot: running totals accumulate per segment, cents exact") {
+    import spark.implicits._
+    val customer = Seq((1L, "AUTO"), (2L, "BIKE"))
+      .toDF("c_custkey", "c_mktsegment")
+    val orders = Seq(
+      (10L, 1L, "1970-01-05", 10.10), (11L, 1L, "1970-02-07", 5.05),
+      (12L, 1L, "1970-02-08", 1.00), (13L, 2L, "1970-01-20", 7.77))
+      .toDF("o_orderkey", "o_custkey", "d", "o_totalprice")
+      .select(col("o_orderkey"), col("o_custkey"),
+        to_timestamp(col("d")).as("o_orderdate"), col("o_totalprice"))
+    val out = Dwh.periodicSnapshot(orders, customer).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val feb = out(("AUTO", "1970-02"))
+    assert(feb.getAs[Long]("n_orders") == 2L &&
+      feb.getAs[Long]("cum_orders") == 3L)
+    assert(feb.getAs[Double]("revenue") == 6.05 &&
+      feb.getAs[Double]("cum_revenue") == 16.15)
+    assert(out(("BIKE", "1970-01")).getAs[Double]("cum_revenue") == 7.77)
+  }
 }

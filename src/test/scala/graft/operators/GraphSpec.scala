@@ -368,4 +368,18 @@ class GraphSpec extends SparkSpec {
       .map(r => (r.getAs[String]("role"), r.getAs[Long]("node")) ->
         r.getAs[Double]("score")).toMap == out)
   }
+
+  test("edgeEmbeddedness: K4 edges all embed 2; a pendant edge is a bridge") {
+    // K4 + pendant 4-5: every K4 edge sits in 2 triangles; 4-5 in none
+    val g = undirected((1L, 2L), (1L, 3L), (1L, 4L),
+      (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+    val out = Graph.edgeEmbeddedness(g).collect()
+      .map(r => r.getAs[Long]("embeddedness") ->
+        (r.getAs[Long]("n_edges"), r.getAs[Double]("bridge_share"))).toMap
+    assert(out(2L)._1 == 6L)
+    assert(out(0L)._1 == 1L)
+    assert(math.abs(out(0L)._2 - 1.0 / 7) < 1e-6)
+    assert(out.values.forall(v => math.abs(v._2 - 1.0 / 7) < 1e-6),
+      "bridge share rides every row")
+  }
 }

@@ -1239,4 +1239,27 @@ class StatsSpec extends SparkSpec {
     assert(f.getAs[Double]("delta") == 0.0)
     assert(f.isNullAt(f.fieldIndex("n_required_per_arm")))
   }
+
+  test("rocLadder: a perfect score sweeps TPR 1/FPR 0; best threshold separates") {
+    // positives score 0.9, negatives 0.1 → any threshold in (0.1, 0.9]
+    // is perfect; Youden J = 1 there, and at t=0.1 FPR snaps to 1
+    val rows = (0 until 50).map(i => (0.9, 1)) ++
+      (0 until 50).map(i => (0.1, 0))
+    val df = rows.toDF("s", "y")
+    val out = Stats.rocLadder(df, col("s"), col("y")).collect()
+      .map(r => r.getAs[Double]("threshold") -> r).toMap
+    assert(out.size == 9)
+    assert(out(0.5).getAs[Double]("tpr") == 1.0 &&
+      out(0.5).getAs[Double]("fpr") == 0.0 &&
+      out(0.5).getAs[Double]("youden_j") == 1.0)
+    assert(out(0.1).getAs[Double]("fpr") == 1.0)
+    // the flagged best is a J=1 threshold; exactly one row is flagged
+    val best = out.values.filter(_.getAs[Boolean]("is_best")).toSeq
+    assert(best.size == 1 && best.head.getAs[Double]("youden_j") == 1.0)
+    // confusion identity holds on every row
+    out.values.foreach { r =>
+      assert(r.getAs[Long]("tp") + r.getAs[Long]("fp") +
+        r.getAs[Long]("fn") + r.getAs[Long]("tn") == 100L)
+    }
+  }
 }
