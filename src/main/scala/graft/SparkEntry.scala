@@ -500,6 +500,7 @@ object SparkEntry {
     "st_tost" -> ((s, d) =>
       Stats.tostEquivalence(Tables.events(s, d), "event_type", "value",
         "click", "view", margin = 2.0)),
+    "w26_ltv" -> ((s, d) => Windows.cohortLtv(Tables.events(s, d))),
     "w24_stickiness" -> ((s, d) =>
       Windows.stickiness(Tables.events(s, d))),
     "w25_markov_attribution" -> ((s, d) =>
@@ -5171,6 +5172,28 @@ object SparkEntry {
            round(-sum((n / CAST(nt AS DOUBLE)) *
              ln(n / CAST(nt AS DOUBLE))) / ln(6.0), 6) AS perm_entropy
          FROM pat CROSS JOIN tot GROUP BY nt, k""",
+    "w26_ltv" ->
+      """WITH p AS (SELECT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS wk,
+             CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase'),
+         firsts AS (SELECT user_id, min(wk) AS cohort
+           FROM p GROUP BY 1),
+         sizes AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_cohort
+           FROM firsts GROUP BY 1),
+         cells AS (SELECT cohort,
+             CAST((wk - cohort) / 7 AS INT) AS weeks_since,
+             CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_active,
+             CAST(sum(cents) AS BIGINT) AS cents
+           FROM p JOIN firsts ON p.user_id = firsts.user_id
+           GROUP BY 1, 2)
+         SELECT cells.cohort, weeks_since, n_cohort, n_active,
+           round(cents / 100.0, 2) AS revenue,
+           round(sum(cents) OVER (PARTITION BY cells.cohort
+             ORDER BY weeks_since ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW) / (n_cohort * 100.0), 4)
+             AS cum_ltv_per_user
+         FROM cells JOIN sizes ON cells.cohort = sizes.cohort""",
     "w24_stickiness" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
            FROM events),

@@ -777,6 +777,12 @@ object Stats {
     * observed rates, the delta, required n/arm, and whether the
     * CURRENT arms already clear it. One user-rollup pass (exact
     * integer counts), then 1-row formula arithmetic. */
+  /** The deterministic md5-parity arm split (dq_srm's audit split and
+    * stream_ab_monitor's replay-stable assignment — one definition). */
+  def md5Arm(user: Column): Column =
+    when(substring(md5(user.cast("string")), 1, 1) < "8", "A")
+      .otherwise("B")
+
   def powerAnalysis(events: DataFrame, minValue: Double = 95.0)
       : DataFrame = {
     // conversion = a HIGH-VALUE purchase (value > minValue): the plain
@@ -785,11 +791,15 @@ object Stats {
     val perUser = events.groupBy("user_id")
       .agg(max(when(col("event_type") === "purchase" &&
         col("value") > minValue, 1).otherwise(0)).as("conv"))
-      .withColumn("arm",
-        when(substring(md5(col("user_id").cast("string")), 1, 1) < "8",
-          "A").otherwise("B"))
-    val arms = perUser.groupBy("arm")
-      .agg(count(lit(1)).as("n"), sum("conv").cast("long").as("k"))
+      .withColumn("arm", md5Arm(col("user_id")))
+    powerFromArms(perUser.groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum("conv").cast("long").as("k")))
+  }
+
+  /** The power formula over an (arm, n, k) frame — split out so the
+    * streaming monitor reports from its mergeable store through the
+    * SAME arithmetic (one definition, two surfaces). */
+  def powerFromArms(arms: DataFrame): DataFrame = {
     val w = arms.agg(
       max(when(col("arm") === "A", col("n"))).as("na"),
       max(when(col("arm") === "A", col("k"))).as("ka"),
@@ -2291,5 +2301,195 @@ object Stats {
       .select(col("user_id"), col("x").as("mean_value"),
         col("y").as("n_events"), col("d2"))
       .limit(topK)
+  }
+
+  /** Two-sample CRAMÉR–VON MISES T between groups `ga` and `gb` — the
+    * whole-distribution companion to [[ksTest]]'s max-gap and
+    * [[mannWhitneyU]]'s location shift: T integrates the SQUARED gap
+    * between the two ECDFs, so it catches spread/shape differences a
+    * median test misses and is more powerful than KS against diffuse
+    * alternatives (Anderson 1962 rank form).
+    *
+    * Exactness: the rank form U = N·Σ(rᵢ−i)² + M·Σ(sⱼ−j)² stays in
+    * INTEGER arithmetic. Per distinct value class (ca from A, cb from
+    * B, t = ca+cb), every A member shares midrank below + (t+1)/2 and
+    * occupies own-sample slots belowA+1..belowA+ca, so with the odd
+    * integer D = 2·(below − belowA) + t + 1,
+    *   4·Σ_class(r−i)² = ca·D² − 2·D·ca·(ca+1) + 2·ca·(ca+1)·(2ca+1)/3
+    * is an exact long on any engine and any partitioning ([[ksTest]]'s
+    * striped-prefix-sum skeleton; no global single-partition sort).
+    * The two sample sums widen to decimal(38,0) before the N·/M·
+    * products (the long bound 4N³ passes ~10⁸ rows — loud ANSI
+    * overflow beyond, never silent), and the single final division to
+    * doubles happens on bit-identical exact inputs. */
+  def cramerVonMises(df: DataFrame, groupCol: String, c: String,
+                     ga: String, gb: String, stripes: Int = 256)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = df.filter(col(groupCol).isin(ga, gb))
+      .groupBy(col(c).as("v"))
+      .agg(sum(when(col(groupCol) === ga, 1L).otherwise(0L)).as("ca"),
+        sum(when(col(groupCol) === gb, 1L).otherwise(0L)).as("cb"))
+      .withColumn("t", col("ca") + col("cb"))
+    val bounds = pts.agg(min("v").as("__lo"), max("v").as("__hi"),
+      sum("ca").as("__na"), sum("cb").as("__nb"))
+    val striped = pts.crossJoin(broadcast(bounds))
+      .withColumn("__stripe",
+        when(col("__hi") === col("__lo"), lit(0L)).otherwise(
+          least(lit(stripes - 1L), greatest(lit(0L),
+            floor((col("v") - col("__lo")) /
+              (col("__hi") - col("__lo")) * stripes)))).cast("int"))
+    val wIn = Window.partitionBy("__stripe").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wStripe = Window.orderBy("__stripe")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = striped.groupBy("__stripe")
+      .agg(sum("t").as("__st"), sum("ca").as("__sa"))
+      .select(col("__stripe"),
+        coalesce(sum("__st").over(wStripe), lit(0L)).as("__ot"),
+        coalesce(sum("__sa").over(wStripe), lit(0L)).as("__oa"))
+    // 4·Σ(r−i)² per class for one sample (its count cg, its D): the
+    // DIV keeps the whole term in long arithmetic (2·cg·(cg+1)·(2cg+1)
+    // is always divisible by 3)
+    def quad(cg: String, d: String): Column = expr(
+      s"CASE WHEN $cg = 0 THEN 0 ELSE $cg*$d*$d - 2*$d*$cg*($cg+1)" +
+        s" + (2*$cg*($cg+1)*(2*$cg+1)) DIV 3 END")
+    val s = striped.join(broadcast(offs), Seq("__stripe"))
+      .withColumn("below",
+        col("__ot") + coalesce(sum("t").over(wIn), lit(0L)))
+      .withColumn("belowA",
+        col("__oa") + coalesce(sum("ca").over(wIn), lit(0L)))
+      .withColumn("belowB", col("below") - col("belowA"))
+      .withColumn("__da",
+        lit(2L) * (col("below") - col("belowA")) + col("t") + lit(1L))
+      .withColumn("__db",
+        lit(2L) * (col("below") - col("belowB")) + col("t") + lit(1L))
+      .withColumn("qa", quad("ca", "__da"))
+      .withColumn("qb", quad("cb", "__db"))
+      .agg(sum("qa").as("sa4"), sum("qb").as("sb4"),
+        max("__na").as("na"), max("__nb").as("nb"))
+    val dec = "decimal(38,0)"
+    val u4 = col("na").cast(dec) * col("sa4").cast(dec) +
+      col("nb").cast(dec) * col("sb4").cast(dec)
+    val nm = col("na").cast(dec) * col("nb").cast(dec)
+    val nT = col("na") + col("nb")
+    s.select(col("na").as("n_a"), col("nb").as("n_b"),
+      round(
+        (u4 / lit(4)).cast("double") /
+          (nm * nT.cast(dec)).cast("double") -
+          ((lit(4).cast(dec) * nm - lit(1)).cast("double") /
+            (lit(6.0) * nT.cast("double"))), 6).as("t_stat"))
+  }
+
+  /** Per-query ranked frame shared by the IR-eval pair [[ndcgAtK]] /
+    * [[mrr]]: rank = row_number by score desc with the caller's id as
+    * the deterministic tiebreak. The window partitions on the QUERY
+    * key — per-query candidate lists are retrieval-sized (top-N from
+    * ann_*), so the sort is list-local; nothing global. */
+  private def rankedByQuery(df: DataFrame, query: Column, score: Column,
+                            rel: Column, id: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query")
+      .orderBy(col("score").desc, col("id"))
+    df.select(query.as("query"), score.as("score"), rel.as("rel"),
+        id.as("id"))
+      .withColumn("rank", row_number().over(w))
+  }
+
+  /** NDCG@k per query — THE graded ranking metric for the retrieval
+    * surfaces (ann_* give the lists; this grades them): DCG discounts
+    * each gain (2^rel − 1) by log2(rank+1), normalized by the ideal
+    * ordering's DCG so queries with different relevance budgets
+    * compare on one [0,1] scale.
+    *
+    * Exactness: each discount term rounds to integer MICRO-units
+    * before summing (the ml_nb log-prob discipline) — the sums are
+    * exact longs on any engine/partitioning and the single ndcg
+    * division runs on identical integers. Ideal ranking ties on rel
+    * don't matter: equal rel ⇒ equal term. */
+  def ndcgAtK(df: DataFrame, query: Column, score: Column, rel: Column,
+              id: Column, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = rankedByQuery(df, query, score, rel, id)
+    val wi = Window.partitionBy("query")
+      .orderBy(col("rel").desc, col("id"))
+    def term(rk: Column): Column =
+      round((pow(lit(2.0), col("rel")) - 1.0) /
+        log2(rk.cast("double") + 1.0) * 1e6).cast("long")
+    ranked.withColumn("irank", row_number().over(wi))
+      .groupBy("query")
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("rank") <= k, term(col("rank"))).otherwise(0L))
+          .as("dcg_u"),
+        sum(when(col("irank") <= k, term(col("irank"))).otherwise(0L))
+          .as("idcg_u"))
+      .select(col("query"), col("n_items"),
+        round(col("dcg_u") / lit(1e6), 6).as("dcg_at_k"),
+        round(col("dcg_u") /
+          nullif(col("idcg_u").cast("double"), lit(0.0)), 6)
+          .as("ndcg_at_k"))
+  }
+
+  /** Reciprocal rank per query (first result with rel ≥ `relMin`) —
+    * the "how deep must the user scroll" metric next to [[ndcgAtK]]'s
+    * graded view; queries with no relevant hit report rank 0 / rr 0.
+    * Same ranked frame, one rollup; 1/rank divides two exact ints. */
+  def mrr(df: DataFrame, query: Column, score: Column, rel: Column,
+          id: Column, relMin: Int = 2): DataFrame =
+    rankedByQuery(df, query, score, rel, id)
+      .groupBy("query")
+      .agg(count(lit(1)).as("n_items"),
+        coalesce(min(when(col("rel") >= relMin, col("rank"))), lit(0))
+          .cast("long").as("first_rel_rank"))
+      .select(col("query"), col("n_items"), col("first_rel_rank"),
+        when(col("first_rel_rank") === 0L, 0.0)
+          .otherwise(round(lit(1.0) / col("first_rel_rank"), 6))
+          .as("rr"))
+
+  /** TUKEY HSD pairwise ladder after [[anovaF]] — the post-hoc answer
+    * to "WHICH segment pairs actually differ" once the omnibus F says
+    * something does; running all k(k−1)/2 z-tests instead inflates
+    * family error (that's [[holmBonferroni]]'s problem — HSD bakes the
+    * correction into the studentized-range statistic q = |mᵢ−mⱼ|/SE,
+    * SE = √(MSE/2·(1/nᵢ+1/nⱼ))).
+    *
+    * Exactness: values quantize to integer cents, per-group moments
+    * are exact long power sums (n, Σc, Σc²), the per-group SSW term
+    * (s2 − s1²/n) rounds to an integer cents² unit BEFORE the k-row
+    * sum — so the pooled MSE is independent of aggregation order and
+    * both engines walk identical doubles into the one round(4). (The
+    * long power sums pass ~10⁸ rows per group at these magnitudes;
+    * beyond, widen to decimal(38,0) — loud ANSI overflow, not silent.)
+    * Scale: ONE map-side-combined pass to the k-row group frame; the
+    * pair ladder is a k²-row self-join on that stat frame
+    * (parameter-sized), never on the corpus. */
+  def tukeyHsd(df: DataFrame, groupCol: String, c: String,
+               qCrit: Double = 4.03): DataFrame = {
+    val cents = round(col(c) * 100).cast("long")
+    val g = df.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n"), sum(cents).as("s1"),
+        sum(cents * cents).as("s2"))
+      .withColumn("ssw_q",
+        round(col("s2").cast("double") -
+          col("s1").cast("double") * col("s1").cast("double") /
+            col("n")).cast("long"))
+    val tot = g.agg(sum("n").as("nt"), count(lit(1)).as("k"),
+      sum("ssw_q").as("ssw_c2"))
+    val mse = col("ssw_c2") / lit(1e4) / (col("nt") - col("k"))
+    val a = g.select(col("grp").as("group_a"), col("n").as("n_a"),
+      (col("s1").cast("double") / col("n") / 100.0).as("ma"))
+    val b = g.select(col("grp").as("group_b"), col("n").as("n_b"),
+      (col("s1").cast("double") / col("n") / 100.0).as("mb"))
+    a.join(b, col("group_a") < col("group_b"))
+      .crossJoin(broadcast(tot))
+      .select(col("group_a"), col("group_b"),
+        col("n_a"), col("n_b"),
+        round(col("ma") - col("mb"), 6).as("mean_diff"),
+        round(abs(col("ma") - col("mb")) /
+          sqrt(mse / 2.0 * (lit(1.0) / col("n_a") +
+            lit(1.0) / col("n_b"))), 4).as("q_stat"),
+        (abs(col("ma") - col("mb")) /
+          sqrt(mse / 2.0 * (lit(1.0) / col("n_a") +
+            lit(1.0) / col("n_b"))) > qCrit).as("significant"))
   }
 }

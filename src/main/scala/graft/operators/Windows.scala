@@ -631,4 +631,36 @@ object Windows {
         sum(when(col("day") =!= col("first_day"), 1L).otherwise(0L))
           .as("returning_users"))
   }
+
+  /** COHORT-LTV triangle — the revenue companion to [[retention]]'s
+    * activity counts: users cohort by the week of their FIRST purchase,
+    * and each (cohort, weeks_since) cell reports the cohort's active
+    * purchasers, that week's revenue, and the running LTV per cohort
+    * user (cumulative revenue / cohort size — the curve whose flattening
+    * says when a cohort stops paying back). Revenue stays exact-integer
+    * cents until the display division; the cumulative window runs per
+    * cohort over the weeks frame (report-sized). One pass to per-user
+    * firsts, one to the (cohort, week) rollup. */
+  def cohortLtv(events: DataFrame): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("wk"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val firsts = p.groupBy("user_id").agg(min("wk").as("cohort"))
+    val sizes = firsts.groupBy("cohort").agg(count(lit(1)).as("n_cohort"))
+    val cells = p.join(firsts, Seq("user_id"))
+      .groupBy(col("cohort"),
+        (datediff(col("wk"), col("cohort")) / 7).cast("int")
+          .as("weeks_since"))
+      .agg(countDistinct("user_id").as("n_active"),
+        sum("cents").as("cents"))
+    val w = Window.partitionBy("cohort").orderBy("weeks_since")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.join(sizes, Seq("cohort"))
+      .select(col("cohort"), col("weeks_since"), col("n_cohort"),
+        col("n_active"),
+        round(col("cents") / lit(100.0), 2).as("revenue"),
+        round(sum("cents").over(w) /
+          (col("n_cohort") * lit(100.0)), 4).as("cum_ltv_per_user"))
+  }
 }

@@ -746,4 +746,32 @@ class WindowsLambdaSpec extends SparkSpec {
     assert(saw.head.getAs[Double]("hurst") < 0.3,
       "alternating series must look anti-persistent")
   }
+
+  test("cohortLtv: hand-computed two-cohort triangle, LTV accumulates") {
+    import spark.implicits._
+    // week starts (Mondays): 1970-01-05, -12, -19
+    def ev(u: Long, day: String, v: Double) =
+      (u, "purchase", v, day)
+    val df = Seq(
+      ev(1, "1970-01-05", 10.0), ev(2, "1970-01-06", 20.0), // cohort w1
+      ev(1, "1970-01-13", 5.0),                             // w1 +1wk
+      ev(3, "1970-01-14", 40.0),                            // cohort w2
+      ev(1, "1970-01-20", 2.5), ev(3, "1970-01-21", 1.5))   // +2wk/+1wk
+      .toDF("user_id", "event_type", "value", "d")
+      .select(col("user_id"), col("event_type"), col("value"),
+        to_timestamp(col("d")).as("ts"))
+    val out = Windows.cohortLtv(df).collect()
+      .map(r => (r.getDate(0).toString, r.getAs[Int]("weeks_since")) -> r)
+      .toMap
+    val c1w0 = out(("1970-01-05", 0))
+    assert(c1w0.getAs[Long]("n_cohort") == 2L &&
+      c1w0.getAs[Long]("n_active") == 2L &&
+      c1w0.getAs[Double]("revenue") == 30.0 &&
+      c1w0.getAs[Double]("cum_ltv_per_user") == 15.0)
+    val c1w2 = out(("1970-01-05", 2))
+    assert(c1w2.getAs[Double]("cum_ltv_per_user") == 18.75) // 37.5/2
+    val c2w1 = out(("1970-01-12", 1))
+    assert(c2w1.getAs[Long]("n_cohort") == 1L &&
+      c2w1.getAs[Double]("cum_ltv_per_user") == 41.5)
+  }
 }
