@@ -1544,6 +1544,35 @@ object SparkEntry {
         lit(1.0) / (lit(1.0) + exp(-(q1 / lit(200.0)))),
         (col("label") < 5).cast("int"))
     }),
+    "st_cvm" -> ((s, d) =>
+      Stats.cramerVonMises(Tables.events(s, d), "event_type", "value",
+        "click", "view")),
+    "st_tukey_hsd" -> ((s, d) =>
+      Stats.tukeyHsd(Tables.events(s, d), "event_type", "value",
+        qCrit = 3.86)),
+    "ml_ndcg" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val e = Tables.embeddings(s, d)
+      // deterministic probe ranking: query = label class, score from
+      // the 1e-3-quantized first coordinate, graded relevance 0..3
+      // from the second (same quantization — both engine-exact ints)
+      Stats.ndcgAtK(e, col("label"),
+        round(element_at(col("embedding").cast("array<double>"), 1)
+          * 1000).cast("long"),
+        pmod(round(element_at(col("embedding").cast("array<double>"), 2)
+          * 1000).cast("long"), lit(4L)),
+        col("vec_id"))
+    }),
+    "ml_mrr" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val e = Tables.embeddings(s, d)
+      Stats.mrr(e, col("label"),
+        round(element_at(col("embedding").cast("array<double>"), 1)
+          * 1000).cast("long"),
+        pmod(round(element_at(col("embedding").cast("array<double>"), 2)
+          * 1000).cast("long"), lit(4L)),
+        col("vec_id"))
+    }),
     "st_ccc" -> ((s, d) => Stats.linCcc(Tables.events(s, d))),
     "st_mahalanobis" -> ((s, d) =>
       Stats.mahalanobisOutliers(Tables.events(s, d))),
@@ -1614,6 +1643,112 @@ object SparkEntry {
          FROM pred WHERE rn = 1 GROUP BY 1, 2"""
 
   def oracleSql: Map[String, String] = Map(
+    "st_cvm" ->
+      """WITH pts AS (SELECT value AS v,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               AS BIGINT) AS cb
+           FROM events WHERE event_type IN ('click', 'view')
+           GROUP BY 1),
+         p2 AS (SELECT ca, cb, ca + cb AS t,
+             CAST(coalesce(sum(ca + cb) OVER w, 0) AS BIGINT) AS below,
+             CAST(coalesce(sum(ca) OVER w, 0) AS BIGINT) AS belowa
+           FROM pts WINDOW w AS (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         q AS (SELECT ca, cb, t,
+             2 * (below - belowa) + t + 1 AS da,
+             2 * belowa + t + 1 AS db
+           FROM p2),
+         s AS (SELECT
+             CAST(sum(CASE WHEN ca = 0 THEN 0 ELSE
+               ca*da*da - 2*da*ca*(ca+1)
+                 + (2*ca*(ca+1)*(2*ca+1)) // 3 END) AS BIGINT) AS sa4,
+             CAST(sum(CASE WHEN cb = 0 THEN 0 ELSE
+               cb*db*db - 2*db*cb*(cb+1)
+                 + (2*cb*(cb+1)*(2*cb+1)) // 3 END) AS BIGINT) AS sb4,
+             CAST(sum(ca) AS BIGINT) AS na,
+             CAST(sum(cb) AS BIGINT) AS nb
+           FROM q)
+         SELECT na AS n_a, nb AS n_b,
+           round(CAST(CAST(na AS DECIMAL(38,0)) * sa4
+                 + CAST(nb AS DECIMAL(38,0)) * sb4 AS DOUBLE) / 4.0
+               / CAST(CAST(na AS DECIMAL(38,0)) * nb * (na + nb)
+                 AS DOUBLE)
+             - CAST(4 * CAST(na AS DECIMAL(38,0)) * nb - 1 AS DOUBLE)
+               / (6.0 * CAST(na + nb AS DOUBLE)), 6) AS t_stat
+         FROM s""",
+    "st_tukey_hsd" ->
+      """WITH g AS (SELECT event_type AS grp,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS s1,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)
+               * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s2
+           FROM events GROUP BY 1),
+         g2 AS (SELECT grp, n, s1,
+             CAST(round(CAST(s2 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+               AS BIGINT) AS ssw_q
+           FROM g),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(ssw_q) AS BIGINT) AS ssw_c2
+           FROM g2)
+         SELECT a.grp AS group_a, b.grp AS group_b,
+           a.n AS n_a, b.n AS n_b,
+           round(CAST(a.s1 AS DOUBLE) / a.n / 100.0
+             - CAST(b.s1 AS DOUBLE) / b.n / 100.0, 6) AS mean_diff,
+           round(abs(CAST(a.s1 AS DOUBLE) / a.n / 100.0
+               - CAST(b.s1 AS DOUBLE) / b.n / 100.0)
+             / sqrt(ssw_c2 / 1e4 / (nt - k) / 2.0
+               * (1.0 / a.n + 1.0 / b.n)), 4) AS q_stat,
+           abs(CAST(a.s1 AS DOUBLE) / a.n / 100.0
+               - CAST(b.s1 AS DOUBLE) / b.n / 100.0)
+             / sqrt(ssw_c2 / 1e4 / (nt - k) / 2.0
+               * (1.0 / a.n + 1.0 / b.n)) > 3.86 AS significant
+         FROM g2 a JOIN g2 b ON a.grp < b.grp CROSS JOIN tot""",
+    "ml_ndcg" ->
+      """WITH base AS (SELECT label AS query, vec_id AS id,
+             CAST(round(embedding[1] * 1000) AS BIGINT) AS score,
+             ((CAST(round(embedding[2] * 1000) AS BIGINT) % 4) + 4) % 4
+               AS rel
+           FROM embeddings),
+         r AS (SELECT query, rel,
+             row_number() OVER (PARTITION BY query
+               ORDER BY score DESC, id) AS rank,
+             row_number() OVER (PARTITION BY query
+               ORDER BY rel DESC, id) AS irank
+           FROM base)
+         SELECT query, CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(CASE WHEN rank <= 10 THEN
+               CAST(round((pow(2, rel) - 1) / log2(rank + 1) * 1e6)
+                 AS BIGINT) ELSE 0 END) / 1e6, 6) AS dcg_at_k,
+           round(sum(CASE WHEN rank <= 10 THEN
+               CAST(round((pow(2, rel) - 1) / log2(rank + 1) * 1e6)
+                 AS BIGINT) ELSE 0 END)
+             / nullif(CAST(sum(CASE WHEN irank <= 10 THEN
+               CAST(round((pow(2, rel) - 1) / log2(irank + 1) * 1e6)
+                 AS BIGINT) ELSE 0 END) AS DOUBLE), 0), 6) AS ndcg_at_k
+         FROM r GROUP BY 1""",
+    "ml_mrr" ->
+      """WITH base AS (SELECT label AS query, vec_id AS id,
+             CAST(round(embedding[1] * 1000) AS BIGINT) AS score,
+             ((CAST(round(embedding[2] * 1000) AS BIGINT) % 4) + 4) % 4
+               AS rel
+           FROM embeddings),
+         r AS (SELECT query, rel,
+             row_number() OVER (PARTITION BY query
+               ORDER BY score DESC, id) AS rank
+           FROM base)
+         SELECT query, CAST(count(*) AS BIGINT) AS n_items,
+           CAST(coalesce(min(CASE WHEN rel >= 2 THEN rank END), 0)
+             AS BIGINT) AS first_rel_rank,
+           CASE WHEN coalesce(min(CASE WHEN rel >= 2 THEN rank END), 0)
+               = 0 THEN 0.0
+             ELSE round(1.0 / min(CASE WHEN rel >= 2 THEN rank END), 6)
+             END AS rr
+         FROM r GROUP BY 1""",
     "ml_roc" ->
       """WITH sc AS (SELECT
              1.0 / (1.0 + exp(-(CAST(round(embedding[1] * 1000)

@@ -2375,7 +2375,7 @@ object Stats {
     val nT = col("na") + col("nb")
     s.select(col("na").as("n_a"), col("nb").as("n_b"),
       round(
-        (u4 / lit(4)).cast("double") /
+        u4.cast("double") / 4.0 /
           (nm * nT.cast(dec)).cast("double") -
           ((lit(4).cast(dec) * nm - lit(1)).cast("double") /
             (lit(6.0) * nT.cast("double"))), 6).as("t_stat"))

@@ -1262,4 +1262,79 @@ class StatsSpec extends SparkSpec {
         r.getAs[Long]("fn") + r.getAs[Long]("tn") == 100L)
     }
   }
+
+  test("cramerVonMises: hand values for separation/identity; stripe-invariant") {
+    def cvm(rows: Seq[(String, Double)], stripes: Int = 256) =
+      Stats.cramerVonMises(rows.toDF("g", "v"), "g", "v", "a", "b",
+        stripes).collect().head
+    // complete separation a={1,2} b={3,4}: U = 2·0 + 2·8 = 16,
+    // T = 16/16 − 15/24 = 0.375
+    val sep = cvm(Seq("a" -> 1.0, "a" -> 2.0, "b" -> 3.0, "b" -> 4.0))
+    assert(sep.getAs[Double]("t_stat") == 0.375)
+    // identical samples (full ties): midranks cancel exactly → T = 0
+    val same = cvm(Seq("a" -> 1.0, "a" -> 2.0, "b" -> 1.0, "b" -> 2.0))
+    assert(same.getAs[Double]("t_stat") == 0.0)
+    // striping is pure bookkeeping: 1 stripe ≡ 256 stripes on a
+    // tie-heavy sample
+    val messy = (1 to 120).map(i => ("a", (i % 7).toDouble)) ++
+      (1 to 80).map(i => ("b", (i % 5).toDouble + 0.5))
+    assert(cvm(messy, 1) == cvm(messy, 256))
+  }
+
+  test("tukeyHsd: separated group flagged, identical pair q=0") {
+    val rows =
+      (1 to 20).flatMap(_ => Seq("a" -> 0.9, "a" -> 1.1,
+        "b" -> 0.9, "b" -> 1.1, "c" -> 5.9, "c" -> 6.1))
+    val out = Stats.tukeyHsd(rows.toDF("g", "v"), "g", "v")
+      .collect()
+      .map(r => (r.getAs[String]("group_a"),
+        r.getAs[String]("group_b")) -> r).toMap
+    assert(out.size == 3)
+    val ab = out(("a", "b"))
+    assert(ab.getAs[Double]("mean_diff") == 0.0 &&
+      ab.getAs[Double]("q_stat") == 0.0 &&
+      !ab.getAs[Boolean]("significant"))
+    val ac = out(("a", "c"))
+    assert(ac.getAs[Double]("mean_diff") == -5.0 &&
+      ac.getAs[Boolean]("significant"))
+    assert(out(("b", "c")).getAs[Boolean]("significant"))
+  }
+
+  test("ndcgAtK: perfect ranking scores 1; shuffled ranking matches hand DCG") {
+    // one query, rels 3,2,1,0; scores align with rel → ideal ordering
+    val perfect = Seq((1, 40L, 3, 10L), (1, 30L, 2, 11L),
+      (1, 20L, 1, 12L), (1, 10L, 0, 13L))
+    def run(rows: Seq[(Int, Long, Int, Long)]) =
+      Stats.ndcgAtK(rows.toDF("q", "s", "r", "i"),
+        col("q"), col("s"), col("r"), col("i")).collect().head
+    assert(run(perfect).getAs[Double]("ndcg_at_k") == 1.0)
+    // reversed scores: DCG from the micro-quantized terms, same math
+    val reversed = perfect.map { case (q, s, r, i) => (q, -s, r, i) }
+    def term(rel: Int, rank: Int): Long =
+      math.rint((math.pow(2, rel) - 1) /
+        (math.log(rank + 1) / math.log(2)) * 1e6).toLong
+    val dcgU = term(0, 1) + term(1, 2) + term(2, 3) + term(3, 4)
+    val idcgU = term(3, 1) + term(2, 2) + term(1, 3) + term(0, 4)
+    val rev = run(reversed)
+    assert(rev.getAs[Double]("dcg_at_k") ==
+      BigDecimal(dcgU / 1e6).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(rev.getAs[Double]("ndcg_at_k") ==
+      BigDecimal(dcgU.toDouble / idcgU).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(rev.getAs[Double]("ndcg_at_k") < 1.0)
+  }
+
+  test("mrr: first relevant rank drives rr; no relevant hit scores 0") {
+    // query 1: rel≥2 first appears at rank 3; query 2: nothing relevant
+    val rows = Seq((1, 50L, 0, 1L), (1, 40L, 1, 2L), (1, 30L, 2, 3L),
+      (1, 20L, 3, 4L), (2, 50L, 1, 5L), (2, 40L, 0, 6L))
+    val out = Stats.mrr(rows.toDF("q", "s", "r", "i"),
+      col("q"), col("s"), col("r"), col("i")).collect()
+      .map(r => r.getAs[Int]("query") -> r).toMap
+    assert(out(1).getAs[Long]("first_rel_rank") == 3L &&
+      out(1).getAs[Double]("rr") == 0.333333)
+    assert(out(2).getAs[Long]("first_rel_rank") == 0L &&
+      out(2).getAs[Double]("rr") == 0.0)
+  }
 }
