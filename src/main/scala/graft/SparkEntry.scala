@@ -433,6 +433,10 @@ object SparkEntry {
     "ts_interpolate" -> ((s, d) =>
       Resample.resampleWithInterpolation(Tables.events(s, d), 3600000000L)),
     "ts_ewma" -> ((s, d) => Resample.ewma(Tables.events(s, d), 0.3)),
+    "ts_kalman" -> ((s, d) =>
+      Resample.kalmanLevel(Tables.events(s, d), q = 0.5, r = 2.0)),
+    "ts_binseg" -> ((s, d) =>
+      Resample.binarySegmentation(Tables.events(s, d))),
     "ts_holt" -> ((s, d) => Resample.holt(Tables.events(s, d), 0.3, 0.1)),
     "ts_backtest" -> ((s, d) =>
       Resample.backtestBaselines(Tables.events(s, d))),
@@ -1377,6 +1381,8 @@ object SparkEntry {
       Stats.spearman(Tables.lineitem(s, d), "l_quantity",
         "l_extendedprice")),
     "gr_pagerank" -> ((s, d) => Graph.pageRank(coPurchaseEdges(s, d))),
+    "gr_eigenvector" -> ((s, d) =>
+      Graph.eigenvectorCentrality(coPurchaseEdges(s, d))),
     "gr_lpa" -> ((s, d) => Graph.labelPropagation(coPurchaseEdges(s, d))),
     "gr_modularity" -> ((s, d) => {
       val e = coPurchaseEdges(s, d)
@@ -2707,6 +2713,37 @@ object SparkEntry {
            WHERE u.a IN (SELECT a FROM k8)
              AND u.b IN (SELECT a FROM k8))
          SELECT a AS node, count(*) AS core_deg FROM e8 GROUP BY 1""",
+    "gr_eigenvector" ->
+      """WITH p AS (SELECT DISTINCT o_custkey AS a,
+             l_suppkey + 1000000000 AS b
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         e AS (SELECT a AS src, b AS dst FROM p
+           UNION ALL SELECT b, a FROM p),
+         nodes AS (SELECT DISTINCT src AS node FROM e),
+         x0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS score FROM nodes),
+         m1 AS (SELECT e.dst, sum(x.score) AS m
+           FROM e JOIN x0 x ON e.src = x.node GROUP BY 1),
+         x1 AS (SELECT n.node, round(coalesce(m1.m, 0), 9) AS score
+           FROM nodes n LEFT JOIN m1 ON m1.dst = n.node),
+         m2 AS (SELECT e.dst, sum(x.score) AS m
+           FROM e JOIN x1 x ON e.src = x.node GROUP BY 1),
+         x2 AS (SELECT n.node, round(coalesce(m2.m, 0), 9) AS score
+           FROM nodes n LEFT JOIN m2 ON m2.dst = n.node),
+         m3 AS (SELECT e.dst, sum(x.score) AS m
+           FROM e JOIN x2 x ON e.src = x.node GROUP BY 1),
+         x3 AS (SELECT n.node, round(coalesce(m3.m, 0), 9) AS score
+           FROM nodes n LEFT JOIN m3 ON m3.dst = n.node),
+         m4 AS (SELECT e.dst, sum(x.score) AS m
+           FROM e JOIN x3 x ON e.src = x.node GROUP BY 1),
+         x4 AS (SELECT n.node, round(coalesce(m4.m, 0), 9) AS score
+           FROM nodes n LEFT JOIN m4 ON m4.dst = n.node),
+         m5 AS (SELECT e.dst, sum(x.score) AS m
+           FROM e JOIN x4 x ON e.src = x.node GROUP BY 1),
+         x5 AS (SELECT n.node, round(coalesce(m5.m, 0), 9) AS score
+           FROM nodes n LEFT JOIN m5 ON m5.dst = n.node),
+         mx AS (SELECT max(score) AS mx FROM x5)
+         SELECT node, round(score / mx, 6) AS eig
+         FROM x5 CROSS JOIN mx""",
     "gr_pagerank" ->
       """WITH p AS (SELECT DISTINCT o_custkey AS a,
              l_suppkey + 1000000000 AS b
@@ -4776,6 +4813,76 @@ object SparkEntry {
                / 1000000.0
              ELSE round(f * 1000000.0, 0) / 1000000.0 END AS forecast_1
          FROM o""",
+    "ts_kalman" ->
+      """WITH RECURSIVE ev AS (SELECT user_id,
+             CAST(epoch_us(ts) AS BIGINT) AS ts_us, value,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), value) AS rn
+           FROM events),
+         rec AS (
+           SELECT user_id, ts_us, value AS l, CAST(2.0 AS DOUBLE) AS p,
+             CAST(1.0 AS DOUBLE) AS g, rn
+           FROM ev WHERE rn = 1
+           UNION ALL
+           SELECT e.user_id, e.ts_us,
+             r.l + ((r.p + 0.5) / (r.p + 0.5 + 2.0)) * (e.value - r.l),
+             (1.0 - (r.p + 0.5) / (r.p + 0.5 + 2.0)) * (r.p + 0.5),
+             (r.p + 0.5) / (r.p + 0.5 + 2.0),
+             e.rn
+           FROM ev e JOIN rec r
+             ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+         SELECT user_id, ts_us,
+           CASE WHEN l * 1000000.0 = floor(l * 1000000.0) + 0.5
+             THEN (floor(l * 1000000.0) +
+               abs(CAST(floor(l * 1000000.0) AS BIGINT) % 2)) / 1000000.0
+             ELSE round(l * 1000000.0, 0) / 1000000.0
+           END AS level,
+           CASE WHEN g * 1000000.0 = floor(g * 1000000.0) + 0.5
+             THEN (floor(g * 1000000.0) +
+               abs(CAST(floor(g * 1000000.0) AS BIGINT) % 2)) / 1000000.0
+             ELSE round(g * 1000000.0, 0) / 1000000.0
+           END AS gain
+         FROM rec""",
+    "ts_binseg" ->
+      """WITH h0 AS (SELECT epoch(date_trunc('hour', ts)) // 3600 AS hr,
+             CAST(round(avg(value) * 1e6) AS BIGINT) AS vu
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+         h AS (SELECT hr, vu,
+             CAST(row_number() OVER wo AS BIGINT) AS i,
+             CAST(sum(vu) OVER wr AS BIGINT) AS pre,
+             CAST(sum(vu) OVER () AS BIGINT) AS tot,
+             CAST(count(*) OVER () AS BIGINT) AS n
+           FROM h0 WINDOW wo AS (ORDER BY hr),
+             wr AS (ORDER BY hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         b1 AS (SELECT i AS t1 FROM h WHERE i < n
+           ORDER BY abs(n * pre - i * tot) DESC, i LIMIT 1),
+         s1 AS (SELECT h.*, CASE WHEN i <= t1 THEN 0 ELSE 1 END AS seg
+           FROM h CROSS JOIN b1),
+         s AS (SELECT hr, vu, seg,
+             CAST(row_number() OVER ws AS BIGINT) AS j,
+             CAST(sum(vu) OVER wsr AS BIGINT) AS spre,
+             CAST(sum(vu) OVER (PARTITION BY seg) AS BIGINT) AS stot,
+             CAST(count(*) OVER (PARTITION BY seg) AS BIGINT) AS sn
+           FROM s1 WINDOW ws AS (PARTITION BY seg ORDER BY hr),
+             wsr AS (PARTITION BY seg ORDER BY hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         b2 AS (SELECT seg, j AS t2 FROM (
+             SELECT seg, j, row_number() OVER (PARTITION BY seg
+               ORDER BY abs(sn * spre - j * stot) DESC, j) AS rk
+             FROM s WHERE j < sn) WHERE rk = 1),
+         parts AS (SELECT s.seg,
+             CASE WHEN t2 IS NULL OR j <= t2 THEN 0 ELSE 1 END AS sub,
+             CAST(min(hr) AS BIGINT) AS start_hr,
+             CAST(max(hr) AS BIGINT) AS end_hr,
+             CAST(count(*) AS BIGINT) AS n_hours,
+             CAST(sum(vu) AS BIGINT) AS su
+           FROM s LEFT JOIN b2 ON s.seg = b2.seg GROUP BY 1, 2)
+         SELECT CAST(row_number() OVER (ORDER BY start_hr) AS BIGINT)
+             AS segment,
+           start_hr, end_hr, n_hours,
+           round(su / n_hours / 1e6, 6) AS mean_value
+         FROM parts""",
     "ts_ewma" ->
       """WITH RECURSIVE ev AS (SELECT user_id,
              CAST(epoch_us(ts) AS BIGINT) AS ts_us, value,

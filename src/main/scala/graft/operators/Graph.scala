@@ -55,6 +55,41 @@ object Graph {
     ranks.select(col("node"), round(col("rank"), 6).as("rank"))
   }
 
+  /** Fixed-iteration EIGENVECTOR centrality ([[pageRank]]'s undamped
+    * sibling — influence ∝ the influence of your neighbors, with no
+    * teleport floor, so peripheral trees score ~0 instead of the
+    * PageRank baseline): 5 power-iteration rounds x ← A·x from the
+    * all-ones start, normalized at the END by the MAX score (a single
+    * deterministic reduce — max commutes, unlike the L1/L2 norms whose
+    * unordered sums drift across engines/partitionings).
+    *
+    * Same scale shape as [[pageRank]]: static edge frame checkpointed
+    * once, each round is one edge⋈score join (score frame node-sized →
+    * AQE broadcast) + one partial-agg shuffle on dst; per-round
+    * round(…, 9) pins both oracle engines to identical doubles.
+    * Un-normalized scores grow like λ₁^k — 5 rounds at hub degree 10⁴
+    * stays ≤1e20, inside double range; more rounds at larger hubs
+    * should normalize per-round (documented trade for oracle
+    * exactness at the contract's fixed k). */
+  def eigenvectorCentrality(edges: DataFrame, iterations: Int = 5)
+      : DataFrame = {
+    val ed = edges.select("src", "dst").distinct().localCheckpoint(true)
+    val nodes = ed.select(col("src").as("node")).distinct()
+      .localCheckpoint(true)
+    var x = nodes.withColumn("score", lit(1.0))
+    for (_ <- 1 to iterations) {
+      val m = ed.join(x, ed("src") === x("node"))
+        .groupBy("dst").agg(sum("score").as("m"))
+      x = nodes.join(m, nodes("node") === m("dst"), "left")
+        .select(col("node"),
+          round(coalesce(col("m"), lit(0.0)), 9).as("score"))
+    }
+    val mx = x.agg(max("score").as("mx"))
+    x.crossJoin(broadcast(mx))
+      .select(col("node"),
+        round(col("score") / col("mx"), 6).as("eig"))
+  }
+
   /** Degree histogram: how many nodes have each (out-)degree — the
     * 30-second shape check on any mined graph. Two narrow partial-agg
     * rollups, output is degree-cardinality-sized. */

@@ -158,6 +158,43 @@ object Resample {
       .toDF("user_id", "ts_us", "level", "trend", "seasonal", "forecast_1")
   }
 
+  /** LOCAL-LEVEL KALMAN filter per key — the optimal-weighting upgrade
+    * of [[ewma]]: instead of a fixed α, the gain K_t = P/(P+R) adapts
+    * from the filter's own uncertainty P (process noise q, observation
+    * noise r), converging to the steady-state α* the noise ratio
+    * implies — early observations are trusted more while P is large,
+    * exactly what a fixed-α EWMA gets wrong after gaps/starts.
+    *
+    * Same spill-safe `flatMapSortedGroups` recurrence shape as
+    * [[ewma]] (constant state per key: level + variance, two doubles);
+    * the oracle replays the identical double recurrence in a DuckDB
+    * RECURSIVE CTE carrying both state floats, with rint half-even
+    * ties replicated literally (the ts_ewma discipline). */
+  def kalmanLevel(events: DataFrame, q: Double, r: Double): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups($"ts_us", $"value") { (k, it) =>
+        var l = Double.NaN
+        var p = 0.0
+        it.map { case (_, ts, v) =>
+          var g = 0.0
+          if (l.isNaN) { l = v; p = r; g = 1.0 }
+          else {
+            val pp = p + q
+            g = pp / (pp + r)
+            l = l + g * (v - l)
+            p = (1 - g) * pp
+          }
+          (k, ts, math.rint(l * 1e6) / 1e6, math.rint(g * 1e6) / 1e6)
+        }
+      }
+      .toDF("user_id", "ts_us", "level", "gain")
+  }
+
   /** Dense series per user: every slot between the user's first and last
     * observation, observed slots carrying their aggregate, gaps
     * forward-filled from the previous observed slot. `filled` marks
@@ -319,6 +356,72 @@ object Resample {
         count(lit(1)).as("n_hours"))
       .select(col("event_type"), col("b.h").as("cp_hour"),
         round(col("b.s"), 4).as("cusum"), col("n_hours"))
+  }
+
+  /** TWO-LEVEL BINARY SEGMENTATION over the hourly series — the
+    * multi-changepoint upgrade of [[cusumChangepoint]]'s single split:
+    * find the best mean-shift split of the whole series, then the best
+    * split inside each half (CUSUM criterion per segment), reporting
+    * up to four regimes with their bounds and means — "when did the
+    * level change, and to what", not just "did it".
+    *
+    * Exactness: hourly means quantize to integer MICRO-units, so every
+    * prefix sum is an exact long and the split criterion
+    * |n·prefix − i·total| is pure integer arithmetic — the argmax (tie
+    * → earliest split) is identical on any engine and partitioning;
+    * only the final per-segment mean divides. Scale: one partial-agg
+    * pass to the hourly frame (time-bounded, not data-bounded); the
+    * level-0 split rides back as a 1-row broadcast; level-1 windows
+    * partition on the segment key. */
+  def binarySegmentation(events: DataFrame,
+                         eventType: String = "click"): DataFrame = {
+    val byHr = Window.orderBy("hr")
+    val run = byHr.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = byHr.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val h = events.filter(col("event_type") === eventType)
+      .groupBy(expr("unix_seconds(date_trunc('hour', ts)) div 3600")
+        .as("hr"))
+      .agg(round(avg("value") * 1e6).cast("long").as("vu"))
+      .withColumn("i", row_number().over(byHr))
+      .withColumn("pre", sum("vu").over(run))
+      .withColumn("tot", last("pre").over(all))
+      .withColumn("n", count(lit(1)).over(all))
+    val b1 = h.filter(col("i") < col("n"))
+      .select(min(struct(
+        (-abs(col("n") * col("pre") - col("i") * col("tot"))).as("negt"),
+        col("i").as("t1"))).as("b"))
+      .select(col("b.t1").as("t1"))
+    val seg1 = h.crossJoin(broadcast(b1))
+      .withColumn("seg", when(col("i") <= col("t1"), 0).otherwise(1))
+    val bySeg = Window.partitionBy("seg").orderBy("hr")
+    val segRun = bySeg.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val segAll = bySeg.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val s = seg1
+      .withColumn("j", row_number().over(bySeg))
+      .withColumn("spre", sum("vu").over(segRun))
+      .withColumn("stot", last("spre").over(segAll))
+      .withColumn("sn", count(lit(1)).over(segAll))
+    val b2 = s.filter(col("j") < col("sn"))
+      .groupBy("seg")
+      .agg(min(struct(
+        (-abs(col("sn") * col("spre") - col("j") * col("stot")))
+          .as("negt"),
+        col("j").as("t2"))).as("b"))
+      .select(col("seg"), col("b.t2").as("t2"))
+    val parts = s.join(broadcast(b2), Seq("seg"), "left")
+      .withColumn("sub",
+        when(col("t2").isNull || col("j") <= col("t2"), 0).otherwise(1))
+      .groupBy(col("seg"), col("sub"))
+      .agg(min("hr").as("start_hr"), max("hr").as("end_hr"),
+        count(lit(1)).as("n_hours"), sum("vu").as("su"))
+    parts.select(
+      row_number().over(Window.orderBy("start_hr")).cast("long")
+        .as("segment"),
+      col("start_hr"), col("end_hr"), col("n_hours"),
+      round(col("su") / col("n_hours") / lit(1e6), 6).as("mean_value"))
   }
 
   /** Lagged CROSS-correlation between two event-type series ("do clicks

@@ -369,6 +369,21 @@ class GraphSpec extends SparkSpec {
         r.getAs[Double]("score")).toMap == out)
   }
 
+  test("eigenvectorCentrality: star hub scores 1, leaves 0.25; path is symmetric") {
+    // star K1,4 from all-ones: x5 = (center 64, leaf 16) → 1.0 / 0.25
+    val star = Graph.eigenvectorCentrality(
+      undirected((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)))
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Double]("eig"))
+      .toMap
+    assert(star(1L) == 1.0)
+    assert(Seq(2L, 3L, 4L, 5L).forall(star(_) == 0.25))
+    // path a-b-c: ends stay symmetric, middle is the max
+    val path = Graph.eigenvectorCentrality(undirected((1L, 2L), (2L, 3L)))
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Double]("eig"))
+      .toMap
+    assert(path(2L) == 1.0 && path(1L) == path(3L) && path(1L) == 0.5)
+  }
+
   test("edgeEmbeddedness: K4 edges all embed 2; a pendant edge is a bridge") {
     // K4 + pendant 4-5: every K4 edge sits in 2 triangles; 4-5 in none
     val g = undirected((1L, 2L), (1L, 3L), (1L, 4L),

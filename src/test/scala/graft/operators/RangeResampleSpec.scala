@@ -81,6 +81,59 @@ class RangeResampleSpec extends SparkSpec {
     assert(out.count(_.getLong(0) == 2L) == 1)
   }
 
+  test("kalmanLevel: constant series holds level, gain decays to steady state") {
+    import spark.implicits._
+    val events = (1 to 60).map(i => (1L, i * 1000L, 42.0))
+      .toDF("user_id", "us", "value")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+        col("value"))
+    val out = Resample.kalmanLevel(events, q = 0.5, r = 2.0)
+      .orderBy("ts_us").collect()
+      .map(r => (r.getAs[Double]("level"), r.getAs[Double]("gain")))
+    // a constant series never moves the level, whatever the gain
+    assert(out.forall(_._1 == 42.0))
+    // first observation is trusted fully; gains then fall monotonically
+    // to the steady state K* = (P*+q)/(P*+q+r), P* = (−q+√(q²+4qr))/2
+    assert(out.head._2 == 1.0)
+    val gains = out.map(_._2)
+    assert(gains.zip(gains.tail).forall { case (a, b) => b <= a })
+    val pStar = (-0.5 + math.sqrt(0.25 + 4.0)) / 2
+    val kStar = (pStar + 0.5) / (pStar + 0.5 + 2.0)
+    assert(math.abs(gains.last - kStar) < 1e-6)
+    // noisy series: the filter ends strictly between prior and data
+    val two = Resample.kalmanLevel(Seq((1L, 1000L, 0.0), (1L, 2000L, 10.0))
+      .toDF("user_id", "us", "value")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+        col("value")), q = 0.5, r = 2.0)
+      .orderBy("ts_us").collect().map(_.getAs[Double]("level"))
+    assert(two.last > 0.0 && two.last < 10.0)
+  }
+
+  test("binarySegmentation: four planted regimes recovered exactly") {
+    import spark.implicits._
+    // 40 hourly points: levels 10/20/30/40 in blocks of 10 — level-0
+    // splits at the middle boundary, each half at its own boundary
+    val events = (0 until 40).map { h =>
+      (1L, h * 3600L * 1000000L, "click", (h / 10 + 1) * 10.0)
+    }.toDF("user_id", "us", "event_type", "value")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+        col("event_type"), col("value"))
+    val segs = Resample.binarySegmentation(events).orderBy("segment")
+      .collect()
+      .map(r => (r.getAs[Long]("segment"), r.getAs[Long]("n_hours"),
+        r.getAs[Double]("mean_value")))
+    assert(segs.toSeq == Seq((1L, 10L, 10.0), (2L, 10L, 20.0),
+      (3L, 10L, 30.0), (4L, 10L, 40.0)))
+    // degenerate: a flat two-point series still reports full coverage
+    val flat = Resample.binarySegmentation(
+      Seq((1L, 0L, "click", 5.0), (1L, 3600L * 1000000L, "click", 5.0))
+        .toDF("user_id", "us", "event_type", "value")
+        .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+          col("event_type"), col("value")))
+      .collect()
+    assert(flat.map(_.getAs[Long]("n_hours")).sum == 2L)
+  }
+
   test("ewma follows the recurrence exactly and preserves row counts") {
     import spark.implicits._
     val events = Seq(
