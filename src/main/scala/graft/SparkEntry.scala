@@ -766,6 +766,19 @@ object SparkEntry {
     "ann_mips" -> ((s, d) =>
       SimilaritySearch.mipsTopK(Tables.embeddings(s, d), 0L, 10)),
     "dwh_junk_dim" -> ((s, d) => Dwh.junkDimension(Tables.orders(s, d))),
+    "dwh_mini_dim" -> ((s, d) => Dwh.miniDimension(Tables.customer(s, d))),
+    "dq_fd_check" -> ((s, d) => Quality.fdCheck(Seq(
+      ("orderkey->custkey", Tables.orders(s, d),
+        Seq("o_orderkey"), "o_custkey"),
+      ("orderkey->returnflag", Tables.lineitem(s, d),
+        Seq("l_orderkey"), "l_returnflag"),
+      ("nation->segment", Tables.customer(s, d),
+        Seq("c_nationkey"), "c_mktsegment"),
+      ("orderkey,line->partkey", Tables.lineitem(s, d),
+        Seq("l_orderkey", "l_linenumber"), "l_partkey")))),
+    "tx_gopher_rules" -> ((s, d) =>
+      TextAnalysis.gopherRules(Tables.documents(s, d))),
+    "sp_quadrat" -> ((s, d) => SpatialJoin.quadratTest(Tables.customer(s, d))),
     "dwh_periodic_snapshot" -> ((s, d) =>
       Dwh.periodicSnapshot(Tables.orders(s, d), Tables.customer(s, d))),
     "dwh_factless" -> ((s, d) =>
@@ -4971,6 +4984,99 @@ object SparkEntry {
            CAST(sum(CASE WHEN f < 50 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_difficult
          FROM f GROUP BY 1""",
+    "dwh_mini_dim" ->
+      """WITH members AS (SELECT
+             CAST(floor(c_acctbal / 1000) AS INTEGER) AS balance_band,
+             c_mktsegment AS segment,
+             CAST(count(*) AS BIGINT) AS n_members,
+             CAST(min(c_custkey) AS BIGINT) AS first_custkey
+           FROM customer GROUP BY 1, 2),
+         t AS (SELECT CAST(sum(n_members) AS BIGINT) AS nt FROM members)
+         SELECT CAST(dense_rank() OVER (ORDER BY balance_band, segment)
+             AS INT) AS mini_key,
+           balance_band, segment, n_members, first_custkey,
+           round(CAST(n_members AS DOUBLE) / nt, 6) AS member_share
+         FROM members CROSS JOIN t""",
+    "dq_fd_check" ->
+      """WITH f1 AS (SELECT 'orderkey->custkey' AS fd,
+             CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(CASE WHEN ny > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating
+           FROM (SELECT o_orderkey, count(DISTINCT o_custkey) AS ny
+                 FROM orders GROUP BY 1)),
+         f2 AS (SELECT 'orderkey->returnflag' AS fd,
+             CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(CASE WHEN ny > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating
+           FROM (SELECT l_orderkey, count(DISTINCT l_returnflag) AS ny
+                 FROM lineitem GROUP BY 1)),
+         f3 AS (SELECT 'nation->segment' AS fd,
+             CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(CASE WHEN ny > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating
+           FROM (SELECT c_nationkey, count(DISTINCT c_mktsegment) AS ny
+                 FROM customer GROUP BY 1)),
+         f4 AS (SELECT 'orderkey,line->partkey' AS fd,
+             CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(CASE WHEN ny > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating
+           FROM (SELECT l_orderkey, l_linenumber,
+                   count(DISTINCT l_partkey) AS ny
+                 FROM lineitem GROUP BY 1, 2)),
+         u AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2
+           UNION ALL SELECT * FROM f3 UNION ALL SELECT * FROM f4)
+         SELECT fd, n_groups, n_violating,
+           round(CAST(n_violating AS DOUBLE) / n_groups, 6)
+             AS violation_rate,
+           n_violating = 0 AS holds
+         FROM u""",
+    "tx_gopher_rules" ->
+      """WITH w AS (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars,
+             CAST(len(list_filter(string_split(text, ' '),
+               x -> regexp_full_match(x, '[a-z]+'))) AS BIGINT)
+               AS n_alpha,
+             CAST(list_max(list_transform(string_split(text, ' '),
+               x -> length(x))) AS BIGINT) AS longest
+           FROM documents),
+         r AS (SELECT doc_id, n_words,
+             CAST(n_chars AS DOUBLE) / n_words AS mean_len,
+             CAST(n_alpha AS DOUBLE) / n_words AS alpha_frac,
+             longest
+           FROM w)
+         SELECT doc_id, n_words,
+           round(mean_len, 4) AS mean_word_len,
+           round(alpha_frac, 4) AS alpha_word_frac,
+           longest AS longest_word,
+           n_words >= 50 AND n_words <= 100000 AS pass_word_count,
+           mean_len >= 3.0 AND mean_len <= 10.0 AS pass_mean_len,
+           alpha_frac >= 0.8 AS pass_alpha,
+           longest <= 25 AS pass_longest,
+           (n_words >= 50 AND n_words <= 100000)
+             AND (mean_len >= 3.0 AND mean_len <= 10.0)
+             AND alpha_frac >= 0.8 AND longest <= 25 AS keep
+         FROM r""",
+    "sp_quadrat" ->
+      """WITH p AS (SELECT
+             round(((c_custkey * 17) % 1400)/10.0 - 70.0, 4) AS lat,
+             round(((c_custkey * 31) % 3600)/10.0 - 180.0, 4) AS lon
+           FROM customer),
+         g AS (SELECT CAST(floor((lat + 90) / 10) AS INTEGER) AS cl,
+             CAST(floor((lon + 180) / 10) AS INTEGER) AS cn,
+             CAST(count(*) AS BIGINT) AS o
+           FROM p GROUP BY 1, 2),
+         s AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+             CAST(sum(o * o) AS BIGINT) AS ssq
+           FROM g)
+         SELECT n AS n_points, CAST(504 AS BIGINT) AS n_cells,
+           round(CAST(n AS DOUBLE) / 504, 6) AS mean_per_cell,
+           round((CAST(ssq AS DOUBLE)
+               - CAST(n AS DOUBLE) * n / 504) / 503
+             / (CAST(n AS DOUBLE) / 504), 4) AS vmr,
+           round(504.0 * ssq / n - n, 4) AS chi2,
+           CAST(503 AS BIGINT) AS df
+         FROM s""",
     "dwh_junk_dim" ->
       """WITH combos AS (SELECT o_orderstatus, o_orderpriority,
              CAST(count(*) AS BIGINT) AS n_facts

@@ -648,4 +648,33 @@ object Dwh {
         round(col("cents") / lit(100.0), 2).as("revenue"),
         round(sum("cents").over(w) / lit(100.0), 2).as("cum_revenue"))
   }
+
+  /** MINI-DIMENSION extraction (Kimball) — [[junkDimension]]'s sibling
+    * for the FAST-CHANGING attributes of a big dimension: rather than
+    * versioning the whole customer row on every balance move (SCD2
+    * bloat), the volatile attributes (balance BAND × segment here)
+    * split into their own compact dimension; the base row then carries
+    * just a mini_key that flips between existing members — type-4's
+    * answer to attribute churn. Deterministic surrogate = dense_rank
+    * over the attribute total order (same caveat + production
+    * alternative as junkDimension). Output: the mini-dimension with
+    * membership stats and the smallest mapped custkey as an audit
+    * witness. One partial-agg pass to the bands×segments frame; the
+    * rank window runs on that parameter-sized frame only. */
+  def miniDimension(customer: DataFrame): DataFrame = {
+    val members = customer
+      .groupBy(floor(col("c_acctbal") / 1000).cast("int")
+          .as("balance_band"),
+        col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_members"),
+        min("c_custkey").as("first_custkey"))
+    val w = Window.orderBy("balance_band", "segment")
+    members
+      .withColumn("mini_key", dense_rank().over(w))
+      .crossJoin(broadcast(members.agg(sum("n_members").as("nt"))))
+      .select(col("mini_key"), col("balance_band"), col("segment"),
+        col("n_members"), col("first_custkey"),
+        round(col("n_members").cast("double") / col("nt"), 6)
+          .as("member_share"))
+  }
 }

@@ -490,4 +490,28 @@ object Quality {
           .cast("double") / (col("n_a") + col("n_b")) > 3.841)
           .as("srm_flag"))
   }
+
+  /** FUNCTIONAL-DEPENDENCY audit — the schema-semantics check next to
+    * [[uniqueness]]'s key check: for each candidate FD X→Y, count the
+    * X-groups whose Y is not single-valued ("does orderkey really
+    * determine custkey; does nation determine segment"). A true FD has
+    * zero violating groups; the violation RATE ranks how close a dirty
+    * candidate is to holding — the profiling signal that drives
+    * normalization and late-arriving-dimension triage.
+    *
+    * Each candidate is ONE map-side-combined rollup on its determinant
+    * (count_distinct partial-aggregates; determinant-sized frames),
+    * then a 1-row summary; candidates union into the report. */
+  def fdCheck(fds: Seq[(String, DataFrame, Seq[String], String)])
+      : DataFrame =
+    fds.map { case (name, df, determinant, dependent) =>
+      df.groupBy(determinant.map(col): _*)
+        .agg(countDistinct(col(dependent)).as("ny"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("ny") > 1, 1L).otherwise(0L)).as("n_violating"))
+        .select(lit(name).as("fd"), col("n_groups"), col("n_violating"),
+          round(col("n_violating").cast("double") / col("n_groups"), 6)
+            .as("violation_rate"),
+          (col("n_violating") === 0L).as("holds"))
+    }.reduce(_.unionByName(_))
 }

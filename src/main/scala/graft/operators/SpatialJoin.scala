@@ -684,4 +684,37 @@ object SpatialJoin {
         round(lit(2.0) * col("n_pairs") /
           (col("n") * (col("n") - 1)) / col("__csr"), 4).as("k_ratio"))
   }
+
+  /** QUADRAT-COUNT CSR test over the customer point cloud — the
+    * lattice-census complement to Ripley's pair-distance view: bin
+    * points into the FIXED 14×36 10° study-region lattice (empty cells
+    * count — that's what makes it a census, not a density top-N) and
+    * test the counts against the uniform expectation with χ² and the
+    * variance-to-mean ratio (VMR > 1 = clustered, < 1 = regular).
+    *
+    * The algebra needs only n and Σo² (empty cells contribute zero to
+    * both): χ² = C·Σo²/n − n and VMR = (Σo² − n²/C)/(C−1)/(n/C) with
+    * C = 504 fixed cells — so the whole test is TWO map-side-combined
+    * rollups ending in a 1-row exact-integer formula; no cell grid is
+    * ever materialized, which is also why it holds at any point count.
+    */
+  def quadratTest(customer: DataFrame, cellDeg: Int = 10): DataFrame = {
+    val nLatCells = 140 / cellDeg // ±70° synthetic latitude band
+    val nLonCells = 360 / cellDeg
+    val cells = 1L * nLatCells * nLonCells
+    customerPoints(customer)
+      .groupBy(
+        floor((col("c_lat") + 90) / cellDeg).cast("int").as("cell_lat"),
+        floor((col("c_lon") + 180) / cellDeg).cast("int").as("cell_lon"))
+      .agg(count(lit(1)).as("o"))
+      .agg(sum("o").as("n"), sum(col("o") * col("o")).as("ssq"))
+      .select(col("n").as("n_points"), lit(cells).as("n_cells"),
+        round(col("n").cast("double") / cells, 6).as("mean_per_cell"),
+        round((col("ssq").cast("double") -
+          col("n").cast("double") * col("n") / cells) / (cells - 1) /
+          (col("n").cast("double") / cells), 4).as("vmr"),
+        round(lit(cells.toDouble) * col("ssq") / col("n") -
+          col("n"), 4).as("chi2"),
+        lit(cells - 1).as("df"))
+  }
 }

@@ -35,6 +35,46 @@ object TextAnalysis {
       round(qualityScore(col("text")), 6).as("quality_score"))
   }
 
+  /** GOPHER-style hard rule ladder (Rae et al. 2021 §A1 shape) — the
+    * REJECTION companion to [[qualityScores]]' soft scores: each rule
+    * is a named boolean gate (word-count bounds, mean-word-length
+    * band, alphabetic-word share, longest-token cap) and `keep` is
+    * their conjunction, so a curation run can report WHICH rule killed
+    * each document, not just a blended score.
+    *
+    * All ratios divide exact integers (word counts, char counts from
+    * one split) so the flags are engine-identical with no rounding
+    * tolerance; display columns round after the comparisons. One
+    * narrow projection pass, codegen'd higher-order functions, no
+    * shuffle at all. */
+  def gopherRules(documents: DataFrame,
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                  minAlphaFrac: Double = 0.8, maxWordLen: Int = 25)
+      : DataFrame = {
+    val words = split(col("text"), " ")
+    val nWords = size(words).cast("long")
+    val nChars = length(regexp_replace(col("text"), " ", ""))
+      .cast("long")
+    val meanLen = nChars.cast("double") / nWords
+    val nAlpha = size(filter(words, w => w.rlike("^[a-z]+$")))
+      .cast("long")
+    val alphaFrac = nAlpha.cast("double") / nWords
+    val longest = array_max(transform(words, w => length(w)))
+      .cast("long")
+    val pCount = nWords >= minWords && nWords <= maxWords
+    val pLen = meanLen >= minMeanLen && meanLen <= maxMeanLen
+    val pAlpha = alphaFrac >= minAlphaFrac
+    val pLong = longest <= maxWordLen
+    documents.select(col("doc_id"), nWords.as("n_words"),
+      round(meanLen, 4).as("mean_word_len"),
+      round(alphaFrac, 4).as("alpha_word_frac"),
+      longest.as("longest_word"),
+      pCount.as("pass_word_count"), pLen.as("pass_mean_len"),
+      pAlpha.as("pass_alpha"), pLong.as("pass_longest"),
+      (pCount && pLen && pAlpha && pLong).as("keep"))
+  }
+
   /** Stopword-profile language ID: per-profile overlap scores and a
     * fixed-priority argmax (reference corpus is synthetic; profiles are
     * pluggable — see TextFunctions.langProfiles). */

@@ -473,6 +473,26 @@ class DwhSpec extends SparkSpec {
       < 1e-6)
   }
 
+  test("miniDimension: volatile attrs band into stable keys; negatives band down") {
+    import spark.implicits._
+    val cust = Seq(
+      (1L, 500.0, "AUTO"), (2L, 1500.0, "AUTO"), (3L, 999.99, "AUTO"),
+      (4L, -100.0, "BLDG"), (5L, 1500.0, "AUTO"), (6L, 0.0, "BLDG"))
+      .toDF("c_custkey", "c_acctbal", "c_mktsegment")
+    val out = Dwh.miniDimension(cust).collect()
+      .map(r => r.getAs[Int]("mini_key") ->
+        (r.getAs[Int]("balance_band"), r.getAs[String]("segment"),
+          r.getAs[Long]("n_members"), r.getAs[Long]("first_custkey")))
+      .toMap
+    assert(out.size == 4)
+    // dense keys follow the (band, segment) total order; floor sends
+    // the negative balance to band −1
+    assert(out(1) == ((-1, "BLDG", 1L, 4L)))
+    assert(out(2) == ((0, "AUTO", 2L, 1L)))
+    assert(out(3) == ((0, "BLDG", 1L, 6L)))
+    assert(out(4) == ((1, "AUTO", 2L, 2L)))
+  }
+
   test("factlessCoverage: reports exactly the segment-months with no orders") {
     import spark.implicits._
     val customer = Seq((1L, "AUTO"), (2L, "BIKE"))

@@ -551,4 +551,45 @@ class QualitySpec extends SparkSpec {
     assert(out.head._3 < out.tail.head._3,
       s"the style outlier must sit strictly farther: ${out.toSeq}")
   }
+
+  test("fdCheck: true FD reports zero violations; dirty FD counts exactly") {
+    val df = Seq(
+      (1L, 10L, "a"), (1L, 10L, "a"), // group 1: consistent
+      (2L, 20L, "a"), (2L, 21L, "b"), // group 2: violates k->v
+      (3L, 30L, "a"))
+      .toDF("k", "v", "w")
+    val out = Quality.fdCheck(Seq(
+      ("k->v", df, Seq("k"), "v"),
+      ("k,v->w", df, Seq("k", "v"), "w"))).collect()
+      .map(r => r.getAs[String]("fd") ->
+        (r.getAs[Long]("n_groups"), r.getAs[Long]("n_violating"),
+          r.getAs[Boolean]("holds"))).toMap
+    assert(out("k->v") == ((3L, 1L, false)))
+    assert(out("k,v->w") == ((4L, 0L, true)))
+  }
+
+  test("gopherRules: each rule gate trips independently; clean doc keeps") {
+    val mk50 = (1 to 50).map(_ => "word").mkString(" ")
+    val docs = Seq(
+      (1L, mk50),                                  // clean: keep
+      (2L, "too short"),                           // word count
+      (3L, (1 to 50).map(_ => "ab").mkString(" ")), // mean len 2 < 3
+      (4L, ((1 to 45).map(_ => "word") ++
+        (1 to 5).map(_ => "1234")).mkString(" ")),  // alpha 0.9 keeps
+      (5L, ((1 to 40).map(_ => "word") ++
+        (1 to 10).map(_ => "99x")).mkString(" ")),  // alpha 0.8 boundary
+      (6L, (mk50 + " " + "x" * 30)))               // longest 30 > 25
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep"))
+    assert(!out(2L).getAs[Boolean]("pass_word_count") &&
+      !out(2L).getAs[Boolean]("keep"))
+    assert(!out(3L).getAs[Boolean]("pass_mean_len"))
+    assert(out(4L).getAs[Boolean]("pass_alpha") &&
+      out(4L).getAs[Double]("alpha_word_frac") == 0.9)
+    assert(out(5L).getAs[Boolean]("pass_alpha"), "0.8 is inclusive")
+    assert(!out(6L).getAs[Boolean]("pass_longest") &&
+      out(6L).getAs[Long]("longest_word") == 30L)
+  }
 }

@@ -167,6 +167,28 @@ class WindowsLambdaSpec extends SparkSpec {
     assert(r.getAs[Double]("value_share") == 1.0)
   }
 
+  test("quadratTest: singleton is CSR-neutral (vmr 1); co-located pair clusters") {
+    import spark.implicits._
+    def run(keys: Long*) =
+      SpatialJoin.quadratTest(keys.toDF("c_custkey")).collect().head
+    // one point: ssq = n = 1 → chi2 = 504·1/1 − 1 = 503, vmr exactly 1
+    val one = run(1L)
+    assert(one.getAs[Long]("n_points") == 1L &&
+      one.getAs[Double]("vmr") == 1.0 &&
+      one.getAs[Double]("chi2") == 503.0)
+    // find a second key landing in key 1's cell: same-cell pair has
+    // ssq = 4 → vmr = (4 − 4/504)/503/(2/504) = 2, chi2 = 1006
+    def cell(k: Long) = ((math.floor((((k * 17) % 1400) / 10.0 - 70.0 + 90) / 10)),
+      math.floor((((k * 31) % 3600) / 10.0 - 180.0 + 180) / 10))
+    val k2 = (2L to 20000L).find(k => cell(k) == cell(1L)).get
+    val pair = run(1L, k2)
+    assert(pair.getAs[Double]("vmr") == 2.0 &&
+      pair.getAs[Double]("chi2") == 1006.0)
+    // two points in different cells: vmr < 1 (more regular than CSR)
+    val k3 = (2L to 20000L).find(k => cell(k) != cell(1L)).get
+    assert(run(1L, k3).getAs[Double]("vmr") < 1.0)
+  }
+
   test("gridDensity partitions every point into exactly one cell") {
     val full = SpatialJoin.gridDensity(Tables.customer(spark, sf),
       topN = 1000000).collect()
