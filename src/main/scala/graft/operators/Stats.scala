@@ -188,10 +188,14 @@ object Stats {
   /** Top-N value counts with deterministic tie-break on the value itself
     * (reference: work/analysis_sectors_by_location.ipynb value_counts). */
   def freqTopN(df: DataFrame, c: String, n: Int): DataFrame =
-    df.groupBy(c)
-      .agg(count(lit(1)).as("n"))
-      .orderBy(desc("n"), asc(c))
-      .limit(n)
+    topNFromCounts(df.groupBy(c).agg(count(lit(1)).as("n")), c, n)
+
+  /** The rank-and-cut over a pre-counted (value, n) frame — split out
+    * so the streaming heavy-hitters store reports through the SAME
+    * ordering/tiebreak as the batch [[freqTopN]] (one definition, two
+    * surfaces; TakeOrdered, never a global sort). */
+  def topNFromCounts(counts: DataFrame, c: String, n: Int): DataFrame =
+    counts.orderBy(desc("n"), asc(c)).limit(n)
 
   /** Welch's two-sample t-test between every pair of groups — the A/B
     * significance primitive the profiling layer feeds (does `value`

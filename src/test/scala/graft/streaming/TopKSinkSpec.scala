@@ -1,0 +1,52 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.Stats
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+case class TkEvent(event_type: String)
+
+class TopKSinkSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // counts merge ACROSS batches: "view" never leads within one batch
+  // but wins overall; "rare" ties "x" at 2 → value tiebreak
+  private val batches = Seq(
+    Seq.fill(5)(TkEvent("click")) ++ Seq.fill(4)(TkEvent("view")),
+    Seq.fill(1)(TkEvent("click")) ++ Seq.fill(5)(TkEvent("view")) ++
+      Seq(TkEvent("rare"), TkEvent("x")),
+    Seq(TkEvent("rare"), TkEvent("x")))
+
+  test("top-k report equals batch freqTopN on the union; replay is a no-op") {
+    implicit val sq = spark.sqlContext
+    val dir = s"/root/repo/target/graft_io/topk_${System.nanoTime()}"
+
+    def runOnce(ckpt: String): Unit = {
+      val input = MemoryStream[TkEvent](Encoders.product[TkEvent], sq)
+      val q = TopKSink.sink(input.toDF(), s"$dir/state", s"$dir/$ckpt",
+        "event_type").outputMode("update").start()
+      try batches.foreach { b =>
+        input.addData(b: _*); q.processAllAvailable()
+      } finally q.stop()
+    }
+
+    runOnce("ckpt_a")
+    def rows = TopKSink.report(spark, s"$dir/state", "event_type", 3)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("n"))).toSeq
+    val streamed = rows
+    // one definition, two surfaces: identical rows AND order
+    val cold = Stats.freqTopN(batches.flatten.toDF(), "event_type", 3)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("n"))).toSeq
+    assert(streamed == cold, s"streamed $streamed != cold $cold")
+    assert(streamed == Seq(("view", 9L), ("click", 6L), ("rare", 2L)),
+      "cross-batch merge + value tiebreak on the rare/x tie")
+
+    // fresh-checkpoint replay overwrites partitions, report unchanged
+    runOnce("ckpt_b")
+    assert(rows == streamed, "replay must not change the report")
+    assert(spark.read.parquet(s"$dir/state")
+      .select("__batch").distinct().count() == 3)
+  }
+}
