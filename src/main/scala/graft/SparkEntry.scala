@@ -779,6 +779,8 @@ object SparkEntry {
     "tx_gopher_rules" -> ((s, d) =>
       TextAnalysis.gopherRules(Tables.documents(s, d))),
     "sp_quadrat" -> ((s, d) => SpatialJoin.quadratTest(Tables.customer(s, d))),
+    "sp_davies_bouldin" -> ((s, d) =>
+      SpatialJoin.gridDaviesBouldin(Tables.customer(s, d))),
     "dwh_periodic_snapshot" -> ((s, d) =>
       Dwh.periodicSnapshot(Tables.orders(s, d), Tables.customer(s, d))),
     "dwh_factless" -> ((s, d) =>
@@ -1396,6 +1398,8 @@ object SparkEntry {
     "gr_pagerank" -> ((s, d) => Graph.pageRank(coPurchaseEdges(s, d))),
     "gr_eigenvector" -> ((s, d) =>
       Graph.eigenvectorCentrality(coPurchaseEdges(s, d))),
+    "gr_betweenness" -> ((s, d) =>
+      Graph.betweennessSampled(coPurchaseEdges(s, d))),
     "gr_lpa" -> ((s, d) => Graph.labelPropagation(coPurchaseEdges(s, d))),
     "gr_modularity" -> ((s, d) => {
       val e = coPurchaseEdges(s, d)
@@ -2726,6 +2730,141 @@ object SparkEntry {
            WHERE u.a IN (SELECT a FROM k8)
              AND u.b IN (SELECT a FROM k8))
          SELECT a AS node, count(*) AS core_deg FROM e8 GROUP BY 1""",
+    "gr_betweenness" ->
+      """WITH p AS MATERIALIZED (SELECT DISTINCT o_custkey AS a,
+             l_suppkey + 1000000000 AS b
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         e AS MATERIALIZED (SELECT a AS src, b AS dst FROM p
+           UNION ALL SELECT b, a FROM p),
+         nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+         srcs AS MATERIALIZED (SELECT node AS s FROM nodes ORDER BY node LIMIT 4),
+         l0 AS MATERIALIZED (SELECT s, s AS node, CAST(1 AS BIGINT) AS sigma
+           FROM srcs),
+         t0 AS MATERIALIZED (SELECT s, node FROM l0),
+         l1 AS MATERIALIZED (SELECT l.s, e.dst AS node,
+             CAST(sum(l.sigma) AS BIGINT) AS sigma
+           FROM l0 l JOIN e ON l.node = e.src
+           WHERE NOT EXISTS (SELECT 1 FROM t0 t
+             WHERE t.s = l.s AND t.node = e.dst)
+           GROUP BY 1, 2),
+         t1 AS MATERIALIZED (SELECT * FROM t0
+           UNION ALL SELECT s, node FROM l1),
+         l2 AS MATERIALIZED (SELECT l.s, e.dst AS node,
+             CAST(sum(l.sigma) AS BIGINT) AS sigma
+           FROM l1 l JOIN e ON l.node = e.src
+           WHERE NOT EXISTS (SELECT 1 FROM t1 t
+             WHERE t.s = l.s AND t.node = e.dst)
+           GROUP BY 1, 2),
+         t2 AS MATERIALIZED (SELECT * FROM t1
+           UNION ALL SELECT s, node FROM l2),
+         l3 AS MATERIALIZED (SELECT l.s, e.dst AS node,
+             CAST(sum(l.sigma) AS BIGINT) AS sigma
+           FROM l2 l JOIN e ON l.node = e.src
+           WHERE NOT EXISTS (SELECT 1 FROM t2 t
+             WHERE t.s = l.s AND t.node = e.dst)
+           GROUP BY 1, 2),
+         t3 AS MATERIALIZED (SELECT * FROM t2
+           UNION ALL SELECT s, node FROM l3),
+         l4 AS MATERIALIZED (SELECT l.s, e.dst AS node,
+             CAST(sum(l.sigma) AS BIGINT) AS sigma
+           FROM l3 l JOIN e ON l.node = e.src
+           WHERE NOT EXISTS (SELECT 1 FROM t3 t
+             WHERE t.s = l.s AND t.node = e.dst)
+           GROUP BY 1, 2),
+         t4 AS MATERIALIZED (SELECT * FROM t3
+           UNION ALL SELECT s, node FROM l4),
+         l5 AS MATERIALIZED (SELECT l.s, e.dst AS node,
+             CAST(sum(l.sigma) AS BIGINT) AS sigma
+           FROM l4 l JOIN e ON l.node = e.src
+           WHERE NOT EXISTS (SELECT 1 FROM t4 t
+             WHERE t.s = l.s AND t.node = e.dst)
+           GROUP BY 1, 2),
+         t5 AS MATERIALIZED (SELECT * FROM t4
+           UNION ALL SELECT s, node FROM l5),
+         l6 AS MATERIALIZED (SELECT l.s, e.dst AS node,
+             CAST(sum(l.sigma) AS BIGINT) AS sigma
+           FROM l5 l JOIN e ON l.node = e.src
+           WHERE NOT EXISTS (SELECT 1 FROM t5 t
+             WHERE t.s = l.s AND t.node = e.dst)
+           GROUP BY 1, 2),
+         t6 AS (SELECT * FROM t5
+           UNION ALL SELECT s, node FROM l6),
+         d6 AS MATERIALIZED (SELECT s, node, CAST(0 AS BIGINT) AS du FROM l6),
+         d5 AS MATERIALIZED (SELECT v.s, v.node,
+             CAST(coalesce(sum(tt.t), 0) AS BIGINT) AS du
+           FROM l5 v LEFT JOIN (
+             SELECT l.s, l.node,
+               CAST(round(CAST(l.sigma AS DOUBLE) / w.sigma *
+                 (1.0 + d.du / 1e9) * 1e9) AS BIGINT) AS t
+             FROM l5 l JOIN e ON l.node = e.src
+               JOIN l6 w ON w.s = l.s AND w.node = e.dst
+               JOIN d6 d ON d.s = w.s AND d.node = w.node) tt
+           ON tt.s = v.s AND tt.node = v.node
+           GROUP BY 1, 2),
+         d4 AS MATERIALIZED (SELECT v.s, v.node,
+             CAST(coalesce(sum(tt.t), 0) AS BIGINT) AS du
+           FROM l4 v LEFT JOIN (
+             SELECT l.s, l.node,
+               CAST(round(CAST(l.sigma AS DOUBLE) / w.sigma *
+                 (1.0 + d.du / 1e9) * 1e9) AS BIGINT) AS t
+             FROM l4 l JOIN e ON l.node = e.src
+               JOIN l5 w ON w.s = l.s AND w.node = e.dst
+               JOIN d5 d ON d.s = w.s AND d.node = w.node) tt
+           ON tt.s = v.s AND tt.node = v.node
+           GROUP BY 1, 2),
+         d3 AS MATERIALIZED (SELECT v.s, v.node,
+             CAST(coalesce(sum(tt.t), 0) AS BIGINT) AS du
+           FROM l3 v LEFT JOIN (
+             SELECT l.s, l.node,
+               CAST(round(CAST(l.sigma AS DOUBLE) / w.sigma *
+                 (1.0 + d.du / 1e9) * 1e9) AS BIGINT) AS t
+             FROM l3 l JOIN e ON l.node = e.src
+               JOIN l4 w ON w.s = l.s AND w.node = e.dst
+               JOIN d4 d ON d.s = w.s AND d.node = w.node) tt
+           ON tt.s = v.s AND tt.node = v.node
+           GROUP BY 1, 2),
+         d2 AS MATERIALIZED (SELECT v.s, v.node,
+             CAST(coalesce(sum(tt.t), 0) AS BIGINT) AS du
+           FROM l2 v LEFT JOIN (
+             SELECT l.s, l.node,
+               CAST(round(CAST(l.sigma AS DOUBLE) / w.sigma *
+                 (1.0 + d.du / 1e9) * 1e9) AS BIGINT) AS t
+             FROM l2 l JOIN e ON l.node = e.src
+               JOIN l3 w ON w.s = l.s AND w.node = e.dst
+               JOIN d3 d ON d.s = w.s AND d.node = w.node) tt
+           ON tt.s = v.s AND tt.node = v.node
+           GROUP BY 1, 2),
+         d1 AS MATERIALIZED (SELECT v.s, v.node,
+             CAST(coalesce(sum(tt.t), 0) AS BIGINT) AS du
+           FROM l1 v LEFT JOIN (
+             SELECT l.s, l.node,
+               CAST(round(CAST(l.sigma AS DOUBLE) / w.sigma *
+                 (1.0 + d.du / 1e9) * 1e9) AS BIGINT) AS t
+             FROM l1 l JOIN e ON l.node = e.src
+               JOIN l2 w ON w.s = l.s AND w.node = e.dst
+               JOIN d2 d ON d.s = w.s AND d.node = w.node) tt
+           ON tt.s = v.s AND tt.node = v.node
+           GROUP BY 1, 2),
+         d0 AS MATERIALIZED (SELECT v.s, v.node,
+             CAST(coalesce(sum(tt.t), 0) AS BIGINT) AS du
+           FROM l0 v LEFT JOIN (
+             SELECT l.s, l.node,
+               CAST(round(CAST(l.sigma AS DOUBLE) / w.sigma *
+                 (1.0 + d.du / 1e9) * 1e9) AS BIGINT) AS t
+             FROM l0 l JOIN e ON l.node = e.src
+               JOIN l1 w ON w.s = l.s AND w.node = e.dst
+               JOIN d1 d ON d.s = w.s AND d.node = w.node) tt
+           ON tt.s = v.s AND tt.node = v.node
+           GROUP BY 1, 2),
+         alld AS (SELECT * FROM d0 UNION ALL SELECT * FROM d1
+           UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3
+           UNION ALL SELECT * FROM d4 UNION ALL SELECT * FROM d5
+           UNION ALL SELECT * FROM d6),
+         agg AS (SELECT node, CAST(sum(du) AS BIGINT) AS du
+           FROM alld WHERE s <> node GROUP BY 1)
+         SELECT n.node,
+           round(coalesce(agg.du, 0) / 1e9, 6) AS betweenness
+         FROM nodes n LEFT JOIN agg ON agg.node = n.node""",
     "gr_eigenvector" ->
       """WITH p AS (SELECT DISTINCT o_custkey AS a,
              l_suppkey + 1000000000 AS b
@@ -5057,6 +5196,44 @@ object SparkEntry {
              AND (mean_len >= 3.0 AND mean_len <= 10.0)
              AND alpha_frac >= 0.8 AND longest <= 25 AS keep
          FROM r""",
+    "sp_davies_bouldin" ->
+      """WITH p AS MATERIALIZED (SELECT c_custkey,
+             round(((c_custkey * 17) % 1400)/10.0 - 70.0, 4) AS lat,
+             round(((c_custkey * 31) % 3600)/10.0 - 180.0, 4) AS lon
+           FROM customer),
+         pts AS MATERIALIZED (SELECT c_custkey, lat, lon,
+             CAST(floor((lat + 90) / 10) AS INTEGER) AS ca,
+             CAST(floor((lon + 180) / 10) AS INTEGER) AS cb
+           FROM p),
+         cents AS MATERIALIZED (SELECT ca, cb,
+             round(avg(lat), 6) AS g_lat, round(avg(lon), 6) AS g_lon
+           FROM pts GROUP BY 1, 2),
+         scat AS MATERIALIZED (SELECT pts.ca, pts.cb,
+             CAST(sum(CAST(round(sqrt(
+                 (lat - g_lat) * (lat - g_lat) +
+                 (lon - g_lon) * (lon - g_lon)) * 1e6) AS BIGINT))
+               AS BIGINT) AS su,
+             CAST(count(*) AS BIGINT) AS n
+           FROM pts JOIN cents
+             ON pts.ca = cents.ca AND pts.cb = cents.cb
+           GROUP BY 1, 2),
+         sg AS MATERIALIZED (SELECT scat.ca, scat.cb, g_lat, g_lon,
+             CAST(su AS DOUBLE) / n / 1e6 AS sigma, n
+           FROM scat JOIN cents
+             ON scat.ca = cents.ca AND scat.cb = cents.cb),
+         ri AS (SELECT i.ca, i.cb,
+             CAST(coalesce(round(max((i.sigma + j.sigma) /
+               nullif(sqrt(
+                 (i.g_lat - j.g_lat) * (i.g_lat - j.g_lat) +
+                 (i.g_lon - j.g_lon) * (i.g_lon - j.g_lon)), 0))
+               * 1e6), 0) AS BIGINT) AS rq
+           FROM sg i LEFT JOIN sg j ON i.ca <> j.ca OR i.cb <> j.cb
+           GROUP BY 1, 2),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS np FROM sg)
+         SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(max(np) AS BIGINT) AS n_points,
+           round(sum(rq) / count(*) / 1e6, 6) AS db_index
+         FROM ri CROSS JOIN t""",
     "sp_quadrat" ->
       """WITH p AS (SELECT
              round(((c_custkey * 17) % 1400)/10.0 - 70.0, 4) AS lat,

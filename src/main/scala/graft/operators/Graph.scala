@@ -884,4 +884,86 @@ object Graph {
         round(col("nb").cast("double") / col("nt"), 6)
           .as("bridge_share"))
   }
+
+  /** SAMPLED bounded-radius BETWEENNESS (Brandes) — "which nodes do
+    * shortest paths FLOW THROUGH", the brokerage metric degree/
+    * closeness can't see (a low-degree node bridging two clusters is
+    * invisible to both). Exact betweenness is O(V·E) all-pairs; the
+    * production estimator is Brandes from a SOURCE SAMPLE with a hop
+    * cap — K deterministic sources (smallest node ids, so the oracle
+    * picks identical pivots), BFS depth ≤ `maxDepth` (the
+    * harmonicCentrality landmark trade, stated in the contract).
+    *
+    * Forward pass: level-synchronous multi-source BFS carrying the
+    * shortest-path COUNT σ — each round is one frontier⋈edges join on
+    * the pre-partitioned static edge frame + one anti-join against
+    * settled + a (source, node) partial-agg σ-sum; state is ≤ V·K
+    * rows. Backward pass: Brandes' dependency accumulation per level,
+    * δ(v) = Σ_succ (σv/σw)(1+δw) — each TERM quantizes to integer
+    * NANO-units before the per-node sum, so the unordered successor
+    * sum is exact long arithmetic and every δ walking up the levels is
+    * bit-identical on any engine and partitioning (σ is exact by
+    * construction). One edge join + rollup per level, each way. */
+  def betweennessSampled(edges: DataFrame, nSources: Int = 4,
+                         maxDepth: Int = 6): DataFrame = {
+    val ed = edges.select("src", "dst").distinct()
+      .repartition(col("src")).localCheckpoint(true)
+    val nodes = ed.select(col("src").as("node")).distinct()
+      .localCheckpoint(true)
+    val sources = nodes.orderBy("node").limit(nSources)
+      .select(col("node").as("s"))
+    // forward: one frame per BFS level, (s, node, sigma)
+    val levels = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    levels += sources.select(col("s"), col("s").as("node"))
+      .withColumn("sigma", lit(1L)).localCheckpoint(true)
+    var settled = levels.head.select("s", "node")
+    var depth = 0
+    var frontierSize = levels.head.count()
+    while (depth < maxDepth && frontierSize > 0) {
+      depth += 1
+      val next = levels.last.join(ed, col("node") === ed("src"))
+        .select(col("s"), col("dst"), col("sigma"))
+        .join(settled.withColumnRenamed("node", "dst"), Seq("s", "dst"),
+          "left_anti")
+        .groupBy(col("s"), col("dst").as("node"))
+        .agg(sum("sigma").as("sigma"))
+        .localCheckpoint(true)
+      frontierSize = next.count()
+      if (frontierSize > 0) {
+        levels += next
+        settled = settled.unionByName(next.select("s", "node"))
+          .localCheckpoint(true)
+      }
+    }
+    // backward: δ in exact nano-units, deepest level seeds at 0
+    var delta = levels.last.select(col("s"), col("node"), lit(0L).as("du"))
+    var acc = delta
+    for (l <- levels.size - 2 to 0 by -1) {
+      val w = levels(l + 1)
+        .join(delta, Seq("s", "node"))
+        .select(col("s"), col("node").as("w"), col("sigma").as("sw"),
+          col("du").as("duw"))
+      val v = levels(l)
+        .select(col("s"), col("node").as("v"), col("sigma").as("sv"))
+      val terms = v.join(ed, col("v") === ed("src"))
+        .select(col("s"), col("v"), col("sv"), col("dst").as("w"))
+        .join(w, Seq("s", "w"))
+        .groupBy(col("s"), col("v").as("node"))
+        .agg(sum(round(col("sv").cast("double") / col("sw") *
+          (lit(1.0) + col("duw") / lit(1e9)) * lit(1e9)).cast("long"))
+          .as("du"))
+      delta = v.select(col("s"), col("v").as("node"))
+        .join(terms, Seq("s", "node"), "left")
+        .select(col("s"), col("node"),
+          coalesce(col("du"), lit(0L)).as("du"))
+        .localCheckpoint(true)
+      acc = acc.unionByName(delta)
+    }
+    nodes
+      .join(acc.filter(col("s") =!= col("node"))
+        .groupBy("node").agg(sum("du").as("du")), Seq("node"), "left")
+      .select(col("node"),
+        round(coalesce(col("du"), lit(0L)) / lit(1e9), 6)
+          .as("betweenness"))
+  }
 }

@@ -563,6 +563,66 @@ object SpatialJoin {
         round(avg("s"), 6).as("mean_silhouette"))
   }
 
+  /** DAVIES–BOULDIN index over the grid clustering — the
+    * worst-neighbor companion to [[gridSilhouette]]'s mean view: each
+    * cluster is scored by its WORST overlap ratio Rᵢ = maxⱼ(σᵢ+σⱼ)/
+    * d(cᵢ,cⱼ) (scatter vs separation against the most confusable
+    * other cluster), DB = mean Rᵢ — lower is better; a clustering can
+    * look fine on mean silhouette while one pair of clusters bleeds
+    * into each other, which is exactly what the max surfaces.
+    *
+    * Engine-exactness: per-point centroid distances quantize to
+    * MICRO-units before the per-cell sum (σ then divides exact longs),
+    * and each cell's Rᵢ quantizes before the final mean — both
+    * unordered sums run in long arithmetic. Scale: one cell rollup,
+    * one broadcast re-join for scatter, a lattice-bounded cells² pair
+    * frame (≤ (18·36)² rows, parameter- not data-sized), one 1-row
+    * mean. Single-cell corpora score 0 by the [[gridSilhouette]]
+    * degenerate convention. */
+  def gridDaviesBouldin(customer: DataFrame, cellDeg: Int = 10)
+      : DataFrame =
+    daviesBouldinOnPoints(customerPoints(customer), cellDeg)
+
+  private[operators] def daviesBouldinOnPoints(points: DataFrame,
+                                               cellDeg: Int): DataFrame = {
+    val pts = points
+      .select(col("c_custkey"), col("c_lat"), col("c_lon"),
+        floor((col("c_lat") + 90) / cellDeg).cast("int").as("cell_lat"),
+        floor((col("c_lon") + 180) / cellDeg).cast("int").as("cell_lon"))
+    val cents = pts.groupBy("cell_lat", "cell_lon")
+      .agg(round(avg("c_lat"), 6).as("g_lat"),
+        round(avg("c_lon"), 6).as("g_lon"),
+        count(lit(1)).as("n_pts"))
+    val scat = pts.join(broadcast(cents), Seq("cell_lat", "cell_lon"))
+      .withColumn("dm", round(sqrt(
+        (col("c_lat") - col("g_lat")) * (col("c_lat") - col("g_lat")) +
+          (col("c_lon") - col("g_lon")) * (col("c_lon") - col("g_lon")))
+        * 1e6).cast("long"))
+      .groupBy("cell_lat", "cell_lon")
+      .agg(sum("dm").as("su"), count(lit(1)).as("n"))
+      .join(cents, Seq("cell_lat", "cell_lon"))
+      .withColumn("sigma",
+        col("su").cast("double") / col("n") / lit(1e6))
+    val i = scat.select(col("cell_lat").as("ia"), col("cell_lon").as("ib"),
+      col("g_lat").as("gi_lat"), col("g_lon").as("gi_lon"),
+      col("sigma").as("si"))
+    val j = scat.select(col("cell_lat").as("ja"), col("cell_lon").as("jb"),
+      col("g_lat").as("gj_lat"), col("g_lon").as("gj_lon"),
+      col("sigma").as("sj"))
+    val ri = i.join(broadcast(j),
+        col("ia") =!= col("ja") || col("ib") =!= col("jb"), "left")
+      .withColumn("r", (col("si") + col("sj")) /
+        nullif(sqrt(
+          (col("gi_lat") - col("gj_lat")) * (col("gi_lat") - col("gj_lat")) +
+            (col("gi_lon") - col("gj_lon")) * (col("gi_lon") - col("gj_lon"))),
+          lit(0.0)))
+      .groupBy("ia", "ib")
+      .agg(coalesce(round(max("r") * 1e6), lit(0.0)).cast("long").as("rq"))
+    ri.crossJoin(broadcast(scat.agg(sum("n").as("n_points"))))
+      .agg(count(lit(1)).as("n_cells"), max("n_points").as("n_points"),
+        round(sum("rq") / count(lit(1)) / lit(1e6), 6).as("db_index"))
+  }
+
   /** MORAN'S I spatial autocorrelation of the per-cell customer count —
     * "is density CLUSTERED on the map or salt-and-pepper": I compares
     * each occupied cell's deviation with its rook neighbors',

@@ -384,6 +384,26 @@ class GraphSpec extends SparkSpec {
     assert(path(2L) == 1.0 && path(1L) == path(3L) && path(1L) == 0.5)
   }
 
+  test("betweennessSampled: hand-computed Brandes on path and star") {
+    // path 1-2-3, all 3 nodes are sources: only the middle carries
+    // flow — δ from each end source is 1, so b(2) = 2 (ordered-pair
+    // source sum, as documented), ends 0
+    val path = Graph.betweennessSampled(undirected((1L, 2L), (2L, 3L)))
+      .collect().map(r => r.getAs[Long]("node") ->
+        r.getAs[Double]("betweenness")).toMap
+    assert(path(2L) == 2.0 && path(1L) == 0.0 && path(3L) == 0.0)
+    // star: center 1, leaves 2..5; sources = 4 smallest = {1,2,3,4}.
+    // From each leaf source the center accumulates δ = 3 (three
+    // leaves behind it); from the center source it is the source
+    // itself (excluded) → center 9, leaves 0
+    val star = Graph.betweennessSampled(
+      undirected((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)))
+      .collect().map(r => r.getAs[Long]("node") ->
+        r.getAs[Double]("betweenness")).toMap
+    assert(star(1L) == 9.0)
+    assert(Seq(2L, 3L, 4L, 5L).forall(star(_) == 0.0))
+  }
+
   test("edgeEmbeddedness: K4 edges all embed 2; a pendant edge is a bridge") {
     // K4 + pendant 4-5: every K4 edge sits in 2 triangles; 4-5 in none
     val g = undirected((1L, 2L), (1L, 3L), (1L, 4L),

@@ -621,6 +621,31 @@ class WindowsLambdaSpec extends SparkSpec {
       s"edge-sliced cluster must score clearly lower: $s vs $t")
   }
 
+  test("daviesBouldinOnPoints: hand value on planted pair; singleton cell scores 0") {
+    import spark.implicits._
+    def pts(rows: Seq[(Double, Double)]) = rows.zipWithIndex.map {
+      case ((la, lo), i) => (i.toLong, la, lo)
+    }.toDF("c_custkey", "c_lat", "c_lon")
+    // two 2-point clusters, σ = 1 each, centroids 40° apart:
+    // R = (1+1)/40 = 0.05 for both → DB exactly 0.05
+    val two = SpatialJoin.daviesBouldinOnPoints(
+      pts(Seq((1.0, 1.0), (1.0, 3.0), (41.0, 1.0), (41.0, 3.0))), 10)
+      .collect().head
+    assert(two.getAs[Long]("n_cells") == 2 &&
+      two.getAs[Long]("n_points") == 4 &&
+      two.getAs[Double]("db_index") == 0.05)
+    // tighter clusters at the same separation → strictly better (lower)
+    val tighter = SpatialJoin.daviesBouldinOnPoints(
+      pts(Seq((1.0, 1.9), (1.0, 2.1), (41.0, 1.9), (41.0, 2.1))), 10)
+      .collect().head
+    assert(tighter.getAs[Double]("db_index") < 0.05)
+    // single occupied cell: degenerate convention, 0 not null/empty
+    val one = SpatialJoin.daviesBouldinOnPoints(
+      pts(Seq((1.0, 1.0), (1.0, 2.0))), 10).collect().head
+    assert(one.getAs[Long]("n_cells") == 1 &&
+      one.getAs[Double]("db_index") == 0.0)
+  }
+
   test("moranOnCells: gradient lattice clusters positive, checkerboard negative") {
     import spark.implicits._
     def lattice(f: (Int, Int) => Double) = (for {
