@@ -435,6 +435,9 @@ object SparkEntry {
     "ts_ewma" -> ((s, d) => Resample.ewma(Tables.events(s, d), 0.3)),
     "ts_kalman" -> ((s, d) =>
       Resample.kalmanLevel(Tables.events(s, d), q = 0.5, r = 2.0)),
+    "ts_garch" -> ((s, d) =>
+      Resample.garchVariance(Tables.events(s, d),
+        omega = 1.0, alpha = 0.1, beta = 0.8)),
     "ts_binseg" -> ((s, d) =>
       Resample.binarySegmentation(Tables.events(s, d))),
     "ts_holt" -> ((s, d) => Resample.holt(Tables.events(s, d), 0.3, 0.1)),
@@ -767,6 +770,8 @@ object SparkEntry {
       SimilaritySearch.mipsTopK(Tables.embeddings(s, d), 0L, 10)),
     "dwh_junk_dim" -> ((s, d) => Dwh.junkDimension(Tables.orders(s, d))),
     "dwh_mini_dim" -> ((s, d) => Dwh.miniDimension(Tables.customer(s, d))),
+    "dwh_role_playing" -> ((s, d) =>
+      Dwh.rolePlayingDates(Tables.lineitem(s, d), Tables.orders(s, d))),
     "dq_fd_check" -> ((s, d) => Quality.fdCheck(Seq(
       ("orderkey->custkey", Tables.orders(s, d),
         Seq("o_orderkey"), "o_custkey"),
@@ -1573,6 +1578,10 @@ object SparkEntry {
     "st_tukey_hsd" -> ((s, d) =>
       Stats.tukeyHsd(Tables.events(s, d), "event_type", "value",
         qCrit = 3.86)),
+    "st_bartlett" -> ((s, d) =>
+      Stats.bartlettTest(Tables.events(s, d), "event_type", "value")),
+    "st_g_test" -> ((s, d) =>
+      Stats.gTest(Tables.documents(s, d), "lang", "source")),
     "ml_ndcg" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val e = Tables.embeddings(s, d)
@@ -1666,6 +1675,91 @@ object SparkEntry {
          FROM pred WHERE rn = 1 GROUP BY 1, 2"""
 
   def oracleSql: Map[String, String] = Map(
+    "dwh_role_playing" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           strftime(l_shipdate, '%Y-%m') AS ship_month,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+             AS BIGINT) / 100.0, 2) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1, 2""",
+    "st_bartlett" ->
+      """WITH g AS (SELECT event_type AS grp,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS s1,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)
+               * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s2
+           FROM events GROUP BY 1),
+         g2 AS (SELECT grp, n,
+             CAST(round(CAST(s2 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+               AS BIGINT) AS ssq
+           FROM g),
+         g3 AS (SELECT grp, n, ssq,
+             CAST(ssq AS DOUBLE) / 1e4 / (n - 1) AS s2i
+           FROM g2),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(ssq) AS BIGINT) AS ssw_q,
+             CAST(sum(CAST(round((n - 1) * ln(s2i) * 1e6) AS BIGINT))
+               AS BIGINT) AS lnsum_u,
+             CAST(sum(CAST(round(1e9 / (n - 1)) AS BIGINT)) AS BIGINT)
+               AS invsum_n
+           FROM g3)
+         SELECT k, nt AS n_total, k - 1 AS df,
+           round(((nt - k) * ln(CAST(ssw_q AS DOUBLE) / 1e4 / (nt - k))
+               - lnsum_u / 1e6)
+             / (1.0 + (invsum_n / 1e9 - 1.0 / (nt - k))
+               / (3.0 * (k - 1))), 4) AS bartlett_chi2
+         FROM t""",
+    "st_g_test" ->
+      """WITH cells AS (SELECT lang AS a, source AS b,
+             CAST(count(*) AS BIGINT) AS o
+           FROM documents GROUP BY 1, 2),
+         rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra
+           FROM cells GROUP BY 1),
+         ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb
+           FROM cells GROUP BY 1),
+         g AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+         terms AS (SELECT
+             CAST(round(o * ln(o / (ra * cb / n)) * 1e6) AS BIGINT)
+               AS t, a, b, n
+           FROM cells JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN g)
+         SELECT round(2.0 * sum(t) / 1e6, 4) AS g_stat,
+           (count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS df,
+           CAST(max(n) AS BIGINT) AS n_total
+         FROM terms""",
+    "ts_garch" ->
+      """WITH RECURSIVE ev AS (SELECT user_id,
+             CAST(epoch_us(ts) AS BIGINT) AS ts_us, value,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), value) AS rn
+           FROM events),
+         rec AS (
+           SELECT user_id, ts_us, value AS v,
+             CAST(0.0 AS DOUBLE) AS eps,
+             CAST(1.0 / (1.0 - 0.1 - 0.8) AS DOUBLE) AS h, rn
+           FROM ev WHERE rn = 1
+           UNION ALL
+           SELECT e.user_id, e.ts_us, e.value,
+             e.value - r.v,
+             1.0 + 0.1 * r.eps * r.eps + 0.8 * r.h,
+             e.rn
+           FROM ev e JOIN rec r
+             ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+         SELECT user_id, ts_us,
+           CASE WHEN h * 1000000.0 = floor(h * 1000000.0) + 0.5
+             THEN (floor(h * 1000000.0) +
+               abs(CAST(floor(h * 1000000.0) AS BIGINT) % 2)) / 1000000.0
+             ELSE round(h * 1000000.0, 0) / 1000000.0
+           END AS cond_var,
+           CASE WHEN eps * 1000000.0 = floor(eps * 1000000.0) + 0.5
+             THEN (floor(eps * 1000000.0) +
+               abs(CAST(floor(eps * 1000000.0) AS BIGINT) % 2)) / 1000000.0
+             ELSE round(eps * 1000000.0, 0) / 1000000.0
+           END AS innovation
+         FROM rec""",
     "st_cvm" ->
       """WITH pts AS (SELECT value AS v,
              CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)

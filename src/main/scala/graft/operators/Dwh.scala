@@ -649,6 +649,29 @@ object Dwh {
         round(sum("cents").over(w) / lit(100.0), 2).as("cum_revenue"))
   }
 
+  /** ROLE-PLAYING date dimension (Kimball) — ONE calendar dimension
+    * joined in two roles (order date vs ship date), the pattern that
+    * keeps a warehouse from minting N copies of the date dim: the fact
+    * grain here is (order-month role, ship-month role) with exact
+    * integer-cents revenue, answering "of what was ORDERED in month X,
+    * when did it SHIP" — the lag matrix a single-date rollup cannot
+    * express. One fact-sized equi-join (orders is the smaller side —
+    * AQE broadcasts it under threshold) + one partial-agg rollup to
+    * the months² frame; months are derived columns of each role, no
+    * physical date-dim copy exists. */
+  def rolePlayingDates(lineitem: DataFrame, orders: DataFrame)
+      : DataFrame =
+    lineitem.join(orders,
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM")
+          .as("order_month"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(round(col("l_extendedprice") * 100).cast("long"))
+          .as("cents"))
+      .select(col("order_month"), col("ship_month"), col("n_items"),
+        round(col("cents") / lit(100.0), 2).as("revenue"))
+
   /** MINI-DIMENSION extraction (Kimball) — [[junkDimension]]'s sibling
     * for the FAST-CHANGING attributes of a big dimension: rather than
     * versioning the whole customer row on every balance move (SCD2

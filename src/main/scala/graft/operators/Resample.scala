@@ -195,6 +195,43 @@ object Resample {
       .toDF("user_id", "ts_us", "level", "gain")
   }
 
+  /** GARCH(1,1) conditional-variance filter per key — the VOLATILITY
+    * recurrence next to [[kalmanLevel]]'s level one: hₜ = ω + α·ε²ₜ₋₁
+    * + β·hₜ₋₁ with εₜ the first difference, so variance spikes after a
+    * shock and decays at rate β — the "is this series in a turbulent
+    * regime RIGHT NOW" signal a global variance can't give. h seeds at
+    * the unconditional ω/(1−α−β).
+    *
+    * Same spill-safe `flatMapSortedGroups` shape (state: previous
+    * value, previous innovation, h — three doubles); oracle = DuckDB
+    * RECURSIVE CTE carrying all three state floats through the
+    * identical double ops (rint half-even replicated). */
+  def garchVariance(events: DataFrame, omega: Double, alpha: Double,
+                    beta: Double): DataFrame = {
+    require(alpha + beta < 1, "need a stationary GARCH (alpha+beta < 1)")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups($"ts_us", $"value") { (k, it) =>
+        var vPrev = Double.NaN
+        var eps = 0.0
+        var h = 0.0
+        it.map { case (_, ts, v) =>
+          if (vPrev.isNaN) h = omega / (1 - alpha - beta)
+          else {
+            h = omega + alpha * eps * eps + beta * h
+            eps = v - vPrev
+          }
+          vPrev = v
+          (k, ts, math.rint(h * 1e6) / 1e6, math.rint(eps * 1e6) / 1e6)
+        }
+      }
+      .toDF("user_id", "ts_us", "cond_var", "innovation")
+  }
+
   /** Dense series per user: every slot between the user's first and last
     * observation, observed slots carrying their aggregate, gaps
     * forward-filled from the previous observed slot. `filled` marks

@@ -249,6 +249,73 @@ object Stats {
         max("n").as("n_total"))
   }
 
+  /** G-TEST of independence (likelihood-ratio χ², [[chiSquare]]'s
+    * information-theoretic twin): G = 2·Σ O·ln(O/E) — additive across
+    * partitions of the table (χ² is not), and the statistic modern
+    * contingency practice prefers at small expected counts. Observed
+    * cells only (O = 0 terms vanish), same one-pass cell machinery as
+    * chiSquare; each O·ln(O/E) term quantizes to integer MICRO-units
+    * before the unordered cell sum (ml_nb log discipline), so G is
+    * exact long arithmetic until one division. */
+  def gTest(df: DataFrame, a: String, b: String): DataFrame = {
+    val cells = df.groupBy(col(a).as("__a"), col(b).as("__b"))
+      .agg(count(lit(1)).as("o"))
+    val rowT = cells.groupBy("__a").agg(sum("o").as("ra"))
+    val colT = cells.groupBy("__b").agg(sum("o").as("cb"))
+    val grand = cells.agg(sum("o").as("n"))
+    cells.join(rowT, Seq("__a")).join(colT, Seq("__b"))
+      .crossJoin(broadcast(grand))
+      .withColumn("t", round(col("o") *
+        log(col("o") / (col("ra") * col("cb") / col("n"))) * 1e6)
+        .cast("long"))
+      .agg(round(lit(2.0) * sum("t") / 1e6, 4).as("g_stat"),
+        ((countDistinct("__a") - 1) * (countDistinct("__b") - 1))
+          .as("df"),
+        max("n").as("n_total"))
+  }
+
+  /** BARTLETT's test of equal variances across k groups —
+    * [[leveneTest]]'s higher-power (normality-assuming) sibling, the
+    * pre-flight check before pooling variances in [[anovaF]]/
+    * [[tukeyHsd]]: χ² = [(N−k)·ln(Sp²) − Σ(nᵢ−1)·ln(Sᵢ²)]/C with the
+    * standard small-sample correction C.
+    *
+    * Exactness: per-group variance numerators come from the integer-
+    * cents power-sum trick ([[tukeyHsd]]'s ssw_q — rounded to an
+    * integer unit per group, so the pooled Sp² is aggregation-order
+    * free), and both order-sensitive sums — Σ(nᵢ−1)ln(Sᵢ²) and
+    * Σ1/(nᵢ−1) — quantize per-group terms to integer micro/nano units
+    * before summing. ONE corpus pass to the k-row frame; everything
+    * after is 1-row arithmetic. */
+  def bartlettTest(df: DataFrame, groupCol: String, c: String)
+      : DataFrame = {
+    val cents = round(col(c) * 100).cast("long")
+    val g = df.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n"), sum(cents).as("s1"),
+        sum(cents * cents).as("s2"))
+      .withColumn("ssq",
+        round(col("s2").cast("double") -
+          col("s1").cast("double") * col("s1").cast("double") /
+            col("n")).cast("long"))
+      .withColumn("s2i",
+        col("ssq").cast("double") / lit(1e4) / (col("n") - 1))
+    val t = g.agg(sum("n").as("nt"), count(lit(1)).as("k"),
+      sum("ssq").as("ssw_q"),
+      sum(round((col("n") - 1) * log(col("s2i")) * 1e6).cast("long"))
+        .as("lnsum_u"),
+      sum(round(lit(1e9) / (col("n") - 1)).cast("long")).as("invsum_n"))
+    val sp2 = col("ssw_q").cast("double") / lit(1e4) /
+      (col("nt") - col("k"))
+    val corr = lit(1.0) +
+      (col("invsum_n") / lit(1e9) -
+        lit(1.0) / (col("nt") - col("k"))) /
+        (lit(3.0) * (col("k") - 1))
+    t.select(col("k"), col("nt").as("n_total"),
+      (col("k") - 1).as("df"),
+      round(((col("nt") - col("k")) * log(sp2) -
+        col("lnsum_u") / lit(1e6)) / corr, 4).as("bartlett_chi2"))
+  }
+
   /** Cramér's V effect size between two categorical columns —
     * √(χ²/(n·min(r−1, c−1))), the [0, 1]-normalized strength the raw
     * χ² statistic can't give you (χ² grows with n; V answers "HOW

@@ -473,6 +473,28 @@ class DwhSpec extends SparkSpec {
       < 1e-6)
   }
 
+  test("rolePlayingDates: order/ship month lag matrix with exact cents") {
+    import spark.implicits._
+    val orders = Seq((1L, "1995-01-15"), (2L, "1995-02-10"))
+      .toDF("o_orderkey", "d")
+      .select(col("o_orderkey"), to_date(col("d")).as("o_orderdate"))
+    val li = Seq(
+      (1L, "1995-01-20", 10.005), // same-month ship; cents round half-up
+      (1L, "1995-02-05", 20.0),   // next-month ship
+      (2L, "1995-02-20", 5.0), (2L, "1995-02-25", 7.5))
+      .toDF("l_orderkey", "d", "l_extendedprice")
+      .select(col("l_orderkey"), to_date(col("d")).as("l_shipdate"),
+        col("l_extendedprice"))
+    val out = Dwh.rolePlayingDates(li, orders).collect()
+      .map(r => (r.getAs[String]("order_month"),
+        r.getAs[String]("ship_month")) ->
+        (r.getAs[Long]("n_items"), r.getAs[Double]("revenue"))).toMap
+    assert(out.size == 3)
+    assert(out(("1995-01", "1995-01")) == ((1L, 10.01)))
+    assert(out(("1995-01", "1995-02")) == ((1L, 20.0)))
+    assert(out(("1995-02", "1995-02")) == ((2L, 12.5)))
+  }
+
   test("miniDimension: volatile attrs band into stable keys; negatives band down") {
     import spark.implicits._
     val cust = Seq(

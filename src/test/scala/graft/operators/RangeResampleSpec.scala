@@ -81,6 +81,31 @@ class RangeResampleSpec extends SparkSpec {
     assert(out.count(_.getLong(0) == 2L) == 1)
   }
 
+  test("garchVariance: calm series decays h to the 1/(1-a-b) fixed point; shocks spike it") {
+    import spark.implicits._
+    def series(vs: Seq[Double]) = vs.zipWithIndex
+      .map { case (v, i) => (1L, (i + 1) * 1000L, v) }
+      .toDF("user_id", "us", "value")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+        col("value"))
+    // constant series: every innovation 0, h_t = 1 + 0.8·h_{t-1}
+    // falls monotonically from the seed 10 toward the fixed point 5
+    val calm = Resample.garchVariance(series(Seq.fill(40)(7.0)),
+      1.0, 0.1, 0.8).orderBy("ts_us").collect()
+    assert(calm.forall(_.getAs[Double]("innovation") == 0.0))
+    val hs = calm.map(_.getAs[Double]("cond_var"))
+    assert(hs.head == 10.0)
+    assert(hs.zip(hs.tail).forall { case (a, b) => b < a })
+    assert(math.abs(hs.last - 5.0) < 0.01)
+    // a single shock: the NEXT step's variance jumps above the calm path
+    val shocked = Resample.garchVariance(
+      series(Seq.fill(20)(7.0) ++ Seq(27.0) ++ Seq.fill(5)(27.0)),
+      1.0, 0.1, 0.8).orderBy("ts_us").collect()
+      .map(_.getAs[Double]("cond_var"))
+    assert(shocked(21) > shocked(20) + 30,
+      s"a 20-unit shock adds 0.1*400 = 40 to the next h: ${shocked(21)}")
+  }
+
   test("kalmanLevel: constant series holds level, gain decays to steady state") {
     import spark.implicits._
     val events = (1 to 60).map(i => (1L, i * 1000L, 42.0))

@@ -1263,6 +1263,35 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("gTest: diagonal table hits 2N·ln2 exactly; independence scores 0") {
+    // perfect association, 2×2 diagonal of 10s: each cell O=10, E=5 →
+    // G = 2·20·ln2, micro-quantized → 27.7259
+    val diag = (Seq.fill(10)(("x", "p")) ++ Seq.fill(10)(("y", "q")))
+      .toDF("a", "b")
+    val d = Stats.gTest(diag, "a", "b").collect().head
+    assert(d.getAs[Double]("g_stat") == 27.7259 &&
+      d.getAs[Long]("df") == 1L && d.getAs[Long]("n_total") == 20L)
+    // uniform 2×2: O = E everywhere → every term ln(1) = 0
+    val indep = (for (a <- Seq("x", "y"); b <- Seq("p", "q");
+                      _ <- 1 to 5) yield (a, b)).toDF("a", "b")
+    assert(Stats.gTest(indep, "a", "b").collect()
+      .head.getAs[Double]("g_stat") == 0.0)
+  }
+
+  test("bartlettTest: identical groups score ~0, 10x spread is loud") {
+    def mk(spread: Double) =
+      (1 to 60).map(i => ("a", (i % 6).toDouble)) ++
+        (1 to 60).map(i => ("b", (i % 6).toDouble * spread))
+    val same = Stats.bartlettTest(mk(1.0).toDF("g", "v"), "g", "v")
+      .collect().head
+    assert(same.getAs[Long]("k") == 2L && same.getAs[Long]("df") == 1L)
+    assert(math.abs(same.getAs[Double]("bartlett_chi2")) < 1e-6,
+      s"equal variances must score 0: $same")
+    val loud = Stats.bartlettTest(mk(10.0).toDF("g", "v"), "g", "v")
+      .collect().head.getAs[Double]("bartlett_chi2")
+    assert(loud > 50, s"10x variance gap must be loud: $loud")
+  }
+
   test("cramerVonMises: hand values for separation/identity; stripe-invariant") {
     def cvm(rows: Seq[(String, Double)], stripes: Int = 256) =
       Stats.cramerVonMises(rows.toDF("g", "v"), "g", "v", "a", "b",
