@@ -508,6 +508,8 @@ object SparkEntry {
       Stats.tostEquivalence(Tables.events(s, d), "event_type", "value",
         "click", "view", margin = 2.0)),
     "w26_ltv" -> ((s, d) => Windows.cohortLtv(Tables.events(s, d))),
+    "w27_interval_merge" -> ((s, d) =>
+      Windows.intervalMerge(Tables.events(s, d))),
     "w24_stickiness" -> ((s, d) =>
       Windows.stickiness(Tables.events(s, d))),
     "w25_markov_attribution" -> ((s, d) =>
@@ -783,6 +785,8 @@ object SparkEntry {
         Seq("l_orderkey", "l_linenumber"), "l_partkey")))),
     "tx_gopher_rules" -> ((s, d) =>
       TextAnalysis.gopherRules(Tables.documents(s, d))),
+    "tx_kneser_ney" -> ((s, d) =>
+      TextAnalysis.knCrossEntropy(Tables.documents(s, d))),
     "sp_quadrat" -> ((s, d) => SpatialJoin.quadratTest(Tables.customer(s, d))),
     "sp_davies_bouldin" -> ((s, d) =>
       SpatialJoin.gridDaviesBouldin(Tables.customer(s, d))),
@@ -5791,6 +5795,73 @@ object SparkEntry {
            round(-sum((n / CAST(nt AS DOUBLE)) *
              ln(n / CAST(nt AS DOUBLE))) / ln(6.0), 6) AS perm_entropy
          FROM pat CROSS JOIN tot GROUP BY nt, k""",
+    "tx_kneser_ney" ->
+      """WITH docs AS MATERIALIZED (SELECT source,
+             substr(md5('kn' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+               AS is_train,
+             string_split(text, ' ') AS t
+           FROM documents),
+         base AS MATERIALIZED (SELECT source, is_train, w1, w2,
+             CAST(count(*) AS BIGINT) AS tf
+           FROM (SELECT source, is_train,
+                   unnest(t[1:len(t)-1]) AS w1,
+                   unnest(t[2:len(t)]) AS w2
+                 FROM docs WHERE len(t) >= 2)
+           GROUP BY 1, 2, 3, 4),
+         cb AS MATERIALIZED (SELECT w1, w2,
+             CAST(sum(tf) AS BIGINT) AS c2
+           FROM base WHERE is_train GROUP BY 1, 2),
+         cv AS MATERIALIZED (SELECT w1, CAST(sum(c2) AS BIGINT) AS cv,
+             CAST(count(*) AS BIGINT) AS nv
+           FROM cb GROUP BY 1),
+         nwt AS MATERIALIZED (SELECT w2, CAST(count(*) AS BIGINT) AS nw
+           FROM cb GROUP BY 1),
+         nbt AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM cb),
+         test AS (SELECT source, w1, w2, CAST(sum(tf) AS BIGINT) AS cnt
+           FROM base WHERE NOT is_train GROUP BY 1, 2, 3),
+         sc AS (SELECT test.source, test.cnt,
+             nwt.w2 IS NOT NULL AS known,
+             CASE WHEN nwt.w2 IS NULL THEN CAST(0 AS BIGINT)
+               ELSE CAST(round(-ln(
+                 CASE WHEN cv.w1 IS NULL THEN nw / nb
+                   ELSE greatest(coalesce(cb.c2, 0) - 0.75, 0.0) / cv
+                     + 0.75 * nv / cv * (nw / nb) END) * 1e6)
+                 AS BIGINT) END AS t
+           FROM test
+           LEFT JOIN nwt ON test.w2 = nwt.w2
+           LEFT JOIN cv ON test.w1 = cv.w1
+           LEFT JOIN cb ON test.w1 = cb.w1 AND test.w2 = cb.w2
+           CROSS JOIN nbt)
+         SELECT source,
+           CAST(sum(CASE WHEN known THEN cnt ELSE 0 END) AS BIGINT)
+             AS n_bigrams,
+           CAST(sum(CASE WHEN NOT known THEN cnt ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           round(sum(cnt * t) / 1e6 /
+             sum(CASE WHEN known THEN cnt ELSE 0 END), 6) AS ce
+         FROM sc GROUP BY 1""",
+    "w27_interval_merge" ->
+      """WITH iv AS (SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             CAST(floor(epoch(ts)) + 1800 AS BIGINT) AS e
+           FROM events),
+         m AS (SELECT user_id, event_id, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (PARTITION BY user_id
+                 ORDER BY s, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 -9223372036854775807) THEN 1 ELSE 0 END AS nb
+           FROM iv),
+         b AS (SELECT user_id, s, e,
+             CAST(sum(nb) OVER (PARTITION BY user_id
+               ORDER BY s, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS block
+           FROM m),
+         blk AS (SELECT user_id, block, min(s) AS bs, max(e) AS be
+           FROM b GROUP BY 1, 2)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(sum(be - bs) AS BIGINT) AS covered_seconds
+         FROM blk GROUP BY 1""",
     "w26_ltv" ->
       """WITH p AS (SELECT user_id,
              CAST(date_trunc('week', ts) AS DATE) AS wk,

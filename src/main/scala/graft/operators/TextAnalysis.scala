@@ -680,6 +680,75 @@ object TextAnalysis {
         round(sum(col("tf") * nlp) / sum("tf"), 6).as("ce"))
   }
 
+  /** KNESER–NEY bigram cross-entropy per source — the PROPER smoothing
+    * upgrade of [[bigramCrossEntropy]]'s add-one LM (the classic
+    * failure: Laplace gives "Francisco" high unigram backoff mass even
+    * though it only ever follows "San"; KN backs off to CONTINUATION
+    * counts — in how many contexts does w start — which is what a
+    * curation-grade fluency score needs): interpolated
+    * P(w|v) = max(c(vw)−d, 0)/c(v) + d·N₁₊(v·)/c(v) · N₁₊(·w)/N₁₊(··),
+    * trained on the md5 80% split, scored on held-out bigrams; unseen
+    * context v backs off to the continuation term alone; test bigrams
+    * whose w has NO training continuation mass are counted as n_oov,
+    * not scored (documented filter — KN assigns them zero).
+    *
+    * Scale shape: one bigram-explode pass → checkpointed (source,
+    * split, v, w) counts; model frames (c(vw), c(v)+N₁₊(v·), N₁₊(·w),
+    * N₁₊(··)) are rollups OF that frame; scoring is three equi-joins on
+    * the bigram-type frame, never the corpus. Each −ln P quantizes to
+    * integer micro-units per bigram TYPE (multiplied by its exact test
+    * count), so the per-source sum is long arithmetic — bit-identical
+    * on any partitioning. */
+  def knCrossEntropy(documents: DataFrame, d: Double = 0.75): DataFrame = {
+    val t = tokens(col("text"))
+    val base = Scale.fanOut(documents.select("doc_id", "source", "text"),
+        Seq("doc_id"))
+      .withColumn("is_train",
+        substring(md5(concat(lit("kn"), col("doc_id").cast("string"))),
+          1, 2) < "cd")
+      .select(col("source"), col("is_train"),
+        explode(when(size(t) < 2,
+          array().cast("array<struct<w1:string,w2:string>>"))
+          .otherwise(transform(sequence(lit(0), size(t) - 2),
+            i => struct(element_at(t, i + 1).as("w1"),
+              element_at(t, i + 2).as("w2"))))).as("b"))
+      .select(col("source"), col("is_train"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("source", "is_train", "w1", "w2")
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val cb = base.filter(col("is_train"))
+      .groupBy("w1", "w2").agg(sum("tf").as("c2"))
+      .localCheckpoint(true)
+    val cv = cb.groupBy("w1")
+      .agg(sum("c2").as("cv"), count(lit(1)).as("nv"))
+    val nw = cb.groupBy("w2").agg(count(lit(1)).as("nw"))
+    val nb = cb.agg(count(lit(1)).as("nb"))
+    val test = base.filter(!col("is_train"))
+      .groupBy("source", "w1", "w2").agg(sum("tf").as("cnt"))
+    val pcont = col("nw") / col("nb")
+    val p = when(col("cv").isNull, pcont)
+      .otherwise(
+        greatest(coalesce(col("c2"), lit(0L)) - lit(d), lit(0.0)) /
+          col("cv") +
+          lit(d) * col("nv") / col("cv") * pcont)
+    test
+      .join(nw, Seq("w2"), "left")
+      .join(cv, Seq("w1"), "left")
+      .join(cb, Seq("w1", "w2"), "left")
+      .crossJoin(broadcast(nb))
+      .withColumn("known", col("nw").isNotNull)
+      .withColumn("t",
+        when(col("known"), round(-log(p) * 1e6).cast("long"))
+          .otherwise(0L))
+      .groupBy("source")
+      .agg(
+        sum(when(col("known"), col("cnt")).otherwise(0L)).as("n_bigrams"),
+        sum(when(!col("known"), col("cnt")).otherwise(0L)).as("n_oov"),
+        round(sum(col("cnt") * col("t")) / 1e6 /
+          sum(when(col("known"), col("cnt")).otherwise(0L)), 6).as("ce"))
+  }
+
   /** Per-doc PERPLEXITY with CCNet-style head/middle/tail banding —
     * the operational form of LM-based curation (Wenzek et al., CCNet;
     * ref work/transformer.py filters on heuristics only): ppl =

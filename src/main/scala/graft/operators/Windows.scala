@@ -632,6 +632,40 @@ object Windows {
           .as("returning_users"))
   }
 
+  /** MERGE-OVERLAPPING-INTERVALS per user (the classic islands
+    * problem, w21's per-user complement — w21 asks "how many sessions
+    * overlap right now GLOBALLY", this asks "how much wall-clock did
+    * EACH user actually cover"): every event opens a [ts, ts+window)
+    * interval; touching/overlapping intervals fuse into blocks, and
+    * the per-user answer is block count + covered seconds — the
+    * dwell-time metric naive sum-of-durations double-counts.
+    *
+    * Pure integer arithmetic on epoch seconds (no rounding anywhere):
+    * a block starts where start > running max of previous ends (ROWS
+    * window per user), block id = running sum of those starts, cover =
+    * max(end) − min(start) per block. Windows partition on user_id —
+    * nothing global, the classic scale shape. */
+  def intervalMerge(events: DataFrame, windowSec: Long = 1800L)
+      : DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy("start", "event_id")
+    val prev = byUser.rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col("user_id"), col("event_id"),
+        unix_seconds(col("ts")).as("start"),
+        (unix_seconds(col("ts")) + windowSec).as("end"))
+      .withColumn("new_block",
+        when(col("start") > coalesce(max("end").over(prev),
+          lit(Long.MinValue)), 1L).otherwise(0L))
+      .withColumn("block", sum("new_block").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "block")
+      .agg(min("start").as("s"), max("end").as("e"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(col("e") - col("s")).as("covered_seconds"))
+  }
+
   /** COHORT-LTV triangle — the revenue companion to [[retention]]'s
     * activity counts: users cohort by the week of their FIRST purchase,
     * and each (cohort, weeks_since) cell reports the cohort's active

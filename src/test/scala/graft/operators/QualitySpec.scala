@@ -568,6 +568,35 @@ class QualitySpec extends SparkSpec {
     assert(out("k,v->w") == ((4L, 0L, true)))
   }
 
+  test("knCrossEntropy: hand KN probability on a planted split; oov counted not scored") {
+    // replicate the operator's md5 split to PLANT one train and one
+    // test doc deterministically
+    def isTrain(id: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"kn$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      hex.substring(0, 2) < "cd"
+    }
+    val trainId = (1L to 200L).find(isTrain).get
+    val testId = (1L to 200L).find(!isTrain(_)).get
+    val docs = Seq(
+      (trainId, "s0", "x y x y x"),  // train: c(xy)=2, c(yx)=2
+      (testId, "s0", "x y x z"))     // test: xy, yx seen; zw unseen → oov
+      .toDF("doc_id", "source", "text")
+    val r = TextAnalysis.knCrossEntropy(docs).collect().head
+    assert(r.getAs[Long]("n_bigrams") == 2L && r.getAs[Long]("n_oov") == 1L)
+    // P(y|x) = P(x|y) = (2−.75)/2 + .75·(1/2)·(1/2) = 0.8125 →
+    // ce = round(-ln(0.8125)·1e6)/1e6 for both scored bigrams
+    val t = math.rint(-math.log(0.8125) * 1e6)
+    val ce = BigDecimal(2 * t / 1e6 / 2).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("ce") == ce, s"${r.getAs[Double]("ce")} vs $ce")
+    // real corpus: one row per source, all finite positive CE
+    val real = TextAnalysis.knCrossEntropy(
+      graft.Tables.documents(spark, sf)).collect()
+    assert(real.nonEmpty && real.forall(_.getAs[Double]("ce") > 0))
+  }
+
   test("gopherRules: each rule gate trips independently; clean doc keeps") {
     val mk50 = (1 to 50).map(_ => "word").mkString(" ")
     val docs = Seq(

@@ -794,6 +794,24 @@ class WindowsLambdaSpec extends SparkSpec {
       "alternating series must look anti-persistent")
   }
 
+  test("intervalMerge: overlaps fuse, touching fuses, gaps split; cover is exact") {
+    import spark.implicits._
+    def ev(rows: (Long, Long, Long)*) = rows.toSeq
+      .toDF("user_id", "event_id", "s")
+      .select(col("user_id"), col("event_id"),
+        timestamp_seconds(col("s")).as("ts"))
+    // user 1: [0,1800)∪[1000,2800) fuse; [5000,6800) is its own block
+    // user 2: [0,1800) and [1800,3600) TOUCH → one block of 3600
+    val out = Windows.intervalMerge(ev(
+      (1L, 1L, 0L), (1L, 2L, 1000L), (1L, 3L, 5000L),
+      (2L, 4L, 0L), (2L, 5L, 1800L))).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_blocks"), r.getAs[Long]("covered_seconds")))
+      .toMap
+    assert(out(1L) == ((2L, 4600L)), s"${out(1L)}")
+    assert(out(2L) == ((1L, 3600L)), s"${out(2L)}")
+  }
+
   test("cohortLtv: hand-computed two-cohort triangle, LTV accumulates") {
     import spark.implicits._
     // week starts (Mondays): 1970-01-05, -12, -19
