@@ -1409,6 +1409,8 @@ object SparkEntry {
       Graph.eigenvectorCentrality(coPurchaseEdges(s, d))),
     "gr_betweenness" -> ((s, d) =>
       Graph.betweennessSampled(coPurchaseEdges(s, d))),
+    "gr_squares" -> ((s, d) =>
+      Graph.bipartiteSquares(coPurchaseEdges(s, d))),
     "gr_lpa" -> ((s, d) => Graph.labelPropagation(coPurchaseEdges(s, d))),
     "gr_modularity" -> ((s, d) => {
       val e = coPurchaseEdges(s, d)
@@ -1610,6 +1612,9 @@ object SparkEntry {
         col("vec_id"))
     }),
     "st_ccc" -> ((s, d) => Stats.linCcc(Tables.events(s, d))),
+    "st_deming" -> ((s, d) => Stats.demingRegression(Tables.events(s, d))),
+    "st_poisson_2rate" -> ((s, d) =>
+      Stats.poissonTwoRate(Tables.events(s, d))),
     "st_mahalanobis" -> ((s, d) =>
       Stats.mahalanobisOutliers(Tables.events(s, d))),
     "st_bland_altman" -> ((s, d) =>
@@ -1764,6 +1769,84 @@ object SparkEntry {
              ELSE round(eps * 1000000.0, 0) / 1000000.0
            END AS innovation
          FROM rec""",
+    "st_deming" ->
+      """WITH hourly AS (SELECT
+             epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
+             round(avg(CASE WHEN event_type = 'click' THEN value END), 6)
+               AS x,
+             round(avg(CASE WHEN event_type = 'view' THEN value END), 6)
+               AS y
+           FROM events WHERE event_type IN ('click', 'view')
+           GROUP BY 1
+           HAVING x IS NOT NULL AND y IS NOT NULL),
+         q AS (SELECT CAST(round(x * 1e6) AS BIGINT) AS x6,
+             CAST(round(y * 1e6) AS BIGINT) AS y6
+           FROM hourly),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(x6 AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(sum(CAST(y6 AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(sum(CAST(x6 AS HUGEINT) * CAST(x6 AS HUGEINT))
+               AS HUGEINT) AS sxx,
+             CAST(sum(CAST(y6 AS HUGEINT) * CAST(y6 AS HUGEINT))
+               AS HUGEINT) AS syy,
+             CAST(sum(CAST(x6 AS HUGEINT) * CAST(y6 AS HUGEINT))
+               AS HUGEINT) AS sxy
+           FROM q),
+         c AS (SELECT n,
+             CAST(sx AS DOUBLE) / n AS mx, CAST(sy AS DOUBLE) / n AS my,
+             CAST(sxx AS DOUBLE) / n
+               - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)
+               AS cxx,
+             CAST(syy AS DOUBLE) / n
+               - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)
+               AS cyy,
+             CAST(sxy AS DOUBLE) / n
+               - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)
+               AS cxy
+           FROM m)
+         SELECT n AS n_hours,
+           round((cyy - cxx + sqrt((cyy - cxx) * (cyy - cxx)
+               + 4.0 * cxy * cxy)) / nullif(2.0 * cxy, 0), 6) AS slope,
+           round((my - (cyy - cxx + sqrt((cyy - cxx) * (cyy - cxx)
+               + 4.0 * cxy * cxy)) / nullif(2.0 * cxy, 0) * mx) / 1e6,
+             6) AS intercept
+         FROM c""",
+    "st_poisson_2rate" ->
+      """WITH c AS (SELECT
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_b
+           FROM events)
+         SELECT n_a, n_b,
+           round(n_a / nullif(CAST(n_b AS DOUBLE), 0), 6) AS rate_ratio,
+           round((n_a - n_b) /
+             nullif(sqrt(CAST(n_a + n_b AS DOUBLE)), 0), 4) AS z
+         FROM c""",
+    "gr_squares" ->
+      """WITH p AS MATERIALIZED (SELECT DISTINCT o_custkey AS a,
+             l_suppkey + 1000000000 AS b
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         degA AS (SELECT a, CAST(count(*) AS BIGINT) AS da
+           FROM p GROUP BY 1),
+         degB AS (SELECT b, CAST(count(*) AS BIGINT) AS db
+           FROM p GROUP BY 1),
+         pairs AS (SELECT e1.a AS x, e2.a AS y,
+             CAST(count(*) AS BIGINT) AS cn
+           FROM p e1 JOIN p e2 ON e1.b = e2.b AND e1.a < e2.a
+           GROUP BY 1, 2),
+         sq AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(coalesce(sum(cn * (cn - 1) // 2), 0) AS BIGINT)
+               AS n_squares
+           FROM pairs),
+         l3 AS (SELECT
+             CAST(sum((da - 1) * (db - 1)) AS BIGINT) AS l3,
+             CAST(count(*) AS BIGINT) AS n_edges
+           FROM p JOIN degA USING (a) JOIN degB USING (b))
+         SELECT n_edges, n_pairs, n_squares, l3,
+           round(4.0 * n_squares / nullif(CAST(l3 AS DOUBLE), 0), 6)
+             AS c4
+         FROM sq CROSS JOIN l3""",
     "st_cvm" ->
       """WITH pts AS (SELECT value AS v,
              CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)

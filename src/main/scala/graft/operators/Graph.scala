@@ -885,6 +885,49 @@ object Graph {
           .as("bridge_share"))
   }
 
+  /** BIPARTITE 4-CYCLE census + Robins–Alexander clustering — the
+    * right cohesion metric for two-mode graphs where [[triangleStats]]
+    * is structurally zero (customer↔supplier edges admit no odd
+    * cycles): squares = Σ over same-side pairs C(cn, 2) (each 4-cycle
+    * is one customer pair with 2+ common suppliers), and C₄ =
+    * 4·squares / L₃ with L₃ = Σ_edges (deg(u)−1)(deg(v)−1) the
+    * 3-path count — "of all paths that COULD close into a square, how
+    * many do".
+    *
+    * Scale shape: candidate same-side pairs come from the wedge join
+    * keyed on the shared supplier (only pairs with ≥1 common neighbor
+    * materialize — never all-pairs; the hub-degree² caveat and its
+    * cap/sample mitigation are [[jaccardLinks]]'s, documented there);
+    * the common-count is a partial agg on the pair key; L₃ is one
+    * degree join over the edge frame. All counts exact longs. */
+  def bipartiteSquares(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    val degA = und.groupBy("a").agg(count(lit(1)).as("da"))
+    val degB = und.groupBy("b").agg(count(lit(1)).as("db"))
+    // same-side (a-side) pairs through a shared b-side neighbor
+    val pairs = und.alias("e1")
+      .join(und.alias("e2"),
+        col("e1.b") === col("e2.b") && col("e1.a") < col("e2.a"))
+      .select(col("e1.a").as("x"), col("e2.a").as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("cn"))
+    val sq = pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      coalesce(sum(expr("cn * (cn - 1) DIV 2")), lit(0L))
+        .as("n_squares"))
+    val l3 = und.join(degA, Seq("a")).join(degB, Seq("b"))
+      .agg(sum((col("da") - 1) * (col("db") - 1)).as("l3"),
+        count(lit(1)).as("n_edges"))
+    sq.crossJoin(broadcast(l3))
+      .select(col("n_edges"), col("n_pairs"), col("n_squares"),
+        col("l3"),
+        round(lit(4.0) * col("n_squares") /
+          nullif(col("l3").cast("double"), lit(0.0)), 6).as("c4"))
+  }
+
   /** SAMPLED bounded-radius BETWEENNESS (Brandes) — "which nodes do
     * shortest paths FLOW THROUGH", the brokerage metric degree/
     * closeness can't see (a low-degree node bridging two clusters is

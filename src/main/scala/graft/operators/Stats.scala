@@ -2517,6 +2517,63 @@ object Stats {
           .otherwise(round(lit(1.0) / col("first_rel_rank"), 6))
           .as("rr"))
 
+  /** DEMING regression on the paired hourly series — the
+    * errors-in-BOTH-variables line that completes the method-comparison
+    * family ([[linCcc]] scores agreement, [[blandAltman]] bounds bias,
+    * this fits the calibration line when NEITHER instrument is the
+    * gold standard — plain OLS attenuates the slope toward 0 whenever
+    * x carries noise): with equal error variances (λ=1),
+    * β = (s_yy − s_xx + √((s_yy−s_xx)² + 4·s_xy²)) / (2·s_xy).
+    *
+    * Exactness: the aligned hourly pairs are pre-rounded, scale to
+    * exact 1e6 integers, and the moment sums run in decimal(38,0)
+    * (squares of 1e9-scale values overflow longs) — every double both
+    * engines walk derives from the same exact integers. One pass over
+    * the hour-bounded frame, 1-row closed form. */
+  def demingRegression(events: DataFrame, typeA: String = "click",
+                       typeB: String = "view"): DataFrame = {
+    val dec = "decimal(38,0)"
+    val h = alignedHourly(events, typeA, typeB)
+      .select(round(col("x") * 1e6).cast("long").as("x6"),
+        round(col("y") * 1e6).cast("long").as("y6"))
+    val m = h.agg(count(lit(1)).as("n"),
+      sum(col("x6").cast(dec)).as("sx"),
+      sum(col("y6").cast(dec)).as("sy"),
+      sum((col("x6") * col("x6")).cast(dec)).as("sxx"),
+      sum((col("y6") * col("y6")).cast(dec)).as("syy"),
+      sum((col("x6") * col("y6")).cast(dec)).as("sxy"))
+    val n = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val mx = d("sx") / n
+    val my = d("sy") / n
+    val cxx = d("sxx") / n - mx * mx
+    val cyy = d("syy") / n - my * my
+    val cxy = d("sxy") / n - mx * my
+    val beta = (cyy - cxx + sqrt((cyy - cxx) * (cyy - cxx) +
+      lit(4.0) * cxy * cxy)) / nullif(lit(2.0) * cxy, lit(0.0))
+    m.select(col("n").as("n_hours"),
+      round(beta, 6).as("slope"),
+      round((my - beta * mx) / lit(1e6), 6).as("intercept"))
+  }
+
+  /** TWO-RATE POISSON test between two event streams over the same
+    * observation window ("did errors arrive FASTER than signups") —
+    * the count-data A/B primitive next to [[propTest]]'s proportion
+    * one: conditional on the total, n₁ ~ Binomial(n, ½) under equal
+    * rates, giving the exact-integer z = (n₁−n₂)/√(n₁+n₂). ONE
+    * conditional-count pass; everything derives from two exact longs. */
+  def poissonTwoRate(events: DataFrame, typeA: String = "error",
+                     typeB: String = "signup"): DataFrame =
+    events.agg(
+      sum(when(col("event_type") === typeA, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("event_type") === typeB, 1L).otherwise(0L)).as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        round(col("n_a") / nullif(col("n_b").cast("double"), lit(0.0)),
+          6).as("rate_ratio"),
+        round((col("n_a") - col("n_b")) /
+          nullif(sqrt((col("n_a") + col("n_b")).cast("double")),
+            lit(0.0)), 4).as("z"))
+
   /** TUKEY HSD pairwise ladder after [[anovaF]] — the post-hoc answer
     * to "WHICH segment pairs actually differ" once the omnibus F says
     * something does; running all k(k−1)/2 z-tests instead inflates

@@ -384,6 +384,27 @@ class GraphSpec extends SparkSpec {
     assert(path(2L) == 1.0 && path(1L) == path(3L) && path(1L) == 0.5)
   }
 
+  test("bipartiteSquares: complete K2,3 scores C4=1; missing edge lowers it") {
+    // K2,3: customers 1,2 × suppliers 11,12,13 — the pair (1,2) shares
+    // 3 suppliers → C(3,2)=3 squares; L3 = 6 edges · (2-1)(3-1)... each
+    // edge contributes (dc-1)(ds-1) = 2·1 = 2 → 12; C4 = 4·3/12 = 1
+    val k23 = undirected((1L, 11L), (1L, 12L), (1L, 13L),
+      (2L, 11L), (2L, 12L), (2L, 13L))
+    val full = Graph.bipartiteSquares(k23).collect().head
+    assert(full.getAs[Long]("n_squares") == 3L &&
+      full.getAs[Long]("l3") == 12L &&
+      full.getAs[Double]("c4") == 1.0)
+    // drop one edge: squares fall to C(2,2)=1 and C4 < 1
+    val chipped = Graph.bipartiteSquares(undirected((1L, 11L), (1L, 12L),
+      (1L, 13L), (2L, 11L), (2L, 12L))).collect().head
+    assert(chipped.getAs[Long]("n_squares") == 1L &&
+      chipped.getAs[Double]("c4") < 1.0)
+    // a star has no same-side pair at all: zero squares, null-safe
+    val star = Graph.bipartiteSquares(
+      undirected((1L, 11L), (1L, 12L), (1L, 13L))).collect().head
+    assert(star.getAs[Long]("n_squares") == 0L)
+  }
+
   test("betweennessSampled: hand-computed Brandes on path and star") {
     // path 1-2-3, all 3 nodes are sources: only the middle carries
     // flow — δ from each end source is 1, so b(2) = 2 (ordered-pair

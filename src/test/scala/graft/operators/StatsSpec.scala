@@ -1263,6 +1263,34 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("demingRegression: exact line recovered slope and intercept") {
+    // hourly pairs on y = 2x + 3 exactly: Deming recovers the line
+    // (OLS would too here — the point is the closed form lands exact)
+    val ev = (1 to 24).flatMap { h =>
+      Seq((1L, h * 3600L, "click", h.toDouble),
+        (2L, h * 3600L, "view", 2.0 * h + 3))
+    }.toDF("user_id", "s", "event_type", "value")
+      .select(col("user_id"), timestamp_seconds(col("s")).as("ts"),
+        col("event_type"), col("value"))
+    val r = Stats.demingRegression(ev).collect().head
+    assert(r.getAs[Long]("n_hours") == 24L)
+    assert(r.getAs[Double]("slope") == 2.0 &&
+      r.getAs[Double]("intercept") == 3.0, s"$r")
+    // swapped axes: the calibration line inverts
+    val inv = Stats.demingRegression(ev, "view", "click").collect().head
+    assert(inv.getAs[Double]("slope") == 0.5 &&
+      inv.getAs[Double]("intercept") == -1.5, s"$inv")
+  }
+
+  test("poissonTwoRate: hand z on planted counts") {
+    val ev = (Seq.fill(30)("error") ++ Seq.fill(20)("signup") ++
+      Seq.fill(7)("click")).toDF("event_type")
+    val r = Stats.poissonTwoRate(ev).collect().head
+    assert(r.getAs[Long]("n_a") == 30L && r.getAs[Long]("n_b") == 20L)
+    assert(r.getAs[Double]("rate_ratio") == 1.5)
+    assert(r.getAs[Double]("z") == 1.4142) // 10/√50
+  }
+
   test("gTest: diagonal table hits 2N·ln2 exactly; independence scores 0") {
     // perfect association, 2×2 diagonal of 10s: each cell O=10, E=5 →
     // G = 2·20·ln2, micro-quantized → 27.7259
