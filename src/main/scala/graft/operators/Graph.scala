@@ -974,8 +974,9 @@ object Graph {
       frontierSize = next.count()
       if (frontierSize > 0) {
         levels += next
+        // no re-checkpoint: settled is a union of already-checkpointed
+        // level frames — the next anti-join reads k small cached RDDs
         settled = settled.unionByName(next.select("s", "node"))
-          .localCheckpoint(true)
       }
     }
     // backward: δ in exact nano-units, deepest level seeds at 0
