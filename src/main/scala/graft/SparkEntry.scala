@@ -440,6 +440,8 @@ object SparkEntry {
         omega = 1.0, alpha = 0.1, beta = 0.8)),
     "ts_binseg" -> ((s, d) =>
       Resample.binarySegmentation(Tables.events(s, d))),
+    "ts_bollinger" -> ((s, d) =>
+      Resample.bollingerBands(Tables.events(s, d))),
     "ts_holt" -> ((s, d) => Resample.holt(Tables.events(s, d), 0.3, 0.1)),
     "ts_backtest" -> ((s, d) =>
       Resample.backtestBaselines(Tables.events(s, d))),
@@ -1615,6 +1617,11 @@ object SparkEntry {
     "st_deming" -> ((s, d) => Stats.demingRegression(Tables.events(s, d))),
     "st_poisson_2rate" -> ((s, d) =>
       Stats.poissonTwoRate(Tables.events(s, d))),
+    "st_wilson_ci" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      Stats.wilsonCi(Tables.events(s, d), "event_type",
+        col("value") > 95.0)
+    }),
     "st_mahalanobis" -> ((s, d) =>
       Stats.mahalanobisOutliers(Tables.events(s, d))),
     "st_bland_altman" -> ((s, d) =>
@@ -1769,6 +1776,51 @@ object SparkEntry {
              ELSE round(eps * 1000000.0, 0) / 1000000.0
            END AS innovation
          FROM rec""",
+    "st_wilson_ci" ->
+      """WITH g AS (SELECT event_type AS grp,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN value > 95.0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS k
+           FROM events GROUP BY 1),
+         c AS (SELECT grp, n, k,
+             k / CAST(n AS DOUBLE) AS p,
+             1.0 + (1.96 * 1.96) / n AS denom,
+             (k / CAST(n AS DOUBLE) + (1.96 * 1.96) / (2.0 * n))
+               / (1.0 + (1.96 * 1.96) / n) AS center,
+             1.96 * sqrt(k / CAST(n AS DOUBLE)
+                 * (1.0 - k / CAST(n AS DOUBLE)) / n
+               + (1.96 * 1.96) / (4.0 * n * n)) / (1.0 + (1.96 * 1.96) / n) AS half
+           FROM g)
+         SELECT grp, n, k, round(p, 6) AS p_hat,
+           round(center - half, 6) AS ci_lo,
+           round(center + half, 6) AS ci_hi
+         FROM c""",
+    "ts_bollinger" ->
+      """WITH h AS (SELECT event_type,
+             epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
+             CAST(round(avg(value) * 1e6) AS BIGINT) AS v6
+           FROM events GROUP BY 1, 2),
+         w AS (SELECT event_type, hr, v6,
+             CAST(count(*) OVER win AS BIGINT) AS wn,
+             CAST(sum(v6) OVER win AS BIGINT) AS s1,
+             CAST(sum(v6 * v6) OVER win AS BIGINT) AS s2
+           FROM h WINDOW win AS (PARTITION BY event_type ORDER BY hr
+             ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+         f AS (SELECT event_type, hr, v6, s1, s2,
+             CAST(s1 AS DOUBLE) / 24.0 / 1e6 AS mean_w,
+             sqrt((CAST(s2 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / 24.0)
+               / 24.0) / 1e6 AS sigma
+           FROM w WHERE wn = 24)
+         SELECT event_type, hr, round(CAST(v6 AS DOUBLE) / 1e6, 6)
+             AS value,
+           round(mean_w, 6) AS mean_w,
+           round(mean_w - 2.0 * sigma, 6) AS lower,
+           round(mean_w + 2.0 * sigma, 6) AS upper,
+           CAST(v6 AS DOUBLE) / 1e6 > mean_w + 2.0 * sigma
+             OR CAST(v6 AS DOUBLE) / 1e6 < mean_w - 2.0 * sigma
+             AS breach
+         FROM f""",
     "st_deming" ->
       """WITH hourly AS (SELECT
              epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,

@@ -395,6 +395,47 @@ object Resample {
         round(col("b.s"), 4).as("cusum"), col("n_hours"))
   }
 
+  /** BOLLINGER BANDS over the hourly series — the rolling-volatility
+    * envelope next to [[cusumChangepoint]]'s level view: 24-hour
+    * rolling mean ± 2σ with a breach flag per hour ("is THIS hour
+    * abnormal relative to its own recent regime", the adaptive
+    * threshold a fixed alert level can't give). Full windows only.
+    *
+    * Exactness: hourly means quantize to integer micro-units; the
+    * rolling Σv and Σv² are exact longs over a 24-ROW frame (ordered,
+    * not permutation-prone), the variance subtraction runs on doubles
+    * derived from those exact longs, and the breach comparison uses
+    * the UNROUNDED bands so both engines flag identically. One
+    * partial-agg pass to the time-bounded hourly frame; windows
+    * partition per series. */
+  def bollingerBands(events: DataFrame, windowHours: Int = 24,
+                     k: Double = 2.0): DataFrame = {
+    val byType = Window.partitionBy("event_type").orderBy("hr")
+      .rowsBetween(-(windowHours - 1), Window.currentRow)
+    val h = events
+      .groupBy(col("event_type"),
+        expr("unix_seconds(date_trunc('hour', ts)) div 3600").as("hr"))
+      .agg(round(avg("value") * 1e6).cast("long").as("v6"))
+      .withColumn("wn", count(lit(1)).over(byType))
+      .withColumn("s1", sum("v6").over(byType))
+      .withColumn("s2", sum(col("v6") * col("v6")).over(byType))
+      .filter(col("wn") === windowHours)
+    val n = lit(windowHours.toDouble)
+    val mean = col("s1").cast("double") / n / lit(1e6)
+    val varU = (col("s2").cast("double") -
+      col("s1").cast("double") * col("s1").cast("double") / n) / n
+    val sigma = sqrt(varU) / lit(1e6)
+    val upper = mean + lit(k) * sigma
+    val lower = mean - lit(k) * sigma
+    val v = col("v6").cast("double") / lit(1e6)
+    h.select(col("event_type"), col("hr"),
+      round(v, 6).as("value"),
+      round(mean, 6).as("mean_w"),
+      round(lower, 6).as("lower"),
+      round(upper, 6).as("upper"),
+      (v > upper || v < lower).as("breach"))
+  }
+
   /** TWO-LEVEL BINARY SEGMENTATION over the hourly series — the
     * multi-changepoint upgrade of [[cusumChangepoint]]'s single split:
     * find the best mean-shift split of the whole series, then the best

@@ -2556,6 +2556,31 @@ object Stats {
       round((my - beta * mx) / lit(1e6), 6).as("intercept"))
   }
 
+  /** WILSON score interval per group — the proportion CI that stays
+    * inside [0,1] and behaves at extreme rates where the Wald interval
+    * ([[propTest]]'s ±z√(p(1−p)/n)) collapses to zero width at p=0/1:
+    * center (p̂ + z²/2n)/(1+z²/n), half-width z√(p̂(1−p̂)/n + z²/4n²)/
+    * (1+z²/n). The reporting surface for per-segment conversion rates
+    * with honest uncertainty. One conditional-count pass to the k-row
+    * group frame; all doubles derive from two exact longs per group. */
+  def wilsonCi(df: DataFrame, groupCol: String, success: Column,
+               z: Double = 1.96): DataFrame = {
+    val g = df.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(success, 1L).otherwise(0L)).as("k"))
+    val n = col("n").cast("double")
+    val p = col("k") / n
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / n
+    val center = (p + z2 / (lit(2.0) * n)) / denom
+    val half = lit(z) * sqrt(p * (lit(1.0) - p) / n +
+      z2 / (lit(4.0) * n * n)) / denom
+    g.select(col("grp"), col("n"), col("k"),
+      round(p, 6).as("p_hat"),
+      round(center - half, 6).as("ci_lo"),
+      round(center + half, 6).as("ci_hi"))
+  }
+
   /** TWO-RATE POISSON test between two event streams over the same
     * observation window ("did errors arrive FASTER than signups") —
     * the count-data A/B primitive next to [[propTest]]'s proportion

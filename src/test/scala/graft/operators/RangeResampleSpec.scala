@@ -81,6 +81,27 @@ class RangeResampleSpec extends SparkSpec {
     assert(out.count(_.getLong(0) == 2L) == 1)
   }
 
+  test("bollingerBands: flat series never breaches; a spike breaches its own hour") {
+    import spark.implicits._
+    def ev(vs: Seq[Double]) = vs.zipWithIndex.map { case (v, h) =>
+      (1L, h * 3600L, "click", v)
+    }.toDF("user_id", "s", "event_type", "value")
+      .select(col("user_id"), timestamp_seconds(col("s")).as("ts"),
+        col("event_type"), col("value"))
+    val flat = Resample.bollingerBands(ev(Seq.fill(40)(10.0))).collect()
+    // full windows only: 40 hours → 17 rows; σ=0 → bands pin to mean
+    assert(flat.length == 17)
+    assert(flat.forall(r => !r.getAs[Boolean]("breach") &&
+      r.getAs[Double]("lower") == 10.0 &&
+      r.getAs[Double]("upper") == 10.0))
+    // 30 flat hours then one 100-spike: only the spike hour breaches
+    val spiked = Resample.bollingerBands(
+      ev(Seq.fill(30)(10.0) ++ Seq(100.0))).collect()
+      .map(r => r.getAs[Long]("hr") -> r.getAs[Boolean]("breach")).toMap
+    assert(spiked(30L), "the spike hour must breach its own window")
+    assert(spiked.filterKeys(_ < 30L).values.forall(!_))
+  }
+
   test("garchVariance: calm series decays h to the 1/(1-a-b) fixed point; shocks spike it") {
     import spark.implicits._
     def series(vs: Seq[Double]) = vs.zipWithIndex

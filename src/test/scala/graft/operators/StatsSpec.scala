@@ -1263,6 +1263,28 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("wilsonCi: zero-success group still gets positive width; p=.5 symmetric") {
+    val df = (Seq.fill(10)(("a", 0)) ++
+      Seq.fill(10)(("b", 1)) ++ Seq.fill(10)(("b", 0))).toDF("g", "s")
+    val out = Stats.wilsonCi(df, "g", col("s") === 1).collect()
+      .map(r => r.getAs[String]("grp") -> r).toMap
+    // k=0: Wald gives [0,0]; Wilson's upper stays strictly positive
+    val a = out("a")
+    assert(a.getAs[Double]("p_hat") == 0.0 &&
+      a.getAs[Double]("ci_lo") == 0.0 &&
+      a.getAs[Double]("ci_hi") > 0.2, s"$a")
+    // hand value: hi = 2·z²/2n/(1+z²/n) + z·√(z²/4n²)/(1+z²/n)
+    val z2 = 1.96 * 1.96
+    val hi = BigDecimal((z2 / 20 / (1 + z2 / 10)) +
+      1.96 * math.sqrt(z2 / 400) / (1 + z2 / 10))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(a.getAs[Double]("ci_hi") == hi)
+    // p = .5: interval symmetric around the (shrunk-to-.5) center
+    val b = out("b")
+    assert(math.abs((0.5 - b.getAs[Double]("ci_lo")) -
+      (b.getAs[Double]("ci_hi") - 0.5)) < 1e-6)
+  }
+
   test("demingRegression: exact line recovered slope and intercept") {
     // hourly pairs on y = 2x + 3 exactly: Deming recovers the line
     // (OLS would too here — the point is the closed form lands exact)
