@@ -5198,6 +5198,212 @@ object SparkEntry {
                / 1000000.0
              ELSE round(f * 1000000.0, 0) / 1000000.0 END AS forecast_1
          FROM o""",
+    "ts_pacf" ->
+      """WITH hourly AS (
+           SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
+             round(avg(value), 6) AS v
+           FROM events WHERE event_type = 'click'
+           GROUP BY 1),
+         l AS (SELECT unnest(range(0, 13)) AS lag),
+         acf AS (SELECT lag, round(corr(a.v, b.v), 6) AS xcorr
+           FROM l CROSS JOIN hourly a JOIN hourly b ON b.hr = a.hr + lag
+           GROUP BY lag),
+         rv AS (SELECT
+             max(CASE WHEN lag = 0 THEN xcorr END) AS r0,
+             max(CASE WHEN lag = 1 THEN xcorr END) AS r1,
+             max(CASE WHEN lag = 2 THEN xcorr END) AS r2,
+             max(CASE WHEN lag = 3 THEN xcorr END) AS r3,
+             max(CASE WHEN lag = 4 THEN xcorr END) AS r4,
+             max(CASE WHEN lag = 5 THEN xcorr END) AS r5,
+             max(CASE WHEN lag = 6 THEN xcorr END) AS r6,
+             max(CASE WHEN lag = 7 THEN xcorr END) AS r7,
+             max(CASE WHEN lag = 8 THEN xcorr END) AS r8,
+             max(CASE WHEN lag = 9 THEN xcorr END) AS r9,
+             max(CASE WHEN lag = 10 THEN xcorr END) AS r10,
+             max(CASE WHEN lag = 11 THEN xcorr END) AS r11,
+             max(CASE WHEN lag = 12 THEN xcorr END) AS r12
+           FROM acf WHERE xcorr IS NOT NULL),
+         d1 AS (SELECT r1 / 1.0 AS p1 FROM rv),
+         e1 AS (SELECT p1 FROM d1),
+         d2 AS (SELECT
+             CASE WHEN 1.0 - (p1 * r1) = 0 THEN 0.0
+               ELSE (r2 - (p1 * r1)) / (1.0 - (p1 * r1))
+               END AS pkk,
+             p1
+           FROM e1 CROSS JOIN rv),
+         e2 AS (SELECT p1 - pkk * p1 AS p1,
+             pkk AS p2 FROM d2),
+         d3 AS (SELECT
+             CASE WHEN 1.0 - (p1 * r1 + p2 * r2) = 0 THEN 0.0
+               ELSE (r3 - (p1 * r2 + p2 * r1)) / (1.0 - (p1 * r1 + p2 * r2))
+               END AS pkk,
+             p1, p2
+           FROM e2 CROSS JOIN rv),
+         e3 AS (SELECT p1 - pkk * p2 AS p1,
+             p2 - pkk * p1 AS p2,
+             pkk AS p3 FROM d3),
+         d4 AS (SELECT
+             CASE WHEN 1.0 - (p1 * r1 + p2 * r2 + p3 * r3) = 0 THEN 0.0
+               ELSE (r4 - (p1 * r3 + p2 * r2 + p3 * r1)) / (1.0 - (p1 * r1 + p2 * r2 + p3 * r3))
+               END AS pkk,
+             p1, p2, p3
+           FROM e3 CROSS JOIN rv),
+         e4 AS (SELECT p1 - pkk * p3 AS p1,
+             p2 - pkk * p2 AS p2,
+             p3 - pkk * p1 AS p3,
+             pkk AS p4 FROM d4),
+         d5 AS (SELECT
+             CASE WHEN 1.0 - (p1 * r1 + p2 * r2 + p3 * r3 + p4 * r4) = 0 THEN 0.0
+               ELSE (r5 - (p1 * r4 + p2 * r3 + p3 * r2 + p4 * r1)) / (1.0 - (p1 * r1 + p2 * r2 + p3 * r3 + p4 * r4))
+               END AS pkk,
+             p1, p2, p3, p4
+           FROM e4 CROSS JOIN rv),
+         e5 AS (SELECT p1 - pkk * p4 AS p1,
+             p2 - pkk * p3 AS p2,
+             p3 - pkk * p2 AS p3,
+             p4 - pkk * p1 AS p4,
+             pkk AS p5 FROM d5),
+         d6 AS (SELECT
+             CASE WHEN 1.0 - (p1 * r1 + p2 * r2 + p3 * r3 + p4 * r4 + p5 * r5) = 0 THEN 0.0
+               ELSE (r6 - (p1 * r5 + p2 * r4 + p3 * r3 + p4 * r2 + p5 * r1)) / (1.0 - (p1 * r1 + p2 * r2 + p3 * r3 + p4 * r4 + p5 * r5))
+               END AS pkk,
+             p1, p2, p3, p4, p5
+           FROM e5 CROSS JOIN rv),
+         e6 AS (SELECT p1 - pkk * p5 AS p1,
+             p2 - pkk * p4 AS p2,
+             p3 - pkk * p3 AS p3,
+             p4 - pkk * p2 AS p4,
+             p5 - pkk * p1 AS p5,
+             pkk AS p6 FROM d6),
+         d7 AS (SELECT
+             CASE WHEN 1.0 - (p1 * r1 + p2 * r2 + p3 * r3 + p4 * r4 + p5 * r5 + p6 * r6) = 0 THEN 0.0
+               ELSE (r7 - (p1 * r6 + p2 * r5 + p3 * r4 + p4 * r3 + p5 * r2 + p6 * r1)) / (1.0 - (p1 * r1 + p2 * r2 + p3 * r3 + p4 * r4 + p5 * r5 + p6 * r6))
+               END AS pkk,
+             p1, p2, p3, p4, p5, p6
+           FROM e6 CROSS JOIN rv),
+         e7 AS (SELECT p1 - pkk * p6 AS p1,
+             p2 - pkk * p5 AS p2,
+             p3 - pkk * p4 AS p3,
+             p4 - pkk * p3 AS p4,
+             p5 - pkk * p2 AS p5,
+             p6 - pkk * p1 AS p6,
+             pkk AS p7 FROM d7),
+         d8 AS (SELECT
+             CASE WHEN 1.0 - (p1 * r1 + p2 * r2 + p3 * r3 + p4 * r4 + p5 * r5 + p6 * r6 + p7 * r7) = 0 THEN 0.0
+               ELSE (r8 - (p1 * r7 + p2 * r6 + p3 * r5 + p4 * r4 + p5 * r3 + p6 * r2 + p7 * r1)) / (1.0 - (p1 * r1 + p2 * r2 + p3 * r3 + p4 * r4 + p5 * r5 + p6 * r6 + p7 * r7))
+               END AS pkk,
+             p1, p2, p3, p4, p5, p6, p7
+           FROM e7 CROSS JOIN rv),
+         e8 AS (SELECT p1 - pkk * p7 AS p1,
+             p2 - pkk * p6 AS p2,
+             p3 - pkk * p5 AS p3,
+             p4 - pkk * p4 AS p4,
+             p5 - pkk * p3 AS p5,
+             p6 - pkk * p2 AS p6,
+             p7 - pkk * p1 AS p7,
+             pkk AS p8 FROM d8),
+         d9 AS (SELECT
+             CASE WHEN 1.0 - (p1 * r1 + p2 * r2 + p3 * r3 + p4 * r4 + p5 * r5 + p6 * r6 + p7 * r7 + p8 * r8) = 0 THEN 0.0
+               ELSE (r9 - (p1 * r8 + p2 * r7 + p3 * r6 + p4 * r5 + p5 * r4 + p6 * r3 + p7 * r2 + p8 * r1)) / (1.0 - (p1 * r1 + p2 * r2 + p3 * r3 + p4 * r4 + p5 * r5 + p6 * r6 + p7 * r7 + p8 * r8))
+               END AS pkk,
+             p1, p2, p3, p4, p5, p6, p7, p8
+           FROM e8 CROSS JOIN rv),
+         e9 AS (SELECT p1 - pkk * p8 AS p1,
+             p2 - pkk * p7 AS p2,
+             p3 - pkk * p6 AS p3,
+             p4 - pkk * p5 AS p4,
+             p5 - pkk * p4 AS p5,
+             p6 - pkk * p3 AS p6,
+             p7 - pkk * p2 AS p7,
+             p8 - pkk * p1 AS p8,
+             pkk AS p9 FROM d9),
+         d10 AS (SELECT
+             CASE WHEN 1.0 - (p1 * r1 + p2 * r2 + p3 * r3 + p4 * r4 + p5 * r5 + p6 * r6 + p7 * r7 + p8 * r8 + p9 * r9) = 0 THEN 0.0
+               ELSE (r10 - (p1 * r9 + p2 * r8 + p3 * r7 + p4 * r6 + p5 * r5 + p6 * r4 + p7 * r3 + p8 * r2 + p9 * r1)) / (1.0 - (p1 * r1 + p2 * r2 + p3 * r3 + p4 * r4 + p5 * r5 + p6 * r6 + p7 * r7 + p8 * r8 + p9 * r9))
+               END AS pkk,
+             p1, p2, p3, p4, p5, p6, p7, p8, p9
+           FROM e9 CROSS JOIN rv),
+         e10 AS (SELECT p1 - pkk * p9 AS p1,
+             p2 - pkk * p8 AS p2,
+             p3 - pkk * p7 AS p3,
+             p4 - pkk * p6 AS p4,
+             p5 - pkk * p5 AS p5,
+             p6 - pkk * p4 AS p6,
+             p7 - pkk * p3 AS p7,
+             p8 - pkk * p2 AS p8,
+             p9 - pkk * p1 AS p9,
+             pkk AS p10 FROM d10),
+         d11 AS (SELECT
+             CASE WHEN 1.0 - (p1 * r1 + p2 * r2 + p3 * r3 + p4 * r4 + p5 * r5 + p6 * r6 + p7 * r7 + p8 * r8 + p9 * r9 + p10 * r10) = 0 THEN 0.0
+               ELSE (r11 - (p1 * r10 + p2 * r9 + p3 * r8 + p4 * r7 + p5 * r6 + p6 * r5 + p7 * r4 + p8 * r3 + p9 * r2 + p10 * r1)) / (1.0 - (p1 * r1 + p2 * r2 + p3 * r3 + p4 * r4 + p5 * r5 + p6 * r6 + p7 * r7 + p8 * r8 + p9 * r9 + p10 * r10))
+               END AS pkk,
+             p1, p2, p3, p4, p5, p6, p7, p8, p9, p10
+           FROM e10 CROSS JOIN rv),
+         e11 AS (SELECT p1 - pkk * p10 AS p1,
+             p2 - pkk * p9 AS p2,
+             p3 - pkk * p8 AS p3,
+             p4 - pkk * p7 AS p4,
+             p5 - pkk * p6 AS p5,
+             p6 - pkk * p5 AS p6,
+             p7 - pkk * p4 AS p7,
+             p8 - pkk * p3 AS p8,
+             p9 - pkk * p2 AS p9,
+             p10 - pkk * p1 AS p10,
+             pkk AS p11 FROM d11),
+         d12 AS (SELECT
+             CASE WHEN 1.0 - (p1 * r1 + p2 * r2 + p3 * r3 + p4 * r4 + p5 * r5 + p6 * r6 + p7 * r7 + p8 * r8 + p9 * r9 + p10 * r10 + p11 * r11) = 0 THEN 0.0
+               ELSE (r12 - (p1 * r11 + p2 * r10 + p3 * r9 + p4 * r8 + p5 * r7 + p6 * r6 + p7 * r5 + p8 * r4 + p9 * r3 + p10 * r2 + p11 * r1)) / (1.0 - (p1 * r1 + p2 * r2 + p3 * r3 + p4 * r4 + p5 * r5 + p6 * r6 + p7 * r7 + p8 * r8 + p9 * r9 + p10 * r10 + p11 * r11))
+               END AS pkk,
+             p1, p2, p3, p4, p5, p6, p7, p8, p9, p10, p11
+           FROM e11 CROSS JOIN rv),
+         e12 AS (SELECT p1 - pkk * p11 AS p1,
+             p2 - pkk * p10 AS p2,
+             p3 - pkk * p9 AS p3,
+             p4 - pkk * p8 AS p4,
+             p5 - pkk * p7 AS p5,
+             p6 - pkk * p6 AS p6,
+             p7 - pkk * p5 AS p7,
+             p8 - pkk * p4 AS p8,
+             p9 - pkk * p3 AS p9,
+             p10 - pkk * p2 AS p10,
+             p11 - pkk * p1 AS p11,
+             pkk AS p12 FROM d12),
+         res AS (
+           SELECT 0 AS lag, (SELECT r0 FROM rv) AS acf_raw, 1.0 AS pacf_raw
+           UNION ALL
+           SELECT 1 AS lag, (SELECT r1 FROM rv) AS acf_raw, (SELECT p1 FROM d1) AS pacf_raw
+           UNION ALL
+           SELECT 2 AS lag, (SELECT r2 FROM rv) AS acf_raw, (SELECT pkk FROM d2) AS pacf_raw
+           UNION ALL
+           SELECT 3 AS lag, (SELECT r3 FROM rv) AS acf_raw, (SELECT pkk FROM d3) AS pacf_raw
+           UNION ALL
+           SELECT 4 AS lag, (SELECT r4 FROM rv) AS acf_raw, (SELECT pkk FROM d4) AS pacf_raw
+           UNION ALL
+           SELECT 5 AS lag, (SELECT r5 FROM rv) AS acf_raw, (SELECT pkk FROM d5) AS pacf_raw
+           UNION ALL
+           SELECT 6 AS lag, (SELECT r6 FROM rv) AS acf_raw, (SELECT pkk FROM d6) AS pacf_raw
+           UNION ALL
+           SELECT 7 AS lag, (SELECT r7 FROM rv) AS acf_raw, (SELECT pkk FROM d7) AS pacf_raw
+           UNION ALL
+           SELECT 8 AS lag, (SELECT r8 FROM rv) AS acf_raw, (SELECT pkk FROM d8) AS pacf_raw
+           UNION ALL
+           SELECT 9 AS lag, (SELECT r9 FROM rv) AS acf_raw, (SELECT pkk FROM d9) AS pacf_raw
+           UNION ALL
+           SELECT 10 AS lag, (SELECT r10 FROM rv) AS acf_raw, (SELECT pkk FROM d10) AS pacf_raw
+           UNION ALL
+           SELECT 11 AS lag, (SELECT r11 FROM rv) AS acf_raw, (SELECT pkk FROM d11) AS pacf_raw
+           UNION ALL
+           SELECT 12 AS lag, (SELECT r12 FROM rv) AS acf_raw, (SELECT pkk FROM d12) AS pacf_raw)
+         SELECT CAST(lag AS INTEGER) AS lag,
+           CASE WHEN acf_raw * 1000000.0 = floor(acf_raw * 1000000.0) + 0.5
+             THEN (floor(acf_raw * 1000000.0) +
+               abs(CAST(floor(acf_raw * 1000000.0) AS BIGINT) % 2)) / 1000000.0
+             ELSE round(acf_raw * 1000000.0, 0) / 1000000.0 END AS acf,
+           CASE WHEN pacf_raw * 1000000.0 = floor(pacf_raw * 1000000.0) + 0.5
+             THEN (floor(pacf_raw * 1000000.0) +
+               abs(CAST(floor(pacf_raw * 1000000.0) AS BIGINT) % 2)) / 1000000.0
+             ELSE round(pacf_raw * 1000000.0, 0) / 1000000.0 END AS pacf
+         FROM res""",
     "ts_kalman" ->
       """WITH RECURSIVE ev AS (SELECT user_id,
              CAST(epoch_us(ts) AS BIGINT) AS ts_us, value,
@@ -5930,6 +6136,21 @@ object SparkEntry {
            round(-sum((n / CAST(nt AS DOUBLE)) *
              ln(n / CAST(nt AS DOUBLE))) / ln(6.0), 6) AS perm_entropy
          FROM pat CROSS JOIN tot GROUP BY nt, k""",
+    "tx_entropy" ->
+      """WITH tok AS (SELECT doc_id,
+             unnest(string_split(text, ' ')) AS tk
+           FROM documents),
+         cnt AS (SELECT doc_id, tk, CAST(count(*) AS BIGINT) AS c
+           FROM tok GROUP BY 1, 2),
+         tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS nd
+           FROM cnt GROUP BY 1)
+         SELECT cnt.doc_id, max(nd) AS n_distinct_tokens,
+           round(sum(CAST(round(
+             -(c / CAST(n AS DOUBLE)) * log2(c / CAST(n AS DOUBLE))
+               * 1e9) AS BIGINT)) / 1e9, 6) AS token_entropy
+         FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
+         GROUP BY 1""",
     "tx_kneser_ney" ->
       """WITH docs AS MATERIALIZED (SELECT source,
              substr(md5('kn' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'

@@ -182,19 +182,23 @@ object TextAnalysis {
   /** Token Shannon entropy per document — the distribution-shape
     * quality signal (spam/keyword-stuffed pages score near 0, natural
     * prose near log2 of its vocabulary). Row-local HOFs, O(|vocab|·|doc|)
-    * per row at scan speed, no shuffle. Rows-only (floating summation
-    * order differs across engines, so no DuckDB hash oracle); bounds
-    * and extremes are property-tested. */
+    * per row at scan speed, no shuffle. Each −p·log2(p) term quantizes
+    * to integer NANO-units before the fold, so the sum is independent
+    * of term order and the DuckDB oracle (which groups tokens in its
+    * own order) lands on the identical long — the flip that moved this
+    * surface from rows-only to [oracle]. */
   def tokenEntropy(documents: DataFrame): DataFrame = {
     val t = tokens(col("text"))
     val n = size(t).cast("double")
-    val counts = transform(array_distinct(t),
-      x => size(filter(t, y => y === x)).cast("double"))
+    val termsU = transform(array_distinct(t), x => {
+      val c = size(filter(t, y => y === x)).cast("double")
+      round(-(c / n) * log2(c / n) * 1e9).cast("long")
+    })
     documents.select(
       col("doc_id"),
-      size(array_distinct(t)).as("n_distinct_tokens"),
-      round(aggregate(counts, lit(0.0),
-        (acc, c) => acc - (c / n) * log2(c / n)), 6).as("token_entropy"))
+      size(array_distinct(t)).cast("long").as("n_distinct_tokens"),
+      round(aggregate(termsU, lit(0L), (acc, u) => acc + u) / lit(1e9),
+        6).as("token_entropy"))
   }
 
   /** Text normalization pass (lowercase, strip non-alphanumerics,

@@ -249,7 +249,7 @@ class TextDedupSpec extends SparkSpec {
     // real corpus: bounded by log2(distinct)
     TextAnalysis.tokenEntropy(Tables.documents(spark, sf)).collect().foreach { row =>
       val h = row.getAs[Double]("token_entropy")
-      val d = row.getAs[Int]("n_distinct_tokens")
+      val d = row.getAs[Long]("n_distinct_tokens")
       assert(h >= 0.0 && h <= math.log(d.toDouble) / math.log(2.0) + 1e-6,
         s"doc ${row.getLong(0)}: H=$h distinct=$d")
     }
