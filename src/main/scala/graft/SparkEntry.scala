@@ -789,6 +789,8 @@ object SparkEntry {
       TextAnalysis.gopherRules(Tables.documents(s, d))),
     "tx_kneser_ney" -> ((s, d) =>
       TextAnalysis.knCrossEntropy(Tables.documents(s, d))),
+    "pipe_kill_report" -> ((s, d) =>
+      TextAnalysis.killReport(Tables.documents(s, d))),
     "sp_quadrat" -> ((s, d) => SpatialJoin.quadratTest(Tables.customer(s, d))),
     "sp_davies_bouldin" -> ((s, d) =>
       SpatialJoin.gridDaviesBouldin(Tables.customer(s, d))),
@@ -1603,6 +1605,14 @@ object SparkEntry {
           * 1000).cast("long"), lit(4L)),
         col("vec_id"))
     }),
+    "ml_cost_threshold" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val q1 = round(element_at(
+        col("embedding").cast("array<double>"), 1) * 1000).cast("long")
+      Stats.costThreshold(Tables.embeddings(s, d),
+        lit(1.0) / (lit(1.0) + exp(-(q1 / lit(200.0)))),
+        (col("label") < 5).cast("int"))
+    }),
     "ml_mrr" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val e = Tables.embeddings(s, d)
@@ -1964,6 +1974,79 @@ object SparkEntry {
              / sqrt(ssw_c2 / 1e4 / (nt - k) / 2.0
                * (1.0 / a.n + 1.0 / b.n)) > 3.86 AS significant
          FROM g2 a JOIN g2 b ON a.grp < b.grp CROSS JOIN tot""",
+    "pipe_kill_report" ->
+      """WITH w AS (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars,
+             CAST(len(list_filter(string_split(text, ' '),
+               x -> regexp_full_match(x, '[a-z]+'))) AS BIGINT)
+               AS n_alpha,
+             CAST(list_max(list_transform(string_split(text, ' '),
+               x -> length(x))) AS BIGINT) AS longest
+           FROM documents),
+         r AS (SELECT doc_id, n_words,
+             CAST(n_chars AS DOUBLE) / n_words AS mean_len,
+             CAST(n_alpha AS DOUBLE) / n_words AS alpha_frac,
+             longest
+           FROM w),
+         f AS (SELECT
+             NOT (n_words >= 50 AND n_words <= 100000) AS f_wc,
+             NOT (mean_len >= 3.0 AND mean_len <= 10.0) AS f_ml,
+             NOT (alpha_frac >= 0.8) AS f_al,
+             NOT (longest <= 25) AS f_lg
+           FROM r),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN NOT f_wc AND NOT f_ml AND NOT f_al
+               AND NOT f_lg THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(sum(CASE WHEN f_wc THEN 1 ELSE 0 END) AS BIGINT)
+               AS nf_wc,
+             CAST(sum(CASE WHEN f_wc AND NOT f_ml AND NOT f_al
+               AND NOT f_lg THEN 1 ELSE 0 END) AS BIGINT) AS nu_wc,
+             CAST(sum(CASE WHEN f_ml THEN 1 ELSE 0 END) AS BIGINT)
+               AS nf_ml,
+             CAST(sum(CASE WHEN f_ml AND NOT f_wc AND NOT f_al
+               AND NOT f_lg THEN 1 ELSE 0 END) AS BIGINT) AS nu_ml,
+             CAST(sum(CASE WHEN f_al THEN 1 ELSE 0 END) AS BIGINT)
+               AS nf_al,
+             CAST(sum(CASE WHEN f_al AND NOT f_wc AND NOT f_ml
+               AND NOT f_lg THEN 1 ELSE 0 END) AS BIGINT) AS nu_al,
+             CAST(sum(CASE WHEN f_lg THEN 1 ELSE 0 END) AS BIGINT)
+               AS nf_lg,
+             CAST(sum(CASE WHEN f_lg AND NOT f_wc AND NOT f_ml
+               AND NOT f_al THEN 1 ELSE 0 END) AS BIGINT) AS nu_lg
+           FROM f)
+         SELECT 'word_count' AS rule, nf_wc AS n_failing,
+           nu_wc AS n_unique_kill, n_docs, n_kept,
+           round(CAST(nf_wc AS DOUBLE) / n_docs, 6) AS fail_share
+         FROM a
+         UNION ALL SELECT 'mean_len', nf_ml, nu_ml, n_docs, n_kept,
+           round(CAST(nf_ml AS DOUBLE) / n_docs, 6) FROM a
+         UNION ALL SELECT 'alpha', nf_al, nu_al, n_docs, n_kept,
+           round(CAST(nf_al AS DOUBLE) / n_docs, 6) FROM a
+         UNION ALL SELECT 'longest', nf_lg, nu_lg, n_docs, n_kept,
+           round(CAST(nf_lg AS DOUBLE) / n_docs, 6) FROM a""",
+    "ml_cost_threshold" ->
+      """WITH sc AS (SELECT
+             1.0 / (1.0 + exp(-(CAST(round(embedding[1] * 1000)
+               AS BIGINT) / 200.0))) AS s,
+             CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+           FROM embeddings),
+         ts AS (SELECT CAST(unnest([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7,
+             0.8, 0.9]) AS DOUBLE) AS t),
+         per AS (SELECT t AS threshold,
+             CAST(sum(CASE WHEN s >= t AND y = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN s >= t AND y = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS fp,
+             CAST(sum(y) AS BIGINT) AS np
+           FROM sc CROSS JOIN ts GROUP BY 1),
+         r AS (SELECT threshold, fp, np - tp AS fn,
+             CAST(5 * (np - tp) + 1 * fp AS BIGINT) AS cost
+           FROM per),
+         b AS (SELECT threshold AS bt FROM r
+           ORDER BY cost, threshold DESC LIMIT 1)
+         SELECT threshold, fp, fn, cost, threshold = bt AS is_best
+         FROM r CROSS JOIN b""",
     "ml_ndcg" ->
       """WITH base AS (SELECT label AS query, vec_id AS id,
              CAST(round(embedding[1] * 1000) AS BIGINT) AS score,

@@ -660,6 +660,43 @@ object Stats {
     * per threshold (one conditional-aggregate pass over the corpus —
     * thresholds are a literal ladder, so this is ONE scan with k
     * conditional sums, not k scans), divisions at the close. */
+  /** COST-SENSITIVE threshold choice over the same fixed ladder as
+    * [[rocLadder]] — Youden's J weighs errors equally, but shipping a
+    * classifier means pricing them (a missed positive usually costs
+    * more than a false alarm): expected cost = c_fn·FN + c_fp·FP per
+    * threshold, best = argmin (ties → larger threshold, total order).
+    * Costs stay in exact integer units (counts × integer costs), ONE
+    * corpus scan via the same conditional-sum ladder. */
+  def costThreshold(df: DataFrame, score: Column, label: Column,
+                    cFn: Long = 5L, cFp: Long = 1L,
+                    thresholds: Seq[Double] =
+                      (1 to 9).map(_ / 10.0)): DataFrame = {
+    val base = df.select(score.as("s"), label.cast("int").as("y"))
+    val aggCols =
+      Seq(sum(col("y").cast("long")).as("np"), count(lit(1)).as("n")) ++
+      thresholds.map(t =>
+        sum(when(col("s") >= t && col("y") === 1, 1L).otherwise(0L))
+          .as(s"tp_${(t * 10).round}")) ++
+      thresholds.map(t =>
+        sum(when(col("s") >= t && col("y") === 0, 1L).otherwise(0L))
+          .as(s"fp_${(t * 10).round}"))
+    val agg = base.agg(aggCols.head, aggCols.tail: _*)
+      .localCheckpoint(true)
+    val perT = thresholds.map { t =>
+      val tp = col(s"tp_${(t * 10).round}")
+      val fp = col(s"fp_${(t * 10).round}")
+      agg.select(lit(t).as("threshold"),
+        fp.as("fp"), (col("np") - tp).as("fn"),
+        (lit(cFn) * (col("np") - tp) + lit(cFp) * fp).as("cost"))
+    }.reduce(_ unionByName _)
+    val best = perT.agg(min(struct(col("cost"),
+      (-col("threshold")).as("nt"))).as("b"))
+      .select(col("b.cost").as("bc"), (-col("b.nt")).as("bt"))
+    perT.crossJoin(broadcast(best))
+      .select(col("threshold"), col("fp"), col("fn"), col("cost"),
+        (col("threshold") === col("bt")).as("is_best"))
+  }
+
   def rocLadder(df: DataFrame, score: Column, label: Column,
                 thresholds: Seq[Double] =
                   (1 to 9).map(_ / 10.0)): DataFrame = {

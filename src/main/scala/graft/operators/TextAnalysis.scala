@@ -75,6 +75,40 @@ object TextAnalysis {
       (pCount && pLen && pAlpha && pLong).as("keep"))
   }
 
+  /** KILL-ATTRIBUTION report over [[gopherRules]] — the curation
+    * analytics a rule ladder needs before anyone tunes it: per rule,
+    * how many docs FAIL it and how many it UNIQUELY kills (docs every
+    * other rule would have kept). A rule with many failures but zero
+    * unique kills is redundant; one with many unique kills carries the
+    * filter — that distinction decides which thresholds deserve
+    * attention. One [[gopherRules]] projection pass, ONE aggregate of
+    * conditional counts (map-side combined), the per-rule unpivot
+    * happens on the 1-row frame. */
+  def killReport(documents: DataFrame): DataFrame = {
+    val g = gopherRules(documents)
+    val rules = Seq("word_count" -> "pass_word_count",
+      "mean_len" -> "pass_mean_len", "alpha" -> "pass_alpha",
+      "longest" -> "pass_longest")
+    def others(c: String) = rules.collect {
+      case (_, o) if o != c => col(o)
+    }.reduce(_ && _)
+    val aggCols = rules.flatMap { case (name, c) =>
+      Seq(sum(when(!col(c), 1L).otherwise(0L)).as(s"nf_$name"),
+        sum(when(!col(c) && others(c), 1L).otherwise(0L))
+          .as(s"nu_$name"))
+    } ++ Seq(count(lit(1)).as("n_docs"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+    val one = g.agg(aggCols.head, aggCols.tail: _*)
+    rules.map { case (name, _) =>
+      one.select(lit(name).as("rule"),
+        col(s"nf_$name").as("n_failing"),
+        col(s"nu_$name").as("n_unique_kill"),
+        col("n_docs"), col("n_kept"),
+        round(col(s"nf_$name").cast("double") / col("n_docs"), 6)
+          .as("fail_share"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Stopword-profile language ID: per-profile overlap scores and a
     * fixed-priority argmax (reference corpus is synthetic; profiles are
     * pluggable — see TextFunctions.langProfiles). */

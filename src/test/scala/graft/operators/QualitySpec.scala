@@ -597,6 +597,30 @@ class QualitySpec extends SparkSpec {
     assert(real.nonEmpty && real.forall(_.getAs[Double]("ce") > 0))
   }
 
+  test("killReport: unique kills attributed per rule; double-failure is nobody's unique") {
+    val mk50 = (1 to 50).map(_ => "word").mkString(" ")
+    val docs = Seq(
+      (1L, mk50),                                   // clean
+      (2L, "too short"),                            // fails word_count only
+      (3L, (1 to 50).map(_ => "ab").mkString(" ")),  // fails mean_len only
+      (6L, mk50 + " " + "x" * 30),                  // fails longest only
+      (7L, "a 9"))                    // fails word_count AND alpha AND len
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.killReport(docs).collect()
+      .map(r => r.getAs[String]("rule") ->
+        (r.getAs[Long]("n_failing"), r.getAs[Long]("n_unique_kill")))
+      .toMap
+    assert(out.keySet ==
+      Set("word_count", "mean_len", "alpha", "longest"))
+    assert(out("word_count") == ((2L, 1L))) // doc2 unique, doc7 shared
+    assert(out("mean_len")._2 == 1L)        // doc3
+    assert(out("longest") == ((1L, 1L)))    // doc6
+    assert(out("alpha")._2 == 0L, "doc7's alpha failure is shared")
+    val rows = TextAnalysis.killReport(docs).collect()
+    assert(rows.forall(r => r.getAs[Long]("n_docs") == 5L &&
+      r.getAs[Long]("n_kept") == 1L))
+  }
+
   test("gopherRules: each rule gate trips independently; clean doc keeps") {
     val mk50 = (1 to 50).map(_ => "word").mkString(" ")
     val docs = Seq(

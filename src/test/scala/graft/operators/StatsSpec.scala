@@ -1263,6 +1263,30 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("costThreshold: exact integer costs; tie on zero cost picks largest t") {
+    val rows = (0 until 50).map(_ => (0.9, 1)) ++
+      (0 until 50).map(_ => (0.1, 0))
+    val out = Stats.costThreshold(rows.toDF("s", "y"), col("s"), col("y"))
+      .collect().map(r => r.getAs[Double]("threshold") -> r).toMap
+    // t=0.1 catches every negative: cost = 1·50; all others are free
+    assert(out(0.1).getAs[Long]("cost") == 50L &&
+      out(0.1).getAs[Long]("fp") == 50L)
+    (2 to 9).map(_ / 10.0).foreach(t =>
+      assert(out(t).getAs[Long]("cost") == 0L))
+    // zero-cost tie: the flagged best is the LARGEST threshold
+    val best = out.values.filter(_.getAs[Boolean]("is_best")).toSeq
+    assert(best.size == 1 &&
+      best.head.getAs[Double]("threshold") == 0.9)
+    // missing positives are priced 5×: drop threshold coverage
+    val skewed = (0 until 10).map(_ => (0.55, 1)) ++
+      (0 until 10).map(_ => (0.1, 0))
+    val sk = Stats.costThreshold(skewed.toDF("s", "y"),
+      col("s"), col("y")).collect()
+      .map(r => r.getAs[Double]("threshold") -> r.getAs[Long]("cost"))
+      .toMap
+    assert(sk(0.6) == 50L && sk(0.5) == 0L) // 10 FN × 5 vs none
+  }
+
   test("wilsonCi: zero-success group still gets positive width; p=.5 symmetric") {
     val df = (Seq.fill(10)(("a", 0)) ++
       Seq.fill(10)(("b", 1)) ++ Seq.fill(10)(("b", 0))).toDF("g", "s")
