@@ -808,6 +808,41 @@ class PlanAuditSpec extends SparkSpec {
       s"the summary merge must stay an equi-join:\n$p")
   }
 
+  test("ml_ndcg: both rank windows share ONE exchange on the query key") {
+    val p = plan("ml_ndcg")
+    // rank-by-score and rank-by-rel partition identically → Catalyst
+    // plans a single hashpartitioning(query) exchange, not two
+    assert(p.split("Exchange hashpartitioning")
+      .length - 1 == 1, s"expected exactly one query-key exchange:\n$p")
+    assert(!p.contains("Exchange SinglePartition") ||
+      p.contains("partial"), s"no global window allowed:\n$p")
+  }
+
+  test("ml_cost_threshold: threshold fan-out reads the checkpointed 1-row agg, not the corpus") {
+    val p = plan("ml_cost_threshold")
+    // the single corpus scan happened at checkpoint time; every union
+    // branch must read the materialized 1-row frame — zero parquet
+    // scans inside the fan-out plan
+    assert(p.split("Scan parquet").length - 1 == 0,
+      s"the ladder must not rescan the corpus per threshold:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"branches must read the checkpointed aggregate:\n$p")
+  }
+
+  test("ts_bollinger: hourly collapse partial-aggregates before the rolling window") {
+    val p = plan("ts_bollinger")
+    assert(p.contains("partial_"),
+      s"the corpus must collapse map-side to hours first:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"windows must partition per series, never globally:\n$p")
+  }
+
+  test("gr_squares: pair candidates come from an equi-join, never a cross product") {
+    val p = plan("gr_squares")
+    assert(!p.contains("CartesianProduct"),
+      s"wedge pairing must stay an equi-join on the shared neighbor:\n$p")
+  }
+
   test("entry flagship runs and returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
