@@ -442,6 +442,8 @@ object SparkEntry {
       Resample.binarySegmentation(Tables.events(s, d))),
     "ts_bollinger" -> ((s, d) =>
       Resample.bollingerBands(Tables.events(s, d))),
+    "ts_piecewise_trend" -> ((s, d) =>
+      Resample.piecewiseTrend(Tables.events(s, d))),
     "ts_holt" -> ((s, d) => Resample.holt(Tables.events(s, d), 0.3, 0.1)),
     "ts_backtest" -> ((s, d) =>
       Resample.backtestBaselines(Tables.events(s, d))),
@@ -776,6 +778,7 @@ object SparkEntry {
     "dwh_mini_dim" -> ((s, d) => Dwh.miniDimension(Tables.customer(s, d))),
     "dwh_role_playing" -> ((s, d) =>
       Dwh.rolePlayingDates(Tables.lineitem(s, d), Tables.orders(s, d))),
+    "dq_mix_drift" -> ((s, d) => Quality.mixDrift(Tables.events(s, d))),
     "dq_fd_check" -> ((s, d) => Quality.fdCheck(Seq(
       ("orderkey->custkey", Tables.orders(s, d),
         Seq("o_orderkey"), "o_custkey"),
@@ -1605,6 +1608,15 @@ object SparkEntry {
           * 1000).cast("long"), lit(4L)),
         col("vec_id"))
     }),
+    "ml_fairness" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val q1 = round(element_at(
+        col("embedding").cast("array<double>"), 1) * 1000).cast("long")
+      Stats.fairnessSlices(Tables.embeddings(s, d),
+        pmod(col("vec_id"), lit(3L)).cast("int"),
+        lit(1.0) / (lit(1.0) + exp(-(q1 / lit(200.0)))),
+        (col("label") < 5).cast("int"))
+    }),
     "ml_cost_threshold" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val q1 = round(element_at(
@@ -1974,6 +1986,112 @@ object SparkEntry {
              / sqrt(ssw_c2 / 1e4 / (nt - k) / 2.0
                * (1.0 / a.n + 1.0 / b.n)) > 3.86 AS significant
          FROM g2 a JOIN g2 b ON a.grp < b.grp CROSS JOIN tot""",
+    "ml_fairness" ->
+      """WITH base AS (SELECT
+             CAST(((vec_id % 3) + 3) % 3 AS INTEGER) AS slice,
+             1.0 / (1.0 + exp(-(CAST(round(embedding[1] * 1000)
+               AS BIGINT) / 200.0))) AS s,
+             CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+           FROM embeddings),
+         per AS (SELECT slice, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS np,
+             CAST(sum(CASE WHEN s >= 0.5 AND y = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN s >= 0.5 AND y = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS fp
+           FROM base GROUP BY 1),
+         g AS (SELECT CAST(count(*) AS BIGINT) AS gn,
+             CAST(sum(y) AS BIGINT) AS gnp,
+             CAST(sum(CASE WHEN s >= 0.5 AND y = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS gtp,
+             CAST(sum(CASE WHEN s >= 0.5 AND y = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS gfp
+           FROM base)
+         SELECT slice, n, np,
+           round(tp / nullif(CAST(np AS DOUBLE), 0), 6) AS tpr,
+           round(fp / nullif(CAST(n - np AS DOUBLE), 0), 6) AS fpr,
+           round((tp + fp) / nullif(CAST(n AS DOUBLE), 0), 6)
+             AS positive_rate,
+           round(tp / nullif(CAST(np AS DOUBLE), 0)
+             - gtp / nullif(CAST(gnp AS DOUBLE), 0), 6) AS tpr_gap,
+           round(fp / nullif(CAST(n - np AS DOUBLE), 0)
+             - gfp / nullif(CAST(gn - gnp AS DOUBLE), 0), 6) AS fpr_gap,
+           round((tp + fp) / nullif(CAST(n AS DOUBLE), 0)
+             - (gtp + gfp) / nullif(CAST(gn AS DOUBLE), 0), 6)
+             AS parity_gap
+         FROM per CROSS JOIN g""",
+    "dq_mix_drift" ->
+      """WITH wk AS (SELECT
+             CAST(date_trunc('week', ts) AS DATE) AS week, event_type,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         wt AS (SELECT week, event_type, n,
+             CAST(sum(n) OVER (PARTITION BY week) AS BIGINT) AS nt
+           FROM wk),
+         cur AS (SELECT week, event_type,
+             CAST(n AS DOUBLE) / nt AS p FROM wt),
+         prv AS (SELECT week + 7 AS week, event_type,
+             CAST(n AS DOUBLE) / nt AS q FROM wt),
+         bt AS (SELECT coalesce(cur.week, prv.week) AS week,
+             coalesce(cur.p, 0.0) AS p, coalesce(prv.q, 0.0) AS q
+           FROM cur FULL JOIN prv
+             ON cur.week = prv.week AND cur.event_type = prv.event_type
+           WHERE coalesce(cur.p, 0.0) > 0 OR coalesce(prv.q, 0.0) > 0),
+         t AS (SELECT week, CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(CAST(round((
+               CASE WHEN p = 0.0 THEN 0.0
+                 ELSE p * log2(p / ((p + q) / 2.0)) END +
+               CASE WHEN q = 0.0 THEN 0.0
+                 ELSE q * log2(q / ((p + q) / 2.0)) END) / 2.0 * 1e9)
+               AS BIGINT)) AS BIGINT) AS tu
+           FROM bt GROUP BY 1),
+         wp AS (SELECT DISTINCT week + 7 AS week FROM wt),
+         wc AS (SELECT DISTINCT week FROM wt)
+         SELECT t.week, n_types, round(tu / 1e9, 6) AS jsd
+         FROM t JOIN wp ON t.week = wp.week
+           JOIN wc ON t.week = wc.week""",
+    "ts_piecewise_trend" ->
+      """WITH h0 AS (SELECT epoch(date_trunc('hour', ts)) // 3600 AS hr,
+             CAST(round(avg(value) * 1e6) AS BIGINT) AS vu
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+         h AS (SELECT hr, vu,
+             CAST(row_number() OVER wo AS BIGINT) AS i,
+             CAST(sum(vu) OVER wr AS BIGINT) AS pre,
+             CAST(sum(vu) OVER () AS BIGINT) AS tot,
+             CAST(count(*) OVER () AS BIGINT) AS n
+           FROM h0 WINDOW wo AS (ORDER BY hr),
+             wr AS (ORDER BY hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         b1 AS (SELECT i AS t1 FROM h WHERE i < n
+           ORDER BY abs(n * pre - i * tot) DESC, i LIMIT 1),
+         s1 AS (SELECT hr, vu,
+             CASE WHEN i <= t1 THEN 0 ELSE 1 END AS seg
+           FROM h CROSS JOIN b1),
+         s2 AS (SELECT hr, vu, seg,
+             CAST(row_number() OVER (PARTITION BY seg ORDER BY hr)
+               AS BIGINT) AS j
+           FROM s1),
+         g AS (SELECT seg, CAST(count(*) AS BIGINT) AS m,
+             CAST(min(hr) AS BIGINT) AS start_hr,
+             CAST(max(hr) AS BIGINT) AS end_hr,
+             CAST(sum(j) AS BIGINT) AS sx,
+             CAST(sum(vu) AS BIGINT) AS sy,
+             CAST(sum(j * vu) AS BIGINT) AS sxy,
+             CAST(sum(j * j) AS BIGINT) AS sxx
+           FROM s2 GROUP BY 1),
+         c AS (SELECT seg, m, start_hr, end_hr,
+             CAST(m * sxy - sx * sy AS DOUBLE)
+               / nullif(CAST(m * sxx - sx * sx AS DOUBLE), 0) AS slope,
+             CAST(sy AS DOUBLE) / m
+               - (CAST(m * sxy - sx * sy AS DOUBLE)
+                 / nullif(CAST(m * sxx - sx * sx AS DOUBLE), 0))
+                 * (CAST(sx AS DOUBLE) / m) AS icept
+           FROM g)
+         SELECT seg + 1 AS segment, start_hr, end_hr, m AS n_hours,
+           round(slope / 1e6, 6) AS slope_per_hour,
+           round((icept + slope * 1.0) / 1e6, 6) AS fit_start,
+           round((icept + slope * m) / 1e6, 6) AS fit_end
+         FROM c""",
     "pipe_kill_report" ->
       """WITH w AS (SELECT doc_id,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,

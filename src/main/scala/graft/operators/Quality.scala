@@ -491,6 +491,52 @@ object Quality {
           .as("srm_flag"))
   }
 
+  /** WEEKLY MIXTURE-DRIFT via Jensen–Shannon divergence — the
+    * composition-drift monitor next to [[drift]]'s per-value view:
+    * each week's event-type MIX (a distribution over categories)
+    * compared to the previous week's, JSD = Σ (p·log2(p/m) +
+    * q·log2(q/m))/2 with m the midpoint — symmetric, bounded [0,1],
+    * and defined when a category appears in only one week (the
+    * failure mode that makes naive KL blow up exactly when drift is
+    * worst). The alarm for "the upstream producer changed what it
+    * sends", which volume monitors miss when totals stay flat.
+    *
+    * Each per-category term quantizes to integer NANO-units before
+    * the per-week sum (term-order-free — exact long arithmetic), all
+    * ratios divide exact counts. One partial-agg pass to the
+    * (week, type) frame; the week-over-week alignment is an equi-join
+    * on the shifted week key; weeks-sized output. */
+  def mixDrift(events: DataFrame): DataFrame = {
+    val wk = events
+      .groupBy(to_date(date_trunc("week", col("ts"))).as("week"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("nt", sum("n").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("week")))
+    val cur = wk.select(col("week"), col("event_type"),
+      (col("n").cast("double") / col("nt")).as("p"))
+    val prev = wk.select(date_add(col("week"), 7).as("week"),
+      col("event_type"), (col("n").cast("double") / col("nt")).as("q"))
+    val both = cur.join(prev, Seq("week", "event_type"), "full")
+      .na.fill(0.0, Seq("p", "q"))
+      .filter(col("p") > 0 || col("q") > 0)
+    val m = (col("p") + col("q")) / 2.0
+    def side(x: Column) =
+      when(x === 0.0, 0.0).otherwise(x * log2(x / m))
+    val term = round((side(col("p")) + side(col("q"))) / 2.0 * 1e9)
+      .cast("long")
+    both.groupBy("week")
+      .agg(count(lit(1)).as("n_types"), sum(term).as("tu"))
+      // a comparison needs BOTH sides observed: the first week has no
+      // predecessor, and the last week's shifted ghost (week+7) has no
+      // current data — drop each via its own semi-join
+      .join(wk.select(date_add(col("week"), 7).as("week")).distinct(),
+        Seq("week"), "left_semi")
+      .join(wk.select("week").distinct(), Seq("week"), "left_semi")
+      .select(col("week"), col("n_types"),
+        round(col("tu") / lit(1e9), 6).as("jsd"))
+  }
+
   /** FUNCTIONAL-DEPENDENCY audit — the schema-semantics check next to
     * [[uniqueness]]'s key check: for each candidate FD X→Y, count the
     * X-groups whose Y is not single-valued ("does orderkey really

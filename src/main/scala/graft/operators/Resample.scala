@@ -502,6 +502,61 @@ object Resample {
       round(col("su") / col("n_hours") / lit(1e6), 6).as("mean_value"))
   }
 
+  /** PIECEWISE-LINEAR TREND at the CUSUM knot — the regression
+    * companion to [[binarySegmentation]]'s level view: split the
+    * hourly series at the level-0 CUSUM argmax, then fit an exact OLS
+    * line per side, reporting slope and the fitted endpoints ("rising
+    * 0.8/h before the break, flat after" — the shape a single global
+    * slope averages away).
+    *
+    * Exactness: micro-quantized values and integer local indices keep
+    * every OLS moment (Σj, Σv, Σjv, Σj²) an exact long, the slope
+    * numerator/denominator subtract in LONG arithmetic before the one
+    * division, and the knot argmax is [[binarySegmentation]]'s pure-
+    * integer criterion. One pass to the hourly frame, knot rides back
+    * as a 1-row broadcast, moments partial-agg per segment. */
+  def piecewiseTrend(events: DataFrame,
+                     eventType: String = "click"): DataFrame = {
+    val byHr = Window.orderBy("hr")
+    val run = byHr.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = byHr.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val h = events.filter(col("event_type") === eventType)
+      .groupBy(expr("unix_seconds(date_trunc('hour', ts)) div 3600")
+        .as("hr"))
+      .agg(round(avg("value") * 1e6).cast("long").as("vu"))
+      .withColumn("i", row_number().over(byHr))
+      .withColumn("pre", sum("vu").over(run))
+      .withColumn("tot", last("pre").over(all))
+      .withColumn("n", count(lit(1)).over(all))
+    val b1 = h.filter(col("i") < col("n"))
+      .select(min(struct(
+        (-abs(col("n") * col("pre") - col("i") * col("tot"))).as("negt"),
+        col("i").as("t1"))).as("b"))
+      .select(col("b.t1").as("t1"))
+    val g = h.crossJoin(broadcast(b1))
+      .withColumn("seg", when(col("i") <= col("t1"), 0L).otherwise(1L))
+      .withColumn("j", row_number().over(
+        Window.partitionBy("seg").orderBy("hr")).cast("long"))
+      .groupBy("seg")
+      .agg(count(lit(1)).as("m"), min("hr").as("start_hr"),
+        max("hr").as("end_hr"), sum("j").as("sx"), sum("vu").as("sy"),
+        sum(col("j") * col("vu")).as("sxy"),
+        sum(col("j") * col("j")).as("sxx"))
+    val num = (col("m") * col("sxy") - col("sx") * col("sy"))
+      .cast("double")
+    val den = (col("m") * col("sxx") - col("sx") * col("sx"))
+      .cast("double")
+    val slope = num / nullif(den, lit(0.0))
+    val icept = col("sy").cast("double") / col("m") -
+      slope * (col("sx").cast("double") / col("m"))
+    g.select((col("seg") + 1).as("segment"), col("start_hr"),
+      col("end_hr"), col("m").as("n_hours"),
+      round(slope / 1e6, 6).as("slope_per_hour"),
+      round((icept + slope * 1.0) / 1e6, 6).as("fit_start"),
+      round((icept + slope * col("m")) / 1e6, 6).as("fit_end"))
+  }
+
   /** Lagged CROSS-correlation between two event-type series ("do clicks
     * lead purchases, and by how many hours?"): both series resample to
     * hourly means, then Pearson corr at every integer-hour lag in

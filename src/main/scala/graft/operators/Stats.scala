@@ -660,6 +660,46 @@ object Stats {
     * per threshold (one conditional-aggregate pass over the corpus —
     * thresholds are a literal ladder, so this is ONE scan with k
     * conditional sums, not k scans), divisions at the close. */
+  /** FAIRNESS slice audit at a fixed decision threshold — the
+    * equalized-odds / demographic-parity report a model eval needs
+    * beyond [[classifierReport]]'s aggregate view: per slice, the
+    * exact confusion at the shipped cutoff plus the TPR/FPR/positive-
+    * rate GAPS against the global rates (equalized odds = TPR and FPR
+    * gaps ≈ 0; demographic parity = positive-rate gap ≈ 0 — both
+    * reported, the tension between them is the finding). ONE
+    * conditional-count pass to the slice frame; the global row rides
+    * back as a 1-row broadcast; every rate divides exact longs. */
+  def fairnessSlices(df: DataFrame, slice: Column, score: Column,
+                     label: Column, threshold: Double = 0.5)
+      : DataFrame = {
+    val base = df.select(slice.as("slice"), score.as("s"),
+      label.cast("int").as("y"))
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    val per = base.groupBy("slice").agg(
+      count(lit(1)).as("n"), cnt(col("y") === 1).as("np"),
+      cnt(col("s") >= threshold && col("y") === 1).as("tp"),
+      cnt(col("s") >= threshold && col("y") === 0).as("fp"))
+    val g = base.agg(
+      count(lit(1)).as("gn"), cnt(col("y") === 1).as("gnp"),
+      cnt(col("s") >= threshold && col("y") === 1).as("gtp"),
+      cnt(col("s") >= threshold && col("y") === 0).as("gfp"))
+    def rate(num: Column, den: Column) =
+      num.cast("double") / nullif(den.cast("double"), lit(0.0))
+    val tpr = rate(col("tp"), col("np"))
+    val fpr = rate(col("fp"), col("n") - col("np"))
+    val pr = rate(col("tp") + col("fp"), col("n"))
+    val gtpr = rate(col("gtp"), col("gnp"))
+    val gfpr = rate(col("gfp"), col("gn") - col("gnp"))
+    val gpr = rate(col("gtp") + col("gfp"), col("gn"))
+    per.crossJoin(broadcast(g))
+      .select(col("slice"), col("n"), col("np"),
+        round(tpr, 6).as("tpr"), round(fpr, 6).as("fpr"),
+        round(pr, 6).as("positive_rate"),
+        round(tpr - gtpr, 6).as("tpr_gap"),
+        round(fpr - gfpr, 6).as("fpr_gap"),
+        round(pr - gpr, 6).as("parity_gap"))
+  }
+
   /** COST-SENSITIVE threshold choice over the same fixed ladder as
     * [[rocLadder]] — Youden's J weighs errors equally, but shipping a
     * classifier means pricing them (a missed positive usually costs

@@ -597,6 +597,26 @@ class QualitySpec extends SparkSpec {
     assert(real.nonEmpty && real.forall(_.getAs[Double]("ce") > 0))
   }
 
+  test("mixDrift: identical mixes score 0, disjoint mixes score 1, first week skipped") {
+    // Mondays 1970-01-05 / -12 / -19: w2 repeats w1's mix, w3 flips
+    // to a type neither earlier week had
+    def wk(day: String, types: Seq[String]) = types.zipWithIndex.map {
+      case (t, i) => (i.toLong, day, t)
+    }
+    val ev = (wk("1970-01-05", Seq("a", "a", "b", "b")) ++
+      wk("1970-01-12", Seq("a", "a", "b", "b")) ++
+      wk("1970-01-19", Seq("c", "c", "c", "c")))
+      .toDF("user_id", "d", "event_type")
+      .select(col("user_id"), to_timestamp(col("d")).as("ts"),
+        col("event_type"))
+    val out = Quality.mixDrift(ev).collect()
+      .map(r => r.getDate(0).toString -> r.getAs[Double]("jsd")).toMap
+    assert(out.keySet == Set("1970-01-12", "1970-01-19"),
+      s"first week has no baseline: $out")
+    assert(out("1970-01-12") == 0.0)
+    assert(out("1970-01-19") == 1.0, "disjoint supports saturate JSD")
+  }
+
   test("killReport: unique kills attributed per rule; double-failure is nobody's unique") {
     val mk50 = (1 to 50).map(_ => "word").mkString(" ")
     val docs = Seq(

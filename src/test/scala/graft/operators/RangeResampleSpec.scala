@@ -81,6 +81,26 @@ class RangeResampleSpec extends SparkSpec {
     assert(out.count(_.getLong(0) == 2L) == 1)
   }
 
+  test("piecewiseTrend: flat-then-ramp recovers both slopes exactly at the knot") {
+    import spark.implicits._
+    // 20 flat hours at 10, then a unit ramp 30..49 — the CUSUM knot
+    // lands on the step and each side's OLS is exact
+    val events = (0 until 40).map { h =>
+      (1L, h * 3600L, "click",
+        if (h < 20) 10.0 else 30.0 + (h - 20))
+    }.toDF("user_id", "s", "event_type", "value")
+      .select(col("user_id"), timestamp_seconds(col("s")).as("ts"),
+        col("event_type"), col("value"))
+    val out = Resample.piecewiseTrend(events).orderBy("segment")
+      .collect()
+      .map(r => (r.getAs[Long]("segment"), r.getAs[Long]("n_hours"),
+        r.getAs[Double]("slope_per_hour"), r.getAs[Double]("fit_start"),
+        r.getAs[Double]("fit_end")))
+    assert(out.toSeq == Seq(
+      (1L, 20L, 0.0, 10.0, 10.0),
+      (2L, 20L, 1.0, 30.0, 49.0)), s"${out.toSeq}")
+  }
+
   test("bollingerBands: flat series never breaches; a spike breaches its own hour") {
     import spark.implicits._
     def ev(vs: Seq[Double]) = vs.zipWithIndex.map { case (v, h) =>

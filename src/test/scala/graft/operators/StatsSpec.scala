@@ -1263,6 +1263,29 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("fairnessSlices: perfect slice vs never-positive slice shows the gaps") {
+    // slice A: perfectly separated; slice B: model never fires
+    val rows =
+      (1 to 10).map(_ => ("A", 0.9, 1)) ++
+        (1 to 10).map(_ => ("A", 0.1, 0)) ++
+        (1 to 10).map(_ => ("B", 0.1, 1)) ++
+        (1 to 10).map(_ => ("B", 0.1, 0))
+    val out = Stats.fairnessSlices(rows.toDF("g", "s", "y"),
+      col("g"), col("s"), col("y")).collect()
+      .map(r => r.getAs[String]("slice") -> r).toMap
+    val a = out("A")
+    assert(a.getAs[Double]("tpr") == 1.0 && a.getAs[Double]("fpr") == 0.0)
+    assert(a.getAs[Double]("tpr_gap") == 0.5 &&
+      a.getAs[Double]("parity_gap") == 0.25)
+    val b = out("B")
+    assert(b.getAs[Double]("tpr") == 0.0 &&
+      b.getAs[Double]("tpr_gap") == -0.5 &&
+      b.getAs[Double]("parity_gap") == -0.25)
+    // equalized-odds' other arm: both slices share fpr 0 → no fpr gap
+    assert(a.getAs[Double]("fpr_gap") == 0.0 &&
+      b.getAs[Double]("fpr_gap") == 0.0)
+  }
+
   test("costThreshold: exact integer costs; tie on zero cost picks largest t") {
     val rows = (0 until 50).map(_ => (0.9, 1)) ++
       (0 until 50).map(_ => (0.1, 0))
