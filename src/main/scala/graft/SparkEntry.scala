@@ -779,6 +779,8 @@ object SparkEntry {
     "dwh_role_playing" -> ((s, d) =>
       Dwh.rolePlayingDates(Tables.lineitem(s, d), Tables.orders(s, d))),
     "dq_mix_drift" -> ((s, d) => Quality.mixDrift(Tables.events(s, d))),
+    "dq_hash_uniformity" -> ((s, d) =>
+      Quality.hashUniformity(Tables.events(s, d))),
     "dq_fd_check" -> ((s, d) => Quality.fdCheck(Seq(
       ("orderkey->custkey", Tables.orders(s, d),
         Seq("o_orderkey"), "o_custkey"),
@@ -1418,6 +1420,8 @@ object SparkEntry {
       Graph.betweennessSampled(coPurchaseEdges(s, d))),
     "gr_squares" -> ((s, d) =>
       Graph.bipartiteSquares(coPurchaseEdges(s, d))),
+    "gr_adamic_adar" -> ((s, d) =>
+      Graph.adamicAdarLinks(coSupplyEdges(s, d), 20)),
     "gr_lpa" -> ((s, d) => Graph.labelPropagation(coPurchaseEdges(s, d))),
     "gr_modularity" -> ((s, d) => {
       val e = coPurchaseEdges(s, d)
@@ -1608,6 +1612,10 @@ object SparkEntry {
           * 1000).cast("long"), lit(4L)),
         col("vec_id"))
     }),
+    "ml_mcc" -> ((s, d) =>
+      Stats.mccMulticlass(
+        TextAnalysis.naiveBayesLangEval(Tables.documents(s, d)),
+        "true_lang", "pred_lang", "n")),
     "ml_fairness" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val q1 = round(element_at(
@@ -1986,6 +1994,73 @@ object SparkEntry {
              / sqrt(ssw_c2 / 1e4 / (nt - k) / 2.0
                * (1.0 / a.n + 1.0 / b.n)) > 3.86 AS significant
          FROM g2 a JOIN g2 b ON a.grp < b.grp CROSS JOIN tot""",
+    "gr_adamic_adar" ->
+      """WITH c AS MATERIALIZED (SELECT l1.l_suppkey AS s1,
+             l2.l_suppkey AS s2, count(*) AS cnt
+           FROM lineitem l1 JOIN lineitem l2
+             ON l1.l_orderkey = l2.l_orderkey
+               AND l1.l_suppkey < l2.l_suppkey
+           GROUP BY 1, 2),
+         e AS MATERIALIZED (SELECT s1 AS a, s2 AS b FROM c
+           WHERE cnt > (SELECT quantile_cont(cnt, 0.9) FROM c)),
+         nb AS MATERIALIZED (SELECT a AS u, b AS w FROM e
+           UNION ALL SELECT b, a FROM e),
+         deg AS (SELECT w AS wn, CAST(count(*) AS BIGINT) AS dw
+           FROM nb GROUP BY 1),
+         pr AS (SELECT n1.u AS x, n2.u AS y,
+             CAST(count(*) AS BIGINT) AS n_common,
+             CAST(sum(CAST(round(1e9 / ln(dw)) AS BIGINT)) AS BIGINT)
+               AS su
+           FROM nb n1 JOIN nb n2 ON n1.w = n2.w AND n1.u < n2.u
+             JOIN deg ON deg.wn = n1.w
+           GROUP BY 1, 2),
+         nc AS (SELECT pr.* FROM pr
+           ANTI JOIN e ON pr.x = e.a AND pr.y = e.b)
+         SELECT x, y, n_common, round(su / 1e9, 6) AS aa_score
+         FROM nc ORDER BY su DESC, x, y LIMIT 20""",
+    "ml_mcc" ->
+      s"""WITH cm AS (SELECT * FROM ($MlNbOracleSql)),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS s,
+             CAST(sum(CASE WHEN true_lang = pred_lang THEN n ELSE 0 END)
+               AS BIGINT) AS c,
+             CAST(count(DISTINCT true_lang) AS BIGINT) AS n_classes
+           FROM cm),
+         rt AS (SELECT true_lang AS k, CAST(sum(n) AS BIGINT) AS t
+           FROM cm GROUP BY 1),
+         ct AS (SELECT pred_lang AS k, CAST(sum(n) AS BIGINT) AS p
+           FROM cm GROUP BY 1),
+         cr AS (SELECT CAST(sum(coalesce(p, 0) * coalesce(t, 0))
+               AS BIGINT) AS pt,
+             CAST(sum(coalesce(p, 0) * coalesce(p, 0)) AS BIGINT) AS pp,
+             CAST(sum(coalesce(t, 0) * coalesce(t, 0)) AS BIGINT) AS tt
+           FROM rt FULL JOIN ct USING (k))
+         SELECT n_classes, s AS n_total,
+           round(CAST(c * s - pt AS DOUBLE) /
+             nullif(sqrt(CAST(s * s - pp AS DOUBLE)
+               * CAST(s * s - tt AS DOUBLE)), 0), 6) AS mcc
+         FROM tot CROSS JOIN cr""",
+    "dq_hash_uniformity" ->
+      """WITH dk AS (SELECT DISTINCT user_id FROM events),
+         uv AS (SELECT (user_id * 2654435761 % 4294967296)
+             / 4294967296.0 AS u
+           FROM dk),
+         cc AS (SELECT u, CAST(count(*) AS BIGINT) AS c
+           FROM uv GROUP BY 1),
+         pp AS (SELECT u, c,
+             CAST(coalesce(sum(c) OVER (ORDER BY u
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS below,
+             CAST(sum(c) OVER () AS BIGINT) AS n
+           FROM cc),
+         agg AS (SELECT CAST(max(n) AS BIGINT) AS n,
+             max(greatest(
+               abs(CAST(below + c AS DOUBLE) / n - u),
+               abs(CAST(below AS DOUBLE) / n - u))) AS d
+           FROM pp)
+         SELECT n AS n_keys, round(d, 6) AS d_stat,
+           round(1.358 / sqrt(CAST(n AS DOUBLE)), 6) AS crit_5pct,
+           d < 1.358 / sqrt(CAST(n AS DOUBLE)) AS uniform_ok
+         FROM agg""",
     "ml_fairness" ->
       """WITH base AS (SELECT
              CAST(((vec_id % 3) + 3) % 3 AS INTEGER) AS slice,

@@ -350,6 +350,46 @@ object Graph {
       .limit(topN)
   }
 
+  /** ADAMIC–ADAR link prediction — [[jaccardLinks]]' weighted sibling:
+    * a shared RARE neighbor is strong evidence, a shared hub is
+    * nearly none, so each common neighbor w contributes 1/ln(deg(w))
+    * instead of 1 (the classic fix for hub-dominated graphs where
+    * Jaccard ranks everything touching the hub alike).
+    *
+    * Same wedge-join shape (only pairs with ≥1 common neighbor ever
+    * materialize; hub cap mitigation documented at jaccardLinks), but
+    * the per-pair sum is over DOUBLES — so each 1/ln(deg) term
+    * quantizes to integer NANO-units at the wedge row and the pair
+    * rollup sums exact longs (partition-invariant, and the
+    * (score, x, y) cut is a total order on integers). */
+  def adamicAdarLinks(edges: DataFrame, topN: Int = 20): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    val nbrs = und.select(col("a").as("u"), col("b").as("w"))
+      .unionAll(und.select(col("b").as("u"), col("a").as("w")))
+    val deg = nbrs.groupBy(col("w").as("wn")).agg(count(lit(1)).as("dw"))
+    val pairs = nbrs.alias("n1")
+      .join(nbrs.alias("n2"),
+        col("n1.w") === col("n2.w") && col("n1.u") < col("n2.u"))
+      .select(col("n1.u").as("x"), col("n2.u").as("y"),
+        col("n1.w").as("w"))
+      .join(deg, col("w") === col("wn"))
+      // a common neighbor has degree ≥ 2, so ln(dw) > 0 always
+      .withColumn("t", round(lit(1e9) / log(col("dw"))).cast("long"))
+      .groupBy("x", "y")
+      .agg(count(lit(1)).as("n_common"), sum("t").as("su"))
+    pairs
+      .join(und.select(col("a").as("x"), col("b").as("y")),
+        Seq("x", "y"), "left_anti")
+      .orderBy(col("su").desc, col("x"), col("y"))
+      .limit(topN)
+      .select(col("x"), col("y"), col("n_common"),
+        round(col("su") / lit(1e9), 6).as("aa_score"))
+  }
+
   /** k-core decomposition at a fixed k: the maximal
     * subgraph in which every surviving node keeps ≥ k neighbors,
     * found by iterative peeling — drop all nodes of degree < k,

@@ -491,6 +491,54 @@ object Quality {
           .as("srm_flag"))
   }
 
+  /** HASH-UNIFORMITY audit — a one-sample KS test of the bucketing
+    * hash against U(0,1), the invariant every hash-split surface
+    * (pipe_split, dd_reweight arms, dq_srm) silently relies on: map
+    * each distinct key through the Knuth multiplicative hash to a
+    * dyadic u ∈ [0,1) (exact in doubles — no float noise enters), and
+    * D = sup|ECDF − u| evaluated at both sides of every jump. A biased
+    * hash here means every downstream split is quietly biased.
+    *
+    * Same striped-prefix-sum skeleton as st_ks (value-range stripes on
+    * u itself — no global sort); D is a max, which commutes, so the
+    * whole statistic is partition-invariant with zero rounding
+    * tolerance. (The id·constant product fits longs for ids < ~3e9;
+    * wider id spaces widen to decimal — loud overflow, not silent.) */
+  def hashUniformity(events: DataFrame, keyCol: String = "user_id",
+                     stripes: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = events.select(col(keyCol)).distinct()
+      .withColumn("u",
+        (col(keyCol) * 2654435761L % 4294967296L) / lit(4294967296.0))
+      .groupBy("u").agg(count(lit(1)).as("c"))
+      .withColumn("__stripe",
+        least(lit(stripes - 1),
+          floor(col("u") * stripes).cast("int")))
+    val wIn = Window.partitionBy("__stripe").orderBy("u")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wStripe = Window.orderBy("__stripe")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = pts.groupBy("__stripe").agg(sum("c").as("__sc"))
+      .select(col("__stripe"),
+        coalesce(sum("__sc").over(wStripe), lit(0L)).as("__oc"))
+    val tot = pts.agg(sum("c").as("n"))
+    pts.join(broadcast(offs), Seq("__stripe"))
+      .withColumn("below",
+        col("__oc") + coalesce(sum("c").over(wIn), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .agg(max(greatest(
+        abs((col("below") + col("c")).cast("double") / col("n")
+          - col("u")),
+        abs(col("below").cast("double") / col("n") - col("u"))))
+        .as("d"),
+        max("n").as("n"))
+      .select(col("n").as("n_keys"), round(col("d"), 6).as("d_stat"),
+        round(lit(1.358) / sqrt(col("n").cast("double")), 6)
+          .as("crit_5pct"),
+        (col("d") < lit(1.358) / sqrt(col("n").cast("double")))
+          .as("uniform_ok"))
+  }
+
   /** WEEKLY MIXTURE-DRIFT via Jensen–Shannon divergence — the
     * composition-drift monitor next to [[drift]]'s per-value view:
     * each week's event-type MIX (a distribution over categories)

@@ -570,6 +570,36 @@ object Stats {
             lit(0.0)), 6).as("kappa"))
   }
 
+  /** Multiclass MATTHEWS correlation (the Rₖ statistic) over a
+    * confusion frame — the single-number companion to [[cohensKappa]]
+    * that stays honest under CLASS IMBALANCE (accuracy and even kappa
+    * flatter a majority-class guesser; MCC only scores high when every
+    * class is predicted well): Rₖ = (c·s − Σₖpₖtₖ) /
+    * √((s²−Σpₖ²)·(s²−Σtₖ²)). Everything is exact integer arithmetic
+    * on the class-count-sized marginal frames until the final
+    * division; degenerate denominators (single-class truth or
+    * prediction) null out rather than crash. */
+  def mccMulticlass(cm: DataFrame, trueCol: String, predCol: String,
+                    nCol: String): DataFrame = {
+    val tot = cm.agg(sum(nCol).as("s"),
+      sum(when(col(trueCol) === col(predCol), col(nCol))
+        .otherwise(0L)).as("c"),
+      countDistinct(trueCol).as("n_classes"))
+    val rowT = cm.groupBy(col(trueCol).as("k")).agg(sum(nCol).as("t"))
+    val colT = cm.groupBy(col(predCol).as("k")).agg(sum(nCol).as("p"))
+    val cross = rowT.join(colT, Seq("k"), "full")
+      .na.fill(0L, Seq("t", "p"))
+      .agg(sum(col("p") * col("t")).as("pt"),
+        sum(col("p") * col("p")).as("pp"),
+        sum(col("t") * col("t")).as("tt"))
+    tot.crossJoin(broadcast(cross))
+      .select(col("n_classes"), col("s").as("n_total"),
+        round((col("c") * col("s") - col("pt")).cast("double") /
+          nullif(sqrt((col("s") * col("s") - col("pp")).cast("double") *
+            (col("s") * col("s") - col("tt")).cast("double")),
+            lit(0.0)), 6).as("mcc"))
+  }
+
   /** PER-CLASS classifier report over a confusion frame (true, pred,
     * n) — the standard precision / recall / F1 / support table next to
     * [[cohensKappa]]'s single agreement number (kappa says "better than

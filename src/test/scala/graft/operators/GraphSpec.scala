@@ -384,6 +384,30 @@ class GraphSpec extends SparkSpec {
     assert(path(2L) == 1.0 && path(1L) == path(3L) && path(1L) == 0.5)
   }
 
+  test("adamicAdarLinks: rare shared neighbor outranks a shared hub") {
+    // 1,2 share rare 5 (deg 2) AND hub 3; 1,4 / 2,4 share only hub 3
+    val g = undirected((3L, 1L), (3L, 2L), (3L, 4L), (5L, 1L), (5L, 2L))
+    val out = Graph.adamicAdarLinks(g).collect()
+      .map(r => (r.getAs[Long]("x"), r.getAs[Long]("y")) ->
+        (r.getAs[Long]("n_common"), r.getAs[Double]("aa_score")))
+    // top pair is (3,5): they share BOTH degree-2 nodes → 2/ln(2);
+    // (1,2) shares rare 5 and hub 3 → 1/ln(3)+1/ln(2); hub-only pairs
+    // like (1,4) trail with 1/ln(3)
+    val top = out.head
+    assert(top._1 == ((3L, 5L)) && top._2._1 == 2L)
+    def q(x: Double) = math.rint(1e9 / math.log(x))
+    def r6(u: Double) = BigDecimal(u).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(top._2._2 == r6(2 * q(2) / 1e9))
+    val m = out.toMap
+    val pair12 = m((1L, 2L))
+    assert(pair12 == ((2L, r6((q(3) + q(2)) / 1e9))))
+    val hubOnly = m((1L, 4L))
+    assert(hubOnly == ((1L, r6(q(3) / 1e9))))
+    assert(hubOnly._2 < pair12._2 && pair12._2 < top._2._2,
+      "rare shared neighbors must outrank hub-only sharing")
+  }
+
   test("bipartiteSquares: complete K2,3 scores C4=1; missing edge lowers it") {
     // K2,3: customers 1,2 × suppliers 11,12,13 — the pair (1,2) shares
     // 3 suppliers → C(3,2)=3 squares; L3 = 6 edges · (2-1)(3-1)... each

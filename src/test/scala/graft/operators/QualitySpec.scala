@@ -597,6 +597,22 @@ class QualitySpec extends SparkSpec {
     assert(real.nonEmpty && real.forall(_.getAs[Double]("ce") > 0))
   }
 
+  test("hashUniformity: singleton D is its own u; 1k sequential keys pass") {
+    def ev(ids: Long*) = ids.toDF("user_id")
+    // one key: ECDF jumps 0→1 at u ≈ 0.618..., D = u itself
+    val u1 = (1L * 2654435761L % 4294967296L) / 4294967296.0
+    val one = Quality.hashUniformity(ev(1L)).collect().head
+    assert(one.getAs[Long]("n_keys") == 1L)
+    assert(one.getAs[Double]("d_stat") ==
+      BigDecimal(math.max(u1, 1 - u1)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // sequential ids — the common worst case for weak hashes — spread
+    // cleanly under the multiplicative hash
+    val seq = Quality.hashUniformity(ev((1L to 1000L): _*)).collect().head
+    assert(seq.getAs[Boolean]("uniform_ok") &&
+      seq.getAs[Double]("d_stat") < 0.05, s"$seq")
+  }
+
   test("mixDrift: identical mixes score 0, disjoint mixes score 1, first week skipped") {
     // Mondays 1970-01-05 / -12 / -19: w2 repeats w1's mix, w3 flips
     // to a type neither earlier week had

@@ -1263,6 +1263,22 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("mccMulticlass: hand 2x2 value; perfect diagonal 1; one-class guesser nulls") {
+    def cm(rows: (String, String, Long)*) = rows.toDF("t", "p", "n")
+    // c=80 s=100 pt=5000 pp=5200 tt=5000 → 3000/√(4800·5000)
+    val hand = Stats.mccMulticlass(cm(("a", "a", 45L), ("a", "b", 5L),
+      ("b", "a", 15L), ("b", "b", 35L)), "t", "p", "n").collect().head
+    assert(hand.getAs[Double]("mcc") == 0.612372, s"$hand")
+    val perfect = Stats.mccMulticlass(cm(("a", "a", 10L), ("b", "b", 20L),
+      ("c", "c", 5L)), "t", "p", "n").collect().head
+    assert(perfect.getAs[Double]("mcc") == 1.0 &&
+      perfect.getAs[Long]("n_classes") == 3L)
+    // majority-class guesser: s²−Σp² = 0 → null, never a flattering score
+    val guesser = Stats.mccMulticlass(cm(("a", "a", 90L), ("b", "a", 10L)),
+      "t", "p", "n").collect().head
+    assert(guesser.isNullAt(guesser.fieldIndex("mcc")))
+  }
+
   test("fairnessSlices: perfect slice vs never-positive slice shows the gaps") {
     // slice A: perfectly separated; slice B: model never fires
     val rows =
