@@ -796,6 +796,8 @@ object SparkEntry {
       TextAnalysis.knCrossEntropy(Tables.documents(s, d))),
     "pipe_kill_report" -> ((s, d) =>
       TextAnalysis.killReport(Tables.documents(s, d))),
+    "tx_term_burstiness" -> ((s, d) =>
+      TextAnalysis.termBurstiness(Tables.documents(s, d))),
     "sp_quadrat" -> ((s, d) => SpatialJoin.quadratTest(Tables.customer(s, d))),
     "sp_davies_bouldin" -> ((s, d) =>
       SpatialJoin.gridDaviesBouldin(Tables.customer(s, d))),
@@ -1645,6 +1647,8 @@ object SparkEntry {
     }),
     "st_ccc" -> ((s, d) => Stats.linCcc(Tables.events(s, d))),
     "st_deming" -> ((s, d) => Stats.demingRegression(Tables.events(s, d))),
+    "st_distance_corr" -> ((s, d) =>
+      Stats.distanceCorrelation(Tables.events(s, d))),
     "st_poisson_2rate" -> ((s, d) =>
       Stats.poissonTwoRate(Tables.events(s, d))),
     "st_wilson_ci" -> ((s, d) => {
@@ -1893,6 +1897,74 @@ object SparkEntry {
                + 4.0 * cxy * cxy)) / nullif(2.0 * cxy, 0) * mx) / 1e6,
              6) AS intercept
          FROM c""",
+    "st_distance_corr" ->
+      """WITH hourly AS (SELECT
+             epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
+             round(avg(CASE WHEN event_type = 'click' THEN value END), 6)
+               AS x,
+             round(avg(CASE WHEN event_type = 'view' THEN value END), 6)
+               AS y
+           FROM events WHERE event_type IN ('click', 'view')
+           GROUP BY 1
+           HAVING x IS NOT NULL AND y IS NOT NULL),
+         q AS MATERIALIZED (SELECT hr,
+             CAST(round(x * 1e6) AS BIGINT) AS xu,
+             CAST(round(y * 1e6) AS BIGINT) AS yu
+           FROM hourly),
+         nn AS (SELECT CAST(count(*) AS DOUBLE) AS n1 FROM q),
+         pairs AS MATERIALIZED (SELECT i.hr AS hi, j.hr AS hj,
+             abs(i.xu - j.xu) AS ax, abs(i.yu - j.yu) AS ay
+           FROM q i CROSS JOIN q j),
+         rm AS MATERIALIZED (SELECT hi, CAST(sum(ax) AS BIGINT) AS rx,
+             CAST(sum(ay) AS BIGINT) AS ry
+           FROM pairs GROUP BY 1),
+         cm2 AS MATERIALIZED (SELECT hj, CAST(sum(ax) AS BIGINT) AS cx,
+             CAST(sum(ay) AS BIGINT) AS cy
+           FROM pairs GROUP BY 1),
+         gr AS (SELECT CAST(sum(ax) AS BIGINT) AS gx,
+             CAST(sum(ay) AS BIGINT) AS gy
+           FROM pairs),
+         t AS (SELECT
+             CAST(sum(CAST(round(
+               (ax / 1e6 - rx / 1e6 / n1 - cx / 1e6 / n1
+                 + gx / 1e6 / (n1 * n1)) *
+               (ay / 1e6 - ry / 1e6 / n1 - cy / 1e6 / n1
+                 + gy / 1e6 / (n1 * n1)) * 1e6) AS BIGINT))
+               AS BIGINT) AS sab,
+             CAST(sum(CAST(round(
+               (ax / 1e6 - rx / 1e6 / n1 - cx / 1e6 / n1
+                 + gx / 1e6 / (n1 * n1)) *
+               (ax / 1e6 - rx / 1e6 / n1 - cx / 1e6 / n1
+                 + gx / 1e6 / (n1 * n1)) * 1e6) AS BIGINT))
+               AS BIGINT) AS saa,
+             CAST(sum(CAST(round(
+               (ay / 1e6 - ry / 1e6 / n1 - cy / 1e6 / n1
+                 + gy / 1e6 / (n1 * n1)) *
+               (ay / 1e6 - ry / 1e6 / n1 - cy / 1e6 / n1
+                 + gy / 1e6 / (n1 * n1)) * 1e6) AS BIGINT))
+               AS BIGINT) AS sbb,
+             CAST(max(n1) AS BIGINT) AS n
+           FROM pairs JOIN rm ON pairs.hi = rm.hi
+             JOIN cm2 ON pairs.hj = cm2.hj
+             CROSS JOIN gr CROSS JOIN nn)
+         SELECT n AS n_hours,
+           round(sqrt(greatest(CAST(sab AS DOUBLE), 0.0) / (n * n))
+             / nullif(sqrt(sqrt((CAST(saa AS DOUBLE) / (n * n))
+               * (CAST(sbb AS DOUBLE) / (n * n)))), 0), 6) AS dcor
+         FROM t""",
+    "tx_term_burstiness" ->
+      """WITH pd AS (SELECT doc_id, tk AS term,
+             CAST(count(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+                 FROM documents)
+           GROUP BY 1, 2),
+         tm AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(tf) AS BIGINT) AS tf_total
+           FROM pd GROUP BY 1)
+         SELECT term, df, tf_total,
+           round(CAST(tf_total AS DOUBLE) / df, 4) AS burstiness
+         FROM tm WHERE df >= 20
+         ORDER BY tf_total * 1000000 // df DESC, term LIMIT 20""",
     "st_poisson_2rate" ->
       """WITH c AS (SELECT
              CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)

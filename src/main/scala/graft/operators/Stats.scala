@@ -2624,6 +2624,59 @@ object Stats {
           .otherwise(round(lit(1.0) / col("first_rel_rank"), 6))
           .as("rr"))
 
+  /** DISTANCE CORRELATION between the paired hourly series — the
+    * energy-statistics dependence measure that is ZERO only under
+    * independence (Pearson/Spearman are blind to symmetric nonlinear
+    * structure — y = |x| scores r ≈ 0 but dCor ≈ 0.5): double-center
+    * the pairwise |Δx| and |Δy| matrices, dCov² = mean(A∘B), dCor =
+    * dCov/√(dVarₓ·dVar_y).
+    *
+    * Exactness: values quantize to exact micro-ints, every row/grand
+    * mean divides exact long sums (identical doubles), and each A·B
+    * product term quantizes to integer units before the unordered n²
+    * sum. Scale: the n² pair frame is over the HOURLY series — time-
+    * bounded, not data-bounded (the 100 TB corpus still collapses to
+    * the same hours first); the pair join is an equi-join-free
+    * crossJoin of a calendar-sized frame, documented as such. */
+  def distanceCorrelation(events: DataFrame, typeA: String = "click",
+                          typeB: String = "view"): DataFrame = {
+    val h = alignedHourly(events, typeA, typeB)
+      .select(col("hr"), round(col("x") * 1e6).cast("long").as("xu"),
+        round(col("y") * 1e6).cast("long").as("yu"))
+      .localCheckpoint(true)
+    val n1 = h.count().toDouble
+    val i = h.select(col("hr").as("hi"), col("xu").as("xi"),
+      col("yu").as("yi"))
+    val j = h.select(col("hr").as("hj"), col("xu").as("xj"),
+      col("yu").as("yj"))
+    val pairs = i.crossJoin(j)
+      .withColumn("ax", abs(col("xi") - col("xj")))
+      .withColumn("ay", abs(col("yi") - col("yj")))
+      .localCheckpoint(true)
+    val rowM = pairs.groupBy("hi")
+      .agg(sum("ax").as("rx"), sum("ay").as("ry"))
+    val colM = pairs.groupBy("hj")
+      .agg(sum("ax").as("cx"), sum("ay").as("cy"))
+    val grand = pairs.agg(sum("ax").as("gx"), sum("ay").as("gy"))
+    val a = col("ax") / lit(1e6) - col("rx") / lit(1e6) / n1 -
+      col("cx") / lit(1e6) / n1 + col("gx") / lit(1e6) / (n1 * n1)
+    val b = col("ay") / lit(1e6) - col("ry") / lit(1e6) / n1 -
+      col("cy") / lit(1e6) / n1 + col("gy") / lit(1e6) / (n1 * n1)
+    val scored = pairs
+      .join(rowM, Seq("hi")).join(colM, Seq("hj"))
+      .crossJoin(broadcast(grand))
+      .agg(sum(round(a * b * 1e6).cast("long")).as("sab"),
+        sum(round(a * a * 1e6).cast("long")).as("saa"),
+        sum(round(b * b * 1e6).cast("long")).as("sbb"))
+    scored.select(lit(n1.toLong).as("n_hours"),
+      round(
+        sqrt(greatest(col("sab").cast("double"), lit(0.0)) / (n1 * n1)) /
+          nullif(sqrt(sqrt(
+            (col("saa").cast("double") / (n1 * n1)) *
+              (col("sbb").cast("double") / (n1 * n1)))), lit(0.0)),
+        6).as("dcor"))
+  }
+
   /** DEMING regression on the paired hourly series — the
     * errors-in-BOTH-variables line that completes the method-comparison
     * family ([[linCcc]] scores agreement, [[blandAltman]] bounds bias,

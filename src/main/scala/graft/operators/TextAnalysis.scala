@@ -75,6 +75,34 @@ object TextAnalysis {
       (pCount && pLen && pAlpha && pLong).as("keep"))
   }
 
+  /** TERM BURSTINESS (Church–Gale) — tf/df per term: a term appearing
+    * 400 times in 40 documents (burstiness 10) is topical/bursty; one
+    * appearing 400 times in 400 documents is a function word — the
+    * dispersion signal raw frequency hides, and the cheap feature
+    * behind stopword discovery and keyword weighting beyond TF-IDF's
+    * rarity-only view. One token-explode pass to the (doc, term)
+    * frame, one term rollup (both map-side combined), TakeOrdered cut
+    * with the (ratio, term) total order on exact integers (df·-scaled
+    * comparison — no float rank). */
+  def termBurstiness(documents: DataFrame, minDf: Long = 20,
+                     topN: Int = 20): DataFrame = {
+    val perDoc = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    perDoc.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("tf_total"))
+      .filter(col("df") >= minDf)
+      // rank on the exact rational tf/df via integer cross-products:
+      // order by tf_total*1e6 DIV df (long) then term — engine-stable
+      .withColumn("bq",
+        expr("tf_total * 1000000 DIV df"))
+      .orderBy(col("bq").desc, col("term"))
+      .limit(topN)
+      .select(col("term"), col("df"), col("tf_total"),
+        round(col("tf_total").cast("double") / col("df"), 4)
+          .as("burstiness"))
+  }
+
   /** KILL-ATTRIBUTION report over [[gopherRules]] — the curation
     * analytics a rule ladder needs before anyone tunes it: per rule,
     * how many docs FAIL it and how many it UNIQUELY kills (docs every

@@ -597,6 +597,23 @@ class QualitySpec extends SparkSpec {
     assert(real.nonEmpty && real.forall(_.getAs[Double]("ce") > 0))
   }
 
+  test("termBurstiness: concentrated term outranks the evenly spread one") {
+    // 'bursty': 10x in each of 20 docs → tf/df = 10;
+    // 'common': once in each of 25 docs → 1; 'rare' df 5 < minDf cut
+    val docs = ((1 to 20).map(i =>
+      (i.toLong, (1 to 10).map(_ => "bursty").mkString(" ") + " common")) ++
+      (21 to 25).map(i => (i.toLong, "common rare")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.termBurstiness(docs).collect()
+      .map(r => r.getAs[String]("term") ->
+        (r.getAs[Long]("df"), r.getAs[Long]("tf_total"),
+          r.getAs[Double]("burstiness")))
+    assert(out.map(_._1).toSeq == Seq("bursty", "common"),
+      s"rare must be cut by minDf: ${out.toSeq}")
+    assert(out.head._2 == ((20L, 200L, 10.0)))
+    assert(out.last._2 == ((25L, 25L, 1.0)))
+  }
+
   test("hashUniformity: singleton D is its own u; 1k sequential keys pass") {
     def ev(ids: Long*) = ids.toDF("user_id")
     // one key: ECDF jumps 0→1 at u ≈ 0.618..., D = u itself

@@ -1263,6 +1263,27 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("distanceCorrelation: linear is ~1; V-shape is loud where Pearson is blind") {
+    def ev(f: Int => Double) = (1 to 41).flatMap { h =>
+      Seq((1L, h * 3600L, "click", h.toDouble),
+        (2L, h * 3600L, "view", f(h)))
+    }.toDF("user_id", "s", "event_type", "value")
+      .select(col("user_id"), timestamp_seconds(col("s")).as("ts"),
+        col("event_type"), col("value"))
+    val lin = Stats.distanceCorrelation(ev(h => 2.0 * h + 3))
+      .collect().head
+    assert(lin.getAs[Long]("n_hours") == 41L)
+    assert(lin.getAs[Double]("dcor") > 0.9999, s"$lin")
+    // y = |x − 21|: symmetric V — Pearson sees nothing, dCor does
+    val vshape = ev(h => math.abs(h - 21.0))
+    val d = Stats.distanceCorrelation(vshape).collect()
+      .head.getAs[Double]("dcor")
+    val pearson = Stats.linCcc(vshape).collect()
+      .head.getAs[Double]("pearson")
+    assert(math.abs(pearson) < 0.05, s"V-shape Pearson ~0: $pearson")
+    assert(d > 0.3, s"V-shape dCor must be loud: $d")
+  }
+
   test("mccMulticlass: hand 2x2 value; perfect diagonal 1; one-class guesser nulls") {
     def cm(rows: (String, String, Long)*) = rows.toDF("t", "p", "n")
     // c=80 s=100 pt=5000 pp=5200 tt=5000 → 3000/√(4800·5000)
