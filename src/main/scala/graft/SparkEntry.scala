@@ -1649,6 +1649,9 @@ object SparkEntry {
     "st_deming" -> ((s, d) => Stats.demingRegression(Tables.events(s, d))),
     "st_distance_corr" -> ((s, d) =>
       Stats.distanceCorrelation(Tables.events(s, d))),
+    "st_energy_dist" -> ((s, d) =>
+      Stats.energyDistance(Tables.events(s, d))),
+    "ts_circular" -> ((s, d) => Stats.circularTime(Tables.events(s, d))),
     "st_poisson_2rate" -> ((s, d) =>
       Stats.poissonTwoRate(Tables.events(s, d))),
     "st_wilson_ci" -> ((s, d) => {
@@ -1965,6 +1968,46 @@ object SparkEntry {
            round(CAST(tf_total AS DOUBLE) / df, 4) AS burstiness
          FROM tm WHERE df >= 20
          ORDER BY tf_total * 1000000 // df DESC, term LIMIT 20""",
+    "st_energy_dist" ->
+      """WITH h AS MATERIALIZED (SELECT event_type,
+             epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
+             CAST(round(avg(value) * 1e6) AS BIGINT) AS vu
+           FROM events WHERE event_type IN ('click', 'view')
+           GROUP BY 1, 2),
+         a AS (SELECT vu AS xa FROM h WHERE event_type = 'click'),
+         b AS (SELECT vu AS xb FROM h WHERE event_type = 'view'),
+         xy AS (SELECT CAST(sum(abs(xa - xb)) AS BIGINT) AS sxy,
+             CAST(count(*) AS BIGINT) AS nm
+           FROM a CROSS JOIN b),
+         xx AS (SELECT CAST(sum(abs(a1.xa - a2.xa)) AS BIGINT) AS sxx,
+             CAST(count(*) AS BIGINT) AS nn
+           FROM a a1 CROSS JOIN a a2),
+         yy AS (SELECT CAST(sum(abs(b1.xb - b2.xb)) AS BIGINT) AS syy,
+             CAST(count(*) AS BIGINT) AS mm
+           FROM b b1 CROSS JOIN b b2)
+         SELECT nm,
+           round((2.0 * sxy / nm - CAST(sxx AS DOUBLE) / nn
+             - CAST(syy AS DOUBLE) / mm) / 1e6, 6) AS energy_dist
+         FROM xy CROSS JOIN xx CROSS JOIN yy""",
+    "ts_circular" ->
+      """WITH t AS (SELECT event_type,
+             CAST(round(cos(CAST(CAST(floor(epoch(ts)) AS BIGINT)
+               % 86400 AS DOUBLE) / 86400.0 * 6.283185307179586)
+               * 1e6) AS BIGINT) AS cu,
+             CAST(round(sin(CAST(CAST(floor(epoch(ts)) AS BIGINT)
+               % 86400 AS DOUBLE) / 86400.0 * 6.283185307179586)
+               * 1e6) AS BIGINT) AS su
+           FROM events),
+         g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cu) AS BIGINT) AS sc,
+             CAST(sum(su) AS BIGINT) AS ss
+           FROM t GROUP BY 1)
+         SELECT event_type, n,
+           round((atan2(CAST(ss AS DOUBLE), CAST(sc AS DOUBLE))
+             / 6.283185307179586 * 24.0 + 24.0) % 24.0, 4) AS mean_hour,
+           round(sqrt(CAST(sc AS DOUBLE) * sc + CAST(ss AS DOUBLE) * ss)
+             / 1e6 / n, 6) AS resultant
+         FROM g""",
     "st_poisson_2rate" ->
       """WITH c AS (SELECT
              CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)

@@ -2677,6 +2677,74 @@ object Stats {
         6).as("dcor"))
   }
 
+  /** Two-sample ENERGY DISTANCE between groups — the metric-space
+    * companion to [[cramerVonMises]]'s rank view (and
+    * [[distanceCorrelation]]'s two-sample sibling): E = 2·E|X−Y| −
+    * E|X−X'| − E|Y−Y'| ≥ 0 with equality iff the distributions match —
+    * sensitive to ANY difference and generalizing verbatim to vector
+    * data where rank tests stop existing.
+    *
+    * Exactness: pairwise |Δ| on micro-int values are exact longs, the
+    * three pair sums are exact longs, and the statistic is three
+    * divisions on bit-identical integers. Scale: the pair frames are
+    * over per-group HOURLY collapses (time-bounded — the corpus never
+    * self-joins); cross/self pair counts are calendar²-sized. */
+  def energyDistance(events: DataFrame, typeA: String = "click",
+                     typeB: String = "view"): DataFrame = {
+    val h = events.filter(col("event_type").isin(typeA, typeB))
+      .groupBy(col("event_type"),
+        expr("unix_seconds(date_trunc('hour', ts)) div 3600").as("hr"))
+      .agg(round(avg("value") * 1e6).cast("long").as("vu"))
+      .localCheckpoint(true)
+    val a = h.filter(col("event_type") === typeA)
+      .select(col("vu").as("xa"))
+    val b = h.filter(col("event_type") === typeB)
+      .select(col("vu").as("xb"))
+    val xy = a.crossJoin(b)
+      .agg(sum(abs(col("xa") - col("xb"))).as("sxy"),
+        count(lit(1)).as("nm"))
+    val xx = a.crossJoin(a.select(col("xa").as("xa2")))
+      .agg(sum(abs(col("xa") - col("xa2"))).as("sxx"),
+        count(lit(1)).as("nn"))
+    val yy = b.crossJoin(b.select(col("xb").as("xb2")))
+      .agg(sum(abs(col("xb") - col("xb2"))).as("syy"),
+        count(lit(1)).as("mm"))
+    xy.crossJoin(broadcast(xx)).crossJoin(broadcast(yy))
+      .select(col("nm"), round(
+        (lit(2.0) * col("sxy") / col("nm") -
+          col("sxx").cast("double") / col("nn") -
+          col("syy").cast("double") / col("mm")) / lit(1e6), 6)
+        .as("energy_dist"))
+  }
+
+  /** CIRCULAR statistics of event TIME-OF-DAY per type — mean
+    * direction and resultant length on the 24 h circle, the right
+    * answer where a linear mean is nonsense (events at 23:00 and 01:00
+    * average to midday linearly, midnight circularly): θ = 2π·(seconds
+    * since midnight)/86400, R̄ = |Σe^{iθ}|/n (1 = perfectly phase-
+    * locked, 0 = uniform), mean hour = atan2 of the component sums.
+    * Each sin/cos term quantizes to MICRO-units before the corpus sum
+    * (exact longs, partition-invariant — and the 1e-6 quantum sits 6
+    * orders above a cross-engine libm ulp, so no term can round
+    * differently); the one atan2/sqrt at the end runs on identical
+    * integers. ONE conditional pass, k-row output. */
+  def circularTime(events: DataFrame): DataFrame = {
+    val frac = (unix_seconds(col("ts")) % 86400L).cast("double") /
+      lit(86400.0)
+    val theta = frac * lit(2.0 * math.Pi)
+    val cu = round(cos(theta) * 1e6).cast("long")
+    val su = round(sin(theta) * 1e6).cast("long")
+    events.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(cu).as("sc"), sum(su).as("ss"))
+      .select(col("event_type"), col("n"),
+        round((atan2(col("ss").cast("double"), col("sc").cast("double"))
+          / lit(2.0 * math.Pi) * 24.0 + 24.0) % 24.0, 4)
+          .as("mean_hour"),
+        round(sqrt(col("sc").cast("double") * col("sc") +
+          col("ss").cast("double") * col("ss")) / lit(1e6) / col("n"),
+          6).as("resultant"))
+  }
+
   /** DEMING regression on the paired hourly series — the
     * errors-in-BOTH-variables line that completes the method-comparison
     * family ([[linCcc]] scores agreement, [[blandAltman]] bounds bias,

@@ -1263,6 +1263,44 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("energyDistance: identical hourly multisets score 0; a pure shift scores 2d") {
+    def ev(rows: Seq[(Long, String, Double)]) = rows.zipWithIndex.map {
+      case ((h, t, v), i) => (i.toLong, h * 3600L, t, v)
+    }.toDF("user_id", "s", "event_type", "value")
+      .select(col("user_id"), timestamp_seconds(col("s")).as("ts"),
+        col("event_type"), col("value"))
+    val hs = (1L to 20L)
+    val same = Stats.energyDistance(ev(
+      hs.map(h => (h, "click", (h % 5).toDouble)) ++
+        hs.map(h => (h, "view", (h % 5).toDouble))))
+      .collect().head
+    assert(same.getAs[Double]("energy_dist") == 0.0)
+    // click ≡ 1.0, view ≡ 4.0: E = 2·3 − 0 − 0 = 6
+    val shifted = Stats.energyDistance(ev(
+      hs.map(h => (h, "click", 1.0)) ++ hs.map(h => (h, "view", 4.0))))
+      .collect().head
+    assert(shifted.getAs[Double]("energy_dist") == 6.0)
+  }
+
+  test("circularTime: phase-locked events score resultant 1; quadrants cancel") {
+    def ev(hours: Seq[Int], t: String = "click") = hours.zipWithIndex.map {
+      case (h, i) => (i.toLong, h * 3600L, t, 1.0)
+    }.toDF("user_id", "s", "event_type", "value")
+      .select(col("user_id"), timestamp_seconds(col("s")).as("ts"),
+        col("event_type"), col("value"))
+    val locked = Stats.circularTime(ev(Seq.fill(10)(6))).collect().head
+    assert(locked.getAs[Double]("mean_hour") == 6.0 &&
+      locked.getAs[Double]("resultant") == 1.0)
+    // one event in each quadrant: vectors cancel exactly
+    val uniform = Stats.circularTime(ev(Seq(0, 6, 12, 18))).collect().head
+    assert(uniform.getAs[Double]("resultant") == 0.0)
+    // 23:00 + 01:00 average to midnight circularly (never 12:00)
+    val wrap = Stats.circularTime(ev(Seq(23, 1))).collect().head
+    val mh = wrap.getAs[Double]("mean_hour")
+    assert(math.min(mh, 24.0 - mh) < 0.01, s"circular mean: $mh")
+    assert(wrap.getAs[Double]("resultant") > 0.96)
+  }
+
   test("distanceCorrelation: linear is ~1; V-shape is loud where Pearson is blind") {
     def ev(f: Int => Double) = (1 to 41).flatMap { h =>
       Seq((1L, h * 3600L, "click", h.toDouble),
