@@ -798,6 +798,8 @@ object SparkEntry {
       TextAnalysis.killReport(Tables.documents(s, d))),
     "tx_term_burstiness" -> ((s, d) =>
       TextAnalysis.termBurstiness(Tables.documents(s, d))),
+    "tx_textrank" -> ((s, d) =>
+      TextAnalysis.textRank(Tables.documents(s, d))),
     "sp_quadrat" -> ((s, d) => SpatialJoin.quadratTest(Tables.customer(s, d))),
     "sp_davies_bouldin" -> ((s, d) =>
       SpatialJoin.gridDaviesBouldin(Tables.customer(s, d))),
@@ -1652,6 +1654,7 @@ object SparkEntry {
     "st_energy_dist" -> ((s, d) =>
       Stats.energyDistance(Tables.events(s, d))),
     "ts_circular" -> ((s, d) => Stats.circularTime(Tables.events(s, d))),
+    "st_sign_test" -> ((s, d) => Stats.signTest(Tables.events(s, d))),
     "st_poisson_2rate" -> ((s, d) =>
       Stats.poissonTwoRate(Tables.events(s, d))),
     "st_wilson_ci" -> ((s, d) => {
@@ -2044,6 +2047,97 @@ object SparkEntry {
            round(4.0 * n_squares / nullif(CAST(l3 AS DOUBLE), 0), 6)
              AS c4
          FROM sq CROSS JOIN l3""",
+    "tx_textrank" ->
+      """WITH tt AS MATERIALIZED (SELECT string_split(text, ' ') AS t
+           FROM documents),
+         freq AS MATERIALIZED (SELECT tk FROM (
+             SELECT unnest(t) AS tk FROM tt)
+           GROUP BY tk HAVING count(*) >= 50),
+         bg AS MATERIALIZED (SELECT DISTINCT w1, w2 FROM (
+             SELECT unnest(t[1:len(t)-1]) AS w1,
+               unnest(t[2:len(t)]) AS w2
+             FROM tt WHERE len(t) >= 2)
+           WHERE w1 <> w2
+             AND w1 IN (SELECT tk FROM freq)
+             AND w2 IN (SELECT tk FROM freq)),
+         e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+             SELECT w1 AS src, w2 AS dst FROM bg
+             UNION ALL SELECT w2, w1 FROM bg)),
+         deg AS MATERIALIZED (SELECT src, count(*) AS outdeg
+           FROM e GROUP BY 1),
+         nn AS (SELECT count(*) AS n FROM deg),
+         r0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) / n AS rank
+           FROM deg CROSS JOIN nn),
+         m1 AS (SELECT e.dst, sum(r.rank / deg.outdeg) AS m
+           FROM e JOIN r0 r ON e.src = r.node
+             JOIN deg ON deg.src = e.src
+           GROUP BY e.dst),
+         r1 AS (SELECT deg.src AS node,
+             round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+               + CAST(0.85 AS DOUBLE) * coalesce(m1.m, 0), 9) AS rank
+           FROM deg CROSS JOIN nn
+             LEFT JOIN m1 ON m1.dst = deg.src),
+         m2 AS (SELECT e.dst, sum(r.rank / deg.outdeg) AS m
+           FROM e JOIN r1 r ON e.src = r.node
+             JOIN deg ON deg.src = e.src
+           GROUP BY e.dst),
+         r2 AS (SELECT deg.src AS node,
+             round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+               + CAST(0.85 AS DOUBLE) * coalesce(m2.m, 0), 9) AS rank
+           FROM deg CROSS JOIN nn
+             LEFT JOIN m2 ON m2.dst = deg.src),
+         m3 AS (SELECT e.dst, sum(r.rank / deg.outdeg) AS m
+           FROM e JOIN r2 r ON e.src = r.node
+             JOIN deg ON deg.src = e.src
+           GROUP BY e.dst),
+         r3 AS (SELECT deg.src AS node,
+             round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+               + CAST(0.85 AS DOUBLE) * coalesce(m3.m, 0), 9) AS rank
+           FROM deg CROSS JOIN nn
+             LEFT JOIN m3 ON m3.dst = deg.src),
+         m4 AS (SELECT e.dst, sum(r.rank / deg.outdeg) AS m
+           FROM e JOIN r3 r ON e.src = r.node
+             JOIN deg ON deg.src = e.src
+           GROUP BY e.dst),
+         r4 AS (SELECT deg.src AS node,
+             round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+               + CAST(0.85 AS DOUBLE) * coalesce(m4.m, 0), 9) AS rank
+           FROM deg CROSS JOIN nn
+             LEFT JOIN m4 ON m4.dst = deg.src),
+         m5 AS (SELECT e.dst, sum(r.rank / deg.outdeg) AS m
+           FROM e JOIN r4 r ON e.src = r.node
+             JOIN deg ON deg.src = e.src
+           GROUP BY e.dst),
+         r5 AS (SELECT deg.src AS node,
+             round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+               + CAST(0.85 AS DOUBLE) * coalesce(m5.m, 0), 9) AS rank
+           FROM deg CROSS JOIN nn
+             LEFT JOIN m5 ON m5.dst = deg.src),
+         top AS (SELECT node AS word, round(rank, 6) AS rank
+           FROM r5 ORDER BY rank DESC, node LIMIT 20)
+         SELECT word, rank FROM top""",
+    "st_sign_test" ->
+      """WITH hourly AS (SELECT
+             epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
+             round(avg(CASE WHEN event_type = 'click' THEN value END), 6)
+               AS x,
+             round(avg(CASE WHEN event_type = 'view' THEN value END), 6)
+               AS y
+           FROM events WHERE event_type IN ('click', 'view')
+           GROUP BY 1
+           HAVING x IS NOT NULL AND y IS NOT NULL),
+         c AS (SELECT
+             CAST(sum(CASE WHEN round(x - y, 6) > 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_pos,
+             CAST(sum(CASE WHEN round(x - y, 6) < 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_neg,
+             CAST(sum(CASE WHEN round(x - y, 6) = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_ties
+           FROM hourly)
+         SELECT n_pos, n_neg, n_ties,
+           round((n_pos - n_neg) /
+             nullif(sqrt(CAST(n_pos + n_neg AS DOUBLE)), 0), 4) AS z
+         FROM c""",
     "st_cvm" ->
       """WITH pts AS (SELECT value AS v,
              CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)

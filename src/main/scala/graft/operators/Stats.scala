@@ -2677,6 +2677,27 @@ object Stats {
         6).as("dcor"))
   }
 
+  /** Paired SIGN TEST on the aligned hourly series — the
+    * assumption-free floor of the paired family ([[wilcoxonSignedRank]]
+    * needs symmetric differences, [[pairedTTest]] normal ones; the
+    * sign test needs only that ties are rare): count hours where x > y
+    * vs x < y, z = (n⁺−n⁻)/√(n⁺+n⁻) under the fair-coin null. Ties
+    * drop by convention and are reported. Differences round to 6dp
+    * BEFORE the sign so both engines discard identical ties; one
+    * hour-bounded pass, three exact counts. */
+  def signTest(events: DataFrame, typeA: String = "click",
+               typeB: String = "view"): DataFrame = {
+    val d = round(col("x") - col("y"), 6)
+    alignedHourly(events, typeA, typeB)
+      .agg(sum(when(d > 0, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(d < 0, 1L).otherwise(0L)).as("n_neg"),
+        sum(when(d === 0, 1L).otherwise(0L)).as("n_ties"))
+      .select(col("n_pos"), col("n_neg"), col("n_ties"),
+        round((col("n_pos") - col("n_neg")) /
+          nullif(sqrt((col("n_pos") + col("n_neg")).cast("double")),
+            lit(0.0)), 4).as("z"))
+  }
+
   /** Two-sample ENERGY DISTANCE between groups — the metric-space
     * companion to [[cramerVonMises]]'s rank view (and
     * [[distanceCorrelation]]'s two-sample sibling): E = 2·E|X−Y| −

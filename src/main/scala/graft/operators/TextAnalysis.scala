@@ -75,6 +75,45 @@ object TextAnalysis {
       (pCount && pLen && pAlpha && pLong).as("keep"))
   }
 
+  /** TEXTRANK keyword extraction (Mihalcea–Tarau) — PageRank over the
+    * word CO-OCCURRENCE graph: a word matters when it co-occurs with
+    * words that matter, which surfaces multi-word topical cores that
+    * frequency ([[termBurstiness]]) and rarity (TF-IDF) both miss.
+    * Graph = distinct adjacent-word pairs (both directions) over the
+    * corpus, restricted to words with ≥ `minCount` occurrences (the
+    * standard stop-the-tail gate); ranking = the SAME fixed-iteration
+    * [[Graph.pageRank]] the graph family runs — one algorithm, two
+    * domains — then a (rank, word) TakeOrdered cut.
+    *
+    * Scale shape: one bigram-explode pass to the distinct edge frame
+    * (vocabulary²-bounded, not corpus-bounded), two semi-joins for the
+    * frequency gate, and pageRank's node-sized iteration frames. */
+  def textRank(documents: DataFrame, minCount: Long = 50,
+               topN: Int = 20): DataFrame = {
+    val t = tokens(col("text"))
+    val freq = documents.select(explode(t).as("tk"))
+      .groupBy("tk").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+      .select("tk")
+    val pairs = documents
+      .select(explode(when(size(t) < 2,
+        array().cast("array<struct<w1:string,w2:string>>"))
+        .otherwise(transform(sequence(lit(0), size(t) - 2),
+          i => struct(element_at(t, i + 1).as("w1"),
+            element_at(t, i + 2).as("w2"))))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .filter(col("w1") =!= col("w2"))
+      .distinct()
+      .join(freq.withColumnRenamed("tk", "w1"), Seq("w1"), "left_semi")
+      .join(freq.withColumnRenamed("tk", "w2"), Seq("w2"), "left_semi")
+    val edges = pairs.select(col("w1").as("src"), col("w2").as("dst"))
+      .unionByName(pairs.select(col("w2").as("src"), col("w1").as("dst")))
+    Graph.pageRank(edges)
+      .orderBy(col("rank").desc, col("node"))
+      .limit(topN)
+      .select(col("node").as("word"), col("rank"))
+  }
+
   /** TERM BURSTINESS (Church–Gale) — tf/df per term: a term appearing
     * 400 times in 40 documents (burstiness 10) is topical/bursty; one
     * appearing 400 times in 400 documents is a function word — the

@@ -597,6 +597,23 @@ class QualitySpec extends SparkSpec {
     assert(real.nonEmpty && real.forall(_.getAs[Double]("ce") > 0))
   }
 
+  test("textRank: the co-occurrence hub outranks spokes; tail words are gated") {
+    // 'hub' neighbors every spoke; each spoke only meets the hub;
+    // 'rare' stays under the frequency gate and never enters the graph
+    val docs = (1 to 30).map(i =>
+      (i.toLong, "hub w1 hub w2 hub w3" +
+        (if (i == 1) " rare" else "")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.textRank(docs, minCount = 10).collect()
+      .map(r => r.getAs[String]("word") -> r.getAs[Double]("rank"))
+    assert(out.map(_._1).toSet == Set("hub", "w1", "w2", "w3"),
+      s"gated vocabulary only: ${out.toSeq}")
+    assert(out.head._1 == "hub", "the hub must rank first")
+    val spokes = out.filter(_._1 != "hub").map(_._2)
+    assert(spokes.toSet.size == 1, "symmetric spokes must tie exactly")
+    assert(out.head._2 > spokes.head)
+  }
+
   test("termBurstiness: concentrated term outranks the evenly spread one") {
     // 'bursty': 10x in each of 20 docs → tf/df = 10;
     // 'common': once in each of 25 docs → 1; 'rare' df 5 < minDf cut

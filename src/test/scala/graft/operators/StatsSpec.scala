@@ -1263,6 +1263,25 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("signTest: hand counts and z; exact ties drop but are reported") {
+    // 15 hours click > view, 5 reversed, 4 exactly tied
+    val rows = (1 to 24).flatMap { h =>
+      val (cv, vv) =
+        if (h <= 15) (10.0, 5.0)
+        else if (h <= 20) (5.0, 10.0)
+        else (7.0, 7.0)
+      Seq((1L, h * 3600L, "click", cv), (2L, h * 3600L, "view", vv))
+    }.toDF("user_id", "s", "event_type", "value")
+      .select(col("user_id"), timestamp_seconds(col("s")).as("ts"),
+        col("event_type"), col("value"))
+    val r = Stats.signTest(rows).collect().head
+    assert(r.getAs[Long]("n_pos") == 15L && r.getAs[Long]("n_neg") == 5L
+      && r.getAs[Long]("n_ties") == 4L)
+    assert(r.getAs[Double]("z") ==
+      BigDecimal(10.0 / math.sqrt(20.0)).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("energyDistance: identical hourly multisets score 0; a pure shift scores 2d") {
     def ev(rows: Seq[(Long, String, Double)]) = rows.zipWithIndex.map {
       case ((h, t, v), i) => (i.toLong, h * 3600L, t, v)
