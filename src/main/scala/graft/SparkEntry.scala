@@ -2047,6 +2047,14 @@ object SparkEntry {
            round(4.0 * n_squares / nullif(CAST(l3 AS DOUBLE), 0), 6)
              AS c4
          FROM sq CROSS JOIN l3""",
+    "tx_fingerprint_roll" ->
+      """SELECT doc_id,
+           CAST(list_reduce(
+             list_prepend(7, list_transform(string_split(text, ''),
+               ch -> CAST(ascii(ch) AS BIGINT))),
+             (acc, c) -> (acc * 31 + c) % 1000000007) AS BIGINT)
+             AS fp_roll
+         FROM documents""",
     "tx_textrank" ->
       """WITH tt AS MATERIALIZED (SELECT string_split(text, ' ') AS t
            FROM documents),
