@@ -514,6 +514,8 @@ object SparkEntry {
     "w26_ltv" -> ((s, d) => Windows.cohortLtv(Tables.events(s, d))),
     "w27_interval_merge" -> ((s, d) =>
       Windows.intervalMerge(Tables.events(s, d))),
+    "w28_growth_accounting" -> ((s, d) =>
+      Windows.growthAccounting(Tables.events(s, d))),
     "w24_stickiness" -> ((s, d) =>
       Windows.stickiness(Tables.events(s, d))),
     "w25_markov_attribution" -> ((s, d) =>
@@ -1420,6 +1422,8 @@ object SparkEntry {
     "gr_pagerank" -> ((s, d) => Graph.pageRank(coPurchaseEdges(s, d))),
     "gr_eigenvector" -> ((s, d) =>
       Graph.eigenvectorCentrality(coPurchaseEdges(s, d))),
+    "gr_ppr" -> ((s, d) =>
+      Graph.personalizedPageRank(coPurchaseEdges(s, d))),
     "gr_betweenness" -> ((s, d) =>
       Graph.betweennessSampled(coPurchaseEdges(s, d))),
     "gr_squares" -> ((s, d) =>
@@ -3591,6 +3595,101 @@ object SparkEntry {
          SELECT n.node,
            round(coalesce(agg.du, 0) / 1e9, 6) AS betweenness
          FROM nodes n LEFT JOIN agg ON agg.node = n.node""",
+    "w28_growth_accounting" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS week
+           FROM events),
+         firsts AS (SELECT user_id, min(week) AS first_week
+           FROM uw GROUP BY 1),
+         prev AS (SELECT user_id, week + 7 AS week, 1 AS was_active
+           FROM uw),
+         st AS (SELECT uw.week,
+             uw.week = first_week AS is_new,
+             prev.was_active IS NOT NULL AS was_active
+           FROM uw JOIN firsts ON uw.user_id = firsts.user_id
+             LEFT JOIN prev ON uw.user_id = prev.user_id
+               AND uw.week = prev.week),
+         weekly AS (SELECT week,
+             CAST(count(*) AS BIGINT) AS n_active,
+             CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new,
+             CAST(sum(CASE WHEN NOT is_new AND was_active THEN 1
+               ELSE 0 END) AS BIGINT) AS n_retained,
+             CAST(sum(CASE WHEN NOT is_new AND NOT was_active THEN 1
+               ELSE 0 END) AS BIGINT) AS n_resurrected
+           FROM st GROUP BY 1),
+         pa AS (SELECT week + 7 AS week, n_active AS prev_active
+           FROM weekly)
+         SELECT weekly.week, n_active, n_new, n_retained,
+           n_resurrected,
+           CAST(coalesce(prev_active, 0) - n_retained AS BIGINT)
+             AS n_churned
+         FROM weekly LEFT JOIN pa ON weekly.week = pa.week""",
+    "gr_ppr" ->
+      """WITH p AS (SELECT DISTINCT o_custkey AS a,
+             l_suppkey + 1000000000 AS b
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         e AS MATERIALIZED (SELECT a AS src, b AS dst FROM p
+           UNION ALL SELECT b, a FROM p),
+         deg AS MATERIALIZED (SELECT src, count(*) AS outdeg
+           FROM e GROUP BY 1),
+         sd AS MATERIALIZED (SELECT src AS node,
+             CAST(1.0 AS DOUBLE) / 4 AS base
+           FROM deg ORDER BY src LIMIT 4),
+         r0 AS (SELECT deg.src AS node, coalesce(sd.base, 0.0) AS rank
+           FROM deg LEFT JOIN sd ON sd.node = deg.src),
+         m1 AS (SELECT e.dst, sum(r.rank / deg.outdeg) AS m
+           FROM e JOIN r0 r ON e.src = r.node
+             JOIN deg ON deg.src = e.src
+           GROUP BY e.dst),
+         r1 AS (SELECT deg.src AS node,
+             round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                 * coalesce(sd.base, 0)
+               + CAST(0.85 AS DOUBLE) * coalesce(m1.m, 0), 9) AS rank
+           FROM deg LEFT JOIN m1 ON m1.dst = deg.src
+             LEFT JOIN sd ON sd.node = deg.src),
+         m2 AS (SELECT e.dst, sum(r.rank / deg.outdeg) AS m
+           FROM e JOIN r1 r ON e.src = r.node
+             JOIN deg ON deg.src = e.src
+           GROUP BY e.dst),
+         r2 AS (SELECT deg.src AS node,
+             round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                 * coalesce(sd.base, 0)
+               + CAST(0.85 AS DOUBLE) * coalesce(m2.m, 0), 9) AS rank
+           FROM deg LEFT JOIN m2 ON m2.dst = deg.src
+             LEFT JOIN sd ON sd.node = deg.src),
+         m3 AS (SELECT e.dst, sum(r.rank / deg.outdeg) AS m
+           FROM e JOIN r2 r ON e.src = r.node
+             JOIN deg ON deg.src = e.src
+           GROUP BY e.dst),
+         r3 AS (SELECT deg.src AS node,
+             round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                 * coalesce(sd.base, 0)
+               + CAST(0.85 AS DOUBLE) * coalesce(m3.m, 0), 9) AS rank
+           FROM deg LEFT JOIN m3 ON m3.dst = deg.src
+             LEFT JOIN sd ON sd.node = deg.src),
+         m4 AS (SELECT e.dst, sum(r.rank / deg.outdeg) AS m
+           FROM e JOIN r3 r ON e.src = r.node
+             JOIN deg ON deg.src = e.src
+           GROUP BY e.dst),
+         r4 AS (SELECT deg.src AS node,
+             round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                 * coalesce(sd.base, 0)
+               + CAST(0.85 AS DOUBLE) * coalesce(m4.m, 0), 9) AS rank
+           FROM deg LEFT JOIN m4 ON m4.dst = deg.src
+             LEFT JOIN sd ON sd.node = deg.src),
+         m5 AS (SELECT e.dst, sum(r.rank / deg.outdeg) AS m
+           FROM e JOIN r4 r ON e.src = r.node
+             JOIN deg ON deg.src = e.src
+           GROUP BY e.dst),
+         r5 AS (SELECT deg.src AS node,
+             round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                 * coalesce(sd.base, 0)
+               + CAST(0.85 AS DOUBLE) * coalesce(m5.m, 0), 9) AS rank
+           FROM deg LEFT JOIN m5 ON m5.dst = deg.src
+             LEFT JOIN sd ON sd.node = deg.src),
+         r AS (SELECT node, round(rank, 6) AS ppr FROM r5)
+         SELECT node, ppr FROM r WHERE ppr > 0""",
     "gr_eigenvector" ->
       """WITH p AS (SELECT DISTINCT o_custkey AS a,
              l_suppkey + 1000000000 AS b

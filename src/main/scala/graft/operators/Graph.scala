@@ -55,6 +55,50 @@ object Graph {
     ranks.select(col("node"), round(col("rank"), 6).as("rank"))
   }
 
+  /** PERSONALIZED PageRank from a seed set — the recommendation
+    * workhorse ([[pageRank]] answers "globally important"; PPR answers
+    * "important RELATIVE TO these seeds" — the same loop, but teleport
+    * mass returns to the seeds instead of everywhere, so scores decay
+    * with distance from the seed neighborhood): seeds = the
+    * `nSeeds` smallest node ids (deterministic — the oracle picks
+    * identical ones), rank₀ uniform over seeds, each round
+    * r ← (1−d)·seed_mass + d·A^T(r/outdeg).
+    *
+    * Identical scale shape to [[pageRank]] (static edges checkpointed
+    * once, node-sized rank frame per round, per-round round(…,9));
+    * the oracle unrolls the same 5 rounds with the seed-restricted
+    * base term. */
+  def personalizedPageRank(edges: DataFrame, nSeeds: Int = 4,
+                           iterations: Int = 5,
+                           damping: Double = 0.85): DataFrame = {
+    val ed = edges.select("src", "dst").distinct()
+      .withColumn("outdeg",
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("src")))
+      .localCheckpoint(true)
+    val nodes = ed.select(col("src").as("node")).distinct()
+      .localCheckpoint(true)
+    val seeds = nodes.orderBy("node").limit(nSeeds)
+      .withColumn("base", lit(1.0 / nSeeds))
+      .localCheckpoint(true)
+    var ranks = nodes
+      .join(seeds.select(col("node"), col("base")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("base"), lit(0.0)).as("rank"))
+    for (_ <- 1 to iterations) {
+      val msum = ed.join(ranks, ed("src") === ranks("node"))
+        .select(col("dst"), (col("rank") / col("outdeg")).as("c"))
+        .groupBy("dst").agg(sum("c").as("m"))
+      ranks = nodes
+        .join(msum, nodes("node") === msum("dst"), "left")
+        .join(seeds.select(col("node"), col("base")), Seq("node"), "left")
+        .select(col("node"),
+          round((lit(1.0) - damping) * coalesce(col("base"), lit(0.0)) +
+            lit(damping) * coalesce(col("m"), lit(0.0)), 9).as("rank"))
+    }
+    ranks.select(col("node"), round(col("rank"), 6).as("ppr"))
+      .filter(col("ppr") > 0)
+  }
+
   /** Fixed-iteration EIGENVECTOR centrality ([[pageRank]]'s undamped
     * sibling — influence ∝ the influence of your neighbors, with no
     * teleport floor, so peripheral trees score ~0 instead of the

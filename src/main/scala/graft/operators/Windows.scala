@@ -632,6 +632,52 @@ object Windows {
           .as("returning_users"))
   }
 
+  /** GROWTH ACCOUNTING (the new/retained/resurrected/churned weekly
+    * ledger) — the decomposition that explains WHY the active count
+    * moved, which w23's new-vs-returning daily split and w10's cohort
+    * retention each only half-answer: every active user-week is
+    * exactly one of NEW (first week ever), RETAINED (also active last
+    * week) or RESURRECTED (seen before, skipped last week), and
+    * CHURNED(w) = active(w−1) − retained(w) closes the ledger —
+    * active(w) = active(w−1) + new + resurrected − churned holds row
+    * by row (spec-locked identity).
+    *
+    * Scale shape: the corpus collapses ONCE to distinct (user, week);
+    * first-weeks are a user-sized rollup; last-week activity aligns by
+    * an equi-join on the shifted week key (AQE broadcast-or-co-
+    * partition); all outputs are exact integer counts on a weeks-sized
+    * frame. */
+  def growthAccounting(events: DataFrame): DataFrame = {
+    val uw = events
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("week"))
+      .distinct()
+      .localCheckpoint(true)
+    val firsts = uw.groupBy("user_id").agg(min("week").as("first_week"))
+    val prev = uw.select(col("user_id"),
+      date_add(col("week"), 7).as("week"), lit(1).as("was_active"))
+    val states = uw
+      .join(firsts, Seq("user_id"))
+      .join(prev, Seq("user_id", "week"), "left")
+      .select(col("week"),
+        (col("week") === col("first_week")).as("is_new"),
+        col("was_active").isNotNull.as("was_active"))
+    val weekly = states.groupBy("week").agg(
+      count(lit(1)).as("n_active"),
+      sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"),
+      sum(when(!col("is_new") && col("was_active"), 1L).otherwise(0L))
+        .as("n_retained"),
+      sum(when(!col("is_new") && !col("was_active"), 1L).otherwise(0L))
+        .as("n_resurrected"))
+    val prevActive = weekly.select(date_add(col("week"), 7).as("week"),
+      col("n_active").as("prev_active"))
+    weekly.join(prevActive, Seq("week"), "left")
+      .select(col("week"), col("n_active"), col("n_new"),
+        col("n_retained"), col("n_resurrected"),
+        (coalesce(col("prev_active"), lit(0L)) - col("n_retained"))
+          .as("n_churned"))
+  }
+
   /** MERGE-OVERLAPPING-INTERVALS per user (the classic islands
     * problem, w21's per-user complement — w21 asks "how many sessions
     * overlap right now GLOBALLY", this asks "how much wall-clock did

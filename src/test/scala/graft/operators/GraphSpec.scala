@@ -384,6 +384,25 @@ class GraphSpec extends SparkSpec {
     assert(path(2L) == 1.0 && path(1L) == path(3L) && path(1L) == 0.5)
   }
 
+  test("personalizedPageRank: degenerates to pageRank when seeds cover the graph; decays off-seed") {
+    // 4-node graph: the 4 smallest ids ARE all nodes → uniform seed
+    // mass ≡ the global teleport → PPR must equal PageRank exactly
+    val sq = undirected((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val ppr = Graph.personalizedPageRank(sq).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Double]("ppr")).toMap
+    val pr = Graph.pageRank(sq).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Double]("rank")).toMap
+    assert(ppr == pr, s"$ppr vs $pr")
+    // star with off-seed leaves: mass decays away from the seed set,
+    // and symmetric non-seeds tie exactly
+    val star = Graph.personalizedPageRank(undirected(
+      (1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (1L, 6L))).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Double]("ppr")).toMap
+    assert(star(5L) == star(6L), "symmetric non-seed leaves must tie")
+    assert(star(5L) < star(2L), "off-seed mass must trail seed mass")
+    assert(star(1L) > star(2L), "the hub adjacent to every seed leads")
+  }
+
   test("adamicAdarLinks: rare shared neighbor outranks a shared hub") {
     // 1,2 share rare 5 (deg 2) AND hub 3; 1,4 / 2,4 share only hub 3
     val g = undirected((3L, 1L), (3L, 2L), (3L, 4L), (5L, 1L), (5L, 2L))

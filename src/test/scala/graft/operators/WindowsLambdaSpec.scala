@@ -794,6 +794,37 @@ class WindowsLambdaSpec extends SparkSpec {
       "alternating series must look anti-persistent")
   }
 
+  test("growthAccounting: hand ledger; the accounting identity closes every week") {
+    import spark.implicits._
+    // w1 {1,2} → w2 {1,3} → w3 {2,3}: user2 churns then resurrects,
+    // user1 churns at w3, user3 arrives new at w2
+    def ev(rows: (Long, String)*) = rows.toSeq.toDF("user_id", "d")
+      .select(col("user_id"), to_timestamp(col("d")).as("ts"))
+    val out = Windows.growthAccounting(ev(
+      (1L, "1970-01-05"), (2L, "1970-01-06"),
+      (1L, "1970-01-12"), (3L, "1970-01-13"),
+      (2L, "1970-01-19"), (3L, "1970-01-20")))
+      .collect()
+      .map(r => r.getDate(0).toString ->
+        (r.getAs[Long]("n_active"), r.getAs[Long]("n_new"),
+          r.getAs[Long]("n_retained"), r.getAs[Long]("n_resurrected"),
+          r.getAs[Long]("n_churned"))).toMap
+    assert(out("1970-01-05") == ((2L, 2L, 0L, 0L, 0L)))
+    assert(out("1970-01-12") == ((2L, 1L, 1L, 0L, 1L)))
+    assert(out("1970-01-19") == ((2L, 0L, 1L, 1L, 1L)))
+    // ledger identity on the real corpus: active = prev + new + res − churn
+    val real = Windows.growthAccounting(Tables.events(spark, sf))
+      .orderBy("week").collect()
+    real.sliding(2).foreach {
+      case Array(p, c) =>
+        assert(c.getAs[Long]("n_active") == p.getAs[Long]("n_active") +
+          c.getAs[Long]("n_new") + c.getAs[Long]("n_resurrected") -
+          c.getAs[Long]("n_churned"),
+          s"ledger must close at ${c.getDate(0)}")
+      case _ =>
+    }
+  }
+
   test("intervalMerge: overlaps fuse, touching fuses, gaps split; cover is exact") {
     import spark.implicits._
     def ev(rows: (Long, Long, Long)*) = rows.toSeq
