@@ -803,6 +803,7 @@ object SparkEntry {
     "tx_textrank" -> ((s, d) =>
       TextAnalysis.textRank(Tables.documents(s, d))),
     "sp_quadrat" -> ((s, d) => SpatialJoin.quadratTest(Tables.customer(s, d))),
+    "sp_kde" -> ((s, d) => SpatialJoin.kernelDensity(Tables.customer(s, d))),
     "sp_davies_bouldin" -> ((s, d) =>
       SpatialJoin.gridDaviesBouldin(Tables.customer(s, d))),
     "dwh_periodic_snapshot" -> ((s, d) =>
@@ -6265,6 +6266,27 @@ object SparkEntry {
            CAST(max(np) AS BIGINT) AS n_points,
            round(sum(rq) / count(*) / 1e6, 6) AS db_index
          FROM ri CROSS JOIN t""",
+    "sp_kde" ->
+      """WITH p AS (SELECT
+             round(((c_custkey * 17) % 1400)/10.0 - 70.0, 4) AS lat,
+             round(((c_custkey * 31) % 3600)/10.0 - 180.0, 4) AS lon
+           FROM customer),
+         g AS (SELECT CAST(floor((lat + 90) / 10) AS INTEGER) AS cl,
+             CAST(floor((lon + 180) / 10) AS INTEGER) AS cn,
+             CAST(count(*) AS BIGINT) AS n
+           FROM p GROUP BY 1, 2),
+         off AS (SELECT * FROM (VALUES (-1,-1,1), (-1,0,2), (-1,1,1),
+             (0,-1,2), (0,0,4), (0,1,2),
+             (1,-1,1), (1,0,2), (1,1,1)) AS t(dy, dx, w)),
+         sp AS (SELECT cl + dy AS cell_lat, cn + dx AS cell_lon,
+             CAST(w * n AS BIGINT) AS wn
+           FROM g CROSS JOIN off),
+         m AS (SELECT cell_lat, cell_lon,
+             CAST(sum(wn) AS BIGINT) AS mass16
+           FROM sp GROUP BY 1, 2)
+         SELECT cell_lat, cell_lon,
+           round(mass16 / 16.0, 4) AS smoothed
+         FROM m ORDER BY mass16 DESC, cell_lat, cell_lon LIMIT 15""",
     "sp_quadrat" ->
       """WITH p AS (SELECT
              round(((c_custkey * 17) % 1400)/10.0 - 70.0, 4) AS lat,

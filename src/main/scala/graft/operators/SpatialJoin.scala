@@ -745,6 +745,43 @@ object SpatialJoin {
           (col("n") * (col("n") - 1)) / col("__csr"), 4).as("k_ratio"))
   }
 
+  /** KERNEL-SMOOTHED density grid — the "heatmap the dashboard
+    * actually draws" over [[gridDensity]]'s raw counts: a 3×3 binomial
+    * kernel (1-2-1 ⊗ 1-2-1, integer weights summing 16) convolved over
+    * the cell lattice, so single-cell spikes spread into the blobs a
+    * human reads while the total mass is preserved up to edge loss.
+    *
+    * Scale shape: convolution as an EQUI-join on the shifted cell key
+    * (9-offset explode of the occupied-cells frame — lattice-bounded,
+    * never data-sized; no distance predicate, no cross join); weights
+    * stay integers so smoothed mass is the exact rational Σw·n/16 —
+    * one division per output cell on exact longs. Top-N cut with the
+    * (mass, cell) total order. */
+  def kernelDensity(customer: DataFrame, cellDeg: Int = 10,
+                    topN: Int = 15): DataFrame = {
+    val cells = customerPoints(customer)
+      .groupBy(
+        floor((col("c_lat") + 90) / cellDeg).cast("int").as("cell_lat"),
+        floor((col("c_lon") + 180) / cellDeg).cast("int").as("cell_lon"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val offsets = Seq(-1, 0, 1).flatMap(dy => Seq(-1, 0, 1).map(dx =>
+      (dy, dx, (if (dy == 0) 2L else 1L) * (if (dx == 0) 2L else 1L))))
+    val spread = cells.select(
+      explode(array(offsets.map { case (dy, dx, w) =>
+        struct(lit(dy).as("dy"), lit(dx).as("dx"), lit(w).as("w"))
+      }: _*)).as("o"), col("cell_lat"), col("cell_lon"), col("n"))
+      .select((col("cell_lat") + col("o.dy")).as("cell_lat"),
+        (col("cell_lon") + col("o.dx")).as("cell_lon"),
+        (col("o.w") * col("n")).as("wn"))
+    spread.groupBy("cell_lat", "cell_lon")
+      .agg(sum("wn").as("mass16"))
+      .orderBy(col("mass16").desc, col("cell_lat"), col("cell_lon"))
+      .limit(topN)
+      .select(col("cell_lat"), col("cell_lon"),
+        round(col("mass16") / lit(16.0), 4).as("smoothed"))
+  }
+
   /** QUADRAT-COUNT CSR test over the customer point cloud — the
     * lattice-census complement to Ripley's pair-distance view: bin
     * points into the FIXED 14×36 10° study-region lattice (empty cells
