@@ -804,6 +804,8 @@ object SparkEntry {
       TextAnalysis.textRank(Tables.documents(s, d))),
     "sp_quadrat" -> ((s, d) => SpatialJoin.quadratTest(Tables.customer(s, d))),
     "sp_kde" -> ((s, d) => SpatialJoin.kernelDensity(Tables.customer(s, d))),
+    "sp_clark_evans" -> ((s, d) =>
+      SpatialJoin.clarkEvans(Tables.customer(s, d))),
     "sp_davies_bouldin" -> ((s, d) =>
       SpatialJoin.gridDaviesBouldin(Tables.customer(s, d))),
     "dwh_periodic_snapshot" -> ((s, d) =>
@@ -1660,6 +1662,8 @@ object SparkEntry {
       Stats.energyDistance(Tables.events(s, d))),
     "ts_circular" -> ((s, d) => Stats.circularTime(Tables.events(s, d))),
     "st_sign_test" -> ((s, d) => Stats.signTest(Tables.events(s, d))),
+    "st_cochran_armitage" -> ((s, d) =>
+      Stats.cochranArmitage(Tables.events(s, d))),
     "st_poisson_2rate" -> ((s, d) =>
       Stats.poissonTwoRate(Tables.events(s, d))),
     "st_wilson_ci" -> ((s, d) => {
@@ -6266,6 +6270,66 @@ object SparkEntry {
            CAST(max(np) AS BIGINT) AS n_points,
            round(sum(rq) / count(*) / 1e6, 6) AS db_index
          FROM ri CROSS JOIN t""",
+    "sp_clark_evans" ->
+      """WITH p AS MATERIALIZED (SELECT c_custkey AS id,
+             round(((c_custkey * 17) % 1400)/10.0 - 70.0, 4) AS lat,
+             round(((c_custkey * 31) % 3600)/10.0 - 180.0, 4) AS lon
+           FROM customer),
+         g AS MATERIALIZED (SELECT id, lat, lon,
+             CAST(floor((lat + 90) / 10) AS INTEGER) AS ca,
+             CAST(floor((lon + 180) / 10) AS INTEGER) AS cb
+           FROM p),
+         off AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),
+             (0,0),(0,1),(1,-1),(1,0),(1,1)) AS t(dy, dx)),
+         pr AS (SELECT g.id, g.lat, g.lon, g.ca + dy AS na,
+             g.cb + dx AS nb
+           FROM g CROSS JOIN off),
+         nn AS (SELECT pr.id,
+             CAST(round(min(struct_pack(d := round(2*6371.0*asin(sqrt(
+                 pow(sin(radians(j.lat - pr.lat)/2), 2) +
+                 cos(radians(pr.lat))*cos(radians(j.lat))
+                   *pow(sin(radians(j.lon - pr.lon)/2), 2))), 4),
+               jid := j.id)).d * 1e4) AS BIGINT) AS du
+           FROM pr JOIN g j ON j.ca = pr.na AND j.cb = pr.nb
+           WHERE pr.id <> j.id
+           GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p),
+         ag AS (SELECT CAST(count(*) AS BIGINT) AS n_with_nn,
+             CAST(sum(du) AS BIGINT) AS su
+           FROM nn)
+         SELECT n AS n_points, n - n_with_nn AS n_isolated,
+           round(CAST(su AS DOUBLE) / n_with_nn / 1e4, 4) AS mean_nn_km,
+           round(0.5 / sqrt(CAST(n AS DOUBLE) / 479305144.464871), 4)
+             AS expected_nn_km,
+           round((CAST(su AS DOUBLE) / n_with_nn / 1e4)
+             / (0.5 / sqrt(CAST(n AS DOUBLE) / 479305144.464871)), 4)
+             AS clark_evans_r
+         FROM ag CROSS JOIN tot""",
+    "st_cochran_armitage" ->
+      """WITH pu AS (SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_ev,
+             CAST(max(CASE WHEN event_type = 'purchase' AND value > 95.0
+               THEN 1 ELSE 0 END) AS BIGINT) AS conv
+           FROM events GROUP BY 1),
+         pb AS (SELECT least(n_ev // 20, 3) AS w, n_ev, conv FROM pu),
+         g AS (SELECT w, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(conv) AS BIGINT) AS k
+           FROM pb GROUP BY 1),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+             CAST(sum(k) AS BIGINT) AS kt,
+             CAST(sum(w * n) AS BIGINT) AS swn,
+             CAST(sum(w * k) AS BIGINT) AS swk,
+             CAST(sum(w * w * n) AS BIGINT) AS swwn,
+             CAST(count(*) AS BIGINT) AS n_bands
+           FROM g)
+         SELECT n_bands, nt AS n_users,
+           round(CAST(kt AS DOUBLE) / nt, 6) AS overall_rate,
+           round((CAST(swk AS DOUBLE) - CAST(kt AS DOUBLE) / nt * swn)
+             / nullif(sqrt(CAST(kt AS DOUBLE) / nt
+               * (1.0 - CAST(kt AS DOUBLE) / nt)
+               * (CAST(swwn AS DOUBLE)
+                 - CAST(swn AS DOUBLE) * swn / nt)), 0), 4) AS z
+         FROM t""",
     "sp_kde" ->
       """WITH p AS (SELECT
              round(((c_custkey * 17) % 1400)/10.0 - 70.0, 4) AS lat,

@@ -745,6 +745,62 @@ object SpatialJoin {
           (col("n") * (col("n") - 1)) / col("__csr"), 4).as("k_ratio"))
   }
 
+  /** CLARK–EVANS nearest-neighbor index — the POINT-distance CSR test
+    * next to [[quadratTest]]'s cell census (quadrats see density
+    * variation at the cell scale; Clark–Evans sees it at the
+    * nearest-neighbor scale): R = observed mean NN distance /
+    * (0.5/√density), R < 1 clustered, ≈1 CSR, → 2.15 regular.
+    * Density uses the ±70° band area as a PINNED literal (the
+    * sp_ripley constant discipline — both engines divide by the
+    * identical double).
+    *
+    * Scale shape: candidate neighbors come from the 3×3 cell-block
+    * equi-join (the sp_dbscan neighborhood shape — never all-pairs);
+    * the per-point min is a map-side-combining min(struct). The NN is
+    * therefore BLOCK-BOUNDED by contract (a rare cross-block-closer
+    * neighbor is over-estimated, and points with an empty block are
+    * excluded and REPORTED as n_isolated — stated approximation, the
+    * oracle mirrors it exactly). Per-point distances are pre-rounded
+    * and sum as exact micro-ints. */
+  def clarkEvans(customer: DataFrame, cellDeg: Int = 10): DataFrame = {
+    val bandAreaKm2 = 4.79305144464871e8
+    val pts = customerPoints(customer)
+      .select(col("c_custkey").as("id"), col("c_lat").as("lat"),
+        col("c_lon").as("lon"),
+        floor((col("c_lat") + 90) / cellDeg).cast("int").as("ca"),
+        floor((col("c_lon") + 180) / cellDeg).cast("int").as("cb"))
+      .localCheckpoint(true)
+    val probes = pts.select(
+      explode(array((for (dy <- -1 to 1; dx <- -1 to 1) yield
+        struct(lit(dy).as("dy"), lit(dx).as("dx"))): _*)).as("o"),
+      col("id"), col("lat"), col("lon"), col("ca"), col("cb"))
+      .select(col("id"), col("lat"), col("lon"),
+        (col("ca") + col("o.dy")).as("na"),
+        (col("cb") + col("o.dx")).as("nb"))
+    val nn = probes.join(
+        pts.select(col("id").as("jid"), col("lat").as("jlat"),
+          col("lon").as("jlon"), col("ca").as("na"), col("cb").as("nb")),
+        Seq("na", "nb"))
+      .filter(col("id") =!= col("jid"))
+      .groupBy("id")
+      .agg(min(struct(
+        round(haversineKm(col("lat"), col("lon"), col("jlat"),
+          col("jlon")), 4).as("d"), col("jid"))).as("best"))
+      .select(col("id"), round(col("best.d") * 1e4).cast("long").as("du"))
+    val tot = pts.agg(count(lit(1)).as("n"))
+    nn.agg(count(lit(1)).as("n_with_nn"), sum("du").as("su"))
+      .crossJoin(broadcast(tot))
+      .select(col("n").as("n_points"),
+        (col("n") - col("n_with_nn")).as("n_isolated"),
+        round(col("su").cast("double") / col("n_with_nn") / 1e4, 4)
+          .as("mean_nn_km"),
+        round(lit(0.5) / sqrt(col("n").cast("double") /
+          lit(bandAreaKm2)), 4).as("expected_nn_km"),
+        round((col("su").cast("double") / col("n_with_nn") / 1e4) /
+          (lit(0.5) / sqrt(col("n").cast("double") /
+            lit(bandAreaKm2))), 4).as("clark_evans_r"))
+  }
+
   /** KERNEL-SMOOTHED density grid — the "heatmap the dashboard
     * actually draws" over [[gridDensity]]'s raw counts: a 3×3 binomial
     * kernel (1-2-1 ⊗ 1-2-1, integer weights summing 16) convolved over

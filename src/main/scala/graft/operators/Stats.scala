@@ -2677,6 +2677,40 @@ object Stats {
         6).as("dcor"))
   }
 
+  /** COCHRAN–ARMITAGE trend test — "does the conversion rate RISE
+    * with exposure", the ordered-groups question [[chiSquare]] wastes
+    * power on (χ² treats bands as unordered categories; CA spends its
+    * single degree of freedom on the monotone trend): users band by
+    * activity (integer scores w = 0..k), T = Σwᵢkᵢ − p̄Σwᵢnᵢ,
+    * Var = p̄(1−p̄)(Σw²n − (Σwn)²/N). One user rollup (map-side
+    * combined), one band rollup, a 1-row formula — every input an
+    * exact long until the final division/sqrt. */
+  def cochranArmitage(events: DataFrame, minValue: Double = 95.0,
+                      bandWidth: Int = 20, maxBand: Int = 3)
+      : DataFrame = {
+    val perUser = events.groupBy("user_id")
+      .agg(count(lit(1)).as("n_ev"),
+        max(when(col("event_type") === "purchase" &&
+          col("value") > minValue, 1L).otherwise(0L)).as("conv"))
+      .withColumn("w",
+        least(expr(s"n_ev DIV $bandWidth"), lit(maxBand.toLong)))
+    val g = perUser.groupBy("w")
+      .agg(count(lit(1)).as("n"), sum("conv").as("k"))
+    val t = g.agg(sum("n").as("nt"), sum("k").as("kt"),
+      sum(col("w") * col("n")).as("swn"),
+      sum(col("w") * col("k")).as("swk"),
+      sum(col("w") * col("w") * col("n")).as("swwn"),
+      count(lit(1)).as("n_bands"))
+    val p = col("kt").cast("double") / col("nt")
+    val tStat = col("swk").cast("double") - p * col("swn")
+    val varT = p * (lit(1.0) - p) *
+      (col("swwn").cast("double") -
+        col("swn").cast("double") * col("swn") / col("nt"))
+    t.select(col("n_bands"), col("nt").as("n_users"),
+      round(p, 6).as("overall_rate"),
+      round(tStat / nullif(sqrt(varT), lit(0.0)), 4).as("z"))
+  }
+
   /** Paired SIGN TEST on the aligned hourly series — the
     * assumption-free floor of the paired family ([[wilcoxonSignedRank]]
     * needs symmetric differences, [[pairedTTest]] normal ones; the

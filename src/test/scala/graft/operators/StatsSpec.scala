@@ -1263,6 +1263,31 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("cochranArmitage: rising trend is loud, perfectly flat rate is exactly 0") {
+    // user u emits nEv events; converters get one high-value purchase
+    def ev(users: Seq[(Long, Int, Boolean)]) = users.flatMap {
+      case (u, nEv, conv) => (1 to nEv).map { i =>
+        val purchase = conv && i == 1
+        (u, u * 1000 + i, if (purchase) "purchase" else "click",
+          if (purchase) 99.0 else 1.0)
+      }
+    }.toDF("user_id", "s", "event_type", "value")
+      .select(col("user_id"), timestamp_seconds(col("s")).as("ts"),
+        col("event_type"), col("value"))
+    // band 0 (5 events): 2/20 convert; band 3 (60 events): 18/20
+    val rising = Stats.cochranArmitage(ev(
+      (1L to 20L).map(u => (u, 5, u <= 2)) ++
+        (21L to 40L).map(u => (u, 60, u <= 38)))).collect().head
+    assert(rising.getAs[Long]("n_users") == 40L &&
+      rising.getAs[Long]("n_bands") == 2L)
+    assert(rising.getAs[Double]("z") > 4.0, s"$rising")
+    // identical 50% rate in both bands: T = 0 exactly
+    val flat = Stats.cochranArmitage(ev(
+      (1L to 20L).map(u => (u, 5, u <= 10)) ++
+        (21L to 40L).map(u => (u, 60, u <= 30)))).collect().head
+    assert(flat.getAs[Double]("z") == 0.0, s"$flat")
+  }
+
   test("signTest: hand counts and z; exact ties drop but are reported") {
     // 15 hours click > view, 5 reversed, 4 exactly tied
     val rows = (1 to 24).flatMap { h =>

@@ -167,6 +167,30 @@ class WindowsLambdaSpec extends SparkSpec {
     assert(r.getAs[Double]("value_share") == 1.0)
   }
 
+  test("clarkEvans: co-located keys score clustered (R << scattered); ledger closes") {
+    import spark.implicits._
+    def run(keys: Seq[Long]) =
+      SpatialJoin.clarkEvans(keys.toDF("c_custkey")).collect().head
+    def cell(k: Long) = (math.floor((((k * 17) % 1400) / 10.0 - 70.0 + 90) / 10),
+      math.floor((((k * 31) % 3600) / 10.0 - 180.0 + 180) / 10))
+    // 20 keys packed into one cell vs 20 sequential (scattered) keys
+    val packed = (1L to 200000L).filter(k => cell(k) == cell(1L)).take(20)
+    assert(packed.size == 20, s"need 20 co-located keys, got ${packed.size}")
+    val c = run(packed)
+    val s = run((1L to 20L))
+    assert(c.getAs[Long]("n_points") == 20L)
+    assert(c.getAs[Double]("clark_evans_r") <
+      s.getAs[Double]("clark_evans_r") / 2,
+      s"packed $c must be far more clustered than scattered $s")
+    // sanity: positive distances, isolates within bounds, and the
+    // packed cloud's mean NN is dramatically tighter
+    assert(s.getAs[Double]("mean_nn_km") > 0 &&
+      s.getAs[Long]("n_isolated") >= 0 &&
+      s.getAs[Long]("n_isolated") < 20L)
+    assert(c.getAs[Double]("mean_nn_km") <
+      s.getAs[Double]("mean_nn_km") / 2)
+  }
+
   test("quadratTest: singleton is CSR-neutral (vmr 1); co-located pair clusters") {
     import spark.implicits._
     def run(keys: Long*) =
