@@ -438,6 +438,7 @@ object SparkEntry {
     "ts_garch" -> ((s, d) =>
       Resample.garchVariance(Tables.events(s, d),
         omega = 1.0, alpha = 0.1, beta = 0.8)),
+    "ts_ses_grid" -> ((s, d) => Resample.sesGrid(Tables.events(s, d))),
     "ts_binseg" -> ((s, d) =>
       Resample.binarySegmentation(Tables.events(s, d))),
     "ts_bollinger" -> ((s, d) =>
@@ -1795,6 +1796,89 @@ object SparkEntry {
            (count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS df,
            CAST(max(n) AS BIGINT) AS n_total
          FROM terms""",
+    "ts_ses_grid" ->
+      """WITH RECURSIVE h AS (SELECT
+             epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
+             round(avg(value), 6) AS v
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+         ev AS (SELECT hr, v,
+             row_number() OVER (ORDER BY hr) AS rn
+           FROM h),
+         rec AS (
+           SELECT rn, v,
+             v AS l1,
+             v AS l2,
+             v AS l3,
+             v AS l4,
+             v AS l5,
+             v AS l6,
+             v AS l7,
+             v AS l8,
+             v AS l9,
+             CAST(0 AS BIGINT) AS s1,
+             CAST(0 AS BIGINT) AS s2,
+             CAST(0 AS BIGINT) AS s3,
+             CAST(0 AS BIGINT) AS s4,
+             CAST(0 AS BIGINT) AS s5,
+             CAST(0 AS BIGINT) AS s6,
+             CAST(0 AS BIGINT) AS s7,
+             CAST(0 AS BIGINT) AS s8,
+             CAST(0 AS BIGINT) AS s9
+           FROM ev WHERE rn = 1
+           UNION ALL
+           SELECT e.rn, e.v,
+             0.1 * e.v + (1.0 - 0.1) * r.l1,
+             0.2 * e.v + (1.0 - 0.2) * r.l2,
+             0.3 * e.v + (1.0 - 0.3) * r.l3,
+             0.4 * e.v + (1.0 - 0.4) * r.l4,
+             0.5 * e.v + (1.0 - 0.5) * r.l5,
+             0.6 * e.v + (1.0 - 0.6) * r.l6,
+             0.7 * e.v + (1.0 - 0.7) * r.l7,
+             0.8 * e.v + (1.0 - 0.8) * r.l8,
+             0.9 * e.v + (1.0 - 0.9) * r.l9,
+             r.s1 + CAST(round((e.v - r.l1) * (e.v - r.l1) * 1e4) AS BIGINT),
+             r.s2 + CAST(round((e.v - r.l2) * (e.v - r.l2) * 1e4) AS BIGINT),
+             r.s3 + CAST(round((e.v - r.l3) * (e.v - r.l3) * 1e4) AS BIGINT),
+             r.s4 + CAST(round((e.v - r.l4) * (e.v - r.l4) * 1e4) AS BIGINT),
+             r.s5 + CAST(round((e.v - r.l5) * (e.v - r.l5) * 1e4) AS BIGINT),
+             r.s6 + CAST(round((e.v - r.l6) * (e.v - r.l6) * 1e4) AS BIGINT),
+             r.s7 + CAST(round((e.v - r.l7) * (e.v - r.l7) * 1e4) AS BIGINT),
+             r.s8 + CAST(round((e.v - r.l8) * (e.v - r.l8) * 1e4) AS BIGINT),
+             r.s9 + CAST(round((e.v - r.l9) * (e.v - r.l9) * 1e4) AS BIGINT)
+           FROM ev e JOIN rec r ON e.rn = r.rn + 1),
+         last AS (SELECT * FROM rec ORDER BY rn DESC LIMIT 1),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n_hours FROM ev),
+         rows_out AS (           SELECT CAST(0.1 AS DOUBLE) AS alpha, n_hours,
+             CAST(s1 AS BIGINT) AS su FROM last CROSS JOIN n
+           UNION ALL
+           SELECT CAST(0.2 AS DOUBLE) AS alpha, n_hours,
+             CAST(s2 AS BIGINT) AS su FROM last CROSS JOIN n
+           UNION ALL
+           SELECT CAST(0.3 AS DOUBLE) AS alpha, n_hours,
+             CAST(s3 AS BIGINT) AS su FROM last CROSS JOIN n
+           UNION ALL
+           SELECT CAST(0.4 AS DOUBLE) AS alpha, n_hours,
+             CAST(s4 AS BIGINT) AS su FROM last CROSS JOIN n
+           UNION ALL
+           SELECT CAST(0.5 AS DOUBLE) AS alpha, n_hours,
+             CAST(s5 AS BIGINT) AS su FROM last CROSS JOIN n
+           UNION ALL
+           SELECT CAST(0.6 AS DOUBLE) AS alpha, n_hours,
+             CAST(s6 AS BIGINT) AS su FROM last CROSS JOIN n
+           UNION ALL
+           SELECT CAST(0.7 AS DOUBLE) AS alpha, n_hours,
+             CAST(s7 AS BIGINT) AS su FROM last CROSS JOIN n
+           UNION ALL
+           SELECT CAST(0.8 AS DOUBLE) AS alpha, n_hours,
+             CAST(s8 AS BIGINT) AS su FROM last CROSS JOIN n
+           UNION ALL
+           SELECT CAST(0.9 AS DOUBLE) AS alpha, n_hours,
+             CAST(s9 AS BIGINT) AS su FROM last CROSS JOIN n),
+         b AS (SELECT alpha AS ba FROM rows_out
+           ORDER BY su, alpha LIMIT 1)
+         SELECT alpha, n_hours, round(su / 1e4, 4) AS sse,
+           alpha = ba AS is_best
+         FROM rows_out CROSS JOIN b""",
     "ts_garch" ->
       """WITH RECURSIVE ev AS (SELECT user_id,
              CAST(epoch_us(ts) AS BIGINT) AS ts_us, value,

@@ -195,6 +195,60 @@ object Resample {
       .toDF("user_id", "ts_us", "level", "gain")
   }
 
+  /** SES α GRID-SEARCH over the hourly series — the "measure, don't
+    * guess" companion to [[ewma]]'s fixed α: run all nine α ∈
+    * {0.1..0.9} recurrences in ONE pass over the series, score each by
+    * one-step-ahead SSE, flag the argmin — the smoothing constant an
+    * operations team should actually deploy, chosen by forecast error
+    * instead of folklore.
+    *
+    * The single sorted pass carries 9 levels + 9 SSE accumulators
+    * (constant state); per-step squared errors quantize to integer
+    * units before accumulating, so every SSE is an exact long and the
+    * (sse, α) argmin is a total order. The series is the CALENDAR-
+    * bounded hourly frame (the DTW/pacf scalar class — one group, not
+    * data-sized); the oracle replays the identical 9 float recurrences
+    * in one RECURSIVE CTE carrying all 18 state columns. */
+  def sesGrid(events: DataFrame, eventType: String = "click")
+      : DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val alphas = (1 to 9).map(_ / 10.0)
+    val rows = events.filter(col("event_type") === eventType)
+      .groupBy(expr("unix_seconds(date_trunc('hour', ts)) div 3600")
+        .as("hr"))
+      .agg(round(avg("value"), 6).as("v"))
+      .select(col("hr"), col("v")).as[(Long, Double)]
+      .groupByKey(_ => 0)
+      .flatMapSortedGroups($"hr") { (_, it) =>
+        val l = Array.fill(9)(Double.NaN)
+        val sse = Array.fill(9)(0L)
+        var n = 0L
+        it.foreach { case (_, v) =>
+          var i = 0
+          while (i < 9) {
+            if (l(i).isNaN) l(i) = v
+            else {
+              val err = v - l(i)
+              // half-up on a non-negative value == SQL round()
+              sse(i) += math.floor(err * err * 1e4 + 0.5).toLong
+              l(i) = alphas(i) * v + (1 - alphas(i)) * l(i)
+            }
+            i += 1
+          }
+          n += 1
+        }
+        alphas.indices.map(i => (alphas(i), n, sse(i)))
+      }
+      .toDF("alpha", "n_hours", "sse_u")
+    val best = rows.agg(min(struct(col("sse_u"), col("alpha"))).as("b"))
+      .select(col("b.alpha").as("ba"))
+    rows.crossJoin(broadcast(best))
+      .select(col("alpha"), col("n_hours"),
+        round(col("sse_u") / lit(1e4), 4).as("sse"),
+        (col("alpha") === col("ba")).as("is_best"))
+  }
+
   /** GARCH(1,1) conditional-variance filter per key — the VOLATILITY
     * recurrence next to [[kalmanLevel]]'s level one: hₜ = ω + α·ε²ₜ₋₁
     * + β·hₜ₋₁ with εₜ the first difference, so variance spikes after a

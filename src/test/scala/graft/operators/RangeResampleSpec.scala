@@ -122,6 +122,25 @@ class RangeResampleSpec extends SparkSpec {
     assert(spiked.filterKeys(_ < 30L).values.forall(!_))
   }
 
+  test("sesGrid: a steep trend picks high alpha, an alternating series picks low") {
+    import spark.implicits._
+    def ev(f: Int => Double) = (0 until 60).map { h =>
+      (1L, h * 3600L, "click", f(h))
+    }.toDF("user_id", "s", "event_type", "value")
+      .select(col("user_id"), timestamp_seconds(col("s")).as("ts"),
+        col("event_type"), col("value"))
+    def best(df: org.apache.spark.sql.DataFrame) = {
+      val rows = Resample.sesGrid(df).collect()
+      assert(rows.length == 9 &&
+        rows.count(_.getAs[Boolean]("is_best")) == 1)
+      rows.find(_.getAs[Boolean]("is_best")).get.getAs[Double]("alpha")
+    }
+    // steep trend: lag hurts, the most reactive alpha wins
+    assert(best(ev(h => 10.0 * h)) == 0.9)
+    // mean-reverting alternation: chasing noise hurts, smoothest wins
+    assert(best(ev(h => 10.0 + (if (h % 2 == 0) 1.0 else -1.0))) == 0.1)
+  }
+
   test("garchVariance: calm series decays h to the 1/(1-a-b) fixed point; shocks spike it") {
     import spark.implicits._
     def series(vs: Seq[Double]) = vs.zipWithIndex
