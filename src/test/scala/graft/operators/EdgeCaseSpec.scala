@@ -159,6 +159,42 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Stats.boxCoxScan(noEvents).count() == 6)
   }
 
+  test("round-8 surfaces survive empty/degenerate inputs") {
+    import spark.implicits._
+    // empty corpus: frame-shaped no-ops, never crashes
+    assert(Windows.intervalMerge(noEvents).count() == 0)
+    assert(Windows.growthAccounting(noEvents).count() == 0)
+    assert(Windows.cohortLtv(noEvents).count() == 0)
+    assert(Resample.bollingerBands(noEvents).count() == 0)
+    assert(Resample.kalmanLevel(noEvents, 0.5, 2.0).count() == 0)
+    assert(Resample.garchVariance(noEvents, 1.0, 0.1, 0.8).count() == 0)
+    assert(Quality.mixDrift(noEvents).count() == 0)
+    assert(TextAnalysis.gopherRules(noDocs).count() == 0)
+    assert(TextAnalysis.termBurstiness(noDocs).count() == 0)
+    // 1-row aggregates on empty input: a row of nulls/zeros, not a crash
+    assert(Stats.cramerVonMises(noEvents, "event_type", "value",
+      "click", "view").count() == 1)
+    assert(Stats.signTest(noEvents).count() == 1)
+    assert(Stats.poissonTwoRate(noEvents).count() == 1)
+    // single observation: recurrences seed without a second point
+    val one = Seq((1L, 1000L, 5.0)).toDF("user_id", "us", "value")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+        col("value"))
+    val k = Resample.kalmanLevel(one, 0.5, 2.0).collect().head
+    assert(k.getAs[Double]("level") == 5.0 && k.getAs[Double]("gain") == 1.0)
+    // single-hour series: no split candidate, still full coverage
+    val oneHour = Seq((1L, 0L, "click", 5.0))
+      .toDF("user_id", "s", "event_type", "value")
+      .select(col("user_id"), timestamp_seconds(col("s")).as("ts"),
+        col("event_type"), col("value"))
+    assert(Resample.binarySegmentation(oneHour).count() <= 1)
+    val grid = Resample.sesGrid(oneHour).collect()
+    assert(grid.length == 9 && grid.forall(_.getAs[Double]("sse") == 0.0))
+    // zero-error tie: smallest alpha flagged (total order)
+    assert(grid.find(_.getAs[Boolean]("is_best"))
+      .get.getAs[Double]("alpha") == 0.1)
+  }
+
   test("short documents (< n tokens) produce no shingles but valid sketches") {
     import spark.implicits._
     val tiny = Seq((1L, "one two"), (2L, "a"), (3L, "")).toDF("doc_id", "text")
