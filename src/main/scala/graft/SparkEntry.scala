@@ -517,6 +517,8 @@ object SparkEntry {
       Windows.intervalMerge(Tables.events(s, d))),
     "w28_growth_accounting" -> ((s, d) =>
       Windows.growthAccounting(Tables.events(s, d))),
+    "w29_attribution_windows" -> ((s, d) =>
+      Windows.attributionWindows(Tables.events(s, d))),
     "w24_stickiness" -> ((s, d) =>
       Windows.stickiness(Tables.events(s, d))),
     "w25_markov_attribution" -> ((s, d) =>
@@ -3684,6 +3686,32 @@ object SparkEntry {
          SELECT n.node,
            round(coalesce(agg.du, 0) / 1e9, 6) AS betweenness
          FROM nodes n LEFT JOIN agg ON agg.node = n.node""",
+    "w29_attribution_windows" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+           FROM events),
+         p AS (SELECT ts_s - max(CASE WHEN event_type = 'click'
+                 THEN ts_s END) OVER (PARTITION BY user_id
+                 ORDER BY ts_s, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS gap, event_type
+           FROM e),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n_purchases,
+             CAST(sum(CASE WHEN gap IS NOT NULL AND gap <= 3600
+               THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN gap IS NOT NULL AND gap <= 21600
+               THEN 1 ELSE 0 END) AS BIGINT) AS c6,
+             CAST(sum(CASE WHEN gap IS NOT NULL AND gap <= 86400
+               THEN 1 ELSE 0 END) AS BIGINT) AS c24
+           FROM p WHERE event_type = 'purchase')
+         SELECT CAST(3600 AS BIGINT) AS window_s, n_purchases,
+           c1 AS n_credited,
+           round(CAST(c1 AS DOUBLE) / n_purchases, 6) AS credited_share
+         FROM a
+         UNION ALL SELECT CAST(21600 AS BIGINT), n_purchases, c6,
+           round(CAST(c6 AS DOUBLE) / n_purchases, 6) FROM a
+         UNION ALL SELECT CAST(86400 AS BIGINT), n_purchases, c24,
+           round(CAST(c24 AS DOUBLE) / n_purchases, 6) FROM a""",
     "w28_growth_accounting" ->
       """WITH uw AS (SELECT DISTINCT user_id,
              CAST(date_trunc('week', ts) AS DATE) AS week

@@ -632,6 +632,45 @@ object Windows {
           .as("returning_users"))
   }
 
+  /** ATTRIBUTION-WINDOW sensitivity ladder — the robustness check on
+    * w19's single-window credit: how many conversions have a preceding
+    * click within 1 h / 6 h / 24 h? If credited share swings hard
+    * across windows, the attribution model is an artifact of the
+    * window choice, not the marketing (the first question an
+    * attribution audit asks).
+    *
+    * ONE user-partitioned ordered window finds each purchase's latest
+    * preceding click (a conditional running max — no self-join, no
+    * per-window pass), then the whole ladder is conditional sums over
+    * the purchases frame; gaps are exact integer seconds. */
+  def attributionWindows(events: DataFrame,
+                         windows: Seq[Long] = Seq(3600L, 21600L, 86400L))
+      : DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy("ts_s", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val purchases = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_seconds(col("ts")).as("ts_s"))
+      .withColumn("last_click",
+        max(when(col("event_type") === "click", col("ts_s")))
+          .over(byUser))
+      .filter(col("event_type") === "purchase")
+      .withColumn("gap", col("ts_s") - col("last_click"))
+    val aggCols = count(lit(1)).as("n_purchases") +:
+      windows.map(w =>
+        sum(when(col("gap").isNotNull && col("gap") <= w, 1L)
+          .otherwise(0L)).as(s"c_$w"))
+    val one = purchases.agg(aggCols.head, aggCols.tail: _*)
+      .localCheckpoint(true)
+    windows.map { w =>
+      one.select(lit(w).as("window_s"), col("n_purchases"),
+        col(s"c_$w").as("n_credited"),
+        round(col(s"c_$w").cast("double") / col("n_purchases"), 6)
+          .as("credited_share"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** GROWTH ACCOUNTING (the new/retained/resurrected/churned weekly
     * ledger) — the decomposition that explains WHY the active count
     * moved, which w23's new-vs-returning daily split and w10's cohort

@@ -818,6 +818,31 @@ class WindowsLambdaSpec extends SparkSpec {
       "alternating series must look anti-persistent")
   }
 
+  test("attributionWindows: credit is monotone in the window; gaps bind exactly") {
+    import spark.implicits._
+    // user 1: click at t=0, purchases at +30min, +2h, +30h
+    // user 2: purchase with NO preceding click (never credited)
+    val ev = Seq(
+      (1L, 1L, "click", 0L), (1L, 2L, "purchase", 1800L),
+      (1L, 3L, "purchase", 7200L), (1L, 4L, "purchase", 108000L),
+      (2L, 5L, "purchase", 500L))
+      .toDF("user_id", "event_id", "event_type", "s")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        timestamp_seconds(col("s")).as("ts"))
+    val out = Windows.attributionWindows(ev).collect()
+      .map(r => r.getAs[Long]("window_s") ->
+        (r.getAs[Long]("n_purchases"), r.getAs[Long]("n_credited"),
+          r.getAs[Double]("credited_share"))).toMap
+    assert(out(3600L) == ((4L, 1L, 0.25)))
+    assert(out(21600L) == ((4L, 2L, 0.5)))
+    assert(out(86400L) == ((4L, 2L, 0.5)), "30h gap stays uncredited")
+    // ladder monotone on the real corpus
+    val real = Windows.attributionWindows(Tables.events(spark, sf))
+      .orderBy("window_s").collect()
+      .map(_.getAs[Long]("n_credited"))
+    assert(real.zip(real.tail).forall { case (a, b) => a <= b })
+  }
+
   test("growthAccounting: hand ledger; the accounting identity closes every week") {
     import spark.implicits._
     // w1 {1,2} → w2 {1,3} → w3 {2,3}: user2 churns then resurrects,
