@@ -1667,6 +1667,7 @@ object SparkEntry {
     "st_sign_test" -> ((s, d) => Stats.signTest(Tables.events(s, d))),
     "st_cochran_armitage" -> ((s, d) =>
       Stats.cochranArmitage(Tables.events(s, d))),
+    "st_ancova" -> ((s, d) => Stats.ancovaAdjustedMeans(Tables.events(s, d))),
     "st_poisson_2rate" -> ((s, d) =>
       Stats.poissonTwoRate(Tables.events(s, d))),
     "st_wilson_ci" -> ((s, d) => {
@@ -6417,6 +6418,42 @@ object SparkEntry {
              / (0.5 / sqrt(CAST(n AS DOUBLE) / 479305144.464871)), 4)
              AS clark_evans_r
          FROM ag CROSS JOIN tot""",
+    "st_ancova" ->
+      """WITH g AS (SELECT event_type AS grp,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS sy,
+             CAST(sum(CAST(hour(ts) AS BIGINT)) AS BIGINT) AS sx,
+             CAST(sum(CAST(hour(ts) AS BIGINT)
+               * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sxy,
+             CAST(sum(CAST(hour(ts) AS BIGINT) * CAST(hour(ts)
+               AS BIGINT)) AS BIGINT) AS sxx
+           FROM events GROUP BY 1),
+         q AS (SELECT grp, n, sy, sx,
+             CAST(round(CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+               AS BIGINT) AS qxy,
+             CAST(round(CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+               AS BIGINT) AS qxx
+           FROM g),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+             CAST(sum(sx) AS BIGINT) AS sxt,
+             CAST(sum(qxy) AS BIGINT) AS qxyt,
+             CAST(sum(qxx) AS BIGINT) AS qxxt
+           FROM q)
+         SELECT grp AS event_type, n,
+           round(CAST(sy AS DOUBLE) / n / 100.0, 4) AS raw_mean,
+           round((CAST(sy AS DOUBLE) / n
+             - CAST(qxyt AS DOUBLE)
+               / nullif(CAST(qxxt AS DOUBLE), 0)
+               * (CAST(sx AS DOUBLE) / n
+                 - CAST(sxt AS DOUBLE) / nt)) / 100.0, 4)
+             AS adjusted_mean,
+           round(CAST(qxyt AS DOUBLE)
+             / nullif(CAST(qxxt AS DOUBLE), 0) / 100.0, 6)
+             AS common_slope_per_hour
+         FROM q CROSS JOIN t""",
     "st_cochran_armitage" ->
       """WITH pu AS (SELECT user_id,
              CAST(count(*) AS BIGINT) AS n_ev,

@@ -2677,6 +2677,49 @@ object Stats {
         6).as("dcor"))
   }
 
+  /** ANCOVA-adjusted group means — "which event type is really worth
+    * more, once you control for WHEN it happens": raw group means
+    * confound the group effect with covariate mix (a type that fires
+    * at high-value hours looks better than it is); the one-way ANCOVA
+    * adjustment fits a common within-group slope b on the covariate
+    * (hour-of-day here) and reports ȳ_g − b·(x̄_g − x̄) — the group
+    * means moved to a common covariate level.
+    *
+    * Exactness: y quantizes to cents and x is an exact integer hour;
+    * the pooled slope b = ΣS_xy/ΣS_xx uses per-group moment terms
+    * ROUNDED to integer units before the k-row sums (aggregation-order
+    * free, the tukeyHsd ssw_q discipline), and every adjusted mean
+    * derives from exact longs. ONE corpus pass to the k-row frame. */
+  def ancovaAdjustedMeans(events: DataFrame): DataFrame = {
+    val cents = round(col("value") * 100).cast("long")
+    val hr = hour(col("ts")).cast("long")
+    val g = events.groupBy(col("event_type").as("grp"))
+      .agg(count(lit(1)).as("n"), sum(cents).as("sy"),
+        sum(hr).as("sx"), sum(hr * cents).as("sxy"),
+        sum(hr * hr).as("sxx"))
+      .withColumn("qxy",
+        round(col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double") /
+            col("n")).cast("long"))
+      .withColumn("qxx",
+        round(col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double") /
+            col("n")).cast("long"))
+    val tot = g.agg(sum("n").as("nt"), sum("sx").as("sxt"),
+      sum("qxy").as("qxyt"), sum("qxx").as("qxxt"))
+    val b = col("qxyt").cast("double") /
+      nullif(col("qxxt").cast("double"), lit(0.0))
+    g.crossJoin(broadcast(tot))
+      .select(col("grp").as("event_type"), col("n"),
+        round(col("sy").cast("double") / col("n") / 100.0, 4)
+          .as("raw_mean"),
+        round((col("sy").cast("double") / col("n") -
+          b * (col("sx").cast("double") / col("n") -
+            col("sxt").cast("double") / col("nt"))) / 100.0, 4)
+          .as("adjusted_mean"),
+        round(b / 100.0, 6).as("common_slope_per_hour"))
+  }
+
   /** COCHRAN–ARMITAGE trend test — "does the conversion rate RISE
     * with exposure", the ordered-groups question [[chiSquare]] wastes
     * power on (χ² treats bands as unordered categories; CA spends its

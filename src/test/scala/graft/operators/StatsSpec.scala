@@ -1263,6 +1263,33 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("ancovaAdjustedMeans: covariate mix confound removed exactly") {
+    // both groups follow value = 2·hour + group_effect; group a samples
+    // early hours, b late — raw means differ by mix + effect, adjusted
+    // means isolate the true per-group effect (a: +10, b: +4)
+    def ev(rows: Seq[(String, Int, Double)]) = rows.zipWithIndex.map {
+      case ((t, h, v), i) => (i.toLong, h * 3600L, t, v)
+    }.toDF("user_id", "s", "event_type", "value")
+      .select(col("user_id"), timestamp_seconds(col("s")).as("ts"),
+        col("event_type"), col("value"))
+    val rows = (0 until 8).map(h => ("a", h, 2.0 * h + 10)) ++
+      (16 until 24).map(h => ("b", h, 2.0 * h + 4))
+    val out = Stats.ancovaAdjustedMeans(ev(rows)).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val (a, b) = (out("a"), out("b"))
+    // raw means: a = 2·3.5+10 = 17, b = 2·19.5+4 = 43 — b looks better
+    assert(a.getAs[Double]("raw_mean") == 17.0 &&
+      b.getAs[Double]("raw_mean") == 43.0)
+    assert(a.getAs[Double]("common_slope_per_hour") == 2.0)
+    // adjusted to the grand mean hour (11.5): a = 17+2·8 = 33,
+    // b = 43−2·8 = 27 — the true effect order flips
+    assert(a.getAs[Double]("adjusted_mean") == 33.0 &&
+      b.getAs[Double]("adjusted_mean") == 27.0, s"$a / $b")
+    assert(a.getAs[Double]("adjusted_mean") -
+      b.getAs[Double]("adjusted_mean") == 6.0,
+      "adjusted gap equals the planted effect difference")
+  }
+
   test("cochranArmitage: rising trend is loud, perfectly flat rate is exactly 0") {
     // user u emits nEv events; converters get one high-value purchase
     def ev(users: Seq[(Long, Int, Boolean)]) = users.flatMap {
