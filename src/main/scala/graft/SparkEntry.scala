@@ -1484,7 +1484,13 @@ object SparkEntry {
       Graph.edgeEmbeddedness(coSupplyEdges(s, d))),
     "gr_jaccard" -> ((s, d) => Graph.jaccardLinks(coSupplyEdges(s, d), 20)),
     "gr_kcore" -> ((s, d) => Graph.kCore(coSupplyEdges(s, d), 3)),
-    "gr_coreness" -> ((s, d) => Graph.coreness(coSupplyEdges(s, d))),
+    // maxIters pinned to 10 = the oracle's unroll depth (c1..c10): the
+    // H-index iteration is monotone non-increasing toward a fixpoint,
+    // so early convergence at round k<10 equals c10 exactly, and a
+    // graph needing >10 rounds gets the SAME truncated c10 on both
+    // engines — agreement is structural, not convergence-dependent
+    "gr_coreness" -> ((s, d) =>
+      Graph.coreness(coSupplyEdges(s, d), maxIters = 10)),
     "gr_assortativity" -> ((s, d) => Graph.assortativity(coSupplyEdges(s, d))),
     "gr_components" -> ((s, d) =>
       // repeat-business graph (≥4 shared orders) — sparse enough to
@@ -1939,7 +1945,7 @@ object SparkEntry {
          w AS (SELECT event_type, hr, v6,
              CAST(count(*) OVER win AS BIGINT) AS wn,
              CAST(sum(v6) OVER win AS BIGINT) AS s1,
-             CAST(sum(v6 * v6) OVER win AS BIGINT) AS s2
+             sum(CAST(v6 AS HUGEINT) * v6) OVER win AS s2
            FROM h WINDOW win AS (PARTITION BY event_type ORDER BY hr
              ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
          f AS (SELECT event_type, hr, v6, s1, s2,
@@ -2354,8 +2360,8 @@ object SparkEntry {
          FROM tot CROSS JOIN cr""",
     "dq_hash_uniformity" ->
       """WITH dk AS (SELECT DISTINCT user_id FROM events),
-         uv AS (SELECT (user_id * 2654435761 % 4294967296)
-             / 4294967296.0 AS u
+         uv AS (SELECT CAST(CAST(user_id AS HUGEINT) * 2654435761
+             % 4294967296 AS DOUBLE) / 4294967296.0 AS u
            FROM dk),
          cc AS (SELECT u, CAST(count(*) AS BIGINT) AS c
            FROM uv GROUP BY 1),
@@ -6670,14 +6676,13 @@ object SparkEntry {
          FROM a""",
     "dq_srm" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),
-         arm AS (SELECT CAST(
-             CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
-               IN ('0','2','4','6','8','a','c','e') THEN 0 ELSE 1 END
-             AS BIGINT) AS arm FROM u),
+         arm AS (SELECT
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+               THEN 'A' ELSE 'B' END AS arm FROM u),
          c AS (SELECT
-             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
                AS n_a,
-             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
                AS n_b
            FROM arm)
          SELECT n_a, n_b,
@@ -6686,6 +6691,80 @@ object SparkEntry {
            (n_a - n_b) * (n_a - n_b) / CAST(n_a + n_b AS DOUBLE) > 3.841
              AS srm_flag
          FROM c""",
+    // st_bootstrap / st_permutation: both engines draw IDENTICAL
+    // resamples from the salted-md5 hex of (ids, replicate, seed) —
+    // the Poisson weight is a lexicographic compare of the 13-hex
+    // prefix against ⌊cdf·2^52⌋ literals (Stats.PoissonHexCdf), the
+    // permutation coin is the first-digit-<'8' rule — and micro-unit
+    // quantization makes every replicate statistic a ratio of exact
+    // integer sums, so the doubles agree bit-for-bit.
+    "st_bootstrap" ->
+      """WITH b AS (SELECT range AS b FROM range(1, 101)),
+         e AS (SELECT l.l_returnflag AS g, b.b,
+             CAST(round(l.l_extendedprice * 1e6) AS BIGINT) AS x6,
+             substr(md5(concat_ws(':', l.l_orderkey, l.l_linenumber,
+               b.b, '42')), 1, 13) AS h
+           FROM lineitem l CROSS JOIN b),
+         w AS (SELECT g, b, x6,
+             CASE WHEN h < '5e2d58d8b3bce' THEN 0
+                  WHEN h < 'bc5ab1b16779c' THEN 1
+                  WHEN h < 'eb715e1dc1583' THEN 2
+                  WHEN h < 'fb23979734a25' THEN 3
+                  WHEN h < 'ff1025f59174e' THEN 4
+                  WHEN h < 'ffd90f3ba4056' THEN 5
+                  WHEN h < 'fffa8b71fc72c' THEN 6
+                  WHEN h < 'ffff540c0914b' THEN 7
+                  WHEN h < 'ffffed1f4aa8f' THEN 8
+                  ELSE 9 END AS w
+           FROM e),
+         rm AS (SELECT g, b,
+             CAST(sum(CAST(w * x6 AS HUGEINT)) AS DOUBLE)
+               / nullif(CAST(sum(CAST(w AS BIGINT)) AS DOUBLE), 0.0)
+               / 1e6 AS m
+           FROM w GROUP BY 1, 2),
+         ci AS (SELECT g, round(quantile_cont(m, 0.025), 6) AS ci_lo,
+             round(quantile_cont(m, 0.975), 6) AS ci_hi
+           FROM rm GROUP BY 1),
+         pt AS (SELECT l_returnflag AS g, CAST(count(*) AS BIGINT) AS n,
+             round(CAST(sum(CAST(round(l_extendedprice * 1e6) AS HUGEINT))
+                 AS DOUBLE) / count(*) / 1e6, 6) AS mean
+           FROM lineitem GROUP BY 1)
+         SELECT ci.g AS l_returnflag, pt.n, pt.mean, ci.ci_lo, ci.ci_hi
+         FROM ci JOIN pt ON ci.g = pt.g""",
+    "st_permutation" ->
+      """WITH two AS (SELECT l_returnflag AS g,
+             CAST(round(l_extendedprice * 1e6) AS BIGINT) AS x6,
+             l_orderkey, l_linenumber
+           FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+         o AS (SELECT
+             sum(CASE WHEN g = 'R' THEN CAST(x6 AS HUGEINT) END) AS sa,
+             sum(CASE WHEN g = 'N' THEN CAST(x6 AS HUGEINT) END) AS sb,
+             CAST(sum(CASE WHEN g = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(sum(CASE WHEN g = 'N' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b
+           FROM two),
+         ot AS (SELECT n_a, n_b,
+             (CAST(sa AS DOUBLE) / n_a - CAST(sb AS DOUBLE) / n_b)
+               / 1e6 AS t
+           FROM o),
+         r AS (SELECT range AS b FROM range(1, 200)),
+         c AS (SELECT t2.x6, r.b,
+             substr(md5(concat_ws(':', t2.l_orderkey, t2.l_linenumber,
+               r.b, '7')), 1, 1) < '8' AS c0
+           FROM two t2 CROSS JOIN r),
+         rs AS (SELECT b,
+             (CAST(sum(CASE WHEN c0 THEN CAST(x6 AS HUGEINT) END)
+                 AS DOUBLE)
+               / sum(CASE WHEN c0 THEN 1 ELSE 0 END)
+              - CAST(sum(CASE WHEN NOT c0 THEN CAST(x6 AS HUGEINT) END)
+                 AS DOUBLE)
+               / sum(CASE WHEN NOT c0 THEN 1 ELSE 0 END)) / 1e6 AS tb
+           FROM c GROUP BY 1)
+         SELECT ot.n_a, ot.n_b, round(ot.t, 6) AS mean_diff,
+           round((1.0 + sum(CASE WHEN abs(rs.tb) >= abs(ot.t)
+               THEN 1 ELSE 0 END)) / (1.0 + count(*)), 6) AS p_value
+         FROM rs, ot GROUP BY ot.n_a, ot.n_b, ot.t""",
     "st_cuped" ->
       """WITH u AS (SELECT user_id,
              round(sum(CASE WHEN ts < DATE '2024-01-15' THEN value
@@ -7045,6 +7124,102 @@ object SparkEntry {
          SELECT user_id, CAST(count(*) AS BIGINT) AS n_blocks,
            CAST(sum(be - bs) AS BIGINT) AS covered_seconds
          FROM blk GROUP BY 1""",
+    // w25: the absorbing-chain power iteration replays as ONE keyed
+    // recursive CTE — each scenario (base + 4 removals) carries its
+    // (mass-vector, conv) row through the same 200 canonical-order
+    // steps the Scala driver loop runs, so the doubles match bit-for-
+    // bit (ts_ses_grid's recursive-oracle discipline, keyed by rm).
+    // Channel set {click,error,signup,view} is the testdata contract.
+    "w25_markov_attribution" ->
+      """WITH RECURSIVE fc AS (SELECT user_id, min(epoch_us(ts)) AS cts
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         pre AS (SELECT e.user_id, e.event_type, epoch_us(e.ts) AS tus,
+             e.event_id, fc.cts IS NOT NULL AS converted
+           FROM events e LEFT JOIN fc ON e.user_id = fc.user_id
+           WHERE e.event_type <> 'purchase'
+             AND (fc.cts IS NULL OR epoch_us(e.ts) < fc.cts)),
+         st AS (SELECT event_type, converted,
+             lead(event_type) OVER w AS to_type,
+             row_number() OVER w AS rn
+           FROM pre
+           WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+         tr AS (SELECT from_state, to_state, CAST(sum(n) AS BIGINT) AS n
+           FROM (
+             SELECT event_type AS from_state,
+               COALESCE(to_type, CASE WHEN converted THEN '__CONV__'
+                 ELSE '__NULL__' END) AS to_state, count(*) AS n
+             FROM st GROUP BY 1, 2
+             UNION ALL
+             SELECT '__START__', event_type, count(*) FROM st
+             WHERE rn = 1 GROUP BY 1, 2) GROUP BY 1, 2),
+         sc AS (SELECT unnest(['__BASE__','click','error','signup',
+             'view']) AS rm),
+         eff AS (SELECT sc.rm,
+             CASE WHEN t2.from_state = sc.rm THEN '__NULL__'
+               ELSE t2.from_state END AS f,
+             CASE WHEN t2.to_state = sc.rm THEN '__NULL__'
+               ELSE t2.to_state END AS t,
+             t2.n
+           FROM sc CROSS JOIN tr t2),
+         p AS (SELECT rm, f, t,
+             CAST(sum(n) AS DOUBLE) /
+               CAST(sum(sum(n)) OVER (PARTITION BY rm, f) AS DOUBLE)
+               AS p
+           FROM eff WHERE f <> '__NULL__' GROUP BY rm, f, t),
+         qm AS (SELECT rm,
+             COALESCE(max(CASE WHEN f='__START__' AND t='click' THEN p END),0.0) AS s_c,
+             COALESCE(max(CASE WHEN f='__START__' AND t='error' THEN p END),0.0) AS s_e,
+             COALESCE(max(CASE WHEN f='__START__' AND t='signup' THEN p END),0.0) AS s_g,
+             COALESCE(max(CASE WHEN f='__START__' AND t='view' THEN p END),0.0) AS s_v,
+             COALESCE(max(CASE WHEN f='__START__' AND t='__CONV__' THEN p END),0.0) AS s_k,
+             COALESCE(max(CASE WHEN f='click' AND t='click' THEN p END),0.0) AS c_c,
+             COALESCE(max(CASE WHEN f='click' AND t='error' THEN p END),0.0) AS c_e,
+             COALESCE(max(CASE WHEN f='click' AND t='signup' THEN p END),0.0) AS c_g,
+             COALESCE(max(CASE WHEN f='click' AND t='view' THEN p END),0.0) AS c_v,
+             COALESCE(max(CASE WHEN f='click' AND t='__CONV__' THEN p END),0.0) AS c_k,
+             COALESCE(max(CASE WHEN f='error' AND t='click' THEN p END),0.0) AS e_c,
+             COALESCE(max(CASE WHEN f='error' AND t='error' THEN p END),0.0) AS e_e,
+             COALESCE(max(CASE WHEN f='error' AND t='signup' THEN p END),0.0) AS e_g,
+             COALESCE(max(CASE WHEN f='error' AND t='view' THEN p END),0.0) AS e_v,
+             COALESCE(max(CASE WHEN f='error' AND t='__CONV__' THEN p END),0.0) AS e_k,
+             COALESCE(max(CASE WHEN f='signup' AND t='click' THEN p END),0.0) AS g_c,
+             COALESCE(max(CASE WHEN f='signup' AND t='error' THEN p END),0.0) AS g_e,
+             COALESCE(max(CASE WHEN f='signup' AND t='signup' THEN p END),0.0) AS g_g,
+             COALESCE(max(CASE WHEN f='signup' AND t='view' THEN p END),0.0) AS g_v,
+             COALESCE(max(CASE WHEN f='signup' AND t='__CONV__' THEN p END),0.0) AS g_k,
+             COALESCE(max(CASE WHEN f='view' AND t='click' THEN p END),0.0) AS v_c,
+             COALESCE(max(CASE WHEN f='view' AND t='error' THEN p END),0.0) AS v_e,
+             COALESCE(max(CASE WHEN f='view' AND t='signup' THEN p END),0.0) AS v_g,
+             COALESCE(max(CASE WHEN f='view' AND t='view' THEN p END),0.0) AS v_v,
+             COALESCE(max(CASE WHEN f='view' AND t='__CONV__' THEN p END),0.0) AS v_k
+           FROM p GROUP BY rm),
+         it AS (
+           SELECT rm, 1 AS i, s_c AS mc, s_e AS me, s_g AS mg,
+             s_v AS mv, s_k AS cv FROM qm
+           UNION ALL
+           SELECT it.rm, it.i + 1,
+             it.mc*q.c_c + it.me*q.e_c + it.mg*q.g_c + it.mv*q.v_c,
+             it.mc*q.c_e + it.me*q.e_e + it.mg*q.g_e + it.mv*q.v_e,
+             it.mc*q.c_g + it.me*q.e_g + it.mg*q.g_g + it.mv*q.v_g,
+             it.mc*q.c_v + it.me*q.e_v + it.mg*q.g_v + it.mv*q.v_v,
+             it.cv +
+               (it.mc*q.c_k + it.me*q.e_k + it.mg*q.g_k + it.mv*q.v_k)
+           FROM it JOIN qm q ON q.rm = it.rm WHERE it.i < 200),
+         fin AS (SELECT rm, cv FROM it WHERE i = 200),
+         b AS (SELECT cv AS bs FROM fin WHERE rm = '__BASE__'),
+         ef AS (SELECT rm AS channel,
+             CASE WHEN bs = 0 THEN 0.0
+               ELSE greatest(0.0, 1.0 - cv / bs) END AS e
+           FROM fin, b WHERE rm <> '__BASE__'),
+         te AS (SELECT
+             max(CASE WHEN channel='click' THEN e END)
+             + max(CASE WHEN channel='error' THEN e END)
+             + max(CASE WHEN channel='signup' THEN e END)
+             + max(CASE WHEN channel='view' THEN e END) AS t FROM ef)
+         SELECT channel, round(e, 6) AS removal_effect,
+           CASE WHEN t = 0 THEN 0.0 ELSE round(e / t, 6) END
+             AS attribution
+         FROM ef, te""",
     "w26_ltv" ->
       """WITH p AS (SELECT user_id,
              CAST(date_trunc('week', ts) AS DATE) AS wk,

@@ -470,19 +470,20 @@ object Quality {
     * experiment platform runs before reading ANY metric: if the
     * hash-assigned arms don't split 50/50 within chi-square noise, the
     * assignment or logging pipeline is broken and every downstream
-    * readout is invalid. Arm = parity of the first md5 hex digit of
-    * the unit id (the same deterministic-hash discipline as
-    * pipe_split — no RNG, replayable on any engine); χ² against the
+    * readout is invalid. Arm comes from [[Stats.md5Arm]] — first md5
+    * hex digit < '8' → A — the ONE split definition shared with
+    * st_power and stream_ab_monitor, so this audit gates exactly the
+    * assignment those surfaces report on (r9: it previously used digit
+    * parity, which disagreed per-user with md5Arm and made
+    * cross-surface arm reconciliation silently fail). χ² against the
     * expected even split collapses to (nₐ−n_b)²/(nₐ+n_b); flagged at
     * the 5% critical value 3.841. One distinct-unit pass, 1-row
     * output. */
   def srmCheck(events: DataFrame): DataFrame = {
-    val arm = (conv(substring(md5(col("user_id").cast("string")), 1, 1),
-      16, 10).cast("long") % 2).as("arm")
     events.select(col("user_id")).distinct()
-      .select(arm)
-      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
-        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
+      .select(Stats.md5Arm(col("user_id")).as("arm"))
+      .agg(sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"))
       .select(col("n_a"), col("n_b"),
         round((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")) /
           (col("n_a") + col("n_b")).cast("double"), 6).as("chi2"),
@@ -502,14 +503,19 @@ object Quality {
     * Same striped-prefix-sum skeleton as st_ks (value-range stripes on
     * u itself — no global sort); D is a max, which commutes, so the
     * whole statistic is partition-invariant with zero rounding
-    * tolerance. (The id·constant product fits longs for ids < ~3e9;
-    * wider id spaces widen to decimal — loud overflow, not silent.) */
+    * tolerance. The id·constant product runs in DECIMAL(38,0) — a Long
+    * product would silently wrap (non-ANSI mode) for ids ≥ ~3.5e9,
+    * corrupting the statistic while the DuckDB twin (HUGEINT) stays
+    * exact; decimal keeps both engines bit-identical across the full
+    * id space, and the mod-2³² residue is < 2⁵³ so the final double
+    * division stays exact. */
   def hashUniformity(events: DataFrame, keyCol: String = "user_id",
                      stripes: Int = 256): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pts = events.select(col(keyCol)).distinct()
       .withColumn("u",
-        (col(keyCol) * 2654435761L % 4294967296L) / lit(4294967296.0))
+        (col(keyCol).cast("decimal(38,0)") * lit(2654435761L)
+          % lit(4294967296L)).cast("double") / lit(4294967296.0))
       .groupBy("u").agg(count(lit(1)).as("c"))
       .withColumn("__stripe",
         least(lit(stripes - 1),

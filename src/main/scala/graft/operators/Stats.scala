@@ -682,14 +682,6 @@ object Stats {
         round(col("esum").cast("double") / 1000000000.0, 6).as("ece"))
   }
 
-  /** ROC ladder + Youden's J for a probabilistic binary score — the
-    * THRESHOLD-choosing companion to st_auc (AUC ranks the model;
-    * shipping one needs a cutoff): at each fixed threshold the exact
-    * confusion counts give TPR/FPR/precision, J = TPR − FPR marks the
-    * best operating point (flagged on its row). Exact integer counts
-    * per threshold (one conditional-aggregate pass over the corpus —
-    * thresholds are a literal ladder, so this is ONE scan with k
-    * conditional sums, not k scans), divisions at the close. */
   /** FAIRNESS slice audit at a fixed decision threshold — the
     * equalized-odds / demographic-parity report a model eval needs
     * beyond [[classifierReport]]'s aggregate view: per slice, the
@@ -767,6 +759,14 @@ object Stats {
         (col("threshold") === col("bt")).as("is_best"))
   }
 
+  /** ROC ladder + Youden's J for a probabilistic binary score — the
+    * THRESHOLD-choosing companion to st_auc (AUC ranks the model;
+    * shipping one needs a cutoff): at each fixed threshold the exact
+    * confusion counts give TPR/FPR/precision, J = TPR − FPR marks the
+    * best operating point (flagged on its row). Exact integer counts
+    * per threshold (one conditional-aggregate pass over the corpus —
+    * thresholds are a literal ladder, so this is ONE scan with k
+    * conditional sums, not k scans), divisions at the close. */
   def rocLadder(df: DataFrame, score: Column, label: Column,
                 thresholds: Seq[Double] =
                   (1 to 9).map(_ / 10.0)): DataFrame = {
@@ -945,22 +945,25 @@ object Stats {
         col("p_adj"), (col("p_adj") <= alpha).as("significant"))
   }
 
+  /** The deterministic md5 arm split — first hex digit < '8' (the high
+    * bit of the first nibble) → A. ONE definition shared by dq_srm's
+    * audit, st_power, and stream_ab_monitor's replay-stable
+    * assignment, so every experimentation surface reconciles
+    * user-by-user. */
+  def md5Arm(user: Column): Column =
+    when(substring(md5(user.cast("string")), 1, 1) < "8", "A")
+      .otherwise("B")
+
   /** TWO-PROPORTION POWER ANALYSIS from observed arm rates — the
     * experimentation-desk question BEFORE the test ships ("how many
     * users per arm until the delta we are seeing is detectable"):
     * n/arm = (z_{α/2}+z_β)²·(p₁(1−p₁)+p₂(1−p₂))/δ² at α=0.05,
     * power=0.8 (z literals 1.959964, 0.841621 — identical constants on
-    * both engines). Arms are the same deterministic md5-parity split
-    * dq_srm audits; conversion = "user has ≥1 purchase". Reports the
-    * observed rates, the delta, required n/arm, and whether the
-    * CURRENT arms already clear it. One user-rollup pass (exact
-    * integer counts), then 1-row formula arithmetic. */
-  /** The deterministic md5-parity arm split (dq_srm's audit split and
-    * stream_ab_monitor's replay-stable assignment — one definition). */
-  def md5Arm(user: Column): Column =
-    when(substring(md5(user.cast("string")), 1, 1) < "8", "A")
-      .otherwise("B")
-
+    * both engines). Arms are [[md5Arm]], the same split dq_srm audits;
+    * conversion = "user has ≥1 purchase". Reports the observed rates,
+    * the delta, required n/arm, and whether the CURRENT arms already
+    * clear it. One user-rollup pass (exact integer counts), then 1-row
+    * formula arithmetic. */
   def powerAnalysis(events: DataFrame, minValue: Double = 95.0)
       : DataFrame = {
     // conversion = a HIGH-VALUE purchase (value > minValue): the plain
@@ -1628,12 +1631,27 @@ object Stats {
         4).as("jb"))
   }
 
-  // Poisson(1) CDF steps for the bootstrap's inverse-transform weights
-  private val PoissonCdf: Seq[Double] = {
-    val pmf = Iterator.iterate((0, math.exp(-1.0))) {
-      case (k, p) => (k + 1, p / (k + 1)) }.map(_._2).take(9).toSeq
-    pmf.scanLeft(0.0)(_ + _).tail
-  }
+  /** Poisson(1) CDF steps for the bootstrap's inverse-transform
+    * weights, pre-scaled to 13-hex-digit thresholds (⌊cdf·2⁵²⌋ in
+    * lowercase hex): a 13-char md5-hex prefix compares LEXICOGRAPHICALLY
+    * as the 52-bit number it spells (same length, '0'<…<'9'<'a'<…<'f'),
+    * so `hex13 < threshold` is an exact u < cdf test that any engine
+    * with md5 replays bit-for-bit — no 64-bit wrap arithmetic (which
+    * DuckDB refuses) and no engine-private hash (xxhash64). */
+  private[graft] val PoissonHexCdf: Seq[String] = Seq(
+    "5e2d58d8b3bce", "bc5ab1b16779c", "eb715e1dc1583", "fb23979734a25",
+    "ff1025f59174e", "ffd90f3ba4056", "fffa8b71fc72c", "ffff540c0914b",
+    "ffffed1f4aa8f")
+
+  /** The 13-hex-digit md5 prefix of id cols + replicate + seed joined
+    * with ':' — the ONE deterministic resampling source shared by
+    * [[bootstrapCI]] and [[permutationTest]] (pipe_split's salted-md5
+    * discipline, extended with a replicate index). */
+  private def resampleHex(idCols: Seq[String], b: Column,
+                          seed: Long): Column =
+    substring(md5(concat_ws(":",
+      (idCols.map(c => col(c).cast("string")) :+ b.cast("string") :+
+        lit(seed.toString)): _*)), 1, 13)
 
   /** One-pass POISSON bootstrap CI of the per-group mean — the
     * distributed form of the bootstrap: instead of materializing B
@@ -1641,32 +1659,39 @@ object Stats {
     * independent Poisson(1) weight per replicate (the B→∞ limit of
     * multinomial resampling), so all B replicate means come out of ONE
     * scan + ONE narrow (group, b) partial-agg shuffle that map-side
-    * combines to |groups|·B rows per task. Weights are DETERMINISTIC:
-    * u = xxhash64(id cols, b, seed) scaled to [0,1), inverted through
-    * the Poisson(1) CDF as a codegen'd when-chain (capped at 9 — mass
-    * beyond is < 1.2e-6) — replayable on any cluster layout, no RNG
+    * combines to |groups|·B rows per task. Weights are DETERMINISTIC
+    * and ENGINE-NEUTRAL (r9 [oracle] flip): the salted-md5 hex prefix
+    * of (ids, replicate, seed) compares against the [[PoissonHexCdf]]
+    * literals as a codegen'd when-chain (weight capped at 9 — Poisson
+    * mass beyond is < 1.2e-6), values quantize to integer micro-units
+    * so every replicate mean is a ratio of exact decimal sums —
+    * identical doubles on any engine and any cluster layout, no RNG
     * state. CI is the 2.5/97.5 percentile of the B replicate means
-    * (exact percentile: the frame is |groups|·B, driver-free but tiny).
-    * Hash-based → engine-specific: rows-only contract + property specs
-    * (determinism, constant-column zero width, coverage of the mean). */
+    * (exact percentile: the frame is |groups|·B, driver-free but
+    * tiny). */
   def bootstrapCI(df: DataFrame, groupCol: String, valueCol: String,
                   idCols: Seq[String], reps: Int = 100,
                   seed: Long = 42L): DataFrame = {
-    val u = pmod(xxhash64((idCols.map(col) :+ col("__b") :+ lit(seed)): _*),
-      lit(1000000000L)) / 1e9
-    val w = PoissonCdf.zipWithIndex.foldRight(
-      lit(PoissonCdf.size): org.apache.spark.sql.Column) {
-      case ((cdf, k), rest) => when(u < cdf, lit(k)).otherwise(rest)
+    val h = resampleHex(idCols, col("__b"), seed)
+    val w = PoissonHexCdf.zipWithIndex.foldRight(
+      lit(PoissonHexCdf.size): org.apache.spark.sql.Column) {
+      case ((hx, k), rest) => when(h < lit(hx), lit(k)).otherwise(rest)
     }
     val repMeans = df
-      .select((Seq(col(groupCol), col(valueCol).as("__x"),
+      .select((Seq(col(groupCol),
+        round(col(valueCol) * 1e6).cast("long").as("__x6"),
         explode(sequence(lit(1), lit(reps))).as("__b")) ++
         idCols.map(col)): _*)
-      .withColumn("__w", w.cast("double"))
+      .withColumn("__w", w)
       .groupBy(col(groupCol), col("__b"))
-      .agg((sum(col("__w") * col("__x")) / sum(col("__w"))).as("__m"))
+      .agg((sum((col("__w") * col("__x6")).cast("decimal(38,0)"))
+          .cast("double") /
+        nullif(sum(col("__w").cast("long")).cast("double"), lit(0.0)) /
+        lit(1e6)).as("__m"))
     val point = df.groupBy(groupCol)
-      .agg(count(lit(1)).as("n"), round(avg(valueCol), 6).as("mean"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(round(col(valueCol) * 1e6).cast("decimal(38,0)"))
+          .cast("double") / count(lit(1)) / lit(1e6), 6).as("mean"))
     repMeans.groupBy(groupCol)
       .agg(round(expr("percentile(__m, 0.025)"), 6).as("ci_lo"),
         round(expr("percentile(__m, 0.975)"), 6).as("ci_hi"))
@@ -1685,33 +1710,40 @@ object Stats {
     * makes it ONE scan + ONE narrow (b, coin) partial-agg shuffle at
     * any scale, B replicate statistics from |2B| aggregated rows.
     * p = (1 + #{|T_b| ≥ |T_obs|}) / (B+1) (add-one: never exactly 0).
-    * Hash-based → rows-only contract + property specs. */
+    * Coin and arithmetic are ENGINE-NEUTRAL (r9 [oracle] flip): the
+    * coin is the high bit of the salted-md5 first hex digit (md5Arm's
+    * rule over the [[resampleHex]] input) and values quantize to
+    * integer micro-units, so every replicate statistic is a ratio of
+    * exact decimal sums — identical doubles on any engine. */
   def permutationTest(df: DataFrame, groupCol: String, valueCol: String,
                       groupA: String, groupB: String, idCols: Seq[String],
                       reps: Int = 199, seed: Long = 7L): DataFrame = {
     val two = df.filter(col(groupCol).isin(groupA, groupB))
-      .select((Seq(col(groupCol).as("__g"), col(valueCol).as("__x")) ++
+      .select((Seq(col(groupCol).as("__g"),
+        round(col(valueCol) * 1e6).cast("long").as("__x6")) ++
         idCols.map(col)): _*)
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    def s6(c: Column) = sum(when(c, col("__x6")).cast("decimal(38,0)"))
     val obs = two.agg(
-      (sum(when(col("__g") === groupA, col("__x"))) /
-        sum(when(col("__g") === groupA, 1L))).as("__ma"),
-      (sum(when(col("__g") === groupB, col("__x"))) /
-        sum(when(col("__g") === groupB, 1L))).as("__mb"),
-      sum(when(col("__g") === groupA, 1L)).as("n_a"),
-      sum(when(col("__g") === groupB, 1L)).as("n_b"))
-      .select(col("n_a"), col("n_b"), (col("__ma") - col("__mb")).as("__t"))
-    val coin = pmod(xxhash64((idCols.map(col) :+ col("__b") :+ lit(seed)): _*),
-      lit(2L))
+      s6(col("__g") === groupA).as("__sa"),
+      s6(col("__g") === groupB).as("__sb"),
+      cnt(col("__g") === groupA).as("n_a"),
+      cnt(col("__g") === groupB).as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        ((col("__sa").cast("double") / col("n_a") -
+          col("__sb").cast("double") / col("n_b")) / lit(1e6))
+          .as("__t"))
+    val coin = substring(resampleHex(idCols, col("__b"), seed), 1, 1)
+      .< (lit("8"))
     val repStats = two
-      .select((Seq(col("__x"),
+      .select((Seq(col("__x6"),
         explode(sequence(lit(1), lit(reps))).as("__b")) ++
         idCols.map(col)): _*)
       .withColumn("__c", coin)
       .groupBy("__b")
-      .agg((sum(when(col("__c") === 0L, col("__x"))) /
-          sum(when(col("__c") === 0L, 1L)) -
-        sum(when(col("__c") === 1L, col("__x"))) /
-          sum(when(col("__c") === 1L, 1L))).as("__tb"))
+      .agg(((s6(col("__c")).cast("double") / cnt(col("__c")) -
+        s6(!col("__c")).cast("double") / cnt(!col("__c"))) / lit(1e6))
+        .as("__tb"))
     repStats.crossJoin(broadcast(obs))
       .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
         round(first(col("__t")), 6).as("mean_diff"),

@@ -512,7 +512,16 @@ object Windows {
     * iteration over a ≤7-state matrix, the parameter-sized scalar
     * class (codebook/PACF precedent). Deterministic: fixed iteration
     * count, exact integer counts in, 6dp out. Output: one row per
-    * channel — removal_effect and the normalized attribution share. */
+    * channel — removal_effect and the normalized attribution share.
+    *
+    * Replayability (r9 [oracle] flip): every float operation runs in a
+    * CANONICAL order — the mass vector is indexed by SORTED channel
+    * name, each new mass/conversion term is a left-assoc sum over
+    * sources in that order, and per-step conversion adds as ONE
+    * parenthesized group — so a DuckDB recursive CTE carrying the same
+    * (mass…, conv) row through the same 200 steps reproduces the
+    * doubles bit-for-bit (the ts_pacf Durbin–Levinson discipline,
+    * extended from unrolled stages to a keyed recursion). */
   def markovAttribution(events: DataFrame,
                         convType: String = "purchase",
                         iters: Int = 200): DataFrame = {
@@ -541,7 +550,8 @@ object Windows {
       .groupBy("from_state", "to_state").agg(count(lit(1)).as("n"))
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-    // driver-side absorbing chain over the tiny matrix
+    // driver-side absorbing chain over the tiny matrix, every float op
+    // in canonical sorted-channel order (see scaladoc: oracle replay)
     val channels = trans.flatMap(t => Seq(t._1, t._2))
       .filter(s => !s.startsWith("__")).distinct.sorted
     def pConv(removed: Option[String]): Double = {
@@ -551,21 +561,23 @@ object Windows {
         val t2 = if (removed.contains(t)) "__NULL__" else t
         (f2, t2, n)
       }.filter(_._1 != "__NULL__")
-      val byFrom = eff.groupBy(_._1).map { case (f, ts) =>
-        val tot = ts.map(_._3).sum.toDouble
-        f -> ts.groupBy(_._2).map { case (t, xs) =>
-          t -> xs.map(_._3).sum / tot }
-      }
-      var p = Map("__START__" -> 1.0).withDefaultValue(0.0)
-      var conv = 0.0
-      for (_ <- 1 to iters) {
-        val next = scala.collection.mutable.Map[String, Double]()
-          .withDefaultValue(0.0)
-        for ((s, mass) <- p; if mass > 0; (t, pr) <- byFrom.getOrElse(s,
-          Map.empty[String, Double]))
-          if (t == "__CONV__") conv += mass * pr
-          else if (t != "__NULL__") next(t) += mass * pr
-        p = next.toMap.withDefaultValue(0.0)
+      // out-degree totals stay exact longs; each probability is one
+      // long-sum / long-sum double division — identical on any engine
+      val tot = eff.groupBy(_._1).map { case (f, ts) =>
+        f -> ts.map(_._3).sum.toDouble }
+      val pr = eff.groupBy(t => (t._1, t._2)).map { case (k, xs) =>
+        k -> xs.map(_._3).sum / tot(k._1) }
+      def p(f: String, t: String): Double = pr.getOrElse((f, t), 0.0)
+      // step 1 moves the unit mass out of __START__ (structurally no
+      // START→CONV edge exists, but the term is kept for the twin)
+      var m = channels.map(c => p("__START__", c))
+      var conv = p("__START__", "__CONV__")
+      for (_ <- 2 to iters) {
+        val next = channels.map(t =>
+          channels.indices.map(i => m(i) * p(channels(i), t)).sum)
+        conv += channels.indices.map(i =>
+          m(i) * p(channels(i), "__CONV__")).sum
+        m = next
       }
       conv
     }

@@ -453,12 +453,14 @@ class QualitySpec extends SparkSpec {
     assert(out(10)._3 == 1.0, "pooling everything must land at base rate")
   }
 
-  test("srmCheck: md5-split ids pass; a parity-biased id set trips the gate") {
+  test("srmCheck: md5-split ids pass; an arm-biased id set trips the gate") {
     import spark.implicits._
+    // the md5Arm rule: first hex digit < '8' (high bit of the first
+    // nibble) → arm A — must match Stats.md5Arm exactly
     def armOf(id: Long): Int = {
       val d = java.security.MessageDigest.getInstance("MD5")
         .digest(id.toString.getBytes("UTF-8"))
-      ((d(0) >> 4) & 0xf) % 2
+      if (((d(0) >> 4) & 0xf) < 8) 0 else 1
     }
     def ev(ids: Seq[Long]) = ids.map(i => (i, "click", 1.0))
       .toDF("user_id", "event_type", "value")
