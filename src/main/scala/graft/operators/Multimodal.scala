@@ -185,10 +185,163 @@ object Multimodal {
         round(col("n_silent") / col("n_windows"), 4))
   }
 
-  /** Driver-contract projection of [[audioEnergy]] over the synthesized
-    * media table's audio slice. */
+  // ---------------------------------------------------------------- WAV
+
+  /** Decoded PCM audio: sample rate, source channel count, and the
+    * MONO-mixed 16-bit samples (multi-channel frames average with
+    * integer truncation — deterministic, no float resampling). */
+  case class WavPcm(sampleRate: Int, channels: Int,
+                    samples: Array[Short])
+
+  /** REAL pure-JVM RIFF/WAVE PCM16 decoder — the codec swap-in the
+    * decodeStub contract promised (r9): parses the RIFF container
+    * (chunk walk with even-byte padding, not a fixed 44-byte assume),
+    * accepts format 1 (PCM) at 16 bits/sample, little-endian, any
+    * channel count, and returns None for anything malformed rather
+    * than throwing — a curation pipeline meets truncated and
+    * mislabeled assets as a matter of course, and a poison asset must
+    * not kill the task. ~60 lines, zero external jars. */
+  def decodeWav(bytes: Array[Byte]): Option[WavPcm] = {
+    def u16(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+    def u32(o: Int): Long = (u16(o).toLong | (u16(o + 2).toLong << 16)) & 0xFFFFFFFFL
+    if (bytes.length < 12) return None
+    if (bytes(0) != 'R' || bytes(1) != 'I' || bytes(2) != 'F' ||
+      bytes(3) != 'F' || bytes(8) != 'W' || bytes(9) != 'A' ||
+      bytes(10) != 'V' || bytes(11) != 'E') return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // format, ch, rate, bits
+    var data: Option[(Int, Int)] = None          // offset, byte length
+    while (off + 8 <= bytes.length) {
+      val id = new String(bytes, off, 4, "US-ASCII")
+      val sz = math.min(u32(off + 4), Int.MaxValue.toLong).toInt
+      val body = off + 8
+      if (id == "fmt " && body + 16 <= bytes.length)
+        fmt = Some((u16(body), u16(body + 2), u32(body + 4).toInt,
+          u16(body + 14)))
+      else if (id == "data" && data.isEmpty)
+        data = Some((body, math.max(0, math.min(sz, bytes.length - body))))
+      off = body + sz + (sz & 1) // chunks pad to even offsets
+      if (sz < 0) return None
+    }
+    (fmt, data) match {
+      case (Some((1, ch, rate, 16)), Some((o, len)))
+          if ch >= 1 && rate > 0 =>
+        val frameBytes = 2 * ch
+        val nFrames = len / frameBytes
+        val mono = new Array[Short](nFrames)
+        var f = 0
+        while (f < nFrames) {
+          var acc = 0L
+          var c = 0
+          while (c < ch) {
+            val b = o + f * frameBytes + 2 * c
+            acc += ((bytes(b) & 0xFF) | (bytes(b + 1) << 8)).toShort
+            c += 1
+          }
+          mono(f) = (acc / ch).toShort
+          f += 1
+        }
+        Some(WavPcm(rate, ch, mono))
+      case _ => None
+    }
+  }
+
+  /** Build a PCM16 mono/interleaved WAV byte array — the encoder twin
+    * of [[decodeWav]], used by the synthetic media source and the
+    * planted-file specs (a decoder verified only against its own
+    * encoder is weak, so the spec ALSO hand-builds headers). */
+  def encodeWavPcm16(samples: Array[Short], sampleRate: Int = 8000,
+                     channels: Int = 1): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    def w32(o: Int, v: Long): Unit = { var i = 0; while (i < 4) {
+      out(o + i) = ((v >> (8 * i)) & 0xFF).toByte; i += 1 } }
+    def w16(o: Int, v: Int): Unit = { out(o) = (v & 0xFF).toByte
+      out(o + 1) = ((v >> 8) & 0xFF).toByte }
+    def tag(o: Int, s: String): Unit = { var i = 0; while (i < 4) {
+      out(o + i) = s.charAt(i).toByte; i += 1 } }
+    tag(0, "RIFF"); w32(4, 36L + dataLen); tag(8, "WAVE")
+    tag(12, "fmt "); w32(16, 16L); w16(20, 1); w16(22, channels)
+    w32(24, sampleRate); w32(28, sampleRate.toLong * channels * 2)
+    w16(32, channels * 2); w16(34, 16)
+    tag(36, "data"); w32(40, dataLen)
+    var i = 0
+    while (i < samples.length) {
+      w16(44 + 2 * i, samples(i) & 0xFFFF); i += 1
+    }
+    out
+  }
+
+  /** Media source whose audio payloads are WELL-FORMED PCM16 WAVs: the
+    * document text deterministically synthesizes the sample stream
+    * (each byte maps to a signed 16-bit amplitude), so the contract
+    * surface drives [[decodeWav]]'s REAL header-parse + little-endian
+    * sample path — not the hex-pair stand-in — while staying exactly
+    * reproducible on any engine. Non-audio kinds keep the raw-text
+    * payload (their decoders are still stubs). */
+  def wavMediaFromDocuments(documents: DataFrame): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    mediaFromDocuments(documents).map { r =>
+      if (r.kind != "audio") r
+      else {
+        val samples = new Array[Short](r.payload.length)
+        var i = 0
+        while (i < samples.length) {
+          samples(i) = (((r.payload(i) & 0xFF) - 128) * 256).toShort
+          i += 1
+        }
+        val wav = encodeWavPcm16(samples)
+        r.copy(payload = wav, n_bytes = wav.length)
+      }
+    }
+  }
+
+  /** [[audioEnergy]] over REAL WAV payloads: decode via [[decodeWav]]
+    * at the per-partition codec boundary, window the mono samples, RMS
+    * on full-scale-normalized amplitude (|s|/32768 → silence threshold
+    * is a fraction of full scale), per-asset rollup. Same output
+    * schema as the stub path; undecodable payloads drop (counted
+    * nowhere — a production pipeline would route them to a quarantine
+    * sink, which dq_expect models elsewhere). Rows out of the flatMap
+    * are (asset, window) — duration-proportional, never collected. */
+  def audioEnergyWav(media: Dataset[MediaRow], frameSamples: Int = 64,
+                     silenceRms: Double = 0.02): DataFrame = {
+    implicit val enc =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt,
+        Encoders.scalaDouble)
+    media.filter(col("kind") === "audio")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          decodeWav(r.payload) match {
+            case Some(w) if w.samples.nonEmpty =>
+              w.samples.grouped(frameSamples).zipWithIndex.map {
+                case (win, i) =>
+                  var ss = 0.0
+                  var j = 0
+                  while (j < win.length) {
+                    val v = win(j) / 32768.0; ss += v * v; j += 1
+                  }
+                  (r.media_id, i, math.sqrt(ss / win.length))
+              }
+            case _ => Iterator.empty
+          }
+        }
+      }
+      .toDF("media_id", "win", "rms")
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("rms") < silenceRms, 1L).otherwise(0L)).as("n_silent"),
+        round(avg("rms"), 4).as("avg_rms"),
+        round(max("rms"), 4).as("peak_rms"))
+      .withColumn("silence_ratio",
+        round(col("n_silent") / col("n_windows"), 4))
+  }
+
+  /** Driver-contract projection: [[audioEnergyWav]] — the REAL decode
+    * path — over the WAV-synthesizing media source (r9; the hex-pair
+    * stub path keeps its own spec as the fallback contract). */
   def audioEnergySummary(documents: DataFrame): DataFrame =
-    audioEnergy(mediaFromDocuments(documents).toDF())
+    audioEnergyWav(wavMediaFromDocuments(documents))
 
   /** Perceptual-hash near-dup detection for media payloads: each asset
     * gets a 64-bit content hash whose Hamming distance tracks payload

@@ -107,6 +107,84 @@ class MultimodalSpec extends SparkSpec {
       r9.getAs[Double]("peak_rms") == 100.0)
   }
 
+  test("decodeWav: hand-built RIFF headers decode; malformed payloads return None") {
+    // hand-assembled 44-byte header + 4 mono PCM16 samples — NOT built
+    // with encodeWavPcm16, so the decoder is checked against the spec,
+    // not against its own encoder
+    def le16(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def le32(v: Long) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    val samples = Seq(1000, -1000, 32767, -32768)
+    val hand: Array[Byte] =
+      "RIFF".getBytes ++ le32(36 + 8) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+      le32(16000) ++ le16(2) ++ le16(16) ++
+      "data".getBytes ++ le32(8) ++ samples.flatMap(le16(_)).toArray
+    val w = Multimodal.decodeWav(hand).get
+    assert(w.sampleRate == 8000 && w.channels == 1)
+    assert(w.samples.toSeq == Seq[Short](1000, -1000, 32767, -32768))
+    // a LIST chunk before data must be walked over, not tripped on
+    val withList: Array[Byte] =
+      "RIFF".getBytes ++ le32(36 + 12 + 8) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+      le32(16000) ++ le16(2) ++ le16(16) ++
+      "LIST".getBytes ++ le32(4) ++ "INFO".getBytes ++
+      "data".getBytes ++ le32(8) ++ samples.flatMap(le16(_)).toArray
+    assert(Multimodal.decodeWav(withList).get.samples.length == 4)
+    // stereo mixes to mono by integer mean
+    val st: Array[Byte] =
+      "RIFF".getBytes ++ le32(36 + 8) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(8000) ++
+      le32(32000) ++ le16(4) ++ le16(16) ++
+      "data".getBytes ++ le32(8) ++
+      Seq(100, 300, -100, -301).flatMap(le16(_)).toArray
+    assert(Multimodal.decodeWav(st).get.samples.toSeq ==
+      Seq[Short](200, -200), "integer mean, truncation toward zero")
+    // malformed: wrong magic, truncated, 8-bit, float format → None
+    assert(Multimodal.decodeWav("not a wav at all".getBytes).isEmpty)
+    assert(Multimodal.decodeWav(hand.take(30)).isEmpty)
+    val eightBit = hand.clone(); eightBit(34) = 8
+    assert(Multimodal.decodeWav(eightBit).isEmpty)
+    val floatFmt = hand.clone(); floatFmt(20) = 3
+    assert(Multimodal.decodeWav(floatFmt).isEmpty)
+    // round-trip through the encoder twin
+    val rt = Multimodal.decodeWav(Multimodal.encodeWavPcm16(
+      samples.map(_.toShort).toArray, 44100)).get
+    assert(rt.sampleRate == 44100 &&
+      rt.samples.toSeq == samples.map(_.toShort))
+  }
+
+  test("audioEnergyWav: planted loud/silent WAV scores exact RMS through the real decoder") {
+    import spark.implicits._
+    // 128 samples: 64 at constant ±8192 amplitude (RMS = 0.25 of full
+    // scale exactly), then 64 of silence — with frameSamples=64 that is
+    // one loud window and one silent window
+    val loud = Array.tabulate[Short](64)(i =>
+      (if (i % 2 == 0) 8192 else -8192).toShort)
+    val wav = Multimodal.encodeWavPcm16(loud ++ Array.fill[Short](64)(0))
+    val junk = "RIFFnot really a wav".getBytes("UTF-8")
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio", wav, wav.length, "s"),
+      Multimodal.MediaRow(2L, "audio", junk, junk.length, "s"),
+      Multimodal.MediaRow(3L, "image", wav, wav.length, "s")).toDS()
+    val out = Multimodal.audioEnergyWav(media).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(out.keySet == Set(1L),
+      "undecodable audio drops; non-audio kinds never enter")
+    val r = out(1L)
+    assert(r.getAs[Long]("n_windows") == 2 &&
+      r.getAs[Long]("n_silent") == 1)
+    assert(r.getAs[Double]("peak_rms") == 0.25,
+      s"constant ±8192 is exactly quarter full scale: $r")
+    assert(r.getAs[Double]("silence_ratio") == 0.5)
+    // the contract surface: synthesized WAVs decode end-to-end
+    val docs = Seq((1L, "hello wav world", "web"), (4L, "abc", "web"))
+      .toDF("doc_id", "text", "source")
+    val surf = Multimodal.audioEnergySummary(docs).collect()
+    assert(surf.length == 2, "doc_id%3==1 (1 and 4) are the audio kinds")
+    assert(surf.forall(_.getAs[Long]("n_windows") == 1L))
+  }
+
   test("sceneCuts: one planted shot boundary, zero intra-shot distance") {
     import spark.implicits._
     // video = 4 identical A-frames then 4 identical B-frames (64 B each):
