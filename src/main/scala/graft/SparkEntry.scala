@@ -1685,8 +1685,11 @@ object SparkEntry {
       Stats.mahalanobisOutliers(Tables.events(s, d))),
     "st_bland_altman" -> ((s, d) =>
       Stats.blandAltman(Tables.events(s, d))),
+    // probe list is the contract's known event domain — the operator
+    // itself never collects a value-cardinality frame (sketch-only)
     "st_cms" -> ((s, d) =>
-      Stats.cmsFrequencies(Tables.events(s, d), "event_type")),
+      Stats.cmsFrequencies(Tables.events(s, d), "event_type",
+        Seq("click", "error", "purchase", "signup", "view"))),
     "pipe_decontaminate" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val docs = Tables.documents(s, d)

@@ -396,31 +396,32 @@ object Stats {
         max("__na").as("n_a"), max("__nb").as("n_b"))
   }
 
-  /** Count-min-sketch frequency report: one pass builds a MERGEABLE
-    * CMS over `c` (graft.functions.CmsAggregator — map-side partial
-    * merges, O(depth·width) state total), then every distinct value is
-    * estimated against it beside its exact count. The report's
-    * candidate frame (distinct values of a categorical) is small by
-    * construction and the estimation is a per-candidate probe of the
-    * finished sketch — the same justified driver step as approxQuantile
-    * returning its Array. At 100 TB the exact column is dropped and the
-    * sketch (a few KB) answers ANY later frequency probe, including
-    * over merged per-partition sketches. One-sided error property
-    * (exact ≤ est ≤ exact + εN) is spec-locked. */
-  def cmsFrequencies(df: DataFrame, c: String, depth: Int = 5,
-                     width: Int = 2048): DataFrame = {
+  /** Count-min-sketch frequency report, SKETCH-ONLY (r9): one
+    * distributed pass builds a MERGEABLE CMS over `c`
+    * (graft.functions.CmsAggregator — map-side partial merges,
+    * O(depth·width) state total), and the report answers a
+    * CALLER-SUPPLIED probe list against the finished sketch. Only the
+    * sketch (a few KB, parameter-sized) and the probe-sized hash frame
+    * ever leave the cluster — never a value-cardinality frame, which
+    * the pre-r9 form collected and which is unbounded on an open key
+    * domain at 100 TB. Probes hash through the SAME xxhash64 Column
+    * the sketch ingested (computed in a probe-sized DataFrame so the
+    * hash definition cannot fork between build and probe). Exact
+    * counts exist only in the spec, which recomputes them
+    * independently to lock the one-sided error property
+    * (exact ≤ est ≤ exact + εN). */
+  def cmsFrequencies(df: DataFrame, c: String, probes: Seq[String],
+                     depth: Int = 5, width: Int = 2048): DataFrame = {
     import graft.functions.CmsAggregator
     val spark = df.sparkSession
     import spark.implicits._
     val sk = df.agg(CmsAggregator.cms(depth, width)(xxhash64(col(c))).as("sk"))
       .head().getAs[scala.collection.Seq[Long]]("sk").toArray
-    val items = df.groupBy(col(c).as("value"))
-      .agg(count(lit(1)).as("exact"))
-      .withColumn("__h", xxhash64(col("value")))
-      .collect()
-      .map(r => (r.getAs[String]("value"), r.getAs[Long]("exact"),
+    val hashed = probes.toDF("value")
+      .withColumn("__h", xxhash64(col("value"))).collect()
+    hashed.toSeq.map(r => (r.getAs[String]("value"),
         CmsAggregator.estimate(sk, depth, width, r.getAs[Long]("__h"))))
-    items.toSeq.toDF("value", "exact", "estimate")
+      .toDF("value", "estimate")
   }
 
   /** Mann–Whitney U (Wilcoxon rank-sum) between groups `ga` and `gb` —

@@ -846,4 +846,85 @@ class PlanAuditSpec extends SparkSpec {
   test("entry flagship runs and returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  /** Per-stage shuffle-write record counts for everything run inside
+    * `fn` — the loop-frame audit the plan string can't give (iterative
+    * operators materialize each round in its own query execution, so
+    * the final plan only shows the last stage). */
+  private def stageShuffleWrites(fn: => Unit): Seq[Long] = {
+    val byStage = scala.collection.concurrent.TrieMap[Int, Long]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null && m.shuffleWriteMetrics != null)
+          byStage.updateWith(t.stageId)(v => Some(v.getOrElse(0L) +
+            m.shuffleWriteMetrics.recordsWritten))
+      }
+    }
+    // drain events queued by earlier actions (e.g. the warm-up run):
+    // the async bus delivers queued events to every listener attached
+    // at processing time, which would leak the edge-build stages in
+    org.apache.spark.GraftListenerFlush.flush(spark.sparkContext)
+    spark.sparkContext.addSparkListener(listener)
+    try { fn; org.apache.spark.GraftListenerFlush.flush(spark.sparkContext) }
+    finally spark.sparkContext.removeSparkListener(listener)
+    byStage.values.toSeq
+  }
+
+  /** Directed edge count of the co-purchase graph the gr_* contract
+    * queries run on — recomputed here (the builder is private) so the
+    * loop locks below compare against the STRUCTURAL bound, not a
+    * magic number. */
+  private def coPurchaseEdgeCount: Long = {
+    val o = Tables.orders(spark, sf)
+    val l = Tables.lineitem(spark, sf)
+    2L * o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct().count()
+  }
+
+  test("gr_betweenness: every loop-round frame stays edge-graph-bounded") {
+    // warm the memoized edge build so the measured window is the
+    // Brandes loop itself (the one legitimate corpus-scale pass)
+    SparkEntry.queries("gr_betweenness")(spark, sf).collect()
+    val writes = stageShuffleWrites {
+      SparkEntry.queries("gr_betweenness")(spark, sf).collect()
+    }
+    // structural bound: the σ-BFS propagation join fans out to at most
+    // nSources(=4) × directed edges per round; frontier/settled frames
+    // are (source, node) pairs — strictly smaller. A stage above the
+    // bound means the loop re-derived graph data from the raw corpus
+    // or lost its map-side combine — the drift this lock exists to
+    // catch (measured: 5062 vs bound 11552 at sf0.001)
+    val bound = 4L * coPurchaseEdgeCount
+    assert(writes.nonEmpty, "the Brandes loop must actually shuffle")
+    assert(writes.max <= bound,
+      s"a loop stage shuffled ${writes.max} records (bound=$bound):" +
+        " per-round frames must stay sources×edges-bounded")
+  }
+
+  test("gr_ppr / tx_textrank: iterative rank frames stay graph-sized, never corpus-sized") {
+    SparkEntry.queries("gr_ppr")(spark, sf).collect() // warm edge memo
+    val ppr = stageShuffleWrites {
+      SparkEntry.queries("gr_ppr")(spark, sf).collect()
+    }
+    // rank mass flows along edges: one record per directed edge per
+    // round, plus node-sized rank frames (measured: max == edge count)
+    val bound = 2L * coPurchaseEdgeCount
+    assert(ppr.max <= bound,
+      s"gr_ppr loop stage shuffled ${ppr.max} records (bound=$bound)")
+    // textrank re-tokenizes per query (self-contained contract) but
+    // every shuffle is post-map-side-combine: vocab/pair-sized, never
+    // one record per corpus TOKEN (~25x word-count amplification would
+    // trip this immediately)
+    val tokens = Tables.documents(spark, sf)
+      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .count()
+    val tx = stageShuffleWrites {
+      SparkEntry.queries("tx_textrank")(spark, sf).collect()
+    }
+    assert(tx.max < tokens,
+      s"tx_textrank stage shuffled ${tx.max} records (tokens=$tokens):" +
+        " word-graph frames must combine map-side")
+  }
 }

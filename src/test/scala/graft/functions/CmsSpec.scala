@@ -12,17 +12,22 @@ class CmsSpec extends SparkSpec {
   private val width = 2048
 
   test("cms estimates are one-sided: exact <= estimate <= exact + eps*N") {
-    // zipf-ish synthetic: item i appears ~1000/i times
+    // zipf-ish synthetic: item i appears ~1000/i times; exact counts
+    // are recomputed HERE — the operator is sketch-only and never
+    // collects a value-cardinality frame
     val rows = (1 to 200).flatMap(i => Seq.fill(1000 / i)(s"item_$i"))
     val df = rows.toDF("v")
     val n = rows.size
-    val out = Stats.cmsFrequencies(df, "v", depth, width).collect()
+    val exact = rows.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val out = Stats.cmsFrequencies(df, "v", exact.keys.toSeq.sorted,
+      depth, width).collect()
+    assert(out.length == exact.size)
     val eps = math.E / width
     out.foreach { r =>
-      val (exact, est) = (r.getAs[Long]("exact"), r.getAs[Long]("estimate"))
-      assert(est >= exact, s"${r.getAs[String]("value")}: CMS can never undercount")
-      assert(est <= exact + math.ceil(3 * eps * n).toLong,
-        s"${r.getAs[String]("value")}: est=$est exact=$exact blows the eps bound")
+      val (v, est) = (r.getAs[String]("value"), r.getAs[Long]("estimate"))
+      assert(est >= exact(v), s"$v: CMS can never undercount")
+      assert(est <= exact(v) + math.ceil(3 * eps * n).toLong,
+        s"$v: est=$est exact=${exact(v)} blows the eps bound")
     }
   }
 
@@ -47,12 +52,20 @@ class CmsSpec extends SparkSpec {
   }
 
   test("cmsFrequencies on a low-cardinality column is exact in practice") {
-    val out = Stats.cmsFrequencies(
-      graft.Tables.events(spark, sf), "event_type", depth, width).collect()
+    val ev = graft.Tables.events(spark, sf)
+    val exact = ev.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("count")).toMap
+    val out = Stats.cmsFrequencies(ev, "event_type",
+      exact.keys.toSeq.sorted, depth, width).collect()
     assert(out.length == 5)
     out.foreach { r =>
-      assert(r.getAs[Long]("estimate") == r.getAs[Long]("exact"),
+      assert(r.getAs[Long]("estimate") == exact(r.getAs[String]("value")),
         s"5 keys in 2048 cells should not collide: $r")
     }
+    // an absent probe reads hash-collision mass only (≥ 0, ≤ εN bound)
+    val ghost = Stats.cmsFrequencies(ev, "event_type", Seq("__absent__"),
+      depth, width).collect().head.getAs[Long]("estimate")
+    assert(ghost >= 0L && ghost <= math.ceil(
+      3 * math.E / width * ev.count()).toLong, s"ghost=$ghost")
   }
 }

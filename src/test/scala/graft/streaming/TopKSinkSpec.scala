@@ -49,4 +49,35 @@ class TopKSinkSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/state")
       .select("__batch").distinct().count() == 3)
   }
+
+  test("SpaceSaving cap: planted heavy hitter survives eviction with an exact count; bounds bracket truth") {
+    val dir = s"/root/repo/target/graft_io/topkcap_${System.nanoTime()}"
+    // 3 batches: "hot" 50× each + 40 UNIQUE noise values 1× each — an
+    // unbounded-domain stand-in. capM=8 stores 8 of 41 values/batch.
+    val batches3 = (0 until 3).map(b =>
+      Seq.fill(50)(TkEvent("hot")) ++
+        (0 until 40).map(i => TkEvent(f"noise_${b}_$i%02d")))
+    batches3.zipWithIndex.foreach { case (b, i) =>
+      TopKSink.incrementsBatch(b.toDF(), i, s"$dir/state", "event_type",
+        capM = 8)
+    }
+    val st = spark.read.parquet(s"$dir/state")
+    val perBatch = st.groupBy("__batch").count().collect()
+      .map(_.getAs[Long]("count"))
+    assert(perBatch.forall(_ == 8L), s"store bounded at capM: ${perBatch.toSeq}")
+    // the heavy hitter is in every batch's top-M → merged count EXACT
+    val top = TopKSink.report(spark, s"$dir/state", "event_type", 2)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("n")))
+    assert(top.head == (("hot", 150L)),
+      s"heavy hitter must survive eviction with its exact count: ${top.toSeq}")
+    // bounds: hot present everywhere → zero slack; a surviving noise
+    // value could have lost at most the OTHER batches' cutoffs (1 each)
+    val b = TopKSink.reportBounds(spark, s"$dir/state", "event_type", 8)
+      .collect().map(r => (r.getString(0),
+        r.getAs[Long]("n_lo"), r.getAs[Long]("n_hi"))).toSeq
+    assert(b.head == (("hot", 150L, 150L)))
+    val noise = b.find(_._1.startsWith("noise_")).get
+    assert(noise._2 == 1L && noise._3 == 3L,
+      s"evicted-elsewhere slack = other batches' cut (1+1): $noise")
+  }
 }
