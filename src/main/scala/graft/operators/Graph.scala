@@ -1048,10 +1048,19 @@ object Graph {
     var frontierSize = levels.head.count()
     while (depth < maxDepth && frontierSize > 0) {
       depth += 1
-      val next = levels.last.join(ed, col("node") === ed("src"))
+      // shuffle_hash on the K·frontier side: the checkpointed frames
+      // carry no size stats, so Catalyst would default to sort-merge
+      // and SORT the edge frame EVERY round (~1.2M rows × 12 rounds at
+      // sf0.1 — measured 10.1 s isolated before r9). A hash build on
+      // the frontier side leaves the pre-partitioned edge frame
+      // untouched and scales: the build side is the per-round frontier,
+      // ≤ K·V but typically ≪, and it shuffles/builds per partition —
+      // no driver-sized broadcast assumption
+      val next = levels.last.hint("shuffle_hash")
+        .join(ed, col("node") === ed("src"))
         .select(col("s"), col("dst"), col("sigma"))
-        .join(settled.withColumnRenamed("node", "dst"), Seq("s", "dst"),
-          "left_anti")
+        .join(settled.withColumnRenamed("node", "dst").hint("shuffle_hash"),
+          Seq("s", "dst"), "left_anti")
         .groupBy(col("s"), col("dst").as("node"))
         .agg(sum("sigma").as("sigma"))
         .localCheckpoint(true)
@@ -1073,9 +1082,18 @@ object Graph {
           col("du").as("duw"))
       val v = levels(l)
         .select(col("s"), col("node").as("v"), col("sigma").as("sv"))
-      val terms = v.join(ed, col("v") === ed("src"))
+      // broadcast the (level, δ) frame: the v⋈ed fan-out is the big
+      // intermediate here (≤ K·E rows), and a shuffled (s,w) join
+      // would move ALL of it; broadcasting w (one level's K·width
+      // rows — the same bounded node-frame class other gr_* operators
+      // broadcast) keeps the fan-out in place. Measured (sf0.1,
+      // isolated probe): deepest backward rounds 2.31→1.46 s and
+      // 1.75→1.26 s; forward-round variants (broadcast settled, fewer
+      // shuffle partitions, 2-level fusion) measured within noise and
+      // were not kept
+      val terms = v.hint("shuffle_hash").join(ed, col("v") === ed("src"))
         .select(col("s"), col("v"), col("sv"), col("dst").as("w"))
-        .join(w, Seq("s", "w"))
+        .join(broadcast(w), Seq("s", "w"))
         .groupBy(col("s"), col("v").as("node"))
         .agg(sum(round(col("sv").cast("double") / col("sw") *
           (lit(1.0) + col("duw") / lit(1e9)) * lit(1e9)).cast("long"))
