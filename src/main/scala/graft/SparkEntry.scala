@@ -348,8 +348,13 @@ object SparkEntry {
         Seq(0.25, 0.5, 0.75))),
     "st_corr_cov" -> ((s, d) =>
       Stats.corrCov(Tables.lineitem(s, d), "l_quantity", "l_extendedprice")),
+    // r9 [oracle] flip: the salted-md5 Bernoulli sampler (weightedSample
+    // at constant p) replaces Spark's partition-seeded XORShift sample —
+    // same statistical contract, but deterministic across engines AND
+    // partitionings, so DuckDB draws the identical subset
     "st_sample" -> ((s, d) =>
-      Stats.sampleFraction(Tables.customer(s, d), 0.1, seed = 42)
+      Sampling.weightedSample(Tables.customer(s, d), "c_custkey",
+          org.apache.spark.sql.functions.lit(0.1))
         .agg(org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)).as("sampled_rows"))),
     "st_freq_topn" -> ((s, d) => Stats.freqTopN(Tables.part(s, d), "p_brand", 10)),
@@ -1966,6 +1971,38 @@ object SparkEntry {
              OR CAST(v6 AS DOUBLE) / 1e6 < mean_w - 2.0 * sigma
              AS breach
          FROM f""",
+    // ts_granger (r9 flip): micro-unit exact moments + the Cholesky
+    // solve UNROLLED in fixed operation order (generated algebra —
+    // each l/z/beta scalar is one CTE column, subtraction chains
+    // left-assoc exactly as the Scala loops run them; no pivoting to
+    // replay because X'X is SPD)
+    "ts_granger" ->
+      """WITH hourly AS (SELECT event_type,
+             epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
+             round(avg(value), 6) AS v
+           FROM events WHERE event_type IN ('click', 'purchase')
+           GROUP BY 1, 2),
+         xy AS (SELECT a.hr, a.v AS x, b.v AS y
+           FROM hourly a JOIN hourly b ON a.hr = b.hr
+           WHERE a.event_type = 'click' AND b.event_type = 'purchase'),
+         lag1 AS (SELECT lag(e6, 1) OVER w AS e1, lag(c6, 1) OVER w AS c1, lag(e6, 2) OVER w AS e2, lag(c6, 2) OVER w AS c2, e6 FROM (SELECT hr, CAST(round(x * 1e6) AS BIGINT) AS c6, CAST(round(y * 1e6) AS BIGINT) AS e6 FROM xy) WINDOW w AS (ORDER BY hr)),
+         mom1raw AS (SELECT * FROM lag1 WHERE e1 IS NOT NULL AND c1 IS NOT NULL AND e2 IS NOT NULL AND c2 IS NOT NULL),
+         mom1 AS (SELECT sum(CAST(CAST(1000000 AS BIGINT) * CAST(1000000 AS BIGINT) AS DECIMAL(38,0))) AS m_0_0_1, sum(CAST(CAST(1000000 AS BIGINT) * e1 AS DECIMAL(38,0))) AS m_0_1_1, sum(CAST(CAST(1000000 AS BIGINT) * e2 AS DECIMAL(38,0))) AS m_0_2_1, sum(CAST(CAST(1000000 AS BIGINT) * c1 AS DECIMAL(38,0))) AS m_0_3_1, sum(CAST(CAST(1000000 AS BIGINT) * c2 AS DECIMAL(38,0))) AS m_0_4_1, sum(CAST(e1 * e1 AS DECIMAL(38,0))) AS m_1_1_1, sum(CAST(e1 * e2 AS DECIMAL(38,0))) AS m_1_2_1, sum(CAST(e1 * c1 AS DECIMAL(38,0))) AS m_1_3_1, sum(CAST(e1 * c2 AS DECIMAL(38,0))) AS m_1_4_1, sum(CAST(e2 * e2 AS DECIMAL(38,0))) AS m_2_2_1, sum(CAST(e2 * c1 AS DECIMAL(38,0))) AS m_2_3_1, sum(CAST(e2 * c2 AS DECIMAL(38,0))) AS m_2_4_1, sum(CAST(c1 * c1 AS DECIMAL(38,0))) AS m_3_3_1, sum(CAST(c1 * c2 AS DECIMAL(38,0))) AS m_3_4_1, sum(CAST(c2 * c2 AS DECIMAL(38,0))) AS m_4_4_1, sum(CAST(CAST(1000000 AS BIGINT) * e6 AS DECIMAL(38,0))) AS b_0_1, sum(CAST(e1 * e6 AS DECIMAL(38,0))) AS b_1_1, sum(CAST(e2 * e6 AS DECIMAL(38,0))) AS b_2_1, sum(CAST(c1 * e6 AS DECIMAL(38,0))) AS b_3_1, sum(CAST(c2 * e6 AS DECIMAL(38,0))) AS b_4_1, sum(CAST(e6 * e6 AS DECIMAL(38,0))) AS yy_1, CAST(count(*) AS BIGINT) AS n_1 FROM mom1raw),
+         lag2 AS (SELECT lag(e6, 1) OVER w AS e1, lag(c6, 1) OVER w AS c1, lag(e6, 2) OVER w AS e2, lag(c6, 2) OVER w AS c2, e6 FROM (SELECT hr, CAST(round(y * 1e6) AS BIGINT) AS c6, CAST(round(x * 1e6) AS BIGINT) AS e6 FROM xy) WINDOW w AS (ORDER BY hr)),
+         mom2raw AS (SELECT * FROM lag2 WHERE e1 IS NOT NULL AND c1 IS NOT NULL AND e2 IS NOT NULL AND c2 IS NOT NULL),
+         mom2 AS (SELECT sum(CAST(CAST(1000000 AS BIGINT) * CAST(1000000 AS BIGINT) AS DECIMAL(38,0))) AS m_0_0_2, sum(CAST(CAST(1000000 AS BIGINT) * e1 AS DECIMAL(38,0))) AS m_0_1_2, sum(CAST(CAST(1000000 AS BIGINT) * e2 AS DECIMAL(38,0))) AS m_0_2_2, sum(CAST(CAST(1000000 AS BIGINT) * c1 AS DECIMAL(38,0))) AS m_0_3_2, sum(CAST(CAST(1000000 AS BIGINT) * c2 AS DECIMAL(38,0))) AS m_0_4_2, sum(CAST(e1 * e1 AS DECIMAL(38,0))) AS m_1_1_2, sum(CAST(e1 * e2 AS DECIMAL(38,0))) AS m_1_2_2, sum(CAST(e1 * c1 AS DECIMAL(38,0))) AS m_1_3_2, sum(CAST(e1 * c2 AS DECIMAL(38,0))) AS m_1_4_2, sum(CAST(e2 * e2 AS DECIMAL(38,0))) AS m_2_2_2, sum(CAST(e2 * c1 AS DECIMAL(38,0))) AS m_2_3_2, sum(CAST(e2 * c2 AS DECIMAL(38,0))) AS m_2_4_2, sum(CAST(c1 * c1 AS DECIMAL(38,0))) AS m_3_3_2, sum(CAST(c1 * c2 AS DECIMAL(38,0))) AS m_3_4_2, sum(CAST(c2 * c2 AS DECIMAL(38,0))) AS m_4_4_2, sum(CAST(CAST(1000000 AS BIGINT) * e6 AS DECIMAL(38,0))) AS b_0_2, sum(CAST(e1 * e6 AS DECIMAL(38,0))) AS b_1_2, sum(CAST(e2 * e6 AS DECIMAL(38,0))) AS b_2_2, sum(CAST(c1 * e6 AS DECIMAL(38,0))) AS b_3_2, sum(CAST(c2 * e6 AS DECIMAL(38,0))) AS b_4_2, sum(CAST(e6 * e6 AS DECIMAL(38,0))) AS yy_2, CAST(count(*) AS BIGINT) AS n_2 FROM mom2raw),
+         m0 AS (SELECT CAST(m_0_0_1 AS DOUBLE) / 1e12 AS a_0_0_1, CAST(m_0_1_1 AS DOUBLE) / 1e12 AS a_0_1_1, CAST(m_0_2_1 AS DOUBLE) / 1e12 AS a_0_2_1, CAST(m_0_3_1 AS DOUBLE) / 1e12 AS a_0_3_1, CAST(m_0_4_1 AS DOUBLE) / 1e12 AS a_0_4_1, CAST(m_1_1_1 AS DOUBLE) / 1e12 AS a_1_1_1, CAST(m_1_2_1 AS DOUBLE) / 1e12 AS a_1_2_1, CAST(m_1_3_1 AS DOUBLE) / 1e12 AS a_1_3_1, CAST(m_1_4_1 AS DOUBLE) / 1e12 AS a_1_4_1, CAST(m_2_2_1 AS DOUBLE) / 1e12 AS a_2_2_1, CAST(m_2_3_1 AS DOUBLE) / 1e12 AS a_2_3_1, CAST(m_2_4_1 AS DOUBLE) / 1e12 AS a_2_4_1, CAST(m_3_3_1 AS DOUBLE) / 1e12 AS a_3_3_1, CAST(m_3_4_1 AS DOUBLE) / 1e12 AS a_3_4_1, CAST(m_4_4_1 AS DOUBLE) / 1e12 AS a_4_4_1, CAST(b_0_1 AS DOUBLE) / 1e12 AS t_0_1, CAST(b_1_1 AS DOUBLE) / 1e12 AS t_1_1, CAST(b_2_1 AS DOUBLE) / 1e12 AS t_2_1, CAST(b_3_1 AS DOUBLE) / 1e12 AS t_3_1, CAST(b_4_1 AS DOUBLE) / 1e12 AS t_4_1, CAST(yy_1 AS DOUBLE) / 1e12 AS v_1, CAST(m_0_0_2 AS DOUBLE) / 1e12 AS a_0_0_2, CAST(m_0_1_2 AS DOUBLE) / 1e12 AS a_0_1_2, CAST(m_0_2_2 AS DOUBLE) / 1e12 AS a_0_2_2, CAST(m_0_3_2 AS DOUBLE) / 1e12 AS a_0_3_2, CAST(m_0_4_2 AS DOUBLE) / 1e12 AS a_0_4_2, CAST(m_1_1_2 AS DOUBLE) / 1e12 AS a_1_1_2, CAST(m_1_2_2 AS DOUBLE) / 1e12 AS a_1_2_2, CAST(m_1_3_2 AS DOUBLE) / 1e12 AS a_1_3_2, CAST(m_1_4_2 AS DOUBLE) / 1e12 AS a_1_4_2, CAST(m_2_2_2 AS DOUBLE) / 1e12 AS a_2_2_2, CAST(m_2_3_2 AS DOUBLE) / 1e12 AS a_2_3_2, CAST(m_2_4_2 AS DOUBLE) / 1e12 AS a_2_4_2, CAST(m_3_3_2 AS DOUBLE) / 1e12 AS a_3_3_2, CAST(m_3_4_2 AS DOUBLE) / 1e12 AS a_3_4_2, CAST(m_4_4_2 AS DOUBLE) / 1e12 AS a_4_4_2, CAST(b_0_2 AS DOUBLE) / 1e12 AS t_0_2, CAST(b_1_2 AS DOUBLE) / 1e12 AS t_1_2, CAST(b_2_2 AS DOUBLE) / 1e12 AS t_2_2, CAST(b_3_2 AS DOUBLE) / 1e12 AS t_3_2, CAST(b_4_2 AS DOUBLE) / 1e12 AS t_4_2, CAST(yy_2 AS DOUBLE) / 1e12 AS v_2, n_1, n_2
+           FROM mom1 CROSS JOIN mom2),
+         s0 AS (SELECT *, sqrt(greatest(0.0, a_0_0_1)) AS l_0_0_r1, sqrt(greatest(0.0, a_0_0_1)) AS l_0_0_f1, sqrt(greatest(0.0, a_0_0_2)) AS l_0_0_r2, sqrt(greatest(0.0, a_0_0_2)) AS l_0_0_f2 FROM m0), s1 AS (SELECT *, CASE WHEN l_0_0_r1 = 0.0 THEN 0.0 ELSE (a_0_1_1) / l_0_0_r1 END AS l_1_0_r1, CASE WHEN l_0_0_r1 = 0.0 THEN 0.0 ELSE (a_0_2_1) / l_0_0_r1 END AS l_2_0_r1, CASE WHEN l_0_0_f1 = 0.0 THEN 0.0 ELSE (a_0_1_1) / l_0_0_f1 END AS l_1_0_f1, CASE WHEN l_0_0_f1 = 0.0 THEN 0.0 ELSE (a_0_2_1) / l_0_0_f1 END AS l_2_0_f1, CASE WHEN l_0_0_f1 = 0.0 THEN 0.0 ELSE (a_0_3_1) / l_0_0_f1 END AS l_3_0_f1, CASE WHEN l_0_0_f1 = 0.0 THEN 0.0 ELSE (a_0_4_1) / l_0_0_f1 END AS l_4_0_f1, CASE WHEN l_0_0_r2 = 0.0 THEN 0.0 ELSE (a_0_1_2) / l_0_0_r2 END AS l_1_0_r2, CASE WHEN l_0_0_r2 = 0.0 THEN 0.0 ELSE (a_0_2_2) / l_0_0_r2 END AS l_2_0_r2, CASE WHEN l_0_0_f2 = 0.0 THEN 0.0 ELSE (a_0_1_2) / l_0_0_f2 END AS l_1_0_f2, CASE WHEN l_0_0_f2 = 0.0 THEN 0.0 ELSE (a_0_2_2) / l_0_0_f2 END AS l_2_0_f2, CASE WHEN l_0_0_f2 = 0.0 THEN 0.0 ELSE (a_0_3_2) / l_0_0_f2 END AS l_3_0_f2, CASE WHEN l_0_0_f2 = 0.0 THEN 0.0 ELSE (a_0_4_2) / l_0_0_f2 END AS l_4_0_f2 FROM s0), s2 AS (SELECT *, sqrt(greatest(0.0, a_1_1_1 - l_1_0_r1 * l_1_0_r1)) AS l_1_1_r1, sqrt(greatest(0.0, a_1_1_1 - l_1_0_f1 * l_1_0_f1)) AS l_1_1_f1, sqrt(greatest(0.0, a_1_1_2 - l_1_0_r2 * l_1_0_r2)) AS l_1_1_r2, sqrt(greatest(0.0, a_1_1_2 - l_1_0_f2 * l_1_0_f2)) AS l_1_1_f2 FROM s1), s3 AS (SELECT *, CASE WHEN l_1_1_r1 = 0.0 THEN 0.0 ELSE (a_1_2_1 - l_2_0_r1 * l_1_0_r1) / l_1_1_r1 END AS l_2_1_r1, CASE WHEN l_1_1_f1 = 0.0 THEN 0.0 ELSE (a_1_2_1 - l_2_0_f1 * l_1_0_f1) / l_1_1_f1 END AS l_2_1_f1, CASE WHEN l_1_1_f1 = 0.0 THEN 0.0 ELSE (a_1_3_1 - l_3_0_f1 * l_1_0_f1) / l_1_1_f1 END AS l_3_1_f1, CASE WHEN l_1_1_f1 = 0.0 THEN 0.0 ELSE (a_1_4_1 - l_4_0_f1 * l_1_0_f1) / l_1_1_f1 END AS l_4_1_f1, CASE WHEN l_1_1_r2 = 0.0 THEN 0.0 ELSE (a_1_2_2 - l_2_0_r2 * l_1_0_r2) / l_1_1_r2 END AS l_2_1_r2, CASE WHEN l_1_1_f2 = 0.0 THEN 0.0 ELSE (a_1_2_2 - l_2_0_f2 * l_1_0_f2) / l_1_1_f2 END AS l_2_1_f2, CASE WHEN l_1_1_f2 = 0.0 THEN 0.0 ELSE (a_1_3_2 - l_3_0_f2 * l_1_0_f2) / l_1_1_f2 END AS l_3_1_f2, CASE WHEN l_1_1_f2 = 0.0 THEN 0.0 ELSE (a_1_4_2 - l_4_0_f2 * l_1_0_f2) / l_1_1_f2 END AS l_4_1_f2 FROM s2), s4 AS (SELECT *, sqrt(greatest(0.0, a_2_2_1 - l_2_0_r1 * l_2_0_r1 - l_2_1_r1 * l_2_1_r1)) AS l_2_2_r1, sqrt(greatest(0.0, a_2_2_1 - l_2_0_f1 * l_2_0_f1 - l_2_1_f1 * l_2_1_f1)) AS l_2_2_f1, sqrt(greatest(0.0, a_2_2_2 - l_2_0_r2 * l_2_0_r2 - l_2_1_r2 * l_2_1_r2)) AS l_2_2_r2, sqrt(greatest(0.0, a_2_2_2 - l_2_0_f2 * l_2_0_f2 - l_2_1_f2 * l_2_1_f2)) AS l_2_2_f2 FROM s3), s5 AS (SELECT *, CASE WHEN l_0_0_r1 = 0.0 THEN 0.0 ELSE (t_0_1) / l_0_0_r1 END AS z_0_r1, CASE WHEN l_2_2_f1 = 0.0 THEN 0.0 ELSE (a_2_3_1 - l_3_0_f1 * l_2_0_f1 - l_3_1_f1 * l_2_1_f1) / l_2_2_f1 END AS l_3_2_f1, CASE WHEN l_2_2_f1 = 0.0 THEN 0.0 ELSE (a_2_4_1 - l_4_0_f1 * l_2_0_f1 - l_4_1_f1 * l_2_1_f1) / l_2_2_f1 END AS l_4_2_f1, CASE WHEN l_0_0_r2 = 0.0 THEN 0.0 ELSE (t_0_2) / l_0_0_r2 END AS z_0_r2, CASE WHEN l_2_2_f2 = 0.0 THEN 0.0 ELSE (a_2_3_2 - l_3_0_f2 * l_2_0_f2 - l_3_1_f2 * l_2_1_f2) / l_2_2_f2 END AS l_3_2_f2, CASE WHEN l_2_2_f2 = 0.0 THEN 0.0 ELSE (a_2_4_2 - l_4_0_f2 * l_2_0_f2 - l_4_1_f2 * l_2_1_f2) / l_2_2_f2 END AS l_4_2_f2 FROM s4), s6 AS (SELECT *, CASE WHEN l_1_1_r1 = 0.0 THEN 0.0 ELSE (t_1_1 - l_1_0_r1 * z_0_r1) / l_1_1_r1 END AS z_1_r1, sqrt(greatest(0.0, a_3_3_1 - l_3_0_f1 * l_3_0_f1 - l_3_1_f1 * l_3_1_f1 - l_3_2_f1 * l_3_2_f1)) AS l_3_3_f1, CASE WHEN l_1_1_r2 = 0.0 THEN 0.0 ELSE (t_1_2 - l_1_0_r2 * z_0_r2) / l_1_1_r2 END AS z_1_r2, sqrt(greatest(0.0, a_3_3_2 - l_3_0_f2 * l_3_0_f2 - l_3_1_f2 * l_3_1_f2 - l_3_2_f2 * l_3_2_f2)) AS l_3_3_f2 FROM s5), s7 AS (SELECT *, CASE WHEN l_2_2_r1 = 0.0 THEN 0.0 ELSE (t_2_1 - l_2_0_r1 * z_0_r1 - l_2_1_r1 * z_1_r1) / l_2_2_r1 END AS z_2_r1, CASE WHEN l_3_3_f1 = 0.0 THEN 0.0 ELSE (a_3_4_1 - l_4_0_f1 * l_3_0_f1 - l_4_1_f1 * l_3_1_f1 - l_4_2_f1 * l_3_2_f1) / l_3_3_f1 END AS l_4_3_f1, CASE WHEN l_2_2_r2 = 0.0 THEN 0.0 ELSE (t_2_2 - l_2_0_r2 * z_0_r2 - l_2_1_r2 * z_1_r2) / l_2_2_r2 END AS z_2_r2, CASE WHEN l_3_3_f2 = 0.0 THEN 0.0 ELSE (a_3_4_2 - l_4_0_f2 * l_3_0_f2 - l_4_1_f2 * l_3_1_f2 - l_4_2_f2 * l_3_2_f2) / l_3_3_f2 END AS l_4_3_f2 FROM s6), s8 AS (SELECT *, CASE WHEN l_2_2_r1 = 0.0 THEN 0.0 ELSE (z_2_r1) / l_2_2_r1 END AS bb_2_r1, sqrt(greatest(0.0, a_4_4_1 - l_4_0_f1 * l_4_0_f1 - l_4_1_f1 * l_4_1_f1 - l_4_2_f1 * l_4_2_f1 - l_4_3_f1 * l_4_3_f1)) AS l_4_4_f1, CASE WHEN l_2_2_r2 = 0.0 THEN 0.0 ELSE (z_2_r2) / l_2_2_r2 END AS bb_2_r2, sqrt(greatest(0.0, a_4_4_2 - l_4_0_f2 * l_4_0_f2 - l_4_1_f2 * l_4_1_f2 - l_4_2_f2 * l_4_2_f2 - l_4_3_f2 * l_4_3_f2)) AS l_4_4_f2 FROM s7), s9 AS (SELECT *, CASE WHEN l_1_1_r1 = 0.0 THEN 0.0 ELSE (z_1_r1 - l_2_1_r1 * bb_2_r1) / l_1_1_r1 END AS bb_1_r1, CASE WHEN l_0_0_f1 = 0.0 THEN 0.0 ELSE (t_0_1) / l_0_0_f1 END AS z_0_f1, CASE WHEN l_1_1_r2 = 0.0 THEN 0.0 ELSE (z_1_r2 - l_2_1_r2 * bb_2_r2) / l_1_1_r2 END AS bb_1_r2, CASE WHEN l_0_0_f2 = 0.0 THEN 0.0 ELSE (t_0_2) / l_0_0_f2 END AS z_0_f2 FROM s8), s10 AS (SELECT *, CASE WHEN l_0_0_r1 = 0.0 THEN 0.0 ELSE (z_0_r1 - l_1_0_r1 * bb_1_r1 - l_2_0_r1 * bb_2_r1) / l_0_0_r1 END AS bb_0_r1, CASE WHEN l_1_1_f1 = 0.0 THEN 0.0 ELSE (t_1_1 - l_1_0_f1 * z_0_f1) / l_1_1_f1 END AS z_1_f1, CASE WHEN l_0_0_r2 = 0.0 THEN 0.0 ELSE (z_0_r2 - l_1_0_r2 * bb_1_r2 - l_2_0_r2 * bb_2_r2) / l_0_0_r2 END AS bb_0_r2, CASE WHEN l_1_1_f2 = 0.0 THEN 0.0 ELSE (t_1_2 - l_1_0_f2 * z_0_f2) / l_1_1_f2 END AS z_1_f2 FROM s9), s11 AS (SELECT *, v_1 - (bb_0_r1 * t_0_1 + bb_1_r1 * t_1_1 + bb_2_r1 * t_2_1) AS rss_r1, CASE WHEN l_2_2_f1 = 0.0 THEN 0.0 ELSE (t_2_1 - l_2_0_f1 * z_0_f1 - l_2_1_f1 * z_1_f1) / l_2_2_f1 END AS z_2_f1, v_2 - (bb_0_r2 * t_0_2 + bb_1_r2 * t_1_2 + bb_2_r2 * t_2_2) AS rss_r2, CASE WHEN l_2_2_f2 = 0.0 THEN 0.0 ELSE (t_2_2 - l_2_0_f2 * z_0_f2 - l_2_1_f2 * z_1_f2) / l_2_2_f2 END AS z_2_f2 FROM s10), s12 AS (SELECT *, CASE WHEN l_3_3_f1 = 0.0 THEN 0.0 ELSE (t_3_1 - l_3_0_f1 * z_0_f1 - l_3_1_f1 * z_1_f1 - l_3_2_f1 * z_2_f1) / l_3_3_f1 END AS z_3_f1, CASE WHEN l_3_3_f2 = 0.0 THEN 0.0 ELSE (t_3_2 - l_3_0_f2 * z_0_f2 - l_3_1_f2 * z_1_f2 - l_3_2_f2 * z_2_f2) / l_3_3_f2 END AS z_3_f2 FROM s11), s13 AS (SELECT *, CASE WHEN l_4_4_f1 = 0.0 THEN 0.0 ELSE (t_4_1 - l_4_0_f1 * z_0_f1 - l_4_1_f1 * z_1_f1 - l_4_2_f1 * z_2_f1 - l_4_3_f1 * z_3_f1) / l_4_4_f1 END AS z_4_f1, CASE WHEN l_4_4_f2 = 0.0 THEN 0.0 ELSE (t_4_2 - l_4_0_f2 * z_0_f2 - l_4_1_f2 * z_1_f2 - l_4_2_f2 * z_2_f2 - l_4_3_f2 * z_3_f2) / l_4_4_f2 END AS z_4_f2 FROM s12), s14 AS (SELECT *, CASE WHEN l_4_4_f1 = 0.0 THEN 0.0 ELSE (z_4_f1) / l_4_4_f1 END AS bb_4_f1, CASE WHEN l_4_4_f2 = 0.0 THEN 0.0 ELSE (z_4_f2) / l_4_4_f2 END AS bb_4_f2 FROM s13), s15 AS (SELECT *, CASE WHEN l_3_3_f1 = 0.0 THEN 0.0 ELSE (z_3_f1 - l_4_3_f1 * bb_4_f1) / l_3_3_f1 END AS bb_3_f1, CASE WHEN l_3_3_f2 = 0.0 THEN 0.0 ELSE (z_3_f2 - l_4_3_f2 * bb_4_f2) / l_3_3_f2 END AS bb_3_f2 FROM s14), s16 AS (SELECT *, CASE WHEN l_2_2_f1 = 0.0 THEN 0.0 ELSE (z_2_f1 - l_3_2_f1 * bb_3_f1 - l_4_2_f1 * bb_4_f1) / l_2_2_f1 END AS bb_2_f1, CASE WHEN l_2_2_f2 = 0.0 THEN 0.0 ELSE (z_2_f2 - l_3_2_f2 * bb_3_f2 - l_4_2_f2 * bb_4_f2) / l_2_2_f2 END AS bb_2_f2 FROM s15), s17 AS (SELECT *, CASE WHEN l_1_1_f1 = 0.0 THEN 0.0 ELSE (z_1_f1 - l_2_1_f1 * bb_2_f1 - l_3_1_f1 * bb_3_f1 - l_4_1_f1 * bb_4_f1) / l_1_1_f1 END AS bb_1_f1, CASE WHEN l_1_1_f2 = 0.0 THEN 0.0 ELSE (z_1_f2 - l_2_1_f2 * bb_2_f2 - l_3_1_f2 * bb_3_f2 - l_4_1_f2 * bb_4_f2) / l_1_1_f2 END AS bb_1_f2 FROM s16), s18 AS (SELECT *, CASE WHEN l_0_0_f1 = 0.0 THEN 0.0 ELSE (z_0_f1 - l_1_0_f1 * bb_1_f1 - l_2_0_f1 * bb_2_f1 - l_3_0_f1 * bb_3_f1 - l_4_0_f1 * bb_4_f1) / l_0_0_f1 END AS bb_0_f1, CASE WHEN l_0_0_f2 = 0.0 THEN 0.0 ELSE (z_0_f2 - l_1_0_f2 * bb_1_f2 - l_2_0_f2 * bb_2_f2 - l_3_0_f2 * bb_3_f2 - l_4_0_f2 * bb_4_f2) / l_0_0_f2 END AS bb_0_f2 FROM s17), s19 AS (SELECT *, v_1 - (bb_0_f1 * t_0_1 + bb_1_f1 * t_1_1 + bb_2_f1 * t_2_1 + bb_3_f1 * t_3_1 + bb_4_f1 * t_4_1) AS rss_f1, v_2 - (bb_0_f2 * t_0_2 + bb_1_f2 * t_1_2 + bb_2_f2 * t_2_2 + bb_3_f2 * t_3_2 + bb_4_f2 * t_4_2) AS rss_f2 FROM s18)
+         SELECT 'click->purchase' AS direction, n_1 AS n,
+           round(rss_r1, 4) AS rss_restricted, round(rss_f1, 4) AS rss_full,
+           round(((rss_r1 - rss_f1) / 2) / (rss_f1 / (n_1 - 5)), 4) AS f_stat
+         FROM s19
+         UNION ALL
+         SELECT 'purchase->click', n_1,
+           round(rss_r2, 4), round(rss_f2, 4),
+           round(((rss_r2 - rss_f2) / 2) / (rss_f2 / (n_1 - 5)), 4)
+         FROM s19""",
     "st_deming" ->
       """WITH hourly AS (SELECT
              epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
@@ -6768,6 +6805,12 @@ object SparkEntry {
            round((1.0 + sum(CASE WHEN abs(rs.tb) >= abs(ot.t)
                THEN 1 ELSE 0 END)) / (1.0 + count(*)), 6) AS p_value
          FROM rs, ot GROUP BY ot.n_a, ot.n_b, ot.t""",
+    // '199999' = lowercase hex of floor(0.1 * 16^6) — weightedSample's
+    // 6-digit threshold for p = 0.1 (clamp is a no-op below 1-2^-24)
+    "st_sample" ->
+      """SELECT CAST(count(*) AS BIGINT) AS sampled_rows FROM customer
+         WHERE substr(md5('wt' || CAST(c_custkey AS VARCHAR)), 1, 6)
+           < '199999'""",
     "st_cuped" ->
       """WITH u AS (SELECT user_id,
              round(sum(CASE WHEN ts < DATE '2024-01-15' THEN value

@@ -726,19 +726,30 @@ object Resample {
       .select(col("hr"), col("v").as("y"))
     val joined = x.join(y, "hr")
     val w = Window.orderBy("hr")
+    // r9 [oracle] flip: series quantize to integer MICRO-units so every
+    // regression moment is an exact decimal(38,0) sum (identical on any
+    // engine/partitioning — the intercept regressor is 10⁶ micro-units
+    // so all products share one 10¹² scale), and the normal equations
+    // solve by CHOLESKY in a FIXED operation order: X'X is symmetric
+    // positive (semi-)definite, so no pivoting is needed — unlike the
+    // pre-r9 partial-pivot Gaussian elimination, whose data-dependent
+    // row swaps an engine twin cannot replay. Every subtraction chain
+    // below is left-assoc sequential, mirrored exactly by the unrolled
+    // oracle algebra.
     def dir(cause: String, effect: String): (Long, Double, Double, Double) = {
-      var df = joined.select(col("hr"), col(cause).as("c"),
-        col(effect).as("e"))
+      var df = joined.select(col("hr"),
+        round(col(cause) * 1e6).cast("long").as("c"),
+        round(col(effect) * 1e6).cast("long").as("e"))
       for (i <- 1 to p) {
         df = df.withColumn(s"e$i", lag("e", i).over(w))
           .withColumn(s"c$i", lag("c", i).over(w))
       }
       df = df.na.drop()
-      // regressors: intercept, e1..ep, c1..cp; target e
-      val regs = lit(1.0) +: (1 to p).map(i => col(s"e$i")) ++:
+      // regressors (micro-units): intercept=10⁶, e1..ep, c1..cp; target e
+      val regs = lit(1000000L) +: (1 to p).map(i => col(s"e$i")) ++:
         (1 to p).map(i => col(s"c$i"))
       val k = regs.length
-      val dec = "decimal(38,10)"
+      val dec = "decimal(38,0)"
       val sums =
         (for (i <- 0 until k; j <- i until k)
           yield sum((regs(i) * regs(j)).cast(dec)).as(s"m_${i}_$j")) ++
@@ -749,32 +760,40 @@ object Resample {
       val n = r.getAs[Long]("n")
       val xtx = Array.ofDim[Double](k, k)
       for (i <- 0 until k; j <- i until k) {
-        val v = r.getAs[java.math.BigDecimal](s"m_${i}_$j").doubleValue()
+        val v = r.getAs[java.math.BigDecimal](s"m_${i}_$j").doubleValue() / 1e12
         xtx(i)(j) = v; xtx(j)(i) = v
       }
-      val xty = (0 until k)
-        .map(i => r.getAs[java.math.BigDecimal](s"b_$i").doubleValue()).toArray
-      val yy = r.getAs[java.math.BigDecimal]("yy").doubleValue()
+      val xty = (0 until k).map(i =>
+        r.getAs[java.math.BigDecimal](s"b_$i").doubleValue() / 1e12).toArray
+      val yy = r.getAs[java.math.BigDecimal]("yy").doubleValue() / 1e12
       def rss(idx: Seq[Int]): Double = {
         val m = idx.length
         val a = Array.tabulate(m, m)((i, j) => xtx(idx(i))(idx(j)))
         val b = Array.tabulate(m)(i => xty(idx(i)))
-        // Gaussian elimination with partial pivoting on an m×m system
-        for (c <- 0 until m) {
-          val piv = (c until m).maxBy(r2 => math.abs(a(r2)(c)))
-          val (ta, tb) = (a(c), b(c)); a(c) = a(piv); b(c) = b(piv)
-          a(piv) = ta; b(piv) = tb
-          for (r2 <- c + 1 until m) {
-            val f = if (a(c)(c) == 0.0) 0.0 else a(r2)(c) / a(c)(c)
-            for (c2 <- c until m) a(r2)(c2) -= f * a(c)(c2)
-            b(r2) -= f * b(c)
+        // Cholesky a = L·Lᵀ, column by column, no pivoting
+        val lm = Array.ofDim[Double](m, m)
+        for (j <- 0 until m) {
+          var s = a(j)(j)
+          for (q <- 0 until j) s -= lm(j)(q) * lm(j)(q)
+          lm(j)(j) = math.sqrt(math.max(0.0, s))
+          for (i <- j + 1 until m) {
+            var s2 = a(i)(j)
+            for (q <- 0 until j) s2 -= lm(i)(q) * lm(j)(q)
+            lm(i)(j) = if (lm(j)(j) == 0.0) 0.0 else s2 / lm(j)(j)
           }
         }
+        // forward L·z = b, then back Lᵀ·β = z
+        val z = new Array[Double](m)
+        for (i <- 0 until m) {
+          var s = b(i)
+          for (q <- 0 until i) s -= lm(i)(q) * z(q)
+          z(i) = if (lm(i)(i) == 0.0) 0.0 else s / lm(i)(i)
+        }
         val beta = new Array[Double](m)
-        for (c <- m - 1 to 0 by -1) {
-          var s = b(c)
-          for (c2 <- c + 1 until m) s -= a(c)(c2) * beta(c2)
-          beta(c) = if (a(c)(c) == 0.0) 0.0 else s / a(c)(c)
+        for (i <- m - 1 to 0 by -1) {
+          var s = z(i)
+          for (q <- i + 1 until m) s -= lm(q)(i) * beta(q)
+          beta(i) = if (lm(i)(i) == 0.0) 0.0 else s / lm(i)(i)
         }
         yy - beta.indices.map(i => beta(i) * xty(idx(i))).sum
       }
