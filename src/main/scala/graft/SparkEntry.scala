@@ -2003,6 +2003,68 @@ object SparkEntry {
            round(rss_r2, 4), round(rss_f2, 4),
            round(((rss_r2 - rss_f2) / 2) / (rss_f2 / (n_1 - 5)), 4)
          FROM s19""",
+    // mm_frames / mm_resize / mm_features (r9 flips): the synthetic
+    // media payload is the document text, which TESTDATA.md's corpus
+    // keeps pure ASCII — so binary substr/byte indexing/md5 on the
+    // Spark side equal char substr/ascii()/md5 on the oracle side,
+    // and the stub codecs' byte algebra replays exactly
+    "mm_frames" ->
+      """WITH v AS (SELECT doc_id, text, length(text) AS nb FROM documents
+                WHERE doc_id % 3 = 2 AND length(text) > 0),
+         f AS (SELECT doc_id, text, nb,
+             CAST(ceil(nb / 256.0) AS INT) AS n,
+             least(4, CAST(ceil(nb / 256.0) AS INT)) AS t
+           FROM v)
+         SELECT doc_id AS media_id,
+           CAST(floor(CAST(u.i * f.n AS DOUBLE) / f.t) AS INT) AS frame_idx,
+           md5(substr(f.text,
+             CAST(floor(CAST(u.i * f.n AS DOUBLE) / f.t) AS INT) * 256 + 1, 256))
+             AS frame_md5
+         FROM f, LATERAL unnest(generate_series(0, f.t - 1)) AS u(i)""",
+    "mm_resize" ->
+      """WITH m AS (SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+             text, length(text) AS len FROM documents)
+         SELECT doc_id AS media_id, kind, CAST(len AS INT) AS orig_bytes,
+           CAST(64 AS INT) AS n_bytes,
+           md5(string_agg(substr(text, CAST(u.i * len // 64 AS INT) + 1, 1),
+             '' ORDER BY u.i)) AS payload_md5
+         FROM m, LATERAL unnest(generate_series(0, 63)) AS u(i)
+         WHERE len > 64 GROUP BY doc_id, kind, len
+         UNION ALL
+         SELECT doc_id, kind, CAST(len AS INT), CAST(len AS INT), md5(text)
+         FROM m WHERE len <= 64""",
+    "mm_features" ->
+      """WITH m AS (SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+             text, length(text) AS len FROM documents),
+         c AS (SELECT m.doc_id,
+             sum(CASE WHEN ascii(substr(m.text, u.i, 1)) % 16 = 0 THEN 1 ELSE 0 END) AS c0,
+         sum(CASE WHEN ascii(substr(m.text, u.i, 1)) % 16 = 1 THEN 1 ELSE 0 END) AS c1,
+         sum(CASE WHEN ascii(substr(m.text, u.i, 1)) % 16 = 2 THEN 1 ELSE 0 END) AS c2,
+         sum(CASE WHEN ascii(substr(m.text, u.i, 1)) % 16 = 3 THEN 1 ELSE 0 END) AS c3,
+         sum(CASE WHEN ascii(substr(m.text, u.i, 1)) % 16 = 4 THEN 1 ELSE 0 END) AS c4,
+         sum(CASE WHEN ascii(substr(m.text, u.i, 1)) % 16 = 5 THEN 1 ELSE 0 END) AS c5,
+         sum(CASE WHEN ascii(substr(m.text, u.i, 1)) % 16 = 6 THEN 1 ELSE 0 END) AS c6,
+         sum(CASE WHEN ascii(substr(m.text, u.i, 1)) % 16 = 7 THEN 1 ELSE 0 END) AS c7,
+         sum(CASE WHEN ascii(substr(m.text, u.i, 1)) % 16 = 8 THEN 1 ELSE 0 END) AS c8,
+         sum(CASE WHEN ascii(substr(m.text, u.i, 1)) % 16 = 9 THEN 1 ELSE 0 END) AS c9,
+         sum(CASE WHEN ascii(substr(m.text, u.i, 1)) % 16 = 10 THEN 1 ELSE 0 END) AS c10,
+         sum(CASE WHEN ascii(substr(m.text, u.i, 1)) % 16 = 11 THEN 1 ELSE 0 END) AS c11,
+         sum(CASE WHEN ascii(substr(m.text, u.i, 1)) % 16 = 12 THEN 1 ELSE 0 END) AS c12,
+         sum(CASE WHEN ascii(substr(m.text, u.i, 1)) % 16 = 13 THEN 1 ELSE 0 END) AS c13,
+         sum(CASE WHEN ascii(substr(m.text, u.i, 1)) % 16 = 14 THEN 1 ELSE 0 END) AS c14,
+         sum(CASE WHEN ascii(substr(m.text, u.i, 1)) % 16 = 15 THEN 1 ELSE 0 END) AS c15,
+             count(*) AS nch
+           FROM m, LATERAL unnest(generate_series(1, m.len)) AS u(i)
+           GROUP BY m.doc_id),
+         h AS (SELECT m.doc_id, m.kind, m.len, COALESCE(CAST(c0 AS DOUBLE), 0.0) / CAST(greatest(1, len) AS DOUBLE) AS h0, COALESCE(CAST(c1 AS DOUBLE), 0.0) / CAST(greatest(1, len) AS DOUBLE) AS h1, COALESCE(CAST(c2 AS DOUBLE), 0.0) / CAST(greatest(1, len) AS DOUBLE) AS h2, COALESCE(CAST(c3 AS DOUBLE), 0.0) / CAST(greatest(1, len) AS DOUBLE) AS h3, COALESCE(CAST(c4 AS DOUBLE), 0.0) / CAST(greatest(1, len) AS DOUBLE) AS h4, COALESCE(CAST(c5 AS DOUBLE), 0.0) / CAST(greatest(1, len) AS DOUBLE) AS h5, COALESCE(CAST(c6 AS DOUBLE), 0.0) / CAST(greatest(1, len) AS DOUBLE) AS h6, COALESCE(CAST(c7 AS DOUBLE), 0.0) / CAST(greatest(1, len) AS DOUBLE) AS h7, COALESCE(CAST(c8 AS DOUBLE), 0.0) / CAST(greatest(1, len) AS DOUBLE) AS h8, COALESCE(CAST(c9 AS DOUBLE), 0.0) / CAST(greatest(1, len) AS DOUBLE) AS h9, COALESCE(CAST(c10 AS DOUBLE), 0.0) / CAST(greatest(1, len) AS DOUBLE) AS h10, COALESCE(CAST(c11 AS DOUBLE), 0.0) / CAST(greatest(1, len) AS DOUBLE) AS h11, COALESCE(CAST(c12 AS DOUBLE), 0.0) / CAST(greatest(1, len) AS DOUBLE) AS h12, COALESCE(CAST(c13 AS DOUBLE), 0.0) / CAST(greatest(1, len) AS DOUBLE) AS h13, COALESCE(CAST(c14 AS DOUBLE), 0.0) / CAST(greatest(1, len) AS DOUBLE) AS h14, COALESCE(CAST(c15 AS DOUBLE), 0.0) / CAST(greatest(1, len) AS DOUBLE) AS h15
+           FROM m LEFT JOIN c ON m.doc_id = c.doc_id)
+         SELECT doc_id AS media_id, kind, CAST(len AS INT) AS n_bytes,
+           round(h0 + h1 + h2 + h3 + h4 + h5 + h6 + h7 + h8 + h9 + h10 + h11 + h12 + h13 + h14 + h15, 6) AS feature_sum, round(h0, 6) AS f0
+         FROM h""",
     "st_deming" ->
       """WITH hourly AS (SELECT
              epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
