@@ -454,7 +454,12 @@ object SparkEntry {
     "ts_backtest" -> ((s, d) =>
       Resample.backtestBaselines(Tables.events(s, d))),
     "ts_ljungbox" -> ((s, d) => Resample.ljungBox(Tables.events(s, d))),
-    "ts_dtw" -> ((s, d) => Resample.dtwDistance(Tables.events(s, d))),
+    // daily grain pins the oracle's recursion to calendar-days-many
+    // steps (the hourly default would replay too, just slowly: one
+    // recursive-CTE iteration per series point); band 7 = a week of
+    // elastic slack at daily resolution
+    "ts_dtw" -> ((s, d) =>
+      Resample.dtwDistance(Tables.events(s, d), band = 7, grain = "day")),
     "ts_perm_entropy" -> ((s, d) =>
       Resample.permutationEntropy(Tables.events(s, d))),
     "ts_coint" -> ((s, d) => Resample.cointegration(Tables.events(s, d))),
@@ -2065,6 +2070,70 @@ object SparkEntry {
          SELECT doc_id AS media_id, kind, CAST(len AS INT) AS n_bytes,
            round(h0 + h1 + h2 + h3 + h4 + h5 + h6 + h7 + h8 + h9 + h10 + h11 + h12 + h13 + h14 + h15, 6) AS feature_sum, round(h0, 6) AS f0
          FROM h""",
+    // ts_dtw (r9 flip): exact integer min-plus DP — the twin replays
+    // each banded DP row as prefix-sums + a prefix-min window inside
+    // ONE recursive CTE carrying only the band slice (min-plus
+    // expansion; exact longs make the reformulation identical)
+    "ts_dtw" ->
+      """WITH RECURSIVE hourly AS (SELECT event_type,
+             epoch_us(date_trunc('day', ts)) // 86400000000 AS hr,
+             round(avg(value), 6) AS v
+           FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2),
+         xs AS (SELECT row_number() OVER (ORDER BY hr) AS i,
+             CAST(round(v * 1e6) AS BIGINT) AS x6
+           FROM hourly WHERE event_type = 'click'),
+         ys AS (SELECT row_number() OVER (ORDER BY hr) AS j,
+             CAST(round(v * 1e6) AS BIGINT) AS y6
+           FROM hourly WHERE event_type = 'view'),
+         par AS (SELECT (SELECT count(*) FROM xs) AS n,
+             (SELECT count(*) FROM ys) AS m,
+             greatest(7, abs((SELECT count(*) FROM xs)
+               - (SELECT count(*) FROM ys))) + 1 AS w,
+             CAST(2305843009213693951 AS BIGINT) AS inf),
+         yl AS (SELECT list(y6 ORDER BY j) AS yv FROM ys),
+         dp AS (
+           SELECT CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS plo,
+             [CAST(0 AS BIGINT)] AS pl
+           UNION ALL
+           SELECT i2, lo, curl FROM (
+             SELECT i2, min(j) AS lo, list(cst + mn ORDER BY j) AS curl
+             FROM (
+               SELECT i2, j,
+                 sum(c) OVER (PARTITION BY i2 ORDER BY j) AS cst,
+                 min(gv) OVER (PARTITION BY i2 ORDER BY j) AS mn
+               FROM (
+                 SELECT d.i + 1 AS i2, u.j AS j,
+                   abs(x.x6 - yl.yv[u.j]) AS c,
+                   least(
+                     CASE WHEN u.j BETWEEN d.plo AND d.plo + len(d.pl) - 1
+                       THEN d.pl[u.j - d.plo + 1] ELSE p.inf END,
+                     CASE WHEN u.j - 1 BETWEEN d.plo AND d.plo + len(d.pl) - 1
+                       THEN d.pl[u.j - 1 - d.plo + 1] ELSE p.inf END)
+                     - COALESCE(sum(abs(x.x6 - yl.yv[u.j]))
+                         OVER (ORDER BY u.j
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       CAST(0 AS BIGINT)) AS gv
+                 FROM dp d, par p, yl, xs x,
+                   LATERAL unnest(generate_series(greatest(1, d.i + 1 - p.w),
+                     least(p.m, d.i + 1 + p.w))) u(j)
+                 WHERE d.i < p.n AND x.i = d.i + 1
+               )
+             ) GROUP BY i2
+           )
+         ),
+         fin AS (SELECT p.n, p.m,
+             CASE WHEN p.n = 0 OR p.m = 0 THEN NULL
+               ELSE (SELECT CASE WHEN p.m BETWEEN d.plo AND d.plo + len(d.pl) - 1
+                       THEN d.pl[p.m - d.plo + 1] ELSE p.inf END
+                     FROM dp d WHERE d.i = p.n) END AS d6
+           FROM par p)
+         SELECT CAST(n AS BIGINT) AS n_a, CAST(m AS BIGINT) AS n_b,
+           CASE WHEN d6 IS NULL THEN -1.0
+             ELSE round(CAST(d6 AS DOUBLE) / 1e6, 6) END AS dtw,
+           CASE WHEN d6 IS NULL THEN -1.0
+             ELSE round(CAST(d6 AS DOUBLE) / 1e6 / greatest(n, m), 6) END
+             AS dtw_per_step
+         FROM fin""",
     "st_deming" ->
       """WITH hourly AS (SELECT
              epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,

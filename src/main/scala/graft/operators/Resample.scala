@@ -1357,15 +1357,29 @@ object Resample {
     * series lengths, total DTW cost, per-step cost along the warp
     * path. */
   def dtwDistance(events: DataFrame, typeA: String = "click",
-                  typeB: String = "view", band: Int = 24): DataFrame = {
-    val hourly = events.filter(col("event_type").isin(typeA, typeB))
+                  typeB: String = "view", band: Int = 24,
+                  grain: String = "hour"): DataFrame = {
+    val grainSec = grain match {
+      case "hour" => 3600L
+      case "day"  => 86400L
+      case g => throw new IllegalArgumentException(s"grain: $g")
+    }
+    val binned = events.filter(col("event_type").isin(typeA, typeB))
       .groupBy(col("event_type"),
-        expr("unix_seconds(date_trunc('hour', ts)) div 3600").as("hr"))
+        expr(s"unix_seconds(date_trunc('$grain', ts)) div $grainSec")
+          .as("hr"))
       .agg(round(avg("value"), 6).as("v"))
       .orderBy("hr")
-    def series(t: String): Array[Double] = hourly
+    // r9 [oracle] flip: values quantize to micro-unit LONGS, so the DP
+    // is exact integer min-plus algebra — every algebraically-equal
+    // formulation yields identical numbers, which lets the DuckDB twin
+    // replay each DP row as prefix-sums + a prefix-min window (the
+    // min-plus expansion cur(j) = C(j) + min_k [min(prev(k), prev(k−1))
+    // − C(k−1)]) inside ONE keyed recursive CTE instead of the
+    // inherently sequential inner loop
+    def series(t: String): Array[Long] = binned
       .filter(col("event_type") === t).select("v").collect()
-      .map(_.getDouble(0))
+      .map(r => math.rint(r.getDouble(0) * 1e6).toLong)
     val (xs, ys) = (series(typeA), series(typeB))
     val (n, m) = (xs.length, ys.length)
     val out = if (n == 0 || m == 0) (n, m, -1.0, -1.0, 0L)
@@ -1373,10 +1387,10 @@ object Resample {
       // effective band must at least cover the length difference or no
       // monotone path exists
       val w = math.max(band, math.abs(n - m)) + 1
-      val inf = Double.MaxValue / 4
+      val inf = Long.MaxValue / 4
       var prev = Array.fill(m + 1)(inf)
       var cur = Array.fill(m + 1)(inf)
-      prev(0) = 0.0
+      prev(0) = 0L
       for (i <- 1 to n) {
         java.util.Arrays.fill(cur, inf)
         val lo = math.max(1, i - w); val hi = math.min(m, i + w)
@@ -1386,10 +1400,10 @@ object Resample {
         }
         val t = prev; prev = cur; cur = t
       }
-      val d = prev(m)
+      val d6 = prev(m)
       val steps = math.max(n, m).toLong // path length lower bound
-      (n, m, math.rint(d * 1e6) / 1e6,
-        math.rint(d / math.max(n, m) * 1e6) / 1e6, steps)
+      (n, m, math.rint(d6.toDouble / 1e6 * 1e6) / 1e6,
+        math.rint(d6.toDouble / 1e6 / steps * 1e6) / 1e6, steps)
     }
     val spark = events.sparkSession
     import spark.implicits._
