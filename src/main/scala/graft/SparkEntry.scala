@@ -2134,6 +2134,26 @@ object SparkEntry {
              ELSE round(CAST(d6 AS DOUBLE) / 1e6 / greatest(n, m), 6) END
              AS dtw_per_step
          FROM fin""",
+    // mm_audio_energy (r9 flip): the WAV round-trip is byte-exact —
+    // synthesized samples are ((byte−128)·256), so each RMS term
+    // (k/128)² is a dyadic rational ≤ 1 with denominator 2^14: every
+    // window sum is EXACT in doubles regardless of order, and the
+    // twin needs no WAV parsing, only the same sample algebra
+    "mm_audio_energy" ->
+      """WITH a AS (SELECT doc_id, text, length(text) AS len FROM documents
+                WHERE doc_id % 3 = 1 AND length(text) > 0),
+         r AS (SELECT doc_id, (u.i - 1) // 64 AS win,
+             sqrt(sum(((ascii(substr(text, CAST(u.i AS INT), 1)) - 128) / 128.0)
+                    * ((ascii(substr(text, CAST(u.i AS INT), 1)) - 128) / 128.0))
+               / count(*)) AS rms
+           FROM a, LATERAL unnest(generate_series(1, a.len)) u(i)
+           GROUP BY doc_id, (u.i - 1) // 64)
+         SELECT doc_id AS media_id, CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(CASE WHEN rms < 0.02 THEN 1 ELSE 0 END) AS BIGINT) AS n_silent,
+           round(avg(rms), 4) AS avg_rms, round(max(rms), 4) AS peak_rms,
+           round(CAST(sum(CASE WHEN rms < 0.02 THEN 1 ELSE 0 END) AS BIGINT)
+             / CAST(count(*) AS BIGINT), 4) AS silence_ratio
+         FROM r GROUP BY doc_id""",
     "st_deming" ->
       """WITH hourly AS (SELECT
              epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
