@@ -458,6 +458,8 @@ object SparkEntry {
     // steps (the hourly default would replay too, just slowly: one
     // recursive-CTE iteration per series point); band 7 = a week of
     // elastic slack at daily resolution
+    "ts_haar_energy" -> ((s, d) =>
+      Resample.haarEnergy(Tables.events(s, d))),
     "ts_dtw" -> ((s, d) =>
       Resample.dtwDistance(Tables.events(s, d), band = 7, grain = "day")),
     "ts_perm_entropy" -> ((s, d) =>
@@ -1436,6 +1438,7 @@ object SparkEntry {
       Stats.spearman(Tables.lineitem(s, d), "l_quantity",
         "l_extendedprice")),
     "gr_pagerank" -> ((s, d) => Graph.pageRank(coPurchaseEdges(s, d))),
+    "gr_katz" -> ((s, d) => Graph.katzCentrality(coPurchaseEdges(s, d))),
     "gr_eigenvector" -> ((s, d) =>
       Graph.eigenvectorCentrality(coPurchaseEdges(s, d))),
     "gr_ppr" -> ((s, d) =>
@@ -2074,6 +2077,87 @@ object SparkEntry {
     // each banded DP row as prefix-sums + a prefix-min window inside
     // ONE recursive CTE carrying only the band slice (min-plus
     // expansion; exact longs make the reformulation identical)
+    "ts_haar_energy" ->
+      """WITH h AS (SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
+             CAST(round(avg(value) * 1e6) AS BIGINT) AS v6
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+         s0 AS (SELECT row_number() OVER (ORDER BY hr) - 1 AS i, v6 AS s
+           FROM h),
+         l1 AS (SELECT i // 2 AS j,
+             max(CASE WHEN i % 2 = 0 THEN s END) AS a,
+             max(CASE WHEN i % 2 = 1 THEN s END) AS b
+           FROM s0 GROUP BY 1),
+         f1 AS (SELECT j, a, b FROM l1
+           WHERE a IS NOT NULL AND b IS NOT NULL),
+         e1 AS (SELECT CAST(count(*) AS BIGINT) AS np,
+             COALESCE(CAST(sum(CAST(a - b AS HUGEINT) * (a - b))
+               AS DOUBLE), 0.0) / 2 / 1e12 AS en
+           FROM f1),
+         s1 AS (SELECT j AS i, a + b AS s FROM f1),
+         l2 AS (SELECT i // 2 AS j,
+             max(CASE WHEN i % 2 = 0 THEN s END) AS a,
+             max(CASE WHEN i % 2 = 1 THEN s END) AS b
+           FROM s1 GROUP BY 1),
+         f2 AS (SELECT j, a, b FROM l2
+           WHERE a IS NOT NULL AND b IS NOT NULL),
+         e2 AS (SELECT CAST(count(*) AS BIGINT) AS np,
+             COALESCE(CAST(sum(CAST(a - b AS HUGEINT) * (a - b))
+               AS DOUBLE), 0.0) / 4 / 1e12 AS en
+           FROM f2),
+         s2 AS (SELECT j AS i, a + b AS s FROM f2),
+         l3 AS (SELECT i // 2 AS j,
+             max(CASE WHEN i % 2 = 0 THEN s END) AS a,
+             max(CASE WHEN i % 2 = 1 THEN s END) AS b
+           FROM s2 GROUP BY 1),
+         f3 AS (SELECT j, a, b FROM l3
+           WHERE a IS NOT NULL AND b IS NOT NULL),
+         e3 AS (SELECT CAST(count(*) AS BIGINT) AS np,
+             COALESCE(CAST(sum(CAST(a - b AS HUGEINT) * (a - b))
+               AS DOUBLE), 0.0) / 8 / 1e12 AS en
+           FROM f3),
+         s3 AS (SELECT j AS i, a + b AS s FROM f3),
+         l4 AS (SELECT i // 2 AS j,
+             max(CASE WHEN i % 2 = 0 THEN s END) AS a,
+             max(CASE WHEN i % 2 = 1 THEN s END) AS b
+           FROM s3 GROUP BY 1),
+         f4 AS (SELECT j, a, b FROM l4
+           WHERE a IS NOT NULL AND b IS NOT NULL),
+         e4 AS (SELECT CAST(count(*) AS BIGINT) AS np,
+             COALESCE(CAST(sum(CAST(a - b AS HUGEINT) * (a - b))
+               AS DOUBLE), 0.0) / 16 / 1e12 AS en
+           FROM f4),
+         s4 AS (SELECT j AS i, a + b AS s FROM f4),
+         l5 AS (SELECT i // 2 AS j,
+             max(CASE WHEN i % 2 = 0 THEN s END) AS a,
+             max(CASE WHEN i % 2 = 1 THEN s END) AS b
+           FROM s4 GROUP BY 1),
+         f5 AS (SELECT j, a, b FROM l5
+           WHERE a IS NOT NULL AND b IS NOT NULL),
+         e5 AS (SELECT CAST(count(*) AS BIGINT) AS np,
+             COALESCE(CAST(sum(CAST(a - b AS HUGEINT) * (a - b))
+               AS DOUBLE), 0.0) / 32 / 1e12 AS en
+           FROM f5),
+         s5 AS (SELECT j AS i, a + b AS s FROM f5),
+         tot AS (SELECT e1.en + e2.en + e3.en + e4.en + e5.en AS t FROM e1, e2, e3, e4, e5)
+         SELECT 1 AS level, np AS n_pairs, round(en, 6) AS energy,
+           CASE WHEN t = 0 THEN 0.0 ELSE round(en / t, 6) END AS share
+         FROM e1, tot
+         UNION ALL
+         SELECT 2 AS level, np AS n_pairs, round(en, 6) AS energy,
+           CASE WHEN t = 0 THEN 0.0 ELSE round(en / t, 6) END AS share
+         FROM e2, tot
+         UNION ALL
+         SELECT 3 AS level, np AS n_pairs, round(en, 6) AS energy,
+           CASE WHEN t = 0 THEN 0.0 ELSE round(en / t, 6) END AS share
+         FROM e3, tot
+         UNION ALL
+         SELECT 4 AS level, np AS n_pairs, round(en, 6) AS energy,
+           CASE WHEN t = 0 THEN 0.0 ELSE round(en / t, 6) END AS share
+         FROM e4, tot
+         UNION ALL
+         SELECT 5 AS level, np AS n_pairs, round(en, 6) AS energy,
+           CASE WHEN t = 0 THEN 0.0 ELSE round(en / t, 6) END AS share
+         FROM e5, tot""",
     "ts_dtw" ->
       """WITH RECURSIVE hourly AS (SELECT event_type,
              epoch_us(date_trunc('day', ts)) // 86400000000 AS hr,
@@ -4036,6 +4120,51 @@ object SparkEntry {
          mx AS (SELECT max(score) AS mx FROM x5)
          SELECT node, round(score / mx, 6) AS eig
          FROM x5 CROSS JOIN mx""",
+    "gr_katz" ->
+      """WITH p AS (SELECT DISTINCT o_custkey AS a,
+             l_suppkey + 1000000000 AS b
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         e AS (SELECT a AS src, b AS dst FROM p
+           UNION ALL SELECT b, a FROM p),
+         nodes AS (SELECT DISTINCT src AS node FROM e),
+         x0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS score FROM nodes),
+         m1 AS (SELECT e.dst, sum(x.score) AS m
+           FROM e JOIN x0 x ON e.src = x.node GROUP BY e.dst),
+         x1 AS (SELECT nodes.node,
+             round(CAST(1.0 AS DOUBLE)
+               + CAST(0.005 AS DOUBLE) * coalesce(m1.m, 0), 9) AS score
+           FROM nodes LEFT JOIN m1 ON m1.dst = nodes.node),
+         m2 AS (SELECT e.dst, sum(x.score) AS m
+           FROM e JOIN x1 x ON e.src = x.node GROUP BY e.dst),
+         x2 AS (SELECT nodes.node,
+             round(CAST(1.0 AS DOUBLE)
+               + CAST(0.005 AS DOUBLE) * coalesce(m2.m, 0), 9) AS score
+           FROM nodes LEFT JOIN m2 ON m2.dst = nodes.node),
+         m3 AS (SELECT e.dst, sum(x.score) AS m
+           FROM e JOIN x2 x ON e.src = x.node GROUP BY e.dst),
+         x3 AS (SELECT nodes.node,
+             round(CAST(1.0 AS DOUBLE)
+               + CAST(0.005 AS DOUBLE) * coalesce(m3.m, 0), 9) AS score
+           FROM nodes LEFT JOIN m3 ON m3.dst = nodes.node),
+         m4 AS (SELECT e.dst, sum(x.score) AS m
+           FROM e JOIN x3 x ON e.src = x.node GROUP BY e.dst),
+         x4 AS (SELECT nodes.node,
+             round(CAST(1.0 AS DOUBLE)
+               + CAST(0.005 AS DOUBLE) * coalesce(m4.m, 0), 9) AS score
+           FROM nodes LEFT JOIN m4 ON m4.dst = nodes.node),
+         m5 AS (SELECT e.dst, sum(x.score) AS m
+           FROM e JOIN x4 x ON e.src = x.node GROUP BY e.dst),
+         x5 AS (SELECT nodes.node,
+             round(CAST(1.0 AS DOUBLE)
+               + CAST(0.005 AS DOUBLE) * coalesce(m5.m, 0), 9) AS score
+           FROM nodes LEFT JOIN m5 ON m5.dst = nodes.node),
+         m6 AS (SELECT e.dst, sum(x.score) AS m
+           FROM e JOIN x5 x ON e.src = x.node GROUP BY e.dst),
+         x6 AS (SELECT nodes.node,
+             round(CAST(1.0 AS DOUBLE)
+               + CAST(0.005 AS DOUBLE) * coalesce(m6.m, 0), 9) AS score
+           FROM nodes LEFT JOIN m6 ON m6.dst = nodes.node)
+         SELECT node, round(score, 6) AS katz FROM x6""",
     "gr_pagerank" ->
       """WITH p AS (SELECT DISTINCT o_custkey AS a,
              l_suppkey + 1000000000 AS b

@@ -55,6 +55,40 @@ object Graph {
     ranks.select(col("node"), round(col("rank"), 6).as("rank"))
   }
 
+  /** KATZ centrality — influence through ALL attenuated walks, the
+    * companion [[pageRank]] can't replace: PageRank divides each
+    * endorsement by the endorser's out-degree (a hub dilutes itself),
+    * while Katz counts every walk at α per hop — x = Σ_k α^k (Aᵀ)^k·β1
+    * — so raw reach through well-connected neighbors accumulates. α
+    * must stay below 1/λ_max for the series to converge; the fixed
+    * iteration count makes the result a deterministic PARTIAL sum
+    * either way (the contract, as with pageRank's fixed 5 rounds).
+    *
+    * Identical scale shape to [[pageRank]]: static edge frame
+    * checkpointed once, node-sized score frame per round (one edge⋈
+    * score join + one partial-agg shuffle on dst), per-round
+    * round(…, 9) pinning both engines to the same doubles so the
+    * unordered in-neighbor sums cannot drift across rounds; the
+    * oracle unrolls the same rounds. */
+  def katzCentrality(edges: DataFrame, iterations: Int = 6,
+                     alpha: Double = 0.005, beta: Double = 1.0)
+      : DataFrame = {
+    val ed = edges.select("src", "dst").distinct().localCheckpoint(true)
+    val nodes = ed.select(col("src").as("node")).distinct()
+      .localCheckpoint(true)
+    var x = nodes.withColumn("score", lit(beta))
+    for (_ <- 1 to iterations) {
+      val msum = ed.join(x, ed("src") === x("node"))
+        .select(col("dst"), col("score"))
+        .groupBy("dst").agg(sum("score").as("m"))
+      x = nodes.join(msum, nodes("node") === msum("dst"), "left")
+        .select(col("node"),
+          round(lit(beta) + lit(alpha) * coalesce(col("m"), lit(0.0)), 9)
+            .as("score"))
+    }
+    x.select(col("node"), round(col("score"), 6).as("katz"))
+  }
+
   /** PERSONALIZED PageRank from a seed set — the recommendation
     * workhorse ([[pageRank]] answers "globally important"; PPR answers
     * "important RELATIVE TO these seeds" — the same loop, but teleport

@@ -1636,4 +1636,61 @@ object Resample {
       .select(col("block_size"), col("n_blocks"),
         round(col("y"), 6).as("avg_log2_rs"), col("hurst"))
   }
+
+  /** HAAR multi-resolution ENERGY decomposition of the hourly series —
+    * "at which time scale does the variance live?" (hour-to-hour
+    * jitter vs day-scale swings), the wavelet companion to
+    * ts_periodogram's frequency view and ts_strength's one-number
+    * seasonal split. Level k's detail coefficients are differences of
+    * adjacent level-(k−1) SMOOTH sums, so level 1 captures 2-hour
+    * oscillation energy, level 5 the 32-hour band.
+    *
+    * Exactness (the [oracle] contract): hourly means quantize to
+    * micro-unit LONGS; every smooth sum and detail difference is
+    * integer; squared details sum in decimal(38,0); the only divisions
+    * are by 2^k (exact in doubles) and the 10¹² unit rescale — so any
+    * engine and any partitioning produces identical numbers, and the
+    * DuckDB twin just unrolls the k levels. Unpaired tails drop at
+    * each level (documented truncation — energies are of the dyadic
+    * prefix). Scale shape: one partial-agg pass to the time-bounded
+    * hourly frame, then k tiny (halving) groupBys; the per-level
+    * d²-sum is a 1-row aggregate. */
+  def haarEnergy(events: DataFrame, eventType: String = "click",
+                 levels: Int = 5): DataFrame = {
+    require(levels >= 1 && levels <= 12, "levels 1..12")
+    val hourly = events.filter(col("event_type") === eventType)
+      .groupBy(expr("unix_seconds(date_trunc('hour', ts)) div 3600")
+        .as("hr"))
+      .agg(round(avg("value") * 1e6).cast("long").as("v6"))
+    var cur = hourly
+      .withColumn("i",
+        (row_number().over(Window.orderBy("hr")) - 1).cast("long"))
+      .select(col("i"), col("v6").as("s"))
+      .localCheckpoint(true)
+    val rows = (1 to levels).map { k =>
+      val full = cur
+        .select((col("i") / 2).cast("long").as("j"),
+          (col("i") % 2).as("o"), col("s"))
+        .groupBy("j")
+        .agg(max(when(col("o") === 0, col("s"))).as("a"),
+          max(when(col("o") === 1, col("s"))).as("b"))
+        .filter(col("b").isNotNull && col("a").isNotNull)
+        .localCheckpoint(true)
+      val agg = full.agg(count(lit(1)).as("np"),
+        sum((col("a") - col("b")).cast("decimal(38,0)") *
+          (col("a") - col("b"))).as("d2")).head()
+      val np = agg.getAs[Long]("np")
+      val d2 = Option(agg.getAs[java.math.BigDecimal]("d2"))
+        .map(_.doubleValue()).getOrElse(0.0)
+      cur = full.select(col("j").as("i"), (col("a") + col("b")).as("s"))
+        .localCheckpoint(true)
+      (k, np, d2 / (1L << k) / 1e12)
+    }
+    val total = rows.map(_._3).sum
+    import events.sparkSession.implicits._
+    rows.map { case (k, np, e) =>
+      (k, np, math.rint(e * 1e6) / 1e6,
+        if (total == 0.0) 0.0 else math.rint(e / total * 1e6) / 1e6)
+    }.toDF("level", "n_pairs", "energy", "share")
+  }
 }

@@ -29,6 +29,24 @@ class GraphSpec extends SparkSpec {
     assert(ranks.size == 1, s"cycle nodes must all tie, got $ranks")
   }
 
+  test("katzCentrality: hand-computed 2-cycle; hub beats leaves on the star") {
+    // 2-cycle 1<->2 at alpha=0.5, beta=1, 2 rounds: x1 = 1.5,
+    // x2 = 1 + 0.5*1.5 = 1.75 — exact, both nodes symmetric
+    val two = Graph.katzCentrality(undirected((1L, 2L)),
+      iterations = 2, alpha = 0.5)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Double]("katz"))
+      .toMap
+    assert(two == Map(1L -> 1.75, 2L -> 1.75), s"$two")
+    // star: the hub hears every leaf each round
+    val star = Graph.katzCentrality(
+      undirected((1L, 2L), (1L, 3L), (1L, 4L)))
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Double]("katz"))
+      .toMap
+    assert(star(1L) > star(2L), s"$star")
+    assert(star(2L) == star(3L) && star(3L) == star(4L),
+      "symmetric leaves must tie exactly")
+  }
+
   test("components labels islands by min node id with exact sizes") {
     val comps = Graph.components(
       undirected((1L, 2L), (2L, 3L), (10L, 11L)))

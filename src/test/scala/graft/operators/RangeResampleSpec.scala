@@ -824,4 +824,28 @@ class RangeResampleSpec extends SparkSpec {
     assert(mono.getAs[Double]("z") < -2.0,
       "a trend must be flagged as non-random")
   }
+
+  test("haarEnergy: constant series is all-zero; 2-hour square wave puts every joule at level 1") {
+    import spark.implicits._
+    def hourly(vs: Seq[Double]) = vs.zipWithIndex.map { case (v, i) =>
+      (i.toLong * 3600L, "click", v)
+    }.toDF("s", "event_type", "value")
+      .select(timestamp_seconds(col("s")).as("ts"), col("event_type"),
+        col("value"))
+    val flat = Resample.haarEnergy(hourly(Seq.fill(32)(7.5)), levels = 3)
+      .collect()
+    assert(flat.forall(_.getAs[Double]("energy") == 0.0))
+    assert(flat.forall(_.getAs[Double]("share") == 0.0),
+      "zero total energy must not divide by zero")
+    // +1/-1 alternation: level-1 details are ±2 (in value units d²/2
+    // per pair = 2); every coarser smooth is 0 -> all energy level 1
+    val sq = Resample.haarEnergy(
+      hourly((0 until 32).map(i => if (i % 2 == 0) 1.0 else -1.0)),
+      levels = 3).collect()
+      .map(r => r.getAs[Int]("level") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Double]("energy"),
+          r.getAs[Double]("share"))).toMap
+    assert(sq(1) == ((16L, 32.0, 1.0)), s"$sq") // 16 pairs x d²/2 = 2
+    assert(sq(2)._2 == 0.0 && sq(3)._2 == 0.0)
+  }
 }
