@@ -796,6 +796,8 @@ object SparkEntry {
     "dwh_role_playing" -> ((s, d) =>
       Dwh.rolePlayingDates(Tables.lineitem(s, d), Tables.orders(s, d))),
     "dq_mix_drift" -> ((s, d) => Quality.mixDrift(Tables.events(s, d))),
+    "dq_ad_uniformity" -> ((s, d) =>
+      Quality.adUniformity(Tables.events(s, d))),
     "dq_hash_uniformity" -> ((s, d) =>
       Quality.hashUniformity(Tables.events(s, d))),
     "dq_fd_check" -> ((s, d) => Quality.fdCheck(Seq(
@@ -2633,6 +2635,28 @@ object SparkEntry {
              nullif(sqrt(CAST(s * s - pp AS DOUBLE)
                * CAST(s * s - tt AS DOUBLE)), 0), 6) AS mcc
          FROM tot CROSS JOIN cr""",
+    "dq_ad_uniformity" ->
+      """WITH dk AS (SELECT DISTINCT user_id FROM events),
+         g AS (SELECT (CAST(CAST(user_id AS HUGEINT) * 2654435761
+               % 4294967296 AS DOUBLE) + 0.5) / 4294967296.0 AS u
+           FROM dk),
+         c AS (SELECT u, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY 1),
+         r AS (SELECT u, c,
+             COALESCE(CAST(sum(c) OVER (ORDER BY u
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS BIGINT), 0) AS b
+           FROM c),
+         nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
+         a AS (SELECT max(nn.n) AS n,
+             sum(CAST(2 * b * c + c * c AS DOUBLE) * ln(u)) AS s1,
+             sum(CAST(2 * c * (nn.n - b) - c * c AS DOUBLE)
+               * ln(1.0 - u)) AS s2
+           FROM r, nn)
+         SELECT n AS n_keys,
+           round(-CAST(n AS DOUBLE) - (s1 + s2) / n, 6) AS a2,
+           CAST(2.492 AS DOUBLE) AS crit_5pct,
+           -CAST(n AS DOUBLE) - (s1 + s2) / n < 2.492 AS uniform_ok
+         FROM a""",
     "dq_hash_uniformity" ->
       """WITH dk AS (SELECT DISTINCT user_id FROM events),
          uv AS (SELECT CAST(CAST(user_id AS HUGEINT) * 2654435761

@@ -545,6 +545,50 @@ object Quality {
           .as("uniform_ok"))
   }
 
+  /** ANDERSON–DARLING uniformity audit of the bucketing hash (r9) —
+    * the TAIL-weighted companion to [[hashUniformity]]'s KS gate: KS
+    * sees only the single largest ECDF gap, so a hash that is fine in
+    * the middle but starves the extremes (exactly where threshold
+    * samplers like pipe_split cut) passes KS and fails AD, whose
+    * (2i−1)·[ln u + ln(1−u)] weights blow up at 0 and 1.
+    *
+    * A² = −n − (1/n)·Σᵢ[(2i−1)·ln u₍ᵢ₎ + (2(n−i)+1)·ln(1−u₍ᵢ₎)] over
+    * sorted u; grouped by DISTINCT u (count c, exact strictly-below
+    * count b) the rank sums collapse to integer coefficients
+    * 2bc+c² and 2c(n−b)−c², so position-assignment among ties never
+    * enters — the only floats are the two ln's (midpoint placement
+    * u=(r+0.5)/2³² keeps both logs finite and the dyadic u exact).
+    * Distinct-u frame is key-cardinality-bounded; the window runs on
+    * it, not the corpus (swap in the striped-prefix skeleton above if
+    * distinct u ever outgrows a task). */
+  def adUniformity(events: DataFrame, keyCol: String = "user_id")
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = events.select(col(keyCol)).distinct()
+      .withColumn("u",
+        ((col(keyCol).cast("decimal(38,0)") * lit(2654435761L)
+          % lit(4294967296L)).cast("double") + lit(0.5))
+          / lit(4294967296.0))
+      .groupBy("u").agg(count(lit(1)).as("c"))
+    val wBelow = Window.orderBy("u")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val agg = g
+      .withColumn("b", coalesce(sum("c").over(wBelow), lit(0L)))
+      .crossJoin(broadcast(g.agg(sum("c").as("n"))))
+      .agg(max("n").as("n"),
+        sum((lit(2L) * col("b") * col("c") + col("c") * col("c"))
+          .cast("double") * log(col("u"))).as("s1"),
+        sum((lit(2L) * col("c") * (col("n") - col("b")) -
+          col("c") * col("c")).cast("double") *
+          log(lit(1.0) - col("u"))).as("s2"))
+    agg.select(col("n").as("n_keys"),
+      round(-col("n").cast("double") -
+        (col("s1") + col("s2")) / col("n"), 6).as("a2"),
+      lit(2.492).as("crit_5pct"),
+      (-col("n").cast("double") - (col("s1") + col("s2")) / col("n")
+        < lit(2.492)).as("uniform_ok"))
+  }
+
   /** WEEKLY MIXTURE-DRIFT via Jensen–Shannon divergence — the
     * composition-drift monitor next to [[drift]]'s per-value view:
     * each week's event-type MIX (a distribution over categories)

@@ -478,6 +478,25 @@ class QualitySpec extends SparkSpec {
       bad.getAs[Double]("chi2") == 162.0, s"$bad")
   }
 
+  test("adUniformity: honest ids pass; a tail-starved id set trips the tail-weighted gate") {
+    import spark.implicits._
+    def ev(ids: Seq[Long]) = ids.map(i => (i, "click", 1.0))
+      .toDF("user_id", "event_type", "value")
+    def uOf(id: Long): Double =
+      ((id * 2654435761L) % 4294967296L + 0.5) / 4294967296.0
+    val ok = Quality.adUniformity(ev(0L until 2000L)).collect().head
+    assert(ok.getAs[Boolean]("uniform_ok"), s"honest hash must pass: $ok")
+    // keys whose hash lands only in the middle half: the ECDF matches
+    // uniform loosely in the bulk but the empty tails are exactly what
+    // AD's ln-weights punish
+    val mid = (0L until 100000L).iterator
+      .filter(i => { val u = uOf(i); u > 0.25 && u < 0.75 })
+      .take(2000).toSeq
+    val bad = Quality.adUniformity(ev(mid)).collect().head
+    assert(!bad.getAs[Boolean]("uniform_ok"), s"starved tails must trip: $bad")
+    assert(bad.getAs[Double]("a2") > ok.getAs[Double]("a2"))
+  }
+
   test("padEfficiency: exact-fit buckets waste 0; the baseline charges the global max") {
     import spark.implicits._
     // 4 docs of exactly 32 tokens (zero waste in the 32-bucket) and
