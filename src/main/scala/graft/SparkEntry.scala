@@ -2240,6 +2240,129 @@ object SparkEntry {
            round(CAST(sum(CASE WHEN rms < 0.02 THEN 1 ELSE 0 END) AS BIGINT)
              / CAST(count(*) AS BIGINT), 4) AS silence_ratio
          FROM r GROUP BY doc_id""",
+    // tx_bpe_train / tx_bpe_apply (r9 flips): the 12 merge rounds
+    // replay as ONE recursive CTE over the 31-word vocab frame — per
+    // round, pair counts via a windowed sum over exploded adjacent
+    // symbols, the arg-max pair via first_value (freq desc, l, r —
+    // the trainer's exact tiebreak), and the greedy leftmost merge
+    // via run-parity (a taken match shadows its right neighbor; runs
+    // of matches only arise when l = r, where fold-greedy = take
+    // every even offset in the run). apply reuses the recursion's
+    // final symbol lists — identical to folding the merge table.
+    "tx_bpe_train" ->
+      """WITH RECURSIVE v0 AS (
+           SELECT w, CAST(count(*) AS BIGINT) AS freq,
+             list_append(string_split(w, ''), '</w>') AS syms
+           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           WHERE length(w) > 0 GROUP BY w),
+         dp AS (
+           SELECT 0 AS it, w, freq, syms,
+             CAST(NULL AS VARCHAR) AS bl, CAST(NULL AS VARCHAR) AS br,
+             CAST(NULL AS BIGINT) AS bpf
+           FROM v0
+           UNION ALL
+           SELECT it2, w, freq,
+             list_filter(
+               list_transform(generate_series(1, len(syms)),
+                 k -> CASE WHEN list_contains(tk, k) THEN nbl || nbr
+                           WHEN list_contains(tk, k - 1) THEN NULL
+                           ELSE syms[k] END),
+               x -> x IS NOT NULL) AS syms,
+             nbl, nbr, nbpf
+           FROM (
+             SELECT it2, w, freq, syms, nbl, nbr, nbpf,
+               COALESCE(list(p ORDER BY p) FILTER (WHERE taken), []) AS tk
+             FROM (
+               SELECT *, mtch AND
+                   (p - min(p) OVER (PARTITION BY w, mtch, isl)) % 2 = 0 AS taken
+               FROM (
+                 SELECT *,
+                   p - row_number() OVER (PARTITION BY w, mtch ORDER BY p) AS isl
+                 FROM (
+                   SELECT *, (l = nbl AND r = nbr) AS mtch
+                   FROM (
+                     SELECT it + 1 AS it2, w, freq, syms, p, l, r,
+                       first_value(l) OVER wb AS nbl,
+                       first_value(r) OVER wb AS nbr,
+                       first_value(pf) OVER wb AS nbpf
+                     FROM (
+                       SELECT *, sum(freq) OVER (PARTITION BY l, r) AS pf
+                       FROM (
+                         SELECT d0.it, d0.w, d0.freq, d0.syms, u0.p,
+                           d0.syms[u0.p] AS l, d0.syms[u0.p + 1] AS r
+                         FROM dp d0 LEFT JOIN LATERAL
+                           unnest(generate_series(1, len(d0.syms) - 1)) u0(p)
+                           ON true
+                         WHERE d0.it < 12))
+                     WINDOW wb AS (ORDER BY pf DESC NULLS LAST, l NULLS LAST, r
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING)))))
+             GROUP BY it2, w, freq, syms, nbl, nbr, nbpf)
+         )
+         
+         SELECT DISTINCT CAST(it AS INT) AS merge_rank, bl AS "left",
+           br AS "right", bl || br AS merged, bpf AS pair_freq
+         FROM dp WHERE it >= 1 AND bl IS NOT NULL""",
+    "tx_bpe_apply" ->
+      """WITH RECURSIVE v0 AS (
+           SELECT w, CAST(count(*) AS BIGINT) AS freq,
+             list_append(string_split(w, ''), '</w>') AS syms
+           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           WHERE length(w) > 0 GROUP BY w),
+         dp AS (
+           SELECT 0 AS it, w, freq, syms,
+             CAST(NULL AS VARCHAR) AS bl, CAST(NULL AS VARCHAR) AS br,
+             CAST(NULL AS BIGINT) AS bpf
+           FROM v0
+           UNION ALL
+           SELECT it2, w, freq,
+             list_filter(
+               list_transform(generate_series(1, len(syms)),
+                 k -> CASE WHEN list_contains(tk, k) THEN nbl || nbr
+                           WHEN list_contains(tk, k - 1) THEN NULL
+                           ELSE syms[k] END),
+               x -> x IS NOT NULL) AS syms,
+             nbl, nbr, nbpf
+           FROM (
+             SELECT it2, w, freq, syms, nbl, nbr, nbpf,
+               COALESCE(list(p ORDER BY p) FILTER (WHERE taken), []) AS tk
+             FROM (
+               SELECT *, mtch AND
+                   (p - min(p) OVER (PARTITION BY w, mtch, isl)) % 2 = 0 AS taken
+               FROM (
+                 SELECT *,
+                   p - row_number() OVER (PARTITION BY w, mtch ORDER BY p) AS isl
+                 FROM (
+                   SELECT *, (l = nbl AND r = nbr) AS mtch
+                   FROM (
+                     SELECT it + 1 AS it2, w, freq, syms, p, l, r,
+                       first_value(l) OVER wb AS nbl,
+                       first_value(r) OVER wb AS nbr,
+                       first_value(pf) OVER wb AS nbpf
+                     FROM (
+                       SELECT *, sum(freq) OVER (PARTITION BY l, r) AS pf
+                       FROM (
+                         SELECT d0.it, d0.w, d0.freq, d0.syms, u0.p,
+                           d0.syms[u0.p] AS l, d0.syms[u0.p + 1] AS r
+                         FROM dp d0 LEFT JOIN LATERAL
+                           unnest(generate_series(1, len(d0.syms) - 1)) u0(p)
+                           ON true
+                         WHERE d0.it < 12))
+                     WINDOW wb AS (ORDER BY pf DESC NULLS LAST, l NULLS LAST, r
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING)))))
+             GROUP BY it2, w, freq, syms, nbl, nbr, nbpf)
+         )
+         ,
+         fin AS (SELECT w, len(syms) AS nt FROM dp WHERE it = 12),
+         dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents)
+         SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(fin.nt) AS BIGINT) AS n_bpe_tokens,
+           round(CAST(sum(fin.nt) AS BIGINT)
+             / CAST(sum(length(dw.w) + 1) AS BIGINT), 4) AS compression
+         FROM dw JOIN fin ON dw.w = fin.w
+         GROUP BY dw.doc_id""",
     "st_deming" ->
       """WITH hourly AS (SELECT
              epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
