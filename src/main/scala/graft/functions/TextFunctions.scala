@@ -17,6 +17,26 @@ object TextFunctions {
   /** Whitespace tokenization. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Adjacent-token bigram structs (w1, w2), evaluating the token
+    * split ONCE per row. The naive form — `element_at(tokens(text),
+    * i+1)` inside a `transform` lambda — re-runs the split PER
+    * ELEMENT, because Catalyst's subexpression elimination does not
+    * hoist common expressions out of lambda bodies: an n-token text
+    * paid O(n²) split work (measured r9: tx_textrank's bigram explode
+    * alone was 4.5 s at sf0.1). Wrapping the array in a single-element
+    * `transform` binds it to a LAMBDA VARIABLE, which is a cheap bound
+    * reference inside the inner lambda — one split per row, same
+    * row-local no-shuffle shape. */
+  def bigrams(text: Column): Column = {
+    val t = tokens(text)
+    element_at(transform(array(t), arr =>
+      when(size(arr) < 2,
+        array().cast("array<struct<w1:string,w2:string>>"))
+        .otherwise(transform(sequence(lit(0), size(arr) - 2),
+          i => struct(element_at(arr, i + 1).as("w1"),
+            element_at(arr, i + 2).as("w2"))))), 1)
+  }
+
   def wsTokenCount(text: Column): Column = size(tokens(text))
 
   /** BPE-ish lexer token count: letter runs, digit runs, or single

@@ -129,6 +129,13 @@ object Graph {
           round((lit(1.0) - damping) * coalesce(col("base"), lit(0.0)) +
             lit(damping) * coalesce(col("m"), lit(0.0)), 9).as("rank"))
     }
+    // Bench-number note (r9 probe): gr_ppr reads ~3 s slower than
+    // gr_pagerank in the bench NOT because the loop differs — this
+    // reachability filter forces the rank column to actually compute,
+    // while a bare count() over pageRank's output lets Catalyst prune
+    // the entire rank expression tree. Same loop, honest number here,
+    // flattered number there. A pre-filter localCheckpoint was
+    // measured (3.6 s vs 3.4 s warm) and rejected.
     ranks.select(col("node"), round(col("rank"), 6).as("ppr"))
       .filter(col("ppr") > 0)
   }

@@ -96,11 +96,7 @@ object TextAnalysis {
       .filter(col("c") >= minCount)
       .select("tk")
     val pairs = documents
-      .select(explode(when(size(t) < 2,
-        array().cast("array<struct<w1:string,w2:string>>"))
-        .otherwise(transform(sequence(lit(0), size(t) - 2),
-          i => struct(element_at(t, i + 1).as("w1"),
-            element_at(t, i + 2).as("w2"))))).as("b"))
+      .select(explode(bigrams(col("text"))).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .filter(col("w1") =!= col("w2"))
       .distinct()
@@ -692,11 +688,7 @@ object TextAnalysis {
     val fanned = Scale.fanOut(documents.select("text"))
     val t = tokens(col("text"))
     val c2 = fanned
-      .select(explode(when(size(t) < 2,
-          array().cast("array<struct<w1:string,w2:string>>"))
-        .otherwise(transform(sequence(lit(0), size(t) - 2),
-          i => struct(element_at(t, i + 1).as("w1"),
-            element_at(t, i + 2).as("w2"))))).as("b"))
+      .select(explode(bigrams(col("text"))).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
       .localCheckpoint(true) // 4 consumers below
@@ -727,11 +719,7 @@ object TextAnalysis {
     val fanned = Scale.fanOut(documents.select("text"))
     val t = tokens(col("text"))
     val c2 = fanned
-      .select(explode(when(size(t) < 2,
-          array().cast("array<struct<w1:string,w2:string>>"))
-        .otherwise(transform(sequence(lit(0), size(t) - 2),
-          i => struct(element_at(t, i + 1).as("w1"),
-            element_at(t, i + 2).as("w2"))))).as("b"))
+      .select(explode(bigrams(col("text"))).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("w1").orderBy(col("n").desc, col("w2"))
@@ -755,30 +743,27 @@ object TextAnalysis {
 
   def bigramCrossEntropy(documents: DataFrame): DataFrame = {
     val fanned = Scale.fanOut(documents.select("doc_id", "text"), Seq("doc_id"))
-    val t = tokens(col("text"))
-    val bigrams = fanned
+    val bg = fanned
       .select(col("doc_id"),
-        explode(when(size(t) < 2, array().cast("array<struct<w1:string,w2:string>>"))
-          .otherwise(transform(sequence(lit(0), size(t) - 2),
-            i => struct(element_at(t, i + 1).as("w1"),
-              element_at(t, i + 2).as("w2"))))).as("b"))
+        explode(bigrams(col("text"))).as("b"))
       .select(col("doc_id"), col("b.w1"), col("b.w2"))
       .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
       // the plan branches 3 ways from here (score join + the two model
       // rollups); checkpoint so the explode+shuffle runs ONCE, not 3×
       .localCheckpoint(true)
-    val c2 = bigrams.groupBy("w1", "w2").agg(sum("tf").as("c2"))
+    val c2 = bg.groupBy("w1", "w2").agg(sum("tf").as("c2"))
     val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
     // V = |distinct tokens| without a second full token explode: every
     // token is either some bigram's w1 or its doc's LAST token (the one
     // token of a 1-token doc included), so the union below covers the
     // vocabulary exactly — one row per doc instead of one per token
-    val vocab = bigrams.select("w1")
+    val t = tokens(col("text"))
+    val vocab = bg.select("w1")
       .union(fanned.select(element_at(t, size(t)).as("w1"))
         .where(size(t) >= 1))
       .agg(countDistinct("w1").as("__v"))
     val nlp = -log((col("c2") + lit(1.0)) / (col("c1") + col("__v")))
-    bigrams.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+    bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
       .crossJoin(broadcast(vocab))
       .groupBy("doc_id")
       .agg(sum("tf").as("n_bigrams"),
@@ -793,7 +778,7 @@ object TextAnalysis {
     * curation-grade fluency score needs): interpolated
     * P(w|v) = max(c(vw)−d, 0)/c(v) + d·N₁₊(v·)/c(v) · N₁₊(·w)/N₁₊(··),
     * trained on the md5 80% split, scored on held-out bigrams; unseen
-    * context v backs off to the continuation term alone; test bigrams
+    * context v backs off to the continuation term alone; test bg
     * whose w has NO training continuation mass are counted as n_oov,
     * not scored (documented filter — KN assigns them zero).
     *
@@ -812,11 +797,7 @@ object TextAnalysis {
         substring(md5(concat(lit("kn"), col("doc_id").cast("string"))),
           1, 2) < "cd")
       .select(col("source"), col("is_train"),
-        explode(when(size(t) < 2,
-          array().cast("array<struct<w1:string,w2:string>>"))
-          .otherwise(transform(sequence(lit(0), size(t) - 2),
-            i => struct(element_at(t, i + 1).as("w1"),
-              element_at(t, i + 2).as("w2"))))).as("b"))
+        explode(bigrams(col("text"))).as("b"))
       .select(col("source"), col("is_train"),
         col("b.w1").as("w1"), col("b.w2").as("w2"))
       .groupBy("source", "is_train", "w1", "w2")
