@@ -1624,6 +1624,19 @@ object SparkEntry {
         lit(1.0) / (lit(1.0) + exp(-(q1 / lit(200.0)))),
         (col("label") < 5).cast("int"))
     }),
+    // isotonic recalibration of the same probe score ml_calibration
+    // bins — PAVA in exact integer arithmetic (unique L2 projection,
+    // so the oracle's first-violator recursion lands on identical
+    // numbers regardless of merge order)
+    "ml_isotonic" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val e = Tables.embeddings(s, d)
+      val q1 = round(element_at(
+        col("embedding").cast("array<double>"), 1) * 1000).cast("long")
+      Stats.isotonicCalibration(e,
+        lit(1.0) / (lit(1.0) + exp(-(q1 / lit(200.0)))),
+        (col("label") < 5).cast("int"))
+    }),
     "st_cvm" -> ((s, d) =>
       Stats.cramerVonMises(Tables.events(s, d), "event_type", "value",
         "click", "view")),
@@ -3109,6 +3122,43 @@ object SparkEntry {
          SELECT emb AS embeddedness, n_edges,
            round(CAST(nb AS DOUBLE) / nt, 6) AS bridge_share
          FROM hist CROSS JOIN t""",
+    "ml_isotonic" ->
+      """WITH RECURSIVE sc AS (SELECT
+             1.0 / (1.0 + exp(-(CAST(round(embedding[1] * 1000)
+               AS BIGINT) / 200.0))) AS score,
+             CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+           FROM embeddings),
+         b AS (SELECT CAST(floor(score * 10) AS INT) AS bin,
+             CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS p
+           FROM sc GROUP BY 1),
+         st0 AS (SELECT list(n ORDER BY bin) AS ns,
+             list(p ORDER BY bin) AS ps,
+             list(CAST(1 AS BIGINT) ORDER BY bin) AS cs
+           FROM b),
+         it AS (
+           SELECT 0 AS k, ns, ps, cs FROM st0
+           UNION ALL
+           SELECT k + 1,
+             ns[1:f-1] || [ns[f] + ns[f+1]] || ns[f+2:],
+             ps[1:f-1] || [ps[f] + ps[f+1]] || ps[f+2:],
+             cs[1:f-1] || [cs[f] + cs[f+1]] || cs[f+2:]
+           FROM (SELECT *, list_filter(generate_series(1, len(ns) - 1),
+               i -> ps[i] * ns[i+1] > ps[i+1] * ns[i])[1] AS f
+             FROM it)
+           WHERE f IS NOT NULL),
+         fin AS (SELECT ns, ps, cs FROM it ORDER BY k DESC LIMIT 1),
+         pos AS (SELECT bin, n, p,
+             CAST(row_number() OVER (ORDER BY bin) AS BIGINT) AS rp
+           FROM b),
+         blocks AS (SELECT fin.ns[u.j] AS bn, fin.ps[u.j] AS bp,
+             COALESCE(list_sum(fin.cs[1:u.j-1]), 0) AS lo,
+             list_sum(fin.cs[1:u.j]) AS hi
+           FROM fin, LATERAL unnest(generate_series(1, len(fin.cs)))
+             u(j))
+         SELECT pos.bin, pos.n, pos.p AS n_pos,
+           round(CAST(pos.p AS DOUBLE) / pos.n, 6) AS frac_pos,
+           round(CAST(bk.bp AS DOUBLE) / bk.bn, 6) AS iso_frac
+         FROM pos JOIN blocks bk ON pos.rp > bk.lo AND pos.rp <= bk.hi""",
     "ml_calibration" ->
       """WITH sc AS (SELECT
              1.0 / (1.0 + exp(-(CAST(round(embedding[1] * 1000)

@@ -683,6 +683,57 @@ object Stats {
         round(col("esum").cast("double") / 1000000000.0, 6).as("ece"))
   }
 
+  /** ISOTONIC CALIBRATION of the binned reliability curve (r9) — the
+    * FIX for what [[calibrationReport]] only measures: pool-adjacent-
+    * violators projects the per-bin positive rates onto the monotone
+    * cone (a well-calibrated score must be non-decreasing in the
+    * score), giving the classic isotonic-regression recalibration map
+    * (Zadrozny & Elkan). EXACT end to end: each block's value is the
+    * rational Σpos/Σn, and the violation test cross-multiplies longs
+    * (pᵢ·nⱼ > pⱼ·nᵢ) — no float enters until the final display
+    * division, and the isotonic L2 projection is UNIQUE, so any
+    * correct merge order (the driver's stack scan, the oracle's
+    * first-violator recursion) lands on identical numbers. One
+    * partial-agg pass to the ≤10-bin frame; the PAVA runs driver-side
+    * on those ≤10 rows (parameter-sized scalar class). */
+  def isotonicCalibration(df: DataFrame, score: Column, label: Column)
+      : DataFrame = {
+    val bins = df
+      .select(floor(score * 10).cast("int").as("bin"),
+        label.cast("int").as("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("y").cast("long").as("p"))
+      .orderBy("bin").collect()
+      .map(r => (r.getAs[Int]("bin"), r.getAs[Long]("n"),
+        r.getAs[Long]("p")))
+    // stack PAVA over exact integers
+    case class Blk(n: Long, p: Long, bins: List[(Int, Long, Long)])
+    val stack = scala.collection.mutable.ArrayBuffer[Blk]()
+    for ((bin, n, p) <- bins) {
+      stack += Blk(n, p, List((bin, n, p)))
+      while (stack.length >= 2 && {
+        val a = stack(stack.length - 2); val b = stack.last
+        a.p * b.n > b.p * a.n // frac(a) > frac(b) exactly
+      }) {
+        val b = stack.remove(stack.length - 1)
+        val a = stack.remove(stack.length - 1)
+        stack += Blk(a.n + b.n, a.p + b.p, a.bins ++ b.bins)
+      }
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    // HALF-UP display rounding (not rint's half-even): block ratios
+    // are small-denominator rationals that DO land on exact .5 ulps at
+    // 6dp (73/128 = 0.5703125 here), where rint and the oracle's
+    // round() disagree; floor(x·10⁶ + 0.5) is half-up for these
+    // non-negative values, matching round(x, 6) on any engine
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    stack.toSeq.flatMap(blk => blk.bins.map { case (bin, n, p) =>
+      (bin, n, p, r6(p.toDouble / n),
+        r6(blk.p.toDouble / blk.n))
+    }).toDF("bin", "n", "n_pos", "frac_pos", "iso_frac")
+  }
+
   /** FAIRNESS slice audit at a fixed decision threshold — the
     * equalized-odds / demographic-parity report a model eval needs
     * beyond [[classifierReport]]'s aggregate view: per slice, the

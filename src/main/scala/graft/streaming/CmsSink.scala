@@ -1,0 +1,68 @@
+package graft.streaming
+
+import graft.functions.CmsAggregator
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Streaming COUNT-MIN maintenance (r9) — the speed twin of st_cms,
+  * completing the mergeable-sketch sink family beside
+  * [[QuantileSketchSink]] (quantiles) and [[TopKSink]] (exact-ish
+  * heavy hitters): every micro-batch reduces to ONE depth×width CMS
+  * row in the store, and [[estimates]] answers any later frequency
+  * probe by merging those rows cell-wise — no event history is ever
+  * rescanned, and unlike TopKSink's top-M store the state is
+  * CONSTANT-SIZE per batch no matter how many distinct values the
+  * batch carries (the two sinks bracket the trade: exact counts for
+  * the head vs ε-bounded counts for EVERYTHING).
+  *
+  * Replay discipline (NbModelSink's): the per-batch sketch lands in a
+  * `__batch`-partitioned lake with dynamic overwrite, so at-least-once
+  * redelivery overwrites its own partition with identical bytes —
+  * sketches are deterministic in the batch's rows (fixed seeds,
+  * cell-wise sums commute), so nothing double-counts. Mergeability is
+  * the CmsSpec-locked invariant: sketch(A ∪ B) == merge(sketch(A),
+  * sketch(B)) cell-wise, so the merged store sketch IS the
+  * whole-history sketch. */
+object CmsSink {
+
+  /** One micro-batch: the batch's own CMS over `c`, one row. Also the
+    * backfill twin. */
+  def sketchBatch(batch: DataFrame, batchId: Long, storePath: String,
+                  c: String, depth: Int = 5, width: Int = 2048): Unit =
+    batch
+      .agg(CmsAggregator.cms(depth, width)(xxhash64(col(c))).as("sk"))
+      .withColumn("__batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch")
+      .parquet(storePath)
+
+  def sink(stream: DataFrame, storePath: String, checkpoint: String,
+           c: String, depth: Int = 5, width: Int = 2048)
+      : DataStreamWriter[Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sketchBatch(batch, id, storePath, c, depth, width)
+      }
+
+  /** Read side: probe the MERGED whole-history sketch for a caller's
+    * value list — the same sketch-only report shape as the batch
+    * st_cms surface (probes hash through the same xxhash64 Column the
+    * sink ingested, computed in a probe-sized frame). */
+  def estimates(spark: SparkSession, storePath: String,
+                probes: Seq[String], depth: Int = 5,
+                width: Int = 2048): DataFrame = {
+    import spark.implicits._
+    val sketches = spark.read.parquet(storePath)
+      .select("sk").collect()
+      .map(_.getAs[scala.collection.Seq[Long]]("sk").toArray)
+    val merged = sketches.reduceLeft(CmsAggregator.merge)
+    val hashed = probes.toDF("value")
+      .withColumn("__h", xxhash64(col("value"))).collect()
+    hashed.toSeq.map(r => (r.getAs[String]("value"),
+        CmsAggregator.estimate(merged, depth, width, r.getAs[Long]("__h"))))
+      .toDF("value", "estimate")
+  }
+}

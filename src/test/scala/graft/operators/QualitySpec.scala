@@ -478,6 +478,35 @@ class QualitySpec extends SparkSpec {
       bad.getAs[Double]("chi2") == 162.0, s"$bad")
   }
 
+  test("isotonicCalibration: violators pool to the weighted average; output monotone") {
+    import spark.implicits._
+    // bins 1..4 get 10 rows each with 2, 5, 4, 7 positives: bins 2,3
+    // violate (0.5 > 0.4) and must pool to 9/20 = 0.45
+    val rows = for {
+      (bin, pos) <- Seq((1, 2), (2, 5), (3, 4), (4, 7))
+      i <- 0 until 10
+    } yield (bin / 10.0 + 0.05, if (i < pos) 1 else 0)
+    val out = Stats.isotonicCalibration(rows.toDF("score", "y"),
+      col("score"), col("y")).collect()
+      .map(r => r.getAs[Int]("bin") ->
+        (r.getAs[Double]("frac_pos"), r.getAs[Double]("iso_frac")))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1, 2, 3, 4))
+    assert(out.map(_._2._1).toSeq == Seq(0.2, 0.5, 0.4, 0.7))
+    assert(out.map(_._2._2).toSeq == Seq(0.2, 0.45, 0.45, 0.7),
+      s"violating pair must pool: ${out.toSeq}")
+    assert(out.map(_._2._2).sliding(2).forall(p => p(0) <= p(1)))
+    // a fully monotone curve is a fixpoint
+    val mono = for {
+      (bin, pos) <- Seq((1, 1), (2, 4), (3, 8))
+      i <- 0 until 10
+    } yield (bin / 10.0 + 0.05, if (i < pos) 1 else 0)
+    val fix = Stats.isotonicCalibration(mono.toDF("score", "y"),
+      col("score"), col("y")).collect()
+    assert(fix.forall(r =>
+      r.getAs[Double]("frac_pos") == r.getAs[Double]("iso_frac")))
+  }
+
   test("adUniformity: honest ids pass; a tail-starved id set trips the tail-weighted gate") {
     import spark.implicits._
     def ev(ids: Seq[Long]) = ids.map(i => (i, "click", 1.0))
