@@ -604,6 +604,8 @@ object SparkEntry {
     // ---- G. text analysis / dedup / similarity ----
     "tx_tokens" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
     "tx_quality" -> ((s, d) => TextAnalysis.qualityScores(Tables.documents(s, d))),
+    "pipe_quality_curve" -> ((s, d) =>
+      TextAnalysis.qualityCurve(Tables.documents(s, d))),
     "tx_langid" -> ((s, d) => TextAnalysis.languageId(Tables.documents(s, d))),
     "tx_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(Tables.documents(s, d))),
     "tx_fingerprint_roll" -> ((s, d) =>
@@ -4926,6 +4928,72 @@ object SparkEntry {
                 AS INTEGER) AS n_re_tokens,
            CAST(length(text) AS INTEGER) AS n_chars
          FROM documents""",
+    "pipe_quality_curve" ->
+      """WITH s AS (SELECT
+             length(regexp_replace(lower(text), '[^a-z]', '', 'g')) / length(text) * 0.5
+               + len(list_filter(string_split(text,' '), x -> x IN ('the','a')))
+                 / len(string_split(text,' ')) * 0.3
+               + least(1.0, len(string_split(text,' ')) / 100.0) * 0.2 AS q,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+           FROM documents),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+             CAST(sum(ntok) AS BIGINT) AS nt,
+             CAST(sum(CASE WHEN q >= 0.44 THEN 1 ELSE 0 END) AS BIGINT) AS d_44,
+             CAST(sum(CASE WHEN q >= 0.44 THEN ntok ELSE 0 END) AS BIGINT) AS t_44,
+             CAST(sum(CASE WHEN q >= 0.47 THEN 1 ELSE 0 END) AS BIGINT) AS d_47,
+             CAST(sum(CASE WHEN q >= 0.47 THEN ntok ELSE 0 END) AS BIGINT) AS t_47,
+             CAST(sum(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS d_50,
+             CAST(sum(CASE WHEN q >= 0.5 THEN ntok ELSE 0 END) AS BIGINT) AS t_50,
+             CAST(sum(CASE WHEN q >= 0.53 THEN 1 ELSE 0 END) AS BIGINT) AS d_53,
+             CAST(sum(CASE WHEN q >= 0.53 THEN ntok ELSE 0 END) AS BIGINT) AS t_53,
+             CAST(sum(CASE WHEN q >= 0.56 THEN 1 ELSE 0 END) AS BIGINT) AS d_56,
+             CAST(sum(CASE WHEN q >= 0.56 THEN ntok ELSE 0 END) AS BIGINT) AS t_56,
+             CAST(sum(CASE WHEN q >= 0.59 THEN 1 ELSE 0 END) AS BIGINT) AS d_59,
+             CAST(sum(CASE WHEN q >= 0.59 THEN ntok ELSE 0 END) AS BIGINT) AS t_59,
+             CAST(sum(CASE WHEN q >= 0.62 THEN 1 ELSE 0 END) AS BIGINT) AS d_62,
+             CAST(sum(CASE WHEN q >= 0.62 THEN ntok ELSE 0 END) AS BIGINT) AS t_62
+           FROM s)
+         SELECT CAST(0.44 AS DOUBLE) AS threshold, d_44 AS docs_kept,
+           t_44 AS tokens_kept,
+           round(CAST(d_44 AS DOUBLE) / nd, 6) AS doc_share,
+           round(CAST(t_44 AS DOUBLE) / nt, 6) AS token_share
+         FROM a
+         UNION ALL
+         SELECT CAST(0.47 AS DOUBLE) AS threshold, d_47 AS docs_kept,
+           t_47 AS tokens_kept,
+           round(CAST(d_47 AS DOUBLE) / nd, 6) AS doc_share,
+           round(CAST(t_47 AS DOUBLE) / nt, 6) AS token_share
+         FROM a
+         UNION ALL
+         SELECT CAST(0.5 AS DOUBLE) AS threshold, d_50 AS docs_kept,
+           t_50 AS tokens_kept,
+           round(CAST(d_50 AS DOUBLE) / nd, 6) AS doc_share,
+           round(CAST(t_50 AS DOUBLE) / nt, 6) AS token_share
+         FROM a
+         UNION ALL
+         SELECT CAST(0.53 AS DOUBLE) AS threshold, d_53 AS docs_kept,
+           t_53 AS tokens_kept,
+           round(CAST(d_53 AS DOUBLE) / nd, 6) AS doc_share,
+           round(CAST(t_53 AS DOUBLE) / nt, 6) AS token_share
+         FROM a
+         UNION ALL
+         SELECT CAST(0.56 AS DOUBLE) AS threshold, d_56 AS docs_kept,
+           t_56 AS tokens_kept,
+           round(CAST(d_56 AS DOUBLE) / nd, 6) AS doc_share,
+           round(CAST(t_56 AS DOUBLE) / nt, 6) AS token_share
+         FROM a
+         UNION ALL
+         SELECT CAST(0.59 AS DOUBLE) AS threshold, d_59 AS docs_kept,
+           t_59 AS tokens_kept,
+           round(CAST(d_59 AS DOUBLE) / nd, 6) AS doc_share,
+           round(CAST(t_59 AS DOUBLE) / nt, 6) AS token_share
+         FROM a
+         UNION ALL
+         SELECT CAST(0.62 AS DOUBLE) AS threshold, d_62 AS docs_kept,
+           t_62 AS tokens_kept,
+           round(CAST(d_62 AS DOUBLE) / nd, 6) AS doc_share,
+           round(CAST(t_62 AS DOUBLE) / nt, 6) AS token_share
+         FROM a""",
     "tx_quality" ->
       """SELECT doc_id,
            round(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) / length(text), 6)

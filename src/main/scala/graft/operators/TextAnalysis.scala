@@ -35,6 +35,46 @@ object TextAnalysis {
       round(qualityScore(col("text")), 6).as("quality_score"))
   }
 
+  /** QUALITY-THRESHOLD YIELD CURVE (r9) — the curation-desk question
+    * BEFORE anyone picks a cutoff ("what does quality ≥ t cost in
+    * tokens?"): at each threshold of the composite
+    * [[TextFunctions.qualityScore]], the docs and tokens surviving,
+    * as counts and as shares of the corpus. The rule ladder
+    * (tx_gopher_rules) kills on hard limits; this curve prices the
+    * SOFT score before it becomes pipe_curate's minQuality.
+    *
+    * Scale shape: rocLadder's discipline — thresholds are a literal
+    * ladder, so the whole curve is ONE corpus scan with 2k conditional
+    * sums (map-side combined to a 1-row frame, localCheckpoint'd so
+    * the per-threshold union fan-out reads the materialized row, not
+    * k rescans). Token counts are exact longs; shares divide exact
+    * longs at the close. */
+  def qualityCurve(documents: DataFrame,
+                   // literal decimals, NOT a computed ladder: 0.47+0.03
+                   // is 0.49999999999999994 in doubles, and the oracle's
+                   // 0.5 literal must compare identically
+                   thresholds: Seq[Double] =
+                     Seq(0.44, 0.47, 0.50, 0.53, 0.56, 0.59, 0.62))
+      : DataFrame = {
+    val q = qualityScore(col("text"))
+    val ntok = wsTokenCount(col("text")).cast("long")
+    def key(t: Double): String = s"${(t * 100).round}"
+    val aggCols =
+      Seq(count(lit(1)).as("nd"), sum(ntok).as("nt")) ++
+      thresholds.flatMap(t => Seq(
+        sum(when(q >= t, 1L).otherwise(0L)).as(s"d_${key(t)}"),
+        sum(when(q >= t, ntok).otherwise(0L)).as(s"t_${key(t)}")))
+    val a = documents.agg(aggCols.head, aggCols.tail: _*)
+      .localCheckpoint(true)
+    thresholds.map { t =>
+      a.select(lit(t).as("threshold"),
+        col(s"d_${key(t)}").as("docs_kept"),
+        col(s"t_${key(t)}").as("tokens_kept"),
+        round(col(s"d_${key(t)}") / col("nd"), 6).as("doc_share"),
+        round(col(s"t_${key(t)}") / col("nt"), 6).as("token_share"))
+    }.reduce(_ unionByName _)
+  }
+
   /** GOPHER-style hard rule ladder (Rae et al. 2021 §A1 shape) — the
     * REJECTION companion to [[qualityScores]]' soft scores: each rule
     * is a named boolean gate (word-count bounds, mean-word-length

@@ -100,6 +100,28 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("qualityCurve: kept counts fall monotonically; trivial thresholds keep everything") {
+    import spark.implicits._
+    // two docs far apart on the composite score: a stop-word-rich long
+    // one (high) and a digit-heavy short one (low alpha ratio)
+    val docs = Seq(
+      (1L, ("the a " * 60).trim),
+      (2L, "123 456 789 000")).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityCurve(docs,
+      thresholds = Seq(0.0, 0.5, 0.99)).collect()
+      .map(r => r.getAs[Double]("threshold") ->
+        (r.getAs[Long]("docs_kept"), r.getAs[Long]("tokens_kept"),
+          r.getAs[Double]("token_share"))).toMap
+    assert(out(0.0) == ((2L, 124L, 1.0)), s"$out")
+    assert(out(0.5) == ((1L, 120L, math.rint(120.0 / 124 * 1e6) / 1e6)),
+      s"only the stopword doc clears 0.5: $out")
+    assert(out(0.99)._1 == 0L && out(0.99)._3 == 0.0)
+    // monotone by construction on the real corpus
+    val real = TextAnalysis.qualityCurve(Tables.documents(spark, sf))
+      .orderBy("threshold").collect().map(_.getAs[Long]("docs_kept"))
+    assert(real.sliding(2).forall(p => p(0) >= p(1)))
+  }
+
   test("containment catches a short doc quoted in a long one that Jaccard misses") {
     import spark.implicits._
     val short = "alpha beta gamma delta epsilon zeta eta theta"
