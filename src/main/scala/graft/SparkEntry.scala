@@ -553,6 +553,10 @@ object SparkEntry {
       Stats.cliffsDelta(Tables.events(s, d), "event_type", "value",
         "click", "view")),
     // ---- F. spatial ----
+    "sp_sde" -> ((s, d) =>
+      SpatialJoin.deviationalEllipse(
+        SpatialJoin.customerPoints(Tables.customer(s, d)),
+        "c_lat", "c_lon")),
     "sp_haversine" -> ((s, d) =>
       SpatialJoin.distances(
         Tables.customer(s, d).filter(org.apache.spark.sql.functions.col("c_custkey") <= 20),
@@ -4775,6 +4779,52 @@ object SparkEntry {
            round(max(value),4) AS max_value,
            count(CASE WHEN value >= 100 THEN 1 END) AS n_alerts
          FROM exp GROUP BY 1, 2""",
+    "sp_sde" ->
+      """WITH pts AS (SELECT
+             CAST(round(((c_custkey * 31 % 3600) / 10.0 - 180.0) * 1e4)
+               AS BIGINT) AS x4,
+             CAST(round(((c_custkey * 17 % 1400) / 10.0 - 70.0) * 1e4)
+               AS BIGINT) AS y4
+           FROM customer),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(x4 AS HUGEINT)) AS sx,
+             sum(CAST(y4 AS HUGEINT)) AS sy,
+             sum(CAST(x4 AS HUGEINT) * x4) AS sxx,
+             sum(CAST(y4 AS HUGEINT) * y4) AS syy,
+             sum(CAST(x4 AS HUGEINT) * y4) AS sxy
+           FROM pts),
+         d AS (SELECT n,
+             CAST(sx AS DOUBLE) / n / 1e4 AS mx,
+             CAST(sy AS DOUBLE) / n / 1e4 AS my,
+             CAST(sxx AS DOUBLE) / n / 1e8
+               - (CAST(sx AS DOUBLE) / n / 1e4)
+                 * (CAST(sx AS DOUBLE) / n / 1e4) AS cxx,
+             CAST(syy AS DOUBLE) / n / 1e8
+               - (CAST(sy AS DOUBLE) / n / 1e4)
+                 * (CAST(sy AS DOUBLE) / n / 1e4) AS cyy,
+             CAST(sxy AS DOUBLE) / n / 1e8
+               - (CAST(sx AS DOUBLE) / n / 1e4)
+                 * (CAST(sy AS DOUBLE) / n / 1e4) AS cxy
+           FROM m),
+         t AS (SELECT *, CASE WHEN cxy = 0.0 THEN 0.0
+             ELSE atan(((cxx - cyy)
+               + sqrt((cxx - cyy) * (cxx - cyy) + 4.0 * cxy * cxy))
+               / (2.0 * cxy)) END AS theta
+           FROM d),
+         v AS (SELECT *,
+             cos(theta) * cos(theta) * cxx
+               + 2.0 * cos(theta) * sin(theta) * cxy
+               + sin(theta) * sin(theta) * cyy AS v1,
+             sin(theta) * sin(theta) * cxx
+               - 2.0 * cos(theta) * sin(theta) * cxy
+               + cos(theta) * cos(theta) * cyy AS v2
+           FROM t)
+         SELECT n AS n_points, round(mx, 6) AS center_lon,
+           round(my, 6) AS center_lat,
+           round(degrees(theta), 4) AS theta_deg,
+           round(sqrt(greatest(v1, v2)), 6) AS sigma_major,
+           round(sqrt(least(v1, v2)), 6) AS sigma_minor
+         FROM v""",
     "sp_haversine" ->
       """WITH c AS (SELECT c_custkey,
              round(((c_custkey * 17) % 1400)/10.0 - 70.0, 4) AS c_lat,

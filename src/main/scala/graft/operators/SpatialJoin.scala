@@ -870,4 +870,49 @@ object SpatialJoin {
           col("n"), 4).as("chi2"),
         lit(cells - 1).as("df"))
   }
+
+  /** STANDARD DEVIATIONAL ELLIPSE (r9) — the dispersion ORIENTATION
+    * summary the scalar spreads (sp_quadrat's VMR, sp_clark_evans' R)
+    * cannot express: mean center, the rotation θ that maximizes
+    * variance along one axis (the classic CrimeStat/ArcGIS SDE,
+    * Lefever 1926), and the σ along major/minor axes — "the point
+    * cloud leans northeast, stretched 3:1". Planar lon/lat treatment
+    * by stated contract (the sp_kde/sp_grid_density convention).
+    *
+    * Exactness: coordinates are 4dp by construction, so the five
+    * moments (Σx, Σy, Σx², Σy², Σxy) reduce exactly in decimal(38,0)
+    * over 1e4-scaled longs — ONE partial-agg pass, partitioning-
+    * invariant — and the closed-form θ/σ algebra runs on identical
+    * doubles in both engines (atan/sqrt/sin/cos agreement is the
+    * sp_haversine precedent). B = 0 (no covariance) pins θ = 0
+    * explicitly — no atan2 branch ambiguity to replay. */
+  def deviationalEllipse(points: DataFrame, latCol: String,
+                         lonCol: String): DataFrame = {
+    val x4 = round(col(lonCol) * 1e4).cast("long")
+    val y4 = round(col(latCol) * 1e4).cast("long")
+    val dec = "decimal(38,0)"
+    val m = points.agg(count(lit(1)).as("n"),
+      sum(x4.cast(dec)).as("sx"), sum(y4.cast(dec)).as("sy"),
+      sum((x4 * x4).cast(dec)).as("sxx"),
+      sum((y4 * y4).cast(dec)).as("syy"),
+      sum((x4 * y4).cast(dec)).as("sxy"))
+    val n = col("n").cast("double")
+    val mx = col("sx").cast("double") / n / lit(1e4)
+    val my = col("sy").cast("double") / n / lit(1e4)
+    val cxx = col("sxx").cast("double") / n / lit(1e8) - mx * mx
+    val cyy = col("syy").cast("double") / n / lit(1e8) - my * my
+    val cxy = col("sxy").cast("double") / n / lit(1e8) - mx * my
+    val a = cxx - cyy
+    val theta = when(cxy === 0.0, lit(0.0))
+      .otherwise(atan((a + sqrt(a * a + lit(4.0) * cxy * cxy)) /
+        (lit(2.0) * cxy)))
+    val (c, sn) = (cos(theta), sin(theta))
+    val v1 = c * c * cxx + lit(2.0) * c * sn * cxy + sn * sn * cyy
+    val v2 = sn * sn * cxx - lit(2.0) * c * sn * cxy + c * c * cyy
+    m.select(col("n").as("n_points"),
+      round(mx, 6).as("center_lon"), round(my, 6).as("center_lat"),
+      round(degrees(theta), 4).as("theta_deg"),
+      round(sqrt(greatest(v1, v2)), 6).as("sigma_major"),
+      round(sqrt(least(v1, v2)), 6).as("sigma_minor"))
+  }
 }

@@ -45,6 +45,28 @@ class WindowsLambdaSpec extends SparkSpec {
     assert(total == 2 * Tables.events(spark, sf).count())
   }
 
+  test("deviationalEllipse: a 45-degree line orients at 45 with zero minor axis; a square is isotropic") {
+    import spark.implicits._
+    // perfect line y = x: theta 45 deg, all variance on the major axis
+    val line = (1 to 9).map(i => (i.toDouble, i.toDouble))
+      .toDF("c_lat", "c_lon")
+    val l = SpatialJoin.deviationalEllipse(line, "c_lat", "c_lon")
+      .collect().head
+    assert(l.getAs[Double]("theta_deg") == 45.0, s"$l")
+    assert(l.getAs[Double]("sigma_minor") == 0.0)
+    assert(l.getAs[Double]("sigma_major") > 0)
+    assert(l.getAs[Double]("center_lat") == 5.0 &&
+      l.getAs[Double]("center_lon") == 5.0)
+    // axis-aligned unit square corners: zero covariance, equal axes
+    val sq = Seq((0.0, 0.0), (0.0, 1.0), (1.0, 0.0), (1.0, 1.0))
+      .toDF("c_lat", "c_lon")
+    val q = SpatialJoin.deviationalEllipse(sq, "c_lat", "c_lon")
+      .collect().head
+    assert(q.getAs[Double]("theta_deg") == 0.0)
+    assert(q.getAs[Double]("sigma_major") ==
+      q.getAs[Double]("sigma_minor"), s"$q")
+  }
+
   test("nearestSupplier: one row per customer, distance minimal") {
     val customers = Tables.customer(spark, sf)
     val out = SpatialJoin.nearestSupplier(customers, Tables.supplier(spark, sf))
