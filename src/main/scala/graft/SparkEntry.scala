@@ -519,6 +519,8 @@ object SparkEntry {
     "ts_ar1_halflife" -> ((s, d) => Resample.ar1HalfLife(Tables.events(s, d))),
     "ts_hurst" -> ((s, d) => Resample.hurstRS(Tables.events(s, d))),
     "ts_turning_points" -> ((s, d) => Resample.turningPoints(Tables.events(s, d))),
+    "ts_seasonal_mk" -> ((s, d) =>
+      Resample.seasonalMannKendall(Tables.events(s, d))),
     "ts_mann_kendall" -> ((s, d) =>
       Resample.mannKendall(Tables.events(s, d))),
     "st_tost" -> ((s, d) =>
@@ -7182,6 +7184,32 @@ object SparkEntry {
          SELECT segment, month FROM segs CROSS JOIN months
          WHERE NOT EXISTS (SELECT 1 FROM covered c
            WHERE c.segment = segs.segment AND c.month = months.month)""",
+    "ts_seasonal_mk" ->
+      """WITH hv AS (SELECT hr % 24 AS hod, hr // 24 AS day, v FROM (
+           SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
+             round(avg(value), 6) AS v
+           FROM events WHERE event_type = 'click' GROUP BY 1)),
+         p AS (SELECT CAST(sum(CAST(sign(b.v - a.v) AS BIGINT))
+               AS BIGINT) AS s
+           FROM hv a JOIN hv b
+             ON a.hod = b.hod AND a.day < b.day),
+         t AS (SELECT hod, CAST(sum(t) AS BIGINT) AS nh,
+             CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tsumh
+           FROM (SELECT hod, v, CAST(count(*) AS BIGINT) AS t
+                 FROM hv GROUP BY 1, 2) GROUP BY 1),
+         w AS (SELECT CAST(count(*) AS BIGINT) AS n_seasons,
+             CAST(sum(nh) AS BIGINT) AS n,
+             CAST(sum(nh * (nh - 1) * (2 * nh + 5) - tsumh) AS BIGINT)
+               AS varnum
+           FROM t),
+         d AS (SELECT s, n_seasons, n, varnum,
+             CAST(varnum AS DOUBLE) / 18.0 AS vs
+           FROM p CROSS JOIN w)
+         SELECT n_seasons, n, s,
+           round(CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt(vs)
+             WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt(vs)
+             ELSE 0.0 END, 4) AS z
+         FROM d""",
     "ts_mann_kendall" ->
       """WITH hourly AS (SELECT
              epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,

@@ -1034,6 +1034,52 @@ object Resample {
       round(z, 4).as("z"))
   }
 
+  /** SEASONAL Mann–Kendall (Hirsch–Slack) — the trend test
+    * [[mannKendall]] gives WRONG answers on seasonal data (a flat
+    * series with a daily cycle generates spurious cross-hour sign
+    * pairs): pairs compare only WITHIN a season (hour-of-day), each
+    * season contributes its own S_h and tie-corrected variance, and
+    * the combined Z = (ΣS_h ∓ 1)/√ΣVar_h detects a monotone
+    * day-over-day trend net of the daily shape.
+    *
+    * Scale shape: the (day, hour) frame is calendar-bounded; the
+    * within-season pair join is an equi-join on hour-of-day (pairs
+    * bounded by 24·days², never data-sized; at extreme spans the
+    * season key salts like any 24-key skew join). S and every
+    * variance term are EXACT longs (6dp-rounded means sign identical
+    * comparisons on both engines); one double division at the close. */
+  def seasonalMannKendall(events: DataFrame,
+                          eventType: String = "click"): DataFrame = {
+    val hv = events.filter(col("event_type") === eventType)
+      .groupBy(expr("unix_seconds(date_trunc('hour', ts)) div 3600")
+        .as("hr"))
+      .agg(round(avg("value"), 6).as("v"))
+      .select((col("hr") % 24).as("hod"),
+        expr("hr div 24").as("day"), col("v"))
+    val b = hv.select(col("hod"), col("day").as("day2"),
+      col("v").as("v2"))
+    val sTot = hv.join(b, Seq("hod"))
+      .filter(col("day") < col("day2"))
+      .agg(sum(signum(col("v2") - col("v")).cast("long")).as("s"))
+    val vars = hv.groupBy("hod", "v").agg(count(lit(1)).as("t"))
+      .groupBy("hod")
+      .agg(sum("t").as("nh"),
+        sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))
+          .as("tsumh"))
+      .agg(count(lit(1)).as("n_seasons"), sum("nh").as("n"),
+        sum(col("nh") * (col("nh") - 1) * (lit(2) * col("nh") + 5) -
+          col("tsumh")).as("varnum"))
+    val j = sTot.crossJoin(broadcast(vars))
+    val varS = col("varnum").cast("double") / 18.0
+    val z = when(col("s") > 0,
+        (col("s") - lit(1L)).cast("double") / sqrt(varS))
+      .when(col("s") < 0,
+        (col("s") + lit(1L)).cast("double") / sqrt(varS))
+      .otherwise(lit(0.0))
+    j.select(col("n_seasons"), col("n").cast("long").as("n"),
+      col("s"), round(z, 4).as("z"))
+  }
+
   /** PERIODOGRAM over candidate periods — dominant-cycle detection for
     * the hourly series ("is the rhythm daily, half-daily, weekly?"
     * asked directly, where ts_acf answers it only implicitly): the

@@ -825,6 +825,29 @@ class RangeResampleSpec extends SparkSpec {
       "a trend must be flagged as non-random")
   }
 
+  test("seasonalMannKendall: day-over-day trend detected NET of a daily cycle plain MK misreads") {
+    import spark.implicits._
+    def ev(vs: Seq[(Int, Int, Double)]) = vs.map { case (d, h, v) =>
+      ((d * 24L + h) * 3600L, "click", v)
+    }.toDF("s", "event_type", "value")
+      .select(timestamp_seconds(col("s")).as("ts"), col("event_type"),
+        col("value"))
+    // pure daily cycle, NO day-over-day trend: every within-season
+    // pair ties -> S = 0, z = 0 (plain MK would see huge cross-hour S)
+    val cyc = for (d <- 0 until 10; h <- 0 until 24)
+      yield (d, h, 10.0 + (h % 12))
+    val c = Resample.seasonalMannKendall(ev(cyc)).collect().head
+    assert(c.getAs[Long]("s") == 0L && c.getAs[Double]("z") == 0.0, s"$c")
+    assert(c.getAs[Long]("n_seasons") == 24L)
+    // same cycle + a rising day term: every within-season pair is
+    // positive -> S = 24 * C(10,2) = 1080, z strongly positive
+    val tr = for (d <- 0 until 10; h <- 0 until 24)
+      yield (d, h, 10.0 + (h % 12) + d)
+    val t = Resample.seasonalMannKendall(ev(tr)).collect().head
+    assert(t.getAs[Long]("s") == 1080L, s"$t")
+    assert(t.getAs[Double]("z") > 5.0)
+  }
+
   test("haarEnergy: constant series is all-zero; 2-hour square wave puts every joule at level 1") {
     import spark.implicits._
     def hourly(vs: Seq[Double]) = vs.zipWithIndex.map { case (v, i) =>
