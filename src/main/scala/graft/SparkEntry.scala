@@ -523,6 +523,10 @@ object SparkEntry {
       Resample.seasonalMannKendall(Tables.events(s, d))),
     "ts_mann_kendall" -> ((s, d) =>
       Resample.mannKendall(Tables.events(s, d))),
+    "ts_matrix_profile" -> ((s, d) =>
+      Resample.matrixProfile(Tables.events(s, d))),
+    "st_hodges_lehmann" -> ((s, d) =>
+      Stats.hodgesLehmann(Tables.events(s, d))),
     "st_tost" -> ((s, d) =>
       Stats.tostEquivalence(Tables.events(s, d), "event_type", "value",
         "click", "view", margin = 2.0)),
@@ -571,6 +575,8 @@ object SparkEntry {
       SpatialJoin.knnSuppliersGrid(Tables.customer(s, d), Tables.supplier(s, d), k = 3)),
     "sp_moran" -> ((s, d) =>
       SpatialJoin.moranI(Tables.customer(s, d))),
+    "sp_getis_ord" -> ((s, d) =>
+      SpatialJoin.getisOrd(Tables.customer(s, d))),
     "sp_silhouette" -> ((s, d) =>
       SpatialJoin.gridSilhouette(Tables.customer(s, d))),
     "sp_grid_density" -> ((s, d) =>
@@ -612,6 +618,8 @@ object SparkEntry {
     "tx_quality" -> ((s, d) => TextAnalysis.qualityScores(Tables.documents(s, d))),
     "pipe_quality_curve" -> ((s, d) =>
       TextAnalysis.qualityCurve(Tables.documents(s, d))),
+    "tx_rake" -> ((s, d) =>
+      TextAnalysis.rakeKeywords(Tables.documents(s, d))),
     "tx_langid" -> ((s, d) => TextAnalysis.languageId(Tables.documents(s, d))),
     "tx_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(Tables.documents(s, d))),
     "tx_fingerprint_roll" -> ((s, d) =>
@@ -801,6 +809,8 @@ object SparkEntry {
       SimilaritySearch.mipsTopK(Tables.embeddings(s, d), 0L, 10)),
     "dwh_junk_dim" -> ((s, d) => Dwh.junkDimension(Tables.orders(s, d))),
     "dwh_mini_dim" -> ((s, d) => Dwh.miniDimension(Tables.customer(s, d))),
+    "dwh_data_vault" -> ((s, d) =>
+      Dwh.dataVaultLoad(Tables.orders(s, d), Tables.customer(s, d))),
     "dwh_role_playing" -> ((s, d) =>
       Dwh.rolePlayingDates(Tables.lineitem(s, d), Tables.orders(s, d))),
     "dq_mix_drift" -> ((s, d) => Quality.mixDrift(Tables.events(s, d))),
@@ -957,6 +967,8 @@ object SparkEntry {
     "mm_phash" -> ((s, d) => Multimodal.phashSummary(Tables.documents(s, d))),
     "mm_audio_energy" -> ((s, d) =>
       Multimodal.audioEnergySummary(Tables.documents(s, d))),
+    "mm_bmp_roundtrip" -> ((s, d) =>
+      Multimodal.bmpResizeSummary(Tables.documents(s, d))),
     "mm_scenecut" -> ((s, d) =>
       Multimodal.sceneCutSummary(Tables.documents(s, d))),
     "mm_frames" -> ((s, d) =>
@@ -2242,6 +2254,29 @@ object SparkEntry {
              AS dtw_per_step
          FROM fin""",
     // mm_audio_energy (r9 flip): the WAV round-trip is byte-exact —
+    // the REAL BMP round trip: Spark encodes/decodes/resizes actual
+    // 24-bit BMP bytes; the twin replays the pixel ALGEBRA only (dims
+    // from the id, gray = the stride-13 text byte, nearest-neighbor
+    // index math, header+row-padding size formula) — ASCII corpus ⇒
+    // byte algebra ≡ char algebra, same discipline as mm_frames
+    "mm_bmp_roundtrip" ->
+      """WITH img AS (SELECT doc_id AS media_id, text,
+             CAST(length(text) AS BIGINT) AS n,
+             CAST(8 + doc_id % 5 AS INTEGER) AS w,
+             CAST(6 + doc_id % 4 AS INTEGER) AS h
+           FROM documents WHERE doc_id % 3 = 0 AND length(text) > 0),
+         d AS (SELECT *, w // 2 AS w2, h // 2 AS h2 FROM img),
+         px AS (SELECT media_id, w, h, w2, h2,
+             ((y.r * h // h2) * w + (x.r * w // w2)) * 13 % n AS p,
+             text
+           FROM d CROSS JOIN range(0, 6) x(r) CROSS JOIN range(0, 4) y(r)
+           WHERE x.r < w2 AND y.r < h2)
+         SELECT media_id, w AS width, h AS height, w2 AS out_w,
+           h2 AS out_h,
+           CAST(54 + ((3 * w + 3) // 4 * 4) * h AS INTEGER) AS bmp_bytes,
+           CAST(sum(ascii(substr(text, CAST(p AS INTEGER) + 1, 1)))
+             AS BIGINT) AS checksum
+         FROM px GROUP BY 1, 2, 3, 4, 5, 6""",
     // synthesized samples are ((byte−128)·256), so each RMS term
     // (k/128)² is a dyadic rational ≤ 1 with denominator 2^14: every
     // window sum is EXACT in doubles regardless of order, and the
@@ -6928,6 +6963,34 @@ object SparkEntry {
            balance_band, segment, n_members, first_custkey,
            round(CAST(n_members AS DOUBLE) / nt, 6) AS member_share
          FROM members CROSS JOIN t""",
+    "dwh_data_vault" ->
+      """WITH hub_c AS (SELECT md5(CAST(c_custkey AS VARCHAR)) AS hk
+             FROM (SELECT DISTINCT c_custkey FROM customer)),
+         hub_o AS (SELECT md5(CAST(o_orderkey AS VARCHAR)) AS hk
+             FROM (SELECT DISTINCT o_orderkey FROM orders)),
+         lnk AS (SELECT md5(CAST(o_orderkey AS VARCHAR) || '|' ||
+               CAST(o_custkey AS VARCHAR)) AS lhk
+             FROM (SELECT DISTINCT o_orderkey, o_custkey FROM orders)),
+         sat AS (SELECT DISTINCT md5(CAST(o_orderkey AS VARCHAR)) AS hk,
+             md5(o_orderstatus || '|' ||
+               CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+               || '|' || o_orderpriority) AS hashdiff
+             FROM orders),
+         a1 AS (SELECT 'hub_customer' AS structure,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT hk) AS BIGINT) AS n_keys,
+             min(hk) AS min_hk, max(hk) AS max_hk FROM hub_c),
+         a2 AS (SELECT 'hub_order', CAST(count(*) AS BIGINT),
+             CAST(count(DISTINCT hk) AS BIGINT), min(hk), max(hk)
+             FROM hub_o),
+         a3 AS (SELECT 'link_order_customer', CAST(count(*) AS BIGINT),
+             CAST(count(DISTINCT lhk) AS BIGINT), min(lhk), max(lhk)
+             FROM lnk),
+         a4 AS (SELECT 'sat_order', CAST(count(*) AS BIGINT),
+             CAST(count(DISTINCT hk) AS BIGINT), min(hk), max(hk)
+             FROM sat)
+         SELECT * FROM a1 UNION ALL SELECT * FROM a2
+         UNION ALL SELECT * FROM a3 UNION ALL SELECT * FROM a4""",
     "dq_fd_check" ->
       """WITH f1 AS (SELECT 'orderkey->custkey' AS fd,
              CAST(count(*) AS BIGINT) AS n_groups,
@@ -7234,6 +7297,37 @@ object SparkEntry {
                  CAST(tsum AS DOUBLE)) / 18.0)
              ELSE 0.0 END, 4) AS z
          FROM d""",
+    "ts_matrix_profile" ->
+      """WITH daily AS (SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             CAST(round(avg(value) * 1e6) AS BIGINT) AS v
+           FROM events GROUP BY 1, 2),
+         el AS (SELECT event_type, t.k, d - t.k AS i, v
+           FROM daily CROSS JOIN range(0, 7) t(k)),
+         pairs AS (SELECT a.event_type, a.i, b.i AS j,
+             CAST(sum((a.v - b.v) * (a.v - b.v)) AS BIGINT) AS d2
+           FROM el a JOIN el b ON a.event_type = b.event_type
+             AND a.k = b.k AND abs(a.i - b.i) >= 4
+           GROUP BY 1, 2, 3 HAVING count(*) = 7)
+         SELECT event_type, start_day, nn_day, dist2
+         FROM (SELECT event_type, i AS start_day, j AS nn_day,
+             d2 AS dist2, row_number() OVER (PARTITION BY event_type, i
+               ORDER BY d2, j) AS rn
+           FROM pairs) WHERE rn = 1""",
+    "st_hodges_lehmann" ->
+      """WITH daily AS (SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             CAST(round(avg(value) * 1e6) AS BIGINT) AS v
+           FROM events GROUP BY 1, 2),
+         w AS (SELECT a.event_type,
+             CASE WHEN a.d = b.d THEN 1 ELSE 0 END AS self_pair,
+             a.v + b.v AS s
+           FROM daily a JOIN daily b
+             ON a.event_type = b.event_type AND a.d <= b.d)
+         SELECT event_type, CAST(sum(self_pair) AS BIGINT) AS n_days,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(quantile_cont(s, 0.5) / 2e6, 6) AS hl
+         FROM w GROUP BY 1""",
     "st_boxcox" ->
       """WITH g AS (SELECT CAST(unnest([-1.0, -0.5, 0.0, 0.5, 1.0, 2.0])
              AS DOUBLE) AS lambda),
@@ -8676,6 +8770,31 @@ object SparkEntry {
          FROM c2 JOIN lm USING (w1) JOIN rm USING (w2) CROSS JOIN tt
          WHERE n >= 5
          ORDER BY pmi DESC, w1, w2 LIMIT 20""",
+    "tx_rake" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+           FROM documents),
+         tk AS (SELECT doc_id, unnest(list_transform(
+             range(1, len(t)+1), i -> {'pos': i, 'tok': t[i]}),
+             recursive := true) FROM toks),
+         nst AS (SELECT doc_id, pos, tok AS word FROM tk
+           WHERE tok <> '' AND tok NOT IN ('a', 'the')),
+         runs AS (SELECT doc_id, pos, word, pos - row_number()
+             OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           FROM nst),
+         member AS (SELECT doc_id, pos, word, grp, count(*)
+             OVER (PARTITION BY doc_id, grp) AS plen
+           FROM runs),
+         ws AS (SELECT word, CAST(round(sum(plen) * 1e6 / count(*))
+               AS BIGINT) AS ws6
+           FROM member GROUP BY 1),
+         phrases AS (SELECT doc_id, grp,
+             string_agg(word, ' ' ORDER BY pos) AS phrase,
+             CAST(sum(ws6) AS BIGINT) AS score6
+           FROM member JOIN ws USING (word) GROUP BY 1, 2)
+         SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+           round(max(score6) / 1e6, 6) AS score
+         FROM phrases GROUP BY 1
+         ORDER BY max(score6) DESC, phrase LIMIT 15""",
     "tx_ppmi" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
            FROM documents),
@@ -9373,6 +9492,37 @@ object SparkEntry {
              AS moran_i,
            round(-1.0 / (n - 1), 6) AS expected_i
          FROM pairs CROSS JOIN d""",
+    "sp_getis_ord" ->
+      """WITH p AS (SELECT
+             round(((c_custkey * 17) % 1400)/10.0 - 70.0, 4) AS lat,
+             round(((c_custkey * 31) % 3600)/10.0 - 180.0, 4) AS lon
+           FROM customer),
+         g AS (SELECT CAST(floor((lat + 90) / 10) AS INTEGER) AS cell_lat,
+             CAST(floor((lon + 180) / 10) AS INTEGER) AS cell_lon,
+             CAST(count(*) AS BIGINT) AS x
+           FROM p GROUP BY 1, 2),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             sum(CAST(x AS HUGEINT) * x) AS sxx FROM g),
+         o AS (SELECT * FROM (VALUES (-1,-1), (-1,0), (-1,1), (0,-1),
+             (0,0), (0,1), (1,-1), (1,0), (1,1)) AS t(dlat, dlon)),
+         pr AS (SELECT g.cell_lat + o.dlat AS t_lat,
+             g.cell_lon + o.dlon AS t_lon, g.x
+           FROM g CROSS JOIN o),
+         hood AS (SELECT t_lat, t_lon, CAST(count(*) AS BIGINT) AS w,
+             CAST(sum(x) AS BIGINT) AS s
+           FROM pr GROUP BY 1, 2)
+         SELECT g.cell_lat, g.cell_lon, g.x AS n_points,
+           hood.w AS w_cells,
+           round(CAST(CAST(n AS HUGEINT) * s - CAST(sx AS HUGEINT) * w
+               AS DOUBLE)
+             / nullif(sqrt(CAST(CAST(n AS HUGEINT) * sxx
+                 - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+               * sqrt(CAST(n * w - w * w AS DOUBLE)
+                 / CAST(n - 1 AS DOUBLE)), 0.0), 6) AS gi_z
+         FROM g JOIN hood ON g.cell_lat = hood.t_lat
+           AND g.cell_lon = hood.t_lon
+         CROSS JOIN m""",
     "sp_grid_density" ->
       """WITH p AS (SELECT
              round(((c_custkey * 17) % 1400)/10.0 - 70.0, 4) AS lat,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -699,5 +699,96 @@ object Dwh {
         col("n_members"), col("first_custkey"),
         round(col("n_members").cast("double") / col("nt"), 6)
           .as("member_share"))
+  }
+
+  // --------------------------------------------------------------------
+  // DATA VAULT 2.0 raw-vault load — the modeling school the course's
+  // Kimball-star material contrasts against (Linstedt): hubs hold ONLY
+  // distinct business keys, links only distinct relationships, and
+  // satellites all describing attributes keyed by hash + hashdiff.
+  // Hash keys are md5 over the canonical business-key string, so the
+  // load is deterministic, idempotent (re-loading the same batch
+  // inserts nothing — every builder ends in a distinct on its hash),
+  // and massively parallel: each structure is one hash-aggregation on
+  // its own key, no structure ever joins another during load — the
+  // property that lets a 1000-executor cluster load hubs, links, and
+  // satellites concurrently from the same staged scan at 100 TB.
+  // --------------------------------------------------------------------
+
+  /** Canonical business-key string: exact-integer keys render without
+    * engine-specific float formatting (money is canonicalized to cents
+    * BEFORE entering any hashdiff). */
+  private def bkStr(c: Column): Column = c.cast("long").cast("string")
+
+  /** HUB: one row per distinct business key. `hk` = md5(bk) — the join
+    * key every satellite and link uses, computed identically by any
+    * engine that can md5 a UTF-8 string (the vault survives engine
+    * migration, which is why DV2 prescribes deterministic hashes over
+    * sequence surrogates). */
+  def vaultHub(src: DataFrame, bk: Column, source: String): DataFrame =
+    src.select(bkStr(bk).as("business_key")).distinct()
+      .select(md5(col("business_key").cast("binary")).as("hk"),
+        col("business_key"), lit(source).as("record_source"))
+
+  /** LINK: one row per distinct relationship instance. The link hash
+    * key is md5 over the pipe-joined ORDERED business keys, and the
+    * member hub keys ride along so graph traversal never recomputes a
+    * hash. */
+  def vaultLink(src: DataFrame, bk1: Column, bk2: Column,
+                source: String): DataFrame =
+    src.select(bkStr(bk1).as("bk1"), bkStr(bk2).as("bk2")).distinct()
+      .select(
+        md5(concat_ws("|", col("bk1"), col("bk2")).cast("binary"))
+          .as("lhk"),
+        md5(col("bk1").cast("binary")).as("hk1"),
+        md5(col("bk2").cast("binary")).as("hk2"),
+        lit(source).as("record_source"))
+
+  /** SATELLITE: describing attributes keyed by (hk, hashdiff), where
+    * hashdiff = md5 over the pipe-joined canonical attribute strings.
+    * A re-delivered unchanged row collapses into the existing version
+    * (distinct on the pair); a changed attribute lands as a NEW
+    * version under the same hk — CDC for free, no before-image needed.
+    * Attribute canonicalization is the caller's contract (money in
+    * cents, dates ISO) so the hashdiff never depends on an engine's
+    * float printer. */
+  def vaultSatellite(src: DataFrame, bk: Column, attrs: Seq[Column])
+      : DataFrame = {
+    val canon = attrs.map(_.cast("string"))
+    src.select(bkStr(bk).as("business_key"),
+        md5(concat_ws("|", canon: _*).cast("binary")).as("hashdiff"),
+        concat_ws("|", canon: _*).as("payload"))
+      .distinct()
+      .select(md5(col("business_key").cast("binary")).as("hk"),
+        col("hashdiff"), col("payload"))
+  }
+
+  /** The raw-vault LOAD AUDIT over the order-to-customer subject area —
+    * the per-structure verification report a vault load emits (row
+    * counts, distinct hash keys, and the lexicographic hk range as a
+    * cheap content witness): hub_customer + hub_order + the
+    * order-customer link + sat_order (status, cents, priority).
+    * Four independent hash-aggregations off two staged scans; nothing
+    * here is data-order-dependent, so the report is byte-stable across
+    * loads and engines. */
+  def dataVaultLoad(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val hubC = vaultHub(customer, col("c_custkey"), "customer")
+    val hubO = vaultHub(orders, col("o_orderkey"), "orders")
+    val link = vaultLink(orders, col("o_orderkey"), col("o_custkey"),
+      "orders")
+    val satO = vaultSatellite(orders, col("o_orderkey"), Seq(
+      col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long"),
+      col("o_orderpriority")))
+    def audit(df: DataFrame, name: String, hk: String): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(hk)).as("n_keys"),
+        min(col(hk)).as("min_hk"), max(col(hk)).as("max_hk"))
+        .select(lit(name).as("structure"), col("n_rows"), col("n_keys"),
+          col("min_hk"), col("max_hk"))
+    audit(hubC, "hub_customer", "hk")
+      .unionAll(audit(hubO, "hub_order", "hk"))
+      .unionAll(audit(link, "link_order_customer", "lhk"))
+      .unionAll(audit(satO, "sat_order", "hk"))
   }
 }

@@ -343,6 +343,158 @@ object Multimodal {
   def audioEnergySummary(documents: DataFrame): DataFrame =
     audioEnergyWav(wavMediaFromDocuments(documents))
 
+  /** Decoded image: grayscale pixels row-major TOP-DOWN (the decoder
+    * un-flips BMP's bottom-up row order). */
+  case class BmpImage(width: Int, height: Int, gray: Array[Int])
+
+  /** REAL pure-JVM 24-bit uncompressed BMP decoder — [[decodeWav]]'s
+    * image twin (r9): parses BITMAPFILEHEADER + BITMAPINFOHEADER,
+    * accepts biBitCount=24 / BI_RGB only, honors the 4-byte row
+    * padding and the bottom-up (positive height) vs top-down (negative)
+    * row order, reads pixels at the header's declared data offset
+    * (not a fixed 54 assume), and returns None for anything malformed
+    * rather than throwing — same poison-asset contract as the WAV
+    * path. Grayscale = (r+g+b)/3 integer mean (our synthetic assets
+    * write equal channels, so the mean is exact). */
+  def decodeBmp(bytes: Array[Byte]): Option[BmpImage] = {
+    def u16(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+    def u32(o: Int): Long =
+      (u16(o).toLong | (u16(o + 2).toLong << 16)) & 0xFFFFFFFFL
+    if (bytes.length < 54) return None
+    if (bytes(0) != 'B' || bytes(1) != 'M') return None
+    val dataOff = u32(10)
+    if (u32(14) != 40L) return None            // BITMAPINFOHEADER only
+    val w = u32(18).toInt
+    val hRaw = u32(22).toInt                    // signed: <0 = top-down
+    if (u16(26) != 1 || u16(28) != 24) return None
+    if (u32(30) != 0L) return None              // BI_RGB (uncompressed)
+    val bottomUp = hRaw > 0
+    val h = math.abs(hRaw)
+    if (w <= 0 || h == 0 || w > (1 << 20) || h > (1 << 20)) return None
+    val rowSize = ((3 * w + 3) / 4) * 4
+    if (dataOff < 54 || dataOff + rowSize.toLong * h > bytes.length)
+      return None
+    val gray = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val fileRow = if (bottomUp) h - 1 - y else y
+      val base = dataOff.toInt + fileRow * rowSize
+      var x = 0
+      while (x < w) {
+        val b = bytes(base + 3 * x) & 0xFF
+        val g = bytes(base + 3 * x + 1) & 0xFF
+        val r = bytes(base + 3 * x + 2) & 0xFF
+        gray(y * w + x) = (r + g + b) / 3
+        x += 1
+      }
+      y += 1
+    }
+    Some(BmpImage(w, h, gray))
+  }
+
+  /** Encoder twin of [[decodeBmp]]: standard bottom-up 24-bit BMP with
+    * equal RGB channels from the gray array — used by the synthetic
+    * media source and the planted-file specs (the specs ALSO
+    * hand-build headers; an encoder-only-verified decoder is weak). */
+  def encodeBmp24(width: Int, height: Int, gray: Array[Int])
+      : Array[Byte] = {
+    val rowSize = ((3 * width + 3) / 4) * 4
+    val dataLen = rowSize * height
+    val out = new Array[Byte](54 + dataLen)
+    def w32(o: Int, v: Long): Unit = { var i = 0; while (i < 4) {
+      out(o + i) = ((v >> (8 * i)) & 0xFF).toByte; i += 1 } }
+    def w16(o: Int, v: Int): Unit = { out(o) = (v & 0xFF).toByte
+      out(o + 1) = ((v >> 8) & 0xFF).toByte }
+    out(0) = 'B'; out(1) = 'M'
+    w32(2, 54L + dataLen); w32(10, 54L)
+    w32(14, 40L); w32(18, width.toLong); w32(22, height.toLong)
+    w16(26, 1); w16(28, 24); w32(30, 0L); w32(34, dataLen.toLong)
+    var y = 0
+    while (y < height) {
+      val base = 54 + (height - 1 - y) * rowSize // bottom-up
+      var x = 0
+      while (x < width) {
+        val g = (gray(y * width + x) & 0xFF).toByte
+        out(base + 3 * x) = g; out(base + 3 * x + 1) = g
+        out(base + 3 * x + 2) = g
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Nearest-neighbor resample in the DECODED pixel grid — the real
+    * resize the stride-over-encoded-bytes [[resizeStub]] stood in for:
+    * out(x,y) ← in(⌊x·w/w'⌋, ⌊y·h/h'⌋). */
+  def resizeNearest(img: BmpImage, w2: Int, h2: Int): BmpImage = {
+    val out = new Array[Int](w2 * h2)
+    var y = 0
+    while (y < h2) {
+      val sy = y * img.height / h2
+      var x = 0
+      while (x < w2) {
+        out(y * w2 + x) = img.gray(sy * img.width + x * img.width / w2)
+        x += 1
+      }
+      y += 1
+    }
+    BmpImage(w2, h2, out)
+  }
+
+  /** Media source whose image payloads are WELL-FORMED 24-bit BMPs:
+    * dims derive from the id (8+id%5 × 6+id%4) and each pixel's gray
+    * level is a text byte at a stride-13 position — deterministic from
+    * the document alone (the corpus is ASCII, so byte algebra ≡ char
+    * algebra and any engine can replay the pixel values without
+    * touching BMP bytes). Non-image kinds pass through. */
+  def bmpMediaFromDocuments(documents: DataFrame): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    mediaFromDocuments(documents).map { r =>
+      if (r.kind != "image" || r.payload.isEmpty) r
+      else {
+        val w = (8 + r.media_id % 5).toInt
+        val h = (6 + r.media_id % 4).toInt
+        val gray = Array.tabulate(w * h) { p =>
+          r.payload((p * 13) % r.payload.length) & 0xFF
+        }
+        val bmp = encodeBmp24(w, h, gray)
+        r.copy(payload = bmp, n_bytes = bmp.length)
+      }
+    }
+  }
+
+  /** Driver-contract surface for the REAL image path: encode → decode
+    * → nearest-neighbor HALVE → checksum, per image asset. The decode
+    * and resize run on actual BMP bytes at the per-partition codec
+    * boundary; the output is pixel ALGEBRA (dims, encoded size, Σ gray
+    * of the resized image) that an independent engine replays from the
+    * deterministic synthesis without parsing a single byte — the
+    * round-trip proves the codec, the checksum proves the pixels. */
+  case class BmpSummary(media_id: Long, width: Int, height: Int,
+                        out_w: Int, out_h: Int, bmp_bytes: Int,
+                        checksum: Long)
+
+  def bmpResizeSummary(documents: DataFrame): DataFrame = {
+    implicit val enc = Encoders.product[BmpSummary]
+    bmpMediaFromDocuments(documents)
+      .filter(col("kind") === "image")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          decodeBmp(r.payload).map { img =>
+            val small = resizeNearest(img,
+              math.max(1, img.width / 2), math.max(1, img.height / 2))
+            var cs = 0L
+            var i = 0
+            while (i < small.gray.length) { cs += small.gray(i); i += 1 }
+            BmpSummary(r.media_id, img.width, img.height, small.width,
+              small.height, r.n_bytes, cs)
+          }
+        }
+      }
+      .toDF()
+  }
+
   /** Perceptual-hash near-dup detection for media payloads: each asset
     * gets a 64-bit content hash whose Hamming distance tracks payload
     * similarity, and pairs within `maxHamming` surface through the SAME

@@ -1739,4 +1739,51 @@ object Resample {
         if (total == 0.0) 0.0 else math.rint(e / total * 1e6) / 1e6)
     }.toDF("level", "n_pairs", "energy", "share")
   }
+
+  /** MATRIX PROFILE over the per-type daily series (Yeh et al., UCR —
+    * the all-subsequence nearest-neighbor distance that powers motif
+    * discovery and discord/anomaly detection in one structure): for
+    * every length-m window starting at day i, the minimum distance to
+    * any other window at least `excl` days away (the exclusion zone
+    * keeps a window from "matching" its own overlap), plus WHICH window
+    * (the motif/discord witness). Low profile = repeated motif; the
+    * profile's argmax is the series' most anomalous week — the discord
+    * ts_anomaly's pointwise z-scores can't see.
+    *
+    * Distances are UNNORMALIZED squared Euclidean on micro-quantized
+    * longs — EXACT integers end to end, no float order sensitivity
+    * (z-normalized variants divide by per-window σ; the raw-distance
+    * profile is the standard choice when amplitude matters, and the
+    * one that stays in integer algebra). Shape: elements explode m
+    * positions, pairs come from an EQUI-join on (type, position-k) —
+    * never a windowed cross join — and the whole frame is
+    * calendar-bounded (days × m elements, days² pairs per type, data
+    * only enters through the daily partial-agg). A window forms only
+    * when all m days exist on BOTH sides (the nk = m guard — gap days
+    * silently truncating a distance would corrupt the profile).
+    * Per-pair argmin ties break to the smaller day via min(struct). */
+  def matrixProfile(events: DataFrame, m: Int = 7, excl: Int = 4)
+      : DataFrame = {
+    val daily = events.groupBy(col("event_type"),
+        expr("unix_date(cast(ts as date))").cast("long").as("d"))
+      .agg(round(avg("value") * 1e6).cast("long").as("v"))
+    val el = daily
+      .select(col("event_type"),
+        explode(array((0 until m).map(lit): _*)).as("k"),
+        col("d"), col("v"))
+      .select(col("event_type"), col("k"),
+        (col("d") - col("k")).as("i"), col("v"))
+    val b = el.select(col("event_type").as("et2"), col("k").as("k2"),
+      col("i").as("j"), col("v").as("vb"))
+    el.join(b, col("event_type") === col("et2") &&
+        col("k") === col("k2") && abs(col("i") - col("j")) >= excl)
+      .groupBy(col("event_type"), col("i"), col("j"))
+      .agg(count(lit(1)).as("nk"),
+        sum((col("v") - col("vb")) * (col("v") - col("vb"))).as("d2"))
+      .filter(col("nk") === m)
+      .groupBy(col("event_type"), col("i"))
+      .agg(min(struct(col("d2"), col("j"))).as("mn"))
+      .select(col("event_type"), col("i").as("start_day"),
+        col("mn.j").as("nn_day"), col("mn.d2").as("dist2"))
+  }
 }

@@ -644,6 +644,60 @@ object SpatialJoin {
         floor((col("c_lon") + 180) / cellDeg).cast("int").as("cell_lon"))
       .agg(count(lit(1)).cast("double").as("x")))
 
+  /** GETIS–ORD Gi* hotspot detection over the per-cell customer count —
+    * [[moranI]] answers "is density clustered ANYWHERE" with one global
+    * number; Gi* answers "WHERE": per cell, the z-score of its queen
+    * neighborhood's (3×3, self included — that's the * in Gi*) total
+    * against what a random scatter of the observed values would put
+    * there, z = (Σⱼ wᵢⱼxⱼ − x̄Wᵢ) / (S·√((nWᵢ−Wᵢ²)/(n−1))). |z| ≥ 2ish
+    * flags hot/cold spots — the cells a spatial partitioner must salt.
+    *
+    * Scale shape: identical to moranI — the occupied-cell frame is
+    * lattice-bounded, the neighborhood is a 9-offset EXPLODE + equi-join
+    * on the shifted cell key (never a distance cross join), globals ride
+    * a 1-row broadcast. EXACT until the close: x and Wᵢ are longs, Σx²
+    * and the variance numerators widen to decimal(38,0) (counts at
+    * 100 TB square past a long — same discipline as st_skew_kurt), and
+    * both engines cast the identical exact integers to double for the
+    * two sqrts. Unoccupied cells contribute nothing and are not scored
+    * (documented choice, matching moranI and the oracle). */
+  def getisOrd(customer: DataFrame, cellDeg: Int = 10): DataFrame =
+    getisOrdOnCells(customerPoints(customer)
+      .groupBy(
+        floor((col("c_lat") + 90) / cellDeg).cast("int").as("cell_lat"),
+        floor((col("c_lon") + 180) / cellDeg).cast("int").as("cell_lon"))
+      .agg(count(lit(1)).as("x")))
+
+  /** [[getisOrd]]'s core over an explicit (cell_lat, cell_lon, x: long)
+    * frame — split out so specs can plant exact lattices. */
+  private[operators] def getisOrdOnCells(cells: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val g = cells.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+      sum(col("x").cast(dec) * col("x").cast(dec)).cast(dec).as("sxx"))
+    val offsets = for { a <- -1 to 1; b <- -1 to 1 }
+      yield struct(lit(a).as("dlat"), lit(b).as("dlon"))
+    val hood = cells
+      .select(explode(array(offsets: _*)).as("o"),
+        col("cell_lat"), col("cell_lon"), col("x"))
+      .select((col("cell_lat") + col("o.dlat")).as("t_lat"),
+        (col("cell_lon") + col("o.dlon")).as("t_lon"), col("x"))
+      .groupBy("t_lat", "t_lon")
+      .agg(count(lit(1)).as("w"), sum("x").as("s"))
+    val num = (col("n").cast(dec) * col("s").cast(dec) -
+      col("sx").cast(dec) * col("w").cast(dec)).cast("double")
+    val sTerm = sqrt((col("n").cast(dec) * col("sxx") -
+      col("sx").cast(dec) * col("sx").cast(dec)).cast("double"))
+    val wTerm = sqrt((col("n") * col("w") - col("w") * col("w"))
+      .cast("double") / (col("n") - lit(1)).cast("double"))
+    cells
+      .join(hood, col("cell_lat") === col("t_lat") &&
+        col("cell_lon") === col("t_lon"))
+      .crossJoin(broadcast(g))
+      .select(col("cell_lat"), col("cell_lon"), col("x").as("n_points"),
+        col("w").as("w_cells"),
+        round(num / nullif(sTerm * wTerm, lit(0.0)), 6).as("gi_z"))
+  }
+
   /** [[moranI]]'s core over an explicit (cell_lat, cell_lon, x) frame —
     * split out so specs can plant exact lattices. */
   private[operators] def moranOnCells(cells: DataFrame): DataFrame = {

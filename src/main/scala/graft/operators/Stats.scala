@@ -3055,4 +3055,34 @@ object Stats {
           sqrt(mse / 2.0 * (lit(1.0) / col("n_a") +
             lit(1.0) / col("n_b"))) > qCrit).as("significant"))
   }
+
+  /** HODGES–LEHMANN location estimator per event type — the robust
+    * "center" the mean/median pair brackets but neither nails: the
+    * median of all WALSH AVERAGES (vᵢ+vⱼ)/2, i ≤ j (the estimator the
+    * Wilcoxon signed-rank test inverts; 29% breakdown, ~95% Gaussian
+    * efficiency vs the median's 64%). One gross outlier day moves it
+    * barely; st_describe's mean follows the outlier.
+    *
+    * Scale shape: Walsh pairs are taken over the CALENDAR-BOUNDED
+    * per-day means (days² pairs per type — never data²; the daily
+    * rollup is the only data-sized pass). Daily means micro-quantize
+    * to longs, pair sums are exact longs, and both engines interpolate
+    * the same median index over identical integers (sums < 2⁵³ keep
+    * even-count midpoints exact in double); one display division at
+    * the close. */
+  def hodgesLehmann(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(col("event_type"),
+        expr("unix_date(cast(ts as date))").cast("long").as("d"))
+      .agg(round(avg("value") * 1e6).cast("long").as("v"))
+    val b = daily.select(col("event_type").as("et2"), col("d").as("d2"),
+      col("v").as("v2"))
+    daily.join(b, col("event_type") === col("et2") && col("d") <= col("d2"))
+      .groupBy("event_type")
+      .agg(sum(when(col("d") === col("d2"), 1L).otherwise(0L))
+          .as("n_days"),
+        count(lit(1)).as("n_pairs"),
+        expr("percentile(v + v2, 0.5)").as("__med"))
+      .select(col("event_type"), col("n_days"), col("n_pairs"),
+        round(col("__med") / 2e6, 6).as("hl"))
+  }
 }

@@ -1256,4 +1256,52 @@ object TextAnalysis {
       .orderBy(asc("delta"), asc("s1"), asc("s2"))
       .limit(topPairs)
   }
+
+  /** RAKE keyword extraction (Rose et al. 2010 — rapid automatic
+    * keyword extraction, the unsupervised keyphrase baseline TextRank
+    * is usually benchmarked against): candidate phrases are the maximal
+    * stopword-free token runs, each word scores deg/freq (deg = Σ
+    * length of the phrases it appears in — words that live in LONG
+    * phrases carry more structure), and a phrase scores the sum of its
+    * member word scores. High scorers are multi-word domain phrases;
+    * tx_tfidf can't see them because it never leaves the unigram grid.
+    *
+    * Determinism/scale: phrase runs come from the gaps-and-islands
+    * trick (pos − row_number over the doc's non-stop tokens — constant
+    * within a run, jumps at each stopword) on the per-doc window
+    * exchange every doc-ordered text op pays; word scores quantize to
+    * micro-units (round(deg·1e6/freq) — exact integer) BEFORE the
+    * per-phrase sum so the unordered float-sum trap never opens; the
+    * top-N cut orders on the exact score then the phrase total order.
+    * Word-score and phrase frames are vocab-/phrase-bounded; only the
+    * token explode is corpus-sized. */
+  def rakeKeywords(documents: DataFrame,
+                   stopwords: Seq[String] = Seq("a", "the"),
+                   topN: Int = 15): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = documents.select(col("doc_id"),
+      posexplode(split(col("text"), " "))).toDF("doc_id", "pos", "word")
+      .filter(col("word") =!= "")
+    val nst = toks.filter(!col("word").isInCollection(stopwords))
+    val runs = nst.withColumn("grp", col("pos") -
+      row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+    val member = runs.withColumn("plen",
+      count(lit(1)).over(Window.partitionBy("doc_id", "grp")))
+    val wordScores = member.groupBy("word")
+      .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+      .select(col("word"),
+        round(col("deg") * 1e6 / col("freq")).cast("long").as("ws6"))
+    val phrases = member.join(wordScores, "word")
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("word")))),
+          x => x("word")), " ").as("phrase"),
+        sum("ws6").as("score6"))
+    phrases.groupBy("phrase")
+      .agg(count(lit(1)).as("n_occurrences"), max("score6").as("score6"))
+      .orderBy(desc("score6"), asc("phrase"))
+      .limit(topN)
+      .select(col("phrase"), col("n_occurrences"),
+        round(col("score6") / 1e6, 6).as("score"))
+  }
 }

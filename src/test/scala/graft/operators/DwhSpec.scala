@@ -550,4 +550,37 @@ class DwhSpec extends SparkSpec {
       feb.getAs[Double]("cum_revenue") == 16.15)
     assert(out(("BIKE", "1970-01")).getAs[Double]("cum_revenue") == 7.77)
   }
+
+  test("data vault: hubs/links dedup (idempotent re-load), link hk is " +
+      "md5 over ordered keys, satellite versions only on changed attrs") {
+    val batch = Seq((10L, 1L, "O", 10050L), (11L, 1L, "F", 20000L),
+      (12L, 2L, "O", 30000L)).toDF("ok", "ck", "status", "cents")
+    // re-delivering the same batch twice must insert nothing new
+    val twice = batch.unionAll(batch)
+    assert(Dwh.vaultHub(twice, col("ok"), "orders").count() == 3)
+    assert(Dwh.vaultHub(twice, col("ck"), "orders").count() == 2)
+    val link = Dwh.vaultLink(twice, col("ok"), col("ck"), "orders")
+    assert(link.count() == 3)
+    // the link hash is md5 of the pipe-joined ordered business keys,
+    // and member hub keys ride along precomputed
+    val l10 = link.filter(col("hk1") ===
+      md5(lit("10").cast("binary"))).collect().head
+    assert(l10.getAs[String]("lhk") ==
+      org.apache.commons.codec.digest.DigestUtils.md5Hex("10|1"))
+    assert(l10.getAs[String]("hk2") ==
+      org.apache.commons.codec.digest.DigestUtils.md5Hex("1"))
+    // satellite: unchanged re-delivery collapses; a changed attribute
+    // opens a NEW version under the same hk
+    val v2 = batch.unionAll(
+      Seq((10L, 1L, "F", 10050L)).toDF("ok", "ck", "status", "cents"))
+    val sat = Dwh.vaultSatellite(v2, col("ok"),
+      Seq(col("status"), col("cents")))
+    assert(sat.count() == 4)
+    val k10 = sat.filter(col("hk") ===
+      org.apache.commons.codec.digest.DigestUtils.md5Hex("10"))
+    assert(k10.count() == 2 &&
+      k10.select("hashdiff").distinct().count() == 2)
+    assert(k10.collect().map(_.getAs[String]("payload")).sorted.toSeq ==
+      Seq("F|10050", "O|10050"))
+  }
 }

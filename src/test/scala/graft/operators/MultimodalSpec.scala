@@ -316,4 +316,64 @@ class MultimodalSpec extends SparkSpec {
       other.map(r => r.media_id -> r.score).toMap,
       "batching is a throughput concern — it must never change results")
   }
+
+  test("decodeBmp: hand-built headers decode with row un-flip and " +
+      "padding; malformed payloads return None") {
+    // hand-built 2x2 bottom-up 24-bit BMP (NOT via the encoder): rows
+    // padded to 8 bytes; file rows [bottom: 10,20][top: 30,40] must
+    // read back top-down as 30,40,10,20
+    def u(vs: Int*): Array[Byte] = vs.map(_.toByte).toArray
+    val hdr = u('B', 'M') ++ u(70, 0, 0, 0) ++ u(0, 0, 0, 0) ++
+      u(54, 0, 0, 0) ++ u(40, 0, 0, 0) ++ u(2, 0, 0, 0) ++
+      u(2, 0, 0, 0) ++ u(1, 0) ++ u(24, 0) ++ u(0, 0, 0, 0) ++
+      u(16, 0, 0, 0) ++ Array.fill[Byte](16)(0)
+    val rows = u(10, 10, 10, 20, 20, 20, 0, 0) ++
+      u(30, 30, 30, 40, 40, 40, 0, 0)
+    val img = Multimodal.decodeBmp(hdr ++ rows).get
+    assert(img.width == 2 && img.height == 2)
+    assert(img.gray.toSeq == Seq(30, 40, 10, 20), s"${img.gray.toSeq}")
+    // malformed: wrong magic, truncated pixels, 8bpp, compressed
+    assert(Multimodal.decodeBmp(u('B', 'A') ++ (hdr ++ rows).drop(2)).isEmpty)
+    assert(Multimodal.decodeBmp(hdr ++ rows.dropRight(4)).isEmpty)
+    val bpp8 = (hdr ++ rows).clone(); bpp8(28) = 8
+    assert(Multimodal.decodeBmp(bpp8).isEmpty)
+    val rle = (hdr ++ rows).clone(); rle(30) = 1
+    assert(Multimodal.decodeBmp(rle).isEmpty)
+  }
+
+  test("encodeBmp24 round-trips through decodeBmp; nearest-neighbor " +
+      "resize picks the expected source pixels") {
+    val gray = Array(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12) // 4x3
+    val img = Multimodal.decodeBmp(Multimodal.encodeBmp24(4, 3, gray)).get
+    assert(img.width == 4 && img.height == 3 &&
+      img.gray.toSeq == gray.toSeq, s"${img.gray.toSeq}")
+    // halve to 2x1: out(x,0) <- in(2x, 0): pixels 1, 3
+    val half = Multimodal.resizeNearest(img, 2, 1)
+    assert(half.gray.toSeq == Seq(1, 3), s"${half.gray.toSeq}")
+    // identity resize returns the image unchanged
+    assert(Multimodal.resizeNearest(img, 4, 3).gray.toSeq == gray.toSeq)
+  }
+
+  test("bmpResizeSummary: real decode over the synthesized BMP lake, " +
+      "checksum matches a hand computation") {
+    import spark.implicits._
+    val docs = Seq((3L, "abcdef", "en", "s0", 6),
+      (6L, "qrstuv", "en", "s1", 6))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Multimodal.bmpResizeSummary(docs).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    // doc 3: w=8+3=11, h=6+3=9 -> out 5x4; doc 6: w=9, h=8 -> 4x4
+    assert(out(3L).getAs[Int]("width") == 11 &&
+      out(3L).getAs[Int]("height") == 9 &&
+      out(3L).getAs[Int]("out_w") == 5 && out(3L).getAs[Int]("out_h") == 4)
+    // hand-replay doc 6's checksum: gray(p) = text byte at (p*13)%6
+    val t = "qrstuv".getBytes("US-ASCII")
+    val cs = (for { y <- 0 until 4; x <- 0 until 4 } yield {
+      val p = (y * 8 / 4) * 9 + (x * 9 / 4)
+      t((p * 13) % 6) & 0xFF
+    }).map(_.toLong).sum
+    assert(out(6L).getAs[Long]("checksum") == cs, s"${out(6L)}")
+    // encoded size honors the 4-byte row padding: doc 6 rowSize 28
+    assert(out(6L).getAs[Int]("bmp_bytes") == 54 + 28 * 8)
+  }
 }

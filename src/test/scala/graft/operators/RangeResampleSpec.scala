@@ -848,6 +848,38 @@ class RangeResampleSpec extends SparkSpec {
     assert(t.getAs[Double]("z") > 5.0)
   }
 
+  test("matrixProfile: repeated week matches at distance 0, the wild " +
+      "week is the discord, and gap days void their windows") {
+    import spark.implicits._
+    def ev(vs: Seq[(Int, Double)]) = vs.map { case (d, v) =>
+      (d * 86400L, "click", v)
+    }.toDF("s", "event_type", "value")
+      .select(timestamp_seconds(col("s")).as("ts"), col("event_type"),
+        col("value"))
+    // days 0-6 and 7-13 repeat the same weekly motif; days 14-20 are a
+    // wildly different week (the discord)
+    val motif = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0)
+    val series = (motif ++ motif ++
+      Seq(50.0, 60.0, 70.0, 80.0, 90.0, 100.0, 110.0)).zipWithIndex
+      .map { case (v, d) => (d, v) }
+    val mp = Resample.matrixProfile(ev(series)).collect()
+      .map(r => (r.getAs[Long]("start_day"),
+        (r.getAs[Long]("nn_day"), r.getAs[Long]("dist2")))).toMap
+    // the two motif copies find each other exactly
+    assert(mp(0L) == ((7L, 0L)) && mp(7L) == ((0L, 0L)), s"$mp")
+    // the discord: the window with the LARGEST profile value starts
+    // inside the wild week
+    val discord = mp.maxBy { case (_, (_, d2)) => d2 }._1
+    assert(discord >= 8L, s"discord at $discord: $mp")
+    assert(mp.values.forall { case (_, d2) => d2 >= 0L })
+    // a missing day voids every window that would span it: days 0-17
+    // minus day 8 leaves complete starts {0,1,9,10,11} only
+    val gappy = (0 to 17).filter(_ != 8).map(d => (d, (d % 7).toDouble))
+    val g = Resample.matrixProfile(ev(gappy)).collect()
+      .map(_.getAs[Long]("start_day")).sorted.toSeq
+    assert(g == Seq(0L, 1L, 9L, 10L, 11L), s"$g")
+  }
+
   test("haarEnergy: constant series is all-zero; 2-hour square wave puts every joule at level 1") {
     import spark.implicits._
     def hourly(vs: Seq[Double]) = vs.zipWithIndex.map { case (v, i) =>

@@ -1609,4 +1609,24 @@ class StatsSpec extends SparkSpec {
     assert(out(2).getAs[Long]("first_rel_rank") == 0L &&
       out(2).getAs[Double]("rr") == 0.0)
   }
+
+  test("hodgesLehmann: Walsh-average median shrugs off the outlier the " +
+      "mean follows; even counts interpolate exactly") {
+    import spark.implicits._
+    def ev(vs: Seq[Double]) = vs.zipWithIndex.map { case (v, d) =>
+      (d * 86400L, "click", v)
+    }.toDF("s", "event_type", "value")
+      .select(timestamp_seconds(col("s")).as("ts"), col("event_type"),
+        col("value"))
+    // daily means 1,2,3,4,100: the 15 Walsh averages' median is 3.0
+    // (the mean is 22 — one wild day owns it; HL barely moves)
+    val r = Stats.hodgesLehmann(ev(Seq(1, 2, 3, 4, 100))).collect().head
+    assert(r.getAs[Long]("n_days") == 5L &&
+      r.getAs[Long]("n_pairs") == 15L, s"$r")
+    assert(r.getAs[Double]("hl") == 3.0, s"$r")
+    // even pair count: 1,2,3 -> six Walsh averages, midpoint (2+2)/2
+    val e = Stats.hodgesLehmann(ev(Seq(1, 2, 3))).collect().head
+    assert(e.getAs[Long]("n_pairs") == 6L &&
+      e.getAs[Double]("hl") == 2.0, s"$e")
+  }
 }

@@ -122,6 +122,29 @@ class TextDedupSpec extends SparkSpec {
     assert(real.sliding(2).forall(p => p(0) >= p(1)))
   }
 
+  test("rakeKeywords: stopwords split phrases, deg/freq favors words in " +
+      "long phrases, repeated phrases aggregate") {
+    import spark.implicits._
+    // doc 1: phrases [fast spark query] x2 split by 'the'/'a';
+    // doc 2: the singleton [fast] — pulls fast's freq up, deg/freq down
+    val docs = Seq(
+      (1L, "fast spark query the fast spark query"),
+      (2L, "a fast")).toDF("doc_id", "text")
+    val out = TextAnalysis.rakeKeywords(docs).collect()
+      .map(r => r.getAs[String]("phrase") ->
+        (r.getAs[Long]("n_occurrences"), r.getAs[Double]("score"))).toMap
+    // word scores: fast deg=3+3+1=7 freq=3 -> 7/3; spark=deg 6 freq 2
+    // -> 3; query -> 3; phrase score = 7/3 + 3 + 3
+    assert(out.keySet == Set("fast spark query", "fast"), s"$out")
+    assert(out("fast spark query")._1 == 2L)
+    assert(out("fast spark query")._2 ==
+      math.rint((7.0 / 3 + 6.0) * 1e6) / 1e6, s"$out")
+    assert(out("fast")._1 == 1L &&
+      out("fast")._2 == math.rint(7.0 / 3 * 1e6) / 1e6)
+    // multi-word phrases outscore their member unigrams by construction
+    assert(out("fast spark query")._2 > out("fast")._2)
+  }
+
   test("containment catches a short doc quoted in a long one that Jaccard misses") {
     import spark.implicits._
     val short = "alpha beta gamma delta epsilon zeta eta theta"

@@ -67,6 +67,31 @@ class WindowsLambdaSpec extends SparkSpec {
       q.getAs[Double]("sigma_minor"), s"$q")
   }
 
+  test("getisOrd: uniform lattice scores zero everywhere; a planted hot " +
+      "3x3 block peaks at its center and cools the far corner") {
+    import spark.implicits._
+    // all-equal x: numerator n*s - sx*w = n*w*x - n*x*w = 0 exactly
+    val flat = (for { a <- 0 to 4; b <- 0 to 4 } yield (a, b, 1L))
+      .toDF("cell_lat", "cell_lon", "x")
+    val fz = SpatialJoin.getisOrdOnCells(flat).collect()
+    assert(fz.length == 25 && fz.forall(_.getAs[Double]("gi_z") == 0.0))
+    // hot 3x3 block centered at (2,2): Gi* maximal at the center (its
+    // whole queen hood is hot), negative out at the cold corner
+    val hot = (for { a <- 0 to 4; b <- 0 to 4 }
+      yield (a, b, if (math.abs(a - 2) <= 1 && math.abs(b - 2) <= 1) 10L
+        else 1L)).toDF("cell_lat", "cell_lon", "x")
+    val hz = SpatialJoin.getisOrdOnCells(hot).collect()
+      .map(r => ((r.getAs[Int]("cell_lat"), r.getAs[Int]("cell_lon")),
+        r.getAs[Double]("gi_z"))).toMap
+    assert(hz((2, 2)) == hz.values.max && hz((2, 2)) > 2.0, s"$hz")
+    assert(hz((0, 0)) < 0.0 && hz((4, 4)) < 0.0)
+    // interior cells see 9 neighbors, corners 4 (self included)
+    val w = SpatialJoin.getisOrdOnCells(hot).collect()
+      .map(r => ((r.getAs[Int]("cell_lat"), r.getAs[Int]("cell_lon")),
+        r.getAs[Long]("w_cells"))).toMap
+    assert(w((2, 2)) == 9L && w((0, 0)) == 4L && w((0, 2)) == 6L)
+  }
+
   test("nearestSupplier: one row per customer, distance minimal") {
     val customers = Tables.customer(spark, sf)
     val out = SpatialJoin.nearestSupplier(customers, Tables.supplier(spark, sf))
