@@ -527,6 +527,11 @@ object SparkEntry {
       Resample.matrixProfile(Tables.events(s, d))),
     "st_hodges_lehmann" -> ((s, d) =>
       Stats.hodgesLehmann(Tables.events(s, d))),
+    "st_fleiss_kappa" -> ((s, d) =>
+      Stats.fleissKappa(Tables.orders(s, d))),
+    "st_cronbach_alpha" -> ((s, d) =>
+      Stats.cronbachAlpha(Tables.events(s, d))),
+    "st_did" -> ((s, d) => Stats.diffInDiff(Tables.events(s, d))),
     "st_tost" -> ((s, d) =>
       Stats.tostEquivalence(Tables.events(s, d), "event_type", "value",
         "click", "view", margin = 2.0)),
@@ -620,6 +625,8 @@ object SparkEntry {
       TextAnalysis.qualityCurve(Tables.documents(s, d))),
     "tx_rake" -> ((s, d) =>
       TextAnalysis.rakeKeywords(Tables.documents(s, d))),
+    "pipe_scaling_law" -> ((s, d) =>
+      TextAnalysis.dataScalingCurve(Tables.documents(s, d))),
     "tx_langid" -> ((s, d) => TextAnalysis.languageId(Tables.documents(s, d))),
     "tx_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(Tables.documents(s, d))),
     "tx_fingerprint_roll" -> ((s, d) =>
@@ -761,6 +768,8 @@ object SparkEntry {
       Dedup.duplicatedSpans(Tables.documents(s, d), k = 8)),
     "dd_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), 3, 0.2)),
+    "pipe_dedup_curve" -> ((s, d) =>
+      Dedup.dedupCurve(Tables.documents(s, d))),
     // asymmetric containment — catches a short doc quoted inside a long
     // one, which symmetric Jaccard misses
     "dd_containment" -> ((s, d) =>
@@ -1801,6 +1810,60 @@ object SparkEntry {
          FROM pred WHERE rn = 1 GROUP BY 1, 2"""
 
   def oracleSql: Map[String, String] = Map(
+    "pipe_scaling_law" ->
+      """WITH fr AS (SELECT * FROM (VALUES ('f10', '1a'), ('f20', '33'),
+             ('f40', '66'), ('f80', 'cd')) t(frac, thresh)),
+         docs AS (SELECT doc_id, lang, text,
+             substr(md5('nb' || CAST(doc_id AS VARCHAR)), 1, 2) AS h2
+           FROM documents),
+         tok AS (SELECT doc_id, lang, h2,
+             unnest(string_split(text, ' ')) AS tok FROM docs),
+         ttok AS (SELECT fr.frac, t.* FROM tok t
+           JOIN fr ON t.h2 < fr.thresh),
+         tc AS (SELECT frac, tok, lang, CAST(count(*) AS BIGINT) AS c
+           FROM ttok GROUP BY 1, 2, 3),
+         lt AS (SELECT frac, lang, CAST(count(*) AS BIGINT) AS nl
+           FROM ttok GROUP BY 1, 2),
+         vocab AS (SELECT frac, CAST(count(DISTINCT tok) AS BIGINT) AS v
+           FROM ttok GROUP BY 1),
+         ltv AS (SELECT lt.frac, lang, nl, v,
+             CAST(round(ln(1.0 / (nl + v)) * 1e6) AS BIGINT) AS lp_unseen
+           FROM lt JOIN vocab ON lt.frac = vocab.frac),
+         model AS (SELECT tc.frac, tc.tok, tc.lang AS cls,
+             CAST(round(ln((c + 1.0) / (nl + v)) * 1e6) AS BIGINT) AS lp
+           FROM tc JOIN ltv ON tc.frac = ltv.frac AND tc.lang = ltv.lang),
+         tdocs AS (SELECT fr.frac, d.doc_id, d.lang FROM docs d
+           JOIN fr ON d.h2 < fr.thresh),
+         ntr AS (SELECT frac, CAST(count(*) AS BIGINT) AS n_train
+           FROM tdocs GROUP BY 1),
+         priors AS (SELECT p.frac, p.lang AS cls,
+             CAST(round(ln(CAST(nd AS DOUBLE) / n_train) * 1e6)
+               AS BIGINT) AS lp_prior
+           FROM (SELECT frac, lang, CAST(count(*) AS BIGINT) AS nd
+                 FROM tdocs GROUP BY 1, 2) p
+           JOIN ntr ON p.frac = ntr.frac),
+         cls AS (SELECT frac, lang AS cls, lp_unseen FROM ltv),
+         sc AS (SELECT c.frac, t.doc_id, t.lang AS true_lang, c.cls,
+             CAST(sum(coalesce(m.lp, c.lp_unseen)) AS BIGINT) AS ll
+           FROM tok t CROSS JOIN cls c
+           LEFT JOIN model m ON m.frac = c.frac AND m.tok = t.tok
+             AND m.cls = c.cls
+           WHERE t.h2 >= 'cd' GROUP BY 1, 2, 3, 4),
+         sp AS (SELECT sc.frac, doc_id, true_lang, sc.cls,
+             ll + lp_prior AS score
+           FROM sc JOIN priors ON sc.frac = priors.frac
+             AND sc.cls = priors.cls),
+         pred AS (SELECT frac, doc_id, true_lang, cls,
+             row_number() OVER (PARTITION BY frac, doc_id
+               ORDER BY score DESC, cls DESC) AS rn
+           FROM sp),
+         acc AS (SELECT frac, CAST(count(*) AS BIGINT) AS n_test,
+             CAST(sum(CASE WHEN true_lang = cls THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_correct
+           FROM pred WHERE rn = 1 GROUP BY 1)
+         SELECT a.frac, n.n_train, a.n_test, a.n_correct,
+           round(CAST(n_correct AS DOUBLE) / n_test, 6) AS accuracy
+         FROM acc a JOIN ntr n ON a.frac = n.frac""",
     "dwh_role_playing" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
            strftime(l_shipdate, '%Y-%m') AS ship_month,
@@ -5562,6 +5625,43 @@ object SparkEntry {
            round(shared / (x.n_sh + y.n_sh - shared), 6) AS jaccard
          FROM p JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
          WHERE round(shared / (x.n_sh + y.n_sh - shared), 6) >= 0.2""",
+    "pipe_dedup_curve" ->
+      """WITH th AS (SELECT CAST(threshold AS DOUBLE) AS threshold
+           FROM (VALUES (0.1), (0.2), (0.3), (0.5), (0.7)) t(threshold)),
+         toks AS (SELECT doc_id, string_split(text, ' ') AS t
+           FROM documents),
+         sh AS (SELECT DISTINCT doc_id, s FROM (
+           SELECT doc_id, unnest(list_transform(range(1, len(t)-1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+           FROM toks WHERE len(t) >= 3)),
+         sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         p0 AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+             count(*) AS shared
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         p AS (SELECT d1, d2,
+             round(shared / (x.n_sh + y.n_sh - shared), 6) AS j
+           FROM p0 JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+           WHERE round(shared / (x.n_sh + y.n_sh - shared), 6) >= 0.1),
+         np AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs
+           FROM p JOIN th ON j >= threshold GROUP BY 1),
+         tokc AS (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+           FROM documents),
+         mj AS (SELECT d2 AS doc_id, max(j) AS mj FROM p GROUP BY 1),
+         dr AS (SELECT threshold,
+             CAST(count(*) AS BIGINT) AS docs_dropped,
+             CAST(sum(ntok) AS BIGINT) AS tokens_dropped
+           FROM mj JOIN tokc USING (doc_id) JOIN th ON mj >= threshold
+           GROUP BY 1),
+         tot AS (SELECT CAST(sum(ntok) AS BIGINT) AS tot_tok FROM tokc)
+         SELECT th.threshold, coalesce(np.n_pairs, 0) AS n_pairs,
+           coalesce(dr.docs_dropped, 0) AS docs_dropped,
+           coalesce(dr.tokens_dropped, 0) AS tokens_dropped,
+           round(CAST(tot_tok - coalesce(dr.tokens_dropped, 0) AS DOUBLE)
+             / tot_tok, 6) AS kept_token_share
+         FROM th LEFT JOIN np USING (threshold)
+         LEFT JOIN dr USING (threshold) CROSS JOIN tot""",
     "dd_containment" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          sh AS (SELECT DISTINCT doc_id, s FROM (
@@ -7328,6 +7428,124 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_pairs,
            round(quantile_cont(s, 0.5) / 2e6, 6) AS hl
          FROM w GROUP BY 1""",
+    "st_fleiss_kappa" ->
+      """WITH r AS (SELECT o_orderkey, u.cat FROM orders, unnest([
+             CASE WHEN o_totalprice < 50000 THEN 'S'
+               WHEN o_totalprice < 150000 THEN 'M' ELSE 'L' END,
+             CASE WHEN o_totalprice < 60000 THEN 'S'
+               WHEN o_totalprice < 140000 THEN 'M' ELSE 'L' END,
+             CASE WHEN o_totalprice < 55000 THEN 'S'
+               WHEN o_totalprice < 145000 THEN 'M' ELSE 'L' END])
+             AS u(cat)),
+         nij AS (SELECT o_orderkey, cat, CAST(count(*) AS BIGINT) AS nij
+           FROM r GROUP BY 1, 2),
+         subj AS (SELECT CAST(count(*) AS BIGINT) AS nsub,
+             CAST(sum(ssq) AS BIGINT) AS ssqsum
+           FROM (SELECT o_orderkey, sum(nij * nij) AS ssq
+                 FROM nij GROUP BY 1)),
+         cats AS (SELECT sum(CAST(cj AS HUGEINT) * cj) AS cjsq
+           FROM (SELECT cat, CAST(sum(nij) AS BIGINT) AS cj
+                 FROM nij GROUP BY 1))
+         SELECT nsub AS n_subjects,
+           round(CAST(ssqsum - 3 * nsub AS DOUBLE)
+             / (6.0 * CAST(nsub AS DOUBLE)), 6) AS p_bar,
+           round(CAST(cjsq AS DOUBLE)
+             / (9.0 * CAST(nsub AS DOUBLE) * CAST(nsub AS DOUBLE)), 6)
+             AS p_e,
+           round((CAST(ssqsum - 3 * nsub AS DOUBLE)
+               / (6.0 * CAST(nsub AS DOUBLE))
+             - CAST(cjsq AS DOUBLE)
+               / (9.0 * CAST(nsub AS DOUBLE) * CAST(nsub AS DOUBLE)))
+             / nullif(1.0 - CAST(cjsq AS DOUBLE)
+               / (9.0 * CAST(nsub AS DOUBLE) * CAST(nsub AS DOUBLE)),
+               0.0), 6) AS kappa
+         FROM subj CROSS JOIN cats""",
+    "st_cronbach_alpha" ->
+      """WITH daily AS (SELECT
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             event_type,
+             CAST(round(avg(value) * 1e6) AS BIGINT) AS v
+           FROM events GROUP BY 1, 2),
+         k AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k
+           FROM daily),
+         byday AS (SELECT d, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(v) AS BIGINT) AS t
+           FROM daily GROUP BY 1),
+         complete AS (SELECT d, t FROM byday CROSS JOIN k
+           WHERE cnt = k.k),
+         items AS (SELECT CAST(max(n) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS k_items,
+             sum(CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s) AS a
+           FROM (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(v) AS BIGINT) AS s,
+                   sum(CAST(v AS HUGEINT) * v) AS ss
+                 FROM daily JOIN complete USING (d) GROUP BY 1)),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS nt,
+             CAST(sum(t) AS BIGINT) AS st,
+             sum(CAST(t AS HUGEINT) * t) AS sst
+           FROM complete)
+         SELECT k_items, nt AS n_days,
+           round(CAST(k_items AS DOUBLE) / (CAST(k_items AS DOUBLE) - 1.0)
+             * (1.0 - CAST(a AS DOUBLE)
+               / nullif(CAST(CAST(nt AS HUGEINT) * sst
+                   - CAST(st AS HUGEINT) * st AS DOUBLE), 0.0)), 6)
+             AS alpha
+         FROM items CROSS JOIN tot""",
+    "st_did" ->
+      """WITH c AS (SELECT
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+               THEN 'A' ELSE 'B' END AS arm,
+             CASE WHEN ts < DATE '2024-01-15' THEN 'pre' ELSE 'post'
+               END AS period,
+             CAST(round(value * 1e6) AS BIGINT) AS v
+           FROM events),
+         g AS (SELECT arm, period, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS BIGINT) AS s,
+             sum(CAST(v AS HUGEINT) * v) AS ss
+           FROM c GROUP BY 1, 2),
+         m AS (SELECT arm, period, n,
+             CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e6 AS mean,
+             CAST(CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s
+                 AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / 1e12
+               AS var
+           FROM g),
+         p AS (SELECT
+             max(CASE WHEN arm = 'A' AND period = 'pre' THEN n END)
+               AS apre_n,
+             max(CASE WHEN arm = 'A' AND period = 'post' THEN n END)
+               AS apost_n,
+             max(CASE WHEN arm = 'B' AND period = 'pre' THEN n END)
+               AS bpre_n,
+             max(CASE WHEN arm = 'B' AND period = 'post' THEN n END)
+               AS bpost_n,
+             max(CASE WHEN arm = 'A' AND period = 'pre' THEN mean END)
+               AS apre_m,
+             max(CASE WHEN arm = 'A' AND period = 'post' THEN mean END)
+               AS apost_m,
+             max(CASE WHEN arm = 'B' AND period = 'pre' THEN mean END)
+               AS bpre_m,
+             max(CASE WHEN arm = 'B' AND period = 'post' THEN mean END)
+               AS bpost_m,
+             max(CASE WHEN arm = 'A' AND period = 'pre' THEN var END)
+               AS apre_v,
+             max(CASE WHEN arm = 'A' AND period = 'post' THEN var END)
+               AS apost_v,
+             max(CASE WHEN arm = 'B' AND period = 'pre' THEN var END)
+               AS bpre_v,
+             max(CASE WHEN arm = 'B' AND period = 'post' THEN var END)
+               AS bpost_v
+           FROM m)
+         SELECT apre_n AS n_ctl_pre, apost_n AS n_ctl_post,
+           bpre_n AS n_trt_pre, bpost_n AS n_trt_post,
+           round((bpost_m - bpre_m) - (apost_m - apre_m), 6) AS did,
+           round(sqrt(apre_v / apre_n + apost_v / apost_n
+             + bpre_v / bpre_n + bpost_v / bpost_n), 6) AS se,
+           round(((bpost_m - bpre_m) - (apost_m - apre_m))
+             / nullif(sqrt(apre_v / apre_n + apost_v / apost_n
+               + bpre_v / bpre_n + bpost_v / bpost_n), 0.0), 4)
+             AS t_stat
+         FROM p""",
     "st_boxcox" ->
       """WITH g AS (SELECT CAST(unnest([-1.0, -0.5, 0.0, 0.5, 1.0, 2.0])
              AS DOUBLE) AS lambda),

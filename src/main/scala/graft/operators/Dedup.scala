@@ -103,6 +103,54 @@ object Dedup {
       .select(col("d1"), col("d2"), col("shared"), col("jaccard"))
   }
 
+  /** DEDUP YIELD CURVE (r9 — pipe_quality_curve's sibling for the
+    * similarity knob: "what does each Jaccard threshold COST in
+    * corpus" answered as a table, because the dedup-threshold meeting
+    * is the same meeting as the quality-threshold one): for each
+    * candidate τ, the flagged pair count, the documents dropped under
+    * the keep-smaller-id rule (a doc drops iff its MAX pair similarity
+    * as the larger id reaches τ — exactly dd_drop_exact's convention
+    * lifted to near-dup), the tokens those drops take with them, and
+    * the kept token share.
+    *
+    * ONE pair frame at the loosest threshold feeds every τ (the
+    * thresholds ride a bounded-literal cross join — no re-pairing per
+    * point), per-doc max-similarity is one rollup of it, and the
+    * curve is monotone in τ by construction (spec-locked). Jaccards
+    * are 6dp-rounded BEFORE the τ compare (engine-stable boundary,
+    * same as the base operator). */
+  def dedupCurve(documents: DataFrame, n: Int = 3,
+                 thresholds: Seq[Double] =
+                   Seq(0.1, 0.2, 0.3, 0.5, 0.7)): DataFrame = {
+    import documents.sparkSession.implicits._
+    val th = broadcast(thresholds.toDF("threshold"))
+    val pairs = ngramJaccardPairs(documents, n, thresholds.min)
+      .localCheckpoint(true)
+    val nPairs = pairs.crossJoin(th)
+      .filter(col("jaccard") >= col("threshold"))
+      .groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
+    val tokc = documents.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("ntok"))
+    val dropped = pairs.groupBy(col("d2").as("doc_id"))
+      .agg(max("jaccard").as("mj"))
+      .join(tokc, "doc_id")
+    val total = tokc.agg(sum("ntok").as("tot_tok"))
+    val drops = dropped.crossJoin(th)
+      .filter(col("mj") >= col("threshold"))
+      .groupBy("threshold")
+      .agg(count(lit(1)).as("docs_dropped"),
+        sum("ntok").as("tokens_dropped"))
+    th.join(nPairs, Seq("threshold"), "left")
+      .join(drops, Seq("threshold"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("docs_dropped"), lit(0L)).as("docs_dropped"),
+        coalesce(col("tokens_dropped"), lit(0L)).as("tokens_dropped"),
+        round((col("tot_tok") - coalesce(col("tokens_dropped"), lit(0L)))
+          .cast("double") / col("tot_tok"), 6).as("kept_token_share"))
+  }
+
   /** Asymmetric CONTAINMENT pairs: |A∩B| / |A| — near-1 when doc A is
     * quoted/embedded inside a larger doc B even though their Jaccard is
     * tiny (the length-mismatch case symmetric similarity misses; the

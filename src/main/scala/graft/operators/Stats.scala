@@ -3070,6 +3070,156 @@ object Stats {
     * the same median index over identical integers (sums < 2⁵³ keep
     * even-count midpoints exact in double); one display division at
     * the close. */
+  /** DIFFERENCE-IN-DIFFERENCES estimator (r9 — the quasi-experimental
+    * member of the experimentation family: st_cuped reduces variance
+    * WITHIN a randomized test, DiD estimates an effect when treatment
+    * arrived at a known TIME and only one group got it, netting out
+    * both the stable group gap and the shared time trend):
+    * DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre), with the
+    * large-sample SE = √(Σ s²ᵢ/nᵢ) over the four cells and the t
+    * ratio. Groups are the ONE [[md5Arm]] split every experiment
+    * surface shares (B = treated), period splits at the cutover date.
+    *
+    * One partial-agg pass to the 4-cell frame: per cell n, Σv, Σv² on
+    * micro-quantized longs (Σv² in decimal(38,0)/HUGEINT), means and
+    * sample variances formed from identical exact integers on both
+    * engines, three doubles at the close (did, se, t). Parallel-trends
+    * is the stated identifying assumption — ts_xcorr/ts_rolling_corr
+    * are the diagnostics, not this operator. */
+  def diffInDiff(events: DataFrame,
+                 cutover: String = "2024-01-15"): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = events.select(
+        md5Arm(col("user_id")).as("arm"),
+        when(col("ts") < to_date(lit(cutover)), "pre").otherwise("post")
+          .as("period"),
+        round(col("value") * 1e6).cast("long").as("v"))
+      .groupBy("arm", "period")
+      .agg(count(lit(1)).as("n"), sum(col("v").cast(dec)).as("s"),
+        sum(col("v").cast(dec) * col("v").cast(dec)).cast(dec).as("ss"))
+      .withColumn("mean", col("s").cast("double") /
+        col("n").cast("double") / 1e6)
+      // sample variance in value² units from exact integers
+      .withColumn("var", (col("n").cast(dec) * col("ss") -
+        col("s") * col("s")).cast("double") /
+        (col("n").cast("double") * (col("n") - lit(1)).cast("double")) /
+        1e12)
+      .select(concat(col("arm"), lit("_"), col("period")).as("cell"),
+        col("n"), col("mean"), col("var"))
+    val w = cells.groupBy()
+      .pivot("cell", Seq("A_pre", "A_post", "B_pre", "B_post"))
+      .agg(first("mean").as("m"), first("n").as("n"),
+        first("var").as("v"))
+    val did = (col("B_post_m") - col("B_pre_m")) -
+      (col("A_post_m") - col("A_pre_m"))
+    val se = sqrt(col("A_pre_v") / col("A_pre_n") +
+      col("A_post_v") / col("A_post_n") +
+      col("B_pre_v") / col("B_pre_n") +
+      col("B_post_v") / col("B_post_n"))
+    w.select(
+      col("A_pre_n").cast("long").as("n_ctl_pre"),
+      col("A_post_n").cast("long").as("n_ctl_post"),
+      col("B_pre_n").cast("long").as("n_trt_pre"),
+      col("B_post_n").cast("long").as("n_trt_post"),
+      round(did, 6).as("did"),
+      round(se, 6).as("se"),
+      round(did / nullif(se, lit(0.0)), 4).as("t_stat"))
+  }
+
+  /** FLEISS' KAPPA multi-rater agreement (the m-rater generalization
+    * of ml_kappa's two-rater Cohen — "do the three order-size rubrics
+    * actually agree beyond chance": three fixed-threshold raters band
+    * o_totalprice into S/M/L with slightly different cut points, the
+    * disagreement lives exactly in the between-threshold price bands,
+    * and κ says whether the rubric family is coherent enough to ship).
+    * κ = (P̄ − P̄e)/(1 − P̄e) with P̄ from per-subject Σnᵢⱼ² and
+    * P̄e = Σⱼ(Cⱼ/(N·m))².
+    *
+    * EXACT algebra: every count, Σnᵢⱼ², and ΣCⱼ² is an integer (Cⱼ² in
+    * decimal(38,0) — category totals at 100 TB square past a long);
+    * both engines form the two P̄ ratios from identical integers and
+    * divide once at the close. One explode (m=3 bounded), one
+    * (subject, cat) rollup, category/global frames are
+    * category-bounded; unanimous corpora hit P̄e=1 and null out via
+    * nullif rather than dividing by zero. */
+  def fleissKappa(orders: DataFrame): DataFrame = {
+    def cat(lo: Double, hi: Double) =
+      when(col("o_totalprice") < lo, "S")
+        .when(col("o_totalprice") < hi, "M").otherwise("L")
+    val ratings = orders.select(col("o_orderkey"),
+      explode(array(
+        struct(lit(1).as("rater"), cat(50000, 150000).as("cat")),
+        struct(lit(2).as("rater"), cat(60000, 140000).as("cat")),
+        struct(lit(3).as("rater"), cat(55000, 145000).as("cat"))))
+        .as("x"))
+      .select(col("o_orderkey"), col("x.cat").as("cat"))
+    val nij = ratings.groupBy("o_orderkey", "cat")
+      .agg(count(lit(1)).as("nij"))
+    val subj = nij.groupBy("o_orderkey")
+      .agg(sum(col("nij") * col("nij")).as("ssq"))
+      .agg(count(lit(1)).as("nsub"), sum("ssq").as("ssqsum"))
+    val dec = "decimal(38,0)"
+    val cats = nij.groupBy("cat").agg(sum("nij").as("cj"))
+      .agg(sum(col("cj").cast(dec) * col("cj").cast(dec)).cast(dec)
+        .as("cjsq"))
+    val j = subj.crossJoin(broadcast(cats))
+    val nsub = col("nsub").cast("double")
+    val pbar = (col("ssqsum") - lit(3) * col("nsub")).cast("double") /
+      (lit(6.0) * nsub)
+    val pe = col("cjsq").cast("double") / (lit(9.0) * nsub * nsub)
+    j.select(col("nsub").as("n_subjects"),
+      round(pbar, 6).as("p_bar"), round(pe, 6).as("p_e"),
+      round((pbar - pe) / nullif(lit(1.0) - pe, lit(0.0)), 6)
+        .as("kappa"))
+  }
+
+  /** CRONBACH'S ALPHA internal-consistency reliability — "do the k
+    * event-type daily series measure ONE underlying thing" (the
+    * instrument-reliability twin of st_corr_matrix's pairwise view:
+    * α rolls the whole covariance structure into the single number
+    * survey/metric designers gate on, α = k/(k−1)·(1 − Σσᵢ²/σ_T²)).
+    * Items = the k event types, subjects = days, listwise-complete
+    * days only (a day missing any item drops — documented deletion
+    * rule, same both engines).
+    *
+    * EXACT: daily means micro-quantize to longs; since every item has
+    * the same subject count n, the 1/(n(n−1)) factors cancel and
+    * α = k/(k−1)·(1 − A/B) with A = Σᵢ(n·Σxᵢ²−Sᵢ²), B = n·ΣT²−S_T² —
+    * pure integers, widened to decimal(38,0)/HUGEINT (n·Σx² crosses a
+    * long just past contract scale), one double division at the
+    * close. Frames are calendar- and item-bounded after the one daily
+    * partial-agg pass. */
+  def cronbachAlpha(events: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val daily = events.groupBy(
+        expr("unix_date(cast(ts as date))").cast("long").as("d"),
+        col("event_type"))
+      .agg(round(avg("value") * 1e6).cast("long").as("v"))
+    val kRow = broadcast(daily.agg(countDistinct("event_type").as("k")))
+    val byDay = daily.groupBy("d")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("t"))
+    val complete = byDay.crossJoin(kRow)
+      .filter(col("cnt") === col("k")).select("d", "t", "k")
+    val items = daily.join(complete.select("d"), "d")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("v").cast(dec)).as("s"),
+        sum(col("v").cast(dec) * col("v").cast(dec)).cast(dec).as("ss"))
+      .agg(max("n").as("n"), count(lit(1)).as("k_items"),
+        sum((col("n").cast(dec) * col("ss") -
+          col("s") * col("s")).cast(dec)).cast(dec).as("a"))
+    val tot = complete.agg(count(lit(1)).as("nt"),
+      sum(col("t").cast(dec)).as("st"),
+      sum(col("t").cast(dec) * col("t").cast(dec)).cast(dec).as("sst"))
+    val j = items.crossJoin(broadcast(tot))
+    val b = (col("nt").cast(dec) * col("sst") -
+      col("st") * col("st")).cast("double")
+    val kD = col("k_items").cast("double")
+    j.select(col("k_items"), col("nt").as("n_days"),
+      round(kD / (kD - 1.0) *
+        (lit(1.0) - col("a").cast("double") / nullif(b, lit(0.0))), 6)
+        .as("alpha"))
+  }
+
   def hodgesLehmann(events: DataFrame): DataFrame = {
     val daily = events.groupBy(col("event_type"),
         expr("unix_date(cast(ts as date))").cast("long").as("d"))

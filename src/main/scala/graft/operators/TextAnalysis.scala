@@ -1075,6 +1075,86 @@ object TextAnalysis {
     pred.groupBy("true_lang", "pred_lang").agg(count(lit(1)).as("n"))
   }
 
+  /** DATA-SCALING CURVE for the NB classifier (r9 — "how much does
+    * MORE DATA buy" measured, not assumed: the empirical scaling-law
+    * artifact every corpus-budget meeting wants, next to pipe_budget's
+    * token accounting): train [[naiveBayesLangEval]]'s multinomial NB
+    * on nested md5-threshold fractions of the corpus (~10/20/40/80% —
+    * nested by construction, so each point ADDS data to the previous
+    * one exactly as a crawl would), score the SAME fixed 20% held-out
+    * split at every point, and report the accuracy ladder.
+    *
+    * Shape: the fraction dimension rides a 4-row broadcast cross join
+    * into the one (token, lang) training pass — model frames are
+    * 4×vocab×k, scoring joins on (frac, token, class); everything
+    * stays the ml_nb relational algebra with one extra bounded key.
+    * Same exact-integer scoring discipline (1e-6-rounded Laplace
+    * log-likelihoods, EXACT LONG per-doc sums, max(struct) tie to the
+    * larger class) — deterministic on any engine/partitioning.
+    *
+    * (Same honest-negative note as ml_nb: the synthetic corpus's lang
+    * is near-independent of its text, so the CONTRACT curve is flat
+    * at the majority rate — that flatness is the measurement. The
+    * spec plants a separable corpus and demands the curve climb.) */
+  def dataScalingCurve(documents: DataFrame,
+                       fractions: Seq[(String, String)] = Seq(
+                         ("f10", "1a"), ("f20", "33"),
+                         ("f40", "66"), ("f80", "cd"))): DataFrame = {
+    import documents.sparkSession.implicits._
+    val frDf = broadcast(fractions.toDF("frac", "thresh"))
+    val split2 = substring(
+      md5(concat(lit("nb"), col("doc_id").cast("string"))), 1, 2)
+    val docs = documents.select(col("doc_id"), col("lang"), col("text"),
+      split2.as("h2"))
+    val tok = docs.select(col("doc_id"), col("lang"), col("h2"),
+      explode(split(col("text"), " ")).as("tok"))
+    val trainTok = tok.crossJoin(frDf).filter(col("h2") < col("thresh"))
+    val tc = trainTok.groupBy("frac", "tok", "lang")
+      .agg(count(lit(1)).as("c"))
+    val lt = trainTok.groupBy("frac", "lang").agg(count(lit(1)).as("nl"))
+    val vocab = trainTok.groupBy("frac")
+      .agg(countDistinct("tok").as("v"))
+    val ltv = lt.join(vocab, "frac")
+      .select(col("frac"), col("lang"), col("nl"), col("v"),
+        round(log(lit(1.0) / (col("nl") + col("v"))) * 1e6)
+          .cast("long").as("lp_unseen"))
+    val model = tc.join(ltv.select("frac", "lang", "nl", "v"),
+        Seq("frac", "lang"))
+      .select(col("frac"), col("tok"), col("lang").as("cls"),
+        round(log((col("c") + lit(1.0)) / (col("nl") + col("v"))) * 1e6)
+          .cast("long").as("lp"))
+    val trainDocs = docs.crossJoin(frDf).filter(col("h2") < col("thresh"))
+    val ntr = trainDocs.groupBy("frac").agg(count(lit(1)).as("n_train"))
+    val priors = trainDocs.groupBy("frac", "lang")
+      .agg(count(lit(1)).as("nd"))
+      .join(ntr, "frac")
+      .select(col("frac"), col("lang").as("cls"),
+        round(log(col("nd").cast("double") / col("n_train")) * 1e6)
+          .cast("long").as("lp_prior"))
+    val cls = ltv.select(col("frac"), col("lang").as("cls"),
+      col("lp_unseen"))
+    val pred = tok.filter(col("h2") >= lit("cd"))
+      .crossJoin(broadcast(cls))
+      .join(model, Seq("frac", "tok", "cls"), "left")
+      .groupBy(col("frac"), col("doc_id"), col("lang").as("true_lang"),
+        col("cls"))
+      .agg(sum(coalesce(col("lp"), col("lp_unseen"))).as("ll"))
+      .join(broadcast(priors), Seq("frac", "cls"))
+      .withColumn("score", col("ll") + col("lp_prior"))
+      .groupBy("frac", "doc_id", "true_lang")
+      .agg(max(struct(col("score"), col("cls"))).getField("cls")
+        .as("pred_lang"))
+    pred.groupBy("frac")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("true_lang") === col("pred_lang"), 1L)
+          .otherwise(0L)).as("n_correct"))
+      .join(ntr, "frac")
+      .select(col("frac"), col("n_train"), col("n_test"),
+        col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_test"), 6)
+          .as("accuracy"))
+  }
+
   /** VOCABULARY RICHNESS: Good–Turing missing mass + bias-corrected
     * Chao1 — "how much vocabulary has this corpus NOT seen yet": the
     * singleton share N₁/N is the probability the next token is a

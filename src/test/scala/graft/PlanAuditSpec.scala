@@ -927,4 +927,33 @@ class PlanAuditSpec extends SparkSpec {
       s"tx_textrank stage shuffled ${tx.max} records (tokens=$tokens):" +
         " word-graph frames must combine map-side")
   }
+
+  test("tx_rake: top-N phrases via TakeOrderedAndProject, no cartesian") {
+    val p = plan("tx_rake")
+    assert(p.contains("TakeOrderedAndProject"), s"tx_rake:\n$p")
+    assert(!p.contains("CartesianProduct"), s"tx_rake:\n$p")
+  }
+
+  test("ts_matrix_profile / sp_getis_ord: pair and hood frames come from " +
+      "equi-joins, never cartesian/BNLJ fallbacks") {
+    // the matrix-profile pair frame must ride the (type, position)
+    // equi-join; a refactor to a windowed cross join is the quadratic
+    // trap the design avoids
+    val p1 = plan("ts_matrix_profile")
+    assert(!p1.contains("CartesianProduct"), s"ts_matrix_profile:\n$p1")
+    assert(!p1.contains("BroadcastNestedLoopJoin"),
+      s"ts_matrix_profile:\n$p1")
+    // Gi* neighborhoods: 9-offset explode + shifted-cell equi-join;
+    // the only BNLJ allowed is the 1-row globals broadcast
+    val p2 = plan("sp_getis_ord")
+    assert(!p2.contains("CartesianProduct"), s"sp_getis_ord:\n$p2")
+  }
+
+  test("pipe_scaling_law: fraction dim broadcasts; model join is the only data-sized shuffle class") {
+    val p = plan("pipe_scaling_law")
+    // the 4-row fraction frame must ride broadcasts, not shuffles
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), s"pipe_scaling_law:\n$p")
+    assert(!p.contains("CartesianProduct"), s"pipe_scaling_law:\n$p")
+  }
 }

@@ -1610,6 +1610,80 @@ class StatsSpec extends SparkSpec {
       out(2).getAs[Double]("rr") == 0.0)
   }
 
+  test("diffInDiff: recovers the planted treatment effect net of group " +
+      "gap and time trend; zero within-cell spread nulls t") {
+    import spark.implicits._
+    def build(noise: Long => Double) = (1L to 40L).flatMap { u =>
+      Seq(("2024-01-10 00:00:00", u), ("2024-01-20 00:00:00", u))
+    }.toDF("t", "user_id")
+      .select(to_timestamp(col("t")).as("ts"), col("user_id"))
+      .withColumn("post", col("ts") >= to_date(lit("2024-01-15")))
+      .withColumn("trt",
+        Stats.md5Arm(col("user_id")) === "B")
+      .withColumn("value",
+        when(col("post"), 10.0).otherwise(5.0) +
+        when(col("trt"), 2.0).otherwise(0.0) +            // stable gap
+        when(col("trt") && col("post"), 3.0).otherwise(0.0)) // effect
+      .select(col("ts"), col("user_id"), col("value"))
+    val r = Stats.diffInDiff(build(_ => 0.0)).collect().head
+    // cells: A 5→10, B 7→15: naive post-gap is 5, DiD isolates 3
+    assert(r.getAs[Double]("did") == 3.0, s"$r")
+    assert(r.getAs[Double]("se") == 0.0 &&
+      r.isNullAt(r.fieldIndex("t_stat")), s"$r")
+    assert(r.getAs[Long]("n_ctl_pre") + r.getAs[Long]("n_trt_pre") == 40L)
+  }
+
+  test("fleissKappa: clear-band prices agree perfectly (pe=1 nulls " +
+      "kappa); wedge-zone prices break agreement below 1") {
+    import spark.implicits._
+    // prices far from every rater's cut points: unanimous S/M/L but
+    // across DIFFERENT categories -> p_bar = 1, pe < 1, kappa = 1
+    val clear = Seq((1L, 10000.0), (2L, 100000.0), (3L, 200000.0))
+      .toDF("o_orderkey", "o_totalprice")
+    val c = Stats.fleissKappa(clear).collect().head
+    assert(c.getAs[Double]("p_bar") == 1.0 &&
+      c.getAs[Double]("kappa") == 1.0, s"$c")
+    // every subject lands in ONE category for every rater: pe = 1 and
+    // kappa is undefined -> null, not a divide-by-zero
+    val uni = Seq((1L, 10000.0), (2L, 20000.0))
+      .toDF("o_orderkey", "o_totalprice")
+    val u = Stats.fleissKappa(uni).collect().head
+    assert(u.getAs[Double]("p_e") == 1.0 && u.isNullAt(u.fieldIndex("kappa")))
+    // a price in the 50k-55k wedge splits the raters (M/S/S): kappa < 1
+    val wedge = Seq((1L, 52000.0), (2L, 10000.0), (3L, 200000.0))
+      .toDF("o_orderkey", "o_totalprice")
+    val w = Stats.fleissKappa(wedge).collect().head
+    assert(w.getAs[Double]("p_bar") < 1.0 &&
+      w.getAs[Double]("kappa") < 1.0, s"$w")
+  }
+
+  test("cronbachAlpha: a duplicated item scores alpha 1, opposed items " +
+      "null out, incomplete days drop listwise") {
+    import spark.implicits._
+    def ev(vs: Seq[(Int, String, Double)]) = vs.map { case (d, t, v) =>
+      (d * 86400L, t, v)
+    }.toDF("s", "event_type", "value")
+      .select(timestamp_seconds(col("s")).as("ts"), col("event_type"),
+        col("value"))
+    // item B = item A + 5 day by day: one construct, alpha exactly 1
+    val base = Seq(0 -> 1.0, 1 -> 3.0, 2 -> 2.0, 3 -> 5.0)
+    val dup = ev(base.flatMap { case (d, v) =>
+      Seq((d, "a", v), (d, "b", v + 5.0)) })
+    val r = Stats.cronbachAlpha(dup).collect().head
+    assert(r.getAs[Long]("n_days") == 4L &&
+      r.getAs[Double]("alpha") == 1.0, s"$r")
+    // item B = -item A: total variance 0 -> null, not divide-by-zero
+    val opp = ev(base.flatMap { case (d, v) =>
+      Seq((d, "a", v), (d, "b", -v)) })
+    val o = Stats.cronbachAlpha(opp).collect().head
+    assert(o.isNullAt(o.fieldIndex("alpha")), s"$o")
+    // a day missing item b drops listwise
+    val gappy = ev(base.flatMap { case (d, v) =>
+      Seq((d, "a", v)) ++ (if (d == 2) Nil else Seq((d, "b", v + 5.0))) })
+    assert(Stats.cronbachAlpha(gappy).collect().head
+      .getAs[Long]("n_days") == 3L)
+  }
+
   test("hodgesLehmann: Walsh-average median shrugs off the outlier the " +
       "mean follows; even counts interpolate exactly") {
     import spark.implicits._

@@ -145,6 +145,57 @@ class TextDedupSpec extends SparkSpec {
     assert(out("fast spark query")._2 > out("fast")._2)
   }
 
+  test("dataScalingCurve: nested fractions grow the train set and climb " +
+      "accuracy on a separable planted corpus") {
+    import spark.implicits._
+    // two langs with disjoint 30-word vocabularies; each doc draws 3
+    // words from its lang's pool — a small train fraction has seen only
+    // part of the pool, so held-out docs made of unseen words fall back
+    // to priors; more data covers more vocabulary
+    val docs = (0 until 240).map { i =>
+      val lang = if (i % 2 == 0) "aa" else "bb"
+      val words = (0 until 3).map(j => s"w${(i * 7 + j * 11) % 30}_$lang")
+      (i.toLong, words.mkString(" "), lang, "s0", 10)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.dataScalingCurve(docs).collect()
+      .map(r => r.getAs[String]("frac") ->
+        (r.getAs[Long]("n_train"), r.getAs[Double]("accuracy"))).toMap
+    assert(out.keySet == Set("f10", "f20", "f40", "f80"), s"$out")
+    // nested thresholds -> strictly growing train sets
+    assert(out("f10")._1 < out("f20")._1 &&
+      out("f20")._1 < out("f40")._1 && out("f40")._1 < out("f80")._1,
+      s"$out")
+    // the curve climbs: full-coverage training classifies the held-out
+    // split (near-)perfectly, the starved model can't
+    assert(out("f80")._2 >= 0.9, s"$out")
+    assert(out("f80")._2 >= out("f10")._2, s"$out")
+  }
+
+  test("dedupCurve: tighter thresholds drop fewer docs; exact yields on " +
+      "a planted near-dup + weak-overlap corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"),
+      (2L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"), // exact copy: j = 1.0
+      (3L, "x1 x2 x3 x4 y5 y6 y7 y8 y9 y10"), // 2 shared shingles: j = 1/7
+      (4L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10")  // unique
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupCurve(docs).collect()
+      .map(r => r.getAs[Double]("threshold") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("docs_dropped"),
+          r.getAs[Long]("tokens_dropped"),
+          r.getAs[Double]("kept_token_share"))).toMap
+    // τ=0.1 catches (1,2), (1,3), (2,3): docs 2 and 3 drop, half the
+    // corpus tokens go
+    assert(out(0.1) == ((3L, 2L, 20L, 0.5)), s"$out")
+    // τ≥0.2 keeps only the exact copy pair — doc 2 alone drops
+    assert(out(0.2) == ((1L, 1L, 10L, 0.75)), s"$out")
+    assert(out(0.7) == ((1L, 1L, 10L, 0.75)), s"$out")
+    // monotone: rising τ never drops MORE
+    val byT = out.toSeq.sortBy(_._1).map(_._2._2)
+    assert(byT.sliding(2).forall(p => p(0) >= p(1)), s"$byT")
+  }
+
   test("containment catches a short doc quoted in a long one that Jaccard misses") {
     import spark.implicits._
     val short = "alpha beta gamma delta epsilon zeta eta theta"
