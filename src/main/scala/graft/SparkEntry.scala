@@ -531,6 +531,12 @@ object SparkEntry {
       Stats.fleissKappa(Tables.orders(s, d))),
     "st_cronbach_alpha" -> ((s, d) =>
       Stats.cronbachAlpha(Tables.events(s, d))),
+    "st_icc" -> ((s, d) => Stats.icc(Tables.events(s, d))),
+    "st_cmh" -> ((s, d) => Stats.cmhTest(Tables.events(s, d))),
+    "st_jonckheere" -> ((s, d) =>
+      Stats.jonckheereTerpstra(Tables.orders(s, d))),
+    "st_durbin_watson" -> ((s, d) =>
+      Stats.durbinWatson(Tables.events(s, d))),
     "st_did" -> ((s, d) => Stats.diffInDiff(Tables.events(s, d))),
     "st_tost" -> ((s, d) =>
       Stats.tostEquivalence(Tables.events(s, d), "event_type", "value",
@@ -7428,6 +7434,146 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_pairs,
            round(quantile_cont(s, 0.5) / 2e6, 6) AS hl
          FROM w GROUP BY 1""",
+    "st_icc" ->
+      """WITH daily AS (SELECT
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             event_type,
+             CAST(round(avg(value) * 1e6) AS BIGINT) AS v
+           FROM events GROUP BY 1, 2),
+         kk AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k
+           FROM daily),
+         complete AS (SELECT d FROM daily CROSS JOIN kk
+           GROUP BY d, k HAVING count(*) = max(k)),
+         m AS (SELECT daily.* FROM daily JOIN complete USING (d)),
+         dims AS (SELECT CAST(count(DISTINCT d) AS BIGINT) n,
+             CAST(count(DISTINCT event_type) AS BIGINT) k,
+             CAST(sum(v) AS HUGEINT) g,
+             sum(CAST(v AS HUGEINT) * v) ssq FROM m),
+         r AS (SELECT sum(CAST(t AS HUGEINT) * t) st2 FROM
+           (SELECT d, CAST(sum(v) AS BIGINT) t FROM m GROUP BY 1)),
+         c AS (SELECT sum(CAST(cc AS HUGEINT) * cc) sc2 FROM
+           (SELECT event_type, CAST(sum(v) AS BIGINT) cc
+            FROM m GROUP BY 1)),
+         ss AS (SELECT n, k,
+             n * k * ssq - g * g AS sstN,
+             n * st2 - g * g AS ssrN,
+             k * sc2 - g * g AS sscN
+           FROM dims, r, c),
+         ms AS (SELECT n, k,
+             CAST(ssrN AS DOUBLE) / (n - 1) AS msr,
+             CAST(sscN AS DOUBLE) / (k - 1) AS msc,
+             CAST(sstN - ssrN - sscN AS DOUBLE) / ((n - 1) * (k - 1))
+               AS mse
+           FROM ss)
+         SELECT n AS n_days, k AS k_items,
+           round((msr - mse) / nullif(msr + (k - 1) * mse
+             + CAST(k AS DOUBLE) / n * (msc - mse), 0.0), 6) AS icc21,
+           round((msr - mse) / nullif(msr + (k - 1) * mse, 0.0), 6)
+             AS icc31
+         FROM ms""",
+    "st_cmh" ->
+      """WITH cell AS (SELECT stratum,
+             CAST(sum(CASE WHEN arm = 'B' AND yes THEN 1 ELSE 0 END)
+               AS BIGINT) a,
+             CAST(sum(CASE WHEN arm = 'B' AND NOT yes THEN 1 ELSE 0 END)
+               AS BIGINT) b,
+             CAST(sum(CASE WHEN arm = 'A' AND yes THEN 1 ELSE 0 END)
+               AS BIGINT) c,
+             CAST(sum(CASE WHEN arm = 'A' AND NOT yes THEN 1 ELSE 0 END)
+               AS BIGINT) d
+           FROM (SELECT event_type AS stratum,
+               CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                 < '8' THEN 'A' ELSE 'B' END AS arm,
+               value >= 100.0 AS yes
+             FROM events) GROUP BY 1),
+         k AS (SELECT a, b, c, d, a + b + c + d AS n,
+             a + b AS r1, c + d AS r0, a + c AS c1, b + d AS c0
+           FROM cell WHERE a + b + c + d > 1),
+         q AS (SELECT
+             CAST(round((a - CAST(r1 AS DOUBLE) * c1 / n) * 1e6)
+               AS BIGINT) AS dev6,
+             CAST(round(CAST(r1 AS DOUBLE) * r0 * c1 * c0
+               / (CAST(n AS DOUBLE) * n * (n - 1)) * 1e6) AS BIGINT)
+               AS v6,
+             CAST(round(CAST(a AS DOUBLE) * d / n * 1e6) AS BIGINT)
+               AS adn6,
+             CAST(round(CAST(b AS DOUBLE) * c / n * 1e6) AS BIGINT)
+               AS bcn6
+           FROM k)
+         SELECT CAST(count(*) AS BIGINT) AS n_strata,
+           round(CAST(sum(dev6) AS DOUBLE) * sum(dev6) / 1e6
+             / nullif(CAST(sum(v6) AS DOUBLE), 0.0), 6) AS cmh,
+           round(CAST(sum(adn6) AS DOUBLE)
+             / nullif(CAST(sum(bcn6) AS DOUBLE), 0.0), 6) AS or_mh
+         FROM q""",
+    "st_jonckheere" ->
+      """WITH rows_ AS (SELECT o_orderpriority AS g,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v
+           FROM orders),
+         cnt AS (SELECT g, v, CAST(count(*) AS BIGINT) t
+           FROM rows_ GROUP BY 1, 2),
+         grid AS (SELECT gs.g, vs.v, coalesce(cnt.t, 0) AS t
+           FROM (SELECT DISTINCT v FROM cnt) vs
+           CROSS JOIN (SELECT DISTINCT g FROM cnt) gs
+           LEFT JOIN cnt ON cnt.g = gs.g AND cnt.v = vs.v),
+         cum AS (SELECT g, v, t,
+             coalesce(sum(t) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS below
+           FROM grid),
+         pre AS (SELECT g, v, t,
+             coalesce(sum(2 * below + t) OVER (PARTITION BY v ORDER BY g
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS s
+           FROM cum),
+         jt2 AS (SELECT sum(CAST(t AS HUGEINT) * s) AS jt2 FROM pre),
+         sz AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+             CAST(count(*) AS BIGINT) AS k,
+             sum(CAST(n AS HUGEINT) * n) AS s2,
+             sum(CAST(n AS HUGEINT) * n * (2 * n + 3)) AS s3
+           FROM (SELECT g, CAST(count(*) AS BIGINT) n
+                 FROM rows_ GROUP BY 1))
+         SELECT nt AS n, k, CAST(jt2 AS DOUBLE) / 2 AS jt,
+           round(CAST(CAST(nt AS HUGEINT) * nt - s2 AS DOUBLE) / 4, 6)
+             AS mu,
+           round((CAST(jt2 AS DOUBLE) / 2
+               - CAST(CAST(nt AS HUGEINT) * nt - s2 AS DOUBLE) / 4)
+             / nullif(sqrt(CAST(CAST(nt AS HUGEINT) * nt * (2 * nt + 3)
+               - s3 AS DOUBLE) / 72), 0.0), 6) AS z
+         FROM jt2, sz""",
+    "st_durbin_watson" ->
+      """WITH hourly AS (SELECT
+             CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT)
+               AS hr,
+             CAST(round(avg(value) * 1e6) AS BIGINT) AS y
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+         pts AS (SELECT hr - (SELECT min(hr) FROM hourly) AS x, y
+           FROM hourly),
+         mo AS (SELECT CAST(count(*) AS BIGINT) n,
+             CAST(sum(x) AS HUGEINT) sx, CAST(sum(y) AS HUGEINT) sy,
+             sum(CAST(x AS HUGEINT) * x) sxx,
+             sum(CAST(x AS HUGEINT) * y) sxy FROM pts),
+         co AS (SELECT n, sx, sy,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS bm FROM mo),
+         co2 AS (SELECT n, bm,
+             (CAST(sy AS DOUBLE) - bm * CAST(sx AS DOUBLE)) / n AS am
+           FROM co),
+         res AS (SELECT x,
+             CAST(round(y - am - bm * x) AS BIGINT) AS e
+           FROM pts, co2),
+         lagged AS (SELECT e, lag(e) OVER (ORDER BY x) AS ep FROM res),
+         s AS (SELECT CAST(count(*) AS BIGINT) n,
+             sum(CAST(e AS HUGEINT) * e) AS see,
+             sum(CASE WHEN ep IS NULL THEN CAST(0 AS HUGEINT)
+               ELSE CAST(e - ep AS HUGEINT) * (e - ep) END) AS sde
+           FROM lagged)
+         SELECT s.n, round(co2.bm / 1e6, 6) AS slope,
+           round(CAST(sde AS DOUBLE)
+             / nullif(CAST(see AS DOUBLE), 0.0), 6) AS dw,
+           round(1.0 - CAST(sde AS DOUBLE)
+             / nullif(CAST(see AS DOUBLE), 0.0) / 2.0, 6) AS rho
+         FROM s, co2""",
     "st_fleiss_kappa" ->
       """WITH r AS (SELECT o_orderkey, u.cat FROM orders, unnest([
              CASE WHEN o_totalprice < 50000 THEN 'S'

@@ -2013,6 +2013,141 @@ object Stats {
       col("ties"))
   }
 
+  /** JONCKHEERE–TERPSTRA ordered-alternative trend test across the
+    * priority classes (the DIRECTIONAL member of the k-group rank
+    * family: [[kruskalWallis]] asks "do the groups differ at all",
+    * JT asks "does o_totalprice RISE as o_orderpriority falls through
+    * its ordered ladder" — strictly more power when the alternative
+    * is a monotone trend): JT = ΣᵢΣⱼ Uᵢⱼ over ordered group pairs with
+    * ties counted ½, z from the no-tie-correction normal moments
+    * μ = (N²−Σn²)/4, σ² = (N²(2N+3)−Σn²(2n+3))/72 (documented
+    * contract; values quantized to cents make residual ties rare and
+    * engine-identical).
+    *
+    * NOT the quadratic pairwise form: one (group, value) count pass,
+    * a k×distinct-value grid, striped per-group prefix sums for
+    * below-counts (the [[ksTest]] skeleton with the group key added —
+    * no value-cardinality window partition), then a k-bounded prefix
+    * over group order per value; 2·JT = Σ t·(2·below+ t_prev) stays an
+    * exact integer in decimal(38,0) on any partitioning (validated
+    * against the brute-force pairwise sum). Frames are
+    * distinct-value×k-sized, never pair-sized. */
+  def jonckheereTerpstra(orders: DataFrame,
+                         stripes: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val rows = orders.select(col("o_orderpriority").as("g"),
+      round(col("o_totalprice") * 100).cast("long").as("v"))
+    val cnt = rows.groupBy("g", "v").agg(count(lit(1)).as("t"))
+    val bounds = cnt.agg(min("v").as("__lo"), max("v").as("__hi"))
+    val grid = cnt.select("v").distinct()
+      .crossJoin(broadcast(cnt.select("g").distinct()))
+      .join(cnt, Seq("g", "v"), "left")
+      .na.fill(0L, Seq("t"))
+    val striped = grid.crossJoin(broadcast(bounds))
+      .withColumn("__stripe",
+        when(col("__hi") === col("__lo"), lit(0L)).otherwise(
+          least(lit(stripes - 1L), greatest(lit(0L),
+            floor((col("v") - col("__lo")).cast("double") /
+              (col("__hi") - col("__lo")) * stripes)))).cast("int"))
+    val wIn = Window.partitionBy("g", "__stripe").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wStripe = Window.partitionBy("g").orderBy("__stripe")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = striped.groupBy("g", "__stripe").agg(sum("t").as("__st"))
+      .select(col("g"), col("__stripe"),
+        coalesce(sum("__st").over(wStripe), lit(0L)).as("__ot"))
+    val below = striped.join(broadcast(offs), Seq("g", "__stripe"))
+      .withColumn("below",
+        col("__ot") + coalesce(sum("t").over(wIn), lit(0L)))
+    // k-bounded prefix over the group ORDER per value: contributions
+    // of every lower-ordered group to this group's values
+    val wG = Window.partitionBy("v").orderBy("g")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pre = below.withColumn("s",
+      coalesce(sum(col("below") * 2 + col("t")).over(wG), lit(0L)))
+    val jt2 = pre.agg(
+      sum((col("t").cast(dec) * col("s").cast(dec)).cast(dec)).cast(dec)
+        .as("jt2"))
+    val sz = rows.groupBy("g").agg(count(lit(1)).as("n"))
+      .agg(sum("n").as("nt"), count(lit(1)).as("k"),
+        sum((col("n").cast(dec) * col("n").cast(dec)).cast(dec))
+          .cast(dec).as("s2"),
+        sum((col("n").cast(dec) * col("n").cast(dec) *
+          (col("n").cast(dec) * 2 + 1
+            ).cast(dec)).cast(dec)).cast(dec).as("s3x"))
+    val j = jt2.crossJoin(broadcast(sz))
+    val ntd = col("nt").cast(dec)
+    val jt = col("jt2").cast("double") / 2.0
+    val mu = (ntd * ntd - col("s2")).cast("double") / 4.0
+    val sg = sqrt(((ntd * ntd * (ntd * 2 + 3)).cast(dec) -
+      (col("s3x") + col("s2") * 2).cast(dec)).cast("double") / 72.0)
+    j.select(col("nt").as("n"), col("k"), jt.as("jt"),
+      round(mu, 6).as("mu"),
+      round((jt - mu) / nullif(sg, lit(0.0)), 6).as("z"))
+  }
+
+  /** DURBIN–WATSON autocorrelation test on the hourly-trend OLS
+    * residuals (the regression DIAGNOSTIC the OLS family was missing:
+    * st_ols fits the hourly trend, DW asks whether its residuals are
+    * independent — serially-correlated residuals mean every OLS SE in
+    * the neighborhood is understated): DW = Σ(eₜ−eₜ₋₁)²/Σeₜ² over the
+    * hour-ordered residuals of y ~ hour-index, with ρ̂ ≈ 1 − DW/2.
+    *
+    * Engine-exact: slope numerator/denominator are integer decimals
+    * from micro-quantized hourly means and a min-shifted hour index
+    * (bounded x keeps every sum exact); both engines form b and a as
+    * IDENTICAL double expressions from those integers, residuals
+    * micro-quantize to longs BEFORE the lag (the one order-dependent
+    * step runs on exact integers), and the two quadratic sums ride
+    * decimal(38,0). Frames are calendar-bounded after the one
+    * partial-agg pass; the lag window is hour-count-sized by design
+    * (the kendallTau contract). */
+  def durbinWatson(events: DataFrame,
+                   eventType: String = "click"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val hourly = events.filter(col("event_type") === eventType)
+      .groupBy(expr("unix_seconds(date_trunc('hour', ts)) div 3600")
+        .as("hr"))
+      .agg(round(avg("value") * 1e6).cast("long").as("y"))
+    val h0 = broadcast(hourly.agg(min("hr").as("h0")))
+    val pts = hourly.crossJoin(h0)
+      .select((col("hr") - col("h0")).as("x"), col("y"))
+    val mo = pts.agg(count(lit(1)).as("n"),
+      sum(col("x").cast(dec)).cast(dec).as("sx"),
+      sum(col("y").cast(dec)).cast(dec).as("sy"),
+      sum((col("x").cast(dec) * col("x").cast(dec)).cast(dec)).cast(dec)
+        .as("sxx"),
+      sum((col("x").cast(dec) * col("y").cast(dec)).cast(dec)).cast(dec)
+        .as("sxy"))
+    val bm = (col("n").cast(dec) * col("sxy") - col("sx") * col("sy"))
+      .cast("double") /
+      (col("n").cast(dec) * col("sxx") - col("sx") * col("sx"))
+        .cast("double")
+    val co = mo.select(col("n"), bm.as("bm"),
+      ((col("sy").cast("double") - bm * col("sx").cast("double")) /
+        col("n").cast("double")).as("am"))
+    val res = pts.crossJoin(broadcast(co))
+      .select(col("x"),
+        round(col("y") - col("am") - col("bm") * col("x")).cast("long")
+          .as("e"))
+    val lagged = res.withColumn("ep",
+      lag("e", 1).over(Window.orderBy("x")))
+    val s = lagged.agg(count(lit(1)).as("n"),
+      sum((col("e").cast(dec) * col("e").cast(dec)).cast(dec)).cast(dec)
+        .as("see"),
+      sum(when(col("ep").isNull, lit(0).cast(dec)).otherwise(
+        ((col("e") - col("ep")).cast(dec) *
+          (col("e") - col("ep")).cast(dec)).cast(dec))).cast(dec)
+        .as("sde"))
+      .crossJoin(broadcast(co.select(col("bm"))))
+    val dw = col("sde").cast("double") /
+      nullif(col("see").cast("double"), lit(0.0))
+    s.select(col("n"), round(col("bm") / 1e6, 6).as("slope"),
+      round(dw, 6).as("dw"), round(lit(1.0) - dw / 2.0, 6).as("rho"))
+  }
+
   /** Kendall tau-b rank correlation between two HOURLY series (click
     * vs view mean level) — the concordant/discordant-pair association
     * measure, more robust to outliers than Spearman and the standard
@@ -3218,6 +3353,120 @@ object Stats {
       round(kD / (kD - 1.0) *
         (lit(1.0) - col("a").cast("double") / nullif(b, lit(0.0))), 6)
         .as("alpha"))
+  }
+
+  /** INTRACLASS CORRELATION ICC(2,1) + ICC(3,1) over the day × event-
+    * type matrix (the continuous-agreement member that closes the
+    * reliability family: [[fleissKappa]] scores CATEGORICAL raters,
+    * [[cronbachAlpha]] scores the summed scale, ICC scores the raw
+    * per-rater numbers — "can one item's daily reading stand in for
+    * another's", absolute-agreement (2,1) vs consistency (3,1)):
+    * two-way ANOVA decomposition, ICC(2,1) = (MSR−MSE)/(MSR+(k−1)MSE
+    * + k/n·(MSC−MSE)), ICC(3,1) drops the rater-variance term.
+    *
+    * EXACT algebra: every sum of squares is scaled by N = n·k so it
+    * stays an INTEGER in decimal(38,0)/HUGEINT — SST·N = N·Σx²−G²,
+    * SSR·N = n·ΣTᵢ²−G², SSC·N = k·ΣCⱼ²−G² on micro-quantized daily
+    * means (the ·N factor cancels in every MS ratio; the formula was
+    * validated against the Shrout–Fleiss worked example: 0.2898 /
+    * 0.7148). Listwise-complete days only ([[cronbachAlpha]]'s
+    * deletion rule); subject/item rollups are calendar- and
+    * item-bounded; constant matrices null via nullif. */
+  def icc(events: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val daily = events.groupBy(
+        expr("unix_date(cast(ts as date))").cast("long").as("d"),
+        col("event_type"))
+      .agg(round(avg("value") * 1e6).cast("long").as("v"))
+    val kRow = broadcast(daily.agg(countDistinct("event_type").as("k")))
+    val complete = daily.groupBy("d").agg(count(lit(1)).as("cnt"))
+      .crossJoin(kRow).filter(col("cnt") === col("k")).select("d")
+    val m = daily.join(complete, "d")
+    val dims = m.agg(countDistinct("d").as("n"),
+      countDistinct("event_type").as("k"),
+      sum(col("v").cast(dec)).cast(dec).as("g"),
+      sum(col("v").cast(dec) * col("v").cast(dec)).cast(dec).as("ssq"))
+    val rowsF = m.groupBy("d").agg(sum("v").as("t"))
+      .agg(sum(col("t").cast(dec) * col("t").cast(dec)).cast(dec)
+        .as("st2"))
+    val colsF = m.groupBy("event_type").agg(sum("v").as("c"))
+      .agg(sum(col("c").cast(dec) * col("c").cast(dec)).cast(dec)
+        .as("sc2"))
+    val x = dims.crossJoin(broadcast(rowsF)).crossJoin(broadcast(colsF))
+    val bigN = (col("n").cast(dec) * col("k").cast(dec)).cast(dec)
+    val g2 = (col("g") * col("g")).cast(dec)
+    val w = x.select(col("n"), col("k"),
+      (bigN * col("ssq") - g2).cast(dec).as("sstN"),
+      (col("n").cast(dec) * col("st2") - g2).cast(dec).as("ssrN"),
+      (col("k").cast(dec) * col("sc2") - g2).cast(dec).as("sscN"))
+    val msr = col("ssrN").cast("double") /
+      (col("n") - lit(1)).cast("double")
+    val msc = col("sscN").cast("double") /
+      (col("k") - lit(1)).cast("double")
+    val mse = (col("sstN") - col("ssrN") - col("sscN")).cast("double") /
+      ((col("n") - lit(1)) * (col("k") - lit(1))).cast("double")
+    val kD = col("k").cast("double")
+    w.select(col("n").as("n_days"), col("k").as("k_items"),
+      round((msr - mse) / nullif(msr + (kD - 1.0) * mse +
+        kD / col("n").cast("double") * (msc - mse), lit(0.0)), 6)
+        .as("icc21"),
+      round((msr - mse) / nullif(msr + (kD - 1.0) * mse, lit(0.0)), 6)
+        .as("icc31"))
+  }
+
+  /** COCHRAN–MANTEL–HAENSZEL stratified 2×2 test + the MH common odds
+    * ratio (the confounder-aware member of the experimentation family:
+    * st_prop_test compares two arms POOLED — Simpson's paradox bait
+    * when the mix differs by stratum; CMH tests the arm effect WITHIN
+    * each event-type stratum and pools the evidence): χ²_CMH =
+    * (Σ(aₖ−E[aₖ]))²/ΣVar(aₖ), OR_MH = Σ(aₖdₖ/nₖ)/Σ(bₖcₖ/nₖ). Arms are
+    * the ONE [[md5Arm]] split; success = value ≥ `threshold`.
+    *
+    * ONE conditional-count pass to the stratum-bounded 2×2 frame;
+    * per-stratum deviation/variance/OR terms are formed from exact
+    * integer counts and 1e6-quantized BEFORE the cross-stratum sum
+    * (order-free longs — the ml_calibration discipline), three
+    * divisions at the close. Degenerate strata (n ≤ 1) are excluded
+    * by the (n−1) variance guard; all-concordant corpora null OR_MH
+    * via nullif. Uncorrected form (no continuity correction) —
+    * documented contract, same on both engines. */
+  def cmhTest(events: DataFrame, threshold: Double = 100.0): DataFrame = {
+    val cell = events.select(col("event_type").as("stratum"),
+        md5Arm(col("user_id")).as("arm"),
+        (col("value") >= threshold).as("yes"))
+      .groupBy("stratum")
+      .agg(
+        sum(when(col("arm") === "B" && col("yes"), 1L).otherwise(0L))
+          .as("a"),
+        sum(when(col("arm") === "B" && !col("yes"), 1L).otherwise(0L))
+          .as("b"),
+        sum(when(col("arm") === "A" && col("yes"), 1L).otherwise(0L))
+          .as("c"),
+        sum(when(col("arm") === "A" && !col("yes"), 1L).otherwise(0L))
+          .as("d"))
+      .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+      .filter(col("n") > 1)
+    val r1 = (col("a") + col("b")).cast("double")
+    val r0 = (col("c") + col("d")).cast("double")
+    val c1 = (col("a") + col("c")).cast("double")
+    val c0 = (col("b") + col("d")).cast("double")
+    val nD = col("n").cast("double")
+    val q = cell.select(
+      round((col("a").cast("double") - r1 * c1 / nD) * 1e6).cast("long")
+        .as("dev6"),
+      round(r1 * r0 * c1 * c0 / (nD * nD * (nD - 1.0)) * 1e6)
+        .cast("long").as("v6"),
+      round(col("a").cast("double") * col("d") / nD * 1e6).cast("long")
+        .as("adn6"),
+      round(col("b").cast("double") * col("c") / nD * 1e6).cast("long")
+        .as("bcn6"))
+    q.agg(count(lit(1)).as("n_strata"), sum("dev6").as("sd"),
+        sum("v6").as("sv"), sum("adn6").as("sad"), sum("bcn6").as("sbc"))
+      .select(col("n_strata"),
+        round(col("sd").cast("double") * col("sd") / 1e6 /
+          nullif(col("sv").cast("double"), lit(0.0)), 6).as("cmh"),
+        round(col("sad").cast("double") /
+          nullif(col("sbc").cast("double"), lit(0.0)), 6).as("or_mh"))
   }
 
   def hodgesLehmann(events: DataFrame): DataFrame = {

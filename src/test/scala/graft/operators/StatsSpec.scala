@@ -1684,6 +1684,123 @@ class StatsSpec extends SparkSpec {
       .getAs[Long]("n_days") == 3L)
   }
 
+  test("icc: shifted duplicate rater keeps consistency ICC(3,1) at 1 " +
+      "while absolute-agreement ICC(2,1) pays for the rater gap") {
+    import spark.implicits._
+    def ev(vs: Seq[(Int, String, Double)]) = vs.map { case (d, t, v) =>
+      (d * 86400L, t, v)
+    }.toDF("s", "event_type", "value")
+      .select(timestamp_seconds(col("s")).as("ts"), col("event_type"),
+        col("value"))
+    val base = Seq(0 -> 1.0, 1 -> 3.0, 2 -> 2.0, 3 -> 5.0)
+    // rater b = rater a + 5: perfect consistency, imperfect agreement
+    val shifted = ev(base.flatMap { case (d, v) =>
+      Seq((d, "a", v), (d, "b", v + 5.0)) })
+    val r = Stats.icc(shifted).collect().head
+    assert(r.getAs[Long]("n_days") == 4L && r.getAs[Long]("k_items") == 2L)
+    assert(r.getAs[Double]("icc31") == 1.0, s"$r")
+    assert(r.getAs[Double]("icc21") < 1.0 &&
+      r.getAs[Double]("icc21") > 0.0, s"$r")
+    // identical raters: both forms exactly 1
+    val same = ev(base.flatMap { case (d, v) =>
+      Seq((d, "a", v), (d, "b", v)) })
+    val s2 = Stats.icc(same).collect().head
+    assert(s2.getAs[Double]("icc21") == 1.0 &&
+      s2.getAs[Double]("icc31") == 1.0, s"$s2")
+    // a day missing one rater drops listwise
+    val gappy = ev(base.flatMap { case (d, v) =>
+      Seq((d, "a", v)) ++ (if (d == 2) Nil else Seq((d, "b", v))) })
+    assert(Stats.icc(gappy).collect().head.getAs[Long]("n_days") == 3L)
+  }
+
+  test("cmhTest: pooled strata reproduce the hand-computed CMH and " +
+      "Mantel-Haenszel OR; a balanced stratum adds variance only") {
+    import spark.implicits._
+    // pick real md5 arms so the operator's split sees planted counts
+    val arms = (1L to 400L).toDF("user_id")
+      .withColumn("arm", Stats.md5Arm(col("user_id")))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val as = arms.filter(_._2 == "A").map(_._1).toSeq
+    val bs = arms.filter(_._2 == "B").map(_._1).toSeq
+    // stratum s1: B 10/15 yes, A 3/15 yes; s2: both arms 5/10 yes
+    def rows(st: String, users: Seq[Long], nYes: Int) =
+      users.zipWithIndex.map { case (u, i) =>
+        (u, st, if (i < nYes) 150.0 else 50.0) }
+    val events = (rows("s1", bs.take(15), 10) ++
+        rows("s1", as.take(15), 3) ++
+        rows("s2", bs.slice(15, 25), 5) ++
+        rows("s2", as.slice(15, 25), 5))
+      .toDF("user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
+    val r = Stats.cmhTest(events).collect().head
+    // mirror the operator's quantized arithmetic by hand
+    val dev6 = math.round((10.0 - 15.0 * 13.0 / 30.0) * 1e6) // s2 dev=0
+    val v6 = math.round(15.0 * 15.0 * 13.0 * 17.0 / (30.0 * 30.0 * 29.0) * 1e6) +
+      math.round(10.0 * 10.0 * 10.0 * 10.0 / (20.0 * 20.0 * 19.0) * 1e6)
+    val expCmh = BigDecimal(dev6.toDouble * dev6 / 1e6 / v6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Long]("n_strata") == 2L, s"$r")
+    assert(r.getAs[Double]("cmh") == expCmh, s"$r vs $expCmh")
+    // OR_MH: s1 contributes (10*12/30)/(5*3/30), s2 is 1:1 -> 5.25/1.75
+    assert(r.getAs[Double]("or_mh") == 3.0, s"$r")
+  }
+
+  test("jonckheereTerpstra: reproduces the brute-force pairwise JT on " +
+      "an ordered 3-group sample with ties") {
+    import spark.implicits._
+    val groups = Map(
+      "1-HI" -> Seq(40, 35, 38, 43, 44, 41),
+      "2-MID" -> Seq(38, 40, 47, 44, 40, 42),
+      "3-LO" -> Seq(48, 40, 45, 43, 46, 44))
+    val orders = groups.toSeq.flatMap { case (g, vs) =>
+      vs.map(v => (g, v.toDouble)) }
+      .zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+      .toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+    val r = Stats.jonckheereTerpstra(orders).collect().head
+    // brute force over ordered group pairs, ties at 1/2
+    val names = groups.keys.toSeq.sorted
+    val jt = (for {
+      i <- names.indices; j <- (i + 1) until names.size
+      x <- groups(names(i)); y <- groups(names(j))
+    } yield if (x < y) 1.0 else if (x == y) 0.5 else 0.0).sum
+    val n = groups.values.map(_.size).sum
+    val s2 = groups.values.map(v => v.size.toLong * v.size).sum
+    val s3 = groups.values.map(v =>
+      v.size.toLong * v.size * (2L * v.size + 3)).sum
+    val mu = (n.toLong * n - s2) / 4.0
+    val z = BigDecimal((jt - mu) /
+        math.sqrt((n.toLong * n * (2L * n + 3) - s3) / 72.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Long]("n") == n && r.getAs[Long]("k") == 3L, s"$r")
+    assert(r.getAs[Double]("jt") == jt, s"$r vs $jt")
+    assert(r.getAs[Double]("mu") == mu, s"$r vs $mu")
+    assert(r.getAs[Double]("z") == z, s"$r vs $z")
+  }
+
+  test("durbinWatson: x-orthogonal disturbance leaves dw exactly 2; a " +
+      "perfect line nulls the ratio; slope is recovered") {
+    import spark.implicits._
+    def ev(ys: Seq[Double]) = ys.zipWithIndex.map { case (y, h) =>
+      (h * 3600L, "click", y) }
+      .toDF("s", "event_type", "value")
+      .select(timestamp_seconds(col("s")).as("ts"), col("event_type"),
+        col("value"), lit(1L).as("user_id"))
+    // disturbance [+,-,-,+] is orthogonal to both 1 and x: the OLS fit
+    // passes through the base line, residuals are exactly [r,-r,-r,r]
+    // -> sde = 8r^2, see = 4r^2, dw = 2, rho = 0
+    val base = Seq(10.0, 12.0, 14.0, 16.0)
+    val dist = Seq(1.0, -1.0, -1.0, 1.0)
+    val r = Stats.durbinWatson(ev(base.zip(dist).map(p => p._1 + p._2)))
+      .collect().head
+    assert(r.getAs[Double]("dw") == 2.0 &&
+      r.getAs[Double]("rho") == 0.0, s"$r")
+    assert(r.getAs[Double]("slope") == 2.0, s"$r")
+    // zero residuals: see = 0 -> null dw, never a divide-by-zero
+    val p = Stats.durbinWatson(ev(base)).collect().head
+    assert(p.isNullAt(p.fieldIndex("dw")), s"$p")
+    assert(p.getAs[Double]("slope") == 2.0, s"$p")
+  }
+
   test("hodgesLehmann: Walsh-average median shrugs off the outlier the " +
       "mean follows; even counts interpolate exactly") {
     import spark.implicits._
