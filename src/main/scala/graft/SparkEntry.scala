@@ -1573,6 +1573,20 @@ object SparkEntry {
         "l_discount")),
     "st_km" -> ((s, d) => Stats.kaplanMeier(Tables.events(s, d))),
     "st_friedman" -> ((s, d) => Stats.friedman(Tables.events(s, d))),
+    "st_page" -> ((s, d) => Stats.pageTrend(Tables.events(s, d))),
+    "ts_pettitt" -> ((s, d) => Resample.pettitt(Tables.events(s, d))),
+    "ts_sampen" -> ((s, d) =>
+      Resample.sampleEntropy(Tables.events(s, d))),
+    // Murphy decomposition of the SAME probe score ml_calibration bins
+    "ml_brier_decomp" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val e = Tables.embeddings(s, d)
+      val q1 = round(element_at(
+        col("embedding").cast("array<double>"), 1) * 1000).cast("long")
+      Stats.brierDecomposition(e,
+        lit(1.0) / (lit(1.0) + exp(-(q1 / lit(200.0)))),
+        (col("label") < 5).cast("int"))
+    }),
     "st_cochran_q" -> ((s, d) => Stats.cochranQ(Tables.events(s, d))),
     "st_theil" -> ((s, d) =>
       Stats.theilIndex(Tables.lineitem(s, d), "l_returnflag",
@@ -3301,6 +3315,139 @@ object SparkEntry {
            round(CAST(bsum AS DOUBLE) / (nt * 1000000.0), 6) AS brier,
            round(CAST(esum AS DOUBLE) / 1000000000.0, 6) AS ece
          FROM bb CROSS JOIN e""",
+    "ml_brier_decomp" ->
+      """WITH sc AS (SELECT
+             1.0 / (1.0 + exp(-(CAST(round(embedding[1] * 1000)
+               AS BIGINT) / 200.0))) AS score,
+             CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+           FROM embeddings),
+         q AS (SELECT CAST(floor(score * 10) AS INT) AS bin, y,
+             CAST(round(score * 1000000) AS BIGINT) AS sq,
+             CAST(round((score - y) * (score - y) * 1000000) AS BIGINT)
+               AS bq
+           FROM sc),
+         b AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(sum(sq) AS BIGINT) AS ssum
+           FROM q GROUP BY 1),
+         g AS (SELECT CAST(count(*) AS BIGINT) AS nt,
+             CAST(sum(y) AS BIGINT) AS pt,
+             CAST(sum(bq) AS BIGINT) AS bsum FROM q),
+         bb AS (SELECT
+             CAST(round((CAST(n_pos AS DOUBLE) / n
+                 - CAST(ssum AS DOUBLE) / (n * 1000000.0))
+               * (CAST(n_pos AS DOUBLE) / n
+                 - CAST(ssum AS DOUBLE) / (n * 1000000.0))
+               * n * 1000000000.0 / nt) AS BIGINT) AS relq,
+             CAST(round((CAST(n_pos AS DOUBLE) / n
+                 - CAST(pt AS DOUBLE) / nt)
+               * (CAST(n_pos AS DOUBLE) / n
+                 - CAST(pt AS DOUBLE) / nt)
+               * n * 1000000000.0 / nt) AS BIGINT) AS resq
+           FROM b CROSS JOIN g),
+         s AS (SELECT CAST(sum(relq) AS BIGINT) AS rels,
+             CAST(sum(resq) AS BIGINT) AS ress FROM bb)
+         SELECT nt AS n,
+           round(CAST(rels AS DOUBLE) / 1000000000.0, 6) AS rel,
+           round(CAST(ress AS DOUBLE) / 1000000000.0, 6) AS res,
+           round(CAST(pt AS DOUBLE) / nt
+             * (1.0 - CAST(pt AS DOUBLE) / nt), 6) AS unc,
+           round(CAST(bsum AS DOUBLE) / (nt * 1000000.0), 6) AS brier,
+           round(CAST(rels AS DOUBLE) / 1000000000.0
+             - CAST(ress AS DOUBLE) / 1000000000.0
+             + CAST(pt AS DOUBLE) / nt
+               * (1.0 - CAST(pt AS DOUBLE) / nt), 6) AS brier_decomp
+         FROM s CROSS JOIN g""",
+    "st_page" ->
+      """WITH b AS (SELECT user_id,
+             round(avg(CASE WHEN event_type = 'click' THEN value END), 6)
+               AS x1,
+             round(avg(CASE WHEN event_type = 'view' THEN value END), 6)
+               AS x2,
+             round(avg(CASE WHEN event_type = 'purchase' THEN value END),
+               6) AS x3
+           FROM events
+           WHERE event_type IN ('click', 'view', 'purchase')
+           GROUP BY 1
+           HAVING x1 IS NOT NULL AND x2 IS NOT NULL AND x3 IS NOT NULL),
+         r AS (SELECT
+             1.0 + (CASE WHEN x2 < x1 THEN 1 ELSE 0 END)
+                 + (CASE WHEN x3 < x1 THEN 1 ELSE 0 END)
+                 + ((CASE WHEN x2 = x1 THEN 1 ELSE 0 END)
+                  + (CASE WHEN x3 = x1 THEN 1 ELSE 0 END)) / 2.0 AS r1,
+             1.0 + (CASE WHEN x1 < x2 THEN 1 ELSE 0 END)
+                 + (CASE WHEN x3 < x2 THEN 1 ELSE 0 END)
+                 + ((CASE WHEN x1 = x2 THEN 1 ELSE 0 END)
+                  + (CASE WHEN x3 = x2 THEN 1 ELSE 0 END)) / 2.0 AS r2,
+             1.0 + (CASE WHEN x1 < x3 THEN 1 ELSE 0 END)
+                 + (CASE WHEN x2 < x3 THEN 1 ELSE 0 END)
+                 + ((CASE WHEN x1 = x3 THEN 1 ELSE 0 END)
+                  + (CASE WHEN x2 = x3 THEN 1 ELSE 0 END)) / 2.0 AS r3
+           FROM b),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(r1 + r2 * 2 + r3 * 3) AS l FROM r)
+         SELECT n, CAST(3 AS BIGINT) AS k, l,
+           CAST(n AS DOUBLE) * 12.0 AS mu,
+           round((l - CAST(n AS DOUBLE) * 12.0)
+             / nullif(sqrt(CAST(n AS DOUBLE) * 2.0), 0.0), 6) AS z
+         FROM a""",
+    "ts_pettitt" ->
+      """WITH hourly AS (SELECT
+             CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT)
+               AS hr,
+             CAST(round(avg(value) * 1e6) AS BIGINT) AS v
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+         cnt AS (SELECT v, CAST(count(*) AS BIGINT) t
+           FROM hourly GROUP BY 1),
+         rk AS (SELECT v,
+             2 * coalesce(sum(t) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + t + 1 AS r2
+           FROM cnt),
+         n_ AS (SELECT CAST(count(*) AS BIGINT) n FROM hourly),
+         u AS (SELECT hr, n,
+             CAST(row_number() OVER (ORDER BY hr) AS BIGINT) * (n + 1)
+               - sum(r2) OVER (ORDER BY hr
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS u
+           FROM hourly JOIN rk USING (v) CROSS JOIN n_),
+         k_ AS (SELECT max(abs(u)) k FROM u),
+         at_ AS (SELECT min(hr) t_star, max(n) n, max(k) k
+           FROM u, k_ WHERE abs(u) = k)
+         SELECT n, t_star, k AS k_stat,
+           round(least(1.0, 2.0 * exp(CAST(k AS DOUBLE) * k * -6.0
+             / (CAST(n AS DOUBLE) * n * n
+               + CAST(n AS DOUBLE) * n))), 6) AS p_value
+         FROM at_""",
+    "ts_sampen" ->
+      """WITH hourly AS (SELECT
+             CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT)
+               AS hr,
+             CAST(round(avg(value) * 1e6) AS BIGINT) AS v
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+         mo AS (SELECT CAST(count(*) AS BIGINT) nn,
+             CAST(sum(v) AS HUGEINT) sv,
+             sum(CAST(v AS HUGEINT) * v) svv FROM hourly),
+         r_ AS (SELECT CAST(round(sqrt(CAST(nn * svv - sv * sv
+               AS DOUBLE) / (CAST(nn AS DOUBLE) * (nn - 1))) * 0.2)
+             AS BIGINT) r FROM mo),
+         tpl AS (SELECT row_number() OVER (ORDER BY hr) AS i, v AS v0,
+             lead(v, 1) OVER (ORDER BY hr) AS v1,
+             lead(v, 2) OVER (ORDER BY hr) AS v2
+           FROM hourly),
+         t2 AS (SELECT * FROM tpl WHERE v2 IS NOT NULL),
+         p AS (SELECT
+             greatest(abs(a.v0 - b.v0), abs(a.v1 - b.v1)) <= r AS m2,
+             greatest(abs(a.v0 - b.v0), abs(a.v1 - b.v1),
+               abs(a.v2 - b.v2)) <= r AS m3, r
+           FROM t2 a JOIN t2 b ON a.i < b.i CROSS JOIN r_),
+         c AS (SELECT max(r) r6,
+             CAST(sum(CASE WHEN m2 THEN 1 ELSE 0 END) AS BIGINT) b,
+             CAST(sum(CASE WHEN m3 THEN 1 ELSE 0 END) AS BIGINT) a
+           FROM p)
+         SELECT round(r6 / 1e6, 6) AS r, b, a,
+           CASE WHEN a = 0 OR b = 0 THEN NULL
+             ELSE round(-ln(CAST(a AS DOUBLE) / b), 6) END AS sampen
+         FROM c""",
     "ml_confusion" ->
       s"""WITH cm AS (SELECT * FROM ($MlNbOracleSql)),
          rt AS (SELECT true_lang AS cls, CAST(sum(n) AS BIGINT)

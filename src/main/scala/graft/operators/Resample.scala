@@ -1080,6 +1080,109 @@ object Resample {
       col("s"), round(z, 4).as("z"))
   }
 
+  /** PETTITT change-point test on the hourly series (the WHERE to
+    * [[mannKendall]]'s WHETHER, and the rank-based sibling of
+    * ts_cusum/ts_binseg's moment-based splits — robust to outliers and
+    * any monotone transform): Uₜ = Σᵢ≤ₜΣⱼ>ₜ sgn(xⱼ−xᵢ), K = max|Uₜ|,
+    * the change point is the first t attaining K, with the classic
+    * approximation p ≈ 2·exp(−6K²/(n³+n²)) capped at 1.
+    *
+    * NOT the quadratic double sum: with midranks rᵢ the inner sums
+    * collapse to Uₜ = t(n+1) − Σᵢ≤ₜ2rᵢ — one distinct-value rank
+    * frame (2r = 2·below + t + 1 stays an exact INTEGER), one join
+    * back on the value key, one running sum over the hour order.
+    * Every Uₜ is an exact long on any partitioning; the only float is
+    * the final p. Both windows ride the calendar-bounded hourly frame
+    * (the kendallTau contract — documented, never data-sized). */
+  def pettitt(events: DataFrame, eventType: String = "click")
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = events.filter(col("event_type") === eventType)
+      .groupBy(expr("unix_seconds(date_trunc('hour', ts)) div 3600")
+        .as("hr"))
+      .agg(round(avg("value") * 1e6).cast("long").as("v"))
+    val wv = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranks = hourly.groupBy("v").agg(count(lit(1)).as("t"))
+      .select(col("v"),
+        (coalesce(sum("t").over(wv), lit(0L)) * 2 + col("t") + 1)
+          .as("r2"))
+    val nRow = broadcast(hourly.agg(count(lit(1)).as("n")))
+    val wt = Window.orderBy("hr")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val u = hourly.join(ranks, "v").crossJoin(nRow)
+      .select(col("hr"), col("n"),
+        (row_number().over(Window.orderBy("hr")).cast("long") *
+          (col("n") + 1) - sum("r2").over(wt)).as("u"))
+    val kRow = broadcast(u.agg(max(abs(col("u"))).as("k")))
+    val at = u.crossJoin(kRow).filter(abs(col("u")) === col("k"))
+      .agg(min("hr").as("t_star"), max("n").as("n"), max("k").as("k"))
+    val nD = col("n").cast("double")
+    at.select(col("n"), col("t_star"), col("k").as("k_stat"),
+      round(least(lit(1.0), lit(2.0) *
+        exp(col("k").cast("double") * col("k") * -6.0 /
+          (nD * nD * nD + nD * nD))), 6).as("p_value"))
+  }
+
+  /** SAMPLE ENTROPY (m=2, r=0.2σ) of the hourly series — the
+    * regularity number ([[permutationEntropy]] scores ORDER patterns,
+    * SampEn scores amplitude-aware repeatability: low = the series
+    * repeats its own templates, high = nothing predicts the next
+    * step): SampEn = −ln(A/B) with B = matching template pairs of
+    * length m and A of length m+1 under the Chebyshev distance,
+    * self-matches excluded, both counts over the same i,j ≤ n−m pair
+    * set (the standard convention that keeps A ⊆ B).
+    *
+    * Engine-exact counting: values micro-quantize to longs, the
+    * tolerance r quantizes ONCE from the exact integer moment sums
+    * (σ via (nΣv²−(Σv)²)/(n(n−1)) — no float stddev drift), so every
+    * |Δ| ≤ r compare is integer-vs-integer and A, B are exact longs on
+    * both engines; −ln(A/B) is the one float at the close. The
+    * template frame rides two lead() steps and the pair join is the
+    * calendar-bounded broadcast self-join (kendallTau contract). */
+  def sampleEntropy(events: DataFrame, eventType: String = "click",
+                    rFrac: Double = 0.2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val hourly = events.filter(col("event_type") === eventType)
+      .groupBy(expr("unix_seconds(date_trunc('hour', ts)) div 3600")
+        .as("hr"))
+      .agg(round(avg("value") * 1e6).cast("long").as("v"))
+    val rRow = broadcast(hourly.agg(count(lit(1)).as("nn"),
+        sum(col("v").cast(dec)).cast(dec).as("sv"),
+        sum((col("v").cast(dec) * col("v").cast(dec)).cast(dec))
+          .cast(dec).as("svv"))
+      .select(round(sqrt((col("nn").cast(dec) * col("svv") -
+          col("sv") * col("sv")).cast("double") /
+          (col("nn").cast("double") * (col("nn") - lit(1)))) * rFrac)
+        .cast("long").as("r")))
+    val w = Window.orderBy("hr")
+    val tpl = hourly
+      .select(row_number().over(w).as("i"), col("v").as("v0"),
+        lead("v", 1).over(w).as("v1"), lead("v", 2).over(w).as("v2"))
+      .filter(col("v2").isNotNull)
+    val b = tpl.select(col("i").as("j"), col("v0").as("u0"),
+      col("v1").as("u1"), col("v2").as("u2"))
+    val pairs = tpl.join(broadcast(b), col("i") < col("j"))
+      .crossJoin(rRow)
+      .select(
+        (greatest(abs(col("v0") - col("u0")), abs(col("v1") - col("u1")))
+          <= col("r")).as("m2"),
+        (greatest(abs(col("v0") - col("u0")), abs(col("v1") - col("u1")),
+          abs(col("v2") - col("u2"))) <= col("r")).as("m3"),
+        col("r"))
+    val c = pairs.agg(max("r").as("r6"),
+      sum(when(col("m2"), 1L).otherwise(0L)).as("b"),
+      sum(when(col("m3"), 1L).otherwise(0L)).as("a"))
+    // a=0 or b=0: no matching templates at one scale — SampEn is
+    // undefined, report null rather than ±inf (ln(0) diverges between
+    // engines: Spark nulls, DuckDB returns -inf)
+    c.select(round(col("r6") / 1e6, 6).as("r"), col("b"), col("a"),
+      when(col("a") === 0 || col("b") === 0, lit(null).cast("double"))
+        .otherwise(round(-log(col("a").cast("double") /
+          col("b").cast("double")), 6)).as("sampen"))
+  }
+
   /** PERIODOGRAM over candidate periods — dominant-cycle detection for
     * the hourly series ("is the rhythm daily, half-daily, weekly?"
     * asked directly, where ts_acf answers it only implicitly): the

@@ -2255,9 +2255,14 @@ object Stats {
     * the tie correction C = 1 − Σties/(nk(k²−1)) leaves integer land
     * only in the final 1-row formula. Incomplete blocks drop (classic
     * complete-design Friedman). */
-  def friedman(events: DataFrame,
-               types: Seq[String] = Seq("click", "view", "purchase"))
-      : DataFrame = {
+  /** The complete-block within-user rank frame shared by [[friedman]]
+    * and [[pageTrend]]: per-user 6dp-rounded treatment means pivot out
+    * in one conditional partial-agg pass, within-block midranks are
+    * ROW-LOCAL pairwise comparisons (no window, no extra shuffle),
+    * incomplete blocks drop. Columns r1..r3 (half-integer ranks in the
+    * `types` order) + s (the 3 equality bits). */
+  private def friedmanRanked(events: DataFrame,
+                             types: Seq[String]): DataFrame = {
     require(types.size == 3, "row-local rank formulas are written for k=3")
     val Seq(t1, t2, t3) = types
     def m(t: String) =
@@ -2272,12 +2277,18 @@ object Stats {
     def rk(self: Column, o1: Column, o2: Column) =
       lit(1.0) + lt(o1, self) + lt(o2, self) +
         (eq(o1, self) + eq(o2, self)) / lit(2.0)
-    val ranked = blocks.select(
+    blocks.select(
       rk(col("x1"), col("x2"), col("x3")).as("r1"),
       rk(col("x2"), col("x1"), col("x3")).as("r2"),
       rk(col("x3"), col("x1"), col("x2")).as("r3"),
       (eq(col("x1"), col("x2")) + eq(col("x1"), col("x3")) +
         eq(col("x2"), col("x3"))).as("s"))
+  }
+
+  def friedman(events: DataFrame,
+               types: Seq[String] = Seq("click", "view", "purchase"))
+      : DataFrame = {
+    val ranked = friedmanRanked(events, types)
     val agg = ranked.agg(count(lit(1)).as("n"),
       sum("r1").as("s1"), sum("r2").as("s2"), sum("r3").as("s3"),
       sum(when(col("s") === 3, 24L).when(col("s") === 1, 6L)
@@ -2294,6 +2305,79 @@ object Stats {
       round(chi2, 4).as("chi2"),
       round(chi2 / nullif(corr, lit(0.0)), 4).as("chi2_adj"),
       col("ties"))
+  }
+
+  /** PAGE'S L ordered-alternative trend test over the same complete
+    * blocks (the DIRECTIONAL twin of [[friedman]], exactly as
+    * [[jonckheereTerpstra]] is [[kruskalWallis]]'s: Friedman asks "do
+    * the k repeated conditions differ at all", Page asks "do they rise
+    * MONOTONICALLY in the stated order" — the `types` sequence IS the
+    * alternative being tested): L = Σⱼ j·Rⱼ over the within-block rank
+    * sums, z = (L − nk(k+1)²/4)/√(nk²(k+1)(k²−1)/144) in the
+    * no-tie-correction normal form (documented contract, the
+    * jonckheere convention).
+    *
+    * Reuses [[friedmanRanked]] verbatim — one conditional partial-agg
+    * pass, row-local ranks, no window; rank sums are exact sums of
+    * dyadic half-integers (order-free in double), so L is
+    * engine-identical and only z's final division is float. */
+  def pageTrend(events: DataFrame,
+                types: Seq[String] = Seq("click", "view", "purchase"))
+      : DataFrame = {
+    val ranked = friedmanRanked(events, types)
+    val agg = ranked.agg(count(lit(1)).as("n"),
+      sum(col("r1") + col("r2") * 2 + col("r3") * 3).as("l"))
+    val n = col("n").cast("double")
+    // k=3: E[L] = 12n, Var[L] = 2n
+    agg.select(col("n"), lit(3L).as("k"), col("l"),
+      (n * 12.0).as("mu"),
+      round((col("l") - n * 12.0) /
+        nullif(sqrt(n * 2.0), lit(0.0)), 6).as("z"))
+  }
+
+  /** MURPHY DECOMPOSITION of the Brier score over the calibration bins
+    * (the "WHY is the Brier what it is" companion to
+    * [[calibrationReport]]: Brier ≈ REL − RES + UNC splits the score
+    * into calibration error to FIX, discrimination to KEEP, and the
+    * base-rate floor nothing can beat — REL = Σnᵇ(accᵇ−confᵇ)²/N,
+    * RES = Σnᵇ(accᵇ−ȳ)²/N, UNC = ȳ(1−ȳ); the identity is exact for
+    * bin-constant forecasts and approximate within-bin otherwise,
+    * which is the documented binned contract).
+    *
+    * Same frame discipline as calibrationReport: one partial-agg pass
+    * to the ≤10-bin frame, per-bin REL/RES contributions quantized to
+    * 1e9 integers BEFORE the cross-bin sum (order-free), ȳ and UNC
+    * from exact integer counts, one division each at the close. */
+  def brierDecomposition(df: DataFrame, score: Column, label: Column)
+      : DataFrame = {
+    val q = df.select(score.as("score"), label.cast("int").as("y"))
+      .select(floor(col("score") * 10).cast("int").as("bin"), col("y"),
+        round(col("score") * 1000000).cast("long").as("sq"),
+        round((col("score") - col("y")) * (col("score") - col("y"))
+          * 1000000).cast("long").as("bq"))
+    val b = q.groupBy("bin").agg(count(lit(1)).as("n"),
+      sum("y").cast("long").as("n_pos"), sum("sq").as("ssum"))
+    val g = q.agg(count(lit(1)).as("nt"), sum("y").cast("long").as("pt"),
+      sum("bq").as("bsum"))
+    val ybar = col("pt").cast("double") / col("nt")
+    val acc = col("n_pos").cast("double") / col("n")
+    val conf = col("ssum").cast("double") / (col("n") * 1000000.0)
+    val bb = b.crossJoin(broadcast(g)).select(
+      round((acc - conf) * (acc - conf) * col("n") * 1000000000.0 /
+        col("nt")).cast("long").as("relq"),
+      round((acc - ybar) * (acc - ybar) * col("n") * 1000000000.0 /
+        col("nt")).cast("long").as("resq"))
+    val s = bb.agg(sum("relq").as("rels"), sum("resq").as("ress"))
+      .crossJoin(broadcast(g))
+    val rel = col("rels").cast("double") / 1000000000.0
+    val res = col("ress").cast("double") / 1000000000.0
+    val unc = ybar * (lit(1.0) - ybar)
+    s.select(col("nt").as("n"),
+      round(rel, 6).as("rel"), round(res, 6).as("res"),
+      round(unc, 6).as("unc"),
+      round(col("bsum").cast("double") / (col("nt") * 1000000.0), 6)
+        .as("brier"),
+      round(rel - res + unc, 6).as("brier_decomp"))
   }
 
   /** Kaplan–Meier survival curve over per-user activity lifetimes with

@@ -527,6 +527,57 @@ class RangeResampleSpec extends SparkSpec {
     assert(down.getAs[Double]("z") == -up.getAs[Double]("z"))
   }
 
+  test("pettitt: a planted level shift is located exactly with the " +
+      "hand-computed K; a flat series caps p at 1") {
+    import spark.implicits._
+    def ev(vs: Seq[Double]) = vs.zipWithIndex
+      .map { case (v, h) => (h.toLong * 3600L, "click", v) }
+      .toDF("s", "event_type", "value")
+      .select(timestamp_seconds(col("s")).as("ts"), col("event_type"),
+        col("value"))
+    // 10 hours at 1 then 10 at 5: ranks are 5.5 / 15.5, U_t = 10t up
+    // to the break then 200-10t -> K = 100 at the 10th hour (hr 9)
+    val r = Resample.pettitt(ev(Seq.fill(10)(1.0) ++ Seq.fill(10)(5.0)))
+      .collect().head
+    assert(r.getAs[Long]("n") == 20L, s"$r")
+    assert(r.getAs[Long]("k_stat") == 100L, s"$r")
+    assert(r.getAs[Long]("t_star") == 9L, s"$r")
+    val expP = BigDecimal(2.0 * math.exp(100.0 * 100.0 * -6.0 /
+        (20.0 * 20.0 * 20.0 + 20.0 * 20.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("p_value") == expP, s"$r vs $expP")
+    // constant series: every U_t = 0 -> K = 0, p capped at 1
+    val flat = Resample.pettitt(ev(Seq.fill(12)(7.0))).collect().head
+    assert(flat.getAs[Long]("k_stat") == 0L &&
+      flat.getAs[Double]("p_value") == 1.0, s"$flat")
+  }
+
+  test("sampleEntropy: period-2 series is perfectly regular (SampEn 0); " +
+      "a broken repeat scores exactly ln 2") {
+    import spark.implicits._
+    def ev(vs: Seq[Double]) = vs.zipWithIndex
+      .map { case (v, h) => (h.toLong * 3600L, "click", v) }
+      .toDF("s", "event_type", "value")
+      .select(timestamp_seconds(col("s")).as("ts"), col("event_type"),
+        col("value"))
+    // [0,10]x4: all same-parity templates are identical -> every m=2
+    // match extends to m=3, A=B=6, SampEn = -ln(1) = 0
+    val per = Resample.sampleEntropy(
+      ev(Seq(0.0, 10.0, 0.0, 10.0, 0.0, 10.0, 0.0, 10.0)))
+      .collect().head
+    assert(per.getAs[Long]("b") == 6L && per.getAs[Long]("a") == 6L,
+      s"$per")
+    assert(per.getAs[Double]("sampen") == 0.0, s"$per")
+    // [0,10,0,10,0,0]: templates (0,10),(10,0),(0,10),(10,0) give B=2
+    // but only one extends (the other's third step breaks) -> A=1,
+    // SampEn = ln 2
+    val broken = Resample.sampleEntropy(
+      ev(Seq(0.0, 10.0, 0.0, 10.0, 0.0, 0.0))).collect().head
+    assert(broken.getAs[Long]("b") == 2L &&
+      broken.getAs[Long]("a") == 1L, s"$broken")
+    assert(broken.getAs[Double]("sampen") == 0.693147, s"$broken")
+  }
+
   test("periodogram: planted 24h cycle dominates every other candidate") {
     import spark.implicits._
     val ev = (0 until 24 * 14).map { h =>

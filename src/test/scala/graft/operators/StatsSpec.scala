@@ -1801,6 +1801,64 @@ class StatsSpec extends SparkSpec {
     assert(p.getAs[Double]("slope") == 2.0, s"$p")
   }
 
+  test("pageTrend: a uniform within-user ordering scores z exactly " +
+      "sqrt(2n) signed by direction; all-tied blocks zero it") {
+    import spark.implicits._
+    def ev(vals: Seq[(Double, Double, Double)]) =
+      vals.zipWithIndex.flatMap { case ((c, v, p), u) =>
+        Seq((u.toLong, "click", c), (u.toLong, "view", v),
+          (u.toLong, "purchase", p)) }
+        .toDF("user_id", "event_type", "value")
+        .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
+    // click < view < purchase in every block: ranks (1,2,3), n=8 ->
+    // L = 14n = 112, z = 2n/sqrt(2n) = sqrt(16) = 4
+    val up = Stats.pageTrend(
+      ev(Seq.fill(8)((1.0, 2.0, 3.0)))).collect().head
+    assert(up.getAs[Long]("n") == 8L && up.getAs[Double]("l") == 112.0,
+      s"$up")
+    assert(up.getAs[Double]("z") == 4.0, s"$up")
+    // reversed ordering mirrors: L = 10n, z = -4
+    val down = Stats.pageTrend(
+      ev(Seq.fill(8)((3.0, 2.0, 1.0)))).collect().head
+    assert(down.getAs[Double]("l") == 80.0 &&
+      down.getAs[Double]("z") == -4.0, s"$down")
+    // all tied: every rank 2, L = 12n exactly the null mean -> z = 0
+    val tied = Stats.pageTrend(
+      ev(Seq.fill(8)((5.0, 5.0, 5.0)))).collect().head
+    assert(tied.getAs[Double]("l") == 96.0 &&
+      tied.getAs[Double]("z") == 0.0, s"$tied")
+  }
+
+  test("brierDecomposition: bin-constant forecasts make the Murphy " +
+      "identity exact; perfect calibration zeroes REL") {
+    import spark.implicits._
+    // two bins, forecasts constant in each, perfectly calibrated:
+    // bin .25 has 1/4 positives, bin .75 has 3/4 -> REL = 0,
+    // RES = .5(.25-.5)^2 + .5(.75-.5)^2 = .0625, UNC = .25,
+    // Brier = REL - RES + UNC = .1875 exactly
+    val df = (Seq.fill(1)((0.25, 1)) ++ Seq.fill(3)((0.25, 0)) ++
+        Seq.fill(3)((0.75, 1)) ++ Seq.fill(1)((0.75, 0)))
+      .toDF("score", "y")
+    val r = Stats.brierDecomposition(df, col("score"), col("y"))
+      .collect().head
+    assert(r.getAs[Long]("n") == 8L, s"$r")
+    assert(r.getAs[Double]("rel") == 0.0, s"$r")
+    assert(r.getAs[Double]("res") == 0.0625, s"$r")
+    assert(r.getAs[Double]("unc") == 0.25, s"$r")
+    assert(r.getAs[Double]("brier") == 0.1875, s"$r")
+    assert(r.getAs[Double]("brier_decomp") == 0.1875, s"$r")
+    // flipping labels inside the .25 bin breaks calibration: REL grows,
+    // Brier rises by the same amount (identity still exact)
+    val bad = (Seq.fill(3)((0.25, 1)) ++ Seq.fill(1)((0.25, 0)) ++
+        Seq.fill(3)((0.75, 1)) ++ Seq.fill(1)((0.75, 0)))
+      .toDF("score", "y")
+    val r2 = Stats.brierDecomposition(bad, col("score"), col("y"))
+      .collect().head
+    assert(r2.getAs[Double]("rel") > 0.0, s"$r2")
+    assert(r2.getAs[Double]("brier") == r2.getAs[Double]("brier_decomp"),
+      s"$r2")
+  }
+
   test("hodgesLehmann: Walsh-average median shrugs off the outlier the " +
       "mean follows; even counts interpolate exactly") {
     import spark.implicits._
