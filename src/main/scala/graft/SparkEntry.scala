@@ -1574,6 +1574,12 @@ object SparkEntry {
     "st_km" -> ((s, d) => Stats.kaplanMeier(Tables.events(s, d))),
     "st_friedman" -> ((s, d) => Stats.friedman(Tables.events(s, d))),
     "st_page" -> ((s, d) => Stats.pageTrend(Tables.events(s, d))),
+    "st_ad" -> ((s, d) =>
+      Stats.andersonDarling(Tables.events(s, d), "event_type", "value",
+        "click", "view")),
+    "st_hoeffding" -> ((s, d) => Stats.hoeffdingD(Tables.events(s, d))),
+    "st_breslow_day" -> ((s, d) => Stats.breslowDay(Tables.events(s, d))),
+    "ts_adf" -> ((s, d) => Resample.adfTest(Tables.events(s, d))),
     "ts_pettitt" -> ((s, d) => Resample.pettitt(Tables.events(s, d))),
     "ts_sampen" -> ((s, d) =>
       Resample.sampleEntropy(Tables.events(s, d))),
@@ -7653,6 +7659,163 @@ object SparkEntry {
            round(CAST(sum(adn6) AS DOUBLE)
              / nullif(CAST(sum(bcn6) AS DOUBLE), 0.0), 6) AS or_mh
          FROM q""",
+    "st_breslow_day" ->
+      """WITH cell AS (SELECT stratum,
+             CAST(sum(CASE WHEN arm = 'B' AND yes THEN 1 ELSE 0 END)
+               AS BIGINT) a,
+             CAST(sum(CASE WHEN arm = 'B' AND NOT yes THEN 1 ELSE 0 END)
+               AS BIGINT) b,
+             CAST(sum(CASE WHEN arm = 'A' AND yes THEN 1 ELSE 0 END)
+               AS BIGINT) c,
+             CAST(sum(CASE WHEN arm = 'A' AND NOT yes THEN 1 ELSE 0 END)
+               AS BIGINT) d
+           FROM (SELECT event_type AS stratum,
+               CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                 < '8' THEN 'A' ELSE 'B' END AS arm,
+               value >= 100.0 AS yes
+             FROM events) GROUP BY 1),
+         k AS (SELECT a, a + b + c + d AS n, a + b AS r1, a + c AS c1
+           FROM cell
+           WHERE a + b > 0 AND a + c > 0 AND a + b < a + b + c + d
+             AND a + c < a + b + c + d),
+         orx AS (SELECT
+             CAST(sum(CAST(round(CAST(a AS DOUBLE) * (n - r1 - c1 + a)
+                 / n * 1e6) AS BIGINT)) AS DOUBLE)
+             / nullif(CAST(sum(CAST(round(CAST(r1 - a AS DOUBLE)
+                 * (c1 - a) / n * 1e6) AS BIGINT)) AS DOUBLE), 0.0)
+               AS or_mh
+           FROM k),
+         fit AS (SELECT a, or_mh,
+             CASE WHEN abs(or_mh - 1.0) < 1e-12
+               THEN CAST(r1 AS DOUBLE) * c1 / n
+               ELSE ((CAST(r1 AS DOUBLE) + c1) * or_mh
+                   + (CAST(n AS DOUBLE) - r1 - c1)
+                 - sqrt(((CAST(r1 AS DOUBLE) + c1) * or_mh
+                     + (CAST(n AS DOUBLE) - r1 - c1))
+                   * ((CAST(r1 AS DOUBLE) + c1) * or_mh
+                     + (CAST(n AS DOUBLE) - r1 - c1))
+                   - 4.0 * (or_mh - 1.0)
+                     * (or_mh * r1 * c1)))
+                 / (2.0 * (or_mh - 1.0)) END AS af,
+             CAST(r1 AS DOUBLE) AS r1d, CAST(c1 AS DOUBLE) AS c1d,
+             CAST(n AS DOUBLE) AS nd
+           FROM k CROSS JOIN orx),
+         q AS (SELECT or_mh,
+             CAST(round((a - af) * (a - af)
+               / (1.0 / (1.0 / af + 1.0 / (r1d - af) + 1.0 / (c1d - af)
+                 + 1.0 / (nd - r1d - c1d + af)))
+               * 1e6) AS BIGINT) AS q6
+           FROM fit)
+         SELECT CAST(count(*) AS BIGINT) AS n_strata,
+           CAST(count(*) - 1 AS BIGINT) AS df,
+           round(max(or_mh), 6) AS or_mh,
+           round(CAST(sum(q6) AS DOUBLE) / 1e6, 6) AS bd_chi2
+         FROM q""",
+    "st_ad" ->
+      """WITH pts AS (SELECT value AS v,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               AS BIGINT) AS cb
+           FROM events WHERE event_type IN ('click', 'view')
+           GROUP BY 1),
+         tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+             CAST(sum(cb) AS BIGINT) AS nb FROM pts),
+         cum AS (SELECT ca + cb AS t,
+             sum(ca) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ma,
+             sum(ca + cb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b
+           FROM pts),
+         q AS (SELECT na, nb, na + nb AS nt, t, b,
+             (na + nb) * ma - na * b AS num
+           FROM cum CROSS JOIN tot
+           WHERE b < na + nb)
+         SELECT na AS n_a, nb AS n_b,
+           round(CAST(sum(CAST(round(t * (CAST(num AS DOUBLE) * num)
+               / (CAST(b AS DOUBLE) * (nt - b)) / nt * 1e6) AS BIGINT))
+             AS DOUBLE) / 1e6, 6) AS a2
+         FROM q GROUP BY 1, 2""",
+    "st_hoeffding" ->
+      """WITH hourly AS (SELECT
+             epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
+             round(avg(CASE WHEN event_type = 'click' THEN value END), 6)
+               AS x,
+             round(avg(CASE WHEN event_type = 'view' THEN value END), 6)
+               AS y
+           FROM events WHERE event_type IN ('click', 'view')
+           GROUP BY 1
+           HAVING x IS NOT NULL AND y IS NOT NULL),
+         per AS (SELECT a.hr,
+             CAST(sum(CASE WHEN a.x > b.x THEN 2 WHEN a.x = b.x THEN 1
+               ELSE 0 END) AS BIGINT) AS r2,
+             CAST(sum(CASE WHEN a.y > b.y THEN 2 WHEN a.y = b.y THEN 1
+               ELSE 0 END) AS BIGINT) AS s2,
+             CAST(sum((CASE WHEN a.x > b.x THEN 2 WHEN a.x = b.x THEN 1
+                 ELSE 0 END)
+               * (CASE WHEN a.y > b.y THEN 2 WHEN a.y = b.y THEN 1
+                 ELSE 0 END)) AS BIGINT) AS q4x2
+           FROM hourly a CROSS JOIN hourly b GROUP BY 1),
+         agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST((q4x2 - 1) * (q4x2 - 5) AS HUGEINT)) AS d1x16,
+             sum(CAST((r2 - 1) * (r2 - 3) AS HUGEINT)
+               * CAST((s2 - 1) * (s2 - 3) AS HUGEINT)) AS d2x16,
+             sum(CAST((r2 - 3) * (s2 - 3) AS HUGEINT)
+               * CAST(q4x2 - 1 AS HUGEINT)) AS d3x16
+           FROM per)
+         SELECT n,
+           round(30.0 * ((CAST(n AS DOUBLE) - 2.0)
+               * (CAST(n AS DOUBLE) - 3.0) * CAST(d1x16 AS DOUBLE)
+             + CAST(d2x16 AS DOUBLE)
+             - 2.0 * (CAST(n AS DOUBLE) - 2.0) * CAST(d3x16 AS DOUBLE))
+           / (16.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+             * (CAST(n AS DOUBLE) - 2.0) * (CAST(n AS DOUBLE) - 3.0)
+             * (CAST(n AS DOUBLE) - 4.0)), 6) AS hoeffding_d
+         FROM agg""",
+    "ts_adf" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+               AS v
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+         lagd AS (SELECT v,
+             lag(v, 1) OVER (ORDER BY day) AS l1,
+             lag(v, 2) OVER (ORDER BY day) AS l2
+           FROM daily),
+         pts AS (SELECT CAST(v - l1 AS HUGEINT) AS yy,
+             CAST(l1 AS HUGEINT) AS a, CAST(l1 - l2 AS HUGEINT) AS b
+           FROM lagd WHERE l2 IS NOT NULL),
+         s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(a) AS sa, sum(b) AS sb, sum(yy) AS sy,
+             sum(a * a) AS saa, sum(a * b) AS sab, sum(b * b) AS sbb,
+             sum(a * yy) AS say, sum(b * yy) AS sby,
+             sum(yy * yy) AS syy
+           FROM pts),
+         d AS (SELECT n, CAST(n AS DOUBLE) AS nd,
+             CAST(sa AS DOUBLE) AS sa, CAST(sb AS DOUBLE) AS sb,
+             CAST(sy AS DOUBLE) AS sy, CAST(saa AS DOUBLE) AS saa,
+             CAST(sab AS DOUBLE) AS sab, CAST(sbb AS DOUBLE) AS sbb,
+             CAST(say AS DOUBLE) AS say, CAST(sby AS DOUBLE) AS sby,
+             CAST(syy AS DOUBLE) AS syy
+           FROM s),
+         c AS (SELECT n, nd, sy, sb, sbb, say, sby, syy,
+             nd * (saa * sbb - sab * sab) - sa * (sa * sbb - sab * sb)
+               + sb * (sa * sab - saa * sb) AS det,
+             sy * (saa * sbb - sab * sab) - sa * (say * sbb - sab * sby)
+               + sb * (say * sab - saa * sby) AS d0,
+             nd * (say * sbb - sab * sby) - sy * (sa * sbb - sab * sb)
+               + sb * (sa * sby - say * sb) AS d1,
+             nd * (saa * sby - say * sab) - sa * (sa * sby - say * sb)
+               + sy * (sa * sab - saa * sb) AS d2
+           FROM d),
+         b AS (SELECT n, nd, sb, sbb, det,
+             d0 / det AS a0, d1 / det AS b1, d2 / det AS b2,
+             syy - d0 / det * sy - d1 / det * say - d2 / det * sby
+               AS sse
+           FROM c)
+         SELECT n, round(b1, 6) AS beta, round(b2, 6) AS gamma,
+           round(b1 / nullif(sqrt(sse / (nd - 3.0)
+             * (nd * sbb - sb * sb) / det), 0.0), 4) AS adf_t
+         FROM b""",
     "st_jonckheere" ->
       """WITH rows_ AS (SELECT o_orderpriority AS g,
              CAST(round(o_totalprice * 100) AS BIGINT) AS v

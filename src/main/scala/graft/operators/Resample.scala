@@ -1682,6 +1682,72 @@ object Resample {
         .as("halflife_days"))
   }
 
+  /** AUGMENTED DICKEY–FULLER unit-root test (constant, one
+    * augmentation lag) on the daily series — THE stationarity gate in
+    * front of everything downstream that assumes mean-reversion
+    * ([[ar1HalfLife]] REPORTS a half-life whenever 0<ρ<1; ADF asks
+    * whether the unit root ρ=1 can even be rejected — quoting a
+    * half-life for a random walk is the classic forecasting foot-gun
+    * this test exists to stop): Δvₜ = α + β·vₜ₋₁ + γ·Δvₜ₋₁ + εₜ,
+    * ADF t = β/se(β) (compare to the Dickey–Fuller τ_μ table, ~−2.86
+    * at 5%; the t column is NOT standard-normal, documented).
+    *
+    * Series contract: day-ordered OBSERVATION sequence (gap days
+    * splice, documented — the [[turningPoints]] convention). Exactness:
+    * daily totals are 1e4-quantized longs; both regressors and the
+    * response live on that one scale, so β, γ and the t-stat are
+    * scale-free; the 10 sufficient cross-moments accumulate in
+    * decimal(38,0) (Σx² of 1e10-scale totals exceeds int64 — the
+    * st_ols2 discipline) and the 3×3 Cramer solve + se(β) =
+    * √(s²·(nΣz²−(Σz)²)/det) is one identical double expression tree
+    * on both engines. One rollup shuffle to the days-sized frame, two
+    * lags over one calendar-bounded window, 1-row out. */
+  def adfTest(events: DataFrame, eventType: String = "click")
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val daily = events.filter(col("event_type") === eventType)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 10000).cast("long")).as("v"))
+    val w = Window.orderBy("day")
+    val pts = daily
+      .withColumn("l1", lag("v", 1).over(w))
+      .withColumn("l2", lag("v", 2).over(w))
+      .filter(col("l2").isNotNull)
+      .select((col("v") - col("l1")).cast(dec).as("yy"),
+        col("l1").cast(dec).as("a"),
+        (col("l1") - col("l2")).cast(dec).as("b"))
+    val s = pts.agg(count(lit(1)).as("n"),
+      sum("a").as("sa"), sum("b").as("sb"), sum("yy").as("sy"),
+      sum(col("a") * col("a")).as("saa"),
+      sum(col("a") * col("b")).as("sab"),
+      sum(col("b") * col("b")).as("sbb"),
+      sum(col("a") * col("yy")).as("say"),
+      sum(col("b") * col("yy")).as("sby"),
+      sum(col("yy") * col("yy")).as("syy"))
+    val n = col("n").cast("double")
+    val (sa, sb, sy) = (col("sa").cast("double"),
+      col("sb").cast("double"), col("sy").cast("double"))
+    val (saa, sab, sbb) = (col("saa").cast("double"),
+      col("sab").cast("double"), col("sbb").cast("double"))
+    val (say, sby, syy) = (col("say").cast("double"),
+      col("sby").cast("double"), col("syy").cast("double"))
+    val det = n * (saa * sbb - sab * sab) - sa * (sa * sbb - sab * sb) +
+      sb * (sa * sab - saa * sb)
+    val d0 = sy * (saa * sbb - sab * sab) - sa * (say * sbb - sab * sby) +
+      sb * (say * sab - saa * sby)
+    val d1 = n * (say * sbb - sab * sby) - sy * (sa * sbb - sab * sb) +
+      sb * (sa * sby - say * sb)
+    val d2 = n * (saa * sby - say * sab) - sa * (sa * sby - say * sb) +
+      sy * (sa * sab - saa * sb)
+    val (a0, b1, b2) = (d0 / det, d1 / det, d2 / det)
+    val sse = syy - a0 * sy - b1 * say - b2 * sby
+    val seB = sqrt(sse / (n - 3.0) * (n * sbb - sb * sb) / det)
+    s.select(col("n"),
+      round(b1, 6).as("beta"), round(b2, 6).as("gamma"),
+      round(b1 / nullif(seB, lit(0.0)), 4).as("adf_t"))
+  }
+
   /** TURNING-POINT TEST on the daily series — the cheapest "is this
     * series random noise" gate: count interior days that are a strict
     * local max or min; under iid the expected count is 2(n−2)/3 with

@@ -396,6 +396,68 @@ object Stats {
         max("__na").as("n_a"), max("__nb").as("n_b"))
   }
 
+  /** Two-sample ANDERSON–DARLING statistic between groups `ga` and
+    * `gb` — the TAIL-WEIGHTED member of the ECDF family ([[ksTest]]
+    * weights every x equally and is famously blind to tail
+    * divergence; AD divides by H(1−H), so the same gap counts ~10×
+    * more at the 1st/99th percentile than at the median — the right
+    * default when the risk lives in the tails, e.g. latency or spend
+    * distributions). Right-continuous tie-collapsed form (documented
+    * contract, identical on both engines):
+    * A² = (1/N)·Σⱼ lⱼ·(N·Maⱼ − na·Bⱼ)²/(Bⱼ(N−Bⱼ)) over distinct
+    * pooled values with Bⱼ < N, where Maⱼ/Bⱼ are the inclusive
+    * group-a/pooled cumulative counts and lⱼ the pooled tie count.
+    *
+    * Same striped two-pass prefix-sum skeleton as [[ksTest]] (ties
+    * collapse in one partial-agg pass; nothing serializes the
+    * distinct-value frame), and the same exactness discipline as
+    * mannWhitneyU: Ma, B, l are exact longs on any partitioning, so
+    * each value's term is one deterministic double formula,
+    * 1e6-quantized BEFORE the cross-value sum (order-free longs) —
+    * hash-identical to the oracle with no float-order tolerance. */
+  def andersonDarling(df: DataFrame, groupCol: String, c: String,
+                      ga: String, gb: String,
+                      stripes: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = df.filter(col(groupCol).isin(ga, gb))
+      .groupBy(col(c).as("v"))
+      .agg(sum(when(col(groupCol) === ga, 1L).otherwise(0L)).as("ca"),
+        sum(when(col(groupCol) === gb, 1L).otherwise(0L)).as("cb"))
+      .withColumn("t", col("ca") + col("cb"))
+    val bounds = pts.agg(min("v").as("__lo"), max("v").as("__hi"),
+      sum("ca").as("__na"), sum("cb").as("__nb"))
+    val striped = pts.crossJoin(broadcast(bounds))
+      .withColumn("__stripe",
+        when(col("__hi") === col("__lo"), lit(0L)).otherwise(
+          least(lit(stripes - 1L), greatest(lit(0L),
+            floor((col("v") - col("__lo")) /
+              (col("__hi") - col("__lo")) * stripes)))).cast("int"))
+    val wIn = Window.partitionBy("__stripe").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wStripe = Window.orderBy("__stripe")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = striped.groupBy("__stripe")
+      .agg(sum("ca").as("__sa"), sum("t").as("__st"))
+      .select(col("__stripe"),
+        coalesce(sum("__sa").over(wStripe), lit(0L)).as("__oa"),
+        coalesce(sum("__st").over(wStripe), lit(0L)).as("__ot"))
+    val nTot = col("__na") + col("__nb")
+    val ma = col("__oa") + sum("ca").over(wIn)
+    val b = col("__ot") + sum("t").over(wIn)
+    striped.join(broadcast(offs), Seq("__stripe"))
+      .select(col("t"), col("__na"), col("__nb"),
+        (nTot * ma - col("__na") * b).as("num"), b.as("b"),
+        nTot.as("nt"))
+      .filter(col("b") < col("nt"))
+      .select(col("__na"), col("__nb"),
+        round(col("t") * (col("num").cast("double") * col("num")) /
+          (col("b").cast("double") * (col("nt") - col("b"))) /
+          col("nt") * 1e6).cast("long").as("q6"))
+      .groupBy("__na", "__nb")
+      .agg(round(sum("q6").cast("double") / 1e6, 6).as("a2"))
+      .select(col("__na").as("n_a"), col("__nb").as("n_b"), col("a2"))
+  }
+
   /** Count-min-sketch frequency report, SKETCH-ONLY (r9): one
     * distributed pass builds a MERGEABLE CMS over `c`
     * (graft.functions.CmsAggregator — map-side partial merges,
@@ -2192,6 +2254,54 @@ object Stats {
         .as("tau_b"))
   }
 
+  /** HOEFFDING'S D between the paired hourly series — the
+    * ANY-dependence member of the correlation family ([[kendallTau]]
+    * and Spearman only see MONOTONE association; a U-shaped or
+    * checkerboard dependence nulls both while D stays positive, so D
+    * is the screen that decides whether the monotone statistics were
+    * even asked the right question). Classical Hoeffding (1948) with
+    * the standard midrank tie convention, kept EXACT in quarter-integer
+    * arithmetic: per hour i the pairwise comparison sums
+    * r2ᵢ = Σⱼ2c(xᵢ−xⱼ), s2ᵢ = Σⱼ2c(yᵢ−yⱼ), q4ᵢ = Σⱼ4c(xᵢ−xⱼ)c(yᵢ−yⱼ)
+    * (c(u)=1,½,0 for u>,=,<0; sums over ALL j incl. i) are exact
+    * integers; then R=(r2+1)/2, S=(s2+1)/2, Q=(q4+3)/4 and the three
+    * D-sums scale to 16·D1 = Σ(q4−1)(q4−5) etc. — decimal-exact on any
+    * engine — with one double division at the close:
+    * D = 30·((n−2)(n−3)D1 + D2 − 2(n−2)D3)/(n(n−1)(n−2)(n−3)(n−4)).
+    *
+    * The pair frame is the CALENDAR-BOUNDED all-pairs join (hours² —
+    * the [[kendallTau]]/sampleEntropy contract: bounded by the date
+    * window, not the corpus; the hourly rollup is the only
+    * corpus-sized pass, one map-side-combined shuffle). */
+  def hoeffdingD(events: DataFrame, typeA: String = "click",
+                 typeB: String = "view"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val hourly = alignedHourly(events, typeA, typeB)
+    val b = hourly.select(col("hr").as("hr2"), col("x").as("x2"),
+      col("y").as("y2"))
+    def c2(a: Column, bb: Column): Column =
+      when(a > bb, 2L).when(a === bb, 1L).otherwise(0L)
+    val per = hourly.join(broadcast(b), lit(true))
+      .groupBy("hr")
+      .agg(sum(c2(col("x"), col("x2"))).as("r2"),
+        sum(c2(col("y"), col("y2"))).as("s2"),
+        sum(c2(col("x"), col("x2")) * c2(col("y"), col("y2"))).as("q4x2"))
+    // q4x2 sums (2c)(2c) = 4·c·c directly
+    val agg = per.agg(count(lit(1)).as("n"),
+      sum(((col("q4x2") - 1) * (col("q4x2") - 5)).cast(dec)).as("d1x16"),
+      sum(((col("r2") - 1) * (col("r2") - 3)).cast(dec) *
+        ((col("s2") - 1) * (col("s2") - 3)).cast(dec)).as("d2x16"),
+      sum(((col("r2") - 3) * (col("s2") - 3)).cast(dec) *
+        (col("q4x2") - 1).cast(dec)).as("d3x16"))
+    val n = col("n").cast("double")
+    val d = lit(30.0) *
+      ((n - 2.0) * (n - 3.0) * col("d1x16").cast("double") +
+        col("d2x16").cast("double") -
+        lit(2.0) * (n - 2.0) * col("d3x16").cast("double")) /
+      (lit(16.0) * n * (n - 1.0) * (n - 2.0) * (n - 3.0) * (n - 4.0))
+    agg.select(col("n"), round(d, 6).as("hoeffding_d"))
+  }
+
   /** Two-regressor multiple OLS (y ~ x1 + x2) via EXACT sufficient
     * sums + Cramer's rule — the smallest true multiple regression,
     * where [[olsRegression]]'s single-slope shortcut no longer applies
@@ -3551,6 +3661,78 @@ object Stats {
           nullif(col("sv").cast("double"), lit(0.0)), 6).as("cmh"),
         round(col("sad").cast("double") /
           nullif(col("sbc").cast("double"), lit(0.0)), 6).as("or_mh"))
+  }
+
+  /** BRESLOW–DAY homogeneity-of-odds-ratios test across the same
+    * event-type strata — [[cmhTest]]'s mandatory companion (CMH pools
+    * the arm effect ASSUMING one common odds ratio; Breslow–Day tests
+    * that assumption — a significant BD means the pooled OR_MH is
+    * averaging qualitatively different effects and the CMH headline
+    * should not be trusted): per stratum, the expected count ãₖ under
+    * the common OR solves the quadratic
+    * (OR−1)ã² − ((r1+c1)·OR + (n−r1−c1))·ã + OR·r1·c1 = 0 (root
+    * (B−√(B²−4AC))/(2A) is the in-range root for OR on either side of
+    * 1; OR=1 degenerates to r1c1/n), Var(ãₖ) is the harmonic sum of
+    * the four fitted cells, X²_BD = Σ(aₖ−ãₖ)²/Var(ãₖ) on K−1 df.
+    * Uncorrected form (no Tarone adjustment) — documented contract.
+    *
+    * Same one conditional-count pass to the stratum-bounded 2×2 frame
+    * as [[cmhTest]] (and the IDENTICAL 1e6-quantized OR_MH, so the two
+    * surfaces report one number, not two estimates); the common OR
+    * rides back
+    * as a 1-row broadcast, per-stratum contributions are 1e6-quantized
+    * before the cross-stratum sum (order-free longs). Strata with a
+    * zero margin (fitted cell would be 0) drop, standard practice. */
+  def breslowDay(events: DataFrame, threshold: Double = 100.0)
+      : DataFrame = {
+    val cell = events.select(col("event_type").as("stratum"),
+        md5Arm(col("user_id")).as("arm"),
+        (col("value") >= threshold).as("yes"))
+      .groupBy("stratum")
+      .agg(
+        sum(when(col("arm") === "B" && col("yes"), 1L).otherwise(0L))
+          .as("a"),
+        sum(when(col("arm") === "B" && !col("yes"), 1L).otherwise(0L))
+          .as("b"),
+        sum(when(col("arm") === "A" && col("yes"), 1L).otherwise(0L))
+          .as("c"),
+        sum(when(col("arm") === "A" && !col("yes"), 1L).otherwise(0L))
+          .as("d"))
+      .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+      .withColumn("r1", col("a") + col("b"))
+      .withColumn("c1", col("a") + col("c"))
+      .filter(col("r1") > 0 && col("c1") > 0 &&
+        col("r1") < col("n") && col("c1") < col("n"))
+    val nD = col("n").cast("double")
+    val orMh = cell.select(
+        round(col("a").cast("double") * col("d") / nD * 1e6).cast("long")
+          .as("adn6"),
+        round(col("b").cast("double") * col("c") / nD * 1e6).cast("long")
+          .as("bcn6"))
+      .agg((sum("adn6").cast("double") /
+        nullif(sum("bcn6").cast("double"), lit(0.0))).as("or_mh"))
+    val or = col("or_mh")
+    val r1 = col("r1").cast("double")
+    val c1 = col("c1").cast("double")
+    val qA = or - 1.0
+    val qB = (r1 + c1) * or + (nD - r1 - c1)
+    val qC = or * r1 * c1
+    val aFit = when(abs(qA) < 1e-12, r1 * c1 / nD)
+      .otherwise((qB - sqrt(qB * qB - lit(4.0) * qA * qC)) /
+        (lit(2.0) * qA))
+    val withFit = cell.crossJoin(broadcast(orMh))
+      .withColumn("af", aFit)
+      .withColumn("vf", lit(1.0) / (lit(1.0) / col("af") +
+        lit(1.0) / (r1 - col("af")) + lit(1.0) / (c1 - col("af")) +
+        lit(1.0) / (nD - r1 - c1 + col("af"))))
+    withFit.select(col("or_mh"),
+        round((col("a") - col("af")) * (col("a") - col("af")) /
+          col("vf") * 1e6).cast("long").as("q6"))
+      .groupBy("or_mh")
+      .agg(count(lit(1)).as("n_strata"),
+        round(sum("q6").cast("double") / 1e6, 6).as("bd_chi2"))
+      .select(col("n_strata"), (col("n_strata") - 1).as("df"),
+        round(col("or_mh"), 6).as("or_mh"), col("bd_chi2"))
   }
 
   def hodgesLehmann(events: DataFrame): DataFrame = {

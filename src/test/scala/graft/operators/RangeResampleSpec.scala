@@ -954,4 +954,53 @@ class RangeResampleSpec extends SparkSpec {
     assert(sq(1) == ((16L, 32.0, 1.0)), s"$sq") // 16 pairs x d²/2 = 2
     assert(sq(2)._2 == 0.0 && sq(3)._2 == 0.0)
   }
+
+  test("adfTest: reproduces the brute-force 3-regressor Dickey-Fuller " +
+      "solve on a deterministic mean-reverting series") {
+    import spark.implicits._
+    // deterministic pseudo-noise around a level: strongly
+    // mean-reverting, so the hand OLS has a healthy negative beta
+    val w = (0 until 40).map(t => ((t * 37 + 11) % 100) / 10.0 + 5.0)
+    val days = w.zipWithIndex.map { case (v, i) =>
+      (i.toLong * 86400L, "click", v)
+    }.toDF("s", "event_type", "value")
+      .select(timestamp_seconds(col("s")).as("ts"), col("event_type"),
+        col("value"))
+    val r = Resample.adfTest(days).collect().head
+    // brute-force twin on the same 1e4-quantized longs, identical
+    // Cramer/variance formula order -> bit-equal doubles
+    val vq = w.map(x => math.round(x * 10000).toDouble)
+    val rows = (2 until vq.size).map(t =>
+      (vq(t) - vq(t - 1), vq(t - 1), vq(t - 1) - vq(t - 2)))
+    val n = rows.size.toDouble
+    val sa = rows.map(_._2).sum; val sb = rows.map(_._3).sum
+    val sy = rows.map(_._1).sum
+    val saa = rows.map(r => r._2 * r._2).sum
+    val sab = rows.map(r => r._2 * r._3).sum
+    val sbb = rows.map(r => r._3 * r._3).sum
+    val say = rows.map(r => r._2 * r._1).sum
+    val sby = rows.map(r => r._3 * r._1).sum
+    val syy = rows.map(r => r._1 * r._1).sum
+    val det = n * (saa * sbb - sab * sab) - sa * (sa * sbb - sab * sb) +
+      sb * (sa * sab - saa * sb)
+    val d0 = sy * (saa * sbb - sab * sab) - sa * (say * sbb - sab * sby) +
+      sb * (say * sab - saa * sby)
+    val d1 = n * (say * sbb - sab * sby) - sy * (sa * sbb - sab * sb) +
+      sb * (sa * sby - say * sb)
+    val d2 = n * (saa * sby - say * sab) - sa * (sa * sby - say * sb) +
+      sy * (sa * sab - saa * sb)
+    val (a0, b1, b2) = (d0 / det, d1 / det, d2 / det)
+    val sse = syy - a0 * sy - b1 * say - b2 * sby
+    val seB = math.sqrt(sse / (n - 3.0) * (n * sbb - sb * sb) / det)
+    def rd(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Long]("n") == 38L, s"$r")
+    assert(r.getAs[Double]("beta") == rd(b1, 6), s"$r vs $b1")
+    assert(r.getAs[Double]("gamma") == rd(b2, 6), s"$r vs $b2")
+    assert(r.getAs[Double]("adf_t") == rd(b1 / seB, 4),
+      s"$r vs ${b1 / seB}")
+    // a stationary oscillation rejects hard: t deep below the 5%
+    // Dickey-Fuller critical value -2.86
+    assert(r.getAs[Double]("adf_t") < -2.86, s"$r")
+  }
 }

@@ -1878,4 +1878,87 @@ class StatsSpec extends SparkSpec {
     assert(e.getAs[Long]("n_pairs") == 6L &&
       e.getAs[Double]("hl") == 2.0, s"$e")
   }
+
+  test("andersonDarling: hand-computed tie-collapsed A2 on separated, " +
+      "interleaved, and identical two-sample layouts") {
+    import spark.implicits._
+    def df(a: Seq[Double], b: Seq[Double]) =
+      (a.map(("a", _)) ++ b.map(("b", _))).toDF("g", "v")
+    // full separation a={1,2} b={3,4}: terms 1/3, 1, 1/3 (quantized
+    // 333333 + 1000000 + 333333) -> A2 = 1.666666
+    val sep = Stats.andersonDarling(df(Seq(1, 2), Seq(3, 4)),
+      "g", "v", "a", "b").collect().head
+    assert(sep.getAs[Long]("n_a") == 2L && sep.getAs[Long]("n_b") == 2L,
+      s"$sep")
+    assert(sep.getAs[Double]("a2") == 1.666666, s"$sep")
+    // perfect interleave a={1,3} b={2,4}: terms 1/3, 0, 1/3 -> 0.666666
+    val mix = Stats.andersonDarling(df(Seq(1, 3), Seq(2, 4)),
+      "g", "v", "a", "b").collect().head
+    assert(mix.getAs[Double]("a2") == 0.666666, s"$mix")
+    // identical samples: every num = N*Ma - na*B = 0 -> A2 exactly 0
+    val same = Stats.andersonDarling(df(Seq(1, 2), Seq(1, 2)),
+      "g", "v", "a", "b").collect().head
+    assert(same.getAs[Double]("a2") == 0.0, s"$same")
+  }
+
+  test("hoeffdingD: monotone dependence in EITHER direction scores " +
+      "exactly 1; the all-tied-y formula value is locked") {
+    import spark.implicits._
+    def ev(pairs: Seq[(Double, Double)]) =
+      pairs.zipWithIndex.flatMap { case ((x, y), h) =>
+        Seq((h * 3600L, "click", x), (h * 3600L, "view", y)) }
+        .toDF("s", "event_type", "value")
+        .select(timestamp_seconds(col("s")).as("ts"), col("event_type"),
+          col("value"))
+    // y = x, n = 5: D1=20, D2=184, D3=50 -> D = 30*4/120 = 1 exactly
+    val up = Stats.hoeffdingD(
+      ev((1 to 5).map(i => (i.toDouble, i.toDouble)))).collect().head
+    assert(up.getAs[Long]("n") == 5L, s"$up")
+    assert(up.getAs[Double]("hoeffding_d") == 1.0, s"$up")
+    // y = -x: Q_i = 1 for all i, D1=D3=0, D2=4 -> still exactly 1
+    // (D measures dependence, not direction — unlike tau/rho)
+    val down = Stats.hoeffdingD(
+      ev((1 to 5).map(i => (i.toDouble, -i.toDouble)))).collect().head
+    assert(down.getAs[Double]("hoeffding_d") == 1.0, s"$down")
+    // constant y (total ties): the classical midrank formula gives
+    // exactly -1.25 here — D assumes continuous marginals, and the
+    // locked value documents the tie convention rather than a theory
+    // quantity (Hoeffding 1948 bounds only hold tie-free)
+    val tied = Stats.hoeffdingD(
+      ev((1 to 5).map(i => (i.toDouble, 7.0)))).collect().head
+    assert(tied.getAs[Double]("hoeffding_d") == -1.25, s"$tied")
+  }
+
+  test("breslowDay: identical strata fit exactly (chi2 0, integer " +
+      "OR recovered); opposite odds ratios light the statistic up") {
+    import spark.implicits._
+    def arm(u: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      if ("%02x".format(d(0)).charAt(0) < '8') "A" else "B"
+    }
+    val uA = (1L to 100L).find(arm(_) == "A").get
+    val uB = (1L to 100L).find(arm(_) == "B").get
+    // one stratum = (a yes-B, b no-B, c yes-A, d no-A) cell counts
+    def stratum(et: String, a: Int, b: Int, c: Int, d: Int) =
+      Seq.fill(a)((uB, et, 150.0)) ++ Seq.fill(b)((uB, et, 50.0)) ++
+        Seq.fill(c)((uA, et, 150.0)) ++ Seq.fill(d)((uA, et, 50.0))
+    def ev(rows: Seq[(Long, String, Double)]) =
+      rows.toDF("user_id", "event_type", "value")
+        .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
+    // two identical strata, each OR = 9 with EXACT 1e6-quantized
+    // ad/n = 11.25, bc/n = 1.25: OR_MH = 9, the BD quadratic solves to
+    // a-fit = (720 - sqrt(57600))/16 = 30 = a exactly -> chi2 = 0
+    val hom = Stats.breslowDay(ev(stratum("click", 30, 10, 10, 30) ++
+      stratum("view", 30, 10, 10, 30))).collect().head
+    assert(hom.getAs[Long]("n_strata") == 2L &&
+      hom.getAs[Long]("df") == 1L, s"$hom")
+    assert(hom.getAs[Double]("or_mh") == 9.0, s"$hom")
+    assert(hom.getAs[Double]("bd_chi2") == 0.0, s"$hom")
+    // opposite effects (OR 9 vs OR 1/9) pooled to OR_MH = 1: the
+    // homogeneity test must reject what CMH would happily average
+    val het = Stats.breslowDay(ev(stratum("click", 30, 10, 10, 30) ++
+      stratum("view", 10, 30, 30, 10))).collect().head
+    assert(het.getAs[Double]("bd_chi2") > 10.0, s"$het")
+  }
 }
