@@ -1578,6 +1578,13 @@ object SparkEntry {
       Stats.andersonDarling(Tables.events(s, d), "event_type", "value",
         "click", "view")),
     "st_hoeffding" -> ((s, d) => Stats.hoeffdingD(Tables.events(s, d))),
+    "st_mood" -> ((s, d) =>
+      Stats.moodMedian(Tables.events(s, d), "event_type", "value")),
+    "st_ansari" -> ((s, d) =>
+      Stats.ansariBradley(Tables.events(s, d), "event_type", "value",
+        "click", "view")),
+    "st_grubbs" -> ((s, d) => Stats.grubbs(Tables.events(s, d))),
+    "ts_kpss" -> ((s, d) => Resample.kpssTest(Tables.events(s, d))),
     "st_breslow_day" -> ((s, d) => Stats.breslowDay(Tables.events(s, d))),
     "ts_adf" -> ((s, d) => Resample.adfTest(Tables.events(s, d))),
     "ts_pettitt" -> ((s, d) => Resample.pettitt(Tables.events(s, d))),
@@ -7711,6 +7718,127 @@ object SparkEntry {
            round(max(or_mh), 6) AS or_mh,
            round(CAST(sum(q6) AS DOUBLE) / 1e6, 6) AS bd_chi2
          FROM q""",
+    "st_mood" ->
+      """WITH cnt AS (SELECT value AS v, CAST(count(*) AS BIGINT) AS t
+           FROM events GROUP BY 1),
+         n_ AS (SELECT CAST(sum(t) AS BIGINT) AS n FROM cnt),
+         cum AS (SELECT v, sum(t) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+           FROM cnt),
+         med AS (SELECT min(v) AS med FROM cum CROSS JOIN n_
+           WHERE c >= (n + 1) // 2),
+         cell AS (SELECT event_type AS g,
+             CAST(sum(CASE WHEN value > med THEN 1 ELSE 0 END)
+               AS BIGINT) AS a,
+             CAST(count(*) AS BIGINT) AS tot, max(med) AS med
+           FROM events CROSS JOIN med GROUP BY 1),
+         tots AS (SELECT CAST(sum(a) AS BIGINT) AS ta,
+             CAST(sum(tot) AS BIGINT) AS n FROM cell),
+         q AS (SELECT med, n,
+             CAST(round(((CAST(a AS DOUBLE)
+                 - CAST(tot AS DOUBLE) * ta / n)
+               * (CAST(a AS DOUBLE) - CAST(tot AS DOUBLE) * ta / n)
+               / (CAST(tot AS DOUBLE) * ta / n)
+             + (CAST(tot - a AS DOUBLE)
+                 - CAST(tot AS DOUBLE) * (n - ta) / n)
+               * (CAST(tot - a AS DOUBLE)
+                 - CAST(tot AS DOUBLE) * (n - ta) / n)
+               / (CAST(tot AS DOUBLE) * (n - ta) / n)) * 1e6)
+               AS BIGINT) AS q6
+           FROM cell CROSS JOIN tots)
+         SELECT max(n) AS n, CAST(count(*) AS BIGINT) AS k_groups,
+           CAST(count(*) - 1 AS BIGINT) AS df, max(med) AS med,
+           round(CAST(sum(q6) AS DOUBLE) / 1e6, 6) AS chi2
+         FROM q""",
+    "st_ansari" ->
+      """WITH pts AS (SELECT value AS v,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               AS BIGINT) AS cb
+           FROM events WHERE event_type IN ('click', 'view')
+           GROUP BY 1),
+         tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+             CAST(sum(cb) AS BIGINT) AS nb FROM pts),
+         rk AS (SELECT ca, ca + cb AS t,
+             2 * coalesce(sum(ca + cb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (ca + cb) + 1 AS mr2
+           FROM pts),
+         sc AS (SELECT ca, t,
+             least(mr2, 2 * (na + nb + 1) - mr2) AS s2
+           FROM rk CROSS JOIN tot),
+         agg AS (SELECT sum(CAST(ca * s2 AS HUGEINT)) AS ab2,
+             sum(CAST(t * s2 AS HUGEINT)) AS ss2,
+             sum(CAST(t AS HUGEINT) * CAST(s2 * s2 AS HUGEINT))
+               AS ss2sq
+           FROM sc)
+         SELECT na AS n_a, nb AS n_b,
+           CAST(ab2 AS DOUBLE) / 2.0 AS ab,
+           round((CAST(ab2 AS DOUBLE) - CAST(na AS DOUBLE)
+               * (CAST(ss2 AS DOUBLE) / CAST(na + nb AS DOUBLE)))
+             / nullif(sqrt(CAST(na AS DOUBLE) * nb
+               / (CAST(na + nb AS DOUBLE)
+                 * (CAST(na + nb AS DOUBLE) - 1.0))
+               * (CAST(ss2sq AS DOUBLE) - CAST(ss2 AS DOUBLE)
+                 * CAST(ss2 AS DOUBLE) / CAST(na + nb AS DOUBLE))),
+               0.0), 6) AS z
+         FROM agg CROSS JOIN tot""",
+    "st_grubbs" ->
+      """WITH hourly AS (SELECT
+             CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT)
+               AS hr,
+             CAST(round(avg(value) * 1e6) AS BIGINT) AS v
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS BIGINT) AS sv,
+             sum(CAST(v AS HUGEINT) * v) AS svv FROM hourly),
+         sc AS (SELECT hr, n, sv, svv, abs(n * v - sv) AS adev
+           FROM hourly CROSS JOIN m),
+         top AS (SELECT max(adev) AS maxdev FROM sc),
+         at_ AS (SELECT max(n) AS n, max(sv) AS sv, max(svv) AS svv,
+             max(maxdev) AS maxdev, min(hr) AS t_star
+           FROM sc CROSS JOIN top WHERE adev = maxdev)
+         SELECT n, t_star,
+           round(CAST(maxdev AS DOUBLE) / n
+             / nullif(sqrt((CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
+               - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))),
+               0.0), 6) AS g
+         FROM at_""",
+    "ts_kpss" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+               AS v
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS BIGINT) AS sv FROM daily),
+         pts AS (SELECT n, sv,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+             sum(v) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cv,
+             n * v - sv AS ej,
+             lag(n * v - sv, 1) OVER (ORDER BY day) AS e1,
+             lag(n * v - sv, 2) OVER (ORDER BY day) AS e2,
+             lag(n * v - sv, 3) OVER (ORDER BY day) AS e3,
+             lag(n * v - sv, 4) OVER (ORDER BY day) AS e4
+           FROM daily CROSS JOIN m),
+         p2 AS (SELECT n, ej, e1, e2, e3, e4, n * cv - i * sv AS sn
+           FROM pts),
+         agg AS (SELECT max(n) AS n,
+             sum(CAST(sn AS HUGEINT) * sn) AS ssn2,
+             sum(CAST(ej AS HUGEINT) * ej) AS g0,
+             sum(CAST(ej AS HUGEINT) * e1) AS g1,
+             sum(CAST(ej AS HUGEINT) * e2) AS g2,
+             sum(CAST(ej AS HUGEINT) * e3) AS g3,
+             sum(CAST(ej AS HUGEINT) * e4) AS g4
+           FROM p2)
+         SELECT n, round(CAST(ssn2 AS DOUBLE)
+           / nullif(CAST(n AS DOUBLE) * (CAST(g0 AS DOUBLE)
+             + 2.0 * (0.8 * CAST(g1 AS DOUBLE)
+               + 0.6 * CAST(g2 AS DOUBLE) + 0.4 * CAST(g3 AS DOUBLE)
+               + 0.2 * CAST(g4 AS DOUBLE))), 0.0), 6) AS kpss_eta
+         FROM agg""",
     "st_ad" ->
       """WITH pts AS (SELECT value AS v,
              CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)

@@ -1748,6 +1748,60 @@ object Resample {
       round(b1 / nullif(seB, lit(0.0)), 4).as("adf_t"))
   }
 
+  /** KPSS level-stationarity test on the daily series — [[adfTest]]'s
+    * REVERSED-null twin (ADF's null is a unit root, KPSS's null is
+    * stationarity; run BOTH — agreement is evidence, disagreement
+    * means the series is too short to decide, and only the pair
+    * catches that): η = (1/n²)·ΣSₜ²/σ̂² over partial sums of the
+    * demeaned series, long-run variance by the Bartlett kernel at
+    * fixed lag 4 (weights 1−j/5 — documented contract; compare η to
+    * the 5% critical value 0.463 of KPSS 1992 Table 1).
+    *
+    * EXACT rational arithmetic throughout: with 1e4-quantized daily
+    * longs v, the scaled residual eⱼ = n·vⱼ−Σv and scaled partial sum
+    * Snₜ = n·cumvₜ−t·Σv are exact longs on any partitioning; ΣSn²,
+    * Σe², and the four lag-covariances accumulate in decimal(38,0),
+    * and η = ΣSn²/(n·G) (the n powers cancel: ΣS² = ΣSn²/n²,
+    * σ̂² = G/n³) is ONE double division. One rollup shuffle, one
+    * calendar-bounded day-order window pass (cumsum + 4 lags), 1-row
+    * out. */
+  def kpssTest(events: DataFrame, eventType: String = "click")
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val daily = events.filter(col("event_type") === eventType)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 10000).cast("long")).as("v"))
+    val m = daily.agg(count(lit(1)).as("n"), sum("v").as("sv"))
+    val w = Window.orderBy("day")
+    val pts = daily.crossJoin(broadcast(m))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("cv",
+        sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("ej", col("n") * col("v") - col("sv"))
+      .withColumn("sn", col("n") * col("cv") - col("i") * col("sv"))
+      .withColumn("e1", lag("ej", 1).over(w))
+      .withColumn("e2", lag("ej", 2).over(w))
+      .withColumn("e3", lag("ej", 3).over(w))
+      .withColumn("e4", lag("ej", 4).over(w))
+    val agg = pts.agg(max("n").as("n"),
+      sum(col("sn").cast(dec) * col("sn").cast(dec)).as("ssn2"),
+      sum(col("ej").cast(dec) * col("ej").cast(dec)).as("g0"),
+      sum(col("ej").cast(dec) * col("e1").cast(dec)).as("g1"),
+      sum(col("ej").cast(dec) * col("e2").cast(dec)).as("g2"),
+      sum(col("ej").cast(dec) * col("e3").cast(dec)).as("g3"),
+      sum(col("ej").cast(dec) * col("e4").cast(dec)).as("g4"))
+    val g = col("g0").cast("double") + lit(2.0) *
+      (lit(0.8) * col("g1").cast("double") +
+        lit(0.6) * col("g2").cast("double") +
+        lit(0.4) * col("g3").cast("double") +
+        lit(0.2) * col("g4").cast("double"))
+    agg.select(col("n"),
+      round(col("ssn2").cast("double") /
+        nullif(col("n").cast("double") * g, lit(0.0)), 6)
+        .as("kpss_eta"))
+  }
+
   /** TURNING-POINT TEST on the daily series — the cheapest "is this
     * series random noise" gate: count interior days that are a strict
     * local max or min; under iid the expected count is 2(n−2)/3 with

@@ -458,6 +458,182 @@ object Stats {
       .select(col("__na").as("n_a"), col("__nb").as("n_b"), col("a2"))
   }
 
+  /** MOOD'S MEDIAN TEST across ALL event-type groups — the
+    * maximally-robust k-group location test (st_kruskal uses full rank
+    * information and is more powerful, but its statistic moves with
+    * ANY distribution change; Mood reduces each observation to one bit
+    * — above the pooled median or not — so gross outliers and wild
+    * tails cannot touch it, the right gate when the data is dirty):
+    * pooled LOWER median (smallest v with cumcount ≥ ⌈N/2⌉ —
+    * deterministic, no engine-specific quantile interpolation), then
+    * the k×2 above/≤ contingency χ² on K−1 df.
+    *
+    * The median comes from the same striped two-pass prefix sum as
+    * [[ksTest]] (ties collapse first; nothing serializes the
+    * distinct-value frame) and rides back as a 1-row broadcast; the
+    * k×2 cells are one conditional-count pass of exact longs, each
+    * group's χ² contribution 1e6-quantized before the cross-group sum
+    * (order-free longs, the cmhTest discipline). */
+  def moodMedian(df: DataFrame, groupCol: String, c: String,
+                 stripes: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = df.groupBy(col(c).as("v"))
+      .agg(count(lit(1)).as("t"))
+    val bounds = pts.agg(min("v").as("__lo"), max("v").as("__hi"),
+      sum("t").as("__n"))
+    val striped = pts.crossJoin(broadcast(bounds))
+      .withColumn("__stripe",
+        when(col("__hi") === col("__lo"), lit(0L)).otherwise(
+          least(lit(stripes - 1L), greatest(lit(0L),
+            floor((col("v") - col("__lo")) /
+              (col("__hi") - col("__lo")) * stripes)))).cast("int"))
+    val wIn = Window.partitionBy("__stripe").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wStripe = Window.orderBy("__stripe")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = striped.groupBy("__stripe")
+      .agg(sum("t").as("__st"))
+      .select(col("__stripe"),
+        coalesce(sum("__st").over(wStripe), lit(0L)).as("__ot"))
+    val med = striped.join(broadcast(offs), Seq("__stripe"))
+      .select(col("v"), (col("__ot") + sum("t").over(wIn)).as("c"),
+        ((col("__n") + 1) / 2).cast("long").as("k"))
+      .filter(col("c") >= col("k"))
+      .agg(min("v").as("med"))
+    val cell = df.crossJoin(broadcast(med))
+      .groupBy(col(groupCol).as("g"))
+      .agg(sum(when(col(c) > col("med"), 1L).otherwise(0L)).as("a"),
+        count(lit(1)).as("tot"), max("med").as("med"))
+    val tots = cell.agg(sum("a").as("ta"), sum("tot").as("n"))
+    val nD = col("n").cast("double")
+    val ea = col("tot").cast("double") * col("ta") / nD
+    val eb = col("tot").cast("double") * (col("n") - col("ta")) / nD
+    val oa = col("a").cast("double")
+    val ob = (col("tot") - col("a")).cast("double")
+    cell.crossJoin(broadcast(tots))
+      .select(col("med"), col("n"),
+        round(((oa - ea) * (oa - ea) / ea +
+          (ob - eb) * (ob - eb) / eb) * 1e6).cast("long").as("q6"))
+      .groupBy("med", "n")
+      .agg(count(lit(1)).as("k_groups"),
+        round(sum("q6").cast("double") / 1e6, 6).as("chi2"))
+      .select(col("n"), col("k_groups"), (col("k_groups") - 1).as("df"),
+        col("med"), col("chi2"))
+  }
+
+  /** ANSARI–BRADLEY two-sample SCALE test between groups `ga` and `gb`
+    * — "same center, different spread" detected by ranks alone (the
+    * nonparametric sibling of st_levene/st_bartlett: no normality, no
+    * moments, immune to the heavy tails that inflate variance-based
+    * tests; the classic dispersion A/B check for latency or spend):
+    * pool both samples, score each observation s = min(r, N+1−r) with
+    * midranks (small scores at the extremes — group a scoring LOW
+    * means it owns the tails, i.e. larger scale), AB = Σ_{i∈a} sᵢ,
+    * z from the exact finite-population moments E = n₁·s̄,
+    * Var = n₁n₂/(N(N−1))·Σ(sᵢ−s̄)² — the general form, so ties need
+    * no special correction.
+    *
+    * Same striped prefix-sum skeleton as [[mannWhitneyU]]; everything
+    * stays INTEGER: doubled midranks mr2 = 2·below+t+1 are exact
+    * longs, doubled scores s2 = min(mr2, 2(N+1)−mr2), and the three
+    * sufficient sums (Σca·s2, Σt·s2, Σt·s2²) accumulate in
+    * decimal(38,0) — AB is exact on any partitioning, one double
+    * division at the close. */
+  def ansariBradley(df: DataFrame, groupCol: String, c: String,
+                    ga: String, gb: String,
+                    stripes: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val pts = df.filter(col(groupCol).isin(ga, gb))
+      .groupBy(col(c).as("v"))
+      .agg(sum(when(col(groupCol) === ga, 1L).otherwise(0L)).as("ca"),
+        sum(when(col(groupCol) === gb, 1L).otherwise(0L)).as("cb"))
+      .withColumn("t", col("ca") + col("cb"))
+    val bounds = pts.agg(min("v").as("__lo"), max("v").as("__hi"),
+      sum("ca").as("__na"), sum("cb").as("__nb"))
+    val striped = pts.crossJoin(broadcast(bounds))
+      .withColumn("__stripe",
+        when(col("__hi") === col("__lo"), lit(0L)).otherwise(
+          least(lit(stripes - 1L), greatest(lit(0L),
+            floor((col("v") - col("__lo")) /
+              (col("__hi") - col("__lo")) * stripes)))).cast("int"))
+    val wIn = Window.partitionBy("__stripe").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wStripe = Window.orderBy("__stripe")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = striped.groupBy("__stripe")
+      .agg(sum("t").as("__st"))
+      .select(col("__stripe"),
+        coalesce(sum("__st").over(wStripe), lit(0L)).as("__ot"))
+    val nTot = col("__na") + col("__nb")
+    val mr2 = lit(2) * (col("__ot") +
+      coalesce(sum("t").over(wIn), lit(0L))) + col("t") + 1
+    val s2 = least(mr2, lit(2) * (nTot + 1) - mr2)
+    val agg = striped.join(broadcast(offs), Seq("__stripe"))
+      .select(col("ca"), col("t"), col("__na"), col("__nb"),
+        s2.as("s2"))
+      .agg(max("__na").as("na"), max("__nb").as("nb"),
+        sum((col("ca") * col("s2")).cast(dec)).as("ab2"),
+        sum((col("t") * col("s2")).cast(dec)).as("ss2"),
+        sum(col("t").cast(dec) * (col("s2") * col("s2")).cast(dec))
+          .as("ss2sq"))
+    val n = (col("na") + col("nb")).cast("double")
+    val mean2 = col("ss2").cast("double") / n
+    // Σ(s2ᵢ−s̄2)² = Σs2² − (Σs2)²/N, all from exact decimal sums
+    val css = col("ss2sq").cast("double") -
+      col("ss2").cast("double") * col("ss2").cast("double") / n
+    val varAb2 = col("na").cast("double") * col("nb") / (n * (n - 1.0)) *
+      css
+    // doubled scores scale both the deviation and the sd by 2 — z is
+    // the same statistic as on the half-integer scores
+    agg.select(col("na").as("n_a"), col("nb").as("n_b"),
+      (col("ab2").cast("double") / 2.0).as("ab"),
+      round((col("ab2").cast("double") -
+        col("na").cast("double") * mean2) /
+        nullif(sqrt(varAb2), lit(0.0)), 6).as("z"))
+  }
+
+  /** GRUBBS' outlier statistic on the hourly click series — "is the
+    * single worst hour a statistical outlier or just the tail of the
+    * same distribution" (ts_anomaly z-scores every point against a
+    * ROLLING window; Grubbs asks the global question about the one
+    * maximum deviation, the formal version of eyeballing the worst
+    * spike): G = max|vᵢ−v̄|/s with the sample standard deviation.
+    *
+    * Exactness: hourly means quantize to micro-unit longs; the max
+    * deviation is max|n·vᵢ − Σv| — an EXACT long comparison on any
+    * partitioning (no float max of near-equal doubles), the argmax
+    * hour ties to the earliest; moments accumulate in decimal(38,0)
+    * and G is one double formula at the close. One rollup shuffle to
+    * the calendar-bounded hourly frame, one broadcast-back scan. */
+  def grubbs(events: DataFrame, eventType: String = "click")
+      : DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val hourly = events.filter(col("event_type") === eventType)
+      .groupBy(expr("unix_seconds(date_trunc('hour', ts)) div 3600")
+        .as("hr"))
+      .agg(round(avg("value") * 1e6).cast("long").as("v"))
+    val m = hourly.agg(count(lit(1)).as("n"),
+      sum(col("v").cast(dec)).as("sv"),
+      sum(col("v").cast(dec) * col("v").cast(dec)).as("svv"))
+    val dev = col("n") * col("v") - col("sv").cast("long")
+    val scored = hourly.crossJoin(broadcast(m))
+      .select(col("hr"), col("n"), col("sv"), col("svv"),
+        abs(dev).as("adev"))
+    val top = scored.agg(max("adev").as("maxdev"))
+    val n = col("n").cast("double")
+    val sd = sqrt((n * col("svv").cast("double") -
+      col("sv").cast("double") * col("sv").cast("double")) /
+      (n * (n - 1.0)))
+    scored.crossJoin(broadcast(top))
+      .filter(col("adev") === col("maxdev"))
+      .groupBy("n", "sv", "svv", "maxdev")
+      .agg(min("hr").as("t_star"))
+      .select(col("n"), col("t_star"),
+        round(col("maxdev").cast("double") / n / nullif(sd, lit(0.0)),
+          6).as("g"))
+  }
+
   /** Count-min-sketch frequency report, SKETCH-ONLY (r9): one
     * distributed pass builds a MERGEABLE CMS over `c`
     * (graft.functions.CmsAggregator — map-side partial merges,

@@ -1961,4 +1961,74 @@ class StatsSpec extends SparkSpec {
       stratum("view", 10, 30, 30, 10))).collect().head
     assert(het.getAs[Double]("bd_chi2") > 10.0, s"$het")
   }
+
+  test("moodMedian: disjoint groups score the hand-computed chi2 at " +
+      "the lower median; identical groups score exactly 0") {
+    import spark.implicits._
+    def df(gs: (String, Seq[Double])*) =
+      gs.flatMap { case (g, vs) => vs.map((g, _)) }.toDF("g", "v")
+    // a = 1..5, b = 6..10: N=10, lower median = 5th value = 5.0;
+    // above-median counts (0, 5) vs expected 2.5 each ->
+    // chi2 = 4 * 2.5^2/2.5 = 10 exactly
+    val r = Stats.moodMedian(df("a" -> (1 to 5).map(_.toDouble),
+      "b" -> (6 to 10).map(_.toDouble)), "g", "v").collect().head
+    assert(r.getAs[Long]("n") == 10L && r.getAs[Long]("df") == 1L, s"$r")
+    assert(r.getAs[Double]("med") == 5.0, s"$r")
+    assert(r.getAs[Double]("chi2") == 10.0, s"$r")
+    // identical groups: every cell hits its expectation dead on
+    val same = Stats.moodMedian(df("a" -> Seq(1, 2, 3, 4),
+      "b" -> Seq(1, 2, 3, 4)), "g", "v").collect().head
+    assert(same.getAs[Double]("med") == 2.0, s"$same")
+    assert(same.getAs[Double]("chi2") == 0.0, s"$same")
+  }
+
+  test("ansariBradley: the wide-tailed sample owns the low scores " +
+      "(hand AB, brute-force z); identical samples zero the z") {
+    import spark.implicits._
+    def df(a: Seq[Double], b: Seq[Double]) =
+      (a.map(("a", _)) ++ b.map(("b", _))).toDF("g", "v")
+    // a = {1,2,9,10} (tails), b = {4,5,6} (center), no ties:
+    // scores 1,2,3,4,3,2,1 -> AB_a = 1+2+2+1 = 6
+    val r = Stats.ansariBradley(df(Seq(1, 2, 9, 10), Seq(4, 5, 6)),
+      "g", "v", "a", "b").collect().head
+    assert(r.getAs[Long]("n_a") == 4L && r.getAs[Long]("n_b") == 3L,
+      s"$r")
+    assert(r.getAs[Double]("ab") == 6.0, s"$r")
+    // brute-force twin on doubled scores, identical formula order
+    val (ab2, ss2, ss2sq) = (12.0, 32.0, 176.0)
+    val n = 7.0
+    val mean2 = ss2 / n
+    val css = ss2sq - ss2 * ss2 / n
+    val z = BigDecimal((ab2 - 4.0 * mean2) /
+        math.sqrt(4.0 * 3.0 / (n * (n - 1.0)) * css))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("z") == z, s"$r vs $z")
+    assert(r.getAs[Double]("z") < -2.0, s"$r")
+    // identical samples (with ties): AB lands exactly on its
+    // expectation -> z = 0
+    val same = Stats.ansariBradley(df(Seq(1, 2, 3), Seq(1, 2, 3)),
+      "g", "v", "a", "b").collect().head
+    assert(same.getAs[Double]("ab") == 6.5, s"$same")
+    assert(same.getAs[Double]("z") == 0.0, s"$same")
+  }
+
+  test("grubbs: the planted spike is the argmax with the closed-form " +
+      "G = sqrt(3.2); deviation ties resolve to the earliest hour") {
+    import spark.implicits._
+    def ev(vs: Seq[Double]) = vs.zipWithIndex.map { case (v, h) =>
+      (h * 3600L, "click", v) }
+      .toDF("s", "event_type", "value")
+      .select(timestamp_seconds(col("s")).as("ts"), col("event_type"),
+        col("value"))
+    // 10,10,10,10,50: mean 18, s = sqrt(320), G = 32/sqrt(320)
+    // = sqrt(3.2) -> 1.788854 at hour 4
+    val r = Stats.grubbs(ev(Seq(10, 10, 10, 10, 50))).collect().head
+    assert(r.getAs[Long]("n") == 5L, s"$r")
+    assert(r.getAs[Long]("t_star") == 4L, s"$r")
+    assert(r.getAs[Double]("g") == 1.788854, s"$r")
+    // 10,50,10,10,50: both spikes deviate 24, both troughs 16 ->
+    // max-deviation tie between hours 1 and 4 goes to hour 1
+    val tie = Stats.grubbs(ev(Seq(10, 50, 10, 10, 50))).collect().head
+    assert(tie.getAs[Long]("t_star") == 1L, s"$tie")
+  }
 }
