@@ -588,6 +588,8 @@ object SparkEntry {
       SpatialJoin.moranI(Tables.customer(s, d))),
     "sp_getis_ord" -> ((s, d) =>
       SpatialJoin.getisOrd(Tables.customer(s, d))),
+    "sp_join_count" -> ((s, d) =>
+      SpatialJoin.joinCounts(Tables.customer(s, d))),
     "sp_silhouette" -> ((s, d) =>
       SpatialJoin.gridSilhouette(Tables.customer(s, d))),
     "sp_grid_density" -> ((s, d) =>
@@ -1584,6 +1586,10 @@ object SparkEntry {
       Stats.ansariBradley(Tables.events(s, d), "event_type", "value",
         "click", "view")),
     "st_grubbs" -> ((s, d) => Stats.grubbs(Tables.events(s, d))),
+    "st_somers_d" -> ((s, d) => Stats.somersD(Tables.events(s, d))),
+    "st_quade" -> ((s, d) => Stats.quade(Tables.events(s, d))),
+    "ts_recurrence" -> ((s, d) =>
+      Resample.recurrenceMetrics(Tables.events(s, d))),
     "ts_kpss" -> ((s, d) => Resample.kpssTest(Tables.events(s, d))),
     "st_breslow_day" -> ((s, d) => Stats.breslowDay(Tables.events(s, d))),
     "ts_adf" -> ((s, d) => Resample.adfTest(Tables.events(s, d))),
@@ -7806,6 +7812,124 @@ object SparkEntry {
                / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))),
                0.0), 6) AS g
          FROM at_""",
+    "st_somers_d" ->
+      """WITH hourly AS (SELECT
+             epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
+             round(avg(CASE WHEN event_type = 'click' THEN value END), 6)
+               AS x,
+             round(avg(CASE WHEN event_type = 'view' THEN value END), 6)
+               AS y
+           FROM events WHERE event_type IN ('click', 'view')
+           GROUP BY 1
+           HAVING x IS NOT NULL AND y IS NOT NULL),
+         p AS (SELECT sign(b.x - a.x) AS dx, sign(b.y - a.y) AS dy
+           FROM hourly a JOIN hourly b ON a.hr < b.hr),
+         s AS (SELECT
+             CAST(sum(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS nc,
+             CAST(sum(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS nd,
+             CAST(sum(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS tx,
+             CAST(sum(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS ty,
+             CAST(count(*) AS BIGINT) AS n0
+           FROM p)
+         SELECT nc, nd, n0,
+           round(CAST(nc - nd AS DOUBLE)
+             / nullif(CAST(n0 - tx AS DOUBLE), 0.0), 6) AS d_yx,
+           round(CAST(nc - nd AS DOUBLE)
+             / nullif(CAST(n0 - ty AS DOUBLE), 0.0), 6) AS d_xy
+         FROM s""",
+    "ts_recurrence" ->
+      """WITH hourly AS (SELECT
+             CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT)
+               AS hr,
+             CAST(round(avg(value) * 1e6) AS BIGINT) AS v
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+         mo AS (SELECT CAST(count(*) AS BIGINT) nn,
+             CAST(sum(v) AS HUGEINT) sv,
+             sum(CAST(v AS HUGEINT) * v) svv FROM hourly),
+         r_ AS (SELECT CAST(round(sqrt(CAST(nn * svv - sv * sv
+               AS DOUBLE) / (CAST(nn AS DOUBLE) * (nn - 1))) * 0.2)
+             AS BIGINT) r FROM mo),
+         tpl AS (SELECT row_number() OVER (ORDER BY hr) AS i, v AS v0,
+             lead(v, 1) OVER (ORDER BY hr) AS v1
+           FROM hourly),
+         p AS (SELECT abs(a.v0 - b.v0) <= r AS rec,
+             a.v1 IS NOT NULL AND b.v1 IS NOT NULL
+               AND abs(a.v1 - b.v1) <= r AS recnext, r
+           FROM tpl a JOIN tpl b ON a.i < b.i CROSS JOIN r_),
+         c AS (SELECT max(r) AS r6, CAST(count(*) AS BIGINT) AS npairs,
+             CAST(sum(CASE WHEN rec THEN 1 ELSE 0 END) AS BIGINT)
+               AS nrec,
+             CAST(sum(CASE WHEN rec AND recnext THEN 1 ELSE 0 END)
+               AS BIGINT) AS ndet
+           FROM p)
+         SELECT round(r6 / 1e6, 6) AS r, npairs, nrec,
+           round(CAST(nrec AS DOUBLE)
+             / nullif(CAST(npairs AS DOUBLE), 0.0), 6) AS rr,
+           round(CAST(ndet AS DOUBLE)
+             / nullif(CAST(nrec AS DOUBLE), 0.0), 6) AS det1
+         FROM c""",
+    "st_quade" ->
+      """WITH b AS (SELECT user_id,
+             round(avg(CASE WHEN event_type = 'click' THEN value END), 6)
+               AS x1,
+             round(avg(CASE WHEN event_type = 'view' THEN value END), 6)
+               AS x2,
+             round(avg(CASE WHEN event_type = 'purchase' THEN value END),
+               6) AS x3
+           FROM events
+           WHERE event_type IN ('click', 'view', 'purchase')
+           GROUP BY 1
+           HAVING x1 IS NOT NULL AND x2 IS NOT NULL AND x3 IS NOT NULL),
+         rk AS (SELECT
+             2 + 2 * ((CASE WHEN x2 < x1 THEN 1 ELSE 0 END)
+                 + (CASE WHEN x3 < x1 THEN 1 ELSE 0 END))
+               + (CASE WHEN x2 = x1 THEN 1 ELSE 0 END)
+               + (CASE WHEN x3 = x1 THEN 1 ELSE 0 END) AS ra,
+             2 + 2 * ((CASE WHEN x1 < x2 THEN 1 ELSE 0 END)
+                 + (CASE WHEN x3 < x2 THEN 1 ELSE 0 END))
+               + (CASE WHEN x1 = x2 THEN 1 ELSE 0 END)
+               + (CASE WHEN x3 = x2 THEN 1 ELSE 0 END) AS rb,
+             2 + 2 * ((CASE WHEN x1 < x3 THEN 1 ELSE 0 END)
+                 + (CASE WHEN x2 < x3 THEN 1 ELSE 0 END))
+               + (CASE WHEN x1 = x3 THEN 1 ELSE 0 END)
+               + (CASE WHEN x2 = x3 THEN 1 ELSE 0 END) AS rc,
+             CAST(round((greatest(x1, x2, x3) - least(x1, x2, x3))
+               * 1e6) AS BIGINT) AS rq
+           FROM b),
+         cnt AS (SELECT rq, CAST(count(*) AS BIGINT) AS t
+           FROM rk GROUP BY 1),
+         q2_ AS (SELECT rq,
+             2 * coalesce(sum(t) OVER (ORDER BY rq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + t + 1 AS q2
+           FROM cnt),
+         cells AS (SELECT q2 * (ra - 4) AS s1, q2 * (rb - 4) AS s2,
+             q2 * (rc - 4) AS s3
+           FROM rk JOIN q2_ USING (rq)),
+         agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(s1 AS HUGEINT)) AS ss1,
+             sum(CAST(s2 AS HUGEINT)) AS ss2,
+             sum(CAST(s3 AS HUGEINT)) AS ss3,
+             sum(CAST(s1 AS HUGEINT) * s1 + CAST(s2 AS HUGEINT) * s2
+               + CAST(s3 AS HUGEINT) * s3) AS a2x16
+           FROM cells)
+         SELECT n, CAST(3 AS BIGINT) AS k,
+           round((CAST(n AS DOUBLE) - 1.0)
+             * ((CAST(ss1 AS DOUBLE) * CAST(ss1 AS DOUBLE)
+               + CAST(ss2 AS DOUBLE) * CAST(ss2 AS DOUBLE)
+               + CAST(ss3 AS DOUBLE) * CAST(ss3 AS DOUBLE))
+               / CAST(n AS DOUBLE))
+             / nullif(CAST(a2x16 AS DOUBLE)
+               - (CAST(ss1 AS DOUBLE) * CAST(ss1 AS DOUBLE)
+                 + CAST(ss2 AS DOUBLE) * CAST(ss2 AS DOUBLE)
+                 + CAST(ss3 AS DOUBLE) * CAST(ss3 AS DOUBLE))
+               / CAST(n AS DOUBLE), 0.0), 4) AS f,
+           CAST(2 AS BIGINT) AS df1, (n - 1) * 2 AS df2
+         FROM agg""",
     "ts_kpss" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
              CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
@@ -10325,6 +10449,48 @@ object SparkEntry {
          FROM g JOIN hood ON g.cell_lat = hood.t_lat
            AND g.cell_lon = hood.t_lon
          CROSS JOIN m""",
+    "sp_join_count" ->
+      """WITH p AS (SELECT
+             round(((c_custkey * 17) % 1400)/10.0 - 70.0, 4) AS lat,
+             round(((c_custkey * 31) % 3600)/10.0 - 180.0, 4) AS lon
+           FROM customer),
+         g AS (SELECT CAST(floor((lat + 90) / 10) AS INTEGER) AS cell_lat,
+             CAST(floor((lon + 180) / 10) AS INTEGER) AS cell_lon,
+             CAST(count(*) AS BIGINT) AS x
+           FROM p GROUP BY 1, 2),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx FROM g),
+         mk AS (SELECT cell_lat, cell_lon, x * n > sx AS hot
+           FROM g CROSS JOIN m),
+         o AS (SELECT * FROM (VALUES (0,1), (1,-1), (1,0), (1,1))
+           AS t(dlat, dlon)),
+         pr AS (SELECT a.hot AS hot_a, b.hot AS hot_b
+           FROM mk a CROSS JOIN o
+           JOIN mk b ON b.cell_lat = a.cell_lat + o.dlat
+             AND b.cell_lon = a.cell_lon + o.dlon),
+         ht AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+             CAST(sum(CASE WHEN hot THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hot
+           FROM mk),
+         c AS (SELECT
+             CAST(sum(CASE WHEN hot_a AND hot_b THEN 1 ELSE 0 END)
+               AS BIGINT) AS bb,
+             CAST(sum(CASE WHEN NOT hot_a AND NOT hot_b THEN 1
+               ELSE 0 END) AS BIGINT) AS ww,
+             CAST(sum(CASE WHEN hot_a <> hot_b THEN 1 ELSE 0 END)
+               AS BIGINT) AS bw
+           FROM pr)
+         SELECT n_cells, n_hot, bb + ww + bw AS joins, bb, ww, bw,
+           round(CAST(bb + ww + bw AS DOUBLE)
+             * (CAST(n_hot AS DOUBLE) / n_cells)
+             * (CAST(n_hot AS DOUBLE) / n_cells), 6) AS e_bb,
+           round(CAST(bb + ww + bw AS DOUBLE)
+             * (1.0 - CAST(n_hot AS DOUBLE) / n_cells)
+             * (1.0 - CAST(n_hot AS DOUBLE) / n_cells), 6) AS e_ww,
+           round(2.0 * CAST(bb + ww + bw AS DOUBLE)
+             * (CAST(n_hot AS DOUBLE) / n_cells)
+             * (1.0 - CAST(n_hot AS DOUBLE) / n_cells), 6) AS e_bw
+         FROM c CROSS JOIN ht""",
     "sp_grid_density" ->
       """WITH p AS (SELECT
              round(((c_custkey * 17) % 1400)/10.0 - 70.0, 4) AS lat,

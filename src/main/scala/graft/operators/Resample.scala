@@ -1183,6 +1183,63 @@ object Resample {
           col("b").cast("double")), 6)).as("sampen"))
   }
 
+  /** RECURRENCE-PLOT metrics on the hourly series — the
+    * nonlinear-dynamics view [[sampleEntropy]] summarizes in one
+    * number, split into its two classic axes: RR (recurrence rate —
+    * what fraction of hour-pairs revisit the same state, |vᵢ−vⱼ| ≤ r
+    * at the sampen r = 0.2·sd convention) and lag-1 diagonal
+    * DETERMINISM (among recurrent pairs, how many are followed by a
+    * recurrent pair one step later — recurrences organized in diagonal
+    * lines mean the DYNAMICS repeat, scattered dots mean noise; this
+    * is the minimal-line-length-2 DET of the RQA literature,
+    * documented contract).
+    *
+    * Same calendar-bounded machinery as [[sampleEntropy]]: micro-unit
+    * quantized hourly longs (every comparison an exact integer), one
+    * lead-window pass attaches vₜ₊₁, the pair frame is the bounded
+    * i<j self-join, r rides a 1-row broadcast. Pairs whose successor
+    * falls off the series end count for RR but not DET (both engines
+    * drop them identically via the null lead). */
+  def recurrenceMetrics(events: DataFrame, eventType: String = "click",
+                        rFrac: Double = 0.2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val hourly = events.filter(col("event_type") === eventType)
+      .groupBy(expr("unix_seconds(date_trunc('hour', ts)) div 3600")
+        .as("hr"))
+      .agg(round(avg("value") * 1e6).cast("long").as("v"))
+    val rRow = broadcast(hourly.agg(count(lit(1)).as("nn"),
+        sum(col("v").cast(dec)).cast(dec).as("sv"),
+        sum((col("v").cast(dec) * col("v").cast(dec)).cast(dec))
+          .cast(dec).as("svv"))
+      .select(round(sqrt((col("nn").cast(dec) * col("svv") -
+          col("sv") * col("sv")).cast("double") /
+          (col("nn").cast("double") * (col("nn") - lit(1)))) * rFrac)
+        .cast("long").as("r")))
+    val w = Window.orderBy("hr")
+    val tpl = hourly
+      .select(row_number().over(w).as("i"), col("v").as("v0"),
+        lead("v", 1).over(w).as("v1"))
+    val b = tpl.select(col("i").as("j"), col("v0").as("u0"),
+      col("v1").as("u1"))
+    val pairs = tpl.join(broadcast(b), col("i") < col("j"))
+      .crossJoin(rRow)
+      .select((abs(col("v0") - col("u0")) <= col("r")).as("rec"),
+        (col("v1").isNotNull && col("u1").isNotNull &&
+          abs(col("v1") - col("u1")) <= col("r")).as("recnext"),
+        col("r"))
+    val c = pairs.agg(max("r").as("r6"), count(lit(1)).as("npairs"),
+      sum(when(col("rec"), 1L).otherwise(0L)).as("nrec"),
+      sum(when(col("rec") && col("recnext"), 1L).otherwise(0L))
+        .as("ndet"))
+    c.select(round(col("r6") / 1e6, 6).as("r"), col("npairs"),
+      col("nrec"),
+      round(col("nrec").cast("double") /
+        nullif(col("npairs").cast("double"), lit(0.0)), 6).as("rr"),
+      round(col("ndet").cast("double") /
+        nullif(col("nrec").cast("double"), lit(0.0)), 6).as("det1"))
+  }
+
   /** PERIODOGRAM over candidate periods — dominant-cycle detection for
     * the hourly series ("is the rhythm daily, half-daily, weekly?"
     * asked directly, where ts_acf answers it only implicitly): the

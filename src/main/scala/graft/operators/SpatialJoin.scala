@@ -698,6 +698,64 @@ object SpatialJoin {
         round(num / nullif(sTerm * wTerm, lit(0.0)), 6).as("gi_z"))
   }
 
+  /** JOIN-COUNT statistics over the binarized cell lattice —
+    * [[moranI]]/[[getisOrd]] for BINARY spatial data (hot cell = count
+    * above the global mean): of all queen-adjacent cell pairs, how
+    * many are hot–hot / cold–cold / hot–cold, against the
+    * free-sampling expectation E[BB] = J·p², E[WW] = J·(1−p)²,
+    * E[BW] = 2J·p(1−p)? Observed BW far BELOW expectation = hot cells
+    * clump (spatial autocorrelation in the binary field — the
+    * checkerboard-vs-continent question Moran's I asks of levels).
+    *
+    * Each unordered adjacent pair counted exactly once via the FORWARD
+    * half of the queen neighborhood — 4 offset explodes + one
+    * equi-join on the shifted cell key (never a distance join);
+    * hot = x·n > Σx is an exact long comparison; lattice-bounded
+    * frames; the three expectations are the only doubles. */
+  def joinCounts(customer: DataFrame, cellDeg: Int = 10): DataFrame =
+    joinCountsOnCells(customerPoints(customer)
+      .groupBy(
+        floor((col("c_lat") + 90) / cellDeg).cast("int").as("cell_lat"),
+        floor((col("c_lon") + 180) / cellDeg).cast("int").as("cell_lon"))
+      .agg(count(lit(1)).as("x")))
+
+  /** [[joinCounts]]'s core over an explicit (cell_lat, cell_lon,
+    * x: long) frame — split out so specs can plant exact lattices. */
+  private[operators] def joinCountsOnCells(cells: DataFrame): DataFrame = {
+    val g = broadcast(cells.agg(count(lit(1)).as("n"), sum("x").as("sx")))
+    val marked = cells.crossJoin(g)
+      .select(col("cell_lat"), col("cell_lon"),
+        (col("x") * col("n") > col("sx")).as("hot"))
+    val fwd = Seq((0, 1), (1, -1), (1, 0), (1, 1)).map { case (a, b) =>
+      struct(lit(a).as("dlat"), lit(b).as("dlon")) }
+    val pairs = marked
+      .select(explode(array(fwd: _*)).as("o"), col("cell_lat"),
+        col("cell_lon"), col("hot"))
+      .select((col("cell_lat") + col("o.dlat")).as("t_lat"),
+        (col("cell_lon") + col("o.dlon")).as("t_lon"),
+        col("hot").as("hot_a"))
+      .join(marked.select(col("cell_lat").as("t_lat"),
+        col("cell_lon").as("t_lon"), col("hot").as("hot_b")),
+        Seq("t_lat", "t_lon"))
+    val hotTot = marked.agg(count(lit(1)).as("n_cells"),
+      sum(when(col("hot"), 1L).otherwise(0L)).as("n_hot"))
+    val cnt = pairs.agg(
+      sum(when(col("hot_a") && col("hot_b"), 1L).otherwise(0L)).as("bb"),
+      sum(when(!col("hot_a") && !col("hot_b"), 1L).otherwise(0L))
+        .as("ww"),
+      sum(when(col("hot_a") =!= col("hot_b"), 1L).otherwise(0L))
+        .as("bw"))
+    val j = (col("bb") + col("ww") + col("bw")).cast("double")
+    val p = col("n_hot").cast("double") / col("n_cells")
+    cnt.crossJoin(broadcast(hotTot))
+      .select(col("n_cells"), col("n_hot"),
+        (col("bb") + col("ww") + col("bw")).as("joins"),
+        col("bb"), col("ww"), col("bw"),
+        round(j * p * p, 6).as("e_bb"),
+        round(j * (lit(1.0) - p) * (lit(1.0) - p), 6).as("e_ww"),
+        round(lit(2.0) * j * p * (lit(1.0) - p), 6).as("e_bw"))
+  }
+
   /** [[moranI]]'s core over an explicit (cell_lat, cell_lon, x) frame —
     * split out so specs can plant exact lattices. */
   private[operators] def moranOnCells(cells: DataFrame): DataFrame = {

@@ -2430,6 +2430,43 @@ object Stats {
         .as("tau_b"))
   }
 
+  /** SOMERS' D between the hourly click (x) and view (y) series —
+    * [[kendallTau]]'s ASYMMETRIC sibling (tau-b treats both variables
+    * symmetrically; Somers' D names a direction: D_yx conditions on
+    * x-distinguishable pairs — "among hours where the predictor
+    * differs, how often does the response agree" — which is why
+    * D_yx = 2·AUC−1 when x is binary and D is THE ordinal-predictor
+    * effect size): D_yx = (C−D)/(n₀−Tx), D_xy = (C−D)/(n₀−Ty), where
+    * Tx counts every pair tied on x (a non-x-tied pair is concordant,
+    * discordant, or tied on y only — the classical denominator).
+    *
+    * Same calendar-bounded hourly all-pairs frame as [[kendallTau]]
+    * (one corpus rollup, broadcast self-join bounded by the date
+    * window); C, D, Tx, Ty exact longs, two double divisions out. */
+  def somersD(events: DataFrame, typeA: String = "click",
+              typeB: String = "view"): DataFrame = {
+    val hourly = alignedHourly(events, typeA, typeB)
+    val b = hourly.select(col("hr").as("hr2"), col("x").as("x2"),
+      col("y").as("y2"))
+    val pairs = hourly.join(broadcast(b), col("hr") < col("hr2"))
+      .select(
+        signum(col("x2") - col("x")).as("dx"),
+        signum(col("y2") - col("y")).as("dy"))
+    val s = pairs.agg(
+      sum(when(col("dx") * col("dy") > 0, 1L).otherwise(0L)).as("nc"),
+      sum(when(col("dx") * col("dy") < 0, 1L).otherwise(0L)).as("nd"),
+      sum(when(col("dx") === 0, 1L).otherwise(0L)).as("tx"),
+      sum(when(col("dy") === 0, 1L).otherwise(0L)).as("ty"),
+      count(lit(1)).as("n0"))
+    s.select(col("nc"), col("nd"), col("n0"),
+      round((col("nc") - col("nd")).cast("double") /
+        nullif((col("n0") - col("tx")).cast("double"), lit(0.0)), 6)
+        .as("d_yx"),
+      round((col("nc") - col("nd")).cast("double") /
+        nullif((col("n0") - col("ty")).cast("double"), lit(0.0)), 6)
+        .as("d_xy"))
+  }
+
   /** HOEFFDING'S D between the paired hourly series — the
     * ANY-dependence member of the correlation family ([[kendallTau]]
     * and Spearman only see MONOTONE association; a U-shaped or
@@ -2619,6 +2656,93 @@ object Stats {
       (n * 12.0).as("mu"),
       round((col("l") - n * 12.0) /
         nullif(sqrt(n * 2.0), lit(0.0)), 6).as("z"))
+  }
+
+  /** QUADE TEST over the same complete blocks — the WEIGHTED member of
+    * the repeated-measures family ([[friedman]] gives every user equal
+    * say; Quade weights each block by the rank of its RANGE, so users
+    * who actually discriminate between the k conditions drive the
+    * statistic and flat blocks fade — more power than Friedman at
+    * small k, the standard recommendation for k ≤ 4):
+    * Sᵢⱼ = Qᵢ·(rᵢⱼ−(k+1)/2) with Qᵢ the across-block midrank of block
+    * i's range, F = (n−1)·B/(A₂−B) on (k−1, (n−1)(k−1)) df where
+    * A₂ = ΣΣS², B = ΣⱼSⱼ²/n.
+    *
+    * Within-block ranks are the ROW-LOCAL [[friedmanRanked]]
+    * comparisons kept as doubled integers; ranges quantize to
+    * micro-unit longs and their across-block midranks come from the
+    * same striped two-pass prefix sum as [[ksTest]] (the only global
+    * rank — distinct-range-sized, never serialized); 4S = (2Q)(2r−4)
+    * is an exact long per cell, the sufficient sums accumulate in
+    * decimal(38,0), and F is one double formula. All-blocks-agree
+    * (A₂=B) reports null (F diverges — documented). */
+  def quade(events: DataFrame,
+            types: Seq[String] = Seq("click", "view", "purchase"),
+            stripes: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(types.size == 3, "row-local rank formulas are written for k=3")
+    val Seq(t1, t2, t3) = types
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def m(t: String) =
+      round(avg(when(col("event_type") === t, col("value"))), 6)
+    def lt(a: Column, bb: Column) = when(a < bb, 1L).otherwise(0L)
+    def eq(a: Column, bb: Column) = when(a === bb, 1L).otherwise(0L)
+    def r2(self: Column, o1: Column, o2: Column) =
+      lit(2L) + lit(2L) * (lt(o1, self) + lt(o2, self)) +
+        (eq(o1, self) + eq(o2, self))
+    val blocks = events.filter(col("event_type").isin(types: _*))
+      .groupBy("user_id")
+      .agg(m(t1).as("x1"), m(t2).as("x2"), m(t3).as("x3"))
+      .filter(col("x1").isNotNull && col("x2").isNotNull &&
+        col("x3").isNotNull)
+      .select(
+        r2(col("x1"), col("x2"), col("x3")).as("ra"),
+        r2(col("x2"), col("x1"), col("x3")).as("rb"),
+        r2(col("x3"), col("x1"), col("x2")).as("rc"),
+        round((greatest(col("x1"), col("x2"), col("x3")) -
+          least(col("x1"), col("x2"), col("x3"))) * 1e6).cast("long")
+          .as("rq"))
+    val pts = blocks.groupBy("rq").agg(count(lit(1)).as("t"))
+    val bounds = pts.agg(min("rq").as("__lo"), max("rq").as("__hi"))
+    val striped = pts.crossJoin(broadcast(bounds))
+      .withColumn("__stripe",
+        when(col("__hi") === col("__lo"), lit(0L)).otherwise(
+          least(lit(stripes - 1L), greatest(lit(0L),
+            floor((col("rq") - col("__lo")).cast("double") /
+              (col("__hi") - col("__lo")) * stripes)))).cast("int"))
+    val wIn = Window.partitionBy("__stripe").orderBy("rq")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wStripe = Window.orderBy("__stripe")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = striped.groupBy("__stripe")
+      .agg(sum("t").as("__st"))
+      .select(col("__stripe"),
+        coalesce(sum("__st").over(wStripe), lit(0L)).as("__ot"))
+    val q2 = striped.join(broadcast(offs), Seq("__stripe"))
+      .select(col("rq"),
+        (lit(2) * (col("__ot") +
+          coalesce(sum("t").over(wIn), lit(0L))) + col("t") + 1)
+          .as("q2"))
+    val cells = blocks.join(q2, Seq("rq"))
+      .select((col("q2") * (col("ra") - 4)).as("s1"),
+        (col("q2") * (col("rb") - 4)).as("s2"),
+        (col("q2") * (col("rc") - 4)).as("s3"))
+    val agg = cells.agg(count(lit(1)).as("n"),
+      sum(col("s1").cast(dec)).as("ss1"),
+      sum(col("s2").cast(dec)).as("ss2"),
+      sum(col("s3").cast(dec)).as("ss3"),
+      sum(col("s1").cast(dec) * col("s1").cast(dec) +
+        col("s2").cast(dec) * col("s2").cast(dec) +
+        col("s3").cast(dec) * col("s3").cast(dec)).as("a2x16"))
+    val n = col("n").cast("double")
+    val b16 = (col("ss1").cast("double") * col("ss1").cast("double") +
+      col("ss2").cast("double") * col("ss2").cast("double") +
+      col("ss3").cast("double") * col("ss3").cast("double")) / n
+    agg.select(col("n"), lit(3L).as("k"),
+      round((n - 1.0) * b16 /
+        nullif(col("a2x16").cast("double") - b16, lit(0.0)), 4)
+        .as("f"),
+      lit(2L).as("df1"), ((col("n") - 1) * 2).as("df2"))
   }
 
   /** MURPHY DECOMPOSITION of the Brier score over the calibration bins

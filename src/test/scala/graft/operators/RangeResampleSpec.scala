@@ -1004,6 +1004,31 @@ class RangeResampleSpec extends SparkSpec {
     assert(r.getAs[Double]("adf_t") < -2.86, s"$r")
   }
 
+  test("recurrenceMetrics: periodic dynamics score high det1, an " +
+      "isolated revisit scores zero; rr counts exact integer matches") {
+    import spark.implicits._
+    def ev(vs: Seq[Double]) = vs.zipWithIndex.map { case (v, h) =>
+      (h * 3600L, "click", v) }
+      .toDF("s", "event_type", "value")
+      .select(timestamp_seconds(col("s")).as("ts"), col("event_type"),
+        col("value"))
+    // 10,20,10,20,10,20: sd-scaled r ~ 1.095 so only exact value
+    // matches recur: 6 of 15 pairs (rr = 0.4); of those, the 4 with a
+    // successor continue the period-2 orbit -> det1 = 4/6
+    val per = Resample.recurrenceMetrics(
+      ev(Seq(10, 20, 10, 20, 10, 20))).collect().head
+    assert(per.getAs[Long]("npairs") == 15L &&
+      per.getAs[Long]("nrec") == 6L, s"$per")
+    assert(per.getAs[Double]("rr") == 0.4, s"$per")
+    assert(per.getAs[Double]("det1") == 0.666667, s"$per")
+    // 10,10,20,10: three scattered revisits of the base level, none
+    // followed by a second match -> rr = 0.5, det1 = 0
+    val iso = Resample.recurrenceMetrics(
+      ev(Seq(10, 10, 20, 10))).collect().head
+    assert(iso.getAs[Double]("rr") == 0.5, s"$iso")
+    assert(iso.getAs[Double]("det1") == 0.0, s"$iso")
+  }
+
   test("kpssTest: reproduces the brute-force Bartlett-kernel eta; a " +
       "trending series scores far above a stationary one") {
     import spark.implicits._

@@ -2012,6 +2012,48 @@ class StatsSpec extends SparkSpec {
     assert(same.getAs[Double]("z") == 0.0, s"$same")
   }
 
+  test("somersD: direction matters — y a step function of x gives " +
+      "d_xy = 1 while d_yx pays for the y-ties") {
+    import spark.implicits._
+    def ev(pairs: Seq[(Double, Double)]) =
+      pairs.zipWithIndex.flatMap { case ((x, y), h) =>
+        Seq((h * 3600L, "click", x), (h * 3600L, "view", y)) }
+        .toDF("s", "event_type", "value")
+        .select(timestamp_seconds(col("s")).as("ts"), col("event_type"),
+          col("value"))
+    // x = 1,2,3,4; y = 1,1,2,2: 6 pairs, 4 concordant, 0 discordant,
+    // 2 tied on y only. d_yx = 4/6 (y-ties count against predicting
+    // y); d_xy = 4/4 = 1 (whenever y moves, x agrees perfectly)
+    val r = Stats.somersD(
+      ev(Seq((1, 1), (2, 1), (3, 2), (4, 2)))).collect().head
+    assert(r.getAs[Long]("nc") == 4L && r.getAs[Long]("nd") == 0L &&
+      r.getAs[Long]("n0") == 6L, s"$r")
+    assert(r.getAs[Double]("d_yx") == 0.666667, s"$r")
+    assert(r.getAs[Double]("d_xy") == 1.0, s"$r")
+  }
+
+  test("quade: hand-computed range-weighted F; equal-range identical " +
+      "rankings make A2 = B and null the ratio") {
+    import spark.implicits._
+    def ev(blocks: Seq[(Double, Double, Double)]) =
+      blocks.zipWithIndex.flatMap { case ((c, v, p), u) =>
+        Seq((u.toLong, "click", c), (u.toLong, "view", v),
+          (u.toLong, "purchase", p)) }
+        .toDF("user_id", "event_type", "value")
+        .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
+    // ranges 20, 2, 2 -> Q = (3, 1.5, 1.5); S rows (-3,0,3),
+    // (-1.5,0,1.5), (0,-1.5,1.5): A2 = 27, B = 19.5, F = 2*19.5/7.5
+    val r = Stats.quade(ev(Seq((10, 20, 30), (1, 2, 3), (5, 4, 6))))
+      .collect().head
+    assert(r.getAs[Long]("n") == 3L && r.getAs[Long]("df2") == 4L, s"$r")
+    assert(r.getAs[Double]("f") == 5.2, s"$r")
+    // two blocks, same ranking, same range: Q both 1.5 -> the
+    // between-treatment spread IS the total spread, F undefined
+    val p = Stats.quade(ev(Seq((1, 2, 3), (11, 12, 13))))
+      .collect().head
+    assert(p.isNullAt(p.fieldIndex("f")), s"$p")
+  }
+
   test("grubbs: the planted spike is the argmax with the closed-form " +
       "G = sqrt(3.2); deviation ties resolve to the earliest hour") {
     import spark.implicits._

@@ -92,6 +92,33 @@ class WindowsLambdaSpec extends SparkSpec {
     assert(w((2, 2)) == 9L && w((0, 0)) == 4L && w((0, 2)) == 6L)
   }
 
+  test("joinCountsOnCells: a checkerboard pushes BW above expectation, " +
+      "a solid stripe pulls it below; every adjacency counted once") {
+    import spark.implicits._
+    // 3x3 checkerboard: hot (x=10) on even parity, cold (x=1) —
+    // 20 queen adjacencies total; hots only touch hots diagonally
+    // through the center: BB=4, WW=4, BW=12 > E[BW]=2*20*(5/9)(4/9)
+    val cb = (for { a <- 0 to 2; b <- 0 to 2 }
+      yield (a, b, if ((a + b) % 2 == 0) 10L else 1L))
+      .toDF("cell_lat", "cell_lon", "x")
+    val r = SpatialJoin.joinCountsOnCells(cb).collect().head
+    assert(r.getAs[Long]("n_cells") == 9L &&
+      r.getAs[Long]("n_hot") == 5L, s"$r")
+    assert(r.getAs[Long]("joins") == 20L, s"$r")
+    assert(r.getAs[Long]("bb") == 4L && r.getAs[Long]("ww") == 4L &&
+      r.getAs[Long]("bw") == 12L, s"$r")
+    assert(r.getAs[Double]("e_bw") == 9.876543, s"$r")
+    assert(r.getAs[Long]("bw") > r.getAs[Double]("e_bw"), s"$r")
+    // solid hot column: the blob touches cold along one frontier only
+    // -> BW=7 sits below its expectation 8.888889 (clustering)
+    val stripe = (for { a <- 0 to 2; b <- 0 to 2 }
+      yield (a, b, if (b == 0) 10L else 1L))
+      .toDF("cell_lat", "cell_lon", "x")
+    val s = SpatialJoin.joinCountsOnCells(stripe).collect().head
+    assert(s.getAs[Long]("bb") == 2L && s.getAs[Long]("bw") == 7L, s"$s")
+    assert(s.getAs[Long]("bw") < s.getAs[Double]("e_bw"), s"$s")
+  }
+
   test("nearestSupplier: one row per customer, distance minimal") {
     val customers = Tables.customer(spark, sf)
     val out = SpatialJoin.nearestSupplier(customers, Tables.supplier(spark, sf))
