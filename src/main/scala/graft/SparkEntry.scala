@@ -1620,6 +1620,15 @@ object SparkEntry {
         "en")),
     "q34_division" -> ((s, d) =>
       Relational.divisionActiveEveryMonth(Tables.orders(s, d))),
+    "q36_hierarchy" -> ((s, d) =>
+      Relational.hierarchyFlatten(Tables.customer(s, d))),
+    "q37_map_agg" -> ((s, d) =>
+      Relational.mapAggRevenue(Tables.lineitem(s, d))),
+    "q38_array_hof" -> ((s, d) =>
+      Relational.arrayHofOrderStats(Tables.lineitem(s, d))),
+    "src_json_corrupt" -> ((s, d) =>
+      sources.Lake.corruptJsonAudit(s, Tables.orders(s, d),
+        scratch(d, "json_corrupt"))),
     "st_prop_test" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       Stats.propTest(Tables.events(s, d), "event_type",
@@ -7812,6 +7821,52 @@ object SparkEntry {
                / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))),
                0.0), 6) AS g
          FROM at_""",
+    "q36_hierarchy" ->
+      """WITH RECURSIVE h AS (
+           SELECT c_custkey AS node, c_custkey AS anc,
+             CAST(0 AS BIGINT) AS depth
+           FROM customer WHERE c_custkey < 10
+           UNION ALL
+           SELECT c.c_custkey, h.anc, h.depth + 1
+           FROM customer c JOIN h ON h.node = c.c_custkey // 10
+           WHERE c.c_custkey >= 10)
+         SELECT depth, CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(count(DISTINCT anc) AS BIGINT) AS n_roots
+         FROM h GROUP BY 1""",
+    "q37_map_agg" ->
+      """WITH cell AS (SELECT l_returnflag AS flag,
+             l_linestatus AS status,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) AS cents
+           FROM lineitem GROUP BY 1, 2),
+         k AS (SELECT flag, CAST(count(*) AS BIGINT) AS n_statuses
+           FROM cell GROUP BY 1)
+         SELECT flag, status, n_statuses,
+           round(cents / 100.0, 2) AS revenue
+         FROM cell JOIN k USING (flag)""",
+    "q38_array_hof" ->
+      """SELECT l_orderkey AS orderkey,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(c) AS BIGINT) AS total_cents,
+           CAST(sum(CASE WHEN c > 100000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_expensive,
+           max(c) AS max_cents, max(c) - min(c) AS span_cents
+         FROM (SELECT l_orderkey,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+           FROM lineitem)
+         GROUP BY 1""",
+    "src_json_corrupt" ->
+      """SELECT
+           CAST(sum(CASE WHEN o_orderkey % 97 <> 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_good,
+           CAST(sum(CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_quarantined,
+           CAST(sum(CASE WHEN o_orderkey % 97 <> 0
+             THEN CAST(round(o_totalprice * 100) AS BIGINT) END)
+             AS BIGINT) AS good_cents,
+           CAST(count(DISTINCT CASE WHEN o_orderkey % 97 <> 0
+             THEN o_orderstatus END) AS BIGINT) AS n_status
+         FROM orders""",
     "st_somers_d" ->
       """WITH hourly AS (SELECT
              epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,

@@ -318,6 +318,90 @@ object Relational {
     * window rides that calendar-bounded frame, partitioned by
     * priority so no single-partition sort. First month emits null
     * growth (no fabricated 0). */
+  /** RECURSIVE-HIERARCHY FLATTEN by pointer doubling — the
+    * recursive-CTE capability Spark SQL lacks, re-expressed the way a
+    * distributed engine should (a naive parent-at-a-time loop pays one
+    * join PER LEVEL; pointer doubling squares the jump each round, so
+    * a depth-D forest settles in ⌈log₂D⌉ joins — 6 rounds cover depth
+    * 64, beyond any div-10 chain a 64-bit key can produce): synthetic
+    * forest parent(c) = c div 10 (roots c < 10 — guaranteed present
+    * under contiguous TPC-H keys), state (node → ancestor, distance)
+    * initialized one hop up, each round joins the state against itself
+    * to compose jumps; roots self-loop at distance 0, so composition
+    * is idempotent once settled. Per-round localCheckpoint cuts the
+    * doubling lineage (the [[graft.operators.Dedup]] CC discipline).
+    * Output is the depth histogram + distinct-root count per depth —
+    * bounded by max depth, not corpus size. */
+  def hierarchyFlatten(customer: DataFrame, rounds: Int = 6): DataFrame = {
+    var state = customer.select(col("c_custkey").as("node"),
+        when(col("c_custkey") < 10, col("c_custkey"))
+          .otherwise(expr("c_custkey div 10")).as("anc"),
+        when(col("c_custkey") < 10, 0L).otherwise(1L).as("d"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val lookup = state.select(col("node").as("anc"),
+        col("anc").as("anc2"), col("d").as("d2"))
+      state = state.join(lookup, Seq("anc"))
+        .select(col("node"), col("anc2").as("anc"),
+          (col("d") + col("d2")).as("d"))
+        .localCheckpoint(true)
+    }
+    state.groupBy(col("d").as("depth"))
+      .agg(count(lit(1)).as("n_nodes"),
+        countDistinct("anc").as("n_roots"))
+  }
+
+  /** MAP-type construct/explode round trip — the complex-type surface
+    * w7_nested_flatten covers for structs/arrays, exercised for MAPs
+    * (the natural shape for sparse per-key aggregates riding inside
+    * one row — feature maps, per-status rollups): per returnflag,
+    * the (linestatus → revenue) map builds from the ALREADY-AGGREGATED
+    * cell frame via sort_array(collect_list(struct)) → map_from_entries
+    * (sorting before map construction makes the entry order — and so
+    * the explode order and any map serialization — deterministic on
+    * any partitioning; collect_list alone would not be), then explodes
+    * back to rows the oracle reproduces from plain SQL. Cell-bounded
+    * frames after one corpus rollup; exact cent longs. */
+  def mapAggRevenue(lineitem: DataFrame): DataFrame = {
+    val cell = lineitem
+      .groupBy(col("l_returnflag").as("flag"),
+        col("l_linestatus").as("status"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+        .as("cents"))
+    cell.groupBy("flag")
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("status"), col("cents"))))).as("m"))
+      .select(col("flag"), size(col("m")).cast("long").as("n_statuses"),
+        explode(col("m")).as(Seq("status", "cents")))
+      .select(col("flag"), col("status"), col("n_statuses"),
+        round(col("cents") / 100.0, 2).as("revenue"))
+  }
+
+  /** ARRAY HIGHER-ORDER-FUNCTION order profile — the codegen'd
+    * array-lambda surface (aggregate / filter / element_at over a
+    * sorted per-order price array; the same HOF machinery the
+    * embedding and multimodal operators lean on, exercised as a plain
+    * relational contract): one corpus rollup collects each order's
+    * cent prices, sort_array pins deterministic order, every derived
+    * stat is a lambda over the array — no second shuffle, no UDF.
+    * Exact integer cents end to end; the oracle recomputes the same
+    * stats from the flat rows. */
+  def arrayHofOrderStats(lineitem: DataFrame,
+                         priceCut: Long = 100000L): DataFrame = {
+    lineitem.groupBy(col("l_orderkey").as("orderkey"))
+      .agg(sort_array(collect_list(
+        round(col("l_extendedprice") * 100).cast("long"))).as("arr"))
+      .select(col("orderkey"),
+        size(col("arr")).cast("long").as("n_lines"),
+        expr("aggregate(arr, CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+          .as("total_cents"),
+        size(expr(s"filter(arr, x -> x > ${priceCut}L)")).cast("long")
+          .as("n_expensive"),
+        expr("element_at(arr, -1)").as("max_cents"),
+        expr("element_at(arr, -1) - element_at(arr, 1)")
+          .as("span_cents"))
+  }
+
   def monthOverMonth(orders: DataFrame): DataFrame = {
     val w = Window.partitionBy("o_orderpriority").orderBy("month")
     orders

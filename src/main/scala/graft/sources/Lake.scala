@@ -314,6 +314,48 @@ object Lake {
     readJson(spark, dir, df.schema)
   }
 
+  /** PERMISSIVE-mode corrupt-record QUARANTINE accounting — the
+    * bad-record path every real JSON lake needs (FAILFAST kills a
+    * 100 TB job on one mangled line; DROPMALFORMED silently loses
+    * data; PERMISSIVE parses what it can, routes the raw line to the
+    * corrupt-record column, and lets the pipeline COUNT what it
+    * quarantined — this surface locks that machinery end to end):
+    * orders serialize to JSONL with a DETERMINISTIC fault injection
+    * (every key ≡ 0 mod 97 loses its last 5 characters — always
+    * invalid: the closing brace is gone and the flat object contains
+    * no other '}'), the read-back declares the schema plus a
+    * `_corrupt` column, and the report aggregates good/quarantined
+    * counts, the revenue that SURVIVED, and the distinct statuses
+    * seen — which the oracle recomputes from the clean table, so a
+    * parser that drops or double-counts a single line hash-fails. */
+  def corruptJsonAudit(spark: SparkSession, orders: DataFrame,
+                       dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    orders.select(col("o_orderkey"),
+        to_json(struct(col("o_orderkey").as("k"),
+          col("o_orderstatus").as("st"),
+          round(col("o_totalprice") * 100).cast("long").as("cents")))
+          .as("j"))
+      .select(when(col("o_orderkey") % 97 === 0,
+          expr("substring(j, 1, length(j) - 5)"))
+        .otherwise(col("j")).as("value"))
+      .write.mode(SaveMode.Overwrite).text(dir)
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("st", StringType), StructField("cents", LongType),
+      StructField("_corrupt", StringType)))
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(dir)
+      .agg(
+        sum(when(col("_corrupt").isNull, 1L).otherwise(0L)).as("n_good"),
+        sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L))
+          .as("n_quarantined"),
+        sum(when(col("_corrupt").isNull, col("cents"))).as("good_cents"),
+        countDistinct(when(col("_corrupt").isNull, col("st")))
+          .as("n_status"))
+  }
+
   /** Raw text-line lake round-trip (spark.read.text — the rawest LLM
     * corpus format, one document per line): docs serialize as
     * "<id>\t<text>" and parse back by splitting on the FIRST tab only,

@@ -179,4 +179,49 @@ class RelationalSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("i1"), r.getAs[Long]("i2"))).toSeq
     assert(top2 == Seq((1L, 2L), (1L, 3L)))
   }
+
+  test("hierarchyFlatten: a planted div-10 chain settles at exact " +
+      "depths in log rounds; roots self-report depth 0") {
+    import spark.implicits._
+    // chain 12345 -> 1234 -> 123 -> 12 -> 1 (root), plus root 2:
+    // depth histogram {0: 2 nodes/2 roots, 1..4: 1 node under root 1}
+    val c = Seq(1L, 2L, 12L, 123L, 1234L, 12345L).toDF("c_custkey")
+    val out = Relational.hierarchyFlatten(c).collect()
+      .map(r => (r.getAs[Long]("depth"),
+        (r.getAs[Long]("n_nodes"), r.getAs[Long]("n_roots")))).toMap
+    assert(out == Map(0L -> (2L, 2L), 1L -> (1L, 1L), 2L -> (1L, 1L),
+      3L -> (1L, 1L), 4L -> (1L, 1L)), s"$out")
+  }
+
+  test("mapAggRevenue: map entries survive the construct/explode " +
+      "round trip with per-flag status cardinality") {
+    import spark.implicits._
+    val li = Seq(("A", "F", 1.0), ("A", "F", 2.0), ("A", "O", 3.0),
+      ("B", "F", 4.0))
+      .toDF("l_returnflag", "l_linestatus", "l_extendedprice")
+    val out = Relational.mapAggRevenue(li).collect()
+      .map(r => ((r.getAs[String]("flag"), r.getAs[String]("status")),
+        (r.getAs[Long]("n_statuses"), r.getAs[Double]("revenue"))))
+      .toMap
+    assert(out == Map(("A", "F") -> (2L, 3.0), ("A", "O") -> (2L, 3.0),
+      ("B", "F") -> (1L, 4.0)), s"$out")
+  }
+
+  test("arrayHofOrderStats: lambda aggregate/filter/element_at agree " +
+      "with the hand-computed order profile") {
+    import spark.implicits._
+    val li = Seq((1L, 500.0), (1L, 1500.0), (1L, 2000.0), (2L, 10.0))
+      .toDF("l_orderkey", "l_extendedprice")
+    val out = Relational.arrayHofOrderStats(li).collect()
+      .map(r => (r.getAs[Long]("orderkey"), r)).toMap
+    val o1 = out(1L)
+    assert(o1.getAs[Long]("n_lines") == 3L, s"$o1")
+    assert(o1.getAs[Long]("total_cents") == 400000L, s"$o1")
+    assert(o1.getAs[Long]("n_expensive") == 2L, s"$o1")
+    assert(o1.getAs[Long]("max_cents") == 200000L, s"$o1")
+    assert(o1.getAs[Long]("span_cents") == 150000L, s"$o1")
+    val o2 = out(2L)
+    assert(o2.getAs[Long]("n_expensive") == 0L &&
+      o2.getAs[Long]("span_cents") == 0L, s"$o2")
+  }
 }

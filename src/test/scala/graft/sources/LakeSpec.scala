@@ -201,4 +201,20 @@ class LakeSpec extends SparkSpec {
     assert(dataFiles == before,
       "delete must append to the _dv sidecar only — data files untouched")
   }
+
+  test("corruptJsonAudit: the injected mod-97 faults all quarantine, " +
+      "every clean line parses, and survivor revenue is exact") {
+    import spark.implicits._
+    val dir = s"/root/repo/target/graft_io/json_corrupt_test"
+    // keys 97 and 194 get truncated in the lake; 1..5 stay clean
+    val orders = Seq((1L, "O", 10.0), (2L, "F", 20.0), (3L, "O", 30.0),
+      (4L, "P", 40.5), (5L, "F", 50.0), (97L, "O", 99.0),
+      (194L, "F", 88.0))
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+    val r = Lake.corruptJsonAudit(spark, orders, dir).collect().head
+    assert(r.getAs[Long]("n_good") == 5L, s"$r")
+    assert(r.getAs[Long]("n_quarantined") == 2L, s"$r")
+    assert(r.getAs[Long]("good_cents") == 15050L, s"$r")
+    assert(r.getAs[Long]("n_status") == 3L, s"$r")
+  }
 }
