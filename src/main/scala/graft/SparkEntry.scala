@@ -881,6 +881,10 @@ object SparkEntry {
       SimilaritySearch.pcaProject(Tables.embeddings(s, d), nc = 2)),
     "ml_kmeans" -> ((s, d) =>
       SimilaritySearch.kmeansExactClusters(Tables.embeddings(s, d), k = 8)),
+    "ml_cluster_purity" -> ((s, d) =>
+      SimilaritySearch.kmeansExactPurity(Tables.embeddings(s, d), k = 8)),
+    "tx_novelty" -> ((s, d) =>
+      TextAnalysis.trigramNovelty(Tables.documents(s, d))),
     "ann_range" -> ((s, d) =>
       SimilaritySearch.rangeSearch(Tables.embeddings(s, d), 0L, 0.2)),
     "ann_lsh" -> ((s, d) =>
@@ -1812,6 +1816,53 @@ object SparkEntry {
   /** DuckDB twins of `queries` (identical aliases + rounding — SURVEY §5). */
   /** ml_nb's oracle, shared verbatim by ml_kappa (κ is a projection of
     * the same confusion matrix — one definition, two checks). */
+  private val MlKmeansAssignSql: String =
+    """WITH vv AS (SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+           FROM embeddings),
+         v AS (SELECT vec_id, q,
+             list_aggregate(list_transform(q, y -> y*y), 'sum') AS ssq
+           FROM vv),
+         sd AS (SELECT q, ssq, row_number() OVER (
+             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
+           FROM v),
+         c0 AS (SELECT cell, list_transform(q,
+             y -> CAST(round(y*1000000.0/sqrt(ssq)) AS BIGINT)) AS c
+           FROM sd WHERE cell < 8),
+         cc0 AS (SELECT cell, c,
+             list_aggregate(list_transform(c, y -> y*y), 'sum') AS cssq
+           FROM c0),
+         a1 AS (SELECT vec_id, q, ssq, cell,
+             list_aggregate(list_transform(list_zip(q, c),
+               s -> s[1]*s[2]), 'sum') / (sqrt(ssq) * sqrt(cssq)) AS cos
+           FROM v CROSS JOIN cc0),
+         b1 AS (SELECT vec_id, q, ssq, cell FROM
+             (SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY cos DESC, cell) AS rn FROM a1) WHERE rn = 1),
+         e1 AS (SELECT cell, unnest(generate_series(1, len(q))) AS pos,
+             unnest(q) AS x FROM b1),
+         s1 AS (SELECT cell, pos, CAST(sum(x) AS BIGINT) AS sx
+           FROM e1 GROUP BY 1, 2),
+         m1 AS (SELECT cell, list(sx ORDER BY pos) AS sl
+           FROM s1 GROUP BY 1),
+         cm AS (SELECT cell, list_transform(sl,
+             y -> CAST(round(y*1000000.0 / sqrt(list_aggregate(
+               list_transform(sl, z -> z*z), 'sum'))) AS BIGINT)) AS c
+           FROM m1),
+         c1 AS (SELECT c0.cell, coalesce(cm.c, c0.c) AS c
+           FROM c0 LEFT JOIN cm ON c0.cell = cm.cell),
+         cc1 AS (SELECT cell, c,
+             list_aggregate(list_transform(c, y -> y*y), 'sum') AS cssq
+           FROM c1),
+         a2 AS (SELECT vec_id, cell,
+             list_aggregate(list_transform(list_zip(q, c),
+               s -> s[1]*s[2]), 'sum') / (sqrt(ssq) * sqrt(cssq)) AS cos
+           FROM v CROSS JOIN cc1),
+         b2x AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+             ORDER BY cos DESC, cell) AS rn FROM a2)
+         SELECT vec_id, cell, cos FROM b2x WHERE rn = 1"""
+
   private val MlNbOracleSql: String =
     """WITH docs AS (SELECT doc_id, lang, text,
              substr(md5('nb' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
@@ -4070,55 +4121,43 @@ object SparkEntry {
              6) AS assortativity
          FROM d""",
     "ml_kmeans" ->
-      """WITH vv AS (SELECT vec_id,
-             list_transform(embedding,
-               x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
-           FROM embeddings),
-         v AS (SELECT vec_id, q,
-             list_aggregate(list_transform(q, y -> y*y), 'sum') AS ssq
-           FROM vv),
-         sd AS (SELECT q, ssq, row_number() OVER (
-             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
-           FROM v),
-         c0 AS (SELECT cell, list_transform(q,
-             y -> CAST(round(y*1000000.0/sqrt(ssq)) AS BIGINT)) AS c
-           FROM sd WHERE cell < 8),
-         cc0 AS (SELECT cell, c,
-             list_aggregate(list_transform(c, y -> y*y), 'sum') AS cssq
-           FROM c0),
-         a1 AS (SELECT vec_id, q, ssq, cell,
-             list_aggregate(list_transform(list_zip(q, c),
-               s -> s[1]*s[2]), 'sum') / (sqrt(ssq) * sqrt(cssq)) AS cos
-           FROM v CROSS JOIN cc0),
-         b1 AS (SELECT vec_id, q, ssq, cell FROM
-             (SELECT *, row_number() OVER (PARTITION BY vec_id
-                ORDER BY cos DESC, cell) AS rn FROM a1) WHERE rn = 1),
-         e1 AS (SELECT cell, unnest(generate_series(1, len(q))) AS pos,
-             unnest(q) AS x FROM b1),
-         s1 AS (SELECT cell, pos, CAST(sum(x) AS BIGINT) AS sx
-           FROM e1 GROUP BY 1, 2),
-         m1 AS (SELECT cell, list(sx ORDER BY pos) AS sl
-           FROM s1 GROUP BY 1),
-         cm AS (SELECT cell, list_transform(sl,
-             y -> CAST(round(y*1000000.0 / sqrt(list_aggregate(
-               list_transform(sl, z -> z*z), 'sum'))) AS BIGINT)) AS c
-           FROM m1),
-         c1 AS (SELECT c0.cell, coalesce(cm.c, c0.c) AS c
-           FROM c0 LEFT JOIN cm ON c0.cell = cm.cell),
-         cc1 AS (SELECT cell, c,
-             list_aggregate(list_transform(c, y -> y*y), 'sum') AS cssq
-           FROM c1),
-         a2 AS (SELECT vec_id, cell,
-             list_aggregate(list_transform(list_zip(q, c),
-               s -> s[1]*s[2]), 'sum') / (sqrt(ssq) * sqrt(cssq)) AS cos
-           FROM v CROSS JOIN cc1),
-         b2 AS (SELECT vec_id, cell, cos FROM
-             (SELECT *, row_number() OVER (PARTITION BY vec_id
-                ORDER BY cos DESC, cell) AS rn FROM a2) WHERE rn = 1)
+      s"""WITH b2 AS (SELECT * FROM ($MlKmeansAssignSql))
          SELECT cell, CAST(count(*) AS BIGINT) AS n,
            round(CAST(sum(CAST(round(cos*1000000) AS BIGINT)) AS DOUBLE)
              / (count(*) * 1000000.0), 6) AS avg_cos
          FROM b2 GROUP BY 1""",
+    "ml_cluster_purity" ->
+      s"""WITH b2 AS (SELECT * FROM ($MlKmeansAssignSql)),
+         j AS (SELECT cell, label, CAST(count(*) AS BIGINT) AS c
+           FROM b2 JOIN embeddings USING (vec_id) GROUP BY 1, 2),
+         t AS (SELECT cell, label, c,
+             row_number() OVER (PARTITION BY cell
+               ORDER BY c DESC, label DESC) AS rn,
+             sum(c) OVER (PARTITION BY cell) AS n
+           FROM j)
+         SELECT cell, CAST(n AS BIGINT) AS n, label AS top_label,
+           round(CAST(c AS DOUBLE) / n, 6) AS purity
+         FROM t WHERE rn = 1""",
+    "tx_novelty" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+           FROM documents),
+         ix AS (SELECT doc_id, t,
+             unnest(generate_series(1, len(t) - 2)) AS i
+           FROM tok WHERE len(t) >= 3),
+         tri AS (SELECT DISTINCT doc_id,
+             t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS g
+           FROM ix),
+         fs AS (SELECT g, min(doc_id) AS fd FROM tri GROUP BY 1),
+         pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ng,
+             CAST(sum(CASE WHEN fd = doc_id THEN 1 ELSE 0 END)
+               AS BIGINT) AS nv
+           FROM tri JOIN fs USING (g) GROUP BY 1),
+         nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+         SELECT least(9, (doc_id * 10) // n) AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(CAST(round(CAST(nv AS DOUBLE) / ng * 1e6)
+               AS BIGINT)) AS DOUBLE) / (count(*) * 1e6), 6) AS novelty
+         FROM pd CROSS JOIN nd GROUP BY 1""",
     "gr_coreness" ->
       """WITH cp AS MATERIALIZED (SELECT l1.l_suppkey AS s1,
              l2.l_suppkey AS s2, count(*) AS cnt

@@ -735,7 +735,45 @@ object SimilaritySearch {
     * Fixed TWO assignment passes with one update between (deterministic
     * round count is part of the contract; convergence is kmeansFit's
     * job). Output: (cell, n, avg_cos). */
-  def kmeansExactClusters(embeddings: DataFrame, k: Int = 8): DataFrame = {
+  def kmeansExactClusters(embeddings: DataFrame, k: Int = 8): DataFrame =
+    kmeansExactAssign(embeddings, k)
+      .select(col("cell"),
+        round(col("cos") * 1000000).cast("long").as("qc"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"), sum("qc").as("sc"))
+      .select(col("cell"), col("n"),
+        round(col("sc").cast("double") / (col("n") * 1000000.0), 6)
+          .as("avg_cos"))
+      .orderBy("cell")
+
+  /** CLUSTER PURITY of the engine-exact k-means against the embedding
+    * labels — the external-validity check sp_silhouette (geometry) and
+    * avg_cos (compactness) cannot give: does the UNSUPERVISED
+    * partition recover the LABELED structure? Per cluster: majority
+    * label and its share; a purity near 1/|labels| means the clusters
+    * are geometric accidents, near 1.0 means the embedding space
+    * separates the classes. Majority ties break to the larger label
+    * (max-struct / ORDER BY c DESC, label DESC — identical on both
+    * engines). One assignment pass + one label join; cluster-bounded
+    * output. */
+  def kmeansExactPurity(embeddings: DataFrame, k: Int = 8): DataFrame = {
+    val a = kmeansExactAssign(embeddings, k).select("vec_id", "cell")
+    a.join(embeddings.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .groupBy("cell", "label")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("cell")
+      .agg(sum("c").as("n"),
+        max(struct(col("c"), col("label"))).as("top"))
+      .select(col("cell"), col("n"), col("top.label").as("top_label"),
+        round(col("top.c").cast("double") / col("n"), 6).as("purity"))
+  }
+
+  /** The shared (vec_id → cell, cos) assignment of the ONE-REFINEMENT
+    * engine-exact spherical k-means ([[kmeansExactClusters]] rolls it
+    * up; [[kmeansExactPurity]] joins it against labels — one
+    * definition, every surface). */
+  private[operators] def kmeansExactAssign(embeddings: DataFrame,
+                                           k: Int = 8): DataFrame = {
     import java.math.{BigDecimal => JBig, RoundingMode}
     import embeddings.sparkSession.implicits._
     def scaleRound(v: Double): Long =
@@ -801,14 +839,6 @@ object SimilaritySearch {
       }
     }
     assignTo(cents1)
-      .select(col("cell"),
-        round(col("cos") * 1000000).cast("long").as("qc"))
-      .groupBy("cell")
-      .agg(count(lit(1)).as("n"), sum("qc").as("sc"))
-      .select(col("cell"), col("n"),
-        round(col("sc").cast("double") / (col("n") * 1000000.0), 6)
-          .as("avg_cos"))
-      .orderBy("cell")
   }
 
   /** LEAVE-ONE-OUT kNN-CLASSIFIER evaluation — "are the labels

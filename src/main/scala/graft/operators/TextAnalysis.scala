@@ -1030,6 +1030,47 @@ object TextAnalysis {
     * the model; the spec trains on a planted separable corpus and
     * demands a diagonal confusion matrix, the same honest-negative
     * pattern as logisticGD.) */
+  /** CORPUS NOVELTY CURVE — the diminishing-returns question every
+    * data-acquisition decision hangs on ("is the next slice of this
+    * source still teaching the model anything, or re-serving what the
+    * first slice already covered"): per doc, the fraction of its
+    * DISTINCT trigrams first seen in THAT doc (gram's min doc_id over
+    * the ingestion order), averaged per doc-id decile. A flat-high
+    * curve = keep ingesting; a curve collapsing toward 0 = the source
+    * is exhausted and further ingestion only feeds the dedup stage.
+    *
+    * Scale shape: one trigram explode (split evaluated ONCE per row —
+    * the r9 lambda-binding discipline) to the distinct (doc, gram)
+    * frame, one gram-keyed min rollup, one join back, decile-bounded
+    * output. Per-doc ratios quantize to micro-units before the decile
+    * mean (order-free longs). Docs under 3 tokens have no trigrams
+    * and drop — both engines, documented. */
+  def trigramNovelty(documents: DataFrame): DataFrame = {
+    val tri = documents.select(col("doc_id"),
+        explode(element_at(transform(array(tokens(col("text"))), arr =>
+          when(size(arr) < 3, array().cast("array<string>"))
+            .otherwise(transform(sequence(lit(0), size(arr) - 3),
+              i => concat_ws(" ", element_at(arr, i + 1),
+                element_at(arr, i + 2), element_at(arr, i + 3))))), 1))
+          .as("g"))
+      .distinct()
+    val first = tri.groupBy("g").agg(min("doc_id").as("fd"))
+    val perDoc = tri.join(first, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("ng"),
+        sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L))
+          .as("nv"))
+    val nd = documents.agg(count(lit(1)).as("n"))
+    perDoc.crossJoin(broadcast(nd))
+      .select(least(lit(9L), expr("(doc_id * 10) div n")).as("decile"),
+        round(col("nv").cast("double") / col("ng") * 1e6).cast("long")
+          .as("q6"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum("q6").cast("double") / (count(lit(1)) * 1e6), 6)
+          .as("novelty"))
+  }
+
   def naiveBayesLangEval(documents: DataFrame): DataFrame = {
     val split2 = substring(
       md5(concat(lit("nb"), col("doc_id").cast("string"))), 1, 2)

@@ -95,4 +95,27 @@ class KMeansSpec extends SparkSpec {
     assert(a == b, "exact k-means drifted under repartitioning")
     assert(a.map(_.getAs[Long]("n")).sum == emb.count())
   }
+
+  test("kmeansExactPurity: orthogonal label-aligned cones score purity " +
+      "1.0 with the right majority label") {
+    import spark.implicits._
+    def md5hex(s: String) = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // seed order is (md5(vec_id), vec_id): put the FIRST two seeds in
+    // different groups so k=2 starts with one centroid per cone
+    val ids = (1L to 8L).sortBy(i => (md5hex(i.toString), i))
+    val groupA = Set(ids(0)) ++ ids.drop(2).take(3)
+    val rows = (1L to 8L).map { i =>
+      if (groupA(i)) (i, Seq(1.0, 0.0), 7L) else (i, Seq(0.0, 1.0), 3L)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val out = SimilaritySearch.kmeansExactPurity(emb, k = 2).collect()
+    assert(out.length == 2, out.mkString(","))
+    assert(out.forall(_.getAs[Double]("purity") == 1.0),
+      out.mkString(","))
+    assert(out.map(r => (r.getAs[Long]("n"),
+      r.getAs[Long]("top_label"))).toSet == Set((4L, 7L), (4L, 3L)),
+      out.mkString(","))
+  }
 }

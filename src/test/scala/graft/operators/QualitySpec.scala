@@ -765,4 +765,19 @@ class QualitySpec extends SparkSpec {
     assert(!out(6L).getAs[Boolean]("pass_longest") &&
       out(6L).getAs[Long]("longest_word") == 30L)
   }
+
+  test("trigramNovelty: a verbatim repeat scores 0, fresh text scores " +
+      "1, and sub-trigram docs drop") {
+    import spark.implicits._
+    // d0 coins both trigrams; d1 repeats them verbatim; d2 is fresh;
+    // d3 (two tokens) has no trigrams and must vanish, not crash
+    val docs = Seq((0L, "a b c d"), (1L, "a b c d"), (2L, "x y z"),
+      (3L, "a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.trigramNovelty(docs).collect()
+      .map(r => (r.getAs[Long]("decile"),
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("novelty")))).toMap
+    // n = 4 docs: deciles 0, 2, 5 for d0..d2 (d3 dropped)
+    assert(out == Map(0L -> (1L, 1.0), 2L -> (1L, 0.0),
+      5L -> (1L, 1.0)), s"$out")
+  }
 }
