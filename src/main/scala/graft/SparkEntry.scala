@@ -883,8 +883,14 @@ object SparkEntry {
       SimilaritySearch.kmeansExactClusters(Tables.embeddings(s, d), k = 8)),
     "ml_cluster_purity" -> ((s, d) =>
       SimilaritySearch.kmeansExactPurity(Tables.embeddings(s, d), k = 8)),
+    "ml_isotropy" -> ((s, d) =>
+      SimilaritySearch.isotropyAudit(Tables.embeddings(s, d))),
     "tx_novelty" -> ((s, d) =>
       TextAnalysis.trigramNovelty(Tables.documents(s, d))),
+    "tx_coverage" -> ((s, d) =>
+      TextAnalysis.vocabCoverage(Tables.documents(s, d))),
+    "sp_mantel" -> ((s, d) =>
+      SpatialJoin.mantelCells(Tables.customer(s, d))),
     "ann_range" -> ((s, d) =>
       SimilaritySearch.rangeSearch(Tables.embeddings(s, d), 0L, 0.2)),
     "ann_lsh" -> ((s, d) =>
@@ -4138,6 +4144,90 @@ object SparkEntry {
          SELECT cell, CAST(n AS BIGINT) AS n, label AS top_label,
            round(CAST(c AS DOUBLE) / n, 6) AS purity
          FROM t WHERE rn = 1""",
+    "ml_isotropy" ->
+      """WITH vv AS (SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+           FROM embeddings),
+         v AS (SELECT vec_id, q,
+             list_aggregate(list_transform(q, y -> y*y), 'sum') AS ssq
+           FROM vv),
+         e AS (SELECT unnest(generate_series(1, len(q))) AS pos,
+             unnest(q) AS x, ssq
+           FROM v),
+         u AS (SELECT pos,
+             CAST(round(x * 1e6 / sqrt(ssq)) AS BIGINT) AS uq
+           FROM e),
+         d AS (SELECT pos, sum(CAST(uq AS HUGEINT)) AS s,
+             sum(CAST(uq AS HUGEINT) * uq) AS sq
+           FROM u GROUP BY 1),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS dim,
+             sum(s * s) AS ss, sum(sq) AS self,
+             max(abs(s)) AS max_abs_s
+           FROM d),
+         n_ AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)
+         SELECT n, dim,
+           round(CAST(ss - self AS DOUBLE)
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / 1e12,
+             6) AS avg_pair_cos,
+           round(CAST(max_abs_s AS DOUBLE) / CAST(n AS DOUBLE) / 1e6,
+             6) AS max_dim_mean
+         FROM a CROSS JOIN n_""",
+    "tx_coverage" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t
+           FROM documents),
+         vc AS (SELECT t, CAST(count(*) AS BIGINT) AS c
+           FROM tok GROUP BY 1),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS tt FROM vc),
+         rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, t) AS rn
+           FROM vc),
+         ks AS (SELECT CAST(k AS BIGINT) AS k
+           FROM (VALUES (10), (30), (100), (300)) t(k)),
+         cov AS (SELECT k,
+             CAST(sum(CASE WHEN rn <= k THEN c ELSE 0 END) AS BIGINT)
+               AS cv
+           FROM rk CROSS JOIN ks GROUP BY 1)
+         SELECT k, cv AS covered, tt AS total,
+           round(CAST(cv AS DOUBLE) / tt, 6) AS coverage
+         FROM cov CROSS JOIN tot""",
+    "sp_mantel" ->
+      """WITH p AS (SELECT
+             round(((c_custkey * 17) % 1400)/10.0 - 70.0, 4) AS lat,
+             round(((c_custkey * 31) % 3600)/10.0 - 180.0, 4) AS lon
+           FROM customer),
+         g AS (SELECT CAST(floor((lat + 90) / 10) AS INTEGER) AS cell_lat,
+             CAST(floor((lon + 180) / 10) AS INTEGER) AS cell_lon,
+             CAST(count(*) AS BIGINT) AS x
+           FROM p GROUP BY 1, 2),
+         pr AS (SELECT
+             CAST(round(2.0 * 6371.0 * asin(sqrt(
+               pow(sin(radians(((b.cell_lat + 0.5) * 10 - 90.0)
+                 - ((a.cell_lat + 0.5) * 10 - 90.0)) / 2), 2)
+               + cos(radians((a.cell_lat + 0.5) * 10 - 90.0))
+                 * cos(radians((b.cell_lat + 0.5) * 10 - 90.0))
+                 * pow(sin(radians(((b.cell_lon + 0.5) * 10 - 180.0)
+                   - ((a.cell_lon + 0.5) * 10 - 180.0)) / 2), 2)))
+               * 1e4) AS BIGINT) AS dg,
+             abs(a.x - b.x) AS dv
+           FROM g a JOIN g b
+             ON a.cell_lat < b.cell_lat
+               OR (a.cell_lat = b.cell_lat AND a.cell_lon < b.cell_lon)),
+         s AS (SELECT CAST(count(*) AS BIGINT) AS np,
+             sum(CAST(dg AS HUGEINT)) AS sg,
+             sum(CAST(dv AS HUGEINT)) AS sv,
+             sum(CAST(dg AS HUGEINT) * dg) AS sgg,
+             sum(CAST(dv AS HUGEINT) * dv) AS svv,
+             sum(CAST(dg AS HUGEINT) * dv) AS sgv
+           FROM pr)
+         SELECT np AS n_pairs,
+           round((CAST(np AS DOUBLE) * CAST(sgv AS DOUBLE)
+               - CAST(sg AS DOUBLE) * CAST(sv AS DOUBLE))
+             / nullif(sqrt(CAST(np AS DOUBLE) * CAST(sgg AS DOUBLE)
+                 - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+               * sqrt(CAST(np AS DOUBLE) * CAST(svv AS DOUBLE)
+                 - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)), 0.0), 6)
+             AS mantel_r
+         FROM s""",
     "tx_novelty" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
            FROM documents),

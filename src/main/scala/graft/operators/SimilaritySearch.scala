@@ -768,6 +768,53 @@ object SimilaritySearch {
         round(col("top.c").cast("double") / col("n"), 6).as("purity"))
   }
 
+  /** EMBEDDING-SPACE ISOTROPY audit — the space-quality gate in front
+    * of every cosine-based surface here (anisotropic embeddings — a
+    * dominant shared direction — inflate ALL pairwise cosines, so
+    * ann_* similarity thresholds and dd_embed_neardup cutoffs
+    * calibrated on one corpus silently break on the next; Ethayarajh
+    * 2019 made this the standard embedding check): the mean pairwise
+    * cosine over ALL n(n−1) pairs, computed WITHOUT the pair join via
+    * the identity Σᵢ≠ⱼ uᵢ·uⱼ = ‖Σuᵢ‖² − Σ‖uᵢ‖², plus the largest
+    * per-dimension |mean| (where the shared direction lives).
+    * Near-0 mean cosine = isotropic; large = re-center before
+    * trusting any cosine threshold.
+    *
+    * EXACT integer path: vectors quantize to the 1e-3 lattice and
+    * unit-scale to the 1e6 integer sphere (the ml_kmeans codebook
+    * convention — one quantization, every surface); per-dim sums and
+    * square-sums accumulate in decimal(38,0), so the two norms are
+    * exact integers on any partitioning and the mean cosine is ONE
+    * double division in 1e12 units. One explode + dim-keyed rollup —
+    * dim-bounded frames after the single corpus pass. */
+  def isotropyAudit(embeddings: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v = embeddings
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => round(x * 1000).cast("long")).as("q"))
+      .withColumn("ssq", aggregate(col("q"), lit(0L), (a, y) => a + y * y))
+    val u = v.select(posexplode(col("q")).as(Seq("pos", "x")),
+        col("ssq"))
+      .select(col("pos"),
+        round(col("x") * 1e6 / sqrt(col("ssq").cast("double")))
+          .cast("long").as("uq"))
+    val d = u.groupBy("pos")
+      .agg(sum(col("uq").cast(dec)).as("s"),
+        sum(col("uq").cast(dec) * col("uq").cast(dec)).as("sq"))
+    val a = d.agg(count(lit(1)).as("dim"),
+      sum(col("s") * col("s")).as("ss"), sum("sq").as("self"),
+      max(abs(col("s"))).as("max_abs_s"))
+    val nRow = embeddings.agg(count(lit(1)).as("n"))
+    val n = col("n").cast("double")
+    a.crossJoin(broadcast(nRow))
+      .select(col("n"), col("dim"),
+        round((col("ss") - col("self")).cast("double") /
+          (n * (n - 1.0)) / 1e12, 6).as("avg_pair_cos"),
+        round(col("max_abs_s").cast("double") / n / 1e6, 6)
+          .as("max_dim_mean"))
+  }
+
   /** The shared (vec_id → cell, cos) assignment of the ONE-REFINEMENT
     * engine-exact spherical k-means ([[kmeansExactClusters]] rolls it
     * up; [[kmeansExactPurity]] joins it against labels — one

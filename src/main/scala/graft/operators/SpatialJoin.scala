@@ -719,6 +719,65 @@ object SpatialJoin {
         floor((col("c_lon") + 180) / cellDeg).cast("int").as("cell_lon"))
       .agg(count(lit(1)).as("x")))
 
+  /** MANTEL-style distance correlation between GEOGRAPHY and VALUE
+    * over the cell lattice — "do nearby cells hold similar densities"
+    * asked as one correlation ([[moranI]] fixes a weight matrix and
+    * tests against it; Mantel regresses value distance on the actual
+    * km distances, so the DECAY itself is the statistic): Pearson r
+    * between haversine cell-center distance and |count difference|
+    * over all cell pairs. Negative r = similarity decays with
+    * distance (spatial structure); ~0 = geography doesn't matter.
+    *
+    * Lattice-bounded all-pairs frame (cells², never points²) with a
+    * lexicographic i<j condition; each pair's km distance quantizes
+    * to 1e4 units (the sp_haversine round-4 trig convention — the one
+    * float step, identical libm-rounded on both engines at this
+    * quantum) and value distance is an exact long, so the five
+    * correlation sums accumulate in decimal(38,0) and r is one double
+    * formula. */
+  def mantelCells(customer: DataFrame, cellDeg: Int = 10): DataFrame =
+    mantelOnCells(customerPoints(customer)
+      .groupBy(
+        floor((col("c_lat") + 90) / cellDeg).cast("int").as("cell_lat"),
+        floor((col("c_lon") + 180) / cellDeg).cast("int").as("cell_lon"))
+      .agg(count(lit(1)).as("x")), cellDeg)
+
+  private[operators] def mantelOnCells(cells: DataFrame,
+                                       cellDeg: Int): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val b = cells.select(col("cell_lat").as("b_lat"),
+      col("cell_lon").as("b_lon"), col("x").as("x2"))
+    def ctrLat(c: Column) = (c.cast("double") + 0.5) * cellDeg - 90.0
+    def ctrLon(c: Column) = (c.cast("double") + 0.5) * cellDeg - 180.0
+    val aLat = ctrLat(col("cell_lat"))
+    val bLat = ctrLat(col("b_lat"))
+    val dKm = lit(2.0) * 6371.0 * asin(sqrt(
+      pow(sin(radians(bLat - aLat) / 2), 2) +
+        cos(radians(aLat)) * cos(radians(bLat)) *
+          pow(sin(radians(ctrLon(col("b_lon")) -
+            ctrLon(col("cell_lon"))) / 2), 2)))
+    val pairs = cells.join(b,
+        col("cell_lat") < col("b_lat") ||
+          (col("cell_lat") === col("b_lat") &&
+            col("cell_lon") < col("b_lon")))
+      .select(round(dKm * 1e4).cast("long").as("dg"),
+        abs(col("x") - col("x2")).as("dv"))
+    val s = pairs.agg(count(lit(1)).as("np"),
+      sum(col("dg").cast(dec)).as("sg"), sum(col("dv").cast(dec)).as("sv"),
+      sum(col("dg").cast(dec) * col("dg").cast(dec)).as("sgg"),
+      sum(col("dv").cast(dec) * col("dv").cast(dec)).as("svv"),
+      sum(col("dg").cast(dec) * col("dv").cast(dec)).as("sgv"))
+    val n = col("np").cast("double")
+    val num = n * col("sgv").cast("double") -
+      col("sg").cast("double") * col("sv").cast("double")
+    val den = sqrt(n * col("sgg").cast("double") -
+        col("sg").cast("double") * col("sg").cast("double")) *
+      sqrt(n * col("svv").cast("double") -
+        col("sv").cast("double") * col("sv").cast("double"))
+    s.select(col("np").as("n_pairs"),
+      round(num / nullif(den, lit(0.0)), 6).as("mantel_r"))
+  }
+
   /** [[joinCounts]]'s core over an explicit (cell_lat, cell_lon,
     * x: long) frame — split out so specs can plant exact lattices. */
   private[operators] def joinCountsOnCells(cells: DataFrame): DataFrame = {

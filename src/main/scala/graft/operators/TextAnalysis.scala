@@ -1030,6 +1030,37 @@ object TextAnalysis {
     * the model; the spec trains on a planted separable corpus and
     * demands a diagonal confusion matrix, the same honest-negative
     * pattern as logisticGD.) */
+  /** VOCABULARY-BUDGET COVERAGE CURVE — the tokenizer-sizing question
+    * asked directly ("what fraction of all token OCCURRENCES does a
+    * k-entry vocabulary cover" for a ladder of budgets; the long tail
+    * past the chosen k is exactly the text a word-level model will
+    * shatter into unknowns): for each budget k, coverage = Σ counts of
+    * the top-k tokens by (count DESC, token) — the tiebreak makes the
+    * top-k SET deterministic, so both engines price identical
+    * vocabularies.
+    *
+    * Scale shape: one corpus token rollup to the vocab frame, then
+    * each budget is a distributed TakeOrdered (orderBy+limit — a
+    * proper top-k tree aggregate, NOT a single-partition window over
+    * the vocabulary) feeding a 1-row sum; k-ladder union is
+    * budget-bounded. Exact integer counts, one division per row. */
+  def vocabCoverage(documents: DataFrame,
+                    ks: Seq[Int] = Seq(10, 30, 100, 300)): DataFrame = {
+    val vc = documents
+      .select(explode(tokens(col("text"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val tot = vc.agg(sum("c").as("tt"))
+    ks.map { k =>
+      vc.orderBy(col("c").desc, col("t")).limit(k)
+        .agg(sum("c").as("cv"))
+        .select(lit(k.toLong).as("k"), col("cv"))
+    }.reduce(_.unionByName(_))
+      .crossJoin(broadcast(tot))
+      .select(col("k"), col("cv").as("covered"), col("tt").as("total"),
+        round(col("cv").cast("double") / col("tt"), 6).as("coverage"))
+  }
+
   /** CORPUS NOVELTY CURVE — the diminishing-returns question every
     * data-acquisition decision hangs on ("is the next slice of this
     * source still teaching the model anything, or re-serving what the

@@ -118,4 +118,30 @@ class KMeansSpec extends SparkSpec {
       r.getAs[Long]("top_label"))).toSet == Set((4L, 7L), (4L, 3L)),
       out.mkString(","))
   }
+
+  test("isotropyAudit: parallel vectors score mean cosine exactly 1, " +
+      "a balanced cross cancels to -1/(n-1), orthogonal groups 1/3") {
+    import spark.implicits._
+    def emb(vs: Seq[Seq[Double]]) = vs.zipWithIndex
+      .map { case (v, i) => (i.toLong, v, 0L) }
+      .toDF("vec_id", "embedding", "label")
+    val same = SimilaritySearch.isotropyAudit(
+      emb(Seq.fill(4)(Seq(1.0, 0.0)))).collect().head
+    assert(same.getAs[Long]("n") == 4L && same.getAs[Long]("dim") == 2L,
+      s"$same")
+    assert(same.getAs[Double]("avg_pair_cos") == 1.0, s"$same")
+    assert(same.getAs[Double]("max_dim_mean") == 1.0, s"$same")
+    // two orthogonal groups of two: 4 of 12 ordered pairs at cos 1
+    val ortho = SimilaritySearch.isotropyAudit(
+      emb(Seq(Seq(1.0, 0.0), Seq(1.0, 0.0), Seq(0.0, 1.0),
+        Seq(0.0, 1.0)))).collect().head
+    assert(ortho.getAs[Double]("avg_pair_cos") == 0.333333, s"$ortho")
+    // a perfectly balanced cross: the sum vector vanishes, so the
+    // mean pairwise cosine hits its floor -self/(n(n-1)) = -1/3
+    val cross = SimilaritySearch.isotropyAudit(
+      emb(Seq(Seq(1.0, 0.0), Seq(-1.0, 0.0), Seq(0.0, 1.0),
+        Seq(0.0, -1.0)))).collect().head
+    assert(cross.getAs[Double]("avg_pair_cos") == -0.333333, s"$cross")
+    assert(cross.getAs[Double]("max_dim_mean") == 0.0, s"$cross")
+  }
 }

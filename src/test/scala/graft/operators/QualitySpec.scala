@@ -780,4 +780,22 @@ class QualitySpec extends SparkSpec {
     assert(out == Map(0L -> (1L, 1.0), 2L -> (1L, 0.0),
       5L -> (1L, 1.0)), s"$out")
   }
+
+  test("vocabCoverage: the budget ladder prices exact occurrence " +
+      "shares; count ties break on the token") {
+    import spark.implicits._
+    val docs = Seq((0L, "a a a b b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabCoverage(docs, ks = Seq(1, 2, 3))
+      .collect()
+      .map(r => (r.getAs[Long]("k"),
+        (r.getAs[Long]("covered"), r.getAs[Double]("coverage")))).toMap
+    assert(out == Map(1L -> (3L, 0.5), 2L -> (5L, 0.833333),
+      3L -> (6L, 1.0)), s"$out")
+    // tie a=2, b=2: k=1 must take 'a' (count DESC, token ASC)
+    val tie = TextAnalysis.vocabCoverage(
+      Seq((0L, "b b a a c")).toDF("doc_id", "text"), ks = Seq(1))
+      .collect().head
+    assert(tie.getAs[Long]("covered") == 2L &&
+      tie.getAs[Double]("coverage") == 0.4, s"$tie")
+  }
 }

@@ -119,6 +119,25 @@ class WindowsLambdaSpec extends SparkSpec {
     assert(s.getAs[Long]("bw") < s.getAs[Double]("e_bw"), s"$s")
   }
 
+  test("mantelOnCells: a value gradient along the lattice correlates " +
+      "near-perfectly with distance; constant values null the ratio") {
+    import spark.implicits._
+    // one lattice row, counts rising with longitude: value distance
+    // tracks km distance (not exactly linearly — haversine curves —
+    // so r is near 1, not 1)
+    val grad = Seq((0, 0, 10L), (0, 1, 20L), (0, 2, 30L), (0, 3, 40L))
+      .toDF("cell_lat", "cell_lon", "x")
+    val r = SpatialJoin.mantelOnCells(grad, cellDeg = 10).collect().head
+    assert(r.getAs[Long]("n_pairs") == 6L, s"$r")
+    assert(r.getAs[Double]("mantel_r") > 0.95, s"$r")
+    // constant values: zero variance on one margin -> null, never a
+    // divide-by-zero
+    val flat = Seq((0, 0, 5L), (0, 1, 5L), (1, 0, 5L))
+      .toDF("cell_lat", "cell_lon", "x")
+    val f = SpatialJoin.mantelOnCells(flat, cellDeg = 10).collect().head
+    assert(f.isNullAt(f.fieldIndex("mantel_r")), s"$f")
+  }
+
   test("nearestSupplier: one row per customer, distance minimal") {
     val customers = Tables.customer(spark, sf)
     val out = SpatialJoin.nearestSupplier(customers, Tables.supplier(spark, sf))
