@@ -885,6 +885,11 @@ object SparkEntry {
       SimilaritySearch.kmeansExactPurity(Tables.embeddings(s, d), k = 8)),
     "ml_isotropy" -> ((s, d) =>
       SimilaritySearch.isotropyAudit(Tables.embeddings(s, d))),
+    "ann_l2" -> ((s, d) =>
+      SimilaritySearch.l2TopK(Tables.embeddings(s, d), 0L, 10)),
+    "st_brunner_munzel" -> ((s, d) =>
+      Stats.brunnerMunzel(Tables.events(s, d), "event_type", "value",
+        "click", "view")),
     "tx_novelty" -> ((s, d) =>
       TextAnalysis.trigramNovelty(Tables.documents(s, d))),
     "tx_coverage" -> ((s, d) =>
@@ -4173,6 +4178,66 @@ object SparkEntry {
            round(CAST(max_abs_s AS DOUBLE) / CAST(n AS DOUBLE) / 1e6,
              6) AS max_dim_mean
          FROM a CROSS JOIN n_""",
+    "ann_l2" ->
+      """WITH vv AS (SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+           FROM embeddings),
+         qv AS (SELECT q AS qq FROM vv WHERE vec_id = 0),
+         d AS (SELECT vec_id,
+             list_aggregate(list_transform(list_zip(q, qq),
+               s -> (s[1] - s[2]) * (s[1] - s[2])), 'sum') AS d2q
+           FROM vv CROSS JOIN qv WHERE vec_id <> 0)
+         SELECT vec_id, d2q FROM d ORDER BY d2q, vec_id LIMIT 10""",
+    "st_brunner_munzel" ->
+      """WITH pts AS (SELECT value AS v,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               AS BIGINT) AS cb
+           FROM events WHERE event_type IN ('click', 'view')
+           GROUP BY 1),
+         tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+             CAST(sum(cb) AS BIGINT) AS nb FROM pts),
+         rk AS (SELECT ca, cb, ca + cb AS t,
+             coalesce(sum(ca) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS ba,
+             coalesce(sum(cb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS bb
+           FROM pts),
+         m AS (SELECT ca, cb, 2 * (ba + bb) + t + 1 AS mr2,
+             2 * ba + ca + 1 AS mra2, 2 * bb + cb + 1 AS mrb2
+           FROM rk),
+         agg AS (SELECT
+             sum(CAST(ca * mr2 AS HUGEINT)) AS sra,
+             sum(CAST(cb * mr2 AS HUGEINT)) AS srb,
+             sum(CAST(ca * (mr2 - mra2) AS HUGEINT)) AS spa,
+             sum(CAST(ca AS HUGEINT)
+               * CAST((mr2 - mra2) * (mr2 - mra2) AS HUGEINT)) AS spa2,
+             sum(CAST(cb * (mr2 - mrb2) AS HUGEINT)) AS spb,
+             sum(CAST(cb AS HUGEINT)
+               * CAST((mr2 - mrb2) * (mr2 - mrb2) AS HUGEINT)) AS spb2
+           FROM m)
+         SELECT na AS n_a, nb AS n_b,
+           round((CAST(srb AS DOUBLE) / (2.0 * CAST(nb AS DOUBLE))
+             - (CAST(nb AS DOUBLE) + 1.0) / 2.0) / CAST(na AS DOUBLE),
+             6) AS p_hat,
+           round(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+             * (CAST(srb AS DOUBLE) / (2.0 * CAST(nb AS DOUBLE))
+               - CAST(sra AS DOUBLE) / (2.0 * CAST(na AS DOUBLE)))
+             / nullif(CAST(na + nb AS DOUBLE)
+               * sqrt(CAST(na AS DOUBLE)
+                 * ((CAST(spa2 AS DOUBLE) - CAST(spa AS DOUBLE)
+                   * CAST(spa AS DOUBLE) / CAST(na AS DOUBLE))
+                   / (4.0 * (CAST(na AS DOUBLE) - 1.0)))
+                 + CAST(nb AS DOUBLE)
+                 * ((CAST(spb2 AS DOUBLE) - CAST(spb AS DOUBLE)
+                   * CAST(spb AS DOUBLE) / CAST(nb AS DOUBLE))
+                   / (4.0 * (CAST(nb AS DOUBLE) - 1.0)))), 0.0), 6)
+             AS bm_w
+         FROM agg CROSS JOIN tot""",
     "tx_coverage" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t
            FROM documents),

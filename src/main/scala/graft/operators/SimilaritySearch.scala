@@ -74,6 +74,37 @@ object SimilaritySearch {
       .limit(k)
   }
 
+  /** EXACT squared-EUCLIDEAN brute-force top-k — the metric the cosine
+    * family deliberately ignores MAGNITUDE of ([[bruteForceTopK]]
+    * ranks by angle; L2 ranks by position, the right metric when
+    * vector length carries signal — unnormalized counts, coordinates,
+    * calibrated feature spaces): d² = Σ(qᵢ−pᵢ)² on the 1e-3 integer
+    * lattice, an EXACT long per pair (dim·(2·max_coord·1000)² stays
+    * far under int64), so the (d², vec_id) ordering is bit-identical
+    * on any engine/partitioning — no float-rank flapping at the k
+    * boundary, which cosine surfaces buy with round-4.
+    *
+    * Same scan shape as [[bruteForceTopK]]: fanned map-side distance
+    * against a 1-row broadcast query, TakeOrderedAndProject top-k —
+    * per-partition heaps, no shuffle. Distances report in lattice
+    * units (1e6·true d², documented contract). */
+  def l2TopK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
+    def lat(c: Column) = transform(c.cast("array<double>"),
+      x => round(x * 1000).cast("long"))
+    val q = embeddings.filter(col("vec_id") === queryId)
+      .select(lat(col("embedding")).as("qq"))
+    Scale.fanOut(embeddings)
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), lat(col("embedding")).as("p"))
+      .crossJoin(broadcast(q))
+      .withColumn("d2q", aggregate(
+        zip_with(col("p"), col("qq"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+      .orderBy(asc("d2q"), asc("vec_id"))
+      .select(col("vec_id"), col("d2q"))
+      .limit(k)
+  }
+
   /** Cosine RANGE search — every corpus vector above a similarity
     * floor, not a fixed k (the dedup/recall-sweep companion of top-k:
     * "give me ALL near matches"). Same scan shape as bruteForceTopK

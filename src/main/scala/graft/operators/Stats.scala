@@ -593,6 +593,84 @@ object Stats {
         nullif(sqrt(varAb2), lit(0.0)), 6).as("z"))
   }
 
+  /** BRUNNER–MUNZEL two-sample test between groups `ga` and `gb` —
+    * the modern replacement for [[mannWhitneyU]] when the two
+    * distributions may differ in SHAPE (MWU's variance assumes
+    * exchangeability under H₀; with unequal variances its level is
+    * wrong — the nonparametric Behrens–Fisher problem BM solves):
+    * tests P(X<Y)+½P(X=Y) = ½ via placements Pᵢ = pooled midrank −
+    * within-group midrank, W = n₁n₂(R̄₂−R̄₁)/(N·√(n₁S₁²+n₂S₂²)) with
+    * Sⱼ² the placement variances; also reports the estimated
+    * stochastic superiority p̂ = (R̄₂−(n₂+1)/2)/n₁ (an effect size on
+    * its own).
+    *
+    * Same striped two-pass prefix skeleton as [[mannWhitneyU]], kept
+    * INTEGER throughout: pooled and within-group doubled midranks are
+    * exact longs per distinct value (all tied members share one
+    * placement, so the placement sums and square-sums are weighted
+    * rollups of the distinct-value frame in decimal(38,0)); W and p̂
+    * are two double formulas at the close. */
+  def brunnerMunzel(df: DataFrame, groupCol: String, c: String,
+                    ga: String, gb: String,
+                    stripes: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val pts = df.filter(col(groupCol).isin(ga, gb))
+      .groupBy(col(c).as("v"))
+      .agg(sum(when(col(groupCol) === ga, 1L).otherwise(0L)).as("ca"),
+        sum(when(col(groupCol) === gb, 1L).otherwise(0L)).as("cb"))
+      .withColumn("t", col("ca") + col("cb"))
+    val bounds = pts.agg(min("v").as("__lo"), max("v").as("__hi"),
+      sum("ca").as("__na"), sum("cb").as("__nb"))
+    val striped = pts.crossJoin(broadcast(bounds))
+      .withColumn("__stripe",
+        when(col("__hi") === col("__lo"), lit(0L)).otherwise(
+          least(lit(stripes - 1L), greatest(lit(0L),
+            floor((col("v") - col("__lo")) /
+              (col("__hi") - col("__lo")) * stripes)))).cast("int"))
+    val wIn = Window.partitionBy("__stripe").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wStripe = Window.orderBy("__stripe")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = striped.groupBy("__stripe")
+      .agg(sum("ca").as("__sa"), sum("cb").as("__sb"))
+      .select(col("__stripe"),
+        coalesce(sum("__sa").over(wStripe), lit(0L)).as("__oa"),
+        coalesce(sum("__sb").over(wStripe), lit(0L)).as("__ob"))
+    val ba = col("__oa") + coalesce(sum("ca").over(wIn), lit(0L))
+    val bb = col("__ob") + coalesce(sum("cb").over(wIn), lit(0L))
+    // doubled midranks: pooled, within-a, within-b (exact longs)
+    val mr2 = lit(2) * (ba + bb) + col("t") + 1
+    val mra2 = lit(2) * ba + col("ca") + 1
+    val mrb2 = lit(2) * bb + col("cb") + 1
+    val agg = striped.join(broadcast(offs), Seq("__stripe"))
+      .select(col("ca"), col("cb"), col("__na"), col("__nb"),
+        (mr2 - mra2).as("p2a"), (mr2 - mrb2).as("p2b"), mr2.as("mr2"))
+      .agg(max("__na").as("na"), max("__nb").as("nb"),
+        sum((col("ca") * col("mr2")).cast(dec)).as("sra"),
+        sum((col("cb") * col("mr2")).cast(dec)).as("srb"),
+        sum((col("ca") * col("p2a")).cast(dec)).as("spa"),
+        sum(col("ca").cast(dec) *
+          (col("p2a") * col("p2a")).cast(dec)).as("spa2"),
+        sum((col("cb") * col("p2b")).cast(dec)).as("spb"),
+        sum(col("cb").cast(dec) *
+          (col("p2b") * col("p2b")).cast(dec)).as("spb2"))
+    val (naD, nbD) = (col("na").cast("double"), col("nb").cast("double"))
+    val nD = (col("na") + col("nb")).cast("double")
+    val rbarA = col("sra").cast("double") / (lit(2.0) * naD)
+    val rbarB = col("srb").cast("double") / (lit(2.0) * nbD)
+    val v1 = (col("spa2").cast("double") -
+      col("spa").cast("double") * col("spa").cast("double") / naD) /
+      (lit(4.0) * (naD - 1.0))
+    val v2 = (col("spb2").cast("double") -
+      col("spb").cast("double") * col("spb").cast("double") / nbD) /
+      (lit(4.0) * (nbD - 1.0))
+    agg.select(col("na").as("n_a"), col("nb").as("n_b"),
+      round((rbarB - (nbD + 1.0) / 2.0) / naD, 6).as("p_hat"),
+      round(naD * nbD * (rbarB - rbarA) /
+        nullif(nD * sqrt(naD * v1 + nbD * v2), lit(0.0)), 6).as("bm_w"))
+  }
+
   /** GRUBBS' outlier statistic on the hourly click series — "is the
     * single worst hour a statistical outlier or just the tail of the
     * same distribution" (ts_anomaly z-scores every point against a

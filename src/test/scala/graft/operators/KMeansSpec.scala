@@ -144,4 +144,18 @@ class KMeansSpec extends SparkSpec {
     assert(cross.getAs[Double]("avg_pair_cos") == -0.333333, s"$cross")
     assert(cross.getAs[Double]("max_dim_mean") == 0.0, s"$cross")
   }
+
+  test("l2TopK: exact integer squared distances rank magnitude the " +
+      "cosine family ignores; distance ties break on vec_id") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Seq(0.0, 0.0)), (1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 2.0)),
+      (3L, Seq(3.0, 0.0)), (4L, Seq(1.0, 1.0)), (5L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val out = SimilaritySearch.l2TopK(emb, 0L, 4).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("d2q"))).toSeq
+    // d2 in 1e-3-lattice units: (1,0)->1e6 ties (0,1)->1e6, id order
+    assert(out == Seq((1L, 1000000L), (5L, 1000000L), (4L, 2000000L),
+      (2L, 4000000L)), s"$out")
+  }
 }

@@ -2054,6 +2054,30 @@ class StatsSpec extends SparkSpec {
     assert(p.isNullAt(p.fieldIndex("f")), s"$p")
   }
 
+  test("brunnerMunzel: hand-computed W on the interleave, p_hat 1 with " +
+      "null W under separation, exact zero on identical samples") {
+    import spark.implicits._
+    def df(a: Seq[Double], b: Seq[Double]) =
+      (a.map(("a", _)) ++ b.map(("b", _))).toDF("g", "v")
+    // a={1,3}, b={2,4}: placements a (0,1), b (1,2), variances 0.5
+    // each -> W = 4*1/(4*sqrt(2)) = 0.707107, p_hat = 0.75
+    val mix = Stats.brunnerMunzel(df(Seq(1, 3), Seq(2, 4)),
+      "g", "v", "a", "b").collect().head
+    assert(mix.getAs[Double]("p_hat") == 0.75, s"$mix")
+    assert(mix.getAs[Double]("bm_w") == 0.707107, s"$mix")
+    // complete separation: placement variances vanish (the BM
+    // degenerate case) -> p_hat pegs at 1, W reports null not a blowup
+    val sep = Stats.brunnerMunzel(df(Seq(1, 2), Seq(3, 4)),
+      "g", "v", "a", "b").collect().head
+    assert(sep.getAs[Double]("p_hat") == 1.0, s"$sep")
+    assert(sep.isNullAt(sep.fieldIndex("bm_w")), s"$sep")
+    // identical samples (ties): stochastic equality dead on
+    val same = Stats.brunnerMunzel(df(Seq(1, 2), Seq(1, 2)),
+      "g", "v", "a", "b").collect().head
+    assert(same.getAs[Double]("p_hat") == 0.5 &&
+      same.getAs[Double]("bm_w") == 0.0, s"$same")
+  }
+
   test("grubbs: the planted spike is the argmax with the closed-form " +
       "G = sqrt(3.2); deviation ties resolve to the earliest hour") {
     import spark.implicits._
