@@ -890,6 +890,13 @@ object SparkEntry {
     "st_brunner_munzel" -> ((s, d) =>
       Stats.brunnerMunzel(Tables.events(s, d), "event_type", "value",
         "click", "view")),
+    "dwh_fx" -> ((s, d) =>
+      Dwh.fxConvert(Tables.orders(s, d), Tables.customer(s, d),
+        Tables.nation(s, d))),
+    "dq_fingerprint" -> ((s, d) =>
+      Quality.tableFingerprint(Tables.orders(s, d))),
+    "ts_flatness" -> ((s, d) =>
+      Resample.spectralFlatness(Tables.events(s, d))),
     "tx_novelty" -> ((s, d) =>
       TextAnalysis.trigramNovelty(Tables.documents(s, d))),
     "tx_coverage" -> ((s, d) =>
@@ -4178,6 +4185,68 @@ object SparkEntry {
            round(CAST(max_abs_s AS DOUBLE) / CAST(n AS DOUBLE) / 1e6,
              6) AS max_dim_mean
          FROM a CROSS JOIN n_""",
+    "dwh_fx" ->
+      """WITH months AS (SELECT unnest(generate_series(0, 83)) AS m),
+         rates AS (SELECT CAST(n_nationkey AS BIGINT) AS cur,
+             CAST(m AS BIGINT) AS m,
+             1000000 + (CAST(n_nationkey AS BIGINT) * 37 + m * 13)
+               % 500000 AS rate
+           FROM nation CROSS JOIN months WHERE m % 3 = 1),
+         f AS (SELECT CAST(c.c_nationkey AS BIGINT) AS cur,
+             CAST((year(o_orderdate) - 1992) * 12
+               + month(o_orderdate) - 1 AS BIGINT) AS m,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders JOIN customer c ON o_custkey = c.c_custkey),
+         j AS (SELECT f.cur, f.cents, r.rate
+           FROM f ASOF JOIN rates r
+             ON f.cur = r.cur AND f.m >= r.m)
+         SELECT cur AS currency, CAST(count(*) AS BIGINT) AS n_orders,
+           round(CAST(sum(CAST(cents AS HUGEINT) * rate) AS DOUBLE)
+             / 1e8, 2) AS converted
+         FROM j GROUP BY 1""",
+    "dq_fingerprint" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(CAST(concat('0x', substr(md5(rs), 1, 15))
+               AS BIGINT) AS HUGEINT)) % 1000000000000000000 AS BIGINT)
+             AS fingerprint
+         FROM (SELECT concat_ws('|', o_orderkey, o_custkey,
+             o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT),
+             CAST(o_orderdate AS VARCHAR), o_orderpriority) AS rs
+           FROM orders)""",
+    "ts_flatness" ->
+      """WITH hourly AS (SELECT
+             epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
+             round(avg(value), 6) AS v
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+         m AS (SELECT round(avg(v), 6) AS vm,
+             CAST(count(*) AS BIGINT) AS n FROM hourly),
+         c AS (SELECT hr, v - vm AS vc, n FROM hourly CROSS JOIN m),
+         x AS (SELECT vc, n, period,
+             2.0 * pi() * CAST(hr % period AS DOUBLE) / period AS theta
+           FROM c CROSS JOIN
+             (SELECT unnest([6, 8, 12, 24, 48, 168]) AS period)),
+         g AS (SELECT period, max(n) AS n,
+             sum(vc * cos(theta)) AS cc, sum(vc * sin(theta)) AS ss
+           FROM x GROUP BY 1),
+         p AS (SELECT period,
+             CAST(round(round((cc * cc + ss * ss) / CAST(n AS DOUBLE),
+               4) * 1e4) AS BIGINT) AS p4
+           FROM g),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(p4) AS BIGINT) AS sp4,
+             CAST(sum(CASE WHEN p4 > 0 THEN
+               CAST(round(ln(CAST(p4 AS DOUBLE)) * 1e6) AS BIGINT) END)
+               AS BIGINT) AS sl,
+             CAST(sum(CASE WHEN p4 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS zeros
+           FROM p),
+         dom AS (SELECT period AS dominant_period
+           FROM p ORDER BY p4 DESC, period LIMIT 1)
+         SELECT k, dominant_period,
+           CASE WHEN zeros > 0 THEN 0.0
+             ELSE round(exp(CAST(sl AS DOUBLE) / 1e6 / k) * k / sp4, 6)
+             END AS flatness
+         FROM a CROSS JOIN dom""",
     "ann_l2" ->
       """WITH vv AS (SELECT vec_id,
              list_transform(embedding,

@@ -791,4 +791,48 @@ object Dwh {
       .unionAll(audit(link, "link_order_customer", "lhk"))
       .unionAll(audit(satO, "sat_order", "hk"))
   }
+  /** MULTI-CURRENCY FACT CONVERSION with SPARSE effective-dated rates
+    * — the classic Kimball "pick the rate in force at the fact date"
+    * problem, which is an AS-OF join, not an equi-join (rates publish
+    * irregularly; the fact month rarely has its own row, and silently
+    * equi-joining drops or misprices every gap month): synthetic
+    * deterministic rate table (currency = customer nation, micro-unit
+    * rate 1e6 + (cur·37 + m·13) mod 5e5, published only on months
+    * m ≡ 1 mod 3), facts take the latest rate at-or-before their
+    * month via [[graft.operators.AsOfJoin.asof]], pre-first-rate facts
+    * drop (inner as-of — both engines; DuckDB replays with its NATIVE
+    * ASOF JOIN, so two independent implementations must agree).
+    * Conversion stays EXACT: cents × micro-rate is an integer product
+    * summed in decimal(38,0), two divisions at the close. One fact
+    * rollup per currency; rates are a broadcast-sized dim. */
+  def fxConvert(orders: DataFrame, customer: DataFrame,
+                nation: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val spark = orders.sparkSession
+    val months = spark.range(0, 84)
+      .select(col("id").cast("long").as("m"))
+      .filter(col("m") % 3 === 1)
+    val rates = nation.select(col("n_nationkey").cast("long").as("cur"))
+      .crossJoin(months)
+      .select(col("cur"), col("m"),
+        (lit(1000000L) +
+          pmod(col("cur") * 37 + col("m") * 13, lit(500000L)))
+          .as("rate"))
+    val facts = orders
+      .join(customer.select(col("c_custkey"),
+        col("c_nationkey").cast("long").as("cur")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("cur"),
+        ((year(col("o_orderdate")) - 1992) * 12 +
+          month(col("o_orderdate")) - 1).cast("long").as("m"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    AsOfJoin.asof(facts, rates, key = "cur", ts = "m")
+      .filter(col("matched").isNotNull)
+      .groupBy(col("cur").as("currency"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("cents").cast(dec) * col("matched.rate").cast(dec))
+          .as("cr"))
+      .select(col("currency"), col("n_orders"),
+        round(col("cr").cast("double") / 1e8, 2).as("converted"))
+  }
 }

@@ -658,4 +658,31 @@ object Quality {
             .as("violation_rate"),
           (col("n_violating") === 0L).as("holds"))
     }.reduce(_.unionByName(_))
+  /** ORDER-INVARIANT TABLE FINGERPRINT — the replication/migration
+    * verifier ("did the copy arrive bit-identical") that cannot depend
+    * on row order, file layout, or partitioning: each row serializes
+    * to one canonical string (integer-cent prices and ISO dates — no
+    * float formatting to disagree over), hashes through md5, and the
+    * first 15 hex digits parse to a long whose SUM (an abelian fold —
+    * any partitioning, any order) taken mod 1e18 is the fingerprint.
+    * One changed character in one row moves the sum with probability
+    * 1−2⁻⁶⁰; a dropped-and-readded row cannot hide because n_rows
+    * rides along. One scan, one partial-agg; no sort, no shuffle of
+    * data rows — THE cheapest whole-table integrity check at 100 TB.
+    * (md5 rather than xxhash64 so any engine — the DuckDB twin here —
+    * can recompute the same fingerprint; this is a data contract, not
+    * a private hash.) */
+  def tableFingerprint(orders: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val rowStr = concat_ws("|",
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long"),
+      col("o_orderdate").cast("string"), col("o_orderpriority"))
+    orders
+      .select(conv(substring(md5(rowStr), 1, 15), 16, 10)
+        .cast("long").as("h"))
+      .agg(count(lit(1)).as("n_rows"),
+        pmod(sum(col("h").cast(dec)), lit(1000000000000000000L).cast(dec))
+          .cast("long").as("fingerprint"))
+  }
 }

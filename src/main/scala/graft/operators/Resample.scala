@@ -1279,6 +1279,38 @@ object Resample {
           col("n").cast("double"), 4).as("power"))
   }
 
+  /** SPECTRAL FLATNESS (Wiener entropy) of the candidate-period
+    * spectrum — ONE number for "is there a rhythm at all": the
+    * geometric/arithmetic mean ratio of [[periodogram]]'s powers.
+    * Near 1 = white-noise-flat spectrum (ts_periodogram's argmax is
+    * then meaningless — this is the gate in front of it); near 0 =
+    * power concentrated in few periods (a real cycle). Also reports
+    * the dominant period (power argmax, ties to the shorter period).
+    *
+    * Determinism: powers arrive round-4 from the shared periodogram
+    * definition, re-quantize to exact 1e4 longs, and each ln term
+    * quantizes to micro-units BEFORE the sum (order-free longs — the
+    * tx_entropy discipline); one exp/division row out. Any zero
+    * power short-circuits flatness to 0 (ln diverges — documented). */
+  def spectralFlatness(events: DataFrame, eventType: String = "click",
+                       periods: Seq[Int] = Seq(6, 8, 12, 24, 48, 168))
+      : DataFrame = {
+    val pg = periodogram(events, eventType, periods)
+    pg.select(col("period"),
+        round(col("power") * 1e4).cast("long").as("p4"))
+      .agg(count(lit(1)).as("k"), sum("p4").as("sp4"),
+        sum(when(col("p4") > 0,
+          round(log(col("p4").cast("double")) * 1e6).cast("long")))
+          .as("sl"),
+        sum(when(col("p4") === 0, 1L).otherwise(0L)).as("zeros"),
+        max(struct(col("p4"), (-col("period")).as("np"))).as("dom"))
+      .select(col("k"),
+        (-col("dom.np")).cast("long").as("dominant_period"),
+        when(col("zeros") > 0, lit(0.0)).otherwise(
+          round(exp(col("sl").cast("double") / 1e6 / col("k")) *
+            col("k") / col("sp4"), 6)).as("flatness"))
+  }
+
   /** SPLIT-CONFORMAL prediction interval for the seasonal-naive
     * hourly forecast — distribution-free coverage: the calibration
     * half's |residuals| yield the (1−α) order statistic q at rank

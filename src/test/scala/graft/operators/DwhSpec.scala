@@ -583,4 +583,24 @@ class DwhSpec extends SparkSpec {
     assert(k10.collect().map(_.getAs[String]("payload")).sorted.toSeq ==
       Seq("F|10050", "O|10050"))
   }
+
+  test("fxConvert: gap months take the latest published rate, " +
+      "pre-first-rate facts drop, conversion is cent-exact") {
+    import spark.implicits._
+    val nation = Seq(0L).toDF("n_nationkey")
+    val customer = Seq((1L, 0L)).toDF("c_custkey", "c_nationkey")
+    // rates publish at m=1 (1000013) and m=4 (1000052); the m=0 order
+    // predates every rate, m=3 back-fills from m=1, m=5 from m=4
+    val orders = Seq(
+      (1L, "1992-01-15", 10000.0), (1L, "1992-02-10", 10000.0),
+      (1L, "1992-04-20", 10000.0), (1L, "1992-06-05", 10000.0))
+      .toDF("o_custkey", "d", "o_totalprice")
+      .select(col("o_custkey"), to_date(col("d")).as("o_orderdate"),
+        col("o_totalprice"))
+    val r = Dwh.fxConvert(orders, customer, nation).collect()
+    assert(r.length == 1, r.mkString(","))
+    assert(r.head.getAs[Long]("n_orders") == 3L, s"${r.head}")
+    // 1e6 cents * (1000013 + 1000013 + 1000052) / 1e8 = 30000.78
+    assert(r.head.getAs[Double]("converted") == 30000.78, s"${r.head}")
+  }
 }

@@ -798,4 +798,34 @@ class QualitySpec extends SparkSpec {
     assert(tie.getAs[Long]("covered") == 2L &&
       tie.getAs[Double]("coverage") == 0.4, s"$tie")
   }
+
+  test("tableFingerprint: matches the hand md5 fold, survives " +
+      "repartitioning unchanged, and moves on a one-character edit") {
+    import spark.implicits._
+    def orders(status2: String) = Seq(
+      (1L, 10L, "O", 123.45, "1996-01-02", "1-URGENT"),
+      (2L, 20L, status2, 67.8, "1997-03-04", "3-MEDIUM"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "d", "o_orderpriority")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), to_date(col("d")).as("o_orderdate"),
+        col("o_orderpriority"))
+    def handHash(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val expected = (handHash("1|10|O|12345|1996-01-02|1-URGENT") +
+      handHash("2|20|F|6780|1997-03-04|3-MEDIUM")) % 1000000000000000000L
+    val r = Quality.tableFingerprint(orders("F")).collect().head
+    assert(r.getAs[Long]("n_rows") == 2L, s"$r")
+    assert(r.getAs[Long]("fingerprint") == expected, s"$r vs $expected")
+    // order/partitioning invariance: the fold is abelian
+    val rp = Quality.tableFingerprint(orders("F").repartition(7))
+      .collect().head
+    assert(rp.getAs[Long]("fingerprint") == expected, s"$rp")
+    // one flipped character in one row moves the sum
+    val mut = Quality.tableFingerprint(orders("P")).collect().head
+    assert(mut.getAs[Long]("fingerprint") != expected, s"$mut")
+  }
 }

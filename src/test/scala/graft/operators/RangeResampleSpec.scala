@@ -1004,6 +1004,26 @@ class RangeResampleSpec extends SparkSpec {
     assert(r.getAs[Double]("adf_t") < -2.86, s"$r")
   }
 
+  test("spectralFlatness: a pure daily cycle concentrates power (low " +
+      "flatness, dominant 24); a flat series short-circuits to 0") {
+    import spark.implicits._
+    def ev(vs: Seq[Double]) = vs.zipWithIndex.map { case (v, h) =>
+      (h * 3600L, "click", v) }
+      .toDF("s", "event_type", "value")
+      .select(timestamp_seconds(col("s")).as("ts"), col("event_type"),
+        col("value"))
+    // 14 days of a pure 24h cosine (+ level): the spectrum piles onto
+    // period 24 and flatness collapses
+    val cyc = Resample.spectralFlatness(ev((0 until 336).map(h =>
+      100.0 + 10.0 * math.cos(2 * math.Pi * h / 24.0)))).collect().head
+    assert(cyc.getAs[Long]("dominant_period") == 24L, s"$cyc")
+    assert(cyc.getAs[Double]("flatness") < 0.05, s"$cyc")
+    // constant series: every power is 0 -> flatness exactly 0, no ln(0)
+    val flat = Resample.spectralFlatness(
+      ev(Seq.fill(48)(5.0))).collect().head
+    assert(flat.getAs[Double]("flatness") == 0.0, s"$flat")
+  }
+
   test("recurrenceMetrics: periodic dynamics score high det1, an " +
       "isolated revisit scores zero; rr counts exact integer matches") {
     import spark.implicits._
