@@ -674,15 +674,21 @@ object Quality {
     * a private hash.) */
   def tableFingerprint(orders: DataFrame): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val rowStr = concat_ws("|",
-      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-      round(col("o_totalprice") * 100).cast("long"),
-      col("o_orderdate").cast("string"), col("o_orderpriority"))
     orders
-      .select(conv(substring(md5(rowStr), 1, 15), 16, 10)
-        .cast("long").as("h"))
+      .select(orderRowHash.as("h"))
       .agg(count(lit(1)).as("n_rows"),
         pmod(sum(col("h").cast(dec)), lit(1000000000000000000L).cast(dec))
           .cast("long").as("fingerprint"))
   }
+
+  /** The ONE canonical order-row hash under [[tableFingerprint]] and
+    * the streaming [[graft.streaming.FingerprintSink]] — one
+    * definition, two surfaces, so the live fingerprint can be checked
+    * against any batch recompute (and any other engine). */
+  private[graft] def orderRowHash: Column =
+    conv(substring(md5(concat_ws("|",
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long"),
+      col("o_orderdate").cast("string"), col("o_orderpriority"))),
+      1, 15), 16, 10).cast("long")
 }
