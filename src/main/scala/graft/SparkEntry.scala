@@ -895,6 +895,10 @@ object SparkEntry {
         Tables.nation(s, d))),
     "dq_fingerprint" -> ((s, d) =>
       Quality.tableFingerprint(Tables.orders(s, d))),
+    "st_wquantile" -> ((s, d) =>
+      Stats.weightedQuantiles(Tables.lineitem(s, d), "l_extendedprice",
+        "l_quantity")),
+    "st_ipf" -> ((s, d) => Stats.ipf(Tables.events(s, d))),
     "ts_flatness" -> ((s, d) =>
       Resample.spectralFlatness(Tables.events(s, d))),
     "tx_novelty" -> ((s, d) =>
@@ -1834,6 +1838,39 @@ object SparkEntry {
   /** DuckDB twins of `queries` (identical aliases + rounding — SURVEY §5). */
   /** ml_nb's oracle, shared verbatim by ml_kappa (κ is a projection of
     * the same confusion matrix — one definition, two checks). */
+  /** st_ipf oracle: the six nano-unit scalings unrolled (generated —
+    * the ts_ses_grid replayable-recurrence discipline). */
+  private val StIpfOracleSql: String = {
+    val steps = new StringBuilder
+    var prev = "w0"
+    var idx = 0
+    for (_ <- 1 to 3; (key, k) <- Seq(("r", "kr"), ("cgrp", "kc"))) {
+      idx += 1
+      val sums = s"s$idx"; val next = s"w$idx"
+      steps.append(s""",
+         $sums AS (SELECT $key, sum(CAST(n AS HUGEINT) * w9) AS s
+           FROM $prev GROUP BY 1),
+         $next AS (SELECT r, cgrp, n,
+             CAST(round(CAST(CAST(tt AS HUGEINT) * w9 * 1000000000
+                 AS DOUBLE)
+               / (CAST($k AS DOUBLE) * CAST(s AS DOUBLE))) AS BIGINT)
+               AS w9
+           FROM $prev JOIN $sums USING ($key) CROSS JOIN tot)""")
+      prev = next
+    }
+    s"""WITH cells AS (SELECT event_type AS r,
+         CAST(epoch(CAST(ts AS DATE)) // 86400 % 7 AS BIGINT) AS cgrp,
+         CAST(count(*) AS BIGINT) AS n
+       FROM events GROUP BY 1, 2),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS tt,
+             CAST(count(DISTINCT r) AS BIGINT) AS kr,
+             CAST(count(DISTINCT cgrp) AS BIGINT) AS kc FROM cells),
+         w0 AS (SELECT r, cgrp, n, CAST(1000000000 AS BIGINT) AS w9
+           FROM cells)${steps.toString}
+       SELECT r AS event_type, cgrp AS dow, n,
+         round(w9 / 1e9, 6) AS weight FROM $prev"""
+  }
+
   private val MlKmeansAssignSql: String =
     """WITH vv AS (SELECT vec_id,
              list_transform(embedding,
@@ -4204,6 +4241,21 @@ object SparkEntry {
            round(CAST(sum(CAST(cents AS HUGEINT) * rate) AS DOUBLE)
              / 1e8, 2) AS converted
          FROM j GROUP BY 1""",
+    "st_wquantile" ->
+      """WITH pts AS (SELECT l_extendedprice AS v,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+               AS t
+           FROM lineitem GROUP BY 1),
+         tot AS (SELECT CAST(sum(t) AS BIGINT) AS w FROM pts),
+         cum AS (SELECT v, sum(t) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+           FROM pts),
+         ps AS (SELECT CAST(p AS BIGINT) AS p
+           FROM (VALUES (25), (50), (75)) t(p))
+         SELECT p, min(v) AS wq, max(w) AS total_weight
+         FROM cum CROSS JOIN tot CROSS JOIN ps
+         WHERE cw * 100 >= w * p GROUP BY 1""",
+    "st_ipf" -> StIpfOracleSql,
     "dq_fingerprint" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
            CAST(sum(CAST(CAST(concat('0x', substr(md5(rs), 1, 15))

@@ -458,6 +458,54 @@ object Stats {
       .select(col("__na").as("n_a"), col("__nb").as("n_b"), col("a2"))
   }
 
+  /** WEIGHTED QUANTILES of `c` under integer weights `w` — the
+    * survey-statistics primitive plain quantiles silently get wrong
+    * whenever rows don't deserve equal say (a 50-unit line item is
+    * fifty 1-unit observations of its price; revenue-weighted medians,
+    * exposure-weighted latencies, token-weighted doc scores all reduce
+    * to this): q_p = the smallest value whose CUMULATIVE weight
+    * reaches p% of the total — the lower weighted quantile, an exact
+    * integer-rank selection with no interpolation (engine-identical,
+    * the ts_conformal rank discipline).
+    *
+    * Same striped two-pass prefix skeleton as [[ksTest]] over the
+    * distinct-value frame (weights partial-agg per value first);
+    * the whole percentile ladder rides ONE broadcast of the tiny
+    * (p, threshold) frame — selection is cw·100 ≥ W·p in exact long
+    * arithmetic, one min per p. */
+  def weightedQuantiles(df: DataFrame, c: String, w: String,
+                        ps: Seq[Int] = Seq(25, 50, 75),
+                        stripes: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = df.groupBy(col(c).as("v"))
+      .agg(sum(round(col(w)).cast("long")).as("t"))
+    val bounds = pts.agg(min("v").as("__lo"), max("v").as("__hi"),
+      sum("t").as("__w"))
+    val striped = pts.crossJoin(broadcast(bounds))
+      .withColumn("__stripe",
+        when(col("__hi") === col("__lo"), lit(0L)).otherwise(
+          least(lit(stripes - 1L), greatest(lit(0L),
+            floor((col("v") - col("__lo")) /
+              (col("__hi") - col("__lo")) * stripes)))).cast("int"))
+    val wIn = Window.partitionBy("__stripe").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wStripe = Window.orderBy("__stripe")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = striped.groupBy("__stripe")
+      .agg(sum("t").as("__st"))
+      .select(col("__stripe"),
+        coalesce(sum("__st").over(wStripe), lit(0L)).as("__ot"))
+    val ladder = ps.map(p => struct(lit(p.toLong).as("p")))
+    striped.join(broadcast(offs), Seq("__stripe"))
+      .select(col("v"), col("__w"),
+        (col("__ot") + sum("t").over(wIn)).as("cw"))
+      .select(col("v"), col("__w"), col("cw"),
+        explode(array(ladder: _*)).as("pp"))
+      .filter(col("cw") * 100 >= col("__w") * col("pp.p"))
+      .groupBy(col("pp.p").as("p"))
+      .agg(min("v").as("wq"), max("__w").as("total_weight"))
+  }
+
   /** MOOD'S MEDIAN TEST across ALL event-type groups — the
     * maximally-robust k-group location test (st_kruskal uses full rank
     * information and is more powerful, but its statistic moves with
@@ -4111,6 +4159,50 @@ object Stats {
         round(sum("q6").cast("double") / 1e6, 6).as("bd_chi2"))
       .select(col("n_strata"), (col("n_strata") - 1).as("df"),
         round(col("or_mh"), 6).as("or_mh"), col("bd_chi2"))
+  }
+
+  /** ITERATIVE PROPORTIONAL FITTING (raking) over the event-type ×
+    * day-of-week cell grid — the two-margin balancing weight every
+    * survey shop and every training-data mixture designer reaches for
+    * (pipe_mixture balances ONE axis by resampling; IPF finds the
+    * per-cell weights matching BOTH marginal targets simultaneously —
+    * here uniform shares on each axis — without touching the joint
+    * structure more than necessary): alternate row/column scalings
+    * wᵢⱼ ← wᵢⱼ·τᵣ/Σⱼnw, classic Deming–Stephan, `rounds` full passes.
+    *
+    * Replayable float recurrence (the ts_ses_grid discipline): weights
+    * live as NANO-unit longs and each scaling is the ONE formula
+    * round(T·w9·1e9 / (k·Σnw9)) whose inputs are exact integers
+    * (decimal sums cast to double deterministically) — so the DuckDB
+    * twin unrolls the same six scalings and lands on identical longs.
+    * Every frame after the first rollup is CELL-BOUNDED (k_r × k_c);
+    * margins ride broadcasts. */
+  def ipf(events: DataFrame, rounds: Int = 3): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cells = events.select(col("event_type").as("r"),
+        pmod(expr("unix_date(cast(ts as date))").cast("long"), lit(7L))
+          .as("cgrp"))
+      .groupBy("r", "cgrp").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val tot = cells.agg(sum("n").as("tt"),
+      countDistinct("r").as("kr"), countDistinct("cgrp").as("kc"))
+    var w = cells.crossJoin(broadcast(tot))
+      .select(col("r"), col("cgrp"), col("n"), col("tt"), col("kr"),
+        col("kc"), lit(1000000000L).as("w9"))
+    def rescale(keyCol: String, kCol: String): Unit = {
+      val sums = w.groupBy(keyCol)
+        .agg(sum(col("n").cast(dec) * col("w9").cast(dec)).as("s"))
+      w = w.join(broadcast(sums), Seq(keyCol))
+        .withColumn("w9", round(
+          (col("tt").cast(dec) * col("w9").cast(dec) *
+            lit(1000000000L).cast(dec)).cast("double") /
+          (col(kCol).cast("double") * col("s").cast("double")))
+          .cast("long"))
+        .drop("s")
+    }
+    for (_ <- 1 to rounds) { rescale("r", "kr"); rescale("cgrp", "kc") }
+    w.select(col("r").as("event_type"), col("cgrp").as("dow"), col("n"),
+      round(col("w9").cast("double") / 1e9, 6).as("weight"))
   }
 
   def hodgesLehmann(events: DataFrame): DataFrame = {

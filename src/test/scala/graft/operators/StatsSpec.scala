@@ -2054,6 +2054,55 @@ class StatsSpec extends SparkSpec {
     assert(p.isNullAt(p.fieldIndex("f")), s"$p")
   }
 
+  test("weightedQuantiles: cumulative-weight rank selection follows " +
+      "the mass, not the row count") {
+    import spark.implicits._
+    def df(rows: (Double, Double)*) = rows.toSeq.toDF("v", "w")
+    // weights 5,3,2 of 10: p25 and p50 both land on the heavy low
+    // value (cw 5 reaches 50%), p75 steps to the middle
+    val front = Stats.weightedQuantiles(
+      df((10.0, 5.0), (20.0, 3.0), (30.0, 2.0)), "v", "w")
+      .collect()
+      .map(r => (r.getAs[Long]("p"), r.getAs[Double]("wq"))).toMap
+    assert(front == Map(25L -> 10.0, 50L -> 10.0, 75L -> 20.0),
+      s"$front")
+    // one 8-weight row outvotes two singletons: the weighted median is
+    // 30 where the plain median of the three rows would say 20
+    val back = Stats.weightedQuantiles(
+      df((10.0, 1.0), (20.0, 1.0), (30.0, 8.0)), "v", "w")
+      .collect()
+      .map(r => (r.getAs[Long]("p"), r.getAs[Double]("wq"))).toMap
+    assert(back(50L) == 30.0, s"$back")
+  }
+
+  test("ipf: a balanced grid keeps every weight at exactly 1; raking " +
+      "an unbalanced grid recovers both uniform margins") {
+    import spark.implicits._
+    def ev(cells: Seq[(String, Int, Int)]) = cells.flatMap {
+      case (et, day, n) => Seq.fill(n)((et,
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(day))))
+    }.toDF("event_type", "d")
+      .select(col("event_type"), col("d").cast("timestamp").as("ts"))
+    // 2x2, all cells equal: every scaling factor is exactly 1e9/1e9
+    val bal = Stats.ipf(ev(Seq(("a", 0, 5), ("a", 1, 5), ("b", 0, 5),
+      ("b", 1, 5)))).collect()
+    assert(bal.length == 4 &&
+      bal.forall(_.getAs[Double]("weight") == 1.0), bal.mkString(","))
+    // skewed joint: after 3 full rounds both weighted margins sit
+    // within 1% of uniform
+    val out = Stats.ipf(ev(Seq(("a", 0, 30), ("a", 1, 10),
+      ("b", 0, 10), ("b", 1, 10)))).collect()
+      .map(r => ((r.getAs[String]("event_type"), r.getAs[Long]("dow")),
+        (r.getAs[Long]("n"), r.getAs[Double]("weight")))).toMap
+    val total = out.values.map { case (n, w) => n * w }.sum
+    def margin(f: ((String, Long)) => Boolean) =
+      out.filter(kv => f(kv._1)).values.map { case (n, w) => n * w }.sum
+    for (m <- Seq(margin(_._1 == "a"), margin(_._1 == "b"),
+      margin(_._2 == 0L), margin(_._2 == 1L))) {
+      assert(math.abs(m / total - 0.5) < 0.01, s"margin $m of $total")
+    }
+  }
+
   test("brunnerMunzel: hand-computed W on the interleave, p_hat 1 with " +
       "null W under separation, exact zero on identical samples") {
     import spark.implicits._
