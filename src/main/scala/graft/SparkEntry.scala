@@ -899,6 +899,8 @@ object SparkEntry {
       Stats.weightedQuantiles(Tables.lineitem(s, d), "l_extendedprice",
         "l_quantity")),
     "st_ipf" -> ((s, d) => Stats.ipf(Tables.events(s, d))),
+    "dwh_restatement" -> ((s, d) =>
+      Dwh.restatement(Tables.events(s, d))),
     "ts_flatness" -> ((s, d) =>
       Resample.spectralFlatness(Tables.events(s, d))),
     "tx_novelty" -> ((s, d) =>
@@ -4256,6 +4258,27 @@ object SparkEntry {
          FROM cum CROSS JOIN tot CROSS JOIN ps
          WHERE cw * 100 >= w * p GROUP BY 1""",
     "st_ipf" -> StIpfOracleSql,
+    "dwh_restatement" ->
+      """WITH q AS (SELECT user_id, event_type, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS c
+           FROM events),
+         ww AS (SELECT event_type AS state, sum(CAST(c AS HUGEINT))
+             AS ww FROM q GROUP BY 1),
+         cur AS (SELECT user_id, event_type AS state FROM (
+             SELECT user_id, event_type, row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+               AS rn
+             FROM q) WHERE rn = 1),
+         ii AS (SELECT cur.state, sum(CAST(c AS HUGEINT)) AS ii
+           FROM q JOIN cur USING (user_id) GROUP BY 1),
+         m AS (SELECT coalesce(ww.state, ii.state) AS state,
+             coalesce(ww, 0) AS ww, coalesce(ii, 0) AS ii
+           FROM ww FULL JOIN ii ON ww.state = ii.state)
+         SELECT state,
+           round(CAST(ww AS DOUBLE) / 100.0, 2) AS as_was_revenue,
+           round(CAST(ii AS DOUBLE) / 100.0, 2) AS as_is_revenue,
+           round(CAST(ii - ww AS DOUBLE) / 100.0, 2) AS restated_delta
+         FROM m""",
     "dq_fingerprint" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
            CAST(sum(CAST(CAST(concat('0x', substr(md5(rs), 1, 15))

@@ -835,4 +835,38 @@ object Dwh {
       .select(col("currency"), col("n_orders"),
         round(col("cr").cast("double") / 1e8, 2).as("converted"))
   }
+  /** AS-IS vs AS-WAS RESTATEMENT report — the dimensional-integrity
+    * question every SCD2 warehouse must be able to answer ("how much
+    * revenue MOVES between segments if we report by the customer's
+    * CURRENT state instead of the state they were in when the fact
+    * landed" — the delta IS the restatement a type-1 rebuild would
+    * silently apply, and finance sign-off wants it itemized): as-was
+    * groups each event by its at-time state (here the event's own
+    * type — the SCD2/pitJoin convention: the change record IS the
+    * state onset); as-is replays every user's history under their
+    * latest state (deterministic latest: max (ts, event_id)). One
+    * user rollup + one broadcast-back join + two state-bounded
+    * rollups, full-outer merged on state; exact cent longs. */
+  def restatement(events: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val q = round(col("value") * 100).cast("long")
+    val asWas = events.groupBy(col("event_type").as("state"))
+      .agg(sum(q.cast(dec)).as("ww"))
+    val current = events.groupBy("user_id")
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type")))
+        .as("last"))
+      .select(col("user_id"), col("last.event_type").as("state"))
+    val asIs = events.join(current, Seq("user_id"))
+      .groupBy("state")
+      .agg(sum(q.cast(dec)).as("ii"))
+    asWas.join(asIs, Seq("state"), "full_outer")
+      .select(col("state"),
+        round(coalesce(col("ww"), lit(0).cast(dec)).cast("double")
+          / 100.0, 2).as("as_was_revenue"),
+        round(coalesce(col("ii"), lit(0).cast(dec)).cast("double")
+          / 100.0, 2).as("as_is_revenue"),
+        round((coalesce(col("ii"), lit(0).cast(dec)) -
+          coalesce(col("ww"), lit(0).cast(dec))).cast("double")
+          / 100.0, 2).as("restated_delta"))
+  }
 }

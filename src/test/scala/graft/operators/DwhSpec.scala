@@ -603,4 +603,23 @@ class DwhSpec extends SparkSpec {
     // 1e6 cents * (1000013 + 1000013 + 1000052) / 1e8 = 30000.78
     assert(r.head.getAs[Double]("converted") == 30000.78, s"${r.head}")
   }
+
+  test("restatement: as-is replays history under the latest state and " +
+      "the per-state deltas itemize exactly what moved") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, "click", 10.0, 1000L), (1L, 2L, "view", 20.0, 2000L),
+      (2L, 3L, "view", 30.0, 1000L))
+      .toDF("user_id", "event_id", "event_type", "value", "s")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), timestamp_seconds(col("s")).as("ts"))
+    val out = Dwh.restatement(ev).collect()
+      .map(r => (r.getAs[String]("state"),
+        (r.getAs[Double]("as_was_revenue"),
+          r.getAs[Double]("as_is_revenue"),
+          r.getAs[Double]("restated_delta")))).toMap
+    // user 1 ends as "view": their click-era 10.0 restates to view
+    assert(out == Map("click" -> (10.0, 0.0, -10.0),
+      "view" -> (50.0, 60.0, 10.0)), s"$out")
+  }
 }
