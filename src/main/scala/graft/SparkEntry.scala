@@ -901,6 +901,12 @@ object SparkEntry {
     "st_ipf" -> ((s, d) => Stats.ipf(Tables.events(s, d))),
     "dwh_restatement" -> ((s, d) =>
       Dwh.restatement(Tables.events(s, d))),
+    "st_logrank" -> ((s, d) => Stats.logRank(Tables.events(s, d))),
+    "st_nelson_aalen" -> ((s, d) =>
+      Stats.nelsonAalen(Tables.events(s, d))),
+    "st_herfindahl" -> ((s, d) =>
+      Stats.herfindahl(Tables.orders(s, d))),
+    "ml_qini" -> ((s, d) => Stats.qini(Tables.events(s, d))),
     "ts_flatness" -> ((s, d) =>
       Resample.spectralFlatness(Tables.events(s, d))),
     "tx_novelty" -> ((s, d) =>
@@ -4258,6 +4264,142 @@ object SparkEntry {
          FROM cum CROSS JOIN tot CROSS JOIN ps
          WHERE cw * 100 >= w * p GROUP BY 1""",
     "st_ipf" -> StIpfOracleSql,
+    "st_nelson_aalen" ->
+      """WITH pu AS (SELECT user_id,
+             CAST(min(epoch_us(ts)) AS BIGINT) AS f,
+             CAST(max(epoch_us(ts)) AS BIGINT) AS l,
+             CAST(min(CASE WHEN event_type = 'purchase'
+               THEN epoch_us(ts) END) AS BIGINT) AS p
+           FROM events GROUP BY 1),
+         lt AS (SELECT
+             CAST((coalesce(p, l) - f) // 86400000000 AS BIGINT)
+               AS dur,
+             p IS NOT NULL AS ev
+           FROM pu),
+         tbl AS (SELECT dur,
+             CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(sum(CASE WHEN ev THEN 0 ELSE 1 END) AS BIGINT) AS c
+           FROM lt GROUP BY 1),
+         tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS nt FROM tbl),
+         rt AS (SELECT dur, d, c,
+             nt - CAST(coalesce(sum(d + c) OVER (ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n_risk
+           FROM tbl CROSS JOIN tot)
+         SELECT dur AS dur_days, n_risk, d, c,
+           round(CAST(sum(CAST(round(CAST(d AS DOUBLE) / n_risk * 1e9)
+               AS BIGINT)) OVER (ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE) / 1e9, 6) AS cum_hazard
+         FROM rt""",
+    "st_logrank" ->
+      """WITH pu AS (SELECT user_id,
+             CAST(min(epoch_us(ts)) AS BIGINT) AS f,
+             CAST(max(epoch_us(ts)) AS BIGINT) AS l,
+             CAST(min(CASE WHEN event_type = 'purchase'
+               THEN epoch_us(ts) END) AS BIGINT) AS p
+           FROM events GROUP BY 1),
+         lt AS (SELECT user_id,
+             CAST((coalesce(p, l) - f) // 86400000000 AS BIGINT)
+               AS dur,
+             p IS NOT NULL AS ev
+           FROM pu),
+         la AS (SELECT dur, ev,
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+               < '8' THEN 'A' ELSE 'B' END AS arm
+           FROM lt),
+         tbl AS (SELECT dur,
+             CAST(sum(CASE WHEN ev AND arm = 'A' THEN 1 ELSE 0 END)
+               AS BIGINT) AS da,
+             CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+               AS ta,
+             CAST(count(*) AS BIGINT) AS tt
+           FROM la GROUP BY 1),
+         tot AS (SELECT CAST(sum(ta) AS BIGINT) AS na_tot,
+             CAST(sum(tt) AS BIGINT) AS n_tot FROM tbl),
+         rk AS (SELECT da, d, na_tot, n_tot,
+             na_tot - CAST(coalesce(sum(ta) OVER (ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS na,
+             n_tot - CAST(coalesce(sum(tt) OVER (ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n
+           FROM tbl CROSS JOIN tot),
+         q AS (SELECT na_tot, n_tot,
+             CAST(round((CAST(da AS DOUBLE)
+               - d * (CAST(na AS DOUBLE) / n)) * 1e6) AS BIGINT)
+               AS dev6,
+             CAST(round(CAST(d AS DOUBLE) * (CAST(na AS DOUBLE) / n)
+               * (1.0 - CAST(na AS DOUBLE) / n)
+               * (CAST(n AS DOUBLE) - d) / (CAST(n AS DOUBLE) - 1.0)
+               * 1e6) AS BIGINT) AS v6
+           FROM rk WHERE n > 1 AND d > 0)
+         SELECT na_tot AS n_a, n_tot - na_tot AS n_b,
+           round(CAST(sum(dev6) AS DOUBLE) * sum(dev6) / 1e6
+             / nullif(CAST(sum(v6) AS DOUBLE), 0.0), 6) AS chi2
+         FROM q GROUP BY 1, 2""",
+    "st_herfindahl" ->
+      """WITH per AS (SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS cc
+           FROM orders GROUP BY 1),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(cc AS HUGEINT)) AS s,
+             sum(CAST(cc AS HUGEINT) * cc) AS s2
+           FROM per)
+         SELECT n AS n_customers,
+           round(CAST(s2 AS DOUBLE)
+             / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)), 6) AS hhi,
+           round((CAST(s2 AS DOUBLE)
+               / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+               - 1.0 / CAST(n AS DOUBLE))
+             / nullif(1.0 - 1.0 / CAST(n AS DOUBLE), 0.0), 6)
+             AS hhi_norm,
+           round(1.0 / (CAST(s2 AS DOUBLE)
+             / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))), 4)
+             AS effective_n
+         FROM m""",
+    "ml_qini" ->
+      """WITH u AS (SELECT user_id,
+             CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+               END) AS BIGINT) AS conv,
+             CAST(coalesce(sum(CASE WHEN event_type IN ('click', 'view')
+               THEN CAST(round(value * 100) AS BIGINT) END), 0)
+               AS BIGINT) AS score
+           FROM events GROUP BY 1),
+         a AS (SELECT
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+               < '8' THEN 'A' ELSE 'B' END AS arm,
+             conv, score, user_id
+           FROM u),
+         dd AS (SELECT arm, conv,
+             CAST(ntile(10) OVER (ORDER BY score DESC, user_id)
+               AS BIGINT) AS decile
+           FROM a),
+         cells AS (SELECT decile,
+             CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_t,
+             CAST(sum(CASE WHEN arm = 'B' THEN conv ELSE 0 END)
+               AS BIGINT) AS conv_t,
+             CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_c,
+             CAST(sum(CASE WHEN arm = 'A' THEN conv ELSE 0 END)
+               AS BIGINT) AS conv_c
+           FROM dd GROUP BY 1)
+         SELECT decile, n_t, n_c, conv_t, conv_c,
+           round(CAST(conv_t AS DOUBLE)
+               / nullif(CAST(n_t AS DOUBLE), 0.0)
+             - CAST(conv_c AS DOUBLE)
+               / nullif(CAST(n_c AS DOUBLE), 0.0), 6) AS uplift,
+           round(CAST(sum(conv_t) OVER wc AS DOUBLE)
+             - CAST(sum(conv_c) OVER wc AS DOUBLE)
+               * (CAST(sum(n_t) OVER wc AS DOUBLE)
+                 / nullif(CAST(sum(n_c) OVER wc AS DOUBLE), 0.0)), 6)
+             AS qini
+         FROM cells
+         WINDOW wc AS (ORDER BY decile
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
     "dwh_restatement" ->
       """WITH q AS (SELECT user_id, event_type, ts, event_id,
              CAST(round(value * 100) AS BIGINT) AS c

@@ -2931,27 +2931,63 @@ object Stats {
     * single-partition window — never over raw data). Output: one row
     * per distinct lifetime day — dur_days, n_risk, d (events),
     * c (censored), survival. */
-  def kaplanMeier(events: DataFrame, quietDays: Int = 14): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Per-user right-censored lifetime frame shared by the survival
+    * family ([[kaplanMeier]], [[nelsonAalen]], [[logRank]]): one row
+    * per user — whole-day duration and the censoring flag (active
+    * within `quietDays` of the corpus edge = censored). */
+  private def userLifetimes(events: DataFrame,
+                            quietDays: Int): DataFrame = {
     val perUser = events.groupBy("user_id")
       .agg(min(unix_micros(col("ts"))).as("f"),
         max(unix_micros(col("ts"))).as("l"))
     val gmax = perUser.agg(max("l").as("gmax"))
     val dayUs = 86400L * 1000000L
-    val lifetimes = perUser.crossJoin(broadcast(gmax))
-      .select(floor((col("l") - col("f")) / dayUs).cast("long").as("dur"),
+    perUser.crossJoin(broadcast(gmax))
+      .select(col("user_id"),
+        floor((col("l") - col("f")) / dayUs).cast("long").as("dur"),
         (col("gmax") - col("l") >= quietDays * dayUs).as("ev"))
+  }
+
+  /** TIME-TO-FIRST-PURCHASE lifetime frame — the survival family's
+    * CONVERSION clock ([[userLifetimes]]' activity clock is the right
+    * input for retention curves, but on a corpus where everyone stays
+    * active it is all-censored and the event-weighted tests go vacuous;
+    * conversion latency always has real events): duration = whole days
+    * from a user's first event to their first purchase, right-censored
+    * at their last observed event when they never purchase. */
+  private def conversionLifetimes(events: DataFrame): DataFrame =
+    events.groupBy("user_id")
+      .agg(min(unix_micros(col("ts"))).as("f"),
+        max(unix_micros(col("ts"))).as("l"),
+        min(when(col("event_type") === "purchase",
+          unix_micros(col("ts")))).as("p"))
+      .select(col("user_id"),
+        floor((coalesce(col("p"), col("l")) - col("f")) /
+          (86400L * 1000000L)).cast("long").as("dur"),
+        col("p").isNotNull.as("ev"))
+
+  /** The (dur, d, c, n_risk) risk table over a (dur, ev) lifetime
+    * frame — the one integer-cumulative-sum frame under every
+    * survival surface. */
+  private def riskTableOf(lifetimes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val tbl = lifetimes.groupBy("dur")
       .agg(sum(when(col("ev"), 1L).otherwise(0L)).as("d"),
         sum(when(!col("ev"), 1L).otherwise(0L)).as("c"))
     val w = Window.orderBy("dur")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wIncl = Window.orderBy("dur")
-      .rowsBetween(Window.unboundedPreceding, 0)
     val total = tbl.agg(sum(col("d") + col("c")).as("nt"))
     tbl.crossJoin(broadcast(total))
       .withColumn("n_risk",
         col("nt") - coalesce(sum(col("d") + col("c")).over(w), lit(0L)))
+      .drop("nt")
+  }
+
+  def kaplanMeier(events: DataFrame, quietDays: Int = 14): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wIncl = Window.orderBy("dur")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    riskTableOf(userLifetimes(events, quietDays))
       // A duration where every at-risk user churned (d == n_risk) makes its
       // factor 1 - d/n = 0: survival is exactly 0 from that point on. Spark's
       // log(0) is NULL and the window sum would silently SKIP it (reporting
@@ -2967,6 +3003,153 @@ object Stats {
             .over(wIncl))), 4))
       .select(col("dur").as("dur_days"), col("n_risk"), col("d"),
         col("c"), col("survival"))
+  }
+
+  /** NELSON–AALEN cumulative hazard of TIME-TO-FIRST-PURCHASE —
+    * [[kaplanMeier]]'s additive twin on the conversion clock (KM
+    * multiplies survival factors; NA sums hazard increments
+    * H(t) = Σ dᵢ/nᵢ — the curve whose SLOPE is the conversion
+    * intensity, linear when the hazard is constant, and the standard
+    * input to proportional-hazards eyeballing; never-buyers are
+    * right-censored at their last event, so the curve is unbiased
+    * where a naive mean-latency-of-buyers is not): each increment d/n
+    * quantizes to NANO-units before the cumulative sum (exact longs
+    * over the day-ordered, calendar-bounded window — no float
+    * accumulation at all, unlike KM's guarded ln-sum). */
+  def nelsonAalen(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wIncl = Window.orderBy("dur")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    riskTableOf(conversionLifetimes(events))
+      .withColumn("h9",
+        round(col("d").cast("double") / col("n_risk") * 1e9)
+          .cast("long"))
+      .select(col("dur").as("dur_days"), col("n_risk"), col("d"),
+        col("c"),
+        round(sum("h9").over(wIncl).cast("double") / 1e9, 6)
+          .as("cum_hazard"))
+  }
+
+  /** LOG-RANK TEST between the [[md5Arm]] arms' TIME-TO-FIRST-PURCHASE
+    * curves — the survival family's A/B verdict (st_km/st_nelson_aalen
+    * DRAW curves; the log-rank asks whether the arms differ, weighting
+    * every event time by its full risk set — the standard
+    * conversion-experiment read-out, valid under censoring where a
+    * t-test on buyers-only latencies is biased): at each event day,
+    * O−E = d_A − d·n_A/n against the hypergeometric variance
+    * d·(n_A/n)(1−n_A/n)(n−d)/(n−1), pooled χ² = (ΣO−E)²/ΣV on 1 df.
+    *
+    * Same integer risk-table machinery with a per-arm split (two
+    * cumulative sums over the calendar-bounded day order); per-day
+    * deviation/variance terms are 1e6-quantized before the
+    * cross-day sum (cmhTest discipline). Days with n ≤ 1 or d = 0
+    * contribute nothing — documented, both engines. */
+  def logRank(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lt = conversionLifetimes(events)
+      .select(col("dur"), col("ev"), md5Arm(col("user_id")).as("arm"))
+    val tbl = lt.groupBy("dur")
+      .agg(
+        sum(when(col("ev") && col("arm") === "A", 1L).otherwise(0L))
+          .as("da"),
+        sum(when(col("ev"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("arm") === "A", 1L).otherwise(0L)).as("ta"),
+        count(lit(1)).as("tt"))
+    val w = Window.orderBy("dur")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val total = tbl.agg(sum("ta").as("na_tot"), sum("tt").as("n_tot"))
+    val risk = tbl.crossJoin(broadcast(total))
+      .withColumn("na", col("na_tot") -
+        coalesce(sum("ta").over(w), lit(0L)))
+      .withColumn("n", col("n_tot") -
+        coalesce(sum("tt").over(w), lit(0L)))
+      .filter(col("n") > 1 && col("d") > 0)
+    val nD = col("n").cast("double")
+    val pA = col("na").cast("double") / nD
+    val q = risk.select(col("na_tot"), col("n_tot"),
+      round((col("da").cast("double") - col("d") * pA) * 1e6)
+        .cast("long").as("dev6"),
+      round(col("d").cast("double") * pA * (lit(1.0) - pA) *
+        (nD - col("d")) / (nD - 1.0) * 1e6).cast("long").as("v6"))
+    q.groupBy("na_tot", "n_tot")
+      .agg(sum("dev6").as("sd"), sum("v6").as("sv"))
+      .select(col("na_tot").as("n_a"),
+        (col("n_tot") - col("na_tot")).as("n_b"),
+        round(col("sd").cast("double") * col("sd") / 1e6 /
+          nullif(col("sv").cast("double"), lit(0.0)), 6).as("chi2"))
+  }
+
+  /** QINI / UPLIFT DECILE TABLE over the [[md5Arm]] split — the
+    * TARGETING read-out the average treatment effect hides (st_did /
+    * st_prop_test price the WHOLE population; uplift asks WHO to
+    * treat: rank users by an engagement score, then per decile compare
+    * treated vs control conversion — and the cumulative Qini curve
+    * Q(k) = convT(≤k) − convC(≤k)·nT(≤k)/nC(≤k) is the incremental
+    * conversions earned by treating only the top k deciles): score =
+    * click/view cent volume (a pre-outcome engagement proxy,
+    * documented), conversion = any purchase.
+    *
+    * One user rollup; the decile ntile rides the fully-ordered
+    * (score DESC, user_id) ranking — the ml_lift convention, ties
+    * pinned so both engines cut identical deciles; cumulative sums
+    * over the 10-row frame only. Exact integer counts; divisions at
+    * the close. */
+  def qini(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val users = events.groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("conv"),
+        coalesce(sum(when(col("event_type").isin("click", "view"),
+          round(col("value") * 100).cast("long"))), lit(0L)).as("score"))
+      .select(md5Arm(col("user_id")).as("arm"), col("conv"),
+        col("score"), col("user_id"))
+    val cells = users
+      .withColumn("decile", ntile(10).over(
+        Window.orderBy(col("score").desc, col("user_id"))).cast("long"))
+      .groupBy("decile")
+      .agg(sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("arm") === "B", col("conv")).otherwise(0L))
+          .as("conv_t"),
+        sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("arm") === "A", col("conv")).otherwise(0L))
+          .as("conv_c"))
+    val wc = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cells.select(col("decile"), col("n_t"), col("n_c"), col("conv_t"),
+      col("conv_c"),
+      round(col("conv_t").cast("double") /
+        nullif(col("n_t").cast("double"), lit(0.0)) -
+        col("conv_c").cast("double") /
+        nullif(col("n_c").cast("double"), lit(0.0)), 6).as("uplift"),
+      round(sum("conv_t").over(wc).cast("double") -
+        sum("conv_c").over(wc).cast("double") *
+        (sum("n_t").over(wc).cast("double") /
+          nullif(sum("n_c").over(wc).cast("double"), lit(0.0))), 6)
+        .as("qini"))
+  }
+
+  /** HERFINDAHL–HIRSCHMAN concentration of revenue across customers —
+    * st_gini's antitrust sibling (Gini measures inequality of the
+    * whole distribution; HHI = Σ shareᵢ² is dominated by the LARGEST
+    * players — the number that says whether losing one account is an
+    * incident or an extinction event), plus the normalized form and
+    * the effective customer count 1/HHI. Exact: cent totals per
+    * customer, Σc and Σc² in decimal(38,0), one double formula. */
+  def herfindahl(orders: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val per = orders.groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cc"))
+    val m = per.agg(count(lit(1)).as("n"),
+      sum(col("cc").cast(dec)).as("s"),
+      sum(col("cc").cast(dec) * col("cc").cast(dec)).as("s2"))
+    val n = col("n").cast("double")
+    val hhi = col("s2").cast("double") /
+      (col("s").cast("double") * col("s").cast("double"))
+    m.select(col("n").as("n_customers"),
+      round(hhi, 6).as("hhi"),
+      round((hhi - lit(1.0) / n) /
+        nullif(lit(1.0) - lit(1.0) / n, lit(0.0)), 6).as("hhi_norm"),
+      round(lit(1.0) / hhi, 4).as("effective_n"))
   }
 
   /** OVERDISPERSION check on daily event counts — the Poisson

@@ -2054,6 +2054,115 @@ class StatsSpec extends SparkSpec {
     assert(p.isNullAt(p.fieldIndex("f")), s"$p")
   }
 
+  test("nelsonAalen: conversion-clock hazard increments sum exactly; " +
+      "never-buyers censor without contributing hazard") {
+    import spark.implicits._
+    // u1,u2 buy on day 1; u4 buys immediately; u3 never buys (censored
+    // at day 3). Risk sets: day0 n=4 d=1, day1 n=3 d=2, day3 n=1 c=1
+    val ev = Seq(
+      (1L, "click", 0L), (1L, "purchase", 86400L),
+      (2L, "click", 0L), (2L, "purchase", 86400L),
+      (3L, "click", 0L), (3L, "view", 3 * 86400L),
+      (4L, "purchase", 0L))
+      .toDF("user_id", "event_type", "s")
+      .select(col("user_id"), col("event_type"),
+        timestamp_seconds(col("s")).as("ts"), lit(1.0).as("value"),
+        col("user_id").as("event_id"))
+    val out = Stats.nelsonAalen(ev).collect()
+      .map(r => (r.getAs[Long]("dur_days"),
+        (r.getAs[Long]("n_risk"), r.getAs[Long]("d"),
+          r.getAs[Double]("cum_hazard")))).toMap
+    assert(out(0L) == (4L, 1L, 0.25), s"$out")
+    assert(out(1L) == (3L, 2L, 0.916667), s"$out")
+    assert(out(3L) == (1L, 0L, 0.916667), s"$out")
+  }
+
+  test("logRank: symmetric arms score exactly 0; an immediate-buyer " +
+      "arm vs a never-buyer arm scores the hand chi2") {
+    import spark.implicits._
+    def arm(u: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      if ("%02x".format(d(0)).charAt(0) < '8') "A" else "B"
+    }
+    val as = (1L to 200L).filter(arm(_) == "A").take(2)
+    val bs = (1L to 200L).filter(arm(_) == "B").take(2)
+    def ev(rows: Seq[(Long, String, Long)]) =
+      rows.toDF("user_id", "event_type", "s")
+        .select(col("user_id"), col("event_type"),
+          timestamp_seconds(col("s")).as("ts"), lit(1.0).as("value"),
+          col("user_id").as("event_id"))
+    // mirror-image arms: every risk set is half-A -> O-E = 0 per day
+    val sym = Stats.logRank(ev(
+      Seq((as(0), "click", 0L), (as(0), "purchase", 86400L),
+        (as(1), "click", 0L), (as(1), "view", 2 * 86400L),
+        (bs(0), "click", 0L), (bs(0), "purchase", 86400L),
+        (bs(1), "click", 0L), (bs(1), "view", 2 * 86400L))))
+      .collect().head
+    assert(sym.getAs[Double]("chi2") == 0.0, s"$sym")
+    // A converts at day 0, B never: one event day, O-E = 1,
+    // V = 2*(1/2)(1/2)*2/3 = 1/3 -> chi2 = 1e6/333333 = 3.000003
+    val far = Stats.logRank(ev(
+      Seq((as(0), "purchase", 0L), (as(1), "purchase", 0L),
+        (bs(0), "click", 0L), (bs(0), "view", 5 * 86400L),
+        (bs(1), "click", 0L), (bs(1), "view", 5 * 86400L))))
+      .collect().head
+    assert(far.getAs[Long]("n_a") == 2L && far.getAs[Long]("n_b") == 2L,
+      s"$far")
+    assert(far.getAs[Double]("chi2") == 3.000003, s"$far")
+  }
+
+  test("herfindahl: monopoly pegs at 1 (normalized null), equal split " +
+      "hits 1/n, and the skewed book prices its effective count") {
+    import spark.implicits._
+    def ords(rows: (Long, Double)*) =
+      rows.toSeq.toDF("o_custkey", "o_totalprice")
+    val mono = Stats.herfindahl(ords((1L, 100.0))).collect().head
+    assert(mono.getAs[Double]("hhi") == 1.0 &&
+      mono.getAs[Double]("effective_n") == 1.0, s"$mono")
+    assert(mono.isNullAt(mono.fieldIndex("hhi_norm")), s"$mono")
+    val eq = Stats.herfindahl(ords((1L, 25.0), (2L, 25.0), (3L, 25.0),
+      (4L, 25.0))).collect().head
+    assert(eq.getAs[Double]("hhi") == 0.25 &&
+      eq.getAs[Double]("hhi_norm") == 0.0 &&
+      eq.getAs[Double]("effective_n") == 4.0, s"$eq")
+    // shares (.7,.1,.1,.1): hhi = .52, norm = .36, 1/.52 = 1.9231
+    val skew = Stats.herfindahl(ords((1L, 70.0), (2L, 10.0),
+      (3L, 10.0), (4L, 10.0))).collect().head
+    assert(skew.getAs[Double]("hhi") == 0.52 &&
+      skew.getAs[Double]("hhi_norm") == 0.36 &&
+      skew.getAs[Double]("effective_n") == 1.9231, s"$skew")
+  }
+
+  test("qini: a top-half-only treatment effect climbs the curve to " +
+      "its plateau; paired scores pin one arm per decile slot") {
+    import spark.implicits._
+    def arm(u: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      if ("%02x".format(d(0)).charAt(0) < '8') "A" else "B"
+    }
+    val as = (1L to 300L).filter(arm(_) == "A").take(10)
+    val bs = (1L to 300L).filter(arm(_) == "B").take(10)
+    // decile r holds the pair (B_r score 2000-200r, A_r 1990-200r);
+    // treated users convert only in the top five deciles
+    val rows = (0 until 10).flatMap { r =>
+      val base = Seq(
+        (bs(r), "click", (2000 - 200 * r) / 100.0),
+        (as(r), "click", (1990 - 200 * r) / 100.0))
+      if (r < 5) base :+ ((bs(r), "purchase", 1.0)) else base
+    }
+    val ev = rows.toDF("user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
+    val out = Stats.qini(ev).collect()
+      .map(r => (r.getAs[Long]("decile"), r)).toMap
+    assert(out(1L).getAs[Double]("uplift") == 1.0, s"${out(1L)}")
+    assert(out(1L).getAs[Double]("qini") == 1.0, s"${out(1L)}")
+    assert(out(5L).getAs[Double]("qini") == 5.0, s"${out(5L)}")
+    assert(out(10L).getAs[Double]("uplift") == 0.0 &&
+      out(10L).getAs[Double]("qini") == 5.0, s"${out(10L)}")
+  }
+
   test("weightedQuantiles: cumulative-weight rank selection follows " +
       "the mass, not the row count") {
     import spark.implicits._
