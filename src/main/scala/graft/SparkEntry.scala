@@ -907,6 +907,8 @@ object SparkEntry {
     "st_herfindahl" -> ((s, d) =>
       Stats.herfindahl(Tables.orders(s, d))),
     "ml_qini" -> ((s, d) => Stats.qini(Tables.events(s, d))),
+    "ml_stump" -> ((s, d) => Stats.giniStump(Tables.documents(s, d))),
+    "dwh_date_dim" -> ((s, d) => Dwh.dateDim(s)),
     "ts_flatness" -> ((s, d) =>
       Resample.spectralFlatness(Tables.events(s, d))),
     "tx_novelty" -> ((s, d) =>
@@ -4264,6 +4266,55 @@ object SparkEntry {
          FROM cum CROSS JOIN tot CROSS JOIN ps
          WHERE cw * 100 >= w * p GROUP BY 1""",
     "st_ipf" -> StIpfOracleSql,
+    "ml_stump" ->
+      """WITH pts AS (SELECT n_chars AS v,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+               AS BIGINT) AS n0
+           FROM documents GROUP BY 1),
+         tot AS (SELECT CAST(sum(n1) AS BIGINT) AS t1,
+             CAST(sum(n0) AS BIGINT) AS t0 FROM pts),
+         cum AS (SELECT v,
+             sum(n1) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+             sum(n0) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c0
+           FROM pts),
+         cand AS (SELECT v, t0, t1, c0, c1, c0 + c1 AS nl,
+             t0 + t1 - c0 - c1 AS nr
+           FROM cum CROSS JOIN tot
+           WHERE t0 + t1 - c0 - c1 > 0),
+         sc AS (SELECT v, t0, t1, nl, nr,
+             CAST(round((CAST(CAST(c0 AS HUGEINT) * c0
+                 + CAST(c1 AS HUGEINT) * c1 AS DOUBLE)
+                 / CAST(nl AS DOUBLE)
+               + CAST(CAST(t0 - c0 AS HUGEINT) * (t0 - c0)
+                 + CAST(t1 - c1 AS HUGEINT) * (t1 - c1) AS DOUBLE)
+                 / CAST(nr AS DOUBLE)) * 1e9) AS BIGINT) AS s9
+           FROM cand),
+         best AS (SELECT * FROM sc ORDER BY s9 DESC, v LIMIT 1)
+         SELECT v AS threshold, nl AS n_left, nr AS n_right,
+           round((1.0 - CAST(CAST(t0 AS HUGEINT) * t0
+               + CAST(t1 AS HUGEINT) * t1 AS DOUBLE)
+               / (CAST(t0 + t1 AS DOUBLE) * CAST(t0 + t1 AS DOUBLE)))
+             - (1.0 - CAST(s9 AS DOUBLE) / 1e9
+               / CAST(t0 + t1 AS DOUBLE)), 6) AS gini_gain
+         FROM best""",
+    "dwh_date_dim" ->
+      """WITH d AS (SELECT unnest(generate_series(DATE '1992-01-01',
+             DATE '1998-12-31', INTERVAL 1 DAY))::DATE AS date)
+         SELECT date, CAST(epoch(date) // 86400 AS BIGINT) AS epoch_day,
+           CAST(year(date) AS BIGINT) AS year,
+           CAST(quarter(date) AS BIGINT) AS quarter,
+           CAST(month(date) AS BIGINT) AS month,
+           CAST(day(date) AS BIGINT) AS dom,
+           CAST(epoch(date) // 86400 % 7 AS BIGINT) AS dow,
+           epoch(date) // 86400 % 7 IN (2, 3) AS is_weekend,
+           date = last_day(date) AS is_month_end,
+           CAST(year(date) + CASE WHEN month(date) >= 2 THEN 0 ELSE -1
+             END AS BIGINT) AS fiscal_year
+         FROM d""",
     "st_nelson_aalen" ->
       """WITH pu AS (SELECT user_id,
              CAST(min(epoch_us(ts)) AS BIGINT) AS f,

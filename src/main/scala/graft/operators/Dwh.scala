@@ -869,4 +869,34 @@ object Dwh {
           coalesce(col("ww"), lit(0).cast(dec))).cast("double")
           / 100.0, 2).as("restated_delta"))
   }
+  /** GENERATED DATE DIMENSION — the one conformed dimension every
+    * Kimball bus matrix starts with, produced by the engine rather
+    * than loaded (a calendar is pure arithmetic; shipping it as data
+    * invites drift between marts): one row per day over [start, end]
+    * with the standard role attributes — year/quarter/month/day,
+    * day-of-week on the explicit epoch-day convention (1970-01-01 =
+    * Thursday = 0; weekend = days 2,3 — Saturday/Sunday — documented,
+    * no locale-dependent dayofweek()), month-end flag, and a
+    * Feb-start fiscal year (documented contract). Generated from a
+    * range — splittable, no skew, no source scan. */
+  def dateDim(spark: org.apache.spark.sql.SparkSession,
+              start: String = "1992-01-01",
+              end: String = "1998-12-31"): DataFrame = {
+    val s0 = java.time.LocalDate.parse(start).toEpochDay
+    val e0 = java.time.LocalDate.parse(end).toEpochDay
+    spark.range(s0, e0 + 1)
+      .select(col("id").cast("long").as("epoch_day"))
+      .withColumn("d", date_add(lit(java.sql.Date.valueOf("1970-01-01")),
+        col("epoch_day").cast("int")))
+      .select(col("d").as("date"), col("epoch_day"),
+        year(col("d")).cast("long").as("year"),
+        quarter(col("d")).cast("long").as("quarter"),
+        month(col("d")).cast("long").as("month"),
+        dayofmonth(col("d")).cast("long").as("dom"),
+        pmod(col("epoch_day"), lit(7L)).as("dow"),
+        pmod(col("epoch_day"), lit(7L)).isin(2L, 3L).as("is_weekend"),
+        (col("d") === last_day(col("d"))).as("is_month_end"),
+        (year(col("d")) + when(month(col("d")) >= 2, 0L)
+          .otherwise(-1L)).cast("long").as("fiscal_year"))
+  }
 }

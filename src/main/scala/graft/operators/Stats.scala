@@ -3079,6 +3079,81 @@ object Stats {
           nullif(col("sv").cast("double"), lit(0.0)), 6).as("chi2"))
   }
 
+  /** DECISION STUMP with EXACT Gini gain — the one-split tree that is
+    * simultaneously the strongest single-feature importance measure
+    * and the baseline every fancier model must beat ("how separable is
+    * en vs the rest on length ALONE"): over every candidate threshold
+    * (= every distinct feature value), the split objective
+    * s = (c₀²+c₁²)/n_left + (r₀²+r₁²)/n_right is computed from the
+    * striped cumulative class counts (weighted-Gini minimization ⟺ s
+    * maximization — the algebra drops the constant terms), and the
+    * argmax threshold ties to the SMALLEST value.
+    *
+    * The candidate sweep costs one [[ksTest]]-style striped prefix
+    * pass — no per-threshold rescan (the naive stump is O(values ×
+    * corpus); this is one corpus rollup + one distinct-value pass,
+    * the 100 TB shape). Counts and their squares live in
+    * decimal(38,0); each candidate's s quantizes to NANO-units for an
+    * exact long argmax (no float-rank flapping at the boundary). */
+  def giniStump(documents: DataFrame, posLang: String = "en",
+                stripes: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val pts = documents.select(col("n_chars").as("v"),
+        (col("lang") === posLang).cast("long").as("y"))
+      .groupBy("v")
+      .agg(sum("y").as("n1"), sum(lit(1L) - col("y")).as("n0"))
+    val bounds = pts.agg(min("v").as("__lo"), max("v").as("__hi"),
+      sum("n1").as("__t1"), sum("n0").as("__t0"))
+    val striped = pts.crossJoin(broadcast(bounds))
+      .withColumn("__stripe",
+        when(col("__hi") === col("__lo"), lit(0L)).otherwise(
+          least(lit(stripes - 1L), greatest(lit(0L),
+            floor((col("v") - col("__lo")).cast("double") /
+              (col("__hi") - col("__lo")) * stripes)))).cast("int"))
+    val wIn = Window.partitionBy("__stripe").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wStripe = Window.orderBy("__stripe")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = striped.groupBy("__stripe")
+      .agg(sum("n1").as("__s1"), sum("n0").as("__s0"))
+      .select(col("__stripe"),
+        coalesce(sum("__s1").over(wStripe), lit(0L)).as("__o1"),
+        coalesce(sum("__s0").over(wStripe), lit(0L)).as("__o0"))
+    val c1 = col("__o1") + sum("n1").over(wIn)
+    val c0 = col("__o0") + sum("n0").over(wIn)
+    val cand = striped.join(broadcast(offs), Seq("__stripe"))
+      .select(col("v"), col("__t0"), col("__t1"),
+        c1.as("c1"), c0.as("c0"))
+      .withColumn("nl", col("c0") + col("c1"))
+      .withColumn("nr",
+        col("__t0") + col("__t1") - col("c0") - col("c1"))
+      .filter(col("nr") > 0)
+    val sObj = (col("c0").cast(dec) * col("c0").cast(dec) +
+        col("c1").cast(dec) * col("c1").cast(dec)).cast("double") /
+        col("nl").cast("double") +
+      ((col("__t0") - col("c0")).cast(dec) *
+        (col("__t0") - col("c0")).cast(dec) +
+        (col("__t1") - col("c1")).cast(dec) *
+          (col("__t1") - col("c1")).cast(dec)).cast("double") /
+        col("nr").cast("double")
+    val best = cand
+      .select(col("__t0"), col("__t1"),
+        struct(round(sObj * 1e9).cast("long").as("s9"),
+          (-col("v")).as("nv"), col("nl"), col("nr")).as("k"))
+      .groupBy("__t0", "__t1").agg(max("k").as("best"))
+    val n = (col("__t0") + col("__t1")).cast("double")
+    val giniParent = lit(1.0) -
+      (col("__t0").cast(dec) * col("__t0").cast(dec) +
+        col("__t1").cast(dec) * col("__t1").cast(dec)).cast("double") /
+      (n * n)
+    best.select((-col("best.nv")).as("threshold"),
+      col("best.nl").as("n_left"), col("best.nr").as("n_right"),
+      round(giniParent -
+        (lit(1.0) - col("best.s9").cast("double") / 1e9 / n), 6)
+        .as("gini_gain"))
+  }
+
   /** QINI / UPLIFT DECILE TABLE over the [[md5Arm]] split — the
     * TARGETING read-out the average treatment effect hides (st_did /
     * st_prop_test price the WHOLE population; uplift asks WHO to

@@ -622,4 +622,23 @@ class DwhSpec extends SparkSpec {
     assert(out == Map("click" -> (10.0, 0.0, -10.0),
       "view" -> (50.0, 60.0, 10.0)), s"$out")
   }
+
+  test("dateDim: leap day, weekend convention, month ends, and the " +
+      "Feb-start fiscal year all land on the right rows") {
+    import spark.implicits._
+    val dim = Dwh.dateDim(spark, "1992-01-01", "1992-12-31")
+    val rows = dim.collect()
+      .map(r => (r.getAs[java.sql.Date]("date").toString, r)).toMap
+    assert(rows.size == 366) // 1992 is a leap year
+    // 1992-01-04 was a Saturday: epoch-day % 7 == 2, weekend
+    assert(rows("1992-01-04").getAs[Long]("dow") == 2L &&
+      rows("1992-01-04").getAs[Boolean]("is_weekend"))
+    assert(!rows("1992-01-06").getAs[Boolean]("is_weekend")) // Monday
+    assert(rows("1992-02-29").getAs[Boolean]("is_month_end"))
+    assert(!rows("1992-02-28").getAs[Boolean]("is_month_end"))
+    // Feb-start fiscal year: January belongs to the PRIOR fiscal year
+    assert(rows("1992-01-15").getAs[Long]("fiscal_year") == 1991L)
+    assert(rows("1992-02-01").getAs[Long]("fiscal_year") == 1992L)
+    assert(rows("1992-07-01").getAs[Long]("quarter") == 3L)
+  }
 }

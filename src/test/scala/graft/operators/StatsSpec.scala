@@ -2054,6 +2054,28 @@ class StatsSpec extends SparkSpec {
     assert(p.isNullAt(p.fieldIndex("f")), s"$p")
   }
 
+  test("giniStump: the separable corpus splits at the class boundary " +
+      "with gain = parent gini; one-class data ties to the smallest " +
+      "threshold at zero gain") {
+    import spark.implicits._
+    def docs(rows: (Long, String)*) = rows.toSeq.zipWithIndex
+      .map { case ((n, l), i) => (i.toLong, l, n) }
+      .toDF("doc_id", "lang", "n_chars")
+    // en = {10,20}, fr = {30,40}: threshold 20 separates perfectly ->
+    // gain = parent gini 0.5
+    val sep = Stats.giniStump(docs((10L, "en"), (20L, "en"),
+      (30L, "fr"), (40L, "fr"))).collect().head
+    assert(sep.getAs[Long]("threshold") == 20L, s"$sep")
+    assert(sep.getAs[Long]("n_left") == 2L &&
+      sep.getAs[Long]("n_right") == 2L, s"$sep")
+    assert(sep.getAs[Double]("gini_gain") == 0.5, s"$sep")
+    // all-en: every split scores the same -> smallest value wins, 0
+    val one = Stats.giniStump(docs((5L, "en"), (6L, "en"),
+      (7L, "en"))).collect().head
+    assert(one.getAs[Long]("threshold") == 5L &&
+      one.getAs[Double]("gini_gain") == 0.0, s"$one")
+  }
+
   test("nelsonAalen: conversion-clock hazard increments sum exactly; " +
       "never-buyers censor without contributing hazard") {
     import spark.implicits._
