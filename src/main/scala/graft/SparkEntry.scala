@@ -908,6 +908,11 @@ object SparkEntry {
       Stats.herfindahl(Tables.orders(s, d))),
     "ml_qini" -> ((s, d) => Stats.qini(Tables.events(s, d))),
     "ml_stump" -> ((s, d) => Stats.giniStump(Tables.documents(s, d))),
+    "st_by_battery" -> ((s, d) =>
+      Stats.welchBatteryBY(Tables.events(s, d), "event_type", "value")),
+    "st_yuen" -> ((s, d) =>
+      Stats.yuenTTest(Tables.events(s, d), "event_type", "value",
+        "click", "view")),
     "dwh_date_dim" -> ((s, d) => Dwh.dateDim(s)),
     "ts_flatness" -> ((s, d) =>
       Resample.spectralFlatness(Tables.events(s, d))),
@@ -4266,6 +4271,105 @@ object SparkEntry {
          FROM cum CROSS JOIN tot CROSS JOIN ps
          WHERE cw * 100 >= w * p GROUP BY 1""",
     "st_ipf" -> StIpfOracleSql,
+    "st_by_battery" ->
+      """WITH s AS (SELECT event_type, count(value) AS n, avg(value) AS m,
+             var_samp(value) AS v
+           FROM events GROUP BY 1),
+         t AS (SELECT a.event_type AS group_a, b.event_type AS group_b,
+             round((a.m - b.m) / sqrt(a.v/a.n + b.v/b.n), 4) AS t_stat
+           FROM s a JOIN s b ON a.event_type < b.event_type),
+         pz AS (SELECT group_a, group_b, t_stat, abs(t_stat) AS x,
+             1.0 / (1.0 + 0.2316419 * abs(t_stat)) AS k
+           FROM t),
+         pv AS (SELECT group_a, group_b, t_stat,
+             round(2.0 * (exp(-x * x / 2.0) * 0.3989422804014327) *
+               (k * (0.319381530 + k * (-0.356563782 +
+                k * (1.781477937 + k * (-1.821255978 +
+                k * 1.330274429))))), 8) AS p
+           FROM pz),
+         rk AS (SELECT group_a, group_b, t_stat, p,
+             CAST(count(*) OVER () AS BIGINT) AS m,
+             CAST(row_number() OVER (ORDER BY p, group_a, group_b)
+               AS BIGINT) AS i
+           FROM pv),
+         rk2 AS (SELECT *, sum(1.0 / i) OVER () AS cm FROM rk),
+         adj AS (SELECT group_a, group_b, t_stat, p,
+             round(least(1.0, min(p * m * cm / i) OVER (ORDER BY i
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)), 6)
+               AS p_adj
+           FROM rk2)
+         SELECT group_a, group_b, t_stat, p, p_adj,
+           p_adj <= 0.05 AS significant
+         FROM adj""",
+    "st_yuen" ->
+      """WITH pts AS (SELECT CAST(round(value * 1e6) AS BIGINT) AS q,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               AS BIGINT) AS cb
+           FROM events WHERE event_type IN ('click', 'view')
+           GROUP BY 1),
+         tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+             CAST(sum(cb) AS BIGINT) AS nb FROM pts),
+         cum AS (SELECT q, ca, cb,
+             coalesce(sum(ca) OVER (ORDER BY q
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS ba,
+             coalesce(sum(cb) OVER (ORDER BY q
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS bb
+           FROM pts),
+         par AS (SELECT na, nb,
+             CAST(floor(CAST(na AS DOUBLE) * 0.2) AS BIGINT) AS gat,
+             CAST(floor(CAST(nb AS DOUBLE) * 0.2) AS BIGINT) AS gbt
+           FROM tot),
+         wts AS (SELECT q, ca, cb, ba, bb, na, nb, gat, gbt,
+             greatest(0, least(na - gat, ba + ca)
+               - greatest(gat + 1, ba + 1) + 1) AS wa,
+             greatest(0, least(nb - gbt, bb + cb)
+               - greatest(gbt + 1, bb + 1) + 1) AS wb
+           FROM cum CROSS JOIN par),
+         agg AS (SELECT max(na) AS na, max(nb) AS nb,
+             sum(CAST(wa AS HUGEINT) * q) AS sa,
+             sum(CAST(wa AS HUGEINT) * q * q) AS sa2,
+             sum(CAST(wb AS HUGEINT) * q) AS sb,
+             sum(CAST(wb AS HUGEINT) * q * q) AS sb2,
+             min(CASE WHEN ba + ca >= gat + 1 THEN q END) AS qloa,
+             min(CASE WHEN ba + ca >= na - gat THEN q END) AS qhia,
+             min(CASE WHEN bb + cb >= gbt + 1 THEN q END) AS qlob,
+             min(CASE WHEN bb + cb >= nb - gbt THEN q END) AS qhib
+           FROM wts),
+         f AS (SELECT na, nb, CAST(na AS DOUBLE) AS nad,
+             CAST(nb AS DOUBLE) AS nbd,
+             floor(CAST(na AS DOUBLE) * 0.2) AS gad,
+             floor(CAST(nb AS DOUBLE) * 0.2) AS gbd,
+             CAST(sa AS DOUBLE) AS sad, CAST(sa2 AS DOUBLE) AS sa2d,
+             CAST(sb AS DOUBLE) AS sbd, CAST(sb2 AS DOUBLE) AS sb2d,
+             qloa, qhia, qlob, qhib
+           FROM agg),
+         g AS (SELECT na, nb,
+             nad - 2.0 * gad AS ha, nbd - 2.0 * gbd AS hb,
+             sad / (nad - 2.0 * gad) / 1e6 AS tma,
+             sbd / (nbd - 2.0 * gbd) / 1e6 AS tmb,
+             ((sa2d + gad * (CAST(qloa AS DOUBLE) * qloa)
+                 + gad * (CAST(qhia AS DOUBLE) * qhia))
+               - (sad + gad * qloa + gad * qhia)
+                 * (sad + gad * qloa + gad * qhia) / nad)
+               / ((nad - 2.0 * gad) * (nad - 2.0 * gad - 1.0)) / 1e12
+               AS da,
+             ((sb2d + gbd * (CAST(qlob AS DOUBLE) * qlob)
+                 + gbd * (CAST(qhib AS DOUBLE) * qhib))
+               - (sbd + gbd * qlob + gbd * qhib)
+                 * (sbd + gbd * qlob + gbd * qhib) / nbd)
+               / ((nbd - 2.0 * gbd) * (nbd - 2.0 * gbd - 1.0)) / 1e12
+               AS db
+           FROM f)
+         SELECT na AS n_a, nb AS n_b,
+           CAST(ha AS BIGINT) AS h_a, CAST(hb AS BIGINT) AS h_b,
+           round(tma, 6) AS tmean_a, round(tmb, 6) AS tmean_b,
+           round((tma - tmb) / nullif(sqrt(da + db), 0.0), 4)
+             AS yuen_t
+         FROM g""",
     "ml_stump" ->
       """WITH pts AS (SELECT n_chars AS v,
              CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)

@@ -719,6 +719,101 @@ object Stats {
         nullif(nD * sqrt(naD * v1 + nbD * v2), lit(0.0)), 6).as("bm_w"))
   }
 
+  /** YUEN'S TRIMMED-MEAN t-TEST between groups `ga` and `gb` — the
+    * robust location test that keeps the t-test's QUESTION while
+    * dropping its fragility (st_mwu answers a different question —
+    * stochastic ordering; Yuen still compares central tendencies, but
+    * 20%-trimmed means with winsorized variances, so a handful of wild
+    * values cannot buy or kill significance): t = (m̄t₁−m̄t₂)/√(d₁+d₂)
+    * with dⱼ = SSD_winsorized/(hⱼ(hⱼ−1)), h = n−2g, g = ⌊0.2n⌋.
+    *
+    * Exact rank algebra on the micro-quantized value grid: the striped
+    * per-group cumulative counts give every distinct value its rank
+    * interval, the trimmed interior weight is an INTEGER interval
+    * overlap, the two winsorization boundary values are exact rank
+    * selections (the st_wquantile discipline), and all sums live in
+    * decimal(38,0) — the statistic is a one-row double formula over
+    * exact integers. One corpus rollup; everything after is
+    * distinct-value-sized. */
+  def yuenTTest(df: DataFrame, groupCol: String, c: String,
+                ga: String, gb: String, trim: Double = 0.2,
+                stripes: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val pts = df.filter(col(groupCol).isin(ga, gb))
+      .select(col(groupCol).as("g"),
+        round(col(c) * 1e6).cast("long").as("q"))
+      .groupBy("q")
+      .agg(sum(when(col("g") === ga, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("g") === gb, 1L).otherwise(0L)).as("cb"))
+    val bounds = pts.agg(min("q").as("__lo"), max("q").as("__hi"),
+      sum("ca").as("__na"), sum("cb").as("__nb"))
+    val striped = pts.crossJoin(broadcast(bounds))
+      .withColumn("__stripe",
+        when(col("__hi") === col("__lo"), lit(0L)).otherwise(
+          least(lit(stripes - 1L), greatest(lit(0L),
+            floor((col("q") - col("__lo")).cast("double") /
+              (col("__hi") - col("__lo")) * stripes)))).cast("int"))
+    val wIn = Window.partitionBy("__stripe").orderBy("q")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wStripe = Window.orderBy("__stripe")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = striped.groupBy("__stripe")
+      .agg(sum("ca").as("__sa"), sum("cb").as("__sb"))
+      .select(col("__stripe"),
+        coalesce(sum("__sa").over(wStripe), lit(0L)).as("__oa"),
+        coalesce(sum("__sb").over(wStripe), lit(0L)).as("__ob"))
+    val cum = striped.join(broadcast(offs), Seq("__stripe"))
+      .select(col("q"), col("ca"), col("cb"), col("__na"), col("__nb"),
+        (col("__oa") + coalesce(sum("ca").over(wIn), lit(0L))).as("ba"),
+        (col("__ob") + coalesce(sum("cb").over(wIn), lit(0L))).as("bb"))
+      .localCheckpoint(true)
+    // per group: g = floor(trim*n), interior ranks [g+1, n-g]
+    def side(n: Column, below: Column, cnt: Column) = {
+      val gTrim = floor(n.cast("double") * trim).cast("long")
+      val lo = gTrim + 1
+      val hi = n - gTrim
+      val w = greatest(lit(0L),
+        least(hi, below + cnt) - greatest(lo, below + 1) + 1)
+      (gTrim, lo, hi, w)
+    }
+    val (gA, loA, hiA, wA) = side(col("__na"), col("ba"), col("ca"))
+    val (gB, loB, hiB, wB) = side(col("__nb"), col("bb"), col("cb"))
+    val sums = cum.agg(max("__na").as("na"), max("__nb").as("nb"),
+      sum(wA.cast(dec) * col("q").cast(dec)).as("sa"),
+      sum(wA.cast(dec) * col("q").cast(dec) * col("q").cast(dec))
+        .as("sa2"),
+      sum(wB.cast(dec) * col("q").cast(dec)).as("sb"),
+      sum(wB.cast(dec) * col("q").cast(dec) * col("q").cast(dec))
+        .as("sb2"),
+      min(when(col("ba") + col("ca") >= loA, col("q"))).as("qloa"),
+      min(when(col("ba") + col("ca") >= hiA, col("q"))).as("qhia"),
+      min(when(col("bb") + col("cb") >= loB, col("q"))).as("qlob"),
+      min(when(col("bb") + col("cb") >= hiB, col("q"))).as("qhib"))
+    def stat(n: String, s: String, s2: String, qlo: String,
+             qhi: String) = {
+      val nD = col(n).cast("double")
+      val gT = floor(nD * trim)
+      val h = nD - lit(2.0) * gT
+      // winsorized sum / sum-of-squares add g copies of each boundary
+      val sw = col(s).cast("double") + gT * col(qlo) + gT * col(qhi)
+      val sw2 = col(s2).cast("double") +
+        gT * (col(qlo).cast("double") * col(qlo)) +
+        gT * (col(qhi).cast("double") * col(qhi))
+      val ssd = sw2 - sw * sw / nD
+      val tm = col(s).cast("double") / h / 1e6
+      val d = ssd / (h * (h - 1.0)) / 1e12
+      (tm, d, h)
+    }
+    val (tmA, dA, hA) = stat("na", "sa", "sa2", "qloa", "qhia")
+    val (tmB, dB, hB) = stat("nb", "sb", "sb2", "qlob", "qhib")
+    sums.select(col("na").as("n_a"), col("nb").as("n_b"),
+      hA.cast("long").as("h_a"), hB.cast("long").as("h_b"),
+      round(tmA, 6).as("tmean_a"), round(tmB, 6).as("tmean_b"),
+      round((tmA - tmB) / nullif(sqrt(dA + dB), lit(0.0)), 4)
+        .as("yuen_t"))
+  }
+
   /** GRUBBS' outlier statistic on the hourly click series — "is the
     * single worst hour a statistical outlier or just the tail of the
     * same distribution" (ts_anomaly z-scores every point against a
@@ -1318,6 +1413,45 @@ object Stats {
       .withColumn("m", count(lit(1)).over(wAll))
       .withColumn("i", row_number().over(wRank))
       .withColumn("raw", col("p") * col("m") / col("i"))
+    val wSuffix = Window.orderBy("i")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ranked
+      .withColumn("p_adj",
+        round(least(lit(1.0), min("raw").over(wSuffix)), 6))
+      .select(col("group_a"), col("group_b"), col("t_stat"), col("p"),
+        col("p_adj"), (col("p_adj") <= q).as("significant"))
+  }
+
+  /** BENJAMINI–YEKUTIELI correction over the same Welch battery — the
+    * DEPENDENCE-proof member of the multiple-testing family
+    * ([[welchBatteryBH]] controls FDR only under independence or PRDS;
+    * the pairwise batteries here share groups, so the comparisons are
+    * correlated by construction — BY's harmonic penalty c(m) = Σ1/i
+    * buys validity under ARBITRARY dependence, at a power cost that is
+    * the point of reporting both): p̂(i) = min suffix of
+    * p·m·c(m)/rank, capped at 1. The harmonic factor is computed as a
+    * window sum of 1/rank over the pair frame itself — no closed form
+    * needed, identical on both engines; everything else is the BH
+    * machinery verbatim (one battery pass, pair-count-sized frames,
+    * (p, group) total order). */
+  def welchBatteryBY(df: DataFrame, groupCol: String, c: String,
+                     q: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = welchTTest(df, groupCol, c)
+    val x = abs(col("t_stat"))
+    val k = lit(1.0) / (lit(1.0) + lit(0.2316419) * x)
+    val poly = k * (lit(0.319381530) + k * (lit(-0.356563782) +
+      k * (lit(1.781477937) + k * (lit(-1.821255978) +
+        k * lit(1.330274429)))))
+    val phi = exp(-x * x / lit(2.0)) * lit(0.3989422804014327)
+    val withP = t.withColumn("p", round(lit(2.0) * phi * poly, 8))
+    val wAll = Window.partitionBy()
+    val wRank = Window.orderBy("p", "group_a", "group_b")
+    val ranked = withP
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("i", row_number().over(wRank))
+      .withColumn("cm", sum(lit(1.0) / col("i")).over(wAll))
+      .withColumn("raw", col("p") * col("m") * col("cm") / col("i"))
     val wSuffix = Window.orderBy("i")
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     ranked

@@ -2054,6 +2054,49 @@ class StatsSpec extends SparkSpec {
     assert(p.isNullAt(p.fieldIndex("f")), s"$p")
   }
 
+  test("yuenTTest: trimmed means shrug off the tail the plain t-test " +
+      "would chase; hand winsorized variance gives the exact t") {
+    import spark.implicits._
+    def df(a: Seq[Double], b: Seq[Double]) =
+      (a.map(("a", _)) ++ b.map(("b", _))).toDF("g", "v")
+    // a = {1,2,3,4,100}: g=1 trims to {2,3,4} (tmean 3), winsorized
+    // {2,2,3,4,4} SSD 4; b = {11..15} mirrors at tmean 13 ->
+    // t = -10/sqrt(4/3 + 4/3)... each d = 4/(3*2) = 2/3, sum 4/3
+    val r = Stats.yuenTTest(df(Seq(1, 2, 3, 4, 100),
+      Seq(11, 12, 13, 14, 15)), "g", "v", "a", "b").collect().head
+    assert(r.getAs[Long]("h_a") == 3L && r.getAs[Long]("h_b") == 3L,
+      s"$r")
+    assert(r.getAs[Double]("tmean_a") == 3.0 &&
+      r.getAs[Double]("tmean_b") == 13.0, s"$r")
+    assert(r.getAs[Double]("yuen_t") == -8.6603, s"$r")
+    // robustness: inflating the outlier 10000x changes NOTHING
+    val wild = Stats.yuenTTest(df(Seq(1, 2, 3, 4, 1000000),
+      Seq(11, 12, 13, 14, 15)), "g", "v", "a", "b").collect().head
+    assert(wild.getAs[Double]("tmean_a") == 3.0 &&
+      wild.getAs[Double]("yuen_t") == -8.6603, s"$wild")
+  }
+
+  test("welchBatteryBY: the harmonic penalty makes BY uniformly more " +
+      "conservative than BH on the same battery") {
+    import spark.implicits._
+    val df = (Seq.fill(40)(("a", 1.0)) ++ Seq.fill(40)(("a", 2.0)) ++
+      Seq.fill(40)(("b", 5.0)) ++ Seq.fill(40)(("b", 6.0)) ++
+      Seq.fill(40)(("c", 5.2)) ++ Seq.fill(40)(("c", 6.2)))
+      .toDF("g", "v")
+    def adj(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => ((r.getAs[String]("group_a"), r.getAs[String]("group_b")),
+        r.getAs[Double]("p_adj"))).toMap
+    val bh = adj(Stats.welchBatteryBH(df, "g", "v").collect())
+    val by = adj(Stats.welchBatteryBY(df, "g", "v").collect())
+    assert(bh.keySet == by.keySet && bh.nonEmpty, s"$bh / $by")
+    for ((k, pBh) <- bh) {
+      assert(by(k) >= pBh, s"BY must dominate BH at $k: ${by(k)} < $pBh")
+    }
+    // with m = 3 the penalty is 1 + 1/2 + 1/3: any unsaturated pair's
+    // BY adjustment is exactly 11/6 of its BH one before the min-step
+    assert(by.values.max <= 1.0)
+  }
+
   test("giniStump: the separable corpus splits at the class boundary " +
       "with gain = parent gini; one-class data ties to the smallest " +
       "threshold at zero gain") {
