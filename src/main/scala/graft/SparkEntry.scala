@@ -914,6 +914,10 @@ object SparkEntry {
       Stats.yuenTTest(Tables.events(s, d), "event_type", "value",
         "click", "view")),
     "dwh_date_dim" -> ((s, d) => Dwh.dateDim(s)),
+    "q39_grouping_id" -> ((s, d) =>
+      Relational.rollupGroupingId(Tables.lineitem(s, d))),
+    "dq_column_stats" -> ((s, d) =>
+      Quality.columnStats(Tables.orders(s, d))),
     "ts_flatness" -> ((s, d) =>
       Resample.spectralFlatness(Tables.events(s, d))),
     "tx_novelty" -> ((s, d) =>
@@ -4271,6 +4275,62 @@ object SparkEntry {
          FROM cum CROSS JOIN tot CROSS JOIN ps
          WHERE cw * 100 >= w * p GROUP BY 1""",
     "st_ipf" -> StIpfOracleSql,
+    "q39_grouping_id" ->
+      """SELECT l_returnflag AS flag, l_linestatus AS status,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           CASE WHEN GROUPING(l_returnflag, l_linestatus) = 0
+               THEN 'cell'
+             WHEN GROUPING(l_returnflag, l_linestatus) = 1
+               THEN 'flag_total'
+             ELSE 'grand_total' END AS level,
+           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+             / 100.0, 2) AS revenue
+         FROM lineitem
+         GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "dq_column_stats" ->
+      """WITH q AS (SELECT *,
+             CAST(round(o_totalprice * 100) AS BIGINT)
+               AS o_totalprice_cents
+           FROM orders)
+         SELECT 'o_orderkey' AS column,
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS ndv,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_val,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_val FROM q
+         UNION ALL
+         SELECT 'o_custkey',
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT),
+           CAST(count(DISTINCT o_custkey) AS BIGINT),
+           CAST(min(o_custkey) AS VARCHAR),
+           CAST(max(o_custkey) AS VARCHAR) FROM q
+         UNION ALL
+         SELECT 'o_orderstatus',
+           CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           min(o_orderstatus), max(o_orderstatus) FROM q
+         UNION ALL
+         SELECT 'o_totalprice_cents',
+           CAST(sum(CASE WHEN o_totalprice_cents IS NULL THEN 1 ELSE 0
+             END) AS BIGINT),
+           CAST(count(DISTINCT o_totalprice_cents) AS BIGINT),
+           CAST(min(o_totalprice_cents) AS VARCHAR),
+           CAST(max(o_totalprice_cents) AS VARCHAR) FROM q
+         UNION ALL
+         SELECT 'o_orderdate',
+           CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT),
+           CAST(count(DISTINCT o_orderdate) AS BIGINT),
+           CAST(min(o_orderdate) AS VARCHAR),
+           CAST(max(o_orderdate) AS VARCHAR) FROM q
+         UNION ALL
+         SELECT 'o_orderpriority',
+           CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0
+             END) AS BIGINT),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+           min(o_orderpriority), max(o_orderpriority) FROM q""",
     "st_by_battery" ->
       """WITH s AS (SELECT event_type, count(value) AS n, avg(value) AS m,
              var_samp(value) AS v

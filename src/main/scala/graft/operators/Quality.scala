@@ -691,4 +691,30 @@ object Quality {
       round(col("o_totalprice") * 100).cast("long"),
       col("o_orderdate").cast("string"), col("o_orderpriority"))),
       1, 15), 16, 10).cast("long")
+  /** ANALYZE-style COLUMN PROFILE of the orders table — the catalog
+    * statistics a cost-based optimizer (or a data contract) feeds on,
+    * produced as a queryable frame: per column, null count, EXACT
+    * distinct count, and canonical min/max (prices as integer cents,
+    * dates as ISO strings — no float formatting to disagree over).
+    * One scan, one aggregate row (the distinct counts expand
+    * map-side), unpivoted by a stack into the column-bounded report —
+    * never a per-column rescan. */
+  def columnStats(orders: DataFrame): DataFrame = {
+    val q = orders.withColumn("o_totalprice_cents",
+      round(col("o_totalprice") * 100).cast("long"))
+    val names = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice_cents", "o_orderdate", "o_orderpriority")
+    val aggs = names.zipWithIndex.flatMap { case (n, i) =>
+      Seq(sum(when(col(n).isNull, 1L).otherwise(0L)).as(s"z${i + 1}"),
+        countDistinct(col(n)).as(s"d${i + 1}"),
+        min(col(n)).cast("string").as(s"lo${i + 1}"),
+        max(col(n)).cast("string").as(s"hi${i + 1}"))
+    }
+    val agg = q.agg(aggs.head, aggs.tail: _*)
+    val stacks = names.zipWithIndex.map { case (n, i) =>
+      s"'$n', z${i + 1}, d${i + 1}, lo${i + 1}, hi${i + 1}"
+    }.mkString(", ")
+    agg.selectExpr(
+      s"stack(6, $stacks) as (column, n_nulls, ndv, min_val, max_val)")
+  }
 }

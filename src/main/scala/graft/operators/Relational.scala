@@ -402,6 +402,26 @@ object Relational {
           .as("span_cents"))
   }
 
+  /** ROLLUP with GROUPING_ID disambiguation — the semantic q10_rollup
+    * leaves implicit (a NULL in a rolled-up result is AMBIGUOUS: is it
+    * the subtotal row, or a real NULL grouping value? Every BI layer
+    * on top of a rollup needs grouping_id to tell them apart, and the
+    * bit order — first grouping column = most significant bit — is a
+    * contract worth locking against the oracle engine): revenue over
+    * rollup(flag, status) with gid and a human level label. Exact cent
+    * sums; one shuffle (rollup is one Expand + one agg). */
+  def rollupGroupingId(lineitem: DataFrame): DataFrame =
+    lineitem
+      .select(col("l_returnflag").as("flag"),
+        col("l_linestatus").as("status"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .rollup("flag", "status")
+      .agg(sum("cents").as("c"), grouping_id().as("gid"))
+      .select(col("flag"), col("status"), col("gid"),
+        when(col("gid") === 0, "cell").when(col("gid") === 1, "flag_total")
+          .otherwise("grand_total").as("level"),
+        round(col("c") / 100.0, 2).as("revenue"))
+
   def monthOverMonth(orders: DataFrame): DataFrame = {
     val w = Window.partitionBy("o_orderpriority").orderBy("month")
     orders

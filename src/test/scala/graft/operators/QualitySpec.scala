@@ -799,6 +799,31 @@ class QualitySpec extends SparkSpec {
       tie.getAs[Double]("coverage") == 0.4, s"$tie")
   }
 
+  test("columnStats: nulls counted, exact ndv, canonical min/max — " +
+      "numeric columns ordered numerically, not lexically") {
+    import spark.implicits._
+    // orderkeys 2 and 10: a lexicographic max would say "2"
+    val orders = Seq(
+      (2L, Some(10L), "O", 1.5, "1996-01-02", "P"),
+      (10L, None, "F", 2.5, "1997-03-04", "P"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "d", "o_orderpriority")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), to_date(col("d")).as("o_orderdate"),
+        col("o_orderpriority"))
+    val out = Quality.columnStats(orders).collect()
+      .map(r => (r.getAs[String]("column"),
+        (r.getAs[Long]("n_nulls"), r.getAs[Long]("ndv"),
+          r.getAs[String]("min_val"), r.getAs[String]("max_val"))))
+      .toMap
+    assert(out("o_orderkey") == (0L, 2L, "2", "10"), s"$out")
+    assert(out("o_custkey") == (1L, 1L, "10", "10"), s"$out")
+    assert(out("o_totalprice_cents") == (0L, 2L, "150", "250"), s"$out")
+    assert(out("o_orderdate") ==
+      (0L, 2L, "1996-01-02", "1997-03-04"), s"$out")
+    assert(out("o_orderpriority") == (0L, 1L, "P", "P"), s"$out")
+  }
+
   test("tableFingerprint: matches the hand md5 fold, survives " +
       "repartitioning unchanged, and moves on a one-character edit") {
     import spark.implicits._

@@ -180,6 +180,23 @@ class RelationalSpec extends SparkSpec {
     assert(top2 == Seq((1L, 2L), (1L, 3L)))
   }
 
+  test("rollupGroupingId: gid separates subtotal NULLs from data, " +
+      "first grouping column owns the high bit") {
+    import spark.implicits._
+    val li = Seq(("A", "F", 1.0), ("A", "O", 2.0), ("B", "F", 4.0))
+      .toDF("l_returnflag", "l_linestatus", "l_extendedprice")
+    val out = Relational.rollupGroupingId(li).collect()
+      .map(r => ((Option(r.getAs[String]("flag")),
+        Option(r.getAs[String]("status"))),
+        (r.getAs[Long]("gid"), r.getAs[String]("level"),
+          r.getAs[Double]("revenue")))).toMap
+    assert(out((Some("A"), Some("F"))) == (0L, "cell", 1.0), s"$out")
+    assert(out((Some("A"), None)) == (1L, "flag_total", 3.0), s"$out")
+    assert(out((Some("B"), None)) == (1L, "flag_total", 4.0), s"$out")
+    assert(out((None, None)) == (3L, "grand_total", 7.0), s"$out")
+    assert(out.size == 6, s"$out")
+  }
+
   test("hierarchyFlatten: a planted div-10 chain settles at exact " +
       "depths in log rounds; roots self-report depth 0") {
     import spark.implicits._
