@@ -913,6 +913,12 @@ object SparkEntry {
     "st_yuen" -> ((s, d) =>
       Stats.yuenTTest(Tables.events(s, d), "event_type", "value",
         "click", "view")),
+    "st_kuiper" -> ((s, d) =>
+      Stats.kuiperTest(Tables.events(s, d), "event_type", "value",
+        "click", "view")),
+    "st_cohens_h" -> ((s, d) => Stats.cohensH(Tables.events(s, d))),
+    "ts_drawdown" -> ((s, d) =>
+      Resample.maxDrawdown(Tables.events(s, d))),
     "dwh_date_dim" -> ((s, d) => Dwh.dateDim(s)),
     "q39_grouping_id" -> ((s, d) =>
       Relational.rollupGroupingId(Tables.lineitem(s, d))),
@@ -4361,6 +4367,75 @@ object SparkEntry {
          SELECT group_a, group_b, t_stat, p, p_adj,
            p_adj <= 0.05 AS significant
          FROM adj""",
+    "st_kuiper" ->
+      """WITH pts AS (SELECT value AS v,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               AS BIGINT) AS cb
+           FROM events WHERE event_type IN ('click', 'view')
+           GROUP BY 1),
+         tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+             CAST(sum(cb) AS BIGINT) AS nb FROM pts),
+         cum AS (SELECT
+             sum(ca) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ma,
+             sum(cb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mb
+           FROM pts),
+         f AS (SELECT max(CAST(ma AS DOUBLE) / na
+               - CAST(mb AS DOUBLE) / nb) AS dp,
+             max(CAST(mb AS DOUBLE) / nb
+               - CAST(ma AS DOUBLE) / na) AS dm,
+             max(na) AS na, max(nb) AS nb
+           FROM cum CROSS JOIN tot)
+         SELECT na AS n_a, nb AS n_b,
+           round(greatest(dp, 0.0), 6) AS d_plus,
+           round(greatest(dm, 0.0), 6) AS d_minus,
+           round(greatest(dp, 0.0) + greatest(dm, 0.0), 6) AS v_stat
+         FROM f""",
+    "st_cohens_h" ->
+      """WITH cell AS (SELECT arm,
+             CAST(sum(CASE WHEN yes THEN 1 ELSE 0 END) AS BIGINT) AS k,
+             CAST(count(*) AS BIGINT) AS n
+           FROM (SELECT
+               CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                 < '8' THEN 'A' ELSE 'B' END AS arm,
+               value >= 100.0 AS yes
+             FROM events) GROUP BY 1),
+         w AS (SELECT
+             max(CASE WHEN arm = 'A' THEN k END) AS ka,
+             max(CASE WHEN arm = 'A' THEN n END) AS na,
+             max(CASE WHEN arm = 'B' THEN k END) AS kb,
+             max(CASE WHEN arm = 'B' THEN n END) AS nb
+           FROM cell)
+         SELECT round(CAST(ka AS DOUBLE) / na, 6) AS p_a,
+           round(CAST(kb AS DOUBLE) / nb, 6) AS p_b,
+           round(2.0 * asin(sqrt(CAST(kb AS DOUBLE) / nb))
+             - 2.0 * asin(sqrt(CAST(ka AS DOUBLE) / na)), 6)
+             AS cohens_h
+         FROM w""",
+    "ts_drawdown" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS v
+           FROM events GROUP BY 1),
+         dd AS (SELECT day, v,
+             max(v) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS peak
+           FROM daily),
+         top AS (SELECT max(peak - v) AS mdd,
+             CAST(count(*) AS BIGINT) AS n_days FROM dd),
+         at_ AS (SELECT mdd, n_days, min(day) AS trough_day
+           FROM dd CROSS JOIN top WHERE peak - v = mdd
+           GROUP BY 1, 2),
+         pk AS (SELECT at_.mdd, at_.n_days, at_.trough_day, dd.peak
+           FROM at_ JOIN dd ON dd.day = at_.trough_day)
+         SELECT n_days, trough_day,
+           round(CAST(mdd AS DOUBLE) / 100.0, 2) AS max_drawdown,
+           round(CAST(peak AS DOUBLE) / 100.0, 2) AS peak_revenue
+         FROM pk""",
     "st_yuen" ->
       """WITH pts AS (SELECT CAST(round(value * 1e6) AS BIGINT) AS q,
              CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)

@@ -1279,6 +1279,37 @@ object Resample {
           col("n").cast("double"), 4).as("power"))
   }
 
+  /** MAXIMUM DRAWDOWN of the daily revenue level — the risk number a
+    * mean or variance cannot express ("how far below its best day has
+    * this series ever sunk" — THE metric for anything managed against
+    * a high-water mark, and for capacity/revenue planning the honest
+    * answer to 'how bad does a slump get'): running peak of the daily
+    * totals, drawdown = peak − today, maximum over the calendar with
+    * the FIRST trough reported. Exact cent longs end to end — the
+    * running max, the differences, and the argmax tiebreak are all
+    * integer comparisons; one rollup + one day-ordered window. */
+  def maxDrawdown(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events.groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("v"))
+    val wIncl = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val dd = daily
+      .withColumn("peak", max("v").over(wIncl))
+      .withColumn("dd", col("peak") - col("v"))
+    val top = dd.agg(max("dd").as("mdd"), count(lit(1)).as("n_days"))
+    dd.crossJoin(broadcast(top))
+      .filter(col("dd") === col("mdd"))
+      .groupBy("mdd", "n_days")
+      // the peak must be the one AT the first trough row, not a min
+      // over tied rows — keep (day, peak) together through the argmin
+      .agg(min(struct(col("day"), col("peak"))).as("t"))
+      .select(col("n_days"), col("t.day").as("trough_day"),
+        round(col("mdd").cast("double") / 100.0, 2).as("max_drawdown"),
+        round(col("t.peak").cast("double") / 100.0, 2)
+          .as("peak_revenue"))
+  }
+
   /** SPECTRAL FLATNESS (Wiener entropy) of the candidate-period
     * spectrum — ONE number for "is there a rhythm at all": the
     * geometric/arithmetic mean ratio of [[periodogram]]'s powers.

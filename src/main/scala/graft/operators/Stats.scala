@@ -396,6 +396,82 @@ object Stats {
         max("__na").as("n_a"), max("__nb").as("n_b"))
   }
 
+  /** KUIPER'S two-sample statistic V = D⁺ + D⁻ — the
+    * ROTATION-INVARIANT member of the ECDF family ([[ksTest]]'s D
+    * collapses the two signed deviations into one |max|, which makes
+    * it weak against shifts that push one tail up and the other down
+    * — exactly what periodic/wrapped data does; Kuiper keeps both
+    * excursions, so a distribution slid around a cycle scores the
+    * same V wherever it is cut): D⁺ = max(Fₐ−F_b), D⁻ = max(F_b−Fₐ).
+    * Same striped tie-collapsed skeleton as [[ksTest]] — the only
+    * change is keeping the two signed maxima apart. */
+  def kuiperTest(df: DataFrame, groupCol: String, c: String,
+                 ga: String, gb: String, stripes: Int = 256)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = df.filter(col(groupCol).isin(ga, gb))
+      .groupBy(col(c).as("v"))
+      .agg(sum(when(col(groupCol) === ga, 1L).otherwise(0L)).as("ca"),
+        sum(when(col(groupCol) === gb, 1L).otherwise(0L)).as("cb"))
+    val bounds = pts.agg(min("v").as("__lo"), max("v").as("__hi"),
+      sum("ca").as("__na"), sum("cb").as("__nb"))
+    val striped = pts.crossJoin(broadcast(bounds))
+      .withColumn("__stripe",
+        when(col("__hi") === col("__lo"), lit(0L)).otherwise(
+          least(lit(stripes - 1L), greatest(lit(0L),
+            floor((col("v") - col("__lo")) /
+              (col("__hi") - col("__lo")) * stripes)))).cast("int"))
+    val wIn = Window.partitionBy("__stripe").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wStripe = Window.orderBy("__stripe")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = striped.groupBy("__stripe")
+      .agg(sum("ca").as("__sa"), sum("cb").as("__sb"))
+      .select(col("__stripe"),
+        coalesce(sum("__sa").over(wStripe), lit(0L)).as("__oa"),
+        coalesce(sum("__sb").over(wStripe), lit(0L)).as("__ob"))
+    striped.join(broadcast(offs), Seq("__stripe"))
+      .select(
+        ((col("__oa") + sum("ca").over(wIn)) / col("__na")).as("fa"),
+        ((col("__ob") + sum("cb").over(wIn)) / col("__nb")).as("fb"),
+        col("__na"), col("__nb"))
+      .agg(max(col("fa") - col("fb")).as("dp"),
+        max(col("fb") - col("fa")).as("dm"),
+        max("__na").as("na"), max("__nb").as("nb"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        round(greatest(col("dp"), lit(0.0)), 6).as("d_plus"),
+        round(greatest(col("dm"), lit(0.0)), 6).as("d_minus"),
+        round(greatest(col("dp"), lit(0.0)) +
+          greatest(col("dm"), lit(0.0)), 6).as("v_stat"))
+  }
+
+  /** COHEN'S H effect size between the [[md5Arm]] arms' conversion
+    * rates — the PROPORTION-scale companion to st_cohens_d (a 2-point
+    * lift means nothing without the base rate: 50→52% is noise,
+    * 1→3% is a tripling; the arcsine transform h = 2asin√p₁ − 2asin√p₂
+    * equalizes the variance across the base-rate range, which is why
+    * power calculators speak h, not percentage points): conversion =
+    * value ≥ `threshold`; rates from exact integer counts, one asin
+    * formula row (trig at round-6 — the sp_haversine convention). */
+  def cohensH(events: DataFrame, threshold: Double = 100.0)
+      : DataFrame = {
+    val cell = events.select(md5Arm(col("user_id")).as("arm"),
+        (col("value") >= threshold).as("yes"))
+      .groupBy("arm")
+      .agg(sum(when(col("yes"), 1L).otherwise(0L)).as("k"),
+        count(lit(1)).as("n"))
+    val wide = cell.agg(
+      max(when(col("arm") === "A", col("k"))).as("ka"),
+      max(when(col("arm") === "A", col("n"))).as("na"),
+      max(when(col("arm") === "B", col("k"))).as("kb"),
+      max(when(col("arm") === "B", col("n"))).as("nb"))
+    val pa = col("ka").cast("double") / col("na")
+    val pb = col("kb").cast("double") / col("nb")
+    wide.select(round(pa, 6).as("p_a"), round(pb, 6).as("p_b"),
+      round(lit(2.0) * asin(sqrt(pb)) - lit(2.0) * asin(sqrt(pa)), 6)
+        .as("cohens_h"))
+  }
+
   /** Two-sample ANDERSON–DARLING statistic between groups `ga` and
     * `gb` — the TAIL-WEIGHTED member of the ECDF family ([[ksTest]]
     * weights every x equally and is famously blind to tail

@@ -1004,6 +1004,29 @@ class RangeResampleSpec extends SparkSpec {
     assert(r.getAs[Double]("adf_t") < -2.86, s"$r")
   }
 
+  test("maxDrawdown: the slump measures peak-to-trough exactly; a " +
+      "monotone series never draws down") {
+    import spark.implicits._
+    def ev(vs: Seq[Double]) = vs.zipWithIndex.map { case (v, d) =>
+      (d.toLong * 86400L, "click", v) }
+      .toDF("s", "event_type", "value")
+      .select(timestamp_seconds(col("s")).as("ts"), col("event_type"),
+        col("value"))
+    // daily totals 100,150,120,90,130: peak 150, trough 90 -> dd 60
+    val r = Resample.maxDrawdown(ev(Seq(100, 150, 120, 90, 130)))
+      .collect().head
+    assert(r.getAs[Long]("n_days") == 5L, s"$r")
+    assert(r.getAs[Double]("max_drawdown") == 60.0, s"$r")
+    assert(r.getAs[Double]("peak_revenue") == 150.0, s"$r")
+    assert(r.getAs[java.sql.Date]("trough_day").toString
+      == "1970-01-04", s"$r")
+    // rising series: dd identically 0, earliest day reported
+    val up = Resample.maxDrawdown(ev(Seq(10, 20, 30))).collect().head
+    assert(up.getAs[Double]("max_drawdown") == 0.0, s"$up")
+    assert(up.getAs[java.sql.Date]("trough_day").toString
+      == "1970-01-01", s"$up")
+  }
+
   test("spectralFlatness: a pure daily cycle concentrates power (low " +
       "flatness, dominant 24); a flat series short-circuits to 0") {
     import spark.implicits._

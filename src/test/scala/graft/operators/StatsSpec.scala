@@ -2054,6 +2054,45 @@ class StatsSpec extends SparkSpec {
     assert(p.isNullAt(p.fieldIndex("f")), s"$p")
   }
 
+  test("kuiperTest: keeps both signed excursions the KS max would " +
+      "collapse — the nested-pair layout scores V = 2x its D") {
+    import spark.implicits._
+    def df(a: Seq[Double], b: Seq[Double]) =
+      (a.map(("a", _)) ++ b.map(("b", _))).toDF("g", "v")
+    // full separation: only one excursion exists
+    val sep = Stats.kuiperTest(df(Seq(1, 2), Seq(3, 4)),
+      "g", "v", "a", "b").collect().head
+    assert(sep.getAs[Double]("d_plus") == 1.0 &&
+      sep.getAs[Double]("d_minus") == 0.0 &&
+      sep.getAs[Double]("v_stat") == 1.0, s"$sep")
+    // a = {1,4} wraps around b = {2,3}: KS sees D = 0.5; Kuiper sees
+    // both half-excursions and doubles it
+    val nest = Stats.kuiperTest(df(Seq(1, 4), Seq(2, 3)),
+      "g", "v", "a", "b").collect().head
+    assert(nest.getAs[Double]("d_plus") == 0.5 &&
+      nest.getAs[Double]("d_minus") == 0.5 &&
+      nest.getAs[Double]("v_stat") == 1.0, s"$nest")
+  }
+
+  test("cohensH: the arcsine effect size hits pi/2 for a 0.5 -> 1.0 " +
+      "conversion jump") {
+    import spark.implicits._
+    def arm(u: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      if ("%02x".format(d(0)).charAt(0) < '8') "A" else "B"
+    }
+    val as = (1L to 200L).filter(arm(_) == "A").take(2)
+    val bs = (1L to 200L).filter(arm(_) == "B").take(2)
+    val ev = Seq((as(0), 150.0), (as(1), 50.0), (bs(0), 150.0),
+      (bs(1), 150.0)).toDF("user_id", "value")
+    val r = Stats.cohensH(ev).collect().head
+    assert(r.getAs[Double]("p_a") == 0.5 &&
+      r.getAs[Double]("p_b") == 1.0, s"$r")
+    // 2asin(1) - 2asin(sqrt(.5)) = pi - pi/2
+    assert(r.getAs[Double]("cohens_h") == 1.570796, s"$r")
+  }
+
   test("yuenTTest: trimmed means shrug off the tail the plain t-test " +
       "would chase; hand winsorized variance gives the exact t") {
     import spark.implicits._
