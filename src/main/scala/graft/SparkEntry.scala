@@ -922,6 +922,8 @@ object SparkEntry {
     "dwh_date_dim" -> ((s, d) => Dwh.dateDim(s)),
     "q39_grouping_id" -> ((s, d) =>
       Relational.rollupGroupingId(Tables.lineitem(s, d))),
+    "q40_skyline" -> ((s, d) =>
+      Relational.skylineParts(Tables.part(s, d))),
     "dq_column_stats" -> ((s, d) =>
       Quality.columnStats(Tables.orders(s, d))),
     "ts_flatness" -> ((s, d) =>
@@ -4281,6 +4283,25 @@ object SparkEntry {
          FROM cum CROSS JOIN tot CROSS JOIN ps
          WHERE cw * 100 >= w * p GROUP BY 1""",
     "st_ipf" -> StIpfOracleSql,
+    "q40_skyline" ->
+      """WITH pts AS (SELECT CAST(p_size AS BIGINT) AS size,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+           FROM part),
+         bysize AS (SELECT size, max(cents) AS best FROM pts
+           GROUP BY 1),
+         perprice AS (SELECT size, cents,
+             CAST(count(*) AS BIGINT) AS n_parts
+           FROM pts GROUP BY 1, 2),
+         sky AS (SELECT size, best,
+             coalesce(max(best) OVER (ORDER BY size
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+               AS prevmax
+           FROM bysize)
+         SELECT sky.size, round(best / 100.0, 2) AS retail_price,
+           n_parts
+         FROM sky JOIN perprice
+           ON sky.size = perprice.size AND sky.best = perprice.cents
+         WHERE best > prevmax""",
     "q39_grouping_id" ->
       """SELECT l_returnflag AS flag, l_linestatus AS status,
            CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,

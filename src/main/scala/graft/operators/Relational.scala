@@ -422,6 +422,42 @@ object Relational {
           .otherwise("grand_total").as("level"),
         round(col("c") / 100.0, 2).as("revenue"))
 
+  /** SKYLINE (Pareto-dominance) query over parts — the multi-objective
+    * operator relational algebra lacks a primitive for (Börzsönyi et
+    * al.'s SKYLINE OF: the parts no other part beats on BOTH axes —
+    * here smaller size AND higher retail price; the frontier every
+    * "best tradeoff" product query wants): p survives iff no q has
+    * size ≤ p.size ∧ price ≥ p.price with one strict.
+    *
+    * NOT the naive quadratic dominance self-join: in 2D the skyline is
+    * a CUMULATIVE-MAX scan — collapse to one row per size (its max
+    * price + count at the max), then a point survives iff its price
+    * STRICTLY exceeds the running max over smaller sizes. One rollup
+    * shuffle + one size-ordered window over the size-bounded frame
+    * (p_size has bounded cardinality — 50 values in TPC-H); exact
+    * cent longs. */
+  def skylineParts(part: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySize = part
+      .select(col("p_size").cast("long").as("size"),
+        round(col("p_retailprice") * 100).cast("long").as("cents"))
+      .groupBy("size")
+      .agg(max("cents").as("best"), count(lit(1)).as("n_at_size"))
+    val perPrice = part
+      .select(col("p_size").cast("long").as("p_sz"),
+        round(col("p_retailprice") * 100).cast("long").as("cents"))
+      .groupBy("p_sz", "cents").agg(count(lit(1)).as("n_parts"))
+    val w = Window.orderBy("size")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bySize
+      .withColumn("prevmax", coalesce(max("best").over(w), lit(-1L)))
+      .filter(col("best") > col("prevmax"))
+      .join(perPrice, col("size") === col("p_sz") &&
+        col("best") === col("cents"))
+      .select(col("size"), round(col("best") / 100.0, 2)
+        .as("retail_price"), col("n_parts"))
+  }
+
   def monthOverMonth(orders: DataFrame): DataFrame = {
     val w = Window.partitionBy("o_orderpriority").orderBy("month")
     orders

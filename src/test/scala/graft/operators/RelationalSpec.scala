@@ -180,6 +180,29 @@ class RelationalSpec extends SparkSpec {
     assert(top2 == Seq((1L, 2L), (1L, 3L)))
   }
 
+  test("skylineParts: only non-dominated (size, price) points survive " +
+      "the cumulative-max scan; duplicates at a frontier point count") {
+    import spark.implicits._
+    def parts(rows: (Int, Double)*) = rows.toSeq.zipWithIndex
+      .map { case ((sz, p), i) => (i.toLong, sz, p) }
+      .toDF("p_partkey", "p_size", "p_retailprice")
+    // (1, 50) and (3, 80): frontier. (3, 40) dominated by (1,50);
+    // (5, 80) dominated by (3,80) (same price, bigger size);
+    // (2, 50) dominated by (1,50) on size with equal price
+    val out = Relational.skylineParts(parts((1, 50.0), (3, 80.0),
+      (3, 40.0), (5, 80.0), (2, 50.0))).collect()
+      .map(r => (r.getAs[Long]("size"),
+        (r.getAs[Double]("retail_price"), r.getAs[Long]("n_parts"))))
+      .toMap
+    assert(out == Map(1L -> (50.0, 1L), 3L -> (80.0, 1L)), s"$out")
+    // two copies of a frontier point both survive (neither strictly
+    // dominates the other)
+    val dup = Relational.skylineParts(parts((1, 50.0), (1, 50.0),
+      (4, 90.0))).collect()
+      .map(r => (r.getAs[Long]("size"), r.getAs[Long]("n_parts"))).toMap
+    assert(dup == Map(1L -> 2L, 4L -> 1L), s"$dup")
+  }
+
   test("rollupGroupingId: gid separates subtotal NULLs from data, " +
       "first grouping column owns the high bit") {
     import spark.implicits._
