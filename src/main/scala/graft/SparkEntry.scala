@@ -901,6 +901,10 @@ object SparkEntry {
     "st_ipf" -> ((s, d) => Stats.ipf(Tables.events(s, d))),
     "dwh_restatement" -> ((s, d) =>
       Dwh.restatement(Tables.events(s, d))),
+    "dwh_allocation" -> ((s, d) =>
+      Dwh.allocateToLines(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "tx_dispersion" -> ((s, d) =>
+      TextAnalysis.sourceDispersion(Tables.documents(s, d))),
     "st_logrank" -> ((s, d) => Stats.logRank(Tables.events(s, d))),
     "st_nelson_aalen" -> ((s, d) =>
       Stats.nelsonAalen(Tables.events(s, d))),
@@ -4711,6 +4715,63 @@ object SparkEntry {
          FROM cells
          WINDOW wc AS (ORDER BY decile
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    "dwh_allocation" ->
+      """WITH lines AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS w
+           FROM lineitem),
+         heads AS (SELECT o_orderkey AS ok,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS h
+           FROM orders),
+         wt AS (SELECT ok, CAST(sum(w) AS BIGINT) AS ww
+           FROM lines GROUP BY 1),
+         j AS (SELECT l.ok, ln, w, h, ww,
+             (h * w) // ww AS base, (h * w) % ww AS r
+           FROM lines l JOIN heads USING (ok) JOIN wt USING (ok)),
+         a AS (SELECT ok, h, base, r,
+             h - sum(base) OVER (PARTITION BY ok) AS leftover,
+             row_number() OVER (PARTITION BY ok ORDER BY r DESC, ln)
+               AS rk
+           FROM j),
+         al AS (SELECT ok, h,
+             base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc
+           FROM a),
+         po AS (SELECT ok, max(h) AS h,
+             CAST(sum(alloc) AS HUGEINT) AS al,
+             CAST(count(*) AS BIGINT) AS nl
+           FROM al GROUP BY 1)
+         SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(nl) AS BIGINT) AS n_lines,
+           round(CAST(sum(CAST(h AS HUGEINT)) AS DOUBLE) / 100.0, 2)
+             AS header_total,
+           round(CAST(sum(al) AS DOUBLE) / 100.0, 2)
+             AS allocated_total,
+           CAST(sum(CASE WHEN al <> h THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_mismatched
+         FROM po""",
+    "tx_dispersion" ->
+      """WITH tok AS (SELECT source,
+             unnest(string_split(text, ' ')) AS t
+           FROM documents),
+         bysrc AS (SELECT t, source, CAST(count(*) AS BIGINT) AS c
+           FROM tok GROUP BY 1, 2),
+         bytok AS (SELECT t, CAST(sum(c) AS BIGINT) AS ct
+           FROM bysrc GROUP BY 1),
+         srct AS (SELECT source, CAST(count(*) AS BIGINT) AS cs
+           FROM tok GROUP BY 1),
+         grand AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+         top AS (SELECT t, ct FROM bytok ORDER BY ct DESC, t LIMIT 10),
+         grid AS (SELECT top.t, top.ct, srct.source, srct.cs,
+             coalesce(bysrc.c, 0) AS c
+           FROM top CROSS JOIN srct
+           LEFT JOIN bysrc ON bysrc.t = top.t
+             AND bysrc.source = srct.source),
+         q AS (SELECT t, ct,
+             CAST(round(abs(CAST(c AS DOUBLE) / ct
+               - CAST(cs AS DOUBLE) / n) * 1e9) AS BIGINT) AS d9
+           FROM grid CROSS JOIN grand)
+         SELECT t AS token, ct AS n_occurrences,
+           round(CAST(sum(d9) AS DOUBLE) / 2e9, 6) AS dp
+         FROM q GROUP BY 1, 2""",
     "dwh_restatement" ->
       """WITH q AS (SELECT user_id, event_type, ts, event_id,
              CAST(round(value * 100) AS BIGINT) AS c

@@ -899,4 +899,58 @@ object Dwh {
         (year(col("d")) + when(month(col("d")) >= 2, 0L)
           .otherwise(-1L)).cast("long").as("fiscal_year"))
   }
+  /** HEADER-TO-LINE FACT ALLOCATION by the largest-remainder method —
+    * the grain-shift problem every finance mart hits (the order header
+    * carries the authoritative total; analysis needs it at line grain;
+    * naive proportional rounding LOSES OR INVENTS CENTS, and an
+    * allocation that doesn't reconcile to the header is an audit
+    * finding, not a modeling choice): base share = ⌊H·wᵢ/W⌋ in exact
+    * integer arithmetic, then the leftover cents (= H − Σbase, at most
+    * lines−1) go one each to the largest fractional remainders
+    * (H·wᵢ mod W, ties to the lower line number — deterministic).
+    *
+    * One fact-sized join + one per-order window (partitioned on the
+    * order key — parallel, never global); the report aggregates the
+    * CONSERVATION proof: every order's allocated total must equal its
+    * header exactly, counted across the corpus. */
+  def allocateToLines(orders: DataFrame, lineitem: DataFrame)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val lines = lineitem.select(col("l_orderkey").as("ok"),
+      col("l_linenumber").as("ln"),
+      round(col("l_extendedprice") * 100).cast("long").as("w"))
+    val heads = orders.select(col("o_orderkey").as("ok"),
+      round(col("o_totalprice") * 100).cast("long").as("h"))
+    val wTot = lines.groupBy("ok").agg(sum("w").as("ww"),
+      count(lit(1)).as("nl"))
+    val j = lines.join(heads, Seq("ok")).join(wTot, Seq("ok"))
+      .withColumn("base", expr("(h * w) div ww"))
+      .withColumn("r", expr("(h * w) % ww"))
+    val wOrd = Window.partitionBy("ok")
+      .orderBy(col("r").desc, col("ln"))
+    val alloc = j
+      .withColumn("leftover", col("h") - sum("base").over(
+        Window.partitionBy("ok")
+          .rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+      .withColumn("rk", row_number().over(wOrd))
+      .withColumn("alloc",
+        col("base") + when(col("rk") <= col("leftover"), 1L)
+          .otherwise(0L))
+    val perOrder = alloc.groupBy("ok")
+      .agg(max("h").as("h"), sum(col("alloc").cast(dec)).as("a"),
+        count(lit(1)).as("nl"))
+    perOrder.agg(count(lit(1)).as("n_orders"),
+        sum("nl").as("n_lines"),
+        sum(col("h").cast(dec)).as("hdr"),
+        sum("a").as("alc"),
+        sum(when(col("a").cast(dec) =!= col("h").cast(dec), 1L)
+          .otherwise(0L)).as("n_mismatched"))
+      .select(col("n_orders"), col("n_lines"),
+        round(col("hdr").cast("double") / 100.0, 2).as("header_total"),
+        round(col("alc").cast("double") / 100.0, 2)
+          .as("allocated_total"),
+        col("n_mismatched"))
+  }
 }

@@ -1030,6 +1030,44 @@ object TextAnalysis {
     * the model; the spec trains on a planted separable corpus and
     * demands a diagonal confusion matrix, the same honest-negative
     * pattern as logisticGD.) */
+  /** GRIES' DP DISPERSION of the head vocabulary across sources — the
+    * "is this word EVERYWHERE or just in one corner" statistic raw
+    * frequency hides (a token can owe its whole count to a single
+    * source; mixing decisions and stopword lists built on frequency
+    * alone inherit that blind spot): per top-K token,
+    * DP = Σ_s |share_of_token_in_s − share_of_corpus_in_s| / 2 —
+    * 0 = distributed exactly like the corpus, →1 = concentrated in
+    * one source.
+    *
+    * One corpus token rollup; the top-K head is a distributed
+    * TakeOrdered on (count DESC, token) — deterministic set — joined
+    * back to the (token, source)-bounded count frame; each source's
+    * |Δ| term quantizes to NANO-units before the per-token sum
+    * (order-free longs). */
+  def sourceDispersion(documents: DataFrame, k: Int = 10): DataFrame = {
+    val tok = documents
+      .select(col("source"), explode(tokens(col("text"))).as("t"))
+    val bySrc = tok.groupBy("t", "source").agg(count(lit(1)).as("c"))
+    val byTok = bySrc.groupBy("t").agg(sum("c").as("ct"))
+    val srcTot = tok.groupBy("source").agg(count(lit(1)).as("cs"))
+    val grand = tok.agg(count(lit(1)).as("n"))
+    val top = byTok.orderBy(col("ct").desc, col("t")).limit(k)
+    // the FULL (top-token × source) grid: a source where the token
+    // never occurs still contributes |0 − cs/n| to DP
+    top.crossJoin(broadcast(srcTot))
+      .join(bySrc, Seq("t", "source"), "left")
+      .na.fill(0L, Seq("c"))
+      .crossJoin(broadcast(grand))
+      .select(col("t"), col("ct"),
+        round(abs(col("c").cast("double") / col("ct") -
+          col("cs").cast("double") / col("n")) * 1e9).cast("long")
+          .as("d9"))
+      .groupBy("t", "ct")
+      .agg(round(sum("d9").cast("double") / 2e9, 6).as("dp"))
+      .select(col("t").as("token"), col("ct").as("n_occurrences"),
+        col("dp"))
+  }
+
   /** VOCABULARY-BUDGET COVERAGE CURVE — the tokenizer-sizing question
     * asked directly ("what fraction of all token OCCURRENCES does a
     * k-entry vocabulary cover" for a ladder of budgets; the long tail

@@ -623,6 +623,26 @@ class DwhSpec extends SparkSpec {
       "view" -> (50.0, 60.0, 10.0)), s"$out")
   }
 
+  test("allocateToLines: non-divisible headers still reconcile to the " +
+      "cent — the leftover cents land on the largest remainders") {
+    import spark.implicits._
+    // header $1.00 over three equal lines: 33+33+33 leaves one cent
+    // that floor-only allocation would LOSE; header $1.01 over skewed
+    // lines exercises a different remainder ranking
+    val orders = Seq((1L, 1.0), (2L, 1.01))
+      .toDF("o_orderkey", "o_totalprice")
+    val lines = Seq((1L, 1, 1.0), (1L, 2, 1.0), (1L, 3, 1.0),
+      (2L, 1, 0.70), (2L, 2, 0.30))
+      .toDF("l_orderkey", "l_linenumber", "l_extendedprice")
+    val r = Dwh.allocateToLines(orders, lines).collect().head
+    assert(r.getAs[Long]("n_orders") == 2L &&
+      r.getAs[Long]("n_lines") == 5L, s"$r")
+    assert(r.getAs[Double]("header_total") ==
+      r.getAs[Double]("allocated_total"), s"$r")
+    assert(r.getAs[Double]("header_total") == 2.01, s"$r")
+    assert(r.getAs[Long]("n_mismatched") == 0L, s"$r")
+  }
+
   test("dateDim: leap day, weekend convention, month ends, and the " +
       "Feb-start fiscal year all land on the right rows") {
     import spark.implicits._

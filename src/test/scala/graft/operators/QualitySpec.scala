@@ -799,6 +799,20 @@ class QualitySpec extends SparkSpec {
       tie.getAs[Double]("coverage") == 0.4, s"$tie")
   }
 
+  test("sourceDispersion: a token spread like the corpus scores DP 0, " +
+      "a single-source token scores its concentration exactly") {
+    import spark.implicits._
+    // sources A and B each hold half the corpus tokens; y splits
+    // evenly (DP 0), x lives only in A, z only in B (DP 0.5 each)
+    val docs = Seq((0L, "A", "x x y"), (1L, "B", "y z z"))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.sourceDispersion(docs, k = 3).collect()
+      .map(r => (r.getAs[String]("token"),
+        (r.getAs[Long]("n_occurrences"), r.getAs[Double]("dp")))).toMap
+    assert(out == Map("x" -> (2L, 0.5), "y" -> (2L, 0.0),
+      "z" -> (2L, 0.5)), s"$out")
+  }
+
   test("columnStats: nulls counted, exact ndv, canonical min/max — " +
       "numeric columns ordered numerically, not lexically") {
     import spark.implicits._
