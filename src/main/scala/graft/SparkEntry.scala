@@ -911,6 +911,9 @@ object SparkEntry {
     "st_herfindahl" -> ((s, d) =>
       Stats.herfindahl(Tables.orders(s, d))),
     "ml_qini" -> ((s, d) => Stats.qini(Tables.events(s, d))),
+    "st_smd" -> ((s, d) => Stats.covariateBalance(Tables.events(s, d))),
+    "ts_intermittency" -> ((s, d) =>
+      Resample.demandClasses(Tables.lineitem(s, d))),
     "ml_stump" -> ((s, d) => Stats.giniStump(Tables.documents(s, d))),
     "st_by_battery" -> ((s, d) =>
       Stats.welchBatteryBY(Tables.events(s, d), "event_type", "value")),
@@ -4675,6 +4678,119 @@ object SparkEntry {
              / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))), 4)
              AS effective_n
          FROM m""",
+    "st_smd" ->
+      """WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c1,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS c2,
+             CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+               END) AS BIGINT) AS c3
+           FROM events GROUP BY 1),
+         a AS (SELECT
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+               < '8' THEN 'A' ELSE 'B' END AS arm, c1, c2, c3
+           FROM u),
+         w AS (SELECT
+             CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+               AS na,
+             CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+               AS nb,
+             sum(CASE WHEN arm = 'A' THEN CAST(c1 AS HUGEINT) END)
+               AS s_c1_a,
+             sum(CASE WHEN arm = 'A' THEN CAST(c1 AS HUGEINT) * c1 END)
+               AS q_c1_a,
+             sum(CASE WHEN arm = 'B' THEN CAST(c1 AS HUGEINT) END)
+               AS s_c1_b,
+             sum(CASE WHEN arm = 'B' THEN CAST(c1 AS HUGEINT) * c1 END)
+               AS q_c1_b,
+             sum(CASE WHEN arm = 'A' THEN CAST(c2 AS HUGEINT) END)
+               AS s_c2_a,
+             sum(CASE WHEN arm = 'A' THEN CAST(c2 AS HUGEINT) * c2 END)
+               AS q_c2_a,
+             sum(CASE WHEN arm = 'B' THEN CAST(c2 AS HUGEINT) END)
+               AS s_c2_b,
+             sum(CASE WHEN arm = 'B' THEN CAST(c2 AS HUGEINT) * c2 END)
+               AS q_c2_b,
+             sum(CASE WHEN arm = 'A' THEN CAST(c3 AS HUGEINT) END)
+               AS s_c3_a,
+             sum(CASE WHEN arm = 'A' THEN CAST(c3 AS HUGEINT) * c3 END)
+               AS q_c3_a,
+             sum(CASE WHEN arm = 'B' THEN CAST(c3 AS HUGEINT) END)
+               AS s_c3_b,
+             sum(CASE WHEN arm = 'B' THEN CAST(c3 AS HUGEINT) * c3 END)
+               AS q_c3_b
+           FROM a)
+         SELECT 'n_events' AS covariate,
+           round(CAST(s_c1_a AS DOUBLE) / na, 6) AS mean_a,
+           round(CAST(s_c1_b AS DOUBLE) / nb, 6) AS mean_b,
+           round((CAST(s_c1_b AS DOUBLE) / nb
+               - CAST(s_c1_a AS DOUBLE) / na)
+             / nullif(sqrt(((CAST(na AS DOUBLE) * CAST(q_c1_a AS DOUBLE)
+                 - CAST(s_c1_a AS DOUBLE) * CAST(s_c1_a AS DOUBLE))
+                 / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0))
+               + (CAST(nb AS DOUBLE) * CAST(q_c1_b AS DOUBLE)
+                 - CAST(s_c1_b AS DOUBLE) * CAST(s_c1_b AS DOUBLE))
+                 / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0)))
+               / 2.0), 0.0), 6) AS smd
+         FROM w
+         UNION ALL
+         SELECT 'spend_cents' AS covariate,
+           round(CAST(s_c2_a AS DOUBLE) / na, 6) AS mean_a,
+           round(CAST(s_c2_b AS DOUBLE) / nb, 6) AS mean_b,
+           round((CAST(s_c2_b AS DOUBLE) / nb
+               - CAST(s_c2_a AS DOUBLE) / na)
+             / nullif(sqrt(((CAST(na AS DOUBLE) * CAST(q_c2_a AS DOUBLE)
+                 - CAST(s_c2_a AS DOUBLE) * CAST(s_c2_a AS DOUBLE))
+                 / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0))
+               + (CAST(nb AS DOUBLE) * CAST(q_c2_b AS DOUBLE)
+                 - CAST(s_c2_b AS DOUBLE) * CAST(s_c2_b AS DOUBLE))
+                 / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0)))
+               / 2.0), 0.0), 6) AS smd
+         FROM w
+         UNION ALL
+         SELECT 'converted' AS covariate,
+           round(CAST(s_c3_a AS DOUBLE) / na, 6) AS mean_a,
+           round(CAST(s_c3_b AS DOUBLE) / nb, 6) AS mean_b,
+           round((CAST(s_c3_b AS DOUBLE) / nb
+               - CAST(s_c3_a AS DOUBLE) / na)
+             / nullif(sqrt(((CAST(na AS DOUBLE) * CAST(q_c3_a AS DOUBLE)
+                 - CAST(s_c3_a AS DOUBLE) * CAST(s_c3_a AS DOUBLE))
+                 / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0))
+               + (CAST(nb AS DOUBLE) * CAST(q_c3_b AS DOUBLE)
+                 - CAST(s_c3_b AS DOUBLE) * CAST(s_c3_b AS DOUBLE))
+                 / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0)))
+               / 2.0), 0.0), 6) AS smd
+         FROM w""",
+    "ts_intermittency" ->
+      """WITH daily AS (SELECT l_partkey AS pk,
+             CAST(l_shipdate AS DATE) AS day,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+               AS q
+           FROM lineitem GROUP BY 1, 2),
+         per AS (SELECT pk, CAST(count(*) AS BIGINT) AS nd,
+             CAST(max(day) - min(day) AS BIGINT) AS span,
+             sum(CAST(q AS HUGEINT)) AS sq,
+             sum(CAST(q AS HUGEINT) * q) AS sqq
+           FROM daily GROUP BY 1),
+         cls AS (SELECT CASE WHEN nd < 2 THEN 'single'
+             WHEN CAST(span AS DOUBLE) / (CAST(nd AS DOUBLE) - 1.0)
+                 < 1.32
+               AND (CAST(nd AS DOUBLE) * CAST(sqq AS DOUBLE)
+                 - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                 / (CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) < 0.49
+               THEN 'smooth'
+             WHEN CAST(span AS DOUBLE) / (CAST(nd AS DOUBLE) - 1.0)
+                 >= 1.32
+               AND (CAST(nd AS DOUBLE) * CAST(sqq AS DOUBLE)
+                 - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                 / (CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) < 0.49
+               THEN 'intermittent'
+             WHEN CAST(span AS DOUBLE) / (CAST(nd AS DOUBLE) - 1.0)
+                 < 1.32
+               THEN 'erratic'
+             ELSE 'lumpy' END AS demand_class
+           FROM per)
+         SELECT demand_class, CAST(count(*) AS BIGINT) AS n_parts
+         FROM cls GROUP BY 1""",
     "ml_qini" ->
       """WITH u AS (SELECT user_id,
              CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0

@@ -1279,6 +1279,46 @@ object Resample {
           col("n").cast("double"), 4).as("power"))
   }
 
+  /** SYNTETOS–BOYLAN DEMAND CLASSIFICATION over per-part daily demand
+    * — the supply-chain taxonomy that decides which FORECASTER each
+    * part deserves (smooth parts suit exponential smoothing;
+    * intermittent/lumpy parts need Croston-class methods — running SES
+    * on lumpy demand is the classic planning failure this grid
+    * exists to prevent): per part, ADI = mean inter-demand interval
+    * (span/(demand days−1)) and CV² = population variance/mean² of the
+    * nonzero daily quantities; quadrant thresholds ADI 1.32 / CV²
+    * 0.49; parts seen on a single day class as 'single' (no interval
+    * exists — documented).
+    *
+    * Exact integer inputs throughout: demand days and spans are date
+    * arithmetic, CV² = (n·Σq²−(Σq)²)/(Σq)² is a ratio of exact
+    * decimals; one rollup to (part, day), one per-part aggregate,
+    * class-bounded output. */
+  def demandClasses(lineitem: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val daily = lineitem.groupBy(col("l_partkey").as("pk"),
+        to_date(col("l_shipdate")).as("day"))
+      .agg(sum(round(col("l_quantity")).cast("long")).as("q"))
+    val per = daily.groupBy("pk")
+      .agg(count(lit(1)).as("nd"),
+        (datediff(max("day"), min("day"))).cast("long").as("span"),
+        sum(col("q").cast(dec)).as("sq"),
+        sum(col("q").cast(dec) * col("q").cast(dec)).as("sqq"))
+    val nD = col("nd").cast("double")
+    val adi = col("span").cast("double") / (nD - 1.0)
+    val cv2 = (nD * col("sqq").cast("double") -
+      col("sq").cast("double") * col("sq").cast("double")) /
+      (col("sq").cast("double") * col("sq").cast("double"))
+    per.select(
+        when(col("nd") < 2, "single")
+          .when(adi < 1.32 && cv2 < 0.49, "smooth")
+          .when(adi >= 1.32 && cv2 < 0.49, "intermittent")
+          .when(adi < 1.32 && cv2 >= 0.49, "erratic")
+          .otherwise("lumpy").as("demand_class"))
+      .groupBy("demand_class")
+      .agg(count(lit(1)).as("n_parts"))
+  }
+
   /** MAXIMUM DRAWDOWN of the daily revenue level — the risk number a
     * mean or variance cannot express ("how far below its best day has
     * this series ever sunk" — THE metric for anything managed against

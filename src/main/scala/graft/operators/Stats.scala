@@ -3364,6 +3364,58 @@ object Stats {
         .as("gini_gain"))
   }
 
+  /** STANDARDIZED-MEAN-DIFFERENCE covariate balance table over the
+    * [[md5Arm]] split — the pre-experiment hygiene check every A/B
+    * readout should lead with (a "significant" treatment effect on
+    * arms that differ at baseline is a randomization bug, not a
+    * discovery; |SMD| < 0.1 is the conventional balance bar, and
+    * unlike a t-test the SMD does not shrink with n — it measures the
+    * imbalance itself): per user-level covariate (activity, spend,
+    * conversion), SMD = (μ_B−μ_A)/√((s²_A+s²_B)/2).
+    *
+    * One user rollup to exact integer covariates, one conditional
+    * wide aggregate (sums and square-sums in decimal(38,0)), a stack
+    * to the covariate-bounded report — single corpus pass. */
+  def covariateBalance(events: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val users = events.groupBy("user_id")
+      .agg(count(lit(1)).as("c1"),
+        sum(round(col("value") * 100).cast("long")).as("c2"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("c3"))
+      .select(md5Arm(col("user_id")).as("arm"), col("c1"), col("c2"),
+        col("c3"))
+    val aggs = Seq("c1", "c2", "c3").flatMap { c =>
+      Seq("A", "B").flatMap { a =>
+        Seq(sum(when(col("arm") === a, col(c))).cast(dec)
+          .as(s"s_${c}_$a"),
+          sum(when(col("arm") === a, col(c).cast(dec) * col(c)
+            .cast(dec))).as(s"q_${c}_$a"))
+      }
+    } ++ Seq(
+      sum(when(col("arm") === "A", 1L).otherwise(0L)).as("na"),
+      sum(when(col("arm") === "B", 1L).otherwise(0L)).as("nb"))
+    val w = users.agg(aggs.head, aggs.tail: _*)
+    def stat(c: String, a: String, n: Column) = {
+      val s = col(s"s_${c}_$a").cast("double")
+      val q = col(s"q_${c}_$a").cast("double")
+      val nD = n.cast("double")
+      (s / nD, (nD * q - s * s) / (nD * (nD - 1.0)))
+    }
+    val exprs = Seq(("n_events", "c1", 1.0), ("spend_cents", "c2", 1.0),
+      ("converted", "c3", 1.0)).map { case (name, c, _) =>
+      val (ma, va) = stat(c, "A", col("na"))
+      val (mb, vb) = stat(c, "B", col("nb"))
+      struct(lit(name).as("covariate"),
+        round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
+        round((mb - ma) /
+          nullif(sqrt((va + vb) / 2.0), lit(0.0)), 6).as("smd"))
+    }
+    w.select(explode(array(exprs: _*)).as("r"))
+      .select(col("r.covariate"), col("r.mean_a"), col("r.mean_b"),
+        col("r.smd"))
+  }
+
   /** QINI / UPLIFT DECILE TABLE over the [[md5Arm]] split — the
     * TARGETING read-out the average treatment effect hides (st_did /
     * st_prop_test price the WHOLE population; uplift asks WHO to

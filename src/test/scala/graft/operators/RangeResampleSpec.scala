@@ -1004,6 +1004,33 @@ class RangeResampleSpec extends SparkSpec {
     assert(r.getAs[Double]("adf_t") < -2.86, s"$r")
   }
 
+  test("demandClasses: one planted part per Syntetos-Boylan quadrant " +
+      "plus the single-day bucket") {
+    import spark.implicits._
+    def li(rows: (Long, Int, Double)*) = rows.toSeq.map {
+      case (pk, day, q) => (pk, day.toLong * 86400L, q) }
+      .toDF("l_partkey", "s", "l_quantity")
+      .select(col("l_partkey"),
+        timestamp_seconds(col("s")).as("l_shipdate"), col("l_quantity"))
+    val out = Resample.demandClasses(li(
+      // part 1: every day, constant qty -> smooth (ADI 1, CV2 0)
+      (1L, 0, 5.0), (1L, 1, 5.0), (1L, 2, 5.0), (1L, 3, 5.0),
+      (1L, 4, 5.0),
+      // part 2: two demands 8 days apart, equal qty -> intermittent
+      (2L, 0, 5.0), (2L, 8, 5.0),
+      // part 3: daily but one wild quantity -> erratic
+      (3L, 0, 1.0), (3L, 1, 1.0), (3L, 2, 1.0), (3L, 3, 1.0),
+      (3L, 4, 100.0),
+      // part 4: sparse AND wild -> lumpy
+      (4L, 0, 1.0), (4L, 9, 100.0),
+      // part 5: a single demand day -> no interval exists
+      (5L, 3, 7.0))).collect()
+      .map(r => (r.getAs[String]("demand_class"),
+        r.getAs[Long]("n_parts"))).toMap
+    assert(out == Map("smooth" -> 1L, "intermittent" -> 1L,
+      "erratic" -> 1L, "lumpy" -> 1L, "single" -> 1L), s"$out")
+  }
+
   test("maxDrawdown: the slump measures peak-to-trough exactly; a " +
       "monotone series never draws down") {
     import spark.implicits._

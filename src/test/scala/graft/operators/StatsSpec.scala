@@ -2054,6 +2054,39 @@ class StatsSpec extends SparkSpec {
     assert(p.isNullAt(p.fieldIndex("f")), s"$p")
   }
 
+  test("covariateBalance: mirror-image arms balance to SMD exactly 0; " +
+      "a spend shift shows up on its covariate only") {
+    import spark.implicits._
+    def arm(u: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      if ("%02x".format(d(0)).charAt(0) < '8') "A" else "B"
+    }
+    val as = (1L to 300L).filter(arm(_) == "A").take(2)
+    val bs = (1L to 300L).filter(arm(_) == "B").take(2)
+    def ev(rows: Seq[(Long, String, Double)]) =
+      rows.toDF("user_id", "event_type", "value")
+        .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
+    def mirror(spendB: Double) = ev(Seq(
+      (as(0), "click", 10.0), (as(0), "click", 10.0),
+      (as(1), "purchase", 20.0),
+      (bs(0), "click", spendB), (bs(0), "click", spendB),
+      (bs(1), "purchase", 20.0)))
+    val bal = Stats.covariateBalance(mirror(10.0)).collect()
+      .map(r => (r.getAs[String]("covariate"), r)).toMap
+    assert(bal.keySet ==
+      Set("n_events", "spend_cents", "converted"), s"$bal")
+    assert(bal.values.forall(_.getAs[Double]("smd") == 0.0), s"$bal")
+    assert(bal("n_events").getAs[Double]("mean_a") == 1.5, s"$bal")
+    assert(bal("converted").getAs[Double]("mean_b") == 0.5, s"$bal")
+    // doubling B's click spend moves ONLY the spend covariate
+    val skew = Stats.covariateBalance(mirror(20.0)).collect()
+      .map(r => (r.getAs[String]("covariate"), r.getAs[Double]("smd")))
+      .toMap
+    assert(skew("n_events") == 0.0 && skew("converted") == 0.0, s"$skew")
+    assert(skew("spend_cents") > 0.0, s"$skew")
+  }
+
   test("kuiperTest: keeps both signed excursions the KS max would " +
       "collapse — the nested-pair layout scores V = 2x its D") {
     import spark.implicits._
