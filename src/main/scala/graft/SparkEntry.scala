@@ -905,6 +905,10 @@ object SparkEntry {
       Dwh.allocateToLines(Tables.orders(s, d), Tables.lineitem(s, d))),
     "tx_dispersion" -> ((s, d) =>
       TextAnalysis.sourceDispersion(Tables.documents(s, d))),
+    "tx_distinct_n" -> ((s, d) =>
+      TextAnalysis.distinctN(Tables.documents(s, d))),
+    "dd_histogram" -> ((s, d) =>
+      Dedup.dupSizeHistogram(Tables.documents(s, d))),
     "st_logrank" -> ((s, d) => Stats.logRank(Tables.events(s, d))),
     "st_nelson_aalen" -> ((s, d) =>
       Stats.nelsonAalen(Tables.events(s, d))),
@@ -4864,6 +4868,46 @@ object SparkEntry {
            CAST(sum(CASE WHEN al <> h THEN 1 ELSE 0 END) AS BIGINT)
              AS n_mismatched
          FROM po""",
+    "tx_distinct_n" ->
+      """WITH tok AS (SELECT string_split(text, ' ') AS t
+           FROM documents),
+         g1 AS (SELECT unnest(t) AS g FROM tok),
+         i2 AS (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+           FROM tok WHERE len(t) >= 2),
+         g2 AS (SELECT t[i] || ' ' || t[i + 1] AS g FROM i2),
+         i3 AS (SELECT t, unnest(generate_series(1, len(t) - 2)) AS i
+           FROM tok WHERE len(t) >= 3),
+         g3 AS (SELECT t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS g
+           FROM i3)
+         SELECT CAST(1 AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS total,
+           CAST(count(DISTINCT g) AS BIGINT) AS distinct_types,
+           round(CAST(count(DISTINCT g) AS DOUBLE) / count(*), 6)
+             AS distinct_ratio
+         FROM g1
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT g) AS BIGINT),
+           round(CAST(count(DISTINCT g) AS DOUBLE) / count(*), 6)
+         FROM g2
+         UNION ALL
+         SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT g) AS BIGINT),
+           round(CAST(count(DISTINCT g) AS DOUBLE) / count(*), 6)
+         FROM g3""",
+    "dd_histogram" ->
+      """WITH sizes AS (SELECT
+             md5(lower(trim(regexp_replace(text, ' +', ' ', 'g'))))
+               AS fp,
+             CAST(count(*) AS BIGINT) AS k
+           FROM documents GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents)
+         SELECT k AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           k * CAST(count(*) AS BIGINT) AS n_docs_in,
+           round(CAST(k * count(*) AS DOUBLE) / n_docs, 6) AS doc_share
+         FROM sizes CROSS JOIN tot GROUP BY k, n_docs""",
     "tx_dispersion" ->
       """WITH tok AS (SELECT source,
              unnest(string_split(text, ' ')) AS t

@@ -24,6 +24,28 @@ object Dedup {
         countDistinct(col("fp")).as("n_distinct"))
       .withColumn("n_dup_docs", col("n_docs") - col("n_distinct"))
 
+  /** DUPLICATE-CLUSTER-SIZE HISTOGRAM — the duplication PROFILE
+    * [[exactStats]]'s single dup count hides ("5% duplicated" means
+    * something very different when it is one document copied 50k
+    * times vs 25k near-disjoint pairs — the first is a boilerplate
+    * page to kill at the source, the second is organic re-posting for
+    * the dedup stage): per exact-fingerprint cluster size k, how many
+    * clusters and what share of all DOCUMENTS sits in size-k clusters.
+    * One fingerprint rollup, one size-keyed re-aggregate
+    * (histogram-bounded output), exact integer counts. */
+  def dupSizeHistogram(documents: DataFrame): DataFrame = {
+    val sizes = documents
+      .select(contentFingerprint(col("text")).as("fp"))
+      .groupBy("fp").agg(count(lit(1)).as("k"))
+    val tot = sizes.agg(sum("k").as("n_docs"))
+    sizes.groupBy("k").agg(count(lit(1)).as("n_clusters"))
+      .crossJoin(broadcast(tot))
+      .select(col("k").as("cluster_size"), col("n_clusters"),
+        (col("k") * col("n_clusters")).as("n_docs_in"),
+        round((col("k") * col("n_clusters")).cast("double") /
+          col("n_docs"), 6).as("doc_share"))
+  }
+
   /** Per-source exact-duplication report — WHICH feed is polluting the
     * corpus (the segmentation a curation pipeline runs right after
     * [[exactStats]] says there IS duplication): for each source, its

@@ -1030,6 +1030,35 @@ object TextAnalysis {
     * the model; the spec trains on a planted separable corpus and
     * demands a diagonal confusion matrix, the same honest-negative
     * pattern as logisticGD.) */
+  /** DISTINCT-N DIVERSITY of the corpus — the text-generation
+    * diversity metric (Li et al.'s distinct-1/2/3) applied where it
+    * started mattering most, TRAINING data (a corpus whose trigram
+    * occurrences are mostly repeats of few types teaches repetition;
+    * the ratio ladder n=1→3 separates small-vocabulary from
+    * small-PHRASEBOOK — the latter is the dedup-resistant templating
+    * dd_* hash dedup cannot see): per n, distinct n-gram types /
+    * total n-gram occurrences. One explode + one (count,
+    * countDistinct) rollup per n, unioned into the 3-row report;
+    * exact integer counts. */
+  def distinctN(documents: DataFrame): DataFrame = {
+    def grams(n: Int) =
+      if (n == 1) documents.select(explode(tokens(col("text"))).as("g"))
+      else documents.select(
+        explode(element_at(transform(array(tokens(col("text"))), arr =>
+          when(size(arr) < n, array().cast("array<string>"))
+            .otherwise(transform(sequence(lit(0), size(arr) - n),
+              i => concat_ws(" ", (1 to n).map(k =>
+                element_at(arr, i + k)): _*)))), 1)).as("g"))
+    (1 to 3).map { n =>
+      grams(n).agg(lit(n.toLong).as("n"),
+        count(lit(1)).as("total"),
+        countDistinct("g").as("distinct_types"))
+    }.reduce(_.unionByName(_))
+      .select(col("n"), col("total"), col("distinct_types"),
+        round(col("distinct_types").cast("double") / col("total"), 6)
+          .as("distinct_ratio"))
+  }
+
   /** GRIES' DP DISPERSION of the head vocabulary across sources — the
     * "is this word EVERYWHERE or just in one corner" statistic raw
     * frequency hides (a token can owe its whole count to a single

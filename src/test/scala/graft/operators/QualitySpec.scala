@@ -799,6 +799,34 @@ class QualitySpec extends SparkSpec {
       tie.getAs[Double]("coverage") == 0.4, s"$tie")
   }
 
+  test("distinctN: the n-gram diversity ladder prices repetition per " +
+      "order exactly") {
+    import spark.implicits._
+    // "a b a b": distinct-1 = 2/4, distinct-2 = 2/3, distinct-3 = 2/2
+    val out = TextAnalysis.distinctN(
+      Seq((0L, "a b a b")).toDF("doc_id", "text")).collect()
+      .map(r => (r.getAs[Long]("n"),
+        (r.getAs[Long]("total"), r.getAs[Long]("distinct_types"),
+          r.getAs[Double]("distinct_ratio")))).toMap
+    assert(out(1L) == (4L, 2L, 0.5), s"$out")
+    assert(out(2L) == (3L, 2L, 0.666667), s"$out")
+    assert(out(3L) == (2L, 2L, 1.0), s"$out")
+  }
+
+  test("dupSizeHistogram: cluster sizes bucket with exact doc shares; " +
+      "normalization folds case/whitespace variants together") {
+    import spark.implicits._
+    val docs = Seq("x common", "X  common", "x common ", "y two",
+      "y two", "z one").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = graft.operators.Dedup.dupSizeHistogram(docs).collect()
+      .map(r => (r.getAs[Long]("cluster_size"),
+        (r.getAs[Long]("n_clusters"), r.getAs[Double]("doc_share"))))
+      .toMap
+    assert(out == Map(3L -> (1L, 0.5), 2L -> (1L, 0.333333),
+      1L -> (1L, 0.166667)), s"$out")
+  }
+
   test("sourceDispersion: a token spread like the corpus scores DP 0, " +
       "a single-source token scores its concentration exactly") {
     import spark.implicits._
