@@ -907,6 +907,8 @@ object SparkEntry {
       TextAnalysis.sourceDispersion(Tables.documents(s, d))),
     "tx_distinct_n" -> ((s, d) =>
       TextAnalysis.distinctN(Tables.documents(s, d))),
+    "tx_fertility" -> ((s, d) =>
+      TextAnalysis.tokenizerFertility(Tables.documents(s, d))),
     "dd_histogram" -> ((s, d) =>
       Dedup.dupSizeHistogram(Tables.documents(s, d))),
     "st_logrank" -> ((s, d) => Stats.logRank(Tables.events(s, d))),
@@ -4868,6 +4870,17 @@ object SparkEntry {
            CAST(sum(CASE WHEN al <> h THEN 1 ELSE 0 END) AS BIGINT)
              AS n_mismatched
          FROM po""",
+    "tx_fertility" ->
+      """WITH d AS (SELECT lang,
+             CAST(round(CAST(len(regexp_extract_all(text,
+                 '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS DOUBLE)
+               / nullif(CAST(len(string_split(text, ' ')) AS DOUBLE),
+                 0.0) * 1e6) AS BIGINT) AS f6
+           FROM documents)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(f6) AS DOUBLE) / (count(*) * 1e6), 6)
+             AS fertility
+         FROM d WHERE f6 IS NOT NULL GROUP BY 1""",
     "tx_distinct_n" ->
       """WITH tok AS (SELECT string_split(text, ' ') AS t
            FROM documents),

@@ -1030,6 +1030,26 @@ object TextAnalysis {
     * the model; the spec trains on a planted separable corpus and
     * demands a diagonal confusion matrix, the same honest-negative
     * pattern as logisticGD.) */
+  /** TOKENIZER FERTILITY per language — the multilingual cost metric
+    * every shared-vocabulary pipeline budgets by (fertility = lexer
+    * tokens per whitespace word; a language whose words shatter into
+    * 3× the subword tokens pays 3× the context window and 3× the
+    * compute for the same text — THE number behind per-language
+    * sampling corrections): per doc, the BPE-ish lexer count
+    * ([[graft.functions.TextFunctions.reTokenCount]]) over the
+    * whitespace count, micro-quantized per doc BEFORE the language
+    * mean (order-free longs). One scan, language-bounded output. */
+  def tokenizerFertility(documents: DataFrame): DataFrame =
+    documents.select(col("lang"),
+        round(reTokenCount(col("text")).cast("double") /
+          nullif(wsTokenCount(col("text")).cast("double"), lit(0.0)) *
+          1e6).cast("long").as("f6"))
+      .filter(col("f6").isNotNull)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum("f6").cast("double") / (count(lit(1)) * 1e6), 6)
+          .as("fertility"))
+
   /** DISTINCT-N DIVERSITY of the corpus — the text-generation
     * diversity metric (Li et al.'s distinct-1/2/3) applied where it
     * started mattering most, TRAINING data (a corpus whose trigram

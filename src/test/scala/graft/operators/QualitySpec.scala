@@ -799,6 +799,19 @@ class QualitySpec extends SparkSpec {
       tie.getAs[Double]("coverage") == 0.4, s"$tie")
   }
 
+  test("tokenizerFertility: punctuation-shattered text pays more " +
+      "lexer tokens per word than plain prose") {
+    import spark.implicits._
+    // "ab cd": 2 lexer tokens / 2 words = 1.0
+    // "a-b c.d": 6 lexer tokens (a,-,b / c,.,d) / 2 words = 3.0
+    val docs = Seq((0L, "en", "ab cd"), (1L, "zz", "a-b c.d"))
+      .toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.tokenizerFertility(docs).collect()
+      .map(r => (r.getAs[String]("lang"),
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("fertility")))).toMap
+    assert(out == Map("en" -> (1L, 1.0), "zz" -> (1L, 3.0)), s"$out")
+  }
+
   test("distinctN: the n-gram diversity ladder prices repetition per " +
       "order exactly") {
     import spark.implicits._
