@@ -947,6 +947,8 @@ object SparkEntry {
       TextAnalysis.vocabCoverage(Tables.documents(s, d))),
     "sp_mantel" -> ((s, d) =>
       SpatialJoin.mantelCells(Tables.customer(s, d))),
+    "sp_variogram" -> ((s, d) =>
+      SpatialJoin.semivariogramCells(Tables.customer(s, d))),
     "ann_range" -> ((s, d) =>
       SimilaritySearch.rangeSearch(Tables.embeddings(s, d), 0L, 0.2)),
     "ann_lsh" -> ((s, d) =>
@@ -5124,6 +5126,32 @@ object SparkEntry {
                  - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)), 0.0), 6)
              AS mantel_r
          FROM s""",
+    "sp_variogram" ->
+      """WITH p AS (SELECT
+             round(((c_custkey * 17) % 1400)/10.0 - 70.0, 4) AS lat,
+             round(((c_custkey * 31) % 3600)/10.0 - 180.0, 4) AS lon
+           FROM customer),
+         g AS (SELECT CAST(floor((lat + 90) / 10) AS INTEGER) AS cell_lat,
+             CAST(floor((lon + 180) / 10) AS INTEGER) AS cell_lon,
+             CAST(count(*) AS BIGINT) AS x
+           FROM p GROUP BY 1, 2),
+         pr AS (SELECT
+             CAST(floor(CAST(round(2.0 * 6371.0 * asin(sqrt(
+               pow(sin(radians(((b.cell_lat + 0.5) * 10 - 90.0)
+                 - ((a.cell_lat + 0.5) * 10 - 90.0)) / 2), 2)
+               + cos(radians((a.cell_lat + 0.5) * 10 - 90.0))
+                 * cos(radians((b.cell_lat + 0.5) * 10 - 90.0))
+                 * pow(sin(radians(((b.cell_lon + 0.5) * 10 - 180.0)
+                   - ((a.cell_lon + 0.5) * 10 - 180.0)) / 2), 2)))
+               * 1e4) AS BIGINT) / 20000000) AS BIGINT) AS band,
+             CAST((a.x - b.x) * (a.x - b.x) AS HUGEINT) AS d2
+           FROM g a JOIN g b
+             ON a.cell_lat < b.cell_lat
+               OR (a.cell_lat = b.cell_lat AND a.cell_lon < b.cell_lon))
+         SELECT band, CAST(count(*) AS BIGINT) AS n_pairs,
+           round(CAST(sum(d2) AS DOUBLE) / (2.0 * count(*)), 6)
+             AS gamma
+         FROM pr GROUP BY 1""",
     "tx_novelty" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
            FROM documents),

@@ -778,6 +778,59 @@ object SpatialJoin {
       round(num / nullif(den, lit(0.0)), 6).as("mantel_r"))
   }
 
+  /** EMPIRICAL SEMIVARIOGRAM over the cell lattice — the
+    * geostatistics primitive under every kriging/interpolation model
+    * ([[mantelCells]] gives ONE correlation number; the variogram
+    * gives the SHAPE — γ(h) = ½·mean (xᵢ−xⱼ)² per distance band,
+    * whose sill/range say how far a measurement carries information,
+    * i.e. how far apart sensors or samples can afford to be): bands
+    * of `bandKm` km over all lattice cell pairs.
+    *
+    * Same lattice-bounded machinery as [[mantelCells]] (cells² pairs,
+    * lexicographic i<j, km quantized at 1e4 via the one haversine
+    * convention); squared value differences are exact decimals summed
+    * per band; band-count-bounded output. */
+  def semivariogramCells(customer: DataFrame, cellDeg: Int = 10,
+                         bandKm: Int = 2000): DataFrame =
+    semivariogramOnCells(customerPoints(customer)
+      .groupBy(
+        floor((col("c_lat") + 90) / cellDeg).cast("int").as("cell_lat"),
+        floor((col("c_lon") + 180) / cellDeg).cast("int").as("cell_lon"))
+      .agg(count(lit(1)).as("x")), cellDeg, bandKm)
+
+  private[operators] def semivariogramOnCells(cells: DataFrame,
+                                              cellDeg: Int,
+                                              bandKm: Int): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val b = cells.select(col("cell_lat").as("b_lat"),
+      col("cell_lon").as("b_lon"), col("x").as("x2"))
+    def ctrLat(c: Column) = (c.cast("double") + 0.5) * cellDeg - 90.0
+    def ctrLon(c: Column) = (c.cast("double") + 0.5) * cellDeg - 180.0
+    val aLat = ctrLat(col("cell_lat"))
+    val bLat = ctrLat(col("b_lat"))
+    val dKm = lit(2.0) * 6371.0 * asin(sqrt(
+      pow(sin(radians(bLat - aLat) / 2), 2) +
+        cos(radians(aLat)) * cos(radians(bLat)) *
+          pow(sin(radians(ctrLon(col("b_lon")) -
+            ctrLon(col("cell_lon"))) / 2), 2)))
+    cells.join(b,
+        col("cell_lat") < col("b_lat") ||
+          (col("cell_lat") === col("b_lat") &&
+            col("cell_lon") < col("b_lon")))
+      .select(
+        // explicit floor: double→long CASTs round in some engines
+        // (DuckDB) and truncate in others (Spark) — floor is the one
+        // spelling both agree on
+        floor(round(dKm * 1e4).cast("long") / lit(bandKm * 10000L))
+          .cast("long").as("band"),
+        ((col("x") - col("x2")) * (col("x") - col("x2"))).cast(dec)
+          .as("d2"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum("d2").cast("double") /
+          (lit(2.0) * count(lit(1))), 6).as("gamma"))
+  }
+
   /** [[joinCounts]]'s core over an explicit (cell_lat, cell_lon,
     * x: long) frame — split out so specs can plant exact lattices. */
   private[operators] def joinCountsOnCells(cells: DataFrame): DataFrame = {

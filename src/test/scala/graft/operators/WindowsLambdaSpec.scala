@@ -119,6 +119,23 @@ class WindowsLambdaSpec extends SparkSpec {
     assert(s.getAs[Long]("bw") < s.getAs[Double]("e_bw"), s"$s")
   }
 
+  test("semivariogramOnCells: near pairs land in band 0 with the " +
+      "exact half-mean-squared difference, far pairs band up") {
+    import spark.implicits._
+    // one lattice row near the equator (ctr lat -5): adjacent cells
+    // ~1109 km (band 0 at 2000 km bands), two-apart ~2218 km (band 1)
+    val cells = Seq((8, 0, 10L), (8, 1, 20L), (8, 2, 40L))
+      .toDF("cell_lat", "cell_lon", "x")
+    val out = SpatialJoin
+      .semivariogramOnCells(cells, cellDeg = 10, bandKm = 2000)
+      .collect()
+      .map(r => (r.getAs[Long]("band"),
+        (r.getAs[Long]("n_pairs"), r.getAs[Double]("gamma")))).toMap
+    // band 0: pairs (10,20),(20,40) -> (100+400)/(2*2) = 125
+    // band 1: pair (10,40) -> 900/2 = 450 — gamma RISES with distance
+    assert(out == Map(0L -> (2L, 125.0), 1L -> (1L, 450.0)), s"$out")
+  }
+
   test("mantelOnCells: a value gradient along the lattice correlates " +
       "near-perfectly with distance; constant values null the ratio") {
     import spark.implicits._
