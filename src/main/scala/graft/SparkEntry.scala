@@ -909,6 +909,8 @@ object SparkEntry {
       TextAnalysis.distinctN(Tables.documents(s, d))),
     "tx_fertility" -> ((s, d) =>
       TextAnalysis.tokenizerFertility(Tables.documents(s, d))),
+    "tx_heaps" -> ((s, d) =>
+      TextAnalysis.heapsFit(Tables.documents(s, d))),
     "dd_histogram" -> ((s, d) =>
       Dedup.dupSizeHistogram(Tables.documents(s, d))),
     "st_logrank" -> ((s, d) => Stats.logRank(Tables.events(s, d))),
@@ -4872,6 +4874,57 @@ object SparkEntry {
            CAST(sum(CASE WHEN al <> h THEN 1 ELSE 0 END) AS BIGINT)
              AS n_mismatched
          FROM po""",
+    "tx_heaps" ->
+      """WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n
+           FROM documents),
+         tokfirst AS (SELECT g, min(doc_id) AS fdoc FROM
+           (SELECT doc_id, unnest(string_split(text, ' ')) AS g
+            FROM documents) GROUP BY 1),
+         vnew AS (SELECT least(9, (fdoc * 10) // n) AS d,
+             CAST(count(*) AS BIGINT) AS v_new
+           FROM tokfirst CROSS JOIN nd GROUP BY 1),
+         tnew AS (SELECT least(9, (doc_id * 10) // n) AS d,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+               AS t_new
+           FROM documents CROSS JOIN nd GROUP BY 1),
+         pts AS (SELECT d,
+             sum(coalesce(v_new, 0)) OVER wd AS v,
+             sum(t_new) OVER wd AS nn
+           FROM tnew LEFT JOIN vnew USING (d)
+           WINDOW wd AS (ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         q AS (SELECT
+             CAST(round(ln(CAST(v AS DOUBLE)) * 1e6) AS BIGINT) AS ly,
+             CAST(round(ln(CAST(nn AS DOUBLE)) * 1e6) AS BIGINT) AS lx
+           FROM pts),
+         s AS (SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(lx) AS BIGINT) AS sx,
+             CAST(sum(ly) AS BIGINT) AS sy,
+             CAST(sum(lx * lx) AS BIGINT) AS sxx,
+             CAST(sum(lx * ly) AS BIGINT) AS sxy,
+             CAST(sum(ly * ly) AS BIGINT) AS syy
+           FROM q)
+         SELECT k AS n_points,
+           round((CAST(k AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / nullif(CAST(k AS DOUBLE) * sxx
+               - CAST(sx AS DOUBLE) * sx, 0.0), 6) AS beta,
+           round((CAST(sy AS DOUBLE)
+               - (CAST(k AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / nullif(CAST(k AS DOUBLE) * sxx
+                   - CAST(sx AS DOUBLE) * sx, 0.0)
+                 * sx) / k / 1e6, 6) AS ln_k,
+           round(((CAST(k AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / nullif(sqrt((CAST(k AS DOUBLE) * sxx
+                 - CAST(sx AS DOUBLE) * sx)
+                 * (CAST(k AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+                 0.0))
+             * ((CAST(k AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / nullif(sqrt((CAST(k AS DOUBLE) * sxx
+                 - CAST(sx AS DOUBLE) * sx)
+                 * (CAST(k AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+                 0.0)),
+             6) AS r2
+         FROM s""",
     "tx_fertility" ->
       """WITH d AS (SELECT lang,
              CAST(round(CAST(len(regexp_extract_all(text,

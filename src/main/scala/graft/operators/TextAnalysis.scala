@@ -1148,6 +1148,71 @@ object TextAnalysis {
         round(col("cv").cast("double") / col("tt"), 6).as("coverage"))
   }
 
+  /** HEAPS' LAW FIT — the vocabulary-growth exponent (V(N) ≈ K·N^β;
+    * tx_coverage prices a vocabulary budget TODAY, Heaps' β says how
+    * fast that budget obsoletes as the corpus grows: β near 0.5 is
+    * natural text, β near 0 means the source has stopped coining, β
+    * near 1 means id-like token pollution a tokenizer must not
+    * memorize): vocabulary size V and token count N measured at ten
+    * doc-id-ordered checkpoints — V via each token's FIRST document
+    * (one gram-keyed min rollup, the tx_novelty machinery: a token
+    * counts for every checkpoint after its first doc), N via the
+    * per-decile token-count cumsum — then log-log OLS over the
+    * 10-point frame with micro-quantized ln terms (exact long sums).
+    * Both curves cost one corpus pass each; everything after is
+    * decile-bounded. */
+  def heapsFit(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nd = documents.agg(count(lit(1)).as("n"))
+    val firstDoc = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("g"))
+      .groupBy("g").agg(min("doc_id").as("fd"))
+      .crossJoin(broadcast(nd))
+      .groupBy(least(lit(9L),
+        floor((col("fd") * 10).cast("double") / col("n")).cast("long"))
+        .as("d"))
+      .agg(count(lit(1)).as("v_new"))
+    val toks = documents
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long")
+        .as("nt"))
+      .crossJoin(broadcast(nd))
+      .groupBy(least(lit(9L),
+        floor((col("doc_id") * 10).cast("double") / col("n"))
+          .cast("long")).as("d"))
+      .agg(sum("nt").as("t_new"))
+    val w = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // left from the token curve: a decile coining NO new tokens still
+    // anchors a checkpoint (v_new 0), else the cumsums misalign
+    val pts = toks.join(firstDoc, Seq("d"), "left")
+      .na.fill(0L, Seq("v_new"))
+      .select(col("d"), sum("v_new").over(w).as("v"),
+        sum("t_new").over(w).as("nn"))
+      .select(round(log(col("v").cast("double")) * 1e6).cast("long")
+        .as("ly"), round(log(col("nn").cast("double")) * 1e6)
+        .cast("long").as("lx"))
+    val s = pts.agg(count(lit(1)).as("k"),
+      sum("lx").as("sx"), sum("ly").as("sy"),
+      sum(col("lx") * col("lx")).as("sxx"),
+      sum(col("lx") * col("ly")).as("sxy"),
+      sum(col("ly") * col("ly")).as("syy"))
+    val k = col("k").cast("double")
+    val (sx, sy) = (col("sx").cast("double"), col("sy").cast("double"))
+    val (sxx, sxy, syy) = (col("sxx").cast("double"),
+      col("sxy").cast("double"), col("syy").cast("double"))
+    // nullif guards: a corpus whose vocabulary saturates inside the
+    // first decile has ZERO y-variance — beta = 0 is the meaningful
+    // answer ("the source stopped coining"), r2 reports null rather
+    // than an ANSI divide-by-zero
+    val beta = (k * sxy - sx * sy) /
+      nullif(k * sxx - sx * sx, lit(0.0))
+    val lnk = (sy - beta * sx) / k / 1e6
+    val r = (k * sxy - sx * sy) /
+      nullif(sqrt((k * sxx - sx * sx) * (k * syy - sy * sy)), lit(0.0))
+    s.select(col("k").as("n_points"), round(beta, 6).as("beta"),
+      round(lnk, 6).as("ln_k"), round(r * r, 6).as("r2"))
+  }
+
   /** CORPUS NOVELTY CURVE — the diminishing-returns question every
     * data-acquisition decision hangs on ("is the next slice of this
     * source still teaching the model anything, or re-serving what the

@@ -799,6 +799,24 @@ class QualitySpec extends SparkSpec {
       tie.getAs[Double]("coverage") == 0.4, s"$tie")
   }
 
+  test("heapsFit: a coining corpus fits beta near 1; a saturated " +
+      "vocabulary reports beta 0 with a null fit quality") {
+    import spark.implicits._
+    // every doc coins one fresh token beside one shared: V ~ N/2
+    val coin = (0L until 40L).map(i => (i, s"t$i common"))
+      .toDF("doc_id", "text")
+    val c = TextAnalysis.heapsFit(coin).collect().head
+    assert(c.getAs[Long]("n_points") == 10L, s"$c")
+    assert(c.getAs[Double]("beta") > 0.9, s"$c")
+    assert(c.getAs[Double]("r2") > 0.99, s"$c")
+    // two tokens forever: vocabulary flat across every checkpoint
+    val flat = (0L until 40L).map(i => (i, "a b"))
+      .toDF("doc_id", "text")
+    val f = TextAnalysis.heapsFit(flat).collect().head
+    assert(f.getAs[Double]("beta") == 0.0, s"$f")
+    assert(f.isNullAt(f.fieldIndex("r2")), s"$f")
+  }
+
   test("tokenizerFertility: punctuation-shattered text pays more " +
       "lexer tokens per word than plain prose") {
     import spark.implicits._
