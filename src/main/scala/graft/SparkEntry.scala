@@ -895,6 +895,45 @@ object SparkEntry {
         Tables.nation(s, d))),
     "dq_fingerprint" -> ((s, d) =>
       Quality.tableFingerprint(Tables.orders(s, d))),
+    // batch replay of the streaming late-arriving-dimension sink —
+    // the SAME admitFacts/healDims definitions the checkpointed sinks
+    // call per micro-batch (the stream_fingerprint discipline: one
+    // definition, driver-checked here, replay/idempotence spec-checked
+    // in InferredMemberSpec): 3 fact batches interleaved with 2 dim
+    // loads, then an at-least-once REPLAY of one batch of each kind —
+    // the final lake must be exactly "dims latest-per-key type-1,
+    // fact-only keys as inferred placeholders"
+    "stream_inferred_member" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val p = scratch(d, "inferred_member_dim")
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(hp)) fs.delete(hp, true) // fresh lake per run
+      val facts = Tables.orders(s, d)
+        .select(col("o_custkey"), (col("o_orderkey") % 3).as("__b"))
+      def factBatch(b: Int) = facts.filter(col("__b") === b)
+      val dim0 = Tables.customer(s, d).filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"),
+          concat(lit("seg0:"), col("c_mktsegment")).as("state"),
+          lit(0L).as("ts"), col("c_custkey").as("ord"))
+      val dim1 = Tables.customer(s, d).filter(col("c_custkey") % 4 === 0)
+        .select(col("c_custkey"),
+          concat(lit("seg1:"), col("c_mktsegment")).as("state"),
+          lit(1L).as("ts"), col("c_custkey").as("ord"))
+      streaming.InferredMemberSink.admitFacts(factBatch(0), p, "o_custkey")
+      streaming.InferredMemberSink.healDims(dim0, p, "c_custkey",
+        "state", "ts", "ord")
+      streaming.InferredMemberSink.admitFacts(factBatch(1), p, "o_custkey")
+      streaming.InferredMemberSink.healDims(dim1, p, "c_custkey",
+        "state", "ts", "ord")
+      streaming.InferredMemberSink.admitFacts(factBatch(2), p, "o_custkey")
+      // at-least-once: replaying a fact batch and a dim batch must
+      // leave the lake bit-identical
+      streaming.InferredMemberSink.admitFacts(factBatch(1), p, "o_custkey")
+      streaming.InferredMemberSink.healDims(dim1, p, "c_custkey",
+        "state", "ts", "ord")
+      s.read.parquet(p).select("dim_key", "state", "inferred")
+    }),
     "st_wquantile" -> ((s, d) =>
       Stats.weightedQuantiles(Tables.lineitem(s, d), "l_extendedprice",
         "l_quantity")),
@@ -941,6 +980,10 @@ object SparkEntry {
       Relational.skylineParts(Tables.part(s, d))),
     "dq_column_stats" -> ((s, d) =>
       Quality.columnStats(Tables.orders(s, d))),
+    // HLL++ NDV twin: rows-only (register layout is engine-private);
+    // ≤5%-error-vs-exact and no-Expand plan shape are spec-locked
+    "dq_column_stats_approx" -> ((s, d) =>
+      Quality.columnStatsApprox(Tables.orders(s, d))),
     "ts_flatness" -> ((s, d) =>
       Resample.spectralFlatness(Tables.events(s, d))),
     "tx_novelty" -> ((s, d) =>
@@ -1918,7 +1961,7 @@ object SparkEntry {
   private val MlKmeansAssignSql: String =
     """WITH vv AS (SELECT vec_id,
              list_transform(embedding,
-               x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+               x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS q
            FROM embeddings),
          v AS (SELECT vec_id, q,
              list_aggregate(list_transform(q, y -> y*y), 'sum') AS ssq
@@ -1927,7 +1970,7 @@ object SparkEntry {
              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
            FROM v),
          c0 AS (SELECT cell, list_transform(q,
-             y -> CAST(round(y*1000000.0/sqrt(ssq)) AS BIGINT)) AS c
+             y -> CAST(floor(y*1000000.0/sqrt(ssq) + 0.5) AS BIGINT)) AS c
            FROM sd WHERE cell < 8),
          cc0 AS (SELECT cell, c,
              list_aggregate(list_transform(c, y -> y*y), 'sum') AS cssq
@@ -1946,7 +1989,7 @@ object SparkEntry {
          m1 AS (SELECT cell, list(sx ORDER BY pos) AS sl
            FROM s1 GROUP BY 1),
          cm AS (SELECT cell, list_transform(sl,
-             y -> CAST(round(y*1000000.0 / sqrt(list_aggregate(
+             y -> CAST(floor(0.5 + y*1000000.0 / sqrt(list_aggregate(
                list_transform(sl, z -> z*z), 'sum'))) AS BIGINT)) AS c
            FROM m1),
          c1 AS (SELECT c0.cell, coalesce(cm.c, c0.c) AS c
@@ -2252,7 +2295,8 @@ object SparkEntry {
     "ts_bollinger" ->
       """WITH h AS (SELECT event_type,
              epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
-             CAST(round(avg(value) * 1e6) AS BIGINT) AS v6
+             CAST((sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 20000
+               + count(*)) // (2 * count(*)) AS BIGINT) AS v6
            FROM events GROUP BY 1, 2),
          w AS (SELECT event_type, hr, v6,
              CAST(count(*) OVER win AS BIGINT) AS wn,
@@ -2375,7 +2419,8 @@ object SparkEntry {
     // expansion; exact longs make the reformulation identical)
     "ts_haar_energy" ->
       """WITH h AS (SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
-             CAST(round(avg(value) * 1e6) AS BIGINT) AS v6
+             CAST((sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 20000
+               + count(*)) // (2 * count(*)) AS BIGINT) AS v6
            FROM events WHERE event_type = 'click' GROUP BY 1),
          s0 AS (SELECT row_number() OVER (ORDER BY hr) - 1 AS i, v6 AS s
            FROM h),
@@ -2793,7 +2838,8 @@ object SparkEntry {
     "st_energy_dist" ->
       """WITH h AS MATERIALIZED (SELECT event_type,
              epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
-             CAST(round(avg(value) * 1e6) AS BIGINT) AS vu
+             CAST((sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 20000
+               + count(*)) // (2 * count(*)) AS BIGINT) AS vu
            FROM events WHERE event_type IN ('click', 'view')
            GROUP BY 1, 2),
          a AS (SELECT vu AS xa FROM h WHERE event_type = 'click'),
@@ -3185,7 +3231,8 @@ object SparkEntry {
            JOIN wc ON t.week = wc.week""",
     "ts_piecewise_trend" ->
       """WITH h0 AS (SELECT epoch(date_trunc('hour', ts)) // 3600 AS hr,
-             CAST(round(avg(value) * 1e6) AS BIGINT) AS vu
+             CAST((sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 20000
+               + count(*)) // (2 * count(*)) AS BIGINT) AS vu
            FROM events WHERE event_type = 'click' GROUP BY 1),
          h AS (SELECT hr, vu,
              CAST(row_number() OVER wo AS BIGINT) AS i,
@@ -3573,7 +3620,8 @@ object SparkEntry {
       """WITH hourly AS (SELECT
              CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT)
                AS hr,
-             CAST(round(avg(value) * 1e6) AS BIGINT) AS v
+             CAST((sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 20000
+               + count(*)) // (2 * count(*)) AS BIGINT) AS v
            FROM events WHERE event_type = 'click' GROUP BY 1),
          cnt AS (SELECT v, CAST(count(*) AS BIGINT) t
            FROM hourly GROUP BY 1),
@@ -3600,13 +3648,15 @@ object SparkEntry {
       """WITH hourly AS (SELECT
              CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT)
                AS hr,
-             CAST(round(avg(value) * 1e6) AS BIGINT) AS v
+             CAST((sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 20000
+               + count(*)) // (2 * count(*)) AS BIGINT) AS v
            FROM events WHERE event_type = 'click' GROUP BY 1),
          mo AS (SELECT CAST(count(*) AS BIGINT) nn,
              CAST(sum(v) AS HUGEINT) sv,
              sum(CAST(v AS HUGEINT) * v) svv FROM hourly),
-         r_ AS (SELECT CAST(round(sqrt(CAST(nn * svv - sv * sv
-               AS DOUBLE) / (CAST(nn AS DOUBLE) * (nn - 1))) * 0.2)
+         r_ AS (SELECT CAST(floor(sqrt(CAST(nn * svv - sv * sv
+               AS DOUBLE) / (CAST(nn AS DOUBLE) * (nn - 1))) * 0.2
+               + 0.5)
              AS BIGINT) r FROM mo),
          tpl AS (SELECT row_number() OVER (ORDER BY hr) AS i, v AS v0,
              lead(v, 1) OVER (ORDER BY hr) AS v1,
@@ -4222,7 +4272,7 @@ object SparkEntry {
     "ml_kmeans" ->
       s"""WITH b2 AS (SELECT * FROM ($MlKmeansAssignSql))
          SELECT cell, CAST(count(*) AS BIGINT) AS n,
-           round(CAST(sum(CAST(round(cos*1000000) AS BIGINT)) AS DOUBLE)
+           round(CAST(sum(CAST(floor(cos*1000000 + 0.5) AS BIGINT)) AS DOUBLE)
              / (count(*) * 1000000.0), 6) AS avg_cos
          FROM b2 GROUP BY 1""",
     "ml_cluster_purity" ->
@@ -4240,7 +4290,7 @@ object SparkEntry {
     "ml_isotropy" ->
       """WITH vv AS (SELECT vec_id,
              list_transform(embedding,
-               x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+               x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS q
            FROM embeddings),
          v AS (SELECT vec_id, q,
              list_aggregate(list_transform(q, y -> y*y), 'sum') AS ssq
@@ -4249,7 +4299,7 @@ object SparkEntry {
              unnest(q) AS x, ssq
            FROM v),
          u AS (SELECT pos,
-             CAST(round(x * 1e6 / sqrt(ssq)) AS BIGINT) AS uq
+             CAST(floor(x * 1e6 / sqrt(ssq) + 0.5) AS BIGINT) AS uq
            FROM e),
          d AS (SELECT pos, sum(CAST(uq AS HUGEINT)) AS s,
              sum(CAST(uq AS HUGEINT) * uq) AS sq
@@ -4563,12 +4613,13 @@ object SparkEntry {
            FROM cum CROSS JOIN tot
            WHERE t0 + t1 - c0 - c1 > 0),
          sc AS (SELECT v, t0, t1, nl, nr,
-             CAST(round((CAST(CAST(c0 AS HUGEINT) * c0
-                 + CAST(c1 AS HUGEINT) * c1 AS DOUBLE)
-                 / CAST(nl AS DOUBLE)
-               + CAST(CAST(t0 - c0 AS HUGEINT) * (t0 - c0)
-                 + CAST(t1 - c1 AS HUGEINT) * (t1 - c1) AS DOUBLE)
-                 / CAST(nr AS DOUBLE)) * 1e9) AS BIGINT) AS s9
+             CAST((((CAST(c0 AS HUGEINT) * c0 + CAST(c1 AS HUGEINT) * c1)
+                   * nr
+                 + (CAST(t0 - c0 AS HUGEINT) * (t0 - c0)
+                   + CAST(t1 - c1 AS HUGEINT) * (t1 - c1)) * nl)
+                 * 1000000000 * 2
+               + CAST(nl AS HUGEINT) * nr)
+               // (CAST(nl AS HUGEINT) * nr * 2) AS BIGINT) AS s9
            FROM cand),
          best AS (SELECT * FROM sc ORDER BY s9 DESC, v LIMIT 1)
          SELECT v AS threshold, nl AS n_left, nr AS n_right,
@@ -5030,6 +5081,19 @@ object SparkEntry {
              o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT),
              CAST(o_orderdate AS VARCHAR), o_orderpriority) AS rs
            FROM orders)""",
+    "stream_inferred_member" ->
+      """WITH dm AS (SELECT CAST(c_custkey AS BIGINT) AS dim_key,
+             CASE WHEN c_custkey % 4 = 0
+               THEN 'seg1:' || c_mktsegment
+               ELSE 'seg0:' || c_mktsegment END AS state
+           FROM customer WHERE c_custkey % 2 = 0),
+         fk AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS dim_key
+           FROM orders)
+         SELECT dim_key, state, false AS inferred FROM dm
+         UNION ALL
+         SELECT fk.dim_key, CAST(NULL AS VARCHAR) AS state,
+           true AS inferred
+         FROM fk ANTI JOIN dm USING (dim_key)""",
     "ts_flatness" ->
       """WITH hourly AS (SELECT
              epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
@@ -5067,7 +5131,7 @@ object SparkEntry {
     "ann_l2" ->
       """WITH vv AS (SELECT vec_id,
              list_transform(embedding,
-               x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+               x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS q
            FROM embeddings),
          qv AS (SELECT q AS qq FROM vv WHERE vec_id = 0),
          d AS (SELECT vec_id,
@@ -6904,9 +6968,11 @@ object SparkEntry {
            SELECT doc_id, unnest(list_transform(range(1, len(t)-1),
              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
            FROM toks WHERE len(t) >= 3)),
-         sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         hotsh AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 1000),
+         shk AS (SELECT doc_id, s FROM sh ANTI JOIN hotsh USING (s)),
+         sz AS (SELECT doc_id, count(*) AS n_sh FROM shk GROUP BY doc_id),
          p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
-               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               FROM shk a JOIN shk b ON a.s = b.s AND a.doc_id < b.doc_id
                GROUP BY 1, 2)
          SELECT d1, d2, shared,
            round(shared / (x.n_sh + y.n_sh - shared), 6) AS jaccard
@@ -6921,10 +6987,12 @@ object SparkEntry {
            SELECT doc_id, unnest(list_transform(range(1, len(t)-1),
              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
            FROM toks WHERE len(t) >= 3)),
-         sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         hotsh AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 1000),
+         shk AS (SELECT doc_id, s FROM sh ANTI JOIN hotsh USING (s)),
+         sz AS (SELECT doc_id, count(*) AS n_sh FROM shk GROUP BY doc_id),
          p0 AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
              count(*) AS shared
-           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           FROM shk a JOIN shk b ON a.s = b.s AND a.doc_id < b.doc_id
            GROUP BY 1, 2),
          p AS (SELECT d1, d2,
              round(shared / (x.n_sh + y.n_sh - shared), 6) AS j
@@ -6955,9 +7023,11 @@ object SparkEntry {
            SELECT doc_id, unnest(list_transform(range(1, len(t)-1),
              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
            FROM toks WHERE len(t) >= 3)),
-         sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         hotsh AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 1000),
+         shk AS (SELECT doc_id, s FROM sh ANTI JOIN hotsh USING (s)),
+         sz AS (SELECT doc_id, count(*) AS n_sh FROM shk GROUP BY doc_id),
          p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
-               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               FROM shk a JOIN shk b ON a.s = b.s AND a.doc_id < b.doc_id
                GROUP BY 1, 2)
          SELECT d1, d2, shared,
            round(shared / x.n_sh, 6) AS cont_1_in_2,
@@ -6971,9 +7041,11 @@ object SparkEntry {
            SELECT doc_id, unnest(list_transform(range(1, len(t)-1),
              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
            FROM toks WHERE len(t) >= 3)),
-         sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         hotsh AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 1000),
+         shk AS (SELECT doc_id, s FROM sh ANTI JOIN hotsh USING (s)),
+         sz AS (SELECT doc_id, count(*) AS n_sh FROM shk GROUP BY doc_id),
          p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
-               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               FROM shk a JOIN shk b ON a.s = b.s AND a.doc_id < b.doc_id
                GROUP BY 1, 2),
          pairs AS (
            SELECT d1, d2 FROM p JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
@@ -6992,9 +7064,11 @@ object SparkEntry {
            SELECT doc_id, unnest(list_transform(range(1, len(t)-1),
              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
            FROM toks WHERE len(t) >= 3)),
-         sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         hotsh AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 1000),
+         shk AS (SELECT doc_id, s FROM sh ANTI JOIN hotsh USING (s)),
+         sz AS (SELECT doc_id, count(*) AS n_sh FROM shk GROUP BY doc_id),
          p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
-               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               FROM shk a JOIN shk b ON a.s = b.s AND a.doc_id < b.doc_id
                GROUP BY 1, 2),
          pairs AS (
            SELECT d1, d2 FROM p JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
@@ -7027,9 +7101,11 @@ object SparkEntry {
            SELECT doc_id, unnest(list_transform(range(1, len(t)-1),
              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
            FROM toks WHERE len(t) >= 3)),
-         sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         hotsh AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 1000),
+         shk AS (SELECT doc_id, s FROM sh ANTI JOIN hotsh USING (s)),
+         sz AS (SELECT doc_id, count(*) AS n_sh FROM shk GROUP BY doc_id),
          p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
-               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               FROM shk a JOIN shk b ON a.s = b.s AND a.doc_id < b.doc_id
                GROUP BY 1, 2),
          pairs AS (
            SELECT d1, d2 FROM p JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
@@ -8211,7 +8287,8 @@ object SparkEntry {
          FROM rec""",
     "ts_binseg" ->
       """WITH h0 AS (SELECT epoch(date_trunc('hour', ts)) // 3600 AS hr,
-             CAST(round(avg(value) * 1e6) AS BIGINT) AS vu
+             CAST((sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 20000
+               + count(*)) // (2 * count(*)) AS BIGINT) AS vu
            FROM events WHERE event_type = 'click' GROUP BY 1),
          h AS (SELECT hr, vu,
              CAST(row_number() OVER wo AS BIGINT) AS i,
@@ -8687,7 +8764,8 @@ object SparkEntry {
     "ts_matrix_profile" ->
       """WITH daily AS (SELECT event_type,
              CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
-             CAST(round(avg(value) * 1e6) AS BIGINT) AS v
+             CAST((sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 20000
+               + count(*)) // (2 * count(*)) AS BIGINT) AS v
            FROM events GROUP BY 1, 2),
          el AS (SELECT event_type, t.k, d - t.k AS i, v
            FROM daily CROSS JOIN range(0, 7) t(k)),
@@ -8704,7 +8782,8 @@ object SparkEntry {
     "st_hodges_lehmann" ->
       """WITH daily AS (SELECT event_type,
              CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
-             CAST(round(avg(value) * 1e6) AS BIGINT) AS v
+             CAST((sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 20000
+               + count(*)) // (2 * count(*)) AS BIGINT) AS v
            FROM events GROUP BY 1, 2),
          w AS (SELECT a.event_type,
              CASE WHEN a.d = b.d THEN 1 ELSE 0 END AS self_pair,
@@ -8719,7 +8798,8 @@ object SparkEntry {
       """WITH daily AS (SELECT
              CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
              event_type,
-             CAST(round(avg(value) * 1e6) AS BIGINT) AS v
+             CAST((sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 20000
+               + count(*)) // (2 * count(*)) AS BIGINT) AS v
            FROM events GROUP BY 1, 2),
          kk AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k
            FROM daily),
@@ -8909,7 +8989,8 @@ object SparkEntry {
       """WITH hourly AS (SELECT
              CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT)
                AS hr,
-             CAST(round(avg(value) * 1e6) AS BIGINT) AS v
+             CAST((sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 20000
+               + count(*)) // (2 * count(*)) AS BIGINT) AS v
            FROM events WHERE event_type = 'click' GROUP BY 1),
          m AS (SELECT CAST(count(*) AS BIGINT) AS n,
              CAST(sum(v) AS BIGINT) AS sv,
@@ -9006,13 +9087,15 @@ object SparkEntry {
       """WITH hourly AS (SELECT
              CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT)
                AS hr,
-             CAST(round(avg(value) * 1e6) AS BIGINT) AS v
+             CAST((sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 20000
+               + count(*)) // (2 * count(*)) AS BIGINT) AS v
            FROM events WHERE event_type = 'click' GROUP BY 1),
          mo AS (SELECT CAST(count(*) AS BIGINT) nn,
              CAST(sum(v) AS HUGEINT) sv,
              sum(CAST(v AS HUGEINT) * v) svv FROM hourly),
-         r_ AS (SELECT CAST(round(sqrt(CAST(nn * svv - sv * sv
-               AS DOUBLE) / (CAST(nn AS DOUBLE) * (nn - 1))) * 0.2)
+         r_ AS (SELECT CAST(floor(sqrt(CAST(nn * svv - sv * sv
+               AS DOUBLE) / (CAST(nn AS DOUBLE) * (nn - 1))) * 0.2
+               + 0.5)
              AS BIGINT) r FROM mo),
          tpl AS (SELECT row_number() OVER (ORDER BY hr) AS i, v AS v0,
              lead(v, 1) OVER (ORDER BY hr) AS v1
@@ -9268,7 +9351,8 @@ object SparkEntry {
       """WITH hourly AS (SELECT
              CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT)
                AS hr,
-             CAST(round(avg(value) * 1e6) AS BIGINT) AS y
+             CAST((sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 20000
+               + count(*)) // (2 * count(*)) AS BIGINT) AS y
            FROM events WHERE event_type = 'click' GROUP BY 1),
          pts AS (SELECT hr - (SELECT min(hr) FROM hourly) AS x, y
            FROM hourly),
@@ -9333,7 +9417,8 @@ object SparkEntry {
       """WITH daily AS (SELECT
              CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
              event_type,
-             CAST(round(avg(value) * 1e6) AS BIGINT) AS v
+             CAST((sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 20000
+               + count(*)) // (2 * count(*)) AS BIGINT) AS v
            FROM events GROUP BY 1, 2),
          k AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k
            FROM daily),

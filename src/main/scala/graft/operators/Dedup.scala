@@ -89,9 +89,27 @@ object Dedup {
     Scale.fanOut(documents.select("doc_id", "text"), Seq("doc_id"))
       .select(col("doc_id"), explode(shingles(col("text"), n)).as("shingle"))
 
+  /** Default stop-shingle document-frequency ceiling for the exact
+    * pair path. Never binds at test SFs (max observed shingle DF is 25
+    * at sf0.1) — at corpus scale it is the guard that keeps the
+    * shingle-key self-join from going quadratic on one boilerplate
+    * shingle (1M-doc DF → 5·10¹¹ pairs from a single bucket). */
+  val MaxShingleDf = 1000
+
   /** Exact n-gram Jaccard over candidate pairs (docs sharing ≥1 shingle).
     * |A∩B| from the shingle join, |A|,|B| precomputed, J = ∩/(|A|+|B|-∩).
     * Pairs below `threshold` are dropped.
+    *
+    * STOP-SHINGLE SEMANTICS (the r9 scale fix): shingles whose document
+    * frequency exceeds `maxDf` are excluded from the similarity
+    * universe ENTIRELY — from candidate generation AND from both |A∩B|
+    * and |A|,|B| — so the reported number is the exact Jaccard of the
+    * DF-filtered shingle sets (the stopword-removal convention of the
+    * dedup literature, mirrored verbatim in the SQL oracle). Without
+    * the ceiling the per-shingle bucket is quadratic: one boilerplate
+    * shingle shared by k docs emits k²/2 join rows, which at 100 TB is
+    * the job-killer (the banded LSH path has had exactly this cap —
+    * Scale.capBuckets — since r3; this brings the exact path in line).
     *
     * Shape notes for scale:
     *  - shingles never exist as strings: the native ShingleHashes
@@ -100,25 +118,58 @@ object Dedup {
     *    width shuffle rows, ~1000× less per-doc CPU than the interpreted
     *    HOF pipeline. A hash collision (~|shingles|²/2⁶⁴) could perturb
     *    one `shared` count by 1 — the documented trade;
-    *  - the hash array is materialized ONCE per row and yields both
-    *    |A| and the exploded rows; |A|,|B| travel with the shingle rows,
-    *    so the pair aggregation emits finished Jaccard inputs with no
-    *    sizes join-back. */
-  def ngramJaccardPairs(documents: DataFrame, n: Int, threshold: Double): DataFrame = {
+    *  - the hash-array frame materializes ONCE (localCheckpoint, the
+    *    capBuckets discipline — the DF census, the anti-join, and both
+    *    self-join sides re-explode from the snapshot instead of
+    *    re-hashing the corpus);
+    *  - the over-cap list is tiny by construction (≤ postings/maxDf,
+    *    Zipf-headed in practice), so the posting anti-join broadcasts;
+    *    the per-doc hot-shingle counts adjust sizes on the PAIR frame
+    *    (post-aggregation — never a posting-frame join-back). */
+  def ngramJaccardPairs(documents: DataFrame, n: Int, threshold: Double,
+                        maxDf: Int = MaxShingleDf): DataFrame = {
     import graft.plans.ShingleHashes
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val hashes = ColumnBridge.column(
       ShingleHashes(ColumnBridge.expression(col("text")), n))
-    val sh = Scale.fanOut(documents.select("doc_id", "text"), Seq("doc_id"))
+    val snap = Scale.fanOut(documents.select("doc_id", "text"), Seq("doc_id"))
       .select(col("doc_id"), hashes.as("hs"))
-      .select(col("doc_id"), size(col("hs")).as("n_sh"),
-        explode(col("hs")).as("sk"))
-    sh.as("a")
-      .join(sh.as("b"),
+      .localCheckpoint(true)
+    val sh = snap.select(col("doc_id"), size(col("hs")).as("n_full"),
+      explode(col("hs")).as("sk"))
+    val hot = sh.groupBy("sk").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf).select(col("sk").as("__hot"))
+      .localCheckpoint(true)
+    // driver fast-path gate (the dupClusters discipline): `hot` is
+    // already materialized, so the emptiness check is free — and a
+    // healthy corpus under the ceiling skips the anti-join and the
+    // two size-adjustment joins entirely (the census is the only cost
+    // of the guarantee, one narrow partial-agg'd rollup)
+    val hotIsEmpty = hot.isEmpty
+    val kept =
+      if (hotIsEmpty) sh
+      else sh.join(hot, col("sk") === col("__hot"), "left_anti")
+    val base = kept.as("a")
+      .join(kept.as("b"),
         col("a.sk") === col("b.sk") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        col("a.n_sh").as("n1"), col("b.n_sh").as("n2"))
+        col("a.n_full").as("f1"), col("b.n_full").as("f2"))
       .agg(count(lit(1)).as("shared"))
+    val sized =
+      if (hotIsEmpty)
+        base.withColumn("n1", col("f1")).withColumn("n2", col("f2"))
+      else {
+        val hotPerDoc = sh.join(hot, col("sk") === col("__hot"))
+          .groupBy("doc_id").agg(count(lit(1)).as("__nhot"))
+        base
+          .join(hotPerDoc.select(col("doc_id").as("d1"),
+            col("__nhot").as("__h1")), Seq("d1"), "left")
+          .join(hotPerDoc.select(col("doc_id").as("d2"),
+            col("__nhot").as("__h2")), Seq("d2"), "left")
+          .withColumn("n1", col("f1") - coalesce(col("__h1"), lit(0L)))
+          .withColumn("n2", col("f2") - coalesce(col("__h2"), lit(0L)))
+      }
+    sized
       .withColumn("jaccard",
         round(col("shared") / (col("n1") + col("n2") - col("shared")), 6))
       .filter(col("jaccard") >= threshold)
@@ -181,21 +232,47 @@ object Dedup {
     * the rows, no join-back — emitting both directions' containment per
     * unordered pair. */
   def ngramContainmentPairs(documents: DataFrame, n: Int,
-                            threshold: Double): DataFrame = {
+                            threshold: Double,
+                            maxDf: Int = MaxShingleDf): DataFrame = {
     import graft.plans.ShingleHashes
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val hashes = ColumnBridge.column(
       ShingleHashes(ColumnBridge.expression(col("text")), n))
-    val sh = Scale.fanOut(documents.select("doc_id", "text"), Seq("doc_id"))
+    // same stop-shingle ceiling + snapshot discipline as
+    // ngramJaccardPairs (one bucket must never go quadratic)
+    val snap = Scale.fanOut(documents.select("doc_id", "text"), Seq("doc_id"))
       .select(col("doc_id"), hashes.as("hs"))
-      .select(col("doc_id"), size(col("hs")).as("n_sh"),
-        explode(col("hs")).as("sk"))
-    sh.as("a")
-      .join(sh.as("b"),
+      .localCheckpoint(true)
+    val sh = snap.select(col("doc_id"), size(col("hs")).as("n_full"),
+      explode(col("hs")).as("sk"))
+    val hot = sh.groupBy("sk").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf).select(col("sk").as("__hot"))
+      .localCheckpoint(true)
+    val hotIsEmpty = hot.isEmpty // driver fast-path gate, see Jaccard twin
+    val kept =
+      if (hotIsEmpty) sh
+      else sh.join(hot, col("sk") === col("__hot"), "left_anti")
+    val base = kept.as("a")
+      .join(kept.as("b"),
         col("a.sk") === col("b.sk") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        col("a.n_sh").as("n1"), col("b.n_sh").as("n2"))
+        col("a.n_full").as("f1"), col("b.n_full").as("f2"))
       .agg(count(lit(1)).as("shared"))
+    val sized =
+      if (hotIsEmpty)
+        base.withColumn("n1", col("f1")).withColumn("n2", col("f2"))
+      else {
+        val hotPerDoc = sh.join(hot, col("sk") === col("__hot"))
+          .groupBy("doc_id").agg(count(lit(1)).as("__nhot"))
+        base
+          .join(hotPerDoc.select(col("doc_id").as("d1"),
+            col("__nhot").as("__h1")), Seq("d1"), "left")
+          .join(hotPerDoc.select(col("doc_id").as("d2"),
+            col("__nhot").as("__h2")), Seq("d2"), "left")
+          .withColumn("n1", col("f1") - coalesce(col("__h1"), lit(0L)))
+          .withColumn("n2", col("f2") - coalesce(col("__h2"), lit(0L)))
+      }
+    sized
       .withColumn("cont_1_in_2", round(col("shared") / col("n1"), 6))
       .withColumn("cont_2_in_1", round(col("shared") / col("n2"), 6))
       .filter(col("cont_1_in_2") >= threshold ||

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Engine-exact quantization helpers — the oracle-boundary discipline
+  * SURVEY §8.6 mandates (the sp_variogram lesson, re-learned in r9 by
+  * ann_l2 / ml_stump / ts_pettitt).
+  *
+  * Two distinct traps live at a `round(double*scale)` oracle boundary:
+  *
+  *  1. **Half-case convention skew** — engines (and engine VERSIONS)
+  *     disagree on .5 ties (HALF_UP vs HALF_EVEN). Cure: never call
+  *     engine `round()` at an exact-compare boundary; spell
+  *     `floor(x*scale + 0.5)` IDENTICALLY on both sides — floor of the
+  *     same IEEE expression is bit-identical everywhere.
+  *  2. **Accumulated float error under the boundary** — `avg(double)`
+  *     sums in partition/thread order, so the ulp the quantizer sees
+  *     is not reproducible even within one engine. floor-vs-round is
+  *     irrelevant here; the cure is EXACT integer arithmetic end to
+  *     end: quantize each row to its exact integer representation
+  *     (events.value carries exactly 2 decimals → cents), sum as
+  *     longs (order-independent), divide as integers.
+  *
+  * These helpers implement cure 2 (which subsumes cure 1). */
+object Exact {
+
+  /** Exact per-row cents: events.value has exactly 2 decimals and is
+    * positive, so value*100 sits within an ulp of its integer and
+    * floor(+0.5) recovers it identically on any engine. */
+  def cents(c: Column): Column = floor(c * 100 + lit(0.5)).cast("long")
+
+  /** Engine-exact `round(avg(value)*1e6)` replacement as ONE aggregate
+    * expression: micro-units mean = sum_cents·10⁴/n, rounded half-up
+    * via exact integer arithmetic (floor((20000·Σcents + n) / 2n) —
+    * all longs, order-independent, no float ever touches the
+    * boundary). Spark's `div` TRUNCATES toward zero while DuckDB's
+    * `//` FLOORS — they disagree on negative numerators (a real case:
+    * specs plant ±1.0 series) — so the Spark side spells floor
+    * division explicitly (trunc minus one on inexact negatives).
+    * The DuckDB twin is
+    * `(sum(CAST(floor(value*100+0.5) AS BIGINT))*20000 + count(*))
+    *   // (2*count(*))`. */
+  val avgValueMicros: Column = {
+    val a = "(sum(cast(floor(value * 100 + 0.5) as bigint)) * 20000" +
+      " + count(1))"
+    val b = "(2 * count(1))"
+    expr(s"($a div $b) - (case when $a % $b != 0 and $a < 0" +
+      " then 1 else 0 end)")
+  }
+}

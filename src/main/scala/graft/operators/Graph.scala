@@ -193,12 +193,22 @@ object Graph {
     * volume via TakeOrdered. */
   def conductance(edges: DataFrame, labels: DataFrame,
                   topK: Int = 10): DataFrame = {
+    // conductance references the label lineage up to 4× (two equi-join
+    // probes × the perC fan-out below) — materialize the node-sized
+    // frame ONCE at entry (measured at sf0.1: 4.9 s vs 7.8 s lazy; on
+    // the r9 driver the lazy form paid 10.4 s vs modularity's 1.4 s)
+    val lab = labels.localCheckpoint(true)
     val e = edges.select("src", "dst").distinct()
     val j = e
-      .join(labels.select(col("node").as("src"), col("label").as("cs")),
+      .join(lab.select(col("node").as("src"), col("label").as("cs")),
         Seq("src"))
-      .join(labels.select(col("node").as("dst"), col("label").as("cd")),
+      .join(lab.select(col("node").as("dst"), col("label").as("cd")),
         Seq("dst"))
+    // perC is referenced twice (rows + the 2m rollup) but stays LAZY:
+    // a localCheckpoint here would evaluate the edge⋈labels joins via
+    // .rdd, losing AQE's adaptive broadcast (measured +2.2 s at
+    // sf0.1); with `lab` materialized above, the recompute each branch
+    // pays is just the two label probes
     val perC = j.groupBy(col("cs").as("community"))
       .agg(count(lit(1)).as("vol"),
         sum(when(col("cs") === col("cd"), 1L).otherwise(0L)).as("inside"))
@@ -795,6 +805,14 @@ object Graph {
         .select(col("node"),
           coalesce(col("__adopt"), col("label")).as("label"))
     }
+    // returned LAZY by design (measured, r10): a final
+    // localCheckpoint(true) here evaluates the round chain through
+    // .rdd, which bypasses AQE's adaptive broadcast of the node-sized
+    // label frames — 1.25 s → 6.3 s on the sf0.1 co-purchase graph.
+    // Single-pass consumers (gr_lpa, modularity's ReuseExchange-deduped
+    // pair of joins) want the lazy plan; the one multi-reference
+    // consumer that pays the lineage 4× (conductance) checkpoints
+    // LOCALLY at its entry instead.
     labels
   }
 

@@ -220,8 +220,14 @@ object Multimodal {
           u16(body + 14)))
       else if (id == "data" && data.isEmpty)
         data = Some((body, math.max(0, math.min(sz, bytes.length - body))))
-      off = body + sz + (sz & 1) // chunks pad to even offsets
-      if (sz < 0) return None
+      // a declared size reaching past the buffer can only be the last
+      // (truncated or malformed) chunk: stop the walk instead of
+      // advancing — body + sz would overflow Int on a hostile size
+      // (e.g. 0xFFFFFFF0), slip the loop guard as a negative offset,
+      // and throw from the id read, violating the poison-asset
+      // contract (returns None / keeps what was parsed, never throws)
+      if (sz > bytes.length - body) off = bytes.length
+      else off = body + sz + (sz & 1) // chunks pad to even offsets
     }
     (fmt, data) match {
       case (Some((1, ch, rate, 16)), Some((o, len)))

@@ -698,7 +698,13 @@ object Quality {
     * dates as ISO strings — no float formatting to disagree over).
     * One scan, one aggregate row (the distinct counts expand
     * map-side), unpivoted by a stack into the column-bounded report —
-    * never a per-column rescan. */
+    * never a per-column rescan.
+    *
+    * 100 TB contract (documented trade): the EXACT multi-column NDVs
+    * cost a 6× Expand of the scan — the price of exactness, accepted
+    * for the data-contract use where NDV feeds an equality check.
+    * For the unbounded/profiling case use [[columnStatsApprox]]:
+    * same report, HLL++ NDVs, NO Expand — the scan is paid once. */
   def columnStats(orders: DataFrame): DataFrame = {
     val q = orders.withColumn("o_totalprice_cents",
       round(col("o_totalprice") * 100).cast("long"))
@@ -707,6 +713,33 @@ object Quality {
     val aggs = names.zipWithIndex.flatMap { case (n, i) =>
       Seq(sum(when(col(n).isNull, 1L).otherwise(0L)).as(s"z${i + 1}"),
         countDistinct(col(n)).as(s"d${i + 1}"),
+        min(col(n)).cast("string").as(s"lo${i + 1}"),
+        max(col(n)).cast("string").as(s"hi${i + 1}"))
+    }
+    val agg = q.agg(aggs.head, aggs.tail: _*)
+    val stacks = names.zipWithIndex.map { case (n, i) =>
+      s"'$n', z${i + 1}, d${i + 1}, lo${i + 1}, hi${i + 1}"
+    }.mkString(", ")
+    agg.selectExpr(
+      s"stack(6, $stacks) as (column, n_nulls, ndv, min_val, max_val)")
+  }
+
+  /** The unbounded-scale twin of [[columnStats]]: identical report
+    * shape with approx_count_distinct (HLL++, rsd 0.01 — the spec's 5% bound is
+    * then a 5-sigma event, not a coin flip) in place of the exact NDVs — all aggregates are now plain declarative
+    * functions, so the plan is ONE partial-agg pass over the scan with
+    * NO Expand (plan-shape spec-locked; the exact profile pays 6×).
+    * NDV is engine-private (HLL register layout) → rows-only surface;
+    * the ≤5%-relative-error contract vs [[columnStats]] is
+    * spec-verified. */
+  def columnStatsApprox(orders: DataFrame): DataFrame = {
+    val q = orders.withColumn("o_totalprice_cents",
+      round(col("o_totalprice") * 100).cast("long"))
+    val names = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice_cents", "o_orderdate", "o_orderpriority")
+    val aggs = names.zipWithIndex.flatMap { case (n, i) =>
+      Seq(sum(when(col(n).isNull, 1L).otherwise(0L)).as(s"z${i + 1}"),
+        approx_count_distinct(col(n), 0.01).as(s"d${i + 1}"),
         min(col(n)).cast("string").as(s"lo${i + 1}"),
         max(col(n)).cast("string").as(s"hi${i + 1}"))
     }

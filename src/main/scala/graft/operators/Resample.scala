@@ -473,7 +473,7 @@ object Resample {
     val h = events
       .groupBy(col("event_type"),
         expr("unix_seconds(date_trunc('hour', ts)) div 3600").as("hr"))
-      .agg(round(avg("value") * 1e6).cast("long").as("v6"))
+      .agg(Exact.avgValueMicros.as("v6"))
       .withColumn("wn", count(lit(1)).over(byType))
       .withColumn("s1", sum("v6").over(byType))
       .withColumn("s2",
@@ -519,7 +519,7 @@ object Resample {
     val h = events.filter(col("event_type") === eventType)
       .groupBy(expr("unix_seconds(date_trunc('hour', ts)) div 3600")
         .as("hr"))
-      .agg(round(avg("value") * 1e6).cast("long").as("vu"))
+      .agg(Exact.avgValueMicros.as("vu"))
       .withColumn("i", row_number().over(byHr))
       .withColumn("pre", sum("vu").over(run))
       .withColumn("tot", last("pre").over(all))
@@ -583,7 +583,7 @@ object Resample {
     val h = events.filter(col("event_type") === eventType)
       .groupBy(expr("unix_seconds(date_trunc('hour', ts)) div 3600")
         .as("hr"))
-      .agg(round(avg("value") * 1e6).cast("long").as("vu"))
+      .agg(Exact.avgValueMicros.as("vu"))
       .withColumn("i", row_number().over(byHr))
       .withColumn("pre", sum("vu").over(run))
       .withColumn("tot", last("pre").over(all))
@@ -1100,7 +1100,7 @@ object Resample {
     val hourly = events.filter(col("event_type") === eventType)
       .groupBy(expr("unix_seconds(date_trunc('hour', ts)) div 3600")
         .as("hr"))
-      .agg(round(avg("value") * 1e6).cast("long").as("v"))
+      .agg(Exact.avgValueMicros.as("v"))
     val wv = Window.orderBy("v")
       .rowsBetween(Window.unboundedPreceding, -1)
     val ranks = hourly.groupBy("v").agg(count(lit(1)).as("t"))
@@ -1147,14 +1147,15 @@ object Resample {
     val hourly = events.filter(col("event_type") === eventType)
       .groupBy(expr("unix_seconds(date_trunc('hour', ts)) div 3600")
         .as("hr"))
-      .agg(round(avg("value") * 1e6).cast("long").as("v"))
+      .agg(Exact.avgValueMicros.as("v"))
     val rRow = broadcast(hourly.agg(count(lit(1)).as("nn"),
         sum(col("v").cast(dec)).cast(dec).as("sv"),
         sum((col("v").cast(dec) * col("v").cast(dec)).cast(dec))
           .cast(dec).as("svv"))
-      .select(round(sqrt((col("nn").cast(dec) * col("svv") -
+      .select(floor(sqrt((col("nn").cast(dec) * col("svv") -
           col("sv") * col("sv")).cast("double") /
-          (col("nn").cast("double") * (col("nn") - lit(1)))) * rFrac)
+          (col("nn").cast("double") * (col("nn") - lit(1)))) * rFrac
+          + 0.5)
         .cast("long").as("r")))
     val w = Window.orderBy("hr")
     val tpl = hourly
@@ -1207,14 +1208,15 @@ object Resample {
     val hourly = events.filter(col("event_type") === eventType)
       .groupBy(expr("unix_seconds(date_trunc('hour', ts)) div 3600")
         .as("hr"))
-      .agg(round(avg("value") * 1e6).cast("long").as("v"))
+      .agg(Exact.avgValueMicros.as("v"))
     val rRow = broadcast(hourly.agg(count(lit(1)).as("nn"),
         sum(col("v").cast(dec)).cast(dec).as("sv"),
         sum((col("v").cast(dec) * col("v").cast(dec)).cast(dec))
           .cast(dec).as("svv"))
-      .select(round(sqrt((col("nn").cast(dec) * col("svv") -
+      .select(floor(sqrt((col("nn").cast(dec) * col("svv") -
           col("sv") * col("sv")).cast("double") /
-          (col("nn").cast("double") * (col("nn") - lit(1)))) * rFrac)
+          (col("nn").cast("double") * (col("nn") - lit(1)))) * rFrac
+          + 0.5)
         .cast("long").as("r")))
     val w = Window.orderBy("hr")
     val tpl = hourly
@@ -2090,7 +2092,7 @@ object Resample {
     val hourly = events.filter(col("event_type") === eventType)
       .groupBy(expr("unix_seconds(date_trunc('hour', ts)) div 3600")
         .as("hr"))
-      .agg(round(avg("value") * 1e6).cast("long").as("v6"))
+      .agg(Exact.avgValueMicros.as("v6"))
     var cur = hourly
       .withColumn("i",
         (row_number().over(Window.orderBy("hr")) - 1).cast("long"))
@@ -2149,7 +2151,7 @@ object Resample {
       : DataFrame = {
     val daily = events.groupBy(col("event_type"),
         expr("unix_date(cast(ts as date))").cast("long").as("d"))
-      .agg(round(avg("value") * 1e6).cast("long").as("v"))
+      .agg(Exact.avgValueMicros.as("v"))
     val el = daily
       .select(col("event_type"),
         explode(array((0 until m).map(lit): _*)).as("k"),

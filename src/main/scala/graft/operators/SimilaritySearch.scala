@@ -84,13 +84,19 @@ object SimilaritySearch {
     * on any engine/partitioning — no float-rank flapping at the k
     * boundary, which cosine surfaces buy with round-4.
     *
+    * Lattice quantization uses the explicit floor convention
+    * (floor(x·1000 + 0.5), spelled identically in the oracle) — NOT
+    * engine round(): round's half-case tie-break differs across
+    * engines/versions, while floor of the same IEEE expression is
+    * bit-identical everywhere (the sp_variogram lesson, SURVEY §8.6).
+    *
     * Same scan shape as [[bruteForceTopK]]: fanned map-side distance
     * against a 1-row broadcast query, TakeOrderedAndProject top-k —
     * per-partition heaps, no shuffle. Distances report in lattice
     * units (1e6·true d², documented contract). */
   def l2TopK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
     def lat(c: Column) = transform(c.cast("array<double>"),
-      x => round(x * 1000).cast("long"))
+      x => floor(x * 1000 + 0.5).cast("long"))
     val q = embeddings.filter(col("vec_id") === queryId)
       .select(lat(col("embedding")).as("qq"))
     Scale.fanOut(embeddings)
@@ -769,7 +775,7 @@ object SimilaritySearch {
   def kmeansExactClusters(embeddings: DataFrame, k: Int = 8): DataFrame =
     kmeansExactAssign(embeddings, k)
       .select(col("cell"),
-        round(col("cos") * 1000000).cast("long").as("qc"))
+        floor(col("cos") * 1000000 + 0.5).cast("long").as("qc"))
       .groupBy("cell")
       .agg(count(lit(1)).as("n"), sum("qc").as("sc"))
       .select(col("cell"), col("n"),
@@ -823,12 +829,12 @@ object SimilaritySearch {
     val v = embeddings
       .select(col("vec_id"),
         transform(col("embedding").cast("array<double>"),
-          x => round(x * 1000).cast("long")).as("q"))
+          x => floor(x * 1000 + 0.5).cast("long")).as("q"))
       .withColumn("ssq", aggregate(col("q"), lit(0L), (a, y) => a + y * y))
     val u = v.select(posexplode(col("q")).as(Seq("pos", "x")),
         col("ssq"))
       .select(col("pos"),
-        round(col("x") * 1e6 / sqrt(col("ssq").cast("double")))
+        floor(col("x") * 1e6 / sqrt(col("ssq").cast("double")) + 0.5)
           .cast("long").as("uq"))
     val d = u.groupBy("pos")
       .agg(sum(col("uq").cast(dec)).as("s"),
@@ -852,14 +858,14 @@ object SimilaritySearch {
     * definition, every surface). */
   private[operators] def kmeansExactAssign(embeddings: DataFrame,
                                            k: Int = 8): DataFrame = {
-    import java.math.{BigDecimal => JBig, RoundingMode}
     import embeddings.sparkSession.implicits._
-    def scaleRound(v: Double): Long =
-      new JBig(v).setScale(0, RoundingMode.HALF_UP).longValue
+    // floor(v + 0.5): the oracle-identical half-up convention (the
+    // engine-round half-case trap, SURVEY §8.6 / graft.operators.Exact)
+    def scaleRound(v: Double): Long = math.floor(v + 0.5).toLong
     val v = embeddings
       .select(col("vec_id"),
         transform(col("embedding").cast("array<double>"),
-          x => round(x * 1000).cast("long")).as("q"))
+          x => floor(x * 1000 + 0.5).cast("long")).as("q"))
       .withColumn("ssq", aggregate(col("q"), lit(0L), (a, y) => a + y * y))
       .localCheckpoint(true)
     // seeds: first k rows in portable md5 order, unit-scaled to the 1e6

@@ -909,7 +909,7 @@ object Stats {
     val hourly = events.filter(col("event_type") === eventType)
       .groupBy(expr("unix_seconds(date_trunc('hour', ts)) div 3600")
         .as("hr"))
-      .agg(round(avg("value") * 1e6).cast("long").as("v"))
+      .agg(Exact.avgValueMicros.as("v"))
     val m = hourly.agg(count(lit(1)).as("n"),
       sum(col("v").cast(dec)).as("sv"),
       sum(col("v").cast(dec) * col("v").cast(dec)).as("svv"))
@@ -1083,8 +1083,13 @@ object Stats {
     * all arithmetic runs on the classes²-sized frame, exact integers
     * to the final ratios. Degenerate matrices (pe = 1: a single class
     * everywhere) null out. */
-  def cohensKappa(cm: DataFrame, trueCol: String, predCol: String,
+  def cohensKappa(cmIn: DataFrame, trueCol: String, predCol: String,
                   nCol: String): DataFrame = {
+    // the confusion frame is classes²-sized but its LINEAGE may be a
+    // full corpus train+score pipeline (ml_nb); this method fans it
+    // into 3 aggregation branches, so materialize the k×k frame ONCE
+    // (r9 driver bench: 12.7 s → the pipeline price, not 3×)
+    val cm = cmIn.localCheckpoint(true)
     val tot = cm.agg(sum(nCol).as("nt"),
       sum(when(col(trueCol) === col(predCol), col(nCol))
         .otherwise(0L)).as("diag"))
@@ -1115,8 +1120,11 @@ object Stats {
     * on the class-count-sized marginal frames until the final
     * division; degenerate denominators (single-class truth or
     * prediction) null out rather than crash. */
-  def mccMulticlass(cm: DataFrame, trueCol: String, predCol: String,
+  def mccMulticlass(cmIn: DataFrame, trueCol: String, predCol: String,
                     nCol: String): DataFrame = {
+    // 3-branch fan-out over a possibly corpus-lineage cm — see
+    // cohensKappa; materialize the k×k frame once
+    val cm = cmIn.localCheckpoint(true)
     val tot = cm.agg(sum(nCol).as("s"),
       sum(when(col(trueCol) === col(predCol), col(nCol))
         .otherwise(0L)).as("c"),
@@ -1146,8 +1154,12 @@ object Stats {
     * bit-stable across engines and partitionings. Overall accuracy
     * rides every row from a 1-row broadcast. The frame is classes²-
     * sized; everything here is report-scale arithmetic. */
-  def classifierReport(cm: DataFrame, trueCol: String, predCol: String,
+  def classifierReport(cmIn: DataFrame, trueCol: String, predCol: String,
                        nCol: String): DataFrame = {
+    // 4-branch fan-out (rowT/colT/diag/overall): whether ReuseExchange
+    // dedupes them is environment-dependent (r9 driver bench paid the
+    // NB pipeline 2.2×) — materialize the k×k frame once
+    val cm = cmIn.localCheckpoint(true)
     val rowT = cm.groupBy(col(trueCol).as("cls"))
       .agg(sum(nCol).as("support"))
     val colT = cm.groupBy(col(predCol).as("cls"))
@@ -2684,7 +2696,7 @@ object Stats {
     val hourly = events.filter(col("event_type") === eventType)
       .groupBy(expr("unix_seconds(date_trunc('hour', ts)) div 3600")
         .as("hr"))
-      .agg(round(avg("value") * 1e6).cast("long").as("y"))
+      .agg(Exact.avgValueMicros.as("y"))
     val h0 = broadcast(hourly.agg(min("hr").as("h0")))
     val pts = hourly.crossJoin(h0)
       .select((col("hr") - col("h0")).as("x"), col("y"))
@@ -3339,17 +3351,22 @@ object Stats {
       .withColumn("nr",
         col("__t0") + col("__t1") - col("c0") - col("c1"))
       .filter(col("nr") > 0)
-    val sObj = (col("c0").cast(dec) * col("c0").cast(dec) +
-        col("c1").cast(dec) * col("c1").cast(dec)).cast("double") /
-        col("nl").cast("double") +
-      ((col("__t0") - col("c0")).cast(dec) *
+    // s·1e9 as an EXACT half-up-rounded rational — (2·1e9·(A·nr+B·nl)
+    // + nl·nr) div (2·nl·nr), all decimal(38,0) integer arithmetic (no
+    // double ever touches the argmax boundary; the r9 driver hash-fail
+    // was engine round() disagreeing at a float half-case here)
+    val aSq = col("c0").cast(dec) * col("c0").cast(dec) +
+      col("c1").cast(dec) * col("c1").cast(dec)
+    val bSq = (col("__t0") - col("c0")).cast(dec) *
         (col("__t0") - col("c0")).cast(dec) +
-        (col("__t1") - col("c1")).cast(dec) *
-          (col("__t1") - col("c1")).cast(dec)).cast("double") /
-        col("nr").cast("double")
+      (col("__t1") - col("c1")).cast(dec) *
+        (col("__t1") - col("c1")).cast(dec)
     val best = cand
+      .withColumn("__num", (aSq * col("nr").cast(dec) +
+        bSq * col("nl").cast(dec)) * lit(1000000000L).cast(dec))
+      .withColumn("__den", col("nl").cast(dec) * col("nr").cast(dec))
       .select(col("__t0"), col("__t1"),
-        struct(round(sObj * 1e9).cast("long").as("s9"),
+        struct(expr("(__num * 2 + __den) div (__den * 2)").as("s9"),
           (-col("v")).as("nv"), col("nl"), col("nr")).as("k"))
       .groupBy("__t0", "__t1").agg(max("k").as("best"))
     val n = (col("__t0") + col("__t1")).cast("double")
@@ -4151,7 +4168,7 @@ object Stats {
     val h = events.filter(col("event_type").isin(typeA, typeB))
       .groupBy(col("event_type"),
         expr("unix_seconds(date_trunc('hour', ts)) div 3600").as("hr"))
-      .agg(round(avg("value") * 1e6).cast("long").as("vu"))
+      .agg(Exact.avgValueMicros.as("vu"))
       .localCheckpoint(true)
     val a = h.filter(col("event_type") === typeA)
       .select(col("vu").as("xa"))
@@ -4469,7 +4486,7 @@ object Stats {
     val daily = events.groupBy(
         expr("unix_date(cast(ts as date))").cast("long").as("d"),
         col("event_type"))
-      .agg(round(avg("value") * 1e6).cast("long").as("v"))
+      .agg(Exact.avgValueMicros.as("v"))
     val kRow = broadcast(daily.agg(countDistinct("event_type").as("k")))
     val byDay = daily.groupBy("d")
       .agg(count(lit(1)).as("cnt"), sum("v").as("t"))
@@ -4517,7 +4534,7 @@ object Stats {
     val daily = events.groupBy(
         expr("unix_date(cast(ts as date))").cast("long").as("d"),
         col("event_type"))
-      .agg(round(avg("value") * 1e6).cast("long").as("v"))
+      .agg(Exact.avgValueMicros.as("v"))
     val kRow = broadcast(daily.agg(countDistinct("event_type").as("k")))
     val complete = daily.groupBy("d").agg(count(lit(1)).as("cnt"))
       .crossJoin(kRow).filter(col("cnt") === col("k")).select("d")
@@ -4728,7 +4745,7 @@ object Stats {
   def hodgesLehmann(events: DataFrame): DataFrame = {
     val daily = events.groupBy(col("event_type"),
         expr("unix_date(cast(ts as date))").cast("long").as("d"))
-      .agg(round(avg("value") * 1e6).cast("long").as("v"))
+      .agg(Exact.avgValueMicros.as("v"))
     val b = daily.select(col("event_type").as("et2"), col("d").as("d2"),
       col("v").as("v2"))
     daily.join(b, col("event_type") === col("et2") && col("d") <= col("d2"))

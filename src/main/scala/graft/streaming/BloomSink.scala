@@ -72,9 +72,15 @@ object BloomSink {
                probes: Seq[String], bits: Int = 8192, k: Int = 4)
       : DataFrame = {
     import spark.implicits._
-    val set = spark.read.parquet(storePath)
-      .select(explode(col("positions")).as("p")).distinct()
-      .collect().map(_.getInt(0)).toSet
+    // probing before the first micro-batch commits: a missing store is
+    // an EMPTY filter — everything is definitely-absent, not a crash
+    val set =
+      try spark.read.parquet(storePath)
+        .select(explode(col("positions")).as("p")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => Set.empty[Int]
+      }
     val hashed = probes.toDF("value")
       .select(col("value"), positions("value", bits, k).as("ps"))
       .collect()

@@ -55,10 +55,18 @@ object CmsSink {
                 probes: Seq[String], depth: Int = 5,
                 width: Int = 2048): DataFrame = {
     import spark.implicits._
-    val sketches = spark.read.parquet(storePath)
-      .select("sk").collect()
-      .map(_.getAs[scala.collection.Seq[Long]]("sk").toArray)
-    val merged = sketches.reduceLeft(CmsAggregator.merge)
+    // probing before the first micro-batch commits must report zero
+    // estimates, not crash (missing store path / zero stored sketches)
+    val sketches =
+      try spark.read.parquet(storePath)
+        .select("sk").collect()
+        .map(_.getAs[scala.collection.Seq[Long]]("sk").toArray)
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          Array.empty[Array[Long]]
+      }
+    val merged = sketches.foldLeft(
+      new Array[Long](depth * width))(CmsAggregator.merge)
     val hashed = probes.toDF("value")
       .withColumn("__h", xxhash64(col("value"))).collect()
     hashed.toSeq.map(r => (r.getAs[String]("value"),

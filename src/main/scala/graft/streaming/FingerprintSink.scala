@@ -55,9 +55,19 @@ object FingerprintSink {
     * (abelian, so batch boundaries and arrival order cannot matter),
     * one mod at the close. Bit-equal to the batch dq_fingerprint on
     * the same rows. */
-  def report(spark: SparkSession, storePath: String): DataFrame =
-    spark.read.parquet(storePath)
-      .agg(sum("n_rows").cast("long").as("n_rows"),
+  def report(spark: SparkSession, storePath: String): DataFrame = {
+    // probing before the first micro-batch commits reports the empty
+    // history (0 rows, fingerprint 0), not a missing-path crash
+    val stored =
+      try spark.read.parquet(storePath)
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          import spark.implicits._
+          Seq.empty[(Long, java.math.BigDecimal)].toDF("n_rows", "hsum")
+      }
+    stored
+      .agg(coalesce(sum("n_rows"), lit(0L)).cast("long").as("n_rows"),
         pmod(coalesce(sum("hsum"), lit(0).cast(Dec)),
           lit(Mod).cast(Dec)).cast("long").as("fingerprint"))
+  }
 }

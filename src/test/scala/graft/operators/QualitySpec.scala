@@ -897,6 +897,34 @@ class QualitySpec extends SparkSpec {
     assert(out("o_orderpriority") == (0L, 1L, "P", "P"), s"$out")
   }
 
+  test("columnStatsApprox: nulls/min/max exact, every NDV within 5% " +
+      "of the exact profile, and the plan pays NO Expand") {
+    val orders = graft.Tables.orders(spark, sf)
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("column"),
+        (r.getAs[Long]("n_nulls"), r.getAs[Long]("ndv"),
+          r.getAs[String]("min_val"), r.getAs[String]("max_val"))))
+      .toMap
+    val exact = asMap(Quality.columnStats(orders))
+    val approx = asMap(Quality.columnStatsApprox(orders))
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (c, (z, d, lo, hi)) =>
+      val (za, da, loa, hia) = approx(c)
+      assert(za == z && loa == lo && hia == hi, s"$c non-NDV drifted")
+      assert(math.abs(da - d).toDouble / d <= 0.05,
+        s"$c: approx ndv $da vs exact $d breaches 5%")
+    }
+    // the scale contract: exact NDVs expand the scan 6×, the HLL
+    // profile must not expand it at all
+    val planA = Quality.columnStatsApprox(orders)
+      .queryExecution.executedPlan.toString
+    assert(!planA.contains("Expand"), s"approx profile must not Expand")
+    val planE = Quality.columnStats(orders)
+      .queryExecution.executedPlan.toString
+    assert(planE.contains("Expand"),
+      "exact profile is the documented Expand trade (doc-comment)")
+  }
+
   test("tableFingerprint: matches the hand md5 fold, survives " +
       "repartitioning unchanged, and moves on a one-character edit") {
     import spark.implicits._

@@ -55,6 +55,42 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("stop-shingle ceiling bounds the planted-hot-shingle bucket and " +
+      "drops it from both intersection and sizes") {
+    import spark.implicits._
+    // 40 docs share ONE boilerplate shingle ("the same footer"); each
+    // also carries a unique tail so no doc is a duplicate of another.
+    // Uncapped, that single bucket emits 40·39/2 = 780 join rows; with
+    // maxDf=10 the hot shingle leaves the similarity universe entirely.
+    val docs = (1L to 40L).map(i =>
+      (i, s"the same footer u$i v$i w$i x$i y$i z$i")).toDF("doc_id", "text")
+    val capped = Dedup.ngramJaccardPairs(docs, 3, 0.0, maxDf = 10)
+    // with the footer shingle ("the same footer") excluded, the docs
+    // share NOTHING (per-doc tails are disjoint) → zero candidate pairs
+    assert(capped.count() == 0L, "hot bucket must not generate candidates")
+    // two planted real near-dups still surface, with sizes counted over
+    // the FILTERED universe: doc 41/42 share their entire tail
+    val docs2 = docs.unionByName(Seq(
+      (41L, "the same footer a b c d e f"),
+      (42L, "the same footer a b c d e g")).toDF("doc_id", "text"))
+    val p = Dedup.ngramJaccardPairs(docs2, 3, 0.0, maxDf = 10)
+      .filter(col("d1") === 41L && col("d2") === 42L).collect()
+    assert(p.length == 1)
+    // kept shingles per doc: 8 tokens of tail + footer boundary grams.
+    // "the same footer a b c d e f": grams = (the same footer)[HOT],
+    // (same footer a), (footer a b), (a b c), (b c d), (c d e),
+    // (d e f|g) → 6 kept each, 5 shared → J = 5/(6+6-5)
+    assert(p.head.getAs[Long]("shared") == 5L)
+    assert(math.abs(p.head.getAs[Double]("jaccard") - 5.0 / 7.0) < 1e-6)
+    // default ceiling (1000) never binds at test scale: same output as
+    // an effectively-uncapped run on the real corpus
+    val real = Tables.documents(spark, sf)
+    val a = Dedup.ngramJaccardPairs(real, 3, 0.2).collect().toSet
+    val b = Dedup.ngramJaccardPairs(real, 3, 0.2, maxDf = Int.MaxValue)
+      .collect().toSet
+    assert(a == b, "default cap must not bind at test SF")
+  }
+
   test("cdcChunks: boundaries re-sync after a prepend; chunks tile the gram stream") {
     import spark.implicits._
     val body = (0 until 200).map(i => s"w${i * 7 % 97}x$i").mkString(" ")
