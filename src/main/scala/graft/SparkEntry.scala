@@ -937,6 +937,28 @@ object SparkEntry {
     "st_wquantile" -> ((s, d) =>
       Stats.weightedQuantiles(Tables.lineitem(s, d), "l_extendedprice",
         "l_quantity")),
+    "st_f_test" -> ((s, d) => Stats.fTestVariance(Tables.events(s, d))),
+    "st_chisq_gof" -> ((s, d) => Stats.chiSquareGof(Tables.events(s, d))),
+    "st_beta_binomial" -> ((s, d) =>
+      Stats.betaBinomial(Tables.events(s, d))),
+    "ts_transfer_entropy" -> ((s, d) =>
+      Resample.transferEntropy(Tables.events(s, d))),
+    "ts_lombscargle" -> ((s, d) =>
+      Resample.lombScargle(Tables.events(s, d))),
+    "ts_dfa" -> ((s, d) => Resample.dfaAlpha(Tables.events(s, d))),
+    "tx_boilerplate" -> ((s, d) =>
+      TextAnalysis.boilerplateProfile(Tables.documents(s, d))),
+    "dwh_scd4" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Dwh.scd4View(Tables.events(s, d), "user_id", "event_type", "ts",
+        "event_id")
+        .select(col("user_id"), col("current_state"), col("n_versions"),
+          unix_micros(col("first_seen")).as("first_seen_us"),
+          unix_micros(col("last_changed")).as("last_changed_us"))
+    }),
+    "sp_hexbin" -> ((s, d) =>
+      SpatialJoin.hexbinDensity(Tables.customer(s, d))),
+    "sp_idw" -> ((s, d) => SpatialJoin.idwDensity(Tables.customer(s, d))),
     "st_ipf" -> ((s, d) => Stats.ipf(Tables.events(s, d))),
     "dwh_restatement" -> ((s, d) =>
       Dwh.restatement(Tables.events(s, d))),
@@ -5081,6 +5103,279 @@ object SparkEntry {
              o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT),
              CAST(o_orderdate AS VARCHAR), o_orderpriority) AS rs
            FROM orders)""",
+    "st_f_test" ->
+      """WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+               AS HUGEINT) AS s1,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)
+               * CAST(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                 AS HUGEINT)) AS s2
+           FROM events WHERE event_type IN ('click', 'view')
+           GROUP BY 1),
+         v AS (SELECT event_type, n,
+             CAST(n * s2 - s1 * s1 AS DOUBLE) / 1e4
+               / (CAST(n AS DOUBLE) * (n - 1)) AS s2v
+           FROM g)
+         SELECT a.n AS n_a, b.n AS n_b,
+           a.n - 1 AS df_a, b.n - 1 AS df_b,
+           round(a.s2v, 6) AS var_a, round(b.s2v, 6) AS var_b,
+           round(a.s2v / b.s2v, 6) AS f_stat
+         FROM (SELECT * FROM v WHERE event_type = 'click') a
+         CROSS JOIN (SELECT * FROM v WHERE event_type = 'view') b""",
+    "st_chisq_gof" ->
+      """WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS o
+           FROM events GROUP BY 1),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(o) AS BIGINT) AS n,
+             sum(CAST(o AS HUGEINT) * o) AS oo FROM g)
+         SELECT k, n, k - 1 AS df,
+           round(CAST(k * oo - CAST(n AS HUGEINT) * n AS DOUBLE)
+             / CAST(n AS DOUBLE), 6) AS chi2
+         FROM t""",
+    "st_beta_binomial" ->
+      """WITH g AS (SELECT event_type AS arm, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN value > 95.0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS k
+           FROM events GROUP BY 1)
+         SELECT arm, n, k,
+           round((k + 1.0) / (n + 2), 6) AS post_mean,
+           round(CAST(k AS DOUBLE) / n, 6) AS post_map,
+           round((k + 1.0) * (n - k + 1.0)
+             / (CAST(n + 2 AS DOUBLE) * (n + 2) * (n + 3)), 6)
+             AS post_var,
+           round(greatest(0.0, (k + 1.0) / (n + 2)
+             - 1.96 * sqrt((k + 1.0) * (n - k + 1.0)
+               / (CAST(n + 2 AS DOUBLE) * (n + 2) * (n + 3)))), 6)
+             AS ci_lo,
+           round(least(1.0, (k + 1.0) / (n + 2)
+             + 1.96 * sqrt((k + 1.0) * (n - k + 1.0)
+               / (CAST(n + 2 AS DOUBLE) * (n + 2) * (n + 3)))), 6)
+             AS ci_hi
+         FROM g""",
+    "ts_transfer_entropy" ->
+      """WITH hx AS (SELECT
+             CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS hr,
+             CAST((sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 20000
+               + count(*)) // (2 * count(*)) AS BIGINT) AS x
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+         hy AS (SELECT
+             CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS hr,
+             CAST((sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 20000
+               + count(*)) // (2 * count(*)) AS BIGINT) AS y
+           FROM events WHERE event_type = 'view' GROUP BY 1),
+         xy AS (SELECT hr, x, y FROM hx JOIN hy USING (hr)),
+         st AS (SELECT hr, x, y,
+             lead(hr) OVER w AS hr1, lead(x) OVER w AS x1,
+             lead(y) OVER w AS y1
+           FROM xy WINDOW w AS (ORDER BY hr)),
+         sp AS (SELECT * FROM st WHERE hr1 = hr + 1),
+         tt AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy FROM sp),
+         b AS (SELECT n,
+             CASE WHEN x * n > sx THEN 1 ELSE 0 END AS xb,
+             CASE WHEN y * n > sy THEN 1 ELSE 0 END AS yb,
+             CASE WHEN x1 * n > sx THEN 1 ELSE 0 END AS x1b,
+             CASE WHEN y1 * n > sy THEN 1 ELSE 0 END AS y1b
+           FROM sp CROSS JOIN tt),
+         c1 AS (SELECT x1b AS a1, xb AS a0, yb AS d0,
+             CAST(count(*) AS BIGINT) AS c, max(n) AS n
+           FROM b GROUP BY 1, 2, 3),
+         m1a AS (SELECT a0, sum(c) AS cx FROM c1 GROUP BY 1),
+         m1b AS (SELECT a0, d0, sum(c) AS cxy FROM c1 GROUP BY 1, 2),
+         m1c AS (SELECT a1, a0, sum(c) AS cxx1 FROM c1 GROUP BY 1, 2),
+         t1 AS (SELECT n, CAST(floor(c * ln(CAST(c AS DOUBLE) * cx
+               / (CAST(cxy AS DOUBLE) * cxx1)) * 1e6 + 0.5) AS BIGINT)
+               AS t
+           FROM c1 JOIN m1a USING (a0) JOIN m1b USING (a0, d0)
+             JOIN m1c USING (a1, a0)),
+         r1 AS (SELECT max(n) AS n_steps,
+             round(CAST(sum(t) AS DOUBLE) / 1e6
+               / CAST(max(n) AS DOUBLE), 6) AS te_y_to_x FROM t1),
+         c2 AS (SELECT y1b AS a1, yb AS a0, xb AS d0,
+             CAST(count(*) AS BIGINT) AS c, max(n) AS n
+           FROM b GROUP BY 1, 2, 3),
+         m2a AS (SELECT a0, sum(c) AS cx FROM c2 GROUP BY 1),
+         m2b AS (SELECT a0, d0, sum(c) AS cxy FROM c2 GROUP BY 1, 2),
+         m2c AS (SELECT a1, a0, sum(c) AS cxx1 FROM c2 GROUP BY 1, 2),
+         t2 AS (SELECT n, CAST(floor(c * ln(CAST(c AS DOUBLE) * cx
+               / (CAST(cxy AS DOUBLE) * cxx1)) * 1e6 + 0.5) AS BIGINT)
+               AS t
+           FROM c2 JOIN m2a USING (a0) JOIN m2b USING (a0, d0)
+             JOIN m2c USING (a1, a0)),
+         r2 AS (SELECT round(CAST(sum(t) AS DOUBLE) / 1e6
+             / CAST(max(n) AS DOUBLE), 6) AS te_x_to_y FROM t2)
+         SELECT n_steps, te_y_to_x, te_x_to_y
+         FROM r1 CROSS JOIN r2""",
+    "ts_lombscargle" ->
+      """WITH daily AS (SELECT
+             CAST(epoch(CAST(ts AS DATE)) // 86400 AS BIGINT) AS t,
+             CAST((sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 20000
+               + count(*)) // (2 * count(*)) AS BIGINT) AS v
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         d2 AS (SELECT t, CAST(v AS DOUBLE) / 1e6 AS y FROM daily),
+         tt AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(y) AS ybar,
+             sum(y * y) AS syy, sum(y) AS sy FROM d2),
+         per AS (SELECT period, 2.0 * pi() / period AS w
+           FROM (VALUES (3), (5), (7), (14), (30)) p(period)),
+         tau AS (SELECT period, w,
+             atan2(sum(sin(w * 2.0 * t)), sum(cos(w * 2.0 * t)))
+               / (w * 2.0) AS tau
+           FROM d2 CROSS JOIN per GROUP BY 1, 2),
+         pw AS (SELECT period, max(n) AS n_days,
+             sum(d * cos(th)) AS dc, sum(d * sin(th)) AS ds,
+             sum(cos(th) * cos(th)) AS cc,
+             sum(sin(th) * sin(th)) AS ss,
+             max(syy - sy * sy / n) AS ssd
+           FROM (SELECT period, n, syy, sy,
+               w * (t - tau) AS th, y - ybar AS d
+             FROM d2 CROSS JOIN tau CROSS JOIN tt)
+           GROUP BY 1)
+         SELECT period, n_days,
+           round((dc * dc / cc + ds * ds / ss)
+             / (2.0 * ssd / (n_days - 1)), 6) AS power
+         FROM pw ORDER BY period""",
+    "ts_dfa" ->
+      """WITH hourly AS (SELECT
+             CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS hr,
+             CAST((sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 20000
+               + count(*)) // (2 * count(*)) AS BIGINT) AS v
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+         tt AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS BIGINT) AS s FROM hourly),
+         prof AS (SELECT
+             CAST(row_number() OVER (ORDER BY hr) AS BIGINT) AS rn, n,
+             sum(v * n - s) OVER (ORDER BY hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nx
+           FROM hourly CROSS JOIN tt),
+         p2 AS (SELECT rn, n, CAST(nx AS DOUBLE) / n AS y FROM prof),
+         bx AS (SELECT m, (rn - 1) // m AS box,
+             CAST((rn - 1) % m + 1 AS DOUBLE) AS x, y
+           FROM p2 CROSS JOIN (VALUES (4), (8), (16), (32)) mm(m)
+           WHERE (rn - 1) // m < n // m),
+         pb AS (SELECT m, box, CAST(count(*) AS BIGINT) AS c,
+             sum(x) AS sx, sum(x * x) AS sxx, sum(y) AS sy,
+             sum(y * y) AS syy, sum(x * y) AS sxy
+           FROM bx GROUP BY 1, 2),
+         sse AS (SELECT m,
+             ((syy - sy * sy / c)
+               - pow(sxy - sx * sy / c, 2) / (sxx - sx * sx / c)) AS sse,
+             c FROM pb),
+         fm AS (SELECT m, sqrt(sum(sse / c) / count(*)) AS f
+           FROM sse GROUP BY 1),
+         fl AS (SELECT m, f, ln(CAST(m AS DOUBLE)) AS lx, ln(f) AS ly
+           FROM fm),
+         al AS (SELECT CAST(count(*) AS BIGINT) AS k, sum(lx) AS sx,
+             sum(ly) AS sy, sum(lx * lx) AS sxx, sum(lx * ly) AS sxy
+           FROM fl)
+         SELECT m, round(f, 6) AS f_m,
+           round((sxy - sx * sy / k) / (sxx - sx * sx / k), 6) AS alpha
+         FROM fl CROSS JOIN al ORDER BY m""",
+    "tx_boilerplate" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+           FROM documents),
+         grams AS (SELECT DISTINCT doc_id, source, s FROM (
+           SELECT doc_id, source,
+             unnest(list_transform(range(1, len(t) - 3),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                 || t[i+3] || ' ' || t[i+4])) AS s
+           FROM toks WHERE len(t) >= 5)),
+         srcd AS (SELECT source,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS src_docs
+           FROM documents GROUP BY 1),
+         hot AS (SELECT source, s FROM
+             (SELECT source, s, CAST(count(*) AS BIGINT) AS df
+              FROM grams GROUP BY 1, 2)
+           JOIN srcd USING (source)
+           WHERE src_docs >= 8 AND df > src_docs * 0.25),
+         rep AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN h.s IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_boiler
+           FROM grams g LEFT JOIN hot h
+             ON g.source = h.source AND g.s = h.s
+           GROUP BY 1)
+         SELECT doc_id, n_grams, n_boiler,
+           round(n_boiler / CAST(n_grams AS DOUBLE), 6) AS boiler_share
+         FROM rep""",
+    "dwh_scd4" ->
+      """WITH v AS (SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS prev
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (SELECT user_id, event_type, ts, event_id FROM v
+               WHERE prev IS NULL OR event_type <> prev),
+         h AS (SELECT user_id, event_type, ts,
+             lead(ts) OVER w AS vt
+           FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         cur AS (SELECT user_id, event_type AS current_state
+           FROM h WHERE vt IS NULL),
+         agg AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_versions,
+             CAST(epoch_us(min(ts)) AS BIGINT) AS first_seen_us,
+             CAST(epoch_us(max(ts)) AS BIGINT) AS last_changed_us
+           FROM s GROUP BY 1)
+         SELECT user_id, current_state, n_versions, first_seen_us,
+           last_changed_us
+         FROM agg JOIN cur USING (user_id)""",
+    "sp_hexbin" ->
+      """WITH p AS (SELECT
+             round(((c_custkey * 17) % 1400)/10.0 - 70.0, 4) AS lat,
+             round(((c_custkey * 31) % 3600)/10.0 - 180.0, 4) AS lon
+           FROM customer),
+         ax AS (SELECT
+             (lon * (sqrt(3.0) / 3.0) - lat / 3.0) / 8.0 AS qf,
+             lat * (2.0 / 3.0) / 8.0 AS rf
+           FROM p),
+         cu AS (SELECT qf, rf, -qf - rf AS sf,
+             floor(qf + 0.5) AS qr, floor(rf + 0.5) AS rr,
+             floor(-qf - rf + 0.5) AS sr
+           FROM ax),
+         dd AS (SELECT qr, rr, sr,
+             abs(qr - qf) AS dq, abs(rr - rf) AS dr, abs(sr - sf) AS ds
+           FROM cu),
+         hx AS (SELECT
+             CAST(CASE WHEN dq > dr AND dq > ds THEN -rr - sr
+               ELSE qr END AS BIGINT) AS hex_q,
+             CAST(CASE WHEN NOT (dq > dr AND dq > ds) AND dr > ds
+               THEN -qr - sr
+               ELSE CASE WHEN dq > dr AND dq > ds THEN rr
+                 ELSE CASE WHEN dr > ds THEN -qr - sr ELSE rr END END
+               END AS BIGINT) AS hex_r
+           FROM dd),
+         cells AS (SELECT hex_q, hex_r, CAST(count(*) AS BIGINT)
+             AS n_points FROM hx GROUP BY 1, 2),
+         t AS (SELECT CAST(sum(n_points) AS BIGINT) AS tot FROM cells)
+         SELECT hex_q, hex_r, n_points,
+           round(n_points / CAST(tot AS DOUBLE), 6) AS share
+         FROM cells CROSS JOIN t
+         ORDER BY n_points DESC, hex_q, hex_r LIMIT 15""",
+    "sp_idw" ->
+      """WITH p AS (SELECT
+             round(((c_custkey * 17) % 1400)/10.0 - 70.0, 4) AS lat,
+             round(((c_custkey * 31) % 3600)/10.0 - 180.0, 4) AS lon
+           FROM customer),
+         cells AS (SELECT
+             (CAST(floor((lat + 90) / 10) AS INTEGER) + 0.5) * 10 - 90.0
+               AS g_lat,
+             (CAST(floor((lon + 180) / 10) AS INTEGER) + 0.5) * 10 - 180.0
+               AS g_lon,
+             CAST(count(*) AS BIGINT) AS n_points
+           FROM p GROUP BY 1, 2),
+         probes AS (SELECT * FROM (VALUES
+             (CAST(1 AS BIGINT), 10.0, 20.0),
+             (CAST(2 AS BIGINT), -35.0, 140.0),
+             (CAST(3 AS BIGINT), 48.0, -100.0),
+             (CAST(4 AS BIGINT), 0.0, 0.0)) pr(probe_id, p_lat, p_lon)),
+         dd AS (SELECT probe_id, n_points,
+             2.0 * 6371.0 * asin(sqrt(
+               pow(sin(radians(p_lat - g_lat) / 2), 2)
+               + cos(radians(g_lat)) * cos(radians(p_lat))
+                 * pow(sin(radians(p_lon - g_lon) / 2), 2))) AS d
+           FROM cells CROSS JOIN probes)
+         SELECT probe_id, CAST(count(*) AS BIGINT) AS n_cells,
+           round(coalesce(
+             max(CASE WHEN d < 1.0 THEN CAST(n_points AS DOUBLE) END),
+             sum(n_points / (d * d)) / sum(1.0 / (d * d))), 6)
+             AS idw_density
+         FROM dd GROUP BY 1 ORDER BY 1""",
     "stream_inferred_member" ->
       """WITH dm AS (SELECT CAST(c_custkey AS BIGINT) AS dim_key,
              CASE WHEN c_custkey % 4 = 0

@@ -61,6 +61,27 @@ object Dwh {
         col("valid_to").isNull.as("is_current"))
   }
 
+  /** SCD TYPE-4 view — current dimension + HISTORY TABLE, rolled into
+    * the per-key read every type-4 consumer actually runs ("what is
+    * the key NOW, and how much churn is behind it"): the current table
+    * stays skinny (one type-1 row per key) while full version history
+    * lives apart — here both derive from the ONE scd2Build version
+    * chain (1 window pass, shared exchange) and the view reports, per
+    * key, the current state plus the history-table profile
+    * (version count, first-seen, last-change timestamps). Completes
+    * the SCD family: 1 (dwh_cdc_apply), 2, 3, 6 (+ this 4). */
+  def scd4View(changes: DataFrame, key: String, state: String,
+               ts: String, ord: String): DataFrame =
+    scd2Build(changes, key, state, ts, ord)
+      // current = THE is_current version (exactly one per key) — a
+      // max-by-valid_from would tie-break differently than the chain's
+      // (ts, ord) order when two versions share a timestamp
+      .groupBy(col(key))
+      .agg(max(when(col("is_current"), col(state))).as("current_state"),
+        count(lit(1)).as("n_versions"),
+        min(col("valid_from")).as("first_seen"),
+        max(col("valid_from")).as("last_changed"))
+
   /** SCD TYPE-3 view — "current + previous" attribute columns, the
     * report-friendly sibling of full SCD2 history (BI marts keep type 3
     * where only the last transition matters: plan migrations, owner

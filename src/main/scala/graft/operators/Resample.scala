@@ -2171,4 +2171,183 @@ object Resample {
       .select(col("event_type"), col("i").as("start_day"),
         col("mn.j").as("nn_day"), col("mn.d2").as("dist2"))
   }
+
+  /** Binned TRANSFER ENTROPY between the hourly click/view series —
+    * the information-theoretic, DIRECTIONAL sibling of [[grangerTest]]
+    * (Granger asks "do lags of Y improve a LINEAR forecast of X"; TE
+    * asks the model-free version: how many nats of uncertainty about
+    * X_{t+1} does knowing Y_t remove once X_t is known — nonzero in
+    * either direction independently, and immune to nonlinearity):
+    * TE(Y→X) = Σ p(x⁺,x,y)·ln[ p(x⁺|x,y) / p(x⁺|x) ], estimated on
+    * the mean-binarized series over CONSECUTIVE-hour steps only (a
+    * gap contributes no transition — both engines drop it by the same
+    * hr+1 join key).
+    *
+    * Engine-exactness: hourly means are the exact micro-unit longs
+    * (graft.operators.Exact), binarization compares n·x > Σx in exact
+    * integer arithmetic (no mean double), all probabilities are
+    * ratios of exact triple counts, and each of the ≤8 cell terms
+    * quantizes to integer micro-nats (floor convention) before the
+    * unordered sum — the g-test/ml_nb log discipline. One window pass
+    * + three cell-bounded rollups per direction. */
+  def transferEntropy(events: DataFrame, typeX: String = "click",
+                      typeY: String = "view"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def hourly(t: String, alias: String) =
+      events.filter(col("event_type") === t)
+        .groupBy(expr("unix_seconds(date_trunc('hour', ts)) div 3600")
+          .as("hr"))
+        .agg(Exact.avgValueMicros.as(alias))
+    val xy = hourly(typeX, "x").join(hourly(typeY, "y"), "hr")
+    val w = Window.orderBy("hr")
+    val stepped = xy
+      .select(col("hr"), col("x"), col("y"),
+        lead("hr", 1).over(w).as("hr1"),
+        lead("x", 1).over(w).as("x1"),
+        lead("y", 1).over(w).as("y1"))
+      .filter(col("hr1") === col("hr") + 1)
+    val tot = stepped.agg(count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"))
+    val binned = stepped.crossJoin(broadcast(tot))
+      .select(col("n"),
+        (col("x") * col("n") > col("sx")).cast("int").as("xb"),
+        (col("y") * col("n") > col("sy")).cast("int").as("yb"),
+        (col("x1") * col("n") > col("sx")).cast("int").as("x1b"),
+        (col("y1") * col("n") > col("sy")).cast("int").as("y1b"))
+      .localCheckpoint(true) // step-count-sized; feeds both directions
+    def te(next: String, self: String, driver: String, out: String) = {
+      val cells = binned
+        .groupBy(col(next).as("a1"), col(self).as("a0"),
+          col(driver).as("d0"))
+        .agg(count(lit(1)).as("c"), max("n").as("n"))
+      val cSelf = cells.groupBy("a0").agg(sum("c").as("cx"))
+      val cPair = cells.groupBy("a0", "d0").agg(sum("c").as("cxy"))
+      val cStep = cells.groupBy("a1", "a0").agg(sum("c").as("cxx1"))
+      cells.join(cSelf, Seq("a0")).join(cPair, Seq("a0", "d0"))
+        .join(cStep, Seq("a1", "a0"))
+        .select(col("n"),
+          floor(col("c") * log(col("c").cast("double") * col("cx") /
+            (col("cxy").cast("double") * col("cxx1"))) * 1e6 + 0.5)
+            .cast("long").as("t"))
+        .agg(max("n").as("n_steps"),
+          round(sum("t").cast("double") / 1e6 /
+            max("n").cast("double"), 6).as(out))
+    }
+    te("x1b", "xb", "yb", "te_y_to_x")
+      .crossJoin(broadcast(te("y1b", "yb", "xb", "te_x_to_y")
+        .drop("n_steps")))
+  }
+
+  /** LOMB–SCARGLE periodogram of the (GAPPY) daily purchase series —
+    * the periodogram for UNEVENLY sampled data ([[periodogram]]'s DFT
+    * assumes a dense regular grid; real event feeds have dark days,
+    * and naively zero-filling them manufactures spectral leakage at
+    * exactly the periods you care about): at each candidate period P,
+    * P_LS = ½[(Σd·cosθ)²/Σcos²θ + (Σd·sinθ)²/Σsin²θ] with the Scargle
+    * phase correction τ = atan2(Σsin2ωt, Σcos2ωt)/2ω that makes the
+    * estimate invariant to time origin, θ = ω(t−τ), d = y − ȳ over
+    * the OBSERVED days only. Normalized by the series variance (the
+    * classical [0, (n−1)/2] scaling).
+    *
+    * Shape: the day frame is calendar-bounded; candidate periods are
+    * a 5-row literal broadcast; two grouped aggregates over the
+    * (day × period) frame (one for τ, one for the powers) — the
+    * corpus is scanned once for the daily rollup. Daily means ride
+    * the exact micro-unit convention (graft.operators.Exact). */
+  def lombScargle(events: DataFrame, eventType: String = "purchase",
+                  periods: Seq[Int] = Seq(3, 5, 7, 14, 30)): DataFrame = {
+    import events.sparkSession.implicits._
+    val daily = events.filter(col("event_type") === eventType)
+      .groupBy(expr("unix_date(cast(ts as date))").cast("long").as("t"))
+      .agg(Exact.avgValueMicros.as("v"))
+      .withColumn("y", col("v").cast("double") / 1e6)
+    val tot = daily.agg(count(lit(1)).as("n"), avg("y").as("ybar"),
+      sum(col("y") * col("y")).as("syy"), sum("y").as("sy"))
+    val per = broadcast(periods.toDF("period"))
+      .withColumn("w", lit(2.0 * math.Pi) / col("period"))
+    val dp = daily.crossJoin(per)
+    val tau = dp.groupBy("period", "w")
+      .agg(sum(sin(col("w") * 2.0 * col("t"))).as("s2"),
+        sum(cos(col("w") * 2.0 * col("t"))).as("c2"))
+      .select(col("period"), col("w"),
+        (atan2(col("s2"), col("c2")) / (col("w") * 2.0)).as("tau"))
+    dp.join(broadcast(tau), Seq("period", "w"))
+      .crossJoin(broadcast(tot))
+      .withColumn("th", col("w") * (col("t") - col("tau")))
+      .withColumn("d", col("y") - col("ybar"))
+      .groupBy("period")
+      .agg(max("n").as("n_days"),
+        sum(col("d") * cos(col("th"))).as("dc"),
+        sum(col("d") * sin(col("th"))).as("ds"),
+        sum(cos(col("th")) * cos(col("th"))).as("cc"),
+        sum(sin(col("th")) * sin(col("th"))).as("ss"),
+        max(col("syy") - col("sy") * col("sy") / col("n")).as("ssd"))
+      .select(col("period"), col("n_days"),
+        round((col("dc") * col("dc") / col("cc") +
+          col("ds") * col("ds") / col("ss")) /
+          (lit(2.0) * col("ssd") / (col("n_days") - 1)), 6).as("power"))
+      .orderBy("period")
+  }
+
+  /** DETRENDED FLUCTUATION ANALYSIS α of the hourly series —
+    * [[hurstExponent]]'s modern sibling (R/S is biased by trends and
+    * short records; DFA detrends INSIDE each window, which is why the
+    * physiology/finance literature reports α, not H): integrate the
+    * mean-centered series into a profile, split it into boxes of
+    * m ∈ {4,8,16,32} hours, remove each box's OLS line, and fit the
+    * log-log slope of the residual RMS F(m) — α ≈ 0.5 white,
+    * 1.0 = 1/f, ≈1.5 Brownian.
+    *
+    * Engine-exactness: the profile is EXACT integer arithmetic
+    * (n·Xₜ = Σ(n·vᵢ − S) — micro-unit longs, no cumulative float
+    * drift), box membership and in-box positions are integer
+    * row-number arithmetic, and each box's OLS residual uses the
+    * closed form on ≤32 values. One window pass for the profile; the
+    * box rollup is one grouped aggregate over the (hour × 4 box
+    * sizes) frame; the α fit runs on a 4-row frame. */
+  def dfaAlpha(events: DataFrame, eventType: String = "click",
+               boxes: Seq[Int] = Seq(4, 8, 16, 32)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import events.sparkSession.implicits._
+    val hourly = events.filter(col("event_type") === eventType)
+      .groupBy(expr("unix_seconds(date_trunc('hour', ts)) div 3600")
+        .as("hr"))
+      .agg(Exact.avgValueMicros.as("v"))
+    val tot = hourly.agg(count(lit(1)).as("n"), sum("v").as("s"))
+    val w = Window.orderBy("hr")
+    val prof = hourly.crossJoin(broadcast(tot))
+      .select(row_number().over(w).cast("long").as("rn"), col("n"),
+        sum(col("v") * col("n") - col("s")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)).as("nx"))
+      .withColumn("y", col("nx").cast("double") / col("n"))
+    val bx = prof.crossJoin(broadcast(boxes.toDF("m")))
+      // integer box arithmetic (Spark's `/` on integral columns is a
+      // DOUBLE divide — `div` keeps boxes and the full-box cutoff exact)
+      .filter(expr("(rn - 1) div m") < expr("n div m"))
+      .select(col("m"), expr("(rn - 1) div m").as("box"),
+        (((col("rn") - 1) % col("m")) + 1).cast("double").as("x"),
+        col("y"))
+    val perBox = bx.groupBy("m", "box")
+      .agg(count(lit(1)).as("c"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"), sum("y").as("sy"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("m"),
+        ((col("syy") - col("sy") * col("sy") / col("c")) -
+          pow(col("sxy") - col("sx") * col("sy") / col("c"), 2) /
+            (col("sxx") - col("sx") * col("sx") / col("c"))).as("sse"),
+        col("c"))
+    val fm = perBox.groupBy("m")
+      .agg(sqrt(sum(col("sse") / col("c")) / count(lit(1))).as("f"))
+      .withColumn("lx", log(col("m").cast("double")))
+      .withColumn("ly", log(col("f")))
+    val a = fm.agg(count(lit(1)).as("k"), sum("lx").as("sx"),
+      sum("ly").as("sy"), sum(col("lx") * col("lx")).as("sxx"),
+      sum(col("lx") * col("ly")).as("sxy"))
+      .select(round((col("sxy") - col("sx") * col("sy") / col("k")) /
+        (col("sxx") - col("sx") * col("sx") / col("k")), 6).as("alpha"))
+    fm.select(col("m"), round(col("f"), 6).as("f_m"))
+      .crossJoin(broadcast(a))
+      .orderBy("m")
+  }
 }

@@ -1139,4 +1139,93 @@ object SpatialJoin {
       round(sqrt(greatest(v1, v2)), 6).as("sigma_major"),
       round(sqrt(least(v1, v2)), 6).as("sigma_minor"))
   }
+
+  /** POINTY-TOP HEXAGONAL binning of the customer point cloud — the
+    * honest density grid for isotropic point data ([[gridDensity]]'s
+    * square cells bias along the axes: a square's corner neighbor is
+    * √2 farther than its edge neighbor, a hexagon's six neighbors are
+    * equidistant — why every serious point-density map hexbins):
+    * axial coordinates q = (√3/3·x − 1/3·y)/size, r = 2/3·y/size, with
+    * the standard CUBE ROUNDING (round q, r, s = −q−r; re-derive the
+    * axis with the largest rounding error from the other two — the
+    * constraint q+r+s = 0 is what makes nearest-hex assignment exact).
+    * Lon/lat are treated as planar for the binning (the documented
+    * convention of every hexbin chart; the equal-area variant swaps
+    * the projection, not the algebra). One rollup; rounding uses the
+    * floor(x+0.5) convention spelled identically in the oracle
+    * (SURVEY §8.6 — engine round() half-cases are not portable).
+    * Top-N by count, ties to (q, r). */
+  def hexbinDensity(customer: DataFrame, sizeDeg: Double = 8.0,
+                    topN: Int = 15): DataFrame = {
+    def rnd(c: Column) = floor(c + 0.5)
+    val p = customerPoints(customer)
+      .select(((col("c_lon") * (math.sqrt(3.0) / 3.0) -
+        col("c_lat") / 3.0) / sizeDeg).as("qf"),
+        (col("c_lat") * (2.0 / 3.0) / sizeDeg).as("rf"))
+      .withColumn("sf", -col("qf") - col("rf"))
+      .withColumn("qr", rnd(col("qf")))
+      .withColumn("rr", rnd(col("rf")))
+      .withColumn("sr", rnd(col("sf")))
+      .withColumn("dq", abs(col("qr") - col("qf")))
+      .withColumn("dr", abs(col("rr") - col("rf")))
+      .withColumn("ds", abs(col("sr") - col("sf")))
+      .select(
+        when(col("dq") > col("dr") && col("dq") > col("ds"),
+          -col("rr") - col("sr")).otherwise(col("qr"))
+          .cast("long").as("hex_q"),
+        when(!(col("dq") > col("dr") && col("dq") > col("ds")) &&
+          col("dr") > col("ds"), -col("qr") - col("sr"))
+          .otherwise(when(col("dq") > col("dr") && col("dq") > col("ds"),
+            col("rr"))
+            .otherwise(when(col("dr") > col("ds"), -col("qr") - col("sr"))
+              .otherwise(col("rr"))))
+          .cast("long").as("hex_r"))
+    val cells = p.groupBy("hex_q", "hex_r").agg(count(lit(1)).as("n_points"))
+    cells.crossJoin(broadcast(cells.agg(sum("n_points").as("__t"))))
+      .select(col("hex_q"), col("hex_r"), col("n_points"),
+        round(col("n_points") / col("__t"), 6).as("share"))
+      .orderBy(desc("n_points"), asc("hex_q"), asc("hex_r"))
+      .limit(topN)
+  }
+
+  /** INVERSE-DISTANCE-WEIGHTED interpolation of the cell-density
+    * surface at fixed probe points — the "what is the density HERE,
+    * between my samples" query ([[kdeCells]] smooths the whole grid;
+    * IDW answers point queries, the geostatistics workhorse when a
+    * full kriging model is overkill): v̂(p) = Σᵢ nᵢ/dᵢ² / Σᵢ 1/dᵢ²
+    * over the 10°-cell centroids (power 2, the standard Shepard
+    * choice), haversine distances, with the exact-hit convention
+    * (d < 1 km snaps to the cell's own value). The cell frame is
+    * lattice-bounded (≤ 18×36) and the probes are a literal broadcast
+    * — the corpus is touched ONCE for the cell rollup; everything
+    * after is probe × cell arithmetic. */
+  def idwDensity(customer: DataFrame, cellDeg: Int = 10): DataFrame = {
+    import graft.functions.SpatialFunctions.haversineKm
+    import customer.sparkSession.implicits._
+    val cells = customerPoints(customer)
+      .groupBy(
+        floor((col("c_lat") + 90) / cellDeg).cast("int").as("cell_lat"),
+        floor((col("c_lon") + 180) / cellDeg).cast("int").as("cell_lon"))
+      .agg(count(lit(1)).as("n_points"))
+      .select(((col("cell_lat") + 0.5) * cellDeg - 90.0).as("g_lat"),
+        ((col("cell_lon") + 0.5) * cellDeg - 180.0).as("g_lon"),
+        col("n_points"))
+    val probes = broadcast(Seq(
+      (1L, 10.0, 20.0), (2L, -35.0, 140.0), (3L, 48.0, -100.0),
+      (4L, 0.0, 0.0)).toDF("probe_id", "p_lat", "p_lon"))
+    cells.crossJoin(probes)
+      .withColumn("d", haversineKm(col("g_lat"), col("g_lon"),
+        col("p_lat"), col("p_lon")))
+      .withColumn("w", lit(1.0) / (col("d") * col("d")))
+      .groupBy("probe_id")
+      .agg(max(when(col("d") < 1.0, col("n_points").cast("double")))
+          .as("__exact"),
+        sum(col("w") * col("n_points")).as("__num"),
+        sum(col("w")).as("__den"),
+        count(lit(1)).as("n_cells"))
+      .select(col("probe_id"), col("n_cells"),
+        round(coalesce(col("__exact"), col("__num") / col("__den")), 6)
+          .as("idw_density"))
+      .orderBy("probe_id")
+  }
 }

@@ -4742,6 +4742,95 @@ object Stats {
       round(col("w9").cast("double") / 1e9, 6).as("weight"))
   }
 
+  /** Two-sample F TEST of variance ratio — the pre-t-test variance
+    * check in its classic two-group form ([[leveneTest]]/
+    * [[bartlettTest]] are the k-group robust/parametric siblings; the
+    * plain F = s₁²/s₂² is what every "can I pool?" decision and every
+    * variance-QC chart actually uses): F, both dfs, and both sample
+    * variances, convention F ≥ 1 never imposed — the group order is
+    * part of the contract (a/b = click/view), so the caller reads
+    * direction too.
+    *
+    * Exactness: per-group variance numerators are the integer-cents
+    * power sums (n·Σc² − (Σc)² exact in decimal(38,0)), so each s² is
+    * ONE double division and F one more — aggregation-order free, the
+    * same discipline as [[bartlettTest]]. One corpus pass to two rows. */
+  def fTestVariance(events: DataFrame, typeA: String = "click",
+                    typeB: String = "view"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val c = Exact.cents(col("value"))
+    val g = events.filter(col("event_type").isin(typeA, typeB))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(c).cast(dec).as("s1"),
+        sum(c.cast(dec) * c.cast(dec)).as("s2"))
+      .withColumn("var_num",
+        (col("n").cast(dec) * col("s2") - col("s1") * col("s1")))
+      .withColumn("s2v", col("var_num").cast("double") / 1e4 /
+        (col("n").cast("double") * (col("n") - lit(1))))
+    val a = g.filter(col("event_type") === typeA)
+      .select(col("n").as("n_a"), col("s2v").as("var_a"))
+    val b = g.filter(col("event_type") === typeB)
+      .select(col("n").as("n_b"), col("s2v").as("var_b"))
+    a.crossJoin(broadcast(b))
+      .select(col("n_a"), col("n_b"),
+        (col("n_a") - 1).as("df_a"), (col("n_b") - 1).as("df_b"),
+        round(col("var_a"), 6).as("var_a"),
+        round(col("var_b"), 6).as("var_b"),
+        round(col("var_a") / col("var_b"), 6).as("f_stat"))
+  }
+
+  /** χ² GOODNESS-OF-FIT against the uniform distribution over the
+    * observed categories — [[chiSquare]] answers "are these two
+    * columns independent"; this answers "is ONE column's distribution
+    * what I declared" (uniform here: the mix-shift alarm for an
+    * event-type feed that should arrive balanced). With e = n/k the
+    * statistic collapses to the EXACT rational (k·Σo² − n²)/n — all
+    * integer arithmetic until one division, so no per-cell float sum
+    * can reorder. One partial-agg pass to the k-row frame. */
+  def chiSquareGof(events: DataFrame, c: String = "event_type")
+      : DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    events.groupBy(col(c).as("__g")).agg(count(lit(1)).as("o"))
+      .agg(count(lit(1)).as("k"), sum("o").as("n"),
+        sum(col("o").cast(dec) * col("o").cast(dec)).as("oo"))
+      .select(col("k"), col("n"), (col("k") - 1).as("df"),
+        round((col("k").cast(dec) * col("oo") -
+          col("n").cast(dec) * col("n").cast(dec)).cast("double") /
+          col("n").cast("double"), 6).as("chi2"))
+  }
+
+  /** BETA-BINOMIAL posterior summary per arm — the Bayesian reading of
+    * a conversion table ([[wilsonCi]] gives the frequentist interval;
+    * this gives the posterior a decision rule actually integrates
+    * over): with the uniform Beta(1,1) prior and k successes in n
+    * trials, the posterior is Beta(k+1, n−k+1) — mean (k+1)/(n+2),
+    * MAP k/n, variance (k+1)(n−k+1)/((n+2)²(n+3)) — all EXACT
+    * rationals of counts, plus the normal-approximation 95% credible
+    * interval clamped to [0,1] (the regime where the approximation
+    * holds is also the regime where anyone ships the decision).
+    * Success = value > 95 (the [[wilsonCi]] convention — one
+    * definition of "conversion" across both surfaces). One corpus
+    * pass to the arm-bounded frame. */
+  def betaBinomial(events: DataFrame, threshold: Double = 95.0)
+      : DataFrame = {
+    val g = events.groupBy(col("event_type").as("arm"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") > threshold, 1L).otherwise(0L)).as("k"))
+    val a = (col("k") + 1).cast("double")
+    val b = (col("n") - col("k") + 1).cast("double")
+    val mean = a / (col("n") + 2)
+    val variance = a * b /
+      ((col("n") + 2).cast("double") * (col("n") + 2) * (col("n") + 3))
+    g.select(col("arm"), col("n"), col("k"),
+      round(mean, 6).as("post_mean"),
+      round(col("k").cast("double") / col("n"), 6).as("post_map"),
+      round(variance, 6).as("post_var"),
+      round(greatest(lit(0.0), mean - lit(1.96) * sqrt(variance)), 6)
+        .as("ci_lo"),
+      round(least(lit(1.0), mean + lit(1.96) * sqrt(variance)), 6)
+        .as("ci_hi"))
+  }
+
   def hodgesLehmann(events: DataFrame): DataFrame = {
     val daily = events.groupBy(col("event_type"),
         expr("unix_date(cast(ts as date))").cast("long").as("d"))

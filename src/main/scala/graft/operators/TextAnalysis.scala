@@ -1608,4 +1608,53 @@ object TextAnalysis {
       .select(col("phrase"), col("n_occurrences"),
         round(col("score6") / 1e6, 6).as("score"))
   }
+
+  /** PER-SOURCE BOILERPLATE profile — the CCNet/RefinedWeb curation
+    * step doc-level dedup cannot do (a crawl source stamps the same
+    * footer/nav/disclaimer n-gram runs on MOST of its pages; the docs
+    * are not near-duplicates of each other, but a quarter of every
+    * doc is the same furniture — and a model trained on it memorizes
+    * the furniture): a 5-gram is BOILERPLATE within its source when
+    * it appears in more than `hotShare` of the source's documents
+    * (sources with fewer than `minDocs` docs are exempt — a 2-doc
+    * source would flag everything). Output per doc: distinct 5-grams,
+    * how many are boilerplate, and the share — the strip decision
+    * ("drop these grams before tokenization") reads directly off it.
+    *
+    * Scale shape: one explode to DISTINCT (source, doc, gram) rows,
+    * ONE (source, gram) rollup for the df census (partial-agg'd),
+    * source doc counts ride a broadcast-sized frame, and the hot set
+    * joins back AT THE GRAM KEY — the same bounded-join discipline as
+    * the dedup census (no pair join anywhere; this is linear in
+    * postings). Gram strings stay strings here because the SQL twin
+    * must recompute them; the production path swaps in ShingleHashes
+    * (8-byte keys) with the same plan shape. */
+  def boilerplateProfile(documents: DataFrame, n: Int = 5,
+                         hotShare: Double = 0.25,
+                         minDocs: Long = 8L): DataFrame = {
+    val toks = split(col("text"), " ")
+    val grams = documents
+      // filter BEFORE the explode: sequence(0, size-n) on a short doc
+      // would generate a DESCENDING index range (Spark's sequence
+      // semantics), not an empty one
+      .filter(size(toks) >= n)
+      .select(col("doc_id"), col("source"),
+        explode(transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))).as("g"))
+      .distinct()
+    val srcDocs = documents.groupBy("source")
+      .agg(countDistinct("doc_id").as("src_docs"))
+    val hot = grams.groupBy("source", "g")
+      .agg(count(lit(1)).as("df"))
+      .join(broadcast(srcDocs), Seq("source"))
+      .filter(col("src_docs") >= minDocs &&
+        col("df") > col("src_docs") * hotShare)
+      .select(col("source"), col("g"), lit(1).as("__hot"))
+    grams.join(hot, Seq("source", "g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hot"), lit(0))).cast("long").as("n_boiler"),
+        round(sum(coalesce(col("__hot"), lit(0))) /
+          count(lit(1)).cast("double"), 6).as("boiler_share"))
+  }
 }
