@@ -261,6 +261,25 @@ object SparkEntry {
         .select("src", "dst")
     }
 
+  /** DIRECTED supplier-succession graph: within each order, an edge
+    * from each lineitem's supplier to the NEXT line's (distinct)
+    * supplier in linenumber order — a directed graph with genuine
+    * cycles (the same supplier pair appears in both orders in
+    * different orders across the corpus), the input gr_scc needs
+    * (every other graph here is symmetrized or bipartite-acyclic). */
+  private def supplierSuccessionEdges(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = cachedEdges(s"succession:$d") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"))
+      .withColumn("nxt", lead("l_suppkey", 1).over(w))
+      .filter(col("nxt").isNotNull && col("nxt") =!= col("l_suppkey"))
+      .select(col("l_suppkey").as("src"), col("nxt").as("dst"))
+      .distinct()
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- B. core relational ----
@@ -938,6 +957,11 @@ object SparkEntry {
       Stats.weightedQuantiles(Tables.lineitem(s, d), "l_extendedprice",
         "l_quantity")),
     "st_f_test" -> ((s, d) => Stats.fTestVariance(Tables.events(s, d))),
+    "st_copula" -> ((s, d) => Stats.empiricalCopula(Tables.events(s, d))),
+    "pipe_decon_embed" -> ((s, d) =>
+      SimilaritySearch.embedContamination(Tables.embeddings(s, d))),
+    "gr_scc" -> ((s, d) =>
+      Graph.stronglyConnectedComponents(supplierSuccessionEdges(s, d))),
     "st_chisq_gof" -> ((s, d) => Stats.chiSquareGof(Tables.events(s, d))),
     "st_beta_binomial" -> ((s, d) =>
       Stats.betaBinomial(Tables.events(s, d))),
@@ -5103,6 +5127,75 @@ object SparkEntry {
              o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT),
              CAST(o_orderdate AS VARCHAR), o_orderpriority) AS rs
            FROM orders)""",
+    "st_copula" ->
+      """WITH dx AS (SELECT CAST(epoch(CAST(ts AS DATE)) // 86400
+               AS BIGINT) AS d,
+             CAST((sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 20000
+               + count(*)) // (2 * count(*)) AS BIGINT) AS x
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+         dy AS (SELECT CAST(epoch(CAST(ts AS DATE)) // 86400
+               AS BIGINT) AS d,
+             CAST((sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 20000
+               + count(*)) // (2 * count(*)) AS BIGINT) AS y
+           FROM events WHERE event_type = 'view' GROUP BY 1),
+         xy AS (SELECT d, x, y FROM dx JOIN dy USING (d)),
+         rk AS (SELECT
+             CAST(row_number() OVER (ORDER BY x, d) AS BIGINT) AS rx,
+             CAST(row_number() OVER (ORDER BY y, d) AS BIGINT) AS ry
+           FROM xy),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM xy)
+         SELECT (rx - 1) * 4 // n AS qx, (ry - 1) * 4 // n AS qy,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(count(*) * 16 / CAST(max(n) AS DOUBLE), 6) AS lift
+         FROM rk CROSS JOIN t GROUP BY 1, 2""",
+    "pipe_decon_embed" ->
+      """WITH vv AS (SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))
+               AS q
+           FROM embeddings),
+         v AS (SELECT vec_id, q,
+             list_aggregate(list_transform(q, y -> y*y), 'sum') AS ssq
+           FROM vv),
+         p AS (SELECT vec_id AS probe_id, q AS pq, ssq AS pssq
+           FROM v WHERE vec_id % 50 = 0),
+         c AS (SELECT vec_id, q, ssq FROM v WHERE vec_id % 50 <> 0),
+         d AS (SELECT probe_id, vec_id,
+             round(CAST(list_aggregate(list_transform(list_zip(pq, q),
+               s -> s[1] * s[2]), 'sum') AS DOUBLE)
+               / (sqrt(pssq) * sqrt(ssq)), 4) AS cos
+           FROM p CROSS JOIN c),
+         mx AS (SELECT probe_id, max(cos) AS max_cos,
+             CAST(sum(CASE WHEN cos >= 0.9 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_flagged
+           FROM d GROUP BY 1)
+         SELECT m.probe_id, m.max_cos,
+           min(d.vec_id) AS nearest_id, m.n_flagged
+         FROM mx m JOIN d ON d.probe_id = m.probe_id
+           AND d.cos = m.max_cos
+         GROUP BY 1, 2, 4""",
+    "gr_scc" ->
+      """WITH RECURSIVE li AS (SELECT l_orderkey, l_linenumber,
+             CAST(l_suppkey AS BIGINT) AS sk,
+             lead(CAST(l_suppkey AS BIGINT)) OVER (
+               PARTITION BY l_orderkey ORDER BY l_linenumber) AS nxt
+           FROM lineitem),
+         edges AS (SELECT DISTINCT sk AS src, nxt AS dst FROM li
+           WHERE nxt IS NOT NULL AND nxt <> sk),
+         nodes AS (SELECT src AS node FROM edges
+           UNION SELECT dst FROM edges),
+         reach(a, b) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+         mutual AS (SELECT r1.a AS u, r1.b AS v FROM reach r1
+           JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a),
+         scc AS (SELECT n.node,
+             least(n.node, coalesce(min(m.v), n.node)) AS scc_id
+           FROM nodes n LEFT JOIN mutual m ON m.u = n.node
+           GROUP BY n.node)
+         SELECT scc_id, CAST(count(*) AS BIGINT) AS n_nodes
+         FROM scc GROUP BY 1""",
     "st_f_test" ->
       """WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
              CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))

@@ -973,4 +973,43 @@ object SimilaritySearch {
         round(col("n_correct").cast("double") / col("n_eval"), 4)
           .as("accuracy"))
   }
+
+  /** EMBEDDING-SPACE DECONTAMINATION audit — the semantic twin of the
+    * n-gram contamination check (tx_contamination catches verbatim
+    * eval leakage; paraphrased or re-formatted leakage only the
+    * embedding sees): every held-out probe vector (vec_id ≡ 0 mod
+    * `probeMod` — the "eval set") is scored against the REST of the
+    * corpus by exact lattice cosine, reporting its maximum corpus
+    * similarity, the nearest corpus id (ties to the smaller id), and
+    * how many corpus vectors clear the contamination threshold τ.
+    * A max_cos near 1 is a leaked (or near-duplicate) eval item; the
+    * n_flagged column sizes the cleanup.
+    *
+    * Shape: the probe slice rides as a broadcast over ONE corpus scan
+    * (map-side integer dot on the 1e-3 lattice — floor convention,
+    * bit-identical to the SQL twin), per-probe rollup; the 100 TB
+    * path swaps the broadcast-scan for the LSH/IVF bucket join and
+    * keeps the rollup identical (the knnClassifierEval contract). */
+  def embedContamination(embeddings: DataFrame, probeMod: Long = 50,
+                         tau: Double = 0.9): DataFrame = {
+    def lat(c: Column) = transform(c.cast("array<double>"),
+      x => floor(x * 1000 + 0.5).cast("long"))
+    val v = embeddings.select(col("vec_id"), lat(col("embedding")).as("q"))
+      .withColumn("ssq", aggregate(col("q"), lit(0L), (a, y) => a + y * y))
+    val probes = broadcast(v.filter(col("vec_id") % probeMod === 0)
+      .select(col("vec_id").as("probe_id"), col("q").as("pq"),
+        col("ssq").as("pssq")))
+    Scale.fanOut(v.filter(col("vec_id") % probeMod =!= 0))
+      .crossJoin(probes)
+      .withColumn("cos", round(
+        aggregate(zip_with(col("pq"), col("q"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).cast("double") /
+          (sqrt(col("pssq").cast("double")) *
+            sqrt(col("ssq").cast("double"))), 4))
+      .groupBy("probe_id")
+      .agg(max(struct(col("cos"), (-col("vec_id")).as("ni"))).as("best"),
+        sum(when(col("cos") >= tau, 1L).otherwise(0L)).as("n_flagged"))
+      .select(col("probe_id"), col("best.cos").as("max_cos"),
+        (-col("best.ni")).as("nearest_id"), col("n_flagged"))
+  }
 }

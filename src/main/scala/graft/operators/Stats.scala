@@ -4831,6 +4831,42 @@ object Stats {
         .as("ci_hi"))
   }
 
+  /** EMPIRICAL COPULA grid of the daily (click, view) pair — the
+    * dependence STRUCTURE the correlation family reduces to one number
+    * (st_corr_cov/st_spearman say HOW MUCH the two series co-move;
+    * the copula says WHERE — tail dependence, asymmetry, the
+    * "correlated only in crashes" shape risk teams actually fear):
+    * rank-transform each margin to pseudo-observations, bucket the
+    * unit square into a k×k grid, report each cell's day count and
+    * its LIFT over the independence density 1/k².
+    *
+    * Engine-exact: daily means are exact micro-longs, ranks are
+    * row_number over the total order (value, day) — no midrank float,
+    * ties broken identically on both engines — and cell assignment is
+    * integer arithmetic ((r−1)·k div n). The day frame is
+    * calendar-bounded (the kendallTau window contract). */
+  def empiricalCopula(events: DataFrame, typeX: String = "click",
+                      typeY: String = "view", k: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def daily(t: String, alias: String) =
+      events.filter(col("event_type") === t)
+        .groupBy(expr("unix_date(cast(ts as date))").cast("long").as("d"))
+        .agg(Exact.avgValueMicros.as(alias))
+    val xy = daily(typeX, "x").join(daily(typeY, "y"), "d")
+    val ranked = xy
+      .withColumn("rx", row_number().over(Window.orderBy("x", "d")))
+      .withColumn("ry", row_number().over(Window.orderBy("y", "d")))
+    val tot = ranked.agg(count(lit(1)).as("n"))
+    ranked.crossJoin(broadcast(tot))
+      .select(expr(s"(rx - 1) * $k div n").as("qx"),
+        expr(s"(ry - 1) * $k div n").as("qy"), col("n"))
+      .groupBy("qx", "qy")
+      .agg(count(lit(1)).as("n_days"), max("n").as("__n"))
+      .select(col("qx"), col("qy"), col("n_days"),
+        round(col("n_days") * lit(k * k) / col("__n").cast("double"), 6)
+          .as("lift"))
+  }
+
   def hodgesLehmann(events: DataFrame): DataFrame = {
     val daily = events.groupBy(col("event_type"),
         expr("unix_date(cast(ts as date))").cast("long").as("d"))
