@@ -958,6 +958,23 @@ object SparkEntry {
         "l_quantity")),
     "st_f_test" -> ((s, d) => Stats.fTestVariance(Tables.events(s, d))),
     "st_copula" -> ((s, d) => Stats.empiricalCopula(Tables.events(s, d))),
+    "st_xi" -> ((s, d) => Stats.chatterjeeXi(Tables.events(s, d))),
+    "st_mmd" -> ((s, d) => Stats.mmdTest(Tables.events(s, d))),
+    "mm_decimate" -> ((s, d) =>
+      operators.Multimodal.audioDecimateSummary(Tables.documents(s, d))),
+    // minimum spanning forest over the weighted customer⊗supplier
+    // graph (weight = shared-order count, ties broken by the edge key
+    // — a unique forest). Union-find state is not SQL-expressible →
+    // rows-only; the serial-Kruskal twin lives in Wave10cSpec.
+    "gr_mst" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val w = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000000L).as("dst"))
+        .agg(countDistinct("o_orderkey").as("w"))
+      Graph.minimumSpanningForest(w)
+    }),
     "pipe_decon_embed" -> ((s, d) =>
       SimilaritySearch.embedContamination(Tables.embeddings(s, d))),
     "gr_scc" -> ((s, d) =>
@@ -5127,6 +5144,89 @@ object SparkEntry {
              o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT),
              CAST(o_orderdate AS VARCHAR), o_orderpriority) AS rs
            FROM orders)""",
+    "st_xi" ->
+      """WITH dx AS (SELECT CAST(epoch(CAST(ts AS DATE)) // 86400
+               AS BIGINT) AS d,
+             CAST((sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 20000
+               + count(*)) // (2 * count(*)) AS BIGINT) AS x
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+         dy AS (SELECT CAST(epoch(CAST(ts AS DATE)) // 86400
+               AS BIGINT) AS d,
+             CAST((sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 20000
+               + count(*)) // (2 * count(*)) AS BIGINT) AS y
+           FROM events WHERE event_type = 'view' GROUP BY 1),
+         xy AS (SELECT d, x, y FROM dx JOIN dy USING (d)),
+         rk AS (SELECT
+             CAST(row_number() OVER (ORDER BY x, d) AS BIGINT) AS rx,
+             CAST(row_number() OVER (ORDER BY y, d) AS BIGINT) AS ry
+           FROM xy),
+         sx AS (SELECT CAST(sum(abs(nxt - ry)) AS BIGINT) AS sdx
+           FROM (SELECT ry, lead(ry) OVER (ORDER BY rx) AS nxt FROM rk)
+           WHERE nxt IS NOT NULL),
+         sy AS (SELECT CAST(sum(abs(nxt - rx)) AS BIGINT) AS sdy
+           FROM (SELECT rx, lead(rx) OVER (ORDER BY ry) AS nxt FROM rk)
+           WHERE nxt IS NOT NULL),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM xy)
+         SELECT n,
+           round(1.0 - 3.0 * sdx / (CAST(n AS DOUBLE) * n - 1.0), 6)
+             AS xi_y_given_x,
+           round(1.0 - 3.0 * sdy / (CAST(n AS DOUBLE) * n - 1.0), 6)
+             AS xi_x_given_y
+         FROM sx CROSS JOIN sy CROSS JOIN t""",
+    "st_mmd" ->
+      """WITH dx AS (SELECT CAST(epoch(CAST(ts AS DATE)) // 86400
+               AS BIGINT) AS d,
+             CAST(CAST((sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+               * 20000 + count(*)) // (2 * count(*)) AS BIGINT)
+               AS DOUBLE) / 1e6 AS v
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+         dy AS (SELECT CAST(epoch(CAST(ts AS DATE)) // 86400
+               AS BIGINT) AS d,
+             CAST(CAST((sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+               * 20000 + count(*)) // (2 * count(*)) AS BIGINT)
+               AS DOUBLE) / 1e6 AS v
+           FROM events WHERE event_type = 'view' GROUP BY 1),
+         kxx AS (SELECT CAST(sum(CAST(floor(
+               exp((a.v - b.v) * (a.v - b.v) / -5000.0) * 1e6 + 0.5)
+               AS BIGINT)) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS c
+           FROM dx a CROSS JOIN dx b),
+         kyy AS (SELECT CAST(sum(CAST(floor(
+               exp((a.v - b.v) * (a.v - b.v) / -5000.0) * 1e6 + 0.5)
+               AS BIGINT)) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS c
+           FROM dy a CROSS JOIN dy b),
+         kxy AS (SELECT CAST(sum(CAST(floor(
+               exp((a.v - b.v) * (a.v - b.v) / -5000.0) * 1e6 + 0.5)
+               AS BIGINT)) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS c
+           FROM dx a CROSS JOIN dy b)
+         SELECT kxx.c AS n_pairs_xx,
+           round(CAST(kxx.s AS DOUBLE) / kxx.c / 1e6
+             + CAST(kyy.s AS DOUBLE) / kyy.c / 1e6
+             - 2.0 * (CAST(kxy.s AS DOUBLE) / kxy.c / 1e6), 6) AS mmd2
+         FROM kxx CROSS JOIN kyy CROSS JOIN kxy""",
+    "mm_decimate" ->
+      """WITH a AS (SELECT doc_id, text, length(text) AS len
+           FROM documents WHERE doc_id % 3 = 1 AND length(text) > 0),
+         smp AS (SELECT doc_id, u.i,
+             (ascii(substr(text, CAST(u.i AS INT), 1)) - 128) * 256 AS s
+           FROM a, LATERAL unnest(generate_series(1, a.len)) u(i)),
+         grp AS (SELECT doc_id, (i - 1) // 4 AS g,
+             sum(s) / CAST(count(*) AS DOUBLE) AS m
+           FROM smp GROUP BY 1, 2),
+         rin AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_in,
+             sqrt(sum((s / 32768.0) * (s / 32768.0)) / count(*))
+               AS rms_in
+           FROM smp GROUP BY 1),
+         rout AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_out,
+             sqrt(sum((m / 32768.0) * (m / 32768.0)) / count(*))
+               AS rms_out
+           FROM grp GROUP BY 1)
+         SELECT rin.doc_id AS media_id, n_in, n_out,
+           round(rms_out, 4) AS rms_out,
+           round(rms_out / rms_in, 4) AS energy_ratio
+         FROM rin JOIN rout ON rin.doc_id = rout.doc_id""",
     "st_copula" ->
       """WITH dx AS (SELECT CAST(epoch(CAST(ts AS DATE)) // 86400
                AS BIGINT) AS d,

@@ -1260,4 +1260,72 @@ object Graph {
     results.reduce(_ unionByName _)
       .groupBy("scc_id").agg(count(lit(1)).as("n_nodes"))
   }
+
+  /** MINIMUM SPANNING FOREST (Borůvka) of a weighted undirected edge
+    * list — the distributed-native MST ([[components]] says WHAT is
+    * connected; the MSF says the CHEAPEST way to keep it connected:
+    * network backbone design, single-linkage clustering's dual,
+    * weighted-graph sparsification): per round every component picks
+    * its minimum outgoing edge under the TOTAL order (w, src, dst) —
+    * distinct composite weights make the forest unique, so the result
+    * is deterministic and spec-checkable against serial Kruskal —
+    * selected edges contract via the shared connected-components
+    * machinery, and components halve (or better) per round:
+    * ⌈log₂ n⌉ rounds, each one labels⋈edges join + a component-sized
+    * rollup. Not SQL-expressible (union-find state) → rows-only
+    * surface; the brute-force Kruskal twin lives in the spec. */
+  def minimumSpanningForest(edges: DataFrame, maxRounds: Int = 40)
+      : DataFrame = {
+    // canonical undirected edges with a strict total order on weight
+    val canon = edges
+      .select(least(col("src"), col("dst")).as("s"),
+        greatest(col("src"), col("dst")).as("t"), col("w"))
+      .filter(col("s") =!= col("t"))
+      .groupBy("s", "t").agg(min("w").as("w"))
+      .localCheckpoint(true)
+    val sym = canon.select(col("s").as("u"), col("t").as("v"), col("s"),
+        col("t"), col("w"))
+      .unionByName(canon.select(col("t").as("u"), col("s").as("v"),
+        col("s"), col("t"), col("w")))
+      .localCheckpoint(true)
+    var labels = sym.select(col("u").as("node")).distinct()
+      .withColumn("comp", col("node")).localCheckpoint(true)
+    var picked = canon.filter(lit(false)).select("s", "t", "w")
+    var round = 0
+    var remaining = 1L
+    while (remaining > 0 && round < maxRounds) {
+      round += 1
+      val lab = labels
+      val crossing = sym
+        .join(lab.select(col("node").as("u"), col("comp").as("cu")),
+          Seq("u"))
+        .join(lab.select(col("node").as("v"), col("comp").as("cv")),
+          Seq("v"))
+        .filter(col("cu") =!= col("cv"))
+      // min outgoing edge per component under the (w, s, t) total order
+      val chosen = crossing.groupBy("cu")
+        .agg(min(struct(col("w"), col("s"), col("t"), col("cv")))
+          .as("e"))
+        .select(col("e.w").as("w"), col("e.s").as("s"),
+          col("e.t").as("t"), col("cu"), col("e.cv").as("cv"))
+        .localCheckpoint(true)
+      remaining = chosen.count()
+      if (remaining > 0) {
+        picked = picked.unionByName(chosen.select("s", "t", "w"))
+          .distinct().localCheckpoint(true)
+        // contract: components joined by chosen edges take the minimum
+        // component label of their group (shared CC machinery)
+        val merged = Dedup.dupClusters(
+          chosen.select(col("cu").as("d1"), col("cv").as("d2")))
+        labels = lab.join(merged.select(col("doc_id").as("comp"),
+            col("cluster_id")), Seq("comp"), "left")
+          .select(col("node"),
+            coalesce(col("cluster_id"), col("comp")).as("comp"))
+          .localCheckpoint(true)
+      }
+    }
+    if (remaining > 0) throw new IllegalStateException(
+      s"Borůvka did not converge in $maxRounds rounds")
+    picked.select(col("s").as("src"), col("t").as("dst"), col("w"))
+  }
 }

@@ -349,6 +349,61 @@ object Multimodal {
   def audioEnergySummary(documents: DataFrame): DataFrame =
     audioEnergyWav(wavMediaFromDocuments(documents))
 
+  /** AUDIO DECIMATION summary — the sample-rate-reduction pass every
+    * audio curation pipeline runs before feature extraction (a 48 kHz
+    * asset carries 3× the bytes of the 16 kHz a speech model ingests;
+    * decimation with a boxcar anti-alias mean is the cheapest correct
+    * downsample): decode the WAV, average each consecutive `factor`
+    * samples (the trailing partial group averages its actual length),
+    * and report per asset the in/out sample counts, the decimated RMS
+    * on full-scale-normalized amplitude, and the energy RATIO vs the
+    * original RMS — the aliasing audit number (a ratio far under 1
+    * means the asset's energy lived above the new Nyquist and
+    * decimation destroyed it).
+    *
+    * Same per-partition codec-boundary shape as [[audioEnergyWav]];
+    * output is asset-bounded. The SQL twin replays the byte→sample
+    * map and the integer group means exactly. */
+  def audioDecimateSummary(documents: DataFrame, factor: Int = 4)
+      : DataFrame = {
+    implicit val enc =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaDouble, Encoders.scalaDouble)
+    wavMediaFromDocuments(documents)
+      .filter(col("kind") === "audio")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          decodeWav(r.payload) match {
+            case Some(w) if w.samples.nonEmpty =>
+              val in = w.samples
+              var ssIn = 0.0
+              var i = 0
+              while (i < in.length) {
+                val v = in(i) / 32768.0; ssIn += v * v; i += 1
+              }
+              val out = in.grouped(factor).map { g =>
+                var sum = 0L; var j = 0
+                while (j < g.length) { sum += g(j); j += 1 }
+                sum.toDouble / g.length
+              }.toArray
+              var ssOut = 0.0
+              var k = 0
+              while (k < out.length) {
+                val v = out(k) / 32768.0; ssOut += v * v; k += 1
+              }
+              Iterator.single((r.media_id, in.length.toLong,
+                out.length.toLong, math.sqrt(ssIn / in.length),
+                math.sqrt(ssOut / out.length)))
+            case _ => Iterator.empty
+          }
+        }
+      }
+      .toDF("media_id", "n_in", "n_out", "rms_in", "rms_out")
+      .select(col("media_id"), col("n_in"), col("n_out"),
+        round(col("rms_out"), 4).as("rms_out"),
+        round(col("rms_out") / col("rms_in"), 4).as("energy_ratio"))
+  }
+
   /** Decoded image: grayscale pixels row-major TOP-DOWN (the decoder
     * un-flips BMP's bottom-up row order). */
   case class BmpImage(width: Int, height: Int, gray: Array[Int])

@@ -4867,6 +4867,94 @@ object Stats {
           .as("lift"))
   }
 
+  /** CHATTERJEE's ξ (xi) correlation of the daily (click, view) pair —
+    * the 2020 rank coefficient that detects ANY measurable dependence,
+    * not just monotone ([[spearmanRho]]/kendall read ~0 on a perfect
+    * V-shape; ξ → 1 whenever y is a function of x, noisy or not), and
+    * it is deliberately ASYMMETRIC — ξ(y|x) ≠ ξ(x|y) — so it reports
+    * "which variable determines which", both directions here:
+    * ξ = 1 − 3·Σ|r_{i+1} − r_i| / (n² − 1) with the data sorted by
+    * the conditioning variable and r the ranks of the other.
+    *
+    * Engine-exact end to end: daily means are exact micro-longs,
+    * ranks are row_number over the (value, day) total order (the
+    * no-ties form of the statistic, deterministic on both engines),
+    * the |Δrank| sum is exact integer arithmetic, and the single
+    * division happens once per direction. Day-frame windows
+    * (calendar-bounded, the kendallTau contract). */
+  def chatterjeeXi(events: DataFrame, typeX: String = "click",
+                   typeY: String = "view"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def daily(t: String, alias: String) =
+      events.filter(col("event_type") === t)
+        .groupBy(expr("unix_date(cast(ts as date))").cast("long").as("d"))
+        .agg(Exact.avgValueMicros.as(alias))
+    val xy = daily(typeX, "x").join(daily(typeY, "y"), "d")
+      .withColumn("rx", row_number().over(Window.orderBy("x", "d"))
+        .cast("long"))
+      .withColumn("ry", row_number().over(Window.orderBy("y", "d"))
+        .cast("long"))
+    val stepX = xy
+      .withColumn("nxt", lead("ry", 1).over(Window.orderBy("rx")))
+      .filter(col("nxt").isNotNull)
+      .agg(sum(abs(col("nxt") - col("ry"))).as("sdx"))
+    val stepY = xy
+      .withColumn("nxt", lead("rx", 1).over(Window.orderBy("ry")))
+      .filter(col("nxt").isNotNull)
+      .agg(sum(abs(col("nxt") - col("rx"))).as("sdy"))
+    val n = xy.agg(count(lit(1)).as("n"))
+    stepX.crossJoin(broadcast(stepY)).crossJoin(broadcast(n))
+      .select(col("n"),
+        round(lit(1.0) - lit(3.0) * col("sdx") /
+          (col("n").cast("double") * col("n") - 1.0), 6)
+          .as("xi_y_given_x"),
+        round(lit(1.0) - lit(3.0) * col("sdy") /
+          (col("n").cast("double") * col("n") - 1.0), 6)
+          .as("xi_x_given_y"))
+  }
+
+  /** MAXIMUM MEAN DISCREPANCY (RBF kernel, biased V-statistic)
+    * between the daily click and view distributions — the kernel
+    * two-sample test ([[ksTest]] compares ECDFs in 1-D; MMD is the
+    * embedding-space form that generalizes to any dimension and is
+    * the standard drift score for representation spaces):
+    * MMD² = E k(x,x′) + E k(y,y′) − 2·E k(x,y) with
+    * k(a,b) = exp(−(a−b)²/(2h²)) at the documented fixed bandwidth.
+    *
+    * Pair frames are day×day (calendar-bounded — the kendallTau
+    * contract); each kernel term quantizes to integer micro-units
+    * (floor convention) before its unordered sum, so the three pair
+    * means are exact longs over deterministic doubles (the g-test/
+    * ml_nb log discipline — a raw float Σ over 10⁴ exponentials
+    * would flap the 6th decimal with partitioning). */
+  def mmdTest(events: DataFrame, typeX: String = "click",
+              typeY: String = "view", h: Double = 50.0): DataFrame = {
+    def daily(t: String) =
+      events.filter(col("event_type") === t)
+        .groupBy(expr("unix_date(cast(ts as date))").cast("long").as("d"))
+        .agg((Exact.avgValueMicros.cast("double") / 1e6).as("v"))
+    val xs = daily(typeX).select(col("v").as("a"))
+    val ys = daily(typeY).select(col("v").as("b"))
+    def kern(l: Column, r: Column): Column =
+      floor(exp((l - r) * (l - r) / lit(-2.0 * h * h)) * 1e6 + 0.5)
+        .cast("long")
+    def pairMean(l: DataFrame, r: DataFrame, lc: String,
+                 rc: String): DataFrame =
+      l.crossJoin(r).agg(sum(kern(col(lc), col(rc))).as("s"),
+        count(lit(1)).as("c"))
+    val kxx = pairMean(xs, xs.select(col("a").as("a2")), "a", "a2")
+      .select((col("s").cast("double") / col("c") / 1e6).as("mxx"),
+        col("c").as("cxx"))
+    val kyy = pairMean(ys, ys.select(col("b").as("b2")), "b", "b2")
+      .select((col("s").cast("double") / col("c") / 1e6).as("myy"))
+    val kxy = pairMean(xs, ys, "a", "b")
+      .select((col("s").cast("double") / col("c") / 1e6).as("mxy"))
+    kxx.crossJoin(broadcast(kyy)).crossJoin(broadcast(kxy))
+      .select(col("cxx").as("n_pairs_xx"),
+        round(col("mxx") + col("myy") - lit(2.0) * col("mxy"), 6)
+          .as("mmd2"))
+  }
+
   def hodgesLehmann(events: DataFrame): DataFrame = {
     val daily = events.groupBy(col("event_type"),
         expr("unix_date(cast(ts as date))").cast("long").as("d"))
