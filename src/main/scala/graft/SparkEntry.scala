@@ -984,6 +984,7 @@ object SparkEntry {
       Stats.betaBinomial(Tables.events(s, d))),
     "ts_transfer_entropy" -> ((s, d) =>
       Resample.transferEntropy(Tables.events(s, d))),
+    "ts_hmm" -> ((s, d) => Resample.hmmViterbi(Tables.events(s, d))),
     "ts_lombscargle" -> ((s, d) =>
       Resample.lombScargle(Tables.events(s, d))),
     "ts_dfa" -> ((s, d) => Resample.dfaAlpha(Tables.events(s, d))),
@@ -5345,6 +5346,48 @@ object SparkEntry {
                / (CAST(n + 2 AS DOUBLE) * (n + 2) * (n + 3)))), 6)
              AS ci_hi
          FROM g""",
+    "ts_hmm" ->
+      """WITH RECURSIVE hourly AS (SELECT
+             CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS hr,
+             CAST((sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 20000
+               + count(*)) // (2 * count(*)) AS BIGINT) AS v
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+         tt AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS BIGINT) AS s FROM hourly),
+         obs AS (SELECT
+             CAST(row_number() OVER (ORDER BY hr) AS BIGINT) AS rn,
+             hr, (v * n > s) AS o
+           FROM hourly CROSS JOIN tt),
+         fwd(rn, d0, d1, s0, s1) AS (
+           SELECT rn,
+             CAST(-693147 + CASE WHEN o THEN -1609438 ELSE -223144 END
+               AS BIGINT),
+             CAST(-693147 + CASE WHEN o THEN -223144 ELSE -1609438 END
+               AS BIGINT),
+             '0', '1'
+           FROM obs WHERE rn = 1
+           UNION ALL
+           SELECT o.rn,
+             CAST(CASE WHEN f.d0 - 105361 >= f.d1 - 2302585
+                 THEN f.d0 - 105361 ELSE f.d1 - 2302585 END
+               + CASE WHEN o.o THEN -1609438 ELSE -223144 END
+               AS BIGINT),
+             CAST(CASE WHEN f.d0 - 2302585 >= f.d1 - 105361
+                 THEN f.d0 - 2302585 ELSE f.d1 - 105361 END
+               + CASE WHEN o.o THEN -223144 ELSE -1609438 END
+               AS BIGINT),
+             (CASE WHEN f.d0 - 105361 >= f.d1 - 2302585
+               THEN f.s0 ELSE f.s1 END) || '0',
+             (CASE WHEN f.d0 - 2302585 >= f.d1 - 105361
+               THEN f.s0 ELSE f.s1 END) || '1'
+           FROM fwd f JOIN obs o ON o.rn = f.rn + 1),
+         nmax AS (SELECT max(rn) AS m FROM obs),
+         best AS (SELECT CASE WHEN f.d0 >= f.d1 THEN f.s0 ELSE f.s1 END
+             AS path
+           FROM fwd f JOIN nmax ON f.rn = nmax.m)
+         SELECT o.hr, o.o AS obs_high,
+           CAST(substr(b.path, CAST(o.rn AS INT), 1) AS INT) AS state
+         FROM obs o CROSS JOIN best b""",
     "ts_transfer_entropy" ->
       """WITH hx AS (SELECT
              CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS hr,

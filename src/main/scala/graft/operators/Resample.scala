@@ -2238,6 +2238,87 @@ object Resample {
         .drop("n_steps")))
   }
 
+
+  /** 2-STATE HMM VITERBI decode of the mean-binarized hourly series —
+    * the REGIME SEGMENTATION the changepoint family can't give
+    * (ts_binseg/ts_cusum find a FEW change points; an HMM decodes
+    * EVERY hour into a latent calm/active regime under an explicit
+    * noise model, tolerating flicker the hard thresholding of the
+    * binarized series itself cannot): fixed documented parameters
+    * (sticky transitions stay=0.9, emissions 0.8 aligned / 0.2
+    * crossed, uniform prior), maximum-a-posteriori state PATH by the
+    * Viterbi dynamic program.
+    *
+    * ENTIRELY in exact integer micro-nat log-space: the five log
+    * parameters are hardcoded integer literals (floor(ln(p)·10⁶+0.5),
+    * spelled identically in the SQL twin — libm ln() is not
+    * bit-portable, literals are), so every δ update is integer adds
+    * and max — the DP and its backtrack are bit-identical on any
+    * engine/partitioning. The series is the calendar-bounded hourly
+    * frame (the DTW/sesGrid scalar class — ONE sorted group, state
+    * O(1) forward + O(T) backtrack); the oracle replays forward AND
+    * backtrack as two recursive CTEs over the same integers. */
+  def hmmViterbi(events: DataFrame, eventType: String = "click")
+      : DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val LnStay = -105361L    // floor(ln(0.9)*1e6 + 0.5)
+    val LnSwitch = -2302585L // ln(0.1)
+    val LnEmitHit = -223144L // ln(0.8)
+    val LnEmitMiss = -1609438L // ln(0.2)
+    val LnPrior = -693147L   // ln(0.5)
+    val hourly = events.filter(col("event_type") === eventType)
+      .groupBy(expr("unix_seconds(date_trunc('hour', ts)) div 3600")
+        .as("hr"))
+      .agg(Exact.avgValueMicros.as("v"))
+    val tot = hourly.agg(count(lit(1)).as("n"), sum("v").as("s"))
+    hourly.crossJoin(broadcast(tot))
+      .select(col("hr"), (col("v") * col("n") > col("s")).as("o"))
+      .as[(Long, Boolean)]
+      .groupByKey(_ => 0)
+      .flatMapSortedGroups($"hr") { (_, it) =>
+        val rows = it.toArray // calendar-bounded (documented contract)
+        val n = rows.length
+        def emit(state: Int, obs: Boolean): Long = {
+          val hit = (state == 1) == obs
+          if (hit) LnEmitHit else LnEmitMiss
+        }
+        val d0 = new Array[Long](n); val d1 = new Array[Long](n)
+        val p0 = new Array[Int](n); val p1 = new Array[Int](n)
+        var t = 0
+        while (t < n) {
+          val o = rows(t)._2
+          if (t == 0) {
+            d0(0) = LnPrior + emit(0, o); d1(0) = LnPrior + emit(1, o)
+            p0(0) = 0; p1(0) = 1
+          } else {
+            val stay0 = d0(t - 1) + LnStay
+            val sw0 = d1(t - 1) + LnSwitch
+            // ties break to the LOWER predecessor state (>=), the
+            // convention the SQL twin mirrors
+            if (stay0 >= sw0) { d0(t) = stay0 + emit(0, o); p0(t) = 0 }
+            else { d0(t) = sw0 + emit(0, o); p0(t) = 1 }
+            val sw1 = d0(t - 1) + LnSwitch
+            val stay1 = d1(t - 1) + LnStay
+            if (sw1 >= stay1) { d1(t) = sw1 + emit(1, o); p1(t) = 0 }
+            else { d1(t) = stay1 + emit(1, o); p1(t) = 1 }
+          }
+          t += 1
+        }
+        val path = new Array[Int](n)
+        path(n - 1) = if (d0(n - 1) >= d1(n - 1)) 0 else 1
+        var k = n - 2
+        while (k >= 0) {
+          path(k) = if (path(k + 1) == 0) p0(k + 1) else p1(k + 1)
+          k -= 1
+        }
+        rows.indices.iterator.map { i =>
+          (rows(i)._1, rows(i)._2, path(i))
+        }
+      }
+      .toDF("hr", "obs_high", "state")
+  }
+
   /** LOMB–SCARGLE periodogram of the (GAPPY) daily purchase series —
     * the periodogram for UNEVENLY sampled data ([[periodogram]]'s DFT
     * assumes a dense regular grid; real event feeds have dark days,

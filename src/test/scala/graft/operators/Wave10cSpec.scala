@@ -71,6 +71,30 @@ class Wave10cSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("energy_ratio") - rmsOut / rmsIn) < 1e-3)
   }
 
+  test("hmmViterbi: sticky transitions smooth a single-hour flicker " +
+      "but follow a sustained regime change") {
+    // 20 low hours (with one high flicker at t=10), then 20 high hours
+    // (with one low flicker at t=30). The flicker costs one emission
+    // miss (~1.39e6 micro-nats) vs two switches (~4.39e6) -> Viterbi
+    // holds the regime; the sustained block flips it.
+    val obs = (0 until 40).map { t =>
+      val base = if (t < 20) 10.0 else 90.0
+      val v = if (t == 10) 90.0 else if (t == 30) 10.0 else base
+      (t * 3600L, "click", v)
+    }
+    val ev = obs.zipWithIndex.map { case ((s, t, v), i) => (i.toLong, s, t, v) }
+      .toDF("event_id", "s", "event_type", "value")
+      .select(col("event_id"), timestamp_seconds(col("s")).as("ts"),
+        lit(1L).as("user_id"), col("event_type"), col("value"))
+    val out = Resample.hmmViterbi(ev).collect()
+      .map(r => r.getAs[Long]("hr") -> r.getAs[Int]("state")).toMap
+    assert(out.size == 40)
+    (0 until 20).foreach(t => assert(out(t) == 0, s"hour $t: ${out(t)}"))
+    (20 until 40).foreach(t => assert(out(t) == 1, s"hour $t: ${out(t)}"))
+    // in particular the two flicker hours are SMOOTHED over
+    assert(out(10) == 0 && out(30) == 1)
+  }
+
   test("minimumSpanningForest: equals serial Kruskal on a planted " +
       "weighted graph and on the real co-purchase sample") {
     // planted: square 1-2-3-4 with a heavy diagonal; MST drops the
