@@ -959,6 +959,18 @@ object SparkEntry {
     "st_f_test" -> ((s, d) => Stats.fTestVariance(Tables.events(s, d))),
     "st_copula" -> ((s, d) => Stats.empiricalCopula(Tables.events(s, d))),
     "st_xi" -> ((s, d) => Stats.chatterjeeXi(Tables.events(s, d))),
+    "st_pot_tail" -> ((s, d) => Stats.potTailFit(Tables.events(s, d))),
+    "st_interarrival" -> ((s, d) =>
+      Stats.interArrivalTest(Tables.events(s, d))),
+    "gr_percolation" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val w = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000000L).as("dst"))
+        .agg(countDistinct("o_orderkey").as("w"))
+      Graph.percolationCurve(w)
+    }),
     "st_mmd" -> ((s, d) => Stats.mmdTest(Tables.events(s, d))),
     "mm_decimate" -> ((s, d) =>
       operators.Multimodal.audioDecimateSummary(Tables.documents(s, d))),
@@ -5145,6 +5157,87 @@ object SparkEntry {
              o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT),
              CAST(o_orderdate AS VARCHAR), o_orderpriority) AS rs
            FROM orders)""",
+    "st_pot_tail" ->
+      """WITH pts AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT)
+             AS c, event_id
+           FROM events WHERE event_type = 'click'),
+         thr AS (SELECT quantile_cont(c, 0.95) AS u FROM pts),
+         exc AS (SELECT c, event_id, u,
+             CAST(row_number() OVER (ORDER BY c, event_id) AS BIGINT)
+               AS r
+           FROM pts CROSS JOIN thr WHERE c > u),
+         agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS sc,
+             CAST(sum((r - 1) * c) AS BIGINT) AS src_,
+             max(u) AS u FROM exc),
+         b AS (SELECT n, u,
+             (sc - n * u) / n / 100.0 AS b0,
+             (src_ - u * n * (n - 1.0) / 2.0) / (n - 1.0) / n / 100.0
+               AS b1
+           FROM agg)
+         SELECT round(u / 100.0, 6) AS threshold, n AS n_exceed,
+           round(2.0 - b0 / (b0 - 2.0 * b1), 6) AS xi,
+           round(2.0 * b0 * b1 / (b0 - 2.0 * b1), 6) AS sigma
+         FROM b""",
+    "st_interarrival" ->
+      """WITH pur AS (SELECT epoch_us(ts) AS us, event_id FROM events
+           WHERE event_type = 'purchase'),
+         gp AS (SELECT us - lag(us) OVER (ORDER BY us, event_id) AS g,
+             event_id
+           FROM pur),
+         gaps AS (SELECT CAST(g AS BIGINT) AS g, event_id FROM gp
+           WHERE g IS NOT NULL),
+         tt AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(g) AS BIGINT) AS sg FROM gaps),
+         rk AS (SELECT g, n, sg,
+             CAST(row_number() OVER (ORDER BY g, event_id) AS BIGINT)
+               AS r,
+             1.0 - exp(g * (-1.0 * n / sg)) AS f
+           FROM gaps CROSS JOIN tt)
+         SELECT max(n) AS n_gaps,
+           round(CAST(max(n) AS DOUBLE)
+             / (CAST(max(sg) AS DOUBLE) / 1e6), 6) AS lambda,
+           round(greatest(
+             max(r / CAST(n AS DOUBLE) - f),
+             max(f - (r - 1) / CAST(n AS DOUBLE))), 6) AS ks_d
+         FROM rk""",
+    "gr_percolation" ->
+      """WITH RECURSIVE wpairs AS (SELECT o_custkey AS a,
+             CAST(l_suppkey + 1000000000 AS BIGINT) AS b,
+             CAST(count(DISTINCT o_orderkey) AS BIGINT) AS w
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           GROUP BY 1, 2),
+         canon AS (SELECT least(a, b) AS s, greatest(a, b) AS t,
+             max(w) AS w
+           FROM wpairs WHERE a <> b GROUP BY 1, 2),
+         taus AS (SELECT CAST(tau AS BIGINT) AS tau
+           FROM (VALUES (1), (2), (3), (4)) tt(tau)),
+         sym AS (SELECT tau, s AS u, t AS v FROM canon
+             JOIN taus ON w >= tau
+           UNION ALL SELECT tau, t, s FROM canon JOIN taus ON w >= tau),
+         reach(tau, a, b) AS (
+           SELECT tau, u, v FROM sym
+           UNION
+           SELECT r.tau, r.a, e.v FROM reach r
+             JOIN sym e ON r.tau = e.tau AND r.b = e.u),
+         lab AS (SELECT tau, a AS node,
+             least(a, min(b)) AS cluster_id
+           FROM reach GROUP BY tau, a),
+         cs AS (SELECT tau, cluster_id,
+             CAST(count(*) AS BIGINT) AS sz
+           FROM lab GROUP BY 1, 2),
+         per AS (SELECT tau, CAST(sum(sz) AS BIGINT) AS n_nodes,
+             CAST(count(*) AS BIGINT) AS n_components,
+             CAST(max(sz) AS BIGINT) AS giant
+           FROM cs GROUP BY 1),
+         ec AS (SELECT tau, CAST(count(*) AS BIGINT) AS n_edges
+           FROM canon JOIN taus ON w >= tau GROUP BY 1)
+         SELECT taus.tau,
+           coalesce(n_nodes, 0) AS n_nodes,
+           coalesce(n_edges, 0) AS n_edges,
+           coalesce(n_components, 0) AS n_components,
+           round(giant / CAST(n_nodes AS DOUBLE), 6) AS giant_share
+         FROM taus LEFT JOIN per USING (tau) LEFT JOIN ec USING (tau)""",
     "st_xi" ->
       """WITH dx AS (SELECT CAST(epoch(CAST(ts AS DATE)) // 86400
                AS BIGINT) AS d,

@@ -1328,4 +1328,43 @@ object Graph {
       s"Borůvka did not converge in $maxRounds rounds")
     picked.select(col("s").as("src"), col("t").as("dst"), col("w"))
   }
+
+  /** PERCOLATION CURVE of a weighted undirected graph — connectivity
+    * as a function of tie strength (keep only edges with weight ≥ τ
+    * and watch the giant component: the robustness question behind
+    * "how many weak ties hold this network together", and the
+    * threshold-picking tool for every similarity-graph clustering in
+    * the dedup family): per τ in the ladder, surviving node/edge
+    * counts, component count, and the giant component's node share.
+    *
+    * One weighted edge frame, reused per rung (the ladder is a
+    * bounded literal); components via the shared CC machinery
+    * (driver union-find fast path under the measured edge limit,
+    * distributed pointer doubling above it — dupClusters' contract).
+    * Output is ladder-bounded. */
+  def percolationCurve(wedges: DataFrame,
+                       thresholds: Seq[Long] = Seq(1L, 2L, 3L, 4L))
+      : DataFrame = {
+    val canon = wedges
+      .select(least(col("src"), col("dst")).as("s"),
+        greatest(col("src"), col("dst")).as("t"), col("w"))
+      .filter(col("s") =!= col("t"))
+      .groupBy("s", "t").agg(max("w").as("w"))
+      .localCheckpoint(true)
+    val rungs = thresholds.map { tau =>
+      val e = canon.filter(col("w") >= tau)
+      val comps = Dedup.dupClusters(
+        e.select(col("s").as("d1"), col("t").as("d2")))
+      comps.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+        .agg(coalesce(sum("sz"), lit(0L)).as("n_nodes"),
+          count(lit(1)).as("n_components"),
+          coalesce(max("sz"), lit(0L)).as("giant"))
+        .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
+        .select(lit(tau).as("tau"), col("n_nodes"), col("n_edges"),
+          col("n_components"),
+          round(col("giant") / nullif(col("n_nodes").cast("double"),
+            lit(0.0)), 6).as("giant_share"))
+    }
+    rungs.reduce(_ unionByName _)
+  }
 }

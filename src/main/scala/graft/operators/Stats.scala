@@ -4955,6 +4955,89 @@ object Stats {
           .as("mmd2"))
   }
 
+  /** PEAKS-OVER-THRESHOLD tail fit — EXTREME VALUE THEORY's working
+    * tool ([[grubbs]] asks "is this one point an outlier"; EVT asks
+    * the capacity question: how heavy is the tail ITSELF, and what
+    * does the 10× rarer event look like): exceedances over the exact
+    * p95 threshold fit a Generalized Pareto by PROBABILITY-WEIGHTED
+    * MOMENTS (Hosking–Wallis — closed form, no iterative MLE to
+    * replay): with b₀ = mean(y), b₁ = Σ((rᵢ−1)/(n−1))·yᵢ/n over
+    * ascending ranks, shape ξ = 2 − b₀/(b₀−2b₁) and scale
+    * σ = 2·b₀·b₁/(b₀−2b₁). ξ > 0 = heavy (power-law) tail; the number
+    * capacity planning actually consumes.
+    *
+    * Exactness: values quantize to cents, the threshold is the exact
+    * percentile of integers (identical interpolation formula both
+    * engines), ranks are row_number over the (y, event_id) total
+    * order, and the two weighted sums are single aggregates over
+    * exact inputs. One corpus pass to the exceedance frame. */
+  def potTailFit(events: DataFrame, eventType: String = "click",
+                 q: Double = 0.95): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = events.filter(col("event_type") === eventType)
+      .select(Exact.cents(col("value")).as("c"), col("event_id"))
+    val thr = pts.agg(expr(s"percentile(c, $q)").as("u"))
+    // rank by cents (y = c − u is c shifted by a CONSTANT, so the
+    // (c, event_id) order IS the (y, event_id) order) and keep every
+    // sum EXACT integer — the fractional threshold u folds in once:
+    // Σy = Σc − n·u, Σ(r−1)y = Σ(r−1)c − u·n(n−1)/2
+    val exc = pts.crossJoin(broadcast(thr))
+      .filter(col("c") > col("u"))
+      .withColumn("r",
+        row_number().over(Window.orderBy("c", "event_id")).cast("long"))
+    val agg = exc.agg(count(lit(1)).as("n"), sum("c").as("sc"),
+      sum((col("r") - 1) * col("c")).as("src_"), max("u").as("u"))
+    val n = col("n").cast("double")
+    val b0 = (col("sc") - n * col("u")) / n / 100.0
+    val b1 = (col("src_") - col("u") * n * (n - 1.0) / 2.0) /
+      (n - 1.0) / n / 100.0
+    val denom = b0 - lit(2.0) * b1
+    agg.select(round(col("u") / 100.0, 6).as("threshold"),
+      col("n").as("n_exceed"),
+      round(lit(2.0) - b0 / denom, 6).as("xi"),
+      round(lit(2.0) * b0 * b1 / denom, 6).as("sigma"))
+  }
+
+  /** INTER-ARRIVAL EXPONENTIALITY test on the purchase stream — the
+    * Poisson-process check behind every queueing/capacity model ("are
+    * purchases memoryless, or do they cluster"): gaps between
+    * consecutive purchases fit an exponential by MLE (λ = 1/mean) and
+    * the fit is scored by the KS distance between the empirical CDF
+    * and 1 − e^(−λt) — D near 0 = Poisson-like arrivals, large D =
+    * bursts/regularity the rate model will get wrong.
+    *
+    * Exactness: gaps are exact integer seconds, the mean is an exact
+    * rational folded into λ once, ranks are row_number over the
+    * (gap, order) total order, and D takes both one-sided forms at
+    * every sorted point (the st_ks discipline). Calendar-bounded gap
+    * frame after one sorted pass. */
+  def interArrivalTest(events: DataFrame, eventType: String = "purchase")
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("us", "event_id")
+    // gaps stay EXACT integer microseconds; λ folds the exact rational
+    // n/Σgap into each CDF evaluation once (a float Σ of gaps would be
+    // aggregation-order dependent)
+    val gaps = events.filter(col("event_type") === eventType)
+      .select(unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("prev", lag("us", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select((col("us") - col("prev")).as("g"), col("event_id"))
+    val tot = gaps.agg(count(lit(1)).as("n"), sum("g").as("sg"))
+    val ranked = gaps.crossJoin(broadcast(tot))
+      .withColumn("r",
+        row_number().over(Window.orderBy("g", "event_id")).cast("long"))
+      .withColumn("f", lit(1.0) -
+        exp(col("g") * (lit(-1.0) * col("n") / col("sg"))))
+    ranked.agg(max("n").as("n_gaps"),
+      round(max(col("n")).cast("double") /
+        (max(col("sg")).cast("double") / 1e6), 6).as("lambda"),
+      round(greatest(
+        max(col("r") / col("n").cast("double") - col("f")),
+        max(col("f") - (col("r") - 1) / col("n").cast("double"))), 6)
+        .as("ks_d"))
+  }
+
   def hodgesLehmann(events: DataFrame): DataFrame = {
     val daily = events.groupBy(col("event_type"),
         expr("unix_date(cast(ts as date))").cast("long").as("d"))
