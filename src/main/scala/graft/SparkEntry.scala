@@ -991,6 +991,23 @@ object SparkEntry {
       SimilaritySearch.embedContamination(Tables.embeddings(s, d))),
     "gr_scc" -> ((s, d) =>
       Graph.stronglyConnectedComponents(supplierSuccessionEdges(s, d))),
+    "sp_lisa" -> ((s, d) => SpatialJoin.localMoran(Tables.customer(s, d))),
+    "ts_ami" -> ((s, d) => Resample.amiLadder(Tables.events(s, d))),
+    // Spark 4 VARIANT type end-to-end: parse_json → open-schema binary
+    // variant → typed variant_get extraction (q20's get_json_object
+    // re-parses the string per access; VARIANT parses ONCE and is the
+    // engine's semi-structured lake format going forward)
+    "q41_variant" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Tables.events(s, d)
+        .select(col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_missing"),
+          sum("k").as("sum_k"), min("k").as("min_k"),
+          max("k").as("max_k"), round(avg("k"), 6).as("avg_k"))
+    }),
     "st_chisq_gof" -> ((s, d) => Stats.chiSquareGof(Tables.events(s, d))),
     "st_beta_binomial" -> ((s, d) =>
       Stats.betaBinomial(Tables.events(s, d))),
@@ -5157,6 +5174,90 @@ object SparkEntry {
              o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT),
              CAST(o_orderdate AS VARCHAR), o_orderpriority) AS rs
            FROM orders)""",
+    "sp_lisa" ->
+      """WITH p AS (SELECT
+             round(((c_custkey * 17) % 1400)/10.0 - 70.0, 4) AS lat,
+             round(((c_custkey * 31) % 3600)/10.0 - 180.0, 4) AS lon
+           FROM customer),
+         cells AS (SELECT CAST(floor((lat + 90) / 10) AS INTEGER)
+               AS cell_lat,
+             CAST(floor((lon + 180) / 10) AS INTEGER) AS cell_lon,
+             CAST(count(*) AS BIGINT) AS x
+           FROM p GROUP BY 1, 2),
+         g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             sum(CAST(x AS HUGEINT) * x) AS sxx FROM cells),
+         hood AS (SELECT c.cell_lat + o.a AS t_lat,
+             c.cell_lon + o.b AS t_lon,
+             CAST(count(*) AS BIGINT) AS w9,
+             CAST(sum(c.x) AS BIGINT) AS s9
+           FROM cells c CROSS JOIN (SELECT a, b
+             FROM (VALUES (-1), (0), (1)) la(a),
+                  (VALUES (-1), (0), (1)) lb(b)) o
+           GROUP BY 1, 2)
+         SELECT c.cell_lat, c.cell_lon, c.x AS n_points,
+           w9 - 1 AS w_neighbors,
+           round(CAST((CAST(n AS HUGEINT) * c.x - sx)
+               * (CAST(n AS HUGEINT) * (s9 - c.x) - (w9 - 1) * sx)
+               AS DOUBLE)
+             / CAST(CAST(n AS HUGEINT)
+               * (CAST(n AS HUGEINT) * sxx
+                 - CAST(sx AS HUGEINT) * sx) AS DOUBLE), 6) AS local_i,
+           (CASE WHEN CAST(n AS HUGEINT) * c.x - sx > 0
+             THEN 'H' ELSE 'L' END) ||
+           (CASE WHEN CAST(n AS HUGEINT) * (s9 - c.x)
+               - (w9 - 1) * sx > 0
+             THEN 'H' ELSE 'L' END) AS quadrant
+         FROM cells c
+         JOIN hood ON c.cell_lat = t_lat AND c.cell_lon = t_lon
+         CROSS JOIN g""",
+    "ts_ami" ->
+      """WITH hourly AS (SELECT
+             CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS hr,
+             CAST((sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 20000
+               + count(*)) // (2 * count(*)) AS BIGINT) AS v
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+         n0_ AS (SELECT CAST(count(*) AS BIGINT) AS n0 FROM hourly),
+         binned AS (SELECT hr,
+             (CAST(row_number() OVER (ORDER BY v, hr) AS BIGINT) - 1)
+               * 4 // n0 AS b
+           FROM hourly CROSS JOIN n0_),
+         lags AS (SELECT CAST(lag AS BIGINT) AS lag FROM (VALUES (1),
+             (2), (3), (4), (6), (12)) l(lag)),
+         lagged AS (SELECT lags.lag, a.b AS b0, c.b AS b1
+           FROM binned a CROSS JOIN lags
+           JOIN binned c ON c.hr = a.hr + lags.lag),
+         cells AS (SELECT lag, b0, b1, CAST(count(*) AS BIGINT) AS c
+           FROM lagged GROUP BY 1, 2, 3),
+         tot AS (SELECT lag, CAST(sum(c) AS BIGINT) AS np
+           FROM cells GROUP BY 1),
+         m0 AS (SELECT lag, b0, CAST(sum(c) AS BIGINT) AS c0
+           FROM cells GROUP BY 1, 2),
+         m1 AS (SELECT lag, b1, CAST(sum(c) AS BIGINT) AS c1
+           FROM cells GROUP BY 1, 2),
+         terms AS (SELECT cells.lag, np,
+             CAST(floor(c * ln(CAST(c AS DOUBLE) * np
+               / (CAST(c0 AS DOUBLE) * c1)) * 1e6 + 0.5) AS BIGINT)
+               AS t
+           FROM cells JOIN m0 USING (lag, b0) JOIN m1 USING (lag, b1)
+             JOIN tot USING (lag))
+         SELECT lag, max(np) AS n_pairs,
+           round(CAST(sum(t) AS DOUBLE) / 1e6
+             / CAST(max(np) AS DOUBLE), 6) AS ami
+         FROM terms GROUP BY 1 ORDER BY 1""",
+    "q41_variant" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN json_extract_string(props, '$.k') IS NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS BIGINT) AS sum_k,
+           min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS min_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS max_k,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)),
+             6) AS avg_k
+         FROM events GROUP BY event_type""",
     "st_pot_tail" ->
       """WITH pts AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT)
              AS c, event_id

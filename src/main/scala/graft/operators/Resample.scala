@@ -2319,6 +2319,56 @@ object Resample {
       .toDF("hr", "obs_high", "state")
   }
 
+  /** AVERAGE MUTUAL INFORMATION ladder of the hourly series — the
+    * nonlinear autocorrelation ([[acf]] measures LINEAR lag memory;
+    * AMI measures ANY lag dependence, and its first minimum is the
+    * standard embedding-delay pick feeding the nonlinear family:
+    * ts_sampen/ts_recurrence/ts_dtw all assume a delay): at each lag
+    * ℓ, MI between the quartile-binned series and its ℓ-hour future,
+    * over hour pairs where BOTH ends exist (gap-aware by the hr+ℓ
+    * join key).
+    *
+    * Exact path: hourly means are exact micro-longs, quartile bins
+    * come from integer rank arithmetic ((r−1)·4 div n — engine-
+    * identical), pair/marginal counts are exact, and each of the ≤16
+    * cell terms quantizes to integer micro-nats (floor convention)
+    * before the unordered sum (the transferEntropy discipline). */
+  def amiLadder(events: DataFrame, eventType: String = "click",
+                lags: Seq[Int] = Seq(1, 2, 3, 4, 6, 12)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import events.sparkSession.implicits._
+    val hourly = events.filter(col("event_type") === eventType)
+      .groupBy(expr("unix_seconds(date_trunc('hour', ts)) div 3600")
+        .as("hr"))
+      .agg(Exact.avgValueMicros.as("v"))
+    val n0 = hourly.agg(count(lit(1)).as("n0"))
+    val binned = hourly.crossJoin(broadcast(n0))
+      .withColumn("r",
+        row_number().over(Window.orderBy("v", "hr")).cast("long"))
+      .select(col("hr"), expr("(r - 1) * 4 div n0").as("b"))
+      .localCheckpoint(true)
+    val lagged = binned.crossJoin(broadcast(lags.toDF("lag")))
+      .select(col("lag"), (col("hr") + col("lag")).as("hr"),
+        col("b").as("b0"))
+      .join(binned.select(col("hr"), col("b").as("b1")), Seq("hr"))
+    val cells = lagged.groupBy("lag", "b0", "b1")
+      .agg(count(lit(1)).as("c"))
+    val tot = cells.groupBy("lag").agg(sum("c").as("np"))
+    val m0 = cells.groupBy("lag", "b0").agg(sum("c").as("c0"))
+    val m1 = cells.groupBy("lag", "b1").agg(sum("c").as("c1"))
+    cells.join(m0, Seq("lag", "b0")).join(m1, Seq("lag", "b1"))
+      .join(tot, Seq("lag"))
+      .select(col("lag"), col("np"),
+        floor(col("c") * log(col("c").cast("double") * col("np") /
+          (col("c0").cast("double") * col("c1"))) * 1e6 + 0.5)
+          .cast("long").as("t"))
+      .groupBy("lag")
+      .agg(max("np").as("n_pairs"),
+        round(sum("t").cast("double") / 1e6 /
+          max("np").cast("double"), 6).as("ami"))
+      .orderBy("lag")
+  }
+
   /** LOMB–SCARGLE periodogram of the (GAPPY) daily purchase series —
     * the periodogram for UNEVENLY sampled data ([[periodogram]]'s DFT
     * assumes a dense regular grid; real event feeds have dark days,

@@ -698,6 +698,60 @@ object SpatialJoin {
         round(num / nullif(sTerm * wTerm, lit(0.0)), 6).as("gi_z"))
   }
 
+  /** LOCAL MORAN'S I (LISA) over the 10° cell lattice — the
+    * cell-level decomposition of [[moranI]]'s single global number
+    * (global I says "the field is autocorrelated"; LISA says WHERE:
+    * each cell gets its own Iᵢ = zᵢ·Σⱼwᵢⱼzⱼ/m₂ plus the Moran-scatter
+    * QUADRANT — HH hot-spot core, LL cold core, HL/LH the spatial
+    * outliers global statistics average away; [[getisOrd]] is the
+    * hot/cold z-score, LISA adds the outlier classes). Queen
+    * contiguity EXCLUDING self (the LISA convention; G* includes it).
+    *
+    * Exact-integer discipline: deviations ride n-scaled (n·zᵢ =
+    * n·xᵢ − Σx, exact longs), the neighborhood deviation sum is the
+    * same 9-offset equi-join [[getisOrd]] uses minus the self term,
+    * and Iᵢ = (n·zᵢ)(n·Σⱼzⱼ)·... collapses to exact decimal integers
+    * over ONE double division (n·(nΣx²−(Σx)²)). Lattice-bounded
+    * frames after one corpus rollup. */
+  def localMoran(customer: DataFrame, cellDeg: Int = 10): DataFrame =
+    localMoranOnCells(customerPoints(customer)
+      .groupBy(
+        floor((col("c_lat") + 90) / cellDeg).cast("int").as("cell_lat"),
+        floor((col("c_lon") + 180) / cellDeg).cast("int").as("cell_lon"))
+      .agg(count(lit(1)).as("x")))
+
+  private[operators] def localMoranOnCells(cells: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val g = cells.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+      sum(col("x").cast(dec) * col("x").cast(dec)).cast(dec).as("sxx"))
+    val offsets = for { a <- -1 to 1; b <- -1 to 1 }
+      yield struct(lit(a).as("dlat"), lit(b).as("dlon"))
+    val hood = cells
+      .select(explode(array(offsets: _*)).as("o"),
+        col("cell_lat"), col("cell_lon"), col("x"))
+      .select((col("cell_lat") + col("o.dlat")).as("t_lat"),
+        (col("cell_lon") + col("o.dlon")).as("t_lon"), col("x"))
+      .groupBy("t_lat", "t_lon")
+      .agg(count(lit(1)).as("w9"), sum("x").as("s9"))
+    val nzi = (col("n").cast(dec) * col("x").cast(dec) -
+      col("sx").cast(dec))                      // n·z_i
+    val nSz = (col("n").cast(dec) * (col("s9") - col("x")).cast(dec) -
+      (col("w9") - 1).cast(dec) * col("sx").cast(dec)) // n·Σ_{j≠i} z_j
+    val m2n3 = (col("n").cast(dec) *
+      (col("n").cast(dec) * col("sxx") -
+        col("sx").cast(dec) * col("sx").cast(dec))).cast("double")
+    cells
+      .join(hood, col("cell_lat") === col("t_lat") &&
+        col("cell_lon") === col("t_lon"))
+      .crossJoin(broadcast(g))
+      .select(col("cell_lat"), col("cell_lon"), col("x").as("n_points"),
+        (col("w9") - 1).as("w_neighbors"),
+        round((nzi * nSz).cast("double") / nullif(m2n3, lit(0.0)), 6)
+          .as("local_i"),
+        concat(when(nzi > 0, lit("H")).otherwise(lit("L")),
+          when(nSz > 0, lit("H")).otherwise(lit("L"))).as("quadrant"))
+  }
+
   /** JOIN-COUNT statistics over the binarized cell lattice —
     * [[moranI]]/[[getisOrd]] for BINARY spatial data (hot cell = count
     * above the global mean): of all queen-adjacent cell pairs, how
