@@ -996,4 +996,51 @@ class PlanAuditSpec extends SparkSpec {
       s"q36_hierarchy:\n$p")
     assert(!p.contains("SortMergeJoin"), s"q36_hierarchy:\n$p")
   }
+
+  test("dd_ngram_jaccard (r10 cap): pairs stay equi-joined, and the " +
+      "pair plan reads the shingle SNAPSHOT, not a re-hash of the corpus") {
+    // the stop-shingle machinery must not re-derive ShingleHashes per
+    // branch: the pair self-join's two sides read the localCheckpoint
+    // scan, and candidate generation never degrades to a cartesian
+    val p = plan("dd_ngram_jaccard")
+    assert(!p.contains("CartesianProduct"), s"dd_ngram_jaccard:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"dd_ngram_jaccard:\n$p")
+    assert(p.contains("Scan ExistingRDD"), s"dd_ngram_jaccard:\n$p")
+  }
+
+  test("pipe_decon_embed / tx_boilerplate: probe/census joins are " +
+      "hash equi-joins, never an all-pairs loop") {
+    val p1 = plan("pipe_decon_embed")
+    // the probe side is an explicit 1-frame broadcast over one corpus
+    // scan — a BNLJ on a non-equi condition would be the quadratic bug
+    assert(p1.contains("BroadcastNestedLoopJoin") ||
+      p1.contains("CartesianProduct"),
+      s"probe broadcast expected (bounded side):\n$p1")
+    assert(p1.contains("BroadcastExchange"), s"pipe_decon_embed:\n$p1")
+    val p2 = plan("tx_boilerplate")
+    assert(!p2.contains("CartesianProduct"), s"tx_boilerplate:\n$p2")
+    // df census + hot join ride the gram key: equi-joins only
+    assert(!p2.contains("BroadcastNestedLoopJoin"), s"tx_boilerplate:\n$p2")
+  }
+
+  test("sp_lisa / sp_hexbin / sp_idw: lattice rollups partial-agg; " +
+      "the IDW probe frame is a literal broadcast") {
+    val p1 = plan("sp_lisa")
+    assert(p1.contains("partial_count") || p1.contains("partial_sum"),
+      s"sp_lisa:\n$p1")
+    assert(!p1.contains("CartesianProduct"), s"sp_lisa:\n$p1")
+    val p2 = plan("sp_hexbin")
+    assert(p2.contains("TakeOrderedAndProject"), s"sp_hexbin:\n$p2")
+    val p3 = plan("sp_idw")
+    assert(p3.contains("BroadcastExchange"), s"sp_idw:\n$p3")
+  }
+
+  test("q41_variant: the variant path stays one partial-agg pass " +
+      "(parse once, no per-access JSON re-parse shuffle)") {
+    val p = plan("q41_variant")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"q41_variant:\n$p")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 1, s"expected exactly one exchange, got $n:\n$p")
+  }
 }
