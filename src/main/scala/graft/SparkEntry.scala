@@ -960,6 +960,11 @@ object SparkEntry {
     "st_copula" -> ((s, d) => Stats.empiricalCopula(Tables.events(s, d))),
     "st_xi" -> ((s, d) => Stats.chatterjeeXi(Tables.events(s, d))),
     "st_pot_tail" -> ((s, d) => Stats.potTailFit(Tables.events(s, d))),
+    "st_newey_west" -> ((s, d) => Stats.neweyWest(Tables.events(s, d))),
+    "w30_twap" -> ((s, d) => Windows.twap(Tables.events(s, d))),
+    "ts_croston" -> ((s, d) => Resample.croston(Tables.events(s, d))),
+    "dq_pk_discovery" -> ((s, d) =>
+      Quality.pkDiscovery(Tables.orders(s, d))),
     "st_interarrival" -> ((s, d) =>
       Stats.interArrivalTest(Tables.events(s, d))),
     "gr_percolation" -> ((s, d) => {
@@ -5174,6 +5179,106 @@ object SparkEntry {
              o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT),
              CAST(o_orderdate AS VARCHAR), o_orderpriority) AS rs
            FROM orders)""",
+    "w30_twap" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS us,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+           FROM events),
+         h AS (SELECT event_type, c,
+             lead(us) OVER (PARTITION BY event_type
+               ORDER BY us, event_id) - us AS hold
+           FROM e)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_intervals,
+           round(CAST(sum(CAST(c AS HUGEINT) * hold) AS DOUBLE)
+             / CAST(sum(CAST(hold AS HUGEINT)) AS DOUBLE) / 100.0, 6)
+             AS twap,
+           round(CAST(sum(c) AS DOUBLE) / count(*) / 100.0, 6)
+             AS plain_mean
+         FROM h WHERE hold IS NOT NULL GROUP BY 1""",
+    "ts_croston" ->
+      """WITH RECURSIVE daily AS (SELECT
+             CAST(epoch(CAST(ts AS DATE)) // 86400 AS BIGINT) AS d,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS s
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         arr AS (SELECT
+             CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn,
+             d, s / 100.0 AS sv,
+             d - lag(d) OVER (ORDER BY d) AS g
+           FROM daily),
+         rec(rn, d, sv, z, p) AS (
+           SELECT rn, d, sv, sv, 1.0 FROM arr WHERE rn = 1
+           UNION ALL
+           SELECT a.rn, a.d, a.sv,
+             r.z + 0.2 * (a.sv - r.z),
+             r.p + 0.2 * (a.g - r.p)
+           FROM rec r JOIN arr a ON a.rn = r.rn + 1)
+         SELECT d AS day, sv AS demand,
+           floor(z * 1e6 + 0.5) / 1e6 AS z,
+           floor(p * 1e6 + 0.5) / 1e6 AS p,
+           floor(z / p * 1e6 + 0.5) / 1e6 AS forecast
+         FROM rec""",
+    "st_newey_west" ->
+      """WITH dx AS (SELECT CAST(epoch(CAST(ts AS DATE)) // 86400
+               AS BIGINT) AS d,
+             CAST(CAST((sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+               * 20000 + count(*)) // (2 * count(*)) AS BIGINT)
+               AS DOUBLE) / 1e6 AS x
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+         dy AS (SELECT CAST(epoch(CAST(ts AS DATE)) // 86400
+               AS BIGINT) AS d,
+             CAST(CAST((sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+               * 20000 + count(*)) // (2 * count(*)) AS BIGINT)
+               AS DOUBLE) / 1e6 AS y
+           FROM events WHERE event_type = 'view' GROUP BY 1),
+         xy AS (SELECT d, x, y FROM dx JOIN dy USING (d)),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             (sum(x * y) - sum(x) * sum(y) / count(*))
+               / (sum(x * x) - sum(x) * sum(x) / count(*)) AS b,
+             (sum(y) - (sum(x * y) - sum(x) * sum(y) / count(*))
+               / (sum(x * x) - sum(x) * sum(x) / count(*)) * sum(x))
+               / count(*) AS a,
+             (sum(x * x) - sum(x) * sum(x) / count(*)) AS sxxc,
+             sum(x) / count(*) AS xbar
+           FROM xy),
+         scored AS (SELECT
+             CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn,
+             CAST(floor((x - xbar) * (y - a - b * x) * 1e3 + 0.5)
+               AS BIGINT) AS vq
+           FROM xy CROSS JOIN m),
+         lags AS (SELECT CAST(l AS BIGINT) AS l FROM (VALUES (0), (1),
+             (2), (3), (4), (5)) ll(l)),
+         gam AS (SELECT l,
+             CAST(sum(CAST(a.vq AS HUGEINT) * b.vq) AS HUGEINT) AS g
+           FROM lags JOIN scored a ON true
+           JOIN scored b ON b.rn = a.rn + l
+           GROUP BY 1),
+         s_ AS (SELECT sum(CASE WHEN l = 0 THEN CAST(g AS DOUBLE) / 1e6
+             ELSE 2.0 * (1.0 - l / 6.0) * CAST(g AS DOUBLE) / 1e6 END)
+             AS s_hac
+           FROM gam)
+         SELECT n, round(b, 6) AS slope,
+           round(sqrt(s_hac) / sxxc, 6) AS se_hac
+         FROM m CROSS JOIN s_""",
+    "dq_pk_discovery" -> {
+      val names = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderdate", "o_orderpriority")
+      val combos: Seq[Seq[String]] =
+        names.map(Seq(_)) ++
+          (for { i <- names.indices; j <- i + 1 until names.size }
+            yield Seq(names(i), names(j)))
+      val rows = combos.map { cs =>
+        val key = cs.mkString("+")
+        val tup = cs.map(c => s"CAST($c AS VARCHAR)").mkString(" || '|' || ")
+        s"""SELECT '$key' AS columns,
+             CAST(count(DISTINCT $tup) AS BIGINT) AS ndv,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             round(count(DISTINCT $tup) / CAST(count(*) AS DOUBLE), 6)
+               AS ratio,
+             count(DISTINCT $tup) = count(*) AS is_key
+           FROM orders"""
+      }
+      rows.mkString("\n         UNION ALL\n         ")
+    },
     "sp_lisa" ->
       """WITH p AS (SELECT
              round(((c_custkey * 17) % 1400)/10.0 - 70.0, 4) AS lat,

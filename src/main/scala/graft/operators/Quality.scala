@@ -724,6 +724,42 @@ object Quality {
       s"stack(6, $stacks) as (column, n_nulls, ndv, min_val, max_val)")
   }
 
+  /** CANDIDATE-KEY DISCOVERY over the orders profile columns — the
+    * schema-archaeology pass every inherited table needs ("which
+    * column (pair) actually identifies a row?"): for every single
+    * column and every unordered pair from the profile set, the EXACT
+    * distinct count, the distinctness ratio, and the is_key verdict
+    * (ratio = 1). Pairs matter because real keys are often composite
+    * (natural keys rarely survive in one column).
+    *
+    * Shape: ONE aggregate pass — the 15 exact multi-column NDVs pay
+    * the same documented Expand trade as [[columnStats]] (profiling
+    * runs rarely; exactness is the point, a 99.9%-distinct column is
+    * NOT a key), then a stack to the combo-bounded report. The
+    * unbounded-scale screen is [[columnStatsApprox]]'s HLL pass with
+    * exact confirmation on the survivors — documented, not built,
+    * because the contract here is the exact report. */
+  def pkDiscovery(orders: DataFrame): DataFrame = {
+    val names = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_orderdate", "o_orderpriority")
+    val combos: Seq[Seq[String]] =
+      names.map(Seq(_)) ++
+        (for { i <- names.indices; j <- i + 1 until names.size }
+          yield Seq(names(i), names(j)))
+    val aggs = count(lit(1)).as("__n") +: combos.zipWithIndex.map {
+      case (cs, i) =>
+        countDistinct(struct(cs.map(col): _*)).as(s"d${i + 1}")
+    }
+    val agg = orders.agg(aggs.head, aggs.tail: _*)
+    val stacks = combos.zipWithIndex.map { case (cs, i) =>
+      s"'${cs.mkString("+")}', d${i + 1}"
+    }.mkString(", ")
+    agg.selectExpr(s"__n", s"stack(${combos.size}, $stacks) as (columns, ndv)")
+      .select(col("columns"), col("ndv"), col("__n").as("n_rows"),
+        round(col("ndv") / col("__n").cast("double"), 6).as("ratio"),
+        (col("ndv") === col("__n")).as("is_key"))
+  }
+
   /** The unbounded-scale twin of [[columnStats]]: identical report
     * shape with approx_count_distinct (HLL++, rsd 0.01 — the spec's 5% bound is
     * then a 5-sigma event, not a coin flip) in place of the exact NDVs — all aggregates are now plain declarative

@@ -2369,6 +2369,52 @@ object Resample {
       .orderBy("lag")
   }
 
+  /** CROSTON's method over the daily purchase demand — THE forecast
+    * for INTERMITTENT demand ([[sesGrid]]'s SES on the raw series
+    * systematically lags a sparse one toward zero; Croston smooths
+    * demand SIZE and demand INTERVAL separately and forecasts their
+    * ratio — the standard since 1972 for spare-parts/slow-movers, and
+    * the forecasting half of ts_intermittency's classification):
+    * on each demand arrival, z ← z+α(s−z), p ← p+α(g−p) with α = 0.2,
+    * g the day-gap since the previous arrival (z₁ = s₁, p₁ = 1 —
+    * documented init), per-day demand rate forecast = z/p.
+    *
+    * Demand sizes are exact integer cents; the two recurrences run in
+    * doubles with identical operation order on both engines (the
+    * sesGrid replayable-recurrence discipline — the oracle is one
+    * recursive CTE over the arrival frame). One sorted pass over the
+    * calendar-bounded arrival frame. */
+  def croston(events: DataFrame, eventType: String = "purchase",
+              alpha: Double = 0.2): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val daily = events.filter(col("event_type") === eventType)
+      .groupBy(expr("unix_date(cast(ts as date))").cast("long").as("d"))
+      .agg(sum(Exact.cents(col("value"))).as("s"))
+    daily.as[(Long, Long)]
+      .groupByKey(_ => 0)
+      .flatMapSortedGroups($"d") { (_, it) =>
+        var z = Double.NaN
+        var p = 1.0
+        var prev = Long.MinValue
+        it.map { case (d, sCents) =>
+          val sVal = sCents / 100.0
+          if (z.isNaN) { z = sVal; p = 1.0 }
+          else {
+            val g = (d - prev).toDouble
+            z = z + alpha * (sVal - z)
+            p = p + alpha * (g - p)
+          }
+          prev = d
+          // floor(x·1e6 + 0.5): the Exact.scala half-up convention,
+          // spelled identically in the recursive-CTE twin
+          def q6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+          (d, sVal, q6(z), q6(p), q6(z / p))
+        }
+      }
+      .toDF("day", "demand", "z", "p", "forecast")
+  }
+
   /** LOMB–SCARGLE periodogram of the (GAPPY) daily purchase series —
     * the periodogram for UNEVENLY sampled data ([[periodogram]]'s DFT
     * assumes a dense regular grid; real event feeds have dark days,

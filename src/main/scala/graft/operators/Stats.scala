@@ -5038,6 +5038,66 @@ object Stats {
         .as("ks_d"))
   }
 
+  /** NEWEY–WEST (HAC) standard error for the daily OLS slope — the
+    * honest uncertainty when residuals are AUTOCORRELATED
+    * ([[olsRegression]]'s classical SE assumes iid errors;
+    * st_durbin_watson DETECTS the violation, Newey–West REPAIRS the
+    * inference — time-series regressions without it overstate
+    * significance, the classic econometrics trap): Bartlett-kernel
+    * weighted sum of the residual-moment autocovariances at lags
+    * 0..L, var(β̂) = S/Sxx².
+    *
+    * Determinism: β̂, α̂ come from exact micro-unit moment sums; the
+    * per-day scores vᵢ = (xᵢ−x̄)·eᵢ quantize to integer milli-units
+    * (floor convention) BEFORE the lag products, so every γ_ℓ is an
+    * exact long over the calendar-bounded lag joins and the one float
+    * division happens at the close. */
+  def neweyWest(events: DataFrame, typeX: String = "click",
+                typeY: String = "view", maxLag: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import events.sparkSession.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def daily(t: String, alias: String) =
+      events.filter(col("event_type") === t)
+        .groupBy(expr("unix_date(cast(ts as date))").cast("long").as("d"))
+        .agg((Exact.avgValueMicros.cast("double") / 1e6).as(alias))
+    val xy = daily(typeX, "x").join(daily(typeY, "y"), "d")
+    val m = xy.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+      sum("y").as("sy"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"))
+      .select(col("n"),
+        ((col("sxy") - col("sx") * col("sy") / col("n")) /
+          (col("sxx") - col("sx") * col("sx") / col("n"))).as("b"),
+        ((col("sy") - (col("sxy") - col("sx") * col("sy") / col("n")) /
+          (col("sxx") - col("sx") * col("sx") / col("n")) * col("sx")) /
+          col("n")).as("a"),
+        (col("sxx") - col("sx") * col("sx") / col("n")).as("sxxc"),
+        (col("sx") / col("n")).as("xbar"))
+    val scored = xy.crossJoin(broadcast(m))
+      .withColumn("rn", row_number().over(Window.orderBy("d")).cast("long"))
+      .select(col("rn"), col("n"), col("sxxc"),
+        floor((col("x") - col("xbar")) *
+          (col("y") - col("a") - col("b") * col("x")) * 1e3 + 0.5)
+          .cast("long").as("vq"))
+      .localCheckpoint(true)
+    val gammas = (0 to maxLag).map { l =>
+      val rhs = scored.select((col("rn") - l).as("rn"),
+        col("vq").as("vq2"))
+      scored.join(rhs, Seq("rn"))
+        .agg(sum(col("vq").cast(dec) * col("vq2").cast(dec)).as("g"))
+        .select(lit(l).as("l"), col("g"))
+    }.reduce(_ unionByName _)
+    val s = gammas
+      .select(when(col("l") === 0, col("g").cast("double") / 1e6)
+        .otherwise(lit(2.0) * (lit(1.0) -
+          col("l") / (maxLag + 1.0)) * col("g").cast("double") / 1e6)
+        .as("t"))
+      .agg(sum("t").as("s_hac"))
+    m.crossJoin(broadcast(s))
+      .select(col("n"), round(col("b"), 6).as("slope"),
+        round(sqrt(col("s_hac")) / col("sxxc"), 6).as("se_hac"))
+  }
+
   def hodgesLehmann(events: DataFrame): DataFrame = {
     val daily = events.groupBy(col("event_type"),
         expr("unix_date(cast(ts as date))").cast("long").as("d"))

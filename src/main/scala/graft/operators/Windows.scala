@@ -794,4 +794,40 @@ object Windows {
         round(sum("cents").over(w) /
           (col("n_cohort") * lit(100.0)), 4).as("cum_ltv_per_user"))
   }
+
+  /** TIME-WEIGHTED AVERAGE (TWAP) per event type — the mean that
+    * respects HOW LONG each observation was the current one (the
+    * plain mean over-weights bursty periods: 100 readings in a hot
+    * minute count 100×, though the state they describe lasted one
+    * minute; TWAP is the finance/ops standard for "average level over
+    * the period"): each value holds from its timestamp to the NEXT
+    * observation of the same type (the last observation holds no
+    * interval and drops — documented), weight = exact integer
+    * microseconds.
+    *
+    * Exact path: value in cents (long) × holding micros (long)
+    * accumulate in decimal(38,0); the divide happens once per type.
+    * The simple mean rides the same pass for the bias report
+    * (twap_minus_mean is the burstiness signature). One window over
+    * the per-type exchange, one rollup. */
+  def twap(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    val dec = "decimal(38,0)"
+    events
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        graft.operators.Exact.cents(col("value")).as("c"))
+      .withColumn("hold", lead("us", 1).over(w) - col("us"))
+      .filter(col("hold").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("c").cast(dec) * col("hold").cast(dec)).as("cw"),
+        sum(col("hold").cast(dec)).as("tw"),
+        sum(col("c")).as("sc"))
+      .select(col("event_type"), col("n_intervals"),
+        round(col("cw").cast("double") / col("tw").cast("double")
+          / 100.0, 6).as("twap"),
+        round(col("sc").cast("double") / col("n_intervals") / 100.0, 6)
+          .as("plain_mean"))
+  }
 }
