@@ -961,6 +961,7 @@ object SparkEntry {
     "st_xi" -> ((s, d) => Stats.chatterjeeXi(Tables.events(s, d))),
     "st_pot_tail" -> ((s, d) => Stats.potTailFit(Tables.events(s, d))),
     "st_newey_west" -> ((s, d) => Stats.neweyWest(Tables.events(s, d))),
+    "st_lorenz" -> ((s, d) => Stats.lorenzCurve(Tables.orders(s, d))),
     "w30_twap" -> ((s, d) => Windows.twap(Tables.events(s, d))),
     "ts_croston" -> ((s, d) => Resample.croston(Tables.events(s, d))),
     "dq_pk_discovery" -> ((s, d) =>
@@ -5179,6 +5180,27 @@ object SparkEntry {
              o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT),
              CAST(o_orderdate AS VARCHAR), o_orderpriority) AS rs
            FROM orders)""",
+    "st_lorenz" ->
+      """WITH pts AS (SELECT CAST(floor(o_totalprice * 100 + 0.5)
+             AS BIGINT) AS c, o_orderkey
+           FROM orders),
+         n0 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS HUGEINT) AS tot FROM pts),
+         cells AS (SELECT
+             (CAST(row_number() OVER (ORDER BY c, o_orderkey)
+               AS BIGINT) - 1) * 10 // n AS decile,
+             c, tot
+           FROM pts CROSS JOIN n0),
+         g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(c) AS HUGEINT) AS sc, max(tot) AS tot
+           FROM cells GROUP BY 1)
+         SELECT decile, n_orders,
+           round(CAST(sc AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+             AS value_share,
+           round(CAST(sum(sc) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cum_value_share
+         FROM g ORDER BY decile""",
     "w30_twap" ->
       """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS us,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS c

@@ -5098,6 +5098,42 @@ object Stats {
         round(sqrt(col("s_hac")) / col("sxxc"), 6).as("se_hac"))
   }
 
+  /** LORENZ CURVE deciles behind [[giniIndex]]'s single number — the
+    * concentration PROFILE ("the top decile of orders carries what
+    * share of revenue?"): population sorted ascending by order value,
+    * cut into exact integer deciles, cumulative value share per cut.
+    * The curve is what pricing/capacity actually reads; Gini is its
+    * area summary.
+    *
+    * Exactness: cents are exact longs, decile assignment is integer
+    * rank arithmetic ((r−1)·10 div n — engine-identical on the
+    * (value, key) total order), cumulative sums ride a 10-row window.
+    * One corpus rollup; everything after is decile-bounded. */
+  def lorenzCurve(orders: DataFrame, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val pts = orders.select(Exact.cents(col("o_totalprice")).as("c"),
+      col("o_orderkey"))
+    val n0 = pts.agg(count(lit(1)).as("n"), sum("c").cast(dec).as("tot"))
+    val cells = pts.crossJoin(broadcast(n0))
+      .withColumn("r",
+        row_number().over(Window.orderBy("c", "o_orderkey")).cast("long"))
+      .select(expr(s"(r - 1) * $k div n").as("decile"), col("c"),
+        col("tot"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_orders"), sum("c").cast(dec).as("sc"),
+        max("tot").as("tot"))
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cells
+      .select(col("decile"), col("n_orders"),
+        round(col("sc").cast("double") / col("tot").cast("double"), 6)
+          .as("value_share"),
+        round(sum(col("sc")).over(w).cast("double") /
+          col("tot").cast("double"), 6).as("cum_value_share"))
+      .orderBy("decile")
+  }
+
   def hodgesLehmann(events: DataFrame): DataFrame = {
     val daily = events.groupBy(col("event_type"),
         expr("unix_date(cast(ts as date))").cast("long").as("d"))

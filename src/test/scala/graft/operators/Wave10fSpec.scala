@@ -80,6 +80,30 @@ class Wave10fSpec extends SparkSpec {
       s"${r.getAs[Double]("se_hac")} vs $seExp")
   }
 
+  test("lorenzCurve: hand deciles — equal values give the diagonal, " +
+      "one whale bends the curve; monotone and ends at 1") {
+    def orders(vals: Seq[Double]) = vals.zipWithIndex.map {
+      case (v, i) => (i.toLong, v)
+    }.toDF("o_orderkey", "o_totalprice")
+    val flat = Stats.lorenzCurve(orders(Seq.fill(20)(5.0))).collect()
+    flat.foreach { r =>
+      val d = r.getAs[Long]("decile")
+      assert(math.abs(r.getAs[Double]("cum_value_share") -
+        (d + 1) / 10.0) < 1e-9, s"$r")
+    }
+    val whale = Stats.lorenzCurve(orders(Seq.fill(19)(1.0) :+ 81.0))
+      .collect().map(r => r.getAs[Long]("decile") ->
+        r.getAs[Double]("cum_value_share")).toMap
+    // 19 at 1.0 + one 81.0: total 100; deciles 0..8 hold 2 small each,
+    // decile 9 holds one small + the whale
+    (0 to 8).foreach(d => assert(
+      math.abs(whale(d.toLong) - (2.0 * (d + 1)) / 100.0) < 1e-9,
+      s"$whale"))
+    assert(whale(9L) == 1.0)
+    val cums = (0 to 9).map(d => whale(d.toLong))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+  }
+
   test("pkDiscovery: a planted composite key is found; no single " +
       "column qualifies") {
     val orders = Seq(
