@@ -2221,8 +2221,8 @@ object SparkEntry {
                * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s2
            FROM events GROUP BY 1),
          g2 AS (SELECT grp, n,
-             CAST(round(CAST(s2 AS DOUBLE)
-               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+             CAST(floor(CAST(s2 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n + 0.5)
                AS BIGINT) AS ssq
            FROM g),
          g3 AS (SELECT grp, n, ssq,
@@ -2233,8 +2233,8 @@ object SparkEntry {
              CAST(sum(ssq) AS BIGINT) AS ssw_q,
              CAST(sum(CAST(round((n - 1) * ln(s2i) * 1e6) AS BIGINT))
                AS BIGINT) AS lnsum_u,
-             CAST(sum(CAST(round(1e9 / (n - 1)) AS BIGINT)) AS BIGINT)
-               AS invsum_n
+             CAST(sum(CAST(floor(1e9 / (n - 1) + 0.5) AS BIGINT))
+               AS BIGINT) AS invsum_n
            FROM g3)
          SELECT k, nt AS n_total, k - 1 AS df,
            round(((nt - k) * ln(CAST(ssw_q AS DOUBLE) / 1e4 / (nt - k))
@@ -3154,8 +3154,8 @@ object SparkEntry {
                * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s2
            FROM events GROUP BY 1),
          g2 AS (SELECT grp, n, s1,
-             CAST(round(CAST(s2 AS DOUBLE)
-               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+             CAST(floor(CAST(s2 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n + 0.5)
                AS BIGINT) AS ssw_q
            FROM g),
          tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
@@ -4805,13 +4805,13 @@ object SparkEntry {
                AS BIGINT) AS n
            FROM tbl CROSS JOIN tot),
          q AS (SELECT na_tot, n_tot,
-             CAST(round((CAST(da AS DOUBLE)
-               - d * (CAST(na AS DOUBLE) / n)) * 1e6) AS BIGINT)
+             CAST(floor((CAST(da AS DOUBLE)
+               - d * (CAST(na AS DOUBLE) / n)) * 1e6 + 0.5) AS BIGINT)
                AS dev6,
-             CAST(round(CAST(d AS DOUBLE) * (CAST(na AS DOUBLE) / n)
+             CAST(floor(CAST(d AS DOUBLE) * (CAST(na AS DOUBLE) / n)
                * (1.0 - CAST(na AS DOUBLE) / n)
                * (CAST(n AS DOUBLE) - d) / (CAST(n AS DOUBLE) - 1.0)
-               * 1e6) AS BIGINT) AS v6
+               * 1e6 + 0.5) AS BIGINT) AS v6
            FROM rk WHERE n > 1 AND d > 0)
          SELECT na_tot AS n_a, n_tot - na_tot AS n_b,
            round(CAST(sum(dev6) AS DOUBLE) * sum(dev6) / 1e6
@@ -10219,7 +10219,7 @@ object SparkEntry {
              (CAST(sy AS DOUBLE) - bm * CAST(sx AS DOUBLE)) / n AS am
            FROM co),
          res AS (SELECT x,
-             CAST(round(y - am - bm * x) AS BIGINT) AS e
+             CAST(floor(y - am - bm * x + 0.5) AS BIGINT) AS e
            FROM pts, co2),
          lagged AS (SELECT e, lag(e) OVER (ORDER BY x) AS ep FROM res),
          s AS (SELECT CAST(count(*) AS BIGINT) n,

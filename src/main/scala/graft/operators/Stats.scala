@@ -293,17 +293,24 @@ object Stats {
     val g = df.groupBy(col(groupCol).as("grp"))
       .agg(count(lit(1)).as("n"), sum(cents).as("s1"),
         sum(cents * cents).as("s2"))
+      // floor convention (Exact.scala): s1²/n is a RATIONAL — it
+      // lands exactly on .5 whenever s1² ≡ n/2 (mod n), where engine
+      // round() conventions diverge; floor of the identical IEEE
+      // expression is bit-portable
       .withColumn("ssq",
-        round(col("s2").cast("double") -
+        floor(col("s2").cast("double") -
           col("s1").cast("double") * col("s1").cast("double") /
-            col("n")).cast("long"))
+            col("n") + 0.5).cast("long"))
       .withColumn("s2i",
         col("ssq").cast("double") / lit(1e4) / (col("n") - 1))
     val t = g.agg(sum("n").as("nt"), count(lit(1)).as("k"),
       sum("ssq").as("ssw_q"),
       sum(round((col("n") - 1) * log(col("s2i")) * 1e6).cast("long"))
         .as("lnsum_u"),
-      sum(round(lit(1e9) / (col("n") - 1)).cast("long")).as("invsum_n"))
+      // 1e9/(n−1) is rational: exact .5 whenever (n−1) | 2·10⁹ with
+      // an odd quotient (n−1 = 1024 → 976562.5) — floor convention
+      sum(floor(lit(1e9) / (col("n") - 1) + 0.5).cast("long"))
+        .as("invsum_n"))
     val sp2 = col("ssw_q").cast("double") / lit(1e4) /
       (col("nt") - col("k"))
     val corr = lit(1.0) +
@@ -2716,8 +2723,9 @@ object Stats {
         col("n").cast("double")).as("am"))
     val res = pts.crossJoin(broadcast(co))
       .select(col("x"),
-        round(col("y") - col("am") - col("bm") * col("x")).cast("long")
-          .as("e"))
+        // floor convention: the residual is a rational of exact sums
+        floor(col("y") - col("am") - col("bm") * col("x") + 0.5)
+          .cast("long").as("e"))
     val lagged = res.withColumn("ep",
       lag("e", 1).over(Window.orderBy("x")))
     val s = lagged.agg(count(lit(1)).as("n"),
@@ -3289,10 +3297,10 @@ object Stats {
     val nD = col("n").cast("double")
     val pA = col("na").cast("double") / nD
     val q = risk.select(col("na_tot"), col("n_tot"),
-      round((col("da").cast("double") - col("d") * pA) * 1e6)
+      floor((col("da").cast("double") - col("d") * pA) * 1e6 + 0.5)
         .cast("long").as("dev6"),
-      round(col("d").cast("double") * pA * (lit(1.0) - pA) *
-        (nD - col("d")) / (nD - 1.0) * 1e6).cast("long").as("v6"))
+      floor(col("d").cast("double") * pA * (lit(1.0) - pA) *
+        (nD - col("d")) / (nD - 1.0) * 1e6 + 0.5).cast("long").as("v6"))
     q.groupBy("na_tot", "n_tot")
       .agg(sum("dev6").as("sd"), sum("v6").as("sv"))
       .select(col("na_tot").as("n_a"),
@@ -4324,10 +4332,11 @@ object Stats {
     val g = df.groupBy(col(groupCol).as("grp"))
       .agg(count(lit(1)).as("n"), sum(cents).as("s1"),
         sum(cents * cents).as("s2"))
+      // floor convention — same rational-half trap as bartlettTest
       .withColumn("ssw_q",
-        round(col("s2").cast("double") -
+        floor(col("s2").cast("double") -
           col("s1").cast("double") * col("s1").cast("double") /
-            col("n")).cast("long"))
+            col("n") + 0.5).cast("long"))
     val tot = g.agg(sum("n").as("nt"), count(lit(1)).as("k"),
       sum("ssw_q").as("ssw_c2"))
     val mse = col("ssw_c2") / lit(1e4) / (col("nt") - col("k"))
