@@ -4765,7 +4765,7 @@ object SparkEntry {
                AS BIGINT) AS n_risk
            FROM tbl CROSS JOIN tot)
          SELECT dur AS dur_days, n_risk, d, c,
-           round(CAST(sum(CAST(round(CAST(d AS DOUBLE) / n_risk * 1e9)
+           round(CAST(sum(CAST(floor(CAST(d AS DOUBLE) / n_risk * 1e9 + 0.5)
                AS BIGINT)) OVER (ORDER BY dur
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              AS DOUBLE) / 1e9, 6) AS cum_hazard
@@ -5144,8 +5144,8 @@ object SparkEntry {
            LEFT JOIN bysrc ON bysrc.t = top.t
              AND bysrc.source = srct.source),
          q AS (SELECT t, ct,
-             CAST(round(abs(CAST(c AS DOUBLE) / ct
-               - CAST(cs AS DOUBLE) / n) * 1e9) AS BIGINT) AS d9
+             CAST(floor(abs(CAST(c AS DOUBLE) / ct
+               - CAST(cs AS DOUBLE) / n) * 1e9 + 0.5) AS BIGINT) AS d9
            FROM grid CROSS JOIN grand)
          SELECT t AS token, ct AS n_occurrences,
            round(CAST(sum(d9) AS DOUBLE) / 2e9, 6) AS dp
@@ -6138,7 +6138,7 @@ object SparkEntry {
          nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
          SELECT least(9, (doc_id * 10) // n) AS decile,
            CAST(count(*) AS BIGINT) AS n_docs,
-           round(CAST(sum(CAST(round(CAST(nv AS DOUBLE) / ng * 1e6)
+           round(CAST(sum(CAST(floor(CAST(nv AS DOUBLE) / ng * 1e6 + 0.5)
                AS BIGINT)) AS DOUBLE) / (count(*) * 1e6), 6) AS novelty
          FROM pd CROSS JOIN nd GROUP BY 1""",
     "gr_coreness" ->

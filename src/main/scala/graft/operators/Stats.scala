@@ -3252,7 +3252,7 @@ object Stats {
       .rowsBetween(Window.unboundedPreceding, 0)
     riskTableOf(conversionLifetimes(events))
       .withColumn("h9",
-        round(col("d").cast("double") / col("n_risk") * 1e9)
+        floor(col("d").cast("double") / col("n_risk") * 1e9 + 0.5)
           .cast("long"))
       .select(col("dur").as("dur_days"), col("n_risk"), col("d"),
         col("c"),

@@ -1108,8 +1108,8 @@ object TextAnalysis {
       .na.fill(0L, Seq("c"))
       .crossJoin(broadcast(grand))
       .select(col("t"), col("ct"),
-        round(abs(col("c").cast("double") / col("ct") -
-          col("cs").cast("double") / col("n")) * 1e9).cast("long")
+        floor(abs(col("c").cast("double") / col("ct") -
+          col("cs").cast("double") / col("n")) * 1e9 + 0.5).cast("long")
           .as("d9"))
       .groupBy("t", "ct")
       .agg(round(sum("d9").cast("double") / 2e9, 6).as("dp"))
@@ -1246,7 +1246,8 @@ object TextAnalysis {
     val nd = documents.agg(count(lit(1)).as("n"))
     perDoc.crossJoin(broadcast(nd))
       .select(least(lit(9L), expr("(doc_id * 10) div n")).as("decile"),
-        round(col("nv").cast("double") / col("ng") * 1e6).cast("long")
+        floor(col("nv").cast("double") / col("ng") * 1e6 + 0.5)
+          .cast("long")
           .as("q6"))
       .groupBy("decile")
       .agg(count(lit(1)).as("n_docs"),
