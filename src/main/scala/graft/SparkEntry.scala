@@ -966,6 +966,11 @@ object SparkEntry {
     "ts_croston" -> ((s, d) => Resample.croston(Tables.events(s, d))),
     "dq_pk_discovery" -> ((s, d) =>
       Quality.pkDiscovery(Tables.orders(s, d))),
+    // HLL screen + exact-confirm-survivors twin: rows-only (non-survivor
+    // NDVs are HLL-register-private); is_key agreement with the exact
+    // surface and the screen's no-Expand plan are spec-locked
+    "dq_pk_discovery_scalable" -> ((s, d) =>
+      Quality.pkDiscoveryScalable(Tables.orders(s, d))),
     "st_interarrival" -> ((s, d) =>
       Stats.interArrivalTest(Tables.events(s, d))),
     "gr_percolation" -> ((s, d) => {
@@ -995,6 +1000,11 @@ object SparkEntry {
     }),
     "pipe_decon_embed" -> ((s, d) =>
       SimilaritySearch.embedContamination(Tables.embeddings(s, d))),
+    // bucketed 100 TB twin: rows-only (candidate set is plane-seed-
+    // private); recall vs the exact surface + no-probe-broadcast plan
+    // are spec-locked
+    "pipe_decon_embed_lsh" -> ((s, d) =>
+      SimilaritySearch.embedContaminationLsh(Tables.embeddings(s, d))),
     "gr_scc" -> ((s, d) =>
       Graph.stronglyConnectedComponents(supplierSuccessionEdges(s, d))),
     "sp_lisa" -> ((s, d) => SpatialJoin.localMoran(Tables.customer(s, d))),
@@ -2054,7 +2064,7 @@ object SparkEntry {
          w0 AS (SELECT r, cgrp, n, CAST(1000000000 AS BIGINT) AS w9
            FROM cells)${steps.toString}
        SELECT r AS event_type, cgrp AS dow, n,
-         round(w9 / 1e9, 6) AS weight FROM $prev"""
+         floor(w9 / 1000.0 + 0.5) / 1e6 AS weight FROM $prev"""
   }
 
   private val MlKmeansAssignSql: String =
@@ -2255,7 +2265,7 @@ object SparkEntry {
              CAST(round(o * ln(o / (ra * cb / n)) * 1e6) AS BIGINT)
                AS t, a, b, n
            FROM cells JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN g)
-         SELECT round(2.0 * sum(t) / 1e6, 4) AS g_stat,
+         SELECT floor(2.0 * sum(t) / 100.0 + 0.5) / 1e4 AS g_stat,
            (count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS df,
            CAST(max(n) AS BIGINT) AS n_total
          FROM terms""",
@@ -3197,7 +3207,8 @@ object SparkEntry {
            GROUP BY 1, 2),
          nc AS (SELECT pr.* FROM pr
            ANTI JOIN e ON pr.x = e.a AND pr.y = e.b)
-         SELECT x, y, n_common, round(su / 1e9, 6) AS aa_score
+         SELECT x, y, n_common, floor(su / 1000.0 + 0.5) / 1e6
+           AS aa_score
          FROM nc ORDER BY su DESC, x, y LIMIT 20""",
     "ml_mcc" ->
       s"""WITH cm AS (SELECT * FROM ($MlNbOracleSql)),
@@ -3325,7 +3336,7 @@ object SparkEntry {
            FROM bt GROUP BY 1),
          wp AS (SELECT DISTINCT week + 7 AS week FROM wt),
          wc AS (SELECT DISTINCT week FROM wt)
-         SELECT t.week, n_types, round(tu / 1e9, 6) AS jsd
+         SELECT t.week, n_types, floor(tu / 1000.0 + 0.5) / 1e6 AS jsd
          FROM t JOIN wp ON t.week = wp.week
            JOIN wc ON t.week = wc.week""",
     "ts_piecewise_trend" ->
@@ -3366,7 +3377,8 @@ object SparkEntry {
                  / nullif(CAST(m * sxx - sx * sx AS DOUBLE), 0))
                  * (CAST(sx AS DOUBLE) / m) AS icept
            FROM g)
-         SELECT seg + 1 AS segment, start_hr, end_hr, m AS n_hours,
+         SELECT CAST(seg + 1 AS BIGINT) AS segment, start_hr, end_hr,
+           m AS n_hours,
            round(slope / 1e6, 6) AS slope_per_hour,
            round((icept + slope * 1.0) / 1e6, 6) AS fit_start,
            round((icept + slope * m) / 1e6, 6) AS fit_end
@@ -3637,7 +3649,7 @@ object SparkEntry {
              AS mean_score,
            round(CAST(n_pos AS DOUBLE) / n, 6) AS frac_pos,
            round(CAST(bsum AS DOUBLE) / (nt * 1000000.0), 6) AS brier,
-           round(CAST(esum AS DOUBLE) / 1000000000.0, 6) AS ece
+           floor(CAST(esum AS DOUBLE) / 1000.0 + 0.5) / 1e6 AS ece
          FROM bb CROSS JOIN e""",
     "ml_brier_decomp" ->
       """WITH sc AS (SELECT
@@ -3672,8 +3684,8 @@ object SparkEntry {
          s AS (SELECT CAST(sum(relq) AS BIGINT) AS rels,
              CAST(sum(resq) AS BIGINT) AS ress FROM bb)
          SELECT nt AS n,
-           round(CAST(rels AS DOUBLE) / 1000000000.0, 6) AS rel,
-           round(CAST(ress AS DOUBLE) / 1000000000.0, 6) AS res,
+           floor(CAST(rels AS DOUBLE) / 1000.0 + 0.5) / 1e6 AS rel,
+           floor(CAST(ress AS DOUBLE) / 1000.0 + 0.5) / 1e6 AS res,
            round(CAST(pt AS DOUBLE) / nt
              * (1.0 - CAST(pt AS DOUBLE) / nt), 6) AS unc,
            round(CAST(bsum AS DOUBLE) / (nt * 1000000.0), 6) AS brier,
@@ -3738,7 +3750,7 @@ object SparkEntry {
          k_ AS (SELECT max(abs(u)) k FROM u),
          at_ AS (SELECT min(hr) t_star, max(n) n, max(k) k
            FROM u, k_ WHERE abs(u) = k)
-         SELECT n, t_star, k AS k_stat,
+         SELECT n, t_star, CAST(k AS BIGINT) AS k_stat,
            round(least(1.0, 2.0 * exp(CAST(k AS DOUBLE) * k * -6.0
              / (CAST(n AS DOUBLE) * n * n
                + CAST(n AS DOUBLE) * n))), 6) AS p_value
@@ -4159,8 +4171,8 @@ object SparkEntry {
          SELECT n_tokens, vocab, n_hapax, n_dis,
            round(CAST(n_hapax AS DOUBLE) /
              nullif(CAST(n_tokens AS DOUBLE), 0), 6) AS missing_mass,
-           round(vocab + CAST(n_hapax * (n_hapax - 1) AS DOUBLE)
-             / (2.0 * (n_dis + 1)), 2) AS chao1
+           floor((vocab + CAST(n_hapax * (n_hapax - 1) AS DOUBLE)
+             / (2.0 * (n_dis + 1))) * 100 + 0.5) / 100 AS chao1
          FROM s""",
     "st_overdispersion" ->
       """WITH d AS (SELECT CAST(ts AS DATE) AS day,
@@ -4431,8 +4443,8 @@ object SparkEntry {
            FROM f ASOF JOIN rates r
              ON f.cur = r.cur AND f.m >= r.m)
          SELECT cur AS currency, CAST(count(*) AS BIGINT) AS n_orders,
-           round(CAST(sum(CAST(cents AS HUGEINT) * rate) AS DOUBLE)
-             / 1e8, 2) AS converted
+           floor(CAST(sum(CAST(cents AS HUGEINT) * rate) AS DOUBLE)
+             / 1e6 + 0.5) / 100 AS converted
          FROM j GROUP BY 1""",
     "st_wquantile" ->
       """WITH pts AS (SELECT l_extendedprice AS v,
@@ -4721,7 +4733,8 @@ object SparkEntry {
                // (CAST(nl AS HUGEINT) * nr * 2) AS BIGINT) AS s9
            FROM cand),
          best AS (SELECT * FROM sc ORDER BY s9 DESC, v LIMIT 1)
-         SELECT v AS threshold, nl AS n_left, nr AS n_right,
+         SELECT v AS threshold, CAST(nl AS BIGINT) AS n_left,
+           CAST(nr AS BIGINT) AS n_right,
            round((1.0 - CAST(CAST(t0 AS HUGEINT) * t0
                + CAST(t1 AS HUGEINT) * t1 AS DOUBLE)
                / (CAST(t0 + t1 AS DOUBLE) * CAST(t0 + t1 AS DOUBLE)))
@@ -5373,17 +5386,22 @@ object SparkEntry {
              / CAST(max(np) AS DOUBLE), 6) AS ami
          FROM terms GROUP BY 1 ORDER BY 1""",
     "q41_variant" ->
+      // TRY_CAST, not CAST: Spark's variant_get(..., 'long') returns
+      // null on an uncastable value (e.g. k = '5.5'); a plain DuckDB
+      // CAST would instead ERROR, so the twins would diverge on any
+      // non-integer k. The generator emits integer k only, but the
+      // null semantics now match by construction, not by data luck.
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CASE WHEN json_extract_string(props, '$.k') IS NULL
              THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
-           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
-             AS BIGINT) AS sum_k,
-           min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+           CAST(sum(TRY_CAST(json_extract_string(props, '$.k')
+             AS BIGINT)) AS BIGINT) AS sum_k,
+           min(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
              AS min_k,
-           max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+           max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
              AS max_k,
-           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)),
-             6) AS avg_k
+           round(avg(TRY_CAST(json_extract_string(props, '$.k')
+             AS BIGINT)), 6) AS avg_k
          FROM events GROUP BY event_type""",
     "st_pot_tail" ->
       """WITH pts AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT)
@@ -5973,7 +5991,7 @@ object SparkEntry {
              CAST(sum(CASE WHEN p4 = 0 THEN 1 ELSE 0 END) AS BIGINT)
                AS zeros
            FROM p),
-         dom AS (SELECT period AS dominant_period
+         dom AS (SELECT CAST(period AS BIGINT) AS dominant_period
            FROM p ORDER BY p4 DESC, period LIMIT 1)
          SELECT k, dominant_period,
            CASE WHEN zeros > 0 THEN 0.0
@@ -5990,7 +6008,8 @@ object SparkEntry {
              list_aggregate(list_transform(list_zip(q, qq),
                s -> (s[1] - s[2]) * (s[1] - s[2])), 'sum') AS d2q
            FROM vv CROSS JOIN qv WHERE vec_id <> 0)
-         SELECT vec_id, d2q FROM d ORDER BY d2q, vec_id LIMIT 10""",
+         SELECT vec_id, CAST(d2q AS BIGINT) AS d2q
+         FROM d ORDER BY d2q, vec_id LIMIT 10""",
     "st_brunner_munzel" ->
       """WITH pts AS (SELECT value AS v,
              CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
@@ -6472,7 +6491,8 @@ object SparkEntry {
          agg AS (SELECT node, CAST(sum(du) AS BIGINT) AS du
            FROM alld WHERE s <> node GROUP BY 1)
          SELECT n.node,
-           round(coalesce(agg.du, 0) / 1e9, 6) AS betweenness
+           floor(coalesce(agg.du, 0) / 1000.0 + 0.5) / 1e6
+             AS betweenness
          FROM nodes n LEFT JOIN agg ON agg.node = n.node""",
     "w29_attribution_windows" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
@@ -8241,7 +8261,7 @@ object SparkEntry {
            JOIN part p ON p.p_partkey = b.l_partkey
            GROUP BY 1, 2)
          SELECT p_brand,
-           round(sum(CAST(c AS DOUBLE) / n_parts) / 100.0, 2)
+           floor(sum(CAST(c AS DOUBLE) / n_parts) + 0.5) / 100.0
              AS allocated_revenue
          FROM j GROUP BY 1""",
     "dwh_late_arriving" ->

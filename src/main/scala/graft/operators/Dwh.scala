@@ -489,8 +489,10 @@ object Dwh {
       .groupBy(col("p_brand"), col("n_parts"))
       .agg(sum(col("cents")).as("c"))
       .groupBy("p_brand")
-      .agg(round(sum(col("c").cast("double") / col("n_parts")) / 100.0,
-        2).as("allocated_revenue"))
+      // floor convention (Exact.scala): cents/n_parts is a small-
+      // denominator rational — exact 2dp halves whenever n_parts | 2·10⁴
+      .agg((floor(sum(col("c").cast("double") / col("n_parts")) + 0.5)
+        / 100.0).as("allocated_revenue"))
   }
 
   /** SEMI-ADDITIVE measure rollup — the balance-style fact you may sum
@@ -853,8 +855,11 @@ object Dwh {
       .agg(count(lit(1)).as("n_orders"),
         sum(col("cents").cast(dec) * col("matched.rate").cast(dec))
           .as("cr"))
+      // floor convention (Exact.scala): cr is an exact integer 1e-8
+      // grid — 2dp engine round() of it is the half-case
       .select(col("currency"), col("n_orders"),
-        round(col("cr").cast("double") / 1e8, 2).as("converted"))
+        (floor(col("cr").cast("double") / 1e6 + 0.5) / 100)
+          .as("converted"))
   }
   /** AS-IS vs AS-WAS RESTATEMENT report — the dimensional-integrity
     * question every SCD2 warehouse must be able to answer ("how much

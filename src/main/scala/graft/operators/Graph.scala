@@ -481,8 +481,10 @@ object Graph {
         Seq("x", "y"), "left_anti")
       .orderBy(col("su").desc, col("x"), col("y"))
       .limit(topN)
+      // floor convention (Exact.scala): su/1000 exact for integer
+      // nano-sums, so the 6dp half-case quantizes identically both sides
       .select(col("x"), col("y"), col("n_common"),
-        round(col("su") / lit(1e9), 6).as("aa_score"))
+        (floor(col("su") / 1000.0 + 0.5) / 1e6).as("aa_score"))
   }
 
   /** k-core decomposition at a fixed k: the maximal
@@ -1167,8 +1169,10 @@ object Graph {
     nodes
       .join(acc.filter(col("s") =!= col("node"))
         .groupBy("node").agg(sum("du").as("du")), Seq("node"), "left")
+      // floor convention (Exact.scala): du/1000 exact for integer
+      // nano-sums — engine round() at 6dp of a 9dp grid is the half-case
       .select(col("node"),
-        round(coalesce(col("du"), lit(0L)) / lit(1e9), 6)
+        (floor(coalesce(col("du"), lit(0L)) / 1000.0 + 0.5) / 1e6)
           .as("betweenness"))
   }
 

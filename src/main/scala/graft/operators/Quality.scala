@@ -631,8 +631,10 @@ object Quality {
       .join(wk.select(date_add(col("week"), 7).as("week")).distinct(),
         Seq("week"), "left_semi")
       .join(wk.select("week").distinct(), Seq("week"), "left_semi")
+      // floor convention (Exact.scala): tu/1000 exact for integer
+      // nano-sums — engine round() at 6dp of a 9dp grid is the half-case
       .select(col("week"), col("n_types"),
-        round(col("tu") / lit(1e9), 6).as("jsd"))
+        (floor(col("tu") / 1000.0 + 0.5) / 1e6).as("jsd"))
   }
 
   /** FUNCTIONAL-DEPENDENCY audit — the schema-semantics check next to
@@ -740,12 +742,7 @@ object Quality {
     * exact confirmation on the survivors — documented, not built,
     * because the contract here is the exact report. */
   def pkDiscovery(orders: DataFrame): DataFrame = {
-    val names = Seq("o_orderkey", "o_custkey", "o_orderstatus",
-      "o_orderdate", "o_orderpriority")
-    val combos: Seq[Seq[String]] =
-      names.map(Seq(_)) ++
-        (for { i <- names.indices; j <- i + 1 until names.size }
-          yield Seq(names(i), names(j)))
+    val combos: Seq[Seq[String]] = pkCombos
     val aggs = count(lit(1)).as("__n") +: combos.zipWithIndex.map {
       case (cs, i) =>
         countDistinct(struct(cs.map(col): _*)).as(s"d${i + 1}")
@@ -758,6 +755,80 @@ object Quality {
       .select(col("columns"), col("ndv"), col("__n").as("n_rows"),
         round(col("ndv") / col("__n").cast("double"), 6).as("ratio"),
         (col("ndv") === col("__n")).as("is_key"))
+  }
+
+  /** The HLL screen of [[pkDiscoveryScalable]], exposed for the
+    * plan-shape lock: all 15 combo NDVs as approx_count_distinct over
+    * struct keys in ONE aggregate — every aggregate is a plain
+    * declarative function, so the plan is a single partial-agg pass
+    * with NO Expand (the exact [[pkDiscovery]] pays ~16× for the same
+    * 15 counts). One row out: (__n, d1..d15). */
+  def pkScreen(orders: DataFrame, combos: Seq[Seq[String]],
+               rsd: Double = 0.03): DataFrame = {
+    val aggs = count(lit(1)).as("__n") +: combos.zipWithIndex.map {
+      case (cs, i) =>
+        approx_count_distinct(struct(cs.map(col): _*), rsd).as(s"d${i + 1}")
+    }
+    orders.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The profile-combo set [[pkDiscovery]] and [[pkDiscoveryScalable]]
+    * share: every single column and every unordered pair. */
+  def pkCombos: Seq[Seq[String]] = {
+    val names = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_orderdate", "o_orderpriority")
+    names.map(Seq(_)) ++
+      (for { i <- names.indices; j <- i + 1 until names.size }
+        yield Seq(names(i), names(j)))
+  }
+
+  /** The unbounded-scale twin of [[pkDiscovery]] — HLL screen, exact
+    * confirmation on survivors only:
+    *
+    *   1. SCREEN: one no-Expand pass ([[pkScreen]], rsd 0.03 — the
+    *      measured cost knee: HLL register count grows 4× per rsd
+    *      halving and rsd 0.01 made the screen cost 5× the exact
+    *      Expand at sf0.1) bounds every combo's NDV. A combo whose
+    *      approx ratio falls below 1 − 5·rsd = 0.85 is definitively
+    *      NOT a key (a 5-sigma event to be wrong) and never pays an
+    *      exact count.
+    *   2. CONFIRM: the survivors — on real tables, the handful of true
+    *      keys — get exact countDistinct in one second pass, so the
+    *      Expand multiplier is |survivors|+1, not |combos|+1, and the
+    *      is_key verdict stays EXACT (a 99.9%-distinct column must not
+    *      report as a key — same contract as the exact surface).
+    *
+    * Driver-side state is two 1-row scalar fetches (the codebook-
+    * training class) and the 15-row report literal. Non-survivor rows
+    * report the HLL NDV (engine-private → rows-only surface); is_key
+    * agreement with [[pkDiscovery]] and the ≤5% NDV error are
+    * spec-verified, the screen's no-Expand plan is plan-locked. */
+  def pkDiscoveryScalable(orders: DataFrame, rsd: Double = 0.03): DataFrame = {
+    val combos = pkCombos
+    val row = pkScreen(orders, combos, rsd).head()
+    val n = row.getLong(0)
+    val approx = combos.indices.map(i => row.getLong(i + 1))
+    val survivors = combos.indices
+      .filter(i => approx(i).toDouble >= n.toDouble * (1.0 - 5.0 * rsd))
+    val exact: Map[Int, Long] =
+      if (survivors.isEmpty) Map.empty
+      else {
+        val aggs = survivors.map(i =>
+          countDistinct(struct(combos(i).map(col): _*)).as(s"e$i"))
+        val r = orders.agg(aggs.head, aggs.tail: _*).head()
+        survivors.zipWithIndex.map { case (ci, j) =>
+          ci -> r.getLong(j)
+        }.toMap
+      }
+    val spark = orders.sparkSession
+    import spark.implicits._
+    combos.indices.map { i =>
+      val ndv = exact.getOrElse(i, approx(i))
+      (combos(i).mkString("+"), ndv, n,
+        BigDecimal(ndv.toDouble / n.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        exact.get(i).contains(n))
+    }.toDF("columns", "ndv", "n_rows", "ratio", "is_key")
   }
 
   /** The unbounded-scale twin of [[columnStats]]: identical report

@@ -346,7 +346,7 @@ object Resample {
   def seasonalDecompose(events: DataFrame): DataFrame = {
     val wType = Window.partitionBy("event_type")
     val cells = events
-      .groupBy(col("event_type"), hour(col("ts")).as("hod"))
+      .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hod"))
       .agg(sum("value").as("__s"), count("value").as("__n"))
       .withColumn("__tmean", sum("__s").over(wType) / sum("__n").over(wType))
       .select(col("event_type"), col("hod"),
@@ -2347,7 +2347,7 @@ object Resample {
         row_number().over(Window.orderBy("v", "hr")).cast("long"))
       .select(col("hr"), expr("(r - 1) * 4 div n0").as("b"))
       .localCheckpoint(true)
-    val lagged = binned.crossJoin(broadcast(lags.toDF("lag")))
+    val lagged = binned.crossJoin(broadcast(lags.map(_.toLong).toDF("lag")))
       .select(col("lag"), (col("hr") + col("lag")).as("hr"),
         col("b").as("b0"))
       .join(binned.select(col("hr"), col("b").as("b1")), Seq("hr"))

@@ -778,7 +778,7 @@ object SimilaritySearch {
         floor(col("cos") * 1000000 + 0.5).cast("long").as("qc"))
       .groupBy("cell")
       .agg(count(lit(1)).as("n"), sum("qc").as("sc"))
-      .select(col("cell"), col("n"),
+      .select(col("cell").cast("long").as("cell"), col("n"),
         round(col("sc").cast("double") / (col("n") * 1000000.0), 6)
           .as("avg_cos"))
       .orderBy("cell")
@@ -801,7 +801,8 @@ object SimilaritySearch {
       .groupBy("cell")
       .agg(sum("c").as("n"),
         max(struct(col("c"), col("label"))).as("top"))
-      .select(col("cell"), col("n"), col("top.label").as("top_label"),
+      .select(col("cell").cast("long").as("cell"), col("n"),
+        col("top.label").as("top_label"),
         round(col("top.c").cast("double") / col("n"), 6).as("purity"))
   }
 
@@ -1011,5 +1012,74 @@ object SimilaritySearch {
         sum(when(col("cos") >= tau, 1L).otherwise(0L)).as("n_flagged"))
       .select(col("probe_id"), col("best.cos").as("max_cos"),
         (-col("best.ni")).as("nearest_id"), col("n_flagged"))
+  }
+
+  /** The 100 TB path of [[embedContamination]]: identical per-probe
+    * rollup (max corpus cosine, nearest id, flagged count on the same
+    * exact 1e-3 lattice), but candidates come from a multi-table
+    * hyperplane-LSH (table, bucket) EQUI-JOIN instead of broadcasting
+    * the probe slice over a corpus scan. The exact surface broadcasts
+    * corpus/probeMod vectors — at 100 TB of embeddings that broadcast
+    * is terabytes; here BOTH sides shuffle only compact band keys
+    * ((vec_id, bks, tbl, bucket) — 8·nTables bytes/row, dim-free) and
+    * candidates meet bucket-locally, deduped row-locally by the
+    * first-agreeing-table predicate (the neardupPairsLsh shape — no
+    * candidate-wide distinct()).
+    *
+    * Approximate by construction: a probe's true nearest neighbor is a
+    * candidate only if they co-bucket in ≥1 table (recall
+    * 1-(1-(1-θ/π)^nPlanes)^nTables — spec-measured against the exact
+    * surface, which stays the audit baseline). Probes with NO candidate
+    * survive with null max_cos/nearest_id and n_flagged 0 (a probe that
+    * collides with nothing is evidence of cleanliness, not a row to
+    * drop silently). Rows-only surface: the candidate set is
+    * plane-seed-private. */
+  def embedContaminationLsh(embeddings: DataFrame, probeMod: Long = 50,
+                            tau: Double = 0.9, nTables: Int = 16,
+                            nPlanes: Int = 4, dim: Int = 64,
+                            seed: Long = 42L): DataFrame = {
+    val allPlanes = seededPlanes(nTables * nPlanes, dim, seed)
+    def lat(c: Column) = transform(c.cast("array<double>"),
+      x => floor(x * 1000 + 0.5).cast("long"))
+    val v = Scale.fanOut(embeddings, Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"),
+        hyperplaneBucketsNative(col("embedding"), allPlanes, nPlanes)
+          .as("bks"))
+      .localCheckpoint(true) // 3 consumers below; don't re-scan + re-sketch
+    val banded = v.select(col("vec_id"), col("bks"),
+      posexplode(col("bks")).as(Seq("tbl", "bucket")))
+    val pb = banded.filter(col("vec_id") % probeMod === 0)
+      .select(col("vec_id").as("probe_id"), col("bks").as("p_bks"),
+        col("tbl"), col("bucket"))
+    val cb = banded.filter(col("vec_id") % probeMod =!= 0)
+    // candidate pairs meet on the (table, bucket) equi-join; keep each
+    // (probe, corpus) pair once — only in its first agreeing table
+    // (sides are disjoint id sets, so no x<y ordering is involved)
+    val cand = pb.join(cb, Seq("tbl", "bucket"))
+      .filter(col("tbl") === array_position(
+        zip_with(col("p_bks"), col("bks"), (p, q) => p === q), true) - 1)
+      .select(col("probe_id"), col("vec_id"))
+    // exact-lattice cosine verify on candidates only — same quantization
+    // as the exact surface so scores are comparable one-for-one
+    val q = v.select(col("vec_id"), lat(col("embedding")).as("q"))
+      .withColumn("ssq", aggregate(col("q"), lit(0L), (a, y) => a + y * y))
+    val scored = cand
+      .join(q.select(col("vec_id").as("probe_id"), col("q").as("pq"),
+        col("ssq").as("pssq")), "probe_id")
+      .join(q, "vec_id")
+      .withColumn("cos", round(
+        aggregate(zip_with(col("pq"), col("q"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).cast("double") /
+          (sqrt(col("pssq").cast("double")) *
+            sqrt(col("ssq").cast("double"))), 4))
+      .groupBy("probe_id")
+      .agg(max(struct(col("cos"), (-col("vec_id")).as("ni"))).as("best"),
+        sum(when(col("cos") >= tau, 1L).otherwise(0L)).as("n_flagged"))
+    v.filter(col("vec_id") % probeMod === 0)
+      .select(col("vec_id").as("probe_id"))
+      .join(scored, Seq("probe_id"), "left")
+      .select(col("probe_id"), col("best.cos").as("max_cos"),
+        (-col("best.ni")).as("nearest_id"),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"))
   }
 }

@@ -707,6 +707,12 @@ object SpatialJoin {
     * hot/cold z-score, LISA adds the outlier classes). Queen
     * contiguity EXCLUDING self (the LISA convention; G* includes it).
     *
+    * NORMALIZATION CONVENTION: here m₂ means Σz² (the raw deviation
+    * square-sum), so Iᵢ = zᵢ·Σⱼwᵢⱼzⱼ/Σz² — the Anselin Iᵢ divided by
+    * n (PySAL/GeoDa use m₂ = Σz²/n and report values n× larger).
+    * Internally consistent with the SQL twin and sign/quadrant-
+    * identical; multiply local_i by n_cells to compare against PySAL.
+    *
     * Exact-integer discipline: deviations ride n-scaled (n·zᵢ =
     * n·xᵢ − Σx, exact longs), the neighborhood deviation sum is the
     * same 9-offset equi-join [[getisOrd]] uses minus the self term,

@@ -268,7 +268,9 @@ object Stats {
       .withColumn("t", round(col("o") *
         log(col("o") / (col("ra") * col("cb") / col("n"))) * 1e6)
         .cast("long"))
-      .agg(round(lit(2.0) * sum("t") / 1e6, 4).as("g_stat"),
+      // floor convention (Exact.scala): 2t/100 is exact for integer
+      // micro-nat t, so the 4dp half-case cannot split the engines
+      .agg((floor(lit(2.0) * sum("t") / 100.0 + 0.5) / 1e4).as("g_stat"),
         ((countDistinct("__a") - 1) * (countDistinct("__b") - 1))
           .as("df"),
         max("n").as("n_total"))
@@ -1234,7 +1236,10 @@ object Stats {
         round(col("n_pos").cast("double") / col("n"), 6).as("frac_pos"),
         round(col("bsum").cast("double") / (col("nt") * 1000000.0), 6)
           .as("brier"),
-        round(col("esum").cast("double") / 1000000000.0, 6).as("ece"))
+        // floor convention (Exact.scala): esum/1000 exact for integer
+        // nano-sums — 6dp round of a 9dp grid is the half-case
+        (floor(col("esum").cast("double") / 1000.0 + 0.5) / 1e6)
+          .as("ece"))
   }
 
   /** ISOTONIC CALIBRATION of the binned reliability curve (r9) — the
@@ -3138,8 +3143,12 @@ object Stats {
     val rel = col("rels").cast("double") / 1000000000.0
     val res = col("ress").cast("double") / 1000000000.0
     val unc = ybar * (lit(1.0) - ybar)
+    // floor convention (Exact.scala) on the two pure 1e-9-grid terms;
+    // unc/brier_decomp keep engine round() (data-sized denominators
+    // cannot land on an exact representable half)
     s.select(col("nt").as("n"),
-      round(rel, 6).as("rel"), round(res, 6).as("res"),
+      (floor(col("rels").cast("double") / 1000.0 + 0.5) / 1e6).as("rel"),
+      (floor(col("ress").cast("double") / 1000.0 + 0.5) / 1e6).as("res"),
       round(unc, 6).as("unc"),
       round(col("bsum").cast("double") / (col("nt") * 1000000.0), 6)
         .as("brier"),
@@ -3324,7 +3333,15 @@ object Stats {
     * corpus); this is one corpus rollup + one distinct-value pass,
     * the 100 TB shape). Counts and their squares live in
     * decimal(38,0); each candidate's s quantizes to NANO-units for an
-    * exact long argmax (no float-rank flapping at the boundary). */
+    * exact long argmax (no float-rank flapping at the boundary).
+    *
+    * CAPACITY BOUND (decimal(38,0) headroom): the widest intermediate
+    * is 2·1e9·(aSq·nr + bSq·nl) ≤ 4e9·n³, which overflows 38 digits —
+    * and Spark's non-ANSI decimal overflow yields NULL, silently
+    * dropping that candidate from the argmax — once n ≳ 2.9e9 rows
+    * (4e9·n³ < 1e38 ⟺ n < 2.92e9; DuckDB HUGEINT has the same ~1.7e38
+    * ceiling). Beyond ~3 billion rows per stump pass, rescale the 1e9
+    * nano-unit to 1e6 (buys 10×) or pre-aggregate the feature. */
   def giniStump(documents: DataFrame, posLang: String = "en",
                 stripes: Int = 256): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -4747,8 +4764,11 @@ object Stats {
         .drop("s")
     }
     for (_ <- 1 to rounds) { rescale("r", "kr"); rescale("cgrp", "kc") }
+    // floor convention (Exact.scala): w9/1000 is an exact double for
+    // integer w9 < 2^53, so the 6dp half-case quantizes identically on
+    // both engines — engine round() at 6dp of a 9dp-grid value does not
     w.select(col("r").as("event_type"), col("cgrp").as("dow"), col("n"),
-      round(col("w9").cast("double") / 1e9, 6).as("weight"))
+      (floor(col("w9").cast("double") / 1000.0 + 0.5) / 1e6).as("weight"))
   }
 
   /** Two-sample F TEST of variance ratio — the pre-t-test variance
@@ -4980,20 +5000,53 @@ object Stats {
     * engines), ranks are row_number over the (y, event_id) total
     * order, and the two weighted sums are single aggregates over
     * exact inputs. One corpus pass to the exceedance frame. */
+  /** Global 1-based row rank over the (`v`, `tie`) total order WITHOUT
+    * an unpartitioned window — the [[giniStump]] striped-prefix pattern
+    * extracted for corpus-proportional rank frames: range-stripe on v
+    * (the stripe is a function of v alone, so equal values never
+    * straddle a boundary and stripe order equals value order), rank
+    * within each stripe in parallel, then add the per-stripe count
+    * offsets. The only global window left runs over the `stripes`-row
+    * offset frame; a plain row_number().over(orderBy(...)) would drag
+    * the whole frame through ONE task at 100 TB. Output: the input
+    * columns plus `r`. */
+  private def stripedRank(pts: DataFrame, v: String, tie: String,
+                          stripes: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bounds = pts.agg(min(col(v)).as("__lo"), max(col(v)).as("__hi"))
+    val striped = pts.crossJoin(broadcast(bounds))
+      .withColumn("__stripe",
+        when(col("__hi") === col("__lo"), lit(0L)).otherwise(
+          least(lit(stripes - 1L), greatest(lit(0L),
+            floor((col(v) - col("__lo")).cast("double") /
+              (col("__hi") - col("__lo")) * stripes)))).cast("int"))
+      .drop("__lo", "__hi")
+    val wStripe = Window.orderBy("__stripe")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = striped.groupBy("__stripe")
+      .agg(count(lit(1)).as("__sn"))
+      .select(col("__stripe"),
+        coalesce(sum("__sn").over(wStripe), lit(0L)).as("__off"))
+    val wIn = Window.partitionBy("__stripe").orderBy(col(v), col(tie))
+    striped.join(broadcast(offs), Seq("__stripe"))
+      .withColumn("r", col("__off") + row_number().over(wIn))
+      .drop("__stripe", "__off")
+  }
+
   def potTailFit(events: DataFrame, eventType: String = "click",
                  q: Double = 0.95): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val pts = events.filter(col("event_type") === eventType)
       .select(Exact.cents(col("value")).as("c"), col("event_id"))
     val thr = pts.agg(expr(s"percentile(c, $q)").as("u"))
     // rank by cents (y = c − u is c shifted by a CONSTANT, so the
     // (c, event_id) order IS the (y, event_id) order) and keep every
     // sum EXACT integer — the fractional threshold u folds in once:
-    // Σy = Σc − n·u, Σ(r−1)y = Σ(r−1)c − u·n(n−1)/2
-    val exc = pts.crossJoin(broadcast(thr))
-      .filter(col("c") > col("u"))
-      .withColumn("r",
-        row_number().over(Window.orderBy("c", "event_id")).cast("long"))
+    // Σy = Σc − n·u, Σ(r−1)y = Σ(r−1)c − u·n(n−1)/2. The exceedance
+    // slice is corpus-proportional (~(1−q)·n rows), so the rank rides
+    // the striped pattern, not a single-task window.
+    val exc = stripedRank(
+      pts.crossJoin(broadcast(thr)).filter(col("c") > col("u")),
+      "c", "event_id")
     val agg = exc.agg(count(lit(1)).as("n"), sum("c").as("sc"),
       sum((col("r") - 1) * col("c")).as("src_"), max("u").as("u"))
     val n = col("n").cast("double")
@@ -5018,8 +5071,16 @@ object Stats {
     * Exactness: gaps are exact integer seconds, the mean is an exact
     * rational folded into λ once, ranks are row_number over the
     * (gap, order) total order, and D takes both one-sided forms at
-    * every sorted point (the st_ks discipline). Calendar-bounded gap
-    * frame after one sorted pass. */
+    * every sorted point (the st_ks discipline).
+    *
+    * DOCUMENTED SCALE TRADE: both windows here are single-partition —
+    * the gap lag() is inherently sequential over the event-time total
+    * order (the 100 TB shape is a time-range repartition with a
+    * boundary-row exchange, as in [[Resample]]'s hourly frames), and
+    * the KS rank window rides the same gap frame. This operator is a
+    * model-diagnostic over ONE event type's arrival stream — run it on
+    * the stream's calendar-bounded daily/hourly rollup at scale, not
+    * the raw 100 TB event log. */
   def interArrivalTest(events: DataFrame, eventType: String = "purchase")
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -5117,16 +5178,17 @@ object Stats {
     * Exactness: cents are exact longs, decile assignment is integer
     * rank arithmetic ((r−1)·10 div n — engine-identical on the
     * (value, key) total order), cumulative sums ride a 10-row window.
-    * One corpus rollup; everything after is decile-bounded. */
+    * The corpus-proportional rank uses the [[stripedRank]] pattern
+    * (giniStump's), never a single-task global window; everything
+    * after is decile-bounded. */
   def lorenzCurve(orders: DataFrame, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val pts = orders.select(Exact.cents(col("o_totalprice")).as("c"),
       col("o_orderkey"))
     val n0 = pts.agg(count(lit(1)).as("n"), sum("c").cast(dec).as("tot"))
-    val cells = pts.crossJoin(broadcast(n0))
-      .withColumn("r",
-        row_number().over(Window.orderBy("c", "o_orderkey")).cast("long"))
+    val cells = stripedRank(pts, "c", "o_orderkey")
+      .crossJoin(broadcast(n0))
       .select(expr(s"(r - 1) * $k div n").as("decile"), col("c"),
         col("tot"))
       .groupBy("decile")

@@ -345,7 +345,7 @@ object TextAnalysis {
     val norm = normalizedText(col("text"))
     documents.select(
       col("doc_id"),
-      length(norm).as("n_chars_norm"),
+      length(norm).cast("long").as("n_chars_norm"),
       md5(norm).as("fp_norm"))
   }
 
@@ -1401,9 +1401,13 @@ object TextAnalysis {
         round(col("n_hapax").cast("double") /
           nullif(col("n_tokens").cast("double"), lit(0.0)), 6)
           .as("missing_mass"),
-        round(col("vocab") +
+        // floor convention (Exact.scala): h(h-1)/(2(d+1)) is a small-
+        // denominator rational — it lands exactly on the 2dp half
+        // whenever (d+1) | 2·10², where engine round() conventions split
+        (floor((col("vocab") +
           (col("n_hapax") * (col("n_hapax") - 1)).cast("double") /
-          (lit(2.0) * (col("n_dis") + 1)), 2).as("chao1"))
+          (lit(2.0) * (col("n_dis") + 1))) * 100 + 0.5) / 100)
+          .as("chao1"))
   }
 
   /** LIFT / CUMULATIVE-GAINS table for a document score — "if I only
@@ -1430,7 +1434,8 @@ object TextAnalysis {
     perDecile
       .crossJoin(broadcast(perDecile.agg(
         sum("n").as("gn"), sum("n_pos").as("gp"))))
-      .select(col("decile"), col("n"), col("n_pos"),
+      .select(col("decile").cast("long").as("decile"), col("n"),
+        col("n_pos"),
         round(col("n_pos").cast("double") / col("n") /
           (col("gp").cast("double") / col("gn")), 6).as("lift"),
         round(sum("n_pos").over(w).cast("double") / sum("n").over(w) /

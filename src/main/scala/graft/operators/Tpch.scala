@@ -227,7 +227,7 @@ object Tpch {
       .join(custN, col("o_custkey") === col("c_custkey"))
       .filter(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"),
-        year(col("l_shipdate")).as("l_year"))
+        year(col("l_shipdate")).cast("long").as("l_year"))
       .agg(round(sum(revenue), 2).as("revenue"))
   }
 
@@ -264,7 +264,7 @@ object Tpch {
         col("l_orderkey") === col("o_orderkey"))
       .join(custIn, col("o_custkey") === col("c_custkey"), "left_semi")
       .join(supN, col("l_suppkey") === col("s_suppkey"))
-      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
       .agg(round(
         sum(when(col("supp_nation") === shareNation, revenue)
           .otherwise(lit(0.0))) / sum(revenue), 6).as("mkt_share"))
@@ -490,7 +490,8 @@ object Tpch {
         col("s_nationkey") === col("n_nationkey"))
       .join(orders.select("o_orderkey", "o_orderdate"),
         col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+      .groupBy(col("n_name"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
       .agg(round(sum(revenue -
           lit(costFactor) * col("p_retailprice") * col("l_quantity")), 2)
         .as("profit"))

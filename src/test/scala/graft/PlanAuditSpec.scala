@@ -121,6 +121,31 @@ class PlanAuditSpec extends SparkSpec {
       s"per-probe top-k should partial-aggregate map-side:\n$p")
   }
 
+  test("pipe_decon_embed_lsh: candidates from the band equi-join — " +
+      "never the exact surface's probe-slice broadcast loop") {
+    val p = plan("pipe_decon_embed_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"bucketed decontamination must not broadcast the probe slice:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs loop:\n$p")
+    // and the exact surface IS the broadcast loop (the documented trade)
+    val pe = plan("pipe_decon_embed")
+    assert(pe.contains("BroadcastNestedLoopJoin"),
+      s"exact surface contract changed — update the doc comments:\n$pe")
+  }
+
+  test("dq_pk_discovery_scalable: the HLL screen pays NO Expand; the " +
+      "exact surface keeps its documented ~16x Expand trade") {
+    val screen = graft.operators.Quality.pkScreen(
+      Tables.orders(spark, sf), graft.operators.Quality.pkCombos)
+    val p = screen.queryExecution.executedPlan.toString
+    assert(!p.contains("Expand"), s"screen must be one no-Expand pass:\n$p")
+    assert(p.contains("approx_count_distinct"),
+      s"screen should be HLL partial aggregation:\n$p")
+    val pe = plan("dq_pk_discovery")
+    assert(pe.contains("Expand"),
+      "exact surface contract changed — update the doc comments")
+  }
+
   test("dd_incremental_lsh: no BNLJ anywhere in the incremental path") {
     val p = plan("dd_incremental_lsh")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

@@ -443,7 +443,7 @@ class QualitySpec extends SparkSpec {
       (i.toLong, if (i >= 50) "en" else "de", text)
     }.toDF("doc_id", "lang", "text")
     val out = TextAnalysis.liftTable(docs).collect()
-      .map(r => r.getAs[Int]("decile") ->
+      .map(r => r.getAs[Long]("decile") ->
         ((r.getAs[Long]("n_pos"), r.getAs[Double]("lift"),
           r.getAs[Double]("cum_lift")))).toMap
     assert(out.size == 10)

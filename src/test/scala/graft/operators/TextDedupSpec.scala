@@ -350,7 +350,7 @@ class TextDedupSpec extends SparkSpec {
       (2L, "hello world 123")
     ).toDF("doc_id", "text")
     val r = TextAnalysis.normalize(docs).orderBy("doc_id").collect()
-    assert(r(0).getAs[Int]("n_chars_norm") == 15)
+    assert(r(0).getAs[Long]("n_chars_norm") == 15L)
     // both normalize to the same canonical form → same fingerprint
     assert(r(0).getString(2) == r(1).getString(2))
   }

@@ -18,7 +18,7 @@ class Wave10Spec extends SparkSpec {
 
   test("fTestVariance: exact two-group variance ratio on hand data") {
     // click: 1.00 2.00 3.00 -> var 1.0; view: 10.00 10.00 14.00 ->
-    // var = ((3*396-34^2)/1e4)/(3*2) wait: cents 1000,1000,1400
+    // mean 34/3, sum sq dev = 2*(4/3)^2 + (8/3)^2 = 96/9, /2 -> 16/3
     val ev = eventsOf(Seq(
       (0L, "click", 1.00), (3600L, "click", 2.00), (7200L, "click", 3.00),
       (0L, "view", 10.00), (3600L, "view", 10.00), (7200L, "view", 14.00)))

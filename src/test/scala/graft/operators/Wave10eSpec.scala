@@ -37,7 +37,7 @@ class Wave10eSpec extends SparkSpec {
         lit(1L).as("user_id"), col("event_type"), col("value"))
     val alt = (0L until 64L).map(h => (h, if (h % 2 == 0) 10.0 else 90.0))
     val a = Resample.amiLadder(ev(alt)).collect()
-      .map(r => r.getAs[Int]("lag") -> r.getAs[Double]("ami")).toMap
+      .map(r => r.getAs[Long]("lag") -> r.getAs[Double]("ami")).toMap
     // at the binned lo/hi level the next value is fully determined at
     // EVERY lag -> MI ≈ ln 2 ≈ 0.693 (quartile bins halve into lo/hi)
     assert(a(1) > 0.6 && a(2) > 0.6, s"$a")
@@ -48,13 +48,13 @@ class Wave10eSpec extends SparkSpec {
         % 997).toDouble / 10.0
     val rnd = (0L until 256L).map(h => (h, noise(h)))
     val b = Resample.amiLadder(ev(rnd)).collect()
-      .map(r => r.getAs[Int]("lag") -> r.getAs[Double]("ami")).toMap
+      .map(r => r.getAs[Long]("lag") -> r.getAs[Double]("ami")).toMap
     b.values.foreach(v => assert(v < 0.2, s"noise AMI: $b"))
     // gap-awareness: drop hour 10 -> lag-1 pairs lose BOTH (9,10) and
     // (10,11)
     val gappy = alt.filterNot(_._1 == 10L)
     val g = Resample.amiLadder(ev(gappy)).collect()
-      .map(r => r.getAs[Int]("lag") -> r.getAs[Long]("n_pairs")).toMap
+      .map(r => r.getAs[Long]("lag") -> r.getAs[Long]("n_pairs")).toMap
     assert(g(1) == 61L, s"$g") // 63 hours -> 62 adjacent, minus 2 + 1
   }
 

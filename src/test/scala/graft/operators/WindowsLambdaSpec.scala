@@ -466,7 +466,7 @@ class WindowsLambdaSpec extends SparkSpec {
     out.foreach { r =>
       assert(math.abs(r.getAs[Double]("type_mean") - mean) < 1e-4)
       val expSeason =
-        if (r.getAs[Int]("hod") == 6) 10.0 - 10.0 / 24.0 else -10.0 / 24.0
+        if (r.getAs[Long]("hod") == 6) 10.0 - 10.0 / 24.0 else -10.0 / 24.0
       assert(math.abs(r.getAs[Double]("seasonal") - expSeason) < 1e-4)
       assert(math.abs(r.getAs[Double]("residual")) < 1e-4,
         s"cycle fully explained → residual 0, got $r")
