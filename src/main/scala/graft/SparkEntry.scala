@@ -1936,6 +1936,34 @@ object SparkEntry {
         lit(1.0) / (lit(1.0) + exp(-(q1 / lit(200.0)))),
         (col("label") < 5).cast("int"))
     }),
+    // log loss + adaptive-ECE over the SAME probe score the
+    // calibration family shares (one quantized-coordinate logistic)
+    "ml_log_loss" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val e = Tables.embeddings(s, d)
+      val q1 = round(element_at(
+        col("embedding").cast("array<double>"), 1) * 1000).cast("long")
+      Stats.logLoss(e,
+        lit(1.0) / (lit(1.0) + exp(-(q1 / lit(200.0)))),
+        (col("label") < 5).cast("int"))
+    }),
+    "ml_ece_adaptive" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val e = Tables.embeddings(s, d)
+      val q1 = round(element_at(
+        col("embedding").cast("array<double>"), 1) * 1000).cast("long")
+      Stats.calibrationAdaptive(e,
+        lit(1.0) / (lit(1.0) + exp(-(q1 / lit(200.0)))),
+        (col("label") < 5).cast("int"), col("vec_id"))
+    }),
+    "st_median_test" -> ((s, d) => Stats.medianTest(Tables.events(s, d))),
+    "st_runs_updown" -> ((s, d) => Stats.runsUpDown(Tables.events(s, d))),
+    "tx_wordlen_hist" -> ((s, d) =>
+      TextAnalysis.wordLengthHistogram(Tables.documents(s, d))),
+    "tx_vocab_gini" -> ((s, d) =>
+      TextAnalysis.vocabGini(Tables.documents(s, d))),
+    "dd_prefix_dup" -> ((s, d) =>
+      Dedup.prefixDupGroups(Tables.documents(s, d))),
     "st_cvm" -> ((s, d) =>
       Stats.cramerVonMises(Tables.events(s, d), "event_type", "value",
         "click", "view")),
@@ -3651,6 +3679,136 @@ object SparkEntry {
            round(CAST(bsum AS DOUBLE) / (nt * 1000000.0), 6) AS brier,
            floor(CAST(esum AS DOUBLE) / 1000.0 + 0.5) / 1e6 AS ece
          FROM bb CROSS JOIN e""",
+    "ml_log_loss" ->
+      """WITH sc AS (SELECT
+             1.0 / (1.0 + exp(-(CAST(round(embedding[1] * 1000)
+               AS BIGINT) / 200.0))) AS score,
+             CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+           FROM embeddings),
+         t AS (SELECT y, CAST(round(ln(CASE WHEN y = 1 THEN score
+             ELSE 1.0 - score END) * 1e6) AS BIGINT) AS t
+           FROM sc)
+         SELECT CAST(count(*) AS BIGINT) AS n,
+           round(-CAST(sum(t) AS DOUBLE) / 1e6 / count(*), 6)
+             AS log_loss,
+           round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS base_rate
+         FROM t""",
+    "ml_ece_adaptive" ->
+      """WITH sc AS (SELECT
+             1.0 / (1.0 + exp(-(CAST(round(embedding[1] * 1000)
+               AS BIGINT) / 200.0))) AS score,
+             CASE WHEN label < 5 THEN 1 ELSE 0 END AS y, vec_id
+           FROM embeddings),
+         q AS (SELECT CAST(round(score * 1000000) AS BIGINT) AS sq,
+             y, vec_id
+           FROM sc),
+         tt AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM q),
+         r AS (SELECT sq, y,
+             CAST(row_number() OVER (ORDER BY sq, vec_id) AS BIGINT)
+               AS r, nt
+           FROM q CROSS JOIN tt),
+         b AS (SELECT (r - 1) * 10 // nt AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(sum(sq) AS BIGINT) AS ssum, max(nt) AS nt
+           FROM r GROUP BY 1),
+         bb AS (SELECT b.*,
+             CAST(round(abs(CAST(n_pos AS DOUBLE) / n
+               - CAST(ssum AS DOUBLE) / (n * 1000000.0)) * n
+               * 1000000000.0 / nt) AS BIGINT) AS eq
+           FROM b),
+         e AS (SELECT CAST(sum(eq) AS BIGINT) AS esum FROM bb)
+         SELECT bin, n, n_pos,
+           round(CAST(ssum AS DOUBLE) / (n * 1000000.0), 6)
+             AS mean_score,
+           round(CAST(n_pos AS DOUBLE) / n, 6) AS frac_pos,
+           floor(CAST(esum AS DOUBLE) / 1000.0 + 0.5) / 1e6 AS ece_q
+         FROM bb CROSS JOIN e""",
+    "st_median_test" ->
+      """WITH pts AS (SELECT event_type AS g,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+           FROM events WHERE event_type IN ('click', 'view')),
+         med AS (SELECT quantile_cont(c, 0.5) AS m FROM pts),
+         cts AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN c > m THEN 1 ELSE 0 END) AS BIGINT)
+               AS above,
+             max(m) AS m
+           FROM pts CROSS JOIN med GROUP BY 1),
+         a AS (SELECT n AS na, above AS aa, m FROM cts
+           WHERE g = 'click'),
+         b AS (SELECT n AS nb, above AS ab FROM cts WHERE g = 'view')
+         SELECT na AS n_a, nb AS n_b, aa AS above_a, ab AS above_b,
+           m / 100.0 AS grand_median,
+           round(CAST(na + nb AS DOUBLE)
+             * CAST(CAST(aa AS HUGEINT) * (nb - ab)
+                 - CAST(ab AS HUGEINT) * (na - aa) AS DOUBLE)
+             * CAST(CAST(aa AS HUGEINT) * (nb - ab)
+                 - CAST(ab AS HUGEINT) * (na - aa) AS DOUBLE)
+             / nullif(CAST(CAST(na AS HUGEINT) * nb * (aa + ab)
+                 * (na + nb - aa - ab) AS DOUBLE), 0.0), 6) AS chi2
+         FROM a CROSS JOIN b""",
+    "st_runs_updown" ->
+      """WITH hourly AS (SELECT
+             epoch(date_trunc('hour', ts)) // 3600 AS hr,
+             (sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 20000
+               + count(*)) // (2 * count(*)) AS v
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+         mv AS (SELECT hr, CASE WHEN v > prev THEN 1 ELSE -1 END AS sgn
+           FROM (SELECT hr, v, lag(v) OVER (ORDER BY hr) AS prev
+             FROM hourly)
+           WHERE prev IS NOT NULL AND v <> prev),
+         ag AS (SELECT CAST(count(*) AS BIGINT) AS n_moves,
+             CAST(sum(CASE WHEN psgn IS NULL OR sgn <> psgn
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+           FROM (SELECT hr, sgn, lag(sgn) OVER (ORDER BY hr) AS psgn
+             FROM mv))
+         SELECT n_moves, n_runs,
+           round(CASE WHEN n_moves >= 2 THEN
+             (CAST(n_runs AS DOUBLE)
+               - (CAST(n_moves AS DOUBLE) * 2.0 - 1.0) / 3.0)
+             / sqrt((CAST(n_moves AS DOUBLE) * 16.0 - 29.0) / 90.0)
+             END, 6) AS z
+         FROM ag""",
+    "tx_wordlen_hist" ->
+      """WITH tf AS (SELECT CAST(least(length(t), 20) AS BIGINT)
+             AS word_len
+           FROM (SELECT unnest(string_split(text, ' ')) AS t
+             FROM documents)),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM tf),
+         g AS (SELECT word_len, CAST(count(*) AS BIGINT) AS n
+           FROM tf GROUP BY 1)
+         SELECT word_len, n,
+           round(CAST(n AS DOUBLE) / nt, 6) AS share
+         FROM g CROSS JOIN tot""",
+    "tx_vocab_gini" ->
+      """WITH tf AS (SELECT t, CAST(count(*) AS BIGINT) AS n
+           FROM (SELECT unnest(string_split(text, ' ')) AS t
+             FROM documents)
+           GROUP BY 1),
+         bc AS (SELECT n, CAST(count(*) AS BIGINT) AS k
+           FROM tf GROUP BY 1),
+         blk AS (SELECT n, k,
+             CAST(coalesce(sum(k) OVER (ORDER BY n
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS off
+           FROM bc),
+         g AS (SELECT CAST(count(*) AS BIGINT) AS nterms,
+             CAST(sum(n) AS BIGINT) AS ntok FROM tf)
+         SELECT max(nterms) AS n_terms, max(ntok) AS n_tokens,
+           round(CAST(sum(CAST(n AS HUGEINT) *
+               ((CAST(k AS HUGEINT) * off * 2
+                 + CAST(k AS HUGEINT) * (k + 1))
+                 - CAST(k AS HUGEINT) * (nterms + 1))) AS DOUBLE)
+             / CAST(CAST(max(nterms) AS HUGEINT) * max(ntok)
+               AS DOUBLE), 6) AS gini
+         FROM blk CROSS JOIN g""",
+    "dd_prefix_dup" ->
+      """WITH p AS (SELECT md5(substr(text, 1, 64)) AS prefix_hash,
+             doc_id
+           FROM documents)
+         SELECT prefix_hash, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc
+         FROM p GROUP BY 1 HAVING count(*) > 1""",
     "ml_brier_decomp" ->
       """WITH sc AS (SELECT
              1.0 / (1.0 + exp(-(CAST(round(embedding[1] * 1000)

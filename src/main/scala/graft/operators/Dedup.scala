@@ -69,6 +69,23 @@ object Dedup {
         round(col("n_in_dup_groups") / col("n_docs"), 6).as("dup_rate"))
   }
 
+  /** PREFIX-DUPLICATE groups — the boilerplate-header detector between
+    * exact dedup (whole-body fingerprint) and the shingle family
+    * (any-position overlap): documents sharing their first `prefixLen`
+    * characters verbatim are template copies / navigation-chrome
+    * clones even when their tails diverge, and exact dedup misses them
+    * by construction. Groups on md5 of the prefix — one 16-byte-key
+    * shuffle, never the bodies — and reports only groups of ≥ 2 with
+    * the canonical (smallest) doc id. */
+  def prefixDupGroups(documents: DataFrame, prefixLen: Int = 64)
+      : DataFrame =
+    documents
+      .select(md5(substring(col("text"), 1, prefixLen)).as("prefix_hash"),
+        col("doc_id"))
+      .groupBy("prefix_hash")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))
+      .filter(col("n_docs") > 1)
+
   /** Representative picking: smallest doc_id kept per fingerprint group;
     * returns the deduplicated corpus. One shuffle on the 16-byte
     * fingerprint (row_number window) — the groupBy-then-join-back

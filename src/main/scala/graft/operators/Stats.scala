@@ -5010,8 +5010,9 @@ object Stats {
     * offset frame; a plain row_number().over(orderBy(...)) would drag
     * the whole frame through ONE task at 100 TB. Output: the input
     * columns plus `r`. */
-  private def stripedRank(pts: DataFrame, v: String, tie: String,
-                          stripes: Int = 256): DataFrame = {
+  private[operators] def stripedRank(pts: DataFrame, v: String,
+                                     tie: String,
+                                     stripes: Int = 256): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bounds = pts.agg(min(col(v)).as("__lo"), max(col(v)).as("__hi"))
     val striped = pts.crossJoin(broadcast(bounds))
@@ -5203,6 +5204,143 @@ object Stats {
         round(sum(col("sc")).over(w).cast("double") /
           col("tot").cast("double"), 6).as("cum_value_share"))
       .orderBy("decile")
+  }
+
+  /** MOOD'S MEDIAN TEST (two-sample) — the bluntest, most
+    * assumption-free location test in the family ([[mwuTest]] needs
+    * comparable shapes, [[yuenTest]] trims, this one only asks "does
+    * each group clear the POOLED median at the same rate"): grand
+    * median of the combined exact-cents sample, a 2×2 of
+    * above/not-above per group, Pearson χ² on it. Low power, immune to
+    * outliers and shape — the robustness-first sanity check.
+    *
+    * Exactness: cents are exact longs; the pooled median is the exact
+    * midpoint of two longs (a half-integer double both engines compute
+    * identically); the 2×2 counts are integer comparisons against it;
+    * the (ad−bc) cross-difference stays in decimal(38,0) and χ² is
+    * ONE double expression at the close. One corpus pass + a 2-row
+    * rollup. */
+  def medianTest(events: DataFrame, typeA: String = "click",
+                 typeB: String = "view"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val pts = events.filter(col("event_type").isin(typeA, typeB))
+      .select(col("event_type").as("g"), Exact.cents(col("value")).as("c"))
+    val med = pts.agg(expr("percentile(c, 0.5)").as("m"))
+    val cts = pts.crossJoin(broadcast(med))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("c") > col("m"), 1L).otherwise(0L)).as("above"),
+        max("m").as("m"))
+    val a = cts.filter(col("g") === typeA)
+      .select(col("n").as("na"), col("above").as("aa"), col("m"))
+    val b = cts.filter(col("g") === typeB)
+      .select(col("n").as("nb"), col("above").as("ab"))
+    val diff = (col("aa").cast(dec) * (col("nb") - col("ab")).cast(dec) -
+      col("ab").cast(dec) * (col("na") - col("aa")).cast(dec))
+      .cast("double")
+    val denom = (col("na").cast(dec) * col("nb").cast(dec) *
+      (col("aa") + col("ab")).cast(dec) *
+      (col("na") + col("nb") - col("aa") - col("ab")).cast(dec))
+      .cast("double")
+    a.crossJoin(broadcast(b))
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        col("aa").as("above_a"), col("ab").as("above_b"),
+        (col("m") / 100.0).as("grand_median"),
+        round((col("na") + col("nb")).cast("double") * diff * diff /
+          nullif(denom, lit(0.0)), 6).as("chi2"))
+  }
+
+  /** RUNS TEST FOR RANDOMNESS on successive differences (up/down
+    * runs) — [[runsTest]] asks "random around the MEDIAN"; this asks
+    * "random in its MOVES" (a slowly oscillating series passes the
+    * median test and fails here — the trend/oscillation detector for
+    * residual streams): hourly exact-micro means, signs of nonzero
+    * consecutive differences (ties dropped — the standard convention),
+    * R = number of maximal same-sign runs, z = (R − (2n−1)/3) /
+    * √((16n−29)/90).
+    *
+    * The hourly frame is calendar-bounded, so its two ordered windows
+    * are the documented single-partition trade every ts_* surface
+    * shares; the corpus pass is one partial-agg rollup. */
+  def runsUpDown(events: DataFrame, eventType: String = "click")
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = events.filter(col("event_type") === eventType)
+      .groupBy(expr("unix_seconds(date_trunc('hour', ts)) div 3600")
+        .as("hr"))
+      .agg(Exact.avgValueMicros.as("v"))
+    val w = Window.orderBy("hr")
+    val moves = hourly.withColumn("prev", lag("v", 1).over(w))
+      .filter(col("prev").isNotNull && col("v") =!= col("prev"))
+      .select(col("hr"),
+        when(col("v") > col("prev"), 1L).otherwise(-1L).as("sgn"))
+    val agg = moves.withColumn("psgn", lag("sgn", 1).over(w))
+      .agg(count(lit(1)).as("n_moves"),
+        sum(when(col("psgn").isNull || col("sgn") =!= col("psgn"), 1L)
+          .otherwise(0L)).as("n_runs"))
+    val n = col("n_moves").cast("double")
+    agg.select(col("n_moves"), col("n_runs"),
+      round(when(col("n_moves") >= 2,
+        (col("n_runs").cast("double") - (n * 2.0 - 1.0) / 3.0) /
+          sqrt((n * 16.0 - 29.0) / 90.0)), 6).as("z"))
+  }
+
+  /** LOG LOSS (cross-entropy) of a probabilistic classifier score —
+    * the proper scoring rule next to [[brierDecomposition]] (Brier is
+    * quadratic and bounded; log loss punishes CONFIDENT wrong
+    * predictions without bound, which is what an LLM-data quality
+    * filter actually optimizes): −mean(y·ln p + (1−y)·ln(1−p)), plus
+    * the base rate the loss must be read against.
+    *
+    * Determinism: each row's log term quantizes to integer MICRO-nats
+    * before the sum (the tx_*_ce discipline — the unordered float sum
+    * never reaches the boundary), one partial-agg pass, 1-row out. */
+  def logLoss(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val q = df.select(score.as("p"), label.cast("long").as("y"))
+      .select(col("y"),
+        round(log(when(col("y") === 1, col("p"))
+          .otherwise(lit(1.0) - col("p"))) * 1e6).cast("long").as("t"))
+    q.agg(count(lit(1)).as("n"), sum("y").as("npos"), sum("t").as("st"))
+      .select(col("n"),
+        round(-col("st").cast("double") / 1e6 / col("n"), 6)
+          .as("log_loss"),
+        round(col("npos").cast("double") / col("n"), 6).as("base_rate"))
+  }
+
+  /** ADAPTIVE (equal-mass) calibration table — [[calibrationReport]]
+    * with QUANTILE bins instead of fixed-width ones (fixed bins go
+    * empty/starved when the score distribution is peaked — the
+    * standard ECE critique; equal-mass bins keep every bin's estimate
+    * at n/bins samples): rank by (quantized score, id) via
+    * [[stripedRank]] (distributed — never a single-task ntile), bin =
+    * (r−1)·bins div n, then the same exact-integer per-bin rollup and
+    * nano-quantized ECE fold as the fixed-bin report (floor convention
+    * at the close). */
+  def calibrationAdaptive(df: DataFrame, score: Column, label: Column,
+                          id: Column, bins: Int = 10): DataFrame = {
+    val q = df.select(score.as("score"), label.cast("int").as("y"),
+        id.as("__id"))
+      .select(round(col("score") * 1000000).cast("long").as("sq"),
+        col("y"), col("__id"))
+    val tot = q.agg(count(lit(1)).as("nt"))
+    val b = stripedRank(q, "sq", "__id")
+      .crossJoin(broadcast(tot))
+      .select(expr(s"(r - 1) * $bins div nt").as("bin"), col("sq"),
+        col("y"), col("nt"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("y").cast("long").as("n_pos"),
+        sum("sq").as("ssum"), max("nt").as("nt"))
+    val bb = b.withColumn("eq",
+      round(abs(col("n_pos").cast("double") / col("n") -
+        col("ssum").cast("double") / (col("n") * 1000000.0)) *
+        col("n") * 1000000000.0 / col("nt")).cast("long"))
+    bb.crossJoin(broadcast(bb.agg(sum("eq").as("esum"))))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("ssum").cast("double") / (col("n") * 1000000.0), 6)
+          .as("mean_score"),
+        round(col("n_pos").cast("double") / col("n"), 6).as("frac_pos"),
+        (floor(col("esum").cast("double") / 1000.0 + 0.5) / 1e6)
+          .as("ece_q"))
   }
 
   def hodgesLehmann(events: DataFrame): DataFrame = {

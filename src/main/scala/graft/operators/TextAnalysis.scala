@@ -575,6 +575,67 @@ object TextAnalysis {
     * deterministic tie-break — the vocabulary-building pass of a
     * tokenizer-training pipeline (explode + one shuffle; at 100 TB add a
     * count-min/sample pre-pass if the vocab itself doesn't fit). */
+  /** Corpus WORD-LENGTH histogram — the tokenizer-design profile
+    * next to [[tokenCounts]]'s per-doc totals (subword vocab sizing
+    * and the Gopher mean-word-length band both read this shape; a
+    * long-tail spike at the cap is the concatenated-junk signal):
+    * whitespace tokens bucketed by length, capped at `cap` (the tail
+    * bucket), count + corpus share per bucket. One explode + one
+    * partial-agg rollup to a ≤cap-row frame; shares divide exact
+    * longs. */
+  def wordLengthHistogram(documents: DataFrame, cap: Int = 20)
+      : DataFrame = {
+    val tf = documents.select(explode(tokens(col("text"))).as("t"))
+      .select(least(length(col("t")), lit(cap)).cast("long")
+        .as("word_len"))
+    val tot = tf.agg(count(lit(1)).as("nt"))
+    tf.groupBy("word_len").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .select(col("word_len"), col("n"),
+        round(col("n").cast("double") / col("nt"), 6).as("share"))
+  }
+
+  /** GINI CONCENTRATION of the term-frequency distribution — the
+    * single-number companion to [[zipfFit]]'s slope (Zipf says HOW the
+    * tail decays; Gini says how much of the token mass the head owns —
+    * the diversity budget a dedup/quality pass spends from):
+    * G = Σ(2r−V−1)·cᵣ / (V·Σc) over terms ranked ascending by count.
+    *
+    * NO per-term rank is materialized: a Zipfian vocab defeats both a
+    * global rank window (single task) and value-striping (90% of terms
+    * share count 1 → one stripe), so the rank SUM folds per COUNT
+    * VALUE instead — all k terms sharing count c occupy one contiguous
+    * rank block whose Σr = k·off + k(k+1)/2 regardless of intra-block
+    * order (their contributions are equal, so the tie order cannot
+    * matter), and the cumulative offsets ride a window over the tiny
+    * distinct-count frame. One explode + per-term rollup + per-count
+    * rollup; exact integers until one double division. */
+  def vocabGini(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val tf = documents.select(explode(tokens(col("text"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n"))
+    val byCount = tf.groupBy("n").agg(count(lit(1)).as("k"))
+    val w = Window.orderBy("n")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blocks = byCount
+      .withColumn("off", coalesce(sum("k").over(w), lit(0L)))
+    val g = tf.agg(count(lit(1)).as("nterms"), sum("n").as("ntok"))
+    blocks.crossJoin(broadcast(g))
+      // block rank sum: Σ_{r=off+1..off+k} (2r − V − 1) · c
+      //               = c · (2(k·off + k(k+1)/2) − k(V+1))
+      .agg(max("nterms").as("n_terms"), max("ntok").as("n_tokens"),
+        sum(col("n").cast(dec) *
+          ((col("k").cast(dec) * col("off").cast(dec) * 2 +
+            col("k").cast(dec) * (col("k") + 1).cast(dec)) -
+            col("k").cast(dec) * (col("nterms") + 1).cast(dec)))
+          .as("gnum"))
+      .select(col("n_terms"), col("n_tokens"),
+        round(col("gnum").cast("double") /
+          (col("n_terms").cast(dec) * col("n_tokens").cast(dec))
+            .cast("double"), 6).as("gini"))
+  }
+
   def vocabulary(documents: DataFrame, n: Int, topN: Int): DataFrame = {
     val units =
       if (n == 1) explode(tokens(col("text")))

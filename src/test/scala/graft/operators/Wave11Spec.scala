@@ -90,4 +90,115 @@ class Wave11Spec extends SparkSpec {
     assert(hits >= (exact.size * 6) / 10,
       s"argmax recall $hits/${exact.size} below floor")
   }
+
+  private def eventsOf(rows: Seq[(Long, String, Double)]) =
+    rows.zipWithIndex.map { case ((s, t, v), i) => (i.toLong, s, t, v) }
+      .toDF("event_id", "s", "event_type", "value")
+      .select(col("event_id"), timestamp_seconds(col("s")).as("ts"),
+        lit(1L).as("user_id"), col("event_type"), col("value"))
+
+  test("medianTest: hand 2x2 — click {1,2,3,4} view {3,4,5,6} gives " +
+      "pooled median 3.5 and chi2 = 2") {
+    val ev = eventsOf(
+      Seq(1.0, 2.0, 3.0, 4.0).zipWithIndex.map { case (v, i) =>
+        (i * 3600L, "click", v) } ++
+      Seq(3.0, 4.0, 5.0, 6.0).zipWithIndex.map { case (v, i) =>
+        (i * 3600L, "view", v) })
+    val r = Stats.medianTest(ev).collect().head
+    // sorted cents: 100 200 300 300 400 400 500 600 -> m = 350
+    assert(r.getAs[Double]("grand_median") == 3.5)
+    assert(r.getAs[Long]("n_a") == 4 && r.getAs[Long]("n_b") == 4)
+    assert(r.getAs[Long]("above_a") == 1 && r.getAs[Long]("above_b") == 3)
+    // chi2 = 8*(1*1 - 3*3)^2 / (4*4*4*4) = 8*64/256 = 2
+    assert(r.getAs[Double]("chi2") == 2.0, s"$r")
+  }
+
+  test("runsUpDown: a strict sawtooth runs every move; a monotone " +
+      "ramp is one run") {
+    def series(vs: Seq[Double]) = eventsOf(
+      vs.zipWithIndex.map { case (v, i) => (i * 3600L, "click", v) })
+    val saw = Stats.runsUpDown(series(Seq(1, 2, 1, 2, 1).map(_.toDouble)))
+      .collect().head
+    assert(saw.getAs[Long]("n_moves") == 4 && saw.getAs[Long]("n_runs") == 4)
+    // z = (4 - (2*4-1)/3) / sqrt((16*4-29)/90)
+    val zExp = (4.0 - 7.0 / 3.0) / math.sqrt(35.0 / 90.0)
+    assert(math.abs(saw.getAs[Double]("z") - zExp) < 1e-5, s"$saw")
+    val ramp = Stats.runsUpDown(series((1 to 6).map(_.toDouble)))
+      .collect().head
+    assert(ramp.getAs[Long]("n_moves") == 5 && ramp.getAs[Long]("n_runs") == 1)
+    assert(ramp.getAs[Double]("z") < -2.0, s"monotone must score low: $ramp")
+  }
+
+  test("logLoss: p=0.5 rows cost ln2 nats; confident-right beats " +
+      "confident-wrong") {
+    def one(p: Double, y: Int) = {
+      val df = Seq((p, y)).toDF("p", "y")
+      Stats.logLoss(df, col("p"), col("y")).collect().head
+        .getAs[Double]("log_loss")
+    }
+    assert(math.abs(one(0.5, 1) - 0.693147) < 1e-6)
+    assert(math.abs(one(0.5, 0) - 0.693147) < 1e-6)
+    assert(one(0.9, 1) < 0.2 && one(0.9, 0) > 2.0)
+  }
+
+  test("calibrationAdaptive: equal-mass bins on a uniform score " +
+      "ladder; ece_q matches the hand fold") {
+    // 10 rows, scores .05..95, positives are the top half
+    val rows = (0 until 10).map(i =>
+      (i.toLong, 0.05 + i * 0.1, if (i >= 5) 1 else 0))
+    val df = rows.toDF("id", "p", "y")
+    val out = Stats.calibrationAdaptive(df, col("p"), col("y"),
+      col("id")).collect().sortBy(_.getAs[Long]("bin"))
+    assert(out.length == 10)
+    assert(out.forall(_.getAs[Long]("n") == 1L), "equal-mass bins")
+    // per singleton bin: eq = round(|y - p| * 1e9 / 10); ece = sum/1e9
+    val esum = rows.map { case (_, p, y) =>
+      math.round(math.abs(y - p) * 1e9 / 10) }.sum
+    val eceExp = math.floor(esum / 1000.0 + 0.5) / 1e6
+    assert(math.abs(out.head.getAs[Double]("ece_q") - eceExp) < 1e-9,
+      s"${out.head}")
+    assert(out.last.getAs[Double]("frac_pos") == 1.0)
+    assert(out.head.getAs[Double]("frac_pos") == 0.0)
+  }
+
+  test("wordLengthHistogram: hand buckets with the tail cap") {
+    val docs = Seq((1L, "aa bbb aa", "en", "s", 9L),
+      (2L, ("x" * 30) + " dd", "en", "s", 33L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.wordLengthHistogram(docs).collect()
+      .map(r => r.getAs[Long]("word_len") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("share"))).toMap
+    assert(out(2L) == ((3L, 0.6)), s"$out")   // aa, aa, dd
+    assert(out(3L) == ((1L, 0.2)), s"$out")   // bbb
+    assert(out(20L) == ((1L, 0.2)), s"$out")  // 30-char word capped
+  }
+
+  test("vocabGini: uniform counts score 0; a 3-vs-1 split scores " +
+      "the hand value 0.25") {
+    def gini(text: String) = TextAnalysis.vocabGini(
+      Seq((1L, text, "en", "s", text.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .collect().head
+    val u = gini("a b c")
+    assert(u.getAs[Long]("n_terms") == 3 && u.getAs[Long]("n_tokens") == 3)
+    assert(u.getAs[Double]("gini") == 0.0, s"$u")
+    val s = gini("a a a b")
+    // ranked asc: b(1) r=1 -> (2-3)*1 = -1; a(3) r=2 -> (4-3)*3 = 3
+    // gini = 2 / (2*4) = 0.25
+    assert(s.getAs[Double]("gini") == 0.25, s"$s")
+  }
+
+  test("prefixDupGroups: verbatim prefixes group, diverging tails " +
+      "do not split them; unique prefixes drop") {
+    val shared = ("tok " * 20).trim // 79 chars, prefix-64 identical
+    val docs = Seq(
+      (1L, shared + " tail one", "en", "s", 1L),
+      (2L, shared + " another tail entirely", "en", "s", 1L),
+      (3L, "completely different document body", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.prefixDupGroups(docs).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("n_docs") == 2)
+    assert(out.head.getAs[Long]("min_doc") == 1L)
+  }
 }
