@@ -1958,6 +1958,15 @@ object SparkEntry {
     }),
     "st_median_test" -> ((s, d) => Stats.medianTest(Tables.events(s, d))),
     "st_runs_updown" -> ((s, d) => Stats.runsUpDown(Tables.events(s, d))),
+    "st_quartile_skew" -> ((s, d) =>
+      Stats.quartileSkew(Tables.events(s, d))),
+    "w31_dwell" -> ((s, d) => Resample.dwellByType(Tables.events(s, d))),
+    "ts_autocorr_time" -> ((s, d) =>
+      Resample.autocorrTime(Tables.events(s, d))),
+    "dd_jaccard_hist" -> ((s, d) =>
+      Dedup.jaccardHistogram(Tables.documents(s, d))),
+    "gr_degree_gini" -> ((s, d) =>
+      Graph.degreeGini(coPurchaseEdges(s, d))),
     "tx_wordlen_hist" -> ((s, d) =>
       TextAnalysis.wordLengthHistogram(Tables.documents(s, d))),
     "tx_vocab_gini" -> ((s, d) =>
@@ -3724,6 +3733,103 @@ object SparkEntry {
            round(CAST(n_pos AS DOUBLE) / n, 6) AS frac_pos,
            floor(CAST(esum AS DOUBLE) / 1000.0 + 0.5) / 1e6 AS ece_q
          FROM bb CROSS JOIN e""",
+    "st_quartile_skew" ->
+      """WITH pts AS (SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+           FROM events),
+         g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             quantile_cont(c, 0.25) AS q1c,
+             quantile_cont(c, 0.5) AS q2c,
+             quantile_cont(c, 0.75) AS q3c
+           FROM pts GROUP BY 1)
+         SELECT event_type, n, q1c / 100.0 AS q1, q2c / 100.0 AS q2,
+           q3c / 100.0 AS q3,
+           round((q3c + q1c - q2c * 2.0)
+             / nullif(q3c - q1c, 0.0), 6) AS bowley
+         FROM g""",
+    "w31_dwell" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+             epoch_us(ts) AS us
+           FROM events),
+         gp AS (SELECT event_type,
+             lead(us) OVER (PARTITION BY user_id
+               ORDER BY us, event_id) - us AS gap_us
+           FROM e),
+         a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+             CAST(sum(gap_us) AS BIGINT) AS sg,
+             quantile_cont(gap_us, 0.5) AS medus,
+             CAST(max(gap_us) AS BIGINT) AS mx
+           FROM gp WHERE gap_us IS NOT NULL GROUP BY 1)
+         SELECT event_type, n_gaps,
+           round(CAST(sg AS DOUBLE) / n_gaps / 1e6, 4) AS mean_gap_s,
+           floor(medus / 100.0 + 0.5) / 1e4 AS median_gap_s,
+           CAST(mx AS DOUBLE) / 1e6 AS max_gap_s
+         FROM a""",
+    "ts_autocorr_time" ->
+      """WITH hourly AS (SELECT
+             epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
+             round(avg(value), 6) AS v
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+         l AS (SELECT unnest(range(1, 13)) AS lag),
+         r AS (SELECT lag,
+             CAST(round(round(corr(a.v, b.v), 6) * 1e6) AS BIGINT)
+               AS rq
+           FROM l CROSS JOIN hourly a JOIN hourly b ON b.hr = a.hr + lag
+           GROUP BY lag)
+         SELECT CAST(count(*) AS BIGINT) AS n_lags,
+           round(1.0 + CAST(sum(rq) AS DOUBLE) * 2.0 / 1e6, 6)
+             AS tau_int
+         FROM r""",
+    "dd_jaccard_hist" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+           FROM documents),
+         sh AS (SELECT DISTINCT doc_id, s FROM (
+           SELECT doc_id, unnest(list_transform(range(1, len(t)-1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+           FROM toks WHERE len(t) >= 3)),
+         hotsh AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 1000),
+         shk AS (SELECT doc_id, s FROM sh ANTI JOIN hotsh USING (s)),
+         sz AS (SELECT doc_id, count(*) AS n_sh FROM shk
+           GROUP BY doc_id),
+         p AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+             count(*) AS shared
+           FROM shk a JOIN shk b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         bkt AS (SELECT CAST(least(9,
+             shared * 10 // (x.n_sh + y.n_sh - shared)) AS BIGINT)
+             AS bucket
+           FROM p JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM bkt),
+         g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs
+           FROM bkt GROUP BY 1)
+         SELECT bucket, n_pairs,
+           round(CAST(n_pairs AS DOUBLE) / nt, 6) AS share
+         FROM g CROSS JOIN tot""",
+    "gr_degree_gini" ->
+      """WITH p AS (SELECT DISTINCT o_custkey AS a,
+             l_suppkey + 1000000000 AS b
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         e AS (SELECT a AS src, b AS dst FROM p
+           UNION ALL SELECT b, a FROM p),
+         deg AS (SELECT src, CAST(count(*) AS BIGINT) AS degree
+           FROM e GROUP BY 1),
+         bc AS (SELECT degree, CAST(count(*) AS BIGINT) AS k
+           FROM deg GROUP BY 1),
+         blk AS (SELECT degree, k,
+             CAST(coalesce(sum(k) OVER (ORDER BY degree
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS off
+           FROM bc),
+         g AS (SELECT CAST(sum(k) AS BIGINT) AS nn,
+             CAST(sum(degree * k) AS BIGINT) AS sd FROM bc)
+         SELECT max(nn) AS n_nodes, max(sd) AS sum_degree,
+           round(CAST(sum(CAST(degree AS HUGEINT) *
+               ((CAST(k AS HUGEINT) * off * 2
+                 + CAST(k AS HUGEINT) * (k + 1))
+                 - CAST(k AS HUGEINT) * (nn + 1))) AS DOUBLE)
+             / CAST(CAST(max(nn) AS HUGEINT) * max(sd) AS DOUBLE), 6)
+             AS gini
+         FROM blk CROSS JOIN g""",
     "st_median_test" ->
       """WITH pts AS (SELECT event_type AS g,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS c

@@ -144,7 +144,19 @@ object Dedup {
     *    the per-doc hot-shingle counts adjust sizes on the PAIR frame
     *    (post-aggregation — never a posting-frame join-back). */
   def ngramJaccardPairs(documents: DataFrame, n: Int, threshold: Double,
-                        maxDf: Int = MaxShingleDf): DataFrame = {
+                        maxDf: Int = MaxShingleDf): DataFrame =
+    ngramPairsSized(documents, n, maxDf)
+      .withColumn("jaccard",
+        round(col("shared") / (col("n1") + col("n2") - col("shared")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("shared"), col("jaccard"))
+
+  /** The shared candidate-pair frame behind [[ngramJaccardPairs]] and
+    * [[jaccardHistogram]]: every doc pair sharing ≥1 kept shingle,
+    * with the overlap count and both (hot-adjusted) shingle-set
+    * sizes — the exact ingredients of any set-similarity measure. */
+  private def ngramPairsSized(documents: DataFrame, n: Int,
+                              maxDf: Int): DataFrame = {
     import graft.plans.ShingleHashes
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val hashes = ColumnBridge.column(
@@ -187,10 +199,26 @@ object Dedup {
           .withColumn("n2", col("f2") - coalesce(col("__h2"), lit(0L)))
       }
     sized
-      .withColumn("jaccard",
-        round(col("shared") / (col("n1") + col("n2") - col("shared")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select(col("d1"), col("d2"), col("shared"), col("jaccard"))
+  }
+
+  /** CANDIDATE-PAIR SIMILARITY HISTOGRAM — the threshold-picking view
+    * over the exact pair family ([[dedupYieldCurve]] answers "what
+    * does τ cost"; this shows the similarity LANDSCAPE the τ cuts
+    * through — a bimodal histogram means a clean near-dup mode exists,
+    * a smooth decay means every threshold is arbitrary): all candidate
+    * pairs bucketed by Jaccard decile. The bucket is EXACT integer
+    * arithmetic — least(9, 10·shared div union) — so no float boundary
+    * can flap a pair across a bucket edge. */
+  def jaccardHistogram(documents: DataFrame, n: Int = 3,
+                       maxDf: Int = MaxShingleDf): DataFrame = {
+    val b = ngramPairsSized(documents, n, maxDf)
+      .select(expr(
+        "least(9L, shared * 10 div (n1 + n2 - shared))").as("bucket"))
+    val tot = b.agg(count(lit(1)).as("nt"))
+    b.groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_pairs"),
+        round(col("n_pairs").cast("double") / col("nt"), 6).as("share"))
   }
 
   /** DEDUP YIELD CURVE (r9 — pipe_quality_curve's sibling for the

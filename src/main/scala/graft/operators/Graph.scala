@@ -183,6 +183,38 @@ object Graph {
       .groupBy("src").agg(count(lit(1)).as("degree"))
       .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
 
+  /** DEGREE GINI — inequality of the degree distribution in one
+    * number (the hub-concentration summary [[degreeHistogram]] shows
+    * as a curve and gr_powerlaw fits asymptotically; Gini reads
+    * directly: 0 = regular graph, →1 = a few hubs own the edges):
+    * G = Σ(2r−N−1)·dᵣ / (N·Σd) over nodes ranked ascending by degree.
+    * NO per-node rank — the rank sum folds per DEGREE VALUE (all k
+    * nodes sharing degree d form one contiguous block, intra-block
+    * order cannot matter), offsets ride the tiny distinct-degree
+    * frame; exact integers to one division (the tx_vocab_gini fold). */
+  def degreeGini(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val bc = degreeHistogram(edges)
+      .select(col("degree"), col("n_nodes").as("k"))
+    val w = Window.orderBy("degree")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blocks = bc.withColumn("off", coalesce(sum("k").over(w), lit(0L)))
+    val g = bc.agg(sum("k").as("nn"),
+      sum(col("degree") * col("k")).as("sd"))
+    blocks.crossJoin(broadcast(g))
+      .agg(max("nn").as("n_nodes"), max("sd").as("sum_degree"),
+        sum(col("degree").cast(dec) *
+          ((col("k").cast(dec) * col("off").cast(dec) * 2 +
+            col("k").cast(dec) * (col("k") + 1).cast(dec)) -
+            col("k").cast(dec) * (col("nn") + 1).cast(dec)))
+          .as("gnum"))
+      .select(col("n_nodes"), col("sum_degree"),
+        round(col("gnum").cast("double") /
+          (col("n_nodes").cast(dec) * col("sum_degree").cast(dec))
+            .cast("double"), 6).as("gini"))
+  }
+
   /** CONDUCTANCE per community — the per-community quality score
     * [[modularity]]'s single global number hides: φ(C) = cut(C) /
     * min(vol(C), 2m−vol(C)), low φ = a real community (few escaping

@@ -644,6 +644,58 @@ object Resample {
       .agg(count(lit(1)).as("n_hours"), round(corr(col("va"), col("vb")), 6).as("xcorr"))
   }
 
+  /** INTEGRATED AUTOCORRELATION TIME — the single-number fold of the
+    * ACF ladder (τ_int = 1 + 2·Σ_{k≥1} ρ_k over the first `maxLag`
+    * lags): the effective-sample-size deflator every MCMC/metrics
+    * pipeline reads (n_eff = n/τ — τ≈1 means hourly points are
+    * independent; τ≫1 means the series oscillates slowly and naive
+    * CIs are overconfident). Each ρ_k quantizes to integer micro-units
+    * before the unordered 12-term sum (the tx_*_ce discipline), so the
+    * fold is exact and τ lands on the 2e-6 grid. Rides the same
+    * hourly rollup as ts_acf — one corpus pass. */
+  def autocorrTime(events: DataFrame, eventType: String = "click",
+                   maxLag: Int = 12): DataFrame =
+    crossCorrelation(events, eventType, eventType, maxLag)
+      .filter(col("lag") >= 1)
+      .select(round(col("xcorr") * 1e6).cast("long").as("rq"))
+      .agg(count(lit(1)).as("n_lags"), sum("rq").as("s"))
+      .select(col("n_lags"),
+        round(lit(1.0) + col("s").cast("double") * 2.0 / 1e6, 6)
+          .as("tau_int"))
+
+  /** PER-EVENT-TYPE DWELL profile — how long users LINGER on each
+    * event kind (ts_gaps profiles gaps per USER; sessionization needs
+    * the per-TYPE read: a long dwell after 'view' and a short one
+    * after 'click' say which surface holds attention): every
+    * consecutive same-user gap attributes to the EARLIER event's type,
+    * then per type n, mean, median and max gap seconds.
+    *
+    * The lead() window partitions by user_id — fully distributed (the
+    * user key is the shuffle key; no global window). Gaps stay exact
+    * integer micros; the mean divides exact longs; the median is the
+    * exact midpoint of two longs quantized to 4dp seconds with the
+    * floor convention (micros are a finer grid than 4dp — the engine
+    * round() half-case). */
+  def dwellByType(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("event_id"))
+    val gaps = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("gap_us", lead(col("us"), 1).over(w) - col("us"))
+      .filter(col("gap_us").isNotNull)
+    gaps.groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum("gap_us").as("sg"),
+        expr("percentile(gap_us, 0.5)").as("medus"),
+        max("gap_us").as("mx"))
+      .select(col("event_type"), col("n_gaps"),
+        round(col("sg").cast("double") / col("n_gaps") / 1e6, 4)
+          .as("mean_gap_s"),
+        (floor(col("medus") / 100.0 + 0.5) / 1e4).as("median_gap_s"),
+        (col("mx").cast("double") / 1e6).as("max_gap_s"))
+  }
+
   /** PARTIAL autocorrelation (PACF) — the AR-order diagnostic next to
     * [[crossCorrelation]]'s ACF (an AR(p) process cuts off after lag p
     * in the PACF while its ACF decays — the classic Box-Jenkins

@@ -5250,6 +5250,27 @@ object Stats {
           nullif(denom, lit(0.0)), 6).as("chi2"))
   }
 
+  /** BOWLEY (quartile) SKEWNESS per event type — the robust skewness
+    * next to [[skewKurt]]'s moment version (one whale order drags the
+    * third moment anywhere; the quartile form B = (q₃+q₁−2q₂)/(q₃−q₁)
+    * ∈ [−1,1] only moves if the BULK is asymmetric): exact-cents
+    * quartiles (each an exact dyadic midpoint of two longs — both
+    * engines interpolate at d ∈ {.25,.5,.75}, so the doubles are
+    * bit-equal), one grouped pass, one division at the close. */
+  def quartileSkew(events: DataFrame): DataFrame =
+    events.select(col("event_type"), Exact.cents(col("value")).as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(c, 0.25)").as("q1c"),
+        expr("percentile(c, 0.5)").as("q2c"),
+        expr("percentile(c, 0.75)").as("q3c"))
+      .select(col("event_type"), col("n"),
+        (col("q1c") / 100.0).as("q1"),
+        (col("q2c") / 100.0).as("q2"),
+        (col("q3c") / 100.0).as("q3"),
+        round((col("q3c") + col("q1c") - col("q2c") * 2.0) /
+          nullif(col("q3c") - col("q1c"), lit(0.0)), 6).as("bowley"))
+
   /** RUNS TEST FOR RANDOMNESS on successive differences (up/down
     * runs) — [[runsTest]] asks "random around the MEDIAN"; this asks
     * "random in its MOVES" (a slowly oscillating series passes the

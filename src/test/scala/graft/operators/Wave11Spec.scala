@@ -188,6 +188,74 @@ class Wave11Spec extends SparkSpec {
     assert(s.getAs[Double]("gini") == 0.25, s"$s")
   }
 
+  test("quartileSkew: symmetric ladder scores 0; a one-whale tail " +
+      "scores the hand Bowley value 1.0") {
+    val sym = eventsOf(Seq(1.0, 2.0, 3.0, 4.0, 5.0).zipWithIndex
+      .map { case (v, i) => (i * 3600L, "click", v) })
+    val s = Stats.quartileSkew(sym).collect().head
+    assert(s.getAs[Double]("q1") == 2.0 && s.getAs[Double]("q2") == 3.0
+      && s.getAs[Double]("q3") == 4.0 && s.getAs[Double]("bowley") == 0.0,
+      s"$s")
+    val skew = eventsOf(Seq(1.0, 1.0, 1.0, 10.0).zipWithIndex
+      .map { case (v, i) => (i * 3600L, "click", v) })
+    val k = Stats.quartileSkew(skew).collect().head
+    // q1 = 100, q2 = 100, q3 = 100 + 0.25*(1000-100) = 325 cents
+    assert(k.getAs[Double]("q3") == 3.25, s"$k")
+    assert(k.getAs[Double]("bowley") == 1.0, s"$k")
+  }
+
+  test("dwellByType: each gap attributes to the EARLIER event's type") {
+    val ev = eventsOf(Seq(
+      (0L, "click", 1.0), (10L, "view", 1.0), (30L, "click", 1.0)))
+    val out = Resample.dwellByType(ev).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_gaps"), r.getAs[Double]("mean_gap_s"),
+          r.getAs[Double]("median_gap_s"))).toMap
+    assert(out("click") == ((1L, 10.0, 10.0)), s"$out")
+    assert(out("view") == ((1L, 20.0, 20.0)), s"$out")
+    assert(!out.contains("purchase"))
+  }
+
+  test("autocorrTime: a strict period-2 alternation has tau 1 " +
+      "(alternating +-1 correlations cancel)") {
+    val ev = eventsOf((0 until 26).map(i =>
+      (i * 3600L, "click", if (i % 2 == 0) 1.0 else 2.0)))
+    val r = Resample.autocorrTime(ev).collect().head
+    assert(r.getAs[Long]("n_lags") == 12)
+    assert(r.getAs[Double]("tau_int") == 1.0, s"$r")
+  }
+
+  test("jaccardHistogram: identical pair lands in bucket 9, a " +
+      "1-of-5-shingle pair in bucket 2, shares sum to 1") {
+    val docs = Seq(
+      (1L, "a b c d e", "en", "s", 9L),
+      (2L, "a b c d e", "en", "s", 9L),
+      (3L, "a b c x y", "en", "s", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.jaccardHistogram(docs).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Double]("share"))).toMap
+    // (1,2): 3/3 -> bucket 9; (1,3),(2,3): 1/5 -> bucket 2
+    assert(out(9L) == ((1L, 0.333333)), s"$out")
+    assert(out(2L) == ((2L, 0.666667)), s"$out")
+  }
+
+  test("degreeGini: a 3-leaf star scores the hand value 0.25; a " +
+      "cycle (regular) scores 0") {
+    def und(pairs: Seq[(Long, Long)]) =
+      (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+    val star = Graph.degreeGini(und(Seq((1L, 2L), (1L, 3L), (1L, 4L))))
+      .collect().head
+    assert(star.getAs[Long]("n_nodes") == 4
+      && star.getAs[Long]("sum_degree") == 6)
+    // ranked asc: three deg-1 nodes sum to -3, the hub (2*4-5)*3 = 9
+    // gini = 6 / (4*6) = 0.25
+    assert(star.getAs[Double]("gini") == 0.25, s"$star")
+    val cycle = Graph.degreeGini(
+      und(Seq((1L, 2L), (2L, 3L), (3L, 1L)))).collect().head
+    assert(cycle.getAs[Double]("gini") == 0.0, s"$cycle")
+  }
+
   test("prefixDupGroups: verbatim prefixes group, diverging tails " +
       "do not split them; unique prefixes drop") {
     val shared = ("tok " * 20).trim // 79 chars, prefix-64 identical
