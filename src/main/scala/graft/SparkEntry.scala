@@ -1960,6 +1960,17 @@ object SparkEntry {
     "st_runs_updown" -> ((s, d) => Stats.runsUpDown(Tables.events(s, d))),
     "st_quartile_skew" -> ((s, d) =>
       Stats.quartileSkew(Tables.events(s, d))),
+    // day-of-week effect on click values: the generic one-way F over
+    // dow groups — "is there a weekly cycle worth modeling" (the
+    // hypothesis-test companion of ts_hod_dow's descriptive profile)
+    "ts_dow_anova" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Stats.anovaF(Tables.events(s, d)
+        .filter(col("event_type") === "click")
+        .select(pmod(expr("unix_date(cast(ts as date))").cast("long"),
+          lit(7L)).as("dow"), col("value")),
+        "dow", "value")
+    }),
     "w31_dwell" -> ((s, d) => Resample.dwellByType(Tables.events(s, d))),
     "ts_autocorr_time" -> ((s, d) =>
       Resample.autocorrTime(Tables.events(s, d))),
@@ -3733,6 +3744,26 @@ object SparkEntry {
            round(CAST(n_pos AS DOUBLE) / n, 6) AS frac_pos,
            floor(CAST(esum AS DOUBLE) / 1000.0 + 0.5) / 1e6 AS ece_q
          FROM bb CROSS JOIN e""",
+    "ts_dow_anova" ->
+      """WITH pts AS (SELECT
+             CAST(epoch(CAST(ts AS DATE)) // 86400 % 7 AS BIGINT)
+               AS dow, value
+           FROM events WHERE event_type = 'click'),
+         g AS (SELECT dow, count(value) AS n, avg(value) AS m,
+             var_samp(value) AS v
+           FROM pts GROUP BY 1),
+         gr AS (SELECT sum(n*m)/sum(n) AS gm, sum(n) AS nt,
+             count(*) AS k
+           FROM g),
+         a AS (SELECT max(k) AS k, max(nt) AS n_total,
+             sum(n * pow(m - gm, 2)) AS ssb, sum((n - 1) * v) AS ssw
+           FROM g, gr)
+         SELECT CAST(k AS BIGINT) AS k,
+           CAST(n_total AS BIGINT) AS n_total,
+           round((ssb/(k - 1)) / (ssw/(n_total - k)), 4) AS f_stat,
+           CAST(k - 1 AS BIGINT) AS df1,
+           CAST(n_total - k AS BIGINT) AS df2
+         FROM a""",
     "st_quartile_skew" ->
       """WITH pts AS (SELECT event_type,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS c

@@ -256,6 +256,22 @@ class Wave11Spec extends SparkSpec {
     assert(cycle.getAs[Double]("gini") == 0.0, s"$cycle")
   }
 
+  test("ts_dow_anova frame: a planted weekday effect scores a large " +
+      "F across two shared-dow groups") {
+    // two dows, 3 days each (a week apart so they SHARE dow 0/1),
+    // within-group jitter so ssw > 0 (all-identical values would be
+    // the degenerate 0/0 F)
+    val ev2 = eventsOf(Seq(
+      (0L * 86400L, "click", 1.0), (1L * 86400L, "click", 5.0),
+      (7L * 86400L, "click", 1.2), (8L * 86400L, "click", 5.2),
+      (14L * 86400L, "click", 0.8), (15L * 86400L, "click", 4.8)))
+    val r = Stats.anovaF(ev2
+      .select(pmod(expr("unix_date(cast(ts as date))").cast("long"),
+        lit(7L)).as("dow"), col("value")), "dow", "value")
+      .collect().head
+    assert(r.getAs[Double]("f_stat") > 50.0, s"$r")
+  }
+
   test("prefixDupGroups: verbatim prefixes group, diverging tails " +
       "do not split them; unique prefixes drop") {
     val shared = ("tok " * 20).trim // 79 chars, prefix-64 identical
