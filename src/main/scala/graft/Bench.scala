@@ -73,7 +73,13 @@ object Bench {
         val sec =
           try { SparkEntry.queries(name)(spark, sfDir).count()
             (System.nanoTime() - t0) / 1e9 }
-          catch { case _: Throwable => -1.0 }
+          catch { case e: Throwable =>
+            // mirror the suite loop: a query that passes the suite but
+            // dies isolated must leave a diagnostic, not a silent -1
+            System.err.println(s"[bench] $name failed isolated: " +
+              s"${e.getClass.getName}: ${e.getMessage}")
+            -1.0
+          }
         (name, suiteSec, sec)
       }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }

@@ -3902,8 +3902,9 @@ object SparkEntry {
          SELECT n_moves, n_runs,
            round(CASE WHEN n_moves >= 2 THEN
              (CAST(n_runs AS DOUBLE)
-               - (CAST(n_moves AS DOUBLE) * 2.0 - 1.0) / 3.0)
-             / sqrt((CAST(n_moves AS DOUBLE) * 16.0 - 29.0) / 90.0)
+               - ((CAST(n_moves AS DOUBLE) + 1.0) * 2.0 - 1.0) / 3.0)
+             / sqrt(((CAST(n_moves AS DOUBLE) + 1.0) * 16.0 - 29.0)
+                 / 90.0)
              END, 6) AS z
          FROM ag""",
     "tx_wordlen_hist" ->
@@ -5272,10 +5273,11 @@ object SparkEntry {
                < '8' THEN 'A' ELSE 'B' END AS arm,
              conv, score, user_id
            FROM u),
+         tt AS (SELECT CAST(count(*) AS BIGINT) AS nu FROM a),
          dd AS (SELECT arm, conv,
-             CAST(ntile(10) OVER (ORDER BY score DESC, user_id)
-               AS BIGINT) AS decile
-           FROM a),
+             CAST(1 + (row_number() OVER (ORDER BY score DESC, user_id)
+               - 1) * 10 // nu AS BIGINT) AS decile
+           FROM a CROSS JOIN tt),
          cells AS (SELECT decile,
              CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
                AS n_t,
@@ -10732,8 +10734,10 @@ object SparkEntry {
                6) AS q,
              CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
            FROM documents),
-         d AS (SELECT ntile(10) OVER (ORDER BY q DESC, doc_id)
-             AS decile, pos FROM s),
+         tt AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM s),
+         d AS (SELECT 1 + (row_number() OVER (ORDER BY q DESC, doc_id)
+               - 1) * 10 // nd AS decile, pos
+           FROM s CROSS JOIN tt),
          p AS (SELECT decile, CAST(count(*) AS BIGINT) AS n,
              CAST(sum(pos) AS BIGINT) AS n_pos
            FROM d GROUP BY 1),

@@ -824,9 +824,14 @@ object Quality {
     import spark.implicits._
     combos.indices.map { i =>
       val ndv = exact.getOrElse(i, approx(i))
-      (combos(i).mkString("+"), ndv, n,
-        BigDecimal(ndv.toDouble / n.toDouble)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      // n == 0 guard: ndv/n is NaN and BigDecimal(NaN) throws; report
+      // ratio 0.0 instead (is_key stays true — every combo vacuously
+      // keys an empty table, matching the exact twin's 0 === 0)
+      val ratio =
+        if (n == 0L) 0.0
+        else BigDecimal(ndv.toDouble / n.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (combos(i).mkString("+"), ndv, n, ratio,
         exact.get(i).contains(n))
     }.toDF("columns", "ndv", "n_rows", "ratio", "is_key")
   }

@@ -3468,11 +3468,13 @@ object Stats {
     * click/view cent volume (a pre-outcome engagement proxy,
     * documented), conversion = any purchase.
     *
-    * One user rollup; the decile ntile rides the fully-ordered
-    * (score DESC, user_id) ranking — the ml_lift convention, ties
-    * pinned so both engines cut identical deciles; cumulative sums
-    * over the 10-row frame only. Exact integer counts; divisions at
-    * the close. */
+    * One user rollup; deciles come from the DISTRIBUTED striped rank
+    * over (score DESC, user_id) — never a single-task ntile over the
+    * user corpus (the ml_ece_adaptive convention; r12 conversion):
+    * rank r, decile = 1 + (r−1)·10 div n with identical integer
+    * arithmetic in the DuckDB twin, ties pinned on user_id so both
+    * engines cut identical deciles; cumulative sums over the 10-row
+    * frame only. Exact integer counts; divisions at the close. */
   def qini(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val users = events.groupBy("user_id")
@@ -3482,9 +3484,14 @@ object Stats {
           round(col("value") * 100).cast("long"))), lit(0L)).as("score"))
       .select(md5Arm(col("user_id")).as("arm"), col("conv"),
         col("score"), col("user_id"))
-    val cells = users
-      .withColumn("decile", ntile(10).over(
-        Window.orderBy(col("score").desc, col("user_id"))).cast("long"))
+    val nu = users.agg(count(lit(1)).as("__nu"))
+    val cells = stripedRank(
+        users.withColumn("__negs", lit(0L) - col("score")),
+        "__negs", "user_id")
+      .crossJoin(broadcast(nu))
+      .withColumn("decile",
+        expr("1 + (r - 1) * 10 div __nu").cast("long"))
+      .drop("r", "__negs", "__nu")
       .groupBy("decile")
       .agg(sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_t"),
         sum(when(col("arm") === "B", col("conv")).otherwise(0L))
@@ -5278,7 +5285,9 @@ object Stats {
     * residual streams): hourly exact-micro means, signs of nonzero
     * consecutive differences (ties dropped — the standard convention),
     * R = number of maximal same-sign runs, z = (R − (2n−1)/3) /
-    * √((16n−29)/90).
+    * √((16n−29)/90) with n = the OBSERVATION count after tie-dropping
+    * (= moves + 1 — the textbook convention; r11 used the move count
+    * for n, which understated E[R] by 2/3 and biased z upward).
     *
     * The hourly frame is calendar-bounded, so its two ordered windows
     * are the documented single-partition trade every ts_* surface
@@ -5299,7 +5308,9 @@ object Stats {
       .agg(count(lit(1)).as("n_moves"),
         sum(when(col("psgn").isNull || col("sgn") =!= col("psgn"), 1L)
           .otherwise(0L)).as("n_runs"))
-    val n = col("n_moves").cast("double")
+    // n = observations entering the runs count = moves + 1 (a run
+    // sequence over m sign-moves spans m+1 retained points)
+    val n = (col("n_moves") + lit(1L)).cast("double")
     agg.select(col("n_moves"), col("n_runs"),
       round(when(col("n_moves") >= 2,
         (col("n_runs").cast("double") - (n * 2.0 - 1.0) / 3.0) /

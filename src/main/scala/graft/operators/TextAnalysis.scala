@@ -1475,19 +1475,31 @@ object TextAnalysis {
     * keep the top decile by quality, how much richer in the target
     * class is it than a random slice" (the eval artifact behind every
     * threshold-picking meeting; st_avg_precision integrates the curve,
-    * this TABLE is what gets argued over). Deciles come from ntile
-    * over the fully-ordered (score desc, doc_id) ranking — ties cannot
-    * wander between engines — and lift = decile positive rate / base
-    * rate, with the cumulative variant (top-k deciles pooled) riding a
-    * running-sum window over the 10-row frame. */
+    * this TABLE is what gets argued over). Deciles come from the
+    * DISTRIBUTED striped rank over (score desc, doc_id) — never a
+    * single-task ntile over the corpus (the ml_ece_adaptive
+    * convention; r12 conversion — this was the one corpus-
+    * proportional global window left in the tx_* family): rank r,
+    * decile = 1 + (r−1)·10 div n, identical integer arithmetic in the
+    * DuckDB twin, ties pinned on doc_id so they cannot wander between
+    * engines — and lift = decile positive rate / base rate, with the
+    * cumulative variant (top-k deciles pooled) riding a running-sum
+    * window over the 10-row frame. */
   def liftTable(documents: DataFrame, positiveLang: String = "en")
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = documents.select(
+    val base = documents.select(
       round(qualityScore(col("text")), 6).as("q"), col("doc_id"),
       when(col("lang") === positiveLang, 1L).otherwise(0L).as("pos"))
-      .withColumn("decile", ntile(10).over(
-        Window.orderBy(col("q").desc, col("doc_id"))))
+    // rank by (q desc, doc_id) == (0−q asc, doc_id); 0.0−q (not −q)
+    // keeps a q of +0.0 from flipping to −0.0 under negation
+    val nd = base.agg(count(lit(1)).as("__nd"))
+    val scored = Stats.stripedRank(
+        base.withColumn("__negq", lit(0.0) - col("q")),
+        "__negq", "doc_id")
+      .crossJoin(broadcast(nd))
+      .withColumn("decile", expr("1 + (r - 1) * 10 div __nd"))
+      .drop("r", "__negq", "__nd")
     val perDecile = scored.groupBy("decile")
       .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"))
     val w = Window.orderBy("decile")

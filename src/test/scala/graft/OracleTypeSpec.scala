@@ -17,16 +17,21 @@ import org.apache.spark.sql.types._
   * the DuckDB twin, which the python tool then confirms). */
 class OracleTypeSpec extends SparkSpec {
 
+  // Decimal outputs are banned EXCEPT this explicit per-column
+  // whitelist: q33_runtime_filter's exact money sum is decimal on BOTH
+  // sides by design, and its scale-for-scale cross-engine parity is
+  // verified by `python3 tools/check_oracle_types.py /root/testdata/
+  // sf0.01 /tmp/graft_verify` (run after every full graft.Verify dump
+  // — a SURVEY §8 round-close checklist item, expects `0 failures`).
+  // Any OTHER decimal column fails HERE, in every `sbt test`, instead
+  // of waiting for the out-of-band python gate.
+  private val decimalWhitelist: Set[(String, String)] =
+    Set(("q33_runtime_filter", "revenue"))
+
   private def allowedScalar(dt: DataType): Boolean = dt match {
     case IntegerType | LongType | DoubleType | StringType |
          BooleanType | DateType | TimestampType | TimestampNTZType |
          BinaryType => true
-    // DecimalType is allowed ONLY because tools/check_oracle_types.py
-    // verifies scale-for-scale decimal parity cross-engine per run
-    // (q33_runtime_filter's exact money sum is DECIMAL(38,4) on BOTH
-    // sides); a DuckDB-side-only widening (sum()→HUGEINT — the r9/r10
-    // trio) is exactly what that tool flags
-    case _: DecimalType => true
     case _ => false
   }
 
@@ -41,7 +46,10 @@ class OracleTypeSpec extends SparkSpec {
     val offenders = SparkEntry.oracleSql.keys.toSeq.sorted.flatMap {
       name =>
         val schema = SparkEntry.queries(name)(spark, sf).schema
-        val bad = schema.fields.filterNot(f => allowed(f.dataType))
+        val bad = schema.fields.filterNot { f =>
+          allowed(f.dataType) || (f.dataType.isInstanceOf[DecimalType]
+            && decimalWhitelist((name, f.name)))
+        }
         if (bad.isEmpty) Nil
         else Seq(s"$name: " + bad
           .map(f => s"${f.name}:${f.dataType.simpleString}")
@@ -49,7 +57,8 @@ class OracleTypeSpec extends SparkSpec {
     }
     assert(offenders.isEmpty,
       "oracle-backed outputs must stick to int/long/double/string/" +
-        "boolean/date/timestamp (see doc comment):\n" +
+        "boolean/date/timestamp (decimal only via the per-column " +
+        "whitelist — see doc comment):\n" +
         offenders.mkString("\n"))
   }
 }

@@ -120,8 +120,9 @@ class Wave11Spec extends SparkSpec {
     val saw = Stats.runsUpDown(series(Seq(1, 2, 1, 2, 1).map(_.toDouble)))
       .collect().head
     assert(saw.getAs[Long]("n_moves") == 4 && saw.getAs[Long]("n_runs") == 4)
-    // z = (4 - (2*4-1)/3) / sqrt((16*4-29)/90)
-    val zExp = (4.0 - 7.0 / 3.0) / math.sqrt(35.0 / 90.0)
+    // textbook n = observations = moves + 1 = 5:
+    // z = (4 - (2*5-1)/3) / sqrt((16*5-29)/90)
+    val zExp = (4.0 - 9.0 / 3.0) / math.sqrt(51.0 / 90.0)
     assert(math.abs(saw.getAs[Double]("z") - zExp) < 1e-5, s"$saw")
     val ramp = Stats.runsUpDown(series((1 to 6).map(_.toDouble)))
       .collect().head

@@ -6,8 +6,12 @@ and value-sorted row hash (doubles compared exactly — both sides round)."""
 import sys, json, glob, math
 import duckdb
 
-sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+# --subset: fast-iteration mode (Verify dumped only touched queries) —
+# missing dumps don't fail; in full mode a MISS is a crashed query.
+subset = "--subset" in sys.argv
+argv = [a for a in sys.argv if a != "--subset"]
+sfdir = argv[1] if len(argv) > 1 else "/root/testdata/sf0.01"
+outdir = argv[2] if len(argv) > 2 else "/tmp/graft_verify"
 
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
@@ -31,7 +35,9 @@ names = sorted(set(list(oracle) + [g.split("/")[-1] for g in glob.glob(f"{outdir
 for name in names:
     files = glob.glob(f"{outdir}/{name}/*.parquet")
     if not files:
-        print(f"[MISS ] {name}: no spark output"); fails += 1; continue
+        print(f"[MISS ] {name}: no spark output")
+        if not subset: fails += 1
+        continue
     sp_rel = con.execute(f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
     sp_cols = [d[0] for d in sp_rel.description]; sp_rows = sp_rel.fetchall()
     if name not in oracle:
