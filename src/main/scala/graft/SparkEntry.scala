@@ -2469,7 +2469,7 @@ object SparkEntry {
            FROM w WHERE wn = 24)
          SELECT event_type, hr, round(CAST(v6 AS DOUBLE) / 1e6, 6)
              AS value,
-           round(mean_w, 6) AS mean_w,
+           CAST((s1 + 12) // 24 AS DOUBLE) / 1e6 AS mean_w,
            round(mean_w - 2.0 * sigma, 6) AS lower,
            round(mean_w + 2.0 * sigma, 6) AS upper,
            CAST(v6 AS DOUBLE) / 1e6 > mean_w + 2.0 * sigma
@@ -5288,16 +5288,21 @@ object SparkEntry {
              CAST(sum(CASE WHEN arm = 'A' THEN conv ELSE 0 END)
                AS BIGINT) AS conv_c
            FROM dd GROUP BY 1)
+         -- + 0.0 normalizes IEEE negative zero: DuckDB round() keeps
+         -- the sign of a tiny-negative cancellation (-1e-15 → -0.0)
+         -- while Spark's BigDecimal round never emits -0.0 — the qini
+         -- curve's forced-zero endpoint hit this on the r12
+         -- second-seed gate (parquet serializes -0.0 ≠ 0.0)
          SELECT decile, n_t, n_c, conv_t, conv_c,
            round(CAST(conv_t AS DOUBLE)
                / nullif(CAST(n_t AS DOUBLE), 0.0)
              - CAST(conv_c AS DOUBLE)
-               / nullif(CAST(n_c AS DOUBLE), 0.0), 6) AS uplift,
+               / nullif(CAST(n_c AS DOUBLE), 0.0), 6) + 0.0 AS uplift,
            round(CAST(sum(conv_t) OVER wc AS DOUBLE)
              - CAST(sum(conv_c) OVER wc AS DOUBLE)
                * (CAST(sum(n_t) OVER wc AS DOUBLE)
                  / nullif(CAST(sum(n_c) OVER wc AS DOUBLE), 0.0)), 6)
-             AS qini
+             + 0.0 AS qini
          FROM cells
          WINDOW wc AS (ORDER BY decile
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
@@ -7247,6 +7252,74 @@ object SparkEntry {
          LEFT JOIN s3 USING (user_id)""",
     // st_approx_distinct: HLL sketches are engine-specific → rows-only +
     // property spec (relative error vs the exact count).
+    // dd_cdc_chunks (r12 flip): content-defined chunking on the Rabin
+    // polynomial family — grams, boundaries (h ≡ 0 mod 16), spans and
+    // the order-sensitive chunk fold all replay as list CTEs.
+    "dd_cdc_chunks" ->
+      """WITH tt AS (SELECT doc_id, string_split(text, ' ') AS t
+           FROM documents),
+         sh AS (SELECT doc_id,
+             list_transform(range(1, len(t) - 2), i ->
+               list_reduce(list_prepend(7::BIGINT,
+                 list_transform(string_split(
+                     array_to_string(t[i:i+3], ' '), ''),
+                   ch -> CAST(ascii(ch) AS BIGINT))),
+                 (acc, c) -> (acc * 31 + c) % 1000000007)) AS hs
+           FROM tt WHERE len(t) >= 4),
+         bn AS (SELECT doc_id, hs,
+             list_concat(list_concat([0::BIGINT],
+               list_filter(range(1, len(hs) + 1), j -> hs[j] % 16 = 0)),
+               [len(hs)::BIGINT]) AS bnds
+           FROM sh),
+         sp AS (SELECT doc_id, hs, unnest(list_filter(
+             list_transform(range(1, len(bnds)), j ->
+               {'s': bnds[j], 'e': bnds[j + 1]}), x -> x.e > x.s)) AS span
+           FROM bn),
+         ch AS (SELECT doc_id, span.e - span.s AS n_tokens,
+             list_reduce(list_prepend(7::BIGINT,
+                 hs[(span.s + 1)::INT : (span.e)::INT]),
+               (acc, h) -> (acc * 131 + h) % 1000000007) AS chunk_hash
+           FROM sp)
+         SELECT chunk_hash, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(max(n_tokens) AS BIGINT) AS n_tokens
+         FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+         ORDER BY n_docs DESC, n_occurrences DESC, chunk_hash LIMIT 30""",
+    // st_cms (r12 flip): the count-min table IS SQL — 60-bit md5 key,
+    // Carter-Wegman cell family (CmsAggregator.CwA/B/E literals below
+    // — change BOTH sides or the gate fails), per-value exact counts
+    // summed per (row, cell), estimate = min over rows. The x₂ limb
+    // term (CwC·(x >>> 60)) is identically zero for 15-hex-char keys
+    // and is omitted here.
+    "st_cms" ->
+      """WITH consts AS (SELECT * FROM (VALUES
+             (0, 764258976, 611957299, 15485863),
+             (1, 179424673, 524287387, 32452843),
+             (2, 433024223, 858599509, 49979687),
+             (3, 982451653, 298154327, 67867967),
+             (4, 715225739, 141650963, 86028121)) t(d, a, b, e)),
+         v AS (SELECT event_type AS value, CAST(count(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1),
+         hx AS (SELECT value, cnt,
+             ('0x' || substr(md5(value), 1, 15))::BIGINT AS x FROM v),
+         cells AS (SELECT d,
+             ((a * (x % 1073741824) + b * (x // 1073741824) + e)
+               % 1000000007) % 2048 AS cell, cnt
+           FROM hx CROSS JOIN consts),
+         tbl AS (SELECT d, cell, CAST(sum(cnt) AS BIGINT) AS c
+           FROM cells GROUP BY 1, 2),
+         probes AS (SELECT unnest(['click','error','purchase','signup',
+             'view']) AS value),
+         pc AS (SELECT value, d,
+             ((a * (x % 1073741824) + b * (x // 1073741824) + e)
+               % 1000000007) % 2048 AS cell
+           FROM (SELECT value,
+               ('0x' || substr(md5(value), 1, 15))::BIGINT AS x
+             FROM probes) px
+           CROSS JOIN consts)
+         SELECT value, CAST(min(coalesce(tbl.c, 0)) AS BIGINT) AS estimate
+         FROM pc LEFT JOIN tbl USING (d, cell)
+         GROUP BY value ORDER BY value""",
     "q22_range_join" ->
       """WITH iv AS (SELECT n_nationkey,
              1704067200000000 + n_nationkey*100800000000 AS s_us,
@@ -11711,12 +11784,98 @@ object SparkEntry {
                                         CAST(q.qe AS DOUBLE[])), 4) AS cos
          FROM embeddings b, q WHERE b.vec_id <> 0 AND b.label = 3
          ORDER BY cos DESC, b.vec_id LIMIT 10""",
-    // tx_fingerprint_roll, ann_lsh, ann_ivf, ann_knn_join, ann_pq, ann_sq8,
+    // ann_lsh, ann_ivf, ann_knn_join, ann_pq, ann_sq8,
     // dd_minhash_lsh, dd_simhash, dd_cluster_lsh, dd_incremental_lsh,
-    // dd_semantic, mm_frames, mm_phash, st_hll_merge: hash/bucket/
+    // dd_semantic, mm_frames, st_hll_merge: hash/bucket/
     // codebook/sketch internals are engine-specific → rows-only check +
     // property specs (recall/error bounds vs the exact oracle-checked
-    // operators).
+    // operators). (mm_phash / mm_scenecut / dd_cdc_chunks / st_cms
+    // flipped to hash-checked in r12 — their sketch families are now
+    // SQL-replayable; see their oracle entries.)
+    // mm_phash (r12 flip): 60-bit two-poly SimHash per media payload;
+    // hamming≤3 banding is pigeonhole-lossless, so brute-force hamming
+    // over the replayed sketches IS the pair set.
+    "mm_phash" ->
+      """WITH media AS (SELECT doc_id AS media_id,
+           regexp_replace(to_base64(encode(text)), '(.{4})', '\1 ', 'g')
+             AS txt
+         FROM documents),
+       tok AS (SELECT media_id, string_split(txt, ' ') AS t FROM media),
+       hx AS (SELECT media_id,
+           list_distinct(list_transform(range(1, len(t) - 1), i ->
+             (list_reduce(list_prepend(7::BIGINT,
+                list_transform(string_split(array_to_string(t[i:i+2], ' '),
+                    ''),
+                  ch -> CAST(ascii(ch) AS BIGINT))),
+                (acc, c) -> (acc * 31 + c) % 1000000007) << 30)
+             | list_reduce(list_prepend(7::BIGINT,
+                list_transform(string_split(array_to_string(t[i:i+2], ' '),
+                    ''),
+                  ch -> CAST(ascii(ch) AS BIGINT))),
+                (acc, c) -> (acc * 131 + c) % 998244353))) AS hs
+         FROM tok),
+       sk AS (SELECT media_id,
+           CAST(list_sum(list_transform(range(0, 60), b ->
+             CASE WHEN 2 * list_sum(list_transform(hs, h -> (h >> b) & 1))
+                    > len(hs)
+               THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS sim
+         FROM hx)
+       SELECT a.media_id AS m1, b.media_id AS m2,
+         CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+       FROM sk a JOIN sk b ON a.media_id < b.media_id
+       WHERE bit_count(xor(a.sim, b.sim)) <= 3""",
+    // mm_scenecut (r12 flip): frame sampling, per-frame two-poly
+    // SimHash, hamming lag and the cut rollup all replay as CTEs.
+    "mm_scenecut" ->
+      """WITH media AS (SELECT doc_id AS media_id, text,
+           CAST(length(text) AS BIGINT) AS n_bytes
+         FROM documents WHERE doc_id % 3 = 2 AND length(text) > 0),
+       fx AS (SELECT media_id, text,
+           CAST(ceil(n_bytes / 256.0) AS BIGINT) AS n,
+           least(8, CAST(ceil(n_bytes / 256.0) AS BIGINT)) AS take
+         FROM media),
+       fr AS (SELECT media_id,
+           (i * n) // take AS frame_idx,
+           substring(text, CAST((i * n) // take * 256 + 1 AS INT), 256)
+             AS frame
+         FROM (SELECT media_id, text, n, take,
+               unnest(range(0, take)) AS i
+             FROM fx) fi),
+       ft AS (SELECT media_id, frame_idx,
+           string_split(regexp_replace(to_base64(encode(frame)),
+             '(.{4})', '\1 ', 'g'), ' ') AS t
+         FROM fr),
+       hx AS (SELECT media_id, frame_idx,
+           list_distinct(list_transform(range(1, len(t) - 1), i ->
+             (list_reduce(list_prepend(7::BIGINT,
+                list_transform(string_split(array_to_string(t[i:i+2], ' '),
+                    ''),
+                  ch -> CAST(ascii(ch) AS BIGINT))),
+                (acc, c) -> (acc * 31 + c) % 1000000007) << 30)
+             | list_reduce(list_prepend(7::BIGINT,
+                list_transform(string_split(array_to_string(t[i:i+2], ' '),
+                    ''),
+                  ch -> CAST(ascii(ch) AS BIGINT))),
+                (acc, c) -> (acc * 131 + c) % 998244353))) AS hs
+         FROM ft),
+       sk AS (SELECT media_id, frame_idx,
+           CAST(list_sum(list_transform(range(0, 60), b ->
+             CASE WHEN 2 * list_sum(list_transform(hs, h -> (h >> b) & 1))
+                    > len(hs)
+               THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS sim
+         FROM hx),
+       lg AS (SELECT media_id, sim,
+           lag(sim) OVER (PARTITION BY media_id ORDER BY frame_idx) AS prev
+         FROM sk),
+       tr AS (SELECT media_id,
+           CAST(bit_count(xor(sim, prev)) AS BIGINT) AS hamming
+         FROM lg WHERE prev IS NOT NULL)
+       SELECT media_id, CAST(count(*) AS BIGINT) AS n_transitions,
+         CAST(sum(CASE WHEN hamming >= 12 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_cuts,
+         round(avg(hamming), 4) AS avg_hamming, max(hamming)
+           AS peak_hamming
+       FROM tr GROUP BY 1""",
     "dd_incremental" ->
       """WITH newd AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
          oldd AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
@@ -11926,7 +12085,10 @@ object SparkEntry {
              JOIN region ON n_regionkey = r_regionkey
              WHERE r_name = 'EUROPE'),
          o AS (SELECT l_partkey, l_suppkey,
-             round(min(l_extendedprice / l_quantity), 4) AS unit_cost
+             CAST(min((200 * CAST(floor(l_extendedprice * 100 + 0.5)
+                 AS BIGINT) + CAST(l_quantity AS BIGINT))
+               // (2 * CAST(l_quantity AS BIGINT))) AS DOUBLE) / 10000.0
+               AS unit_cost
            FROM lineitem
            WHERE l_partkey IN (SELECT p_partkey FROM part
              WHERE p_type = 'SMALL' AND p_size <= 10)

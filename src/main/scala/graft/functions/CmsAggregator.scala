@@ -17,26 +17,41 @@ import org.apache.spark.sql.functions.udaf
   * window merges them cell-wise WITHOUT rescanning rows. One pass,
   * map-side partial merge, O(depth·width) state per group.
   *
-  * Row hashes are murmur-finalizer mixes of (item ⊕ row seed) — the
-  * standard engineering construction (not formally pairwise
-  * independent; the ε bound is property-checked empirically in
-  * CmsSpec). Fixed seeds → the same corpus always yields the same
-  * sketch, regardless of partitioning.
+  * Row hashes are Carter–Wegman affine maps over the key split into
+  * 30-bit limbs: cell(x, d) = ((a_d·x₀ + b_d·x₁ + c_d·x₂ + e_d) mod p)
+  * mod width with p = 1e9+7 and x = x₂·2⁶⁰ + x₁·2³⁰ + x₀ — a genuinely
+  * 2-universal family (affine in the limb vector), so the CMS ε = e/w,
+  * δ = e^−d bound holds by the textbook proof rather than empirically.
+  * Every intermediate fits a 64-bit long (a·x₀ < 2⁶⁰, three terms
+  * < 2⁶²), and the SAME arithmetic is expressible in ANSI SQL over
+  * BIGINT — the st_cms DuckDB oracle rebuilds the full depth×width
+  * table from these constants and per-value exact counts (the flip
+  * from rows-only to hash-checked; SparkEntry.oracleSql("st_cms")).
+  * Fixed constants → the same corpus always yields the same sketch,
+  * regardless of partitioning.
   */
 object CmsAggregator {
 
-  /** MurmurHash3 64-bit finalizer (public domain avalanche). */
-  private def fmix64(z0: Long): Long = {
-    var z = z0
-    z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
-    z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
-    z ^ (z >>> 33)
+  private val P = 1000000007L
+  private val M30 = (1L << 30) - 1
+  // fixed CW coefficients per row (depth ≤ 8); duplicated as literals
+  // in the st_cms oracle SQL — change BOTH or the hash gate fails
+  private[graft] val CwA = Array(764258976L, 179424673L, 433024223L,
+    982451653L, 715225739L, 868864373L, 336500717L, 542868483L)
+  private[graft] val CwB = Array(611957299L, 524287387L, 858599509L,
+    298154327L, 141650963L, 963726515L, 790738119L, 217645199L)
+  private[graft] val CwC = Array(87178291L, 479001599L, 355687428L,
+    720720733L, 655360001L, 122949829L, 938475263L, 394871531L)
+  private[graft] val CwE = Array(15485863L, 32452843L, 49979687L,
+    67867967L, 86028121L, 104395301L, 122949823L, 141650939L)
+
+  private[graft] def cell(x: Long, d: Int, width: Int): Int = {
+    val x0 = x & M30
+    val x1 = (x >>> 30) & M30
+    val x2 = x >>> 60
+    (((CwA(d) * x0 + CwB(d) * x1 + CwC(d) * x2 + CwE(d)) % P) %
+      width.toLong).toInt
   }
-
-  private def seed(d: Int): Long = 0x9e3779b97f4a7c15L * (d + 1)
-
-  private def cell(x: Long, d: Int, width: Int): Int =
-    Math.floorMod(fmix64(x ^ seed(d)), width.toLong).toInt
 
   class Cms(depth: Int, width: Int)
       extends Aggregator[Long, Array[Long], Array[Long]] {

@@ -381,15 +381,21 @@ object Dedup {
     * start_tok, n_tokens, chunk_hash).
     *
     * Entirely ROW-LOCAL column work: the codegen'd positional k-gram
-    * hashes feed a transform/filter boundary scan and an order-
-    * sensitive fold per chunk (acc·31+h over the slice) — grams and
-    * chunks never exist as strings, nothing shuffles until the caller
-    * aggregates chunk hashes. */
+    * fingerprints feed a transform/filter boundary scan and an order-
+    * sensitive fold per chunk (acc·131+h mod 1e9+7 over the slice) —
+    * grams and chunks never exist as strings, nothing shuffles until
+    * the caller aggregates chunk hashes.
+    *
+    * The gram fingerprint is the RABIN POLYNOMIAL family (mod-1e9+7
+    * byte fold — the textbook CDC fingerprint, and the r12 flip that
+    * made dd_cdc_chunks hash-checkable: a DuckDB CTE replays grams,
+    * boundaries, spans and chunk folds verbatim;
+    * SparkEntry.oracleSql("dd_cdc_chunks")). */
   def cdcChunks(documents: DataFrame, k: Int = 4, mask: Int = 16): DataFrame = {
-    import graft.plans.PositionalShingleHashes
+    import graft.plans.PositionalShinglePolyHashes
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val hashes = ColumnBridge.column(
-      PositionalShingleHashes(ColumnBridge.expression(col("text")), k))
+      PositionalShinglePolyHashes(ColumnBridge.expression(col("text")), k))
     documents.select(col("doc_id"), hashes.as("hs"))
       .withColumn("bnds", concat(
         array(lit(0)),
@@ -403,14 +409,14 @@ object Dedup {
             element_at(col("bnds"), j + 1).as("e"))),
         sp => sp("e") > sp("s"))))
       .select(col("doc_id"),
-        col("span.s").as("start_tok"),
-        (col("span.e") - col("span.s")).as("n_tokens"),
-        // order-sensitive rotl(1)⊕h fold — overflow-free under ANSI mode
+        col("span.s").cast("long").as("start_tok"),
+        (col("span.e") - col("span.s")).cast("long").as("n_tokens"),
+        // order-sensitive mod-p fold (acc·131 + h, seeded 7): every
+        // intermediate < 2³⁸, and DuckDB list_reduce replays it exactly
         aggregate(
           slice(col("hs"), col("span.s") + 1, col("span.e") - col("span.s")),
-          lit(1125899906842597L),
-          (acc, h) => shiftleft(acc, 1)
-            .bitwiseOR(shiftrightunsigned(acc, 63)).bitwiseXOR(h))
+          lit(7L),
+          (acc, h) => pmod(acc * lit(131L) + h, lit(1000000007L)))
           .as("chunk_hash"))
   }
 

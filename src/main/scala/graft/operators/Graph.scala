@@ -1114,6 +1114,21 @@ object Graph {
     * picks identical pivots), BFS depth ≤ `maxDepth` (the
     * harmonicCentrality landmark trade, stated in the contract).
     *
+    * ERROR STORY (r12): the output is the RAW K-source dependency sum;
+    * the Brandes-Pich (2007) estimator rescales it by n/K and is
+    * unbiased with additive error ≤ ε·n(n−1) w.h.p. once K =
+    * O(log n / ε²) — but ONLY under uniformly random pivots.
+    * Deterministic smallest-id pivots trade that guarantee for oracle
+    * replay: an adversarial id assignment (all pivots inside one
+    * cluster) biases hub flow from unsampled clusters invisible.
+    * Wave12Spec measures the trade on a planted bridge graph: at
+    * K = |V| the operator equals exact serial Brandes; at K = 4 and 8
+    * with every pivot adversarially placed in one clique, the bridge
+    * still ranks first and the rescaled hub estimate stays within 50%
+    * (measured ~8%/~5%). Callers needing the Pich bound should hash-
+    * shuffle node ids once at ingest (a deterministic permutation IS a
+    * uniform sample of an adversarial labeling).
+    *
     * Forward pass: level-synchronous multi-source BFS carrying the
     * shortest-path COUNT σ — each round is one frontier⋈edges join on
     * the pre-partitioned static edge frame + one anti-join against

@@ -572,13 +572,30 @@ object Multimodal {
     * (image) or chromaprint (audio); banding, capping, pairing and the
     * CC/canonical stages downstream are unchanged. */
   def phashPairs(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    import graft.plans.{ShinglePolyHashes, SimHash60FromHashes}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     // base64 then re-space into fixed 4-char (3-byte) tokens: the shingle
-    // pipeline is word-oriented, and arbitrary binary has no delimiters
+    // pipeline is word-oriented, and arbitrary binary has no delimiters.
+    // Spark's base64() MIME-chunks with \r\n every 76 chars — strip to
+    // canonical RFC 4648 (what DuckDB's to_base64 emits) so the oracle
+    // replays the exact token stream
     val asDocs = media.select(
       col("media_id").as("doc_id"),
-      regexp_replace(base64(col("payload")), "(.{4})", "$1 ").as("text"))
-    SketchDedup.simhashPairs(asDocs, n = 3, maxHamming = maxHamming)
-      .select(col("d1").as("m1"), col("d2").as("m2"), col("hamming"))
+      regexp_replace(regexp_replace(base64(col("payload")), "[\\r\\n]", ""),
+        "(.{4})", "$1 ").as("text"))
+    // 60-bit two-poly SimHash (r12 flip): the sketch column is the
+    // documented swap point; the poly family makes the sketch — and
+    // with it the whole banded pair set — DuckDB-replayable, so
+    // mm_phash is hash-checked (hamming≤3 ⟹ banding is lossless by
+    // pigeonhole at oracle scale, so brute-force hamming IS the twin)
+    val sk = ColumnBridge.column(SimHash60FromHashes(
+      ShinglePolyHashes(ColumnBridge.expression(col("text")), 3)))
+    val sims = Scale.fanOut(asDocs, Seq("doc_id"))
+      .select(col("doc_id"), sk.as("sim"))
+      .filter(col("sim").isNotNull)
+    SketchDedup.simhashPairsFromSims(sims, maxHamming = maxHamming)
+      .select(col("d1").as("m1"), col("d2").as("m2"),
+        col("hamming").cast("long").as("hamming"))
   }
 
   /** Driver-contract projection: media near-dup pairs on the synthetic
@@ -601,19 +618,26 @@ object Multimodal {
     * distance is `bit_count(xor)` — no pair join anywhere. */
   def sceneCuts(media: DataFrame, frameBytes: Int = 256, nSample: Int = 8,
                 cutHamming: Int = 12): DataFrame = {
-    import graft.plans.{ShingleHashes, SimHashFromHashes}
+    import graft.plans.{ShinglePolyHashes, SimHash60FromHashes}
     import org.apache.spark.sql.graftbridge.ColumnBridge
     import org.apache.spark.sql.expressions.Window
-    val txt = regexp_replace(base64(col("frame")), "(.{4})", "$1 ")
-    val sk = ColumnBridge.column(SimHashFromHashes(
-      ShingleHashes(ColumnBridge.expression(txt), 3)))
+    // strip base64()'s MIME \r\n chunking → canonical RFC 4648 (see
+    // phashPairs — keeps the oracle's to_base64 replay exact)
+    val txt = regexp_replace(
+      regexp_replace(base64(col("frame")), "[\\r\\n]", ""), "(.{4})", "$1 ")
+    // 60-bit two-poly SimHash (r12 flip): the sketch column was always
+    // the documented swap point, and the poly family makes frame
+    // sketches, hamming lags and cut counts all DuckDB-replayable —
+    // mm_scenecut is hash-checked end to end (oracleSql entry)
+    val sk = ColumnBridge.column(SimHash60FromHashes(
+      ShinglePolyHashes(ColumnBridge.expression(txt), 3)))
     val w = Window.partitionBy("media_id").orderBy("frame_idx")
     sampleFrames(media, frameBytes, nSample)
       .withColumn("sk", sk)
       .withColumn("prev_sk", lag("sk", 1).over(w))
       .filter(col("prev_sk").isNotNull)
       .withColumn("hamming",
-        bit_count(col("sk").bitwiseXOR(col("prev_sk"))))
+        bit_count(col("sk").bitwiseXOR(col("prev_sk"))).cast("long"))
       .groupBy("media_id")
       .agg(count(lit(1)).as("n_transitions"),
         sum(when(col("hamming") >= cutHamming, 1L).otherwise(0L))

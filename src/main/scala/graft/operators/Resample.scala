@@ -487,9 +487,19 @@ object Resample {
     val upper = mean + lit(k) * sigma
     val lower = mean - lit(k) * sigma
     val v = col("v6").cast("double") / lit(1e6)
+    // round6(s1/(24·1e6)) has a FIXED denominator (the window width),
+    // so the mean's grid (24e6) is finer than the round digit — the
+    // reachable half-case that split engines on the r12 second-seed
+    // gate (s1 ≡ 12 mod 24). Exact half-up in micro-units instead:
+    // floor((s1+12)/24), with the explicit trunc→floor adjust for
+    // negative sums (Spark div truncates, DuckDB // floors).
+    val half = windowHours / 2
+    val meanMic = expr(s"((s1 + $half) div $windowHours) - " +
+      s"(case when (s1 + $half) % $windowHours != 0" +
+      s" and (s1 + $half) < 0 then 1 else 0 end)")
     h.select(col("event_type"), col("hr"),
       round(v, 6).as("value"),
-      round(mean, 6).as("mean_w"),
+      (meanMic.cast("double") / lit(1e6)).as("mean_w"),
       round(lower, 6).as("lower"),
       round(upper, 6).as("upper"),
       (v > upper || v < lower).as("breach"))

@@ -263,11 +263,22 @@ object SketchDedup {
     * is unchanged (it is the operator's output). */
   def simhashPairs(documents: DataFrame, n: Int = 3, maxHamming: Int = 3,
                    bucketCap: Int = 4096, groupChunk: Int = 1024): DataFrame = {
-    require(maxHamming <= 3,
-      "4x16-bit banding only guarantees recall for hamming <= 3")
     // null text → null sketch; groupBy would pool them into one group
     // and emit them as hamming-0 "duplicates" — drop them instead
-    val sims = withSimHash(documents, n).filter(col("sim").isNotNull)
+    simhashPairsFromSims(withSimHash(documents, n)
+      .filter(col("sim").isNotNull), maxHamming, bucketCap, groupChunk)
+  }
+
+  /** Pairing stage over a PRECOMPUTED (doc_id, sim) frame — shared by
+    * the XXH64 corpus path above and mm_phash's SQL-replayable 60-bit
+    * two-poly sketches (the 4×16-bit banding pigeonhole holds for any
+    * ≤64-bit sketch: four disjoint chunks cover every bit, so a
+    * hamming≤3 pair agrees on at least one). */
+  def simhashPairsFromSims(sims: DataFrame, maxHamming: Int = 3,
+                           bucketCap: Int = 4096,
+                           groupChunk: Int = 1024): DataFrame = {
+    require(maxHamming <= 3,
+      "4x16-bit banding only guarantees recall for hamming <= 3")
     val groups = sims.groupBy("sim")
       .agg(sort_array(collect_list("doc_id")).as("ids"))
 

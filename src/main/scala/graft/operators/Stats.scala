@@ -959,13 +959,22 @@ object Stats {
     import graft.functions.CmsAggregator
     val spark = df.sparkSession
     import spark.implicits._
-    val sk = df.agg(CmsAggregator.cms(depth, width)(xxhash64(col(c))).as("sk"))
+    // 60-bit item key = first 15 hex chars of md5 — engine-portable
+    // (DuckDB: ('0x' || substr(md5(v),1,15))::BIGINT), so together with
+    // the Carter-Wegman cell family the WHOLE sketch is pure integer
+    // arithmetic a SQL CTE can rebuild from per-value exact counts —
+    // the r12 rows-only → hash-checked flip (oracleSql("st_cms"))
+    val key = conv(substring(md5(col(c)), 1, 15), 16, 10).cast("long")
+    val sk = df.agg(CmsAggregator.cms(depth, width)(key).as("sk"))
       .head().getAs[scala.collection.Seq[Long]]("sk").toArray
     val hashed = probes.toDF("value")
-      .withColumn("__h", xxhash64(col("value"))).collect()
+      .withColumn("__h",
+        conv(substring(md5(col("value")), 1, 15), 16, 10).cast("long"))
+      .collect()
     hashed.toSeq.map(r => (r.getAs[String]("value"),
         CmsAggregator.estimate(sk, depth, width, r.getAs[Long]("__h"))))
       .toDF("value", "estimate")
+      .orderBy("value")
   }
 
   /** Mann–Whitney U (Wilcoxon rank-sum) between groups `ga` and `gb` —

@@ -414,13 +414,23 @@ object Tpch {
           .select("n_nationkey", "n_name")),
         col("s_nationkey") === col("n_nationkey"))
       .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    // round4(price/qty) in EXACT integer arithmetic: price sits on the
+    // cents grid and qty is a whole number, so the ratio's true value
+    // lives on a finite grid FINER than the round digit — the reachable
+    // half-case split engines on the r12 second-seed gate (123.89225 →
+    // .8923 vs .8922). uc4 = floor((200·cents + q) / 2q) is the exact
+    // half-up ten-thousandths value (all positive longs); round∘min =
+    // min∘round by monotonicity, so min runs on the integers and one
+    // double division lands both engines on the identical IEEE value.
+    val uc4 = expr("(200 * cast(floor(l_extendedprice * 100 + 0.5)" +
+      " as bigint) + cast(l_quantity as bigint))" +
+      " div (2 * cast(l_quantity as bigint))")
     val offers = lineitem
       .join(part.filter(col("p_type") === ptype &&
             col("p_size") <= maxSize).select("p_partkey"),
         col("l_partkey") === col("p_partkey"), "left_semi")
       .groupBy("l_partkey", "l_suppkey")
-      .agg(round(min(col("l_extendedprice") / col("l_quantity")), 4)
-        .as("unit_cost"))
+      .agg((min(uc4).cast("double") / lit(10000.0)).as("unit_cost"))
       .join(regionSup, col("l_suppkey") === col("s_suppkey"))
     offers
       .withColumn("__min",

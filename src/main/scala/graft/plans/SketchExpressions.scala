@@ -146,6 +146,155 @@ object SketchImpl {
     new GenericArrayData(hs)
   }
 
+  private val PolyP1 = 1000000007L
+  private val PolyP2 = 998244353L
+
+  /** Rabin-style polynomial fingerprint of a byte range: fold of
+    * (acc·31 + byte) mod 1e9+7 seeded 7 — the tx_fingerprint_roll
+    * family, chosen because a SQL engine can replay it verbatim with
+    * `list_reduce(list_prepend(7, chars), (acc,c) -> (acc*31+c) %
+    * 1000000007)`. ~2-3× the cost of XXH64 per byte (one mod per
+    * byte), still branch-free and allocation-free. */
+  private def polyHash31(base: AnyRef, off: Long, len: Int): Long = {
+    var h = 7L
+    var i = 0
+    while (i < len) {
+      h = (h * 31 + (org.apache.spark.unsafe.Platform.getByte(base, off + i) & 0xff)) % PolyP1
+      i += 1
+    }
+    h
+  }
+
+  /** Second independent fingerprint (base 131, mod 998244353) — paired
+    * with [[polyHash31]] to widen the SQL-replayable hash to 60 bits
+    * (h₁·2³⁰ | h₂; both moduli < 2³⁰). */
+  private def polyHash131(base: AnyRef, off: Long, len: Int): Long = {
+    var h = 7L
+    var i = 0
+    while (i < len) {
+      h = (h * 131 + (org.apache.spark.unsafe.Platform.getByte(base, off + i) & 0xff)) % PolyP2
+      i += 1
+    }
+    h
+  }
+
+  /** Positional word n-gram POLYNOMIAL fingerprints — the
+    * SQL-replayable sibling of [[shingleHashesPositional]] (mod-1e9+7
+    * Rabin fold per span instead of XXH64), so a content-defined-
+    * chunking surface built on it can be hash-checked against a DuckDB
+    * CTE end to end (the dd_cdc_chunks r12 flip). Same zero-copy
+    * tokenization; classic Rabin-fingerprint CDC rather than a
+    * seeded-hash variant, so the boundary rule is itself textbook. */
+  def shingleHashesPositionalPoly(text: UTF8String, n: Int): ArrayData = {
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val len = text.numBytes
+    var spaces = 0
+    var i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == ' ') spaces += 1
+      i += 1
+    }
+    val nTok = spaces + 1
+    if (nTok < n) return new GenericArrayData(Array.emptyLongArray)
+    val starts = new Array[Int](nTok + 1)
+    var t = 1
+    i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == ' ') {
+        starts(t) = i + 1; t += 1
+      }
+      i += 1
+    }
+    starts(nTok) = len + 1
+    val m = nTok - n + 1
+    val hs = new Array[Long](m)
+    t = 0
+    while (t < m) {
+      val s = starts(t)
+      val e = starts(t + n) - 1
+      hs(t) = polyHash31(base, off + s, e - s)
+      t += 1
+    }
+    new GenericArrayData(hs)
+  }
+
+  /** Distinct word n-gram 60-bit two-poly fingerprints (h₁·2³⁰ | h₂) —
+    * the SQL-replayable sibling of [[shingleHashes]], feeding
+    * [[simhash60FromHashes]] so a SimHash-sketched surface can be
+    * hash-checked against a DuckDB CTE (the mm_phash / mm_scenecut r12
+    * flips). Distinct by the COMBINED fingerprint value, exactly as the
+    * XXH64 variant dedupes by hash — the SQL twin must dedupe the same
+    * way (list_distinct over the computed values, not over shingle
+    * strings) for collision behavior to replay. */
+  def shingleHashesPoly(text: UTF8String, n: Int): ArrayData = {
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val len = text.numBytes
+    var spaces = 0
+    var i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == ' ') spaces += 1
+      i += 1
+    }
+    val nTok = spaces + 1
+    if (nTok < n) return new GenericArrayData(Array.emptyLongArray)
+    val starts = new Array[Int](nTok + 1)
+    var t = 1
+    i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == ' ') {
+        starts(t) = i + 1; t += 1
+      }
+      i += 1
+    }
+    starts(nTok) = len + 1
+    val m = nTok - n + 1
+    val hs = new Array[Long](m)
+    t = 0
+    while (t < m) {
+      val s = starts(t)
+      val e = starts(t + n) - 1
+      hs(t) = (polyHash31(base, off + s, e - s) << 30) |
+        polyHash131(base, off + s, e - s)
+      t += 1
+    }
+    java.util.Arrays.sort(hs)
+    var out = 0
+    i = 0
+    while (i < m) {
+      if (i == 0 || hs(i) != hs(i - 1)) { hs(out) = hs(i); out += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, out))
+  }
+
+  /** 60-bit SimHash over precomputed fingerprints: bit b of the sketch
+    * is set iff a STRICT majority of fingerprints have bit b set
+    * (2·ones > n — ties clear the bit; the SQL twin spells the same
+    * predicate). Bits 60-63 are always clear. */
+  def simhash60FromHashes(hashes: ArrayData): Long = {
+    val n = hashes.numElements()
+    val ones = new Array[Int](60)
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var j = 0
+      while (j < 60) {
+        if (((h >>> j) & 1L) == 1L) ones(j) += 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 60) {
+      if (2 * ones(j) > n) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
   /** MinHash signature over precomputed shingle hashes (the hash IS the
     * base value; k affine permutations as in `minhash`). */
   def minhashFromHashes(hashes: ArrayData, a: Array[Long], b: Array[Long]): ArrayData = {
@@ -300,12 +449,82 @@ case class PositionalShingleHashes(child: Expression, n: Int, seed: Long = 42L)
       : PositionalShingleHashes = copy(child = newChild)
 }
 
+/** Positional word n-gram POLY fingerprints (SQL-replayable Rabin
+  * family): string → array<long>, slot t = mod-1e9+7 fold of tokens
+  * [t, t+n-1]. */
+case class PositionalShinglePolyHashes(child: Expression, n: Int)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"expected string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_poly_pos"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SketchImpl.shingleHashesPositionalPoly(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.SketchImpl.shingleHashesPositionalPoly($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : PositionalShinglePolyHashes = copy(child = newChild)
+}
+
+/** Distinct word n-gram 60-bit two-poly fingerprints (SQL-replayable):
+  * string → sorted-distinct array<long>. */
+case class ShinglePolyHashes(child: Expression, n: Int)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"expected string, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_poly"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SketchImpl.shingleHashesPoly(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.SketchImpl.shingleHashesPoly($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : ShinglePolyHashes = copy(child = newChild)
+}
+
 trait HashArrayInput { self: UnaryExpression =>
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"expected array<bigint>, got ${other.simpleString}")
   }
+}
+
+/** 60-bit SimHash from precomputed two-poly fingerprints (strict-
+  * majority bit rule; SQL-replayable): array<long> → long. */
+case class SimHash60FromHashes(child: Expression)
+  extends UnaryExpression with HashArrayInput {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash60"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SketchImpl.simhash60FromHashes(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.SketchImpl.simhash60FromHashes($c);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : SimHash60FromHashes = copy(child = newChild)
 }
 
 /** MinHash signature from precomputed shingle hashes: array<long> →

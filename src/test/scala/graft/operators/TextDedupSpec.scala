@@ -99,12 +99,12 @@ class TextDedupSpec extends SparkSpec {
     val chunks = Dedup.cdcChunks(docs).collect()
     val byDoc = chunks.groupBy(_.getAs[Long]("doc_id"))
     // chunks tile the positional-gram stream exactly: Σ n_tokens = T−k+1
-    assert(byDoc(1L).map(_.getAs[Int]("n_tokens").toLong).sum == 200 - 4 + 1)
-    assert(byDoc(2L).map(_.getAs[Int]("n_tokens").toLong).sum == 204 - 4 + 1)
+    assert(byDoc(1L).map(_.getAs[Long]("n_tokens")).sum == 200 - 4 + 1)
+    assert(byDoc(2L).map(_.getAs[Long]("n_tokens")).sum == 204 - 4 + 1)
     // SHIFT RESISTANCE: the 4-token prepend changes every offset, but
     // every chunk of doc1 from its first boundary on re-appears in doc2
     // verbatim — fixed-size chunking would lose all of them
-    def ordered(id: Long) = byDoc(id).sortBy(_.getAs[Int]("start_tok"))
+    def ordered(id: Long) = byDoc(id).sortBy(_.getAs[Long]("start_tok"))
       .map(_.getAs[Long]("chunk_hash")).toSeq
     val tail1 = ordered(1L).drop(1)
     assert(tail1.nonEmpty, "test corpus must produce several chunks")

@@ -183,6 +183,18 @@ for _ in range(N_DOC):
     texts.append(" ".join(VOCAB[i] for i in rng.integers(0, len(VOCAB), nw)))
     langs.append(LANGS[rng.choice(5, p=LANG_W)])
     srcs.append(f"src{int(rng.integers(0, 20))}")
+# plant near-duplicates like the seed-42 profile (~24 near-dup pairs at
+# sf0.01: shared long n-grams, 1-3 word perturbations) so the dedup /
+# sketch surfaces (dd_*, mm_phash, dd_cdc_chunks) see non-empty
+# candidate sets on the alternate draw too
+n_near = max(10, N_DOC // 50)
+for tgt in rng.choice(np.arange(N_DOC // 2, N_DOC), n_near, replace=False):
+    src_doc = int(rng.integers(0, N_DOC // 2))
+    words = texts[src_doc].split(" ")
+    for _ in range(int(rng.integers(1, 4))):
+        words[int(rng.integers(0, len(words)))] = \
+            VOCAB[int(rng.integers(0, len(VOCAB)))]
+    texts[int(tgt)] = " ".join(words)
 write("documents",
       {"doc_id": pa.array(np.arange(N_DOC, dtype=np.int64)),
        "text": texts, "lang": langs, "source": srcs,
