@@ -2320,7 +2320,8 @@ object SparkEntry {
     "ts_ses_grid" ->
       """WITH RECURSIVE h AS (SELECT
              epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
-             round(avg(value), 6) AS v
+             CAST((sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 20000
+               + count(*)) // (2 * count(*)) AS DOUBLE) / 1e6 AS v
            FROM events WHERE event_type = 'click' GROUP BY 1),
          ev AS (SELECT hr, v,
              row_number() OVER (ORDER BY hr) AS rn
@@ -2484,7 +2485,8 @@ object SparkEntry {
     "ts_granger" ->
       """WITH hourly AS (SELECT event_type,
              epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
-             round(avg(value), 6) AS v
+             CAST((sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 20000
+               + count(*)) // (2 * count(*)) AS DOUBLE) / 1e6 AS v
            FROM events WHERE event_type IN ('click', 'purchase')
            GROUP BY 1, 2),
          xy AS (SELECT a.hr, a.v AS x, b.v AS y
@@ -2659,7 +2661,8 @@ object SparkEntry {
     "ts_dtw" ->
       """WITH RECURSIVE hourly AS (SELECT event_type,
              epoch_us(date_trunc('day', ts)) // 86400000000 AS hr,
-             round(avg(value), 6) AS v
+             CAST((sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 20000
+               + count(*)) // (2 * count(*)) AS DOUBLE) / 1e6 AS v
            FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2),
          xs AS (SELECT row_number() OVER (ORDER BY hr) AS i,
              CAST(round(v * 1e6) AS BIGINT) AS x6
@@ -3799,7 +3802,8 @@ object SparkEntry {
     "ts_autocorr_time" ->
       """WITH hourly AS (SELECT
              epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
-             round(avg(value), 6) AS v
+             CAST((sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 20000
+               + count(*)) // (2 * count(*)) AS DOUBLE) / 1e6 AS v
            FROM events WHERE event_type = 'click' GROUP BY 1),
          l AS (SELECT unnest(range(1, 13)) AS lag),
          r AS (SELECT lag,
@@ -6269,7 +6273,8 @@ object SparkEntry {
     "ts_flatness" ->
       """WITH hourly AS (SELECT
              epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
-             round(avg(value), 6) AS v
+             CAST((sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 20000
+               + count(*)) // (2 * count(*)) AS DOUBLE) / 1e6 AS v
            FROM events WHERE event_type = 'click' GROUP BY 1),
          m AS (SELECT round(avg(v), 6) AS vm,
              CAST(count(*) AS BIGINT) AS n FROM hourly),
@@ -7333,7 +7338,8 @@ object SparkEntry {
       """WITH cells AS (SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
              CAST(hour(ts) AS INTEGER) AS hod,
              CAST(count(*) AS BIGINT) AS n,
-             round(avg(value), 6) AS value_mean
+             CAST((sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 20000
+               + count(*)) // (2 * count(*)) AS DOUBLE) / 1e6 AS value_mean
            FROM events GROUP BY 1, 2),
          t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM cells)
          SELECT dow, hod, n, value_mean,
@@ -7425,10 +7431,12 @@ object SparkEntry {
       """WITH k AS (SELECT CAST(day(ts) AS INTEGER) AS day, event_type,
              event_id, value FROM events),
          b AS (SELECT day, event_type, CAST(count(*) AS BIGINT) AS n,
-             round(avg(value), 6) AS m
+             CAST((sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 20000
+               + count(*)) // (2 * count(*)) AS DOUBLE) / 1e6 AS m
            FROM k WHERE day <= 20 GROUP BY 1, 2),
          sp AS (SELECT day, event_type, CAST(count(*) AS BIGINT) AS n,
-             round(avg(value), 6) AS m
+             CAST((sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 20000
+               + count(*)) // (2 * count(*)) AS DOUBLE) / 1e6 AS m
            FROM k WHERE day >= 20 AND event_id % 2 = 0 GROUP BY 1, 2)
          SELECT coalesce(b.day, sp.day) AS day,
            coalesce(b.event_type, sp.event_type) AS event_type,
@@ -7439,7 +7447,8 @@ object SparkEntry {
            ON b.day = sp.day AND b.event_type = sp.event_type""",
     "lam_daily_profile" ->
       """SELECT CAST(day(ts) AS INTEGER) AS day, event_type,
-           round(avg(value),6) AS value_mean,
+           CAST((sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 20000
+               + count(*)) // (2 * count(*)) AS DOUBLE) / 1e6 AS value_mean,
            round(stddev_samp(value),6) AS value_std, count(*) AS n
          FROM events GROUP BY 1, 2""",
     "lam_records" ->
@@ -7450,7 +7459,8 @@ object SparkEntry {
     "lam_anomaly_join" ->
       """WITH prof AS (
            SELECT CAST(day(ts) AS INTEGER) AS p_day, event_type AS p_type,
-             round(avg(value),6) AS value_mean, round(stddev_samp(value),6) AS value_std
+             CAST((sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 20000
+               + count(*)) // (2 * count(*)) AS DOUBLE) / 1e6 AS value_mean, round(stddev_samp(value),6) AS value_std
            FROM events GROUP BY 1, 2)
          SELECT CAST(day(e.ts) AS INTEGER) AS day, e.event_type,
            count(*) AS n_anomalies,
@@ -7962,7 +7972,8 @@ object SparkEntry {
     "st_runs" ->
       """WITH hourly AS (SELECT epoch_us(date_trunc('hour', ts))
                // 3600000000 AS hr,
-             round(avg(value), 6) AS v
+             CAST((sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 20000
+               + count(*)) // (2 * count(*)) AS DOUBLE) / 1e6 AS v
            FROM events WHERE event_type = 'click' GROUP BY 1),
          med AS (SELECT round(quantile_cont(v,
              CAST(1 AS DOUBLE)/2), 6) AS m FROM hourly),
@@ -9098,7 +9109,8 @@ object SparkEntry {
     "st_mahalanobis" ->
       """WITH feats AS (SELECT user_id,
              CAST(count(*) AS DOUBLE) AS y,
-             round(avg(value), 6) AS x
+             CAST((sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 20000
+               + count(*)) // (2 * count(*)) AS DOUBLE) / 1e6 AS x
            FROM events GROUP BY 1),
          m AS (SELECT avg(x) AS mx, avg(y) AS my,
              var_pop(x) AS vx, var_pop(y) AS vy,
@@ -9294,7 +9306,8 @@ object SparkEntry {
     "ts_pacf" ->
       """WITH hourly AS (
            SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
-             round(avg(value), 6) AS v
+             CAST((sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 20000
+               + count(*)) // (2 * count(*)) AS DOUBLE) / 1e6 AS v
            FROM events WHERE event_type = 'click'
            GROUP BY 1),
          l AS (SELECT unnest(range(0, 13)) AS lag),
@@ -9956,7 +9969,8 @@ object SparkEntry {
     "ts_seasonal_mk" ->
       """WITH hv AS (SELECT hr % 24 AS hod, hr // 24 AS day, v FROM (
            SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
-             round(avg(value), 6) AS v
+             CAST((sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 20000
+               + count(*)) // (2 * count(*)) AS DOUBLE) / 1e6 AS v
            FROM events WHERE event_type = 'click' GROUP BY 1)),
          p AS (SELECT CAST(sum(CAST(sign(b.v - a.v) AS BIGINT))
                AS BIGINT) AS s
@@ -9982,7 +9996,8 @@ object SparkEntry {
     "ts_mann_kendall" ->
       """WITH hourly AS (SELECT
              epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
-             round(avg(value), 6) AS v
+             CAST((sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 20000
+               + count(*)) // (2 * count(*)) AS DOUBLE) / 1e6 AS v
            FROM events WHERE event_type = 'click' GROUP BY 1),
          p AS (SELECT CAST(sum(CAST(sign(b.v - a.v) AS BIGINT))
                AS BIGINT) AS s
@@ -10762,7 +10777,8 @@ object SparkEntry {
     "ts_profile_outlier" ->
       """WITH hourly AS (SELECT
              epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
-             round(avg(value), 6) AS v
+             CAST((sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 20000
+               + count(*)) // (2 * count(*)) AS DOUBLE) / 1e6 AS v
            FROM events WHERE event_type = 'click' GROUP BY 1),
          h AS (SELECT hr // 24 AS day, hr % 24 AS hod, v FROM hourly),
          p AS (SELECT hod, round(avg(v), 6) AS pv FROM h GROUP BY 1)
@@ -10773,7 +10789,8 @@ object SparkEntry {
     "ts_sax" ->
       """WITH hourly AS (SELECT
              epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
-             round(avg(value), 6) AS v
+             CAST((sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 20000
+               + count(*)) // (2 * count(*)) AS DOUBLE) / 1e6 AS v
            FROM events WHERE event_type = 'click' GROUP BY 1),
          h AS (SELECT hr, v, hr // 24 AS day,
              (hr % 24) // 4 AS block FROM hourly),
@@ -10965,7 +10982,8 @@ object SparkEntry {
     "ts_conformal" ->
       """WITH hourly AS (SELECT
              epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
-             round(avg(value), 6) AS v
+             CAST((sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 20000
+               + count(*)) // (2 * count(*)) AS DOUBLE) / 1e6 AS v
            FROM events WHERE event_type = 'click' GROUP BY 1),
          p AS (SELECT hr, v, lag(v, 24) OVER (ORDER BY hr) AS pred
            FROM hourly),
@@ -11065,7 +11083,8 @@ object SparkEntry {
     "ts_variance_ratio" ->
       """WITH hourly AS (SELECT
              epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
-             round(avg(value), 6) AS v
+             CAST((sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 20000
+               + count(*)) // (2 * count(*)) AS DOUBLE) / 1e6 AS v
            FROM events WHERE event_type = 'click' GROUP BY 1),
          d AS (SELECT v - lag(v, 1) OVER w AS d1,
              v - lag(v, 2) OVER w AS d2,
@@ -11090,7 +11109,8 @@ object SparkEntry {
     "ts_spectral_entropy" ->
       """WITH hourly AS (SELECT
              epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
-             round(avg(value), 6) AS v
+             CAST((sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 20000
+               + count(*)) // (2 * count(*)) AS DOUBLE) / 1e6 AS v
            FROM events WHERE event_type = 'click' GROUP BY 1),
          m AS (SELECT round(avg(v), 6) AS vm,
              CAST(count(*) AS BIGINT) AS n FROM hourly),
@@ -11139,7 +11159,8 @@ object SparkEntry {
     "ts_periodogram" ->
       """WITH hourly AS (SELECT
              epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
-             round(avg(value), 6) AS v
+             CAST((sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 20000
+               + count(*)) // (2 * count(*)) AS DOUBLE) / 1e6 AS v
            FROM events WHERE event_type = 'click' GROUP BY 1),
          m AS (SELECT round(avg(v), 6) AS vm,
              CAST(count(*) AS BIGINT) AS n FROM hourly),
@@ -11202,7 +11223,8 @@ object SparkEntry {
     "ts_perm_entropy" ->
       """WITH hourly AS (SELECT
              epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
-             round(avg(value), 6) AS v
+             CAST((sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 20000
+               + count(*)) // (2 * count(*)) AS DOUBLE) / 1e6 AS v
            FROM events WHERE event_type = 'click' GROUP BY 1),
          t AS (SELECT v,
              lead(v, 1) OVER (ORDER BY hr) AS v1,
@@ -11439,7 +11461,8 @@ object SparkEntry {
     "ts_ljungbox" ->
       """WITH hourly AS (SELECT
              epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
-             round(avg(value), 6) AS v
+             CAST((sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 20000
+               + count(*)) // (2 * count(*)) AS DOUBLE) / 1e6 AS v
            FROM events WHERE event_type = 'click' GROUP BY 1),
          l AS (SELECT unnest(range(1, 13)) AS lag),
          ac AS (SELECT lag, round(corr(a.v, b.v), 6) AS r
@@ -11477,7 +11500,8 @@ object SparkEntry {
     "ts_backtest" ->
       """WITH hourly AS (SELECT
              epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
-             round(avg(value), 6) AS v
+             CAST((sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 20000
+               + count(*)) // (2 * count(*)) AS DOUBLE) / 1e6 AS v
            FROM events WHERE event_type = 'click' GROUP BY 1),
          seq AS (SELECT hr, v,
              row_number() OVER (ORDER BY hr) AS rn,
@@ -12874,7 +12898,8 @@ object SparkEntry {
     "ts_acf" ->
       """WITH hourly AS (
            SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
-             round(avg(value), 6) AS v
+             CAST((sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 20000
+               + count(*)) // (2 * count(*)) AS DOUBLE) / 1e6 AS v
            FROM events WHERE event_type = 'click'
            GROUP BY 1),
          l AS (SELECT unnest(range(0, 13)) AS lag)
@@ -12903,7 +12928,8 @@ object SparkEntry {
     "ts_peaks" ->
       """WITH h AS (SELECT event_type,
              epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
-             CAST(round(avg(value) * 1e4) AS BIGINT) AS v
+             (sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 200
+               + count(*)) // (2 * count(*)) AS v
            FROM events GROUP BY 1, 2),
          x AS (SELECT event_type, hr, v,
              lag(v) OVER w AS pv, lead(v) OVER w AS nv,
@@ -13122,7 +13148,8 @@ object SparkEntry {
     "ts_rolling_corr" ->
       """WITH hourly AS (SELECT event_type,
              epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
-             CAST(round(avg(value) * 1e4) AS BIGINT) AS v
+             (sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 200
+               + count(*)) // (2 * count(*)) AS v
            FROM events WHERE event_type IN ('click', 'purchase')
            GROUP BY 1, 2),
          j AS (SELECT a.hr, a.v AS x, b.v AS y
@@ -13144,7 +13171,8 @@ object SparkEntry {
     "ts_theil_sen" ->
       """WITH hourly AS (SELECT event_type,
              epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
-             round(avg(value), 6) AS v
+             CAST((sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 20000
+               + count(*)) // (2 * count(*)) AS DOUBLE) / 1e6 AS v
            FROM events GROUP BY 1, 2),
          hx AS (SELECT event_type,
              hr - min(hr) OVER (PARTITION BY event_type) AS x, v
@@ -13161,7 +13189,8 @@ object SparkEntry {
          GROUP BY event_type""",
     "ts_cusum" ->
       """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
-             round(avg(value), 6) AS v
+             CAST((sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 20000
+               + count(*)) // (2 * count(*)) AS DOUBLE) / 1e6 AS v
            FROM events GROUP BY 1, 2),
          s AS (SELECT event_type, hour,
              row_number() OVER (PARTITION BY event_type ORDER BY hour) AS i,
@@ -13285,7 +13314,8 @@ object SparkEntry {
       """WITH hourly AS (
            SELECT event_type,
              epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
-             round(avg(value), 6) AS v
+             CAST((sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 20000
+               + count(*)) // (2 * count(*)) AS DOUBLE) / 1e6 AS v
            FROM events WHERE event_type IN ('click', 'purchase')
            GROUP BY 1, 2),
          a AS (SELECT hr, v AS va FROM hourly WHERE event_type = 'click'),

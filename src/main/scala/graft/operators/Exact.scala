@@ -48,4 +48,36 @@ object Exact {
     expr(s"($a div $b) - (case when $a % $b != 0 and $a < 0" +
       " then 1 else 0 end)")
   }
+
+  /** Engine-exact `round(avg(value)*1e4)` (ten-thousandths units, the
+    * rolling-corr/peaks quantization): same construction as
+    * [[avgValueMicros]] at scale 10² over cents. DuckDB twin:
+    * (sum(CAST(floor(value*100+0.5) AS BIGINT))*200 + count(*))
+    * // (2*count(*)). */
+  val avgValue4dp: Column = {
+    val a = "(sum(cast(floor(value * 100 + 0.5) as bigint)) * 200" +
+      " + count(1))"
+    val b = "(2 * count(1))"
+    expr(s"($a div $b) - (case when $a % $b != 0 and $a < 0" +
+      " then 1 else 0 end)")
+  }
+
+  /** [[avgValueMicros]] over an arbitrary SQL value expression (e.g. a
+    * `case when event_type = 'click' then value end` conditional mean):
+    * null rows drop from both the sum and the count exactly as `avg`
+    * drops them, and an all-null group returns NULL (nullif guard)
+    * rather than dividing by zero — matching `round(avg(...), 6)`'s
+    * NULL. The r12 grid audit showed hourly/per-user means REACH the
+    * 1e-6 half-boundary whenever 32 | n (89 type-hour hits at sf0.1,
+    * 3 per-user hits at sf0.01), so every `round(avg(value-grid), 6)`
+    * interface column rides this instead of engine round(). DuckDB
+    * twin: (sum(CAST(floor((V)*100+0.5) AS BIGINT))*20000 + count(V))
+    * // nullif(2*count(V), 0). */
+  def avgMicrosExpr(valueExpr: String): Column = {
+    val a = s"(sum(cast(floor(($valueExpr) * 100 + 0.5) as bigint))" +
+      s" * 20000 + count($valueExpr))"
+    val b = s"(2 * count($valueExpr))"
+    expr(s"($a div nullif($b, 0)) - (case when $a % nullif($b, 0) != 0" +
+      s" and $a < 0 then 1 else 0 end)")
+  }
 }

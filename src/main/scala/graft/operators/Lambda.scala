@@ -41,7 +41,7 @@ object Lambda {
       .withColumn("day", dayofmonth(col("ts")))
       .groupBy("day", "event_type")
       .agg(
-        round(avg("value"), 6).as("value_mean"),
+        (Exact.avgValueMicros.cast("double") / lit(1e6)).as("value_mean"),
         round(stddev_samp("value"), 6).as("value_std"),
         count(lit(1)).as("n"))
 
@@ -103,7 +103,7 @@ object Lambda {
     val keyed = events.withColumn("day", dayofmonth(col("ts")))
     def profile(df: DataFrame): DataFrame =
       df.groupBy("day", "event_type")
-        .agg(count(lit(1)).as("n"), round(avg("value"), 6).as("value_mean"))
+        .agg(count(lit(1)).as("n"), (Exact.avgValueMicros.cast("double") / lit(1e6)).as("value_mean"))
     reconcile(
       profile(keyed.filter(col("day") <= cutoffDay)),
       profile(keyed.filter(col("day") >= cutoffDay &&

@@ -217,7 +217,7 @@ object Resample {
     val rows = events.filter(col("event_type") === eventType)
       .groupBy(expr("unix_seconds(date_trunc('hour', ts)) div 3600")
         .as("hr"))
-      .agg(round(avg("value"), 6).as("v"))
+      .agg((Exact.avgValueMicros.cast("double") / lit(1e6)).as("v"))
       .select(col("hr"), col("v")).as[(Long, Double)]
       .groupByKey(_ => 0)
       .flatMapSortedGroups($"hr") { (_, it) =>
@@ -391,7 +391,7 @@ object Resample {
   def hourDowProfile(events: DataFrame): DataFrame = {
     val cells = events.groupBy(
         dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hod"))
-      .agg(count(lit(1)).as("n"), round(avg("value"), 6).as("value_mean"))
+      .agg(count(lit(1)).as("n"), (Exact.avgValueMicros.cast("double") / lit(1e6)).as("value_mean"))
     cells.crossJoin(broadcast(cells.agg(sum("n").as("__t"))))
       .select(col("dow"), col("hod"), col("n"), col("value_mean"),
         round(col("n") / col("__t"), 6).as("share"))
@@ -435,7 +435,7 @@ object Resample {
       Window.unboundedFollowing)
     val scored = events
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
-      .agg(round(avg("value"), 6).as("v"))
+      .agg((Exact.avgValueMicros.cast("double") / lit(1e6)).as("v"))
       .withColumn("i", row_number().over(byHour))
       .withColumn("prefix", sum("v").over(run))
       .withColumn("total", last("prefix").over(all))
@@ -643,7 +643,7 @@ object Resample {
     val hourly = events.filter(col("event_type").isin(ga, gb))
       .groupBy(col("event_type"),
         expr("unix_seconds(date_trunc('hour', ts)) div 3600").as("hr"))
-      .agg(round(avg("value"), 6).as("v"))
+      .agg((Exact.avgValueMicros.cast("double") / lit(1e6)).as("v"))
     val a = hourly.filter(col("event_type") === ga)
       .select(col("hr"), col("v").as("va"))
     val b = hourly.filter(col("event_type") === gb)
@@ -727,7 +727,7 @@ object Resample {
            maxLag: Int = 12): DataFrame = {
     val hourly = events.filter(col("event_type") === eventType)
       .groupBy(expr("unix_seconds(date_trunc('hour', ts)) div 3600").as("hr"))
-      .agg(round(avg("value"), 6).as("v"))
+      .agg((Exact.avgValueMicros.cast("double") / lit(1e6)).as("v"))
     val b = hourly.select(col("hr").as("hr_b"), col("v").as("vb"))
     val rRows = hourly
       .withColumn("lag", explode(sequence(lit(0L), lit(maxLag.toLong))))
@@ -781,7 +781,7 @@ object Resample {
     val hourly = events.filter(col("event_type").isin(causeType, effectType))
       .groupBy(col("event_type"),
         expr("unix_seconds(date_trunc('hour', ts)) div 3600").as("hr"))
-      .agg(round(avg("value"), 6).as("v"))
+      .agg((Exact.avgValueMicros.cast("double") / lit(1e6)).as("v"))
     val x = hourly.filter(col("event_type") === causeType)
       .select(col("hr"), col("v").as("x"))
     val y = hourly.filter(col("event_type") === effectType)
@@ -896,7 +896,7 @@ object Resample {
     val hourly = events.filter(col("event_type").isin(ga, gb))
       .groupBy(col("event_type"),
         expr("unix_seconds(date_trunc('hour', ts)) div 3600").as("hr"))
-      .agg(round(avg("value") * 1e4).cast("long").as("v"))
+      .agg(Exact.avgValue4dp.as("v"))
     val joined = hourly.filter(col("event_type") === ga)
       .select(col("hr"), col("v").as("x"))
       .join(hourly.filter(col("event_type") === gb)
@@ -937,7 +937,7 @@ object Resample {
     val hourly = events
       .groupBy(col("event_type"),
         expr("unix_seconds(date_trunc('hour', ts)) div 3600").as("hr"))
-      .agg(round(avg("value"), 6).as("v"))
+      .agg((Exact.avgValueMicros.cast("double") / lit(1e6)).as("v"))
       .withColumn("x",
         col("hr") - min("hr").over(Window.partitionBy("event_type")))
     val slopes = hourly.select(col("event_type"), col("x").as("x1"),
@@ -995,7 +995,7 @@ object Resample {
     val hourly = events
       .groupBy(col("event_type"),
         expr("unix_seconds(date_trunc('hour', ts)) div 3600").as("hr"))
-      .agg(round(avg("value") * 1e4).cast("long").as("v"))
+      .agg(Exact.avgValue4dp.as("v"))
     hourly
       .withColumn("__prev", lag("v", 1).over(w))
       .withColumn("__next", lead("v", 1).over(w))
@@ -1076,7 +1076,7 @@ object Resample {
     val hourly = events.filter(col("event_type") === eventType)
       .groupBy(expr("unix_seconds(date_trunc('hour', ts)) div 3600")
         .as("hr"))
-      .agg(round(avg("value"), 6).as("v"))
+      .agg((Exact.avgValueMicros.cast("double") / lit(1e6)).as("v"))
     val b = hourly.select(col("hr").as("hr2"), col("v").as("v2"))
     val s = hourly.join(broadcast(b), col("hr") < col("hr2"))
       .agg(sum(signum(col("v2") - col("v")).cast("long")).as("s"))
@@ -1115,7 +1115,7 @@ object Resample {
     val hv = events.filter(col("event_type") === eventType)
       .groupBy(expr("unix_seconds(date_trunc('hour', ts)) div 3600")
         .as("hr"))
-      .agg(round(avg("value"), 6).as("v"))
+      .agg((Exact.avgValueMicros.cast("double") / lit(1e6)).as("v"))
       .select((col("hr") % 24).as("hod"),
         expr("hr div 24").as("day"), col("v"))
     val b = hv.select(col("hod"), col("day").as("day2"),
@@ -1320,7 +1320,7 @@ object Resample {
     val hourly = events.filter(col("event_type") === eventType)
       .groupBy(expr("unix_seconds(date_trunc('hour', ts)) div 3600")
         .as("hr"))
-      .agg(round(avg("value"), 6).as("v"))
+      .agg((Exact.avgValueMicros.cast("double") / lit(1e6)).as("v"))
     val mean = hourly.agg(round(avg("v"), 6).as("vm"),
       count(lit(1)).as("n"))
     val centered = hourly.crossJoin(broadcast(mean))
@@ -1465,7 +1465,7 @@ object Resample {
     val hourly = events.filter(col("event_type") === eventType)
       .groupBy(expr("unix_seconds(date_trunc('hour', ts)) div 3600")
         .as("hr"))
-      .agg(round(avg("value"), 6).as("v"))
+      .agg((Exact.avgValueMicros.cast("double") / lit(1e6)).as("v"))
       .withColumn("pred", lag("v", 24).over(w))
       .filter(col("pred").isNotNull)
       .withColumn("r", round(abs(col("v") - col("pred")), 6))
@@ -1502,7 +1502,7 @@ object Resample {
     val hourly = events.filter(col("event_type") === eventType)
       .groupBy(expr("unix_seconds(date_trunc('hour', ts)) div 3600")
         .as("hr"))
-      .agg(round(avg("value"), 6).as("v"))
+      .agg((Exact.avgValueMicros.cast("double") / lit(1e6)).as("v"))
       .select(floor(col("hr") / 24).as("day"),
         pmod(col("hr"), lit(24)).as("hod"), col("v"))
     val profile = hourly.groupBy("hod")
@@ -1538,7 +1538,7 @@ object Resample {
     val hourly = events.filter(col("event_type") === eventType)
       .groupBy(expr("unix_seconds(date_trunc('hour', ts)) div 3600")
         .as("hr"))
-      .agg(round(avg("value"), 6).as("v"))
+      .agg((Exact.avgValueMicros.cast("double") / lit(1e6)).as("v"))
       .withColumn("day", floor(col("hr") / 24))
     val dstats = hourly.groupBy("day")
       .agg(avg("v").as("mu"), stddev_pop(col("v")).as("sd"),
@@ -1577,7 +1577,7 @@ object Resample {
     val hourly = events.filter(col("event_type") === eventType)
       .groupBy(expr("unix_seconds(date_trunc('hour', ts)) div 3600")
         .as("hr"))
-      .agg(round(avg("value"), 6).as("v"))
+      .agg((Exact.avgValueMicros.cast("double") / lit(1e6)).as("v"))
     val w = org.apache.spark.sql.expressions.Window.orderBy("hr")
     val lagged = hourly.select(
       (col("v") - lag("v", 1).over(w)).as("d1") +:
@@ -1642,9 +1642,13 @@ object Resample {
       .groupBy(expr("unix_seconds(date_trunc('hour', ts)) div 3600")
         .as("hr"))
       .agg(
-        round(avg(when(col("event_type") === typeA, col("value"))), 6)
+        (Exact.avgMicrosExpr(
+          s"case when event_type = '$typeA' then value end")
+          .cast("double") / lit(1e6))
           .as("x"),
-        round(avg(when(col("event_type") === typeB, col("value"))), 6)
+        (Exact.avgMicrosExpr(
+          s"case when event_type = '$typeB' then value end")
+          .cast("double") / lit(1e6))
           .as("y"))
       .filter(col("x").isNotNull && col("y").isNotNull)
     val fit = hourly.agg(
@@ -1689,7 +1693,7 @@ object Resample {
     val hourly = events.filter(col("event_type") === eventType)
       .groupBy(expr("unix_seconds(date_trunc('hour', ts)) div 3600")
         .as("hr"))
-      .agg(round(avg("value"), 6).as("v"))
+      .agg((Exact.avgValueMicros.cast("double") / lit(1e6)).as("v"))
     val w = Window.orderBy("hr")
     val trip = hourly
       .withColumn("v1", lead("v", 1).over(w))
@@ -1741,7 +1745,7 @@ object Resample {
       .groupBy(col("event_type"),
         expr(s"unix_seconds(date_trunc('$grain', ts)) div $grainSec")
           .as("hr"))
-      .agg(round(avg("value"), 6).as("v"))
+      .agg((Exact.avgValueMicros.cast("double") / lit(1e6)).as("v"))
       .orderBy("hr")
     // r9 [oracle] flip: values quantize to micro-unit LONGS, so the DP
     // is exact integer min-plus algebra — every algebraically-equal
@@ -1834,7 +1838,7 @@ object Resample {
     val hourly = events.filter(col("event_type") === eventType)
       .groupBy(expr("unix_seconds(date_trunc('hour', ts)) div 3600")
         .as("hr"))
-      .agg(round(avg("value"), 6).as("v"))
+      .agg((Exact.avgValueMicros.cast("double") / lit(1e6)).as("v"))
     val w = Window.orderBy("hr")
     val seq = hourly
       .withColumn("rn", row_number().over(w))

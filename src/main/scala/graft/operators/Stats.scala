@@ -1032,9 +1032,13 @@ object Stats {
       .groupBy(expr("unix_seconds(date_trunc('hour', ts)) div 3600")
         .as("hr"))
       .agg(
-        round(avg(when(col("event_type") === typeA, col("value"))), 6)
+        (Exact.avgMicrosExpr(
+          s"case when event_type = '$typeA' then value end")
+          .cast("double") / lit(1e6))
           .as("x"),
-        round(avg(when(col("event_type") === typeB, col("value"))), 6)
+        (Exact.avgMicrosExpr(
+          s"case when event_type = '$typeB' then value end")
+          .cast("double") / lit(1e6))
           .as("y"))
       .filter(col("x").isNotNull && col("y").isNotNull)
 
@@ -1792,7 +1796,7 @@ object Stats {
     val hourly = events.filter(col("event_type") === eventType)
       .groupBy(expr("unix_seconds(date_trunc('hour', ts)) div 3600")
         .as("hr"))
-      .agg(round(avg("value"), 6).as("v"))
+      .agg((Exact.avgValueMicros.cast("double") / lit(1e6)).as("v"))
     val med = hourly.agg(
       round(expr("percentile(v, CAST(1 AS DOUBLE)/2)"), 6).as("__m"))
     val signed = hourly.crossJoin(broadcast(med))
@@ -2776,9 +2780,13 @@ object Stats {
       .groupBy(expr("unix_seconds(date_trunc('hour', ts)) div 3600")
         .as("hr"))
       .agg(
-        round(avg(when(col("event_type") === typeA, col("value"))), 6)
+        (Exact.avgMicrosExpr(
+          s"case when event_type = '$typeA' then value end")
+          .cast("double") / lit(1e6))
           .as("x"),
-        round(avg(when(col("event_type") === typeB, col("value"))), 6)
+        (Exact.avgMicrosExpr(
+          s"case when event_type = '$typeB' then value end")
+          .cast("double") / lit(1e6))
           .as("y"))
       .filter(col("x").isNotNull && col("y").isNotNull)
     val b = hourly.select(col("hr").as("hr2"), col("x").as("x2"),
@@ -2959,7 +2967,9 @@ object Stats {
     require(types.size == 3, "row-local rank formulas are written for k=3")
     val Seq(t1, t2, t3) = types
     def m(t: String) =
-      round(avg(when(col("event_type") === t, col("value"))), 6)
+      (Exact.avgMicrosExpr(
+          s"case when event_type = '$t' then value end")
+          .cast("double") / lit(1e6))
     val blocks = events.filter(col("event_type").isin(types: _*))
       .groupBy("user_id")
       .agg(m(t1).as("x1"), m(t2).as("x2"), m(t3).as("x3"))
@@ -3054,7 +3064,9 @@ object Stats {
     val Seq(t1, t2, t3) = types
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     def m(t: String) =
-      round(avg(when(col("event_type") === t, col("value"))), 6)
+      (Exact.avgMicrosExpr(
+          s"case when event_type = '$t' then value end")
+          .cast("double") / lit(1e6))
     def lt(a: Column, bb: Column) = when(a < bb, 1L).otherwise(0L)
     def eq(a: Column, bb: Column) = when(a === bb, 1L).otherwise(0L)
     def r2(self: Column, o1: Column, o2: Column) =
@@ -3844,11 +3856,17 @@ object Stats {
       .groupBy(expr("unix_seconds(date_trunc('hour', ts)) div 3600")
         .as("hr"))
       .agg(
-        round(avg(when(col("event_type") === typeA, col("value"))), 6)
+        (Exact.avgMicrosExpr(
+          s"case when event_type = '$typeA' then value end")
+          .cast("double") / lit(1e6))
           .as("x"),
-        round(avg(when(col("event_type") === typeB, col("value"))), 6)
+        (Exact.avgMicrosExpr(
+          s"case when event_type = '$typeB' then value end")
+          .cast("double") / lit(1e6))
           .as("y"),
-        round(avg(when(col("event_type") === ctrl, col("value"))), 6)
+        (Exact.avgMicrosExpr(
+          s"case when event_type = '$ctrl' then value end")
+          .cast("double") / lit(1e6))
           .as("z"))
       .filter(col("x").isNotNull && col("y").isNotNull &&
         col("z").isNotNull)
@@ -3880,7 +3898,7 @@ object Stats {
   def mahalanobisOutliers(events: DataFrame, topK: Int = 10): DataFrame = {
     val feats = events.groupBy("user_id")
       .agg(count(lit(1)).cast("double").as("y"),
-        round(avg(col("value")), 6).as("x"))
+        (Exact.avgValueMicros.cast("double") / lit(1e6)).as("x"))
     val m = feats.agg(avg("x").as("mx"), avg("y").as("my"),
       var_pop(col("x")).as("vx"), var_pop(col("y")).as("vy"),
       covar_pop(col("x"), col("y")).as("cxy"))
