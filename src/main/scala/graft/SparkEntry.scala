@@ -4136,13 +4136,17 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity),2) AS sum_qty,
            round(sum(l_extendedprice),2) AS sum_base_price,
-           round(sum(l_extendedprice*(1.0-l_discount)),2) AS sum_disc_price,
+           CAST((2 * sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+             + 100) // 200 AS DOUBLE) / 100.0 AS sum_disc_price,
            round(avg(l_quantity),4) AS avg_qty,
            round(avg(l_discount),6) AS avg_disc,
            count(*) AS count_order
          FROM lineitem GROUP BY l_returnflag, l_linestatus""",
     "q2_filter_project" ->
-      """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue
+      """SELECT CAST((2 * sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+             + 100) // 200 AS DOUBLE) / 100.0 AS revenue
          FROM lineitem
          WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
            AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
@@ -12023,7 +12027,9 @@ object SparkEntry {
          GROUP BY 1""",
     "tpch_q3" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-           round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+           CAST((2 * sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+             + 100) // 200 AS DOUBLE) / 100.0 AS revenue
          FROM customer, orders, lineitem
          WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
            AND l_orderkey = o_orderkey
@@ -12033,7 +12039,9 @@ object SparkEntry {
          ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""",
     "tpch_q5" ->
       """SELECT n_name,
-           round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+           CAST((2 * sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+             + 100) // 200 AS DOUBLE) / 100.0 AS revenue
          FROM customer, orders, lineitem, supplier, nation, region
          WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
            AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -12044,7 +12052,9 @@ object SparkEntry {
          GROUP BY 1""",
     "tpch_q10" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name,
-           round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+           CAST((2 * sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+             + 100) // 200 AS DOUBLE) / 100.0 AS revenue
          FROM customer, orders, lineitem, nation
          WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
            AND o_orderdate >= TIMESTAMP '1996-10-01'
@@ -12055,7 +12065,9 @@ object SparkEntry {
     "tpch_q7" ->
       """SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
            year(l_shipdate) AS l_year,
-           round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+           CAST((2 * sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+             + 100) // 200 AS DOUBLE) / 100.0 AS revenue
          FROM lineitem, orders, customer, supplier,
            nation ns, nation nc
          WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
@@ -12069,9 +12081,11 @@ object SparkEntry {
          GROUP BY 1, 2, 3""",
     "tpch_q8" ->
       """SELECT year(o_orderdate) AS o_year,
-           round(sum(CASE WHEN n2.n_name = 'NATION_1'
-               THEN l_extendedprice * (1.0 - l_discount) ELSE 0 END)
-             / sum(l_extendedprice * (1.0 - l_discount)), 6) AS mkt_share
+           round(CAST(sum(CASE WHEN n2.n_name = 'NATION_1'
+               THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE), 6) AS mkt_share
          FROM lineitem, orders, customer, supplier, part,
            nation n1, nation n2, region
          WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
@@ -12093,9 +12107,14 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2) AS sum_qty,
            round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)
+           CAST((2 * sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+             + 100) // 200 AS DOUBLE) / 100.0
              AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+           CAST((2 * sum((CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+             * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT)))
+             + 10000) // 20000 AS DOUBLE) / 100.0
              AS sum_charge,
            round(avg(l_quantity), 4) AS avg_qty,
            round(avg(l_extendedprice), 4) AS avg_price,
@@ -12133,7 +12152,9 @@ object SparkEntry {
              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
          GROUP BY 1""",
     "tpch_q6" ->
-      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+      """SELECT CAST((2 * sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+             + 100) // 200 AS DOUBLE) / 100.0 AS revenue
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
            AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -12141,8 +12162,11 @@ object SparkEntry {
            AND l_quantity < 24""",
     "tpch_q9" ->
       """SELECT n_name, year(o_orderdate) AS o_year,
-           round(sum(l_extendedprice * (1 - l_discount)
-             - 0.8 * p_retailprice * l_quantity), 2) AS profit
+           CAST((2 * sum((CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+             - 80 * CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+             * CAST(l_quantity AS BIGINT))
+             + 100) // 200 AS DOUBLE) / 100.0 AS profit
          FROM lineitem JOIN part ON l_partkey = p_partkey
          JOIN supplier ON l_suppkey = s_suppkey
          JOIN nation ON s_nationkey = n_nationkey
@@ -12226,7 +12250,9 @@ object SparkEntry {
          GROUP BY 1""",
     "tpch_q15" ->
       """WITH r AS (SELECT l_suppkey,
-             round(sum(l_extendedprice * (1 - l_discount)), 2)
+             CAST((2 * sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+             + 100) // 200 AS DOUBLE) / 100.0
                AS total_revenue
            FROM lineitem
            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -12237,7 +12263,9 @@ object SparkEntry {
          WHERE total_revenue = (SELECT max(total_revenue) FROM r)
          ORDER BY s_suppkey""",
     "tpch_q19" ->
-      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2)
+      """SELECT CAST((2 * sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+             + 100) // 200 AS DOUBLE) / 100.0
              AS revenue,
            count(*) AS n_lines
          FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -12249,9 +12277,11 @@ object SparkEntry {
              AND l_quantity BETWEEN 20 AND 30)""",
     "tpch_q14" ->
       """SELECT round(100.0 *
-           sum(CASE WHEN p_type = 'PROMO'
-               THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) /
-           sum(l_extendedprice * (1.0 - l_discount)), 6)
+           CAST(sum(CASE WHEN p_type = 'PROMO'
+               THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) ELSE 0 END) AS DOUBLE) /
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE), 6)
            AS promo_revenue_pct
          FROM lineitem, part
          WHERE l_partkey = p_partkey

@@ -62,6 +62,29 @@ object Exact {
       " then 1 else 0 end)")
   }
 
+  /** Exact `round(sum(money-grid term), 2)` → CENTS: `termSql` is an
+    * integer SQL expression in (100·unitsPerCent)-ths of a dollar (e4
+    * units → unitsPerCent 100, e6 → 10000), summed as exact longs
+    * (order-independent; ANSI overflow is loud — rescale to
+    * decimal(38,0) per the giniStump recipe if a deployment's group
+    * sums approach 2⁶³), then one half-up integer division. Cure for
+    * the tpch_q9 class the r12 sf0.05 gate caught: Σ double(price·
+    * (1−disc)) is partition-order noise on a 1e-4 grid ROUNDED AT
+    * 1e-2, so any group with S ≡ 50 mod 100 (about 1% of groups) is a
+    * representation coin toss. DuckDB twin:
+    * (2*sum(TERM) + U) // (2*U) with U = unitsPerCent. */
+  def roundSumToCents(termSql: String, unitsPerCent: Long): Column = {
+    val a = s"(2 * sum($termSql) + $unitsPerCent)"
+    val b = s"(2 * $unitsPerCent)"
+    expr(s"($a div $b) - (case when $a % $b != 0 and $a < 0" +
+      s" then 1 else 0 end)")
+  }
+
+  /** Revenue term in exact e4 units: cents(price) · (100 − disc%). */
+  val RevenueE4: String =
+    "cast(floor(l_extendedprice * 100 + 0.5) as bigint)" +
+      " * (100 - cast(floor(l_discount * 100 + 0.5) as bigint))"
+
   /** [[avgValueMicros]] over an arbitrary SQL value expression (e.g. a
     * `case when event_type = 'click' then value end` conditional mean):
     * null rows drop from both the sum and the count exactly as `avg`

@@ -23,8 +23,8 @@ object Relational {
       .agg(
         round(sum("l_quantity"), 2).as("sum_qty"),
         round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-          .as("sum_disc_price"),
+        (Exact.roundSumToCents(Exact.RevenueE4, 100).cast("double")
+          / lit(100.0)).as("sum_disc_price"),
         round(avg("l_quantity"), 4).as("avg_qty"),
         round(avg("l_discount"), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
@@ -38,7 +38,10 @@ object Relational {
         col("l_shipdate") <  lit("1997-01-01") &&
         col("l_discount").between(0.05, 0.07) &&
         col("l_quantity") < 24)
-      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+      .agg((Exact.roundSumToCents(
+          "cast(floor(l_extendedprice * 100 + 0.5) as bigint)" +
+            " * cast(floor(l_discount * 100 + 0.5) as bigint)", 100)
+        .cast("double") / lit(100.0)).as("revenue"))
 
   /** Star join: fact ⋈ dims with explicit broadcast on the small sides —
     * no shuffle of the fact table for nation/region at any scale. */

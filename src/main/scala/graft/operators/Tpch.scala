@@ -22,6 +22,12 @@ object Tpch {
   private def revenue: org.apache.spark.sql.Column =
     col("l_extendedprice") * (lit(1.0) - col("l_discount"))
 
+  /** round2(Σ revenue) in EXACT integer arithmetic (Exact.RevenueE4 —
+    * the r12 tpch_q9 class: e4-grid sums rounded at e2 make ~1% of
+    * groups representation coin tosses under double summation). */
+  private def revenueSum: org.apache.spark.sql.Column =
+    Exact.roundSumToCents(Exact.RevenueE4, 100).cast("double") / lit(100.0)
+
   /** Q3 (shipping priority): unshipped-order revenue for one market
     * segment around a cutoff date, top-n by revenue. */
   def q3(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
@@ -34,7 +40,7 @@ object Tpch {
           .select("c_custkey"),
         col("o_custkey") === col("c_custkey"), "left_semi")
       .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-      .agg(round(sum(revenue), 2).as("revenue"))
+      .agg(revenueSum.as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
       .limit(n)
 
@@ -59,7 +65,7 @@ object Tpch {
           col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
-      .agg(round(sum(revenue), 2).as("revenue"))
+      .agg(revenueSum.as("revenue"))
   }
 
   /** Q14 (promotion effect): share of one month's revenue that came
@@ -75,8 +81,10 @@ object Tpch {
       .join(part.select("p_partkey", "p_type"),
         col("l_partkey") === col("p_partkey"))
       .agg(round(lit(100.0) *
-        sum(when(col("p_type") === "PROMO", revenue).otherwise(lit(0.0))) /
-        sum(revenue), 6).as("promo_revenue_pct"))
+        sum(expr(s"case when p_type = 'PROMO' then ${Exact.RevenueE4}" +
+          " else 0 end")).cast("double") /
+        sum(expr(Exact.RevenueE4)).cast("double"), 6)
+        .as("promo_revenue_pct"))
 
   /** Q18 (large-volume customers): orders whose total quantity exceeds
     * a threshold, with their customer, top-n by order value. The
@@ -140,7 +148,7 @@ object Tpch {
     val rev = lineitem
       .filter(col("l_shipdate") >= quarterLo && col("l_shipdate") < quarterHi)
       .groupBy("l_suppkey")
-      .agg(round(sum(revenue), 2).as("total_revenue"))
+      .agg(revenueSum.as("total_revenue"))
     rev.crossJoin(broadcast(rev.agg(max("total_revenue").as("__max"))))
       .filter(col("total_revenue") === col("__max"))
       .join(supplier.select("s_suppkey", "s_name"),
@@ -172,7 +180,7 @@ object Tpch {
           .select("p_partkey", "p_brand", "p_size"),
         col("l_partkey") === col("p_partkey"))
       .filter(bracket)
-      .agg(round(sum(revenue), 2).as("revenue"),
+      .agg(revenueSum.as("revenue"),
         count(lit(1)).as("n_lines"))
   }
 
@@ -188,7 +196,7 @@ object Tpch {
       .join(customer, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-      .agg(round(sum(revenue), 2).as("revenue"))
+      .agg(revenueSum.as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(n)
 
@@ -228,7 +236,7 @@ object Tpch {
       .filter(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).cast("long").as("l_year"))
-      .agg(round(sum(revenue), 2).as("revenue"))
+      .agg(revenueSum.as("revenue"))
   }
 
   /** Q8 (national market share): of one region's revenue for one part
@@ -266,8 +274,9 @@ object Tpch {
       .join(supN, col("l_suppkey") === col("s_suppkey"))
       .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
       .agg(round(
-        sum(when(col("supp_nation") === shareNation, revenue)
-          .otherwise(lit(0.0))) / sum(revenue), 6).as("mkt_share"))
+        sum(expr(s"case when supp_nation = '$shareNation' then " +
+          s"${Exact.RevenueE4} else 0 end")).cast("double") /
+        sum(expr(Exact.RevenueE4)).cast("double"), 6).as("mkt_share"))
   }
 
   /** Q13 (customer order-count distribution): how many customers
@@ -383,8 +392,10 @@ object Tpch {
       .agg(
         round(sum("l_quantity"), 2).as("sum_qty"),
         round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(revenue), 2).as("sum_disc_price"),
-        round(sum(revenue * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        revenueSum.as("sum_disc_price"),
+        (Exact.roundSumToCents(s"(${Exact.RevenueE4})" +
+            " * (100 + cast(floor(l_tax * 100 + 0.5) as bigint))", 10000)
+          .cast("double") / lit(100.0)).as("sum_charge"),
         round(avg("l_quantity"), 4).as("avg_qty"),
         round(avg("l_extendedprice"), 4).as("avg_price"),
         round(avg("l_discount"), 4).as("avg_disc"),
@@ -475,7 +486,10 @@ object Tpch {
         col("l_shipdate") < yearHi &&
         col("l_discount") >= discLo && col("l_discount") <= discHi &&
         col("l_quantity") < maxQty)
-      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+      .agg((Exact.roundSumToCents(
+          "cast(floor(l_extendedprice * 100 + 0.5) as bigint)" +
+            " * cast(floor(l_discount * 100 + 0.5) as bigint)", 100)
+        .cast("double") / lit(100.0))
         .as("revenue"))
 
   /** Q9 (product-type profit; no partsupp.ps_supplycost — the cost of
@@ -502,9 +516,10 @@ object Tpch {
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("n_name"),
         year(col("o_orderdate")).cast("long").as("o_year"))
-      .agg(round(sum(revenue -
-          lit(costFactor) * col("p_retailprice") * col("l_quantity")), 2)
-        .as("profit"))
+      .agg((Exact.roundSumToCents(s"(${Exact.RevenueE4}) - " +
+          s"${(costFactor * 100).round} * cast(floor(p_retailprice * 100" +
+          " + 0.5) as bigint) * cast(l_quantity as bigint)", 100)
+        .cast("double") / lit(100.0)).as("profit"))
 
   /** Q11 (important stock identification; stock value per part is
     * mined from lineitem as sum(price × qty) over one nation's
