@@ -557,7 +557,7 @@ object Multimodal {
   }
 
   /** Perceptual-hash near-dup detection for media payloads: each asset
-    * gets a 64-bit content hash whose Hamming distance tracks payload
+    * gets a 60-bit content hash whose Hamming distance tracks payload
     * similarity, and pairs within `maxHamming` surface through the SAME
     * banded machinery as text SimHash (4×16-bit chunks, identical-
     * sketch collapse, bucket caps) — so media dedup scales exactly like
@@ -565,7 +565,8 @@ object Multimodal {
     * shuffle.
     *
     * The hash derivation is the STUB stand-in (same swap-point contract
-    * as decodeStub): SimHash over sliding byte-window shingles of the
+    * as decodeStub): two-poly SimHash (r12 — SQL-replayable, the
+    * mm_phash oracle flip) over sliding byte-window shingles of the
     * base64-armored payload — near-identical payloads agree on most
     * windows, so their sketches land within a small Hamming distance. A
     * real deployment swaps this column for a decoded-domain DCT pHash
@@ -606,7 +607,7 @@ object Multimodal {
   /** SCENE-CUT detection over sampled video frames — the shot-boundary
     * pass a video curation pipeline runs before captioning/sampling
     * (one keyframe per SHOT beats fixed-stride frames): consecutive
-    * sampled frames get the same 64-bit content sketch family as
+    * sampled frames get the same 60-bit content sketch family as
     * [[phashPairs]] (stub stand-in for a decoded-domain pHash — the
     * swap point is the sketch column only), and a transition whose
     * sketch Hamming distance ≥ `cutHamming` is a cut. Per asset:
