@@ -6676,7 +6676,8 @@ object SparkEntry {
          e AS MATERIALIZED (SELECT a AS src, b AS dst FROM p
            UNION ALL SELECT b, a FROM p),
          nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
-         srcs AS MATERIALIZED (SELECT node AS s FROM nodes ORDER BY node LIMIT 4),
+         srcs AS MATERIALIZED (SELECT node AS s FROM nodes
+           ORDER BY md5('pivot:' || node::VARCHAR), node LIMIT 4),
          l0 AS MATERIALIZED (SELECT s, s AS node, CAST(1 AS BIGINT) AS sigma
            FROM srcs),
          t0 AS MATERIALIZED (SELECT s, node FROM l0),
@@ -11812,46 +11813,27 @@ object SparkEntry {
                                         CAST(q.qe AS DOUBLE[])), 4) AS cos
          FROM embeddings b, q WHERE b.vec_id <> 0 AND b.label = 3
          ORDER BY cos DESC, b.vec_id LIMIT 10""",
-    // ann_lsh, ann_ivf, ann_knn_join, ann_pq, ann_sq8,
-    // dd_minhash_lsh, dd_simhash, dd_cluster_lsh, dd_incremental_lsh,
-    // dd_semantic, mm_frames, st_hll_merge: hash/bucket/
-    // codebook/sketch internals are engine-specific → rows-only check +
-    // property specs (recall/error bounds vs the exact oracle-checked
-    // operators). (mm_phash / mm_scenecut / dd_cdc_chunks / st_cms
-    // flipped to hash-checked in r12 — their sketch families are now
-    // SQL-replayable; see their oracle entries.)
-    // mm_phash (r12 flip): 60-bit two-poly SimHash per media payload;
-    // hamming≤3 banding is pigeonhole-lossless, so brute-force hamming
-    // over the replayed sketches IS the pair set.
-    "mm_phash" ->
-      """WITH media AS (SELECT doc_id AS media_id,
-           regexp_replace(to_base64(encode(text)), '(.{4})', '\1 ', 'g')
-             AS txt
-         FROM documents),
-       tok AS (SELECT media_id, string_split(txt, ' ') AS t FROM media),
-       hx AS (SELECT media_id,
-           list_distinct(list_transform(range(1, len(t) - 1), i ->
-             (list_reduce(list_prepend(7::BIGINT,
-                list_transform(string_split(array_to_string(t[i:i+2], ' '),
-                    ''),
-                  ch -> CAST(ascii(ch) AS BIGINT))),
-                (acc, c) -> (acc * 31 + c) % 1000000007) << 30)
-             | list_reduce(list_prepend(7::BIGINT,
-                list_transform(string_split(array_to_string(t[i:i+2], ' '),
-                    ''),
-                  ch -> CAST(ascii(ch) AS BIGINT))),
-                (acc, c) -> (acc * 131 + c) % 998244353))) AS hs
-         FROM tok),
-       sk AS (SELECT media_id,
-           CAST(list_sum(list_transform(range(0, 60), b ->
-             CASE WHEN 2 * list_sum(list_transform(hs, h -> (h >> b) & 1))
-                    > len(hs)
-               THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS sim
-         FROM hx)
-       SELECT a.media_id AS m1, b.media_id AS m2,
-         CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
-       FROM sk a JOIN sk b ON a.media_id < b.media_id
-       WHERE bit_count(xor(a.sim, b.sim)) <= 3""",
+    // ann_lsh, ann_ivf, ann_knn_join, ann_pq, ann_sq8, dd_semantic,
+    // mm_frames, st_hll_merge: float hyperplane/codebook/sketch
+    // internals are engine-specific → rows-only check + property specs
+    // (recall/error bounds vs the exact oracle-checked operators).
+    // (mm_phash / mm_scenecut / dd_cdc_chunks / st_cms flipped to
+    // hash-checked in r12; the whole MinHash/SimHash text family —
+    // dd_minhash_lsh, dd_simhash, dd_cluster_lsh, dd_lsh_eval,
+    // dd_incremental_lsh, tx_source_jaccard, pipe_pairs — flipped in
+    // r13 via the CW re-key; see graft.OracleSql.)
+    "mm_phash" -> OracleSql.mmPhash,
+    // r13 flips: the CW-re-keyed MinHash/SimHash family replays end to
+    // end — signatures, band keys, bucket caps, est thresholds — as
+    // DuckDB CTEs rendered from the SAME coefficient arrays the engine
+    // uses (graft.plans.CwMinHash → graft.OracleSql).
+    "dd_minhash_lsh" -> OracleSql.ddMinhashLsh,
+    "dd_simhash" -> OracleSql.ddSimhash,
+    "dd_cluster_lsh" -> OracleSql.ddClusterLsh,
+    "dd_lsh_eval" -> OracleSql.ddLshEval,
+    "dd_incremental_lsh" -> OracleSql.ddIncrementalLsh,
+    "tx_source_jaccard" -> OracleSql.txSourceJaccard,
+    "pipe_pairs" -> OracleSql.pipePairs,
     // mm_scenecut (r12 flip): frame sampling, per-frame two-poly
     // SimHash, hamming lag and the cut rollup all replay as CTEs.
     "mm_scenecut" ->

@@ -1110,24 +1110,25 @@ object Graph {
     * closeness can't see (a low-degree node bridging two clusters is
     * invisible to both). Exact betweenness is O(V·E) all-pairs; the
     * production estimator is Brandes from a SOURCE SAMPLE with a hop
-    * cap — K deterministic sources (smallest node ids, so the oracle
-    * picks identical pivots), BFS depth ≤ `maxDepth` (the
-    * harmonicCentrality landmark trade, stated in the contract).
+    * cap — K HASH-ORDERED sources (smallest md5("pivot:"+id), r13: the
+    * deterministic-AND-unbiased pivot rule this scaladoc used to only
+    * prescribe), BFS depth ≤ `maxDepth` (the harmonicCentrality
+    * landmark trade, stated in the contract).
     *
-    * ERROR STORY (r12): the output is the RAW K-source dependency sum;
-    * the Brandes-Pich (2007) estimator rescales it by n/K and is
-    * unbiased with additive error ≤ ε·n(n−1) w.h.p. once K =
-    * O(log n / ε²) — but ONLY under uniformly random pivots.
-    * Deterministic smallest-id pivots trade that guarantee for oracle
-    * replay: an adversarial id assignment (all pivots inside one
-    * cluster) biases hub flow from unsampled clusters invisible.
-    * Wave12Spec measures the trade on a planted bridge graph: at
+    * ERROR STORY: the output is the RAW K-source dependency sum; the
+    * Brandes-Pich (2007) estimator rescales it by n/K and is unbiased
+    * with additive error ≤ ε·n(n−1) w.h.p. once K = O(log n / ε²)
+    * under uniform pivots. md5 order is a fixed pseudorandom
+    * permutation of the ids — independent of the graph's structure and
+    * of any adversarial id assignment — so the first K behave as a
+    * uniform draw for the Pich bound while staying deterministic (the
+    * oracle SQL orders by the same md5 expression and picks identical
+    * pivots). Wave12Spec measures it on a planted bridge graph: at
     * K = |V| the operator equals exact serial Brandes; at K = 4 and 8
-    * with every pivot adversarially placed in one clique, the bridge
-    * still ranks first and the rescaled hub estimate stays within 50%
-    * (measured ~8%/~5%). Callers needing the Pich bound should hash-
-    * shuffle node ids once at ingest (a deterministic permutation IS a
-    * uniform sample of an adversarial labeling).
+    * the bridge ranks first and the n/K-rescaled hub estimate lands
+    * within the spec's pinned bounds (see the spec for the measured
+    * error — hash pivots mix both cliques where the pre-r13
+    * smallest-id rule sat entirely in one).
     *
     * Forward pass: level-synchronous multi-source BFS carrying the
     * shortest-path COUNT σ — each round is one frontier⋈edges join on
@@ -1145,7 +1146,10 @@ object Graph {
       .repartition(col("src")).localCheckpoint(true)
     val nodes = ed.select(col("src").as("node")).distinct()
       .localCheckpoint(true)
-    val sources = nodes.orderBy("node").limit(nSources)
+    val sources = nodes
+      .orderBy(md5(concat(lit("pivot:"), col("node").cast("string"))),
+        col("node"))
+      .limit(nSources)
       .select(col("node").as("s"))
     // forward: one frame per BFS level, (s, node, sigma)
     val levels = scala.collection.mutable.ArrayBuffer[DataFrame]()

@@ -75,12 +75,22 @@ object IncrementalDedup {
     * store (16 bytes/doc) and the MinHash sketch index (doc_id, sig,
     * bks) written side by side. Incremental batches dedup against THESE
     * — the corpus text is never rescanned. */
+  /** Sketch-store format tag: bumped whenever the sketch family
+    * changes (r13: xxhash64+affine → two-poly fingerprints + CW
+    * permutations + poly band folds). A store written by an older
+    * build lacks the column entirely, so [[incrementalDedupLsh]]'s
+    * plan-time check fails LOUDLY instead of probing a stale index
+    * whose band keys can never match (which would silently admit
+    * every near-dup). */
+  val SketchFamily = "poly60-cw-v2"
+
   def buildDedupIndex(corpus: DataFrame, path: String,
                       n: Int = 3, k: Int = 32, bands: Int = 8): Unit = {
     Scale.fanOut(corpus.select("doc_id", "text"), Seq("doc_id"))
       .select(contentFingerprint(col("text")).as("fp")).distinct()
       .write.mode(SaveMode.Overwrite).parquet(s"$path/fps")
     SketchDedup.minhashIndex(corpus, n, k, bands)
+      .withColumn("sketch_family", lit(SketchFamily))
       .write.mode(SaveMode.Overwrite).parquet(s"$path/sketches")
   }
 
@@ -149,8 +159,13 @@ object IncrementalDedup {
     val cand = batchKeep
       .join(spark.read.parquet(s"$indexPath/fps"), Seq("fp"), "left_anti")
       .drop("fp")
+    val sketches = spark.read.parquet(s"$indexPath/sketches")
+    require(sketches.columns.contains("sketch_family"),
+      s"stale sketch index at $indexPath (pre-$SketchFamily format): " +
+        "band keys from a different hash family never match — rebuild " +
+        "with buildDedupIndex")
     val matched = SketchDedup
-      .minhashMatchesIndex(cand, spark.read.parquet(s"$indexPath/sketches"),
+      .minhashMatchesIndex(cand, sketches.drop("sketch_family"),
         n, k, bands, threshold)
       .select(col("new_id").as("doc_id")).distinct()
     cand.join(matched, Seq("doc_id"), "left_anti")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.plans.{MinHashFromHashes, ShingleHashes, SimHashFromHashes}
+import graft.plans.{CwMinHash, MinHashCwFromHashes, ShinglePolyHashes, SimHash60FromHashes}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -15,6 +15,20 @@ import org.apache.spark.sql.functions._
   *     hash-join, verified by signature agreement.
   *   - SimHash: one i64 per doc, banded into 16-bit chunks; candidates
   *     verified by Hamming distance (bit_count(xor)).
+  *
+  * Hash family (r13): the whole family rides the SQL-REPLAYABLE sketch
+  * stack — two-poly 60-bit shingle fingerprints (ShinglePolyHashes, the
+  * mm_phash r12 swap), Carter–Wegman slot permutations mod 1e9+7
+  * (CwMinHash — st_cms's recipe at signature scale), strict-majority
+  * 60-bit SimHash (SimHash60FromHashes), and mod-1e9+7 poly band-key
+  * folds. Every stage of candidate generation — signatures, band keys,
+  * bucket caps, the est-Jaccard verify — replays verbatim as DuckDB
+  * CTEs, so dd_minhash_lsh / dd_simhash / dd_cluster_lsh / dd_lsh_eval /
+  * dd_incremental_lsh / tx_source_jaccard / pipe_pairs are hash-checked
+  * against the oracle instead of rows-only (the oracle SQL is RENDERED
+  * from the same coefficient arrays, so the sides cannot drift).
+  * ~2-3× the per-byte sketch CPU of the xxhash64 family — the same
+  * trade the r12 flips made, paid in the scan stage only.
   *
   * Skew defenses, in order:
   *   1. candidate pairs are emitted from the FIRST UNDER-CAP band whose
@@ -34,13 +48,22 @@ import org.apache.spark.sql.functions._
 object SketchDedup {
 
   private def shingleHashCol(text: Column, n: Int): Column =
-    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), n))
+    ColumnBridge.column(ShinglePolyHashes(ColumnBridge.expression(text), n))
 
   private def minhashCol(hashes: Column, k: Int): Column =
-    ColumnBridge.column(MinHashFromHashes(ColumnBridge.expression(hashes), k))
+    ColumnBridge.column(MinHashCwFromHashes(ColumnBridge.expression(hashes), k))
 
   private def simhashCol(hashes: Column): Column =
-    ColumnBridge.column(SimHashFromHashes(ColumnBridge.expression(hashes)))
+    ColumnBridge.column(SimHash60FromHashes(ColumnBridge.expression(hashes)))
+
+  /** Poly band-key fold (SQL-replayable): fold of band `j`'s slots with
+    * (acc·131 + slot) mod 1e9+7 seeded 7+j — slots are CW values < p,
+    * so acc·131 + slot < 2³⁸. The DuckDB twin is
+    * `list_reduce(list_prepend(7 + j, sig[j·r+1 : j·r+r]),
+    *   (acc, s) -> (acc*131 + s) % 1000000007)`. */
+  private def bandKeyCol(sig: Column, j: Int, r: Int): Column =
+    aggregate(slice(sig, j * r + 1, r), lit(7L + j),
+      (acc, s) => (acc * 131 + s) % CwMinHash.P)
 
   /** doc_id + k-slot MinHash signature, computed in the scan (fanned out
     * so sketch CPU uses every core even on a one-split input; shingles
@@ -61,7 +84,7 @@ object SketchDedup {
     val r = k / bands
     withMinHashSignature(documents, n, k)
       .withColumn("bks", array((0 until bands).map(j =>
-        xxhash64(lit(j), slice(col("sig"), j * r + 1, r))): _*))
+        bandKeyCol(col("sig"), j, r)): _*))
   }
 
   /** Near-dup matches of NEW docs against a STORED sketch index — the
@@ -135,14 +158,25 @@ object SketchDedup {
       .select(col("d1"), col("d2"), lit(1L).as("__t"))
     val retrieved = minhashLshPairs(documents, n, threshold = threshold)
       .select(col("d1"), col("d2"), lit(1L).as("__r"))
+    // precision/recall/f1 as exact half-up e4 integer divisions: the
+    // tp/count grids are rationals whose e4 images reach the .5
+    // boundary whenever the denominator is a power of two (count = 32
+    // retrieved pairs makes tp·312.5 exact), so engine round() is
+    // banned at this oracle interface (the SS8.6 discipline); the
+    // DuckDB twin spells the same divisions (OracleSql.ddLshEval)
     truth.join(retrieved, Seq("d1", "d2"), "full_outer")
       .agg(sum("__t").as("n_true"), sum("__r").as("n_retrieved"),
         sum(col("__t") * col("__r")).as("n_tp"))
+      .withColumn("p_e4",
+        expr("(20000 * n_tp + n_retrieved) div (2 * nullif(n_retrieved, 0))"))
+      .withColumn("r_e4",
+        expr("(20000 * n_tp + n_true) div (2 * nullif(n_true, 0))"))
       .select(col("n_true"), col("n_retrieved"), col("n_tp"),
-        round(col("n_tp") / col("n_retrieved"), 4).as("precision"),
-        round(col("n_tp") / col("n_true"), 4).as("recall"))
-      .withColumn("f1", round(lit(2.0) * col("precision") * col("recall") /
-        (col("precision") + col("recall")), 4))
+        (col("p_e4").cast("double") / 10000).as("precision"),
+        (col("r_e4").cast("double") / 10000).as("recall"),
+        (expr("(4 * p_e4 * r_e4 + (p_e4 + r_e4))" +
+          " div (2 * nullif(p_e4 + r_e4, 0))").cast("double") / 10000)
+          .as("f1"))
   }
 
   /** CONTRASTIVE training-pair generation — the embedding-model data
@@ -179,7 +213,9 @@ object SketchDedup {
       .unionByName(negs.withColumn("label", lit(0)))
   }
 
-  /** doc_id + 64-bit SimHash, computed in the scan (fanned out). */
+  /** doc_id + 60-bit two-poly SimHash (strict-majority bit rule, bits
+    * 60-63 clear — the mm_phash sketch family), computed in the scan
+    * (fanned out). */
   def withSimHash(documents: DataFrame, n: Int = 3): DataFrame =
     Scale.fanOut(documents.select("doc_id", "text"), Seq("doc_id"))
       .select(col("doc_id"),
@@ -270,7 +306,7 @@ object SketchDedup {
   }
 
   /** Pairing stage over a PRECOMPUTED (doc_id, sim) frame — shared by
-    * the XXH64 corpus path above and mm_phash's SQL-replayable 60-bit
+    * the poly60 corpus path above and mm_phash's SQL-replayable 60-bit
     * two-poly sketches (the 4×16-bit banding pigeonhole holds for any
     * ≤64-bit sketch: four disjoint chunks cover every bit, so a
     * hamming≤3 pair agrees on at least one). */

@@ -1488,20 +1488,30 @@ object TextAnalysis {
   def liftTable(documents: DataFrame, positiveLang: String = "en")
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // rank by (q desc, doc_id) == (0−q asc, doc_id); 0.0−q (not −q)
+    // keeps a q of +0.0 from flipping to −0.0 under negation.
+    // localCheckpoint: stripedRank's bounds/offsets/rank branches plus
+    // the count would each re-run the qualityScore scan (Catalyst
+    // recomputes shared subtrees per branch) — materialize the scored
+    // frame ONCE (r12 verdict item 5: measured 1.57 → 0.69 s isolated
+    // at sf0.1)
     val base = documents.select(
       round(qualityScore(col("text")), 6).as("q"), col("doc_id"),
       when(col("lang") === positiveLang, 1L).otherwise(0L).as("pos"))
-    // rank by (q desc, doc_id) == (0−q asc, doc_id); 0.0−q (not −q)
-    // keeps a q of +0.0 from flipping to −0.0 under negation
-    val nd = base.agg(count(lit(1)).as("__nd"))
-    val scored = Stats.stripedRank(
-        base.withColumn("__negq", lit(0.0) - col("q")),
-        "__negq", "doc_id")
-      .crossJoin(broadcast(nd))
+      .withColumn("__negq", lit(0.0) - col("q"))
+      .localCheckpoint(true)
+    // count + stripe bounds in ONE pass over the checkpoint; __nd rides
+    // the bounds broadcast into the ranked frame
+    val pre = base.agg(min("__negq").as("__lo"), max("__negq").as("__hi"),
+      count(lit(1)).as("__nd"))
+    val scored = Stats.stripedRankWith(base, "__negq", "doc_id", pre)
       .withColumn("decile", expr("1 + (r - 1) * 10 div __nd"))
       .drop("r", "__negq", "__nd")
+    // 10-row frame consumed twice (rows + its own total) — pin it so
+    // the rank join doesn't re-run for the 1-row total
     val perDecile = scored.groupBy("decile")
       .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"))
+      .localCheckpoint(true)
     val w = Window.orderBy("decile")
       .rowsBetween(Window.unboundedPreceding, 0)
     perDecile

@@ -503,7 +503,14 @@ object Tpch {
   def q9(orders: DataFrame, lineitem: DataFrame, part: DataFrame,
          supplier: DataFrame, nation: DataFrame,
          nameWord: String = "red",
-         costFactor: Double = 0.8): DataFrame =
+         costFactor: Double = 0.8): DataFrame = {
+    // the exact-revenue path (Exact.roundSumToCents) carries the cost
+    // factor as an integer PERCENT so the profit term stays on the e4
+    // grid; an off-grid factor (e.g. 0.825) would silently snap to the
+    // nearest percent — refuse it instead (r12 ADVICE)
+    val costPct = (costFactor * 100).round
+    require(math.abs(costFactor * 100 - costPct) < 1e-9,
+      s"costFactor must sit on the percent grid (n/100), got $costFactor")
     lineitem
       .join(part.filter(col("p_name").contains(nameWord))
           .select("p_partkey", "p_retailprice"),
@@ -517,9 +524,10 @@ object Tpch {
       .groupBy(col("n_name"),
         year(col("o_orderdate")).cast("long").as("o_year"))
       .agg((Exact.roundSumToCents(s"(${Exact.RevenueE4}) - " +
-          s"${(costFactor * 100).round} * cast(floor(p_retailprice * 100" +
+          s"$costPct * cast(floor(p_retailprice * 100" +
           " + 0.5) as bigint) * cast(l_quantity as bigint)", 100)
         .cast("double") / lit(100.0)).as("profit"))
+  }
 
   /** Q11 (important stock identification; stock value per part is
     * mined from lineitem as sum(price × qty) over one nation's

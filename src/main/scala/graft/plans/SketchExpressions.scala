@@ -295,50 +295,6 @@ object SketchImpl {
     out
   }
 
-  /** MinHash signature over precomputed shingle hashes (the hash IS the
-    * base value; k affine permutations as in `minhash`). */
-  def minhashFromHashes(hashes: ArrayData, a: Array[Long], b: Array[Long]): ArrayData = {
-    val k = a.length
-    val sig = Array.fill(k)(Long.MaxValue)
-    val n = hashes.numElements()
-    var i = 0
-    while (i < n) {
-      val base = hashes.getLong(i)
-      var j = 0
-      while (j < k) {
-        val h = a(j) * base + b(j)
-        if (h < sig(j)) sig(j) = h
-        j += 1
-      }
-      i += 1
-    }
-    new GenericArrayData(sig)
-  }
-
-  /** 64-bit SimHash over precomputed (uniform) shingle hashes: the hash
-    * bits vote directly. */
-  def simhashFromHashes(hashes: ArrayData): Long = {
-    val votes = new Array[Int](64)
-    val n = hashes.numElements()
-    var i = 0
-    while (i < n) {
-      val h = hashes.getLong(i)
-      var j = 0
-      while (j < 64) {
-        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
-        j += 1
-      }
-      i += 1
-    }
-    var out = 0L
-    var j = 0
-    while (j < 64) {
-      if (votes(j) > 0) out |= (1L << j)
-      j += 1
-    }
-    out
-  }
-
   /** 64-bit SimHash over a token array: per-token xxhash64, ±1 vote per
     * bit, sign of the vote sum. */
   def simhash(tokens: ArrayData): Long = {
@@ -527,46 +483,73 @@ case class SimHash60FromHashes(child: Expression)
       : SimHash60FromHashes = copy(child = newChild)
 }
 
-/** MinHash signature from precomputed shingle hashes: array<long> →
-  * array<long> of length k. */
-case class MinHashFromHashes(child: Expression, k: Int, seed: Long = 42L)
-  extends UnaryExpression with HashArrayInput {
-
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "graft_minhash_hashes"
-
-  @transient private lazy val (pa, pb) = SketchImpl.minhashParams(k, seed)
-
-  override protected def nullSafeEval(input: Any): Any =
-    SketchImpl.minhashFromHashes(input.asInstanceOf[ArrayData], pa, pb)
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val params = ctx.addReferenceObj("mhparams", (pa, pb),
-      "scala.Tuple2<long[], long[]>")
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.plans.SketchImpl.minhashFromHashes($c, " +
-      s"(long[]) $params._1(), (long[]) $params._2());")
+/** Carter–Wegman MinHash permutation family over two-poly 60-bit
+  * fingerprints — the SQL-replayable MinHash (the r13 flip of the
+  * dd_minhash_lsh / dd_cluster_lsh / dd_lsh_eval / dd_incremental_lsh /
+  * tx_source_jaccard / pipe_pairs family; st_cms's CW recipe applied to
+  * signatures): slot j of a signature is min over shingle fingerprints
+  * x of (A_j·x₀ + B_j·x₁ + C_j) mod p with p = 1e9+7 and x = x₁·2³⁰|x₀
+  * — affine in the limb vector, so 2-universal by the textbook
+  * argument, and every intermediate fits a signed 64-bit long
+  * (A·x₀ < 2⁶⁰, three terms < 2⁶²). Empty fingerprint sets (docs under
+  * n tokens) yield sentinel-p slots, mirroring the Long.MaxValue
+  * degenerate signature of the xxhash64 family. The coefficients are
+  * drawn once from a fixed seed, and the DuckDB oracle SQL is RENDERED
+  * FROM THESE ARRAYS ([[sqlList]]) rather than hand-copied, so the two
+  * sides cannot drift. */
+object CwMinHash {
+  val P = 1000000007L
+  val MaxK = 64
+  private val M30 = (1L << 30) - 1
+  val (cwA, cwB, cwC) = {
+    val rng = new java.util.Random(0x13c0ffeeL)
+    def draw() = Array.fill(MaxK)(1L + rng.nextInt((1 << 30) - 1).toLong)
+    (draw(), draw(), draw())
   }
 
-  override protected def withNewChildInternal(newChild: Expression): MinHashFromHashes =
-    copy(child = newChild)
+  /** First k coefficients as a DuckDB list literal (oracle SQL side). */
+  def sqlList(xs: Array[Long], k: Int): String =
+    xs.take(k).mkString("[", ", ", "]")
+
+  def minhashCw(hashes: ArrayData, k: Int): ArrayData = {
+    val sig = Array.fill(k)(P)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val x = hashes.getLong(i)
+      val x0 = x & M30
+      val x1 = (x >>> 30) & M30
+      var j = 0
+      while (j < k) {
+        val h = (cwA(j) * x0 + cwB(j) * x1 + cwC(j)) % P
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
 }
 
-/** SimHash from precomputed shingle hashes: array<long> → long. */
-case class SimHashFromHashes(child: Expression)
+/** CW MinHash signature from precomputed two-poly fingerprints
+  * (SQL-replayable): array<long> → array<long> of length k, slots in
+  * [0, p), sentinel p for empty inputs. */
+case class MinHashCwFromHashes(child: Expression, k: Int)
   extends UnaryExpression with HashArrayInput {
+  require(k >= 1 && k <= CwMinHash.MaxK,
+    s"k must be in [1, ${CwMinHash.MaxK}]")
 
-  override def dataType: DataType = LongType
-  override def prettyName: String = "graft_simhash_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_cw"
 
   override protected def nullSafeEval(input: Any): Any =
-    SketchImpl.simhashFromHashes(input.asInstanceOf[ArrayData])
+    CwMinHash.minhashCw(input.asInstanceOf[ArrayData], k)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.plans.SketchImpl.simhashFromHashes($c);")
+      s"${ev.value} = graft.plans.CwMinHash.minhashCw($c, $k);")
 
-  override protected def withNewChildInternal(newChild: Expression): SimHashFromHashes =
+  override protected def withNewChildInternal(newChild: Expression): MinHashCwFromHashes =
     copy(child = newChild)
 }
 

@@ -26,12 +26,21 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * whole-history sketch. */
 object CmsSink {
 
+  /** Cell-layout format tag, stored with every sketch row — bumped
+    * whenever the row-hash/cell family changes (r12: fmix64 rows →
+    * Carter–Wegman cells). A sketch written under one layout probed
+    * through another returns meaningless counts with no error, so
+    * [[estimates]] REFUSES stores without the current tag instead of
+    * answering from them. */
+  val CmsFamily = "cw-limbs-v2"
+
   /** One micro-batch: the batch's own CMS over `c`, one row. Also the
     * backfill twin. */
   def sketchBatch(batch: DataFrame, batchId: Long, storePath: String,
                   c: String, depth: Int = 5, width: Int = 2048): Unit =
     batch
       .agg(CmsAggregator.cms(depth, width)(xxhash64(col(c))).as("sk"))
+      .withColumn("cms_family", lit(CmsFamily))
       .withColumn("__batch", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
@@ -58,9 +67,19 @@ object CmsSink {
     // probing before the first micro-batch commits must report zero
     // estimates, not crash (missing store path / zero stored sketches)
     val sketches =
-      try spark.read.parquet(storePath)
-        .select("sk").collect()
-        .map(_.getAs[scala.collection.Seq[Long]]("sk").toArray)
+      try {
+        val store = spark.read.parquet(storePath)
+        // stale-format stores fail LOUDLY (r12 ADVICE): pre-CW sketches
+        // probed through the CW cell layout would return garbage counts
+        require(store.columns.contains("cms_family"),
+          s"stale CMS store at $storePath (pre-$CmsFamily format): " +
+            "rebuild via the sink/backfill path")
+        val rows = store.select("sk", "cms_family").collect()
+        rows.foreach(r => require(r.getAs[String]("cms_family") == CmsFamily,
+          s"CMS store at $storePath carries family " +
+            s"${r.getAs[String]("cms_family")}, this build expects $CmsFamily"))
+        rows.map(_.getAs[scala.collection.Seq[Long]]("sk").toArray)
+      }
       catch {
         case _: org.apache.spark.sql.AnalysisException =>
           Array.empty[Array[Long]]

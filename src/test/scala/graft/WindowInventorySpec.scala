@@ -26,7 +26,7 @@ class WindowInventorySpec extends AnyFunSuite {
   // SURVEY §8.9 inventory counts — update ONLY together with a new
   // classified row in the §8.9 table
   private val expected = Map(
-    "operators/Stats.scala" -> 41,
+    "operators/Stats.scala" -> 40,
     "operators/Resample.scala" -> 24,
     "operators/TextAnalysis.scala" -> 5,
     "operators/Dwh.scala" -> 3,

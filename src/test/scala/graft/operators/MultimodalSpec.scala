@@ -263,6 +263,19 @@ class MultimodalSpec extends SparkSpec {
       java.lang.Long.bitCount(sks(p) ^ baseSk) <= 3 && sks(p) != baseSk)
     assert(inRadius.nonEmpty,
       "no single-byte corruption lands within hamming 3 — implausible")
+    // locality floor (r12 ADVICE): picking the first in-radius position
+    // must not be the ONLY thing the sketch family clears — a family
+    // whose locality collapsed would still pass the find() above by
+    // luck. Require a minimum fraction of ALL probed positions to stay
+    // within a LOOSE radius (8 of 60 bits): one corrupted byte rewrites
+    // ~5 of ~len/3 shingles, so the vast majority of bit votes must
+    // hold. Measured on the poly60 family at sf0.001: all 16 positions
+    // land at hamming ≤ 6.
+    val within8 = cands.map(_._1)
+      .count(p => java.lang.Long.bitCount(sks(p) ^ baseSk) <= 8)
+    assert(within8 * 2 >= cands.length,
+      s"sketch locality regressed: only $within8/${cands.length} " +
+        "single-byte corruptions stay within hamming 8")
     val corrupted = base.clone
     corrupted(inRadius.get.toInt) = '#'.toByte
     val planted = media.unionByName(

@@ -83,12 +83,12 @@ class SketchDedupSpec extends SparkSpec {
     def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getString(1))
     val est = SketchDedup.sourceJaccard(documents, k = 64)
       .collect().map(r => key(r) -> r.getAs[Double]("est_jaccard")).toMap
-    // exact Jaccard of the groups' (hashed-)shingle SETS — the quantity
-    // the merged sketch estimates
+    // exact Jaccard of the groups' (poly-fingerprinted) shingle SETS —
+    // the quantity the merged CW sketch estimates since the r13 re-key
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val sets: Map[String, Set[Long]] = documents
       .select(col("source"), explode(ColumnBridge.column(
-        graft.plans.ShingleHashes(ColumnBridge.expression(
+        graft.plans.ShinglePolyHashes(ColumnBridge.expression(
           col("text")), 3))).as("sh"))
       .distinct().collect()
       .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSet)
