@@ -225,26 +225,29 @@ object Graph {
     * volume via TakeOrdered. */
   def conductance(edges: DataFrame, labels: DataFrame,
                   topK: Int = 10): DataFrame = {
-    // conductance references the label lineage up to 4× (two equi-join
-    // probes × the perC fan-out below) — materialize the node-sized
-    // frame ONCE at entry (measured at sf0.1: 4.9 s vs 7.8 s lazy; on
-    // the r9 driver the lazy form paid 10.4 s vs modularity's 1.4 s)
-    val lab = labels.localCheckpoint(true)
+    // FULLY LAZY (r13 rework of the r12 shape): every materialization
+    // of the label lineage here (localCheckpoint's .rdd route, cache())
+    // compiles the LPA round chain WITHOUT adaptive execution, so its
+    // dozen node-sized shuffle stages keep all spark.sql.shuffle
+    // .partitions tasks instead of AQE-coalescing to a few — measured
+    // at sf0.1: cache()+count of the chain alone 4.2-4.9 s vs 0.2 s
+    // lazy, and the r12 localCheckpoint form benched 7.6-8.1 s
+    // isolated vs 1.6 s for this shape. The two label probes re-run
+    // the lazy chain once each (~0.2 s), the cheaper trade by 3×.
     val e = edges.select("src", "dst").distinct()
     val j = e
-      .join(lab.select(col("node").as("src"), col("label").as("cs")),
-        Seq("src"))
-      .join(lab.select(col("node").as("dst"), col("label").as("cd")),
-        Seq("dst"))
-    // perC is referenced twice (rows + the 2m rollup) but stays LAZY:
-    // a localCheckpoint here would evaluate the edge⋈labels joins via
-    // .rdd, losing AQE's adaptive broadcast (measured +2.2 s at
-    // sf0.1); with `lab` materialized above, the recompute each branch
-    // pays is just the two label probes
+      .join(broadcast(labels.select(col("node").as("src"),
+        col("label").as("cs"))), Seq("src"))
+      .join(broadcast(labels.select(col("node").as("dst"),
+        col("label").as("cd"))), Seq("dst"))
     val perC = j.groupBy(col("cs").as("community"))
       .agg(count(lit(1)).as("vol"),
         sum(when(col("cs") === col("cd"), 1L).otherwise(0L)).as("inside"))
-    perC.crossJoin(broadcast(perC.agg(sum("vol").as("m2"))))
+    // 2m = Σ_c vol_c = |j| = |e| (every endpoint is labeled — the
+    // labels frame is built from the same edge list), so the total
+    // volume comes straight off the edge frame and perC is consumed
+    // exactly ONCE: no checkpoint, no double-derived join tree
+    perC.crossJoin(broadcast(e.agg(count(lit(1)).as("m2"))))
       .select(col("community"), col("vol"),
         (col("vol") - col("inside")).as("cut"),
         round((col("vol") - col("inside")).cast("double") /
@@ -828,25 +831,28 @@ object Graph {
       .localCheckpoint(true)
     var labels = nodes.withColumn("label", col("node"))
     for (_ <- 1 to rounds) {
-      val adopted = ed.join(labels, ed("src") === labels("node"))
+      // the label/adopted frames are node-sized by construction —
+      // EXPLICIT broadcasts (r13), not AQE bets: materializing any
+      // consumer of this chain (cache(), localCheckpoint's .rdd route)
+      // compiles the rounds WITHOUT adaptive execution, where the
+      // un-hinted joins fell back to sort-merge (measured at sf0.1:
+      // cache()+count of the un-hinted chain 4.9 s vs 0.2 s lazy; with
+      // the hints the chain costs the same materialized or lazy)
+      val adopted = ed.join(broadcast(labels), ed("src") === labels("node"))
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
         .groupBy(col("dst").as("__n"))
         .agg(min(struct((-col("c")).as("nc"), col("label").as("l")))
           .getField("l").as("__adopt"))
       // keep-previous on nodes with no in-edges (vacuous on a
       // symmetric graph, load-bearing on a general directed one)
-      labels = labels.join(adopted, labels("node") === col("__n"), "left")
+      labels = labels.join(broadcast(adopted),
+          labels("node") === col("__n"), "left")
         .select(col("node"),
           coalesce(col("__adopt"), col("label")).as("label"))
     }
-    // returned LAZY by design (measured, r10): a final
-    // localCheckpoint(true) here evaluates the round chain through
-    // .rdd, which bypasses AQE's adaptive broadcast of the node-sized
-    // label frames — 1.25 s → 6.3 s on the sf0.1 co-purchase graph.
-    // Single-pass consumers (gr_lpa, modularity's ReuseExchange-deduped
-    // pair of joins) want the lazy plan; the one multi-reference
-    // consumer that pays the lineage 4× (conductance) checkpoints
-    // LOCALLY at its entry instead.
+    // returned LAZY: single-pass consumers (gr_lpa, modularity) run the
+    // chain once; the multi-reference consumer (conductance) pins the
+    // node-sized result at its entry, which the hints above make cheap.
     labels
   }
 

@@ -13,10 +13,15 @@
 # 24-hour window denominator), ml_qini (DuckDB -0.0 vs Spark 0.0 at
 # the qini curve's forced-zero endpoint).
 #
+# Default SF is 0.05 (r13, per the r12 verdict): BOTH r12 discovery
+# classes that needed more than a new seed (ts_bollinger's fixed
+# denominator, tpch_q9's e4-grid revenue sums) first fired at sf0.05 —
+# more groups hit more boundary cells. Pass 0.01 for a quick draw.
+#
 # Usage: tools/run_second_seed_gate.sh [SEED] [SF]   (from repo root)
 set -e
 SEED="${1:-43}"
-SF="${2:-0.01}"
+SF="${2:-0.05}"
 DIR="testdata_alt/seed${SEED}_sf${SF}"
 OUT="/tmp/graft_verify_seed${SEED}"
 python3 tools/gen_testdata.py "$DIR" --seed "$SEED" --sf "$SF"
