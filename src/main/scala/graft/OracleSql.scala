@@ -286,6 +286,145 @@ object OracleSql {
          FROM hx),
        ${simhashPairSelect("sk", "media_id", "m1", "m2", 4096, 3, "BIGINT")}"""
 
+  // ------------------------------------------------------------------
+  // Hyperplane-LSH embedding family (r13 flips): the sign of a plane
+  // dot decides bucket membership, and the engine computes every dot
+  // as a STRICT left-to-right double fold (DotProduct / LshImpl loops)
+  // — which DuckDB replays BIT-EXACTLY via list_reduce (products
+  // rounded individually, then sequential adds from 0.0; verified
+  // equal to the JVM loop on the real embeddings). So bucket ids,
+  // candidate sets and the verify cosines all replay with NO rounding
+  // convention at the sign boundary. Plane literals are rendered from
+  // SimilaritySearch.seededPlanes' own doubles (shortest round-trip
+  // repr — both parsers recover identical bits).
+  // ------------------------------------------------------------------
+
+  private def planeLit(planes: Seq[Seq[Double]]): String =
+    planes.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+
+  /** Strict left-to-right double dot of two float vectors (CAST each
+    * element), starting from 0.0 — the DotProduct loop verbatim. */
+  private def dotVV(a: String, b: String, dim: Int): String =
+    s"""list_reduce(list_prepend(0.0::DOUBLE,
+       list_transform(range(1, ${dim + 1}), i ->
+         CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+       (acc, x) -> acc + x)"""
+
+  /** Same fold against an already-double plane list expression. */
+  private def dotVP(vec: String, plane: String, dim: Int): String =
+    s"""list_reduce(list_prepend(0.0::DOUBLE,
+       list_transform(range(1, ${dim + 1}), i ->
+         CAST($vec[i] AS DOUBLE) * ($plane)[i])),
+       (acc, x) -> acc + x)"""
+
+  /** Per-table sign-bit bucket id over 4 planes at flat-list offset
+    * `tExpr`·4 (LshImpl.hyperplaneBuckets / hyperplaneBucket). */
+  private def bucketExpr(tExpr: String, dim: Int): String =
+    s"""CAST(list_sum(list_transform(range(0, 4), j ->
+       CASE WHEN ${dotVP("embedding",
+        s"p[CAST(($tExpr) * 4 + j + 1 AS INT)]", dim)} >= 0
+         THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT)"""
+
+  /** Engine cosine replay: dot(a,b) / (‖a‖·‖b‖), every factor the same
+    * op sequence as VectorFunctions.cosine. */
+  private def cosExpr(a: String, b: String, dim: Int): String =
+    s"""round(${dotVV(a, b, dim)} /
+       (sqrt(${dotVV(a, a, dim)}) * sqrt(${dotVV(b, b, dim)})), 4)"""
+
+  private def lshBucketed(nTables: Int, dim: Int): String =
+    s"""b AS (SELECT vec_id, embedding, CAST(t AS INT) AS tbl,
+         ${bucketExpr("t", dim)} AS bucket
+       FROM embeddings CROSS JOIN pl
+         CROSS JOIN (SELECT unnest(range(0, $nTables)) AS t) tb)"""
+
+  /** ann_lsh replay: single-table bucket of every vector, probe = the
+    * query's bucket only, exact-cosine top-k. */
+  val annLsh: String = {
+    val pl = planeLit(operators.SimilaritySearch.seededPlanes(4, 64))
+    s"""WITH pl AS (SELECT $pl AS p),
+       ${lshBucketed(1, 64)},
+       q AS (SELECT embedding AS qe, bucket AS qb FROM b WHERE vec_id = 0)
+       SELECT b.vec_id, ${cosExpr("b.embedding", "q.qe", 64)} AS cos,
+         b.bucket
+       FROM b, q WHERE b.bucket = q.qb AND b.vec_id <> 0
+       ORDER BY cos DESC, b.vec_id LIMIT 10"""
+  }
+
+  /** ann_lsh_multiprobe replay: the query's bucket plus its 4
+    * Hamming-1 neighbors (one sign bit flipped). */
+  val annLshMultiprobe: String = {
+    val pl = planeLit(operators.SimilaritySearch.seededPlanes(4, 64))
+    s"""WITH pl AS (SELECT $pl AS p),
+       ${lshBucketed(1, 64)},
+       q AS (SELECT embedding AS qe, bucket AS qb FROM b WHERE vec_id = 0)
+       SELECT b.vec_id, ${cosExpr("b.embedding", "q.qe", 64)} AS cos,
+         b.bucket
+       FROM b, q
+       WHERE b.vec_id <> 0 AND (b.bucket = q.qb
+         OR b.bucket = xor(q.qb, 1) OR b.bucket = xor(q.qb, 2)
+         OR b.bucket = xor(q.qb, 4) OR b.bucket = xor(q.qb, 8))
+       ORDER BY cos DESC, b.vec_id LIMIT 10"""
+  }
+
+  /** dd_embed_neardup_lsh replay: 16-table banding, DISTINCT candidate
+    * pairs on (table, bucket), exact-cosine verify ≥ threshold. */
+  val ddEmbedNeardupLsh: String = {
+    val pl = planeLit(operators.SimilaritySearch.seededPlanes(64, 64))
+    s"""WITH pl AS (SELECT $pl AS p),
+       ${lshBucketed(16, 64)},
+       cand AS (SELECT DISTINCT a.vec_id AS v1, c.vec_id AS v2
+         FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket
+           AND a.vec_id < c.vec_id),
+       n AS (SELECT vec_id, embedding,
+           sqrt(${dotVV("embedding", "embedding", 64)}) AS nrm
+         FROM embeddings),
+       s AS (SELECT v1, v2,
+           round(${dotVV("x.embedding", "y.embedding", 64)}
+             / (x.nrm * y.nrm), 4) AS cos
+         FROM cand JOIN n x ON v1 = x.vec_id JOIN n y ON v2 = y.vec_id)
+       SELECT v1, v2, cos FROM s WHERE cos >= 0.3"""
+  }
+
+  /** pipe_decon_embed_lsh replay: 16-table banded candidates (probe =
+    * vec_id % 50 = 0 side), then the exact surface's LATTICE verify
+    * (floor(x·1000+0.5) integer dot — order-independent) and per-probe
+    * rollup; candidate-less probes survive with null max_cos. */
+  val pipeDeconEmbedLsh: String = {
+    val pl = planeLit(operators.SimilaritySearch.seededPlanes(64, 64))
+    s"""WITH pl AS (SELECT $pl AS p),
+       ${lshBucketed(16, 64)},
+       cand AS (SELECT DISTINCT pb.vec_id AS probe_id, cb.vec_id
+         FROM b pb JOIN b cb ON pb.tbl = cb.tbl AND pb.bucket = cb.bucket
+         WHERE pb.vec_id % 50 = 0 AND cb.vec_id % 50 <> 0),
+       vv AS (SELECT vec_id,
+           list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))
+             AS q
+         FROM embeddings),
+       v AS (SELECT vec_id, q,
+           list_aggregate(list_transform(q, y -> y*y), 'sum') AS ssq
+         FROM vv),
+       d AS (SELECT probe_id, cand.vec_id,
+           round(CAST(list_aggregate(list_transform(list_zip(pv.q, cv.q),
+             s -> s[1] * s[2]), 'sum') AS DOUBLE)
+             / (sqrt(pv.ssq) * sqrt(cv.ssq)), 4) AS cos
+         FROM cand JOIN v pv ON cand.probe_id = pv.vec_id
+           JOIN v cv ON cand.vec_id = cv.vec_id),
+       mx AS (SELECT probe_id, max(cos) AS max_cos,
+           CAST(sum(CASE WHEN cos >= 0.9 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_flagged
+         FROM d GROUP BY 1),
+       best AS (SELECT m.probe_id, m.max_cos,
+           min(d.vec_id) AS nearest_id, m.n_flagged
+         FROM mx m JOIN d ON d.probe_id = m.probe_id
+           AND d.cos = m.max_cos
+         GROUP BY 1, 2, 4)
+       SELECT pr.vec_id AS probe_id, best.max_cos, best.nearest_id,
+         coalesce(best.n_flagged, 0::BIGINT) AS n_flagged
+       FROM (SELECT vec_id FROM embeddings WHERE vec_id % 50 = 0) pr
+       LEFT JOIN best ON best.probe_id = pr.vec_id"""
+  }
+
   /** dd_simhash replay: poly60 sketches over the documents corpus +
     * the capped banded pairing (cap 4096, hamming ≤ 3). */
   val ddSimhash: String =

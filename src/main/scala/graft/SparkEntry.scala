@@ -11828,6 +11828,14 @@ object SparkEntry {
     // DuckDB CTEs rendered from the SAME coefficient arrays the engine
     // uses (graft.plans.CwMinHash → graft.OracleSql).
     "dd_minhash_lsh" -> OracleSql.ddMinhashLsh,
+    // r13 second wave: the hyperplane-LSH embedding family — the
+    // engine's plane dots are strict left-to-right double folds, which
+    // DuckDB replays BIT-EXACTLY (list_reduce), so sign-bit buckets and
+    // candidate sets replay with no rounding convention at the boundary
+    "ann_lsh" -> OracleSql.annLsh,
+    "ann_lsh_multiprobe" -> OracleSql.annLshMultiprobe,
+    "dd_embed_neardup_lsh" -> OracleSql.ddEmbedNeardupLsh,
+    "pipe_decon_embed_lsh" -> OracleSql.pipeDeconEmbedLsh,
     "dd_simhash" -> OracleSql.ddSimhash,
     "dd_cluster_lsh" -> OracleSql.ddClusterLsh,
     "dd_lsh_eval" -> OracleSql.ddLshEval,

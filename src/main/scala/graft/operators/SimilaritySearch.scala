@@ -184,14 +184,17 @@ object SimilaritySearch {
     val qBucketRow = q.select("bucket").head(1)
     if (qBucketRow.isEmpty)
       return spark.read.parquet(lakePath).filter(lit(false))
-        .select(col("vec_id"), lit(0.0).as("cos"), col("bucket"))
+        .select(col("vec_id"), lit(0.0).as("cos"),
+          col("bucket").cast("long").as("bucket"))
     val qBucket = qBucketRow.head.getLong(0)
     spark.read.parquet(lakePath)
       .filter(col("bucket") === qBucket && col("vec_id") =!= queryId)
       .crossJoin(broadcast(q.select(col("q_embedding"))))
       .withColumn("cos", round(cosine(col("embedding"), col("q_embedding")), 4))
       .orderBy(desc("cos"), asc("vec_id"))
-      .select(col("vec_id"), col("cos"), col("bucket"))
+      // partition-column inference narrows bucket to INT on read-back;
+      // restore the builder's LongType (oracle type parity)
+      .select(col("vec_id"), col("cos"), col("bucket").cast("long").as("bucket"))
       .limit(k)
   }
 
@@ -221,7 +224,8 @@ object SimilaritySearch {
     val qBucketRow = q.select("bucket").head(1)
     if (qBucketRow.isEmpty)
       return spark.read.parquet(lakePath).filter(lit(false))
-        .select(col("vec_id"), lit(0.0).as("cos"), col("bucket"))
+        .select(col("vec_id"), lit(0.0).as("cos"),
+          col("bucket").cast("long").as("bucket"))
     val qBucket = qBucketRow.head.getLong(0)
     val flips = math.min(nFlips, planes.size)
     val probeBuckets = qBucket +:
@@ -233,7 +237,7 @@ object SimilaritySearch {
       .withColumn("cos",
         round(cosine(col("embedding"), col("q_embedding")), 4))
       .orderBy(desc("cos"), asc("vec_id"))
-      .select(col("vec_id"), col("cos"), col("bucket"))
+      .select(col("vec_id"), col("cos"), col("bucket").cast("long").as("bucket"))
       .limit(k)
   }
 

@@ -10,21 +10,21 @@ import org.scalatest.funsuite.AnyFunSuite
   * report, a top-k shortlist), fatal when it is corpus-proportional
   * (the class the stripedRank helper exists for; liftTable and qini
   * were converted off it this round). Each existing site is
-  * individually classified in SURVEY.md §8.9 (stripe / calendar /
+  * individually classified in SURVEY.md §8.10.1 (stripe / calendar /
   * report / value-cardinality / documented-trade); this spec pins the
   * per-file site COUNT so the next surface cannot ride an
   * unclassified global window into the codebase: adding one fails
-  * here until the new site is classified in §8.9 and the count below
+  * here until the new site is classified in §8.10.1 and the count below
   * is bumped.
   *
-  * Counting rule (mirrors the §8.9 sweep): source lines under
+  * Counting rule (mirrors the §8.10.1 sweep): source lines under
   * src/main/scala/graft containing `Window.orderBy` whose trimmed
   * form is not a comment (`*` / `//` prefix).
   */
 class WindowInventorySpec extends AnyFunSuite {
 
-  // SURVEY §8.9 inventory counts — update ONLY together with a new
-  // classified row in the §8.9 table
+  // SURVEY §8.10.1 inventory counts — update ONLY together with a new
+  // classified row in the §8.10.1 table
   private val expected = Map(
     "operators/Stats.scala" -> 40,
     "operators/Resample.scala" -> 24,
@@ -38,7 +38,7 @@ class WindowInventorySpec extends AnyFunSuite {
   )
 
   test("every unpartitioned Window.orderBy site is classified in " +
-      "SURVEY §8.9 (per-file counts must not grow unclassified)") {
+      "SURVEY §8.10.1 (per-file counts must not grow unclassified)") {
     val root = new java.io.File("src/main/scala/graft")
     assert(root.isDirectory, s"expected to run from the repo root; " +
       s"cwd=${new java.io.File(".").getCanonicalPath}")
@@ -59,7 +59,7 @@ class WindowInventorySpec extends AnyFunSuite {
     }.filter(_._2 > 0).toMap
     assert(counts == expected,
       "unpartitioned Window.orderBy inventory drifted — classify the " +
-        "new/changed site's frame bound in SURVEY.md §8.9, convert " +
+        "new/changed site's frame bound in SURVEY.md §8.10.1, convert " +
         "corpus-proportional frames to Stats.stripedRank, then update " +
         "this spec's counts.\n" +
         s"actual:   ${counts.toSeq.sortBy(_._1)}\n" +
