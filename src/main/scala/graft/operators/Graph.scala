@@ -1284,15 +1284,18 @@ object Graph {
         var changed = 1L
         while (changed > 0 && round < maxRounds) {
           round += 1
-          val pulled = e.join(lab.select(col("node").as("to"),
-              col("m").as("mt")), Seq("to"))
+          // node-sized frames ride EXPLICIT broadcasts (r13, the LPA
+          // lesson): per-round localCheckpoints compile without AQE,
+          // where un-hinted joins fell back to sort-merge per round
+          val pulled = e.join(broadcast(lab.select(col("node").as("to"),
+              col("m").as("mt"))), Seq("to"))
             .groupBy(col("from").as("node")).agg(min("mt").as("mp"))
-          val next = lab.join(pulled, Seq("node"), "left")
+          val next = lab.join(broadcast(pulled), Seq("node"), "left")
             .select(col("node"),
               least(col("m"), coalesce(col("mp"), col("m"))).as("m"))
             .localCheckpoint(true)
-          changed = next.join(lab.select(col("node"),
-              col("m").as("m0")), Seq("node"))
+          changed = next.join(broadcast(lab.select(col("node"),
+              col("m").as("m0"))), Seq("node"))
             .filter(col("m") =!= col("m0")).count()
           lab = next
         }
@@ -1308,12 +1311,12 @@ object Graph {
         .select(col("node"), col("m").as("scc_id"))
         .localCheckpoint(true)
       results += classified
-      active = active.join(classified.select("node"), Seq("node"),
+      active = active.join(broadcast(classified.select("node")), Seq("node"),
         "left_anti").localCheckpoint(true)
-      ed = ed.join(classified.select(col("node").as("src")), Seq("src"),
-          "left_anti")
-        .join(classified.select(col("node").as("dst")), Seq("dst"),
-          "left_anti")
+      ed = ed.join(broadcast(classified.select(col("node").as("src"))),
+          Seq("src"), "left_anti")
+        .join(broadcast(classified.select(col("node").as("dst"))),
+          Seq("dst"), "left_anti")
         .localCheckpoint(true)
     }
     if (!active.isEmpty) throw new IllegalStateException(
@@ -1357,10 +1360,14 @@ object Graph {
     while (remaining > 0 && round < maxRounds) {
       round += 1
       val lab = labels
+      // node-sized label probes are EXPLICIT broadcasts (r13, the LPA
+      // lesson): every round materializes through localCheckpoint's
+      // .rdd route where AQE never runs, so un-hinted probes fell back
+      // to sort-merge and re-sorted the edge frame each round
       val crossing = sym
-        .join(lab.select(col("node").as("u"), col("comp").as("cu")),
+        .join(broadcast(lab.select(col("node").as("u"), col("comp").as("cu"))),
           Seq("u"))
-        .join(lab.select(col("node").as("v"), col("comp").as("cv")),
+        .join(broadcast(lab.select(col("node").as("v"), col("comp").as("cv"))),
           Seq("v"))
         .filter(col("cu") =!= col("cv"))
       // min outgoing edge per component under the (w, s, t) total order
@@ -1378,8 +1385,10 @@ object Graph {
         // component label of their group (shared CC machinery)
         val merged = Dedup.dupClusters(
           chosen.select(col("cu").as("d1"), col("cv").as("d2")))
-        labels = lab.join(merged.select(col("doc_id").as("comp"),
-            col("cluster_id")), Seq("comp"), "left")
+        // component-count-sized relabel map → broadcast for the same
+        // reason as the probes above
+        labels = lab.join(broadcast(merged.select(col("doc_id").as("comp"),
+            col("cluster_id"))), Seq("comp"), "left")
           .select(col("node"),
             coalesce(col("cluster_id"), col("comp")).as("comp"))
           .localCheckpoint(true)
