@@ -11062,6 +11062,10 @@ object SparkEntry {
            round(1.0 - CAST(gt AS DOUBLE) / (gd * gm), 6)
              AS unbucketed_waste
          FROM p CROSS JOIN g ORDER BY bucket_cap""",
+    // tx_burrows_delta (r13 rework — the seed-45 sf0.05 gate caught the
+    // round6(avg(float)) class): exact e6 rates, integer power sums,
+    // integer z numerators over a shared per-word denominator,
+    // nano-quantized terms, one half-up close — identical to the engine.
     "tx_burrows_delta" ->
       """WITH toks AS (SELECT source,
              unnest(string_split(text, ' ')) AS w
@@ -11073,18 +11077,29 @@ object SparkEntry {
          cnt AS (SELECT source, t.w, CAST(count(*) AS BIGINT) AS c
            FROM toks t JOIN mfw ON t.w = mfw.w GROUP BY 1, 2),
          dense AS (SELECT totals.source, mfw.w,
-             round(coalesce(c, 0) * 1000.0 / nt, 6) AS rate
+             (coalesce(c, 0) * 2000000000 + nt) // (2 * nt) AS rate_e6
            FROM totals CROSS JOIN mfw
            LEFT JOIN cnt ON cnt.source = totals.source AND cnt.w = mfw.w),
-         ws AS (SELECT w, avg(rate) AS mu, stddev_samp(rate) AS sd
+         ws AS (SELECT w, CAST(count(*) AS BIGINT) AS ns,
+             CAST(sum(rate_e6) AS BIGINT) AS s1,
+             sum(CAST(rate_e6 AS HUGEINT) * rate_e6) AS s2
            FROM dense GROUP BY 1),
+         wsf AS (SELECT w, ns, s1,
+             sqrt(CAST(ns * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+               / (ns * (ns - 1))) AS sd
+           FROM ws),
          z AS (SELECT source, dense.w,
-             round((rate - mu) / nullif(sd, 0), 6) AS z
-           FROM dense JOIN ws ON dense.w = ws.w)
-         SELECT a.source AS s1, b.source AS s2,
-           round(avg(abs(a.z - b.z)), 6) AS delta
-         FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
-         GROUP BY 1, 2 ORDER BY delta, s1, s2 LIMIT 10""",
+             ns * rate_e6 - s1 AS znum, ns * sd AS zden
+           FROM dense JOIN wsf ON dense.w = wsf.w
+           WHERE sd > 0),
+         p AS (SELECT a.source AS s1, b.source AS s2,
+             CAST(floor(CAST(abs(a.znum - b.znum) AS DOUBLE)
+               / a.zden * 1e9 + 0.5) AS BIGINT) AS t
+           FROM z a JOIN z b ON a.w = b.w AND a.source < b.source)
+         SELECT s1, s2,
+           CAST((2 * sum(t) + count(*) * 1000)
+             // (2 * count(*) * 1000) AS DOUBLE) / 1e6 AS delta
+         FROM p GROUP BY 1, 2 ORDER BY delta, s1, s2 LIMIT 10""",
     "ts_variance_ratio" ->
       """WITH hourly AS (SELECT
              epoch_us(date_trunc('hour', ts)) // 3600000000 AS hr,
@@ -11528,12 +11543,20 @@ object SparkEntry {
            SELECT v, 'drift',
              v_last + h * (v_last - v_first) / (p - 1.0) FROM hold
            UNION ALL
-           SELECT v, 'snaive', coalesce(lag_s, v_last) FROM hold)
+           SELECT v, 'snaive', coalesce(lag_s, v_last) FROM hold),
+         pr2 AS (SELECT method, v, pred,
+             CAST(floor(abs(pred - v) * 1e9 + 0.5) AS BIGINT) AS t,
+             CAST(floor(2.0 * abs(pred - v)
+               / nullif(abs(pred) + abs(v), 0) * 1e9 + 0.5) AS BIGINT)
+               AS ts
+           FROM preds)
          SELECT method, CAST(count(*) AS BIGINT) AS n,
-           round(avg(abs(pred - v)), 6) AS mae,
-           round(avg(2.0 * abs(pred - v) /
-             nullif(abs(pred) + abs(v), 0)), 6) AS smape
-         FROM preds GROUP BY 1""",
+           CAST((2 * sum(t) + count(*) * 1000)
+             // (2 * count(*) * 1000) AS DOUBLE) / 1e6 AS mae,
+           CAST((2 * sum(ts) + count(ts) * 1000)
+             // (2 * nullif(count(ts), 0) * 1000) AS DOUBLE) / 1e6
+             AS smape
+         FROM pr2 GROUP BY 1""",
     "st_friedman" ->
       """WITH b AS (SELECT user_id,
              round(avg(CASE WHEN event_type = 'click' THEN value END), 6)

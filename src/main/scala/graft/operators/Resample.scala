@@ -1863,12 +1863,26 @@ object Resample {
           coalesce(col("lag_s"), col("v_last")).as("pred")))))
       .select(col("v"), col("preds.method").as("method"),
         col("preds.pred").as("pred"))
-    hold.groupBy("method")
-      .agg(count(lit(1)).as("n"),
-        round(avg(abs(col("pred") - col("v"))), 6).as("mae"),
-        round(avg(lit(2.0) * abs(col("pred") - col("v")) /
-          nullif(abs(col("pred")) + abs(col("v")), lit(0.0))), 6)
-          .as("smape"))
+    // MAE/sMAPE via nano-quantized exact sums (r13, the burrows class:
+    // round6 of a float mean over e6-grid naive/snaive errors reaches
+    // the half-case whenever the holdout count divides twice the error
+    // sum) — each term quantizes to an exact nano-unit long BEFORE the
+    // order-independent sum, one half-up division closes to e6; the
+    // DuckDB twin spells the same arithmetic
+    hold
+      .withColumn("t", floor(abs(col("pred") - col("v")) * 1e9 + 0.5)
+        .cast("long"))
+      .withColumn("ts", floor(lit(2.0) * abs(col("pred") - col("v")) /
+        nullif(abs(col("pred")) + abs(col("v")), lit(0.0)) * 1e9 + 0.5)
+        .cast("long"))
+      .groupBy("method")
+      .agg(count(lit(1)).as("n"), sum("t").as("st"),
+        sum("ts").as("sts"), count("ts").as("ks"))
+      .select(col("method"), col("n"),
+        (expr("(2 * st + n * 1000) div (2 * n * 1000)").cast("double") /
+          1e6).as("mae"),
+        (expr("(2 * sts + ks * 1000) div (2 * nullif(ks, 0) * 1000)")
+          .cast("double") / 1e6).as("smape"))
   }
 
   /** AR(1) MEAN-REVERSION HALF-LIFE of the daily series — "how long

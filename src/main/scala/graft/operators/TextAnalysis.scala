@@ -1618,12 +1618,24 @@ object TextAnalysis {
     * and per-source totals; the rate matrix is sources×k (dense — a
     * source missing a panel word scores rate 0, which is exactly the
     * stylistic signal); z and the pair join live entirely on that
-    * bounded matrix, never on tokens. Rates and z round 6dp so both
-    * engines symbolize identically; zero-variance panel words drop
-    * from every pair mean (null z). Source count is assumed
-    * report-sized (the matrix is sources², documented). */
+    * bounded matrix, never on tokens. Source count is assumed
+    * report-sized (the matrix is sources², documented).
+    *
+    * EXACT-INTEGER discipline end to end (r13 — the seed-45 sf0.05
+    * gate caught the round6(avg(float)) class here: the pair mean
+    * summed ulp-level doubles in aggregation order under a 1e-6
+    * round): rates are exact e6-unit longs (one half-up integer
+    * division), per-word moments are exact integer power sums
+    * (decimal(38,0)), each z carries an exact integer NUMERATOR over a
+    * shared per-word double denominator, the pair terms quantize to
+    * nano-units BEFORE the order-independent long sum, and ONE half-up
+    * integer division closes to e6. Zero-variance panel words drop
+    * from every pair mean (sd > 0 filter — both sides of a pair drop
+    * together, so the per-pair panel count stays well-defined). The
+    * DuckDB twin spells identical arithmetic. */
   def burrowsDelta(documents: DataFrame, topWords: Int = 20,
                    topPairs: Int = 10): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val toks = documents.select(col("source"),
       explode(tokens(col("text"))).as("w"))
     val mfw = broadcast(toks.groupBy("w").agg(count(lit(1)).as("f"))
@@ -1631,21 +1643,39 @@ object TextAnalysis {
     val totals = toks.groupBy("source").agg(count(lit(1)).as("nt"))
     val counts = toks.join(mfw, "w")
       .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    // rate in exact e6 units of tokens-per-thousand: round(c·1e9/nt)
+    // half-up as one integer division (c·2e9 fits a long for corpora
+    // to ~4·10⁹ tokens/source; beyond that rescale to decimal(38,0)
+    // per the giniStump recipe)
     val dense = totals.crossJoin(mfw)
       .join(counts, Seq("source", "w"), "left")
       .select(col("source"), col("w"),
-        round(coalesce(col("c"), lit(0L)) * 1000.0 / col("nt"), 6)
-          .as("rate"))
+        expr("(coalesce(c, 0) * 2000000000 + nt) div (2 * nt)")
+          .as("rate_e6"))
     val wstats = dense.groupBy("w")
-      .agg(avg("rate").as("mu"), stddev_samp(col("rate")).as("sd"))
+      .agg(count(lit(1)).as("ns"), sum("rate_e6").as("s1"),
+        sum(col("rate_e6").cast(dec) * col("rate_e6").cast(dec)).as("s2"))
+      .select(col("w"), col("ns"), col("s1"),
+        sqrt((col("ns").cast(dec) * col("s2") -
+          col("s1").cast(dec) * col("s1").cast(dec)).cast("double") /
+          (col("ns") * (col("ns") - 1))).as("sd"))
+      .filter(col("sd") > 0)
+    // z = (ns·rate − S1) / (ns·sd): exact long numerator, shared
+    // per-word double denominator
     val z = dense.join(broadcast(wstats), "w")
       .select(col("source"), col("w"),
-        round((col("rate") - col("mu")) / nullif(col("sd"), lit(0.0)), 6)
-          .as("z"))
+        (col("ns") * col("rate_e6") - col("s1")).as("znum"),
+        (col("ns") * col("sd")).as("zden"))
     z.as("a").join(z.as("b"),
       col("a.w") === col("b.w") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
-      .agg(round(avg(abs(col("a.z") - col("b.z"))), 6).as("delta"))
+      .select(col("a.source").as("s1"), col("b.source").as("s2"),
+        floor(abs(col("a.znum") - col("b.znum")).cast("double") /
+          col("a.zden") * 1e9 + 0.5).cast("long").as("t"))
+      .groupBy("s1", "s2")
+      .agg(sum("t").as("st"), count(lit(1)).as("k"))
+      .select(col("s1"), col("s2"),
+        (expr("(2 * st + k * 1000) div (2 * k * 1000)").cast("double") /
+          1e6).as("delta"))
       .orderBy(asc("delta"), asc("s1"), asc("s2"))
       .limit(topPairs)
   }
