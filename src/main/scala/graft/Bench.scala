@@ -44,6 +44,16 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
+      // drain the previous query's tenure BEFORE the clock starts (r14,
+      // r13-VERDICT item 5): localCheckpoint-heavy queries leave their
+      // checkpointed RDD blocks pinned until the owning frame is
+      // garbage-collected, so without a GC the block manager fills with
+      // dead blocks and later queries absorb eviction/spill cost that
+      // isn't theirs (r13: dwh_periodic_snapshot 22.4 s suite vs 0.71 s
+      // isolated — and the isolated path has had exactly this
+      // System.gc() since r3). Cached index frames (warmIndexes) are
+      // strongly referenced and survive the collection.
+      System.gc()
       val t0 = System.nanoTime()
       val failed =
         try { fn(spark, sfDir).count(); false }

@@ -29,7 +29,18 @@ object OracleSql {
 
   /** Two-poly 60-bit fingerprints of word 3-grams over a token list
     * `t` (the ShinglePolyHashes twin; `distinct` for SimHash's one-
-    * vote-per-distinct-shingle rule, not needed under min). */
+    * vote-per-distinct-shingle rule, not needed under min).
+    *
+    * ASCII-CORPUS ASSUMPTION (r14 ADVICE): this twin folds DuckDB
+    * `ascii(ch)` CODE POINTS per character, while the engine's
+    * polyHash60 folds raw UTF-8 BYTES (& 0xff) — the two coincide
+    * exactly on ASCII text (code point == single byte) and diverge on
+    * any multi-byte character. Every surface replayed through this
+    * expression reads either base64-armored payloads (pure ASCII by
+    * construction) or the synthetic `documents.text` corpus, which the
+    * generator emits as ASCII; HsAsciiSpec gates the assumption per
+    * round. A non-ASCII corpus needs a byte-level DuckDB fold
+    * (encode() → blob bytes) before these oracles are trusted. */
   private def hsExpr(distinct: Boolean): String = {
     val core =
       """list_transform(range(1, len(t) - 1), i ->

@@ -222,7 +222,16 @@ object Graph {
     * labels; the edge⋈labels joins are the SAME two equi-joins
     * modularity pays (node-sized broadcast side), the rollup is
     * community-sized, the global 2m rides a 1-row broadcast, top-K by
-    * volume via TakeOrdered. */
+    * volume via TakeOrdered.
+    *
+    * PRECONDITION (r14 ADVICE): `labels` must label every edge
+    * endpoint EXACTLY ONCE — one row per node, total over the edge
+    * list's node set. The 2m denominator is derived as |distinct
+    * edges| (see below), which equals Σ_c vol_c only under that
+    * identity; a partial or duplicated label frame silently skews φ.
+    * Callers here always pass [[labelPropagation]] output over the
+    * same edge list, which is total-by-construction; GraphSpec pins
+    * the |j| == |e| identity at test scale. */
   def conductance(edges: DataFrame, labels: DataFrame,
                   topK: Int = 10): DataFrame = {
     // FULLY LAZY (r13 rework of the r12 shape): every materialization
@@ -1138,9 +1147,10 @@ object Graph {
     *
     * Forward pass: level-synchronous multi-source BFS carrying the
     * shortest-path COUNT σ — each round is one frontier⋈edges join on
-    * the pre-partitioned static edge frame + one anti-join against
-    * settled + a (source, node) partial-agg σ-sum; state is ≤ V·K
-    * rows. Backward pass: Brandes' dependency accumulation per level,
+    * the pre-partitioned static edge frame + a (source, node)
+    * partial-agg σ-sum + one anti-join against settled (in that
+    * order — the anti-join filters aggregated rows, r14); state is
+    * ≤ V·K rows. Backward pass: Brandes' dependency accumulation per level,
     * δ(v) = Σ_succ (σv/σw)(1+δw) — each TERM quantizes to integer
     * NANO-units before the per-node sum, so the unordered successor
     * sum is exact long arithmetic and every δ walking up the levels is
@@ -1174,13 +1184,19 @@ object Graph {
       // untouched and scales: the build side is the per-round frontier,
       // ≤ K·V but typically ≪, and it shuffles/builds per partition —
       // no driver-sized broadcast assumption
+      // σ-aggregate BEFORE the settled anti-join (r14, probe-measured
+      // 10-12% whole-query at sf0.1 in both run orders): the anti-join
+      // then filters the (s, node)-aggregated frame — ≤ frontier width
+      // — instead of the full edge fan-out, so its shuffle_hash
+      // exchange moves aggregated rows. Result-identical: the
+      // anti-join drops whole keys and per-key σ sums don't depend on
+      // filter order.
       val next = levels.last.hint("shuffle_hash")
         .join(ed, col("node") === ed("src"))
         .select(col("s"), col("dst"), col("sigma"))
-        .join(settled.withColumnRenamed("node", "dst").hint("shuffle_hash"),
-          Seq("s", "dst"), "left_anti")
         .groupBy(col("s"), col("dst").as("node"))
         .agg(sum("sigma").as("sigma"))
+        .join(settled.hint("shuffle_hash"), Seq("s", "node"), "left_anti")
         .localCheckpoint(true)
       frontierSize = next.count()
       if (frontierSize > 0) {

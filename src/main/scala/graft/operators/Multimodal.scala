@@ -586,9 +586,11 @@ object Multimodal {
         "(.{4})", "$1 ").as("text"))
     // 60-bit two-poly SimHash (r12 flip): the sketch column is the
     // documented swap point; the poly family makes the sketch — and
-    // with it the whole banded pair set — DuckDB-replayable, so
-    // mm_phash is hash-checked (hamming≤3 ⟹ banding is lossless by
-    // pigeonhole at oracle scale, so brute-force hamming IS the twin)
+    // with it the whole banded pair set — DuckDB-replayable. The r13
+    // oracle (OracleSql.mmPhash) replays the CAPPED BANDED pairing
+    // itself — band keys, bucket cap, hamming re-check — not a
+    // brute-force hamming sweep, so engine and twin share the exact
+    // candidate-generation path end to end.
     val sk = ColumnBridge.column(SimHash60FromHashes(
       ShinglePolyHashes(ColumnBridge.expression(col("text")), 3)))
     val sims = Scale.fanOut(asDocs, Seq("doc_id"))

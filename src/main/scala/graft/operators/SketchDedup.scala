@@ -164,9 +164,14 @@ object SketchDedup {
     // retrieved pairs makes tp·312.5 exact), so engine round() is
     // banned at this oracle interface (the SS8.6 discipline); the
     // DuckDB twin spells the same divisions (OracleSql.ddLshEval)
+    // sums coalesce to 0 (r14 ADVICE fix): on a degenerate corpus with
+    // an empty truth or retrieved set, sum-over-all-NULL is NULL while
+    // the oracle's count(*) subqueries say 0 — coalescing keeps both
+    // sides agreeing on empty sets (counts 0, ratios NULL via nullif)
     truth.join(retrieved, Seq("d1", "d2"), "full_outer")
-      .agg(sum("__t").as("n_true"), sum("__r").as("n_retrieved"),
-        sum(col("__t") * col("__r")).as("n_tp"))
+      .agg(coalesce(sum("__t"), lit(0L)).as("n_true"),
+        coalesce(sum("__r"), lit(0L)).as("n_retrieved"),
+        coalesce(sum(col("__t") * col("__r")), lit(0L)).as("n_tp"))
       .withColumn("p_e4",
         expr("(20000 * n_tp + n_retrieved) div (2 * nullif(n_retrieved, 0))"))
       .withColumn("r_e4",

@@ -165,17 +165,24 @@ object SketchImpl {
     h
   }
 
-  /** Second independent fingerprint (base 131, mod 998244353) — paired
-    * with [[polyHash31]] to widen the SQL-replayable hash to 60 bits
-    * (h₁·2³⁰ | h₂; both moduli < 2³⁰). */
-  private def polyHash131(base: AnyRef, off: Long, len: Int): Long = {
-    var h = 7L
+  /** Both fingerprints in ONE byte walk (r14: the r13 shape called
+    * polyHash31 then a base-131 sibling on the same bytes — two memory
+    * passes, two loop overheads per shingle; fused, the bytes are read
+    * once and both accumulators advance together, bit-identical to the
+    * split form since the folds are independent). Returns the 60-bit
+    * combined value h₁·2³⁰ | h₂ (base 131, mod 998244353 for h₂; both
+    * moduli < 2³⁰). */
+  private def polyHash60(base: AnyRef, off: Long, len: Int): Long = {
+    var h1 = 7L
+    var h2 = 7L
     var i = 0
     while (i < len) {
-      h = (h * 131 + (org.apache.spark.unsafe.Platform.getByte(base, off + i) & 0xff)) % PolyP2
+      val b = (org.apache.spark.unsafe.Platform.getByte(base, off + i) & 0xff).toLong
+      h1 = (h1 * 31 + b) % PolyP1
+      h2 = (h2 * 131 + b) % PolyP2
       i += 1
     }
-    h
+    (h1 << 30) | h2
   }
 
   /** Positional word n-gram POLYNOMIAL fingerprints — the
@@ -255,8 +262,7 @@ object SketchImpl {
     while (t < m) {
       val s = starts(t)
       val e = starts(t + n) - 1
-      hs(t) = (polyHash31(base, off + s, e - s) << 30) |
-        polyHash131(base, off + s, e - s)
+      hs(t) = polyHash60(base, off + s, e - s)
       t += 1
     }
     java.util.Arrays.sort(hs)
@@ -503,7 +509,18 @@ object CwMinHash {
   private val M30 = (1L << 30) - 1
   val (cwA, cwB, cwC) = {
     val rng = new java.util.Random(0x13c0ffeeL)
-    def draw() = Array.fill(MaxK)(1L + rng.nextInt((1 << 30) - 1).toLong)
+    // uniform on [1, p-1] via rejection sampling (r14 ADVICE fix: the
+    // r13 range [1, 2^30-1] exceeded [1, p-1], so draws in (p, 2^30-1]
+    // aliased mod p and a draw equal to p zeroed its slot's term —
+    // a 2-universality weakening; engine and oracle stayed consistent
+    // since the SQL lists render from these arrays, and they move
+    // together under this fix too)
+    def drawOne(): Long = {
+      var v = 1L + rng.nextInt((1 << 30) - 1).toLong
+      while (v >= P) v = 1L + rng.nextInt((1 << 30) - 1).toLong
+      v
+    }
+    def draw() = Array.fill(MaxK)(drawOne())
     (draw(), draw(), draw())
   }
 

@@ -74,11 +74,19 @@ object CmsSink {
         require(store.columns.contains("cms_family"),
           s"stale CMS store at $storePath (pre-$CmsFamily format): " +
             "rebuild via the sink/backfill path")
-        val rows = store.select("sk", "cms_family").collect()
-        rows.foreach(r => require(r.getAs[String]("cms_family") == CmsFamily,
+        // tag check BEFORE touching blobs (r13 VERDICT item): the
+        // family column is a partition-of-one per batch, so the
+        // distinct is a column-pruned scan of tiny strings — sketch
+        // arrays (depth·width longs each) are only collected once the
+        // store is known-compatible, for the merge itself
+        val families = store.select("cms_family").distinct()
+          .collect().map(_.getString(0))
+        require(families.forall(_ == CmsFamily),
           s"CMS store at $storePath carries family " +
-            s"${r.getAs[String]("cms_family")}, this build expects $CmsFamily"))
-        rows.map(_.getAs[scala.collection.Seq[Long]]("sk").toArray)
+            s"${families.filterNot(_ == CmsFamily).mkString(",")}, " +
+            s"this build expects $CmsFamily")
+        store.select("sk").collect()
+          .map(_.getAs[scala.collection.Seq[Long]]("sk").toArray)
       }
       catch {
         case _: org.apache.spark.sql.AnalysisException =>

@@ -323,6 +323,13 @@ class GraphSpec extends SparkSpec {
       (6L, 1L)).toDF("node", "label")
     val whole = Graph.conductance(g, one).collect().head
     assert(whole.getAs[Long]("cut") == 0L && whole.isNullAt(3), s"$whole")
+    // the 2m = |e| identity conductance's denominator rides on (r14
+    // ADVICE): with TOTAL labels, Σ_c vol_c must equal the distinct
+    // edge count — i.e. every endpoint labeled exactly once, the
+    // documented precondition. Pin it on the two-community case.
+    assert(out.values.map(_._1).sum == 2L * 7L, s"vol sum: $out")
+    // and 2·|distinct edges| = 14 (7 undirected edges both ways)
+    assert(g.select("src", "dst").distinct().count() == 14L)
   }
 
   test("reciprocity: mutual pair counts both directions, one-way edge counts none") {

@@ -8,7 +8,7 @@ embeddings) from scratch with a caller-chosen seed and scale factor,
 writing parquet files that are schema-identical (names, arrow physical
 types, list element naming) to /root/testdata/sf*. Purpose: the
 round-12 "second-seed oracle gate" — every CORRECTNESS pass to date is
-conditioned on the driver's single seed-42 draw, and the SURVEY §8.8
+conditioned on the driver's single seed-42 draw, and the SURVEY §8.0 r11-ledger
 rational-round triage explicitly leans on "the fixed data misses the
 boundary" for some classified non-exposures. Re-running the full
 graft.Verify + check_oracle.py sweep on an independent draw (and a
