@@ -7464,15 +7464,19 @@ object SparkEntry {
     "lam_anomaly_join" ->
       """WITH prof AS (
            SELECT CAST(day(ts) AS INTEGER) AS p_day, event_type AS p_type,
-             CAST((sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 20000
-               + count(*)) // (2 * count(*)) AS DOUBLE) / 1e6 AS value_mean, round(stddev_samp(value),6) AS value_std
+             (sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 20000
+               + count(*)) // (2 * count(*)) AS mean_micros,
+             round(stddev_samp(value),6) AS value_std
            FROM events GROUP BY 1, 2)
          SELECT CAST(day(e.ts) AS INTEGER) AS day, e.event_type,
            count(*) AS n_anomalies,
-           round(max(abs(e.value - p.value_mean)),4) AS max_deviation
+           CAST((2 * max(abs(CAST(floor(e.value * 100 + 0.5) AS BIGINT)
+               * 10000 - p.mean_micros)) + 100) // 200 AS DOUBLE) / 1e4
+             AS max_deviation
          FROM events e JOIN prof p
            ON CAST(day(e.ts) AS INTEGER) = p.p_day AND e.event_type = p.p_type
-         WHERE abs(e.value - p.value_mean) > 2.0 * p.value_std
+         WHERE abs(e.value - CAST(p.mean_micros AS DOUBLE) / 1e6)
+           > 2.0 * p.value_std
          GROUP BY 1, 2""",
     "lam_window_agg" ->
       """WITH ev AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),

@@ -56,19 +56,41 @@ object Lambda {
 
   /** Serving layer: join observations to their (day, type) profile and
     * keep μ±2σ outliers. Profile side is broadcast — at 100 TB the fact
-    * scan stays shuffle-free. */
+    * scan stays shuffle-free.
+    *
+    * max_deviation rides EXACT INTEGER MICROS (r14, caught by the
+    * seed-46 sf0.05 gate): the deviation |value − μ| is an e6-grid
+    * rational (e2-grid value minus exact-micros mean), so
+    * `round(max(·), 4)` reaches the .00005 half-case on ~1% of cells
+    * per draw — seed 46 landed one (230.86125: DuckDB float-mult
+    * round said 230.8613, Spark's BigDecimal half-up said 230.8612).
+    * Cure is the Exact.scala discipline: per-row deviation in exact
+    * long micros (|cents·10⁴ − mean_micros|), integer max, ONE
+    * half-up integer division to the e4 output — both engines walk
+    * identical longs. The μ±2σ FILTER stays float: σ is a sqrt
+    * (irrational — never ON the e6 half grid), and both engines
+    * compare the identical value_mean double against it. */
   def anomalies(events: DataFrame): DataFrame = {
-    val profiles = dailyProfile(events)
+    val profiles = events
+      .withColumn("day", dayofmonth(col("ts")))
+      .groupBy("day", "event_type")
+      .agg(Exact.avgValueMicros.as("mean_micros"),
+        round(stddev_samp("value"), 6).as("value_std"))
       .select(col("day").as("p_day"), col("event_type").as("p_type"),
-        col("value_mean"), col("value_std"))
+        col("mean_micros"),
+        (col("mean_micros").cast("double") / lit(1e6)).as("value_mean"),
+        col("value_std"))
     events
       .withColumn("day", dayofmonth(col("ts")))
       .join(broadcast(profiles),
         col("day") === col("p_day") && col("event_type") === col("p_type"))
       .filter(abs(col("value") - col("value_mean")) > lit(2.0) * col("value_std"))
+      .withColumn("dev_micros",
+        abs(Exact.cents(col("value")) * lit(10000L) - col("mean_micros")))
       .groupBy("day", "event_type")
       .agg(count(lit(1)).as("n_anomalies"),
-        round(max(abs(col("value") - col("value_mean"))), 4).as("max_deviation"))
+        (expr("(2 * max(dev_micros) + 100) div 200").cast("double") / 1e4)
+          .as("max_deviation"))
   }
 
   /** SERVING-LAYER RECONCILIATION — the query that makes a lambda
