@@ -449,4 +449,69 @@ object OracleSql {
                THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS sim
          FROM hx),
        ${simhashPairSelect("sk", "doc_id", "d1", "d2", 4096, 3, "INTEGER")}"""
+
+  /** gr_percolation twin, r14 rework: per-τ connected components via
+    * ROUND-UNROLLED hook + pointer-jump min-label propagation (the
+    * Shiloach–Vishkin shape dupClusters runs distributed) instead of
+    * the all-PAIRS reachability closure — the old `reach` CTE
+    * materializes O(n²) rows inside the giant component (≈64M pairs at
+    * sf0.05, the ~40-minute long pole of the whole second-seed gate;
+    * this form runs in seconds). Each round takes, per node, the min
+    * of its label, its neighbors' labels (hook) and its label's label
+    * (jump); hook+jump at least halves label-chain depth per round, so
+    * [[PercRounds]] = 24 converges for any component ≤ 2²⁴ nodes —
+    * far beyond any oracle SF. NON-CONVERGENCE IS LOUD, not silent:
+    * the final select cross-joins a lab_R ≠ lab_{R-1} mismatch count
+    * and requires 0, so an unconverged run returns zero rows and
+    * fails the driver's row compare. */
+  val PercRounds = 24
+
+  val grPercolation: String = {
+    val rounds = (1 to PercRounds).map { k =>
+      val p = s"lab${k - 1}"
+      s"""lab$k AS MATERIALIZED (SELECT a.tau, a.node,
+         least(a.l, coalesce(nb.ml, a.l), coalesce(pj.l, a.l)) AS l
+         FROM $p a
+         LEFT JOIN (SELECT e.tau, e.u AS node, min(b.l) AS ml
+           FROM sym e JOIN $p b ON e.tau = b.tau AND e.v = b.node
+           GROUP BY 1, 2) nb ON a.tau = nb.tau AND a.node = nb.node
+         LEFT JOIN $p pj ON a.tau = pj.tau AND a.l = pj.node)"""
+    }.mkString(",\n         ")
+    s"""WITH wpairs AS (SELECT o_custkey AS a,
+             CAST(l_suppkey + 1000000000 AS BIGINT) AS b,
+             CAST(count(DISTINCT o_orderkey) AS BIGINT) AS w
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           GROUP BY 1, 2),
+         canon AS MATERIALIZED (SELECT least(a, b) AS s, greatest(a, b) AS t,
+             max(w) AS w
+           FROM wpairs WHERE a <> b GROUP BY 1, 2),
+         taus AS (SELECT CAST(tau AS BIGINT) AS tau
+           FROM (VALUES (1), (2), (3), (4)) tt(tau)),
+         sym AS MATERIALIZED (SELECT tau, s AS u, t AS v FROM canon
+             JOIN taus ON w >= tau
+           UNION ALL SELECT tau, t, s FROM canon JOIN taus ON w >= tau),
+         lab0 AS MATERIALIZED (SELECT tau, u AS node, least(u, min(v)) AS l
+           FROM sym GROUP BY 1, 2),
+         $rounds,
+         conv AS (SELECT count(*) AS n_unconverged
+           FROM lab$PercRounds x JOIN lab${PercRounds - 1} y
+             ON x.tau = y.tau AND x.node = y.node AND x.l <> y.l),
+         lab AS (SELECT tau, node, l AS cluster_id FROM lab$PercRounds),
+         cs AS (SELECT tau, cluster_id,
+             CAST(count(*) AS BIGINT) AS sz
+           FROM lab GROUP BY 1, 2),
+         per AS (SELECT tau, CAST(sum(sz) AS BIGINT) AS n_nodes,
+             CAST(count(*) AS BIGINT) AS n_components,
+             CAST(max(sz) AS BIGINT) AS giant
+           FROM cs GROUP BY 1),
+         ec AS (SELECT tau, CAST(count(*) AS BIGINT) AS n_edges
+           FROM canon JOIN taus ON w >= tau GROUP BY 1)
+         SELECT taus.tau,
+           coalesce(n_nodes, 0) AS n_nodes,
+           coalesce(n_edges, 0) AS n_edges,
+           coalesce(n_components, 0) AS n_components,
+           round(giant / CAST(n_nodes AS DOUBLE), 6) AS giant_share
+         FROM taus LEFT JOIN per USING (tau) LEFT JOIN ec USING (tau)
+         CROSS JOIN conv WHERE conv.n_unconverged = 0"""
+  }
 }

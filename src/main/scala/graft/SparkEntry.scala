@@ -5757,43 +5757,10 @@ object SparkEntry {
              max(r / CAST(n AS DOUBLE) - f),
              max(f - (r - 1) / CAST(n AS DOUBLE))), 6) AS ks_d
          FROM rk""",
-    "gr_percolation" ->
-      """WITH RECURSIVE wpairs AS (SELECT o_custkey AS a,
-             CAST(l_suppkey + 1000000000 AS BIGINT) AS b,
-             CAST(count(DISTINCT o_orderkey) AS BIGINT) AS w
-           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-           GROUP BY 1, 2),
-         canon AS (SELECT least(a, b) AS s, greatest(a, b) AS t,
-             max(w) AS w
-           FROM wpairs WHERE a <> b GROUP BY 1, 2),
-         taus AS (SELECT CAST(tau AS BIGINT) AS tau
-           FROM (VALUES (1), (2), (3), (4)) tt(tau)),
-         sym AS (SELECT tau, s AS u, t AS v FROM canon
-             JOIN taus ON w >= tau
-           UNION ALL SELECT tau, t, s FROM canon JOIN taus ON w >= tau),
-         reach(tau, a, b) AS (
-           SELECT tau, u, v FROM sym
-           UNION
-           SELECT r.tau, r.a, e.v FROM reach r
-             JOIN sym e ON r.tau = e.tau AND r.b = e.u),
-         lab AS (SELECT tau, a AS node,
-             least(a, min(b)) AS cluster_id
-           FROM reach GROUP BY tau, a),
-         cs AS (SELECT tau, cluster_id,
-             CAST(count(*) AS BIGINT) AS sz
-           FROM lab GROUP BY 1, 2),
-         per AS (SELECT tau, CAST(sum(sz) AS BIGINT) AS n_nodes,
-             CAST(count(*) AS BIGINT) AS n_components,
-             CAST(max(sz) AS BIGINT) AS giant
-           FROM cs GROUP BY 1),
-         ec AS (SELECT tau, CAST(count(*) AS BIGINT) AS n_edges
-           FROM canon JOIN taus ON w >= tau GROUP BY 1)
-         SELECT taus.tau,
-           coalesce(n_nodes, 0) AS n_nodes,
-           coalesce(n_edges, 0) AS n_edges,
-           coalesce(n_components, 0) AS n_components,
-           round(giant / CAST(n_nodes AS DOUBLE), 6) AS giant_share
-         FROM taus LEFT JOIN per USING (tau) LEFT JOIN ec USING (tau)""",
+    // r14: round-unrolled hook+jump CC rendered in OracleSql — the old
+    // recursive reach closure was O(n²) pairs in the giant component
+    // (~40 min alone at sf0.05, the second-seed gate's long pole)
+    "gr_percolation" -> OracleSql.grPercolation,
     "st_xi" ->
       """WITH dx AS (SELECT CAST(epoch(CAST(ts AS DATE)) // 86400
                AS BIGINT) AS d,
