@@ -458,13 +458,52 @@ object OracleSql {
     * sf0.05, the ~40-minute long pole of the whole second-seed gate;
     * this form runs in seconds). Each round takes, per node, the min
     * of its label, its neighbors' labels (hook) and its label's label
-    * (jump); hook+jump at least halves label-chain depth per round, so
-    * [[PercRounds]] = 24 converges for any component ≤ 2²⁴ nodes —
-    * far beyond any oracle SF. NON-CONVERGENCE IS LOUD, not silent:
-    * the final select cross-joins a lab_R ≠ lab_{R-1} mismatch count
-    * and requires 0, so an unconverged run returns zero rows and
-    * fails the driver's row compare. */
-  val PercRounds = 24
+    * (jump). ROUND BUDGETS ARE MEASURED, NOT THEORETICAL (r14: the
+    * "jump halves chains" intuition fails on geometric chain graphs —
+    * the label must first ENTER a chain by hooking before jumps
+    * compress it, so rounds track graph DIAMETER): the sp_* spatial
+    * epsilon graphs need 49/54 rounds at sf0.05/sf0.1, the dense
+    * co-purchase percolation graphs ≤ 24; [[CcRoundsDefault]] = 128
+    * and [[PercRounds]] = 48 carry ≥2× margin over the worst measured
+    * case. NON-CONVERGENCE IS LOUD, not silent: the final select
+    * cross-joins a lab_R ≠ lab_{R-1} mismatch count and requires 0,
+    * so an unconverged run returns zero rows and fails the driver's
+    * row compare (this guard is what caught the 24-round budget the
+    * first formulation shipped with). */
+  val PercRounds = 48
+  val CcRoundsDefault = 128
+
+  /** Generic hook+jump CC rounds over a symmetric `edgesCte(a, b)`:
+    * renders `{pre}0..{pre}N` label CTEs plus a convergence-guarded
+    * `{pre}cc(node, cluster_id)` — same algorithm and loud-fail
+    * contract as [[grPercolation]] (zero rows downstream when
+    * lab_N ≠ lab_{N-1}), for the non-τ closures (sp_cluster,
+    * sp_dbscan; their epsilon graphs are the measured worst case —
+    * see the round-budget note above). Labels cover exactly the
+    * nodes with ≥1 edge, and
+    * cluster_id = component min INCLUDING self — identical to the old
+    * `least(a, min(b))`-over-reach convention. */
+  def ccRounds(pre: String, edgesCte: String,
+               rounds: Int = CcRoundsDefault): String = {
+    val chain = (1 to rounds).map { k =>
+      val p = s"$pre${k - 1}"
+      s"""$pre$k AS MATERIALIZED (SELECT x.node,
+         least(x.l, coalesce(nb.ml, x.l), coalesce(pj.l, x.l)) AS l
+         FROM $p x
+         LEFT JOIN (SELECT e.a AS node, min(b.l) AS ml
+           FROM $edgesCte e JOIN $p b ON e.b = b.node
+           GROUP BY 1) nb ON x.node = nb.node
+         LEFT JOIN $p pj ON x.l = pj.node)"""
+    }.mkString(",\n         ")
+    s"""${pre}0 AS MATERIALIZED (SELECT a AS node, least(a, min(b)) AS l
+           FROM $edgesCte GROUP BY 1),
+         $chain,
+         ${pre}conv AS (SELECT count(*) AS n
+           FROM $pre$rounds x JOIN $pre${rounds - 1} y
+             ON x.node = y.node AND x.l <> y.l),
+         ${pre}cc AS (SELECT node, l AS cluster_id FROM $pre$rounds
+           CROSS JOIN ${pre}conv WHERE ${pre}conv.n = 0)"""
+  }
 
   val grPercolation: String = {
     val rounds = (1 to PercRounds).map { k =>

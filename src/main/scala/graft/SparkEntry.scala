@@ -7538,12 +7538,17 @@ object SparkEntry {
          FROM z JOIN pts ON lat BETWEEN lat_lo AND lat_hi
            AND lon BETWEEN lon_lo AND lon_hi
          GROUP BY 1""",
+    // r14: both spatial closures ride OracleSql.ccRounds (hook+jump,
+    // loud convergence guard) and a MATERIALIZED pair join — the old
+    // recursive reach was the gate's next long pole after percolation
+    // (~7 min each at sf0.05), and dbscan's un-materialized edges CTE
+    // re-ran the quadratic haversine join three times
     "sp_dbscan" ->
-      """WITH RECURSIVE pts AS (SELECT c_custkey,
+      s"""WITH pts AS MATERIALIZED (SELECT c_custkey,
              round(((c_custkey * 17) % 1400)/10.0 - 70.0, 4) AS lat,
              round(((c_custkey * 31) % 3600)/10.0 - 180.0, 4) AS lon
            FROM customer),
-         pairs AS (
+         pairs AS MATERIALIZED (
            SELECT a.c_custkey AS d1, b.c_custkey AS d2
            FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey
            WHERE round(2*6371.0*asin(sqrt(
@@ -7551,22 +7556,17 @@ object SparkEntry {
              cos(radians(a.lat))*cos(radians(b.lat))
                *pow(sin(radians(b.lon - a.lon)/2), 2)
            )), 4) <= 300.0),
-         edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+         edges AS MATERIALIZED (SELECT d1 AS a, d2 AS b FROM pairs
                    UNION ALL SELECT d2, d1 FROM pairs),
-         core AS (SELECT a AS pid FROM edges GROUP BY a
+         core AS MATERIALIZED (SELECT a AS pid FROM edges GROUP BY a
                   HAVING count(*) >= 2),
-         ce AS (SELECT e.a, e.b FROM edges e
+         ce AS MATERIALIZED (SELECT e.a, e.b FROM edges e
                 JOIN core c1 ON e.a = c1.pid
                 JOIN core c2 ON e.b = c2.pid),
-         reach(a, b) AS (
-           SELECT a, b FROM ce
-           UNION
-           SELECT r.a, e.b FROM reach r JOIN ce e ON r.b = e.a),
-         cc AS (SELECT a AS pid, least(a, min(b)) AS cluster_id
-                FROM reach GROUP BY a),
+         ${OracleSql.ccRounds("dbl", "ce")},
          corelab AS (SELECT c.pid,
              coalesce(cc.cluster_id, c.pid) AS cluster_id
-           FROM core c LEFT JOIN cc ON c.pid = cc.pid),
+           FROM core c LEFT JOIN dblcc cc ON c.pid = cc.node),
          borderlab AS (SELECT e.a AS pid,
              min(cl.cluster_id) AS cluster_id
            FROM edges e JOIN corelab cl ON e.b = cl.pid
@@ -7576,11 +7576,11 @@ object SparkEntry {
          UNION ALL
          SELECT pid, cluster_id, 'border' AS role FROM borderlab""",
     "sp_cluster" ->
-      """WITH RECURSIVE pts AS (SELECT c_custkey,
+      s"""WITH pts AS MATERIALIZED (SELECT c_custkey,
              round(((c_custkey * 17) % 1400)/10.0 - 70.0, 4) AS lat,
              round(((c_custkey * 31) % 3600)/10.0 - 180.0, 4) AS lon
            FROM customer),
-         pairs AS (
+         pairs AS MATERIALIZED (
            SELECT a.c_custkey AS d1, b.c_custkey AS d2
            FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey
            WHERE round(2*6371.0*asin(sqrt(
@@ -7588,14 +7588,10 @@ object SparkEntry {
              cos(radians(a.lat))*cos(radians(b.lat))
                *pow(sin(radians(b.lon - a.lon)/2), 2)
            )), 4) <= 300.0),
-         edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+         edges AS MATERIALIZED (SELECT d1 AS a, d2 AS b FROM pairs
                    UNION ALL SELECT d2, d1 FROM pairs),
-         reach(a, b) AS (
-           SELECT a, b FROM edges
-           UNION
-           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-         SELECT a AS c_custkey, least(a, min(b)) AS cluster_id
-         FROM reach GROUP BY a""",
+         ${OracleSql.ccRounds("scl", "edges")}
+         SELECT node AS c_custkey, cluster_id FROM sclcc""",
     "sp_radius_join" ->
       """WITH pts AS (SELECT c_custkey,
              round(((c_custkey * 17) % 1400)/10.0 - 70.0, 4) AS lat,
