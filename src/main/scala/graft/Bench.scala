@@ -44,16 +44,17 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
-      // drain the previous query's tenure BEFORE the clock starts (r14,
-      // r13-VERDICT item 5): localCheckpoint-heavy queries leave their
-      // checkpointed RDD blocks pinned until the owning frame is
-      // garbage-collected, so without a GC the block manager fills with
-      // dead blocks and later queries absorb eviction/spill cost that
-      // isn't theirs (r13: dwh_periodic_snapshot 22.4 s suite vs 0.71 s
-      // isolated — and the isolated path has had exactly this
-      // System.gc() since r3). Cached index frames (warmIndexes) are
-      // strongly referenced and survive the collection.
-      System.gc()
+      // NO per-entry System.gc() (r14, MEASURED AND REVERTED): a full
+      // GC before every entry was tried to drain localCheckpoint
+      // tenure (the dwh_periodic_snapshot 22.4-vs-0.71 s class), but
+      // it flushes Spark's SOFT-REFERENCED whole-stage-codegen class
+      // cache, so every query re-Janino-compiles — clean-suite total
+      // 418.0→529.4 s with 299 queries >1.3× slower (BENCH_LOCAL_r14
+      // vs the discarded GC run). The suite number therefore stays a
+      // SMOKE SIGNAL (tenure noise included); the artifact of record
+      // is the clean-session run, and the isolated re-measure below
+      // (where one GC per slow query is amortized and explicitly
+      // about removing tenure) keeps its System.gc().
       val t0 = System.nanoTime()
       val failed =
         try { fn(spark, sfDir).count(); false }
