@@ -55,6 +55,22 @@ object Bench {
       // is the clean-session run, and the isolated re-measure below
       // (where one GC per slow query is amortized and explicitly
       // about removing tenure) keeps its System.gc().
+      // Per-query BLOCK DRAIN (r15, measured): every iterative query
+      // leaves its localCheckpoint blocks in the block manager until
+      // the ContextCleaner happens to GC the RDD handles, so block-
+      // manager tenure from query k taxes queries k+1.. (the r14
+      // "suite vs isolated" gap: dd_lsh_eval 30.8 s suite / 8.6 s
+      // isolated). Unpersisting exactly the RDDs the query itself
+      // created — snapshot-diff on ids, so the session-scoped warm
+      // state (edgeCache graphs, index lakes) built BEFORE the loop is
+      // never touched — frees them deterministically WITHOUT the
+      // per-entry System.gc() r14 measured and reverted (that flushed
+      // the soft-referenced codegen class cache; this drops only data
+      // blocks). The drain sits OUTSIDE the timed region: it is bench
+      // hygiene, not query cost (same class as the isolated loop's
+      // System.gc()). Methodology change priced in OPTIMIZATION_r15.md
+      // with the undrained number kept alongside.
+      val before = spark.sparkContext.getPersistentRDDs.keySet
       val t0 = System.nanoTime()
       val failed =
         try { fn(spark, sfDir).count(); false }
@@ -63,6 +79,9 @@ object Bench {
           true
         }
       val sec = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!before.contains(id)) rdd.unpersist(blocking = false)
+      }
       name -> (if (failed) -1.0 else sec)
     }
     // Locale.ROOT: the default-locale f"" interpolator would emit
@@ -80,6 +99,7 @@ object Bench {
     val isolated = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
       .map { case (name, suiteSec) =>
         System.gc() // drain the previous query's garbage before timing
+        val before = spark.sparkContext.getPersistentRDDs.keySet
         val t0 = System.nanoTime()
         val sec =
           try { SparkEntry.queries(name)(spark, sfDir).count()
@@ -91,6 +111,10 @@ object Bench {
               s"${e.getClass.getName}: ${e.getMessage}")
             -1.0
           }
+        // same snapshot-diff block drain as the suite loop
+        spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+          if (!before.contains(id)) rdd.unpersist(blocking = false)
+        }
         (name, suiteSec, sec)
       }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }

@@ -101,9 +101,17 @@ object SparkEntry {
     dedupIndex(s, d); bucketedTables(s, d); manifestLake(s, d)
     bpeMerges(s, d)
     // mined graphs are one-off session builds too (localCheckpoint):
-    // the gr_* numbers to record are analytic cost over the edge list
+    // the gr_* numbers to record are analytic cost over the edge list.
+    // r15: the directed/succession graphs joined the warm set — they
+    // were lazily built by their first consumer (gr_hits, gr_scc,
+    // gr_reciprocity charged the BUILDER to the analytic number,
+    // unlike the other four mined graphs), and every edge frame must
+    // predate the bench loop so its checkpoint survives the per-query
+    // block drain (Bench.scala)
     coPurchaseEdges(s, d); coSupplyEdges(s, d)
     repeatBusinessEdges(s, d, 4); repeatBusinessEdges(s, d, 2)
+    repeatBusinessDirected(s, d, 2); repeatBusinessDirected(s, d, 3)
+    supplierSuccessionEdges(s, d)
   }
 
   // ---- per-session mined graphs (the gr_* family's shared input) ----
@@ -7566,7 +7574,8 @@ object SparkEntry {
          ${OracleSql.ccRounds("dbl", "ce")},
          corelab AS (SELECT c.pid,
              coalesce(cc.cluster_id, c.pid) AS cluster_id
-           FROM core c LEFT JOIN dblcc cc ON c.pid = cc.node),
+           FROM core c LEFT JOIN dblcc cc ON c.pid = cc.node
+           CROSS JOIN dblconv WHERE dblconv.n = 0),
          borderlab AS (SELECT e.a AS pid,
              min(cl.cluster_id) AS cluster_id
            FROM edges e JOIN corelab cl ON e.b = cl.pid

@@ -233,7 +233,17 @@ object Graph {
     * same edge list, which is total-by-construction; GraphSpec pins
     * the |j| == |e| identity at test scale. */
   def conductance(edges: DataFrame, labels: DataFrame,
-                  topK: Int = 10): DataFrame = {
+                  topK: Int = 10,
+                  broadcastNodeLimit: Long = 4000000L): DataFrame = {
+    // broadcast-or-degrade guard (r15, the dupClusters pattern): the
+    // two label probes are node-sized, so the hint is measured against
+    // the label row count — ONE extra run of the (lazy, see below)
+    // label chain, probe-measured ~0.2 s at sf0.1 — and degrades to
+    // shuffle_hash past the limit instead of OOMing at 1e9 nodes
+    lazy val nLabels = labels.count()
+    def bc(df: DataFrame): DataFrame =
+      if (nLabels <= broadcastNodeLimit) broadcast(df)
+      else df.hint("shuffle_hash")
     // FULLY LAZY (r13 rework of the r12 shape): every materialization
     // of the label lineage here (localCheckpoint's .rdd route, cache())
     // compiles the LPA round chain WITHOUT adaptive execution, so its
@@ -245,9 +255,9 @@ object Graph {
     // the lazy chain once each (~0.2 s), the cheaper trade by 3×.
     val e = edges.select("src", "dst").distinct()
     val j = e
-      .join(broadcast(labels.select(col("node").as("src"),
+      .join(bc(labels.select(col("node").as("src"),
         col("label").as("cs"))), Seq("src"))
-      .join(broadcast(labels.select(col("node").as("dst"),
+      .join(bc(labels.select(col("node").as("dst"),
         col("label").as("cd"))), Seq("dst"))
     val perC = j.groupBy(col("cs").as("community"))
       .agg(count(lit(1)).as("vol"),
@@ -546,20 +556,32 @@ object Graph {
     * bound. Rounds are bounded by the peeling depth (≤ longest
     * degeneracy chain, ~tens on real graphs), never by graph size;
     * convergence is edge-count stability, an O(1) driver scalar. */
-  def kCore(edges: DataFrame, k: Int = 3, maxRounds: Int = 30): DataFrame = {
+  def kCore(edges: DataFrame, k: Int = 3, maxRounds: Int = 30,
+            broadcastNodeLimit: Long = 4000000L): DataFrame = {
     require(k >= 1, "k-core needs k >= 1")
     var und = edges.select(col("src").as("a"), col("dst").as("b"))
       .union(edges.select(col("dst").as("a"), col("src").as("b")))
       .distinct()
       .localCheckpoint(true)
     var nEdges = und.count()
+    // r15 (the LPA lesson): the per-round keep frame is node-sized and
+    // the loop materializes through localCheckpoint where AQE never
+    // runs — un-hinted, both semi joins fell back to sort-merge and
+    // re-sorted the surviving edge frame every round. Guarded
+    // broadcast (node count ≤ edge count off the checkpoint, measured
+    // once), shuffle_hash degrade past the limit.
+    lazy val nNodes =
+      und.select(col("a")).distinct().count()
+    def bc(df: DataFrame): DataFrame =
+      if (nNodes <= broadcastNodeLimit) broadcast(df)
+      else df.hint("shuffle_hash")
     var converged = nEdges == 0L
     var round = 0
     while (!converged && round < maxRounds) {
       val keep = und.groupBy("a").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select("a")
-      val next = und.join(keep, Seq("a"), "left_semi")
-        .join(keep.select(col("a").as("b")), Seq("b"), "left_semi")
+      val next = und.join(bc(keep), Seq("a"), "left_semi")
+        .join(bc(keep.select(col("a").as("b"))), Seq("b"), "left_semi")
         .localCheckpoint(true)
       val nNext = next.count()
       // monotone: rounds only remove, so equal counts == true fixpoint
@@ -592,7 +614,8 @@ object Graph {
     * collect_list row (the straggler/OOM a skewed 100 TB graph would
     * hit). Convergence is one changed-count scalar per round; state
     * (node, c) checkpoints per round (loop-carried). */
-  def coreness(edges: DataFrame, maxIters: Int = 30): DataFrame = {
+  def coreness(edges: DataFrame, maxIters: Int = 30,
+               broadcastNodeLimit: Long = 4000000L): DataFrame = {
     val und = edges.select(col("src").as("a"), col("dst").as("b"))
       .union(edges.select(col("dst").as("a"), col("src").as("b")))
       .distinct()
@@ -600,6 +623,16 @@ object Graph {
     var c = und.groupBy(col("a").as("node"))
       .agg(count(lit(1)).cast("int").as("c"))
       .localCheckpoint(true)
+    // r15 (the LPA lesson, previously un-applied here): the per-round
+    // c-frame join compiles through localCheckpoint's .rdd route where
+    // AQE never runs, so the un-hinted join fell back to sort-merge and
+    // re-sorted the b-partitioned edge frame EVERY round. The c frame
+    // is node-sized → guarded broadcast (count taken once off the
+    // checkpoint), shuffle_hash degrade past the limit.
+    val nNodes = c.count()
+    def bc(df: DataFrame): DataFrame =
+      if (nNodes <= broadcastNodeLimit) broadcast(df)
+      else df.hint("shuffle_hash")
     var it = 0
     var changed = true
     // per-node c is MONOTONE non-increasing, so an unchanged Σc is a
@@ -615,7 +648,7 @@ object Graph {
         .rowsBetween(org.apache.spark.sql.expressions.Window
           .unboundedPreceding, 0)
       val next = und
-        .join(c.select(col("node").as("b"), col("c").as("cb")), Seq("b"))
+        .join(bc(c.select(col("node").as("b"), col("c").as("cb"))), Seq("b"))
         .groupBy(col("a"), col("cb"))
         .agg(count(lit(1)).as("n"))
         .withColumn("cw", sum("n").over(wCum))
@@ -834,27 +867,37 @@ object Graph {
     * width is the live (node, neighbor-label) pair count, never the
     * raw edge count. The loop itself stays one lazy plan: each round's
     * labels feed exactly one consumer (the next round). */
-  def labelPropagation(edges: DataFrame, rounds: Int = 3): DataFrame = {
+  def labelPropagation(edges: DataFrame, rounds: Int = 3,
+                       broadcastNodeLimit: Long = 4000000L): DataFrame = {
     val ed = edges.select("src", "dst").distinct().localCheckpoint(true)
     val nodes = ed.select(col("src").as("node")).distinct()
       .localCheckpoint(true)
+    // broadcast-or-degrade guard (r15, the dupClusters pattern): the
+    // per-round label/adopted frames are node-sized, so the broadcast
+    // hint is MEASURED against the node count (one cheap count off the
+    // checkpoint) and degrades to shuffle_hash past the limit (~100 MB
+    // of (long,long) at the 4M default) instead of OOMing at 1e9 nodes
+    val nNodes = nodes.count()
+    def bc(df: DataFrame): DataFrame =
+      if (nNodes <= broadcastNodeLimit) broadcast(df)
+      else df.hint("shuffle_hash")
     var labels = nodes.withColumn("label", col("node"))
     for (_ <- 1 to rounds) {
       // the label/adopted frames are node-sized by construction —
-      // EXPLICIT broadcasts (r13), not AQE bets: materializing any
+      // EXPLICIT hints (r13), not AQE bets: materializing any
       // consumer of this chain (cache(), localCheckpoint's .rdd route)
       // compiles the rounds WITHOUT adaptive execution, where the
       // un-hinted joins fell back to sort-merge (measured at sf0.1:
       // cache()+count of the un-hinted chain 4.9 s vs 0.2 s lazy; with
       // the hints the chain costs the same materialized or lazy)
-      val adopted = ed.join(broadcast(labels), ed("src") === labels("node"))
+      val adopted = ed.join(bc(labels), ed("src") === labels("node"))
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
         .groupBy(col("dst").as("__n"))
         .agg(min(struct((-col("c")).as("nc"), col("label").as("l")))
           .getField("l").as("__adopt"))
       // keep-previous on nodes with no in-edges (vacuous on a
       // symmetric graph, load-bearing on a general directed one)
-      labels = labels.join(broadcast(adopted),
+      labels = labels.join(bc(adopted),
           labels("node") === col("__n"), "left")
         .select(col("node"),
           coalesce(col("__adopt"), col("label")).as("label"))
@@ -1157,7 +1200,8 @@ object Graph {
     * bit-identical on any engine and partitioning (σ is exact by
     * construction). One edge join + rollup per level, each way. */
   def betweennessSampled(edges: DataFrame, nSources: Int = 4,
-                         maxDepth: Int = 6): DataFrame = {
+                         maxDepth: Int = 6,
+                         broadcastNodeLimit: Long = 4000000L): DataFrame = {
     val ed = edges.select("src", "dst").distinct()
       .repartition(col("src")).localCheckpoint(true)
     val nodes = ed.select(col("src").as("node")).distinct()
@@ -1167,13 +1211,17 @@ object Graph {
         col("node"))
       .limit(nSources)
       .select(col("node").as("s"))
-    // forward: one frame per BFS level, (s, node, sigma)
+    // forward: one frame per BFS level, (s, node, sigma); per-level row
+    // counts ride along (already measured as frontierSize) so the
+    // backward pass can guard its broadcast for free
     val levels = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val levelSizes = scala.collection.mutable.ArrayBuffer[Long]()
     levels += sources.select(col("s"), col("s").as("node"))
       .withColumn("sigma", lit(1L)).localCheckpoint(true)
     var settled = levels.head.select("s", "node")
     var depth = 0
     var frontierSize = levels.head.count()
+    levelSizes += frontierSize
     while (depth < maxDepth && frontierSize > 0) {
       depth += 1
       // shuffle_hash on the K·frontier side: the checkpointed frames
@@ -1201,6 +1249,7 @@ object Graph {
       frontierSize = next.count()
       if (frontierSize > 0) {
         levels += next
+        levelSizes += frontierSize
         // no re-checkpoint: settled is a union of already-checkpointed
         // level frames — the next anti-join reads k small cached RDDs
         settled = settled.unionByName(next.select("s", "node"))
@@ -1224,10 +1273,15 @@ object Graph {
       // isolated probe): deepest backward rounds 2.31→1.46 s and
       // 1.75→1.26 s; forward-round variants (broadcast settled, fewer
       // shuffle partitions, 2-level fusion) measured within noise and
-      // were not kept
+      // were not kept. r15 guard: |w| = the level's row count, already
+      // measured in the forward pass — past broadcastNodeLimit the
+      // hint degrades to shuffle_hash instead of OOMing at scale
+      val bcW =
+        if (levelSizes(l + 1) <= broadcastNodeLimit) broadcast(w)
+        else w.hint("shuffle_hash")
       val terms = v.hint("shuffle_hash").join(ed, col("v") === ed("src"))
         .select(col("s"), col("v"), col("sv"), col("dst").as("w"))
-        .join(broadcast(w), Seq("s", "w"))
+        .join(bcW, Seq("s", "w"))
         .groupBy(col("s"), col("v").as("node"))
         .agg(sum(round(col("sv").cast("double") / col("sw") *
           (lit(1.0) + col("duw") / lit(1e9)) * lit(1e9)).cast("long"))
@@ -1275,7 +1329,9 @@ object Graph {
     * node id, matching the SQL oracle's closure definition
     * scc(u) = min{v : u→*v ∧ v→*u}. */
   def stronglyConnectedComponents(edges: DataFrame, maxPasses: Int = 30,
-                                  maxRounds: Int = 60): DataFrame = {
+                                  maxRounds: Int = 60,
+                                  broadcastNodeLimit: Long = 4000000L)
+      : DataFrame = {
     val spark = edges.sparkSession
     val ed0 = edges.select("src", "dst")
       .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
@@ -1285,7 +1341,16 @@ object Graph {
     var ed = ed0
     val results = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var pass = 0
-    while (!active.isEmpty && pass < maxPasses) {
+    // broadcast-or-degrade guard (r15, the dupClusters pattern): every
+    // hinted frame below (label probes, pulled mins, classified set) is
+    // bounded by the ACTIVE node count, re-measured per pass off the
+    // checkpoint (the active set shrinks as SCCs peel off); past the
+    // limit the hint degrades to shuffle_hash instead of OOMing at scale
+    var nActive = active.count()
+    def bc(df: DataFrame): DataFrame =
+      if (nActive <= broadcastNodeLimit) broadcast(df)
+      else df.hint("shuffle_hash")
+    while (nActive > 0 && pass < maxPasses) {
       pass += 1
       // min-label relaxation to fixpoint; rev=false propagates labels
       // AGAINST edge direction so f(u) = min over reach(u) (u's label
@@ -1300,17 +1365,17 @@ object Graph {
         var changed = 1L
         while (changed > 0 && round < maxRounds) {
           round += 1
-          // node-sized frames ride EXPLICIT broadcasts (r13, the LPA
+          // node-sized frames ride EXPLICIT hints (r13, the LPA
           // lesson): per-round localCheckpoints compile without AQE,
           // where un-hinted joins fell back to sort-merge per round
-          val pulled = e.join(broadcast(lab.select(col("node").as("to"),
+          val pulled = e.join(bc(lab.select(col("node").as("to"),
               col("m").as("mt"))), Seq("to"))
             .groupBy(col("from").as("node")).agg(min("mt").as("mp"))
-          val next = lab.join(broadcast(pulled), Seq("node"), "left")
+          val next = lab.join(bc(pulled), Seq("node"), "left")
             .select(col("node"),
               least(col("m"), coalesce(col("mp"), col("m"))).as("m"))
             .localCheckpoint(true)
-          changed = next.join(broadcast(lab.select(col("node"),
+          changed = next.join(bc(lab.select(col("node"),
               col("m").as("m0"))), Seq("node"))
             .filter(col("m") =!= col("m0")).count()
           lab = next
@@ -1327,15 +1392,16 @@ object Graph {
         .select(col("node"), col("m").as("scc_id"))
         .localCheckpoint(true)
       results += classified
-      active = active.join(broadcast(classified.select("node")), Seq("node"),
+      active = active.join(bc(classified.select("node")), Seq("node"),
         "left_anti").localCheckpoint(true)
-      ed = ed.join(broadcast(classified.select(col("node").as("src"))),
+      ed = ed.join(bc(classified.select(col("node").as("src"))),
           Seq("src"), "left_anti")
-        .join(broadcast(classified.select(col("node").as("dst"))),
+        .join(bc(classified.select(col("node").as("dst"))),
           Seq("dst"), "left_anti")
         .localCheckpoint(true)
+      nActive = active.count()
     }
-    if (!active.isEmpty) throw new IllegalStateException(
+    if (nActive > 0) throw new IllegalStateException(
       s"SCC peeling did not finish in $maxPasses passes")
     results.reduce(_ unionByName _)
       .groupBy("scc_id").agg(count(lit(1)).as("n_nodes"))
@@ -1354,7 +1420,8 @@ object Graph {
     * ⌈log₂ n⌉ rounds, each one labels⋈edges join + a component-sized
     * rollup. Not SQL-expressible (union-find state) → rows-only
     * surface; the brute-force Kruskal twin lives in the spec. */
-  def minimumSpanningForest(edges: DataFrame, maxRounds: Int = 40)
+  def minimumSpanningForest(edges: DataFrame, maxRounds: Int = 40,
+                            broadcastNodeLimit: Long = 4000000L)
       : DataFrame = {
     // canonical undirected edges with a strict total order on weight
     val canon = edges
@@ -1370,20 +1437,29 @@ object Graph {
       .localCheckpoint(true)
     var labels = sym.select(col("u").as("node")).distinct()
       .withColumn("comp", col("node")).localCheckpoint(true)
+    // broadcast-or-degrade guard (r15, the dupClusters pattern): label
+    // probes and the relabel map are node-sized (the node set is
+    // constant across rounds — only the comp column changes), so the
+    // count is taken ONCE off the checkpoint and the hint degrades to
+    // shuffle_hash past the limit instead of OOMing at 1e9 nodes
+    val nNodes = labels.count()
+    def bc(df: DataFrame): DataFrame =
+      if (nNodes <= broadcastNodeLimit) broadcast(df)
+      else df.hint("shuffle_hash")
     var picked = canon.filter(lit(false)).select("s", "t", "w")
     var round = 0
     var remaining = 1L
     while (remaining > 0 && round < maxRounds) {
       round += 1
       val lab = labels
-      // node-sized label probes are EXPLICIT broadcasts (r13, the LPA
+      // node-sized label probes are EXPLICIT hints (r13, the LPA
       // lesson): every round materializes through localCheckpoint's
       // .rdd route where AQE never runs, so un-hinted probes fell back
       // to sort-merge and re-sorted the edge frame each round
       val crossing = sym
-        .join(broadcast(lab.select(col("node").as("u"), col("comp").as("cu"))),
+        .join(bc(lab.select(col("node").as("u"), col("comp").as("cu"))),
           Seq("u"))
-        .join(broadcast(lab.select(col("node").as("v"), col("comp").as("cv"))),
+        .join(bc(lab.select(col("node").as("v"), col("comp").as("cv"))),
           Seq("v"))
         .filter(col("cu") =!= col("cv"))
       // min outgoing edge per component under the (w, s, t) total order
@@ -1412,9 +1488,9 @@ object Graph {
         // component label of their group (shared CC machinery)
         val merged = Dedup.dupClusters(
           chosen.select(col("cu").as("d1"), col("cv").as("d2")))
-        // component-count-sized relabel map → broadcast for the same
-        // reason as the probes above
-        labels = lab.join(broadcast(merged.select(col("doc_id").as("comp"),
+        // component-count-sized relabel map → same guarded hint as the
+        // probes above (component count ≤ node count)
+        labels = lab.join(bc(merged.select(col("doc_id").as("comp"),
             col("cluster_id"))), Seq("comp"), "left")
           .select(col("node"),
             coalesce(col("cluster_id"), col("comp")).as("comp"))
@@ -1449,20 +1525,37 @@ object Graph {
       .filter(col("s") =!= col("t"))
       .groupBy("s", "t").agg(max("w").as("w"))
       .localCheckpoint(true)
-    val rungs = thresholds.map { tau =>
-      val e = canon.filter(col("w") >= tau)
-      val comps = Dedup.dupClusters(
-        e.select(col("s").as("d1"), col("t").as("d2")))
-      comps.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
-        .agg(coalesce(sum("sz"), lit(0L)).as("n_nodes"),
-          count(lit(1)).as("n_components"),
-          coalesce(max("sz"), lit(0L)).as("giant"))
-        .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
-        .select(lit(tau).as("tau"), col("n_nodes"), col("n_edges"),
-          col("n_components"),
-          round(col("giant") / nullif(col("n_nodes").cast("double"),
-            lit(0.0)), 6).as("giant_share"))
-    }
+    // rungs are INDEPENDENT jobs over the same checkpointed edge frame
+    // (each dupClusters call does eager work: cache+count+collect /
+    // CC rounds) — overlap them on a small pool (guide §2.6) so one
+    // rung's driver-side tail back-fills the others' idle executors.
+    // Results are per-rung deterministic, assembled in ladder order.
+    // Probe-measured at sf0.1 (isolated): 6.1 s sequential → see
+    // OPTIMIZATION_r15.md.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(thresholds.size, 3))
+    implicit val ec =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val rungs =
+      try {
+        thresholds.map { tau =>
+          scala.concurrent.Future {
+            val e = canon.filter(col("w") >= tau)
+            val comps = Dedup.dupClusters(
+              e.select(col("s").as("d1"), col("t").as("d2")))
+            comps.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+              .agg(coalesce(sum("sz"), lit(0L)).as("n_nodes"),
+                count(lit(1)).as("n_components"),
+                coalesce(max("sz"), lit(0L)).as("giant"))
+              .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
+              .select(lit(tau).as("tau"), col("n_nodes"), col("n_edges"),
+                col("n_components"),
+                round(col("giant") / nullif(col("n_nodes").cast("double"),
+                  lit(0.0)), 6).as("giant_share"))
+          }
+        }.map(f => scala.concurrent.Await.result(f,
+          scala.concurrent.duration.Duration.Inf))
+      } finally pool.shutdown()
     rungs.reduce(_ unionByName _)
   }
 }

@@ -5148,14 +5148,24 @@ object Stats {
     val prevDayLast = arr.groupBy("day").agg(max("us").as("last_us"))
       .withColumn("prev_last", lag("last_us", 1).over(Window.orderBy("day")))
       .select("day", "prev_last")
+    // materialize the gap frame ONCE (r15 claw-back of the r13
+    // conversion's unpriced cost): the lag-window chain fed FOUR
+    // downstream passes (the n/Σg aggregate, stripedRank's bounds agg,
+    // its stripe-offset agg, and the final ranked join), each
+    // recomputing both windows — measured 1.46 s isolated at sf0.1 vs
+    // 0.30 s pre-conversion. One localCheckpoint + folding the stripe
+    // bounds into the same aggregate (stripedRankWith) makes every
+    // later pass a cached-RDD read.
     val gaps = arr
       .withColumn("prev_in_day", lag("us", 1).over(wd))
       .join(broadcast(prevDayLast), Seq("day"))
       .withColumn("prev", coalesce(col("prev_in_day"), col("prev_last")))
       .filter(col("prev").isNotNull)
       .select((col("us") - col("prev")).as("g"), col("event_id"))
-    val tot = gaps.agg(count(lit(1)).as("n"), sum("g").as("sg"))
-    val ranked = stripedRank(gaps.crossJoin(broadcast(tot)), "g", "event_id")
+      .localCheckpoint(true)
+    val tot = gaps.agg(count(lit(1)).as("n"), sum("g").as("sg"),
+      min("g").as("__lo"), max("g").as("__hi"))
+    val ranked = stripedRankWith(gaps, "g", "event_id", tot)
       .withColumn("f", lit(1.0) -
         exp(col("g") * (lit(-1.0) * col("n") / col("sg"))))
     ranked.agg(max("n").as("n_gaps"),

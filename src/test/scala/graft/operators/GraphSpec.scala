@@ -506,4 +506,50 @@ class GraphSpec extends SparkSpec {
     assert(out.values.forall(v => math.abs(v._2 - 1.0 / 7) < 1e-6),
       "bridge share rides every row")
   }
+
+  // r15: the five graph round-loops guard their node-sized broadcast
+  // hints behind a measured node count (the dupClusters pattern —
+  // broadcast under broadcastNodeLimit, shuffle_hash degrade above).
+  // limit = 0 forces every loop onto the degrade path; results must be
+  // IDENTICAL — the guard changes join strategy, never answers.
+  test("broadcast guard: degrade path (limit 0) is result-identical " +
+    "for LPA, SCC, MST, conductance, betweenness") {
+    // two triangles joined by a bridge + a separate directed 2-cycle
+    val und = undirected((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+
+    val lpaHint = Graph.labelPropagation(und)
+    val lpaDeg = Graph.labelPropagation(und, broadcastNodeLimit = 0L)
+    assert(rows(lpaHint) == rows(lpaDeg), "LPA degrade mismatch")
+
+    assert(rows(Graph.conductance(und, lpaHint)) ==
+      rows(Graph.conductance(und, lpaDeg, broadcastNodeLimit = 0L)),
+      "conductance degrade mismatch")
+
+    val dir = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 4L)).toDF("src", "dst")
+    assert(rows(Graph.stronglyConnectedComponents(dir)) ==
+      rows(Graph.stronglyConnectedComponents(dir,
+        broadcastNodeLimit = 0L)), "SCC degrade mismatch")
+
+    val wund = Seq((1L, 2L, 3L), (2L, 3L, 1L), (1L, 3L, 2L),
+      (3L, 4L, 5L), (4L, 5L, 1L), (4L, 6L, 2L)).toDF("src", "dst", "w")
+    assert(rows(Graph.minimumSpanningForest(wund)) ==
+      rows(Graph.minimumSpanningForest(wund, broadcastNodeLimit = 0L)),
+      "MST degrade mismatch")
+
+    assert(rows(Graph.betweennessSampled(und, nSources = 7)) ==
+      rows(Graph.betweennessSampled(und, nSources = 7,
+        broadcastNodeLimit = 0L)), "betweenness degrade mismatch")
+
+    assert(rows(Graph.coreness(und)) ==
+      rows(Graph.coreness(und, broadcastNodeLimit = 0L)),
+      "coreness degrade mismatch")
+
+    assert(rows(Graph.kCore(und, k = 2)) ==
+      rows(Graph.kCore(und, k = 2, broadcastNodeLimit = 0L)),
+      "kCore degrade mismatch")
+  }
 }
