@@ -454,6 +454,37 @@ object Dedup {
     * locked equal on both paths). A 100 TB corpus whose candidate pairs
     * exceed the limit takes the distributed rounds unchanged; the
     * collect is the same justified-scalar class as codebook training. */
+  /** Driver-side union-find with path compression over an edge array
+    * (direction/duplicates immaterial): (node, min member id) labels —
+    * the [[dupClusters]] fast path's core, shared with
+    * Graph.minimumSpanningForest's per-round component contraction
+    * (whose pair frame is already checkpointed AND counted, so calling
+    * this directly skips the fast path's cache+count+re-collect). */
+  private[operators] def unionFindLabels(es: Array[(Long, Long)])
+      : Seq[(Long, Long)] = {
+    // union-find with path compression; final label = min member id
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+      var c = x
+      while (parent.getOrDefault(c, c) != r) {
+        val nxt = parent.getOrDefault(c, c); parent.put(c, r); c = nxt
+      }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+      val (ra, rb) = (find(a), find(b))
+      // union toward the smaller root: roots stay component minima
+      if (ra < rb) parent.put(rb, ra)
+      else if (rb < ra) parent.put(ra, rb)
+    }
+    val labels = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    parent.keySet().forEach(n => labels += ((n, find(n))))
+    labels.toSeq
+  }
+
   def dupClusters(pairs: DataFrame, maxIter: Int = 20,
                   broadcastLabelLimit: Long = 4000000L,
                   driverEdgeLimit: Long = 2000000L): DataFrame = {
@@ -478,27 +509,7 @@ object Dedup {
         .select(col("a").cast("long"), col("b").cast("long"))
         .collect().map(r => (r.getLong(0), r.getLong(1)))
       edgesAll.unpersist()
-      // union-find with path compression; final label = min member id
-      val parent = new java.util.HashMap[Long, Long]()
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
-        var c = x
-        while (parent.getOrDefault(c, c) != r) {
-          val nxt = parent.getOrDefault(c, c); parent.put(c, r); c = nxt
-        }
-        r
-      }
-      es.foreach { case (a, b) =>
-        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
-        val (ra, rb) = (find(a), find(b))
-        // union toward the smaller root: roots stay component minima
-        if (ra < rb) parent.put(rb, ra)
-        else if (rb < ra) parent.put(ra, rb)
-      }
-      val labels = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
-      parent.keySet().forEach(n => labels += ((n, find(n))))
-      return labels.toSeq.toDF("doc_id", "cluster_id")
+      return unionFindLabels(es).toDF("doc_id", "cluster_id")
     }
     val edges =
       if (nEdges <= 1000000L) edgesAll.coalesce(4)

@@ -235,24 +235,25 @@ object Graph {
   def conductance(edges: DataFrame, labels: DataFrame,
                   topK: Int = 10,
                   broadcastNodeLimit: Long = 4000000L): DataFrame = {
+    // FULLY LAZY label lineage, RE-CONFIRMED r15: materializing the
+    // LPA chain here (labels.localCheckpoint(true) + count off it)
+    // probe-measured 8.2 s suite / 9.5 s isolated vs 6.6/6.3 lazy at
+    // sf0.1 — the .rdd route still compiles the chain WITHOUT adaptive
+    // execution even with the r13 hints (every node-sized stage keeps
+    // all 32 shuffle tasks instead of AQE-coalescing), so the r13
+    // lazy trade stands: the two label probes re-run the lazy chain
+    // once each (~1.4 s, gr_lpa's own bench number).
     // broadcast-or-degrade guard (r15, the dupClusters pattern): the
-    // two label probes are node-sized, so the hint is measured against
-    // the label row count — ONE extra run of the (lazy, see below)
-    // label chain, probe-measured ~0.2 s at sf0.1 — and degrades to
-    // shuffle_hash past the limit instead of OOMing at 1e9 nodes
-    lazy val nLabels = labels.count()
+    // label probes are node-sized. Counting `labels` would run the
+    // chain a THIRD time, so the guard measures the node count off the
+    // EDGE frame instead — under the documented precondition (labels
+    // cover the edge endpoints exactly once) |labels| = |distinct
+    // src| of the symmetric edge list; past the limit the hint
+    // degrades to shuffle_hash instead of OOMing at 1e9 nodes.
+    lazy val nLabels = edges.select(col("src")).distinct().count()
     def bc(df: DataFrame): DataFrame =
       if (nLabels <= broadcastNodeLimit) broadcast(df)
       else df.hint("shuffle_hash")
-    // FULLY LAZY (r13 rework of the r12 shape): every materialization
-    // of the label lineage here (localCheckpoint's .rdd route, cache())
-    // compiles the LPA round chain WITHOUT adaptive execution, so its
-    // dozen node-sized shuffle stages keep all spark.sql.shuffle
-    // .partitions tasks instead of AQE-coalescing to a few — measured
-    // at sf0.1: cache()+count of the chain alone 4.2-4.9 s vs 0.2 s
-    // lazy, and the r12 localCheckpoint form benched 7.6-8.1 s
-    // isolated vs 1.6 s for this shape. The two label probes re-run
-    // the lazy chain once each (~0.2 s), the cheaper trade by 3×.
     val e = edges.select("src", "dst").distinct()
     val j = e
       .join(bc(labels.select(col("node").as("src"),
@@ -1485,9 +1486,23 @@ object Graph {
         // the same crossing edge).
         picked = picked.unionByName(chosen.select("s", "t", "w"))
         // contract: components joined by chosen edges take the minimum
-        // component label of their group (shared CC machinery)
-        val merged = Dedup.dupClusters(
-          chosen.select(col("cu").as("d1"), col("cv").as("d2")))
+        // component label of their group (shared CC machinery). r15:
+        // `chosen` is already checkpointed AND counted (`remaining`),
+        // so under the dupClusters driver-edge limit the union-find
+        // runs on ONE direct collect instead of dupClusters' fast path
+        // re-paying union-both-directions + cache + count per round
+        // (probe-measured, OPTIMIZATION_r15.md); above the limit the
+        // distributed CC machinery takes over unchanged.
+        val merged =
+          if (remaining <= 2000000L) {
+            val spark = chosen.sparkSession
+            import spark.implicits._
+            val es = chosen
+              .select(col("cu").cast("long"), col("cv").cast("long"))
+              .collect().map(r => (r.getLong(0), r.getLong(1)))
+            Dedup.unionFindLabels(es).toDF("doc_id", "cluster_id")
+          } else Dedup.dupClusters(
+            chosen.select(col("cu").as("d1"), col("cv").as("d2")))
         // component-count-sized relabel map → same guarded hint as the
         // probes above (component count ≤ node count)
         labels = lab.join(bc(merged.select(col("doc_id").as("comp"),
