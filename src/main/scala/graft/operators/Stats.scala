@@ -4801,6 +4801,15 @@ object Stats {
           (col(kCol).cast("double") * col("s").cast("double")))
           .cast("long"))
         .drop("s")
+        // checkpoint per scaling (r15): each rescale references w
+        // TWICE (the margin rollup and the join back), so the lazy
+        // lineage doubled per scaling — 2^6 copies of the base plan,
+        // 318 Exchange nodes in the dumped plan, and the optimizer
+        // re-planned all of them every action. The frame is
+        // CELL-BOUNDED (k_r × k_c rows), so six materializations are
+        // ~free and the plan stays one scaling deep (the classic
+        // iterative-lineage trap, same cure as the graph loops).
+        .localCheckpoint(true)
     }
     for (_ <- 1 to rounds) { rescale("r", "kr"); rescale("cgrp", "kc") }
     // floor convention (Exact.scala): w9/1000 is an exact double for
